@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py [sfdir] [outdir]
+Runs graft.Verify (must be compiled: sbt compile), then for every query with
+an oracle: run the oracle in DuckDB over the same parquet tables and compare
+(column names sorted, rows sorted, exact values). Prints per-query PASS/FAIL.
+"""
+import json, os, subprocess, sys, glob
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+def run_verify():
+    cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
+        glob.glob("/opt/spark/jars/*.jar"))
+    cmd = ["java"] + [x for p in ADD_OPENS for x in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
+        "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Verify", SF, OUT]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    sys.stdout.write(r.stdout[-4000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-6000:])
+        sys.exit(f"Verify failed rc={r.returncode}")
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+def canon(v):
+    import math, datetime, decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def table_rows(rows):
+    return sorted(["|".join(canon(v) for v in row) for row in rows])
+
+def main():
+    run_verify()
+    import duckdb
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(OUT)):
+        qdir = os.path.join(OUT, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        if name not in oracle:
+            print(f"  ~ {name}: rows-only ({len(got_rows)} rows)")
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"  ✗ {name}: SCHEMA got={sorted(got_cols)} exp={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g = table_rows([[r[i] for i in gidx] for r in got_rows])
+        e = table_rows([[r[i] for i in eidx] for r in exp_rows])
+        if g == e:
+            print(f"  ✓ {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  ✗ {name}: MISMATCH spark={len(g)} duck={len(e)} rows")
+            only_g = [x for x in g if x not in set(e)][:3]
+            only_e = [x for x in e if x not in set(g)][:3]
+            for x in only_g:
+                print(f"      spark-only: {x[:200]}")
+            for x in only_e:
+                print(f"      duck-only:  {x[:200]}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,406 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{CdcOperators, DocDedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions
+
+/**
+ * Driver contract (see SURVEY.md §7 and the builder prompt): `queries` maps
+ * operator names from SURVEY.md §2 (+ the M6 extensions) to DataFrame
+ * programs over the driver testdata; `oracleSql` gives the DuckDB-equivalent
+ * ANSI SQL for the correctness gate.
+ *
+ * Float-parity convention: money/metric sums go through exact DECIMAL
+ * arithmetic and only the final value is cast to DOUBLE, on both sides —
+ * bit-identical results regardless of aggregation order (which Spark does
+ * not define across partitions).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the CDC
+   * dedup → enrichment-join → tombstone-projection pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_enrich_join")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers -----------------------------------------------------
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Cdc.eventsFromRaw(Cdc.rawEvents(s, dir))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Cdc.table(s, dir, name)
+
+  /** Exact decimal for a 2-dp money double; final results cast back. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def revenue: Column =
+    sum(dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")))
+      .cast("double")
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // == CDC core (SURVEY.md §2.2–2.5, §3.2) ==
+    "cdc_dedup_exact" -> ((s, dir) => {
+      // RF=2 replica duplicates collapsed by (key, digest) — A1/T2
+      val duplicated = Cdc.replicate(ev(s, dir), rf = 2)
+      CdcOperators.dedupExact(duplicated)
+        .select(col("event_id"), col("key"), col("op"), col("writetime"))
+    }),
+
+    "cdc_enrich_join" -> ((s, dir) => {
+      // J1 read-after-write lookup + P7 tombstone projection
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name", "c_acctbal"))
+        .select(col("event_id"), col("key"), col("op"),
+          col("c_name"), col("c_acctbal"), col("writetime"))
+    }),
+
+    "cdc_compaction_lww" -> ((s, dir) => {
+      // W3 last-write-wins per key
+      CdcOperators.compactLww(ev(s, dir), Seq("key"),
+          Seq(col("writetime").desc, col("event_id").desc))
+        .select(col("key"), col("event_id"), col("op"), col("writetime"))
+    }),
+
+    "cdc_backfill_union" -> ((s, dir) => {
+      // T8 snapshot→synthetic-inserts ∪ live stream
+      val live = ev(s, dir).select(col("key"), lit("live").as("src"))
+      val bf = CdcOperators.backfillEvents(t(s, dir, "customer"), "c_custkey")
+        .select(col("key"), lit("backfill").as("src"))
+      live.unionByName(bf)
+        .groupBy(col("key"))
+        .agg(count(when(col("src") === "live", 1)).as("n_live"),
+          count(when(col("src") === "backfill", 1)).as("n_backfill"))
+    }),
+
+    "cdc_tombstone_json" -> ((s, dir) => {
+      // F13 json output format; delete ⇒ null value (tombstone)
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          to_json(struct(col("key"))).as("key_json"),
+          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
+            .otherwise(to_json(struct(col("c_name")))).as("value_json"))
+    }),
+
+    "cdc_token_partition" -> ((s, dir) => {
+      // F2/O5: Cassandra Murmur3 token + topic-partition routing (custom
+      // codegen Expression; no SQL oracle — engine-specific hash)
+      ev(s, dir).select(col("event_id"), col("key"),
+        GraftFunctions.cassandra_token(col("key")).as("token"))
+        .withColumn("partition", GraftFunctions.token_partition(col("token"), 32))
+    }),
+
+    "cdc_sessionize" -> ((s, dir) => {
+      // session windows over the event stream (30 min gap)
+      val sess = CdcOperators.sessionize(ev(s, dir), "key", "writetime", 30)
+      sess.groupBy(col("key"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // == analytics (§2.4 aggregations, §2.3 joins, §2.5 windows/setops) ==
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q_window_topn" -> ((s, dir) => {
+      // ranking window: top-3 orders per customer
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"))
+    }),
+
+    "q_rollup_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    "q_anti_customers_no_orders" -> ((s, dir) => {
+      // customers with no orders in the first half-year window (anti join)
+      val early = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_semi_parts_used" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    "q_except_parts_unused" -> ((s, dir) => {
+      // parts never shipped in 1995 (EXCEPT set op)
+      val shipped95 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_partkey").as("p_partkey"))
+      t(s, dir, "part").select(col("p_partkey")).except(shipped95)
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // == LLM-data-pipeline extensions (SURVEY.md §7.2 M6) ==
+    "text_doc_stats" -> ((s, dir) => {
+      TextAnalysis.docStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_distinct_words").cast("long").as("n_distinct_words"),
+          col("n_chars_computed").cast("long").as("n_chars_computed"),
+          col("ttr_quality"), col("mean_token_len"))
+    }),
+
+    "text_lang_quality" -> ((s, dir) =>
+      TextAnalysis.langQuality(t(s, dir, "documents"))),
+
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.regexTokenCount(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
+
+    "dedup_exact_docs" -> ((s, dir) =>
+      DocDedup.dedupBy(t(s, dir, "documents"),
+        DocDedup.exactFingerprint("text"))),
+
+    "dedup_prefix_fingerprint" -> ((s, dir) =>
+      DocDedup.dedupBy(t(s, dir, "documents"),
+        DocDedup.prefixFingerprint("text", 10))),
+
+    "knn_brute_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "knn_ivf_ann" -> ((s, dir) => {
+      // IVF-bucketed ANN (scale path; rows-only check — centroid assignment
+      // is engine-side). Output: per-query top-5 within the query's cell.
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.seedCentroids(emb, 50)
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, centroids, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "mm_media_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
+      Multimodal.decodeStub(media)
+        .select(col("doc_id"), col("content_type"),
+          col("byte_len").cast("long").as("byte_len"), col("content_hash"),
+          col("n_frames").cast("long").as("n_frames"))
+    })
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val opSql =
+    "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_dedup_exact" ->
+      s"""SELECT event_id, user_id AS "key", $opSql AS op, epoch_us(ts) AS writetime FROM events""",
+
+    "cdc_enrich_join" ->
+      s"""SELECT e.event_id, e.user_id AS "key", $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_acctbal END AS c_acctbal,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_compaction_lww" ->
+      s"""SELECT "key", event_id, op, writetime FROM (
+         SELECT user_id AS "key", event_id, $opSql AS op, epoch_us(ts) AS writetime,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+
+    "cdc_backfill_union" ->
+      """SELECT "key",
+         COUNT(CASE WHEN src='live' THEN 1 END) AS n_live,
+         COUNT(CASE WHEN src='backfill' THEN 1 END) AS n_backfill
+         FROM (SELECT user_id AS "key", 'live' AS src FROM events
+               UNION ALL SELECT c_custkey, 'backfill' FROM customer)
+         GROUP BY "key"""",
+
+    "cdc_tombstone_json" ->
+      """SELECT e.event_id,
+         to_json(struct_pack("key" := e.user_id)) AS key_json,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_sessionize" ->
+      """SELECT user_id AS "key", CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM (SELECT user_id,
+           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+           FROM events) GROUP BY user_id""",
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         $revenueSql AS sum_disc_price,
+         COUNT(*) AS count_order,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY n_name""",
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+
+    "q_rollup_stats" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')""",
+
+    "q_semi_parts_used" ->
+      """SELECT p_partkey, p_name FROM part p
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+
+    "q_except_parts_unused" ->
+      """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""",
+
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_buyers,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
+
+    "text_doc_stats" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+         CAST(length(text) AS BIGINT) AS n_chars_computed,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr_quality,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len
+         FROM documents""",
+
+    "text_lang_quality" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+         COUNT(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang""",
+
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
+         FROM documents""",
+
+    "dedup_exact_docs" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS n_dups FROM documents GROUP BY 1""",
+
+    "dedup_prefix_fingerprint" ->
+      """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fingerprint,
+         MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "knn_brute_cosine" ->
+      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT q.vec_id AS q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 10""",
+
+    "mm_media_meta" ->
+      """SELECT doc_id, 'text/plain' AS content_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_hash,
+         (octet_length(encode(text)) + 1023) // 1024 AS n_frames
+         FROM documents"""
+    // cdc_token_partition / knn_ivf_ann: engine-side hashing & centroid
+    // assignment — no SQL oracle; driver records rows-only checks.
+  )
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+/**
+ * MurmurHash3 x64 128-bit (public-domain algorithm by Austin Appleby) with
+ * seed 0, exposed as the 64-bit partitioner token: the first 64-bit half of
+ * the 128-bit hash, with Long.MinValue normalized to Long.MaxValue.
+ *
+ * This reproduces Cassandra's Murmur3Partitioner token function, which the
+ * reference uses for token-based topic routing
+ * (commons/.../Murmur3MessageRouter.java:25-28; partition = top-16-bits of
+ * the token modulo partition count). Spark's built-in `hash()` is 32-bit
+ * Murmur3 and `xxhash64` is a different function, so byte-compatible routing
+ * needs this implementation (SURVEY.md §2.6 F2).
+ */
+object Murmur3 {
+
+  private final val C1 = 0x87c37b91114253d5L
+  private final val C2 = 0x4cf5ad432745937fL
+
+  private def rotl64(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
+
+  private def fmix(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  private def getLongLE(data: Array[Byte], i: Int): Long =
+    (data(i) & 0xffL) |
+      ((data(i + 1) & 0xffL) << 8) |
+      ((data(i + 2) & 0xffL) << 16) |
+      ((data(i + 3) & 0xffL) << 24) |
+      ((data(i + 4) & 0xffL) << 32) |
+      ((data(i + 5) & 0xffL) << 40) |
+      ((data(i + 6) & 0xffL) << 48) |
+      ((data(i + 7) & 0xffL) << 56)
+
+  /** First 64 bits of murmur3 x64 128 with the given seed. */
+  def hash64(data: Array[Byte], seed: Long): Long = {
+    val length = data.length
+    val nblocks = length >> 4
+    var h1 = seed
+    var h2 = seed
+
+    var i = 0
+    while (i < nblocks) {
+      var k1 = getLongLE(data, i * 16)
+      var k2 = getLongLE(data, i * 16 + 8)
+
+      k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1
+      h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+
+      k2 *= C2; k2 = rotl64(k2, 33); k2 *= C1; h2 ^= k2
+      h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+
+    var k1 = 0L
+    var k2 = 0L
+    val tail = nblocks << 4
+    val rem = length & 15
+    if (rem >= 15) k2 ^= (data(tail + 14) & 0xffL) << 48
+    if (rem >= 14) k2 ^= (data(tail + 13) & 0xffL) << 40
+    if (rem >= 13) k2 ^= (data(tail + 12) & 0xffL) << 32
+    if (rem >= 12) k2 ^= (data(tail + 11) & 0xffL) << 24
+    if (rem >= 11) k2 ^= (data(tail + 10) & 0xffL) << 16
+    if (rem >= 10) k2 ^= (data(tail + 9) & 0xffL) << 8
+    if (rem >= 9) k2 ^= data(tail + 8) & 0xffL
+    if (rem >= 9) { k2 *= C2; k2 = rotl64(k2, 33); k2 *= C1; h2 ^= k2 }
+    if (rem >= 8) k1 ^= (data(tail + 7) & 0xffL) << 56
+    if (rem >= 7) k1 ^= (data(tail + 6) & 0xffL) << 48
+    if (rem >= 6) k1 ^= (data(tail + 5) & 0xffL) << 40
+    if (rem >= 5) k1 ^= (data(tail + 4) & 0xffL) << 32
+    if (rem >= 4) k1 ^= (data(tail + 3) & 0xffL) << 24
+    if (rem >= 3) k1 ^= (data(tail + 2) & 0xffL) << 16
+    if (rem >= 2) k1 ^= (data(tail + 1) & 0xffL) << 8
+    if (rem >= 1) { k1 ^= data(tail) & 0xffL; k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1 }
+
+    h1 ^= length
+    h2 ^= length
+    h1 += h2
+    h2 += h1
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 += h2
+    // h2 += h1 — not needed for the first half
+    h1
+  }
+
+  /** Partitioner token of raw key bytes: hash with MinValue normalized. */
+  def token(data: Array[Byte]): Long = {
+    val h = hash64(data, 0L)
+    if (h == Long.MinValue) Long.MaxValue else h
+  }
+
+  /** Token of a 64-bit integer key, serialized big-endian (CQL bigint wire form). */
+  def tokenOfLong(v: Long): Long = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    token(b)
+  }
+
+  /** Token of UTF-8 text key bytes (CQL text wire form). */
+  def tokenOfUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = token(s.getBytes)
+
+  /** Topic-partition routing from a token: top 16 bits shifted into [0, n)
+   * (reference: Murmur3MessageRouter.java:25-28). */
+  def partition(token: Long, numPartitions: Int): Int =
+    (((token >>> 48).toShort + 32768) % numPartitions).toInt
+}

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Cassandra Murmur3Partitioner token as a native Catalyst expression
+ * (codegen'd — stays inside WholeStageCodegen). Accepts BINARY (raw key
+ * bytes), STRING (UTF-8 bytes) or BIGINT (big-endian 8-byte CQL encoding).
+ *
+ * Reference semantics: commons/.../Murmur3MessageRouter.java:25-28 routes on
+ * this token; the agent enables token routing when the cluster partitioner is
+ * Murmur3 (agent-c4/.../PulsarMutationSender.java:83-85).
+ */
+case class CassandraToken(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType | StringType | LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cassandra_token needs BINARY/STRING/BIGINT/INT input, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case BinaryType  => Murmur3.token(v.asInstanceOf[Array[Byte]])
+    case StringType  => Murmur3.tokenOfUtf8(v.asInstanceOf[UTF8String])
+    case LongType    => Murmur3.tokenOfLong(v.asInstanceOf[Long])
+    case IntegerType => Murmur3.tokenOfLong(v.asInstanceOf[Int].toLong)
+    case other       => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = "graft.functions.Murmur3"
+    child.dataType match {
+      case BinaryType  => defineCodeGen(ctx, ev, c => s"$m.token($c)")
+      case StringType  => defineCodeGen(ctx, ev, c => s"$m.tokenOfUtf8($c)")
+      case _           => defineCodeGen(ctx, ev, c => s"$m.tokenOfLong((long)$c)")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CassandraToken =
+    copy(child = newChild)
+}
+
+/** Static kernels shared by interpreted eval and generated code. */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private[functions] def checkFloatArrays(fn: String, l: Expression,
+      r: Expression): TypeCheckResult =
+    (l.dataType, r.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn needs two ARRAY<FLOAT> inputs, got ($a, $b)")
+    }
+
+  /** Cosine similarity of two float vectors, accumulated left-to-right in
+   * double precision. Deterministic summation order — required for
+   * bit-reproducible results across runs/engines. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def norm2(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/**
+ * Cosine similarity over two ARRAY<FLOAT> columns — a native codegen'd
+ * expression (no UDF boxing; the tight loop is a static Java-friendly kernel).
+ * Basis of the similarity-search operators over the CQL `vector<float,n>`
+ * type the reference supports (connector/.../AbstractNativeConverter.java:82-88).
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkFloatArrays("cosine_similarity", left, right)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineFF($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Dot product over two ARRAY<FLOAT> columns (codegen'd). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkFloatArrays("dot_product", left, right)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotFF($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points for graft's custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.GraftShim.column
+
+  /** Cassandra Murmur3Partitioner token of a key column. */
+  def cassandra_token(c: Column): Column = column(CassandraToken(expr(c)))
+
+  /** Reference topic routing: top-16-bits of token mod numPartitions
+   * (Murmur3MessageRouter.java:25-28). */
+  def token_partition(token: Column, numPartitions: Int): Column = {
+    import org.apache.spark.sql.functions._
+    pmod(shiftright(token, 48).cast(ShortType).cast(IntegerType) + lit(32768),
+      lit(numPartitions))
+  }
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expr(a), expr(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expr(a), expr(b)))
+
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.GraftShim.expression(c)
+}

@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * CDC data model — the Spark-native analog of the reference's mutation-event
+ * shape (reference: agent/src/main/java/com/datastax/oss/cdc/agent/AbstractMutation.java:32-49,
+ * commons/src/main/java/com/datastax/oss/cdc/MutationValue.java:28-43).
+ *
+ * An event carries: the primary key, the operation kind (i/u/d — reference
+ * RowType, agent-c4/.../CommitLogReadHandlerImpl.java:157-225), the write
+ * timestamp in microseconds, a commitlog coordinate (segment, position), an
+ * MD5 digest identifying the mutation for dedup
+ * (CommitLogReadHandlerImpl.java:228-245), and the originating node id.
+ */
+object Cdc {
+
+  /** Operation kinds, matching the reference's RowType classification. */
+  val OpInsert = "i"
+  val OpUpdate = "u"
+  val OpDelete = "d"
+
+  /** Digest used by backfill events — deliberately constant so backfill
+   * bypasses real dedup (reference: backfill-cli/.../PulsarImporter.java:80-102). */
+  val BackfillDigest = "BACK_FILL_INSERT"
+
+  /** Canonical flattened events-stream schema (see FIXTURES.md §3). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("writetime", LongType, nullable = false),
+    StructField("segment", LongType, nullable = false),
+    StructField("position", IntegerType, nullable = false),
+    StructField("md5Digest", StringType, nullable = false),
+    StructField("nodeId", StringType, nullable = false)
+  ))
+
+  /**
+   * Derive a CDC event stream from the driver's raw `events` table
+   * (event_id, ts, user_id, event_type, value, props).
+   *
+   * Deterministic mapping (documented so the DuckDB oracle can mirror it):
+   *   - op: 'error' → delete, 'signup' → insert, else update
+   *   - key: user_id (single-column primary key)
+   *   - writetime: epoch microseconds of ts (reference keeps writetime in µs,
+   *     AbstractPulsarMutationSender.java:258-263)
+   *   - segment/position: event_id / 1000 and event_id % 1000 — a synthetic
+   *     commitlog coordinate (reference "segpos" property, Constants.java:24-27)
+   *   - md5Digest: md5 of the event identity (reference digests the serialized
+   *     mutation, CommitLogReadHandlerImpl.java:235-237)
+   */
+  def eventsFromRaw(raw: DataFrame): DataFrame = {
+    // ts arrives as nanosecond epoch LONG (see rawEvents); integer division
+    // to µs — double division would lose precision above 2^53 ns.
+    val writetimeUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+    raw.select(
+      col("event_id"),
+      col("user_id").as("key"),
+      when(col("event_type") === "error", OpDelete)
+        .when(col("event_type") === "signup", OpInsert)
+        .otherwise(OpUpdate).as("op"),
+      writetimeUs.as("writetime"),
+      (col("event_id") / 1000).cast(LongType).as("segment"),
+      (col("event_id") % 1000).cast(IntegerType).as("position"),
+      md5(concat_ws("|", col("event_id"), col("user_id"), col("event_type")))
+        .as("md5Digest"),
+      col("value"),
+      col("event_type")
+    )
+  }
+
+  /** Read the raw events table for a scale-factor directory. The driver's
+   * events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
+   * the nanos-as-long legacy path — `ts` comes back as epoch-nanos LONG. */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * Simulate RF-way replication: each mutation is observed once per replica
+   * with a distinct nodeId but the same digest — exactly the duplicate shape
+   * the reference's 2-node test produces (0.5 cache-hit ratio,
+   * docs/modules/ROOT/pages/monitor.adoc:133-138).
+   */
+  def replicate(events: DataFrame, rf: Int): DataFrame = {
+    val replicas = (1 to rf).map(i => lit(s"node-$i"))
+    events.withColumn("nodeId", explode(array(replicas: _*)))
+  }
+}

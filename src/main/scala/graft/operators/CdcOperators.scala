@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Cdc
+
+/**
+ * Core CDC operators — the Spark-first re-expression of the reference
+ * connector's per-event dataflow (SURVEY.md §2, §3.2):
+ * dedup → point-lookup enrichment join → key/value projection with delete
+ * tombstones → last-write-wins compaction, plus the backfill union.
+ *
+ * All operators are declarative DataFrame transforms: Catalyst handles
+ * predicate pushdown, column pruning and join selection; at scale the
+ * enrichment join is a shuffle-on-PK join (broadcast when the dimension
+ * fits), and dedup is a map-side-combinable aggregation.
+ */
+object CdcOperators {
+
+  /**
+   * Exact mutation dedup: collapse replica/replay duplicates by
+   * (key, md5Digest), keeping a deterministic winner (lowest nodeId).
+   *
+   * Reference: MutationCache digest check
+   * (connector/.../MutationCache.java:52-73; used at CassandraSource.java:517-532).
+   * The reference's cache is a bounded TTL approximation because it processes
+   * an infinite stream with finite memory; in batch we can be exact. The
+   * streaming analog with the reference's bounded-state semantics is
+   * [[graft.streaming.StreamingDedup]].
+   *
+   * Scale: groupBy on (key, digest) is a hash aggregate with map-side partial
+   * aggregation — duplicates collapse before the shuffle, so RF-way
+   * replication shuffles ~1/RF of the input.
+   */
+  def dedupExact(events: DataFrame, keyCols: Seq[String] = Seq("key"),
+                 digestCol: String = "md5Digest"): DataFrame = {
+    val grouping = (keyCols :+ digestCol).map(col)
+    val payload = events.columns.filterNot(c => keyCols.contains(c) || c == digestCol)
+    events.groupBy(grouping: _*)
+      .agg(min(struct(payload.map(col): _*)).as("_p"))
+      .select((keyCols :+ digestCol).map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
+  /**
+   * Read-after-write enrichment join: for each deduped event, resolve the
+   * current full row from the base table by primary key; deletes and missing
+   * rows produce null values (tombstones).
+   *
+   * Reference: point lookup `SELECT <proj> WHERE pk=? LIMIT 1` per event
+   * (connector/.../CassandraClient.java:292-337, call site
+   * CassandraSource.java:534-554); null row ⇒ tombstone (:554).
+   *
+   * Spark-first: a left-outer equi-join against the table snapshot. The
+   * caller controls the strategy: `broadcastDim=true` broadcasts the base
+   * table (small dims); at 100 TB both sides shuffle-partition on the PK —
+   * same plan, no code change.
+   */
+  def enrichmentJoin(events: DataFrame, baseTable: DataFrame,
+                     eventKey: String, tableKey: String,
+                     valueCols: Seq[String], opCol: String = "op",
+                     broadcastDim: Boolean = true): DataFrame = {
+    val dim0 = baseTable.select((tableKey +: valueCols).map(col): _*)
+    val dim = if (broadcastDim) broadcast(dim0) else dim0
+    val joined = events.join(dim, events(eventKey) === dim(tableKey), "left_outer")
+    // Delete events always produce a tombstone regardless of lookup result
+    // (reference re-reads current state; a delete's row is gone by read time).
+    val isTombstone = col(opCol) === Cdc.OpDelete
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(isTombstone, lit(null)).otherwise(col(c)))
+    }.drop(tableKey)
+  }
+
+  /**
+   * Last-write-wins compaction: latest event per key by (writetime, tiebreak).
+   *
+   * Reference: the data topic is keyed precisely so downstream topic
+   * compaction keeps the latest record per key (SEPARATED key encoding chosen
+   * for this, docs/.../cdc-cassandra-events.adoc:8; SURVEY.md §2.5 W3).
+   *
+   * Scale: a ranking window partitioned by key — one shuffle on the key,
+   * no skew issue for PK-cardinality data.
+   */
+  def compactLww(events: DataFrame, keyCols: Seq[String],
+                 orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /**
+   * Backfill: turn a table snapshot into synthetic insert events
+   * (digest = BACK_FILL_INSERT, segment/position/writetime = -1) and union
+   * them with the live stream.
+   *
+   * Reference: backfill-cli/.../PulsarImporter.java:80-102 (constants),
+   * :157-185 (injection into the live events topic); SURVEY.md §2.7 T8.
+   */
+  def backfillEvents(snapshot: DataFrame, keyCol: String): DataFrame =
+    snapshot.select(
+      col(keyCol).cast("long").as("key"),
+      lit(Cdc.OpInsert).as("op"),
+      lit(-1L).as("writetime"),
+      lit(-1L).as("segment"),
+      lit(-1).as("position"),
+      lit(Cdc.BackfillDigest).as("md5Digest"))
+
+  /**
+   * Sessionize an event stream: a new session starts after `gapMinutes` of
+   * per-key inactivity. Built-in window functions only (lag + running sum) —
+   * one shuffle on the key. (Extension operator: no reference counterpart;
+   * standard session-window semantics, cf. Spark's session_window.)
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new_session")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document-deduplication operators for training-data pipelines
+ * (SURVEY.md §7.2 M6 — the CDC dedup generalized to content identity).
+ *
+ * Scale design: every variant reduces to (fingerprint → groupBy fingerprint)
+ * — a single hash-partitioned shuffle on the fingerprint, map-side
+ * combinable, no pairwise comparisons outside LSH buckets.
+ */
+object DocDedup {
+
+  /** Exact-content fingerprint: md5 of the raw text. */
+  def exactFingerprint(textCol: String): Column = md5(col(textCol))
+
+  /** Normalized fingerprint: md5 over lowercased text with non-alphanumerics
+   * collapsed — catches whitespace/punctuation-only variants. */
+  def normalizedFingerprint(textCol: String): Column =
+    md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+
+  /** Prefix fingerprint: md5 of the first `k` tokens — a cheap blocking key
+   * for near-dup candidate generation. */
+  def prefixFingerprint(textCol: String, k: Int): Column =
+    md5(concat_ws(" ", slice(split(col(textCol), " "), 1, k)))
+
+  /**
+   * Group documents by a fingerprint: emit one row per duplicate group with
+   * the canonical (lowest) doc id and the group size. `keep = canonical`
+   * filtering is then a semi-join or `n_dups === 1` filter.
+   */
+  def dedupBy(docs: DataFrame, fp: Column): DataFrame =
+    docs.groupBy(fp.as("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_dups"))
+
+  /**
+   * MinHash signature computed with engine-portable hashing: for hash
+   * function i, minhash_i = min over the token set of md5(i || '|' || token).
+   * Lexicographic min over hex digests is a valid uniform min-hash and is
+   * bit-identical across engines (md5 is standardized) — so the oracle can
+   * verify it, unlike JVM-specific hash mixes.
+   *
+   * Bands of `rowsPerBand` signatures hash to an LSH bucket key; documents
+   * sharing any band bucket are near-dup candidates. At scale: explode is
+   * linear in corpus token count, the groupBys are map-side combinable, and
+   * candidate generation is a self-join per bucket (bounded by bucket size),
+   * never all-pairs.
+   */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val hashIds = (0 until numHashes).map(lit(_))
+    tokens
+      .select(col("doc_id"), explode(array(hashIds: _*)).as("h"),
+        col("token"))
+      .select(col("doc_id"), col("h"),
+        md5(concat_ws("|", col("h"), col("token"))).as("hv"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("hv")).as("minhash"))
+  }
+
+  /** LSH band buckets from minhash signatures: band id = h / rowsPerBand,
+   * bucket = md5 of the concatenated in-band minhashes. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // deterministic in-band order via sort on the hash index
+      .agg(md5(concat_ws("|", array_join(transform(
+        array_sort(collect_list(struct(col("h"), col("minhash")))),
+        s => s.getField("minhash")), "|"))).as("bucket"))
+
+  /**
+   * Near-duplicate candidate pairs: documents sharing an LSH bucket.
+   * Output is distinct (a, b) with a < b.
+   */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = buckets.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+      col("doc_id").as("b"))
+    l.join(r, l("band") === r("band_r") && l("bucket") === r("bucket_r") &&
+        l("a") < r("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: media payloads ride as opaque BINARY columns
+ * with a typed metadata struct, mirroring the reference's blob handling
+ * (CQL blob → Avro bytes, agent-c4/.../PulsarMutationSender.java:65).
+ *
+ * The Spark-side plumbing (schema, batching, partition sizing) is real; the
+ * codec itself is STUBBED deterministically because no image/audio libraries
+ * ship in this container — `decodeStub` marks exactly where a real decoder
+ * (e.g. a JNI codec or vectorized Python worker) plugs in.
+ */
+object Multimodal {
+
+  /** Frame size used by the deterministic fake "decoder". */
+  val FrameBytes = 1024
+
+  /**
+   * Wrap a text/bytes column as a multimodal payload: binary content +
+   * metadata struct (content type, byte length, content hash).
+   * All codegen'd built-ins — the binary column never round-trips through
+   * the driver.
+   */
+  def asMedia(docs: DataFrame, payloadCol: String,
+              contentType: String): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col(payloadCol).cast("binary").as("media"),
+      struct(
+        lit(contentType).as("content_type"),
+        length(col(payloadCol).cast("binary")).as("byte_len"),
+        md5(col(payloadCol).cast("binary")).as("content_hash")
+      ).as("media_meta"))
+
+  /**
+   * Deterministic fake decode: "frame count" and "sample rate" derived from
+   * byte length. A real implementation decodes `media` per-partition in
+   * batches; the stub keeps identical schema/partitioning so the pipeline
+   * shape is fully exercised and testable.
+   */
+  def decodeStub(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("media_meta.content_type").as("content_type"),
+      col("media_meta.byte_len").as("byte_len"),
+      col("media_meta.content_hash").as("content_hash"),
+      // ??? real codec goes here — stub: ceil(byte_len / FrameBytes) frames
+      ((col("media_meta.byte_len") + FrameBytes - 1) / FrameBytes)
+        .cast("int").as("n_frames"))
+
+  /**
+   * Frame sampling plumbing: emit every `stride`-th frame index per media
+   * row (posexplode over a generated index array). Real frame extraction
+   * replaces the payload projection; the explode/partition shape is what
+   * matters at scale (wide rows fan out to frame granularity *after*
+   * filtering, never before).
+   */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("frame_idx"), col("content_hash"))
+}

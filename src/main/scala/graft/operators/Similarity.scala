@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{cosine_similarity, dot_product}
+
+/**
+ * Similarity search over embedding columns (ARRAY<FLOAT>) — the extension of
+ * the reference's CQL `vector<float,n>` support
+ * (connector/.../AbstractNativeConverter.java:82-88, 216-220) into a
+ * queryable ANN surface (SURVEY.md §7.2 M6).
+ */
+object Similarity {
+
+  /**
+   * Brute-force top-k cosine neighbors for a set of query vectors.
+   *
+   * Plan shape: broadcast(queries) × candidates — a broadcast nested-loop
+   * join evaluating the codegen'd [[graft.functions.CosineSimilarity]]
+   * kernel, then a per-query ranking window. The scan side streams once;
+   * with Q queries the cost is Q·N kernel evaluations, embarrassingly
+   * parallel across partitions. This is the exact baseline ANN variants are
+   * validated against.
+   */
+  def bruteForceKnn(queries: DataFrame, candidates: DataFrame, k: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val c = candidates.select(col("vec_id"), col("embedding"))
+    val pairs = q.join(c,
+      if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+    val scored = pairs.select(col("q_id"), col("vec_id"),
+      cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF-style bucketed ANN: assign every vector to its nearest of `centroids`
+   * (a small broadcast table), then search only within the query's cell
+   * (optionally its `nprobe` nearest cells).
+   *
+   * At 100 TB the candidate side is hash-partitioned by cell id, queries are
+   * routed to matching cells, and the per-cell search is a local top-k —
+   * the shuffle moves only cell-assigned queries, never the corpus.
+   */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cts = broadcast(centroids.select(col("cell_id"), col("centroid")))
+    val scored = vectors.join(cts)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        dot_product(col("embedding"), col("centroid")).as("affinity"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("affinity").desc, col("cell_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
+
+  /** Derive `nCells` centroids deterministically from the data itself (every
+   * (nCells)-th vector by id) — a seed-free stand-in for k-means that keeps
+   * the pipeline reproducible for correctness checks. */
+  def seedCentroids(vectors: DataFrame, nCells: Int): DataFrame =
+    vectors.filter(col("vec_id") % nCells === 0)
+      .select((col("vec_id") / nCells).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+
+  /** ANN top-k within the query's own cell. */
+  def ivfKnn(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+             k: Int): DataFrame = {
+    val cAssigned = assignCells(candidates, centroids)
+    val qAssigned = assignCells(queries, centroids)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell_id"))
+    val pairs = broadcast(qAssigned).join(cAssigned, Seq("cell_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val scored = pairs.select(col("q_id"), col("vec_id"),
+      cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

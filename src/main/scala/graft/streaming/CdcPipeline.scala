@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Cdc
+import graft.operators.CdcOperators
+
+/**
+ * End-to-end streaming CDC pipeline — the Spark re-expression of the
+ * reference connector's event loop (SURVEY.md §3.2):
+ *
+ *   events source → per-key stateful dedup → enrichment join against the
+ *   *latest* base-table snapshot → key/value projection with tombstones →
+ *   keyed sink.
+ *
+ * The enrichment join runs inside `foreachBatch` so every micro-batch
+ * re-resolves the base table (the reference always reads the row's *current*
+ * state — CassandraClient.java:292-337 — which is what makes the pipeline
+ * convergent under reordered/duplicate delivery, SURVEY.md §7.4.3).
+ * Checkpointing gives the agent's per-segment offset semantics
+ * (SegmentOffsetFileWriter.java:29-126) for free.
+ */
+object CdcPipeline {
+
+  /**
+   * Start the pipeline reading parquet event files from `eventsDir`,
+   * enriching from `baseTableProvider` (re-evaluated per batch), writing
+   * per-batch parquet output under `outDir`.
+   */
+  def start(spark: SparkSession, eventsDir: String,
+            baseTableProvider: () => DataFrame,
+            valueCols: Seq[String], tableKey: String,
+            outDir: String, checkpointDir: String,
+            maxDigests: Int = StreamingDedup.DefaultMaxDigests,
+            ttlMs: Long = StreamingDedup.DefaultTtlMs): StreamingQuery = {
+    import spark.implicits._
+
+    val raw = spark.readStream
+      .schema(
+        "event_id LONG, key LONG, op STRING, writetime LONG, segment LONG, " +
+        "position INT, md5Digest STRING, nodeId STRING")
+      .parquet(eventsDir)
+
+    val events: Dataset[StreamEvent] = raw
+      .select($"key", $"md5Digest", $"event_id", $"op", $"writetime",
+        $"segment", $"position")
+      .as[StreamEvent]
+
+    val deduped = StreamingDedup.dedup(events, maxDigests, ttlMs)
+
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[StreamEvent], batchId: Long) =>
+        val enriched = CdcOperators.enrichmentJoin(
+          batch.toDF(), baseTableProvider(), "key", tableKey, valueCols)
+        enriched
+          .select(col("event_id"), col("key"), col("op"), col("writetime"),
+            // tombstone: null value struct for deletes / missing rows
+            when(col("op") === Cdc.OpDelete, lit(null))
+              .otherwise(struct(valueCols.map(col): _*)).as("value"))
+          .write.mode("append").parquet(s"$outDir/batch")
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The event shape flowing through the streaming dedup stage. */
+case class StreamEvent(key: Long, md5Digest: String, event_id: Long, op: String,
+                       writetime: Long, segment: Long, position: Int)
+
+/** Bounded per-key digest history — the streaming dedup state. */
+case class DigestHistory(digests: List[String])
+
+/**
+ * Streaming mutation dedup with the reference MutationCache's semantics
+ * (connector/.../MutationCache.java:30-73; defaults
+ * CassandraSourceConnectorConfig.java:191-217):
+ *
+ *  - per-key state holds the last `maxDigestsPerKey` digests (FIFO eviction
+ *    of the oldest, MutationCache.java:58-63; default 3);
+ *  - state expires `ttlMs` after the last write (expireAfterWrite, default
+ *    60 s) via a processing-time timeout;
+ *  - an event whose digest is already in the history is a duplicate and is
+ *    dropped (isMutationProcessed, :70-73).
+ *
+ * Spark-first shape: `groupByKey(key)` hash-partitions events so each key's
+ * state lives on exactly one task — the same per-key serialization the
+ * reference gets from Key_Shared subscriptions + per-key executor lanes
+ * (CassandraSource.java:206-212). The reference's `maximumSize` cap is
+ * replaced by the state store (disk-backed, partitioned), which removes the
+ * cache-capacity correctness hazard instead of approximating it.
+ *
+ * Within a micro-batch, events are applied in commitlog order
+ * (segment, position) — matching the reference's per-segment ordered replay.
+ */
+object StreamingDedup {
+
+  val DefaultMaxDigests = 3
+  val DefaultTtlMs: Long = 60000L
+
+  def dedup(events: Dataset[StreamEvent],
+            maxDigestsPerKey: Int = DefaultMaxDigests,
+            ttlMs: Long = DefaultTtlMs): Dataset[StreamEvent] = {
+    implicit val eEnc = Encoders.product[StreamEvent]
+    implicit val kEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        process(maxDigestsPerKey, ttlMs))(Encoders.product[DigestHistory], eEnc)
+  }
+
+  private[streaming] def process(maxDigests: Int, ttlMs: Long)(
+      key: Long, events: Iterator[StreamEvent],
+      state: GroupState[DigestHistory]): Iterator[StreamEvent] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var history = state.getOption.getOrElse(DigestHistory(Nil)).digests
+      val out = List.newBuilder[StreamEvent]
+      // commitlog order within the batch (reference replays segments in
+      // (segment, position) order — CommitLogUtil.java:57-76)
+      for (e <- events.toSeq.sortBy(ev => (ev.segment, ev.position, ev.event_id))) {
+        if (!history.contains(e.md5Digest)) {
+          history = (history :+ e.md5Digest).takeRight(maxDigests)
+          out += e
+        }
+      }
+      state.update(DigestHistory(history))
+      state.setTimeoutDuration(ttlMs)
+      out.result().iterator
+    }
+  }
+}

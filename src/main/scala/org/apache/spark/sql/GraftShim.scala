@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into Spark's `private[sql]` Column↔Expression conversions, so graft
+ * can expose native Catalyst expressions as user-facing Columns (Spark 4's
+ * Column is ColumnNode-backed; the classic converter lives behind the sql
+ * package boundary).
+ */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
