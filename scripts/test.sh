@@ -1,0 +1,17 @@
+#!/bin/bash
+# Run the ScalaTest suite directly (no sbt test-runner overhead).
+# Requires: sbt -batch Test/compile (classes under target/scala-2.13/test-classes)
+set -e
+cd "$(dirname "$0")/.."
+CACHE=/root/.cache/coursier/v1
+ST=$(find $CACHE -name 'scalatest*_2.13-3.2.19.jar' -o -name 'scalatest-compatible-3.2.19.jar' | tr '\n' ':')
+EXTRA=$(find $CACHE -name 'scalactic_2.13-3.2.19.jar' -o -name 'scalacheck_2.13-1.18.0.jar' | tr '\n' ':')
+CP="target/scala-2.13/test-classes:target/scala-2.13/classes:${ST}${EXTRA}$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+AO=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $AO -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" org.scalatest.tools.Runner -R target/scala-2.13/test-classes -o "$@"

@@ -33,7 +33,11 @@ object CdcPipeline {
             valueCols: Seq[String], tableKey: String,
             outDir: String, checkpointDir: String,
             maxDigests: Int = StreamingDedup.DefaultMaxDigests,
-            ttlMs: Long = StreamingDedup.DefaultTtlMs): StreamingQuery = {
+            // AvailableNow drains and stops; processing-time TTL would keep
+            // scheduling batches, so state is unexpiring here (see
+            // StreamingDedup.dedup). Continuous deployments pass a real TTL
+            // and a ProcessingTime trigger.
+            ttlMs: Long = 0L): StreamingQuery = {
     import spark.implicits._
 
     val raw = spark.readStream

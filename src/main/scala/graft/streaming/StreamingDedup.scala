@@ -37,18 +37,27 @@ object StreamingDedup {
   val DefaultMaxDigests = 3
   val DefaultTtlMs: Long = 60000L
 
+  /**
+   * `ttlMs > 0` arms the reference's expire-after-write state TTL via a
+   * processing-time timeout — use with continuous triggers. `ttlMs <= 0`
+   * keeps state forever (NoTimeout): required for Trigger.AvailableNow /
+   * batch-style runs, where pending processing-time timeouts would make
+   * every batch schedule another one and the query would never drain.
+   */
   def dedup(events: Dataset[StreamEvent],
             maxDigestsPerKey: Int = DefaultMaxDigests,
             ttlMs: Long = DefaultTtlMs): Dataset[StreamEvent] = {
     implicit val eEnc = Encoders.product[StreamEvent]
     implicit val kEnc = Encoders.scalaLong
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         process(maxDigestsPerKey, ttlMs))(Encoders.product[DigestHistory], eEnc)
   }
 
-  private[streaming] def process(maxDigests: Int, ttlMs: Long)(
+  private[graft] def process(maxDigests: Int, ttlMs: Long)(
       key: Long, events: Iterator[StreamEvent],
       state: GroupState[DigestHistory]): Iterator[StreamEvent] = {
     if (state.hasTimedOut) {
@@ -66,7 +75,7 @@ object StreamingDedup {
         }
       }
       state.update(DigestHistory(history))
-      state.setTimeoutDuration(ttlMs)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
       out.result().iterator
     }
   }

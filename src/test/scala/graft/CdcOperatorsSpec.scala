@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Cdc
+import graft.operators.CdcOperators
+import graft.functions.GraftFunctions
+
+/**
+ * Operator-level semantics pinned by deterministic in-memory fixtures,
+ * mirroring the reference's unit/e2e scenarios (SURVEY.md §5: insert →
+ * update → delete → tombstone on table1; RF-duplicate collapse; LWW).
+ */
+class CdcOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (event_id, key, op, writetime, segment, position, md5Digest)
+    (1L, 10L, "i", 100L, 0L, 1, "d1"),
+    (2L, 10L, "u", 200L, 0L, 2, "d2"),
+    (3L, 10L, "d", 300L, 0L, 3, "d3"),
+    (4L, 20L, "i", 150L, 0L, 4, "d4"),
+    (5L, 30L, "u", 250L, 1L, 1, "d5")
+  ).toDF("event_id", "key", "op", "writetime", "segment", "position", "md5Digest")
+
+  private def base = Seq(
+    (10L, "alice", 1.5), (20L, "bob", 2.5), (99L, "zoe", 9.9)
+  ).toDF("k", "name", "score")
+
+  test("dedupExact collapses RF duplicates to exactly one event each") {
+    val dup = Cdc.replicate(events, rf = 3)
+    assert(dup.count() === 15)
+    val out = CdcOperators.dedupExact(dup)
+    assert(out.count() === 5)
+    // deterministic winner: lowest nodeId survives
+    assert(out.select("nodeId").distinct().as[String].collect().toSet === Set("node-1"))
+  }
+
+  test("enrichmentJoin resolves current rows; deletes and misses are tombstones") {
+    val out = CdcOperators.enrichmentJoin(events, base, "key", "k",
+      Seq("name", "score")).orderBy("event_id")
+    val rows = out.select("event_id", "name").as[(Long, Option[String])].collect()
+    assert(rows(0) === ((1L, Some("alice"))))  // insert resolved
+    assert(rows(1) === ((2L, Some("alice"))))  // update resolved
+    assert(rows(2) === ((3L, None)))           // delete ⇒ tombstone
+    assert(rows(3) === ((4L, Some("bob"))))
+    assert(rows(4) === ((5L, None)))           // key 30 missing ⇒ tombstone
+  }
+
+  test("compactLww keeps the latest event per key") {
+    val out = CdcOperators.compactLww(events, Seq("key"),
+      Seq(col("writetime").desc, col("event_id").desc))
+    val m = out.select("key", "event_id").as[(Long, Long)].collect().toMap
+    assert(m === Map(10L -> 3L, 20L -> 4L, 30L -> 5L))
+  }
+
+  test("backfillEvents carries the reference's synthetic constants") {
+    val bf = CdcOperators.backfillEvents(base, "k")
+    val r = bf.orderBy("key").collect()
+    assert(r.length === 3)
+    assert(r(0).getAs[String]("md5Digest") === Cdc.BackfillDigest)
+    assert(r(0).getAs[Long]("writetime") === -1L)
+    assert(r(0).getAs[Long]("segment") === -1L)
+    assert(r(0).getAs[String]("op") === Cdc.OpInsert)
+  }
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val ts = Seq(
+      (1L, 0L), (1L, 60L * 1000000L), // same session (1 min apart)
+      (1L, 3600L * 1000000L),         // new session (59 min gap)
+      (2L, 0L)
+    ).toDF("key", "writetime").withColumn("event_id", col("writetime"))
+    val out = CdcOperators.sessionize(ts, "key", "writetime", gapMinutes = 30)
+    val sessions = out.groupBy("key").agg(max("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("cassandra_token expression agrees with the scala kernel and codegen survives") {
+    val df = Seq(1L, 42L, -7L).toDF("k")
+      .select(col("k"), GraftFunctions.cassandra_token(col("k")).as("t"))
+    val rows = df.as[(Long, Long)].collect().toMap
+    for ((k, t) <- rows) {
+      assert(t === graft.functions.Murmur3.tokenOfLong(k))
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Murmur3
+
+/**
+ * Murmur3 x64-128 token correctness, cross-checked against Guava's
+ * independent implementation of the same public algorithm (murmur3_128,
+ * seed 0 — the function Cassandra's Murmur3Partitioner is built on).
+ */
+class Murmur3Spec extends AnyFunSuite {
+
+  private def guava64(data: Array[Byte]): Long =
+    com.google.common.hash.Hashing.murmur3_128(0).hashBytes(data).asLong()
+
+  test("matches guava murmur3_128 first 64 bits on fixed vectors") {
+    val vectors = Seq(
+      Array.emptyByteArray,
+      "a".getBytes("UTF-8"),
+      "abc".getBytes("UTF-8"),
+      "The quick brown fox jumps over the lazy dog".getBytes("UTF-8"),
+      Array.tabulate(16)(_.toByte),
+      Array.tabulate(15)(_.toByte),
+      Array.tabulate(17)(_.toByte),
+      Array.tabulate(1024)(i => (i * 31).toByte))
+    for (v <- vectors) {
+      assert(Murmur3.hash64(v, 0L) === guava64(v), s"len=${v.length}")
+    }
+  }
+
+  test("matches guava on random byte arrays of every tail length") {
+    val rnd = new java.util.Random(42)
+    for (len <- 0 to 64; _ <- 1 to 8) {
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      assert(Murmur3.hash64(bytes, 0L) === guava64(bytes), s"len=$len")
+    }
+  }
+
+  test("tokenOfLong = token of big-endian 8 bytes") {
+    val rnd = new java.util.Random(7)
+    for (_ <- 1 to 200) {
+      val v = rnd.nextLong()
+      val be = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      assert(Murmur3.tokenOfLong(v) === Murmur3.token(be))
+    }
+  }
+
+  test("token never returns Long.MinValue (normalized to MaxValue)") {
+    val rnd = new java.util.Random(13)
+    for (_ <- 1 to 1000) {
+      val bytes = new Array[Byte](rnd.nextInt(32))
+      rnd.nextBytes(bytes)
+      assert(Murmur3.token(bytes) !== Long.MinValue)
+    }
+  }
+
+  test("partition routing stays in range and matches the >>48 formula") {
+    val rnd = new java.util.Random(99)
+    for (_ <- 1 to 1000) {
+      val token = rnd.nextLong()
+      val p = Murmur3.partition(token, 32)
+      assert(p >= 0 && p < 32)
+      assert(p === (((token >>> 48).toShort + 32768) % 32))
+    }
+  }
+}

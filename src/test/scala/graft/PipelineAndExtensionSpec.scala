@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{DocDedup, Multimodal, Similarity}
+import graft.streaming.CdcPipeline
+
+/** End-to-end streaming pipeline + extension-operator specs. */
+class PipelineAndExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CdcPipeline: events dir → dedup → enrich → tombstoned output") {
+    val tmp = Files.createTempDirectory("graft_pipe").toFile.getAbsolutePath
+    val eventsDir = s"$tmp/events"
+    // two replicas of an insert for key 10, one delete for key 20
+    Seq(
+      (1L, 10L, "i", 100L, 0L, 1, "d1", "node-1"),
+      (1L, 10L, "i", 100L, 0L, 1, "d1", "node-2"),
+      (2L, 20L, "d", 200L, 0L, 2, "d2", "node-1"))
+      .toDF("event_id", "key", "op", "writetime", "segment", "position",
+        "md5Digest", "nodeId")
+      .write.parquet(eventsDir)
+
+    val base = Seq((10L, "alice"), (20L, "bob")).toDF("k", "name")
+    val q = CdcPipeline.start(spark, eventsDir, () => base, Seq("name"), "k",
+      s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$tmp/out/batch")
+    assert(out.count() === 2) // replica duplicate collapsed
+    val byKey = out.select($"key", $"value".isNull.as("tomb"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(byKey === Map(10L -> false, 20L -> true))
+  }
+
+  test("minhash LSH finds exact duplicates as candidate pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // dup of 1
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy cat")    // near-dup of 1
+    ).toDF("doc_id", "text")
+    val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
+    assert(sig.count() === 4 * 8)
+    val buckets = DocDedup.lshBuckets(sig, rowsPerBand = 2)
+    val pairs = DocDedup.candidatePairs(buckets)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))           // exact dup always collides
+    assert(!pairs.contains((1L, 3L)))          // unrelated docs don't
+  }
+
+  test("brute-force knn ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.7f, 0.7f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceKnn(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .select($"vec_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(out(1L) === 1)  // identical vector ranks first
+    assert(out(3L) === 2)  // 45° vector second
+    assert(out(2L) === 3)  // orthogonal last
+  }
+
+  test("multimodal plumbing: media struct, stubbed decode, frame sampling") {
+    val docs = Seq((1L, "x" * 2500), (2L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "text", "text/plain")
+    val decoded = Multimodal.decodeStub(media)
+    val frames = decoded.select($"doc_id", $"n_frames").as[(Long, Int)]
+      .collect().toMap
+    assert(frames === Map(1L -> 3, 2L -> 1))  // ceil(2500/1024)=3
+    val sampled = Multimodal.sampleFrames(decoded, stride = 2)
+    val idx = sampled.filter($"doc_id" === 1).select($"frame_idx")
+      .as[Int].collect().sorted
+    assert(idx === Seq(0, 2))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{StreamEvent, StreamingDedup}
+
+/**
+ * Streaming dedup semantics = reference MutationCache
+ * (connector/.../MutationCacheTests.java is the unit-test model):
+ * digest-history FIFO of 3, duplicate digests dropped, distinct digests for
+ * the same key pass through. Each input batch runs as one AvailableNow pass
+ * over a shared checkpoint, so state carries across micro-batches and the
+ * query always terminates.
+ */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runBatches(batches: Seq[Seq[StreamEvent]],
+                         maxDigests: Int = 3): Seq[StreamEvent] = {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_dedup").toFile.getAbsolutePath
+    val input = MemoryStream[StreamEvent]
+    val out = StreamingDedup.dedup(input.toDS(), maxDigests, ttlMs = 0L)
+    for (b <- batches) {
+      input.addData(b)
+      // one AvailableNow pass per batch; state carries via the checkpoint
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    spark.read.parquet(s"$tmp/out").as[StreamEvent].collect().toSeq
+  }
+
+  private def e(key: Long, digest: String, id: Long, seg: Long = 0L,
+                pos: Int = 0): StreamEvent =
+    StreamEvent(key, digest, id, "u", id * 100, seg, pos)
+
+  test("duplicate digests within a batch are dropped, order preserved") {
+    val out = runBatches(Seq(Seq(
+      e(1, "a", 1, 0, 1), e(1, "a", 2, 0, 2), e(1, "b", 3, 0, 3),
+      e(2, "a", 4, 0, 4))))
+    assert(out.map(_.event_id).sorted === Seq(1L, 3L, 4L))
+  }
+
+  test("duplicates across micro-batches are dropped while in history") {
+    val out = runBatches(Seq(
+      Seq(e(1, "a", 1)),
+      Seq(e(1, "a", 2), e(1, "b", 3)),
+      Seq(e(1, "b", 4))))
+    assert(out.map(_.event_id).sorted === Seq(1L, 3L))
+  }
+
+  test("digest history is FIFO-bounded: old digests can be re-admitted") {
+    // maxDigests=2: after c, digest a has been evicted → a re-processed
+    val out = runBatches(Seq(
+      Seq(e(1, "a", 1, 0, 1), e(1, "b", 2, 0, 2), e(1, "c", 3, 0, 3)),
+      Seq(e(1, "a", 4))), maxDigests = 2)
+    assert(out.map(_.event_id).sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("events are applied in commitlog (segment, position) order within a batch") {
+    val out = runBatches(Seq(Seq(
+      e(1, "x", 10, 2, 5), e(1, "x", 11, 1, 1))))
+    // the (1,1) event wins — it is first in commitlog order
+    assert(out.map(_.event_id) === Seq(11L))
+  }
+
+  test("TTL expiry clears history (reference expireAfterWrite semantics)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.DigestHistory
+    val fn = StreamingDedup.process(3, 60000L) _
+    // first pass: digest cached, timeout armed
+    val s1 = TestGroupState.create[DigestHistory](
+      optionalState = Optional.empty[DigestHistory],
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[java.lang.Long].asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out1 = fn(1L, Iterator(e(1, "a", 1)), s1).toSeq
+    assert(out1.map(_.event_id) === Seq(1L))
+    assert(s1.getTimeoutTimestampMs.isPresent)
+    // timed-out invocation: state removed → duplicate re-admitted next pass
+    val s2 = TestGroupState.create[DigestHistory](
+      optionalState = Optional.of(s1.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 70000L,
+      eventTimeWatermarkMs = Optional.empty[java.lang.Long].asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    assert(fn(1L, Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+  }
+}
