@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Prints the formatted physical plan of each query (or the ones named in
+ * args) so scale-readiness is reviewable: parquet PushedFilters, pruned
+ * ReadSchema, broadcast vs shuffle joins, WholeStageCodegen spans, partial
+ * aggregation before exchanges.
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plan-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names; fn <- SparkEntry.queries.get(n)) {
+      println(s"\n========== $n ==========")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
