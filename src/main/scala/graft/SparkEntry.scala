@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{CdcOperators, DocDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, CdcOperators, DocDedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /**
@@ -243,7 +243,93 @@ object SparkEntry {
         .select(col("doc_id"), col("content_type"),
           col("byte_len").cast("long").as("byte_len"), col("content_hash"),
           col("n_frames").cast("long").as("n_frames"))
-    })
+    }),
+
+    "cdc_pipeline_full" -> ((s, dir) => {
+      // the composite connector dataflow (§3.2): RF-2 duplicates → dedup →
+      // LWW compaction → enrichment join → tombstone projection
+      val deduped = CdcOperators.dedupExact(Cdc.replicate(ev(s, dir), rf = 2))
+      val latest = CdcOperators.compactLww(deduped, Seq("key"),
+        Seq(col("writetime").desc, col("event_id").desc))
+      CdcOperators.enrichmentJoin(latest, t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("key"), col("event_id"), col("op"), col("c_name"),
+          col("writetime"))
+    }),
+
+    "cdc_dedup_metrics" -> ((s, dir) => {
+      // A2 observability: received/emitted/cache-hit-ratio on the RF-2
+      // fixture — must reproduce the reference's 0.5 hit ratio
+      // (docs/modules/ROOT/pages/monitor.adoc:133-138)
+      val rep = Cdc.replicate(ev(s, dir), rf = 2)
+      val received = rep.agg(count(lit(1)).as("n_received"))
+      val emitted = CdcOperators.dedupExact(rep)
+        .agg(count(lit(1)).as("n_emitted"))
+      received.crossJoin(emitted)
+        .withColumn("cache_hit_ratio",
+          (col("n_received") - col("n_emitted")).cast("double") /
+            col("n_received").cast("double"))
+    }),
+
+    "q_time_window" -> ((s, dir) => {
+      // T5 event-time tumbling window (1 h) — batch analog of the
+      // streaming window aggregation
+      val e = ev(s, dir)
+        .withColumn("event_time", timestamp_micros(col("writetime")))
+      e.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q_skew_salted_agg" -> ((s, dir) => {
+      // skew-safe two-phase salted aggregation ≡ plain groupBy (oracle)
+      val raw = Cdc.rawEvents(s, dir)
+      SkewSafe.saltedCountSum(raw, Seq("event_type"),
+          Map("sum_value" -> dec2(col("value"))), saltBuckets = 64)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    "asof_last_order" -> ((s, dir) => {
+      // as-of (point-in-time) join: each event gets the customer's latest
+      // order at or before the event time
+      val e = ev(s, dir).select(col("event_id"), col("key"), col("writetime"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .select(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_t"),
+          col("last_orderkey"))
+      AsofJoin.asofBackward(e, od, "key", "writetime", "order_t",
+        Seq("last_orderkey", "order_t"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      // MinHash + banded LSH near-dup candidates (engine-portable md5
+      // min-hash, H=8 signatures, 2 bands of 4)
+      val docs = t(s, dir, "documents")
+      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
+      DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+    }),
+
+    "text_simhash" -> ((s, dir) =>
+      TextAnalysis.simhash(t(s, dir, "documents"), nBits = 16)),
+
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"),
+        Seq("en" -> " the ", "de" -> " der ", "es" -> " el ", "fr" -> " le "))
+        .select(col("doc_id"), col("c_en").cast("long").as("c_en"),
+          col("c_de").cast("long").as("c_de"),
+          col("c_es").cast("long").as("c_es"),
+          col("c_fr").cast("long").as("c_fr"), col("predicted_lang"))),
+
+    "dedup_embedding_neardup" -> ((s, dir) =>
+      // score reported at 6 dp: engines agree on the pair set but differ in
+      // the last 1-2 ulps of the double accumulation
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("a"), col("b"), round(col("score"), 6).as("score")))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -399,7 +485,97 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_hash,
          (octet_length(encode(text)) + 1023) // 1024 AS n_frames
-         FROM documents"""
+         FROM documents""",
+
+    "cdc_pipeline_full" ->
+      s"""SELECT e."key", e.event_id, e.op,
+         CASE WHEN e.op = 'd' THEN NULL ELSE c.c_name END AS c_name,
+         e.writetime
+         FROM (SELECT user_id AS "key", event_id, $opSql AS op,
+                 epoch_us(ts) AS writetime,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) e
+         LEFT JOIN customer c ON e."key" = c.c_custkey
+         WHERE e.rn = 1""",
+
+    "cdc_dedup_metrics" ->
+      """SELECT 2 * COUNT(*) AS n_received, COUNT(*) AS n_emitted,
+         CAST(COUNT(*) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE) AS cache_hit_ratio
+         FROM events""",
+
+    "q_time_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "asof_last_order" ->
+      """WITH od AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_t,
+                       MAX(o_orderkey) AS last_orderkey
+                     FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id AS "key", epoch_us(e.ts) AS writetime,
+           od.last_orderkey, od.order_t
+         FROM events e ASOF LEFT JOIN od
+           ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.order_t""",
+
+    "dedup_minhash_lsh" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         hashes AS (
+           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (
+           SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4)
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    "text_simhash" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                   substr(md5(token), 1 + b // 4, 1)) - 1)
+                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tokens, (SELECT unnest(range(16)) AS b) bs
+           GROUP BY doc_id, b)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id""",
+
+    "text_lang_id" ->
+      """SELECT doc_id, c_en, c_de, c_es, c_fr,
+         CASE WHEN c_en >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'en'
+              WHEN c_de >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'de'
+              WHEN c_es >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'es'
+              WHEN c_fr >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'fr'
+              ELSE 'unknown' END AS predicted_lang
+         FROM (SELECT doc_id,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+           CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS c_de,
+           CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS c_es,
+           CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS c_fr
+         FROM documents)""",
+
+    "dedup_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) > 0.45"""
     // cdc_token_partition / knn_ivf_ann: engine-side hashing & centroid
     // assignment — no SQL oracle; driver records rows-only checks.
   )

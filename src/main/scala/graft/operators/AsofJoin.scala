@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join: for each left row, attach the latest right row whose time is
+ * <= the left row's time, per key. (Extension operator — SURVEY.md §2.3
+ * notes the reference has no such join; this is the standard
+ * point-in-time-enrichment primitive for CDC/versioned data.)
+ *
+ * Spark-first implementation via union + ranking window instead of a range
+ * join: tag both sides, sort within each key by (time, side) and propagate
+ * the last-seen right payload with `last(ignoreNulls=true)`. One shuffle on
+ * the key, linear in |L|+|R| — never the |L|×|R| blowup of an inequality
+ * join, and AQE-friendly. Right rows at exactly the left time are visible
+ * (<= semantics), because the right side sorts before the left at equal
+ * times.
+ */
+object AsofJoin {
+
+  /**
+   * @param left      left rows; must contain `keyCol` and `leftTimeCol`
+   * @param right     right rows; must contain `keyCol` and `rightTimeCol`;
+   *                  (key, time) pairs must be unique for deterministic output
+   * @param payload   right columns to carry onto left rows
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(leftTimeCol))
+      .withColumn("_side", lit(1))
+      .select(
+        (leftCols.map(col) :+ col("_t") :+ col("_side")) ++
+          payload.map(c => lit(null).as(s"_r_$c")): _*)
+    val r = right
+      .withColumn("_t", col(rightTimeCol))
+      .withColumn("_side", lit(0))
+      .select(
+        (leftCols.map(c => if (c == keyCol) col(keyCol) else lit(null).as(c)) :+
+          col("_t") :+ col("_side")) ++
+          payload.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .select(
+        (leftCols.map(col) :+ col("_side")) ++
+          payload.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
+            .as(c)): _*)
+    joined.filter(col("_side") === 1).drop("_side")
+  }
+}

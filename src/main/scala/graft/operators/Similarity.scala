@@ -66,6 +66,21 @@ object Similarity {
       .select((col("vec_id") / nCells).cast("int").as("cell_id"),
         col("embedding").as("centroid"))
 
+  /**
+   * Embedding near-duplicate pairs: all (a, b) with cosine above the
+   * threshold. Brute-force half-matrix here; at corpus scale the same
+   * predicate runs within LSH/IVF buckets (see [[ivfKnn]]) so the join is
+   * bucket-local, never all-pairs.
+   */
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("score"))
+      .filter(col("score") > threshold)
+  }
+
   /** ANN top-k within the query's own cell. */
   def ivfKnn(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
              k: Int): DataFrame = {

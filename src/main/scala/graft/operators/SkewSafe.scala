@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-safe aggregation: two-phase salted count/sum. Phase 1 aggregates on
+ * (keys, salt) so one hot key spreads over `saltBuckets` reducers; phase 2
+ * merges the partials on the true keys. The result is identical to a plain
+ * groupBy — queries assert that against the unsalted oracle.
+ *
+ * At 100 TB this is the standard fix when one key dominates a shuffle
+ * (AQE's skew handling covers joins; aggregation skew still wants salting).
+ * The salt is derived from the row payload hash, so it is deterministic and
+ * needs no random state.
+ */
+object SkewSafe {
+
+  def saltedCountSum(df: DataFrame, keyCols: Seq[String],
+                     sumSpecs: Map[String, org.apache.spark.sql.Column],
+                     saltBuckets: Int = 64): DataFrame = {
+    val allCols = df.columns.map(col)
+    val salted = df.withColumn("_salt",
+      pmod(hash(allCols: _*), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_cnt"),
+        sumSpecs.toSeq.map { case (n, c) => sum(c).as(s"_sum_$n") }: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_cnt")).as("n"),
+        sumSpecs.keys.toSeq.map(n => sum(col(s"_sum_$n")).as(n)): _*)
+  }
+}

@@ -75,4 +75,53 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_tokens"))
+
+  /**
+   * SimHash document fingerprint over the distinct-token set, `nBits` wide
+   * (bit b comes from hex digit b/4 of each token's md5 — fully portable
+   * arithmetic, so the oracle reproduces it exactly). Same-fingerprint docs
+   * are near-dup candidates; Hamming-distance buckets extend it.
+   *
+   * Shape at scale: explode(tokens × bits) → two map-side-combinable
+   * aggregations — linear in corpus token count, one shuffle on doc_id.
+   */
+  def simhash(docs: DataFrame, nBits: Int = 16): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val bitIds = (0 until nBits).map(lit(_))
+    // bit b of a token = bit (3 - b%4) of hex digit b/4 of the token's md5;
+    // hex digit value via position arithmetic so the oracle can mirror it
+    val bit = expr(
+      "(shiftright(instr('0123456789abcdef', " +
+        "substring(md5(token), 1 + CAST(b / 4 AS INT), 1)) - 1, " +
+        "3 - CAST(b % 4 AS INT))) & 1")
+    tokens
+      .select(col("doc_id"), explode(array(bitIds: _*)).as("b"), col("token"))
+      .select(col("doc_id"), col("b"),
+        when(bit === 1, 1).otherwise(-1).as("contrib"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /**
+   * Marker-token language-ID heuristic: count high-frequency marker words
+   * per candidate language, predict the argmax (deterministic priority
+   * order on ties). Pure string arithmetic — portable to the oracle.
+   */
+  def langId(docs: DataFrame, markers: Seq[(String, String)]): DataFrame = {
+    val withCounts = markers.foldLeft(docs) { case (df, (lang, marker)) =>
+      df.withColumn(s"c_$lang", markerHits("text", marker))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"c_$l") }: _*)
+    val predicted = markers.foldRight(lit("unknown")) { case ((l, _), acc) =>
+      when(col(s"c_$l") === best && best > 0, l).otherwise(acc)
+    }
+    withCounts.select(
+      (col("doc_id") +: markers.map { case (l, _) => col(s"c_$l") }) :+
+        predicted.as("predicted_lang"): _*)
+  }
 }

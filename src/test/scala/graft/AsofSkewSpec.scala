@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, SkewSafe}
+
+class AsofSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at or before the left time") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L))
+      .toDF("event_id", "key", "t")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 60L, "c"))
+      .toDF("key", "rt", "v")
+    val out = AsofJoin.asofBackward(left, right, "key", "t", "rt", Seq("v"))
+      .select($"event_id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("a"))  // equal time is visible (<=)
+    assert(out(2L) === Some("b"))  // latest preceding wins
+    assert(out(3L) === None)       // nothing at or before t=50
+  }
+
+  test("saltedCountSum equals plain groupBy") {
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i.toDouble))
+      .toDF("k", "v")
+    val salted = SkewSafe.saltedCountSum(df, Seq("k"), Map("sv" -> col("v")))
+      .select($"k", $"n", $"sv").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .select($"k", $"n", $"sv").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted.keySet === plain.keySet)
+    for ((k, (n, sv)) <- salted) {
+      assert(n === plain(k)._1)
+      assert(math.abs(sv - plain(k)._2) < 1e-6)
+    }
+  }
+
+  test("simhash: identical docs share a fingerprint, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val sh = graft.operators.TextAnalysis.simhash(docs, 16)
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+}
