@@ -23,10 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the JVM + parquet footers so the first measured query isn't
-    // paying one-time session costs.
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Untimed warmup pass: JIT + whole-stage codegen compilation + parquet
+    // footer caches are one-time session costs (~5 s on the first query,
+    // irrelevant at cluster scale); the timed pass measures steady state.
+    for ((name, fn) <- SparkEntry.queries) {
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

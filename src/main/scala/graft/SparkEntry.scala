@@ -535,9 +535,13 @@ object SparkEntry {
          bands AS (
            SELECT doc_id, h // 4 AS band,
              md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM hashes GROUP BY doc_id, h // 4)
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM bands l JOIN bands r
+         FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
 
     "text_simhash" ->

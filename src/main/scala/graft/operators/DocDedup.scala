@@ -53,11 +53,14 @@ object DocDedup {
     val tokens = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val hashIds = (0 until numHashes).map(lit(_))
-    tokens
-      .select(col("doc_id"), explode(array(hashIds: _*)).as("h"),
-        col("token"))
-      .select(col("doc_id"), col("h"),
+    // Hash each *distinct* corpus token once (md5 is the per-row hot cost;
+    // vocabulary ≪ corpus token count), then join the dictionary back.
+    // Catalyst/AQE broadcasts the dictionary when it is small.
+    val vocabHashes = tokens.select(col("token")).distinct()
+      .select(col("token"), explode(array(hashIds: _*)).as("h"))
+      .select(col("token"), col("h"),
         md5(concat_ws("|", col("h"), col("token"))).as("hv"))
+    tokens.join(vocabHashes, "token")
       .groupBy(col("doc_id"), col("h"))
       .agg(min(col("hv")).as("minhash"))
   }
@@ -76,10 +79,21 @@ object DocDedup {
   /**
    * Near-duplicate candidate pairs: documents sharing an LSH bucket.
    * Output is distinct (a, b) with a < b.
+   *
+   * `maxBucketSize` caps the per-bucket fan-out: a bucket with thousands of
+   * members means the band carries no discriminating signal (tiny-vocab or
+   * boilerplate corpora) and would emit O(bucket²) pairs — the classic LSH
+   * skew failure at scale. Such buckets are dropped, singleton buckets are
+   * skipped outright.
    */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val r = buckets.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 100): DataFrame = {
+    val ok = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cand = buckets.join(ok, Seq("band", "bucket"))
+    val l = cand.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = cand.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("b"))
     l.join(r, l("band") === r("band_r") && l("bucket") === r("bucket_r") &&
         l("a") < r("b"))
