@@ -88,6 +88,18 @@ object SparkEntry {
             .otherwise(to_json(struct(col("c_name")))).as("value_json"))
     }),
 
+    "cdc_json_only" -> ((s, dir) => {
+      // F13/P7 json single-payload mode: PK columns folded into the value
+      // record, deletes/misses emit '{}' not null (CassandraSource.java:
+      // 346-366, 377)
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit("{}"))
+            .otherwise(to_json(struct(col("key"), col("c_name"))))
+            .as("payload_json"))
+    }),
+
     "cdc_token_partition" -> ((s, dir) => {
       // F2/O5: Cassandra Murmur3 token + topic-partition routing (custom
       // codegen Expression; no SQL oracle — engine-specific hash)
@@ -369,6 +381,13 @@ object SparkEntry {
          to_json(struct_pack("key" := e.user_id)) AS key_json,
          CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
               ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_json_only" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN '{}'
+              ELSE to_json(struct_pack("key" := e.user_id, c_name := c.c_name))
+         END AS payload_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "cdc_sessionize" ->

@@ -1,0 +1,121 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * CQL3 → Spark type mapping — SURVEY.md §1.2, derived from the three places
+ * the reference keeps in agreement: the agent PK schema map
+ * (agent-c4/.../PulsarMutationSender.java:61-81), the connector's
+ * supported-type switch (connector/.../AbstractNativeConverter.java:115-147)
+ * and its schema builder (:167-224), with custom logical types from
+ * commons/.../CqlLogicalTypes.java.
+ *
+ * Notes encoded here:
+ *  - timestamp: the reference truncates to millis (Avro timestamp-millis);
+ *    we keep Spark TimestampType (µs) and truncate only at output edges
+ *    (SURVEY.md §7.4.5).
+ *  - duration: exact {months, days, nanoseconds} triple, NOT
+ *    CalendarIntervalType (CqlLogicalTypes.java:50-62).
+ *  - decimal: reference carries unbounded BigDecimal as {unscaled bytes,
+ *    scale} (CqlLogicalTypes.java:38-48); DecimalType(38,18) documents the
+ *    precision bound.
+ *  - map keys are stringified, UDT keys rejected
+ *    (AbstractNativeConverter.java:265-295).
+ *  - counter / materialized-view / secondary-index tables are rejected
+ *    (CommitLogReadHandlerImpl.java:111-152) — out of scope by design.
+ */
+object CqlTypes {
+
+  val DurationType: StructType = StructType(Seq(
+    StructField("months", IntegerType, nullable = false),
+    StructField("days", IntegerType, nullable = false),
+    StructField("nanoseconds", LongType, nullable = false)))
+
+  /** Scalar CQL types usable in primary keys (PulsarMutationSender.java:61-81). */
+  val pkTypes: Map[String, DataType] = Map(
+    "text"      -> StringType,
+    "ascii"     -> StringType,
+    "boolean"   -> BooleanType,
+    "blob"      -> BinaryType,
+    "tinyint"   -> ByteType,
+    "smallint"  -> ShortType,
+    "int"       -> IntegerType,
+    "bigint"    -> LongType,
+    "float"     -> FloatType,
+    "double"    -> DoubleType,
+    "varint"    -> DecimalType(38, 0),
+    "decimal"   -> DecimalType(38, 18),
+    "inet"      -> StringType,
+    "timestamp" -> TimestampType,
+    "date"      -> DateType,
+    "time"      -> LongType,       // µs since midnight (time-micros)
+    "duration"  -> DurationType,
+    "uuid"      -> StringType,
+    "timeuuid"  -> StringType)
+
+  /** Whether a CQL type name (possibly parameterized) maps to a Spark type
+   * for value columns: scalars plus list/set/map/tuple/udt/vector. */
+  def valueType(cql: String): Option[DataType] = {
+    val t = cql.trim.toLowerCase
+    pkTypes.get(t).orElse {
+      parseParams(t) match {
+        case Some(("list", Seq(e)))   => valueType(e).map(ArrayType(_))
+        case Some(("set", Seq(e)))    => valueType(e).map(ArrayType(_))
+        case Some(("vector", Seq(e, _))) => valueType(e).map(ArrayType(_))
+        case Some(("map", Seq(k, v))) =>
+          // reference stringifies map keys; UDT keys are rejected
+          // (AbstractNativeConverter.java:290-293)
+          if (k.startsWith("udt")) None
+          else valueType(v).map(MapType(StringType, _))
+        case Some(("tuple", elems)) =>
+          val fields = elems.zipWithIndex.map { case (e, i) =>
+            valueType(e).map(StructField(s"index_$i", _))
+          }
+          if (fields.forall(_.isDefined)) Some(StructType(fields.flatten))
+          else None
+        case _ => None
+      }
+    }
+  }
+
+  /** PK support check: mutations with unsupported PK types are skipped and
+   * counted (PulsarMutationSender.java:112-122). */
+  def supportsPk(cql: String): Boolean = pkTypes.contains(cql.trim.toLowerCase)
+
+  private def parseParams(t: String): Option[(String, Seq[String])] = {
+    val open = t.indexOf('<')
+    if (open < 0 || !t.endsWith(">")) None
+    else {
+      val name = t.substring(0, open)
+      val inner = t.substring(open + 1, t.length - 1)
+      // split on top-level commas only
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      val cur = new StringBuilder
+      for (c <- inner) c match {
+        case '<' => depth += 1; cur.append(c)
+        case '>' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
+        case c => cur.append(c)
+      }
+      if (cur.nonEmpty) parts += cur.toString.trim
+      Some((name, parts.toSeq))
+    }
+  }
+
+  /** Build the key/value struct split for a table: key = PK columns
+   * (clustering columns nullable — AbstractPulsarMutationSender.java:150-153),
+   * value = regular columns (PK folded in for PK-only tables,
+   * CassandraSource.java:346-366). */
+  def keyValueSchemas(cols: Seq[(String, DataType)], pk: Seq[String],
+                      clustering: Set[String]): (StructType, StructType) = {
+    val key = StructType(pk.flatMap(p => cols.find(_._1 == p)).map {
+      case (n, t) => StructField(n, t, nullable = clustering.contains(n))
+    })
+    val regular = cols.filterNot { case (n, _) => pk.contains(n) }
+    val value =
+      if (regular.isEmpty) StructType(cols.map { case (n, t) => StructField(n, t) })
+      else StructType(regular.map { case (n, t) => StructField(n, t) })
+    (key, value)
+  }
+}

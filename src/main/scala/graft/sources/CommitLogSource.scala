@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Structured Streaming source with commitlog semantics — the Spark
+ * analog of the reference agent's CDC directory tailer:
+ *
+ *  - a directory of segment files `CommitLog-<segment>.log` (one CSV event
+ *    per line), processed in segment order — reference: priority queue
+ *    ordered by segment timestamp (agent/.../CommitLogUtil.java:57-76,
+ *    CommitLogProcessor.java:100-121);
+ *  - offsets are `(segment, position)` — the reference's per-segment offset
+ *    files `<segment>_offset.dat` (SegmentOffsetFileWriter.java:29-126) and
+ *    idx re-read window (CommitLogReaderService.java:114-150);
+ *  - a segment may grow between batches (near-real-time idx path): only the
+ *    lines beyond the committed position are re-read;
+ *  - one input partition per segment — the reference's one-task-per-segment
+ *    exclusivity (CommitLogReaderService.java:198-212).
+ *
+ * Line format: `event_id,key,op,writetime,segment,position,md5Digest,nodeId`.
+ *
+ * Register as `spark.readStream.format("graft.sources.CommitLogSourceProvider")
+ * .option("path", dir)`.
+ */
+class CommitLogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CommitLogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CommitLogTable(properties.get("path"))
+}
+
+object CommitLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("key", LongType),
+    StructField("op", StringType),
+    StructField("writetime", LongType),
+    StructField("segment", LongType),
+    StructField("position", IntegerType),
+    StructField("md5Digest", StringType),
+    StructField("nodeId", StringType)))
+
+  private val FilePattern = """CommitLog-(\d+)\.log""".r
+
+  /** (segment id, file) pairs in segment order. */
+  def segments(dir: String): Seq[(Long, java.io.File)] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.toSeq.flatMap { f =>
+      f.getName match {
+        case FilePattern(seg) => Some((seg.toLong, f))
+        case _                => None
+      }
+    }.sortBy(_._1)
+  }
+
+  def lineCount(f: java.io.File): Long = {
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().size.toLong finally src.close()
+  }
+}
+
+class CommitLogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "CommitLogSource requires option 'path'")
+  override def name(): String = s"commitlog:$path"
+  override def schema(): StructType = CommitLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = CommitLogSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CommitLogMicroBatchStream(path)
+      }
+    }
+}
+
+/** `(segment, position)`: everything up to and including line `position - 1`
+ * of `segment` (and all of every earlier segment) has been processed. */
+case class CommitLogOffset(segment: Long, position: Long) extends Offset {
+  override def json(): String = s"""{"segment":$segment,"position":$position}"""
+}
+
+class CommitLogMicroBatchStream(path: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
+
+  override def latestOffset(): Offset = {
+    val segs = CommitLogSource.segments(path)
+    if (segs.isEmpty) CommitLogOffset(-1L, 0L)
+    else {
+      val (seg, f) = segs.last
+      CommitLogOffset(seg, CommitLogSource.lineCount(f))
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // minimal parse of {"segment":N,"position":M}
+    val nums = """-?\d+""".r.findAllIn(json).toSeq
+    CommitLogOffset(nums(0).toLong, nums(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitLogOffset]
+    val e = end.asInstanceOf[CommitLogOffset]
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    for ((seg, f) <- CommitLogSource.segments(path) if seg <= e.segment) {
+      val from =
+        if (seg < s.segment) -1L            // fully processed
+        else if (seg == s.segment) s.position
+        else 0L
+      val until =
+        if (seg == e.segment) e.position
+        else Long.MaxValue                  // whole file (sealed segment)
+      if (from >= 0 && until > from) {
+        parts += CommitLogInputPartition(f.getAbsolutePath, from, until)
+      } else if (from < 0) {
+        // earlier segments are complete — reference cleans them up
+        // (CommitLogReaderService.java:266-323); nothing to read
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CommitLogPartitionReader(p.asInstanceOf[CommitLogInputPartition])
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CommitLogInputPartition(file: String, fromLine: Long, untilLine: Long)
+  extends InputPartition
+
+class CommitLogPartitionReader(p: CommitLogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val src = scala.io.Source.fromFile(p.file)
+  private val it = src.getLines().zipWithIndex
+    .filter { case (_, i) => i >= p.fromLine && i < p.untilLine }
+    .map(_._1)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = parse(it.next()); true } else false
+  }
+
+  private def parse(line: String): InternalRow = {
+    val f = line.split(",", -1)
+    InternalRow(
+      f(0).toLong, f(1).toLong, UTF8String.fromString(f(2)), f(3).toLong,
+      f(4).toLong, f(5).toInt, UTF8String.fromString(f(6)),
+      UTF8String.fromString(f(7)))
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = src.close()
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.model.CqlTypes
+
+/** Golden type-mapping table — the DataSpec analog (FIXTURES.md §2;
+ * reference: testcontainers/.../DataSpec.java:36-116). */
+class CqlTypesSpec extends AnyFunSuite {
+
+  test("every scalar PK type maps per SURVEY §1.2") {
+    val expected = Map(
+      "text" -> StringType, "ascii" -> StringType, "boolean" -> BooleanType,
+      "blob" -> BinaryType, "tinyint" -> ByteType, "smallint" -> ShortType,
+      "int" -> IntegerType, "bigint" -> LongType, "float" -> FloatType,
+      "double" -> DoubleType, "varint" -> DecimalType(38, 0),
+      "decimal" -> DecimalType(38, 18), "inet" -> StringType,
+      "timestamp" -> TimestampType, "date" -> DateType, "time" -> LongType,
+      "uuid" -> StringType, "timeuuid" -> StringType)
+    for ((cql, spark) <- expected) {
+      assert(CqlTypes.pkTypes(cql) === spark, cql)
+      assert(CqlTypes.supportsPk(cql), cql)
+    }
+    assert(CqlTypes.pkTypes("duration") === CqlTypes.DurationType)
+  }
+
+  test("collection / parameterized value types") {
+    assert(CqlTypes.valueType("list<text>") === Some(ArrayType(StringType)))
+    assert(CqlTypes.valueType("set<int>") === Some(ArrayType(IntegerType)))
+    assert(CqlTypes.valueType("vector<float, 64>") ===
+      Some(ArrayType(FloatType)))
+    // map keys stringified regardless of CQL key type
+    assert(CqlTypes.valueType("map<int, double>") ===
+      Some(MapType(StringType, DoubleType)))
+    // UDT map keys rejected (AbstractNativeConverter.java:290-293)
+    assert(CqlTypes.valueType("map<udt_foo, double>") === None)
+    // tuple → record with index_N fields (Tuple_<hash> naming)
+    assert(CqlTypes.valueType("tuple<int, text>") === Some(StructType(Seq(
+      StructField("index_0", IntegerType), StructField("index_1", StringType)))))
+    // nesting
+    assert(CqlTypes.valueType("list<map<text, timestamp>>") ===
+      Some(ArrayType(MapType(StringType, TimestampType))))
+    // counter is unsupported (rejected table class)
+    assert(CqlTypes.valueType("counter") === None)
+  }
+
+  test("key/value split: clustering nullable, PK-only folds PK into value") {
+    val cols = Seq("a" -> StringType, "b" -> IntegerType, "c" -> DoubleType)
+    val (key, value) = CqlTypes.keyValueSchemas(cols, pk = Seq("a", "b"),
+      clustering = Set("b"))
+    assert(key === StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", IntegerType, nullable = true))))
+    assert(value === StructType(Seq(StructField("c", DoubleType))))
+    // PK-only table: value = all columns (CassandraSource.java:346-366)
+    val (_, v2) = CqlTypes.keyValueSchemas(cols.take(2), Seq("a", "b"), Set("b"))
+    assert(v2.fieldNames.toSeq === Seq("a", "b"))
+  }
+}
