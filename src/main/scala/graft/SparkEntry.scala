@@ -88,6 +88,37 @@ object SparkEntry {
             .otherwise(to_json(struct(col("c_name")))).as("value_json"))
     }),
 
+    "cdc_ordered_replay" -> ((s, dir) => {
+      // W1 per-key commitlog replay order
+      CdcOperators.orderedReplay(ev(s, dir), Seq("key"))
+        .select(col("key"), col("event_id"), col("segment"), col("position"),
+          col("replay_idx").cast("long").as("replay_idx"))
+    }),
+
+    "q_moving_avg" -> ((s, dir) => {
+      // A3 analog: per-key moving average over the last 10 events
+      // (reference: circular buffer of last 10 batch latencies,
+      // CassandraSource.java:177-189) — a ROWS frame-spec window
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("writetime").asc, col("event_id").asc)
+        .rowsBetween(-9, Window.currentRow)
+      ev(s, dir)
+        .withColumn("mavg",
+          (sum(dec2(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")))
+        .select(col("key"), col("event_id"), col("writetime"), col("mavg"))
+    }),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL sketch (rows-only check: sketch estimates are engine-specific;
+      // the spec asserts the estimate lands within 5% of exact)
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+    }),
+
     "cdc_json_only" -> ((s, dir) => {
       // F13/P7 json single-payload mode: PK columns folded into the value
       // record, deletes/misses emit '{}' not null (CassandraSource.java:
@@ -382,6 +413,23 @@ object SparkEntry {
          CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
               ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_ordered_replay" ->
+      s"""SELECT user_id AS "key", event_id, event_id // 1000 AS segment,
+         CAST(event_id % 1000 AS INT) AS position,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY event_id // 1000 ASC, event_id % 1000 ASC, event_id ASC)
+           AS replay_idx
+         FROM events""",
+
+    "q_moving_avg" ->
+      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
 
     "cdc_json_only" ->
       """SELECT e.event_id,

@@ -107,6 +107,34 @@ object CdcOperators {
       lit(Cdc.BackfillDigest).as("md5Digest"))
 
   /**
+   * Column-regex projection: restrict replicated value columns by a regex —
+   * the reference's `columns` connector config
+   * (CassandraSourceConnectorConfig.java:52, applied at
+   * CassandraSource.java:290-292, 360, 365). Plan-build-time filtering, so
+   * Catalyst prunes the parquet scan to the kept columns.
+   */
+  def projectColumnsByRegex(df: DataFrame, keep: Seq[String],
+                            regex: String): DataFrame = {
+    val re = regex.r
+    val value = df.columns.filterNot(keep.contains)
+      .filter(c => re.pattern.matcher(c).matches())
+    df.select((keep ++ value).map(col): _*)
+  }
+
+  /**
+   * Ordered replay index: the commitlog replay position of each event within
+   * its key — the per-segment ordering the reference enforces with its
+   * priority queue + one-task-per-segment rule (SURVEY.md §2.5 W1;
+   * CommitLogUtil.java:57-76). Downstream stateful operators consume events
+   * in this order.
+   */
+  def orderedReplay(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("segment").asc, col("position").asc, col("event_id").asc)
+    events.withColumn("replay_idx", row_number().over(w))
+  }
+
+  /**
    * Sessionize an event stream: a new session starts after `gapMinutes` of
    * per-key inactivity. Built-in window functions only (lag + running sum) —
    * one shuffle on the key. (Extension operator: no reference counterpart;

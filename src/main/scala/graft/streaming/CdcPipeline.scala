@@ -52,6 +52,14 @@ object CdcPipeline {
       .as[StreamEvent]
 
     val deduped = StreamingDedup.dedup(events, maxDigests, ttlMs)
+      // A2 observability: per-batch counters with the reference's metric
+      // names (agent-c4/.../CdcMetrics.java; connector counters
+      // CassandraSource.java:101-134) — read them from
+      // StreamingQueryProgress.observedMetrics("graft_cdc")
+      .observe("graft_cdc",
+        count(lit(1)).as("sentMutations"),
+        count(when(col("op") === Cdc.OpDelete, 1)).as("tombstones"),
+        max(col("segment")).as("maxSegment"))
 
     deduped.writeStream
       .outputMode("append")

@@ -33,6 +33,45 @@ class PipelineAndExtensionSpec extends SparkSpec {
     assert(byKey === Map(10L -> false, 20L -> true))
   }
 
+  test("CdcPipeline re-resolves the base table per batch (schema/DDL evolution)") {
+    // the reference rebuilds converters on DDL (CassandraSource.java:664-698);
+    // our analog: the base-table provider is re-evaluated every micro-batch,
+    // so updated rows are visible to later batches (SURVEY.md §7.4.3/§7.4.4)
+    val tmp = Files.createTempDirectory("graft_pipe_ddl").toFile.getAbsolutePath
+    val eventsDir = s"$tmp/events"
+    var base = Seq((10L, "v1")).toDF("k", "name")
+    Seq((1L, 10L, "u", 100L, 0L, 1, "d1", "node-1"))
+      .toDF("event_id", "key", "op", "writetime", "segment", "position",
+        "md5Digest", "nodeId").write.parquet(eventsDir)
+    val q1 = CdcPipeline.start(spark, eventsDir, () => base, Seq("name"), "k",
+      s"$tmp/out", s"$tmp/ckpt")
+    q1.awaitTermination(60000)
+    base = Seq((10L, "v2")).toDF("k", "name")  // the "DDL"/data change
+    Seq((2L, 10L, "u", 200L, 0L, 2, "d2", "node-1"))
+      .toDF("event_id", "key", "op", "writetime", "segment", "position",
+        "md5Digest", "nodeId").write.mode("append").parquet(eventsDir)
+    val q2 = CdcPipeline.start(spark, eventsDir, () => base, Seq("name"), "k",
+      s"$tmp/out", s"$tmp/ckpt")
+    q2.awaitTermination(60000)
+    val byEvent = spark.read.parquet(s"$tmp/out/batch")
+      .select($"event_id", $"value.name").as[(Long, String)].collect().toMap
+    assert(byEvent === Map(1L -> "v1", 2L -> "v2"))
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val df = graft.model.Cdc.rawEvents(spark, "/root/testdata/sf0.001")
+    val approx = df.agg(approx_count_distinct($"user_id")).as[Long].head()
+    val exact = df.agg(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+
+  test("column-regex projection keeps only matching value columns") {
+    val df = Seq((1L, "a", 2.0, "x")).toDF("key", "c_name", "c_acctbal", "other")
+    val out = graft.operators.CdcOperators.projectColumnsByRegex(
+      df, Seq("key"), "^c_.*")
+    assert(out.columns.toSeq === Seq("key", "c_name", "c_acctbal"))
+  }
+
   test("minhash LSH finds exact duplicates as candidate pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
