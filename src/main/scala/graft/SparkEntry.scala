@@ -88,6 +88,12 @@ object SparkEntry {
             .otherwise(to_json(struct(col("c_name")))).as("value_json"))
     }),
 
+    "cdc_materialized_state" -> ((s, dir) => {
+      // downstream replica maintenance: snapshot + events → current state
+      CdcOperators.materialize(t(s, dir, "customer"), ev(s, dir),
+        "c_custkey", "key", Seq(col("writetime").desc, col("event_id").desc))
+    }),
+
     "cdc_ordered_replay" -> ((s, dir) => {
       // W1 per-key commitlog replay order
       CdcOperators.orderedReplay(ev(s, dir), Seq("key"))
@@ -413,6 +419,15 @@ object SparkEntry {
          CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
               ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_materialized_state" ->
+      s"""SELECT c.* FROM customer c
+         LEFT JOIN (SELECT user_id, $opSql AS op,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events) e
+           ON c.c_custkey = e.user_id AND e.rn = 1
+         WHERE e.op IS NULL OR e.op <> 'd'""",
 
     "cdc_ordered_replay" ->
       s"""SELECT user_id AS "key", event_id, event_id // 1000 AS segment,

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The reference's scalar conversion kernel (SURVEY.md §2.6) as Column
+ * functions — every transformation the connector/agent applies to values on
+ * their way to the output record, expressed with codegen'd built-ins.
+ */
+object CqlConversions {
+
+  /** F3: timestamp → epoch millis (Avro timestamp-millis; the reference
+   * truncates CQL's µs writetime at the output edge —
+   * NativeAvroConverter.java:119). */
+  def timestampToEpochMillis(c: Column): Column = unix_millis(c)
+
+  /** F4: date → epoch days (Avro `date` logical type,
+   * NativeAvroConverter.java:122). */
+  def dateToEpochDays(c: Column): Column = datediff(c, lit("1970-01-01"))
+
+  /** F5: time nanos → micros (`/ 1000`, NativeAvroConverter.java:125);
+   * integral division — double division loses precision above 2^53 ns. */
+  def timeNanosToMicros(c: Column): Column = call_function("div", c, lit(1000L))
+
+  /** F7: tinyint/smallint → int widening (Avro lacks int8/16,
+   * PulsarMutationSender.java:153-158). */
+  def widenToInt(c: Column): Column = c.cast(IntegerType)
+
+  /** F9: duration triple {months, days, nanoseconds}
+   * (CqlLogicalTypes.java:50-62). */
+  def duration(months: Column, days: Column, nanos: Column): Column =
+    struct(months.cast(IntegerType).as("months"),
+      days.cast(IntegerType).as("days"),
+      nanos.cast(LongType).as("nanoseconds"))
+
+  /** F8: decimal ↔ {unscaled bytes, scale} is Spark-native DecimalType;
+   * varint → DecimalType(38,0). */
+  def varintToDecimal(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** F10: map-key stringification (non-string CQL map keys are toString'ed,
+   * AbstractNativeConverter.java:265-295). */
+  def stringifyMapKeys(c: Column): Column =
+    transform_keys(c, (k, _) => k.cast(StringType))
+
+  /** F11: Instant → millis inside collections (list/set of timestamp,
+   * AbstractNativeConverter.java:305-345). */
+  def timestampArrayToMillis(c: Column): Column =
+    transform(c, e => unix_millis(e))
+
+  /** F13 helper: binary → base64 in JSON output (NativeJsonConverter,
+   * DataSpec.java:61-71 expects base64 for blob). */
+  def binaryToBase64(c: Column): Column = base64(c)
+
+  /** json float widening: Avro float printed as double in JSON
+   * (DataSpec.java:61-71). */
+  def floatToJsonDouble(c: Column): Column = c.cast(DoubleType)
+}

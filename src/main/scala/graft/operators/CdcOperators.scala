@@ -107,6 +107,46 @@ object CdcOperators {
       lit(Cdc.BackfillDigest).as("md5Digest"))
 
   /**
+   * Backfill ingestion from CSV exports — the reference's DSBulk-unloaded
+   * primary-key CSV replayed as synthetic insert events
+   * (backfill-cli/.../PulsarImporter.java:124-220; export TableExporter.java:
+   * 225-242 `SELECT pk… FROM ks.t` with header). `spark.read.csv` with a
+   * header replaces the DSBulk connector; the event constants match
+   * PulsarImporter.java:80-102.
+   */
+  def backfillFromCsv(spark: org.apache.spark.sql.SparkSession, csvDir: String,
+                      keyCol: String): DataFrame = {
+    val pks = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(csvDir)
+    backfillEvents(pks, keyCol)
+  }
+
+  /**
+   * Materialize current table state from a snapshot + an event stream — the
+   * canonical downstream CDC consumer (the reference's data topic exists
+   * precisely so consumers can maintain such a replica via per-key
+   * compaction, docs/.../cdc-cassandra-events.adoc:8).
+   *
+   * Semantics: LWW-compact the events per key; a key whose latest event is a
+   * delete drops out of the state; any other event refreshes (keeps) the
+   * base row — matching the reference's read-after-write model where row
+   * content always comes from the current table, not the event
+   * (CassandraClient.java:292-337). Keys with no events pass through.
+   *
+   * Scale: one window shuffle over events (small side) + one PK join against
+   * the snapshot — no state accumulation, restart-safe.
+   */
+  def materialize(snapshot: DataFrame, events: DataFrame,
+                  snapshotKey: String, eventKey: String,
+                  orderCols: Seq[Column], opCol: String = "op"): DataFrame = {
+    val latest = compactLww(events, Seq(eventKey), orderCols)
+      .select(col(eventKey).as("_mk"), col(opCol).as("_mop"))
+    snapshot.join(latest, snapshot(snapshotKey) === col("_mk"), "left_outer")
+      .filter(col("_mop").isNull || col("_mop") =!= Cdc.OpDelete)
+      .drop("_mk", "_mop")
+  }
+
+  /**
    * Column-regex projection: restrict replicated value columns by a regex —
    * the reference's `columns` connector config
    * (CassandraSourceConnectorConfig.java:52, applied at

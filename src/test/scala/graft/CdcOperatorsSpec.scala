@@ -75,6 +75,27 @@ class CdcOperatorsSpec extends SparkSpec {
     assert(sessions === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("backfillFromCsv replays an exported PK CSV as synthetic inserts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    java.nio.file.Files.write(tmp.toPath.resolve("export.csv"),
+      "k\n10\n20\n30\n".getBytes)
+    val bf = CdcOperators.backfillFromCsv(spark, tmp.getAbsolutePath, "k")
+    val rows = bf.orderBy("key").collect()
+    assert(rows.map(_.getAs[Long]("key")).toSeq === Seq(10L, 20L, 30L))
+    assert(rows.forall(_.getAs[String]("md5Digest") === Cdc.BackfillDigest))
+  }
+
+  test("materialize applies LWW events to a snapshot (delete wins, stale loses)") {
+    val snap = Seq((10L, "alice"), (20L, "bob"), (30L, "carol")).toDF("k", "name")
+    val evs = Seq(
+      (1L, 10L, "u", 100L), (2L, 10L, "d", 200L),   // delete wins for 10
+      (3L, 20L, "d", 100L), (4L, 20L, "u", 200L)    // update wins for 20
+    ).toDF("event_id", "key", "op", "writetime")
+    val out = CdcOperators.materialize(snap, evs, "k", "key",
+      Seq(col("writetime").desc, col("event_id").desc))
+    assert(out.select("k").as[Long].collect().sorted.toSeq === Seq(20L, 30L))
+  }
+
   test("cassandra_token expression agrees with the scala kernel and codegen survives") {
     val df = Seq(1L, 42L, -7L).toDF("k")
       .select(col("k"), GraftFunctions.cassandra_token(col("k")).as("t"))

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.functions.CqlConversions._
+
+/**
+ * Golden conversion values seeded per FIXTURES.md §2 (the reference's
+ * DataSpec.java:78-109: 2020-12-25T10:10:00, varint 314, blob 0x0001,
+ * duration (1,2,3), …).
+ */
+class CqlConversionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("timestamp → epoch millis truncates µs (golden 2020-12-25T10:10:00Z)") {
+    val df = Seq(Timestamp.valueOf("2020-12-25 10:10:00")).toDF("ts")
+    // session tz UTC ⇒ epoch of 2020-12-25T10:10:00Z = 1608891000000
+    assert(df.select(timestampToEpochMillis($"ts")).as[Long].head()
+      === 1608891000000L)
+  }
+
+  test("date → epoch days (golden 2020-12-25 = 18621)") {
+    val df = Seq(Date.valueOf("2020-12-25")).toDF("d")
+    assert(df.select(dateToEpochDays($"d")).as[Int].head() === 18621)
+  }
+
+  test("time nanos → micros is integer division") {
+    val df = Seq(36600000000123L).toDF("t") // 10:10:00.000000123 as nanos
+    assert(df.select(timeNanosToMicros($"t")).as[Long].head()
+      === 36600000000L)
+  }
+
+  test("tinyint/smallint widen to int") {
+    val df = Seq((1.toByte, 2.toShort)).toDF("b", "s")
+    assert(df.select(widenToInt($"b"), widenToInt($"s"))
+      .as[(Int, Int)].head() === ((1, 2)))
+  }
+
+  test("duration keeps the exact (months, days, nanos) triple") {
+    val df = Seq((1, 2, 3L)).toDF("m", "d", "n")
+    val r = df.select(duration($"m", $"d", $"n").as("dur"))
+      .select($"dur.months", $"dur.days", $"dur.nanoseconds")
+      .as[(Int, Int, Long)].head()
+    assert(r === ((1, 2, 3L)))
+  }
+
+  test("varint 314 → DecimalType(38,0)") {
+    val df = Seq(BigDecimal(314)).toDF("v")
+    assert(df.select(varintToDecimal($"v")).head().getDecimal(0).intValue()
+      === 314)
+  }
+
+  test("map keys stringified (int keys → string)") {
+    val df = Seq(Map(1 -> 2.0, 3 -> 4.0)).toDF("m")
+    val m = df.select(stringifyMapKeys($"m")).as[Map[String, Double]].head()
+    assert(m === Map("1" -> 2.0, "3" -> 4.0))
+  }
+
+  test("timestamps inside collections → millis (table7 scenario)") {
+    val df = Seq(Seq(Timestamp.valueOf("2020-12-25 10:10:00"))).toDF("a")
+    assert(df.select(timestampArrayToMillis($"a")).as[Seq[Long]].head()
+      === Seq(1608891000000L))
+  }
+
+  test("blob 0x0001 → base64 'AAE=' (DataSpec jsonValue)") {
+    val df = Seq(Array[Byte](0x00, 0x01)).toDF("b")
+    assert(df.select(binaryToBase64($"b")).as[String].head() === "AAE=")
+  }
+}

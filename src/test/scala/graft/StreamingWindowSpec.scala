@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * T5 streaming form: event-time tumbling windows with a watermark — late
+ * events beyond the watermark are dropped from finalized windows
+ * (SURVEY.md §2.7; no reference counterpart, built-in Structured Streaming).
+ */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked tumbling window finalizes and drops too-late events") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"window.start").as("w"), $"n")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:05:00"), 1L), (t("2024-01-01 10:20:00"), 2L))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark → finalize
+      input.addData((t("2024-01-01 12:00:00"), 3L))
+      q.processAllAvailable()
+      // this event is behind the watermark → must be dropped, not re-open 10:00
+      input.addData((t("2024-01-01 10:30:00"), 4L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 14:00:00"), 5L))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").as[(Long, Long)].collect().toMap
+      val w10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      assert(rows(w10) === 2L) // only the two on-time events; late one dropped
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS win_out")
+    }
+  }
+}
