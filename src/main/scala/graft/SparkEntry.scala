@@ -215,6 +215,14 @@ object SparkEntry {
           sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    "q_cube_stats" -> ((s, dir) => {
+      // CUBE grouping sets over order status × priority
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
     "q_anti_customers_no_orders" -> ((s, dir) => {
       // customers with no orders in the first half-year window (anti join)
       val early = t(s, dir, "orders")
@@ -502,6 +510,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube_stats" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q_anti_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import com.google.common.hash.{BloomFilter, Funnels}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Approximate-membership sketch for dedup at scale — the SURVEY §7.2 M6
+ * "approximate dedup when exact state exceeds memory" path, built as a
+ * custom Catalyst `TypedImperativeAggregate`: partial filters are built
+ * map-side per partition and OR-merged, so the shuffle carries one sketch
+ * per partition instead of the digest set.
+ *
+ * `bloom_agg(strCol, expectedItems, fpp)` → BINARY (serialized filter);
+ * `bloom_contains(filterBinary, strCol)` → BOOLEAN probes it (no false
+ * negatives; false positives bounded by fpp).
+ */
+case class BloomAgg(child: Expression, expectedItems: Long, fpp: Double,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomFilter[CharSequence]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomFilter[CharSequence] =
+    BloomFilter.create(Funnels.unencodedCharsFunnel(), expectedItems, fpp)
+
+  override def update(buffer: BloomFilter[CharSequence],
+                      input: InternalRow): BloomFilter[CharSequence] = {
+    val v = child.eval(input)
+    if (v != null) buffer.put(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter[CharSequence],
+                     other: BloomFilter[CharSequence]): BloomFilter[CharSequence] = {
+    buffer.putAll(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomFilter[CharSequence]): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter[CharSequence]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter[CharSequence] =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes),
+      Funnels.unencodedCharsFunnel())
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomAgg =
+    copy(child = c.head)
+}
+
+/** Membership probe against a serialized [[BloomAgg]] filter. */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(filterBytes: Any, value: Any): Any = {
+    val f = BloomFilter.readFrom(
+      new ByteArrayInputStream(filterBytes.asInstanceOf[Array[Byte]]),
+      Funnels.unencodedCharsFunnel())
+    f.mightContain(value.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (f, v) => s"graft.functions.BloomOps.contains($f, $v)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
+/** Codegen helper: caches the deserialized filter per (identity of) bytes so
+ * a broadcast probe does not re-parse the sketch per row. */
+object BloomOps {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Integer, (Array[Byte], BloomFilter[CharSequence])]()
+
+  def contains(filterBytes: Array[Byte], v: UTF8String): Boolean = {
+    val key = Integer.valueOf(System.identityHashCode(filterBytes))
+    val cached = cache.get(key)
+    val f =
+      if (cached != null && (cached._1 eq filterBytes)) cached._2
+      else {
+        val parsed = BloomFilter.readFrom(
+          new ByteArrayInputStream(filterBytes),
+          Funnels.unencodedCharsFunnel())
+        cache.put(key, (filterBytes, parsed))
+        parsed
+      }
+    f.mightContain(v.toString)
+  }
+}
+
+object BloomFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def bloom_agg(c: Column, expectedItems: Long, fpp: Double): Column =
+    GraftShim.column(BloomAgg(GraftShim.expression(c), expectedItems, fpp)
+      .toAggregateExpression())
+
+  def bloom_contains(filter: Column, value: Column): Column =
+    GraftShim.column(BloomContains(GraftShim.expression(filter),
+      GraftShim.expression(value)))
+}

