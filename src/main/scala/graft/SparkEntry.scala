@@ -215,6 +215,55 @@ object SparkEntry {
           sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    "q13_custdist" -> ((s, dir) => {
+      // order-count distribution per customer (left outer join + two-level
+      // aggregation, TPC-H Q13 shape)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q_market_share" -> ((s, dir) => {
+      // conditional-aggregation share (TPC-H Q8 shape): NATION_3's share of
+      // yearly supplier revenue
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_3",
+            dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))))
+            .cast("double").as("nation_rev"),
+          revenue.as("total_rev"))
+        .withColumn("share",
+          coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"))
+    }),
+
+    "q_scalar_funcs" -> ((s, dir) => {
+      // scalar-function sweep: date parts, string ops, math — §2.6 extension
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        upper(col("o_orderstatus")).as("status_u"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+        round(abs(col("o_totalprice") - lit(1000.0)), 2).as("dist1k"),
+        least(col("o_totalprice"), lit(5000.0)).as("capped"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_prio"))
+    }),
+
     "q_cube_stats" -> ((s, dir) => {
       // CUBE grouping sets over order status × priority
       t(s, dir, "orders")
@@ -510,6 +559,40 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_rev,
+         $revenueSql AS total_rev,
+         COALESCE(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
+           / $revenueSql AS share
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY year(o_orderdate)""",
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(quarter(o_orderdate) AS INT) AS q,
+         upper(o_orderstatus) AS status_u,
+         CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+         substr(o_orderpriority, 1, 1) AS prio_digit,
+         round(abs(o_totalprice - 1000.0), 2) AS dist1k,
+         least(o_totalprice, 5000.0) AS capped,
+         o_orderstatus || '-' || o_orderpriority AS status_prio
+         FROM orders""",
 
     "q_cube_stats" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -37,14 +37,22 @@ object CdcPipeline {
             // scheduling batches, so state is unexpiring here (see
             // StreamingDedup.dedup). Continuous deployments pass a real TTL
             // and a ProcessingTime trigger.
-            ttlMs: Long = 0L): StreamingQuery = {
+            ttlMs: Long = 0L,
+            sourceFormat: String = "parquet"): StreamingQuery = {
     import spark.implicits._
 
-    val raw = spark.readStream
-      .schema(
-        "event_id LONG, key LONG, op STRING, writetime LONG, segment LONG, " +
-        "position INT, md5Digest STRING, nodeId STRING")
-      .parquet(eventsDir)
+    // events arrive either as parquet drops or via the custom commitlog
+    // source with (segment, position) offsets (graft.sources.CommitLogSource)
+    val raw =
+      if (sourceFormat == "commitlog")
+        spark.readStream.format("graft.sources.CommitLogSourceProvider")
+          .option("path", eventsDir).load()
+      else
+        spark.readStream
+          .schema(
+            "event_id LONG, key LONG, op STRING, writetime LONG, segment LONG, " +
+            "position INT, md5Digest STRING, nodeId STRING")
+          .parquet(eventsDir)
 
     val events: Dataset[StreamEvent] = raw
       .select($"key", $"md5Digest", $"event_id", $"op", $"writetime",
@@ -73,7 +81,10 @@ object CdcPipeline {
             // tombstone: null value struct for deletes / missing rows
             when(col("op") === Cdc.OpDelete, lit(null))
               .otherwise(struct(valueCols.map(col): _*)).as("value"))
-          .write.mode("append").parquet(s"$outDir/batch")
+          // one overwritten directory per micro-batch: a retried batch
+          // rewrites, never duplicates — idempotent sink = exactly-once
+          // end-to-end on top of the checkpointed source (SURVEY.md §2.7 T1)
+          .write.mode("overwrite").parquet(s"$outDir/batch/epoch=$batchId")
         ()
       }
       .start()

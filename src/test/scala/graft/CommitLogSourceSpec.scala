@@ -50,4 +50,24 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L)) // no dups, no loss
     assert(rows.map(_._3).toSeq === Seq(1L, 1L, 1L, 2L))
   }
+
+  test("full pipeline over the commitlog source: dedup + enrich + tombstones") {
+    val tmp = Files.createTempDirectory("graft_clog_pipe").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    // duplicate digest (replay) + one delete
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
+      ("1,10,u,100,1,0,dA,node-1\n" +
+        "2,10,u,100,1,1,dA,node-2\n" +   // same digest dA → dropped by dedup
+        "3,20,d,200,1,2,dB,node-1\n").getBytes)
+    val base = Seq((10L, "alice"), (20L, "bob")).toDF("k", "name")
+    val q = graft.streaming.CdcPipeline.start(spark, s"$tmp/logs",
+      () => base, Seq("name"), "k", s"$tmp/out", s"$tmp/ckpt",
+      sourceFormat = "commitlog")
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out/batch")
+      .select($"key", $"value".isNull.as("tomb")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(out === Map(10L -> false, 20L -> true))
+    assert(spark.read.parquet(s"$tmp/out/batch").count() === 2)
+  }
 }
