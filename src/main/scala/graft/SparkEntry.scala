@@ -420,6 +420,15 @@ object SparkEntry {
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
     }),
 
+    "dedup_jaccard_verified" -> ((s, dir) => {
+      // the full two-phase near-dup pipeline: LSH candidates → exact
+      // word-set Jaccard verification at 0.8
+      val docs = t(s, dir, "documents")
+      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
+      val pairs = DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+      DocDedup.jaccardVerify(pairs, docs, threshold = 0.8)
+    }),
+
     "text_simhash" -> ((s, dir) =>
       TextAnalysis.simhash(t(s, dir, "documents"), nBits = 16)),
 
@@ -721,6 +730,40 @@ object SparkEntry {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    "dedup_jaccard_verified" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         hashes AS (
+           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (
+           SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM cand l JOIN cand r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN tokens ta ON ta.doc_id = p.a
+           JOIN tokens tb ON tb.doc_id = p.b AND tb.token = ta.token
+           GROUP BY p.a, p.b)
+         SELECT i.a, i.b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.a
+         JOIN sizes sb ON sb.doc_id = i.b
+         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8""",
 
     "text_simhash" ->
       """WITH tokens AS (

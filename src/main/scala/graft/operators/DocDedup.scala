@@ -37,6 +37,35 @@ object DocDedup {
         count(lit(1)).as("n_dups"))
 
   /**
+   * Exact word-set Jaccard similarity for candidate pairs — the verification
+   * stage after LSH candidate generation (near-dup = jaccard ≥ threshold).
+   *
+   * Cost is |pairs| × token joins, NOT all-pairs: at scale the pair list is
+   * LSH-bounded, the token table is hash-partitioned by doc, and the two
+   * joins + count aggregation are shuffle-parallel.
+   */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame,
+                    threshold: Double): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val sizes = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val ta = tokens.select(col("doc_id").as("a"), col("token"))
+    val tb = tokens.select(col("doc_id").as("b"), col("token"))
+    val inter = pairs.join(ta, "a").join(tb, Seq("b", "token"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_tokens").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_tokens").as("nb")), "b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
    * MinHash signature computed with engine-portable hashing: for hash
    * function i, minhash_i = min over the token set of md5(i || '|' || token).
    * Lexicographic min over hex digests is a valid uniform min-hash and is
