@@ -420,6 +420,11 @@ object SparkEntry {
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
     }),
 
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"),
+        minWords = 20, maxWords = 80, minTtr = 0.30,
+        stopwords = Seq(" the ", " a "))),
+
     "dedup_jaccard_verified" -> ((s, dir) => {
       // the full two-phase near-dup pipeline: LSH candidates → exact
       // word-set Jaccard verification at 0.8
@@ -730,6 +735,19 @@ object SparkEntry {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    "text_quality_filter" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr,
+         CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+            + (length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(string_split(text, ' ')) >= 20 AND len(string_split(text, ' ')) <= 80
+           AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) >= 0.30 AS keep
+         FROM documents""",
 
     "dedup_jaccard_verified" ->
       """WITH tokens AS (

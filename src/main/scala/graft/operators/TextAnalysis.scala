@@ -77,6 +77,30 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_tokens"))
 
   /**
+   * Quality filter for training-data curation: length bounds, lexical
+   * diversity (type/token ratio), and stopword-ratio sanity band. Emits
+   * every doc with its signals and a keep flag — downstream is a plain
+   * filter, and the signals stay inspectable for threshold tuning.
+   */
+  def qualityFilter(docs: DataFrame, minWords: Int, maxWords: Int,
+                    minTtr: Double, stopwords: Seq[String]): DataFrame = {
+    val w = words("text")
+    val stopHits = stopwords.map(s => markerHits("text", s))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(w)).cast("double") / size(w).cast("double"))
+      .withColumn("stop_ratio",
+        stopHits.cast("double") / size(w).cast("double"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("ttr") >= minTtr)
+      .select(col("doc_id"), col("n_words"), col("ttr"), col("stop_ratio"),
+        col("keep"))
+  }
+
+  /**
    * SimHash document fingerprint over the distinct-token set, `nBits` wide
    * (bit b comes from hex digit b/4 of each token's md5 — fully portable
    * arithmetic, so the oracle reproduces it exactly). Same-fingerprint docs

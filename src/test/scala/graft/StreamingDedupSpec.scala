@@ -68,6 +68,24 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out.map(_.event_id) === Seq(11L))
   }
 
+  test("randomized: streaming dedup (unbounded history) ≡ batch dedupExact") {
+    val rnd = new java.util.Random(20260812L)
+    // 300 events over 20 keys, ~50% duplicate digests, across 3 batches
+    val all = (1 to 300).map { i =>
+      val key = rnd.nextInt(20).toLong
+      val digest = s"d${rnd.nextInt(150)}"
+      e(key, digest, i.toLong, seg = i / 100, pos = i % 100)
+    }
+    val streamed = runBatches(all.grouped(100).toSeq, maxDigests = 1000)
+    val batchDf = all.toDF()
+    val batch = graft.operators.CdcOperators
+      .dedupExact(batchDf, Seq("key"), "md5Digest")
+      .select($"key", $"md5Digest").as[(Long, String)].collect().toSet
+    // same surviving (key, digest) set — streaming keeps the first in
+    // commitlog order, batch keeps a deterministic winner; identity sets match
+    assert(streamed.map(s => (s.key, s.md5Digest)).toSet === batch)
+  }
+
   test("TTL expiry clears history (reference expireAfterWrite semantics)") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
