@@ -434,6 +434,12 @@ object SparkEntry {
       DocDedup.jaccardVerify(pairs, docs, threshold = 0.8)
     }),
 
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      // 3-word-shingle Jaccard with prefix blocking (the n-gram near-dup
+      // variant; blocking bounds the candidate pairs)
+      DocDedup.ngramJaccard(t(s, dir, "documents"), n = 3, prefixK = 10,
+        threshold = 0.3)),
+
     "text_simhash" -> ((s, dir) =>
       TextAnalysis.simhash(t(s, dir, "documents"), nBits = 16)),
 
@@ -782,6 +788,33 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = i.a
          JOIN sizes sb ON sb.doc_id = i.b
          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+           FROM ws, unnest(range(1, len(w) - 1)) AS t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a
+           JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+           GROUP BY p.a, p.b)
+         SELECT i.a, i.b,
+           CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) AS jaccard
+         FROM inter i
+         JOIN sizes za ON za.doc_id = i.a
+         JOIN sizes zb ON zb.doc_id = i.b
+         WHERE CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) >= 0.3""",
 
     "text_simhash" ->
       """WITH tokens AS (

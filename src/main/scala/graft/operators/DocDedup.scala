@@ -66,6 +66,47 @@ object DocDedup {
   }
 
   /**
+   * Word n-gram (shingle) set per document: consecutive `n`-word windows,
+   * distinct. Docs shorter than `n` words produce no shingles.
+   */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' '))")).as("sh"))
+      .distinct()
+
+  /**
+   * N-gram Jaccard near-dup detection with prefix blocking: candidate pairs
+   * share the first-`prefixK`-words fingerprint (cheap blocking key), then
+   * exact shingle-set Jaccard keeps pairs at or above the threshold.
+   * Blocking bounds the pair count; the joins are shuffle-parallel.
+   */
+  def ngramJaccard(docs: DataFrame, n: Int, prefixK: Int,
+                   threshold: Double): DataFrame = {
+    val fp = docs.select(col("doc_id"), prefixFingerprint("text", prefixK).as("fp"))
+    val pairs = fp.select(col("fp"), col("doc_id").as("a"))
+      .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("b")),
+        col("fp") === col("fp_b") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val sa = sh.select(col("doc_id").as("a"), col("sh"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh"))
+    pairs.join(sa, "a").join(sb, Seq("b", "sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("ns").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("ns").as("nb")), "b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
    * MinHash signature computed with engine-portable hashing: for hash
    * function i, minhash_i = min over the token set of md5(i || '|' || token).
    * Lexicographic min over hex digests is a valid uniform min-hash and is
