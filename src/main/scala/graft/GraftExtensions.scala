@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct}
+
+/**
+ * Session extension registering graft's custom expressions for SQL use:
+ *
+ * {{{
+ * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+ * spark.sql("SELECT cassandra_token(user_id), cosine_similarity(a, b) ...")
+ * }}}
+ *
+ * Registration goes through `injectFunction`, so the functions resolve in
+ * pure SQL pipelines (and thriftserver/connect sessions) exactly like
+ * built-ins — no UDF wrapping, full codegen.
+ *
+ * CAUTION: `withExtensions` is silently ignored by `getOrCreate()` when a
+ * session already exists (e.g. inside spark-shell). In that case call
+ * [[GraftExtensions.register]] on the live session instead — same list,
+ * same behavior.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private[graft] val registrations: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cassandra_token"),
+      info("cassandra_token",
+        "cassandra_token(key) - Cassandra Murmur3Partitioner token of the key"),
+      (args: Seq[Expression]) => CassandraToken(args.head)),
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("bloom_contains"),
+      info("bloom_contains",
+        "bloom_contains(filter, v) - probe a bloom_agg sketch"),
+      (args: Seq[Expression]) => BloomContains(args(0), args(1))),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(v, items, fpp) - build an approximate-membership sketch"),
+      (args: Seq[Expression]) => BloomAgg(args(0), evalLong(args(1)),
+        evalDouble(args(2))).toAggregateExpression()))
+
+  /** Register on an already-running session (the builder-time
+   * `withExtensions` path is preferable when you control session creation). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+
+  // SQL numeric literals can arrive as Decimal (e.g. `0.01`)
+  private def evalLong(e: Expression): Long = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+
+  private def evalDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+}

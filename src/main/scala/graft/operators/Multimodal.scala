@@ -51,6 +51,38 @@ object Multimodal {
       ((col("media_meta.byte_len") + FrameBytes - 1) / FrameBytes)
         .cast("int").as("n_frames"))
 
+  /** Decoded media features — the output row of the per-partition codec. */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, n_frames: Int,
+                           mean_byte: Double)
+
+  /**
+   * Per-partition batched decode — the imperative escape hatch for codecs
+   * that need native libraries (the Scala analog of an Arrow-batched Python
+   * decode). `mapPartitions` keeps the codec boundary at partition
+   * granularity: one codec init per partition, rows streamed through it,
+   * no driver round-trip. The codec body is STUBBED (deterministic byte
+   * statistics); a real implementation swaps `decodeOne` only.
+   */
+  def decodeBatchedStub(media: DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: initialize native decoder once per partition here
+        rows.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    // ??? real decode goes here — stub derives deterministic features
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    MediaFeatures(id, bytes.length,
+      (bytes.length + FrameBytes - 1) / FrameBytes,
+      if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+  }
+
   /**
    * Frame sampling plumbing: emit every `stride`-th frame index per media
    * row (posexplode over a generated index array). Real frame extraction

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** SQL-level function registration (imperative `register` path — the
+ * builder-time `withExtensions(new GraftExtensions)` path uses the same
+ * registration list) + the batched-decode escape hatch. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("custom expressions resolve from pure SQL") {
+    import spark.implicits._
+    val token = spark.sql("SELECT cassandra_token(CAST(42 AS BIGINT)) AS t")
+      .as[Long].head()
+    assert(token === graft.functions.Murmur3.tokenOfLong(42L))
+
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    spark.range(100).selectExpr("CAST(id AS STRING) AS d")
+      .createOrReplaceTempView("digests")
+    val hit = spark.sql(
+      """SELECT bloom_contains((SELECT bloom_agg(d, 1000, 0.01) FROM digests), '5') AS h""")
+      .as[Boolean].head()
+    assert(hit)
+  }
+
+  test("batched per-partition decode produces deterministic features") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "text", "text/plain")
+    val feats = Multimodal.decodeBatchedStub(media)(spark)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len === 3)
+    assert(feats(1L).n_frames === 1)
+    assert(math.abs(feats(1L).mean_byte - ('a' + 'b' + 'c') / 3.0) < 1e-9)
+    assert(feats(2L).byte_len === 0)
+  }
+}
