@@ -137,6 +137,27 @@ object SparkEntry {
             .as("payload_json"))
     }),
 
+    "cdc_keyvalue_avro" -> ((s, dir) => {
+      // F12 default key-value-avro output format (rows-only check — binary
+      // wire format; round-trip correctness pinned by AvroOutputSpec
+      // against an independent Avro reader)
+      import graft.functions.{AvroFunctions, AvroSchemas}
+      val keySchema = AvroSchemas.forStruct(
+        StructType(Seq(StructField("key", LongType, nullable = false))),
+        "events_key", "graft")
+      val valSchema = AvroSchemas.forStruct(
+        StructType(Seq(StructField("c_name", StringType, nullable = true))),
+        "events_value", "graft")
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          AvroFunctions.to_avro_binary(struct(col("key")), keySchema.toString)
+            .as("key_avro"),
+          when(col("op") === Cdc.OpDelete, lit(null))
+            .otherwise(AvroFunctions.to_avro_binary(struct(col("c_name")),
+              valSchema.toString)).as("value_avro"))
+    }),
+
     "cdc_token_partition" -> ((s, dir) => {
       // F2/O5: Cassandra Murmur3 token + topic-partition routing (custom
       // codegen Expression; no SQL oracle — engine-specific hash)
@@ -262,6 +283,16 @@ object SparkEntry {
         least(col("o_totalprice"), lit(5000.0)).as("capped"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
           .as("status_prio"))
+    }),
+
+    "q_json_decode" -> ((s, dir) => {
+      // S3 analog: decode the serialized event payload (from_json) and
+      // aggregate on an extracted field
+      Cdc.rawEvents(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
+        .groupBy((col("k") % 10).cast("int").as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).cast("int").as("max_k"))
     }),
 
     "q_cube_stats" -> ((s, dir) => {
@@ -613,6 +644,11 @@ object SparkEntry {
          least(o_totalprice, 5000.0) AS capped,
          o_orderstatus || '-' || o_orderpriority AS status_prio
          FROM orders""",
+
+    "q_json_decode" ->
+      """SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_mod,
+         COUNT(*) AS n, CAST(MAX(CAST(props->>'k' AS INT)) AS INT) AS max_k
+         FROM events GROUP BY 1""",
 
     "q_cube_stats" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Avro binary record encoding for struct columns — the reference's default
+ * `key-value-avro` output format (CassandraSourceConnectorConfig.java:678-682;
+ * record serialization AbstractPulsarMutationSender.java:128-138,
+ * NativeAvroConverter.java:196-207). The spark-avro module is not on this
+ * image's classpath, so this is a minimal encoder over the plain avro jar:
+ * scalar fields (+ nullable unions), binary wire format identical to any
+ * Avro reader with the same schema.
+ *
+ * Output-edge expression: interpreted eval (CodegenFallback) is fine here —
+ * it runs once per output record, never in analytic hot paths.
+ */
+object AvroSchemas {
+
+  /** Avro schema for a Spark struct: scalar fields, union{null, T} for
+   * nullable fields (clustering columns are nullable in the reference's key
+   * schema, AbstractPulsarMutationSender.java:150-153). */
+  def forStruct(st: StructType, name: String, namespace: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case ShortType | ByteType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"avro output: unsupported field type $other for ${f.name}")
+      }
+      val sch =
+        if (f.nullable) Schema.createUnion(
+          List(Schema.create(Schema.Type.NULL), base).asJava)
+        else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord(name, null, namespace, false, fields.toList.asJava)
+  }
+}
+
+case class AvroEncode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < structType.length) {
+      val f = structType(i)
+      val v =
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case StringType  => row.getUTF8String(i).toString
+          case LongType    => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType => Integer.valueOf(row.getInt(i))
+          case ShortType   => Integer.valueOf(row.getShort(i).toInt)
+          case ByteType    => Integer.valueOf(row.getByte(i).toInt)
+          case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+      rec.put(i, v)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(c: Expression): AvroEncode =
+    copy(child = c)
+}
+
+object AvroFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** Encode a struct column as an Avro binary record with the given schema. */
+  def to_avro_binary(c: Column, schemaJson: String): Column =
+    GraftShim.column(AvroEncode(GraftShim.expression(c), schemaJson))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{AvroFunctions, AvroSchemas}
+
+/** Avro binary output round-trips through an independent plain-Avro reader
+ * (wire-format correctness, not just self-consistency). */
+class AvroOutputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("key-value-avro: key and nullable-value records round-trip; tombstone null") {
+    val keySchema = AvroSchemas.forStruct(
+      StructType(Seq(StructField("key", LongType, nullable = false))),
+      "table_key", "graft.test")
+    val valSchema = AvroSchemas.forStruct(
+      StructType(Seq(StructField("c_name", StringType, nullable = true),
+        StructField("c_acctbal", DoubleType, nullable = true))),
+      "table_value", "graft.test")
+
+    val df = Seq(
+      (1L, 10L, Option("alice"), Option(1.5), "u"),
+      (2L, 20L, None: Option[String], None: Option[Double], "d")
+    ).toDF("event_id", "key", "c_name", "c_acctbal", "op")
+
+    val out = df.select(
+      $"event_id",
+      AvroFunctions.to_avro_binary(struct($"key"), keySchema.toString)
+        .as("key_avro"),
+      when($"op" === "d", lit(null))
+        .otherwise(AvroFunctions.to_avro_binary(
+          struct($"c_name", $"c_acctbal"), valSchema.toString))
+        .as("value_avro"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("key_avro"), r.getAs[Array[Byte]]("value_avro"))))
+      .toMap
+
+    def decode(bytes: Array[Byte], schema: Schema): GenericRecord = {
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      reader.read(null,
+        DecoderFactory.get().binaryDecoder(new ByteArrayInputStream(bytes), null))
+    }
+
+    val k1 = decode(out(1L)._1, keySchema)
+    assert(k1.get("key") === 10L)
+    val v1 = decode(out(1L)._2, valSchema)
+    assert(v1.get("c_name").toString === "alice")
+    assert(v1.get("c_acctbal") === 1.5)
+    // delete ⇒ value is a null tombstone, key still present
+    assert(decode(out(2L)._1, keySchema).get("key") === 20L)
+    assert(out(2L)._2 === null)
+  }
+}
