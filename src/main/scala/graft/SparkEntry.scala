@@ -708,7 +708,8 @@ object SparkEntry {
       """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
          SELECT q.vec_id AS q_id, e.vec_id,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
                       e.vec_id ASC) AS rank
          FROM embeddings q, embeddings e
          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)

@@ -73,12 +73,9 @@ case class BloomContains(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
 
-  override def nullSafeEval(filterBytes: Any, value: Any): Any = {
-    val f = BloomFilter.readFrom(
-      new ByteArrayInputStream(filterBytes.asInstanceOf[Array[Byte]]),
-      Funnels.unencodedCharsFunnel())
-    f.mightContain(value.asInstanceOf[UTF8String].toString)
-  }
+  override def nullSafeEval(filterBytes: Any, value: Any): Any =
+    BloomOps.contains(filterBytes.asInstanceOf[Array[Byte]],
+      value.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
@@ -88,22 +85,28 @@ case class BloomContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Codegen helper: caches the deserialized filter per (identity of) bytes so
- * a broadcast probe does not re-parse the sketch per row. */
+/** Shared probe kernel with a bounded per-thread parse cache.
+ *
+ * The common shape — probe every row against one broadcast/literal sketch —
+ * hits the identity check; when the byte array is a fresh copy per row
+ * (e.g. UnsafeRow.getBinary), a cheap content check (length + endpoints)
+ * falls back before a full re-parse. The cache is one entry per thread, so
+ * memory is bounded no matter how many distinct filters flow through. */
 object BloomOps {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    Integer, (Array[Byte], BloomFilter[CharSequence])]()
+  private val cache = new ThreadLocal[(Array[Byte], BloomFilter[CharSequence])]()
+
+  private def sameContent(a: Array[Byte], b: Array[Byte]): Boolean =
+    (a eq b) || java.util.Arrays.equals(a, b)
 
   def contains(filterBytes: Array[Byte], v: UTF8String): Boolean = {
-    val key = Integer.valueOf(System.identityHashCode(filterBytes))
-    val cached = cache.get(key)
+    val cached = cache.get()
     val f =
-      if (cached != null && (cached._1 eq filterBytes)) cached._2
+      if (cached != null && sameContent(cached._1, filterBytes)) cached._2
       else {
         val parsed = BloomFilter.readFrom(
           new ByteArrayInputStream(filterBytes),
           Funnels.unencodedCharsFunnel())
-        cache.put(key, (filterBytes, parsed))
+        cache.set((filterBytes, parsed))
         parsed
       }
     f.mightContain(v.toString)

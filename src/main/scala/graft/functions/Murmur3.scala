@@ -1,9 +1,16 @@
 package graft.functions
 
 /**
- * MurmurHash3 x64 128-bit (public-domain algorithm by Austin Appleby) with
- * seed 0, exposed as the 64-bit partitioner token: the first 64-bit half of
- * the 128-bit hash, with Long.MinValue normalized to Long.MaxValue.
+ * MurmurHash3 x64 128-bit with seed 0 — in Cassandra's variant — exposed as
+ * the 64-bit partitioner token: the first 64-bit half of the 128-bit hash,
+ * with Long.MinValue normalized to Long.MaxValue.
+ *
+ * Cassandra's implementation deliberately deviates from Appleby's canonical
+ * algorithm in ONE way: tail bytes (the last length % 16 bytes) are
+ * SIGN-extended to long, not zero-extended. All compatible drivers replicate
+ * that quirk; so does this implementation — which is why guava's canonical
+ * murmur3_128 only agrees on inputs whose tail bytes are < 0x80 (see
+ * Murmur3Spec).
  *
  * This reproduces Cassandra's Murmur3Partitioner token function, which the
  * reference uses for token-based topic routing
@@ -63,22 +70,23 @@ object Murmur3 {
     var k2 = 0L
     val tail = nblocks << 4
     val rem = length & 15
-    if (rem >= 15) k2 ^= (data(tail + 14) & 0xffL) << 48
-    if (rem >= 14) k2 ^= (data(tail + 13) & 0xffL) << 40
-    if (rem >= 13) k2 ^= (data(tail + 12) & 0xffL) << 32
-    if (rem >= 12) k2 ^= (data(tail + 11) & 0xffL) << 24
-    if (rem >= 11) k2 ^= (data(tail + 10) & 0xffL) << 16
-    if (rem >= 10) k2 ^= (data(tail + 9) & 0xffL) << 8
-    if (rem >= 9) k2 ^= data(tail + 8) & 0xffL
+    // Cassandra quirk: tail bytes are SIGN-extended ((long) b, not b & 0xff)
+    if (rem >= 15) k2 ^= data(tail + 14).toLong << 48
+    if (rem >= 14) k2 ^= data(tail + 13).toLong << 40
+    if (rem >= 13) k2 ^= data(tail + 12).toLong << 32
+    if (rem >= 12) k2 ^= data(tail + 11).toLong << 24
+    if (rem >= 11) k2 ^= data(tail + 10).toLong << 16
+    if (rem >= 10) k2 ^= data(tail + 9).toLong << 8
+    if (rem >= 9) k2 ^= data(tail + 8).toLong
     if (rem >= 9) { k2 *= C2; k2 = rotl64(k2, 33); k2 *= C1; h2 ^= k2 }
-    if (rem >= 8) k1 ^= (data(tail + 7) & 0xffL) << 56
-    if (rem >= 7) k1 ^= (data(tail + 6) & 0xffL) << 48
-    if (rem >= 6) k1 ^= (data(tail + 5) & 0xffL) << 40
-    if (rem >= 5) k1 ^= (data(tail + 4) & 0xffL) << 32
-    if (rem >= 4) k1 ^= (data(tail + 3) & 0xffL) << 24
-    if (rem >= 3) k1 ^= (data(tail + 2) & 0xffL) << 16
-    if (rem >= 2) k1 ^= (data(tail + 1) & 0xffL) << 8
-    if (rem >= 1) { k1 ^= data(tail) & 0xffL; k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1 }
+    if (rem >= 8) k1 ^= data(tail + 7).toLong << 56
+    if (rem >= 7) k1 ^= data(tail + 6).toLong << 48
+    if (rem >= 6) k1 ^= data(tail + 5).toLong << 40
+    if (rem >= 5) k1 ^= data(tail + 4).toLong << 32
+    if (rem >= 4) k1 ^= data(tail + 3).toLong << 24
+    if (rem >= 3) k1 ^= data(tail + 2).toLong << 16
+    if (rem >= 2) k1 ^= data(tail + 1).toLong << 8
+    if (rem >= 1) { k1 ^= data(tail).toLong; k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1 }
 
     h1 ^= length
     h2 ^= length
@@ -102,6 +110,16 @@ object Murmur3 {
     val b = new Array[Byte](8)
     var i = 0
     while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    token(b)
+  }
+
+  /** Token of a 32-bit integer key, serialized big-endian (CQL int wire form
+   * is 4 bytes — hashing the widened 8-byte form would produce a different
+   * token than Cassandra for every int-keyed table). */
+  def tokenOfInt(v: Int): Long = {
+    val b = new Array[Byte](4)
+    b(0) = (v >>> 24).toByte; b(1) = (v >>> 16).toByte
+    b(2) = (v >>> 8).toByte; b(3) = v.toByte
     token(b)
   }
 

@@ -34,7 +34,8 @@ case class CassandraToken(child: Expression)
     case BinaryType  => Murmur3.token(v.asInstanceOf[Array[Byte]])
     case StringType  => Murmur3.tokenOfUtf8(v.asInstanceOf[UTF8String])
     case LongType    => Murmur3.tokenOfLong(v.asInstanceOf[Long])
-    case IntegerType => Murmur3.tokenOfLong(v.asInstanceOf[Int].toLong)
+    // CQL int keys hash their 4-byte wire form, not the widened 8-byte one
+    case IntegerType => Murmur3.tokenOfInt(v.asInstanceOf[Int])
     case other       => throw new IllegalArgumentException(s"unsupported $other")
   }
 
@@ -43,6 +44,7 @@ case class CassandraToken(child: Expression)
     child.dataType match {
       case BinaryType  => defineCodeGen(ctx, ev, c => s"$m.token($c)")
       case StringType  => defineCodeGen(ctx, ev, c => s"$m.tokenOfUtf8($c)")
+      case IntegerType => defineCodeGen(ctx, ev, c => s"$m.tokenOfInt((int)$c)")
       case _           => defineCodeGen(ctx, ev, c => s"$m.tokenOfLong((long)$c)")
     }
   }

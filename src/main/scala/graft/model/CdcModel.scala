@@ -66,7 +66,7 @@ object Cdc {
         .when(col("event_type") === "signup", OpInsert)
         .otherwise(OpUpdate).as("op"),
       writetimeUs.as("writetime"),
-      (col("event_id") / 1000).cast(LongType).as("segment"),
+      expr("event_id DIV 1000").as("segment"),
       (col("event_id") % 1000).cast(IntegerType).as("position"),
       md5(concat_ws("|", col("event_id"), col("user_id"), col("event_type")))
         .as("md5Digest"),

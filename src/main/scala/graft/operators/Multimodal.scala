@@ -92,7 +92,11 @@ object Multimodal {
    */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      // zero-frame media emit no rows (explode of empty array) — a bare
+      // sequence(0, -1) would throw on the first empty payload
+      .withColumn("frame_idx", explode(
+        when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("frame_idx"), col("content_hash"))
 }

@@ -58,12 +58,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell_id"))
   }
 
-  /** Derive `nCells` centroids deterministically from the data itself (every
-   * (nCells)-th vector by id) — a seed-free stand-in for k-means that keeps
-   * the pipeline reproducible for correctness checks. */
+  /** Derive `nCells` centroids deterministically from the data itself (the
+   * first nCells vectors by id) — a seed-free stand-in for k-means that
+   * keeps the pipeline reproducible for correctness checks. */
   def seedCentroids(vectors: DataFrame, nCells: Int): DataFrame =
-    vectors.filter(col("vec_id") % nCells === 0)
-      .select((col("vec_id") / nCells).cast("int").as("cell_id"),
+    vectors.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"),
         col("embedding").as("centroid"))
 
   /**

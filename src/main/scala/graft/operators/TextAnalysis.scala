@@ -86,7 +86,7 @@ object TextAnalysis {
                     minTtr: Double, stopwords: Seq[String]): DataFrame = {
     val w = words("text")
     val stopHits = stopwords.map(s => markerHits("text", s))
-      .reduce(_ + _)
+      .foldLeft(lit(0): org.apache.spark.sql.Column)(_ + _)
     docs
       .withColumn("n_words", size(w).cast("long"))
       .withColumn("ttr",

@@ -24,8 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - offsets are `(segment, position)` — the reference's per-segment offset
  *    files `<segment>_offset.dat` (SegmentOffsetFileWriter.java:29-126) and
  *    idx re-read window (CommitLogReaderService.java:114-150);
- *  - a segment may grow between batches (near-real-time idx path): only the
- *    lines beyond the committed position are re-read;
+ *  - the ACTIVE (highest-numbered) segment may grow between batches
+ *    (near-real-time idx path): only the lines beyond the committed position
+ *    are re-read. Commitlog discipline applies: once a newer segment exists,
+ *    older segments are sealed — appends to a non-latest segment after a
+ *    batch has observed the newer one are outside the contract (they would
+ *    be skipped, as in any log-segment tailer);
  *  - one input partition per segment — the reference's one-task-per-segment
  *    exclusivity (CommitLogReaderService.java:198-212).
  *

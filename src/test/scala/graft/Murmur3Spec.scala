@@ -4,45 +4,71 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Murmur3
 
 /**
- * Murmur3 x64-128 token correctness, cross-checked against Guava's
- * independent implementation of the same public algorithm (murmur3_128,
- * seed 0 — the function Cassandra's Murmur3Partitioner is built on).
+ * Murmur3 x64-128 token correctness. Cassandra's variant sign-extends tail
+ * bytes (a deliberate deviation from Appleby's canonical algorithm that all
+ * compatible drivers replicate), so:
+ *  - on inputs with no tail (length % 16 == 0) or ASCII-only tails
+ *    (< 0x80), it matches guava's canonical murmur3_128 exactly — guava is
+ *    the independent cross-check there;
+ *  - on high-bit tail bytes the two diverge by design — pinned explicitly.
  */
 class Murmur3Spec extends AnyFunSuite {
 
   private def guava64(data: Array[Byte]): Long =
     com.google.common.hash.Hashing.murmur3_128(0).hashBytes(data).asLong()
 
-  test("matches guava murmur3_128 first 64 bits on fixed vectors") {
+  test("matches guava murmur3_128 on ASCII-tail fixed vectors") {
     val vectors = Seq(
       Array.emptyByteArray,
       "a".getBytes("UTF-8"),
       "abc".getBytes("UTF-8"),
       "The quick brown fox jumps over the lazy dog".getBytes("UTF-8"),
-      Array.tabulate(16)(_.toByte),
-      Array.tabulate(15)(_.toByte),
-      Array.tabulate(17)(_.toByte),
-      Array.tabulate(1024)(i => (i * 31).toByte))
+      Array.tabulate(15)(i => (i % 0x70).toByte),
+      Array.tabulate(17)(i => (i % 0x70).toByte))
     for (v <- vectors) {
       assert(Murmur3.hash64(v, 0L) === guava64(v), s"len=${v.length}")
     }
   }
 
-  test("matches guava on random byte arrays of every tail length") {
+  test("matches guava on any content when there is no tail (len % 16 == 0)") {
     val rnd = new java.util.Random(42)
-    for (len <- 0 to 64; _ <- 1 to 8) {
+    for (len <- Seq(16, 32, 64, 1024); _ <- 1 to 8) {
       val bytes = new Array[Byte](len)
       rnd.nextBytes(bytes)
       assert(Murmur3.hash64(bytes, 0L) === guava64(bytes), s"len=$len")
     }
   }
 
-  test("tokenOfLong = token of big-endian 8 bytes") {
+  test("matches guava on random inputs with ASCII-masked tails") {
+    val rnd = new java.util.Random(7)
+    for (len <- 1 to 64; _ <- 1 to 4) {
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      // mask the tail region to < 0x80: sign- and zero-extension coincide
+      var i = (len / 16) * 16
+      while (i < len) { bytes(i) = (bytes(i) & 0x7f).toByte; i += 1 }
+      assert(Murmur3.hash64(bytes, 0L) === guava64(bytes), s"len=$len")
+    }
+  }
+
+  test("diverges from canonical murmur3 on high-bit tail bytes (Cassandra quirk)") {
+    // 8-byte input (tail-only) of 0xFF bytes: sign-extension must change
+    // the result relative to guava's zero-extension
+    val allHigh = Array.fill[Byte](8)(0xff.toByte)
+    assert(Murmur3.hash64(allHigh, 0L) !== guava64(allHigh))
+    // the widened vs 4-byte encodings must also differ for the same value
+    assert(Murmur3.tokenOfInt(-1) !== Murmur3.tokenOfLong(-1L))
+  }
+
+  test("tokenOfLong = token of big-endian 8 bytes; tokenOfInt = 4 bytes") {
     val rnd = new java.util.Random(7)
     for (_ <- 1 to 200) {
       val v = rnd.nextLong()
       val be = java.nio.ByteBuffer.allocate(8).putLong(v).array()
       assert(Murmur3.tokenOfLong(v) === Murmur3.token(be))
+      val iv = rnd.nextInt()
+      val be4 = java.nio.ByteBuffer.allocate(4).putInt(iv).array()
+      assert(Murmur3.tokenOfInt(iv) === Murmur3.token(be4))
     }
   }
 
