@@ -101,6 +101,47 @@ object SparkEntry {
           col("replay_idx").cast("long").as("replay_idx"))
     }),
 
+    "q_range_frame" -> ((s, dir) => {
+      // RANGE frame: per-key event count+sum over the trailing hour
+      // (event-time range window, not row-count)
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("key")).orderBy(col("writetime").asc)
+        .rangeBetween(-hourUs, Window.currentRow)
+      ev(s, dir)
+        .select(col("key"), col("event_id"), col("writetime"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          sum(dec2(col("value"))).over(w).cast("double").as("sum_trailing_hour"))
+    }),
+
+    "q_window_analytics" -> ((s, dir) => {
+      // analytic-function sweep: lag / lead / first_value / ntile over a
+      // fully-ordered per-key window
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    "q_value_stats" -> ((s, dir) => {
+      // variance/stddev with exact-decimal sums so both engines compute the
+      // same doubles (built-in stddev uses engine-specific accumulation)
+      val v = dec2(col("value"))
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v).cast("double").as("s1"),
+          sum(v * v).cast("double").as("s2"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .withColumn("stddev", sqrt(col("variance")))
+    }),
+
     "q_moving_avg" -> ((s, dir) => {
       // A3 analog: per-key moving average over the last 10 events
       // (reference: circular buffer of last 10 batch latencies,
@@ -544,6 +585,33 @@ object SparkEntry {
            ORDER BY event_id // 1000 ASC, event_id % 1000 ASC, event_id ASC)
            AS replay_idx
          FROM events""",
+
+    "q_range_frame" ->
+      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
+         COUNT(*) OVER w AS n_trailing_hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_orderkey) OVER w AS first_order,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    "q_value_stats" ->
+      """SELECT event_type, n, s1, s2,
+         (s2 - s1 * s1 / n) / (n - 1) AS variance,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+         FROM (SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type)""",
 
     "q_moving_avg" ->
       s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,

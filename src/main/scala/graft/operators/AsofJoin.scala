@@ -30,6 +30,10 @@ object AsofJoin {
                    leftTimeCol: String, rightTimeCol: String,
                    payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = payload.filter(p => leftCols.contains(p) && p != keyCol)
+    require(collisions.isEmpty,
+      s"asofBackward: payload columns ${collisions.mkString(", ")} shadow " +
+        "left columns — alias them on the right side first")
     val l = left
       .withColumn("_t", col(leftTimeCol))
       .withColumn("_side", lit(1))

@@ -75,6 +75,25 @@ object CommitLogSource {
     val src = scala.io.Source.fromFile(f)
     try src.getLines().size.toLong finally src.close()
   }
+
+  /**
+   * Synced position of a segment: if a `CommitLog-<seg>_cdc.idx` sidecar
+   * exists, its first line is the number of durably-synced lines — lines
+   * beyond it may be mid-write and must not be read yet. This mirrors the
+   * reference's idx protocol ("<syncedPos>\nCOMPLETED?",
+   * CommitLogReaderService.java:114-150). Without a sidecar the whole file
+   * is considered synced.
+   */
+  def syncedPosition(segFile: java.io.File): Long = {
+    val idx = new java.io.File(
+      segFile.getAbsolutePath.stripSuffix(".log") + "_cdc.idx")
+    if (idx.isFile) {
+      val src = scala.io.Source.fromFile(idx)
+      try src.getLines().nextOption().map(_.trim.toLong)
+        .getOrElse(lineCount(segFile))
+      finally src.close()
+    } else lineCount(segFile)
+  }
 }
 
 class CommitLogTable(path: String) extends Table with SupportsRead {
@@ -109,7 +128,8 @@ class CommitLogMicroBatchStream(path: String) extends MicroBatchStream {
     if (segs.isEmpty) CommitLogOffset(-1L, 0L)
     else {
       val (seg, f) = segs.last
-      CommitLogOffset(seg, CommitLogSource.lineCount(f))
+      // active segment: only read up to its synced position (idx sidecar)
+      CommitLogOffset(seg, CommitLogSource.syncedPosition(f))
     }
   }
 

@@ -51,6 +51,35 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq === Seq(1L, 1L, 1L, 2L))
   }
 
+  test("idx sidecar bounds reads to the synced position") {
+    val tmp = Files.createTempDirectory("graft_clog_idx").toFile.getAbsolutePath
+    val out = s"$tmp/out"
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    // 3 lines on disk but idx says only 2 are durably synced
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
+      (line(1, 10, 1, 0) + "\n" + line(2, 11, 1, 1) + "\n" +
+        line(3, 12, 1, 2) + "\n").getBytes)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"), "2\n".getBytes)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.CommitLogSourceProvider")
+        .option("path", s"$tmp/logs")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+    // sync advances to 3 (+ COMPLETED marker): the third line arrives
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
+      "3\nCOMPLETED\n".getBytes)
+    runOnce()
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("full pipeline over the commitlog source: dedup + enrich + tombstones") {
     val tmp = Files.createTempDirectory("graft_clog_pipe").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
