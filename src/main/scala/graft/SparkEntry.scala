@@ -128,6 +128,23 @@ object SparkEntry {
         ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the SQL surface
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders_v
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    "q_median" -> ((s, dir) => {
+      // exact interpolated percentile (sort-based aggregate)
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, 0.9)").as("p90_value"))
+    }),
+
     "q_value_stats" -> ((s, dir) => {
       // variance/stddev with exact-decimal sums so both engines compute the
       // same doubles (built-in stddev uses engine-specific accumulation)
@@ -603,6 +620,16 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey
            ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
+         quantile_cont(value, 0.9) AS p90_value
+         FROM events GROUP BY event_type""",
 
     "q_value_stats" ->
       """SELECT event_type, n, s1, s2,

@@ -31,6 +31,12 @@ class PipelineAndExtensionSpec extends SparkSpec {
     val byKey = out.select($"key", $"value".isNull.as("tomb"))
       .as[(Long, Boolean)].collect().toMap
     assert(byKey === Map(10L -> false, 20L -> true))
+    // A2 observability: the observed per-batch counters surface in progress
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_cdc"))).lastOption
+    assert(observed.isDefined, "graft_cdc observed metrics missing")
+    assert(observed.get.getAs[Long]("sentMutations") === 2L)
+    assert(observed.get.getAs[Long]("tombstones") === 1L)
   }
 
   test("CdcPipeline re-resolves the base table per batch (schema/DDL evolution)") {
