@@ -44,7 +44,8 @@ class CommitLogSourceProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new CommitLogTable(properties.get("path"))
+    new CommitLogTable(properties.get("path"),
+      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "strict")))
 }
 
 object CommitLogSource {
@@ -96,7 +97,8 @@ object CommitLogSource {
   }
 }
 
-class CommitLogTable(path: String) extends Table with SupportsRead {
+class CommitLogTable(path: String, permissive: Boolean = false)
+    extends Table with SupportsRead {
   require(path != null, "CommitLogSource requires option 'path'")
   override def name(): String = s"commitlog:$path"
   override def schema(): StructType = CommitLogSource.schema
@@ -108,7 +110,7 @@ class CommitLogTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CommitLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CommitLogMicroBatchStream(path)
+          new CommitLogMicroBatchStream(path, permissive)
       }
     }
 }
@@ -119,7 +121,8 @@ case class CommitLogOffset(segment: Long, position: Long) extends Offset {
   override def json(): String = s"""{"segment":$segment,"position":$position}"""
 }
 
-class CommitLogMicroBatchStream(path: String) extends MicroBatchStream {
+class CommitLogMicroBatchStream(path: String, permissive: Boolean = false)
+    extends MicroBatchStream {
 
   override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
 
@@ -152,7 +155,7 @@ class CommitLogMicroBatchStream(path: String) extends MicroBatchStream {
         if (seg == e.segment) e.position
         else Long.MaxValue                  // whole file (sealed segment)
       if (from >= 0 && until > from) {
-        parts += CommitLogInputPartition(f.getAbsolutePath, from, until)
+        parts += CommitLogInputPartition(f.getAbsolutePath, from, until, permissive)
       } else if (from < 0) {
         // earlier segments are complete — reference cleans them up
         // (CommitLogReaderService.java:266-323); nothing to read
@@ -171,7 +174,8 @@ class CommitLogMicroBatchStream(path: String) extends MicroBatchStream {
   override def stop(): Unit = ()
 }
 
-case class CommitLogInputPartition(file: String, fromLine: Long, untilLine: Long)
+case class CommitLogInputPartition(file: String, fromLine: Long, untilLine: Long,
+                                   permissive: Boolean = false)
   extends InputPartition
 
 class CommitLogPartitionReader(p: CommitLogInputPartition)
@@ -183,16 +187,31 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (it.hasNext) { current = parse(it.next()); true } else false
+    while (it.hasNext) {
+      parse(it.next()) match {
+        case Some(row) => current = row; return true
+        case None      => // permissive mode: malformed line skipped & logged
+      }
+    }
+    false
   }
 
-  private def parse(line: String): InternalRow = {
-    val f = line.split(",", -1)
-    InternalRow(
-      f(0).toLong, f(1).toLong, UTF8String.fromString(f(2)), f(3).toLong,
-      f(4).toLong, f(5).toInt, UTF8String.fromString(f(6)),
-      UTF8String.fromString(f(7)))
-  }
+  /** Strict mode (default) fails the task on a malformed line; permissive
+   * mode skips it — the analog of the reference routing bad segments to
+   * `errors/` and continuing (CommitLogProcessor.java:104-108, T7). */
+  private def parse(line: String): Option[InternalRow] =
+    try {
+      val f = line.split(",", -1)
+      Some(InternalRow(
+        f(0).toLong, f(1).toLong, UTF8String.fromString(f(2)), f(3).toLong,
+        f(4).toLong, f(5).toInt, UTF8String.fromString(f(6)),
+        UTF8String.fromString(f(7))))
+    } catch {
+      case e: Exception if p.permissive =>
+        System.err.println(
+          s"[commitlog] skipping malformed line in ${p.file}: ${e.getMessage}")
+        None
+    }
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()

@@ -80,6 +80,34 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("permissive mode skips malformed lines; strict mode fails the query") {
+    val tmp = Files.createTempDirectory("graft_clog_err").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
+      (line(1, 10, 1, 0) + "\n" + "garbage,not-a-long\n" +
+        line(2, 11, 1, 2) + "\n").getBytes)
+
+    def run(mode: String, out: String, ckpt: String): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.CommitLogSourceProvider")
+        .option("path", s"$tmp/logs").option("mode", mode)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    run("permissive", s"$tmp/out_p", s"$tmp/ckpt_p")
+    assert(spark.read.parquet(s"$tmp/out_p")
+      .select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+
+    // strict mode: the malformed line fails the query
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("strict", s"$tmp/out_s", s"$tmp/ckpt_s")
+    }
+  }
+
   test("full pipeline over the commitlog source: dedup + enrich + tombstones") {
     val tmp = Files.createTempDirectory("graft_clog_pipe").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
