@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,7 +45,8 @@ class CommitLogSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CommitLogTable(properties.get("path"),
-      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "strict")))
+      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "strict")),
+      properties.getOrDefault("maxSegmentsPerBatch", "0").toInt)
 }
 
 object CommitLogSource {
@@ -97,7 +98,8 @@ object CommitLogSource {
   }
 }
 
-class CommitLogTable(path: String, permissive: Boolean = false)
+class CommitLogTable(path: String, permissive: Boolean = false,
+                     maxSegmentsPerBatch: Int = 0)
     extends Table with SupportsRead {
   require(path != null, "CommitLogSource requires option 'path'")
   override def name(): String = s"commitlog:$path"
@@ -110,7 +112,7 @@ class CommitLogTable(path: String, permissive: Boolean = false)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CommitLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CommitLogMicroBatchStream(path, permissive)
+          new CommitLogMicroBatchStream(path, permissive, maxSegmentsPerBatch)
       }
     }
 }
@@ -121,12 +123,18 @@ case class CommitLogOffset(segment: Long, position: Long) extends Offset {
   override def json(): String = s"""{"segment":$segment,"position":$position}"""
 }
 
-class CommitLogMicroBatchStream(path: String, permissive: Boolean = false)
-    extends MicroBatchStream {
+class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
+                                maxSegmentsPerBatch: Int = 0)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
 
-  override def latestOffset(): Offset = {
+  /** Target frozen by Trigger.AvailableNow: the query drains exactly up to
+   * here (across several rate-limited batches), then stops. */
+  @volatile private var availableNowTarget: Option[CommitLogOffset] = None
+
+  private def unboundedLatest(): CommitLogOffset = {
     val segs = CommitLogSource.segments(path)
     if (segs.isEmpty) CommitLogOffset(-1L, 0L)
     else {
@@ -135,6 +143,41 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false)
       CommitLogOffset(seg, CommitLogSource.syncedPosition(f))
     }
   }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(unboundedLatest())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = unboundedLatest()
+
+  /** Admission-controlled advance: at most `maxSegmentsPerBatch` segments
+   * beyond `start` per micro-batch (T6 backpressure analog — the reference
+   * caps in-flight work per commitlog task, CommitLogReaderService.java:255),
+   * never beyond the AvailableNow target. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CommitLogOffset]
+    val target = availableNowTarget.getOrElse(unboundedLatest())
+    val segs = CommitLogSource.segments(path).filter(_._1 <= target.segment)
+    if (segs.isEmpty) return s
+    val (endSeg, endFile) =
+      if (maxSegmentsPerBatch > 0) {
+        val remaining = segs.filter(_._1 >= s.segment)
+        val window = if (remaining.isEmpty) segs else remaining
+        window.take(math.max(maxSegmentsPerBatch, 1)).last
+      } else segs.last
+    val pos =
+      if (endSeg == target.segment)
+        math.min(target.position, CommitLogSource.syncedPosition(endFile))
+      else CommitLogSource.syncedPosition(endFile)
+    // never move backwards relative to the committed start
+    if (endSeg < s.segment || (endSeg == s.segment && pos < s.position)) s
+    else CommitLogOffset(endSeg, pos)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: latestOffset(start, limit) is used")
 
   override def deserializeOffset(json: String): Offset = {
     // minimal parse of {"segment":N,"position":M}

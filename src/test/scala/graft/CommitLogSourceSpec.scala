@@ -80,6 +80,33 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("maxSegmentsPerBatch bounds how far a single batch advances") {
+    val tmp = Files.createTempDirectory("graft_clog_rate").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    for (seg <- 1 to 4) {
+      Files.write(Paths.get(s"$tmp/logs/CommitLog-$seg.log"),
+        (line(seg * 10L, seg.toLong, seg.toLong, 0) + "\n").getBytes)
+    }
+    def runOnce(): Long = {
+      val q = spark.readStream
+        .format("graft.sources.CommitLogSourceProvider")
+        .option("path", s"$tmp/logs")
+        .option("maxSegmentsPerBatch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(s"$tmp/out").count()
+    }
+    // one AvailableNow run drains everything, but in ≥2 rate-limited batches
+    assert(runOnce() === 4)
+    val offsetBatches = Option(new java.io.File(s"$tmp/ckpt/offsets").list())
+      .map(_.count(!_.startsWith("."))).getOrElse(0)
+    assert(offsetBatches >= 2,
+      s"expected multiple rate-limited batches, saw $offsetBatches")
+  }
+
   test("permissive mode skips malformed lines; strict mode fails the query") {
     val tmp = Files.createTempDirectory("graft_clog_err").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
