@@ -107,6 +107,42 @@ object CdcOperators {
       lit(Cdc.BackfillDigest).as("md5Digest"))
 
   /**
+   * Key/value record projection with the reference's three special cases
+   * (CassandraSource.java:346-383; ConverterAndQuery.java:71-77):
+   *
+   *  - row-level op (clustering key present): value = all regular columns;
+   *  - partition-level op (clustering key null) on a table WITH static
+   *    columns: value = static columns only (non-static fields null);
+   *  - PK-only table (no regular columns): PK columns fold into the value;
+   *  - deletes always tombstone (null value).
+   *
+   * One struct schema serves all cases (fields not applicable to a case are
+   * null) — Spark columns are fixed-schema where the reference emits
+   * distinct Avro schemas per projection.
+   */
+  def kvProject(enriched: DataFrame, pkCols: Seq[String],
+                clusteringCol: Option[String], staticCols: Seq[String],
+                regularCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val key = struct(pkCols.map(col): _*)
+    val value =
+      if (regularCols.isEmpty) {
+        // PK-only table: key columns fold into the value
+        struct(pkCols.map(col): _*)
+      } else clusteringCol match {
+        case Some(cc) if staticCols.nonEmpty =>
+          when(col(cc).isNull,
+            struct(regularCols.map(c =>
+              (if (staticCols.contains(c)) col(c)
+              else lit(null)).as(c)): _*))
+            .otherwise(struct(regularCols.map(col): _*))
+        case _ => struct(regularCols.map(col): _*)
+      }
+    enriched.withColumn("kv_key", key)
+      .withColumn("kv_value",
+        when(col(opCol) === Cdc.OpDelete, lit(null)).otherwise(value))
+  }
+
+  /**
    * Backfill ingestion from CSV exports — the reference's DSBulk-unloaded
    * primary-key CSV replayed as synthetic insert events
    * (backfill-cli/.../PulsarImporter.java:124-220; export TableExporter.java:

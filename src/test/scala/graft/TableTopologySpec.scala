@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CdcOperators
+
+/**
+ * Table-topology scenarios mirroring the reference e2e suite (FIXTURES.md §1;
+ * PulsarCassandraSourceTests table1/table4/table6): single-PK
+ * insert→update→delete lifecycle, static-column projection on
+ * partition-level ops, and PK-only value folding.
+ */
+class TableTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("table1: insert → update → delete lifecycle ends in a tombstone") {
+    val base = Seq(("id1", 2)).toDF("id", "a") // current row state
+    val events = Seq(
+      (1L, "id1", "i", 100L), (2L, "id1", "u", 200L), (3L, "id1", "d", 300L)
+    ).toDF("event_id", "id_key", "op", "writetime")
+    val enriched = CdcOperators.enrichmentJoin(events, base, "id_key", "id",
+      Seq("a"))
+    val out = CdcOperators.kvProject(enriched, Seq("id_key"), None, Nil,
+        Seq("a"))
+      .select($"event_id", $"kv_value".isNull.as("tomb"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("table4: partition-level op (null clustering) projects statics only") {
+    // a STRING pk, b STRING clustering, c regular, d static
+    val enriched = Seq(
+      // row-level op: clustering present → full value
+      (1L, "p1", Some("b1"), Some("c1"), Some("s1"), "u"),
+      // partition-level op: clustering null → static-only projection
+      (2L, "p1", None: Option[String], Some("c1"), Some("s1"), "u")
+    ).toDF("event_id", "a", "b", "c", "d", "op")
+    val out = CdcOperators.kvProject(enriched, Seq("a"), Some("b"),
+        staticCols = Seq("d"), regularCols = Seq("c", "d"))
+      .select($"event_id", $"kv_value.c", $"kv_value.d")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((Some("c1"), Some("s1")))) // full projection
+    assert(out(2L) === ((None, Some("s1"))))       // statics only
+  }
+
+  test("table6: PK-only table folds PK columns into the value") {
+    val enriched = Seq((1L, "k1", 5, "i"), (2L, "k2", 6, "d"))
+      .toDF("event_id", "a", "b", "op")
+    val out = CdcOperators.kvProject(enriched, Seq("a", "b"), Some("b"),
+        Nil, Nil)
+      .select($"event_id", $"kv_value".isNull.as("tomb"),
+        $"kv_value.a".as("va"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(out(1L) === ((false, Some("k1")))) // PK folded into value
+    assert(out(2L) === ((true, None)))        // delete still tombstones
+  }
+}
