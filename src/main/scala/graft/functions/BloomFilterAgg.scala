@@ -87,28 +87,31 @@ case class BloomContains(left: Expression, right: Expression)
 
 /** Shared probe kernel with a bounded per-thread parse cache.
  *
- * The common shape — probe every row against one broadcast/literal sketch —
- * hits the identity check; when the byte array is a fresh copy per row
- * (e.g. UnsafeRow.getBinary), a cheap content check (length + endpoints)
- * falls back before a full re-parse. The cache is one entry per thread, so
- * memory is bounded no matter how many distinct filters flow through. */
+ * The common shape — probe rows against a handful of broadcast/literal
+ * sketches — hits the cache by content; the small LRU keeps multiple
+ * concurrent sketches parsed (e.g. `bloom_contains(f1, d) AND
+ * bloom_contains(f2, d)`), and its fixed size bounds memory no matter how
+ * many distinct filters flow through a long-lived executor thread. */
 object BloomOps {
-  private val cache = new ThreadLocal[(Array[Byte], BloomFilter[CharSequence])]()
+  private final val MaxEntries = 4
 
-  private def sameContent(a: Array[Byte], b: Array[Byte]): Boolean =
-    (a eq b) || java.util.Arrays.equals(a, b)
+  private val cache = ThreadLocal.withInitial(() =>
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, BloomFilter[CharSequence]](
+      MaxEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, BloomFilter[CharSequence]]): Boolean =
+        size() > MaxEntries
+    })
 
   def contains(filterBytes: Array[Byte], v: UTF8String): Boolean = {
-    val cached = cache.get()
-    val f =
-      if (cached != null && sameContent(cached._1, filterBytes)) cached._2
-      else {
-        val parsed = BloomFilter.readFrom(
-          new ByteArrayInputStream(filterBytes),
-          Funnels.unencodedCharsFunnel())
-        cache.set((filterBytes, parsed))
-        parsed
-      }
+    val m = cache.get()
+    val key = java.nio.ByteBuffer.wrap(filterBytes)
+    var f = m.get(key)
+    if (f == null) {
+      f = BloomFilter.readFrom(new ByteArrayInputStream(filterBytes),
+        Funnels.unencodedCharsFunnel())
+      m.put(key, f)
+    }
     f.mightContain(v.toString)
   }
 }

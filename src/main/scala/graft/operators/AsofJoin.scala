@@ -30,7 +30,7 @@ object AsofJoin {
                    leftTimeCol: String, rightTimeCol: String,
                    payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val collisions = payload.filter(p => leftCols.contains(p) && p != keyCol)
+    val collisions = payload.filter(leftCols.contains)
     require(collisions.isEmpty,
       s"asofBackward: payload columns ${collisions.mkString(", ")} shadow " +
         "left columns — alias them on the right side first")

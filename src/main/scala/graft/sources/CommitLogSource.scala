@@ -91,8 +91,16 @@ object CommitLogSource {
       segFile.getAbsolutePath.stripSuffix(".log") + "_cdc.idx")
     if (idx.isFile) {
       val src = scala.io.Source.fromFile(idx)
-      try src.getLines().nextOption().map(_.trim.toLong)
-        .getOrElse(lineCount(segFile))
+      // an empty or malformed idx means "sync state unknown" — the safe
+      // reading position is 0 (nothing read; no torn lines consumed), not
+      // the whole file
+      try src.getLines().nextOption()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+        .getOrElse {
+          System.err.println(
+            s"[commitlog] unreadable idx for ${segFile.getName}; treating as unsynced")
+          0L
+        }
       finally src.close()
     } else lineCount(segFile)
   }
@@ -162,8 +170,15 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
     if (segs.isEmpty) return s
     val (endSeg, endFile) =
       if (maxSegmentsPerBatch > 0) {
-        val remaining = segs.filter(_._1 >= s.segment)
-        val window = if (remaining.isEmpty) segs else remaining
+        // unread work only: segments beyond the committed one, plus the
+        // committed segment itself when its synced tail has grown — a
+        // fully-read start segment must not occupy the window or a cap of 1
+        // would stall forever
+        val window = segs.filter { case (seg, f) =>
+          seg > s.segment ||
+            (seg == s.segment && CommitLogSource.syncedPosition(f) > s.position)
+        }
+        if (window.isEmpty) return s
         window.take(math.max(maxSegmentsPerBatch, 1)).last
       } else segs.last
     val pos =
@@ -196,7 +211,9 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
         else 0L
       val until =
         if (seg == e.segment) e.position
-        else Long.MaxValue                  // whole file (sealed segment)
+        // sealed segments still honor their idx: lines past the synced
+        // position may be torn (writer crashed mid-sync)
+        else CommitLogSource.syncedPosition(f)
       if (from >= 0 && until > from) {
         parts += CommitLogInputPartition(f.getAbsolutePath, from, until, permissive)
       } else if (from < 0) {

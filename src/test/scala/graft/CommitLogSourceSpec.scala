@@ -107,6 +107,59 @@ class CommitLogSourceSpec extends SparkSpec {
       s"expected multiple rate-limited batches, saw $offsetBatches")
   }
 
+  test("maxSegmentsPerBatch=1 still drains every segment (no stall)") {
+    val tmp = Files.createTempDirectory("graft_clog_rate1").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    for (seg <- 1 to 3) {
+      Files.write(Paths.get(s"$tmp/logs/CommitLog-$seg.log"),
+        (line(seg * 10L, seg.toLong, seg.toLong, 0) + "\n").getBytes)
+    }
+    val q = spark.readStream
+      .format("graft.sources.CommitLogSourceProvider")
+      .option("path", s"$tmp/logs")
+      .option("maxSegmentsPerBatch", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$tmp/out").count() === 3)
+  }
+
+  test("sealed segments honor their idx: torn tail lines are not read") {
+    val tmp = Files.createTempDirectory("graft_clog_seal").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    // segment 1: 3 lines on disk, idx says 2 synced (line 3 may be torn);
+    // segment 2 exists, so segment 1 is not the batch's end segment
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
+      (line(1, 10, 1, 0) + "\n" + line(2, 11, 1, 1) + "\n" +
+        line(3, 12, 1, 2) + "\n").getBytes)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"), "2\n".getBytes)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-2.log"),
+      (line(4, 13, 2, 0) + "\n").getBytes)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.CommitLogSourceProvider")
+        .option("path", s"$tmp/logs")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out")
+      .select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    // linear-offset contract: once the offset has passed segment 1 it is
+    // sealed — a later idx update on it does not resurrect the tail (and
+    // crucially, the torn line was never read)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
+      "3\nCOMPLETED\n".getBytes)
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out")
+      .select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("permissive mode skips malformed lines; strict mode fails the query") {
     val tmp = Files.createTempDirectory("graft_clog_err").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
