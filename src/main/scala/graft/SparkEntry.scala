@@ -529,6 +529,18 @@ object SparkEntry {
       DocDedup.ngramJaccard(t(s, dir, "documents"), n = 3, prefixK = 10,
         threshold = 0.3)),
 
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
+
+    "knn_lsh_ann" -> ((s, dir) => {
+      // random-hyperplane LSH-bucketed ANN (rows-only — deterministic
+      // engine-side plane derivation)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, nPlanes = 8,
+          dim = 64, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
     "text_simhash" -> ((s, dir) =>
       TextAnalysis.simhash(t(s, dir, "documents"), nBits = 16)),
 
@@ -947,6 +959,14 @@ object SparkEntry {
          JOIN sizes za ON za.doc_id = i.a
          JOIN sizes zb ON zb.doc_id = i.b
          WHERE CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) >= 0.3""",
+
+    "text_rolling_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               w -> CAST(length(w) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+         FROM documents""",
 
     "text_simhash" ->
       """WITH tokens AS (

@@ -84,6 +84,22 @@ object Multimodal {
   }
 
   /**
+   * Resize plumbing: truncate the payload to `targetBytes` and refresh the
+   * metadata struct — the stub for a real resample/resize codec (which
+   * would replace the `substring` with a decoder+scaler at the same
+   * schema boundary).
+   */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      expr(s"substring(media, 1, $targetBytes)").as("media"),
+      struct(
+        col("media_meta.content_type").as("content_type"),
+        least(col("media_meta.byte_len"), lit(targetBytes)).as("byte_len"),
+        md5(expr(s"substring(media, 1, $targetBytes)")).as("content_hash")
+      ).as("media_meta"))
+
+  /**
    * Frame sampling plumbing: emit every `stride`-th frame index per media
    * row (posexplode over a generated index array). Real frame extraction
    * replaces the payload projection; the explode/partition shape is what

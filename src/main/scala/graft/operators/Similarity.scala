@@ -81,6 +81,43 @@ object Similarity {
       .filter(col("score") > threshold)
   }
 
+  /**
+   * Random-hyperplane LSH signature: bit p = sign of the dot product with a
+   * deterministic ±1 hyperplane (derived arithmetically from (plane, dim) —
+   * no random state, reproducible across runs). Vectors sharing a signature
+   * bucket are ANN candidates; at scale the corpus hash-partitions on the
+   * bucket and search is bucket-local, like [[ivfKnn]] cells.
+   */
+  def lshSignature(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    def weight(p: Int, d: Int): Float =
+      if ((((p * 1315423911) ^ (d * 2654435761L.toInt)) >>> 16 & 1) == 0) 1.0f
+      else -1.0f
+    val planes = (0 until nPlanes).map(p =>
+      typedlit((0 until dim).map(d => weight(p, d)).toArray))
+    val bucket = (0 until nPlanes).map { p =>
+      when(dot_product(col("embedding"), planes(p)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.withColumn("lsh_bucket", bucket)
+  }
+
+  /** LSH-bucketed ANN: top-k among candidates sharing the query's bucket. */
+  def lshKnn(queries: DataFrame, candidates: DataFrame, nPlanes: Int,
+             dim: Int, k: Int): DataFrame = {
+    val c = lshSignature(candidates, nPlanes, dim)
+    val q = lshSignature(queries, nPlanes, dim)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("lsh_bucket"))
+    val pairs = broadcast(q).join(c, Seq("lsh_bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val scored = pairs.select(col("q_id"), col("vec_id"),
+      cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k within the query's own cell. */
   def ivfKnn(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
              k: Int): DataFrame = {

@@ -77,6 +77,19 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_tokens"))
 
   /**
+   * Rolling (polynomial) document fingerprint over the token stream:
+   * h = fold(h * 31 + len(token)) mod 1e9+7 — order-sensitive, unlike the
+   * set-based md5 fingerprints, so token reordering changes it. Expressed
+   * with the higher-order `aggregate` function (codegen'd, no UDF) and
+   * portable to the oracle via list_reduce.
+   */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)")
+      .as("rolling_fp"))
+
+  /**
    * Quality filter for training-data curation: length bounds, lexical
    * diversity (type/token ratio), and stopword-ratio sanity band. Emits
    * every doc with its signals and a keep flag — downstream is a plain

@@ -122,6 +122,38 @@ class PipelineAndExtensionSpec extends SparkSpec {
       "IVF results should substantially overlap the exact top-100")
   }
 
+  test("LSH ANN: identical vectors share a bucket and rank first") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(1.0f)),                 // identical to 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val sig = Similarity.lshSignature(vecs, nPlanes = 8, dim = 64)
+      .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
+    assert(sig(0L) === sig(1L)) // identical vectors always collide
+    val knn = Similarity.lshKnn(vecs.filter($"vec_id" === 0), vecs, 8, 64, k = 3)
+      .select($"vec_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(knn(1L) === 1)       // the identical vector is found and ranks first
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val docs = Seq((1L, "aa b ccc"), (2L, "ccc b aa"), (3L, "aa b ccc"))
+      .toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis.rollingFingerprint(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L))   // same token stream → same fingerprint
+    assert(fp(1L) !== fp(2L))   // reordered tokens → different fingerprint
+  }
+
+  test("multimodal resize stub truncates payload and refreshes metadata") {
+    val docs = Seq((1L, "x" * 3000), (2L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "text", "text/plain")
+    val resized = Multimodal.resizeStub(media, targetBytes = 1024)
+    val lens = resized.select($"doc_id", $"media_meta.byte_len")
+      .as[(Long, Int)].collect().toMap
+    assert(lens === Map(1L -> 1024, 2L -> 1))
+  }
+
   test("multimodal plumbing: media struct, stubbed decode, frame sampling") {
     val docs = Seq((1L, "x" * 2500), (2L, "y")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs, "text", "text/plain")
