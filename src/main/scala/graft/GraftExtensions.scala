@@ -38,23 +38,39 @@ object GraftExtensions {
     (FunctionIdentifier("cassandra_token"),
       info("cassandra_token",
         "cassandra_token(key) - Cassandra Murmur3Partitioner token of the key"),
-      (args: Seq[Expression]) => CassandraToken(args.head)),
+      (args: Seq[Expression]) => {
+        checkArity("cassandra_token", args, 1)
+        CassandraToken(args.head)
+      }),
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float vectors"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        checkArity("cosine_similarity", args, 2)
+        CosineSimilarity(args(0), args(1))
+      }),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        checkArity("dot_product", args, 2)
+        DotProduct(args(0), args(1))
+      }),
     (FunctionIdentifier("bloom_contains"),
       info("bloom_contains",
         "bloom_contains(filter, v) - probe a bloom_agg sketch"),
-      (args: Seq[Expression]) => BloomContains(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        checkArity("bloom_contains", args, 2)
+        BloomContains(args(0), args(1))
+      }),
     (FunctionIdentifier("bloom_agg"),
       info("bloom_agg",
         "bloom_agg(v, items, fpp) - build an approximate-membership sketch"),
-      (args: Seq[Expression]) => BloomAgg(args(0), evalLong(args(1)),
-        evalDouble(args(2))).toAggregateExpression()))
+      (args: Seq[Expression]) => {
+        checkArity("bloom_agg", args, 3)
+        BloomAgg(args(0),
+          evalLong("bloom_agg", "items", args(1)),
+          evalDouble("bloom_agg", "fpp", args(2))).toAggregateExpression()
+      }))
 
   /** Register on an already-running session (the builder-time
    * `withExtensions` path is preferable when you control session creation). */
@@ -63,16 +79,34 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 
-  // SQL numeric literals can arrive as Decimal (e.g. `0.01`)
-  private def evalLong(e: Expression): Long = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toLong
-    case n: Number => n.longValue()
-    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  private def checkArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_2273",
+        messageParameters = Map("message" ->
+          s"$fn expects exactly $n argument(s), got ${args.length}"))
+
+  // SQL numeric literals can arrive as Decimal (e.g. `0.01`). Parameters must
+  // be foldable literals — a column reference can't be eval'd at plan time.
+  private def evalNumber(fn: String, param: String, e: Expression): Number = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_2273",
+        messageParameters = Map("message" ->
+          s"$fn: parameter '$param' must be a literal, got ${e.sql}"))
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.bigDecimal
+      case n: Number => n
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_2273",
+        messageParameters = Map("message" ->
+          s"$fn: parameter '$param' must be numeric, got $other"))
+    }
   }
 
-  private def evalDouble(e: Expression): Double = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case n: Number => n.doubleValue()
-    case other => throw new IllegalArgumentException(s"expected number, got $other")
-  }
+  private def evalLong(fn: String, param: String, e: Expression): Long =
+    evalNumber(fn, param, e).longValue()
+
+  private def evalDouble(fn: String, param: String, e: Expression): Double =
+    evalNumber(fn, param, e).doubleValue()
 }

@@ -5,6 +5,7 @@ import com.google.common.hash.{BloomFilter, Funnels}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -30,6 +31,16 @@ case class BloomAgg(child: Expression, expectedItems: Long, fpp: Double,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+
+  // Analysis-time guard: the buffer funnels strings, so a non-string child
+  // (easy to hit via the SQL registration) must fail analysis, not throw a
+  // ClassCastException mid-task.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg requires a STRING column, got ${other.catalogString} " +
+        "(cast the column to string first)")
+  }
 
   override def createAggregationBuffer(): BloomFilter[CharSequence] =
     BloomFilter.create(Funnels.unencodedCharsFunnel(), expectedItems, fpp)

@@ -34,27 +34,35 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"asofBackward: payload columns ${collisions.mkString(", ")} shadow " +
         "left columns — alias them on the right side first")
+    // The right payload travels as ONE struct column: the struct is non-null
+    // for every right row even when individual fields are null, so
+    // last(_, ignoreNulls) always picks all fields from the SAME right row —
+    // per-column propagation would mix fields of different rows whenever a
+    // payload column is null (and resurrect older values over legit nulls).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.select(payload.map(col): _*).schema.fields)
     val l = left
       .withColumn("_t", col(leftTimeCol))
       .withColumn("_side", lit(1))
       .select(
-        (leftCols.map(col) :+ col("_t") :+ col("_side")) ++
-          payload.map(c => lit(null).as(s"_r_$c")): _*)
+        (leftCols.map(col) :+ col("_t") :+ col("_side")) :+
+          lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_t", col(rightTimeCol))
       .withColumn("_side", lit(0))
       .select(
         (leftCols.map(c => if (c == keyCol) col(keyCol) else lit(null).as(c)) :+
-          col("_t") :+ col("_side")) ++
-          payload.map(c => col(c).as(s"_r_$c")): _*)
+          col("_t") :+ col("_side")) :+
+          struct(payload.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .select(
-        (leftCols.map(col) :+ col("_side")) ++
-          payload.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
-            .as(c)): _*)
-    joined.filter(col("_side") === 1).drop("_side")
+        (leftCols.map(col) :+ col("_side")) :+
+          last(col("_r"), ignoreNulls = true).over(w).as("_r"): _*)
+    joined.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

@@ -20,7 +20,10 @@ object CdcOperators {
 
   /**
    * Exact mutation dedup: collapse replica/replay duplicates by
-   * (key, md5Digest), keeping a deterministic winner (lowest nodeId).
+   * (key, md5Digest), keeping a deterministic winner: the lexicographic
+   * minimum of the remaining (non-key, non-digest) columns in DataFrame
+   * column order — e.g. with the standard event layout the tiebreak is the
+   * lowest event_id. Reorder columns first if a different tiebreak matters.
    *
    * Reference: MutationCache digest check
    * (connector/.../MutationCache.java:52-73; used at CassandraSource.java:517-532).

@@ -89,6 +89,8 @@ object Similarity {
    * bucket and search is bucket-local, like [[ivfKnn]] cells.
    */
   def lshSignature(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"lshSignature: nPlanes must be in [1, 64] (bucket is a 64-bit bitset), got $nPlanes")
     import org.apache.spark.sql.functions.typedlit
     def weight(p: Int, d: Int): Float =
       if ((((p * 1315423911) ^ (d * 2654435761L.toInt)) >>> 16 & 1) == 0) 1.0f

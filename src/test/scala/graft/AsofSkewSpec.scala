@@ -18,6 +18,19 @@ class AsofSkewSpec extends SparkSpec {
     assert(out(3L) === None)       // nothing at or before t=50
   }
 
+  test("asofBackward with nullable payload fields never mixes right rows") {
+    // Right row at t=200 has v2 null: the left row at t=250 must see
+    // (b, null) from that row — NOT v2=x resurrected from the older t=100 row.
+    val left = Seq((1L, 10L, 250L)).toDF("event_id", "key", "t")
+    val right = Seq(
+      (10L, 100L, Option("a"), Option("x")),
+      (10L, 200L, Option("b"), Option.empty[String])
+    ).toDF("key", "rt", "v1", "v2")
+    val out = AsofJoin.asofBackward(left, right, "key", "t", "rt", Seq("v1", "v2"))
+      .select($"v1", $"v2").as[(Option[String], Option[String])].collect()
+    assert(out.toSeq === Seq((Some("b"), None)))
+  }
+
   test("saltedCountSum equals plain groupBy") {
     val df = (1 to 1000).map(i => (s"k${i % 3}", i.toDouble))
       .toDF("k", "v")

@@ -34,6 +34,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hit)
   }
 
+  test("bad SQL arguments fail analysis with a clear message") {
+    import org.apache.spark.sql.AnalysisException
+    spark.range(10).selectExpr("CAST(id AS STRING) AS d", "id AS n")
+      .createOrReplaceTempView("badargs")
+    val wrongArity = intercept[AnalysisException](
+      spark.sql("SELECT cassandra_token(1, 2)").collect())
+    assert(wrongArity.getMessage.contains("cassandra_token"))
+    val nonLiteral = intercept[AnalysisException](
+      spark.sql("SELECT bloom_agg(d, n, 0.01) FROM badargs").collect())
+    assert(nonLiteral.getMessage.contains("literal"))
+    val wrongType = intercept[AnalysisException](
+      spark.sql("SELECT bloom_agg(n, 10, 0.01) FROM badargs").collect())
+    assert(wrongType.getMessage.toLowerCase.contains("string"))
+  }
+
   test("batched per-partition decode produces deterministic features") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
