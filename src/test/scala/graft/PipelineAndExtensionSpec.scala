@@ -108,21 +108,33 @@ class PipelineAndExtensionSpec extends SparkSpec {
     assert(out(2L) === 3)  // orthogonal last
   }
 
-  test("IVF ANN: results are a subset of brute-force candidates with sane ranks") {
+  test("IVF ANN over k-means cells: measured recall clears the declared bound") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
     val emb = graft.model.Cdc.table(spark, "/root/testdata/sf0.001", "embeddings")
-    val centroids = Similarity.seedCentroids(emb, 50)
-    val ivf = Similarity.ivfKnn(emb.filter($"vec_id" < 3), emb, centroids, k = 5)
-      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val brute = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 100)
-      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
-    assert(ivf.nonEmpty)
-    // every IVF hit is a real (non-self) candidate the exact search also sees
-    assert(ivf.forall { case (q, v) => q != v })
-    assert((ivf -- brute).size <= ivf.size / 2,
-      "IVF results should substantially overlap the exact top-100")
+    val centroids = Similarity.kmeansCentroids(emb, nCells = 50, iters = 5, dim = 64)
+    // every vector lands in exactly one cell; no cell hogs the corpus
+    val occ = Similarity.assignCells(emb, centroids)
+      .groupBy($"cell_id").count().as[(Int, Long)].collect()
+    assert(occ.map(_._2).sum === 500)
+    assert(occ.map(_._2).max < 100, "k-means cells should be balanced-ish")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceKnn(q, emb, k = 5)
+    val ivf = Similarity.ivfKnn(q, emb, centroids, k = 5, nprobe = 8)
+    val recall = Similarity.recallAtK(ivf, brute)
+      .agg(org.apache.spark.sql.functions.avg($"recall")).as[Double].head()
+    assert(recall >= 0.8, s"IVF recall@5 (nprobe=8) was $recall")
+    // every IVF hit is a real non-self candidate
+    val hits = ivf.select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(hits.forall { case (q0, v) => q0 != v })
   }
 
-  test("LSH ANN: identical vectors share a bucket and rank first") {
+  test("LSH planes are diverse and banded ANN finds identical vectors") {
+    // regression for the r1 separable-hash bug: (p*A)^(d*B) bit-16 weights
+    // made every plane ± one hyperplane (2 distinct buckets total)
+    val distinctRows = (0 until 16)
+      .map(p => (0 until 64).map(d => Similarity.planeWeight(p, d, 64)).toVector)
+      .distinct.size
+    assert(distinctRows === 16, "every LSH plane must be a distinct hyperplane")
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f)),
       (1L, Array.fill(64)(1.0f)),                 // identical to 0
@@ -131,9 +143,21 @@ class PipelineAndExtensionSpec extends SparkSpec {
     val sig = Similarity.lshSignature(vecs, nPlanes = 8, dim = 64)
       .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
     assert(sig(0L) === sig(1L)) // identical vectors always collide
-    val knn = Similarity.lshKnn(vecs.filter($"vec_id" === 0), vecs, 8, 64, k = 3)
+    assert(sig.values.toSet.size > 1, "signatures must not be degenerate")
+    val knn = Similarity.lshKnn(vecs.filter($"vec_id" === 0), vecs,
+        rowsPerBand = 2, nBands = 4, dim = 64, k = 3)
       .select($"vec_id", $"rank").as[(Long, Int)].collect().toMap
     assert(knn(1L) === 1)       // the identical vector is found and ranks first
+  }
+
+  test("banded-LSH near-dup pairs equal the exact all-pairs answer on the fixture") {
+    val emb = graft.model.Cdc.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Similarity.nearDupPairs(emb, threshold = 0.45)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceKnn(emb, emb, k = 499)
+      .filter($"score" > 0.45 && $"q_id" < $"vec_id")
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh === exact, "banded LSH must reach full recall on the fixture")
   }
 
   test("rolling fingerprint is order-sensitive") {
