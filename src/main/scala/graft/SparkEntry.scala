@@ -236,9 +236,11 @@ object SparkEntry {
     }),
 
     "cdc_keyvalue_avro" -> ((s, dir) => {
-      // F12 default key-value-avro output format (rows-only check — binary
-      // wire format; round-trip correctness pinned by AvroOutputSpec
-      // against an independent Avro reader)
+      // F12 default key-value-avro output format, oracle-checked end to end:
+      // the binary records are decoded back (AvroDecode = the reference's
+      // source-side decode, NativeAvroConverter.java:356-410) and the
+      // decoded fields hash-matched against the plain enrichment join —
+      // encode∘decode must be the identity, tombstones stay null.
       import graft.functions.{AvroFunctions, AvroSchemas}
       val keySchema = AvroSchemas.forStruct(
         StructType(Seq(StructField("key", LongType, nullable = false))),
@@ -254,6 +256,54 @@ object SparkEntry {
           when(col("op") === Cdc.OpDelete, lit(null))
             .otherwise(AvroFunctions.to_avro_binary(struct(col("c_name")),
               valSchema.toString)).as("value_avro"))
+        .select(col("event_id"),
+          AvroFunctions.from_avro_binary(col("key_avro"), keySchema.toString)
+            .getField("key").as("key"),
+          AvroFunctions.from_avro_binary(col("value_avro"), valSchema.toString)
+            .getField("c_name").as("c_name"),
+          col("value_avro").isNull.as("is_tombstone"))
+    }),
+
+    "cdc_avro_roundtrip" -> ((s, dir) => {
+      // Complex-type Avro depth (VERDICT r1 #3): nested record (UDT analog),
+      // array, string-keyed map and decimal through encode → decode →
+      // hash-match (reference: AbstractNativeConverter.java:226-263 builds
+      // these schemas; the zudt/tuple e2e is PulsarCassandraSourceTests.java:
+      // 612-760). The oracle recomputes the projected fields straight from
+      // the table, so any wire-format asymmetry fails the row.
+      import graft.functions.{AvroFunctions, AvroSchemas}
+      val valueType = StructType(Seq(
+        StructField("c_name", StringType, nullable = false),
+        StructField("contact", StructType(Seq(
+          StructField("nation", IntegerType, nullable = false),
+          StructField("segment", StringType, nullable = true))), nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = false),
+          nullable = false),
+        StructField("props", MapType(StringType, StringType,
+          valueContainsNull = false), nullable = false),
+        StructField("bal", DecimalType(12, 2), nullable = false)))
+      val valSchema = AvroSchemas.forStruct(valueType, "customer_value", "graft")
+      val c = t(s, dir, "customer")
+      val value = struct(
+        col("c_name").as("c_name"),
+        struct(col("c_nationkey").as("nation"),
+          // nullable nested field with real nulls in the data
+          when(col("c_acctbal") < 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment")).as("contact"),
+        array(col("c_mktsegment"), col("c_name")).as("tags"),
+        map(lit("seg"), col("c_mktsegment")).as("props"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+      val dec = AvroFunctions.from_avro_binary(
+        AvroFunctions.to_avro_binary(value, valSchema.toString),
+        valSchema.toString)
+      c.select(col("c_custkey"), dec.as("v"))
+        .select(col("c_custkey"),
+          col("v.c_name").as("c_name"),
+          col("v.contact.nation").as("nation"),
+          col("v.contact.segment").as("segment"),
+          element_at(col("v.tags"), 2).as("tag2"),
+          element_at(col("v.props"), "seg").as("prop_seg"),
+          col("v.bal").cast("double").as("bal"))
     }),
 
     "cdc_token_partition" -> ((s, dir) => {
@@ -649,6 +699,19 @@ object SparkEntry {
          CASE WHEN e.event_type='error' THEN NULL ELSE c.c_acctbal END AS c_acctbal,
          epoch_us(e.ts) AS writetime
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_keyvalue_avro" ->
+      s"""SELECT e.event_id, e.user_id AS "key",
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         (e.event_type='error') AS is_tombstone
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_avro_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey AS nation,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS segment,
+         c_name AS tag2, c_mktsegment AS prop_seg,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+         FROM customer""",
 
     "cdc_compaction_lww" ->
       s"""SELECT "key", event_id, op, writetime FROM (

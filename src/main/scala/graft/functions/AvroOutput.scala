@@ -3,56 +3,138 @@ package graft.functions
 import java.io.ByteArrayOutputStream
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-import org.apache.avro.io.EncoderFactory
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Avro binary record encoding for struct columns — the reference's default
- * `key-value-avro` output format (CassandraSourceConnectorConfig.java:678-682;
- * record serialization AbstractPulsarMutationSender.java:128-138,
- * NativeAvroConverter.java:196-207). The spark-avro module is not on this
- * image's classpath, so this is a minimal encoder over the plain avro jar:
- * scalar fields (+ nullable unions), binary wire format identical to any
- * Avro reader with the same schema.
+ * Avro binary record encode/decode for struct columns — the reference's
+ * default `key-value-avro` format (CassandraSourceConnectorConfig.java:678-682;
+ * encode AbstractPulsarMutationSender.java:128-138, NativeAvroConverter.java:
+ * 196-207; decode NativeAvroConverter.java:356-410). The spark-avro module is
+ * not on this image's classpath, so this is a self-contained codec over the
+ * plain avro jar; the wire format is readable by any Avro reader with the
+ * same schema (pinned by AvroOutputSpec against an independent
+ * GenericDatumReader).
  *
- * Output-edge expression: interpreted eval (CodegenFallback) is fine here —
- * it runs once per output record, never in analytic hot paths.
+ * Type coverage mirrors the reference's converter
+ * (AbstractNativeConverter.java:167-263): scalars, nullable unions,
+ * list/set → array, map (string keys), UDT/tuple → nested record,
+ * date → int/date, timestamp → long/timestamp-micros, decimal →
+ * bytes/decimal(p,s).
+ *
+ * Output-edge expressions: interpreted eval (CodegenFallback) — they run
+ * once per output record, never in analytic hot paths. Encoder, decoder and
+ * output buffer are reused via thread-locals (no per-row allocation beyond
+ * the result array).
  */
 object AvroSchemas {
 
-  /** Avro schema for a Spark struct: scalar fields, union{null, T} for
-   * nullable fields (clustering columns are nullable in the reference's key
+  /** Avro schema for a Spark data type; nullable fields become
+   * union{null, T} (clustering columns are nullable in the reference's key
    * schema, AbstractPulsarMutationSender.java:150-153). */
+  def forType(dt: DataType, name: String, namespace: String): Schema = dt match {
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case DateType    =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case ArrayType(elem, containsNull) =>
+      val e = forType(elem, s"${name}_item", namespace)
+      Schema.createArray(if (containsNull) nullable(e) else e)
+    case MapType(StringType, v, valueContainsNull) =>
+      val e = forType(v, s"${name}_value", namespace)
+      Schema.createMap(if (valueContainsNull) nullable(e) else e)
+    case MapType(k, _, _) => throw new IllegalArgumentException(
+      s"avro: map keys must be strings (got $k) — stringify first " +
+        "(reference AbstractNativeConverter.java:265-295)")
+    case st: StructType => forStruct(st, name, namespace)
+    case other => throw new IllegalArgumentException(
+      s"avro: unsupported type $other for $name")
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+
+  /** Avro record schema for a Spark struct, recursively. */
   def forStruct(st: StructType, name: String, namespace: String): Schema = {
     val fields = st.fields.map { f =>
-      val base = f.dataType match {
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case ShortType | ByteType => Schema.create(Schema.Type.INT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case other => throw new IllegalArgumentException(
-          s"avro output: unsupported field type $other for ${f.name}")
-      }
-      val sch =
-        if (f.nullable) Schema.createUnion(
-          List(Schema.create(Schema.Type.NULL), base).asJava)
-        else base
+      val base = forType(f.dataType, s"${name}_${f.name}", namespace)
+      val sch = if (f.nullable) nullable(base) else base
       new Schema.Field(f.name, sch, null, null)
     }
     Schema.createRecord(name, null, namespace, false, fields.toList.asJava)
   }
+
+  /** Spark type for an Avro schema — the inverse of [[forType]], used by
+   * [[AvroDecode]] to derive its result type from the wire schema. */
+  def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.LONG    =>
+      if (s.getLogicalType != null &&
+        s.getLogicalType.getName == "timestamp-micros") TimestampType
+      else LongType
+    case Schema.Type.INT     =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date") DateType
+      else IntegerType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case Schema.Type.ARRAY   => ArrayType(toSparkType(s.getElementType),
+      containsNull = isNullable(s.getElementType))
+    case Schema.Type.MAP     => MapType(StringType, toSparkType(s.getValueType),
+      valueContainsNull = isNullable(s.getValueType))
+    case Schema.Type.RECORD  => StructType(s.getFields.asScala.map(f =>
+      StructField(f.name, toSparkType(f.schema()),
+        nullable = isNullable(f.schema()))).toSeq)
+    case Schema.Type.UNION   => toSparkType(unwrapUnion(s))
+    case other => throw new IllegalArgumentException(s"avro: unsupported $other")
+  }
+
+  private[functions] def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION &&
+      s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  private[functions] def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(
+        throw new IllegalArgumentException("avro: union of only null"))
+    else s
+}
+
+/** Per-thread reusable encode state: Avro allows reusing both the encoder
+ * and the backing buffer; only the final toByteArray copy allocates. */
+private[functions] object AvroCodecPools {
+  final class EncState {
+    val out = new ByteArrayOutputStream(256)
+    var enc: BinaryEncoder = _
+  }
+  val encoders: ThreadLocal[EncState] =
+    ThreadLocal.withInitial(() => new EncState)
+  val decoders: ThreadLocal[Array[BinaryDecoder]] =
+    ThreadLocal.withInitial(() => new Array[BinaryDecoder](1))
 }
 
 case class AvroEncode(child: Expression, schemaJson: String)
@@ -64,37 +146,126 @@ case class AvroEncode(child: Expression, schemaJson: String)
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
   @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
 
-  override def nullSafeEval(input: Any): Any = {
-    val row = input.asInstanceOf[InternalRow]
-    val rec = new GenericData.Record(schema)
-    var i = 0
-    while (i < structType.length) {
-      val f = structType(i)
-      val v =
-        if (row.isNullAt(i)) null
-        else f.dataType match {
-          case StringType  => row.getUTF8String(i).toString
-          case LongType    => java.lang.Long.valueOf(row.getLong(i))
-          case IntegerType => Integer.valueOf(row.getInt(i))
-          case ShortType   => Integer.valueOf(row.getShort(i).toInt)
-          case ByteType    => Integer.valueOf(row.getByte(i).toInt)
-          case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
-          case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
-          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-          case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
-          case other => throw new IllegalArgumentException(s"unsupported $other")
+  private def toAvro(v: Any, dt: DataType, sch: Schema): AnyRef = {
+    val s = AvroSchemas.unwrapUnion(sch)
+    if (v == null) null
+    else (dt, v) match {
+      case (StringType, u: UTF8String) => u.toString
+      case (LongType | TimestampType, l: java.lang.Long) => l
+      case (IntegerType | DateType, i: java.lang.Integer) => i
+      case (ShortType, x: java.lang.Short) => Integer.valueOf(x.toInt)
+      case (ByteType, x: java.lang.Byte) => Integer.valueOf(x.toInt)
+      case (DoubleType, d: java.lang.Double) => d
+      case (FloatType, f: java.lang.Float) => f
+      case (BooleanType, b: java.lang.Boolean) => b
+      case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
+      case (_: DecimalType, d: Decimal) =>
+        java.nio.ByteBuffer.wrap(d.toJavaBigDecimal.unscaledValue().toByteArray)
+      case (ArrayType(et, _), a: ArrayData) =>
+        val es = s.getElementType
+        val out = new java.util.ArrayList[AnyRef](a.numElements())
+        a.foreach(et, (_, e) => out.add(toAvro(e, et, es)))
+        out
+      case (MapType(StringType, vt, _), m: MapData) =>
+        val vs = s.getValueType
+        val out = new java.util.HashMap[String, AnyRef](m.numElements())
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          out.put(keys.getUTF8String(i).toString,
+            toAvro(if (vals.isNullAt(i)) null else vals.get(i, vt), vt, vs))
+          i += 1
         }
-      rec.put(i, v)
-      i += 1
+        out
+      case (st: StructType, row: InternalRow) =>
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < st.length) {
+          val f = st(i)
+          rec.put(i, toAvro(if (row.isNullAt(i)) null else row.get(i, f.dataType),
+            f.dataType, s.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case (other, _) =>
+        throw new IllegalArgumentException(s"avro encode: unsupported $other")
     }
-    val out = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(out, null)
-    writer.write(rec, enc)
-    enc.flush()
-    out.toByteArray
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val rec = toAvro(input, structType, schema).asInstanceOf[GenericRecord]
+    val st = AvroCodecPools.encoders.get()
+    st.out.reset()
+    st.enc = EncoderFactory.get().binaryEncoder(st.out, st.enc)
+    writer.write(rec, st.enc)
+    st.enc.flush()
+    st.out.toByteArray
   }
 
   override protected def withNewChildInternal(c: Expression): AvroEncode =
+    copy(child = c)
+}
+
+/**
+ * Decode an Avro binary record (as written by [[AvroEncode]] or any Avro
+ * producer with the same schema) into a Spark struct — the reference's
+ * source-side PK record decode (NativeAvroConverter.java:356-410).
+ */
+case class AvroDecode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override lazy val dataType: DataType =
+    AvroSchemas.toSparkType(new Schema.Parser().parse(schemaJson))
+
+  private def fromAvro(v: AnyRef, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.toString)
+      case LongType | TimestampType => v.asInstanceOf[java.lang.Long]
+      case IntegerType | DateType => v.asInstanceOf[java.lang.Integer]
+      case DoubleType | FloatType | BooleanType => v
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case d: DecimalType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val l = v.asInstanceOf[java.util.List[AnyRef]]
+        new GenericArrayData(l.asScala.map(e => fromAvro(e, et)).toArray)
+      case MapType(StringType, vt, _) =>
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val entries = m.entrySet().asScala.toArray
+        ArrayBasedMapData(
+          entries.map(e => UTF8String.fromString(e.getKey.toString): Any),
+          entries.map(e => fromAvro(e.getValue, vt)))
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.length)
+        var i = 0
+        while (i < st.length) {
+          row.update(i, fromAvro(rec.get(i), st(i).dataType))
+          i += 1
+        }
+        row
+      case other =>
+        throw new IllegalArgumentException(s"avro decode: unsupported $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val pool = AvroCodecPools.decoders.get()
+    pool(0) = DecoderFactory.get().binaryDecoder(bytes, pool(0))
+    fromAvro(reader.read(null, pool(0)), dataType)
+  }
+
+  override protected def withNewChildInternal(c: Expression): AvroDecode =
     copy(child = c)
 }
 
@@ -104,4 +275,8 @@ object AvroFunctions {
   /** Encode a struct column as an Avro binary record with the given schema. */
   def to_avro_binary(c: Column, schemaJson: String): Column =
     GraftShim.column(AvroEncode(GraftShim.expression(c), schemaJson))
+
+  /** Decode an Avro binary record column back into a Spark struct. */
+  def from_avro_binary(c: Column, schemaJson: String): Column =
+    GraftShim.column(AvroDecode(GraftShim.expression(c), schemaJson))
 }

@@ -54,4 +54,67 @@ class AvroOutputSpec extends SparkSpec {
     assert(decode(out(2L)._1, keySchema).get("key") === 20L)
     assert(out(2L)._2 === null)
   }
+
+  test("complex types: nested record, array, map, decimal round-trip bit-exactly") {
+    val valueType = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("udt", StructType(Seq(
+        StructField("a", IntegerType, nullable = false),
+        StructField("b", StringType, nullable = true))), nullable = false),
+      StructField("tags", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("props", MapType(StringType, StringType,
+        valueContainsNull = true), nullable = false),
+      StructField("bal", DecimalType(10, 3), nullable = false)))
+    val schema = AvroSchemas.forStruct(valueType, "cx", "graft.test")
+
+    val df = Seq(
+      ("x", 1, Option("inner"), Seq(5L, -7L), Map("k1" -> Option("v1"), "k2" -> Option.empty[String]), BigDecimal("12.345")),
+      ("y", 2, Option.empty[String], Seq.empty[Long], Map.empty[String, Option[String]], BigDecimal("-0.001"))
+    ).toDF("name", "a", "b", "tags", "props", "bal")
+      .select(struct($"name", struct($"a", $"b").as("udt"), $"tags",
+        $"props", $"bal".cast(DecimalType(10, 3)).as("bal")).as("v"))
+
+    val roundtripped = df.select(
+        AvroFunctions.from_avro_binary(
+          AvroFunctions.to_avro_binary($"v", schema.toString),
+          schema.toString).as("r"))
+      .select($"r.name", $"r.udt.a", $"r.udt.b", $"r.tags",
+        $"r.props", $"r.bal")
+      .collect()
+
+    val byName = roundtripped.map(r => r.getString(0) -> r).toMap
+    assert(byName("x").getInt(1) === 1)
+    assert(byName("x").getString(2) === "inner")
+    assert(byName("x").getSeq[Long](3) === Seq(5L, -7L))
+    assert(byName("x").getMap[String, String](4) === Map("k1" -> "v1", "k2" -> null))
+    assert(byName("x").getDecimal(5) === new java.math.BigDecimal("12.345"))
+    assert(byName("y").getString(2) === null)
+    assert(byName("y").getSeq[Long](3) === Seq.empty)
+    assert(byName("y").getDecimal(5) === new java.math.BigDecimal("-0.001"))
+
+    // the wire bytes are readable by an independent plain-Avro reader
+    val bytes = df.select(
+      AvroFunctions.to_avro_binary($"v", schema.toString).as("b"))
+      .collect().map(_.getAs[Array[Byte]]("b"))
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val recs = bytes.map(b => reader.read(null,
+      DecoderFactory.get().binaryDecoder(new ByteArrayInputStream(b), null)))
+    val x = recs.find(_.get("name").toString == "x").get
+    assert(x.get("udt").asInstanceOf[GenericRecord].get("b").toString === "inner")
+    assert(x.get("tags").asInstanceOf[java.util.List[_]].size === 2)
+  }
+
+  test("toSparkType inverts forStruct") {
+    val st = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("nested", StructType(Seq(
+        StructField("arr", ArrayType(DoubleType, containsNull = false),
+          nullable = false))), nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = false),
+        nullable = false),
+      StructField("d", DecimalType(12, 2), nullable = false)))
+    val back = AvroSchemas.toSparkType(
+      AvroSchemas.forStruct(st, "inv", "graft.test"))
+    assert(back === st)
+  }
 }
