@@ -320,6 +320,59 @@ object SparkEntry {
           GraftFunctions.token_partition(col("token"), 32).cast("long"))
     }),
 
+    "cdc_all_types" -> ((s, dir) => {
+      // The reference's richest e2e scenario re-expressed: every CQL value
+      // category — text/int/bigint/boolean/blob/uuid/date/timestamp/time/
+      // varint/decimal/list/set/map/UDT/tuple/duration — synthesized onto
+      // the customer table, pushed through kvProject and JSON output, and
+      // hash-matched against a DuckDB struct_pack mirror (reference:
+      // PulsarCassandraSourceTests.java:612-760 table3+zudt; golden values
+      // DataSpec.java:36-116; type map SURVEY.md §1.2). Representations
+      // follow the §1.2 mapping: date → epoch days, time → µs since
+      // midnight, timestamp → epoch ms, duration → {months,days,nanos}
+      // triple, tuple → index_i fields, varint/decimal → exact decimal
+      // (JSON-encoded as strings: JSON numbers are doubles and would drop
+      // trailing scale). Deletes tombstone to SQL NULL.
+      val h = md5(col("c_custkey").cast("string"))
+      val typed = t(s, dir, "customer")
+        .withColumn("op", when(col("c_custkey") % 10 === 0, Cdc.OpDelete)
+          .otherwise(Cdc.OpUpdate))
+        .withColumn("a_text", col("c_name"))
+        .withColumn("a_int", col("c_nationkey"))
+        .withColumn("a_long", col("c_custkey"))
+        .withColumn("a_bool", col("c_acctbal") > 0)
+        .withColumn("a_blob", base64(col("c_name").cast("binary")))
+        .withColumn("a_uuid", concat_ws("-", substring(h, 1, 8),
+          substring(h, 9, 4), substring(h, 13, 4), substring(h, 17, 4),
+          substring(h, 21, 12)))
+        .withColumn("a_date_days", (col("c_custkey") % 20000).cast("int"))
+        .withColumn("a_ts_ms", col("c_custkey") * 1000L + 42L)
+        .withColumn("a_time_us", (col("c_custkey") * 1000000L) % 86400000000L)
+        .withColumn("a_varint",
+          col("c_custkey").cast(DecimalType(38, 0)).cast("string"))
+        .withColumn("a_decimal",
+          col("c_acctbal").cast(DecimalType(12, 2)).cast("string"))
+        .withColumn("a_list", array(col("c_mktsegment"), col("c_name")))
+        .withColumn("a_set", array_sort(array(col("c_mktsegment"), col("c_name"))))
+        .withColumn("a_map",
+          map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name")))
+        .withColumn("a_udt", struct(col("c_name").as("name"),
+          struct(col("c_nationkey").as("nation"),
+            length(col("c_name")).as("name_len")).as("geo")))
+        .withColumn("a_tuple", struct(col("c_nationkey").as("index_0"),
+          col("c_mktsegment").as("index_1")))
+        .withColumn("a_duration", struct(col("c_nationkey").as("months"),
+          (col("c_custkey") % 30).cast("int").as("days"),
+          (col("c_custkey") * 1000000L).as("nanoseconds")))
+      val regular = Seq("a_text", "a_int", "a_long", "a_bool", "a_blob",
+        "a_uuid", "a_date_days", "a_ts_ms", "a_time_us", "a_varint",
+        "a_decimal", "a_list", "a_set", "a_map", "a_udt", "a_tuple",
+        "a_duration")
+      CdcOperators.kvProject(typed, Seq("c_custkey"), None, Nil, regular)
+        .select(col("kv_key.c_custkey").as("key"),
+          to_json(col("kv_value")).as("value_json"))
+    }),
+
     "cdc_sessionize" -> ((s, dir) => {
       // session windows over the event stream (30 min gap)
       val sess = CdcOperators.sessionize(ev(s, dir), "key", "writetime", 30)
@@ -712,6 +765,35 @@ object SparkEntry {
          c_name AS tag2, c_mktsegment AS prop_seg,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
          FROM customer""",
+
+    "cdc_all_types" ->
+      """SELECT c_custkey AS "key",
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE to_json(struct_pack(
+           a_text := c_name,
+           a_int := c_nationkey,
+           a_long := c_custkey,
+           a_bool := c_acctbal > 0,
+           a_blob := base64(encode(c_name)),
+           a_uuid := concat_ws('-', substr(h,1,8), substr(h,9,4),
+                               substr(h,13,4), substr(h,17,4), substr(h,21,12)),
+           a_date_days := CAST(c_custkey % 20000 AS INTEGER),
+           a_ts_ms := c_custkey * 1000 + 42,
+           a_time_us := (c_custkey * 1000000) % 86400000000,
+           a_varint := CAST(CAST(c_custkey AS DECIMAL(38,0)) AS VARCHAR),
+           a_decimal := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+           a_list := list_value(c_mktsegment, c_name),
+           a_set := list_sort(list_value(c_mktsegment, c_name)),
+           a_map := struct_pack(seg := c_mktsegment, name := c_name),
+           a_udt := struct_pack(name := c_name,
+             geo := struct_pack(nation := c_nationkey,
+                                name_len := length(c_name))),
+           a_tuple := struct_pack(index_0 := c_nationkey,
+                                  index_1 := c_mktsegment),
+           a_duration := struct_pack(months := c_nationkey,
+             days := CAST(c_custkey % 30 AS INTEGER),
+             nanoseconds := c_custkey * 1000000)
+         )) END AS value_json
+         FROM (SELECT *, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer)""",
 
     "cdc_compaction_lww" ->
       s"""SELECT "key", event_id, op, writetime FROM (
