@@ -21,17 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
  *    per line), processed in segment order — reference: priority queue
  *    ordered by segment timestamp (agent/.../CommitLogUtil.java:57-76,
  *    CommitLogProcessor.java:100-121);
- *  - offsets are `(segment, position)` — the reference's per-segment offset
- *    files `<segment>_offset.dat` (SegmentOffsetFileWriter.java:29-126) and
- *    idx re-read window (CommitLogReaderService.java:114-150);
+ *  - offsets are `(segment, byte position)` — the reference's idx protocol
+ *    also carries a byte offset into the segment
+ *    ("<syncedPos>\nCOMPLETED?", CommitLogReaderService.java:114-150), and
+ *    per-segment resume state lives in `<segment>_offset.dat`
+ *    (SegmentOffsetFileWriter.java:29-126);
  *  - the ACTIVE (highest-numbered) segment may grow between batches
- *    (near-real-time idx path): only the lines beyond the committed position
- *    are re-read. Commitlog discipline applies: once a newer segment exists,
+ *    (near-real-time idx path): only the bytes beyond the committed position
+ *    are read. Commitlog discipline applies: once a newer segment exists,
  *    older segments are sealed — appends to a non-latest segment after a
  *    batch has observed the newer one are outside the contract (they would
  *    be skipped, as in any log-segment tailer);
  *  - one input partition per segment — the reference's one-task-per-segment
  *    exclusivity (CommitLogReaderService.java:198-212).
+ *
+ * Scale contract (100 TB): the driver NEVER reads segment content — batch
+ * planning touches only directory listings, `File.length` metadata and the
+ * few-byte idx sidecars. Executors seek straight to their byte range; a
+ * grown tail costs exactly the new bytes, not a re-scan of the file. All
+ * positions are line-aligned by construction: they originate from writer-
+ * produced idx values, file lengths of line-terminated files, or 0.
  *
  * Line format: `event_id,key,op,writetime,segment,position,md5Digest,nodeId`.
  *
@@ -62,7 +71,12 @@ object CommitLogSource {
 
   private val FilePattern = """CommitLog-(\d+)\.log""".r
 
-  /** (segment id, file) pairs in segment order. */
+  /** Bytes of segment content consumed by partition readers — test
+   * instrumentation (meaningful in local mode) proving incremental reads:
+   * a grown tail must cost only the new bytes. */
+  val partitionBytesRead = new java.util.concurrent.atomic.AtomicLong
+
+  /** (segment id, file) pairs in segment order. Metadata-only. */
   def segments(dir: String): Seq[(Long, java.io.File)] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     files.toSeq.flatMap { f =>
@@ -73,18 +87,14 @@ object CommitLogSource {
     }.sortBy(_._1)
   }
 
-  def lineCount(f: java.io.File): Long = {
-    val src = scala.io.Source.fromFile(f)
-    try src.getLines().size.toLong finally src.close()
-  }
-
   /**
-   * Synced position of a segment: if a `CommitLog-<seg>_cdc.idx` sidecar
-   * exists, its first line is the number of durably-synced lines — lines
-   * beyond it may be mid-write and must not be read yet. This mirrors the
-   * reference's idx protocol ("<syncedPos>\nCOMPLETED?",
-   * CommitLogReaderService.java:114-150). Without a sidecar the whole file
-   * is considered synced.
+   * Synced byte position of a segment: if a `CommitLog-<seg>_cdc.idx`
+   * sidecar exists, its first line is the count of durably-synced bytes —
+   * bytes beyond it may be mid-write (torn) and must not be read yet. This
+   * mirrors the reference's idx protocol, whose offset is likewise a file
+   * position ("<syncedPos>\nCOMPLETED?", CommitLogReaderService.java:
+   * 114-150). Without a sidecar the whole file is considered synced
+   * (`File.length` — metadata, no content read).
    */
   def syncedPosition(segFile: java.io.File): Long = {
     val idx = new java.io.File(
@@ -102,7 +112,7 @@ object CommitLogSource {
           0L
         }
       finally src.close()
-    } else lineCount(segFile)
+    } else segFile.length()
   }
 }
 
@@ -125,8 +135,9 @@ class CommitLogTable(path: String, permissive: Boolean = false,
     }
 }
 
-/** `(segment, position)`: everything up to and including line `position - 1`
- * of `segment` (and all of every earlier segment) has been processed. */
+/** `(segment, position)`: every byte before `position` of `segment` (and
+ * all of every earlier segment) has been processed. Positions are byte
+ * offsets and always line-aligned (idx values, file lengths, or 0). */
 case class CommitLogOffset(segment: Long, position: Long) extends Offset {
   override def json(): String = s"""{"segment":$segment,"position":$position}"""
 }
@@ -211,7 +222,7 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
         else 0L
       val until =
         if (seg == e.segment) e.position
-        // sealed segments still honor their idx: lines past the synced
+        // sealed segments still honor their idx: bytes past the synced
         // position may be torn (writer crashed mid-sync)
         else CommitLogSource.syncedPosition(f)
       if (from >= 0 && until > from) {
@@ -234,24 +245,46 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
   override def stop(): Unit = ()
 }
 
-case class CommitLogInputPartition(file: String, fromLine: Long, untilLine: Long,
+case class CommitLogInputPartition(file: String, fromByte: Long, untilByte: Long,
                                    permissive: Boolean = false)
   extends InputPartition
 
+/** Reads exactly the byte range [fromByte, untilByte) of one segment:
+ * a channel seek to fromByte, then a bounded buffered line scan — O(range),
+ * independent of where the range sits in the file. */
 class CommitLogPartitionReader(p: CommitLogInputPartition)
     extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(p.file)
-  private val it = src.getLines().zipWithIndex
-    .filter { case (_, i) => i >= p.fromLine && i < p.untilLine }
-    .map(_._1)
+  private val in = new java.io.FileInputStream(p.file)
+  in.getChannel.position(p.fromByte)
+  private var remaining = p.untilByte - p.fromByte
+  private val bounded = new java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else {
+        val b = in.read()
+        if (b >= 0) { remaining -= 1; CommitLogSource.partitionBytesRead.incrementAndGet() }
+        b
+      }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+        if (n > 0) { remaining -= n; CommitLogSource.partitionBytesRead.addAndGet(n) }
+        n
+      }
+  }
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(bounded, java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (it.hasNext) {
-      parse(it.next()) match {
+    var line = reader.readLine()
+    while (line != null) {
+      parse(line) match {
         case Some(row) => current = row; return true
         case None      => // permissive mode: malformed line skipped & logged
       }
+      line = reader.readLine()
     }
     false
   }
@@ -274,5 +307,5 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = { reader.close(); in.close() }
 }

@@ -14,6 +14,11 @@ class CommitLogSourceSpec extends SparkSpec {
   private def line(id: Long, key: Long, seg: Long, pos: Int): String =
     s"$id,$key,u,${id * 100},$seg,$pos,d$id,node-1"
 
+  /** idx sidecars carry BYTE positions (line-aligned): the synced prefix is
+   * the byte length of the first n lines incl. terminators. */
+  private def bytesOfLines(lines: String*): Long =
+    lines.map(_.getBytes.length + 1L).sum
+
   test("reads new segments and segment tails incrementally, no duplicates") {
     val tmp = Files.createTempDirectory("graft_clog").toFile.getAbsolutePath
     val out = s"$tmp/out"
@@ -55,11 +60,12 @@ class CommitLogSourceSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft_clog_idx").toFile.getAbsolutePath
     val out = s"$tmp/out"
     Files.createDirectories(Paths.get(s"$tmp/logs"))
-    // 3 lines on disk but idx says only 2 are durably synced
+    // 3 lines on disk but idx says only the first 2 lines' bytes are synced
+    val l1 = line(1, 10, 1, 0); val l2 = line(2, 11, 1, 1); val l3 = line(3, 12, 1, 2)
     Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
-      (line(1, 10, 1, 0) + "\n" + line(2, 11, 1, 1) + "\n" +
-        line(3, 12, 1, 2) + "\n").getBytes)
-    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"), "2\n".getBytes)
+      (l1 + "\n" + l2 + "\n" + l3 + "\n").getBytes)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
+      s"${bytesOfLines(l1, l2)}\n".getBytes)
 
     def runOnce(): Unit = {
       val q = spark.readStream
@@ -73,11 +79,41 @@ class CommitLogSourceSpec extends SparkSpec {
     }
     runOnce()
     assert(spark.read.parquet(out).count() === 2)
-    // sync advances to 3 (+ COMPLETED marker): the third line arrives
+    // sync advances to all 3 lines (+ COMPLETED marker): the third arrives
     Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
-      "3\nCOMPLETED\n".getBytes)
+      s"${bytesOfLines(l1, l2, l3)}\nCOMPLETED\n".getBytes)
     runOnce()
     assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("large segment: a grown tail costs only the new bytes (no re-scan)") {
+    val tmp = Files.createTempDirectory("graft_clog_big").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    val big = (0 until 100000).map(i => line(i.toLong, i % 97L, 1, i)).mkString("", "\n", "\n")
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"), big.getBytes)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.CommitLogSourceProvider")
+        .option("path", s"$tmp/logs")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out").count() === 100000)
+    // append a small tail; the incremental batch must read ~tail bytes,
+    // never re-scan the 100k-line prefix (byte-offset seek, VERDICT r1 #6)
+    val tail = line(100000L, 7L, 1, 100000) + "\n"
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"), tail.getBytes,
+      StandardOpenOption.APPEND)
+    val before = graft.sources.CommitLogSource.partitionBytesRead.get()
+    runOnce()
+    val readBytes = graft.sources.CommitLogSource.partitionBytesRead.get() - before
+    assert(spark.read.parquet(s"$tmp/out").count() === 100001)
+    assert(readBytes <= tail.getBytes.length + 64,
+      s"incremental batch read $readBytes bytes for a ${tail.getBytes.length}-byte tail")
   }
 
   test("maxSegmentsPerBatch bounds how far a single batch advances") {
@@ -129,12 +165,14 @@ class CommitLogSourceSpec extends SparkSpec {
   test("sealed segments honor their idx: torn tail lines are not read") {
     val tmp = Files.createTempDirectory("graft_clog_seal").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
-    // segment 1: 3 lines on disk, idx says 2 synced (line 3 may be torn);
-    // segment 2 exists, so segment 1 is not the batch's end segment
+    // segment 1: 3 lines on disk, idx syncs only the first 2 lines' bytes
+    // (line 3 may be torn); segment 2 exists, so segment 1 is not the
+    // batch's end segment
+    val s1 = line(1, 10, 1, 0); val s2 = line(2, 11, 1, 1); val s3 = line(3, 12, 1, 2)
     Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"),
-      (line(1, 10, 1, 0) + "\n" + line(2, 11, 1, 1) + "\n" +
-        line(3, 12, 1, 2) + "\n").getBytes)
-    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"), "2\n".getBytes)
+      (s1 + "\n" + s2 + "\n" + s3 + "\n").getBytes)
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
+      s"${bytesOfLines(s1, s2)}\n".getBytes)
     Files.write(Paths.get(s"$tmp/logs/CommitLog-2.log"),
       (line(4, 13, 2, 0) + "\n").getBytes)
     def runOnce(): Unit = {
@@ -154,7 +192,7 @@ class CommitLogSourceSpec extends SparkSpec {
     // sealed — a later idx update on it does not resurrect the tail (and
     // crucially, the torn line was never read)
     Files.write(Paths.get(s"$tmp/logs/CommitLog-1_cdc.idx"),
-      "3\nCOMPLETED\n".getBytes)
+      s"${bytesOfLines(s1, s2, s3)}\nCOMPLETED\n".getBytes)
     runOnce()
     assert(spark.read.parquet(s"$tmp/out")
       .select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
