@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.model.{Cdc, CqlTypes}
+import graft.operators.CdcOperators
+
+/**
+ * Multi-table CDC wiring — the reference runs one events/data topic pair
+ * PER TABLE with per-table schemas (`events-<ks>.<table>`,
+ * agent/.../AbstractPulsarMutationSender.java:168-172; data topic
+ * PulsarCassandraSourceTests.java:727). The Spark analog: one streaming
+ * query per table, each bound to the table's own key/value schemas derived
+ * from its CQL column definitions via [[CqlTypes.keyValueSchemas]], reading
+ * `eventsRoot/<table>/` and writing `outRoot/<table>/`.
+ *
+ * Queries are independent: per-table checkpoints, per-table schemas,
+ * per-table failure isolation — exactly the per-topic isolation the
+ * reference gets from Pulsar. At scale each query's shuffle partitions on
+ * that table's key, so tables never contend on a shared shuffle.
+ */
+object MultiTablePipeline {
+
+  /** Table topology: CQL column definitions (name → cql type string), the
+   * primary key (partition + clustering), and which PK columns are
+   * clustering (nullable in the key schema). */
+  final case class TableDef(name: String, columns: Seq[(String, String)],
+                            pk: Seq[String], clustering: Set[String] = Set.empty) {
+    /** Spark column types via the CQL mapping; unsupported types rejected
+     * like the reference (PulsarMutationSender.java:112-122). */
+    def sparkColumns: Seq[(String, DataType)] = columns.map { case (n, cql) =>
+      n -> CqlTypes.valueType(cql).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $name: unsupported CQL type '$cql' for column $n"))
+    }
+    def keyValueSchemas: (StructType, StructType) =
+      CqlTypes.keyValueSchemas(sparkColumns, pk, clustering)
+
+    /** Event-stream schema for this table: CDC metadata + the key columns
+     * (clustering nullable), mirroring the reference's per-table event
+     * topic schema (key record + MutationValue). */
+    def eventSchema: StructType = {
+      val (key, _) = keyValueSchemas
+      StructType(
+        Seq(StructField("event_id", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("op", org.apache.spark.sql.types.StringType, nullable = false),
+          StructField("writetime", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("md5Digest", org.apache.spark.sql.types.StringType, nullable = false)) ++
+          key.fields)
+    }
+  }
+
+  /**
+   * Start one pipeline per table: read that table's event directory with
+   * its own schema, kv-project with its own key/value split, write per-table
+   * output. `baseTables` supplies each table's current snapshot per batch
+   * (the read-after-write side); tables absent from it skip enrichment.
+   */
+  def start(spark: SparkSession, eventsRoot: String, outRoot: String,
+            checkpointRoot: String, tables: Seq[TableDef],
+            baseTables: Map[String, () => DataFrame] = Map.empty): Seq[StreamingQuery] =
+    tables.map { td =>
+      val (keySchema, _) = td.keyValueSchemas
+      val pkCols = keySchema.fields.map(_.name).toSeq
+      val regular = td.sparkColumns.map(_._1).filterNot(pkCols.contains)
+      spark.readStream.schema(td.eventSchema).json(s"$eventsRoot/${td.name}")
+        .writeStream
+        .option("checkpointLocation", s"$checkpointRoot/${td.name}")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val enriched = baseTables.get(td.name) match {
+            case Some(provider) =>
+              // alias the dim key: event and table PK share a name, and
+              // enrichmentJoin drops the table-side key by name after the join
+              CdcOperators.enrichmentJoin(batch,
+                provider().withColumnRenamed(pkCols.head, "__dim_key"),
+                pkCols.head, "__dim_key", regular, broadcastDim = true)
+            case None =>
+              regular.foldLeft(batch)((df, c) => df.withColumn(c, lit(null)))
+          }
+          CdcOperators.kvProject(enriched, pkCols,
+              td.clustering.headOption, Nil, regular)
+            .select(col("event_id"), col("op"), col("writetime"),
+              col("kv_key"), col("kv_value"))
+            .write.mode("overwrite")
+            .parquet(s"$outRoot/${td.name}/epoch=$batchId")
+          ()
+        }
+        .start()
+    }
+
+  /** Await every per-table query (test convenience). */
+  def awaitAll(queries: Seq[StreamingQuery], timeoutMs: Long = 300000): Unit =
+    queries.foreach(_.awaitTermination(timeoutMs))
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Schema evolution for streaming CDC — the Spark analog of the reference
+ * connector rebuilding its converter + projection + prepared statements on
+ * DDL (`onTableUpdated` / UDT change listeners,
+ * connector/.../CassandraSource.java:664-698).
+ *
+ * Structured Streaming fixes a query's schema at start, so live converter
+ * swap is not expressible; the engine's contract (SURVEY.md §7.4.4) is
+ * DETECT → graceful stop at a batch boundary → RESTART with the new schema.
+ * The checkpoint carries source offsets across restarts, so the handoff
+ * loses nothing and duplicates nothing.
+ *
+ * The table's current schema lives in a `schema.json` descriptor next to
+ * the event stream (the stand-in for cluster metadata); its md5 is the
+ * schema fingerprint. Writers update the descriptor on DDL.
+ */
+object SchemaEvolution {
+
+  final case class TableSchema(fingerprint: String, schema: StructType)
+
+  /** Load the current schema descriptor + fingerprint for a table dir. */
+  def load(schemaDir: String): TableSchema = {
+    val f = new File(schemaDir, "schema.json")
+    require(f.isFile, s"no schema.json in $schemaDir")
+    val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    TableSchema(md, DataType.fromJson(txt).asInstanceOf[StructType])
+  }
+
+  /** Write a schema descriptor atomically (temp file + atomic move) so
+   * concurrent readers never observe a torn descriptor. */
+  def write(schemaDir: String, schema: StructType): Unit = {
+    val target = new File(schemaDir, "schema.json").toPath
+    val tmp = Files.createTempFile(target.getParent, ".schema", ".tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * Drain the event stream with schema-evolution restarts: each cycle reads
+   * the current descriptor, runs one Trigger.AvailableNow pass bound to that
+   * schema, and — if the descriptor changed while the cycle ran — restarts
+   * with the new schema on the SAME checkpoint. Converges when a cycle ends
+   * with the fingerprint it started with.
+   *
+   * @param transform  per-batch transformation applied under the current
+   *                   schema (the "converter" being rebuilt per restart)
+   * @param onCycleEnd test/ops hook after each cycle (cycle index) — e.g. a
+   *                   spec altering the schema mid-stream
+   * @return fingerprints of the schema used by each cycle (one entry per
+   *         restart + the final converged cycle)
+   */
+  def runConverged(spark: SparkSession, eventsDir: String, schemaDir: String,
+                   outDir: String, checkpointDir: String,
+                   transform: DataFrame => DataFrame = identity,
+                   onCycleEnd: Int => Unit = _ => (),
+                   maxRestarts: Int = 10): Seq[String] = {
+    val used = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cycle = 0
+    var converged = false
+    while (!converged && cycle < maxRestarts) {
+      val ts = load(schemaDir)
+      used += ts.fingerprint
+      val q = spark.readStream.schema(ts.schema).json(eventsDir)
+        .transform(transform)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      onCycleEnd(cycle)
+      cycle += 1
+      converged = load(schemaDir).fingerprint == ts.fingerprint
+    }
+    require(converged, s"schema still changing after $maxRestarts restarts")
+    used.toSeq
+  }
+
+  /**
+   * Continuous-trigger variant of the detector: watches the descriptor from
+   * a daemon thread and gracefully stops the query at a batch boundary when
+   * the fingerprint changes (`StreamingQuery.stop` waits for the running
+   * batch). The supervisor loop then restarts exactly like [[runConverged]].
+   */
+  def watchForDdl(query: org.apache.spark.sql.streaming.StreamingQuery,
+                  schemaDir: String, startFingerprint: String,
+                  pollMs: Long = 1000L): Thread = {
+    val t = new Thread(() => {
+      try {
+        var watching = true
+        while (watching && query.isActive) {
+          // a transient read failure (descriptor being replaced) is not a
+          // DDL signal — keep watching
+          val changed = scala.util.Try(load(schemaDir).fingerprint)
+            .map(_ != startFingerprint).getOrElse(false)
+          if (changed) {
+            query.stop()
+            watching = false
+          } else Thread.sleep(pollMs)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-ddl-watch-$schemaDir")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.types._
+import graft.streaming.SchemaEvolution
+
+/**
+ * DDL handling (SURVEY §7.4.4; reference CassandraSource.java:664-698):
+ * detect a schema change via the descriptor fingerprint, stop gracefully at
+ * a batch boundary, restart with the new schema on the same checkpoint —
+ * no rows lost, no rows duplicated, new columns visible after the restart.
+ */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1 = StructType(Seq(
+    StructField("event_id", LongType), StructField("key", LongType),
+    StructField("v", StringType)))
+  private val v2 = StructType(v1.fields :+ StructField("extra", IntegerType))
+
+  test("mid-stream DDL: restart picks up the new column, no rows lost or duplicated") {
+    val tmp = Files.createTempDirectory("graft_ddl").toFile.getAbsolutePath
+    val events = s"$tmp/events"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(events))
+    SchemaEvolution.write(tmp, v1)
+    Files.write(Paths.get(s"$events/e1.json"),
+      """{"event_id":1,"key":10,"v":"a"}
+        |{"event_id":2,"key":11,"v":"b"}
+        |""".stripMargin.getBytes)
+
+    val used = SchemaEvolution.runConverged(spark, events, tmp, out, ckpt,
+      onCycleEnd = { cycle =>
+        if (cycle == 0) {
+          // the DDL lands while the stream is live: widen the schema and
+          // append events carrying the new column
+          SchemaEvolution.write(tmp, v2)
+          Files.write(Paths.get(s"$events/e2.json"),
+            """{"event_id":3,"key":12,"v":"c","extra":7}
+              |""".stripMargin.getBytes, StandardOpenOption.CREATE)
+        }
+      })
+
+    assert(used.size === 2, "one restart: v1 cycle then v2 cycle")
+    assert(used.distinct.size === 2)
+
+    val rows = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(rows.columns.toSet === Set("event_id", "key", "v", "extra"))
+    val byId = rows.select($"event_id", $"v", $"extra")
+      .as[(Long, String, Option[Int])].collect().sortBy(_._1)
+    assert(byId.map(_._1).toSeq === Seq(1L, 2L, 3L), "no loss, no dups")
+    assert(byId.map(_._2).toSeq === Seq("a", "b", "c"))
+    assert(byId.map(_._3).toSeq === Seq(None, None, Some(7)),
+      "pre-DDL rows have null extra; post-DDL row carries it")
+  }
+
+  test("stable schema converges in one cycle") {
+    val tmp = Files.createTempDirectory("graft_ddl_stable").toFile.getAbsolutePath
+    val events = s"$tmp/events"
+    Files.createDirectories(Paths.get(events))
+    SchemaEvolution.write(tmp, v1)
+    Files.write(Paths.get(s"$events/e1.json"),
+      """{"event_id":1,"key":10,"v":"a"}
+        |""".stripMargin.getBytes)
+    val used = SchemaEvolution.runConverged(spark, events, tmp,
+      s"$tmp/out", s"$tmp/ckpt")
+    assert(used.size === 1)
+    assert(spark.read.parquet(s"$tmp/out").count() === 1)
+  }
+
+  test("ddl watcher stops a live query when the fingerprint changes") {
+    val tmp = Files.createTempDirectory("graft_ddl_watch").toFile.getAbsolutePath
+    val events = s"$tmp/events"
+    Files.createDirectories(Paths.get(events))
+    SchemaEvolution.write(tmp, v1)
+    Files.write(Paths.get(s"$events/e1.json"),
+      """{"event_id":1,"key":10,"v":"a"}
+        |""".stripMargin.getBytes)
+    val fp = SchemaEvolution.load(tmp).fingerprint
+    val q = spark.readStream.schema(v1).json(events)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    SchemaEvolution.watchForDdl(q, tmp, fp, pollMs = 100)
+    // simulate DDL: the watcher must stop the query gracefully
+    SchemaEvolution.write(tmp, v2)
+    q.awaitTermination(60000)
+    assert(!q.isActive, "query stopped after the DDL")
+  }
+}
