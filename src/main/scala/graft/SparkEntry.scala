@@ -206,15 +206,22 @@ object SparkEntry {
       // oracle-checked; exact counts anchor the row.
       val e = ev(s, dir)
       val isSeen = col("position") % 2 === 0
-      val bloom = e.filter(isSeen)
+      // Build the sketch distributed (map-side partial filters, OR-merged),
+      // then carry it to the probe pass as a LITERAL: the probe kernel
+      // caches the parsed filter by array reference, and a literal keeps
+      // one stable byte[] per task — exactly the broadcast-a-sketch shape
+      // a 100 TB dedup uses. (Routing the filter through a join column
+      // would copy the bytes out of the UnsafeRow on every probed row.)
+      val filterBytes = e.filter(isSeen)
         .agg(BloomFunctions.bloom_agg(col("md5Digest"), 500000L, 0.01).as("f"))
-      e.crossJoin(broadcast(bloom))
-        .agg(count(lit(1)).as("n_probed"),
+        .head().getAs[Array[Byte]]("f")
+      val f = lit(filterBytes)
+      e.agg(count(lit(1)).as("n_probed"),
           sum(when(isSeen, 1L).otherwise(0L)).as("n_seen"),
-          sum(when(BloomFunctions.bloom_contains(col("f"), col("md5Digest")),
+          sum(when(BloomFunctions.bloom_contains(f, col("md5Digest")),
             1L).otherwise(0L)).as("n_hits"),
           sum(when(isSeen &&
-            BloomFunctions.bloom_contains(col("f"), col("md5Digest")),
+            BloomFunctions.bloom_contains(f, col("md5Digest")),
             1L).otherwise(0L)).as("n_seen_hits"))
         .select(col("n_probed"), col("n_seen"),
           (col("n_seen_hits") === col("n_seen")).as("no_false_negatives"),

@@ -106,23 +106,29 @@ case class BloomContains(left: Expression, right: Expression)
 object BloomOps {
   private final val MaxEntries = 4
 
-  private val cache = ThreadLocal.withInitial(() =>
-    new java.util.LinkedHashMap[java.nio.ByteBuffer, BloomFilter[CharSequence]](
-      MaxEntries, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[java.nio.ByteBuffer, BloomFilter[CharSequence]]): Boolean =
-        size() > MaxEntries
-    })
+  // Cache keyed by ARRAY REFERENCE, not content: a literal/broadcast filter
+  // is the same byte[] instance for every row a task probes, so reference
+  // equality is both correct and O(1). (A content key — e.g. a ByteBuffer,
+  // whose hashCode scans all bytes — re-hashes the multi-hundred-KB sketch
+  // on every row and turns the probe into an O(filter) scan per row.)
+  private final class Slot(val ref: Array[Byte],
+                           val filter: BloomFilter[CharSequence])
+  private val cache = ThreadLocal.withInitial(() => new Array[Slot](MaxEntries))
 
   def contains(filterBytes: Array[Byte], v: UTF8String): Boolean = {
-    val m = cache.get()
-    val key = java.nio.ByteBuffer.wrap(filterBytes)
-    var f = m.get(key)
-    if (f == null) {
-      f = BloomFilter.readFrom(new ByteArrayInputStream(filterBytes),
-        Funnels.unencodedCharsFunnel())
-      m.put(key, f)
+    val slots = cache.get()
+    var i = 0
+    while (i < MaxEntries) {
+      val s = slots(i)
+      if (s != null && (s.ref eq filterBytes)) return s.filter.mightContain(v.toString)
+      i += 1
     }
+    val f = BloomFilter.readFrom(new ByteArrayInputStream(filterBytes),
+      Funnels.unencodedCharsFunnel())
+    // shift in MRU order; evict the oldest
+    var j = MaxEntries - 1
+    while (j > 0) { slots(j) = slots(j - 1); j -= 1 }
+    slots(0) = new Slot(filterBytes, f)
     f.mightContain(v.toString)
   }
 }
