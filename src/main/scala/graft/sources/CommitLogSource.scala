@@ -54,7 +54,7 @@ class CommitLogSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CommitLogTable(properties.get("path"),
-      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "strict")),
+      properties.getOrDefault("mode", "strict").toLowerCase,
       properties.getOrDefault("maxSegmentsPerBatch", "0").toInt)
 }
 
@@ -87,6 +87,45 @@ object CommitLogSource {
     }.sortBy(_._1)
   }
 
+  /** Move a failed segment (and any idx sidecar) into `<dir>/errors/` —
+   * the reference's error-segment transfer (CommitLogProcessor.java:104-108).
+   * Atomic local rename; idempotent if already moved. */
+  def quarantine(segFile: java.io.File): Unit = {
+    val errors = new java.io.File(segFile.getParentFile, "errors")
+    errors.mkdirs()
+    def move(f: java.io.File): Unit = if (f.isFile)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(errors, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    move(segFile)
+    move(new java.io.File(segFile.getAbsolutePath.stripSuffix(".log") + "_cdc.idx"))
+  }
+
+  /**
+   * Recycle repaired segments from `<dir>/errors/` back into the live
+   * directory under fresh (higher) segment ids, so the linear offset picks
+   * them up again — the reference's `errorCommitLogReprocessEnabled` path
+   * (ArchiveCommitLogTransfer.java:34-47). Returns the number of segments
+   * recycled. Re-delivery duplicates collapse in the digest dedup (T1).
+   */
+  def recycle(dir: String): Int = {
+    val errors = new java.io.File(dir, "errors")
+    val failed = Option(errors.listFiles()).getOrElse(Array.empty)
+      .filter(f => FilePattern.pattern.matcher(f.getName).matches())
+      .sortBy(_.getName)
+    var nextSeg = segments(dir).map(_._1).maxOption.getOrElse(0L) + 1
+    failed.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dir, s"CommitLog-$nextSeg.log").toPath)
+      // stale idx no longer applies to the repaired content
+      val idx = new java.io.File(errors,
+        f.getName.stripSuffix(".log") + "_cdc.idx")
+      if (idx.isFile) idx.delete()
+      nextSeg += 1
+    }
+    failed.length
+  }
+
   /**
    * Synced byte position of a segment: if a `CommitLog-<seg>_cdc.idx`
    * sidecar exists, its first line is the count of durably-synced bytes —
@@ -116,10 +155,12 @@ object CommitLogSource {
   }
 }
 
-class CommitLogTable(path: String, permissive: Boolean = false,
+class CommitLogTable(path: String, mode: String = "strict",
                      maxSegmentsPerBatch: Int = 0)
     extends Table with SupportsRead {
   require(path != null, "CommitLogSource requires option 'path'")
+  require(Set("strict", "permissive", "quarantine").contains(mode),
+    s"CommitLogSource mode must be strict|permissive|quarantine, got $mode")
   override def name(): String = s"commitlog:$path"
   override def schema(): StructType = CommitLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -130,7 +171,7 @@ class CommitLogTable(path: String, permissive: Boolean = false,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CommitLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CommitLogMicroBatchStream(path, permissive, maxSegmentsPerBatch)
+          new CommitLogMicroBatchStream(path, mode, maxSegmentsPerBatch)
       }
     }
 }
@@ -142,7 +183,7 @@ case class CommitLogOffset(segment: Long, position: Long) extends Offset {
   override def json(): String = s"""{"segment":$segment,"position":$position}"""
 }
 
-class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
+class CommitLogMicroBatchStream(path: String, mode: String = "strict",
                                 maxSegmentsPerBatch: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -226,7 +267,7 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
         // position may be torn (writer crashed mid-sync)
         else CommitLogSource.syncedPosition(f)
       if (from >= 0 && until > from) {
-        parts += CommitLogInputPartition(f.getAbsolutePath, from, until, permissive)
+        parts += CommitLogInputPartition(f.getAbsolutePath, from, until, mode)
       } else if (from < 0) {
         // earlier segments are complete — reference cleans them up
         // (CommitLogReaderService.java:266-323); nothing to read
@@ -246,7 +287,7 @@ class CommitLogMicroBatchStream(path: String, permissive: Boolean = false,
 }
 
 case class CommitLogInputPartition(file: String, fromByte: Long, untilByte: Long,
-                                   permissive: Boolean = false)
+                                   mode: String = "strict")
   extends InputPartition
 
 /** Reads exactly the byte range [fromByte, untilByte) of one segment:
@@ -277,11 +318,15 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
     new java.io.InputStreamReader(bounded, java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _
 
+  private var quarantined = false
+
   override def next(): Boolean = {
+    if (quarantined) return false
     var line = reader.readLine()
     while (line != null) {
       parse(line) match {
         case Some(row) => current = row; return true
+        case None if quarantined => return false
         case None      => // permissive mode: malformed line skipped & logged
       }
       line = reader.readLine()
@@ -289,9 +334,19 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
     false
   }
 
-  /** Strict mode (default) fails the task on a malformed line; permissive
-   * mode skips it — the analog of the reference routing bad segments to
-   * `errors/` and continuing (CommitLogProcessor.java:104-108, T7). */
+  /**
+   * Malformed-line policy:
+   *  - strict (default): fail the task — the query surfaces the error;
+   *  - permissive: skip the line and keep reading;
+   *  - quarantine: emit the segment's good prefix, then move the whole file
+   *    to `errors/` next to the log dir and stop reading it — the reference's
+   *    error-segment path (CommitLogProcessor.java:104-108,
+   *    ArchiveCommitLogTransfer.java:34-47). An operator repairs and
+   *    [[CommitLogSource.recycle]]s it; re-delivered mutations collapse in
+   *    the digest dedup downstream (at-least-once, SURVEY §2.7 T1). The
+   *    move is a local atomic rename — in the agent model each node tails
+   *    its OWN commitlog directory, so the file is host-local to the task.
+   */
   private def parse(line: String): Option[InternalRow] =
     try {
       val f = line.split(",", -1)
@@ -300,9 +355,15 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
         f(4).toLong, f(5).toInt, UTF8String.fromString(f(6)),
         UTF8String.fromString(f(7))))
     } catch {
-      case e: Exception if p.permissive =>
+      case e: Exception if p.mode == "permissive" =>
         System.err.println(
           s"[commitlog] skipping malformed line in ${p.file}: ${e.getMessage}")
+        None
+      case e: Exception if p.mode == "quarantine" =>
+        System.err.println(
+          s"[commitlog] quarantining ${p.file}: ${e.getMessage}")
+        CommitLogSource.quarantine(new java.io.File(p.file))
+        quarantined = true
         None
     }
 
