@@ -327,6 +327,30 @@ object SparkEntry {
           GraftFunctions.token_partition(col("token"), 32).cast("long"))
     }),
 
+    "cdc_partition_classify" -> ((s, dir) => {
+      // P1+P2: CDC admission (cdc-disabled tables and counter/MV/2i
+      // partitions rejected with countable reasons — reference
+      // CommitLogReadHandlerImpl.java:111-152, 229-231) and PartitionType
+      // classification of the admitted stream. Table kind / cdc flag /
+      // clustering presence synthesized deterministically from the events.
+      val e = ev(s, dir)
+        .withColumn("table_kind",
+          when(col("key") % 50 === 0, "counter")
+            .when(col("key") % 50 === 1, "materialized_view")
+            .when(col("key") % 50 === 2, "secondary_index")
+            .otherwise("base"))
+        .withColumn("cdc_enabled", col("key") % 10 =!= 3)
+        .withColumn("clustering_key",
+          when(col("position") % 5 === 0, lit(null)).otherwise(col("position")))
+      val admitted = CdcOperators.admitCdc(e)
+      admitted
+        .withColumn("category",
+          when(col("admit_reason") =!= "admitted", col("admit_reason"))
+            .otherwise(CdcOperators.partitionType(col("op"),
+              col("clustering_key"))))
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+    }),
+
     "cdc_all_types" -> ((s, dir) => {
       // The reference's richest e2e scenario re-expressed: every CQL value
       // category — text/int/bigint/boolean/blob/uuid/date/timestamp/time/
@@ -772,6 +796,20 @@ object SparkEntry {
          c_name AS tag2, c_mktsegment AS prop_seg,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
          FROM customer""",
+
+    "cdc_partition_classify" ->
+      s"""SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         SELECT CASE
+           WHEN user_id % 10 = 3 THEN 'skipped_cdc_disabled'
+           WHEN user_id % 50 = 0 THEN 'skipped_counter'
+           WHEN user_id % 50 = 1 THEN 'skipped_materialized_view'
+           WHEN user_id % 50 = 2 THEN 'skipped_secondary_index'
+           WHEN ($opSql) = 'd' AND (event_id % 1000) % 5 = 0
+             THEN 'partition_key_row_deletion'
+           WHEN ($opSql) = 'd' THEN 'partition_and_clustering_key_row_deletion'
+           WHEN (event_id % 1000) % 5 = 0 THEN 'partition_level_modification'
+           ELSE 'row_level_modification' END AS category
+         FROM events) GROUP BY category""",
 
     "cdc_all_types" ->
       """SELECT c_custkey AS "key",

@@ -146,6 +146,42 @@ object CdcOperators {
   }
 
   /**
+   * P1+P2: CDC admission + partition-type classification.
+   *
+   * `admitCdc` drops mutations that the reference never forwards: tables
+   * not tracked by CDC (CommitLogReadHandlerImpl.java:229-231) and
+   * counter / materialized-view / secondary-index partitions, which are
+   * rejected with a warning (CommitLogReadHandlerImpl.java:111-152). The
+   * rejection reason survives as `admit_reason` so skipped work is
+   * countable (reference SkippedMutations counter) — filter on
+   * `admit_reason = 'admitted'` for the forwarded stream.
+   */
+  val RejectedTableKinds: Seq[String] =
+    Seq("counter", "materialized_view", "secondary_index")
+
+  def admitCdc(events: DataFrame, cdcEnabledCol: String = "cdc_enabled",
+               tableKindCol: String = "table_kind"): DataFrame =
+    events.withColumn("admit_reason",
+      when(!col(cdcEnabledCol), lit("skipped_cdc_disabled"))
+        .when(col(tableKindCol).isin(RejectedTableKinds: _*),
+          concat(lit("skipped_"), col(tableKindCol)))
+        .otherwise(lit("admitted")))
+
+  /**
+   * P2: classify an admitted mutation into the reference's PartitionType
+   * (CommitLogReadHandlerImpl.java:75-152): deletes without a clustering
+   * key delete the whole partition; with one, a clustered row; modifications
+   * split the same way (partition-level ops carry no clustering key).
+   */
+  def partitionType(opCol: Column, clusteringKey: Column): Column =
+    when(opCol === Cdc.OpDelete && clusteringKey.isNull,
+      lit("partition_key_row_deletion"))
+      .when(opCol === Cdc.OpDelete,
+        lit("partition_and_clustering_key_row_deletion"))
+      .when(clusteringKey.isNull, lit("partition_level_modification"))
+      .otherwise(lit("row_level_modification"))
+
+  /**
    * Backfill ingestion from CSV exports — the reference's DSBulk-unloaded
    * primary-key CSV replayed as synthetic insert events
    * (backfill-cli/.../PulsarImporter.java:124-220; export TableExporter.java:

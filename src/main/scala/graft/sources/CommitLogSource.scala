@@ -55,7 +55,9 @@ class CommitLogSourceProvider extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new CommitLogTable(properties.get("path"),
       properties.getOrDefault("mode", "strict").toLowerCase,
-      properties.getOrDefault("maxSegmentsPerBatch", "0").toInt)
+      properties.getOrDefault("maxSegmentsPerBatch", "0").toInt,
+      properties.getOrDefault("adaptiveLowMs", "0").toLong,
+      properties.getOrDefault("adaptiveHighMs", "0").toLong)
 }
 
 object CommitLogSource {
@@ -155,8 +157,45 @@ object CommitLogSource {
   }
 }
 
+/**
+ * T6 adaptive rate control — the reference's latency-driven executor-pool
+ * sizing (grow while the 10-batch mobile average stays under the low
+ * threshold, shrink 10% when it exceeds the high one,
+ * CassandraSource.java:217-263; mobile average :177-189) re-expressed as a
+ * per-batch segment-admission controller: the micro-batch source grows or
+ * shrinks how many segments the next batch may admit based on how long
+ * recent batches took. Pure state machine — unit-testable without a clock.
+ *
+ * @param minCap     lower bound on segments per batch (>=1)
+ * @param maxCap     upper bound
+ * @param lowMs      mobile average below this ⇒ grow by one
+ * @param highMs     mobile average above this ⇒ shrink 10% (at least one)
+ */
+final class AdaptiveRateController(minCap: Int, maxCap: Int,
+                                   lowMs: Long, highMs: Long,
+                                   window: Int = 10) {
+  require(minCap >= 1 && maxCap >= minCap && lowMs <= highMs)
+  private val durations = new java.util.ArrayDeque[Long](window)
+  private var cap = maxCap.min(math.max(minCap, (minCap + maxCap) / 2))
+
+  def currentCap: Int = cap
+
+  /** Record a completed batch duration; returns the new cap. */
+  def observe(batchMs: Long): Int = synchronized {
+    if (durations.size == window) durations.removeFirst()
+    durations.addLast(batchMs)
+    var sum = 0L
+    durations.forEach(d => sum += d)
+    val avg = sum / durations.size
+    if (avg < lowMs) cap = math.min(maxCap, cap + 1)
+    else if (avg > highMs) cap = math.max(minCap, cap - math.max(1, cap / 10))
+    cap
+  }
+}
+
 class CommitLogTable(path: String, mode: String = "strict",
-                     maxSegmentsPerBatch: Int = 0)
+                     maxSegmentsPerBatch: Int = 0,
+                     adaptiveLowMs: Long = 0L, adaptiveHighMs: Long = 0L)
     extends Table with SupportsRead {
   require(path != null, "CommitLogSource requires option 'path'")
   require(Set("strict", "permissive", "quarantine").contains(mode),
@@ -170,8 +209,16 @@ class CommitLogTable(path: String, mode: String = "strict",
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CommitLogSource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CommitLogMicroBatchStream(path, mode, maxSegmentsPerBatch)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // adaptive admission (T6): latency-driven segment cap between 1
+          // and maxSegmentsPerBatch, reference thresholds as option values
+          val adaptive =
+            if (adaptiveHighMs > 0 && maxSegmentsPerBatch > 0)
+              Some(new AdaptiveRateController(1, maxSegmentsPerBatch,
+                adaptiveLowMs, adaptiveHighMs))
+            else None
+          new CommitLogMicroBatchStream(path, mode, maxSegmentsPerBatch, adaptive)
+        }
       }
     }
 }
@@ -184,9 +231,13 @@ case class CommitLogOffset(segment: Long, position: Long) extends Offset {
 }
 
 class CommitLogMicroBatchStream(path: String, mode: String = "strict",
-                                maxSegmentsPerBatch: Int = 0)
+                                maxSegmentsPerBatch: Int = 0,
+                                adaptive: Option[AdaptiveRateController] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // batch-to-batch wall clock feeding the adaptive controller
+  @volatile private var lastAdvanceNanos: Long = 0L
 
   override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
 
@@ -217,11 +268,17 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
    * never beyond the AvailableNow target. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CommitLogOffset]
+    adaptive.foreach { ctl =>
+      val now = System.nanoTime()
+      if (lastAdvanceNanos != 0L) ctl.observe((now - lastAdvanceNanos) / 1000000L)
+      lastAdvanceNanos = now
+    }
+    val segCap = adaptive.map(_.currentCap).getOrElse(maxSegmentsPerBatch)
     val target = availableNowTarget.getOrElse(unboundedLatest())
     val segs = CommitLogSource.segments(path).filter(_._1 <= target.segment)
     if (segs.isEmpty) return s
     val (endSeg, endFile) =
-      if (maxSegmentsPerBatch > 0) {
+      if (segCap > 0) {
         // unread work only: segments beyond the committed one, plus the
         // committed segment itself when its synced tail has grown — a
         // fully-read start segment must not occupy the window or a cap of 1
@@ -231,7 +288,7 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
             (seg == s.segment && CommitLogSource.syncedPosition(f) > s.position)
         }
         if (window.isEmpty) return s
-        window.take(math.max(maxSegmentsPerBatch, 1)).last
+        window.take(math.max(segCap, 1)).last
       } else segs.last
     val pos =
       if (endSeg == target.segment)

@@ -96,6 +96,33 @@ class CdcOperatorsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().sorted.toSeq === Seq(20L, 30L))
   }
 
+  test("admitCdc rejects cdc-disabled / counter / MV / 2i; partitionType classifies the rest") {
+    val e = Seq(
+      // (event_id, op, clustering, kind, cdc)
+      (1L, "u", Some(5), "base", true),
+      (2L, "u", None, "base", true),
+      (3L, "d", Some(5), "base", true),
+      (4L, "d", None, "base", true),
+      (5L, "u", Some(5), "counter", true),
+      (6L, "u", Some(5), "materialized_view", true),
+      (7L, "u", Some(5), "secondary_index", true),
+      (8L, "u", Some(5), "base", false)
+    ).toDF("event_id", "op", "clustering_key", "table_kind", "cdc_enabled")
+    val out = CdcOperators.admitCdc(e)
+      .withColumn("ptype",
+        CdcOperators.partitionType(col("op"), col("clustering_key")))
+      .select($"event_id", $"admit_reason", $"ptype")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("admitted", "row_level_modification")))
+    assert(out(2L) === (("admitted", "partition_level_modification")))
+    assert(out(3L) === (("admitted", "partition_and_clustering_key_row_deletion")))
+    assert(out(4L) === (("admitted", "partition_key_row_deletion")))
+    assert(out(5L)._1 === "skipped_counter")
+    assert(out(6L)._1 === "skipped_materialized_view")
+    assert(out(7L)._1 === "skipped_secondary_index")
+    assert(out(8L)._1 === "skipped_cdc_disabled")
+  }
+
   test("cassandra_token expression agrees with the scala kernel and codegen survives") {
     val df = Seq(1L, 42L, -7L).toDF("k")
       .select(col("k"), GraftFunctions.cassandra_token(col("k")).as("t"))

@@ -273,6 +273,45 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(deduped.count() === 6)
   }
 
+  test("adaptive rate controller: grows under the low bar, sheds 10% over the high bar") {
+    val ctl = new graft.sources.AdaptiveRateController(
+      minCap = 1, maxCap = 20, lowMs = 10, highMs = 100, window = 10)
+    val start = ctl.currentCap
+    // fast batches: cap climbs to the max and stays
+    (1 to 30).foreach(_ => ctl.observe(2))
+    assert(ctl.currentCap === 20)
+    // slow batches: 10% shed per observation, floored at minCap
+    (1 to 3).foreach(_ => ctl.observe(100000))
+    assert(ctl.currentCap < 20)
+    (1 to 60).foreach(_ => ctl.observe(100000))
+    assert(ctl.currentCap === 1)
+    // mixed latencies around the band keep the cap stable
+    val stableStart = ctl.currentCap
+    (1 to 10).foreach(_ => ctl.observe(50))
+    assert(ctl.currentCap === stableStart)
+    assert(start >= 1 && start <= 20)
+  }
+
+  test("adaptive admission drains everything with the cap bounded") {
+    val tmp = Files.createTempDirectory("graft_clog_adapt").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    for (seg <- 1 to 5) {
+      Files.write(Paths.get(s"$tmp/logs/CommitLog-$seg.log"),
+        (line(seg * 10L, seg.toLong, seg.toLong, 0) + "\n").getBytes)
+    }
+    val q = spark.readStream
+      .format("graft.sources.CommitLogSourceProvider")
+      .option("path", s"$tmp/logs")
+      .option("maxSegmentsPerBatch", "2")
+      .option("adaptiveLowMs", "1").option("adaptiveHighMs", "10000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$tmp/out").count() === 5)
+  }
+
   test("full pipeline over the commitlog source: dedup + enrich + tombstones") {
     val tmp = Files.createTempDirectory("graft_clog_pipe").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))
