@@ -691,6 +691,17 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
     }),
 
+    "q_skew_salted_join" -> ((s, dir) => {
+      // explicit skew-join mitigation: fact side salted into 16 sub-keys,
+      // dimension replicated per salt — result must equal the plain join
+      // (oracle). The fixed-plan sibling of AQE's runtime skew handling.
+      val facts = Cdc.rawEvents(s, dir).select(col("user_id"), col("event_id"))
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      SkewSafe.saltedJoin(facts, dim, "user_id", "c_custkey",
+          "left_outer", saltBuckets = 16)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
     "asof_last_order" -> ((s, dir) => {
       // as-of (point-in-time) join: each event gets the customer's latest
       // order at or before the event time
@@ -1119,6 +1130,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type""",
+
+    "q_skew_salted_join" ->
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment""",
 
     "asof_last_order" ->
       """WITH od AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_t,

@@ -146,6 +146,48 @@ object CdcOperators {
   }
 
   /**
+   * P8/J1: prefix lookup join for compound primary keys. The reference
+   * builds its point-lookup WHERE clause from the event's NON-NULL PK
+   * prefix (CassandraSource.java:534 `pk.filter(_ != null)`, prepared per
+   * where-arity CassandraClient.java:166-178): a row-level event carries
+   * the full (partition, clustering) key and resolves one row; a
+   * partition-level event (null clustering) matches the partition only and
+   * resolves the partition's static values.
+   *
+   * Spark shape: two equi-joins (full-key and partition-only against a
+   * distinct partition-level static projection), unioned — both plain
+   * shuffle/broadcast hash joins, no null-tolerant theta condition that
+   * would defeat the join planner.
+   */
+  def prefixLookupJoin(events: DataFrame, base: DataFrame,
+                       partitionKey: String, clusteringKey: String,
+                       staticCols: Seq[String], regularCols: Seq[String],
+                       broadcastDim: Boolean = true): DataFrame = {
+    val allVals = (staticCols ++ regularCols).distinct
+    val dim0 = base.select(
+      (Seq(col(partitionKey).as("_pk"), col(clusteringKey).as("_ck")) ++
+        allVals.map(col)): _*)
+    val dim = if (broadcastDim) broadcast(dim0) else dim0
+    // partition-level static projection: statics are constant per partition
+    val staticAggs = staticCols.map(c => first(col(c)).as(c))
+    val statics0 = base.groupBy(col(partitionKey).as("_pk"))
+      .agg(staticAggs.head, staticAggs.tail: _*)
+    val staticsDim = if (broadcastDim) broadcast(statics0) else statics0
+
+    val rowLevel = events.filter(col(clusteringKey).isNotNull)
+      .join(dim, col(partitionKey) === col("_pk") &&
+        col(clusteringKey) === col("_ck"), "left_outer")
+      .drop("_pk", "_ck")
+    val partitionLevel0 = events.filter(col(clusteringKey).isNull)
+      .join(staticsDim, col(partitionKey) === col("_pk"), "left_outer")
+      .drop("_pk")
+    // non-static fields are not resolvable by a partition-level lookup
+    val partitionLevel = regularCols.filterNot(staticCols.contains)
+      .foldLeft(partitionLevel0)((df, c) => df.withColumn(c, lit(null)))
+    rowLevel.unionByName(partitionLevel.select(rowLevel.columns.map(col): _*))
+  }
+
+  /**
    * P1+P2: CDC admission + partition-type classification.
    *
    * `admitCdc` drops mutations that the reference never forwards: tables

@@ -31,4 +31,32 @@ object SkewSafe {
       .agg(sum(col("_cnt")).as("n"),
         sumSpecs.keys.toSeq.map(n => sum(col(s"_sum_$n")).as(n)): _*)
   }
+
+  /**
+   * Skew-safe equi-join: salt the (large, skewed) fact side into
+   * `saltBuckets` sub-keys and replicate each dimension row once per
+   * bucket, so one hot key's rows spread over `saltBuckets` reducers
+   * instead of piling onto one. Result is identical to
+   * `fact.join(dim, factKey === dimKey, "inner"/"left_outer")`.
+   *
+   * This is the explicit form of what AQE's skew-join mitigation does at
+   * runtime — useful when the skew is KNOWN (a handful of celebrity keys)
+   * and you want the plan fixed up front, or the join's sink must not
+   * re-plan mid-flight. Dimension replication costs |dim|·saltBuckets, so
+   * size saltBuckets to the hot key's excess, not to the cluster.
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, joinType: String = "inner",
+                 saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
+    val explodedDim = dim.withColumn("_salt",
+      explode(typedlit((0 until saltBuckets).toArray)))
+    saltedFact
+      .join(explodedDim,
+        saltedFact(factKey) === explodedDim(dimKey) &&
+          saltedFact("_salt") === explodedDim("_salt"), joinType)
+      .drop(explodedDim("_salt")).drop(saltedFact("_salt"))
+      .drop(explodedDim(dimKey))
+  }
 }

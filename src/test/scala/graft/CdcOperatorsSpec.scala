@@ -123,6 +123,42 @@ class CdcOperatorsSpec extends SparkSpec {
     assert(out(8L)._1 === "skipped_cdc_disabled")
   }
 
+  test("prefixLookupJoin: full-PK events resolve rows, null-clustering events resolve statics") {
+    // base table: partition p, clustering c, static s (constant per p), regular r
+    val baseT = Seq(
+      ("p1", 1, "s1", "r11"), ("p1", 2, "s1", "r12"), ("p2", 1, "s2", "r21")
+    ).toDF("p", "c", "s", "r")
+    val evs = Seq(
+      (1L, "p1", Some(2)),   // row-level: resolves (s1, r12)
+      (2L, "p1", None),      // partition-level: statics only
+      (3L, "p9", Some(1)),   // miss: tombstone-shaped nulls
+      (4L, "p2", None)
+    ).toDF("event_id", "p", "c")
+    val out = CdcOperators.prefixLookupJoin(evs, baseT, "p", "c",
+        staticCols = Seq("s"), regularCols = Seq("r"))
+      .select($"event_id", $"s", $"r")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((Some("s1"), Some("r12"))))
+    assert(out(2L) === ((Some("s1"), None)))
+    assert(out(3L) === ((None, None)))
+    assert(out(4L) === ((Some("s2"), None)))
+  }
+
+  test("saltedJoin equals a plain join, including outer misses") {
+    val fact = (1 to 500).map(i => (if (i % 10 == 0) 99L else i.toLong, i))
+      .toDF("fk", "v")
+    val dim = Seq((99L, "hot"), (1L, "one"), (7L, "seven")).toDF("dk", "name")
+    val salted = graft.operators.SkewSafe
+      .saltedJoin(fact, dim, "fk", "dk", "left_outer", saltBuckets = 8)
+      .select($"fk", $"v", $"name")
+      .as[(Long, Int, Option[String])].collect().toSet
+    val plain = fact.join(dim, fact("fk") === dim("dk"), "left_outer")
+      .select($"fk", $"v", $"name")
+      .as[(Long, Int, Option[String])].collect().toSet
+    assert(salted === plain)
+  }
+
   test("cassandra_token expression agrees with the scala kernel and codegen survives") {
     val df = Seq(1L, 42L, -7L).toDF("k")
       .select(col("k"), GraftFunctions.cassandra_token(col("k")).as("t"))
