@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.CdcOperators
+
+/**
+ * Backfill entry point — the Spark analog of the reference's backfill CLI
+ * (`pulsar-admin cassandra-cdc backfill`, backfill-cli/.../BackfillCommand
+ * .java:170-177 → CassandraToPulsarMigrator.java:38-48: DSBulk-export the
+ * table's primary keys, replay them as synthetic insert events so the
+ * connector re-materializes historical rows).
+ *
+ * Usage:
+ *   graft.BackfillJob <tableParquet> <keyCol> <eventsOutDir> [maxRowsPerSecond]
+ *
+ * Reads the table snapshot, projects the primary key, emits synthetic
+ * insert events (digest = BACK_FILL_INSERT, segment/position/writetime =
+ * -1, PulsarImporter.java:80-102) into the events directory the streaming
+ * pipeline tails; the constant digest deliberately bypasses dedup (each PK
+ * sent exactly once, SURVEY §2.7 T8). `maxRowsPerSecond` maps the CLI's
+ * `--max-rows-per-second` onto output-file batching: rows are written in
+ * rate-sized chunks so a downstream `maxFilesPerTrigger=1` reader consumes
+ * at most that many per trigger.
+ */
+object BackfillJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: BackfillJob <tableParquet> <keyCol> <eventsOutDir> [maxRowsPerSecond]")
+    val Array(table, keyCol, outDir) = args.take(3)
+    val maxRowsPerSecond = args.lift(3).map(_.toInt).getOrElse(0)
+    val spark = SparkSession.builder()
+      .appName("graft-backfill")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    run(spark, table, keyCol, outDir, maxRowsPerSecond)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, tableParquet: String, keyCol: String,
+          outDir: String, maxRowsPerSecond: Int = 0): Long = {
+    val snapshot = spark.read.parquet(tableParquet)
+    val events = CdcOperators.backfillEvents(snapshot.select(keyCol), keyCol)
+    val n = events.count()
+    val writer =
+      if (maxRowsPerSecond > 0) {
+        val files = math.max(1L, (n + maxRowsPerSecond - 1) / maxRowsPerSecond)
+        events.repartition(files.toInt).write
+      } else events.write
+    writer.mode("append").parquet(outDir)
+    n
+  }
+}

@@ -50,7 +50,11 @@ object SkewSafe {
                  saltBuckets: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
-    val explodedDim = dim.withColumn("_salt",
+    // Salting only matters for SHUFFLE joins (a broadcast join has no
+    // reducer skew to spread) — in the target regime the dimension is too
+    // big to broadcast, so pin the plan to shuffle-hash rather than let the
+    // small test fixture broadcast and make the salt a no-op.
+    val explodedDim = dim.hint("shuffle_hash").withColumn("_salt",
       explode(typedlit((0 until saltBuckets).toArray)))
     saltedFact
       .join(explodedDim,

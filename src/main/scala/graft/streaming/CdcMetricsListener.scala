@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/**
+ * A2 metrics surface with the reference's counter names — the agent's
+ * CdcMetrics (agent-c4/.../CdcMetrics.java: SentMutations, SentErrors,
+ * SkippedMutations, …) and the connector-side counters
+ * (CassandraSource.java:101-134). Monotonic counters accumulate from the
+ * `observe("graft_cdc", …)` metrics the pipeline attaches per micro-batch
+ * (CdcPipeline), plus engine-provided row counts; max gauges mirror the
+ * reference's `AtomicInteger.getAndAccumulate(max)` pattern
+ * (CommitLogReaderService.java:62-64).
+ *
+ * Attach with `spark.streams.addListener(listener)`; read a consistent
+ * snapshot anytime with [[snapshot]].
+ */
+final class CdcMetricsListener extends StreamingQueryListener {
+
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  private val maxima = new ConcurrentHashMap[String, AtomicLong]()
+
+  private def counter(name: String): AtomicLong =
+    counters.computeIfAbsent(name, _ => new AtomicLong)
+  private def maxGauge(name: String): AtomicLong =
+    maxima.computeIfAbsent(name, _ => new AtomicLong(Long.MinValue))
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    counter("StartedQueries").incrementAndGet()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    counter("ProcessedBatches").incrementAndGet()
+    counter("InputRows").addAndGet(p.numInputRows)
+    maxGauge("MaxBatchInputRows").getAndAccumulate(p.numInputRows, math.max)
+    val observed = p.observedMetrics
+    if (observed.containsKey("graft_cdc")) {
+      val row = observed.get("graft_cdc")
+      // reference counter names (CdcMetrics.java / monitor.adoc)
+      counter("SentMutations").addAndGet(row.getAs[Long]("sentMutations"))
+      counter("Tombstones").addAndGet(row.getAs[Long]("tombstones"))
+      maxGauge("MaxSegment").getAndAccumulate(
+        Option(row.getAs[Any]("maxSegment"))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue), math.max)
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    counter("TerminatedQueries").incrementAndGet()
+    if (event.exception.isDefined) counter("QueryErrors").incrementAndGet()
+  }
+
+  /** Consistent point-in-time view: counters plus defined max gauges. */
+  def snapshot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val c = counters.asScala.map { case (k, v) => k -> v.get() }.toMap
+    val m = maxima.asScala.collect {
+      case (k, v) if v.get() != Long.MinValue => k -> v.get()
+    }.toMap
+    c ++ m
+  }
+}

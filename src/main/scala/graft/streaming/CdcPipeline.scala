@@ -38,7 +38,12 @@ object CdcPipeline {
             // StreamingDedup.dedup). Continuous deployments pass a real TTL
             // and a ProcessingTime trigger.
             ttlMs: Long = 0L,
-            sourceFormat: String = "parquet"): StreamingQuery = {
+            sourceFormat: String = "parquet",
+            // S4 token routing: >0 routes output by the Cassandra token's
+            // top 16 bits mod n — the reference's Murmur3MessageRouter
+            // partitioning (commons/.../Murmur3MessageRouter.java:25-28),
+            // so one key's records land in one output partition
+            tokenPartitions: Int = 0): StreamingQuery = {
     import spark.implicits._
 
     // events arrive either as parquet drops or via the custom commitlog
@@ -76,15 +81,28 @@ object CdcPipeline {
       .foreachBatch { (batch: Dataset[StreamEvent], batchId: Long) =>
         val enriched = CdcOperators.enrichmentJoin(
           batch.toDF(), baseTableProvider(), "key", tableKey, valueCols)
-        enriched
+        val records = enriched
           .select(col("event_id"), col("key"), col("op"), col("writetime"),
             // tombstone: null value struct for deletes / missing rows
             when(col("op") === Cdc.OpDelete, lit(null))
               .otherwise(struct(valueCols.map(col): _*)).as("value"))
-          // one overwritten directory per micro-batch: a retried batch
-          // rewrites, never duplicates — idempotent sink = exactly-once
-          // end-to-end on top of the checkpointed source (SURVEY.md §2.7 T1)
-          .write.mode("overwrite").parquet(s"$outDir/batch/epoch=$batchId")
+        val routed =
+          if (tokenPartitions > 0) {
+            import graft.functions.GraftFunctions
+            records
+              .withColumn("token_partition", GraftFunctions.token_partition(
+                GraftFunctions.cassandra_token(col("key")), tokenPartitions))
+              // co-locate each token bucket in one task, then keep the
+              // bucket in the layout — same-key records share a partition
+              // exactly like the reference's per-partition topic routing
+              .repartition(tokenPartitions, col("token_partition"))
+          } else records
+        // one overwritten directory per micro-batch: a retried batch
+        // rewrites, never duplicates — idempotent sink = exactly-once
+        // end-to-end on top of the checkpointed source (SURVEY.md §2.7 T1)
+        val writer = routed.write.mode("overwrite")
+        (if (tokenPartitions > 0) writer.partitionBy("token_partition")
+         else writer).parquet(s"$outDir/batch/epoch=$batchId")
         ()
       }
       .start()
