@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (document, LSH band bucket) observation flowing into the index. */
+case class BandedDoc(bucket: String, doc_id: Long, fingerprint: String)
+
+/** Per-bucket index state: documents seen in this bucket (bounded). */
+case class BucketState(docs: List[(Long, String)])
+
+/** An emitted near-duplicate candidate: `b` arrived and collided with the
+ * earlier `a` in `bucket`; same fingerprint ⇒ exact duplicate. */
+case class NearDupCandidate(a: Long, b: Long, bucket: String,
+                            exact_dup: Boolean)
+
+/**
+ * Streaming near-duplicate detection — the incremental form of the batch
+ * MinHash+LSH pipeline ([[graft.operators.DocDedup]]): as documents stream
+ * in, each of their LSH band buckets is a key into state holding the
+ * documents previously indexed under that bucket; a new arrival emits one
+ * candidate pair per stored neighbor, then joins the bucket.
+ *
+ * Scale shape: `groupByKey(bucket)` puts each bucket's index on exactly one
+ * task backed by the state store — the same hash-partitioned locality the
+ * batch variant gets from its bucket join, but with O(new docs) work per
+ * batch instead of a corpus re-scan. `maxBucketSize` caps pathological
+ * buckets exactly like the batch `DocDedup.candidatePairs` cap (a stopword
+ * shingle bucket at 100 TB would otherwise accumulate forever); the cap
+ * keeps the newest docs (duplicates cluster in time). `ttlMs` expires idle
+ * buckets (processing-time timeout) for continuous deployments; `ttlMs<=0`
+ * keeps the index forever (required under Trigger.AvailableNow — see
+ * [[StreamingDedup.dedup]] for why).
+ *
+ * Emitted pairs are CANDIDATES (band collision). Exact-duplicate pairs are
+ * flagged via the full fingerprint; near-dup confirmation (true Jaccard /
+ * cosine) joins the candidates back to document bodies downstream,
+ * mirroring the batch two-phase verify.
+ */
+object StreamingNearDup {
+
+  val DefaultMaxBucketSize = 100
+
+  /**
+   * Expand a document stream (doc_id, text) into banded observations with
+   * the SAME portable md5 minhash + banding math as the batch pipeline
+   * ([[DocDedup.minhashSignatures]]/[[DocDedup.lshBuckets]]), but computed
+   * ROW-LOCALLY: minhash h = min over the doc's distinct tokens of
+   * md5(h|token) (array_min over a transform — a pure projection), band
+   * bucket = md5 of the band's minhashes joined in h order. Row-local
+   * matters twice: a streaming query cannot put the batch variant's
+   * corpus-level vocabulary aggregation in front of a stateful operator,
+   * and per-row projections keep the stage inside whole-stage codegen.
+   * Identical inputs produce identical buckets in both variants.
+   */
+  def bandedDocs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4)
+                (implicit spark: SparkSession): Dataset[BandedDoc] = {
+    import spark.implicits._
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val tokens = array_distinct(split(col("text"), " "))
+    val minhashes = (0 until numHashes).map(h =>
+      array_min(transform(tokens, t => md5(concat_ws("|", lit(h), t)))))
+    val nBands = numHashes / rowsPerBand
+    val bands = array((0 until nBands).map { j =>
+      val inBand = (0 until rowsPerBand).map(i => minhashes(j * rowsPerBand + i))
+      concat_ws(":", lit(j), md5(concat_ws("|", inBand: _*)))
+    }: _*)
+    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"),
+        explode(bands).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("fingerprint"))
+      .as[BandedDoc]
+  }
+
+  def candidates(banded: Dataset[BandedDoc],
+                 maxBucketSize: Int = DefaultMaxBucketSize,
+                 ttlMs: Long = 0L): Dataset[NearDupCandidate] = {
+    implicit val inEnc = Encoders.product[BandedDoc]
+    implicit val kEnc = Encoders.STRING
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        process(maxBucketSize, ttlMs))(
+        Encoders.product[BucketState], Encoders.product[NearDupCandidate])
+  }
+
+  private[graft] def process(maxBucketSize: Int, ttlMs: Long)(
+      bucket: String, docs: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearDupCandidate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var indexed = state.getOption.getOrElse(BucketState(Nil)).docs
+      val out = List.newBuilder[NearDupCandidate]
+      for (d <- docs.toSeq.sortBy(_.doc_id)) {
+        if (!indexed.exists(_._1 == d.doc_id)) {
+          for ((prevId, prevFp) <- indexed) {
+            val (a, b) = if (prevId < d.doc_id) (prevId, d.doc_id)
+                         else (d.doc_id, prevId)
+            out += NearDupCandidate(a, b, bucket, prevFp == d.fingerprint)
+          }
+          indexed = (indexed :+ ((d.doc_id, d.fingerprint)))
+            .takeRight(maxBucketSize)
+        }
+      }
+      state.update(BucketState(indexed))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.result().iterator
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingNearDup
+
+/**
+ * Streaming LSH near-dup index: incremental candidates match the batch
+ * pipeline's, state persists across batches, exact dups are flagged.
+ */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "entirely unrelated words regarding database systems")
+  )
+
+  test("row-local banding agrees with the batch minhash/LSH pipeline") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = docs.toDF("doc_id", "text")
+    val streamingShaped = StreamingNearDup.bandedDocs(df, 8, 4)
+      .collect().map(b => (b.doc_id, b.bucket)).toSet
+    val batch = graft.operators.DocDedup.lshBuckets(
+        graft.operators.DocDedup.minhashSignatures(df, 8), 4)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.concat_ws(":", $"band", $"bucket"))
+      .as[(Long, String)].collect().toSet
+    assert(streamingShaped === batch)
+  }
+
+  test("incremental index: candidates emitted as docs arrive, exact dups flagged") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_snd").toFile.getAbsolutePath
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").json(in)
+      val cands = StreamingNearDup.candidates(
+        StreamingNearDup.bandedDocs(stream, 8, 4))
+      val q = cands.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: docs 1 and 4 — no collisions yet
+    Files.write(Paths.get(s"$in/b1.json"),
+      docs.filter(d => d._1 == 1 || d._1 == 4)
+        .map(d => s"""{"doc_id":${d._1},"text":"${d._2}"}""")
+        .mkString("", "\n", "\n").getBytes)
+    runOnce()
+    val after1 = spark.read.parquet(out)
+    assert(after1.filter($"a" =!= $"b").count() === 0)
+
+    // batch 2: docs 2, 3, 5 arrive — 2 collides with 1 (exact), 3 with 1/2 (near)
+    Files.write(Paths.get(s"$in/b2.json"),
+      docs.filter(d => Set(2L, 3L, 5L)(d._1))
+        .map(d => s"""{"doc_id":${d._1},"text":"${d._2}"}""")
+        .mkString("", "\n", "\n").getBytes)
+    runOnce()
+    val pairs = spark.read.parquet(out)
+      .select($"a", $"b", $"exact_dup").distinct()
+      .as[(Long, Long, Boolean)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), "exact dup pair found incrementally")
+    assert(pairs.filter(p => (p._1, p._2) == ((1L, 2L))).forall(_._3),
+      "same-fingerprint collision is flagged exact")
+    // unrelated docs never pair with the fox cluster
+    assert(!pairSet.exists { case (a, b) =>
+      Set(a, b).intersect(Set(4L, 5L)).nonEmpty &&
+        Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty
+    })
+    // candidate set equals the batch pipeline's on the same corpus
+    val batchPairs = graft.operators.DocDedup.candidatePairs(
+        graft.operators.DocDedup.lshBuckets(
+          graft.operators.DocDedup.minhashSignatures(
+            docs.toDF("doc_id", "text"), 8), 4))
+      .as[(Long, Long)].collect().toSet
+    assert(pairSet === batchPairs)
+  }
+}
