@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct}
+import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, MediaHeader}
 
 /**
  * Session extension registering graft's custom expressions for SQL use:
@@ -54,6 +54,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         checkArity("dot_product", args, 2)
         DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("media_header"),
+      info("media_header",
+        "media_header(bytes) - sniff container metadata (png/jpeg/gif/bmp/wav)"),
+      (args: Seq[Expression]) => {
+        checkArity("media_header", args, 1)
+        MediaHeader(args.head)
       }),
     (FunctionIdentifier("bloom_contains"),
       info("bloom_contains",

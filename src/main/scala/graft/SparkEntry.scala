@@ -644,6 +644,39 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "mm_header_sniff" -> ((s, dir) => {
+      // REAL multimodal metadata decode: per-row PNG and WAV containers are
+      // assembled from deterministic bytes (unhex), then media_header — a
+      // codegen'd byte-level parser, no codec libs — extracts dimensions /
+      // sample rate back out. The oracle recomputes the expected values
+      // arithmetically, so the parser is hash-verified end to end. Content
+      // decode stays behind the batched escape hatch (Multimodal); header
+      // sniffing is what curation filters run on and is fully real.
+      import graft.functions.MediaHeaderFunctions.media_header
+      val d = t(s, dir, "documents")
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 500 + 1).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val rateHex = when(col("doc_id") % 4 === 0, "401F0000") // 8000 LE32
+        .when(col("doc_id") % 4 === 1, "803E0000")            // 16000
+        .when(col("doc_id") % 4 === 2, "C05D0000")            // 24000
+        .otherwise("007D0000")                                // 32000
+      val chHex = when(col("doc_id") % 2 === 0, "0100").otherwise("0200")
+      val wavHex = concat(
+        lit("524946460000000057415645666D742010000000" + "0100"),
+        chHex, rateHex, lit("00000000000000000000"))
+      val payload = unhex(when(col("doc_id") % 3 === 0, wavHex)
+        .otherwise(pngHex))
+      val hdr = media_header(payload)
+      d.select(col("doc_id"),
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height"),
+        hdr.getField("sample_rate").as("sample_rate"),
+        hdr.getField("channels").as("channels"))
+    }),
+
     "cdc_pipeline_full" -> ((s, dir) => {
       // the composite connector dataflow (§3.2): RF-2 duplicates → dedup →
       // LWW compaction → enrichment join → tombstone projection
@@ -807,6 +840,21 @@ object SparkEntry {
          c_name AS tag2, c_mktsegment AS prop_seg,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
          FROM customer""",
+
+    "mm_header_sniff" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'png' END AS format,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
+         CASE WHEN doc_id % 3 = 0
+              THEN CAST(8000 + (doc_id % 4) * 8000 AS INTEGER)
+              ELSE NULL END AS sample_rate,
+         CASE WHEN doc_id % 3 = 0
+              THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+              ELSE NULL END AS channels
+         FROM documents""",
 
     "cdc_partition_classify" ->
       s"""SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM (

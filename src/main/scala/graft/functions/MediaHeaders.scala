@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Real container-metadata decode for multimodal binary columns: parses the
+ * headers of common image/audio containers (PNG, JPEG, GIF, BMP, WAV)
+ * directly from the payload bytes — no codec libraries required, so this
+ * runs as a codegen'd scalar kernel inside the scan stage. The CONTENT
+ * decode (pixels/samples) stays behind the batched `mapPartitions` escape
+ * hatch ([[graft.operators.Multimodal.decodeBatchedStub]]); header
+ * metadata is what dataset curation filters on (dimensions, sample rate,
+ * format sniffing), and that part is fully real.
+ *
+ * Returns struct(format, width, height, sample_rate, channels); fields
+ * that don't apply (or an unrecognized container) are null, format
+ * 'unknown'. Truncated headers never throw — they degrade to 'unknown'.
+ */
+object MediaHeaders {
+
+  val resultType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+
+  /** Parse a header; called from generated code — must never throw. */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    var format = "unknown"
+    var width: Any = null
+    var height: Any = null
+    var sampleRate: Any = null
+    var channels: Any = null
+    try {
+      if (bytes.length >= 24 &&
+        (bytes(0) & 0xff) == 0x89 && ascii(bytes, 1, "PNG")) {
+        // IHDR is always the first chunk: width/height BE32 at 16/20
+        format = "png"; width = be32(bytes, 16); height = be32(bytes, 20)
+      } else if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        format = "jpeg"
+        // walk markers to the first SOFn frame header
+        var i = 2
+        var done = false
+        while (!done && i + 9 < bytes.length) {
+          if ((bytes(i) & 0xff) != 0xff) { done = true }
+          else {
+            val marker = bytes(i + 1) & 0xff
+            if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              height = be16(bytes, i + 5); width = be16(bytes, i + 7)
+              done = true
+            } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+              i += 2
+            } else {
+              i += 2 + be16(bytes, i + 2)
+            }
+          }
+        }
+      } else if (ascii(bytes, 0, "GIF8") && bytes.length >= 10) {
+        format = "gif"; width = le16(bytes, 6); height = le16(bytes, 8)
+      } else if (ascii(bytes, 0, "BM") && bytes.length >= 26) {
+        format = "bmp"; width = le32(bytes, 18); height = le32(bytes, 22)
+      } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
+        format = "wav"
+        // chunk walk to "fmt ": channels LE16 at +10, rate LE32 at +12
+        var i = 12
+        var done = false
+        while (!done && i + 8 <= bytes.length) {
+          val size = le32(bytes, i + 4)
+          if (ascii(bytes, i, "fmt ") && i + 16 <= bytes.length) {
+            channels = le16(bytes, i + 10); sampleRate = le32(bytes, i + 12)
+            done = true
+          } else i += 8 + size + (size & 1)
+        }
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(format),
+      width, height, sampleRate, channels))
+  }
+}
+
+/** `media_header(binary)` → struct(format, width, height, sample_rate,
+ * channels) — codegen'd call into the static parse kernel. */
+case class MediaHeader(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaHeaders.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_header requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.MediaHeaders.parse($b)")
+
+  override protected def withNewChildInternal(c: Expression): MediaHeader =
+    copy(child = c)
+}
+
+object MediaHeaderFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def media_header(c: Column): Column =
+    GraftShim.column(MediaHeader(GraftShim.expression(c)))
+}

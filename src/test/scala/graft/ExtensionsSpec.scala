@@ -49,6 +49,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wrongType.getMessage.toLowerCase.contains("string"))
   }
 
+  test("media_header parses png/jpeg/gif/bmp/wav and degrades safely") {
+    import graft.functions.MediaHeaders
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def row(b: Array[Byte]) = {
+      val r = MediaHeaders.parse(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))
+    }
+    // PNG 640x480
+    assert(row(hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000")) ===
+      (("png", Some(640), Some(480), None, None)))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with 600x800
+    assert(row(hx("FFD8 FFE0 0010 4A46494600 0101 00 00010001 0000" +
+      "FFC0 0011 08 0258 0320 03 012200 021101 031101")) ===
+      (("jpeg", Some(800), Some(600), None, None)))
+    // GIF 320x200 (LE16)
+    assert(row(hx("474946383961 4001 C800 00")) ===
+      (("gif", Some(320), Some(200), None, None)))
+    // BMP 100x50 (LE32 at 18/22)
+    assert(row(hx("424D 00000000 0000 0000 36000000 28000000" +
+      "64000000 32000000")) === (("bmp", Some(100), Some(50), None, None)))
+    // WAV stereo 44100 with a junk chunk before fmt
+    assert(row(hx("52494646 00000000 57415645" +
+      "4A554E4B 04000000 DEADBEEF" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")) ===
+      (("wav", None, None, Some(44100), Some(2))))
+    // truncated and garbage inputs degrade to unknown, never throw
+    assert(row(Array[Byte]())._1 === "unknown")
+    assert(row(hx("89504E47"))._1 === "unknown")
+    assert(row("hello world".getBytes)._1 === "unknown")
+    // SQL registration
+    import spark.implicits._
+    val f = spark.sql(
+      "SELECT media_header(unhex(replace('474946383961 4001 C800 00', ' ', ''))).format AS f")
+      .as[String].head()
+    assert(f === "gif")
+  }
+
   test("batched per-partition decode produces deterministic features") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
