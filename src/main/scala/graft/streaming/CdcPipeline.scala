@@ -43,7 +43,10 @@ object CdcPipeline {
             // top 16 bits mod n — the reference's Murmur3MessageRouter
             // partitioning (commons/.../Murmur3MessageRouter.java:25-28),
             // so one key's records land in one output partition
-            tokenPartitions: Int = 0): StreamingQuery = {
+            tokenPartitions: Int = 0,
+            // AvailableNow drains-and-stops (tests/batch); continuous
+            // deployments pass Trigger.ProcessingTime + a real ttlMs
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
 
     // events arrive either as parquet drops or via the custom commitlog
@@ -77,7 +80,7 @@ object CdcPipeline {
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[StreamEvent], batchId: Long) =>
         val enriched = CdcOperators.enrichmentJoin(
           batch.toDF(), baseTableProvider(), "key", tableKey, valueCols)

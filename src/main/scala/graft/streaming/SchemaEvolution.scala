@@ -91,6 +91,24 @@ object SchemaEvolution {
   }
 
   /**
+   * Multi-table composition: one converged evolution loop per table, each
+   * over its own `<root>/<table>/` event+descriptor directory, checkpoint
+   * and output — per-table DDL isolation exactly like the reference's
+   * per-table converters (CassandraSource.java:664-698 rebuilds only the
+   * affected table). Returns each table's cycle fingerprints.
+   */
+  def runConvergedAll(spark: SparkSession, root: String, outRoot: String,
+                      checkpointRoot: String, tables: Seq[String],
+                      transform: DataFrame => DataFrame = identity,
+                      onCycleEnd: (String, Int) => Unit = (_, _) => ())
+      : Map[String, Seq[String]] =
+    tables.map { t =>
+      t -> runConverged(spark, s"$root/$t/events", s"$root/$t",
+        s"$outRoot/$t", s"$checkpointRoot/$t", transform,
+        cycle => onCycleEnd(t, cycle))
+    }.toMap
+
+  /**
    * Continuous-trigger variant of the detector: watches the descriptor from
    * a daemon thread and gracefully stops the query at a batch boundary when
    * the fingerprint changes (`StreamingQuery.stop` waits for the running
