@@ -468,10 +468,14 @@ object SparkEntry {
     }),
 
     "q_rollup_stats" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      // rollup via Expand triples every input row — pre-aggregate to the
+      // base grain first (see q_cube_stats), then roll up the partials
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec2(col("l_quantity"))).as("_q"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_n")).as("n_items"),
+          sum(col("_q")).cast("double").as("sum_qty"))
     }),
 
     "q13_custdist" -> ((s, dir) => {
@@ -534,11 +538,17 @@ object SparkEntry {
     }),
 
     "q_cube_stats" -> ((s, dir) => {
-      // CUBE grouping sets over order status × priority
-      t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      // CUBE grouping sets over order status × priority. Spark executes
+      // cube via Expand — 4 copies of EVERY input row here — so at scale
+      // the fact table is pre-aggregated to the base grain first (a few
+      // dozen rows) and the cube expands only that: count/sum re-aggregate
+      // losslessly (sum of sums, sum of counts).
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"), sum(dec2(col("o_totalprice"))).as("_t"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_n")).as("n_orders"),
+          sum(col("_t")).cast("double").as("total"))
     }),
 
     "q_anti_customers_no_orders" -> ((s, dir) => {
