@@ -106,21 +106,37 @@ case class BloomContains(left: Expression, right: Expression)
 object BloomOps {
   private final val MaxEntries = 4
 
-  // Cache keyed by ARRAY REFERENCE, not content: a literal/broadcast filter
-  // is the same byte[] instance for every row a task probes, so reference
-  // equality is both correct and O(1). (A content key — e.g. a ByteBuffer,
-  // whose hashCode scans all bytes — re-hashes the multi-hundred-KB sketch
-  // on every row and turns the probe into an O(filter) scan per row.)
-  private final class Slot(val ref: Array[Byte],
+  // Two-tier lookup. Fast path: ARRAY REFERENCE equality — a literal /
+  // broadcast / scalar-subquery filter is the same byte[] instance for
+  // every row a task probes, so this is O(1). Fallback (filter arriving
+  // through a join column: UnsafeRow.getBinary copies, so every row is a
+  // fresh array): a cheap fingerprint (length + first/last words) narrows
+  // to a candidate slot, then a full Arrays.equals VERIFIES it before
+  // reuse — a memcmp per row instead of a full sketch re-parse, with zero
+  // wrong-filter risk. (Never key by ByteBuffer: its hashCode scans all
+  // bytes per lookup.)
+  private final class Slot(val ref: Array[Byte], val fp: Long,
                            val filter: BloomFilter[CharSequence])
   private val cache = ThreadLocal.withInitial(() => new Array[Slot](MaxEntries))
 
+  private def fingerprint(b: Array[Byte]): Long = {
+    var h = b.length.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 8 && i < b.length) { h = h * 31 + b(i); i += 1 }
+    var j = math.max(0, b.length - 8)
+    while (j < b.length) { h = h * 31 + b(j); j += 1 }
+    h
+  }
+
   def contains(filterBytes: Array[Byte], v: UTF8String): Boolean = {
     val slots = cache.get()
+    val fp = fingerprint(filterBytes)
     var i = 0
     while (i < MaxEntries) {
       val s = slots(i)
-      if (s != null && (s.ref eq filterBytes)) return s.filter.mightContain(v.toString)
+      if (s != null && ((s.ref eq filterBytes) ||
+        (s.fp == fp && java.util.Arrays.equals(s.ref, filterBytes))))
+        return s.filter.mightContain(v.toString)
       i += 1
     }
     val f = BloomFilter.readFrom(new ByteArrayInputStream(filterBytes),
@@ -128,7 +144,7 @@ object BloomOps {
     // shift in MRU order; evict the oldest
     var j = MaxEntries - 1
     while (j > 0) { slots(j) = slots(j - 1); j -= 1 }
-    slots(0) = new Slot(filterBytes, f)
+    slots(0) = new Slot(filterBytes, fp, f)
     f.mightContain(v.toString)
   }
 }

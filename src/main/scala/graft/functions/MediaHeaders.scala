@@ -91,7 +91,14 @@ object MediaHeaders {
           if (ascii(bytes, i, "fmt ") && i + 16 <= bytes.length) {
             channels = le16(bytes, i + 10); sampleRate = le32(bytes, i + 12)
             done = true
-          } else i += 8 + size + (size & 1)
+          } else {
+            // a corrupt chunk size (negative, or large enough to overflow
+            // the int advance) would wedge this loop inside a codegen'd
+            // kernel; clamp any suspicious advance to end-of-buffer
+            val advance = 8L + size.toLong + (size & 1)
+            i = if (advance <= 0 || advance > bytes.length) bytes.length
+                else i + advance.toInt
+          }
         }
       }
     } catch { case _: ArrayIndexOutOfBoundsException => () }

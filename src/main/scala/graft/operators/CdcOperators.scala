@@ -168,21 +168,26 @@ object CdcOperators {
       (Seq(col(partitionKey).as("_pk"), col(clusteringKey).as("_ck")) ++
         allVals.map(col)): _*)
     val dim = if (broadcastDim) broadcast(dim0) else dim0
-    // partition-level static projection: statics are constant per partition
-    val staticAggs = staticCols.map(c => first(col(c)).as(c))
-    val statics0 = base.groupBy(col(partitionKey).as("_pk"))
-      .agg(staticAggs.head, staticAggs.tail: _*)
-    val staticsDim = if (broadcastDim) broadcast(statics0) else statics0
-
     val rowLevel = events.filter(col(clusteringKey).isNotNull)
       .join(dim, col(partitionKey) === col("_pk") &&
         col(clusteringKey) === col("_ck"), "left_outer")
       .drop("_pk", "_ck")
-    val partitionLevel0 = events.filter(col(clusteringKey).isNull)
-      .join(staticsDim, col(partitionKey) === col("_pk"), "left_outer")
-      .drop("_pk")
+    // partition-level static projection: statics are constant per partition.
+    // With no static columns a partition-level lookup resolves nothing —
+    // all value fields null, no join needed.
+    val partitionLevel0 =
+      if (staticCols.isEmpty) events.filter(col(clusteringKey).isNull)
+      else {
+        val staticAggs = staticCols.map(c => first(col(c)).as(c))
+        val statics0 = base.groupBy(col(partitionKey).as("_pk"))
+          .agg(staticAggs.head, staticAggs.tail: _*)
+        val staticsDim = if (broadcastDim) broadcast(statics0) else statics0
+        events.filter(col(clusteringKey).isNull)
+          .join(staticsDim, col(partitionKey) === col("_pk"), "left_outer")
+          .drop("_pk")
+      }
     // non-static fields are not resolvable by a partition-level lookup
-    val partitionLevel = regularCols.filterNot(staticCols.contains)
+    val partitionLevel = allVals.filterNot(staticCols.contains)
       .foldLeft(partitionLevel0)((df, c) => df.withColumn(c, lit(null)))
     rowLevel.unionByName(partitionLevel.select(rowLevel.columns.map(col): _*))
   }

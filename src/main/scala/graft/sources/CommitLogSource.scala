@@ -109,13 +109,25 @@ object CommitLogSource {
    * them up again — the reference's `errorCommitLogReprocessEnabled` path
    * (ArchiveCommitLogTransfer.java:34-47). Returns the number of segments
    * recycled. Re-delivery duplicates collapse in the digest dedup (T1).
+   *
+   * The fresh ids must exceed every segment the checkpoint could have
+   * committed past, or the linear offset would silently skip the repaired
+   * bytes: the floor is max(live ids, the quarantined files' ORIGINAL ids,
+   * caller-supplied `minSegment`). Pass the checkpoint's last offset
+   * segment as `minSegment` when completed segments may already have been
+   * cleaned from the directory (their ids are then visible nowhere else).
    */
-  def recycle(dir: String): Int = {
+  def recycle(dir: String, minSegment: Long = -1L): Int = {
     val errors = new java.io.File(dir, "errors")
     val failed = Option(errors.listFiles()).getOrElse(Array.empty)
       .filter(f => FilePattern.pattern.matcher(f.getName).matches())
       .sortBy(_.getName)
-    var nextSeg = segments(dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val originalIds = failed.flatMap(f => f.getName match {
+      case FilePattern(seg) => Some(seg.toLong)
+      case _                => None
+    })
+    var nextSeg = ((segments(dir).map(_._1) ++ originalIds :+ minSegment :+ 0L)
+      .max) + 1
     failed.foreach { f =>
       java.nio.file.Files.move(f.toPath,
         new java.io.File(dir, s"CommitLog-$nextSeg.log").toPath)
@@ -236,8 +248,11 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // batch-to-batch wall clock feeding the adaptive controller
-  @volatile private var lastAdvanceNanos: Long = 0L
+  // batch PROCESSING duration feeding the adaptive controller: stamped when
+  // the batch is planned (latestOffset), observed when it commits — trigger
+  // idle time between batches must not count, or any ProcessingTime
+  // interval above the high threshold would pin the cap at minimum forever
+  @volatile private var batchPlannedNanos: Long = 0L
 
   override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
 
@@ -268,11 +283,7 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
    * never beyond the AvailableNow target. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CommitLogOffset]
-    adaptive.foreach { ctl =>
-      val now = System.nanoTime()
-      if (lastAdvanceNanos != 0L) ctl.observe((now - lastAdvanceNanos) / 1000000L)
-      lastAdvanceNanos = now
-    }
+    if (adaptive.isDefined) batchPlannedNanos = System.nanoTime()
     val segCap = adaptive.map(_.currentCap).getOrElse(maxSegmentsPerBatch)
     val target = availableNowTarget.getOrElse(unboundedLatest())
     val segs = CommitLogSource.segments(path).filter(_._1 <= target.segment)
@@ -339,7 +350,13 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
         new CommitLogPartitionReader(p.asInstanceOf[CommitLogInputPartition])
     }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    adaptive.foreach { ctl =>
+      if (batchPlannedNanos != 0L)
+        ctl.observe((System.nanoTime() - batchPlannedNanos) / 1000000L)
+      batchPlannedNanos = 0L
+    }
+
   override def stop(): Unit = ()
 }
 
@@ -352,7 +369,20 @@ case class CommitLogInputPartition(file: String, fromByte: Long, untilByte: Long
  * independent of where the range sits in the file. */
 class CommitLogPartitionReader(p: CommitLogInputPartition)
     extends PartitionReader[InternalRow] {
-  private val in = new java.io.FileInputStream(p.file)
+  // A retried task may find the segment already quarantined by an earlier
+  // attempt (the move happens mid-task): fall back to the errors/ copy so
+  // the retry can still deliver the same good prefix instead of dying on
+  // FileNotFoundException — quarantine must never fail the query it exists
+  // to protect.
+  private val sourceFile: java.io.File = {
+    val f = new java.io.File(p.file)
+    if (f.isFile) f
+    else {
+      val q = new java.io.File(new java.io.File(f.getParentFile, "errors"), f.getName)
+      if (q.isFile) q else f // let the open throw for genuinely missing files
+    }
+  }
+  private val in = new java.io.FileInputStream(sourceFile)
   in.getChannel.position(p.fromByte)
   private var remaining = p.untilByte - p.fromByte
   private val bounded = new java.io.InputStream {

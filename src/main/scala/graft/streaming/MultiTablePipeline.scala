@@ -72,12 +72,36 @@ object MultiTablePipeline {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val enriched = baseTables.get(td.name) match {
+            case Some(provider) if td.clustering.isEmpty =>
+              // full-PK equi-join on every key column (a single-column
+              // enrichmentJoin would multiply events by the partition for
+              // compound keys); dim keys aliased because the names collide
+              val dimAliases = pkCols.map(c => c -> s"__dim_$c").toMap
+              val dim0 = pkCols.foldLeft(provider())(
+                (df, c) => df.withColumnRenamed(c, dimAliases(c)))
+              val dim = broadcast(
+                dim0.select((pkCols.map(c => col(dimAliases(c))) ++
+                  regular.map(col)): _*))
+              val cond = pkCols.map(c => batch(c) === dim(dimAliases(c)))
+                .reduce(_ && _)
+              val joined = batch.join(dim, cond, "left_outer")
+                .drop(pkCols.map(dimAliases): _*)
+              regular.foldLeft(joined)((df, c) =>
+                df.withColumn(c,
+                  when(col("op") === Cdc.OpDelete, lit(null))
+                    .otherwise(col(c))))
             case Some(provider) =>
-              // alias the dim key: event and table PK share a name, and
-              // enrichmentJoin drops the table-side key by name after the join
-              CdcOperators.enrichmentJoin(batch,
-                provider().withColumnRenamed(pkCols.head, "__dim_key"),
-                pkCols.head, "__dim_key", regular, broadcastDim = true)
+              // compound PK with one clustering column: the reference's
+              // non-null-prefix lookup arity (row-level = full key;
+              // partition-level = partition key + static projection)
+              require(td.clustering.size == 1 && pkCols.size == 2,
+                s"table ${td.name}: prefix lookup supports one partition + " +
+                  "one clustering column")
+              val partitionCol =
+                pkCols.filterNot(td.clustering.contains).head
+              CdcOperators.prefixLookupJoin(batch, provider(),
+                partitionCol, td.clustering.head,
+                staticCols = Nil, regularCols = regular)
             case None =>
               regular.foldLeft(batch)((df, c) => df.withColumn(c, lit(null)))
           }

@@ -81,7 +81,15 @@ object SchemaEvolution {
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      val drained = q.awaitTermination(300000)
+      if (!drained) {
+        // a wedged cycle must not leave a live query behind — the next
+        // cycle would start a second writer on the same checkpoint
+        q.stop()
+        throw new IllegalStateException(
+          s"schema-evolution cycle $cycle did not drain within 300s " +
+            s"(checkpoint $checkpointDir)")
+      }
       onCycleEnd(cycle)
       cycle += 1
       converged = load(schemaDir).fingerprint == ts.fingerprint

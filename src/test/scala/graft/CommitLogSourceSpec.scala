@@ -312,6 +312,25 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === 5)
   }
 
+  test("recycle ids always clear the committed offset (quarantined highest segment)") {
+    val tmp = Files.createTempDirectory("graft_clog_rid").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/logs"))
+    // the HIGHEST segment gets quarantined: without the original-id floor
+    // the recycled file would reuse id 1 and sit at/below the checkpointed
+    // offset — silently never re-read
+    Files.write(Paths.get(s"$tmp/logs/CommitLog-1.log"), "x\n".getBytes)
+    graft.sources.CommitLogSource.quarantine(
+      new java.io.File(s"$tmp/logs/CommitLog-1.log"))
+    assert(graft.sources.CommitLogSource.recycle(s"$tmp/logs") === 1)
+    assert(new java.io.File(s"$tmp/logs/CommitLog-2.log").isFile,
+      "recycled id must exceed the quarantined file's original id")
+    // caller-supplied checkpoint floor wins when it is higher still
+    graft.sources.CommitLogSource.quarantine(
+      new java.io.File(s"$tmp/logs/CommitLog-2.log"))
+    assert(graft.sources.CommitLogSource.recycle(s"$tmp/logs", minSegment = 9L) === 1)
+    assert(new java.io.File(s"$tmp/logs/CommitLog-10.log").isFile)
+  }
+
   test("full pipeline over the commitlog source: dedup + enrich + tombstones") {
     val tmp = Files.createTempDirectory("graft_clog_pipe").toFile.getAbsolutePath
     Files.createDirectories(Paths.get(s"$tmp/logs"))

@@ -83,6 +83,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row(Array[Byte]())._1 === "unknown")
     assert(row(hx("89504E47"))._1 === "unknown")
     assert(row("hello world".getBytes)._1 === "unknown")
+    // adversarial WAV chunk sizes (negative / overflowing) must terminate,
+    // not wedge the codegen'd kernel in an infinite chunk walk
+    assert(row(hx("52494646 00000000 57415645 4A554E4B F8FFFFFF 00")) ===
+      (("wav", None, None, None, None)))
+    assert(row(hx("52494646 00000000 57415645 4A554E4B FFFFFF7F 00")) ===
+      (("wav", None, None, None, None)))
     // SQL registration
     import spark.implicits._
     val f = spark.sql(

@@ -64,6 +64,33 @@ class MultiTableSpec extends SparkSpec {
     assert(uSchema !== tSchema)
   }
 
+  test("compound-PK enrichment resolves by full key, no partition fan-out") {
+    val tmp = Files.createTempDirectory("graft_multi_ck").toFile.getAbsolutePath
+    val readings = TableDef("readings",
+      columns = Seq("device" -> "text", "slot" -> "int", "temp" -> "double"),
+      pk = Seq("device", "slot"), clustering = Set("slot"))
+    Files.createDirectories(Paths.get(s"$tmp/events/readings"))
+    Files.write(Paths.get(s"$tmp/events/readings/e.json"),
+      """{"event_id":1,"op":"u","writetime":100,"md5Digest":"d1","device":"dA","slot":1}
+        |{"event_id":2,"op":"u","writetime":200,"md5Digest":"d2","device":"dA","slot":3}
+        |{"event_id":3,"op":"u","writetime":300,"md5Digest":"d3","device":"dA","slot":null}
+        |""".stripMargin.getBytes)
+    // three base rows share partition dA: a single-column join would
+    // multiply each event by all of them and mix other slots' values
+    val base = () => Seq(("dA", 1, 10.0), ("dA", 2, 20.0), ("dA", 3, 30.0))
+      .toDF("device", "slot", "temp")
+    val queries = MultiTablePipeline.start(spark, s"$tmp/events", s"$tmp/out",
+      s"$tmp/ckpt", Seq(readings), baseTables = Map("readings" -> base))
+    MultiTablePipeline.awaitAll(queries)
+    val out = spark.read.parquet(s"$tmp/out/readings")
+      .select($"event_id", $"kv_value.temp")
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(out.length === 3, "one output record per event — no fan-out")
+    assert(out(0) === ((1L, Some(10.0))))  // full-key lookup: slot 1's value
+    assert(out(1) === ((2L, Some(30.0))))  // slot 3's value, not slot 1's
+    assert(out(2)._2 === None)             // partition-level: no statics here
+  }
+
   test("TableDef rejects unsupported CQL column types like the reference") {
     val bad = TableDef("bad", Seq("k" -> "bigint", "c" -> "map<udt<x>,int>"),
       pk = Seq("k"))
