@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, CdcOperators, DocDedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
+import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -615,6 +615,31 @@ object SparkEntry {
       TextAnalysis.regexTokenCount(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
 
+    "curate_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sampling (training-mix weights): per-row
+      // keep decision = md5(seed|id) < per-stratum threshold — identical on
+      // any engine/run/partitioning, so the oracle replays it bit-exactly
+      val d = t(s, dir, "documents")
+        .withColumn("stratum",
+          when(length(col("text")) < 200, "short")
+            .when(length(col("text")) < 400, "medium")
+            .otherwise("long"))
+      Curation.stratifiedSample(d, "doc_id", "stratum",
+          rates = Map("short" -> 0.25, "medium" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("stratum"))
+    }),
+
+    "curate_contamination" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing any 3-gram with the
+      // benchmark slice (doc_id % 23 = 0), with hit counts — a broadcast
+      // shingle semi-join, corpus-linear
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      Curation.contaminationReport(docs.filter(col("doc_id") % 23 =!= 0),
+          bench, n = 3)
+        .select(col("doc_id"), col("n_hits"))
+    }),
+
     "dedup_exact_docs" -> ((s, dir) =>
       DocDedup.dedupBy(t(s, dir, "documents"),
         DocDedup.exactFingerprint("text"))),
@@ -1149,6 +1174,29 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
          FROM documents""",
+
+    "curate_stratified_sample" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN length(text) < 200 THEN 'short'
+                WHEN length(text) < 400 THEN 'medium'
+                ELSE 'long' END AS stratum
+         FROM documents)
+         SELECT doc_id, stratum FROM d
+         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) <
+           CASE stratum WHEN 'short' THEN '400000000000'
+                        WHEN 'medium' THEN '800000000000'
+                        ELSE 'g' END""",
+
+    "curate_contamination" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+                FROM ws, unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0)
+         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM sh s JOIN bench b ON s.sh = b.sh
+         WHERE s.doc_id % 23 <> 0
+         GROUP BY s.doc_id""",
 
     "dedup_exact_docs" ->
       """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,

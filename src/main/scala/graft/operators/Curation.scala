@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data curation operators: deterministic (re-runnable, engine-
+ * portable) sampling and benchmark decontamination — the selection stages a
+ * large-scale pipeline runs after dedup/quality filtering (SURVEY §7.2 M6
+ * extension family).
+ *
+ * Everything here is expression-only (no UDFs, no state): sampling
+ * decisions are pure functions of (seed, id) via md5 — the same decision on
+ * any engine, any run, any partitioning — and decontamination is a shingle
+ * semi-join, never an all-pairs comparison.
+ */
+object Curation {
+
+  /** Lexicographic md5 threshold for a keep-rate: md5 hex chars are
+   * uniform, so `md5 < threshold(rate)` keeps ~rate of ids. 48 bits of
+   * threshold precision; rate 1.0 maps to "g" (sorts after every hex
+   * digit ⇒ keep all). */
+  def sampleThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = math.round(rate * (1L << 48))
+    if (t >= (1L << 48)) "g" else f"$t%012x"
+  }
+
+  /** The portable keep-decision column: md5(seed|id) < threshold(rate). */
+  def keepDecision(idCol: Column, rate: Double, seed: String): Column =
+    md5(concat_ws("|", lit(seed), idCol)) < lit(sampleThreshold(rate))
+
+  /**
+   * Deterministic sample: keep ~`rate` of rows, decided per id — stable
+   * across runs/engines/partitionings, re-shuffled by changing `seed`.
+   * A narrow filter the scan absorbs; no shuffle, no RNG state.
+   */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double,
+                          seed: String = "graft"): DataFrame =
+    df.filter(keepDecision(col(idCol), rate, seed))
+
+  /**
+   * Stratified sample: per-stratum keep-rates (e.g. domain/language/length
+   * mixing weights), same deterministic decision per row. Strata missing
+   * from `rates` use `defaultRate`.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: String = "graft"): DataFrame = {
+    val decision = rates.foldLeft(
+      when(lit(false), lit(false))) { case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum,
+          keepDecision(col(idCol), rate, seed))
+      }.otherwise(keepDecision(col(idCol), defaultRate, seed))
+    df.filter(decision)
+  }
+
+  /** Distinct word n-grams per document, computed row-locally (no
+   * vocabulary aggregation — the same explode-free-until-needed shape as
+   * [[graft.streaming.StreamingNearDup.bandedDocs]]). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("sh")).distinct()
+  }
+
+  /**
+   * Contamination report: for each corpus document, how many of its
+   * distinct n-grams also occur in the benchmark set. The benchmark's
+   * distinct shingle set is typically small (broadcast); the corpus side
+   * streams through a hash semi-join — corpus-linear, benchmark-bounded,
+   * never corpus×corpus.
+   */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          n: Int): DataFrame = {
+    val benchShingles = broadcast(
+      shingles(benchmark, n).select(col("sh")).distinct())
+    shingles(docs, n)
+      .join(benchShingles, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+  }
+
+  /** Drop documents sharing any n-gram with the benchmark (anti semi-join). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val contaminated = contaminationReport(docs, benchmark, n)
+      .select(col("doc_id"))
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic sample: stable across runs, rate approximately honored") {
+    val ids = (1 to 4000).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+    val once = Curation.deterministicSample(ids, "doc_id", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    val again = Curation.deterministicSample(ids.repartition(7), "doc_id", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(once === again, "decision is a pure function of (seed, id)")
+    assert(math.abs(once.size / 4000.0 - 0.25) < 0.03)
+    // a different seed reshuffles the selection
+    val reseeded = Curation.deterministicSample(ids, "doc_id", 0.25, seed = "v2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reseeded !== once)
+    // rate edges
+    assert(Curation.deterministicSample(ids, "doc_id", 1.0).count() === 4000)
+    assert(Curation.deterministicSample(ids, "doc_id", 0.0).count() === 0)
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a benchmark question about the meaning of life here"),
+      (3L, "totally unrelated text with distinct words only present once"),
+      (4L, "something about the meaning of life here as well padded")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 2)
+    val report = Curation.contaminationReport(
+        docs.filter($"doc_id" =!= 2), bench, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(report.keySet === Set(4L), "only doc 4 shares a 5-gram")
+    assert(report(4L) >= 1)
+    val clean = Curation.decontaminate(docs.filter($"doc_id" =!= 2), bench, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean === Set(1L, 3L))
+  }
+}
