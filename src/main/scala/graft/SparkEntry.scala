@@ -854,6 +854,16 @@ object SparkEntry {
           col("c_es").cast("long").as("c_es"),
           col("c_fr").cast("long").as("c_fr"), col("predicted_lang"))),
 
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      // near-dup graph → connected components → canonical id per member
+      // (the keep-one-per-cluster step). Oracle: DuckDB recursive CTE
+      // computing min reachable id over the same pair graph.
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.45)
+      DocDedup.canonicalClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+    }),
+
     "dedup_embedding_neardup" -> ((s, dir) =>
       // score reported at 6 dp: engines agree on the pair set but differ in
       // the last 1-2 ulps of the double accumulation
@@ -1405,6 +1415,20 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) > 0.45""",
+
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
+         edges AS (SELECT a AS x, b AS y FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT x AS id, x AS r FROM edges
+           UNION
+           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
+         SELECT id AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY id""",
 
     // LSH ANN is pinned to the EXACT answer: banded candidates provably
     // contain the true top-5 here, so the approximate path must reproduce

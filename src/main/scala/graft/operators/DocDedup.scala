@@ -169,4 +169,49 @@ object DocDedup {
         l("a") < r("b"))
       .select(col("a"), col("b")).distinct()
   }
+
+  /**
+   * Canonicalize a near-duplicate pair graph into clusters: connected
+   * components by iterative min-label propagation — every member of a dup
+   * cluster maps to the cluster's smallest id, the "keep one canonical doc
+   * per cluster" step that follows pair detection in a dedup pipeline.
+   *
+   * Each round is one join + min-aggregation on the edge list (both
+   * shuffles on the node id); rounds needed = the component diameter, and
+   * near-dup clusters are shallow (dup families, not social graphs). The
+   * fixpoint — min id reachable from each node — is unique, so the result
+   * is deterministic regardless of execution order. `localCheckpoint`
+   * truncates the per-round lineage. At web scale the same recurrence is
+   * run with the large-star/small-star optimization; the contract here is
+   * identical.
+   *
+   * Input: (a, b) pairs. Output: (doc_id, canonical_id) for every id that
+   * appears in a pair.
+   */
+  def canonicalClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("x"),
+          "left_outer")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).count()
+      labels = updated
+      iters += 1
+    }
+    require(changed == 0, s"canonicalClusters did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
 }

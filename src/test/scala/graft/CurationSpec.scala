@@ -22,6 +22,16 @@ class CurationSpec extends SparkSpec {
     assert(Curation.deterministicSample(ids, "doc_id", 0.0).count() === 0)
   }
 
+  test("canonicalClusters: chains and separate components resolve to min ids") {
+    // components: {1,2,3,9} (chain 9-3-2-1), {5,6}, and 7-8 via two pairs
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val out = graft.operators.DocDedup.canonicalClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
