@@ -229,10 +229,15 @@ object SparkEntry {
       // on every probed row). This is the broadcast-a-sketch shape a
       // 100 TB dedup uses.
       GraftExtensions.register(s)
-      ev(s, dir).createOrReplaceTempView("graft_bloom_events")
+      // view name is dir-scoped: a fixed name could be replaced by a
+      // concurrent construction for another dir before this statement is
+      // analyzed, silently cross-wiring datasets
+      val view = "graft_bloom_events_" +
+        java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+      ev(s, dir).createOrReplaceTempView(view)
       val probe =
         "bloom_contains((SELECT bloom_agg(md5Digest, 500000, CAST(0.01 AS DOUBLE)) " +
-          "FROM graft_bloom_events WHERE position % 2 = 0), md5Digest)"
+          s"FROM $view WHERE position % 2 = 0), md5Digest)"
       s.sql(
         s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
            CAST(SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
@@ -243,7 +248,7 @@ object SparkEntry {
             / CAST(GREATEST(COUNT(*) -
                  SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END), 1) AS DOUBLE))
              <= 0.05 AS fp_bounded
-           FROM graft_bloom_events""")
+           FROM $view""")
     }),
 
     "cdc_json_only" -> ((s, dir) => {

@@ -134,9 +134,19 @@ object BloomOps {
     var i = 0
     while (i < MaxEntries) {
       val s = slots(i)
-      if (s != null && ((s.ref eq filterBytes) ||
-        (s.fp == fp && java.util.Arrays.equals(s.ref, filterBytes))))
-        return s.filter.mightContain(v.toString)
+      if (s != null) {
+        if (s.ref eq filterBytes) return s.filter.mightContain(v.toString)
+        if (s.fp == fp && java.util.Arrays.equals(s.ref, filterBytes)) {
+          // promote the NEW reference into the cache so subsequent probes
+          // through this same array hit the O(1) identity path — without
+          // this, a second stable reference (e.g. another scalar-subquery
+          // instance) would pay the full memcmp on every row
+          var j = MaxEntries - 1
+          while (j > 0) { slots(j) = slots(j - 1); j -= 1 }
+          slots(0) = new Slot(filterBytes, fp, s.filter)
+          return s.filter.mightContain(v.toString)
+        }
+      }
       i += 1
     }
     val f = BloomFilter.readFrom(new ByteArrayInputStream(filterBytes),

@@ -55,18 +55,6 @@ object Curation {
     df.filter(decision)
   }
 
-  /** Distinct word n-grams per document, computed row-locally (no
-   * vocabulary aggregation — the same explode-free-until-needed shape as
-   * [[graft.streaming.StreamingNearDup.bandedDocs]]). */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(grams).as("sh")).distinct()
-  }
-
   /**
    * Contamination report: for each corpus document, how many of its
    * distinct n-grams also occur in the benchmark set. The benchmark's
@@ -76,9 +64,11 @@ object Curation {
    */
   def contaminationReport(docs: DataFrame, benchmark: DataFrame,
                           n: Int): DataFrame = {
+    // one shingle contract for the whole engine — decontamination and
+    // near-dup detection must tokenize identically (DocDedup.shingles)
     val benchShingles = broadcast(
-      shingles(benchmark, n).select(col("sh")).distinct())
-    shingles(docs, n)
+      DocDedup.shingles(benchmark, n).select(col("sh")).distinct())
+    DocDedup.shingles(docs, n)
       .join(benchShingles, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc

@@ -48,11 +48,14 @@ object SkewSafe {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, joinType: String = "inner",
                  saltBuckets: Int = 16): DataFrame = {
-    require(Set("inner", "left", "leftouter").contains(
-      joinType.toLowerCase.replace("_", "")),
-      s"saltedJoin supports inner/left_outer only — the dim side is " +
-        s"replicated per salt, so right/full outer would surface each " +
-        s"unmatched dim row $saltBuckets times (got '$joinType')")
+    // semi/anti are safe too: they never emit dim rows, so replication
+    // cannot fan out; only right/full outer would surface each unmatched
+    // dim row saltBuckets times
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti — " +
+        s"right/full outer would surface each unmatched dim row " +
+        s"$saltBuckets times (got '$joinType')")
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
     // Salting only matters for SHUFFLE joins (a broadcast join has no

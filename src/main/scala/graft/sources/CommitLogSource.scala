@@ -248,10 +248,15 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // batch PROCESSING duration feeding the adaptive controller: stamped when
-  // the batch is planned (latestOffset), observed when it commits — trigger
-  // idle time between batches must not count, or any ProcessingTime
-  // interval above the high threshold would pin the cap at minimum forever
+  // Batch duration feeding the adaptive controller: stamped when the batch
+  // BEGINS EXECUTING (planInputPartitions), observed when it commits —
+  // commit(N) runs inside the NEXT constructNextBatch, after latestOffset
+  // for N+1, so stamping in latestOffset would measure only the offset-log
+  // write (~0 ms) and the cap would grow unconditionally. plan→commit spans
+  // the batch execution plus any trigger idle before the next cycle; under
+  // backlog (the only regime where a cap matters) batches run back-to-back
+  // and the idle term vanishes, while under light ProcessingTime load the
+  // cap parks at the floor and regrows once batches queue up again.
   @volatile private var batchPlannedNanos: Long = 0L
 
   override def initialOffset(): Offset = CommitLogOffset(-1L, 0L)
@@ -283,7 +288,6 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
    * never beyond the AvailableNow target. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CommitLogOffset]
-    if (adaptive.isDefined) batchPlannedNanos = System.nanoTime()
     val segCap = adaptive.map(_.currentCap).getOrElse(maxSegmentsPerBatch)
     val target = availableNowTarget.getOrElse(unboundedLatest())
     val segs = CommitLogSource.segments(path).filter(_._1 <= target.segment)
@@ -321,6 +325,7 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    if (adaptive.isDefined) batchPlannedNanos = System.nanoTime()
     val s = start.asInstanceOf[CommitLogOffset]
     val e = end.asInstanceOf[CommitLogOffset]
     val parts = mutable.ArrayBuffer.empty[InputPartition]
@@ -373,16 +378,19 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
   // attempt (the move happens mid-task): fall back to the errors/ copy so
   // the retry can still deliver the same good prefix instead of dying on
   // FileNotFoundException — quarantine must never fail the query it exists
-  // to protect.
-  private val sourceFile: java.io.File = {
+  // to protect. Open-then-fallback (not check-then-open): a concurrent
+  // quarantine between an existence check and the open would race.
+  private val in: java.io.FileInputStream = {
     val f = new java.io.File(p.file)
-    if (f.isFile) f
-    else {
-      val q = new java.io.File(new java.io.File(f.getParentFile, "errors"), f.getName)
-      if (q.isFile) q else f // let the open throw for genuinely missing files
+    try new java.io.FileInputStream(f)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        val q = new java.io.File(
+          new java.io.File(f.getParentFile, "errors"), f.getName)
+        try new java.io.FileInputStream(q)
+        catch { case _: java.io.FileNotFoundException => throw e }
     }
   }
-  private val in = new java.io.FileInputStream(sourceFile)
   in.getChannel.position(p.fromByte)
   private var remaining = p.untilByte - p.fromByte
   private val bounded = new java.io.InputStream {

@@ -84,12 +84,10 @@ object MultiTablePipeline {
                   regular.map(col)): _*))
               val cond = pkCols.map(c => batch(c) === dim(dimAliases(c)))
                 .reduce(_ && _)
-              val joined = batch.join(dim, cond, "left_outer")
+              // no per-field tombstone nulling here: kvProject emits
+              // kv_value = null for deletes, which is all the sink sees
+              batch.join(dim, cond, "left_outer")
                 .drop(pkCols.map(dimAliases): _*)
-              regular.foldLeft(joined)((df, c) =>
-                df.withColumn(c,
-                  when(col("op") === Cdc.OpDelete, lit(null))
-                    .otherwise(col(c))))
             case Some(provider) =>
               // compound PK with one clustering column: the reference's
               // non-null-prefix lookup arity (row-level = full key;
