@@ -104,6 +104,51 @@ class AvroOutputSpec extends SparkSpec {
     assert(x.get("tags").asInstanceOf[java.util.List[_]].size === 2)
   }
 
+  test("randomized: nested values round-trip encode∘decode = identity") {
+    val rnd = new java.util.Random(0xA7804L)
+    val schemaType = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("udt", StructType(Seq(
+        StructField("a", IntegerType, nullable = false),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = false),
+        nullable = false),
+      StructField("d", DecimalType(14, 4), nullable = false)))
+    val schema = AvroSchemas.forStruct(schemaType, "rt", "graft.test")
+
+    def randStr() = (0 until rnd.nextInt(12)).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (1 to 200).map { _ =>
+      (if (rnd.nextBoolean()) randStr() else null,
+        rnd.nextLong(),
+        if (rnd.nextInt(4) == 0) null
+        else (rnd.nextInt(), if (rnd.nextBoolean()) randStr() else null),
+        Seq.fill(rnd.nextInt(5))(randStr()),
+        (0 until rnd.nextInt(4)).map(i => s"k$i" -> rnd.nextLong()).toMap,
+        BigDecimal(rnd.nextLong() % 1000000000L, 4))
+    }
+    val df = rows.toDF("s", "n", "udt", "tags", "m", "d")
+      .select(struct($"s", $"n",
+        $"udt".cast("struct<a:int,b:string>").as("udt"),
+        $"tags", $"m", $"d".cast(DecimalType(14, 4)).as("d")).as("v"))
+    // field-wise compare: struct `=` cannot order maps, and the codec does
+    // not promise map ENTRY order — only content
+    val both = df.select($"v",
+        AvroFunctions.from_avro_binary(
+          AvroFunctions.to_avro_binary($"v", schema.toString),
+          schema.toString).as("r"))
+      .selectExpr(
+        "(v.s <=> r.s) AND (v.n <=> r.n) AND (v.udt <=> r.udt) AND " +
+          "(v.tags <=> r.tags) AND (v.d <=> r.d) AND " +
+          "(array_sort(map_entries(v.m)) <=> array_sort(map_entries(r.m))) AS same")
+      .collect()
+    assert(both.forall(r => r.getBoolean(0)),
+      "every randomized nested value must survive the round-trip bit-exactly")
+  }
+
   test("toSparkType inverts forStruct") {
     val st = StructType(Seq(
       StructField("s", StringType, nullable = true),

@@ -1,0 +1,33 @@
+package graft
+
+/**
+ * Scale guard over EVERY declared query's physical plan: a cartesian
+ * product or an unintended broadcast-nested-loop join is exactly the plan
+ * shape that dies at 100 TB, and a refactor can introduce one silently
+ * while staying value-correct. Planning is cheap (no execution), so the
+ * whole surface is checked.
+ */
+class PlanGuardSpec extends SparkSpec {
+
+  // Intentional broadcast-nested-loop joins, each with a BOUNDED broadcast
+  // side: the brute-force cosine baselines (bounded query set × corpus —
+  // the exact oracle ANN is measured against) and IVF cell assignment
+  // (corpus × ~50 broadcast centroids, the standard argmax-over-cells
+  // scoring). Everything else must plan hash/merge joins.
+  private val intentionalBnlj =
+    Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann")
+
+  test("no query plans a cartesian product; nested-loop joins only where intended") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (!intentionalBnlj(name) && plan.contains("BroadcastNestedLoopJoin"))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+}
