@@ -26,9 +26,13 @@ case class NearDupCandidate(a: Long, b: Long, bucket: String,
  * task backed by the state store — the same hash-partitioned locality the
  * batch variant gets from its bucket join, but with O(new docs) work per
  * batch instead of a corpus re-scan. `maxBucketSize` caps pathological
- * buckets exactly like the batch `DocDedup.candidatePairs` cap (a stopword
- * shingle bucket at 100 TB would otherwise accumulate forever); the cap
- * keeps the newest docs (duplicates cluster in time). `ttlMs` expires idle
+ * buckets like the batch `DocDedup.candidatePairs` cap (a stopword shingle
+ * bucket at 100 TB would otherwise accumulate forever); the cap keeps the
+ * newest docs (duplicates cluster in time). Cap semantics differ at the
+ * margin by design: the batch pipeline DROPS an oversized bucket outright,
+ * while the stream — which cannot know a bucket's final size — emits pairs
+ * until the cap and then stops indexing; below the cap the two candidate
+ * sets are identical (spec-verified). `ttlMs` expires idle
  * buckets (processing-time timeout) for continuous deployments; `ttlMs<=0`
  * keeps the index forever (required under Trigger.AvailableNow — see
  * [[StreamingDedup.dedup]] for why).

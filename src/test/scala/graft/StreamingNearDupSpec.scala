@@ -84,4 +84,49 @@ class StreamingNearDupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairSet === batchPairs)
   }
+
+  test("randomized: incremental candidates over arrival splits ≡ batch pipeline") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rnd = new java.util.Random(0x5EED5L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // corpus with deliberate duplicates/near-duplicates
+    val corpus = (1L to 40L).map { id =>
+      val base = Vector.fill(8)(vocab(rnd.nextInt(vocab.size)))
+      val words =
+        if (rnd.nextInt(3) == 0) base // frequent exact collisions
+        else base.updated(rnd.nextInt(8), vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    }
+    val tmp = Files.createTempDirectory("graft_snd_rand").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$tmp/in"))
+    // arrivals split into 4 random batches
+    val shuffled = rnd.ints(0, 4).limit(corpus.size).toArray
+    for (b <- 0 until 4) {
+      val batchDocs = corpus.zip(shuffled).collect { case (d, `b`) => d }
+      if (batchDocs.nonEmpty) {
+        Files.write(Paths.get(s"$tmp/in/b$b.json"),
+          batchDocs.map(d => s"""{"doc_id":${d._1},"text":"${d._2}"}""")
+            .mkString("", "\n", "\n").getBytes)
+        val q = StreamingNearDup.candidates(
+            StreamingNearDup.bandedDocs(
+              spark.readStream.schema("doc_id LONG, text STRING")
+                .json(s"$tmp/in"), 8, 4))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+    }
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    val batch = graft.operators.DocDedup.candidatePairs(
+        graft.operators.DocDedup.lshBuckets(
+          graft.operators.DocDedup.minhashSignatures(
+            corpus.toDF("doc_id", "text"), 8), 4))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "arrival order must not change the candidate set")
+  }
 }
