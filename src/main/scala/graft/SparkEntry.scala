@@ -203,10 +203,14 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => {
       // HLL sketch, oracle-checked as an error bound: the estimate itself is
       // engine-specific, but |approx-exact|/exact <= 0.05 is a portable
-      // assertion the oracle verifies alongside the exact counts.
+      // assertion the oracle verifies alongside the exact counts. The
+      // sketch runs at rsd=0.01 — rsd is a STANDARD DEVIATION, not a bound,
+      // so asserting 5% against the default 5%-rsd sketch is a coin flip
+      // (and indeed failed at sf0.1); 1% rsd makes the 5% assertion a 5σ
+      // margin.
       Cdc.rawEvents(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           count_distinct(col("user_id")).as("n_exact"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("n_exact"), col("n"),
