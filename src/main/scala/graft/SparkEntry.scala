@@ -376,6 +376,27 @@ object SparkEntry {
         .groupBy(col("category")).agg(count(lit(1)).as("n"))
     }),
 
+    "cdc_prefix_lookup" -> ((s, dir) => {
+      // P8/J1 end to end on a real compound key (l_orderkey, l_linenumber):
+      // events carry either the full PK (row-level lookup), a tampered
+      // clustering value (miss ⇒ tombstone-shaped nulls) or a null
+      // clustering key (partition-level: no statics here, so value fields
+      // stay null) — the reference's non-null-prefix WHERE arity
+      // (CassandraSource.java:534, CassandraClient.java:166-178).
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val events = base.filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("int"))
+            .when(col("l_linenumber") % 4 === 0, col("l_linenumber") + 100)
+            .otherwise(col("l_linenumber")).cast("int").as("l_linenumber"))
+        .distinct()
+      CdcOperators.prefixLookupJoin(events, base,
+          partitionKey = "l_orderkey", clusteringKey = "l_linenumber",
+          staticCols = Nil, regularCols = Seq("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     "cdc_all_types" -> ((s, dir) => {
       // The reference's richest e2e scenario re-expressed: every CQL value
       // category — text/int/bigint/boolean/blob/uuid/date/timestamp/time/
@@ -939,6 +960,17 @@ object SparkEntry {
            WHEN (event_id % 1000) % 5 = 0 THEN 'partition_level_modification'
            ELSE 'row_level_modification' END AS category
          FROM events) GROUP BY category""",
+
+    "cdc_prefix_lookup" ->
+      """WITH events AS (
+           SELECT DISTINCT l_orderkey,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  WHEN l_linenumber % 4 = 0 THEN l_linenumber + 100
+                  ELSE l_linenumber END AS ck
+           FROM lineitem WHERE l_orderkey % 7 = 0)
+         SELECT e.l_orderkey, e.ck AS l_linenumber, b.l_quantity
+         FROM events e LEFT JOIN lineitem b
+           ON e.l_orderkey = b.l_orderkey AND e.ck = b.l_linenumber""",
 
     "cdc_all_types" ->
       """SELECT c_custkey AS "key",
