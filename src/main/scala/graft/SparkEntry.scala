@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
+import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -898,7 +898,86 @@ object SparkEntry {
       // score reported at 6 dp: engines agree on the pair set but differ in
       // the last 1-2 ulps of the double accumulation
       Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
-        .select(col("a"), col("b"), round(col("score"), 6).as("score")))
+        .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
+
+    // == round-3 extensions: curation, range join, embedding analytics ==
+
+    "text_pii_redact" -> ((s, dir) => {
+      // PII scrub over deterministically-augmented fixture text (the corpus
+      // itself carries no PII): docs get an email / IPv4 / phone appended on
+      // disjoint id residues, then counts + redaction are verified via
+      // md5(redacted) against the oracle running the same RE2∩Java regexes.
+      val docs = t(s, dir, "documents")
+      val augmented = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@mail"),
+            col("doc_id") % 7, lit(".com"))).otherwise(""),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10."), col("doc_id") % 200, lit(".0."),
+            col("doc_id") % 250)).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")))
+      TextAnalysis.piiRedact(augmented)
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"),
+          length(col("redacted")).cast("long").as("redacted_len"))
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition filter signals (dup-word / top-word /
+      // dup-bigram fractions) — thresholds sit inside the fixture's
+      // distribution so the keep flag is a real mix
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
+    "text_bigram_topk" -> ((s, dir) =>
+      // corpus-level collocation extraction: top-20 adjacent-word bigrams,
+      // deterministic (count desc, bigram asc) tie-break
+      TextAnalysis.bigramTopK(t(s, dir, "documents"), k = 20)),
+
+    "q_range_band_join" -> ((s, dir) => {
+      // bucketed range join: orders against overlapping price bands
+      // (stride 5000, width 7500 — every price hits 1-2 bands). Hash
+      // equi-join on bucket id + residual range filter; never a
+      // broadcast-nested-loop theta join (PlanGuardSpec enforces).
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bands = s.range(0, 101).select(col("id").as("band_id"),
+        (col("id") * 5000.0).as("lo"), (col("id") * 5000.0 + 7500.0).as("hi"))
+      RangeJoin.bandJoin(o, "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 5000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("tot"))
+    }),
+
+    "emb_label_centroid" -> ((s, dir) =>
+      EmbeddingOps.labelCentroid(t(s, dir, "embeddings"))),
+
+    "emb_int8_quantize" -> ((s, dir) =>
+      EmbeddingOps.int8Quantize(t(s, dir, "embeddings"))),
+
+    "q_pivot_events" -> ((s, dir) =>
+      // pivot: per-user-cohort event-type matrix (explicit value list so the
+      // plan is a single pass, no distinct-values pre-query)
+      Cdc.rawEvents(s, dir).groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("cohort"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))),
+
+    "q_unpivot_metrics" -> ((s, dir) =>
+      // unpivot/melt: lineitem metrics to long form on a keyed slice
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1529,7 +1608,107 @@ object SparkEntry {
          (52, -2721933645219530314, 25), (53, -2153701199812187923, 28), (54, -7859868938849985053, 12), (55, 2320413702407337651, 19),
          (56, -2866544664007038081, 23), (57, 5118052643735022726, 6), (58, -8276360695156522368, 4), (59, -6090696132046670207, 25),
          (60, -1355866252513006620, 14), (61, 2602666326510871861, 30), (62, -693815740509840607, 31), (63, -4539656592669191578, 31)
-         ) AS t("key", token, "partition")"""
+         ) AS t("key", token, "partition")""",
+
+    "text_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+               || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3,4}-\d{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5,
+           CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+         FROM aug""",
+
+    "text_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+           list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(w),
+             x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_word_frac,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(bg) > 0 THEN
+             1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+           ELSE 0.0 END AS dup_bigram_frac,
+           (CAST(list_max(list_transform(list_distinct(w),
+              x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 0.12
+            AND CASE WHEN len(bg) > 0 THEN
+              1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+            ELSE 0.0 END <= 0.1) AS repetition_ok
+         FROM s""",
+
+    "text_bigram_topk" ->
+      """WITH bg AS (SELECT unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+           FROM documents),
+         counted AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank, bigram, n
+         FROM counted QUALIFY rank <= 20""",
+
+    "q_range_band_join" ->
+      """SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+         FROM orders o JOIN (SELECT i AS band_id, i * 5000.0 AS lo,
+             i * 5000.0 + 7500.0 AS hi FROM range(0, 101) t(i)) b
+           ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+         GROUP BY 1""",
+
+    "emb_label_centroid" ->
+      """WITH e AS (SELECT label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+         SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+         FROM e GROUP BY 1, 2""",
+
+    "emb_int8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings),
+         e AS (SELECT vec_id, scale, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM s)
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0, 0) AS INTEGER) AS q,
+           round(scale, 6) AS scale
+         FROM e""",
+
+    "q_pivot_events" ->
+      """SELECT user_id % 10 AS cohort,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
+
+    "q_unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey % 50 = 0"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )

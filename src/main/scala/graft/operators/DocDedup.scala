@@ -200,15 +200,18 @@ object DocDedup {
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      // The change flag rides on the checkpointed frame, so the convergence
+      // count is a scan of materialized partitions — not a second join
+      // against the previous labels.
       val updated = labels.join(neighborMin, labels("id") === neighborMin("x"),
           "left_outer")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nlabel"), labels("label")))
-            .as("label"))
+            .as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < labels("label")).as("_chg"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).count()
-      labels = updated
+      changed = updated.filter(col("_chg")).count()
+      labels = updated.drop("_chg")
       iters += 1
     }
     require(changed == 0, s"canonicalClusters did not converge in $maxIters rounds")

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Embedding-column analytics beyond similarity search (SURVEY.md §7.2 M6):
+ * per-group centroids and scalar int8 quantization — the compression /
+ * aggregation steps of a vector-heavy training-data pipeline.
+ *
+ * Float-parity convention (see SparkEntry): per-dimension sums run in exact
+ * fixed-point DECIMAL so the result is independent of Spark's undefined
+ * cross-partition aggregation order, and only final values are cast back.
+ */
+object EmbeddingOps {
+
+  /**
+   * Per-label centroid of an `embedding ARRAY<FLOAT>` column, exploded to
+   * (label, pos, centroid) rows. posexplode → hash aggregate on
+   * (label, pos): one shuffle, map-side combinable, linear in corpus
+   * dimensions. Inputs are quantized to 7 decimals (beyond float precision)
+   * before the exact decimal sum, so the mean is order-independent.
+   */
+  def labelCentroid(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(round(col("x").cast("double"), 7).cast(DecimalType(24, 7))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("centroid"))
+
+  /**
+   * Scalar int8 quantization (max-abs scaling): q[i] = round(x[i]/scale·127)
+   * with scale = max|x|. Exploded output (vec_id, pos, q, scale) — the
+   * packed-array form is a trivial re-group; exploded keeps every value
+   * oracle-checkable. Pure narrow transform, no shuffle.
+   */
+  def int8Quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))
+          .as("scale"),
+        col("embedding"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))"))
+          .as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
+        col("scale"))
+}

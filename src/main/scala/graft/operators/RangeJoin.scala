@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (band/interval) join: points against intervals, without the
+ * broadcast-nested-loop plan a plain `v BETWEEN lo AND hi` theta-join
+ * degenerates to. Extension operator (SURVEY.md §2.3 notes the reference has
+ * no joins beyond the PK lookup); this is the standard primitive for
+ * bucketed histogram joins, IP-range lookups, and time-band enrichment.
+ *
+ * Plan: each interval explodes onto the fixed-width buckets it covers, each
+ * point maps to its single bucket, and the join is a hash equi-join on the
+ * bucket id with the exact range predicate as a residual filter. A point
+ * lands in exactly one bucket, so no post-join dedup is needed. Cost is
+ * |points| + Σ(interval width / bucketWidth) join rows — corpus-linear when
+ * bucketWidth is on the order of the interval widths, and shuffle-partitioned
+ * on the bucket id (AQE-splittable if a bucket is hot).
+ */
+object RangeJoin {
+
+  /**
+   * @param points      rows with a numeric `valueCol`
+   * @param bands       interval rows with numeric `loCol` <= `hiCol`
+   *                    (inclusive ends); column names must not collide with
+   *                    `points`
+   * @param bucketWidth width of the equi-join buckets; choose ~ the typical
+   *                    interval width (each interval explodes into
+   *                    width/bucketWidth + 1 bucket rows)
+   */
+  def bandJoin(points: DataFrame, valueCol: String, bands: DataFrame,
+               loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collisions = bands.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"bandJoin: band columns ${collisions.mkString(", ")} collide with " +
+        "point columns — alias them first")
+    val p = points.withColumn("_p_bkt",
+      floor(col(valueCol) / bucketWidth))
+    val b = bands.withColumn("_b_bkt",
+      explode(sequence(floor(col(loCol) / bucketWidth),
+        floor(col(hiCol) / bucketWidth))))
+    p.join(b, col("_p_bkt") === col("_b_bkt") &&
+        col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .select((points.columns ++ bands.columns).map(col): _*)
+  }
+}

@@ -148,6 +148,82 @@ object TextAnalysis {
   }
 
   /**
+   * PII patterns for redaction: (name, regex, replacement token). The regex
+   * subset used (character classes, `(?:)` groups, bounded repetition, `\b`)
+   * behaves identically under Java regex (Spark) and RE2 (DuckDB/ripgrep),
+   * keeping the operator oracle-checkable.
+   */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "[PHONE]"))
+
+  /**
+   * PII scrub for training-data curation: count and redact email / IPv4 /
+   * phone shapes. Match counts are taken on the ORIGINAL text (so earlier
+   * replacements can't create or destroy later matches); redaction applies
+   * the patterns in order. Narrow per-row transforms — no shuffle, fully
+   * codegen'd regexp kernels.
+   */
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+                patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
+    val counts = patterns.map { case (nm, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$nm")
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+    docs.select((col("doc_id") +: counts) :+ redacted.as("redacted"): _*)
+  }
+
+  /** Adjacent-word bigrams of a space-tokenized text column, as an array —
+   * row-local (array arithmetic), no shuffle. */
+  def bigrams(textCol: String) = expr(
+    s"transform(slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1), " +
+      s"(x, i) -> concat(x, ' ', element_at(split($textCol, ' '), i + 2)))")
+
+  /**
+   * Gopher-style repetition signals per document: duplicate-word fraction,
+   * top-word fraction, duplicate-bigram fraction, plus a keep flag. All
+   * array-local expressions (the per-doc word lists are bounded), so the
+   * operator is a narrow map — the 100 TB cost is one corpus scan.
+   */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      maxTopWordFrac: Double = 0.12,
+                      maxDupBigramFrac: Double = 0.1): DataFrame =
+    docs.select(col("doc_id"), words(textCol).as("w"), bigrams(textCol).as("bg"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("dup_word_frac"),
+        (expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+          .cast("double") / size(col("w")).cast("double")).as("top_word_frac"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double")).otherwise(0.0).as("dup_bigram_frac"))
+      .withColumn("repetition_ok",
+        col("top_word_frac") <= maxTopWordFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+
+  /**
+   * Corpus-level top-k collocations (adjacent-word bigrams) with
+   * deterministic tie-break. Shape at scale: explode is corpus-linear with
+   * map-side partial counting; the rank window runs over the aggregated
+   * bigram DICTIONARY (vocabulary², not corpus-sized), so the single-
+   * partition window is bounded.
+   */
+  def bigramTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(bigrams(textCol)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("bigram").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("bigram"), col("n"))
+  }
+
+  /**
    * Marker-token language-ID heuristic: count high-frequency marker words
    * per candidate language, predict the argmax (deterministic priority
    * order on ties). Pure string arithmetic — portable to the oracle.

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{EmbeddingOps, RangeJoin, TextAnalysis}
+
+/**
+ * Unit semantics for the round-3 extension operators (their end-to-end
+ * values are oracle-checked by the declared queries; these pin the corner
+ * cases and the plan shapes on constructed inputs).
+ */
+class Round3OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- RangeJoin ----------------------------------------------------------
+
+  test("bandJoin matches every (point, interval) pair exactly once, inclusive ends") {
+    val points = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 15.0), (5L, 25.0),
+      (6L, -3.0)).toDF("pid", "v")
+    val bands = Seq((10L, 0.0, 10.0), (20L, 10.0, 20.0), (30L, 5.0, 25.0),
+      (40L, -5.0, -1.0)).toDF("band_id", "lo", "hi")
+    val got = RangeJoin.bandJoin(points, "v", bands, "lo", "hi", bucketWidth = 4.0)
+      .select("pid", "band_id").as[(Long, Long)].collect().toSet
+    // brute-force expectation: v in [lo, hi], both ends inclusive
+    val pts = Seq(1L -> 0.0, 2L -> 9.99, 3L -> 10.0, 4L -> 15.0, 5L -> 25.0, 6L -> -3.0)
+    val bds = Seq((10L, 0.0, 10.0), (20L, 10.0, 20.0), (30L, 5.0, 25.0), (40L, -5.0, -1.0))
+    val want = (for {
+      (p, v) <- pts
+      (b, lo, hi) <- bds
+      if v >= lo && v <= hi
+    } yield (p, b)).toSet
+    assert(got == want)
+    // and exactly once: the joined row count equals the pair count
+    val n = RangeJoin.bandJoin(points, "v", bands, "lo", "hi", bucketWidth = 4.0).count()
+    assert(n == want.size)
+  }
+
+  test("bandJoin plans a hash equi-join on the bucket, not a nested loop") {
+    val points = Seq((1L, 1.0)).toDF("pid", "v")
+    val bands = Seq((1L, 0.0, 2.0)).toDF("band_id", "lo", "hi")
+    val plan = RangeJoin.bandJoin(points, "v", bands, "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bucket, got:\n$plan")
+  }
+
+  test("bandJoin rejects colliding column names and bad width") {
+    val df = Seq((1L, 1.0)).toDF("pid", "v")
+    val bands = Seq((1L, 0.0, 2.0)).toDF("pid", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(df, "v", bands, "lo", "hi", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(df, "v", Seq((1L, 0.0, 2.0)).toDF("b", "lo", "hi"), "lo", "hi", 0.0)
+    }
+  }
+
+  // ---- TextAnalysis round-3 additions ------------------------------------
+
+  test("piiRedact counts and redacts email/ip/phone; counts taken pre-redaction") {
+    val docs = Seq(
+      (1L, "mail me at a.b@x.co or c@d.io from 10.0.0.1 call 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "999.999.999.999 is still ipv4-shaped 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 2L, 1L, 1L,
+      "mail me at [EMAIL] or [EMAIL] from [IP] call [PHONE]")))
+    assert(r(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(r(2)._3 == 2L && r(2)._5 == "[IP] is still ipv4-shaped [IP]")
+  }
+
+  test("repetitionStats: fractions and keep flag on a constructed doc") {
+    val docs = Seq(
+      (1L, "a a a a b"),           // top word 4/5, bigram 'a a' x3 of 4
+      (2L, "q r s t u v w x y z")  // all distinct; top frac 0.1 <= 0.12
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_words") == 5L)
+    assert(math.abs(d1.getAs[Double]("dup_word_frac") - 0.6) < 1e-12)
+    assert(math.abs(d1.getAs[Double]("top_word_frac") - 0.8) < 1e-12)
+    assert(d1.getAs[Long]("n_bigrams") == 4L)
+    // bigrams: "a a","a a","a a","a b" -> 2 distinct of 4
+    assert(math.abs(d1.getAs[Double]("dup_bigram_frac") - 0.5) < 1e-12)
+    assert(!d1.getAs[Boolean]("repetition_ok"))
+    val d2 = r(1)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0 &&
+      d2.getAs[Double]("dup_bigram_frac") == 0.0 &&
+      d2.getAs[Boolean]("repetition_ok"))
+  }
+
+  test("bigramTopK: deterministic count-then-lexicographic ranking") {
+    val docs = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("doc_id", "text")
+    // bigrams: doc1: "x y","y x","x y","y z"; doc2: "x y","y q"
+    val r = TextAnalysis.bigramTopK(docs, k = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "x y", 3L), (2L, "y q", 1L), (3L, "y x", 1L)))
+  }
+
+  // ---- EmbeddingOps -------------------------------------------------------
+
+  test("labelCentroid: exact decimal mean, stable under repartitioning") {
+    val emb = Seq(
+      (1L, Array(1.0f, -2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(10.0f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.labelCentroid(emb)
+      .orderBy("label", "pos").as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 0L, 2.0), (0, 1L, 1.0), (1, 0L, 10.0), (1, 1L, 0.5)))
+    val got12 = EmbeddingOps.labelCentroid(emb.repartition(12))
+      .orderBy("label", "pos").as[(Int, Long, Double)].collect().toSeq
+    assert(got12 == got, "centroid must not depend on partitioning")
+  }
+
+  test("int8Quantize: max-abs scaling, |q| <= 127, sign preserved") {
+    val emb = Seq((7L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val r = EmbeddingOps.int8Quantize(emb).orderBy("pos")
+      .select("pos", "q", "scale").as[(Long, Int, Double)].collect().toSeq
+    assert(r == Seq((0L, 64, 1.0), (1L, -127, 1.0), (2L, 32, 1.0)))
+  }
+}
