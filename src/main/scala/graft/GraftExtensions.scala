@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, MediaHeader}
+import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, HeavyHittersAgg, MediaHeader}
 
 /**
  * Session extension registering graft's custom expressions for SQL use:
@@ -77,6 +77,14 @@ object GraftExtensions {
         BloomAgg(args(0),
           evalLong("bloom_agg", "items", args(1)),
           evalDouble("bloom_agg", "fpp", args(2))).toAggregateExpression()
+      }),
+    (FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(v, k) - Misra-Gries frequent-items sketch (MAP<STRING,BIGINT>)"),
+      (args: Seq[Expression]) => {
+        checkArity("heavy_hitters", args, 2)
+        HeavyHittersAgg(args(0),
+          evalLong("heavy_hitters", "k", args(1)).toInt).toAggregateExpression()
       }))
 
   /** Register on an already-running session (the builder-time

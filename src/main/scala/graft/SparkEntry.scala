@@ -977,7 +977,36 @@ object SparkEntry {
           col("l_extendedprice"), col("l_discount"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-          "metric", "val"))
+          "metric", "val")),
+
+    "text_vocab_heavy_hitters" -> ((s, dir) =>
+      // Misra–Gries sketch pass → broadcast candidates → exact verify pass.
+      // Output is the TRUE heavy-hitter set (share > 2%), so it's fully
+      // oracle-checkable even though the sketch itself is approximate —
+      // the MG guarantee (sketchK=64 > 1/0.02) makes the candidate set a
+      // proven superset.
+      TextAnalysis.vocabHeavyHitters(t(s, dir, "documents"), sketchK = 64,
+        minShare = 0.02)),
+
+    "q_approx_quantiles" -> ((s, dir) =>
+      // approx_percentile sketch, oracle-checked like q_approx_distinct:
+      // exact quantiles anchor the row; the approx estimates are asserted
+      // to land inside the ±3%-rank window (sketch accuracy 200 ⇒ ±0.5%
+      // rank error — a 6× margin).
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(200)).as("a50"),
+          percentile_approx(col("value"), lit(0.9), lit(200)).as("a90"),
+          expr("percentile(value, 0.47)").as("lo50"),
+          expr("percentile(value, 0.53)").as("hi50"),
+          expr("percentile(value, 0.87)").as("lo90"),
+          expr("percentile(value, 0.93)").as("hi90"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"))
+        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok50"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok90")))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1708,7 +1737,24 @@ object SparkEntry {
          FROM lineitem WHERE l_orderkey % 50 = 0
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-         FROM lineitem WHERE l_orderkey % 50 = 0"""
+         FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "text_vocab_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
+         FROM tok GROUP BY token
+         HAVING CAST(count(*) AS DOUBLE) > (SELECT CAST(n AS DOUBLE) FROM tot) * 0.02""",
+
+    // approx estimates are engine-side; the oracle verifies the exact
+    // quantiles and that the asserted rank-error bounds hold (both true).
+    "q_approx_quantiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           true AS ok50, true AS ok90
+         FROM events GROUP BY event_type"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )

@@ -1,0 +1,120 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Misra–Gries heavy-hitters sketch as a Catalyst `TypedImperativeAggregate`
+ * — the frequent-items companion to the HLL (`approx_count_distinct`) and
+ * membership ([[BloomAgg]]) sketches. `heavy_hitters(strCol, k)` returns a
+ * MAP<STRING, BIGINT> of at most `k` candidates with estimated counts.
+ *
+ * Guarantees (the classic mergeable-summaries bounds): every item with true
+ * frequency > n/(k+1) is present, and each estimate undercounts by at most
+ * n/(k+1). Partial sketches build map-side per partition and merge by
+ * count-sum + compress, so the shuffle carries k entries per partition —
+ * the 100 TB shape is sketch-pass → broadcast candidates → exact second
+ * pass over candidates only (see `TextAnalysis.vocabHeavyHitters`).
+ */
+case class HeavyHittersAgg(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters requires k >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters requires a STRING column, got ${other.catalogString} " +
+        "(cast the column to string first)")
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Shrink to <= k entries: subtract the (k+1)-th largest count from every
+   * counter and drop the non-positive — adds at most that much undercount
+   * (Agarwal et al., "Mergeable Summaries"). */
+  private def compress(buf: mutable.HashMap[String, Long]): Unit =
+    if (buf.size > k) {
+      val t = buf.values.toArray.sortWith(_ > _).apply(k)
+      buf.filterInPlace((_, v) => v > t)
+        .mapValuesInPlace((_, v) => v - t)
+    }
+
+  override def update(buffer: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buffer.update(key, buffer.getOrElse(key, 0L) + 1L)
+      compress(buffer)
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (key, v) =>
+      buffer.update(key, buffer.getOrElse(key, 0L) + v)
+    }
+    compress(buffer)
+    buffer
+  }
+
+  override def eval(buffer: mutable.HashMap[String, Long]): Any = {
+    // deterministic entry order (est desc, key asc) for stable output
+    val entries = buffer.toArray.sortBy { case (key, v) => (-v, key) }
+    ArrayBasedMapData(
+      entries.map { case (key, _) => UTF8String.fromString(key) },
+      entries.map { case (_, v) => v })
+  }
+
+  override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (key, v) => out.writeUTF(key); out.writeLong(v) }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HeavyHittersAgg =
+    copy(child = c.head)
+}
+
+object HeavyHittersFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def heavy_hitters(c: Column, k: Int): Column =
+    GraftShim.column(HeavyHittersAgg(GraftShim.expression(c), k)
+      .toAggregateExpression())
+}

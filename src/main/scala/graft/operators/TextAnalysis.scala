@@ -224,6 +224,40 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-vocabulary heavy hitters via the classic two-pass sketch shape:
+   * a Misra–Gries sketch pass finds candidate tokens (provably a superset
+   * of every token with share > 1/(sketchK+1)), then an exact second pass
+   * counts ONLY the <= sketchK broadcast candidates and filters by the true
+   * share. The result is exact and deterministic; the sketch bounds the
+   * second pass to k keys instead of the full vocabulary — at 100 TB the
+   * first pass shuffles k-entry partial maps, the second a broadcast
+   * semi-join plus one map-side-combinable count.
+   *
+   * Requires sketchK >= 1/minShare so the MG guarantee covers the asked-for
+   * share threshold.
+   */
+  def vocabHeavyHitters(docs: DataFrame, sketchK: Int, minShare: Double,
+                        textCol: String = "text"): DataFrame = {
+    require(sketchK >= math.ceil(1.0 / minShare).toInt,
+      s"sketchK=$sketchK too small for minShare=$minShare: items with share" +
+        s" > 1/${sketchK + 1} are only guaranteed in a sketch of that size")
+    val tokens = docs.select(explode(words(textCol)).as("token"))
+    val sketch = tokens.agg(
+      graft.functions.HeavyHittersFunctions.heavy_hitters(col("token"), sketchK)
+        .as("hh"),
+      count(lit(1)).as("n"))
+    val candidates = sketch.select(explode(map_keys(col("hh"))).as("token"),
+      col("n"))
+    tokens.join(broadcast(candidates), "token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
+      .filter(col("cnt").cast("double") > col("n").cast("double") * minShare)
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6)
+          .as("share"))
+  }
+
+  /**
    * Marker-token language-ID heuristic: count high-frequency marker words
    * per candidate language, predict the argmax (deterministic priority
    * order on ties). Pure string arithmetic — portable to the oracle.

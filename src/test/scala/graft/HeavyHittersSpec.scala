@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HeavyHittersFunctions.heavy_hitters
+import graft.operators.TextAnalysis
+
+/** Misra–Gries sketch: the no-false-negative guarantee, merge behavior
+ * under repartitioning, SQL registration, and the two-pass exact
+ * heavy-hitter operator built on it. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic skewed stream: "hot0" 300x, "hot1" 150x, 400 singletons;
+  // n = 850, so with k = 9 anything with freq > 85 must survive.
+  private def stream = {
+    val items = Seq.fill(300)("hot0") ++ Seq.fill(150)("hot1") ++
+      (0 until 400).map(i => s"cold$i")
+    val rnd = new java.util.Random(42)
+    val shuffled = scala.util.Random.javaRandomToRandom(rnd).shuffle(items)
+    shuffled.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  test("every item above n/(k+1) survives the sketch, at any partitioning") {
+    for (parts <- Seq(1, 4, 13)) {
+      val df = stream.toDF("id", "item").repartition(parts)
+      val m = df.agg(heavy_hitters(col("item"), 9).as("hh"))
+        .select(map_keys(col("hh"))).as[Seq[String]].collect()(0).toSet
+      assert(m.contains("hot0") && m.contains("hot1"),
+        s"true heavy hitters missing at $parts partitions: $m")
+      assert(m.size <= 9, s"sketch overflowed k: ${m.size}")
+    }
+  }
+
+  test("estimates undercount by at most n/(k+1)") {
+    val df = stream.toDF("id", "item")
+    val m = df.agg(heavy_hitters(col("item"), 9).as("hh"))
+      .select(col("hh")).as[Map[String, Long]].collect()(0)
+    assert(m("hot0") >= 300 - 85 && m("hot0") <= 300)
+    assert(m("hot1") >= 150 - 85 && m("hot1") <= 150)
+  }
+
+  test("SQL registration works and rejects bad arguments at analysis") {
+    graft.GraftExtensions.register(spark)
+    stream.toDF("id", "item").createOrReplaceTempView("hh_stream")
+    val m = spark.sql(
+      "SELECT heavy_hitters(item, 9) AS hh FROM hh_stream")
+      .select(map_keys(col("hh"))).as[Seq[String]].collect()(0).toSet
+    assert(m.contains("hot0"))
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(id, 9) FROM hh_stream").collect()
+    }
+    assert(e1.getMessage.contains("STRING"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(item, id) FROM hh_stream").collect()
+    }
+    assert(e2.getMessage.contains("literal"), s"got: ${e2.getMessage}")
+  }
+
+  test("two-pass vocabHeavyHitters is exact: sketch candidates, verified counts") {
+    val docs = Seq(
+      (1L, "a a a a a a b b c d"),
+      (2L, "a a a b b e f g h i"),
+      (3L, "j k l m n o p q r s")
+    ).toDF("doc_id", "text")
+    // n = 30 tokens; share > 0.1 ⇒ freq > 3: a (9), b (4)
+    val got = TextAnalysis.vocabHeavyHitters(docs, sketchK = 16, minShare = 0.1)
+      .orderBy(col("token")).as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 9L, 0.3), ("b", 4L, 0.133333)))
+    // guard: a sketch too small for the asked share is refused
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabHeavyHitters(docs, sketchK = 5, minShare = 0.1)
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/**
+ * IVF validated where inverted-file search actually helps: data WITH cluster
+ * structure. The driver's embeddings fixture is near-uniform (pairwise
+ * cosines <= ~0.52), so reaching recall 1.0 there requires probing ~80% of
+ * the cells — the honest measurement of that trade-off is the oracle-checked
+ * `knn_recall` query. Here deterministic planted clusters show the other
+ * side: with real structure, k-means cells capture it and a SMALL nprobe
+ * reaches near-exact recall — the property that makes IVF the 100 TB path.
+ */
+class IvfClusteredSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("small-nprobe IVF is near-exact on planted clusters") {
+    val n = 500
+    val dim = 16
+    // 10 well-separated clusters: center c peaks at dims c and (c+3)%dim,
+    // members add bounded seeded jitter. vec_id 0..9 covers every cluster,
+    // so the id-ordered k-means init starts one seed per true cluster.
+    val vecs = (0 until n).map { i =>
+      val c = i % 10
+      val rnd = new java.util.Random(i * 7919L + 17)
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c) 1.0f else if (d == (c + 3) % dim) 0.5f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, nCells = 10, iters = 5,
+      dim = dim)(spark)
+    val q = vecs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(q, vecs, k = 5)
+    val ann = Similarity.ivfKnn(q, vecs, cents, k = 5, nprobe = 2)
+    val recall = Similarity.recallAtK(ann, brute)
+      .agg(min("recall").as("mn"), avg("recall").as("av")).collect()(0)
+    assert(recall.getDouble(1) >= 0.95,
+      s"avg recall@5 ${recall.getDouble(1)} < 0.95 with nprobe=2/10 on clustered data")
+    assert(recall.getDouble(0) >= 0.8,
+      s"min recall@5 ${recall.getDouble(0)} < 0.8 with nprobe=2/10 on clustered data")
+  }
+}
