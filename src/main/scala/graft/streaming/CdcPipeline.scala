@@ -37,6 +37,12 @@ object CdcPipeline {
             // scheduling batches, so state is unexpiring here (see
             // StreamingDedup.dedup). Continuous deployments pass a real TTL
             // and a ProcessingTime trigger.
+            // RESTART CAVEAT: the timeout class is baked into the state
+            // store's value schema (ProcessingTimeTimeout appends
+            // `timeoutTimestamp`), so every restart on a checkpoint must
+            // keep the same ttl CLASS (0 stays 0; >0 stays >0) or the
+            // query fails with STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE —
+            // CrashRecoverySpec/SoakMain exercise the >0 restart path.
             ttlMs: Long = 0L,
             sourceFormat: String = "parquet",
             // S4 token routing: >0 routes output by the Cassandra token's

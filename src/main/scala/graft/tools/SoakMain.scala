@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CdcPipeline
+
+/**
+ * Standalone pipeline process for crash/recovery soaks: runs the CDC
+ * pipeline in its own JVM so a test (or an operator drilling a deployment)
+ * can SIGKILL it mid-batch and restart it on the same checkpoint —
+ * CrashRecoverySpec drives it. Modes:
+ *
+ *  - `cont`: ProcessingTime trigger, runs until killed (prints SOAK_READY
+ *    once the query is live);
+ *  - `drain`: AvailableNow — process whatever is pending, then exit 0.
+ */
+object SoakMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: SoakMain <eventsDir> <outDir> <ckptDir> <cont|drain>")
+    val Array(eventsDir, outDir, ckptDir, mode) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-soak-$mode")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("name"), col("id")).as("name"))
+    // BOTH modes run with the TTL (ProcessingTimeTimeout) state schema: the
+    // timeout class is part of the state-store value schema (it appends
+    // `timeoutTimestamp`), so a restart on a TTL checkpoint MUST keep
+    // ttl > 0 — a NoTimeout AvailableNow drain fails with
+    // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE. And AvailableNow itself
+    // can't drain a ProcessingTimeTimeout pipeline (timeout expiry keeps
+    // scheduling batches), so `drain` is ProcessingTime + idle detection.
+    val q = CdcPipeline.start(spark, eventsDir, () => base,
+      Seq("name"), "k", outDir, ckptDir,
+      ttlMs = 600000L,
+      trigger = Trigger.ProcessingTime(100))
+    println("SOAK_READY")
+    if (mode == "cont") q.awaitTermination()
+    else {
+      // ProcessingTimeTimeout keeps scheduling (empty) batches on every
+      // trigger, so the query never reports an idle STATUS — idleness is
+      // visible only in PROGRESS: once the restart's replay batch (always
+      // the first batch, from the uncommitted offsets) has run, sustained
+      // numInputRows == 0 means the source is drained.
+      val deadline = System.currentTimeMillis() + 240000
+      var stableSince = 0L
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val p = q.lastProgress
+        val idle = p != null && p.numInputRows == 0
+        stableSince =
+          if (!idle) 0L
+          else if (stableSince == 0L) System.currentTimeMillis()
+          else stableSince
+        done = stableSince > 0L &&
+          System.currentTimeMillis() - stableSince > 3000
+      }
+      q.stop()
+      spark.stop()
+      if (!done) {
+        System.err.println("drain did not reach idle before deadline")
+        sys.exit(2)
+      }
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Hard-crash recovery: SIGKILL the pipeline JVM mid-stream (no graceful
+ * stop, no sink commit), restart on the SAME checkpoint, and require
+ * exactly-once output. This is the property the per-epoch overwrite sink +
+ * checkpointed source are designed for (SURVEY.md §2.7 T1/T7): a replayed
+ * batch rewrites its epoch directory rather than appending duplicates, and
+ * the dedup state restored from the state store still suppresses replayed
+ * digests. The graceful-stop variant lives in ContinuousPipelineSpec; this
+ * spec is the ungraceful one, in a child JVM so the kill is a real SIGKILL.
+ */
+class CrashRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def launch(mode: String, dirs: (String, String, String)): Process = {
+    val (events, out, ckpt) = dirs
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
+      Seq("-Xmx1500m", "-cp", System.getProperty("java.class.path"),
+        "graft.tools.SoakMain", events, out, ckpt, mode)
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"$out.${mode}.log")))
+      .start()
+  }
+
+  test("SIGKILL mid-stream + restart on the same checkpoint = exactly-once") {
+    val tmp = Files.createTempDirectory("graft_crash").toFile.getAbsolutePath
+    val eventsDir = s"$tmp/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    def writeFile(n: Int, rows: Seq[(Long, Long, String)]): Unit = {
+      val stage = s"$tmp/stage$n"
+      rows.map { case (id, key, dig) =>
+        (id, key, "u", 100L + id, 0L, id.toInt, dig, "n1") }
+        .toDF("event_id", "key", "op", "writetime", "segment", "position",
+          "md5Digest", "nodeId")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$eventsDir/batch$n.parquet"))
+    }
+    def outIds(): Seq[Long] =
+      scala.util.Try(spark.read.parquet(s"$tmp/out/batch")
+        .select($"event_id").as[Long].collect().toSeq.sorted)
+        .getOrElse(Seq.empty)
+
+    writeFile(1, Seq((1L, 10L, "dA"), (2L, 11L, "dB")))
+    val child = launch("cont", (eventsDir, s"$tmp/out", s"$tmp/ckpt"))
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (outIds().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(outIds() == Seq(1L, 2L), s"first batch not out: ${outIds()}")
+
+      // more files land — dup digest dA must stay suppressed by restored
+      // state; then the process dies HARD, possibly mid-batch
+      writeFile(2, Seq((3L, 10L, "dA"), (4L, 12L, "dC")))
+      writeFile(3, Seq((5L, 13L, "dD"), (6L, 14L, "dE")))
+      Thread.sleep(400) // let a batch likely be in flight when the kill lands
+      child.destroyForcibly()
+      assert(child.waitFor(10, java.util.concurrent.TimeUnit.SECONDS),
+        "SIGKILL did not take")
+    } finally if (child.isAlive) child.destroyForcibly()
+
+    // restart on the same checkpoint; drain everything pending and exit
+    val drain = launch("drain", (eventsDir, s"$tmp/out", s"$tmp/ckpt"))
+    assert(drain.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "drain run did not exit")
+    assert(drain.exitValue() == 0, {
+      val log = s"$tmp/out.drain.log"
+      s"drain failed, log tail:\n${scala.util.Try(
+        new String(Files.readAllBytes(Paths.get(log))).takeRight(2000)).getOrElse("")}"
+    })
+    // exactly-once: every surviving event exactly once, replayed digest never
+    assert(outIds() == Seq(1L, 2L, 4L, 5L, 6L),
+      s"post-recovery output wrong: ${outIds()}")
+  }
+}
