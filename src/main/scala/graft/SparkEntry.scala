@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis}
+import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -1006,7 +1006,23 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90_exact"))
         .select(col("event_type"), col("p50_exact"), col("p90_exact"),
           (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok50"),
-          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok90")))
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok90"))),
+
+    "q_fuzzy_join" -> ((s, dir) => {
+      // entity resolution: deterministically-corrupted customer names
+      // (one digit deleted) matched back against the clean dimension via
+      // SymSpell delete-1 blocking + exact levenshtein verify. The oracle
+      // recomputes the SAME pair set brute-force in DuckDB — a green row
+      // proves the blocked join loses nothing vs the cross product.
+      val c = t(s, dir, "customer")
+      val dirty = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          expr("concat(substring(c_name, 1, 9 + c_custkey % 8), " +
+            "substring(c_name, 11 + c_custkey % 8))").as("dirty"))
+      FuzzyJoin.editDistance1Join(dirty, "dirty",
+          c.select(col("c_custkey"), col("c_name")), "c_name")
+        .select(col("dirty_id"), col("c_custkey"), col("dist"))
+    })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1754,7 +1770,20 @@ object SparkEntry {
            round(quantile_cont(value, 0.5), 6) AS p50_exact,
            round(quantile_cont(value, 0.9), 6) AS p90_exact,
            true AS ok50, true AS ok90
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // brute-force distance join (length prefilter only) — the blocked
+    // SymSpell join must equal it exactly
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT c_custkey AS dirty_id,
+             substring(c_name, 1, CAST(9 + c_custkey % 8 AS INTEGER))
+               || substring(c_name, CAST(11 + c_custkey % 8 AS INTEGER)) AS dirty
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT d.dirty_id, c.c_custkey,
+           CAST(levenshtein(d.dirty, c.c_name) AS BIGINT) AS dist
+         FROM d JOIN customer c
+           ON abs(length(d.dirty) - length(c.c_name)) <= 1
+          AND levenshtein(d.dirty, c.c_name) <= 1"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )

@@ -55,6 +55,29 @@ class Round3OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ---- FuzzyJoin ----------------------------------------------------------
+
+  test("editDistance1Join finds sub/ins/del matches, skips distance-2, no cross product") {
+    import graft.operators.FuzzyJoin
+    val dirty = Seq((1L, "kitten"), (2L, "sitting"), (3L, "abc"),
+      (4L, "xyzzy")).toDF("lid", "l")
+    val clean = Seq((10L, "mitten"),   // substitution of 1 (dist 1)
+      (11L, "kittens"),                // insertion (dist 1 from kitten)
+      (12L, "kittn"),                  // deletion (dist 1 from kitten)
+      (13L, "sitting"),                // exact (dist 0)
+      (14L, "abcde"),                  // dist 2 from abc — must NOT match
+      (15L, "zzz")).toDF("rid", "r")
+    val got = FuzzyJoin.editDistance1Join(dirty, "l", clean, "r")
+      .select("lid", "rid", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L),
+      (2L, 13L, 0L)))
+    val plan = FuzzyJoin.editDistance1Join(dirty, "l", clean, "r")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"SymSpell join must stay an equi-join, got:\n$plan")
+  }
+
   // ---- TextAnalysis round-3 additions ------------------------------------
 
   test("piiRedact counts and redacts email/ip/phone; counts taken pre-redaction") {
