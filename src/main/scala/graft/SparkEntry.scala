@@ -1022,7 +1022,12 @@ object SparkEntry {
       FuzzyJoin.editDistance1Join(dirty, "dirty",
           c.select(col("c_custkey"), col("c_name")), "c_name")
         .select(col("dirty_id"), col("c_custkey"), col("dist"))
-    })
+    }),
+
+    "text_dup_spans" -> ((s, dir) =>
+      // substring-level duplication: per-doc fraction of 3-word spans that
+      // also appear in another document (Lee et al. dedup signal)
+      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 3))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1783,7 +1788,24 @@ object SparkEntry {
            CAST(levenshtein(d.dirty, c.c_name) AS BIGINT) AS dist
          FROM d JOIN customer c
            ON abs(length(d.dirty) - length(c.c_name)) <= 1
-          AND levenshtein(d.dirty, c.c_name) <= 1"""
+          AND levenshtein(d.dirty, c.c_name) <= 1""",
+
+    "text_dup_spans" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sp AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+               i -> array_to_string(w[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS span FROM s),
+         pd AS (SELECT doc_id, span, CAST(count(*) AS BIGINT) AS occ
+           FROM sp GROUP BY 1, 2),
+         sd AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+           FROM pd GROUP BY 1)
+         SELECT pd.doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(occ) AS DOUBLE), 6) AS shared_frac
+         FROM pd JOIN sd USING(span) GROUP BY 1"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )

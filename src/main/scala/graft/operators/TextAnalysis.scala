@@ -176,11 +176,11 @@ object TextAnalysis {
     docs.select((col("doc_id") +: counts) :+ redacted.as("redacted"): _*)
   }
 
-  /** Adjacent-word bigrams of a space-tokenized text column, as an array —
-   * row-local (array arithmetic), no shuffle. */
-  def bigrams(textCol: String) = expr(
-    s"transform(slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1), " +
-      s"(x, i) -> concat(x, ' ', element_at(split($textCol, ' '), i + 2)))")
+  /** Adjacent-word bigrams from an already-split ARRAY column — row-local
+   * (array arithmetic), no shuffle, and the split runs once upstream. */
+  def bigramsOf(wordsCol: String) = expr(
+    s"transform(slice($wordsCol, 1, size($wordsCol) - 1), " +
+      s"(x, i) -> concat(x, ' ', element_at($wordsCol, i + 2)))")
 
   /**
    * Gopher-style repetition signals per document: duplicate-word fraction,
@@ -191,12 +191,23 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       maxTopWordFrac: Double = 0.12,
                       maxDupBigramFrac: Double = 0.1): DataFrame =
-    docs.select(col("doc_id"), words(textCol).as("w"), bigrams(textCol).as("bg"))
+    docs.select(col("doc_id"), words(textCol).as("w"))
+      .select(col("doc_id"), col("w"), bigramsOf("w").as("bg"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
           size(col("w")).cast("double")).as("dup_word_frac"),
-        (expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+        // top-word count as a run-length scan over the sorted array —
+        // O(L log L) per doc instead of the O(L²) distinct×filter probe
+        (expr(
+          """aggregate(array_sort(w),
+               named_struct('prev', '', 'run', 0L, 'best', 0L),
+               (acc, x) -> IF(x = acc.prev,
+                 named_struct('prev', x, 'run', acc.run + 1,
+                   'best', greatest(acc.best, acc.run + 1)),
+                 named_struct('prev', x, 'run', 1L,
+                   'best', greatest(acc.best, 1L))),
+               acc -> acc.best)""")
           .cast("double") / size(col("w")).cast("double")).as("top_word_frac"),
         size(col("bg")).cast("long").as("n_bigrams"),
         when(size(col("bg")) > 0,
@@ -215,12 +226,49 @@ object TextAnalysis {
    */
   def bigramTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(bigrams(textCol)).as("bigram"))
+    docs.select(words(textCol).as("w"))
+      .select(explode(bigramsOf("w")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("n").desc, col("bigram").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("rank"), col("bigram"), col("n"))
+  }
+
+  /**
+   * Span-level duplication signal (the substring-dedup measure of Lee et
+   * al.'s "Deduplicating Training Data Makes Language Models Better"):
+   * for each document, the fraction of its n-word spans that also occur in
+   * some OTHER document. Doc-level dedup ([[DocDedup]]) finds duplicate
+   * documents; this finds duplicated CONTENT inside otherwise-distinct
+   * documents — boilerplate, quotes, templates.
+   *
+   * Shape at scale: shingle explode (corpus-linear) → two map-side-
+   * combinable aggregations (per-(doc,span) occurrences, then span doc
+   * frequency) → join back on the span dictionary → per-doc rollup. No
+   * pairwise comparison anywhere — cost is linear in total span count.
+   */
+  def duplicatedSpans(docs: DataFrame, n: Int,
+                      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val spans = docs.select(col("doc_id"), words(textCol).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"IF(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n))), " +
+          "CAST(array() AS ARRAY<STRING>))")).as("span"))
+    val perDoc = spans.groupBy(col("doc_id"), col("span"))
+      .agg(count(lit(1)).as("occ"))
+    // one row per (doc, span) above, so a plain count here IS the span's
+    // document frequency — no count_distinct shuffle needed
+    val docFreq = perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc.join(docFreq, "span")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("n_docs") > 1, col("occ")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_spans").cast("double"), 6)
+          .as("shared_frac"))
   }
 
   /**

@@ -122,6 +122,21 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(r == Seq((1L, "x y", 3L), (2L, "y q", 1L), (3L, "y x", 1L)))
   }
 
+  test("duplicatedSpans: cross-doc shared spans only; short docs yield no spans") {
+    val docs = Seq(
+      (1L, "x y z q r"),     // spans: "x y z","y z q","z q r"
+      (2L, "a b x y z"),     // shares "x y z" with doc 1
+      (3L, "p q"),           // shorter than n=3: no spans, absent from output
+      (4L, "m m m m")        // within-doc repeat only: "m m m" x2 NOT shared
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatedSpans(docs, n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 3L, 1L, 0.333333),
+      (4L, 2L, 0L, 0.0)))
+  }
+
   // ---- EmbeddingOps -------------------------------------------------------
 
   test("labelCentroid: exact decimal mean, stable under repartitioning") {
