@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketing as the co-located-join strategy (SURVEY.md §4 / the 100 TB
+ * design stance): writing both fact tables bucketed by the join key lets
+ * the join read pre-partitioned buckets — NO Exchange on either side.
+ * At cluster scale this is the difference between a full network shuffle
+ * of the biggest table on every join and none; small-SF proof here is the
+ * plan, not the timing.
+ */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("join of co-bucketed tables plans without any Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS graft_li_b")
+    spark.sql("DROP TABLE IF EXISTS graft_o_b")
+    // a previous JVM's warehouse dir survives the (in-memory) metastore —
+    // DROP TABLE can't see it, so clear the locations directly
+    for (t <- Seq("graft_li_b", "graft_o_b")) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_o_b")
+
+    // merge hint: at fixture size the planner would broadcast (and skip
+    // bucketed reads entirely); the 100 TB shape is fact-fact SMJ, which is
+    // where co-bucketing deletes the shuffles
+    val joined = spark.table("graft_li_b").hint("merge")
+      .join(spark.table("graft_o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must not shuffle, got:\n$plan")
+
+    // and it computes the same answer as the shuffled join
+    val shuffled = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == shuffled.count())
+  }
+}
