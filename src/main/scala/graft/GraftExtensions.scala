@@ -83,8 +83,13 @@ object GraftExtensions {
         "heavy_hitters(v, k) - Misra-Gries frequent-items sketch (MAP<STRING,BIGINT>)"),
       (args: Seq[Expression]) => {
         checkArity("heavy_hitters", args, 2)
-        HeavyHittersAgg(args(0),
-          evalLong("heavy_hitters", "k", args(1)).toInt).toAggregateExpression()
+        val k = evalLong("heavy_hitters", "k", args(1))
+        if (k < 1 || k > Int.MaxValue)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_2273",
+            messageParameters = Map("message" ->
+              s"heavy_hitters: k must be in [1, ${Int.MaxValue}], got $k"))
+        HeavyHittersAgg(args(0), k.toInt).toAggregateExpression()
       }))
 
   /** Register on an already-running session (the builder-time

@@ -217,8 +217,10 @@ object SparkEntry {
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("_rows"))
         .groupBy(col("event_type"))
+        // count(user_id), not count(*): a NULL user_id forms its own
+        // pre-group, which COUNT(DISTINCT user_id) and the HLL both skip
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
-          count(lit(1)).as("n_exact"),
+          count(col("user_id")).as("n_exact"),
           sum(col("_rows")).as("n"))
         .select(col("event_type"), col("n_exact"), col("n"),
           (abs(col("approx") - col("n_exact")).cast("double") /
@@ -1744,7 +1746,9 @@ object SparkEntry {
          e AS (SELECT vec_id, scale, embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM s)
          SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-           CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0, 0) AS INTEGER) AS q,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0, 0) AS INTEGER)
+           END AS q,
            round(scale, 6) AS scale
          FROM e""",
 

@@ -85,11 +85,19 @@ case class HeavyHittersAgg(child: Expression, k: Int,
       entries.map { case (_, v) => v })
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on keys whose
+  // encoding exceeds 64 KB, and document-sized strings are a legitimate
+  // input to a frequent-items sketch
   override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buffer.size)
-    buffer.foreach { case (key, v) => out.writeUTF(key); out.writeLong(v) }
+    buffer.foreach { case (key, v) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(v)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -99,7 +107,13 @@ case class HeavyHittersAgg(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

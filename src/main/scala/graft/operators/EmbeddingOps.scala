@@ -44,8 +44,11 @@ object EmbeddingOps {
           .as("scale"),
         col("embedding"))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        // all-zero vector ⇒ scale 0: quantize to 0 instead of 0/0 = NaN
+        // (which ANSI mode would refuse to cast)
         posexplode(expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))"))
+          "transform(embedding, x -> IF(scale = 0D, 0, " +
+            "CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT)))"))
           .as(Seq("pos", "q")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
         col("scale"))

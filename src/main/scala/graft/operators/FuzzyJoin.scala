@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
  * unlike a theta-join it never builds the cross product: cost is
  * (len+1) keys per row, candidates only where keys actually collide. The
  * verify step is exact, so the result equals the brute-force distance join
- * bit-for-bit — which is how the oracle checks it.
+ * AS A SET of rows — which is how the oracle checks it. Inputs are treated
+ * as row sets: the candidate-pair distinct collapses fully-duplicate input
+ * rows, so carry a unique id column when multiplicity matters.
  */
 object FuzzyJoin {
 
@@ -36,6 +38,11 @@ object FuzzyJoin {
     require(collisions.isEmpty,
       s"editDistance1Join: columns ${collisions.mkString(", ")} appear on " +
         "both sides — alias them first")
+    val reserved = (left.columns ++ right.columns).toSet
+      .intersect(Set("_k", "dist"))
+    require(reserved.isEmpty,
+      s"editDistance1Join: ${reserved.mkString(", ")} are reserved output/" +
+        "working column names — alias them first")
     val lk = left.select(col("*"), explode(delete1Keys(leftCol)).as("_k"))
     val rk = right.select(col("*"), explode(delete1Keys(rightCol)).as("_k"))
     lk.join(rk, "_k")

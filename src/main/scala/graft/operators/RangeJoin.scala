@@ -36,6 +36,11 @@ object RangeJoin {
     require(collisions.isEmpty,
       s"bandJoin: band columns ${collisions.mkString(", ")} collide with " +
         "point columns — alias them first")
+    val reserved = (points.columns ++ bands.columns).toSet
+      .intersect(Set("_p_bkt", "_b_bkt"))
+    require(reserved.isEmpty,
+      s"bandJoin: ${reserved.mkString(", ")} are reserved working column " +
+        "names — alias them first")
     val p = points.withColumn("_p_bkt",
       floor(col(valueCol) / bucketWidth))
     val b = bands.withColumn("_b_bkt",

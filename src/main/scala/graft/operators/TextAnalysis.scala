@@ -148,22 +148,28 @@ object TextAnalysis {
   }
 
   /**
-   * PII patterns for redaction: (name, regex, replacement token). The regex
-   * subset used (character classes, `(?:)` groups, bounded repetition, `\b`)
-   * behaves identically under Java regex (Spark) and RE2 (DuckDB/ripgrep),
-   * keeping the operator oracle-checkable.
+   * PII patterns for redaction: (name, regex, replacement token).
+   *
+   * Boundary parity: Java's `\b` is Unicode-aware (é counts as a word
+   * char) while RE2's (DuckDB/ripgrep) is ASCII-only — the same text CAN
+   * disagree next to non-ASCII letters. So boundaries are written as
+   * explicit ASCII lookarounds `(?<![0-9A-Za-z_])` / `(?![0-9A-Za-z_])`,
+   * which Java supports and which are EXACTLY RE2's `\b` semantics — an
+   * RE2-side oracle keeps plain `\b` and matches bit-for-bit.
    */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
-    ("phone", "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "[PHONE]"))
+    ("ipv4",
+      "(?<![0-9A-Za-z_])(?:\\d{1,3}\\.){3}\\d{1,3}(?![0-9A-Za-z_])", "[IP]"),
+    ("phone",
+      "(?<![0-9A-Za-z_])\\d{3}-\\d{3,4}-\\d{4}(?![0-9A-Za-z_])", "[PHONE]"))
 
   /**
    * PII scrub for training-data curation: count and redact email / IPv4 /
    * phone shapes. Match counts are taken on the ORIGINAL text (so earlier
    * replacements can't create or destroy later matches); redaction applies
-   * the patterns in order. Narrow per-row transforms — no shuffle, fully
-   * codegen'd regexp kernels.
+   * the patterns in order. All non-text columns pass through untouched.
+   * Narrow per-row transforms — no shuffle, fully codegen'd regexp kernels.
    */
   def piiRedact(docs: DataFrame, textCol: String = "text",
                 patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
@@ -173,7 +179,7 @@ object TextAnalysis {
     val redacted = patterns.foldLeft(col(textCol)) { case (c, (_, re, tok)) =>
       regexp_replace(c, re, tok)
     }
-    docs.select((col("doc_id") +: counts) :+ redacted.as("redacted"): _*)
+    docs.select((col("*") +: counts) :+ redacted.as("redacted"): _*)
   }
 
   /** Adjacent-word bigrams from an already-split ARRAY column — row-local

@@ -20,6 +20,8 @@ object SoakMain {
   def main(args: Array[String]): Unit = {
     require(args.length == 4, "usage: SoakMain <eventsDir> <outDir> <ckptDir> <cont|drain>")
     val Array(eventsDir, outDir, ckptDir, mode) = args
+    require(mode == "cont" || mode == "drain",
+      s"mode must be 'cont' or 'drain', got '$mode'")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName(s"graft-soak-$mode")

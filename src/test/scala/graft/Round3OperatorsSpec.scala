@@ -87,6 +87,7 @@ class Round3OperatorsSpec extends SparkSpec {
       (3L, "999.999.999.999 is still ipv4-shaped 1.2.3.4")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.piiRedact(docs).orderBy("doc_id")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
       .as[(Long, Long, Long, Long, String)].collect()
     assert(r(0) == ((1L, 2L, 1L, 1L,
       "mail me at [EMAIL] or [EMAIL] from [IP] call [PHONE]")))
@@ -158,5 +159,19 @@ class Round3OperatorsSpec extends SparkSpec {
     val r = EmbeddingOps.int8Quantize(emb).orderBy("pos")
       .select("pos", "q", "scale").as[(Long, Int, Double)].collect().toSeq
     assert(r == Seq((0L, 64, 1.0), (1L, -127, 1.0), (2L, 32, 1.0)))
+  }
+
+  test("int8Quantize: all-zero vector quantizes to zeros, not NaN") {
+    val emb = Seq((8L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = EmbeddingOps.int8Quantize(emb).orderBy("pos")
+      .select("pos", "q", "scale").as[(Long, Int, Double)].collect().toSeq
+    assert(r == Seq((0L, 0, 0.0), (1L, 0, 0.0)))
+  }
+
+  test("piiRedact: non-ASCII neighbor does not hide an IP (RE2 \\b parity)") {
+    val docs = Seq((1L, "servidoré10.1.2.3 y más")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs)
+      .select("n_ipv4", "redacted").as[(Long, String)].collect()(0)
+    assert(r == ((1L, "servidoré[IP] y más")))
   }
 }
