@@ -1036,7 +1036,37 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       // substring-level duplication: per-doc fraction of 3-word spans that
       // also appear in another document (Lee et al. dedup signal)
-      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 3))
+      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 3)),
+
+    "q_intersect_repeat_buyers" -> ((s, dir) => {
+      // INTERSECT set op: customers ordering in both halves of the range
+      val o = t(s, dir, "orders")
+      val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val late = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      early.intersect(late)
+    }),
+
+    "q_argmax_events" -> ((s, dir) =>
+      // min_by/max_by with a deterministic composite order: ties on value
+      // break by event_id via the packed (value_cents, event_id) key
+      Cdc.rawEvents(s, dir)
+        .withColumn("_pack",
+          (round(col("value") * 100).cast("long") * 10000000000L) +
+            col("event_id"))
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(max_by(col("event_id"), col("_pack")).as("peak_event"),
+          min_by(col("event_id"), col("_pack")).as("trough_event"),
+          round(max(col("value")), 6).as("max_value"))),
+
+    "q_string_agg" -> ((s, dir) =>
+      // ordered string aggregation (listagg): deterministic via sort
+      Cdc.rawEvents(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"),
+          count(lit(1)).as("n")))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1816,7 +1846,27 @@ object SparkEntry {
            CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_shared,
            round(CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
              / CAST(SUM(occ) AS DOUBLE), 6) AS shared_frac
-         FROM pd JOIN sd USING(span) GROUP BY 1"""
+         FROM pd JOIN sd USING(span) GROUP BY 1""",
+
+    "q_intersect_repeat_buyers" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""",
+
+    "q_argmax_events" ->
+      """SELECT user_id % 10 AS cohort,
+           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS peak_event,
+           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS trough_event,
+           round(max(value), 6) AS max_value
+         FROM events GROUP BY 1""",
+
+    "q_string_agg" ->
+      """SELECT user_id % 10 AS cohort,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Stream-stream interval join: CDC events enriched against a second LIVE
+ * stream (not a static snapshot) within a bounded event-time window —
+ * the Structured Streaming form of the range/as-of enrichment the batch
+ * operators provide. Watermarks on both sides bound the join state, which
+ * is what lets the operator run forever at scale: without the interval
+ * condition + watermark, either side's state would grow without limit.
+ */
+class StreamStreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked interval join emits in-window pairs and bounds state") {
+    implicit val sq = spark.sqlContext
+    val orders = MemoryStream[(Timestamp, Long, String)]
+    val ships = MemoryStream[(Timestamp, Long, String)]
+    val o = orders.toDS().toDF("o_ts", "key", "o_tag")
+      .withWatermark("o_ts", "10 minutes")
+    val s = ships.toDS().toDF("s_ts", "s_key", "s_tag")
+      .withWatermark("s_ts", "10 minutes")
+    // ship must follow its order within the hour
+    val joined = o.join(s,
+      $"key" === $"s_key" &&
+        $"s_ts" >= $"o_ts" && $"s_ts" <= $"o_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"key", $"o_tag", $"s_tag")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(x: String) = Timestamp.valueOf(x)
+      orders.addData((t("2024-01-01 10:00:00"), 1L, "o1"),
+        (t("2024-01-01 10:00:00"), 2L, "o2"))
+      ships.addData((t("2024-01-01 10:30:00"), 1L, "s1")) // in window
+      q.processAllAvailable()
+      ships.addData((t("2024-01-01 12:30:00"), 2L, "s2")) // 2.5h later: out
+      // different key, in-window time, but no matching order
+      ships.addData((t("2024-01-01 10:15:00"), 9L, "s9"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").as[(Long, String, String)]
+        .collect().toSet
+      assert(got == Set((1L, "o1", "s1")),
+        s"interval join emitted wrong pairs: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ssj_out")
+    }
+  }
+}
