@@ -1066,7 +1066,28 @@ object SparkEntry {
         .groupBy((col("user_id") % 10).as("cohort"))
         .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
           .as("types_csv"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    "q_gapfill_locf" -> ((s, dir) => {
+      // time-series resample + gap-fill: an hourly grid per user,
+      // last-observation-carried-forward via the as-of join — the grid is
+      // explode-generated (no cross join), the LOCF is one sort within the
+      // key partition. Oracle: DuckDB's native ASOF LEFT JOIN.
+      val obs = Cdc.rawEvents(s, dir)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), expr("ts DIV 1000").as("t"), col("value"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(round(max(col("value")), 6).as("v"))
+        .withColumn("obs_t", col("t"))
+      val grid = obs.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(expr("sequence(0, 719)")).as("h"))
+        // hourly grid over January 2024 (the fixture's event range),
+        // epoch micros
+        .select(col("user_id"),
+          (lit(1704067200000000L) + col("h") * 3600000000L).as("grid_t"))
+      AsofJoin.asofBackward(grid, obs, "user_id", "grid_t", "t",
+        Seq("v", "obs_t"))
+    })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1866,7 +1887,18 @@ object SparkEntry {
       """SELECT user_id % 10 AS cohort,
            string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
            CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    "q_gapfill_locf" ->
+      """WITH obs AS (SELECT user_id, epoch_us(ts) AS t,
+             round(max(value), 6) AS v, epoch_us(ts) AS obs_t
+           FROM events WHERE user_id % 50 = 0 GROUP BY user_id, epoch_us(ts)),
+         grid AS (SELECT u.user_id,
+             1704067200000000 + 3600000000 * i AS grid_t
+           FROM (SELECT DISTINCT user_id FROM obs) u, range(0, 720) t(i))
+         SELECT g.user_id, g.grid_t, o.v, o.obs_t
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.grid_t >= o.t"""
     // knn_ivf_ann: engine-side centroid assignment — the single remaining
     // rows-only query; its recall is oracle-bounded by knn_recall.
   )
