@@ -1002,20 +1002,22 @@ object SparkEntry {
       // exact quantiles anchor the row; the approx estimates are asserted
       // to land inside the ±3%-rank window (sketch accuracy 200 ⇒ ±0.5%
       // rank error — a 6× margin).
+      // one array-percentile per aggregate kind: N separate percentile()
+      // calls each buffer the whole group — the array form sorts once
       Cdc.rawEvents(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(200)).as("a50"),
-          percentile_approx(col("value"), lit(0.9), lit(200)).as("a90"),
-          expr("percentile(value, 0.47)").as("lo50"),
-          expr("percentile(value, 0.53)").as("hi50"),
-          expr("percentile(value, 0.87)").as("lo90"),
-          expr("percentile(value, 0.93)").as("hi90"),
-          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"))
-        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
-          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok50"),
-          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok90"))),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(200))
+            .as("a"),
+          expr("percentile(value, array(0.47, 0.5, 0.53, 0.87, 0.9, 0.93))")
+            .as("p"))
+        .select(col("event_type"),
+          round(element_at(col("p"), 2), 6).as("p50_exact"),
+          round(element_at(col("p"), 5), 6).as("p90_exact"),
+          (element_at(col("a"), 1) >= element_at(col("p"), 1) &&
+            element_at(col("a"), 1) <= element_at(col("p"), 3)).as("ok50"),
+          (element_at(col("a"), 2) >= element_at(col("p"), 4) &&
+            element_at(col("a"), 2) <= element_at(col("p"), 6)).as("ok90"))),
 
     "q_fuzzy_join" -> ((s, dir) => {
       // entity resolution: deterministically-corrupted customer names
