@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis}
+import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis, TrainingMix}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -510,6 +510,76 @@ object SparkEntry {
         .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    "q18_large_volume" -> ((s, dir) => {
+      // TPC-H Q18 shape: customers with orders above a quantity threshold —
+      // agg-in-semi-join; the HAVING side collapses lineitem to order grain
+      // BEFORE joining, so the join input is orders-sized, not lineitem-sized
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+    }),
+
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape (correlated MIN subquery, re-expressed as a ranking
+      // window): cheapest shipped price per part of one brand, with the
+      // supplier achieving it. The window partitions by part key — fully
+      // parallel — and replaces the classic correlated-subquery double scan
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc)
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("l_extendedprice").as("min_price"))
+    }),
+
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers whose
+      // lineitem was the ONLY late one on a multi-supplier finished order.
+      // "late" adapts Q21's receipt>commit to this schema:
+      // shipdate > orderdate + 60 days. Both correlations are hash
+      // semi/anti joins on l_orderkey — no nested-loop anywhere
+      val l = t(s, dir, "lineitem").alias("l1")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val l1 = l.join(o, col("l1.l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .select(col("l1.l_orderkey").as("orderkey"),
+          col("l1.l_suppkey").as("suppkey"), col("o_orderdate"))
+      val others = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val withOther = l1.join(others,
+        col("orderkey") === others("l_orderkey") &&
+          col("suppkey") =!= others("l_suppkey"), "left_semi")
+      val lateOthers = others // anti side keeps only OTHER suppliers' late items
+      val sole = withOther.join(lateOthers,
+        col("orderkey") === lateOthers("l_orderkey") &&
+          col("suppkey") =!= lateOthers("l_suppkey") &&
+          lateOthers("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_anti")
+      sole.join(broadcast(t(s, dir, "supplier")),
+          col("suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     "q_window_topn" -> ((s, dir) => {
       // ranking window: top-3 orders per customer
       import org.apache.spark.sql.expressions.Window
@@ -650,6 +720,11 @@ object SparkEntry {
     "text_lang_quality" -> ((s, dir) =>
       TextAnalysis.langQuality(t(s, dir, "documents"))),
 
+    "text_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram-LM quality score (CCNet-style perplexity
+      // filter, statistics-only): mean add-one-smoothed bigram probability
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"))),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.regexTokenCount(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
@@ -678,6 +753,35 @@ object SparkEntry {
           bench, n = 3)
         .select(col("doc_id"), col("n_hits"))
     }),
+
+    "mix_temperature_sample" -> ((s, dir) => {
+      // temperature-flattened language mix (T=2): downsample overrepresented
+      // languages toward sqrt-proportional shares; data-dependent rates are
+      // derived with order-independent arithmetic so the decision is
+      // engine-portable (see TrainingMix.temperatureThresholds)
+      TrainingMix.temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "mix_pack_sequences" -> ((s, dir) => {
+      // tokenize-and-pack accounting: concatenate each language's documents
+      // in doc_id order and cut 512-token training windows; emits per-window
+      // document counts and token sums (fill tracking)
+      val d = t(s, dir, "documents")
+      TrainingMix.packSequences(d, "lang", "doc_id",
+          size(split(col("text"), " ")), ctxLen = 512)
+        .select(col("lang"), col("seq_id"), col("n_docs"), col("seq_tokens"))
+    }),
+
+    "mix_chunk_overlap" -> ((s, dir) =>
+      // RAG-style fixed-window chunking: 256-char chunks every 192 chars
+      // (64 overlap); emit sizes + md5 so the full chunk text is verified
+      // without shipping it
+      TrainingMix.chunkWithOverlap(t(s, dir, "documents"), "doc_id", "text",
+          size = 256, overlap = 64)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("long").as("n_chars"),
+          md5(col("chunk")).as("chunk_md5"))),
 
     "dedup_exact_docs" -> ((s, dir) =>
       DocDedup.dedupBy(t(s, dir, "documents"),
@@ -965,6 +1069,11 @@ object SparkEntry {
 
     "emb_int8_quantize" -> ((s, dir) =>
       EmbeddingOps.int8Quantize(t(s, dir, "embeddings"))),
+
+    "emb_dim_stats" -> ((s, dir) =>
+      // per-dimension mean/variance (covariance diagonal) — the whitening /
+      // dimension-pruning preprocessing signal
+      EmbeddingOps.dimStats(t(s, dir, "embeddings"))),
 
     "q_pivot_events" -> ((s, dir) =>
       // pivot: per-user-cohort event-type matrix (explicit value list so the
@@ -1321,6 +1430,45 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY n_name""",
 
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+         FROM lineitem GROUP BY 1
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(tq AS DOUBLE) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+
+    "q2_min_cost_supplier" ->
+      """WITH j AS (SELECT l_suppkey, l_extendedprice, p_partkey, p_name,
+           row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rnk
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#13')
+         SELECT p_partkey, p_name, s_name, n_name,
+           l_extendedprice AS min_price
+         FROM j JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE rnk = 1""",
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name""",
+
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1413,6 +1561,27 @@ object SparkEntry {
          COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang""",
 
+    "text_lm_score" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         db0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1),
+               i -> array_to_string(w[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM ws),
+         db AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM db0 GROUP BY 1, 2),
+         bc AS (SELECT bigram, CAST(SUM(occ) AS BIGINT) AS c12 FROM db GROUP BY 1),
+         tok AS (SELECT unnest(w) AS token FROM ws),
+         uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+         v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS nv FROM tok)
+         SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(round(CAST(occ AS DOUBLE) *
+               round((CAST(c12 AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)), 9), 9)
+             AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE), 6) AS avg_p
+         FROM db JOIN bc USING (bigram)
+         JOIN uc ON split_part(bigram, ' ', 1) = uc.token, v
+         GROUP BY doc_id""",
+
     "text_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
          FROM documents""",
@@ -1439,6 +1608,43 @@ object SparkEntry {
          FROM sh s JOIN bench b ON s.sh = b.sh
          WHERE s.doc_id % 23 <> 0
          GROUP BY s.doc_id""",
+
+    "mix_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
+         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw FROM w),
+         k AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT) AS kcap
+           FROM w, t),
+         r AS (SELECT lang, CAST(floor(least(1.0,
+             CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+             * 281474976710656.0) AS BIGINT) AS tv
+           FROM w, t, k),
+         thr AS (SELECT lang, CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM r)
+         SELECT doc_id, lang FROM documents JOIN thr USING (lang)
+         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr""",
+
+    "mix_pack_sequences" ->
+      """WITH d AS (SELECT lang, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT lang, n_tokens, COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           FROM d)
+         SELECT lang, start_tok // 512 AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         FROM c GROUP BY 1, 2""",
+
+    "mix_chunk_overlap" ->
+      """WITH n AS (SELECT doc_id, text, greatest(CAST(0 AS BIGINT),
+           CAST(ceil((length(text) - 256) / 192.0) AS BIGINT)) AS last_i
+         FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(length(substring(text, CAST(1 + i * 192 AS INT), 256)) AS BIGINT)
+             AS n_chars,
+           md5(substring(text, CAST(1 + i * 192 AS INT), 256)) AS chunk_md5
+         FROM n, unnest(generate_series(0, last_i)) AS t(i)""",
 
     "dedup_exact_docs" ->
       """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
@@ -1804,6 +2010,21 @@ object SparkEntry {
            END AS q,
            round(scale, 6) AS scale
          FROM e""",
+
+    "emb_dim_stats" ->
+      """WITH e AS (SELECT embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         vals AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS x FROM e),
+         m AS (SELECT i,
+           round(CAST(SUM(CAST(round(x, 7) AS DECIMAL(24,7))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals GROUP BY 1)
+         SELECT CAST(i - 1 AS BIGINT) AS pos, n, mean,
+           round(CAST(SUM(CAST(round((x - mean) * (x - mean), 12)
+             AS DECIMAL(30,12))) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS variance
+         FROM vals JOIN m USING (i)
+         GROUP BY i, n, mean""",
 
     "q_pivot_events" ->
       """SELECT user_id % 10 AS cohort,

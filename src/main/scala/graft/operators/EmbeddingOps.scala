@@ -33,6 +33,41 @@ object EmbeddingOps {
           .as("centroid"))
 
   /**
+   * Per-dimension corpus statistics (mean and variance) for an
+   * `embedding ARRAY<FLOAT>` column — the diagonal of the covariance
+   * matrix, i.e. the per-dimension signal a whitening / dimension-pruning /
+   * PCA-preprocessing stage starts from.
+   *
+   * Two passes by design: the one-pass moment formula E[x²]−E[x]² needs
+   * exact decimal products of decimal sums whose precision rules differ
+   * across engines, while (x−μ)² with a finalized 6-dp μ is plain
+   * deterministic IEEE arithmetic. Both passes are posexplode → hash
+   * aggregate on `pos` (64 groups, map-side combinable) with the means
+   * broadcast back — two corpus scans, no wide shuffle.
+   */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val vals = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+    val means = vals.groupBy(col("pos"))
+      .agg(
+        round(sum(round(col("x"), 7).cast(DecimalType(24, 7))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean"),
+        count(lit(1)).as("n"))
+    vals.join(broadcast(means), "pos")
+      .select(col("pos"), col("mean"), col("n"),
+        // (x−μ)·(x−μ), not pow(_, 2): multiplication is exactly rounded
+        // IEEE on every engine, pow is only faithfully rounded
+        round((col("x") - col("mean")) * (col("x") - col("mean")), 12)
+          .cast(DecimalType(30, 12)).as("d2"))
+      .groupBy(col("pos"))
+      .agg(first(col("mean")).as("mean"), first(col("n")).as("n"),
+        round(sum(col("d2")).cast("double") /
+          first(col("n")).cast("double"), 6).as("variance"))
+      .select(col("pos").cast("long").as("pos"), col("n"), col("mean"),
+        col("variance"))
+  }
+
+  /**
    * Scalar int8 quantization (max-abs scaling): q[i] = round(x[i]/scale·127)
    * with scale = max|x|. Exploded output (vec_id, pos, q, scale) — the
    * packed-array form is a trivial re-group; exploded keeps every value

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Text-analysis operators for training-data pipelines over the `documents`
@@ -309,6 +310,51 @@ object TextAnalysis {
       .select(col("token"), col("cnt"),
         round(col("cnt").cast("double") / col("n").cast("double"), 6)
           .as("share"))
+  }
+
+  /**
+   * Corpus-trained bigram language-model quality score (the KenLM-style
+   * perplexity filter of CCNet, statistics-only): train add-one-smoothed
+   * word-bigram probabilities on the corpus itself, then score every
+   * document by its MEAN bigram probability
+   * p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Documents whose word
+   * transitions are unusual for the corpus (boilerplate, shuffled text,
+   * wrong language) score low; a downstream filter drops the tail.
+   *
+   * The score is the arithmetic mean of the probabilities rather than the
+   * mean log-probability: each p is one IEEE division of exact integers
+   * (bit-identical on every engine) where log/exp are only faithfully — not
+   * correctly — rounded and would break oracle parity. The mean is a
+   * monotone quality signal exactly like mean-log for ranking thresholds.
+   *
+   * Shape at scale: bigram/unigram dictionaries via map-side-combinable
+   * counts (corpus-linear), scoring is two dictionary hash joins (never a
+   * pairwise comparison), and per-p rounding to 9 dp feeds an exact DECIMAL
+   * sum so the per-doc mean is independent of aggregation order.
+   */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val docBigrams = docs.select(col("doc_id"), words(textCol).as("w"))
+      .select(col("doc_id"), explode(bigramsOf("w")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("occ"))
+    val bigramCnt = docBigrams.groupBy(col("bigram"))
+      .agg(sum(col("occ")).as("c12"))
+    val tokens = docs.select(explode(words(textCol)).as("token"))
+    val unigramCnt = tokens.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val vocab = tokens.agg(count_distinct(col("token")).as("v"))
+    val p = col("c12").cast("double").plus(lit(1.0))
+      .divide(col("c1").cast("double").plus(col("v").cast("double")))
+    docBigrams
+      .join(bigramCnt, "bigram")
+      .join(unigramCnt,
+        expr("split_part(bigram, ' ', 1)") === col("token"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("occ"),
+        round(col("occ").cast("double") * round(p, 9), 9)
+          .cast(DecimalType(28, 9)).as("wp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        round(sum(col("wp")).cast("double") /
+          sum(col("occ")).cast("double"), 6).as("avg_p"))
   }
 
   /**

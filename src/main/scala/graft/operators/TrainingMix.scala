@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Dataset-mixing operators for assembling a training corpus from curated
+ * shards (SURVEY.md §7.2 M6 extension family, alongside [[Curation]]):
+ * temperature-flattened stratum sampling, contiguous sequence packing, and
+ * fixed-window chunking with overlap.
+ *
+ * Everything is deterministic and engine-portable (the DuckDB oracle replays
+ * each decision bit-exactly): sampling decisions are md5-threshold functions
+ * of (seed, id) as in [[Curation]], and every data-dependent rate is derived
+ * with order-independent arithmetic — exact DECIMAL sums plus single-rounding
+ * IEEE ops (sqrt, one multiply/divide chain) that evaluate identically on
+ * any engine.
+ */
+object TrainingMix {
+
+  /**
+   * Per-stratum keep thresholds for temperature-flattened sampling
+   * (the multilingual-LM mixing scheme: sample stratum i proportionally to
+   * n_i^(1/T) instead of n_i, T = 2 here so the weight is sqrt — chosen
+   * because IEEE-754 sqrt is correctly rounded on every engine, making the
+   * rates bit-reproducible, unlike a general pow).
+   *
+   * With weights w_i = round(sqrt(n_i), 6) and the largest total sample K
+   * that honors the target mix without oversampling any stratum
+   * (K = floor(min_i n_i·Σw/w_i)), the keep rate is
+   * r_i = min(1, K·w_i/(Σw·n_i)). Σw is summed in exact DECIMAL so it is
+   * independent of aggregation order; the remaining chain is one
+   * multiply/divide per stratum — deterministic.
+   *
+   * Shape at scale: one map-side-combinable count over the corpus, then all
+   * arithmetic runs on the stratum dictionary (broadcast-sized). The
+   * returned frame has (stratumCol, n, keep_thr) — join it back broadcast
+   * and filter; the filter is a narrow per-row decision, so the whole
+   * operator costs one scan + one tiny join.
+   */
+  def temperatureThresholds(docs: DataFrame, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", round(sqrt(col("n").cast("double")), 6))
+    // exact total weight (order-independent), then back to double once
+    val tot = counts.agg(
+      sum(col("w").cast(DecimalType(24, 6))).cast("double").as("sw"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    val kcap = withTot.agg(
+      min(floor(col("n").cast("double") * col("sw") / col("w"))).as("kcap"))
+    withTot.crossJoin(broadcast(kcap))
+      .withColumn("thr_v",
+        floor(least(lit(1.0),
+          col("kcap").cast("double") * col("w") /
+            (col("sw") * col("n").cast("double"))) * lit(281474976710656.0)))
+      .select(col(stratumCol), col("n"),
+        // 2^48 means rate 1.0: "g" sorts after every hex digit = keep all
+        when(col("thr_v") >= 281474976710656L, lit("g"))
+          .otherwise(format_string("%012x", col("thr_v"))).as("keep_thr"))
+  }
+
+  /**
+   * Temperature-flattened deterministic sample: keep ~r_i of stratum i
+   * (rates from [[temperatureThresholds]]), decided per id via
+   * md5(seed|id) — stable across runs/engines/partitionings.
+   */
+  def temperatureSample(docs: DataFrame, stratumCol: String, idCol: String,
+                        seed: String = "graft"): DataFrame = {
+    val thr = temperatureThresholds(docs, stratumCol)
+      .select(col(stratumCol), col("keep_thr"))
+    docs.join(broadcast(thr), stratumCol)
+      .filter(md5(concat_ws("|", lit(seed), col(idCol))) < col("keep_thr"))
+      .drop("keep_thr")
+  }
+
+  /**
+   * Contiguous first-fit sequence packing: concatenate documents in
+   * (partitionCol, orderCol) order into a single token stream and cut it
+   * into fixed `ctxLen`-token training windows; each document is assigned
+   * to the window its FIRST token falls in. Emits per-sequence accounting
+   * (document count, token sum) — the bookkeeping a tokenize-and-pack
+   * stage needs for budget and fill-ratio tracking.
+   *
+   * Shape at scale: one running-sum window per partition value. Packing is
+   * inherently sequential WITHIN a stream, so parallelism comes from the
+   * partition column — pack per (source, shard) at 100 TB (any hash bucket
+   * works: packing quality only needs contiguity within each stream, not a
+   * globally unique stream). No other shuffle: the rollup groups by the
+   * same key prefix the window just partitioned on.
+   */
+  def packSequences(docs: DataFrame, partitionCol: String, orderCol: String,
+                    tokensCol: Column, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(partitionCol), col(orderCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_tok DIV $ctxLen"))
+      .groupBy(col(partitionCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+  }
+
+  /**
+   * Fixed-size chunking with overlap (the RAG / context-window splitter):
+   * windows of `size` characters every `size - overlap` characters, last
+   * chunk ragged. Emits (id, chunk_id, chunk) exploded — one row per chunk.
+   *
+   * Pure narrow transform (sequence + substring inside one projection, no
+   * shuffle, fully codegen'd); output is corpus-linear ×(1 + overlap
+   * fraction).
+   */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val stride = size - overlap
+    docs.select(col(idCol),
+        explode(expr(
+          // chunk count: 1 + ceil((len - size) / stride) for len > size
+          s"""transform(
+                sequence(0, greatest(CAST(0 AS BIGINT),
+                  CAST(ceil((length($textCol) - $size) / $stride.0D) AS BIGINT))),
+                i -> named_struct(
+                  'chunk_id', CAST(i AS BIGINT),
+                  'chunk', substring($textCol, CAST(1 + i * $stride AS INT), $size)))"""
+        )).as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk").as("chunk"))
+  }
+}
