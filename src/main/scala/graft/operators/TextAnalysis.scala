@@ -340,14 +340,16 @@ object TextAnalysis {
       .agg(sum(col("occ")).as("c12"))
     val tokens = docs.select(explode(words(textCol)).as("token"))
     val unigramCnt = tokens.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    // V attaches to the vocabulary DICTIONARY (not the corpus) as a 1-row
+    // broadcast — the plan a scalar subquery lowers to; linear cost
     val vocab = tokens.agg(count_distinct(col("token")).as("v"))
+    val unigramWithV = unigramCnt.crossJoin(broadcast(vocab))
     val p = col("c12").cast("double").plus(lit(1.0))
       .divide(col("c1").cast("double").plus(col("v").cast("double")))
     docBigrams
       .join(bigramCnt, "bigram")
-      .join(unigramCnt,
+      .join(unigramWithV,
         expr("split_part(bigram, ' ', 1)") === col("token"))
-      .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("occ"),
         round(col("occ").cast("double") * round(p, 9), 9)
           .cast(DecimalType(28, 9)).as("wp"))

@@ -42,7 +42,11 @@ object TrainingMix {
   def temperatureThresholds(docs: DataFrame, stratumCol: String): DataFrame = {
     val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .withColumn("w", round(sqrt(col("n").cast("double")), 6))
-    // exact total weight (order-independent), then back to double once
+    // exact total weight (order-independent), then back to double once.
+    // The single-row aggregates attach via crossJoin(broadcast(_)) — a
+    // 1-row broadcast nested-loop join, the plan a scalar subquery lowers
+    // to; both sides here are the stratum DICTIONARY (bounded), never the
+    // corpus.
     val tot = counts.agg(
       sum(col("w").cast(DecimalType(24, 6))).cast("double").as("sw"))
     val withTot = counts.crossJoin(broadcast(tot))

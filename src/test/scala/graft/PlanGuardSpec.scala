@@ -11,11 +11,18 @@ class PlanGuardSpec extends SparkSpec {
 
   // Intentional broadcast-nested-loop joins, each with a BOUNDED broadcast
   // side: the brute-force cosine baselines (bounded query set × corpus —
-  // the exact oracle ANN is measured against) and IVF cell assignment
+  // the exact oracle ANN is measured against), IVF cell assignment
   // (corpus × ~50 broadcast centroids, the standard argmax-over-cells
-  // scoring). Everything else must plan hash/merge joins.
+  // scoring), and single-ROW broadcast attaches (the plan a scalar
+  // subquery lowers to — mix_temperature_sample joins a 1-row total onto
+  // the stratum dictionary, text_lm_score a 1-row vocabulary size onto the
+  // unigram dictionary; in both the streaming side never exceeds a
+  // dictionary and the broadcast side is exactly one row, so the "nested
+  // loop" is a constant-time attach). Everything else must plan hash/merge
+  // joins.
   private val intentionalBnlj =
-    Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann")
+    Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
+      "mix_temperature_sample", "text_lm_score")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{EmbeddingOps, TextAnalysis, TrainingMix}
+import org.apache.spark.sql.functions._
+
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(sizes: Map[String, Int]) =
+    sizes.toSeq.sortBy(_._1).flatMap { case (lang, n) =>
+      (1 to n).map(i => (s"$lang$i".hashCode.toLong & 0xffffff, lang,
+        s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i"))
+    }.toDF("doc_id", "lang", "text")
+
+  test("temperatureThresholds: sqrt-flattened mix, binding stratum kept whole") {
+    val docs = corpus(Map("en" -> 900, "fr" -> 100))
+    val thr = TrainingMix.temperatureThresholds(docs, "lang")
+      .select($"lang", $"keep_thr").as[(String, String)].collect().toMap
+    // weights 30 vs 10 → mix 3:1 over a 9:1 corpus; fr binds at rate 1.0
+    assert(thr("fr") === "g", "binding stratum keeps everything")
+    // en target: K = floor(100*40/10) = 400, rate = 400*30/(40*900) = 1/3
+    val enRate = java.lang.Long.parseLong(thr("en"), 16) / math.pow(2, 48)
+    assert(math.abs(enRate - 1.0 / 3.0) < 1e-9, s"en rate was $enRate")
+  }
+
+  test("temperatureSample: deterministic, partitioning-independent, flattens the mix") {
+    val docs = corpus(Map("en" -> 1200, "de" -> 300, "fr" -> 75))
+    val once = TrainingMix.temperatureSample(docs, "lang", "doc_id")
+    val kept = once.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    // sampled shares must be closer to sqrt-proportional than raw counts:
+    // raw en/fr = 16, sqrt targets 4 — accept the sampled ratio within noise
+    val ratio = kept("en").toDouble / kept("fr").toDouble
+    assert(ratio < 8.0, s"en/fr ratio after flattening was $ratio (raw 16)")
+    val again = TrainingMix.temperatureSample(docs.repartition(13), "lang", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === once.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("packSequences: windows partition the stream, token accounting exact") {
+    val docs = Seq(
+      ("en", 1L, Seq.fill(30)("w").mkString(" ")),   // 30 tokens, starts seq 0
+      ("en", 2L, Seq.fill(80)("w").mkString(" ")),   // starts at 30 → seq 0
+      ("en", 3L, Seq.fill(20)("w").mkString(" ")),   // starts at 110 → seq 1
+      ("fr", 9L, Seq.fill(5)("w").mkString(" "))     // own stream, seq 0
+    ).toDF("lang", "doc_id", "text")
+    val out = TrainingMix.packSequences(docs, "lang", "doc_id",
+        size(split($"text", " ")), ctxLen = 100)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(("en", 0L, 2L, 110L), ("en", 1L, 1L, 20L),
+      ("fr", 0L, 1L, 5L)))
+  }
+
+  test("chunkWithOverlap: coverage, overlap, ragged tail, degenerate inputs") {
+    val docs = Seq((1L, "a" * 600), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TrainingMix.chunkWithOverlap(docs, "doc_id", "text",
+        size = 256, overlap = 64)
+      .select($"doc_id", $"chunk_id", length($"chunk").as("len"))
+      .as[(Long, Long, Int)].collect().toSet
+    // doc 1: starts 1, 193, 385 → lens 256, 256, 216; short/empty docs: 1 chunk
+    assert(chunks === Set((1L, 0L, 256), (1L, 1L, 256), (1L, 2L, 216),
+      (2L, 0L, 2), (3L, 0L, 0)))
+    // stride (192) + overlap (64) reconstruct the original: check content
+    val c = TrainingMix.chunkWithOverlap(Seq((1L, ('a' to 'z').mkString * 20))
+        .toDF("doc_id", "text"), "doc_id", "text", size = 256, overlap = 64)
+      .orderBy($"chunk_id").select($"chunk").as[String].collect()
+    val original = ('a' to 'z').mkString * 20
+    val rebuilt = c.head + c.tail.map(_.drop(64)).mkString
+    assert(rebuilt === original, "chunks with overlap dropped reassemble the doc")
+  }
+
+  test("bigramLmScore: repeated-transition docs score high, shuffled text low") {
+    val natural = (1 to 40).map(i => (i.toLong, "the cat sat on the mat"))
+    val weird = Seq((99L, "mat the on sat cat the"))
+    val docs = (natural ++ weird).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(docs)
+      .select($"doc_id", $"avg_p").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(99L),
+      s"corpus-typical doc must outscore shuffled (${scores(1L)} vs ${scores(99L)})")
+    assert(scores.keySet.size === 41)
+    // single-word docs produce no bigrams and are absent, not null
+    val tiny = TextAnalysis.bigramLmScore(Seq((1L, "onlyword")).toDF("doc_id", "text"))
+    assert(tiny.count() === 0)
+  }
+
+  test("dimStats: exact mean/variance on a known matrix, order-independent") {
+    val emb = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(2.0f, 10.0f)),
+      (3L, Array(3.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.dimStats(emb)
+      .select($"pos", $"n", $"mean", $"variance")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(out === Set((0L, 3L, 2.0, 0.666667), (1L, 3L, 10.0, 0.0)))
+    val shuffled = EmbeddingOps.dimStats(emb.repartition(5))
+      .select($"pos", $"n", $"mean", $"variance")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(shuffled === out)
+  }
+}
