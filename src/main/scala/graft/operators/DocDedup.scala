@@ -176,9 +176,13 @@ object DocDedup {
    * cluster maps to the cluster's smallest id, the "keep one canonical doc
    * per cluster" step that follows pair detection in a dedup pipeline.
    *
-   * Each round is one join + min-aggregation on the edge list (both
-   * shuffles on the node id); rounds needed = the component diameter, and
-   * near-dup clusters are shallow (dup families, not social graphs). The
+   * Each round combines one-hop min-label propagation (join + min-agg on
+   * the edge list, both shuffles on the node id) with POINTER HALVING
+   * (label ← label(label), a labels self-join): propagation alone needs
+   * component-diameter rounds, halving alone compresses chains
+   * logarithmically, and together a component resolves in
+   * O(log diameter) rounds — the same trick union-find uses. Every label
+   * is always some node's id, so the label(label) lookup always hits. The
    * fixpoint — min id reachable from each node — is unique, so the result
    * is deterministic regardless of execution order. `localCheckpoint`
    * truncates the per-round lineage. At web scale the same recurrence is
@@ -200,15 +204,19 @@ object DocDedup {
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      val grandparent = labels.select(col("id").as("_gid"),
+        col("label").as("_glabel"))
       // The change flag rides on the checkpointed frame, so the convergence
       // count is a scan of materialized partitions — not a second join
       // against the previous labels.
       val updated = labels.join(neighborMin, labels("id") === neighborMin("x"),
           "left_outer")
+        .join(grandparent, labels("label") === col("_gid"))
         .select(labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label")))
-            .as("label"),
-          (col("nlabel").isNotNull && col("nlabel") < labels("label")).as("_chg"))
+          least(labels("label"), coalesce(col("nlabel"), labels("label")),
+            col("_glabel")).as("label"),
+          ((col("nlabel").isNotNull && col("nlabel") < labels("label")) ||
+            col("_glabel") < labels("label")).as("_chg"))
         .localCheckpoint(true)
       changed = updated.filter(col("_chg")).count()
       labels = updated.drop("_chg")
