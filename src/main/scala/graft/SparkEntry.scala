@@ -754,6 +754,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"))
     }),
 
+    "curate_domain_cap" -> ((s, dir) =>
+      // per-domain quota (RefinedWeb-style): cap each source at 15 docs,
+      // kept subset = lowest md5(seed|id) ranks — deterministic, uniform
+      Curation.domainCap(t(s, dir, "documents"), "source", "doc_id",
+          maxPerStratum = 15)
+        .select(col("doc_id"), col("source"))),
+
     "mix_temperature_sample" -> ((s, dir) => {
       // temperature-flattened language mix (T=2): downsample overrepresented
       // languages toward sqrt-proportional shares; data-dependent rates are
@@ -1609,6 +1616,13 @@ object SparkEntry {
          WHERE s.doc_id % 23 <> 0
          GROUP BY s.doc_id""",
 
+    "curate_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) ASC,
+               doc_id ASC) AS rk
+           FROM documents) WHERE rk <= 15""",
+
     "mix_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
@@ -2014,17 +2028,17 @@ object SparkEntry {
     "emb_dim_stats" ->
       """WITH e AS (SELECT embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         vals AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS x FROM e),
-         m AS (SELECT i,
-           round(CAST(SUM(CAST(round(x, 7) AS DECIMAL(24,7))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
-           CAST(COUNT(*) AS BIGINT) AS n
-           FROM vals GROUP BY 1)
-         SELECT CAST(i - 1 AS BIGINT) AS pos, n, mean,
-           round(CAST(SUM(CAST(round((x - mean) * (x - mean), 12)
-             AS DECIMAL(30,12))) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS variance
-         FROM vals JOIN m USING (i)
-         GROUP BY i, n, mean""",
+         vals AS (SELECT i,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
+         FROM e),
+         agg AS (SELECT i, SUM(x7) AS sx, SUM(x7 * x7) AS sxx,
+           CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1)
+         SELECT CAST(i - 1 AS BIGINT) AS pos, n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance
+         FROM agg""",
 
     "q_pivot_events" ->
       """SELECT user_id % 10 AS cohort,

@@ -80,4 +80,31 @@ object Curation {
       .select(col("doc_id"))
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /**
+   * Per-domain quota: cap every stratum (domain / source / host) at
+   * `maxPerStratum` rows, keeping a deterministic uniform subset — the
+   * RefinedWeb-style guard against a handful of giant domains dominating
+   * the training mix. Selection ranks by md5(seed|id) within the stratum
+   * (a random-but-reproducible order), tie-broken by id, so the kept
+   * subset is stable across runs/engines/partitionings and reshuffled by
+   * changing the seed.
+   *
+   * Shape at scale: one rank window partitioned by the stratum. A single
+   * mega-domain serializes its own partition — at 100 TB pre-filter with a
+   * per-(stratum, shard) rank ≤ maxPerStratum first (any hash shard works:
+   * the first-phase cap only needs to over-select), then re-rank the
+   * survivors; the second phase sees ≤ shards·max rows per domain. The
+   * contract below is the exact single-window form.
+   */
+  def domainCap(docs: DataFrame, stratumCol: String, idCol: String,
+                maxPerStratum: Int, seed: String = "graft"): DataFrame = {
+    require(maxPerStratum >= 1, s"maxPerStratum must be >= 1, got $maxPerStratum")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol))).asc, col(idCol).asc)
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerStratum)
+      .drop("_rk")
+  }
 }

@@ -38,33 +38,31 @@ object EmbeddingOps {
    * matrix, i.e. the per-dimension signal a whitening / dimension-pruning /
    * PCA-preprocessing stage starts from.
    *
-   * Two passes by design: the one-pass moment formula E[x²]−E[x]² needs
-   * exact decimal products of decimal sums whose precision rules differ
-   * across engines, while (x−μ)² with a finalized 6-dp μ is plain
-   * deterministic IEEE arithmetic. Both passes are posexplode → hash
-   * aggregate on `pos` (64 groups, map-side combinable) with the means
-   * broadcast back — two corpus scans, no wide shuffle.
+   * ONE corpus pass via the moment form E[x²]−E[x]², kept engine-portable
+   * by doing every data-dependent reduction in exact fixed-point: inputs
+   * quantize to 7 decimals, Σx sums DECIMAL(15,7) values and Σx² sums their
+   * EXACT 14-decimal squares (a product of two 7-dp decimals is exact, no
+   * rounding rule involved), so both sums are order-independent integers in
+   * disguise; the final mean/variance is a short single-rounding double
+   * chain identical on any IEEE engine. posexplode → hash aggregate on
+   * `pos` (dim-count groups, map-side combinable) — no join, no second
+   * scan.
    */
   def dimStats(emb: DataFrame): DataFrame = {
-    val vals = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+    val x7 = round(col("x"), 7).cast(DecimalType(15, 7))
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos"), col("x").cast("double").as("x"))
-    val means = vals.groupBy(col("pos"))
-      .agg(
-        round(sum(round(col("x"), 7).cast(DecimalType(24, 7))).cast("double") /
-          count(lit(1)).cast("double"), 6).as("mean"),
-        count(lit(1)).as("n"))
-    vals.join(broadcast(means), "pos")
-      .select(col("pos"), col("mean"), col("n"),
-        // (x−μ)·(x−μ), not pow(_, 2): multiplication is exactly rounded
-        // IEEE on every engine, pow is only faithfully rounded
-        round((col("x") - col("mean")) * (col("x") - col("mean")), 12)
-          .cast(DecimalType(30, 12)).as("d2"))
       .groupBy(col("pos"))
-      .agg(first(col("mean")).as("mean"), first(col("n")).as("n"),
-        round(sum(col("d2")).cast("double") /
-          first(col("n")).cast("double"), 6).as("variance"))
-      .select(col("pos").cast("long").as("pos"), col("n"), col("mean"),
-        col("variance"))
+      .agg(
+        sum(x7).as("sx"),
+        sum(x7 * x7).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("pos").cast("long").as("pos"), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6).as("mean"),
+        round(col("sxx").cast("double") / col("n").cast("double") -
+          (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double")), 6)
+          .as("variance"))
   }
 
   /**

@@ -83,6 +83,26 @@ class TrainingMixSpec extends SparkSpec {
     assert(tiny.count() === 0)
   }
 
+  test("domainCap: exact quota per stratum, deterministic, seed-sensitive") {
+    val docs = (1 to 300).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val capped = graft.operators.Curation.domainCap(docs, "source", "doc_id", 20)
+    val perSrc = capped.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSrc === Map("src0" -> 20L, "src1" -> 20L, "src2" -> 20L))
+    val again = graft.operators.Curation.domainCap(
+        docs.repartition(11), "source", "doc_id", 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === capped.select($"doc_id").as[Long].collect().toSet)
+    val reseeded = graft.operators.Curation.domainCap(
+        docs, "source", "doc_id", 20, seed = "v2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reseeded !== again, "seed reshuffles the kept subset")
+    // under-quota strata pass through whole
+    assert(graft.operators.Curation.domainCap(docs, "source", "doc_id", 1000)
+      .count() === 300)
+  }
+
   test("dimStats: exact mean/variance on a known matrix, order-independent") {
     val emb = Seq(
       (1L, Array(1.0f, 10.0f)),
