@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * T5 streaming depth: gap-based SESSION windows with a watermark (the
+ * streaming form of the batch `cdc_sessionize` operator), and the built-in
+ * `dropDuplicatesWithinWatermark` as the declarative counterpart of
+ * [[graft.streaming.StreamingDedup]]'s bounded-TTL digest cache.
+ */
+class StreamingSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("session_window merges gap-connected events per user, finalizes on watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDS().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("s"),
+        unix_micros($"session_window.end").as("e"), $"n_events")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: 10:00, 10:20, 10:45 chain into ONE session (gaps < 30m);
+      // 12:00 starts a second session. user 2: lone event at 10:05.
+      input.addData((t("2024-01-01 10:00:00"), 1L),
+        (t("2024-01-01 10:20:00"), 1L), (t("2024-01-01 10:45:00"), 1L),
+        (t("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 12:00:00"), 1L)) // advances watermark
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 14:00:00"), 9L)) // finalize everything open
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(s: String) = t(s).getTime * 1000L
+      // session end = last event + gap
+      assert(rows.contains((1L, us("2024-01-01 10:00:00"),
+        us("2024-01-01 11:15:00"), 3L)), s"user-1 merged session missing: $rows")
+      assert(rows.contains((2L, us("2024-01-01 10:05:00"),
+        us("2024-01-01 10:35:00"), 1L)))
+      assert(rows.contains((1L, us("2024-01-01 12:00:00"),
+        us("2024-01-01 12:30:00"), 1L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_out")
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replica duplicates like the digest cache") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = input.toDS().toDF("ts", "key", "md5Digest")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key", "md5Digest")
+      .select($"key", $"md5Digest")
+    val q = deduped.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // RF-3 style: each (key, digest) arrives three times within the window
+      val base = Seq(
+        (t("2024-01-01 10:00:00"), 1L, "d1"),
+        (t("2024-01-01 10:00:30"), 1L, "d1"),
+        (t("2024-01-01 10:01:00"), 1L, "d1"),
+        (t("2024-01-01 10:02:00"), 2L, "d2"),
+        (t("2024-01-01 10:02:10"), 2L, "d2"),
+        (t("2024-01-01 10:03:00"), 1L, "d3")) // same key, NEW digest → kept
+      input.addData(base: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ddw_out").as[(Long, String)].collect().toSeq
+      assert(rows.sorted === Seq((1L, "d1"), (1L, "d3"), (2L, "d2")),
+        s"one row per distinct (key, digest): $rows")
+      // a replayed duplicate in a later batch, still inside the watermark
+      // window, is dropped too (the reference's MutationCache TTL semantics)
+      input.addData((t("2024-01-01 10:10:00"), 1L, "d1"))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() === 3)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ddw_out")
+    }
+  }
+}
