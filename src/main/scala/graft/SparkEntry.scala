@@ -1082,6 +1082,12 @@ object SparkEntry {
       // dimension-pruning preprocessing signal
       EmbeddingOps.dimStats(t(s, dir, "embeddings"))),
 
+    "emb_pca_power" -> ((s, dir) =>
+      // top principal component by power iteration: corpus pass builds the
+      // exact covariance, then 8 constant-cost (dim²-row) iterations — the
+      // oracle replays every iteration bit-exactly (portable arithmetic)
+      EmbeddingOps.pcaTopComponent(t(s, dir, "embeddings"), iters = 8)),
+
     "q_pivot_events" -> ((s, dir) =>
       // pivot: per-user-cohort event-type matrix (explicit value list so the
       // plan is a single pass, no distinct-values pre-query)
@@ -1214,6 +1220,50 @@ object SparkEntry {
     "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** DuckDB mirror of [[EmbeddingOps.pcaTopComponent]]: the power iteration
+   * unrolled as one CTE pair (w_k, n_k, v_k) per iteration — generated from
+   * the same iteration count so Spark and the oracle always run in step. */
+  private def pcaPowerSql(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         vals AS (SELECT vec_id, i,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
+         FROM e),
+         m AS (SELECT i, CAST(SUM(x7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+           FROM vals GROUP BY 1),
+         p AS (SELECT a.i AS i, b.i AS j, SUM(a.x7 * b.x7) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals a JOIN vals b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         c AS MATERIALIZED (SELECT p.i, p.j,
+             round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mi.mean * mj.mean, 7) AS c
+           FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i),
+         v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM c)"""
+    // every w_k is referenced twice (n_k and v_k): without MATERIALIZED the
+    // optimizer inlines the whole chain and the plan doubles per iteration.
+    // Mat-vec in exact decimal, rounding only at w/‖w‖ — see the tie
+    // analysis in EmbeddingOps.pcaTopComponent.
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i,
+             SUM(CAST(c.c AS DECIMAL(15,7)) * CAST(v.v AS DECIMAL(15,7))) AS w
+           FROM c JOIN v${k - 1} v ON c.j = v.j GROUP BY 1),
+         n$k AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(16,14))
+             * CAST(w AS DECIMAL(16,14))) AS DOUBLE)) AS nrm FROM w$k),
+         v$k AS MATERIALIZED (SELECT i AS j, CASE WHEN nrm <> 0
+             THEN round(CAST(w AS DOUBLE) / nrm, 7)
+             ELSE 0.0 END AS v FROM w$k, n$k)"""
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s""",
+         lam AS (SELECT round(CAST(SUM(CAST(c.c AS DECIMAL(15,7)) *
+             CAST(CAST(a.v AS DECIMAL(15,7)) * CAST(b.v AS DECIMAL(15,7))
+               AS DECIMAL(16,14))) AS DOUBLE), 6) AS lambda
+           FROM c JOIN v$iters a ON c.i = a.j JOIN v$iters b ON c.j = b.j)
+         SELECT CAST(vf.j - 1 AS BIGINT) AS pos, vf.v AS loading, lam.lambda
+         FROM v$iters vf, lam"""
+    head + steps + tail
+  }
 
   def oracleSql: Map[String, String] = Map(
     "cdc_dedup_exact" ->
@@ -2039,6 +2089,8 @@ object SparkEntry {
              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance
          FROM agg""",
+
+    "emb_pca_power" -> pcaPowerSql(8),
 
     "q_pivot_events" ->
       """SELECT user_id % 10 AS cohort,

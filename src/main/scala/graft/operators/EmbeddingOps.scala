@@ -66,6 +66,92 @@ object EmbeddingOps {
   }
 
   /**
+   * Top principal component by power iteration — dimension-reduction /
+   * drift-diagnostic signal over an embedding corpus. Returns one row per
+   * dimension: (pos, loading, lambda) where `loading` is the unit top
+   * eigenvector of the covariance matrix and `lambda` the Rayleigh-quotient
+   * eigenvalue estimate.
+   *
+   * Scale shape: ONE corpus-linear pass builds the exact second-moment
+   * matrix (row-local dim² fan-out → map-side-combinable sum, so the
+   * shuffle carries 64×64 partials per partition, never rows); every
+   * subsequent step — covariance, `iters` matrix-vector products, the
+   * eigenvalue — runs on dim²-row frames whose size is INDEPENDENT of the
+   * corpus. At 100 TB the iteration costs exactly what it costs here.
+   *
+   * Engine-portability: moment sums are exact fixed-point (7-dp inputs,
+   * exact 14-dp products), every intermediate double is produced by a
+   * single-rounding IEEE chain, and each iteration re-quantizes to 7
+   * decimals — inside the rounding zone where Spark/DuckDB round() agree —
+   * so the oracle replays all iterations bit-exactly.
+   */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
+    // exact second moments: row-local (i, j) fan-out, one aggregation
+    val pairs = emb.select(explode(expr(
+        """flatten(transform(embedding, (xi, i) -> transform(embedding, (xj, j) ->
+             named_struct('i', i, 'j', j,
+               'xx', CAST(round(CAST(xi AS DOUBLE), 7) AS DECIMAL(15,7)) *
+                     CAST(round(CAST(xj AS DOUBLE), 7) AS DECIMAL(15,7))))))"""))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
+    val sxy = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("xx")).as("sxy"), count(lit(1)).as("n"))
+    val m = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(round(col("x").cast("double"), 7).cast(DecimalType(15, 7)))
+        .cast("double") / count(lit(1)).cast("double")).as("mean"))
+    val cov = sxy
+      .join(m.select(col("i"), col("mean").as("mi")), "i")
+      .join(m.select(col("i").as("j"), col("mean").as("mj")), "j")
+      .select(col("i"), col("j"),
+        round(col("sxy").cast("double") / col("n").cast("double") -
+          col("mi") * col("mj"), 7).as("c"))
+      .localCheckpoint(true) // dim² rows — the constant-size iteration frame
+
+    // v₀ = (1/8, …, 1/8): exactly representable, unit for dim = 64.
+    //
+    // WHY the mat-vec runs in exact DECIMAL, with the only double rounding
+    // at w/‖w‖: rounding a double whose true value is an exact low-scale
+    // decimal (e.g. c·0.125, or a sum of such products) lands on true
+    // half-way ties, where Spark (shortest-string HALF_UP) and other
+    // engines (binary-value rounding) legitimately disagree — measured at
+    // ~0.5% of products on the fixture. Exact 7dp×7dp products need no
+    // rounding at all, and w/‖w‖ divides by an irrational norm, so its
+    // quotient has no tie structure — the round(…, 7) there is safe.
+    var v = cov.select(col("j")).distinct()
+      .select(col("j"), lit(0.125).as("v"))
+    val c7 = col("c").cast(DecimalType(15, 7))
+    val v7 = col("v").cast(DecimalType(15, 7))
+    val w16 = col("w").cast(DecimalType(16, 14)) // |w| < 100: exact re-type
+    for (_ <- 0 until iters) {
+      val w = cov.join(v, "j").groupBy(col("i"))
+        .agg(sum(c7 * v7).as("w")) // exact 14-dp products, exact sum
+      val nrm = w.agg(sqrt(sum(w16 * w16).cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(nrm)) // 1-row attach (scalar-subquery plan)
+        .select(col("i").as("j"),
+          when(col("nrm") =!= 0.0,
+            round(col("w").cast("double") / col("nrm"), 7))
+            .otherwise(0.0).as("v"))
+        .localCheckpoint(true)
+    }
+    // Rayleigh quotient λ = vᵀCv on the final unit iterate — vi·vj squeezed
+    // exactly into DECIMAL(16,14) so the triple product stays inside
+    // 38-digit precision on every engine (a direct 3-way product overflows
+    // and triggers engine-specific scale reduction)
+    val lambda = cov
+      .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
+      .join(v.select(col("j"), col("v").as("vj")), "j")
+      .agg(round(sum(c7 *
+        (col("vi").cast(DecimalType(15, 7)) * col("vj").cast(DecimalType(15, 7)))
+          .cast(DecimalType(16, 14))).cast("double"), 6).as("lambda"))
+    v.crossJoin(broadcast(lambda))
+      .select(col("j").cast("long").as("pos"),
+        // loading stays at the iteration's 7dp — re-rounding to 6 would
+        // re-introduce exact half-way ties (10% of 7dp values end in 5)
+        col("v").as("loading"), col("lambda"))
+  }
+
+  /**
    * Scalar int8 quantization (max-abs scaling): q[i] = round(x[i]/scale·127)
    * with scale = max|x|. Exploded output (vec_id, pos, q, scale) — the
    * packed-array form is a trivial re-group; exploded keeps every value

@@ -103,6 +103,27 @@ class TrainingMixSpec extends SparkSpec {
       .count() === 300)
   }
 
+  test("pcaTopComponent recovers a planted dominant direction") {
+    // x_t = (t, t, 0, 0): covariance = Var(t)·[[1,1,..],[1,1,..],0,0] →
+    // top eigenvector ±(1/√2, 1/√2, 0, 0), λ = 2·Var(t)
+    val emb = (1 to 100)
+      .map(t => (t.toLong, Array(t.toFloat / 100, t.toFloat / 100, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.EmbeddingOps.pcaTopComponent(emb, iters = 8)
+      .orderBy($"pos").as[(Long, Double, Double)].collect()
+    val loadings = out.map(_._2)
+    val invSqrt2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(loadings(0)) - invSqrt2) < 1e-4, loadings.toSeq)
+    assert(math.abs(math.abs(loadings(1)) - invSqrt2) < 1e-4)
+    assert(math.abs(loadings(2)) < 1e-6 && math.abs(loadings(3)) < 1e-6)
+    // λ = 2·Var(t/100); t uniform 1..100 → Var(t) = (100²-1)/12
+    val varT = (100.0 * 100.0 - 1.0) / 12.0 / (100.0 * 100.0)
+    assert(math.abs(out.head._3 - 2 * varT) < 1e-3,
+      s"lambda ${out.head._3} vs ${2 * varT}")
+    // unit norm
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
   test("dimStats: exact mean/variance on a known matrix, order-independent") {
     val emb = Seq(
       (1L, Array(1.0f, 10.0f)),
