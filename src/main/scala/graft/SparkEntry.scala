@@ -547,6 +547,22 @@ object SparkEntry {
           col("l_extendedprice").as("min_price"))
     }),
 
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17 shape (correlated scalar AVG subquery): revenue impact of
+      // small-quantity orders — the per-part average collapses lineitem to
+      // part grain BEFORE the join, the classic decorrelation
+      val l = t(s, dir, "lineitem")
+      val partAvg = l.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(dec2(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
     "q21_waiting_suppliers" -> ((s, dir) => {
       // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers whose
       // lineitem was the ONLY late one on a multi-supplier finished order.
@@ -1508,6 +1524,17 @@ object SparkEntry {
          FROM j JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          WHERE rnk = 1""",
+
+    "q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+         FROM lineitem GROUP BY 1)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN pa ON l_partkey = pk
+         WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty""",
 
     "q21_waiting_suppliers" ->
       """SELECT s_name, COUNT(*) AS numwait
