@@ -1264,8 +1264,8 @@ object SparkEntry {
       s"""w$k AS MATERIALIZED (SELECT c.i,
              SUM(CAST(c.c AS DECIMAL(15,7)) * CAST(v.v AS DECIMAL(15,7))) AS w
            FROM c JOIN v${k - 1} v ON c.j = v.j GROUP BY 1),
-         n$k AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(16,14))
-             * CAST(w AS DECIMAL(16,14))) AS DOUBLE)) AS nrm FROM w$k),
+         n$k AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(18,14))
+             * CAST(w AS DECIMAL(18,14))) AS DOUBLE)) AS nrm FROM w$k),
          v$k AS MATERIALIZED (SELECT i AS j, CASE WHEN nrm <> 0
              THEN round(CAST(w AS DOUBLE) / nrm, 7)
              ELSE 0.0 END AS v FROM w$k, n$k)"""
@@ -1656,12 +1656,12 @@ object SparkEntry {
          bc AS (SELECT bigram, CAST(SUM(occ) AS BIGINT) AS c12 FROM db GROUP BY 1),
          tok AS (SELECT unnest(w) AS token FROM ws),
          uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
-         v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS nv FROM tok)
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM uc)
          SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(CAST(round(CAST(occ AS DOUBLE) *
-               round((CAST(c12 AS DOUBLE) + 1.0)
-                 / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)), 9), 9)
-             AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE), 6) AS avg_p
+           CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
+               / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)) * 1000000000.0)
+             AS BIGINT)) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
+             / 1000000000.0 AS avg_p
          FROM db JOIN bc USING (bigram)
          JOIN uc ON split_part(bigram, ' ', 1) = uc.token, v
          GROUP BY doc_id""",
@@ -1723,7 +1723,7 @@ object SparkEntry {
              PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
            FROM d)
-         SELECT lang, start_tok // 512 AS seq_id,
+         SELECT lang, CAST(start_tok // 512 AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
          FROM c GROUP BY 1, 2""",
 

@@ -28,7 +28,22 @@ object Curation {
 
   /** The portable keep-decision column: md5(seed|id) < threshold(rate). */
   def keepDecision(idCol: Column, rate: Double, seed: String): Column =
-    md5(concat_ws("|", lit(seed), idCol)) < lit(sampleThreshold(rate))
+    sampleKey(idCol, seed) < lit(sampleThreshold(rate))
+
+  /** The portable per-row sampling key — ONE definition for every sampler
+   * (deterministicSample / stratifiedSample / domainCap / TrainingMix). */
+  def sampleKey(idCol: Column, seed: String): Column =
+    md5(concat_ws("|", lit(seed), idCol))
+
+  /** Column form of [[sampleThreshold]] for DATA-DEPENDENT rates (the rate
+   * arrives as a column, e.g. TrainingMix's temperature rates): same 48-bit
+   * encoding, same "g" keep-all sentinel, evaluated per row. Rates are
+   * expected in [0, 1]. */
+  def thresholdColumn(rate: Column): Column = {
+    val v = floor(rate * lit(281474976710656.0)) // rate · 2⁴⁸
+    when(v >= 281474976710656L, lit("g"))
+      .otherwise(format_string("%012x", v))
+  }
 
   /**
    * Deterministic sample: keep ~`rate` of rows, decided per id — stable
@@ -102,7 +117,7 @@ object Curation {
     require(maxPerStratum >= 1, s"maxPerStratum must be >= 1, got $maxPerStratum")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(concat_ws("|", lit(seed), col(idCol))).asc, col(idCol).asc)
+      .orderBy(sampleKey(col(idCol), seed).asc, col(idCol).asc)
     docs.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= maxPerStratum)
       .drop("_rk")

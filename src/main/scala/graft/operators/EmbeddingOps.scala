@@ -122,11 +122,13 @@ object EmbeddingOps {
       .select(col("j"), lit(0.125).as("v"))
     val c7 = col("c").cast(DecimalType(15, 7))
     val v7 = col("v").cast(DecimalType(15, 7))
-    val w16 = col("w").cast(DecimalType(16, 14)) // |w| < 100: exact re-type
+    // |w| ≤ dim·max|c| — (18,14) holds |w| < 10⁴, enough for components up
+    // to ~100 at dim 64; the square still fits 38 digits (37,28)
+    val w18 = col("w").cast(DecimalType(18, 14))
     for (_ <- 0 until iters) {
       val w = cov.join(v, "j").groupBy(col("i"))
         .agg(sum(c7 * v7).as("w")) // exact 14-dp products, exact sum
-      val nrm = w.agg(sqrt(sum(w16 * w16).cast("double")).as("nrm"))
+      val nrm = w.agg(sqrt(sum(w18 * w18).cast("double")).as("nrm"))
       v = w.crossJoin(broadcast(nrm)) // 1-row attach (scalar-subquery plan)
         .select(col("i").as("j"),
           when(col("nrm") =!= 0.0,

@@ -327,10 +327,20 @@ object TextAnalysis {
    * correctly — rounded and would break oracle parity. The mean is a
    * monotone quality signal exactly like mean-log for ranking thresholds.
    *
+   * Probabilities are fixed to 9 digits by floor(p·10⁹) — an INTEGER, so
+   * the per-doc reduction is exact long arithmetic with no intermediate
+   * rounding anywhere. (round() on a quotient of integers is tie-prone:
+   * such quotients can terminate exactly at the rounding digit, where
+   * engines' round semantics legitimately differ — see
+   * EmbeddingOps.pcaTopComponent. floor of the same IEEE double has no
+   * such semantic split.) The final mean is emitted as a raw double —
+   * identical operands, identical quotient — with no rounding to disagree
+   * on.
+   *
    * Shape at scale: bigram/unigram dictionaries via map-side-combinable
    * counts (corpus-linear), scoring is two dictionary hash joins (never a
-   * pairwise comparison), and per-p rounding to 9 dp feeds an exact DECIMAL
-   * sum so the per-doc mean is independent of aggregation order.
+   * pairwise comparison), and the per-doc sum is an exact long sum —
+   * independent of aggregation order.
    */
   def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val docBigrams = docs.select(col("doc_id"), words(textCol).as("w"))
@@ -340,9 +350,10 @@ object TextAnalysis {
       .agg(sum(col("occ")).as("c12"))
     val tokens = docs.select(explode(words(textCol)).as("token"))
     val unigramCnt = tokens.groupBy(col("token")).agg(count(lit(1)).as("c1"))
-    // V attaches to the vocabulary DICTIONARY (not the corpus) as a 1-row
-    // broadcast — the plan a scalar subquery lowers to; linear cost
-    val vocab = tokens.agg(count_distinct(col("token")).as("v"))
+    // V = the unigram dictionary's row count — counted from the dictionary
+    // itself, not a second aggregation over the corpus token stream; it
+    // attaches as a 1-row broadcast (the plan a scalar subquery lowers to)
+    val vocab = unigramCnt.agg(count(lit(1)).as("v"))
     val unigramWithV = unigramCnt.crossJoin(broadcast(vocab))
     val p = col("c12").cast("double").plus(lit(1.0))
       .divide(col("c1").cast("double").plus(col("v").cast("double")))
@@ -351,12 +362,11 @@ object TextAnalysis {
       .join(unigramWithV,
         expr("split_part(bigram, ' ', 1)") === col("token"))
       .select(col("doc_id"), col("occ"),
-        round(col("occ").cast("double") * round(p, 9), 9)
-          .cast(DecimalType(28, 9)).as("wp"))
+        (col("occ") * floor(p * lit(1.0e9))).as("wp9"))
       .groupBy(col("doc_id"))
       .agg(sum(col("occ")).as("n_bigrams"),
-        round(sum(col("wp")).cast("double") /
-          sum(col("occ")).cast("double"), 6).as("avg_p"))
+        (sum(col("wp9")).cast("double") /
+          sum(col("occ")).cast("double") / lit(1.0e9)).as("avg_p"))
   }
 
   /**

@@ -53,14 +53,11 @@ object TrainingMix {
     val kcap = withTot.agg(
       min(floor(col("n").cast("double") * col("sw") / col("w"))).as("kcap"))
     withTot.crossJoin(broadcast(kcap))
-      .withColumn("thr_v",
-        floor(least(lit(1.0),
-          col("kcap").cast("double") * col("w") /
-            (col("sw") * col("n").cast("double"))) * lit(281474976710656.0)))
       .select(col(stratumCol), col("n"),
-        // 2^48 means rate 1.0: "g" sorts after every hex digit = keep all
-        when(col("thr_v") >= 281474976710656L, lit("g"))
-          .otherwise(format_string("%012x", col("thr_v"))).as("keep_thr"))
+        // encoding shared with every other sampler — Curation owns it
+        Curation.thresholdColumn(least(lit(1.0),
+          col("kcap").cast("double") * col("w") /
+            (col("sw") * col("n").cast("double")))).as("keep_thr"))
   }
 
   /**
@@ -73,7 +70,7 @@ object TrainingMix {
     val thr = temperatureThresholds(docs, stratumCol)
       .select(col(stratumCol), col("keep_thr"))
     docs.join(broadcast(thr), stratumCol)
-      .filter(md5(concat_ws("|", lit(seed), col(idCol))) < col("keep_thr"))
+      .filter(Curation.sampleKey(col(idCol), seed) < col("keep_thr"))
       .drop("keep_thr")
   }
 
