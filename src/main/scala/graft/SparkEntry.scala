@@ -822,9 +822,10 @@ object SparkEntry {
 
     "knn_ivf_ann" -> ((s, dir) => {
       // IVF-bucketed ANN over deterministic spherical-k-means cells (the
-      // 100 TB path: cell-local search, queries probe nprobe cells). The
-      // single remaining rows-only query: cell assignment is engine-side;
-      // its recall is oracle-bounded by knn_recall below.
+      // 100 TB path: cell-local search, queries probe nprobe cells). Fully
+      // oracle-checked: the ×10⁷-grid arithmetic makes every k-means
+      // iteration exactly replayable in DuckDB (see ivfKnnSql); recall is
+      // additionally bounded by knn_recall below.
       val emb = t(s, dir, "embeddings")
       val centroids = ivfCentroids(s, dir)
       Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, centroids,
@@ -1278,6 +1279,81 @@ object SparkEntry {
            FROM c JOIN v$iters a ON c.i = a.j JOIN v$iters b ON c.j = b.j)
          SELECT CAST(vf.j - 1 AS BIGINT) AS pos, vf.v AS loading, lam.lambda
          FROM v$iters vf, lam"""
+    head + steps + tail
+  }
+
+  /** DuckDB mirror of the full IVF path ([[Similarity.kmeansCentroids]] +
+   * [[Similarity.ivfKnn]]): every k-means iteration unrolled as an
+   * (affinity → argmax assignment → per-cell sum → normalize) CTE chain —
+   * generated from the same (nCells, iters, nprobe, k) so the oracle always
+   * runs in step with the engine.
+   *
+   * Portability contract (mirrors the engine exactly): vectors live on the
+   * ×10⁷ integer grid, so affinities (BIGINT dot products) and cell sums are
+   * exact on both engines; per iteration the only floating math is
+   * ‖s‖ = sqrt(exact Σs²) and one IEEE division per component re-rounded to
+   * the grid (irrational factor ⇒ tie-free, the pcaPowerSql argument).
+   * Final candidate ranking is the same double-cosine row_number as the
+   * knn_lsh_ann oracle. */
+  private def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String = {
+    // ‖s‖ over the scaled grid: squares exceed BIGINT, so square in DECIMAL
+    def nrmSql(src: String) =
+      s"""(SELECT cell_id, sqrt(CAST(SUM(CAST(s AS DECIMAL(19,0))
+         * CAST(s AS DECIMAL(19,0))) AS DOUBLE)) AS nrm FROM $src GROUP BY 1)"""
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         vals AS MATERIALIZED (SELECT vec_id, i - 1 AS d,
+           CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
+             AS BIGINT) AS x
+         FROM e),
+         init AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id
+           FROM (SELECT DISTINCT vec_id FROM vals ORDER BY vec_id LIMIT $nCells)),
+         s0 AS (SELECT cell_id, d, x AS s FROM vals JOIN init USING (vec_id)),
+         c0 AS MATERIALIZED (SELECT s.cell_id, s.d,
+             CAST(round(round(CASE WHEN n.nrm <> 0
+                 THEN CAST(s.s AS DOUBLE) / n.nrm ELSE 0 END, 7)
+               * 10000000, 0) AS BIGINT) AS c
+           FROM s0 s JOIN ${nrmSql("s0")} n USING (cell_id))"""
+    val steps = (1 to iters).map { j =>
+      s"""aff$j AS (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
+           FROM vals v JOIN c${j - 1} c ON v.d = c.d GROUP BY 1, 2),
+         asg$j AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+             SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM aff$j) WHERE rn = 1),
+         s$j AS (SELECT a.cell_id, v.d, SUM(v.x) AS s
+           FROM vals v JOIN asg$j a USING (vec_id) GROUP BY 1, 2),
+         c$j AS MATERIALIZED (SELECT p.cell_id, p.d, COALESCE(
+             CAST(round(round(CASE WHEN n.nrm <> 0
+                 THEN CAST(s.s AS DOUBLE) / n.nrm END, 7)
+               * 10000000, 0) AS BIGINT), p.c) AS c
+           FROM c${j - 1} p
+           LEFT JOIN s$j s ON p.cell_id = s.cell_id AND p.d = s.d
+           LEFT JOIN ${nrmSql(s"s$j")} n ON p.cell_id = n.cell_id)"""
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s""",
+         afq AS MATERIALIZED (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
+           FROM vals v JOIN c$iters c ON v.d = c.d GROUP BY 1, 2),
+         casg AS (SELECT vec_id, cell_id FROM (
+             SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM afq) WHERE rn = 1),
+         qasg AS (SELECT vec_id AS q_id, cell_id FROM (
+             SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM afq
+             WHERE vec_id < 5) WHERE rn <= $nprobe),
+         pairs AS (SELECT q.q_id, c.vec_id
+           FROM qasg q JOIN casg c USING (cell_id) WHERE c.vec_id <> q.q_id)
+         SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT p.q_id, p.vec_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                 CAST(ce.embedding AS DOUBLE[])) DESC, p.vec_id ASC) AS rank
+           FROM pairs p
+           JOIN embeddings qe ON qe.vec_id = p.q_id
+           JOIN embeddings ce ON ce.vec_id = p.vec_id)
+         WHERE rank <= $k"""
     head + steps + tail
   }
 
@@ -2214,8 +2290,10 @@ object SparkEntry {
            FROM (SELECT DISTINCT user_id FROM obs) u, range(0, 720) t(i))
          SELECT g.user_id, g.grid_t, o.v, o.obs_t
          FROM grid g ASOF LEFT JOIN obs o
-           ON g.user_id = o.user_id AND g.grid_t >= o.t"""
-    // knn_ivf_ann: engine-side centroid assignment — the single remaining
-    // rows-only query; its recall is oracle-bounded by knn_recall.
+           ON g.user_id = o.user_id AND g.grid_t >= o.t""",
+
+    // full IVF replay: k-means on the ×10⁷ grid, unrolled per iteration —
+    // same (nCells, iters, nprobe, k) as the engine call
+    "knn_ivf_ann" -> ivfKnnSql(nCells = 50, iters = 5, nprobe = 2, k = 5)
   )
 }

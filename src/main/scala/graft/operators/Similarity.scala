@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.{cosine_similarity, dot_product}
@@ -176,91 +176,140 @@ object Similarity {
 
   // ---- IVF ----------------------------------------------------------------
 
+  /** ×10⁷ fixed-point quantization of an embedding array — the exact integer
+   * grid every IVF decision is computed on, identical in the engine and the
+   * SQL oracle. round(x,7)·1e7 is within ~1e-9 of an integer (a float cast
+   * to double re-rounded to 7 decimals), so the final 0-dp round is
+   * tie-free. */
+  private[graft] def scaled7(c: Column): Column =
+    transform(c, x =>
+      round(round(x.cast("double"), 7) * lit(1e7), 0).cast("long"))
+
+  /** Exact dot product of two ×10⁷-scaled long arrays: |xᵢ·yᵢ| ≤ 10¹⁴ and
+   * dim ≤ ~10⁴ keep the sum far inside a long. Codegen'd builtins. */
+  private[graft] def longDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
   /**
    * Deterministic spherical k-means centroids (Lloyd's algorithm): init =
    * the first `nCells` vectors by id, fixed `iters` assignment/update
-   * rounds, centroids re-normalized to the unit sphere each round (cosine
-   * geometry). Empty cells keep their previous centroid.
+   * rounds, centroids re-normalized to the 7-dp unit sphere each round
+   * (cosine geometry — a cell's sum vector has the same direction as its
+   * mean, so the per-cell division by count is skipped entirely). Empty and
+   * zero-norm cells keep their previous centroid.
    *
    * Scale: each round is one broadcast-join + argmax window over the corpus
-   * and one (cell, dim)-grouped mean — corpus-linear, shuffle on cell only.
-   * Only the centroid table (O(nCells·dim) floats) ever reaches the driver,
+   * and one (cell, dim)-grouped sum — corpus-linear, shuffle on cell only.
+   * Only the centroid table (O(nCells·dim) values) ever reaches the driver,
    * never corpus rows; that is the standard Lloyd's-in-Spark shape (MLlib
-   * does the same). Determinism: double accumulation makes per-run mean
-   * differences ~1 ulp; an assignment flips only on an exact affinity tie,
-   * which the cell_id tiebreak resolves stably.
+   * does the same).
+   *
+   * Engine-portability (the knn_ivf_ann oracle replays every iteration
+   * bit-exactly): vectors are quantized to the ×10⁷ integer grid, so cell
+   * affinities and per-cell sums are exact 64-bit integers on any engine;
+   * the only floating arithmetic per iteration is ‖s‖ = sqrt(Σs²) (Σs²
+   * exact) and one IEEE division per component, re-rounded to 7 decimals —
+   * an irrational-factor quotient with no half-way-tie structure, the same
+   * safe-rounding argument as [[EmbeddingOps.pcaTopComponent]].
    */
   def kmeansCentroids(vectors: DataFrame, nCells: Int, iters: Int,
                       dim: Int)(implicit spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
+    import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val centroidSchema = StructType(Seq(
-      StructField("cell_id", IntegerType, nullable = false),
-      StructField("centroid", ArrayType(FloatType, containsNull = false))))
-    def toDf(cs: Seq[(Int, Seq[Float])]): DataFrame =
-      spark.createDataFrame(
-        cs.map { case (id, c) => Row(id, c) }.asJava, centroidSchema)
 
-    var centroids: Seq[(Int, Seq[Float])] = vectors
+    /** s/‖s‖ back onto the ×10⁷ grid; None for a zero vector. */
+    def normalize(s: Array[Long]): Option[Array[Long]] = {
+      val n2 = s.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      val nrm = math.sqrt(n2.toDouble)
+      if (nrm == 0.0) None
+      else Some(s.map { x =>
+        // double/double division, then the 7-dp round both engines agree on
+        JBD.valueOf(x.toDouble / nrm).setScale(7, RoundingMode.HALF_UP)
+          .movePointRight(7).setScale(0, RoundingMode.HALF_UP).longValueExact
+      })
+    }
+
+    val v7 = vectors.select(col("vec_id"), scaled7(col("embedding")).as("xl"))
+
+    var cents: Array[Array[Long]] = v7
       .orderBy(col("vec_id")).limit(nCells)
-      .select(col("embedding")).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }.toSeq
+      .select(col("xl")).collect()
+      .map(r => normalize(r.getSeq[Long](0).toArray)
+        .getOrElse(Array.fill(dim)(0L)))
+
+    val clSchema = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("cl", ArrayType(LongType, containsNull = false))))
+    def clDf(cs: Array[Array[Long]]): DataFrame =
+      spark.createDataFrame(
+        cs.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }.toSeq.asJava,
+        clSchema)
 
     for (_ <- 0 until iters) {
-      val assigned = assignCells(vectors, toDf(centroids))
-      val means = assigned
-        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val aff = v7.join(broadcast(clDf(cents)))
+        .select(col("vec_id"), col("xl"), col("cell_id"),
+          longDot(col("xl"), col("cl")).as("aff"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cell_id").asc)
+      val assigned = aff.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val sums = assigned
+        .select(col("cell_id"), posexplode(col("xl")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell_id"),
-          transform(col("pm"), x => x.getField("m")).as("c"))
+        .agg(sum(col("x")).as("s")) // exact: |Σx| ≤ corpus·10⁷·max|x|
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.map { case (id, prev) =>
-        means.get(id) match {
-          case Some(m) =>
-            val norm = math.sqrt(m.map(x => x * x).sum)
-            if (norm > 0) (id, m.map(x => (x / norm).toFloat))
-            else (id, prev)
-          case None => (id, prev) // empty cell: keep previous centroid
-        }
+      val byCell = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val arr = new Array[Long](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        cid -> arr
+      }
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCell.get(cid).flatMap(normalize).getOrElse(prev)
       }
     }
-    toDf(centroids)
+
+    // centroid = nearest doubles to the exact 7-dp decimals; assignCells
+    // re-derives the exact grid longs by re-rounding (lossless round-trip)
+    val outSchema = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        Row(i, c.map(x => new JBD(x).movePointLeft(7).doubleValue).toSeq)
+      }.toSeq.asJava, outSchema)
   }
 
   /**
-   * Assign every vector to its highest-affinity centroid cell (argmax dot
-   * over a broadcast centroid table; ties break to the lowest cell_id).
+   * Assign every vector to its highest-affinity centroid cell (argmax of the
+   * exact ×10⁷-grid integer dot over a broadcast centroid table; ties break
+   * to the lowest cell_id — fully deterministic on any engine).
    *
    * At 100 TB the candidate side is hash-partitioned by cell id, queries are
    * routed to matching cells, and the per-cell search is a local top-k —
    * the shuffle moves only cell-assigned queries, never the corpus.
    */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cts = broadcast(centroids.select(col("cell_id"), col("centroid")))
-    val scored = vectors.join(cts)
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        dot_product(col("embedding"), col("centroid")).as("affinity"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("affinity").desc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignTopCells(vectors, centroids, 1)
 
   /** Assign each query to its `nprobe` highest-affinity cells. */
   def assignProbeCells(queries: DataFrame, centroids: DataFrame,
-                       nprobe: Int): DataFrame = {
-    val cts = broadcast(centroids.select(col("cell_id"), col("centroid")))
-    val scored = queries.join(cts)
+                       nprobe: Int): DataFrame =
+    assignTopCells(queries, centroids, nprobe)
+
+  private def assignTopCells(vectors: DataFrame, centroids: DataFrame,
+                             topN: Int): DataFrame = {
+    val cts = broadcast(
+      centroids.select(col("cell_id"), scaled7(col("centroid")).as("_cl")))
+    val scored = vectors
+      .select(col("vec_id"), col("embedding"), scaled7(col("embedding")).as("_xl"))
+      .join(cts)
       .select(col("vec_id"), col("embedding"), col("cell_id"),
-        dot_product(col("embedding"), col("centroid")).as("affinity"))
+        longDot(col("_xl"), col("_cl")).as("affinity"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("affinity").desc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
   }
 
