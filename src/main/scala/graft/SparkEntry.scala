@@ -60,6 +60,20 @@ object SparkEntry {
     }
   }
 
+  /** PQ codebooks, memoized like [[ivfCentroids]] (index-build amortization). */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val key =
+      s"pq|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+    centroidCache.synchronized {
+      Option(centroidCache.get(key)).getOrElse {
+        val c = Similarity.pqTrainCodebooks(t(s, dir, "embeddings"),
+          m = 8, k = 16, iters = 3, dim = 64)(s).cache()
+        centroidCache.put(key, c)
+        c
+      }
+    }
+  }
+
   /** Exact decimal for a 2-dp money double; final results cast back. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
@@ -854,6 +868,18 @@ object SparkEntry {
       avgRecall(ivf, "ivf", 0.8).unionByName(avgRecall(lsh, "lsh", 0.9))
     }),
 
+    "emb_pq_encode" -> ((s, dir) => {
+      // product quantization: per-subspace L2 k-means codebooks (m=8 × k=16)
+      // trained entirely in exact ×10⁷-grid integer arithmetic, then every
+      // vector encoded to its nearest codeword per subspace with the exact
+      // squared reconstruction error (grid units). The oracle replays
+      // training AND encoding bit-exactly — see pqEncodeSql.
+      Similarity.pqEncode(t(s, dir, "embeddings"), pqCodebooks(s, dir),
+          m = 8, dim = 64)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
       Multimodal.decodeStub(media)
@@ -1105,6 +1131,13 @@ object SparkEntry {
       // oracle replays every iteration bit-exactly (portable arithmetic)
       EmbeddingOps.pcaTopComponent(t(s, dir, "embeddings"), iters = 8)),
 
+    "emb_pca_topk" -> ((s, dir) =>
+      // top-3 principal components: power iteration + Hotelling deflation
+      // (C ← C − λvvᵀ on the dim²-row frame, corpus-independent cost); the
+      // exact-decimal update lets the oracle replay all three components
+      EmbeddingOps.pcaTopComponents(t(s, dir, "embeddings"),
+        nComponents = 3, iters = 8)),
+
     "q_pivot_events" -> ((s, dir) =>
       // pivot: per-user-cohort event-type matrix (explicit value list so the
       // plan is a single pass, no distinct-values pre-query)
@@ -1238,25 +1271,28 @@ object SparkEntry {
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Shared covariance head for the PCA oracles: exact moments → 7-dp
+   * covariance CTE `c` plus the uniform start vector `v0`. */
+  private val pcaHeadSql =
+    """WITH e AS (SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       vals AS (SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
+       FROM e),
+       m AS (SELECT i, CAST(SUM(x7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+         FROM vals GROUP BY 1),
+       p AS (SELECT a.i AS i, b.i AS j, SUM(a.x7 * b.x7) AS sxy,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM vals a JOIN vals b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       c AS MATERIALIZED (SELECT p.i, p.j,
+           round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mi.mean * mj.mean, 7) AS c
+         FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i),
+       v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM c)"""
+
   /** DuckDB mirror of [[EmbeddingOps.pcaTopComponent]]: the power iteration
    * unrolled as one CTE pair (w_k, n_k, v_k) per iteration — generated from
    * the same iteration count so Spark and the oracle always run in step. */
   private def pcaPowerSql(iters: Int): String = {
-    val head =
-      """WITH e AS (SELECT vec_id, embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         vals AS (SELECT vec_id, i,
-           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
-         FROM e),
-         m AS (SELECT i, CAST(SUM(x7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
-           FROM vals GROUP BY 1),
-         p AS (SELECT a.i AS i, b.i AS j, SUM(a.x7 * b.x7) AS sxy,
-             CAST(COUNT(*) AS BIGINT) AS n
-           FROM vals a JOIN vals b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         c AS MATERIALIZED (SELECT p.i, p.j,
-             round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mi.mean * mj.mean, 7) AS c
-           FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i),
-         v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM c)"""
     // every w_k is referenced twice (n_k and v_k): without MATERIALIZED the
     // optimizer inlines the whole chain and the plan doubles per iteration.
     // Mat-vec in exact decimal, rounding only at w/‖w‖ — see the tie
@@ -1279,7 +1315,53 @@ object SparkEntry {
            FROM c JOIN v$iters a ON c.i = a.j JOIN v$iters b ON c.j = b.j)
          SELECT CAST(vf.j - 1 AS BIGINT) AS pos, vf.v AS loading, lam.lambda
          FROM v$iters vf, lam"""
-    head + steps + tail
+    pcaHeadSql + steps + tail
+  }
+
+  /** DuckDB mirror of [[EmbeddingOps.pcaTopComponents]]: per component, the
+   * power iteration unrolled on the current (deflated) covariance, then the
+   * Hotelling update c_{k+1} = round(c_k − λ·vᵢ·vⱼ, 7) carried out entirely
+   * in exact DECIMAL — Spark and DuckDB both round half-away-from-zero on
+   * exact decimals, so the replay is bit-exact even at half-way ties. */
+  private def pcaTopKSql(nComp: Int, iters: Int): String = {
+    def mat(k: Int) = if (k == 1) "c" else s"c$k"
+    val vivj =
+      "CAST(CAST(a.v AS DECIMAL(15,7)) * CAST(b.v AS DECIMAL(15,7)) AS DECIMAL(16,14))"
+    val blocks = (1 to nComp).map { k =>
+      val mk = mat(k)
+      val steps = (1 to iters).map { t =>
+        val prev = if (t == 1) "v0" else s"v${k}_${t - 1}"
+        s"""w${k}_$t AS MATERIALIZED (SELECT $mk.i,
+               SUM(CAST($mk.c AS DECIMAL(15,7)) * CAST(v.v AS DECIMAL(15,7))) AS w
+             FROM $mk JOIN $prev v ON $mk.j = v.j GROUP BY 1),
+           n${k}_$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(18,14))
+               * CAST(w AS DECIMAL(18,14))) AS DOUBLE)) AS nrm FROM w${k}_$t),
+           v${k}_$t AS MATERIALIZED (SELECT i AS j, CASE WHEN nrm <> 0
+               THEN round(CAST(w AS DOUBLE) / nrm, 7)
+               ELSE 0.0 END AS v FROM w${k}_$t, n${k}_$t)"""
+      }.mkString(",\n")
+      val lam =
+        s"""lam$k AS MATERIALIZED (SELECT round(CAST(SUM(CAST($mk.c AS DECIMAL(15,7)) *
+               $vivj) AS DOUBLE), 6) AS lambda
+             FROM $mk JOIN v${k}_$iters a ON $mk.i = a.j
+                      JOIN v${k}_$iters b ON $mk.j = b.j)"""
+      val deflate = if (k < nComp)
+        s""",
+           ${mat(k + 1)} AS MATERIALIZED (SELECT $mk.i, $mk.j,
+               CAST(round(CAST($mk.c AS DECIMAL(15,7))
+                 - CAST(l.lambda AS DECIMAL(13,6)) * $vivj, 7) AS DOUBLE) AS c
+             FROM $mk JOIN v${k}_$iters a ON $mk.i = a.j
+                      JOIN v${k}_$iters b ON $mk.j = b.j
+                      CROSS JOIN lam$k l)"""
+      else ""
+      s"$steps,\n$lam$deflate"
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to nComp).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS component, CAST(vf.j - 1 AS BIGINT) AS pos,
+            vf.v AS loading, l.lambda AS lambda
+          FROM v${k}_$iters vf CROSS JOIN lam$k l"""
+    }.mkString("\n", "\nUNION ALL\n", "")
+    pcaHeadSql + blocks + sel
   }
 
   /** DuckDB mirror of the full IVF path ([[Similarity.kmeansCentroids]] +
@@ -1354,6 +1436,60 @@ object SparkEntry {
            JOIN embeddings qe ON qe.vec_id = p.q_id
            JOIN embeddings ce ON ce.vec_id = p.vec_id)
          WHERE rank <= $k"""
+    head + steps + tail
+  }
+
+  /** DuckDB mirror of [[Similarity.pqTrainCodebooks]] + [[Similarity.pqEncode]]:
+   * per-subspace L2 k-means unrolled per iteration. PQ is the easiest of the
+   * replayed index builds: training is PURE integer arithmetic on the ×10⁷
+   * grid (exact BIGINT distances and sums; the mean rounds half-away via
+   * (2s ± n) // (2n), truncating division in both engines) — no floating
+   * step at all, so no rounding analysis is needed. */
+  private def pqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         vals AS MATERIALIZED (SELECT vec_id,
+           CAST((i - 1) // $subDim AS INTEGER) AS sub,
+           CAST((i - 1) % $subDim AS INTEGER) AS d,
+           CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
+             AS BIGINT) AS x
+         FROM e),
+         init AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+           FROM (SELECT DISTINCT vec_id FROM vals ORDER BY vec_id LIMIT $k)),
+         cb0 AS MATERIALIZED (SELECT sub, code, d, x AS c
+           FROM vals JOIN init USING (vec_id))"""
+    val steps = (1 to iters).map { j =>
+      s"""dist$j AS (SELECT v.vec_id, v.sub, c.code,
+             SUM((v.x - c.c) * (v.x - c.c)) AS dist
+           FROM vals v JOIN cb${j - 1} c ON v.sub = c.sub AND v.d = c.d
+           GROUP BY 1, 2, 3),
+         asg$j AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+             FROM dist$j) WHERE rn = 1),
+         s$j AS (SELECT a.sub, a.code, v.d, SUM(v.x) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals v JOIN asg$j a ON v.vec_id = a.vec_id AND v.sub = a.sub
+           GROUP BY 1, 2, 3),
+         cb$j AS MATERIALIZED (SELECT p.sub, p.code, p.d, COALESCE(
+             CAST((2 * s.s + CASE WHEN s.s >= 0 THEN s.n ELSE -s.n END)
+               // (2 * s.n) AS BIGINT), p.c) AS c
+           FROM cb${j - 1} p LEFT JOIN s$j s
+             ON p.sub = s.sub AND p.code = s.code AND p.d = s.d)"""
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s""",
+         fd AS (SELECT v.vec_id, v.sub, c.code,
+             CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS sq_err
+           FROM vals v JOIN cb$iters c ON v.sub = c.sub AND v.d = c.d
+           GROUP BY 1, 2, 3)
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           sq_err FROM (
+           SELECT vec_id, sub, code, sq_err, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY sq_err ASC, code ASC) AS rn
+           FROM fd) WHERE rn = 1"""
     head + steps + tail
   }
 
@@ -2195,6 +2331,8 @@ object SparkEntry {
 
     "emb_pca_power" -> pcaPowerSql(8),
 
+    "emb_pca_topk" -> pcaTopKSql(3, 8),
+
     "q_pivot_events" ->
       """SELECT user_id % 10 AS cohort,
            CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
@@ -2294,6 +2432,10 @@ object SparkEntry {
 
     // full IVF replay: k-means on the ×10⁷ grid, unrolled per iteration —
     // same (nCells, iters, nprobe, k) as the engine call
-    "knn_ivf_ann" -> ivfKnnSql(nCells = 50, iters = 5, nprobe = 2, k = 5)
+    "knn_ivf_ann" -> ivfKnnSql(nCells = 50, iters = 5, nprobe = 2, k = 5),
+
+    // full PQ replay: per-subspace integer k-means + encode — same
+    // (m, k, iters, dim/m) as the engine call
+    "emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8)
   )
 }

@@ -85,7 +85,9 @@ object EmbeddingOps {
    * decimals — inside the rounding zone where Spark/DuckDB round() agree —
    * so the oracle replays all iterations bit-exactly.
    */
-  def pcaTopComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
+  /** Exact covariance frame (i, j, c): dim² rows of 7-dp values, the
+   * constant-size iteration frame shared by the PCA entry points. */
+  private def covFrame(emb: DataFrame): DataFrame = {
     // exact second moments: row-local (i, j) fan-out, one aggregation
     val pairs = emb.select(explode(expr(
         """flatten(transform(embedding, (xi, i) -> transform(embedding, (xj, j) ->
@@ -100,27 +102,33 @@ object EmbeddingOps {
       .groupBy(col("i"))
       .agg((sum(round(col("x").cast("double"), 7).cast(DecimalType(15, 7)))
         .cast("double") / count(lit(1)).cast("double")).as("mean"))
-    val cov = sxy
+    sxy
       .join(m.select(col("i"), col("mean").as("mi")), "i")
       .join(m.select(col("i").as("j"), col("mean").as("mj")), "j")
       .select(col("i"), col("j"),
         round(col("sxy").cast("double") / col("n").cast("double") -
           col("mi") * col("mj"), 7).as("c"))
       .localCheckpoint(true) // dim² rows — the constant-size iteration frame
+  }
 
-    // v₀ = (1/8, …, 1/8): exactly representable, unit for dim = 64.
-    //
-    // WHY the mat-vec runs in exact DECIMAL, with the only double rounding
-    // at w/‖w‖: rounding a double whose true value is an exact low-scale
-    // decimal (e.g. c·0.125, or a sum of such products) lands on true
-    // half-way ties, where Spark (shortest-string HALF_UP) and other
-    // engines (binary-value rounding) legitimately disagree — measured at
-    // ~0.5% of products on the fixture. Exact 7dp×7dp products need no
-    // rounding at all, and w/‖w‖ divides by an irrational norm, so its
-    // quotient has no tie structure — the round(…, 7) there is safe.
+  private val c7 = col("c").cast(DecimalType(15, 7))
+
+  /** `iters` power-iteration rounds on a covariance frame → the unit
+   * iterate (j, v) at 7 decimals.
+   *
+   * v₀ = (1/8, …, 1/8): exactly representable, unit for dim = 64.
+   *
+   * WHY the mat-vec runs in exact DECIMAL, with the only double rounding
+   * at w/‖w‖: rounding a double whose true value is an exact low-scale
+   * decimal (e.g. c·0.125, or a sum of such products) lands on true
+   * half-way ties, where Spark (shortest-string HALF_UP) and other
+   * engines (binary-value rounding) legitimately disagree — measured at
+   * ~0.5% of products on the fixture. Exact 7dp×7dp products need no
+   * rounding at all, and w/‖w‖ divides by an irrational norm, so its
+   * quotient has no tie structure — the round(…, 7) there is safe. */
+  private def powerIterate(cov: DataFrame, iters: Int): DataFrame = {
     var v = cov.select(col("j")).distinct()
       .select(col("j"), lit(0.125).as("v"))
-    val c7 = col("c").cast(DecimalType(15, 7))
     val v7 = col("v").cast(DecimalType(15, 7))
     // |w| ≤ dim·max|c| — (18,14) holds |w| < 10⁴, enough for components up
     // to ~100 at dim 64; the square still fits 38 digits (37,28)
@@ -136,21 +144,70 @@ object EmbeddingOps {
             .otherwise(0.0).as("v"))
         .localCheckpoint(true)
     }
-    // Rayleigh quotient λ = vᵀCv on the final unit iterate — vi·vj squeezed
-    // exactly into DECIMAL(16,14) so the triple product stays inside
-    // 38-digit precision on every engine (a direct 3-way product overflows
-    // and triggers engine-specific scale reduction)
-    val lambda = cov
-      .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
-      .join(v.select(col("j"), col("v").as("vj")), "j")
-      .agg(round(sum(c7 *
-        (col("vi").cast(DecimalType(15, 7)) * col("vj").cast(DecimalType(15, 7)))
-          .cast(DecimalType(16, 14))).cast("double"), 6).as("lambda"))
-    v.crossJoin(broadcast(lambda))
+    v
+  }
+
+  /** Rayleigh quotient λ = vᵀCv on a unit iterate — vi·vj squeezed
+   * exactly into DECIMAL(16,14) so the triple product stays inside
+   * 38-digit precision on every engine (a direct 3-way product overflows
+   * and triggers engine-specific scale reduction). One row (lambda). */
+  private def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = cov
+    .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
+    .join(v.select(col("j"), col("v").as("vj")), "j")
+    .agg(round(sum(c7 *
+      (col("vi").cast(DecimalType(15, 7)) * col("vj").cast(DecimalType(15, 7)))
+        .cast(DecimalType(16, 14))).cast("double"), 6).as("lambda"))
+
+  def pcaTopComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val cov = covFrame(emb)
+    val v = powerIterate(cov, iters)
+    v.crossJoin(broadcast(rayleigh(cov, v)))
       .select(col("j").cast("long").as("pos"),
         // loading stays at the iteration's 7dp — re-rounding to 6 would
         // re-introduce exact half-way ties (10% of 7dp values end in 5)
         col("v").as("loading"), col("lambda"))
+  }
+
+  /**
+   * Top `nComponents` principal components by power iteration with
+   * Hotelling deflation: after each component, C ← C − λvvᵀ and the next
+   * component is power-iterated on the deflated matrix. Every deflation is
+   * a dim²-row operation — like the iterations themselves, its cost is
+   * INDEPENDENT of corpus size; only the single covariance pass touches
+   * data.
+   *
+   * Engine-portability of the deflation: λ (a 6-dp decimal) times the
+   * exact 14-dp product vᵢ·vⱼ is an exact 20-dp decimal, subtracted from
+   * the 7-dp covariance entry exactly; the round(…, 7) back onto the grid
+   * operates on an EXACT decimal, where Spark (HALF_UP) and DuckDB
+   * (round-half-away on DECIMAL) agree even at true half-way ties — no
+   * double rounding anywhere in the update, so the oracle replays every
+   * component bit-exactly.
+   */
+  def pcaTopComponents(emb: DataFrame, nComponents: Int,
+                       iters: Int = 8): DataFrame = {
+    var cov = covFrame(emb)
+    val comps = (1 to nComponents).map { k =>
+      val v = powerIterate(cov, iters)
+      val lam = rayleigh(cov, v)
+      if (k < nComponents) {
+        cov = cov
+          .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
+          .join(v.select(col("j"), col("v").as("vj")), "j")
+          .crossJoin(broadcast(lam))
+          .select(col("i"), col("j"),
+            round(c7 - col("lambda").cast(DecimalType(13, 6)) *
+              (col("vi").cast(DecimalType(15, 7)) *
+                col("vj").cast(DecimalType(15, 7))).cast(DecimalType(16, 14)),
+              7).cast("double").as("c"))
+          .localCheckpoint(true)
+      }
+      v.crossJoin(broadcast(lam))
+        .select(lit(k.toLong).as("component"),
+          col("j").cast("long").as("pos"), col("v").as("loading"),
+          col("lambda"))
+    }
+    comps.reduce(_ unionByName _)
   }
 
   /**

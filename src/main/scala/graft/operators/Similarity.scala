@@ -334,6 +334,132 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- PQ (product quantization) ------------------------------------------
+
+  /** Exact squared L2 distance of two ×10⁷-scaled long arrays:
+   * |xᵢ−yᵢ|² ≤ ~4·10¹⁵ per term, summed over a subvector — inside a long. */
+  private[graft] def longSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+      (acc, p) => acc + p)
+
+  /** Split a ×10⁷-scaled vector into `m` contiguous subvectors:
+   * (sub, xs ARRAY<BIGINT>) rows. */
+  private def subvectors(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("_xl"), s * subDim + 1, subDim).as("xs"))
+    }: _*)
+    vectors.select(col("vec_id"), scaled7(col("embedding")).as("_xl"))
+      .select(col("vec_id"), explode(subs).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.xs").as("xs"))
+  }
+
+  /**
+   * Product-quantization codebooks: per subspace, deterministic L2 k-means
+   * (init = the first `k` vectors' subvectors by id, fixed `iters` rounds,
+   * empty cells keep their previous codeword). Returns
+   * (sub, code, centroid ARRAY<DOUBLE>) — m·k codewords of dim/m values.
+   *
+   * All m subspaces train TOGETHER: each round is one broadcast join +
+   * argmin window over (vector, subspace) rows and one grouped sum — the
+   * corpus is scanned once per round regardless of m. Only codebooks
+   * (O(m·k·dim/m) values) reach the driver.
+   *
+   * Engine-portability (the emb_pq_encode oracle replays training exactly):
+   * subvectors live on the ×10⁷ integer grid, so every L2 distance and cell
+   * sum is an exact 64-bit integer; the mean update rounds half-away on the
+   * grid via pure integer arithmetic — (2s ± n) div (2n) with truncating
+   * division, identical in Spark (`div`) and DuckDB (`//`). No floating
+   * arithmetic anywhere in PQ training.
+   */
+  def pqTrainCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int,
+                       dim: Int)(implicit spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val subDim = dim / m
+
+    /** exact half-away-from-zero rounding of s/n on the integer grid */
+    def meanHalfAway(s: Long, n: Long): Long =
+      (2 * s + (if (s >= 0) n else -n)) / (2 * n)
+
+    val sv = subvectors(vectors, m, dim)
+
+    // init: codeword j of every subspace = vector j's subvector (id order)
+    var books: Map[(Int, Int), Array[Long]] = sv
+      .join(broadcast(
+        sv.select(col("vec_id")).distinct().orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"),
+            (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("code"))),
+        "vec_id")
+      .select(col("sub"), col("code"), col("xs")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+
+    val cbSchema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cl", ArrayType(LongType, containsNull = false))))
+    def cbDf(cb: Map[(Int, Int), Array[Long]]): DataFrame =
+      spark.createDataFrame(
+        cb.toSeq.sortBy(_._1).map { case ((s, c), arr) => Row(s, c, arr.toSeq) }
+          .asJava, cbSchema)
+
+    for (_ <- 0 until iters) {
+      val dist = sv.join(broadcast(cbDf(books)), "sub")
+        .select(col("vec_id"), col("sub"), col("code"), col("xs"),
+          longSqDist(col("xs"), col("cl")).as("dist"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist").asc, col("code").asc)
+      val assigned = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val sums = assigned
+        .select(col("sub"), col("code"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Long](subDim)
+          rows.foreach(r => arr(r.getInt(2)) = meanHalfAway(r.getLong(3), r.getLong(4)))
+          key -> arr
+        }
+      books = books.map { case (key, prev) => key -> upd.getOrElse(key, prev) }
+    }
+
+    // grid longs are ≤ ~10⁸ — exactly representable doubles, and scaled7
+    // round-trips them losslessly in pqEncode
+    val outSchema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      books.toSeq.sortBy(_._1).map { case ((s, c), arr) =>
+        Row(s, c, arr.map(x => x.toDouble / 1e7).toSeq)
+      }.asJava, outSchema)
+  }
+
+  /**
+   * PQ-encode every vector: per subspace, the nearest codeword (exact
+   * integer L2 argmin, ties to the lowest code) plus the exact squared
+   * reconstruction error in grid units (×10¹⁴ of the float-space error).
+   * One broadcast join + argmin window — corpus-linear, no shuffle of the
+   * corpus itself; at 100 TB this is the standard narrow encode pass.
+   */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int,
+               dim: Int): DataFrame = {
+    val cb = broadcast(codebooks.select(col("sub"), col("code"),
+      scaled7(col("centroid")).as("cl")))
+    val dist = subvectors(vectors, m, dim).join(cb, "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        longSqDist(col("xs"), col("cl")).as("sq_err"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("sq_err").asc, col("code").asc)
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("sq_err"))
+  }
+
   /**
    * Recall@k of an ANN result against the brute-force baseline: the
    * fraction of exact top-k hits the ANN search found, per query.

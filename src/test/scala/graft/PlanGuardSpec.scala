@@ -23,7 +23,8 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
       "mix_temperature_sample", "text_lm_score",
-      "emb_pca_power") // 1-row norm/λ attach onto a dim²-bounded frame
+      "emb_pca_power", // 1-row norm/λ attach onto a dim²-bounded frame
+      "emb_pca_topk")  // same attach, once per deflated component
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

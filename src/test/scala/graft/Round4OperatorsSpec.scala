@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EmbeddingOps, Similarity}
+
+/** Round-4 additions: multi-component PCA (Hotelling deflation) and product
+ * quantization (per-subspace integer k-means). Correctness at scale is pinned
+ * by the emb_pca_topk / emb_pq_encode oracle replays; these specs check the
+ * mathematical contracts the oracle can't see (orthogonality, eigenvalue
+ * order, quantization quality on planted structure). */
+class Round4OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 200 vectors, dim 8, planted anisotropy: dims 0/1 carry most variance
+   * via two deterministic "topic" directions, the rest is small jitter. */
+  private lazy val planted = {
+    (0 until 200).map { i =>
+      val rnd = new java.util.Random(i * 104729L + 7)
+      val a = if (i % 2 == 0) 1.0f else -1.0f
+      val b = if (i % 3 == 0) 0.6f else -0.3f
+      val v = Array.tabulate(8) { d =>
+        val base = d match {
+          case 0 => a * 2.0f
+          case 1 => b * 1.5f
+          case _ => 0.0f
+        }
+        base + (rnd.nextFloat() - 0.5f) * 0.05f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pcaTopComponents: unit, ordered, near-orthogonal components") {
+    val out = EmbeddingOps.pcaTopComponents(planted, nComponents = 3, iters = 8)
+      .select($"component", $"pos", $"loading", $"lambda")
+      .as[(Long, Long, Double, Double)].collect()
+    val byComp = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byComp.keySet === Set(1L, 2L, 3L))
+    val v = (1 to 3).map(k => byComp(k.toLong).map(_._3))
+    val lam = (1 to 3).map(k => byComp(k.toLong).head._4)
+    // eigenvalues in decreasing order, top one dominant (planted anisotropy)
+    assert(lam(0) >= lam(1) && lam(1) >= lam(2),
+      s"eigenvalues not ordered: $lam")
+    assert(lam(0) > 4 * lam(2), s"planted top component should dominate: $lam")
+    // unit norm at the 7-dp grid
+    v.foreach { vi =>
+      val n = math.sqrt(vi.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"component not unit: $n")
+    }
+    // pairwise orthogonality (deflation removes each captured direction)
+    for (i <- 0 until 3; j <- i + 1 until 3) {
+      val dot = v(i).zip(v(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.02, s"components $i,$j not orthogonal: $dot")
+    }
+    // component 1 concentrates on the planted high-variance dim 0
+    assert(math.abs(v(0)(0)) > 0.9,
+      s"top component should align with dim 0: ${v(0).toSeq}")
+  }
+
+  test("pcaTopComponents(1) agrees with pcaTopComponent") {
+    val one = EmbeddingOps.pcaTopComponent(planted, iters = 8)
+      .select($"pos", $"loading", $"lambda").as[(Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val multi = EmbeddingOps.pcaTopComponents(planted, nComponents = 1, iters = 8)
+      .select($"pos", $"loading", $"lambda").as[(Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(one === multi)
+  }
+
+  /** 300 vectors, dim 16 = 4 subspaces × 4 dims; in every subspace each
+   * vector sits near one of 4 well-separated planted codewords. */
+  private lazy val pqPlanted = {
+    (0 until 300).map { i =>
+      val rnd = new java.util.Random(i * 6151L + 3)
+      val v = Array.tabulate(16) { d =>
+        val sub = d / 4
+        val cluster = (i + sub) % 4 // which planted codeword in this subspace
+        val base = if (d % 4 == cluster) 2.0f else -0.5f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("PQ: every (vector, subspace) gets exactly one in-range code") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val books = Similarity.pqTrainCodebooks(pqPlanted, m = 4, k = 8,
+      iters = 3, dim = 16)
+    assert(books.count() === 4 * 8)
+    val enc = Similarity.pqEncode(pqPlanted, books, m = 4, dim = 16)
+    val rows = enc.select($"vec_id", $"sub", $"code", $"sq_err")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(rows.length === 300 * 4)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === 300 * 4)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 8))
+    assert(rows.forall(_._4 >= 0))
+  }
+
+  test("PQ training collapses reconstruction error on planted clusters") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // trained books must beat the untrained (iteration-0) init books
+    val init = Similarity.pqTrainCodebooks(pqPlanted, m = 4, k = 8,
+      iters = 0, dim = 16)
+    val trained = Similarity.pqTrainCodebooks(pqPlanted, m = 4, k = 8,
+      iters = 3, dim = 16)
+    def totalErr(b: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqEncode(pqPlanted, b, m = 4, dim = 16)
+        .agg(sum($"sq_err")).as[Long].head().toDouble
+    val (e0, e1) = (totalErr(init), totalErr(trained))
+    // init codewords are cluster MEMBERS (error 2j² per dim vs the jitter j);
+    // training moves them to cluster MEANS (error j²) — expect a ratio near
+    // 0.5, assert with margin
+    assert(e1 < 0.7 * e0,
+      s"training should move codewords from members to means: $e0 -> $e1")
+    // with 8 codewords for 4 planted clusters per subspace, the residual is
+    // jitter-scale: mean per-dim error well under the 0.05-jitter envelope
+    val meanPerDim = e1 / 1e14 / (300 * 16)
+    assert(meanPerDim < 0.01, s"mean per-dim sq error too high: $meanPerDim")
+  }
+
+  test("PQ mean update rounds half-away-from-zero in pure integers") {
+    // the (2s ± n) div (2n) identity the oracle relies on
+    def meanHalfAway(s: Long, n: Long): Long =
+      (2 * s + (if (s >= 0) n else -n)) / (2 * n)
+    assert(meanHalfAway(3, 2) === 2L)   // 1.5 -> 2
+    assert(meanHalfAway(-3, 2) === -2L) // -1.5 -> -2
+    assert(meanHalfAway(1, 3) === 0L)   // 0.33 -> 0
+    assert(meanHalfAway(2, 3) === 1L)   // 0.67 -> 1
+    assert(meanHalfAway(5, 2) === 3L)   // 2.5 -> 3
+    assert(meanHalfAway(-5, 2) === -3L) // -2.5 -> -3
+    assert(meanHalfAway(7, 1) === 7L)
+  }
+}
