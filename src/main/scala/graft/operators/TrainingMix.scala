@@ -39,8 +39,17 @@ object TrainingMix {
    * and filter; the filter is a narrow per-row decision, so the whole
    * operator costs one scan + one tiny join.
    */
-  def temperatureThresholds(docs: DataFrame, stratumCol: String): DataFrame = {
-    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+  def temperatureThresholds(docs: DataFrame, stratumCol: String): DataFrame =
+    countsToThresholds(
+      docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n")), stratumCol)
+
+  /** The rate arithmetic of [[temperatureThresholds]] on a pre-aggregated
+   * (stratumCol, n) dictionary — shared verbatim by the batch operator and
+   * the streaming adaptive mixer so their decisions are identical given the
+   * same counts. */
+  def countsToThresholds(countFrame: DataFrame,
+                         stratumCol: String): DataFrame = {
+    val counts = countFrame
       .withColumn("w", round(sqrt(col("n").cast("double")), 6))
     // exact total weight (order-independent), then back to double once.
     // The single-row aggregates attach via crossJoin(broadcast(_)) — a

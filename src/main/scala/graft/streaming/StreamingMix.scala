@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.{Curation, TrainingMix}
+
+/**
+ * Streaming temperature-flattened dataset mixing: the online form of
+ * [[TrainingMix.temperatureSample]]. Per micro-batch, the cumulative
+ * per-stratum counts are updated FIRST, thresholds are re-derived from the
+ * cumulative dictionary with the exact batch arithmetic
+ * ([[TrainingMix.countsToThresholds]] — shared code, identical decisions for
+ * identical counts), and the batch is filtered by the same md5(seed|id)
+ * keep-key as every other sampler. Keep rates therefore adapt online: early
+ * batches sample against the mix observed so far; as the observed counts
+ * converge to corpus proportions the rates converge to the batch rates, and
+ * a single batch containing the whole corpus reproduces
+ * [[TrainingMix.temperatureSample]] exactly.
+ *
+ * State is the stratum dictionary only — (stratum, count) pairs, bounded by
+ * stratum cardinality (languages/domains), never corpus rows — held on the
+ * driver and updated once per batch with an at-most-once `batchId` guard so
+ * a foreachBatch replay after recovery does not double-count. At 100 TB the
+ * dictionary is still tiny; a durable deployment would persist it per batch
+ * alongside the checkpoint (bounded write), which the batchId guard makes
+ * idempotent.
+ *
+ * Note the per-row decision is NOT revisited: a document sampled out under
+ * early rates stays out (streams don't re-deliver). The adaptive error is
+ * bounded by how unrepresentative the first batches are — measured in the
+ * spec by comparing per-stratum keep ratios against the batch-mode mix.
+ */
+class StreamingTemperatureMix(stratumCol: String, idCol: String,
+                              seed: String = "graft") extends Serializable {
+
+  private val counts = scala.collection.mutable.Map.empty[String, Long]
+  private var lastBatchId = -1L
+
+  /** Cumulative dictionary snapshot (for tests/monitoring). */
+  def countsSnapshot: Map[String, Long] = synchronized { counts.toMap }
+
+  /**
+   * Update cumulative counts with `batch` (once per batchId), then return
+   * the kept rows under the cumulative thresholds. Usable directly inside
+   * `writeStream.foreachBatch((df, id) => sink(mix.processBatch(df, id)))`.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame = synchronized {
+    val spark = batch.sparkSession
+    if (batchId > lastBatchId) {
+      batch.groupBy(col(stratumCol).cast("string").as("s"))
+        .agg(count(lit(1)).as("n")).collect()
+        .foreach(r => counts(r.getString(0)) =
+          counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+      lastBatchId = batchId
+    }
+    val schema = StructType(Seq(
+      StructField(stratumCol, StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val countFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        counts.toSeq.sortBy(_._1).map { case (k, n) => Row(k, n) }: _*),
+      schema)
+    val thr = TrainingMix.countsToThresholds(countFrame, stratumCol)
+      .select(col(stratumCol), col("keep_thr"))
+    batch.join(broadcast(thr), Seq(stratumCol))
+      .filter(Curation.sampleKey(col(idCol), seed) < col("keep_thr"))
+      .drop("keep_thr")
+  }
+}

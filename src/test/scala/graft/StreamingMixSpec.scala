@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TrainingMix
+import graft.streaming.StreamingTemperatureMix
+
+case class MixDoc(doc_id: Long, lang: String)
+
+/** Streaming temperature mix: the online sampler must equal the batch
+ * operator when it sees everything at once, adapt deterministically when it
+ * doesn't, and survive foreachBatch replays without double-counting. */
+class StreamingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: 600 'en', 150 'fr', 30 'sw'
+  private def corpus: Seq[MixDoc] =
+    (0 until 600).map(i => MixDoc(i, "en")) ++
+      (0 until 150).map(i => MixDoc(1000 + i, "fr")) ++
+      (0 until 30).map(i => MixDoc(2000 + i, "sw"))
+
+  test("single batch with the whole corpus reproduces the batch sampler") {
+    val docs = corpus.toDF()
+    val batch = TrainingMix.temperatureSample(docs, "lang", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    val mix = new StreamingTemperatureMix("lang", "doc_id")
+    val streamed = mix.processBatch(docs, 0L)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("multi-batch: deterministic, flattening, replay-idempotent") {
+    // deterministic pseudo-shuffled arrival: each batch sees mixed strata
+    // (all-'en' first batches would correctly keep everything — the rates
+    // adapt to what has been OBSERVED, which is the operator's contract)
+    val batches = corpus.sortBy(d => (d.doc_id * 2654435761L) % 1000003)
+      .grouped(300).toSeq
+    def run(): (Seq[Long], Map[String, Long]) = {
+      val mix = new StreamingTemperatureMix("lang", "doc_id")
+      val kept = batches.zipWithIndex.flatMap { case (b, i) =>
+        mix.processBatch(b.toDF(), i.toLong).select($"doc_id")
+          .as[Long].collect()
+      }
+      (kept.sorted, mix.countsSnapshot)
+    }
+    val (kept1, counts1) = run()
+    val (kept2, _) = run()
+    assert(kept1 === kept2, "same batch sequence must give identical output")
+    assert(counts1 === Map("en" -> 600L, "fr" -> 150L, "sw" -> 30L))
+
+    // temperature flattening: the dominant stratum is downsampled hardest,
+    // the rarest keeps (nearly) everything
+    val byLang = corpus.filter(d => kept1.contains(d.doc_id))
+      .groupBy(_.lang).view.mapValues(_.size.toDouble).toMap
+    val keepRate = byLang.map { case (l, k) =>
+      l -> k / corpus.count(_.lang == l) }
+    assert(keepRate("sw") > 0.9, s"rare stratum should keep ~all: $keepRate")
+    assert(keepRate("en") < keepRate("fr"),
+      s"bigger stratum must be cut harder: $keepRate")
+
+    // replaying a processed batchId must not double-count state
+    val mix = new StreamingTemperatureMix("lang", "doc_id")
+    mix.processBatch(batches.head.toDF(), 0L).count()
+    mix.processBatch(batches.head.toDF(), 0L).count() // recovery replay
+    assert(mix.countsSnapshot.values.sum === 300L)
+  }
+
+  test("foreachBatch wiring: adaptive mix runs inside a real streaming query") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[MixDoc]
+    val mix = new StreamingTemperatureMix("lang", "doc_id")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.synchronized {
+          sink ++= mix.processBatch(df, id).select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        }: Unit
+      }
+      .start()
+    input.addData(corpus)
+    q.awaitTermination(60000)
+    // one batch saw everything -> exactly the batch-mode sample
+    val batch = TrainingMix.temperatureSample(corpus.toDF(), "lang", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(sink.sorted === batch.toSeq)
+  }
+}
