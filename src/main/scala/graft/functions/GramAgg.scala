@@ -1,0 +1,231 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.math.BigInteger
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Exact Gram-matrix accumulator over ×10⁷-grid integer vectors
+ * (`ArrayType(LongType)`, see `Similarity.scaled7`): one pass computes
+ * Σ xᵢxⱼ for every (i, j), Σ xᵢ per dimension, and the row count — the
+ * moment set a covariance/PCA stage needs.
+ *
+ * This is the 100 TB shape for second moments: each task accumulates the
+ * dim×dim partial in a tight long-arithmetic loop (upper triangle only),
+ * so the shuffle carries ONE dim²-sized partial per partition instead of
+ * dim² rows per input row — the row-explode formulation it replaces was
+ * ~20 s of the sf0.1 bench; this pass is milliseconds.
+ *
+ * Exactness at any scale: products accumulate in 64-bit longs with an
+ * overflow sentry — before each row, if the rows accumulated since the
+ * last spill could push any |Σ| past Long.MaxValue (bounded via the max
+ * |xᵢ| seen), the long partials spill into BigInteger accumulators and
+ * restart. Output is DECIMAL(38,14) / DECIMAL(25,7) — exactly the values
+ * the equivalent decimal-sum aggregation produces, so DuckDB replays are
+ * unaffected.
+ */
+case class GramAgg(child: Expression,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[GramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("sxy", ArrayType(DecimalType(38, 14), containsNull = false)),
+    StructField("sx", ArrayType(DecimalType(25, 7), containsNull = false)),
+    StructField("n", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_agg requires ARRAY<BIGINT> (a ×10⁷-scaled vector), got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer
+
+  override def update(buffer: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[ArrayData].toLongArray())
+    buffer
+  }
+
+  override def merge(buffer: GramBuffer, other: GramBuffer): GramBuffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: GramBuffer): Any = {
+    val (sxy, sx, n) = buffer.result()
+    // full dim×dim matrix (mirrored from the triangle): callers decode
+    // (i, j) = (idx div dim, idx mod dim) without triangle arithmetic
+    val dim = sx.length
+    val sxyDec = new Array[Any](dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val t = if (i <= j) GramBuffer.triIdx(i, j, dim) else GramBuffer.triIdx(j, i, dim)
+      sxyDec(i * dim + j) =
+        Decimal(new java.math.BigDecimal(sxy(t), 14), 38, 14)
+    }
+    val sxDec: Array[Any] =
+      sx.map(s => Decimal(new java.math.BigDecimal(s, 7), 25, 7): Any)
+    InternalRow(new GenericArrayData(sxyDec), new GenericArrayData(sxDec), n)
+  }
+
+  override def serialize(buffer: GramBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): GramBuffer =
+    GramBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): GramAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GramAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): GramAgg =
+    copy(child = c.head)
+}
+
+/** Mutable Gram accumulator: long fast path + BigInteger spill. */
+final class GramBuffer extends Serializable {
+  private var dim = -1
+  private var tri: Array[Long] = null      // upper-triangle Σ xᵢxⱼ since last spill
+  private var sxl: Array[Long] = null      // Σ xᵢ since last spill
+  private var big: Array[BigInteger] = null   // spilled exact triangle
+  private var bigSx: Array[BigInteger] = null
+  private var n = 0L
+  private var rowsSinceSpill = 0L
+  private var maxAbsSinceSpill = 1L
+
+  private def allocate(d: Int): Unit = {
+    dim = d
+    tri = new Array[Long](d * (d + 1) / 2)
+    sxl = new Array[Long](d)
+    big = Array.fill(tri.length)(BigInteger.ZERO)
+    bigSx = Array.fill(d)(BigInteger.ZERO)
+  }
+
+  private def spill(): Unit = {
+    var t = 0
+    while (t < tri.length) {
+      if (tri(t) != 0L) { big(t) = big(t).add(BigInteger.valueOf(tri(t))); tri(t) = 0L }
+      t += 1
+    }
+    var i = 0
+    while (i < dim) {
+      if (sxl(i) != 0L) { bigSx(i) = bigSx(i).add(BigInteger.valueOf(sxl(i))); sxl(i) = 0L }
+      i += 1
+    }
+    rowsSinceSpill = 0L
+    maxAbsSinceSpill = 1L
+  }
+
+  def add(x: Array[Long]): Unit = {
+    if (dim < 0) allocate(x.length)
+    require(x.length == dim, s"gram_agg: vector length ${x.length} != $dim")
+    var m = 1L
+    var i = 0
+    while (i < dim) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    // a single product must fit a long: |x| ≤ 3·10⁹ means raw values ≤ 300
+    // on the ×10⁷ grid — far beyond any normalized embedding
+    require(m <= 3000000000L,
+      s"gram_agg: |grid value| $m exceeds 3e9 (raw magnitude > 300)")
+    if (m > maxAbsSinceSpill) maxAbsSinceSpill = m
+    // overflow sentry: every partial grew by ≤ maxAbs² per row since the
+    // last spill (maxAbs² ≤ 9·10¹⁸ still fits a long by the bound above)
+    val cap = Long.MaxValue / (maxAbsSinceSpill * maxAbsSinceSpill)
+    if (rowsSinceSpill + 1 > cap) { spill(); maxAbsSinceSpill = m }
+    var a = 0
+    var t = 0
+    while (a < dim) {
+      val xa = x(a)
+      sxl(a) += xa
+      var b = a
+      while (b < dim) { tri(t) += xa * x(b); t += 1; b += 1 }
+      a += 1
+    }
+    n += 1
+    rowsSinceSpill += 1
+  }
+
+  def mergeIn(other: GramBuffer): Unit = {
+    if (other.dim < 0) return
+    if (dim < 0) allocate(other.dim)
+    require(other.dim == dim, s"gram_agg: merging dim ${other.dim} into $dim")
+    spill(); other.spill()
+    var t = 0
+    while (t < tri.length) { big(t) = big(t).add(other.big(t)); t += 1 }
+    var i = 0
+    while (i < dim) { bigSx(i) = bigSx(i).add(other.bigSx(i)); i += 1 }
+    n += other.n
+  }
+
+  /** (triangle Σxᵢxⱼ, Σxᵢ, count) — exact. */
+  def result(): (Array[BigInteger], Array[BigInteger], Long) = {
+    if (dim < 0) return (Array.empty, Array.empty, 0L)
+    spill()
+    (big, bigSx, n)
+  }
+
+  private[functions] def restore(d: Int, triBig: Array[BigInteger],
+                                 sxBig: Array[BigInteger], count: Long): Unit = {
+    allocate(d)
+    big = triBig
+    bigSx = sxBig
+    n = count
+  }
+
+  def toBytes: Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(dim)
+    out.writeLong(n)
+    if (dim >= 0) {
+      spill()
+      def writeBig(arr: Array[BigInteger]): Unit = arr.foreach { v =>
+        val b = v.toByteArray
+        out.writeInt(b.length)
+        out.write(b)
+      }
+      writeBig(big)
+      writeBig(bigSx)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+}
+
+object GramFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** `gram_agg(scaled7vec)` → struct(sxy ARRAY<DECIMAL(38,14)> [dim×dim,
+   * row-major], sx ARRAY<DECIMAL(25,7)>, n BIGINT). */
+  def gram_agg(c: Column): Column =
+    GraftShim.column(GramAgg(GraftShim.expression(c)).toAggregateExpression())
+}
+
+object GramBuffer {
+  /** Upper-triangle index of (i, j), i ≤ j. */
+  def triIdx(i: Int, j: Int, dim: Int): Int =
+    i * dim - i * (i - 1) / 2 + (j - i)
+
+  def fromBytes(bytes: Array[Byte]): GramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new GramBuffer
+    val dim = in.readInt()
+    val n = in.readLong()
+    if (dim >= 0) {
+      def readBig(len: Int): Array[BigInteger] = Array.fill(len) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        new BigInteger(b)
+      }
+      buf.restore(dim, readBig(dim * (dim + 1) / 2), readBig(dim), n)
+    }
+    buf
+  }
+}

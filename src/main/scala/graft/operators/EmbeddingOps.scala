@@ -85,129 +85,155 @@ object EmbeddingOps {
    * decimals — inside the rounding zone where Spark/DuckDB round() agree —
    * so the oracle replays all iterations bit-exactly.
    */
-  /** Exact covariance frame (i, j, c): dim² rows of 7-dp values, the
-   * constant-size iteration frame shared by the PCA entry points. */
-  private def covFrame(emb: DataFrame): DataFrame = {
-    // exact second moments: row-local (i, j) fan-out, one aggregation
-    val pairs = emb.select(explode(expr(
-        """flatten(transform(embedding, (xi, i) -> transform(embedding, (xj, j) ->
-             named_struct('i', i, 'j', j,
-               'xx', CAST(round(CAST(xi AS DOUBLE), 7) AS DECIMAL(15,7)) *
-                     CAST(round(CAST(xj AS DOUBLE), 7) AS DECIMAL(15,7))))))"""))
-        .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
-    val sxy = pairs.groupBy(col("i"), col("j"))
-      .agg(sum(col("xx")).as("sxy"), count(lit(1)).as("n"))
-    val m = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(round(col("x").cast("double"), 7).cast(DecimalType(15, 7)))
-        .cast("double") / count(lit(1)).cast("double")).as("mean"))
-    sxy
-      .join(m.select(col("i"), col("mean").as("mi")), "i")
-      .join(m.select(col("i").as("j"), col("mean").as("mj")), "j")
-      .select(col("i"), col("j"),
-        round(col("sxy").cast("double") / col("n").cast("double") -
-          col("mi") * col("mj"), 7).as("c"))
-      .localCheckpoint(true) // dim² rows — the constant-size iteration frame
+  /**
+   * Exact covariance matrix as 7-dp decimals: ONE distributed
+   * [[graft.functions.GramAgg]] pass — a per-partition tight-loop integer
+   * Gram accumulation on the ×10⁷ grid whose shuffle carries one dim²-sized
+   * partial per partition — then the corpus-INDEPENDENT dim² arithmetic on
+   * the driver. (The row-explode + dim²-row-frame formulation this replaced
+   * cost ~20 s of the sf0.1 bench in exploded decimal products and
+   * per-iteration job round-trips; this is the MLlib
+   * `computePrincipalComponents` shape: distributed Gram, local eigensolve.)
+   *
+   * Every arithmetic step mirrors the SQL oracle exactly: mean and
+   * covariance run the identical single-rounding IEEE chain
+   * (sxy/n − mᵢ·mⱼ, then the 7-dp round both engines agree on for values
+   * with an irrational factor). Empty corpus → empty matrix.
+   */
+  private def covMatrix(emb: DataFrame): Array[Array[java.math.BigDecimal]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.functions.GramFunctions.gram_agg
+    val row = emb
+      .select(Similarity.scaled7(col("embedding")).as("xl"))
+      .agg(gram_agg(col("xl")).as("g"))
+      .select(col("g.sxy"), col("g.sx"), col("g.n")).head()
+    val n = row.getLong(2)
+    if (n == 0L) return Array.empty
+    val sxy = row.getSeq[JBD](0)
+    val sx = row.getSeq[JBD](1)
+    val dim = sx.length
+    val nD = n.toDouble
+    val mean = sx.map(_.doubleValue / nD).toArray
+    Array.tabulate(dim, dim) { (i, j) =>
+      // the oracle's chain verbatim: CAST(sxy AS DOUBLE)/n − mi·mj, round 7
+      JBD.valueOf(sxy(i * dim + j).doubleValue / nD - mean(i) * mean(j))
+        .setScale(7, RoundingMode.HALF_UP)
+    }
   }
 
-  private val c7 = col("c").cast(DecimalType(15, 7))
-
-  /** `iters` power-iteration rounds on a covariance frame → the unit
-   * iterate (j, v) at 7 decimals.
+  /** `iters` power-iteration rounds on an exact-decimal covariance matrix →
+   * the unit iterate as exact 7-dp decimals.
    *
    * v₀ = (1/8, …, 1/8): exactly representable, unit for dim = 64.
    *
    * WHY the mat-vec runs in exact DECIMAL, with the only double rounding
    * at w/‖w‖: rounding a double whose true value is an exact low-scale
    * decimal (e.g. c·0.125, or a sum of such products) lands on true
-   * half-way ties, where Spark (shortest-string HALF_UP) and other
+   * half-way ties, where Spark/Java (shortest-string HALF_UP) and other
    * engines (binary-value rounding) legitimately disagree — measured at
    * ~0.5% of products on the fixture. Exact 7dp×7dp products need no
    * rounding at all, and w/‖w‖ divides by an irrational norm, so its
-   * quotient has no tie structure — the round(…, 7) there is safe. */
-  private def powerIterate(cov: DataFrame, iters: Int): DataFrame = {
-    var v = cov.select(col("j")).distinct()
-      .select(col("j"), lit(0.125).as("v"))
-    val v7 = col("v").cast(DecimalType(15, 7))
-    // |w| ≤ dim·max|c| — (18,14) holds |w| < 10⁴, enough for components up
-    // to ~100 at dim 64; the square still fits 38 digits (37,28)
-    val w18 = col("w").cast(DecimalType(18, 14))
+   * quotient has no tie structure — the 7-dp round there is safe
+   * (`BigDecimal.valueOf` is the same shortest-string rounding as Spark's
+   * `round`). */
+  private def powerIterateLocal(cov: Array[Array[java.math.BigDecimal]],
+                                iters: Int): Array[java.math.BigDecimal] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val dim = cov.length
+    var v = Array.fill(dim)(new JBD("0.125"))
     for (_ <- 0 until iters) {
-      val w = cov.join(v, "j").groupBy(col("i"))
-        .agg(sum(c7 * v7).as("w")) // exact 14-dp products, exact sum
-      val nrm = w.agg(sqrt(sum(w18 * w18).cast("double")).as("nrm"))
-      v = w.crossJoin(broadcast(nrm)) // 1-row attach (scalar-subquery plan)
-        .select(col("i").as("j"),
-          when(col("nrm") =!= 0.0,
-            round(col("w").cast("double") / col("nrm"), 7))
-            .otherwise(0.0).as("v"))
-        .localCheckpoint(true)
+      val w = Array.tabulate(dim) { i =>
+        var acc = JBD.ZERO
+        var j = 0
+        while (j < dim) { acc = acc.add(cov(i)(j).multiply(v(j))); j += 1 }
+        acc
+      }
+      val n2 = w.foldLeft(JBD.ZERO)((a, x) => a.add(x.multiply(x)))
+      val nrm = math.sqrt(n2.doubleValue)
+      v = w.map { x =>
+        if (nrm != 0.0)
+          JBD.valueOf(x.doubleValue / nrm).setScale(7, RoundingMode.HALF_UP)
+        else JBD.ZERO.setScale(7)
+      }
     }
     v
   }
 
-  /** Rayleigh quotient λ = vᵀCv on a unit iterate — vi·vj squeezed
-   * exactly into DECIMAL(16,14) so the triple product stays inside
-   * 38-digit precision on every engine (a direct 3-way product overflows
-   * and triggers engine-specific scale reduction). One row (lambda). */
-  private def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = cov
-    .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
-    .join(v.select(col("j"), col("v").as("vj")), "j")
-    .agg(round(sum(c7 *
-      (col("vi").cast(DecimalType(15, 7)) * col("vj").cast(DecimalType(15, 7)))
-        .cast(DecimalType(16, 14))).cast("double"), 6).as("lambda"))
+  /** Rayleigh quotient λ = vᵀCv on a unit iterate: Σ c·(vᵢ·vⱼ) in exact
+   * decimal, one double cast, one 6-dp round — the oracle's chain. */
+  private def rayleighLocal(cov: Array[Array[java.math.BigDecimal]],
+                            v: Array[java.math.BigDecimal]): java.math.BigDecimal = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var acc = JBD.ZERO
+    for (i <- cov.indices; j <- cov.indices)
+      acc = acc.add(cov(i)(j).multiply(v(i).multiply(v(j))))
+    JBD.valueOf(acc.doubleValue).setScale(6, RoundingMode.HALF_UP)
+  }
+
+  private def pcaResultDf(emb: DataFrame,
+                          rows: Seq[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    emb.sparkSession.createDataFrame(rows.asJava, schema)
+  }
 
   def pcaTopComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
-    val cov = covFrame(emb)
-    val v = powerIterate(cov, iters)
-    v.crossJoin(broadcast(rayleigh(cov, v)))
-      .select(col("j").cast("long").as("pos"),
-        // loading stays at the iteration's 7dp — re-rounding to 6 would
-        // re-introduce exact half-way ties (10% of 7dp values end in 5)
-        col("v").as("loading"), col("lambda"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cov = covMatrix(emb)
+    val v = powerIterateLocal(cov, iters)
+    val lambda = if (cov.isEmpty) 0.0 else rayleighLocal(cov, v).doubleValue
+    // loading stays at the iteration's 7dp — re-rounding to 6 would
+    // re-introduce exact half-way ties (10% of 7dp values end in 5)
+    val rows = v.zipWithIndex.map { case (x, j) =>
+      Row(j.toLong, x.doubleValue, lambda)
+    }.toSeq
+    pcaResultDf(emb, rows, StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("loading", DoubleType, nullable = false),
+      StructField("lambda", DoubleType, nullable = false))))
   }
 
   /**
    * Top `nComponents` principal components by power iteration with
    * Hotelling deflation: after each component, C ← C − λvvᵀ and the next
-   * component is power-iterated on the deflated matrix. Every deflation is
-   * a dim²-row operation — like the iterations themselves, its cost is
-   * INDEPENDENT of corpus size; only the single covariance pass touches
-   * data.
+   * component is power-iterated on the deflated matrix. Deflation and
+   * iterations are dim² driver arithmetic — corpus-independent; only the
+   * single Gram pass touches data.
    *
    * Engine-portability of the deflation: λ (a 6-dp decimal) times the
    * exact 14-dp product vᵢ·vⱼ is an exact 20-dp decimal, subtracted from
-   * the 7-dp covariance entry exactly; the round(…, 7) back onto the grid
-   * operates on an EXACT decimal, where Spark (HALF_UP) and DuckDB
-   * (round-half-away on DECIMAL) agree even at true half-way ties — no
+   * the 7-dp covariance entry exactly; the 7-dp re-round operates on an
+   * EXACT decimal, where HALF_UP (Spark/Java) and DuckDB's
+   * round-half-away on DECIMAL agree even at true half-way ties — no
    * double rounding anywhere in the update, so the oracle replays every
    * component bit-exactly.
    */
   def pcaTopComponents(emb: DataFrame, nComponents: Int,
                        iters: Int = 8): DataFrame = {
-    var cov = covFrame(emb)
-    val comps = (1 to nComponents).map { k =>
-      val v = powerIterate(cov, iters)
-      val lam = rayleigh(cov, v)
+    import java.math.RoundingMode
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var cov = covMatrix(emb)
+    val rows = (1 to nComponents).flatMap { k =>
+      val v = powerIterateLocal(cov, iters)
+      val lam = if (cov.isEmpty) java.math.BigDecimal.ZERO
+        else rayleighLocal(cov, v)
       if (k < nComponents) {
-        cov = cov
-          .join(v.select(col("j").as("i"), col("v").as("vi")), "i")
-          .join(v.select(col("j"), col("v").as("vj")), "j")
-          .crossJoin(broadcast(lam))
-          .select(col("i"), col("j"),
-            round(c7 - col("lambda").cast(DecimalType(13, 6)) *
-              (col("vi").cast(DecimalType(15, 7)) *
-                col("vj").cast(DecimalType(15, 7))).cast(DecimalType(16, 14)),
-              7).cast("double").as("c"))
-          .localCheckpoint(true)
+        cov = Array.tabulate(cov.length, cov.length) { (i, j) =>
+          cov(i)(j).subtract(lam.multiply(v(i).multiply(v(j))))
+            .setScale(7, RoundingMode.HALF_UP)
+        }
       }
-      v.crossJoin(broadcast(lam))
-        .select(lit(k.toLong).as("component"),
-          col("j").cast("long").as("pos"), col("v").as("loading"),
-          col("lambda"))
+      v.zipWithIndex.map { case (x, j) =>
+        Row(k.toLong, j.toLong, x.doubleValue, lam.doubleValue)
+      }
     }
-    comps.reduce(_ unionByName _)
+    pcaResultDf(emb, rows, StructType(Seq(
+      StructField("component", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("loading", DoubleType, nullable = false),
+      StructField("lambda", DoubleType, nullable = false))))
   }
 
   /**

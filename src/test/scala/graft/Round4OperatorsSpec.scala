@@ -118,6 +118,41 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(meanPerDim < 0.01, s"mean per-dim sq error too high: $meanPerDim")
   }
 
+  test("GramAgg: exact moments, spill-safe under huge values, merge/serde") {
+    import graft.functions.GramBuffer
+    import java.math.BigInteger
+    // exact small case
+    val b = new GramBuffer
+    b.add(Array(1L, 2L))
+    b.add(Array(3L, -4L))
+    val (sxy, sx, n) = b.result()
+    assert(n === 2L)
+    assert(sx.toSeq === Seq(BigInteger.valueOf(4), BigInteger.valueOf(-2)))
+    // triangle: (0,0)=1+9, (0,1)=2-12, (1,1)=4+16
+    assert(sxy.toSeq === Seq(10, -10, 20).map(BigInteger.valueOf(_)))
+
+    // overflow sentry: values near sqrt(Long.Max) force a spill every row
+    val big = new GramBuffer
+    val h = 3_000_000_000L // h² = 9e18 ≈ Long.MaxValue — one row per spill
+    (1 to 5).foreach(_ => big.add(Array(h, h)))
+    val (bs, _, bn) = big.result()
+    assert(bn === 5L)
+    val expect = BigInteger.valueOf(h).multiply(BigInteger.valueOf(h))
+      .multiply(BigInteger.valueOf(5))
+    assert(bs.toSeq === Seq(expect, expect, expect))
+
+    // merge + serde round-trip preserve exactness
+    val m1 = new GramBuffer; m1.add(Array(5L, 7L))
+    val m2 = GramBuffer.fromBytes({
+      val t = new GramBuffer; t.add(Array(-2L, 11L)); t.toBytes
+    })
+    m1.mergeIn(m2)
+    val (ms, msx, mn) = m1.result()
+    assert(mn === 2L)
+    assert(msx.toSeq === Seq(3, 18).map(BigInteger.valueOf(_)))
+    assert(ms.toSeq === Seq(25 + 4, 35 - 22, 49 + 121).map(BigInteger.valueOf(_)))
+  }
+
   test("PQ mean update rounds half-away-from-zero in pure integers") {
     // the (2s ± n) div (2n) identity the oracle relies on
     def meanHalfAway(s: Long, n: Long): Long =
