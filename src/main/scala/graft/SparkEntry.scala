@@ -1063,6 +1063,15 @@ object SparkEntry {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
+    "dedup_semdedup" -> ((s, dir) =>
+      // SemDeDup (cluster-blocked semantic dedup): pairs compared only
+      // within a k-means cell — the deterministic-blocking alternative to
+      // LSH banding above; assignment replayed exactly by the oracle
+      Similarity.semDedup(t(s, dir, "embeddings"), ivfCentroids(s, dir),
+          threshold = 0.3)
+        .select(col("cell_id"), col("a"), col("b"),
+          round(col("score"), 6).as("score"))),
+
     // == round-3 extensions: curation, range join, embedding analytics ==
 
     "text_pii_redact" -> ((s, dir) => {
@@ -1377,7 +1386,10 @@ object SparkEntry {
    * the grid (irrational factor ⇒ tie-free, the pcaPowerSql argument).
    * Final candidate ranking is the same double-cosine row_number as the
    * knn_lsh_ann oracle. */
-  private def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String = {
+  /** WITH-chain replaying [[Similarity.kmeansCentroids]] on the ×10⁷ grid:
+   * `vals` (scaled corpus) through `c<iters>` (final centroids) — shared by
+   * every IVF-derived oracle ([[ivfKnnSql]], [[semDedupSql]]). */
+  private def ivfCentroidChainSql(nCells: Int, iters: Int): String = {
     // ‖s‖ over the scaled grid: squares exceed BIGINT, so square in DECIMAL
     def nrmSql(src: String) =
       s"""(SELECT cell_id, sqrt(CAST(SUM(CAST(s AS DECIMAL(19,0))
@@ -1414,13 +1426,18 @@ object SparkEntry {
            LEFT JOIN s$j s ON p.cell_id = s.cell_id AND p.d = s.d
            LEFT JOIN ${nrmSql(s"s$j")} n ON p.cell_id = n.cell_id)"""
     }.mkString(",\n", ",\n", "")
-    val tail =
+    head + steps +
       s""",
          afq AS MATERIALIZED (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
            FROM vals v JOIN c$iters c ON v.d = c.d GROUP BY 1, 2),
          casg AS (SELECT vec_id, cell_id FROM (
              SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-               ORDER BY aff DESC, cell_id ASC) AS rn FROM afq) WHERE rn = 1),
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM afq) WHERE rn = 1)"""
+  }
+
+  private def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String =
+    ivfCentroidChainSql(nCells, iters) +
+      s""",
          qasg AS (SELECT vec_id AS q_id, cell_id FROM (
              SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
                ORDER BY aff DESC, cell_id ASC) AS rn FROM afq
@@ -1436,8 +1453,21 @@ object SparkEntry {
            JOIN embeddings qe ON qe.vec_id = p.q_id
            JOIN embeddings ce ON ce.vec_id = p.vec_id)
          WHERE rank <= $k"""
-    head + steps + tail
-  }
+
+  /** DuckDB mirror of [[Similarity.semDedup]]: replayed k-means assignment
+   * (exact blocking) + cell-local pair scoring. */
+  private def semDedupSql(nCells: Int, iters: Int, threshold: Double): String =
+    ivfCentroidChainSql(nCells, iters) +
+      s"""
+         SELECT a.cell_id, a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+             CAST(be.embedding AS DOUBLE[])), 6) AS score
+         FROM casg a JOIN casg b USING (cell_id)
+         JOIN embeddings ae ON ae.vec_id = a.vec_id
+         JOIN embeddings be ON be.vec_id = b.vec_id
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+             CAST(be.embedding AS DOUBLE[])) > $threshold"""
 
   /** DuckDB mirror of [[Similarity.pqTrainCodebooks]] + [[Similarity.pqEncode]]:
    * per-subspace L2 k-means unrolled per iteration. PQ is the easiest of the
@@ -2436,6 +2466,10 @@ object SparkEntry {
 
     // full PQ replay: per-subspace integer k-means + encode — same
     // (m, k, iters, dim/m) as the engine call
-    "emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8)
+    "emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
+
+    // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
+    // (nCells, iters, threshold) as the engine call
+    "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3)
   )
 }

@@ -334,6 +334,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (cluster the corpus, then
+   * compare only within a cluster — Abbas et al. 2023): every vector joins
+   * its exact-argmax k-means cell, pairs are generated cell-locally and
+   * re-scored with the true cosine. The pair join is hash-partitioned on
+   * cell_id — the corpus×corpus product never materializes, and cell
+   * granularity (nCells) bounds the per-task pair count at 100 TB the same
+   * way LSH band buckets do in [[nearDupPairs]].
+   *
+   * Recall is cluster-blocked by DESIGN (pairs straddling a cell boundary
+   * are not compared — that is SemDeDup's trade-off, unlike the
+   * probabilistic-miss trade-off of LSH); the oracle replays the exact same
+   * blocking, so the gate pins the implementation, not the recall.
+   */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+               threshold: Double): DataFrame = {
+    val assigned = assignCells(vectors, centroids)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell_id")).filter(col("a") < col("b"))
+      .select(col("cell_id"), col("a"), col("b"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("score"))
+      .filter(col("score") > threshold)
+  }
+
   // ---- PQ (product quantization) ------------------------------------------
 
   /** Exact squared L2 distance of two ×10⁷-scaled long arrays:

@@ -22,6 +22,8 @@ class PlanGuardSpec extends SparkSpec {
   // joins.
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
+      "dedup_semdedup", // IVF cell assignment: corpus × ~50 broadcast centroids
+
       "mix_temperature_sample", "text_lm_score",
       "emb_pca_power", // 1-row norm/λ attach onto a dim²-bounded frame
       "emb_pca_topk")  // same attach, once per deflated component
