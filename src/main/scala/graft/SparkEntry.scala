@@ -74,6 +74,18 @@ object SparkEntry {
     }
   }
 
+  /** Trade-graph edges for graph_pagerank: both directions of every
+   * distinct (customer, supplier) pair on a keyed order slice; customers
+   * and suppliers share a node space via 2k / 2k+1. */
+  private def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+  }
+
   /** Exact decimal for a 2-dp money double; final results cast back. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
@@ -1063,6 +1075,17 @@ object SparkEntry {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // host-authority-style link analysis over the customer↔supplier trade
+      // graph (both directions of each distinct trading pair, keyed into a
+      // shared node space): integer-exact PageRank on the ×10¹² grid, every
+      // iteration replayed bit-exactly by the oracle — pure BIGINT
+      // arithmetic, no rounding analysis at all
+      val edges = pagerankEdges(s, dir)
+      operators.Graph.pageRank(edges, iters = 10)(s)
+        .select(col("node"), col("r"))
+    }),
+
     "dedup_semdedup" -> ((s, dir) =>
       // SemDeDup (cluster-blocked semantic dedup): pairs compared only
       // within a k-means cell — the deterministic-blocking alternative to
@@ -1521,6 +1544,40 @@ object SparkEntry {
              PARTITION BY vec_id, sub ORDER BY sq_err ASC, code ASC) AS rn
            FROM fd) WHERE rn = 1"""
     head + steps + tail
+  }
+
+  /** DuckDB mirror of [[graft.operators.Graph.pageRank]] over the trade
+   * graph: every iteration unrolled — pure BIGINT arithmetic (truncating
+   * division both engines), bit-exact with zero rounding analysis. */
+  private def pageRankSql(iters: Int, dampNum: Int, dampDen: Int): String = {
+    val head =
+      s"""WITH pr AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey % 20 = 0),
+         e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pr
+           UNION ALL SELECT p AS src, c AS dst FROM pr),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         r0 AS MATERIALIZED (SELECT node,
+           CAST(1000000000000 // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS inm
+           FROM r${k - 1} r JOIN deg d ON r.node = d.src
+           JOIN e ON e.src = r.node GROUP BY 1),
+         g$k AS (SELECT COALESCE(SUM(r.r), 0) AS dang
+           FROM r${k - 1} r LEFT JOIN deg d ON r.node = d.src
+           WHERE d.src IS NULL),
+         r$k AS MATERIALIZED (SELECT n0.node, CAST(
+             ((${dampDen - dampNum} * (1000000000000 // nn.n)) // $dampDen)
+             + ($dampNum * (COALESCE(c.inm, 0) + g.dang // nn.n)) // $dampDen
+           AS BIGINT) AS r
+           FROM nodes n0 LEFT JOIN c$k c ON n0.node = c.node
+           CROSS JOIN g$k g CROSS JOIN nn)"""
+    }.mkString(",\n", ",\n", "")
+    head + steps + s"\nSELECT node, r FROM r$iters"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2470,6 +2527,9 @@ object SparkEntry {
 
     // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
     // (nCells, iters, threshold) as the engine call
-    "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3)
+    "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3),
+
+    // integer-exact PageRank, all 10 iterations unrolled
+    "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100)
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-analysis operators over edge frames — the graph-shaped curation
+ * signals of a training-data pipeline (host/domain authority for source
+ * weighting), complementing the connected-components canonicalization in
+ * [[DocDedup]].
+ *
+ * PageRank here is INTEGER-EXACT: ranks live on a ×10¹² integer grid and
+ * every update is BIGINT arithmetic with truncating division — identical in
+ * Spark (`DIV`) and DuckDB (`//`) — so a SQL oracle replays all iterations
+ * bit-exactly with no rounding analysis at all (the same portability ladder
+ * as the ×10⁷-grid k-means: floats → exact decimals → exact integers).
+ * Truncation leaks ≤1 grid unit of mass per division on BOTH engines alike;
+ * at 10⁻¹² granularity the leak is irrelevant to ranking and the replay is
+ * exact by construction.
+ */
+object Graph {
+
+  /** Rank grid: 10¹² units = total initial mass 1.0. */
+  val RankScale = 1000000000000L
+
+  /**
+   * PageRank with damping `dampNum/dampDen` (default 85/100), fixed
+   * `iters` rounds, dangling-mass redistribution. `edges` must be a
+   * deduplicated (src, dst) BIGINT frame; returns (node, r) with r on the
+   * ×10¹² grid.
+   *
+   * Update (all BIGINT, truncating division):
+   *   in(v)  = Σ_{u→v} r(u) DIV deg(u)
+   *   dang   = Σ_{deg(u)=0} r(u)
+   *   r'(v)  = ((dampDen−dampNum)·(scale DIV N)) DIV dampDen
+   *          + (dampNum·(in(v) + dang DIV N)) DIV dampDen
+   *
+   * Scale shape: each round is one hash join on src + one map-side
+   * combinable groupBy on dst + a 1-row dangling attach — the standard
+   * distributed PageRank plan; the rank frame is node-sized, never
+   * edge-materialized beyond the contribution shuffle. localCheckpoint
+   * per round keeps lineage flat across iterations.
+   */
+  def pageRank(edges: DataFrame, iters: Int, dampNum: Int = 85,
+               dampDen: Int = 100)(implicit spark: SparkSession): DataFrame = {
+    require(iters >= 0 && dampNum > 0 && dampDen > dampNum,
+      s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
+    val r0 = RankScale / n
+    val basePart = ((dampDen - dampNum).toLong * r0) / dampDen
+
+    var ranks = nodes.select(col("node"), lit(r0).as("r"))
+    for (_ <- 0 until iters) {
+      val withDeg = ranks.join(deg.withColumnRenamed("src", "node"),
+        Seq("node"), "left_outer")
+      val contrib = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in"))
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dang)) // 1-row attach
+        .select(col("node"), expr(
+          s"${basePart}L + (${dampNum}L * (coalesce(in, 0L) + dang DIV ${n}L))" +
+            s" DIV ${dampDen}L").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -23,6 +23,7 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
       "dedup_semdedup", // IVF cell assignment: corpus × ~50 broadcast centroids
+      "graph_pagerank", // 1-row dangling-mass attach per iteration
 
       "mix_temperature_sample", "text_lm_score",
       "emb_pca_power", // 1-row norm/λ attach onto a dim²-bounded frame

@@ -153,6 +153,32 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(ms.toSeq === Seq(25 + 4, 35 - 22, 49 + 121).map(BigInteger.valueOf(_)))
   }
 
+  test("pageRank: mass, symmetry, dangling handling on a known graph") {
+    import graft.operators.Graph
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 1 <-> 2 symmetric cycle plus 3 -> 1 (node 3 has in-degree 0, and a
+    // sink-free core); node 4 -> 3 gives 3 an incoming edge; no out-edges
+    // from... make 5 dangling: 1 -> 5, 5 has no out-edges
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L), (1L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // total mass stays ~1.0 on the 1e12 grid (truncation leaks only ulps)
+    val total = r.values.sum
+    assert(math.abs(total - Graph.RankScale) < 1000L,
+      s"mass not conserved: $total")
+    // 1 receives from 2, 3, and dangling share: top rank
+    assert(r(1L) === r.values.max)
+    // 4 receives only the teleport + dangling share: bottom rank
+    assert(r(4L) === r.values.min)
+    // 2 and 5 both receive only from 1 (half each): equal ranks
+    assert(r(2L) === r(5L), s"symmetric receivers differ: $r")
+    // determinism: a second run is bit-identical
+    val r2 = Graph.pageRank(edges, iters = 20).as[(Long, Long)].collect().toMap
+    assert(r === r2)
+  }
+
   test("PQ mean update rounds half-away-from-zero in pure integers") {
     // the (2s ± n) div (2n) identity the oracle relies on
     def meanHalfAway(s: Long, n: Long): Long =
