@@ -771,6 +771,24 @@ object SparkEntry {
       TextAnalysis.regexTokenCount(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
 
+    "curate_quality_sample" -> ((s, dir) => {
+      // perplexity-style quality cut: keep the top 25% of each language's
+      // documents by corpus-trained LM score (ties by doc_id) — the CCNet
+      // "head" bucket. Rank-based cut, so the decision is integer-exact;
+      // the score chain is the already-verified text_lm_score arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_p").desc, col("doc_id").asc)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") <= greatest(lit(1L), expr("(cnt * 25) DIV 100")))
+        .select(col("doc_id"), col("lang"), col("avg_p"))
+    }),
+
     "curate_stratified_sample" -> ((s, dir) => {
       // deterministic stratified sampling (training-mix weights): per-row
       // keep decision = md5(seed|id) < per-stratum threshold — identical on
@@ -1084,6 +1102,18 @@ object SparkEntry {
       val edges = pagerankEdges(s, dir)
       operators.Graph.pageRank(edges, iters = 10)(s)
         .select(col("node"), col("r"))
+    }),
+
+    "knn_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ: the canonical billion-scale ANN composition — probe nprobe
+      // cells, rank candidates by exact-integer ADC distances over PQ
+      // codes, cosine re-rank the shortlist. The entire search (training
+      // included) is oracle-replayed.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb.filter(col("vec_id") < 5), emb,
+          ivfCentroids(s, dir), pqCodebooks(s, dir),
+          m = 8, dim = 64, k = 5, nprobe = 4, rerank = 20)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
     "dedup_semdedup" -> ((s, dir) =>
@@ -1412,54 +1442,55 @@ object SparkEntry {
   /** WITH-chain replaying [[Similarity.kmeansCentroids]] on the ×10⁷ grid:
    * `vals` (scaled corpus) through `c<iters>` (final centroids) — shared by
    * every IVF-derived oracle ([[ivfKnnSql]], [[semDedupSql]]). */
-  private def ivfCentroidChainSql(nCells: Int, iters: Int): String = {
+  private def ivfCentroidChainSql(nCells: Int, iters: Int,
+                                  p: String = ""): String = {
     // ‖s‖ over the scaled grid: squares exceed BIGINT, so square in DECIMAL
     def nrmSql(src: String) =
       s"""(SELECT cell_id, sqrt(CAST(SUM(CAST(s AS DECIMAL(19,0))
          * CAST(s AS DECIMAL(19,0))) AS DOUBLE)) AS nrm FROM $src GROUP BY 1)"""
     val head =
-      s"""WITH e AS (SELECT vec_id, embedding,
+      s"""${p}e AS (SELECT vec_id, embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         vals AS MATERIALIZED (SELECT vec_id, i - 1 AS d,
+         ${p}vals AS MATERIALIZED (SELECT vec_id, i - 1 AS d,
            CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
              AS BIGINT) AS x
-         FROM e),
-         init AS (SELECT vec_id,
+         FROM ${p}e),
+         ${p}init AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id
-           FROM (SELECT DISTINCT vec_id FROM vals ORDER BY vec_id LIMIT $nCells)),
-         s0 AS (SELECT cell_id, d, x AS s FROM vals JOIN init USING (vec_id)),
-         c0 AS MATERIALIZED (SELECT s.cell_id, s.d,
+           FROM (SELECT DISTINCT vec_id FROM ${p}vals ORDER BY vec_id LIMIT $nCells)),
+         ${p}s0 AS (SELECT cell_id, d, x AS s FROM ${p}vals JOIN ${p}init USING (vec_id)),
+         ${p}c0 AS MATERIALIZED (SELECT s.cell_id, s.d,
              CAST(round(round(CASE WHEN n.nrm <> 0
                  THEN CAST(s.s AS DOUBLE) / n.nrm ELSE 0 END, 7)
                * 10000000, 0) AS BIGINT) AS c
-           FROM s0 s JOIN ${nrmSql("s0")} n USING (cell_id))"""
+           FROM ${p}s0 s JOIN ${nrmSql(s"${p}s0")} n USING (cell_id))"""
     val steps = (1 to iters).map { j =>
-      s"""aff$j AS (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
-           FROM vals v JOIN c${j - 1} c ON v.d = c.d GROUP BY 1, 2),
-         asg$j AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+      s"""${p}aff$j AS (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
+           FROM ${p}vals v JOIN ${p}c${j - 1} c ON v.d = c.d GROUP BY 1, 2),
+         ${p}asg$j AS MATERIALIZED (SELECT vec_id, cell_id FROM (
              SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-               ORDER BY aff DESC, cell_id ASC) AS rn FROM aff$j) WHERE rn = 1),
-         s$j AS (SELECT a.cell_id, v.d, SUM(v.x) AS s
-           FROM vals v JOIN asg$j a USING (vec_id) GROUP BY 1, 2),
-         c$j AS MATERIALIZED (SELECT p.cell_id, p.d, COALESCE(
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM ${p}aff$j) WHERE rn = 1),
+         ${p}s$j AS (SELECT a.cell_id, v.d, SUM(v.x) AS s
+           FROM ${p}vals v JOIN ${p}asg$j a USING (vec_id) GROUP BY 1, 2),
+         ${p}c$j AS MATERIALIZED (SELECT p.cell_id, p.d, COALESCE(
              CAST(round(round(CASE WHEN n.nrm <> 0
                  THEN CAST(s.s AS DOUBLE) / n.nrm END, 7)
                * 10000000, 0) AS BIGINT), p.c) AS c
-           FROM c${j - 1} p
-           LEFT JOIN s$j s ON p.cell_id = s.cell_id AND p.d = s.d
-           LEFT JOIN ${nrmSql(s"s$j")} n ON p.cell_id = n.cell_id)"""
+           FROM ${p}c${j - 1} p
+           LEFT JOIN ${p}s$j s ON p.cell_id = s.cell_id AND p.d = s.d
+           LEFT JOIN ${nrmSql(s"${p}s$j")} n ON p.cell_id = n.cell_id)"""
     }.mkString(",\n", ",\n", "")
     head + steps +
       s""",
-         afq AS MATERIALIZED (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
-           FROM vals v JOIN c$iters c ON v.d = c.d GROUP BY 1, 2),
-         casg AS (SELECT vec_id, cell_id FROM (
+         ${p}afq AS MATERIALIZED (SELECT v.vec_id, c.cell_id, SUM(v.x * c.c) AS aff
+           FROM ${p}vals v JOIN ${p}c$iters c ON v.d = c.d GROUP BY 1, 2),
+         ${p}casg AS (SELECT vec_id, cell_id FROM (
              SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-               ORDER BY aff DESC, cell_id ASC) AS rn FROM afq) WHERE rn = 1)"""
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM ${p}afq) WHERE rn = 1)"""
   }
 
   private def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String =
-    ivfCentroidChainSql(nCells, iters) +
+    "WITH " + ivfCentroidChainSql(nCells, iters) +
       s""",
          qasg AS (SELECT vec_id AS q_id, cell_id FROM (
              SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
@@ -1480,7 +1511,7 @@ object SparkEntry {
   /** DuckDB mirror of [[Similarity.semDedup]]: replayed k-means assignment
    * (exact blocking) + cell-local pair scoring. */
   private def semDedupSql(nCells: Int, iters: Int, threshold: Double): String =
-    ivfCentroidChainSql(nCells, iters) +
+    "WITH " + ivfCentroidChainSql(nCells, iters) +
       s"""
          SELECT a.cell_id, a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
@@ -1498,53 +1529,60 @@ object SparkEntry {
    * grid (exact BIGINT distances and sums; the mean rounds half-away via
    * (2s ± n) // (2n), truncating division in both engines) — no floating
    * step at all, so no rounding analysis is needed. */
-  private def pqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String = {
+  private def pqChainSql(m: Int, k: Int, iters: Int, subDim: Int,
+                         p: String = ""): String = {
     val head =
-      s"""WITH e AS (SELECT vec_id, embedding,
+      s"""${p}e AS (SELECT vec_id, embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         vals AS MATERIALIZED (SELECT vec_id,
+         ${p}vals AS MATERIALIZED (SELECT vec_id,
            CAST((i - 1) // $subDim AS INTEGER) AS sub,
            CAST((i - 1) % $subDim AS INTEGER) AS d,
            CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
              AS BIGINT) AS x
-         FROM e),
-         init AS (SELECT vec_id,
+         FROM ${p}e),
+         ${p}init AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
-           FROM (SELECT DISTINCT vec_id FROM vals ORDER BY vec_id LIMIT $k)),
-         cb0 AS MATERIALIZED (SELECT sub, code, d, x AS c
-           FROM vals JOIN init USING (vec_id))"""
+           FROM (SELECT DISTINCT vec_id FROM ${p}vals ORDER BY vec_id LIMIT $k)),
+         ${p}cb0 AS MATERIALIZED (SELECT sub, code, d, x AS c
+           FROM ${p}vals JOIN ${p}init USING (vec_id))"""
     val steps = (1 to iters).map { j =>
-      s"""dist$j AS (SELECT v.vec_id, v.sub, c.code,
+      s"""${p}dist$j AS (SELECT v.vec_id, v.sub, c.code,
              SUM((v.x - c.c) * (v.x - c.c)) AS dist
-           FROM vals v JOIN cb${j - 1} c ON v.sub = c.sub AND v.d = c.d
+           FROM ${p}vals v JOIN ${p}cb${j - 1} c ON v.sub = c.sub AND v.d = c.d
            GROUP BY 1, 2, 3),
-         asg$j AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         ${p}asg$j AS MATERIALIZED (SELECT vec_id, sub, code FROM (
              SELECT vec_id, sub, code, row_number() OVER (
                PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
-             FROM dist$j) WHERE rn = 1),
-         s$j AS (SELECT a.sub, a.code, v.d, SUM(v.x) AS s,
+             FROM ${p}dist$j) WHERE rn = 1),
+         ${p}s$j AS (SELECT a.sub, a.code, v.d, SUM(v.x) AS s,
              CAST(COUNT(*) AS BIGINT) AS n
-           FROM vals v JOIN asg$j a ON v.vec_id = a.vec_id AND v.sub = a.sub
+           FROM ${p}vals v JOIN ${p}asg$j a ON v.vec_id = a.vec_id AND v.sub = a.sub
            GROUP BY 1, 2, 3),
-         cb$j AS MATERIALIZED (SELECT p.sub, p.code, p.d, COALESCE(
+         ${p}cb$j AS MATERIALIZED (SELECT p.sub, p.code, p.d, COALESCE(
              CAST((2 * s.s + CASE WHEN s.s >= 0 THEN s.n ELSE -s.n END)
                // (2 * s.n) AS BIGINT), p.c) AS c
-           FROM cb${j - 1} p LEFT JOIN s$j s
+           FROM ${p}cb${j - 1} p LEFT JOIN ${p}s$j s
              ON p.sub = s.sub AND p.code = s.code AND p.d = s.d)"""
     }.mkString(",\n", ",\n", "")
+    // final per-(vector, sub, code) exact distances against the trained books
     val tail =
       s""",
-         fd AS (SELECT v.vec_id, v.sub, c.code,
+         ${p}fd AS MATERIALIZED (SELECT v.vec_id, v.sub, c.code,
              CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS sq_err
-           FROM vals v JOIN cb$iters c ON v.sub = c.sub AND v.d = c.d
-           GROUP BY 1, 2, 3)
-         SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
-           sq_err FROM (
-           SELECT vec_id, sub, code, sq_err, row_number() OVER (
-             PARTITION BY vec_id, sub ORDER BY sq_err ASC, code ASC) AS rn
-           FROM fd) WHERE rn = 1"""
+           FROM ${p}vals v JOIN ${p}cb$iters c ON v.sub = c.sub AND v.d = c.d
+           GROUP BY 1, 2, 3),
+         ${p}ccode AS (SELECT vec_id, sub, code, sq_err FROM (
+             SELECT vec_id, sub, code, sq_err, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY sq_err ASC, code ASC) AS rn
+             FROM ${p}fd) WHERE rn = 1)"""
     head + steps + tail
   }
+
+  private def pqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String =
+    "WITH " + pqChainSql(m, k, iters, subDim) +
+      """
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           sq_err FROM ccode"""
 
   /** DuckDB mirror of [[graft.operators.Graph.pageRank]] over the trade
    * graph: every iteration unrolled — pure BIGINT arithmetic (truncating
@@ -1579,6 +1617,66 @@ object SparkEntry {
     }.mkString(",\n", ",\n", "")
     head + steps + s"\nSELECT node, r FROM r$iters"
   }
+
+  /** Shared CTE chain + final select of the bigram-LM score oracle —
+   * text_lm_score emits it directly; curate_quality_sample builds its
+   * rank-cut on top of the identical score arithmetic. */
+  private val lmScoreCtes =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         db0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1),
+               i -> array_to_string(w[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM ws),
+         db AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM db0 GROUP BY 1, 2),
+         bc AS (SELECT bigram, CAST(SUM(occ) AS BIGINT) AS c12 FROM db GROUP BY 1),
+         tok AS (SELECT unnest(w) AS token FROM ws),
+         uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM uc)"""
+  private val lmScoreSelect =
+    """SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
+               / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)) * 1000000000.0)
+             AS BIGINT)) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
+             / 1000000000.0 AS avg_p
+         FROM db JOIN bc USING (bigram)
+         JOIN uc ON split_part(bigram, ' ', 1) = uc.token, v
+         GROUP BY doc_id"""
+
+  /** DuckDB mirror of [[Similarity.ivfPqKnn]]: the IVF chain (prefix iv)
+   * and PQ chain (prefix pq) composed — probe, ADC-rank by exact integer
+   * distances, cosine re-rank of the shortlist. */
+  private def ivfPqKnnSql(nCells: Int, ivfIters: Int, nprobe: Int,
+                          m: Int, kCode: Int, pqIters: Int, subDim: Int,
+                          rerank: Int, k: Int): String =
+    "WITH " + ivfCentroidChainSql(nCells, ivfIters, "iv") + ",\n" +
+      pqChainSql(m, kCode, pqIters, subDim, "pq") +
+      s""",
+         qasg AS (SELECT vec_id AS q_id, cell_id FROM (
+             SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY aff DESC, cell_id ASC) AS rn FROM ivafq
+             WHERE vec_id < 5) WHERE rn <= $nprobe),
+         prs AS (SELECT q.q_id, c.vec_id
+           FROM qasg q JOIN ivcasg c USING (cell_id) WHERE c.vec_id <> q.q_id),
+         approx AS (SELECT p.q_id, p.vec_id, SUM(a.sq_err) AS adc
+           FROM prs p
+           JOIN pqccode cc ON cc.vec_id = p.vec_id
+           JOIN pqfd a ON a.vec_id = p.q_id AND a.sub = cc.sub
+             AND a.code = cc.code
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc ASC, vec_id ASC) AS rn FROM approx)
+           WHERE rn <= $rerank)
+         SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT s.q_id, s.vec_id,
+             row_number() OVER (PARTITION BY s.q_id
+               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                 CAST(ce.embedding AS DOUBLE[])) DESC, s.vec_id ASC) AS rank
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.q_id
+           JOIN embeddings ce ON ce.vec_id = s.vec_id)
+         WHERE rank <= $k"""
 
   def oracleSql: Map[String, String] = Map(
     "cdc_dedup_exact" ->
@@ -1944,26 +2042,7 @@ object SparkEntry {
          COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang""",
 
-    "text_lm_score" ->
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         db0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
-             THEN list_transform(generate_series(1, len(w) - 1),
-               i -> array_to_string(w[i:i+1], ' '))
-             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM ws),
-         db AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS occ
-           FROM db0 GROUP BY 1, 2),
-         bc AS (SELECT bigram, CAST(SUM(occ) AS BIGINT) AS c12 FROM db GROUP BY 1),
-         tok AS (SELECT unnest(w) AS token FROM ws),
-         uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
-         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM uc)
-         SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
-           CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
-               / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)) * 1000000000.0)
-             AS BIGINT)) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
-             / 1000000000.0 AS avg_p
-         FROM db JOIN bc USING (bigram)
-         JOIN uc ON split_part(bigram, ' ', 1) = uc.token, v
-         GROUP BY doc_id""",
+    "text_lm_score" -> s"WITH $lmScoreCtes\n         $lmScoreSelect",
 
     "text_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
@@ -2530,6 +2609,25 @@ object SparkEntry {
     "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3),
 
     // integer-exact PageRank, all 10 iterations unrolled
-    "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100)
+    "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),
+
+    // IVF-PQ composed search, both index builds + ADC ranking replayed
+    "knn_ivfpq_ann" -> ivfPqKnnSql(nCells = 50, ivfIters = 5, nprobe = 4,
+      m = 8, kCode = 16, pqIters = 3, subDim = 8, rerank = 20, k = 5),
+
+    // quality cut on the replayed LM score: top 25% per language, ties by
+    // doc_id, integer-exact keep count
+    "curate_quality_sample" ->
+      s"""WITH $lmScoreCtes,
+         sc AS ($lmScoreSelect),
+         j AS (SELECT sc.doc_id, d.lang, sc.avg_p
+           FROM sc JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, lang, avg_p,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY avg_p DESC, doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+           FROM j)
+         SELECT doc_id, lang, avg_p FROM r
+         WHERE rn <= greatest(1, (cnt * 25) // 100)"""
   )
 }

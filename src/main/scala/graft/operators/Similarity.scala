@@ -488,6 +488,63 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ search — the canonical billion-scale ANN composition (FAISS
+   * IVFPQ): queries probe their `nprobe` nearest IVF cells, candidates in
+   * those cells are ranked by the ADC (asymmetric distance computation)
+   * approximation Σ_sub ‖q_sub − codeword(code(v, sub))‖², and the top
+   * `rerank` shortlist is re-scored with the exact cosine for the final
+   * top-k.
+   *
+   * At 100 TB: codes are ~dim/4 bytes per vector instead of 4·dim — the
+   * corpus-sized state a scan touches is 16× smaller; the ADC table
+   * (queries × m × k codewords) broadcasts, candidate scanning is one hash
+   * join on (sub, code) + a map-side-combinable sum; only the
+   * `rerank`-sized shortlist ever touches full vectors.
+   *
+   * Every approximate decision is exact integer arithmetic on the ×10⁷
+   * grid (cell argmax, PQ codes, ADC sums) — the oracle replays the entire
+   * search; only the final shortlist re-rank uses the same double-cosine
+   * ranking as every other ANN oracle here.
+   */
+  def ivfPqKnn(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+               codebooks: DataFrame, m: Int, dim: Int, k: Int, nprobe: Int,
+               rerank: Int): DataFrame = {
+    val cAssigned = assignCells(candidates, centroids)
+      .select(col("vec_id"), col("cell_id"))
+    val qAssigned = assignProbeCells(queries, centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("cell_id"))
+    val pairs = broadcast(qAssigned).join(cAssigned, Seq("cell_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val codes = pqEncode(candidates, codebooks, m, dim)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // ADC lookup tables: exact integer distance of every query subvector to
+    // every codeword — (Q · m · k) rows, broadcast
+    val cb = broadcast(codebooks.select(col("sub"), col("code"),
+      scaled7(col("centroid")).as("cl")))
+    val adc = subvectors(queries, m, dim).join(cb, "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        longSqDist(col("xs"), col("cl")).as("d"))
+    val approx = pairs.join(codes, "vec_id")
+      .join(broadcast(adc), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("d")).as("adc"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = approx.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= rerank).select(col("q_id"), col("vec_id"))
+    val emb = (df: DataFrame, idCol: String, out: String) =>
+      df.select(col("vec_id").as(idCol), col("embedding").as(out))
+    val scored = shortlist
+      .join(broadcast(emb(queries, "q_id", "q_emb")), "q_id")
+      .join(emb(candidates, "vec_id", "embedding"), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Recall@k of an ANN result against the brute-force baseline: the
    * fraction of exact top-k hits the ANN search found, per query.
    * Both inputs are (q_id, vec_id, rank<=k) shaped.

@@ -23,9 +23,11 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
       "dedup_semdedup", // IVF cell assignment: corpus × ~50 broadcast centroids
+      "knn_ivfpq_ann",  // same assignment + broadcast ADC tables
       "graph_pagerank", // 1-row dangling-mass attach per iteration
 
       "mix_temperature_sample", "text_lm_score",
+      "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
       "emb_pca_power", // 1-row norm/λ attach onto a dim²-bounded frame
       "emb_pca_topk")  // same attach, once per deflated component
 
