@@ -60,6 +60,20 @@ object SparkEntry {
     }
   }
 
+  /** Residual-PQ codebooks, memoized like [[ivfCentroids]]. */
+  private def pqResidualBooks(s: SparkSession, dir: String): DataFrame = {
+    val key =
+      s"pqr|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+    centroidCache.synchronized {
+      Option(centroidCache.get(key)).getOrElse {
+        val c = Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
+          ivfCentroids(s, dir), m = 8, k = 16, iters = 3, dim = 64)(s).cache()
+        centroidCache.put(key, c)
+        c
+      }
+    }
+  }
+
   /** PQ codebooks, memoized like [[ivfCentroids]] (index-build amortization). */
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
     val key =
@@ -895,7 +909,24 @@ object SparkEntry {
           .agg(avg(col("recall")).as("r"))
           .select(lit(method).as("method"), lit(5L).as("k"),
             (col("r") >= bound).as("recall_ok"))
-      avgRecall(ivf, "ivf", 0.8).unionByName(avgRecall(lsh, "lsh", 0.9))
+      val ivfpq = Similarity.ivfPqKnn(q, emb, ivfCentroids(s, dir),
+        pqCodebooks(s, dir), m = 8, dim = 64, k = 5, nprobe = 8, rerank = 40)
+      avgRecall(ivf, "ivf", 0.8)
+        .unionByName(avgRecall(ivfpq, "ivfpq", 0.6))
+        .unionByName(avgRecall(lsh, "lsh", 0.9))
+    }),
+
+    "emb_pq_residual" -> ((s, dir) => {
+      // residual PQ (the faithful FAISS IVFPQ design): codebooks trained on
+      // x − centroid(cell(x)) grid residuals — within-cell structure gets
+      // the codeword resolution. Training + encode replayed by the oracle.
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir)
+      Similarity.pqEncodeResidual(emb, cents, pqResidualBooks(s, dir),
+          m = 8, dim = 64)
+        .select(col("vec_id"), col("cell_id"),
+          col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
     }),
 
     "emb_pq_encode" -> ((s, dir) => {
@@ -1530,16 +1561,23 @@ object SparkEntry {
    * (2s ± n) // (2n), truncating division in both engines) — no floating
    * step at all, so no rounding analysis is needed. */
   private def pqChainSql(m: Int, k: Int, iters: Int, subDim: Int,
-                         p: String = ""): String = {
-    val head =
-      s"""${p}e AS (SELECT vec_id, embedding,
+                         p: String = "", valsFrom: Option[String] = None): String = {
+    val valsCte = valsFrom match {
+      case Some(srcCte) =>
+        // pre-shaped (vec_id, sub, d, x) source — e.g. IVF residuals
+        s"""${p}vals AS MATERIALIZED (SELECT vec_id, sub, d, x FROM $srcCte),"""
+      case None =>
+        s"""${p}e AS (SELECT vec_id, embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
          ${p}vals AS MATERIALIZED (SELECT vec_id,
            CAST((i - 1) // $subDim AS INTEGER) AS sub,
            CAST((i - 1) % $subDim AS INTEGER) AS d,
            CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
              AS BIGINT) AS x
-         FROM ${p}e),
+         FROM ${p}e),"""
+    }
+    val head =
+      s"""$valsCte
          ${p}init AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
            FROM (SELECT DISTINCT vec_id FROM ${p}vals ORDER BY vec_id LIMIT $k)),
@@ -1677,6 +1715,25 @@ object SparkEntry {
            JOIN embeddings qe ON qe.vec_id = s.q_id
            JOIN embeddings ce ON ce.vec_id = s.vec_id)
          WHERE rank <= $k"""
+
+  /** DuckDB mirror of [[Similarity.pqTrainResidualCodebooks]] +
+   * [[Similarity.pqEncodeResidual]]: IVF chain → exact grid residuals →
+   * PQ chain over them. */
+  private def pqResidualSql(nCells: Int, ivfIters: Int, m: Int, kCode: Int,
+                            pqIters: Int, subDim: Int): String =
+    "WITH " + ivfCentroidChainSql(nCells, ivfIters, "iv") +
+      s""",
+         rv AS MATERIALIZED (SELECT v.vec_id,
+             CAST(v.d // $subDim AS INTEGER) AS sub,
+             CAST(v.d % $subDim AS INTEGER) AS d,
+             v.x - c.c AS x
+           FROM ivvals v JOIN ivcasg a USING (vec_id)
+           JOIN ivc$ivfIters c ON c.cell_id = a.cell_id AND c.d = v.d),
+""" + pqChainSql(m, kCode, pqIters, subDim, "pq", Some("rv")) +
+      """
+         SELECT cc.vec_id, a.cell_id, CAST(cc.sub AS BIGINT) AS sub,
+           CAST(cc.code AS BIGINT) AS code, cc.sq_err
+         FROM pqccode cc JOIN ivcasg a ON a.vec_id = cc.vec_id"""
 
   def oracleSql: Map[String, String] = Map(
     "cdc_dedup_exact" ->
@@ -2356,6 +2413,8 @@ object SparkEntry {
     "knn_recall" ->
       """SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
          UNION ALL
+         SELECT 'ivfpq' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
+         UNION ALL
          SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok""",
 
     "q_approx_distinct" ->
@@ -2614,6 +2673,10 @@ object SparkEntry {
     // IVF-PQ composed search, both index builds + ADC ranking replayed
     "knn_ivfpq_ann" -> ivfPqKnnSql(nCells = 50, ivfIters = 5, nprobe = 4,
       m = 8, kCode = 16, pqIters = 3, subDim = 8, rerank = 20, k = 5),
+
+    // residual PQ: IVF chain -> grid residuals -> PQ chain, all replayed
+    "emb_pq_residual" -> pqResidualSql(nCells = 50, ivfIters = 5,
+      m = 8, kCode = 16, pqIters = 3, subDim = 8),
 
     // quality cut on the replayed LM score: top 25% per language, ties by
     // doc_id, integer-exact keep count

@@ -402,17 +402,71 @@ object Similarity {
    * arithmetic anywhere in PQ training.
    */
   def pqTrainCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int,
-                       dim: Int)(implicit spark: SparkSession): DataFrame = {
+                       dim: Int)(implicit spark: SparkSession): DataFrame =
+    pqTrainOnSubvectors(subvectors(vectors, m, dim), k, iters, dim / m)
+
+  /**
+   * Residual-PQ codebooks (the faithful FAISS IVFPQ design): train on
+   * x − centroid(cell(x)) instead of raw vectors, so codewords spend their
+   * resolution on the WITHIN-cell structure the coarse quantizer can't
+   * see. Residuals are exact grid-long differences — the whole training
+   * stays pure integer arithmetic, replayable like [[pqTrainCodebooks]].
+   */
+  def pqTrainResidualCodebooks(vectors: DataFrame, centroids: DataFrame,
+                               m: Int, k: Int, iters: Int, dim: Int)(
+      implicit spark: SparkSession): DataFrame =
+    pqTrainOnSubvectors(
+      residualSubvectors(vectors, centroids, m, dim)
+        .select(col("vec_id"), col("sub"), col("xs")),
+      k, iters, dim / m)
+
+  /** PQ-encode IVF residuals: (vec_id, cell_id, sub, code, sq_err) with the
+   * exact squared residual-space reconstruction error in grid units. */
+  def pqEncodeResidual(vectors: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val cb = broadcast(codebooks.select(col("sub"), col("code"),
+      scaled7(col("centroid")).as("cl")))
+    val dist = residualSubvectors(vectors, centroids, m, dim).join(cb, "sub")
+      .select(col("vec_id"), col("cell_id"), col("sub"), col("code"),
+        longSqDist(col("xs"), col("cl")).as("sq_err"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("sq_err").asc, col("code").asc)
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), col("sub"), col("code"),
+        col("sq_err"))
+  }
+
+  /** Exact residual subvectors: scaled7(x) − assigned-cell centroid grid,
+   * split into m subvectors; keeps cell_id. */
+  private def residualSubvectors(vectors: DataFrame, centroids: DataFrame,
+                                 m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val cts = broadcast(
+      centroids.select(col("cell_id"), scaled7(col("centroid")).as("_cl")))
+    val withRes = assignCells(vectors, centroids).join(cts, "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(scaled7(col("embedding")), col("_cl"), (x, c) => x - c)
+          .as("_rl"))
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("_rl"), s * subDim + 1, subDim).as("xs"))
+    }: _*)
+    withRes.select(col("vec_id"), col("cell_id"), explode(subs).as("sv"))
+      .select(col("vec_id"), col("cell_id"), col("sv.sub").as("sub"),
+        col("sv.xs").as("xs"))
+  }
+
+  private def pqTrainOnSubvectors(sv: DataFrame, k: Int, iters: Int,
+                                  subDim: Int)(
+      implicit spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val subDim = dim / m
 
     /** exact half-away-from-zero rounding of s/n on the integer grid */
     def meanHalfAway(s: Long, n: Long): Long =
       (2 * s + (if (s >= 0) n else -n)) / (2 * n)
-
-    val sv = subvectors(vectors, m, dim)
 
     // init: codeword j of every subspace = vector j's subvector (id order)
     var books: Map[(Int, Int), Array[Long]] = sv

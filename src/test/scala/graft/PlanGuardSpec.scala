@@ -24,6 +24,7 @@ class PlanGuardSpec extends SparkSpec {
     Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
       "dedup_semdedup", // IVF cell assignment: corpus × ~50 broadcast centroids
       "knn_ivfpq_ann",  // same assignment + broadcast ADC tables
+      "emb_pq_residual", // same assignment feeding residual computation
       "graph_pagerank", // 1-row dangling-mass attach per iteration
 
       "mix_temperature_sample", "text_lm_score",

@@ -153,6 +153,32 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(ms.toSeq === Seq(25 + 4, 35 - 22, 49 + 121).map(BigInteger.valueOf(_)))
   }
 
+  test("residual PQ reconstructs tighter than raw PQ on clustered data") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // reconstruction target: x ≈ centroid(cell) + residual codeword, vs raw
+    // PQ's x ≈ codeword — with cluster structure the coarse quantizer
+    // absorbs the between-cluster variance and codewords spend resolution
+    // on the remainder
+    val cents = Similarity.kmeansCentroids(pqPlanted, nCells = 8, iters = 3,
+      dim = 16)
+    val rawBooks = Similarity.pqTrainCodebooks(pqPlanted, m = 4, k = 8,
+      iters = 3, dim = 16)
+    val resBooks = Similarity.pqTrainResidualCodebooks(pqPlanted, cents,
+      m = 4, k = 8, iters = 3, dim = 16)
+    val rawErr = Similarity.pqEncode(pqPlanted, rawBooks, m = 4, dim = 16)
+      .agg(sum($"sq_err")).as[Long].head()
+    val resErr = Similarity.pqEncodeResidual(pqPlanted, cents, resBooks,
+        m = 4, dim = 16)
+      .agg(sum($"sq_err")).as[Long].head()
+    assert(resErr < rawErr,
+      s"residual PQ should reconstruct tighter: raw=$rawErr res=$resErr")
+    // every (vector, subspace) encoded once, cell ids carried through
+    val enc = Similarity.pqEncodeResidual(pqPlanted, cents, resBooks,
+      m = 4, dim = 16)
+    assert(enc.count() === 300 * 4)
+    assert(enc.select($"cell_id").distinct().count() <= 8)
+  }
+
   test("pageRank: mass, symmetry, dangling handling on a known graph") {
     import graft.operators.Graph
     implicit val s: org.apache.spark.sql.SparkSession = spark
