@@ -48,45 +48,34 @@ object SparkEntry {
         evict
       }
     }
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+  private def memoizedFrame(s: SparkSession, dir: String, prefix: String)(
+      build: => DataFrame): DataFrame = {
+    val key =
+      s"$prefix|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     centroidCache.synchronized {
       Option(centroidCache.get(key)).getOrElse {
-        val c = Similarity.kmeansCentroids(t(s, dir, "embeddings"),
-          nCells = 50, iters = 5, dim = 64)(s).cache()
+        val c = build.cache()
         centroidCache.put(key, c)
         c
       }
     }
   }
 
-  /** Residual-PQ codebooks, memoized like [[ivfCentroids]]. */
-  private def pqResidualBooks(s: SparkSession, dir: String): DataFrame = {
-    val key =
-      s"pqr|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
-    centroidCache.synchronized {
-      Option(centroidCache.get(key)).getOrElse {
-        val c = Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
-          ivfCentroids(s, dir), m = 8, k = 16, iters = 3, dim = 64)(s).cache()
-        centroidCache.put(key, c)
-        c
-      }
-    }
-  }
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "ivf")(
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"),
+        nCells = 50, iters = 5, dim = 64)(s))
 
-  /** PQ codebooks, memoized like [[ivfCentroids]] (index-build amortization). */
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
-    val key =
-      s"pq|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
-    centroidCache.synchronized {
-      Option(centroidCache.get(key)).getOrElse {
-        val c = Similarity.pqTrainCodebooks(t(s, dir, "embeddings"),
-          m = 8, k = 16, iters = 3, dim = 64)(s).cache()
-        centroidCache.put(key, c)
-        c
-      }
-    }
-  }
+  /** PQ codebooks, memoized like the centroids (index-build amortization). */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "pq")(
+      Similarity.pqTrainCodebooks(t(s, dir, "embeddings"),
+        m = 8, k = 16, iters = 3, dim = 64)(s))
+
+  private def pqResidualBooks(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "pqr")(
+      Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
+        ivfCentroids(s, dir), m = 8, k = 16, iters = 3, dim = 64)(s))
 
   /** Trade-graph edges for graph_pagerank: both directions of every
    * distinct (customer, supplier) pair on a keyed order slice; customers
@@ -1131,7 +1120,7 @@ object SparkEntry {
       // iteration replayed bit-exactly by the oracle — pure BIGINT
       // arithmetic, no rounding analysis at all
       val edges = pagerankEdges(s, dir)
-      operators.Graph.pageRank(edges, iters = 10)(s)
+      operators.Graph.pageRank(edges, iters = 10)
         .select(col("node"), col("r"))
     }),
 

@@ -129,11 +129,16 @@ final class GramBuffer extends Serializable {
     require(x.length == dim, s"gram_agg: vector length ${x.length} != $dim")
     var m = 1L
     var i = 0
-    while (i < dim) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    while (i < dim) {
+      val a = math.abs(x(i))
+      if (a > m) m = a
+      if (a < 0) m = Long.MaxValue // abs(Long.MinValue) is negative
+      i += 1
+    }
     // a single product must fit a long: |x| ≤ 3·10⁹ means raw values ≤ 300
     // on the ×10⁷ grid — far beyond any normalized embedding
     require(m <= 3000000000L,
-      s"gram_agg: |grid value| $m exceeds 3e9 (raw magnitude > 300)")
+      s"gram_agg: |grid value| exceeds 3e9 (raw magnitude > 300)")
     if (m > maxAbsSinceSpill) maxAbsSinceSpill = m
     // overflow sentry: every partial grew by ≤ maxAbs² per row since the
     // last spill (maxAbs² ≤ 9·10¹⁸ still fits a long by the bound above)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,7 +42,7 @@ object Graph {
    * per round keeps lineage flat across iterations.
    */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Int = 85,
-               dampDen: Int = 100)(implicit spark: SparkSession): DataFrame = {
+               dampDen: Int = 100): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum,
       s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen")
     val e = edges.select(col("src").cast("long").as("src"),

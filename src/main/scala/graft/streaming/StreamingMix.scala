@@ -48,8 +48,16 @@ class StreamingTemperatureMix(stratumCol: String, idCol: String,
    */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = synchronized {
     val spark = batch.sparkSession
+    require(batch.schema(stratumCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"StreamingTemperatureMix: stratum column '$stratumCol' must be " +
+        s"STRING (got ${batch.schema(stratumCol).dataType.catalogString}) — " +
+        "the dictionary and the batch sampler must key identically")
     if (batchId > lastBatchId) {
-      batch.groupBy(col(stratumCol).cast("string").as("s"))
+      // null strata are excluded from the dictionary — the threshold join
+      // below never matches them, exactly like the batch sampler's join
+      batch.filter(col(stratumCol).isNotNull)
+        .groupBy(col(stratumCol).as("s"))
         .agg(count(lit(1)).as("n")).collect()
         .foreach(r => counts(r.getString(0)) =
           counts.getOrElse(r.getString(0), 0L) + r.getLong(1))

@@ -28,9 +28,7 @@ class PlanGuardSpec extends SparkSpec {
       "graph_pagerank", // 1-row dangling-mass attach per iteration
 
       "mix_temperature_sample", "text_lm_score",
-      "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
-      "emb_pca_power", // 1-row norm/λ attach onto a dim²-bounded frame
-      "emb_pca_topk")  // same attach, once per deflated component
+      "curate_quality_sample") // text_lm_score's 1-row vocab-size attach
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

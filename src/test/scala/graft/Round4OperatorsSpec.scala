@@ -181,7 +181,6 @@ class Round4OperatorsSpec extends SparkSpec {
 
   test("pageRank: mass, symmetry, dangling handling on a known graph") {
     import graft.operators.Graph
-    implicit val s: org.apache.spark.sql.SparkSession = spark
     // 1 <-> 2 symmetric cycle plus 3 -> 1 (node 3 has in-degree 0, and a
     // sink-free core); node 4 -> 3 gives 3 an incoming edge; no out-edges
     // from... make 5 dangling: 1 -> 5, 5 has no out-edges
