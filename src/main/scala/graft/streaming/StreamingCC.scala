@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DocDedup
+
+/**
+ * Streaming incremental connected components — the online form of the
+ * near-duplicate cluster canonicalization in [[DocDedup.canonicalClusters]]:
+ * similarity pairs arrive in micro-batches (e.g. from the streaming LSH
+ * near-dup index) and every batch folds into a persistent
+ * (doc_id, canonical_id) labeling.
+ *
+ * The incremental step is the classic edge-compression trick: the current
+ * labeling IS a set of (id → canonical) edges that exactly preserves the
+ * connectivity discovered so far, so re-running CC over
+ * (label edges ∪ new pairs) yields the same labeling as batch CC over ALL
+ * pairs ever seen — the spec pins that equivalence. Cost per batch is
+ * proportional to the current label table + the batch, with the
+ * O(log diameter) pointer-halving rounds of the batch kernel; history never
+ * replays.
+ *
+ * State is the label table itself — corpus-sized, so it lives in a parquet
+ * directory (one overwrite per batch, bounded by the labeled population),
+ * NOT on the driver. A `batchId` guard makes foreachBatch replays after
+ * recovery idempotent: a replayed batch re-merges the same pairs into the
+ * same labels (the fold is a set union — naturally idempotent), so the
+ * guard only skips redundant work.
+ */
+class StreamingCC(stateDir: String) extends Serializable {
+
+  private var lastBatchId = -1L
+
+  /** Current labeling (empty frame with the right schema if none yet). */
+  def labels(spark: SparkSession): DataFrame = {
+    val p = new java.io.File(stateDir)
+    if (p.exists() && p.list() != null && p.list().nonEmpty)
+      spark.read.parquet(stateDir)
+    else
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("canonical_id"))
+  }
+
+  /**
+   * Fold a batch of (a, b) similarity pairs into the persistent labeling.
+   * Returns the updated labeling. Usable directly inside
+   * `writeStream.foreachBatch((df, id) => cc.processBatch(df, id))`.
+   */
+  def processBatch(pairs: DataFrame, batchId: Long): DataFrame = synchronized {
+    val spark = pairs.sparkSession
+    if (batchId > lastBatchId) {
+      val prev = labels(spark)
+        .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+      val merged = DocDedup.canonicalClusters(
+        pairs.select(col("a"), col("b")).unionByName(prev))
+      // two-phase write: canonicalClusters' frames are checkpointed, so
+      // the read-modify-write does not race with the overwrite
+      merged.select(col("doc_id"), col("canonical_id"))
+        .write.mode("overwrite").parquet(stateDir)
+      lastBatchId = batchId
+    }
+    labels(spark)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.DocDedup
+import graft.streaming.StreamingCC
+
+case class CcPair(a: Long, b: Long)
+
+/** Streaming incremental connected components must equal batch CC over all
+ * pairs ever seen, regardless of how the pairs were batched. */
+class StreamingCCSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three chains that merge across batches: {1..4}, {10..13}, then a bridge
+  private val batch1 = Seq(CcPair(1, 2), CcPair(3, 4), CcPair(10, 11))
+  private val batch2 = Seq(CcPair(2, 3), CcPair(12, 13))
+  private val batch3 = Seq(CcPair(11, 12), CcPair(4, 20))
+
+  private def batchAnswer(all: Seq[CcPair]): Map[Long, Long] =
+    DocDedup.canonicalClusters(all.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("incremental fold over batches equals batch CC on the union") {
+    val dir = Files.createTempDirectory("scc").toString + "/state"
+    val cc = new StreamingCC(dir)
+    cc.processBatch(batch1.toDF(), 0L)
+    cc.processBatch(batch2.toDF(), 1L)
+    val afterTwo = cc.labels(spark).as[(Long, Long)].collect().toMap
+    assert(afterTwo === batchAnswer(batch1 ++ batch2))
+    // 1..4 one cluster (canon 1); {10,11} and {12,13} still separate
+    assert(afterTwo(4L) === 1L && afterTwo(11L) === 10L && afterTwo(13L) === 12L)
+
+    cc.processBatch(batch3.toDF(), 2L)
+    val afterThree = cc.labels(spark).as[(Long, Long)].collect().toMap
+    assert(afterThree === batchAnswer(batch1 ++ batch2 ++ batch3))
+    // 11-12 merges the tens into canon 10; 4-20 extends cluster 1
+    assert(afterThree(13L) === 10L && afterThree(20L) === 1L)
+  }
+
+  test("batching order does not change the final labeling") {
+    val all = batch1 ++ batch2 ++ batch3
+    val dir1 = Files.createTempDirectory("scc").toString + "/state"
+    val cc1 = new StreamingCC(dir1)
+    all.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      cc1.processBatch(b.toDF(), i.toLong) }
+    val dir2 = Files.createTempDirectory("scc").toString + "/state"
+    val cc2 = new StreamingCC(dir2)
+    all.reverse.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      cc2.processBatch(b.toDF(), i.toLong) }
+    val (m1, m2) = (cc1.labels(spark).as[(Long, Long)].collect().toMap,
+      cc2.labels(spark).as[(Long, Long)].collect().toMap)
+    assert(m1 === m2)
+    assert(m1 === batchAnswer(all))
+  }
+
+  test("foreachBatch replay of a processed batchId is a no-op") {
+    val dir = Files.createTempDirectory("scc").toString + "/state"
+    val cc = new StreamingCC(dir)
+    cc.processBatch(batch1.toDF(), 0L)
+    val before = cc.labels(spark).as[(Long, Long)].collect().toMap
+    cc.processBatch(batch1.toDF(), 0L) // recovery replay
+    val after = cc.labels(spark).as[(Long, Long)].collect().toMap
+    assert(before === after)
+  }
+
+  test("wired into a real streaming query") {
+    val dir = Files.createTempDirectory("scc").toString + "/state"
+    val cc = new StreamingCC(dir)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[CcPair]
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        cc.processBatch(df, id): Unit
+      }
+      .start()
+    input.addData(batch1 ++ batch2 ++ batch3)
+    q.awaitTermination(60000)
+    assert(cc.labels(spark).as[(Long, Long)].collect().toMap ===
+      batchAnswer(batch1 ++ batch2 ++ batch3))
+  }
+}
