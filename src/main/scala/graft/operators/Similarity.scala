@@ -174,6 +174,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Multi-probe banded-LSH ANN: the query probes its exact band bucket PLUS
+   * every Hamming-1 perturbation of it (flip one of the band's `rowsPerBand`
+   * bits) — the standard trick (Lv et al. 2007) for reaching a banding
+   * recall target with ~3× fewer bands, i.e. a 3× smaller signature index
+   * and 3× fewer bucket rows at 100 TB. The candidate side is indexed
+   * EXACTLY as in [[lshKnn]]; only query-side probes multiply (by
+   * rowsPerBand+1, and queries are the bounded broadcast side).
+   */
+  def lshMultiProbeKnn(queries: DataFrame, candidates: DataFrame,
+                       rowsPerBand: Int, nBands: Int, dim: Int,
+                       k: Int): DataFrame = {
+    val nPlanes = rowsPerBand * nBands
+    val c = explodeBands(
+      lshSignature(candidates, nPlanes, dim)
+        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
+    val qBands = explodeBands(
+      lshSignature(queries, nPlanes, dim)
+        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
+    // probe set = exact bucket + each single bit flipped
+    val probes = array((lit(0L) +: (0 until rowsPerBand).map(b => lit(1L << b))): _*)
+    val q = qBands
+      .select(col("vec_id").as("q_id"), col("band"),
+        explode(probes).as("flip"), col("band_bucket"))
+      .select(col("q_id"), col("band"),
+        expr("band_bucket ^ flip").as("band_bucket"))
+    val pairs = broadcast(q)
+      .join(c, Seq("band", "band_bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val emb = (df: DataFrame, idCol: String, out: String) =>
+      df.select(col("vec_id").as(idCol), col("embedding").as(out))
+    val scored = pairs
+      .join(broadcast(emb(queries, "q_id", "q_emb")), "q_id")
+      .join(emb(candidates, "vec_id", "embedding"), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- IVF ----------------------------------------------------------------
 
   /** ×10⁷ fixed-point quantization of an embedding array — the exact integer

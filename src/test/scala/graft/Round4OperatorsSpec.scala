@@ -179,6 +179,23 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(enc.select($"cell_id").distinct().count() <= 8)
   }
 
+  test("multi-probe LSH recovers what single-probe banding misses at b=7") {
+    val emb = graft.model.Cdc.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceKnn(q, emb, k = 5)
+      .select($"q_id", $"vec_id", $"rank")
+    val mp = Similarity.lshMultiProbeKnn(q, emb, rowsPerBand = 3, nBands = 7,
+      dim = 64, k = 5).select($"q_id", $"vec_id", $"rank")
+    val sp = Similarity.lshKnn(q, emb, rowsPerBand = 3, nBands = 7,
+      dim = 64, k = 5).select($"q_id", $"vec_id", $"rank")
+    // Hamming-1 probing makes 7 bands exact where single-probe is lossy
+    assert(mp.except(brute).count() === 0 && brute.except(mp).count() === 0,
+      "multi-probe at b=7 must reproduce the exact top-5")
+    assert(sp.except(brute).count() > 0 || brute.except(sp).count() > 0,
+      "single-probe at b=7 should miss (else the comparison is vacuous)")
+  }
+
   test("pageRank: mass, symmetry, dangling handling on a known graph") {
     import graft.operators.Graph
     // 1 <-> 2 symmetric cycle plus 3 -> 1 (node 3 has in-degree 0, and a
