@@ -941,6 +941,39 @@ object SparkEntry {
           col("code").cast("long").as("code"), col("sq_err"))
     }),
 
+    "mm_png_roundtrip" -> ((s, dir) => {
+      // REAL image content decode: per-row 4x4 RGB pixel buffers (md5-derived
+      // bytes) are zlib-compressed into spec-compliant PNGs — cycling
+      // doc_id % 5 through ALL FIVE scanline filter types — then decoded
+      // back by the engine's own inflate + filter reconstruction. The
+      // oracle recomputes the expected pixel hex arithmetically, so a green
+      // row proves the whole codec path is identity-correct.
+      import graft.functions.PngFunctions._
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex),
+        (col("doc_id") % 5).cast("int"))
+      val dec = png_decode(png)
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    "mm_png_resize" -> ((s, dir) => {
+      // decode -> nearest-neighbor thumbnail -> re-encode -> decode: the
+      // feature-extraction step of a vision pipeline; the oracle picks the
+      // exact source pixels the integer nearest mapping must select
+      import graft.functions.PngFunctions._
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex),
+        (col("doc_id") % 5).cast("int"))
+      val small = png_decode(png_resize(png, 2, 2))
+      t(s, dir, "documents").select(col("doc_id"),
+        lower(hex(small.getField("pixels"))).as("px_hex"))
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
       Multimodal.decodeStub(media)
@@ -2679,6 +2712,25 @@ object SparkEntry {
     // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
     // (nCells, iters, threshold) as the engine call
     "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3),
+
+    "mm_png_roundtrip" ->
+      """SELECT doc_id, 4 AS width, 4 AS height,
+         md5(CAST(doc_id AS VARCHAR) || 'p0')
+           || md5(CAST(doc_id AS VARCHAR) || 'p1')
+           || md5(CAST(doc_id AS VARCHAR) || 'p2') AS px_hex
+         FROM documents""",
+
+    // 4x4 -> 2x2 nearest-neighbor picks source pixels (0,0),(0,2),(2,0),
+    // (2,2): bytes p*3..p*3+2 for p in {0,2,8,10} = hex substrings
+    "mm_png_resize" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || 'p0')
+             || md5(CAST(doc_id AS VARCHAR) || 'p1')
+             || md5(CAST(doc_id AS VARCHAR) || 'p2') AS h
+         FROM documents)
+         SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
+           || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
+         FROM d""",
 
     // integer-exact PageRank, all 10 iterations unrolled
     "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),

@@ -1,0 +1,349 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL (subset) PNG codec in pure JVM — `java.util.zip` supplies the
+ * zlib layer, everything else (chunk framing, CRCs, scanline filters) is
+ * implemented here. Supported subset: 8-bit RGB and RGBA, non-interlaced —
+ * the common case for ML image payloads; anything else is rejected with a
+ * clear error. This upgrades the multimodal surface from header sniffing
+ * ([[MediaHeaders]]) to actual content decode: the engine can synthesize,
+ * round-trip, and pixel-verify image payloads with no external codec lib.
+ *
+ * Decode handles all five PNG scanline filter types (None/Sub/Up/Average/
+ * Paeth, spec §9); encode takes the filter type per image so the decoder's
+ * filter reconstruction is testable against independently-encoded data
+ * (and against the JDK's own ImageIO codec in the spec).
+ */
+object PngCodec {
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit =
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+    be32(body.length)
+    val tagBytes = tag.getBytes("US-ASCII")
+    out.write(tagBytes)
+    out.write(body)
+    val crc = new CRC32()
+    crc.update(tagBytes)
+    crc.update(body)
+    be32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  /** Scanline-filter `raw` (bpp bytes/pixel) with PNG filter `ft`. */
+  private def applyFilter(ft: Int, row: Array[Byte], prev: Array[Byte],
+                          bpp: Int): Array[Byte] = {
+    val n = row.length
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val a = if (i >= bpp) row(i - bpp) & 0xff else 0
+      val b = prev(i) & 0xff
+      val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+      val x = row(i) & 0xff
+      out(i) = (ft match {
+        case 0 => x
+        case 1 => x - a
+        case 2 => x - b
+        case 3 => x - (a + b) / 2
+        case 4 => x - paeth(a, b, c)
+      }).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /**
+   * Encode 8-bit pixels to PNG. `pixels` is row-major RGB (3·w·h bytes) or
+   * RGBA (4·w·h); `filterType` 0–4 applies that PNG filter to every
+   * scanline (real encoders choose per row — fixing it makes the decoder's
+   * reconstruction paths independently testable).
+   */
+  def encode(width: Int, height: Int, pixels: Array[Byte],
+             filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val bpp = pixels.length / (width * height)
+    require(bpp == 3 || bpp == 4,
+      s"pixels length ${pixels.length} is not RGB/RGBA for ${width}x$height")
+    require(pixels.length == width * height * bpp, "ragged pixel buffer")
+    val stride = width * bpp
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      val row = java.util.Arrays.copyOfRange(pixels, y * stride,
+        (y + 1) * stride)
+      raw.write(filterType)
+      raw.write(applyFilter(filterType, row, prev, bpp))
+      prev = row
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw.toByteArray)
+    deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    val ihdr = new Array[Byte](13)
+    def put32(off: Int, v: Int): Unit = {
+      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = (v >>> 16).toByte
+      ihdr(off + 2) = (v >>> 8).toByte; ihdr(off + 3) = v.toByte
+    }
+    put32(0, width); put32(4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (bpp == 3) 2 else 6 // color type: truecolor / truecolor+alpha
+    // compression 0, filter method 0, no interlace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", idat.toByteArray))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
+  /** Decoded image: width, height, bytes/pixel (3 or 4), raw pixels. */
+  final case class Image(width: Int, height: Int, bpp: Int,
+                         pixels: Array[Byte])
+
+  /** Decode the supported PNG subset; throws IllegalArgumentException with
+   * a precise reason on anything else (CRC mismatch included). */
+  def decode(png: Array[Byte]): Image = {
+    require(png.length > 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(png, 8), Signature), "not a PNG signature")
+    var pos = 8
+    def be32(off: Int): Int =
+      ((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff)
+    var width = 0
+    var height = 0
+    var bpp = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (pos + 8 <= png.length && !sawEnd) {
+      val len = be32(pos)
+      val tag = new String(png, pos + 4, 4, "US-ASCII")
+      require(pos + 12 + len <= png.length, s"truncated chunk $tag")
+      val crc = new CRC32()
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len),
+        s"CRC mismatch in $tag")
+      tag match {
+        case "IHDR" =>
+          width = be32(pos + 8); height = be32(pos + 12)
+          val bitDepth = png(pos + 16)
+          val colorType = png(pos + 17)
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth")
+          bpp = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case ct => throw new IllegalArgumentException(
+              s"unsupported color type $ct (only 8-bit RGB/RGBA)")
+          }
+          require(png(pos + 20) == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(png, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    require(sawEnd && width > 0 && height > 0 && bpp > 0, "malformed PNG")
+
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    var off = 0
+    while (!inflater.finished() && off < raw.length)
+      off += inflater.inflate(raw, off, raw.length - off)
+    inflater.end()
+    require(off == raw.length, s"IDAT inflated to $off, want ${raw.length}")
+
+    val pixels = new Array[Byte](stride * height)
+    val prev = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+        }
+        pixels(y * stride + i) = v.toByte
+        i += 1
+      }
+      System.arraycopy(pixels, y * stride, prev, 0, stride)
+      y += 1
+    }
+    Image(width, height, bpp, pixels)
+  }
+
+  val decodeType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bpp", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** Decode to an InternalRow — called from generated code. */
+  def decodeRow(png: Array[Byte]): InternalRow = {
+    val img = decode(png)
+    new GenericInternalRow(Array[Any](img.width, img.height, img.bpp,
+      img.pixels))
+  }
+
+  /** decode → nearest resize → re-encode (filter 0): the one-call thumbnail
+   * kernel — called from generated code. */
+  def resizePng(png: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val r = resizeNearest(decode(png), outW, outH)
+    encode(r.width, r.height, r.pixels)
+  }
+
+  /** Nearest-neighbor resize of a decoded image — the feature-extraction
+   * step a vision-data pipeline runs after decode (deterministic integer
+   * source-index arithmetic, no sampling filter). */
+  def resizeNearest(img: Image, outW: Int, outH: Int): Image = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * img.bpp)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        System.arraycopy(img.pixels, (sy * img.width + sx) * img.bpp,
+          out, (y * outW + x) * img.bpp, img.bpp)
+        x += 1
+      }
+      y += 1
+    }
+    Image(outW, outH, img.bpp, out)
+  }
+}
+
+/** `png_decode(binary)` → struct(width, height, bpp, pixels) — codegen'd
+ * call into the static decode kernel; the scan-stage content decode. */
+case class PngDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngCodec.decodeType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_decode requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PngCodec.decodeRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): PngDecodeExpr =
+    copy(child = c)
+}
+
+/** `png_encode(width, height, pixels, filterType)` → BINARY. Encoding is a
+ * fixture-synthesis / output edge, not a scan kernel — CodegenFallback is
+ * deliberate. */
+case class PngEncodeExpr(w: Expression, h: Expression, pixels: Expression,
+                         filterType: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(w, h, pixels, filterType)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, pixels.dataType, filterType.dataType) match {
+      case (IntegerType, IntegerType, BinaryType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"png_encode requires (INT, INT, BINARY, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val (wv, hv, pv, fv) = (w.eval(input), h.eval(input), pixels.eval(input),
+      filterType.eval(input))
+    if (wv == null || hv == null || pv == null || fv == null) null
+    else PngCodec.encode(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      pv.asInstanceOf[Array[Byte]], fv.asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): PngEncodeExpr =
+    copy(w = c(0), h = c(1), pixels = c(2), filterType = c(3))
+}
+
+/** `png_resize(binary, outW, outH)` → BINARY: decode → nearest-neighbor →
+ * re-encode, the thumbnail kernel (codegen'd; out dims are literals). */
+case class PngResizeExpr(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if outW > 0 && outH > 0 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"png_resize: bad target ${outW}x$outH")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_resize requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.resizePng(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.PngCodec.resizePng($b, $outW, $outH)")
+
+  override protected def withNewChildInternal(c: Expression): PngResizeExpr =
+    copy(child = c)
+}
+
+object PngFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def png_decode(c: Column): Column =
+    GraftShim.column(PngDecodeExpr(GraftShim.expression(c)))
+
+  def png_encode(w: Column, h: Column, pixels: Column,
+                 filterType: Column): Column =
+    GraftShim.column(PngEncodeExpr(GraftShim.expression(w),
+      GraftShim.expression(h), GraftShim.expression(pixels),
+      GraftShim.expression(filterType)))
+
+  def png_resize(c: Column, outW: Int, outH: Int): Column =
+    GraftShim.column(PngResizeExpr(GraftShim.expression(c), outW, outH))
+}

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
  * with a typed metadata struct, mirroring the reference's blob handling
  * (CQL blob → Avro bytes, agent-c4/.../PulsarMutationSender.java:65).
  *
- * The Spark-side plumbing (schema, batching, partition sizing) is real; the
- * codec itself is STUBBED deterministically because no image/audio libraries
- * ship in this container — `decodeStub` marks exactly where a real decoder
- * (e.g. a JNI codec or vectorized Python worker) plugs in.
+ * The Spark-side plumbing (schema, batching, partition sizing) is real, and
+ * two decode paths are REAL as of round 4: container-header metadata
+ * ([[graft.functions.MediaHeaders]], PNG/JPEG/GIF/BMP/WAV) and full PNG
+ * content decode/encode/resize ([[graft.functions.PngCodec]] — pure-JVM
+ * zlib + scanline filters, ImageIO-cross-validated, oracle-checked by
+ * mm_png_roundtrip/mm_png_resize). The GENERIC codec entry point below
+ * stays a deterministic stub — `decodeStub` marks where a JPEG/video/audio
+ * decoder (JNI codec or vectorized Python worker) would plug in.
  */
 object Multimodal {
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PngCodec
+
+/** The PNG codec is validated three ways: exact round-trips over every
+ * filter type (the oracle covers this at query level too), cross-decoding
+ * against the JDK's own ImageIO PNG codec in BOTH directions, and precise
+ * rejection of corrupt/unsupported input. */
+class PngCodecSpec extends AnyFunSuite {
+
+  private def pix(w: Int, h: Int, bpp: Int, seed: Int): Array[Byte] = {
+    val rnd = new java.util.Random(seed * 2654435761L)
+    val a = new Array[Byte](w * h * bpp)
+    rnd.nextBytes(a)
+    a
+  }
+
+  test("round-trip identity for every filter type, RGB and RGBA") {
+    for (bpp <- Seq(3, 4); ft <- 0 to 4; (w, h) <- Seq((1, 1), (4, 4), (7, 3))) {
+      val px = pix(w, h, bpp, bpp * 100 + ft * 10 + w)
+      val img = PngCodec.decode(PngCodec.encode(w, h, px, ft))
+      assert(img.width === w && img.height === h && img.bpp === bpp,
+        s"dims bpp=$bpp ft=$ft ${w}x$h")
+      assert(img.pixels.toSeq === px.toSeq, s"pixels bpp=$bpp ft=$ft ${w}x$h")
+    }
+  }
+
+  test("ImageIO decodes our PNGs (spec compliance)") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (5, 4)
+    val px = pix(w, h, 3, 42)
+    for (ft <- 0 to 4) {
+      val png = PngCodec.encode(w, h, px, ft)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(bi != null, s"ImageIO rejected our PNG (filter $ft)")
+      assert(bi.getWidth === w && bi.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        val expect = ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) |
+          (px(i + 2) & 0xff)
+        assert((bi.getRGB(x, y) & 0xffffff) === expect,
+          s"pixel ($x,$y) filter $ft")
+      }
+      val _ = classOf[BufferedImage]
+    }
+  }
+
+  test("we decode ImageIO's PNGs (cross-codec)") {
+    val (w, h) = (6, 5)
+    val px = pix(w, h, 3, 7)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) |
+        (px(i + 2) & 0xff))
+    }
+    val bytes = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bytes))
+    val img = PngCodec.decode(bytes.toByteArray)
+    assert(img.width === w && img.height === h && img.bpp === 3)
+    assert(img.pixels.toSeq === px.toSeq,
+      "our decoder must reproduce ImageIO-encoded pixels exactly")
+  }
+
+  test("nearest resize picks exact integer source pixels") {
+    val px = pix(4, 4, 3, 99)
+    val img = PngCodec.Image(4, 4, 3, px)
+    val r = PngCodec.resizeNearest(img, 2, 2)
+    val picks = Seq(0, 2, 8, 10) // (0,0) (0,2) (2,0) (2,2)
+    val expect = picks.flatMap(p => px.slice(p * 3, p * 3 + 3))
+    assert(r.pixels.toSeq === expect)
+    // upscale repeats pixels, never interpolates
+    val up = PngCodec.resizeNearest(img, 8, 8)
+    assert(up.pixels.slice(0, 3).toSeq === up.pixels.slice(3, 6).toSeq)
+  }
+
+  test("corrupt and unsupported input rejected with precise reasons") {
+    val good = PngCodec.encode(2, 2, pix(2, 2, 3, 1))
+    // flip one IDAT byte -> CRC mismatch
+    val bad = good.clone()
+    bad(bad.length - 15) = (bad(bad.length - 15) ^ 0x7f).toByte
+    val e1 = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e1.getMessage.contains("CRC"))
+    val e2 = intercept[IllegalArgumentException](
+      PngCodec.decode("nope".getBytes))
+    assert(e2.getMessage.contains("signature"))
+    // grayscale (color type 0) from ImageIO must be rejected as unsupported
+    val g = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g, "png", bytes)
+    val e3 = intercept[IllegalArgumentException](
+      PngCodec.decode(bytes.toByteArray))
+    assert(e3.getMessage.contains("color type"))
+  }
+}
