@@ -974,6 +974,31 @@ object SparkEntry {
         lower(hex(small.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_wav_pcm" -> ((s, dir) => {
+      // REAL audio content decode: 64 deterministic s16le samples are
+      // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
+      // (codegen'd RIFF walk + sample reduction) extracts exact integer
+      // loudness/clipping stats; the oracle recomputes them from the same
+      // sample formula — full content-decode verification, not just headers
+      import graft.functions.MediaHeaderFunctions.wav_pcm_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      val st = wav_pcm_stats(unhex(wavHex))
+      t(s, dir, "documents").select(col("doc_id"),
+        st.getField("n_samples").as("n_samples"),
+        st.getField("sum_abs").as("sum_abs"),
+        st.getField("peak").as("peak"),
+        st.getField("sum_sq").as("sum_sq"))
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
       Multimodal.decodeStub(media)
@@ -2731,6 +2756,20 @@ object SparkEntry {
          SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
            || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
          FROM d""",
+
+    "mm_wav_pcm" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+         FROM v GROUP BY doc_id""",
 
     // integer-exact PageRank, all 10 iterations unrolled
     "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),

@@ -77,6 +77,40 @@ class PngCodecSpec extends AnyFunSuite {
     assert(up.pixels.slice(0, 3).toSeq === up.pixels.slice(3, 6).toSeq)
   }
 
+  test("WAV PCM stats: exact reduction, ancillary chunks, rejections") {
+    import graft.functions.WavPcm
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++
+      le16(2) ++ le16(16))
+    val samples = Seq(100, -100, 32767, -32768, 0)
+    val data = chunk("data", samples.flatMap(le16).toArray)
+    // a LIST chunk with odd length exercises word-alignment skipping
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmt ++ chunk("LIST", Array[Byte](1, 2, 3)) ++ data
+    val r = WavPcm.stats(wav)
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 100L + 100 + 32767 + 32768 + 0)
+    assert(r.getInt(2) === 32768)
+    assert(r.getLong(3) === 100L * 100 * 2 + 32767L * 32767 + 32768L * 32768)
+
+    val e1 = intercept[IllegalArgumentException](
+      WavPcm.stats("RIFFxxxxNOPE".getBytes))
+    assert(e1.getMessage.contains("RIFF/WAVE"))
+    val nonPcm = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      chunk("fmt ", le16(3) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16)) ++ data
+    val e2 = intercept[IllegalArgumentException](WavPcm.stats(nonPcm))
+    assert(e2.getMessage.contains("PCM"))
+    val noData = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ fmt
+    val e3 = intercept[IllegalArgumentException](WavPcm.stats(noData))
+    assert(e3.getMessage.contains("data"))
+  }
+
   test("corrupt and unsupported input rejected with precise reasons") {
     val good = PngCodec.encode(2, 2, pix(2, 2, 3, 1))
     // flip one IDAT byte -> CRC mismatch
