@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, HeavyHittersAgg, MediaHeader}
+import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, GramAgg, HeavyHittersAgg, MediaHeader, PngDecodeExpr, WavPcmStats}
 
 /**
  * Session extension registering graft's custom expressions for SQL use:
@@ -61,6 +61,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         checkArity("media_header", args, 1)
         MediaHeader(args.head)
+      }),
+    (FunctionIdentifier("png_decode"),
+      info("png_decode",
+        "png_decode(bytes) - decode an 8-bit RGB/RGBA PNG to struct(width, height, bpp, pixels)"),
+      (args: Seq[Expression]) => {
+        checkArity("png_decode", args, 1)
+        PngDecodeExpr(args.head)
+      }),
+    (FunctionIdentifier("wav_pcm_stats"),
+      info("wav_pcm_stats",
+        "wav_pcm_stats(bytes) - exact sample statistics of a 16-bit PCM WAV"),
+      (args: Seq[Expression]) => {
+        checkArity("wav_pcm_stats", args, 1)
+        WavPcmStats(args.head)
+      }),
+    (FunctionIdentifier("gram_agg"),
+      info("gram_agg",
+        "gram_agg(scaled_vec) - exact Gram-matrix moments of x1e7-grid vectors"),
+      (args: Seq[Expression]) => {
+        checkArity("gram_agg", args, 1)
+        GramAgg(args.head).toAggregateExpression()
       }),
     (FunctionIdentifier("bloom_contains"),
       info("bloom_contains",

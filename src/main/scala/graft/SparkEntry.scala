@@ -999,6 +999,24 @@ object SparkEntry {
         st.getField("sum_sq").as("sum_sq"))
     }),
 
+    "mm_image_phash" -> ((s, dir) => {
+      // image dedup via perceptual hashing: docs sharing a pixel seed
+      // (doc_id % 100) carry identical images; png_ahash (decode -> grid
+      // resize -> integer luma average-hash) is the blocking key and
+      // min-id per hash the canonical — the mm analog of dedup_exact_docs,
+      // with the real codec in the loop
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PngFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(seed, lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), png_ahash(png, 4, 4).as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
       Multimodal.decodeStub(media)
@@ -2770,6 +2788,31 @@ object SparkEntry {
            CAST(MAX(abs(sv)) AS INTEGER) AS peak,
            CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
          FROM v GROUP BY doc_id""",
+
+    // perceptual hash replay: hex->int via a 256-row lookup dictionary,
+    // integer luma, strict luma*N > total bit rule
+    "mm_image_phash" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id % 100 AS VARCHAR) || 'p0')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p1')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p2') AS h
+         FROM documents),
+         hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         px AS (SELECT e.doc_id, e.p, 299 * r.v + 587 * g.v + 114 * b.v AS luma
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS p
+                 FROM d) e
+           JOIN hexmap r ON substr(e.h, CAST(e.p * 6 + 1 AS INTEGER), 2) = r.hx
+           JOIN hexmap g ON substr(e.h, CAST(e.p * 6 + 3 AS INTEGER), 2) = g.hx
+           JOIN hexmap b ON substr(e.h, CAST(e.p * 6 + 5 AS INTEGER), 2) = b.hx),
+         tot AS (SELECT doc_id, SUM(luma) AS t FROM px GROUP BY 1),
+         ph AS (SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.luma * 16 > tot.t
+               THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END) AS BIGINT) AS phash
+           FROM px JOIN tot USING (doc_id) GROUP BY 1)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
 
     // integer-exact PageRank, all 10 iterations unrolled
     "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),

@@ -230,6 +230,30 @@ object PngCodec {
     encode(r.width, r.height, r.pixels)
   }
 
+  /** Perceptual average-hash over the decoded + grid-resized image: bit p
+   * set iff luma_p·N > Σluma (integer weights 299/587/114, strict compare —
+   * pure integer arithmetic, exactly replayable on any engine). */
+  def aHash(png: Array[Byte], gridW: Int, gridH: Int): Long = {
+    val g = resizeNearest(decode(png), gridW, gridH)
+    val n = gridW * gridH
+    val luma = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val i = p * g.bpp
+      luma(p) = 299L * (g.pixels(i) & 0xff) + 587L * (g.pixels(i + 1) & 0xff) +
+        114L * (g.pixels(i + 2) & 0xff)
+      p += 1
+    }
+    val total = luma.sum
+    var hash = 0L
+    p = 0
+    while (p < n) {
+      if (luma(p) * n > total) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+
   /** Nearest-neighbor resize of a decoded image — the feature-extraction
    * step a vision-data pipeline runs after decode (deterministic integer
    * source-index arithmetic, no sampling filter). */
@@ -346,4 +370,37 @@ object PngFunctions {
 
   def png_resize(c: Column, outW: Int, outH: Int): Column =
     GraftShim.column(PngResizeExpr(GraftShim.expression(c), outW, outH))
+
+  def png_ahash(c: Column, gridW: Int, gridH: Int): Column =
+    GraftShim.column(PngAHashExpr(GraftShim.expression(c), gridW, gridH))
+}
+
+/** `png_ahash(binary, gridW, gridH)` → BIGINT: perceptual average-hash —
+ * decode, nearest-resize to the grid, integer luma (299r+587g+114b), bit p
+ * set iff luma_p·N > Σluma (strict, pure integers — exactly replayable).
+ * The image-dedup blocking key: identical content ⇒ identical hash,
+ * near-identical content ⇒ small Hamming distance. */
+case class PngAHashExpr(child: Expression, gridW: Int, gridH: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if gridW > 0 && gridH > 0 && gridW * gridH <= 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"png_ahash: grid ${gridW}x$gridH must be in (0, 64] bits")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_ahash requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.aHash(input.asInstanceOf[Array[Byte]], gridW, gridH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.PngCodec.aHash($b, $gridW, $gridH)")
+
+  override protected def withNewChildInternal(c: Expression): PngAHashExpr =
+    copy(child = c)
 }

@@ -21,6 +21,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Long].head()
     assert(token === graft.functions.Murmur3.tokenOfLong(42L))
 
+    // round-4 content-decode + moment kernels resolve from SQL too
+    val pngHex = graft.functions.PngCodec
+      .encode(1, 1, Array[Byte](10, 20, 30)).map("%02x".format(_)).mkString
+    val dims = spark.sql(
+      s"SELECT png_decode(unhex('$pngHex')).width AS w," +
+        s" hex(png_decode(unhex('$pngHex')).pixels) AS p")
+      .as[(Int, String)].head()
+    assert(dims === ((1, "0A141E")))
+    val gram = spark.sql(
+      "SELECT gram_agg(v).n AS n FROM (SELECT array(CAST(10000000 AS BIGINT)) AS v)")
+      .as[Long].head()
+    assert(gram === 1L)
+
     val cos = spark.sql(
       "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
