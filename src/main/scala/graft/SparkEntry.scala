@@ -648,6 +648,52 @@ object SparkEntry {
           sum(col("_q")).cast("double").as("sum_qty"))
     }),
 
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders with at least one late line (EXISTS ->
+      // left-semi hash join), counted per priority
+      val o = t(s, dir, "orders")
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      o.filter(col("o_orderdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct suppliers per part bucket, excluding a
+      // NOT IN subquery set (negative-balance suppliers -> hash anti join);
+      // lineitem stands in for partsupp in this fixture
+      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .filter(col("p_size").isin(1, 5, 9, 13))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    "q22_sales_opportunity" -> ((s, dir) => {
+      // TPC-H Q22 shape: customers above the positive-balance average
+      // (scalar subquery) with no HIGH-VALUE orders (anti join; every
+      // fixture customer has some order, so the original no-orders form is
+      // vacuous here), grouped by a derived country code
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(dec2(col("c_acctbal"))).as("ab"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 7).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+
     "q13_custdist" -> ((s, dir) => {
       // order-count distribution per customer (left outer join + two-level
       // aggregation, TPC-H Q13 shape)
@@ -2813,6 +2859,36 @@ object SparkEntry {
          SELECT doc_id, phash,
            MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
          FROM ph""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+           AND TIMESTAMP '1995-12-31 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+         GROUP BY 1""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size IN (1, 5, 9, 13)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2""",
+
+    "q22_sales_opportunity" ->
+      """SELECT c_nationkey % 7 AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         GROUP BY 1""",
 
     // integer-exact PageRank, all 10 iterations unrolled
     "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),

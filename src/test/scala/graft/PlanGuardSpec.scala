@@ -28,7 +28,8 @@ class PlanGuardSpec extends SparkSpec {
       "graph_pagerank", // 1-row dangling-mass attach per iteration
 
       "mix_temperature_sample", "text_lm_score",
-      "curate_quality_sample") // text_lm_score's 1-row vocab-size attach
+      "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
+      "q22_sales_opportunity") // 1-row scalar-subquery (avg balance) attach
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
