@@ -182,6 +182,7 @@ object WavPcm {
       require(len >= 0 && pos + 8 + len <= b.length,
         s"truncated chunk at $pos")
       if (tag(b, pos, "fmt ")) {
+        require(len >= 16, s"fmt chunk too short ($len)")
         require(le16(b, pos + 8) == 1, "not PCM (fmt != 1)")
         require(le16(b, pos + 22) == 16, "only 16-bit PCM supported")
         sawFmt = true

@@ -82,7 +82,9 @@ object PngCodec {
    */
   def encode(width: Int, height: Int, pixels: Array[Byte],
              filterType: Int = 0): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue / 4,
+      s"bad dimensions ${width}x$height")
     require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
     val bpp = pixels.length / (width * height)
     require(bpp == 3 || bpp == 4,
@@ -146,13 +148,15 @@ object PngCodec {
     while (pos + 8 <= png.length && !sawEnd) {
       val len = be32(pos)
       val tag = new String(png, pos + 4, 4, "US-ASCII")
-      require(pos + 12 + len <= png.length, s"truncated chunk $tag")
+      require(len >= 0, s"negative length in $tag")
+      require(pos + 12L + len <= png.length, s"truncated chunk $tag")
       val crc = new CRC32()
       crc.update(png, pos + 4, 4 + len)
       require(crc.getValue.toInt == be32(pos + 8 + len),
         s"CRC mismatch in $tag")
       tag match {
         case "IHDR" =>
+          require(len >= 13, s"IHDR body too short ($len)")
           width = be32(pos + 8); height = be32(pos + 12)
           val bitDepth = png(pos + 16)
           val colorType = png(pos + 17)
@@ -177,8 +181,14 @@ object PngCodec {
     val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
     var off = 0
-    while (!inflater.finished() && off < raw.length)
-      off += inflater.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!inflater.finished() && off < raw.length && !stalled) {
+      val k = inflater.inflate(raw, off, raw.length - off)
+      // inflate returns 0 needing more input on a truncated/absent stream —
+      // there is none coming, so bail instead of spinning
+      stalled = k == 0 && (inflater.needsInput() || inflater.needsDictionary())
+      off += k
+    }
     inflater.end()
     require(off == raw.length, s"IDAT inflated to $off, want ${raw.length}")
 

@@ -149,19 +149,14 @@ object Similarity {
    * brute-force answer.
    */
   def lshKnn(queries: DataFrame, candidates: DataFrame, rowsPerBand: Int,
-             nBands: Int, dim: Int, k: Int): DataFrame = {
-    val nPlanes = rowsPerBand * nBands
-    val c = explodeBands(
-      lshSignature(candidates, nPlanes, dim)
-        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
-    val q = explodeBands(
-      lshSignature(queries, nPlanes, dim)
-        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
-      .select(col("vec_id").as("q_id"), col("band"), col("band_bucket"))
-    val pairs = broadcast(q)
-      .join(c, Seq("band", "band_bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
+             nBands: Int, dim: Int, k: Int): DataFrame =
+    lshProbeKnn(queries, candidates, rowsPerBand, nBands, dim, k,
+      multiProbe = false)
+
+  /** Exact-cosine scoring + per-query ranking of an ANN candidate pair set
+   * — the tail every LSH/IVF-PQ search variant shares. */
+  private def rankPairs(pairs: DataFrame, queries: DataFrame,
+                        candidates: DataFrame, k: Int): DataFrame = {
     val emb = (df: DataFrame, idCol: String, out: String) =>
       df.select(col("vec_id").as(idCol), col("embedding").as(out))
     val scored = pairs
@@ -172,6 +167,31 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def lshProbeKnn(queries: DataFrame, candidates: DataFrame,
+                          rowsPerBand: Int, nBands: Int, dim: Int, k: Int,
+                          multiProbe: Boolean): DataFrame = {
+    val nPlanes = rowsPerBand * nBands
+    val c = explodeBands(
+      lshSignature(candidates, nPlanes, dim)
+        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
+    val qBands = explodeBands(
+      lshSignature(queries, nPlanes, dim)
+        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
+    // probe set: the exact bucket, plus each single bit flipped (multi-probe)
+    val flips = lit(0L) +:
+      (if (multiProbe) (0 until rowsPerBand).map(b => lit(1L << b)) else Nil)
+    val q = qBands
+      .select(col("vec_id").as("q_id"), col("band"),
+        explode(array(flips: _*)).as("flip"), col("band_bucket"))
+      .select(col("q_id"), col("band"),
+        expr("band_bucket ^ flip").as("band_bucket"))
+    val pairs = broadcast(q)
+      .join(c, Seq("band", "band_bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    rankPairs(pairs, queries, candidates, k)
   }
 
   /**
@@ -185,36 +205,9 @@ object Similarity {
    */
   def lshMultiProbeKnn(queries: DataFrame, candidates: DataFrame,
                        rowsPerBand: Int, nBands: Int, dim: Int,
-                       k: Int): DataFrame = {
-    val nPlanes = rowsPerBand * nBands
-    val c = explodeBands(
-      lshSignature(candidates, nPlanes, dim)
-        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
-    val qBands = explodeBands(
-      lshSignature(queries, nPlanes, dim)
-        .select(col("vec_id"), col("lsh_bucket")), rowsPerBand, nBands)
-    // probe set = exact bucket + each single bit flipped
-    val probes = array((lit(0L) +: (0 until rowsPerBand).map(b => lit(1L << b))): _*)
-    val q = qBands
-      .select(col("vec_id").as("q_id"), col("band"),
-        explode(probes).as("flip"), col("band_bucket"))
-      .select(col("q_id"), col("band"),
-        expr("band_bucket ^ flip").as("band_bucket"))
-    val pairs = broadcast(q)
-      .join(c, Seq("band", "band_bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
-    val emb = (df: DataFrame, idCol: String, out: String) =>
-      df.select(col("vec_id").as(idCol), col("embedding").as(out))
-    val scored = pairs
-      .join(broadcast(emb(queries, "q_id", "q_emb")), "q_id")
-      .join(emb(candidates, "vec_id", "embedding"), "vec_id")
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+                       k: Int): DataFrame =
+    lshProbeKnn(queries, candidates, rowsPerBand, nBands, dim, k,
+      multiProbe = true)
 
   // ---- IVF ----------------------------------------------------------------
 
@@ -628,16 +621,7 @@ object Similarity {
       .orderBy(col("adc").asc, col("vec_id").asc)
     val shortlist = approx.withColumn("rn", row_number().over(wr))
       .filter(col("rn") <= rerank).select(col("q_id"), col("vec_id"))
-    val emb = (df: DataFrame, idCol: String, out: String) =>
-      df.select(col("vec_id").as(idCol), col("embedding").as(out))
-    val scored = shortlist
-      .join(broadcast(emb(queries, "q_id", "q_emb")), "q_id")
-      .join(emb(candidates, "vec_id", "embedding"), "vec_id")
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankPairs(shortlist, queries, candidates, k)
   }
 
   /**

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,26 +22,41 @@ import graft.operators.DocDedup
  * O(log diameter) pointer-halving rounds of the batch kernel; history never
  * replays.
  *
- * State is the label table itself — corpus-sized, so it lives in a parquet
- * directory (one overwrite per batch, bounded by the labeled population),
- * NOT on the driver. A `batchId` guard makes foreachBatch replays after
- * recovery idempotent: a replayed batch re-merges the same pairs into the
- * same labels (the fold is a set union — naturally idempotent), so the
- * guard only skips redundant work.
+ * State is the label table itself — corpus-sized, so it lives in parquet
+ * (Hadoop-FS-addressed: local, HDFS, or object store), NOT on the driver.
+ * Updates are crash-safe by VERSIONING, not overwriting: batch n writes
+ * `v<n>` and only then retires older versions, so a failure mid-write
+ * leaves the previous version intact and a foreachBatch replay (guarded by
+ * `batchId`, and naturally idempotent — the fold is a set union) simply
+ * rebuilds the same version. The frame returned for batch n stays readable
+ * after batch n+1 commits (its version dir outlives one successor).
  */
 class StreamingCC(stateDir: String) extends Serializable {
 
   private var lastBatchId = -1L
 
-  /** Current labeling (empty frame with the right schema if none yet). */
-  def labels(spark: SparkSession): DataFrame = {
-    val p = new java.io.File(stateDir)
-    if (p.exists() && p.list() != null && p.list().nonEmpty)
-      spark.read.parquet(stateDir)
-    else
-      spark.range(0).select(col("id").as("doc_id"),
-        col("id").as("canonical_id"))
+  private def fs(spark: SparkSession) =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest committed state version, if any. */
+  private def latestVersion(spark: SparkSession): Option[Long] = {
+    val dir = new Path(stateDir)
+    val f = fs(spark)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .sorted.lastOption
   }
+
+  /** Current labeling (empty frame with the right schema if none yet). */
+  def labels(spark: SparkSession): DataFrame =
+    latestVersion(spark) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+      case None => spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("canonical_id"))
+    }
 
   /**
    * Fold a batch of (a, b) similarity pairs into the persistent labeling.
@@ -50,14 +66,29 @@ class StreamingCC(stateDir: String) extends Serializable {
   def processBatch(pairs: DataFrame, batchId: Long): DataFrame = synchronized {
     val spark = pairs.sparkSession
     if (batchId > lastBatchId) {
+      val prevVersion = latestVersion(spark)
       val prev = labels(spark)
         .select(col("doc_id").as("a"), col("canonical_id").as("b"))
       val merged = DocDedup.canonicalClusters(
         pairs.select(col("a"), col("b")).unionByName(prev))
-      // two-phase write: canonicalClusters' frames are checkpointed, so
-      // the read-modify-write does not race with the overwrite
+      // version write: the previous state stays intact until the new
+      // version is fully committed — a mid-write crash loses nothing
+      val next = prevVersion.getOrElse(-1L) + 1
       merged.select(col("doc_id"), col("canonical_id"))
-        .write.mode("overwrite").parquet(stateDir)
+        .write.mode("overwrite").parquet(s"$stateDir/v$next")
+      // retire versions older than the immediate predecessor so a frame
+      // returned for the previous batch remains readable
+      val f = fs(spark)
+      latestVersion(spark).foreach { latest =>
+        f.listStatus(new Path(stateDir)).toSeq
+          .map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith("v") &&
+              scala.util.Try(p.getName.drop(1).toLong)
+                .toOption.exists(_ < latest - 1)
+          }
+          .foreach(p => f.delete(p, true))
+      }
       lastBatchId = batchId
     }
     labels(spark)
