@@ -274,22 +274,12 @@ object Similarity {
       .map(r => normalize(r.getSeq[Long](0).toArray)
         .getOrElse(Array.fill(dim)(0L)))
 
-    val clSchema = StructType(Seq(
-      StructField("cell_id", IntegerType, nullable = false),
-      StructField("cl", ArrayType(LongType, containsNull = false))))
-    def clDf(cs: Array[Array[Long]]): DataFrame =
-      spark.createDataFrame(
-        cs.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }.toSeq.asJava,
-        clSchema)
-
     for (_ <- 0 until iters) {
-      val aff = v7.join(broadcast(clDf(cents)))
-        .select(col("vec_id"), col("xl"), col("cell_id"),
-          longDot(col("xl"), col("cl")).as("aff"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("cell_id").asc)
-      val assigned = aff.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // narrow per-row argmax kernel: the centroid matrix rides inside the
+      // expression — each Lloyd round costs one shuffle-free scan plus the
+      // (cell, dim) sum
+      val assigned = v7.withColumn("cell_id",
+        graft.functions.IvfAssignFunctions.cell_argmax(col("xl"), cents))
       val sums = assigned
         .select(col("cell_id"), posexplode(col("xl")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
@@ -333,19 +323,54 @@ object Similarity {
                        nprobe: Int): DataFrame =
     assignTopCells(queries, centroids, nprobe)
 
+  /**
+   * NARROW cell assignment: centroids fold into the expression itself
+   * (literal grid arrays), and the argmax runs per row with an `aggregate`
+   * lambda — no join, no window, NO SHUFFLE. Exactly the same decision as
+   * [[assignCells]] (exact integer affinities, ties to the lowest cell,
+   * proven in spec), but usable on STREAMING frames (window functions
+   * aren't) and strictly cheaper at scale: assignment becomes part of the
+   * scan stage. Use when the centroid table is bounded (it always is —
+   * that is what makes it a coarse quantizer).
+   */
+  def assignCellsNarrow(vectors: DataFrame,
+                        centroids: Array[(Int, Array[Long])]): DataFrame = {
+    import graft.functions.IvfAssignFunctions.cell_argmax
+    vectors.withColumn("cell_id",
+      cell_argmax(scaled7(col("embedding")), centroidMatrix(centroids)))
+  }
+
+  /** Positional centroid matrix for the assignment kernels: cell ids must
+   * be exactly 0..n-1 (kmeansCentroids guarantees this). */
+  private def centroidMatrix(
+      centroids: Array[(Int, Array[Long])]): Array[Array[Long]] = {
+    require(centroids.nonEmpty, "no centroids")
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1).sameElements(sorted.indices),
+      s"centroid ids must be 0..${centroids.length - 1}")
+    sorted.map(_._2)
+  }
+
+  /** Collect a centroid frame to the driver-side shape
+   * [[assignCellsNarrow]] wants (bounded: nCells × dim grid longs). */
+  def collectCentroids(centroids: DataFrame): Array[(Int, Array[Long])] =
+    centroids.select(col("cell_id"), scaled7(col("centroid")).as("cl"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+
+  /** Both assignment entry points lower to the NARROW per-row kernel —
+   * centroids fold into the expression, so assignment adds no join, no
+   * window, and no shuffle to the plan (scan-stage cost only). */
   private def assignTopCells(vectors: DataFrame, centroids: DataFrame,
                              topN: Int): DataFrame = {
-    val cts = broadcast(
-      centroids.select(col("cell_id"), scaled7(col("centroid")).as("_cl")))
-    val scored = vectors
-      .select(col("vec_id"), col("embedding"), scaled7(col("embedding")).as("_xl"))
-      .join(cts)
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        longDot(col("_xl"), col("_cl")).as("affinity"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("affinity").desc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    import graft.functions.IvfAssignFunctions.cell_topn
+    val m = centroidMatrix(collectCentroids(centroids))
+    if (topN == 1)
+      assignCellsNarrow(vectors, collectCentroids(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+    else
+      vectors.select(col("vec_id"), col("embedding"),
+          explode(cell_topn(scaled7(col("embedding")), m, topN)).as("cell_id"))
   }
 
   /**

@@ -21,15 +21,15 @@ class PlanGuardSpec extends SparkSpec {
   // loop" is a constant-time attach). Everything else must plan hash/merge
   // joins.
   private val intentionalBnlj =
-    Set("knn_brute_cosine", "knn_recall", "knn_ivf_ann",
-      "dedup_semdedup", // IVF cell assignment: corpus × ~50 broadcast centroids
-      "knn_ivfpq_ann",  // same assignment + broadcast ADC tables
-      "emb_pq_residual", // same assignment feeding residual computation
+    Set("knn_brute_cosine", "knn_recall", // brute-force: bounded Q × corpus
       "graph_pagerank", // 1-row dangling-mass attach per iteration
-
       "mix_temperature_sample", "text_lm_score",
       "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
       "q22_sales_opportunity") // 1-row scalar-subquery (avg balance) attach
+  // NOTE: IVF cell assignment no longer joins at all — it lowers to a
+  // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
+  // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must
+  // plan clean
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

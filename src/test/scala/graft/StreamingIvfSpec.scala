@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Similarity
+
+case class IvfVec(vec_id: Long, embedding: Array[Float])
+
+/** Streaming IVF routing: the narrow (shuffle-free) cell assignment must
+ * make exactly the window path's decisions, and work inside a streaming
+ * query where window functions cannot. */
+class StreamingIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.model.Cdc.table(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val cents = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.kmeansCentroids(emb, nCells = 50, iters = 5, dim = 64)
+  }
+
+  test("narrow assignment equals the window-based assignment exactly") {
+    val viaWindow = Similarity.assignCells(emb, cents)
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    val viaNarrow = Similarity
+      .assignCellsNarrow(emb, Similarity.collectCentroids(cents))
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    assert(viaNarrow === viaWindow)
+  }
+
+  test("narrow assignment plans no shuffle (scan-stage kernel)") {
+    val plan = Similarity
+      .assignCellsNarrow(emb, Similarity.collectCentroids(cents))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"narrow assignment must not shuffle:\n$plan")
+  }
+
+  test("streaming embeddings route to cells; counts equal the batch answer") {
+    val local = Similarity.collectCentroids(cents)
+    val batchCounts = Similarity.assignCells(emb, cents)
+      .groupBy($"cell_id").count().as[(Int, Long)].collect().toMap
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[IvfVec]
+    val counts = Similarity.assignCellsNarrow(input.toDF(), local)
+      .groupBy($"cell_id").count()
+    val rows = emb.select($"vec_id", $"embedding").as[IvfVec].collect()
+    // three uneven arrival batches, queued before AvailableNow snapshots
+    input.addData(rows.take(100))
+    input.addData(rows.slice(100, 350))
+    input.addData(rows.drop(350))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("ivf_cells")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ivf_cells").as[(Int, Long)].collect().toMap
+    assert(streamed === batchCounts)
+  }
+}
