@@ -45,8 +45,12 @@ object Graph {
                dampDen: Int = 100): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum,
       s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen")
+    // materialize the edge frame once: every iteration joins against it,
+    // and an un-checkpointed plan would re-run the caller's edge derivation
+    // (scans/joins) per round
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -58,7 +62,7 @@ object Graph {
     val basePart = ((dampDen - dampNum).toLong * r0) / dampDen
 
     var ranks = nodes.select(col("node"), lit(r0).as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val withDeg = ranks.join(deg.withColumnRenamed("src", "node"),
         Seq("node"), "left_outer")
       val contrib = withDeg.filter(col("deg").isNotNull)
@@ -73,7 +77,11 @@ object Graph {
         .select(col("node"), expr(
           s"${basePart}L + (${dampNum}L * (coalesce(in, 0L) + dang DIV ${n}L))" +
             s" DIV ${dampDen}L").as("r"))
-        .localCheckpoint(true)
+      // ranks feeds two branches per round (contributions + dangling), so
+      // an unbroken lineage doubles per iteration — checkpoint every SECOND
+      // round (plan ≤ 4 branches deep): half the job round-trips for the
+      // same flat lineage
+      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
