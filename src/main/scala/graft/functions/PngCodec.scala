@@ -29,6 +29,15 @@ object PngCodec {
   private val Signature =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
+  /**
+   * Hard cap on the decoded (filtered-scanline) buffer. Header dimensions
+   * are attacker-controlled on untrusted image payloads: a 33-byte PNG can
+   * claim 50000×50000 and would otherwise trigger a ~10 GB allocation (or
+   * overflow Int arithmetic into a mis-sized buffer). Mirrors encode()'s
+   * `width.toLong * height` bound.
+   */
+  private val MaxDecodedBytes: Long = Int.MaxValue / 4L
+
   private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Unit =
@@ -167,7 +176,17 @@ object PngCodec {
             case ct => throw new IllegalArgumentException(
               s"unsupported color type $ct (only 8-bit RGB/RGBA)")
           }
+          require(png(pos + 18) == 0,
+            s"unsupported compression method ${png(pos + 18)}")
+          require(png(pos + 19) == 0,
+            s"unsupported filter method ${png(pos + 19)}")
           require(png(pos + 20) == 0, "interlaced PNG unsupported")
+          // Long-checked before any allocation: (stride+1)*height is the
+          // raw buffer below; reject bombs/overflow while IHDR is in hand
+          require(width > 0 && height > 0 &&
+            (width.toLong * bpp + 1L) * height <= MaxDecodedBytes,
+            s"refusing ${width}x$height (decode buffer over " +
+              s"$MaxDecodedBytes bytes)")
         case "IDAT" => idat.write(png, pos + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped

@@ -364,13 +364,15 @@ object Similarity {
   private def assignTopCells(vectors: DataFrame, centroids: DataFrame,
                              topN: Int): DataFrame = {
     import graft.functions.IvfAssignFunctions.cell_topn
-    val m = centroidMatrix(collectCentroids(centroids))
+    // collect ONCE — the centroid plan may be the full k-means job
+    val local = collectCentroids(centroids)
     if (topN == 1)
-      assignCellsNarrow(vectors, collectCentroids(centroids))
+      assignCellsNarrow(vectors, local)
         .select(col("vec_id"), col("embedding"), col("cell_id"))
     else
       vectors.select(col("vec_id"), col("embedding"),
-          explode(cell_topn(scaled7(col("embedding")), m, topN)).as("cell_id"))
+          explode(cell_topn(scaled7(col("embedding")),
+            centroidMatrix(local), topN)).as("cell_id"))
   }
 
   /**

@@ -38,16 +38,33 @@ class StreamingCC(stateDir: String) extends Serializable {
   private def fs(spark: SparkSession) =
     new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Newest committed state version, if any. */
-  private def latestVersion(spark: SparkSession): Option[Long] = {
+  /** Every v<N> dir on disk, committed or not. */
+  private def versionDirs(spark: SparkSession): Seq[(Long, Path)] = {
     val dir = new Path(stateDir)
     val f = fs(spark)
-    if (!f.exists(dir)) None
+    if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
-      .sorted.lastOption
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v"))
+          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
+        else None
+      }
+  }
+
+  /**
+   * Newest COMMITTED state version, if any. A version only counts once its
+   * `_SUCCESS` marker exists: parquet job commit is not atomic and
+   * `mode("overwrite")` creates the directory immediately, so a crash
+   * mid-write leaves a partial v<N> dir that must never be read as current
+   * state (or worse, let the retirement loop delete the last good version).
+   */
+  private def latestVersion(spark: SparkSession): Option[Long] = {
+    val f = fs(spark)
+    versionDirs(spark)
+      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+      .map(_._1).sorted.lastOption
   }
 
   /** Current labeling (empty frame with the right schema if none yet). */
@@ -66,6 +83,13 @@ class StreamingCC(stateDir: String) extends Serializable {
   def processBatch(pairs: DataFrame, batchId: Long): DataFrame = synchronized {
     val spark = pairs.sparkSession
     if (batchId > lastBatchId) {
+      val f = fs(spark)
+      // recovery: drop any uncommitted (no _SUCCESS) version dirs left by a
+      // crashed write before choosing the next version number, so partial
+      // state is never resurrected and never collides with the new write
+      versionDirs(spark)
+        .filter { case (_, p) => !f.exists(new Path(p, "_SUCCESS")) }
+        .foreach { case (_, p) => f.delete(p, true) }
       val prevVersion = latestVersion(spark)
       val prev = labels(spark)
         .select(col("doc_id").as("a"), col("canonical_id").as("b"))
@@ -76,18 +100,16 @@ class StreamingCC(stateDir: String) extends Serializable {
       val next = prevVersion.getOrElse(-1L) + 1
       merged.select(col("doc_id"), col("canonical_id"))
         .write.mode("overwrite").parquet(s"$stateDir/v$next")
-      // retire versions older than the immediate predecessor so a frame
-      // returned for the previous batch remains readable
-      val f = fs(spark)
+      // commit marker: Hadoop writes _SUCCESS by default, but the
+      // crash-safety contract must not depend on that config — touch it
+      val marker = new Path(s"$stateDir/v$next", "_SUCCESS")
+      if (!f.exists(marker)) f.create(marker, true).close()
+      // retire COMMITTED versions older than the immediate predecessor so a
+      // frame returned for the previous batch remains readable
       latestVersion(spark).foreach { latest =>
-        f.listStatus(new Path(stateDir)).toSeq
-          .map(_.getPath)
-          .filter { p =>
-            p.getName.startsWith("v") &&
-              scala.util.Try(p.getName.drop(1).toLong)
-                .toOption.exists(_ < latest - 1)
-          }
-          .foreach(p => f.delete(p, true))
+        versionDirs(spark)
+          .filter { case (v, _) => v < latest - 1 }
+          .foreach { case (_, p) => f.delete(p, true) }
       }
       lastBatchId = batchId
     }

@@ -130,4 +130,33 @@ class PngCodecSpec extends AnyFunSuite {
       PngCodec.decode(bytes.toByteArray))
     assert(e3.getMessage.contains("color type"))
   }
+
+  test("decompression bombs and nonstandard IHDR methods rejected") {
+    // a tiny crafted PNG claiming huge dimensions — the decoder must
+    // reject from the header, before any buffer allocation
+    def ihdrPng(w: Int, h: Int, comp: Byte = 0, filt: Byte = 0) = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      val body = be32(w) ++ be32(h) ++ Array[Byte](8, 6, comp, filt, 0)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(body)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+        be32(body.length) ++ "IHDR".getBytes("US-ASCII") ++ body ++
+        be32(crc.getValue.toInt)
+    }
+    // 50000x50000 RGBA would be a ~10 GB allocation
+    val e1 = intercept[IllegalArgumentException](
+      PngCodec.decode(ihdrPng(50000, 50000)))
+    assert(e1.getMessage.contains("refusing"))
+    // dims whose byte size overflows Int must not wrap into a small buffer
+    val e2 = intercept[IllegalArgumentException](
+      PngCodec.decode(ihdrPng(1 << 16, 1 << 16)))
+    assert(e2.getMessage.contains("refusing"))
+    val e3 = intercept[IllegalArgumentException](
+      PngCodec.decode(ihdrPng(2, 2, comp = 1)))
+    assert(e3.getMessage.contains("compression method"))
+    val e4 = intercept[IllegalArgumentException](
+      PngCodec.decode(ihdrPng(2, 2, filt = 1)))
+    assert(e4.getMessage.contains("filter method"))
+  }
 }

@@ -68,6 +68,30 @@ class StreamingCCSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("a partial version dir from a crashed write is never read as state") {
+    val dir = Files.createTempDirectory("scc").toString + "/state"
+    val cc = new StreamingCC(dir)
+    cc.processBatch(batch1.toDF(), 0L)
+    cc.processBatch(batch2.toDF(), 1L)
+    val committed = cc.labels(spark).as[(Long, Long)].collect().toMap
+    // simulate a crash mid-write of v2: dir exists, parquet partial,
+    // no _SUCCESS marker (overwrite-mode creates the dir up front)
+    val partial = new java.io.File(dir, "v2")
+    assert(partial.mkdirs())
+    Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage — unreadable as parquet
+    // recovery on a fresh instance: labels() must serve v1, not the partial
+    val recovered = new StreamingCC(dir)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === committed)
+    // the next batch must fold on top of v1 and clean the partial dir —
+    // and must NOT have let the retirement loop delete v1 (the last good
+    // version) on the strength of the uncommitted v2
+    recovered.processBatch(batch3.toDF(), 2L)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === batchAnswer(batch1 ++ batch2 ++ batch3))
+  }
+
   test("wired into a real streaming query") {
     val dir = Files.createTempDirectory("scc").toString + "/state"
     val cc = new StreamingCC(dir)
