@@ -266,7 +266,14 @@ object Similarity {
       })
     }
 
+    // materialize the quantized projection ONCE for the whole index build:
+    // every Lloyd round below re-reads it, and without the persist each
+    // round would re-scan the source corpus (5 full corpus reads at 100 TB
+    // for a 5-iteration build). Columnar-narrow (id + grid longs), so the
+    // cached footprint is a fraction of the source table.
     val v7 = vectors.select(col("vec_id"), scaled7(col("embedding")).as("xl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     var cents: Array[Array[Long]] = v7
       .orderBy(col("vec_id")).limit(nCells)
@@ -304,6 +311,7 @@ object Similarity {
       cents.zipWithIndex.map { case (c, i) =>
         Row(i, c.map(x => new JBD(x).movePointLeft(7).doubleValue).toSeq)
       }.toSeq.asJava, outSchema)
+    } finally v7.unpersist(blocking = false)
   }
 
   /**
@@ -519,7 +527,7 @@ object Similarity {
         col("sv.xs").as("xs"))
   }
 
-  private def pqTrainOnSubvectors(sv: DataFrame, k: Int, iters: Int,
+  private def pqTrainOnSubvectors(svIn: DataFrame, k: Int, iters: Int,
                                   subDim: Int)(
       implicit spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -529,6 +537,14 @@ object Similarity {
     /** exact half-away-from-zero rounding of s/n on the integer grid */
     def meanHalfAway(s: Long, n: Long): Long =
       (2 * s + (if (s >= 0) n else -n)) / (2 * n)
+
+    // one materialization per codebook build: every Lloyd round (and the
+    // init, which references sv twice) re-reads the subvector projection —
+    // for residual PQ that projection embeds a full cell-assignment pass,
+    // so re-deriving it per round would re-scan the corpus `iters` times
+    val sv = svIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // init: codeword j of every subspace = vector j's subvector (id order)
     var books: Map[(Int, Int), Array[Long]] = sv
@@ -581,6 +597,7 @@ object Similarity {
       books.toSeq.sortBy(_._1).map { case ((s, c), arr) =>
         Row(s, c, arr.map(x => x.toDouble / 1e7).toSeq)
       }.asJava, outSchema)
+    } finally sv.unpersist(blocking = false)
   }
 
   /**

@@ -42,4 +42,36 @@ class IvfClusteredSpec extends SparkSpec {
     assert(recall.getDouble(0) >= 0.8,
       s"min recall@5 ${recall.getDouble(0)} < 0.8 with nprobe=2/10 on clustered data")
   }
+
+  test("index training materializes the corpus once, not per Lloyd round") {
+    // an accumulator-instrumented source counts every row EVALUATION: if
+    // training re-derived its projection per iteration, a 5-round build
+    // would read the corpus 5+ times — the persist pins it to exactly once
+    val n = 200
+    val dim = 8
+    val acc = spark.sparkContext.longAccumulator("corpus-reads")
+    val rows = (0 until n).map { i =>
+      val rnd = new java.util.Random(i * 31L + 5)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    }
+    val counted = rows.toDS().map { r => acc.add(1); r }
+      .toDF("vec_id", "embedding")
+
+    val cents = Similarity.kmeansCentroids(counted, nCells = 4, iters = 5,
+      dim = dim)(spark)
+    assert(acc.value === n,
+      s"k-means scanned the corpus ${acc.value / n.toDouble}x, want 1x")
+
+    acc.reset()
+    Similarity.pqTrainCodebooks(counted, m = 2, k = 4, iters = 5,
+      dim = dim)(spark)
+    assert(acc.value === n,
+      s"PQ training scanned the corpus ${acc.value / n.toDouble}x, want 1x")
+
+    acc.reset()
+    Similarity.pqTrainResidualCodebooks(counted, cents, m = 2, k = 4,
+      iters = 5, dim = dim)(spark)
+    assert(acc.value === n,
+      s"residual-PQ training scanned the corpus ${acc.value / n.toDouble}x, want 1x")
+  }
 }
