@@ -105,20 +105,33 @@ object Curation {
    * subset is stable across runs/engines/partitionings and reshuffled by
    * changing the seed.
    *
-   * Shape at scale: one rank window partitioned by the stratum. A single
-   * mega-domain serializes its own partition — at 100 TB pre-filter with a
-   * per-(stratum, shard) rank ≤ maxPerStratum first (any hash shard works:
-   * the first-phase cap only needs to over-select), then re-rank the
-   * survivors; the second phase sees ≤ shards·max rows per domain. The
-   * contract below is the exact single-window form.
+   * Shape at scale: TWO-PHASE. Phase 1 ranks within (stratum, hash-shard)
+   * and keeps rank ≤ maxPerStratum per shard — a mega-domain's sort is
+   * spread over `nShards` tasks instead of serializing one. This only
+   * over-selects, never drops: any row in the stratum's true top-max ranks
+   * ≤ max within its own shard too (a within-shard rank is ≤ the stratum
+   * rank for the same order). Phase 2 exact-ranks the survivors — at most
+   * nShards·maxPerStratum rows per stratum regardless of domain size — so
+   * the result is bit-identical to the single-window form for ANY shard
+   * assignment (which is why an engine-local hash is fine here: the shard
+   * choice is invisible in the output, unlike the md5 ranking key).
    */
   def domainCap(docs: DataFrame, stratumCol: String, idCol: String,
-                maxPerStratum: Int, seed: String = "graft"): DataFrame = {
+                maxPerStratum: Int, seed: String = "graft",
+                nShards: Int = 32): DataFrame = {
     require(maxPerStratum >= 1, s"maxPerStratum must be >= 1, got $maxPerStratum")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(sampleKey(col(idCol), seed).asc, col(idCol).asc)
-    docs.withColumn("_rk", row_number().over(w))
+    val key = sampleKey(col(idCol), seed)
+    val w1 = Window
+      .partitionBy(col(stratumCol), pmod(hash(col(idCol)), lit(nShards)))
+      .orderBy(key.asc, col(idCol).asc)
+    val survivors = docs.withColumn("_rk", row_number().over(w1))
+      .filter(col("_rk") <= maxPerStratum)
+      .drop("_rk")
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(key.asc, col(idCol).asc)
+    survivors.withColumn("_rk", row_number().over(w2))
       .filter(col("_rk") <= maxPerStratum)
       .drop("_rk")
   }

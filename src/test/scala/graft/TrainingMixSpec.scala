@@ -103,6 +103,32 @@ class TrainingMixSpec extends SparkSpec {
       .count() === 300)
   }
 
+  test("domainCap two-phase: mega-domain skew spread over shards, result exact") {
+    // a mega-domain 200x the size of the small ones — the RefinedWeb skew
+    // case where a single per-domain window serializes one giant sort
+    val docs = ((1 to 10000).map(i => (i.toLong, "mega")) ++
+      (10001 to 10050).map(i => (i.toLong, s"s${i % 5}")))
+      .toDF("doc_id", "source")
+    val twoPhase = graft.operators.Curation
+      .domainCap(docs, "source", "doc_id", 25)
+    // nShards = 1 degenerates to the exact single-window contract — the
+    // sharded form must select the identical subset
+    val single = graft.operators.Curation
+      .domainCap(docs, "source", "doc_id", 25, nShards = 1)
+    assert(twoPhase.select($"doc_id").as[Long].collect().toSet ===
+      single.select($"doc_id").as[Long].collect().toSet)
+    assert(twoPhase.filter($"source" === "mega").count() === 25)
+    // plan shape: phase 1's window partitions by (stratum, hash shard) —
+    // no task ever sorts a whole mega-domain; phase 2 exact-ranks at most
+    // nShards*max survivors per stratum
+    val winParts = twoPhase.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(winParts.sorted === Seq(1, 2),
+      s"want a 2-key shard window under a 1-key exact window, got $winParts")
+  }
+
   test("pcaTopComponent recovers a planted dominant direction") {
     // x_t = (t, t, 0, 0): covariance = Var(t)·[[1,1,..],[1,1,..],0,0] →
     // top eigenvector ±(1/√2, 1/√2, 0, 0), λ = 2·Var(t)
