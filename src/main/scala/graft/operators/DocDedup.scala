@@ -46,8 +46,15 @@ object DocDedup {
    */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     threshold: Double): DataFrame = {
-    val tokens = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("token"))
+    // tokenize only docs that appear in a candidate pair: the LSH pair
+    // list is tiny relative to the corpus, so a semi-join prune before the
+    // explode bounds the token table by the candidate set instead of
+    // scanning (and exploding) every document
+    val pairIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val tokens = docs.join(pairIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
     val sizes = tokens.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val ta = tokens.select(col("doc_id").as("a"), col("token"))
@@ -90,7 +97,11 @@ object DocDedup {
       .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("b")),
         col("fp") === col("fp_b") && col("a") < col("b"))
       .select(col("a"), col("b"))
-    val sh = shingles(docs, n)
+    // same semi-join prune as jaccardVerify: shingle only candidate docs —
+    // blocking typically leaves a small fraction of the corpus in any pair
+    val pairIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val sh = shingles(docs.join(pairIds, Seq("doc_id"), "left_semi"), n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val sa = sh.select(col("doc_id").as("a"), col("sh"))
     val sb = sh.select(col("doc_id").as("b"), col("sh"))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.functions._
+
+import graft.operators.DocDedup
+
+/**
+ * Pair-verification stages must be bounded by the candidate set, not the
+ * corpus: `jaccardVerify`/`ngramJaccard` semi-join docs against the pair
+ * ids BEFORE the token/shingle explode, so the expensive fan-out scales
+ * with |pairs|, not |corpus|.
+ */
+class DocDedupPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1 to 100).map { i =>
+    // ids 1&2 and 3&4 are real near-dups; everything else is noise that
+    // must never reach the token explode
+    val text = i match {
+      case 1 => "alpha beta gamma delta epsilon zeta"
+      case 2 => "alpha beta gamma delta epsilon eta"
+      case 3 => "one two three four five six seven"
+      case 4 => "one two three four five six eight"
+      case _ => s"noise$i filler$i padding$i word$i extra$i more$i"
+    }
+    (i.toLong, text)
+  }.toDF("doc_id", "text")
+
+  test("jaccardVerify prunes the token explode by the candidate pair set") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = DocDedup.jaccardVerify(pairs, docs, threshold = 0.5)
+    val got = out.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got.keySet === Set((1L, 2L), (3L, 4L)))
+    assert(got((1L, 2L)) === 5.0 / 7.0 && got((3L, 4L)) === 6.0 / 8.0)
+    // the prune is structural: a LeftSemi join sits in the plan
+    val semis = out.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "no semi-join prune in the jaccardVerify plan")
+  }
+
+  test("ngramJaccard shingles only docs that block into a pair") {
+    val out = DocDedup.ngramJaccard(docs, n = 3, prefixK = 5, threshold = 0.3)
+    // only 1&2 and 3&4 share a 5-token prefix fingerprint
+    val got = out.select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+    val semis = out.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "no semi-join prune in the ngramJaccard plan")
+  }
+}
