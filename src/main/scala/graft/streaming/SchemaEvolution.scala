@@ -6,7 +6,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /**
  * Schema evolution for streaming CDC — the Spark analog of the reference
@@ -39,6 +39,105 @@ object SchemaEvolution {
     TableSchema(md, DataType.fromJson(txt).asInstanceOf[StructType])
   }
 
+  /** Outcome of classifying a descriptor diff: the change list is
+   * human-auditable either way; `violations` non-empty means REJECT. */
+  final case class SchemaDiff(changes: Seq[String], violations: Seq[String]) {
+    def compatible: Boolean = violations.isEmpty
+  }
+
+  /** An incompatible DDL reached the stream. The evolution loop throws this
+   * INSTEAD of restarting, at a batch boundary — the checkpoint stays
+   * resumable once the descriptor is fixed. */
+  final class IncompatibleSchemaException(val diff: SchemaDiff)
+    extends RuntimeException(
+      s"incompatible schema change: ${diff.violations.mkString("; ")}")
+
+  /** Lossless widening lattice (the BACKWARD-compatible type promotions:
+   * every old value remains representable — byte⊂short⊂int⊂long,
+   * float⊂double, int-family⊂double, decimal precision growth at fixed
+   * scale). Everything else is a narrowing or a re-interpretation. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
+  }
+
+  /**
+   * Classify a descriptor diff BACKWARD_TRANSITIVE-style, mirroring the
+   * reference registry's evolution rules (docs/modules/ROOT/pages/
+   * cdc-concepts.adoc:76-103): a consumer on the new schema must still read
+   * every event written under the old one.
+   *
+   *  - compatible: added nullable field, lossless type widening, nullability
+   *    relaxation (required → optional); recursively inside struct / array /
+   *    map values.
+   *  - reject: dropped field (a rename shows up as drop + add), narrowed or
+   *    re-interpreted type, added NON-nullable field (old events have no
+   *    value for it), nullability tightening.
+   *
+   * Pairwise checking per restart gives the transitive guarantee: widenings
+   * compose (the lattice is a partial order), so schema_n compatible with
+   * schema_{n-1} for all n implies compatible with every ancestor.
+   */
+  def classify(prev: StructType, next: StructType,
+               path: String = ""): SchemaDiff = {
+    val changes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    def at(name: String) = if (path.isEmpty) name else s"$path.$name"
+
+    def diffType(p: String, f: DataType, t: DataType): Unit = (f, t) match {
+      case (fs: StructType, ts: StructType) =>
+        val d = classify(fs, ts, p)
+        changes ++= d.changes; bad ++= d.violations
+      case (fa: ArrayType, ta: ArrayType) =>
+        if (fa.containsNull && !ta.containsNull)
+          bad += s"$p: array elements tightened to non-null"
+        diffType(s"$p[]", fa.elementType, ta.elementType)
+      case (fm: MapType, tm: MapType) =>
+        if (fm.valueContainsNull && !tm.valueContainsNull)
+          bad += s"$p: map values tightened to non-null"
+        diffType(s"$p{key}", fm.keyType, tm.keyType)
+        diffType(s"$p{value}", fm.valueType, tm.valueType)
+      case _ if f == t => ()
+      case _ if widens(f, t) =>
+        changes += s"$p: widened ${f.simpleString} -> ${t.simpleString}"
+      case _ =>
+        bad += s"$p: ${f.simpleString} -> ${t.simpleString} is not a " +
+          "lossless widening"
+    }
+
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { pf =>
+      nextByName.get(pf.name) match {
+        case None =>
+          bad += s"${at(pf.name)}: dropped (renames are drop + add)"
+        case Some(nf) =>
+          if (pf.nullable && !nf.nullable)
+            bad += s"${at(pf.name)}: nullability tightened"
+          else if (!pf.nullable && nf.nullable)
+            changes += s"${at(pf.name)}: relaxed to nullable"
+          diffType(at(pf.name), pf.dataType, nf.dataType)
+      }
+    }
+    next.fields.foreach { nf =>
+      if (!prevByName.contains(nf.name)) {
+        if (nf.nullable)
+          changes += s"${at(nf.name)}: added nullable ${nf.dataType.simpleString}"
+        else
+          bad += s"${at(nf.name)}: added NON-nullable field (old events " +
+            "carry no value for it)"
+      }
+    }
+    SchemaDiff(changes.toSeq, bad.toSeq)
+  }
+
   /** Write a schema descriptor atomically (temp file + atomic move) so
    * concurrent readers never observe a torn descriptor. */
   def write(schemaDir: String, schema: StructType): Unit = {
@@ -60,6 +159,12 @@ object SchemaEvolution {
    *                   schema (the "converter" being rebuilt per restart)
    * @param onCycleEnd test/ops hook after each cycle (cycle index) — e.g. a
    *                   spec altering the schema mid-stream
+   * Every restart's descriptor diff is classified first ([[classify]]):
+   * an INCOMPATIBLE change (drop/rename/narrow) throws
+   * [[IncompatibleSchemaException]] instead of restarting — the previous
+   * cycle already stopped at a batch boundary, so the checkpoint remains
+   * resumable once the descriptor is fixed (rerun this method).
+   *
    * @return fingerprints of the schema used by each cycle (one entry per
    *         restart + the final converged cycle)
    */
@@ -69,10 +174,16 @@ object SchemaEvolution {
                    onCycleEnd: Int => Unit = _ => (),
                    maxRestarts: Int = 10): Seq[String] = {
     val used = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prevSchema: Option[StructType] = None
     var cycle = 0
     var converged = false
     while (!converged && cycle < maxRestarts) {
       val ts = load(schemaDir)
+      prevSchema.foreach { old =>
+        val diff = classify(old, ts.schema)
+        if (!diff.compatible) throw new IncompatibleSchemaException(diff)
+      }
+      prevSchema = Some(ts.schema)
       used += ts.fingerprint
       val q = spark.readStream.schema(ts.schema).json(eventsDir)
         .transform(transform)

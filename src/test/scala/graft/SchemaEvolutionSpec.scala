@@ -67,6 +67,98 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === 1)
   }
 
+  test("classify: the DDL compatibility matrix") {
+    import SchemaEvolution.classify
+    def ok(p: StructType, n: StructType) =
+      assert(classify(p, n).compatible, classify(p, n).violations.mkString)
+    def rej(p: StructType, n: StructType, why: String) = {
+      val d = classify(p, n)
+      assert(!d.compatible, s"expected rejection: $why")
+      assert(d.violations.exists(_.contains(why)),
+        s"violations ${d.violations} missing '$why'")
+    }
+    val base = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    // compatible: identity, widen, add nullable, relax nullability
+    ok(base, base)
+    ok(base, StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType))))
+    ok(base, StructType(base.fields :+ StructField("c", DoubleType)))
+    ok(StructType(Seq(StructField("a", IntegerType, nullable = false))),
+      StructType(Seq(StructField("a", IntegerType, nullable = true))))
+    ok(base, StructType(Seq(StructField("a", DoubleType),
+      StructField("b", StringType))))
+    // reject: drop, rename (= drop + add), narrow, re-interpret,
+    // non-nullable add, nullability tightening
+    rej(base, StructType(Seq(StructField("a", IntegerType))), "dropped")
+    rej(base, StructType(Seq(StructField("a", IntegerType),
+      StructField("b2", StringType))), "dropped")
+    rej(StructType(Seq(StructField("a", LongType))),
+      StructType(Seq(StructField("a", IntegerType))), "not a lossless")
+    rej(base, StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType))), "not a lossless")
+    rej(base, StructType(base.fields :+
+      StructField("c", IntegerType, nullable = false)), "NON-nullable")
+    rej(base, StructType(Seq(StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType))), "tightened")
+    // decimal: precision growth at fixed scale widens; scale change doesn't
+    ok(StructType(Seq(StructField("d", DecimalType(10, 2)))),
+      StructType(Seq(StructField("d", DecimalType(18, 2)))))
+    rej(StructType(Seq(StructField("d", DecimalType(10, 2)))),
+      StructType(Seq(StructField("d", DecimalType(10, 3)))), "not a lossless")
+    // nested: recursion into struct fields and array elements
+    val nested = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("x", IntegerType))))))
+    ok(nested, StructType(Seq(StructField("s", StructType(Seq(
+      StructField("x", LongType)))))))
+    rej(nested, StructType(Seq(StructField("s", StructType(Seq(
+      StructField("y", IntegerType)))))), "dropped")
+    ok(StructType(Seq(StructField("l", ArrayType(IntegerType)))),
+      StructType(Seq(StructField("l", ArrayType(LongType)))))
+    rej(StructType(Seq(StructField("l", ArrayType(LongType)))),
+      StructType(Seq(StructField("l", ArrayType(IntegerType)))),
+      "not a lossless")
+  }
+
+  test("mid-stream incompatible DDL rejects; checkpoint resumes after the fix") {
+    val tmp = Files.createTempDirectory("graft_ddl_rej").toFile.getAbsolutePath
+    val events = s"$tmp/events"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(events))
+    SchemaEvolution.write(tmp, v1)
+    Files.write(Paths.get(s"$events/e1.json"),
+      """{"event_id":1,"key":10,"v":"a"}
+        |""".stripMargin.getBytes)
+
+    // a bad ALTER lands mid-stream: drop column v (incompatible)
+    val dropped = StructType(v1.fields.filterNot(_.name == "v"))
+    val ex = intercept[SchemaEvolution.IncompatibleSchemaException] {
+      SchemaEvolution.runConverged(spark, events, tmp, out, ckpt,
+        onCycleEnd = { cycle =>
+          if (cycle == 0) {
+            SchemaEvolution.write(tmp, dropped)
+            Files.write(Paths.get(s"$events/e2.json"),
+              """{"event_id":2,"key":11}
+                |""".stripMargin.getBytes, StandardOpenOption.CREATE)
+          }
+        })
+    }
+    assert(ex.diff.violations.exists(_.contains("dropped")))
+    // the rejection happened INSTEAD of a restart — batch 0's output is
+    // committed, the checkpoint is intact
+    assert(spark.read.parquet(out).count() === 1)
+
+    // operator fixes the descriptor with a COMPATIBLE evolution; the same
+    // checkpoint drains the remaining events — nothing lost or duplicated
+    SchemaEvolution.write(tmp, v2)
+    Files.write(Paths.get(s"$events/e3.json"),
+      """{"event_id":3,"key":12,"v":"c","extra":9}
+        |""".stripMargin.getBytes, StandardOpenOption.CREATE)
+    SchemaEvolution.runConverged(spark, events, tmp, out, ckpt)
+    val ids = spark.read.option("mergeSchema", "true").parquet(out)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L), "resume after fix: no loss, no dups")
+  }
+
   test("ddl watcher stops a live query when the fingerprint changes") {
     val tmp = Files.createTempDirectory("graft_ddl_watch").toFile.getAbsolutePath
     val events = s"$tmp/events"
