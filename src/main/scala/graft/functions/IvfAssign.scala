@@ -52,6 +52,34 @@ object IvfAssign {
     val order = (0 until cents.length).sortBy(c0 => (-affs(c0), c0))
     new GenericArrayData(order.take(n).map(Int.box).toArray[Any])
   }
+
+  /** Margin-adaptive probe list: cells within `margin` affinity of the
+   * best cell, ranked (aff desc, cell asc), capped at n. A query that wins
+   * its cell by a wide margin probes 1 cell; a boundary query probes its
+   * contenders — multi-probe IVF with a per-query budget. Exact integer
+   * arithmetic throughout (grid affinities, absolute margin). */
+  def marginProbes(xl: ArrayData, cents: Array[Array[Long]], n: Int,
+                   margin: Long): ArrayData = {
+    val x = xl.toLongArray()
+    val affs = new Array[Long](cents.length)
+    var best = Long.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var aff = 0L
+      var i = 0
+      while (i < ct.length) { aff += x(i) * ct(i); i += 1 }
+      affs(c) = aff
+      if (aff > best) best = aff
+      c += 1
+    }
+    // underflow-safe cut: margin >= distance-to-MinValue means keep all
+    val cut = if (best < Long.MinValue + margin) Long.MinValue
+              else best - margin
+    val order = (0 until cents.length).filter(affs(_) >= cut)
+      .sortBy(c0 => (-affs(c0), c0))
+    new GenericArrayData(order.take(n).map(Int.box).toArray[Any])
+  }
 }
 
 /** `cell_argmax(scaled_vec)` → INT: index of the highest-affinity centroid. */
@@ -112,6 +140,39 @@ case class CellTopN(child: Expression, cents: Array[Array[Long]], n: Int)
     copy(child = c)
 }
 
+/** `cell_margin_probes(scaled_vec)` → ARRAY<INT>: cells within `margin`
+ * affinity of the best, ranked (aff desc, cell asc), capped at n — the
+ * adaptive multi-probe list. */
+case class CellMarginProbes(child: Expression, cents: Array[Array[Long]],
+                            n: Int, margin: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if cents.nonEmpty && n >= 1 && margin >= 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"cell_margin_probes: need non-empty centroids, n >= 1, margin >= 0 " +
+        s"(got n=$n, margin=$margin)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_margin_probes requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfAssign.marginProbes(input.asInstanceOf[ArrayData], cents, n, margin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.IvfAssign.marginProbes($x, $centsRef, $n, ${margin}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CellMarginProbes =
+    copy(child = c)
+}
+
 object IvfAssignFunctions {
   import org.apache.spark.sql.GraftShim
 
@@ -120,4 +181,8 @@ object IvfAssignFunctions {
 
   def cell_topn(c: Column, cents: Array[Array[Long]], n: Int): Column =
     GraftShim.column(CellTopN(GraftShim.expression(c), cents, n))
+
+  def cell_margin_probes(c: Column, cents: Array[Array[Long]], n: Int,
+                         margin: Long): Column =
+    GraftShim.column(CellMarginProbes(GraftShim.expression(c), cents, n, margin))
 }

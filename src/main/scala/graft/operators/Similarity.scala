@@ -332,6 +332,44 @@ object Similarity {
     assignTopCells(queries, centroids, nprobe)
 
   /**
+   * Margin-adaptive probe assignment (multi-probe IVF): each query probes
+   * only the cells within `marginGrid` affinity of its best cell, capped at
+   * `nprobeMax` — an interior query pays 1 probe, a boundary query pays for
+   * its real contenders. At equal average probe cost this beats a fixed
+   * nprobe (the budget concentrates where the quantizer is uncertain); the
+   * `knn_recall` arm measures that claim instead of assuming it. Margin is
+   * an absolute grid-affinity gap (cosine·10¹⁴ units) — exact integers,
+   * same scan-kernel shape as [[assignCellsNarrow]]: no join, no shuffle.
+   */
+  def assignMarginProbeCells(queries: DataFrame, centroids: DataFrame,
+                             nprobeMax: Int, marginGrid: Long): DataFrame = {
+    import graft.functions.IvfAssignFunctions.cell_margin_probes
+    val m = centroidMatrix(collectCentroids(centroids))
+    queries.select(col("vec_id"), col("embedding"),
+      explode(cell_margin_probes(scaled7(col("embedding")), m, nprobeMax,
+        marginGrid)).as("cell_id"))
+  }
+
+  /** IVF ANN with margin-adaptive probing — [[ivfKnn]] with the probe list
+   * from [[assignMarginProbeCells]]. */
+  def ivfMarginKnn(queries: DataFrame, candidates: DataFrame,
+                   centroids: DataFrame, k: Int, nprobeMax: Int,
+                   marginGrid: Long): DataFrame = {
+    val cAssigned = assignCells(candidates, centroids)
+    val qAssigned = assignMarginProbeCells(queries, centroids, nprobeMax,
+        marginGrid)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell_id"))
+    val pairs = broadcast(qAssigned).join(cAssigned, Seq("cell_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val scored = pairs.select(col("q_id"), col("vec_id"),
+      cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * NARROW cell assignment: centroids fold into the expression itself
    * (literal grid arrays), and the argmax runs per row with an `aggregate`
    * lambda — no join, no window, NO SHUFFLE. Exactly the same decision as

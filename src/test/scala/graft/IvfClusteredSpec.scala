@@ -43,6 +43,56 @@ class IvfClusteredSpec extends SparkSpec {
       s"min recall@5 ${recall.getDouble(0)} < 0.8 with nprobe=2/10 on clustered data")
   }
 
+  test("margin-adaptive multi-probe beats fixed nprobe per probe spent") {
+    // corpus: the planted clusters; queries: 5 interior seeds + 5 BOUNDARY
+    // midpoints between consecutive cluster centers, whose true neighbors
+    // straddle two cells. Margin probing detects the contest per query:
+    // interior queries pay 1 probe, boundary queries 2 — fixed probing must
+    // pay 2 everywhere for the same recall.
+    val n = 500
+    val dim = 16
+    val vecs = (0 until n).map { i =>
+      val c = i % 10
+      val rnd = new java.util.Random(i * 7919L + 17)
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c) 1.0f else if (d == (c + 3) % dim) 0.5f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val mids = (0 until 5).map { j =>
+      val v = Array.tabulate(dim) { d =>
+        var x = 0.0f
+        if (d == j) x += 0.5f
+        if (d == (j + 3) % dim) x += 0.25f
+        if (d == j + 1) x += 0.5f
+        if (d == (j + 4) % dim) x += 0.25f
+        x
+      }
+      ((1000 + j).toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, nCells = 10, iters = 5,
+      dim = dim)(spark)
+    val q = vecs.filter($"vec_id" < 5).unionByName(mids)
+    val brute = Similarity.bruteForceKnn(q, vecs, k = 5)
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, brute)
+        .agg(avg($"recall")).collect()(0).getDouble(0)
+
+    val fixed1 = recallOf(Similarity.ivfKnn(q, vecs, cents, k = 5, nprobe = 1))
+    val margin = 10000000000000L // 0.1 grid-cosine contest window
+    val adaptive = recallOf(Similarity.ivfMarginKnn(q, vecs, cents, k = 5,
+      nprobeMax = 4, marginGrid = margin))
+    val avgProbes = Similarity.assignMarginProbeCells(q, cents, 4, margin)
+      .groupBy($"vec_id").agg(count(lit(1)).as("np"))
+      .agg(avg($"np")).collect()(0).getDouble(0)
+    assert(fixed1 <= 0.8, s"boundary queries should hurt nprobe=1 ($fixed1)")
+    assert(adaptive >= 0.99,
+      s"margin probing should recover the straddled neighbors ($adaptive)")
+    assert(avgProbes < 2.0,
+      s"adaptive budget must undercut the fixed nprobe=2 cost ($avgProbes)")
+  }
+
   test("index training materializes the corpus once, not per Lloyd round") {
     // an accumulator-instrumented source counts every row EVALUATION: if
     // training re-derived its projection per iteration, a 5-round build
