@@ -993,6 +993,18 @@ object SparkEntry {
           col("code").cast("long").as("code"), col("sq_err"))
     }),
 
+    "emb_opq_encode" -> ((s, dir) => {
+      // OPQ (parametric family): learned variance-balancing permutation
+      // rotation, then PQ in the rotated space. The oracle replays the
+      // variance ranking, the snake allocation, AND the PQ training —
+      // everything stays on the exact integer grid (see opqEncodeSql).
+      implicit val sp: SparkSession = s
+      Similarity.opqEncode(t(s, dir, "embeddings"), m = 8, k = 16,
+          iters = 3, dim = 64)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
+    }),
+
     "emb_pq_encode" -> ((s, dir) => {
       // product quantization: per-subspace L2 k-means codebooks (m=8 × k=16)
       // trained entirely in exact ×10⁷-grid integer arithmetic, then every
@@ -1761,6 +1773,42 @@ object SparkEntry {
       """
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
            sq_err FROM ccode"""
+
+  /** DuckDB mirror of [[Similarity.opqEncode]]: exact per-dim variance
+   * (n·Σx² − (Σx)² in HUGEINT), rank + snake allocation as window
+   * arithmetic, then the standard PQ chain over the permuted values.
+   * HUGEINT here ≡ Spark's DECIMAL(38,0) — both exact at ≤ 10²³. */
+  private def opqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String = {
+    val permCtes =
+      s"""rv AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         rvals AS MATERIALIZED (SELECT vec_id, i - 1 AS d,
+           CAST(round(round(CAST(embedding[i] AS DOUBLE), 7) * 10000000, 0)
+             AS BIGINT) AS x
+         FROM rv),
+         dvar AS (SELECT d,
+             CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x * x AS HUGEINT))
+             - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS v
+           FROM rvals GROUP BY 1),
+         rk AS (SELECT d,
+             CAST(row_number() OVER (ORDER BY v DESC, d ASC) - 1 AS INTEGER) AS r
+           FROM dvar),
+         pm AS (SELECT d AS src, r,
+             CAST(CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+               ELSE $m - 1 - (r % $m) END AS INTEGER) AS sub
+           FROM rk),
+         pm2 AS (SELECT src, sub,
+             CAST(row_number() OVER (PARTITION BY sub ORDER BY r ASC) - 1
+               AS INTEGER) AS sd
+           FROM pm),
+         pvals AS (SELECT v.vec_id, p.sub, p.sd AS d, v.x
+           FROM rvals v JOIN pm2 p ON v.d = p.src)"""
+    "WITH " + permCtes + ",\n" +
+      pqChainSql(m, k, iters, subDim, valsFrom = Some("pvals")) +
+      """
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           sq_err FROM ccode"""
+  }
 
   /** DuckDB mirror of [[graft.operators.Graph.pageRank]] over the trade
    * graph: every iteration unrolled — pure BIGINT arithmetic (truncating
@@ -2817,6 +2865,7 @@ object SparkEntry {
     // full PQ replay: per-subspace integer k-means + encode — same
     // (m, k, iters, dim/m) as the engine call
     "emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
+    "emb_opq_encode" -> opqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
 
     // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
     // (nCells, iters, threshold) as the engine call

@@ -658,6 +658,77 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("code"), col("sq_err"))
   }
 
+  // ---- OPQ ----------------------------------------------------------------
+
+  /**
+   * OPQ rotation, parametric family (Ge et al., CVPR 2013 "Optimized
+   * Product Quantization" — the eigenvalue-allocation step): PQ's
+   * reconstruction error depends on how variance distributes across the m
+   * subspaces, so learn an orthogonal transform that BALANCES the spectrum
+   * before quantizing. The transform here is a learned PERMUTATION matrix
+   * (orthogonal, every entry exact): dimensions rank by exact grid variance
+   * and snake-allocate across subspaces (rank 0 → sub 0, …, rank m−1 →
+   * sub m−1, rank m → sub m−1, … back), so each subspace receives an
+   * alternating slice of the spectrum. Restricting OPQ's rotation family to
+   * permutations keeps the whole pipeline — variance ranking included — on
+   * the ×10⁷ integer grid, bit-replayable by the SQL oracle; a dense SVD
+   * rotation (the non-parametric OPQ) would not be.
+   *
+   * Variance proxy per dimension: n·Σx² − (Σx)², exact in DECIMAL(38,0)
+   * (≤ ~10²³ at fixture scales) — scale-free (no division), ties broken by
+   * dimension id, so the learned permutation is engine-portable.
+   *
+   * One corpus scan (a posexplode + groupBy on dim); only the dim-sized
+   * variance table reaches the driver.
+   *
+   * @return permutation as newPos → srcDim (0-based), dim entries
+   */
+  def opqPermutation(vectors: DataFrame, m: Int, dim: Int): Array[Int] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dvar = vectors
+      .select(posexplode(scaled7(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(
+        (count(lit(1)).cast(dec) * sum((col("x") * col("x")).cast(dec)) -
+          sum(col("x").cast(dec)) * sum(col("x").cast(dec))).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    require(dvar.size == dim, s"expected $dim dims, saw ${dvar.size}")
+    val ranked = (0 until dim).sortWith { (a, b) =>
+      val c = dvar(a).compareTo(dvar(b))
+      if (c != 0) c > 0 else a < b
+    }.toArray
+    def snakeSub(r: Int): Int =
+      if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
+    val subDim = dim / m
+    val perm = new Array[Int](dim)
+    for (s <- 0 until m) {
+      val dims = ranked.zipWithIndex
+        .collect { case (d, r) if snakeSub(r) == s => d }
+      require(dims.length == subDim, s"snake allocation unbalanced at sub $s")
+      for (j <- dims.indices) perm(s * subDim + j) = dims(j)
+    }
+    perm
+  }
+
+  /** Permute the embedding array to the learned layout (newPos → srcDim).
+   * A permutation is orthogonal, so distances — and therefore codes and
+   * reconstruction errors — live in the same geometry. Narrow codegen'd
+   * projection, no shuffle. */
+  def applyPermutation(vectors: DataFrame, perm: Array[Int]): DataFrame =
+    vectors.withColumn("embedding",
+      array(perm.map(srcD => col("embedding").getItem(srcD)): _*))
+
+  /** OPQ encode: learn the rotation, train PQ codebooks in the rotated
+   * space, encode. Output (vec_id, sub, code, sq_err) like [[pqEncode]];
+   * sq_err is exact in the rotated grid space — directly comparable to raw
+   * PQ's, and ≤ it when the natural dimension order clumps variance (the
+   * spec pins that on a planted-spectrum fixture). */
+  def opqEncode(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val rotated = applyPermutation(vectors, opqPermutation(vectors, m, dim))
+    pqEncode(rotated, pqTrainCodebooks(rotated, m, k, iters, dim), m, dim)
+  }
+
   /**
    * IVF-PQ search — the canonical billion-scale ANN composition (FAISS
    * IVFPQ): queries probe their `nprobe` nearest IVF cells, candidates in
