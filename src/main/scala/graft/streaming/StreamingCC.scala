@@ -17,10 +17,12 @@ import graft.operators.DocDedup
  * labeling IS a set of (id → canonical) edges that exactly preserves the
  * connectivity discovered so far, so re-running CC over
  * (label edges ∪ new pairs) yields the same labeling as batch CC over ALL
- * pairs ever seen — the spec pins that equivalence. Cost per batch is
- * proportional to the current label table + the batch, with the
- * O(log diameter) pointer-halving rounds of the batch kernel; history never
- * replays.
+ * pairs ever seen — the spec pins that equivalence. The fold is DELTA-
+ * SCOPED: only components the batch actually touches enter the iterative
+ * kernel (one semi-join splits the label table into touched and untouched;
+ * untouched labels pass through verbatim), so the expensive O(log diameter)
+ * rounds of joins run over batch ∪ touched-component rows — not the corpus
+ * label table — and history never replays.
  *
  * State is the label table itself — corpus-sized, so it lives in parquet
  * (Hadoop-FS-addressed: local, HDFS, or object store), NOT on the driver.
@@ -76,6 +78,23 @@ class StreamingCC(stateDir: String) extends Serializable {
     }
 
   /**
+   * Split the previous labeling into rows whose COMPONENT the batch
+   * touches (they must re-enter the CC kernel: their canonical can change)
+   * and the untouched rest (passed through verbatim). Touched = canonical
+   * ids reachable from any batch endpoint. Public so the spec can pin that
+   * per-batch work scales with the touched components, not the label table.
+   */
+  def deltaSplit(prev: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+    val batchNodes = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    val touchedCanon = prev.join(batchNodes, "doc_id")
+      .select(col("canonical_id")).distinct()
+    val affected = prev.join(touchedCanon, Seq("canonical_id"), "left_semi")
+    val untouched = prev.join(touchedCanon, Seq("canonical_id"), "left_anti")
+    (affected, untouched)
+  }
+
+  /**
    * Fold a batch of (a, b) similarity pairs into the persistent labeling.
    * Returns the updated labeling. Usable directly inside
    * `writeStream.foreachBatch((df, id) => cc.processBatch(df, id))`.
@@ -91,10 +110,13 @@ class StreamingCC(stateDir: String) extends Serializable {
         .filter { case (_, p) => !f.exists(new Path(p, "_SUCCESS")) }
         .foreach { case (_, p) => f.delete(p, true) }
       val prevVersion = latestVersion(spark)
-      val prev = labels(spark)
-        .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+      // delta scope: the iterative kernel sees batch pairs + the rows of
+      // components the batch touches; every other label passes through
+      val (affected, untouched) = deltaSplit(labels(spark), pairs)
       val merged = DocDedup.canonicalClusters(
-        pairs.select(col("a"), col("b")).unionByName(prev))
+        pairs.select(col("a"), col("b")).unionByName(
+          affected.select(col("doc_id").as("a"), col("canonical_id").as("b"))))
+        .unionByName(untouched.select(col("doc_id"), col("canonical_id")))
       // version write: the previous state stays intact until the new
       // version is fully committed — a mid-write crash loses nothing
       val next = prevVersion.getOrElse(-1L) + 1

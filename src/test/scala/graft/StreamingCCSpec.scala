@@ -68,6 +68,27 @@ class StreamingCCSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("delta fold: per-batch CC input scales with touched components") {
+    val dir = Files.createTempDirectory("scc").toString + "/state"
+    val cc = new StreamingCC(dir)
+    // 5000 two-node components: (2i, 2i+1), canonical 2i
+    val big = (0 until 5000).map(i => CcPair(2L * i, 2L * i + 1))
+    cc.processBatch(big.toDF(), 0L)
+    assert(cc.labels(spark).count() === 10000)
+    // a batch bridging components 0 and 2 touches exactly those two
+    val bridge = Seq(CcPair(1, 3)).toDF("a", "b")
+    val (affected, untouched) = cc.deltaSplit(cc.labels(spark), bridge)
+    assert(affected.count() === 4,
+      "iterative kernel input = the 4 rows of the 2 touched components")
+    assert(untouched.count() === 9996, "everything else passes through")
+    // and the fold result still equals batch CC over the union
+    cc.processBatch(bridge, 1L)
+    val got = cc.labels(spark).as[(Long, Long)].collect().toMap
+    assert(got === batchAnswer(big ++ Seq(CcPair(1, 3))))
+    assert(got(3L) === 0L && got(2L) === 0L, "bridged cluster canon = 0")
+    assert(got(9999L) === 9998L, "untouched component label unchanged")
+  }
+
   test("a partial version dir from a crashed write is never read as state") {
     val dir = Files.createTempDirectory("scc").toString + "/state"
     val cc = new StreamingCC(dir)
