@@ -1050,6 +1050,65 @@ object SparkEntry {
         lower(hex(small.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_jpeg_roundtrip" -> ((s, dir) => {
+      // REAL JPEG content decode: 16x16 grayscale images of four flat 8x8
+      // blocks with EVEN md5-derived values run through the full baseline
+      // codec (FDCT, Annex K quantization, Huffman, byte stuffing, IDCT).
+      // Flat blocks make every AC quantize to 0 and even values at q00=16
+      // make the DC path exactly lossless (JpegCodec scaladoc), so decode
+      // returns the input bit-for-bit and the oracle replays the pixel hex
+      // arithmetically. General content is pinned by the ImageIO
+      // cross-validation spec.
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("j" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    "mm_jpeg_phash" -> ((s, dir) => {
+      // perceptual dedup over JPEG content — the mm_image_phash analog for
+      // the second container format: docs sharing doc_id % 100 carry
+      // identical images; the hash is an average-hash over the four block
+      // values SAMPLED FROM THE DECODED PIXELS (positions (0,0), (0,8),
+      // (8,0), (8,8)), so the real codec sits in the dedup loop
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.JpegFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(
+          md5(concat(seed, lit("j" + i))), 1, 2), 16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
+      val decHex = lower(hex(dec.getField("pixels")))
+      // block corners in the 256-byte gray buffer: bytes 0, 8, 128, 136
+      val vs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      val tot = vs.reduce(_ + _)
+      val phash = vs.zipWithIndex.map { case (v, i) =>
+        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), phash.as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
     "mm_wav_pcm" -> ((s, dir) => {
       // REAL audio content decode: 64 deterministic s16le samples are
       // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
@@ -2889,6 +2948,62 @@ object SparkEntry {
          SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
            || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
          FROM d""",
+
+    // flat-block JPEG round-trip is exactly lossless (even values, q00=16):
+    // the oracle rebuilds the input pixel hex arithmetically
+    "mm_jpeg_roundtrip" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx)
+         SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8), 8) ||
+           repeat(repeat(h2, 8) || repeat(h3, 8), 8) AS px_hex
+         FROM b""",
+
+    // JPEG perceptual dedup: the codec is lossless on the fixture, so the
+    // block values sampled from decoded pixels equal the md5-derived ones
+    "mm_jpeg_phash" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
+             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
+             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
+             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
+               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
+               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
+               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
+             AS BIGINT) AS phash
+           FROM b)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
 
     "mm_wav_pcm" ->
       """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i

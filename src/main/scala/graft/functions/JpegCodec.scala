@@ -1,0 +1,653 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL baseline JPEG codec in pure JVM — no codec libs: marker framing,
+ * quantization tables, canonical Huffman (spec Annex K tables on encode,
+ * tables from the file on decode), byte stuffing, restart markers, FDCT /
+ * IDCT, 4:2:0 / 4:2:2 / 4:4:4 chroma upsampling and YCbCr→RGB. Supported
+ * subset: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, single
+ * interleaved scan, sampling factors 1–2 — the shape ImageIO and libjpeg
+ * emit by default; progressive (SOF2), arithmetic coding and 12-bit are
+ * rejected with precise reasons. Completes the multimodal story next to
+ * [[PngCodec]]: perceptual dedup (`mm_image_phash`-style) can now run on
+ * both container formats.
+ *
+ * Determinism note for the oracle: on FLAT 8×8 blocks the DCT collapses —
+ * every AC is mathematically 0 (quantizes to 0 at any table) and the DC
+ * path is scalar integer arithmetic: decoded = clamp(q00·round(8·(v−128)/
+ * q00)/8 + 128). The `mm_jpeg_roundtrip` fixture keeps v even with q00=16
+ * so no half-way rounding ever occurs and DuckDB replays the decoded
+ * pixels bit-exactly. General (non-flat) content is pinned by the ImageIO
+ * cross-validation spec instead.
+ *
+ * Reference treats blobs opaquely (multimodal columns are engine
+ * extensions); decode-bomb hardening mirrors [[PngCodec.decode]].
+ */
+object JpegCodec {
+
+  /** Decoded image: channels = 1 (gray) or 3 (RGB), row-major pixels. */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** Same bound as [[PngCodec]]: header dims are attacker-controlled. */
+  private val MaxDecodedBytes: Long = Int.MaxValue / 4L
+
+  // ---- Annex K tables (JPEG spec, public) -------------------------------
+
+  /** K.1 luminance quantization, row-major natural order. */
+  private[functions] val StdLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** K.3.1 DC luminance: BITS (codes per length 1..16) + HUFFVAL. */
+  private val StdDcLumaBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcLumaVals = (0 to 11).toArray
+
+  /** K.3.2 AC luminance BITS + HUFFVAL. */
+  private val StdAcLumaBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Zigzag order: zigzag index → natural (row-major) index. */
+  private[functions] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) · C(u)/2 — the separable 1-D DCT basis
+  private val DctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---- Encoder (grayscale baseline) -------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s per spec
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  /** (code, length) per symbol from a BITS/HUFFVAL spec — canonical. */
+  private def canonicalCodes(bits: Array[Int],
+                             vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        m(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  private lazy val EncDc = canonicalCodes(StdDcLumaBits, StdDcLumaVals)
+  private lazy val EncAc = canonicalCodes(StdAcLumaBits, StdAcLumaVals)
+
+  private def bitSize(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /**
+   * Encode an 8-bit grayscale image as a baseline JPEG with the Annex K
+   * luminance quantization + Huffman tables. Width/height need not be
+   * multiples of 8 (edge blocks replicate the last row/column, the
+   * standard approach).
+   */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue / 4, s"bad dims ${width}x$height")
+    require(gray.length == width * height,
+      s"expected ${width * height} pixels, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    // DQT, table 0, 8-bit, zigzag order
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(StdLumaQuant(Zigzag(i))); i += 1 }
+    // SOF0: 8-bit, 1 component, sampling 1x1, qtable 0
+    marker(0xc0); u16(8 + 3); out.write(8); u16(height); u16(width)
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    // DHT: DC table 0 then AC table 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, StdDcLumaBits, StdDcLumaVals)
+    dht(1, StdAcLumaBits, StdAcLumaVals)
+    // SOS: 1 component, DC 0 / AC 0
+    marker(0xda); u16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var prevDc = 0
+    val bh = (height + 7) / 8
+    val bwid = (width + 7) / 8
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bwid) {
+        // load block with edge replication, level-shifted
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, width - 1)
+            block(y * 8 + x) = (gray(sy * width + sx) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // separable FDCT: rows then columns
+        val tmp = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var s = 0.0; var x = 0
+            while (x < 8) { s += block(yy * 8 + x) * DctBasis(u)(x); x += 1 }
+            tmp(yy * 8 + u) = s
+            yy += 1
+          }
+          u += 1
+        }
+        var v = 0
+        while (v < 8) {
+          var uu = 0
+          while (uu < 8) {
+            var s = 0.0; var yy = 0
+            while (yy < 8) { s += tmp(yy * 8 + uu) * DctBasis(v)(yy); yy += 1 }
+            val q = StdLumaQuant(v * 8 + uu)
+            coef(v * 8 + uu) = Math.round(s / q).toInt
+            uu += 1
+          }
+          v += 1
+        }
+        // entropy-code: DC diff then AC run-lengths in zigzag order
+        val dc = coef(0)
+        val diff = dc - prevDc
+        prevDc = dc
+        val s0 = bitSize(diff)
+        val (dcCode, dcLen) = EncDc(s0)
+        bw.put(dcCode, dcLen)
+        if (s0 > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+        var run = 0
+        var zi = 1
+        while (zi < 64) {
+          val ac = coef(Zigzag(zi))
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) {
+              val (c, l) = EncAc(0xf0); bw.put(c, l); run -= 16
+            }
+            val sz = bitSize(ac)
+            val (c, l) = EncAc((run << 4) | sz)
+            bw.put(c, l)
+            bw.put(if (ac >= 0) ac else ac + (1 << sz) - 1, sz)
+            run = 0
+          }
+          zi += 1
+        }
+        if (run > 0) { val (c, l) = EncAc(0x00); bw.put(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- Decoder (baseline, 1 or 3 components) ----------------------------
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // canonical decode tables: minCode/maxCode/valPtr per length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val huffVal: Array[Int] = vals
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) == 0) { maxCode(len) = -1 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var sawMarker = 0 // nonzero = the marker byte that ended entropy data
+
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(pos < data.length, "truncated entropy stream")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "truncated after 0xFF")
+          val m = data(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed byte
+          else { sawMarker = m; b = 0 } // marker: feed zeros (spec behavior)
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decodeHuff(t: HuffTable): Int = {
+      var code = bit()
+      var len = 1
+      while (len <= 16 && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = (code << 1) | bit()
+        len += 1
+      }
+      require(len <= 16, "invalid Huffman code")
+      t.huffVal(t.valPtr(len) + code - t.minCode(len))
+    }
+
+    def reset(): Unit = { acc = 0; nbits = 0; sawMarker = 0 }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def clamp(v: Double): Int = {
+    val r = Math.round(v).toInt
+    if (r < 0) 0 else if (r > 255) 255 else r
+  }
+
+  /** Decode the supported baseline subset; IllegalArgumentException with a
+   * precise reason on anything else. */
+  def decode(jpg: Array[Byte]): Image = {
+    require(jpg.length > 3 && (jpg(0) & 0xff) == 0xff &&
+      (jpg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    var pos = 2
+    def u16(off: Int): Int = ((jpg(off) & 0xff) << 8) | (jpg(off + 1) & 0xff)
+
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    // per component: id, h, v, qId, dcId, acId
+    var comps: Array[(Int, Int, Int, Int)] = null
+    var scanOrder: Array[(Int, Int, Int)] = null // (compIdx, dcId, acId)
+    var restartInterval = 0
+    var sosAt = -1
+
+    while (sosAt < 0) {
+      require(pos + 4 <= jpg.length, "truncated before SOS")
+      require((jpg(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = jpg(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val body = pos + 4
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var p = body
+          while (p < body + len - 2) {
+            val pq = (jpg(p) & 0xff) >> 4
+            val tq = jpg(p) & 0x0f
+            require(tq < 4, s"bad quant table id $tq")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(Zigzag(i)) =
+                if (pq == 0) jpg(p + 1 + i) & 0xff
+                else u16(p + 1 + 2 * i)
+              i += 1
+            }
+            quant(tq) = t
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = body
+          while (p < body + len - 2) {
+            val tc = (jpg(p) & 0xff) >> 4
+            val th = jpg(p) & 0x0f
+            require(tc <= 1 && th < 4, s"bad Huffman table class/id $tc/$th")
+            val bits = Array.tabulate(16)(i => jpg(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => jpg(p + 17 + i) & 0xff)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            p += 17 + n
+          }
+        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+          require((jpg(body) & 0xff) == 8, "only 8-bit precision supported")
+          height = u16(body + 1); width = u16(body + 3)
+          val nc = jpg(body + 5) & 0xff
+          require(nc == 1 || nc == 3, s"unsupported component count $nc")
+          comps = Array.tabulate(nc) { i =>
+            val o = body + 6 + 3 * i
+            val id = jpg(o) & 0xff
+            val h = (jpg(o + 1) & 0xff) >> 4
+            val v = jpg(o + 1) & 0x0f
+            require(h >= 1 && h <= 2 && v >= 1 && v <= 2,
+              s"unsupported sampling ${h}x$v (baseline 1-2 only)")
+            (id, h, v, jpg(o + 2) & 0xff)
+          }
+          require(width > 0 && height > 0 &&
+            width.toLong * height * 3 <= MaxDecodedBytes,
+            s"refusing ${width}x$height (decode buffer over $MaxDecodedBytes)")
+        case 0xc2 => throw new IllegalArgumentException(
+          "progressive JPEG (SOF2) unsupported")
+        case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
+          "arithmetic-coded JPEG unsupported")
+        case 0xdd => restartInterval = u16(body)
+        case 0xda => // SOS
+          require(comps != null, "SOS before SOF")
+          val ns = jpg(body) & 0xff
+          require(ns == comps.length, "scan must cover all components")
+          scanOrder = Array.tabulate(ns) { i =>
+            val cid = jpg(body + 1 + 2 * i) & 0xff
+            val idx = comps.indexWhere(_._1 == cid)
+            require(idx >= 0, s"scan references unknown component $cid")
+            val t = jpg(body + 2 + 2 * i) & 0xff
+            (idx, t >> 4, t & 0x0f)
+          }
+          sosAt = body + len - 2
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case _ => () // APPn/COM/etc: skip
+      }
+      pos += 2 + len
+      if (sosAt >= 0) pos = sosAt
+    }
+
+    val nc = comps.length
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component plane at its natural (subsampled) resolution
+    val planeW = comps.map(c => mcusX * c._2 * 8)
+    val planeH = comps.map(c => mcusY * c._3 * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
+
+    val br = new BitReader(jpg, pos)
+    val prevDc = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val blk = new Array[Double](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // align to byte, expect RSTn
+        br.reset()
+        var p = br.pos
+        while (p + 1 < jpg.length && !((jpg(p) & 0xff) == 0xff &&
+          (jpg(p + 1) & 0xf8) == 0xd0)) p += 1
+        require(p + 1 < jpg.length, "missing restart marker")
+        br.pos = p + 2
+        java.util.Arrays.fill(prevDc, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var si = 0
+      while (si < scanOrder.length) {
+        val (ci, dcId, acId) = scanOrder(si)
+        val (_, ch, cv, cq) = comps(ci)
+        val qt = quant(cq)
+        require(qt != null, s"missing quant table $cq")
+        val dct = dcTables(dcId); val act = acTables(acId)
+        require(dct != null && act != null, "missing Huffman table")
+        var byi = 0
+        while (byi < cv) {
+          var bxi = 0
+          while (bxi < ch) {
+            // decode one block
+            java.util.Arrays.fill(coef, 0)
+            val s0 = br.decodeHuff(dct)
+            require(s0 <= 11, s"bad DC size $s0")
+            prevDc(ci) += extend(br.bits(s0), s0)
+            coef(0) = prevDc(ci) * qt(0)
+            var zi = 1
+            var done = false
+            while (zi < 64 && !done) {
+              val rs = br.decodeHuff(act)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) zi += 16 // ZRL
+                else done = true      // EOB
+              } else {
+                zi += r
+                require(zi < 64, "AC index overflow")
+                coef(Zigzag(zi)) = extend(br.bits(sz), sz) * qt(Zigzag(zi))
+                zi += 1
+              }
+            }
+            // separable IDCT: columns then rows
+            val tmp = new Array[Double](64)
+            var x = 0
+            while (x < 8) {
+              var y = 0
+              while (y < 8) {
+                var s = 0.0; var u = 0
+                while (u < 8) { s += DctBasis(u)(y) * coef(u * 8 + x); u += 1 }
+                tmp(y * 8 + x) = s
+                y += 1
+              }
+              x += 1
+            }
+            val px0 = (mx * ch + bxi) * 8
+            val py0 = (my * cv + byi) * 8
+            var y = 0
+            while (y < 8) {
+              var xx = 0
+              while (xx < 8) {
+                var s = 0.0; var u = 0
+                while (u < 8) { s += DctBasis(u)(xx) * tmp(y * 8 + u); u += 1 }
+                planes(ci)((py0 + y) * planeW(ci) + px0 + xx) =
+                  clamp(s + 128.0).toByte
+                xx += 1
+              }
+              y += 1
+            }
+            bxi += 1
+          }
+          byi += 1
+        }
+        si += 1
+      }
+      mcu += 1
+    }
+
+    // assemble output: upsample by replication, YCbCr→RGB for 3 components
+    if (nc == 1) {
+      val outPx = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * planeW(0), outPx, y * width, width)
+        y += 1
+      }
+      Image(width, height, 1, outPx)
+    } else {
+      val outPx = new Array[Byte](width * height * 3)
+      val (h0, v0) = (comps(0)._2, comps(0)._3)
+      val (h1, v1) = (comps(1)._2, comps(1)._3)
+      val (h2, v2) = (comps(2)._2, comps(2)._3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(ci: Int, ch: Int, cv: Int): Int = {
+            val sx = x * ch / hMax
+            val sy = y * cv / vMax
+            planes(ci)(sy * planeW(ci) + sx) & 0xff
+          }
+          val yy = sample(0, h0, v0)
+          val cb = sample(1, h1, v1) - 128
+          val cr = sample(2, h2, v2) - 128
+          val o = (y * width + x) * 3
+          outPx(o) = clamp(yy + 1.402 * cr).toByte
+          outPx(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr).toByte
+          outPx(o + 2) = clamp(yy + 1.772 * cb).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Image(width, height, 3, outPx)
+    }
+  }
+}
+
+/** `jpeg_encode_gray(width, height, pixels)` → BINARY baseline JPEG.
+ * Encoding is a fixture-synthesis / output edge, not a scan kernel —
+ * CodegenFallback is deliberate (same call as [[PngEncodeExpr]]). */
+case class JpegEncodeGray(w: Expression, h: Expression, px: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(w, h, px)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, px.dataType) match {
+      case (IntegerType, IntegerType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jpeg_encode_gray(INT, INT, BINARY), got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val wv = w.eval(input); val hv = h.eval(input); val pv = px.eval(input)
+    if (wv == null || hv == null || pv == null) null
+    else JpegCodec.encodeGray(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      pv.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): JpegEncodeGray =
+    copy(w = cs(0), h = cs(1), px = cs(2))
+}
+
+/** `jpeg_decode(binary)` → STRUCT<width INT, height INT, channels INT,
+ * pixels BINARY>. */
+case class JpegDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_decode requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val img = JpegCodec.decode(input.asInstanceOf[Array[Byte]])
+    new GenericInternalRow(
+      Array[Any](img.width, img.height, img.channels, img.pixels))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JpegFunctions.decodeRow($c)")
+
+  override protected def withNewChildInternal(c: Expression): JpegDecode =
+    copy(child = c)
+}
+
+object JpegFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** codegen helper: decode to the InternalRow the struct type expects. */
+  def decodeRow(bytes: Array[Byte]): GenericInternalRow = {
+    val img = JpegCodec.decode(bytes)
+    new GenericInternalRow(
+      Array[Any](img.width, img.height, img.channels, img.pixels))
+  }
+
+  def jpeg_encode_gray(w: Column, h: Column, px: Column): Column =
+    GraftShim.column(JpegEncodeGray(GraftShim.expression(w),
+      GraftShim.expression(h), GraftShim.expression(px)))
+
+  def jpeg_decode(c: Column): Column =
+    GraftShim.column(JpegDecode(GraftShim.expression(c)))
+}

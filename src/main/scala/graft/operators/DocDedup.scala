@@ -49,9 +49,14 @@ object DocDedup {
     // tokenize only docs that appear in a candidate pair: the LSH pair
     // list is tiny relative to the corpus, so a semi-join prune before the
     // explode bounds the token table by the candidate set instead of
-    // scanning (and exploding) every document
-    val pairIds = pairs.select(col("a").as("doc_id"))
-      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    // scanning (and exploding) every document. The pair list is persisted
+    // first — it is referenced by both the prune and the intersection
+    // join, and without the persist each reference would re-run the whole
+    // upstream candidate-generation pipeline (LSH is corpus-linear and
+    // heavier than the tokenization the prune saves).
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairIds = p
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
     val tokens = docs.join(pairIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
@@ -59,7 +64,7 @@ object DocDedup {
       .agg(count(lit(1)).as("n_tokens"))
     val ta = tokens.select(col("doc_id").as("a"), col("token"))
     val tb = tokens.select(col("doc_id").as("b"), col("token"))
-    val inter = pairs.join(ta, "a").join(tb, Seq("b", "token"))
+    val inter = p.join(ta, "a").join(tb, Seq("b", "token"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -93,14 +98,18 @@ object DocDedup {
   def ngramJaccard(docs: DataFrame, n: Int, prefixK: Int,
                    threshold: Double): DataFrame = {
     val fp = docs.select(col("doc_id"), prefixFingerprint("text", prefixK).as("fp"))
+    // persisted for the same reason as jaccardVerify: the prune and the
+    // intersection join both consume the pair list — without the persist
+    // each reference re-runs the blocking self-join
     val pairs = fp.select(col("fp"), col("doc_id").as("a"))
       .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("b")),
         col("fp") === col("fp_b") && col("a") < col("b"))
       .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same semi-join prune as jaccardVerify: shingle only candidate docs —
     // blocking typically leaves a small fraction of the corpus in any pair
-    val pairIds = pairs.select(col("a").as("doc_id"))
-      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val pairIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
     val sh = shingles(docs.join(pairIds, Seq("doc_id"), "left_semi"), n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val sa = sh.select(col("doc_id").as("a"), col("sh"))

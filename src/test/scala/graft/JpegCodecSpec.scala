@@ -1,0 +1,155 @@
+package graft
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JpegCodec
+
+/**
+ * Baseline JPEG codec: flat-block round-trips follow the exact scalar DC
+ * formula (the property mm_jpeg_roundtrip's oracle replays), general
+ * content cross-validates against the JDK's own ImageIO codec in BOTH
+ * directions, and unsupported shapes are rejected with precise reasons.
+ */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  /** the scalar DC formula for a flat 8x8 block at quant q00=16 */
+  private def flatRoundTrip(v: Int): Int = {
+    val k = Math.round(8.0 * (v - 128) / 16.0)
+    val r = Math.round(16.0 * k / 8.0 + 128.0).toInt
+    math.max(0, math.min(255, r))
+  }
+
+  test("flat blocks decode to the exact scalar DC formula") {
+    // 16x16 = 2x2 grid of flat blocks with even values (no half-way DC
+    // rounding at q00=16) — the mm_jpeg_roundtrip oracle contract
+    val vals = Array(40, 126, 200, 254)
+    val px = gray(16, 16)((x, y) => vals((y / 8) * 2 + (x / 8)))
+    val jpg = JpegCodec.encodeGray(16, 16, px)
+    val img = JpegCodec.decode(jpg)
+    assert((img.width, img.height, img.channels) === (16, 16, 1))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = flatRoundTrip(vals((y / 8) * 2 + (x / 8)))
+      assert((img.pixels(y * 16 + x) & 0xff) === want,
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("gradient content: our decode matches ImageIO's decode of our bytes") {
+    // smooth, non-wrapping ramp: a 255->0 wrap would add legitimate Gibbs
+    // ringing and turn the source-error bound into a codec-quality test
+    val px = gray(32, 24)((x, y) => x * 5 + y * 4)
+    val jpg = JpegCodec.encodeGray(32, 24, px)
+    val ours = JpegCodec.decode(jpg)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(theirs != null, "ImageIO must accept our baseline JPEG")
+    assert((theirs.getWidth, theirs.getHeight) === (32, 24))
+    var maxDiff = 0
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val a = ours.pixels(y * 32 + x) & 0xff
+      // raster samples: getRGB would run ImageIO's linear->sRGB color
+      // management on grayscale images and corrupt the comparison
+      val b = theirs.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    // independent IDCT implementations: agree within 2 counts
+    assert(maxDiff <= 2, s"cross-codec gray maxDiff $maxDiff")
+    // and both stay near the (lossy) source
+    var srcDiff = 0
+    for (y <- 0 until 24; x <- 0 until 32)
+      srcDiff = math.max(srcDiff,
+        math.abs((ours.pixels(y * 32 + x) & 0xff) - (px(y * 32 + x) & 0xff)))
+    assert(srcDiff <= 24, s"quantization error $srcDiff out of range")
+  }
+
+  test("we decode ImageIO's color JPEGs (4:2:0 and 4:4:4 paths)") {
+    val w = 40; val h = 32
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // smooth ramps (no 255->0 wraps): chroma discontinuities would make
+    // replication-vs-interpolating upsampler differences dominate
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 5 + 20) << 16) | ((y * 6 + 12) << 8) |
+        ((x + y) * 3))
+    val bytes = new java.io.ByteArrayOutputStream()
+    ImageIO.write(src, "jpg", bytes)
+    val jpg = bytes.toByteArray
+    val ours = JpegCodec.decode(jpg)
+    assert((ours.width, ours.height, ours.channels) === (w, h, 3))
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val a = ours.pixels((y * w + x) * 3 + c) & 0xff
+      val rgb = theirs.getRGB(x, y)
+      val b = (rgb >> (16 - 8 * c)) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    // chroma upsampling differs (replication vs fancy): small tolerance
+    assert(maxDiff <= 24, s"cross-codec color maxDiff $maxDiff")
+    // but the vast majority of pixels must be close
+    var close = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (0 until 3).map { c =>
+        math.abs((ours.pixels((y * w + x) * 3 + c) & 0xff) -
+          ((theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff))
+      }.max
+      if (d <= 8) close += 1
+    }
+    assert(close >= w * h * 9 / 10,
+      s"only $close/${w * h} pixels within 8 counts")
+  }
+
+  test("we decode ImageIO's grayscale JPEGs") {
+    val w = 24; val h = 16
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 11 + y * 3) % 256)
+    val bytes = new java.io.ByteArrayOutputStream()
+    ImageIO.write(src, "jpg", bytes)
+    val ours = JpegCodec.decode(bytes.toByteArray)
+    assert((ours.width, ours.height, ours.channels) === (w, h, 1))
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes.toByteArray))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (ours.pixels(y * w + x) & 0xff) -
+          theirs.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"cross-codec gray maxDiff $maxDiff")
+  }
+
+  test("edge-padded dimensions (not multiples of 8) round-trip") {
+    val px = gray(13, 9)((x, y) => 2 * ((x * 3 + y * 7) % 128))
+    val jpg = JpegCodec.encodeGray(13, 9, px)
+    val img = JpegCodec.decode(jpg)
+    assert((img.width, img.height) === (13, 9))
+    var maxDiff = 0
+    for (i <- px.indices)
+      maxDiff = math.max(maxDiff,
+        math.abs((img.pixels(i) & 0xff) - (px(i) & 0xff)))
+    assert(maxDiff <= 24, s"lossy round-trip error $maxDiff out of range")
+  }
+
+  test("unsupported and corrupt input rejected with precise reasons") {
+    val e1 = intercept[IllegalArgumentException](
+      JpegCodec.decode("nope".getBytes))
+    assert(e1.getMessage.contains("SOI"))
+    // progressive: flip SOF0 (0xc0) to SOF2 (0xc2)
+    val base = JpegCodec.encodeGray(8, 8, gray(8, 8)((_, _) => 100))
+    val prog = base.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e2.getMessage.contains("progressive"))
+    // decode-bomb: huge claimed dims must reject before allocation
+    val bomb = base.clone()
+    bomb(sofAt + 5) = 0xff.toByte; bomb(sofAt + 6) = 0xff.toByte // height
+    bomb(sofAt + 7) = 0xff.toByte; bomb(sofAt + 8) = 0xff.toByte // width
+    val e3 = intercept[IllegalArgumentException](JpegCodec.decode(bomb))
+    assert(e3.getMessage.contains("refusing"))
+  }
+}
