@@ -32,9 +32,10 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
 
-    // Two timed passes, min per query: GC / broadcast-cleanup pauses land on
-    // individual executions at random in a 90+-plan session; the min is the
-    // reproducible steady-state cost.
+    // Three timed passes, min per query: GC / broadcast-cleanup pauses land
+    // on individual executions at random in a 100+-plan session; the min is
+    // the reproducible steady-state cost, and min-of-3 pins the tail
+    // variance min-of-2 still leaked (~20% machine-load wobble).
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -45,15 +46,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      val b = timeOnce(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val times = Seq.fill(3)(timeOnce(name, fn))
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // persist the COMPLETE per-query map as an artifact: the driver's
+    // stdout capture windows long lines, which truncates half the queries —
+    // this file is the authoritative record of the full run
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_FULL.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{AvroFunctions, AvroSchemas}
+
+/**
+ * Broker-topic adapter: maps a real message-broker stream (Kafka / Pulsar)
+ * onto the SAME event schema, dedup, enrichment and sink pipeline the
+ * file-based sources feed ([[graft.streaming.CdcPipeline]]).
+ *
+ * The reference consumes its events topic with a Pulsar Key_Shared
+ * subscription (CassandraSource.java:294-306, KeySharedPolicy
+ * autoSplitHashRange) and publishes Avro-encoded (key, mutation) records
+ * (AbstractPulsarMutationSender.java). The Spark equivalents, mapped 1:1:
+ *
+ *  - WIRE SHAPE — Spark's Kafka source (and Pulsar's Spark connector)
+ *    expose `key BINARY, value BINARY, topic STRING, partition INT,
+ *    offset LONG, timestamp TIMESTAMP`; [[fromWire]] decodes that shape
+ *    into the pipeline's event columns with the engine's own Avro codec
+ *    ([[AvroFunctions.from_avro_binary]]), so broker payloads and the
+ *    engine's Avro surface (cdc_keyvalue_avro / cdc_avro_roundtrip) are
+ *    the same bytes.
+ *  - KEY_SHARED ⇒ PER-KEY ORDERED PROCESSING — Key_Shared guarantees one
+ *    consumer sees a key's messages in publish order. Structured Streaming
+ *    gives the same guarantee at the operator level: the stateful dedup
+ *    groups by key (`flatMapGroupsWithState`), so a key's events are
+ *    processed by one task per batch, and the pipeline orders within key
+ *    by (segment, position) — the engine's convergence does NOT depend on
+ *    broker delivery order (reordered/duplicate delivery is the tested
+ *    T3/T4 contract), which is strictly weaker than what Key_Shared
+ *    provides.
+ *  - OFFSETS — broker (partition, offset) plays the role of the commitlog
+ *    (segment, position): both are checkpointed source offsets; replay
+ *    after a crash re-delivers from the last committed offset and the
+ *    digest dedup absorbs the duplicates (T1).
+ *
+ * The sandbox ships no broker and no broker connector jar, so
+ * [[kafkaStream]] is the documented deployment wiring (it needs the
+ * spark-sql-kafka connector on the cluster classpath), while [[fromWire]]/
+ * [[toWire]] — the actual adapter logic — are spec-tested against
+ * wire-shaped frames produced by the engine's own encoder.
+ */
+object BrokerSource {
+
+  /** The pipeline's event columns as carried on the broker value record
+   * (matches [[graft.streaming.StreamEvent]] plus the producer node id). */
+  val EventStruct: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("writetime", LongType, nullable = false),
+    StructField("segment", LongType, nullable = false),
+    StructField("position", IntegerType, nullable = false),
+    StructField("md5Digest", StringType, nullable = false),
+    StructField("nodeId", StringType, nullable = true)))
+
+  /** Broker message key: the partition key alone — what Key_Shared (and
+   * Kafka's partitioner) hash to route a key's records to one consumer. */
+  val KeyStruct: StructType = StructType(Seq(
+    StructField("key", LongType, nullable = false)))
+
+  val eventAvroJson: String =
+    AvroSchemas.forStruct(EventStruct, "mutation", "graft.cdc").toString
+  val keyAvroJson: String =
+    AvroSchemas.forStruct(KeyStruct, "mutation_key", "graft.cdc").toString
+
+  /**
+   * Deployment wiring for a Kafka events topic (requires the
+   * spark-sql-kafka connector jar on the cluster classpath — not shipped
+   * in this sandbox). Compose: `fromWire(kafkaStream(spark, ...))` then
+   * feed the pipeline exactly like the parquet/commitlog sources.
+   */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String,
+                  topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Engine events → broker wire shape: Avro-encoded key and value binary
+   * columns (what the agent-side producer publishes). Streaming-safe
+   * narrow projection. */
+  def toWire(events: DataFrame): DataFrame =
+    events.select(
+      AvroFunctions.to_avro_binary(struct(col("key")), keyAvroJson)
+        .as("key"),
+      AvroFunctions.to_avro_binary(
+        struct(EventStruct.fieldNames.map(col).toIndexedSeq: _*),
+        eventAvroJson).as("value"))
+
+  /** Broker wire frame → the pipeline's event columns. Works on streaming
+   * and batch frames; extra wire columns (topic/partition/offset/...) are
+   * dropped, payload columns come from the Avro value record. */
+  def fromWire(wire: DataFrame): DataFrame =
+    wire.select(
+        AvroFunctions.from_avro_binary(col("value"), eventAvroJson).as("m"))
+      .select(col("m.*"))
+}
