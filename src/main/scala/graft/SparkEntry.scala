@@ -539,6 +539,151 @@ object SparkEntry {
         .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6: pure scan-side predicate + one global agg — the query
+      // whose whole cost is filter pushdown; no join, no shuffle beyond
+      // the final partial-agg exchange
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7 shape: revenue between two nation groups per ship year —
+      // two broadcast nation lookups on different join paths (supplier vs
+      // customer side), symmetric pair filter
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (no partsupp table in the fixture: p_retailprice
+      // stands in for ps_supplycost): nation x year profit =
+      // rev - cost*qty, exact DECIMAL inside the sum
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")) -
+            dec2(col("p_retailprice")) * dec4(col("l_quantity")))
+          .cast("double").as("sum_profit"))
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10: top-20 customers by revenue lost to returns in a
+      // quarter — join + agg + deterministic top-k (revenue desc, custkey)
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "q12_shipmode_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape (fixture has no shipmode/commitdate: linestatus
+      // buckets late shipments instead): orders shipped >60 days after
+      // placement in 1997, split high/low priority per bucket
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    "q14_promo_effect" -> ((s, dir) => {
+      // TPC-H Q14: promo revenue share in a month — conditional DECIMAL
+      // sums, one division at the very end (both engines divide the same
+      // two doubles)
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val rev = dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev))
+            .cast("double") / sum(rev).cast("double")).as("promo_revenue"))
+    }),
+
+    "q19_discounted_revenue" -> ((s, dir) => {
+      // TPC-H Q19: OR'd composite brackets over (brand, size, quantity) —
+      // the disjunctive-pushdown query; a single join with the whole
+      // bracket predicate, no union of scans
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+            col("l_quantity").between(20, 40)))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q20_promo_suppliers" -> ((s, dir) => {
+      // TPC-H Q20 shape (no partsupp: shipped-quantity threshold replaces
+      // availqty): suppliers who moved >400 units of PROMO parts in 1997 —
+      // the nested semi-join chain, aggregated to supplier grain BEFORE
+      // joining supplier/nation
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val big = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 400.0)
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(big, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("total_qty"))
+    }),
+
     "q18_large_volume" -> ((s, dir) => {
       // TPC-H Q18 shape: customers with orders above a quantity threshold —
       // agg-in-semi-join; the HAVING side collapses lineitem to order grain
@@ -2203,6 +2348,103 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY n_name""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))
+           - CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSql AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) > 60
+         GROUP BY 1""",
+
+    "q14_promo_effect" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
+
+    "q19_discounted_revenue" ->
+      s"""SELECT $revenueSql AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+             AND l_quantity BETWEEN 20 AND 40)""",
+
+    "q20_promo_suppliers" ->
+      """WITH big AS (SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'PROMO'
+           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           AS DOUBLE) > 400.0)
+         SELECT s_suppkey, s_name, n_name, total_qty
+         FROM supplier JOIN big ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey""",
 
     "q18_large_volume" ->
       """WITH big AS (SELECT l_orderkey,
