@@ -684,6 +684,52 @@ object SparkEntry {
           col("total_qty"))
     }),
 
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape (no partsupp: shipped extendedprice*quantity stands
+      // in for supplycost*availqty): parts whose value in NATION_1's supply
+      // is above the average part value — the global-scalar-threshold
+      // query. The 1-row (total, n_parts) agg attaches by broadcast (the
+      // plan a scalar subquery lowers to; whitelisted in PlanGuardSpec —
+      // the broadcast side is exactly one row); the threshold compare
+      // happens in DOUBLE on both engines (identical IEEE arithmetic on
+      // identical DECIMAL sums).
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_12"))
+      val pv = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_quantity")))
+          .as("value_d"))
+      val tot = pv.agg(sum(col("value_d")).as("tot_d"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_d").cast("double") * col("n_parts").cast("double")
+          >= col("tot_d").cast("double"))
+        .select(col("l_partkey"), col("value_d").cast("double")
+          .as("part_value"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: the supplier(s) with maximum revenue in a quarter — the
+      // scalar-MAX-subquery shape. The max rides back onto the revenue
+      // frame as an exact DECIMAL equi-join (no double compare, no window
+      // over a single global partition), then supplier attaches by key.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = l.groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+          dec4(lit(1.0) - col("l_discount"))).as("rev_d"))
+      val maxRev = rev.agg(max(col("rev_d")).as("rev_d_max"))
+      val sup = t(s, dir, "supplier")
+      rev.join(broadcast(maxRev), col("rev_d") === col("rev_d_max"))
+        .join(sup, col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+    }),
+
     "q18_large_volume" -> ((s, dir) => {
       // TPC-H Q18 shape: customers with orders above a quantity threshold —
       // agg-in-semi-join; the HAVING side collapses lineitem to order grain
@@ -2445,6 +2491,33 @@ object SparkEntry {
          SELECT s_suppkey, s_name, n_name, total_qty
          FROM supplier JOIN big ON s_suppkey = l_suppkey
          JOIN nation ON s_nationkey = n_nationkey""",
+
+    "q11_important_stock" ->
+      """WITH pv AS (SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS value_d
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_12')
+         GROUP BY 1)
+         SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+         FROM pv
+         WHERE CAST(value_d AS DOUBLE)
+             * CAST((SELECT COUNT(*) FROM pv) AS DOUBLE)
+           >= (SELECT CAST(SUM(value_d) AS DOUBLE) FROM pv)""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev_d
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE rev_d = (SELECT MAX(rev_d) FROM rev)""",
 
     "q18_large_volume" ->
       """WITH big AS (SELECT l_orderkey,
