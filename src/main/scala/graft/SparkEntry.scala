@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis, TrainingMix}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -76,6 +76,20 @@ object SparkEntry {
     memoizedFrame(s, dir, "pqr")(
       Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
         ivfCentroids(s, dir), m = 8, k = 16, iters = 3, dim = 64)(s))
+
+  /** Learned BPE merges, memoized per (session, dir) like the ANN index
+   * builds: the trainer collects one argmax row per round, and both
+   * text_bpe_* queries (and Bench's passes) share the result. */
+  private val bpeRounds = 8
+  private val bpeCache = scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val key =
+      s"bpe|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+    bpeCache.synchronized {
+      bpeCache.getOrElseUpdate(key,
+        Bpe.train(t(s, dir, "documents"), bpeRounds))
+    }
+  }
 
   /** Trade-graph edges for graph_pagerank: both directions of every
    * distinct (customer, supplier) pair on a keyed order slice; customers
@@ -1010,6 +1024,20 @@ object SparkEntry {
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.regexTokenCount(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
+
+    "text_bpe_merges" -> ((s, dir) =>
+      // BPE vocabulary induction: 8 merge rounds over the corpus word-freq
+      // dictionary; each round's winning adjacent pair (argmax weighted
+      // count, ties lexicographic) is exact integer arithmetic, so the
+      // whole training trajectory replays in the oracle (unrolled WITH
+      // chain, like the k-means/PCA/PageRank iterative oracles)
+      Bpe.mergeTable(s, bpeMerges(s, dir))),
+
+    "text_bpe_tokenize" -> ((s, dir) =>
+      // apply the learned merges: per-doc word/token counts + fertility
+      // via one broadcast word→pieces dictionary join over the corpus
+      // explode — the production tokenizer-cache shape
+      Bpe.tokenize(t(s, dir, "documents"), bpeMerges(s, dir))),
 
     "curate_quality_sample" -> ((s, dir) => {
       // perplexity-style quality cut: keep the top 25% of each language's
@@ -2024,6 +2052,40 @@ object SparkEntry {
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
            sq_err FROM ccode"""
 
+  /** DuckDB mirror of [[graft.operators.Bpe]] training: w0 is the word
+   * dictionary in BPE working form ("(h)(e)(l)(l)(o)"), then per round i
+   * the adjacent-pair counts (x$i explode → p$i integer groupBy), the
+   * argmax b$i (ties lexicographic on (l, r)), and the rewritten
+   * dictionary w${i+1} via the same literal non-overlapping replace the
+   * engine runs (parenthesized symbols share no characters between
+   * adjacent matches, so one pass ≡ canonical greedy merging).
+   * Unrolled WITH chain like the k-means / PCA / PageRank oracles. */
+  private def bpeChainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           regexp_replace(word, '(.)', '(\1)', 'g') AS s
+         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+             AS word FROM documents)
+         WHERE word <> '' GROUP BY 1)"""
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+         x$i AS (SELECT freq, syms,
+           unnest(generate_series(1, len(syms) - 1)) AS i
+           FROM (SELECT freq, string_split(trim(s, '()'), ')(') AS syms
+                 FROM w$i)),
+         p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+           CAST(SUM(freq) AS BIGINT) AS cnt FROM x$i GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         w${i + 1} AS MATERIALIZED (SELECT word, freq, replace(s,
+           '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
+           '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') AS s
+           FROM w$i)"""
+    }
+    sb.result()
+  }
+
   /** DuckDB mirror of [[Similarity.opqEncode]]: exact per-dim variance
    * (n·Σx² − (Σx)² in HUGEINT), rank + snake allocation as window
    * arithmetic, then the standard PQ chain over the permuted values.
@@ -2666,6 +2728,27 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
          FROM documents""",
+
+    "text_bpe_merges" -> (bpeChainSql(bpeRounds) + s""",
+         m AS (${(0 until bpeRounds).map(i =>
+        s"SELECT $i AS round, l, r, cnt FROM b$i").mkString("\n           UNION ALL ")})
+         SELECT CAST(round AS INTEGER) AS round, l AS left_sym,
+           r AS right_sym, cnt FROM m"""),
+
+    "text_bpe_tokenize" -> (bpeChainSql(bpeRounds) + s""",
+         wt AS (SELECT word,
+           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
+             AS w_tokens
+           FROM w$bpeRounds),
+         dw AS (SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+           FROM documents)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS fertility
+         FROM dw JOIN wt USING (word)
+         WHERE word <> '' GROUP BY 1"""),
 
     "curate_stratified_sample" ->
       """WITH d AS (SELECT doc_id,

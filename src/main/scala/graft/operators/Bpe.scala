@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding tokenizer training and application over the
+ * `documents` table — the vocabulary-induction step every LLM data
+ * pipeline runs before token counting, packing, and mixing (Sennrich et
+ * al., ACL 2016 "Neural Machine Translation of Rare Words with Subword
+ * Units"). Extension surface beyond the reference (it has no text
+ * tooling); grouped here with the other training-data operators.
+ *
+ * Scale design (100 TB): the corpus is touched exactly ONCE — the word
+ * explode that builds the (word, freq) dictionary. Every merge round then
+ * runs on that dictionary alone, which is vocabulary-sized (≪ corpus; the
+ * classic Zipf collapse), persisted once and reused across all rounds.
+ * Per round the engine ships ONE row to the driver (the argmax pair), the
+ * same bounded-state pattern as the k-means centroid collect. Applying the
+ * learned merges is a per-word dictionary lookup: token counts broadcast
+ * back onto the corpus explode, so tokenization is one hash join against a
+ * broadcast dictionary — how production tokenizers cache word → pieces.
+ *
+ * Everything stays engine-portable: pair counting is an exact integer
+ * groupBy, argmax ties break lexicographically on (left, right), and a
+ * merge is a literal non-overlapping left-to-right `replace` — identical
+ * semantics in Spark's StringReplace and the oracle's replace(), so
+ * training is bit-replayable by the DuckDB oracle (same shape as the
+ * k-means / PCA / PageRank iterative oracles).
+ *
+ * Symbol representation: each symbol is parenthesized and concatenated —
+ * "hello" → "(h)(e)(l)(l)(o)" — so a merge is replace("(l)(r)" → "(lr)").
+ * Adjacent matches share NO characters (unlike a space-delimited form,
+ * where consecutive occurrences share the delimiter and a single replace
+ * pass would skip every other merge in a run like "aaaa"), which makes the
+ * literal single-pass replace exactly canonical greedy left-to-right BPE
+ * merging (Sennrich's lookaround-anchored re.sub).
+ */
+object Bpe {
+
+  /** One learned merge: round index, the two symbols joined, and the
+   * weighted adjacent-pair count that won the round. */
+  final case class Merge(round: Int, left: String, right: String, cnt: Long)
+
+  /**
+   * (word, freq, s) dictionary: corpus words lowercased and split on
+   * non-letter runs, frequency-counted, with the BPE working form `s` =
+   * the word as a parenthesized symbol sequence ("(h)(e)(l)(l)(o)").
+   */
+  def wordDict(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", "($1)"))
+
+  /** The working form split back into its symbol array: strip the outer
+   * parens, split on the ")(" seams. */
+  private def symbols(s: Column): Column =
+    split(trim(s, "()"), "\\)\\(")
+
+  /** Apply a merge list to the working-form column, in order. */
+  private def applyMerges(s: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(s) { (acc, m) =>
+      call_function("replace", acc,
+        lit(s"(${m.left})(${m.right})"), lit(s"(${m.left}${m.right})"))
+    }
+
+  /**
+   * Learn `rounds` merges: each round counts adjacent symbol pairs across
+   * the dictionary weighted by word frequency, takes the max-count pair
+   * (ties → lexicographic (left, right)), and rewrites the dictionary.
+   * Rewrites compose lazily as stacked replaces over the persisted base
+   * dictionary, so no per-round materialization is needed. Stops early if
+   * every word has collapsed to a single symbol.
+   */
+  def train(docs: DataFrame, rounds: Int): Seq[Merge] = {
+    val base = wordDict(docs).persist()
+    try {
+      val learned = Seq.newBuilder[Merge]
+      var merges = Seq.empty[Merge]
+      var exhausted = false
+      for (i <- 0 until rounds if !exhausted) {
+        val syms = symbols(applyMerges(col("s"), merges))
+        val top = base
+          .select(col("freq"),
+            explode(arrays_zip(
+              slice(syms, lit(1), size(syms) - 1).as("l"),
+              slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+          .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
+          .groupBy(col("l"), col("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val m = Merge(i, top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          learned += m
+          merges = merges :+ m
+        }
+      }
+      learned.result()
+    } finally base.unpersist()
+  }
+
+  /** The learned merge table as a frame: (round, left_sym, right_sym, cnt).
+   * Values are driver-local but derive entirely from the distributed
+   * training aggregations. */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.round, m.left, m.right, m.cnt))
+      .toDF("round", "left_sym", "right_sym", "cnt")
+  }
+
+  /**
+   * Tokenize: per-document word and token counts under the learned merges,
+   * plus fertility (tokens per word — the tokenizer-quality number
+   * vocab-size decisions are made on). The word → token-count dictionary
+   * is computed once and broadcast; the corpus side is a narrow explode +
+   * one broadcast hash join.
+   */
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wtok = wordDict(docs)
+      .select(col("word"),
+        size(symbols(applyMerges(col("s"), merges))).as("w_tokens"))
+    val docWords = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+    docWords
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+}

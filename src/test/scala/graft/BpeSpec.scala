@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/tokenizer: hand-derived merge trajectory on the classic
+ * fixture, greedy-replace semantics, and tokenize invariants. */
+class BpeSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("learns the hand-derived merge sequence on the classic corpus") {
+    // word freqs: low×5, lower×2, newest×6, widest×3 (Sennrich's example).
+    // Pair counts, round 1: (e,s)=9, (s,t)=9, (w,e)=8(lower,newest)... the
+    // argmax ties (e,s)/(s,t) at 9 → lexicographic picks (e,s).
+    val d = docs(
+      ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim)
+    val merges = Bpe.train(d, 4)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // counts: es=9 (newest 6 + widest 3), est=9, lo=7 (low 5 + lower 2)
+    assert(merges.map(_.cnt) == Seq(9L, 9L, 7L, 7L))
+  }
+
+  test("merge application is canonical greedy left-to-right on runs") {
+    // "aaaa" → pairs (a,a) cnt 3 → merge (a,a). Canonical greedy pass
+    // pairs positions (0,1) and (2,3): "(aa)(aa)" — the parenthesized
+    // representation makes the literal replace do exactly this (a
+    // space-delimited form would strand "(aa)(a)(a)" because adjacent
+    // matches share the delimiter). Round 2 then merges (aa,aa).
+    val d = docs("aaaa")
+    val merges = Bpe.train(d, 2)
+    assert(merges.map(m => (m.left, m.right, m.cnt)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+    val tok = Bpe.tokenize(d, merges).collect().head
+    assert(tok.getAs[Long]("n_tokens") == 1L)
+  }
+
+  test("tokenize: fertility shrinks monotonically with more merges") {
+    val d = docs("lower lowest newest widest low low new wide",
+      "newest lowest low lower wide new")
+    val m4 = Bpe.train(d, 4)
+    val m8 = Bpe.train(d, 8)
+    def total(ms: Seq[Bpe.Merge]) = Bpe.tokenize(d, ms)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val (t0, t4, t8) = (total(Nil), total(m4), total(m8))
+    assert(t0 > t4 && t4 >= t8)
+    // zero merges ⇒ tokens = characters of the letter runs
+    val chars = d.select(sum(length(regexp_replace(col("text"), "[^a-z]", ""))))
+      .collect().head.getLong(0)
+    assert(t0 == chars)
+  }
+
+  test("single-letter words survive training and tokenize to one token") {
+    val d = docs("a b a b a")
+    assert(Bpe.train(d, 3).isEmpty) // no adjacent pairs anywhere
+    val rows = Bpe.tokenize(d, Nil).collect()
+    assert(rows.head.getAs[Long]("n_tokens") == 5L)
+  }
+}
