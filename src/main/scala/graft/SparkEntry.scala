@@ -1039,6 +1039,11 @@ object SparkEntry {
       // explode — the production tokenizer-cache shape
       Bpe.tokenize(t(s, dir, "documents"), bpeMerges(s, dir))),
 
+    "text_bpe_vocab" -> ((s, dir) =>
+      // the shipped artifact: surviving symbols with corpus frequencies
+      // (dictionary-sized — the corpus is never touched)
+      Bpe.vocab(t(s, dir, "documents"), bpeMerges(s, dir))),
+
     "curate_quality_sample" -> ((s, dir) => {
       // perplexity-style quality cut: keep the top 25% of each language's
       // documents by corpus-trained LM score (ties by doc_id) — the CCNet
@@ -2749,6 +2754,13 @@ object SparkEntry {
              AS fertility
          FROM dw JOIN wt USING (word)
          WHERE word <> '' GROUP BY 1"""),
+
+    "text_bpe_vocab" -> (bpeChainSql(bpeRounds) + s""",
+         sy AS (SELECT freq,
+           unnest(string_split(trim(s, '()'), ')(')) AS symbol
+           FROM w$bpeRounds)
+         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+         FROM sy GROUP BY 1"""),
 
     "curate_stratified_sample" ->
       """WITH d AS (SELECT doc_id,

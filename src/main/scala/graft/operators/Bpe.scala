@@ -116,6 +116,18 @@ object Bpe {
   }
 
   /**
+   * The vocabulary the trained tokenizer ships: every surviving symbol
+   * with its corpus frequency (occurrences weighted by word frequency).
+   * Dictionary-sized explode — the corpus is never touched.
+   */
+  def vocab(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    wordDict(docs)
+      .select(col("freq"),
+        explode(symbols(applyMerges(col("s"), merges))).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /**
    * Tokenize: per-document word and token counts under the learned merges,
    * plus fertility (tokens per word — the tokenizer-quality number
    * vocab-size decisions are made on). The word → token-count dictionary

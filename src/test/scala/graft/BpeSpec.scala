@@ -55,6 +55,31 @@ class BpeSpec extends SparkSpec {
     assert(t0 == chars)
   }
 
+  test("vocab frequencies account for every token exactly once") {
+    val d = docs("lower newest widest low", "newest low low wide")
+    val merges = Bpe.train(d, 5)
+    val vocabTotal = Bpe.vocab(d, merges)
+      .agg(sum("freq")).collect().head.getLong(0)
+    val tokenTotal = Bpe.tokenize(d, merges)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(vocabTotal == tokenTotal)
+  }
+
+  test("training scans the corpus once, not per merge round") {
+    // accumulator-instrumented source (the IvfClusteredSpec pattern): the
+    // persisted word dictionary pins the corpus explode to one evaluation;
+    // 8 rounds re-deriving it would show 8x
+    import spark.implicits._
+    val n = 50
+    val acc = spark.sparkContext.longAccumulator("corpus-reads")
+    val texts = (0 until n).map(i => (i.toLong, s"lower newest widest low$i"))
+    val counted = texts.toDS().map { r => acc.add(1); r }
+      .toDF("doc_id", "text")
+    Bpe.train(counted, rounds = 8)
+    assert(acc.value === n,
+      s"BPE training scanned the corpus ${acc.value / n.toDouble}x, want 1x")
+  }
+
   test("single-letter words survive training and tokenize to one token") {
     val d = docs("a b a b a")
     assert(Bpe.train(d, 3).isEmpty) // no adjacent pairs anywhere
