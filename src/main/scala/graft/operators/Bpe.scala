@@ -116,6 +116,26 @@ object Bpe {
   }
 
   /**
+   * Narrow tokenizer: the per-word token count as a pure expression (the
+   * merge list folds into stacked literal replaces — no dictionary join,
+   * no extra state), so the same code runs unchanged on STREAMING frames;
+   * the per-doc rollup is Spark's standard streaming aggregation. Use
+   * [[tokenize]] when word repetition makes the broadcast dictionary cache
+   * worth it; use this for streams or long-tail vocabularies.
+   */
+  def tokenizeNarrow(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("w_tokens", size(symbols(applyMerges(
+        regexp_replace(col("word"), "(.)", "($1)"), merges))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+
+  /**
    * The vocabulary the trained tokenizer ships: every surviving symbol
    * with its corpus frequency (occurrences weighted by word frequency).
    * Dictionary-sized explode — the corpus is never touched.

@@ -80,6 +80,41 @@ class BpeSpec extends SparkSpec {
       s"BPE training scanned the corpus ${acc.value / n.toDouble}x, want 1x")
   }
 
+  test("narrow tokenizer matches the dictionary-join tokenizer") {
+    val d = docs("lower newest widest low", "newest low low wide a")
+    val merges = Bpe.train(d, 6)
+    val viaDict = Bpe.tokenize(d, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val narrow = Bpe.tokenizeNarrow(d, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(narrow.sameElements(viaDict))
+  }
+
+  test("learned merges tokenize a live stream (no dictionary state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq((0L, "lower newest widest low"),
+      (1L, "newest low low wide"), (2L, "wide wide lower"))
+    val merges = Bpe.train(texts.toDF("doc_id", "text"), 6)
+    val expected = Bpe.tokenizeNarrow(texts.toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+
+    val in = MemoryStream[(Long, String)]
+    val q = Bpe.tokenizeNarrow(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream_tok")
+      .outputMode("complete").start()
+    try {
+      in.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      in.addData(texts.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("single-letter words survive training and tokenize to one token") {
     val d = docs("a b a b a")
     assert(Bpe.train(d, 3).isEmpty) // no adjacent pairs anywhere
