@@ -2083,9 +2083,11 @@ object SparkEntry {
            CAST(SUM(freq) AS BIGINT) AS cnt FROM x$i GROUP BY 1, 2),
          b$i AS MATERIALIZED (
            SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         w${i + 1} AS MATERIALIZED (SELECT word, freq, replace(s,
+         w${i + 1} AS MATERIALIZED (SELECT word, freq,
+           CASE WHEN (SELECT COUNT(*) FROM b$i) = 0 THEN s
+           ELSE replace(s,
            '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
-           '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') AS s
+           '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') END AS s
            FROM w$i)"""
     }
     sb.result()

@@ -363,6 +363,12 @@ object JpegCodec {
       require((jpg(pos) & 0xff) == 0xff, f"expected marker at $pos")
       val m = jpg(pos + 1) & 0xff
       val len = u16(pos + 2)
+      // every body read below is bounded by `end`, so a length field
+      // pointing past the buffer fails here with a precise reason instead
+      // of an ArrayIndexOutOfBoundsException mid-parse
+      require(len >= 2, s"bad segment length $len at $pos")
+      val end = pos + 2 + len
+      require(end <= jpg.length, f"truncated segment 0xff$m%02x at $pos")
       val body = pos + 4
       m match {
         case 0xdb => // DQT: one or more tables
@@ -371,6 +377,8 @@ object JpegCodec {
             val pq = (jpg(p) & 0xff) >> 4
             val tq = jpg(p) & 0x0f
             require(tq < 4, s"bad quant table id $tq")
+            require(p + 1 + (if (pq == 0) 64 else 128) <= end,
+              "truncated quantization table")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) {
@@ -388,18 +396,22 @@ object JpegCodec {
             val tc = (jpg(p) & 0xff) >> 4
             val th = jpg(p) & 0x0f
             require(tc <= 1 && th < 4, s"bad Huffman table class/id $tc/$th")
+            require(p + 17 <= end, "truncated Huffman BITS")
             val bits = Array.tabulate(16)(i => jpg(p + 1 + i) & 0xff)
             val n = bits.sum
+            require(p + 17 + n <= end, "truncated Huffman HUFFVAL")
             val vals = Array.tabulate(n)(i => jpg(p + 17 + i) & 0xff)
             val t = new HuffTable(bits, vals)
             if (tc == 0) dcTables(th) = t else acTables(th) = t
             p += 17 + n
           }
         case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+          require(body + 6 <= end, "truncated SOF header")
           require((jpg(body) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(body + 1); width = u16(body + 3)
           val nc = jpg(body + 5) & 0xff
           require(nc == 1 || nc == 3, s"unsupported component count $nc")
+          require(body + 6 + 3 * nc <= end, "truncated SOF components")
           comps = Array.tabulate(nc) { i =>
             val o = body + 6 + 3 * i
             val id = jpg(o) & 0xff
@@ -419,8 +431,10 @@ object JpegCodec {
         case 0xdd => restartInterval = u16(body)
         case 0xda => // SOS
           require(comps != null, "SOS before SOF")
+          require(body + 1 <= end, "truncated SOS header")
           val ns = jpg(body) & 0xff
           require(ns == comps.length, "scan must cover all components")
+          require(body + 1 + 2 * ns <= end, "truncated SOS component specs")
           scanOrder = Array.tabulate(ns) { i =>
             val cid = jpg(body + 1 + 2 * i) & 0xff
             val idx = comps.indexWhere(_._1 == cid)

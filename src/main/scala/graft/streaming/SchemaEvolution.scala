@@ -45,6 +45,32 @@ object SchemaEvolution {
     def compatible: Boolean = violations.isEmpty
   }
 
+  /** The schema the last cycle actually ran with, persisted next to the
+   * checkpoint so the compatibility gate survives process restarts: an
+   * incompatible DDL applied while the job is down is still classified
+   * (and rejected) on the next run instead of silently adopted. Written
+   * atomically (tmp + rename) before each cycle starts. */
+  private def lastSchemaFile(checkpointDir: String): File =
+    new File(checkpointDir, "_graft_last_schema.json")
+
+  private def loadLastUsed(checkpointDir: String): Option[StructType] = {
+    val f = lastSchemaFile(checkpointDir)
+    if (!f.isFile) None
+    else Some(DataType.fromJson(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  private def persistLastUsed(checkpointDir: String,
+                              schema: StructType): Unit = {
+    val dir = new File(checkpointDir)
+    dir.mkdirs()
+    val tmp = new File(dir, "_graft_last_schema.json.tmp")
+    Files.write(tmp.toPath, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, lastSchemaFile(checkpointDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** An incompatible DDL reached the stream. The evolution loop throws this
    * INSTEAD of restarting, at a batch boundary — the checkpoint stays
    * resumable once the descriptor is fixed. */
@@ -174,7 +200,10 @@ object SchemaEvolution {
                    onCycleEnd: Int => Unit = _ => (),
                    maxRestarts: Int = 10): Seq[String] = {
     val used = scala.collection.mutable.ArrayBuffer.empty[String]
-    var prevSchema: Option[StructType] = None
+    // seed the gate from the persisted last-used schema: without it a
+    // process restart would start with an empty gate and silently adopt an
+    // incompatible DDL applied while the job was down
+    var prevSchema: Option[StructType] = loadLastUsed(checkpointDir)
     var cycle = 0
     var converged = false
     while (!converged && cycle < maxRestarts) {
@@ -184,6 +213,10 @@ object SchemaEvolution {
         if (!diff.compatible) throw new IncompatibleSchemaException(diff)
       }
       prevSchema = Some(ts.schema)
+      // persist BEFORE the cycle runs: if it crashes mid-stream, batches
+      // may already be committed under this schema — the next run must
+      // classify against it, not against the one before
+      persistLastUsed(checkpointDir, ts.schema)
       used += ts.fingerprint
       val q = spark.readStream.schema(ts.schema).json(eventsDir)
         .transform(transform)

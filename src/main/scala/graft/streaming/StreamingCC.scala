@@ -64,9 +64,14 @@ class StreamingCC(stateDir: String) extends Serializable {
    */
   private def latestVersion(spark: SparkSession): Option[Long] = {
     val f = fs(spark)
-    versionDirs(spark)
+    val dirs = versionDirs(spark)
+    val marked = dirs
       .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
       .map(_._1).sorted.lastOption
+    // legacy fallback (read-only): dirs written before the commit-marker
+    // scheme carry no _SUCCESS at all — serve the newest rather than
+    // pretending there is no state (processBatch durably adopts it)
+    marked.orElse(dirs.map(_._1).sorted.lastOption)
   }
 
   /** Current labeling (empty frame with the right schema if none yet). */
@@ -103,9 +108,25 @@ class StreamingCC(stateDir: String) extends Serializable {
     val spark = pairs.sparkSession
     if (batchId > lastBatchId) {
       val f = fs(spark)
-      // recovery: drop any uncommitted (no _SUCCESS) version dirs left by a
-      // crashed write before choosing the next version number, so partial
-      // state is never resurrected and never collides with the new write
+      // recovery, step 1 — legacy adoption: state dirs written before the
+      // commit-marker scheme (or on clusters with
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false) have valid
+      // parquet but no _SUCCESS. If NO dir carries a marker, deleting
+      // "uncommitted" dirs would silently destroy the entire label table;
+      // adopt the newest dir as committed instead. (A first-ever write
+      // that crashed mid-job is indistinguishable here and also adopted —
+      // that surfaces the same partial state the pre-marker code would
+      // have, and there is no committed history to lose.)
+      val dirs = versionDirs(spark)
+      if (dirs.nonEmpty &&
+          !dirs.exists { case (_, p) => f.exists(new Path(p, "_SUCCESS")) })
+        dirs.maxBy(_._1) match { case (_, p) =>
+          f.create(new Path(p, "_SUCCESS"), true).close()
+        }
+      // recovery, step 2: drop the remaining unmarked dirs — newer than
+      // the newest committed version they are mid-write leftovers, older
+      // they are superseded history — so partial state is never
+      // resurrected and never collides with the new write
       versionDirs(spark)
         .filter { case (_, p) => !f.exists(new Path(p, "_SUCCESS")) }
         .foreach { case (_, p) => f.delete(p, true) }

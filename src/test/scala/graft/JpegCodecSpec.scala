@@ -152,4 +152,26 @@ class JpegCodecSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](JpegCodec.decode(bomb))
     assert(e3.getMessage.contains("refusing"))
   }
+
+  test("truncated segment bodies reject precisely, never AIOOBE") {
+    val base = JpegCodec.encodeGray(8, 8, gray(8, 8)((_, _) => 100))
+    val sofAt = (0 until base.length - 1).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0).get
+    // cut mid-SOF: the length field points past the end of the buffer
+    val e1 = intercept[IllegalArgumentException](
+      JpegCodec.decode(base.take(sofAt + 6)))
+    assert(e1.getMessage.contains("truncated"))
+    // cut mid-DHT: BITS/HUFFVAL reads must be bounded too
+    val dhtAt = (0 until base.length - 1).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc4).get
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.decode(base.take(dhtAt + 10)))
+    assert(e2.getMessage.contains("truncated"))
+    // a DHT whose BITS sum exceeds the declared segment length
+    val lying = base.clone()
+    lying(dhtAt + 5) = 0xff.toByte // first BITS byte claims 255 codes
+    val e3 = intercept[IllegalArgumentException](JpegCodec.decode(lying))
+    assert(e3.getMessage.contains("truncated") ||
+      e3.getMessage.contains("Huffman"))
+  }
 }

@@ -159,6 +159,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L), "resume after fix: no loss, no dups")
   }
 
+  test("incompatible DDL applied while the job is DOWN rejects on restart") {
+    // the gate must survive process restarts: the last-used schema is
+    // persisted next to the checkpoint, so a drop-column applied between
+    // runs is classified against it — not silently adopted by a fresh
+    // run whose in-memory gate starts empty
+    val tmp = Files.createTempDirectory("graft_ddl_down").toFile.getAbsolutePath
+    val events = s"$tmp/events"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(events))
+    SchemaEvolution.write(tmp, v1)
+    Files.write(Paths.get(s"$events/e1.json"),
+      """{"event_id":1,"key":10,"v":"a"}
+        |""".stripMargin.getBytes)
+    SchemaEvolution.runConverged(spark, events, tmp, out, ckpt)
+
+    // job is down; a bad ALTER drops column v
+    SchemaEvolution.write(tmp, StructType(v1.fields.filterNot(_.name == "v")))
+    val ex = intercept[SchemaEvolution.IncompatibleSchemaException] {
+      SchemaEvolution.runConverged(spark, events, tmp, out, ckpt)
+    }
+    assert(ex.diff.violations.exists(_.contains("dropped")))
+
+    // fix to a compatible evolution: the same checkpoint drains new events
+    SchemaEvolution.write(tmp, v2)
+    Files.write(Paths.get(s"$events/e2.json"),
+      """{"event_id":2,"key":11,"v":"b","extra":7}
+        |""".stripMargin.getBytes, StandardOpenOption.CREATE)
+    SchemaEvolution.runConverged(spark, events, tmp, out, ckpt)
+    val ids = spark.read.option("mergeSchema", "true").parquet(out)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+  }
+
   test("ddl watcher stops a live query when the fingerprint changes") {
     val tmp = Files.createTempDirectory("graft_ddl_watch").toFile.getAbsolutePath
     val events = s"$tmp/events"

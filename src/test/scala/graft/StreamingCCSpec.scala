@@ -113,6 +113,28 @@ class StreamingCCSpec extends SparkSpec {
       === batchAnswer(batch1 ++ batch2 ++ batch3))
   }
 
+  test("legacy state dirs without markers are adopted, not deleted") {
+    // dirs written before the commit-marker scheme (or with
+    // marksuccessfuljobs=false and no manual marker) have valid parquet
+    // but no _SUCCESS — recovery must adopt the newest as committed
+    // instead of treating the whole history as uncommitted and wiping it
+    val dir = Files.createTempDirectory("scc_legacy").toString + "/state"
+    val cc = new StreamingCC(dir)
+    cc.processBatch(batch1.toDF(), 0L)
+    cc.processBatch(batch2.toDF(), 1L)
+    val committed = cc.labels(spark).as[(Long, Long)].collect().toMap
+    for (v <- Seq("v0", "v1")) {
+      val m = new java.io.File(s"$dir/$v", "_SUCCESS")
+      if (m.isFile) assert(m.delete())
+    }
+    val recovered = new StreamingCC(dir)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === committed, "legacy state must survive recovery")
+    recovered.processBatch(batch3.toDF(), 2L)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === batchAnswer(batch1 ++ batch2 ++ batch3))
+  }
+
   test("wired into a real streaming query") {
     val dir = Files.createTempDirectory("scc").toString + "/state"
     val cc = new StreamingCC(dir)
