@@ -1044,6 +1044,31 @@ object SparkEntry {
       // (dictionary-sized — the corpus is never touched)
       Bpe.vocab(t(s, dir, "documents"), bpeMerges(s, dir))),
 
+    "pipeline_curate_tokenize" -> ((s, dir) => {
+      // the end-to-end training-data pipeline a user actually runs:
+      // quality filter → exact dedup (canonical survivor) → temperature
+      // mix → BPE token accounting, each stage the already-verified
+      // operator; the COMPOSITION gets its own oracle so stage coupling
+      // (counts computed on the filtered set, tokenizer trained on the
+      // full corpus) is pinned too
+      val docs = t(s, dir, "documents")
+      val keep = TextAnalysis.qualityFilter(docs, minWords = 20,
+        maxWords = 80, minTtr = 0.30, stopwords = Seq(" the ", " a "))
+        .filter(col("keep")).select(col("doc_id"))
+      val q = docs.join(keep, Seq("doc_id"))
+      val canon = q.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val d = q.join(canon, Seq("doc_id"))
+      val mixed = TrainingMix.temperatureSample(d, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+      val tok = Bpe.tokenizeNarrow(
+        d.join(mixed.select(col("doc_id")), Seq("doc_id")),
+        bpeMerges(s, dir))
+      mixed.join(tok, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("n_tokens"), col("fertility"))
+    }),
+
     "curate_quality_sample" -> ((s, dir) => {
       // perplexity-style quality cut: keep the top 25% of each language's
       // documents by corpus-trained LM score (ties by doc_id) — the CCNet
@@ -2763,6 +2788,44 @@ object SparkEntry {
            FROM w$bpeRounds)
          SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
          FROM sy GROUP BY 1"""),
+
+    "pipeline_curate_tokenize" -> (bpeChainSql(bpeRounds) + s""",
+         q AS (SELECT doc_id, lang, text FROM documents
+           WHERE len(string_split(text, ' ')) >= 20
+             AND len(string_split(text, ' ')) <= 80
+             AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.30),
+         dd AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         d AS (SELECT q.* FROM q JOIN dd USING (doc_id)),
+         c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+         w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
+         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+           FROM w),
+         k AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+             AS kcap FROM w, t),
+         r AS (SELECT lang, CAST(floor(least(1.0,
+             CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+             * 281474976710656.0) AS BIGINT) AS tv
+           FROM w, t, k),
+         thr AS (SELECT lang, CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM r),
+         m AS (SELECT d.doc_id, d.lang, d.text FROM d JOIN thr USING (lang)
+           WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
+             < keep_thr),
+         wt AS (SELECT word,
+           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
+             AS w_tokens FROM w$bpeRounds),
+         dw AS (SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+           FROM m),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+           FROM dw JOIN wt USING (word)
+           WHERE word <> '' GROUP BY 1)
+         SELECT m.doc_id, m.lang, agg.n_words, agg.n_tokens,
+           CAST(agg.n_tokens AS DOUBLE) / CAST(agg.n_words AS DOUBLE)
+             AS fertility
+         FROM m JOIN agg ON m.doc_id = agg.doc_id"""),
 
     "curate_stratified_sample" ->
       """WITH d AS (SELECT doc_id,

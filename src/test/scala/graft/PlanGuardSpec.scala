@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpec {
       "mix_temperature_sample", "text_lm_score",
       "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
       "q22_sales_opportunity", // 1-row scalar-subquery (avg balance) attach
-      "q11_important_stock") // 1-row (total, n_parts) threshold attach
+      "q11_important_stock", // 1-row (total, n_parts) threshold attach
+      "pipeline_curate_tokenize") // mix stage's 1-row total attach
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must
