@@ -1765,6 +1765,12 @@ object SparkEntry {
       // also appear in another document (Lee et al. dedup signal)
       TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 3)),
 
+    "text_remove_dup_spans" -> ((s, dir) =>
+      // the acting half of the dup-span signal (Lee et al. ExactSubstr):
+      // drop every word covered by a 5-word span that appears in >1 doc,
+      // reassemble the cleaned corpus
+      TextAnalysis.removeDupSpans(t(s, dir, "documents"), n = 5)),
+
     "q_intersect_repeat_buyers" -> ((s, dir) => {
       // INTERSECT set op: customers ordering in both halves of the range
       val o = t(s, dir, "orders")
@@ -2826,6 +2832,31 @@ object SparkEntry {
            CAST(agg.n_tokens AS DOUBLE) / CAST(agg.n_words AS DOUBLE)
              AS fertility
          FROM m JOIN agg ON m.doc_id = agg.doc_id"""),
+
+    "text_remove_dup_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sp AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS sh
+           FROM (SELECT doc_id, w,
+             unnest(generate_series(1, len(w) - 4)) AS i FROM ws)),
+         dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+           GROUP BY 1 HAVING COUNT(*) > 1),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+           SELECT doc_id, unnest(generate_series(i, i + 4)) AS pos
+           FROM sp JOIN dup USING (sh))),
+         pw AS (SELECT doc_id, pos, w[pos] AS word
+           FROM (SELECT doc_id, w,
+             unnest(generate_series(1, len(w))) AS pos FROM ws)),
+         kept AS (SELECT pw.doc_id, pw.pos, pw.word FROM pw
+           ANTI JOIN cov USING (doc_id, pos)),
+         cl AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned
+           FROM kept GROUP BY 1),
+         rm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+           FROM cov GROUP BY 1)
+         SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_total,
+           COALESCE(rm.n_removed, 0) AS n_removed,
+           COALESCE(cl.cleaned, '') AS cleaned
+         FROM ws LEFT JOIN rm USING (doc_id) LEFT JOIN cl USING (doc_id)""",
 
     "curate_stratified_sample" ->
       """WITH d AS (SELECT doc_id,

@@ -91,6 +91,58 @@ object TextAnalysis {
       .as("rolling_fp"))
 
   /**
+   * Cross-document duplicated-span REMOVAL (the acting half of
+   * [[duplicatedSpans]]'s signal — Lee et al. 2022 "Deduplicating Training
+   * Data Makes Language Models Better", the ExactSubstr policy): every
+   * word covered by an `n`-word span that occurs in more than one document
+   * is dropped from ALL of its documents, and the cleaned text is
+   * reassembled in word order. Emits every input doc: (doc_id, n_total,
+   * n_removed, cleaned) — fully-deduplicated docs survive with empty text
+   * so downstream length filters see them.
+   *
+   * Scale shape: the span explode is the honest n× corpus cost,
+   * hash-partitioned on the span string; the duplicated-span set is a
+   * map-side-combinable count aggregate; coverage expansion is per-doc
+   * local; reassembly is one groupBy over surviving (pos, word) rows.
+   * Nothing is all-pairs and nothing reaches the driver.
+   */
+  def removeDupSpans(docs: DataFrame, n: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val ws = docs.select(col("doc_id"), words(textCol).as("w"))
+    // (doc, start) of every n-word span, with its text
+    val spans = ws.select(col("doc_id"), explode(expr(
+      s"IF(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> struct(i AS i, concat_ws(' ', slice(w, i, $n)) AS sh)), " +
+        "CAST(array() AS ARRAY<STRUCT<i: INT, sh: STRING>>))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.sh").as("sh"))
+    val dup = spans.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1).select(col("sh"))
+    // word positions covered by any duplicated span, per doc
+    val covered = spans.join(dup, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+      .distinct()
+    val positioned = ws.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    val kept = positioned.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(pos, word))), x -> x.word)"), " ")
+        .as("cleaned"))
+    val removed = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    ws.select(col("doc_id"), size(col("w")).cast("long").as("n_total"))
+      .join(removed, Seq("doc_id"), "left_outer")
+      .join(cleaned, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /**
    * Quality filter for training-data curation: length bounds, lexical
    * diversity (type/token ratio), and stopword-ratio sanity band. Emits
    * every doc with its signals and a keep flag — downstream is a plain

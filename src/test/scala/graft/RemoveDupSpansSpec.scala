@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Duplicated-span removal (Lee et al. ExactSubstr policy): cross-doc
+ * spans are excised everywhere, intra-doc repeats are not, and the
+ * reassembled text preserves word order around the holes. */
+class RemoveDupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(n: Int, texts: (Long, String)*): Map[Long, (Long, Long, String)] =
+    TextAnalysis.removeDupSpans(texts.toDF("doc_id", "text"), n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("a span shared by two docs is removed from both, order preserved") {
+    val out = run(4, (1L, "a b c d e f"), (2L, "z b c d e y"))
+    // "b c d e" occurs in both docs; positions 2..5 are covered in each
+    assert(out(1L) == ((6L, 4L, "a f")))
+    assert(out(2L) == ((6L, 4L, "z y")))
+  }
+
+  test("intra-doc repetition alone is NOT removed (cross-doc only)") {
+    val out = run(3, (1L, "p q r p q r"), (2L, "x y z w v u"))
+    assert(out(1L) == ((6L, 0L, "p q r p q r")))
+    assert(out(2L) == ((6L, 0L, "x y z w v u")))
+  }
+
+  test("overlapping duplicated spans merge their coverage") {
+    // docs share a 6-word run: every position covered once despite three
+    // overlapping 4-spans; fully-covered docs survive with empty text
+    val out = run(4, (1L, "a b c d e f"), (2L, "a b c d e f"))
+    assert(out(1L) == ((6L, 6L, "")))
+    assert(out(2L) == ((6L, 6L, "")))
+  }
+
+  test("docs shorter than the span length pass through untouched") {
+    val out = run(5, (1L, "a b c"), (2L, "a b c"))
+    assert(out(1L) == ((3L, 0L, "a b c")))
+  }
+}
