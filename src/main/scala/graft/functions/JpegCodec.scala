@@ -428,7 +428,9 @@ object JpegCodec {
           "progressive JPEG (SOF2) unsupported")
         case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
           "arithmetic-coded JPEG unsupported")
-        case 0xdd => restartInterval = u16(body)
+        case 0xdd =>
+          require(body + 2 <= end, "truncated DRI segment")
+          restartInterval = u16(body)
         case 0xda => // SOS
           require(comps != null, "SOS before SOF")
           require(body + 1 <= end, "truncated SOS header")

@@ -50,14 +50,13 @@ object DocDedup {
     // list is tiny relative to the corpus, so a semi-join prune before the
     // explode bounds the token table by the candidate set instead of
     // scanning (and exploding) every document. The pair list is
-    // materialized first (localCheckpoint, GC-managed — a persist() here
-    // would pin CacheManager entries for the application lifetime, since
-    // the caller consumes the returned frame lazily and can never
-    // unpersist) — it is referenced by both the prune and the intersection
-    // join, and without it each reference would re-run the whole upstream
+    // materialized first (Materialize: reliable checkpoint when a
+    // checkpoint dir is configured, GC-managed localCheckpoint otherwise)
+    // — it is referenced by both the prune and the intersection join, and
+    // without it each reference would re-run the whole upstream
     // candidate-generation pipeline (LSH is corpus-linear and heavier than
     // the tokenization the prune saves).
-    val p = pairs.localCheckpoint(false)
+    val p = Materialize(pairs)
     val pairIds = p
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
     val tokens = docs.join(pairIds, Seq("doc_id"), "left_semi")
@@ -101,15 +100,13 @@ object DocDedup {
   def ngramJaccard(docs: DataFrame, n: Int, prefixK: Int,
                    threshold: Double): DataFrame = {
     val fp = docs.select(col("doc_id"), prefixFingerprint("text", prefixK).as("fp"))
-    // materialized for the same reason as jaccardVerify (and GC-managed
-    // for the same reason): the prune and the intersection join both
-    // consume the pair list — without it each reference re-runs the
-    // blocking self-join
-    val pairs = fp.select(col("fp"), col("doc_id").as("a"))
+    // materialized for the same reason as jaccardVerify: the prune and
+    // the intersection join both consume the pair list — without it each
+    // reference re-runs the blocking self-join
+    val pairs = Materialize(fp.select(col("fp"), col("doc_id").as("a"))
       .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("b")),
         col("fp") === col("fp_b") && col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .localCheckpoint(false)
+      .select(col("a"), col("b")))
     // same semi-join prune as jaccardVerify: shingle only candidate docs —
     // blocking typically leaves a small fraction of the corpus in any pair
     val pairIds = pairs

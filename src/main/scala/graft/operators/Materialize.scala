@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Lazy one-shot materialization for diamond-shaped DAGs: a frame consumed
+ * by two or more downstream branches is cut from its lineage so the
+ * upstream pipeline runs once, not once per branch.
+ *
+ * Two regimes, picked by deployment configuration:
+ *
+ *  - a checkpoint dir is set (`spark.sparkContext.setCheckpointDir`) —
+ *    reliable `.checkpoint(eager = false)`: partitions land on the
+ *    cluster's fault-tolerant store, so executor loss (dynamic
+ *    allocation, spot kills) recomputes nothing and fails nothing. This
+ *    is the 100 TB posture.
+ *  - no checkpoint dir — `.localCheckpoint(eager = false)`: executor-local
+ *    blocks, GC-managed (the ContextCleaner frees them when the frame is
+ *    collected, unlike `persist()`, whose CacheManager entry a library
+ *    callee can never safely unpersist because the caller consumes the
+ *    returned frame lazily). Right for local/test runs; documented
+ *    trade-off: an executor loss mid-job fails the job instead of
+ *    recomputing, which is why deployments with preemptible executors
+ *    must set a checkpoint dir.
+ *
+ * Both forms are lazy: nothing runs until the first downstream action, at
+ * which point the cut happens exactly once.
+ */
+object Materialize {
+  def apply(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+}

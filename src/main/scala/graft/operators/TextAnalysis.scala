@@ -100,22 +100,27 @@ object TextAnalysis {
    * n_removed, cleaned) — fully-deduplicated docs survive with empty text
    * so downstream length filters see them.
    *
-   * Scale shape: the span explode is the honest n× corpus cost,
-   * hash-partitioned on the span string; the duplicated-span set is a
-   * map-side-combinable count aggregate; coverage expansion is per-doc
-   * local; reassembly is one groupBy over surviving (pos, word) rows.
-   * Nothing is all-pairs and nothing reaches the driver.
+   * Scale shape: the span explode is the honest n× corpus cost, PAID
+   * ONCE — `ws` (split corpus, read three times: spans, reassembly,
+   * totals) and `spans` (read twice: dup aggregate, coverage join) are
+   * materialized, since the two span consumers shuffle on different keys
+   * and exchange reuse cannot deduplicate them. The duplicated-span set
+   * is a map-side-combinable count aggregate; coverage expansion is
+   * per-doc local; reassembly is one groupBy over surviving (pos, word)
+   * rows. Nothing is all-pairs and nothing reaches the driver.
    */
   def removeDupSpans(docs: DataFrame, n: Int,
                      textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
-    val ws = docs.select(col("doc_id"), words(textCol).as("w"))
+    val ws = Materialize(
+      docs.select(col("doc_id"), words(textCol).as("w")))
     // (doc, start) of every n-word span, with its text
-    val spans = ws.select(col("doc_id"), explode(expr(
-      s"IF(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
-        s"i -> struct(i AS i, concat_ws(' ', slice(w, i, $n)) AS sh)), " +
-        "CAST(array() AS ARRAY<STRUCT<i: INT, sh: STRING>>))")).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.sh").as("sh"))
+    val spans = Materialize(ws.select(col("doc_id"),
+      explode(expr(
+        s"IF(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(w, i, $n)) AS sh)), " +
+          "CAST(array() AS ARRAY<STRUCT<i: INT, sh: STRING>>))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.sh").as("sh")))
     val dup = spans.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1).select(col("sh"))

@@ -69,9 +69,16 @@ class StreamingCC(stateDir: String) extends Serializable {
       .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
       .map(_._1).sorted.lastOption
     // legacy fallback (read-only): dirs written before the commit-marker
-    // scheme carry no _SUCCESS at all — serve the newest rather than
-    // pretending there is no state (processBatch durably adopts it)
-    marked.orElse(dirs.map(_._1).sorted.lastOption)
+    // scheme carry no _SUCCESS at all — serve the newest dir that reads
+    // as a labeling rather than pretending there is no state (processBatch
+    // durably adopts it). The readability probe skips mid-write crash
+    // leftovers, whose parquet is partial or schema-less.
+    marked.orElse(dirs.sortBy(-_._1).collectFirst {
+      case (v, p) if scala.util.Try {
+        val cols = spark.read.parquet(p.toString).columns.toSet
+        cols.contains("doc_id") && cols.contains("canonical_id")
+      }.getOrElse(false) => v
+    })
   }
 
   /** Current labeling (empty frame with the right schema if none yet). */
@@ -113,14 +120,26 @@ class StreamingCC(stateDir: String) extends Serializable {
       // mapreduce.fileoutputcommitter.marksuccessfuljobs=false) have valid
       // parquet but no _SUCCESS. If NO dir carries a marker, deleting
       // "uncommitted" dirs would silently destroy the entire label table;
-      // adopt the newest dir as committed instead. (A first-ever write
-      // that crashed mid-job is indistinguishable here and also adopted —
-      // that surfaces the same partial state the pre-marker code would
-      // have, and there is no committed history to lose.)
+      // instead adopt the newest dir that actually READS as a labeling
+      // (parquet schema loads and carries the label columns). The probe
+      // matters: the newest dir may be a mid-write crash leftover — blind
+      // adoption would commit that partial/empty dir and then let step 2
+      // delete the valid older history beneath it, or wedge every later
+      // labels() read on an uninferable empty dir. Unreadable newer dirs
+      // are left unmarked, so step 2 removes them and the newest readable
+      // generation becomes current. (A readable-but-incomplete dir is
+      // indistinguishable from legacy valid state without markers — that
+      // residual window is exactly what the marker scheme closes going
+      // forward.)
       val dirs = versionDirs(spark)
       if (dirs.nonEmpty &&
           !dirs.exists { case (_, p) => f.exists(new Path(p, "_SUCCESS")) })
-        dirs.maxBy(_._1) match { case (_, p) =>
+        dirs.sortBy(-_._1).find { case (_, p) =>
+          scala.util.Try {
+            val cols = spark.read.parquet(p.toString).columns.toSet
+            cols.contains("doc_id") && cols.contains("canonical_id")
+          }.getOrElse(false)
+        }.foreach { case (_, p) =>
           f.create(new Path(p, "_SUCCESS"), true).close()
         }
       // recovery, step 2: drop the remaining unmarked dirs — newer than

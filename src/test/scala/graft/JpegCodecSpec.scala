@@ -173,5 +173,12 @@ class JpegCodecSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](JpegCodec.decode(lying))
     assert(e3.getMessage.contains("truncated") ||
       e3.getMessage.contains("Huffman"))
+    // buffer ending exactly after a DRI header (FF DD 00 02): the
+    // segment-bounds check passes (end == length) but the 2-byte body
+    // itself is missing — must reject, not AIOOBE
+    val dri = base.take(2) ++
+      Array(0xff.toByte, 0xdd.toByte, 0x00.toByte, 0x02.toByte)
+    val e4 = intercept[IllegalArgumentException](JpegCodec.decode(dri))
+    assert(e4.getMessage.contains("truncated DRI"))
   }
 }

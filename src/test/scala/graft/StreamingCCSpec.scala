@@ -135,6 +135,53 @@ class StreamingCCSpec extends SparkSpec {
       === batchAnswer(batch1 ++ batch2 ++ batch3))
   }
 
+  test("legacy history with a partial newest dir adopts the newest " +
+      "READABLE version") {
+    // the compound failure: marker-less legacy history (v0, v1 valid) AND
+    // a crash mid-write of v2 (empty dir / garbage parquet, also no
+    // marker). Blind newest-dir adoption would commit the partial v2 and
+    // let retirement delete the good v0/v1; the readability probe must
+    // adopt v1 and drop v2 instead.
+    val dir = Files.createTempDirectory("scc_legacy_partial").toString +
+      "/state"
+    val cc = new StreamingCC(dir)
+    cc.processBatch(batch1.toDF(), 0L)
+    cc.processBatch(batch2.toDF(), 1L)
+    val committed = cc.labels(spark).as[(Long, Long)].collect().toMap
+    for (v <- Seq("v0", "v1")) {
+      val m = new java.io.File(s"$dir/$v", "_SUCCESS")
+      if (m.isFile) assert(m.delete())
+    }
+    // crash leftover 1: an empty v2 (overwrite created the dir, no files)
+    assert(new java.io.File(dir, "v2").mkdirs())
+    val recovered = new StreamingCC(dir)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === committed, "read path must skip the unreadable v2")
+    recovered.processBatch(batch3.toDF(), 2L)
+    assert(recovered.labels(spark).as[(Long, Long)].collect().toMap
+      === batchAnswer(batch1 ++ batch2 ++ batch3),
+      "fold must build on v1, not the partial v2")
+    assert(!new java.io.File(dir, "v2/_SUCCESS").isFile
+      || spark.read.parquet(s"$dir/v2").columns.toSet
+        .contains("canonical_id"),
+      "the partial v2 must never have been committed as-was")
+    // crash leftover 2: garbage parquet bytes in the next version slot
+    val latest = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    for (v <- 0L to latest) {
+      val m = new java.io.File(s"$dir/v$v", "_SUCCESS")
+      if (m.isFile) assert(m.delete())
+    }
+    val junk = new java.io.File(dir, s"v${latest + 1}")
+    assert(junk.mkdirs())
+    Files.write(junk.toPath.resolve("part-00000.parquet"),
+      Array[Byte](9, 9, 9))
+    val recovered2 = new StreamingCC(dir)
+    assert(recovered2.labels(spark).as[(Long, Long)].collect().toMap
+      === batchAnswer(batch1 ++ batch2 ++ batch3),
+      "garbage parquet in the newest slot must not shadow real state")
+  }
+
   test("wired into a real streaming query") {
     val dir = Files.createTempDirectory("scc").toString + "/state"
     val cc = new StreamingCC(dir)
