@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ranked full-text retrieval over the `documents` corpus — the query-side
+ * complement of the dedup/curation operators (find the training docs that
+ * match a probe text, rather than the docs that match each other).
+ * Extension surface beyond the reference (SURVEY.md §7.2 M6): a
+ * training-data engine needs retrieval for eval-set decontamination
+ * (flag train docs a benchmark query can recall) and corpus inspection.
+ *
+ * Scale shape — the classic distributed inverted-index join:
+ *  - the term-frequency table (one row per distinct (doc, token)) is the
+ *    honest explode cost, hash-partitioned on token = a posting list per
+ *    term, map-side-combinable counts;
+ *  - corpus statistics (N, total doc length) attach as 1-row broadcasts,
+ *    per-term document frequencies ride the posting-list partitioning;
+ *  - the query side is small by construction and BROADCAST to the posting
+ *    lists — scoring never shuffles the corpus on anything but token;
+ *  - per-(query, doc) accumulation is a map-side-combinable sum, top-k a
+ *    per-query window over the bounded candidate set.
+ *  - stop-term skew guard: terms with document frequency above
+ *    `maxDfRatio` are dropped from scoring (standard IR practice — their
+ *    posting lists are corpus-sized, their idf contribution ~0), so no
+ *    single token partition degenerates to a full corpus scan.
+ *
+ * Scoring. BM25's term weight is idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+ * The saturating tf factor and the idf *argument* (N−df+0.5)/(df+0.5) are
+ * exact rationals; only the ln() damping is transcendental. Following the
+ * engine's oracle discipline (no libm in hash-matched paths —
+ * bigramLmScore precedent), [[bm25TopK]] scores with the RATIONAL idf
+ * surrogate (2N−2df+1)/(2df+1) — same per-term monotonicity in df, no ln —
+ * and quantizes each term weight to an integer grid (floor ·1e9), so
+ * ranking is integer-exact and replays in DuckDB bit-for-bit. The
+ * textbook ln-damped variant is [[bm25TopKLn]], pinned by a scalar
+ * JVM-reference spec instead of the SQL oracle.
+ */
+object Retrieval {
+
+  /** One row per distinct (doc_id, token) with its in-doc count and the
+   * doc's word length — the inverted-index building block. */
+  def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * Top-`k` documents per query under the integer-exact BM25 surrogate.
+   * `queries`: (query_id, qtext). Result: (query_id, doc_id, score9, rank)
+   * where score9 is the 1e9-grid integer score. Ties break on doc_id, so
+   * the ranking is total and deterministic.
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfRatio: Double = 0.5,
+               textCol: String = "text"): DataFrame = {
+    // corpus stats: 1-row broadcast (the plan a scalar subquery lowers to)
+    val stats = docs.select(split(col(textCol), " ").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("sum_dl"))
+    bm25TopKFromTf(termFrequencies(docs, textCol), stats, queries, k,
+      k1, b, maxDfRatio)
+  }
+
+  /**
+   * Score against a prebuilt term-frequency table (the incremental-index
+   * path — [[graft.streaming.StreamingIndex]] maintains `tf` across
+   * micro-batches). `stats` must be a 1-row (n_docs, sum_dl) frame; pass
+   * [[statsFromTf]] to derive it from the index itself.
+   */
+  def bm25TopKFromTf(tf: DataFrame, stats: DataFrame, queries: DataFrame,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     maxDfRatio: Double = 0.5): DataFrame = {
+    // per-term document frequency rides the token partitioning of tf
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // distinct query terms, broadcast to the posting lists
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(
+        split(col("qtext"), " "))).as("token"))
+    val cand = tf
+      .join(broadcast(qterms), "token")
+      .join(df, "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        lit(maxDfRatio) * col("n_docs").cast("double"))
+    // weight = idf_rational * tf saturation, quantized to the 1e9 grid;
+    // every double op below is a single IEEE-correctly-rounded step on
+    // exactly-representable integer inputs, so DuckDB replays it exactly
+    val idfR = (lit(2.0) * col("n_docs").cast("double") -
+      lit(2.0) * col("df").cast("double") + lit(1.0)) /
+      (lit(2.0) * col("df").cast("double") + lit(1.0))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = cand
+      .select(col("query_id"), col("doc_id"),
+        floor(idfR * sat * lit(1.0e9)).cast("long").as("w9"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w9")).as("score9"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score9").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score9"), col("rank"))
+  }
+
+  /** 1-row (n_docs, sum_dl) derived from a tf table: every doc owns at
+   * least one tf row (the tokenizer emits "" for empty text), so the
+   * distinct (doc_id, dl) set enumerates the corpus exactly. */
+  def statsFromTf(tf: DataFrame): DataFrame =
+    tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /**
+   * Textbook BM25 (Robertson/Lucene): ln(1 + (N−df+0.5)/(df+0.5)) idf
+   * damping, double-precision scores. Same plan shape as [[bm25TopK]];
+   * not SQL-oracle-checked (ln is libm — last-ulp divergence across
+   * engines), pinned instead by RetrievalSpec's scalar JVM reference.
+   * Ties break on doc_id.
+   */
+  def bm25TopKLn(docs: DataFrame, queries: DataFrame, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxDfRatio: Double = 0.5,
+                 textCol: String = "text"): DataFrame = {
+    val tf = termFrequencies(docs, textCol)
+    val stats = docs.select(split(col(textCol), " ").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("sum_dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(
+        split(col("qtext"), " "))).as("token"))
+    val cand = tf
+      .join(broadcast(qterms), "token")
+      .join(df, "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        lit(maxDfRatio) * col("n_docs").cast("double"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    cand
+      .select(col("query_id"), col("doc_id"), (idf * sat).as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Retrieval-based decontamination: flag every training doc whose
+   * integer-grid BM25 score against ANY probe (eval-set) query reaches
+   * `minScore9`. Complements the exact n-gram overlap check
+   * (Curation.contamination) — retrieval catches paraphrase-level leaks
+   * where the 8-gram fingerprint misses. Emits (doc_id, n_hits,
+   * best_score9, best_query) per flagged doc.
+   */
+  def retrievalContamination(docs: DataFrame, probes: DataFrame,
+                             minScore9: Long, k: Int = 10,
+                             maxDfRatio: Double = 0.5,
+                             textCol: String = "text"): DataFrame = {
+    val hits = bm25TopK(docs, probes, k, maxDfRatio = maxDfRatio,
+        textCol = textCol)
+      .filter(col("score9") >= minScore9)
+    // best probe per doc: highest score, ties to the smallest query id —
+    // a per-doc window over the bounded hit set (≤ |probes| rows per doc)
+    val best = hits.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score9").desc, col("query_id"))))
+    best.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(col("score9")).as("best_score9"),
+        max(when(col("r") === 1, col("query_id"))).as("best_query"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+
+import graft.operators.Retrieval
+
+/**
+ * Streaming incremental inverted index — the online form of
+ * [[Retrieval.bm25TopK]]'s term-frequency table: documents arrive in
+ * micro-batches and each batch APPENDS its posting rows
+ * (doc_id, dl, token, tf) to a persistent index; search scores against the
+ * cumulative index with exactly the batch scoring arithmetic
+ * ([[Retrieval.bm25TopKFromTf]] — shared code), so an index built from any
+ * batch split of a corpus searches identically to the batch-built one
+ * (the spec pins that equivalence).
+ *
+ * Unlike [[StreamingCC]]'s versioned fold (state = f(state, batch)), an
+ * inverted index is append-only: batch n writes ONLY its own postings to
+ * `b<n>/` — per-batch work is O(batch), never O(corpus). Crash safety is
+ * the parquet job-commit `_SUCCESS` marker per batch dir: a dir without
+ * the marker is a mid-write crash leftover, ignored by readers and
+ * overwritten when foreachBatch re-delivers the batch (idempotent
+ * replay — re-processing a committed batchId is a no-op, and re-writing
+ * an uncommitted dir converges). Document-level dedup across batches is
+ * the upstream pipeline's contract (the dedup operator family exists for
+ * exactly that); this index appends what it is handed.
+ *
+ * At 100 TB: posting rows are hash-partitioned on token at search time
+ * (same shape as the batch path); the per-batch write is partitioned by
+ * whatever the batch carries. Batch dirs double as time-travel points —
+ * dropping `b>n` rolls the index back to batch n.
+ */
+class StreamingIndex(stateDir: String, textCol: String = "text")
+    extends Serializable {
+
+  private val tfSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("token", StringType), StructField("tf", LongType)))
+
+  private def fs(spark: SparkSession) =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batch dirs carrying a `_SUCCESS` commit marker. */
+  private def committedDirs(spark: SparkSession): Seq[(Long, Path)] = {
+    val dir = new Path(stateDir)
+    val f = fs(spark)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("b"))
+          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
+        else None
+      }
+      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  /** Batch ids already in the index (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    committedDirs(spark).map(_._1)
+
+  /** The cumulative term-frequency table (empty frame with the index
+   * schema if nothing is committed yet). */
+  def tf(spark: SparkSession): DataFrame = {
+    val dirs = committedDirs(spark)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tfSchema)
+    else spark.read.schema(tfSchema)
+      .parquet(dirs.map(_._2.toString): _*)
+  }
+
+  /**
+   * Append `batch`'s postings (once per batchId — committed replays are
+   * no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => index.processBatch(df, id))`.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedDirs(spark).exists(_._1 == batchId)) return
+    val dest = new Path(stateDir, s"b$batchId")
+    // tokenize THIS batch only — the cumulative index is never rewritten
+    Retrieval.termFrequencies(batch, textCol)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("dl").cast("long").as("dl"), col("token"),
+        col("tf").cast("long").as("tf"))
+      .write.mode("overwrite").parquet(dest.toString)
+  }
+
+  /** Search the cumulative index: identical arithmetic and plan shape to
+   * the batch [[Retrieval.bm25TopK]], with corpus stats derived from the
+   * index itself. */
+  def search(spark: SparkSession, queries: DataFrame, k: Int,
+             maxDfRatio: Double = 0.5): DataFrame = {
+    val t = tf(spark)
+    Retrieval.bm25TopKFromTf(t, Retrieval.statsFromTf(t),
+      queries, k, maxDfRatio = maxDfRatio)
+  }
+}

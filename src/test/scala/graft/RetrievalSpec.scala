@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 retrieval contracts the SQL oracle can't see (text_bm25_topk /
+ * curate_retrieval_contamination pin the integer-grid variant end-to-end;
+ * these specs pin the ln-damped textbook variant against a scalar JVM
+ * reference, the stop-term guard, and the ranking invariants). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny corpus with planted structure: docs 1/2 share "apple", doc 3 is
+   * the only "durian" doc, "the" appears everywhere (stop term). */
+  private lazy val corpus = Seq(
+    (1L, "the apple pie with apple and sugar"),
+    (2L, "the apple tart"),
+    (3L, "the durian cake recipe for the brave"),
+    (4L, "the plain bread loaf"),
+    (5L, "the sugar cookie with sugar glaze and sugar dust")
+  ).toDF("doc_id", "text")
+
+  /** Scalar JVM BM25 (textbook ln idf) over the same corpus — the
+   * reference implementation bm25TopKLn must match to the last double. */
+  private def referenceLn(queries: Seq[(Long, String)], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          maxDfRatio: Double = 0.5): Seq[(Long, Long, Double, Int)] = {
+    val docs = Seq(
+      (1L, "the apple pie with apple and sugar"),
+      (2L, "the apple tart"),
+      (3L, "the durian cake recipe for the brave"),
+      (4L, "the plain bread loaf"),
+      (5L, "the sugar cookie with sugar glaze and sugar dust"))
+    val words = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size
+    val sumDl = words.values.map(_.size).sum
+    val avgdl = sumDl.toDouble / n
+    // df counts DISTINCT docs containing the token
+    val df = words.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    queries.flatMap { case (qid, qtext) =>
+      val qTokens = qtext.split(" ").distinct
+      val scores = words.toSeq.flatMap { case (docId, w) =>
+        val tfm = w.groupBy(identity).map { case (t, xs) => t -> xs.size }
+        val s = qTokens.map { t =>
+          val d = df.getOrElse(t, 0)
+          val tf = tfm.getOrElse(t, 0)
+          if (tf == 0 || d == 0 || d.toDouble > maxDfRatio * n) 0.0
+          else {
+            val idf = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            val sat = (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * w.size / avgdl))
+            idf * sat
+          }
+        }.sum
+        if (s > 0.0) Some((docId, s)) else None
+      }
+      scores.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s), i) => (qid, d, s, i + 1) }
+    }
+  }
+
+  test("bm25TopKLn matches the scalar JVM reference exactly") {
+    val queries = Seq((100L, "apple sugar"), (101L, "durian"),
+      (102L, "the bread")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopKLn(corpus, queries, k = 3)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = referenceLn(
+      Seq((100L, "apple sugar"), (101L, "durian"), (102L, "the bread")),
+      k = 3).toSet
+    assert(got === want)
+  }
+
+  test("stop-term guard: a term in more than maxDfRatio of docs scores 0") {
+    // "the" is in 5/5 docs; a query of only "the" must return no rows
+    val q = Seq((1L, "the")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25TopK(corpus, q, k = 5).count() === 0)
+    assert(Retrieval.bm25TopKLn(corpus, q, k = 5).count() === 0)
+  }
+
+  test("integer-grid and ln variants agree on ranking order") {
+    // the rational idf surrogate is monotone in df like ln idf, so on a
+    // corpus without score ties the top-k ORDER must coincide
+    val queries = Seq((100L, "apple sugar"), (101L, "durian cake"))
+      .toDF("query_id", "qtext")
+    val grid = Retrieval.bm25TopK(corpus, queries, k = 3)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val ln = Retrieval.bm25TopKLn(corpus, queries, k = 3)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(grid === ln)
+  }
+
+  test("tf saturation: repeated term beats single occurrence, bounded") {
+    // doc 1 has "apple" twice, doc 2 once — doc 1 must outrank doc 2 for
+    // the query "apple", with rank 1 and 2
+    val q = Seq((1L, "apple")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(corpus, q, k = 2)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 1L, 2 -> 2L))
+  }
+
+  test("retrievalContamination flags only docs above the score floor") {
+    // probe = doc 3's own rare words: doc 3 must be flagged with itself
+    // excluded from probes; a nonsense probe flags nothing
+    val train = corpus.filter(col("doc_id") =!= 3L)
+    val probes = Seq((3L, "durian cake recipe")).toDF("query_id", "qtext")
+    // no train doc contains durian/cake/recipe → no hits at any floor
+    assert(Retrieval.retrievalContamination(train, probes, 1L).count() === 0)
+    // probe with words that DO appear in train docs flags them
+    val probes2 = Seq((9L, "apple tart")).toDF("query_id", "qtext")
+    val hits = Retrieval.retrievalContamination(train, probes2, 1L)
+      .select("doc_id", "n_hits", "best_query")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, q) => d -> ((n, q)) }.toMap
+    assert(hits.keySet === Set(1L, 2L))
+    assert(hits.values.forall { case (n, q) => n == 1L && q == 9L })
+  }
+
+  test("query side broadcasts; corpus shuffles only on token/doc keys") {
+    val queries = Seq((100L, "apple sugar")).toDF("query_id", "qtext")
+    val plan = Retrieval.bm25TopK(corpus, queries, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast of the query terms:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+import graft.streaming.StreamingIndex
+
+/** Incremental inverted index: any batch split of a corpus must search
+ * identically to the batch-built index, replays must be no-ops, and
+ * mid-write crash leftovers must not poison reads. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(i: Long): (Long, String) = {
+    // 30-token vocabulary, ≤11 distinct per doc → df/N stays well under
+    // the 0.9 stop-term cutoff, so every query term actually scores
+    val words = (0 until 30).map(v => s"tok$v")
+    (i, (0 until (5 + (i % 7)).toInt)
+      .map(j => words(((i * 13 + j * 7) % words.length).toInt))
+      .mkString(" "))
+  }
+  private lazy val batch1 = (0L until 20L).map(doc)
+  private lazy val batch2 = (20L until 35L).map(doc)
+  private lazy val batch3 = (35L until 50L).map(doc)
+  private lazy val queries =
+    Seq((900L, "tok0 tok7"), (901L, "tok13"), (902L, "tok2 tok19 tok28"))
+      .toDF("query_id", "qtext")
+
+  private def newDir(): String =
+    Files.createTempDirectory("sidx").toString + "/state"
+
+  test("index built from three batches searches exactly like batch BM25") {
+    val idx = new StreamingIndex(newDir())
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(batch2.toDF("doc_id", "text"), 1L)
+    idx.processBatch(batch3.toDF("doc_id", "text"), 2L)
+    val streamed = idx.search(spark, queries, k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batchAll = Retrieval.bm25TopK(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"), queries,
+      k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed === batchAll)
+    assert(streamed.nonEmpty, "fixture must actually rank something")
+  }
+
+  test("replaying a committed batch is a no-op") {
+    val dir = newDir()
+    val idx = new StreamingIndex(dir)
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L)
+    val before = idx.tf(spark).count()
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L) // foreachBatch replay
+    assert(idx.tf(spark).count() === before)
+    assert(idx.committedBatches(spark) === Seq(0L))
+  }
+
+  test("a dir without the commit marker is invisible and self-heals") {
+    val dir = newDir()
+    val idx = new StreamingIndex(dir)
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L)
+    // crash leftover: a b1 dir with garbage parquet and NO _SUCCESS
+    val junk = new java.io.File(dir, "b1")
+    assert(junk.mkdirs())
+    Files.write(junk.toPath.resolve("part-00000.parquet"), Array[Byte](7, 7))
+    assert(idx.committedBatches(spark) === Seq(0L),
+      "uncommitted dir must not be listed")
+    assert(idx.tf(spark).count() > 0, "reads must skip the leftover")
+    // the replayed batch overwrites the leftover and commits
+    idx.processBatch(batch2.toDF("doc_id", "text"), 1L)
+    assert(idx.committedBatches(spark) === Seq(0L, 1L))
+    val healed = idx.search(spark, queries, k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batchAll = Retrieval.bm25TopK(
+      (batch1 ++ batch2).toDF("doc_id", "text"), queries,
+      k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(healed === batchAll)
+  }
+
+  test("appending a batch never reads earlier batch dirs") {
+    val dir = newDir()
+    val idx = new StreamingIndex(dir)
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L)
+    // corrupt batch 0's data files (keep the commit marker): if
+    // processBatch touched history, this would throw
+    val b0 = new java.io.File(dir, "b0")
+    for (f <- b0.listFiles() if f.getName.endsWith(".parquet"))
+      Files.write(f.toPath, Array[Byte](9, 9, 9))
+    idx.processBatch(batch2.toDF("doc_id", "text"), 1L) // must not throw
+    assert(idx.committedBatches(spark) === Seq(0L, 1L))
+  }
+
+  test("wired into a real streaming query") {
+    val dir = newDir()
+    val idx = new StreamingIndex(dir)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        idx.processBatch(df, id)
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData(batch3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = idx.search(spark, queries, k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batchAll = Retrieval.bm25TopK(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"), queries,
+      k = 5, maxDfRatio = 0.9)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed === batchAll)
+    assert(streamed.nonEmpty)
+  }
+}
