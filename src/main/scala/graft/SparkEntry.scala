@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Cdc
-import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, RangeJoin, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
 import graft.functions.{BloomFunctions, GraftFunctions}
 
 /**
@@ -1052,8 +1052,11 @@ object SparkEntry {
       // (counts computed on the filtered set, tokenizer trained on the
       // full corpus) is pinned too
       val docs = t(s, dir, "documents")
+      // stopwords = Nil: the keep flag is length bounds + TTR only (the
+      // stop_ratio band is advisory), and the oracle pins exactly that —
+      // a non-empty list here would imply a stopword cut that never runs
       val keep = TextAnalysis.qualityFilter(docs, minWords = 20,
-        maxWords = 80, minTtr = 0.30, stopwords = Seq(" the ", " a "))
+        maxWords = 80, minTtr = 0.30, stopwords = Nil)
         .filter(col("keep")).select(col("doc_id"))
       val q = docs.join(keep, Seq("doc_id"))
       val canon = q.groupBy(md5(col("text")).as("fp"))
@@ -1722,6 +1725,55 @@ object SparkEntry {
       TextAnalysis.vocabHeavyHitters(t(s, dir, "documents"), sketchK = 64,
         minShare = 0.02)),
 
+    "text_bm25_topk" -> ((s, dir) => {
+      // ranked retrieval over the corpus: every 50th doc's first-4-word
+      // prefix is a probe query; top-5 docs per probe under the
+      // integer-grid BM25 surrogate (rational idf, no libm — the whole
+      // ranking replays in the oracle). Posting lists are hash-partitioned
+      // on token, the query side broadcasts, stop-terms (df > 0.9N) drop.
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      // maxDfRatio 0.9: the synthetic corpus has a ~31-word vocabulary
+      // where most tokens sit near df/N ≈ 0.77 — the standard 0.5 guard
+      // would drop every query term and rank nothing. Real corpora have
+      // Zipfian vocabularies where 0.5 only sheds true stop words.
+      Retrieval.bm25TopK(docs, queries, k = 5, maxDfRatio = 0.9)
+        .select(col("query_id"), col("doc_id"), col("score9"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "curate_retrieval_contamination" -> ((s, dir) => {
+      // retrieval-based decontamination: benchmark slice (doc_id % 23 = 0)
+      // probes with words 2-7, searched against the train slice; train
+      // docs any probe can recall above the score floor are flagged with
+      // their hit count and best-matching probe. Catches paraphrase-level
+      // leaks the exact 3-gram overlap (curate_contamination) misses.
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 6)).as("qtext"))
+      Retrieval.retrievalContamination(
+        docs.filter(col("doc_id") % 23 =!= 0), probes,
+        minScore9 = 2500000000L, maxDfRatio = 0.9)
+    }),
+
+    "curate_classifier_score" -> ((s, dir) =>
+      // fastText-style quality classifier: logistic model on (word count,
+      // its square, TTR) trained by 12 full-batch GD rounds against the
+      // quality_filter weak label, then scored over the corpus. Weights
+      // ride a 1e9 integer grid with integer gradient sums, so ALL 12
+      // training iterations replay bit-for-bit in the oracle.
+      QualityClassifier.trainAndScore(t(s, dir, "documents"),
+        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
+    "curate_classifier_weights" -> ((s, dir) =>
+      // the trained model itself as data: 4 rows (k, w). The oracle
+      // reproduces these exact integers by replaying the training chain.
+      QualityClassifier.trainedWeights(t(s, dir, "documents"),
+        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
     "q_approx_quantiles" -> ((s, dir) =>
       // approx_percentile sketch, oracle-checked like q_approx_distinct:
       // exact quantiles anchor the row; the approx estimates are asserted
@@ -2096,6 +2148,109 @@ object SparkEntry {
    * engine runs (parenthesized symbols share no characters between
    * adjacent matches, so one pass ≡ canonical greedy merging).
    * Unrolled WITH chain like the k-means / PCA / PageRank oracles. */
+  /** BM25 integer-grid scoring chain (Retrieval.bm25TopK mirror): probe
+   * queries = `probePred` docs' words [sliceFrom, sliceTo], corpus =
+   * `docPred` docs. Ends at CTE `rk` (query_id, doc_id, score9, rank).
+   * Every double op mirrors the Scala expression order exactly — the
+   * only non-integer steps are IEEE divisions/multiplies on
+   * exactly-representable integer inputs, so the grid replays
+   * bit-for-bit (1.2 + 1.0 is written as arithmetic, not 2.2, to fold
+   * to the same double the JVM computes). */
+  private def bm25Sql(probePred: String, sliceFrom: Int, sliceTo: Int,
+                      docPred: String, maxDfRatio: String = "0.9"): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       dws AS (SELECT * FROM ws WHERE $docPred),
+       tf AS (SELECT doc_id, len(w) AS dl, t.token, COUNT(*) AS tf
+              FROM dws, unnest(w) AS t(token) GROUP BY 1, 2, 3),
+       stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM dws),
+       df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       q AS (SELECT doc_id AS query_id,
+               array_to_string(list_slice(w, $sliceFrom, $sliceTo), ' ') AS qtext
+             FROM ws WHERE $probePred),
+       qt AS (SELECT DISTINCT query_id, t.token
+              FROM (SELECT query_id, string_split(qtext, ' ') AS qw FROM q),
+                unnest(qw) AS t(token)),
+       cand AS (SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, df.df,
+                  s.n_docs, s.sum_dl
+                FROM tf JOIN qt ON tf.token = qt.token
+                  JOIN df ON tf.token = df.token
+                  CROSS JOIN stats s
+                WHERE CAST(df.df AS DOUBLE) <= $maxDfRatio * CAST(s.n_docs AS DOUBLE)),
+       w9 AS (SELECT query_id, doc_id, CAST(floor(
+                ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0) /
+                 (2.0 * CAST(df AS DOUBLE) + 1.0)) *
+                ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+                    (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+                1000000000.0) AS BIGINT) AS w9
+              FROM cand),
+       sc AS (SELECT query_id, doc_id, SUM(w9) AS score9 FROM w9 GROUP BY 1, 2),
+       rk AS (SELECT query_id, doc_id, score9,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score9 DESC, doc_id) AS BIGINT) AS rank
+              FROM sc)"""
+
+  /** GD training chain of the quality classifier
+   * (QualityClassifier.trainOn mirror): wt0 = zeros; per round, g$k sums
+   * integer-floored per-row gradient contributions (order-free BIGINT
+   * sums) and wt$k applies the floored update. Every double op mirrors
+   * the Scala expression order exactly (left-associated dot product,
+   * single divisions on exact integer-grid inputs), so all `iters`
+   * rounds replay bit-for-bit. Ends at CTE wt$iters (w0..w3). */
+  private def classifierChainSql(minWords: Int, maxWords: Int,
+                                 minTtr: String, lr: String,
+                                 iters: Int): String = {
+    val z = "(CAST(w.w0 AS DOUBLE) * f0 + CAST(w.w1 AS DOUBLE) * f1 + " +
+      "CAST(w.w2 AS DOUBLE) * f2 + CAST(w.w3 AS DOUBLE) * f3) / 1000000000.0"
+    val s = s"0.5 + (0.5 * ($z)) / (1.0 + abs($z))"
+    val head =
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         feat AS MATERIALIZED (SELECT doc_id,
+             1.0 AS f0,
+             CAST(len(w) - 50 AS DOUBLE) / 64.0 AS f1,
+             (CAST(len(w) - 50 AS DOUBLE) / 64.0) *
+               (CAST(len(w) - 50 AS DOUBLE) / 64.0) AS f2,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+               - 0.5 AS f3,
+             CASE WHEN len(w) BETWEEN $minWords AND $maxWords
+                 AND CAST(len(list_distinct(w)) AS DOUBLE) /
+                   CAST(len(w) AS DOUBLE) >= $minTtr
+               THEN 1.0 ELSE 0.0 END AS y
+           FROM ws),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+         wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    val steps = (1 to iters).map { k =>
+      s"""g$k AS MATERIALIZED (SELECT
+           SUM(CAST(floor((r * f0) * 1000000000.0) AS BIGINT)) AS g0,
+           SUM(CAST(floor((r * f1) * 1000000000.0) AS BIGINT)) AS g1,
+           SUM(CAST(floor((r * f2) * 1000000000.0) AS BIGINT)) AS g2,
+           SUM(CAST(floor((r * f3) * 1000000000.0) AS BIGINT)) AS g3
+         FROM (SELECT f0, f1, f2, f3, ($s) - y AS r
+           FROM feat CROSS JOIN wt${k - 1} w)),
+         wt$k AS MATERIALIZED (SELECT
+           w.w0 - CAST(floor(($lr * CAST(g.g0 AS DOUBLE)) / CAST(nn.n AS DOUBLE)) AS BIGINT) AS w0,
+           w.w1 - CAST(floor(($lr * CAST(g.g1 AS DOUBLE)) / CAST(nn.n AS DOUBLE)) AS BIGINT) AS w1,
+           w.w2 - CAST(floor(($lr * CAST(g.g2 AS DOUBLE)) / CAST(nn.n AS DOUBLE)) AS BIGINT) AS w2,
+           w.w3 - CAST(floor(($lr * CAST(g.g3 AS DOUBLE)) / CAST(nn.n AS DOUBLE)) AS BIGINT) AS w3
+         FROM wt${k - 1} w CROSS JOIN g$k g CROSS JOIN nn)"""
+    }.mkString(",\n", ",\n", "")
+    head + steps
+  }
+
+  /** Final-model scoring select on top of [[classifierChainSql]]. */
+  private def classifierScoreSql(iters: Int): String = {
+    val z = "(CAST(w.w0 AS DOUBLE) * f0 + CAST(w.w1 AS DOUBLE) * f1 + " +
+      "CAST(w.w2 AS DOUBLE) * f2 + CAST(w.w3 AS DOUBLE) * f3) / 1000000000.0"
+    s"""
+       SELECT doc_id,
+         CAST(floor(s * 1000000000.0) AS BIGINT) AS score9,
+         CAST(floor(s * 1000000000.0) AS BIGINT) >= 500000000 AS pred,
+         CAST(y AS BIGINT) AS y
+       FROM (SELECT doc_id, y, 0.5 + (0.5 * ($z)) / (1.0 + abs($z)) AS s
+         FROM feat CROSS JOIN wt$iters w)"""
+  }
+
   private def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
@@ -3352,6 +3507,33 @@ object SparkEntry {
            round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
          FROM tok GROUP BY token
          HAVING CAST(count(*) AS DOUBLE) > (SELECT CAST(n AS DOUBLE) FROM tot) * 0.02""",
+
+    "text_bm25_topk" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """
+       SELECT query_id, doc_id, score9, rank FROM rk WHERE rank <= 5"""),
+
+    "curate_retrieval_contamination" ->
+      (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,
+       hits AS (SELECT * FROM rk
+                WHERE rank <= 10 AND score9 >= 2500000000),
+       best AS (SELECT doc_id, query_id, score9,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score9 DESC, query_id) AS r
+                FROM hits)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MAX(score9) AS best_score9,
+         MAX(CASE WHEN r = 1 THEN query_id END) AS best_query
+       FROM best GROUP BY doc_id"""),
+
+    "curate_classifier_score" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) +
+        classifierScoreSql(12)),
+
+    "curate_classifier_weights" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) + """
+       SELECT CAST(0 AS BIGINT) AS k, w0 AS w FROM wt12
+       UNION ALL SELECT CAST(1 AS BIGINT), w1 FROM wt12
+       UNION ALL SELECT CAST(2 AS BIGINT), w2 FROM wt12
+       UNION ALL SELECT CAST(3 AS BIGINT), w3 FROM wt12"""),
 
     // approx estimates are engine-side; the oracle verifies the exact
     // quantiles and that the asserted rank-error bounds hold (both true).

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed quality classifier for corpus curation — the fastText-style
+ * "train a small supervised model on weak labels, score the whole corpus"
+ * step every large-scale LLM data pipeline runs (reference scope: this is
+ * extension surface beyond datastax/cdc-apache-cassandra, like the rest of
+ * the curation family). A logistic model is trained by full-batch gradient
+ * descent over the corpus and then applied as a narrow scoring expression.
+ *
+ * Scale shape — the classic MLlib linear-model loop:
+ *  - the feature frame is computed ONCE and materialized; each GD
+ *    iteration is one map-side-combinable aggregate over it (partial
+ *    gradients per partition, 1-row result to the driver);
+ *  - the model (4 weights) lives on the driver between iterations and
+ *    folds into the next iteration's expression as literals — the corpus
+ *    never re-shuffles, and nothing corpus-sized reaches the driver;
+ *  - scoring is a pure per-row expression (codegen'd, streaming-safe).
+ *
+ * Oracle discipline (same as k-means / PageRank / BPE): weights live on a
+ * 1e9 integer grid and every per-row quantity is either an exact integer
+ * or a short chain of correctly-rounded IEEE double ops on exactly-
+ * representable inputs, written in the SAME order in the SQL mirror. The
+ * cross-row reduction sums INTEGERS (associative, order-free), so the
+ * whole training run — all iterations — replays bit-for-bit in DuckDB.
+ * The logistic link uses the rational surrogate s(z) = 0.5 + 0.5·z/(1+|z|)
+ * (no libm): same sign/monotonicity/saturation as the sigmoid, exact
+ * replay everywhere.
+ *
+ * Features (centered so zero-init GD moves immediately): bias, scaled
+ * word count (n−50)/64 (exact: integer over a power of two), its square
+ * (band-shaped labels need curvature), and type-token ratio − 0.5.
+ */
+object QualityClassifier {
+
+  val Grid = 1.0e9
+
+  /** Feature/label frame: doc_id, f0..f3 (double), y (double 0/1).
+   * Weak label = the quality_filter band: minWords ≤ n_words ≤ maxWords
+   * and ttr ≥ minTtr. */
+  def features(docs: DataFrame, minWords: Int, maxWords: Int,
+               minTtr: Double, textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val f1 = (size(w) - lit(50)).cast("double") / lit(64.0)
+    val ttr = size(array_distinct(w)).cast("double") / size(w).cast("double")
+    docs.select(
+      col("doc_id"),
+      lit(1.0).as("f0"),
+      f1.as("f1"),
+      (f1 * f1).as("f2"),
+      (ttr - lit(0.5)).as("f3"),
+      when(size(w).between(minWords, maxWords) && ttr >= lit(minTtr),
+        lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  /** Rational logistic link on the 1e9 weight grid: z from the literal
+   * weights, s = 0.5 + 0.5·z/(1+|z|). Mirrors the SQL expression order
+   * exactly (left-associated sum, single divisions). */
+  private def link(weights: Array[Long]): (Column, Column) = {
+    val z = (lit(weights(0).toDouble) * col("f0") +
+      lit(weights(1).toDouble) * col("f1") +
+      lit(weights(2).toDouble) * col("f2") +
+      lit(weights(3).toDouble) * col("f3")) / lit(Grid)
+    val s = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
+    (z, s)
+  }
+
+  /**
+   * Full-batch GD: `iters` rounds, each one aggregate over the
+   * materialized feature frame. Returns the final weights (1e9 grid).
+   * The only driver traffic is one 5-column row per iteration.
+   */
+  def train(feat: DataFrame, lr: Double, iters: Int): Array[Long] =
+    trainOn(Materialize(feat), lr, iters)
+
+  /** GD loop over an already-materialized feature frame. */
+  private def trainOn(f: DataFrame, lr: Double, iters: Int): Array[Long] = {
+    var weights = Array(0L, 0L, 0L, 0L)
+    for (_ <- 0 until iters) {
+      val (_, s) = link(weights)
+      val r = s - col("y")
+      val row = f.agg(
+        sum(floor((r * col("f0")) * lit(Grid))).as("g0"),
+        sum(floor((r * col("f1")) * lit(Grid))).as("g1"),
+        sum(floor((r * col("f2")) * lit(Grid))).as("g2"),
+        sum(floor((r * col("f3")) * lit(Grid))).as("g3"),
+        count(lit(1)).as("n")).head()
+      val n = row.getLong(4)
+      weights = Array.tabulate(4) { k =>
+        weights(k) - math.floor(lr * row.getLong(k).toDouble / n.toDouble).toLong
+      }
+    }
+    weights
+  }
+
+  /** Score every doc with the trained weights: (doc_id, score9, pred, y).
+   * score9 = floor(s·1e9); pred at the 0.5 boundary (score9 ≥ 5e8). */
+  def score(feat: DataFrame, weights: Array[Long]): DataFrame = {
+    val (_, s) = link(weights)
+    feat.select(
+      col("doc_id"),
+      floor(s * lit(Grid)).cast("long").as("score9"),
+      (floor(s * lit(Grid)).cast("long") >= lit(500000000L)).as("pred"),
+      col("y").cast("long").as("y"))
+  }
+
+  /** Train-then-score in one call (the `queries()` entry point). */
+  def trainAndScore(docs: DataFrame, minWords: Int, maxWords: Int,
+                    minTtr: Double, lr: Double, iters: Int): DataFrame = {
+    val feat = Materialize(features(docs, minWords, maxWords, minTtr))
+    score(feat, trainOn(feat, lr, iters))
+  }
+
+  /** The trained model as a 4-row frame (k, w) — the oracle replays the
+   * entire training chain to reproduce these exact integers. */
+  def trainedWeights(docs: DataFrame, minWords: Int, maxWords: Int,
+                     minTtr: Double, lr: Double, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = train(features(docs, minWords, maxWords, minTtr), lr, iters)
+    w.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+      .toSeq.toDF("k", "w")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityClassifier
+
+/** Contracts of the GD quality classifier the end-to-end oracle replay
+ * (curate_classifier_score / _weights) can't state: the model actually
+ * LEARNS (beats the majority class on its weak label), training is
+ * deterministic, and scoring is a narrow no-shuffle expression. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 400 synthetic docs: word count sweeps 10..89, every 4th doc is
+   * heavily repetitive (low TTR). Weak label = 25..75 words and
+   * ttr >= 0.3, so both label factors vary independently. */
+  private lazy val docs = (0 until 400).map { i =>
+    val n = 10 + (i % 80)
+    val vocab = if (i % 4 == 0) 2 else 64
+    val text = (0 until n).map(j => s"w${(j * 31 + i) % vocab}").mkString(" ")
+    (i.toLong, text)
+  }.toDF("doc_id", "text")
+
+  test("training learns: accuracy beats the majority class") {
+    val scored = QualityClassifier.trainAndScore(docs,
+      minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)
+      .select(col("pred").cast("int"), col("y").cast("int"))
+      .as[(Int, Int)].collect()
+    val n = scored.length.toDouble
+    val majority = math.max(scored.count(_._2 == 1), scored.count(_._2 == 0)) / n
+    val acc = scored.count { case (p, y) => p == y } / n
+    assert(acc > majority + 0.05,
+      s"accuracy $acc must beat majority baseline $majority")
+    assert(acc >= 0.75, s"accuracy $acc too low for a separable-ish band")
+  }
+
+  test("training is deterministic: same corpus, same exact weights") {
+    val f = QualityClassifier.features(docs, 25, 75, 0.30)
+    val w1 = QualityClassifier.train(f, lr = 4.0, iters = 6)
+    val w2 = QualityClassifier.train(f, lr = 4.0, iters = 6)
+    assert(w1.toSeq === w2.toSeq)
+    assert(w1.exists(_ != 0L), "weights must move off the zero init")
+  }
+
+  test("score9/pred are consistent and bounded to the open (0,1) grid") {
+    val scored = QualityClassifier.trainAndScore(docs,
+      minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 4)
+      .select("score9", "pred").as[(Long, Boolean)].collect()
+    assert(scored.forall { case (s, p) => p == (s >= 500000000L) })
+    // rational sigmoid never saturates to exactly 0 or 1
+    assert(scored.forall { case (s, _) => s > 0L && s < 1000000000L })
+  }
+
+  test("scoring is a narrow expression: no exchange in the scored plan") {
+    val f = QualityClassifier.features(docs, 25, 75, 0.30)
+    val w = QualityClassifier.train(f, lr = 4.0, iters = 2)
+    val plan = QualityClassifier.score(
+      QualityClassifier.features(docs, 25, 75, 0.30), w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("more iterations do not hurt in-sample squared error") {
+    def sqErr(iters: Int): Double = {
+      val rows = QualityClassifier.trainAndScore(docs,
+        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = iters)
+        .select(col("score9"), col("y")).as[(Long, Long)].collect()
+      rows.map { case (s, y) =>
+        val p = s.toDouble / 1e9; val d = p - y.toDouble; d * d
+      }.sum / rows.length
+    }
+    val early = sqErr(2)
+    val late = sqErr(12)
+    assert(late <= early + 1e-9,
+      s"squared error rose from $early (2 iters) to $late (12 iters)")
+  }
+}
