@@ -1151,6 +1151,13 @@ object SparkEntry {
           length(col("chunk")).cast("long").as("n_chars"),
           md5(col("chunk")).as("chunk_md5"))),
 
+    "mix_shuffle_shards" -> ((s, dir) =>
+      // deterministic global shuffle into 16 training shards: the corpus
+      // in random-but-reproducible order, streamable per shard. The hex-
+      // Horner shard hash is the SAME SQL string the oracle embeds.
+      TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
+        nShards = 16, seed = "graft")),
+
     "dedup_exact_docs" -> ((s, dir) =>
       DocDedup.dedupBy(t(s, dir, "documents"),
         DocDedup.exactFingerprint("text"))),
@@ -3079,6 +3086,18 @@ object SparkEntry {
              AS n_chars,
            md5(substring(text, CAST(1 + i * 192 AS INT), 256)) AS chunk_md5
          FROM n, unnest(generate_series(0, last_i)) AS t(i)""",
+
+    "mix_shuffle_shards" ->
+      s"""WITH k AS (SELECT doc_id,
+           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
+         FROM documents),
+         h AS (SELECT doc_id, skey,
+           ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16 AS shard
+         FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM h""",
 
     "dedup_exact_docs" ->
       """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,

@@ -79,7 +79,9 @@ object QualityClassifier {
   /** GD loop over an already-materialized feature frame. */
   private def trainOn(f: DataFrame, lr: Double, iters: Int): Array[Long] = {
     var weights = Array(0L, 0L, 0L, 0L)
-    for (_ <- 0 until iters) {
+    var it = 0
+    while (it < iters) {
+      it += 1
       val (_, s) = link(weights)
       val r = s - col("y")
       val row = f.agg(
@@ -89,7 +91,8 @@ object QualityClassifier {
         sum(floor((r * col("f3")) * lit(Grid))).as("g3"),
         count(lit(1)).as("n")).head()
       val n = row.getLong(4)
-      weights = Array.tabulate(4) { k =>
+      if (n == 0L) it = iters // empty corpus: nothing to fit, keep zeros
+      else weights = Array.tabulate(4) { k =>
         weights(k) - math.floor(lr * row.getLong(k).toDouble / n.toDouble).toLong
       }
     }

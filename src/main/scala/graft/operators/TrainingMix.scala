@@ -141,4 +141,43 @@ object TrainingMix {
       .select(col(idCol), col("c.chunk_id").as("chunk_id"),
         col("c.chunk").as("chunk"))
   }
+
+  /**
+   * Engine-portable hex-prefix value: Horner fold of the first `digits`
+   * hex characters of a column into a BIGINT (digit value via alphabet
+   * position — exact integer arithmetic everywhere). The SAME string is
+   * used as a Spark `expr` and embedded in the DuckDB oracle, so the two
+   * engines cannot diverge by construction.
+   */
+  def hexHornerSql(colName: String, digits: Int): String =
+    (1 to digits).map(i =>
+      s"CAST(instr('0123456789abcdef', substring($colName, $i, 1)) - 1 AS BIGINT)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+
+  /**
+   * Deterministic global shuffle into `nShards` training shards — the
+   * write-side step a training pipeline runs last: the corpus in a
+   * random-but-reproducible order, cut into equal-expectation shards a
+   * data loader can stream independently. shard = first-8-hex-digit value
+   * of md5(seed|id) mod nShards; pos = rank of the shuffle key within the
+   * shard (ties, i.e. md5 collisions, break on id). Changing the seed
+   * reshuffles; same seed is stable across runs, engines, partitionings.
+   *
+   * Scale shape: ONE hash shuffle on shard, then a per-shard local sort
+   * (the rank window partitions by shard — shards are the parallelism
+   * unit, ~corpus/nShards rows each by md5 uniformity; pick nShards ≫
+   * executor count at 100 TB so no task sorts more than a shard).
+   */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+                    seed: String = "graft"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = docs.select(col(idCol),
+      md5(concat_ws("|", lit(seed), col(idCol).cast("string"))).as("skey"))
+      .withColumn("shard", expr(s"${hexHornerSql("skey", 8)} % $nShards"))
+    keyed
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col(idCol))).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

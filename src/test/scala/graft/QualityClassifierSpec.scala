@@ -59,6 +59,45 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 
+  test("empty corpus trains to the zero model instead of failing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val w = QualityClassifier.train(
+      QualityClassifier.features(empty, 25, 75, 0.30), lr = 4.0, iters = 3)
+    assert(w.toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("scoring runs on a live stream (narrow expression, no shuffle)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val f = QualityClassifier.features(docs, 25, 75, 0.30)
+    val w = QualityClassifier.train(f, lr = 4.0, iters = 4)
+    val mem = MemoryStream[(Long, String)]
+    val scoredStream = QualityClassifier.score(
+      QualityClassifier.features(mem.toDF().toDF("doc_id", "text"),
+        25, 75, 0.30), w)
+    val q = scoredStream.writeStream.format("memory")
+      .queryName("clf_scores").outputMode("append").start()
+    try {
+      mem.addData((0 until 40).map(i => doc40(i)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clf_scores")
+      .select("doc_id", "score9").as[(Long, Long)].collect().toMap
+    val batch = QualityClassifier.score(
+      QualityClassifier.features(
+        (0 until 40).map(doc40).toDF("doc_id", "text"), 25, 75, 0.30), w)
+      .select("doc_id", "score9").as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.size === 40)
+  }
+
+  private def doc40(i: Int): (Long, String) = {
+    val n = 10 + (i % 80)
+    val vocab = if (i % 4 == 0) 2 else 64
+    (i.toLong,
+      (0 until n).map(j => s"w${(j * 31 + i) % vocab}").mkString(" "))
+  }
+
   test("more iterations do not hurt in-sample squared error") {
     def sqErr(iters: Int): Double = {
       val rows = QualityClassifier.trainAndScore(docs,

@@ -165,4 +165,27 @@ class TrainingMixSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().toSet
     assert(shuffled === out)
   }
+
+  test("shuffleShards: total, balanced-ish, contiguous positions, seeded") {
+    val docs = (0L until 800L).toDF("doc_id")
+    val out = TrainingMix.shuffleShards(docs, "doc_id", nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 800, "every doc lands in exactly one shard")
+    assert(out.map(_._1).distinct.length === 800)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet === (0L until 8L).toSet)
+    // md5 uniformity: no shard more than 2x the expected 100
+    assert(byShard.values.forall(s => s.length > 50 && s.length < 200),
+      s"shard sizes ${byShard.view.mapValues(_.length).toMap}")
+    // positions are exactly 1..n within each shard
+    for ((_, rows) <- byShard)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    // deterministic under repartitioning; different seed reshuffles
+    val again = TrainingMix.shuffleShards(docs.repartition(13), "doc_id",
+      nShards = 8).as[(Long, Long, Long)].collect()
+    assert(again.toSet === out.toSet)
+    val reseeded = TrainingMix.shuffleShards(docs, "doc_id", nShards = 8,
+      seed = "other").as[(Long, Long, Long)].collect()
+    assert(reseeded.toSet !== out.toSet)
+  }
 }
