@@ -1158,6 +1158,14 @@ object SparkEntry {
       TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
         nShards = 16, seed = "graft")),
 
+    "mix_token_budget" -> ((s, dir) =>
+      // budget planning: split 22000 tokens across languages by sqrt
+      // weights with one exact waterfill round (at sf0.01 'de'/'fr' cap
+      // at 100% and their surplus re-splits over es/zh/en — the
+      // redistribution branch is exercised, then oracle-replayed).
+      TrainingMix.tokenBudget(t(s, dir, "documents"), "lang",
+        budget = 22000L)),
+
     "dedup_exact_docs" -> ((s, dir) =>
       DocDedup.dedupBy(t(s, dir, "documents"),
         DocDedup.exactFingerprint("text"))),
@@ -3086,6 +3094,37 @@ object SparkEntry {
              AS n_chars,
            md5(substring(text, CAST(1 + i * 192 AS INT), 256)) AS chunk_md5
          FROM n, unnest(generate_series(0, last_i)) AS t(i)""",
+
+    "mix_token_budget" ->
+      """WITH ws AS (SELECT lang, len(string_split(text, ' ')) AS nw
+           FROM documents),
+         cnt AS MATERIALIZED (SELECT lang AS stratum,
+           CAST(SUM(nw) AS BIGINT) AS c_tokens FROM ws GROUP BY 1),
+         w AS MATERIALIZED (SELECT stratum, c_tokens,
+           CAST(floor(sqrt(CAST(c_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w9
+           FROM cnt),
+         tot AS (SELECT CAST(SUM(w9) AS BIGINT) AS wtot FROM w),
+         a1 AS MATERIALIZED (SELECT stratum, c_tokens, w9,
+           CAST(floor((22000.0 * CAST(w9 AS DOUBLE)) / CAST(wtot AS DOUBLE))
+             AS BIGINT) AS alloc1
+           FROM w CROSS JOIN tot),
+         c1 AS (SELECT stratum, c_tokens, w9, alloc1,
+           alloc1 >= c_tokens AS capped FROM a1),
+         r2 AS (SELECT
+           CAST(22000 - COALESCE(SUM(CASE WHEN capped THEN c_tokens END), 0)
+             AS BIGINT) AS b2,
+           CAST(COALESCE(SUM(CASE WHEN NOT capped THEN w9 END), 0)
+             AS BIGINT) AS w2 FROM c1),
+         fin AS (SELECT stratum, c_tokens,
+           CASE WHEN capped THEN c_tokens
+             ELSE least(c_tokens, CAST(floor(
+               (CAST(b2 AS DOUBLE) * CAST(w9 AS DOUBLE)) /
+                 CAST(greatest(w2, 1) AS DOUBLE)) AS BIGINT)) END AS kept_tokens
+           FROM c1 CROSS JOIN r2)
+         SELECT stratum, c_tokens, kept_tokens,
+           CAST(floor((CAST(kept_tokens AS DOUBLE) * 1000000000.0) /
+             CAST(c_tokens AS DOUBLE)) AS BIGINT) AS rate9
+         FROM fin""",
 
     "mix_shuffle_shards" ->
       s"""WITH k AS (SELECT doc_id,

@@ -155,6 +155,54 @@ object TrainingMix {
       .reduceLeft((acc, d) => s"($acc * 16 + $d)")
 
   /**
+   * Temperature-weighted token-budget allocation — the PLANNING step a
+   * mixture designer runs before sampling: split a global token budget
+   * across strata proportionally to sqrt(stratum tokens) (temperature-
+   * flattened, like [[temperatureThresholds]]), waterfilling in one exact
+   * redistribution round: strata whose share exceeds their actual tokens
+   * are capped at 100% and their surplus re-splits over the uncapped
+   * strata by the same weights. Emits per stratum (stratum, c_tokens,
+   * kept_tokens, rate9) — rate9 on a 1e9 grid feeds straight into a
+   * sampler threshold.
+   *
+   * Scale shape: two aggregates over the stratum dictionary (itself one
+   * map-side-combinable pass over the corpus) + 1-row broadcast attaches;
+   * nothing corpus-sized moves. Exactness: weights ride a 1e6 integer
+   * grid (IEEE sqrt is correctly rounded everywhere), cross-row sums are
+   * integer, and each division is a single correctly-rounded double op —
+   * the whole plan replays bit-for-bit in the oracle.
+   */
+  def tokenBudget(docs: DataFrame, stratumCol: String, budget: Long,
+                  textCol: String = "text"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val cnt = docs
+      .select(col(stratumCol).as("stratum"),
+        size(split(col(textCol), " ")).as("nw"))
+      .groupBy(col("stratum")).agg(sum(col("nw")).as("c_tokens"))
+    val w = cnt.withColumn("w9",
+      floor(sqrt(col("c_tokens").cast("double")) * lit(1.0e6)).cast("long"))
+    val tot = w.agg(sum(col("w9")).as("wtot"))
+    val a1 = w.crossJoin(broadcast(tot))
+      .withColumn("alloc1",
+        floor((lit(budget.toDouble) * col("w9").cast("double")) /
+          col("wtot").cast("double")).cast("long"))
+      .withColumn("capped", col("alloc1") >= col("c_tokens"))
+    val r2 = a1.agg(
+      (lit(budget) - coalesce(sum(when(col("capped"), col("c_tokens"))),
+        lit(0L))).as("b2"),
+      coalesce(sum(when(!col("capped"), col("w9"))), lit(0L)).as("w2"))
+    a1.crossJoin(broadcast(r2))
+      .withColumn("kept_tokens",
+        when(col("capped"), col("c_tokens"))
+          .otherwise(least(col("c_tokens"),
+            floor((col("b2").cast("double") * col("w9").cast("double")) /
+              greatest(col("w2"), lit(1L)).cast("double")).cast("long"))))
+      .select(col("stratum"), col("c_tokens"), col("kept_tokens"),
+        floor((col("kept_tokens").cast("double") * lit(1.0e9)) /
+          col("c_tokens").cast("double")).cast("long").as("rate9"))
+  }
+
+  /**
    * Deterministic global shuffle into `nShards` training shards — the
    * write-side step a training pipeline runs last: the corpus in a
    * random-but-reproducible order, cut into equal-expectation shards a

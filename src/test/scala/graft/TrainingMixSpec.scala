@@ -166,6 +166,35 @@ class TrainingMixSpec extends SparkSpec {
     assert(shuffled === out)
   }
 
+  test("tokenBudget: waterfill caps small strata, budget respected") {
+    // three strata: tiny (100 tokens), small (400), huge (10000);
+    // budget 2000 with sqrt weights over-allocates the tiny stratum
+    val docs = (
+      (0 until 10).map(i => (i.toLong, ("a " * 10).trim, "tiny")) ++
+      (0 until 40).map(i => (100L + i, ("b " * 10).trim, "small")) ++
+      (0 until 1000).map(i => (1000L + i, ("c " * 10).trim, "huge"))
+    ).toDF("doc_id", "text", "stratum")
+    val out = TrainingMix.tokenBudget(docs, "stratum", budget = 2000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set("tiny", "small", "huge"))
+    val (cT, kT, rT) = out("tiny")
+    assert(cT === 100L && kT === 100L && rT === 1000000000L,
+      "over-allocated stratum caps at 100%")
+    // total kept within budget; every stratum got something
+    assert(out.values.map(_._2).sum <= 2000L)
+    assert(out.values.forall(_._2 > 0L))
+    // flattening: rarer stratum keeps a larger fraction
+    val rates = Seq("tiny", "small", "huge").map(out(_)._3)
+    assert(rates === rates.sorted.reverse,
+      s"rates must fall with stratum size: $rates")
+    // no capping when the budget is tiny: all rates < 100%
+    val low = TrainingMix.tokenBudget(docs, "stratum", budget = 500L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(low.forall(_._4 < 1000000000L))
+    assert(low.map(_._3).sum <= 500L)
+  }
+
   test("shuffleShards: total, balanced-ish, contiguous positions, seeded") {
     val docs = (0L until 800L).toDF("doc_id")
     val out = TrainingMix.shuffleShards(docs, "doc_id", nShards = 8)
