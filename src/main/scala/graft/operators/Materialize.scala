@@ -1,34 +1,46 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /**
- * Lazy one-shot materialization for diamond-shaped DAGs: a frame consumed
- * by two or more downstream branches is cut from its lineage so the
- * upstream pipeline runs once, not once per branch.
+ * One-shot materialization for diamond-shaped DAGs: a frame consumed by
+ * two or more downstream branches is cut from its lineage so the upstream
+ * pipeline runs once, not once per branch.
  *
  * Two regimes, picked by deployment configuration:
  *
  *  - a checkpoint dir is set (`spark.sparkContext.setCheckpointDir`) —
- *    reliable `.checkpoint(eager = false)`: partitions land on the
- *    cluster's fault-tolerant store, so executor loss (dynamic
- *    allocation, spot kills) recomputes nothing and fails nothing. This
- *    is the 100 TB posture.
+ *    reliable `.checkpoint(eager = true)` behind a transient persist:
+ *    partitions land on the cluster's fault-tolerant store, so executor
+ *    loss (dynamic allocation, spot kills) recomputes nothing and fails
+ *    nothing. This is the 100 TB posture. The persist matters: a reliable
+ *    checkpoint without it runs the upstream lineage TWICE (once for the
+ *    materializing action, once more when the checkpoint job re-executes
+ *    the RDD to write its files) — with it, the checkpoint write reads the
+ *    just-computed blocks, and the cache entry is dropped immediately
+ *    after since the data now lives in the checkpoint files. Checkpoint
+ *    files themselves are reclaimed by the ContextCleaner when the frame
+ *    is collected iff the deployment sets
+ *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (document
+ *    this in job configs; without it they persist until the checkpoint
+ *    dir is cleaned externally).
  *  - no checkpoint dir — `.localCheckpoint(eager = false)`: executor-local
  *    blocks, GC-managed (the ContextCleaner frees them when the frame is
  *    collected, unlike `persist()`, whose CacheManager entry a library
  *    callee can never safely unpersist because the caller consumes the
- *    returned frame lazily). Right for local/test runs; documented
- *    trade-off: an executor loss mid-job fails the job instead of
- *    recomputing, which is why deployments with preemptible executors
- *    must set a checkpoint dir.
- *
- * Both forms are lazy: nothing runs until the first downstream action, at
- * which point the cut happens exactly once.
+ *    returned frame lazily). Lazy — nothing runs until the first
+ *    downstream action, and local checkpointing reuses the persisted
+ *    blocks of that first run (no double compute by construction). Right
+ *    for local/test runs; documented trade-off: an executor loss mid-job
+ *    fails the job instead of recomputing, which is why deployments with
+ *    preemptible executors must set a checkpoint dir.
  */
 object Materialize {
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = false)
 }

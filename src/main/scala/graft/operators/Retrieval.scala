@@ -48,32 +48,23 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-  /**
-   * Top-`k` documents per query under the integer-exact BM25 surrogate.
-   * `queries`: (query_id, qtext). Result: (query_id, doc_id, score9, rank)
-   * where score9 is the 1e9-grid integer score. Ties break on doc_id, so
-   * the ranking is total and deterministic.
-   */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
-               maxDfRatio: Double = 0.5,
-               textCol: String = "text"): DataFrame = {
-    // corpus stats: 1-row broadcast (the plan a scalar subquery lowers to)
-    val stats = docs.select(split(col(textCol), " ").as("w"))
+  /** 1-row (n_docs, sum_dl) corpus statistics — the plan a scalar
+   * subquery lowers to; attached to scoring as a broadcast. */
+  def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(split(col(textCol), " ").as("w"))
       .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("sum_dl"))
-    bm25TopKFromTf(termFrequencies(docs, textCol), stats, queries, k,
-      k1, b, maxDfRatio)
-  }
 
   /**
-   * Score against a prebuilt term-frequency table (the incremental-index
-   * path — [[graft.streaming.StreamingIndex]] maintains `tf` across
-   * micro-batches). `stats` must be a 1-row (n_docs, sum_dl) frame; pass
-   * [[statsFromTf]] to derive it from the index itself.
+   * Shared candidate pipeline for both scoring variants: query terms
+   * broadcast onto the posting lists, document frequencies joined in,
+   * stop-term guard applied, and the BM25 tf-saturation factor computed.
+   * Emits (query_id, doc_id, nd, dfd, sat) where nd/dfd are N and df as
+   * doubles (the idf inputs — only the idf damping differs between the
+   * grid-exact and ln variants).
    */
-  def bm25TopKFromTf(tf: DataFrame, stats: DataFrame, queries: DataFrame,
-                     k: Int, k1: Double = 1.2, b: Double = 0.75,
-                     maxDfRatio: Double = 0.5): DataFrame = {
+  private def saturatedCandidates(tf: DataFrame, stats: DataFrame,
+                                  queries: DataFrame, k1: Double, b: Double,
+                                  maxDfRatio: Double): DataFrame = {
     // per-term document frequency rides the token partitioning of tf
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // distinct query terms, broadcast to the posting lists
@@ -86,26 +77,58 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .filter(col("df").cast("double") <=
         lit(maxDfRatio) * col("n_docs").cast("double"))
-    // weight = idf_rational * tf saturation, quantized to the 1e9 grid;
-    // every double op below is a single IEEE-correctly-rounded step on
-    // exactly-representable integer inputs, so DuckDB replays it exactly
-    val idfR = (lit(2.0) * col("n_docs").cast("double") -
-      lit(2.0) * col("df").cast("double") + lit(1.0)) /
-      (lit(2.0) * col("df").cast("double") + lit(1.0))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    cand.select(col("query_id"), col("doc_id"),
+      col("n_docs").cast("double").as("nd"),
+      col("df").cast("double").as("dfd"), sat.as("sat"))
+  }
+
+  /** Per-query top-k over summed term weights; ties break on doc_id so the
+   * ranking is total and deterministic. */
+  private def rankTopK(scored: DataFrame, score: org.apache.spark.sql.Column,
+                       k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(score.desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+
+  /**
+   * Top-`k` documents per query under the integer-exact BM25 surrogate.
+   * `queries`: (query_id, qtext). Result: (query_id, doc_id, score9, rank)
+   * where score9 is the 1e9-grid integer score. Ties break on doc_id, so
+   * the ranking is total and deterministic.
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfRatio: Double = 0.5,
+               textCol: String = "text"): DataFrame =
+    bm25TopKFromTf(termFrequencies(docs, textCol),
+      corpusStats(docs, textCol), queries, k, k1, b, maxDfRatio)
+
+  /**
+   * Score against a prebuilt term-frequency table (the incremental-index
+   * path — [[graft.streaming.StreamingIndex]] maintains `tf` across
+   * micro-batches). `stats` must be a 1-row (n_docs, sum_dl) frame; pass
+   * [[statsFromTf]] to derive it from the index itself.
+   */
+  def bm25TopKFromTf(tf: DataFrame, stats: DataFrame, queries: DataFrame,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     maxDfRatio: Double = 0.5): DataFrame = {
+    val cand = saturatedCandidates(tf, stats, queries, k1, b, maxDfRatio)
+    // weight = idf_rational * tf saturation, quantized to the 1e9 grid;
+    // every double op below is a single IEEE-correctly-rounded step on
+    // exactly-representable integer inputs, so DuckDB replays it exactly
+    val idfR = (lit(2.0) * col("nd") - lit(2.0) * col("dfd") + lit(1.0)) /
+      (lit(2.0) * col("dfd") + lit(1.0))
     val scored = cand
       .select(col("query_id"), col("doc_id"),
-        floor(idfR * sat * lit(1.0e9)).cast("long").as("w9"))
+        floor(idfR * col("sat") * lit(1.0e9)).cast("long").as("w9"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w9")).as("score9"))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("score9").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, col("score9"), k)
       .select(col("query_id"), col("doc_id"), col("score9"), col("rank"))
   }
 
@@ -127,34 +150,15 @@ object Retrieval {
                  k1: Double = 1.2, b: Double = 0.75,
                  maxDfRatio: Double = 0.5,
                  textCol: String = "text"): DataFrame = {
-    val tf = termFrequencies(docs, textCol)
-    val stats = docs.select(split(col(textCol), " ").as("w"))
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("sum_dl"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val qterms = queries
-      .select(col("query_id"), explode(array_distinct(
-        split(col("qtext"), " "))).as("token"))
-    val cand = tf
-      .join(broadcast(qterms), "token")
-      .join(df, "token")
-      .crossJoin(broadcast(stats))
-      .filter(col("df").cast("double") <=
-        lit(maxDfRatio) * col("n_docs").cast("double"))
+    val cand = saturatedCandidates(termFrequencies(docs, textCol),
+      corpusStats(docs, textCol), queries, k1, b, maxDfRatio)
     val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    cand
-      .select(col("query_id"), col("doc_id"), (idf * sat).as("w"))
+      (col("nd") - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5)))
+    val scored = cand
+      .select(col("query_id"), col("doc_id"), (idf * col("sat")).as("w"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, col("score"), k)
   }
 
   /**

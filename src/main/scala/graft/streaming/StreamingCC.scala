@@ -55,6 +55,28 @@ class StreamingCC(stateDir: String) extends Serializable {
       }
   }
 
+  /** Outcome of probing whether a version dir reads as a labeling.
+   * `NotState` is the DETERMINISTIC negative (no data files / no
+   * inferable schema / wrong columns — the signature of a mid-write crash
+   * leftover, whose files sit under `_temporary` and are invisible to the
+   * reader); `Ambiguous` is any other read failure (corrupt footer,
+   * transient FS error) — possibly valid state behind a flaky filesystem,
+   * so it must never be *destroyed* on the strength of the probe alone. */
+  private sealed trait Probe
+  private case object Labeling extends Probe
+  private case object NotState extends Probe
+  private case object Ambiguous extends Probe
+
+  private def probeLabeling(spark: SparkSession, p: Path): Probe =
+    try {
+      val cols = spark.read.parquet(p.toString).columns.toSet
+      if (cols.contains("doc_id") && cols.contains("canonical_id")) Labeling
+      else NotState
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => NotState
+      case scala.util.control.NonFatal(_) => Ambiguous
+    }
+
   /**
    * Newest COMMITTED state version, if any. A version only counts once its
    * `_SUCCESS` marker exists: parquet job commit is not atomic and
@@ -74,10 +96,7 @@ class StreamingCC(stateDir: String) extends Serializable {
     // durably adopts it). The readability probe skips mid-write crash
     // leftovers, whose parquet is partial or schema-less.
     marked.orElse(dirs.sortBy(-_._1).collectFirst {
-      case (v, p) if scala.util.Try {
-        val cols = spark.read.parquet(p.toString).columns.toSet
-        cols.contains("doc_id") && cols.contains("canonical_id")
-      }.getOrElse(false) => v
+      case (v, p) if probeLabeling(spark, p) == Labeling => v
     })
   }
 
@@ -133,21 +152,41 @@ class StreamingCC(stateDir: String) extends Serializable {
       // forward.)
       val dirs = versionDirs(spark)
       if (dirs.nonEmpty &&
-          !dirs.exists { case (_, p) => f.exists(new Path(p, "_SUCCESS")) })
-        dirs.sortBy(-_._1).find { case (_, p) =>
-          scala.util.Try {
-            val cols = spark.read.parquet(p.toString).columns.toSet
-            cols.contains("doc_id") && cols.contains("canonical_id")
-          }.getOrElse(false)
-        }.foreach { case (_, p) =>
+          !dirs.exists { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }) {
+        val probed = dirs.sortBy(-_._1)
+          .map { case (v, p) => (v, p, probeLabeling(spark, p)) }
+        probed.find(_._3 == Labeling).foreach { case (_, p, _) =>
           f.create(new Path(p, "_SUCCESS"), true).close()
         }
+        // If nothing adopted AND some dir failed its probe ambiguously
+        // (corrupt footer / transient FS error — as opposed to the
+        // deterministic no-data-files signature of a crash leftover),
+        // REFUSE to proceed: folding this batch onto fabricated-empty
+        // state would commit an impoverished labeling as the newest
+        // version, silently shadowing what may be valid history behind a
+        // flaky filesystem. The foreachBatch retry re-probes; a truly
+        // corrupt state dir needs operator intervention, which is the
+        // honest outcome.
+        if (!probed.exists(_._3 == Labeling) && probed.exists(_._3 == Ambiguous))
+          throw new IllegalStateException(
+            s"state dir $stateDir has version dirs but none is committed or " +
+              "readable as a labeling; refusing to fold the batch on empty " +
+              s"state (ambiguous dirs: ${probed.filter(_._3 == Ambiguous).map(_._1).mkString(",")})")
+      }
       // recovery, step 2: drop the remaining unmarked dirs — newer than
       // the newest committed version they are mid-write leftovers, older
       // they are superseded history — so partial state is never
-      // resurrected and never collides with the new write
+      // resurrected and never collides with the new write. Only runs under
+      // a committed anchor (or when every dir deterministically probes as
+      // a crash leftover): without one, deletion on the strength of failed
+      // probes alone could permanently destroy transiently-unreadable
+      // valid state — the loss scenario this class documents as impossible.
+      val anchored = versionDirs(spark)
+        .exists { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
       versionDirs(spark)
         .filter { case (_, p) => !f.exists(new Path(p, "_SUCCESS")) }
+        .filter { case (_, p) =>
+          anchored || probeLabeling(spark, p) == NotState }
         .foreach { case (_, p) => f.delete(p, true) }
       val prevVersion = latestVersion(spark)
       // delta scope: the iterative kernel sees batch pairs + the rows of
@@ -158,8 +197,11 @@ class StreamingCC(stateDir: String) extends Serializable {
           affected.select(col("doc_id").as("a"), col("canonical_id").as("b"))))
         .unionByName(untouched.select(col("doc_id"), col("canonical_id")))
       // version write: the previous state stays intact until the new
-      // version is fully committed — a mid-write crash loses nothing
-      val next = prevVersion.getOrElse(-1L) + 1
+      // version is fully committed — a mid-write crash loses nothing.
+      // Numbered past EVERY surviving dir (not just the committed head) so
+      // the overwrite can never land on a dir recovery chose to preserve.
+      val next = (versionDirs(spark).map(_._1) :+ prevVersion.getOrElse(-1L))
+        .max + 1
       merged.select(col("doc_id"), col("canonical_id"))
         .write.mode("overwrite").parquet(s"$stateDir/v$next")
       // commit marker: Hadoop writes _SUCCESS by default, but the
@@ -167,10 +209,12 @@ class StreamingCC(stateDir: String) extends Serializable {
       val marker = new Path(s"$stateDir/v$next", "_SUCCESS")
       if (!f.exists(marker)) f.create(marker, true).close()
       // retire COMMITTED versions older than the immediate predecessor so a
-      // frame returned for the previous batch remains readable
+      // frame returned for the previous batch remains readable; unmarked
+      // dirs are recovery's to judge (step 2), never retirement's
       latestVersion(spark).foreach { latest =>
         versionDirs(spark)
-          .filter { case (v, _) => v < latest - 1 }
+          .filter { case (v, p) =>
+            v < latest - 1 && f.exists(new Path(p, "_SUCCESS")) }
           .foreach { case (_, p) => f.delete(p, true) }
       }
       lastBatchId = batchId

@@ -89,6 +89,12 @@ class StreamingIndex(stateDir: String, textCol: String = "text")
         col("dl").cast("long").as("dl"), col("token"),
         col("tf").cast("long").as("tf"))
       .write.mode("overwrite").parquet(dest.toString)
+    // commit marker: Hadoop writes _SUCCESS by default, but the crash-safety
+    // contract must not depend on that config
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — touch it
+    val f = fs(spark)
+    val marker = new Path(dest, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
   }
 
   /** Search the cumulative index: identical arithmetic and plan shape to

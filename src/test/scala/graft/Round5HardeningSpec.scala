@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Materialize
+import graft.streaming.{StreamingCC, StreamingIndex}
+
+/** Round-5 adversarial-review fixes: Materialize single-compute on the
+ * reliable path, StreamingCC's refusal to fabricate empty state over
+ * ambiguous dirs, and StreamingIndex's self-written commit marker. */
+class Round5HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setCheckpointDirForTest(dir: String): Unit =
+    spark.sparkContext.setCheckpointDir(dir)
+
+  private def clearCheckpointDir(): Unit = {
+    // SparkContext has no public unset; the var is private[spark], public
+    // in bytecode — reflection keeps the shared test session pristine
+    val m = spark.sparkContext.getClass
+      .getMethod("checkpointDir_$eq", classOf[Option[_]])
+    m.invoke(spark.sparkContext, None)
+  }
+
+  test("Materialize reliable path: upstream computes once across branches, " +
+      "cache freed after the cut") {
+    val ckpt = Files.createTempDirectory("mat_ckpt").toString
+    setCheckpointDirForTest(ckpt)
+    try {
+      val scans = spark.sparkContext.longAccumulator("upstream_scans")
+      val up = spark.range(0, 100, 1, 4).as[Long]
+        .mapPartitions { it => scans.add(1); it }.toDF("id")
+      val cut = Materialize(up)
+      // two downstream branches — without the cut (or with the classic
+      // checkpoint-without-persist bug) upstream would run 2x or 3x
+      assert(cut.count() === 100)
+      assert(cut.agg(org.apache.spark.sql.functions.sum("id"))
+        .as[Long].head() === 4950)
+      assert(scans.value === 4L,
+        s"upstream must compute exactly once (4 partitions), got ${scans.value}")
+      assert(up.storageLevel === StorageLevel.NONE,
+        "the transient persist must be dropped once the checkpoint holds the data")
+    } finally clearCheckpointDir()
+  }
+
+  test("Materialize local path stays lazy and computes once") {
+    val scans = spark.sparkContext.longAccumulator("upstream_scans_local")
+    val up = spark.range(0, 50, 1, 4).as[Long]
+      .mapPartitions { it => scans.add(1); it }.toDF("id")
+    val cut = Materialize(up)
+    assert(scans.value === 0L, "localCheckpoint form must stay lazy")
+    assert(cut.count() === 50)
+    assert(cut.count() === 50)
+    assert(scans.value === 4L, "one compute serves both actions")
+  }
+
+  test("StreamingCC refuses to fold onto fabricated-empty state when the " +
+      "only history is ambiguous (possibly valid behind a flaky FS)") {
+    val dir = Files.createTempDirectory("scc_ambig").toString + "/state"
+    val v0 = new java.io.File(dir, "v0")
+    assert(v0.mkdirs())
+    // garbage parquet: probe fails NON-deterministically distinguishable
+    // from valid-but-unreachable state — footer read error, not "no files"
+    Files.write(v0.toPath.resolve("part-00000.parquet"), Array[Byte](7, 7, 7))
+    val cc = new StreamingCC(dir)
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalStateException] { cc.processBatch(pairs, 0L) }
+    assert(v0.toPath.resolve("part-00000.parquet").toFile.isFile,
+      "the ambiguous dir must survive the refused fold")
+  }
+
+  test("StreamingCC proceeds past a deterministic first-batch crash leftover") {
+    val dir = Files.createTempDirectory("scc_leftover").toString + "/state"
+    // overwrite-mode created the dir, job died before any data file landed:
+    // the canonical mid-write signature (data only ever sits in _temporary)
+    assert(new java.io.File(dir, "v0").mkdirs())
+    val cc = new StreamingCC(dir)
+    cc.processBatch(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), 0L)
+    val got = cc.labels(spark).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(new java.io.File(s"$dir/v0", "_SUCCESS").isFile,
+      "the fresh fold must land committed in the reclaimed slot")
+  }
+
+  test("StreamingIndex commits its own marker (marksuccessfuljobs=false)") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hconf.get(key)
+    hconf.setBoolean(key, false)
+    try {
+      val dir = Files.createTempDirectory("sidx_marker").toString + "/state"
+      val idx = new StreamingIndex(dir)
+      val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+        .toDF("doc_id", "text")
+      idx.processBatch(docs, 0L)
+      assert(idx.committedBatches(spark) === Seq(0L),
+        "batch must be committed even when Hadoop skips the marker")
+      // "beta" is in every doc — the stop-term guard drops it; alpha and
+      // gamma each recall their one document
+      val queries = Seq((1L, "alpha gamma")).toDF("query_id", "qtext")
+      assert(idx.search(spark, queries, k = 2).count() === 2)
+    } finally {
+      if (prev == null) hconf.unset(key) else hconf.set(key, prev)
+    }
+  }
+}
