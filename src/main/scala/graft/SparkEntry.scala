@@ -1072,6 +1072,19 @@ object SparkEntry {
           col("n_tokens"), col("fertility"))
     }),
 
+    "curate_dsir_sample" -> ((s, dir) => {
+      // DSIR importance resampling steered toward the German slice: rank
+      // every corpus doc by target-LM/corpus-LM likelihood ratio (both
+      // bigram LMs on the verified lm_score integer grid; the ratio is one
+      // IEEE division of exact longs), keep the global top 150. The 'de'
+      // marker vocabulary drives the ratio, so the selection pulls in the
+      // de-like documents without a trained classifier.
+      val docs = t(s, dir, "documents")
+      Curation.dsirSample(docs, docs.filter(col("lang") === "de"), k = 150)
+        .select(col("doc_id"), col("sum_t9"), col("sum_c9"), col("w"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "curate_quality_sample" -> ((s, dir) => {
       // perplexity-style quality cut: keep the top 25% of each language's
       // documents by corpus-trained LM score (ties by doc_id) — the CCNet
@@ -3844,6 +3857,42 @@ object SparkEntry {
              CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
            FROM j)
          SELECT doc_id, lang, avg_p FROM r
-         WHERE rn <= greatest(1, (cnt * 25) // 100)"""
+         WHERE rn <= greatest(1, (cnt * 25) // 100)""",
+
+    // DSIR: the corpus-LM chain is lmScoreCtes verbatim; the target LM
+    // repeats it over the 'de' slice; both wp9 sums replay on the integer
+    // grid and the importance ratio is one IEEE division of exact longs
+    "curate_dsir_sample" ->
+      s"""WITH $lmScoreCtes,
+         tws AS (SELECT string_split(text, ' ') AS w FROM documents
+           WHERE lang = 'de'),
+         tdb0 AS (SELECT unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1),
+               i -> array_to_string(w[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM tws),
+         tbc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12t
+           FROM tdb0 GROUP BY 1),
+         ttok AS (SELECT unnest(w) AS token FROM tws),
+         tuc AS (SELECT token AS ttoken, CAST(COUNT(*) AS BIGINT) AS c1t
+           FROM ttok GROUP BY 1),
+         tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nvt FROM tuc),
+         sums AS (SELECT doc_id,
+             CAST(SUM(occ * CAST(floor((CAST(COALESCE(c12t, 0) AS DOUBLE) + 1.0)
+                 / (CAST(COALESCE(c1t, 0) AS DOUBLE) + CAST(nvt AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_t9,
+             CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_c9
+           FROM db JOIN bc USING (bigram)
+           JOIN uc ON split_part(bigram, ' ', 1) = uc.token
+           LEFT JOIN tbc USING (bigram)
+           LEFT JOIN tuc ON split_part(bigram, ' ', 1) = tuc.ttoken
+           CROSS JOIN v CROSS JOIN tv
+           GROUP BY doc_id),
+         wts AS (SELECT doc_id, sum_t9, sum_c9,
+             CAST(sum_t9 AS DOUBLE) / CAST(sum_c9 AS DOUBLE) AS w FROM sums),
+         rk AS (SELECT doc_id, sum_t9, sum_c9, w,
+             row_number() OVER (ORDER BY w DESC, doc_id) AS rank FROM wts)
+         SELECT doc_id, sum_t9, sum_c9, w, rank FROM rk WHERE rank <= 150"""
   )
 }

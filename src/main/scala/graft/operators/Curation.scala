@@ -135,4 +135,103 @@ object Curation {
       .filter(col("_rk") <= maxPerStratum)
       .drop("_rk")
   }
+
+  /**
+   * DSIR-style importance weights (Data Selection via Importance
+   * Resampling, Xie et al., NeurIPS 2023): score every corpus document by
+   * the likelihood ratio of a TARGET-trained bigram LM over the
+   * CORPUS-trained one — documents distributionally close to the target
+   * domain (a small probe set: a wiki dump, a curated subset, a language
+   * slice) get ratios > 1, generic documents < 1. Selecting by this weight
+   * is the published recipe for steering a raw web corpus toward a target
+   * domain without a trained classifier.
+   *
+   * Arithmetic is [[TextAnalysis.bigramLmScore]]'s oracle discipline
+   * applied twice: each smoothed probability is ONE IEEE division of exact
+   * integers, quantized by floor(p·10⁹) to an integer weight, summed in
+   * exact long arithmetic per document. Both scores share the SAME per-doc
+   * bigram rows, so their occurrence totals cancel and the importance
+   * ratio reduces to sum_t9/sum_c9 — emitted as a single IEEE division of
+   * two exact longs (`w`), bit-identical on every engine. Bigrams or first
+   * words missing from the target dictionary smooth to count 0 (add-one
+   * keeps every probability positive), so out-of-domain text is scored,
+   * not dropped; documents with no bigrams (< 2 words) carry no signal and
+   * are absent from the result.
+   *
+   * Shape at 100 TB: the corpus dictionaries are map-side-combinable
+   * groupBys (corpus-linear, one shuffle each on bigram/token); the target
+   * dictionaries are probe-set-sized and BROADCAST to the corpus rows; the
+   * per-doc bigram table is materialized once and feeds both its own
+   * aggregation and the scoring join; the per-doc reduction is one
+   * hash aggregate. Nothing is ever pairwise.
+   */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    val docBigrams = Materialize(
+      docs.select(col("doc_id"), TextAnalysis.words(textCol).as("w"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.bigramsOf("w")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("occ")))
+    // corpus LM dictionaries — identical arithmetic to bigramLmScore
+    val cBigram = docBigrams.groupBy(col("bigram")).agg(sum(col("occ")).as("c12"))
+    val cUni = docs.select(explode(TextAnalysis.words(textCol)).as("tok_c"))
+      .groupBy(col("tok_c")).agg(count(lit(1)).as("c1"))
+    val cVocab = cUni.agg(count(lit(1)).as("v"))
+    // target LM dictionaries — probe-set-sized, broadcast
+    val tBigram = target.select(TextAnalysis.words(textCol).as("w"))
+      .select(explode(TextAnalysis.bigramsOf("w")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12t"))
+    val tUni = target.select(explode(TextAnalysis.words(textCol)).as("tok_t"))
+      .groupBy(col("tok_t")).agg(count(lit(1)).as("c1t"))
+    val tVocab = tUni.agg(count(lit(1)).as("vt"))
+    val first = expr("split_part(bigram, ' ', 1)")
+    val pC = col("c12").cast("double").plus(lit(1.0))
+      .divide(col("c1").cast("double").plus(col("v").cast("double")))
+    val pT = coalesce(col("c12t"), lit(0L)).cast("double").plus(lit(1.0))
+      .divide(coalesce(col("c1t"), lit(0L)).cast("double")
+        .plus(col("vt").cast("double")))
+    docBigrams
+      .join(cBigram, "bigram")
+      .join(cUni, first === col("tok_c"))
+      .join(broadcast(tBigram), Seq("bigram"), "left")
+      .join(broadcast(tUni), first === col("tok_t"), "left")
+      .crossJoin(broadcast(cVocab))
+      .crossJoin(broadcast(tVocab))
+      .select(col("doc_id"),
+        (col("occ") * floor(pT * lit(1.0e9))).as("wp9t"),
+        (col("occ") * floor(pC * lit(1.0e9))).as("wp9c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wp9t")).as("sum_t9"), sum(col("wp9c")).as("sum_c9"))
+      .select(col("doc_id"), col("sum_t9"), col("sum_c9"),
+        (col("sum_t9").cast("double") / col("sum_c9").cast("double")).as("w"))
+  }
+
+  /**
+   * DSIR selection: the top-`k` corpus documents by importance weight
+   * (ratio desc, doc_id ties) — importance resampling in its deterministic
+   * temperature→0 form, matching the engine's reproducibility contract
+   * (for a randomized draw, compose [[dsirWeights]] with [[sampleKey]]
+   * thresholds the way TrainingMix does).
+   *
+   * The global top-k is TWO-PHASE like [[domainCap]]: phase 1 ranks
+   * within a hash shard and keeps ≤ k per shard (over-selects, never
+   * drops — a true top-k row ranks ≤ k in its own shard too), phase 2
+   * exact-ranks the ≤ nShards·k survivors; bit-identical to a single
+   * global window without ever sorting the corpus in one task.
+   */
+  def dsirSample(docs: DataFrame, target: DataFrame, k: Int,
+                 textCol: String = "text", nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order: Seq[Column] = Seq(col("w").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(pmod(hash(col("doc_id")), lit(nShards)))
+      .orderBy(order: _*)
+    val survivors = dsirWeights(docs, target, textCol)
+      .withColumn("_rk", row_number().over(w1))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+    survivors
+      .withColumn("rank", row_number().over(
+        Window.orderBy(order: _*)))
+      .filter(col("rank") <= k)
+  }
 }

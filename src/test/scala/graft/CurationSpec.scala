@@ -49,4 +49,36 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(clean === Set(1L, 3L))
   }
+
+  test("dsirSample pulls in target-domain-like docs, deterministically") {
+    // two vocabularies: "legal" docs share a distinctive bigram stock,
+    // "web" docs another; a couple of web docs code-switch into legal
+    val legal = (0L until 10L).map(i =>
+      (i, "whereas the party of the first part shall indemnify clause " + i))
+    val web = (100L until 130L).map(i =>
+      (i, "click here for amazing deals on shoes and garden tools item " + i))
+    val mixed = Seq(
+      (200L, "click here whereas the party shall indemnify deals"),
+      (201L, "amazing deals on the party of the first part"))
+    val corpus = (legal ++ web ++ mixed).toDF("doc_id", "text")
+    val target = legal.toDF("doc_id", "text") // the domain probe set
+    val weights = Curation.dsirWeights(corpus, target)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, _, _, w) => id -> w }.toMap
+    val meanLegal = legal.map(d => weights(d._1)).sum / legal.size
+    val meanWeb = web.map(d => weights(d._1)).sum / web.size
+    assert(meanLegal > meanWeb * 2,
+      s"target-like docs must score far higher ($meanLegal vs $meanWeb)")
+    assert(weights(200L) > meanWeb && weights(201L) > meanWeb,
+      "code-switched docs score between the two stocks")
+    // top-10 selection = the legal docs themselves
+    val top = Curation.dsirSample(corpus, target, k = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(top === legal.map(_._1).toSet)
+    // deterministic under repartitioning and shard count
+    val again = Curation.dsirSample(corpus.repartition(7), target, k = 10,
+        nShards = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === top)
+  }
 }

@@ -30,7 +30,8 @@ class PlanGuardSpec extends SparkSpec {
       "pipeline_curate_tokenize", // mix stage's 1-row total attach
       "text_bm25_topk", // 1-row corpus-stats (N, Σdl) attach to postings
       "curate_retrieval_contamination", // same BM25 1-row stats attach
-      "mix_token_budget") // 1-row weight-total / waterfill attaches
+      "mix_token_budget", // 1-row weight-total / waterfill attaches
+      "curate_dsir_sample") // two 1-row vocab-size attaches (both LMs)
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must
