@@ -1389,6 +1389,48 @@ object SparkEntry {
           min(col("doc_id")).over(Window.partitionBy(col("phash"))))
     }),
 
+    "mm_gif_roundtrip" -> ((s, dir) => {
+      // REAL GIF content decode: 8x8 grayscale md5-derived pixels run
+      // through the full LZW codec (variable-width codes, sub-block
+      // framing, gray palette). LZW is lossless and the palette is the
+      // identity, so decode returns each input byte tripled (RGB) and the
+      // oracle rebuilds the expected hex arithmetically. Interlace and
+      // JDK compatibility are pinned by GifCodecSpec.
+      import graft.functions.GifFunctions._
+      val pxHex = concat((0 until 4).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
+      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    "mm_gif_phash" -> ((s, dir) => {
+      // perceptual dedup over GIF content — third container format in the
+      // dedup loop: docs sharing doc_id % 100 carry identical images; the
+      // average-hash samples corner pixels FROM THE DECODED RGB, so the
+      // LZW decode path sits inside the dedup decision
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GifFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val pxHex = concat((0 until 4).map(i =>
+        md5(concat(seed, lit("g" + i)))): _*)
+      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
+      val decHex = lower(hex(dec.getField("pixels")))
+      // corner pixels 0, 7, 56, 63; red byte of RGB pixel p sits at 3p
+      val vs = Seq(0, 7, 56, 63).map(p =>
+        conv(substring(decHex, p * 6 + 1, 2), 16, 10).cast("long"))
+      val tot = vs.reduce(_ + _)
+      val phash = vs.zipWithIndex.map { case (v, i) =>
+        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), phash.as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
     "mm_wav_pcm" -> ((s, dir) => {
       // REAL audio content decode: 64 deterministic s16le samples are
       // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
@@ -3707,6 +3749,50 @@ object SparkEntry {
          SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
            || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
          FROM d""",
+
+    // GIF round-trip is exactly lossless (LZW + identity gray palette):
+    // decode returns each gray byte tripled into RGB
+    "mm_gif_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || 'g0')
+             || md5(CAST(doc_id AS VARCHAR) || 'g1')
+             || md5(CAST(doc_id AS VARCHAR) || 'g2')
+             || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
+         FROM documents),
+         b AS (SELECT doc_id, p, substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
+                 FROM d) e),
+         t AS (SELECT doc_id, string_agg(hx || hx || hx, '' ORDER BY p) AS px_hex
+           FROM b GROUP BY doc_id)
+         SELECT doc_id, 8 AS width, 8 AS height, px_hex FROM t""",
+
+    // corner-pixel average-hash over the (lossless) GIF round-trip: the
+    // oracle reads the same four gray bytes straight from the md5 hex
+    "mm_gif_phash" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+           md5(CAST(doc_id % 100 AS VARCHAR) || 'g0')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g1')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g2')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g3') AS h
+         FROM documents),
+         s AS (SELECT doc_id, substr(h, 1, 2) AS h0, substr(h, 15, 2) AS h1,
+             substr(h, 113, 2) AS h2, substr(h, 127, 2) AS h3 FROM d),
+         v AS (SELECT doc_id, m0.v AS v0, m1.v AS v1, m2.v AS v2, m3.v AS v3
+           FROM s JOIN hexmap m0 ON s.h0 = m0.hx
+             JOIN hexmap m1 ON s.h1 = m1.hx
+             JOIN hexmap m2 ON s.h2 = m2.hx
+             JOIN hexmap m3 ON s.h3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST((CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END)
+               + (CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END)
+               + (CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END)
+               + (CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END)
+               AS BIGINT) AS phash FROM v)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
 
     // flat-block JPEG round-trip is exactly lossless (even values, q00=16):
     // the oracle rebuilds the input pixel hex arithmetically

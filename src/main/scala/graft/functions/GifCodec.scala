@@ -1,0 +1,417 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL (subset) GIF codec in pure JVM — the third actual-content image
+ * format beside [[PngCodec]] and [[JpegCodec]]. GIF's compression layer is
+ * LZW with variable-width codes (9→12 bits, LSB-first packing, CLEAR/EOI
+ * control codes, dictionary reset on overflow), implemented here from the
+ * GIF89a specification; framing is the logical screen descriptor, color
+ * tables, sub-block chunking, extension skipping, and 4-pass interlace
+ * reordering (the JDK's own writer interlaces by default). Supported
+ * subset: single-image GIF87a/GIF89a with a global or local color table —
+ * the common case for ML payload sniffing and perceptual dedup.
+ *
+ * Decode output is row-major RGB (palette applied), so a gray-palette
+ * round-trip returns each input byte tripled — exactly replayable by the
+ * oracle. Header dimensions are attacker-controlled on untrusted payloads:
+ * decode bounds the output allocation in Long arithmetic before touching
+ * it (the [[PngCodec]] decode-bomb discipline), and every segment read is
+ * bounds-checked so truncated or lying streams reject precisely.
+ */
+object GifCodec {
+
+  /** Hard cap on the decoded RGB buffer (decode-bomb guard). */
+  private val MaxDecodedBytes: Long = Int.MaxValue / 4L
+
+  final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+  private def need(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new IllegalArgumentException(s"gif: $msg")
+
+  // ---------------------------------------------------------------- encode
+
+  /**
+   * Encode 8-bit grayscale pixels (`gray.length == width*height`) as a
+   * GIF89a with a 256-entry gray global color table and real LZW
+   * compression. The encoder exists so the decoder is testable against
+   * independently-generated data (and both against ImageIO in the spec).
+   */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= Int.MaxValue / 4,
+      s"bad dimensions ${width}x$height")
+    require(gray.length == width * height,
+      s"pixels length ${gray.length} != ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xf7) // global color table, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    val lzw = lzwEncode(gray, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-LZW compress `indices` with the given minimum code size:
+   * variable-width codes LSB-first, CLEAR emitted up front and on
+   * dictionary overflow (4096 entries), EOI last. */
+  def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1; codeSize = minCodeSize + 1 }
+    emit(clear)
+    if (indices.nonEmpty) {
+      var w = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        val key = (w << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emit(w)
+          if (next < 4096) {
+            dict.put(key, next)
+            next += 1
+            // decoder bumps its width after registering the same entry —
+            // stay in lockstep (see lzwDecode)
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else {
+            emit(clear)
+            reset()
+          }
+          w = k
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** GIF-LZW decompress into exactly `expected` indices. */
+  def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                expected: Int): Array[Byte] = {
+    need(minCodeSize >= 2 && minCodeSize <= 8, s"bad code size $minCodeSize")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val stack = new Array[Byte](4096)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    def readCode(): Int = {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return -1 // truncated: caller rejects
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        pos += 1
+        bitCnt += 8
+      }
+      val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize
+      bitCnt -= codeSize
+      c
+    }
+    def emitString(code: Int): Byte = {
+      var depth = 0
+      var c = code
+      while (c >= 0) {
+        need(depth < 4096, "corrupt LZW chain")
+        stack(depth) = suffix(c)
+        depth += 1
+        c = prefix(c)
+      }
+      val first = stack(depth - 1)
+      var j = depth - 1
+      while (j >= 0) {
+        need(outPos < expected, "LZW output exceeds image size")
+        out(outPos) = stack(j)
+        outPos += 1
+        j -= 1
+      }
+      first
+    }
+    var done = false
+    while (!done) {
+      val c = readCode()
+      need(c >= 0, "truncated LZW stream")
+      if (c == clear) {
+        codeSize = minCodeSize + 1
+        next = eoi + 1
+        prev = -1
+      } else if (c == eoi) {
+        done = true
+      } else if (prev < 0) {
+        need(c < clear, s"first code $c not a literal")
+        emitString(c)
+        prev = c
+      } else {
+        need(c < next || (c == next && next < 4096), s"code $c out of range")
+        val first =
+          if (c < next) emitString(c)
+          else { // c == next: the KwKwK case
+            val f = firstOf(prefix, suffix, prev)
+            // entry being defined right now: str(prev) + first(str(prev))
+            prefix(next) = prev; suffix(next) = f
+            val r = emitString(c)
+            prefix(next) = -1 // undone below by the regular registration
+            r
+          }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = c
+      }
+      if (outPos == expected && !done) {
+        // pixels complete; accept streams whose EOI follows immediately
+        val tail = readCode()
+        need(tail == eoi || tail == -1 || tail == clear,
+          "trailing data after full image")
+        done = true
+      }
+    }
+    need(outPos == expected, s"LZW yielded $outPos of $expected pixels")
+    out
+  }
+
+  /** GIF 4-pass interlace (spec appendix E): stored row order is passes
+   * {0,8,16…}, {4,12…}, {2,6…}, {1,3…} — map each stored row back to its
+   * display position. The JDK's own GIF writer interlaces by default. */
+  private def deinterlace(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](src.length)
+    val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+    var srcRow = 0
+    for ((start, step) <- passes) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(src, srcRow * w, out, y * w, w)
+        srcRow += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  private def firstOf(prefix: Array[Int], suffix: Array[Byte],
+                      code: Int): Byte = {
+    var c = code
+    var guard = 0
+    while (prefix(c) >= 0) {
+      need(guard < 4096, "corrupt LZW chain")
+      c = prefix(c)
+      guard += 1
+    }
+    suffix(c)
+  }
+
+  /** Decode a (subset) GIF to row-major RGB. */
+  def decode(gif: Array[Byte]): Image = {
+    need(gif.length >= 13, "truncated header")
+    val sig = new String(gif, 0, 6, "US-ASCII")
+    need(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
+    def u16(p: Int): Int = (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
+    val packed = gif(10) & 0xff
+    var pos = 13
+    var globalTable: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      need(pos + 3 * n <= gif.length, "truncated global color table")
+      globalTable = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < gif.length) {
+      (gif(pos) & 0xff) match {
+        case 0x21 => // extension: label byte + sub-blocks
+          need(pos + 2 < gif.length, "truncated extension")
+          pos += 2
+          var len = gif(pos) & 0xff
+          while (len != 0) {
+            pos += 1 + len
+            need(pos < gif.length, "truncated extension block")
+            len = gif(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c => // image descriptor
+          need(pos + 10 <= gif.length, "truncated image descriptor")
+          val w = u16(pos + 5)
+          val h = u16(pos + 7)
+          val ipacked = gif(pos + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
+          need(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+          need(w.toLong * h * 3 <= MaxDecodedBytes,
+            s"decoded size ${w}x$h exceeds limit")
+          pos += 10
+          var table = globalTable
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            need(pos + 3 * n <= gif.length, "truncated local color table")
+            table = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          need(table != null, "no color table")
+          need(pos < gif.length, "missing LZW code size")
+          val minCode = gif(pos) & 0xff
+          pos += 1
+          // collect LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var len = -1
+          while (len != 0) {
+            need(pos < gif.length, "truncated image data")
+            len = gif(pos) & 0xff
+            pos += 1
+            if (len != 0) {
+              need(pos + len <= gif.length, "truncated image sub-block")
+              data.write(gif, pos, len)
+              pos += len
+            }
+          }
+          val raw = lzwDecode(data.toByteArray, minCode, w * h)
+          val indices = if (!interlaced) raw else deinterlace(raw, w, h)
+          val nColors = table.length / 3
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < indices.length) {
+            val ci = indices(i) & 0xff
+            need(ci < nColors, s"palette index $ci out of range")
+            rgb(i * 3) = table(ci * 3)
+            rgb(i * 3 + 1) = table(ci * 3 + 1)
+            rgb(i * 3 + 2) = table(ci * 3 + 2)
+            i += 1
+          }
+          return Image(w, h, rgb)
+        case 0x3b =>
+          need(false, "trailer before image data")
+        case other =>
+          need(false, f"unknown block 0x$other%02x")
+      }
+    }
+    throw new IllegalArgumentException("gif: no image data")
+  }
+
+  val decodeType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** Decode to an InternalRow — called from generated code. */
+  def decodeRow(gif: Array[Byte]): InternalRow = {
+    val img = decode(gif)
+    new GenericInternalRow(Array[Any](img.width, img.height, img.pixels))
+  }
+}
+
+/** `gif_decode(binary)` → struct(width, height, pixels RGB) — codegen'd
+ * call into the static decode kernel; the scan-stage content decode. */
+case class GifDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GifCodec.decodeType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gif_decode requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifCodec.decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.GifCodec.decodeRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): GifDecodeExpr =
+    copy(child = c)
+}
+
+/** `gif_encode_gray(width, height, gray)` → BINARY. Fixture-synthesis /
+ * output edge, not a scan kernel — CodegenFallback is deliberate. */
+case class GifEncodeGrayExpr(w: Expression, h: Expression, gray: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(w, h, gray)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, gray.dataType) match {
+      case (IntegerType, IntegerType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gif_encode_gray requires (INT, INT, BINARY), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val (wv, hv, gv) = (w.eval(input), h.eval(input), gray.eval(input))
+    if (wv == null || hv == null || gv == null) null
+    else GifCodec.encodeGray(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      gv.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): GifEncodeGrayExpr =
+    copy(w = c(0), h = c(1), gray = c(2))
+}
+
+object GifFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def gif_decode(c: Column): Column =
+    GraftShim.column(GifDecodeExpr(GraftShim.expression(c)))
+
+  def gif_encode_gray(w: Column, h: Column, gray: Column): Column =
+    GraftShim.column(GifEncodeGrayExpr(GraftShim.expression(w),
+      GraftShim.expression(h), GraftShim.expression(gray)))
+}

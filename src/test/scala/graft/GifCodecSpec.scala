@@ -1,0 +1,111 @@
+package graft
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GifCodec
+
+/**
+ * GIF codec: gray round-trips are exactly lossless (LZW is lossless, the
+ * gray palette is the identity), including sizes that overflow the 4096-
+ * entry LZW dictionary mid-stream; general content cross-validates against
+ * the JDK's own ImageIO codec in BOTH directions; and unsupported or lying
+ * streams are rejected with precise reasons.
+ */
+class GifCodecSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  private def tripled(g: Array[Byte]): Seq[Int] =
+    g.flatMap(b => Seq(b & 0xff, b & 0xff, b & 0xff)).toSeq
+
+  test("gray round-trip is the identity (palette applied as RGB)") {
+    val px = gray(8, 8)((x, y) => (x * 31 + y * 7) % 256)
+    val img = GifCodec.decode(GifCodec.encodeGray(8, 8, px))
+    assert((img.width, img.height) === (8, 8))
+    assert(img.pixels.map(_ & 0xff).toSeq === tripled(px))
+  }
+
+  test("round-trip survives LZW dictionary overflow (clear + reset)") {
+    // 128x128 pseudo-random bytes: ~16k pixels of incompressible data
+    // blows past 4096 dictionary entries, forcing the mid-stream CLEAR
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(128 * 128)(rnd.nextInt(256).toByte)
+    val img = GifCodec.decode(GifCodec.encodeGray(128, 128, px))
+    assert(img.width === 128 && img.height === 128)
+    assert(img.pixels.map(_ & 0xff).toSeq === tripled(px))
+  }
+
+  test("single-pixel and flat images round-trip") {
+    val one = GifCodec.decode(GifCodec.encodeGray(1, 1, Array(77.toByte)))
+    assert(one.pixels.map(_ & 0xff).toSeq === Seq(77, 77, 77))
+    val flat = Array.fill(16 * 4)(200.toByte)
+    val img = GifCodec.decode(GifCodec.encodeGray(16, 4, flat))
+    assert(img.pixels.map(_ & 0xff).toSeq === tripled(flat))
+  }
+
+  test("ImageIO decodes our GIFs to the same pixels") {
+    val px = gray(32, 16)((x, y) => (x * x + y * 13) % 256)
+    val bytes = GifCodec.encodeGray(32, 16, px)
+    val io = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(io !== null, "ImageIO must accept the stream")
+    assert((io.getWidth, io.getHeight) === (32, 16))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = px(y * 32 + x) & 0xff
+      val rgb = io.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ===
+        ((want, want, want)), s"pixel ($x,$y)")
+    }
+  }
+
+  test("we decode ImageIO-written GIFs to the same pixels") {
+    val w = 24; val h = 17
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 29) % 256
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(bi, "gif", buf), "JDK GIF writer available")
+    // ground truth is the JDK's OWN read-back of its bytes (the writer
+    // quantizes through a palette and may interlace — both must agree)
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(buf.toByteArray))
+    val img = GifCodec.decode(buf.toByteArray)
+    assert((img.width, img.height) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = jdk.getRGB(x, y)
+      val p = (y * w + x) * 3
+      assert((img.pixels(p) & 0xff, img.pixels(p + 1) & 0xff,
+        img.pixels(p + 2) & 0xff) ===
+        (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("rejects decode bombs, truncation, and junk precisely") {
+    val good = GifCodec.encodeGray(8, 8, gray(8, 8)((x, y) => x + y))
+    // a 13-byte header claiming 50000x50000 must reject BEFORE allocating
+    val bomb = good.clone()
+    bomb(6) = 0x50.toByte; bomb(7) = 0xc3.toByte  // 50000 LE
+    bomb(8) = 0x50.toByte; bomb(9) = 0xc3.toByte
+    val desc = 13 + 768
+    bomb(desc + 5) = 0x50.toByte; bomb(desc + 6) = 0xc3.toByte
+    bomb(desc + 7) = 0x50.toByte; bomb(desc + 8) = 0xc3.toByte
+    assert(intercept[IllegalArgumentException] {
+      GifCodec.decode(bomb)
+    }.getMessage.contains("exceeds limit"))
+    // truncation at every prefix length either rejects or is impossible —
+    // never hangs, never returns a fabricated image
+    for (cut <- Seq(3, 12, 13 + 100, 13 + 768 + 4, good.length - 3)) {
+      intercept[IllegalArgumentException] {
+        GifCodec.decode(java.util.Arrays.copyOf(good, cut))
+      }
+    }
+    assert(intercept[IllegalArgumentException] {
+      GifCodec.decode("JFIF0a".getBytes ++ good.drop(6))
+    }.getMessage.contains("signature"))
+  }
+}
