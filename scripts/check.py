@@ -27,7 +27,8 @@ def run_verify():
     cmd = ["java"] + [x for p in ADD_OPENS for x in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Verify", SF, OUT]
+        "-cp", cp, "graft.Verify", SF, OUT] + (
+        [os.environ["ONLY"]] if os.environ.get("ONLY") else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     sys.stdout.write(r.stdout[-4000:])

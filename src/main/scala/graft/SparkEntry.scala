@@ -1431,6 +1431,50 @@ object SparkEntry {
           min(col("doc_id")).over(Window.partitionBy(col("phash"))))
     }),
 
+    "mm_video_framesample" -> ((s, dir) => {
+      // REAL video modality end to end: four MJPEG frames per doc are
+      // muxed into a spec-compliant AVI (RIFF container, AviCodec), then
+      // the container walk extracts header meta, avi_sample_frames picks
+      // every 2nd frame, and each sampled frame runs the REAL baseline
+      // JPEG decode — container parse, frame sampling and pixel decode
+      // all inside the scan, no driver round-trip. Frames are flat-block
+      // even-value grays (the exactly-lossless JPEG path), so the oracle
+      // replays the sampled frames' decoded block values arithmetically.
+      import graft.functions.JpegFunctions._
+      import graft.functions.AviFunctions._
+      def frameCol(f: Int): Column = {
+        val hexes = (0 until 4).map { i =>
+          val byte = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit("v" + f + "b" + i))),
+            1, 2), 16, 10).cast("int")
+          lower(lpad(hex((byte % 128) * 2), 2, "0"))
+        }
+        val pxHex = concat(
+          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
+      }
+      val withAvi = t(s, dir, "documents").select(col("doc_id"),
+        avi_encode_mjpeg(lit(16), lit(16), lit(40000),
+          array((0 until 4).map(frameCol): _*)).as("avi"))
+      val m = avi_meta(col("avi"))
+      val exploded = withAvi.select(col("doc_id"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("usec_per_frame").as("usec_per_frame"),
+          m.getField("n_frames").as("n_frames"),
+          posexplode(avi_sample_frames(col("avi"), lit(2))))
+        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
+      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
+      // 16x16 gray: block corners at bytes 0, 8, 128, 136
+      val bs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      exploded.select(col("doc_id"), col("width"), col("height"),
+        col("usec_per_frame"), col("n_frames"),
+        (col("spos") * 2).cast("long").as("frame_idx"),
+        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
+    }),
+
     "mm_wav_pcm" -> ((s, dir) => {
       // REAL audio content decode: 64 deterministic s16le samples are
       // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
@@ -1594,6 +1638,13 @@ object SparkEntry {
       val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
     }),
+
+    "dedup_simhash_band" -> ((s, dir) =>
+      // Manku-style 64-bit SimHash near-dup: 4 x 16-bit Hamming bands
+      // generate candidates (lossless up to Hamming 3 by pigeonhole),
+      // exact bit_count(xor) verifies; bucket cap kills band skew
+      DocDedup.simhashNearDup(t(s, dir, "documents"), nBits = 64,
+        bands = 4, maxHamming = 3)),
 
     "text_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"),
@@ -3282,6 +3333,42 @@ object SparkEntry {
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
 
+    // 64-bit SimHash + 4 x 16-bit bands + bucket cap + exact Hamming —
+    // the whole pipeline (fingerprint, banding, cap, verify) replayed
+    "dedup_simhash_band" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                   substr(md5(token), 1 + b // 4, 1)) - 1)
+                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tokens, (SELECT unnest(range(64)) AS b) bs
+           GROUP BY doc_id, b),
+         sh AS (
+           SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
+           FROM sh, (SELECT unnest(range(4)) AS band) bs),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM okb l JOIN okb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id)
+         SELECT c.a, c.b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         FROM cand c
+         JOIN sh sa ON c.a = sa.doc_id
+         JOIN sh sb ON c.b = sb.doc_id
+         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
+
     "text_quality_filter" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -3849,6 +3936,35 @@ object SparkEntry {
          SELECT doc_id, phash,
            MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
          FROM ph""",
+
+    // the AVI mux/parse is the identity on frame payloads and flat-block
+    // JPEG is exactly lossless, so sampled frames 0 and 2 decode back to
+    // their md5-derived block values — the oracle replays them directly
+    "mm_video_framesample" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         d AS (SELECT doc_id, frame_idx,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM f)
+         SELECT doc_id, 16 AS width, 16 AS height,
+           40000 AS usec_per_frame, 4 AS n_frames,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
+           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
+           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
+           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
+         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+         JOIN hexmap m1 ON d.c1 = m1.hx
+         JOIN hexmap m2 ON d.c2 = m2.hx
+         JOIN hexmap m3 ON d.c3 = m3.hx""",
 
     "mm_wav_pcm" ->
       """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i

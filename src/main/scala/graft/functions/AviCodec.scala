@@ -1,0 +1,397 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL (subset) AVI container codec in pure JVM — the VIDEO modality
+ * made concrete next to [[PngCodec]]/[[JpegCodec]]/[[GifCodec]] (images)
+ * and the WAV path in [[MediaHeaders]] (audio). AVI is the RIFF container
+ * from the public MS/OpenDML spec: `RIFF('AVI ' LIST('hdrl' avih
+ * LIST('strl' strh strf)) LIST('movi' 00dc…) idx1)`. Frames are MJPEG —
+ * each `00dc` chunk is a standalone baseline JPEG, so the whole per-frame
+ * content path reuses [[JpegCodec]]: container walk → frame sample →
+ * pixel decode is real end to end, no codec libraries.
+ *
+ * Supported subset: single video stream ('vids'/'MJPG'), which is the
+ * shape a frame-sampling training pipeline consumes. The parser walks the
+ * chunk tree sequentially (it never trusts idx1 to find data) and
+ * validates it: every chunk size is bounds-checked against the remaining
+ * bytes, declared dims are positive and Long-bounded before any
+ * allocation (decode-bomb discipline), the header frame count must match
+ * the actual `00dc`/`00db` chunks, and truncated or lying streams reject
+ * with precise reasons. idx1, when present, is cross-checked entry by
+ * entry against the real chunk layout.
+ *
+ * Reference scope note: the reference treats payload blobs opaquely
+ * (`AbstractNativeConverter.java:82-88` forwards bytes); content-level
+ * video handling is an engine extension for multimodal training data.
+ */
+object AviCodec {
+
+  /** Decode-bomb guard for declared frame dims (RGB bytes). */
+  private val MaxFrameBytes: Long = Int.MaxValue / 4L
+  /** Hard cap on declared frame count (index allocation guard). */
+  private val MaxFrames = 1 << 20
+
+  final case class Meta(width: Int, height: Int, usecPerFrame: Int,
+                        nFrames: Int)
+
+  private def need(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new IllegalArgumentException(s"avi: $msg")
+
+  // ---------------------------------------------------------------- encode
+
+  /**
+   * Mux pre-encoded JPEG frames into a spec-compliant single-stream
+   * MJPG AVI. The encoder exists so the parser is testable against
+   * independently-constructed containers (and the layout against
+   * hand-computed golden bytes in the spec).
+   */
+  def encodeMjpeg(width: Int, height: Int, usecPerFrame: Int,
+                  frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height * 3 <= MaxFrameBytes,
+      s"bad dimensions ${width}x$height")
+    require(usecPerFrame > 0, s"bad frame interval $usecPerFrame")
+    require(frames.nonEmpty && frames.length <= MaxFrames,
+      s"bad frame count ${frames.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+
+    val maxFrame = frames.map(_.length).max
+    def pad(n: Int) = n + (n & 1) // RIFF chunks are word-aligned
+
+    // sizes, inside-out: movi list data = 'movi' + per-frame (8 + padded)
+    val moviData = 4 + frames.map(f => 8 + pad(f.length)).sum
+    val idx1Data = 16 * frames.length
+    val strlData = 4 + 8 + 56 + 8 + 40          // 'strl' strh strf
+    val hdrlData = 4 + 8 + 56 + 8 + strlData    // 'hdrl' avih LIST(strl)
+    val riffData = 4 + 8 + hdrlData + 8 + moviData + 8 + idx1Data
+
+    tag("RIFF"); u32(riffData); tag("AVI ")
+    tag("LIST"); u32(hdrlData); tag("hdrl")
+    tag("avih"); u32(56)
+    u32(usecPerFrame); u32(0); u32(0)
+    u32(0x10)                    // AVIF_HASINDEX
+    u32(frames.length); u32(0); u32(1); u32(maxFrame)
+    u32(width); u32(height)
+    u32(0); u32(0); u32(0); u32(0)
+    tag("LIST"); u32(strlData); tag("strl")
+    tag("strh"); u32(56)
+    tag("vids"); tag("MJPG")
+    u32(0); u16(0); u16(0); u32(0)
+    u32(usecPerFrame)            // dwScale
+    u32(1000000)                 // dwRate → fps = rate/scale
+    u32(0); u32(frames.length); u32(maxFrame)
+    u32(-1)                      // dwQuality: default
+    u32(0)                       // dwSampleSize: 0 for video
+    u16(0); u16(0); u16(width); u16(height)
+    tag("strf"); u32(40)
+    u32(40); u32(width); u32(height); u16(1); u16(24)
+    tag("MJPG"); u32(width * height * 3)
+    u32(0); u32(0); u32(0); u32(0)
+    tag("LIST"); u32(moviData); tag("movi")
+    // idx1 offsets are relative to the 'movi' fourcc position
+    val offsets = new Array[Int](frames.length)
+    var off = 4
+    var i = 0
+    while (i < frames.length) {
+      offsets(i) = off
+      tag("00dc"); u32(frames(i).length)
+      out.write(frames(i))
+      if ((frames(i).length & 1) == 1) out.write(0)
+      off += 8 + pad(frames(i).length)
+      i += 1
+    }
+    tag("idx1"); u32(idx1Data)
+    i = 0
+    while (i < frames.length) {
+      tag("00dc"); u32(0x10)     // AVIIF_KEYFRAME
+      u32(offsets(i)); u32(frames(i).length)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- parse
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Int =
+    le16(b, p) | (le16(b, p + 2) << 16)
+  private def fourcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** Offsets+lengths of the frame payloads, discovered by walking `movi`
+   * sequentially. Also returns the byte position of the `movi` fourcc
+   * (the idx1 offset origin) and the parsed header meta. */
+  private final case class Layout(meta: Meta, moviPos: Int,
+                                  frameOff: Array[Int], frameLen: Array[Int],
+                                  idx1Pos: Int)
+
+  private def walk(avi: Array[Byte]): Layout = {
+    need(avi.length >= 12, "truncated: no RIFF header")
+    need(fourcc(avi, 0) == "RIFF", "not a RIFF stream")
+    val riffSize = le32(avi, 4)
+    need(riffSize >= 4 && riffSize.toLong + 8 <= avi.length,
+      s"RIFF size $riffSize exceeds stream length ${avi.length}")
+    need(fourcc(avi, 8) == "AVI ", "not an AVI stream")
+
+    var width = 0; var height = 0; var usec = 0; var declared = -1
+    var sawAvih = false; var sawVids = false
+    var moviPos = -1; var idx1Pos = -1
+    val offs = new java.util.ArrayList[Int]
+    val lens = new java.util.ArrayList[Int]
+
+    // depth-first chunk walk; `end` is the exclusive bound of this level
+    def chunks(start: Int, end: Int): Unit = {
+      var p = start
+      while (p < end) {
+        need(p + 8 <= end, s"truncated chunk header at $p")
+        val ck = fourcc(avi, p)
+        val sz = le32(avi, p + 4)
+        need(sz >= 0 && p + 8 + sz.toLong <= end,
+          s"chunk $ck size $sz overruns enclosing list")
+        if (ck == "LIST") {
+          need(sz >= 4, "LIST chunk too small for a list type")
+          val lt = fourcc(avi, p + 8)
+          if (lt == "movi") {
+            moviPos = p + 8
+            var q = p + 12
+            val lend = p + 8 + sz
+            while (q < lend) {
+              need(q + 8 <= lend, s"truncated movi chunk header at $q")
+              val fk = fourcc(avi, q)
+              val fs = le32(avi, q + 4)
+              need(fs >= 0 && q + 8 + fs.toLong <= lend,
+                s"movi chunk $fk size $fs overruns movi list")
+              if (fk.endsWith("dc") || fk.endsWith("db")) {
+                offs.add(q); lens.add(fs)
+              } // rec/padding chunks are skipped, not frames
+              q += 8 + fs + (fs & 1)
+            }
+          } else chunks(p + 12, p + 8 + sz)
+        } else if (ck == "avih") {
+          need(sz >= 56, s"avih too small: $sz")
+          usec = le32(avi, p + 8)
+          declared = le32(avi, p + 24)
+          width = le32(avi, p + 40)
+          height = le32(avi, p + 44)
+          sawAvih = true
+        } else if (ck == "strh") {
+          need(sz >= 56, s"strh too small: $sz")
+          if (fourcc(avi, p + 8) == "vids") sawVids = true
+        } else if (ck == "idx1") {
+          idx1Pos = p
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    chunks(12, 8 + riffSize)
+
+    need(sawAvih, "missing avih header")
+    need(sawVids, "no video ('vids') stream header")
+    need(moviPos >= 0, "missing movi list")
+    need(width > 0 && height > 0, s"bad declared dimensions ${width}x$height")
+    need(width.toLong * height * 3 <= MaxFrameBytes,
+      s"declared ${width}x$height exceeds frame byte bound")
+    val n = offs.size
+    need(n > 0, "no frame chunks in movi")
+    need(n <= MaxFrames, s"frame count $n exceeds bound")
+    need(declared == n,
+      s"header declares $declared frames but movi holds $n")
+    val fo = new Array[Int](n); val fl = new Array[Int](n)
+    var i = 0
+    while (i < n) { fo(i) = offs.get(i); fl(i) = lens.get(i); i += 1 }
+    Layout(Meta(width, height, usec, n), moviPos, fo, fl, idx1Pos)
+  }
+
+  /** Parse the container header; cross-check idx1 against the real chunk
+   * layout when present (an index that lies about offsets or lengths is
+   * a corrupt or hostile stream). */
+  def parseMeta(avi: Array[Byte]): Meta = {
+    val l = walk(avi)
+    if (l.idx1Pos >= 0) {
+      val sz = le32(avi, l.idx1Pos + 4)
+      need(sz == 16 * l.meta.nFrames,
+        s"idx1 size $sz != 16 x ${l.meta.nFrames} frames")
+      var i = 0
+      while (i < l.meta.nFrames) {
+        val e = l.idx1Pos + 8 + 16 * i
+        val declOff = le32(avi, e + 8)
+        val declLen = le32(avi, e + 12)
+        need(declOff == l.frameOff(i) - l.moviPos,
+          s"idx1 entry $i offset $declOff != real ${l.frameOff(i) - l.moviPos}")
+        need(declLen == l.frameLen(i),
+          s"idx1 entry $i length $declLen != real ${l.frameLen(i)}")
+        i += 1
+      }
+    }
+    l.meta
+  }
+
+  /** Every `every`-th frame payload (frames 0, every, 2·every, …). */
+  def sampleFrames(avi: Array[Byte], every: Int): Array[Array[Byte]] = {
+    require(every > 0, s"avi: bad sample stride $every")
+    val l = walk(avi)
+    val n = (l.meta.nFrames + every - 1) / every
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val f = i * every
+      out(i) = java.util.Arrays.copyOfRange(avi, l.frameOff(f) + 8,
+        l.frameOff(f) + 8 + l.frameLen(f))
+      i += 1
+    }
+    out
+  }
+
+  val metaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("usec_per_frame", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Meta to an InternalRow — called from generated code. */
+  def metaRow(avi: Array[Byte]): InternalRow = {
+    val m = parseMeta(avi)
+    new GenericInternalRow(Array[Any](m.width, m.height, m.usecPerFrame,
+      m.nFrames))
+  }
+
+  /** Sampled frames as ArrayData — called from generated code. */
+  def sampleRow(avi: Array[Byte], every: Int): ArrayData =
+    new GenericArrayData(sampleFrames(avi, every).asInstanceOf[Array[Any]])
+}
+
+/** `avi_meta(binary)` → struct(width, height, usec_per_frame, n_frames) —
+ * codegen'd container walk + idx1 cross-check; the scan-stage probe. */
+case class AviMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AviCodec.metaType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"avi_meta requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviCodec.metaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.AviCodec.metaRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): AviMetaExpr =
+    copy(child = c)
+}
+
+/** `avi_sample_frames(binary, every)` → array<binary> of every-th frame
+ * payload (standalone JPEGs for MJPG) — the frame-sampling scan kernel;
+ * compose with `jpeg_decode` via `transform` for pixel access. */
+case class AviSampleFramesExpr(avi: Expression, every: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(avi, every)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (avi.dataType, every.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"avi_sample_frames requires (BINARY, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = avi.eval(input); val e = every.eval(input)
+    if (a == null || e == null) null
+    else AviCodec.sampleRow(a.asInstanceOf[Array[Byte]], e.asInstanceOf[Int])
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aviG = avi.genCode(ctx)
+    val evG = every.genCode(ctx)
+    val code =
+      code"""
+        ${aviG.code}
+        ${evG.code}
+        boolean ${ev.isNull} = ${aviG.isNull} || ${evG.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.AviCodec.sampleRow(
+            ${aviG.value}, ${evG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): AviSampleFramesExpr =
+    copy(avi = c(0), every = c(1))
+}
+
+/** `avi_encode_mjpeg(width, height, usec_per_frame, frames)` → BINARY.
+ * Fixture-synthesis / output edge, not a scan kernel — CodegenFallback
+ * is deliberate (mirrors the image encoders). */
+case class AviEncodeMjpegExpr(w: Expression, h: Expression, usec: Expression,
+                              frames: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(w, h, usec, frames)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, usec.dataType, frames.dataType) match {
+      case (IntegerType, IntegerType, IntegerType, ArrayType(BinaryType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"avi_encode_mjpeg requires (INT, INT, INT, ARRAY<BINARY>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val wv = w.eval(input); val hv = h.eval(input)
+    val uv = usec.eval(input); val fv = frames.eval(input)
+    if (wv == null || hv == null || uv == null || fv == null) null
+    else {
+      val arr = fv.asInstanceOf[ArrayData]
+      val fs = new Array[Array[Byte]](arr.numElements())
+      var i = 0
+      while (i < fs.length) { fs(i) = arr.getBinary(i); i += 1 }
+      AviCodec.encodeMjpeg(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+        uv.asInstanceOf[Int], fs)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): AviEncodeMjpegExpr =
+    copy(w = c(0), h = c(1), usec = c(2), frames = c(3))
+}
+
+object AviFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def avi_meta(c: Column): Column =
+    GraftShim.column(AviMetaExpr(GraftShim.expression(c)))
+
+  def avi_sample_frames(avi: Column, every: Column): Column =
+    GraftShim.column(AviSampleFramesExpr(GraftShim.expression(avi),
+      GraftShim.expression(every)))
+
+  def avi_encode_mjpeg(w: Column, h: Column, usec: Column,
+                       frames: Column): Column =
+    GraftShim.column(AviEncodeMjpegExpr(GraftShim.expression(w),
+      GraftShim.expression(h), GraftShim.expression(usec),
+      GraftShim.expression(frames)))
+}

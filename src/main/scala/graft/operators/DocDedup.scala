@@ -192,6 +192,50 @@ object DocDedup {
   }
 
   /**
+   * SimHash near-duplicate pairs — the Manku et al. (WWW'07) web-dedup
+   * shape: a 64-bit SimHash fingerprint per document, split into `bands`
+   * equal bit-bands; documents sharing any band value are candidates
+   * (pigeonhole: two fingerprints within Hamming distance `bands - 1`
+   * MUST agree on at least one band, so banding loses nothing at
+   * `maxHamming <= bands - 1`), then candidates are verified by the exact
+   * Hamming distance over the full fingerprint (`bit_count(xor)`).
+   *
+   * Complements [[minhashSignatures]]/[[lshBuckets]]: MinHash estimates
+   * set-Jaccard with ~numHashes·corpus hashing cost, SimHash needs ONE
+   * fingerprint per doc and catches small absolute bit flips — the cheap
+   * first-pass dedup at web scale.
+   *
+   * Scale: the fingerprint frame is materialized once ([[Materialize]] —
+   * banding and the two verify joins share it); candidate generation is
+   * bucket-local via [[candidatePairs]] with the same `maxBucketSize` skew
+   * cap as MinHash LSH (a band value shared by thousands of docs carries
+   * no signal and would emit O(bucket²) pairs); verification joins are
+   * hash-partitioned on doc id. Nothing is all-pairs.
+   */
+  def simhashNearDup(docs: DataFrame, nBits: Int = 64, bands: Int = 4,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = 100): DataFrame = {
+    require(nBits % bands == 0, s"nBits $nBits not divisible by $bands bands")
+    require(maxHamming <= bands - 1,
+      s"banding is only lossless up to Hamming ${bands - 1}, got $maxHamming")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = Materialize(TextAnalysis.simhash(docs, nBits))
+    val buckets = sh.select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "bucket")))
+    val pairs = candidatePairs(buckets, maxBucketSize)
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+      .withColumn("hamming",
+        expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /**
    * Canonicalize a near-duplicate pair graph into clusters: connected
    * components by iterative min-label propagation — every member of a dup
    * cluster maps to the cluster's smallest id, the "keep one canonical doc

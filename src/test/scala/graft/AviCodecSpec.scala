@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AviCodec, JpegCodec}
+
+/**
+ * AVI/MJPEG container codec: mux → parse round-trips recover every frame
+ * byte-for-byte; the RIFF layout matches hand-computed golden offsets;
+ * frame sampling composes with the real JPEG decode; and truncated,
+ * lying, or index-corrupt streams reject with precise reasons.
+ */
+class AviCodecSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  /** n distinct flat-block 16x16 JPEG frames (even values → lossless). */
+  private def jpegFrames(n: Int): Array[Array[Byte]] =
+    Array.tabulate(n) { f =>
+      val px = gray(16, 16)((x, y) =>
+        ((f * 40 + (x / 8) * 20 + (y / 8) * 10) % 128) * 2)
+      JpegCodec.encodeGray(16, 16, px)
+    }
+
+  test("mux -> parse recovers header meta and every frame byte-for-byte") {
+    val frames = jpegFrames(5)
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, frames)
+    val m = AviCodec.parseMeta(avi)
+    assert((m.width, m.height, m.usecPerFrame, m.nFrames) === (16, 16, 40000, 5))
+    val all = AviCodec.sampleFrames(avi, 1)
+    assert(all.length === 5)
+    all.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
+  test("RIFF layout golden check: declared sizes and offsets are exact") {
+    // one 2-byte frame → every size is hand-computable
+    val frame = Array[Byte](0x41, 0x42)
+    val avi = AviCodec.encodeMjpeg(4, 4, 1000, Array(frame))
+    def le32(p: Int) = (avi(p) & 0xff) | ((avi(p + 1) & 0xff) << 8) |
+      ((avi(p + 2) & 0xff) << 16) | ((avi(p + 3) & 0xff) << 24)
+    def tag(p: Int) = new String(avi, p, 4, "US-ASCII")
+    assert(tag(0) === "RIFF" && tag(8) === "AVI ")
+    assert(le32(4) === avi.length - 8)       // RIFF size covers the rest
+    assert(tag(12) === "LIST" && tag(20) === "hdrl")
+    val hdrl = le32(16)
+    // hdrl = 'hdrl' + avih(8+56) + LIST strl ('strl' + strh(8+56) + strf(8+40))
+    assert(hdrl === 4 + 64 + 8 + (4 + 64 + 48))
+    val moviList = 12 + 8 + hdrl
+    assert(tag(moviList) === "LIST" && tag(moviList + 8) === "movi")
+    assert(le32(moviList + 4) === 4 + 8 + 2) // one 2-byte chunk, no pad
+    assert(tag(moviList + 12) === "00dc" && le32(moviList + 16) === 2)
+    val idx1 = moviList + 8 + le32(moviList + 4)
+    assert(tag(idx1) === "idx1" && le32(idx1 + 4) === 16)
+    assert(le32(idx1 + 16) === 4)            // offset: movi fourcc + 4
+    assert(le32(idx1 + 20) === 2)            // length
+  }
+
+  test("odd-length frames are word-padded and still recovered") {
+    val frames = Array(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7, 8))
+    val avi = AviCodec.encodeMjpeg(4, 4, 1000, frames)
+    val got = AviCodec.sampleFrames(avi, 1)
+    assert(got(0).toSeq === Seq[Byte](1, 2, 3))
+    assert(got(1).toSeq === Seq[Byte](4, 5, 6, 7, 8))
+  }
+
+  test("sampling stride picks frames 0, k, 2k") {
+    val frames = jpegFrames(7)
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, frames)
+    val s3 = AviCodec.sampleFrames(avi, 3)
+    assert(s3.length === 3)
+    assert(s3(0).toSeq === frames(0).toSeq)
+    assert(s3(1).toSeq === frames(3).toSeq)
+    assert(s3(2).toSeq === frames(6).toSeq)
+  }
+
+  test("sampled frames decode through the real JPEG codec") {
+    val frames = jpegFrames(4)
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, frames)
+    val img = JpegCodec.decode(AviCodec.sampleFrames(avi, 2)(1))
+    assert((img.width, img.height, img.channels) === (16, 16, 1))
+    // frame 2, block (0,0): ((2*40) % 128) * 2 = 160 — lossless path
+    assert((img.pixels(0) & 0xff) === 160)
+  }
+
+  test("truncated and lying streams reject precisely") {
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, jpegFrames(3))
+    // truncation mid-movi
+    val cut = java.util.Arrays.copyOf(avi, avi.length / 2)
+    val e1 = intercept[IllegalArgumentException](AviCodec.parseMeta(cut))
+    assert(e1.getMessage.contains("avi:"))
+    // RIFF size lying beyond the buffer
+    val lie = avi.clone()
+    lie(4) = (lie(4) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException](AviCodec.parseMeta(lie))
+    assert(e2.getMessage.contains("avi:"))
+    // a well-formed RIFF that is not an AVI (a WAVE header)
+    val wave = "RIFF____WAVE".getBytes("US-ASCII")
+    wave(4) = 4; wave(5) = 0; wave(6) = 0; wave(7) = 0
+    val e3 = intercept[IllegalArgumentException](AviCodec.parseMeta(wave))
+    assert(e3.getMessage.contains("not an AVI"))
+  }
+
+  test("frame-count and dimension lies reject precisely") {
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, jpegFrames(2))
+    // avih dwTotalFrames is at avih data + 16 = byte 24+8+16? locate avih
+    // layout: RIFF(12) LIST(8+4) avih hdr(8) → totalFrames at data+16
+    val avihData = 12 + 12 + 8
+    val lieN = avi.clone()
+    lieN(avihData + 16) = 9
+    val e1 = intercept[IllegalArgumentException](AviCodec.parseMeta(lieN))
+    assert(e1.getMessage.contains("declares"))
+    // decode-bomb dims: claim ~2^30 x 2^30 — must reject before allocating
+    val bomb = avi.clone()
+    bomb(avihData + 32 + 3) = 0x40.toByte // width high byte
+    bomb(avihData + 36 + 3) = 0x40.toByte // height high byte
+    val e2 = intercept[IllegalArgumentException](AviCodec.parseMeta(bomb))
+    assert(e2.getMessage.contains("bound") ||
+      e2.getMessage.contains("dimensions"))
+  }
+
+  test("idx1 cross-check catches a corrupted index") {
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000, jpegFrames(2))
+    // find idx1 and corrupt the first entry's offset
+    var p = 12
+    var idx1 = -1
+    def le32(b: Array[Byte], q: Int) = (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) |
+      ((b(q + 2) & 0xff) << 16) | ((b(q + 3) & 0xff) << 24)
+    while (idx1 < 0) {
+      if (new String(avi, p, 4, "US-ASCII") == "idx1") idx1 = p
+      else p += 8 + le32(avi, p + 4) + (le32(avi, p + 4) & 1)
+    }
+    val bad = avi.clone()
+    bad(idx1 + 8 + 8) = (bad(idx1 + 8 + 8) ^ 0x7f).toByte
+    val e = intercept[IllegalArgumentException](AviCodec.parseMeta(bad))
+    assert(e.getMessage.contains("idx1"))
+    // sampling ignores idx1 (sequential walk) so frames stay readable
+    assert(AviCodec.sampleFrames(bad, 1).length === 2)
+  }
+}

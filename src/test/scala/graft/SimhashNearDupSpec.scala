@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DocDedup
+
+/**
+ * SimHash banded near-dup: exact duplicates land at Hamming 0; a one-token
+ * edit stays within the Hamming budget while unrelated docs stay out; the
+ * banding is lossless up to Hamming bands-1 (pigeonhole, checked against a
+ * direct all-pairs Hamming scan); and the bucket cap drops band values
+ * shared too widely to carry signal.
+ */
+class SimhashNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "quick brown fox jumps over the lazy dog near " +
+    "a quiet river bank while morning light settles on the water"
+
+  test("exact duplicates pair at Hamming 0; unrelated docs do not pair") {
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different subject matter entirely unrelated " +
+        "words about compilers registers pipelines caches branches")
+    ).toDF("doc_id", "text")
+    val pairs = DocDedup.simhashNearDup(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((1L, 2L, 0L)))
+  }
+
+  test("one-token edit pairs exactly at its true Hamming distance") {
+    val edited = base.replace("morning", "evening")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val sh = graft.operators.TextAnalysis.simhash(docs, 64)
+      .as[(Long, Long)].collect().toMap
+    val d = java.lang.Long.bitCount(sh(1L) ^ sh(2L)).toLong
+    // 16 bands of 4 bits: banding lossless up to Hamming 15
+    assert(d <= 15, s"fixture edit flipped $d bits — pick a longer doc")
+    val at = DocDedup.simhashNearDup(docs, bands = 16, maxHamming = d.toInt)
+      .collect()
+    assert(at.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((1L, 2L, d)))
+    if (d > 0) {
+      val below = DocDedup.simhashNearDup(docs, bands = 16,
+        maxHamming = d.toInt - 1).collect()
+      assert(below.isEmpty)
+    }
+  }
+
+  test("banding is lossless up to Hamming bands-1 (vs all-pairs scan)") {
+    // 40 docs: 8 clusters of near-identical texts + noise docs
+    val docs = (0 until 40).map { i =>
+      val cluster = i % 8
+      val text = (0 until 30).map { w =>
+        if (w == 29 && i >= 32) s"tail$i" // noise docs get a unique tail
+        else s"word${cluster}x$w"
+      }.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = DocDedup.simhashNearDup(docs, nBits = 64, bands = 4,
+        maxHamming = 3, maxBucketSize = 1000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // direct check: every Hamming<=3 pair must be found (banding loses none)
+    val sh = graft.operators.TextAnalysis.simhash(docs, 64)
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("bucket cap drops oversaturated band values") {
+    val docs = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    // cap of 2 kills every bucket (all three docs share all bands)
+    val capped = DocDedup.simhashNearDup(docs, maxBucketSize = 2).collect()
+    assert(capped.isEmpty)
+  }
+
+  test("invalid band/Hamming combinations are rejected") {
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DocDedup.simhashNearDup(docs, bands = 4, maxHamming = 4).collect()
+    }
+    intercept[IllegalArgumentException] {
+      DocDedup.simhashNearDup(docs, nBits = 10, bands = 4).collect()
+    }
+  }
+}
