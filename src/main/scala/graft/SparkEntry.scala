@@ -1193,6 +1193,18 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "emb_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: per anchor, the top-5 most-similar
+      // vectors with a DIFFERENT label — the near-boundary negatives a
+      // metric-learning batch is built from. Exact broadcast×scan baseline
+      // (the at-scale path is the same mining through IVF probes).
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("label"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "knn_ivf_ann" -> ((s, dir) => {
       // IVF-bucketed ANN over deterministic spherical-k-means cells (the
       // 100 TB path: cell-local search, queries probe nprobe cells). Fully
@@ -1498,6 +1510,33 @@ object SparkEntry {
         st.getField("sum_abs").as("sum_abs"),
         st.getField("peak").as("peak"),
         st.getField("sum_sq").as("sum_sq"))
+    }),
+
+    "mm_audio_frames" -> ((s, dir) => {
+      // windowed audio features (the VAD/silence-trim front end): the same
+      // 64-sample PCM WAV as mm_wav_pcm, cut into 4 frames of 16 samples;
+      // wav_frame_stats reduces each frame to exact integer energy / peak /
+      // zero-crossing counts inside the scan. The oracle recomputes every
+      // frame from the sample formula — windowing, partial-frame handling
+      // and the within-frame-only crossing rule all replayed.
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.n_samples").as("n_samples"), col("f.sum_abs").as("sum_abs"),
+          col("f.peak").as("peak"),
+          col("f.zero_crossings").as("zero_crossings"))
     }),
 
     "mm_image_phash" -> ((s, dir) => {
@@ -3264,6 +3303,19 @@ object SparkEntry {
          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
          WHERE rank <= 10""",
 
+    "emb_hard_negatives" ->
+      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
+         FROM (
+         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+           e.vec_id, CAST(e.label AS BIGINT) AS label,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 8 AND e.label <> q.label)
+         WHERE rank <= 5""",
+
     "mm_media_meta" ->
       """SELECT doc_id, 'text/plain' AS content_type,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -3979,6 +4031,28 @@ object SparkEntry {
            CAST(MAX(abs(sv)) AS INTEGER) AS peak,
            CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
          FROM v GROUP BY doc_id""",
+
+    // windowed frame features from the same sample formula: frame = i//16,
+    // crossings only between consecutive samples of the SAME frame
+    "mm_audio_frames" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, i, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s),
+         w AS (SELECT doc_id, i, sv, i // 16 AS frame,
+             lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v)
+         SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN i % 16 != 0
+             AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+         FROM w GROUP BY doc_id, frame""",
 
     // perceptual hash replay: hex->int via a 256-row lookup dictionary,
     // integer luma, strict luma*N > total bit rule

@@ -256,4 +256,37 @@ object EmbeddingOps {
           .as(Seq("pos", "q")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"),
         col("scale"))
+
+  /**
+   * Hard-negative mining for contrastive / metric-learning training data:
+   * for every anchor vector, the top-k most-cosine-similar corpus vectors
+   * carrying a DIFFERENT label — the "confusable" examples a contrastive
+   * batch wants as negatives (in-batch random negatives are mostly easy;
+   * the hard ones near the decision boundary drive the gradient).
+   *
+   * Plan shape is the [[Similarity.bruteForceKnn]] exact baseline:
+   * broadcast(anchors) × corpus with the codegen'd cosine kernel, the
+   * label-mismatch predicate evaluated inside the same join (which also
+   * excludes self), then a per-anchor ranking window. At 100 TB the same
+   * mining runs through the IVF/PQ path (probe cells, filter labels,
+   * rank) — this exact form is the verification baseline, kept
+   * broadcast-bounded by the caller's anchor selection.
+   */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cosine_similarity
+    val q = broadcast(anchors.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
+    val scored = q.join(c, col("q_label") =!= col("label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("rank"))
+  }
 }

@@ -22,6 +22,7 @@ class PlanGuardSpec extends SparkSpec {
   // joins.
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", // brute-force: bounded Q × corpus
+      "emb_hard_negatives", // bounded anchor set × corpus, label-mismatch
       "graph_pagerank", // 1-row dangling-mass attach per iteration
       "mix_temperature_sample", "text_lm_score",
       "curate_quality_sample", // text_lm_score's 1-row vocab-size attach

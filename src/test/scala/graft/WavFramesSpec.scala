@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{WavFrames, WavPcm}
+
+/**
+ * Windowed PCM frame features: frames tile the sample stream (partial
+ * tail kept), per-frame sums reconcile with the whole-file stats, zero
+ * crossings follow the within-frame-only rule, and malformed payloads
+ * reject with the same precise reasons as the whole-file kernel.
+ */
+class WavFramesSpec extends AnyFunSuite {
+
+  /** Minimal PCM WAV: 16-bit mono, given samples. */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val dataLen = samples.length * 2
+    tag("RIFF"); u32(36 + dataLen); tag("WAVE")
+    tag("fmt "); u32(16); u16(1); u16(1); u32(16000); u32(32000); u16(2); u16(16)
+    tag("data"); u32(dataLen)
+    samples.foreach(u16)
+    out.toByteArray
+  }
+
+  private def rows(b: Array[Byte], fl: Int): Seq[(Int, Int, Long, Int, Int)] = {
+    val a = WavFrames.frames(b, fl)
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 5)
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))
+    }
+  }
+
+  test("frames tile the stream; partial tail frame is kept") {
+    val s = Seq(100, -200, 300, -400, 500, -600, 700)
+    val fs = rows(wav(s), 3)
+    assert(fs.map(f => (f._1, f._2)) === Seq((0, 3), (1, 3), (2, 1)))
+    assert(fs(0)._3 === 600L)   // |100|+|200|+|300|
+    assert(fs(2)._3 === 700L)
+    assert(fs(1)._4 === 600)    // peak of frame 1
+  }
+
+  test("per-frame sums reconcile with the whole-file kernel") {
+    val s = (0 until 50).map(i => (i * 1103 + 7) % 65536 - 32768)
+    val b = wav(s.map(v => v & 0xffff))
+    val whole = WavPcm.stats(b)
+    val fs = rows(b, 16)
+    assert(fs.map(_._2).sum === whole.getLong(0))
+    assert(fs.map(_._3).sum === whole.getLong(1))
+    assert(fs.map(_._4).max === whole.getInt(2))
+  }
+
+  test("zero crossings: within-frame transitions only, sign(s) = s >= 0") {
+    // samples: + - + - | + + - -   (frameLen 4)
+    val s = Seq(10, -10, 10, -10, 10, 10, -10, -10).map(v => v & 0xffff)
+    val fs = rows(wav(s), 4)
+    assert(fs(0)._5 === 3) // + - + -
+    assert(fs(1)._5 === 1) // + + - -  (boundary - -> + pair NOT counted)
+    // zero counts as non-negative
+    val z = rows(wav(Seq(0, 0x8000, 0)), 3) // 0, -32768, 0
+    assert(z(0)._5 === 2)
+  }
+
+  test("frameLen 1 yields one frame per sample with zero crossings 0") {
+    val fs = rows(wav(Seq(5, -5, 5).map(_ & 0xffff)), 1)
+    assert(fs.length === 3)
+    assert(fs.forall(_._5 === 0))
+    assert(fs.map(_._3) === Seq(5L, 5L, 5L))
+  }
+
+  test("malformed payloads reject precisely") {
+    intercept[IllegalArgumentException](WavFrames.frames(Array[Byte](1, 2), 4))
+    val b = wav(Seq(1, 2, 3))
+    intercept[IllegalArgumentException](WavFrames.frames(b, 0))
+    val cut = java.util.Arrays.copyOf(b, b.length - 2)
+    intercept[IllegalArgumentException](WavFrames.frames(cut, 4))
+  }
+}
