@@ -91,6 +91,19 @@ object SparkEntry {
     }
   }
 
+  /** Max-match vocabulary (surviving BPE symbols), memoized like the
+   * merges: one dictionary-sized collect shared by the wordpiece queries
+   * and Bench's repeated passes. */
+  private val wpCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+  private def wpVocab(s: SparkSession, dir: String): Seq[String] = {
+    val key =
+      s"wp|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+    wpCache.synchronized {
+      wpCache.getOrElseUpdate(key,
+        Bpe.maxMatchVocab(t(s, dir, "documents"), bpeMerges(s, dir)))
+    }
+  }
+
   /** Trade-graph edges for graph_pagerank: both directions of every
    * distinct (customer, supplier) pair on a keyed order slice; customers
    * and suppliers share a node space via 2k / 2k+1. */
@@ -1043,6 +1056,20 @@ object SparkEntry {
       // the shipped artifact: surviving symbols with corpus frequencies
       // (dictionary-sized — the corpus is never touched)
       Bpe.vocab(t(s, dir, "documents"), bpeMerges(s, dir))),
+
+    "text_wordpiece_segment" -> ((s, dir) =>
+      // WordPiece-style greedy longest-match inference over the trained
+      // vocabulary (the BERT algorithm): segmentation is a pure
+      // expression fold over the word dictionary; the full piece string
+      // hash-pins every boundary decision in the oracle
+      Bpe.maxMatchSegments(t(s, dir, "documents"), wpVocab(s, dir))
+        .select(col("word"), col("freq"), col("pieces"),
+          col("n_pieces").cast("long").as("n_pieces"))),
+
+    "text_wordpiece_tokenize" -> ((s, dir) =>
+      // per-doc rollup under max-match: the BPE-vs-WordPiece fertility
+      // comparison a tokenizer decision is made on
+      Bpe.maxMatchTokenize(t(s, dir, "documents"), wpVocab(s, dir))),
 
     "pipeline_curate_tokenize" -> ((s, dir) => {
       // the end-to-end training-data pipeline a user actually runs:
@@ -2439,6 +2466,41 @@ object SparkEntry {
     sb.result()
   }
 
+  /** Max-match (WordPiece inference) oracle chain on top of
+   * [[bpeChainSql]]: the vocabulary = distinct surviving symbols of the
+   * trained dictionary, then `steps` unrolled greedy rounds — each strips
+   * the longest vocab symbol prefixing the remainder (single-char
+   * fallback). `steps` must cover the longest corpus word (each round
+   * consumes >= 1 char; extra rounds are no-ops on an empty remainder). */
+  private def wpChainSql(rounds: Int, steps: Int): String = {
+    val sb = new StringBuilder(bpeChainSql(rounds))
+    sb ++= s""",
+         vocab AS MATERIALIZED (
+           SELECT DISTINCT unnest(string_split(trim(s, '()'), ')(')) AS symbol
+           FROM w$rounds),
+         seg0 AS (SELECT word, freq, word AS rem, '' AS pieces
+           FROM w$rounds)"""
+    for (i <- 0 until steps) {
+      sb ++= s""",
+         segp$i AS (SELECT word, freq, rem, pieces,
+           CASE WHEN rem = '' THEN 1
+           ELSE COALESCE((SELECT MAX(len(v.symbol)) FROM vocab v
+             WHERE v.symbol = substr(rem, 1, len(v.symbol))), 1) END AS pl
+           FROM seg$i),
+         seg${i + 1} AS (SELECT word, freq,
+           CASE WHEN rem = '' THEN '' ELSE substr(rem, pl + 1) END AS rem,
+           CASE WHEN rem = '' THEN pieces ELSE pieces ||
+             CASE WHEN pieces = '' THEN '' ELSE ' ' END
+             || substr(rem, 1, pl) END AS pieces
+           FROM segp$i)"""
+    }
+    sb ++= s""",
+         wseg AS MATERIALIZED (SELECT word, freq, pieces,
+           CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+           FROM seg$steps)"""
+    sb.result()
+  }
+
   /** DuckDB mirror of [[Similarity.opqEncode]]: exact per-dim variance
    * (n·Σx² − (Σx)² in HUGEINT), rank + snake allocation as window
    * arithmetic, then the standard PQ chain over the permuted values.
@@ -3109,6 +3171,20 @@ object SparkEntry {
            FROM w$bpeRounds)
          SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
          FROM sy GROUP BY 1"""),
+
+    "text_wordpiece_segment" -> (wpChainSql(bpeRounds, 12) + """
+         SELECT word, freq, pieces, n_pieces FROM wseg"""),
+
+    "text_wordpiece_tokenize" -> (wpChainSql(bpeRounds, 12) + """,
+         cw AS (SELECT doc_id, word FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents) WHERE word <> '')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS fertility
+         FROM cw JOIN wseg USING (word) GROUP BY doc_id"""),
 
     "pipeline_curate_tokenize" -> (bpeChainSql(bpeRounds) + s""",
          q AS (SELECT doc_id, lang, text FROM documents

@@ -169,4 +169,83 @@ object Bpe {
       .withColumn("fertility",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
   }
+
+  /**
+   * WordPiece-style greedy longest-match (max-match) segmentation against
+   * the trained vocabulary — the BERT-family inference algorithm (Wu et
+   * al. 2016; Devlin et al. 2019): at each position consume the LONGEST
+   * vocabulary symbol that prefixes the remainder, falling back to a
+   * single character when nothing matches. Complements [[tokenize]]:
+   * BPE applies the learned MERGE SEQUENCE, max-match needs only the
+   * final symbol set — the two canonical subword inference modes.
+   *
+   * The vocabulary folds in as a literal array (driver-held, bounded by
+   * the symbol alphabet — single letters + one new symbol per merge
+   * round), so segmentation is a PURE EXPRESSION over the word: a
+   * `aggregate(sequence(...))` fold where each step strips the longest
+   * matching prefix. No join, no state — the same expression runs
+   * unchanged on streaming frames, and on the batch side it evaluates
+   * over the word DICTIONARY (vocabulary-sized), never the corpus.
+   *
+   * Greedy max-match advances at least one character per step, so
+   * `length(word)` steps always suffice; the fold keeps state as
+   * (remainder, pieces-so-far) and emits the space-joined piece string —
+   * which the oracle compares in full, pinning every boundary decision.
+   */
+  def maxMatchExpr(wordCol: String, vocabSyms: Seq[String]): Column = {
+    require(vocabSyms.nonEmpty, "empty max-match vocabulary")
+    require(vocabSyms.forall(_.matches("[a-z]+")),
+      s"vocabulary symbols must be [a-z]+: ${vocabSyms.find(!_.matches("[a-z]+"))}")
+    val arr = vocabSyms.sorted.map(s => s"'$s'")
+      .mkString("array(", ",", ")")
+    val maxL = vocabSyms.map(_.length).max
+    // longest matching prefix length of st.rem, else 1 (char fallback).
+    // For l > length(rem), substring(rem, 1, l) = rem, so an oversized l
+    // "matches" only when the whole remainder is a vocab symbol — the
+    // emitted piece and the next remainder are identical either way.
+    val pl = s"coalesce(array_max(filter(sequence(1, $maxL), " +
+      s"l -> array_contains($arr, substring(st.rem, 1, l)))), 1)"
+    expr(
+      s"""aggregate(
+         sequence(1, length($wordCol)),
+         named_struct('rem', $wordCol, 'out', ''),
+         (st, i) -> CASE WHEN st.rem = '' THEN st ELSE named_struct(
+           'rem', substring(st.rem, $pl + 1),
+           'out', concat(st.out, CASE WHEN st.out = '' THEN '' ELSE ' ' END,
+             substring(st.rem, 1, $pl))) END,
+         st -> st.out)""")
+  }
+
+  /** The max-match vocabulary: the surviving symbol set of the trained
+   * tokenizer, collected from the (dictionary-sized) [[vocab]] frame. */
+  def maxMatchVocab(docs: DataFrame, merges: Seq[Merge]): Seq[String] =
+    vocab(docs, merges).select(col("symbol")).collect()
+      .map(_.getString(0)).toSeq.sorted
+
+  /** Per-word segmentation over the word dictionary: (word, freq, pieces,
+   * n_pieces) — the full piece string makes every boundary decision
+   * oracle-checkable. */
+  def maxMatchSegments(docs: DataFrame, vocabSyms: Seq[String]): DataFrame =
+    wordDict(docs)
+      .withColumn("pieces", maxMatchExpr("word", vocabSyms))
+      .select(col("word"), col("freq"),
+        col("pieces"), size(split(col("pieces"), " ")).as("n_pieces"))
+
+  /** Per-document rollup under max-match: word/token counts + fertility,
+   * via the broadcast word → piece-count dictionary (same shape as
+   * [[tokenize]]). */
+  def maxMatchTokenize(docs: DataFrame, vocabSyms: Seq[String]): DataFrame = {
+    val wtok = wordDict(docs)
+      .select(col("word"),
+        size(split(maxMatchExpr("word", vocabSyms), " ")).as("w_tokens"))
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/**
+ * WordPiece-style greedy max-match: hand-derived segmentations against a
+ * fixed vocabulary, the greedy-longest-prefix property, single-char
+ * fallback, reconstruction invariant (pieces concatenate back to the
+ * word), agreement with a scalar JVM reference on the trained vocab, and
+ * the pure-expression form tokenizing a live stream.
+ */
+class MaxMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def segment(words: Seq[String], vocab: Seq[String]): Map[String, String] =
+    words.map(w => (1L, w)).toDF("id", "word")
+      .select(col("word"), Bpe.maxMatchExpr("word", vocab).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("hand-derived segmentations on a fixed vocabulary") {
+    val vocab = Seq("a", "ab", "abc", "b", "c", "low", "er", "e")
+    val got = segment(Seq("abc", "abca", "lower", "abab", "cab"), vocab)
+    assert(got("abc") === "abc")        // longest wins over a+b+c and ab+c
+    assert(got("abca") === "abc a")
+    assert(got("lower") === "low er")
+    assert(got("abab") === "ab ab")
+    assert(got("cab") === "c ab")
+  }
+
+  test("single-char fallback covers out-of-vocabulary characters") {
+    val vocab = Seq("ab")
+    // 'x','y' are not in vocab: each advances one char as its own piece
+    val got = segment(Seq("xaby", "xy"), vocab)
+    assert(got("xaby") === "x ab y")
+    assert(got("xy") === "x y")
+  }
+
+  test("greedy property: prefix match is maximal at every step") {
+    // vocab has both "aa" and "aaa": greedy takes "aaa" first, then "aa",
+    // then falls back — never backtracks to the globally-minimal split
+    val vocab = Seq("aa", "aaa")
+    val got = segment(Seq("aaaaa"), vocab)
+    assert(got("aaaaa") === "aaa aa")
+    val got4 = segment(Seq("aaaa"), vocab)
+    assert(got4("aaaa") === "aaa a") // greedy, NOT the 2-piece "aa aa"
+  }
+
+  test("reconstruction: pieces concatenate back to the word (trained vocab)") {
+    val docs = Seq((0L, "lower newest widest low low wide new"),
+      (1L, "newest newest wide lower er new"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 6)
+    val vocab = Bpe.maxMatchVocab(docs, merges)
+    val rows = Bpe.maxMatchSegments(docs, vocab).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word = r.getString(0)
+      val pieces = r.getString(2).split(" ")
+      assert(pieces.mkString("") === word, s"lossy segmentation of $word")
+      assert(r.getInt(3) === pieces.length)
+    }
+  }
+
+  test("matches a scalar JVM reference on the trained vocabulary") {
+    val docs = Seq((0L, "lower newest widest low low wide new"),
+      (1L, "newest newest wide lower er new"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 6)
+    val vocab = Bpe.maxMatchVocab(docs, merges).toSet
+    def ref(w: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var rem = w
+      while (rem.nonEmpty) {
+        val pl = (rem.length to 1 by -1)
+          .find(l => vocab.contains(rem.substring(0, l))).getOrElse(1)
+        out += rem.substring(0, pl)
+        rem = rem.substring(pl)
+      }
+      out.result()
+    }
+    Bpe.maxMatchSegments(docs, vocab.toSeq.sorted).collect().foreach { r =>
+      assert(r.getString(2) === ref(r.getString(0)).mkString(" "),
+        s"mismatch on ${r.getString(0)}")
+    }
+  }
+
+  test("pure-expression tokenize runs on a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq((0L, "lower newest widest low"),
+      (1L, "newest low low wide"), (2L, "wide wide lower"))
+    val staticDf = texts.toDF("doc_id", "text")
+    val merges = Bpe.train(staticDf, 6)
+    val vocab = Bpe.maxMatchVocab(staticDf, merges)
+    // streaming variant: per-word pieces as a pure expression + rollup
+    def roll(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"),
+        size(split(Bpe.maxMatchExpr("word", vocab), " ")).as("w_tokens"))
+      .groupBy(col("doc_id")).agg(sum(col("w_tokens")).as("n_tokens"))
+    val expected = roll(staticDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val in = MemoryStream[(Long, String)]
+    val q = roll(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("wp_stream_tok")
+      .outputMode("complete").start()
+    try {
+      in.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      in.addData(texts.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("wp_stream_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+}
