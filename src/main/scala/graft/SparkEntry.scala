@@ -1514,6 +1514,56 @@ object SparkEntry {
         bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
     }),
 
+    "mm_cross_format_dedup" -> ((s, dir) => {
+      // the multimodal capstone: ONE image, THREE real codecs. The same
+      // 16x16 gray content (flat 8x8 blocks, even values — the fixture
+      // every format round-trips losslessly) is encoded as PNG, JPEG and
+      // GIF, decoded back through each engine codec, and the SAME
+      // average-hash computed from each format's DECODED bytes. A shared
+      // canonical across formats proves content-level dedup works across
+      // container boundaries — re-encoding a duplicate in another format
+      // does not evade it. Docs share content via doc_id % 100.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PngFunctions._
+      import graft.functions.JpegFunctions._
+      import graft.functions.GifFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(md5(concat(seed, lit("x" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      def blocks(px: Seq[Column]): Column = concat(
+        repeat(concat(repeat(px(0), 8), repeat(px(1), 8)), 8),
+        repeat(concat(repeat(px(2), 8), repeat(px(3), 8)), 8))
+      val grayHex = blocks(hexes)
+      val rgbHex = blocks(hexes.map(h => repeat(h, 3)))
+      val pdec = lower(hex(png_decode(
+        png_encode(lit(16), lit(16), unhex(rgbHex), lit(0)))
+        .getField("pixels")))
+      val jdec = lower(hex(jpeg_decode(
+        jpeg_encode_gray(lit(16), lit(16), unhex(grayHex)))
+        .getField("pixels")))
+      val gdec = lower(hex(gif_decode(
+        gif_encode_gray(lit(16), lit(16), unhex(grayHex)))
+        .getField("pixels")))
+      // average-hash over block corners (pixels 0, 8, 128, 136); stride =
+      // bytes per pixel in the decoded buffer (PNG/GIF: RGB, JPEG: gray)
+      def ph(dec: Column, stride: Int): Column = {
+        val vs = Seq(0, 8, 128, 136).map(p =>
+          conv(substring(dec, p * stride * 2 + 1, 2), 16, 10).cast("long"))
+        val tot = vs.reduce(_ + _)
+        vs.zipWithIndex.map { case (v, i) =>
+          when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), ph(pdec, 3).as("ph_png"),
+          ph(jdec, 1).as("ph_jpeg"), ph(gdec, 3).as("ph_gif"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("ph_jpeg"))))
+    }),
+
     "mm_wav_pcm" -> ((s, dir) => {
       // REAL audio content decode: 64 deterministic s16le samples are
       // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
@@ -4093,6 +4143,37 @@ object SparkEntry {
          JOIN hexmap m1 ON d.c1 = m1.hx
          JOIN hexmap m2 ON d.c2 = m2.hx
          JOIN hexmap m3 ON d.c3 = m3.hx""",
+
+    // all three codecs are lossless on the fixture, so every format's
+    // phash equals the one computed from the md5-derived block values
+    "mm_cross_format_dedup" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
+             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
+             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
+             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
+               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
+               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
+               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
+             AS BIGINT) AS phash
+           FROM b)
+         SELECT doc_id, phash AS ph_png, phash AS ph_jpeg, phash AS ph_gif,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
 
     "mm_wav_pcm" ->
       """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i

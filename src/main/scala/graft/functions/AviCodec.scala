@@ -151,8 +151,13 @@ object AviCodec {
     val offs = new java.util.ArrayList[Int]
     val lens = new java.util.ArrayList[Int]
 
-    // depth-first chunk walk; `end` is the exclusive bound of this level
-    def chunks(start: Int, end: Int): Unit = {
+    // depth-first chunk walk; `end` is the exclusive bound of this level.
+    // Depth is capped: spec AVIs nest LISTs 2-3 deep, while a hostile
+    // stream of stacked 12-byte LIST headers would otherwise drive the
+    // recursion to stack overflow (the allocation-free cousin of the
+    // decode-bomb).
+    def chunks(start: Int, end: Int, depth: Int): Unit = {
+      need(depth <= 8, s"LIST nesting deeper than 8 at $start")
       var p = start
       while (p < end) {
         need(p + 8 <= end, s"truncated chunk header at $p")
@@ -178,7 +183,7 @@ object AviCodec {
               } // rec/padding chunks are skipped, not frames
               q += 8 + fs + (fs & 1)
             }
-          } else chunks(p + 12, p + 8 + sz)
+          } else chunks(p + 12, p + 8 + sz, depth + 1)
         } else if (ck == "avih") {
           need(sz >= 56, s"avih too small: $sz")
           usec = le32(avi, p + 8)
@@ -195,7 +200,7 @@ object AviCodec {
         p += 8 + sz + (sz & 1)
       }
     }
-    chunks(12, 8 + riffSize)
+    chunks(12, 8 + riffSize, 0)
 
     need(sawAvih, "missing avih header")
     need(sawVids, "no video ('vids') stream header")

@@ -121,6 +121,26 @@ class AviCodecSpec extends AnyFunSuite {
       e2.getMessage.contains("dimensions"))
   }
 
+  test("pathological LIST nesting rejects instead of overflowing the stack") {
+    // thousands of stacked LIST headers, each claiming the rest of the
+    // stream as its body — without a depth cap this recurses per header
+    val n = 50000
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val total = 4 + n * 12
+    tag("RIFF"); u32(total); tag("AVI ")
+    for (i <- 0 until n) {
+      tag("LIST"); u32(total - 8 - (i + 1) * 12 + 4); tag("hdrX")
+    }
+    val e = intercept[IllegalArgumentException](
+      AviCodec.parseMeta(out.toByteArray))
+    assert(e.getMessage.contains("nesting"))
+  }
+
   test("idx1 cross-check catches a corrupted index") {
     val avi = AviCodec.encodeMjpeg(16, 16, 40000, jpegFrames(2))
     // find idx1 and corrupt the first entry's offset
