@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -204,6 +204,35 @@ object TextAnalysis {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
         .otherwise(lit(0L))).as("simhash"))
   }
+
+  /**
+   * Row-local SimHash as a PURE EXPRESSION — the same value as [[simhash]]
+   * (identical bit arithmetic over the same token md5s) with no corpus
+   * aggregation at all: one fold over the doc's distinct token hashes
+   * carrying a per-bit counter array, then a final fold packing the signs.
+   * md5 runs once per token (the hash array is the fold's input, not
+   * recomputed per bit).
+   *
+   * This is what makes SimHash STREAMABLE: [[simhash]]'s vocabulary
+   * dictionary is a corpus-level distinct that cannot sit in front of a
+   * stateful streaming operator, while this form is a narrow codegen'd
+   * projection usable on any frame — the streaming near-dup index
+   * ([[graft.streaming.StreamingNearDup]]) consumes it per row. Batch
+   * keeps the dictionary variant (md5 per distinct corpus token beats md5
+   * per document token when words repeat).
+   */
+  def simhashExpr(textCol: String, nBits: Int): Column = expr(
+    s"""aggregate(
+       transform(array_distinct(split($textCol, ' ')), t -> md5(t)),
+       array_repeat(0, $nBits),
+       (acc, h) -> zip_with(acc, sequence(0, ${nBits - 1}), (c, b) ->
+         c + IF((shiftright(instr('0123456789abcdef',
+           substring(h, 1 + CAST(b / 4 AS INT), 1)) - 1,
+           3 - CAST(b % 4 AS INT)) & 1) = 1, 1, -1)),
+       acc -> aggregate(
+         zip_with(acc, sequence(0, ${nBits - 1}), (c, b) ->
+           IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+         CAST(0 AS BIGINT), (s, x) -> s + x))""")
 
   /**
    * PII patterns for redaction: (name, regex, replacement token).

@@ -76,6 +76,37 @@ object StreamingNearDup {
       .as[BandedDoc]
   }
 
+  /**
+   * Expand a document stream into SimHash band observations — the
+   * streaming form of [[graft.operators.DocDedup.simhashNearDup]]'s
+   * candidate generation, feeding the same stateful [[candidates]] index
+   * as the MinHash variant. Row-local by construction:
+   * [[graft.operators.TextAnalysis.simhashExpr]] is a pure projection
+   * (the batch pipeline's vocabulary dictionary cannot precede a stateful
+   * operator), and band values are shift/mask arithmetic over the
+   * fingerprint. Bucket keys are namespaced ("s:band:value") so a mixed
+   * deployment can run both families against one state store.
+   * Downstream Hamming verification joins candidate pairs back to their
+   * fingerprints, mirroring the batch two-phase verify.
+   */
+  def simhashBandedDocs(docs: DataFrame, nBits: Int = 64, bands: Int = 4)
+                       (implicit spark: SparkSession): Dataset[BandedDoc] = {
+    import spark.implicits._
+    require(nBits % bands == 0, s"nBits $nBits not divisible by $bands bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val bandCols = array((0 until bands).map { b =>
+      concat_ws(":", lit("s"), lit(b),
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)))
+    }: _*)
+    docs
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"),
+        graft.operators.TextAnalysis.simhashExpr("text", nBits).as("sh"))
+      .select(explode(bandCols).as("bucket"), col("doc_id"),
+        col("fingerprint"))
+      .as[BandedDoc]
+  }
+
   def candidates(banded: Dataset[BandedDoc],
                  maxBucketSize: Int = DefaultMaxBucketSize,
                  ttlMs: Long = 0L): Dataset[NearDupCandidate] = {

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{DocDedup, TextAnalysis}
+import graft.streaming.StreamingNearDup
+
+/**
+ * Streaming SimHash near-dup: the pure-expression fingerprint equals the
+ * batch aggregation form bit for bit, band observations match the batch
+ * banding, and the incremental index over arrival splits emits the same
+ * verified pair set as the batch [[DocDedup.simhashNearDup]].
+ */
+class SimhashStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "entirely unrelated words regarding database systems")
+  )
+
+  test("simhashExpr equals the batch aggregation form bit for bit") {
+    val df = docs.toDF("doc_id", "text")
+    for (nBits <- Seq(16, 64)) {
+      val exprForm = df.select($"doc_id",
+          TextAnalysis.simhashExpr("text", nBits).as("simhash"))
+        .as[(Long, Long)].collect().toMap
+      val aggForm = TextAnalysis.simhash(df, nBits)
+        .as[(Long, Long)].collect().toMap
+      assert(exprForm === aggForm, s"divergence at nBits=$nBits")
+    }
+  }
+
+  test("row-local band observations match the batch banding") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = docs.toDF("doc_id", "text")
+    val streamed = StreamingNearDup.simhashBandedDocs(df, 64, 4)
+      .collect().map(b => (b.doc_id, b.bucket)).toSet
+    val batch = TextAnalysis.simhash(df, 64)
+      .select($"doc_id", explode(array((0 until 4).map(b =>
+        concat_ws(":", lit("s"), lit(b),
+          shiftright($"simhash", b * 16).bitwiseAND(lit(0xffffL)))): _*)))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("incremental index over arrival splits ≡ batch simhashNearDup pairs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val tmp = Files.createTempDirectory("graft_shs").toFile.getAbsolutePath
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").json(in)
+      val cands = StreamingNearDup.candidates(
+        StreamingNearDup.simhashBandedDocs(stream, 64, 4))
+      val q = cands.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    def writeBatch(name: String, ids: Set[Long]): Unit =
+      Files.write(Paths.get(s"$in/$name.json"),
+        docs.filter(d => ids(d._1))
+          .map(d => s"""{"doc_id":${d._1},"text":"${d._2}"}""")
+          .mkString("", "\n", "\n").getBytes)
+
+    writeBatch("b1", Set(1L, 4L))
+    runOnce()
+    writeBatch("b2", Set(2L, 3L, 5L))
+    runOnce()
+
+    // streaming candidates + downstream Hamming verify (the batch
+    // two-phase shape): join fingerprints back, keep Hamming <= 3
+    val df = docs.toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      TextAnalysis.simhashExpr("text", 64).as("sh"))
+    val streamPairs = spark.read.parquet(out)
+      .select($"a", $"b").distinct()
+      .join(sh.select($"doc_id".as("a"), $"sh".as("sa")), "a")
+      .join(sh.select($"doc_id".as("b"), $"sh".as("sb")), "b")
+      .filter(expr("bit_count(sa ^ sb)") <= 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+
+    val batchPairs = DocDedup.simhashNearDup(df, 64, 4, 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(streamPairs === batchPairs)
+    // the exact dup always survives at Hamming 0; whether the one-word
+    // edit (doc 3) lands within the budget is fixture-dependent — the
+    // equality above already pins stream ≡ batch on it either way
+    assert(batchPairs.contains((1L, 2L)))
+  }
+}
