@@ -1776,6 +1776,19 @@ object SparkEntry {
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
     }),
 
+    "dedup_recall" -> ((s, dir) =>
+      // measure the dedup candidate generators instead of assuming them
+      // (the knn_recall discipline): exact word-set-Jaccard pairs on a
+      // bounded subset vs the MinHash-LSH and SimHash-band candidate
+      // sets; per-method hit counts + recall, all exact integers until
+      // the one final division
+      // 0.9: the high-similarity regime the band configs target (recall
+      // must be high); 0.5: the mid-similarity mass they knowingly trade
+      // away — both measured, neither assumed
+      DocDedup.dedupRecall(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        thresholds = Seq(0.5, 0.9))),
+
     "dedup_simhash_band" -> ((s, dir) =>
       // Manku-style 64-bit SimHash near-dup: 4 x 16-bit Hamming bands
       // generate candidates (lossless up to Hamming 3 by pigeonhole),
@@ -3531,6 +3544,72 @@ object SparkEntry {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    // both blocking arms + the exact Jaccard ground truth + the recall
+    // arithmetic, all replayed on the bounded subset
+    "dedup_recall" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         toks AS (SELECT doc_id,
+           unnest(list_distinct(string_split(text, ' '))) AS token FROM sub),
+         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM toks GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ni
+           FROM toks a JOIN toks b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jacc AS (SELECT i.a, i.b,
+             CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
+           FROM inter i
+           JOIN sizes sa ON i.a = sa.doc_id
+           JOIN sizes sb ON i.b = sb.doc_id),
+         hashes AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM toks, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         mh AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM okb l JOIN okb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                   substr(md5(token), 1 + b // 4, 1)) - 1)
+                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM toks, (SELECT unnest(range(64)) AS b) bs
+           GROUP BY doc_id, b),
+         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         sbands AS (SELECT doc_id, band,
+             (simhash >> (band * 16)) & 65535 AS bucket
+           FROM sh, (SELECT unnest(range(4)) AS band) bs),
+         sok AS (SELECT band, bucket FROM sbands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         sokb AS (SELECT s.* FROM sbands s JOIN sok USING (band, bucket)),
+         sc AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM sokb l JOIN sokb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id),
+         arms AS (
+           SELECT m.method, t.threshold,
+             (SELECT COUNT(*) FROM jacc WHERE jaccard >= t.threshold)
+               AS n_exact,
+             CASE WHEN m.method = 'minhash_lsh'
+               THEN (SELECT COUNT(*) FROM mh)
+               ELSE (SELECT COUNT(*) FROM sc) END AS n_candidates,
+             CASE WHEN m.method = 'minhash_lsh'
+               THEN (SELECT COUNT(*) FROM mh JOIN jacc USING (a, b)
+                     WHERE jaccard >= t.threshold)
+               ELSE (SELECT COUNT(*) FROM sc JOIN jacc USING (a, b)
+                     WHERE jaccard >= t.threshold) END AS n_hits
+           FROM (SELECT unnest(['minhash_lsh', 'simhash_band']) AS method) m,
+                (SELECT unnest([0.5, 0.9]) AS threshold) t)
+         SELECT method, threshold, n_exact, n_candidates, n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         FROM arms""",
 
     // 64-bit SimHash + 4 x 16-bit bands + bucket cap + exact Hamming —
     // the whole pipeline (fingerprint, banding, cap, verify) replayed

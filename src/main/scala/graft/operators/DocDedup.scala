@@ -235,6 +235,75 @@ object DocDedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** SimHash band-collision CANDIDATE pairs (no Hamming verify) — the
+   * recall-measurement arm of [[simhashNearDup]]. */
+  def simhashCandidates(docs: DataFrame, nBits: Int = 64, bands: Int = 4,
+                        maxBucketSize: Int = 100): DataFrame = {
+    require(nBits % bands == 0, s"nBits $nBits not divisible by $bands bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = TextAnalysis.simhash(docs, nBits)
+    val buckets = sh.select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "bucket")))
+    candidatePairs(buckets, maxBucketSize)
+  }
+
+  /**
+   * Dedup recall gate — MEASURE the candidate generators instead of
+   * assuming them (the [[graft.operators.Similarity]] `knn_recall`
+   * discipline applied to dedup): on a bounded subset, compute the exact
+   * word-set-Jaccard near-dup pairs, then each blocking method's
+   * candidate set, and report per-method hit counts + recall. A band
+   * configuration that silently misses duplicate mass at a given
+   * threshold shows up here as a number, not a belief.
+   *
+   * Exact pairs come from a token-equality join (never an all-pairs
+   * product; the caller bounds the subset). Recall is one IEEE division
+   * of exact longs. Output: one row per (method, threshold) —
+   * (method, threshold, n_exact, n_candidates, n_hits, recall). Banding
+   * configs are tuned for HIGH-similarity duplicates: measuring at both a
+   * mid threshold (where they legitimately miss mass) and a high one
+   * (where they must not) is what makes the gate informative.
+   */
+  def dedupRecall(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds to measure")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = toks.select(col("doc_id").as("a"), col("token"))
+      .join(toks.select(col("doc_id").as("b"), col("token")), "token")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    val jacc = Materialize(inter
+      .join(sizes.select(col("doc_id").as("a"), col("ns").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("ns").as("nb")), "b")
+      .select(col("a"), col("b"), (col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard")))
+    val arms = Seq(
+      "minhash_lsh" ->
+        candidatePairs(lshBuckets(minhashSignatures(docs, 8), 4)),
+      "simhash_band" -> simhashCandidates(docs, 64, 4))
+    val rows = for {
+      (name, cand) <- arms.map { case (n, c) =>
+        (n, Materialize(c.select(col("a"), col("b"))))
+      }
+      t <- thresholds
+    } yield {
+      val exact = jacc.filter(col("jaccard") >= t).select(col("a"), col("b"))
+      val hits = cand.join(exact, Seq("a", "b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(lit(name).as("method"), lit(t).as("threshold"),
+          col("n_exact"), col("n_candidates"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
   /**
    * Canonicalize a near-duplicate pair graph into clusters: connected
    * components by iterative min-label propagation — every member of a dup

@@ -23,6 +23,7 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", // brute-force: bounded Q × corpus
       "emb_hard_negatives", // bounded anchor set × corpus, label-mismatch
+      "dedup_recall", // 1-row count attaches (the measurement rollup)
       "graph_pagerank", // 1-row dangling-mass attach per iteration
       "mix_temperature_sample", "text_lm_score",
       "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
