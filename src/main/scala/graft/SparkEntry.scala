@@ -1776,6 +1776,18 @@ object SparkEntry {
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
     }),
 
+    "text_suffix_array" -> ((s, dir) =>
+      // distributed suffix array (Manber–Myers prefix doubling — the
+      // Lee et al. ExactSubstr index primitive): log(doc-length) rounds
+      // of hash-join + range-partitioned global dense rank; no suffix
+      // string ever materializes and no single task sees the corpus. The
+      // oracle sorts the actual suffix strings — the naive O(n²) form the
+      // distributed ranks must reproduce exactly.
+      operators.SuffixArray.suffixRanks(
+        t(s, dir, "documents").filter(col("doc_id") < 50))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("srank"))),
+
     "dedup_recall" -> ((s, dir) =>
       // measure the dedup candidate generators instead of assuming them
       // (the knn_recall discipline): exact word-set-Jaccard pairs on a
@@ -3544,6 +3556,19 @@ object SparkEntry {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    // the oracle materializes every suffix string and sorts — binary
+    // collation matches Spark's UTF8 binary compare on this corpus
+    "text_suffix_array" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub))
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS srank
+         FROM sfx""",
 
     // both blocking arms + the exact Jaccard ground truth + the recall
     // arithmetic, all replayed on the bounded subset

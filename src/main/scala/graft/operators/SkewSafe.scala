@@ -71,4 +71,45 @@ object SkewSafe {
       .drop(explodedDim("_salt")).drop(saltedFact("_salt"))
       .drop(explodedDim(dimKey))
   }
+
+  /**
+   * Scale-safe GLOBAL dense rank over arbitrary key columns — the
+   * distributed replacement for `dense_rank() OVER (ORDER BY keys)`. A
+   * global-order window has an empty partition spec, so Spark funnels the
+   * entire frame through ONE task — the classic silent scale killer. Here
+   * the frame is range-partitioned on the keys (equal keys land in the
+   * same partition by construction), each range bucket dense-ranks
+   * LOCALLY under a window partitioned by the bucket id, and the global
+   * rank is the local rank plus the cumulative distinct-key count of the
+   * preceding buckets. That offset dictionary is numPartitions rows — a
+   * broadcast join, with its own cumsum window running over the tiny
+   * dictionary, not the data.
+   *
+   * Rank VALUES depend only on the key order, not the partitioning, so
+   * the result is deterministic under any bucket boundaries. Ranks are
+   * dense and 1-based, ties share a rank — `dense_rank` semantics
+   * exactly, which the spec pins against the single-window form.
+   */
+  def globalDenseRank(df: DataFrame, keyCols: Seq[String],
+                      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val bucketed = df.repartitionByRange(keys: _*)
+      .withColumn("_gdr_pid", spark_partition_id())
+    val local = bucketed.withColumn("_gdr_lrank",
+      dense_rank().over(
+        Window.partitionBy(col("_gdr_pid")).orderBy(keys.map(_.asc): _*)))
+    // max local dense rank = the bucket's distinct-key count
+    val counts = local.groupBy(col("_gdr_pid"))
+      .agg(max(col("_gdr_lrank")).as("_gdr_n"))
+    val offsets = counts
+      .withColumn("_gdr_off", coalesce(
+        sum(col("_gdr_n").cast("long")).over(
+          Window.orderBy(col("_gdr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_gdr_pid"), col("_gdr_off"))
+    local.join(broadcast(offsets), "_gdr_pid")
+      .withColumn(outCol, col("_gdr_lrank").cast("long") + col("_gdr_off"))
+      .drop("_gdr_pid", "_gdr_lrank", "_gdr_off")
+  }
 }

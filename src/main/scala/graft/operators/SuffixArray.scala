@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed suffix-array construction by prefix doubling — the primitive
+ * behind suffix-array exact-substring dedup (Lee et al. 2022 "Deduplicating
+ * Training Data Makes Language Models Better" builds one over the corpus;
+ * [[TextAnalysis.removeDupSpans]] is the n-gram span policy, this is the
+ * index that generalizes it to arbitrary-length matches).
+ *
+ * Algorithm (Manber–Myers): rank every corpus position by its single
+ * character, then repeatedly re-rank by the pair (rank of prefix of length
+ * h, rank of the prefix starting h later) — each round doubles the prefix
+ * length the ranks order, so ceil(log2(max doc length)) rounds order full
+ * suffixes. No suffix string is ever materialized: state is one integer
+ * rank per position.
+ *
+ * Scale shape: per round ONE equi-self-join on (doc_id, pos) to fetch the
+ * h-shifted rank (hash join, never a product) and one
+ * [[SkewSafe.globalDenseRank]] — range-partitioned local windows plus a
+ * broadcast offset dictionary, so no single task ever sees the corpus.
+ * Rounds are logarithmic in document length, independent of corpus size.
+ * Per-round lineage is cut by [[Materialize]] (reliable checkpoint when
+ * configured — executor loss does not recompute the whole doubling chain).
+ *
+ * Suffixes here end at their document's end (no cross-doc concatenation);
+ * identical suffix strings — duplicated docs — share a dense rank, which
+ * is exactly the signal substring-dedup consumes.
+ */
+object SuffixArray {
+
+  /**
+   * (doc_id, pos, srank): dense lexicographic rank (1-based, ties share)
+   * of suffix `text[pos..]` among all corpus suffixes, pos 0-based.
+   */
+  def suffixRanks(docs: DataFrame): DataFrame = {
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen > 0, "empty corpus")
+    val chars = docs.select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        substring_index_safe(col("text"), col("pos")))
+    var cur = Materialize(
+      SkewSafe.globalDenseRank(chars, Seq("c"), "r")
+        .select(col("doc_id"), col("pos"), col("r")))
+    var h = 1
+    while (h < maxLen) {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - h).as("pos"), col("r").as("r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        // a suffix shorter than h+offset sorts before any extension: rank
+        // 0 is below every real rank (they are 1-based)
+        .withColumn("r2", coalesce(col("r2"), lit(0L)))
+      cur = Materialize(
+        SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
+          .select(col("doc_id"), col("pos"), col("nr").as("r")))
+      h *= 2
+    }
+    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+  }
+
+  /** Character at `pos` (0-based) as a 1-char string column named `c`. */
+  private def substring_index_safe(text: org.apache.spark.sql.Column,
+                                   pos: org.apache.spark.sql.Column) =
+    substring(text, pos + 1, lit(1)).as("c")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SkewSafe, SuffixArray}
+
+/**
+ * Scale-safe global dense rank: equals the single-window form on random
+ * multi-key data, survives arbitrary input partitioning, and keeps tie
+ * semantics. Suffix array: distributed prefix-doubling ranks equal the
+ * naive sort of actual suffix strings, duplicate docs share ranks.
+ */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalDenseRank equals the single-window dense_rank") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(5),
+      rnd.nextInt(1000)))
+    val df = rows.toDF("k1", "k2", "payload")
+    for (parts <- Seq(1, 3, 13)) {
+      val got = SkewSafe.globalDenseRank(df.repartition(parts),
+          Seq("k1", "k2"), "r")
+        .select($"k1", $"k2", $"payload", $"r")
+        .as[(Long, Int, Int, Long)].collect().toSet
+      val naive = rows.map { case (k1, k2, p) => (k1, k2, p) }
+      val distinctKeys = rows.map(r => (r._1, r._2)).distinct.sorted
+      val rank = distinctKeys.zipWithIndex.map { case (k, i) =>
+        k -> (i + 1L)
+      }.toMap
+      val want = naive.map { case (k1, k2, p) =>
+        (k1, k2, p, rank((k1, k2)))
+      }.toSet
+      assert(got === want, s"divergence at input partitions=$parts")
+    }
+  }
+
+  test("globalDenseRank: ties share a rank, ranks are dense from 1") {
+    val df = Seq("b", "a", "b", "c", "a").toDF("k")
+    val got = SkewSafe.globalDenseRank(df, Seq("k"), "r")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("suffix ranks equal the naive suffix sort (random corpus)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 20L).map { id =>
+      val len = 5 + rnd.nextInt(40)
+      (id, Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val got = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, p, r) => ((d, p), r) }.toMap
+    val suffixes = docs.flatMap { case (id, t) =>
+      (0 until t.length).map(p => ((id, p), t.substring(p)))
+    }
+    val ranks = suffixes.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val want = suffixes.map { case (k, s) => (k, ranks(s)) }.toMap
+    assert(got === want)
+  }
+
+  test("duplicate documents share every suffix rank") {
+    val docs = Seq((1L, "abcabc"), (2L, "abcabc"), (3L, "xbcabc"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs)
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, p, r) => ((d, p), r) }.toMap
+    for (p <- 0 until 6)
+      assert(got((1L, p)) === got((2L, p)), s"docs 1/2 diverge at pos $p")
+    // the duplicated tail "bcabc" of doc 3 shares ranks with docs 1/2
+    for (p <- 1 until 6)
+      assert(got((3L, p)) === got((1L, p)), s"shared tail diverges at $p")
+    assert(got((3L, 0)) !== got((1L, 0)))
+  }
+
+  test("single-char and single-doc corpora work") {
+    val one = SuffixArray.suffixRanks(Seq((1L, "z")).toDF("doc_id", "text"))
+      .as[(Long, Int, Long)].collect()
+    assert(one.toSeq === Seq((1L, 0, 1L)))
+  }
+}
