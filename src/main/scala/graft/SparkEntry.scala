@@ -1788,6 +1788,27 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("srank"))),
 
+    "text_lcp_array" -> ((s, dir) =>
+      // the LCP array over the suffix array: per distinct suffix rank, the
+      // longest common prefix with the previous rank, recovered by a
+      // binary walk over the retained doubling tables (equal dense rank at
+      // round h ⟺ equal h-capped prefix — a collision-free equality
+      // oracle, no rolling hash). O(log docLen) joins; zero character
+      // compares. The oracle materializes the suffix strings and counts
+      // the first mismatching character per sorted-adjacent pair.
+      operators.SuffixArray.lcpArray(
+        t(s, dir, "documents").filter(col("doc_id") < 150))),
+
+    "dedup_substr_spans" -> ((s, dir) =>
+      // ExactSubstr (Lee et al.) consumer: every position whose >=30-char
+      // prefix occurs elsewhere in the corpus, with the maximal duplicated
+      // length. Sorted-neighbor LCP maximality means only the two
+      // suffix-order neighbors are consulted — never all pairs.
+      operators.SuffixArray.dupSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("dup_len"))),
+
     "dedup_recall" -> ((s, dir) =>
       // measure the dedup candidate generators instead of assuming them
       // (the knn_recall discipline): exact word-set-Jaccard pairs on a
@@ -3570,6 +3591,66 @@ object SparkEntry {
            CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS srank
          FROM sfx""",
 
+    // the oracle sorts the actual suffix strings and finds the first
+    // mismatching character of each adjacent pair (unnest-based scan —
+    // generate_series is not lateral-correlatable in DuckDB)
+    "text_lcp_array" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub)),
+         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
+         rk AS (SELECT suffix, cnt,
+             dense_rank() OVER (ORDER BY suffix) AS srank,
+             lag(suffix) OVER (ORDER BY suffix) AS prv
+           FROM d),
+         pe AS (SELECT srank, suffix, prv,
+             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
+           FROM rk WHERE prv IS NOT NULL),
+         mp AS (SELECT srank,
+             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
+                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
+               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
+           FROM pe GROUP BY srank)
+         SELECT CAST(rk.srank AS BIGINT) AS srank, CAST(rk.cnt AS BIGINT) AS cnt,
+           coalesce(mp.lcp, 0) AS lcp
+         FROM rk LEFT JOIN mp ON rk.srank = mp.srank""",
+
+    // same LCP machinery; a position's dup span is the max of its rank's
+    // neighbor LCPs (and its full suffix length when the rank is shared)
+    "dedup_substr_spans" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub)),
+         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
+         rk AS (SELECT suffix, cnt,
+             dense_rank() OVER (ORDER BY suffix) AS srank,
+             lag(suffix) OVER (ORDER BY suffix) AS prv
+           FROM d),
+         pe AS (SELECT srank, suffix, prv,
+             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
+           FROM rk WHERE prv IS NOT NULL),
+         mp AS (SELECT srank,
+             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
+                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
+               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
+           FROM pe GROUP BY srank),
+         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
+             coalesce(mp.lcp, 0) AS lcp_prev,
+             coalesce(mn.lcp, 0) AS lcp_next
+           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
+                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
+         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
+                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
+           FROM sfx s JOIN lc l ON s.suffix = l.suffix)
+         SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30""",
+
     // both blocking arms + the exact Jaccard ground truth + the recall
     // arithmetic, all replayed on the bounded subset
     "dedup_recall" ->
@@ -3605,7 +3686,8 @@ object SparkEntry {
                  >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
            FROM toks, (SELECT unnest(range(64)) AS b) bs
            GROUP BY doc_id, b),
-         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
+             THEN -9223372036854775807 - 1 WHEN s > 0
              THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id),
          sbands AS (SELECT doc_id, band,
@@ -3650,7 +3732,8 @@ object SparkEntry {
            FROM tokens, (SELECT unnest(range(64)) AS b) bs
            GROUP BY doc_id, b),
          sh AS (
-           SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+           SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
+             THEN -9223372036854775807 - 1 WHEN s > 0
              THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id),
          bands AS (

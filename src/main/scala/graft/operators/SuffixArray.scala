@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
  * Suffixes here end at their document's end (no cross-doc concatenation);
  * identical suffix strings — duplicated docs — share a dense rank, which
  * is exactly the signal substring-dedup consumes.
+ *
+ * [[lcpArray]] extends the index with the longest-common-prefix array: the
+ * per-round rank tables double as a collision-free prefix-equality oracle
+ * (equal rank at round h ⟺ equal h-capped prefix), so the LCP of two
+ * suffixes is recovered by the classic binary walk — descend h over the
+ * retained tables, advancing both cursors whenever the h-prefixes at the
+ * current offset match. Exact integer arithmetic end to end: no rolling
+ * hash, no collision probability to argue about. [[dupSpans]] is the
+ * ExactSubstr consumer: a position's duplicated-span length is the max of
+ * its LCPs with its suffix-order neighbors (and its full suffix length
+ * when another position shares the identical suffix).
  */
 object SuffixArray {
 
@@ -35,17 +46,33 @@ object SuffixArray {
    * (doc_id, pos, srank): dense lexicographic rank (1-based, ties share)
    * of suffix `text[pos..]` among all corpus suffixes, pos 0-based.
    */
-  def suffixRanks(docs: DataFrame): DataFrame = {
+  def suffixRanks(docs: DataFrame): DataFrame =
+    rankTables(docs).last._2
+      .select(col("doc_id"), col("pos"), col("r").as("srank"))
+
+  /**
+   * One rank table per doubling round: (prefix length h, frame of
+   * (doc_id, pos, r)) for h = 1, 2, 4, …, H with H >= max doc length.
+   * Within a table, equal r ⟺ equal prefix of length min(h, suffix
+   * length) AND equal capped-ness — i.e. equal h-capped prefix STRING
+   * including where it ends; the induction is: round 1 ranks single
+   * characters (bijective), and round 2h's key (r_h at pos, r_h at
+   * pos+h, 0 when absent) is bijective with the 2h-capped string when
+   * r_h is. The last table therefore ranks full suffixes.
+   */
+  private def rankTables(docs: DataFrame): Seq[(Int, DataFrame)] = {
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen > 0, "empty corpus")
     val chars = docs.select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        substring_index_safe(col("text"), col("pos")))
+        substring(col("text"), col("pos") + 1, lit(1)).as("c"))
     var cur = Materialize(
       SkewSafe.globalDenseRank(chars, Seq("c"), "r")
         .select(col("doc_id"), col("pos"), col("r")))
+    val tables = Seq.newBuilder[(Int, DataFrame)]
+    tables += 1 -> cur
     var h = 1
     while (h < maxLen) {
       val shifted = cur.select(col("doc_id"),
@@ -58,12 +85,90 @@ object SuffixArray {
         SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
           .select(col("doc_id"), col("pos"), col("nr").as("r")))
       h *= 2
+      tables += h -> cur
     }
-    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    tables.result()
   }
 
-  /** Character at `pos` (0-based) as a 1-char string column named `c`. */
-  private def substring_index_safe(text: org.apache.spark.sql.Column,
-                                   pos: org.apache.spark.sql.Column) =
-    substring(text, pos + 1, lit(1)).as("c")
+  /**
+   * The LCP array over DISTINCT suffixes: (srank, cnt, lcp) — cnt is how
+   * many corpus positions share the rank (identical suffix strings), lcp
+   * the longest common prefix between this rank's suffix and the previous
+   * rank's (0 for rank 1). All positions of a rank carry the same suffix,
+   * so any representative is exact for the whole rank.
+   *
+   * The binary walk does 2 hash joins (rank lookup for each side of the
+   * pair) per retained table — O(log maxDocLen) rounds over an
+   * O(distinct-suffix) frame, each join key-partitioned; nothing ever
+   * compares characters, so cost is independent of how LONG the common
+   * prefixes are (the naive neighbor-scan is O(n · avgLcp) char work).
+   */
+  def lcpArray(docs: DataFrame): DataFrame = {
+    val tables = rankTables(docs)
+    lcpFromTables(tables)
+      .select(col("srank"), col("cnt"), col("lcp"))
+  }
+
+  /**
+   * ExactSubstr duplicated spans: (doc_id, pos, dup_len) for every corpus
+   * position whose suffix shares a prefix of at least `minLen` characters
+   * with some OTHER corpus position's suffix — i.e. `text[pos..pos+dup_len)`
+   * occurs elsewhere in the corpus. dup_len is the max of the rank's LCP
+   * with its two suffix-order neighbors, and the full suffix length when
+   * the rank is shared (identical suffixes). Sorted-neighbor maximality is
+   * the suffix-array theorem ExactSubstr rests on: the best match of any
+   * suffix is adjacent to it in suffix order.
+   */
+  def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val tables = rankTables(docs)
+    val sa = tables.last._2 // (doc_id, pos, r)
+    val lcp = lcpFromTables(tables) // (srank, cnt, lcp)
+    val nextLcp = lcp.select((col("srank") - 1).as("srank"),
+      col("lcp").as("lcp_next"))
+    val ranks = lcp.join(nextLcp, Seq("srank"), "left")
+      .select(col("srank").as("r"), col("cnt"),
+        col("lcp").as("lcp_prev"), coalesce(col("lcp_next"), lit(0L)).as("lcp_next"))
+    sa.join(docs.select(col("doc_id"), length(col("text")).as("_len")),
+        Seq("doc_id"))
+      .withColumn("suf_len", (col("_len") - col("pos")).cast("long"))
+      .join(ranks, Seq("r"))
+      .withColumn("dup_len", greatest(
+        when(col("cnt") > 1, col("suf_len")).otherwise(lit(0L)),
+        col("lcp_prev"), col("lcp_next")))
+      .filter(col("dup_len") >= minLen)
+      .select(col("doc_id"), col("pos"), col("dup_len"))
+  }
+
+  /** (srank, cnt, lcp) — see [[lcpArray]]; requires the full table seq. */
+  private def lcpFromTables(tables: Seq[(Int, DataFrame)]): DataFrame = {
+    val sa = tables.last._2
+    val reps = sa.groupBy(col("r"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .select(col("r").as("srank"), col("cnt"),
+        col("rep.doc_id").as("a_doc"), col("rep.pos").as("a_pos"))
+    val prev = reps.select((col("srank") + 1).as("srank"),
+      col("a_doc").as("b_doc"), col("a_pos").as("b_pos"))
+    var cur = reps.join(prev, Seq("srank"), "left")
+      .withColumn("acc", lit(0L))
+    // descend h: add h whenever the h-prefixes at the current offsets
+    // match; binary decomposition reconstructs the exact LCP
+    tables.reverse.foreach { case (h, tbl) =>
+      val ra = tbl.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
+        col("r").as("_ra"))
+      val rb = tbl.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
+        col("r").as("_rb"))
+      cur = cur
+        .join(ra, col("a_doc") === col("_ad") &&
+          (col("a_pos") + col("acc")) === col("_ap"), "left")
+        .join(rb, col("b_doc") === col("_bd") &&
+          (col("b_pos") + col("acc")) === col("_bp"), "left")
+        .withColumn("acc", when(col("_ra").isNotNull &&
+          col("_rb").isNotNull && col("_ra") === col("_rb"),
+          col("acc") + h).otherwise(col("acc")))
+        .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
+      cur = Materialize(cur)
+    }
+    cur.select(col("srank"), col("cnt"), col("acc").as("lcp"))
+  }
 }

@@ -79,4 +79,58 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(one.toSeq === Seq((1L, 0, 1L)))
   }
+
+  /** Naive per-corpus oracle: (rank -> (cnt, lcp-with-prev)) map. */
+  private def naiveLcp(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val suffixes = docs.flatMap { case (_, t) =>
+      (0 until t.length).map(t.substring)
+    }
+    val grouped = suffixes.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    grouped.zipWithIndex.map { case ((s, cnt), i) =>
+      val lcp = if (i == 0) 0L else {
+        val p = grouped(i - 1)._1
+        s.zip(p).takeWhile { case (a, b) => a == b }.size.toLong
+      }
+      (i + 1L) -> (cnt, lcp)
+    }.toMap
+  }
+
+  test("lcpArray equals the naive character-scan LCP (random corpus)") {
+    val rnd = new scala.util.Random(11)
+    // tiny alphabet forces long shared prefixes and rank ties
+    val docs = (0L until 15L).map { id =>
+      val len = 4 + rnd.nextInt(30)
+      (id, Seq.fill(len)(('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val got = SuffixArray.lcpArray(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, c, l) => r -> (c, l) }.toMap
+    assert(got === naiveLcp(docs))
+  }
+
+  test("dupSpans finds exactly the >=minLen shared substrings") {
+    // "HELLOWORLDFRIEND" (16 chars) is planted in docs 1 and 3; doc 2 is
+    // disjoint. With minLen 16 only the planted span (and its contained
+    // start positions — none, the span is exactly 16) qualifies.
+    val planted = "HELLOWORLDFRIEND"
+    val docs = Seq(
+      (1L, "xx" + planted + "qq"),
+      // distinct characters: no self-repeated substring can sneak in
+      (2L, "0123456789"),
+      (3L, planted + "mm")).toDF("doc_id", "text")
+    val got = SuffixArray.dupSpans(docs, minLen = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === Set((1L, 2, 16L), (3L, 0, 16L)))
+  }
+
+  test("dupSpans: identical docs report full suffix lengths") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val got = SuffixArray.dupSpans(docs, minLen = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    // every position of both docs duplicates to end-of-doc
+    val want = (for (d <- Seq(1L, 2L); p <- 0 until 8)
+      yield (d, p, (8 - p).toLong)).toSet
+    assert(got === want)
+  }
 }
