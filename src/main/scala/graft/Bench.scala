@@ -23,10 +23,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Optional comma-separated allowlist for local iteration; the driver
+    // never sets it, so the contract run always measures every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+
     // Untimed warmup pass: JIT + whole-stage codegen compilation + parquet
     // footer caches are one-time session costs (~5 s on the first query,
     // irrelevant at cluster scale); the timed pass measures steady state.
-    for ((name, fn) <- SparkEntry.queries) {
+    for ((name, fn) <- selected) {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
@@ -45,7 +54,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

@@ -147,6 +147,76 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Byte-level kernels for suffix-array LCP resolution. Static, allocation
+ * free, Java-friendly (called from generated code).
+ */
+object SuffixKernels {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /**
+   * Length in CHARACTERS of the longest common prefix of `a[aOff..]` and
+   * `b[bOff..]` (char offsets, 0-based, clamped to the string ends).
+   * Compares raw UTF-8 bytes — no slicing, no allocation — then backs off
+   * to the last character boundary: equal byte runs from aligned character
+   * starts have aligned boundaries (UTF-8 is injective and
+   * self-synchronizing), so the backoff is exact for multi-byte text and
+   * a no-op for ASCII.
+   */
+  def commonPrefixChars(a: UTF8String, aOff: Int, b: UTF8String, bOff: Int): Long = {
+    val a0 = charToByteOff(a, aOff)
+    val b0 = charToByteOff(b, bOff)
+    val an = a.numBytes; val bn = b.numBytes
+    var i = a0; var j = b0
+    while (i < an && j < bn && a.getByte(i) == b.getByte(j)) { i += 1; j += 1 }
+    // back off a partially-matched multi-byte character
+    while (i > a0 && (a.getByte(i - 1) & 0xC0) == 0x80 &&
+      (i == an || (a.getByte(i) & 0xC0) == 0x80)) i -= 1
+    var chars = 0L
+    var k = a0
+    while (k < i) { if ((a.getByte(k) & 0xC0) != 0x80) chars += 1; k += 1 }
+    chars
+  }
+
+  private def charToByteOff(s: UTF8String, chars: Int): Int = {
+    val n = s.numBytes
+    var seen = 0; var i = 0
+    while (i < n && seen < chars) {
+      i += 1
+      while (i < n && (s.getByte(i) & 0xC0) == 0x80) i += 1
+      seen += 1
+    }
+    i
+  }
+}
+
+/**
+ * Characters of common prefix between two string columns starting at the
+ * given character offsets — the suffix-array LCP tail resolver. Codegen'd;
+ * O(lcp) byte compares, zero allocation (no substring slicing).
+ */
+case class CommonPrefixLength(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, ao: Any, b: Any, bo: Any): Any =
+    SuffixKernels.commonPrefixChars(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      ao.asInstanceOf[Int],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      bo.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, ao, b, bo) =>
+      s"graft.functions.SuffixKernels.commonPrefixChars($a, $ao, $b, $bo)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): CommonPrefixLength =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftShim.column
@@ -167,6 +237,11 @@ object GraftFunctions {
 
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expr(a), expr(b)))
+
+  /** Char-LCP of `a[aOff..]` vs `b[bOff..]` (offsets in characters). */
+  def common_prefix_length(a: Column, aOff: Column, b: Column,
+      bOff: Column): Column =
+    column(CommonPrefixLength(expr(a), expr(aOff), expr(b), expr(bOff)))
 
   private def expr(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.common_prefix_length
 
 /**
  * Distributed suffix-array construction by prefix doubling — the primitive
@@ -10,12 +12,14 @@ import org.apache.spark.sql.functions._
  * [[TextAnalysis.removeDupSpans]] is the n-gram span policy, this is the
  * index that generalizes it to arbitrary-length matches).
  *
- * Algorithm (Manber–Myers): rank every corpus position by its single
- * character, then repeatedly re-rank by the pair (rank of prefix of length
- * h, rank of the prefix starting h later) — each round doubles the prefix
- * length the ranks order, so ceil(log2(max doc length)) rounds order full
- * suffixes. No suffix string is ever materialized: state is one integer
- * rank per position.
+ * Algorithm (Manber–Myers, seeded): rank every corpus position by its
+ * 64-character prefix slice in ONE range-partitioned sort (the same
+ * bounded-prefix-key trick external-memory suffix sorters use), then
+ * repeatedly re-rank by the pair (rank of prefix of length h, rank of the
+ * prefix starting h later) — each round doubles the ordered prefix
+ * length, so ceil(log2(maxDocLen / 64)) rounds order full suffixes. After
+ * the seed, no text is ever shuffled: state is one integer rank per
+ * position.
  *
  * Scale shape: per round ONE equi-self-join on (doc_id, pos) to fetch the
  * h-shifted rank (hash join, never a product) and one
@@ -29,66 +33,34 @@ import org.apache.spark.sql.functions._
  * identical suffix strings — duplicated docs — share a dense rank, which
  * is exactly the signal substring-dedup consumes.
  *
- * [[lcpArray]] extends the index with the longest-common-prefix array: the
- * per-round rank tables double as a collision-free prefix-equality oracle
- * (equal rank at round h ⟺ equal h-capped prefix), so the LCP of two
- * suffixes is recovered by the classic binary walk — descend h over the
- * retained tables, advancing both cursors whenever the h-prefixes at the
- * current offset match. Exact integer arithmetic end to end: no rolling
- * hash, no collision probability to argue about. [[dupSpans]] is the
- * ExactSubstr consumer: a position's duplicated-span length is the max of
- * its LCPs with its suffix-order neighbors (and its full suffix length
- * when another position shares the identical suffix).
+ * [[lcpArray]] extends the index with the longest-common-prefix array.
+ * The retained per-round rank tables are a collision-free prefix-equality
+ * oracle (equal rank at round h ⟺ equal h-capped prefix), so the LCP of
+ * two suffixes is recovered by the classic binary walk — descend h over
+ * the tables, advancing both cursors whenever the h-prefixes at the
+ * current offsets match — which resolves the LCP down to a remainder
+ * < 64; the remainder is settled by one codegen'd byte compare of the two
+ * BOUNDED 64-char position slices ([[graft.functions.CommonPrefixLength]]
+ * — never a full-text attach, so shuffle volume stays O(64 bytes/row) no
+ * matter how long documents or common prefixes get). Exact end to end: no
+ * rolling hash, no collision probability to argue about. [[dupSpans]] is
+ * the ExactSubstr consumer: a position's duplicated-span length is the
+ * max of its LCPs with its suffix-order neighbors (and its full suffix
+ * length when another position shares the identical suffix).
  */
 object SuffixArray {
+
+  /** Seed/slice width: the doubling starts from ranks of 64-char prefixes
+   * and the LCP walk's sub-seed remainder is resolved on the same slices. */
+  private val SeedLen = 64
 
   /**
    * (doc_id, pos, srank): dense lexicographic rank (1-based, ties share)
    * of suffix `text[pos..]` among all corpus suffixes, pos 0-based.
    */
   def suffixRanks(docs: DataFrame): DataFrame =
-    rankTables(docs).last._2
+    rankTables(docs)._2.last._2
       .select(col("doc_id"), col("pos"), col("r").as("srank"))
-
-  /**
-   * One rank table per doubling round: (prefix length h, frame of
-   * (doc_id, pos, r)) for h = 1, 2, 4, …, H with H >= max doc length.
-   * Within a table, equal r ⟺ equal prefix of length min(h, suffix
-   * length) AND equal capped-ness — i.e. equal h-capped prefix STRING
-   * including where it ends; the induction is: round 1 ranks single
-   * characters (bijective), and round 2h's key (r_h at pos, r_h at
-   * pos+h, 0 when absent) is bijective with the 2h-capped string when
-   * r_h is. The last table therefore ranks full suffixes.
-   */
-  private def rankTables(docs: DataFrame): Seq[(Int, DataFrame)] = {
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-    require(maxLen > 0, "empty corpus")
-    val chars = docs.select(col("doc_id"),
-        explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        substring(col("text"), col("pos") + 1, lit(1)).as("c"))
-    var cur = Materialize(
-      SkewSafe.globalDenseRank(chars, Seq("c"), "r")
-        .select(col("doc_id"), col("pos"), col("r")))
-    val tables = Seq.newBuilder[(Int, DataFrame)]
-    tables += 1 -> cur
-    var h = 1
-    while (h < maxLen) {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - h).as("pos"), col("r").as("r2"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        // a suffix shorter than h+offset sorts before any extension: rank
-        // 0 is below every real rank (they are 1-based)
-        .withColumn("r2", coalesce(col("r2"), lit(0L)))
-      cur = Materialize(
-        SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
-          .select(col("doc_id"), col("pos"), col("nr").as("r")))
-      h *= 2
-      tables += h -> cur
-    }
-    tables.result()
-  }
 
   /**
    * The LCP array over DISTINCT suffixes: (srank, cnt, lcp) — cnt is how
@@ -97,15 +69,14 @@ object SuffixArray {
    * rank's (0 for rank 1). All positions of a rank carry the same suffix,
    * so any representative is exact for the whole rank.
    *
-   * The binary walk does 2 hash joins (rank lookup for each side of the
-   * pair) per retained table — O(log maxDocLen) rounds over an
-   * O(distinct-suffix) frame, each join key-partitioned; nothing ever
-   * compares characters, so cost is independent of how LONG the common
-   * prefixes are (the naive neighbor-scan is O(n · avgLcp) char work).
+   * Cost: 2 hash joins per retained table (rank lookup for each side of
+   * the pair) — O(log(maxDocLen/64)) rounds over an O(distinct-suffix)
+   * frame — plus one slice join pair for the sub-seed remainder. Character
+   * work is bounded by the seed width per pair regardless of true LCP length.
    */
   def lcpArray(docs: DataFrame): DataFrame = {
-    val tables = rankTables(docs)
-    lcpFromTables(tables)
+    val (slices, tables) = rankTables(docs)
+    lcpFromTables(slices, tables)
       .select(col("srank"), col("cnt"), col("lcp"))
   }
 
@@ -120,9 +91,9 @@ object SuffixArray {
    * suffix is adjacent to it in suffix order.
    */
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val tables = rankTables(docs)
+    val (slices, tables) = rankTables(docs)
     val sa = tables.last._2 // (doc_id, pos, r)
-    val lcp = lcpFromTables(tables) // (srank, cnt, lcp)
+    val lcp = lcpFromTables(slices, tables) // (srank, cnt, lcp)
     val nextLcp = lcp.select((col("srank") - 1).as("srank"),
       col("lcp").as("lcp_next"))
     val ranks = lcp.join(nextLcp, Seq("srank"), "left")
@@ -139,8 +110,49 @@ object SuffixArray {
       .select(col("doc_id"), col("pos"), col("dup_len"))
   }
 
-  /** (srank, cnt, lcp) — see [[lcpArray]]; requires the full table seq. */
-  private def lcpFromTables(tables: Seq[(Int, DataFrame)]): DataFrame = {
+  /**
+   * Bounded position slices plus one rank table per doubling round:
+   * (slices (doc_id, pos, sl), Seq of (prefix length h, (doc_id, pos,
+   * r))) for h = 64, 128, …, H with H >= max doc length. Within a table,
+   * equal r ⟺ equal h-capped prefix STRING including where it ends: the
+   * seed dense rank is bijective with the seed-capped slice, and round 2h's
+   * key (r_h at pos, r_h at pos+h, 0 when absent) is bijective with the
+   * 2h-capped string when r_h is. The last table therefore ranks full
+   * suffixes.
+   */
+  private def rankTables(docs: DataFrame): (DataFrame, Seq[(Int, DataFrame)]) = {
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen > 0, "empty corpus")
+    val slices = Materialize(docs.select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        substring(col("text"), col("pos") + 1, lit(SeedLen)).as("sl")))
+    var cur = Materialize(
+      SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
+        .select(col("doc_id"), col("pos"), col("r")))
+    val tables = Seq.newBuilder[(Int, DataFrame)]
+    tables += SeedLen -> cur
+    var h = SeedLen
+    while (h < maxLen) {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - h).as("pos"), col("r").as("r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        // a suffix shorter than h+offset sorts before any extension: rank
+        // 0 is below every real rank (they are 1-based)
+        .withColumn("r2", coalesce(col("r2"), lit(0L)))
+      cur = Materialize(
+        SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
+          .select(col("doc_id"), col("pos"), col("nr").as("r")))
+      h *= 2
+      tables += h -> cur
+    }
+    (slices, tables.result())
+  }
+
+  /** (srank, cnt, lcp) — see [[lcpArray]]. */
+  private def lcpFromTables(slices: DataFrame,
+      tables: Seq[(Int, DataFrame)]): DataFrame = {
     val sa = tables.last._2
     val reps = sa.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"),
@@ -151,9 +163,12 @@ object SuffixArray {
       col("a_doc").as("b_doc"), col("a_pos").as("b_pos"))
     var cur = reps.join(prev, Seq("srank"), "left")
       .withColumn("acc", lit(0L))
-    // descend h: add h whenever the h-prefixes at the current offsets
-    // match; binary decomposition reconstructs the exact LCP
-    tables.reverse.foreach { case (h, tbl) =>
+    // descend h over every table BELOW the top (distinct full suffixes
+    // have LCP < maxLen <= top h, so the top level can never advance):
+    // add h whenever the h-prefixes at the current offsets match; binary
+    // decomposition leaves a remainder < SeedLen for the slice compare
+    val walk = tables.dropRight(1).reverse
+    walk.zipWithIndex.foreach { case ((h, tbl), i) =>
       val ra = tbl.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
         col("r").as("_ra"))
       val rb = tbl.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
@@ -167,8 +182,24 @@ object SuffixArray {
           col("_rb").isNotNull && col("_ra") === col("_rb"),
           col("acc") + h).otherwise(col("acc")))
         .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
-      cur = Materialize(cur)
+      if (i % 2 == 1) cur = Materialize(cur)
     }
-    cur.select(col("srank"), col("cnt"), col("acc").as("lcp"))
+    // sub-seed remainder: byte-compare the bounded slices at the cursors.
+    // A missing slice row means that side's suffix is exhausted — the
+    // remainder is 0.
+    val sla = slices.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
+      col("sl").as("_sa"))
+    val slb = slices.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
+      col("sl").as("_sb"))
+    cur = cur
+      .join(sla, col("a_doc") === col("_ad") &&
+        (col("a_pos") + col("acc")) === col("_ap"), "left")
+      .join(slb, col("b_doc") === col("_bd") &&
+        (col("b_pos") + col("acc")) === col("_bp"), "left")
+      .withColumn("lcp", when(col("b_doc").isNull, lit(0L))
+        .otherwise(col("acc") + coalesce(
+          common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
+          lit(0L))))
+    cur.select(col("srank"), col("cnt"), col("lcp"))
   }
 }

@@ -109,6 +109,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === naiveLcp(docs))
   }
 
+  test("lcpArray: LCPs far beyond the seed width resolve exactly") {
+    val rnd = new scala.util.Random(23)
+    val core = Seq.fill(150)(('a' + rnd.nextInt(3)).toChar).mkString
+    // shared 150-char core with distinct tails: neighbor LCPs reach 150
+    val docs = Seq((1L, core + "xx1"), (2L, core + "yy22"), (3L, core),
+      (4L, "zz" + core))
+    val got = SuffixArray.lcpArray(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, c, l) => r -> (c, l) }.toMap
+    assert(got === naiveLcp(docs))
+    assert(got.values.exists(_._2 >= 150), "fixture lost its long LCP")
+  }
+
+  test("lcpArray: multi-byte text compares at character granularity") {
+    // é is 2 UTF-8 bytes, ¢ is 2, € is 3 — shared prefixes end mid-run
+    val docs = Seq((1L, "caférandom€xyz"), (2L, "caférandom¢abc"),
+      (3L, "caféranéom"))
+    val got = SuffixArray.lcpArray(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, c, l) => r -> (c, l) }.toMap
+    assert(got === naiveLcp(docs))
+  }
+
   test("dupSpans finds exactly the >=minLen shared substrings") {
     // "HELLOWORLDFRIEND" (16 chars) is planted in docs 1 and 3; doc 2 is
     // disjoint. With minLen 16 only the planted span (and its contained
