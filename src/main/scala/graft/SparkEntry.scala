@@ -2048,6 +2048,22 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: BM25 lexical arm (word-prefix probes) + exact
+      // cosine dense arm (the probes' embeddings), fused by integer-grid
+      // reciprocal-rank fusion — both arm rankings and the fusion replay
+      // exactly in the oracle (no floating point anywhere in the fusion).
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val dense = Similarity.bruteForceKnn(
+        emb.filter(col("vec_id") % 50 === 0), emb, k = 20)
+      Retrieval.hybridRrfTopK(lex, dense, k = 10)
+    }),
+
     "curate_retrieval_contamination" -> ((s, dir) => {
       // retrieval-based decontamination: benchmark slice (doc_id % 23 = 0)
       // probes with words 2-7, searched against the train slice; train
@@ -4096,6 +4112,35 @@ object SparkEntry {
 
     "text_bm25_topk" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """
        SELECT query_id, doc_id, score9, rank FROM rk WHERE rank <= 5"""),
+
+    // both arms replayed (BM25 integer grid + deterministic cosine
+    // ranks), then the RRF fusion in pure BIGINT arithmetic
+    "retrieval_hybrid_rrf" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """,
+       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+       dn AS (SELECT q_id, vec_id, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 20),
+       fused AS (SELECT
+           coalesce(l.query_id, d.q_id) AS query_id,
+           coalesce(l.doc_id, d.vec_id) AS doc_id,
+           CAST(l.rank AS BIGINT) AS lex_rank,
+           CAST(d.rank AS BIGINT) AS dense_rank,
+           coalesce(1000000000 // (60 + l.rank), 0) +
+             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
+         FROM lx l FULL OUTER JOIN dn d
+           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
+       SELECT query_id, doc_id, lex_rank, dense_rank,
+         CAST(rrf9 AS BIGINT) AS rrf9,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
+       FROM fused
+       QUALIFY rrf_rank <= 10"""),
 
     "curate_retrieval_contamination" ->
       (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,

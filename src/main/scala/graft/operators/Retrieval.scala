@@ -186,4 +186,39 @@ object Retrieval {
         max(col("score9")).as("best_score9"),
         max(when(col("r") === 1, col("query_id"))).as("best_query"))
   }
+
+  /**
+   * Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+   * fuse a lexical top-k list (query_id, doc_id, rank — e.g. [[bm25TopK]])
+   * with a dense top-k list (q_id, vec_id, rank — e.g.
+   * [[Similarity.bruteForceKnn]]) into the top `k` per query by
+   * RRF(d) = Σ_arms 1/(rrfK + rank_arm(d)), a missing arm contributing 0.
+   *
+   * The fused score lives on the 1e9 integer grid — `1e9 DIV (rrfK+rank)`
+   * per arm, exact BIGINT arithmetic in both Spark and the oracle, so the
+   * ranking is total, deterministic (ties break on doc_id) and replayable
+   * with no floating point at all.
+   *
+   * Scale shape: both inputs are already bounded top-k lists (|queries|·k
+   * rows), so the full-outer fusion join and the per-query window are
+   * trivially sized no matter the corpus — all heavy lifting stays inside
+   * the arm operators, which is the point of fusion-style hybrid search.
+   */
+  def hybridRrfTopK(lex: DataFrame, dense: DataFrame, k: Int,
+                    rrfK: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val d = dense.select(col("q_id").as("query_id"),
+      col("vec_id").as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf9",
+        coalesce(expr(s"1000000000 DIV (${rrfK}L + lex_rank)"), lit(0L)) +
+        coalesce(expr(s"1000000000 DIV (${rrfK}L + dense_rank)"), lit(0L)))
+    fused.withColumn("rrf_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf9").desc, col("doc_id"))).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf9"), col("rrf_rank"))
+  }
 }

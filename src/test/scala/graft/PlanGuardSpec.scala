@@ -23,6 +23,8 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("knn_brute_cosine", "knn_recall", // brute-force: bounded Q × corpus
       "emb_hard_negatives", // bounded anchor set × corpus, label-mismatch
+      "retrieval_hybrid_rrf", // dense arm = knn_brute_cosine's bounded
+      // probe broadcast × corpus; the BM25 arm and fusion plan hash joins
       "dedup_recall", // 1-row count attaches (the measurement rollup)
       "graph_pagerank", // 1-row dangling-mass attach per iteration
       "mix_temperature_sample", "text_lm_score",

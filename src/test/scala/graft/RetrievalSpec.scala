@@ -119,6 +119,26 @@ class RetrievalSpec extends SparkSpec {
     assert(hits.values.forall { case (n, q) => n == 1L && q == 9L })
   }
 
+  test("hybridRrfTopK: fusion arithmetic, missing arms, tie-break") {
+    // q=1: doc 10 is rank 1 in BOTH arms; doc 11 lex-only rank 2; doc 12
+    // dense-only rank 2; doc 13 lex rank 3 + dense rank 3
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 13L, 3))
+      .toDF("q_id", "vec_id", "rank")
+    val got = Retrieval.hybridRrfTopK(lex, dense, k = 10)
+      .select("query_id", "doc_id", "rrf9", "rrf_rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def f(r: Long) = 1000000000L / (60L + r)
+    // doc 10: both arms rank 1; doc 13: both rank 3; 11/12 single-arm
+    // rank 2 — identical scores, tie broken by doc_id
+    assert(got === Set(
+      (1L, 10L, 2 * f(1), 1L),
+      (1L, 13L, 2 * f(3), 2L),
+      (1L, 11L, f(2), 3L),
+      (1L, 12L, f(2), 4L)))
+  }
+
   test("query side broadcasts; corpus shuffles only on token/doc keys") {
     val queries = Seq((100L, "apple sugar")).toDF("query_id", "qtext")
     val plan = Retrieval.bm25TopK(corpus, queries, k = 3)
