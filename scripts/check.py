@@ -67,6 +67,13 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that errored inside Verify leaves no dump dir — that is a
+    # FAILURE (it would be an err row in the driver's CORRECTNESS), not a skip
+    dumped = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
+    for name in sorted(oracle):
+        if name not in dumped and not os.environ.get("ONLY"):
+            print(f"  ✗ {name}: NO DUMP (Verify errored — see [verify] stderr)")
+            n_fail += 1
     for name in sorted(os.listdir(OUT)):
         qdir = os.path.join(OUT, name)
         if not os.path.isdir(qdir):

@@ -2178,9 +2178,16 @@ object SparkEntry {
       // last-observation-carried-forward via the as-of join — the grid is
       // explode-generated (no cross join), the LOCF is one sort within the
       // key partition. Oracle: DuckDB's native ASOF LEFT JOIN.
-      val obs = Cdc.rawEvents(s, dir)
+      val raw = Cdc.rawEvents(s, dir)
+      // epoch_us(ts), matching the oracle: ns-LONG fixtures divide, real
+      // timestamp[us] parquet converts — same dispatch as eventsFromRaw
+      val tUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val obs = raw
         .filter(col("user_id") % 50 === 0)
-        .select(col("user_id"), expr("ts DIV 1000").as("t"), col("value"))
+        .select(col("user_id"), tUs.as("t"), col("value"))
         .groupBy(col("user_id"), col("t"))
         .agg(round(max(col("value")), 6).as("v"))
         .withColumn("obs_t", col("t"))
