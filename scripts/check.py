@@ -58,7 +58,37 @@ def canon(v):
 def table_rows(rows):
     return sorted(["|".join(canon(v) for v in row) for row in rows])
 
+# DuckDB silently widens some aggregates (SUM(BIGINT) → HUGEINT, etc.).
+# The driver's hash is type-width-sensitive even when the values match, so
+# any unbounded/oversized oracle output type is a guaranteed driver hash
+# fail that this harness's str()-based canon cannot see. Gate on DESCRIBE.
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "INT128")
+
+def type_gate(con, oracle):
+    bad = []
+    for name in sorted(oracle):
+        try:
+            cols = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception:
+            continue  # query errors are reported by the main loop
+        for cname, ctype, *_ in cols:
+            if any(b in str(ctype).upper() for b in BAD_TYPES):
+                bad.append((name, cname, ctype))
+    for name, cname, ctype in bad:
+        print(f"  ✗ {name}: ORACLE TYPE {cname} is {ctype} "
+              f"(driver hash is width-sensitive — add an explicit CAST)")
+    return len(bad)
+
 def main():
+    only = [n for n in os.environ.get("ONLY", "").split(",") if n]
+    # stale dumps from a prior run would mask a Verify error as a false
+    # PASS — clear every per-query dir this run is expected to rewrite
+    if os.path.isdir(OUT):
+        import shutil
+        for n in os.listdir(OUT):
+            d = os.path.join(OUT, n)
+            if os.path.isdir(d) and (not only or n in only):
+                shutil.rmtree(d)
     run_verify()
     import duckdb
     con = duckdb.connect()
@@ -67,11 +97,13 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
+    n_fail += type_gate(con, {n: q for n, q in oracle.items()
+                              if not only or n in only})
     # a query that errored inside Verify leaves no dump dir — that is a
     # FAILURE (it would be an err row in the driver's CORRECTNESS), not a skip
     dumped = {n for n in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, n))}
-    for name in sorted(oracle):
-        if name not in dumped and not os.environ.get("ONLY"):
+    for name in (only if only else sorted(oracle)):
+        if name not in dumped:
             print(f"  ✗ {name}: NO DUMP (Verify errored — see [verify] stderr)")
             n_fail += 1
     for name in sorted(os.listdir(OUT)):

@@ -19,7 +19,9 @@ import graft.functions.GraftFunctions.common_prefix_length
  * prefix starting h later) — each round doubles the ordered prefix
  * length, so ceil(log2(maxDocLen / 64)) rounds order full suffixes. After
  * the seed, no text is ever shuffled: state is one integer rank per
- * position.
+ * position, and each doubling round retains ONLY the current rank table —
+ * the previous round's frame is dropped as soon as its successor
+ * materializes, so peak build state is O(n), not O(n·log n).
  *
  * Scale shape: per round ONE equi-self-join on (doc_id, pos) to fetch the
  * h-shifted rank (hash join, never a product) and one
@@ -33,34 +35,52 @@ import graft.functions.GraftFunctions.common_prefix_length
  * identical suffix strings — duplicated docs — share a dense rank, which
  * is exactly the signal substring-dedup consumes.
  *
- * [[lcpArray]] extends the index with the longest-common-prefix array.
- * The retained per-round rank tables are a collision-free prefix-equality
- * oracle (equal rank at round h ⟺ equal h-capped prefix), so the LCP of
- * two suffixes is recovered by the classic binary walk — descend h over
- * the tables, advancing both cursors whenever the h-prefixes at the
- * current offsets match — which resolves the LCP down to a remainder
- * < 64; the remainder is settled by one codegen'd byte compare of the two
- * BOUNDED 64-char position slices ([[graft.functions.CommonPrefixLength]]
- * — never a full-text attach, so shuffle volume stays O(64 bytes/row) no
- * matter how long documents or common prefixes get). Exact end to end: no
- * rolling hash, no collision probability to argue about. [[dupSpans]] is
- * the ExactSubstr consumer: a position's duplicated-span length is the
- * max of its LCPs with its suffix-order neighbors (and its full suffix
- * length when another position shares the identical suffix).
+ * [[lcpArray]] extends the index with the longest-common-prefix array via
+ * a Kasai-style rank-neighbor traversal that needs NOTHING beyond the
+ * final array and the bounded seed slices: for each adjacent pair of
+ * distinct suffixes, iteratively byte-compare the two 64-char position
+ * slices at the current match offset ([[graft.functions
+ * .CommonPrefixLength]] — a codegen'd kernel over BOUNDED slices, never a
+ * full-text attach) and advance by a full slice width while the slices
+ * keep matching. A pair retires the first round its slices diverge (or a
+ * suffix exhausts), so round k touches only pairs with LCP ≥ 64k — the
+ * active frame decays geometrically on natural text, and total compare
+ * work is Σ ceil(LCP/64) per pair. Exact end to end: no rolling hash, no
+ * collision probability to argue about. Retained state during the walk is
+ * slices + final array + the decaying active frame + one periodically
+ * consolidated result frame — O(n) by construction (spec-pinned via
+ * [[lastWalkStats]]), closing the O(n·log n) rank-table retention the
+ * previous binary-walk formulation paid. The honest trade: worst-case
+ * rounds are maxLCP/64 (vs log for the table walk) — on adversarially
+ * repetitive corpora (single repeated character) the walk does O(LCP/64)
+ * passes over the surviving pairs; on real text long adjacent-suffix LCPs
+ * are precisely the rare duplicated spans ExactSubstr exists to find.
+ *
+ * [[dupSpans]] is the ExactSubstr consumer: a position's duplicated-span
+ * length is the max of its LCPs with its suffix-order neighbors (and its
+ * full suffix length when another position shares the identical suffix).
  */
 object SuffixArray {
 
   /** Seed/slice width: the doubling starts from ranks of 64-char prefixes
-   * and the LCP walk's sub-seed remainder is resolved on the same slices. */
+   * and the LCP walk advances in whole slice widths. */
   private val SeedLen = 64
+
+  /** Walk instrumentation for the O(n)-state spec: corpus positions n,
+   * walk rounds, and the peak number of rows live in materialized frames
+   * at any instant (slices + array + active + consolidated + pending
+   * legs). The spec asserts peakLiveRows stays a constant multiple of n
+   * across corpora whose doubling-level counts differ. */
+  final case class WalkStats(corpusPositions: Long, rounds: Int,
+      peakLiveRows: Long)
+  @volatile var lastWalkStats: WalkStats = WalkStats(0L, 0, 0L)
 
   /**
    * (doc_id, pos, srank): dense lexicographic rank (1-based, ties share)
    * of suffix `text[pos..]` among all corpus suffixes, pos 0-based.
    */
   def suffixRanks(docs: DataFrame): DataFrame =
-    rankTables(docs)._2.last._2
-      .select(col("doc_id"), col("pos"), col("r").as("srank"))
+    build(docs)._2.select(col("doc_id"), col("pos"), col("r").as("srank"))
 
   /**
    * The LCP array over DISTINCT suffixes: (srank, cnt, lcp) — cnt is how
@@ -68,16 +88,10 @@ object SuffixArray {
    * the longest common prefix between this rank's suffix and the previous
    * rank's (0 for rank 1). All positions of a rank carry the same suffix,
    * so any representative is exact for the whole rank.
-   *
-   * Cost: 2 hash joins per retained table (rank lookup for each side of
-   * the pair) — O(log(maxDocLen/64)) rounds over an O(distinct-suffix)
-   * frame — plus one slice join pair for the sub-seed remainder. Character
-   * work is bounded by the seed width per pair regardless of true LCP length.
    */
   def lcpArray(docs: DataFrame): DataFrame = {
-    val (slices, tables) = rankTables(docs)
-    lcpFromTables(slices, tables)
-      .select(col("srank"), col("cnt"), col("lcp"))
+    val (slices, sa, maxLen) = build(docs)
+    lcpWalk(slices, sa, maxLen).select(col("srank"), col("cnt"), col("lcp"))
   }
 
   /**
@@ -91,9 +105,8 @@ object SuffixArray {
    * suffix is adjacent to it in suffix order.
    */
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val (slices, tables) = rankTables(docs)
-    val sa = tables.last._2 // (doc_id, pos, r)
-    val lcp = lcpFromTables(slices, tables) // (srank, cnt, lcp)
+    val (slices, sa, maxLen) = build(docs)
+    val lcp = lcpWalk(slices, sa, maxLen) // (srank, cnt, lcp)
     val nextLcp = lcp.select((col("srank") - 1).as("srank"),
       col("lcp").as("lcp_next"))
     val ranks = lcp.join(nextLcp, Seq("srank"), "left")
@@ -111,16 +124,16 @@ object SuffixArray {
   }
 
   /**
-   * Bounded position slices plus one rank table per doubling round:
-   * (slices (doc_id, pos, sl), Seq of (prefix length h, (doc_id, pos,
-   * r))) for h = 64, 128, …, H with H >= max doc length. Within a table,
-   * equal r ⟺ equal h-capped prefix STRING including where it ends: the
-   * seed dense rank is bijective with the seed-capped slice, and round 2h's
-   * key (r_h at pos, r_h at pos+h, 0 when absent) is bijective with the
-   * 2h-capped string when r_h is. The last table therefore ranks full
-   * suffixes.
+   * Build the index: (bounded position slices (doc_id, pos, sl), final
+   * rank table (doc_id, pos, r), max doc length). Within the final table,
+   * equal r ⟺ equal suffix STRING including where it ends: the seed dense
+   * rank is bijective with the seed-capped slice, and round 2h's key (r_h
+   * at pos, r_h at pos+h, 0 when absent) is bijective with the 2h-capped
+   * string when r_h is. Intermediate rank tables are transient — each
+   * round's frame replaces its predecessor, which becomes unreferenced
+   * and is reclaimed by the ContextCleaner.
    */
-  private def rankTables(docs: DataFrame): (DataFrame, Seq[(Int, DataFrame)]) = {
+  private def build(docs: DataFrame): (DataFrame, DataFrame, Int) = {
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen > 0, "empty corpus")
     val slices = Materialize(docs.select(col("doc_id"),
@@ -131,8 +144,6 @@ object SuffixArray {
     var cur = Materialize(
       SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
         .select(col("doc_id"), col("pos"), col("r")))
-    val tables = Seq.newBuilder[(Int, DataFrame)]
-    tables += SeedLen -> cur
     var h = SeedLen
     while (h < maxLen) {
       val shifted = cur.select(col("doc_id"),
@@ -145,15 +156,19 @@ object SuffixArray {
         SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
           .select(col("doc_id"), col("pos"), col("nr").as("r")))
       h *= 2
-      tables += h -> cur
     }
-    (slices, tables.result())
+    (slices, cur, maxLen)
   }
 
-  /** (srank, cnt, lcp) — see [[lcpArray]]. */
-  private def lcpFromTables(slices: DataFrame,
-      tables: Seq[(Int, DataFrame)]): DataFrame = {
-    val sa = tables.last._2
+  /** Consolidate pending walk legs into one materialized frame every this
+   * many rounds, dropping the per-round frame references so live state
+   * stays O(n) regardless of how far the walk runs. */
+  private val ConsolidateEvery = 4
+
+  /** (srank, cnt, lcp) by the iterative slice walk — see [[lcpArray]]. */
+  private def lcpWalk(slices: DataFrame, sa: DataFrame,
+      maxLen: Int): DataFrame = {
+    val spark = sa.sparkSession
     val reps = sa.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("rep"))
@@ -161,45 +176,61 @@ object SuffixArray {
         col("rep.doc_id").as("a_doc"), col("rep.pos").as("a_pos"))
     val prev = reps.select((col("srank") + 1).as("srank"),
       col("a_doc").as("b_doc"), col("a_pos").as("b_pos"))
-    var cur = reps.join(prev, Seq("srank"), "left")
-      .withColumn("acc", lit(0L))
-    // descend h over every table BELOW the top (distinct full suffixes
-    // have LCP < maxLen <= top h, so the top level can never advance):
-    // add h whenever the h-prefixes at the current offsets match; binary
-    // decomposition leaves a remainder < SeedLen for the slice compare
-    val walk = tables.dropRight(1).reverse
-    walk.zipWithIndex.foreach { case ((h, tbl), i) =>
-      val ra = tbl.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
-        col("r").as("_ra"))
-      val rb = tbl.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
-        col("r").as("_rb"))
-      cur = cur
-        .join(ra, col("a_doc") === col("_ad") &&
-          (col("a_pos") + col("acc")) === col("_ap"), "left")
-        .join(rb, col("b_doc") === col("_bd") &&
-          (col("b_pos") + col("acc")) === col("_bp"), "left")
-        .withColumn("acc", when(col("_ra").isNotNull &&
-          col("_rb").isNotNull && col("_ra") === col("_rb"),
-          col("acc") + h).otherwise(col("acc")))
-        .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
-      if (i % 2 == 1) cur = Materialize(cur)
-    }
-    // sub-seed remainder: byte-compare the bounded slices at the cursors.
-    // A missing slice row means that side's suffix is exhausted — the
-    // remainder is 0.
+    val seeded = Materialize(reps.join(prev, Seq("srank"), "left")
+      .withColumn("acc", lit(0L)))
+    def finished(df: DataFrame): DataFrame =
+      df.select(col("srank"), col("cnt"), col("lcp"))
+    // rank 1 has no predecessor: lcp 0 by definition
+    var done: DataFrame = Materialize(finished(
+      seeded.filter(col("b_doc").isNull).withColumn("lcp", lit(0L))))
+    var doneRows = done.count()
+    var legs = List.empty[DataFrame] // per-round retired pairs, pending
+    var legRows = 0L
+    var cur = seeded.filter(col("b_doc").isNotNull)
+    var curRows = seeded.count() - doneRows
+    val n = slices.count()
+    val saRows = sa.count()
+    var peak = n + saRows + doneRows + curRows
     val sla = slices.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
       col("sl").as("_sa"))
     val slb = slices.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
       col("sl").as("_sb"))
-    cur = cur
-      .join(sla, col("a_doc") === col("_ad") &&
-        (col("a_pos") + col("acc")) === col("_ap"), "left")
-      .join(slb, col("b_doc") === col("_bd") &&
-        (col("b_pos") + col("acc")) === col("_bp"), "left")
-      .withColumn("lcp", when(col("b_doc").isNull, lit(0L))
-        .otherwise(col("acc") + coalesce(
+    var rounds = 0
+    val maxRounds = maxLen / SeedLen + 2 // lcp < maxLen ⟹ guaranteed exit
+    while (curRows > 0 && rounds < maxRounds) {
+      // compare the two 64-char slices at the current offset; a missing
+      // slice row means that side's suffix is exhausted at acc (cpl 0)
+      val stepped = Materialize(cur
+        .join(sla, col("a_doc") === col("_ad") &&
+          (col("a_pos") + col("acc")) === col("_ap"), "left")
+        .join(slb, col("b_doc") === col("_bd") &&
+          (col("b_pos") + col("acc")) === col("_bp"), "left")
+        .withColumn("cpl", coalesce(
           common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
-          lit(0L))))
-    cur.select(col("srank"), col("cnt"), col("lcp"))
+          lit(0L)))
+        .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb"))
+      // a full-width match means the LCP may extend past this slice —
+      // advance one width and keep walking; anything less is final
+      legs ::= finished(stepped.filter(col("cpl") < SeedLen)
+        .withColumn("lcp", col("acc") + col("cpl")))
+      cur = stepped.filter(col("cpl") === lit(SeedLen.toLong))
+        .withColumn("acc", col("acc") + lit(SeedLen.toLong))
+        .drop("cpl")
+      val stillActive = cur.count()
+      legRows += curRows - stillActive
+      curRows = stillActive
+      rounds += 1
+      if (legs.size >= ConsolidateEvery || curRows == 0) {
+        done = Materialize(legs.foldLeft(done)(_.unionByName(_)))
+        doneRows = done.count()
+        legs = Nil
+        legRows = 0L
+      }
+      peak = math.max(peak, n + saRows + doneRows + legRows + curRows)
+    }
+    require(curRows == 0,
+      s"LCP walk failed to converge in $maxRounds rounds (bug)")
+    lastWalkStats = WalkStats(n, rounds, peak)
+    done
   }
 }

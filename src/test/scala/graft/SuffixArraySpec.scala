@@ -132,6 +132,33 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === naiveLcp(docs))
   }
 
+  test("LCP walk peak live state is O(n), independent of doubling depth") {
+    // Every pair row lives in exactly one of {active, pending leg, done}
+    // at any instant, so live rows = slices(n) + array(n) + pairs(≤n) ≤ 3n
+    // no matter how many walk rounds or doubling levels run. Pin that:
+    // a deep corpus (long docs, many doubling levels + walk rounds) must
+    // show the same constant multiple as a shallow one — this is the
+    // bound that replaced the old O(n·log n) retained rank tables.
+    val rnd = new scala.util.Random(31)
+    def corpus(docLen: Int, nDocs: Int) = (0L until nDocs.toLong).map { id =>
+      (id, Seq.fill(docLen)(('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    def peakMultiple(docs: Seq[(Long, String)]): (Double, Int) = {
+      SuffixArray.lcpArray(docs.toDF("doc_id", "text")).count()
+      val s = SuffixArray.lastWalkStats
+      assert(s.corpusPositions === docs.map(_._2.length).sum.toLong)
+      (s.peakLiveRows.toDouble / s.corpusPositions, s.rounds)
+    }
+    val (shallowMult, _) = peakMultiple(corpus(docLen = 80, nDocs = 40))
+    // long shared core ⟹ neighbor LCPs ≈ 300 ⟹ ≈ 5 walk rounds
+    val core = Seq.fill(300)(('a' + rnd.nextInt(3)).toChar).mkString
+    val deep = (0L until 8L).map(id => (id, core + id.toString))
+    val (deepMult, deepRounds) = peakMultiple(deep)
+    assert(shallowMult <= 3.5, s"shallow corpus peak multiple $shallowMult")
+    assert(deepMult <= 3.5, s"deep corpus peak multiple $deepMult")
+    assert(deepRounds >= 2, "deep fixture never exercised the multi-round walk")
+  }
+
   test("dupSpans finds exactly the >=minLen shared substrings") {
     // "HELLOWORLDFRIEND" (16 chars) is planted in docs 1 and 3; doc 2 is
     // disjoint. With minLen 16 only the planted span (and its contained
