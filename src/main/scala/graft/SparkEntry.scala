@@ -1656,11 +1656,59 @@ object SparkEntry {
     }),
 
     "mm_media_meta" -> ((s, dir) => {
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain")
-      Multimodal.decodeStub(media)
-        .select(col("doc_id"), col("content_type"),
-          col("byte_len").cast("long").as("byte_len"), col("content_hash"),
-          col("n_frames").cast("long").as("n_frames"))
+      // REAL content-type dispatch over all five codecs: each row carries
+      // one of five container formats (doc_id % 5 → png/jpeg/gif/wav/avi,
+      // every payload built from deterministic md5/arithmetic bytes on the
+      // exactly-lossless codec paths), and Multimodal.decodeMedia must
+      // sniff the magic bytes and run the RIGHT real decoder — px_hash /
+      // n_samples / sum_abs can only come out correct if the routed codec
+      // actually decoded the content. The oracle replays every branch
+      // arithmetically (same formulas as the per-format mm_* queries).
+      import graft.functions.PngFunctions._
+      import graft.functions.JpegFunctions._
+      import graft.functions.GifFunctions._
+      import graft.functions.AviFunctions._
+      val m5 = col("doc_id") % 5
+      val pngPx = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pngPx), lit(0))
+      // 16x16 flat-block even-value gray: the exactly-lossless JPEG path
+      def jpegPx(tag: String): Column = {
+        val h = (0 until 4).map { i =>
+          val b = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(tag + i))), 1, 2),
+            16, 10).cast("int")
+          lower(lpad(hex((b % 128) * 2), 2, "0"))
+        }
+        concat(repeat(concat(repeat(h(0), 8), repeat(h(1), 8)), 8),
+          repeat(concat(repeat(h(2), 8), repeat(h(3), 8)), 8))
+      }
+      val jpeg = jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("j")))
+      val gifPx = concat((0 until 4).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
+      val gif = gif_encode_gray(lit(8), lit(8), unhex(gifPx))
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wav = unhex(concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex))
+      val avi = avi_encode_mjpeg(lit(16), lit(16), lit(40000),
+        array(jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m0b"))),
+          jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m1b")))))
+      val payload = when(m5 === 0, png).when(m5 === 1, jpeg)
+        .when(m5 === 2, gif).when(m5 === 3, wav).otherwise(avi)
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      val media = Multimodal.asMedia(withPayload, "payload",
+        "application/octet-stream")
+      Multimodal.decodeMedia(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("n_samples"), col("sum_abs"), col("px_hash"))
     }),
 
     "mm_header_sniff" -> ((s, dir) => {
@@ -2511,7 +2559,8 @@ object SparkEntry {
                     (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
                 1000000000.0) AS BIGINT) AS w9
               FROM cand),
-       sc AS (SELECT query_id, doc_id, SUM(w9) AS score9 FROM w9 GROUP BY 1, 2),
+       sc AS (SELECT query_id, doc_id, CAST(SUM(w9) AS BIGINT) AS score9
+              FROM w9 GROUP BY 1, 2),
        rk AS (SELECT query_id, doc_id, score9,
                 CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY score9 DESC, doc_id) AS BIGINT) AS rank
@@ -3532,12 +3581,89 @@ object SparkEntry {
          WHERE q.vec_id < 8 AND e.label <> q.label)
          WHERE rank <= 5""",
 
+    // five-format dispatch: every branch replays the per-format decode
+    // proof arithmetically (px_hash = md5 of the lossless pixel hex; wav
+    // loudness integers from the sample formula)
     "mm_media_meta" ->
-      """SELECT doc_id, 'text/plain' AS content_type,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         md5(text) AS content_hash,
-         (octet_length(encode(text)) + 1023) // 1024 AS n_frames
-         FROM documents""",
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         png AS (SELECT doc_id, 'png' AS format,
+             4 AS width, 4 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(md5(CAST(doc_id AS VARCHAR) || 'p0')
+               || md5(CAST(doc_id AS VARCHAR) || 'p1')
+               || md5(CAST(doc_id AS VARCHAR) || 'p2')) AS px_hash
+           FROM documents WHERE doc_id % 5 = 0),
+         jd AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents WHERE doc_id % 5 = 1),
+         jpeg AS (SELECT doc_id, 'jpeg' AS format,
+             16 AS width, 16 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
+           FROM jd JOIN hexmap m0 ON jd.c0 = m0.hx
+           JOIN hexmap m1 ON jd.c1 = m1.hx
+           JOIN hexmap m2 ON jd.c2 = m2.hx
+           JOIN hexmap m3 ON jd.c3 = m3.hx),
+         gd AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'g0')
+               || md5(CAST(doc_id AS VARCHAR) || 'g1')
+               || md5(CAST(doc_id AS VARCHAR) || 'g2')
+               || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
+           FROM documents WHERE doc_id % 5 = 2),
+         gb AS (SELECT doc_id, p,
+             substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx2
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
+                 FROM gd) e),
+         gif AS (SELECT doc_id, 'gif' AS format,
+             8 AS width, 8 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(string_agg(hx2 || hx2 || hx2, '' ORDER BY p)) AS px_hash
+           FROM gb GROUP BY doc_id),
+         ws AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents WHERE doc_id % 5 = 3),
+         wv AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM ws),
+         wav AS (SELECT doc_id, 'wav' AS format,
+             CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+             CAST(NULL AS INTEGER) AS n_frames,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+             CAST(NULL AS VARCHAR) AS px_hash
+           FROM wv GROUP BY doc_id),
+         ad AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b3'), 1, 2) AS c3
+           FROM documents WHERE doc_id % 5 = 4),
+         avi AS (SELECT doc_id, 'avi' AS format,
+             16 AS width, 16 AS height, 2 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
+           FROM ad JOIN hexmap m0 ON ad.c0 = m0.hx
+           JOIN hexmap m1 ON ad.c1 = m1.hx
+           JOIN hexmap m2 ON ad.c2 = m2.hx
+           JOIN hexmap m3 ON ad.c3 = m3.hx)
+         SELECT * FROM png UNION ALL SELECT * FROM jpeg
+         UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM wav
+         UNION ALL SELECT * FROM avi""",
 
     "cdc_pipeline_full" ->
       s"""SELECT e."key", e.event_id, e.op,

@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * directly from the payload bytes — no codec libraries required, so this
  * runs as a codegen'd scalar kernel inside the scan stage. The CONTENT
  * decode (pixels/samples) stays behind the batched `mapPartitions` escape
- * hatch ([[graft.operators.Multimodal.decodeBatchedStub]]); header
+ * hatch ([[graft.operators.Multimodal.decodeBatched]]); header
  * metadata is what dataset curation filters on (dimensions, sample rate,
  * format sniffing), and that part is fully real.
  *

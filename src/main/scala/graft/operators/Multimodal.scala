@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -8,18 +8,21 @@ import org.apache.spark.sql.functions._
  * with a typed metadata struct, mirroring the reference's blob handling
  * (CQL blob → Avro bytes, agent-c4/.../PulsarMutationSender.java:65).
  *
- * The Spark-side plumbing (schema, batching, partition sizing) is real, and
- * two decode paths are REAL as of round 4: container-header metadata
- * ([[graft.functions.MediaHeaders]], PNG/JPEG/GIF/BMP/WAV) and full PNG
- * content decode/encode/resize ([[graft.functions.PngCodec]] — pure-JVM
- * zlib + scanline filters, ImageIO-cross-validated, oracle-checked by
- * mm_png_roundtrip/mm_png_resize). The GENERIC codec entry point below
- * stays a deterministic stub — `decodeStub` marks where a JPEG/video/audio
- * decoder (JNI codec or vectorized Python worker) would plug in.
+ * The decode paths are REAL: [[decodeMedia]] sniffs the container magic
+ * bytes and routes each payload to the matching pure-JVM codec —
+ * [[graft.functions.PngCodec]] (zlib + scanline filters),
+ * [[graft.functions.JpegCodec]] (baseline DCT/Huffman),
+ * [[graft.functions.GifCodec]] (LZW), [[graft.functions.WavPcm]] (RIFF
+ * PCM sample reduction) and [[graft.functions.AviCodec]] (RIFF MJPEG
+ * container + per-frame JPEG decode) — all codegen'd Catalyst
+ * expressions, so content never round-trips the driver. Unrecognized
+ * payloads pass through with null decode fields instead of erroring: a
+ * curation pipeline filters on `format` rather than dying on the first
+ * opaque blob.
  */
 object Multimodal {
 
-  /** Frame size used by the deterministic fake "decoder". */
+  /** Frame size used by [[resizeStub]]'s truncation plumbing. */
   val FrameBytes = 1024
 
   /**
@@ -40,51 +43,134 @@ object Multimodal {
       ).as("media_meta"))
 
   /**
-   * Deterministic fake decode: "frame count" and "sample rate" derived from
-   * byte length. A real implementation decodes `media` per-partition in
-   * batches; the stub keeps identical schema/partitioning so the pipeline
-   * shape is fully exercised and testable.
+   * REAL content-type dispatch decode: sniff the payload's magic bytes,
+   * route to the matching codec, and emit one unified row per payload —
+   * (doc_id, format, content_type, byte_len, content_hash, width, height,
+   * n_frames, n_samples, sum_abs, px_hash). Images decode fully (px_hash
+   * = md5 of the lowercase pixel hex — the decode-proof a dedup or
+   * quality gate keys on); WAV reduces PCM samples to exact loudness
+   * integers; AVI parses the container AND baseline-decodes frame 0.
+   * `CaseWhen` evaluates only the matched branch per row, so each payload
+   * runs exactly one codec, inside the scan, codegen'd end to end.
+   * Unrecognized payloads yield format "bin" with null decode fields.
    */
-  def decodeStub(media: DataFrame): DataFrame =
-    media.select(
-      col("doc_id"),
+  def decodeMedia(media: DataFrame): DataFrame = {
+    import graft.functions.PngFunctions.png_decode
+    import graft.functions.JpegFunctions.jpeg_decode
+    import graft.functions.GifFunctions.gif_decode
+    import graft.functions.AviFunctions.{avi_meta, avi_sample_frames}
+    import graft.functions.MediaHeaderFunctions.wav_pcm_stats
+
+    val hx = hex(substring(col("media"), 1, 12)) // uppercase, 24 hex chars
+    val isPng = hx.startsWith("89504E47")
+    val isJpeg = hx.startsWith("FFD8FF")
+    val isGif = hx.startsWith("474946")
+    val riff = hx.startsWith("52494646")
+    val isWav = riff && substring(hx, 17, 8) === "57415645" // "WAVE"
+    val isAvi = riff && substring(hx, 17, 8) === "41564920" // "AVI "
+
+    val nullI = lit(null).cast("int")
+    val nullL = lit(null).cast("bigint")
+    val nullS = lit(null).cast("string")
+    def imgStruct(dec: Column): Column = struct(
+      dec.getField("width").as("width"),
+      dec.getField("height").as("height"),
+      lit(1).as("n_frames"), nullL.as("n_samples"), nullL.as("sum_abs"),
+      md5(lower(hex(dec.getField("pixels")))).as("px_hash"))
+    val aviStruct = {
+      val m = avi_meta(col("media"))
+      val frame0 = jpeg_decode(
+        element_at(avi_sample_frames(col("media"), lit(1)), 1))
+      struct(m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("n_frames").as("n_frames"),
+        nullL.as("n_samples"), nullL.as("sum_abs"),
+        md5(lower(hex(frame0.getField("pixels")))).as("px_hash"))
+    }
+    val wavStruct = {
+      val st = wav_pcm_stats(col("media"))
+      struct(nullI.as("width"), nullI.as("height"), nullI.as("n_frames"),
+        st.getField("n_samples").as("n_samples"),
+        st.getField("sum_abs").as("sum_abs"), nullS.as("px_hash"))
+    }
+    val binStruct = struct(nullI.as("width"), nullI.as("height"),
+      nullI.as("n_frames"), nullL.as("n_samples"), nullL.as("sum_abs"),
+      nullS.as("px_hash"))
+    val d = when(isPng, imgStruct(png_decode(col("media"))))
+      .when(isJpeg, imgStruct(jpeg_decode(col("media"))))
+      .when(isGif, imgStruct(gif_decode(col("media"))))
+      .when(isWav, wavStruct)
+      .when(isAvi, aviStruct)
+      .otherwise(binStruct)
+
+    media.select(col("doc_id"),
+      when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+        .when(isWav, "wav").when(isAvi, "avi").otherwise("bin").as("format"),
       col("media_meta.content_type").as("content_type"),
       col("media_meta.byte_len").as("byte_len"),
       col("media_meta.content_hash").as("content_hash"),
-      // ??? real codec goes here — stub: ceil(byte_len / FrameBytes) frames
-      ((col("media_meta.byte_len") + FrameBytes - 1) / FrameBytes)
-        .cast("int").as("n_frames"))
+      d.getField("width").as("width"),
+      d.getField("height").as("height"),
+      d.getField("n_frames").as("n_frames"),
+      d.getField("n_samples").as("n_samples"),
+      d.getField("sum_abs").as("sum_abs"),
+      d.getField("px_hash").as("px_hash"))
+  }
 
   /** Decoded media features — the output row of the per-partition codec. */
-  case class MediaFeatures(doc_id: Long, byte_len: Int, n_frames: Int,
-                           mean_byte: Double)
+  case class MediaFeatures(doc_id: Long, byte_len: Int, format: String,
+                           n_frames: Int, mean_byte: Double)
 
   /**
    * Per-partition batched decode — the imperative escape hatch for codecs
-   * that need native libraries (the Scala analog of an Arrow-batched Python
-   * decode). `mapPartitions` keeps the codec boundary at partition
-   * granularity: one codec init per partition, rows streamed through it,
-   * no driver round-trip. The codec body is STUBBED (deterministic byte
-   * statistics); a real implementation swaps `decodeOne` only.
+   * that need stateful native libraries (the Scala analog of an
+   * Arrow-batched Python decode). `mapPartitions` keeps the codec boundary
+   * at partition granularity: one codec init per partition, rows streamed
+   * through it, no driver round-trip. The codec body is REAL: the same
+   * magic-byte dispatch as [[decodeMedia]], decoding through the pure-JVM
+   * codecs; `mean_byte` averages DECODED pixel bytes for images (frame 0
+   * for AVI) and raw payload bytes for unrecognized formats.
    */
-  def decodeBatchedStub(media: DataFrame)(
+  def decodeBatched(media: DataFrame)(
       implicit spark: org.apache.spark.sql.SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec: initialize native decoder once per partition here
+        // a stateful native decoder would initialize once per partition here
         rows.map { case (id, bytes) => decodeOne(id, bytes) }
       }
   }
 
-  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    // ??? real decode goes here — stub derives deterministic features
+  private def mean(bytes: Array[Byte]): Double = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    MediaFeatures(id, bytes.length,
-      (bytes.length + FrameBytes - 1) / FrameBytes,
-      if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+    if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, magic: Int*): Boolean =
+    b.length >= at + magic.length &&
+      magic.indices.forall(i => (b(at + i) & 0xff) == magic(i))
+
+  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    import graft.functions.{PngCodec, JpegCodec, GifCodec, AviCodec}
+    if (startsWith(bytes, 0, 0x89, 'P', 'N', 'G')) {
+      val img = PngCodec.decode(bytes)
+      MediaFeatures(id, bytes.length, "png", 1, mean(img.pixels))
+    } else if (startsWith(bytes, 0, 0xff, 0xd8, 0xff)) {
+      val img = JpegCodec.decode(bytes)
+      MediaFeatures(id, bytes.length, "jpeg", 1, mean(img.pixels))
+    } else if (startsWith(bytes, 0, 'G', 'I', 'F')) {
+      val img = GifCodec.decode(bytes)
+      MediaFeatures(id, bytes.length, "gif", 1, mean(img.pixels))
+    } else if (startsWith(bytes, 0, 'R', 'I', 'F', 'F') &&
+        startsWith(bytes, 8, 'A', 'V', 'I', ' ')) {
+      val frames = AviCodec.sampleFrames(bytes, 1)
+      val m = if (frames.isEmpty) 0.0 else mean(JpegCodec.decode(frames(0)).pixels)
+      MediaFeatures(id, bytes.length, "avi", frames.length, m)
+    } else {
+      MediaFeatures(id, bytes.length, "bin", 0, mean(bytes))
+    }
   }
 
   /**

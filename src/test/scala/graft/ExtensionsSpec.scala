@@ -110,15 +110,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(f === "gif")
   }
 
-  test("batched per-partition decode produces deterministic features") {
+  test("batched per-partition decode dispatches to the real codecs") {
     import spark.implicits._
-    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
-    val media = Multimodal.asMedia(docs, "text", "text/plain")
-    val feats = Multimodal.decodeBatchedStub(media)(spark)
+    import graft.functions.GifCodec
+    // a real GIF (LZW, identity gray palette: decode triples each byte,
+    // leaving the mean unchanged) next to an opaque text payload
+    val gif = GifCodec.encodeGray(2, 2, Array[Byte](10, 20, 30, 40))
+    val docs = Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]),
+      (3L, gif)).toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(docs, "payload", "application/octet-stream")
+    val feats = Multimodal.decodeBatched(media)(spark)
       .collect().map(f => f.doc_id -> f).toMap
     assert(feats(1L).byte_len === 3)
-    assert(feats(1L).n_frames === 1)
+    assert(feats(1L).format === "bin")
+    assert(feats(1L).n_frames === 0)
     assert(math.abs(feats(1L).mean_byte - ('a' + 'b' + 'c') / 3.0) < 1e-9)
     assert(feats(2L).byte_len === 0)
+    assert(feats(3L).format === "gif")
+    assert(feats(3L).n_frames === 1)
+    assert(math.abs(feats(3L).mean_byte - 25.0) < 1e-9)
   }
 }

@@ -232,16 +232,35 @@ class PipelineAndExtensionSpec extends SparkSpec {
     assert(lens === Map(1L -> 1024, 2L -> 1))
   }
 
-  test("multimodal plumbing: media struct, stubbed decode, frame sampling") {
-    val docs = Seq((1L, "x" * 2500), (2L, "y")).toDF("doc_id", "text")
-    val media = Multimodal.asMedia(docs, "text", "text/plain")
-    val decoded = Multimodal.decodeStub(media)
-    val frames = decoded.select($"doc_id", $"n_frames").as[(Long, Int)]
-      .collect().toMap
-    assert(frames === Map(1L -> 3, 2L -> 1))  // ceil(2500/1024)=3
+  test("multimodal dispatch: real decode routing and frame sampling") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.JpegFunctions._
+    import graft.functions.AviFunctions._
+    // doc 1: a real 4-frame MJPEG AVI (flat even gray → lossless JPEG
+    // path); doc 2: an opaque text payload the dispatch must pass through
+    val frame = jpeg_encode_gray(lit(16), lit(16), unhex(repeat(lit("20"), 256)))
+    val avi = avi_encode_mjpeg(lit(16), lit(16), lit(40000),
+      array(frame, frame, frame, frame))
+    val docs = Seq((1L, "v"), (2L, "plain text")).toDF("doc_id", "text")
+      .select($"doc_id", when($"doc_id" === 1, avi)
+        .otherwise($"text".cast("binary")).as("payload"))
+    val media = Multimodal.asMedia(docs, "payload", "application/octet-stream")
+    val decoded = Multimodal.decodeMedia(media)
+    val byId = decoded.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("format") === "avi")
+    assert(byId(1L).getAs[Int]("width") === 16)
+    assert(byId(1L).getAs[Int]("n_frames") === 4)
+    // frame 0 decodes back to the flat 0x20 buffer (lossless path)
+    val flatHex = "20" * 256
+    assert(byId(1L).getAs[String]("px_hash") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(flatHex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(byId(2L).getAs[String]("format") === "bin")
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("n_frames")))
     val sampled = Multimodal.sampleFrames(decoded, stride = 2)
     val idx = sampled.filter($"doc_id" === 1).select($"frame_idx")
       .as[Int].collect().sorted
     assert(idx === Seq(0, 2))
+    assert(sampled.filter($"doc_id" === 2).isEmpty)
   }
 }
