@@ -2112,6 +2112,51 @@ object SparkEntry {
       Retrieval.hybridRrfTopK(lex, dense, k = 10)
     }),
 
+    "retrieval_hybrid_ann" -> ((s, dir) => {
+      // the 100 TB hybrid plan: same lexical arm as retrieval_hybrid_rrf,
+      // but the dense arm is margin-adaptive IVF (cell-local probe joins,
+      // broadcast-bounded query side) instead of the bounded-Q brute scan.
+      // Fully hash-matched: the oracle replays the BM25 integer grid, all
+      // 5 Lloyd iterations, the margin probe rule (cells within the grid
+      // gap of each query's best, affinity-ordered, capped at 8), the
+      // cell-local cosine ranks, and the exact-BIGINT RRF fusion.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val dense = Similarity.ivfMarginKnn(
+        emb.filter(col("vec_id") % 50 === 0), emb, ivfCentroids(s, dir),
+        k = 20, nprobeMax = 8, marginGrid = 65000000000000L)
+      Retrieval.hybridRrfTopK(lex, dense, k = 10)
+    }),
+
+    "retrieval_hybrid_recall" -> ((s, dir) => {
+      // quality gate for the ANN-armed hybrid (knn_recall-style measured
+      // bound): the ivf-margin fused top-10 must recover, on average,
+      // >= 0.75 of the brute-dense fused top-10 — the recall floor that
+      // justifies swapping the dense arm at scale
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val qemb = emb.filter(col("vec_id") % 50 === 0)
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val fusedBrute = Retrieval.hybridRrfTopK(lex,
+        Similarity.bruteForceKnn(qemb, emb, k = 20), k = 10)
+      val fusedAnn = Retrieval.hybridRrfTopK(lex,
+        Similarity.ivfMarginKnn(qemb, emb, ivfCentroids(s, dir), k = 20,
+          nprobeMax = 8, marginGrid = 65000000000000L), k = 10)
+      def asKnn(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("query_id").as("q_id"), col("doc_id").as("vec_id"))
+      Similarity.recallAtK(asKnn(fusedAnn), asKnn(fusedBrute))
+        .agg(avg(col("recall")).as("r"))
+        .select(lit("hybrid_ann").as("method"), lit(10L).as("k"),
+          (col("r") >= 0.75).as("recall_ok"))
+    }),
+
     "curate_retrieval_contamination" -> ((s, dir) => {
       // retrieval-based decontamination: benchmark slice (doc_id % 23 = 0)
       // probes with words 2-7, searched against the train slice; train
@@ -4274,6 +4319,52 @@ object SparkEntry {
            ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
        FROM fused
        QUALIFY rrf_rank <= 10"""),
+
+    // full replay of the ANN-armed hybrid: BM25 grid + 5 Lloyd iterations
+    // + margin probe rule + cell-local cosine ranks + BIGINT RRF
+    "retrieval_hybrid_ann" ->
+      (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + ",\n" +
+        ivfCentroidChainSql(50, 5) + """,
+       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+       qaff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 50 = 0),
+       qbest AS (SELECT vec_id, MAX(aff) AS best FROM qaff GROUP BY 1),
+       qasg AS (SELECT vec_id AS q_id, cell_id FROM (
+           SELECT a.vec_id, a.cell_id, row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
+           FROM qaff a JOIN qbest b USING (vec_id)
+           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
+       prs AS (SELECT q.q_id, c.vec_id
+           FROM qasg q JOIN casg c USING (cell_id)
+           WHERE c.vec_id <> q.q_id),
+       dn AS (SELECT q_id, vec_id, rank FROM (
+           SELECT p.q_id, p.vec_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                 CAST(ce.embedding AS DOUBLE[])) DESC, p.vec_id ASC) AS rank
+           FROM prs p
+           JOIN embeddings qe ON qe.vec_id = p.q_id
+           JOIN embeddings ce ON ce.vec_id = p.vec_id) WHERE rank <= 20),
+       fused AS (SELECT
+           coalesce(l.query_id, d.q_id) AS query_id,
+           coalesce(l.doc_id, d.vec_id) AS doc_id,
+           CAST(l.rank AS BIGINT) AS lex_rank,
+           CAST(d.rank AS BIGINT) AS dense_rank,
+           coalesce(1000000000 // (60 + l.rank), 0) +
+             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
+         FROM lx l FULL OUTER JOIN dn d
+           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
+       SELECT query_id, doc_id, lex_rank, dense_rank,
+         CAST(rrf9 AS BIGINT) AS rrf9,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
+       FROM fused
+       QUALIFY rrf_rank <= 10"""),
+
+    // the recall bound is engine-measured; the oracle verifies it holds
+    "retrieval_hybrid_recall" ->
+      """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
+         true AS recall_ok""",
 
     "curate_retrieval_contamination" ->
       (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,

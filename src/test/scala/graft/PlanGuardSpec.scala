@@ -34,6 +34,10 @@ class PlanGuardSpec extends SparkSpec {
       "pipeline_curate_tokenize", // mix stage's 1-row total attach
       "text_bm25_topk", // 1-row corpus-stats (N, Σdl) attach to postings
       "curate_retrieval_contamination", // same BM25 1-row stats attach
+      "retrieval_hybrid_ann", // same BM25 1-row stats attach; the dense
+      // arm itself plans cell-local hash joins (the point of the query)
+      "retrieval_hybrid_recall", // BM25 stats attach + the brute-dense
+      // reference arm (bounded Q × corpus) the ANN arm is measured against
       "mix_token_budget", // 1-row weight-total / waterfill attaches
       "curate_dsir_sample") // two 1-row vocab-size attaches (both LMs)
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
@@ -53,5 +57,16 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"scale-hostile join shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("retrieval_hybrid_ann's dense arm plans cell-local hash joins") {
+    // the whitelist entry above covers the BM25 1-row stats attach ONLY —
+    // pin that the ivf-margin dense arm did not regress to a nested loop
+    // (that would be the brute plan the query exists to replace)
+    val plan = SparkEntry.queries("retrieval_hybrid_ann")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBnlj === 1,
+      s"expected exactly the 1-row BM25 stats attach, found $nBnlj BNLJs")
   }
 }
