@@ -40,10 +40,33 @@ import graft.functions.{AvroFunctions, AvroSchemas}
  * The sandbox ships no broker and no broker connector jar, so
  * [[kafkaStream]] is the documented deployment wiring (it needs the
  * spark-sql-kafka connector on the cluster classpath), while [[fromWire]]/
- * [[toWire]] — the actual adapter logic — are spec-tested against
- * wire-shaped frames produced by the engine's own encoder.
+ * [[toWire]] — the actual adapter logic — are spec-tested against frames
+ * carrying the EXACT Kafka source output schema ([[WireSchema]]).
+ *
+ * PRODUCTION SWAP (one line): replace the spec's MemoryStream with
+ * `kafkaStream(spark, bootstrap, topic)` — everything downstream of
+ * [[fromWire]] is identical because the adapter consumes exactly the
+ * schema the Kafka source emits.
  */
 object BrokerSource {
+
+  /** Exact output schema of `spark.readStream.format("kafka")` — the
+   * contract [[fromWire]] consumes and [[toWire]] produces, so swapping a
+   * MemoryStream for the real source is a config change, not code. */
+  val WireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = true),
+    StructField("partition", IntegerType, nullable = true),
+    StructField("offset", LongType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("timestampType", IntegerType, nullable = true)))
+
+  /** Bits of the broker offset that carry the intra-segment position in
+   * the (segment, position) ↔ offset bijection: a commitlog position is
+   * a byte offset < 1 MiB-scale in the reference's segment files, so 20
+   * bits hold it and the segment id rides the high 43. */
+  val PositionBits: Int = 20
 
   /** The pipeline's event columns as carried on the broker value record
    * (matches [[graft.streaming.StreamEvent]] plus the producer node id). */
@@ -82,16 +105,37 @@ object BrokerSource {
       .option("startingOffsets", startingOffsets)
       .load()
 
-  /** Engine events → broker wire shape: Avro-encoded key and value binary
-   * columns (what the agent-side producer publishes). Streaming-safe
-   * narrow projection. */
-  def toWire(events: DataFrame): DataFrame =
+  /**
+   * Engine events → the full Kafka wire shape ([[WireSchema]]): Avro key
+   * and value bytes exactly as the agent-side producer publishes them,
+   * plus the broker-side columns a consumer would observe —
+   *  - `partition`: the reference's Murmur3 token routing
+   *    (Murmur3MessageRouter semantics — token high bits mod partitions),
+   *    so a key's records land on one partition, the Key_Shared analog;
+   *  - `offset`: the (segment, position) bijection `segment << 20 | pos`
+   *    — per-partition monotone because the commitlog replays segments in
+   *    order, and invertible ([[provenance]]) so checkpointed broker
+   *    offsets map back to commitlog coordinates exactly;
+   *  - `timestamp`: the mutation writetime (µs → broker ingestion time).
+   * Streaming-safe narrow projection.
+   */
+  def toWire(events: DataFrame, topic: String = "events",
+             nPartitions: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.{cassandra_token, token_partition}
     events.select(
       AvroFunctions.to_avro_binary(struct(col("key")), keyAvroJson)
         .as("key"),
       AvroFunctions.to_avro_binary(
         struct(EventStruct.fieldNames.map(col).toIndexedSeq: _*),
-        eventAvroJson).as("value"))
+        eventAvroJson).as("value"),
+      lit(topic).as("topic"),
+      token_partition(cassandra_token(col("key")), nPartitions)
+        .as("partition"),
+      (shiftleft(col("segment"), PositionBits)
+        .bitwiseOR(col("position").cast("long"))).as("offset"),
+      timestamp_micros(col("writetime")).as("timestamp"),
+      lit(0).as("timestampType"))
+  }
 
   /** Broker wire frame → the pipeline's event columns. Works on streaming
    * and batch frames; extra wire columns (topic/partition/offset/...) are
@@ -100,4 +144,14 @@ object BrokerSource {
     wire.select(
         AvroFunctions.from_avro_binary(col("value"), eventAvroJson).as("m"))
       .select(col("m.*"))
+
+  /** The (topic, partition, offset) → (segment, position) mapping on a
+   * kafka-shaped frame: the inverse of [[toWire]]'s offset packing. A
+   * deployment checkpointing broker offsets recovers exact commitlog
+   * coordinates from this — no payload decode needed. */
+  def provenance(wire: DataFrame): DataFrame =
+    wire.select(col("topic"), col("partition"), col("offset"),
+      shiftright(col("offset"), PositionBits).as("segment"),
+      col("offset").bitwiseAND(lit((1L << PositionBits) - 1))
+        .cast("int").as("position"))
 }

@@ -64,4 +64,71 @@ class BrokerSourceSpec extends SparkSpec {
     assert(got.map(_.event_id).sorted.toSeq === Seq(1L, 2L, 3L))
     assert(got.filter(_.key == 10L).map(_.md5Digest).toSet === Set("d1", "d3"))
   }
+
+  test("toWire emits the exact Kafka source schema; offsets invert to (segment, position)") {
+    val wire = BrokerSource.toWire(mkEvents(fixture), topic = "cdc.events",
+      nPartitions = 4)
+    assert(wire.schema.fieldNames.toSeq ===
+      BrokerSource.WireSchema.fieldNames.toSeq)
+    assert(wire.schema.fields.map(_.dataType).toSeq ===
+      BrokerSource.WireSchema.fields.map(_.dataType).toSeq)
+    // provenance is payload-free: broker coordinates alone recover the
+    // commitlog coordinates the file sources checkpoint
+    val prov = BrokerSource.provenance(wire)
+      .select($"segment", $"position").as[(Long, Int)].collect().toSet
+    assert(prov === fixture.map(e => (e._5, e._6)).toSet)
+    assert(BrokerSource.provenance(wire).select($"topic").distinct()
+      .as[String].collect().toSeq === Seq("cdc.events"))
+    // token routing: all records of one key land on one partition
+    val parts = wire.select($"partition").as[Int].collect()
+    val keys = fixture.map(_._2)
+    val byKey = keys.zip(parts).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byKey.values.forall(_.size == 1), s"key split across partitions: $byKey")
+  }
+
+  test("a full-wire-schema stream drives dedup + enrichment end to end") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // records exactly as the Kafka source would deliver them — the
+    // production swap is MemoryStream → BrokerSource.kafkaStream(...)
+    val wire = BrokerSource.toWire(mkEvents(fixture), topic = "cdc.events",
+        nPartitions = 4).collect()
+      .map(r => WireRecord(r.getAs[Array[Byte]]("key"),
+        r.getAs[Array[Byte]]("value"), r.getAs[String]("topic"),
+        r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+        r.getAs[java.sql.Timestamp]("timestamp"),
+        r.getAs[Int]("timestampType"))).toSeq
+    val input = MemoryStream[WireRecord]
+    val dim = Seq((10L, "alice"), (11L, "bob")).toDF("key", "c_name")
+    val events = BrokerSource.fromWire(input.toDF())
+      .select($"key", $"md5Digest", $"event_id", $"op", $"writetime",
+        $"segment", $"position")
+      .as[StreamEvent]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // enqueue before start: Trigger.AvailableNow snapshots available
+    // offsets when the query starts
+    input.addData(wire)
+    val q = StreamingDedup.dedup(events, StreamingDedup.DefaultMaxDigests, 0L)
+      .toDF()
+      // stream-static enrichment join — the read-after-write lookup (J1)
+      // fed from broker wire instead of commitlog files
+      .join(broadcast(dim), Seq("key"), "left")
+      .select($"event_id", $"c_name")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select($"event_id", $"c_name").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        got.synchronized { got ++= rows }: Unit
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(got.sortBy(_._1).toSeq ===
+      Seq((1L, "alice"), (2L, "bob"), (3L, "alice")))
+  }
 }
+
+/** Top-level so the MemoryStream encoder needs no outer reference —
+ * field-for-field the Kafka source's output row ([[BrokerSource.WireSchema]]). */
+case class WireRecord(key: Array[Byte], value: Array[Byte], topic: String,
+                      partition: Int, offset: Long,
+                      timestamp: java.sql.Timestamp, timestampType: Int)
