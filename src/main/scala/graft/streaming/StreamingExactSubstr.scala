@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.operators.SuffixArray
+
+/**
+ * Streaming incremental ExactSubstr — the online form of
+ * [[graft.operators.SuffixArray.dupSpans]]: documents arrive in
+ * micro-batches and after every batch the committed span table equals the
+ * batch operator run over ALL documents seen so far (the spec pins that
+ * equivalence on a 3-batch split).
+ *
+ * The trick that keeps per-batch work batch-sized is EXACT gram blocking:
+ * a duplicated span of length >= minLen between a new document and any
+ * committed one implies the two share some minLen-character substring,
+ * hence the gram fingerprint (xxhash64 of the gram) at its start
+ * position. So the only committed documents whose spans can change are
+ * those sharing at least one gram hash with the batch — the suffix-array
+ * build runs on (new docs ∪ those candidates) only, and results merge
+ * into the previous span table by per-position max. Hash collisions can
+ * only ADD candidates (extra exact work), never lose a span: blocking is
+ * recall-lossless by construction.
+ *
+ * State layout under `stateDir` (all crash-safe via explicit `_SUCCESS`
+ * markers — an unmarked dir is a mid-write crash leftover, ignored by
+ * readers and overwritten on foreachBatch re-delivery, the
+ * [[StreamingIndex]] contract):
+ *  - `docs/b<id>/`   append-only: the batch's (doc_id, text);
+ *  - `grams/b<id>/`  append-only: the batch's DISTINCT (gram_hash,
+ *    doc_id) fingerprints — the posting-list-shaped blocking index,
+ *    probed by broadcast semi-join from each new batch;
+ *  - `spans/v<id>/`  versioned fold ([[StreamingCC]] style): span table
+ *    after batch <id>; the spans marker commits LAST, so its presence
+ *    certifies the whole batch (replaying a committed id is a no-op, and
+ *    reads scope to dirs with id < current, so a half-written attempt
+ *    never feeds its own retry).
+ *
+ * At 100 TB: the gram probe is a broadcast semi-join over the
+ * hash-partitioned fingerprint store and candidate texts load by doc_id
+ * pushdown — per-batch suffix-array work scales with the batch and its
+ * true collision set, never the corpus ([[lastBatchStats]] measures
+ * exactly that, spec-pinned).
+ */
+object StreamingExactSubstr {
+  /** Per-batch work measurement for the scaling spec. */
+  final case class BatchStats(newDocs: Long, candidateDocs: Long,
+      subsetDocs: Long)
+}
+
+class StreamingExactSubstr(stateDir: String, minLen: Int)
+    extends Serializable {
+  import StreamingExactSubstr.BatchStats
+
+  require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+
+  @volatile var lastBatchStats: BatchStats = BatchStats(0L, 0L, 0L)
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val gramSchema = StructType(Seq(
+    StructField("gram_hash", LongType), StructField("doc_id", LongType)))
+  private val spanSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", IntegerType),
+    StructField("dup_len", LongType)))
+
+  private def fs(spark: SparkSession) =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(spark: SparkSession, sub: String,
+                        prefix: String): Seq[(Long, Path)] = {
+    val dir = new Path(stateDir, sub)
+    val f = fs(spark)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith(prefix))
+          scala.util.Try(n.drop(prefix.length).toLong).toOption.map(_ -> p)
+        else None
+      }
+      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  private def readOrEmpty(spark: SparkSession, schema: StructType,
+                          dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  private def write(spark: SparkSession, df: DataFrame, dest: Path): Unit = {
+    df.write.mode("overwrite").parquet(dest.toString)
+    // do not depend on mapreduce.fileoutputcommitter.marksuccessfuljobs
+    val f = fs(spark)
+    val marker = new Path(dest, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
+
+  /** DISTINCT minLen-gram fingerprints of every position of `docs` —
+   * xxhash64 over the exploded bounded substrings, all codegen'd
+   * built-ins. Documents shorter than minLen emit nothing (they cannot
+   * carry a span). */
+  private def gramFingerprints(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - minLen)).as("pos"),
+        col("text"))
+      .select(xxhash64(substring(col("text"), col("pos") + 1, lit(minLen)))
+        .as("gram_hash"), col("doc_id"))
+      .distinct()
+
+  /** Batch ids with a committed span version (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    committed(spark, "spans", "v").map(_._1)
+
+  /** The current span table — equals the batch operator over every
+   * committed document (empty before the first batch). */
+  def spans(spark: SparkSession): DataFrame = {
+    val vs = committed(spark, "spans", "v")
+    if (vs.isEmpty) readOrEmpty(spark, spanSchema, Seq.empty)
+    else readOrEmpty(spark, spanSchema, Seq(vs.last._2))
+  }
+
+  /**
+   * Fold `batch` (doc_id, text) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => substr.processBatch(df, id))`.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committed(spark, "spans", "v").exists(_._1 == batchId)) return
+    // scope every read below this batch: a crashed prior attempt may have
+    // left docs/grams dirs for batchId, which must not feed their retry
+    val oldDocDirs = committed(spark, "docs", "b")
+      .filter(_._1 < batchId).map(_._2)
+    val oldGramDirs = committed(spark, "grams", "b")
+      .filter(_._1 < batchId).map(_._2)
+    val prevSpans = {
+      val vs = committed(spark, "spans", "v").filter(_._1 < batchId)
+      if (vs.isEmpty) readOrEmpty(spark, spanSchema, Seq.empty)
+      else readOrEmpty(spark, spanSchema, Seq(vs.last._2))
+    }
+
+    val newDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint(true)
+    val newGrams = gramFingerprints(newDocs).localCheckpoint(true)
+
+    // candidates: committed docs sharing >= 1 fingerprint with the batch
+    // (broadcast semi-join probe of the posting-shaped gram store)
+    val oldGrams = readOrEmpty(spark, gramSchema, oldGramDirs)
+    val candidateIds = oldGrams
+      .join(broadcast(newGrams.select(col("gram_hash")).distinct()),
+        Seq("gram_hash"), "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    val candidateDocs = readOrEmpty(spark, docSchema, oldDocDirs)
+      .join(candidateIds, Seq("doc_id"), "left_semi")
+
+    val subset = newDocs.unionByName(candidateDocs).localCheckpoint(true)
+    val nNew = newDocs.count()
+    val nSubset = subset.count()
+    lastBatchStats = BatchStats(nNew, nSubset - nNew, nSubset)
+
+    // fresh spans cover every match involving a new doc (and redundantly
+    // candidate-candidate ones); prev covers every old-corpus match —
+    // per-(doc, pos) max merges the two exactly
+    val fresh = {
+      val empty = readOrEmpty(spark, spanSchema, Seq.empty)
+      if (nSubset == 0) empty
+      else {
+        val mx = subset.agg(max(length(col("text")))).collect()(0)
+        // nothing in the subset is long enough to carry a span
+        if (mx.isNullAt(0) || mx.getInt(0) < minLen) empty
+        else SuffixArray.dupSpans(subset, minLen)
+      }
+    }
+    val merged = prevSpans
+      .withColumnRenamed("dup_len", "prev_len")
+      .join(fresh.withColumnRenamed("dup_len", "fresh_len"),
+        Seq("doc_id", "pos"), "full_outer")
+      .select(col("doc_id"), col("pos"),
+        greatest(coalesce(col("prev_len"), lit(0L)),
+          coalesce(col("fresh_len"), lit(0L))).as("dup_len"))
+      .localCheckpoint(true)
+
+    // commit order matters: spans LAST — its marker certifies the batch
+    write(spark, newDocs, new Path(new Path(stateDir, "docs"), s"b$batchId"))
+    write(spark, newGrams, new Path(new Path(stateDir, "grams"), s"b$batchId"))
+    write(spark, merged, new Path(new Path(stateDir, "spans"), s"v$batchId"))
+  }
+}

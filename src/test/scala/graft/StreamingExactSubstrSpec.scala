@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.SuffixArray
+import graft.streaming.StreamingExactSubstr
+
+/**
+ * Streaming incremental ExactSubstr: after every batch the committed span
+ * table must equal [[SuffixArray.dupSpans]] over all documents seen so far
+ * (including spans a LATER batch creates in an EARLIER batch's documents),
+ * per-batch suffix-array work must scale with the batch plus its true
+ * gram-collision set (not the corpus), and committed replays are no-ops.
+ */
+class StreamingExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val planted = "HELLOWORLDFRIEND" // 16 chars, minLen = 16
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def spanSet(d: DataFrame): Set[(Long, Int, Long)] =
+    d.as[(Long, Int, Long)].collect().toSet
+
+  test("3-batch split equals the batch operator after every fold") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("substr_state").toString
+    val sub = new StreamingExactSubstr(dir, minLen = 16)
+    val b0 = Seq((1L, "xx" + planted + "qq"), (2L, "0123456789"))
+    val b1 = Seq((3L, planted + "mm")) // duplicates b0's planted span
+    val b2 = Seq((4L, "abcdefghij" * 3)) // self-repeats, no cross-batch gram
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = batches.take(id + 1).flatten
+      assert(spanSet(sub.spans(spark)) ===
+        spanSet(SuffixArray.dupSpans(df(sofar: _*), minLen = 16)),
+        s"divergence from the batch operator after batch $id")
+    }
+    // batch 1 retroactively created doc 1's span — pin it explicitly
+    assert(spanSet(sub.spans(spark)).contains((1L, 2, 16L)))
+  }
+
+  test("candidate pull is gram-scoped and replays are no-ops") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("substr_state2").toString
+    val sub = new StreamingExactSubstr(dir, minLen = 16)
+    val b0 = df((1L, "xx" + planted + "qq"), (2L, "0123456789"))
+    val b1 = df((3L, planted + "mm"))
+    val b2 = df((4L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    sub.processBatch(b0, 0L)
+    // batch 1 pulls exactly one candidate: doc 1 shares the planted
+    // 16-gram, doc 2 shares nothing
+    sub.processBatch(b1, 1L)
+    assert(sub.lastBatchStats ===
+      StreamingExactSubstr.BatchStats(newDocs = 1L, candidateDocs = 1L,
+        subsetDocs = 2L))
+    sub.processBatch(b2, 2L)
+    assert(sub.lastBatchStats ===
+      StreamingExactSubstr.BatchStats(newDocs = 1L, candidateDocs = 0L,
+        subsetDocs = 1L))
+    val before = spanSet(sub.spans(spark))
+    // foreachBatch redelivery of a committed id must not change anything
+    sub.processBatch(b1, 1L)
+    assert(sub.committedBatches(spark) === Seq(0L, 1L, 2L))
+    assert(spanSet(sub.spans(spark)) === before)
+  }
+}
