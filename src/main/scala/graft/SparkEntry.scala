@@ -1838,12 +1838,12 @@ object SparkEntry {
 
     "text_lcp_array" -> ((s, dir) =>
       // the LCP array over the suffix array: per distinct suffix rank, the
-      // longest common prefix with the previous rank, recovered by a
-      // binary walk over the retained doubling tables (equal dense rank at
-      // round h ⟺ equal h-capped prefix — a collision-free equality
-      // oracle, no rolling hash). O(log docLen) joins; zero character
-      // compares. The oracle materializes the suffix strings and counts
-      // the first mismatching character per sorted-adjacent pair.
+      // longest common prefix with the previous rank, recovered by the
+      // O(n)-state rank-neighbor slice walk (bounded 64-char byte compares
+      // via the codegen'd common-prefix kernel; round k touches only pairs
+      // with LCP >= 64k — exact, no rolling hash). The oracle materializes
+      // the suffix strings and counts the first mismatching character per
+      // sorted-adjacent pair.
       operators.SuffixArray.lcpArray(
         t(s, dir, "documents").filter(col("doc_id") < 150))),
 
@@ -2864,6 +2864,27 @@ object SparkEntry {
            JOIN embeddings qe ON qe.vec_id = s.q_id
            JOIN embeddings ce ON ce.vec_id = s.vec_id)
          WHERE rank <= $k"""
+
+  /**
+   * Bench-only entries (no oracle, run by [[Bench]] alongside `queries`):
+   * the suffix-array family's CHECKED queries run on doc-bounded subsets
+   * because the naive DuckDB oracle sorts actual suffix strings (O(n²)
+   * memory) — these full-corpus variants exist so the benchmark records
+   * the operator's real cost trend at each scale factor. Correctness of
+   * the code path is the bounded queries' job; these rows are timing
+   * signal only.
+   */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_suffix_array_full" -> ((s, dir) =>
+      operators.SuffixArray.suffixRanks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))),
+    "text_lcp_array_full" -> ((s, dir) =>
+      operators.SuffixArray.lcpArray(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))),
+    "dedup_substr_spans_full" -> ((s, dir) =>
+      operators.SuffixArray.dupSpans(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        minLen = 30)))
 
   /** DuckDB mirror of [[Similarity.pqTrainResidualCodebooks]] +
    * [[Similarity.pqEncodeResidual]]: IVF chain → exact grid residuals →
