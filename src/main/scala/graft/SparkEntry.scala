@@ -1857,6 +1857,15 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("dup_len"))),
 
+    "dedup_substr_removal" -> ((s, dir) =>
+      // the ExactSubstr pipeline completed: the spans dedup_substr_spans
+      // finds are excised (all occurrences, merged coverage intervals)
+      // and each document reassembled from its kept segments — one
+      // gaps-and-islands window per doc + one codegen'd aggregate fold;
+      // the oracle recomputes coverage per character position
+      operators.SuffixArray.removeSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)),
+
     "dedup_recall" -> ((s, dir) =>
       // measure the dedup candidate generators instead of assuming them
       // (the knn_recall discipline): exact word-set-Jaccard pairs on a
@@ -2170,6 +2179,21 @@ object SparkEntry {
       Retrieval.retrievalContamination(
         docs.filter(col("doc_id") % 23 =!= 0), probes,
         minScore9 = 2500000000L, maxDfRatio = 0.9)
+    }),
+
+    "curate_semantic_contamination" -> ((s, dir) => {
+      // embedding-space decontamination: eval-slice vectors (vec_id % 23
+      // = 0) probe the train slice through margin-adaptive IVF cells;
+      // train vectors above the similarity floor are flagged with hit
+      // count + best probe. Catches semantic leaks both the exact n-gram
+      // and BM25 retrieval checks miss; the oracle replays centroids,
+      // margin probes, cell-local cosines and the rollup exactly.
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 23 =!= 0),
+        emb.filter(col("vec_id") % 23 === 0),
+        ivfCentroids(s, dir), threshold = 0.3, nprobeMax = 8,
+        marginGrid = 65000000000000L)
     }),
 
     "curate_classifier_score" -> ((s, dir) =>
@@ -3866,6 +3890,52 @@ object SparkEntry {
            FROM sfx s JOIN lc l ON s.suffix = l.suffix)
          SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30""",
 
+    // same span machinery, then per-character coverage: a position is
+    // excised iff some >=30 span covers it; kept chars reassemble in order
+    "dedup_substr_removal" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub)),
+         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
+         rk AS (SELECT suffix, cnt,
+             dense_rank() OVER (ORDER BY suffix) AS srank,
+             lag(suffix) OVER (ORDER BY suffix) AS prv
+           FROM d),
+         pe AS (SELECT srank, suffix, prv,
+             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
+           FROM rk WHERE prv IS NOT NULL),
+         mp AS (SELECT srank,
+             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
+                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
+               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
+           FROM pe GROUP BY srank),
+         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
+             coalesce(mp.lcp, 0) AS lcp_prev,
+             coalesce(mn.lcp, 0) AS lcp_next
+           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
+                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
+         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
+                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
+           FROM sfx s JOIN lc l ON s.suffix = l.suffix),
+         sp AS (SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30),
+         ps AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+           FROM sub),
+         cov AS (SELECT DISTINCT p.doc_id, p.i
+           FROM ps p JOIN sp s ON s.doc_id = p.doc_id
+             AND p.i - 1 >= s.pos AND p.i - 1 < s.pos + s.dup_len),
+         keepc AS (SELECT p.doc_id, p.i,
+             substr(p.text, CAST(p.i AS INTEGER), 1) AS ch
+           FROM ps p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+           WHERE c.i IS NULL),
+         agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS t
+           FROM keepc GROUP BY doc_id)
+         SELECT sub.doc_id, coalesce(agg.t, '') AS clean_text
+         FROM sub LEFT JOIN agg ON sub.doc_id = agg.doc_id""",
+
     // both blocking arms + the exact Jaccard ground truth + the recall
     // arithmetic, all replayed on the bounded subset
     "dedup_recall" ->
@@ -4386,6 +4456,34 @@ object SparkEntry {
     "retrieval_hybrid_recall" ->
       """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
          true AS recall_ok""",
+
+    // centroid chain + margin probe rule + cell-local cosines + rollup
+    "curate_semantic_contamination" ->
+      ("WITH " + ivfCentroidChainSql(50, 5) + """,
+       paff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 23 = 0),
+       pbest AS (SELECT vec_id, MAX(aff) AS best FROM paff GROUP BY 1),
+       pasg AS (SELECT vec_id AS probe_id, cell_id FROM (
+           SELECT a.vec_id, a.cell_id, row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
+           FROM paff a JOIN pbest b USING (vec_id)
+           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
+       sc AS (SELECT c.vec_id, p.probe_id,
+           list_cosine_similarity(CAST(pe.embedding AS DOUBLE[]),
+             CAST(ce.embedding AS DOUBLE[])) AS sim
+         FROM pasg p JOIN casg c USING (cell_id)
+         JOIN embeddings pe ON pe.vec_id = p.probe_id
+         JOIN embeddings ce ON ce.vec_id = c.vec_id
+         WHERE c.vec_id % 23 <> 0),
+       hits AS (SELECT vec_id, probe_id, sim FROM sc WHERE sim > 0.3),
+       best AS (SELECT vec_id, probe_id, sim,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, probe_id) AS r
+         FROM hits)
+       SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         round(MAX(sim), 6) AS best_sim,
+         MAX(CASE WHEN r = 1 THEN probe_id END) AS best_probe
+       FROM best GROUP BY vec_id"""),
 
     "curate_retrieval_contamination" ->
       (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,

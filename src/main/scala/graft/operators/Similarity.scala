@@ -456,6 +456,40 @@ object Similarity {
    * probabilistic-miss trade-off of LSH); the oracle replays the exact same
    * blocking, so the gate pins the implementation, not the recall.
    */
+  /**
+   * Embedding-space decontamination — the semantic complement of
+   * [[graft.operators.Retrieval.retrievalContamination]]: flag every
+   * train vector whose cosine similarity to ANY probe (eval-set) vector
+   * exceeds `threshold`, with hit count, best similarity and best probe.
+   * Blocking is the ANN probe join ([[assignMarginProbeCells]] on the
+   * probe side, one cell per train vector) — the [[semDedup]] cell-
+   * blocking discipline cross-set: pairs outside probed cells are the
+   * documented approximation, and the oracle replays the SAME blocking so
+   * the operator is exact about what it claims. Scale shape: probes
+   * broadcast to cell-local hash joins; the train corpus never shuffles
+   * on anything but its cell id.
+   */
+  def semanticContamination(train: DataFrame, probes: DataFrame,
+                            centroids: DataFrame, threshold: Double,
+                            nprobeMax: Int, marginGrid: Long): DataFrame = {
+    val tAssigned = assignCells(train, centroids)
+    val pAssigned = assignMarginProbeCells(probes, centroids, nprobeMax,
+        marginGrid)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("cell_id"))
+    val scored = broadcast(pAssigned).join(tAssigned, Seq("cell_id"))
+      .select(col("vec_id"), col("probe_id"),
+        cosine_similarity(col("p_emb"), col("embedding")).as("sim"))
+      .filter(col("sim") > threshold)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("probe_id"))
+    scored.withColumn("r", row_number().over(w))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("sim")), 6).as("best_sim"),
+        max(when(col("r") === 1, col("probe_id"))).as("best_probe"))
+  }
+
   def semDedup(vectors: DataFrame, centroids: DataFrame,
                threshold: Double): DataFrame = {
     val assigned = assignCells(vectors, centroids)

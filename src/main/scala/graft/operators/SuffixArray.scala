@@ -124,6 +124,55 @@ object SuffixArray {
   }
 
   /**
+   * ExactSubstr REMOVAL policy (the Lee et al. pipeline completed): excise
+   * every character position covered by a duplicated span of length >=
+   * `minLen` — all occurrences, the [[TextAnalysis.removeDupSpans]]
+   * discipline generalized from fixed n-gram words to arbitrary-length
+   * character spans via the suffix array — and reassemble each document
+   * from its kept segments. Emits (doc_id, clean_text) for EVERY input
+   * document (untouched docs pass through, fully-covered docs come back
+   * empty).
+   *
+   * Shape: span intervals merge per document with one gaps-and-islands
+   * window (partitioned by doc — no global sort), the merged interval
+   * list collects per doc (bounded by doc length), and the excision is a
+   * single codegen'd `aggregate` fold over that sorted list — the corpus
+   * text is scanned once and never shuffled except by doc_id.
+   */
+  def removeSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupSpans(docs, minLen)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = spans
+      .withColumn("end", col("pos") + col("dup_len"))
+      .withColumn("max_end_before", max(col("end")).over(before))
+      .withColumn("new_island",
+        when(col("max_end_before").isNull ||
+          col("pos") > col("max_end_before"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        max(col("end")).cast("long").as("end"))
+    val ivs = islands.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("start"), col("end"))))
+        .as("iv"))
+    docs.select(col("doc_id"), col("text"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("text")).otherwise(expr(
+          """aggregate(iv,
+               named_struct('res', cast('' as string), 'cur', cast(0 as bigint)),
+               (acc, s) -> named_struct(
+                 'res', concat(acc.res, substring(text,
+                   cast(acc.cur as int) + 1, cast(s.start - acc.cur as int))),
+                 'cur', s.end),
+               acc -> concat(acc.res,
+                 substring(text, cast(acc.cur as int) + 1)))"""))
+          .as("clean_text"))
+  }
+
+  /**
    * Build the index: (bounded position slices (doc_id, pos, sl), final
    * rank table (doc_id, pos, r), max doc length). Within the final table,
    * equal r ⟺ equal suffix STRING including where it ends: the seed dense

@@ -174,6 +174,27 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === Set((1L, 2, 16L), (3L, 0, 16L)))
   }
 
+  test("removeSpans excises merged covered intervals, all occurrences") {
+    val planted = "HELLOWORLDFRIEND" // 16 chars
+    val docs = Seq(
+      (1L, "xx" + planted + "qq"),
+      (2L, "0123456789"),
+      (3L, planted + "mm")).toDF("doc_id", "text")
+    val got = SuffixArray.removeSpans(docs, minLen = 16)
+      .as[(Long, String)].collect().toMap
+    // the planted span is excised EVERYWHERE; untouched docs pass through
+    assert(got === Map(1L -> "xxqq", 2L -> "0123456789", 3L -> "mm"))
+  }
+
+  test("removeSpans: overlapping spans merge; identical docs empty out") {
+    // identical docs: every position is covered (cnt > 1 full-suffix
+    // spans) so both documents reduce to the empty string
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val got = SuffixArray.removeSpans(docs, minLen = 4)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "", 2L -> ""))
+  }
+
   test("dupSpans: identical docs report full suffix lengths") {
     val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
     val got = SuffixArray.dupSpans(docs, minLen = 1)
