@@ -2181,6 +2181,14 @@ object SparkEntry {
         minScore9 = 2500000000L, maxDfRatio = 0.9)
     }),
 
+    "mix_span_corruption" -> ((s, dir) =>
+      // T5-style denoising examples: deterministic md5-threshold span
+      // starts (the engine's one sampling idiom), 3-word spans, merged
+      // runs → <extra_id_K> sentinels; input/target pairs reassembled
+      // per doc. The oracle replays every mask decision and both strings.
+      TrainingMix.spanCorruption(t(s, dir, "documents"),
+        startDensity = 0.05, spanLen = 3)),
+
     "curate_semantic_contamination" -> ((s, dir) => {
       // embedding-space decontamination: eval-slice vectors (vec_id % 23
       // = 0) probe the train slice through margin-adaptive IVF cells;
@@ -4456,6 +4464,41 @@ object SparkEntry {
     "retrieval_hybrid_recall" ->
       """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
          true AS recall_ok""",
+
+    // every mask decision replayed from the shared md5-threshold idiom,
+    // then both example strings rebuilt with ordered aggregation
+    "mix_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+                 FROM documents)),
+         st AS (SELECT doc_id, pos, w,
+             CASE WHEN md5('graft|' || doc_id || '|' || pos)
+               < '${operators.Curation.sampleThreshold(0.05)}'
+               THEN 1 ELSE 0 END AS s
+           FROM t),
+         cov AS (SELECT doc_id, pos, w, s,
+             max(s) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+           FROM st),
+         run AS (SELECT doc_id, pos, w, c,
+             CASE WHEN c = 1 AND coalesce(lag(c) OVER (
+                 PARTITION BY doc_id ORDER BY pos), 0) = 0
+               THEN 1 ELSE 0 END AS nr
+           FROM cov),
+         rid AS (SELECT doc_id, pos, w, c, nr,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+           FROM run)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN c = 0 THEN w
+               WHEN nr = 1 THEN '<extra_id_' || k || '>' END,
+             ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(CASE WHEN c = 1 THEN
+               CASE WHEN nr = 1 THEN '<extra_id_' || k || '> ' || w
+                 ELSE w END END,
+             ' ' ORDER BY pos), '') AS target_text,
+           CAST(SUM(nr) AS BIGINT) AS n_spans
+         FROM rid GROUP BY doc_id""",
 
     // centroid chain + margin probe rule + cell-local cosines + rollup
     "curate_semantic_contamination" ->

@@ -354,8 +354,17 @@ object Similarity {
    * from [[assignMarginProbeCells]]. */
   def ivfMarginKnn(queries: DataFrame, candidates: DataFrame,
                    centroids: DataFrame, k: Int, nprobeMax: Int,
-                   marginGrid: Long): DataFrame = {
-    val cAssigned = assignCells(candidates, centroids)
+                   marginGrid: Long): DataFrame =
+    ivfMarginKnnAssigned(queries, assignCells(candidates, centroids),
+      centroids, k, nprobeMax, marginGrid)
+
+  /** [[ivfMarginKnn]] against an already-assigned candidate table
+   * (vec_id, embedding, cell_id) — the search path of a PERSISTED index
+   * ([[graft.streaming.StreamingVectorIndex]]) where assignment happened
+   * at ingest, not per query. */
+  def ivfMarginKnnAssigned(queries: DataFrame, cAssigned: DataFrame,
+                           centroids: DataFrame, k: Int, nprobeMax: Int,
+                           marginGrid: Long): DataFrame = {
     val qAssigned = assignMarginProbeCells(queries, centroids, nprobeMax,
         marginGrid)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -216,6 +216,61 @@ object TrainingMix {
    * unit, ~corpus/nShards rows each by md5 uniformity; pick nShards ≫
    * executor count at 100 TB so no task sorts more than a shard).
    */
+  /**
+   * T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
+   * DETERMINISTIC training-example generator: word positions whose
+   * md5-threshold key (seed|doc_id|pos — the engine's one sampling idiom)
+   * falls under `startDensity` start a masked span of `spanLen` words;
+   * overlapping/adjacent spans merge into one run. The input sequence
+   * replaces each run with its `<extra_id_K>` sentinel (K = 0-based run
+   * index in position order); the target emits each run's sentinel
+   * followed by the masked words. Every decision is a pure function of
+   * (seed, doc_id, pos) — bit-exact across runs, engines and
+   * partitionings, so the oracle replays whole examples.
+   *
+   * Shape at scale: one posexplode (the honest tokenize cost), three
+   * per-doc windows (bounded partitions — a document), one groupBy doc
+   * reassembly via sorted collect + fold; no shuffle beyond doc_id.
+   * Emits (doc_id, input_text, target_text, n_spans).
+   */
+  def spanCorruption(docs: DataFrame, startDensity: Double, spanLen: Int,
+                     seed: String = "graft"): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cover = w.rowsBetween(-(spanLen - 1), 0)
+    val thr = Curation.sampleThreshold(startDensity)
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "w")
+    val runs = words
+      .withColumn("s",
+        when(md5(concat_ws("|", lit(seed), col("doc_id"), col("pos")))
+          < lit(thr), 1L).otherwise(0L))
+      .withColumn("c", max(col("s")).over(cover))
+      .withColumn("nr", when(col("c") === 1L &&
+        coalesce(lag(col("c"), 1).over(w), lit(0L)) === 0L, 1L)
+        .otherwise(0L))
+      .withColumn("k", sum(col("nr")).over(w) - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val toks = runs.select(col("doc_id"), col("pos"),
+      when(col("c") === 0L, col("w"))
+        .when(col("nr") === 1L, sentinel).as("itok"),
+      when(col("c") === 1L,
+        when(col("nr") === 1L, concat(sentinel, lit(" "), col("w")))
+          .otherwise(col("w"))).as("ttok"),
+      col("nr"))
+    def joinToks(tok: String): Column =
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col(tok).isNotNull,
+          struct(col("pos"), col(tok).as("t"))))),
+        s => s.getField("t")))
+    toks.groupBy(col("doc_id"))
+      .agg(joinToks("itok").as("input_text"),
+        joinToks("ttok").as("target_text"),
+        sum(col("nr")).as("n_spans"))
+  }
+
   def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
                     seed: String = "graft"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.StreamingVectorIndex
+
+/**
+ * Streaming incremental IVF index: an index built from any batch split of
+ * a corpus must search identically to the batch-built one (same frozen
+ * centroids, same margin-probe arithmetic), and committed replays are
+ * no-ops.
+ */
+class StreamingVectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val margin = 65000000000000L
+
+  test("3-batch split searches identically to the batch index") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 10, iters = 3,
+      dim = 64)(spark)
+    val queries = emb.filter($"vec_id" < 5)
+    val want = Similarity.ivfMarginKnn(queries, emb, cents, k = 5,
+        nprobeMax = 4, marginGrid = margin)
+      .select($"q_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("vecindex_state").toString
+    val idx = new StreamingVectorIndex(dir)
+    // 3-way split by vec_id residue — arbitrary, unordered
+    for (r <- 0 until 3)
+      idx.processBatch(emb.filter($"vec_id" % 3 === r), r.toLong, cents)
+    assert(idx.committedBatches(spark) === Seq(0L, 1L, 2L))
+    val got = idx.search(spark, queries, cents, k = 5, nprobeMax = 4,
+        marginGrid = margin)
+      .select($"q_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want, "split-built index diverges from batch search")
+
+    // committed replay is a no-op (state and results unchanged)
+    idx.processBatch(emb.filter($"vec_id" % 3 === 1), 1L, cents)
+    assert(idx.committedBatches(spark) === Seq(0L, 1L, 2L))
+    val again = idx.search(spark, queries, cents, k = 5, nprobeMax = 4,
+        marginGrid = margin)
+      .select($"q_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again === want)
+  }
+
+  test("uncommitted leftover dirs are invisible and self-heal") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 10, iters = 3,
+      dim = 64)(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("vecindex_state2").toString
+    val idx = new StreamingVectorIndex(dir)
+    idx.processBatch(emb.filter($"vec_id" % 3 === 0), 0L, cents)
+    // fake a mid-write crash: a b1 dir with data but NO _SUCCESS marker
+    val crashed = new java.io.File(dir, "b1")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b1", "part-garbage.parquet"), "junk")
+    assert(idx.committedBatches(spark) === Seq(0L))
+    // re-delivery overwrites the leftover and commits cleanly
+    idx.processBatch(emb.filter($"vec_id" % 3 === 1), 1L, cents)
+    assert(idx.committedBatches(spark) === Seq(0L, 1L))
+    val n = idx.assigned(spark).count()
+    val expected = emb.filter($"vec_id" % 3 === 0 || $"vec_id" % 3 === 1)
+      .count()
+    assert(n === expected)
+  }
+}

@@ -217,4 +217,38 @@ class TrainingMixSpec extends SparkSpec {
       seed = "other").as[(Long, Long, Long)].collect()
     assert(reseeded.toSet !== out.toSet)
   }
+
+  test("span corruption: reconstruction, sentinel order, determinism") {
+    val docs = (0L until 200L).map { id =>
+      (id, (0 until 20).map(i => s"w${id}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TrainingMix.spanCorruption(docs, startDensity = 0.15,
+        spanLen = 3)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length === 200)
+    val orig = docs.as[(Long, String)].collect().toMap
+    var masked = 0L
+    for ((id, input, target, nSpans) <- out) {
+      // splice each target span back over its sentinel → original text
+      val spans = ("<extra_id_(\\d+)> ((?:(?!<extra_id_)\\S+ ?)+)".r
+        .findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim)).toMap
+      assert(spans.size.toLong === nSpans, s"doc $id sentinel count")
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      assert(rebuilt === orig(id), s"doc $id reconstruction")
+      // sentinels appear in position order 0..n-1 in BOTH strings
+      val ks = "<extra_id_(\\d+)>".r.findAllMatchIn(input)
+        .map(_.group(1).toInt).toSeq
+      assert(ks === (0 until ks.length), s"doc $id sentinel order")
+      masked += nSpans
+    }
+    assert(masked > 0L, "fixture produced no masked spans")
+    // bit-stable under repartitioning
+    val again = TrainingMix.spanCorruption(docs.repartition(13),
+        startDensity = 0.15, spanLen = 3)
+      .as[(Long, String, String, Long)].collect()
+    assert(again.toSet === out.toSet)
+  }
 }
