@@ -2189,6 +2189,11 @@ object SparkEntry {
       TrainingMix.spanCorruption(t(s, dir, "documents"),
         startDensity = 0.05, spanLen = 3)),
 
+    "mix_fim_transform" -> ((s, dir) =>
+      // fill-in-the-middle examples (PSM reorder): md5-Horner cut draws
+      // shared verbatim with the oracle, pure narrow projection
+      TrainingMix.fimTransform(t(s, dir, "documents"))),
+
     "curate_semantic_contamination" -> ((s, dir) => {
       // embedding-space decontamination: eval-slice vectors (vec_id % 23
       // = 0) probe the train slice through margin-adaptive IVF cells;
@@ -4464,6 +4469,26 @@ object SparkEntry {
     "retrieval_hybrid_recall" ->
       """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
          true AS recall_ok""",
+
+    // the cut draws are the verbatim hex-Horner SQL the engine runs
+    "mix_fim_transform" ->
+      s"""WITH k AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len,
+             md5('graft|' || doc_id || '|c1') AS k1,
+             md5('graft|' || doc_id || '|c2') AS k2
+           FROM documents),
+         c AS (SELECT doc_id, text, len, k2,
+             (${operators.TrainingMix.hexHornerSql("k1", 8)}) % (len + 1) AS c1
+           FROM k),
+         d AS (SELECT doc_id, text, len, c1,
+             c1 + (${operators.TrainingMix.hexHornerSql("k2", 8)})
+               % (len - c1 + 1) AS c2
+           FROM c)
+         SELECT doc_id, c1, c2,
+           '<fim_prefix>' || substring(text, 1, CAST(c1 AS INTEGER)) ||
+           '<fim_suffix>' || substring(text, CAST(c2 AS INTEGER) + 1) ||
+           '<fim_middle>' || substring(text, CAST(c1 AS INTEGER) + 1,
+             CAST(c2 - c1 AS INTEGER)) AS fim_text
+         FROM d""",
 
     // every mask decision replayed from the shared md5-threshold idiom,
     // then both example strings rebuilt with ordered aggregation

@@ -217,6 +217,32 @@ object TrainingMix {
    * executor count at 100 TB so no task sorts more than a shard).
    */
   /**
+   * Fill-in-the-middle transformation (Bavarian et al. 2022 — the infill
+   * objective code models train on): split each document at two
+   * deterministic cut points into (prefix, middle, suffix) and emit the
+   * PSM reordering `<fim_prefix>P<fim_suffix>S<fim_middle>M` — the model
+   * learns to produce the middle given both contexts. Cut draws are
+   * md5-Horner integers (the [[shuffleShards]] idiom — the SAME SQL
+   * string runs as the Spark expression and the oracle's, so the engines
+   * cannot diverge): c1 uniform on [0, L], c2 uniform on [c1, L]. A
+   * narrow per-row projection — no shuffle at all.
+   */
+  def fimTransform(docs: DataFrame, seed: String = "graft"): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        md5(concat_ws("|", lit(seed), col("doc_id"), lit("c1"))).as("k1"),
+        md5(concat_ws("|", lit(seed), col("doc_id"), lit("c2"))).as("k2"))
+      .withColumn("c1", expr(s"(${hexHornerSql("k1", 8)}) % (len + 1)"))
+      .withColumn("c2",
+        expr(s"c1 + (${hexHornerSql("k2", 8)}) % (len - c1 + 1)"))
+      .select(col("doc_id"), col("c1"), col("c2"),
+        expr("""concat('<fim_prefix>', substring(text, 1, cast(c1 as int)),
+          '<fim_suffix>', substring(text, cast(c2 as int) + 1),
+          '<fim_middle>',
+          substring(text, cast(c1 as int) + 1, cast(c2 - c1 as int)))""")
+          .as("fim_text"))
+
+  /**
    * T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
    * DETERMINISTIC training-example generator: word positions whose
    * md5-threshold key (seed|doc_id|pos — the engine's one sampling idiom)

@@ -218,6 +218,30 @@ class TrainingMixSpec extends SparkSpec {
     assert(reseeded.toSet !== out.toSet)
   }
 
+  test("FIM transform: PSM parts reassemble the original; cuts in range") {
+    val docs = (0L until 300L).map { id =>
+      (id, s"doc$id " + ("abcdefgh" * (1 + (id % 7).toInt)))
+    }.toDF("doc_id", "text")
+    val orig = docs.as[(Long, String)].collect().toMap
+    val out = TrainingMix.fimTransform(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length === 300)
+    val psm = "<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+    for ((id, c1, c2, fim) <- out) {
+      val L = orig(id).length.toLong
+      assert(0L <= c1 && c1 <= c2 && c2 <= L, s"doc $id cuts ($c1,$c2,$L)")
+      fim match {
+        case psm(p, sfx, m) =>
+          assert(p + m + sfx === orig(id), s"doc $id reassembly")
+          assert(p.length.toLong === c1 && m.length.toLong === c2 - c1)
+        case _ => fail(s"doc $id: malformed FIM string $fim")
+      }
+    }
+    // both cut draws actually vary across the corpus
+    assert(out.map(_._2).distinct.length > 10)
+    assert(out.map(t => t._3 - t._2).distinct.length > 10)
+  }
+
   test("span corruption: reconstruction, sentinel order, determinism") {
     val docs = (0L until 200L).map { id =>
       (id, (0 until 20).map(i => s"w${id}_$i").mkString(" "))
