@@ -217,6 +217,33 @@ object TrainingMix {
    * executor count at 100 TB so no task sorts more than a shard).
    */
   /**
+   * JSONL shard export — the training-data handoff format: rows ride
+   * [[shuffleShards]]' deterministic global shuffle (shard = md5-Horner
+   * of seed|id, pos = rank within shard), serialize to one JSON object
+   * per line, and land as `shard=K/` text dirs with lines in exactly
+   * shuffle order. Re-running with the same seed reproduces the same
+   * shards byte-for-byte; a trainer streams shard dirs independently.
+   *
+   * Shape at scale: ONE hash shuffle on shard + per-shard local sort
+   * (shards ≫ executors), then the text writer appends — no collect, no
+   * global sort. A shard's lines may span files when a task holds
+   * several shards; file-name order within the dir preserves line order
+   * (part files are written in task-iteration order).
+   */
+  def writeJsonlShards(docs: DataFrame, idCol: String, outDir: String,
+                       nShards: Int, seed: String = "graft"): Unit = {
+    val sharded = shuffleShards(docs, idCol, nShards, seed)
+    docs.join(sharded, idCol)
+      .select(col("shard"), col("pos"),
+        to_json(struct(docs.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .select(col("shard"), col("value"))
+      .write.mode("overwrite").partitionBy("shard")
+      .format("text").save(outDir)
+  }
+
+  /**
    * Fill-in-the-middle transformation (Bavarian et al. 2022 — the infill
    * objective code models train on): split each document at two
    * deterministic cut points into (prefix, middle, suffix) and emit the

@@ -218,6 +218,38 @@ class TrainingMixSpec extends SparkSpec {
     assert(reseeded.toSet !== out.toSet)
   }
 
+  test("JSONL shard export: deterministic shards, shuffle order, reread") {
+    val docs = (0L until 400L).map(id => (id, s"text of $id"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_shards").toString
+    TrainingMix.writeJsonlShards(docs, "doc_id", dir, nShards = 8)
+    val want = TrainingMix.shuffleShards(docs, "doc_id", nShards = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).view
+      .mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSet ===
+      (0 until 8).map(k => s"shard=$k").toSet)
+    var total = 0
+    for (sd <- shardDirs) {
+      val k = sd.getName.stripPrefix("shard=").toLong
+      val lines = sd.listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+      val ids = lines.map { l =>
+        "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+      }
+      assert(ids === want(k), s"shard $k order diverges from shuffleShards")
+      total += lines.length
+    }
+    assert(total === 400)
+    // JSON payload carries the full row
+    val any = scala.io.Source.fromFile(shardDirs.head.listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)).getLines().next()
+    assert(any.contains("\"text\":\"text of "))
+  }
+
   test("FIM transform: PSM parts reassemble the original; cuts in range") {
     val docs = (0L until 300L).map { id =>
       (id, s"doc$id " + ("abcdefgh" * (1 + (id % 7).toInt)))
