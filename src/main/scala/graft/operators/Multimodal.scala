@@ -154,22 +154,32 @@ object Multimodal {
 
   private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
     import graft.functions.{PngCodec, JpegCodec, GifCodec, AviCodec}
-    if (startsWith(bytes, 0, 0x89, 'P', 'N', 'G')) {
-      val img = PngCodec.decode(bytes)
-      MediaFeatures(id, bytes.length, "png", 1, mean(img.pixels))
-    } else if (startsWith(bytes, 0, 0xff, 0xd8, 0xff)) {
-      val img = JpegCodec.decode(bytes)
-      MediaFeatures(id, bytes.length, "jpeg", 1, mean(img.pixels))
-    } else if (startsWith(bytes, 0, 'G', 'I', 'F')) {
-      val img = GifCodec.decode(bytes)
-      MediaFeatures(id, bytes.length, "gif", 1, mean(img.pixels))
-    } else if (startsWith(bytes, 0, 'R', 'I', 'F', 'F') &&
-        startsWith(bytes, 8, 'A', 'V', 'I', ' ')) {
-      val frames = AviCodec.sampleFrames(bytes, 1)
-      val m = if (frames.isEmpty) 0.0 else mean(JpegCodec.decode(frames(0)).pixels)
-      MediaFeatures(id, bytes.length, "avi", frames.length, m)
-    } else {
-      MediaFeatures(id, bytes.length, "bin", 0, mean(bytes))
+    // a crawled payload can carry a valid magic over a corrupt body; the
+    // batch path quarantines it as format "err" instead of failing the
+    // job (the codegen'd decodeMedia path stays strict by design — it
+    // runs on payloads the pipeline itself encoded)
+    try {
+      if (startsWith(bytes, 0, 0x89, 'P', 'N', 'G')) {
+        val img = PngCodec.decode(bytes)
+        MediaFeatures(id, bytes.length, "png", 1, mean(img.pixels))
+      } else if (startsWith(bytes, 0, 0xff, 0xd8, 0xff)) {
+        val img = JpegCodec.decode(bytes)
+        MediaFeatures(id, bytes.length, "jpeg", 1, mean(img.pixels))
+      } else if (startsWith(bytes, 0, 'G', 'I', 'F')) {
+        val img = GifCodec.decode(bytes)
+        MediaFeatures(id, bytes.length, "gif", 1, mean(img.pixels))
+      } else if (startsWith(bytes, 0, 'R', 'I', 'F', 'F') &&
+          startsWith(bytes, 8, 'A', 'V', 'I', ' ')) {
+        val frames = AviCodec.sampleFrames(bytes, 1)
+        val m = if (frames.isEmpty) 0.0
+          else mean(JpegCodec.decode(frames(0)).pixels)
+        MediaFeatures(id, bytes.length, "avi", frames.length, m)
+      } else {
+        MediaFeatures(id, bytes.length, "bin", 0, mean(bytes))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(id, bytes.length, "err", 0, mean(bytes))
     }
   }
 

@@ -130,4 +130,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(feats(3L).n_frames === 1)
     assert(math.abs(feats(3L).mean_byte - 25.0) < 1e-9)
   }
+
+  test("batched decode quarantines corrupt-bodied payloads as err") {
+    import spark.implicits._
+    import graft.functions.GifCodec
+    // valid GIF magic, truncated body — must not fail the partition
+    val corrupt = GifCodec.encodeGray(2, 2, Array[Byte](10, 20, 30, 40))
+      .take(9)
+    val docs = Seq((1L, corrupt), (2L, "fine".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(docs, "payload", "application/octet-stream")
+    val feats = Multimodal.decodeBatched(media)(spark)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).format === "err")
+    assert(feats(1L).byte_len === 9)
+    assert(feats(2L).format === "bin")
+  }
 }
