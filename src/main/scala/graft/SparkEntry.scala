@@ -2194,6 +2194,17 @@ object SparkEntry {
       // shared verbatim with the oracle, pure narrow projection
       TrainingMix.fimTransform(t(s, dir, "documents"))),
 
+    "emb_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (CSLS scoring): synthetic bilingual
+      // halves of the embedding table (every-10th ids probe the odd-id
+      // pool); best-margin target per source on the 1e6 integer grid —
+      // neighborhood sums and the margin division replay exactly
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4)
+    }),
+
     "curate_semantic_contamination" -> ((s, dir) => {
       // embedding-space decontamination: eval-slice vectors (vec_id % 23
       // = 0) probe the train slice through margin-adaptive IVF cells;
@@ -4469,6 +4480,37 @@ object SparkEntry {
     "retrieval_hybrid_recall" ->
       """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
          true AS recall_ok""",
+
+    // both neighborhoods, the integer-grid margins and the per-source
+    // argmax replayed on the bounded probe pool
+    "emb_bitext_margin" ->
+      """WITH sp AS (SELECT vec_id AS a, embedding AS ea FROM embeddings
+           WHERE vec_id % 10 = 0),
+         tp AS (SELECT vec_id AS b, embedding AS eb FROM embeddings
+           WHERE vec_id % 2 = 1),
+         pr AS (SELECT a, b,
+             CAST(round(round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+               CAST(eb AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS sim6
+           FROM sp, tp),
+         pp AS (SELECT a, b, sim6 FROM pr WHERE sim6 > 0),
+         ka AS (SELECT a, b, sim6, row_number() OVER (PARTITION BY a
+             ORDER BY sim6 DESC, b) AS ra FROM pp),
+         knna AS (SELECT a, b, sim6 FROM ka WHERE ra <= 4),
+         sa AS (SELECT a, CAST(SUM(sim6) AS BIGINT) AS suma
+           FROM knna GROUP BY a),
+         cb AS (SELECT DISTINCT b FROM knna),
+         kb AS (SELECT p.a, p.b, p.sim6, row_number() OVER (PARTITION BY p.b
+             ORDER BY p.sim6 DESC, p.a) AS rb
+           FROM pp p JOIN cb USING (b)),
+         sb AS (SELECT b, CAST(SUM(sim6) AS BIGINT) AS sumb
+           FROM kb WHERE rb <= 4 GROUP BY b),
+         sc AS (SELECT k.a, k.b, k.sim6,
+             CAST((k.sim6 * 8 * 1000000) // (sa.suma + sb.sumb) AS BIGINT)
+               AS margin6
+           FROM knna k JOIN sa USING (a) JOIN sb USING (b)),
+         fin AS (SELECT a, b, sim6, margin6, row_number() OVER (
+             PARTITION BY a ORDER BY margin6 DESC, b) AS rm FROM sc)
+         SELECT a, b, sim6, margin6 FROM fin WHERE rm = 1""",
 
     // the cut draws are the verbatim hex-Horner SQL the engine runs
     "mix_fim_transform" ->

@@ -499,6 +499,64 @@ object Similarity {
         max(when(col("r") === 1, col("probe_id"))).as("best_probe"))
   }
 
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019 — the CSLS-style
+   * scoring CCMatrix/LASER pipelines align parallel corpora with): for
+   * every source vector, score its target candidates by similarity
+   * RELATIVE to both sides' neighborhood density — margin(a,b) =
+   * sim(a,b) / (avg of a's top-k sims + avg of b's top-k sims) — and
+   * emit the best-margin target per source. Margins kill the hub
+   * problem a raw-cosine argmax has (a generic target near everything
+   * wins every source).
+   *
+   * Exactness discipline: similarities quantize to the 1e6 grid
+   * (`round(cos, 6)` — the hash-matched semDedup precedent), so
+   * neighborhood sums are order-free integers and the margin is ONE
+   * integer division (num = sim6·2k·10⁶, den = Σtop-k sums; both
+   * positive — only positive-similarity candidates rank — so Spark's
+   * truncating DIV and DuckDB's flooring `//` agree). Ties break on id
+   * everywhere: fully deterministic, fully oracle-replayable.
+   *
+   * Scale shape: the pairwise scoring here is the bounded-probe brute
+   * form (the exact oracle); at corpus scale both neighborhood passes
+   * run through the IVF probe join ([[ivfMarginKnnAssigned]]) with
+   * identical downstream margin arithmetic.
+   */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
+    val s = src.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val t = tgt.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    // double rounding before the cast (the scaled7 idiom): round(·,6)·10⁶
+    // need not be integral in binary, and Spark's long cast truncates
+    // while DuckDB's rounds — re-round to 0 decimals so both agree
+    val sim6 = round(round(cosine_similarity(col("ea"), col("eb")), 6)
+      * lit(1e6), 0).cast("long")
+    val pairs = broadcast(s).join(t)
+      .select(col("a"), col("b"), sim6.as("sim6"))
+      .filter(col("sim6") > 0L)
+    val wa = Window.partitionBy(col("a"))
+      .orderBy(col("sim6").desc, col("b").asc)
+    val knnA = pairs.withColumn("ra", row_number().over(wa))
+      .filter(col("ra") <= k)
+    val knnAM = Materialize(knnA)
+    val sumA = knnAM.groupBy(col("a")).agg(sum(col("sim6")).as("suma"))
+    // candidate targets' own neighborhoods, over the same source pool
+    val wb = Window.partitionBy(col("b"))
+      .orderBy(col("sim6").desc, col("a").asc)
+    val sumB = pairs
+      .join(knnAM.select(col("b")).distinct(), Seq("b"), "left_semi")
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= k)
+      .groupBy(col("b")).agg(sum(col("sim6")).as("sumb"))
+    val scored = knnAM.join(sumA, "a").join(sumB, "b")
+      .withColumn("margin6",
+        expr(s"(sim6 * ${2L * k} * 1000000L) DIV (suma + sumb)"))
+    val wm = Window.partitionBy(col("a"))
+      .orderBy(col("margin6").desc, col("b").asc)
+    scored.withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1)
+      .select(col("a"), col("b"), col("sim6"), col("margin6"))
+  }
+
   def semDedup(vectors: DataFrame, centroids: DataFrame,
                threshold: Double): DataFrame = {
     val assigned = assignCells(vectors, centroids)

@@ -38,6 +38,8 @@ class PlanGuardSpec extends SparkSpec {
       // arm itself plans cell-local hash joins (the point of the query)
       "retrieval_hybrid_recall", // BM25 stats attach + the brute-dense
       // reference arm (bounded Q × corpus) the ANN arm is measured against
+      "emb_bitext_margin", // bounded probe pool × target pool — the exact
+      // brute oracle form; the scale path is the IVF probe join
       "mix_token_budget", // 1-row weight-total / waterfill attaches
       "curate_dsir_sample") // two 1-row vocab-size attaches (both LMs)
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
