@@ -1232,6 +1232,13 @@ object SparkEntry {
       DocDedup.dedupBy(t(s, dir, "documents"),
         DocDedup.prefixFingerprint("text", 10))),
 
+    "dedup_prefix_filter_join" -> ((s, dir) =>
+      // EXACT shingle-Jaccard >= 1/2 self-join via df-ordered prefix
+      // filtering (All-Pairs lemma, lossless) — the oracle is the BRUTE
+      // all-pairs join, so a hash match PROVES the filter drops no pair
+      DocDedup.prefixFilterJoin(t(s, dir, "documents"), n = 3,
+        tNum = 1, tDen = 2)),
+
     "knn_brute_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
@@ -2234,6 +2241,71 @@ object SparkEntry {
       // reproduces these exact integers by replaying the training chain.
       QualityClassifier.trainedWeights(t(s, dir, "documents"),
         minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
+    "curate_split_holdout" -> ((s, dir) =>
+      // frozen train/val/test assignment: a pure function of (seed, id)
+      // on the 48-bit md5 ladder — stable across runs/engines/re-ingests,
+      // NO shuffle at all. 80/10/10 target; stratification is md5-uniform
+      // within every lang.
+      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
+          trainRate = 0.8, valRate = 0.1)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    "curate_split_proportions" -> ((s, dir) =>
+      // the stratification audit over the same frozen split: per-(lang,
+      // split) counts — one map-side-combinable rollup
+      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
+          trainRate = 0.8, valRate = 0.1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    "mix_preference_pairs" -> ((s, dir) =>
+      // RLHF/DPO pair assembly: per (lang, source) prompt group, best-
+      // vs worst-TTR doc with the integer margin; argmax/argmin fold as
+      // ONE map-side-combinable struct aggregate (no window); zero-margin
+      // groups emit nothing
+      TrainingMix.preferencePairs(t(s, dir, "documents"),
+        Seq("lang", "source"))),
+
+    "mix_length_buckets" -> ((s, dir) =>
+      // pad-to-bucket batch planning: power-of-two word-length ladder +
+      // exact padding-waste accounting on the 1e9 grid; narrow CASE
+      // projection + a bucket-dictionary aggregate
+      TrainingMix.lengthBuckets(t(s, dir, "documents"))),
+
+    "mix_curriculum" -> ((s, dir) =>
+      // quality-curriculum global order: TTR decile DESC, md5-shuffled
+      // within decile; total rank via the range-partitioned globalDenseRank
+      // (no single-task sort)
+      TrainingMix.curriculumOrder(t(s, dir, "documents"))),
+
+    "text_ngram_diversity" -> ((s, dir) =>
+      // per-source trigram diversity (distinct/total on the 1e9 grid):
+      // the template-loop detector a corpus audit reads before mixing
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "source", n = 3)),
+
+    "emb_norm_outliers" -> ((s, dir) =>
+      // robust ||v||^2 outlier gate: 1e3-grid integer norms, rank-based
+      // median + MAD (no interpolation), flag dev > 3*MAD; medians come
+      // out of globalDenseRank + 1-row broadcasts
+      EmbeddingOps.normOutliers(t(s, dir, "embeddings"))),
+
+    "q_zorder_events" -> ((s, dir) => {
+      // write-side Z-order clustering key on (user_id, event-time µs):
+      // 16-bit quantized dims Morton-interleaved — the layout that lets
+      // parquet min/max stats prune BOTH dims after one sorted write.
+      // One 1-row min/max attach + a narrow all-integer projection.
+      val raw = Cdc.rawEvents(s, dir)
+      // same schema dispatch as CdcModel: ns-LONG fixtures divide, real
+      // timestamps go through unix_micros
+      val tsu = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = raw.select(col("event_id"), col("user_id"), tsu.as("tsu"))
+      operators.Layout.zorderKey(ev, Seq("user_id", "tsu"), bits = 16)
+        .select(col("event_id"), col("zb0"), col("zb1"), col("zkey"))
+    }),
 
     "q_approx_quantiles" -> ((s, dir) =>
       // approx_percentile sketch, oracle-checked like q_approx_distinct:
@@ -3671,6 +3743,26 @@ object SparkEntry {
          MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1""",
 
+    // brute-force all-pairs ground truth: a hash match proves the engine's
+    // prefix filter lossless at this scale factor
+    "dedup_prefix_filter_join" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         s0 AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM w),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           FROM s0),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
+           FROM sh GROUP BY 1),
+         it AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, n_inter, sa.s + sb.s - n_inter AS n_union,
+           (n_inter * 1000000000) // (sa.s + sb.s - n_inter) AS jaccard9
+         FROM it JOIN sz sa ON sa.doc_id = it.a
+           JOIN sz sb ON sb.doc_id = it.b
+         WHERE n_inter * 2 >= (sa.s + sb.s - n_inter) * 1""",
+
     "knn_brute_cosine" ->
       """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
          SELECT q.vec_id AS q_id, e.vec_id,
@@ -4618,6 +4710,122 @@ object SparkEntry {
        UNION ALL SELECT CAST(1 AS BIGINT), w1 FROM wt12
        UNION ALL SELECT CAST(2 AS BIGINT), w2 FROM wt12
        UNION ALL SELECT CAST(3 AS BIGINT), w3 FROM wt12"""),
+
+    // the same 48-bit md5 thresholds the engine computes (the Scala call
+    // IS the oracle's constant, so the two cannot diverge)
+    "curate_split_holdout" ->
+      s"""SELECT doc_id, lang,
+           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
+                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    "curate_split_proportions" ->
+      s"""WITH s AS (SELECT lang,
+           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
+                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+         SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM s GROUP BY 1, 2""",
+
+    "mix_preference_pairs" ->
+      """WITH s AS (SELECT lang, source, doc_id,
+           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS s6
+         FROM documents),
+         r AS (SELECT lang, source, doc_id, s6,
+           row_number() OVER (PARTITION BY lang, source
+             ORDER BY s6 DESC, doc_id ASC) AS rc,
+           row_number() OVER (PARTITION BY lang, source
+             ORDER BY s6 ASC, doc_id ASC) AS rr,
+           CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+             AS n_group
+         FROM s)
+         SELECT c.lang, c.source, c.doc_id AS chosen_id, c.s6 AS chosen6,
+           w.doc_id AS rejected_id, w.s6 AS rejected6,
+           c.s6 - w.s6 AS margin6, c.n_group
+         FROM r c JOIN r w ON c.lang = w.lang AND c.source = w.source
+         WHERE c.rc = 1 AND w.rr = 1 AND c.s6 > w.s6""",
+
+    "mix_length_buckets" ->
+      """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+           AS nw FROM documents),
+         b AS (SELECT nw, CASE WHEN nw <= 16 THEN 16 WHEN nw <= 32 THEN 32
+           WHEN nw <= 64 THEN 64 WHEN nw <= 128 THEN 128
+           WHEN nw <= 256 THEN 256 WHEN nw <= 512 THEN 512
+           ELSE ((nw + 511) // 512) * 512 END AS bucket FROM s)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS sum_words,
+           CAST(SUM(bucket - nw) AS BIGINT) AS pad_words,
+           (CAST(SUM(bucket - nw) AS BIGINT) * 1000000000)
+             // (CAST(COUNT(*) AS BIGINT) * bucket) AS waste9
+         FROM b GROUP BY 1""",
+
+    "mix_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS s6
+         FROM documents),
+         q AS (SELECT doc_id, s6 // 100000 AS qbucket,
+           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
+         FROM s)
+         SELECT doc_id, qbucket, CAST(row_number() OVER (
+           ORDER BY qbucket DESC, skey ASC, doc_id ASC) AS BIGINT) AS crank
+         FROM q""",
+
+    "text_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+           FROM documents),
+         g AS (SELECT source, unnest(range(1, len(w) - 1)) AS i, w
+           FROM t WHERE len(w) >= 3),
+         g2 AS (SELECT source, array_to_string(w[i:i+2], ' ') AS gram FROM g)
+         SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           (CAST(COUNT(DISTINCT gram) AS BIGINT) * 1000000000)
+             // CAST(COUNT(*) AS BIGINT) AS diversity9
+         FROM g2 GROUP BY 1""",
+
+    "emb_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         g AS (SELECT vec_id, CAST(round(round(
+           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
+         FROM e),
+         s AS (SELECT vec_id, CAST(SUM(xg * xg) AS BIGINT) AS n2
+           FROM g GROUP BY 1),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         r AS (SELECT vec_id, n2,
+           row_number() OVER (ORDER BY n2, vec_id) AS rk FROM s),
+         m AS (SELECT n2 AS med FROM r, c WHERE rk = (n + 1) // 2),
+         d AS (SELECT vec_id, n2, abs(n2 - med) AS dev FROM s, m),
+         rd AS (SELECT vec_id, dev,
+           row_number() OVER (ORDER BY dev, vec_id) AS rk FROM d),
+         md AS (SELECT dev AS mad FROM rd, c WHERE rk = (n + 1) // 2)
+         SELECT vec_id, n2, dev, dev > mad * 3 AS is_outlier FROM d, md""",
+
+    // the Morton interleave is the same term structure in both dialects
+    // (shift functions vs operators); buckets are non-negative so DuckDB's
+    // flooring // equals Spark's truncating DIV
+    "q_zorder_events" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+           FROM events),
+         mm AS (SELECT MIN(user_id) AS mn0, MAX(user_id) AS mx0,
+           MIN(tsu) AS mn1, MAX(tsu) AS mx1 FROM e),
+         b AS (SELECT event_id,
+           ((user_id - mn0) * 65535) // greatest(1, mx0 - mn0) AS zb0,
+           ((tsu - mn1) * 65535) // greatest(1, mx1 - mn1) AS zb1
+         FROM e, mm)
+         SELECT event_id, zb0, zb1,
+           ${operators.Layout.interleaveSqlDuck(Seq("zb0", "zb1"), 16)}
+             AS zkey
+         FROM b""",
 
     // approx estimates are engine-side; the oracle verifies the exact
     // quantiles and that the asserted rank-error bounds hold (both true).

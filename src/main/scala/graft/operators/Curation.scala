@@ -71,6 +71,31 @@ object Curation {
   }
 
   /**
+   * Deterministic train/val/test holdout assignment — the split every
+   * training pipeline freezes before anything else touches the corpus:
+   * each row's fate is a pure function of (seed, id), so the assignment
+   * is stable across runs, engines, partitionings, and incremental
+   * re-ingests (a re-crawled doc lands in the same split forever — no
+   * eval leakage from split drift). split thresholds ride the same
+   * 48-bit md5 ladder as [[sampleThreshold]]: key < t(train) → train,
+   * key < t(train+val) → val, else test. Stratification is statistical
+   * (md5 is uniform within every stratum) rather than exact-count — the
+   * price of keeping the op a narrow per-row projection with NO shuffle
+   * at all, which is what you want at 100 TB; the proportions report is
+   * one map-side-combinable rollup away.
+   */
+  def holdoutSplit(df: DataFrame, idCol: String, trainRate: Double,
+                   valRate: Double, seed: String = "graft"): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      s"rates must be non-negative and sum <= 1, got $trainRate + $valRate")
+    val key = sampleKey(col(idCol), seed)
+    df.withColumn("split",
+      when(key < lit(sampleThreshold(trainRate)), lit("train"))
+        .when(key < lit(sampleThreshold(trainRate + valRate)), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /**
    * Contamination report: for each corpus document, how many of its
    * distinct n-grams also occur in the benchmark set. The benchmark's
    * distinct shingle set is typically small (broadcast); the corpus side

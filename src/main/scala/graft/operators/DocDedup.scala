@@ -128,6 +128,76 @@ object DocDedup {
   }
 
   /**
+   * EXACT set-similarity self-join via prefix filtering (the All-Pairs /
+   * PPJoin family, Bayardo et al. WWW'07) — the lossless complement of
+   * [[minhashLsh]]: every pair of documents whose `n`-gram shingle sets
+   * have Jaccard ≥ tNum/tDen, with NO false negatives (LSH banding trades
+   * recall for speed; this trades nothing and is the ground truth a recall
+   * gate measures against). The threshold is a rational so every
+   * comparison is pure integer arithmetic — no float boundary can differ
+   * between engines.
+   *
+   * Why it scales: shingles order by GLOBAL ascending document frequency
+   * (rare first, ties on text), and each doc exposes only its first
+   * `s − ceil(t·s) + 1` shingles in that order as its "prefix" — the
+   * classic lemma guarantees two qualifying sets share a prefix shingle.
+   * Candidates therefore join on the RAREST shingles a doc has: a
+   * boilerplate shingle shared by half the corpus sorts last and never
+   * enters a prefix, so the candidate join has no hot keys BY
+   * CONSTRUCTION (where LSH needs an explicit bucket cap). A length prune
+   * (t·max ≤ min, integer form) drops size-mismatched pairs before
+   * verification; the exact intersection count then runs only over
+   * candidate docs (semi-join bounded, like [[jaccardVerify]]).
+   *
+   * Shape: shingle explode (corpus-linear) → df dictionary + scale-safe
+   * global rank (vocabulary-sized, [[SkewSafe.globalDenseRank]]) → per-doc
+   * prefix window (shuffle by doc_id) → candidate join on rare-shingle
+   * rank → bounded verify joins. Nothing all-pairs, nothing hot.
+   */
+  def prefixFilterJoin(docs: DataFrame, n: Int, tNum: Int,
+                       tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum,
+      s"threshold must be a rational in (0,1], got $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val sh = Materialize(shingles(docs, n))
+    val dfDict = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = SkewSafe.globalDenseRank(dfDict, Seq("df", "sh"), "trank")
+      .select(col("sh"), col("trank"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val prefix = Materialize(sh.join(ranked, "sh")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("trank"))))
+      // prefix length s − ceil(t·s) + 1, ceil as exact integer arithmetic
+      .filter(col("rn") <=
+        col("s") - expr(s"(s * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("trank"), col("s")))
+    val cand = prefix.select(col("doc_id").as("a"), col("trank"),
+        col("s").as("sa"))
+      .join(prefix.select(col("doc_id").as("b"), col("trank"),
+        col("s").as("sb")), Seq("trank"))
+      .filter(col("a") < col("b"))
+      // length prune: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)
+      .filter(greatest(col("sa"), col("sb")) * tNum <=
+        least(col("sa"), col("sb")) * tDen)
+      .select(col("a"), col("b")).distinct()
+    val candM = Materialize(cand)
+    val candIds = candM
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
+    candM
+      .join(shc.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(shc.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .withColumn("n_union", col("sa") + col("sb") - col("n_inter"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+        expr("(n_inter * 1000000000) DIV n_union").as("jaccard9"))
+  }
+
+  /**
    * MinHash signature computed with engine-portable hashing: for hash
    * function i, minhash_i = min over the token set of md5(i || '|' || token).
    * Lexicographic min over hex digests is a valid uniform min-hash and is

@@ -289,4 +289,49 @@ object EmbeddingOps {
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         col("rank"))
   }
+
+  /**
+   * Robust embedding-norm outlier flagging — the vector-sanity gate a
+   * pipeline runs before indexing/training: a truncated decode, a failed
+   * normalization, or a degenerate all-zeros row shows up as an extreme
+   * ‖v‖², and median/MAD is the robust location/scale pair that a few
+   * such rows cannot drag (unlike mean/stddev). Everything is exact
+   * integer arithmetic: components quantize to a 10³ grid (the scaled
+   * double-rounding idiom, so Spark's truncating cast and DuckDB's
+   * rounding cast agree), ‖v‖² is an order-free integer sum, and both
+   * "medians" are the rank-⌈n/2⌉ element under a total (value, id) order
+   * — no interpolation, no float. Flag: dev > k·MAD. Known MAD caveat
+   * (documented, inherent): if over half the mass shares one norm, MAD
+   * is 0 and every other value flags — the right reading for embedding
+   * sanity, where identical norms at scale mean something already went
+   * wrong upstream.
+   *
+   * Shape at scale: posexplode → one hash aggregate on id (corpus-linear,
+   * map-side combinable); each median is a [[SkewSafe.globalDenseRank]]
+   * (range partition + local rank + broadcast offsets — no single-task
+   * sort) filtered to one row and broadcast back. Nothing corpus-sized
+   * crosses the driver.
+   */
+  def normOutliers(emb: DataFrame, idCol: String = "vec_id",
+                   k: Int = 3): DataFrame = {
+    val n2 = emb
+      .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col(idCol),
+        round(round(col("x").cast("double"), 3) * lit(1e3), 0)
+          .cast("long").as("xg"))
+      .groupBy(col(idCol)).agg(sum(col("xg") * col("xg")).as("n2"))
+    val cnt = n2.agg(count(lit(1)).as("n"))
+    def rankMid(df: DataFrame, valCol: String, out: String): DataFrame =
+      SkewSafe.globalDenseRank(df, Seq(valCol, idCol), "rk")
+        .crossJoin(broadcast(cnt))
+        .filter(col("rk") === expr("(n + 1) DIV 2"))
+        .select(col(valCol).as(out))
+    val med = rankMid(n2, "n2", "med")
+    val dev = n2.crossJoin(broadcast(med))
+      .select(col(idCol), col("n2"), abs(col("n2") - col("med")).as("dev"))
+    val mad = rankMid(dev.select(col(idCol), col("dev")), "dev", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col(idCol), col("n2"), col("dev"),
+        (col("dev") > col("mad") * k).as("is_outlier"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical data-layout operators — the write-side clustering step that
+ * makes 100 TB scans cheap. A table sorted by a single column prunes
+ * row groups on that column only; a table sorted by a Z-ORDER key
+ * (Morton curve: bit-interleaved quantized dimensions) keeps EVERY
+ * interleaved dimension locally clustered, so parquet min/max stats
+ * prune multi-dimensional predicates after one write. (Same idea as
+ * Delta/Iceberg OPTIMIZE ZORDER BY; here as a pure column so any writer
+ * can `repartitionByRange(zkey).sortWithinPartitions(zkey)`.)
+ *
+ * Everything is exact integer arithmetic: dimensions quantize to
+ * `bits`-bit buckets with a truncating DIV against the corpus min/max
+ * (a 1-row broadcast attach), and the interleave is a fixed sum of
+ * shift/mask terms — bit-reproducible on any engine, so the oracle
+ * replays the whole key.
+ */
+object Layout {
+
+  /** The interleave expression for `k` dims × `bits` bits: bit `j` of
+   * bucket `d` lands at position `j·k + (k−1−d)` — dim 0 owns the most
+   * significant bit of each group, the classic Morton layout. Emitted as
+   * a SQL string over the given bucket column names so the SAME term
+   * structure can be mirrored in the oracle dialect. */
+  def interleaveSql(bucketCols: Seq[String], bits: Int): String = {
+    val k = bucketCols.size
+    (for {
+      j <- 0 until bits
+      (c, d) <- bucketCols.zipWithIndex
+    } yield s"shiftleft(shiftright($c, $j) & 1, ${j * k + (k - 1 - d)})")
+      .mkString(" + ")
+  }
+
+  /** DuckDB-dialect mirror of [[interleaveSql]] (operators instead of
+   * shift functions — identical arithmetic). */
+  def interleaveSqlDuck(bucketCols: Seq[String], bits: Int): String = {
+    val k = bucketCols.size
+    (for {
+      j <- 0 until bits
+      (c, d) <- bucketCols.zipWithIndex
+    } yield s"((($c >> $j) & 1) << ${j * k + (k - 1 - d)})")
+      .mkString(" + ")
+  }
+
+  /**
+   * Z-order key over `dims` (BIGINT columns): quantize each dim to
+   * `bits` buckets over its corpus [min, max] — `((x − min) · (2^bits−1))
+   * DIV max(1, max − min)`, truncating integer division — then Morton-
+   * interleave. Emits the input row plus per-dim bucket columns
+   * (`zb0..zbK`) and the final `zkey`.
+   *
+   * Shape at scale: ONE min/max aggregate over the corpus (map-side
+   * combinable, 1-row broadcast attach) + a narrow per-row projection.
+   * The write-side consumer then range-partitions on zkey — the sort is
+   * the writer's, not this operator's. Caller must keep
+   * `(x − min) · (2^bits − 1)` inside BIGINT: pre-scale coarse units
+   * (e.g. µs not ns timestamps) for wide-spread dims.
+   */
+  def zorderKey(df: DataFrame, dims: Seq[String],
+                bits: Int = 16): DataFrame = {
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
+      s"need 1..62 total key bits, got ${dims.size} dims x $bits bits")
+    val maxBucket = (1L << bits) - 1
+    val mmCols = dims.zipWithIndex.flatMap { case (d, i) =>
+      Seq(min(col(d)).as(s"mn$i"), max(col(d)).as(s"mx$i"))
+    }
+    val mm = df.agg(mmCols.head, mmCols.tail: _*)
+    val bucketCols = dims.indices.map(i => s"zb$i")
+    val bucketed = dims.zipWithIndex.foldLeft(df.crossJoin(broadcast(mm))) {
+      case (acc, (d, i)) => acc.withColumn(s"zb$i",
+        expr(s"(($d - mn$i) * $maxBucket) DIV greatest(1, mx$i - mn$i)"))
+    }
+    bucketed
+      .withColumn("zkey", expr(interleaveSql(bucketCols, bits)))
+      .drop(dims.indices.flatMap(i => Seq(s"mn$i", s"mx$i")): _*)
+  }
+}

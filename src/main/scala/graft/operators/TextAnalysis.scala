@@ -172,6 +172,37 @@ object TextAnalysis {
   }
 
   /**
+   * Per-stratum n-gram diversity — the repetitiveness signal a corpus
+   * auditor reads per source/domain before mixing: distinct word
+   * `n`-grams over total word `n`-grams on an exact 10⁹ integer grid
+   * (positive BIGINT division, so Spark `DIV` ≡ DuckDB `//`). A source
+   * whose crawler loops template pages scores near 0; natural text near
+   * 1. Docs shorter than `n` words contribute nothing.
+   *
+   * Shape at scale: n-gram explode (corpus-token linear) → one hash
+   * aggregate on (stratum, gram) for the distinct side — Spark plans
+   * count(DISTINCT) as a partial-deduped two-phase aggregate, so hot
+   * grams collapse map-side; never a corpus×corpus anything.
+   */
+  def ngramDiversity(docs: DataFrame, stratumCol: String, n: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val parts = (0 until n)
+      .map(j => s"element_at(w, CAST(i + $j AS INT))").mkString(", ")
+    docs
+      .select(col(stratumCol).as("stratum"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("stratum"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $parts))")).as("gram"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .select(col("stratum"), col("n_grams"), col("n_distinct"),
+        expr("(n_distinct * 1000000000) DIV n_grams").as("diversity9"))
+  }
+
+  /**
    * SimHash document fingerprint over the distinct-token set, `nBits` wide
    * (bit b comes from hex digit b/4 of each token's md5 — fully portable
    * arithmetic, so the oracle reproduces it exactly). Same-fingerprint docs

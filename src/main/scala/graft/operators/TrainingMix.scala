@@ -324,6 +324,106 @@ object TrainingMix {
         sum(col("nr")).as("n_spans"))
   }
 
+  /** Shared lexical-quality score on an exact integer grid: type/token
+   * ratio × 10⁶ as pure integer arithmetic — `(distinct_words · 10⁶) DIV
+   * words`, both operands positive BIGINTs so Spark's truncating `DIV`
+   * and DuckDB's flooring `//` agree digit-for-digit. One narrow per-row
+   * projection; the signal [[preferencePairs]] and [[curriculumOrder]]
+   * rank on. */
+  def ttr6(textCol: String): Column = expr(
+    s"(CAST(size(array_distinct(split($textCol, ' '))) AS BIGINT) * 1000000)" +
+      s" DIV CAST(size(split($textCol, ' ')) AS BIGINT)")
+
+  /**
+   * Preference-pair construction — the RLHF / DPO data-assembly step:
+   * within each prompt group (here the grouping columns, e.g. a prompt id
+   * or (lang, source) stratum), pair the best-scoring response with the
+   * worst as (chosen, rejected) plus the score margin. Scoring rides the
+   * integer [[ttr6]] grid; ties break to the SMALLER doc id on both arms,
+   * and groups whose best and worst tie (margin 0) emit nothing — a
+   * zero-margin pair carries no preference signal.
+   *
+   * Shape at scale: ONE map-side-combinable hash aggregate over the group
+   * key — argmax/argmin fold as `max(struct(score, -id))` /
+   * `min(struct(score, id))` partials, so no window, no second shuffle,
+   * and a hot prompt group costs its combiner nothing.
+   */
+  def preferencePairs(docs: DataFrame, groupCols: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val keys = groupCols.map(col)
+    docs.select(keys :+ col(idCol).as("id") :+ ttr6(textCol).as("s6"): _*)
+      .groupBy(keys: _*)
+      .agg(max(struct(col("s6"), (-col("id")).as("nid"))).as("mx"),
+        min(struct(col("s6"), col("id"))).as("mn"),
+        count(lit(1)).as("n_group"))
+      .filter(col("mx.s6") > col("mn.s6"))
+      .select(keys ++ Seq(
+        (-col("mx.nid")).as("chosen_id"), col("mx.s6").as("chosen6"),
+        col("mn.id").as("rejected_id"), col("mn.s6").as("rejected6"),
+        (col("mx.s6") - col("mn.s6")).as("margin6"), col("n_group")): _*)
+  }
+
+  /**
+   * Power-of-two length bucketing with padding-waste accounting — the
+   * batch-shape planning step before packed/padded training: docs land in
+   * the smallest ladder bucket (16·2^k words) that holds them, and each
+   * bucket reports how many pad tokens a pad-to-bucket batcher would burn
+   * (`waste9` = padded fraction on a 10⁹ grid, exact integer division).
+   * Docs beyond the ladder top round up to the next multiple of the top
+   * rung — `((nw + top-1) DIV top) · top` — so padding is never negative.
+   *
+   * Shape at scale: a narrow per-row CASE projection + one map-side-
+   * combinable aggregate over ≤ a dozen bucket groups. Nothing shuffles
+   * but the bucket dictionary.
+   */
+  def lengthBuckets(docs: DataFrame, textCol: String = "text",
+                    rungs: Seq[Int] = Seq(16, 32, 64, 128, 256, 512))
+  : DataFrame = {
+    require(rungs.nonEmpty && rungs == rungs.sorted,
+      s"rungs must be ascending, got $rungs")
+    val top = rungs.last
+    val nw = expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)")
+    val bucket = rungs.init.foldRight(
+      when(nw <= top, lit(top.toLong)).otherwise(
+        expr(s"((CAST(size(split($textCol, ' ')) AS BIGINT) + ${top - 1})" +
+          s" DIV $top) * $top"))) { (r, acc) =>
+      when(nw <= r, lit(r.toLong)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket"), nw.as("nw"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("sum_words"),
+        sum(col("bucket") - col("nw")).as("pad_words"))
+      .select(col("bucket"), col("n_docs"), col("sum_words"),
+        col("pad_words"),
+        expr("(pad_words * 1000000000) DIV (n_docs * bucket)").as("waste9"))
+  }
+
+  /**
+   * Quality-curriculum global ordering — easy/clean data first: every doc
+   * gets a total curriculum rank ordered by (quality bucket DESC, md5
+   * shuffle key, id). The bucket is the [[ttr6]] decile, so the order is
+   * "best decile in random order, then the next decile…" — the standard
+   * curriculum schedule with deterministic within-bucket shuffling (same
+   * seed ⇒ same order on any engine or partitioning).
+   *
+   * Shape at scale: the total order materializes through
+   * [[SkewSafe.globalDenseRank]] — range partition + per-partition local
+   * rank + a numPartitions-row broadcast offset dictionary. No global
+   * single-task sort; keys are unique (id tie-break) so dense rank IS the
+   * row number.
+   */
+  def curriculumOrder(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      seed: String = "graft"): DataFrame = {
+    val scored = docs.select(col(idCol), ttr6(textCol).as("s6"))
+      .withColumn("qbucket", expr("s6 DIV 100000"))
+      .withColumn("negq", -col("qbucket"))
+      .withColumn("skey", Curation.sampleKey(col(idCol), seed))
+    SkewSafe.globalDenseRank(scored, Seq("negq", "skey", idCol), "crank")
+      .select(col(idCol), col("qbucket"), col("crank"))
+  }
+
   def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
                     seed: String = "graft"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

@@ -1,0 +1,195 @@
+package graft
+
+import graft.operators.{Curation, EmbeddingOps, TextAnalysis, TrainingMix}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-6 training-pipeline additions: frozen holdout splits, preference
+ * pairs, length bucketing, curriculum ordering, n-gram diversity, and the
+ * robust norm-outlier gate. Each test pins the semantics the oracle can't
+ * see from one scale factor (determinism, stability under re-ingest,
+ * degenerate groups, tie-breaks, planted outliers).
+ */
+class Round6OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("holdoutSplit: ~80/10/10, deterministic, and stable under re-ingest") {
+    val corpus = (1L to 2000L).map(i => (i, "en", "s", "w")).toSeq
+    val split = Curation.holdoutSplit(docs(corpus), "doc_id", 0.8, 0.1)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val byName = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byName("train") - 1600) < 80, s"train=${byName("train")}")
+    assert(math.abs(byName("val") - 200) < 50, s"val=${byName("val")}")
+    assert(math.abs(byName("test") - 200) < 50, s"test=${byName("test")}")
+    // re-ingest: a grown corpus must not move any existing doc's split
+    val grown = Curation.holdoutSplit(
+      docs(corpus ++ (9001L to 9500L).map(i => (i, "en", "s", "w"))),
+      "doc_id", 0.8, 0.1)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(corpus.forall { case (id, _, _, _) => grown(id) == split(id) },
+      "split drifted on re-ingest")
+    // partitioning-independent
+    val re = Curation.holdoutSplit(docs(corpus).repartition(13),
+      "doc_id", 0.8, 0.1)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(re === split)
+  }
+
+  test("preferencePairs: best-vs-worst, small-id ties, degenerate groups") {
+    val d = docs(Seq(
+      // group g1: doc 1 diverse (4/4 words), doc 2 repetitive (2/4)
+      (1L, "en", "g1", "a b c d"),
+      (2L, "en", "g1", "a a b b"),
+      (3L, "en", "g1", "a a a b"),            // worst (2/4 ties doc 2 → id 2 wins)
+      // group g2: all docs tie → margin 0 → emits nothing
+      (4L, "en", "g2", "x y"), (5L, "en", "g2", "p q"),
+      // group g3: single doc → emits nothing
+      (6L, "en", "g3", "only one doc here")))
+    val pairs = TrainingMix.preferencePairs(d, Seq("lang", "source"))
+      .select($"source", $"chosen_id", $"rejected_id", $"margin6", $"n_group")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.map(_._1) === Seq("g1"), s"got $pairs")
+    val (_, chosen, rejected, margin, n) = pairs.head
+    assert(chosen === 1L, "highest TTR wins")
+    assert(rejected === 2L, "tie on worst breaks to the smaller id")
+    assert(margin === 1000000L - 500000L)
+    assert(n === 3L)
+  }
+
+  test("lengthBuckets: ladder boundaries, beyond-top rounding, exact waste") {
+    def doc(id: Long, n: Int) = (id, "en", "s", Seq.fill(n)("w").mkString(" "))
+    val b = TrainingMix.lengthBuckets(
+      docs(Seq(doc(1, 16), doc(2, 17), doc(3, 512), doc(4, 513), doc(5, 1025))))
+      .select($"bucket", $"n_docs", $"pad_words", $"waste9")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(b(16L) === ((1L, 0L, 0L)))          // exactly full, zero waste
+    assert(b(32L) === ((1L, 15L, 15L * 1000000000L / 32L)))
+    assert(b(512L) === ((1L, 0L, 0L)))
+    assert(b(1024L) === ((1L, 511L, 511L * 1000000000L / 1024L)))
+    assert(b(1536L) === ((1L, 511L, 511L * 1000000000L / 1536L)))
+    assert(b.values.forall(_._2 >= 0L), "padding must never be negative")
+  }
+
+  test("curriculumOrder: a permutation, deciles strictly descend, stable") {
+    val d = docs((1L to 300L).map { i =>
+      // thirds of distinct quality: all-distinct, half, quarter
+      val text = if (i % 3 == 0) (1 to 8).map(j => s"t${i}_$j").mkString(" ")
+      else if (i % 3 == 1) "a b c d a b c d"
+      else "a a a b a a a b"
+      (i, "en", "s", text)
+    })
+    val order = TrainingMix.curriculumOrder(d)
+      .select($"doc_id", $"qbucket", $"crank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(order.map(_._3).sorted === (1L to 300L), "ranks form a permutation")
+    // within the rank order, qbucket is non-increasing (curriculum runs
+    // best decile first)
+    val byRank = order.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    val re = TrainingMix.curriculumOrder(d.repartition(7))
+      .select($"doc_id", $"crank").as[(Long, Long)].collect().toMap
+    assert(re === order.map(t => t._1 -> t._3).toMap, "repartition-stable")
+  }
+
+  test("ngramDiversity: exact ratios, short docs excluded") {
+    val d = docs(Seq(
+      (1L, "en", "clean", "a b c d"),     // grams: "a b c","b c d" — all distinct
+      (2L, "en", "loop", "x y x y x y"),  // 4 grams, 2 distinct
+      (3L, "en", "tiny", "a b")))         // < 3 words: contributes nothing
+    val r = TextAnalysis.ngramDiversity(d, "source", 3)
+      .select($"stratum", $"n_grams", $"n_distinct", $"diversity9")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r("clean") === ((2L, 2L, 1000000000L)))
+    assert(r("loop") === ((4L, 2L, 500000000L)))
+    assert(!r.contains("tiny"))
+  }
+
+  test("prefixFilterJoin: lossless vs brute, hot boilerplate shingle inert") {
+    import graft.operators.DocDedup
+    // 60 docs over a tiny template (every doc shares the "the same header"
+    // boilerplate shingle) + 3 planted near-dup pairs
+    val base = (1L to 60L).map { i =>
+      val body = (1 to 10).map(j => s"w${(i * 7 + j * 3) % 97}_$i").mkString(" ")
+      (i, "en", "s", s"the same header $body")
+    }
+    val planted = Seq(
+      (101L, "en", "s", "the same header alpha beta gamma delta epsilon zeta"),
+      (102L, "en", "s", "the same header alpha beta gamma delta epsilon eta"),
+      (103L, "en", "s", "unique pad one two alpha beta gamma delta epsilon zeta"))
+    val d = docs(base ++ planted)
+    val got = DocDedup.prefixFilterJoin(d, n = 3, tNum = 1, tDen = 2)
+      .select($"a", $"b", $"jaccard9").as[(Long, Long, Long)]
+      .collect().toSet
+    // brute ground truth from the same shingle definition
+    val sh = DocDedup.shingles(d, 3)
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sh.groupBy($"doc_id").count().select($"doc_id".as("a"),
+        $"count".as("na")), "a")
+      .join(sh.groupBy($"doc_id").count().select($"doc_id".as("b"),
+        $"count".as("nb")), "b")
+      .filter($"ni" * 2 >= ($"na" + $"nb" - $"ni"))
+      .select($"a", $"b",
+        expr("(ni * 1000000000) DIV (na + nb - ni)").as("j9"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute, "prefix filter must drop no qualifying pair")
+    assert(got.map(t => (t._1, t._2)).contains((101L, 102L)),
+      "planted near-dup found")
+    // the boilerplate shingle is in every doc — if it entered prefixes the
+    // candidate set would be ~all-pairs; the planted 103 pairs with nobody
+    // (its Jaccard vs 101/102 is below 1/2) and the bulk stays un-paired
+    assert(!got.exists(t => t._2 == 103L || t._1 == 103L))
+  }
+
+  test("zorderKey: exact Morton interleave and per-cell locality bound") {
+    import graft.operators.Layout
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(j =>
+        (((a >> j) & 1L) << (2 * j + 1)) | (((b >> j) & 1L) << (2 * j))).sum
+    // dims span exactly [0, 65535] so bucket == value and the key is
+    // checkable against the scalar reference bit-for-bit
+    val rows = (Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      (1L to 400L).map(i => ((i * 2654435761L) % 65536, (i * 40503L) % 65536)))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = rows.toDF("id", "d0", "d1")
+    val keyed = Layout.zorderKey(df, Seq("d0", "d1"))
+      .select($"id", $"zb0", $"zb1", $"zkey")
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    keyed.foreach { case (id, zb0, zb1, zkey) =>
+      val (a, b) = byId(id)
+      assert((zb0, zb1) === ((a, b)), "identity buckets on a full-span dim")
+      assert(zkey === morton(a, b), s"zkey mismatch for ($a,$b)")
+    }
+    // locality: rows sharing the top 8 key bits (4 per dim) sit in a
+    // 4096-wide cell on EVERY dim — the property row-group pruning uses
+    keyed.groupBy(_._4 >> 24).values.foreach { cell =>
+      assert(cell.map(_._2).max - cell.map(_._2).min < 4096)
+      assert(cell.map(_._3).max - cell.map(_._3).min < 4096)
+    }
+  }
+
+  test("normOutliers: planted blow-up flagged, bulk clean, deterministic") {
+    val dim = 8
+    val emb = ((1L to 99L).map { i =>
+      // unit-ish bulk: one-hot with tiny jitter in a second dim
+      (i, Array.tabulate(dim)(d =>
+        if (d == (i % dim).toInt) 1.0f
+        else if (d == ((i + 1) % dim).toInt) 0.1f else 0.0f))
+    } :+ (100L, Array.fill(dim)(10.0f))).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.normOutliers(emb)
+      .select($"vec_id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(100L), "norm 800 vs bulk 1.01 must flag")
+    assert((1L to 99L).forall(!out(_)), "bulk must stay clean")
+    val re = EmbeddingOps.normOutliers(emb.repartition(11))
+      .select($"vec_id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(re === out)
+  }
+}
