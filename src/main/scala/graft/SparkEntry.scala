@@ -2290,6 +2290,23 @@ object SparkEntry {
       // out of globalDenseRank + 1-row broadcasts
       EmbeddingOps.normOutliers(t(s, dir, "embeddings"))),
 
+    "q_funnel_steps" -> ((s, dir) => {
+      // ordered conversion funnel signup → click → purchase: each step's
+      // entry time is the first qualifying event STRICTLY AFTER the
+      // previous step (a click before the signup never counts). Three
+      // map-side-combinable min-aggregates chained by hash joins on the
+      // user key — no window, no sort, no state
+      operators.EventAnalytics.funnelSteps(ev(s, dir), "key", "writetime",
+        Seq("signup", "click", "purchase"))
+    }),
+
+    "q_retention_cohorts" -> ((s, dir) =>
+      // cohort retention matrix: users bucketed by first-activity week,
+      // counted once per (cohort, age) cell — the classic triangle. Two
+      // key-hash aggregates + one map-side-combinable rollup
+      operators.EventAnalytics.retentionCohorts(ev(s, dir), "key",
+        "writetime", periodUnits = 604800000000L)),
+
     "q_zorder_events" -> ((s, dir) => {
       // write-side Z-order clustering key on (user_id, event-time µs):
       // 16-bit quantized dims Morton-interleaved — the layout that lets
@@ -4809,6 +4826,26 @@ object SparkEntry {
            row_number() OVER (ORDER BY dev, vec_id) AS rk FROM d),
          md AS (SELECT dev AS mad FROM rd, c WHERE rk = (n + 1) // 2)
          SELECT vec_id, n2, dev, dev > mad * 3 AS is_outlier FROM d, md""",
+
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
+           FROM events),
+         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
+           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
+         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
+           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1)
+         SELECT s1."key", t1, t2, t3 FROM s1
+         LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key")""",
+
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id AS "key",
+           epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT "key", MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+         SELECT cohort_wk, wk - cohort_wk AS age_wk,
+           CAST(COUNT(DISTINCT e."key") AS BIGINT) AS n_users
+         FROM e JOIN f USING ("key") GROUP BY 1, 2""",
 
     // the Morton interleave is the same term structure in both dialects
     // (shift functions vs operators); buckets are non-negative so DuckDB's

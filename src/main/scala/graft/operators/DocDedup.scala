@@ -149,10 +149,11 @@ object DocDedup {
    * verification; the exact intersection count then runs only over
    * candidate docs (semi-join bounded, like [[jaccardVerify]]).
    *
-   * Shape: shingle explode (corpus-linear) → df dictionary + scale-safe
-   * global rank (vocabulary-sized, [[SkewSafe.globalDenseRank]]) → per-doc
-   * prefix window (shuffle by doc_id) → candidate join on rare-shingle
-   * rank → bounded verify joins. Nothing all-pairs, nothing hot.
+   * Shape: shingle explode (corpus-linear) → df dictionary join → per-doc
+   * prefix window ordered by (df, shingle) directly (only the total order
+   * matters for the lemma, never a rank value — no global rank
+   * materializes) → candidate join on the rare prefix shingles → bounded
+   * verify joins. Nothing all-pairs, nothing hot.
    */
   def prefixFilterJoin(docs: DataFrame, n: Int, tNum: Int,
                        tDen: Int): DataFrame = {
@@ -161,21 +162,22 @@ object DocDedup {
     import org.apache.spark.sql.expressions.Window
     val sh = Materialize(shingles(docs, n))
     val dfDict = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ranked = SkewSafe.globalDenseRank(dfDict, Seq("df", "sh"), "trank")
-      .select(col("sh"), col("trank"))
+    // only the TOTAL ORDER (df asc, sh asc) matters for the prefix lemma,
+    // never a rank value — so the per-doc window orders by the pair
+    // directly and no global rank materializes at all
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val prefix = Materialize(sh.join(ranked, "sh")
+    val prefix = Materialize(sh.join(dfDict, "sh")
       .join(sizes, "doc_id")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("trank"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       // prefix length s − ceil(t·s) + 1, ceil as exact integer arithmetic
       .filter(col("rn") <=
         col("s") - expr(s"(s * $tNum + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("doc_id"), col("trank"), col("s")))
-    val cand = prefix.select(col("doc_id").as("a"), col("trank"),
+      .select(col("doc_id"), col("sh"), col("s")))
+    val cand = prefix.select(col("doc_id").as("a"), col("sh"),
         col("s").as("sa"))
-      .join(prefix.select(col("doc_id").as("b"), col("trank"),
-        col("s").as("sb")), Seq("trank"))
+      .join(prefix.select(col("doc_id").as("b"), col("sh"),
+        col("s").as("sb")), Seq("sh"))
       .filter(col("a") < col("b"))
       // length prune: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)
       .filter(greatest(col("sa"), col("sb")) * tNum <=

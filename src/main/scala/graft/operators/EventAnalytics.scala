@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream product analytics — the aggregate consumers a CDC events
+ * topic feeds (the reference's data-topic subscribers run exactly these
+ * rollups downstream): ordered conversion funnels and cohort retention.
+ *
+ * Both are built from map-side-combinable key-hash aggregates chained by
+ * equi-joins — no windows, no per-key sorts, no driver state — so the
+ * shapes hold when the key space is 10⁹ users.
+ */
+object EventAnalytics {
+
+  /**
+   * Ordered conversion funnel: for each key, the entry time of step i is
+   * the FIRST event of type `steps(i)` STRICTLY AFTER the step-(i−1)
+   * entry (a step-2 event before step 1 never counts — the classic
+   * strict-ordering funnel). Emits one row per key that entered step 1,
+   * with nullable `t1..tN` entry times.
+   *
+   * Shape: one filtered min-aggregate per step, each joined to the
+   * previous step's frame on the key — N small hash joins over
+   * key-partitioned aggregates, never a sort or a collect_list fold.
+   */
+  def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    val frames = steps.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (step, i)) =>
+        events.filter(col("event_type") === step).join(prev, keyCol)
+          .filter(col(tsCol) > col(s"t${i + 1}"))
+          .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t${i + 2}"))
+    }
+    frames.tail.foldLeft(first) { (acc, f) =>
+      acc.join(f, Seq(keyCol), "left_outer")
+    }.select(col(keyCol) +: steps.indices.map(i => col(s"t${i + 1}")): _*)
+  }
+
+  /**
+   * Cohort retention triangle: keys bucketed by first-activity period,
+   * counted once per (cohort, age) cell. `periodUnits` is the period
+   * length in `tsCol` units (e.g. 604800000000 for weeks over µs).
+   *
+   * Shape: per-key distinct + min (one key-hash shuffle), then a
+   * map-side-combinable rollup over the (cohort, age) dictionary.
+   */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+                       periodUnits: Long): DataFrame = {
+    require(periodUnits >= 1, s"periodUnits must be >= 1, got $periodUnits")
+    val e = events.select(col(keyCol),
+      expr(s"$tsCol DIV $periodUnits").as("wk"))
+    val first = e.groupBy(col(keyCol)).agg(min(col("wk")).as("cohort_wk"))
+    e.distinct().join(first, keyCol)
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+}

@@ -148,6 +148,44 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(!got.exists(t => t._2 == 103L || t._1 == 103L))
   }
 
+  test("funnelSteps: strict ordering — out-of-order steps never count") {
+    import graft.operators.EventAnalytics
+    val e = Seq(
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "purchase", 8L),
+      (3L, "signup", 10L), (3L, "click", 20L), (3L, "purchase", 15L),
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      (5L, "signup", 10L), (5L, "click", 10L), (5L, "click", 11L))
+      .toDF("key", "event_type", "wt")
+    val r = EventAnalytics
+      .funnelSteps(e, "key", "wt", Seq("signup", "click", "purchase"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L) === ((Some(10L), Some(20L), Some(30L))), "full conversion")
+    assert(r(2L) === ((Some(10L), None, None)),
+      "click/purchase before signup never count")
+    assert(r(3L) === ((Some(10L), Some(20L), None)),
+      "purchase before the click step is not a conversion")
+    assert(!r.contains(4L), "no signup ⇒ not a funnel entrant")
+    assert(r(5L) === ((Some(10L), Some(11L), None)),
+      "same-timestamp events are not strictly after")
+  }
+
+  test("retentionCohorts: triangle cells exact, users counted once") {
+    import graft.operators.EventAnalytics
+    val e = Seq( // period = 10 ts units
+      (1L, 5L), (1L, 15L), (1L, 16L), (1L, 35L), // cohort 0, ages 0,1,3
+      (2L, 12L),                                 // cohort 1, age 0
+      (3L, 11L), (3L, 33L))                      // cohort 1, ages 0,2
+      .toDF("key", "wt")
+    val r = EventAnalytics.retentionCohorts(e, "key", "wt", 10L)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 2L, (1L, 2L) -> 1L),
+      s"got $r")
+  }
+
   test("zorderKey: exact Morton interleave and per-cell locality bound") {
     import graft.operators.Layout
     def morton(a: Long, b: Long): Long =
