@@ -2307,6 +2307,26 @@ object SparkEntry {
       operators.EventAnalytics.retentionCohorts(ev(s, dir), "key",
         "writetime", periodUnits = 604800000000L)),
 
+    "q_event_paths" -> ((s, dir) => {
+      // top-10 3-step behavior paths: per-user ordered event trigrams
+      // (lead×2 over the key-partitioned stream), counted corpus-wide,
+      // deterministic tie-break. One key-window + one rollup.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("writetime"), col("event_id"))
+      ev(s, dir)
+        .select(col("key"), col("event_type"), col("writetime"),
+          col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+          col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
     "q_zorder_events" -> ((s, dir) => {
       // write-side Z-order clustering key on (user_id, event-time µs):
       // 16-bit quantized dims Morton-interleaved — the layout that lets
@@ -4846,6 +4866,18 @@ object SparkEntry {
          SELECT cohort_wk, wk - cohort_wk AS age_wk,
            CAST(COUNT(DISTINCT e."key") AS BIGINT) AS n_users
          FROM e JOIN f USING ("key") GROUP BY 1, 2""",
+
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt,
+           event_id FROM events),
+         s AS (SELECT event_type AS s1,
+           lead(event_type, 1) OVER w AS s2,
+           lead(event_type, 2) OVER w AS s3
+         FROM e WINDOW w AS (PARTITION BY "key" ORDER BY wt, event_id))
+         SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+         FROM s WHERE s3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, s1, s2, s3 LIMIT 10""",
 
     // the Morton interleave is the same term structure in both dialects
     // (shift functions vs operators); buckets are non-negative so DuckDB's

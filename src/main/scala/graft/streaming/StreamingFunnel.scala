@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event shape for the streaming funnel stage. */
+case class FunnelEvent(key: Long, event_type: String, writetime: Long,
+                       event_id: Long)
+
+/** Per-key funnel progress: entry times of the steps reached so far. */
+case class FunnelProgress(times: List[Long])
+
+/** Emitted once per newly reached step (append-mode friendly). */
+case class FunnelUpdate(key: Long, step: Int, t: Long)
+
+/**
+ * Incremental conversion funnel — the streaming form of
+ * [[graft.operators.EventAnalytics.funnelSteps]]: per-key state holds the
+ * entry times of the steps reached so far; an event advances the funnel
+ * when it is the next step's type and STRICTLY after the previous entry,
+ * and each advance emits one FunnelUpdate row. Batch equivalence holds
+ * under event-time-ordered delivery (the watermark discipline every
+ * streaming aggregate here assumes): with non-decreasing times, the first
+ * qualifying event IS the minimum the batch operator takes; within a
+ * micro-batch, events are applied in (writetime, event_id) order so
+ * intra-batch disorder cannot flip an entry.
+ *
+ * Shape: `groupByKey(key)` — each key's state on exactly one task, the
+ * same per-key lane discipline as [[StreamingDedup]]; state is a ≤|steps|
+ * list of longs, store-backed and partitioned.
+ */
+object StreamingFunnel {
+
+  def funnel(events: Dataset[FunnelEvent],
+             steps: Seq[String]): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    implicit val uEnc = Encoders.product[FunnelUpdate]
+    implicit val kEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        process(steps))(Encoders.product[FunnelProgress], uEnc)
+  }
+
+  private[graft] def process(steps: Seq[String])(
+      key: Long, events: Iterator[FunnelEvent],
+      state: GroupState[FunnelProgress]): Iterator[FunnelUpdate] = {
+    var times = state.getOption.getOrElse(FunnelProgress(Nil)).times
+    val out = List.newBuilder[FunnelUpdate]
+    for (e <- events.toSeq.sortBy(ev => (ev.writetime, ev.event_id))
+         if times.size < steps.size) {
+      val k = times.size
+      if (e.event_type == steps(k) &&
+          (k == 0 || e.writetime > times(k - 1))) {
+        times = times :+ e.writetime
+        out += FunnelUpdate(key, k + 1, e.writetime)
+      }
+    }
+    state.update(FunnelProgress(times))
+    out.result().iterator
+  }
+}

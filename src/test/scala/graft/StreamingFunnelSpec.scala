@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.EventAnalytics
+import graft.streaming.{FunnelEvent, FunnelUpdate, StreamingFunnel}
+
+/**
+ * Streaming funnel ≡ batch funnel under event-time-ordered delivery: the
+ * same events split across micro-batches produce per-key step entries
+ * identical to EventAnalytics.funnelSteps over the union, including the
+ * strict-ordering rejections. State carries across batches through a
+ * shared checkpoint (AvailableNow per batch, the suite-wide pattern).
+ */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Steps = Seq("signup", "click", "purchase")
+
+  private def runBatches(batches: Seq[Seq[FunnelEvent]]): Seq[FunnelUpdate] = {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_funnel").toFile.getAbsolutePath
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingFunnel.funnel(input.toDS(), Steps)
+    for (b <- batches) {
+      input.addData(b)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    spark.read.parquet(s"$tmp/out").as[FunnelUpdate].collect().toSeq
+  }
+
+  test("3-batch split ≡ batch funnel, strictness preserved across batches") {
+    val all = Seq(
+      FunnelEvent(1, "signup", 10, 1), FunnelEvent(1, "click", 20, 2),
+      FunnelEvent(1, "purchase", 30, 3),          // full conversion
+      FunnelEvent(2, "click", 5, 4),              // click before signup
+      FunnelEvent(2, "signup", 12, 5),
+      FunnelEvent(2, "purchase", 14, 6),          // purchase before click
+      FunnelEvent(3, "signup", 11, 7), FunnelEvent(3, "click", 11, 8),
+      FunnelEvent(3, "click", 25, 9),             // same-ts click rejected
+      FunnelEvent(4, "view", 1, 10))              // never enters
+    // time-ordered 3-way split (the watermark discipline)
+    val sorted = all.sortBy(e => (e.writetime, e.event_id))
+    val batches = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val got = runBatches(batches)
+      .groupBy(_.key).view
+      .mapValues(_.sortBy(_.step).map(u => (u.step, u.t))).toMap
+    // batch ground truth over the union
+    val batch = EventAnalytics.funnelSteps(
+        all.toDF("key", "event_type", "writetime", "event_id"),
+        "key", "writetime", Steps)
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+      .map(t => t._1 ->
+        Seq(t._2, t._3, t._4).zipWithIndex
+          .collect { case (Some(v), i) => (i + 1, v) }).toMap
+    assert(got === batch.filter(_._2.nonEmpty),
+      s"stream $got vs batch $batch")
+    // spot-pin the semantics the fixture plants
+    assert(got(1L) === Seq((1, 10L), (2, 20L), (3, 30L)))
+    assert(got(2L) === Seq((1, 12L)))
+    assert(got(3L) === Seq((1, 11L), (2, 25L)))
+    assert(!got.contains(4L))
+  }
+
+  test("a committed batch replayed as data is absorbed by locked state") {
+    val b1 = Seq(FunnelEvent(7, "signup", 10, 1), FunnelEvent(7, "click", 20, 2))
+    val out = runBatches(Seq(b1, b1, // same events again: no new steps
+      Seq(FunnelEvent(7, "purchase", 30, 3))))
+    assert(out.sortBy(_.step).map(u => (u.step, u.t)) ===
+      Seq((1, 10L), (2, 20L), (3, 30L)), s"got $out")
+  }
+}
