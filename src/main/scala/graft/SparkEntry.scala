@@ -1257,6 +1257,22 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "emb_hard_positives" -> ((s, dir) => {
+      // the other half of a contrastive batch: per anchor, the top-5
+      // most-similar SAME-label vectors (self excluded); same
+      // broadcast-bounded exact baseline as emb_hard_negatives
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.hardPositives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("label"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "emb_mrl_truncate" -> ((s, dir) =>
+      // matryoshka truncation audit: fraction of ||v||^2 in the first 16
+      // of 64 dims, exact 1e9 grid — can serving truncate this column?
+      EmbeddingOps.mrlEnergy(t(s, dir, "embeddings"), prefixDims = 16)),
+
     "knn_ivf_ann" -> ((s, dir) => {
       // IVF-bucketed ANN over deterministic spherical-k-means cells (the
       // 100 TB path: cell-local search, queries probe nprobe cells). Fully
@@ -2241,6 +2257,18 @@ object SparkEntry {
       // reproduces these exact integers by replaying the training chain.
       QualityClassifier.trainedWeights(t(s, dir, "documents"),
         minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
+    "curate_classifier_calibration" -> ((s, dir) =>
+      // reliability-diagram data for the trained classifier: score-decile
+      // buckets × weak-label positive rate on the exact 1e9 grid — the
+      // calibration check a score-thresholding pipeline reads before
+      // trusting the cut. One rollup over the scored frame.
+      QualityClassifier.trainAndScore(t(s, dir, "documents"),
+          minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)
+        .groupBy(expr("score9 DIV 100000000").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000000) DIV n").as("pos_rate9"))),
 
     "curate_split_holdout" -> ((s, dir) =>
       // frozen train/val/test assignment: a pure function of (seed, id)
@@ -3824,6 +3852,34 @@ object SparkEntry {
          WHERE q.vec_id < 8 AND e.label <> q.label)
          WHERE rank <= 5""",
 
+    "emb_hard_positives" ->
+      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
+         FROM (
+         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+           e.vec_id, CAST(e.label AS BIGINT) AS label,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 8 AND e.label = q.label AND e.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    "emb_mrl_truncate" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         g AS (SELECT vec_id, i, CAST(round(round(
+           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
+         FROM e),
+         s AS (SELECT vec_id,
+           CAST(SUM(CASE WHEN i <= 16 THEN xg * xg ELSE 0 END) AS BIGINT)
+             AS n2_prefix,
+           CAST(SUM(xg * xg) AS BIGINT) AS n2
+         FROM g GROUP BY 1)
+         SELECT vec_id, n2_prefix, n2,
+           (n2_prefix * 1000000000) // greatest(1, n2) AS energy9
+         FROM s""",
+
     // five-format dispatch: every branch replays the per-format decode
     // proof arithmetically (px_hash = md5 of the lossless pixel hex; wav
     // loudness integers from the sample formula)
@@ -4740,6 +4796,16 @@ object SparkEntry {
     "curate_classifier_score" ->
       (classifierChainSql(25, 75, "0.3", "4.0", 12) +
         classifierScoreSql(12)),
+
+    "curate_classifier_calibration" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) + ", sc AS (" +
+        classifierScoreSql(12) + """)
+       SELECT score9 // 100000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         (CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 1000000000)
+           // CAST(COUNT(*) AS BIGINT) AS pos_rate9
+       FROM sc GROUP BY 1"""),
 
     "curate_classifier_weights" ->
       (classifierChainSql(25, 75, "0.3", "4.0", 12) + """

@@ -290,6 +290,53 @@ object EmbeddingOps {
         col("rank"))
   }
 
+  /** Positive-pair mining — the complement of [[hardNegatives]] a
+   * contrastive batch needs on the other side: per anchor, the top-k
+   * most-similar SAME-label vectors (self excluded). Identical
+   * broadcast-bounded plan shape; at scale the same mining runs through
+   * the IVF probe path. */
+  def hardPositives(anchors: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cosine_similarity
+    val q = broadcast(anchors.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
+    val scored = q.join(c,
+        col("q_label") === col("label") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("rank"))
+  }
+
+  /**
+   * Matryoshka truncation audit (Kusupati et al. 2022: nested
+   * representations are usable at prefix lengths when the leading dims
+   * carry most of the energy): per vector, the fraction of ‖v‖² held by
+   * the first `prefixDims` dimensions on the exact 10⁹ grid — the signal
+   * that says whether serving can truncate this embedding column. Pure
+   * integer arithmetic on the 10³ component grid; one posexplode + one
+   * map-side-combinable aggregate, no join at all.
+   */
+  def mrlEnergy(emb: DataFrame, prefixDims: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val xg = round(round(col("x").cast("double"), 3) * lit(1e3), 0)
+      .cast("long")
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), xg.as("xg"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("pos") < prefixDims, col("xg") * col("xg"))
+          .otherwise(0L)).as("n2_prefix"),
+        sum(col("xg") * col("xg")).as("n2"))
+      .select(col("vec_id"), col("n2_prefix"), col("n2"),
+        expr("(n2_prefix * 1000000000) DIV greatest(1, n2)").as("energy9"))
+  }
+
   /**
    * Robust embedding-norm outlier flagging — the vector-sanity gate a
    * pipeline runs before indexing/training: a truncated decode, a failed
