@@ -60,3 +60,42 @@ object StreamingFunnel {
     out.result().iterator
   }
 }
+
+/** (key, period) cohort assignment emitted exactly once per key. */
+case class FirstTouch(key: Long, cohort_wk: Long)
+
+/**
+ * Streaming first-touch attribution — the stateful front half of
+ * [[graft.operators.EventAnalytics.retentionCohorts]]: per-key GroupState
+ * remembers whether the key has been seen; the first event (by event
+ * time, ties on event_id within a batch) emits its period bucket as the
+ * key's cohort, exactly once, forever. Downstream retention is then a
+ * STATELESS per-batch rollup against this frozen cohort table — the
+ * streaming decomposition of the batch triangle. Under event-time-ordered
+ * delivery the first event seen IS the batch min, so cohorts are
+ * identical to the batch operator's.
+ */
+object StreamingFirstTouch {
+
+  def firstTouch(events: Dataset[FunnelEvent],
+                 periodUnits: Long): Dataset[FirstTouch] = {
+    require(periodUnits >= 1, s"periodUnits must be >= 1, got $periodUnits")
+    implicit val fEnc = Encoders.product[FirstTouch]
+    implicit val kEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process(periodUnits))(
+        Encoders.scalaBoolean, fEnc)
+  }
+
+  private[graft] def process(periodUnits: Long)(
+      key: Long, events: Iterator[FunnelEvent],
+      state: GroupState[Boolean]): Iterator[FirstTouch] = {
+    if (state.getOption.contains(true) || events.isEmpty) Iterator.empty
+    else {
+      state.update(true)
+      val first = events.minBy(e => (e.writetime, e.event_id))
+      Iterator.single(FirstTouch(key, first.writetime / periodUnits))
+    }
+  }
+}

@@ -68,6 +68,41 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("firstTouch: one cohort per key, ≡ batch retention front half") {
+    import graft.streaming.{FirstTouch, StreamingFirstTouch}
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_ft").toFile.getAbsolutePath
+    val all = Seq(
+      FunnelEvent(1, "view", 5, 1), FunnelEvent(1, "view", 15, 2),
+      FunnelEvent(1, "view", 35, 3),
+      FunnelEvent(2, "view", 12, 4),
+      FunnelEvent(3, "view", 11, 5), FunnelEvent(3, "view", 33, 6))
+    val sorted = all.sortBy(e => (e.writetime, e.event_id))
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingFirstTouch.firstTouch(input.toDS(), periodUnits = 10L)
+    for (b <- sorted.grouped(2).toSeq) {
+      input.addData(b)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val got = spark.read.parquet(s"$tmp/out").as[FirstTouch]
+      .collect().toSeq
+    assert(got.size === got.map(_.key).distinct.size,
+      "exactly one cohort emission per key")
+    // ≡ the batch operator's cohort assignment (min week per key)
+    val batch = EventAnalytics.retentionCohorts(
+        all.toDF("key", "event_type", "writetime", "event_id")
+          .select($"key", $"writetime"), "key", "writetime", 10L)
+      .filter($"age_wk" === 0)
+    val batchCohorts = all.groupBy(_.key).view
+      .mapValues(_.map(_.writetime).min / 10L).toMap
+    assert(got.map(f => f.key -> f.cohort_wk).toMap === batchCohorts)
+    assert(batch.count() > 0)
+  }
+
   test("a committed batch replayed as data is absorbed by locked state") {
     val b1 = Seq(FunnelEvent(7, "signup", 10, 1), FunnelEvent(7, "click", 20, 2))
     val out = runBatches(Seq(b1, b1, // same events again: no new steps
