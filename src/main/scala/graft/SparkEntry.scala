@@ -2258,6 +2258,22 @@ object SparkEntry {
       QualityClassifier.trainedWeights(t(s, dir, "documents"),
         minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
 
+    "curate_snapshot_diff" -> ((s, dir) => {
+      // re-crawl audit: snapshot B is derived from the corpus
+      // deterministically (every-7th doc dropped, every-5th doc's text
+      // re-prefixed, every-11th re-keyed as new) and diffed against A by
+      // content fingerprint — one full-outer id join; rolled up by status
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Curation.snapshotDiff(a, b, "doc_id")
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     "curate_classifier_calibration" -> ((s, dir) =>
       // reliability-diagram data for the trained classifier: score-decile
       // buckets × weak-label positive rate on the exact 1e9 grid — the
@@ -4796,6 +4812,25 @@ object SparkEntry {
     "curate_classifier_score" ->
       (classifierChainSql(25, 75, "0.3", "4.0", 12) +
         classifierScoreSql(12)),
+
+    "curate_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+         b0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 11 = 0),
+         b AS (SELECT doc_id, md5(text) AS new_fp FROM b0),
+         d AS (SELECT
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN old_fp = new_fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY 1""",
 
     "curate_classifier_calibration" ->
       (classifierChainSql(25, 75, "0.3", "4.0", 12) + ", sc AS (" +

@@ -96,6 +96,27 @@ object Curation {
   }
 
   /**
+   * Corpus snapshot diff — the audit between two crawls/builds of the
+   * same dataset: per id, `added` (only in the new snapshot), `removed`
+   * (only in the old), `changed` (content fingerprint differs),
+   * `unchanged`. This is what a training-data release note is built from,
+   * and what an incremental pipeline uses to bound recomputation. One
+   * full-outer hash join on the id over md5 fingerprints — content never
+   * moves, only (id, 32-hex) pairs shuffle.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("old_fp"))
+    val n = newSnap.select(col(idCol), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Contamination report: for each corpus document, how many of its
    * distinct n-grams also occur in the benchmark set. The benchmark's
    * distinct shingle set is typically small (broadcast); the corpus side

@@ -148,6 +148,17 @@ class Round6OperatorsSpec extends SparkSpec {
     assert(!got.exists(t => t._2 == 103L || t._1 == 103L))
   }
 
+  test("snapshotDiff: all four statuses exact on a crafted re-crawl") {
+    val a = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val d = Curation.snapshotDiff(a, b, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("funnelSteps: strict ordering — out-of-order steps never count") {
     import graft.operators.EventAnalytics
     val e = Seq(
