@@ -1089,6 +1089,38 @@ object SparkEntry {
       // comparison a tokenizer decision is made on
       Bpe.maxMatchTokenize(t(s, dir, "documents"), wpVocab(s, dir))),
 
+    "text_unigram_segment" -> ((s, dir) =>
+      // unigram-LM Viterbi inference (SentencePiece, Kudo 2018) —
+      // completes the subword trio next to BPE merge-replay and
+      // WordPiece max-match: minimum-cost segmentation under integer
+      // floor-log2 piece costs, the whole DP evaluated as one fold
+      // inside each dictionary row; the full piece string pins every
+      // Viterbi split decision in the oracle
+      Bpe.unigramSegments(t(s, dir, "documents"))),
+
+    "text_unigram_tokenize" -> ((s, dir) =>
+      // per-doc rollup under unigram Viterbi: the third fertility
+      // column of the tokenizer-family comparison
+      Bpe.unigramTokenize(t(s, dir, "documents"))),
+
+    "text_keyword_tfidf" -> ((s, dir) =>
+      // per-doc top-5 keywords by pure-integer tf·idf (idf9 = 10⁹·N DIV
+      // df): token explode → dictionary df join → per-doc top-k window
+      TextAnalysis.keywordTfIdf(t(s, dir, "documents"), k = 5)),
+
+    "profile_columns" -> ((s, dir) =>
+      // column-level admission profile of the events table: null
+      // counts, exact cardinalities, string ranges — one scan via the
+      // multi-distinct Expand, output one row per column
+      operators.Profiling.profile(t(s, dir, "events"))),
+
+    "graph_label_prop" -> ((s, dir) =>
+      // frequency-based label propagation (Raghavan et al. 2007) over
+      // the same trade graph as graph_pagerank: 4 synchronous rounds,
+      // argmax pinned by (cnt DESC, label ASC) — communities, where
+      // PageRank gives authority and CC gives reachability
+      operators.Graph.labelPropagation(pagerankEdges(s, dir), iters = 4)),
+
     "pipeline_curate_tokenize" -> ((s, dir) => {
       // the end-to-end training-data pipeline a user actually runs:
       // quality filter → exact dedup (canonical survivor) → temperature
@@ -2936,6 +2968,90 @@ object SparkEntry {
     sb.result()
   }
 
+  /** DuckDB mirror of [[graft.operators.Bpe.unigramSegments]]: piece
+   * vocabulary with floor-log2 integer costs (64 − length(bin(cnt)),
+   * `bin()` identical in both engines), then the Viterbi DP unrolled —
+   * one (d_j, u_j) CTE pair per character position with the argmin
+   * pinned by (cost ASC, i ASC) row_number, exactly the fold's
+   * array_sort tie-break. Ends at CTE `useg` (word, freq, pieces,
+   * n_pieces, cost). `maxLen` must cover the longest corpus word (spec
+   * UnigramSpec pins the fixture bound). */
+  private def unigramChainSql(maxPieceLen: Int, minCnt: Long,
+                              maxLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH uwd AS MATERIALIZED (
+         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+             AS word FROM documents)
+         WHERE word <> '' GROUP BY 1),
+         upos AS (SELECT word, freq,
+           unnest(generate_series(1, length(word))) AS j FROM uwd),
+         ucl AS (SELECT word, freq, j,
+           unnest(generate_series(1, least($maxPieceLen, j))) AS l FROM upos),
+         uocc AS (SELECT word, freq, j, l, j - l AS i,
+           substr(word, j - l + 1, l) AS piece FROM ucl),
+         uvc AS MATERIALIZED (
+           SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt,
+             CAST(64 - length(bin(CAST(SUM(freq) AS BIGINT))) AS BIGINT)
+               AS cost
+           FROM uocc GROUP BY 1
+           HAVING length(piece) = 1 OR CAST(SUM(freq) AS BIGINT) >= $minCnt),
+         ucand AS MATERIALIZED (
+           SELECT o.word, o.j, o.i, v.cost, o.piece
+           FROM uocc o JOIN uvc v USING (piece)),
+         u0 AS MATERIALIZED (SELECT word, 0 AS pos,
+           CAST(0 AS BIGINT) AS c, '' AS p FROM uwd)"""
+    for (j <- 1 to maxLen) {
+      sb ++= s""",
+         d$j AS (SELECT word, c, p FROM (
+           SELECT c.word, u.c + c.cost AS c,
+             u.p || CASE WHEN c.i = 0 THEN '' ELSE ' ' END || c.piece AS p,
+             row_number() OVER (PARTITION BY c.word
+               ORDER BY u.c + c.cost ASC, c.i ASC) AS rn
+           FROM ucand c JOIN u${j - 1} u
+             ON u.word = c.word AND u.pos = c.i
+           WHERE c.j = $j) WHERE rn = 1),
+         u$j AS MATERIALIZED (SELECT * FROM u${j - 1}
+           UNION ALL SELECT word, $j AS pos, c, p FROM d$j)"""
+    }
+    sb ++= s""",
+         useg AS MATERIALIZED (
+           SELECT w.word, w.freq, u.p AS pieces,
+             CAST(len(string_split(u.p, ' ')) AS BIGINT) AS n_pieces,
+             u.c AS cost
+           FROM uwd w JOIN u$maxLen u
+             ON u.word = w.word AND u.pos = length(w.word))"""
+    sb.result()
+  }
+
+  /** DuckDB mirror of [[graft.operators.Graph.labelPropagation]] over the
+   * trade graph: every synchronous round unrolled, the per-node argmax
+   * pinned by (COUNT(*) DESC, label ASC) row_number — pure integer labels,
+   * bit-exact replay. */
+  private def labelPropSql(iters: Int): String = {
+    val head =
+      s"""WITH pr AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey % 20 = 0),
+         e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pr
+           UNION ALL SELECT p AS src, c AS dst FROM pr),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         l0 AS (SELECT node, node AS label FROM nodes)"""
+    val steps = (1 to iters).map { k =>
+      s"""b$k AS (SELECT dst AS node, label FROM (
+           SELECT e.dst, l.label,
+             row_number() OVER (PARTITION BY e.dst
+               ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+           FROM e JOIN l${k - 1} l ON e.src = l.node
+           GROUP BY e.dst, l.label) WHERE rn = 1),
+         l$k AS MATERIALIZED (SELECT l.node,
+             COALESCE(b.label, l.label) AS label
+           FROM l${k - 1} l LEFT JOIN b$k b ON l.node = b.node)"""
+    }.mkString(",\n", ",\n", "")
+    head + steps + s"\nSELECT node, label FROM l$iters"
+  }
+
   /** DuckDB mirror of [[Similarity.opqEncode]]: exact per-dim variance
    * (n·Σx² − (Σx)² in HUGEINT), rank + snake allocation as window
    * arithmetic, then the standard PQ chain over the permuted values.
@@ -3630,6 +3746,52 @@ object SparkEntry {
 
     "text_wordpiece_segment" -> (wpChainSql(bpeRounds, 12) + """
          SELECT word, freq, pieces, n_pieces FROM wseg"""),
+
+    "text_unigram_segment" -> (unigramChainSql(6, 5, 12) + """
+         SELECT word, freq, pieces, n_pieces, cost FROM useg"""),
+
+    "text_unigram_tokenize" -> (unigramChainSql(6, 5, 12) + """,
+         ucw AS (SELECT doc_id, word FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents) WHERE word <> '')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS fertility
+         FROM ucw JOIN useg USING (word) GROUP BY doc_id"""),
+
+    "text_keyword_tfidf" ->
+      """WITH ktoks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+           FROM documents),
+         ktf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ktoks GROUP BY 1, 2),
+         kdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM ktf GROUP BY 1),
+         kn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus
+           FROM documents),
+         ksc AS (SELECT doc_id, token, tf, df,
+             tf * ((1000000000 * n_corpus) // df) AS score
+           FROM ktf JOIN kdf USING (token), kn)
+         SELECT doc_id, rank, token, tf, df, score FROM (
+           SELECT doc_id, token, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+           FROM ksc) WHERE rank <= 5""",
+
+    "profile_columns" -> {
+      val strCols = Set("event_type", "props")
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map { c =>
+          val mn = if (strCols(c)) s"MIN($c)" else "CAST(NULL AS VARCHAR)"
+          val mx = if (strCols(c)) s"MAX($c)" else "CAST(NULL AS VARCHAR)"
+          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             $mn AS min_s, $mx AS max_s FROM events"""
+        }.mkString("\nUNION ALL\n")
+    },
 
     "text_wordpiece_tokenize" -> (wpChainSql(bpeRounds, 12) + """,
          cw AS (SELECT doc_id, word FROM (
@@ -5352,6 +5514,8 @@ object SparkEntry {
 
     // integer-exact PageRank, all 10 iterations unrolled
     "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),
+
+    "graph_label_prop" -> labelPropSql(iters = 4),
 
     // IVF-PQ composed search, both index builds + ADC ranking replayed
     "knn_ivfpq_ann" -> ivfPqKnnSql(nCells = 50, ivfIters = 5, nprobe = 4,

@@ -231,6 +231,113 @@ object Bpe {
       .select(col("word"), col("freq"),
         col("pieces"), size(split(col("pieces"), " ")).as("n_pieces"))
 
+  /**
+   * Unigram-LM piece vocabulary (the SentencePiece seed lexicon, Kudo
+   * 2018 "Subword Regularization"): every substring of dictionary words
+   * up to `maxPieceLen` chars, weighted by word frequency per occurrence
+   * position; single characters always survive (the segmentation
+   * fallback), longer pieces need corpus count >= `minCnt`. The piece
+   * cost is an INTEGER log-probability surrogate on the floor-log2 grid:
+   * cost = 64 - length(bin(cnt)) = 63 - floor(log2 cnt), strictly
+   * decreasing in count — minimizing summed costs is exactly Viterbi
+   * decoding under quantized log-frequencies, with `bin()` (identical in
+   * Spark and DuckDB) standing in for the transcendental log the oracle
+   * ladder forbids.
+   *
+   * Dictionary-sized work only: the substring explode is bounded by
+   * maxPieceLen × word length over DISTINCT words — the corpus is
+   * touched once, by [[wordDict]].
+   */
+  def unigramVocab(docs: DataFrame, maxPieceLen: Int = 6,
+                   minCnt: Long = 5): DataFrame =
+    wordDict(docs)
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           j -> transform(sequence(1, least($maxPieceLen, j)),
+             l -> substring(word, j - l + 1, l))))""")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minCnt)
+      .withColumn("cost", expr("CAST(64 - length(bin(cnt)) AS BIGINT)"))
+
+  /**
+   * Unigram-LM Viterbi segmentation over the word dictionary — the
+   * SentencePiece inference algorithm, completing the canonical subword
+   * trio next to BPE merge-replay ([[tokenize]]) and WordPiece max-match
+   * ([[maxMatchSegments]]): each word is split into the piece sequence of
+   * MINIMUM total cost (= maximum quantized log-likelihood), ties broken
+   * by the smallest split point, pinned identically in the oracle's
+   * (cost ASC, i ASC) row_number.
+   *
+   * Shape at scale: one candidate explode over the word dictionary
+   * (≤ maxPieceLen substrings per position), one broadcast hash join
+   * against the piece vocabulary, then the whole DP runs INSIDE one row
+   * per word — candidate edges are collected to a bounded array
+   * (word length × maxPieceLen entries) and a single `aggregate` fold
+   * evaluates dp[1..len] in place. No per-iteration joins, no driver
+   * state, and the same expression runs unchanged on streaming frames.
+   */
+  def unigramSegments(docs: DataFrame, maxPieceLen: Int = 6,
+                      minCnt: Long = 5): DataFrame = {
+    val vocab = unigramVocab(docs, maxPieceLen, minCnt)
+      .select(col("piece"), col("cost"))
+    val cand = wordDict(docs)
+      .select(col("word"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           j -> transform(sequence(1, least($maxPieceLen, j)),
+             l -> named_struct('j', j, 'l', l))))""")).as("jl"))
+      .select(col("word"), col("jl.j").as("j"),
+        (col("jl.j") - col("jl.l")).as("i"),
+        expr("substring(word, jl.j - jl.l + 1, jl.l)").as("piece"))
+      .join(broadcast(vocab), Seq("piece"))
+    val edges = cand
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(
+        col("j"), col("i"), col("cost"), col("piece")))).as("edges"))
+    // dp state: array of (c: cumulative cost, i: split tie-break key,
+    // p: pieces) per position; array_sort orders by (c, i, p) — (c, i)
+    // already unique per position, so the argmin is pinned. Single-char
+    // pieces always clear the vocab filter, so every position is
+    // reachable and element_at(..., 1) is total.
+    val best =
+      """element_at(array_sort(transform(
+         filter(edges, e -> e.j = j),
+         e -> named_struct(
+           'c', element_at(st, e.i + 1).c + e.cost,
+           'i', e.i,
+           'p', concat(element_at(st, e.i + 1).p,
+             CASE WHEN e.i = 0 THEN '' ELSE ' ' END, e.piece)))), 1)"""
+    wordDict(docs)
+      .join(edges, Seq("word"))
+      .withColumn("vit", expr(
+        s"""aggregate(
+           sequence(1, length(word)),
+           array(named_struct('c', CAST(0 AS BIGINT), 'i', 0, 'p', '')),
+           (st, j) -> array_append(st, $best),
+           st -> element_at(st, -1))"""))
+      .select(col("word"), col("freq"), col("vit.p").as("pieces"),
+        size(split(col("vit.p"), " ")).cast("long").as("n_pieces"),
+        col("vit.c").as("cost"))
+  }
+
+  /** Per-document rollup under unigram-LM Viterbi: word/token counts +
+   * fertility via the broadcast word → piece-count dictionary (the
+   * [[tokenize]] shape). */
+  def unigramTokenize(docs: DataFrame, maxPieceLen: Int = 6,
+                      minCnt: Long = 5): DataFrame = {
+    val wtok = unigramSegments(docs, maxPieceLen, minCnt)
+      .select(col("word"), col("n_pieces").as("w_tokens"))
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Per-document rollup under max-match: word/token counts + fertility,
    * via the broadcast word → piece-count dictionary (same shape as
    * [[tokenize]]). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -84,5 +85,53 @@ object Graph {
       if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /**
+   * Synchronous frequency-based label propagation (Raghavan et al. 2007)
+   * — community detection over the same edge frames: each round every node
+   * adopts the most frequent label among its in-neighbors, ties broken by
+   * the SMALLEST label, isolated nodes keep their own. Complements
+   * [[pageRank]] (authority) and the connected-components
+   * canonicalization in DocDedup (reachability): LPA finds densely-linked
+   * communities, which components and ranks both miss.
+   *
+   * Fully deterministic and integer-only — labels start as node ids and
+   * every update is an exact count + a pinned (cnt DESC, label ASC)
+   * argmax — so a SQL oracle replays all rounds bit-exactly (the
+   * PageRank/k-means replay ladder).
+   *
+   * Scale shape: per round one hash join of the node-sized label frame
+   * against the edge frame on src, a map-side-combinable (dst, label)
+   * count, and a per-dst argmax window whose partitions are bounded by
+   * the distinct neighbor-label count — never edge-cardinality state.
+   * localCheckpoint every second round keeps lineage flat.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"bad LPA iters: $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (i <- 0 until iters) {
+      val best = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label").as("next_label"))
+      labels = labels
+        .join(best, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("next_label"), col("label")).as("label"))
+      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint(true)
+    }
+    labels
   }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level table profiling — the data-quality fingerprint a pipeline
+ * computes before admitting a table into a training build (null rates,
+ * cardinalities, value ranges), and the drift signal between builds when
+ * diffed against a prior profile (the per-column complement of the
+ * corpus-level snapshotDiff in [[Curation]]). Extension surface beyond
+ * the reference (its closest analog is the per-mutation metric counters,
+ * SURVEY §2.5).
+ *
+ * Scale shape: ONE full-shuffle pass. Null counts, row counts, and
+ * string ranges are plain aggregates (map-side combinable); the distinct
+ * counts ride the same aggregation via Spark's multi-distinct Expand —
+ * the planner rewrites N `count(DISTINCT c)` into one Expand(N+1 copies)
+ * + two-level aggregate, so the table is scanned once regardless of how
+ * many columns are profiled. The result is columns-sized (one row per
+ * column) — never data-sized. At 100 TB the Expand multiplies the
+ * shuffle by the profiled-column count; callers profiling very wide
+ * tables should slice the column list, which composes because each
+ * column's row is independent.
+ *
+ * min/max are emitted ONLY for string columns: numeric/timestamp
+ * rendering differs across engines (scientific notation, zero padding),
+ * while string ordering and identity are engine-portable.
+ */
+object Profiling {
+
+  /**
+   * Profile `df`: one output row per column —
+   * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s), with min_s /
+   * max_s null for non-string columns. Column order follows the input
+   * schema; n_distinct counts non-null values (COUNT DISTINCT
+   * semantics in both engines).
+   */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { f =>
+        val c = col(f.name)
+        val isStr = f.dataType.typeName == "string"
+        Seq(
+          count(c).as(s"nn_${f.name}"),
+          countDistinct(c).as(s"nd_${f.name}"),
+          (if (isStr) min(c) else lit(null).cast("string"))
+            .as(s"mn_${f.name}"),
+          (if (isStr) max(c) else lit(null).cast("string"))
+            .as(s"mx_${f.name}"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack the single wide row into one row per column
+    val stacked = cols.map { f =>
+      s"'${f.name}', n_rows - nn_${f.name}, nd_${f.name}, " +
+        s"mn_${f.name}, mx_${f.name}"
+    }.mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_nulls, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+}

@@ -360,6 +360,45 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document top-k keyword extraction by tf·idf — the tagging /
+   * routing signal (topic labels, retrieval hints) a corpus build attaches
+   * per document. Pure-INTEGER scoring: idf9 = (10⁹ · N) DIV df (the
+   * non-logarithmic "inverse document frequency ratio" idf variant —
+   * rank-equivalent to log-idf within a document since it is strictly
+   * monotone in 1/df) and score = tf · idf9, all BIGINT with truncating
+   * division, so the oracle replays scoring and ranking bit-exactly with
+   * zero rounding analysis.
+   *
+   * Shape at scale: token explode (corpus-linear, map-side combinable
+   * (doc, token) counts) → token-dictionary df aggregate → one hash join
+   * of tf against df on token (dictionary-sized build side) → per-doc
+   * top-k window whose partitions are doc-vocabulary-sized. No
+   * corpus-sized window, no driver state.
+   */
+  def keywordTfIdf(docs: DataFrame, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+          .as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_corpus"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs)) // 1-row attach
+      .withColumn("score", col("tf") * expr("(1000000000L * n_corpus) DIV df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  /**
    * Span-level duplication signal (the substring-dedup measure of Lee et
    * al.'s "Deduplicating Training Data Makes Language Models Better"):
    * for each document, the fraction of its n-word spans that also occur in

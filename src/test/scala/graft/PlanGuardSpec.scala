@@ -43,7 +43,9 @@ class PlanGuardSpec extends SparkSpec {
       "mix_token_budget", // 1-row weight-total / waterfill attaches
       "curate_dsir_sample", // two 1-row vocab-size attaches (both LMs)
       "emb_norm_outliers", // three 1-row attaches (count, median, MAD)
-      "q_zorder_events") // 1-row min/max attach before the interleave
+      "q_zorder_events", // 1-row min/max attach before the interleave
+      "text_keyword_tfidf") // 1-row corpus-doc-count (N) attach to the
+      // tf×df dictionary join — the idf denominator
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Bpe, Graph, Profiling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-6 additions, second batch: unigram-LM Viterbi segmentation (the
+ * SentencePiece inference arm of the tokenizer trio), frequency label
+ * propagation, column profiling, and integer tf·idf keywords. Each test
+ * pins semantics the one-scale oracle can't see: DP optimality and
+ * tie-breaks on hand-computable corpora, LPA oscillation/keep-own
+ * behavior, null/distinct accounting, and score ties.
+ */
+class UnigramProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+
+  test("unigramSegments: Viterbi picks the single cheapest piece") {
+    // "abab" x8: every substring clears minCnt=5; the whole-word piece
+    // (cnt 8 -> cost 60) beats any split (each part cost >= 59, sum >= 118)
+    val d = docs((1L to 8L).map(i => (i, "abab")))
+    val seg = Bpe.unigramSegments(d).collect()
+    assert(seg.length === 1)
+    val r = seg.head
+    assert(r.getAs[String]("pieces") === "abab")
+    assert(r.getAs[Long]("n_pieces") === 1L)
+    assert(r.getAs[Long]("cost") === 60L) // 64 - len(bin(8)) = 64 - 4
+  }
+
+  test("unigramSegments: cost ties break on the smallest split point") {
+    // ab x8, bc x8, abc x3: piece "abc" (cnt 3) misses minCnt=5, so "abc"
+    // splits as a|bc or ab|c, both cost 120 -> tie-break i ASC = "a bc"
+    val d = docs(
+      (1L to 8L).map(i => (i, "ab")) ++
+        (11L to 18L).map(i => (i, "bc")) ++
+        (21L to 23L).map(i => (i, "abc")))
+    val seg = Bpe.unigramSegments(d)
+      .filter($"word" === "abc").collect()
+    assert(seg.length === 1)
+    assert(seg.head.getAs[String]("pieces") === "a bc")
+    assert(seg.head.getAs[Long]("cost") === 120L)
+  }
+
+  test("unigramSegments: single-char fallback keeps rare words segmentable") {
+    // "xyz" once: no multi-char piece reaches minCnt, chars always survive
+    val d = docs(Seq((1L, "xyz")))
+    val seg = Bpe.unigramSegments(d).collect()
+    assert(seg.head.getAs[String]("pieces") === "x y z")
+    assert(seg.head.getAs[Long]("n_pieces") === 3L)
+  }
+
+  test("unigramTokenize: per-doc rollup matches the segment dictionary") {
+    val d = docs(Seq((1L, "abab abab xyz"), (2L, "abab")) ++
+      (3L to 9L).map(i => (i, "abab")))
+    val tok = Bpe.unigramTokenize(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    // freq(abab)=9 -> cost 60, single piece; xyz -> 3 single chars
+    assert(tok(1L) === ((3L, 1L + 1L + 3L)))
+    assert(tok(2L) === ((1L, 1L)))
+  }
+
+  test("oracle unroll bound: no fixture word exceeds 12 chars") {
+    // the DuckDB oracle unrolls the DP to 12 positions; a longer word
+    // would silently drop from the oracle's final join and hash-fail
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val m = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(max(length(col("w")))).first().getInt(0)
+      assert(m <= 12, s"$sf max word length $m breaks the 12-level unroll")
+    }
+  }
+
+  test("labelPropagation: triangle converges, keep-own without in-edges") {
+    // triangle 1-2-3 (both directions) + one-way 8 -> 1: node 8 has no
+    // in-edges and must keep its own label through every round
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val e = (tri :+ (8L, 1L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(e, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L,
+      s"triangle did not converge: $labels")
+    assert(labels(8L) === 8L, "source-only node must keep its own label")
+  }
+
+  test("labelPropagation: 2-cycle oscillates deterministically") {
+    // bipartite pair swaps labels every round: after an even round each
+    // node is back to its own label — pinned, not averaged away
+    val e = Seq((4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val l4 = Graph.labelPropagation(e, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l4 === Map(4L -> 4L, 5L -> 5L))
+    val l3 = Graph.labelPropagation(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 === Map(4L -> 5L, 5L -> 4L))
+  }
+
+  test("labelPropagation: frequency beats label value, ties take smallest") {
+    // node 10's in-neighbors carry labels {20, 20, 30}: majority 20 wins
+    // even though 30 arrives later; {20, 30} 1-1 tie -> smallest (20)
+    val e = Seq((20L, 10L), (21L, 10L), (30L, 10L),
+      (20L, 11L), (30L, 11L)).toDF("src", "dst")
+    // one round: 21's label is 21, so node 10 sees {20, 21, 30} all once
+    // -> tie -> 20; with iters=1 the majority case needs 21 relabeled
+    // first, so drive 21's label to 20 via an edge 20 -> 21
+    val e2 = e.unionByName(Seq((20L, 21L)).toDF("src", "dst"))
+    val l2 = Graph.labelPropagation(e2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(10L) === 20L, s"majority label lost: $l2")
+    val l1 = Graph.labelPropagation(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(11L) === 20L, "1-1 tie must take the smallest label")
+  }
+
+  test("profile: nulls, distincts, and string ranges per column") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (null, "a"), (2L, "c"))
+      .toDF("id", "s")
+    val p = Profiling.profile(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") === 4L)
+    assert(p("id").getAs[Long]("n_nulls") === 1L)
+    assert(p("id").getAs[Long]("n_distinct") === 2L)
+    assert(p("id").getAs[String]("min_s") === null) // numeric: no range
+    assert(p("s").getAs[Long]("n_nulls") === 1L)
+    assert(p("s").getAs[Long]("n_distinct") === 3L)
+    assert(p("s").getAs[String]("min_s") === "a")
+    assert(p("s").getAs[String]("max_s") === "c")
+  }
+
+  test("keywordTfIdf: integer scores, score ties break on token order") {
+    val d = docs(Seq((1L, "x x y"), (2L, "x z"), (3L, "z z q")))
+    // N=3; df: x=2 y=1 z=2 q=1; idf9: x,z=1500000000; y,q=3000000000
+    val kw = TextAnalysis.keywordTfIdf(d, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("score"))).toMap
+    assert(kw((1L, 1L)) === (("x", 3000000000L))) // tf2 · idf9(x)
+    assert(kw((1L, 2L)) === (("y", 3000000000L))) // tie -> 'x' < 'y'
+    assert(kw((3L, 1L)) === (("q", 3000000000L))) // tie -> 'q' < 'z'
+    assert(kw((3L, 2L)) === (("z", 3000000000L)))
+  }
+}
