@@ -1248,6 +1248,17 @@ object SparkEntry {
       TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
         nShards = 16, seed = "graft")),
 
+    "mix_sft_render" -> ((s, dir) =>
+      // SFT assembly: 10-doc conversations (conv_id = doc_id DIV 10),
+      // turns alternate user/assistant by parity, rendered to the single
+      // training string with right-truncation at a 200-token budget —
+      // one conversation-key shuffle, windows and the render fold all
+      // conversation-bounded
+      TrainingMix.sftRender(
+        t(s, dir, "documents")
+          .withColumn("conv_id", expr("doc_id DIV 10")),
+        groupCol = "conv_id", orderCol = "doc_id", maxTokens = 200)),
+
     "mix_token_budget" -> ((s, dir) =>
       // budget planning: split 22000 tokens across languages by sqrt
       // weights with one exact waterfill round (at sf0.01 'de'/'fr' cap
@@ -1690,6 +1701,28 @@ object SparkEntry {
           col("f.n_samples").as("n_samples"), col("f.sum_abs").as("sum_abs"),
           col("f.peak").as("peak"),
           col("f.zero_crossings").as("zero_crossings"))
+    }),
+
+    "mm_wav_resample" -> ((s, dir) => {
+      // sample-rate normalization (16 kHz → 4 kHz): boxcar decimation by
+      // 4 inside the codegen'd scan — exact integer means with a
+      // positivity bias so truncating DIV ≡ flooring //, every output
+      // sample oracle-replayed from the fixture formula
+      import graft.functions.MediaHeaderFunctions.wav_resample
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_resample(unhex(wavHex), lit(4))).as("r"))
+        .select(col("doc_id"), col("r.k").as("k"), col("r.v").as("v"))
     }),
 
     "mm_image_phash" -> ((s, dir) => {
@@ -5434,6 +5467,47 @@ object SparkEntry {
            CAST(MAX(abs(sv)) AS INTEGER) AS peak,
            CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
          FROM v GROUP BY doc_id""",
+
+    // boxcar decimation by 4 from the same sample formula: window sums
+    // with the +32768·4 positivity bias so // (truncating in both
+    // engines) is floor division
+    "mm_wav_resample" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, i, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s),
+         w AS (SELECT doc_id, i // 4 AS k, SUM(sv) AS ssum
+           FROM v GROUP BY 1, 2)
+         SELECT doc_id, CAST(k AS INTEGER) AS k,
+           CAST((ssum + 131072) // 4 - 32768 AS INTEGER) AS v
+         FROM w""",
+
+    "mix_sft_render" ->
+      """WITH t AS (SELECT doc_id // 10 AS conv_id, doc_id, text,
+           CAST(row_number() OVER (PARTITION BY doc_id // 10
+             ORDER BY doc_id) AS BIGINT) AS turn,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(SUM(len(string_split(text, ' ')))
+             OVER (PARTITION BY doc_id // 10 ORDER BY doc_id)
+             AS BIGINT) AS cum_tok
+           FROM documents)
+         SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns_total,
+           CAST(SUM(CASE WHEN cum_tok <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_turns_kept,
+           CAST(SUM(CASE WHEN cum_tok <= 200 THEN n_tok ELSE 0 END)
+             AS BIGINT) AS n_tokens,
+           COALESCE(string_agg(CASE WHEN cum_tok <= 200 THEN
+               (CASE WHEN turn % 2 = 1 THEN '<|user|>'
+                ELSE '<|assistant|>' END) || chr(10) || text END,
+             chr(10) ORDER BY doc_id), '') AS rendered,
+           CAST(length(COALESCE(string_agg(CASE WHEN cum_tok <= 200 THEN
+               (CASE WHEN turn % 2 = 1 THEN '<|user|>'
+                ELSE '<|assistant|>' END) || chr(10) || text END,
+             chr(10) ORDER BY doc_id), '')) AS BIGINT) AS n_chars
+         FROM t GROUP BY conv_id""",
 
     // windowed frame features from the same sample formula: frame = i//16,
     // crossings only between consecutive samples of the SAME frame

@@ -142,6 +142,10 @@ object MediaHeaderFunctions {
   def wav_frame_stats(wav: Column, frameLen: Column): Column =
     GraftShim.column(WavFrameStats(GraftShim.expression(wav),
       GraftShim.expression(frameLen)))
+
+  def wav_resample(wav: Column, factor: Column): Column =
+    GraftShim.column(WavResampleExpr(GraftShim.expression(wav),
+      GraftShim.expression(factor)))
 }
 
 /**
@@ -266,10 +270,10 @@ object WavFrames {
   private def tag(b: Array[Byte], i: Int, s: String): Boolean =
     s.indices.forall(j => b(i + j) == s(j).toByte)
 
-  /** Called from generated code; rejects non-PCM/malformed input with a
-   * precise reason (same contract as [[WavPcm.stats]]). */
-  def frames(b: Array[Byte], frameLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    require(frameLen > 0, s"bad frame length $frameLen")
+  /** Shared validated RIFF walk: (dataPos, nSamples) of the s16le data
+   * chunk; rejects non-PCM/malformed input with a precise reason (same
+   * contract as [[WavPcm.stats]]). */
+  private[functions] def dataRange(b: Array[Byte]): (Int, Int) = {
     require(b.length >= 12 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE"),
       "not a RIFF/WAVE payload")
     var pos = 12
@@ -294,7 +298,13 @@ object WavFrames {
       pos += 8 + len + (len & 1)
     }
     require(dataPos >= 0, "no data chunk")
-    val nSamples = dataLen / 2
+    (dataPos, dataLen / 2)
+  }
+
+  /** Called from generated code. */
+  def frames(b: Array[Byte], frameLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(frameLen > 0, s"bad frame length $frameLen")
+    val (dataPos, nSamples) = dataRange(b)
     val nFrames = (nSamples + frameLen - 1) / frameLen
     val rows = new Array[Any](nFrames)
     var f = 0
@@ -369,4 +379,99 @@ case class WavFrameStats(wav: Expression, frameLen: Expression)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): WavFrameStats =
     copy(wav = c(0), frameLen = c(1))
+}
+
+/**
+ * Integer decimating resampler for PCM WAV payloads — the sample-rate
+ * normalization step an audio-curation pipeline runs before feature
+ * extraction (e.g. 16 kHz → 4 kHz at factor 4): each output sample is
+ * the boxcar mean of one `factor`-wide input window, anti-aliasing the
+ * decimation the way a polyphase filter's zeroth order does. The mean is
+ * EXACT integer arithmetic with a positivity bias —
+ * v = (Σ + 32768·factor) div factor − 32768 — so truncating division is
+ * flooring division on both engines and the oracle replays every output
+ * sample from the fixture formula. Trailing partial windows are dropped
+ * (standard decimator behavior: output length = n div factor).
+ */
+object WavResample {
+
+  val elementType: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("v", IntegerType, nullable = false)))
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Called from generated code. */
+  def resample(b: Array[Byte], factor: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(factor > 0, s"bad decimation factor $factor")
+    val (dataPos, nSamples) = WavFrames.dataRange(b)
+    val nOut = nSamples / factor
+    val rows = new Array[Any](nOut)
+    val bias = 32768 * factor
+    var k = 0
+    while (k < nOut) {
+      var sum = 0
+      var i = k * factor
+      val end = i + factor
+      while (i < end) {
+        sum += le16(b, dataPos + i * 2).toShort.toInt
+        i += 1
+      }
+      // sum >= -bias, so (sum + bias) is non-negative and truncating /
+      // equals floor — the same identity the oracle's // relies on
+      rows(k) = new GenericInternalRow(
+        Array[Any](k, (sum + bias) / factor - 32768))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `wav_resample(binary, factor)` → array<struct(k, v)> — codegen'd
+ * boxcar decimation of the PCM data chunk. */
+case class WavResampleExpr(wav: Expression, factor: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(wav, factor)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType =
+    ArrayType(WavResample.elementType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (wav.dataType, factor.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"wav_resample requires (BINARY, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = wav.eval(input); val f = factor.eval(input)
+    if (b == null || f == null) null
+    else WavResample.resample(b.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Int])
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wavG = wav.genCode(ctx)
+    val fG = factor.genCode(ctx)
+    val code =
+      code"""
+        ${wavG.code}
+        ${fG.code}
+        boolean ${ev.isNull} = ${wavG.isNull} || ${fG.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.WavResample.resample(
+            ${wavG.value}, ${fG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): WavResampleExpr =
+    copy(wav = c(0), factor = c(1))
 }

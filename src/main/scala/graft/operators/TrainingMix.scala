@@ -424,6 +424,53 @@ object TrainingMix {
       .select(col(idCol), col("qbucket"), col("crank"))
   }
 
+  /**
+   * SFT chat-template rendering — the assembly step that turns grouped
+   * raw turns into the single training string an instruction-tuned run
+   * consumes: within each conversation (`groupCol`), turns order by
+   * `orderCol` and alternate user/assistant roles by parity, each
+   * rendered as `tag\ntext` and newline-joined. With `maxTokens` set,
+   * trailing turns are dropped once the running whitespace-token count
+   * exceeds the budget (never splitting inside a turn — the standard
+   * right-truncation rule), and the kept/total turn counts expose the
+   * truncation loss.
+   *
+   * Shape at scale: ONE shuffle on the conversation key. The turn index
+   * and running token total are conversation-bounded windows over that
+   * same partitioning; rendering is a sorted collect + fold inside each
+   * group — state bounded by conversation length, content shuffled
+   * exactly once, no driver participation.
+   */
+  def sftRender(docs: DataFrame, groupCol: String, orderCol: String,
+                textCol: String = "text",
+                maxTokens: Long = Long.MaxValue,
+                userTag: String = "<|user|>",
+                asstTag: String = "<|assistant|>"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    docs
+      .select(col(groupCol), col(orderCol), col(textCol).as("t"))
+      .withColumn("turn", row_number().over(w).cast("long"))
+      .withColumn("n_tok", size(split(col("t"), " ")).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("kept", col("cum_tok") <= maxTokens)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_turns_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_turns_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("turn"), col("t"))))),
+          e => concat(
+            when(e.getField("turn") % 2 === 1, lit(userTag))
+              .otherwise(lit(asstTag)),
+            lit("\n"), e.getField("t"))), "\n").as("rendered"))
+      .select(col(groupCol), col("n_turns_total"), col("n_turns_kept"),
+        col("n_tokens"), col("rendered"),
+        length(col("rendered")).cast("long").as("n_chars"))
+  }
+
   def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
                     seed: String = "graft"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.WavResample
+import graft.operators.TrainingMix
+import org.apache.spark.sql.functions._
+
+/**
+ * SFT chat-template rendering and the PCM decimating resampler: the
+ * spec pins what the one-scale oracle can't see — role-parity rendering,
+ * whole-turn right-truncation (including the all-dropped degenerate),
+ * exact boxcar means on NEGATIVE samples (where truncating vs flooring
+ * division diverge without the positivity bias), dropped partial tails,
+ * and malformed-payload rejection.
+ */
+class SftResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- sftRender ----------------------------------------------------------
+
+  private def turns(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("conv_id", "doc_id", "text")
+
+  test("sftRender: roles alternate by turn parity, order by orderCol") {
+    val d = turns(Seq((1L, 3L, "third turn"), (1L, 1L, "first turn"),
+      (1L, 2L, "second turn")))
+    val r = TrainingMix.sftRender(d, "conv_id", "doc_id").collect().head
+    assert(r.getAs[String]("rendered") ===
+      "<|user|>\nfirst turn\n<|assistant|>\nsecond turn\n<|user|>\nthird turn")
+    assert(r.getAs[Long]("n_turns_total") === 3L)
+    assert(r.getAs[Long]("n_turns_kept") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 6L)
+  }
+
+  test("sftRender: budget drops whole trailing turns, never splits") {
+    // turns of 3, 3, 3 tokens with budget 7: turns 1-2 keep (cum 6),
+    // turn 3 would reach 9 > 7 and drops entirely
+    val d = turns(Seq((1L, 1L, "a b c"), (1L, 2L, "d e f"), (1L, 3L, "g h i")))
+    val r = TrainingMix.sftRender(d, "conv_id", "doc_id", maxTokens = 7)
+      .collect().head
+    assert(r.getAs[Long]("n_turns_kept") === 2L)
+    assert(r.getAs[Long]("n_turns_total") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[String]("rendered") === "<|user|>\na b c\n<|assistant|>\nd e f")
+  }
+
+  test("sftRender: first turn over budget renders empty, counts intact") {
+    val d = turns(Seq((1L, 1L, "one two three four")))
+    val r = TrainingMix.sftRender(d, "conv_id", "doc_id", maxTokens = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_turns_kept") === 0L)
+    assert(r.getAs[String]("rendered") === "")
+    assert(r.getAs[Long]("n_chars") === 0L)
+  }
+
+  test("sftRender: conversations are independent and repartition-stable") {
+    val d = turns(Seq((1L, 1L, "x"), (2L, 1L, "y"), (2L, 2L, "z")))
+    val base = TrainingMix.sftRender(d, "conv_id", "doc_id").collect()
+      .map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("rendered")).toMap
+    assert(base(1L) === "<|user|>\nx")
+    assert(base(2L) === "<|user|>\ny\n<|assistant|>\nz")
+    val re = TrainingMix.sftRender(d.repartition(7), "conv_id", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("rendered")).toMap
+    assert(re === base)
+  }
+
+  // ---- wav resample -------------------------------------------------------
+
+  /** Minimal PCM WAV: 16-bit mono, given samples (two's complement). */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val dataLen = samples.length * 2
+    tag("RIFF"); u32(36 + dataLen); tag("WAVE")
+    tag("fmt "); u32(16); u16(1); u16(1); u32(16000); u32(32000); u16(2); u16(16)
+    tag("data"); u32(dataLen)
+    samples.foreach(u16)
+    out.toByteArray
+  }
+
+  private def res(samples: Seq[Int], factor: Int): Seq[(Int, Int)] = {
+    val a = WavResample.resample(wav(samples.map(_ & 0xffff)), factor)
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+    }
+  }
+
+  test("resample: exact boxcar means, floor on negative windows") {
+    // window (-1, -2): mean -1.5 must FLOOR to -2 (truncation would
+    // give -1) — the positivity-bias identity under test
+    assert(res(Seq(-1, -2, 3, 5), 2) === Seq((0, -2), (1, 4)))
+    assert(res(Seq(100, 200, 300, -400), 4) === Seq((0, 50)))
+  }
+
+  test("resample: partial tail window is dropped; factor 1 is identity") {
+    assert(res(Seq(10, 20, 30, 40, 50), 2) === Seq((0, 15), (1, 35)))
+    assert(res(Seq(7, -8, 9), 1) === Seq((0, 7), (1, -8), (2, 9)))
+  }
+
+  test("resample: extreme samples stay exact at the s16 boundary") {
+    assert(res(Seq(-32768, -32768), 2) === Seq((0, -32768)))
+    assert(res(Seq(32767, 32767), 2) === Seq((0, 32767)))
+    assert(res(Seq(-32768, 32767), 2) === Seq((0, -1))) // mean -0.5 floors
+  }
+
+  test("resample: malformed payloads reject precisely") {
+    val e = intercept[IllegalArgumentException](
+      WavResample.resample("nope".getBytes, 4))
+    assert(e.getMessage.contains("RIFF"))
+    val e2 = intercept[IllegalArgumentException](
+      WavResample.resample(wav(Seq(1, 2)), 0))
+    assert(e2.getMessage.contains("factor"))
+  }
+
+  test("resample: codegen'd expression path matches the kernel") {
+    import graft.functions.MediaHeaderFunctions.wav_resample
+    val hex = wav(Seq(100, -200, 300, -400).map(_ & 0xffff))
+      .map("%02x".format(_)).mkString
+    val got = Seq(1).toDF("one")
+      .select(explode(wav_resample(unhex(lit(hex)), lit(2))).as("r"))
+      .select($"r.k", $"r.v").as[(Int, Int)].collect().toSeq
+    assert(got === Seq((0, -50), (1, -50)))
+  }
+}
