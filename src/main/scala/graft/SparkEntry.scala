@@ -1121,6 +1121,14 @@ object SparkEntry {
       // PageRank gives authority and CC gives reachability
       operators.Graph.labelPropagation(pagerankEdges(s, dir), iters = 4)),
 
+    "profile_drift" -> ((s, dir) =>
+      // per-column drift between two cohorts of the events table (the
+      // build-over-build monitor): both slices' counts, the
+      // distinct-count delta, and range movement — computed in ONE scan
+      // via conditional aggregation, never two scans + a join
+      operators.Profiling.drift(t(s, dir, "events"),
+        expr("user_id % 2 = 0"))),
+
     "pipeline_curate_tokenize" -> ((s, dir) => {
       // the end-to-end training-data pipeline a user actually runs:
       // quality filter → exact dedup (canonical survivor) → temperature
@@ -3823,6 +3831,33 @@ object SparkEntry {
              CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
              CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
              $mn AS min_s, $mx AS max_s FROM events"""
+        }.mkString("\nUNION ALL\n")
+    },
+
+    "profile_drift" -> {
+      val strCols = Set("event_type", "props")
+      val a = "user_id % 2 = 0"
+      val b = s"NOT ($a)"
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map { c =>
+          def nr(p: String) = s"COUNT(CASE WHEN $p THEN 1 END)"
+          def nn(p: String) = s"COUNT(CASE WHEN $p THEN $c END)"
+          def nd(p: String) = s"COUNT(DISTINCT CASE WHEN $p THEN $c END)"
+          val rs = if (strCols(c))
+            s"""(MIN(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
+               MIN(CASE WHEN $b THEN $c END)) AND
+               (MAX(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
+               MAX(CASE WHEN $b THEN $c END))"""
+          else "TRUE"
+          s"""SELECT '$c' AS col_name,
+             CAST(${nr(a)} AS BIGINT) AS n_rows_a,
+             CAST(${nr(a)} - ${nn(a)} AS BIGINT) AS n_nulls_a,
+             CAST(${nd(a)} AS BIGINT) AS n_distinct_a,
+             CAST(${nr(b)} AS BIGINT) AS n_rows_b,
+             CAST(${nr(b)} - ${nn(b)} AS BIGINT) AS n_nulls_b,
+             CAST(${nd(b)} AS BIGINT) AS n_distinct_b,
+             CAST(${nd(b)} - ${nd(a)} AS BIGINT) AS d_distinct,
+             $rs AS range_same FROM events"""
         }.mkString("\nUNION ALL\n")
     },
 

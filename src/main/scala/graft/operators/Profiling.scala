@@ -63,4 +63,46 @@ object Profiling {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /**
+   * Profile drift between two slices of the SAME table (cohort A =
+   * `pred` true, cohort B = false) — the per-column drift monitor
+   * between corpus builds, time windows, or source cohorts. Computed in
+   * ONE scan via conditional aggregation (every per-slice aggregate is
+   * an agg over `when(pred, ...)`), never two scans + a join; null
+   * predicate rows belong to neither slice. Output one row per column:
+   * both slices' row/null/distinct counts, the distinct-count delta, and
+   * whether the string min/max range moved.
+   */
+  def drift(df: DataFrame, pred: Column): DataFrame = {
+    val cols = df.schema.fields
+    require(cols.nonEmpty, "cannot drift-profile a zero-column frame")
+    val p = pred
+    def side(tag: String, in: Column => Column): Seq[Column] =
+      cols.flatMap { f =>
+        val c = in(col(f.name))
+        val isStr = f.dataType.typeName == "string"
+        Seq(
+          count(in(lit(1))).as(s"nr_${tag}_${f.name}"),
+          count(c).as(s"nn_${tag}_${f.name}"),
+          countDistinct(c).as(s"nd_${tag}_${f.name}"),
+          (if (isStr) min(c) else lit(null).cast("string"))
+            .as(s"mn_${tag}_${f.name}"),
+          (if (isStr) max(c) else lit(null).cast("string"))
+            .as(s"mx_${tag}_${f.name}"))
+      }
+    val aggs = side("a", c => when(p, c)) ++ side("b", c => when(!p, c))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { f =>
+      val n = f.name
+      s"'$n', nr_a_$n, nr_a_$n - nn_a_$n, nd_a_$n, " +
+        s"nr_b_$n, nr_b_$n - nn_b_$n, nd_b_$n, " +
+        s"nd_b_$n - nd_a_$n, " +
+        s"(mn_a_$n <=> mn_b_$n) AND (mx_a_$n <=> mx_b_$n)"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_rows_a, n_nulls_a, n_distinct_a, " +
+        "n_rows_b, n_nulls_b, n_distinct_b, d_distinct, range_same)"))
+  }
 }

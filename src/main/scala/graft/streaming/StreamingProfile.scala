@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Profiling
+
+/**
+ * Streaming incremental column profile — the online form of
+ * [[Profiling.profile]]: rows arrive in micro-batches and each batch
+ * appends TWO batch-local partials, (a) its per-column stats row (row
+ * count, null count, string min/max — all mergeable by sum/min/max) and
+ * (b) its per-column DISTINCT value dictionary. The cumulative profile
+ * re-aggregates the committed partials, so a profile built from any
+ * batch split of a table equals the batch-built one exactly, n_distinct
+ * included (the spec pins that equivalence) — the drift monitor a
+ * continuously-ingesting corpus runs against its admission fingerprint.
+ *
+ * [[StreamingIndex]]'s append-only versioned-state idiom: batch n writes
+ * only `b<n>/` (per-batch work O(batch)), `_SUCCESS`-committed, replays
+ * of committed batchIds are no-ops, uncommitted crash leftovers are
+ * invisible to readers and converge on redelivery.
+ *
+ * At 100 TB: the stats partial is columns-sized; the value dictionaries
+ * are per-batch-distinct-sized — bounded by column cardinality per
+ * batch, the same state a streaming exact-distinct keeps anywhere.
+ * Profiling a genuinely high-cardinality column (ids) exactly is
+ * dictionary-heavy by nature; cap the profiled column list to the
+ * columns whose cardinality you monitor, which composes because every
+ * column's rows are independent.
+ */
+class StreamingProfile(stateDir: String) extends Serializable {
+
+  private val partialSchema = StructType(Seq(
+    StructField("kind", StringType),      // 's' = stats row, 'v' = value
+    StructField("col_name", StringType),
+    StructField("n_rows", LongType),
+    StructField("n_nulls", LongType),
+    StructField("min_s", StringType),
+    StructField("max_s", StringType),
+    StructField("value_s", StringType)))
+
+  private def fs(spark: SparkSession) =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedDirs(spark: SparkSession): Seq[(Long, Path)] = {
+    val dir = new Path(stateDir)
+    val f = fs(spark)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("b"))
+          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
+        else None
+      }
+      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  /** Batch ids already profiled (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    committedDirs(spark).map(_._1)
+
+  /** Per-column distinct value dictionary of one batch: (col_name,
+   * value_s) with values cast to string (injective per column type —
+   * exact distinct counting survives the union of batches). */
+  private def valueDict(batch: DataFrame): DataFrame = {
+    val cols = batch.schema.fields
+    val stacked = cols.map(f => s"'${f.name}', CAST(${f.name} AS STRING)")
+      .mkString(", ")
+    batch.select(expr(
+      s"stack(${cols.length}, $stacked) AS (col_name, value_s)"))
+      .filter(col("value_s").isNotNull)
+      .distinct()
+  }
+
+  /**
+   * Append `batch`'s profile partials (once per batchId — committed
+   * replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => prof.processBatch(df, id))`.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (committedDirs(spark).exists(_._1 == batchId)) return
+    val dest = new Path(stateDir, s"b$batchId")
+    val stats = Profiling.profile(batch)
+      .select(lit("s").as("kind"), col("col_name"),
+        col("n_rows"), col("n_nulls"), col("min_s"), col("max_s"),
+        lit(null).cast("string").as("value_s"))
+    val values = valueDict(batch)
+      .select(lit("v").as("kind"), col("col_name"),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("n_nulls"),
+        lit(null).cast("string").as("min_s"),
+        lit(null).cast("string").as("max_s"), col("value_s"))
+    stats.unionByName(values)
+      .write.mode("overwrite").parquet(dest.toString)
+    val f = fs(spark)
+    val marker = new Path(dest, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
+
+  /** The cumulative profile over every committed batch — column set and
+   * schema identical to [[Profiling.profile]] of the full table. Returns
+   * an empty frame before the first commit. */
+  def profile(spark: SparkSession): DataFrame = {
+    val dirs = committedDirs(spark)
+    val out = StructType(Seq(
+      StructField("col_name", StringType), StructField("n_rows", LongType),
+      StructField("n_nulls", LongType), StructField("n_distinct", LongType),
+      StructField("min_s", StringType), StructField("max_s", StringType)))
+    if (dirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    val partials = spark.read.schema(partialSchema)
+      .parquet(dirs.map(_._2.toString): _*)
+    val stats = partials.filter(col("kind") === "s")
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
+    val distincts = partials.filter(col("kind") === "v")
+      .groupBy(col("col_name"))
+      .agg(countDistinct(col("value_s")).as("n_distinct"))
+    stats.join(distincts, Seq("col_name"), "left_outer")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"))
+  }
+}

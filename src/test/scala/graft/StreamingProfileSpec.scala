@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import graft.operators.Profiling
+import graft.streaming.StreamingProfile
+
+/** Incremental column profile: any batch split of a table must profile
+ * identically to the batch profile — n_distinct included — replays must
+ * be no-ops, and mid-write crash leftovers must not poison reads. */
+class StreamingProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mixed types, planted nulls, cross-batch duplicate values (so the
+  // distinct union genuinely dedups across batches)
+  private def frame(rows: Seq[(java.lang.Long, String, java.lang.Double)]) =
+    rows.toDF("id", "s", "v")
+
+  private lazy val b1 = frame(Seq((1L, "b", 1.5), (2L, null, 2.5), (null, "a", 1.5)))
+  private lazy val b2 = frame(Seq((2L, "c", null), (3L, "a", 1.5)))
+  private lazy val b3 = frame(Seq((4L, "d", 9.0), (null, "a", 2.5)))
+
+  private def newDir(): String =
+    Files.createTempDirectory("sprof").toString + "/state"
+
+  private def asMap(rows: Array[Row]) = rows.map(r =>
+    r.getAs[String]("col_name") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("n_distinct"), r.getAs[String]("min_s"),
+        r.getAs[String]("max_s"))).toMap
+
+  test("profile from three batches equals the batch profile exactly") {
+    val p = new StreamingProfile(newDir())
+    p.processBatch(b1, 0L)
+    p.processBatch(b2, 1L)
+    p.processBatch(b3, 2L)
+    val streamed = asMap(p.profile(spark).collect())
+    val batch = asMap(Profiling.profile(b1.unionByName(b2).unionByName(b3))
+      .collect())
+    assert(streamed === batch)
+    // spot-check the interesting cells: distincts dedup ACROSS batches
+    assert(streamed("id") === ((7L, 2L, 4L, null, null)))
+    assert(streamed("s") === ((7L, 1L, 4L, "a", "d")))
+    assert(streamed("v") === ((7L, 1L, 3L, null, null)))
+  }
+
+  test("replaying a committed batch is a no-op") {
+    val dir = newDir()
+    val p = new StreamingProfile(dir)
+    p.processBatch(b1, 0L)
+    val before = asMap(p.profile(spark).collect())
+    p.processBatch(b1, 0L) // foreachBatch replay after a sink-side restart
+    assert(asMap(p.profile(spark).collect()) === before)
+    assert(p.committedBatches(spark) === Seq(0L))
+  }
+
+  test("a dir without the commit marker is invisible and self-heals") {
+    val dir = newDir()
+    val p = new StreamingProfile(dir)
+    p.processBatch(b1, 0L)
+    // simulate a mid-write crash of batch 1: partial dir, no _SUCCESS
+    val crashed = new java.io.File(dir, "b1")
+    assert(crashed.mkdirs())
+    val junk = new java.io.File(crashed, "part-00000.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    assert(p.committedBatches(spark) === Seq(0L))
+    val mid = asMap(p.profile(spark).collect())
+    assert(mid("id")._1 === 3L) // batch-1 rows only
+    // redelivery overwrites the leftover and commits
+    p.processBatch(b2, 1L)
+    assert(p.committedBatches(spark) === Seq(0L, 1L))
+    assert(asMap(p.profile(spark).collect()) ===
+      asMap(Profiling.profile(b1.unionByName(b2)).collect()))
+  }
+
+  test("empty before any commit; single empty batch profiles zeros") {
+    val p = new StreamingProfile(newDir())
+    assert(p.profile(spark).collect().isEmpty)
+    p.processBatch(b1.limit(0), 0L)
+    val m = asMap(p.profile(spark).collect())
+    assert(m("id") === ((0L, 0L, 0L, null, null)))
+  }
+}

@@ -132,6 +132,23 @@ class UnigramProfilingSpec extends SparkSpec {
     assert(p("s").getAs[String]("max_s") === "c")
   }
 
+  test("drift: one-scan cohort split, null predicate rows in neither") {
+    val df = Seq[(java.lang.Long, String)](
+      (2L, "x"), (4L, "y"), (1L, "y"), (3L, null), (null, "z"))
+      .toDF("id", "s")
+    val d = Profiling.drift(df, col("id") % 2 === 0).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    // cohort A = even ids {2,4}, B = odd {1,3}; null id row drops from both
+    assert(d("id").getAs[Long]("n_rows_a") === 2L)
+    assert(d("id").getAs[Long]("n_rows_b") === 2L)
+    assert(d("s").getAs[Long]("n_nulls_b") === 1L)   // (3, null)
+    assert(d("s").getAs[Long]("n_distinct_a") === 2L) // {x, y}
+    assert(d("s").getAs[Long]("n_distinct_b") === 1L) // {y}
+    assert(d("s").getAs[Long]("d_distinct") === -1L)
+    assert(!d("s").getAs[Boolean]("range_same"))      // [x,y] vs [y,y]
+    assert(d("id").getAs[Boolean]("range_same"))      // non-string: both null
+  }
+
   test("keywordTfIdf: integer scores, score ties break on token order") {
     val d = docs(Seq((1L, "x x y"), (2L, "x z"), (3L, "z z q")))
     // N=3; df: x=2 y=1 z=2 q=1; idf9: x,z=1500000000; y,q=3000000000
