@@ -1,0 +1,98 @@
+package graft
+
+/**
+ * Scale guard #2, beside PlanGuardSpec's join audit: COLUMN PRUNING,
+ * FILTER PUSHDOWN, and SHUFFLE COUNTS on representative queries. At
+ * 100 TB a scan that reads all columns for a 4-column aggregate, a
+ * predicate evaluated above the parquet reader, or a refactor that
+ * sneaks in an extra Exchange are exactly the silent regressions that
+ * stay value-correct while multiplying cluster cost — so the expected
+ * plan shape is pinned here, machine-checked on every run.
+ */
+class ScanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  /** Column sets of every parquet FileScan's output list — the scan
+   * node's own bracket list, which (unlike the ReadSchema/PushedFilters
+   * metadata) is never 100-char-truncated in plan strings. */
+  private def scanColumns(p: String): Seq[Set[String]] =
+    "FileScan parquet \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1).split(",").map(_.trim.replaceAll("#\\d+L?$", ""))
+        .filter(_.nonEmpty).toSet)
+      .toSeq
+
+  /** Exchanges in the plan (reuses excluded — a ReusedExchange is the
+   * optimization, not a new shuffle). */
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+
+  /** Whether some scan carries a non-empty parquet pushdown (the
+   * metadata value may be truncated, so only emptiness is decidable). */
+  private def hasPushedFilters(p: String): Boolean =
+    p.contains("PushedFilters: [") && {
+      val i = p.indexOf("PushedFilters: [")
+      p.charAt(i + "PushedFilters: [".length) != ']'
+    }
+
+  test("q6: exactly the four predicate/measure columns reach the scan, " +
+    "filters pushed, one aggregation shuffle") {
+    val p = plan("q6_forecast_revenue")
+    val rs = scanColumns(p)
+    assert(rs.nonEmpty, p.take(400))
+    assert(rs.head === Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice"), s"lineitem scan reads ${rs.head}")
+    assert(hasPushedFilters(p), s"no pushed filters in:\n$p")
+    assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("text_token_count: narrow projection — two columns, zero shuffles") {
+    val p = plan("text_token_count")
+    val rs = scanColumns(p)
+    assert(rs.head === Set("doc_id", "text"), s"docs scan reads ${rs.head}")
+    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("q1: pruned scan and the single groupBy shuffle") {
+    val p = plan("q1_pricing_summary")
+    val rs = scanColumns(p)
+    assert(rs.nonEmpty)
+    assert(!rs.head.contains("l_comment") && !rs.head.contains("l_partkey"),
+      s"unpruned lineitem scan: ${rs.head}")
+    assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("dedup_exact_docs: fingerprint dedup costs at most two shuffles") {
+    val p = plan("dedup_exact_docs")
+    assert(exchanges(p) <= 2, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("text_keyword_tfidf: tf, df, their join, the corpus count and the " +
+    "top-k window — eight initial exchanges ceiling (AQE reuses at run)") {
+    val p = plan("text_keyword_tfidf")
+    assert(exchanges(p) <= 8, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("profile_columns: one scan feeds the multi-distinct Expand") {
+    val p = plan("profile_columns")
+    // a second FileScan would mean the profile re-reads the table
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"$scans parquet scans:\n$p")
+  }
+
+  test("profile_drift: the one-scan conditional-aggregation claim holds") {
+    val p = plan("profile_drift")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"$scans parquet scans:\n$p")
+  }
+
+  test("cdc_enrich_join: the lookup side broadcasts — no shuffle join") {
+    val p = plan("cdc_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"enrichment degraded to a shuffle join:\n$p")
+  }
+}
