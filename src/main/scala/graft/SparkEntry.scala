@@ -1256,6 +1256,13 @@ object SparkEntry {
       TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
         nShards = 16, seed = "graft")),
 
+    "mix_pack_whole" -> ((s, dir) =>
+      // whole-doc packing (docs never split — the SFT-side discipline):
+      // rung quantization + md5-shuffled rung-local rank → sequence and
+      // slot by pure arithmetic; one narrow projection + one
+      // rung-partitioned rank window, no joins
+      TrainingMix.packWholeDocs(t(s, dir, "documents"), ctxLen = 128)),
+
     "mix_sft_render" -> ((s, dir) =>
       // SFT assembly: 10-doc conversations (conv_id = doc_id DIV 10),
       // turns alternate user/assistant by parity, rendered to the single
@@ -5519,6 +5526,26 @@ object SparkEntry {
          SELECT doc_id, CAST(k AS INTEGER) AS k,
            CAST((ssum + 131072) // 4 - 32768 AS INTEGER) AS v
          FROM w""",
+
+    "mix_pack_whole" ->
+      """WITH pw AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           md5('graft|' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         pb AS (SELECT doc_id, nw, skey,
+           CAST(CASE WHEN nw <= 16 THEN 16 WHEN nw <= 32 THEN 32
+             WHEN nw <= 64 THEN 64 WHEN nw <= 128 THEN 128
+             WHEN nw <= 256 THEN 256 WHEN nw <= 512 THEN 512
+             ELSE ((nw + 511) // 512) * 512 END AS BIGINT) AS bucket
+           FROM pw),
+         pr AS (SELECT doc_id, nw, bucket,
+           GREATEST(CAST(1 AS BIGINT), 128 // bucket) AS per_seq,
+           CAST(row_number() OVER (PARTITION BY bucket
+             ORDER BY skey, doc_id) AS BIGINT) - 1 AS rk
+           FROM pb)
+         SELECT doc_id, nw, bucket, rk // per_seq AS seq_id,
+           rk % per_seq AS slot, bucket > 128 AS overflow
+         FROM pr""",
 
     "mix_sft_render" ->
       """WITH t AS (SELECT doc_id // 10 AS conv_id, doc_id, text,

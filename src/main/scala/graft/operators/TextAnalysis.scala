@@ -377,16 +377,29 @@ object TextAnalysis {
    */
   def keywordTfIdf(docs: DataFrame, k: Int,
                    textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    val tf = docs
       .select(col("doc_id"),
         explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
           .as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    keywordTfIdfFromTf(tf,
+      docs.agg(countDistinct(col("doc_id")).as("n_corpus")), k)
+  }
+
+  /**
+   * Keyword scoring against a prebuilt (doc_id, token, tf) table — the
+   * incremental-index path ([[graft.streaming.StreamingIndex]] maintains
+   * `tf` across micro-batches; its keywords method routes here, so the
+   * streaming and batch rankings share one arithmetic). `nDocs` must be
+   * a 1-row (n_corpus) frame — passed separately because the caller
+   * decides whether token-less documents count toward N.
+   */
+  def keywordTfIdfFromTf(tf: DataFrame, nDocs: DataFrame,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_corpus"))
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs)) // 1-row attach
       .withColumn("score", col("tf") * expr("(1000000000L * n_corpus) DIV df"))

@@ -377,9 +377,10 @@ object TrainingMix {
    * combinable aggregate over ≤ a dozen bucket groups. Nothing shuffles
    * but the bucket dictionary.
    */
-  def lengthBuckets(docs: DataFrame, textCol: String = "text",
-                    rungs: Seq[Int] = Seq(16, 32, 64, 128, 256, 512))
-  : DataFrame = {
+  /** Word count and the padding-ladder rung of a doc: smallest rung
+   * holding it, beyond-top rounds to the next top-rung multiple (shared
+   * by [[lengthBuckets]] and [[packWholeDocs]]). */
+  private def rungBucket(textCol: String, rungs: Seq[Int]): (Column, Column) = {
     require(rungs.nonEmpty && rungs == rungs.sorted,
       s"rungs must be ascending, got $rungs")
     val top = rungs.last
@@ -390,6 +391,13 @@ object TrainingMix {
           s" DIV $top) * $top"))) { (r, acc) =>
       when(nw <= r, lit(r.toLong)).otherwise(acc)
     }
+    (nw, bucket)
+  }
+
+  def lengthBuckets(docs: DataFrame, textCol: String = "text",
+                    rungs: Seq[Int] = Seq(16, 32, 64, 128, 256, 512))
+  : DataFrame = {
+    val (nw, bucket) = rungBucket(textCol, rungs)
     docs.select(bucket.as("bucket"), nw.as("nw"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("sum_words"),
@@ -397,6 +405,44 @@ object TrainingMix {
       .select(col("bucket"), col("n_docs"), col("sum_words"),
         col("pad_words"),
         expr("(pad_words * 1000000000) DIV (n_docs * bucket)").as("waste9"))
+  }
+
+  /**
+   * Whole-document sequence packing — documents are NEVER split (the
+   * SFT/eval-side packing discipline; [[packSequences]] is the
+   * concat-then-cut pretraining form): each doc pads up to its
+   * power-of-two rung, a rung of size r fits exactly ctxLen DIV r docs
+   * per sequence, and a doc's sequence and slot follow from its
+   * md5-shuffled rung-local rank by pure arithmetic — the distributed,
+   * deterministic stand-in for sequential best-fit bin packing, with
+   * waste bounded by the rung quantization [[lengthBuckets]] measures.
+   * Docs whose rung exceeds ctxLen get a sequence of their own with
+   * `overflow` set (truncation policy stays with the caller).
+   *
+   * Shape at scale: one narrow rung projection + one rank window
+   * partitioned by rung (dozens of partitions, each internally
+   * md5-ordered — the same global-shuffle idiom as shuffleShards); no
+   * joins, no driver state, O(1) arithmetic per doc.
+   */
+  def packWholeDocs(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", ctxLen: Int = 512,
+                    rungs: Seq[Int] = Seq(16, 32, 64, 128, 256, 512),
+                    seed: String = "graft"): DataFrame = {
+    require(ctxLen >= rungs.head,
+      s"ctxLen $ctxLen below the smallest rung ${rungs.head}")
+    val (nw, bucket) = rungBucket(textCol, rungs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("skey"), col(idCol))
+    docs
+      .select(col(idCol), nw.as("nw"), bucket.as("bucket"),
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string"))).as("skey"))
+      .withColumn("per_seq", greatest(lit(1L), expr(s"$ctxLen DIV bucket")))
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("nw"), col("bucket"),
+        expr("rk DIV per_seq").as("seq_id"),
+        expr("rk % per_seq").as("slot"),
+        (col("bucket") > ctxLen).as("overflow"))
   }
 
   /**

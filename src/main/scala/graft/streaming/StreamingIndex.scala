@@ -106,4 +106,18 @@ class StreamingIndex(stateDir: String, textCol: String = "text")
     Retrieval.bm25TopKFromTf(t, Retrieval.statsFromTf(t),
       queries, k, maxDfRatio = maxDfRatio)
   }
+
+  /** Per-doc top-k tf·idf keywords over the cumulative index — the same
+   * integer scoring as the batch
+   * [[graft.operators.TextAnalysis.keywordTfIdf]] (shared code), with df
+   * and N derived from the index, so keyword tags of an incrementally
+   * built corpus match a batch build of the same documents exactly.
+   * N counts indexed documents (a token-less doc never enters an
+   * inverted index). */
+  def keywords(spark: SparkSession, k: Int): DataFrame = {
+    val t = tf(spark)
+    graft.operators.TextAnalysis.keywordTfIdfFromTf(
+      t.select(col("doc_id"), col("token"), col("tf")),
+      t.agg(countDistinct(col("doc_id")).as("n_corpus")), k)
+  }
 }

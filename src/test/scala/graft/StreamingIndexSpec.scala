@@ -79,6 +79,31 @@ class StreamingIndexSpec extends SparkSpec {
     assert(healed === batchAll)
   }
 
+  test("incremental keywords equal the batch ranking from the same tf") {
+    val idx = new StreamingIndex(newDir())
+    idx.processBatch(batch1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(batch2.toDF("doc_id", "text"), 1L)
+    idx.processBatch(batch3.toDF("doc_id", "text"), 2L)
+    val streamed = idx.keywords(spark, k = 3)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // batch reference: identical scoring over the whole-corpus tf table
+    val allTf = Retrieval.termFrequencies(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"))
+      .select($"doc_id", $"token", $"tf")
+    val batchKw = graft.operators.TextAnalysis.keywordTfIdfFromTf(
+      allTf, allTf.agg(countDistinct($"doc_id").as("n_corpus")), k = 3)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed === batchKw)
+    assert(streamed.nonEmpty, "fixture must rank something")
+    // df is corpus-wide, not batch-local: every ranked token's df must
+    // exceed its df within batch1 alone (all three batches share the
+    // 30-token vocabulary, so each token appears in every batch)
+    val b1df = Retrieval.termFrequencies(batch1.toDF("doc_id", "text"))
+      .groupBy($"token").count().as[(String, Long)].collect().toMap
+    assert(streamed.forall { case (_, _, tok, _, df, _) =>
+      df > b1df.getOrElse(tok, 0L) }, "a ranked df collapsed to one batch")
+  }
+
   test("appending a batch never reads earlier batch dirs") {
     val dir = newDir()
     val idx = new StreamingIndex(dir)

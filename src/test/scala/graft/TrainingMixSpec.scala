@@ -12,6 +12,36 @@ class TrainingMixSpec extends SparkSpec {
         s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i"))
     }.toDF("doc_id", "lang", "text")
 
+  test("packWholeDocs: exact slot arithmetic, no split, overflow flagged") {
+    // words: 10 -> rung 16 (8 per 128-seq), 30 -> rung 32 (4 per seq),
+    // 200 -> rung 256 > ctx 128 -> overflow, own sequence
+    def doc(id: Long, words: Int) = (id, "en", Seq.fill(words)("w").mkString(" "))
+    val docs = ((1L to 20L).map(doc(_, 10)) ++ (30L to 35L).map(doc(_, 30))
+      ++ Seq(doc(99L, 200))).toDF("doc_id", "lang", "text")
+    val packed = TrainingMix.packWholeDocs(docs, ctxLen = 128).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("slot"), r.getAs[Boolean]("overflow"))).toMap
+    // rung 16: 20 docs, 8 per sequence -> seqs 0,1,2 with 8+8+4 docs
+    val r16 = packed.filter(_._2._1 == 16L).values
+    assert(r16.size === 20)
+    assert(r16.count(_._2 == 0L) === 8 && r16.count(_._2 == 1L) === 8
+      && r16.count(_._2 == 2L) === 4, s"rung-16 fill: $r16")
+    assert(r16.filter(_._2 == 0L).map(_._3).toSeq.sorted === (0L to 7L))
+    // rung 32: 6 docs, 4 per sequence -> 4 + 2
+    val r32 = packed.filter(_._2._1 == 32L).values
+    assert(r32.count(_._2 == 0L) === 4 && r32.count(_._2 == 1L) === 2)
+    assert(r32.forall(!_._4))
+    // overflow doc: own sequence, slot 0, flagged
+    assert(packed(99L) === ((256L, 0L, 0L, true)))
+    // determinism under repartition
+    val re = TrainingMix.packWholeDocs(docs.repartition(5), ctxLen = 128)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("slot"), r.getAs[Boolean]("overflow"))).toMap
+    assert(re === packed)
+  }
+
   test("temperatureThresholds: sqrt-flattened mix, binding stratum kept whole") {
     val docs = corpus(Map("en" -> 900, "fr" -> 100))
     val thr = TrainingMix.temperatureThresholds(docs, "lang")
