@@ -1256,6 +1256,20 @@ object SparkEntry {
       TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
         nShards = 16, seed = "graft")),
 
+    "mix_fewshot_prompts" -> ((s, dir) =>
+      // eval-suite assembly: per language, 3 md5-chosen exemplars render
+      // once into the task's shot block (task-sized broadcast
+      // dictionary); every non-exemplar doc becomes one eval prompt —
+      // exemplars never appear as queries
+      TrainingMix.fewshotPrompts(t(s, dir, "documents"), "lang", k = 3)),
+
+    "mix_word_dropout" -> ((s, dir) =>
+      // token-iid denoising corruption (word dropout, Bowman et al.
+      // 2016) beside mix_span_corruption's contiguous spans: drop
+      // decisions on the portable 48-bit md5 ladder, surviving text
+      // reassembled by the doc-bounded sorted-collect fold
+      TrainingMix.wordDropout(t(s, dir, "documents"), dropRate = 0.1)),
+
     "mix_pack_whole" -> ((s, dir) =>
       // whole-doc packing (docs never split — the SFT-side discipline):
       // rung quantization + md5-shuffled rung-local rank → sequence and
@@ -1301,6 +1315,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "emb_contrastive_batch" -> ((s, dir) => {
+      // the fused training example: hardest same-label positive + 4
+      // hardest cross-label negatives per anchor, negatives packed
+      // rank-ordered — one row = one complete InfoNCE example
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.contrastiveBatch(emb.filter(col("vec_id") < 8), emb,
+          kNeg = 4)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("pos_id"), col("n_negs"), col("neg_ids"))
     }),
 
     "emb_hard_negatives" -> ((s, dir) => {
@@ -2043,6 +2068,19 @@ object SparkEntry {
         threshold = 0.45)
       DocDedup.canonicalClusters(pairs)
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
+    }),
+
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // dedup-audit histogram: component sizes of the near-dup graph +
+      // the reconstructed singleton row — the number a build reads
+      // before trusting its blocking key (a giant component = leaked
+      // boilerplate)
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.45)
+      DocDedup.clusterSizes(
+        DocDedup.canonicalClusters(pairs)
+          .select(col("doc_id"), col("canonical_id")),
+        t(s, dir, "embeddings"), idCol = "vec_id")
     }),
 
     "dedup_embedding_neardup" -> ((s, dir) =>
@@ -4092,6 +4130,32 @@ object SparkEntry {
          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
          WHERE rank <= 10""",
 
+    "emb_contrastive_batch" ->
+      """WITH cbp AS (SELECT q_id, q_label, vec_id AS pos_id FROM (
+           SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+             e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 8 AND e.label = q.label
+             AND e.vec_id <> q.vec_id) WHERE rank = 1),
+         cbn AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_negs,
+             string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank)
+               AS neg_ids
+           FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 8 AND e.label <> q.label)
+           WHERE rank <= 4 GROUP BY q_id)
+         SELECT p.q_id, p.q_label, p.pos_id, n.n_negs, n.neg_ids
+         FROM cbp p JOIN cbn n USING (q_id)""",
+
     "emb_hard_negatives" ->
       """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
          FROM (
@@ -4634,6 +4698,29 @@ object SparkEntry {
            UNION
            SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
          SELECT id AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY id""",
+
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
+         edges AS (SELECT a AS x, b AS y FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT x AS id, x AS r FROM edges
+           UNION
+           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id),
+         comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+         sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1),
+         hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           FROM sz GROUP BY 1),
+         single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_clusters)
+         SELECT * FROM hist
+         UNION ALL SELECT * FROM single WHERE n_clusters > 0""",
 
     // LSH ANN is pinned to the EXACT answer: banded candidates provably
     // contain the true top-5 here, so the approximate path must reproduce
@@ -5526,6 +5613,38 @@ object SparkEntry {
          SELECT doc_id, CAST(k AS INTEGER) AS k,
            CAST((ssum + 131072) // 4 - 32768 AS INTEGER) AS v
          FROM w""",
+
+    "mix_fewshot_prompts" ->
+      """WITH fr AS (SELECT doc_id, lang, text,
+           md5('fewshot|' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         frk AS (SELECT doc_id, lang, text, CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY skey, doc_id) AS BIGINT) AS rk
+           FROM fr),
+         sb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_shots,
+             string_agg('doc: ' || text || chr(10) || 'lang: ' || lang,
+               chr(10) ORDER BY rk) AS shot_block
+           FROM frk WHERE rk <= 3 GROUP BY lang)
+         SELECT r.doc_id, r.lang, s.n_shots,
+           s.shot_block || chr(10) || 'doc: ' || r.text || chr(10)
+             || 'lang:' AS prompt
+         FROM frk r JOIN sb s USING (lang) WHERE r.rk > 3""",
+
+    "mix_word_dropout" ->
+      s"""WITH wt AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+                 FROM documents)),
+         wd AS (SELECT doc_id, pos, w,
+             md5('dropout|' || doc_id || '|' || pos)
+               < '${operators.Curation.sampleThreshold(0.1)}' AS drop
+           FROM wt)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(string_agg(CASE WHEN NOT drop THEN w END, ' '
+             ORDER BY pos), '') AS text_out
+         FROM wd GROUP BY doc_id""",
 
     "mix_pack_whole" ->
       """WITH pw AS (SELECT doc_id,

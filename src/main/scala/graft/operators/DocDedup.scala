@@ -431,4 +431,33 @@ object DocDedup {
     require(changed == 0, s"canonicalClusters did not converge in $maxIters rounds")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /**
+   * Cluster-size histogram of a dedup run — the audit a corpus build
+   * reads before trusting its near-dup graph (a giant component means
+   * boilerplate leaked into the blocking key; a wall of pairs means the
+   * threshold is too loose): (cluster_size, n_clusters) over the
+   * [[canonicalClusters]] components, with the singleton row (size 1)
+   * reconstructed from the corpus total so the histogram covers EVERY
+   * document, not just pair members.
+   *
+   * Shape at scale: two map-side-combinable aggregations over the
+   * node-sized label frame + two 1-row count attaches for the singleton
+   * row; the histogram itself is size-distinct-sized (≤ log-ish rows).
+   */
+  def clusterSizes(members: DataFrame, corpus: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val hist = members
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val total = corpus.agg(countDistinct(col(idCol)).as("n_total"))
+    val inPairs = members.agg(count(lit(1)).as("n_members"))
+    val singletons = total.crossJoin(broadcast(inPairs)) // 1-row × 1-row
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_members")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singletons)
+  }
 }

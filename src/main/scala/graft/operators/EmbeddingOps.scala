@@ -315,6 +315,33 @@ object EmbeddingOps {
   }
 
   /**
+   * Contrastive training-batch assembly — the fused artifact a
+   * metric-learning run actually consumes: per anchor, its hardest
+   * SAME-label positive ([[hardPositives]] rank 1) and its k hardest
+   * DIFFERENT-label negatives ([[hardNegatives]]), the negatives packed
+   * rank-ordered into one comma-joined id list so each output row is one
+   * complete training example. Anchors with no same-label partner in the
+   * corpus drop (no positive ⇒ no example — the InfoNCE contract).
+   *
+   * Shape at scale: both mining arms share the broadcast-bounded anchor
+   * side; the fuse is an anchor-keyed join of two anchor-sized frames.
+   */
+  def contrastiveBatch(anchors: DataFrame, corpus: DataFrame,
+                       kNeg: Int): DataFrame = {
+    val pos = hardPositives(anchors, corpus, k = 1)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("pos_id"))
+    val negs = hardNegatives(anchors, corpus, kNeg)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_negs"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rank"), col("vec_id").as("v")))),
+          s => s.getField("v").cast("string"))).as("neg_ids"))
+    pos.join(negs, Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("pos_id"),
+        col("n_negs"), col("neg_ids"))
+  }
+
+  /**
    * Matryoshka truncation audit (Kusupati et al. 2022: nested
    * representations are usable at prefix lengths when the leading dims
    * carry most of the energy): per vector, the fraction of ‖v‖² held by

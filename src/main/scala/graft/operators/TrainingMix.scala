@@ -408,6 +408,74 @@ object TrainingMix {
   }
 
   /**
+   * Few-shot prompt assembly — the eval-suite construction step: per
+   * task (`taskCol`), k exemplar docs are chosen by the deterministic
+   * md5 shuffle (same seed ⇒ same exemplars on any engine/partitioning),
+   * rendered once into the task's shot block, and every NON-exemplar doc
+   * of the task becomes one eval row: shot block + the query doc with
+   * its answer slot left open. Exemplars never appear as queries — the
+   * assembly-level leak eval harnesses must not have.
+   *
+   * Shape at scale: exemplar choice is one task-partitioned rank window;
+   * the shot blocks aggregate to a TASK-sized dictionary that broadcasts
+   * onto the corpus — one corpus shuffle total, prompts never shuffle
+   * twice.
+   */
+  def fewshotPrompts(docs: DataFrame, taskCol: String, k: Int,
+                     textCol: String = "text",
+                     seed: String = "fewshot"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(taskCol)).orderBy(col("skey"), col("doc_id"))
+    val ranked = docs
+      .select(col("doc_id"), col(taskCol), col(textCol).as("t"),
+        Curation.sampleKey(col("doc_id"), seed).as("skey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val shots = ranked.filter(col("rk") <= k)
+      .groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_shots"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("rk"), col("t")))),
+          s => concat(lit("doc: "), s.getField("t"), lit(s"\n$taskCol: "),
+            col(taskCol)))).as("shot_block"))
+    ranked.filter(col("rk") > k)
+      .join(broadcast(shots), Seq(taskCol))
+      .select(col("doc_id"), col(taskCol), col("n_shots"),
+        concat(col("shot_block"), lit("\ndoc: "), col("t"),
+          lit(s"\n$taskCol:")).as("prompt"))
+  }
+
+  /**
+   * Deterministic word-dropout augmentation (the token-iid denoising
+   * corruption next to [[spanCorruption]]'s contiguous spans — word
+   * dropout regularizes seq2seq training, Bowman et al. 2016): token i
+   * of doc d drops iff md5(seed|d|i) clears the 48-bit rate threshold —
+   * the same portable draw ladder as sampling and span corruption, so
+   * the same seed reproduces the same corruption on any engine,
+   * partitioning, or run. Emits the surviving text plus token/drop
+   * accounting.
+   *
+   * Shape at scale: posexplode (corpus-linear) + ONE doc-key shuffle for
+   * the sorted-collect reassembly; no windows, no joins, no state.
+   */
+  def wordDropout(docs: DataFrame, dropRate: Double,
+                  seed: String = "dropout"): DataFrame = {
+    val thr = Curation.sampleThreshold(dropRate)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "w")
+      .withColumn("drop",
+        md5(concat_ws("|", lit(seed), col("doc_id"), col("pos"))) < lit(thr))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("drop"),
+            struct(col("pos"), col("w").as("t"))))),
+          s => s.getField("t"))).as("text_out"))
+  }
+
+  /**
    * Whole-document sequence packing — documents are NEVER split (the
    * SFT/eval-side packing discipline; [[packSequences]] is the
    * concat-then-cut pretraining form): each doc pads up to its

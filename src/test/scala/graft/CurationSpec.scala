@@ -32,6 +32,25 @@ class CurationSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("clusterSizes: histogram covers every doc, singletons reconstructed") {
+    // corpus of 12 ids; components {1,2,3,9} (4), {5,6} (2), {7,8} (2)
+    // -> 8 members, 4 singletons
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val corpus = (1L to 12L).toDF("doc_id")
+    val members = graft.operators.DocDedup.canonicalClusters(pairs)
+    val hist = graft.operators.DocDedup.clusterSizes(members, corpus)
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(4L -> 1L, 2L -> 2L, 1L -> 4L))
+    assert(hist.map { case (sz, n) => sz * n }.sum === 12L,
+      "histogram mass must equal the corpus")
+    // fully-paired corpus: no singleton row at all
+    val none = graft.operators.DocDedup.clusterSizes(members,
+      Seq(1L, 2L, 3L, 9L, 5L, 6L, 7L, 8L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(!none.contains(1L))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

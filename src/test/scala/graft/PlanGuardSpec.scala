@@ -44,8 +44,12 @@ class PlanGuardSpec extends SparkSpec {
       "curate_dsir_sample", // two 1-row vocab-size attaches (both LMs)
       "emb_norm_outliers", // three 1-row attaches (count, median, MAD)
       "q_zorder_events", // 1-row min/max attach before the interleave
-      "text_keyword_tfidf") // 1-row corpus-doc-count (N) attach to the
+      "text_keyword_tfidf", // 1-row corpus-doc-count (N) attach to the
       // tf×df dictionary join — the idf denominator
+      "dedup_cluster_sizes", // the singleton row = a 1-row corpus count
+      // × a 1-row member count — two constant attaches, nothing streams
+      "emb_contrastive_batch") // both mining arms are the bounded-anchor
+      // brute baselines (label-mismatch / label-match × corpus)
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must

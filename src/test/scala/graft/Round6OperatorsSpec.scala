@@ -225,6 +225,33 @@ class Round6OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("contrastiveBatch: one complete example per anchor, partnerless drop") {
+    import graft.operators.EmbeddingOps
+    // 2-d unit-ish vectors: label 0 along +x, label 1 along +y, and one
+    // anchor (id 9, label 7) with NO same-label partner anywhere
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1.0, 0.0), 0L), (1L, v(0.9, 0.1), 0L), (2L, v(0.8, 0.3), 0L),
+      (5L, v(0.0, 1.0), 1L), (6L, v(0.1, 0.9), 1L),
+      (9L, v(-1.0, 0.0), 7L))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.contrastiveBatch(
+      emb.filter($"vec_id" < 10), emb, kNeg = 2).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("pos_id"), r.getAs[Long]("n_negs"),
+          r.getAs[String]("neg_ids"))).toMap
+    assert(!out.contains(9L), "partnerless anchor must emit no example")
+    // anchor 0: positive = 1 (cos .9 axis beats .8/.3); negatives from
+    // labels {1, 7}: 5 and 6 both ~orthogonal, 9 is opposite -> top-2
+    // by cosine are 6 (cos .1) then 5 (cos 0), rank order pinned
+    assert(out(0L)._1 === 1L)
+    assert(out(0L)._2 === 2L)
+    assert(out(0L)._3 === "6,5", s"neg order was ${out(0L)._3}")
+    // every emitted example is complete: a positive AND exactly kNeg
+    // negatives (corpus has >= 2 cross-label vectors for all anchors)
+    assert(out.values.forall(_._2 === 2L))
+  }
+
   test("normOutliers: planted blow-up flagged, bulk clean, deterministic") {
     val dim = 8
     val emb = ((1L to 99L).map { i =>

@@ -12,6 +12,56 @@ class TrainingMixSpec extends SparkSpec {
         s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i"))
     }.toDF("doc_id", "lang", "text")
 
+  test("wordDropout: deterministic per-token draws, order preserved") {
+    val docs = Seq((1L, "en", (0 until 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r = TrainingMix.wordDropout(docs, dropRate = 0.25).collect().head
+    assert(r.getAs[Long]("n_tokens") === 40L)
+    val kept = r.getAs[String]("text_out").split(" ").toSeq
+    assert(kept.size === 40L - r.getAs[Long]("n_dropped"))
+    // survivors keep their original relative order
+    val idx = kept.map(_.drop(1).toInt)
+    assert(idx === idx.sorted, s"order broken: $idx")
+    assert(r.getAs[Long]("n_dropped") > 0L, "a 25% rate over 40 draws " +
+      "dropping nothing means the draw ladder broke")
+    // same seed reproduces bit-identically; another seed differs somewhere
+    val again = TrainingMix.wordDropout(docs.repartition(7), 0.25)
+      .collect().head
+    assert(again.getAs[String]("text_out") === r.getAs[String]("text_out"))
+    val other = TrainingMix.wordDropout(docs, 0.25, seed = "other")
+      .collect().head
+    assert(other.getAs[String]("text_out") !== r.getAs[String]("text_out"))
+  }
+
+  test("fewshotPrompts: exemplars render once, never appear as queries") {
+    val docs = (1L to 6L).map(i => (i, "en", s"text$i")) ++
+      (11L to 12L).map(i => (i, "fr", s"ftext$i"))
+    val out = TrainingMix.fewshotPrompts(docs.toDF("doc_id", "lang", "text"),
+      "lang", k = 3).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // en: 3 exemplars + 3 queries; fr: only 2 docs -> both exemplars,
+    // zero queries (no partial-shot prompts)
+    assert(out.count(_.getAs[String]("lang") == "en") === 3)
+    assert(!out.exists(_.getAs[String]("lang") == "fr"))
+    val enQuery = byDoc(out.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Long]("doc_id")).min)
+    val prompt = enQuery.getAs[String]("prompt")
+    assert(enQuery.getAs[Long]("n_shots") === 3L)
+    // shot block: 3 exemplar doc/lang pairs, then the open query slot
+    assert("doc: ".r.findAllIn(prompt).length === 4)
+    assert("lang: ".r.findAllIn(prompt).length === 3)
+    assert(prompt.endsWith("\nlang:"), "answer slot must stay open")
+    // the query's own text is in the prompt but not as an exemplar
+    assert(prompt.contains(s"doc: text${enQuery.getAs[Long]("doc_id")}\nlang:"))
+    // determinism across partitionings
+    val re = TrainingMix.fewshotPrompts(
+      docs.toDF("doc_id", "lang", "text").repartition(5), "lang", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("prompt"))
+      .toMap
+    assert(re === out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("prompt")).toMap)
+  }
+
   test("packWholeDocs: exact slot arithmetic, no split, overflow flagged") {
     // words: 10 -> rung 16 (8 per 128-seq), 30 -> rung 32 (4 per seq),
     // 200 -> rung 256 > ctx 128 -> overflow, own sequence
