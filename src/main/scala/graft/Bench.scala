@@ -58,6 +58,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // dead lineage-checkpoint blocks (eager localCheckpoints of the CC
+      // family) are freed by the ContextCleaner only after their RDDs are
+      // GC'd; without a nudge they pile up in the block manager and query
+      // i pays query i-1's garbage — measured as a 10x phantom slowdown
+      // on small cached-model queries mid-session
+      System.gc()
       val times = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
