@@ -2175,6 +2175,13 @@ object SparkEntry {
     "emb_label_centroid" -> ((s, dir) =>
       EmbeddingOps.labelCentroid(t(s, dir, "embeddings"))),
 
+    "emb_centroid_drift" -> ((s, dir) =>
+      // vector-space drift monitor (the embedding sibling of
+      // profile_drift): per (label, dim), both vec_id-parity cohorts'
+      // exact-decimal centroids side by side in ONE conditional-agg pass
+      EmbeddingOps.centroidDrift(t(s, dir, "embeddings"),
+        expr("vec_id % 2 = 0"))),
+
     "emb_int8_quantize" -> ((s, dir) =>
       EmbeddingOps.int8Quantize(t(s, dir, "embeddings"))),
 
@@ -4868,6 +4875,24 @@ object SparkEntry {
            round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
          FROM e GROUP BY 1, 2""",
+
+    "emb_centroid_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 = 0 AS in_a,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))
+             AS x7, i
+           FROM (SELECT label, vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         g AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+             SUM(CASE WHEN in_a THEN x7 END) AS sa,
+             CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN NOT in_a THEN x7 END) AS sb,
+             CAST(COUNT(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b
+           FROM e GROUP BY 1, 2)
+         SELECT label, pos, n_a, n_b,
+           round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b
+         FROM g WHERE n_a > 0 AND n_b > 0""",
 
     "emb_int8_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

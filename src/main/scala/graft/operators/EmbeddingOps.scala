@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -31,6 +31,36 @@ object EmbeddingOps {
       .select(col("label"), col("pos").cast("long").as("pos"),
         round(col("s").cast("double") / col("n").cast("double"), 6)
           .as("centroid"))
+
+  /**
+   * Embedding-space drift between two cohorts of the same corpus — the
+   * vector-space sibling of the column-level Profiling.drift: per
+   * (label, dimension), both cohorts' exact-decimal centroid means side
+   * by side, the signal that says whether a re-embed / new crawl moved a
+   * class's region (retrain the ANN index, re-mine negatives) before any
+   * downstream metric degrades. Rows where either cohort is empty drop —
+   * a one-sided mean has no drift reading. ONE pass via conditional
+   * aggregation (never two scans + a join), the [[labelCentroid]]
+   * fixed-point ladder on both arms.
+   */
+  def centroidDrift(emb: DataFrame, pred: Column): DataFrame =
+    emb.select(col("label"), pred.as("in_a"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x7",
+        round(col("x").cast("double"), 7).cast(DecimalType(24, 7)))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("in_a"), col("x7"))).as("sa"),
+        count(when(col("in_a"), lit(1))).as("n_a"),
+        sum(when(!col("in_a"), col("x7"))).as("sb"),
+        count(when(!col("in_a"), lit(1))).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_a"), col("n_b"),
+        round(col("sa").cast("double") / col("n_a").cast("double"), 6)
+          .as("mean_a"),
+        round(col("sb").cast("double") / col("n_b").cast("double"), 6)
+          .as("mean_b"))
 
   /**
    * Per-dimension corpus statistics (mean and variance) for an

@@ -225,6 +225,22 @@ class Round6OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("centroidDrift: exact cohort means, one-sided dims drop") {
+    import graft.operators.EmbeddingOps
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0L), (2L, Array(3.0f, 0.0f), 0L), // cohort A
+      (1L, Array(5.0f, 2.0f), 0L),                              // cohort B
+      (4L, Array(9.0f, 9.0f), 1L))  // label 1: A only -> must drop
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.centroidDrift(emb, $"vec_id" % 2 === 0).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pos")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"))).toMap
+    assert(out((0L, 0L)) === ((2L, 1L, 2.0, 5.0)))
+    assert(out((0L, 1L)) === ((2L, 1L, 0.0, 2.0)))
+    assert(!out.keySet.exists(_._1 == 1L), "one-sided label must drop")
+  }
+
   test("contrastiveBatch: one complete example per anchor, partnerless drop") {
     import graft.operators.EmbeddingOps
     // 2-d unit-ish vectors: label 0 along +x, label 1 along +y, and one
