@@ -57,6 +57,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // JVM-health telemetry between queries (stderr only): the round-6 bench
+    // showed untouched queries drifting 1.7-2.4x slower late in a 186-query
+    // session — this pins whether the cause is code-cache exhaustion (JIT
+    // stops/flushes compiles), heap pressure, or block-manager residue.
+    def diag(name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      val code = pools.filter(_.getName.startsWith("CodeHeap"))
+        .map(p => s"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+          s"${p.getUsage.getUsed / 1048576}/${p.getUsage.getMax / 1048576}M")
+        .mkString(" ")
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      val rdds = spark.sparkContext.getPersistentRDDs
+      System.err.println(f"[diag] $name heap=${heap.getUsed / 1048576}M " +
+        s"cachedRdds=${rdds.size} $code")
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // dead lineage-checkpoint blocks (eager localCheckpoints of the CC
       // family) are freed by the ContextCleaner only after their RDDs are
@@ -65,6 +81,7 @@ object Bench {
       // on small cached-model queries mid-session
       System.gc()
       val times = Seq.fill(3)(timeOnce(name, fn))
+      diag(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

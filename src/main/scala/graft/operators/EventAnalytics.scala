@@ -21,18 +21,25 @@ object EventAnalytics {
    * strict-ordering funnel). Emits one row per key that entered step 1,
    * with nullable `t1..tN` entry times.
    *
-   * Shape: one filtered min-aggregate per step, each joined to the
-   * previous step's frame on the key — N small hash joins over
-   * key-partitioned aggregates, never a sort or a collect_list fold.
+   * Shape: ONE scan of `events` (pre-filtered to the funnel's step types
+   * and materialized — an N-step funnel over 100 TB must not rescan the
+   * corpus N times), then one filtered min-aggregate per step, each joined
+   * to the previous step's frame on the key — N small hash joins over
+   * key-partitioned aggregates, never a sort or a collect_list fold. The
+   * materialized slice is tiny relative to the corpus (only rows whose
+   * type is in the funnel), so it fits the Materialize regimes.
    */
   def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
                   steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    val first = events.filter(col("event_type") === steps.head)
+    val slice = Materialize(
+      events.filter(col("event_type").isin(steps: _*))
+        .select(col(keyCol), col(tsCol), col("event_type")))
+    val first = slice.filter(col("event_type") === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
     val frames = steps.tail.zipWithIndex.scanLeft(first) {
       case (prev, (step, i)) =>
-        events.filter(col("event_type") === step).join(prev, keyCol)
+        slice.filter(col("event_type") === step).join(prev, keyCol)
           .filter(col(tsCol) > col(s"t${i + 1}"))
           .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t${i + 2}"))
     }
@@ -47,7 +54,11 @@ object EventAnalytics {
    * length in `tsCol` units (e.g. 604800000000 for weeks over µs).
    *
    * Shape: per-key distinct + min (one key-hash shuffle), then a
-   * map-side-combinable rollup over the (cohort, age) dictionary.
+   * map-side-combinable rollup over the (cohort, age) dictionary. After
+   * the distinct, (key, wk) is unique — and a key maps to exactly one
+   * cohort_wk — so each (cohort, age, key) cell row is unique and a plain
+   * `count(*)` equals `countDistinct(key)` without the extra
+   * Expand/two-level aggregate stage countDistinct plans.
    */
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
                        periodUnits: Long): DataFrame = {
@@ -57,6 +68,6 @@ object EventAnalytics {
     val first = e.groupBy(col(keyCol)).agg(min(col("wk")).as("cohort_wk"))
     e.distinct().join(first, keyCol)
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
-      .agg(countDistinct(col(keyCol)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 }

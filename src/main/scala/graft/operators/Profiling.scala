@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
 
 /**
  * Column-level table profiling — the data-quality fingerprint a pipeline
@@ -12,16 +13,25 @@ import org.apache.spark.sql.functions._
  * the reference (its closest analog is the per-mutation metric counters,
  * SURVEY §2.5).
  *
- * Scale shape: ONE full-shuffle pass. Null counts, row counts, and
- * string ranges are plain aggregates (map-side combinable); the distinct
- * counts ride the same aggregation via Spark's multi-distinct Expand —
- * the planner rewrites N `count(DISTINCT c)` into one Expand(N+1 copies)
- * + two-level aggregate, so the table is scanned once regardless of how
- * many columns are profiled. The result is columns-sized (one row per
- * column) — never data-sized. At 100 TB the Expand multiplies the
- * shuffle by the profiled-column count; callers profiling very wide
- * tables should slice the column list, which composes because each
- * column's row is independent.
+ * Scale shape: full-shuffle passes with a BOUNDED Expand. Null counts,
+ * row counts, and string ranges are plain aggregates (map-side
+ * combinable); the distinct counts ride the same aggregation via Spark's
+ * multi-distinct Expand — the planner rewrites N `count(DISTINCT c)`
+ * into one Expand(N+1 copies) + two-level aggregate. Expand multiplies
+ * the SHUFFLED row volume by its copy count, so a 100-column table
+ * profiled in one scan shuffles ~100x the input — the operator therefore
+ * slices wide tables into column batches of at most
+ * `maxDistinctAggsPerScan` distinct-aggregates per scan and unions the
+ * columns-sized results. The extra scans are nearly free: each slice's
+ * aggregate reads only that slice's columns, so parquet column pruning
+ * keeps total scanned bytes constant while the per-scan shuffle
+ * multiplier stays bounded. Results are columns-sized (one row per
+ * column) — never data-sized.
+ *
+ * All generated plans are built with the Column API (no name
+ * interpolation into SQL strings), so any legal column identifier —
+ * spaces, dots, hyphens, reserved words, embedded backticks — profiles
+ * correctly.
  *
  * min/max are emitted ONLY for string columns: numeric/timestamp
  * rendering differs across engines (scientific notation, zero padding),
@@ -29,37 +39,53 @@ import org.apache.spark.sql.functions._
  */
 object Profiling {
 
+  /** Exact-name column reference safe for ANY identifier: backtick-quote
+   * with embedded backticks doubled (the parser's escape). */
+  private[graft] def exact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /**
    * Profile `df`: one output row per column —
    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s), with min_s /
    * max_s null for non-string columns. Column order follows the input
    * schema; n_distinct counts non-null values (COUNT DISTINCT
-   * semantics in both engines).
+   * semantics in both engines). Tables wider than
+   * `maxDistinctAggsPerScan` are profiled in column batches (bounded
+   * Expand per scan, see object scaladoc) and unioned — byte-identical
+   * rows to the one-scan plan because each column's row is independent.
    */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame, maxDistinctAggsPerScan: Int = 16): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot profile a zero-column frame")
+    require(maxDistinctAggsPerScan >= 1,
+      s"maxDistinctAggsPerScan must be >= 1, got $maxDistinctAggsPerScan")
+    cols.grouped(maxDistinctAggsPerScan) // 1 distinct agg per column
+      .map(slice => profileSlice(df, slice))
+      .reduce(_.unionByName(_))
+  }
+
+  private def profileSlice(df: DataFrame, cols: Array[StructField]): DataFrame = {
+    // internal aliases are index-based — user column names never appear
+    // in generated identifiers
     val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { f =>
-        val c = col(f.name)
-        val isStr = f.dataType.typeName == "string"
-        Seq(
-          count(c).as(s"nn_${f.name}"),
-          countDistinct(c).as(s"nd_${f.name}"),
-          (if (isStr) min(c) else lit(null).cast("string"))
-            .as(s"mn_${f.name}"),
-          (if (isStr) max(c) else lit(null).cast("string"))
-            .as(s"mx_${f.name}"))
+      Seq(count(lit(1)).as("n_rows")) ++ cols.zipWithIndex.toSeq.flatMap {
+        case (f, i) =>
+          val c = exact(f.name)
+          val isStr = f.dataType.typeName == "string"
+          Seq(
+            count(c).as(s"nn_$i"),
+            countDistinct(c).as(s"nd_$i"),
+            (if (isStr) min(c) else lit(null).cast("string")).as(s"mn_$i"),
+            (if (isStr) max(c) else lit(null).cast("string")).as(s"mx_$i"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack the single wide row into one row per column
-    val stacked = cols.map { f =>
-      s"'${f.name}', n_rows - nn_${f.name}, nd_${f.name}, " +
-        s"mn_${f.name}, mx_${f.name}"
-    }.mkString(", ")
-    one.select(col("n_rows"), expr(
-      s"stack(${cols.length}, $stacked) AS " +
-        "(col_name, n_nulls, n_distinct, min_s, max_s)"))
+    val rows: Seq[Column] = cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
+      Seq(lit(f.name), col("n_rows") - col(s"nn_$i"), col(s"nd_$i"),
+        col(s"mn_$i"), col(s"mx_$i"))
+    }
+    one.select(col("n_rows"), stack(lit(cols.length) +: rows: _*)
+        .as(Seq("col_name", "n_nulls", "n_distinct", "min_s", "max_s")))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
@@ -67,42 +93,53 @@ object Profiling {
   /**
    * Profile drift between two slices of the SAME table (cohort A =
    * `pred` true, cohort B = false) — the per-column drift monitor
-   * between corpus builds, time windows, or source cohorts. Computed in
-   * ONE scan via conditional aggregation (every per-slice aggregate is
-   * an agg over `when(pred, ...)`), never two scans + a join; null
-   * predicate rows belong to neither slice. Output one row per column:
+   * between corpus builds, time windows, or source cohorts. Computed via
+   * conditional aggregation (every per-slice aggregate is an agg over
+   * `when(pred, ...)`), never two scans-per-slice + a join; null
+   * predicate rows belong to neither slice. Each column contributes TWO
+   * distinct-aggregates (cohort a + cohort b), so batches hold
+   * `maxDistinctAggsPerScan / 2` columns. Output one row per column:
    * both slices' row/null/distinct counts, the distinct-count delta, and
    * whether the string min/max range moved.
    */
-  def drift(df: DataFrame, pred: Column): DataFrame = {
+  def drift(df: DataFrame, pred: Column,
+            maxDistinctAggsPerScan: Int = 16): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot drift-profile a zero-column frame")
-    val p = pred
+    require(maxDistinctAggsPerScan >= 1,
+      s"maxDistinctAggsPerScan must be >= 1, got $maxDistinctAggsPerScan")
+    cols.grouped(math.max(1, maxDistinctAggsPerScan / 2))
+      .map(slice => driftSlice(df, pred, slice))
+      .reduce(_.unionByName(_))
+  }
+
+  private def driftSlice(df: DataFrame, pred: Column,
+                         cols: Array[StructField]): DataFrame = {
     def side(tag: String, in: Column => Column): Seq[Column] =
-      cols.flatMap { f =>
-        val c = in(col(f.name))
+      cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
+        val c = in(exact(f.name))
         val isStr = f.dataType.typeName == "string"
         Seq(
-          count(in(lit(1))).as(s"nr_${tag}_${f.name}"),
-          count(c).as(s"nn_${tag}_${f.name}"),
-          countDistinct(c).as(s"nd_${tag}_${f.name}"),
+          count(in(lit(1))).as(s"nr_${tag}_$i"),
+          count(c).as(s"nn_${tag}_$i"),
+          countDistinct(c).as(s"nd_${tag}_$i"),
           (if (isStr) min(c) else lit(null).cast("string"))
-            .as(s"mn_${tag}_${f.name}"),
+            .as(s"mn_${tag}_$i"),
           (if (isStr) max(c) else lit(null).cast("string"))
-            .as(s"mx_${tag}_${f.name}"))
+            .as(s"mx_${tag}_$i"))
       }
-    val aggs = side("a", c => when(p, c)) ++ side("b", c => when(!p, c))
+    val aggs = side("a", c => when(pred, c)) ++ side("b", c => when(!pred, c))
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { f =>
-      val n = f.name
-      s"'$n', nr_a_$n, nr_a_$n - nn_a_$n, nd_a_$n, " +
-        s"nr_b_$n, nr_b_$n - nn_b_$n, nd_b_$n, " +
-        s"nd_b_$n - nd_a_$n, " +
-        s"(mn_a_$n <=> mn_b_$n) AND (mx_a_$n <=> mx_b_$n)"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.length}, $stacked) AS " +
-        "(col_name, n_rows_a, n_nulls_a, n_distinct_a, " +
-        "n_rows_b, n_nulls_b, n_distinct_b, d_distinct, range_same)"))
+    val rows: Seq[Column] = cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
+      Seq(lit(f.name),
+        col(s"nr_a_$i"), col(s"nr_a_$i") - col(s"nn_a_$i"), col(s"nd_a_$i"),
+        col(s"nr_b_$i"), col(s"nr_b_$i") - col(s"nn_b_$i"), col(s"nd_b_$i"),
+        col(s"nd_b_$i") - col(s"nd_a_$i"),
+        (col(s"mn_a_$i") <=> col(s"mn_b_$i")) &&
+          (col(s"mx_a_$i") <=> col(s"mx_b_$i")))
+    }
+    one.select(stack(lit(cols.length) +: rows: _*)
+      .as(Seq("col_name", "n_rows_a", "n_nulls_a", "n_distinct_a",
+        "n_rows_b", "n_nulls_b", "n_distinct_b", "d_distinct", "range_same")))
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -66,13 +66,31 @@ class StreamingProfile(stateDir: String) extends Serializable {
 
   /** Per-column distinct value dictionary of one batch: (col_name,
    * value_s) with values cast to string (injective per column type —
-   * exact distinct counting survives the union of batches). */
+   * exact distinct counting survives the union of batches). Floats are
+   * zero-normalized first: Spark's native countDistinct (the batch
+   * [[Profiling.profile]] semantics this class must reproduce) folds
+   * -0.0 into 0.0 in aggregation keys, while a raw CAST renders '-0.0'
+   * and '0.0' as two strings. (All NaN payloads already render as the
+   * one string 'NaN'.) Built with the Column API via
+   * [[Profiling.exact]], so quoted/reserved identifiers profile
+   * correctly. Nested float fields inside arrays/structs keep their
+   * sign — profile scalar projections of such columns if exact distinct
+   * parity matters there. */
   private def valueDict(batch: DataFrame): DataFrame = {
     val cols = batch.schema.fields
-    val stacked = cols.map(f => s"'${f.name}', CAST(${f.name} AS STRING)")
-      .mkString(", ")
-    batch.select(expr(
-      s"stack(${cols.length}, $stacked) AS (col_name, value_s)"))
+    val rows: Seq[Column] = cols.toSeq.flatMap { f =>
+      val c = Profiling.exact(f.name)
+      val canon = f.dataType match {
+        case org.apache.spark.sql.types.FloatType =>
+          when(c === lit(0f), lit(0f)).otherwise(c)
+        case org.apache.spark.sql.types.DoubleType =>
+          when(c === lit(0d), lit(0d)).otherwise(c)
+        case _ => c
+      }
+      Seq(lit(f.name), canon.cast("string"))
+    }
+    batch.select(stack(lit(cols.length) +: rows: _*)
+        .as(Seq("col_name", "value_s")))
       .filter(col("value_s").isNotNull)
       .distinct()
   }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+import graft.streaming.StreamingProfile
+
+/**
+ * Round-7 hardening: wide-table profile auto-slicing (the Expand
+ * multiplier must be bounded by the operator, not by caller discipline),
+ * identifier-safety of the generated profile plans, and the streaming
+ * profile's float-zero parity with the batch profile.
+ */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Expand projection counts anywhere in the physical plan — descends
+   * through the AQE wrapper, which plain `plan.collect` does not. */
+  private def expandWidths(p: SparkPlan): Seq[Int] = {
+    val own = p match {
+      case a: AdaptiveSparkPlanExec => expandWidths(a.executedPlan)
+      case e: ExpandExec => Seq(e.projections.length)
+      case _ => Seq.empty
+    }
+    own ++ p.children.flatMap(expandWidths)
+  }
+  private def expandWidths(df: DataFrame): Seq[Int] =
+    expandWidths(df.queryExecution.executedPlan)
+
+  private def wide(nCols: Int) =
+    spark.range(100).select(
+      (0 until nCols).map(i => (col("id") % (i + 2)).cast("string")
+        .as(s"c$i")): _*)
+
+  test("profile: 40-column table slices to bounded Expand per scan, " +
+    "rows identical to the one-scan plan") {
+    val df = wide(40)
+    val sliced = Profiling.profile(df) // default 16 distinct-aggs/scan
+    val widths = expandWidths(sliced)
+    // ceil(40/16) = 3 scans, each Expand at most 16 distinct groups + 1
+    assert(widths.length === 3, s"expected 3 sliced scans, got $widths")
+    assert(widths.forall(_ <= 17), s"Expand width exceeds bound: $widths")
+    val oneW = expandWidths(Profiling.profile(df, maxDistinctAggsPerScan = 1000))
+    assert(oneW === Seq(41), s"unsliced reference plan changed: $oneW")
+    val one = Profiling.profile(df, maxDistinctAggsPerScan = 1000)
+    assert(sliced.collect().toSet === one.collect().toSet)
+  }
+
+  test("drift: wide table slices at half width (two distinct-aggs per " +
+    "column), rows identical to the one-scan plan") {
+    val df = wide(20)
+    val pred = col("c0") === "0"
+    val sliced = Profiling.drift(df, pred) // 16/2 = 8 columns per scan
+    val widths = expandWidths(sliced)
+    assert(widths.length === 3, s"expected 3 sliced scans, got $widths")
+    assert(widths.forall(_ <= 17), s"Expand width exceeds bound: $widths")
+    val one = Profiling.drift(df, pred, maxDistinctAggsPerScan = 1000)
+    assert(sliced.collect().toSet === one.collect().toSet)
+  }
+
+  test("profile/drift: quoted, reserved, and hostile column names resolve") {
+    val df = Seq((1L, "x", 0.5), (2L, "y", 1.5), (3L, null, 0.5))
+      .toDF("select", "week day", "a.b`tick")
+    val p = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(p === Map("select" -> 3L, "week day" -> 2L, "a.b`tick" -> 2L))
+    val d = Profiling.drift(df, col("`select`") <= 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(6))).toMap
+    assert(d("a.b`tick") === ((2L, 1L)))
+    assert(d("week day") === ((2L, 0L)))
+  }
+
+  test("streaming profile: -0.0 and 0.0 count as ONE distinct double, " +
+    "matching the batch profile's native countDistinct") {
+    val dir = Files.createTempDirectory("sprof7").toString + "/state"
+    val p = new StreamingProfile(dir)
+    val b1 = Seq((1L, 0.0d), (2L, 1.5d)).toDF("id", "v")
+    val b2 = Seq((3L, -0.0d), (4L, Double.NaN)).toDF("id", "v")
+    p.processBatch(b1, 0L)
+    p.processBatch(b2, 1L)
+    val got = p.profile(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = Profiling.profile(b1.unionByName(b2)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === want, s"streaming=$got batch=$want")
+    assert(got("v") === 3L) // {0.0, 1.5, NaN} — -0.0 folded into 0.0
+  }
+}

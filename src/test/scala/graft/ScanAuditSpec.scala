@@ -89,6 +89,25 @@ class ScanAuditSpec extends SparkSpec {
     assert(scans === 1, s"$scans parquet scans:\n$p")
   }
 
+  test("q_funnel_steps: the 3-step funnel reads events ONCE — every step " +
+    "aggregate branches off the one materialized slice") {
+    val p = plan("q_funnel_steps")
+    // the slice is a localCheckpoint cut: the events parquet must not
+    // appear in the downstream plan at all (each appearance would be one
+    // full corpus re-scan per funnel step at 100 TB)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"$scans parquet scans — slice not cut:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      s"step branches don't read the materialized slice:\n$p")
+  }
+
+  test("q_retention_cohorts: rollup is a plain count — no countDistinct " +
+    "Expand stage after the (key, wk) distinct") {
+    val p = plan("q_retention_cohorts")
+    assert(!p.contains("Expand"), s"countDistinct Expand crept back:\n$p")
+    assert(exchanges(p) <= 5, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("cdc_enrich_join: the lookup side broadcasts — no shuffle join") {
     val p = plan("cdc_enrich_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
