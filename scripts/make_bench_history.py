@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Regenerate scripts/bench_history.json — per-query minima across prior
+bench artifacts (driver runs only: local runs compete with concurrent
+builds/tests for the 32 CPUs and would poison the minima downward is not
+the risk — the risk is a POLLUTED local run raising nothing; minima only
+ever tighten, so extra artifacts are safe to merge).
+
+Usage: python3 scripts/make_bench_history.py ARTIFACT.json [...]
+Each artifact is a graft.Bench output line: {"metric":...,"queries":{...}}.
+"""
+import json
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "scripts", "bench_history.json")
+
+
+def main(paths):
+    hist = {}
+    if os.path.exists(OUT):
+        hist.update(json.load(open(OUT)))
+    for p in paths:
+        q = json.load(open(p)).get("queries", {})
+        for name, sec in q.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                hist[name] = min(hist.get(name, float("inf")), sec)
+    json.dump(dict(sorted(hist.items())), open(OUT, "w"), indent=1)
+    print(f"{OUT}: {len(hist)} entries")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    main(sys.argv[1:])
