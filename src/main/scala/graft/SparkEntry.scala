@@ -350,6 +350,29 @@ object SparkEntry {
             .as("payload_json"))
     }),
 
+    "cdc_column_regex" -> ((s, dir) => {
+      // P6 column-regex projection: the reference's `columns` connector
+      // config restricts which value columns replicate
+      // (CassandraSourceConnectorConfig.java:52, applied at
+      // CassandraSource.java:290-292, 360, 365). Four columns come out of
+      // the enrichment; the regex admits only the c_n* pair, and the KEPT
+      // SET — not a hardcoded list — flows through the json output path,
+      // so the oracle hash proves the regex selected exactly
+      // {c_name, c_nationkey} and dropped {c_acctbal, c_mktsegment}.
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+          t(s, dir, "customer"), "key", "c_custkey",
+          Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .select(col("event_id"), col("op"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val kept = CdcOperators.projectColumnsByRegex(enriched,
+        keep = Seq("event_id", "op"), regex = "c_n.*")
+      val valueCols = kept.columns.filterNot(Seq("event_id", "op").contains)
+      kept.select(col("event_id"),
+        when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
+          .otherwise(to_json(struct(valueCols.map(col): _*)))
+          .as("value_json"))
+    }),
+
     "cdc_keyvalue_avro" -> ((s, dir) => {
       // F12 default key-value-avro output format, oracle-checked end to end:
       // the binary records are decoded back (AvroDecode = the reference's
@@ -3497,6 +3520,14 @@ object SparkEntry {
          CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN '{}'
               ELSE to_json(struct_pack("key" := e.user_id, c_name := c.c_name))
          END AS payload_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_column_regex" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              ELSE to_json(struct_pack(c_name := c.c_name,
+                                       c_nationkey := c.c_nationkey))
+         END AS value_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "cdc_sessionize" ->

@@ -444,9 +444,22 @@ object DocDedup {
    * Shape at scale: two map-side-combinable aggregations over the
    * node-sized label frame + two 1-row count attaches for the singleton
    * row; the histogram itself is size-distinct-sized (≤ log-ish rows).
+   *
+   * PRECONDITION (checked): every `members` id must be a `corpus` id —
+   * the singleton count is `|corpus| - |members|`, so a member outside
+   * the corpus would silently under-count (even negatively) and the
+   * `n_clusters > 0` guard would hide the inconsistency as a plausible
+   * histogram. A 1-row anti-join count fails loudly instead.
    */
   def clusterSizes(members: DataFrame, corpus: DataFrame,
                    idCol: String = "doc_id"): DataFrame = {
+    val strays = members.select(col("doc_id").as(idCol))
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+      .count()
+    require(strays == 0L,
+      s"clusterSizes: $strays cluster member(s) missing from the corpus — " +
+        "the singleton reconstruction would under-count; pass the corpus " +
+        "the dedup actually ran over")
     val hist = members
       .groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -34,10 +34,20 @@ import graft.operators.SuffixArray
  *    doc_id) fingerprints — the posting-list-shaped blocking index,
  *    probed by broadcast semi-join from each new batch;
  *  - `spans/v<id>/`  versioned fold ([[StreamingCC]] style): span table
- *    after batch <id>; the spans marker commits LAST, so its presence
- *    certifies the whole batch (replaying a committed id is a no-op, and
- *    reads scope to dirs with id < current, so a half-written attempt
- *    never feeds its own retry).
+ *    after batch <id>;
+ *  - `certified/b<id>/` data-less marker committing the WHOLE batch —
+ *    written after the spans version, so its presence certifies every
+ *    store (replaying a certified id is a no-op, and reads scope to dirs
+ *    with id < current, so a half-written attempt never feeds its own
+ *    retry).
+ *
+ * Dir growth is bounded over unbounded ingest: docs/, grams/ and the
+ * certified/ ledger compact through [[VersionedState]] once more than
+ * `compactAbove` units accumulate (covered batch ids stay
+ * replay-idempotent via the compacted `_ids` manifests), and span
+ * versions older than the immediate predecessor are retired after each
+ * certification — at most `3*(compactAbove+1) + 2` dirs total at 10⁴
+ * batches, where the naive layout keeps 3*10⁴.
  *
  * At 100 TB: the gram probe is a broadcast semi-join over the
  * hash-partitioned fingerprint store and candidate texts load by doc_id
@@ -51,11 +61,15 @@ object StreamingExactSubstr {
       subsetDocs: Long)
 }
 
-class StreamingExactSubstr(stateDir: String, minLen: Int)
-    extends Serializable {
+class StreamingExactSubstr(stateDir: String, minLen: Int,
+                           compactAbove: Int = 32) extends Serializable {
   import StreamingExactSubstr.BatchStats
 
   require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+
+  private val docsRoot = new Path(stateDir, "docs")
+  private val gramsRoot = new Path(stateDir, "grams")
+  private val certifiedRoot = new Path(stateDir, "certified")
 
   @volatile var lastBatchStats: BatchStats = BatchStats(0L, 0L, 0L)
 
@@ -114,9 +128,23 @@ class StreamingExactSubstr(stateDir: String, minLen: Int)
         .as("gram_hash"), col("doc_id"))
       .distinct()
 
-  /** Batch ids with a committed span version (for tests/monitoring). */
+  /** Certified batch ids — the whole-batch commit ledger (for replay
+   * no-op checks and tests/monitoring). */
   def committedBatches(spark: SparkSession): Seq[Long] =
-    committed(spark, "spans", "v").map(_._1)
+    VersionedState.segments(spark, certifiedRoot).flatMap(_.ids).sorted
+
+  /** Certify `batchId`: data-less `b<id>` marker dir in the ledger. */
+  private def certify(spark: SparkSession, batchId: Long): Unit = {
+    val f = fs(spark)
+    val dest = new Path(certifiedRoot, s"b$batchId")
+    f.mkdirs(dest)
+    VersionedState.touchSuccess(f, dest)
+    // the ledger itself compacts: read is never materialized (the write
+    // side only mkdirs + _ids/_SUCCESS, which VersionedState appends)
+    VersionedState.compact(spark, certifiedRoot, compactAbove,
+      read = _ => spark.range(0).toDF("unused"),
+      write = (_, d) => { f.mkdirs(d); () })
+  }
 
   /** The current span table — equals the batch operator over every
    * committed document (empty before the first batch). */
@@ -133,13 +161,15 @@ class StreamingExactSubstr(stateDir: String, minLen: Int)
    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (committed(spark, "spans", "v").exists(_._1 == batchId)) return
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, certifiedRoot), batchId)) return
     // scope every read below this batch: a crashed prior attempt may have
     // left docs/grams dirs for batchId, which must not feed their retry
-    val oldDocDirs = committed(spark, "docs", "b")
-      .filter(_._1 < batchId).map(_._2)
-    val oldGramDirs = committed(spark, "grams", "b")
-      .filter(_._1 < batchId).map(_._2)
+    // (compacted ranges only ever cover certified ids, all < batchId)
+    val oldDocDirs = VersionedState.segments(spark, docsRoot)
+      .filter(_.ids.max < batchId).map(_.path)
+    val oldGramDirs = VersionedState.segments(spark, gramsRoot)
+      .filter(_.ids.max < batchId).map(_.path)
     val prevSpans = {
       val vs = committed(spark, "spans", "v").filter(_._1 < batchId)
       if (vs.isEmpty) readOrEmpty(spark, spanSchema, Seq.empty)
@@ -187,9 +217,26 @@ class StreamingExactSubstr(stateDir: String, minLen: Int)
           coalesce(col("fresh_len"), lit(0L))).as("dup_len"))
       .localCheckpoint(true)
 
-    // commit order matters: spans LAST — its marker certifies the batch
-    write(spark, newDocs, new Path(new Path(stateDir, "docs"), s"b$batchId"))
-    write(spark, newGrams, new Path(new Path(stateDir, "grams"), s"b$batchId"))
+    // commit order matters: the certified marker LAST — it alone makes
+    // the batch a replay no-op, so every store it covers is complete
+    write(spark, newDocs, new Path(docsRoot, s"b$batchId"))
+    write(spark, newGrams, new Path(gramsRoot, s"b$batchId"))
     write(spark, merged, new Path(new Path(stateDir, "spans"), s"v$batchId"))
+    certify(spark, batchId)
+
+    // bound dir counts: compact the append-only stores, retire span
+    // versions older than the immediate predecessor (the frame returned
+    // for the previous batch stays readable — StreamingCC's contract)
+    VersionedState.compact(spark, docsRoot, compactAbove,
+      read = ps => readOrEmpty(spark, docSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, gramsRoot, compactAbove,
+      read = ps => readOrEmpty(spark, gramSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    val f = fs(spark)
+    val spanVs = committed(spark, "spans", "v").map(_._1).sorted
+    if (spanVs.length > 2)
+      spanVs.dropRight(2).foreach(v =>
+        f.delete(new Path(new Path(stateDir, "spans"), s"v$v"), true))
   }
 }

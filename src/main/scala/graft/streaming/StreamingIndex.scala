@@ -30,48 +30,38 @@ import graft.operators.Retrieval
  *
  * At 100 TB: posting rows are hash-partitioned on token at search time
  * (same shape as the batch path); the per-batch write is partitioned by
- * whatever the batch carries. Batch dirs double as time-travel points —
- * dropping `b>n` rolls the index back to batch n.
+ * whatever the batch carries. Reads stay bounded over unbounded ingest:
+ * once more than `compactAbove` committed units exist, [[VersionedState]]
+ * merges them into one `c<lo>_<hi>` dir (same crash-safe marker
+ * discipline; covered batchIds stay replay-idempotent via its `_ids`
+ * manifest) — search reads at most `compactAbove + 1` parquet roots no
+ * matter how many batches ever committed.
  */
-class StreamingIndex(stateDir: String, textCol: String = "text")
-    extends Serializable {
+class StreamingIndex(stateDir: String, textCol: String = "text",
+                     compactAbove: Int = 32) extends Serializable {
 
   private val tfSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("dl", LongType),
     StructField("token", StringType), StructField("tf", LongType)))
 
-  private def fs(spark: SparkSession) =
-    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val root = new Path(stateDir)
 
-  /** Batch dirs carrying a `_SUCCESS` commit marker. */
-  private def committedDirs(spark: SparkSession): Seq[(Long, Path)] = {
-    val dir = new Path(stateDir)
-    val f = fs(spark)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath)
-      .flatMap { p =>
-        val n = p.getName
-        if (n.startsWith("b"))
-          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
-        else None
-      }
-      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
-      .sortBy(_._1)
-  }
+  private def segments(spark: SparkSession) =
+    VersionedState.segments(spark, root)
 
   /** Batch ids already in the index (for tests/monitoring). */
   def committedBatches(spark: SparkSession): Seq[Long] =
-    committedDirs(spark).map(_._1)
+    segments(spark).flatMap(_.ids).sorted
 
   /** The cumulative term-frequency table (empty frame with the index
    * schema if nothing is committed yet). */
   def tf(spark: SparkSession): DataFrame = {
-    val dirs = committedDirs(spark)
+    val dirs = segments(spark).map(_.path)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tfSchema)
     else spark.read.schema(tfSchema)
-      .parquet(dirs.map(_._2.toString): _*)
+      .parquet(dirs.map(_.toString): _*)
   }
 
   /**
@@ -81,7 +71,7 @@ class StreamingIndex(stateDir: String, textCol: String = "text")
    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (committedDirs(spark).exists(_._1 == batchId)) return
+    if (VersionedState.isCommitted(segments(spark), batchId)) return
     val dest = new Path(stateDir, s"b$batchId")
     // tokenize THIS batch only — the cumulative index is never rewritten
     Retrieval.termFrequencies(batch, textCol)
@@ -92,9 +82,10 @@ class StreamingIndex(stateDir: String, textCol: String = "text")
     // commit marker: Hadoop writes _SUCCESS by default, but the crash-safety
     // contract must not depend on that config
     // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — touch it
-    val f = fs(spark)
-    val marker = new Path(dest, "_SUCCESS")
-    if (!f.exists(marker)) f.create(marker, true).close()
+    VersionedState.touchSuccess(VersionedState.fileSystem(spark, root), dest)
+    VersionedState.compact(spark, root, compactAbove,
+      read = ps => spark.read.schema(tfSchema).parquet(ps.map(_.toString): _*),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
   }
 
   /** Search the cumulative index: identical arithmetic and plan shape to
@@ -113,7 +104,14 @@ class StreamingIndex(stateDir: String, textCol: String = "text")
    * and N derived from the index, so keyword tags of an incrementally
    * built corpus match a batch build of the same documents exactly.
    * N counts indexed documents (a token-less doc never enters an
-   * inverted index). */
+   * inverted index). Two caveats where keywords — unlike BM25 search,
+   * whose RANKING is df-scale-invariant per query — exposes raw df/score
+   * values: (1) a corpus with token-less docs has a smaller N here than
+   * the batch [[graft.operators.TextAnalysis.keywordTfIdf]] computes
+   * from the raw document table, shifting every idf9 value; (2) a doc
+   * RE-DELIVERED under a new doc_id (at-least-once upstream without
+   * id-stable dedup) inflates df and N — run the exact-dedup operator
+   * before the index if redelivery can mint new ids. */
   def keywords(spark: SparkSession, k: Int): DataFrame = {
     val t = tf(spark)
     graft.operators.TextAnalysis.keywordTfIdfFromTf(

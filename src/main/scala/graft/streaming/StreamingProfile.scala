@@ -31,7 +31,8 @@ import graft.operators.Profiling
  * columns whose cardinality you monitor, which composes because every
  * column's rows are independent.
  */
-class StreamingProfile(stateDir: String) extends Serializable {
+class StreamingProfile(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
 
   private val partialSchema = StructType(Seq(
     StructField("kind", StringType),      // 's' = stats row, 'v' = value
@@ -42,27 +43,17 @@ class StreamingProfile(stateDir: String) extends Serializable {
     StructField("max_s", StringType),
     StructField("value_s", StringType)))
 
-  private def fs(spark: SparkSession) =
-    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val root = new Path(stateDir)
 
-  private def committedDirs(spark: SparkSession): Seq[(Long, Path)] = {
-    val dir = new Path(stateDir)
-    val f = fs(spark)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath)
-      .flatMap { p =>
-        val n = p.getName
-        if (n.startsWith("b"))
-          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
-        else None
-      }
-      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
-      .sortBy(_._1)
-  }
+  private def fs(spark: SparkSession) =
+    VersionedState.fileSystem(spark, root)
+
+  private def segments(spark: SparkSession) =
+    VersionedState.segments(spark, root)
 
   /** Batch ids already profiled (for tests/monitoring). */
   def committedBatches(spark: SparkSession): Seq[Long] =
-    committedDirs(spark).map(_._1)
+    segments(spark).flatMap(_.ids).sorted
 
   /** Per-column distinct value dictionary of one batch: (col_name,
    * value_s) with values cast to string (injective per column type —
@@ -102,7 +93,7 @@ class StreamingProfile(stateDir: String) extends Serializable {
    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (committedDirs(spark).exists(_._1 == batchId)) return
+    if (VersionedState.isCommitted(segments(spark), batchId)) return
     val dest = new Path(stateDir, s"b$batchId")
     val stats = Profiling.profile(batch)
       .select(lit("s").as("kind"), col("col_name"),
@@ -116,16 +107,40 @@ class StreamingProfile(stateDir: String) extends Serializable {
         lit(null).cast("string").as("max_s"), col("value_s"))
     stats.unionByName(values)
       .write.mode("overwrite").parquet(dest.toString)
-    val f = fs(spark)
-    val marker = new Path(dest, "_SUCCESS")
-    if (!f.exists(marker)) f.create(marker, true).close()
+    VersionedState.touchSuccess(fs(spark), dest)
+    // compaction PRE-MERGES the partials (both row kinds are associative:
+    // stats sum/min/max per column, value dicts distinct-union), so the
+    // compacted unit is columns + cumulative-distinct sized — reads stay
+    // bounded at compactAbove+1 dirs over unbounded ingest
+    VersionedState.compact(spark, root, compactAbove,
+      read = ps =>
+        spark.read.schema(partialSchema).parquet(ps.map(_.toString): _*),
+      write = (df, d) => {
+        val stats = df.filter(col("kind") === "s")
+          .groupBy(col("col_name"))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sum(col("n_nulls")).as("n_nulls"),
+            min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
+          .select(lit("s").as("kind"), col("col_name"), col("n_rows"),
+            col("n_nulls"), col("min_s"), col("max_s"),
+            lit(null).cast("string").as("value_s"))
+        val values = df.filter(col("kind") === "v")
+          .select(col("col_name"), col("value_s")).distinct()
+          .select(lit("v").as("kind"), col("col_name"),
+            lit(null).cast("long").as("n_rows"),
+            lit(null).cast("long").as("n_nulls"),
+            lit(null).cast("string").as("min_s"),
+            lit(null).cast("string").as("max_s"), col("value_s"))
+        stats.unionByName(values)
+          .write.mode("overwrite").parquet(d.toString)
+      })
   }
 
   /** The cumulative profile over every committed batch — column set and
    * schema identical to [[Profiling.profile]] of the full table. Returns
    * an empty frame before the first commit. */
   def profile(spark: SparkSession): DataFrame = {
-    val dirs = committedDirs(spark)
+    val dirs = segments(spark).map(_.path)
     val out = StructType(Seq(
       StructField("col_name", StringType), StructField("n_rows", LongType),
       StructField("n_nulls", LongType), StructField("n_distinct", LongType),
@@ -134,7 +149,7 @@ class StreamingProfile(stateDir: String) extends Serializable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     val partials = spark.read.schema(partialSchema)
-      .parquet(dirs.map(_._2.toString): _*)
+      .parquet(dirs.map(_.toString): _*)
     val stats = partials.filter(col("kind") === "s")
       .groupBy(col("col_name"))
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),

@@ -29,51 +29,41 @@ import graft.operators.Similarity
  * files; search cost is the batch path's (broadcast probe side,
  * cell-local hash joins).
  */
-class StreamingVectorIndex(stateDir: String) extends Serializable {
+class StreamingVectorIndex(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
 
   private val rowSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("cell_id", IntegerType)))
 
-  private def fs(spark: SparkSession) =
-    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val root = new Path(stateDir)
 
-  private def committedDirs(spark: SparkSession): Seq[(Long, Path)] = {
-    val dir = new Path(stateDir)
-    val f = fs(spark)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath)
-      .flatMap { p =>
-        val n = p.getName
-        if (n.startsWith("b"))
-          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p)
-        else None
-      }
-      .filter { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
-      .sortBy(_._1)
-  }
+  private def segments(spark: SparkSession) =
+    VersionedState.segments(spark, root)
 
   /** Batch ids already in the index (for tests/monitoring). */
   def committedBatches(spark: SparkSession): Seq[Long] =
-    committedDirs(spark).map(_._1)
+    segments(spark).flatMap(_.ids).sorted
 
-  /** The cumulative cell-assigned store (empty with the index schema if
-   * nothing is committed yet). */
-  def assigned(spark: SparkSession): DataFrame = {
-    val dirs = committedDirs(spark)
+  private def readRoots(spark: SparkSession, dirs: Seq[Path]): DataFrame =
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
     else dirs
-      // one read per batch dir: each is an independently-partitioned
+      // one read per unit dir: each is an independently-partitioned
       // parquet root (cell_id=N/ subdirs), so a multi-root read would
-      // reject the layout as conflicting
-      .map { case (_, p) => spark.read.schema(rowSchema)
+      // reject the layout as conflicting — which is exactly why this
+      // class compacts the most aggressively-amplified read of the family
+      .map { p => spark.read.schema(rowSchema)
         .parquet(p.toString)
         .select(col("vec_id"), col("embedding"), col("cell_id")) }
       .reduce(_.unionByName(_))
-  }
+
+  /** The cumulative cell-assigned store (empty with the index schema if
+   * nothing is committed yet). */
+  def assigned(spark: SparkSession): DataFrame =
+    readRoots(spark, segments(spark).map(_.path))
 
   /**
    * Assign and append `batch` (vec_id, embedding) under the frozen
@@ -83,7 +73,7 @@ class StreamingVectorIndex(stateDir: String) extends Serializable {
   def processBatch(batch: DataFrame, batchId: Long,
                    centroids: DataFrame): Unit = {
     val spark = batch.sparkSession
-    if (committedDirs(spark).exists(_._1 == batchId)) return
+    if (VersionedState.isCommitted(segments(spark), batchId)) return
     val dest = new Path(stateDir, s"b$batchId")
     Similarity.assignCells(
         batch.select(col("vec_id").cast("long").as("vec_id"),
@@ -92,9 +82,13 @@ class StreamingVectorIndex(stateDir: String) extends Serializable {
         col("cell_id").cast("int").as("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(dest.toString)
-    val f = fs(spark)
-    val marker = new Path(dest, "_SUCCESS")
-    if (!f.exists(marker)) f.create(marker, true).close()
+    VersionedState.touchSuccess(VersionedState.fileSystem(spark, root), dest)
+    // cell assignment is frozen (centroids are the index contract), so
+    // compaction is a pure relayout: same rows, one partitioned root
+    VersionedState.compact(spark, root, compactAbove,
+      read = ps => readRoots(spark, ps),
+      write = (df, d) => df.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(d.toString))
   }
 
   /** Margin-probe ANN search over the cumulative index — identical

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Shared crash-safe versioned-state layout for the streaming incremental
+ * family ([[StreamingIndex]], [[StreamingProfile]],
+ * [[StreamingVectorIndex]], [[StreamingExactSubstr]]'s docs/grams stores).
+ *
+ * Units under a state root:
+ *  - `b<id>/`       one batch's rows, written by `processBatch`;
+ *  - `c<lo>_<hi>/`  a COMPACTED unit — the merged rows of every unit it
+ *    replaced; the exact batch-id set it covers is recorded in its
+ *    `_ids` file (one id per line, written before the commit marker, so
+ *    id membership never relies on the `<lo>_<hi>` name being a dense
+ *    range).
+ *
+ * A unit exists only once its `_SUCCESS` marker does (parquet job commit
+ * is not atomic; an unmarked dir is a mid-write crash leftover, invisible
+ * to readers and overwritten on re-delivery). A committed unit whose ids
+ * are a proper subset of another committed unit's is the leftover of a
+ * compaction that crashed between its commit and its source deletes —
+ * readers skip it (SHADOWED), and the next `compact` call deletes it.
+ *
+ * Why compaction: append-only state reads are O(committed units) small
+ * reads — at 10⁴ micro-batches that is 10⁴ parquet roots per search/fold.
+ * `compact` merges all current units into one once the count exceeds a
+ * threshold, bounding reads at `maxUnits + 1` dirs forever while
+ * preserving replay idempotence (the compacted `_ids` keep every covered
+ * batchId answering "already committed").
+ */
+private[graft] object VersionedState {
+
+  /** One committed readable unit: the batch ids it covers + its dir. */
+  final case class Segment(ids: Set[Long], path: Path)
+
+  def fileSystem(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def touchSuccess(f: FileSystem, dir: Path): Unit = {
+    val marker = new Path(dir, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
+
+  private def readIds(f: FileSystem, dir: Path): Option[Set[Long]] = {
+    val file = new Path(dir, "_ids")
+    if (!f.exists(file)) None
+    else scala.util.Try {
+      val in = f.open(file)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+      new String(bytes, StandardCharsets.UTF_8).split("\n")
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    }.toOption.filter(_.nonEmpty)
+  }
+
+  private def writeIds(f: FileSystem, dir: Path, ids: Set[Long]): Unit = {
+    val out = f.create(new Path(dir, "_ids"), true)
+    try out.write(ids.toSeq.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Every committed unit under `root`, shadowed ones excluded, sorted by
+   * smallest covered id (so unions read in batch order). */
+  def segments(spark: SparkSession, root: Path): Seq[Segment] = {
+    val f = fileSystem(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    val all = f.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (!f.exists(new Path(p, "_SUCCESS"))) None
+      else if (n.startsWith("b"))
+        scala.util.Try(n.drop(1).toLong).toOption
+          .map(id => Segment(Set(id), p))
+      else if (n.startsWith("c"))
+        // a committed compacted unit ALWAYS has _ids (written before its
+        // marker); failing to read it means post-commit corruption or a
+        // transient FS fault — fail loudly rather than silently dropping
+        // the unit's rows from every read
+        Some(Segment(readIds(f, p).getOrElse(throw new IllegalStateException(
+          s"compacted state dir $p is committed but its _ids file is " +
+            "missing or unreadable — refusing to serve a partial view")), p))
+      else None
+    }
+    all.filterNot(s => all.exists(o =>
+        (o.path != s.path) && s.ids.subsetOf(o.ids) && (s.ids != o.ids)))
+      .sortBy(_.ids.min)
+  }
+
+  def isCommitted(segs: Seq[Segment], id: Long): Boolean =
+    segs.exists(_.ids.contains(id))
+
+  /**
+   * Merge every current unit into one `c<lo>_<hi>` once more than
+   * `maxUnits` exist; always purge shadowed leftovers. `read` loads the
+   * given unit dirs as one frame, `write` persists a frame to a dest dir
+   * (caller controls schema and layout, e.g. partitionBy, or pre-merges
+   * rows) — `_ids` and `_SUCCESS` are appended here, in that order, so a
+   * crash at any point leaves either the old units authoritative or the
+   * new unit committed with its sources shadowed.
+   */
+  def compact(spark: SparkSession, root: Path, maxUnits: Int,
+              read: Seq[Path] => DataFrame,
+              write: (DataFrame, Path) => Unit): Unit = {
+    require(maxUnits >= 1, s"maxUnits must be >= 1, got $maxUnits")
+    val f = fileSystem(spark, root)
+    val live = segments(spark, root)
+    // purge committed-but-shadowed leftovers of a crashed earlier compact
+    if (f.exists(root)) {
+      val livePaths = live.map(_.path.getName).toSet
+      f.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => (p.getName.startsWith("b") || p.getName.startsWith("c"))
+          && f.exists(new Path(p, "_SUCCESS")) && !livePaths(p.getName))
+        .foreach(p => f.delete(p, true))
+    }
+    if (live.length <= maxUnits) return
+    val ids = live.flatMap(_.ids).toSet
+    // never land the merge on a LIVE segment's dir (same-name collisions
+    // can only mean a different id set — overwriting would destroy
+    // committed state on a mid-write crash): suffix until the name is
+    // either free/uncommitted (invisible, overwrite-safe) or a committed
+    // finished merge of exactly this id set (deterministic rows — reuse)
+    val base = s"c${ids.min}_${ids.max}"
+    val dest = (Iterator(base) ++ Iterator.from(1).map(k => s"${base}_$k"))
+      .map(n => new Path(root, n))
+      .find { p =>
+        !f.exists(new Path(p, "_SUCCESS")) || readIds(f, p).contains(ids)
+      }.get
+    if (!f.exists(new Path(dest, "_SUCCESS"))) {
+      write(read(live.map(_.path)), dest)
+      writeIds(f, dest, ids)
+      touchSuccess(f, dest)
+    }
+    live.filter(_.path.getName != dest.getName)
+      .foreach(s => f.delete(s.path, true))
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profiling, Retrieval, SuffixArray}
+import graft.streaming.{StreamingExactSubstr, StreamingIndex,
+  StreamingProfile, StreamingVectorIndex, VersionedState}
+
+/**
+ * Version compaction of the streaming incremental family: unbounded
+ * ingest must NOT mean unbounded committed-dir counts (at 10⁴ batches the
+ * naive layout is 10⁴ small parquet roots per search/fold read). Once
+ * more than `compactAbove` units exist they merge into one `c<lo>_<hi>`
+ * unit — these specs pin that the dir count stays bounded, results are
+ * byte-identical to the uncompacted build, covered batch ids remain
+ * replay-idempotent, and a compaction crashed between its commit and its
+ * source deletes neither double-counts nor lingers.
+ */
+class StreamingCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(name: String): String =
+    Files.createTempDirectory(name).toString + "/state"
+
+  private def unitDirs(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  test("VersionedState: 100-batch ledger compacts to <= maxUnits+1 dirs, " +
+    "every id stays committed, ids exact") {
+    val dir = newDir("vstate100")
+    val root = new Path(dir)
+    val f = VersionedState.fileSystem(spark, root)
+    for (id <- 0L until 100L) {
+      val dest = new Path(root, s"b$id")
+      f.mkdirs(dest)
+      VersionedState.touchSuccess(f, dest)
+      VersionedState.compact(spark, root, 8,
+        read = _ => spark.range(0).toDF("unused"),
+        write = (_, d) => { f.mkdirs(d); () })
+    }
+    assert(unitDirs(dir).length <= 9,
+      s"dirs not bounded: ${unitDirs(dir)}")
+    val segs = VersionedState.segments(spark, root)
+    assert(segs.flatMap(_.ids).sorted === (0L until 100L),
+      "compaction lost or invented batch ids")
+    assert((0L until 100L).forall(VersionedState.isCommitted(segs, _)))
+    assert(!VersionedState.isCommitted(segs, 100L))
+  }
+
+  test("VersionedState: a compact crashed between commit and deletes " +
+    "shadows its sources (no double count) and the next compact purges") {
+    val dir = newDir("vstatecrash")
+    val root = new Path(dir)
+    val f = VersionedState.fileSystem(spark, root)
+    for (id <- 0L until 3L) {
+      val dest = new Path(root, s"b$id")
+      spark.range(id * 10, id * 10 + 5).toDF("v")
+        .write.mode("overwrite").parquet(dest.toString)
+      VersionedState.touchSuccess(f, dest)
+    }
+    // simulate the crash: the merged unit is committed, sources remain
+    val cdir = new Path(root, "c0_2")
+    spark.range(0, 25).filter($"id" % 10 < 5).toDF("v")
+      .write.mode("overwrite").parquet(cdir.toString)
+    val out = f.create(new Path(cdir, "_ids"), true)
+    out.write("0\n1\n2".getBytes("UTF-8")); out.close()
+    VersionedState.touchSuccess(f, cdir)
+
+    val segs = VersionedState.segments(spark, root)
+    assert(segs.map(_.path.getName) === Seq("c0_2"),
+      s"shadowed sources leaked into reads: ${segs.map(_.path.getName)}")
+    val rows = spark.read.parquet(segs.map(_.path.toString): _*).count()
+    assert(rows === 15L, "double-counted rows after crashed compact")
+    // purge pass (below threshold — compact still removes shadowed dirs)
+    VersionedState.compact(spark, root, 10,
+      read = ps => spark.read.parquet(ps.map(_.toString): _*),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    assert(unitDirs(dir) === Seq("c0_2"))
+  }
+
+  test("StreamingIndex: 12 batches at compactAbove=3 — bounded dirs, " +
+    "tf/search identical to the uncompacted index, replays still no-ops") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val dirC = newDir("sidx_c")
+    val dirN = newDir("sidx_n")
+    val compacted = new StreamingIndex(dirC, compactAbove = 3)
+    val naive = new StreamingIndex(dirN, compactAbove = 1000000)
+    for (r <- 0 until 12) {
+      compacted.processBatch(docs.filter($"doc_id" % 12 === r), r.toLong)
+      naive.processBatch(docs.filter($"doc_id" % 12 === r), r.toLong)
+    }
+    assert(unitDirs(dirC).length <= 4, s"dirs: ${unitDirs(dirC)}")
+    assert(unitDirs(dirN).length === 12)
+    assert(compacted.committedBatches(spark) === (0L until 12L))
+    val tfC = compacted.tf(spark).as[(Long, Long, String, Long)]
+      .collect().toSet
+    val tfN = naive.tf(spark).as[(Long, Long, String, Long)].collect().toSet
+    assert(tfC === tfN, "compaction changed the posting rows")
+    val queries = Seq((1L, docs.orderBy($"doc_id").first().getString(1)
+      .split("\\s+").take(3).mkString(" "))).toDF("query_id", "qtext")
+    val sC = compacted.search(spark, queries, k = 5)
+      .select($"query_id", $"doc_id", $"rank").collect().toSet
+    val sN = naive.search(spark, queries, k = 5)
+      .select($"query_id", $"doc_id", $"rank").collect().toSet
+    assert(sC === sN, "compaction changed search results")
+    // a batch id swallowed into a c-range is still a replay no-op
+    compacted.processBatch(docs.filter($"doc_id" % 12 === 2), 2L)
+    assert(compacted.committedBatches(spark) === (0L until 12L))
+    assert(compacted.tf(spark).count() === tfN.size.toLong)
+  }
+
+  test("StreamingProfile: compaction pre-merges partials — profile equals " +
+    "the batch profile, dirs bounded") {
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) null else s"s${i % 7}", i % 11 * 0.5))
+    val full = rows.toDF("id", "s", "v")
+    val dir = newDir("sprof_c")
+    val p = new StreamingProfile(dir, compactAbove = 3)
+    for (r <- 0 until 10)
+      p.processBatch(full.filter($"id" % 10 === r), r.toLong)
+    assert(unitDirs(dir).length <= 4, s"dirs: ${unitDirs(dir)}")
+    assert(p.committedBatches(spark) === (0L until 10L))
+    val got = p.profile(spark).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    val want = Profiling.profile(full).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got === want, s"streaming=$got\nbatch=$want")
+  }
+
+  test("StreamingVectorIndex: compaction relayouts the store — assigned " +
+    "rows identical, dirs bounded") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb, nCells = 10, iters = 3, dim = 64)(spark)
+    val dir = newDir("svec_c")
+    val idx = new StreamingVectorIndex(dir, compactAbove = 2)
+    for (r <- 0 until 6)
+      idx.processBatch(emb.filter($"vec_id" % 6 === r), r.toLong, cents)
+    assert(unitDirs(dir).length <= 3, s"dirs: ${unitDirs(dir)}")
+    assert(idx.committedBatches(spark) === (0L until 6L))
+    val got = idx.assigned(spark).select($"vec_id", $"cell_id")
+      .as[(Long, Int)].collect().toSet
+    val want = graft.operators.Similarity.assignCells(emb, cents)
+      .select($"vec_id", $"cell_id".cast("int")).as[(Long, Int)]
+      .collect().toSet
+    assert(got === want, "compaction changed cell assignment rows")
+  }
+
+  test("StreamingExactSubstr: docs/grams/certified stores stay bounded, " +
+    "spans equal the batch operator, certified replays no-ops") {
+    val planted = "HELLOWORLDFRIEND"
+    val batches = Seq(
+      Seq((1L, "xx" + planted + "qq"), (2L, "0123456789")),
+      Seq((3L, planted + "mm")),
+      Seq((4L, "abcdefghij" * 3)),
+      Seq((5L, "zz" + planted)),
+      Seq((6L, "NOTHINGSHAREDHERE!")),
+      Seq((7L, "qq" + planted + "xx")))
+    val dir = newDir("ssub_c")
+    val sub = new StreamingExactSubstr(dir, minLen = 16, compactAbove = 2)
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(rows.toDF("doc_id", "text"), id.toLong)
+    for (store <- Seq("docs", "grams", "certified"))
+      assert(unitDirs(s"$dir/$store").length <= 3,
+        s"$store dirs: ${unitDirs(s"$dir/$store")}")
+    assert(unitDirs(s"$dir/spans").length <= 2,
+      s"span versions not retired: ${unitDirs(s"$dir/spans")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val got = sub.spans(spark).as[(Long, Int, Long)].collect().toSet
+    val want = SuffixArray.dupSpans(
+      batches.flatten.toDF("doc_id", "text"), minLen = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want, "compaction diverged from the batch operator")
+    val before = got
+    sub.processBatch(batches(1).toDF("doc_id", "text"), 1L) // compacted id
+    assert(sub.spans(spark).as[(Long, Int, Long)].collect().toSet === before)
+  }
+}
