@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixArray
+
+/**
+ * Scaling probe for the suffix-array family: times suffixRanks /
+ * lcpArray / dupSpans over nested fractions of the `documents` corpus and
+ * prints time-vs-positions with the fitted local exponent
+ * (log(t2/t1)/log(n2/n1)) between consecutive points. The prefix-doubling
+ * build is O(n log maxLen) work with log-rounds of (hash-join + global
+ * dense rank) — the probe pins the MEASURED exponent so the 100 TB claim
+ * rests on a curve, not on asymptotics alone (VERDICT r6 task 3).
+ *
+ * Usage: graft.tools.SuffixScaling [sfDir] — fractions are nested
+ * (doc_id % 8 < k) so each larger corpus contains the smaller one.
+ */
+object SuffixScaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-suffix-scaling")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    def slice(k: Int): DataFrame = docs.filter(col("doc_id") % 8 < k)
+    def positions(d: DataFrame): Long =
+      d.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    def time(f: => DataFrame): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "suffix_array" -> (d => SuffixArray.suffixRanks(d)),
+      "lcp_array" -> (d => SuffixArray.lcpArray(d)),
+      "dup_spans" -> (d => SuffixArray.dupSpans(d, minLen = 30)))
+
+    // JIT/codegen warmup on the smallest slice (untimed)
+    for ((_, op) <- ops) op(slice(1)).write.format("noop")
+      .mode("overwrite").save()
+
+    val ks = Seq(1, 2, 4, 8)
+    val rows = for (k <- ks) yield {
+      val d = slice(k)
+      val n = positions(d)
+      val ts = ops.map { case (name, op) => name -> time(op(d)) }
+      println(f"k=$k n=$n%,d " + ts.map { case (nm, t) =>
+        f"$nm=$t%.2fs" }.mkString(" "))
+      (n, ts)
+    }
+    for (((n1, t1), (n2, t2)) <- rows.zip(rows.tail)) {
+      val exps = t1.zip(t2).map { case ((nm, a), (_, b)) =>
+        f"$nm=${math.log(b / a) / math.log(n2.toDouble / n1)}%.2f" }
+      println(f"exponent ${n1}%,d -> ${n2}%,d: " + exps.mkString(" "))
+    }
+    spark.stop()
+  }
+}
