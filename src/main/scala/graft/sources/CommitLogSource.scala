@@ -78,6 +78,26 @@ object CommitLogSource {
    * a grown tail must cost only the new bytes. */
   val partitionBytesRead = new java.util.concurrent.atomic.AtomicLong
 
+  /**
+   * Transient-fault injection — the reconnection analog of the reference's
+   * broker-loss chaos tests (testcontainers/.../PulsarSingleNodeTests.java
+   * testPulsarReconnection, ChaosNetworkContainer): when the sysprop
+   * `graft.chaos.readFailures` is N > 0, every partition-read task attempt
+   * numbered < N throws IOException AFTER rows were already delivered —
+   * mid-read, bytes consumed — so recovery must re-deliver the partition
+   * whole (Spark task retry / query restart), never resume a torn stream.
+   * Default 0: production plans carry no trace of the hook.
+   */
+  private[sources] def chaosMaybeFail(rowsDelivered: Long): Unit = {
+    val n = Integer.getInteger("graft.chaos.readFailures", 0).intValue()
+    if (n > 0 && rowsDelivered >= 1) {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() < n)
+        throw new java.io.IOException("chaos: injected transient read " +
+          s"failure (attempt ${tc.attemptNumber()} of a faulted window $n)")
+    }
+  }
+
   /** (segment id, file) pairs in segment order. Metadata-only. */
   def segments(dir: String): Seq[(Long, java.io.File)] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -414,13 +434,15 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
   private var current: InternalRow = _
 
   private var quarantined = false
+  private var rowsDelivered = 0L
 
   override def next(): Boolean = {
     if (quarantined) return false
+    CommitLogSource.chaosMaybeFail(rowsDelivered) // no-op unless injected
     var line = reader.readLine()
     while (line != null) {
       parse(line) match {
-        case Some(row) => current = row; return true
+        case Some(row) => current = row; rowsDelivered += 1; return true
         case None if quarantined => return false
         case None      => // permissive mode: malformed line skipped & logged
       }

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Child-JVM driver for ChaosSourceSpec — the reconnection analog of the
+ * reference's broker network-chaos tests (PulsarSingleNodeTests.java
+ * testPulsarReconnection with ChaosNetworkContainer): commitlog-source
+ * reads fail transiently MID-BATCH (after rows were already delivered,
+ * via `graft.chaos.readFailures`) and the query must still deliver every
+ * (segment, position) exactly once.
+ *
+ * Modes (args: events dir, out dir, ckpt dir, mode):
+ *  - `transient`: 2 injected failures per partition, task maxFailures 4 —
+ *    Spark task retry rides over the fault window inside ONE query run;
+ *  - `outage`: failures exceed maxFailures — the query run FAILS (the
+ *    broker is gone longer than the retry budget; rc must be nonzero and
+ *    the caller restarts in `reconnect`);
+ *  - `reconnect`: injection off, restart on the SAME checkpoint —
+ *    convergence with no loss/dup is the exactly-once contract the
+ *    checkpointed (segment, position) offsets guarantee.
+ */
+object ChaosMain {
+  def main(args: Array[String]): Unit = {
+    val Array(eventsDir, outDir, ckptDir, mode) = args.take(4)
+    mode match {
+      case "transient" =>
+        System.setProperty("graft.chaos.readFailures", "2")
+        run(eventsDir, outDir, ckptDir, maxFailures = 4)
+      case "outage" =>
+        System.setProperty("graft.chaos.readFailures", "99")
+        run(eventsDir, outDir, ckptDir, maxFailures = 2)
+      case "reconnect" =>
+        run(eventsDir, outDir, ckptDir, maxFailures = 2)
+      case other => sys.error(s"unknown mode $other")
+    }
+  }
+
+  private def run(eventsDir: String, outDir: String, ckptDir: String,
+                  maxFailures: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[4,$maxFailures]")
+      .appName("graft-chaos")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = spark.readStream
+      .format("graft.sources.CommitLogSourceProvider")
+      .option("path", eventsDir)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.select("segment", "position", "event_id")
+          .write.mode("append").parquet(s"$outDir/rows")
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Transient-IO chaos on the source path — the engine's analog of the
+ * reference's broker network-chaos reconnection test
+ * (testcontainers/.../PulsarSingleNodeTests.java testPulsarReconnection):
+ * commitlog partition reads throw IOException MID-READ (rows already
+ * delivered, bytes already consumed) on the first attempts, and the query
+ * must deliver every (segment, position, event_id) exactly once —
+ * riding over a short fault window with task retries, and recovering from
+ * a full outage (retry budget exhausted, query dies) by restarting on the
+ * same checkpoint once the fault clears. Child JVMs so the injection
+ * sysprop and `local[4,<maxFailures>]` task-retry budget never touch the
+ * shared test session.
+ */
+class ChaosSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def launch(mode: String, events: String, out: String,
+                     ckpt: String): Process = {
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
+      Seq("-Xmx1500m", "-cp", System.getProperty("java.class.path"),
+        "graft.tools.ChaosMain", events, out, ckpt, mode)
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"$out.$mode.log")))
+      .start()
+  }
+
+  private def writeSegments(dir: String): Seq[(Long, Int, Long)] = {
+    Files.createDirectories(Paths.get(dir))
+    val rows = for (seg <- 0L until 3L; i <- 0 until 40) yield {
+      val eventId = seg * 1000 + i
+      (seg, i, eventId)
+    }
+    for (seg <- 0L until 3L) {
+      val lines = rows.filter(_._1 == seg).map { case (s, pos, id) =>
+        s"$id,${id % 7},u,${1000 + id},$s,$pos,d$id,n1"
+      }
+      Files.write(Paths.get(s"$dir/CommitLog-$seg.log"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    rows
+  }
+
+  private def gotRows(out: String): Seq[(Long, Int, Long)] =
+    scala.util.Try(spark.read.parquet(s"$out/rows")
+      .as[(Long, Int, Long)].collect().toSeq.sorted)
+      .getOrElse(Seq.empty)
+
+  test("transient mid-read failures ride on task retries: exactly-once " +
+    "by (segment, position) in one query run") {
+    val tmp = Files.createTempDirectory("graft_chaos1").toString
+    val expected = writeSegments(s"$tmp/events").sorted
+    val p = launch("transient", s"$tmp/events", s"$tmp/out", s"$tmp/ckpt")
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "transient run did not exit")
+    assert(p.exitValue() === 0, {
+      s"transient run failed despite retry budget, log tail:\n" +
+        scala.util.Try(new String(Files.readAllBytes(
+          Paths.get(s"$tmp/out.transient.log")))
+          .takeRight(2000)).getOrElse("")
+    })
+    assert(gotRows(s"$tmp/out") === expected,
+      "loss or duplication under transient read failures")
+  }
+
+  test("full outage kills the run; restart on the same checkpoint after " +
+    "the fault clears converges with no loss/dup") {
+    val tmp = Files.createTempDirectory("graft_chaos2").toString
+    val expected = writeSegments(s"$tmp/events").sorted
+    val dead = launch("outage", s"$tmp/events", s"$tmp/out", s"$tmp/ckpt")
+    assert(dead.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "outage run did not exit")
+    assert(dead.exitValue() !== 0,
+      "outage run succeeded — injection did not exceed the retry budget")
+    val rec = launch("reconnect", s"$tmp/events", s"$tmp/out", s"$tmp/ckpt")
+    assert(rec.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "reconnect run did not exit")
+    assert(rec.exitValue() === 0, {
+      s"reconnect failed, log tail:\n" +
+        scala.util.Try(new String(Files.readAllBytes(
+          Paths.get(s"$tmp/out.reconnect.log")))
+          .takeRight(2000)).getOrElse("")
+    })
+    assert(gotRows(s"$tmp/out") === expected,
+      "loss or duplication across outage + reconnect")
+  }
+}
