@@ -2585,6 +2585,38 @@ object SparkEntry {
       // reassemble the cleaned corpus
       TextAnalysis.removeDupSpans(t(s, dir, "documents"), n = 5)),
 
+    "text_segment_dedup" -> ((s, dir) => {
+      // C4-style line-level corpus dedup (aligned 10-word segments as the
+      // line analog; every occurrence of a repeated segment drops,
+      // including the first — boilerplate-killing semantics). The corpus
+      // plants exact duplicates by unioning a re-keyed mirror of the first
+      // 50 docs, so the whole mirrored set must clean to ''.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      TextAnalysis.dropDuplicatedSegments(corpus, wordsPerSegment = 10,
+        maxCount = 1)
+    }),
+
+    "text_blocklist" -> ((s, dir) =>
+      // C4-style substring blocklist admission: per-doc banned-term hit
+      // count (replace-and-measure, recall-first substring semantics),
+      // hits-per-word ratio, verdict at 6.5% — narrow, zero shuffles
+      TextAnalysis.blocklistScore(t(s, dir, "documents"),
+        terms = Seq("slow", "vector"), maxRatio = 0.065)),
+
+    "cdc_converter_string" -> ((s, dir) => {
+      // C1 converter registry, StringConverter plugin: key = first PK
+      // column rendered as string (StringConverter.java:56-58), value =
+      // comma-joined replicated columns, delete => null tombstone
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+        t(s, dir, "customer"), "key", "c_custkey",
+        Seq("c_name", "c_nationkey"))
+      operators.Converters.forName("string")(
+          enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+        .select(col("event_id"), col("kv_key"), col("kv_value"))
+    }),
+
     "q_intersect_repeat_buyers" -> ((s, dir) => {
       // INTERSECT set op: customers ordering in both halves of the range
       val o = t(s, dir, "orders")
@@ -4017,6 +4049,54 @@ object SparkEntry {
            COALESCE(rm.n_removed, 0) AS n_removed,
            COALESCE(cl.cleaned, '') AS cleaned
          FROM ws LEFT JOIN rm USING (doc_id) LEFT JOIN cl USING (doc_id)""",
+
+    "text_segment_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM corpus),
+         segs AS (SELECT doc_id, (pos - 1) // 10 AS seg_id,
+             string_agg(word, ' ' ORDER BY pos) AS seg
+           FROM w GROUP BY 1, 2),
+         hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > 1),
+         kept AS (SELECT * FROM segs
+           WHERE seg NOT IN (SELECT seg FROM hot)),
+         totals AS (SELECT doc_id, COUNT(*) AS n_segments
+           FROM segs GROUP BY 1),
+         reb AS (SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+             COUNT(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           t.n_segments, t.n_segments - COALESCE(r.n_kept, 0) AS n_dropped
+         FROM totals t LEFT JOIN reb r USING (doc_id)""",
+
+    "text_blocklist" ->
+      """SELECT doc_id,
+         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
+            + (length(text) - length(replace(text, 'vector', ''))) // 6
+            AS BIGINT) AS n_banned,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
+            + (length(text) - length(replace(text, 'vector', ''))) // 6
+            AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+           AS banned_ratio,
+         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
+            + (length(text) - length(replace(text, 'vector', ''))) // 6
+            AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+           <= 0.065 AS admitted
+         FROM documents""",
+
+    "cdc_converter_string" ->
+      """SELECT e.event_id,
+         CAST(e.user_id AS VARCHAR) AS kv_key,
+         CASE WHEN e.event_type = 'error' THEN NULL
+              ELSE concat_ws(',', c.c_name, CAST(c.c_nationkey AS VARCHAR))
+         END AS kv_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "curate_stratified_sample" ->
       """WITH d AS (SELECT doc_id,

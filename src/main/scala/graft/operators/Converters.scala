@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AvroFunctions, AvroSchemas}
+
+/**
+ * Output-converter registry — the reference's pluggable converter surface
+ * (C1): `CassandraSource` resolves key/value converter CLASSES from config
+ * and instantiates them reflectively (CassandraSource.java:336,372,
+ * 404-416; plugins under connector/.../source/converters/: AvroConverter,
+ * JsonConverter, StringConverter, and the ProtobufConverter stub that the
+ * reference itself maps to SchemaType.JSON — ProtobufConverter.java:26-31).
+ *
+ * Spark-first equivalent: a NAME → projection registry. Each converter
+ * takes (enriched frame, pk columns, value columns, op column) and appends
+ * `kv_key` / `kv_value` in that format's type, with the tombstone
+ * contract (delete ⇒ null value; json-only ⇒ '{}' — CassandraSource.java:
+ * 377, 554). Registry misses fail loudly with the supported set, exactly
+ * like the reference's reflective instantiation failing on a bad class
+ * name.
+ */
+object Converters {
+
+  type Converter = (DataFrame, Seq[String], Seq[String], String) => DataFrame
+
+  val supported: Seq[String] =
+    Seq("avro", "json", "json-only", "string", "protobuf")
+
+  def forName(name: String): Converter = name.toLowerCase match {
+    case "avro" => avro
+    case "json" => json
+    case "json-only" => jsonOnly
+    case "string" => string
+    // the reference ships ProtobufConverter as a JSON-typed stub — same
+    // aliasing here, same output bytes as "json"
+    case "protobuf" => json
+    case other => throw new IllegalArgumentException(
+      s"unknown converter '$other'; supported: ${supported.mkString(", ")}")
+  }
+
+  private def tomb(opCol: String) = col(opCol) === graft.model.Cdc.OpDelete
+
+  /** Default converter: Avro-encoded key and value records (the
+   * reference's NativeAvroConverter path, oracle-checked end-to-end by
+   * cdc_keyvalue_avro / cdc_avro_roundtrip). */
+  private def avro(df: DataFrame, pk: Seq[String], vals: Seq[String],
+                   opCol: String): DataFrame = {
+    val st = df.select((pk ++ vals).map(col): _*).schema
+    val keySchema = AvroSchemas.forStruct(
+      org.apache.spark.sql.types.StructType(st.filter(f => pk.contains(f.name))
+        .map(_.copy(nullable = false))), "events_key", "graft").toString
+    val valSchema = AvroSchemas.forStruct(
+      org.apache.spark.sql.types.StructType(
+        st.filter(f => vals.contains(f.name))), "events_value", "graft")
+      .toString
+    df.withColumn("kv_key",
+        AvroFunctions.to_avro_binary(struct(pk.map(col): _*), keySchema))
+      .withColumn("kv_value", when(tomb(opCol), lit(null))
+        .otherwise(AvroFunctions.to_avro_binary(struct(vals.map(col): _*),
+          valSchema)))
+  }
+
+  /** JSON key + JSON value, null value tombstones. */
+  private def json(df: DataFrame, pk: Seq[String], vals: Seq[String],
+                   opCol: String): DataFrame =
+    df.withColumn("kv_key", to_json(struct(pk.map(col): _*)))
+      .withColumn("kv_value", when(tomb(opCol), lit(null))
+        .otherwise(to_json(struct(vals.map(col): _*))))
+
+  /** Single-payload json mode: PK folds into the value record, deletes
+   * and misses emit '{}' (CassandraSource.java:346-366, 377). */
+  private def jsonOnly(df: DataFrame, pk: Seq[String], vals: Seq[String],
+                       opCol: String): DataFrame =
+    df.withColumn("kv_key", to_json(struct(pk.map(col): _*)))
+      .withColumn("kv_value", when(
+        tomb(opCol) || vals.map(col(_).isNull).reduce(_ && _), lit("{}"))
+        .otherwise(to_json(struct((pk ++ vals).map(col): _*))))
+
+  /** StringConverter: key is the FIRST primary-key column rendered as a
+   * string (StringConverter.java:56-58 `row.getString(0)`); value joins
+   * the replicated columns with the same render. */
+  private def string(df: DataFrame, pk: Seq[String], vals: Seq[String],
+                     opCol: String): DataFrame =
+    df.withColumn("kv_key", col(pk.head).cast("string"))
+      .withColumn("kv_value", when(tomb(opCol), lit(null))
+        .otherwise(concat_ws(",", vals.map(col(_).cast("string")): _*)))
+}

@@ -539,6 +539,78 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-level duplicate-SEGMENT removal — the "line-level dedup" policy
+   * of C4-style pipelines (drop every occurrence of any line repeated
+   * across the corpus), re-expressed for whitespace corpora: texts split
+   * into consecutive non-overlapping `wordsPerSegment`-word segments (the
+   * line analog), and every occurrence of a segment whose corpus frequency
+   * exceeds `maxCount` is dropped; survivors rejoin in order. The ALIGNED
+   * whole-unit complement of [[removeDupSpans]] (Lee et al. ExactSubstr
+   * removes any-offset overlapping spans; this removes whole aligned units
+   * including the first occurrence — the boilerplate-killing semantics).
+   *
+   * Scale: segment assembly is a narrow transform off the text scan; ONE
+   * segment-hash shuffle counts fingerprints (map-side combinable); the
+   * membership join is segment-hash partitioned; the rebuild is one
+   * doc-hash shuffle. No corpus-sized state, no skew key (segments of
+   * boilerplate ARE hot, but they ride a count aggregate, never a
+   * pair-join).
+   */
+  def dropDuplicatedSegments(docs: DataFrame, wordsPerSegment: Int = 10,
+                             maxCount: Int = 1): DataFrame = {
+    require(wordsPerSegment >= 1,
+      s"wordsPerSegment must be >= 1, got $wordsPerSegment")
+    require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
+    val W = wordsPerSegment
+    val segs = Materialize(docs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $W.0) " +
+          s"AS INT) - 1), i -> array_join(slice(split(text, ' '), " +
+          s"i * $W + 1, $W), ' '))")).as(Seq("seg_id", "seg"))))
+    val hot = segs.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxCount).select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    val totals = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(seg_id, seg))), x -> x.seg), ' ')")
+        .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    totals.join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /**
+   * Substring-blocklist admission — the C4 "bad words" filter shape: count
+   * occurrences of each blocklist term as a SUBSTRING (replace-and-measure
+   * arithmetic, so "slower" matches "slow" — the deliberate, recall-first
+   * semantics of word-list filters; wrap terms in spaces for word-boundary
+   * behavior), emit the per-document hit count, the hits-per-word ratio,
+   * and the admission verdict. Pure narrow string arithmetic — zero
+   * shuffles, engine-portable to the oracle.
+   */
+  def blocklistScore(docs: DataFrame, terms: Seq[String],
+                     maxRatio: Double): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocklist term")
+    require(terms.forall(_.nonEmpty), "blocklist terms must be non-empty")
+    val hits = terms.map { t =>
+      (length(col("text")) - length(replace(col("text"), lit(t), lit(""))))
+        ./(lit(t.length))
+    }.reduce(_ + _).cast("long")
+    docs.select(col("doc_id"), hits.as("n_banned"),
+        size(words("text")).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_banned"), col("n_words"),
+        (col("n_banned").cast("double") / col("n_words").cast("double"))
+          .as("banned_ratio"))
+      .withColumn("admitted", col("banned_ratio") <= maxRatio)
+  }
+
+  /**
    * Marker-token language-ID heuristic: count high-frequency marker words
    * per candidate language, predict the argmax (deterministic priority
    * order on ties). Pure string arithmetic — portable to the oracle.

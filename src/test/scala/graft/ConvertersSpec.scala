@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.AvroFunctions
+import graft.operators.{Converters, TextAnalysis}
+
+/**
+ * Converter registry (C1 plugin surface) + round-7 text admission ops.
+ * The registry mirrors the reference's class-resolved converters
+ * (CassandraSource.java:336,372,404-416): named lookup, loud miss,
+ * ProtobufConverter aliased to JSON exactly as the reference stub does.
+ */
+class ConvertersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enriched = Seq(
+    (1L, "u", "alice", 7),
+    (2L, "d", "bob", 3), // delete: value must tombstone
+    (3L, "u", null.asInstanceOf[String], 0)) // lookup miss
+    .toDF("key", "op", "c_name", "c_nationkey")
+    .withColumn("c_nationkey", when(col("c_name").isNull, lit(null))
+      .otherwise(col("c_nationkey")))
+
+  test("unknown converter fails loudly with the supported set") {
+    val e = intercept[IllegalArgumentException] {
+      Converters.forName("thrift")
+    }
+    assert(e.getMessage.contains("avro") && e.getMessage.contains("string"))
+  }
+
+  test("protobuf aliases json byte-for-byte (the reference stub maps " +
+    "ProtobufConverter to SchemaType.JSON)") {
+    val j = Converters.forName("json")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+      .select($"key", $"kv_key", $"kv_value").collect().toSet
+    val p = Converters.forName("protobuf")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+      .select($"key", $"kv_key", $"kv_value").collect().toSet
+    assert(j === p)
+  }
+
+  test("json: delete tombstones to null; json-only: delete AND miss " +
+    "emit '{}', pk folds into the payload") {
+    val j = Converters.forName("json")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+      .select($"key", $"kv_value").as[(Long, String)].collect().toMap
+    assert(j(2L) == null)
+    assert(j(1L).contains("\"c_name\":\"alice\""))
+    val jo = Converters.forName("json-only")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+      .select($"key", $"kv_value").as[(Long, String)].collect().toMap
+    assert(jo(2L) === "{}")
+    assert(jo(3L) === "{}")
+    assert(jo(1L).contains("\"key\":1"))
+  }
+
+  test("avro: encode-decode is the identity on values, deletes tombstone") {
+    import graft.functions.AvroSchemas
+    val out = Converters.forName("avro")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+    val valSchema = AvroSchemas.forStruct(
+      enriched.select($"c_name", $"c_nationkey").schema,
+      "events_value", "graft").toString
+    val back = out.select($"key", $"kv_value",
+        AvroFunctions.from_avro_binary($"kv_value", valSchema).as("dec"))
+      .select($"key", $"kv_value".isNull.as("tomb"),
+        $"dec.c_name", $"dec.c_nationkey")
+      .as[(Long, Boolean, Option[String], Option[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(back(2L)._1, "delete did not tombstone")
+    assert(back(1L) === ((false, Some("alice"), Some(7))))
+    assert(back(3L) === ((false, None, None)))
+  }
+
+  test("string: key is the FIRST pk column as string, values comma-join " +
+    "with nulls skipped") {
+    val out = Converters.forName("string")(
+      enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+      .select($"key", $"kv_key", $"kv_value")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("1", "alice,7")))
+    assert(out(2L)._2 == null)
+    assert(out(3L) === (("3", ""))) // both value cols null: skipped
+  }
+
+  test("dropDuplicatedSegments: aligned segments drop ALL occurrences " +
+    "above maxCount, survivors rejoin in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // segs: "a b", "c d", "e f"
+      (2L, "c d x y"),     // "c d" repeats across docs -> dropped from both
+      (3L, "a b"),         // "a b" appears in docs 1 and 3 -> dropped
+      (4L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropDuplicatedSegments(docs,
+        wordsPerSegment = 2, maxCount = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === (("e f", 3L, 2L)))
+    assert(out(2L) === (("x y", 2L, 1L)))
+    assert(out(3L) === (("", 1L, 1L)))
+    assert(out(4L) === (("z", 1L, 0L)))
+  }
+
+  test("blocklistScore: substring hits, ratio, verdict") {
+    val docs = Seq(
+      (1L, "slow slower ok"), // "slow" twice (substring of slower)
+      (2L, "clean text here")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistScore(docs, Seq("slow"), maxRatio = 0.4)
+      .select($"doc_id", $"n_banned", $"admitted")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((2L, false))) // 2/3 > 0.4
+    assert(out(2L) === ((0L, true)))
+  }
+}
