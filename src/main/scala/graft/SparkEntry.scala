@@ -2585,6 +2585,20 @@ object SparkEntry {
       // reassemble the cleaned corpus
       TextAnalysis.removeDupSpans(t(s, dir, "documents"), n = 5)),
 
+    "profile_value_drift" -> ((s, dir) =>
+      // fixed-grid value-distribution drift between user cohorts: one
+      // bucket-hash aggregate + 1-row total attaches, exact proportions
+      operators.Profiling.valueDrift(Cdc.rawEvents(s, dir),
+        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
+        nBuckets = 10)),
+
+    "profile_drift_summary" -> ((s, dir) =>
+      // the scalar alarm over the same grid: exact integer-rational TVD
+      // + PSI (decimal-summed, rounded 6 — the libm-portability idiom)
+      operators.Profiling.valueDriftSummary(Cdc.rawEvents(s, dir),
+        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
+        nBuckets = 10)),
+
     "text_segment_dedup" -> ((s, dir) => {
       // C4-style line-level corpus dedup (aligned 10-word segments as the
       // line analog; every occurrence of a repeated segment drops,
@@ -4049,6 +4063,45 @@ object SparkEntry {
            COALESCE(rm.n_removed, 0) AS n_removed,
            COALESCE(cl.cleaned, '') AS cleaned
          FROM ws LEFT JOIN rm USING (doc_id) LEFT JOIN cl USING (doc_id)""",
+
+    "profile_value_drift" ->
+      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
+           WHERE value IS NOT NULL),
+         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
+               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
+             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c)
+         SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
+           CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
+         FROM c, t""",
+
+    "profile_drift_summary" ->
+      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
+           WHERE value IS NOT NULL),
+         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
+               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
+             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c),
+         p AS (SELECT n_a, n_b, na_tot, nb_tot,
+             CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
+             CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
+           FROM c, t)
+         SELECT MAX(na_tot) AS n_a, MAX(nb_tot) AS n_b,
+           CAST(CAST(SUM(abs(n_a * nb_tot - n_b * na_tot)) AS BIGINT)
+               AS DOUBLE)
+             / (2.0 * CAST(MAX(na_tot) AS DOUBLE)
+                * CAST(MAX(nb_tot) AS DOUBLE)) AS tvd,
+           round(CAST(SUM(CAST((p_a - p_b) * ln(greatest(p_a, 0.000001)
+               / greatest(p_b, 0.000001)) AS DECIMAL(38,18))) AS DOUBLE),
+             6) AS psi
+         FROM p""",
 
     "text_segment_dedup" ->
       """WITH corpus AS (

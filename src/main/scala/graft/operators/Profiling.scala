@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{DecimalType, StructField}
 
 /**
  * Column-level table profiling — the data-quality fingerprint a pipeline
@@ -111,6 +111,87 @@ object Profiling {
     cols.grouped(math.max(1, maxDistinctAggsPerScan / 2))
       .map(slice => driftSlice(df, pred, slice))
       .reduce(_.unionByName(_))
+  }
+
+  /**
+   * Numeric value-distribution drift between two cohorts (A = `pred`
+   * true, B = false) over a FIXED bucket grid — the monitoring metric a
+   * corpus build runs between snapshots (PSI is the industry-standard
+   * alarm; total-variation distance is its exact-arithmetic companion).
+   * Returns one row per non-empty bucket: counts and cohort proportions.
+   * Bucket -1 catches underflow, `nBuckets` overflow; null values and
+   * null predicates belong to neither cohort.
+   *
+   * Scale: one scan, one bucket-hash aggregate (map-side combinable,
+   * ≤ nBuckets+2 groups), two 1-row broadcast total attaches.
+   */
+  private def bucketCounts(df: DataFrame, pred: Column, valueCol: String,
+                           lo: Double, hi: Double,
+                           nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo,
+      s"need nBuckets >= 1 and hi > lo, got $nBuckets, [$lo, $hi)")
+    val v = exact(valueCol)
+    val w = (hi - lo) / nBuckets
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBuckets.toLong))
+      .otherwise(floor((v - lit(lo)) / lit(w)).cast("long"))
+    val counts = df.filter(v.isNotNull && pred.isNotNull)
+      .select(bucket.as("bucket"), pred.as("in_a"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot")))
+    counts.crossJoin(totals) // 1-row attach
+  }
+
+  /** NaN on an empty cohort (ANSI mode would otherwise error the whole
+   * query on the 0/0) — an absent distribution has no proportions. */
+  private def share(n: Column, total: Column): Column =
+    when(total === 0, lit(Double.NaN))
+      .otherwise(n.cast("double") / total.cast("double"))
+
+  def valueDrift(df: DataFrame, pred: Column, valueCol: String,
+                 lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    bucketCounts(df, pred, valueCol, lo, hi, nBuckets)
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        share(col("n_a"), col("na_tot")).as("p_a"),
+        share(col("n_b"), col("nb_tot")).as("p_b"))
+
+  /**
+   * Scalar summary of [[valueDrift]]: cohort sizes, the EXACT
+   * total-variation distance (integer-rational arithmetic —
+   * Σ|n_a·N_b − n_b·N_a| / (2·N_a·N_b) — so the hash compare is
+   * bit-exact), and the PSI with the standard 1e-6 proportion floor
+   * (log-based, term-summed in DECIMAL and rounded to 6 decimals, the
+   * engine-portable idiom for libm-adjacent arithmetic). The integer TVD
+   * numerator bounds cohort sizes at ~3·10⁹ rows (n·N must fit a LONG);
+   * beyond that, aggregate [[valueDrift]]'s proportions instead — the
+   * exactness trade is only needed where an oracle hashes the value.
+   */
+  def valueDriftSummary(df: DataFrame, pred: Column, valueCol: String,
+                        lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val b = bucketCounts(df, pred, valueCol, lo, hi, nBuckets)
+    val eps = 1e-6
+    val pA = share(col("n_a"), col("na_tot"))
+    val pB = share(col("n_b"), col("nb_tot"))
+    // PSI terms touch libm (ln), whose last ulp is not portable across
+    // engines: sum in DECIMAL (order-independent) and round to 6 — any
+    // sub-ulp divergence is 1e-16-scale, invisible at that grain
+    val term = (pA - pB) * log(greatest(pA, lit(eps)) / greatest(pB, lit(eps)))
+    b.agg(
+        max(col("na_tot")).as("n_a"), max(col("nb_tot")).as("n_b"),
+        // TVD numerator stays in INTEGER space — Σ|n_a·N_b − n_b·N_a| —
+        // so the final division is one exact double op, bit-identical in
+        // any engine regardless of aggregation order
+        sum(abs(col("n_a") * col("nb_tot") - col("n_b") * col("na_tot")))
+          .as("tvd_num"),
+        sum(term.cast(DecimalType(38, 18))).as("psi_raw"))
+      .select(col("n_a"), col("n_b"),
+        share(col("tvd_num"),
+          lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double"))
+          .as("tvd"),
+        round(col("psi_raw").cast("double"), 6).as("psi"))
   }
 
   private def driftSlice(df: DataFrame, pred: Column,

@@ -74,6 +74,34 @@ class Round7Spec extends SparkSpec {
     assert(d("week day") === ((2L, 0L)))
   }
 
+  test("valueDrift: underflow/overflow buckets, null exclusion, exact " +
+    "proportions; summary TVD is exact and PSI responds to shift") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (0L, -5.0),   // underflow -> bucket -1 (cohort A)
+      (0L, null),   // excluded
+      (2L, 105.0),  // bucket 10 = overflow (hi = 100)
+      (0L, 5.0), (0L, 15.0), (2L, 5.0), (2L, 95.0))
+      .toDF("k", "v")
+    val b = Profiling.valueDrift(df, col("k") % 2 === 0 && col("k") < 2,
+        "v", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(b(-1L) === ((1L, 0L, 1.0 / 3, 0.0)))
+    assert(b(10L) === ((0L, 1L, 0.0, 1.0 / 3)))
+    assert(b(0L) === ((1L, 1L, 1.0 / 3, 1.0 / 3)))
+    val s = Profiling.valueDriftSummary(df, col("k") % 2 === 0 && col("k") < 2,
+      "v", lo = 0.0, hi = 100.0, nBuckets = 10).collect()(0)
+    assert(s.getLong(0) === 3L && s.getLong(1) === 3L)
+    // buckets: -1 (1,0), 0 (1,1), 1 (1,0), 9 (0,1), 10 (0,1)
+    // tvd = (1/3 + 0 + 1/3 + 1/3 + 1/3) / 2 = 2/3
+    assert(math.abs(s.getDouble(2) - 2.0 / 3) < 1e-15)
+    assert(s.getDouble(3) > 0.0, "PSI must flag the shifted cohorts")
+    val degen = Profiling.valueDriftSummary(df.filter(col("k") === 0),
+      col("v") >= -100, "v", 0.0, 100.0, 10).collect()(0)
+    assert(degen.getLong(1) === 0L && degen.getDouble(2).isNaN,
+      "empty cohort B: TVD undefined (NaN), not a fabricated 0")
+  }
+
   test("streaming profile: -0.0 and 0.0 count as ONE distinct double, " +
     "matching the batch profile's native countDistinct") {
     val dir = Files.createTempDirectory("sprof7").toString + "/state"
