@@ -2585,6 +2585,20 @@ object SparkEntry {
       // reassemble the cleaned corpus
       TextAnalysis.removeDupSpans(t(s, dir, "documents"), n = 5)),
 
+    "q_funnel_timing" -> ((s, dir) => {
+      // funnel conversion timing: step counts + exact interpolated
+      // median/p90 time-to-convert over the strict-ordering funnel —
+      // the rollup a product team reads next to the funnel itself
+      val f = operators.EventAnalytics.funnelSteps(ev(s, dir), "key",
+        "writetime", Seq("signup", "click", "purchase"))
+      f.agg(count(lit(1)).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"),
+        expr("percentile(t2 - t1, 0.5)").as("med_t12"),
+        expr("percentile(t3 - t2, 0.5)").as("med_t23"),
+        expr("percentile(t2 - t1, 0.9)").as("p90_t12"))
+    }),
+
     "profile_value_drift" -> ((s, dir) =>
       // fixed-grid value-distribution drift between user cohorts: one
       // bucket-hash aggregate + 1-row total attaches, exact proportions
@@ -4063,6 +4077,24 @@ object SparkEntry {
            COALESCE(rm.n_removed, 0) AS n_removed,
            COALESCE(cl.cleaned, '') AS cleaned
          FROM ws LEFT JOIN rm USING (doc_id) LEFT JOIN cl USING (doc_id)""",
+
+    "q_funnel_timing" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
+           FROM events),
+         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
+           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
+         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
+           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1),
+         f AS (SELECT s1."key", t1, t2, t3 FROM s1
+           LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key"))
+         SELECT COUNT(*) AS n_step1, COUNT(t2) AS n_step2,
+           COUNT(t3) AS n_step3,
+           quantile_cont(t2 - t1, 0.5) AS med_t12,
+           quantile_cont(t3 - t2, 0.5) AS med_t23,
+           quantile_cont(t2 - t1, 0.9) AS p90_t12
+         FROM f""",
 
     "profile_value_drift" ->
       """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
