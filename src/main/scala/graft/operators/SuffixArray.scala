@@ -13,11 +13,11 @@ import graft.functions.GraftFunctions.common_prefix_length
  * index that generalizes it to arbitrary-length matches).
  *
  * Algorithm (Manber–Myers, seeded): rank every corpus position by its
- * 64-character prefix slice in ONE range-partitioned sort (the same
+ * seed-length prefix slice (adaptive 64-512 chars, [[seedFor]]) in ONE range-partitioned sort (the same
  * bounded-prefix-key trick external-memory suffix sorters use), then
  * repeatedly re-rank by the pair (rank of prefix of length h, rank of the
  * prefix starting h later) — each round doubles the ordered prefix
- * length, so ceil(log2(maxDocLen / 64)) rounds order full suffixes. After
+ * length, so ceil(log2(maxDocLen / seed)) rounds order full suffixes. After
  * the seed, no text is ever shuffled: state is one integer rank per
  * position, and each doubling round retains ONLY the current rank table —
  * the previous round's frame is dropped as soon as its successor
@@ -38,21 +38,21 @@ import graft.functions.GraftFunctions.common_prefix_length
  * [[lcpArray]] extends the index with the longest-common-prefix array via
  * a Kasai-style rank-neighbor traversal that needs NOTHING beyond the
  * final array and the bounded seed slices: for each adjacent pair of
- * distinct suffixes, iteratively byte-compare the two 64-char position
+ * distinct suffixes, iteratively byte-compare the two seed-length position
  * slices at the current match offset ([[graft.functions
  * .CommonPrefixLength]] — a codegen'd kernel over BOUNDED slices, never a
  * full-text attach) and advance by a full slice width while the slices
  * keep matching. A pair retires the first round its slices diverge (or a
- * suffix exhausts), so round k touches only pairs with LCP ≥ 64k — the
+ * suffix exhausts), so round k touches only pairs with LCP ≥ seed·k — the
  * active frame decays geometrically on natural text, and total compare
- * work is Σ ceil(LCP/64) per pair. Exact end to end: no rolling hash, no
+ * work is Σ ceil(LCP/seed) per pair. Exact end to end: no rolling hash, no
  * collision probability to argue about. Retained state during the walk is
  * slices + final array + the decaying active frame + one periodically
  * consolidated result frame — O(n) by construction (spec-pinned via
  * [[lastWalkStats]]), closing the O(n·log n) rank-table retention the
  * previous binary-walk formulation paid. The honest trade: worst-case
- * rounds are maxLCP/64 (vs log for the table walk) — on adversarially
- * repetitive corpora (single repeated character) the walk does O(LCP/64)
+ * rounds are maxLCP/seed (vs log for the table walk) — on adversarially
+ * repetitive corpora (single repeated character) the walk does O(LCP/seed)
  * passes over the surviving pairs; on real text long adjacent-suffix LCPs
  * are precisely the rare duplicated spans ExactSubstr exists to find.
  *
@@ -62,9 +62,25 @@ import graft.functions.GraftFunctions.common_prefix_length
  */
 object SuffixArray {
 
-  /** Seed/slice width: the doubling starts from ranks of 64-char prefixes
-   * and the LCP walk advances in whole slice widths. */
-  private val SeedLen = 64
+  /**
+   * Seed/slice width for a given corpus: the doubling starts from ranks
+   * of seed-length prefixes and the LCP walk advances in whole slice
+   * widths, so BOTH round counts scale with 1/seed (doubling:
+   * ceil(log2(maxLen/seed)); walk: longest-true-LCP/seed) while the
+   * slice store costs up to seed bytes per corpus position. Each round is
+   * a scheduled shuffle + global rank whose FIXED overhead dominates at
+   * local scale (measured exponents 0.27-0.78, docs/BENCH_NOTES.md), so
+   * the seed adapts upward on short-document corpora — to the largest
+   * power of two at or below maxLen — where the bigger slices cost
+   * little (a slice never exceeds its suffix) and the rounds collapse.
+   * The 512 ceiling caps the per-position store on long-document corpora
+   * at 8x the old fixed 64, the measured knee of the trade; 64 remains
+   * the floor. Round-7 measurement: 512-char seeds on the sf0.1 corpus
+   * (maxLen 577) cut lcp/spans wall time ~34% with identical outputs
+   * (ranks and LCPs are seed-invariant by construction).
+   */
+  private def seedFor(maxLen: Int): Int =
+    math.min(512, math.max(64, Integer.highestOneBit(maxLen)))
 
   /** Walk instrumentation for the O(n)-state spec: corpus positions n,
    * walk rounds, and the peak number of rows live in materialized frames
@@ -185,15 +201,16 @@ object SuffixArray {
   private def build(docs: DataFrame): (DataFrame, DataFrame, Int) = {
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen > 0, "empty corpus")
+    val seed = seedFor(maxLen)
     val slices = Materialize(docs.select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        substring(col("text"), col("pos") + 1, lit(SeedLen)).as("sl")))
+        substring(col("text"), col("pos") + 1, lit(seed)).as("sl")))
     var cur = Materialize(
       SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
         .select(col("doc_id"), col("pos"), col("r")))
-    var h = SeedLen
+    var h = seed
     while (h < maxLen) {
       val shifted = cur.select(col("doc_id"),
         (col("pos") - h).as("pos"), col("r").as("r2"))
@@ -245,7 +262,8 @@ object SuffixArray {
     val slb = slices.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
       col("sl").as("_sb"))
     var rounds = 0
-    val maxRounds = maxLen / SeedLen + 2 // lcp < maxLen ⟹ guaranteed exit
+    val seed = seedFor(maxLen)
+    val maxRounds = maxLen / seed + 2 // lcp < maxLen ⟹ guaranteed exit
     while (curRows > 0 && rounds < maxRounds) {
       // compare the two 64-char slices at the current offset; a missing
       // slice row means that side's suffix is exhausted at acc (cpl 0)
@@ -260,10 +278,10 @@ object SuffixArray {
         .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb"))
       // a full-width match means the LCP may extend past this slice —
       // advance one width and keep walking; anything less is final
-      legs ::= finished(stepped.filter(col("cpl") < SeedLen)
+      legs ::= finished(stepped.filter(col("cpl") < seed)
         .withColumn("lcp", col("acc") + col("cpl")))
-      cur = stepped.filter(col("cpl") === lit(SeedLen.toLong))
-        .withColumn("acc", col("acc") + lit(SeedLen.toLong))
+      cur = stepped.filter(col("cpl") === lit(seed.toLong))
+        .withColumn("acc", col("acc") + lit(seed.toLong))
         .drop("cpl")
       val stillActive = cur.count()
       legRows += curRows - stillActive
