@@ -48,8 +48,10 @@ class PlanGuardSpec extends SparkSpec {
       // tf×df dictionary join — the idf denominator
       "dedup_cluster_sizes", // the singleton row = a 1-row corpus count
       // × a 1-row member count — two constant attaches, nothing streams
-      "emb_contrastive_batch") // both mining arms are the bounded-anchor
+      "emb_contrastive_batch", // both mining arms are the bounded-anchor
       // brute baselines (label-mismatch / label-match × corpus)
+      "profile_value_drift", // 1-row cohort-total attach to <=12 buckets
+      "profile_drift_summary") // same 1-row attach, rolled to one row
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must
