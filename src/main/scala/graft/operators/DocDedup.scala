@@ -449,17 +449,21 @@ object DocDedup {
    * the singleton count is `|corpus| - |members|`, so a member outside
    * the corpus would silently under-count (even negatively) and the
    * `n_clusters > 0` guard would hide the inconsistency as a plausible
-   * histogram. A 1-row anti-join count fails loudly instead.
+   * histogram. A 1-row anti-join count fails the query loudly instead —
+   * LAZILY, via `raise_error` inside the plan, so the audit stays one
+   * job and the check costs nothing extra to schedule.
    */
   def clusterSizes(members: DataFrame, corpus: DataFrame,
                    idCol: String = "doc_id"): DataFrame = {
     val strays = members.select(col("doc_id").as(idCol))
       .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
-      .count()
-    require(strays == 0L,
-      s"clusterSizes: $strays cluster member(s) missing from the corpus — " +
-        "the singleton reconstruction would under-count; pass the corpus " +
-        "the dedup actually ran over")
+      .agg(count(lit(1)).as("n_strays"))
+    val guard = when(col("n_strays") > 0, raise_error(concat(
+        lit("clusterSizes: "), col("n_strays"),
+        lit(" cluster member(s) missing from the corpus — the singleton " +
+          "reconstruction would under-count; pass the corpus the dedup " +
+          "actually ran over"))).cast("long"))
+      .otherwise(lit(0L))
     val hist = members
       .groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -468,8 +472,9 @@ object DocDedup {
     val total = corpus.agg(countDistinct(col(idCol)).as("n_total"))
     val inPairs = members.agg(count(lit(1)).as("n_members"))
     val singletons = total.crossJoin(broadcast(inPairs)) // 1-row × 1-row
+      .crossJoin(broadcast(strays))
       .select(lit(1L).as("cluster_size"),
-        (col("n_total") - col("n_members")).as("n_clusters"))
+        (col("n_total") - col("n_members") + guard).as("n_clusters"))
       .filter(col("n_clusters") > 0)
     hist.unionByName(singletons)
   }

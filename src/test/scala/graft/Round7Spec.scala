@@ -102,6 +102,23 @@ class Round7Spec extends SparkSpec {
       "empty cohort B: TVD undefined (NaN), not a fabricated 0")
   }
 
+  test("clusterSizes: a member outside the corpus fails the query loudly " +
+    "instead of under-counting singletons") {
+    val members = Seq((1L, 10L), (99L, 10L)).toDF("doc_id", "canonical_id")
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    val e = intercept[Throwable] {
+      graft.operators.DocDedup.clusterSizes(members, corpus).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("missing from the corpus"), chain(e))
+    // and the clean case still reconstructs the singleton row
+    val ok = graft.operators.DocDedup.clusterSizes(
+        Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "canonical_id"), corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(2L -> 1L, 1L -> 1L))
+  }
+
   test("streaming profile: -0.0 and 0.0 count as ONE distinct double, " +
     "matching the batch profile's native countDistinct") {
     val dir = Files.createTempDirectory("sprof7").toString + "/state"

@@ -108,6 +108,32 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("text_blocklist: pure narrow string arithmetic — two-column scan, " +
+    "zero shuffles") {
+    val p = plan("text_blocklist")
+    val rs = scanColumns(p)
+    assert(rs.head === Set("doc_id", "text"), s"docs scan reads ${rs.head}")
+    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("text_segment_dedup: all branches read the one materialized " +
+    "segment slice; bounded shuffles") {
+    val p = plan("text_segment_dedup")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"$scans parquet scans — slice not cut:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      s"branches don't share the slice:\n$p")
+    assert(exchanges(p) <= 7, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("cdc_converter_string: the enrichment under the registry still " +
+    "broadcasts the dimension") {
+    val p = plan("cdc_converter_string")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"converter path degraded to a shuffle join:\n$p")
+  }
+
   test("cdc_enrich_join: the lookup side broadcasts — no shuffle join") {
     val p = plan("cdc_enrich_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
