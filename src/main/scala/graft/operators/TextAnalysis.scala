@@ -558,17 +558,35 @@ object TextAnalysis {
    */
   def dropDuplicatedSegments(docs: DataFrame, wordsPerSegment: Int = 10,
                              maxCount: Int = 1): DataFrame = {
+    require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
+    val segs = Materialize(segmentExplode(docs, wordsPerSegment))
+    applySegmentCounts(segs,
+      segs.groupBy(col("seg")).agg(count(lit(1)).as("n_occ")), maxCount)
+  }
+
+  /** The aligned W-word segments of every doc: (doc_id, seg_id, seg).
+   * Shared by the batch operator and the streaming incremental form, so
+   * their segmentations are structurally identical. */
+  private[graft] def segmentExplode(docs: DataFrame,
+                                    wordsPerSegment: Int): DataFrame = {
     require(wordsPerSegment >= 1,
       s"wordsPerSegment must be >= 1, got $wordsPerSegment")
-    require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
     val W = wordsPerSegment
-    val segs = Materialize(docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $W.0) " +
           s"AS INT) - 1), i -> array_join(slice(split(text, ' '), " +
-          s"i * $W + 1, $W), ' '))")).as(Seq("seg_id", "seg"))))
-    val hot = segs.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > maxCount).select(col("seg"))
+          s"i * $W + 1, $W), ' '))")).as(Seq("seg_id", "seg")))
+  }
+
+  /** The policy half: given the segment table and CORPUS-WIDE occurrence
+   * counts (seg, n_occ), drop every occurrence of a segment above
+   * `maxCount` and rebuild (doc_id, clean_text, n_segments, n_dropped).
+   * Counts may come from the same frame (batch) or from accumulated
+   * streaming state — the policy arithmetic is one code path. */
+  private[graft] def applySegmentCounts(segs: DataFrame, counts: DataFrame,
+                                        maxCount: Int): DataFrame = {
+    val hot = counts.filter(col("n_occ") > maxCount).select(col("seg"))
     val kept = segs.join(hot, Seq("seg"), "left_anti")
     val totals = segs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"))

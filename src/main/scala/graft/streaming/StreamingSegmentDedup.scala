@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.operators.{Materialize, TextAnalysis}
+
+/**
+ * Streaming incremental C4-style segment dedup — the online form of
+ * [[TextAnalysis.dropDuplicatedSegments]]: document batches arrive, each
+ * appends (a) its raw docs and (b) its batch-local segment-occurrence
+ * partials; the cleaned corpus over everything seen so far equals the
+ * batch operator run over the union (spec-pinned), INCLUDING the
+ * retroactive case — a later batch repeating an earlier batch's segment
+ * silently removes it from the earlier document too, which is exactly
+ * the all-occurrence boilerplate-killing policy.
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s: `b<id>/` units
+ * under `_SUCCESS` markers, replay of a committed id is a no-op, and
+ * both stores compact above `compactAbove` units — the segment-count
+ * store PRE-MERGES its partials (counts are associative sums), so the
+ * compacted unit is distinct-segments-sized no matter how many batches
+ * ever committed.
+ *
+ * At 100 TB: per-batch work is one narrow segment explode + one
+ * segment-hash partial count over the BATCH (never the corpus); the
+ * cleaned view is computed on read — one corpus segment explode joined
+ * against the count dictionary, the same shape as the batch operator —
+ * because "clean text under corpus-wide counts" is a corpus-sized answer
+ * no matter who computes it.
+ */
+class StreamingSegmentDedup(stateDir: String, wordsPerSegment: Int = 10,
+                            maxCount: Int = 1, compactAbove: Int = 32)
+    extends Serializable {
+
+  require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
+
+  private val docsRoot = new Path(stateDir, "docs")
+  private val countsRoot = new Path(stateDir, "segcounts")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val countSchema = StructType(Seq(
+    StructField("seg", StringType), StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, docsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Fold `batch` (doc_id, text) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => dedup.processBatch(df, id))`.
+   * Commit order: counts first, docs LAST — the docs marker certifies
+   * the batch (a counts-only crash leftover is re-written identically on
+   * redelivery; `clean` scopes both stores to certified ids).
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, docsRoot), batchId)) return
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint(true)
+    val counts = TextAnalysis.segmentExplode(docs, wordsPerSegment)
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, docsRoot)
+    val countsDest = new Path(countsRoot, s"b$batchId")
+    counts.write.mode("overwrite").parquet(countsDest.toString)
+    VersionedState.touchSuccess(f, countsDest)
+    val docsDest = new Path(docsRoot, s"b$batchId")
+    docs.write.mode("overwrite").parquet(docsDest.toString)
+    VersionedState.touchSuccess(f, docsDest)
+    VersionedState.compact(spark, docsRoot, compactAbove,
+      read = ps => read(spark, docSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, countsRoot, compactAbove,
+      read = ps => read(spark, countSchema, ps),
+      // counts are associative — pre-merge so the compacted unit is
+      // distinct-segments-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("seg")).agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /**
+   * The cleaned corpus over every certified batch — column set and rows
+   * equal to [[TextAnalysis.dropDuplicatedSegments]] of the union.
+   * Counts are scoped to certified (docs-committed) ids so a mid-write
+   * crash's counts-only leftover never skews the policy.
+   */
+  def clean(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, docsRoot)
+    val certifiedIds = certified.flatMap(_.ids).toSet
+    val countDirs = VersionedState.segments(spark, countsRoot)
+      .filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+    val docs = read(spark, docSchema, certified.map(_.path))
+    val counts = read(spark, countSchema, countDirs)
+      .groupBy(col("seg")).agg(sum(col("n")).as("n_occ"))
+    TextAnalysis.applySegmentCounts(
+      Materialize(TextAnalysis.segmentExplode(docs, wordsPerSegment)),
+      counts, maxCount)
+  }
+}

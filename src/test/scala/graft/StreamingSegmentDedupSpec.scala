@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextAnalysis
+import graft.streaming.StreamingSegmentDedup
+
+/**
+ * Streaming incremental segment dedup: after every fold the cleaned
+ * corpus must equal [[TextAnalysis.dropDuplicatedSegments]] over all
+ * documents seen so far — including RETROACTIVE removal (a later batch
+ * repeating an earlier batch's segment removes it from the earlier doc
+ * too), replays must be no-ops, and both state stores stay bounded
+ * under compaction.
+ */
+class StreamingSegmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, Long, Long)] =
+    d.as[(Long, String, Long, Long)].collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("ssegdedup").toString + "/state"
+
+  test("3-batch split equals the batch operator after every fold — " +
+    "retroactive removal included") {
+    val sub = new StreamingSegmentDedup(newDir(), wordsPerSegment = 2)
+    val b0 = Seq((1L, "a b c d"), (2L, "x y"))
+    val b1 = Seq((3L, "a b q r")) // repeats doc 1's segment "a b"
+    val b2 = Seq((4L, "z"))
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(rowsOf(sub.clean(spark)) === rowsOf(
+        TextAnalysis.dropDuplicatedSegments(sofar, wordsPerSegment = 2)),
+        s"divergence from the batch operator after batch $id")
+    }
+    // the retroactive drop, pinned explicitly: batch 1 removed "a b"
+    // from doc 1 (first occurrence included — boilerplate semantics)
+    val cleaned = sub.clean(spark).as[(Long, String, Long, Long)]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(cleaned(1L) === "c d")
+    assert(cleaned(3L) === "q r")
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingSegmentDedup(dir, wordsPerSegment = 2,
+      compactAbove = 2)
+    val batches = (0 until 6).map(i =>
+      Seq((10L + i, s"w$i v$i shared boiler"), (20L + i, s"u$i t$i")))
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/docs").length <= 3,
+      s"docs dirs: ${unitDirs(s"$dir/docs")}")
+    assert(unitDirs(s"$dir/segcounts").length <= 3,
+      s"segcounts dirs: ${unitDirs(s"$dir/segcounts")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val want = rowsOf(TextAnalysis.dropDuplicatedSegments(
+      df(batches.flatten: _*), wordsPerSegment = 2))
+    assert(rowsOf(sub.clean(spark)) === want)
+    // "shared boiler" appears in all six odd-position docs — every
+    // occurrence must be gone
+    assert(sub.clean(spark).filter($"clean_text".contains("shared"))
+      .count() === 0L)
+    val before = rowsOf(sub.clean(spark))
+    sub.processBatch(df(batches(1): _*), 1L) // id swallowed by a c-range
+    assert(rowsOf(sub.clean(spark)) === before)
+  }
+}
