@@ -39,7 +39,10 @@ import graft.operators.SuffixArray
  *    written after the spans version, so its presence certifies every
  *    store (replaying a certified id is a no-op, and reads scope to dirs
  *    with id < current, so a half-written attempt never feeds its own
- *    retry).
+ *    retry). Resuming a pre-ledger state dir (spans-only commits from
+ *    before round 7) reprocesses the redelivered batch once — an
+ *    idempotent overwrite — and certifies it; history is then tracked
+ *    by the ledger.
  *
  * Dir growth is bounded over unbounded ingest: docs/, grams/ and the
  * certified/ ledger compact through [[VersionedState]] once more than
