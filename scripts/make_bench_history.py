@@ -1,13 +1,28 @@
 #!/usr/bin/env python3
-"""Regenerate scripts/bench_history.json — per-query minima across prior
-bench artifacts (driver runs only: local runs compete with concurrent
-builds/tests for the 32 CPUs and would poison the minima downward is not
-the risk — the risk is a POLLUTED local run raising nothing; minima only
-ever tighten, so extra artifacts are safe to merge).
+"""Regenerate scripts/bench_history.json — per-query minima across bench
+artifacts, stamped with the corpus fingerprint they were measured on.
 
-Usage: python3 scripts/make_bench_history.py ARTIFACT.json [...]
+The testdata is regenerated every round, which shifts real query costs:
+minima measured on an OLD corpus are not a valid regression baseline for a
+NEW one (the round-7 adjudication burden). So the history now carries a
+`_corpus` fingerprint (md5 over sorted relative-path:size entries of the
+sf dir — metadata only, mirrored by graft.BenchHistory.corpusFingerprint),
+and the supported lifecycle is:
+
+  1. after the round's testdata exists, run ONE quiet calibration bench
+     (nothing else on the machine) on the current corpus;
+  2. `python3 scripts/make_bench_history.py --replace BENCH_FULL.json`
+     — REPLACE the history with same-corpus minima;
+  3. the scored run's >1.3x probe guard then compares same-corpus.
+
+Without --replace, artifacts merge into the existing history (minima only
+tighten) — only valid when the corpus has not changed; the merge refuses
+artifacts whose `corpus` field disagrees with the history's `_corpus`.
+
+Usage: python3 scripts/make_bench_history.py [--replace] ARTIFACT.json [...]
 Each artifact is a graft.Bench output line: {"metric":...,"queries":{...}}.
 """
+import hashlib
 import json
 import sys
 import os
@@ -16,17 +31,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "scripts", "bench_history.json")
 
 
-def main(paths):
+def corpus_fingerprint(sf_dir):
+    """md5 over sorted 'relpath:size' lines — must mirror
+    graft.BenchHistory.corpusFingerprint."""
+    entries = []
+    for root, dirs, files in os.walk(sf_dir):
+        dirs.sort()
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, sf_dir)
+            entries.append(f"{rel}:{os.path.getsize(p)}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+
+
+def main(argv):
+    replace = "--replace" in argv
+    paths = [a for a in argv if a != "--replace"]
     hist = {}
-    if os.path.exists(OUT):
+    if not replace and os.path.exists(OUT):
         hist.update(json.load(open(OUT)))
+    prior_corpus = hist.pop("_corpus", "")
+    corpus = prior_corpus
     for p in paths:
-        q = json.load(open(p)).get("queries", {})
-        for name, sec in q.items():
+        art = json.load(open(p))
+        art_corpus = art.get("corpus", "")
+        if corpus and art_corpus and art_corpus != corpus:
+            sys.exit(f"{p}: artifact corpus {art_corpus} != history corpus "
+                     f"{corpus}; cross-corpus minima are not comparable — "
+                     f"use --replace to start a same-corpus history")
+        corpus = corpus or art_corpus
+        for name, sec in art.get("queries", {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 hist[name] = min(hist.get(name, float("inf")), sec)
-    json.dump(dict(sorted(hist.items())), open(OUT, "w"), indent=1)
-    print(f"{OUT}: {len(hist)} entries")
+    out = dict(sorted(hist.items()))
+    if corpus:
+        out["_corpus"] = corpus
+    json.dump(out, open(OUT, "w"), indent=1)
+    print(f"{OUT}: {len(hist)} entries, corpus={corpus or '(none)'}")
 
 
 if __name__ == "__main__":

@@ -97,33 +97,52 @@ object Bench {
     // and each query reports min(shared, fresh) — the reproducible
     // steady-state cost. Child runs with SPARK_GRAFT_NO_PROBE=1 (no
     // recursion); queries with no history (new this round) never re-probe.
-    val results =
-      if (sys.env.contains("SPARK_GRAFT_NO_PROBE")) mainPass
+    val (results, probedNames) =
+      if (sys.env.contains("SPARK_GRAFT_NO_PROBE")) (mainPass, Seq.empty[String])
       else {
         val hist = BenchHistory.load()
         val suspects = mainPass.filter { case (n, v) =>
           hist.get(n).exists(h => v > 1.3 * h && v - h > 0.05)
         }.sortBy { case (n, v) => -(v / hist(n)) }.take(60).map(_._1)
-        if (suspects.isEmpty) mainPass
+        if (suspects.isEmpty) (mainPass, Seq.empty[String])
         else {
           System.err.println(s"[bench] re-probing ${suspects.length} " +
             s"suspect(s) in a fresh JVM: ${suspects.mkString(",")}")
           BenchHistory.freshProbe(suspects) match {
-            case Some(probe) => mainPass.map { case (n, v) =>
-              n -> (probe.get(n) match {
-                case Some(p) if p > 0 && (v < 0 || p < v) => p
-                case _ => v
-              })
-            }
-            case None => mainPass // probe failed — shared numbers stand
+            case Some(probe) =>
+              // audit trail: which entries' published value came from the
+              // fresh probe (the total is then a composite of two JVMs, not
+              // a single-run time — the artifact must say so)
+              val probed = scala.collection.mutable.ArrayBuffer.empty[String]
+              val merged = mainPass.map { case (n, v) =>
+                n -> (probe.get(n) match {
+                  case Some(p) if p > 0 && (v < 0 || p < v) =>
+                    probed += n; p
+                  case _ => v
+                })
+              }
+              (merged, probed.toSeq)
+            case None => (mainPass, Seq.empty[String]) // probe failed — shared numbers stand
           }
         }
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // same-corpus audit: per-round regenerated testdata shifts real query
+    // costs, so "vs history" is only meaningful when the history minima were
+    // measured on the SAME corpus — record both fingerprints in the artifact
+    val corpusFp = BenchHistory.corpusFingerprint(sfDir)
+    val histFp = BenchHistory.loadCorpusFingerprint()
+    val histState =
+      if (histFp.isEmpty) "none" else if (histFp == corpusFp) "same" else "stale"
+    if (histState == "stale")
+      System.err.println("[bench] WARNING: bench_history.json was built on a " +
+        "DIFFERENT corpus — >1.3x residuals vs it are not evidence of code " +
+        "regressions; recalibrate with scripts/make_bench_history.py --replace")
+    val probedJson = probedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probed":$probedJson,"corpus":"$corpusFp","history_corpus":"$histState"}"""
     println(line)
     // persist the COMPLETE per-query map as an artifact: the driver's
     // stdout capture windows long lines, which truncates half the queries —
@@ -149,14 +168,51 @@ object BenchHistory {
 
   /** Per-query minima of prior driver bench runs — committed alongside the
    * code (regenerate with scripts/make_bench_history.py after a round).
-   * Missing file = empty history = no re-probes. */
+   * Missing file = empty history = no re-probes. Keys starting with '_'
+   * are metadata (e.g. `_corpus`), never query entries. */
   def load(): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "scripts/bench_history.json")
     try parseFlat(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+      .view.filterKeys(!_.startsWith("_")).toMap
     catch { case _: Throwable => Map.empty }
+  }
+
+  /** The `_corpus` fingerprint recorded when the history was built ("" when
+   * absent) — lets the run say whether its minima are same-corpus. */
+  def loadCorpusFingerprint(): String = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "scripts/bench_history.json")
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"_corpus"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+    } catch { case _: Throwable => "" }
+  }
+
+  /** Metadata-only corpus fingerprint: md5 over the sorted relative paths +
+   * byte sizes of every file under `sfDir`. Mirrors
+   * scripts/make_bench_history.py exactly — no file content is read. */
+  def corpusFingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(sfDir)
+    val base = root.getAbsolutePath
+    val entries = walk(root)
+      .map(f => f.getAbsolutePath.stripPrefix(base).stripPrefix("/") +
+        ":" + f.length())
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** Run `names` through graft.Bench in a fresh child JVM (same

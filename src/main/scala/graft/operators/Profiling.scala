@@ -106,8 +106,12 @@ object Profiling {
             maxDistinctAggsPerScan: Int = 16): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot drift-profile a zero-column frame")
-    require(maxDistinctAggsPerScan >= 1,
-      s"maxDistinctAggsPerScan must be >= 1, got $maxDistinctAggsPerScan")
+    // every column costs TWO distinct-aggregates (one per cohort): the
+    // enforceable floor is 2 — accepting 1 would still plan a 2-agg scan
+    // and silently exceed the bound this parameter promises
+    require(maxDistinctAggsPerScan >= 2,
+      s"maxDistinctAggsPerScan must be >= 2 (each column needs one " +
+        s"distinct-agg per cohort), got $maxDistinctAggsPerScan")
     cols.grouped(math.max(1, maxDistinctAggsPerScan / 2))
       .map(slice => driftSlice(df, pred, slice))
       .reduce(_.unionByName(_))

@@ -86,10 +86,13 @@ object CommitLogSource {
    * numbered < N throws IOException AFTER rows were already delivered —
    * mid-read, bytes consumed — so recovery must re-deliver the partition
    * whole (Spark task retry / query restart), never resume a torn stream.
-   * Default 0: production plans carry no trace of the hook.
+   * Default 0: production plans carry no trace of the hook. The sysprop is
+   * sampled ONCE per reader instance (task attempt), not per row — a
+   * synchronized Properties lookup on the partition-read hot path would
+   * tax production reads that never inject anything; the chaos harness
+   * sets the property at JVM start, before any reader exists.
    */
-  private[sources] def chaosMaybeFail(rowsDelivered: Long): Unit = {
-    val n = Integer.getInteger("graft.chaos.readFailures", 0).intValue()
+  private[sources] def chaosMaybeFail(n: Int, rowsDelivered: Long): Unit = {
     if (n > 0 && rowsDelivered >= 1) {
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null && tc.attemptNumber() < n)
@@ -435,10 +438,13 @@ class CommitLogPartitionReader(p: CommitLogInputPartition)
 
   private var quarantined = false
   private var rowsDelivered = 0L
+  // sampled once per task attempt — see chaosMaybeFail
+  private val chaosFailures =
+    Integer.getInteger("graft.chaos.readFailures", 0).intValue()
 
   override def next(): Boolean = {
     if (quarantined) return false
-    CommitLogSource.chaosMaybeFail(rowsDelivered) // no-op unless injected
+    CommitLogSource.chaosMaybeFail(chaosFailures, rowsDelivered) // no-op unless injected
     var line = reader.readLine()
     while (line != null) {
       parse(line) match {

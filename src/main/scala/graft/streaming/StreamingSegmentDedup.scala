@@ -99,7 +99,27 @@ class StreamingSegmentDedup(stateDir: String, wordsPerSegment: Int = 10,
   def clean(spark: SparkSession): DataFrame = {
     val certified = VersionedState.segments(spark, docsRoot)
     val certifiedIds = certified.flatMap(_.ids).toSet
-    val countDirs = VersionedState.segments(spark, countsRoot)
+    val countSegs = VersionedState.segments(spark, countsRoot)
+    // A counts unit whose ids are not all docs-certified is excluded. That
+    // is only legitimate for a PURE crash leftover (counts committed, docs
+    // not — none of its ids certified); a MIXED unit (some ids certified)
+    // can only arise from a contract violation (e.g. compaction folding a
+    // leftover in under out-of-order redelivery), and dropping it would
+    // silently serve missing counts for certified docs — an
+    // un-deduplicated corpus. Fail loud instead (VersionedState _ids
+    // policy), never silent-wrong.
+    countSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"segment-dedup counts unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are docs-certified; excluding it would drop certified " +
+            "segment counts (silent under-dedup). State is inconsistent — " +
+            "rebuild counts from the certified docs.")
+    }
+    val countDirs = countSegs
       .filter(_.ids.subsetOf(certifiedIds)).map(_.path)
     val docs = read(spark, docSchema, certified.map(_.path))
     val counts = read(spark, countSchema, countDirs)
