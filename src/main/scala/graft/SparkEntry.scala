@@ -238,11 +238,16 @@ object SparkEntry {
     }),
 
     "q_median" -> ((s, dir) => {
-      // exact interpolated percentile (sort-based aggregate)
-      Cdc.rawEvents(s, dir)
-        .groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("median_value"),
-          expr("percentile(value, 0.9)").as("p90_value"))
+      // exact interpolated percentile — distributed form: built-in
+      // percentile() buffers every distinct value of the group in ONE
+      // final-merge task (a handful of event_type groups each holding the
+      // whole corpus's values ⇒ single-task OOM at 10⁹ rows), so the exact
+      // ranks come from the range-partitioned ExactPercentile idiom
+      // instead; arithmetic is bit-identical (spec-pinned)
+      operators.ExactPercentile.percentiles(
+        Cdc.rawEvents(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), col("value"),
+        Seq("median_value" -> 0.5, "p90_value" -> 0.9))
     }),
 
     "q_value_stats" -> ((s, dir) => {
@@ -2536,27 +2541,33 @@ object SparkEntry {
         .select(col("event_id"), col("zb0"), col("zb1"), col("zkey"))
     }),
 
-    "q_approx_quantiles" -> ((s, dir) =>
+    "q_approx_quantiles" -> ((s, dir) => {
       // approx_percentile sketch, oracle-checked like q_approx_distinct:
       // exact quantiles anchor the row; the approx estimates are asserted
       // to land inside the ±3%-rank window (sketch accuracy 200 ⇒ ±0.5%
-      // rank error — a 6× margin).
-      // one array-percentile per aggregate kind: N separate percentile()
-      // calls each buffer the whole group — the array form sorts once
-      Cdc.rawEvents(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(200))
-            .as("a"),
-          expr("percentile(value, array(0.47, 0.5, 0.53, 0.87, 0.9, 0.93))")
-            .as("p"))
+      // rank error — a 6× margin). The exact anchors come from the
+      // range-partitioned ExactPercentile (one pass serves all six
+      // fractions), not built-in percentile() whose buffer holds the
+      // group's whole value set; the sketch side stays a bounded-state
+      // hash aggregate and equi-joins back on the group key.
+      val raw = Cdc.rawEvents(s, dir)
+      val ap = raw.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(200)).as("a"))
+      val ex = operators.ExactPercentile.percentiles(
+        raw.select(col("event_type"), col("value")),
+        Seq("event_type"), col("value"),
+        Seq("p47" -> 0.47, "p50" -> 0.5, "p53" -> 0.53,
+          "p87" -> 0.87, "p90" -> 0.9, "p93" -> 0.93))
+      ap.join(ex, "event_type")
         .select(col("event_type"),
-          round(element_at(col("p"), 2), 6).as("p50_exact"),
-          round(element_at(col("p"), 5), 6).as("p90_exact"),
-          (element_at(col("a"), 1) >= element_at(col("p"), 1) &&
-            element_at(col("a"), 1) <= element_at(col("p"), 3)).as("ok50"),
-          (element_at(col("a"), 2) >= element_at(col("p"), 4) &&
-            element_at(col("a"), 2) <= element_at(col("p"), 6)).as("ok90"))),
+          round(col("p50"), 6).as("p50_exact"),
+          round(col("p90"), 6).as("p90_exact"),
+          (element_at(col("a"), 1) >= col("p47") &&
+            element_at(col("a"), 1) <= col("p53")).as("ok50"),
+          (element_at(col("a"), 2) >= col("p87") &&
+            element_at(col("a"), 2) <= col("p93")).as("ok90"))
+    }),
 
     "q_fuzzy_join" -> ((s, dir) => {
       // entity resolution: deterministically-corrupted customer names
@@ -2588,15 +2599,31 @@ object SparkEntry {
     "q_funnel_timing" -> ((s, dir) => {
       // funnel conversion timing: step counts + exact interpolated
       // median/p90 time-to-convert over the strict-ordering funnel —
-      // the rollup a product team reads next to the funnel itself
+      // the rollup a product team reads next to the funnel itself.
+      // The gap percentiles are GLOBAL aggregates over one value per
+      // funnel-entrant key — built-in percentile() would buffer all of
+      // them in a single task, so each gap column goes through the
+      // range-partitioned ExactPercentile (bit-identical arithmetic) and
+      // the three 1-row results broadcast-attach onto the counts row
       val f = operators.EventAnalytics.funnelSteps(ev(s, dir), "key",
         "writetime", Seq("signup", "click", "purchase"))
-      f.agg(count(lit(1)).as("n_step1"),
+      val counts = f.agg(count(lit(1)).as("n_step1"),
         count(col("t2")).as("n_step2"),
-        count(col("t3")).as("n_step3"),
-        expr("percentile(t2 - t1, 0.5)").as("med_t12"),
-        expr("percentile(t3 - t2, 0.5)").as("med_t23"),
-        expr("percentile(t2 - t1, 0.9)").as("p90_t12"))
+        count(col("t3")).as("n_step3"))
+      // both gap columns ride ONE range pipeline: stack them under a gap
+      // label and group the percentiles by it — the 2-row result then
+      // pivots onto the counts row (one shuffle, not one per gap column)
+      val gaps = f.select(lit("d12").as("g"), (col("t2") - col("t1")).as("v"))
+        .unionByName(
+          f.select(lit("d23").as("g"), (col("t3") - col("t2")).as("v")))
+      val p = operators.ExactPercentile.percentiles(gaps, Seq("g"), col("v"),
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .agg(max(when(col("g") === "d12", col("p50"))).as("med_t12"),
+          max(when(col("g") === "d23", col("p50"))).as("med_t23"),
+          max(when(col("g") === "d12", col("p90"))).as("p90_t12"))
+      counts.crossJoin(broadcast(p))
+        .select(col("n_step1"), col("n_step2"), col("n_step3"),
+          col("med_t12"), col("med_t23"), col("p90_t12"))
     }),
 
     "profile_value_drift" -> ((s, dir) =>

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact interpolated percentiles at scale — the distributed replacement for
+ * Spark's `percentile()` aggregate, which is a TypedImperativeAggregate
+ * whose buffer holds EVERY distinct value of its group: a handful of groups
+ * over a corpus-sized value column makes the final merge a single-task OOM
+ * at 10⁹ rows (the round-7 verdict's last unbounded-memory aggregate).
+ *
+ * Values here never pile into one buffer. The frame is range-partitioned on
+ * (group, value) — [[SkewSafe.globalDenseRank]]'s idiom, generalized to
+ * per-group ranks: each range bucket row-numbers LOCALLY (bounded partition
+ * sort, spillable), a (bucket, group)-keyed dictionary of bucket counts —
+ * at most #buckets + #groups entries, since range buckets hold contiguous
+ * (group, value) runs — turns local ranks into global per-group positions
+ * via a broadcast join, and only the ≤ 2 rows per requested percentile that
+ * sit AT the target positions flow into the final (tiny) aggregate.
+ *
+ * The arithmetic reproduces `percentile()` bit for bit (spec-pinned):
+ * 0-based position `p·(n−1)` in doubles, and for a fractional position the
+ * interpolation `low·(⌈pos⌉−pos) + high·(pos−⌊pos⌋)` — Spark's
+ * Percentile.getPercentile formula, which DuckDB's `quantile_cont` shares —
+ * so swapping this in leaves every oracle hash unchanged. Nulls are ignored
+ * (aggregate-function semantics); a group whose values are all null does
+ * not appear (callers with such groups should outer-join them back).
+ */
+object ExactPercentile {
+
+  /**
+   * One row per group: `groupCols ++ specs.map(_._1)`, each spec column the
+   * exact interpolated percentile of `valueCol` at its fraction. With
+   * `groupCols` empty, returns exactly one (global) row — all-null when the
+   * input is empty, matching a global `percentile()` aggregate.
+   */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  specs: Seq[(String, Double)]): DataFrame = {
+    require(specs.nonEmpty, "need at least one (name, fraction) spec")
+    specs.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile fraction for '$n' must be " +
+        s"in [0, 1], got $p")
+    }
+    val gcols = groupCols.map(col)
+    val vals = df
+      .select(gcols :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+
+    // global per-group 0-based positions, no single-task sort: range buckets
+    // hold contiguous (group, value) runs, so rank = local row_number +
+    // the group's row count in earlier buckets (broadcast dictionary)
+    val bucketed = vals.repartitionByRange(gcols :+ col("_v"): _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = bucketed.withColumn("_lrn",
+      row_number().over(
+        Window.partitionBy(col("_pid") +: gcols: _*).orderBy(col("_v"))))
+    val cnts = local.groupBy(col("_pid") +: gcols: _*)
+      .agg(max(col("_lrn")).cast("long").as("_c"))
+    val offs = cnts
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(
+          Window.partitionBy(gcols: _*).orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid") +: gcols :+ col("_off"): _*)
+    val ranked = local
+      .join(broadcast(offs), "_pid" +: groupCols)
+      .withColumn("_rn0", col("_lrn").cast("long") + col("_off") - 1)
+
+    // per-group totals → per-spec target positions (Spark's percentile
+    // arithmetic: position = fraction · (n − 1) in doubles)
+    var targets = cnts.groupBy(gcols: _*).agg(sum(col("_c")).as("_n"))
+    for ((name, p) <- specs) {
+      targets = targets
+        .withColumn(s"_pos_$name",
+          (col("_n") - 1).cast("double") * lit(p))
+        .withColumn(s"_lo_$name", floor(col(s"_pos_$name")))
+        .withColumn(s"_hi_$name", ceil(col(s"_pos_$name")))
+    }
+    val withT =
+      if (groupCols.nonEmpty) ranked.join(broadcast(targets), groupCols)
+      else ranked.crossJoin(broadcast(targets)) // 1-row attach
+    val needed = specs
+      .map { case (name, _) =>
+        col("_rn0") === col(s"_lo_$name") || col("_rn0") === col(s"_hi_$name")
+      }
+      .reduce(_ || _)
+    val picked = withT.filter(needed)
+
+    // ≤ 2·specs rows per group reach this aggregate; the position metadata
+    // is constant within a group so max() just re-attaches it
+    val aggs = specs.flatMap { case (name, _) =>
+      Seq(
+        max(when(col("_rn0") === col(s"_lo_$name"), col("_v")))
+          .as(s"_lov_$name"),
+        max(when(col("_rn0") === col(s"_hi_$name"), col("_v")))
+          .as(s"_hiv_$name"),
+        max(col(s"_pos_$name")).as(s"_p_$name"),
+        max(col(s"_lo_$name")).as(s"_flo_$name"),
+        max(col(s"_hi_$name")).as(s"_fhi_$name"))
+    }
+    val agged =
+      if (groupCols.nonEmpty) picked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+      else picked.agg(aggs.head, aggs.tail: _*)
+    val outs = specs.map { case (name, _) =>
+      when(col(s"_fhi_$name") === col(s"_flo_$name"), col(s"_lov_$name"))
+        .otherwise(
+          col(s"_lov_$name") * (col(s"_fhi_$name") - col(s"_p_$name")) +
+            col(s"_hiv_$name") * (col(s"_p_$name") - col(s"_flo_$name")))
+        .as(name)
+    }
+    agged.select(gcols ++ outs: _*)
+  }
+}

@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
       "emb_contrastive_batch", // both mining arms are the bounded-anchor
       // brute baselines (label-mismatch / label-match × corpus)
       "profile_value_drift", // 1-row cohort-total attach to <=12 buckets
-      "profile_drift_summary") // same 1-row attach, rolled to one row
+      "profile_drift_summary", // same 1-row attach, rolled to one row
+      "q_funnel_timing") // 1-row attaches only: each global gap
+      // percentile's target-position row onto its ranked frame, then the
+      // three 1-row percentile results onto the 1-row counts row
   // NOTE: IVF cell assignment no longer joins at all — it lowers to a
   // narrow per-row argmax expression (Similarity.assignCellsNarrow), so
   // knn_ivf_ann / knn_ivfpq_ann / dedup_semdedup / emb_pq_residual must
@@ -69,6 +72,27 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"scale-hostile join shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("no unbounded-buffer percentile aggregate in the declared surface") {
+    // Spark's exact percentile family (Percentile / PercentileCont /
+    // PercentileDisc / Median) is a TypedImperativeAggregate buffering
+    // every distinct value of its group — the final merge is a single-task
+    // OOM against a corpus-sized value column. The engine's exact
+    // percentiles go through operators.ExactPercentile (range-partitioned
+    // ranks) instead; only the bounded-sketch ApproximatePercentile may
+    // appear. Checked on the ANALYZED plan so RuntimeReplaceable forms
+    // (median(), percentile_cont) are caught after lowering too.
+    val unbounded = """.*\.(Percentile|PercentileCont|PercentileDisc|Median)$""".r
+    val offenders = for {
+      (name, fn) <- (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      plan = fn(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+      e <- plan.flatMap(_.expressions.toSeq).flatMap(_.collect {
+        case e if unbounded.matches(e.getClass.getName) => e
+      })
+    } yield s"$name: ${e.getClass.getSimpleName}"
+    assert(offenders.isEmpty,
+      s"unbounded percentile aggregates:\n  ${offenders.mkString("\n  ")}")
   }
 
   test("retrieval_hybrid_ann's dense arm plans cell-local hash joins") {

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactPercentile
+
+/** Round-8 hardening: ExactPercentile bit-parity with the built-in
+ * percentile() aggregate it replaces, and the bench corpus-fingerprint
+ * cross-language pin. */
+class Round8Spec extends SparkSpec {
+
+  private def bits(d: Any): Any = d match {
+    case x: java.lang.Double => java.lang.Double.doubleToRawLongBits(x)
+    case other               => other
+  }
+
+  /** Assert grouped ExactPercentile ≡ built-in percentile() BIT FOR BIT
+   * (raw IEEE bits compared, not tolerance) on `df(group, v)`. */
+  private def assertParity(df: DataFrame, fracs: Seq[Double]): Unit = {
+    val specs = fracs.zipWithIndex.map { case (p, i) => s"q_$i" -> p }
+    val mine = ExactPercentile
+      .percentiles(df, Seq("g"), col("v"), specs)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).map(bits)).toMap
+    val builtinAggs = fracs.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(v, ${p}d)").as(s"q_$i")
+    }
+    val ref = df.groupBy(col("g")).agg(builtinAggs.head, builtinAggs.tail: _*)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).map(bits)).toMap
+    // groups whose values are all null: built-in keeps the group with null
+    // percentiles; ExactPercentile omits it (documented) — compare on the
+    // intersection and pin the difference explicitly
+    for ((g, vals) <- mine) assert(vals === ref(g), s"group $g")
+    for (g <- ref.keySet -- mine.keySet)
+      assert(ref(g).forall(_ == null), s"group $g dropped but had values")
+  }
+
+  test("ExactPercentile: bit-parity with percentile() on adversarial fixtures") {
+    import spark.implicits._
+    val fracs = Seq(0.0, 0.25, 0.47, 0.5, 0.53, 0.9, 1.0)
+    // ties, negatives, single-element, two-element, all-equal, large
+    // magnitudes (double rounding territory), nulls ignored
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(-3.5)),
+      ("a", Some(7.25)), ("a", None),
+      ("b", Some(42.0)),
+      ("c", Some(5.0)), ("c", Some(-5.0)),
+      ("d", Some(9.0)), ("d", Some(9.0)), ("d", Some(9.0)),
+      ("e", Some(1.23456789e12)), ("e", Some(9.87654321e11)),
+      ("e", Some(1.111111111e12)), ("e", Some(7.77e11)), ("e", Some(1e9)),
+      ("f", None))
+    assertParity(rows.toDF("g", "v"), fracs)
+  }
+
+  test("ExactPercentile: bit-parity with percentile() on the events corpus") {
+    val raw = graft.model.Cdc.rawEvents(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("g"), col("value").as("v"))
+    assertParity(raw, Seq(0.25, 0.5, 0.9))
+  }
+
+  test("ExactPercentile: global (no-group) form matches, incl. empty input") {
+    import spark.implicits._
+    val df = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).toDF("d")
+    val mine = ExactPercentile
+      .percentiles(df, Nil, col("d"), Seq("m" -> 0.5, "p9" -> 0.9))
+      .collect()(0)
+    val ref = df.agg(expr("percentile(d, 0.5d)").as("m"),
+      expr("percentile(d, 0.9d)").as("p9")).collect()(0)
+    assert(bits(mine.get(0)) === bits(ref.get(0)))
+    assert(bits(mine.get(1)) === bits(ref.get(1)))
+    val empty = ExactPercentile
+      .percentiles(df.filter(col("d") < 0), Nil, col("d"), Seq("m" -> 0.5))
+      .collect()
+    assert(empty.length === 1 && empty(0).isNullAt(0),
+      "empty input must yield one all-null row like a global percentile()")
+  }
+
+  test("ExactPercentile: positions come from per-group ranks, many partitions") {
+    import spark.implicits._
+    // 10k rows over 3 groups across 4 shuffle partitions: exercises the
+    // bucket-offset dictionary (multi-bucket groups) rather than a
+    // single-partition degenerate case
+    val rows = (0 until 10000).map(i => (s"g${i % 3}", (i * 2654435761L % 997).toDouble))
+    assertParity(rows.toDF("g", "v"), Seq(0.5, 0.9, 0.99))
+  }
+
+  test("corpus fingerprint: cross-language pin (mirrors make_bench_history.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toFile
+    try {
+      val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(dir, "a.parquet").toPath,
+        "abc".getBytes)
+      java.nio.file.Files.write(new java.io.File(sub, "b.bin").toPath,
+        "12345".getBytes)
+      // python3: hashlib.md5('\n'.join(sorted(
+      //   ['a.parquet:3', 'sub/b.bin:5'])).encode()).hexdigest()
+      assert(BenchHistory.corpusFingerprint(dir.getAbsolutePath) ===
+        "ced8b790fa61609eb015d4b990dc8ed5")
+    } finally {
+      new java.io.File(dir, "sub/b.bin").delete()
+      new java.io.File(dir, "a.parquet").delete()
+      new java.io.File(dir, "sub").delete(); dir.delete()
+    }
+  }
+}
