@@ -1912,6 +1912,17 @@ object SparkEntry {
           col("writetime"))
     }),
 
+    "cdc_pipeline_streamed" -> ((s, dir) =>
+      // the SAME dataflow executed as a REAL Structured Streaming query:
+      // commitlog-source directory discovery + (segment, position) offsets
+      // (§2 S1/S2) → flatMapGroupsWithState bounded-digest dedup across a
+      // forced multi-batch drain (T1/T2: RF-2 duplicates in-batch, tail
+      // redelivery ACROSS batch boundaries) → per-batch stream-static
+      // enrichment → idempotent per-epoch sink, read back. One row per
+      // original event — the reference's live-consumer e2e
+      // (PulsarCassandraSourceTests.java:261-343) as an oracle-checked row
+      graft.streaming.PipelineE2E.streamedEnrichedEvents(s, dir)),
+
     "cdc_dedup_metrics" -> ((s, dir) => {
       // A2 observability: received/emitted/cache-hit-ratio on the RF-2
       // fixture — must reproduce the reference's 0.5 hit ratio
@@ -2653,6 +2664,16 @@ object SparkEntry {
         maxCount = 1)
     }),
 
+    "text_segment_dedup_streamed" -> ((s, dir) =>
+      // the incremental form on REAL streaming machinery: the same corpus
+      // arrives as parquet drops (one file per trigger — multi-batch),
+      // folds through StreamingSegmentDedup.processBatch inside
+      // foreachBatch (VersionedState crash-safe units), and the certified
+      // clean() view must equal the batch operator — including
+      // retroactive cross-batch removals. Same oracle as
+      // text_segment_dedup: streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E.streamedSegmentDedup(s, dir)),
+
     "text_blocklist" -> ((s, dir) =>
       // C4-style substring blocklist admission: per-doc banned-term hit
       // count (replace-and-measure, recall-first substring semantics),
@@ -2735,6 +2756,32 @@ object SparkEntry {
 
   private val opSql =
     "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
+
+  /** Shared by text_segment_dedup (batch) and text_segment_dedup_streamed
+   * (real streaming run): both must hash to this answer. */
+  private val segmentDedupSql =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+       w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM corpus),
+       segs AS (SELECT doc_id, (pos - 1) // 10 AS seg_id,
+           string_agg(word, ' ' ORDER BY pos) AS seg
+         FROM w GROUP BY 1, 2),
+       hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > 1),
+       kept AS (SELECT * FROM segs
+         WHERE seg NOT IN (SELECT seg FROM hot)),
+       totals AS (SELECT doc_id, COUNT(*) AS n_segments
+         FROM segs GROUP BY 1),
+       reb AS (SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+           COUNT(*) AS n_kept
+         FROM kept GROUP BY 1)
+       SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+         t.n_segments, t.n_segments - COALESCE(r.n_kept, 0) AS n_dropped
+       FROM totals t LEFT JOIN reb r USING (doc_id)"""
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -4162,29 +4209,11 @@ object SparkEntry {
              6) AS psi
          FROM p""",
 
-    "text_segment_dedup" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
-         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-             generate_subscripts(string_split(text, ' '), 1) AS pos
-           FROM corpus),
-         segs AS (SELECT doc_id, (pos - 1) // 10 AS seg_id,
-             string_agg(word, ' ' ORDER BY pos) AS seg
-           FROM w GROUP BY 1, 2),
-         hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > 1),
-         kept AS (SELECT * FROM segs
-           WHERE seg NOT IN (SELECT seg FROM hot)),
-         totals AS (SELECT doc_id, COUNT(*) AS n_segments
-           FROM segs GROUP BY 1),
-         reb AS (SELECT doc_id,
-             string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
-             COUNT(*) AS n_kept
-           FROM kept GROUP BY 1)
-         SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
-           t.n_segments, t.n_segments - COALESCE(r.n_kept, 0) AS n_dropped
-         FROM totals t LEFT JOIN reb r USING (doc_id)""",
+    "text_segment_dedup" -> segmentDedupSql,
+
+    // identical oracle on purpose: the streamed run must converge to the
+    // batch answer — streaming ≡ batch ≡ DuckDB in one hash
+    "text_segment_dedup_streamed" -> segmentDedupSql,
 
     "text_blocklist" ->
       """SELECT doc_id,
@@ -4522,6 +4551,15 @@ object SparkEntry {
                FROM events) e
          LEFT JOIN customer c ON e."key" = c.c_custkey
          WHERE e.rn = 1""",
+
+    // one record per original event: dedup must collapse BOTH the in-batch
+    // RF-2 replicas and the cross-batch tail redeliveries for the row set
+    // to match — the streaming state machinery is what the hash observes
+    "cdc_pipeline_streamed" ->
+      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "cdc_dedup_metrics" ->
       """SELECT 2 * COUNT(*) AS n_received, COUNT(*) AS n_emitted,

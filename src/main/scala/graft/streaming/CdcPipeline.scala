@@ -52,7 +52,11 @@ object CdcPipeline {
             tokenPartitions: Int = 0,
             // AvailableNow drains-and-stops (tests/batch); continuous
             // deployments pass Trigger.ProcessingTime + a real ttlMs
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            // extra reader options (e.g. maxSegmentsPerBatch for the
+            // commitlog source's T6 admission control, maxFilesPerTrigger
+            // for parquet drops)
+            sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
     import spark.implicits._
 
     // events arrive either as parquet drops or via the custom commitlog
@@ -60,12 +64,13 @@ object CdcPipeline {
     val raw =
       if (sourceFormat == "commitlog")
         spark.readStream.format("graft.sources.CommitLogSourceProvider")
-          .option("path", eventsDir).load()
+          .option("path", eventsDir).options(sourceOptions).load()
       else
         spark.readStream
           .schema(
             "event_id LONG, key LONG, op STRING, writetime LONG, segment LONG, " +
             "position INT, md5Digest STRING, nodeId STRING")
+          .options(sourceOptions)
           .parquet(eventsDir)
 
     val events: Dataset[StreamEvent] = raw
