@@ -34,6 +34,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Cdc.table(s, dir, name)
 
+  /** Deterministic markup fixture for the HTML-extraction rows: wraps each
+   * document's text in a full page whose boilerplate exercises every
+   * extraction rule (style/script content, entity forms, a too-short line,
+   * a no-terminal-punctuation line, a javascript line, a curly-brace code
+   * line, a &nbsp; line, list/heading structure). Mirrored verbatim by
+   * `markupSql` on the oracle side. */
+  private def markupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"), col("lang"), concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">var x = {a:1}; alert(\"hi\");" +
+        "</script></head><body><h1>Doc "), id,
+      lit(" overview</h1><p>"), col("text"),
+      lit(".</p><p>Fish &amp; chips &lt;b&gt; &quot;quoted&quot; " +
+        "&#39;tis fine today.</p><p>Too short.</p>" +
+        "<p>this line has no terminal punctuation marker here</p>" +
+        "<p>Click javascript:void(0) to continue reading this page now.</p>" +
+        "<div>function f() { return 42; } in prose.</div>" +
+        "<ul><li>First bullet item is long enough to keep around.</li></ul>" +
+        "<p>Second&nbsp;paragraph with a&nbsp;non-breaking space inside " +
+        "it.</p></body></html>")).as("html"))
+  }
+
   /** IVF index build (deterministic spherical k-means), memoized per
    * (session, dir): real ANN systems build the index once and amortize it
    * over queries — Bench's two passes and knn_ivf_ann/knn_recall share it.
@@ -2674,6 +2699,29 @@ object SparkEntry {
       // text_segment_dedup: streaming ≡ batch ≡ DuckDB.
       graft.streaming.PipelineE2E.streamedSegmentDedup(s, dir)),
 
+    "text_html_extract" -> ((s, dir) =>
+      // the web-corpus front door: markup-wrapped documents (fixture
+      // exercises every rule — script/style content removal, block-tag
+      // line structure, entity decode, C4 line rules) → extracted clean
+      // text; DuckDB replays each rule with string/regex ops
+      TextAnalysis.htmlExtract(markupDocs(s, dir))),
+
+    "pipeline_html_curate" -> ((s, dir) => {
+      // the composed front-of-pipeline a crawl corpus actually runs:
+      // extraction FEEDS curation — the quality filter's word/TTR
+      // arithmetic runs on the EXTRACTED text (newlines flattened), so
+      // this row pins the stage coupling, not just each stage alone
+      val extracted = TextAnalysis.htmlExtract(markupDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
+        col("n_kept"), replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
     "text_blocklist" -> ((s, dir) =>
       // C4-style substring blocklist admission: per-doc banned-term hit
       // count (replace-and-measure, recall-first substring semantics),
@@ -2756,6 +2804,56 @@ object SparkEntry {
 
   private val opSql =
     "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
+
+  /** The markup fixture CTE — must mirror `markupDocs` byte for byte. */
+  private val markupSql =
+    """h AS (SELECT doc_id, lang,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>p { color: red; }</style>' ||
+         '<script type="text/javascript">var x = {a:1}; alert("hi");' ||
+         '</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+         ' overview</h1><p>' || text ||
+         '.</p><p>Fish &amp; chips &lt;b&gt; &quot;quoted&quot; ' ||
+         '&#39;tis fine today.</p><p>Too short.</p>' ||
+         '<p>this line has no terminal punctuation marker here</p>' ||
+         '<p>Click javascript:void(0) to continue reading this page now.</p>' ||
+         '<div>function f() { return 42; } in prose.</div>' ||
+         '<ul><li>First bullet item is long enough to keep around.</li></ul>' ||
+         '<p>Second&nbsp;paragraph with a&nbsp;non-breaking space inside ' ||
+         'it.</p></body></html>' AS html
+       FROM documents)"""
+
+  /** SQL replay of TextAnalysis.htmlExtract over the markup fixture,
+   * ending in CTE `ext(doc_id, lang, n_lines, n_kept, clean_text)`. */
+  private def htmlExtractSql(minWords: Int): String =
+    s"""WITH $markupSql,
+       c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(html,
+           '<script[^>]*>.*?</script>', ' ', 'gs'),
+           '<style[^>]*>.*?</style>', ' ', 'gs') AS x FROM h),
+       c2 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(x,
+           '</p>|</div>|</li>|</h[1-6]>|<br */?>', chr(10), 'g'),
+           '<[^>]*>', ' ', 'g') AS x FROM c1),
+       c3 AS (SELECT doc_id, lang, replace(replace(replace(replace(replace(
+           replace(x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM c2),
+       ln AS (SELECT doc_id, lang, pos,
+           trim(regexp_replace(line, ' +', ' ', 'g')) AS line
+         FROM (SELECT doc_id, lang, unnest(string_split(x, chr(10))) AS line,
+           generate_subscripts(string_split(x, chr(10)), 1) AS pos FROM c3)),
+       ne AS (SELECT * FROM ln WHERE line <> ''),
+       kp AS (SELECT * FROM ne WHERE regexp_matches(line, '[.!?"]$$')
+         AND len(string_split(line, ' ')) >= $minWords
+         AND NOT contains(line, 'javascript')
+         AND NOT contains(line, '{') AND NOT contains(line, '}')),
+       nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM ne GROUP BY 1),
+       nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         FROM kp GROUP BY 1),
+       ext AS (SELECT h.doc_id, h.lang, COALESCE(nl.n_lines, 0) AS n_lines,
+           COALESCE(nk.n_kept, 0) AS n_kept,
+           COALESCE(nk.clean_text, '') AS clean_text
+         FROM h LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
 
   /** Shared by text_segment_dedup (batch) and text_segment_dedup_streamed
    * (real streaming run): both must hash to this answer. */
@@ -4208,6 +4306,23 @@ object SparkEntry {
                / greatest(p_b, 0.000001)) AS DECIMAL(38,18))) AS DOUBLE),
              6) AS psi
          FROM p""",
+
+    "text_html_extract" ->
+      (htmlExtractSql(5) +
+        " SELECT doc_id, n_lines, n_kept, clean_text FROM ext"),
+
+    "pipeline_html_curate" ->
+      (htmlExtractSql(5) + """,
+       fl AS (SELECT doc_id, n_lines, n_kept,
+           replace(clean_text, chr(10), ' ') AS text FROM ext),
+       q AS (SELECT doc_id, n_lines, n_kept,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_lines, n_kept, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
 
     "text_segment_dedup" -> segmentDedupSql,
 

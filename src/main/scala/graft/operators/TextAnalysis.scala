@@ -604,6 +604,50 @@ object TextAnalysis {
   }
 
   /**
+   * HTML/boilerplate extraction — the missing FRONT DOOR of a web-corpus
+   * pipeline (C4 / RefinedWeb start from markup, not clean text):
+   *
+   *  1. `<script>`/`<style>` blocks are removed WITH their content
+   *     (code and CSS must never leak into the corpus);
+   *  2. block-level closers (`</p> </div> </li> </h1..6>`, `<br>`) become
+   *     line breaks — line structure comes from markup, not whitespace;
+   *  3. every remaining tag strips to a space; the five standard HTML
+   *     entities (+&nbsp;) decode, `&amp;` LAST (single-pass decode — the
+   *     order that never double-decodes `&amp;lt;`);
+   *  4. C4-style line rules: a line survives iff it ends in terminal
+   *     punctuation (`.!?"`), has >= `minWords` words, and contains
+   *     neither `javascript` nor a curly brace (the code/boilerplate
+   *     heuristics of C4's page cleaner).
+   *
+   * Output: (doc_id, n_lines, n_kept, clean_text) with kept lines joined
+   * by newline in document order. Pure narrow string expressions — zero
+   * shuffles, engine-portable (the oracle replays every rule in SQL).
+   */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+                  minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val breaks = regexp_replace(noStyle,
+      "</p>|</div>|</li>|</h[1-6]>|<br */?>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val norm = transform(split(decoded, "\n"),
+      l => trim(regexp_replace(l, " +", " ")))
+    val nonEmpty = filter(norm, l => l =!= "")
+    val kept = filter(nonEmpty, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords &&
+        !l.contains("javascript") && !l.contains("{") && !l.contains("}"))
+    docs.select(col("doc_id"),
+      size(nonEmpty).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /**
    * Substring-blocklist admission — the C4 "bad words" filter shape: count
    * occurrences of each blocklist term as a SUBSTRING (replace-and-measure
    * arithmetic, so "slower" matches "slow" — the deliberate, recall-first
