@@ -1210,6 +1210,34 @@ object SparkEntry {
           col("n_tokens"), col("fertility"))
     }),
 
+    "curate_url_canonical" -> ((s, dir) => {
+      // URL-keyed dedup on a fixture covering every canonicalization rule:
+      // scheme/host case-fold + default-port strip (%6==0,1), pairwise
+      // trailing-slash/path collisions (%6==2), subdomain + tracking-param
+      // strip (%6==3), mixed tracking/real params needing the sort
+      // (%6==4), and a mass root-URL collision with fragment (%6==5)
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://Example.COM:80/Path/"), col("source"),
+            lit("/page"), id, lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://example.com:443/p"), id, lit("?gclid=abc")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("http://example.com/dir/p"),
+            expr("CAST((doc_id DIV 12) * 12 AS STRING)"), lit("/")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("https://Sub.Example.Com/path"), id,
+            lit("/?a=1&utm_campaign=c")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("http://example.com:8080/p"), id,
+            lit("?fbclid=1&z=9&ref=tw")))
+        .otherwise(lit("https://example.com/#top"))
+      Curation.urlDedup(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("is_canonical"))
+    }),
+
     "curate_dsir_sample" -> ((s, dir) => {
       // DSIR importance resampling steered toward the German slice: rank
       // every corpus doc by target-LM/corpus-LM likelihood ratio (both
@@ -6195,6 +6223,58 @@ object SparkEntry {
            FROM j)
          SELECT doc_id, lang, avg_p FROM r
          WHERE rn <= greatest(1, (cnt * 25) // 100)""",
+
+    "curate_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
+               '/page' || CAST(doc_id AS VARCHAR) ||
+               '/?utm_source=x&b=2&a=1#frag'
+             WHEN 1 THEN 'https://example.com:443/p' ||
+               CAST(doc_id AS VARCHAR) || '?gclid=abc'
+             WHEN 2 THEN 'http://example.com/dir/p' ||
+               CAST((doc_id // 12) * 12 AS VARCHAR) || '/'
+             WHEN 3 THEN 'https://Sub.Example.Com/path' ||
+               CAST(doc_id AS VARCHAR) || '/?a=1&utm_campaign=c'
+             WHEN 4 THEN 'http://example.com:8080/p' ||
+               CAST(doc_id AS VARCHAR) || '?fbclid=1&z=9&ref=tw'
+             ELSE 'https://example.com/#top' END AS url
+           FROM documents),
+         p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
+         p2 AS (SELECT doc_id, url, d,
+             lower(regexp_extract(d,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
+               AS scheme,
+             lower(regexp_extract(d,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2))
+               AS auth,
+             regexp_replace(regexp_extract(d,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3),
+               '/+$', '') AS path,
+             regexp_replace(regexp_extract(d,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4),
+               '^\?', '') AS rawq
+           FROM p1),
+         p3 AS (SELECT doc_id, url, scheme, path,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             list_sort(list_filter(string_split(rawq, '&'), p ->
+               p <> '' AND NOT starts_with(p, 'utm_')
+               AND NOT list_contains(['gclid', 'fbclid', 'msclkid', 'ref'],
+                 split_part(p, '=', 1)))) AS params
+           FROM p2),
+         c AS (SELECT doc_id, url,
+             scheme || '://' || host || path ||
+               CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+               AS canonical_url
+           FROM p3),
+         s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
+           FROM c GROUP BY 1)
+         SELECT c.doc_id, c.url, c.canonical_url,
+           c.doc_id = s.keep_id AS is_canonical
+         FROM c JOIN s USING (canonical_url)""",
 
     // DSIR: the corpus-LM chain is lmScoreCtes verbatim; the target LM
     // repeats it over the 'de' slice; both wp9 sums replay on the integer

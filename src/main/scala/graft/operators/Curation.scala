@@ -280,4 +280,58 @@ object Curation {
         Window.orderBy(order: _*)))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * URL canonicalization — the dedup key every crawl pipeline computes
+   * BEFORE content dedup (the same page is fetched under dozens of
+   * spellings). Policy, applied to absolute http(s) URLs:
+   *
+   *  - fragment stripped (`#...` is client-side only);
+   *  - scheme and authority case-folded (RFC 3986 §6.2.2.1: both are
+   *    case-insensitive; the PATH is not and keeps its case);
+   *  - default port stripped (`:80` for http, `:443` for https);
+   *  - tracking parameters removed: any `utm_*`, plus
+   *    gclid/fbclid/msclkid/ref — they vary per click, never per page;
+   *  - remaining query params SORTED (param order is almost always
+   *    insignificant; sorting folds `?b=2&a=1` with `?a=1&b=2`);
+   *  - trailing slash(es) stripped from the path (`/a/` ≡ `/a`, and the
+   *    root `http://host/` ≡ `http://host`).
+   *
+   * Pure string/array expressions (regexp_extract groups + a filtered,
+   * sorted param list) — no UDF, engine-portable for the oracle.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val P = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?"
+    val defrag = substring_index(url, "#", 1)
+    val scheme = lower(regexp_extract(defrag, P, 1))
+    val auth = lower(regexp_extract(defrag, P, 2))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_replace(regexp_extract(defrag, P, 3), "/+$", "")
+    val rawQ = regexp_replace(regexp_extract(defrag, P, 4), "^\\?", "")
+    val params = array_sort(filter(split(rawQ, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !substring_index(p, "=", 1).isin("gclid", "fbclid", "msclkid", "ref")))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /**
+   * URL-keyed dedup: attach the canonical key and elect one survivor per
+   * key (smallest `idCol` — deterministic). One hash shuffle on the
+   * canonical URL with a map-side-combinable min; hot keys (a root URL
+   * fetched a million times) collapse before the exchange. Slots in front
+   * of [[domainCap]] / content dedup in a crawl pipeline.
+   */
+  def urlDedup(docs: DataFrame, urlCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val survivors = keyed.groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("_keep_id"))
+    keyed.join(survivors, Seq("canonical_url"))
+      .withColumn("is_canonical", col(idCol) === col("_keep_id"))
+      .drop("_keep_id")
+  }
 }

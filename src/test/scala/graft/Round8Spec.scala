@@ -84,6 +84,57 @@ class Round8Spec extends SparkSpec {
     assertParity(rows.toDF("g", "v"), Seq(0.5, 0.9, 0.99))
   }
 
+  test("canonicalUrl: adversarial URLs fold to the documented policy") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val cases = Seq(
+      // scheme+host case-fold, default port, tracking params, param sort,
+      // trailing slash, fragment — all at once
+      ("HTTP://Example.COM:80/Path/x/?utm_source=a&b=2&a=1#frag",
+        "http://example.com/Path/x?a=1&b=2"),
+      // https default port + single tracking param -> no query at all
+      ("https://example.com:443/p7?gclid=abc", "https://example.com/p7"),
+      // root URL with fragment -> bare authority
+      ("https://example.com/#top", "https://example.com"),
+      // NON-default port survives; path case preserved
+      ("http://example.com:8080/A/B", "http://example.com:8080/A/B"),
+      // :443 on http is NOT a default port — must survive
+      ("http://example.com:443/x", "http://example.com:443/x"),
+      // utm_* family + ref + fbclid all drop, real params sort
+      ("https://a.com/x?z=9&utm_campaign=c&ref=tw&fbclid=1&a=2",
+        "https://a.com/x?a=2&z=9"),
+      // param named 'reference' is NOT 'ref' (prefix must not overmatch)
+      ("https://a.com/x?reference=1", "https://a.com/x?reference=1"),
+      // multiple trailing slashes collapse
+      ("https://a.com/x///", "https://a.com/x"),
+      // query-only URL (no path)
+      ("https://a.com?b=1&a=2", "https://a.com?a=2&b=1"),
+      // all params tracking -> query vanishes, slash policy still applies
+      ("https://a.com/dir/?utm_a=1&utm_b=2", "https://a.com/dir"))
+    val got = cases.toDF("url", "want")
+      .withColumn("got", Curation.canonicalUrl(col("url")))
+      .collect()
+    for (r <- got)
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"url ${r.getAs[String]("url")}")
+  }
+
+  test("urlDedup: survivor election is min-id per canonical key") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Seq(
+      (10L, "https://a.com/x?b=1&a=2"),
+      (7L, "https://A.COM/x/?a=2&b=1&utm_s=z"), // same canonical, smaller id
+      (3L, "https://a.com/y")).toDF("doc_id", "url")
+    val out = Curation.urlDedup(docs, "url").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("canonical_url"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(byId(7L)._1 === "https://a.com/x?a=2&b=1")
+    assert(byId(10L)._1 === byId(7L)._1)
+    assert(byId(7L)._2 === true && byId(10L)._2 === false)
+    assert(byId(3L)._2 === true)
+  }
+
   test("corpus fingerprint: cross-language pin (mirrors make_bench_history.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toFile
     try {
