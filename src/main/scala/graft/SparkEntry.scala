@@ -1238,6 +1238,28 @@ object SparkEntry {
           col("is_canonical"))
     }),
 
+    "curate_domain_stats" -> ((s, dir) => {
+      // per-SITE crawl rollup on the registered (pay-level) domain: two
+      // co.uk subdomains fold into one site, a 3-label .com host folds
+      // with www, source-derived .com.au hosts share one registered
+      // domain — the grouping key domain caps and robots policy key on
+      val d = t(s, dir, "documents")
+      val host = when(col("doc_id") % 6 === 0, lit("news.example.co.uk"))
+        .when(col("doc_id") % 6 === 1, lit("blog.example.co.uk"))
+        .when(col("doc_id") % 6 === 2, lit("cdn.assets.example.com"))
+        .when(col("doc_id") % 6 === 3, lit("example.org"))
+        .when(col("doc_id") % 6 === 4,
+          concat(col("source"), lit(".shop.com.au")))
+        .otherwise(lit("www.example.com"))
+      d.select(col("n_chars"), host.as("host"))
+        .withColumn("registered_domain",
+          Curation.registeredDomain(col("host")))
+        .groupBy(col("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     "curate_dsir_sample" -> ((s, dir) => {
       // DSIR importance resampling steered toward the German slice: rank
       // every corpus doc by target-LM/corpus-LM likelihood ratio (both
@@ -6275,6 +6297,34 @@ object SparkEntry {
          SELECT c.doc_id, c.url, c.canonical_url,
            c.doc_id = s.keep_id AS is_canonical
          FROM c JOIN s USING (canonical_url)""",
+
+    "curate_domain_stats" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+           CASE doc_id % 6
+             WHEN 0 THEN 'news.example.co.uk'
+             WHEN 1 THEN 'blog.example.co.uk'
+             WHEN 2 THEN 'cdn.assets.example.com'
+             WHEN 3 THEN 'example.org'
+             WHEN 4 THEN source || '.shop.com.au'
+             ELSE 'www.example.com' END AS host
+           FROM documents),
+         r AS (SELECT n_chars, host,
+           CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                WHEN list_contains(['co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+                    'com.au', 'net.au', 'org.au', 'co.jp', 'co.kr', 'co.in',
+                    'co.nz', 'com.br', 'com.cn', 'com.mx', 'com.sg'],
+                  string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1])
+                THEN string_split(host, '.')[-3] || '.' ||
+                  string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1]
+                ELSE string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1] END AS registered_domain
+           FROM h)
+         SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM r GROUP BY 1""",
 
     // DSIR: the corpus-LM chain is lmScoreCtes verbatim; the target LM
     // repeats it over the 'de' slice; both wp9 sums replay on the integer

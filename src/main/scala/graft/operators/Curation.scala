@@ -318,6 +318,35 @@ object Curation {
         .otherwise(lit("")))
   }
 
+  /** Common two-level public suffixes for [[registeredDomain]] — the
+   * pragmatic subset a crawl pipeline hardcodes when it cannot ship the
+   * full public-suffix list; extend per deployment. */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "co.kr", "co.in", "co.nz", "com.br", "com.cn", "com.mx",
+    "com.sg")
+
+  /**
+   * Registered (pay-level) domain of a host — the aggregation key for
+   * per-site crawl policy (domain caps, per-site stats, robots grouping):
+   * `news.example.co.uk` and `blog.example.co.uk` are the SAME site
+   * (`example.co.uk`) even though their hosts differ. Public-suffix-lite:
+   * the last two labels, or three when the last two form a suffix in
+   * [[TwoLevelSuffixes]]. Hosts with <= 2 labels pass through unchanged.
+   * Branch order guards ANSI element_at: the <=2-label arm matches first,
+   * so negative indices only evaluate on hosts that have those labels.
+   */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    when(size(labels) <= 2, host)
+      .when(last2.isin(TwoLevelSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+          element_at(labels, -1)))
+      .otherwise(last2)
+  }
+
   /**
    * URL-keyed dedup: attach the canonical key and elect one survivor per
    * key (smallest `idCol` — deterministic). One hash shuffle on the

@@ -135,6 +135,25 @@ class Round8Spec extends SparkSpec {
     assert(byId(3L)._2 === true)
   }
 
+  test("registeredDomain: suffix-aware folding with ANSI-safe label guards") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val cases = Seq(
+      ("news.example.co.uk", "example.co.uk"),
+      ("a.b.news.example.co.uk", "example.co.uk"),
+      ("cdn.assets.example.com", "example.com"),
+      ("example.org", "example.org"),   // 2 labels pass through
+      ("localhost", "localhost"),       // 1 label: no -2 index evaluated
+      ("co.uk", "co.uk"),               // the bare suffix is <=2 labels
+      ("x.co.uk", "x.co.uk"),           // 3 labels ending in a suffix
+      ("deep.www.shop.com.au", "shop.com.au"))
+    val got = cases.toDF("host", "want")
+      .withColumn("got", Curation.registeredDomain(col("host"))).collect()
+    for (r <- got)
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"host ${r.getAs[String]("host")}")
+  }
+
   test("corpus fingerprint: cross-language pin (mirrors make_bench_history.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toFile
     try {
