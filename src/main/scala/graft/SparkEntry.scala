@@ -2878,10 +2878,10 @@ object SparkEntry {
   private def htmlExtractSql(minWords: Int): String =
     s"""WITH $markupSql,
        c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(html,
-           '<script[^>]*>.*?</script>', ' ', 'gs'),
-           '<style[^>]*>.*?</style>', ' ', 'gs') AS x FROM h),
+           '<script[^>]*>.*?</script>', ' ', 'gis'),
+           '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM h),
        c2 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(x,
-           '</p>|</div>|</li>|</h[1-6]>|<br */?>', chr(10), 'g'),
+           '</p>|</div>|</li>|</h[1-6]>|<br */?>', chr(10), 'gi'),
            '<[^>]*>', ' ', 'g') AS x FROM c1),
        c3 AS (SELECT doc_id, lang, replace(replace(replace(replace(replace(
            replace(x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

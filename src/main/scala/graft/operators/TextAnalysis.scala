@@ -626,11 +626,12 @@ object TextAnalysis {
   def htmlExtract(docs: DataFrame, htmlCol: String = "html",
                   minWords: Int = 5): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    // (?i): tag names are case-insensitive in HTML (<P>, <BR/>, <SCRIPT>)
     val noScript = regexp_replace(col(htmlCol),
-      "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val breaks = regexp_replace(noStyle,
-      "</p>|</div>|</li>|</h[1-6]>|<br */?>", "\n")
+      "(?i)</p>|</div>|</li>|</h[1-6]>|<br */?>", "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

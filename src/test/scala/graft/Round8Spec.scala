@@ -84,6 +84,24 @@ class Round8Spec extends SparkSpec {
     assertParity(rows.toDF("g", "v"), Seq(0.5, 0.9, 0.99))
   }
 
+  test("htmlExtract: uppercase tags, self-closing <BR/>, script/style case") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val html = "<HTML><BODY><SCRIPT>var x = 1;</SCRIPT><STYLE>a{}</STYLE>" +
+      "<P>Upper case paragraph keeps all of its words.</P>" +
+      "<DIV>second div line has enough words right here.</DIV>" +
+      "line after BR<BR/>Terminal line with enough words to pass now." +
+      "</BODY></HTML>"
+    val out = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    assert(out.getAs[Long]("n_lines") === 4)
+    assert(out.getAs[Long]("n_kept") === 3)
+    assert(out.getAs[String]("clean_text") ===
+      "Upper case paragraph keeps all of its words.\n" +
+        "second div line has enough words right here.\n" +
+        "Terminal line with enough words to pass now.")
+  }
+
   test("canonicalUrl: adversarial URLs fold to the documented policy") {
     import spark.implicits._
     import graft.operators.Curation

@@ -140,4 +140,31 @@ class ScanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"enrichment degraded to a shuffle join:\n$p")
   }
+
+  test("text_html_extract: pure narrow string pipeline — pruned scan, " +
+    "zero shuffles") {
+    val p = plan("text_html_extract")
+    assert(exchanges(p) === 0, s"extraction must not shuffle:\n$p")
+    for (cols <- scanColumns(p))
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"markup fixture scan reads more than (doc_id, text): $cols")
+  }
+
+  test("q_median: percentile ranks ride a RANGE partitioning, scan pruned " +
+    "to the two live columns") {
+    val p = plan("q_median")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"ExactPercentile's range-partitioned rank stage is missing:\n$p")
+    for (cols <- scanColumns(p))
+      assert(cols.subsetOf(Set("event_type", "value")),
+        s"scan reads more than (event_type, value): $cols")
+  }
+
+  test("curate_url_canonical: one canonical-key aggregate + survivor " +
+    "attach — bounded shuffles, no shuffle join") {
+    val p = plan("curate_url_canonical")
+    assert(exchanges(p) <= 3, s"urlDedup shuffle count grew:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"survivor attach degraded to a shuffle join:\n$p")
+  }
 }
