@@ -97,32 +97,45 @@ object Bench {
     // and each query reports min(shared, fresh) — the reproducible
     // steady-state cost. Child runs with SPARK_GRAFT_NO_PROBE=1 (no
     // recursion); queries with no history (new this round) never re-probe.
-    val (results, probedNames) =
-      if (sys.env.contains("SPARK_GRAFT_NO_PROBE")) (mainPass, Seq.empty[String])
+    val (results, probedNames, confirmedNames) =
+      if (sys.env.contains("SPARK_GRAFT_NO_PROBE"))
+        (mainPass, Seq.empty[String], Seq.empty[String])
       else {
         val hist = BenchHistory.load()
         val suspects = mainPass.filter { case (n, v) =>
           hist.get(n).exists(h => v > 1.3 * h && v - h > 0.05)
         }.sortBy { case (n, v) => -(v / hist(n)) }.take(60).map(_._1)
-        if (suspects.isEmpty) (mainPass, Seq.empty[String])
+        if (suspects.isEmpty) (mainPass, Seq.empty[String], Seq.empty[String])
         else {
           System.err.println(s"[bench] re-probing ${suspects.length} " +
             s"suspect(s) in a fresh JVM: ${suspects.mkString(",")}")
           BenchHistory.freshProbe(suspects) match {
             case Some(probe) =>
-              // audit trail: which entries' published value came from the
-              // fresh probe (the total is then a composite of two JVMs, not
-              // a single-run time — the artifact must say so)
+              // audit trail, two-sided: `probed` = entries whose PUBLISHED
+              // value came from the fresh probe (the total is then a
+              // composite of two JVMs, not a single-run time — the artifact
+              // must say so); `probe_confirmed` = suspects the fresh JVM
+              // re-measured at-or-above the shared number, i.e. any
+              // still->1.3x residual against the history minima was
+              // independently reproduced, not a fluke of a loaded session.
+              // Together every >1.3x entry in the artifact is adjudicated
+              // in-artifact: it is in one of the two lists (or the probe
+              // child itself failed, which stderr records).
               val probed = scala.collection.mutable.ArrayBuffer.empty[String]
+              val confirmed = scala.collection.mutable.ArrayBuffer.empty[String]
               val merged = mainPass.map { case (n, v) =>
                 n -> (probe.get(n) match {
                   case Some(p) if p > 0 && (v < 0 || p < v) =>
                     probed += n; p
+                  case Some(p) if p > 0 =>
+                    confirmed += n; v
                   case _ => v
                 })
               }
-              (merged, probed.toSeq)
-            case None => (mainPass, Seq.empty[String]) // probe failed — shared numbers stand
+              (merged, probed.toSeq, confirmed.toSeq)
+            case None =>
+              // probe failed — shared numbers stand
+              (mainPass, Seq.empty[String], Seq.empty[String])
           }
         }
       }
@@ -141,8 +154,10 @@ object Bench {
         "DIFFERENT corpus — >1.3x residuals vs it are not evidence of code " +
         "regressions; recalibrate with scripts/make_bench_history.py --replace")
     val probedJson = probedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val confirmedJson =
+      confirmedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probed":$probedJson,"corpus":"$corpusFp","history_corpus":"$histState"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probed":$probedJson,"probe_confirmed":$confirmedJson,"corpus":"$corpusFp","history_corpus":"$histState"}"""
     println(line)
     // persist the COMPLETE per-query map as an artifact: the driver's
     // stdout capture windows long lines, which truncates half the queries —

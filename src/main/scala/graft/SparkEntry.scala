@@ -403,6 +403,27 @@ object SparkEntry {
           .as("value_json"))
     }),
 
+    "cdc_schema_evolution" -> ((s, dir) => {
+      // Schema evolution mid-stream: table ALTERs at segments 2 and 4
+      // widen the replicated column set, and each event renders its json
+      // payload under the schema in force at its commitlog coordinate —
+      // the reference rebuilds its value converter on
+      // SchemaChangeListener.onTableUpdated so output produced after the
+      // change carries the new columns while earlier output keeps the old
+      // shape (CassandraSource.java:666-673, 352-372). All three versions
+      // flow through one plan-time CASE chain; the hash proves both the
+      // version boundaries and the per-version column sets.
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+        t(s, dir, "customer"), "key", "c_custkey",
+        Seq("c_name", "c_nationkey", "c_mktsegment"))
+      CdcOperators.evolveSchema(enriched, "segment",
+          Seq(0L -> Seq("c_name"),
+            2L -> Seq("c_name", "c_nationkey"),
+            4L -> Seq("c_name", "c_nationkey", "c_mktsegment")),
+          tombstone = col("op") === Cdc.OpDelete || col("c_name").isNull)
+        .select(col("event_id"), col("schema_version"), col("value_json"))
+    }),
+
     "cdc_keyvalue_avro" -> ((s, dir) => {
       // F12 default key-value-avro output format, oracle-checked end to end:
       // the binary records are decoded back (AvroDecode = the reference's
@@ -2064,6 +2085,27 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
       DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+    }),
+
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // cross-snapshot incremental dedup: the corpus is the retained
+      // snapshot; the new batch carries re-keyed near-copies (one
+      // appended token, ids +2e6) of every 6th doc plus token-disjoint
+      // fresh docs ('z'-prefixed tokens, ids +3e6) of every 6th+3 — each
+      // admitted iff the OLD corpus holds no verified word-set near-dup
+      // at Jaccard >= 0.5, candidates strictly old-bucket x new-bucket
+      // (never old x old / new x new).
+      val old = t(s, dir, "documents")
+      val fresh = old.filter(col("doc_id") % 6 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("z"),
+            regexp_replace(col("text"), " ", " z")).as("text"))
+      val nw = old.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+        .unionByName(fresh)
+      DocDedup.incrementalNearDup(old, nw,
+        numHashes = 8, rowsPerBand = 4, threshold = 0.5)
     }),
 
     "text_suffix_array" -> ((s, dir) =>
@@ -3812,6 +3854,23 @@ object SparkEntry {
          END AS value_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
+    "cdc_schema_evolution" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_id // 1000 >= 4 THEN 3
+              WHEN e.event_id // 1000 >= 2 THEN 2
+              ELSE 1 END AS schema_version,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              WHEN e.event_id // 1000 >= 4 THEN
+                to_json(struct_pack(c_name := c.c_name,
+                                    c_nationkey := c.c_nationkey,
+                                    c_mktsegment := c.c_mktsegment))
+              WHEN e.event_id // 1000 >= 2 THEN
+                to_json(struct_pack(c_name := c.c_name,
+                                    c_nationkey := c.c_nationkey))
+              ELSE to_json(struct_pack(c_name := c.c_name))
+         END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
     "cdc_sessionize" ->
       """SELECT user_id AS "key", CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM (SELECT user_id,
@@ -4775,6 +4834,64 @@ object SparkEntry {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM cand l JOIN cand r
            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    "dedup_minhash_incremental" ->
+      """WITH olddocs AS (SELECT doc_id, text FROM documents),
+         newdocs AS (
+           SELECT doc_id + 2000000 AS doc_id, text || ' tail' AS text
+           FROM documents WHERE doc_id % 6 = 0
+           UNION ALL
+           SELECT doc_id + 3000000, 'z' || replace(text, ' ', ' z')
+           FROM documents WHERE doc_id % 6 = 3),
+         otok AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM olddocs),
+         ntok AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM newdocs),
+         ohash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM otok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         nhash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM ntok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         oband AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM ohash GROUP BY doc_id, h // 4),
+         nband AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM nhash GROUP BY doc_id, h // 4),
+         ocap AS (SELECT band, bucket FROM oband
+           GROUP BY band, bucket HAVING count(*) <= 100),
+         ncap AS (SELECT band, bucket FROM nband
+           GROUP BY band, bucket HAVING count(*) <= 100),
+         cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           FROM (SELECT b.* FROM nband b JOIN ncap USING (band, bucket)) n
+           JOIN (SELECT b.* FROM oband b JOIN ocap USING (band, bucket)) o
+             USING (band, bucket)),
+         osz AS (SELECT doc_id, count(*) AS n_old FROM otok GROUP BY doc_id),
+         nsz AS (SELECT doc_id, count(*) AS n_new FROM ntok GROUP BY doc_id),
+         inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
+           FROM cand c
+           JOIN ntok nt ON nt.doc_id = c.new_id
+           JOIN otok ot ON ot.doc_id = c.old_id AND ot.token = nt.token
+           GROUP BY c.new_id, c.old_id),
+         ver AS (SELECT i.new_id, i.old_id,
+             CAST(i.n_inter AS DOUBLE) /
+               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) AS jaccard
+           FROM inter i
+           JOIN nsz ns ON ns.doc_id = i.new_id
+           JOIN osz os ON os.doc_id = i.old_id
+           WHERE CAST(i.n_inter AS DOUBLE) /
+               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) >= 0.5),
+         best AS (SELECT new_id, old_id, jaccard,
+             row_number() OVER (PARTITION BY new_id ORDER BY old_id) AS rn
+           FROM ver)
+         SELECT nd.doc_id, b.old_id AS dup_of, b.jaccard,
+           b.old_id IS NULL AS keep
+         FROM newdocs nd
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           ON nd.doc_id = b.new_id""",
 
     // the oracle materializes every suffix string and sorts — binary
     // collation matches Spark's UTF8 binary compare on this corpus

@@ -284,6 +284,51 @@ object CdcOperators {
   }
 
   /**
+   * Schema evolution over the event stream. The reference reacts to a table
+   * ALTER by rebuilding its value converter in place, so events consumed
+   * after the change are emitted under the NEW column set while everything
+   * already produced keeps the old shape (SchemaChangeListener
+   * .onTableUpdated → setValueConverterAndQuery rebuilds the converter with
+   * the current column list, connector/.../CassandraSource.java:666-673,
+   * 352-372). Here the change points are explicit stream coordinates:
+   * `versions` maps a starting segment to the value-column set in force
+   * from that segment onward (ascending; the first entry covers the stream
+   * head, so its boundary is ignored).
+   *
+   * Adds (schema_version, value_json): the 1-based version index active at
+   * the event's commitlog coordinate and the JSON payload rendered under
+   * exactly that version's columns; rows matching `tombstone` stay null
+   * (delete semantics, CassandraSource.java:377).
+   *
+   * Scale: the whole thing is one plan-time CASE chain — every branch is a
+   * codegen'd `to_json` over a pruned subset, no UDFs and no extra pass,
+   * and the scan reads only the union of all versions' columns (old
+   * versions keep narrowing the parquet scan, they don't widen it).
+   */
+  def evolveSchema(enriched: DataFrame, segmentCol: String,
+                   versions: Seq[(Long, Seq[String])],
+                   tombstone: Column): DataFrame = {
+    require(versions.nonEmpty, "at least one schema version")
+    require(versions.map(_._1) == versions.map(_._1).sorted,
+      "versions must be ascending by starting segment")
+    val seg = col(segmentCol)
+    // highest boundary first so the first matching WHEN wins
+    val desc = versions.zipWithIndex.tail.reverse
+    def chain(base: Column, branch: ((Long, Seq[String]), Int) => Column) =
+      desc.foldLeft(Option.empty[Column]) { case (acc, (v, i)) =>
+        Some(acc.fold(when(seg >= v._1, branch(v, i)))(
+          _.when(seg >= v._1, branch(v, i))))
+      }.fold(base)(_.otherwise(base))
+    val headJson = to_json(struct(versions.head._2.map(col): _*))
+    enriched
+      .withColumn("schema_version",
+        chain(lit(1), (_, i) => lit(i + 1)))
+      .withColumn("value_json",
+        when(tombstone, lit(null).cast("string")).otherwise(
+          chain(headJson, (v, _) => to_json(struct(v._2.map(col): _*)))))
+  }
+
+  /**
    * Ordered replay index: the commitlog replay position of each event within
    * its key — the per-segment ordering the reference enforces with its
    * priority queue + one-task-per-segment rule (SURVEY.md §2.5 W1;

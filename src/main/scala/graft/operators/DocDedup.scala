@@ -264,6 +264,81 @@ object DocDedup {
   }
 
   /**
+   * Incremental (cross-snapshot) near-duplicate dedup: admit a document of
+   * a NEW snapshot only if no near-duplicate of it already exists in the
+   * OLD corpus — the crawl-refresh shape (every new snapshot is deduped
+   * against everything previously kept; deduping each snapshot only
+   * against itself leaves all the cross-snapshot duplication in, the
+   * failure mode the RefinedWeb/FineWeb pipelines call out). Asymmetric by
+   * design: old×old pairs are never generated (the retained corpus is
+   * already deduped) and new×new pairs are out of scope (run
+   * [[lshBuckets]] + [[candidatePairs]] within the batch for that), so
+   * the candidate join is strictly old-side × new-side per LSH bucket.
+   *
+   * Output: one row per new doc — (doc_id, dup_of, jaccard, keep) where
+   * dup_of is the SMALLEST old doc id whose exact word-set Jaccard with
+   * the new doc is ≥ `threshold` (null ⇒ keep = true).
+   *
+   * Scale shape: in production the old side's band buckets are a
+   * PRECOMPUTED index — linear in the retained corpus, built once per
+   * refresh cycle and stored — so the per-refresh cost is linear in the
+   * new batch plus one bucket-keyed join against that index. Both sides
+   * carry the same per-bucket skew cap as self-join LSH (a bucket shared
+   * by thousands of docs is boilerplate, not signal, and would emit
+   * O(|old bucket|·|new bucket|) pairs); verification tokenizes only docs
+   * that survive into a candidate pair (semi-join pruned), never the full
+   * corpora. Old and new doc-id spaces may overlap — the two sides are
+   * tokenized separately and never unioned.
+   */
+  def incrementalNearDup(oldDocs: DataFrame, newDocs: DataFrame,
+                         numHashes: Int = 8, rowsPerBand: Int = 4,
+                         threshold: Double = 0.5,
+                         maxBucketSize: Int = 100): DataFrame = {
+    def cappedBuckets(docs: DataFrame): DataFrame = {
+      val b = lshBuckets(minhashSignatures(docs, numHashes), rowsPerBand)
+      val ok = b.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+        .select(col("band"), col("bucket"))
+      b.join(ok, Seq("band", "bucket"))
+    }
+    val pairs = Materialize(
+      cappedBuckets(oldDocs).select(col("band"), col("bucket"),
+          col("doc_id").as("old_id"))
+        .join(cappedBuckets(newDocs).select(col("band").as("_bd"),
+          col("bucket").as("_bk"), col("doc_id").as("new_id")),
+          col("band") === col("_bd") && col("bucket") === col("_bk"))
+        .select(col("new_id"), col("old_id")).distinct())
+    def sideTokens(docs: DataFrame, ids: DataFrame): DataFrame =
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+    val ot = sideTokens(oldDocs,
+      pairs.select(col("old_id").as("doc_id")).distinct())
+    val nt = sideTokens(newDocs,
+      pairs.select(col("new_id").as("doc_id")).distinct())
+    val inter = pairs
+      .join(nt.select(col("doc_id").as("new_id"), col("token")), "new_id")
+      .join(ot.select(col("doc_id").as("old_id"), col("token")),
+        Seq("old_id", "token"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val osz = ot.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+    val nsz = nt.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val verified = inter
+      .join(osz.select(col("doc_id").as("old_id"), col("n_old")), "old_id")
+      .join(nsz.select(col("doc_id").as("new_id"), col("n_new")), "new_id")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_old") + col("n_new") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val best = verified.groupBy(col("new_id"))
+      .agg(min(struct(col("old_id"), col("jaccard"))).as("_m"))
+      .select(col("new_id").as("doc_id"),
+        col("_m.old_id").as("dup_of"), col("_m.jaccard").as("jaccard"))
+    newDocs.select(col("doc_id")).join(best, Seq("doc_id"), "left_outer")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /**
    * SimHash near-duplicate pairs — the Manku et al. (WWW'07) web-dedup
    * shape: a 64-bit SimHash fingerprint per document, split into `bands`
    * equal bit-bands; documents sharing any band value are candidates

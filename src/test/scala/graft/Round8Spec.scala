@@ -172,6 +172,83 @@ class Round8Spec extends SparkSpec {
         s"host ${r.getAs[String]("host")}")
   }
 
+  test("evolveSchema: version boundaries, per-version payload shape, " +
+    "tombstones, and the single-version degenerate form") {
+    import spark.implicits._
+    import graft.operators.CdcOperators
+    // one event per segment 0..5; delete at segment 3; lookup-miss at 5
+    val ev = Seq(
+      (0L, 0L, "u", Some("n0"), Some(7), Some("BUILDING")),
+      (1L, 1L, "u", Some("n1"), Some(8), Some("AUTO")),
+      (2L, 2L, "u", Some("n2"), Some(9), Some("STEEL")),
+      (3L, 3L, "d", None: Option[String], None: Option[Int],
+        None: Option[String]),
+      (4L, 4L, "u", Some("n4"), Some(11), Some("SHIP")),
+      (5L, 5L, "u", None: Option[String], None: Option[Int],
+        None: Option[String]))
+      .toDF("event_id", "segment", "op", "c_name", "c_nationkey",
+        "c_mktsegment")
+    val out = CdcOperators.evolveSchema(ev, "segment",
+        Seq(0L -> Seq("c_name"), 2L -> Seq("c_name", "c_nationkey"),
+          4L -> Seq("c_name", "c_nationkey", "c_mktsegment")),
+        tombstone = col("op") === "d" || col("c_name").isNull)
+      .select("event_id", "schema_version", "value_json")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.getString(2)))).toMap
+    assert(out(0L) === (1, Some("""{"c_name":"n0"}""")))
+    assert(out(1L) === (1, Some("""{"c_name":"n1"}""")))
+    assert(out(2L) === (2, Some("""{"c_name":"n2","c_nationkey":9}""")))
+    assert(out(3L) === (2, None)) // delete: version advances, payload null
+    assert(out(4L) ===
+      (3, Some("""{"c_name":"n4","c_nationkey":11,"c_mktsegment":"SHIP"}""")))
+    assert(out(5L) === (3, None)) // lookup miss under the latest schema
+    // degenerate single-version form = plain json projection
+    val one = CdcOperators.evolveSchema(ev, "segment",
+        Seq(0L -> Seq("c_name")), tombstone = col("op") === "d")
+      .select("schema_version").distinct().collect().map(_.getInt(0)).toSeq
+    assert(one === Seq(1))
+    // contract: unsorted version boundaries are refused loudly
+    intercept[IllegalArgumentException] {
+      CdcOperators.evolveSchema(ev, "segment",
+        Seq(4L -> Seq("c_name"), 2L -> Seq("c_name")), lit(false))
+    }
+  }
+
+  test("incrementalNearDup: asymmetric old-vs-new admission — exact copy " +
+    "dropped, near-copy dropped, threshold edge kept as dup, disjoint " +
+    "tokens kept, smallest old id wins, id collision across sides is safe") {
+    import spark.implicits._
+    import graft.operators.DocDedup
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1 in-corpus
+      (2L, "iota kappa lambda mu"),
+      (7L, "nu xi"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (11L, "alpha beta gamma delta epsilon zeta eta theta extra"), // near
+      (12L, "omega psi chi phi"),                   // token-disjoint: keep
+      (13L, "nu xi upsilon omicron"),               // jaccard exactly 0.5
+      (1L, "iota kappa lambda mu"))                 // id collides with old 1
+      .toDF("doc_id", "text")
+    val out = DocDedup.incrementalNearDup(old, nw,
+        numHashes = 8, rowsPerBand = 1, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L, 1L),
+      "exactly one verdict row per NEW doc, old docs never judged")
+    assert(out(10L) === (Some(1L), false),
+      "exact copy matches BOTH old 1 and 3 — smallest old id wins")
+    assert(out(11L) === (Some(1L), false), "one-token drift is a near-dup")
+    assert(out(12L) === (None, true), "token-disjoint doc is admitted")
+    assert(out(13L) === (Some(7L), false),
+      "jaccard == threshold is inclusive (2/4 vs old {nu,xi})")
+    assert(out(1L) === (Some(2L), false),
+      "new id colliding with an old id still matches by CONTENT (old 2)")
+  }
+
   test("corpus fingerprint: cross-language pin (mirrors make_bench_history.py)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toFile
     try {

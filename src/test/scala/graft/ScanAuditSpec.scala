@@ -167,4 +167,27 @@ class ScanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"survivor attach degraded to a shuffle join:\n$p")
   }
+
+  test("cdc_schema_evolution: the three-version CASE chain stays one " +
+    "broadcast-enriched pass — dimension scan pruned to the union of all " +
+    "versions' columns, no shuffle join, no extra pass per version") {
+    val p = plan("cdc_schema_evolution")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"enrichment degraded to a shuffle join:\n$p")
+    val dims = scanColumns(p).filter(_.contains("c_custkey"))
+    assert(dims.size === 1,
+      s"customer must be scanned exactly once, saw ${dims.size}:\n$p")
+    assert(dims.head === Set("c_custkey", "c_name", "c_nationkey",
+      "c_mktsegment"), s"customer scan reads ${dims.head}")
+  }
+
+  test("dedup_minhash_incremental: no cartesian/broadcast-nested-loop " +
+    "anywhere — candidates stay bucket-keyed joins") {
+    val p = plan("dedup_minhash_incremental")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation degraded to a cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to a nested-loop join:\n$p")
+  }
 }
