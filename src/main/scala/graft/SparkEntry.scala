@@ -424,6 +424,23 @@ object SparkEntry {
         .select(col("event_id"), col("schema_version"), col("value_json"))
     }),
 
+    "cdc_partition_tombstone" -> ((s, dir) => {
+      // Partition-level deletes with Cassandra timestamp shadowing: an
+      // `error` event at event_id % 3 == 0 is a partition tombstone (the
+      // reference's PARTITION_KEY_ROW_DELETION — one event, clustering
+      // columns null, CommitLogReadHandlerImpl.java:127-151, 318-324);
+      // every clustered row of that key with writetime <= the deletion's
+      // timestamp is wiped, rows written after it survive. Other errors
+      // are ordinary clustered row deletes (ck = event_id % 5).
+      val e = ev(s, dir).withColumn("ck",
+        when(col("op") === Cdc.OpDelete && col("event_id") % 3 === 0,
+          lit(null).cast("long")).otherwise(col("event_id") % 5))
+      CdcOperators.applyPartitionTombstones(e, "key", "ck", "writetime",
+          tiebreak = Seq(col("event_id").desc))
+        .select(col("key"), col("ck"), col("event_id"), col("op"),
+          col("writetime"))
+    }),
+
     "cdc_keyvalue_avro" -> ((s, dir) => {
       // F12 default key-value-avro output format, oracle-checked end to end:
       // the binary records are decoded back (AvroDecode = the reference's
@@ -3870,6 +3887,22 @@ object SparkEntry {
               ELSE to_json(struct_pack(c_name := c.c_name))
          END AS value_json
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "cdc_partition_tombstone" ->
+      s"""WITH e AS (SELECT event_id, user_id AS "key", $opSql AS op,
+           epoch_us(ts) AS writetime,
+           CASE WHEN ($opSql) = 'd' AND event_id % 3 = 0 THEN NULL
+                ELSE event_id % 5 END AS ck
+           FROM events),
+         pd AS (SELECT "key", max(writetime) AS del_ts FROM e
+           WHERE op = 'd' AND ck IS NULL GROUP BY "key"),
+         w AS (SELECT *, row_number() OVER (PARTITION BY "key", ck
+             ORDER BY writetime DESC, event_id DESC) AS rn
+           FROM e WHERE ck IS NOT NULL)
+         SELECT w."key", w.ck, w.event_id, w.op, w.writetime
+         FROM w LEFT JOIN pd ON w."key" = pd."key"
+         WHERE w.rn = 1 AND w.op <> 'd'
+           AND (pd.del_ts IS NULL OR w.writetime > pd.del_ts)""",
 
     "cdc_sessionize" ->
       """SELECT user_id AS "key", CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

@@ -329,6 +329,48 @@ object CdcOperators {
   }
 
   /**
+   * Partition-level tombstone semantics: apply Cassandra's deletion
+   * shadowing to a two-level (partition key, clustering key) event stream.
+   * The reference classifies a `DELETE FROM t WHERE pk = x` mutation as
+   * PARTITION_KEY_ROW_DELETION / PARTITION_AND_CLUSTERING_KEY_ROW_DELETION
+   * and emits one delete event carrying only the partition columns —
+   * clustering columns null (CommitLogReadHandlerImpl.java:127-151 classify,
+   * :318-324 handlePartitionDeletion populating just the pk). Downstream,
+   * that single event wipes EVERY clustered row of the partition whose
+   * write timestamp is <= the deletion's `markedForDeleteAt` — Cassandra's
+   * timestamp shadowing, under which a row (re-)written AFTER the partition
+   * delete survives it.
+   *
+   * Input rows with a null `ckCol` and op = delete are partition tombstones;
+   * all other rows are clustered row mutations. Output = the materialized
+   * surviving state: for each (pk, ck) the last-write-wins winner by
+   * (`tsCol` desc, `tiebreak` desc...), kept iff it is not itself a row
+   * delete AND its timestamp is strictly greater than the partition's
+   * newest deletion timestamp.
+   *
+   * Scale: one map-side-combinable aggregate over the (rare) partition
+   * tombstones + one window LWW over row mutations + one pk join whose
+   * right side has one row per *deleted partition* — broadcastable in any
+   * realistic workload (deletes are a sliver of a CDC stream), an ordinary
+   * pk-hash join otherwise. No corpus-sized state.
+   */
+  def applyPartitionTombstones(events: DataFrame, pkCol: String,
+                               ckCol: String, tsCol: String,
+                               tiebreak: Seq[Column] = Seq.empty,
+                               opCol: String = "op"): DataFrame = {
+    val partDel = events
+      .filter(col(opCol) === Cdc.OpDelete && col(ckCol).isNull)
+      .groupBy(col(pkCol)).agg(max(col(tsCol)).as("_del_ts"))
+    val winners = compactLww(
+      events.filter(col(ckCol).isNotNull),
+      Seq(pkCol, ckCol), col(tsCol).desc +: tiebreak)
+    winners.join(partDel, Seq(pkCol), "left_outer")
+      .filter(col(opCol) =!= Cdc.OpDelete &&
+        (col("_del_ts").isNull || col(tsCol) > col("_del_ts")))
+      .drop("_del_ts")
+  }
+
+  /**
    * Ordered replay index: the commitlog replay position of each event within
    * its key — the per-segment ordering the reference enforces with its
    * priority queue + one-task-per-segment rule (SURVEY.md §2.5 W1;

@@ -267,4 +267,29 @@ class Round8Spec extends SparkSpec {
       new java.io.File(dir, "sub").delete(); dir.delete()
     }
   }
+
+  test("applyPartitionTombstones: Cassandra shadowing semantics") {
+    import spark.implicits._
+    import graft.operators.CdcOperators
+    // (pk, ck, event_id, ts, op) — ck null + op=d is a partition tombstone
+    val rows = Seq(
+      // A: tombstone at ts 5 wipes ts<=5 rows; ts-7 rewrite survives;
+      //    the ts==5 row is shadowed (strictly-greater rule)
+      ("A", Some(0L), 1L, 1L, "i"), ("A", Some(1L), 2L, 2L, "u"),
+      ("A", None, 3L, 5L, "d"),
+      ("A", Some(2L), 4L, 5L, "u"), ("A", Some(0L), 5L, 7L, "u"),
+      // B: no deletes — plain LWW; equal-ts tie broken by higher event_id
+      ("B", Some(0L), 10L, 4L, "i"), ("B", Some(0L), 11L, 4L, "u"),
+      // C: clustered row delete wins LWW — row drops without any tombstone
+      ("C", Some(3L), 20L, 1L, "i"), ("C", Some(3L), 21L, 2L, "d"),
+      // D: two tombstones — the NEWEST shadows; survivor needs ts > 9
+      ("D", None, 30L, 3L, "d"), ("D", None, 31L, 9L, "d"),
+      ("D", Some(0L), 32L, 8L, "u"), ("D", Some(1L), 33L, 10L, "i"))
+      .toDF("pk", "ck", "event_id", "writetime", "op")
+    val out = CdcOperators.applyPartitionTombstones(rows, "pk", "ck",
+        "writetime", tiebreak = Seq(col("event_id").desc))
+      .select("pk", "ck", "event_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out === Set(("A", 0L, 5L), ("B", 0L, 11L), ("D", 1L, 33L)))
+  }
 }

@@ -190,4 +190,15 @@ class ScanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation degraded to a nested-loop join:\n$p")
   }
+
+  test("cdc_partition_tombstone: tombstone side joins as a pk-keyed " +
+    "equi-join (no nested loop), events scanned at most twice") {
+    val p = plan("cdc_partition_tombstone")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tombstone application degraded to a non-equi join:\n$p")
+    val evScans = scanColumns(p).count(_.contains("event_id"))
+    assert(evScans <= 2,
+      s"events scanned $evScans times (tombstones + rows = 2 max):\n$p")
+  }
 }
