@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, GramAgg, HeavyHittersAgg, MediaHeader, PngDecodeExpr, WavPcmStats}
+import graft.functions.{BloomAgg, BloomContains, CassandraToken, CosineSimilarity, DotProduct, GramAgg, HeavyHittersAgg, MediaHeader, NfcNormalize, PngDecodeExpr, WavPcmStats}
 
 /**
  * Session extension registering graft's custom expressions for SQL use:
@@ -41,6 +41,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         checkArity("cassandra_token", args, 1)
         CassandraToken(args.head)
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC normalization (DuckDB-compatible)"),
+      (args: Seq[Expression]) => {
+        checkArity("nfc_normalize", args, 1)
+        NfcNormalize(args.head)
       }),
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

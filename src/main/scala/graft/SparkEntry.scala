@@ -2815,6 +2815,26 @@ object SparkEntry {
       // text; DuckDB replays each rule with string/regex ops
       TextAnalysis.htmlExtract(markupDocs(s, dir))),
 
+    "text_normalize_unicode" -> ((s, dir) => {
+      // Unicode front door ahead of any fingerprinting: NFC composition via
+      // the native NfcNormalize expression (Spark has no built-in
+      // normalizer; DuckDB replays with its nfc_normalize), control-char
+      // strip, whitespace-run collapse, trim. Fixture injects decomposed
+      // e+U+0301 sequences (doc_id%3=0), a BEL + tab runs + trailing
+      // whitespace (doc_id%4=1), and leaves the rest ASCII-clean to pin
+      // the zero-allocation fast path's changed=false.
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            regexp_replace(col("text"), "e", "e\u0301"))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit("\u0007 trailing\t\ttabs  ")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.normalizeUnicode(fixture)
+        .select(col("doc_id"), col("changed"),
+          length(col("norm_text")).cast("long").as("n_chars"),
+          md5(col("norm_text").cast("binary")).as("h"))
+    }),
+
     "pipeline_html_curate" -> ((s, dir) => {
       // the composed front-of-pipeline a crawl corpus actually runs:
       // extraction FEEDS curation — the quality filter's word/TTR
@@ -4452,6 +4472,26 @@ object SparkEntry {
     "text_html_extract" ->
       (htmlExtractSql(5) +
         " SELECT doc_id, n_lines, n_kept, clean_text FROM ext"),
+
+    // chr(769) = U+0301 combining acute (decomposed-injection side),
+    // chr(7) = BEL; nfc_normalize is DuckDB's built-in — byte-parity with
+    // graft's native NfcNormalize expression is the point of the row
+    "text_normalize_unicode" ->
+      """WITH fixture AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+                WHEN doc_id % 4 = 1 THEN
+                  text || chr(7) || ' trailing' || chr(9) || chr(9) || 'tabs  '
+                ELSE text END AS text
+           FROM documents),
+         norm AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS norm_text
+           FROM fixture)
+         SELECT doc_id, norm_text <> text AS changed,
+           CAST(length(norm_text) AS BIGINT) AS n_chars,
+           md5(norm_text) AS h
+         FROM norm""",
 
     "pipeline_html_curate" ->
       (htmlExtractSql(5) + """,

@@ -217,6 +217,50 @@ case class CommonPrefixLength(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Unicode normalization kernel shared by interpreted eval and generated
+ * code. Pure-ASCII strings (the overwhelming common case in web corpora)
+ * return the INPUT reference — zero allocation, no JDK Normalizer call:
+ * ASCII is closed under NFC. */
+object TextNormKernels {
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s // pure ASCII ⇒ already NFC
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/**
+ * Unicode NFC normalization as a native codegen'd expression — the first
+ * step of every text front door (CCNet/RefinedWeb normalize before
+ * fingerprinting so that composed and decomposed renderings of the same
+ * text dedup together). Spark has no built-in normalizer; a native
+ * expression keeps the hot path inside WholeStageCodegen (vs a Scala UDF's
+ * serialization wall). Matches DuckDB's `nfc_normalize` byte for byte.
+ */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize needs STRING input, got $other")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    TextNormKernels.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNormKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftShim.column
@@ -231,6 +275,9 @@ object GraftFunctions {
     pmod(shiftright(token, 48).cast(ShortType).cast(IntegerType) + lit(32768),
       lit(numPartitions))
   }
+
+  /** Unicode NFC normalization (byte-parity with DuckDB nfc_normalize). */
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expr(c)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))

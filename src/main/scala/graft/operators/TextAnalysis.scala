@@ -690,4 +690,29 @@ object TextAnalysis {
       (col("doc_id") +: markers.map { case (l, _) => col(s"c_$l") }) :+
         predicted.as("predicted_lang"): _*)
   }
+
+  /**
+   * Unicode + whitespace text normalization — the first step of the
+   * CCNet/RefinedWeb text front door, BEFORE any fingerprinting or dedup:
+   * composed ("é") and decomposed ("e" + U+0301) renderings of the same
+   * text must hash identically or near-dup pipelines silently miss them.
+   *
+   *  1. NFC canonical composition ([[graft.functions.NfcNormalize]] — a
+   *     native codegen'd expression; Spark has no built-in normalizer),
+   *  2. C0/DEL control-character strip (tab and newline kept),
+   *  3. horizontal-whitespace run collapse + trim.
+   *
+   * Everything stays inside WholeStageCodegen: the NFC kernel is a static
+   * call with a zero-allocation pure-ASCII fast path, and steps 2–3 are
+   * built-in regexp_replace. No shuffle — a pure narrow projection.
+   */
+  def normalizeUnicode(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.nfc_normalize
+    val nfc = nfc_normalize(col(textCol))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+    docs.withColumn("norm_text", cleaned)
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+  }
 }

@@ -268,6 +268,53 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("NfcNormalize: interpreted eval == codegen == JDK Normalizer on " +
+    "adversarial Unicode") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.nfc_normalize
+    val cases = Seq(
+      "plain ascii", "",
+      "e\u0301 decomposed",          // composes to U+00E9
+      "\u00e9 already composed",
+      "s\u0323\u0307 two marks",      // composes to U+1E69
+      "\u1e69 composed",
+      "\u1100\u1161 hangul jamo",     // composes to U+AC00
+      new String(Character.toChars(0x1F600)) + " non-BMP", // NFC-stable
+      "mixed e\u0301\u00e9 run")
+    val df = cases.toDF("s")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val got = df.select(nfc_normalize(col("s"))).as[String].collect()
+      val want = cases.map(
+        java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+      assert(got.toSeq === want, s"mode=$mode")
+      assert(got(2) === "\u00e9 decomposed", s"mode=$mode composition")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    // null propagates
+    assert(Seq[String](null).toDF("s")
+      .select(nfc_normalize(col("s"))).collect().head.isNullAt(0))
+    // SQL registration resolves like a built-in
+    assert(spark.sql("SELECT nfc_normalize('e' || 'x')").as[String]
+      .collect().head === "ex")
+  }
+
+  test("normalizeUnicode: control strip + whitespace collapse + trim") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "ab\u0007  c\t\td  "), (2L, " keep\nnewline\ttab "),
+      (3L, "e\u0301tude"), (4L, "untouched ascii")).toDF("doc_id", "text")
+    val m = TextAnalysis.normalizeUnicode(docs)
+      .select("doc_id", "norm_text", "changed")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) === (("ab c d", true))) // BEL gone, runs collapsed, trimmed
+    assert(m(2L) === (("keep\nnewline tab", true))) // newline survives
+    assert(m(3L) === (("\u00e9tude", true)))        // NFC composed
+    assert(m(4L) === (("untouched ascii", false)))  // fast path, unchanged
+  }
+
   test("applyPartitionTombstones: Cassandra shadowing semantics") {
     import spark.implicits._
     import graft.operators.CdcOperators

@@ -191,6 +191,16 @@ class ScanAuditSpec extends SparkSpec {
       s"candidate generation degraded to a nested-loop join:\n$p")
   }
 
+  test("text_normalize_unicode: one pruned scan, zero Exchange, native " +
+    "NFC expression inside WholeStageCodegen") {
+    val p = plan("text_normalize_unicode")
+    assert(!p.contains("Exchange"), s"normalization must not shuffle:\n$p")
+    val scans = scanColumns(p)
+    assert(scans.size === 1 && scans.head === Set("doc_id", "text"),
+      s"expected one (doc_id, text) scan, saw $scans:\n$p")
+    assert(p.contains("WholeStageCodegen"), s"fell out of codegen:\n$p")
+  }
+
   test("cdc_partition_tombstone: tombstone side joins as a pk-keyed " +
     "equi-join (no nested loop), events scanned at most twice") {
     val p = plan("cdc_partition_tombstone")
