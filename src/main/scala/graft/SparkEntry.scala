@@ -59,6 +59,32 @@ object SparkEntry {
         "it.</p></body></html>")).as("html"))
   }
 
+  /** Deterministic anchor-link fixture for the link-graph rows: each page
+   * (src_url derived from doc_id) carries five anchors — a shouting-case
+   * host with default port + tracking params + fragment, a single-quoted
+   * trailing-slash CDN link, a relative link and a javascript: link (both
+   * must be dropped), and an uppercase-HREF duplicate-target link.
+   * Mirrored verbatim by the `text_html_links` oracle. */
+  private def linkedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id").cast("string")
+    val k7 = (col("doc_id") % 7).cast("string")
+    val k7b = ((col("doc_id") + 1) % 7).cast("string")
+    val k3 = (col("doc_id") % 3).cast("string")
+    val k5 = (col("doc_id") % 5).cast("string")
+    d.select(col("doc_id"),
+      concat(lit("https://www.site"), k5, lit(".com/page/"), id).as("src_url"),
+      concat(
+        lit("<html><body><p>intro</p><a href=\"HTTP://Site"), k7,
+        lit(".COM:80/p/"), id, lit("?utm_s=x&b=2&a=1#f\">first</a>"),
+        lit("<a href='https://cdn.site"), k7b,
+        lit(".com/asset/"), id, lit("/'>second</a>"),
+        lit("<a href=\"/relative/"), id, lit("\">rel</a>"),
+        lit("<a href=\"javascript:void(0)\">j</a>"),
+        lit("<A HREF=\"https://www.site"), k3,
+        lit(".com/dup\">third</A></body></html>")).as("html"))
+  }
+
   /** IVF index build (deterministic spherical k-means), memoized per
    * (session, dir): real ANN systems build the index once and amortize it
    * over queries — Bench's two passes and knn_ivf_ann/knn_recall share it.
@@ -2835,6 +2861,24 @@ object SparkEntry {
           md5(col("norm_text").cast("binary")).as("h"))
     }),
 
+    "text_html_links" -> ((s, dir) => {
+      // crawl-frontier link extraction feeding the link graph: every
+      // <a href> (any case, either quote style), absolute-http(s)-only,
+      // each target folded through the SAME canonicalizer the URL dedup
+      // uses, plus registered-domain edge endpoints (cdn./www. targets
+      // fold with their bare site) — one row per surviving link, so the
+      // hash pins extraction, filtering and canonicalization byte for byte
+      val host = (u: Column) =>
+        regexp_extract(u, "^https?://([^/?#]*)", 1)
+      TextAnalysis.extractLinks(linkedDocs(s, dir))
+        .select(col("doc_id"),
+          Curation.registeredDomain(host(Curation.canonicalUrl(
+            col("src_url")))).as("src_domain"),
+          Curation.registeredDomain(host(col("target_url")))
+            .as("dst_domain"),
+          col("target_url"))
+    }),
+
     "pipeline_html_curate" -> ((s, dir) => {
       // the composed front-of-pipeline a crawl corpus actually runs:
       // extraction FEEDS curation — the quality filter's word/TTR
@@ -2933,6 +2977,20 @@ object SparkEntry {
 
   private val opSql =
     "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
+
+  /** DuckDB replay of Curation.registeredDomain over a host expression —
+   * the same public-suffix-lite CASE the curate_domain_stats oracle spells
+   * inline (keep the two in sync with TwoLevelSuffixes). */
+  private def regDomSql(h: String): String =
+    s"""CASE WHEN len(string_split($h, '.')) <= 2 THEN $h
+        WHEN list_contains(['co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+            'com.au', 'net.au', 'org.au', 'co.jp', 'co.kr', 'co.in',
+            'co.nz', 'com.br', 'com.cn', 'com.mx', 'com.sg'],
+          string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1])
+        THEN string_split($h, '.')[-3] || '.' ||
+          string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+        ELSE string_split($h, '.')[-2] || '.' ||
+          string_split($h, '.')[-1] END"""
 
   /** The markup fixture CTE — must mirror `markupDocs` byte for byte. */
   private val markupSql =
@@ -4492,6 +4550,68 @@ object SparkEntry {
            CAST(length(norm_text) AS BIGINT) AS n_chars,
            md5(norm_text) AS h
          FROM norm""",
+
+    // src_url is constructed canonical-clean by the fixture (lowercase
+    // https host, no port/params/fragment/trailing slash), so its replay
+    // reduces to host extraction; the href side replays the FULL
+    // canonicalization chain (same CTEs as curate_url_canonical)
+    "text_html_links" ->
+      ("""WITH d AS (SELECT doc_id,
+           'https://www.site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/page/' || CAST(doc_id AS VARCHAR) AS src_url,
+           '<html><body><p>intro</p><a href="HTTP://Site' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+             CAST(doc_id AS VARCHAR) || '?utm_s=x&b=2&a=1#f">first</a>' ||
+             '<a href=''https://cdn.site' ||
+             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/asset/' ||
+             CAST(doc_id AS VARCHAR) || '/''>second</a>' ||
+             '<a href="/relative/' || CAST(doc_id AS VARCHAR) ||
+             '">rel</a>' ||
+             '<a href="javascript:void(0)">j</a>' ||
+             '<A HREF="https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.com/dup">third</A></body></html>' AS html
+           FROM documents),
+         l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
+             'href\s*=\s*["'']([^"'']+)', 1, 'i')) AS href FROM d),
+         a AS (SELECT doc_id, src_url, href FROM l
+           WHERE regexp_matches(href, '(?i)^https?://')),
+         p1 AS (SELECT doc_id, src_url, split_part(href, '#', 1) AS dfr
+           FROM a),
+         p2 AS (SELECT doc_id, src_url,
+             lower(regexp_extract(dfr,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
+               AS scheme,
+             lower(regexp_extract(dfr,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2))
+               AS auth,
+             regexp_replace(regexp_extract(dfr,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3),
+               '/+$', '') AS path,
+             regexp_replace(regexp_extract(dfr,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4),
+               '^\?', '') AS rawq
+           FROM p1),
+         p3 AS (SELECT doc_id, src_url, scheme, path,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             list_sort(list_filter(string_split(rawq, '&'), p ->
+               p <> '' AND NOT starts_with(p, 'utm_')
+               AND NOT list_contains(['gclid', 'fbclid', 'msclkid', 'ref'],
+                 split_part(p, '=', 1)))) AS params
+           FROM p2),
+         c AS (SELECT doc_id, src_url, host AS dst_host,
+             scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&')
+                  ELSE '' END AS target_url
+           FROM p3),
+         f AS (SELECT doc_id,
+             regexp_extract(src_url, '^https?://([^/?#]*)', 1) AS src_host,
+             dst_host, target_url FROM c)
+         SELECT doc_id, """ + regDomSql("src_host") + """ AS src_domain,
+           """ + regDomSql("dst_host") + """ AS dst_domain, target_url
+         FROM f"""),
 
     "pipeline_html_curate" ->
       (htmlExtractSql(5) + """,

@@ -715,4 +715,25 @@ object TextAnalysis {
     docs.withColumn("norm_text", cleaned)
       .withColumn("changed", col("norm_text") =!= col(textCol))
   }
+
+  /**
+   * Anchor-link extraction from markup — the crawl-frontier / link-graph
+   * step between fetch and dedup: every `<a href>` target, case-insensitive
+   * attribute match over single- or double-quoted values, restricted to
+   * absolute http(s) URLs (relative, javascript:, mailto: links are frontier
+   * noise) and folded through [[Curation.canonicalUrl]] so the same page
+   * reached via tracking params / default ports / fragments counts once.
+   *
+   * Output: one row per extracted link — (input row) + `target_url`
+   * (canonical). Downstream rollups (per-domain degree, PageRank edges)
+   * group this; the explode is bounded by links-per-page, and everything
+   * up to the rollup is a narrow codegen'd projection — no shuffle here.
+   */
+  def extractLinks(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .withColumn("href", explode(regexp_extract_all(col(htmlCol),
+        lit("(?i)href\\s*=\\s*[\"']([^\"']+)"), lit(1))))
+      .filter(col("href").rlike("(?i)^https?://"))
+      .withColumn("target_url", Curation.canonicalUrl(col("href")))
+      .drop("href")
 }

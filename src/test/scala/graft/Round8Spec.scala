@@ -315,6 +315,25 @@ class Round8Spec extends SparkSpec {
     assert(m(4L) === (("untouched ascii", false)))  // fast path, unchanged
   }
 
+  test("extractLinks: quote styles, case, filtering, canonical targets") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val html =
+      "<a href=\"HTTP://A.COM:80/x?utm_a=1&b=2#f\">1</a>" +
+      "<A HREF='https://b.com/y/'>2</A>" +
+      "<a href=\"/rel\">3</a><a href=\"javascript:void(0)\">4</a>" +
+      "<a href=\"mailto:x@y.z\">5</a><a href=ftp://c.com/z>6</a>" +
+      "no links here"
+    val out = TextAnalysis.extractLinks(
+        Seq((1L, html), (2L, "<p>none</p>")).toDF("doc_id", "html"))
+      .select("doc_id", "target_url").as[(Long, String)].collect().toSet
+    // unquoted ftp href never matches the quote-delimited pattern; mailto,
+    // javascript and relative links fail the absolute-http(s) gate
+    assert(out === Set(
+      (1L, "http://a.com/x?b=2"),
+      (1L, "https://b.com/y")))
+  }
+
   test("applyPartitionTombstones: Cassandra shadowing semantics") {
     import spark.implicits._
     import graft.operators.CdcOperators

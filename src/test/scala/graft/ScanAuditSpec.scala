@@ -201,6 +201,16 @@ class ScanAuditSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), s"fell out of codegen:\n$p")
   }
 
+  test("text_html_links: explode stays a narrow zero-Exchange projection " +
+    "over one pruned scan") {
+    val p = plan("text_html_links")
+    assert(!p.contains("Exchange"), s"link extraction must not shuffle:\n$p")
+    val scans = scanColumns(p)
+    assert(scans.size === 1 && scans.head === Set("doc_id"),
+      s"expected one doc_id-only scan (fixture derives from doc_id), " +
+        s"saw $scans:\n$p")
+  }
+
   test("cdc_partition_tombstone: tombstone side joins as a pk-keyed " +
     "equi-join (no nested loop), events scanned at most twice") {
     val p = plan("cdc_partition_tombstone")
