@@ -2861,6 +2861,27 @@ object SparkEntry {
           md5(col("norm_text").cast("binary")).as("h"))
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // the full Gopher rule vector (word-count bounds, mean word length,
+      // symbol ratio, bullet/ellipsis line ratios, alpha-word fraction,
+      // distinct-stopword floor) on a fixture that trips each rule on a
+      // different doc_id slice: bullet lines, ellipsis-terminated lines,
+      // hash-symbol runs, numeric (non-alpha) word tails
+      val d = t(s, dir, "documents")
+      val fixture = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+            lit("\n- bullet item one\n- bullet item two")))
+          .when(col("doc_id") % 5 === 1, concat(col("text"),
+            lit("\nso it trails off\u2026\nit ends\u2026\nclosing line here")))
+          .when(col("doc_id") % 5 === 2, concat(col("text"),
+            lit(" ## ## ###")))
+          .when(col("doc_id") % 5 === 3, concat(col("text"),
+            lit(" 1234 5678 9012 3456 7890 2468")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherRules(fixture,
+        stopwords = Seq("the", "a", "data", "key"), minStopwords = 2)
+    }),
+
     "text_html_links" -> ((s, dir) => {
       // crawl-frontier link extraction feeding the link graph: every
       // <a href> (any case, either quote style), absolute-http(s)-only,
@@ -4550,6 +4571,54 @@ object SparkEntry {
            CAST(length(norm_text) AS BIGINT) AS n_chars,
            md5(norm_text) AS h
          FROM norm""",
+
+    "text_gopher_rules" ->
+      """WITH fx AS (SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN text || chr(10) || '- bullet item one' ||
+               chr(10) || '- bullet item two'
+             WHEN 1 THEN text || chr(10) || 'so it trails off' || chr(8230) ||
+               chr(10) || 'it ends' || chr(8230) || chr(10) ||
+               'closing line here'
+             WHEN 2 THEN text || ' ## ## ###'
+             WHEN 3 THEN text || ' 1234 5678 9012 3456 7890 2468'
+             ELSE text END AS text
+           FROM documents),
+         m AS (SELECT doc_id, text,
+             regexp_split_to_array(text, '\s+') AS w,
+             string_split(text, chr(10)) AS lines,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS char_sum,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST(len(text) - len(replace(text, chr(8230), '')) AS BIGINT)
+               AS n_ell
+           FROM fx),
+         r AS (SELECT doc_id, n_words,
+             CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
+             CAST(n_hash + n_ell AS DOUBLE) / n_words AS symbol_ratio,
+             CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+               OR starts_with(l, '* '))) AS DOUBLE) / len(lines)
+               AS bullet_ratio,
+             CAST(len(list_filter(lines, l -> ends_with(l, chr(8230))
+               OR ends_with(l, '...'))) AS DOUBLE) / len(lines)
+               AS ellipsis_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / n_words AS alpha_frac,
+             CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(w, 'data') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(w, 'key') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop_kinds
+           FROM m)
+         SELECT *,
+           n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+             AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
+             AND n_stop_kinds >= 2 AS admitted
+         FROM r""",
 
     // src_url is constructed canonical-clean by the fixture (lowercase
     // https host, no port/params/fragment/trailing slash), so its replay

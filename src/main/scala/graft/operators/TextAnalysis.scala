@@ -736,4 +736,60 @@ object TextAnalysis {
       .filter(col("href").rlike("(?i)^https?://"))
       .withColumn("target_url", Curation.canonicalUrl(col("href")))
       .drop("href")
+
+  /**
+   * The Gopher quality-rule vector (Rae et al. 2021, appendix A1.1) — the
+   * full repetition-independent rule set, complementing [[qualityFilter]]'s
+   * TTR screen: word-count bounds, mean-word-length window, symbol-to-word
+   * ratio (# and ellipsis), bullet-line and ellipsis-line ratios,
+   * alphabetic-word fraction, and a minimum count of DISTINCT stop words
+   * present (the stop list is a parameter: Gopher's English set is
+   * corpus-specific). Emits every signal plus the composite `admitted`, so
+   * downstream can re-threshold without recomputing.
+   *
+   * All signals are codegen'd string/array built-ins over one pass — no
+   * shuffle, no UDF; ratios are single IEEE divisions of exact counts
+   * (engine-portable bit-for-bit).
+   */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with"),
+                  minStopwords: Int = 2): DataFrame = {
+    val txt = col("text")
+    val w = split(txt, "\\s+")
+    val nWords = size(w).cast("long")
+    val charSum = length(regexp_replace(txt, "\\s+", "")).cast("long")
+    val nHash = (length(txt) - length(regexp_replace(txt, "#", ""))).cast("long")
+    val nEll = (length(txt) - length(regexp_replace(txt, "\u2026", ""))).cast("long")
+    val lines = split(txt, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllLine = size(filter(lines,
+      l => l.endsWith("\u2026") || l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(w, _.rlike("[A-Za-z]"))).cast("long")
+    val nStop = stopwords.map(sw =>
+      when(array_contains(w, sw), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col("doc_id"),
+        nWords.as("n_words"),
+        (charSum.cast("double") / nWords).as("mean_word_len"),
+        ((nHash + nEll).cast("double") / nWords).as("symbol_ratio"),
+        (nBullet.cast("double") / nLines).as("bullet_ratio"),
+        (nEllLine.cast("double") / nLines).as("ellipsis_ratio"),
+        (nAlpha.cast("double") / nWords).as("alpha_frac"),
+        nStop.as("n_stop_kinds"))
+      .withColumn("admitted",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop_kinds") >= minStopwords)
+  }
 }

@@ -315,6 +315,30 @@ class Round8Spec extends SparkSpec {
     assert(m(4L) === (("untouched ascii", false)))  // fast path, unchanged
   }
 
+  test("gopherRules: each rule trips independently on a hand fixture") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val good = "the quick data brown key fox jumps over lazy dogs " * 6
+    val docs = Seq(
+      (1L, good.trim),                                  // admitted
+      (2L, "the a data key"),                           // too few words
+      (3L, good.trim + " ## ## ## ## ## ## ## ## ## ##"), // symbol ratio
+      (4L, good.trim + "\n- b one\n- b two\n- b three\n- b four\n" +
+        "- b five\n- b six\n- b seven\n- b eight\n- b nine\n- b ten"),
+      (5L, good.trim.replace("data", "1234")),          // stopword floor
+      (6L, ("ab " * 60).trim))                          // mean len + stop
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherRules(docs, minWords = 50,
+        stopwords = Seq("the", "a", "data", "key"), minStopwords = 4)
+      .select("doc_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(m(1L) === true)
+    assert(m(2L) === false)  // n_words < 50
+    assert(m(3L) === false)  // symbol_ratio > 0.1
+    assert(m(4L) === false)  // 10 of 11 lines bulleted > 0.9
+    assert(m(5L) === false)  // only 3 of 4 stop kinds present
+    assert(m(6L) === false)  // mean word length 2 < 3
+  }
+
   test("extractLinks: quote styles, case, filtering, canonical targets") {
     import spark.implicits._
     import graft.operators.TextAnalysis

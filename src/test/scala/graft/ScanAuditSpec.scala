@@ -201,6 +201,15 @@ class ScanAuditSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), s"fell out of codegen:\n$p")
   }
 
+  test("text_gopher_rules: all signals in one pass — single pruned scan, " +
+    "zero Exchange") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange"), s"rule vector must not shuffle:\n$p")
+    val scans = scanColumns(p)
+    assert(scans.size === 1 && scans.head === Set("doc_id", "text"),
+      s"expected one (doc_id, text) scan, saw $scans:\n$p")
+  }
+
   test("text_html_links: explode stays a narrow zero-Exchange projection " +
     "over one pruned scan") {
     val p = plan("text_html_links")
