@@ -318,7 +318,8 @@ class Round8Spec extends SparkSpec {
   test("gopherRules: each rule trips independently on a hand fixture") {
     import spark.implicits._
     import graft.operators.TextAnalysis
-    val good = "the quick data brown key fox jumps over lazy dogs " * 6
+    // 11 words/repeat; all four stop kinds (the, a, data, key) standalone
+    val good = "the quick data brown key fox jumps over a lazy dog " * 6
     val docs = Seq(
       (1L, good.trim),                                  // admitted
       (2L, "the a data key"),                           // too few words

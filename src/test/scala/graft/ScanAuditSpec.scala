@@ -198,7 +198,17 @@ class ScanAuditSpec extends SparkSpec {
     val scans = scanColumns(p)
     assert(scans.size === 1 && scans.head === Set("doc_id", "text"),
       s"expected one (doc_id, text) scan, saw $scans:\n$p")
-    assert(p.contains("WholeStageCodegen"), s"fell out of codegen:\n$p")
+    // executedPlan.toString renders codegen stages as "*(n) …", never the
+    // literal node-class name — walk the tree for the exec node instead,
+    // and require the NFC expression to live INSIDE a codegen stage.
+    val exec = SparkEntry.queries("text_normalize_unicode")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    val codegenStages = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, s"no WholeStageCodegenExec in:\n$p")
+    assert(codegenStages.exists(_.toString.contains("nfcnormalize")),
+      s"nfcnormalize fell out of codegen:\n$p")
   }
 
   test("text_gopher_rules: all signals in one pass — single pruned scan, " +

@@ -18,6 +18,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SQL-name resolution (nfc_normalize, …) must not depend on which
+    // suite happens to run first — register on the shared session here.
+    GraftExtensions.register(s)
     s
   }
 }

@@ -72,6 +72,10 @@ class StreamingMixSpec extends SparkSpec {
     val input = MemoryStream[MixDoc]
     val mix = new StreamingTemperatureMix("lang", "doc_id")
     val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Data must land BEFORE start(): AvailableNow snapshots the end
+    // offset at query start, so a post-start addData can race a zero-
+    // batch termination under machine load.
+    input.addData(corpus)
     val q = input.toDF().writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -82,8 +86,7 @@ class StreamingMixSpec extends SparkSpec {
         }: Unit
       }
       .start()
-    input.addData(corpus)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     // one batch saw everything -> exactly the batch-mode sample
     val batch = TrainingMix.temperatureSample(corpus.toDF(), "lang", "doc_id")
       .select($"doc_id").as[Long].collect().sorted
