@@ -55,6 +55,11 @@ def main(argv):
     for p in paths:
         art = json.load(open(p))
         art_corpus = art.get("corpus", "")
+        if hist and not prior_corpus and art_corpus:
+            sys.exit(f"{p}: loaded history predates corpus fingerprinting "
+                     f"(no _corpus) but the artifact carries corpus "
+                     f"{art_corpus}; merging would stamp old-corpus minima "
+                     f"with the new fingerprint — use --replace")
         if corpus and art_corpus and art_corpus != corpus:
             sys.exit(f"{p}: artifact corpus {art_corpus} != history corpus "
                      f"{corpus}; cross-corpus minima are not comparable — "

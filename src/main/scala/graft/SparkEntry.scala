@@ -3051,7 +3051,7 @@ object SparkEntry {
        ne AS (SELECT * FROM ln WHERE line <> ''),
        kp AS (SELECT * FROM ne WHERE regexp_matches(line, '[.!?"]$$')
          AND len(string_split(line, ' ')) >= $minWords
-         AND NOT contains(line, 'javascript')
+         AND NOT contains(lower(line), 'javascript')
          AND NOT contains(line, '{') AND NOT contains(line, '}')),
        nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
          FROM ne GROUP BY 1),
@@ -4592,8 +4592,9 @@ object SparkEntry {
              CAST(len(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
                AS char_sum,
              CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-             CAST(len(text) - len(replace(text, chr(8230), '')) AS BIGINT)
-               AS n_ell
+             CAST(len(text) - len(replace(text, chr(8230), ''))
+               + (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+               AS BIGINT) AS n_ell
            FROM fx),
          r AS (SELECT doc_id, n_words,
              CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,

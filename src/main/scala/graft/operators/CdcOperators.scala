@@ -309,8 +309,11 @@ object CdcOperators {
                    versions: Seq[(Long, Seq[String])],
                    tombstone: Column): DataFrame = {
     require(versions.nonEmpty, "at least one schema version")
-    require(versions.map(_._1) == versions.map(_._1).sorted,
-      "versions must be ascending by starting segment")
+    require(versions.map(_._1).sliding(2).forall(p =>
+        p.size < 2 || p(0) < p(1)),
+      "versions must be strictly ascending by starting segment — a " +
+        "duplicate boundary silently shadows the earlier version in the " +
+        "CASE chain")
     val seg = col(segmentCol)
     // highest boundary first so the first matching WHEN wins
     val desc = versions.zipWithIndex.tail.reverse

@@ -290,8 +290,9 @@ object Curation {
    *  - scheme and authority case-folded (RFC 3986 §6.2.2.1: both are
    *    case-insensitive; the PATH is not and keeps its case);
    *  - default port stripped (`:80` for http, `:443` for https);
-   *  - tracking parameters removed: any `utm_*`, plus
-   *    gclid/fbclid/msclkid/ref — they vary per click, never per page;
+   *  - tracking parameters removed: any `utm_*`, plus the names in
+   *    `trackingParams` (default [[DefaultTrackingParams]]) — they vary
+   *    per click, never per page;
    *  - remaining query params SORTED (param order is almost always
    *    insignificant; sorting folds `?b=2&a=1` with `?a=1&b=2`);
    *  - trailing slash(es) stripped from the path (`/a/` ≡ `/a`, and the
@@ -300,7 +301,9 @@ object Curation {
    * Pure string/array expressions (regexp_extract groups + a filtered,
    * sorted param list) — no UDF, engine-portable for the oracle.
    */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column,
+                   trackingParams: Seq[String] = DefaultTrackingParams)
+      : Column = {
     val P = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?"
     val defrag = substring_index(url, "#", 1)
     val scheme = lower(regexp_extract(defrag, P, 1))
@@ -312,11 +315,20 @@ object Curation {
     val rawQ = regexp_replace(regexp_extract(defrag, P, 4), "^\\?", "")
     val params = array_sort(filter(split(rawQ, "&"), p =>
       p =!= "" && !p.startsWith("utm_") &&
-        !substring_index(p, "=", 1).isin("gclid", "fbclid", "msclkid", "ref")))
+        !substring_index(p, "=", 1)
+          .isin(trackingParams.map(x => x: Any): _*)))
     concat(scheme, lit("://"), host, path,
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
   }
+
+  /** Default per-click (never per-page) query params stripped by
+   * [[canonicalUrl]]. A parameter so deployments where a name is
+   * SEMANTIC (e.g. `ref` selecting a branch/ref view) can exclude it —
+   * unconditional stripping there would merge genuinely different pages
+   * in urlDedup and discard one. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref")
 
   /** Common two-level public suffixes for [[registeredDomain]] — the
    * pragmatic subset a crawl pipeline hardcodes when it cannot ship the

@@ -641,7 +641,8 @@ object TextAnalysis {
     val nonEmpty = filter(norm, l => l =!= "")
     val kept = filter(nonEmpty, l =>
       l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords &&
-        !l.contains("javascript") && !l.contains("{") && !l.contains("}"))
+        !lower(l).contains("javascript") && !l.contains("{") &&
+        !l.contains("}"))
     docs.select(col("doc_id"),
       size(nonEmpty).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
@@ -764,7 +765,10 @@ object TextAnalysis {
     val nWords = size(w).cast("long")
     val charSum = length(regexp_replace(txt, "\\s+", "")).cast("long")
     val nHash = (length(txt) - length(regexp_replace(txt, "#", ""))).cast("long")
-    val nEll = (length(txt) - length(regexp_replace(txt, "\u2026", ""))).cast("long")
+    // Gopher A1.1 counts both the one-char ellipsis and three-dot '...';
+    // non-overlapping regex match, so '....' counts once.
+    val nEll = (length(txt) - length(regexp_replace(txt, "\u2026", "")) +
+      (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long")
     val lines = split(txt, "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines,
