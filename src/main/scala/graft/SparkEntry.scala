@@ -2062,6 +2062,18 @@ object SparkEntry {
       // (PulsarCassandraSourceTests.java:261-343) as an oracle-checked row
       graft.streaming.PipelineE2E.streamedEnrichedEvents(s, dir)),
 
+    "cdc_pipeline_crashed" -> ((s, dir) =>
+      // T7 crash recovery promoted to the oracle gate: the SAME fixture
+      // and dataflow as cdc_pipeline_streamed, but the pipeline drains in
+      // a CHILD JVM that the parent SIGKILLs mid-drain (real process
+      // death, torn batch and all); a second child restarts on the same
+      // checkpoint and converges. Hash-matching the same un-compacted
+      // LEFT-JOIN oracle certifies exactly-once across the crash: offset
+      // replay without loss, per-epoch overwrite without duplication,
+      // dedup state restored without amnesia. Reference analog:
+      // testPulsarReconnection + CommitLogReaderService.java:266-323.
+      graft.streaming.PipelineE2E.crashedEnrichedEvents(s, dir)),
+
     "cdc_dedup_metrics" -> ((s, dir) => {
       // A2 observability: received/emitted/cache-hit-ratio on the RF-2
       // fixture — must reproduce the reference's 0.5 hit ratio
@@ -5043,6 +5055,16 @@ object SparkEntry {
     // RF-2 replicas and the cross-batch tail redeliveries for the row set
     // to match — the streaming state machinery is what the hash observes
     "cdc_pipeline_streamed" ->
+      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // identical oracle to cdc_pipeline_streamed BY DESIGN: a crash plus
+    // restart must converge to exactly the no-crash row set — any loss
+    // (torn offsets), duplication (appending replay), or dedup-state
+    // amnesia (re-emitted tail redeliveries) breaks the hash
+    "cdc_pipeline_crashed" ->
       s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
          CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
          epoch_us(e.ts) AS writetime

@@ -103,8 +103,14 @@ object PipelineE2E {
    * change the row set, where a compacted view could mask them (a
    * duplicate and its original are bitwise identical after enrichment).
    */
-  def streamedEnrichedEvents(spark: SparkSession, sfDir: String,
-                             nSegs: Int = 8): DataFrame = {
+  /** Build the deterministic streamed-pipeline fixture — RF-2 replicated
+   * events sliced into `nSegs` commitlog CSV segment files by event_id
+   * range, with each segment's last mutation per key re-appended to the
+   * NEXT file (at-least-once tail redelivery) — in a fresh work dir
+   * (deleted at JVM exit) containing `commitlog/`. Shared by the streamed
+   * row and the crash-recovery row so both hash against the SAME oracle. */
+  private[graft] def buildCommitLogFixture(spark: SparkSession, sfDir: String,
+                                           nSegs: Int): java.io.File = {
     import org.apache.spark.sql.expressions.Window
     val events8 = Cdc.eventsFromRaw(Cdc.rawEvents(spark, sfDir))
       .select(col("event_id"), col("key"), col("op"), col("writetime"),
@@ -123,6 +129,13 @@ object PipelineE2E {
     val work = tempDir("graft_stream_e2e_")
     val logDir = new java.io.File(work, "commitlog"); logDir.mkdirs()
     writeCommitLogSegments(base.unionByName(redelivered), logDir)
+    work
+  }
+
+  def streamedEnrichedEvents(spark: SparkSession, sfDir: String,
+                             nSegs: Int = 8): DataFrame = {
+    val work = buildCommitLogFixture(spark, sfDir, nSegs)
+    val logDir = new java.io.File(work, "commitlog")
 
     val outDir = new java.io.File(work, "out").getAbsolutePath
     val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
@@ -146,6 +159,114 @@ object PipelineE2E {
     spark.read.parquet(s"$outDir/batch")
       .select(col("key"), col("event_id"), col("op"),
         col("value").getField("c_name").as("c_name"), col("writetime"))
+  }
+
+  /** Spawn a child JVM running [[graft.tools.PipelineDrainMain]] over the
+   * fixture — the pipeline in its OWN process so a kill is a real process
+   * death, not a thread interrupt. Inherits this JVM's classpath and
+   * --add-opens flags; stdout+stderr go to `logFile` for post-mortems. */
+  private def spawnPipelineJvm(sfDir: String, logDir: java.io.File,
+                               outDir: java.io.File, ckptDir: java.io.File,
+                               logFile: java.io.File): Process = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent")
+        || a.startsWith("-Xrunjdwp") || a.startsWith("-Xmx")
+        || a.startsWith("-Xms"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx3g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.PipelineDrainMain", sfDir, logDir.getAbsolutePath,
+      outDir.getAbsolutePath, ckptDir.getAbsolutePath)
+    new ProcessBuilder(cmd.asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(logFile))
+      .start()
+  }
+
+  /**
+   * The streamed pipeline surviving a REAL process death — SURVEY.md §2.7
+   * T7, the Spark analog of the reference's kill-and-reconnect recovery
+   * (testPulsarReconnection; offset replay in
+   * CommitLogReaderService.java:266-323): the SAME fixture as
+   * [[streamedEnrichedEvents]] drains in a CHILD JVM
+   * (maxSegmentsPerBatch=1, so the drain spans many micro-batches), the
+   * parent SIGKILLs it after the first epoch directory appears — mid-drain,
+   * possibly mid-batch, no graceful stop, no sink commit — then a second
+   * child restarts on the SAME checkpoint and drains to completion.
+   *
+   * The converged sink must hash-match the SAME un-compacted LEFT-JOIN
+   * oracle as the streamed row: one record per original event. That is
+   * only true if (a) the checkpointed (segment, position) offsets replay
+   * the torn batch without loss, (b) the per-epoch overwrite sink rewrites
+   * rather than appends on replay, and (c) the restored dedup state still
+   * suppresses the cross-batch tail redeliveries — loss, duplication, or
+   * state amnesia each change the row set.
+   *
+   * Guards, fail-loud: the kill must land while the child is alive with
+   * >=1 epoch written, and the finisher must ADD epochs (so recovery work
+   * demonstrably happened). Timing can in principle degenerate (the child
+   * drains fully before the kill) — such attempts are discarded and
+   * retried, never silently accepted; all-degenerate attempts throw.
+   */
+  def crashedEnrichedEvents(spark: SparkSession, sfDir: String,
+                            nSegs: Int = 8, maxAttempts: Int = 3): DataFrame = {
+    def attempt(): Either[String, DataFrame] = {
+      val work = buildCommitLogFixture(spark, sfDir, nSegs)
+      val logDir = new java.io.File(work, "commitlog")
+      val outDir = new java.io.File(work, "out")
+      val ckptDir = new java.io.File(work, "ckpt")
+      def epochs(): Int =
+        Option(new java.io.File(outDir, "batch").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("epoch="))
+
+      val victim = spawnPipelineJvm(sfDir, logDir, outDir, ckptDir,
+        new java.io.File(work, "victim.log"))
+      val armed =
+        try {
+          val deadline = System.currentTimeMillis() + 180000
+          while (victim.isAlive && epochs() < 1 &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(25)
+          victim.isAlive && epochs() >= 1
+        } finally {
+          victim.destroyForcibly()
+          victim.waitFor(30, java.util.concurrent.TimeUnit.SECONDS); ()
+        }
+      val epochsAtKill = epochs()
+      if (!armed)
+        return Left(s"victim exited before the kill could land mid-drain " +
+          s"($epochsAtKill epochs at exit)")
+
+      val finisher = spawnPipelineJvm(sfDir, logDir, outDir, ckptDir,
+        new java.io.File(work, "finisher.log"))
+      if (!finisher.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+        finisher.destroyForcibly()
+        return Left("finisher did not drain within 600 s")
+      }
+      if (finisher.exitValue() != 0) {
+        val tail = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(work, "finisher.log").toPath))
+          .takeRight(1500)).getOrElse("")
+        return Left(s"finisher rc=${finisher.exitValue()}, log tail:\n$tail")
+      }
+      val finalEpochs = epochs()
+      if (finalEpochs <= epochsAtKill)
+        return Left(s"kill landed after the drain completed " +
+          s"($epochsAtKill epochs) — recovery was a no-op")
+      Right(spark.read.parquet(s"${outDir.getAbsolutePath}/batch")
+        .select(col("key"), col("event_id"), col("op"),
+          col("value").getField("c_name").as("c_name"), col("writetime")))
+    }
+    var last = "no attempt ran"
+    for (_ <- 1 to maxAttempts) attempt() match {
+      case Right(df) => return df
+      case Left(why) => last = why
+    }
+    sys.error(s"crash-recovery fixture degenerated in all $maxAttempts " +
+      s"attempts — last: $last")
   }
 
   /**

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Cdc
+import graft.streaming.{CdcPipeline, StreamingDedup}
+
+/**
+ * Child-JVM driver for the crash-recovery oracle row
+ * ([[graft.streaming.PipelineE2E.crashedEnrichedEvents]]): run the full
+ * CDC pipeline over a pre-built commitlog fixture with AvailableNow and
+ * maxSegmentsPerBatch=1 — one segment file per micro-batch, so the drain
+ * spans many batches and the parent's SIGKILL reliably lands mid-drain —
+ * then exit 0 once drained. The SAME invocation serves as victim (parent
+ * kills it) and finisher (parent lets it converge on the checkpoint the
+ * victim left behind); crash-vs-finish is purely the parent's doing, as
+ * with a real deployment's process supervisor.
+ */
+object PipelineDrainMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: PipelineDrainMain <sfDir> <logDir> <outDir> <ckptDir>")
+    val Array(sfDir, logDir, outDir, ckptDir) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-pipeline-drain")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val customer = Cdc.table(spark, sfDir, "customer")
+    val q = CdcPipeline.start(spark, logDir,
+      () => customer, Seq("c_name"), "c_custkey", outDir, ckptDir,
+      maxDigests = StreamingDedup.DefaultMaxDigests, ttlMs = 0L,
+      sourceFormat = "commitlog", tokenPartitions = 0,
+      trigger = Trigger.AvailableNow(),
+      sourceOptions = Map("maxSegmentsPerBatch" -> "1"))
+    q.awaitTermination()
+    spark.stop()
+  }
+}
