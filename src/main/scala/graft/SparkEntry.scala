@@ -59,6 +59,44 @@ object SparkEntry {
         "it.</p></body></html>")).as("html"))
   }
 
+  /** Deterministic WARC fixture for the crawl-ingest rows: each blob is a
+   * spec-compliant warc.gz — warcinfo + request noise members the walk
+   * must skip, then the markup page as a gzipped HTTP-response record.
+   * Charset resolution cycles doc_id % 3 through all three browser paths:
+   * 0 = ISO-8859-1 declared in the HTTP header (page gains a Latin-1
+   * closing paragraph so 8-bit decode is real), 1 = UTF-8 in the header,
+   * 2 = no header charset but a `<meta charset>` tag (sniff path). Docs
+   * with doc_id % 11 = 0 carry a second, 404 response record the
+   * extraction must parse and then drop. Mirrored by `warcMarkupSql`. */
+  private def warcDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WarcFunctions._
+    val id = col("doc_id").cast("string")
+    val k3 = col("doc_id") % 3
+    val metaed = when(k3 === 2, replace(col("html"),
+        lit("<html><head>"), lit("<html><head><meta charset=\"utf-8\">")))
+      .otherwise(col("html"))
+    val paged = when(k3 === 0, replace(metaed, lit("</body></html>"),
+        lit("<p>Caf\u00e9 d\u00e9j\u00e0-vu will r\u00e9appear at the " +
+          "caf\u00e9 tomorrow.</p></body></html>")))
+      .otherwise(metaed)
+    val ctype = when(k3 === 0, lit("text/html; charset=ISO-8859-1"))
+      .when(k3 === 1, lit("text/html; charset=UTF-8"))
+      .otherwise(lit("text/html"))
+    val site = concat(lit("https://warc.site"),
+      (col("doc_id") % 5).cast("string"), lit(".com/"))
+    val extra404 = when(col("doc_id") % 11 === 0,
+      warc_response_gz(concat(site, lit("missing/"), id), lit(404),
+        lit("text/html"),
+        lit("<html><body><p>This page was not found on this server " +
+          "today.</p></body></html>")))
+      .otherwise(lit(Array.empty[Byte]))
+    markupDocs(s, dir).select(col("doc_id"),
+      concat(warc_noise_gz,
+        warc_response_gz(concat(site, lit("doc/"), id), lit(200), ctype,
+          paged),
+        extra404).as("warc"))
+  }
+
   /** Deterministic anchor-link fixture for the link-graph rows: each page
    * (src_url derived from doc_id) carries five anchors — a shouting-case
    * host with default port + tracking params + fragment, a single-quoted
@@ -2928,6 +2966,35 @@ object SparkEntry {
           col("n_words"), col("ttr"), col("keep"))
     }),
 
+    "text_warc_extract" -> ((s, dir) =>
+      // the TRUE web-corpus front door: spec-compliant warc.gz blobs
+      // (gzip member split with CRC/ISIZE verification, warcinfo+request
+      // noise records skipped, Content-Length framing, HTTP parse,
+      // header/meta/default charset resolution incl. a REAL ISO-8859-1
+      // byte round-trip, 404 records parsed then dropped) → the same
+      // boilerplate extraction as text_html_extract. DuckDB replays the
+      // markup + extraction rules and the expected provenance columns —
+      // a green hash proves the whole binary path is identity-correct.
+      TextAnalysis.warcExtract(warcDocs(s, dir))),
+
+    "pipeline_warc_curate" -> ((s, dir) => {
+      // the composed crawl-ingest chain from raw archive bytes: WARC
+      // record walk FEEDS extraction FEEDS the quality filter — the
+      // pipeline_html_curate coupling pushed one stage earlier, so this
+      // row pins that curation arithmetic runs on text that came out of
+      // the binary front door, charset decode included
+      val extracted = TextAnalysis.warcExtract(warcDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
+        col("n_kept"),
+        replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
     "text_blocklist" -> ((s, dir) =>
       // C4-style substring blocklist admission: per-doc banned-term hit
       // count (replace-and-measure, recall-first substring semantics),
@@ -3043,13 +3110,31 @@ object SparkEntry {
          'it.</p></body></html>' AS html
        FROM documents)"""
 
-  /** SQL replay of TextAnalysis.htmlExtract over the markup fixture,
+  /** The WARC markup variant: the same page as `markupSql`, plus the two
+   * conditional pieces the charset machinery needs — a `<meta charset>`
+   * tag on the sniffed slice (doc_id%3=2) and a Latin-1 closing paragraph
+   * on the ISO-8859-1 slice (doc_id%3=0). Must mirror `warcDocs`. */
+  private val warcMarkupSql =
+    markupSql + """,
+     wmeta AS (SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 2 THEN replace(html, '<html><head>',
+           '<html><head><meta charset="utf-8">') ELSE html END AS html
+       FROM h),
+     wm AS (SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN replace(html, '</body></html>',
+           '<p>Caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) ||
+           '-vu will r' || chr(233) || 'appear at the caf' || chr(233) ||
+           ' tomorrow.</p></body></html>') ELSE html END AS html
+       FROM wmeta)"""
+
+  /** SQL replay of TextAnalysis.htmlExtract over a markup fixture CTE,
    * ending in CTE `ext(doc_id, lang, n_lines, n_kept, clean_text)`. */
-  private def htmlExtractSql(minWords: Int): String =
-    s"""WITH $markupSql,
+  private def htmlExtractSql(minWords: Int, markup: String = markupSql,
+                             src: String = "h"): String =
+    s"""WITH $markup,
        c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(html,
            '<script[^>]*>.*?</script>', ' ', 'gis'),
-           '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM h),
+           '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM $src),
        c2 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(x,
            '</p>|</div>|</li>|</h[1-6]>|<br */?>', chr(10), 'gi'),
            '<[^>]*>', ' ', 'g') AS x FROM c1),
@@ -3070,10 +3155,11 @@ object SparkEntry {
        nk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
            string_agg(line, chr(10) ORDER BY pos) AS clean_text
          FROM kp GROUP BY 1),
-       ext AS (SELECT h.doc_id, h.lang, COALESCE(nl.n_lines, 0) AS n_lines,
+       ext AS (SELECT $src.doc_id, $src.lang,
+           COALESCE(nl.n_lines, 0) AS n_lines,
            COALESCE(nk.n_kept, 0) AS n_kept,
            COALESCE(nk.clean_text, '') AS clean_text
-         FROM h LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
+         FROM $src LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
 
   /** Shared by text_segment_dedup (batch) and text_segment_dedup_streamed
    * (real streaming run): both must hash to this answer. */
@@ -4697,6 +4783,40 @@ object SparkEntry {
 
     "pipeline_html_curate" ->
       (htmlExtractSql(5) + """,
+       fl AS (SELECT doc_id, n_lines, n_kept,
+           replace(clean_text, chr(10), ' ') AS text FROM ext),
+       q AS (SELECT doc_id, n_lines, n_kept,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_lines, n_kept, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    // the WARC blob is opaque to SQL — but the fixture is deterministic
+    // and the codec must be IDENTITY-correct, so the oracle replays the
+    // expected post-decode state: the warc markup variant (meta tag on
+    // the sniff slice, Latin-1 paragraph on the ISO-8859-1 slice) through
+    // the same extraction rules, plus the provenance columns the record
+    // walk must have produced (URI from the fixture arithmetic, status
+    // 200 because the 404 record must be dropped, charset/src per the
+    // doc_id % 3 resolution path)
+    "text_warc_extract" ->
+      (htmlExtractSql(5, warcMarkupSql, "wm") + """
+       SELECT doc_id,
+         'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
+           '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+         CAST(200 AS BIGINT) AS http_status,
+         CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1'
+              ELSE 'utf-8' END AS charset,
+         CASE WHEN doc_id % 3 = 2 THEN 'meta' ELSE 'header' END
+           AS charset_src,
+         n_lines, n_kept, clean_text
+       FROM ext"""),
+
+    "pipeline_warc_curate" ->
+      (htmlExtractSql(5, warcMarkupSql, "wm") + """,
        fl AS (SELECT doc_id, n_lines, n_kept,
            replace(clean_text, chr(10), ' ') AS text FROM ext),
        q AS (SELECT doc_id, n_lines, n_kept,

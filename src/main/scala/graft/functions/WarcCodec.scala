@@ -1,0 +1,462 @@
+package graft.functions
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * A REAL (subset) WARC reader in pure JVM — the TRUE front door of a web
+ * corpus: C4, RefinedWeb and FineWeb all start from Common-Crawl WARC
+ * files, not bare HTML strings. This parses the public ISO 28500 WARC/1.0
+ * format as crawled archives actually ship it: a concatenation of
+ * per-record gzip members, each member one WARC record (version line,
+ * named headers, `Content-Length`-framed content block, CRLF CRLF
+ * separator), response records carrying a full HTTP/1.x response whose
+ * body is the page markup.
+ *
+ * The walk follows the [[AviCodec]] container discipline — sequential,
+ * bounds-checked framing that never trusts a length field without
+ * re-checking it against the remaining bytes:
+ *
+ *  - gzip members are split by parsing each member header (magic, CM=8,
+ *    FLG-gated EXTRA/NAME/COMMENT/HCRC fields), raw-inflating with a hard
+ *    decode-bomb cap, and verifying BOTH trailer fields (CRC32 + ISIZE)
+ *    before advancing — a truncated or corrupt member rejects with a
+ *    precise reason, never a silent short read;
+ *  - WARC records are framed by their `Content-Length` header, checked
+ *    against the remaining buffer;
+ *  - the HTTP payload splits at the first CRLF CRLF; when an HTTP
+ *    `Content-Length` is present it must match the actual body;
+ *  - the body charset resolves like a browser: `charset=` in the HTTP
+ *    `Content-Type` header first, else a `<meta charset=…>` /
+ *    `http-equiv` sniff over the first [[SniffBytes]] body bytes, else
+ *    UTF-8 — and the resolution source is reported (`header` / `meta` /
+ *    `default`) so a pipeline can audit its decode provenance.
+ *
+ * Non-response records (warcinfo, request, metadata, …) are parsed —
+ * their framing must be valid or the file is rejected — but only
+ * `response` records surface rows. Uncompressed WARC (starts with
+ * `WARC/`) is accepted too.
+ *
+ * Scale shape: one record walk per blob, pure narrow expression — on a
+ * real cluster the blobs arrive as a binary column (e.g. via
+ * `binaryFile` or an object-store manifest) and extraction adds zero
+ * Exchange to the plan.
+ *
+ * The encode side ([[responsePageGz]], [[noiseGz]]) synthesizes
+ * spec-compliant fixtures the same way [[PngCodec.encode]] does for
+ * images: deterministic gzip (MTIME=0, OS=255), fixed WARC-Date, so
+ * tests and oracle rows are byte-stable.
+ *
+ * Reference scope note: the reference treats payload blobs opaquely
+ * (`AbstractNativeConverter.java:82-88` forwards bytes); WARC-level
+ * content ingestion is an engine extension for web-scale training data.
+ */
+object WarcCodec {
+
+  /** Decode-bomb cap per gzip member (inflated bytes). */
+  private val MaxInflatedBytes: Int = 1 << 26
+  /** Hard cap on records per blob (allocation guard). */
+  private val MaxRecords: Int = 1 << 16
+  /** How many body bytes the meta-charset sniff may examine. */
+  private val SniffBytes: Int = 1024
+
+  private def need(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new IllegalArgumentException(s"warc: $msg")
+
+  // ---------------------------------------------------------------- gzip
+
+  /** One deterministic gzip member wrapping `payload` (MTIME=0, OS=255). */
+  def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(payload)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new CRC32()
+    crc.update(payload)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(payload.length.toLong)
+    out.toByteArray
+  }
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+
+  private def le32u(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Split + inflate the per-record gzip members; every member's header
+   * fields, CRC32 and ISIZE are verified. Uncompressed WARC passes
+   * through whole. */
+  def inflateMembers(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    need(bytes.nonEmpty, "empty input")
+    if (bytes.length >= 5 &&
+        new String(bytes, 0, 5, StandardCharsets.US_ASCII) == "WARC/")
+      return Seq(bytes)
+    val out = Seq.newBuilder[Array[Byte]]
+    var p = 0
+    var n = 0
+    while (p < bytes.length) {
+      need(bytes.length - p >= 10, s"truncated gzip header at $p")
+      need((bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b,
+        s"bad gzip magic at $p")
+      need((bytes(p + 2) & 0xff) == 8,
+        s"unsupported gzip method ${bytes(p + 2) & 0xff} at $p")
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        need(bytes.length - q >= 2, s"truncated FEXTRA at $q")
+        q += 2 + le16(bytes, q)
+      }
+      def skipZeroTerminated(field: String): Unit = {
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        need(q < bytes.length, s"unterminated $field at member $p")
+        q += 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      need(q <= bytes.length, s"truncated gzip header fields at $p")
+      val inf = new Inflater(true)
+      inf.setInput(bytes, q, bytes.length - q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        need(bos.size().toLong + k <= MaxInflatedBytes,
+          s"member at $p inflates past $MaxInflatedBytes bytes")
+        bos.write(buf, 0, k)
+      }
+      need(inf.finished(), s"truncated deflate stream in member at $p")
+      val consumed = (bytes.length - q) - inf.getRemaining
+      inf.end()
+      val data = bos.toByteArray
+      val t = q + consumed
+      need(bytes.length - t >= 8, s"truncated gzip trailer at $t")
+      val crc = new CRC32()
+      crc.update(data)
+      need(crc.getValue == le32u(bytes, t),
+        s"gzip CRC mismatch in member at $p")
+      need((data.length.toLong & 0xffffffffL) == le32u(bytes, t + 4),
+        s"gzip ISIZE mismatch in member at $p")
+      out += data
+      p = t + 8
+      n += 1
+      need(n <= MaxRecords, s"more than $MaxRecords gzip members")
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  final case class RawRecord(recIdx: Int, warcType: String,
+                             headers: Map[String, String],
+                             payload: Array[Byte])
+
+  final case class Response(recIdx: Int, targetUri: String, httpStatus: Int,
+                            contentType: String, charset: String,
+                            charsetSrc: String, html: String)
+
+  private def lineEnd(b: Array[Byte], p: Int): Int = {
+    var i = p
+    while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+    need(i + 1 < b.length, s"unterminated header line at $p")
+    i
+  }
+
+  /** Parse `Name: value` header lines until the blank line; returns
+   * (lowercased-name map, offset past the blank line). */
+  private def parseHeaders(b: Array[Byte], start: Int): (Map[String, String], Int) = {
+    var p = start
+    val hs = Map.newBuilder[String, String]
+    while ({
+      val e = lineEnd(b, p)
+      if (e == p) { p += 2; false } // blank line: end of header block
+      else {
+        val line = new String(b, p, e - p, StandardCharsets.ISO_8859_1)
+        val c = line.indexOf(':')
+        need(c > 0, s"malformed header line '$line'")
+        hs += line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim
+        p = e + 2
+        true
+      }
+    }) ()
+    (hs.result(), p)
+  }
+
+  /** Walk every record in the (decompressed) blob. Framing of EVERY
+   * record must be valid — bad records reject the file loudly. */
+  def parseAll(bytes: Array[Byte]): Seq[RawRecord] = {
+    val buf = {
+      val ms = inflateMembers(bytes)
+      if (ms.lengthCompare(1) == 0) ms.head
+      else {
+        val total = ms.iterator.map(_.length.toLong).sum
+        need(total <= MaxInflatedBytes, "blob inflates past the cap")
+        val all = new Array[Byte](total.toInt)
+        var o = 0
+        ms.foreach { m => System.arraycopy(m, 0, all, o, m.length); o += m.length }
+        all
+      }
+    }
+    val recs = Seq.newBuilder[RawRecord]
+    var p = 0
+    var idx = 0
+    while (p < buf.length) {
+      // skip the CRLF CRLF record separators
+      while (p + 1 < buf.length && buf(p) == '\r' && buf(p + 1) == '\n') p += 2
+      if (p < buf.length) {
+        val e = lineEnd(buf, p)
+        val version = new String(buf, p, e - p, StandardCharsets.US_ASCII)
+        need(version.startsWith("WARC/"),
+          s"expected WARC version line at $p, got '${version.take(16)}'")
+        val (hs, body) = parseHeaders(buf, e + 2)
+        val cl = hs.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"warc: record at $p missing Content-Length"))
+        val n = try cl.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"warc: bad Content-Length '$cl' at $p") }
+        need(n >= 0 && n <= buf.length - body,
+          s"Content-Length $n overruns buffer at record $idx")
+        val wt = hs.getOrElse("warc-type",
+          throw new IllegalArgumentException(
+            s"warc: record at $p missing WARC-Type"))
+        recs += RawRecord(idx, wt, hs,
+          java.util.Arrays.copyOfRange(buf, body, body + n.toInt))
+        p = body + n.toInt
+        idx += 1
+        need(idx <= MaxRecords, s"more than $MaxRecords records")
+      }
+    }
+    recs.result()
+  }
+
+  private val HeaderCharset =
+    "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_:.-]+)".r
+  private val MetaCharset =
+    "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_:.-]+)".r
+  private val MetaHttpEquiv =
+    "(?i)<meta\\s[^>]*content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_:.-]+)".r
+
+  /** HTTP-response records only, body decoded per resolved charset. */
+  def responses(bytes: Array[Byte]): Seq[Response] =
+    parseAll(bytes).filter(_.warcType.equalsIgnoreCase("response")).map { r =>
+      val uri = r.headers.getOrElse("warc-target-uri",
+        throw new IllegalArgumentException(
+          s"warc: response record ${r.recIdx} missing WARC-Target-URI"))
+      val b = r.payload
+      var sep = -1
+      var i = 0
+      while (sep < 0 && i + 3 < b.length) {
+        if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+          b(i + 3) == '\n') sep = i
+        i += 1
+      }
+      need(sep >= 0, s"response record ${r.recIdx} has no HTTP header end")
+      val e0 = lineEnd(b, 0)
+      val statusLine = new String(b, 0, e0, StandardCharsets.US_ASCII)
+      need(statusLine.startsWith("HTTP/"),
+        s"record ${r.recIdx}: bad status line '${statusLine.take(16)}'")
+      val parts = statusLine.split(" ", 3)
+      need(parts.length >= 2, s"record ${r.recIdx}: bad status line")
+      val status = try parts(1).toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"warc: record ${r.recIdx}: bad HTTP status '${parts(1)}'") }
+      val (hh, bodyAt) = parseHeaders(b, e0 + 2)
+      need(bodyAt == sep + 4, s"record ${r.recIdx}: header parse desync")
+      val body = java.util.Arrays.copyOfRange(b, bodyAt, b.length)
+      hh.get("content-length").foreach { v =>
+        need(v.toLong == body.length,
+          s"record ${r.recIdx}: HTTP Content-Length $v != body ${body.length}")
+      }
+      val ctype = hh.getOrElse("content-type", "")
+      val fromHeader = HeaderCharset.findFirstMatchIn(ctype).map(_.group(1))
+      val (cs, src) = fromHeader match {
+        case Some(c) => (c, "header")
+        case None =>
+          val head = new String(body, 0, math.min(SniffBytes, body.length),
+            StandardCharsets.ISO_8859_1)
+          MetaCharset.findFirstMatchIn(head).map(_.group(1))
+            .orElse(MetaHttpEquiv.findFirstMatchIn(head).map(_.group(1))) match {
+            case Some(c) => (c, "meta")
+            case None => ("utf-8", "default")
+          }
+      }
+      val csNorm = cs.toLowerCase
+      need(Charset.isSupported(csNorm),
+        s"record ${r.recIdx}: unsupported charset '$csNorm'")
+      Response(r.recIdx, uri, status, ctype, csNorm, src,
+        new String(body, Charset.forName(csNorm)))
+    }
+
+  // --------------------------------------------------------------- encode
+
+  private val FixtureDate = "2026-01-01T00:00:00Z"
+
+  private def record(headers: Seq[(String, String)],
+                     payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val hs = headers ++ Seq("Content-Length" -> payload.length.toString)
+    out.write(("WARC/1.0\r\n" + hs.map { case (k, v) => s"$k: $v\r\n" }
+      .mkString + "\r\n").getBytes(StandardCharsets.ISO_8859_1))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  /** One gzip member holding one HTTP-response record for `uri`: the
+   * fixture synthesizer. Body bytes are `html` encoded with the charset
+   * the `Content-Type` value declares (UTF-8 when it declares none) —
+   * so the ISO-8859-1 slice really round-trips through 8-bit bytes. */
+  def responsePageGz(uri: String, status: Int, ctype: String,
+                     html: String): Array[Byte] = {
+    val cs = HeaderCharset.findFirstMatchIn(ctype).map(_.group(1))
+      .getOrElse("utf-8")
+    val body = html.getBytes(Charset.forName(cs))
+    val reason = if (status == 200) "OK" else "Not Found"
+    val http = (s"HTTP/1.1 $status $reason\r\n" +
+      (if (ctype.nonEmpty) s"Content-Type: $ctype\r\n" else "") +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body
+    gzipMember(record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(uri.getBytes(StandardCharsets.UTF_8))}>",
+      "WARC-Date" -> FixtureDate,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response"), http))
+  }
+
+  /** warcinfo + request members — the leading non-response records every
+   * real WARC carries; parsers must walk past them. */
+  lazy val noiseGz: Array[Byte] = {
+    val info = record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft/0.9\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val req = record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000002>",
+      "WARC-Date" -> FixtureDate,
+      "WARC-Target-URI" -> "https://warc.example/",
+      "Content-Type" -> "application/http; msgtype=request"),
+      "GET / HTTP/1.1\r\nHost: warc.example\r\n\r\n"
+        .getBytes(StandardCharsets.US_ASCII))
+    gzipMember(info) ++ gzipMember(req)
+  }
+
+  // ----------------------------------------------------- expression glue
+
+  val responseType: StructType = StructType(Seq(
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("http_status", LongType, nullable = false),
+    StructField("charset", StringType, nullable = false),
+    StructField("charset_src", StringType, nullable = false),
+    StructField("html", StringType, nullable = false)))
+
+  /** Responses as ArrayData — called from generated code. */
+  def responsesArray(bytes: Array[Byte]): ArrayData =
+    new GenericArrayData(responses(bytes).map { r =>
+      new GenericInternalRow(Array[Any](r.recIdx.toLong,
+        UTF8String.fromString(r.targetUri), r.httpStatus.toLong,
+        UTF8String.fromString(r.charset), UTF8String.fromString(r.charsetSrc),
+        UTF8String.fromString(r.html))): Any
+    }.toArray)
+}
+
+/** `warc_responses(binary)` → array of response structs — codegen'd call
+ * into the static record walk; the scan-stage WARC front door. */
+case class WarcResponsesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(WarcCodec.responseType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"warc_responses requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcCodec.responsesArray(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.WarcCodec.responsesArray($b)")
+
+  override protected def withNewChildInternal(c: Expression): WarcResponsesExpr =
+    copy(child = c)
+}
+
+/** `warc_response_gz(uri, status, ctype, html)` → BINARY (one gzip member
+ * with one response record). Fixture-synthesis edge — CodegenFallback is
+ * deliberate, mirroring [[PngEncodeExpr]]. */
+case class WarcResponseGzExpr(uri: Expression, status: Expression,
+                              ctype: Expression, html: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(uri, status, ctype, html)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (uri.dataType, status.dataType, ctype.dataType, html.dataType) match {
+      case (StringType, IntegerType, StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"warc_response_gz requires (STRING, INT, STRING, STRING), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val (u, s, c, h) =
+      (uri.eval(input), status.eval(input), ctype.eval(input), html.eval(input))
+    if (u == null || s == null || c == null || h == null) null
+    else WarcCodec.responsePageGz(u.toString, s.asInstanceOf[Int],
+      c.toString, h.toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): WarcResponseGzExpr =
+    copy(uri = c(0), status = c(1), ctype = c(2), html = c(3))
+}
+
+object WarcFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** Parse a WARC blob into its HTTP-response records. */
+  def warc_responses(c: Column): Column =
+    GraftShim.column(WarcResponsesExpr(GraftShim.expression(c)))
+
+  /** Synthesize one gzipped response record (fixtures / tests). */
+  def warc_response_gz(uri: Column, status: Column, ctype: Column,
+                       html: Column): Column =
+    GraftShim.column(WarcResponseGzExpr(GraftShim.expression(uri),
+      GraftShim.expression(status), GraftShim.expression(ctype),
+      GraftShim.expression(html)))
+
+  /** The constant warcinfo+request prelude every fixture blob carries. */
+  def warc_noise_gz: Column =
+    org.apache.spark.sql.functions.lit(WarcCodec.noiseGz)
+}

@@ -625,6 +625,15 @@ object TextAnalysis {
    */
   def htmlExtract(docs: DataFrame, htmlCol: String = "html",
                   minWords: Int = 5): DataFrame = {
+    val (nLines, nKept, cleanText) = htmlExtractCols(htmlCol, minWords)
+    docs.select(col("doc_id"), nLines.as("n_lines"), nKept.as("n_kept"),
+      cleanText.as("clean_text"))
+  }
+
+  /** The htmlExtract column pipeline — shared by [[htmlExtract]] and the
+   * WARC front door [[warcExtract]]: (n_lines, n_kept, clean_text). */
+  private def htmlExtractCols(htmlCol: String,
+                              minWords: Int): (Column, Column, Column) = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     // (?i): tag names are case-insensitive in HTML (<P>, <BR/>, <SCRIPT>)
     val noScript = regexp_replace(col(htmlCol),
@@ -643,10 +652,47 @@ object TextAnalysis {
       l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords &&
         !lower(l).contains("javascript") && !l.contains("{") &&
         !l.contains("}"))
+    (size(nonEmpty).cast("long"), size(kept).cast("long"),
+      array_join(kept, "\n"))
+  }
+
+  /**
+   * WARC blob → one row per HTTP-response record — the step BEFORE
+   * [[htmlExtract]] on a real crawl corpus (C4 / RefinedWeb / FineWeb all
+   * start from Common-Crawl WARC, not bare HTML strings). The record walk
+   * is [[graft.functions.WarcCodec]]: per-record gzip member split with
+   * CRC/ISIZE verification, Content-Length framing, HTTP header parse,
+   * browser-order charset resolution (header → meta sniff → UTF-8) with
+   * provenance. Non-response records (warcinfo, request, …) are framing-
+   * validated and skipped. Narrow explode — zero shuffles.
+   */
+  def warcResponses(docs: DataFrame, warcCol: String = "warc"): DataFrame = {
+    import graft.functions.WarcFunctions.warc_responses
     docs.select(col("doc_id"),
-      size(nonEmpty).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(kept, "\n").as("clean_text"))
+        explode(warc_responses(col(warcCol))).as("r"))
+      .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+        col("r.target_uri").as("target_uri"),
+        col("r.http_status").as("http_status"),
+        col("r.charset").as("charset"),
+        col("r.charset_src").as("charset_src"),
+        col("r.html").as("html"))
+  }
+
+  /**
+   * The full WARC front door: record walk → HTTP-200 admission (the C4
+   * fetch-status rule) → boilerplate extraction, keeping the response
+   * provenance columns (URI, charset + resolution source) so downstream
+   * curation can audit its decode path. Pure narrow expressions end to
+   * end — on a cluster this adds zero Exchange over the blob scan.
+   */
+  def warcExtract(docs: DataFrame, warcCol: String = "warc",
+                  minWords: Int = 5): DataFrame = {
+    val (nLines, nKept, cleanText) = htmlExtractCols("html", minWords)
+    warcResponses(docs, warcCol)
+      .filter(col("http_status") === 200)
+      .select(col("doc_id"), col("target_uri"), col("http_status"),
+        col("charset"), col("charset_src"), nLines.as("n_lines"),
+        nKept.as("n_kept"), cleanText.as("clean_text"))
   }
 
   /**

@@ -56,6 +56,14 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("text_warc_extract: binary front door stays narrow — pruned scan, " +
+    "zero shuffles") {
+    val p = plan("text_warc_extract")
+    val rs = scanColumns(p)
+    assert(rs.head === Set("doc_id", "text"), s"docs scan reads ${rs.head}")
+    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("q1: pruned scan and the single groupBy shuffle") {
     val p = plan("q1_pricing_summary")
     val rs = scanColumns(p)

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WarcCodec
+import graft.operators.TextAnalysis
+
+/**
+ * HAND-DERIVED fixtures for the WARC front door. The oracle row
+ * (`text_warc_extract`) replays the engine's extraction formula in SQL —
+ * intent-blind by construction — so this spec pins the codec against
+ * independently hand-assembled bytes and hand-counted expectations:
+ * record framing, gzip member verification, charset resolution from real
+ * 8-bit bytes, and every loud-rejection path.
+ */
+class WarcSpec extends SparkSpec {
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.ISO_8859_1)
+
+  /** Hand-assembled WARC record (version line, headers, CL-framed block,
+   * CRLF CRLF separator) — deliberately NOT via WarcCodec's encoder. */
+  private def rec(warcType: String, uri: Option[String],
+                  payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    head ++= s"WARC-Type: $warcType\r\n"
+    head ++= "WARC-Record-ID: <urn:uuid:deadbeef-0000-0000-0000-000000000000>\r\n"
+    head ++= "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+    uri.foreach(u => head ++= s"WARC-Target-URI: $u\r\n")
+    head ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    ascii(head.toString()) ++ payload ++ ascii("\r\n\r\n")
+  }
+
+  /** Hand-assembled HTTP response; body passed as raw bytes so charset
+   * decode is tested against REAL 8-bit content, not a String detour. */
+  private def http(status: Int, ctype: String,
+                   body: Array[Byte]): Array[Byte] =
+    ascii(s"HTTP/1.1 $status X\r\n" +
+      (if (ctype.nonEmpty) s"Content-Type: $ctype\r\n" else "") +
+      s"Content-Length: ${body.length}\r\n\r\n") ++ body
+
+  // "<p>Café.</p>" with é as the single ISO-8859-1 byte 0xE9
+  private val latin1Body =
+    ascii("<p>Caf") ++ Array(0xe9.toByte) ++ ascii(".</p>")
+
+  test("member walk: warcinfo+request skipped, ISO-8859-1 byte 0xE9 " +
+    "decodes to U+00E9 via the header charset") {
+    val blob = WarcCodec.noiseGz ++ WarcCodec.gzipMember(
+      rec("response", Some("https://x.test/a"),
+        http(200, "text/html; charset=ISO-8859-1", latin1Body)))
+    val rs = WarcCodec.responses(blob)
+    assert(rs.length === 1)
+    val r = rs.head
+    assert(r.recIdx === 2) // two noise records walked first
+    assert(r.targetUri === "https://x.test/a")
+    assert(r.httpStatus === 200)
+    assert(r.charset === "iso-8859-1")
+    assert(r.charsetSrc === "header")
+    assert(r.html === "<p>Caf\u00e9.</p>")
+  }
+
+  test("charset resolution order: header beats meta beats default") {
+    def page(ctype: String, body: String) = WarcCodec.gzipMember(
+      rec("response", Some("https://x.test/c"),
+        http(200, ctype, body.getBytes(StandardCharsets.UTF_8))))
+    // header present AND meta present -> header wins
+    val both = WarcCodec.responses(page("text/html; charset=UTF-8",
+      "<html><head><meta charset=\"iso-8859-1\"></head></html>")).head
+    assert(both.charset === "utf-8" && both.charsetSrc === "header")
+    // no header charset, <meta charset=...> -> meta
+    val meta = WarcCodec.responses(page("text/html",
+      "<html><head><meta charset='utf-8'></head></html>")).head
+    assert(meta.charset === "utf-8" && meta.charsetSrc === "meta")
+    // no header charset, http-equiv form -> meta
+    val equiv = WarcCodec.responses(page("text/html",
+      "<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=iso-8859-1\">")).head
+    assert(equiv.charset === "iso-8859-1" && equiv.charsetSrc === "meta")
+    // neither -> utf-8 default
+    val none = WarcCodec.responses(page("text/html", "<p>x</p>")).head
+    assert(none.charset === "utf-8" && none.charsetSrc === "default")
+  }
+
+  test("multiple responses surface in walk order with record indices") {
+    val blob = WarcCodec.noiseGz ++
+      WarcCodec.gzipMember(rec("response", Some("https://x.test/ok"),
+        http(200, "text/html", ascii("<p>ok</p>")))) ++
+      WarcCodec.gzipMember(rec("response", Some("https://x.test/gone"),
+        http(404, "text/html", ascii("<p>no</p>"))))
+    val rs = WarcCodec.responses(blob)
+    assert(rs.map(r => (r.recIdx, r.httpStatus)) === Seq((2, 200), (3, 404)))
+  }
+
+  test("uncompressed WARC and a multi-record gzip member both parse") {
+    val two = rec("warcinfo", None, ascii("software: x\r\n")) ++
+      rec("response", Some("https://x.test/u"),
+        http(200, "text/html", ascii("<p>u</p>")))
+    // raw, no gzip at all
+    assert(WarcCodec.responses(two).map(_.targetUri) ===
+      Seq("https://x.test/u"))
+    // both records inside ONE gzip member
+    assert(WarcCodec.responses(WarcCodec.gzipMember(two)).map(_.recIdx) ===
+      Seq(1))
+  }
+
+  test("gzip FNAME/FHCRC header fields are skipped, not misparsed") {
+    val m = WarcCodec.gzipMember(rec("response", Some("https://x.test/f"),
+      http(200, "text/html", ascii("<p>f</p>"))))
+    // splice FLG=FNAME|FHCRC and the extra fields into the fixed header
+    val withName = m.take(3) ++ Array[Byte]((8 | 2).toByte) ++
+      m.slice(4, 10) ++ ascii("file.warc") ++
+      Array[Byte](0, 0x12, 0x34) ++ m.drop(10)
+    assert(WarcCodec.responses(withName).head.targetUri ===
+      "https://x.test/f")
+  }
+
+  test("framing corruption rejects loudly with precise reasons") {
+    val good = WarcCodec.gzipMember(rec("response", Some("https://x.test/g"),
+      http(200, "text/html", ascii("<p>g</p>"))))
+    def expectErr(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](WarcCodec.responses(bytes))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    expectErr(good.dropRight(12), "truncated deflate stream")
+    val crcFlip = good.clone()
+    crcFlip(crcFlip.length - 8) = (crcFlip(crcFlip.length - 8) ^ 0x5a).toByte
+    expectErr(crcFlip, "CRC mismatch")
+    val isizeFlip = good.clone()
+    isizeFlip(isizeFlip.length - 1) =
+      (isizeFlip(isizeFlip.length - 1) ^ 0x5a).toByte
+    expectErr(isizeFlip, "ISIZE mismatch")
+    expectErr(ascii("GIF89a not a warc"), "bad gzip magic")
+    // WARC Content-Length overrunning the buffer
+    expectErr(WarcCodec.gzipMember(ascii(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nx")),
+      "overruns buffer")
+    // record without Content-Length at all
+    expectErr(WarcCodec.gzipMember(ascii(
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\n\r\n\r\n")),
+      "missing Content-Length")
+    // response without a target URI
+    expectErr(WarcCodec.gzipMember(rec("response", None,
+      http(200, "text/html", ascii("<p>x</p>")))), "missing WARC-Target-URI")
+    // mangled HTTP status line
+    expectErr(WarcCodec.gzipMember(rec("response", Some("https://x.test/s"),
+      ascii("XTTP nope\r\n\r\nbody"))), "bad status line")
+    // lying HTTP Content-Length
+    expectErr(WarcCodec.gzipMember(rec("response", Some("https://x.test/l"),
+      ascii("HTTP/1.1 200 OK\r\nContent-Length: 999\r\n\r\nshort"))),
+      "Content-Length 999 != body")
+    // not a WARC version line
+    expectErr(WarcCodec.gzipMember(ascii("HTML/1.0\r\nFoo: bar\r\n\r\n")),
+      "expected WARC version line")
+  }
+
+  test("decode-bomb cap: a member inflating past the limit rejects " +
+    "before allocating it") {
+    val bomb = WarcCodec.gzipMember(new Array[Byte]((1 << 26) + 1024))
+    val e = intercept[IllegalArgumentException](WarcCodec.responses(bomb))
+    assert(e.getMessage.contains("inflates past"), e.getMessage)
+  }
+
+  test("warcExtract end to end: 404 dropped, hand-counted line rules") {
+    import graft.functions.WarcFunctions._
+    import spark.implicits._
+    val page = "<html><body><p>Alpha beta gamma delta epsilon zeta.</p>" +
+      "<p>Tiny.</p></body></html>"
+    val df = Seq(1L).toDF("doc_id").select(col("doc_id"), concat(
+      warc_noise_gz,
+      warc_response_gz(lit("https://x.test/p"), lit(200),
+        lit("text/html; charset=UTF-8"), lit(page)),
+      warc_response_gz(lit("https://x.test/m"), lit(404),
+        lit("text/html"), lit("<p>Not found here.</p>"))).as("warc"))
+    val out = TextAnalysis.warcExtract(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("target_uri") === "https://x.test/p")
+    assert(r.getAs[Long]("http_status") === 200L)
+    assert(r.getAs[String]("charset") === "utf-8")
+    assert(r.getAs[String]("charset_src") === "header")
+    // hand count: 2 non-empty lines; only the 6-word terminal-punct line
+    // survives minWords=5
+    assert(r.getAs[Long]("n_lines") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[String]("clean_text") ===
+      "Alpha beta gamma delta epsilon zeta.")
+  }
+
+  test("fixture encoder round-trips its own Latin-1 page byte-for-byte") {
+    val html = "<p>Caf\u00e9 d\u00e9j\u00e0-vu.</p>"
+    val gz = WarcCodec.responsePageGz("https://x.test/r", 200,
+      "text/html; charset=ISO-8859-1", html)
+    val r = WarcCodec.responses(gz).head
+    assert(r.html === html)
+    assert(r.charset === "iso-8859-1")
+  }
+}
