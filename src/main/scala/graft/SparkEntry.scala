@@ -97,6 +97,30 @@ object SparkEntry {
         extra404).as("warc"))
   }
 
+  /** Deterministic URL fixture shared by `curate_url_canonical` (batch)
+   * and `curate_url_dedup_streamed` (real streaming run): one url per
+   * document cycling doc_id % 6 through every canonicalization rule.
+   * Mirrored by the `curate_url_canonical` oracle CTE `u`. */
+  private def urlFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val url = when(col("doc_id") % 6 === 0,
+        concat(lit("HTTP://Example.COM:80/Path/"), col("source"),
+          lit("/page"), id, lit("/?utm_source=x&b=2&a=1#frag")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://example.com:443/p"), id, lit("?gclid=abc")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("http://example.com/dir/p"),
+          expr("CAST((doc_id DIV 12) * 12 AS STRING)"), lit("/")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://Sub.Example.Com/path"), id,
+          lit("/?a=1&utm_campaign=c")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("http://example.com:8080/p"), id,
+          lit("?fbclid=1&z=9&ref=tw")))
+      .otherwise(lit("https://example.com/#top"))
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+  }
+
   /** Deterministic anchor-link fixture for the link-graph rows: each page
    * (src_url derived from doc_id) carries five anchors — a shouting-case
    * host with default port + tracking params + fragment, a single-quoted
@@ -1312,33 +1336,30 @@ object SparkEntry {
           col("n_tokens"), col("fertility"))
     }),
 
-    "curate_url_canonical" -> ((s, dir) => {
+    "curate_url_canonical" -> ((s, dir) =>
       // URL-keyed dedup on a fixture covering every canonicalization rule:
       // scheme/host case-fold + default-port strip (%6==0,1), pairwise
       // trailing-slash/path collisions (%6==2), subdomain + tracking-param
       // strip (%6==3), mixed tracking/real params needing the sort
       // (%6==4), and a mass root-URL collision with fragment (%6==5)
-      val id = col("doc_id").cast("string")
-      val url = when(col("doc_id") % 6 === 0,
-          concat(lit("HTTP://Example.COM:80/Path/"), col("source"),
-            lit("/page"), id, lit("/?utm_source=x&b=2&a=1#frag")))
-        .when(col("doc_id") % 6 === 1,
-          concat(lit("https://example.com:443/p"), id, lit("?gclid=abc")))
-        .when(col("doc_id") % 6 === 2,
-          concat(lit("http://example.com/dir/p"),
-            expr("CAST((doc_id DIV 12) * 12 AS STRING)"), lit("/")))
-        .when(col("doc_id") % 6 === 3,
-          concat(lit("https://Sub.Example.Com/path"), id,
-            lit("/?a=1&utm_campaign=c")))
-        .when(col("doc_id") % 6 === 4,
-          concat(lit("http://example.com:8080/p"), id,
-            lit("?fbclid=1&z=9&ref=tw")))
-        .otherwise(lit("https://example.com/#top"))
-      Curation.urlDedup(
-          t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+      Curation.urlDedup(urlFixtureDocs(s, dir), "url")
         .select(col("doc_id"), col("url"), col("canonical_url"),
-          col("is_canonical"))
-    }),
+          col("is_canonical"))),
+
+    "curate_url_dedup_streamed" -> ((s, dir) =>
+      // the crawl-frontier increment on REAL streaming machinery: the
+      // same URL fixture arrives as parquet drops (one file per trigger —
+      // multi-batch), folds through StreamingUrlDedup.processBatch inside
+      // foreachBatch (VersionedState crash-safe units: docs + a
+      // pre-merged min-survivor seen-URL ledger), and the certified
+      // resolve() view must equal the batch operator — including
+      // cross-batch survivor election over the mass root-URL collision
+      // that spans every batch. Same oracle as curate_url_canonical:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedUrlDedup(urlFixtureDocs(s, dir))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("is_canonical"))),
 
     "curate_domain_stats" -> ((s, dir) => {
       // per-SITE crawl rollup on the registered (pay-level) domain: two
@@ -3160,6 +3181,62 @@ object SparkEntry {
            COALESCE(nk.n_kept, 0) AS n_kept,
            COALESCE(nk.clean_text, '') AS clean_text
          FROM $src LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
+
+
+  /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
+   * (real streaming run): both must hash to this answer. Mirrors
+   * `urlFixtureDocs` + the full canonicalization chain. */
+  private val urlDedupSql =
+    """WITH u AS (SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
+             '/page' || CAST(doc_id AS VARCHAR) ||
+             '/?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'https://example.com:443/p' ||
+             CAST(doc_id AS VARCHAR) || '?gclid=abc'
+           WHEN 2 THEN 'http://example.com/dir/p' ||
+             CAST((doc_id // 12) * 12 AS VARCHAR) || '/'
+           WHEN 3 THEN 'https://Sub.Example.Com/path' ||
+             CAST(doc_id AS VARCHAR) || '/?a=1&utm_campaign=c'
+           WHEN 4 THEN 'http://example.com:8080/p' ||
+             CAST(doc_id AS VARCHAR) || '?fbclid=1&z=9&ref=tw'
+           ELSE 'https://example.com/#top' END AS url
+         FROM documents),
+       p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
+       p2 AS (SELECT doc_id, url, d,
+           lower(regexp_extract(d,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
+             AS scheme,
+           lower(regexp_extract(d,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2))
+             AS auth,
+           regexp_replace(regexp_extract(d,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3),
+             '/+$', '') AS path,
+           regexp_replace(regexp_extract(d,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4),
+             '^\?', '') AS rawq
+         FROM p1),
+       p3 AS (SELECT doc_id, url, scheme, path,
+           CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                ELSE auth END AS host,
+           list_sort(list_filter(string_split(rawq, '&'), p ->
+             p <> '' AND NOT starts_with(p, 'utm_')
+             AND NOT list_contains(['gclid', 'fbclid', 'msclkid', 'ref'],
+               split_part(p, '=', 1)))) AS params
+         FROM p2),
+       c AS (SELECT doc_id, url,
+           scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END
+             AS canonical_url
+         FROM p3),
+       s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
+         FROM c GROUP BY 1)
+       SELECT c.doc_id, c.url, c.canonical_url,
+         c.doc_id = s.keep_id AS is_canonical
+       FROM c JOIN s USING (canonical_url)"""
 
   /** Shared by text_segment_dedup (batch) and text_segment_dedup_streamed
    * (real streaming run): both must hash to this answer. */
@@ -6768,57 +6845,11 @@ object SparkEntry {
          SELECT doc_id, lang, avg_p FROM r
          WHERE rn <= greatest(1, (cnt * 25) // 100)""",
 
-    "curate_url_canonical" ->
-      """WITH u AS (SELECT doc_id,
-           CASE doc_id % 6
-             WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
-               '/page' || CAST(doc_id AS VARCHAR) ||
-               '/?utm_source=x&b=2&a=1#frag'
-             WHEN 1 THEN 'https://example.com:443/p' ||
-               CAST(doc_id AS VARCHAR) || '?gclid=abc'
-             WHEN 2 THEN 'http://example.com/dir/p' ||
-               CAST((doc_id // 12) * 12 AS VARCHAR) || '/'
-             WHEN 3 THEN 'https://Sub.Example.Com/path' ||
-               CAST(doc_id AS VARCHAR) || '/?a=1&utm_campaign=c'
-             WHEN 4 THEN 'http://example.com:8080/p' ||
-               CAST(doc_id AS VARCHAR) || '?fbclid=1&z=9&ref=tw'
-             ELSE 'https://example.com/#top' END AS url
-           FROM documents),
-         p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
-         p2 AS (SELECT doc_id, url, d,
-             lower(regexp_extract(d,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
-               AS scheme,
-             lower(regexp_extract(d,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2))
-               AS auth,
-             regexp_replace(regexp_extract(d,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3),
-               '/+$', '') AS path,
-             regexp_replace(regexp_extract(d,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4),
-               '^\?', '') AS rawq
-           FROM p1),
-         p3 AS (SELECT doc_id, url, scheme, path,
-             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-                  ELSE auth END AS host,
-             list_sort(list_filter(string_split(rawq, '&'), p ->
-               p <> '' AND NOT starts_with(p, 'utm_')
-               AND NOT list_contains(['gclid', 'fbclid', 'msclkid', 'ref'],
-                 split_part(p, '=', 1)))) AS params
-           FROM p2),
-         c AS (SELECT doc_id, url,
-             scheme || '://' || host || path ||
-               CASE WHEN len(params) > 0
-                 THEN '?' || array_to_string(params, '&') ELSE '' END
-               AS canonical_url
-           FROM p3),
-         s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
-           FROM c GROUP BY 1)
-         SELECT c.doc_id, c.url, c.canonical_url,
-           c.doc_id = s.keep_id AS is_canonical
-         FROM c JOIN s USING (canonical_url)""",
+    "curate_url_canonical" -> urlDedupSql,
+
+    // identical oracle on purpose: the streamed run must converge to the
+    // batch answer — streaming ≡ batch ≡ DuckDB
+    "curate_url_dedup_streamed" -> urlDedupSql,
 
     "curate_domain_stats" ->
       """WITH h AS (SELECT doc_id, n_chars,

@@ -313,4 +313,42 @@ object PipelineE2E {
       "removal is unobservable in a single batch")
     dedup.clean(spark)
   }
+
+  /**
+   * URL-keyed dedup on REAL streaming machinery: `docs` (doc_id, url)
+   * arrives as parquet drops (one file per trigger — multi-batch), folds
+   * through [[StreamingUrlDedup.processBatch]] inside `foreachBatch`
+   * (VersionedState crash-safe units), and the certified `resolve()`
+   * view must equal the batch [[graft.operators.Curation.urlDedup]] —
+   * including cross-batch survivor election over canonical keys that
+   * span batches.
+   */
+  def streamedUrlDedup(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_urldedup_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val dedup = new StreamingUrlDedup(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, url STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedup.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = dedup.committedBatches(spark)
+    require(folded.size > 1, s"streamed url-dedup fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch survivor " +
+      "election is unobservable in a single batch")
+    dedup.resolve(spark)
+  }
 }

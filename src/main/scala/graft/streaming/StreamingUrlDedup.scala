@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Curation
+
+/**
+ * Streaming URL-keyed dedup — the online form of [[Curation.urlDedup]]
+ * and the crawl-frontier increment that pairs with the incremental
+ * near-dup admission: page batches `(doc_id, url)` arrive from a
+ * crawler; each fold appends (a) the batch rows with their canonical key
+ * attached and (b) the batch-local min-id survivor partial per canonical
+ * URL — the seen-URL ledger a crawl scheduler consults before
+ * re-fetching. The resolved view over everything seen so far equals the
+ * batch operator run over the union (spec-pinned), INCLUDING the
+ * cross-batch survivor override: a later batch carrying a smaller
+ * `doc_id` for an already-seen canonical key steals survivorship,
+ * exactly as the batch-global min would elect.
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s: `b<id>/` units
+ * under `_SUCCESS` markers, replay of a committed id is a no-op, and
+ * both stores compact above `compactAbove` units — the ledger PRE-MERGES
+ * its partials (min is associative), so the compacted unit is
+ * distinct-canonical-URLs-sized no matter how many batches ever
+ * committed.
+ *
+ * At 100 TB: per-batch work is one narrow canonicalization map plus one
+ * map-side-combinable min over the BATCH (never the corpus) — a root URL
+ * fetched a million times in one batch collapses before its exchange.
+ * The frontier is the merged min dictionary (distinct-URL-sized); the
+ * full resolved corpus view is computed on read as one hash join of docs
+ * against that dictionary — the same shape as the batch operator,
+ * because "is_canonical under corpus-wide min" is a corpus-sized answer
+ * no matter who computes it.
+ */
+class StreamingUrlDedup(stateDir: String,
+                        trackingParams: Seq[String] =
+                          Curation.DefaultTrackingParams,
+                        compactAbove: Int = 32)
+    extends Serializable {
+
+  private val docsRoot = new Path(stateDir, "docs")
+  private val ledgerRoot = new Path(stateDir, "ledger")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("url", StringType),
+    StructField("canonical_url", StringType)))
+  private val ledgerSchema = StructType(Seq(
+    StructField("canonical_url", StringType),
+    StructField("keep_id", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, docsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Fold `batch` (doc_id, url) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => dedup.processBatch(df, id))`.
+   * Commit order: ledger first, docs LAST — the docs marker certifies
+   * the batch (a ledger-only crash leftover is re-written identically on
+   * redelivery; both read views scope to certified ids).
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, docsRoot), batchId)) return
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("url"),
+        Curation.canonicalUrl(col("url"), trackingParams)
+          .as("canonical_url"))
+      .localCheckpoint(true)
+    val partial = docs.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val f = VersionedState.fileSystem(spark, docsRoot)
+    val ledgerDest = new Path(ledgerRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(ledgerDest.toString)
+    VersionedState.touchSuccess(f, ledgerDest)
+    val docsDest = new Path(docsRoot, s"b$batchId")
+    docs.write.mode("overwrite").parquet(docsDest.toString)
+    VersionedState.touchSuccess(f, docsDest)
+    VersionedState.compact(spark, docsRoot, compactAbove,
+      read = ps => read(spark, docSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, ledgerRoot, compactAbove,
+      read = ps => read(spark, ledgerSchema, ps),
+      // min is associative — pre-merge so the compacted unit is
+      // distinct-canonical-URLs-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("canonical_url"))
+        .agg(min(col("keep_id")).as("keep_id"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Ledger unit dirs scoped to docs-certified batch ids, with the
+   * mixed-unit fail-loud guard: a unit none of whose ids are certified is
+   * a pure mid-write crash leftover (excluded — its rows re-land
+   * identically on redelivery), but a unit only PARTLY certified can only
+   * arise from a contract violation, and dropping it would silently serve
+   * a min computed without certified rows — stale survivorship. Never
+   * silent-wrong. */
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] = {
+    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
+    ledgerSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"url-dedup ledger unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are docs-certified; excluding it would drop certified " +
+            "survivor partials (stale frontier). State is inconsistent — " +
+            "rebuild the ledger from the certified docs.")
+    }
+    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /**
+   * The seen-URL ledger over every certified batch: one row per distinct
+   * canonical URL with its current survivor id — what a crawl scheduler
+   * consults to skip re-fetching, distinct-URL-sized regardless of how
+   * many fetches ever folded.
+   */
+  def frontier(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, docsRoot)
+    val dirs = certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    read(spark, ledgerSchema, dirs)
+      .groupBy(col("canonical_url")).agg(min(col("keep_id")).as("keep_id"))
+  }
+
+  /**
+   * The resolved corpus over every certified batch — column set and rows
+   * equal to [[Curation.urlDedup]] of the union: every page with its
+   * canonical key and the `is_canonical` survivor flag under the
+   * corpus-wide min.
+   */
+  def resolve(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, docsRoot)
+    val ledgerDirs =
+      certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    val docs = read(spark, docSchema, certified.map(_.path))
+    val ledger = read(spark, ledgerSchema, ledgerDirs)
+      .groupBy(col("canonical_url")).agg(min(col("keep_id")).as("keep_id"))
+    docs.join(ledger, Seq("canonical_url"))
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+  }
+}

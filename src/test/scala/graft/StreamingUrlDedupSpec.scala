@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Curation
+import graft.streaming.StreamingUrlDedup
+
+/**
+ * Streaming URL-keyed dedup: after every fold the resolved corpus must
+ * equal [[Curation.urlDedup]] over all pages seen so far — including the
+ * CROSS-BATCH survivor override (a later batch with a smaller doc_id for
+ * an already-seen canonical key steals survivorship retroactively),
+ * replays must be no-ops, and both state stores stay bounded under
+ * compaction. The frontier view is the distinct-URL seen ledger.
+ */
+class StreamingUrlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "url")
+
+  private def rowsOf(d: DataFrame): Set[(String, Long, String, Boolean)] =
+    d.select($"canonical_url", $"doc_id", $"url", $"is_canonical")
+      .as[(String, Long, String, Boolean)].collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("surldedup").toString + "/state"
+
+  test("3-batch split equals the batch operator after every fold — " +
+    "cross-batch survivor override included") {
+    val sub = new StreamingUrlDedup(newDir())
+    // doc 10 holds key example.com/a after batch 0; batch 1's doc 3
+    // carries a VARIANT url (port/case/tracking noise) folding to the
+    // same canonical key with a SMALLER id — survivorship must move
+    val b0 = Seq(
+      10L -> "https://example.com/a",
+      11L -> "https://example.com/b?x=1")
+    val b1 = Seq(
+      3L -> "HTTPS://Example.COM:443/a?utm_source=feed",
+      12L -> "https://other.org/p")
+    val b2 = Seq(
+      20L -> "https://example.com/a#frag", // third holder, never survivor
+      21L -> "https://example.com/c")
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(rowsOf(sub.resolve(spark)) ===
+        rowsOf(Curation.urlDedup(sofar, "url")),
+        s"divergence from the batch operator after batch $id")
+    }
+    // the override, pinned explicitly: doc 10 was canonical after batch
+    // 0, doc 3 stole the key in batch 1 and holds it through batch 2
+    val flags = sub.resolve(spark)
+      .select($"doc_id", $"is_canonical").as[(Long, Boolean)]
+      .collect().toMap
+    assert(flags(3L) === true)
+    assert(flags(10L) === false)
+    assert(flags(20L) === false)
+    // frontier: one row per distinct canonical key, min survivor id
+    val front = sub.frontier(spark)
+      .as[(String, Long)].collect().toMap
+    assert(front("https://example.com/a") === 3L)
+    assert(front.size === 4)
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingUrlDedup(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      (10L + i) -> s"https://site$i.com/p",
+      (20L + i) -> "http://shared.com/hot")) // hot key spans all batches
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/docs").length <= 3,
+      s"docs dirs: ${unitDirs(s"$dir/docs")}")
+    assert(unitDirs(s"$dir/ledger").length <= 3,
+      s"ledger dirs: ${unitDirs(s"$dir/ledger")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val want = rowsOf(Curation.urlDedup(df(batches.flatten: _*), "url"))
+    assert(rowsOf(sub.resolve(spark)) === want)
+    // the hot key elected exactly one survivor: its first holder
+    val hot = sub.resolve(spark)
+      .filter($"canonical_url" === "http://shared.com/hot")
+    assert(hot.count() === 6L)
+    assert(hot.filter($"is_canonical").select($"doc_id")
+      .as[Long].collect().toSeq === Seq(20L))
+    val before = rowsOf(sub.resolve(spark))
+    sub.processBatch(df(batches(1): _*), 1L) // id swallowed by a c-range
+    assert(rowsOf(sub.resolve(spark)) === before)
+  }
+}
