@@ -121,6 +121,54 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), url.as("url"))
   }
 
+  /** robots.txt bodies for every host the URL fixture produces — ONE
+   * definition feeding both the Spark frame (`robotsDocs`) and the
+   * oracle's VALUES CTE, so the two sides parse the SAME bytes. Coverage:
+   * comments, mixed-case directives, a multi-agent group set, an
+   * exact-agent group overriding `*`, empty Disallow dropped, an orphan
+   * rule before any User-agent, `*` wildcards, `$` end anchors, and
+   * longest-match/allow-tie arithmetic keyed to doc_id digits. */
+  private val robotsFixture: Seq[(String, String)] = Seq(
+    "example.com" ->
+      """# graft crawl policy
+        |User-agent: *
+        |Disallow: /dir/
+        |Allow: /dir/p0
+        |
+        |user-AGENT: GraftBot
+        |User-Agent: otherbot
+        |DisAllow: /p
+        |Allow: /p1*
+        |Disallow: /Path/
+        |Allow: /Path/*/page1*
+        |Disallow:
+        |""".stripMargin,
+    "sub.example.com" ->
+      """Disallow: /orphaned
+        |User-agent: someotherbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /path*3$
+        |Allow: /path33$
+        |""".stripMargin,
+    "example.com:8080" ->
+      """User-agent: graftbot
+        |Disallow: /p*2$
+        |Allow: /p52$
+        |""".stripMargin)
+
+  private def robotsDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    robotsFixture.toDF("domain", "robots_txt")
+  }
+
+  /** `robots(domain, robots_txt)` VALUES CTE — newlines embed raw in the
+   * SQL literal (standard multi-line strings; the fixture has no quotes). */
+  private def robotsFixtureSql: String =
+    robotsFixture.map { case (d, t) => s"('$d', '$t')" }
+      .mkString("robots(domain, robots_txt) AS (VALUES ", ", ", ")")
+
   /** Deterministic anchor-link fixture for the link-graph rows: each page
    * (src_url derived from doc_id) carries five anchors — a shouting-case
    * host with default port + tracking params + fragment, a single-quoted
@@ -1360,6 +1408,25 @@ object SparkEntry {
         .streamedUrlDedup(urlFixtureDocs(s, dir))
         .select(col("doc_id"), col("url"), col("canonical_url"),
           col("is_canonical"))),
+
+    "curate_robots_admit" -> ((s, dir) => {
+      // the crawl-politeness gate (RFC 9309) between URL frontier and
+      // fetch: robots.txt bodies parse into per-agent rule groups
+      // (windowed group walk — multi-agent sets, orphan + empty rules
+      // dropped), then each canonical URL is decided by its host's
+      // governing group for agent 'graftbot' — exact-over-*, pattern
+      // translation (* wildcard, trailing $ anchor, metachars literal),
+      // longest-match with allow winning ties. The fixture's digit
+      // arithmetic makes every branch id-dependent; DuckDB replays the
+      // parse AND the decision from the same robots bytes.
+      val urls = urlFixtureDocs(s, dir)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("url")))
+        .select(col("doc_id"), col("canonical_url"))
+      Curation.robotsAdmit(urls,
+          Curation.robotsParse(robotsDocs(s)), "graftbot")
+        .select(col("doc_id"), col("canonical_url"), col("host"),
+          col("rule_len"), col("admitted"))
+    }),
 
     "curate_domain_stats" -> ((s, dir) => {
       // per-SITE crawl rollup on the registered (pay-level) domain: two
@@ -3183,11 +3250,12 @@ object SparkEntry {
          FROM $src LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
 
 
-  /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
-   * (real streaming run): both must hash to this answer. Mirrors
-   * `urlFixtureDocs` + the full canonicalization chain. */
-  private val urlDedupSql =
-    """WITH u AS (SELECT doc_id,
+  /** The URL fixture + full canonicalization chain, ending in CTE
+   * `c(doc_id, url, canonical_url)` — shared by the url-dedup oracles
+   * and the robots-admission oracle. Mirrors `urlFixtureDocs` +
+   * `Curation.canonicalUrl`. */
+  private val urlCanonicalCtes =
+    """u AS (SELECT doc_id,
          CASE doc_id % 6
            WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
              '/page' || CAST(doc_id AS VARCHAR) ||
@@ -3231,7 +3299,12 @@ object SparkEntry {
              CASE WHEN len(params) > 0
                THEN '?' || array_to_string(params, '&') ELSE '' END
              AS canonical_url
-         FROM p3),
+         FROM p3)"""
+
+  /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
+   * (real streaming run): both must hash to this answer. */
+  private val urlDedupSql =
+    s"""WITH $urlCanonicalCtes,
        s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
          FROM c GROUP BY 1)
        SELECT c.doc_id, c.url, c.canonical_url,
@@ -6850,6 +6923,77 @@ object SparkEntry {
     // identical oracle on purpose: the streamed run must converge to the
     // batch answer — streaming ≡ batch ≡ DuckDB
     "curate_url_dedup_streamed" -> urlDedupSql,
+
+    // RFC 9309 robots admission: DuckDB re-parses the SAME robots.txt
+    // bytes (windowed group walk) and re-derives every decision —
+    // exact-over-*, pattern→regex translation, longest-match with
+    // allow winning ties via the 2·len+isAllow score
+    "curate_robots_admit" ->
+      (s"""WITH $urlCanonicalCtes,
+       $robotsFixtureSql,""" + """
+       rl AS (SELECT domain,
+           generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+           unnest(string_split(robots_txt, chr(10))) AS raw
+         FROM robots),
+       rt AS (SELECT domain, pos,
+           trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl),
+       rf AS (SELECT domain, pos, line,
+           regexp_matches(lower(line), '^user-agent *:') AS is_ua,
+           regexp_matches(lower(line), '^allow *:') AS is_al,
+           regexp_matches(lower(line), '^disallow *:') AS is_di,
+           trim(regexp_replace(line, '^[^:]*:', '')) AS val
+         FROM rt),
+       rc AS (SELECT domain, pos, is_ua, is_al, is_di, val,
+           COALESCE(SUM(CASE WHEN is_al OR is_di THEN 1 END) OVER
+             (PARTITION BY domain ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS rules_before
+         FROM rf),
+       rg AS (SELECT domain, is_ua, is_al, is_di, val, rules_before,
+           MAX(CASE WHEN is_ua THEN rules_before END) OVER
+             (PARTITION BY domain ORDER BY pos) AS gov_key
+         FROM rc),
+       uas AS (SELECT domain, rules_before AS gkey, lower(val) AS agent
+         FROM rg WHERE is_ua),
+       rr AS (SELECT domain, gov_key AS gkey,
+           CASE WHEN is_al THEN 'allow' ELSE 'disallow' END AS rule,
+           val AS pattern
+         FROM rg WHERE (is_al OR is_di) AND val <> ''),
+       pr AS (SELECT r.domain, u.agent, r.rule, r.pattern
+         FROM rr r JOIN uas u USING (domain, gkey)),
+       mr AS (SELECT * FROM pr WHERE agent IN ('graftbot', '*')),
+       he AS (SELECT domain,
+           MAX(CASE WHEN agent <> '*' THEN 1 ELSE 0 END) AS has_exact
+         FROM mr GROUP BY 1),
+       sel AS (SELECT mr.domain, mr.rule, mr.pattern
+         FROM mr JOIN he USING (domain)
+         WHERE (mr.agent <> '*') = (he.has_exact = 1)),
+       rx AS (SELECT domain,
+           length(pattern) * 2 +
+             CASE WHEN rule = 'allow' THEN 1 ELSE 0 END AS score,
+           '^' || replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$' THEN
+               substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
+             '([.^+?(){}\[\]|\\$])', '\\\1', 'g'), '*', '.*') ||
+             CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rex
+         FROM sel),
+       up AS (SELECT doc_id, canonical_url,
+           lower(regexp_extract(canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
+           CASE WHEN regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
+             THEN '/' ELSE regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             AS path
+         FROM c),
+       jm AS (SELECT u.doc_id, MAX(r.score) AS s
+         FROM up u JOIN rx r
+           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
+         GROUP BY 1)
+       SELECT u.doc_id, u.canonical_url, u.host,
+         COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
+         COALESCE(j.s % 2 = 1, TRUE) AS admitted
+       FROM up u LEFT JOIN jm j USING (doc_id)"""),
 
     "curate_domain_stats" ->
       """WITH h AS (SELECT doc_id, n_chars,

@@ -375,4 +375,130 @@ object Curation {
       .withColumn("is_canonical", col(idCol) === col("_keep_id"))
       .drop("_keep_id")
   }
+
+  /**
+   * Parse robots.txt bodies into a flat rule table — the crawl-politeness
+   * side of the frontier (RFC 9309, the Robots Exclusion Protocol):
+   * `(domain, robots_txt)` → one row per (governing agent, rule), where
+   *  - directives are case-insensitive (`User-agent`/`DisAllow`/…) and
+   *    `#` comments are stripped before parsing;
+   *  - CONSECUTIVE `User-agent` lines form one start-of-group set: the
+   *    rules that follow apply to every agent in the set, until a
+   *    `User-agent` line that appears after at least one rule line opens
+   *    the next group (RFC 9309 §2.2.1);
+   *  - rules before any `User-agent` line belong to no group and are
+   *    dropped, as are empty-pattern rules (`Disallow:` with no value
+   *    disallows nothing);
+   *  - agent tokens are lowercased (product tokens are case-insensitive);
+   *    patterns keep their case (paths are case-sensitive).
+   *
+   * The group walk is two windows over line position (a 1-PRECEDING rule
+   * count keys each agent line; a running max routes every rule to its
+   * governing key) — robots files are KB-sized, so this is dictionary
+   * work; the output is the small broadcast side of [[robotsAdmit]].
+   */
+  def robotsParse(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+    val typed = lines
+      .withColumn("is_ua", lower(col("line")).rlike("^user-agent *:"))
+      .withColumn("is_al", lower(col("line")).rlike("^allow *:"))
+      .withColumn("is_di", lower(col("line")).rlike("^disallow *:"))
+      .withColumn("value",
+        trim(regexp_replace(col("line"), "^[^:]*:", "")))
+    val w = Window.partitionBy("domain").orderBy("pos")
+    val keyed = typed
+      // rule lines seen STRICTLY above this line: the group key an agent
+      // line carries — two agent lines separated only by non-rule lines
+      // share it (one group set), one separated by a rule starts the next
+      .withColumn("rules_before", coalesce(
+        sum(when(col("is_al") || col("is_di"), 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      // a rule's governing key = the LAST agent line's key above it
+      // (rules_before is nondecreasing, so running max = last)
+      .withColumn("gov_key",
+        max(when(col("is_ua"), col("rules_before"))).over(w))
+    val agents = keyed.filter(col("is_ua"))
+      .select(col("domain"), col("rules_before").as("gkey"),
+        lower(col("value")).as("agent"))
+    val rules = keyed
+      .filter((col("is_al") || col("is_di")) && col("value") =!= "")
+      .select(col("domain"), col("gov_key").as("gkey"),
+        when(col("is_al"), lit("allow")).otherwise(lit("disallow"))
+          .as("rule"),
+        col("value").as("pattern"))
+    // orphan rules carry a null gov_key and drop out of the equi-join
+    rules.join(agents, Seq("domain", "gkey"))
+      .select(col("domain"), col("agent"), col("rule"), col("pattern"))
+  }
+
+  /** RFC 9309 pattern → anchored regex, as a column program: regex
+   * metacharacters escaped, `*` → `.*`, and a TRAILING `$` kept as the
+   * end-of-path anchor (interior `$` is literal). */
+  private def robotsRegex(pattern: Column): Column = {
+    val anchored = pattern.rlike("\\$$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(body,
+      "([.^+?(){}\\[\\]|\\\\$])", "\\\\$1")
+    concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /**
+   * Robots admission for one crawler agent — the politeness gate between
+   * the URL frontier ([[urlDedup]] / StreamingUrlDedup) and the fetch:
+   * for each URL, select the governing rule group (the agent's own group
+   * when one exists for the host, else the `*` group — exact-over-
+   * wildcard, RFC 9309 §2.2.1), match the URL PATH against every rule in
+   * it (patterns translated `*`→any-run, trailing `$`→end anchor), and
+   * decide by the LONGEST matching pattern with allow winning length
+   * ties (§2.2.2). No matching rule — or no robots.txt for the host —
+   * admits.
+   *
+   * Output: input columns + `host`, `rule_len` (length of the deciding
+   * pattern, -1 when none matched) and `admitted`. The decision is one
+   * integer max per URL: score = 2·len(pattern) + (allow ? 1 : 0), so
+   * longest-then-allow is the natural ordering — aggregated map-side.
+   *
+   * Scale shape: rules are a per-domain dictionary (KB per host) —
+   * broadcast; the admission is one broadcast equi-join on host with a
+   * residual regex probe + one map-side-combinable max. Zero shuffles of
+   * the URL side beyond its own aggregation.
+   */
+  def robotsAdmit(urls: DataFrame, rules: DataFrame,
+                  agent: String, urlCol: String = "canonical_url",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      s"agent must be a concrete product token, got '$agent'")
+    val P = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)"
+    val mine = rules
+      .filter(col("agent") === agent.toLowerCase || col("agent") === "*")
+    val hasExact = mine.groupBy(col("domain"))
+      .agg(max(when(col("agent") =!= "*", 1).otherwise(0)).as("_he"))
+    val selected = mine.join(hasExact, Seq("domain"))
+      .filter((col("agent") =!= "*") === (col("_he") === 1))
+      .select(col("domain"),
+        (length(col("pattern")) * 2 +
+          when(col("rule") === "allow", 1).otherwise(0)).as("_score"),
+        robotsRegex(col("pattern")).as("_rx"))
+    val keyed = urls
+      .withColumn("host", lower(regexp_extract(col(urlCol), P, 2)))
+      .withColumn("_path",
+        when(regexp_extract(col(urlCol), P, 3) === "", lit("/"))
+          .otherwise(regexp_extract(col(urlCol), P, 3)))
+    val decided = keyed
+      .join(broadcast(selected),
+        keyed("host") === selected("domain") &&
+          regexp_like(keyed("_path"), selected("_rx")), "left")
+      .groupBy(col(idCol)).agg(max(col("_score")).as("_s"))
+    keyed.drop("_path").join(decided, Seq(idCol))
+      .withColumn("rule_len",
+        coalesce(expr("CAST(_s DIV 2 AS BIGINT)"), lit(-1L)))
+      .withColumn("admitted", coalesce(col("_s") % 2 === 1, lit(true)))
+      .drop("_s")
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Curation
+
+/**
+ * Robots Exclusion Protocol (RFC 9309) — hand-derived fixtures: every
+ * expectation below was worked out by hand from the published rules
+ * (§2.2.1 group membership and agent selection, §2.2.2 longest-match
+ * with allow winning ties), never by running the operator.
+ */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def robots(rows: (String, String)*): DataFrame =
+    rows.toDF("domain", "robots_txt")
+
+  private def urls(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "canonical_url")
+
+  private val siteTxt =
+    """# policy header comment
+      |Disallow: /orphaned
+      |User-agent: someotherbot
+      |Disallow: /
+      |
+      |user-AGENT: GraftBot
+      |User-Agent: helperbot
+      |DisAllow: /private
+      |Allow: /private/ok*
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /a*z$
+      |Allow: /andz$
+      |""".stripMargin
+
+  test("robotsParse: groups, case-folded directives, comments, orphan " +
+    "and empty rules dropped, multi-agent group sets") {
+    val parsed = Curation.robotsParse(robots("site.com" -> siteTxt))
+      .as[(String, String, String, String)].collect().toSet
+    val want = Set(
+      // someotherbot group
+      ("site.com", "someotherbot", "disallow", "/"),
+      // the two-agent group: every rule once per agent, empty Disallow
+      // dropped, directive case irrelevant, agent tokens lowercased
+      ("site.com", "graftbot", "disallow", "/private"),
+      ("site.com", "graftbot", "allow", "/private/ok*"),
+      ("site.com", "helperbot", "disallow", "/private"),
+      ("site.com", "helperbot", "allow", "/private/ok*"),
+      // the * group; '/orphaned' (before any User-agent) appears nowhere
+      ("site.com", "*", "disallow", "/a*z$"),
+      ("site.com", "*", "allow", "/andz$"))
+    assert(parsed === want)
+  }
+
+  test("robotsAdmit: exact group beats *, longest match, allow wins " +
+    "ties, $ anchor, wildcard, no-rule and no-robots admit") {
+    val rules = Curation.robotsParse(robots("site.com" -> siteTxt))
+    val fixture = urls(
+      // graftbot group {Disallow /private (len 8), Allow /private/ok* (12)}
+      1L -> "https://site.com/private/secrets", // disallow len 8
+      2L -> "https://site.com/private/ok/page", // allow 12 beats 8
+      3L -> "https://site.com/public",          // no rule in group -> admit
+      4L -> "https://site.com",                 // path '/', no match
+      // the * rules must NOT apply (exact group exists): /aXYz would be
+      // caught by /a*z$ under *, but graftbot's own group has no match
+      5L -> "https://site.com/aXYz",
+      6L -> "https://nowhere.net/private/x")    // no robots at all
+    val got = Curation.robotsAdmit(fixture, rules, "GraftBot")
+      .select($"doc_id", $"rule_len", $"admitted")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((8L, false)))
+    assert(got(2L) === ((12L, true)))
+    assert(got(3L) === ((-1L, true)))
+    assert(got(4L) === ((-1L, true)))
+    assert(got(5L) === ((-1L, true)))
+    assert(got(6L) === ((-1L, true)))
+
+    // an agent with NO exact group falls back to *. Hand-derived scores
+    // (2·len(pattern) + isAllow, raw pattern incl. '$'): '/a*z$' len 5
+    // -> 10; '/andz$' len 6 -> 13. /aXYz matches only the disallow
+    // (wildcard + end anchor); /andz matches both and the LONGER allow
+    // wins; /az9 matches neither ('$' anchors the end).
+    val other = Curation.robotsAdmit(urls(
+        10L -> "https://site.com/aXYz",
+        11L -> "https://site.com/andz",
+        12L -> "https://site.com/az9"), rules, "plainbot")
+      .select($"doc_id", $"rule_len", $"admitted")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(other(10L) === ((5L, false)))
+    assert(other(11L) === ((6L, true)))
+    assert(other(12L) === ((-1L, true)))
+  }
+
+  test("robotsAdmit: interior $ is literal, metacharacters are escaped") {
+    val rules = Curation.robotsParse(robots("m.com" ->
+      """User-agent: graftbot
+        |Disallow: /a$b
+        |Disallow: /q.x
+        |""".stripMargin))
+    val got = Curation.robotsAdmit(urls(
+        1L -> "https://m.com/a$b/c", // literal interior $ matches
+        2L -> "https://m.com/q.x",   // literal dot matches
+        3L -> "https://m.com/qzx"),  // dot must NOT act as regex any-char
+      rules, "graftbot")
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) === false)
+    assert(got(2L) === false)
+    assert(got(3L) === true)
+  }
+}
