@@ -59,6 +59,37 @@ object SparkEntry {
         "it.</p></body></html>")).as("html"))
   }
 
+  /** jusText block-classification fixture: every page carries a link nav
+   * (cf bad), a short heading, a MAIN paragraph whose length (a stop-word
+   * filler sentence repeated 1 + doc_id%5 times plus a doc-text tail) and
+   * stop density vary per doc — spanning the bad / neargood / good
+   * context-free branches — an id-gated neargood bridge (doc_id%3=0), an
+   * id-gated zero-stopword spam block (doc_id%4=1), a short tail note
+   * whose REVISED class depends on its id-dependent neighbours, and a ©
+   * footer. Mirrored literal for literal by the oracle's `h` CTE. */
+  private def blockFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"), concat(
+      lit("<html><body><nav><a href=\"/a\">Home</a> " +
+        "<a href=\"/b\">About</a> <a href=\"/c\">Contact</a></nav>" +
+        "<h1>Doc "), id, lit(" overview</h1><p>"),
+      expr("repeat('the data is in the file and we are on the way ', " +
+        "cast(1 + doc_id % 5 as int))"),
+      expr("substring(text, 1, cast(30 + doc_id % 40 as int))"),
+      lit(".</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<p>the data is in the file and we are on the way the data " +
+          "is in the file and we are on the way</p>")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit("<p>Buy cheap widgets gadgets deals discount offers sale " +
+          "price shop market store goods items products catalog brands " +
+          "extra filler words everywhere</p>")).otherwise(lit("")),
+      lit("<p>tail note "), id,
+      lit("</p><div>© Example Corp. All rights reserved.</div>" +
+        "</body></html>")).as("html"))
+  }
+
   /** Deterministic WARC fixture for the crawl-ingest rows: each blob is a
    * spec-compliant warc.gz — warcinfo + request noise members the walk
    * must skip, then the markup page as a gzipped HTTP-response record.
@@ -2979,6 +3010,17 @@ object SparkEntry {
       // text; DuckDB replays each rule with string/regex ops
       TextAnalysis.htmlExtract(markupDocs(s, dir))),
 
+    "text_block_extract" -> ((s, dir) =>
+      // the jusText alternative to the C4 line rules: block split at
+      // block-tag boundaries, per-block link/stop densities, the exact
+      // context-free rule order (links → © → short → stopword tiers),
+      // then BOTH context-sensitive window passes (short takes its
+      // nearest good/bad neighbours with the neargood-fronted mixed
+      // promotion; neargood demotes only between two revised bads).
+      // DuckDB replays the split, the densities, the rule order and the
+      // window walks on the same page bytes.
+      TextAnalysis.blockExtract(blockFixtureDocs(s, dir))),
+
     "text_normalize_unicode" -> ((s, dir) => {
       // Unicode front door ahead of any fingerprinting: NFC composition via
       // the native NfcNormalize expression (Spark has no built-in
@@ -4799,6 +4841,123 @@ object SparkEntry {
     "text_html_extract" ->
       (htmlExtractSql(5) +
         " SELECT doc_id, n_lines, n_kept, clean_text FROM ext"),
+
+    // jusText block classification: DuckDB rebuilds the same pages,
+    // splits at the same block-tag regex, recomputes link/stop densities
+    // and replays the context-free rule order plus BOTH context-sensitive
+    // window passes (short pass over cf classes, neargood pass over the
+    // revised classes) — IGNORE-NULLS window walks, edges defaulting bad
+    "text_block_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a></nav><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || ' overview</h1><p>'
+           || repeat('the data is in the file and we are on the way ',
+                CAST(1 + doc_id % 5 AS INTEGER))
+           || substr(text, 1, CAST(30 + doc_id % 40 AS INTEGER)) || '.</p>'
+           || CASE WHEN doc_id % 3 = 0 THEN
+                '<p>the data is in the file and we are on the way the data is in the file and we are on the way</p>'
+              ELSE '' END
+           || CASE WHEN doc_id % 4 = 1 THEN
+                '<p>Buy cheap widgets gadgets deals discount offers sale price shop market store goods items products catalog brands extra filler words everywhere</p>'
+              ELSE '' END
+           || '<p>tail note ' || CAST(doc_id AS VARCHAR)
+           || '</p><div>© Example Corp. All rights reserved.</div></body></html>'
+             AS html
+         FROM documents),
+       ns AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html2 FROM h),
+       bl AS (SELECT doc_id,
+           generate_subscripts(regexp_split_to_array(html2,
+             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>'), 1) AS pos,
+           unnest(regexp_split_to_array(html2,
+             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>')) AS seg
+         FROM ns),
+       cl AS (SELECT doc_id, pos, seg,
+           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g')) AS text,
+           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(array_to_string(regexp_extract_all(seg,
+               '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g'))
+             AS link_text
+         FROM bl),
+       mt AS (SELECT doc_id, pos, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(link_text) AS BIGINT) AS link_chars,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(lower(text), ' '), w ->
+             w IN ('the','a','an','of','to','and','in','is','that','it',
+               'for','on','with','as','this','be','are','was','or','at',
+               'by','we','you','have','not'))) AS BIGINT) AS n_stop,
+           (strpos(text, '©') > 0 OR strpos(seg, '&copy;') > 0) AS is_copy
+         FROM cl WHERE text <> ''),
+       cf AS (SELECT doc_id, pos, text, n_chars,
+           CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS link_density,
+           CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS stop_density,
+           CASE
+             WHEN CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.2
+               THEN 'bad'
+             WHEN is_copy THEN 'bad'
+             WHEN n_chars < 70 THEN
+               CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.32
+               THEN CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.30
+               THEN 'neargood'
+             ELSE 'bad' END AS cf_class
+         FROM mt),
+       p1 AS (SELECT *,
+           coalesce(last_value(CASE WHEN cf_class IN ('good','bad')
+             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pgb,
+           coalesce(first_value(CASE WHEN cf_class IN ('good','bad')
+             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS ngb,
+           coalesce(last_value(CASE WHEN cf_class <> 'short'
+             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pany,
+           coalesce(first_value(CASE WHEN cf_class <> 'short'
+             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS nany
+         FROM cf
+         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wnext AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       c1 AS (SELECT *, CASE WHEN cf_class <> 'short' THEN cf_class
+           WHEN pgb = 'good' AND ngb = 'good' THEN 'good'
+           WHEN pgb = 'bad' AND ngb = 'bad' THEN 'bad'
+           WHEN (pgb = 'bad' AND pany = 'neargood')
+             OR (ngb = 'bad' AND nany = 'neargood') THEN 'good'
+           ELSE 'bad' END AS cls1
+         FROM p1),
+       p2 AS (SELECT *,
+           coalesce(last_value(CASE WHEN cls1 IN ('good','bad')
+             THEN cls1 END IGNORE NULLS) OVER wprev, 'bad') AS pgb2,
+           coalesce(first_value(CASE WHEN cls1 IN ('good','bad')
+             THEN cls1 END IGNORE NULLS) OVER wnext, 'bad') AS ngb2
+         FROM c1
+         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wnext AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       fin AS (SELECT doc_id, pos, text, cf_class,
+           CASE WHEN cls1 <> 'neargood' THEN cls1
+             WHEN pgb2 = 'bad' AND ngb2 = 'bad' THEN 'bad'
+             ELSE 'good' END AS cls
+         FROM p2)
+       SELECT doc_id, COUNT(*) AS n_blocks,
+         CAST(SUM(CASE WHEN cf_class = 'short' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cf_short,
+         CAST(SUM(CASE WHEN cf_class = 'neargood' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cf_neargood,
+         CAST(SUM(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_good,
+         COALESCE(string_agg(CASE WHEN cls = 'good' THEN text END,
+           chr(10) ORDER BY pos), '') AS content
+       FROM fin GROUP BY 1""",
 
     // chr(769) = U+0301 combining acute (decomposed-injection side),
     // chr(7) = BEL; nfc_normalize is DuckDB's built-in — byte-parity with

@@ -842,4 +842,173 @@ object TextAnalysis {
           col("alpha_frac") >= minAlphaFrac &&
           col("n_stop_kinds") >= minStopwords)
   }
+
+  /** The default stop list for [[blockClassify]] — a compact English set
+   * (jusText ships per-language lists; the list is a parameter). */
+  val DefaultBlockStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "that", "it", "for",
+    "on", "with", "as", "this", "be", "are", "was", "or", "at", "by",
+    "we", "you", "have", "not")
+
+  /**
+   * Block-level boilerplate classification (jusText, Pomikálek 2011 — the
+   * block-scoring alternative to [[htmlExtract]]'s C4 line rules; real
+   * pipelines run one or the other as the main-content extractor):
+   *
+   *  1. `<script>`/`<style>` drop WITH content; the page then splits into
+   *     BLOCKS at block-level tag boundaries (`p div li ul ol h1-6 table
+   *     tr td th blockquote section article header footer nav aside form`,
+   *     opening or closing) — inline markup (`<a> <b> <span>`) stays
+   *     inside its block;
+   *  2. per block: visible text (tags stripped, the five standard
+   *     entities + `&nbsp;` decoded `&amp;`-last, whitespace collapsed)
+   *     and anchor text (the same cleaning over the concatenated
+   *     `<a>…</a>` contents). Blocks with no visible text vanish;
+   *  3. context-free class (jusText §3.2, exact rule order):
+   *     link_density > maxLinkDensity → `bad`; a © sign in the text or
+   *     `&copy;` in the raw block → `bad`; length < lengthLow → `bad` if
+   *     the block has any link chars else `short`; stop_density ≥
+   *     stopwordsHigh → `good` if length > lengthHigh else `neargood`;
+   *     ≥ stopwordsLow → `neargood`; else `bad`;
+   *  4. context-sensitive revision (jusText §3.3) in two passes:
+   *     `short` blocks take {good}→good, {bad}→bad from their nearest
+   *     good/bad neighbours (page edges count as bad), and in the mixed
+   *     case promote to good only when the bad side is fronted by an
+   *     adjacent-side `neargood`; then `neargood` blocks (against the
+   *     REVISED classes, where no short remains) demote to bad only when
+   *     both nearest good/bad neighbours are bad. Heading promotion
+   *     (jusText's max_heading_distance) needs DOM ancestry this
+   *     flat-block walk deliberately simplifies away.
+   *
+   * Output: one row per retained block — (doc_id, pos, text, n_chars,
+   * link_chars, n_words, link_density, stop_density, cf_class, class).
+   * [[blockExtract]] rolls this up per document.
+   *
+   * Scale shape: the split/clean/score stage is narrow codegen'd string
+   * work; the context passes are two windows over ONE doc-keyed hash
+   * Exchange (both share partitioning AND ordering — one sort). Per-page
+   * block counts are markup-bounded, so there is no skew; nothing global.
+   */
+  def blockClassify(docs: DataFrame, htmlCol: String = "html",
+                    lengthLow: Int = 70, lengthHigh: Int = 200,
+                    stopwordsLow: Double = 0.30, stopwordsHigh: Double = 0.32,
+                    maxLinkDensity: Double = 0.2,
+                    stopwords: Seq[String] = DefaultBlockStopwords): DataFrame = {
+    require(lengthLow <= lengthHigh, "lengthLow must be <= lengthHigh")
+    require(stopwordsLow <= stopwordsHigh,
+      "stopwordsLow must be <= stopwordsHigh")
+    require(stopwords.nonEmpty, "need a stop list")
+    import org.apache.spark.sql.expressions.Window
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blockRe = "(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td" +
+      "|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>"
+    // clean(): raw markup fragment -> visible text. MUST stay in lockstep
+    // with the DuckDB oracle's replay (tag strip, entity decode &amp;
+    // LAST, whitespace-run collapse, trim).
+    def clean(c: Column): Column = {
+      val noTags = regexp_replace(c, "<[^>]*>", " ")
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(noTags) { case (a, (e, ch)) => replace(a, lit(e), lit(ch)) }
+      trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    }
+    val blocks = docs
+      .select(col("doc_id"),
+        posexplode(split(noStyle, blockRe)).as(Seq("pos", "seg")))
+      .withColumn("text", clean(col("seg")))
+      .filter(col("text") =!= "")
+      .withColumn("link_text", clean(array_join(
+        regexp_extract_all(col("seg"), lit("(?is)<a[^>]*>(.*?)</a>"),
+          lit(1)), " ")))
+    val lw = split(lower(col("text")), " ")
+    val nStop = stopwords.map(sw =>
+      size(filter(lw, w => w === sw))).reduce(_ + _).cast("long")
+    val scored = blocks.select(col("doc_id"), col("pos"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(col("link_text")).cast("long").as("link_chars"),
+        size(lw).cast("long").as("n_words"),
+        nStop.as("n_stop"),
+        (col("text").contains("©") || col("seg").contains("&copy;"))
+          .as("_copy"))
+      .withColumn("link_density",
+        col("link_chars").cast("double") / col("n_chars").cast("double"))
+      .withColumn("stop_density",
+        col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("cf_class",
+        when(col("link_density") > maxLinkDensity, "bad")
+          .when(col("_copy"), "bad")
+          .when(col("n_chars") < lengthLow,
+            when(col("link_chars") > 0, "bad").otherwise("short"))
+          .when(col("stop_density") >= stopwordsHigh,
+            when(col("n_chars") > lengthHigh, "good").otherwise("neargood"))
+          .when(col("stop_density") >= stopwordsLow, "neargood")
+          .otherwise("bad"))
+      .drop("_copy")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val cf = col("cf_class")
+    def gb(c: Column) = when(c.isin("good", "bad"), c)
+    // nearest context-free good/bad neighbour each side (edges -> bad),
+    // and the nearest non-short class (the ignore_neargood=false walk)
+    val pass1 = scored
+      .withColumn("_pgb", coalesce(last(gb(cf), ignoreNulls = true)
+        .over(before), lit("bad")))
+      .withColumn("_ngb", coalesce(first(gb(cf), ignoreNulls = true)
+        .over(after), lit("bad")))
+      .withColumn("_pany", coalesce(last(when(cf =!= "short", cf),
+        ignoreNulls = true).over(before), lit("bad")))
+      .withColumn("_nany", coalesce(first(when(cf =!= "short", cf),
+        ignoreNulls = true).over(after), lit("bad")))
+      .withColumn("_c1", when(cf =!= "short", cf)
+        .when(col("_pgb") === "good" && col("_ngb") === "good", "good")
+        .when(col("_pgb") === "bad" && col("_ngb") === "bad", "bad")
+        // mixed: promote only when the bad side is fronted by neargood
+        .when((col("_pgb") === "bad" && col("_pany") === "neargood") ||
+          (col("_ngb") === "bad" && col("_nany") === "neargood"), "good")
+        .otherwise("bad"))
+    val c1 = col("_c1")
+    val revised = pass1
+      .withColumn("_pgb2", coalesce(last(gb(c1), ignoreNulls = true)
+        .over(before), lit("bad")))
+      .withColumn("_ngb2", coalesce(first(gb(c1), ignoreNulls = true)
+        .over(after), lit("bad")))
+      .withColumn("class", when(c1 =!= "neargood", c1)
+        .when(col("_pgb2") === "bad" && col("_ngb2") === "bad", "bad")
+        .otherwise("good"))
+    revised.select(col("doc_id"), col("pos"), col("text"), col("n_chars"),
+      col("link_chars"), col("n_words"), col("link_density"),
+      col("stop_density"), col("cf_class"), col("class"))
+  }
+
+  /**
+   * Per-document rollup of [[blockClassify]] — the jusText front door as
+   * a dedup-ready corpus: block counts by context-free class (pinning
+   * that the context passes actually moved blocks), the good-block count
+   * after revision, and the extracted main content (good blocks in page
+   * order, newline-joined). The rollup groups on the SAME doc_id the
+   * context windows partitioned by, so it reuses their Exchange — the
+   * whole operator costs one shuffle.
+   */
+  def blockExtract(docs: DataFrame, htmlCol: String = "html",
+                   lengthLow: Int = 70, lengthHigh: Int = 200,
+                   stopwordsLow: Double = 0.30, stopwordsHigh: Double = 0.32,
+                   maxLinkDensity: Double = 0.2,
+                   stopwords: Seq[String] = DefaultBlockStopwords): DataFrame =
+    blockClassify(docs, htmlCol, lengthLow, lengthHigh, stopwordsLow,
+      stopwordsHigh, maxLinkDensity, stopwords)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("cf_class") === "short", 1L).otherwise(0L))
+          .as("n_cf_short"),
+        sum(when(col("cf_class") === "neargood", 1L).otherwise(0L))
+          .as("n_cf_neargood"),
+        sum(when(col("class") === "good", 1L).otherwise(0L)).as("n_good"),
+        array_join(transform(filter(
+            sort_array(collect_list(struct(col("pos").as("p"),
+              col("text").as("t"), (col("class") === "good").as("g")))),
+            x => x.getField("g")),
+          x => x.getField("t")), "\n").as("content"))
 }

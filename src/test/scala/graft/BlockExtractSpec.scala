@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/**
+ * jusText block classification — hand-derived fixtures: every expected
+ * class below was worked out by hand from the published rules (Pomikálek
+ * 2011 §3.2 context-free order, §3.3 context-sensitive revision), never
+ * by running the operator.
+ *
+ * Building blocks (default stop list, counts done by hand):
+ *  - S    = "the data is in the file and we are on the way"
+ *           45 chars, 12 words, 9 stop words → density 0.75
+ *  - GOOD = S×5 joined by spaces → 229 chars > lengthHigh(200) → cf good
+ *  - NEAR = S×2 joined by spaces →  91 chars in (70, 200]     → cf neargood
+ */
+class BlockExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = "the data is in the file and we are on the way"
+  private val GOOD = Seq.fill(5)(S).mkString(" ")
+  private val NEAR = Seq.fill(2)(S).mkString(" ")
+  private val NAV =
+    "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a></nav>"
+  private val SPAM = "<p>Buy cheap widgets gadgets deals discount " +
+    "offers sale price shop market store goods items products catalog " +
+    "brands plus &amp; more &lt; extra filler words everywhere</p>"
+
+  // doc 1 — expected classes, hand-traced in pos order:
+  //  1 "Home About"        cf bad   (link_density 1.0)      → bad
+  //  2 "Welcome here"      cf short (12 chars, no links)    → bad
+  //      (prev good/bad = bad nav, next = good; mixed, and the bad side
+  //       is fronted by the nav itself, not a neargood → bad)
+  //  3 GOOD                cf good                           → good
+  //  4 "short bridge text" cf short → both neighbours good   → good
+  //  5 GOOD                cf good                           → good
+  //  6 NEAR                cf neargood → revised prev is good → good
+  //  7 spam (no stop words, >70 chars) cf bad                → bad
+  //  8 NEAR                cf neargood → revised prev (spam) and next
+  //      (nav) both bad                                      → bad
+  //  9 "Terms Privacy"     cf bad   (links)                  → bad
+  // 10 "tiny tail"         cf short → prev bad, next bad     → bad
+  // 11 "© 2026 …"          cf bad   (copyright sign)         → bad
+  private val doc1 = "<html><body>" + NAV +
+    "<h1>Welcome here</h1>" +
+    "<P>" + GOOD + "</P>" +
+    "<p>short bridge text</p>" +
+    "<p>" + GOOD + "</p>" +
+    "<script>var bad = {1:2};</script>" +
+    "<p>" + NEAR + "</p>" +
+    SPAM +
+    "<p>" + NEAR + "</p>" +
+    "<nav><a href=\"/c\">Terms</a> <a href=\"/d\">Privacy</a></nav>" +
+    "<p>tiny tail</p>" +
+    "<DIV>© 2026 Example Corp. All rights reserved.</DIV>" +
+    "</body></html>"
+
+  // doc 2 — the mixed-short promotion and the short-with-links branch:
+  //  1 GOOD          cf good                                  → good
+  //  2 "Home About"  cf bad (links)                           → bad
+  //  3 NEAR          cf neargood → revised neighbours bad(2) /
+  //      good(4, the promoted short) — not both bad           → good
+  //  4 "mini bridge" cf short → prev good/bad = bad(2), next = good(5):
+  //      mixed, and the bad side IS fronted by neargood(3)    → good
+  //  5 GOOD          cf good                                  → good
+  //  6 "see x in this place for more of the things now today" (52 chars,
+  //      1 link char) cf bad via the short-with-links branch  → bad
+  //  7 "tiny tail"   cf short → prev bad(6), next edge(bad)   → bad
+  private val doc2 = "<html><body>" +
+    "<p>" + GOOD + "</p>" + NAV +
+    "<p>" + NEAR + "</p>" +
+    "<p>mini bridge</p>" +
+    "<p>" + GOOD + "</p>" +
+    "<p>see <a href='/x'>x</a> in this place for more of the things " +
+    "now today</p>" +
+    "<p>tiny tail</p>" +
+    "</body></html>"
+
+  private lazy val classified = TextAnalysis.blockClassify(
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "html"))
+
+  test("blockClassify: context-free classes follow the jusText rule order") {
+    val cf1 = classified.filter(col("doc_id") === 1).orderBy("pos")
+      .select("cf_class").as[String].collect().toSeq
+    assert(cf1 === Seq("bad", "short", "good", "short", "good", "neargood",
+      "bad", "neargood", "bad", "short", "bad"))
+    val cf2 = classified.filter(col("doc_id") === 2).orderBy("pos")
+      .select("cf_class").as[String].collect().toSeq
+    assert(cf2 === Seq("good", "bad", "neargood", "short", "good", "bad",
+      "short"))
+  }
+
+  test("blockClassify: context-sensitive revision — short takes its " +
+    "neighbours, neargood demotes only between two bads") {
+    val c1 = classified.filter(col("doc_id") === 1).orderBy("pos")
+      .select("class").as[String].collect().toSeq
+    assert(c1 === Seq("bad", "bad", "good", "good", "good", "good",
+      "bad", "bad", "bad", "bad", "bad"))
+    val c2 = classified.filter(col("doc_id") === 2).orderBy("pos")
+      .select("class").as[String].collect().toSeq
+    assert(c2 === Seq("good", "bad", "good", "good", "good", "bad", "bad"))
+  }
+
+  test("blockClassify: per-block metrics — hand-counted chars, words, " +
+    "link and stop densities") {
+    val r = classified.filter(col("doc_id") === 1).orderBy("pos")
+      .select("text", "n_chars", "link_chars", "n_words")
+      .collect()
+    // block 1: nav — text "Home About", all 10 chars inside anchors
+    assert(r(0).getString(0) === "Home About")
+    assert(r(0).getLong(1) === 10L && r(0).getLong(2) === 10L)
+    // block 3: GOOD — 229 chars, 60 words, zero link chars
+    assert(r(2).getLong(1) === 229L && r(2).getLong(2) === 0L &&
+      r(2).getLong(3) === 60L)
+    val d = classified.filter(col("doc_id") === 1)
+      .select(col("pos"), col("stop_density")).orderBy("pos").collect()
+    // GOOD and NEAR blocks share the hand-counted 9/12 = 0.75 density
+    assert(d(2).getDouble(1) === 0.75 && d(5).getDouble(1) === 0.75)
+  }
+
+  test("blockExtract: per-document rollup and good-block content " +
+    "in page order") {
+    val rows = TextAnalysis.blockExtract(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "html"))
+      .orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getLong(1) === 11L)               // n_blocks
+    assert(r1.getLong(2) === 3L)                // n_cf_short
+    assert(r1.getLong(3) === 2L)                // n_cf_neargood
+    assert(r1.getLong(4) === 4L)                // n_good
+    assert(r1.getString(5) ===
+      Seq(GOOD, "short bridge text", GOOD, NEAR).mkString("\n"))
+    val r2 = rows(1)
+    assert(r2.getLong(1) === 7L && r2.getLong(2) === 2L &&
+      r2.getLong(3) === 1L && r2.getLong(4) === 4L)
+    assert(r2.getString(5) ===
+      Seq(GOOD, NEAR, "mini bridge", GOOD).mkString("\n"))
+  }
+
+  test("blockClassify: empty blocks vanish, entities decode once, " +
+    "tag case is irrelevant") {
+    // doc 1 has inter-tag gaps and a script with braces — none of them
+    // may surface as blocks; the spam block's &amp;/&lt; decode to & / <
+    val spam = classified.filter(col("doc_id") === 1 && col("pos") > 0)
+      .filter(col("cf_class") === "bad" && col("text").startsWith("Buy"))
+      .select("text").as[String].head()
+    assert(spam.contains("plus & more < extra"))
+    assert(classified.filter(col("text").contains("var bad")).count() === 0L)
+  }
+}

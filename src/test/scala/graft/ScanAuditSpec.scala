@@ -158,6 +158,16 @@ class ScanAuditSpec extends SparkSpec {
         s"markup fixture scan reads more than (doc_id, text): $cols")
   }
 
+  test("text_block_extract: both context windows AND the rollup share one " +
+    "doc-keyed Exchange; scan pruned to (doc_id, text)") {
+    val p = plan("text_block_extract")
+    assert(exchanges(p) === 1,
+      s"jusText block walk must cost exactly one shuffle:\n$p")
+    for (cols <- scanColumns(p))
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"block fixture scan reads more than (doc_id, text): $cols")
+  }
+
   test("q_median: percentile ranks ride a RANGE partitioning, scan pruned " +
     "to the two live columns") {
     val p = plan("q_median")
