@@ -200,6 +200,55 @@ object SparkEntry {
     robotsFixture.map { case (d, t) => s"('$d', '$t')" }
       .mkString("robots(domain, robots_txt) AS (VALUES ", ", ", ")")
 
+  /** Sitemap fixture — per doc either a urlset (doc_id % 7 != 0): a full
+   * entry (mixed-case scheme/host, default :443 port, `&amp;`-escaped
+   * query params incl. a utm tracker, lastmod/changefreq/priority all
+   * id-dependent), a minimal whitespace-padded uppercase-tag entry, and
+   * for doc_id%5=2 a loc-less entry the parse must drop — or a
+   * sitemapindex (doc_id % 7 = 0) with two child sitemaps, one carrying
+   * lastmod. Mirrored literal for literal by the oracle. */
+  private def sitemapDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id").cast("string")
+    val cf = element_at(array(lit("always"), lit("daily"), lit("weekly"),
+      lit("monthly")), (col("doc_id") % 4 + 1).cast("int"))
+    d.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(
+        lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/" +
+          "sitemap/0.9\"><sitemap><loc>https://s"), id,
+        lit(".example.com/sitemap1.xml</loc><lastmod>2026-01-0"),
+        (col("doc_id") % 9 + 1).cast("string"),
+        lit("</lastmod></sitemap><sitemap><loc>https://s"), id,
+        lit(".example.com/sitemap2.xml</loc></sitemap></sitemapindex>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www." +
+          "sitemaps.org/schemas/sitemap/0.9\"><url><loc>HTTPS://" +
+          "Example.COM:443/page"), id,
+        lit("?b=2&amp;a=1&amp;utm_source=x</loc><lastmod>2026-0"),
+        (col("doc_id") % 9 + 1).cast("string"),
+        lit("-15</lastmod><changefreq>"), cf,
+        lit("</changefreq><priority>0."), (col("doc_id") % 10).cast("string"),
+        lit("</priority></url><URL><LOC> https://example.com/min"), id,
+        lit(" </LOC></URL>"),
+        when(col("doc_id") % 5 === 2,
+          lit("<url><changefreq>daily</changefreq></url>"))
+          .otherwise(lit("")),
+        lit("</urlset>"))).as("sitemap_xml"))
+  }
+
+  /** robots.txt blobs carrying `Sitemap:` directives (doc_id % 3 = 1
+   * only): one id-dependent URL + one shared URL, directive name case
+   * varying — the third discovery path beside urlset/sitemapindex. */
+  private def sitemapRobotsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"), concat(
+      lit("User-agent: *\nDisallow: /private\nSitemap: " +
+        "https://example.com/doc"), id,
+      lit("/sitemap.xml\nSITEMAP: https://example.com/shared.xml\n"))
+      .as("robots_txt"))
+  }
+
   /** Deterministic anchor-link fixture for the link-graph rows: each page
    * (src_url derived from doc_id) carries five anchors — a shouting-case
    * host with default port + tracking params + fragment, a single-quoted
@@ -1457,6 +1506,25 @@ object SparkEntry {
           Curation.robotsParse(robotsDocs(s)), "graftbot")
         .select(col("doc_id"), col("canonical_url"), col("host"),
           col("rule_len"), col("admitted"))
+    }),
+
+    "curate_sitemap_parse" -> ((s, dir) => {
+      // the crawl-DISCOVERY side of the frontier: urlset entries (full /
+      // minimal / loc-less-dropped), sitemapindex children, and
+      // robots.txt `Sitemap:` directives, all folded through the SAME
+      // canonicalizer the URL dedup uses — entity-escaped query params
+      // decode (&amp; is how they legally appear in XML), default ports
+      // and utm trackers fall away, params sort. DuckDB re-parses the
+      // same XML and robots bytes and re-canonicalizes every loc.
+      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
+      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
+          domainCol = "doc_id")
+        .select(col("domain").as("doc_id"), lit("robots").as("kind"),
+          col("loc"), lit(null).cast("string").as("lastmod"),
+          lit(null).cast("string").as("changefreq"),
+          lit(null).cast("double").as("priority"))
+      sm.unionByName(rb)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
     }),
 
     "curate_domain_stats" -> ((s, dir) => {
@@ -3292,27 +3360,11 @@ object SparkEntry {
          FROM $src LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
 
 
-  /** The URL fixture + full canonicalization chain, ending in CTE
-   * `c(doc_id, url, canonical_url)` — shared by the url-dedup oracles
-   * and the robots-admission oracle. Mirrors `urlFixtureDocs` +
-   * `Curation.canonicalUrl`. */
-  private val urlCanonicalCtes =
-    """u AS (SELECT doc_id,
-         CASE doc_id % 6
-           WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
-             '/page' || CAST(doc_id AS VARCHAR) ||
-             '/?utm_source=x&b=2&a=1#frag'
-           WHEN 1 THEN 'https://example.com:443/p' ||
-             CAST(doc_id AS VARCHAR) || '?gclid=abc'
-           WHEN 2 THEN 'http://example.com/dir/p' ||
-             CAST((doc_id // 12) * 12 AS VARCHAR) || '/'
-           WHEN 3 THEN 'https://Sub.Example.Com/path' ||
-             CAST(doc_id AS VARCHAR) || '/?a=1&utm_campaign=c'
-           WHEN 4 THEN 'http://example.com:8080/p' ||
-             CAST(doc_id AS VARCHAR) || '?fbclid=1&z=9&ref=tw'
-           ELSE 'https://example.com/#top' END AS url
-         FROM documents),
-       p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
+  /** Generic replay of `Curation.canonicalUrl` over a CTE `u(doc_id,
+   * url)` — produces CTE `c(doc_id, url, canonical_url)`. Shared by the
+   * url-dedup, robots and sitemap oracles. */
+  private val canonicalChainCtes =
+    """p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
        p2 AS (SELECT doc_id, url, d,
            lower(regexp_extract(d,
              '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
@@ -3342,6 +3394,27 @@ object SparkEntry {
                THEN '?' || array_to_string(params, '&') ELSE '' END
              AS canonical_url
          FROM p3)"""
+
+  /** The URL fixture + full canonicalization chain, ending in CTE
+   * `c(doc_id, url, canonical_url)`. Mirrors `urlFixtureDocs` +
+   * `Curation.canonicalUrl`. */
+  private val urlCanonicalCtes =
+    s"""u AS (SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
+             '/page' || CAST(doc_id AS VARCHAR) ||
+             '/?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'https://example.com:443/p' ||
+             CAST(doc_id AS VARCHAR) || '?gclid=abc'
+           WHEN 2 THEN 'http://example.com/dir/p' ||
+             CAST((doc_id // 12) * 12 AS VARCHAR) || '/'
+           WHEN 3 THEN 'https://Sub.Example.Com/path' ||
+             CAST(doc_id AS VARCHAR) || '/?a=1&utm_campaign=c'
+           WHEN 4 THEN 'http://example.com:8080/p' ||
+             CAST(doc_id AS VARCHAR) || '?fbclid=1&z=9&ref=tw'
+           ELSE 'https://example.com/#top' END AS url
+         FROM documents),
+       $canonicalChainCtes"""
 
   /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
    * (real streaming run): both must hash to this answer. */
@@ -7153,6 +7226,71 @@ object SparkEntry {
          COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
          COALESCE(j.s % 2 = 1, TRUE) AS admitted
        FROM up u LEFT JOIN jm j USING (doc_id)"""),
+
+    // sitemap discovery: DuckDB re-parses the same urlset/sitemapindex
+    // XML (entity decode &amp;-last, loc-less entries dropped) and the
+    // same robots Sitemap: directives, then re-canonicalizes every loc
+    // through the shared canonicalization chain
+    "curate_sitemap_parse" -> {
+      def xf(tag: String) =
+        s"""nullif(replace(replace(replace(replace(replace(trim(
+           regexp_extract(body, '(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>', 1)),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&amp;', '&'), '')"""
+      s"""WITH sm AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN
+             '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><sitemap><loc>https://s'
+             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap1.xml</loc><lastmod>2026-01-0'
+             || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod></sitemap><sitemap><loc>https://s'
+             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap2.xml</loc></sitemap></sitemapindex>'
+           ELSE
+             '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>HTTPS://Example.COM:443/page'
+             || CAST(doc_id AS VARCHAR) || '?b=2&amp;a=1&amp;utm_source=x</loc><lastmod>2026-0'
+             || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15</lastmod><changefreq>'
+             || ['always','daily','weekly','monthly'][CAST(doc_id % 4 + 1 AS INTEGER)]
+             || '</changefreq><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+             || '</priority></url><URL><LOC> https://example.com/min'
+             || CAST(doc_id AS VARCHAR) || ' </LOC></URL>'
+             || CASE WHEN doc_id % 5 = 2 THEN '<url><changefreq>daily</changefreq></url>' ELSE '' END
+             || '</urlset>'
+           END AS xml
+         FROM documents),
+       en AS (SELECT doc_id, 'url' AS kind, unnest(regexp_extract_all(xml,
+             '(?is)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS body FROM sm
+         UNION ALL
+         SELECT doc_id, 'sitemap' AS kind, unnest(regexp_extract_all(xml,
+             '(?is)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS body
+           FROM sm),
+       fx AS (SELECT doc_id, kind, ${xf("loc")} AS loc,
+           ${xf("lastmod")} AS lastmod, ${xf("changefreq")} AS changefreq,
+           CAST(${xf("priority")} AS DOUBLE) AS priority
+         FROM en),
+       sv AS (SELECT * FROM fx WHERE loc IS NOT NULL),
+       rt2 AS (SELECT doc_id, 'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             'Sitemap: https://example.com/doc' || CAST(doc_id AS VARCHAR)
+             || '/sitemap.xml' || chr(10) ||
+             'SITEMAP: https://example.com/shared.xml' || chr(10) AS txt
+           FROM documents WHERE doc_id % 3 = 1),
+       rl2 AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS raw
+           FROM rt2),
+       rn2 AS (SELECT doc_id, trim(regexp_replace(raw, '#.*$$', '')) AS line
+           FROM rl2),
+       rb AS (SELECT doc_id, 'robots' AS kind,
+           trim(regexp_replace(line, '^[^:]*:', '')) AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod,
+           CAST(NULL AS VARCHAR) AS changefreq,
+           CAST(NULL AS DOUBLE) AS priority
+         FROM rn2
+         WHERE regexp_matches(lower(line), '^sitemap *:')
+           AND trim(regexp_replace(line, '^[^:]*:', '')) <> ''),
+       allrows AS (SELECT * FROM sv UNION ALL SELECT * FROM rb),
+       u AS (SELECT doc_id, loc AS url FROM allrows),
+       $canonicalChainCtes
+       SELECT a.doc_id, a.kind, a.loc, a.lastmod, a.changefreq,
+         a.priority, c.canonical_url
+       FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url"""
+    },
 
     "curate_domain_stats" ->
       """WITH h AS (SELECT doc_id, n_chars,

@@ -501,4 +501,69 @@ object Curation {
       .withColumn("admitted", coalesce(col("_s") % 2 === 1, lit(true)))
       .drop("_s")
   }
+
+  /** XML text content → clean value: trim + the five XML entities decoded,
+   * `&amp;` LAST (the single-pass order that never double-decodes). */
+  private def xmlText(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(trim(c)) { case (a, (e, ch)) =>
+        replace(a, lit(e), lit(ch)) }
+
+  /**
+   * Sitemap parsing (sitemaps.org protocol) — the crawl-DISCOVERY side of
+   * the frontier, beside [[robotsParse]]'s politeness side: each blob is
+   * either a `<urlset>` (one `<url>` entry per page: required `<loc>`,
+   * optional `<lastmod>`/`<changefreq>`/`<priority>`) or a
+   * `<sitemapindex>` (child `<sitemap>` entries to fetch next, `<loc>` +
+   * optional `<lastmod>`). Output: one row per entry —
+   * (id, kind 'url'|'sitemap', loc, lastmod, changefreq, priority) with
+   * XML entities decoded in every field (`&amp;` is how query-param URLs
+   * legally appear in sitemaps), missing fields NULL, loc-less entries
+   * dropped (loc is required by the protocol). Tag match is
+   * case-insensitive and attribute-tolerant; the open-tag patterns
+   * require a name boundary so `<sitemapindex>` never reads as a child
+   * `<sitemap>` entry. CDATA sections are not supported (the protocol
+   * allows them; escaped text is the overwhelmingly common form).
+   *
+   * Scale shape: a narrow bounded explode over the blob column — zero
+   * shuffles; sitemaps are ≤50k entries by protocol.
+   */
+  def sitemapParse(blobs: DataFrame, idCol: String = "doc_id",
+                   xmlCol: String = "sitemap_xml"): DataFrame = {
+    val xml = col(xmlCol)
+    def entries(tag: String, kind: String) =
+      transform(regexp_extract_all(xml,
+          lit(s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"), lit(1)),
+        e => struct(lit(kind).as("kind"), e.as("body")))
+    def field(tag: String) =
+      nullif(xmlText(regexp_extract(col("e.body"),
+        s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>", 1)), lit(""))
+    blobs.select(col(idCol),
+        explode(concat(entries("url", "url"), entries("sitemap", "sitemap")))
+          .as("e"))
+      .select(col(idCol), col("e.kind").as("kind"), field("loc").as("loc"),
+        field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"),
+        field("priority").cast("double").as("priority"))
+      .filter(col("loc").isNotNull)
+  }
+
+  /**
+   * `Sitemap:` directives from robots.txt — the third discovery path
+   * (sitemaps.org's robots.txt extension; RFC 9309 treats the line as an
+   * other-record and [[robotsParse]] accordingly ignores it): the line is
+   * group-independent, can appear anywhere in the file, any number of
+   * times; the directive name is case-insensitive, the URL keeps its
+   * case, `#` comments strip first. Output: (domain, loc) per directive.
+   */
+  def robotsSitemaps(robots: DataFrame, domainCol: String = "domain",
+                     txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("raw"))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(lower(col("line")).rlike("^sitemap *:"))
+      .select(col("domain"),
+        trim(regexp_replace(col("line"), "^[^:]*:", "")).as("loc"))
+      .filter(col("loc") =!= "")
 }

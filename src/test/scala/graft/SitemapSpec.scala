@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Curation
+
+/**
+ * Sitemap protocol parsing (sitemaps.org) — hand-derived fixtures: every
+ * expected row below was written down from the protocol description
+ * before the operator ran.
+ */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sitemapParse: urlset — full/minimal/loc-less entries, entity " +
+    "decode, whitespace trim, attribute-tolerant case-insensitive tags") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://e.com/p?b=2&amp;a=1</loc>
+        |  <lastmod>2026-01-15</lastmod>
+        |  <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<URL><LOC>  https://e.com/min  </LOC></URL>
+        |<url><changefreq>weekly</changefreq></url>
+        |</urlset>""".stripMargin
+    val rows = Curation.sitemapParse(Seq((1L, xml)).toDF("doc_id", "sitemap_xml"))
+      .as[(Long, String, String, Option[String], Option[String], Option[Double])]
+      .collect().toSet
+    assert(rows === Set(
+      (1L, "url", "https://e.com/p?b=2&a=1", Some("2026-01-15"),
+        Some("daily"), Some(0.8)),
+      // minimal entry: loc trimmed, every optional field NULL
+      (1L, "url", "https://e.com/min", None, None, None)))
+    // the loc-less third entry is gone entirely
+  }
+
+  test("sitemapParse: sitemapindex — children parse as kind=sitemap and " +
+    "the index tag itself never reads as a child entry") {
+    val xml = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/" +
+      "sitemap/0.9\"><sitemap><loc>https://e.com/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://e.com/s2.xml</loc>" +
+      "<lastmod>2026-02-03</lastmod></sitemap></sitemapindex>"
+    val rows = Curation.sitemapParse(Seq((7L, xml)).toDF("doc_id", "sitemap_xml"))
+      .as[(Long, String, String, Option[String], Option[String], Option[Double])]
+      .collect().toSet
+    assert(rows === Set(
+      (7L, "sitemap", "https://e.com/s1.xml", None, None, None),
+      (7L, "sitemap", "https://e.com/s2.xml", Some("2026-02-03"), None, None)))
+  }
+
+  test("robotsSitemaps: group-independent, case-insensitive directive, " +
+    "URL case preserved, comments stripped, empty directive dropped") {
+    val txt =
+      """USER-AGENT: *
+        |Disallow: /private
+        |SiteMap: https://e.com/Sitemap-Main.xml
+        |# a comment line
+        |sitemap: https://e.com/s2.xml  # trailing comment
+        |Sitemap:
+        |""".stripMargin
+    val rows = Curation.robotsSitemaps(Seq(("e.com", txt))
+        .toDF("domain", "robots_txt"))
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(
+      ("e.com", "https://e.com/Sitemap-Main.xml"),
+      ("e.com", "https://e.com/s2.xml")))
+  }
+}
