@@ -1527,6 +1527,29 @@ object SparkEntry {
         .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
     }),
 
+    "curate_fetch_schedule" -> ((s, dir) => {
+      // frontier → fetch plan: every discovered URL (all three sitemap
+      // paths) ranked within its host by sitemap priority (nulls last,
+      // canonical URL tie-break), capped at the per-site budget, and
+      // dealt into politeness waves of 2. The engine runs the two-phase
+      // sharded cap (no sort sees a hot host's full URL set); the oracle
+      // replays a SINGLE-phase global rank — the hash match is the
+      // losslessness proof.
+      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
+      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
+          domainCol = "doc_id")
+        .select(col("domain").as("doc_id"), col("loc"),
+          lit(null).cast("double").as("priority"))
+      val frontier = sm.select(col("doc_id"), col("loc"), col("priority"))
+        .unionByName(rb)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
+        .withColumn("host", lower(regexp_extract(col("canonical_url"),
+          "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)", 2)))
+        .select(col("doc_id"), col("host"), col("canonical_url"),
+          col("priority"))
+      Curation.fetchSchedule(frontier, perWave = 2, maxPerHost = 300)
+    }),
+
     "curate_domain_stats" -> ((s, dir) => {
       // per-SITE crawl rollup on the registered (pay-level) domain: two
       // co.uk subdomains fold into one site, a 3-label .com host folds
@@ -3359,6 +3382,67 @@ object SparkEntry {
            COALESCE(nk.clean_text, '') AS clean_text
          FROM $src LEFT JOIN nl USING (doc_id) LEFT JOIN nk USING (doc_id))"""
 
+
+  /** Sitemap discovery fixture + parse replay, ending in CTE
+   * `allrows(doc_id, kind, loc, lastmod, changefreq, priority)` —
+   * shared by the sitemap-parse and fetch-schedule oracles. Mirrors
+   * `sitemapDocs`/`sitemapRobotsDocs` + `Curation.sitemapParse`/
+   * `robotsSitemaps`. */
+  private val sitemapParseCtes: String = {
+      def xf(tag: String) =
+        s"""nullif(replace(replace(replace(replace(replace(trim(
+           regexp_extract(body, '(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>', 1)),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&amp;', '&'), '')"""
+      s"""sm AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN
+             '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><sitemap><loc>https://s'
+             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap1.xml</loc><lastmod>2026-01-0'
+             || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod></sitemap><sitemap><loc>https://s'
+             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap2.xml</loc></sitemap></sitemapindex>'
+           ELSE
+             '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>HTTPS://Example.COM:443/page'
+             || CAST(doc_id AS VARCHAR) || '?b=2&amp;a=1&amp;utm_source=x</loc><lastmod>2026-0'
+             || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15</lastmod><changefreq>'
+             || ['always','daily','weekly','monthly'][CAST(doc_id % 4 + 1 AS INTEGER)]
+             || '</changefreq><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+             || '</priority></url><URL><LOC> https://example.com/min'
+             || CAST(doc_id AS VARCHAR) || ' </LOC></URL>'
+             || CASE WHEN doc_id % 5 = 2 THEN '<url><changefreq>daily</changefreq></url>' ELSE '' END
+             || '</urlset>'
+           END AS xml
+         FROM documents),
+       en AS (SELECT doc_id, 'url' AS kind, unnest(regexp_extract_all(xml,
+             '(?is)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS body FROM sm
+         UNION ALL
+         SELECT doc_id, 'sitemap' AS kind, unnest(regexp_extract_all(xml,
+             '(?is)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS body
+           FROM sm),
+       fx AS (SELECT doc_id, kind, ${xf("loc")} AS loc,
+           ${xf("lastmod")} AS lastmod, ${xf("changefreq")} AS changefreq,
+           CAST(${xf("priority")} AS DOUBLE) AS priority
+         FROM en),
+       sv AS (SELECT * FROM fx WHERE loc IS NOT NULL),
+       rt2 AS (SELECT doc_id, 'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             'Sitemap: https://example.com/doc' || CAST(doc_id AS VARCHAR)
+             || '/sitemap.xml' || chr(10) ||
+             'SITEMAP: https://example.com/shared.xml' || chr(10) AS txt
+           FROM documents WHERE doc_id % 3 = 1),
+       rl2 AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS raw
+           FROM rt2),
+       rn2 AS (SELECT doc_id, trim(regexp_replace(raw, '#.*$$', '')) AS line
+           FROM rl2),
+       rb AS (SELECT doc_id, 'robots' AS kind,
+           trim(regexp_replace(line, '^[^:]*:', '')) AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod,
+           CAST(NULL AS VARCHAR) AS changefreq,
+           CAST(NULL AS DOUBLE) AS priority
+         FROM rn2
+         WHERE regexp_matches(lower(line), '^sitemap *:')
+           AND trim(regexp_replace(line, '^[^:]*:', '')) <> ''),
+       allrows AS (SELECT * FROM sv UNION ALL SELECT * FROM rb)"""
+  }
 
   /** Generic replay of `Curation.canonicalUrl` over a CTE `u(doc_id,
    * url)` — produces CTE `c(doc_id, url, canonical_url)`. Shared by the
@@ -7231,66 +7315,36 @@ object SparkEntry {
     // XML (entity decode &amp;-last, loc-less entries dropped) and the
     // same robots Sitemap: directives, then re-canonicalizes every loc
     // through the shared canonicalization chain
-    "curate_sitemap_parse" -> {
-      def xf(tag: String) =
-        s"""nullif(replace(replace(replace(replace(replace(trim(
-           regexp_extract(body, '(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>', 1)),
-           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-           '&amp;', '&'), '')"""
-      s"""WITH sm AS (SELECT doc_id,
-           CASE WHEN doc_id % 7 = 0 THEN
-             '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><sitemap><loc>https://s'
-             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap1.xml</loc><lastmod>2026-01-0'
-             || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod></sitemap><sitemap><loc>https://s'
-             || CAST(doc_id AS VARCHAR) || '.example.com/sitemap2.xml</loc></sitemap></sitemapindex>'
-           ELSE
-             '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>HTTPS://Example.COM:443/page'
-             || CAST(doc_id AS VARCHAR) || '?b=2&amp;a=1&amp;utm_source=x</loc><lastmod>2026-0'
-             || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15</lastmod><changefreq>'
-             || ['always','daily','weekly','monthly'][CAST(doc_id % 4 + 1 AS INTEGER)]
-             || '</changefreq><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
-             || '</priority></url><URL><LOC> https://example.com/min'
-             || CAST(doc_id AS VARCHAR) || ' </LOC></URL>'
-             || CASE WHEN doc_id % 5 = 2 THEN '<url><changefreq>daily</changefreq></url>' ELSE '' END
-             || '</urlset>'
-           END AS xml
-         FROM documents),
-       en AS (SELECT doc_id, 'url' AS kind, unnest(regexp_extract_all(xml,
-             '(?is)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS body FROM sm
-         UNION ALL
-         SELECT doc_id, 'sitemap' AS kind, unnest(regexp_extract_all(xml,
-             '(?is)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS body
-           FROM sm),
-       fx AS (SELECT doc_id, kind, ${xf("loc")} AS loc,
-           ${xf("lastmod")} AS lastmod, ${xf("changefreq")} AS changefreq,
-           CAST(${xf("priority")} AS DOUBLE) AS priority
-         FROM en),
-       sv AS (SELECT * FROM fx WHERE loc IS NOT NULL),
-       rt2 AS (SELECT doc_id, 'User-agent: *' || chr(10) ||
-             'Disallow: /private' || chr(10) ||
-             'Sitemap: https://example.com/doc' || CAST(doc_id AS VARCHAR)
-             || '/sitemap.xml' || chr(10) ||
-             'SITEMAP: https://example.com/shared.xml' || chr(10) AS txt
-           FROM documents WHERE doc_id % 3 = 1),
-       rl2 AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS raw
-           FROM rt2),
-       rn2 AS (SELECT doc_id, trim(regexp_replace(raw, '#.*$$', '')) AS line
-           FROM rl2),
-       rb AS (SELECT doc_id, 'robots' AS kind,
-           trim(regexp_replace(line, '^[^:]*:', '')) AS loc,
-           CAST(NULL AS VARCHAR) AS lastmod,
-           CAST(NULL AS VARCHAR) AS changefreq,
-           CAST(NULL AS DOUBLE) AS priority
-         FROM rn2
-         WHERE regexp_matches(lower(line), '^sitemap *:')
-           AND trim(regexp_replace(line, '^[^:]*:', '')) <> ''),
-       allrows AS (SELECT * FROM sv UNION ALL SELECT * FROM rb),
+    "curate_sitemap_parse" ->
+      (s"""WITH $sitemapParseCtes,
        u AS (SELECT doc_id, loc AS url FROM allrows),
        $canonicalChainCtes
        SELECT a.doc_id, a.kind, a.loc, a.lastmod, a.changefreq,
          a.priority, c.canonical_url
-       FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url"""
-    },
+       FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url"""),
+
+    // per-host politeness scheduling over the full discovery output (all
+    // three sitemap paths): the oracle replays a SINGLE-phase global
+    // rank per host — a hash match proves the engine's two-phase sharded
+    // cap (no sort ever sees a hot host's full URL set) is lossless
+    "curate_fetch_schedule" ->
+      (s"""WITH $sitemapParseCtes,
+       u AS (SELECT doc_id, loc AS url FROM allrows),
+       $canonicalChainCtes,
+       f AS (SELECT a.doc_id, c.canonical_url, a.priority,
+           lower(regexp_extract(c.canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host
+         FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url),
+       w AS (SELECT doc_id, host, canonical_url, priority,
+           row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC NULLS LAST, canonical_url) AS rk
+         FROM f)
+       SELECT doc_id, host, canonical_url, priority,
+         CAST(rk AS BIGINT) AS rank_in_host,
+         CAST((rk - 1) // 2 AS BIGINT) AS wave,
+         CAST((rk - 1) % 2 AS BIGINT) AS slot
+       FROM w WHERE rk <= 300"""),
+
 
     "curate_domain_stats" ->
       """WITH h AS (SELECT doc_id, n_chars,

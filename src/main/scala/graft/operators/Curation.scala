@@ -566,4 +566,51 @@ object Curation {
       .select(col("domain"),
         trim(regexp_replace(col("line"), "^[^:]*:", "")).as("loc"))
       .filter(col("loc") =!= "")
+
+  /**
+   * Per-host politeness scheduling — the step that turns a deduplicated,
+   * robots-admitted frontier into a FETCH PLAN: within each host, URLs
+   * are ranked by (priority DESC NULLS LAST, keyCol ASC — the sitemap
+   * priority when present, deterministic tie-break otherwise), capped at
+   * `maxPerHost` (the per-site crawl budget), and assigned
+   * `wave = (rank-1) div perWave` / `slot = (rank-1) mod perWave`: a
+   * crawler honoring one politeness interval per wave fetches at most
+   * `perWave` URLs per host per interval, highest-priority first. Rows
+   * beyond the budget are dropped (the plan IS the output).
+   *
+   * Scale shape: [[domainCap]]'s two-phase sharded cap — phase 1 ranks
+   * within (host, hash-shard of keyCol) and keeps ≤ maxPerHost per
+   * shard, so no single sort ever sees a hot host's full URL set; phase
+   * 2 ranks the ≤ nShards·maxPerHost survivors per host exactly. The
+   * phase split is lossless (a row's shard rank lower-bounds its host
+   * rank), which the oracle proves by replaying a SINGLE-phase global
+   * rank and matching the hash.
+   *
+   * `keyCol` must be unique within a host (the canonical URL) — it is
+   * both the shard hash and the final tie-break, so the plan is
+   * deterministic under any partitioning.
+   */
+  def fetchSchedule(frontier: DataFrame, perWave: Int, maxPerHost: Int,
+                    hostCol: String = "host",
+                    priorityCol: String = "priority",
+                    keyCol: String = "canonical_url",
+                    nShards: Int = 32): DataFrame = {
+    require(perWave >= 1, s"perWave must be >= 1, got $perWave")
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(priorityCol).desc_nulls_last, col(keyCol).asc)
+    val w1 = Window
+      .partitionBy(col(hostCol), pmod(hash(col(keyCol)), lit(nShards)))
+      .orderBy(ord: _*)
+    val survivors = frontier.withColumn("_rk", row_number().over(w1))
+      .filter(col("_rk") <= maxPerHost).drop("_rk")
+    val w2 = Window.partitionBy(col(hostCol)).orderBy(ord: _*)
+    survivors.withColumn("rank_in_host", row_number().over(w2).cast("long"))
+      .filter(col("rank_in_host") <= maxPerHost)
+      .withColumn("wave",
+        expr(s"CAST((rank_in_host - 1) DIV $perWave AS BIGINT)"))
+      .withColumn("slot",
+        expr(s"CAST((rank_in_host - 1) % $perWave AS BIGINT)"))
+  }
 }
