@@ -195,10 +195,101 @@ object SparkEntry {
   }
 
   /** `robots(domain, robots_txt)` VALUES CTE — newlines embed raw in the
-   * SQL literal (standard multi-line strings; the fixture has no quotes). */
-  private def robotsFixtureSql: String =
-    robotsFixture.map { case (d, t) => s"('$d', '$t')" }
+   * SQL literal (standard multi-line strings; fixtures carry no quotes). */
+  private def robotsValuesSql(fixture: Seq[(String, String)]): String =
+    fixture.map { case (d, t) => s"('$d', '$t')" }
       .mkString("robots(domain, robots_txt) AS (VALUES ", ", ", ")")
+
+  private def robotsFixtureSql: String = robotsValuesSql(robotsFixture)
+
+  /** robots.txt for the LINK-TARGET hosts of the crawl-frontier row
+   * (separate from [[robotsFixture]], which covers the URL fixture's
+   * hosts): a `*` group with an allow carve-out on site0, a
+   * graftbot-specific CDN block on cdn.site3 (exact group shadows the
+   * permissive `*` group), a robots file with NO applicable group on
+   * www.site1 (admit, rule_len -1), and a mid-pattern wildcard on
+   * site5. */
+  private val frontierRobotsFixture: Seq[(String, String)] = Seq(
+    "site0.com" ->
+      """User-agent: *
+        |Disallow: /p/
+        |Allow: /p/1*
+        |""".stripMargin,
+    "cdn.site3.com" ->
+      """User-agent: GraftBot
+        |Disallow: /asset/
+        |
+        |User-agent: *
+        |Allow: /
+        |""".stripMargin,
+    "www.site1.com" ->
+      """User-agent: otherbot
+        |Disallow: /
+        |""".stripMargin,
+    "site5.com" ->
+      """User-agent: *
+        |Disallow: /p/*3
+        |""".stripMargin)
+
+  private def frontierRobotsDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    frontierRobotsFixture.toDF("domain", "robots_txt")
+  }
+
+  /** RFC 9309 parse + agent-group selection replay over a CTE
+   * `robots(domain, robots_txt)`, for agent `graftbot`: the windowed
+   * group walk, exact-over-`*` selection, and pattern→regex translation
+   * with the 2·len+isAllow score — ending in CTE
+   * `rx(domain, score, rex)`. Shared by the robots-admission and
+   * crawl-frontier oracles; mirrors `Curation.robotsParse` + the
+   * rule-selection half of `robotsAdmit`. */
+  private val robotsRulesCtes =
+    """rl AS (SELECT domain,
+           generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+           unnest(string_split(robots_txt, chr(10))) AS raw
+         FROM robots),
+       rt AS (SELECT domain, pos,
+           trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl),
+       rf AS (SELECT domain, pos, line,
+           regexp_matches(lower(line), '^user-agent *:') AS is_ua,
+           regexp_matches(lower(line), '^allow *:') AS is_al,
+           regexp_matches(lower(line), '^disallow *:') AS is_di,
+           trim(regexp_replace(line, '^[^:]*:', '')) AS val
+         FROM rt),
+       rc AS (SELECT domain, pos, is_ua, is_al, is_di, val,
+           COALESCE(SUM(CASE WHEN is_al OR is_di THEN 1 END) OVER
+             (PARTITION BY domain ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS rules_before
+         FROM rf),
+       rg AS (SELECT domain, is_ua, is_al, is_di, val, rules_before,
+           MAX(CASE WHEN is_ua THEN rules_before END) OVER
+             (PARTITION BY domain ORDER BY pos) AS gov_key
+         FROM rc),
+       uas AS (SELECT domain, rules_before AS gkey, lower(val) AS agent
+         FROM rg WHERE is_ua),
+       rr AS (SELECT domain, gov_key AS gkey,
+           CASE WHEN is_al THEN 'allow' ELSE 'disallow' END AS rule,
+           val AS pattern
+         FROM rg WHERE (is_al OR is_di) AND val <> ''),
+       pr AS (SELECT r.domain, u.agent, r.rule, r.pattern
+         FROM rr r JOIN uas u USING (domain, gkey)),
+       mr AS (SELECT * FROM pr WHERE agent IN ('graftbot', '*')),
+       he AS (SELECT domain,
+           MAX(CASE WHEN agent <> '*' THEN 1 ELSE 0 END) AS has_exact
+         FROM mr GROUP BY 1),
+       sel AS (SELECT mr.domain, mr.rule, mr.pattern
+         FROM mr JOIN he USING (domain)
+         WHERE (mr.agent <> '*') = (he.has_exact = 1)),
+       rx AS (SELECT domain,
+           length(pattern) * 2 +
+             CASE WHEN rule = 'allow' THEN 1 ELSE 0 END AS score,
+           '^' || replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$' THEN
+               substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
+             '([.^+?(){}\[\]|\\$])', '\\\1', 'g'), '*', '.*') ||
+             CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rex
+         FROM sel)"""
 
   /** Sitemap fixture — per doc either a urlset (doc_id % 7 != 0): a full
    * entry (mixed-case scheme/host, default :443 port, `&amp;`-escaped
@@ -1548,6 +1639,29 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("canonical_url"),
           col("priority"))
       Curation.fetchSchedule(frontier, perWave = 2, maxPerHost = 300)
+    }),
+
+    "pipeline_crawl_frontier" -> ((s, dir) => {
+      // the composed crawl-scheduler story END TO END: anchor extraction
+      // from page markup → the shared canonicalizer → frontier fold
+      // (first-seen doc, in-degree) → RFC 9309 admission for graftbot
+      // (allow carve-outs, exact-over-*, no-group admit, mid-pattern
+      // wildcards — all id-dependent through the link targets) →
+      // per-host politeness waves with in-degree as priority. Each stage
+      // feeds the next; DuckDB replays the whole chain.
+      val links = operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
+      val frontier = links.groupBy(col("target_url").as("canonical_url"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_links"))
+      val admitted = Curation.robotsAdmit(frontier,
+          Curation.robotsParse(frontierRobotsDocs(s)), "graftbot",
+          idCol = "canonical_url")
+        .filter(col("admitted"))
+        .withColumn("priority", col("n_links").cast("double"))
+      Curation.fetchSchedule(admitted, perWave = 2, maxPerHost = 50)
+        .select(col("host"), col("canonical_url"), col("first_doc"),
+          col("n_links"), col("rule_len"), col("rank_in_host"),
+          col("wave"), col("slot"))
     }),
 
     "curate_domain_stats" -> ((s, dir) => {
@@ -7246,53 +7360,8 @@ object SparkEntry {
     // allow winning ties via the 2·len+isAllow score
     "curate_robots_admit" ->
       (s"""WITH $urlCanonicalCtes,
-       $robotsFixtureSql,""" + """
-       rl AS (SELECT domain,
-           generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
-           unnest(string_split(robots_txt, chr(10))) AS raw
-         FROM robots),
-       rt AS (SELECT domain, pos,
-           trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl),
-       rf AS (SELECT domain, pos, line,
-           regexp_matches(lower(line), '^user-agent *:') AS is_ua,
-           regexp_matches(lower(line), '^allow *:') AS is_al,
-           regexp_matches(lower(line), '^disallow *:') AS is_di,
-           trim(regexp_replace(line, '^[^:]*:', '')) AS val
-         FROM rt),
-       rc AS (SELECT domain, pos, is_ua, is_al, is_di, val,
-           COALESCE(SUM(CASE WHEN is_al OR is_di THEN 1 END) OVER
-             (PARTITION BY domain ORDER BY pos
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS rules_before
-         FROM rf),
-       rg AS (SELECT domain, is_ua, is_al, is_di, val, rules_before,
-           MAX(CASE WHEN is_ua THEN rules_before END) OVER
-             (PARTITION BY domain ORDER BY pos) AS gov_key
-         FROM rc),
-       uas AS (SELECT domain, rules_before AS gkey, lower(val) AS agent
-         FROM rg WHERE is_ua),
-       rr AS (SELECT domain, gov_key AS gkey,
-           CASE WHEN is_al THEN 'allow' ELSE 'disallow' END AS rule,
-           val AS pattern
-         FROM rg WHERE (is_al OR is_di) AND val <> ''),
-       pr AS (SELECT r.domain, u.agent, r.rule, r.pattern
-         FROM rr r JOIN uas u USING (domain, gkey)),
-       mr AS (SELECT * FROM pr WHERE agent IN ('graftbot', '*')),
-       he AS (SELECT domain,
-           MAX(CASE WHEN agent <> '*' THEN 1 ELSE 0 END) AS has_exact
-         FROM mr GROUP BY 1),
-       sel AS (SELECT mr.domain, mr.rule, mr.pattern
-         FROM mr JOIN he USING (domain)
-         WHERE (mr.agent <> '*') = (he.has_exact = 1)),
-       rx AS (SELECT domain,
-           length(pattern) * 2 +
-             CASE WHEN rule = 'allow' THEN 1 ELSE 0 END AS score,
-           '^' || replace(regexp_replace(
-             CASE WHEN pattern LIKE '%$' THEN
-               substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
-             '([.^+?(){}\[\]|\\$])', '\\\1', 'g'), '*', '.*') ||
-             CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rex
-         FROM sel),
+       $robotsFixtureSql,
+       $robotsRulesCtes,""" + """
        up AS (SELECT doc_id, canonical_url,
            lower(regexp_extract(canonical_url,
              '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
@@ -7344,6 +7413,64 @@ object SparkEntry {
          CAST((rk - 1) // 2 AS BIGINT) AS wave,
          CAST((rk - 1) % 2 AS BIGINT) AS slot
        FROM w WHERE rk <= 300"""),
+
+    // the composed crawl chain: link extraction → canonicalization →
+    // frontier fold → robots admission → politeness waves, every stage
+    // replayed — the d/l/a head mirrors extractLinks, the shared chain
+    // canonicalizes, the shared rules block re-derives graftbot's
+    // governing rules, the window replays the single-phase schedule
+    "pipeline_crawl_frontier" ->
+      (s"""WITH d AS (SELECT doc_id,
+           '<html><body><p>intro</p><a href="HTTP://Site' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+             CAST(doc_id AS VARCHAR) || '?utm_s=x&b=2&a=1#f">first</a>' ||
+             '<a href=''https://cdn.site' ||
+             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/asset/' ||
+             CAST(doc_id AS VARCHAR) || '/''>second</a>' ||
+             '<a href="/relative/' || CAST(doc_id AS VARCHAR) ||
+             '">rel</a>' ||
+             '<a href="javascript:void(0)">j</a>' ||
+             '<A HREF="https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.com/dup">third</A></body></html>' AS html
+         FROM documents),
+       l AS (SELECT doc_id, unnest(regexp_extract_all(html,
+           'href\\s*=\\s*["'']([^"'']+)', 1, 'i')) AS href FROM d),
+       a AS (SELECT doc_id, href FROM l
+         WHERE regexp_matches(href, '(?i)^https?://')),
+       u AS (SELECT doc_id, href AS url FROM a),
+       $canonicalChainCtes,
+       fr AS (SELECT canonical_url, MIN(doc_id) AS first_doc,
+           COUNT(*) AS n_links FROM c GROUP BY 1),
+       ${robotsValuesSql(frontierRobotsFixture)},
+       $robotsRulesCtes,
+       up AS (SELECT canonical_url, first_doc, n_links,
+           lower(regexp_extract(canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
+           CASE WHEN regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
+             THEN '/' ELSE regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             AS path
+         FROM fr),
+       jm AS (SELECT u.canonical_url, MAX(r.score) AS s
+         FROM up u JOIN rx r
+           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
+         GROUP BY 1),
+       ad AS (SELECT up.canonical_url, up.first_doc, up.n_links, up.host,
+           COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
+           COALESCE(j.s % 2 = 1, TRUE) AS admitted
+         FROM up LEFT JOIN jm j USING (canonical_url)),
+       fa AS (SELECT * FROM ad WHERE admitted),
+       w AS (SELECT *, row_number() OVER (PARTITION BY host
+           ORDER BY CAST(n_links AS DOUBLE) DESC NULLS LAST,
+             canonical_url) AS rk
+         FROM fa)
+       SELECT host, canonical_url, first_doc,
+         CAST(n_links AS BIGINT) AS n_links, rule_len,
+         CAST(rk AS BIGINT) AS rank_in_host,
+         CAST((rk - 1) // 2 AS BIGINT) AS wave,
+         CAST((rk - 1) % 2 AS BIGINT) AS slot
+       FROM w WHERE rk <= 50"""),
 
 
     "curate_domain_stats" ->
