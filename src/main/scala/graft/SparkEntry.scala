@@ -3226,6 +3226,23 @@ object SparkEntry {
       // window walks on the same page bytes.
       TextAnalysis.blockExtract(blockFixtureDocs(s, dir))),
 
+    "pipeline_block_curate" -> ((s, dir) => {
+      // the jusText sibling of pipeline_html_curate: curation's word/TTR
+      // arithmetic runs on the BLOCK-extracted main content (newlines
+      // flattened) — pins the stage coupling for the block path, incl.
+      // all-boilerplate pages whose empty content must flow through
+      val extracted = TextAnalysis.blockExtract(blockFixtureDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_blocks"),
+        col("n_good"),
+        replace(col("content"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_blocks"), col("n_good")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_blocks"), col("n_good"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
     "text_normalize_unicode" -> ((s, dir) => {
       // Unicode front door ahead of any fingerprinting: NFC composition via
       // the native NfcNormalize expression (Spark has no built-in
@@ -3557,6 +3574,124 @@ object SparkEntry {
            AND trim(regexp_replace(line, '^[^:]*:', '')) <> ''),
        allrows AS (SELECT * FROM sv UNION ALL SELECT * FROM rb)"""
   }
+
+  /** jusText block-classification replay (fixture build, block split,
+   * densities, context-free rules, both IGNORE-NULLS window passes,
+   * per-doc rollup) ending in CTE `roll(doc_id, n_blocks, n_cf_short,
+   * n_cf_neargood, n_good, content)` — shared by text_block_extract and
+   * pipeline_block_curate. Mirrors `blockFixtureDocs` +
+   * `TextAnalysis.blockExtract`. */
+  private val blockExtractCtes: String =
+    """h AS (SELECT doc_id,
+           '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a></nav><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || ' overview</h1><p>'
+           || repeat('the data is in the file and we are on the way ',
+                CAST(1 + doc_id % 5 AS INTEGER))
+           || substr(text, 1, CAST(30 + doc_id % 40 AS INTEGER)) || '.</p>'
+           || CASE WHEN doc_id % 3 = 0 THEN
+                '<p>the data is in the file and we are on the way the data is in the file and we are on the way</p>'
+              ELSE '' END
+           || CASE WHEN doc_id % 4 = 1 THEN
+                '<p>Buy cheap widgets gadgets deals discount offers sale price shop market store goods items products catalog brands extra filler words everywhere</p>'
+              ELSE '' END
+           || '<p>tail note ' || CAST(doc_id AS VARCHAR)
+           || '</p><div>© Example Corp. All rights reserved.</div></body></html>'
+             AS html
+         FROM documents),
+       ns AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html2 FROM h),
+       bl AS (SELECT doc_id,
+           generate_subscripts(regexp_split_to_array(html2,
+             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>'), 1) AS pos,
+           unnest(regexp_split_to_array(html2,
+             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>')) AS seg
+         FROM ns),
+       cl AS (SELECT doc_id, pos, seg,
+           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g')) AS text,
+           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(array_to_string(regexp_extract_all(seg,
+               '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g'))
+             AS link_text
+         FROM bl),
+       mt AS (SELECT doc_id, pos, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(link_text) AS BIGINT) AS link_chars,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(lower(text), ' '), w ->
+             w IN ('the','a','an','of','to','and','in','is','that','it',
+               'for','on','with','as','this','be','are','was','or','at',
+               'by','we','you','have','not'))) AS BIGINT) AS n_stop,
+           (strpos(text, '©') > 0 OR strpos(seg, '&copy;') > 0) AS is_copy
+         FROM cl WHERE text <> ''),
+       cf AS (SELECT doc_id, pos, text, n_chars,
+           CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS link_density,
+           CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS stop_density,
+           CASE
+             WHEN CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.2
+               THEN 'bad'
+             WHEN is_copy THEN 'bad'
+             WHEN n_chars < 70 THEN
+               CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.32
+               THEN CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.30
+               THEN 'neargood'
+             ELSE 'bad' END AS cf_class
+         FROM mt),
+       p1 AS (SELECT *,
+           coalesce(last_value(CASE WHEN cf_class IN ('good','bad')
+             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pgb,
+           coalesce(first_value(CASE WHEN cf_class IN ('good','bad')
+             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS ngb,
+           coalesce(last_value(CASE WHEN cf_class <> 'short'
+             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pany,
+           coalesce(first_value(CASE WHEN cf_class <> 'short'
+             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS nany
+         FROM cf
+         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wnext AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       c1 AS (SELECT *, CASE WHEN cf_class <> 'short' THEN cf_class
+           WHEN pgb = 'good' AND ngb = 'good' THEN 'good'
+           WHEN pgb = 'bad' AND ngb = 'bad' THEN 'bad'
+           WHEN (pgb = 'bad' AND pany = 'neargood')
+             OR (ngb = 'bad' AND nany = 'neargood') THEN 'good'
+           ELSE 'bad' END AS cls1
+         FROM p1),
+       p2 AS (SELECT *,
+           coalesce(last_value(CASE WHEN cls1 IN ('good','bad')
+             THEN cls1 END IGNORE NULLS) OVER wprev, 'bad') AS pgb2,
+           coalesce(first_value(CASE WHEN cls1 IN ('good','bad')
+             THEN cls1 END IGNORE NULLS) OVER wnext, 'bad') AS ngb2
+         FROM c1
+         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wnext AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       fin AS (SELECT doc_id, pos, text, cf_class,
+           CASE WHEN cls1 <> 'neargood' THEN cls1
+             WHEN pgb2 = 'bad' AND ngb2 = 'bad' THEN 'bad'
+             ELSE 'good' END AS cls
+         FROM p2),
+       roll AS (SELECT doc_id, COUNT(*) AS n_blocks,
+         CAST(SUM(CASE WHEN cf_class = 'short' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cf_short,
+         CAST(SUM(CASE WHEN cf_class = 'neargood' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cf_neargood,
+         CAST(SUM(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_good,
+         COALESCE(string_agg(CASE WHEN cls = 'good' THEN text END,
+           chr(10) ORDER BY pos), '') AS content
+       FROM fin GROUP BY 1)"""
 
   /** Generic replay of `Curation.canonicalUrl` over a CTE `u(doc_id,
    * url)` — produces CTE `c(doc_id, url, canonical_url)`. Shared by the
@@ -5119,116 +5254,25 @@ object SparkEntry {
     // window passes (short pass over cf classes, neargood pass over the
     // revised classes) — IGNORE-NULLS window walks, edges defaulting bad
     "text_block_extract" ->
-      """WITH h AS (SELECT doc_id,
-           '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a></nav><h1>Doc '
-           || CAST(doc_id AS VARCHAR) || ' overview</h1><p>'
-           || repeat('the data is in the file and we are on the way ',
-                CAST(1 + doc_id % 5 AS INTEGER))
-           || substr(text, 1, CAST(30 + doc_id % 40 AS INTEGER)) || '.</p>'
-           || CASE WHEN doc_id % 3 = 0 THEN
-                '<p>the data is in the file and we are on the way the data is in the file and we are on the way</p>'
-              ELSE '' END
-           || CASE WHEN doc_id % 4 = 1 THEN
-                '<p>Buy cheap widgets gadgets deals discount offers sale price shop market store goods items products catalog brands extra filler words everywhere</p>'
-              ELSE '' END
-           || '<p>tail note ' || CAST(doc_id AS VARCHAR)
-           || '</p><div>© Example Corp. All rights reserved.</div></body></html>'
-             AS html
-         FROM documents),
-       ns AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html2 FROM h),
-       bl AS (SELECT doc_id,
-           generate_subscripts(regexp_split_to_array(html2,
-             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>'), 1) AS pos,
-           unnest(regexp_split_to_array(html2,
-             '(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|blockquote|section|article|header|footer|nav|aside|form)[^>]*>')) AS seg
-         FROM ns),
-       cl AS (SELECT doc_id, pos, seg,
-           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-             regexp_replace(seg, '<[^>]*>', ' ', 'g'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g')) AS text,
-           trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-             regexp_replace(array_to_string(regexp_extract_all(seg,
-               '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '<[^>]*>', ' ', 'g'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-             '&nbsp;', ' '), '&amp;', '&'), '[ \t\n\r]+', ' ', 'g'))
-             AS link_text
-         FROM bl),
-       mt AS (SELECT doc_id, pos, text,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(length(link_text) AS BIGINT) AS link_chars,
-           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_filter(string_split(lower(text), ' '), w ->
-             w IN ('the','a','an','of','to','and','in','is','that','it',
-               'for','on','with','as','this','be','are','was','or','at',
-               'by','we','you','have','not'))) AS BIGINT) AS n_stop,
-           (strpos(text, '©') > 0 OR strpos(seg, '&copy;') > 0) AS is_copy
-         FROM cl WHERE text <> ''),
-       cf AS (SELECT doc_id, pos, text, n_chars,
-           CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
-             AS link_density,
-           CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
-             AS stop_density,
-           CASE
-             WHEN CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.2
-               THEN 'bad'
-             WHEN is_copy THEN 'bad'
-             WHEN n_chars < 70 THEN
-               CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
-             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.32
-               THEN CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
-             WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.30
-               THEN 'neargood'
-             ELSE 'bad' END AS cf_class
-         FROM mt),
-       p1 AS (SELECT *,
-           coalesce(last_value(CASE WHEN cf_class IN ('good','bad')
-             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pgb,
-           coalesce(first_value(CASE WHEN cf_class IN ('good','bad')
-             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS ngb,
-           coalesce(last_value(CASE WHEN cf_class <> 'short'
-             THEN cf_class END IGNORE NULLS) OVER wprev, 'bad') AS pany,
-           coalesce(first_value(CASE WHEN cf_class <> 'short'
-             THEN cf_class END IGNORE NULLS) OVER wnext, 'bad') AS nany
-         FROM cf
-         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           wnext AS (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-       c1 AS (SELECT *, CASE WHEN cf_class <> 'short' THEN cf_class
-           WHEN pgb = 'good' AND ngb = 'good' THEN 'good'
-           WHEN pgb = 'bad' AND ngb = 'bad' THEN 'bad'
-           WHEN (pgb = 'bad' AND pany = 'neargood')
-             OR (ngb = 'bad' AND nany = 'neargood') THEN 'good'
-           ELSE 'bad' END AS cls1
-         FROM p1),
-       p2 AS (SELECT *,
-           coalesce(last_value(CASE WHEN cls1 IN ('good','bad')
-             THEN cls1 END IGNORE NULLS) OVER wprev, 'bad') AS pgb2,
-           coalesce(first_value(CASE WHEN cls1 IN ('good','bad')
-             THEN cls1 END IGNORE NULLS) OVER wnext, 'bad') AS ngb2
-         FROM c1
-         WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           wnext AS (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-       fin AS (SELECT doc_id, pos, text, cf_class,
-           CASE WHEN cls1 <> 'neargood' THEN cls1
-             WHEN pgb2 = 'bad' AND ngb2 = 'bad' THEN 'bad'
-             ELSE 'good' END AS cls
-         FROM p2)
-       SELECT doc_id, COUNT(*) AS n_blocks,
-         CAST(SUM(CASE WHEN cf_class = 'short' THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_cf_short,
-         CAST(SUM(CASE WHEN cf_class = 'neargood' THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_cf_neargood,
-         CAST(SUM(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_good,
-         COALESCE(string_agg(CASE WHEN cls = 'good' THEN text END,
-           chr(10) ORDER BY pos), '') AS content
-       FROM fin GROUP BY 1""",
+      (s"""WITH $blockExtractCtes
+       SELECT doc_id, n_blocks, n_cf_short, n_cf_neargood, n_good,
+         content
+       FROM roll"""),
+
+    // block-path curation coupling: same quality arithmetic as
+    // pipeline_html_curate, on the jusText-extracted content
+    "pipeline_block_curate" ->
+      (s"""WITH $blockExtractCtes,
+       fl AS (SELECT doc_id, n_blocks, n_good,
+           replace(content, chr(10), ' ') AS text FROM roll),
+       q AS (SELECT doc_id, n_blocks, n_good,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_blocks, n_good, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
 
     // chr(769) = U+0301 combining acute (decomposed-injection side),
     // chr(7) = BEL; nfc_normalize is DuckDB's built-in — byte-parity with
