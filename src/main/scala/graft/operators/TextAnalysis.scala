@@ -738,6 +738,168 @@ object TextAnalysis {
         predicted.as("predicted_lang"): _*)
   }
 
+  /** Script-range features for [[langIdPredict]] — the coverage path
+   * beyond space-delimited European languages (CJK/Cyrillic/Arabic/…):
+   * (language, first codepoint, last codepoint) of the script's core
+   * Unicode block. Codepoints (not pattern strings) so the SAME range
+   * renders as a `\x{…}` character class in both Java regex and the
+   * oracle's RE2 — one syntax, two engines. Order is the deterministic
+   * tie-break priority. */
+  val DefaultScriptLangs: Seq[(String, Int, Int)] = Seq(
+    ("zh", 0x4e00, 0x9fff), // CJK Unified Ideographs (Han)
+    ("ja", 0x3040, 0x30ff), // Hiragana + Katakana
+    ("ko", 0xac00, 0xd7af), // Hangul syllables
+    ("ru", 0x0400, 0x04ff), // Cyrillic
+    ("ar", 0x0600, 0x06ff), // Arabic
+    ("el", 0x0370, 0x03ff), // Greek
+    ("he", 0x0590, 0x05ff), // Hebrew
+    ("hi", 0x0900, 0x097f)) // Devanagari
+
+  /** `[^\x{lo}-\x{hi}]` — the NEGATED class shared by engine and oracle:
+   * chars-in-script = length after deleting everything else. */
+  def scriptNegClass(lo: Int, hi: Int): String =
+    f"[^\\x{$lo%04x}-\\x{$hi%04x}]"
+
+  /** Lowercased character trigrams at every offset (the fastText/CLD
+   * feature space). Spark's `sequence(1, n)` DESCENDS when n < 1, so
+   * texts shorter than 3 chars return an explicit empty array — the
+   * oracle's generate_series is empty there natively. */
+  private def charTrigrams(t: Column): Column = {
+    val lt = lower(t)
+    when(length(lt) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(lt) - 2),
+        i => lt.substr(i, lit(3))))
+  }
+
+  /** The smoothed-likelihood weight on the 1e9 integer grid, shared by
+   * model and floor rows: q = (c+1)/(T+V) (Laplace), o = q·V (the
+   * likelihood ratio against the uniform prior 1/V), w9 =
+   * floor(1e9·o/(1+o)) — the same libm-free rational squash the quality
+   * classifier uses for its logistic link, here standing in for log-odds
+   * (monotone in the ratio, compressive at the top). Every step is one
+   * correctly-rounded IEEE op on exactly-representable integers, written
+   * in the SAME order in the SQL mirror, so training replays bit-exactly
+   * in DuckDB. */
+  private def likelihoodW9(c: Column): Column = {
+    val q = (c + lit(1L)).cast("double") /
+      (col("t") + col("v")).cast("double")
+    val o = q * col("v").cast("double")
+    floor(lit(1.0e9) * (o / (lit(1.0) + o))).cast("long")
+  }
+
+  /** Shared training aggregates: per-(lang, trigram) counts joined with
+   * per-lang totals and the global trigram vocabulary size, materialized
+   * once (dictionary-sized — the corpus is scanned exactly once). */
+  private def langIdCounts(labeled: DataFrame, langCol: String,
+                           textCol: String): DataFrame = {
+    val cnt = Materialize(labeled
+      .select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c")))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val voc = cnt.agg(count_distinct(col("g")).as("v"))
+    cnt.join(tot, "lang").crossJoin(broadcast(voc))
+  }
+
+  /**
+   * Character-n-gram language-ID training (the corpus-trained
+   * replacement for the [[langId]] marker heuristic — fastText/CLD2
+   * shape, public algorithm family: Cavnar & Trenkle 1994 n-gram
+   * profiles, Joulin et al. 2016 fastText): per-(language, trigram)
+   * Laplace-smoothed likelihood weights on the 1e9 integer grid.
+   * Returns (lang, g, w9) — the model dictionary, vocabulary-sized.
+   */
+  def langIdModel(labeled: DataFrame, langCol: String = "lang",
+                  textCol: String = "text"): DataFrame =
+    modelOf(langIdCounts(labeled, langCol, textCol))
+
+  private def modelOf(counts: DataFrame): DataFrame =
+    counts.select(col("lang"), col("g"), likelihoodW9(col("c")).as("w9"))
+
+  /** Per-language unseen-trigram floor (the c = 0 weight): (lang, w0).
+   * A trigram absent from a language's table contributes the same
+   * smoothed mass it would have carried in training — rankings stay
+   * Laplace-consistent instead of silently zeroing the unseen tail. */
+  def langIdFloors(labeled: DataFrame, langCol: String = "lang",
+                   textCol: String = "text"): DataFrame =
+    floorsOf(langIdCounts(labeled, langCol, textCol))
+
+  private def floorsOf(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("lang"), col("t"), col("v"))
+      .agg(count(lit(1)).as("_n")).drop("_n")
+      .select(col("lang"), likelihoodW9(lit(0L)).as("w0"))
+
+  /**
+   * Language prediction under a trained [[langIdModel]]: per doc, the
+   * score of language l is Σ_trigrams occ·w9(l, g) (w0(l) for unseen
+   * grams) — an exact long sum, order-independent — and the n-gram
+   * prediction is the (score DESC, lang ASC) argmax. SCRIPT-RANGE
+   * OVERRIDE for languages the trigram model cannot cover from a
+   * space-delimited training corpus: when ≥ 25% of a doc's characters
+   * fall in one script block (Han/Kana/Hangul/Cyrillic/…), the script's
+   * language wins outright — integer char counts, deterministic
+   * priority order on ties. Code-switched text below the 25% bar falls
+   * through to the trigram argmax.
+   *
+   * Output: (doc_id, ngram_lang, score9, script_chars, script_lang,
+   * predicted_lang).
+   *
+   * Scale shape: the model is a vocabulary dictionary — broadcast; the
+   * doc side is one narrow trigram explode + one map-side-combinable
+   * count, expanded ×|languages| (bounded, single digits) through a
+   * broadcast hash join, then one aggregation keyed (doc, lang). The
+   * script counts are pure codegen'd projections. Nothing corpus-sized
+   * shuffles more than once.
+   */
+  def langIdPredict(docs: DataFrame, model: DataFrame, floors: DataFrame,
+                    scriptLangs: Seq[(String, Int, Int)] = DefaultScriptLangs,
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dg = docs
+      .select(col("doc_id"), explode(charTrigrams(col(textCol))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
+    val scored = dg.withColumn("_k", lit(1))
+      .join(broadcast(floors.withColumn("_k", lit(1))), Seq("_k"))
+      .drop("_k")
+      .join(broadcast(model), Seq("lang", "g"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("occ") * coalesce(col("w9"), col("w0"))).as("score9"))
+    val top = scored
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score9").desc, col("lang").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("lang").as("ngram_lang"), col("score9"))
+    val counts = scriptLangs.map { case (l, lo, hi) =>
+      l -> length(regexp_replace(col(textCol), scriptNegClass(lo, hi), ""))
+    }
+    val m = greatest(counts.map(_._2): _*)
+    val scriptLang = counts.foldRight(lit(null).cast("string")) {
+      case ((l, c), acc) =>
+        when(c === m && m > 0 && m * 4 >= length(col(textCol)), lit(l))
+          .otherwise(acc)
+    }
+    docs.select(col("doc_id"), m.as("script_chars"), scriptLang
+        .as("script_lang"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ngram_lang"), col("score9"),
+        col("script_chars").cast("long").as("script_chars"),
+        col("script_lang"),
+        coalesce(col("script_lang"), col("ngram_lang"), lit("unknown"))
+          .as("predicted_lang"))
+  }
+
+  /** Train-on-self language ID (the `queries()` entry point): model and
+   * floors from the corpus's own labels (built off ONE materialized
+   * count dictionary — one training scan), prediction over the same
+   * docs. */
+  def langIdNgram(docs: DataFrame, langCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    val counts = langIdCounts(docs, langCol, textCol)
+    langIdPredict(docs, modelOf(counts), floorsOf(counts),
+      DefaultScriptLangs, textCol)
+  }
+
   /**
    * Unicode + whitespace text normalization — the first step of the
    * CCNet/RefinedWeb text front door, BEFORE any fingerprinting or dedup:

@@ -35,6 +35,17 @@ import graft.operators.Curation
  * against that dictionary — the same shape as the batch operator,
  * because "is_canonical under corpus-wide min" is a corpus-sized answer
  * no matter who computes it.
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming query's
+ * `checkpointLocation` are one unit — create and delete them TOGETHER.
+ * The no-op replay guard keys on the checkpoint's batch ids; pairing an
+ * old stateDir with a fresh checkpoint (ids restarting at 0) would
+ * silently skip new batches whose ids collide with committed ones, and
+ * a pre-restart ledger-only crash leftover could compact together with
+ * newly certified units into a partly-certified unit that bricks every
+ * read. [[processBatch]] fails loudly at fold time when it sees state
+ * from batch ids ABOVE the incoming one — the stale-pairing signature —
+ * instead of leaving the corruption for a later read to discover.
  */
 class StreamingUrlDedup(stateDir: String,
                         trackingParams: Seq[String] =
@@ -73,6 +84,21 @@ class StreamingUrlDedup(stateDir: String,
    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Stale-pairing detection (fold-time, fail-loud): under one
+    // stateDir + checkpoint pair, batch ids only grow — ids are
+    // delivered in order and at most the LAST one redelivers after a
+    // crash. Any unit (docs-certified or a ledger-only leftover) with an
+    // id ABOVE the incoming batch means this stateDir belonged to a
+    // different/older checkpoint; folding on would corrupt survivorship.
+    val seenIds = VersionedState.segments(spark, docsRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"url-dedup state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
     if (VersionedState.isCommitted(
         VersionedState.segments(spark, docsRoot), batchId)) return
     val docs = batch.select(col("doc_id").cast("long").as("doc_id"),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextAnalysis
+
+/**
+ * Char-n-gram language ID — hand fixtures: every expected label below is
+ * a human judgment about the paragraph's language (or a hand-derived
+ * consequence of the documented decision rule), never the operator's own
+ * output fed back.
+ */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train: Seq[(Long, String, String)] = Seq(
+    (0L, "en", "the quick brown fox jumps over the lazy dog while the " +
+      "children read their books in the evening and the old man walks " +
+      "to the market with his friends"),
+    (1L, "en", "there is a small house near the river where the birds " +
+      "sing every morning and people come to watch the water flow"),
+    (2L, "de", "der schnelle braune fuchs springt ueber den faulen hund " +
+      "waehrend die kinder am abend ihre buecher lesen und der alte " +
+      "mann zum markt geht"),
+    (3L, "de", "es gibt ein kleines haus am fluss wo die voegel jeden " +
+      "morgen singen und die menschen das wasser sehen"),
+    (4L, "fr", "le renard brun rapide saute par dessus le chien " +
+      "paresseux pendant que les enfants lisent leurs livres le soir"),
+    (5L, "fr", "il y a une petite maison pres de la riviere ou les " +
+      "oiseaux chantent chaque matin et les gens regardent leau"),
+    (6L, "es", "el zorro marron rapido salta sobre el perro perezoso " +
+      "mientras los ninos leen sus libros por la tarde"),
+    (7L, "es", "hay una casa pequena cerca del rio donde los pajaros " +
+      "cantan cada manana y la gente mira el agua"))
+
+  private def trainDf: DataFrame = train.toDF("doc_id", "lang", "text")
+
+  private def predict(rows: (Long, String)*): Map[Long, (String, Long)] =
+    TextAnalysis.langIdPredict(rows.toDF("doc_id", "text"),
+        TextAnalysis.langIdModel(trainDf), TextAnalysis.langIdFloors(trainDf))
+      .select($"doc_id", $"predicted_lang", $"script_chars")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("held-out paragraphs classify to their true language — none of " +
+    "these sentences appear in training") {
+    val got = predict(
+      100L -> ("the cat sleeps near the door and the dog waits for the " +
+        "children to come home from school"),
+      101L -> ("die katze schlaeft neben der tuer und der hund wartet " +
+        "auf die kinder die nach hause kommen"),
+      102L -> ("le chat dort pres de la porte et le chien attend que " +
+        "les enfants rentrent a la maison"),
+      103L -> ("el gato duerme cerca de la puerta y el perro espera a " +
+        "los ninos que vuelven a casa"))
+    assert(got(100L)._1 === "en")
+    assert(got(101L)._1 === "de")
+    assert(got(102L)._1 === "fr")
+    assert(got(103L)._1 === "es")
+    // pure-Latin paragraphs: no script block fires
+    assert(got.values.forall(_._2 === 0L))
+  }
+
+  test("code-switched doc goes to the language carrying most of the " +
+    "trigram mass") {
+    val got = predict(
+      // ~3/4 German, English tail — a human says German
+      200L -> ("der hund und die katze spielen im garten neben der " +
+        "alten bruecke waehrend die voegel singen und die kinder ihre " +
+        "buecher lesen but they also run to the park"),
+      // ~3/4 English, German tail — a human says English
+      201L -> ("the children play in the garden near the old bridge " +
+        "while the birds sing and they read their books together in " +
+        "the evening aber der hund schlaeft"))
+    assert(got(200L)._1 === "de")
+    assert(got(201L)._1 === "en")
+  }
+
+  test("script-range override: Cyrillic/Han/Arabic docs classify by " +
+    "script with ZERO training coverage; a short quoted snippet below " +
+    "the 25% bar falls through to the trigram argmax") {
+    val got = predict(
+      300L -> "быстрая рыжая лиса прыгает через ленивую собаку",
+      301L -> "敏捷的棕色狐狸跳过懒惰的狗孩子们晚上读书",
+      302L -> "الثعلب البني السريع يقفز فوق الكلب الكسول",
+      // 3 Han chars inside a long English sentence: 3*4 < length
+      303L -> ("the children wrote the word 狐狸狗 on the board and " +
+        "kept reading their english books about the old bridge"))
+    assert(got(300L)._1 === "ru")
+    assert(got(301L)._1 === "zh")
+    assert(got(302L)._1 === "ar")
+    assert(got(303L)._1 === "en")
+    assert(got(303L)._2 === 3L) // the Han count was seen, then outvoted
+  }
+
+  test("degenerate inputs: shorter than one trigram predicts unknown; " +
+    "an unseen-alphabet Latin doc still ranks deterministically") {
+    val got = predict(400L -> "ab", 401L -> "")
+    assert(got(400L)._1 === "unknown")
+    assert(got(401L)._1 === "unknown")
+  }
+}

@@ -29,6 +29,11 @@ class PlanGuardSpec extends SparkSpec {
       "graph_pagerank", // 1-row dangling-mass attach per iteration
       "mix_temperature_sample", "text_lm_score",
       "curate_quality_sample", // text_lm_score's 1-row vocab-size attach
+      "text_lang_id_ngram", "text_lang_id_fixture", // 1-row trigram-
+      // vocabulary-size (V) attach onto the per-language count dictionary
+      // — the text_lm_score pattern; the corpus side never nested-loops
+      "mix_lang_balanced", // same V attach (the classifier feeding the
+      // mix) + mix_temperature_sample's 1-row total attach
       "q22_sales_opportunity", // 1-row scalar-subquery (avg balance) attach
       "q11_important_stock", // 1-row (total, n_parts) threshold attach
       "pipeline_curate_tokenize", // mix stage's 1-row total attach

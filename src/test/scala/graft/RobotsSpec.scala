@@ -96,6 +96,57 @@ class RobotsSpec extends SparkSpec {
     assert(other(12L) === ((-1L, true)))
   }
 
+  test("robotsAdmit: the match target is path PLUS query (RFC 9309 " +
+    "§2.2.2) — ?-rules match, $ anchors the end of the query") {
+    val rules = Curation.robotsParse(robots("q.com" ->
+      """User-agent: graftbot
+        |Disallow: /*?*sessionid=
+        |Disallow: /cart?step=2$
+        |""".stripMargin))
+    val got = Curation.robotsAdmit(urls(
+        1L -> "https://q.com/page?sessionid=abc",   // query rule matches
+        2L -> "https://q.com/page?id=7",            // clean query admits
+        3L -> "https://q.com/cart?step=2",          // $ anchors query end
+        4L -> "https://q.com/cart?step=2&x=1",      // past the anchor
+        5L -> "https://q.com/page"),                // no query, no match
+      rules, "graftbot")
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) === false)
+    assert(got(2L) === true)
+    assert(got(3L) === false)
+    assert(got(4L) === true)
+    assert(got(5L) === true)
+  }
+
+  test("robotsAdmit: hash equi-join on host in BOTH broadcast regimes — " +
+    "hinted below the rule limit, shuffled above it, never a " +
+    "nested-loop join; identical decisions either way") {
+    val rules = Curation.robotsParse(robots("site.com" -> siteTxt))
+    val fixture = urls(
+      1L -> "https://site.com/private/secrets",
+      2L -> "https://site.com/private/ok/page",
+      3L -> "https://nowhere.net/x")
+    def run(limit: Int) = Curation.robotsAdmit(
+      fixture, rules, "graftbot", broadcastRuleLimit = limit)
+    val hinted = run(1 << 20)
+    val unhinted = run(0) // 0 = never hint: the web-scale regime
+    val hp = hinted.queryExecution.executedPlan.toString
+    val up = unhinted.queryExecution.executedPlan.toString
+    assert(hp.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$hp")
+    for (p <- Seq(hp, up)) {
+      assert(!p.contains("BroadcastNestedLoop") &&
+        !p.contains("CartesianProduct"), s"nested-loop join:\n$p")
+    }
+    assert(up.contains("SortMergeJoin") || up.contains("ShuffledHashJoin") ||
+      up.contains("BroadcastHashJoin"), s"no equi-join:\n$up")
+    // the regimes must decide identically — the hint is pure physics
+    val a = hinted.select($"doc_id", $"rule_len", $"admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val b = unhinted.select($"doc_id", $"rule_len", $"admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("robotsAdmit: interior $ is literal, metacharacters are escaped") {
     val rules = Curation.robotsParse(robots("m.com" ->
       """User-agent: graftbot

@@ -92,7 +92,26 @@ class StreamingUrlDedupSpec extends SparkSpec {
     assert(hot.filter($"is_canonical").select($"doc_id")
       .as[Long].collect().toSeq === Seq(20L))
     val before = rowsOf(sub.resolve(spark))
-    sub.processBatch(df(batches(1): _*), 1L) // id swallowed by a c-range
+    // the one replay Structured Streaming can deliver: the LAST batch
+    // again after a crash — a no-op (its id is committed, possibly
+    // inside a compacted range)
+    sub.processBatch(df(batches(5): _*), 5L)
     assert(rowsOf(sub.resolve(spark)) === before)
+  }
+
+  test("stale stateDir/checkpoint pairing fails loudly at fold time: " +
+    "a batch id BELOW already-seen state is never folded or skipped") {
+    val dir = newDir()
+    val sub = new StreamingUrlDedup(dir)
+    sub.processBatch(df(1L -> "https://a.com/x"), 0L)
+    sub.processBatch(df(2L -> "https://a.com/y"), 1L)
+    // a fresh checkpoint would restart ids at 0 — silently hitting the
+    // no-op replay guard and DROPPING new data; the fold must throw
+    val e = intercept[IllegalStateException] {
+      sub.processBatch(df(9L -> "https://b.com/new"), 0L)
+    }
+    assert(e.getMessage.contains("stateDir"))
+    // state is untouched: the certified view still reads fine
+    assert(rowsOf(sub.resolve(spark)).map(_._2) === Set(1L, 2L))
   }
 }
