@@ -518,6 +518,35 @@ object SparkEntry {
     }
   }
 
+  /** Multi-byte decoration for the BYTE-level BPE rows: the corpus text
+   * is pure ASCII, so each doc gets an id-keyed suffix exercising 2-byte
+   * (Latin accents, Greek), 3-byte (CJK) and 4-byte (emoji) UTF-8 plus a
+   * contraction for the `'s|'t` pretokenizer branches. ONE Seq feeds the
+   * Spark fixture and the oracle CASE (apostrophes doubled there). */
+  private val byteDeco: Seq[String] = Seq(
+    " café über naïve isn't",
+    " 中文数据 处理规模",
+    " 😀🚀 emoji here",
+    " ελληνικά κείμενο 123")
+
+  private def byteDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), element_at(
+        array(byteDeco.map(lit): _*),
+        (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+
+  private val byteBpeRounds = 8
+  private val byteBpeCache =
+    scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
+  private def byteBpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val key =
+      s"bbpe|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
+    byteBpeCache.synchronized {
+      byteBpeCache.getOrElseUpdate(key,
+        Bpe.byteTrain(byteDocs(s, dir), byteBpeRounds))
+    }
+  }
+
   /** Max-match vocabulary (surviving BPE symbols), memoized like the
    * merges: one dictionary-sized collect shared by the wordpiece queries
    * and Bench's repeated passes. */
@@ -1544,6 +1573,22 @@ object SparkEntry {
       // via one broadcast word→pieces dictionary join over the corpus
       // explode — the production tokenizer-cache shape
       Bpe.tokenize(t(s, dir, "documents"), bpeMerges(s, dir))),
+
+    "text_bytebpe_merges" -> ((s, dir) =>
+      // BYTE-level BPE (GPT-2/tiktoken shape): pretokens from the
+      // lookahead-free GPT-2 regex, UTF-8 bytes as 2-hex-digit symbols
+      // (256-symbol alphabet — merges cross multi-byte boundaries), 8
+      // merge rounds over the multi-byte-decorated corpus (accents, CJK,
+      // emoji, contractions). The full trajectory replays in DuckDB:
+      // hex(encode(…)) renders identically and every round is integer
+      // argmax + literal replace.
+      Bpe.mergeTable(s, byteBpeMerges(s, dir))),
+
+    "text_bytebpe_tokenize" -> ((s, dir) =>
+      // apply the learned byte merges: per-doc pretoken/token counts +
+      // fertility via the broadcast pretoken→token-count dictionary over
+      // the decorated corpus
+      Bpe.byteTokenize(byteDocs(s, dir), byteBpeMerges(s, dir))),
 
     "text_bpe_vocab" -> ((s, dir) =>
       // the shipped artifact: surviving symbols with corpus frequencies
@@ -4376,6 +4421,49 @@ object SparkEntry {
     sb.result()
   }
 
+  /** BYTE-level BPE oracle chain: the multi-byte decoration (CASE over
+   * doc_id % 4 mirroring `byteDocs`, apostrophes doubled), the GPT-2
+   * pretokenizer explode (same regex string — identical leftmost-first
+   * alternation in Java regex and RE2), the hex-byte working form via
+   * `hex(encode(word))`, then `rounds` unrolled merge rounds exactly like
+   * [[bpeChainSql]]. Ends with dictionary `bw<rounds>` and per-round
+   * winners `bb<i>`. */
+  private def byteBpeChainSql(rounds: Int): String = {
+    val rx = operators.Bpe.BytePretokenRegex.replace("'", "''")
+    val deco = byteDeco.map(_.replace("'", "''"))
+    val sb = new StringBuilder
+    sb ++= s"""WITH bdoc AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '${deco(0)}'
+           WHEN 1 THEN '${deco(1)}'
+           WHEN 2 THEN '${deco(2)}'
+           ELSE '${deco(3)}' END AS text
+         FROM documents),
+         bw0 AS MATERIALIZED (
+         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           regexp_replace(hex(encode(word)), '(..)', '(\\1)', 'g') AS s
+         FROM (SELECT unnest(regexp_extract_all(text, '$rx')) AS word
+               FROM bdoc)
+         GROUP BY 1)"""
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+         bx$i AS (SELECT freq, syms,
+           unnest(generate_series(1, len(syms) - 1)) AS i
+           FROM (SELECT freq, string_split(trim(s, '()'), ')(') AS syms
+                 FROM bw$i)),
+         bp$i AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+           CAST(SUM(freq) AS BIGINT) AS cnt FROM bx$i GROUP BY 1, 2),
+         bb$i AS MATERIALIZED (
+           SELECT l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
+         bw${i + 1} AS MATERIALIZED (SELECT word, freq,
+           CASE WHEN (SELECT COUNT(*) FROM bb$i) = 0 THEN s
+           ELSE replace(s,
+           '(' || (SELECT l FROM bb$i) || ')(' || (SELECT r FROM bb$i) || ')',
+           '(' || (SELECT l FROM bb$i) || (SELECT r FROM bb$i) || ')') END AS s
+           FROM bw$i)"""
+    }
+    sb.result()
+  }
+
   /** Max-match (WordPiece inference) oracle chain on top of
    * [[bpeChainSql]]: the vocabulary = distinct surviving symbols of the
    * trained dictionary, then `steps` unrolled greedy rounds — each strips
@@ -5227,6 +5315,28 @@ object SparkEntry {
            FROM w$bpeRounds)
          SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
          FROM sy GROUP BY 1"""),
+
+    "text_bytebpe_merges" -> (byteBpeChainSql(byteBpeRounds) + s""",
+         bm AS (${(0 until byteBpeRounds).map(i =>
+        s"SELECT $i AS round, l, r, cnt FROM bb$i").mkString("\n           UNION ALL ")})
+         SELECT CAST(round AS INTEGER) AS round, l AS left_sym,
+           r AS right_sym, cnt FROM bm"""),
+
+    "text_bytebpe_tokenize" -> (byteBpeChainSql(byteBpeRounds) + s""",
+         bwt AS (SELECT word,
+           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
+             AS w_tokens
+           FROM bw$byteBpeRounds),
+         bdw AS (SELECT doc_id,
+           unnest(regexp_extract_all(text,
+             '${operators.Bpe.BytePretokenRegex.replace("'", "''")}'))
+             AS word
+           FROM bdoc)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS fertility
+         FROM bdw JOIN bwt USING (word) GROUP BY 1"""),
 
     "text_wordpiece_segment" -> (wpChainSql(bpeRounds, 12) + """
          SELECT word, freq, pieces, n_pieces FROM wseg"""),

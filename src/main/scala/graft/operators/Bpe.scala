@@ -75,8 +75,15 @@ object Bpe {
    * dictionary, so no per-round materialization is needed. Stops early if
    * every word has collapsed to a single symbol.
    */
-  def train(docs: DataFrame, rounds: Int): Seq[Merge] = {
-    val base = wordDict(docs).persist()
+  def train(docs: DataFrame, rounds: Int): Seq[Merge] =
+    trainOnDict(wordDict(docs), rounds)
+
+  /** The merge-learning loop over ANY (freq, s) working dictionary —
+   * shared by the word-level trainer ([[train]]) and the byte-level
+   * trainer ([[byteTrain]]); the symbol alphabet is whatever the
+   * dictionary's working form `s` carries. */
+  private def trainOnDict(dict: DataFrame, rounds: Int): Seq[Merge] = {
+    val base = dict.persist()
     try {
       val learned = Seq.newBuilder[Merge]
       var merges = Seq.empty[Merge]
@@ -104,6 +111,71 @@ object Bpe {
       }
       learned.result()
     } finally base.unpersist()
+  }
+
+  // ---------------------------------------------------------- byte level
+
+  /**
+   * GPT-2-style pretokenizer regex (Radford et al. 2019; the tiktoken
+   * family), LOOKAHEAD-FREE: the original's `\s+(?!\S)` alternative
+   * (which re-attaches a whitespace run's last space to the next word)
+   * is dropped because RE2 — the oracle's regex engine — has no
+   * lookahead. Consequence (documented, deterministic in both engines):
+   * a multi-space run pretokenizes as one whitespace token and the next
+   * word loses its leading space. Contractions, ` ?letters`,
+   * ` ?digits`, ` ?punctuation-run`, whitespace-run — alternation order
+   * is match priority, identical leftmost-first semantics in Java regex
+   * and RE2.
+   */
+  val BytePretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /**
+   * (word, freq, s) dictionary for BYTE-level BPE: pretokens from the
+   * GPT-2 regex (case and whitespace PRESERVED — byte BPE never folds),
+   * frequency-counted, working form `s` = the pretoken's UTF-8 bytes as
+   * parenthesized two-hex-digit symbols ("hi" → "(68)(69)", "é" →
+   * "(C3)(A9)") — the 256-symbol byte alphabet, so any Unicode input is
+   * representable and merges cross multi-byte boundaries exactly as in
+   * GPT-2's byte-level vocabulary. `hex(encode(…))` renders identically
+   * in Spark and DuckDB (verified uppercase both sides), making the
+   * training trajectory oracle-replayable.
+   */
+  def byteDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenRegex), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("s",
+        regexp_replace(hex(encode(col("word"), "UTF-8")), "(..)", "($1)"))
+
+  /** Learn byte-level merges: the [[train]] loop over [[byteDict]] —
+   * symbols are hex byte(-run) strings, counts weighted by pretoken
+   * frequency, ties lexicographic on the hex form. */
+  def byteTrain(docs: DataFrame, rounds: Int,
+                textCol: String = "text"): Seq[Merge] =
+    trainOnDict(byteDict(docs, textCol), rounds)
+
+  /**
+   * Tokenize under learned byte merges: per-doc pretoken/token counts +
+   * fertility via the broadcast pretoken → token-count dictionary (the
+   * [[tokenize]] shape; the corpus side is one narrow regex explode +
+   * one broadcast hash join).
+   */
+  def byteTokenize(docs: DataFrame, merges: Seq[Merge],
+                   textCol: String = "text"): DataFrame = {
+    val wtok = byteDict(docs, textCol)
+      .select(col("word"),
+        size(symbols(applyMerges(col("s"), merges))).as("w_tokens"))
+    docs
+      .select(col("doc_id"), explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenRegex), lit(0))).as("word"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretokens"), sum(col("w_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_pretokens").cast("double"))
   }
 
   /** The learned merge table as a frame: (round, left_sym, right_sym, cnt).

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/**
+ * Byte-level BPE — hand fixtures: pretoken splits, UTF-8 hex working
+ * forms, and merge trajectories below were all derived BY HAND from the
+ * documented rules (GPT-2 pretokenizer alternation, UTF-8 encoding
+ * tables, greedy max-count merge with lexicographic ties), never from
+ * the operator's output.
+ */
+class ByteBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*): DataFrame =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("GPT-2 pretokenizer (lookahead-free): contractions split, digits " +
+    "split, whitespace runs lump, leading single space attaches") {
+    val got = docs("isn't over 42  café!")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(Bpe.BytePretokenRegex), lit(0))).as("w"))
+      .as[String].collect().toSeq
+    // hand-derived: ' ?\p{L}+' takes "isn"; "'t" is the contraction arm;
+    // " over" and " 42" carry their leading space; the TWO spaces before
+    // café lump into one \s+ token (the dropped (?!\S) lookahead would
+    // have split them 1+1), so "café" arrives bare; "!" is a punct run
+    assert(got === Seq("isn", "'t", " over", " 42", "  ", "café", "!"))
+  }
+
+  test("byteDict working form is the UTF-8 byte sequence in hex: 2-byte " +
+    "accents, 3-byte CJK, 4-byte emoji") {
+    val d = Bpe.byteDict(docs("é 中 😀"))
+      .select($"word", $"s").as[(String, String)].collect().toMap
+    assert(d("é") === "(C3)(A9)")
+    assert(d(" 中") === "(20)(E4)(B8)(AD)")
+    assert(d(" 😀") === "(20)(F0)(9F)(98)(80)")
+  }
+
+  test("hand-traced 2-round merge trajectory, frequency-weighted with " +
+    "the dictionary collapsing duplicates") {
+    // "aa aa aa": pretokens aa(freq 1), " aa"(freq 2).
+    // round 0 pairs: (61,61) weight 1+2=3 beats (20,61) weight 2 -> merge
+    // round 1: forms (6161) and (20)(6161); only pair (20,6161) w=2
+    val merges = Bpe.byteTrain(docs("aa aa aa"), rounds = 3)
+    assert(merges.map(m => (m.left, m.right, m.cnt)) ===
+      Seq(("61", "61", 3L), ("20", "6161", 2L)))
+    // round 2 finds no adjacent pair anywhere (every word is one symbol)
+    assert(merges.length === 2)
+  }
+
+  test("byteTokenize counts BYTES before any merge and whole words " +
+    "after the collapsing merges") {
+    // doc 0: "中文 中文" -> pretokens 中文 (6 bytes), " 中文" (7 bytes)
+    val none = Bpe.byteTokenize(docs("中文 中文"), Seq.empty)
+      .select($"n_pretokens", $"n_tokens").as[(Long, Long)].head()
+    assert(none === ((2L, 13L)))
+    // after training to exhaustion on itself, each pretoken is 1 token
+    val merges = Bpe.byteTrain(docs("中文 中文"), rounds = 16)
+    val full = Bpe.byteTokenize(docs("中文 中文"), merges)
+      .select($"n_pretokens", $"n_tokens", $"fertility")
+      .as[(Long, Long, Double)].head()
+    assert(full === ((2L, 2L, 1.0)))
+  }
+
+  test("merges cross multi-byte boundaries: the first merge inside " +
+    "repeated CJK text glues two bytes of ONE codepoint") {
+    // corpus "中中中": single pretoken, form (E4)(B8)(AD)(E4)(B8)(AD)(E4)(B8)(AD)
+    // round-0 pairs: (E4,B8) 3, (B8,AD) 3, (AD,E4) 2 -> ties at 3 break
+    // lexicographically: (AD,E4) loses on count; (B8,AD) vs (E4,B8): B8 < E4
+    val merges = Bpe.byteTrain(docs("中中中"), rounds = 1)
+    assert(merges.map(m => (m.left, m.right, m.cnt)) ===
+      Seq(("B8", "AD", 3L)))
+  }
+}
