@@ -1793,6 +1793,22 @@ object SparkEntry {
           col("wave"), col("slot"))
     }),
 
+    "pipeline_crawl_frontier_streamed" -> ((s, dir) =>
+      // the SAME composed chain on REAL streaming machinery: the
+      // extracted links arrive as parquet drops (one file per trigger —
+      // multi-batch), fold through StreamingCrawlFrontier.processBatch
+      // inside foreachBatch (VersionedState crash-safe units pre-merging
+      // min first_doc / Σ n_links), then the fetch plan — robots
+      // admission for graftbot with the rule table as a slowly-changing
+      // side input, politeness waves by in-degree — computes over the
+      // folded frontier. Gated by the SAME oracle as the batch row:
+      // streaming ≡ batch ≡ DuckDB, including cross-batch in-degree
+      // accumulation and first-doc election.
+      graft.streaming.PipelineE2E.streamedCrawlFrontier(
+        operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
+          .select(col("doc_id"), col("target_url")),
+        Curation.robotsParse(frontierRobotsDocs(s)))),
+
     "curate_domain_stats" -> ((s, dir) => {
       // per-SITE crawl rollup on the registered (pay-level) domain: two
       // co.uk subdomains fold into one site, a 3-label .com host folds
@@ -4320,6 +4336,65 @@ object SparkEntry {
        FROM (SELECT doc_id, y, 0.5 + (0.5 * ($z)) / (1.0 + abs($z)) AS s
          FROM feat CROSS JOIN wt$iters w)"""
   }
+
+  /** The composed crawl-scheduler oracle — link extraction →
+   * canonicalization → frontier fold → robots admission → politeness
+   * waves, every stage replayed. ONE definition gating BOTH the batch
+   * row (`pipeline_crawl_frontier`) and the streaming composition
+   * (`pipeline_crawl_frontier_streamed`): streaming ≡ batch ≡ DuckDB. */
+  private def crawlFrontierSql: String =
+    s"""WITH d AS (SELECT doc_id,
+           '<html><body><p>intro</p><a href="HTTP://Site' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+             CAST(doc_id AS VARCHAR) || '?utm_s=x&b=2&a=1#f">first</a>' ||
+             '<a href=''https://cdn.site' ||
+             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/asset/' ||
+             CAST(doc_id AS VARCHAR) || '/''>second</a>' ||
+             '<a href="/relative/' || CAST(doc_id AS VARCHAR) ||
+             '">rel</a>' ||
+             '<a href="javascript:void(0)">j</a>' ||
+             '<A HREF="https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.com/dup">third</A></body></html>' AS html
+         FROM documents),
+       l AS (SELECT doc_id, unnest(regexp_extract_all(html,
+           'href\\s*=\\s*["'']([^"'']+)', 1, 'i')) AS href FROM d),
+       a AS (SELECT doc_id, href FROM l
+         WHERE regexp_matches(href, '(?i)^https?://')),
+       u AS (SELECT doc_id, href AS url FROM a),
+       $canonicalChainCtes,
+       fr AS (SELECT canonical_url, MIN(doc_id) AS first_doc,
+           COUNT(*) AS n_links FROM c GROUP BY 1),
+       ${robotsValuesSql(frontierRobotsFixture)},
+       $robotsRulesCtes,
+       up AS (SELECT canonical_url, first_doc, n_links,
+           lower(regexp_extract(canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
+           CASE WHEN regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
+             THEN '/' ELSE regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             || regexp_extract(canonical_url, '\\?[^#]*', 0)
+             AS path
+         FROM fr),
+       jm AS (SELECT u.canonical_url, MAX(r.score) AS s
+         FROM up u JOIN rx r
+           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
+         GROUP BY 1),
+       ad AS (SELECT up.canonical_url, up.first_doc, up.n_links, up.host,
+           COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
+           COALESCE(j.s % 2 = 1, TRUE) AS admitted
+         FROM up LEFT JOIN jm j USING (canonical_url)),
+       fa AS (SELECT * FROM ad WHERE admitted),
+       w AS (SELECT *, row_number() OVER (PARTITION BY host
+           ORDER BY CAST(n_links AS DOUBLE) DESC NULLS LAST,
+             canonical_url) AS rk
+         FROM fa)
+       SELECT host, canonical_url, first_doc,
+         CAST(n_links AS BIGINT) AS n_links, rule_len,
+         CAST(rk AS BIGINT) AS rank_in_host,
+         CAST((rk - 1) // 2 AS BIGINT) AS wave,
+         CAST((rk - 1) % 2 AS BIGINT) AS slot
+       FROM w WHERE rk <= 50"""
 
   /** Char-n-gram language-ID oracle chain: trains on `docsRel`
    * (doc_id, lang, text) and predicts over `predRel` (doc_id, text),
@@ -7810,60 +7885,13 @@ object SparkEntry {
     // replayed — the d/l/a head mirrors extractLinks, the shared chain
     // canonicalizes, the shared rules block re-derives graftbot's
     // governing rules, the window replays the single-phase schedule
-    "pipeline_crawl_frontier" ->
-      (s"""WITH d AS (SELECT doc_id,
-           '<html><body><p>intro</p><a href="HTTP://Site' ||
-             CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
-             CAST(doc_id AS VARCHAR) || '?utm_s=x&b=2&a=1#f">first</a>' ||
-             '<a href=''https://cdn.site' ||
-             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/asset/' ||
-             CAST(doc_id AS VARCHAR) || '/''>second</a>' ||
-             '<a href="/relative/' || CAST(doc_id AS VARCHAR) ||
-             '">rel</a>' ||
-             '<a href="javascript:void(0)">j</a>' ||
-             '<A HREF="https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
-             '.com/dup">third</A></body></html>' AS html
-         FROM documents),
-       l AS (SELECT doc_id, unnest(regexp_extract_all(html,
-           'href\\s*=\\s*["'']([^"'']+)', 1, 'i')) AS href FROM d),
-       a AS (SELECT doc_id, href FROM l
-         WHERE regexp_matches(href, '(?i)^https?://')),
-       u AS (SELECT doc_id, href AS url FROM a),
-       $canonicalChainCtes,
-       fr AS (SELECT canonical_url, MIN(doc_id) AS first_doc,
-           COUNT(*) AS n_links FROM c GROUP BY 1),
-       ${robotsValuesSql(frontierRobotsFixture)},
-       $robotsRulesCtes,
-       up AS (SELECT canonical_url, first_doc, n_links,
-           lower(regexp_extract(canonical_url,
-             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
-           CASE WHEN regexp_extract(canonical_url,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
-             THEN '/' ELSE regexp_extract(canonical_url,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
-             || regexp_extract(canonical_url, '\\?[^#]*', 0)
-             AS path
-         FROM fr),
-       jm AS (SELECT u.canonical_url, MAX(r.score) AS s
-         FROM up u JOIN rx r
-           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
-         GROUP BY 1),
-       ad AS (SELECT up.canonical_url, up.first_doc, up.n_links, up.host,
-           COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
-           COALESCE(j.s % 2 = 1, TRUE) AS admitted
-         FROM up LEFT JOIN jm j USING (canonical_url)),
-       fa AS (SELECT * FROM ad WHERE admitted),
-       w AS (SELECT *, row_number() OVER (PARTITION BY host
-           ORDER BY CAST(n_links AS DOUBLE) DESC NULLS LAST,
-             canonical_url) AS rk
-         FROM fa)
-       SELECT host, canonical_url, first_doc,
-         CAST(n_links AS BIGINT) AS n_links, rule_len,
-         CAST(rk AS BIGINT) AS rank_in_host,
-         CAST((rk - 1) // 2 AS BIGINT) AS wave,
-         CAST((rk - 1) % 2 AS BIGINT) AS slot
-       FROM w WHERE rk <= 50"""),
+    "pipeline_crawl_frontier" -> crawlFrontierSql,
 
+    // the SAME oracle gates the streaming composition: parquet-drop
+    // micro-batches folding (min first_doc, Σ n_links) partials through
+    // StreamingCrawlFrontier, then admission + scheduling over the
+    // folded frontier — streaming ≡ batch ≡ DuckDB
+    "pipeline_crawl_frontier_streamed" -> crawlFrontierSql,
 
     "curate_domain_stats" ->
       """WITH h AS (SELECT doc_id, n_chars,

@@ -351,4 +351,50 @@ object PipelineE2E {
       "election is unobservable in a single batch")
     dedup.resolve(spark)
   }
+
+  /**
+   * The composed crawl scheduler on REAL streaming machinery:
+   * canonicalized links `(doc_id, target_url)` arrive as parquet drops
+   * (one file per trigger — multi-batch), fold through
+   * [[StreamingCrawlFrontier.processBatch]] inside `foreachBatch`
+   * (VersionedState crash-safe units, min/count pre-merged on
+   * compaction), and the final [[StreamingCrawlFrontier.fetchPlan]]
+   * (frontier → robots admission → politeness waves, `rules` as the
+   * slowly-changing side input) must equal the batch
+   * `pipeline_crawl_frontier` chain — the driver compares against the
+   * SAME DuckDB oracle.
+   */
+  def streamedCrawlFrontier(links: DataFrame, rules: DataFrame,
+                            agent: String = "graftbot",
+                            perWave: Int = 2, maxPerHost: Int = 50,
+                            nSlices: Int = 3): DataFrame = {
+    val spark = links.sparkSession
+    val work = tempDir("graft_frontier_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    links.select(col("doc_id").cast("long").as("doc_id"),
+        col("target_url"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val fr = new StreamingCrawlFrontier(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, target_url STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fr.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = fr.committedBatches(spark)
+    require(folded.size > 1, s"streamed crawl-frontier fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch in-degree " +
+      "accumulation and first-doc election are unobservable in one batch")
+    fr.fetchPlan(spark, rules, agent, perWave, maxPerHost)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Curation
+
+/**
+ * Streaming crawl-frontier composition — the online form of the
+ * `pipeline_crawl_frontier` chain (links → frontier fold → robots
+ * admission → politeness waves), completing the streaming crawl stack
+ * beside [[StreamingUrlDedup]]: canonicalized anchor links
+ * `(doc_id, target_url)` arrive in page-crawl batches; each fold appends
+ * the batch-local partial per target — `(canonical_url,
+ * first_doc = min doc_id, n_links = count)` — and the FETCH PLAN over
+ * everything seen so far (frontier → [[Curation.robotsAdmit]] →
+ * [[Curation.fetchSchedule]], the robots rule table as a slowly-changing
+ * side input) equals the batch chain run over the union, because min and
+ * count are associative and admission/scheduling are pure functions of
+ * the folded frontier.
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s: `b<id>/` units
+ * under `_SUCCESS` markers, replay of a committed id is a no-op,
+ * compaction above `compactAbove` units PRE-MERGES the partials (min and
+ * sum are associative), so the compacted unit is
+ * distinct-target-URL-sized no matter how many batches ever committed.
+ *
+ * At 100 TB: per-batch work is one map-side-combinable (min, count)
+ * aggregate over the BATCH — a link target cited a million times in one
+ * crawl wave collapses before its exchange. The frontier is the merged
+ * dictionary (distinct-URL-sized); the fetch plan recomputes from it
+ * with the same shapes the batch operators carry (conditional-broadcast
+ * rule join, two-phase sharded per-host cap).
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming checkpoint are one
+ * unit — create and delete them together ([[StreamingUrlDedup]]'s
+ * contract; the same fold-time stale-pairing guard applies).
+ */
+class StreamingCrawlFrontier(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
+
+  private val root = new Path(stateDir, "frontier")
+
+  private val schema = StructType(Seq(
+    StructField("canonical_url", StringType),
+    StructField("first_doc", LongType),
+    StructField("n_links", LongType)))
+
+  private def read(spark: SparkSession, dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, root).flatMap(_.ids).sorted
+
+  /**
+   * Fold a batch of canonicalized links `(doc_id, target_url)` into the
+   * frontier (once per batchId — committed replays are no-ops). Usable
+   * directly inside `writeStream.foreachBatch`.
+   */
+  def processBatch(links: DataFrame, batchId: Long): Unit = {
+    val spark = links.sparkSession
+    val seen = VersionedState.segments(spark, root).flatMap(_.ids)
+    if (seen.nonEmpty && seen.max > batchId)
+      throw new IllegalStateException(
+        s"crawl-frontier state at $stateDir carries batch ids up to " +
+          s"${seen.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, root), batchId)) return
+    val partial = links
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("target_url").as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_links"))
+    val f = VersionedState.fileSystem(spark, root)
+    val dest = new Path(root, s"b$batchId")
+    partial.write.mode("overwrite").parquet(dest.toString)
+    VersionedState.touchSuccess(f, dest)
+    VersionedState.compact(spark, root, compactAbove,
+      read = ps => read(spark, ps),
+      // min and sum are associative — pre-merge so the compacted unit
+      // is distinct-target-URL-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("canonical_url"))
+        .agg(min(col("first_doc")).as("first_doc"),
+          sum(col("n_links")).as("n_links"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** The folded frontier over every committed batch: one row per
+   * distinct canonical target with first-seen doc and total in-degree —
+   * distinct-URL-sized regardless of how many crawl waves folded. */
+  def frontier(spark: SparkSession): DataFrame =
+    read(spark, VersionedState.segments(spark, root).map(_.path))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("first_doc")).as("first_doc"),
+        sum(col("n_links")).as("n_links"))
+
+  /**
+   * The CURRENT fetch plan: the folded frontier through RFC 9309
+   * admission for `agent` (rules as the slowly-changing side input —
+   * pass the freshest parse) and per-host politeness scheduling with
+   * in-degree as priority. Column-compatible with the batch
+   * `pipeline_crawl_frontier` chain — and row-identical to it over the
+   * union of all folded batches.
+   */
+  def fetchPlan(spark: SparkSession, rules: DataFrame, agent: String,
+                perWave: Int, maxPerHost: Int): DataFrame = {
+    val admitted = Curation.robotsAdmit(frontier(spark), rules, agent,
+        idCol = "canonical_url")
+      .filter(col("admitted"))
+      .withColumn("priority", col("n_links").cast("double"))
+    Curation.fetchSchedule(admitted, perWave = perWave,
+        maxPerHost = maxPerHost)
+      .select(col("host"), col("canonical_url"), col("first_doc"),
+        col("n_links"), col("rule_len"), col("rank_in_host"),
+        col("wave"), col("slot"))
+  }
+}

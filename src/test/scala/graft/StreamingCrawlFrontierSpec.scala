@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+import graft.streaming.StreamingCrawlFrontier
+
+/**
+ * Streaming crawl-frontier composition: after every fold the fetch plan
+ * (frontier → robots admission → politeness waves) must equal the batch
+ * chain over all links seen so far — including cross-batch in-degree
+ * accumulation and first-doc election — replays must be no-ops, state
+ * stays bounded under compaction, and stale stateDir/checkpoint pairing
+ * fails loudly.
+ */
+class StreamingCrawlFrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Curation.robotsParse(Seq(
+    "site.com" ->
+      """User-agent: graftbot
+        |Disallow: /blocked
+        |""".stripMargin).toDF("domain", "robots_txt"))
+
+  private def links(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "target_url")
+
+  private def batchPlan(rows: Seq[(Long, String)]): Set[(String, String,
+      Long, Long, Long, Long, Long, Long)] = {
+    val frontier = links(rows: _*)
+      .groupBy(col("target_url").as("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_links"))
+    val admitted = Curation.robotsAdmit(frontier, rules, "graftbot",
+        idCol = "canonical_url")
+      .filter(col("admitted"))
+      .withColumn("priority", col("n_links").cast("double"))
+    Curation.fetchSchedule(admitted, perWave = 2, maxPerHost = 10)
+      .select($"host", $"canonical_url", $"first_doc", $"n_links",
+        $"rule_len", $"rank_in_host", $"wave", $"slot")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+  }
+
+  private def planOf(fr: StreamingCrawlFrontier): Set[(String, String,
+      Long, Long, Long, Long, Long, Long)] =
+    fr.fetchPlan(spark, rules, "graftbot", perWave = 2, maxPerHost = 10)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("scrawlfront").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch in-degree accumulation, first-doc steal, robots drop") {
+    val fr = new StreamingCrawlFrontier(newDir())
+    val b0 = Seq(
+      10L -> "https://site.com/a", 11L -> "https://site.com/a",
+      12L -> "https://site.com/blocked/x") // admission must drop this
+    val b1 = Seq(
+      3L -> "https://site.com/a", // smaller doc steals first_doc
+      13L -> "https://site.com/b")
+    val b2 = Seq(
+      20L -> "https://site.com/a", // in-degree keeps accumulating (4)
+      21L -> "https://other.org/p")
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      fr.processBatch(links(rows: _*), id.toLong)
+      assert(planOf(fr) === batchPlan(batches.take(id + 1).flatten),
+        s"divergence from the batch chain after batch $id")
+    }
+    // the cross-batch facts, pinned explicitly
+    val a = fr.frontier(spark)
+      .filter($"canonical_url" === "https://site.com/a")
+      .select($"first_doc", $"n_links").as[(Long, Long)].head()
+    assert(a === ((3L, 4L)))
+    assert(planOf(fr).forall(_._2 != "https://site.com/blocked/x"))
+  }
+
+  test("committed replays are no-ops; dirs stay bounded under " +
+    "compaction; stale pairing fails loudly") {
+    val dir = newDir()
+    val fr = new StreamingCrawlFrontier(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      (10L + i) -> s"https://site.com/p$i",
+      (20L + i) -> "https://site.com/hot"))
+    for ((rows, id) <- batches.zipWithIndex)
+      fr.processBatch(links(rows: _*), id.toLong)
+    val units = new java.io.File(s"$dir/frontier").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(units.length <= 3, s"frontier dirs: $units")
+    assert(fr.committedBatches(spark) === (0L until 6L))
+    val hot = fr.frontier(spark)
+      .filter($"canonical_url" === "https://site.com/hot")
+      .select($"first_doc", $"n_links").as[(Long, Long)].head()
+    assert(hot === ((20L, 6L))) // min over all batches, sum over all
+    val before = planOf(fr)
+    fr.processBatch(links(batches(5): _*), 5L) // last-id replay: no-op
+    assert(planOf(fr) === before)
+    val e = intercept[IllegalStateException] {
+      fr.processBatch(links(99L -> "https://site.com/new"), 0L)
+    }
+    assert(e.getMessage.contains("stateDir"))
+  }
+}
