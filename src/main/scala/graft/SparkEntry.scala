@@ -535,6 +535,13 @@ object SparkEntry {
         array(byteDeco.map(lit): _*),
         (col("doc_id") % 4 + 1).cast("int"))).as("text"))
 
+  /** Decoration for the PDF rows: parens and a literal backslash (the
+   * literal-string escape table), a percent (the comment delimiter,
+   * inert inside strings) and multi-byte UTF-8 — appended to every doc
+   * so the oracle recomputes the expected extraction as plain
+   * concatenation. No single quotes (embeds raw in the SQL literal). */
+  private val pdfDeco = " (parens) 50% back\\slash café fin"
+
   private val byteBpeRounds = 8
   private val byteBpeCache =
     scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
@@ -3527,6 +3534,36 @@ object SparkEntry {
           col("n_words"), col("ttr"), col("keep"))
     }),
 
+    "mm_pdf_extract" -> ((s, dir) => {
+      // REAL PDF text extraction (the dominant non-HTML crawl format):
+      // each doc's decorated text — parens, a percent, a literal
+      // backslash, multi-byte UTF-8 — is laid out as a spec-compliant
+      // two-page PDF (classic xref table, FlateDecode'd content
+      // streams, page 1 a Tj, page 2 a kerned TJ array, non-printables
+      // octal-escaped) and extracted back by the engine's own xref walk
+      // + inflate + BT/ET operator parse. The oracle recomputes the
+      // expected text arithmetically, so a green row proves the whole
+      // codec path is identity-correct.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+    }),
+
+    "pipeline_pdf_curate" -> ((s, dir) => {
+      // the composed document-ingest chain from raw PDF bytes: the
+      // binary front door FEEDS the quality filter — pipeline_warc_curate
+      // pushed to the PDF format, pinning that curation arithmetic runs
+      // on text that came out of the xref/inflate/operator path
+      import graft.functions.PdfFunctions._
+      val extracted = t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+      TextAnalysis.qualityFilter(extracted, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
+    }),
+
     "text_blocklist" -> ((s, dir) =>
       // C4-style substring blocklist admission: per-doc banned-term hit
       // count (replace-and-measure, recall-first substring semantics),
@@ -5825,6 +5862,28 @@ object SparkEntry {
              / len(string_split(text, ' ')) AS ttr
          FROM fl)
        SELECT doc_id, n_lines, n_kept, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    // the PDF round-trip: the oracle recomputes the expected extraction
+    // as plain concatenation — a hash match proves the engine's xref
+    // walk, FlateDecode, operator parse and escape handling are
+    // identity-correct on every doc
+    "mm_pdf_extract" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // quality arithmetic over PDF-extracted text (the warc_curate shape
+    // one format over): the oracle computes the same filter over the
+    // same expected concatenation
+    "pipeline_pdf_curate" ->
+      (s"""WITH fl AS (SELECT doc_id, text || '$pdfDeco' AS text
+           FROM documents),""" + """
+       q AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_words, ttr,
          (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
        FROM q"""),
 

@@ -1,0 +1,504 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * A REAL (subset) PDF text extractor in pure JVM — the dominant non-HTML
+ * document format in web crawls, completing the binary front door beside
+ * [[WarcCodec]] (crawl archives) and the image/audio/video codecs.
+ * `java.util.zip` supplies the FlateDecode layer (the PngCodec
+ * discipline); everything else — xref walk, object framing, page-tree
+ * walk, content-stream text operators — is implemented here against the
+ * published PDF 1.4+ file structure (ISO 32000 §7).
+ *
+ * Supported subset (each boundary rejected with a clear `pdf:` error,
+ * the WarcCodec/AviCodec bounds-checking discipline — reference analog:
+ * the strict mutation-framing rejections in the agent's commitlog read
+ * path, e.g. CommitLogReadHandlerImpl.java:111-152 rejecting unsupported
+ * partition types loudly rather than guessing):
+ *  - classic cross-reference TABLES (`xref`); compressed xref STREAMS
+ *    (PDF 1.5 `/Type /XRef`) are detected and rejected;
+ *  - encrypted documents (`/Encrypt` in the trailer) rejected;
+ *  - content streams stored plain or `/FlateDecode`, direct `/Length`
+ *    only; inflation is capped (decode-bomb guard);
+ *  - text shown via `Tj`, `'`, `"` and `TJ` between `BT`/`ET`, literal
+ *    strings with the full escape table (octal, specials, line
+ *    continuations, nested balanced parens) and hex strings;
+ *  - shown bytes are concatenated in content order and decoded as
+ *    UTF-8 — a documented simplification: real PDFs map bytes through
+ *    per-font encodings; the fixtures this feeds write UTF-8 bytes, so
+ *    extraction is exact there and still yields usable text wherever
+ *    the font encoding is ASCII-compatible.
+ *
+ * The encoder is the deterministic FIXTURE BUILDER (the png_encode
+ * role): it lays out a two-page document — page 1 shows one `Tj`
+ * segment, page 2 a kerned two-element `TJ` array — with FlateDecode'd
+ * content streams, a classic xref table, and every non-printable byte
+ * octal-escaped, so the decoder's whole path (xref → page tree →
+ * inflate → operator parse → unescape) is exercised by round-trip.
+ */
+object PdfCodec {
+
+  /** Decode-bomb cap on a single inflated content stream. */
+  private val MaxInflatedBytes: Long = 1L << 26
+  /** Page-tree / object-walk bound (cycle + runaway guard). */
+  private val MaxObjects = 10000
+
+  private def need(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new IllegalArgumentException(s"pdf: $msg")
+
+  // ------------------------------------------------------------- encode
+
+  /** PDF literal-string rendering of raw bytes: specials escaped, every
+   * byte outside printable ASCII as a THREE-digit octal escape (the
+   * fixed width keeps a following digit unambiguous). */
+  private def literal(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    bytes.foreach { b =>
+      val v = b & 0xff
+      v match {
+        case 0x28 => sb ++= "\\("
+        case 0x29 => sb ++= "\\)"
+        case 0x5c => sb ++= "\\\\"
+        case p if p >= 32 && p <= 126 => sb += p.toChar
+        case o => sb ++= f"\\$o%03o"
+      }
+    }
+    sb.result()
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, false) // zlib wrap
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Two-page fixture PDF carrying `text`: UTF-8 bytes split in three,
+   * page 1 = one `Tj`, page 2 = a `[(…) -250 (…)] TJ` array (the split
+   * points are byte positions — multi-byte characters may straddle a
+   * string boundary, which round-trips exactly because extraction
+   * concatenates BYTES before the final UTF-8 decode). */
+  def encode(text: String): Array[Byte] = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val a = bytes.length / 2
+    val b = a + (bytes.length - a) / 2
+    val c1 = deflate(("BT /F1 12 Tf 72 720 Td (" +
+      literal(java.util.Arrays.copyOfRange(bytes, 0, a)) +
+      ") Tj ET").getBytes(StandardCharsets.ISO_8859_1))
+    val c2 = deflate(("BT /F1 12 Tf 72 720 Td [(" +
+      literal(java.util.Arrays.copyOfRange(bytes, a, b)) + ") -250 (" +
+      literal(java.util.Arrays.copyOfRange(bytes, b, bytes.length)) +
+      ")] TJ ET").getBytes(StandardCharsets.ISO_8859_1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = new Array[Int](7)
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n")
+    offsets(3) = out.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    offsets(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${c1.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c1)
+    w("\nendstream\nendobj\n")
+    offsets(5) = out.size()
+    w("5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    offsets(6) = out.size()
+    w(s"6 0 obj\n<< /Length ${c2.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c2)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 7\n")
+    w("0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decode
+
+  /** Byte-preserving view for structure scanning (ISO-8859-1 is a 1:1
+   * byte↔char map, so char offsets ARE byte offsets). */
+  private def view(bytes: Array[Byte]): String =
+    new String(bytes, StandardCharsets.ISO_8859_1)
+
+  private val ObjHead = """(?s)^(\d+)\s+0\s+obj\s*""".r
+  private val XrefEntry = """^(\d{10}) (\d{5}) ([nf])""".r
+  private val RefIn = """(\d+)\s+0\s+R""".r
+
+  /** Matching `>>` for the `<<` at `start` (nesting-aware). */
+  private def dictEnd(s: String, start: Int): Int = {
+    var p = start + 2
+    var depth = 1
+    while (depth > 0 && p < s.length - 1) {
+      if (s.startsWith("<<", p)) { depth += 1; p += 2 }
+      else if (s.startsWith(">>", p)) { depth -= 1; p += 2 }
+      else p += 1
+    }
+    need(depth == 0, s"unterminated dictionary at $start")
+    p
+  }
+
+  /** Object `n`'s dictionary string and (if present) raw stream bytes. */
+  private def getObj(bytes: Array[Byte], s: String,
+                     offsets: Map[Int, Int], n: Int): (String, Option[Array[Byte]]) = {
+    val off = offsets.getOrElse(n,
+      throw new IllegalArgumentException(s"pdf: object $n not in xref"))
+    need(off >= 0 && off < s.length, s"object $n offset $off out of range")
+    val m = ObjHead.findPrefixMatchOf(s.substring(off,
+      math.min(s.length, off + 32)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"pdf: no object header for $n at $off"))
+    need(m.group(1).toInt == n, s"xref points $n at object ${m.group(1)}")
+    var p = off + m.end
+    while (p < s.length && (s(p) == ' ' || s(p) == '\r' || s(p) == '\n' ||
+      s(p) == '\t')) p += 1
+    need(s.startsWith("<<", p), s"object $n is not a dictionary")
+    val de = dictEnd(s, p)
+    val dict = s.substring(p, de)
+    var q = de
+    while (q < s.length && (s(q) == ' ' || s(q) == '\r' || s(q) == '\n' ||
+      s(q) == '\t')) q += 1
+    if (s.startsWith("stream", q)) {
+      q += 6
+      if (q < s.length && s(q) == '\r') q += 1
+      need(q < s.length && s(q) == '\n', s"object $n: no EOL after stream")
+      q += 1
+      val lenM = """/Length\s+(\d+)(\s+0\s+R)?""".r.findFirstMatchIn(dict)
+        .getOrElse(throw new IllegalArgumentException(
+          s"pdf: object $n stream has no /Length"))
+      need(lenM.group(2) == null,
+        s"object $n: indirect /Length unsupported in this subset")
+      val len = lenM.group(1).toLong
+      need(len >= 0 && q + len <= bytes.length,
+        s"object $n: /Length $len overruns the file")
+      val data = java.util.Arrays.copyOfRange(bytes, q, q + len.toInt)
+      val after = s.indexOf("endstream", q + len.toInt)
+      need(after >= 0 && after - (q + len.toInt) <= 2,
+        s"object $n: endstream not where /Length says")
+      (dict, Some(data))
+    } else (dict, None)
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater(false)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"pdf: corrupt FlateDecode data: ${e.getMessage}")
+        }
+        need(out.size().toLong + k <= MaxInflatedBytes,
+          s"content stream inflates past $MaxInflatedBytes bytes")
+        out.write(buf, 0, k)
+      }
+      need(inf.finished(), "truncated FlateDecode stream")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Shown-text bytes of one content stream, in operator order. */
+  private def showText(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val s = view(content)
+    // operand scratch: literal/hex strings since the last operator, and
+    // the string elements of the most recent array (for TJ)
+    var strings = List.empty[Array[Byte]] // reversed
+    var lastArray: Vector[Array[Byte]] = Vector.empty
+    var inText = false
+    var p = 0
+    def literalAt(start: Int): (Array[Byte], Int) = {
+      val b = new java.io.ByteArrayOutputStream()
+      var q = start + 1
+      var depth = 1
+      while (depth > 0) {
+        need(q < s.length, s"unterminated literal string at $start")
+        s(q) match {
+          case '\\' =>
+            need(q + 1 < s.length, "dangling escape at end of stream")
+            s(q + 1) match {
+              case 'n' => b.write('\n'); q += 2
+              case 'r' => b.write('\r'); q += 2
+              case 't' => b.write('\t'); q += 2
+              case 'b' => b.write('\b'); q += 2
+              case 'f' => b.write('\f'); q += 2
+              case '\n' => q += 2 // line continuation
+              case '\r' => q += (if (q + 2 < s.length && s(q + 2) == '\n') 3 else 2)
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; q += 1
+                while (k < 3 && q < s.length && s(q) >= '0' && s(q) <= '7') {
+                  v = v * 8 + (s(q) - '0'); q += 1; k += 1
+                }
+                b.write(v & 0xff)
+              case c => b.write(c); q += 2 // unknown escape: char itself
+            }
+          case '(' => depth += 1; b.write('('); q += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) b.write(')')
+            q += 1
+          case c => b.write(c); q += 1
+        }
+      }
+      (b.toByteArray, q)
+    }
+    def hexAt(start: Int): (Array[Byte], Int) = {
+      val e = s.indexOf('>', start + 1)
+      need(e >= 0, s"unterminated hex string at $start")
+      val hx = s.substring(start + 1, e).filterNot(_.isWhitespace)
+      need(hx.forall(c => Character.digit(c, 16) >= 0),
+        s"bad hex string at $start")
+      val padded = if (hx.length % 2 == 1) hx + "0" else hx
+      val b = new Array[Byte](padded.length / 2)
+      var i = 0
+      while (i < b.length) {
+        b(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      (b, e + 1)
+    }
+    var arrayDepth = 0
+    var arrayAcc: Vector[Array[Byte]] = Vector.empty
+    def push(b: Array[Byte]): Unit =
+      if (arrayDepth > 0) arrayAcc :+= b else strings ::= b
+    while (p < s.length) {
+      val c = s(p)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
+        c == 0) p += 1
+      else if (c == '%') { // comment to EOL
+        while (p < s.length && s(p) != '\n' && s(p) != '\r') p += 1
+      } else if (c == '(') {
+        val (b, q) = literalAt(p); push(b); p = q
+      } else if (s.startsWith("<<", p)) {
+        p = dictEnd(s, p) // inline dict (marked content etc.): skip whole
+      } else if (c == '<') {
+        val (b, q) = hexAt(p); push(b); p = q
+      } else if (c == '[') { arrayDepth += 1; arrayAcc = Vector.empty; p += 1 }
+      else if (c == ']') {
+        need(arrayDepth > 0, s"stray ] at $p")
+        arrayDepth -= 1
+        lastArray = arrayAcc
+        arrayAcc = Vector.empty
+        p += 1
+      } else if (c == '/') {
+        p += 1
+        while (p < s.length && !" \t\r\n\f()<>[]{}/%".contains(s(p))) p += 1
+      } else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
+        p += 1
+        while (p < s.length && (s(p).isDigit || s(p) == '.')) p += 1
+      } else {
+        val start = p
+        while (p < s.length && !" \t\r\n\f()<>[]{}/%".contains(s(p)) &&
+          !s(p).isDigit) p += 1
+        need(p > start, s"unparseable byte 0x${(c & 0xff).toHexString} at $start")
+        val op = s.substring(start, p)
+        op match {
+          case "BT" => inText = true
+          case "ET" => inText = false
+          case "Tj" | "'" | "\"" =>
+            need(strings.nonEmpty, s"$op with no string operand at $start")
+            if (inText) out.write(strings.head)
+          case "TJ" =>
+            if (inText) lastArray.foreach(out.write)
+          case _ => // positioning/state operators: no text
+        }
+        strings = Nil
+        lastArray = Vector.empty
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Full extraction: xref walk → page tree → content streams (inflated
+   * under the cap) → text operators → UTF-8 decode of the shown bytes. */
+  def extract(bytes: Array[Byte]): String = {
+    need(bytes.length >= 8, "too short to be a PDF")
+    val s = view(bytes)
+    need(s.startsWith("%PDF-"), "bad magic (no %PDF- header)")
+    val sx = s.lastIndexOf("startxref")
+    need(sx >= 0, "no startxref")
+    val xrefOff = """\d+""".r.findFirstIn(s.substring(sx + 9))
+      .getOrElse(throw new IllegalArgumentException(
+        "pdf: no offset after startxref")).toInt
+    need(xrefOff >= 0 && xrefOff < s.length, s"startxref $xrefOff out of range")
+    if (!s.startsWith("xref", xrefOff)) {
+      need(!ObjHead.findPrefixMatchOf(s.substring(xrefOff,
+          math.min(s.length, xrefOff + 32))).isDefined,
+        "cross-reference STREAM (PDF 1.5 /Type /XRef) unsupported in " +
+          "this subset — classic xref tables only")
+      need(cond = false, s"no xref table at startxref offset $xrefOff")
+    }
+    // xref subsections
+    var p = xrefOff + 4
+    def skipEol(): Unit =
+      while (p < s.length && (s(p) == '\r' || s(p) == '\n' || s(p) == ' '))
+        p += 1
+    skipEol()
+    val offsets = Map.newBuilder[Int, Int]
+    while (!s.startsWith("trailer", p)) {
+      val header = """^(\d+)\s+(\d+)""".r.findPrefixMatchOf(s.substring(p,
+        math.min(s.length, p + 32)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"pdf: bad xref subsection header at $p"))
+      val start = header.group(1).toInt
+      val count = header.group(2).toInt
+      need(count <= MaxObjects, s"xref subsection of $count entries")
+      p += header.end
+      skipEol()
+      var i = 0
+      while (i < count) {
+        need(p + 18 <= s.length, s"truncated xref entry at $p")
+        val em = XrefEntry.findPrefixMatchOf(s.substring(p, p + 18))
+          .getOrElse(throw new IllegalArgumentException(
+            s"pdf: malformed xref entry at $p"))
+        if (em.group(3) == "n")
+          offsets += (start + i) -> em.group(1).toInt
+        p += 18
+        skipEol()
+        i += 1
+      }
+    }
+    val trailerStart = s.indexOf("<<", p)
+    need(trailerStart >= 0, "no trailer dictionary")
+    val trailer = s.substring(trailerStart, dictEnd(s, trailerStart))
+    need(!trailer.contains("/Encrypt"),
+      "encrypted document unsupported in this subset")
+    val rootN = """/Root\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(trailer)
+      .getOrElse(throw new IllegalArgumentException(
+        "pdf: trailer has no /Root")).group(1).toInt
+    val objMap = offsets.result()
+
+    val (catalog, _) = getObj(bytes, s, objMap, rootN)
+    val pagesN = """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(catalog)
+      .getOrElse(throw new IllegalArgumentException(
+        "pdf: catalog has no /Pages")).group(1).toInt
+
+    // page-tree walk, document order, cycle-guarded
+    val contentRefs = Seq.newBuilder[Int]
+    val visited = scala.collection.mutable.Set.empty[Int]
+    // the [ … ] slice following `key`, or None when the key is absent or
+    // its value is a direct reference rather than an array
+    def bracketSlice(dict: String, key: String): Option[String] = {
+      val i = dict.indexOf(key)
+      if (i < 0) None
+      else {
+        var j = i + key.length
+        while (j < dict.length && dict(j).isWhitespace) j += 1
+        if (j >= dict.length || dict(j) != '[') None
+        else {
+          val close = dict.indexOf(']', j)
+          need(close >= 0, s"unterminated $key array")
+          Some(dict.substring(j + 1, close))
+        }
+      }
+    }
+    def walk(n: Int): Unit = {
+      need(visited.size <= MaxObjects, "page tree exceeds object bound")
+      need(visited.add(n), s"page-tree cycle at object $n")
+      val (dict, _) = getObj(bytes, s, objMap, n)
+      bracketSlice(dict, "/Kids") match {
+        case Some(kids) =>
+          RefIn.findAllMatchIn(kids).foreach(m => walk(m.group(1).toInt))
+        case None =>
+          val i = dict.indexOf("/Contents")
+          if (i >= 0) {
+            bracketSlice(dict, "/Contents") match {
+              case Some(arr) =>
+                RefIn.findAllMatchIn(arr)
+                  .foreach(m => contentRefs += m.group(1).toInt)
+              case None =>
+                val m = RefIn.findFirstMatchIn(dict.substring(i))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"pdf: page $n /Contents is neither ref nor array"))
+                contentRefs += m.group(1).toInt
+            }
+          }
+      }
+    }
+    walk(pagesN)
+
+    val shown = new java.io.ByteArrayOutputStream()
+    contentRefs.result().foreach { n =>
+      val (dict, data) = getObj(bytes, s, objMap, n)
+      val raw = data.getOrElse(throw new IllegalArgumentException(
+        s"pdf: content object $n carries no stream"))
+      val filtered = if (dict.contains("/Filter")) {
+        need(dict.contains("/FlateDecode"),
+          s"content object $n: only /FlateDecode is supported")
+        inflate(raw)
+      } else raw
+      shown.write(showText(filtered))
+    }
+    new String(shown.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  // --------------------------------------------------- expression hooks
+
+  def encodeRow(text: UTF8String): Array[Byte] = encode(text.toString)
+  def extractRow(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(extract(bytes))
+}
+
+/** `pdf_encode(string)` → BINARY — the deterministic fixture builder
+ * (encode is a synthesis edge: codegen'd static call, like png_resize). */
+case class PdfEncodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_encode requires STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.encodeRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfCodec.encodeRow($b)")
+  override protected def withNewChildInternal(c: Expression): PdfEncodeExpr =
+    copy(child = c)
+}
+
+/** `pdf_extract(binary)` → STRING — the scan-stage content decode
+ * (codegen'd call into the static extract kernel). */
+case class PdfExtractExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_extract requires BINARY, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.extractRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfCodec.extractRow($b)")
+  override protected def withNewChildInternal(c: Expression): PdfExtractExpr =
+    copy(child = c)
+}
+
+object PdfFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def pdf_encode(c: Column): Column =
+    GraftShim.column(PdfEncodeExpr(GraftShim.expression(c)))
+
+  def pdf_extract(c: Column): Column =
+    GraftShim.column(PdfExtractExpr(GraftShim.expression(c)))
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PdfCodec
+
+/**
+ * PDF codec — round-trip identities and HOSTILE fixtures: every rejected
+ * blob below was constructed by hand to violate one specific contract
+ * (magic, xref framing, encryption, xref streams, /Length indirection,
+ * decode bombs), and every expectation about operator semantics was
+ * derived from ISO 32000 by hand, never from the codec's own output.
+ */
+class PdfCodecSpec extends AnyFunSuite {
+
+  /** Hand-assembled single-page PDF with an UNCOMPRESSED content stream
+   * `body` — offsets computed exactly like a conforming writer. */
+  private def rawPdf(body: String, trailerExtra: String = "",
+                     contentDict: Int => String =
+                       l => s"<< /Length $l >>"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val off = new Array[Int](5)
+    w("%PDF-1.4\n")
+    off(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    off(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    off(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    off(4) = out.size()
+    w(s"4 0 obj\n${contentDict(body.length)}\nstream\n$body\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(i => w(f"${off(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R$trailerExtra >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("round-trip identity: plain text, parens, literal backslash, " +
+    "newline (octal escape), multi-byte UTF-8 split across the TJ " +
+    "boundary") {
+    val texts = Seq(
+      "hello pdf world",
+      "f(x) = (a\\b) % 100",
+      "line one\nline two",
+      // 5 chars x 2 bytes = 10 bytes: the a=5 split lands INSIDE the
+      // 3rd alpha -- byte-level reassembly must still round-trip
+      "ααααα",
+      "中文 text mixed 😀 emoji")
+    texts.foreach { t =>
+      assert(PdfCodec.extract(PdfCodec.encode(t)) === t, s"text: $t")
+    }
+  }
+
+  test("operator semantics on a hand-written content stream: text " +
+    "outside BT/ET is ignored, TJ concatenates only its strings, hex " +
+    "strings decode, ' shows like Tj") {
+    val body = "(dropped) Tj " +
+      "BT (a) Tj [(b) -120 (c)] TJ <64> Tj (e) ' ET " +
+      "(also dropped) Tj"
+    assert(PdfCodec.extract(rawPdf(body)) === "abcde")
+  }
+
+  test("literal-string escapes: octal with following digit, nested " +
+    "balanced parens, unknown escape passthrough, line continuation") {
+    // \1012 = octal 101 ('A') then literal '2'; (x(y)z) nests;
+    // \q -> q; backslash-newline vanishes
+    val body = "BT (\\1012) Tj ((x(y)z)) Tj (\\q) Tj (a\\\nb) Tj ET"
+    assert(PdfCodec.extract(rawPdf(body)) === "A2(x(y)z)qab")
+  }
+
+  test("hostile: bad magic, truncated xref, missing startxref") {
+    val e1 = intercept[IllegalArgumentException] {
+      PdfCodec.extract("not a pdf at all".getBytes)
+    }
+    assert(e1.getMessage.startsWith("pdf:"))
+    val ok = PdfCodec.encode("victim")
+    // cut mid-xref-table: startxref still parses, entries do not
+    val cut = java.util.Arrays.copyOfRange(ok, 0, ok.length - 60)
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(cut) }
+    assert(e2.getMessage.startsWith("pdf:"))
+    val noSx = new String(ok, StandardCharsets.ISO_8859_1)
+      .replace("startxref", "startxxxxx").getBytes(StandardCharsets.ISO_8859_1)
+    val e3 = intercept[IllegalArgumentException] { PdfCodec.extract(noSx) }
+    assert(e3.getMessage.contains("startxref"))
+  }
+
+  test("hostile: encrypted documents and compressed xref streams are " +
+    "rejected loudly, not mis-read") {
+    val enc = rawPdf("BT (secret) Tj ET", trailerExtra = " /Encrypt 9 0 R")
+    val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(enc) }
+    assert(e1.getMessage.contains("encrypted"))
+    // startxref pointing at an object header = PDF 1.5 xref stream shape
+    val ok = PdfCodec.encode("victim")
+    val s = new String(ok, StandardCharsets.ISO_8859_1)
+    val objOff = s.indexOf("4 0 obj")
+    val sx = s.lastIndexOf("startxref")
+    val forged = (s.substring(0, sx) +
+      s"startxref\n$objOff\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(forged) }
+    assert(e2.getMessage.contains("xref"))
+  }
+
+  test("hostile: indirect /Length is rejected; content stream " +
+    "inflating past the cap is a decode bomb, not an allocation") {
+    val forged = rawPdf("BT (x) Tj ET",
+      contentDict = _ => "<< /Length 9 0 R >>")
+    val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(forged) }
+    assert(e1.getMessage.contains("indirect"))
+
+    // 80 MB of zeros deflates to ~80 KB; inflation must stop at the cap
+    val big = new Array[Byte](80 << 20)
+    val d = new java.util.zip.Deflater()
+    d.setInput(big); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val z = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit =
+      out.write(str.getBytes(StandardCharsets.ISO_8859_1))
+    val off = new Array[Int](5)
+    w("%PDF-1.4\n")
+    off(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    off(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    off(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    off(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(z)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(i => w(f"${off(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val e2 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(out.toByteArray)
+    }
+    assert(e2.getMessage.contains("inflates past"))
+  }
+
+  test("hostile: /Length overrunning the file and a non-Flate filter " +
+    "are rejected with the pdf: contract") {
+    val over = rawPdf("BT (x) Tj ET",
+      contentDict = _ => "<< /Length 99999 >>")
+    val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(over) }
+    assert(e1.getMessage.contains("overruns"))
+    val lzw = rawPdf("BT (x) Tj ET",
+      contentDict = l => s"<< /Length $l /Filter /LZWDecode >>")
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(lzw) }
+    assert(e2.getMessage.contains("FlateDecode"))
+  }
+}
