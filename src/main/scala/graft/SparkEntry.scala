@@ -4844,7 +4844,18 @@ object SparkEntry {
     "dedup_substr_spans_full" -> ((s, dir) =>
       operators.SuffixArray.dupSpans(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        minLen = 30)))
+        minLen = 30)),
+    // T6 adaptive rate control OBSERVED (closes SURVEY §2's last
+    // spec-only cell): the commitlog fixture drains with the
+    // mobile-average admission controller live while foreachBatch
+    // injects a slow phase; the row fail-loudly asserts the cap
+    // trajectory shrank under latency and regrew after — a batch
+    // oracle cannot observe runtime rate-control semantics, so the
+    // artifact row IS the evidence (see docs/BENCH_NOTES.md: its cost
+    // is the injected sleeps plus a many-epoch drain BY DESIGN — do
+    // not "optimize" it).
+    "cdc_rate_control" -> ((s, dir) =>
+      graft.streaming.PipelineE2E.rateControlDrain(s, dir)))
 
   /** DuckDB mirror of [[Similarity.pqTrainResidualCodebooks]] +
    * [[Similarity.pqEncodeResidual]]: IVF chain → exact grid residuals →

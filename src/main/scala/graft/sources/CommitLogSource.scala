@@ -61,6 +61,20 @@ class CommitLogSourceProvider extends TableProvider {
 }
 
 object CommitLogSource {
+
+  /** T6 observability: per-path segment-cap trajectory, appended by
+   * `commit()` after each adaptive observe — what the `cdc_rate_control`
+   * bench row asserts against (and an operator would chart). Bounded per
+   * path; `remove(path)` before a fresh run. */
+  val capTrajectories =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CopyOnWriteArrayList[Integer]]()
+  private[sources] def recordCap(path: String, cap: Int): Unit = {
+    val lst = capTrajectories.computeIfAbsent(path,
+      _ => new java.util.concurrent.CopyOnWriteArrayList[Integer]())
+    if (lst.size < 10000) { lst.add(cap); () }
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("key", LongType),
@@ -380,8 +394,11 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
 
   override def commit(end: Offset): Unit =
     adaptive.foreach { ctl =>
-      if (batchPlannedNanos != 0L)
-        ctl.observe((System.nanoTime() - batchPlannedNanos) / 1000000L)
+      if (batchPlannedNanos != 0L) {
+        val cap =
+          ctl.observe((System.nanoTime() - batchPlannedNanos) / 1000000L)
+        CommitLogSource.recordCap(path, cap)
+      }
       batchPlannedNanos = 0L
     }
 

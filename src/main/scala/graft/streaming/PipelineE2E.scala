@@ -161,6 +161,67 @@ object PipelineE2E {
         col("value").getField("c_name").as("c_name"), col("writetime"))
   }
 
+  /**
+   * T6 adaptive rate control OBSERVED END TO END (the bench-artifact row
+   * closing SURVEY §2's last spec-only cell): the commitlog fixture
+   * drains under `Trigger.AvailableNow` with the latency-driven
+   * [[graft.sources.AdaptiveRateController]] live
+   * (`adaptiveLowMs`/`adaptiveHighMs` source options — the reference's
+   * mobile-average pool sizing, CassandraSource.java:217-263), while
+   * `foreachBatch` INJECTS a slow phase (the first `slowBatches` batches
+   * sleep `sleepMs` — a struggling downstream) and then runs unthrottled.
+   * The recorded segment-cap trajectory must show the controller REACT
+   * both ways: shrink under injected latency (min cap < first cap) and
+   * regrow once the mobile-average window flushes the slow samples
+   * (final cap > min cap). Both are fail-loud requires — a green bench
+   * row IS the artifact evidence. Returns the trajectory (batch_idx,
+   * cap) for the noop sink.
+   */
+  def rateControlDrain(spark: SparkSession, sfDir: String,
+                       nSegs: Int = 24, maxSegmentsPerBatch: Int = 6,
+                       slowBatches: Int = 6, sleepMs: Long = 1000L,
+                       lowMs: Long = 400L, highMs: Long = 800L): DataFrame = {
+    import spark.implicits._
+    import graft.sources.CommitLogSource
+    val work = buildCommitLogFixture(spark, sfDir, nSegs)
+    val logDir = new java.io.File(work, "commitlog").getAbsolutePath
+    CommitLogSource.capTrajectories.remove(logDir)
+    val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft.sources.CommitLogSourceProvider")
+      .option("path", logDir)
+      .option("maxSegmentsPerBatch", maxSegmentsPerBatch.toString)
+      .option("adaptiveLowMs", lowMs.toString)
+      .option("adaptiveHighMs", highMs.toString)
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("noop").mode("overwrite").save()
+        if (batchNo.getAndIncrement() < slowBatches) Thread.sleep(sleepMs)
+      }
+      .start()
+    q.awaitTermination()
+    val traj = Option(CommitLogSource.capTrajectories.get(logDir))
+      .map(l => { val b = Seq.newBuilder[Int]
+        l.forEach(v => b += v.intValue()); b.result() })
+      .getOrElse(Seq.empty)
+    require(traj.size >= slowBatches + 10, s"rate-control drain observed " +
+      s"only ${traj.size} batches — the fixture must outlast the mobile-" +
+      "average window or regrowth is unobservable; grow nSegs")
+    val minCap = traj.min
+    require(minCap < traj.head, s"controller never shrank under the " +
+      s"injected ${sleepMs}ms batches (trajectory $traj) — T6 " +
+      "backpressure is not reacting")
+    require(traj.last > minCap, s"controller never regrew after the slow " +
+      s"phase ended (trajectory $traj) — the mobile-average window is " +
+      "not flushing")
+    traj.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) }
+      .toDF("batch_idx", "cap")
+  }
+
   /** Spawn a child JVM running [[graft.tools.PipelineDrainMain]] over the
    * fixture — the pipeline in its OWN process so a kill is a real process
    * death, not a thread interrupt. Inherits this JVM's classpath and
