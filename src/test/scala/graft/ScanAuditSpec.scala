@@ -64,6 +64,33 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("mm_pdf_extract + pipeline_pdf_curate: the PDF front door is one " +
+    "pruned scan, zero Exchange — encode, xref walk, inflate, operator " +
+    "parse and the quality filter all ride a single narrow projection") {
+    for (q <- Seq("mm_pdf_extract", "pipeline_pdf_curate")) {
+      val p = plan(q)
+      val rs = scanColumns(p)
+      assert(rs.size === 1 && rs.head === Set("doc_id", "text"),
+        s"$q: expected one (doc_id, text) scan, saw $rs:\n$p")
+      assert(exchanges(p) === 0, s"$q: ${exchanges(p)} exchanges:\n$p")
+    }
+  }
+
+  test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
+    "two pruned scans (dict build + corpus explode), the pretoken " +
+    "dictionary BROADCAST onto the corpus side, at most two " +
+    "aggregation shuffles, no nested-loop join") {
+    val p = plan("text_bytebpe_tokenize")
+    val rs = scanColumns(p)
+    // both scans need doc_id: the multi-byte decoration is id-keyed
+    assert(rs.size === 2 && rs.forall(_ === Set("doc_id", "text")),
+      s"expected two (doc_id, text) scans, saw $rs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dict not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("SortMergeJoin"),
+      s"tokenizer join degraded:\n$p")
+    assert(exchanges(p) <= 3, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("q1: pruned scan and the single groupBy shuffle") {
     val p = plan("q1_pricing_summary")
     val rs = scanColumns(p)
