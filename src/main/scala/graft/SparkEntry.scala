@@ -486,6 +486,17 @@ object SparkEntry {
     memoizedFrame(s, dir, "langw0")(
       TextAnalysis.langIdFloors(t(s, dir, "documents")))
 
+  /** The corpus PREDICTIONS, memoized too: classify once, feed every
+   * consumer — text_lang_id_ngram emits it, mix_lang_balanced samples
+   * on it (a pipeline classifies its corpus once, not once per
+   * downstream stage). Prediction frame is corpus-ROW-sized (6 scalar
+   * columns), the same caching class as the resolved frames the other
+   * composed rows reuse. */
+  private def langIdPredMemo(s: SparkSession, dir: String): DataFrame =
+    memoizedFrame(s, dir, "langpred")(
+      TextAnalysis.langIdPredict(t(s, dir, "documents"),
+        langIdModelMemo(s, dir), langIdFloorsMemo(s, dir)))
+
   /** PQ codebooks, memoized like the centroids (index-build amortization). */
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "pq")(
@@ -2804,10 +2815,10 @@ object SparkEntry {
       // ENTIRE training chain bit-exactly), scored as an exact long sum
       // with unseen-gram floors, argmax (score DESC, lang ASC), plus
       // the 25% script-range override for CJK/Cyrillic/Arabic/… docs
-      // the space-delimited trigram corpus cannot cover. Model + floors
-      // memoized (train once, classify many — the index-build shape).
-      TextAnalysis.langIdPredict(t(s, dir, "documents"),
-        langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))),
+      // the space-delimited trigram corpus cannot cover. Model, floors
+      // AND corpus predictions memoized (train once, classify once —
+      // the index-build shape).
+      langIdPredMemo(s, dir)),
 
     "text_lang_id_fixture" -> ((s, dir) => {
       // the classifier on REAL language: trained on the hand fixture's
@@ -2826,9 +2837,9 @@ object SparkEntry {
       // feed: temperature-flattened mix (T=2) keyed by the PREDICTED
       // language from the corpus-trained classifier — langIdNgram's
       // output drives temperatureSample exactly as the labeled lang
-      // column drives mix_temperature_sample. Shares the memoized model.
-      val pred = TextAnalysis.langIdPredict(t(s, dir, "documents"),
-          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
+      // column drives mix_temperature_sample. Shares the memoized
+      // prediction frame (classify once, feed every consumer).
+      val pred = langIdPredMemo(s, dir)
         .select(col("doc_id"), col("predicted_lang"))
       TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id")
         .select(col("doc_id"), col("predicted_lang"))
