@@ -449,10 +449,16 @@ object SparkEntry {
    * Keyed by the owning session (a cached DataFrame dies with its
    * SparkContext) and bounded: evicted entries are unpersisted. */
   private val centroidCache =
-    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      // capacity must cover the distinct memoized builds per (session,
+      // dir) or the LRU thrashes and "memoized" frames silently rebuild
+      // every query: currently ivf/pq/pqr/opq + langmdl/langw0/langpred
+      // (7) — 16 leaves headroom for two dirs in one session. Every
+      // entry is dictionary- or corpus-ROW-sized (centroids, codebooks,
+      // 6-column predictions), never corpus-payload-sized.
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-        val evict = size() > 8
+        val evict = size() > 16
         if (evict) scala.util.Try(e.getValue.unpersist())
         evict
       }
