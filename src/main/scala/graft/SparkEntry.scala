@@ -468,10 +468,21 @@ object SparkEntry {
     val key =
       s"$prefix|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     centroidCache.synchronized {
-      Option(centroidCache.get(key)).getOrElse {
-        val c = build.cache()
-        centroidCache.put(key, c)
-        c
+      Option(centroidCache.get(key)) match {
+        case Some(df) =>
+          // a session-wide catalog.clearCache() (Bench runs one between
+          // queries as dead-block hygiene) DE-REGISTERS the frame from
+          // the CacheManager while this memo still hands it out — every
+          // later action would silently recompute the full lineage.
+          // Re-register on hit: idempotent when still cached, and the
+          // next action re-materializes when it was cleared.
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.cache()
+          df
+        case None =>
+          val c = build.cache()
+          centroidCache.put(key, c)
+          c
       }
     }
   }
