@@ -55,6 +55,25 @@ object PdfCodec {
   private def need(cond: Boolean, msg: => String): Unit =
     if (!cond) throw new IllegalArgumentException(s"pdf: $msg")
 
+  /** Digits-only string → Long under the `pdf:` error contract: hostile
+   * inputs can carry arbitrarily long digit runs (a 10-digit classic
+   * xref offset already exceeds Int.MaxValue), and a raw
+   * NumberFormatException would escape the documented loud-reject
+   * contract. 18 digits bounds the value inside Long. */
+  private def parseNum(digits: String, what: => String): Long = {
+    need(digits.nonEmpty && digits.length <= 18 && digits.forall(_.isDigit),
+      s"$what '$digits' is not a parseable number")
+    digits.toLong
+  }
+
+  /** Object-number parse: wide parse + the MaxObjects bound (a hostile
+   * 12-digit object number must reject loudly, not wrap or NFE). */
+  private def objNum(digits: String, what: => String): Int = {
+    val v = parseNum(digits, what)
+    need(v <= MaxObjects, s"$what $v exceeds object bound")
+    v.toInt
+  }
+
   // ------------------------------------------------------------- encode
 
   /** PDF literal-string rendering of raw bytes: specials escaped, every
@@ -165,7 +184,8 @@ object PdfCodec {
       math.min(s.length, off + 32)))
       .getOrElse(throw new IllegalArgumentException(
         s"pdf: no object header for $n at $off"))
-    need(m.group(1).toInt == n, s"xref points $n at object ${m.group(1)}")
+    need(parseNum(m.group(1), s"object header number at $off") == n,
+      s"xref points $n at object ${m.group(1)}")
     var p = off + m.end
     while (p < s.length && (s(p) == ' ' || s(p) == '\r' || s(p) == '\n' ||
       s(p) == '\t')) p += 1
@@ -180,12 +200,15 @@ object PdfCodec {
       if (q < s.length && s(q) == '\r') q += 1
       need(q < s.length && s(q) == '\n', s"object $n: no EOL after stream")
       q += 1
-      val lenM = """/Length\s+(\d+)(\s+0\s+R)?""".r.findFirstMatchIn(dict)
+      // generation is matched as \d+ (not just 0): `/Length 5 2 R` is an
+      // indirect reference too and must hit the loud rejection below, not
+      // silently parse 5 as a direct length
+      val lenM = """/Length\s+(\d+)(\s+\d+\s+R)?""".r.findFirstMatchIn(dict)
         .getOrElse(throw new IllegalArgumentException(
           s"pdf: object $n stream has no /Length"))
       need(lenM.group(2) == null,
         s"object $n: indirect /Length unsupported in this subset")
-      val len = lenM.group(1).toLong
+      val len = parseNum(lenM.group(1), s"object $n /Length")
       need(len >= 0 && q + len <= bytes.length,
         s"object $n: /Length $len overruns the file")
       val data = java.util.Arrays.copyOfRange(bytes, q, q + len.toInt)
@@ -337,10 +360,12 @@ object PdfCodec {
     need(s.startsWith("%PDF-"), "bad magic (no %PDF- header)")
     val sx = s.lastIndexOf("startxref")
     need(sx >= 0, "no startxref")
-    val xrefOff = """\d+""".r.findFirstIn(s.substring(sx + 9))
+    val xrefOffL = parseNum("""\d+""".r.findFirstIn(s.substring(sx + 9))
       .getOrElse(throw new IllegalArgumentException(
-        "pdf: no offset after startxref")).toInt
-    need(xrefOff >= 0 && xrefOff < s.length, s"startxref $xrefOff out of range")
+        "pdf: no offset after startxref")), "startxref offset")
+    need(xrefOffL >= 0 && xrefOffL < s.length,
+      s"startxref $xrefOffL out of range")
+    val xrefOff = xrefOffL.toInt
     if (!s.startsWith("xref", xrefOff)) {
       need(!ObjHead.findPrefixMatchOf(s.substring(xrefOff,
           math.min(s.length, xrefOff + 32))).isDefined,
@@ -360,9 +385,12 @@ object PdfCodec {
         math.min(s.length, p + 32)))
         .getOrElse(throw new IllegalArgumentException(
           s"pdf: bad xref subsection header at $p"))
-      val start = header.group(1).toInt
-      val count = header.group(2).toInt
-      need(count <= MaxObjects, s"xref subsection of $count entries")
+      val startL = parseNum(header.group(1), s"xref subsection start at $p")
+      val countL = parseNum(header.group(2), s"xref subsection count at $p")
+      need(startL <= MaxObjects && countL <= MaxObjects,
+        s"xref subsection $startL+$countL exceeds object bound")
+      val start = startL.toInt
+      val count = countL.toInt
       p += header.end
       skipEol()
       var i = 0
@@ -371,8 +399,13 @@ object PdfCodec {
         val em = XrefEntry.findPrefixMatchOf(s.substring(p, p + 18))
           .getOrElse(throw new IllegalArgumentException(
             s"pdf: malformed xref entry at $p"))
-        if (em.group(3) == "n")
-          offsets += (start + i) -> em.group(1).toInt
+        if (em.group(3) == "n") {
+          // 10 decimal digits reach past Int.MaxValue; parse wide, then
+          // range-check against the file before narrowing
+          val off = parseNum(em.group(1), s"xref entry offset at $p")
+          need(off < s.length, s"xref entry offset $off overruns the file")
+          offsets += (start + i) -> off.toInt
+        }
         p += 18
         skipEol()
         i += 1
@@ -385,13 +418,15 @@ object PdfCodec {
       "encrypted document unsupported in this subset")
     val rootN = """/Root\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(trailer)
       .getOrElse(throw new IllegalArgumentException(
-        "pdf: trailer has no /Root")).group(1).toInt
+        "pdf: trailer has no /Root"))
+    val rootNum = objNum(rootN.group(1), "/Root object number")
     val objMap = offsets.result()
 
-    val (catalog, _) = getObj(bytes, s, objMap, rootN)
+    val (catalog, _) = getObj(bytes, s, objMap, rootNum)
     val pagesN = """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(catalog)
       .getOrElse(throw new IllegalArgumentException(
-        "pdf: catalog has no /Pages")).group(1).toInt
+        "pdf: catalog has no /Pages"))
+    val pagesNum = objNum(pagesN.group(1), "/Pages object number")
 
     // page-tree walk, document order, cycle-guarded
     val contentRefs = Seq.newBuilder[Int]
@@ -418,24 +453,26 @@ object PdfCodec {
       val (dict, _) = getObj(bytes, s, objMap, n)
       bracketSlice(dict, "/Kids") match {
         case Some(kids) =>
-          RefIn.findAllMatchIn(kids).foreach(m => walk(m.group(1).toInt))
+          RefIn.findAllMatchIn(kids)
+            .foreach(m => walk(objNum(m.group(1), "/Kids reference")))
         case None =>
           val i = dict.indexOf("/Contents")
           if (i >= 0) {
             bracketSlice(dict, "/Contents") match {
               case Some(arr) =>
                 RefIn.findAllMatchIn(arr)
-                  .foreach(m => contentRefs += m.group(1).toInt)
+                  .foreach(m =>
+                    contentRefs += objNum(m.group(1), "/Contents reference"))
               case None =>
                 val m = RefIn.findFirstMatchIn(dict.substring(i))
                   .getOrElse(throw new IllegalArgumentException(
                     s"pdf: page $n /Contents is neither ref nor array"))
-                contentRefs += m.group(1).toInt
+                contentRefs += objNum(m.group(1), "/Contents reference")
             }
           }
       }
     }
-    walk(pagesN)
+    walk(pagesNum)
 
     val shown = new java.io.ByteArrayOutputStream()
     contentRefs.result().foreach { n =>

@@ -501,7 +501,11 @@ object Curation {
       .withColumn("_path", concat(
         when(regexp_extract(col(urlCol), P, 3) === "", lit("/"))
           .otherwise(regexp_extract(col(urlCol), P, 3)),
-        regexp_extract(col(urlCol), "\\?[^#]*", 0)))
+        // query taken from the PRE-FRAGMENT portion only (RFC 9309 match
+        // target): `^[^#?]*` consumes up to the first `?` OR `#`, so a
+        // `?` that first appears inside the fragment (/p#sec?x) never
+        // leaks into the match target — no match ⇒ empty string
+        regexp_extract(col(urlCol), "^[^#?]*(\\?[^#]*)", 1)))
     val decided = keyed
       .join(ruleSide,
         keyed("host") === selected("domain") &&

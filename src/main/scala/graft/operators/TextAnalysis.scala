@@ -724,8 +724,14 @@ object TextAnalysis {
    * Marker-token language-ID heuristic: count high-frequency marker words
    * per candidate language, predict the argmax (deterministic priority
    * order on ties). Pure string arithmetic — portable to the oracle.
+   *
+   * DEPRECATED IN FAVOR OF [[langIdNgram]] / [[langIdPredict]]: this is
+   * a 4-marker toy kept only as the cheap shuffle-free screen for
+   * corpora already known to be drawn from the marker languages — the
+   * trained char-trigram classifier is the language-ID path every
+   * pipeline row uses. Declared as `text_lang_id_markers`.
    */
-  def langId(docs: DataFrame, markers: Seq[(String, String)]): DataFrame = {
+  def langIdMarkers(docs: DataFrame, markers: Seq[(String, String)]): DataFrame = {
     val withCounts = markers.foldLeft(docs) { case (df, (lang, marker)) =>
       df.withColumn(s"c_$lang", markerHits("text", marker))
     }
@@ -789,9 +795,12 @@ object TextAnalysis {
 
   /** Shared training aggregates: per-(lang, trigram) counts joined with
    * per-lang totals and the global trigram vocabulary size, materialized
-   * once (dictionary-sized — the corpus is scanned exactly once). */
-  private def langIdCounts(labeled: DataFrame, langCol: String,
-                           textCol: String): DataFrame = {
+   * once (dictionary-sized — the corpus is scanned exactly once). Public
+   * so a caller that needs BOTH the model and the floors (SparkEntry's
+   * memo layer) can train once and derive both via [[langIdModelOf]] /
+   * [[langIdFloorsOf]] instead of paying two training scans. */
+  def langIdCounts(labeled: DataFrame, langCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
     val cnt = Materialize(labeled
       .select(col(langCol).as("lang"),
         explode(charTrigrams(col(textCol))).as("g"))
@@ -811,9 +820,10 @@ object TextAnalysis {
    */
   def langIdModel(labeled: DataFrame, langCol: String = "lang",
                   textCol: String = "text"): DataFrame =
-    modelOf(langIdCounts(labeled, langCol, textCol))
+    langIdModelOf(langIdCounts(labeled, langCol, textCol))
 
-  private def modelOf(counts: DataFrame): DataFrame =
+  /** Model rows from an already-built [[langIdCounts]] dictionary. */
+  def langIdModelOf(counts: DataFrame): DataFrame =
     counts.select(col("lang"), col("g"), likelihoodW9(col("c")).as("w9"))
 
   /** Per-language unseen-trigram floor (the c = 0 weight): (lang, w0).
@@ -822,9 +832,10 @@ object TextAnalysis {
    * Laplace-consistent instead of silently zeroing the unseen tail. */
   def langIdFloors(labeled: DataFrame, langCol: String = "lang",
                    textCol: String = "text"): DataFrame =
-    floorsOf(langIdCounts(labeled, langCol, textCol))
+    langIdFloorsOf(langIdCounts(labeled, langCol, textCol))
 
-  private def floorsOf(counts: DataFrame): DataFrame =
+  /** Floor rows from an already-built [[langIdCounts]] dictionary. */
+  def langIdFloorsOf(counts: DataFrame): DataFrame =
     counts
       .groupBy(col("lang"), col("t"), col("v"))
       .agg(count(lit(1)).as("_n")).drop("_n")
@@ -896,7 +907,7 @@ object TextAnalysis {
   def langIdNgram(docs: DataFrame, langCol: String = "lang",
                   textCol: String = "text"): DataFrame = {
     val counts = langIdCounts(docs, langCol, textCol)
-    langIdPredict(docs, modelOf(counts), floorsOf(counts),
+    langIdPredict(docs, langIdModelOf(counts), langIdFloorsOf(counts),
       DefaultScriptLangs, textCol)
   }
 

@@ -62,18 +62,38 @@ class CommitLogSourceProvider extends TableProvider {
 
 object CommitLogSource {
 
-  /** T6 observability: per-path segment-cap trajectory, appended by
-   * `commit()` after each adaptive observe — what the `cdc_rate_control`
-   * bench row asserts against (and an operator would chart). Bounded per
-   * path; `remove(path)` before a fresh run. */
-  val capTrajectories =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.CopyOnWriteArrayList[Integer]]()
-  private[sources] def recordCap(path: String, cap: Int): Unit = {
-    val lst = capTrajectories.computeIfAbsent(path,
-      _ => new java.util.concurrent.CopyOnWriteArrayList[Integer]())
-    if (lst.size < 10000) { lst.add(cap); () }
-  }
+  /** T6 observability: segment-cap trajectories, appended by `commit()`
+   * after each adaptive observe — what the `cdc_rate_control` bench row
+   * asserts against (and an operator would chart). Each STREAM INSTANCE
+   * owns its list (two concurrent streams on one path never interleave
+   * samples); `stop()` publishes the finished run into a bounded
+   * most-recent-per-path map read via [[lastTrajectory]], so entries
+   * neither outlive the LRU bound nor require manual cleanup. */
+  private val CompletedTrajectoryCap = 16
+  private val completedTrajectories =
+    new java.util.LinkedHashMap[String, java.util.List[Integer]](
+      CompletedTrajectoryCap, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.List[Integer]]): Boolean =
+        size() > CompletedTrajectoryCap
+    }
+  private[sources] def publishTrajectory(path: String,
+                                         traj: java.util.List[Integer]): Unit =
+    completedTrajectories.synchronized {
+      completedTrajectories.put(path, traj); ()
+    }
+
+  /** Cap trajectory of the most recently STOPPED adaptive stream on
+   * `path` (empty when none completed or the run was evicted). */
+  def lastTrajectory(path: String): Seq[Int] =
+    completedTrajectories.synchronized {
+      Option(completedTrajectories.get(path))
+        .map { l =>
+          val b = Seq.newBuilder[Int]; l.forEach(v => b += v.intValue())
+          b.result()
+        }
+        .getOrElse(Seq.empty)
+    }
 
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -392,17 +412,24 @@ class CommitLogMicroBatchStream(path: String, mode: String = "strict",
         new CommitLogPartitionReader(p.asInstanceOf[CommitLogInputPartition])
     }
 
+  // this stream's own cap samples — never shared with a concurrent
+  // stream on the same path; published whole on stop()
+  private val capSamples =
+    new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+
   override def commit(end: Offset): Unit =
     adaptive.foreach { ctl =>
       if (batchPlannedNanos != 0L) {
         val cap =
           ctl.observe((System.nanoTime() - batchPlannedNanos) / 1000000L)
-        CommitLogSource.recordCap(path, cap)
+        if (capSamples.size < 10000) { capSamples.add(cap); () }
       }
       batchPlannedNanos = 0L
     }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit =
+    if (adaptive.isDefined && !capSamples.isEmpty)
+      CommitLogSource.publishTrajectory(path, capSamples)
 }
 
 case class CommitLogInputPartition(file: String, fromByte: Long, untilByte: Long,

@@ -185,7 +185,6 @@ object PipelineE2E {
     import graft.sources.CommitLogSource
     val work = buildCommitLogFixture(spark, sfDir, nSegs)
     val logDir = new java.io.File(work, "commitlog").getAbsolutePath
-    CommitLogSource.capTrajectories.remove(logDir)
     val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream.format("graft.sources.CommitLogSourceProvider")
       .option("path", logDir)
@@ -204,10 +203,15 @@ object PipelineE2E {
       }
       .start()
     q.awaitTermination()
-    val traj = Option(CommitLogSource.capTrajectories.get(logDir))
-      .map(l => { val b = Seq.newBuilder[Int]
-        l.forEach(v => b += v.intValue()); b.result() })
-      .getOrElse(Seq.empty)
+    // the stream publishes its trajectory in stop(); stopSources() runs
+    // before awaitTermination returns, but poll briefly anyway so a
+    // scheduler hiccup can't turn into a confusing empty-trajectory fail
+    var traj = CommitLogSource.lastTrajectory(logDir)
+    var waited = 0
+    while (traj.isEmpty && waited < 20) {
+      Thread.sleep(100); waited += 1
+      traj = CommitLogSource.lastTrajectory(logDir)
+    }
     // enough batches that both phases were observable — the exact count
     // is machine-dependent (a warm session's fast batches evict the slow
     // window samples sooner, regrowing the cap earlier and finishing in
