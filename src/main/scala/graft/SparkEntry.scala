@@ -592,6 +592,17 @@ object SparkEntry {
    * concatenation. No single quotes (embeds raw in the SQL literal). */
   private val pdfDeco = " (parens) 50% back\\slash café fin"
 
+  /** Decoration for the WinAnsi modern-PDF row: cp1252 0x80–0x9F
+   * typographic characters (euro, curly quotes, dashes, per-mille,
+   * S/Z-caron, ligature oe) — every one exercises the Annex-D high
+   * table, none survives a naive Latin-1 or UTF-8 byte read. No
+   * single quotes of the ASCII kind (embeds raw in the SQL literal). */
+  private val pdfWinAnsiDeco = " €9 “q” – — ‰ Šœž Ÿ…"
+
+  /** Decoration for the Type0/ToUnicode row: CJK + an astral emoji
+   * (surrogate-pair bfchar target) + combining-free accents. */
+  private val pdfCMapDeco = " 中文テキスト 😀 fin"
+
   private val byteBpeRounds = 8
   private val byteBpeCache =
     scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
@@ -3605,6 +3616,39 @@ object SparkEntry {
           .as("text"))
     }),
 
+    "mm_pdf_modern" -> ((s, dir) => {
+      // REAL modern-PDF extraction (the post-2005 majority shape): each
+      // doc's text — vowels swapped into WinAnsi accents plus a cp1252
+      // 0x80-block decoration — is laid out as a PDF 1.5 document
+      // (compressed cross-reference STREAM with /W-packed rows and the
+      // PNG Up predictor, catalog/pages/page/font in an OBJECT STREAM,
+      // text bytes WinAnsi-ENCODED under an /Encoding /WinAnsiEncoding
+      // font) and extracted back through the engine's xref-stream
+      // parse → predictor unfilter → ObjStm framing → font decode. The
+      // oracle recomputes the expected text with the same translate +
+      // concat arithmetic, so a green row proves the whole modern path
+      // is identity-correct on every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_modern(concat(
+          translate(col("text"), "aeouAEOU", "äéöüÄÉÖÜ"),
+          lit(pdfWinAnsiDeco)))).as("text"))
+    }),
+
+    "mm_pdf_cmap" -> ((s, dir) => {
+      // Type0-font PDF extraction: the text (decorated with CJK and an
+      // astral emoji) is shown as 2-byte codes under an /Identity-H
+      // composite font whose /ToUnicode CMap — one bfrange array block
+      // plus bfchar blocks, synthesized from the doc's own distinct
+      // codepoints — is the ONLY way back to text. Exercises the CMap
+      // parse (codespacerange width, both block forms, UTF-16BE
+      // surrogate-pair targets) on every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_cmap(concat(col("text"), lit(pdfCMapDeco))))
+          .as("text"))
+    }),
+
     "pipeline_pdf_curate" -> ((s, dir) => {
       // the composed document-ingest chain from raw PDF bytes: the
       // binary front door FEEDS the quality filter — pipeline_warc_curate
@@ -5937,6 +5981,22 @@ object SparkEntry {
     // identity-correct on every doc
     "mm_pdf_extract" ->
       s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // the modern-PDF round-trip (xref stream + predictor + ObjStm +
+    // WinAnsi font): the oracle recomputes the expected extraction with
+    // the same translate + concat arithmetic — a hash match proves the
+    // 1.5-era structures and the Annex-D byte table are identity-correct
+    "mm_pdf_modern" ->
+      s"""SELECT doc_id,
+            translate(text, 'aeouAEOU', 'äéöüÄÉÖÜ') || '$pdfWinAnsiDeco'
+              AS text
+          FROM documents""",
+
+    // the Type0/ToUnicode round-trip: 2-byte codes through a synthesized
+    // CMap (bfrange array + bfchar blocks, surrogate-pair targets) must
+    // come back as plain concatenation
+    "mm_pdf_cmap" ->
+      s"""SELECT doc_id, text || '$pdfCMapDeco' AS text FROM documents""",
 
     // quality arithmetic over PDF-extracted text (the warc_curate shape
     // one format over): the oracle computes the same filter over the

@@ -3,6 +3,8 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.util.zip.{Deflater, Inflater}
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -11,43 +13,65 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * A REAL (subset) PDF text extractor in pure JVM — the dominant non-HTML
+ * A REAL PDF text extractor in pure JVM — the dominant non-HTML
  * document format in web crawls, completing the binary front door beside
  * [[WarcCodec]] (crawl archives) and the image/audio/video codecs.
  * `java.util.zip` supplies the FlateDecode layer (the PngCodec
  * discipline); everything else — xref walk, object framing, page-tree
- * walk, content-stream text operators — is implemented here against the
- * published PDF 1.4+ file structure (ISO 32000 §7).
+ * walk, content-stream text operators, font decoding — is implemented
+ * here against the published PDF file structure (ISO 32000 §7, §9.6,
+ * §9.10, Annex D).
  *
- * Supported subset (each boundary rejected with a clear `pdf:` error,
+ * Supported surface (each boundary rejected with a clear `pdf:` error,
  * the WarcCodec/AviCodec bounds-checking discipline — reference analog:
  * the strict mutation-framing rejections in the agent's commitlog read
  * path, e.g. CommitLogReadHandlerImpl.java:111-152 rejecting unsupported
  * partition types loudly rather than guessing):
- *  - classic cross-reference TABLES (`xref`); compressed xref STREAMS
- *    (PDF 1.5 `/Type /XRef`) are detected and rejected;
- *  - encrypted documents (`/Encrypt` in the trailer) rejected;
- *  - content streams stored plain or `/FlateDecode`, direct `/Length`
- *    only; inflation is capped (decode-bomb guard);
+ *  - classic cross-reference TABLES (`xref`) AND compressed
+ *    cross-reference STREAMS (PDF 1.5 `/Type /XRef` with `/W`,
+ *    `/Index`, FlateDecode, and PNG predictors 10–15 via
+ *    `/DecodeParms /Predictor /Columns`);
+ *  - incremental updates: the `/Prev` chain is walked newest-first,
+ *    newer tables masking older entries (free entries mask too);
+ *  - object streams (`/Type /ObjStm`): type-2 xref entries are
+ *    resolved through the `/N`-pair header at `/First`; an ObjStm may
+ *    not itself live inside an object stream;
+ *  - encrypted documents (`/Encrypt` in any trailer) rejected;
+ *  - streams stored plain or `/FlateDecode`, direct `/Length` only;
+ *    inflation is capped (decode-bomb guard);
  *  - text shown via `Tj`, `'`, `"` and `TJ` between `BT`/`ET`, literal
  *    strings with the full escape table (octal, specials, line
  *    continuations, nested balanced parens) and hex strings;
- *  - shown bytes are concatenated in content order and decoded as
- *    UTF-8 — a documented simplification: real PDFs map bytes through
- *    per-font encodings; the fixtures this feeds write UTF-8 bytes, so
- *    extraction is exact there and still yields usable text wherever
- *    the font encoding is ASCII-compatible.
+ *  - FONT DECODING of the shown bytes: the page's (inheritable)
+ *    `/Resources /Font` map is resolved, `Tf` tracks the current font,
+ *    and each shown string is decoded through that font's
+ *    `/ToUnicode` CMap (1- or 2-byte codes, `bfchar` + `bfrange`
+ *    incl. the array form, UTF-16BE targets with surrogate pairs) or
+ *    its single-byte `/Encoding`: `/WinAnsiEncoding` (= Windows-1252,
+ *    per Annex D), `/MacRomanEncoding`, or an encoding dictionary with
+ *    `/BaseEncoding` + `/Differences` (glyph names resolved through a
+ *    built-in AGL-core list + `uniXXXX`). A font with NO encoding
+ *    information — and text shown before any `Tf` — falls back to the
+ *    documented raw-UTF-8 passthrough, which keeps byte-exact
+ *    reassembly of multi-byte characters straddling string boundaries.
  *
- * The encoder is the deterministic FIXTURE BUILDER (the png_encode
- * role): it lays out a two-page document — page 1 shows one `Tj`
- * segment, page 2 a kerned two-element `TJ` array — with FlateDecode'd
- * content streams, a classic xref table, and every non-printable byte
- * octal-escaped, so the decoder's whole path (xref → page tree →
- * inflate → operator parse → unescape) is exercised by round-trip.
+ * The encoders are deterministic FIXTURE BUILDERS (the png_encode
+ * role), each pinning a different slice of the decoder:
+ *  - [[encode]] — classic xref table, two pages, FlateDecode, raw
+ *    UTF-8 text bytes octal-escaped (the PDF-1.4 shape);
+ *  - [[encodeModern]] — PDF 1.5: catalog/pages/page/font packed in an
+ *    ObjStm, a cross-reference STREAM with `/W [1 3 2]` and PNG Up
+ *    predictor, and the text WinAnsi-encoded under a
+ *    `/Encoding /WinAnsiEncoding` font (round-trips any
+ *    WinAnsi-expressible string);
+ *  - [[encodeCMap]] — a Type0 `/Identity-H` font whose `/ToUnicode`
+ *    CMap (one `bfrange` array block + `bfchar` blocks, 2-byte codes)
+ *    is synthesized from the text's distinct codepoints in
+ *    first-appearance order (round-trips ANY string, emoji included).
  */
 object PdfCodec {
 
-  /** Decode-bomb cap on a single inflated content stream. */
+  /** Decode-bomb cap on a single inflated stream. */
   private val MaxInflatedBytes: Long = 1L << 26
   /** Page-tree / object-walk bound (cycle + runaway guard). */
   private val MaxObjects = 10000
@@ -72,6 +96,121 @@ object PdfCodec {
     val v = parseNum(digits, what)
     need(v <= MaxObjects, s"$what $v exceeds object bound")
     v.toInt
+  }
+
+  // --------------------------------------------------- encoding tables
+
+  /** WinAnsiEncoding byte → char ('\u0000' = undefined). Annex D states
+   * WinAnsiEncoding is Windows code page 1252: Latin-1 with the
+   * 0x80–0x9F block replaced by typographic characters. */
+  private[functions] val WinAnsi: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0x20
+    while (i <= 0x7e) { t(i) = i.toChar; i += 1 }
+    i = 0xa0
+    while (i <= 0xff) { t(i) = i.toChar; i += 1 }
+    val high = Array(
+      '€', '\u0000', '‚', 'ƒ', '„', '…', '†',
+      '‡', 'ˆ', '‰', 'Š', '‹', 'Œ', '\u0000',
+      'Ž', '\u0000', '\u0000', '‘', '’', '“', '”',
+      '•', '–', '—', '˜', '™', 'š', '›',
+      'œ', '\u0000', 'ž', 'Ÿ')
+    var k = 0
+    while (k < 32) { t(0x80 + k) = high(k); k += 1 }
+    t
+  }
+
+  /** MacRomanEncoding byte → char (Annex D table: 0xDB is CURRENCY
+   * SIGN, not the Mac-OS-8.5 euro; 0xF0, the Apple logo, undefined). */
+  private[functions] val MacRoman: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0x20
+    while (i <= 0x7e) { t(i) = i.toChar; i += 1 }
+    val high = Array(
+      'Ä', 'Å', 'Ç', 'É', 'Ñ', 'Ö', 'Ü',
+      'á', 'à', 'â', 'ä', 'ã', 'å', 'ç',
+      'é', 'è', 'ê', 'ë', 'í', 'ì', 'î',
+      'ï', 'ñ', 'ó', 'ò', 'ô', 'ö', 'õ',
+      'ú', 'ù', 'û', 'ü', '†', '°', '¢',
+      '£', '§', '•', '¶', 'ß', '®', '©',
+      '™', '´', '¨', '≠', 'Æ', 'Ø', '∞',
+      '±', '≤', '≥', '¥', 'µ', '∂', '∑',
+      '∏', 'π', '∫', 'ª', 'º', 'Ω', 'æ',
+      'ø', '¿', '¡', '¬', '√', 'ƒ', '≈',
+      '∆', '«', '»', '…', '\u00a0', 'À', 'Ã',
+      'Õ', 'Œ', 'œ', '–', '—', '“', '”',
+      '‘', '’', '÷', '◊', 'ÿ', 'Ÿ', '⁄',
+      '¤', '‹', '›', 'ﬁ', 'ﬂ', '‡', '·',
+      '‚', '„', '‰', 'Â', 'Ê', 'Á', 'Ë',
+      'È', 'Í', 'Î', 'Ï', 'Ì', 'Ó', 'Ô',
+      '\u0000', 'Ò', 'Ú', 'Û', 'Ù', 'ı', 'ˆ',
+      '˜', '¯', '˘', '˙', '˚', '¸', '˝',
+      '˛', 'ˇ')
+    var k = 0
+    while (k < 128) { t(0x80 + k) = high(k); k += 1 }
+    t
+  }
+
+  /** char → WinAnsi byte (first-wins on the few dual slots). */
+  private lazy val winAnsiRev: Map[Char, Int] = {
+    val m = mutable.Map.empty[Char, Int]
+    var i = 0
+    while (i < 256) {
+      val c = WinAnsi(i)
+      if (c != '\u0000' && !m.contains(c)) m += c -> i
+      i += 1
+    }
+    m.toMap
+  }
+
+  /** AGL-core glyph name → char, for `/Differences` arrays. `uniXXXX`
+   * and single-letter/digit names are handled in [[glyphChar]]. */
+  private val AglCore: Map[String, Char] = Map(
+    "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+    "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+    "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+    "parenright" -> ')', "asterisk" -> '*', "plus" -> '+', "comma" -> ',',
+    "hyphen" -> '-', "period" -> '.', "slash" -> '/', "zero" -> '0',
+    "one" -> '1', "two" -> '2', "three" -> '3', "four" -> '4',
+    "five" -> '5', "six" -> '6', "seven" -> '7', "eight" -> '8',
+    "nine" -> '9', "colon" -> ':', "semicolon" -> ';', "less" -> '<',
+    "equal" -> '=', "greater" -> '>', "question" -> '?', "at" -> '@',
+    "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+    "asciicircum" -> '^', "underscore" -> '_', "grave" -> '`',
+    "braceleft" -> '{', "bar" -> '|', "braceright" -> '}',
+    "asciitilde" -> '~', "Euro" -> '€', "bullet" -> '•',
+    "emdash" -> '—', "endash" -> '–',
+    "quotedblleft" -> '“', "quotedblright" -> '”',
+    "quoteleft" -> '‘', "quoteright" -> '’',
+    "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+    "ellipsis" -> '…', "dagger" -> '†', "daggerdbl" -> '‡',
+    "trademark" -> '™', "copyright" -> '©',
+    "registered" -> '®', "degree" -> '°',
+    "plusminus" -> '±', "micro" -> 'µ',
+    "paragraph" -> '¶', "section" -> '§', "cent" -> '¢',
+    "sterling" -> '£', "yen" -> '¥', "currency" -> '¤',
+    "exclamdown" -> '¡', "questiondown" -> '¿',
+    "eacute" -> 'é', "egrave" -> 'è', "agrave" -> 'à',
+    "aacute" -> 'á', "acircumflex" -> 'â',
+    "adieresis" -> 'ä', "ccedilla" -> 'ç',
+    "ntilde" -> 'ñ', "odieresis" -> 'ö', "oacute" -> 'ó',
+    "udieresis" -> 'ü', "uacute" -> 'ú',
+    "germandbls" -> 'ß', "oslash" -> 'ø', "ae" -> 'æ',
+    "AE" -> 'Æ', "Oslash" -> 'Ø', "OE" -> 'Œ',
+    "oe" -> 'œ', "Scaron" -> 'Š', "scaron" -> 'š',
+    "Ydieresis" -> 'Ÿ', "ydieresis" -> 'ÿ',
+    "Zcaron" -> 'Ž', "zcaron" -> 'ž', "florin" -> 'ƒ',
+    "circumflex" -> 'ˆ', "tilde" -> '˜',
+    "perthousand" -> '‰', "guilsinglleft" -> '‹',
+    "guilsinglright" -> '›')
+
+  private def glyphChar(name: String): Char = {
+    if (name.length == 1 && name(0).isLetterOrDigit && name(0) < 0x80) name(0)
+    else if (name.length == 7 && name.startsWith("uni") &&
+      name.substring(3).forall(c => Character.digit(c, 16) >= 0))
+      Integer.parseInt(name.substring(3), 16).toChar
+    else AglCore.getOrElse(name, throw new IllegalArgumentException(
+      s"pdf: glyph name /$name not in the built-in glyph list"))
   }
 
   // ------------------------------------------------------------- encode
@@ -150,6 +289,182 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** PNG Up filter (tag 2) applied to `rows`×`columns` raw bytes — the
+   * standard xref-stream predictor a conforming PDF 1.5 writer emits. */
+  private def pngUpFilter(raw: Array[Byte], columns: Int): Array[Byte] = {
+    val rows = raw.length / columns
+    val out = new Array[Byte]((columns + 1) * rows)
+    var r = 0
+    while (r < rows) {
+      out(r * (columns + 1)) = 2
+      var i = 0
+      while (i < columns) {
+        val up = if (r == 0) 0 else raw((r - 1) * columns + i) & 0xff
+        out(r * (columns + 1) + 1 + i) =
+          (((raw(r * columns + i) & 0xff) - up) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** PDF 1.5 fixture: catalog, pages, page and font live in an OBJECT
+   * STREAM (obj 7); the cross-reference is a STREAM (obj 5) with
+   * `/W [1 3 2]`, FlateDecode and the PNG Up predictor; the text is
+   * WinAnsi-ENCODED under an `/Encoding /WinAnsiEncoding` font, so the
+   * decoder's xref-stream parse, predictor unfilter, ObjStm extraction
+   * and single-byte font decode are all on the round-trip path.
+   * Loud-rejects text outside the WinAnsi repertoire. */
+  def encodeModern(text: String): Array[Byte] = {
+    val enc = new Array[Byte](text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      enc(i) = winAnsiRev.getOrElse(c, throw new IllegalArgumentException(
+        f"pdf: character U+${c.toInt}%04X is not WinAnsi-encodable")).toByte
+      i += 1
+    }
+    val content = deflate(("BT /F1 12 Tf 72 720 Td (" + literal(enc) +
+      ") Tj ET").getBytes(StandardCharsets.ISO_8859_1))
+
+    // object stream: 1 catalog, 2 pages, 3 page, 6 font
+    val parts = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 6 0 R >> >> >>"),
+      6 -> ("<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>"))
+    val body = new StringBuilder
+    val header = new StringBuilder
+    parts.foreach { case (n, d) =>
+      if (header.nonEmpty) header += ' '
+      header ++= s"$n ${body.length}"
+      body ++= d
+      body += ' '
+    }
+    val headerStr = header.result() + "\n"
+    val objStmPlain = (headerStr + body.result())
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val objStm = deflate(objStmPlain)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    val off7 = out.size()
+    w(s"7 0 obj\n<< /Type /ObjStm /N ${parts.length} " +
+      s"/First ${headerStr.length} /Length ${objStm.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(objStm)
+    w("\nendstream\nendobj\n")
+    val off5 = out.size()
+
+    // entries (type, f2, f3) for objects 0..7, /W [1 3 2]
+    val entries = Array(
+      (0, 0, 65535), (2, 7, 0), (2, 7, 1), (2, 7, 2),
+      (1, off4, 0), (1, off5, 0), (2, 7, 3), (1, off7, 0))
+    val cols = 6
+    val raw = new Array[Byte](entries.length * cols)
+    entries.zipWithIndex.foreach { case ((t, f2, f3), r) =>
+      raw(r * cols) = t.toByte
+      raw(r * cols + 1) = ((f2 >> 16) & 0xff).toByte
+      raw(r * cols + 2) = ((f2 >> 8) & 0xff).toByte
+      raw(r * cols + 3) = (f2 & 0xff).toByte
+      raw(r * cols + 4) = ((f3 >> 8) & 0xff).toByte
+      raw(r * cols + 5) = (f3 & 0xff).toByte
+    }
+    val xrefData = deflate(pngUpFilter(raw, cols))
+    w(s"5 0 obj\n<< /Type /XRef /Size ${entries.length} /W [1 3 2] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$off5\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Type0/`Identity-H` fixture: 2-byte codes assigned to the text's
+   * distinct codepoints in first-appearance order; the synthesized
+   * `/ToUnicode` CMap carries the first (up to) 64 codes as ONE
+   * `bfrange` array block and the rest as 100-entry `bfchar` blocks —
+   * both block forms on the oracle path. Round-trips ANY string
+   * (UTF-16BE targets, surrogate pairs included) with ≤ 65,000
+   * distinct codepoints. */
+  def encodeCMap(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val distinct = mutable.LinkedHashMap.empty[Int, Int]
+    cps.foreach(cp => if (!distinct.contains(cp))
+      distinct += cp -> (distinct.size + 1))
+    need(distinct.size <= 65000,
+      s"${distinct.size} distinct codepoints exceed the 2-byte code space")
+    def utf16Hex(cp: Int): String =
+      Character.toChars(cp).map(c => f"${c.toInt}%04X").mkString
+    val codesHex = cps.map(cp => f"${distinct(cp)}%04X").mkString
+    // split the code sequence across a Tj and a TJ array (even split —
+    // codes are atomic per string, unlike the byte-straddling classic
+    // fixture, because each string decodes through the CMap on its own)
+    val half = (cps.length / 2) * 4
+    val content = deflate((s"BT /F1 12 Tf 72 720 Td <${codesHex.substring(0, half)}> Tj " +
+      s"[<${codesHex.substring(half)}> -250 <>] TJ ET")
+      .getBytes(StandardCharsets.ISO_8859_1))
+
+    val ordered = distinct.toSeq.map { case (cp, code) => (code, cp) }.sortBy(_._1)
+    val (rangePart, charPart) = ordered.splitAt(math.min(64, ordered.size))
+    val cm = new StringBuilder
+    cm ++= "/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+    cm ++= "/CMapName /GraftToUnicode def /CMapType 2 def\n"
+    cm ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    if (rangePart.nonEmpty) {
+      cm ++= "1 beginbfrange\n"
+      cm ++= f"<${rangePart.head._1}%04X> <${rangePart.last._1}%04X> ["
+      cm ++= rangePart.map(p => s"<${utf16Hex(p._2)}>").mkString(" ")
+      cm ++= "]\nendbfrange\n"
+    }
+    charPart.grouped(100).foreach { block =>
+      cm ++= s"${block.size} beginbfchar\n"
+      block.foreach { case (code, cp) =>
+        cm ++= f"<$code%04X> <${utf16Hex(cp)}>\n"
+      }
+      cm ++= "endbfchar\n"
+    }
+    cm ++= "endcmap CMapName currentdict /CMap defineresource pop end end\n"
+    val cmap = deflate(cm.result().getBytes(StandardCharsets.ISO_8859_1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val off = new Array[Int](7)
+    w("%PDF-1.4\n")
+    off(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    off(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    off(3) = out.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    off(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    off(5) = out.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GraftFixture " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    off(6) = out.size()
+    w(s"6 0 obj\n<< /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(cmap)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${off(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decode
 
   /** Byte-preserving view for structure scanning (ISO-8859-1 is a 1:1
@@ -174,18 +489,83 @@ object PdfCodec {
     p
   }
 
-  /** Object `n`'s dictionary string and (if present) raw stream bytes. */
-  private def getObj(bytes: Array[Byte], s: String,
-                     offsets: Map[Int, Int], n: Int): (String, Option[Array[Byte]]) = {
-    val off = offsets.getOrElse(n,
-      throw new IllegalArgumentException(s"pdf: object $n not in xref"))
-    need(off >= 0 && off < s.length, s"object $n offset $off out of range")
+  /** First index of dictionary key `key` followed by a delimiter (so
+   * `/Font` never matches inside `/FontFile`), or -1. */
+  private def keyIndex(s: String, key: String): Int = {
+    var i = s.indexOf(key)
+    while (i >= 0) {
+      val j = i + key.length
+      if (j >= s.length || " \t\r\n\f/<>[]()".indexOf(s(j)) >= 0) return i
+      i = s.indexOf(key, i + 1)
+    }
+    -1
+  }
+
+  /** Minimal typed value after a dictionary key. */
+  private sealed trait PdfVal
+  private case class PRef(n: Int) extends PdfVal
+  private case class PDict(s: String) extends PdfVal
+  private case class PName(n: String) extends PdfVal
+  private case class PNum(v: Long) extends PdfVal
+
+  private def valueAfter(s: String, key: String): Option[PdfVal] = {
+    val i = keyIndex(s, key)
+    if (i < 0) None
+    else {
+      var j = i + key.length
+      while (j < s.length && s(j).isWhitespace) j += 1
+      if (j >= s.length) None
+      else if (s.startsWith("<<", j)) Some(PDict(s.substring(j, dictEnd(s, j))))
+      else if (s(j) == '/') {
+        var k = j + 1
+        while (k < s.length && " \t\r\n\f()<>[]{}/%".indexOf(s(k)) < 0) k += 1
+        Some(PName(s.substring(j + 1, k)))
+      } else {
+        val tail = s.substring(j, math.min(s.length, j + 26))
+        """^(\d+)\s+\d+\s+R""".r.findPrefixMatchOf(tail) match {
+          case Some(m) => Some(PRef(objNum(m.group(1), s"$key reference")))
+          case None => """^(\d+)""".r.findPrefixMatchOf(tail)
+            .map(m => PNum(parseNum(m.group(1), s"$key value")))
+        }
+      }
+    }
+  }
+
+  private def intAfter(s: String, key: String): Option[Long] =
+    valueAfter(s, key) match {
+      case Some(PNum(v)) => Some(v)
+      case None => None
+      case Some(_) => throw new IllegalArgumentException(
+        s"pdf: $key is not a direct number")
+    }
+
+  /** The `[ … ]` slice following `key`, or None when the key is absent
+   * or its value is not a direct array. */
+  private def bracketSlice(dict: String, key: String): Option[String] = {
+    val i = keyIndex(dict, key)
+    if (i < 0) None
+    else {
+      var j = i + key.length
+      while (j < dict.length && dict(j).isWhitespace) j += 1
+      if (j >= dict.length || dict(j) != '[') None
+      else {
+        val close = dict.indexOf(']', j)
+        need(close >= 0, s"unterminated $key array")
+        Some(dict.substring(j + 1, close))
+      }
+    }
+  }
+
+  /** Parse `n 0 obj << dict >> [stream]` at byte offset `off`,
+   * returning (object number, dict, raw stream bytes). */
+  private def parseObjAt(bytes: Array[Byte], s: String,
+                         off: Int): (Int, String, Option[Array[Byte]]) = {
+    need(off >= 0 && off < s.length, s"object offset $off out of range")
     val m = ObjHead.findPrefixMatchOf(s.substring(off,
       math.min(s.length, off + 32)))
       .getOrElse(throw new IllegalArgumentException(
-        s"pdf: no object header for $n at $off"))
-    need(parseNum(m.group(1), s"object header number at $off") == n,
-      s"xref points $n at object ${m.group(1)}")
+        s"pdf: no object header at $off"))
+    val n = objNum(m.group(1), s"object header number at $off")
     var p = off + m.end
     while (p < s.length && (s(p) == ' ' || s(p) == '\r' || s(p) == '\n' ||
       s(p) == '\t')) p += 1
@@ -215,8 +595,8 @@ object PdfCodec {
       val after = s.indexOf("endstream", q + len.toInt)
       need(after >= 0 && after - (q + len.toInt) <= 2,
         s"object $n: endstream not where /Length says")
-      (dict, Some(data))
-    } else (dict, None)
+      (n, dict, Some(data))
+    } else (n, dict, None)
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -240,16 +620,567 @@ object PdfCodec {
     out.toByteArray
   }
 
-  /** Shown-text bytes of one content stream, in operator order. */
-  private def showText(content: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  /** Reverse the PNG row filters (predictors 10–15) at one byte per
+   * column — the xref-stream `/DecodeParms` shape. */
+  private def pngUnfilter(data: Array[Byte], columns: Int,
+                          what: => String): Array[Byte] = {
+    val rowLen = columns + 1
+    need(data.length % rowLen == 0,
+      s"$what: predictor data (${data.length} bytes) is not whole " +
+        s"$rowLen-byte rows")
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    val prior = new Array[Int](columns)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * rowLen) & 0xff
+      need(tag <= 4, s"$what: bad PNG predictor tag $tag")
+      var left = 0
+      var ul = 0
+      var i = 0
+      while (i < columns) {
+        val raw = data(r * rowLen + 1 + i) & 0xff
+        val up = prior(i)
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        val b = v & 0xff
+        out(r * columns + i) = b.toByte
+        prior(i) = b
+        ul = up
+        left = b
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Apply `/Filter` (FlateDecode only) then `/DecodeParms` predictors
+   * to a raw stream. */
+  private def unfiltered(dict: String, raw: Array[Byte],
+                         what: => String): Array[Byte] = {
+    val un = if (keyIndex(dict, "/Filter") >= 0) {
+      need(dict.contains("/FlateDecode"),
+        s"$what: only /FlateDecode is supported")
+      inflate(raw)
+    } else raw
+    valueAfter(dict, "/DecodeParms") match {
+      case None => un
+      case Some(PDict(dp)) =>
+        val pred = intAfter(dp, "/Predictor").getOrElse(1L)
+        if (pred == 1) un
+        else {
+          need(pred >= 10 && pred <= 15,
+            s"$what: unsupported /Predictor $pred (1 or PNG 10-15 only)")
+          val cols = intAfter(dp, "/Columns").getOrElse(1L)
+          need(cols >= 1 && cols <= (1 << 16), s"$what: bad /Columns $cols")
+          pngUnfilter(un, cols.toInt, what)
+        }
+      case Some(_) => throw new IllegalArgumentException(
+        s"pdf: $what: /DecodeParms must be a direct dictionary")
+    }
+  }
+
+  // ------------------------------------------------ cross-reference walk
+
+  /** Where an object lives: directly in the file, or at slot `idx` of
+   * object stream `objStm` (a PDF 1.5 type-2 xref entry). */
+  private sealed trait Loc
+  private case class Direct(off: Int) extends Loc
+  private case class InStream(objStm: Int, idx: Int) extends Loc
+
+  /** One cross-reference section (classic table or xref stream):
+   * in-use entries, freed object numbers (they MASK older entries in
+   * the /Prev chain), the trailer dictionary, and /Prev if present. */
+  private case class XrefSection(entries: List[(Int, Loc)], free: Set[Int],
+                                 trailer: String, prev: Option[Long])
+
+  private def readClassicXref(s: String, xrefOff: Int): XrefSection = {
+    var p = xrefOff + 4
+    def skipEol(): Unit =
+      while (p < s.length && (s(p) == '\r' || s(p) == '\n' || s(p) == ' '))
+        p += 1
+    skipEol()
+    val entries = List.newBuilder[(Int, Loc)]
+    val free = Set.newBuilder[Int]
+    while (!s.startsWith("trailer", p)) {
+      val header = """^(\d+)\s+(\d+)""".r.findPrefixMatchOf(s.substring(p,
+        math.min(s.length, p + 32)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"pdf: bad xref subsection header at $p"))
+      val startL = parseNum(header.group(1), s"xref subsection start at $p")
+      val countL = parseNum(header.group(2), s"xref subsection count at $p")
+      need(startL <= MaxObjects && countL <= MaxObjects,
+        s"xref subsection $startL+$countL exceeds object bound")
+      val start = startL.toInt
+      val count = countL.toInt
+      p += header.end
+      skipEol()
+      var i = 0
+      while (i < count) {
+        need(p + 18 <= s.length, s"truncated xref entry at $p")
+        val em = XrefEntry.findPrefixMatchOf(s.substring(p, p + 18))
+          .getOrElse(throw new IllegalArgumentException(
+            s"pdf: malformed xref entry at $p"))
+        if (em.group(3) == "n") {
+          // 10 decimal digits reach past Int.MaxValue; parse wide, then
+          // range-check against the file before narrowing
+          val off = parseNum(em.group(1), s"xref entry offset at $p")
+          need(off < s.length, s"xref entry offset $off overruns the file")
+          entries += (start + i) -> Direct(off.toInt)
+        } else free += start + i
+        p += 18
+        skipEol()
+        i += 1
+      }
+    }
+    val trailerStart = s.indexOf("<<", p)
+    need(trailerStart >= 0, "no trailer dictionary")
+    val trailer = s.substring(trailerStart, dictEnd(s, trailerStart))
+    XrefSection(entries.result(), free.result(), trailer,
+      intAfter(trailer, "/Prev"))
+  }
+
+  /** PDF 1.5 cross-reference stream: `/W`-packed big-endian rows over
+   * the `/Index` subsections (default `[0 /Size]`), unfiltered through
+   * FlateDecode + predictors. The row count must agree EXACTLY with
+   * the stream length — a lying `/W` or `/Index` rejects loudly. */
+  private def readXrefStream(bytes: Array[Byte], s: String,
+                             off: Int): XrefSection = {
+    val (_, dict, dataOpt) = parseObjAt(bytes, s, off)
+    need(valueAfter(dict, "/Type").contains(PName("XRef")),
+      s"object at startxref offset $off is not a cross-reference " +
+        "stream (/Type /XRef) or classic xref table")
+    val raw = dataOpt.getOrElse(throw new IllegalArgumentException(
+      "pdf: xref stream object carries no stream"))
+    val data = unfiltered(dict, raw, "xref stream")
+    val w = bracketSlice(dict, "/W").getOrElse(
+      throw new IllegalArgumentException("pdf: xref stream has no /W"))
+      .trim.split("""\s+""").toSeq
+    need(w.length == 3, s"/W must have 3 widths, got ${w.length}")
+    val widths = w.map(d => parseNum(d, "/W width").toInt)
+    need(widths.forall(x => x >= 0 && x <= 8) && widths.sum > 0,
+      s"bad /W widths ${widths.mkString("[", " ", "]")}")
+    val size = intAfter(dict, "/Size").getOrElse(
+      throw new IllegalArgumentException("pdf: xref stream has no /Size"))
+    need(size >= 0 && size <= MaxObjects + 1, s"/Size $size out of bounds")
+    val index: Seq[(Int, Int)] = bracketSlice(dict, "/Index") match {
+      case None => Seq((0, size.toInt))
+      case Some(ix) =>
+        val nums = ix.trim.split("""\s+""").toSeq
+          .map(d => parseNum(d, "/Index value"))
+        need(nums.nonEmpty && nums.length % 2 == 0,
+          "/Index must hold (start, count) pairs")
+        nums.grouped(2).map { pair =>
+          need(pair(0) <= MaxObjects && pair(1) <= MaxObjects,
+            s"/Index subsection ${pair(0)}+${pair(1)} exceeds object bound")
+          (pair(0).toInt, pair(1).toInt)
+        }.toSeq
+    }
+    val rowLen = widths.sum
+    val total = index.map(_._2.toLong).sum
+    need(total * rowLen == data.length,
+      s"xref stream /W×/Index wants ${total * rowLen} bytes, " +
+        s"stream has ${data.length}")
+    val entries = List.newBuilder[(Int, Loc)]
+    val free = Set.newBuilder[Int]
+    var pos = 0
+    def field(width: Int, dflt: Long): Long = {
+      if (width == 0) dflt
+      else {
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(pos + i) & 0xff); i += 1 }
+        pos += width
+        v
+      }
+    }
+    index.foreach { case (start, count) =>
+      var i = 0
+      while (i < count) {
+        val t = field(widths(0), 1L)
+        val f2 = field(widths(1), 0L)
+        val f3 = field(widths(2), 0L)
+        val n = start + i
+        t match {
+          case 0 => free += n
+          case 1 =>
+            need(f2 < s.length, s"xref entry offset $f2 overruns the file")
+            entries += n -> Direct(f2.toInt)
+          case 2 =>
+            need(f2 <= MaxObjects, s"ObjStm number $f2 exceeds object bound")
+            need(f3 <= MaxObjects, s"ObjStm index $f3 exceeds object bound")
+            entries += n -> InStream(f2.toInt, f3.toInt)
+          case other => throw new IllegalArgumentException(
+            s"pdf: unknown xref entry type $other for object $n")
+        }
+        i += 1
+      }
+    }
+    XrefSection(entries.result(), free.result(), dict,
+      intAfter(dict, "/Prev"))
+  }
+
+  /** Walk the whole cross-reference chain (newest → oldest through
+   * `/Prev`), first-seen-wins merge (free entries mask), every trailer
+   * checked for `/Encrypt`; returns the object map and the newest
+   * trailer that names `/Root`. */
+  private def readXrefChain(bytes: Array[Byte], s: String,
+                            startOff: Long): (Map[Int, Loc], String) = {
+    val locs = mutable.Map.empty[Int, Loc]
+    val claimed = mutable.Set.empty[Int]
+    val seenOffsets = mutable.Set.empty[Long]
+    var rootTrailer: Option[String] = None
+    var cur: Option[Long] = Some(startOff)
+    var hops = 0
+    while (cur.isDefined) {
+      val offL = cur.get
+      need(offL >= 0 && offL < s.length, s"xref offset $offL out of range")
+      need(seenOffsets.add(offL), s"/Prev cycle at xref offset $offL")
+      hops += 1
+      need(hops <= 64, "more than 64 incremental updates in the /Prev chain")
+      val off = offL.toInt
+      val section =
+        if (s.startsWith("xref", off)) readClassicXref(s, off)
+        else readXrefStream(bytes, s, off)
+      need(keyIndex(section.trailer, "/Encrypt") < 0,
+        "encrypted document unsupported in this subset")
+      section.entries.foreach { case (n, loc) =>
+        if (claimed.add(n)) locs += n -> loc
+      }
+      section.free.foreach(claimed.add)
+      if (rootTrailer.isEmpty && keyIndex(section.trailer, "/Root") >= 0)
+        rootTrailer = Some(section.trailer)
+      cur = section.prev
+    }
+    (locs.toMap,
+      rootTrailer.getOrElse(throw new IllegalArgumentException(
+        "pdf: no trailer in the xref chain names /Root")))
+  }
+
+  // ------------------------------------------------------ object reader
+
+  /** Resolves object numbers through the merged xref map, extracting
+   * type-2 objects from their (cached, once-inflated) object streams. */
+  private final class ObjReader(bytes: Array[Byte], s: String,
+                                locs: Map[Int, Loc]) {
+    private val stmCache =
+      mutable.Map.empty[Int, (Array[Int], Array[Int], String)]
+
+    def obj(n: Int): (String, Option[Array[Byte]]) = locs.get(n) match {
+      case None => throw new IllegalArgumentException(
+        s"pdf: object $n not in xref")
+      case Some(Direct(off)) =>
+        val (num, dict, data) = parseObjAt(bytes, s, off)
+        need(num == n, s"xref points $n at object $num")
+        (dict, data)
+      case Some(InStream(stm, idx)) =>
+        val (nums, offs, content) = objStm(stm)
+        need(idx >= 0 && idx < nums.length,
+          s"object $n: ObjStm $stm index $idx out of range (N=${nums.length})")
+        need(nums(idx) == n,
+          s"ObjStm $stm slot $idx holds object ${nums(idx)}, xref said $n")
+        val o = offs(idx)
+        need(content.startsWith("<<", o),
+          s"object $n in ObjStm $stm is not a dictionary")
+        (content.substring(o, dictEnd(content, o)), None)
+    }
+
+    def dict(n: Int): String = obj(n)._1
+
+    /** Inflate + frame object stream `stm`: (object numbers, absolute
+     * offsets into the inflated content, the content view). */
+    private def objStm(stm: Int): (Array[Int], Array[Int], String) =
+      stmCache.getOrElseUpdate(stm, {
+        need(locs.get(stm).exists(_.isInstanceOf[Direct]),
+          s"ObjStm $stm must not itself live inside an object stream")
+        val (dict, dataOpt) = obj(stm)
+        need(valueAfter(dict, "/Type").contains(PName("ObjStm")),
+          s"type-2 xref entry points into object $stm, which is not " +
+            "/Type /ObjStm")
+        val raw = dataOpt.getOrElse(throw new IllegalArgumentException(
+          s"pdf: ObjStm $stm carries no stream"))
+        val content = view(unfiltered(dict, raw, s"ObjStm $stm"))
+        val n = intAfter(dict, "/N").getOrElse(
+          throw new IllegalArgumentException(s"pdf: ObjStm $stm has no /N"))
+        need(n >= 1 && n <= MaxObjects, s"ObjStm $stm /N $n out of bounds")
+        val first = intAfter(dict, "/First").getOrElse(
+          throw new IllegalArgumentException(
+            s"pdf: ObjStm $stm has no /First"))
+        need(first >= 0 && first <= content.length,
+          s"ObjStm $stm /First $first past the inflated length " +
+            s"${content.length}")
+        val header = content.substring(0, first.toInt).trim
+        val tokens = if (header.isEmpty) Array.empty[String]
+        else header.split("""\s+""")
+        need(tokens.length == 2 * n.toInt,
+          s"ObjStm $stm header has ${tokens.length} numbers, " +
+            s"/N $n wants ${2 * n}")
+        val nums = new Array[Int](n.toInt)
+        val offs = new Array[Int](n.toInt)
+        var i = 0
+        while (i < n.toInt) {
+          nums(i) = objNum(tokens(2 * i), s"ObjStm $stm object number")
+          val rel = parseNum(tokens(2 * i + 1), s"ObjStm $stm offset")
+          val abs = first + rel
+          need(abs >= first && abs < content.length,
+            s"ObjStm $stm: object ${nums(i)} offset $rel past the " +
+              "inflated length")
+          offs(i) = abs.toInt
+          i += 1
+        }
+        (nums, offs, content)
+      })
+  }
+
+  // -------------------------------------------------------------- fonts
+
+  /** How shown-string bytes become text. [[RawUtf8]] is the documented
+   * no-encoding-info fallback: bytes pass through untouched and the
+   * final output decodes as UTF-8 (so multi-byte characters straddling
+   * string boundaries reassemble exactly). */
+  private sealed trait FontDec
+  private case object RawUtf8 extends FontDec
+  private case class SingleByte(table: Array[Char]) extends FontDec
+  private case class CMapDec(codeLen: Int, map: Map[Int, String]) extends FontDec
+
+  /** Parse a ToUnicode CMap (inflated text): codespacerange fixes the
+   * code width (1 or 2 bytes, uniform), bfchar pairs and bfrange
+   * triples (consecutive or array form) fill the code → text map.
+   * Targets are UTF-16BE (surrogate pairs welcome). */
+  private def parseCMap(cm: String): CMapDec = {
+    val hexTok = """<([0-9A-Fa-f]*)>|(\[)|(\])""".r
+    def blocks(kind: String): List[String] =
+      (s"(?s)begin$kind(.*?)end$kind").r.findAllMatchIn(cm)
+        .map(_.group(1)).toList
+    def utf16(hex: String): String = {
+      need(hex.nonEmpty && hex.length % 4 == 0,
+        s"CMap target <$hex> is not whole UTF-16BE code units")
+      val chars = new Array[Char](hex.length / 4)
+      var i = 0
+      while (i < chars.length) {
+        chars(i) = Integer.parseInt(hex.substring(4 * i, 4 * i + 4), 16).toChar
+        i += 1
+      }
+      new String(chars)
+    }
+    val csLens = blocks("codespacerange").flatMap(b =>
+      hexTok.findAllMatchIn(b).flatMap(m => Option(m.group(1))).toList)
+      .map(_.length)
+    need(csLens.nonEmpty, "ToUnicode CMap has no codespacerange")
+    need(csLens.distinct.size == 1 && (csLens.head == 2 || csLens.head == 4),
+      s"mixed or unsupported codespacerange widths $csLens " +
+        "(uniform 1- or 2-byte codes only)")
+    val codeLen = csLens.head / 2
+    val map = mutable.Map.empty[Int, String]
+    def code(hex: String, what: String): Int = {
+      need(hex.length == codeLen * 2,
+        s"$what code <$hex> is not $codeLen byte(s)")
+      Integer.parseInt(hex, 16)
+    }
+    blocks("bfchar").foreach { b =>
+      val toks = hexTok.findAllMatchIn(b)
+        .flatMap(m => Option(m.group(1))).toList
+      need(toks.length % 2 == 0, "bfchar block has an odd token count")
+      toks.grouped(2).foreach { pair =>
+        map += code(pair.head, "bfchar") -> utf16(pair(1))
+      }
+    }
+    blocks("bfrange").foreach { b =>
+      var toks = hexTok.findAllMatchIn(b).map { m =>
+        if (m.group(1) != null) Right(m.group(1))
+        else Left(m.group(2) != null) // true = '[', false = ']'
+      }.toList
+      while (toks.nonEmpty) {
+        toks match {
+          case Right(loH) :: Right(hiH) :: rest =>
+            val lo = code(loH, "bfrange")
+            val hi = code(hiH, "bfrange")
+            need(hi >= lo, s"bfrange <$loH> > <$hiH>")
+            rest match {
+              case Left(true) :: tail =>
+                var t = tail
+                var c = lo
+                while (t.headOption.exists(_.isRight)) {
+                  need(c <= hi, "bfrange array has more targets than codes")
+                  map += c -> utf16(t.head.toOption.get)
+                  c += 1
+                  t = t.tail
+                }
+                need(c == hi + 1,
+                  s"bfrange array covers ${c - lo} of ${hi - lo + 1} codes")
+                need(t.headOption.contains(Left(false)),
+                  "bfrange array not closed with ]")
+                toks = t.tail
+              case Right(dstH) :: tail =>
+                val dst = utf16(dstH)
+                var c = lo
+                while (c <= hi) {
+                  val inc = c - lo
+                  val last = dst.last + inc
+                  need(last <= 0xffff,
+                    "bfrange increment overflows the last code unit")
+                  map += c -> (dst.substring(0, dst.length - 1) +
+                    last.toChar)
+                  c += 1
+                }
+                toks = tail
+              case _ => throw new IllegalArgumentException(
+                "pdf: bfrange entry lacks a target")
+            }
+          case _ => throw new IllegalArgumentException(
+            "pdf: malformed bfrange block")
+        }
+      }
+    }
+    CMapDec(codeLen, map.toMap)
+  }
+
+  /** `/Encoding` dictionary: `/BaseEncoding` (WinAnsi default — the
+   * ASCII range agrees with StandardEncoding) patched by
+   * `/Differences` (code numbers then glyph names, per §9.6.5). */
+  private def encodingDict(ed: String): FontDec = {
+    val base = valueAfter(ed, "/BaseEncoding") match {
+      case Some(PName("WinAnsiEncoding")) => WinAnsi
+      case Some(PName("MacRomanEncoding")) => MacRoman
+      case Some(PName(other)) => throw new IllegalArgumentException(
+        s"pdf: /BaseEncoding /$other unsupported")
+      case None => WinAnsi
+      case Some(_) => throw new IllegalArgumentException(
+        "pdf: malformed /BaseEncoding")
+    }
+    bracketSlice(ed, "/Differences") match {
+      case None => SingleByte(base)
+      case Some(diff) =>
+        val tab = base.clone()
+        var codeAt = -1
+        """(\d+)|/([^\s/\[\]<>()]+)""".r.findAllMatchIn(diff).foreach { m =>
+          if (m.group(1) != null) {
+            val v = parseNum(m.group(1), "/Differences code")
+            need(v <= 255, s"/Differences code $v out of byte range")
+            codeAt = v.toInt
+          } else {
+            need(codeAt >= 0, "/Differences glyph name before any code")
+            tab(codeAt) = glyphChar(m.group(2))
+            codeAt += 1
+            need(codeAt <= 256, "/Differences runs past code 255")
+          }
+        }
+        SingleByte(tab)
+    }
+  }
+
+  /** One font object → decoder. Precedence per §9.10.2: an embedded
+   * `/ToUnicode` CMap wins; else the simple-font `/Encoding`; a font
+   * carrying neither falls back to raw-UTF-8 passthrough (documented).
+   * `Identity-H/V` WITHOUT ToUnicode is glyph IDs — unmappable, loud. */
+  private def fontDec(rd: ObjReader, fdict: String): FontDec =
+    valueAfter(fdict, "/ToUnicode") match {
+      case Some(PRef(n)) =>
+        val (d, dataOpt) = rd.obj(n)
+        val raw = dataOpt.getOrElse(throw new IllegalArgumentException(
+          s"pdf: /ToUnicode object $n carries no stream"))
+        parseCMap(view(unfiltered(d, raw, s"ToUnicode CMap $n")))
+      case Some(_) => throw new IllegalArgumentException(
+        "pdf: /ToUnicode must be an indirect stream reference")
+      case None => valueAfter(fdict, "/Encoding") match {
+        case Some(PName("WinAnsiEncoding")) => SingleByte(WinAnsi)
+        case Some(PName("MacRomanEncoding")) => SingleByte(MacRoman)
+        case Some(PName(other)) if other.startsWith("Identity") =>
+          throw new IllegalArgumentException(
+            s"pdf: /Encoding /$other without /ToUnicode shows glyph " +
+              "IDs, not text")
+        case Some(PName(other)) => throw new IllegalArgumentException(
+          s"pdf: /Encoding /$other unsupported")
+        case Some(PDict(ed)) => encodingDict(ed)
+        case Some(PRef(n)) => encodingDict(rd.dict(n))
+        case Some(_) => throw new IllegalArgumentException(
+          "pdf: malformed /Encoding value")
+        case None => RawUtf8
+      }
+    }
+
+  /** The page's `/Resources /Font` map resolved to decoders. */
+  private def buildFonts(rd: ObjReader,
+                         res: Option[String]): Map[String, FontDec] =
+    res match {
+      case None => Map.empty
+      case Some(r) =>
+        val fd = valueAfter(r, "/Font") match {
+          case Some(PDict(d)) => Some(d)
+          case Some(PRef(n)) => Some(rd.dict(n))
+          case None => None
+          case Some(_) => throw new IllegalArgumentException(
+            "pdf: /Font is neither a dictionary nor a reference")
+        }
+        fd.map { d =>
+          """/([A-Za-z0-9._-]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(d).map {
+            m =>
+              m.group(1) ->
+                fontDec(rd, rd.dict(objNum(m.group(2), "font reference")))
+          }.toMap
+        }.getOrElse(Map.empty)
+    }
+
+  // ----------------------------------------------------- content streams
+
+  /** Shown text of one content stream appended to `out` as UTF-8
+   * bytes, decoding each string through the CURRENT font (tracked via
+   * `Tf` against `fonts`; unknown/absent fonts pass bytes through raw).
+   * Returns the font decoder in effect at stream end — graphics state
+   * persists across a page's /Contents pieces, resets between pages. */
+  private def showText(content: Array[Byte], fonts: Map[String, FontDec],
+                       out: java.io.ByteArrayOutputStream,
+                       startDec: FontDec): FontDec = {
     val s = view(content)
-    // operand scratch: literal/hex strings since the last operator, and
-    // the string elements of the most recent array (for TJ)
+    // operand scratch: literal/hex strings since the last operator, the
+    // string elements of the most recent array (for TJ), the last name
+    // (for Tf)
     var strings = List.empty[Array[Byte]] // reversed
     var lastArray: Vector[Array[Byte]] = Vector.empty
+    var lastName: String = null
+    var currentDec: FontDec = startDec
     var inText = false
     var p = 0
+    def emit(b: Array[Byte]): Unit = currentDec match {
+      case RawUtf8 => out.write(b)
+      case SingleByte(tab) =>
+        val sb = new java.lang.StringBuilder(b.length)
+        b.foreach { byte =>
+          val c = tab(byte & 0xff)
+          need(c != '\u0000',
+            f"shown code 0x${byte & 0xff}%02x is undefined in the " +
+              "font's encoding")
+          sb.append(c)
+        }
+        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+      case CMapDec(codeLen, map) =>
+        need(b.length % codeLen == 0,
+          s"shown string of ${b.length} bytes is not whole " +
+            s"$codeLen-byte CMap codes")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < b.length) {
+          var code = 0
+          var k = 0
+          while (k < codeLen) { code = (code << 8) | (b(i + k) & 0xff); k += 1 }
+          sb.append(map.getOrElse(code,
+            throw new IllegalArgumentException(
+              f"pdf: shown code 0x$code%04x has no ToUnicode mapping")))
+          i += codeLen
+        }
+        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
     def literalAt(start: Int): (Array[Byte], Int) = {
       val b = new java.io.ByteArrayOutputStream()
       var q = start + 1
@@ -324,8 +1255,10 @@ object PdfCodec {
         arrayAcc = Vector.empty
         p += 1
       } else if (c == '/') {
+        val start = p + 1
         p += 1
         while (p < s.length && !" \t\r\n\f()<>[]{}/%".contains(s(p))) p += 1
+        lastName = s.substring(start, p)
       } else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
         p += 1
         while (p < s.length && (s(p).isDigit || s(p) == '.')) p += 1
@@ -338,153 +1271,106 @@ object PdfCodec {
         op match {
           case "BT" => inText = true
           case "ET" => inText = false
+          case "Tf" =>
+            need(lastName != null, s"Tf with no font name operand at $start")
+            currentDec = fonts.getOrElse(lastName, RawUtf8)
           case "Tj" | "'" | "\"" =>
             need(strings.nonEmpty, s"$op with no string operand at $start")
-            if (inText) out.write(strings.head)
+            if (inText) emit(strings.head)
           case "TJ" =>
-            if (inText) lastArray.foreach(out.write)
+            if (inText) lastArray.foreach(emit)
           case _ => // positioning/state operators: no text
         }
         strings = Nil
         lastArray = Vector.empty
+        lastName = null
       }
     }
-    out.toByteArray
+    currentDec
   }
 
-  /** Full extraction: xref walk → page tree → content streams (inflated
-   * under the cap) → text operators → UTF-8 decode of the shown bytes. */
+  /** Full extraction: xref chain (classic tables AND xref streams,
+   * /Prev-merged) → page tree with inherited /Resources → per-page
+   * font decoders → content streams (inflated under the cap) → text
+   * operators decoded through the active font → UTF-8 output. */
   def extract(bytes: Array[Byte]): String = {
     need(bytes.length >= 8, "too short to be a PDF")
     val s = view(bytes)
     need(s.startsWith("%PDF-"), "bad magic (no %PDF- header)")
     val sx = s.lastIndexOf("startxref")
     need(sx >= 0, "no startxref")
-    val xrefOffL = parseNum("""\d+""".r.findFirstIn(s.substring(sx + 9))
+    val xrefOff = parseNum("""\d+""".r.findFirstIn(s.substring(sx + 9))
       .getOrElse(throw new IllegalArgumentException(
         "pdf: no offset after startxref")), "startxref offset")
-    need(xrefOffL >= 0 && xrefOffL < s.length,
-      s"startxref $xrefOffL out of range")
-    val xrefOff = xrefOffL.toInt
-    if (!s.startsWith("xref", xrefOff)) {
-      need(!ObjHead.findPrefixMatchOf(s.substring(xrefOff,
-          math.min(s.length, xrefOff + 32))).isDefined,
-        "cross-reference STREAM (PDF 1.5 /Type /XRef) unsupported in " +
-          "this subset — classic xref tables only")
-      need(cond = false, s"no xref table at startxref offset $xrefOff")
+    val (objMap, trailer) = readXrefChain(bytes, s, xrefOff)
+    val rootNum = valueAfter(trailer, "/Root") match {
+      case Some(PRef(n)) => n
+      case _ => throw new IllegalArgumentException(
+        "pdf: trailer /Root is not an indirect reference")
     }
-    // xref subsections
-    var p = xrefOff + 4
-    def skipEol(): Unit =
-      while (p < s.length && (s(p) == '\r' || s(p) == '\n' || s(p) == ' '))
-        p += 1
-    skipEol()
-    val offsets = Map.newBuilder[Int, Int]
-    while (!s.startsWith("trailer", p)) {
-      val header = """^(\d+)\s+(\d+)""".r.findPrefixMatchOf(s.substring(p,
-        math.min(s.length, p + 32)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"pdf: bad xref subsection header at $p"))
-      val startL = parseNum(header.group(1), s"xref subsection start at $p")
-      val countL = parseNum(header.group(2), s"xref subsection count at $p")
-      need(startL <= MaxObjects && countL <= MaxObjects,
-        s"xref subsection $startL+$countL exceeds object bound")
-      val start = startL.toInt
-      val count = countL.toInt
-      p += header.end
-      skipEol()
-      var i = 0
-      while (i < count) {
-        need(p + 18 <= s.length, s"truncated xref entry at $p")
-        val em = XrefEntry.findPrefixMatchOf(s.substring(p, p + 18))
-          .getOrElse(throw new IllegalArgumentException(
-            s"pdf: malformed xref entry at $p"))
-        if (em.group(3) == "n") {
-          // 10 decimal digits reach past Int.MaxValue; parse wide, then
-          // range-check against the file before narrowing
-          val off = parseNum(em.group(1), s"xref entry offset at $p")
-          need(off < s.length, s"xref entry offset $off overruns the file")
-          offsets += (start + i) -> off.toInt
-        }
-        p += 18
-        skipEol()
-        i += 1
-      }
-    }
-    val trailerStart = s.indexOf("<<", p)
-    need(trailerStart >= 0, "no trailer dictionary")
-    val trailer = s.substring(trailerStart, dictEnd(s, trailerStart))
-    need(!trailer.contains("/Encrypt"),
-      "encrypted document unsupported in this subset")
-    val rootN = """/Root\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(trailer)
-      .getOrElse(throw new IllegalArgumentException(
-        "pdf: trailer has no /Root"))
-    val rootNum = objNum(rootN.group(1), "/Root object number")
-    val objMap = offsets.result()
+    val rd = new ObjReader(bytes, s, objMap)
 
-    val (catalog, _) = getObj(bytes, s, objMap, rootNum)
-    val pagesN = """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(catalog)
-      .getOrElse(throw new IllegalArgumentException(
-        "pdf: catalog has no /Pages"))
-    val pagesNum = objNum(pagesN.group(1), "/Pages object number")
-
-    // page-tree walk, document order, cycle-guarded
-    val contentRefs = Seq.newBuilder[Int]
-    val visited = scala.collection.mutable.Set.empty[Int]
-    // the [ … ] slice following `key`, or None when the key is absent or
-    // its value is a direct reference rather than an array
-    def bracketSlice(dict: String, key: String): Option[String] = {
-      val i = dict.indexOf(key)
-      if (i < 0) None
-      else {
-        var j = i + key.length
-        while (j < dict.length && dict(j).isWhitespace) j += 1
-        if (j >= dict.length || dict(j) != '[') None
-        else {
-          val close = dict.indexOf(']', j)
-          need(close >= 0, s"unterminated $key array")
-          Some(dict.substring(j + 1, close))
-        }
-      }
+    val catalog = rd.dict(rootNum)
+    val pagesNum = valueAfter(catalog, "/Pages") match {
+      case Some(PRef(n)) => n
+      case _ => throw new IllegalArgumentException(
+        "pdf: catalog has no /Pages reference")
     }
-    def walk(n: Int): Unit = {
+
+    // page-tree walk, document order, cycle-guarded, /Resources inherited
+    val pages = Seq.newBuilder[(List[Int], Option[String])]
+    val visited = mutable.Set.empty[Int]
+    def resourcesOf(dict: String): Option[String] =
+      valueAfter(dict, "/Resources") match {
+        case Some(PDict(d)) => Some(d)
+        case Some(PRef(n)) => Some(rd.dict(n))
+        case None => None
+        case Some(_) => throw new IllegalArgumentException(
+          "pdf: malformed /Resources value")
+      }
+    def walk(n: Int, inherited: Option[String]): Unit = {
       need(visited.size <= MaxObjects, "page tree exceeds object bound")
       need(visited.add(n), s"page-tree cycle at object $n")
-      val (dict, _) = getObj(bytes, s, objMap, n)
+      val dict = rd.dict(n)
+      val res = resourcesOf(dict).orElse(inherited)
       bracketSlice(dict, "/Kids") match {
         case Some(kids) =>
           RefIn.findAllMatchIn(kids)
-            .foreach(m => walk(objNum(m.group(1), "/Kids reference")))
+            .foreach(m => walk(objNum(m.group(1), "/Kids reference"), res))
         case None =>
-          val i = dict.indexOf("/Contents")
+          val i = keyIndex(dict, "/Contents")
           if (i >= 0) {
-            bracketSlice(dict, "/Contents") match {
+            val refs = bracketSlice(dict, "/Contents") match {
               case Some(arr) =>
                 RefIn.findAllMatchIn(arr)
-                  .foreach(m =>
-                    contentRefs += objNum(m.group(1), "/Contents reference"))
+                  .map(m => objNum(m.group(1), "/Contents reference")).toList
               case None =>
                 val m = RefIn.findFirstMatchIn(dict.substring(i))
                   .getOrElse(throw new IllegalArgumentException(
                     s"pdf: page $n /Contents is neither ref nor array"))
-                contentRefs += objNum(m.group(1), "/Contents reference")
+                List(objNum(m.group(1), "/Contents reference"))
             }
+            pages += ((refs, res))
           }
       }
     }
-    walk(pagesNum)
+    walk(pagesNum, None)
 
     val shown = new java.io.ByteArrayOutputStream()
-    contentRefs.result().foreach { n =>
-      val (dict, data) = getObj(bytes, s, objMap, n)
-      val raw = data.getOrElse(throw new IllegalArgumentException(
-        s"pdf: content object $n carries no stream"))
-      val filtered = if (dict.contains("/Filter")) {
-        need(dict.contains("/FlateDecode"),
-          s"content object $n: only /FlateDecode is supported")
-        inflate(raw)
-      } else raw
-      shown.write(showText(filtered))
+    val fontCache = mutable.Map.empty[String, Map[String, FontDec]]
+    pages.result().foreach { case (refs, res) =>
+      val fonts = res match {
+        case Some(r) => fontCache.getOrElseUpdate(r, buildFonts(rd, res))
+        case None => Map.empty[String, FontDec]
+      }
+      var dec: FontDec = RawUtf8 // graphics state resets per page
+      refs.foreach { n =>
+        val (dict, data) = rd.obj(n)
+        val raw = data.getOrElse(throw new IllegalArgumentException(
+          s"pdf: content object $n carries no stream"))
+        dec = showText(unfiltered(dict, raw, s"content object $n"),
+          fonts, shown, dec)
+      }
     }
     new String(shown.toByteArray, StandardCharsets.UTF_8)
   }
@@ -492,6 +1378,10 @@ object PdfCodec {
   // --------------------------------------------------- expression hooks
 
   def encodeRow(text: UTF8String): Array[Byte] = encode(text.toString)
+  def encodeModernRow(text: UTF8String): Array[Byte] =
+    encodeModern(text.toString)
+  def encodeCMapRow(text: UTF8String): Array[Byte] =
+    encodeCMap(text.toString)
   def extractRow(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(extract(bytes))
 }
@@ -511,6 +1401,42 @@ case class PdfEncodeExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, b => s"graft.functions.PdfCodec.encodeRow($b)")
   override protected def withNewChildInternal(c: Expression): PdfEncodeExpr =
     copy(child = c)
+}
+
+/** `pdf_encode_modern(string)` → BINARY — the PDF 1.5 fixture builder:
+ * xref STREAM (+PNG Up predictor), ObjStm-packed page tree, WinAnsi
+ * text bytes. Loud-rejects non-WinAnsi-expressible input. */
+case class PdfEncodeModernExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_encode_modern requires STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.encodeModernRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.PdfCodec.encodeModernRow($b)")
+  override protected def withNewChildInternal(
+      c: Expression): PdfEncodeModernExpr = copy(child = c)
+}
+
+/** `pdf_encode_cmap(string)` → BINARY — the Type0/ToUnicode fixture
+ * builder: 2-byte codes + synthesized CMap; round-trips any string. */
+case class PdfEncodeCMapExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_encode_cmap requires STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.encodeCMapRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfCodec.encodeCMapRow($b)")
+  override protected def withNewChildInternal(
+      c: Expression): PdfEncodeCMapExpr = copy(child = c)
 }
 
 /** `pdf_extract(binary)` → STRING — the scan-stage content decode
@@ -535,6 +1461,12 @@ object PdfFunctions {
 
   def pdf_encode(c: Column): Column =
     GraftShim.column(PdfEncodeExpr(GraftShim.expression(c)))
+
+  def pdf_encode_modern(c: Column): Column =
+    GraftShim.column(PdfEncodeModernExpr(GraftShim.expression(c)))
+
+  def pdf_encode_cmap(c: Column): Column =
+    GraftShim.column(PdfEncodeCMapExpr(GraftShim.expression(c)))
 
   def pdf_extract(c: Column): Column =
     GraftShim.column(PdfExtractExpr(GraftShim.expression(c)))

@@ -85,12 +85,13 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("startxref"))
   }
 
-  test("hostile: encrypted documents and compressed xref streams are " +
-    "rejected loudly, not mis-read") {
+  test("hostile: encrypted documents are rejected loudly; startxref " +
+    "pointing at a non-XRef object is rejected, not guessed") {
     val enc = rawPdf("BT (secret) Tj ET", trailerExtra = " /Encrypt 9 0 R")
     val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(enc) }
     assert(e1.getMessage.contains("encrypted"))
-    // startxref pointing at an object header = PDF 1.5 xref stream shape
+    // startxref pointing at a plain content object: supported xref
+    // STREAMS are /Type /XRef — anything else there must reject
     val ok = PdfCodec.encode("victim")
     val s = new String(ok, StandardCharsets.ISO_8859_1)
     val objOff = s.indexOf("4 0 obj")
@@ -98,7 +99,200 @@ class PdfCodecSpec extends AnyFunSuite {
     val forged = (s.substring(0, sx) +
       s"startxref\n$objOff\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
     val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(forged) }
-    assert(e2.getMessage.contains("xref"))
+    assert(e2.getMessage.contains("XRef"))
+  }
+
+  // ------------------------------------------------- modern-PDF surface
+
+  /** Hand-assembled classic-xref PDF from explicit object bodies:
+   * `objs(i)` is the full body of object i+1 (dict [+ stream framing]),
+   * offsets computed exactly like a conforming writer; /Root is 1. */
+  private def buildPdf(objs: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val off = objs.indices.map { i =>
+      val o = out.size()
+      w(s"${i + 1} 0 obj\n${objs(i)}\nendobj\n")
+      o
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    off.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def stream(dict: String, body: String): String =
+    s"$dict\nstream\n$body\nendstream"
+
+  private val pageScaffold = Seq(
+    "<< /Type /Catalog /Pages 2 0 R >>",
+    "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+
+  private def fontPdf(contentBody: String, fontDict: String,
+                      extra: Seq[String] = Nil): Array[Byte] =
+    buildPdf(pageScaffold ++ Seq(
+      stream(s"<< /Length ${contentBody.length} >>", contentBody),
+      fontDict) ++ extra)
+
+  test("PDF 1.5 round-trip: xref STREAM (+PNG Up predictor) + ObjStm " +
+    "page tree + WinAnsi-encoded text — the whole modern path") {
+    val texts = Seq(
+      "plain ascii survives",
+      "curly ‘quotes’ “both” kinds",
+      "€99 — daß café Œuvre Škola žižek",
+      "bullet • per-mille ‰ tilde ˜")
+    texts.foreach { t =>
+      assert(PdfCodec.extract(PdfCodec.encodeModern(t)) === t, s"text: $t")
+    }
+    val e = intercept[IllegalArgumentException] {
+      PdfCodec.encodeModern("CJK 中 is not WinAnsi")
+    }
+    assert(e.getMessage.contains("WinAnsi"))
+  }
+
+  test("Type0/ToUnicode round-trip: 2-byte codes, bfrange array block " +
+    "+ bfchar blocks, surrogate pairs, >164 distinct codepoints") {
+    val alphabet = (0x3041 to 0x30a1).map(_.toChar).mkString // 97 kana
+    val texts = Seq(
+      "identity through a CMap",
+      "中文 text mixed 😀 emoji", // CJK + astral
+      "repeat repeat repeat ééé",
+      alphabet + " latin " + alphabet.reverse + " 🎉")
+    texts.foreach { t =>
+      assert(PdfCodec.extract(PdfCodec.encodeCMap(t)) === t, s"text: $t")
+    }
+  }
+
+  test("WinAnsi and MacRoman base encodings decode the Annex-D high " +
+    "bytes (expectations hand-derived from the published tables)") {
+    // WinAnsi 0x80=euro 0x91=lsquo 0x99=trademark 0xE9=eacute
+    val win = fontPdf("BT /F1 9 Tf (\u0080\u0091\u0099é) Tj ET",
+      "<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding >>")
+    assert(PdfCodec.extract(win) === "€‘™é")
+    // MacRoman 0xA7=germandbls 0xD6=divide 0x8E=eacute 0xBD=Omega
+    val mac = fontPdf("BT /F1 9 Tf (§Ö\u008e½) Tj ET",
+      "<< /Type /Font /Subtype /TrueType /Encoding /MacRomanEncoding >>")
+    assert(PdfCodec.extract(mac) === "ß÷éΩ")
+    // text shown BEFORE any Tf falls back to raw UTF-8 passthrough
+    val pre = fontPdf("BT (cafÃ© raw) Tj ET",
+      "<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding >>")
+    assert(PdfCodec.extract(pre) === "café raw")
+  }
+
+  test("/Differences overrides the base encoding: glyph names resolve " +
+    "through the AGL core, uniXXXX, and single-letter names") {
+    val font = "<< /Type /Font /Subtype /TrueType /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /eacute /uni20AC 200 /germandbls 66 /Z] >> >>"
+    // codes: 65->eacute, 66 first mapped to Euro then REMAPPED to Z by
+    // the later 66-run (last wins, per the sequential spec), 200->ss
+    val pdf = fontPdf("BT /F1 9 Tf (ABÈC) Tj ET", font)
+    assert(PdfCodec.extract(pdf) === "éZßC")
+    val bad = fontPdf("BT /F1 9 Tf (A) Tj ET",
+      "<< /Type /Font /Encoding << /Differences [65 /noSuchGlyph] >> >>")
+    val e = intercept[IllegalArgumentException] { PdfCodec.extract(bad) }
+    assert(e.getMessage.contains("glyph name"))
+  }
+
+  test("bfrange consecutive form maps a code run by incrementing the " +
+    "last UTF-16 unit") {
+    val cmap = "/CIDInit begincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfrange\n<0041> <0043> <0061>\nendbfrange\n" +
+      "1 beginbfchar\n<00FF> <30423044> \nendbfchar\nendcmap"
+    val body = "BT /F1 9 Tf <004100420043> Tj <00FF> Tj ET"
+    val pdf = buildPdf(pageScaffold ++ Seq(
+      stream(s"<< /Length ${body.length} >>", body),
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+        "/ToUnicode 6 0 R >>",
+      stream(s"<< /Length ${cmap.length} >>", cmap)))
+    assert(PdfCodec.extract(pdf) === "abcあい")
+  }
+
+  test("incremental update: the /Prev chain masks older entries " +
+    "newest-first") {
+    val base = PdfCodec.encode("oldtext")
+    val s = new String(base, StandardCharsets.ISO_8859_1)
+    val oldXref = s.substring(s.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit)
+    val newBody = "BT (NEW) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(str: String): Unit =
+      out.write(str.getBytes(StandardCharsets.ISO_8859_1))
+    val newObjOff = out.size()
+    w(s"4 0 obj\n<< /Length ${newBody.length} >>\nstream\n$newBody\n" +
+      "endstream\nendobj\n")
+    val newXref = out.size()
+    w(f"xref\n4 1\n$newObjOff%010d 00000 n \n")
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$newXref\n%%EOF\n")
+    // page 1's content (obj 4) is replaced; page 2 ("text") survives
+    assert(PdfCodec.extract(out.toByteArray) === "NEWtext")
+  }
+
+  test("hostile modern inputs reject inside the pdf: contract: lying " +
+    "/W, truncated ObjStm, bad predictor tag, type-2 into a non-ObjStm, " +
+    "undefined WinAnsi code, Identity-H without ToUnicode, odd CMap " +
+    "string, xref-stream /Encrypt") {
+    val good = PdfCodec.encodeModern("victim text")
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+    def mutate(from: String, to: String): Array[Byte] = {
+      assert(s.contains(from), s"fixture lacks '$from'")
+      s.replace(from, to).getBytes(StandardCharsets.ISO_8859_1)
+    }
+    // /W claiming wider rows than the stream holds
+    val e1 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("/W [1 3 2]", "/W [1 4 2]"))
+    }
+    assert(e1.getMessage.startsWith("pdf:") && e1.getMessage.contains("/W"))
+    // ObjStm /N disagreeing with its header pair count
+    // (length-preserving mutation — the stored offsets stay valid)
+    val e2 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("/N 4 /First", "/N 5 /First"))
+    }
+    assert(e2.getMessage.startsWith("pdf:") && e2.getMessage.contains("/N"))
+    // predictor other than 1/10-15
+    val e3 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("/Predictor 12", "/Predictor 2"))
+    }
+    assert(e3.getMessage.contains("Predictor"))
+    // xref stream trailer carrying /Encrypt
+    val e4 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("/Root 1 0 R /Filter",
+        "/Root 1 0 R /Encrypt 9 0 R /Filter"))
+    }
+    assert(e4.getMessage.contains("encrypted"))
+    // type-2 entry pointing into an object that is not /Type /ObjStm
+    val e5 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("/Type /ObjStm", "/Type /Other6"))
+    }
+    assert(e5.getMessage.contains("ObjStm"))
+    // WinAnsi-undefined byte 0x81 shown under a WinAnsi font
+    val undef = fontPdf("BT /F1 9 Tf (\u0081) Tj ET",
+      "<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    val e6 = intercept[IllegalArgumentException] { PdfCodec.extract(undef) }
+    assert(e6.getMessage.contains("undefined"))
+    // Identity-H with no /ToUnicode = glyph IDs, not text
+    val gid = fontPdf("BT /F1 9 Tf <0001> Tj ET",
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>")
+    val e7 = intercept[IllegalArgumentException] { PdfCodec.extract(gid) }
+    assert(e7.getMessage.contains("Identity"))
+    // shown string not whole 2-byte codes under a CMap font
+    val cm = "begincmap 1 begincodespacerange <0000> <FFFF> " +
+      "endcodespacerange 1 beginbfchar <0001> <0041> endbfchar endcmap"
+    val oddBody = "BT /F1 9 Tf <000102> Tj ET"
+    val odd = buildPdf(pageScaffold ++ Seq(
+      stream(s"<< /Length ${oddBody.length} >>", oddBody),
+      "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+      stream(s"<< /Length ${cm.length} >>", cm)))
+    val e8 = intercept[IllegalArgumentException] { PdfCodec.extract(odd) }
+    assert(e8.getMessage.contains("codes"))
   }
 
   test("hostile: indirect /Length is rejected; content stream " +
