@@ -603,6 +603,12 @@ object SparkEntry {
    * (surrogate-pair bfchar target) + combining-free accents. */
   private val pdfCMapDeco = " 中文テキスト 😀 fin"
 
+  /** Decoration appended ahead of the web pipeline's NFC stage:
+   * DECOMPOSED e + U+0301 pairs, so the normalize stage composes them
+   * and the oracle asserts the COMPOSED bytes — the normalization is
+   * load-bearing in the chain, not a pass-through. */
+  private val webDeco = " re\u0301sume\u0301 fini"
+
   private val byteBpeRounds = 8
   private val byteBpeCache =
     scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
@@ -1662,6 +1668,12 @@ object SparkEntry {
       // the shipped artifact: surviving symbols with corpus frequencies
       // (dictionary-sized — the corpus is never touched)
       Bpe.vocab(t(s, dir, "documents"), bpeMerges(s, dir))),
+
+    "text_bytebpe_vocab" -> ((s, dir) =>
+      // the byte-BPE shipped artifact (completes the quartet's artifact
+      // rows): surviving hex byte(-run) symbols with pretoken-weighted
+      // frequencies under the learned byte merges
+      Bpe.byteVocab(byteDocs(s, dir), byteBpeMerges(s, dir))),
 
     "text_wordpiece_segment" -> ((s, dir) =>
       // WordPiece-style greedy longest-match inference over the trained
@@ -2886,6 +2898,21 @@ object SparkEntry {
         .select(col("doc_id"), col("predicted_lang"))
     }),
 
+    "mix_lang_balanced_streamed" -> ((s, dir) =>
+      // the same composition on REAL streaming machinery: the corpus
+      // arrives as parquet drops (one file per trigger — multi-batch),
+      // each batch is classified inside foreachBatch with the memoized
+      // corpus-trained model/floors as the slowly-changing side input
+      // (the crawl-frontier rules pattern), predictions + per-language
+      // count partials fold through StreamingLangMix (VersionedState
+      // crash-safe units, counts pre-merged on compaction), and the
+      // assembled mix — thresholds from the FINAL cumulative dictionary
+      // — must equal the batch operator. Same oracle as
+      // mix_lang_balanced: streaming ≡ batch ≡ DuckDB in one hash.
+      graft.streaming.PipelineE2E.streamedLangMix(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))),
+
     "dedup_cluster_canonical" -> ((s, dir) => {
       // near-dup graph → connected components → canonical id per member
       // (the keep-one-per-cluster step). Oracle: DuckDB recursive CTE
@@ -3600,6 +3627,74 @@ object SparkEntry {
           col("n_words"), col("ttr"), col("keep"))
     }),
 
+    "pipeline_web_corpus" -> ((s, dir) => {
+      // the composed FineWeb-shape web pipeline, raw bytes to training
+      // shards in ONE row: warc.gz record walk + charset decode →
+      // boilerplate extraction → NFC normalization (the decoration is
+      // DECOMPOSED, so composition is load-bearing) → quality filter →
+      // URL-level dedup (collapses the re-crawl slice, same URI) →
+      // normalized-text near-dup (collapses the mirror-host slice URL
+      // dedup must miss) → language ID from the corpus-trained
+      // classifier (memoized model — train once) → temperature-balanced
+      // sampling keyed on the PREDICTED language → deterministic shard
+      // assignment. Cross-stage coupling is the point: mix rates are
+      // computed on the deduped+filtered survivor set and language
+      // comes from the model, which per-stage rows cannot catch. The
+      // oracle replays the whole chain in one statement.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.WarcFunctions._
+      val wd = warcDocs(s, dir)
+      // re-crawl slice: same bytes fetched again later (same URI)
+      val recrawl = wd.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("warc"))
+      // mirror slice: the same page served from another host — URL
+      // dedup must MISS it, text-level dedup must CATCH it. Restricted
+      // to the %3==1 docs, whose warc html is exactly the markup
+      // fixture (no meta-tag or Latin-1 paragraph edits), so the
+      // extracted text matches the original's byte for byte.
+      val mirror = markupDocs(s, dir)
+        .filter(col("doc_id") < 30 && col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          warc_response_gz(
+            concat(lit("https://mirror.example.org/doc/"),
+              col("doc_id").cast("string")),
+            lit(200), lit("text/html; charset=UTF-8"), col("html"))
+            .as("warc"))
+      val corpus = wd.unionByName(recrawl).unionByName(mirror)
+      val flat = TextAnalysis.warcExtract(corpus)
+        .select(col("doc_id"), col("target_uri"),
+          concat(replace(col("clean_text"), lit("\n"), lit(" ")),
+            lit(webDeco)).as("text"))
+      val normed = TextAnalysis.normalizeUnicode(flat)
+        .select(col("doc_id"), col("target_uri"),
+          col("norm_text").as("text"))
+      val kept = normed.join(
+        TextAnalysis.qualityFilter(normed, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val urlKept = kept
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("target_uri"))))
+        .filter(col("doc_id") === col("_keep")).drop("_keep")
+      val ndKept = urlKept
+        .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("_fp"))))
+        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep")
+      val pred = TextAnalysis.langIdPredict(ndKept,
+          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang"))
+      val sampled = TrainingMix.temperatureSample(pred, "predicted_lang",
+        "doc_id")
+      TrainingMix.shuffleShards(sampled, "doc_id", nShards = 16,
+          seed = "graft")
+        .join(sampled.select(col("doc_id"), col("predicted_lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("shard"),
+          col("pos"))
+    }),
+
     "mm_pdf_extract" -> ((s, dir) => {
       // REAL PDF text extraction (the dominant non-HTML crawl format):
       // each doc's decorated text — parens, a percent, a literal
@@ -4067,6 +4162,30 @@ object SparkEntry {
 
   /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
    * (real streaming run): both must hash to this answer. */
+  /** Shared by mix_lang_balanced (batch) and mix_lang_balanced_streamed
+   * (real streaming run): both must hash to this answer — the FULL
+   * language-ID training chain, then the temperature-mix arithmetic
+   * keyed on the predicted language. */
+  private lazy val langBalancedSql =
+    s"""WITH ${langIdCtes("documents", "documents")},
+       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
+       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
+       mw AS (SELECT predicted_lang, n,
+           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
+       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+         FROM mw),
+       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+           AS kcap FROM mw, mt),
+       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
+           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+           * 281474976710656.0) AS BIGINT) AS tv
+         FROM mw, mt, mk),
+       mthr AS (SELECT predicted_lang,
+           CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM mr)
+       SELECT doc_id, predicted_lang FROM mpl JOIN mthr USING (predicted_lang)
+       WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr"""
+
   private val urlDedupSql =
     s"""WITH $urlCanonicalCtes,
        s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
@@ -5538,6 +5657,13 @@ object SparkEntry {
          SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
          FROM sy GROUP BY 1"""),
 
+    "text_bytebpe_vocab" -> (byteBpeChainSql(byteBpeRounds) + s""",
+         bsy AS (SELECT freq,
+           unnest(string_split(trim(s, '()'), ')(')) AS symbol
+           FROM bw$byteBpeRounds)
+         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+         FROM bsy GROUP BY 1"""),
+
     "text_bytebpe_merges" -> (byteBpeChainSql(byteBpeRounds) + s""",
          bm AS (${(0 until byteBpeRounds).map(i =>
         s"SELECT $i AS round, l, r, cnt FROM bb$i").mkString("\n           UNION ALL ")})
@@ -6012,6 +6138,82 @@ object SparkEntry {
        SELECT doc_id, n_words, ttr,
          (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
        FROM q"""),
+
+    // the whole web pipeline in one statement: warc markup replay →
+    // extraction → corpus expansion (re-crawl + mirror slices with the
+    // fixture's provenance URLs) → NFC-composed decoration (the oracle
+    // asserts the COMPOSED bytes via chr(233), so the engine's
+    // normalize stage is load-bearing) → quality filter → URL dedup →
+    // normalized-fingerprint near-dup → the FULL language-ID training
+    // chain (shared langIdCtes block, trained on documents, predicting
+    // the survivors) → temperature-mix thresholds over the survivor
+    // composition → hex-Horner shard assignment
+    "pipeline_web_corpus" ->
+      (htmlExtractSql(5, warcMarkupSql, "wm") + s""",
+       wexp AS (
+         SELECT doc_id,
+           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           clean_text FROM ext
+         UNION ALL
+         SELECT doc_id + 100000,
+           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/doc/' || CAST(doc_id AS VARCHAR),
+           clean_text FROM ext WHERE doc_id < 50
+         UNION ALL
+         SELECT doc_id + 200000,
+           'https://mirror.example.org/doc/' || CAST(doc_id AS VARCHAR),
+           clean_text FROM ext WHERE doc_id < 30 AND doc_id % 3 = 1),
+       wnrm AS (SELECT doc_id, url,
+           trim(replace(clean_text, chr(10), ' ') || ' r' || chr(233) ||
+             'sum' || chr(233) || ' fini') AS text
+         FROM wexp),
+       wq AS (SELECT doc_id, url, text FROM (
+           SELECT doc_id, url, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+           FROM wnrm)
+         WHERE n_words >= 40 AND n_words <= 200 AND ttr >= 0.45),
+       wud AS (SELECT doc_id, url, text FROM (
+           SELECT doc_id, url, text,
+             MIN(doc_id) OVER (PARTITION BY url) AS keep_id FROM wq)
+         WHERE doc_id = keep_id),
+       surv AS (SELECT doc_id, text FROM (
+           SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY
+               md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS keep_id FROM wud)
+         WHERE doc_id = keep_id),
+       ${langIdCtes("documents", "surv")},
+       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
+       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
+       mw AS (SELECT predicted_lang, n,
+           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
+       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+         FROM mw),
+       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+           AS kcap FROM mw, mt),
+       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
+           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+           * 281474976710656.0) AS BIGINT) AS tv
+         FROM mw, mt, mk),
+       mthr AS (SELECT predicted_lang,
+           CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM mr),
+       samp AS (SELECT doc_id, predicted_lang
+         FROM mpl JOIN mthr USING (predicted_lang)
+         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
+           < keep_thr),
+       sk AS (SELECT doc_id, predicted_lang,
+           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
+         FROM samp)
+       SELECT doc_id, predicted_lang,
+         ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
+           AS shard,
+         CAST(row_number() OVER (PARTITION BY
+             ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+       FROM sk"""),
 
     "text_segment_dedup" -> segmentDedupSql,
 
@@ -6839,25 +7041,12 @@ object SparkEntry {
     // predicted-language temperature mix: the full training chain again,
     // then the mix_temperature_sample arithmetic keyed on the PREDICTED
     // language
-    "mix_lang_balanced" ->
-      (s"""WITH ${langIdCtes("documents", "documents")},
-       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
-       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
-       mw AS (SELECT predicted_lang, n,
-           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
-       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
-         FROM mw),
-       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
-           AS kcap FROM mw, mt),
-       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
-           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
-           * 281474976710656.0) AS BIGINT) AS tv
-         FROM mw, mt, mk),
-       mthr AS (SELECT predicted_lang,
-           CASE WHEN tv >= 281474976710656 THEN 'g'
-             ELSE printf('%012x', tv) END AS keep_thr FROM mr)
-       SELECT doc_id, predicted_lang FROM mpl JOIN mthr USING (predicted_lang)
-       WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr"""),
+    "mix_lang_balanced" -> langBalancedSql,
+
+    // identical oracle on purpose: the streamed run (per-batch classify
+    // + count-ledger fold + assembly-time thresholds) must converge to
+    // the batch answer — streaming ≡ batch ≡ DuckDB in one hash
+    "mix_lang_balanced_streamed" -> langBalancedSql,
 
     "dedup_embedding_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

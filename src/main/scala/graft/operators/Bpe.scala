@@ -178,6 +178,18 @@ object Bpe {
         col("n_tokens").cast("double") / col("n_pretokens").cast("double"))
   }
 
+  /** The shipped byte-BPE artifact: surviving byte(-run) symbols with
+   * corpus frequencies under the learned merges — the [[vocab]] shape
+   * over the byte dictionary (dictionary-sized; the corpus is never
+   * touched beyond the one pretoken count). */
+  def byteVocab(docs: DataFrame, merges: Seq[Merge],
+                textCol: String = "text"): DataFrame =
+    byteDict(docs, textCol)
+      .select(col("freq"),
+        explode(symbols(applyMerges(col("s"), merges))).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).as("freq"))
+
   /** The learned merge table as a frame: (round, left_sym, right_sym, cnt).
    * Values are driver-local but derive entirely from the distributed
    * training aggregations. */

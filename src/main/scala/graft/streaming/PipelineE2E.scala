@@ -423,6 +423,49 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming language-balanced mixing on REAL streaming machinery: the
+   * corpus arrives as parquet drops (one file per trigger — multi-batch),
+   * each batch is CLASSIFIED inside `foreachBatch` with the
+   * corpus-trained model/floors as the slowly-changing side input and
+   * folded through [[StreamingLangMix.processBatch]] (VersionedState
+   * crash-safe units, counts pre-merged on compaction), and the final
+   * [[StreamingLangMix.resolve]] (thresholds from the cumulative language
+   * dictionary over everything classified) must equal the batch
+   * `mix_lang_balanced` chain — the driver compares against the SAME
+   * DuckDB oracle.
+   */
+  def streamedLangMix(docs: DataFrame, model: DataFrame, floors: DataFrame,
+                      nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_langmix_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val mix = new StreamingLangMix(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mix.processBatch(batch, batchId, model, floors)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = mix.committedBatches(spark)
+    require(folded.size > 1, s"streamed lang-mix fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cumulative-dictionary " +
+      "threshold assembly is unobservable in a single batch")
+    mix.resolve(spark)
+  }
+
+  /**
    * The composed crawl scheduler on REAL streaming machinery:
    * canonicalized links `(doc_id, target_url)` arrive as parquet drops
    * (one file per trigger — multi-batch), fold through

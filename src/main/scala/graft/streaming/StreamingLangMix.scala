@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.{Curation, TextAnalysis, TrainingMix}
+
+/**
+ * Streaming language-balanced mixing — the online form of the
+ * `mix_lang_balanced` composition: document batches `(doc_id, text)`
+ * arrive from an ingest stream, each fold CLASSIFIES the batch with the
+ * corpus-trained language model (passed per batch as the slowly-changing
+ * side input, the [[StreamingCrawlFrontier]] rules pattern — model and
+ * floors are dictionary-sized broadcasts inside
+ * [[TextAnalysis.langIdPredict]]) and appends (a) the batch's
+ * per-document predictions and (b) the batch-local per-language count
+ * partial. The SAMPLE is derived at assembly time by [[resolve]]:
+ * thresholds from the cumulative language dictionary
+ * ([[TrainingMix.countsToThresholds]] — shared code with the batch
+ * sampler) joined against everything classified so far, so the resolved
+ * view equals the batch `temperatureSample` over the union BIT-EXACTLY
+ * (spec-pinned). This is the assemble-time complement to
+ * [[StreamingTemperatureMix]]: that class adapts keep-rates online and
+ * never revisits a decision (bounded drift from early batches); this one
+ * defers the keep decision to assembly, which is when a training mix is
+ * actually cut, and is therefore batch-equivalent by construction.
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s: `b<id>/` units
+ * under `_SUCCESS` markers, replay of a committed id is a no-op, both
+ * stores compact above `compactAbove` units — the count ledger
+ * PRE-MERGES its partials (sum is associative), so the compacted unit is
+ * |languages|-sized no matter how many batches ever committed.
+ *
+ * At 100 TB: per-batch work is the batch-sized classify (one trigram
+ * explode + map-side-combinable aggregate against the broadcast model)
+ * plus a |languages|-sized count partial; nothing corpus-sized shuffles.
+ * The predictions store is corpus-ROW-sized (two columns), the same
+ * class of state the URL-dedup ledger keeps, and the final sample is one
+ * broadcast threshold join over it — the batch plan exactly.
+ *
+ * LIFECYCLE CONTRACT (shared with [[StreamingUrlDedup]]): `stateDir` and
+ * the streaming query's `checkpointLocation` are one unit — create and
+ * delete them together. [[processBatch]] fails loudly at fold time when
+ * it sees state from batch ids ABOVE the incoming one (the stale-pairing
+ * signature) instead of leaving the corruption for a read to discover.
+ */
+class StreamingLangMix(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
+
+  private val predsRoot = new Path(stateDir, "preds")
+  private val countsRoot = new Path(stateDir, "counts")
+
+  private val predSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("predicted_lang", StringType)))
+  private val countSchema = StructType(Seq(
+    StructField("predicted_lang", StringType),
+    StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, predsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Classify `batch` (doc_id, text) with the side-input model and fold
+   * the predictions + count partial into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => mix.processBatch(df, id,
+   * model, floors))`. Commit order: counts first, preds LAST — the preds
+   * marker certifies the batch (a counts-only crash leftover is
+   * re-written identically on redelivery; both read views scope to
+   * certified ids).
+   */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   model: DataFrame, floors: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val seenIds = VersionedState.segments(spark, predsRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, countsRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"lang-mix state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, predsRoot), batchId)) return
+    val preds = TextAnalysis.langIdPredict(batch, model, floors)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("predicted_lang"))
+      .localCheckpoint(true)
+    val partial = preds.groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, predsRoot)
+    val countsDest = new Path(countsRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(countsDest.toString)
+    VersionedState.touchSuccess(f, countsDest)
+    val predsDest = new Path(predsRoot, s"b$batchId")
+    preds.write.mode("overwrite").parquet(predsDest.toString)
+    VersionedState.touchSuccess(f, predsDest)
+    VersionedState.compact(spark, predsRoot, compactAbove,
+      read = ps => read(spark, predSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, countsRoot, compactAbove,
+      read = ps => read(spark, countSchema, ps),
+      // sum is associative — pre-merge so the compacted unit is
+      // |languages|-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("predicted_lang"))
+        .agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Count unit dirs scoped to preds-certified batch ids, with the
+   * mixed-unit fail-loud guard (the [[StreamingUrlDedup]] contract): a
+   * unit none of whose ids are certified is a pure mid-write crash
+   * leftover (excluded — redelivery re-lands it identically), but a unit
+   * only PARTLY certified would silently skew every threshold. */
+  private def certifiedCountDirs(spark: SparkSession,
+                                 certifiedIds: Set[Long]): Seq[Path] = {
+    val segs = VersionedState.segments(spark, countsRoot)
+    segs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"lang-mix count unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are preds-certified; excluding it would drop certified " +
+            "count partials (skewed mix rates). State is inconsistent — " +
+            "rebuild the counts from the certified predictions.")
+    }
+    segs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /** The cumulative language dictionary over every certified batch —
+   * |languages|-sized regardless of how many batches ever folded. */
+  def languageCounts(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, predsRoot)
+    val dirs = certifiedCountDirs(spark, certified.flatMap(_.ids).toSet)
+    read(spark, countSchema, dirs)
+      .groupBy(col("predicted_lang")).agg(sum(col("n")).as("n"))
+  }
+
+  /**
+   * The assembled mix over every certified batch — rows equal to
+   * `TrainingMix.temperatureSample(predictions, "predicted_lang",
+   * "doc_id")` of the union: thresholds from the FINAL cumulative
+   * dictionary, the same md5(seed|id) keep-key as every other sampler.
+   */
+  def resolve(spark: SparkSession, seed: String = "graft"): DataFrame = {
+    val certified = VersionedState.segments(spark, predsRoot)
+    val preds = read(spark, predSchema, certified.map(_.path))
+    val thr = TrainingMix
+      .countsToThresholds(languageCounts(spark), "predicted_lang")
+      .select(col("predicted_lang"), col("keep_thr"))
+    preds.join(broadcast(thr), Seq("predicted_lang"))
+      .filter(Curation.sampleKey(col("doc_id"), seed) < col("keep_thr"))
+      .select(col("doc_id"), col("predicted_lang"))
+  }
+}

@@ -34,6 +34,13 @@ class PlanGuardSpec extends SparkSpec {
       // — the text_lm_score pattern; the corpus side never nested-loops
       "mix_lang_balanced", // same V attach (the classifier feeding the
       // mix) + mix_temperature_sample's 1-row total attach
+      "mix_lang_balanced_streamed", // assembly-time thresholds: the same
+      // countsToThresholds 1-row (sw, kcap) attaches onto the
+      // |languages|-sized dictionary; the predictions side hash-joins
+      "pipeline_web_corpus", // the composed chain's mix stage carries the
+      // same 1-row threshold attaches + langIdPredict's 1-row V attach;
+      // every corpus-sized join in the chain (url/fingerprint dedup,
+      // model join, shard join) plans hash joins
       "q22_sales_opportunity", // 1-row scalar-subquery (avg balance) attach
       "q11_important_stock", // 1-row (total, n_parts) threshold attach
       "pipeline_curate_tokenize", // mix stage's 1-row total attach

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{TextAnalysis, TrainingMix}
+import graft.streaming.StreamingLangMix
+
+/**
+ * Streaming language-balanced mixing: after every fold the assembled mix
+ * must equal `TrainingMix.temperatureSample` over the predictions of all
+ * documents seen so far (thresholds from the CUMULATIVE language
+ * dictionary — assembly-time semantics, batch-equivalent by
+ * construction), replays must be no-ops, both state stores stay bounded
+ * under compaction, and a stale stateDir/checkpoint pairing fails loudly
+ * at fold time.
+ */
+class StreamingLangMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny labeled corpus with separable trigram profiles: the model is a
+  // side input here — the classifier itself is pinned by LangIdSpec
+  private lazy val trainDocs = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and then the"),
+    ("en", "this is the house that jack built with the old stone"),
+    ("de", "der schnelle braune fuchs springt ueber den faulen hund und"),
+    ("de", "das ist das haus das jack mit dem alten stein gebaut"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "ceci est la maison que jack a construite avec la pierre"))
+    .toDF("lang", "text")
+  private lazy val model = TextAnalysis.langIdModel(trainDocs).cache()
+  private lazy val floors = TextAnalysis.langIdFloors(trainDocs).cache()
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def mixOf(d: DataFrame): Set[(Long, String)] =
+    d.select($"doc_id", $"predicted_lang")
+      .as[(Long, String)].collect().toSet
+
+  private def batchMix(docs: DataFrame): Set[(Long, String)] = {
+    val pred = TextAnalysis.langIdPredict(docs, model, floors)
+      .select($"doc_id", $"predicted_lang")
+    mixOf(TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id"))
+  }
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("slangmix").toString + "/state"
+
+  // enough docs per language that the temperature mix keeps a non-trivial
+  // strict subset (thresholds bite) — ids chosen so md5 keys spread
+  private def enDoc(i: Long) = i -> s"the quick fox number $i ran over the hill and the dog"
+  private def deDoc(i: Long) = i -> s"der schnelle fuchs nummer $i lief ueber den huegel und den hund"
+  private def frDoc(i: Long) = i -> s"le renard rapide numero $i court sur la colline et le chien"
+
+  test("3-batch split equals the batch composition after every fold — " +
+    "thresholds re-derived from the cumulative dictionary") {
+    val sub = new StreamingLangMix(newDir())
+    // language skew shifts across batches: en-heavy, then de-heavy, then
+    // fr-only — the cumulative dictionary (and with it every keep
+    // threshold) changes on each fold
+    val b0 = (1L to 12L).map(enDoc) ++ Seq(deDoc(21L), frDoc(31L))
+    val b1 = (40L to 49L).map(deDoc) ++ Seq(enDoc(13L))
+    val b2 = (60L to 67L).map(frDoc)
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong, model, floors)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(mixOf(sub.resolve(spark)) === batchMix(sofar),
+        s"divergence from the batch composition after batch $id")
+    }
+    // the mix is a non-trivial strict subset (thresholds actually bite)
+    val kept = sub.resolve(spark).count()
+    val total = batches.flatten.size.toLong
+    assert(kept > 0 && kept < total, s"degenerate mix: $kept of $total")
+    // the dictionary folded every batch
+    val counts = sub.languageCounts(spark)
+      .as[(String, Long)].collect().toMap
+    assert(counts("en") === 13L && counts("de") === 11L &&
+      counts("fr") === 9L)
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingLangMix(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      enDoc(100L + i), deDoc(200L + i), frDoc(300L + i)))
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong, model, floors)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/preds").length <= 3,
+      s"preds dirs: ${unitDirs(s"$dir/preds")}")
+    assert(unitDirs(s"$dir/counts").length <= 3,
+      s"counts dirs: ${unitDirs(s"$dir/counts")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val want = batchMix(df(batches.flatten: _*))
+    assert(mixOf(sub.resolve(spark)) === want)
+    val before = mixOf(sub.resolve(spark))
+    // the one replay Structured Streaming can deliver: the LAST batch
+    // again after a crash — a no-op (its id is committed, possibly
+    // inside a compacted range)
+    sub.processBatch(df(batches(5): _*), 5L, model, floors)
+    assert(mixOf(sub.resolve(spark)) === before)
+  }
+
+  test("stale stateDir/checkpoint pairing fails loudly at fold time: " +
+    "a batch id BELOW already-seen state is never folded or skipped") {
+    val dir = newDir()
+    val sub = new StreamingLangMix(dir)
+    sub.processBatch(df(enDoc(1L)), 0L, model, floors)
+    sub.processBatch(df(deDoc(2L)), 1L, model, floors)
+    val e = intercept[IllegalStateException] {
+      sub.processBatch(df(frDoc(9L)), 0L, model, floors)
+    }
+    assert(e.getMessage.contains("stateDir"))
+    // state is untouched: the certified view still resolves
+    assert(sub.languageCounts(spark).as[(String, Long)]
+      .collect().toMap.values.sum === 2L)
+  }
+}
