@@ -28,8 +28,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // benchOnly: timing-only entries (full-corpus suffix-array family) —
-    // correctness for those code paths lives in the bounded checked queries
-    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    // correctness for those code paths lives in the bounded checked queries.
+    // buildBench (the raw one-time artifact builds) joins the candidate set
+    // only in a build-mode child JVM: in the shared session the warm memos
+    // the serving queries populate would make build timings meaningless.
+    val buildMode = sys.env.contains("SPARK_GRAFT_BUILD_ROWS")
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly ++
+      (if (buildMode) SparkEntry.buildBench else Map.empty)
     val selected = only match {
       case Some(names) => all.view.filterKeys(names).toMap
       case None => all
@@ -139,9 +144,36 @@ object Bench {
           }
         }
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // BUILD rows (VERDICT r10 finding 1): the one-time training cost of
+    // every memoized artifact, measured in a DEDICATED fresh child JVM so
+    // the numbers are real builds (the shared session's warm memos and
+    // 200+-query interference would both corrupt them). Merged into the
+    // artifact under their own names; `builds` records which entries came
+    // from the child. Skipped inside children (NO_PROBE) and in local
+    // BENCH_ONLY iteration runs; a failed child is logged and the artifact
+    // simply carries no build rows (stderr records why).
+    val buildNames =
+      if (sys.env.contains("SPARK_GRAFT_NO_PROBE") || only.isDefined)
+        Seq.empty[String]
+      else SparkEntry.buildBench.keys.toSeq.sorted
+    val buildRows: Seq[(String, Double)] =
+      if (buildNames.isEmpty) Seq.empty
+      else {
+        System.err.println(s"[bench] measuring ${buildNames.length} build " +
+          s"row(s) in a fresh JVM: ${buildNames.mkString(",")}")
+        BenchHistory.freshProbe(buildNames,
+          Map("SPARK_GRAFT_BUILD_ROWS" -> "1")) match {
+          case Some(b) => buildNames.flatMap(n => b.get(n).map(n -> _))
+          case None =>
+            System.err.println("[bench] build-row child failed; artifact " +
+              "carries no build rows this run")
+            Seq.empty
+        }
+      }
+    val withBuilds = results ++ buildRows
+    val qs = withBuilds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = withBuilds.map(_._2).filter(_ >= 0).sum
     // same-corpus audit: per-round regenerated testdata shifts real query
     // costs, so "vs history" is only meaningful when the history minima were
     // measured on the SAME corpus — record both fingerprints in the artifact
@@ -156,8 +188,10 @@ object Bench {
     val probedJson = probedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val confirmedJson =
       confirmedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val buildsJson =
+      buildRows.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probed":$probedJson,"probe_confirmed":$confirmedJson,"corpus":"$corpusFp","history_corpus":"$histState"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probed":$probedJson,"probe_confirmed":$confirmedJson,"builds":$buildsJson,"corpus":"$corpusFp","history_corpus":"$histState"}"""
     println(line)
     // persist the COMPLETE per-query map as an artifact: the driver's
     // stdout capture windows long lines, which truncates half the queries —
@@ -233,8 +267,11 @@ object BenchHistory {
   /** Run `names` through graft.Bench in a fresh child JVM (same
    * classpath/flags/env, SPARK_GRAFT_NO_PROBE=1) and return its per-query
    * seconds. None on any failure — the caller keeps shared-session
-   * numbers, so the guard can only ever improve the artifact. */
-  def freshProbe(names: Seq[String]): Option[Map[String, Double]] = {
+   * numbers, so the guard can only ever improve the artifact. `extraEnv`
+   * lets the build-row pass opt the child into SPARK_GRAFT_BUILD_ROWS. */
+  def freshProbe(names: Seq[String],
+                 extraEnv: Map[String, String] = Map.empty)
+      : Option[Map[String, Double]] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(new java.io.File(
@@ -251,6 +288,7 @@ object BenchHistory {
       pb.environment().put("SPARK_GRAFT_NO_PROBE", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.to(log))
       val p = pb.start()

@@ -5075,6 +5075,57 @@ object SparkEntry {
     "cdc_rate_control" -> ((s, dir) =>
       graft.streaming.PipelineE2E.rateControlDrain(s, dir)))
 
+  /**
+   * Bench-only BUILD rows: the one-time cost of every memoized artifact
+   * the serving queries amortize (VERDICT r10 finding 1 — the published
+   * `text_lang_id_ngram` number is the post-training serving cost; the
+   * training run itself appeared in no artifact). Each row runs the RAW
+   * builder lineage — no [[memoizedFrame]], no driver-side cache — so
+   * every timed pass re-pays the full build. [[Bench]] measures these in
+   * a DEDICATED fresh child JVM (never the shared 200+-query session,
+   * whose warm memos would make the numbers meaningless) and merges them
+   * into the artifact under these names.
+   *
+   * Composite artifacts include their dependency builds in the row (a
+   * cold build of the residual books HAS to train the coarse quantizer
+   * first): `pqr_build` ≈ `ivf_build` + residual k-means,
+   * `opq_build` = permutation search + rotated-space k-means,
+   * `langid_pred_build` = counts scan + model/floors derive + corpus
+   * classify. Correctness of every build is already oracle-gated by the
+   * serving rows (the DuckDB oracles replay the full training chains);
+   * these rows are timing signal only. Convention documented in
+   * docs/BENCH_NOTES.md.
+   */
+  def buildBench: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_build" -> ((s, dir) =>
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"),
+        nCells = 50, iters = 5, dim = 64)(s)),
+    "pq_build" -> ((s, dir) =>
+      Similarity.pqTrainCodebooks(t(s, dir, "embeddings"),
+        m = 8, k = 16, iters = 3, dim = 64)(s)),
+    "pqr_build" -> ((s, dir) =>
+      Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
+        Similarity.kmeansCentroids(t(s, dir, "embeddings"),
+          nCells = 50, iters = 5, dim = 64)(s),
+        m = 8, k = 16, iters = 3, dim = 64)(s)),
+    "opq_build" -> ((s, dir) =>
+      Similarity.pqTrainCodebooks(
+        Similarity.applyPermutation(t(s, dir, "embeddings"),
+          Similarity.opqPermutation(t(s, dir, "embeddings"), m = 8, dim = 64)),
+        m = 8, k = 16, iters = 3, dim = 64)(s)),
+    "langid_model_build" -> ((s, dir) =>
+      TextAnalysis.langIdModelOf(
+        TextAnalysis.langIdCounts(t(s, dir, "documents")))),
+    "langid_floors_build" -> ((s, dir) =>
+      TextAnalysis.langIdFloorsOf(
+        TextAnalysis.langIdCounts(t(s, dir, "documents")))),
+    "langid_pred_build" -> ((s, dir) => {
+      val counts = TextAnalysis.langIdCounts(t(s, dir, "documents"))
+      TextAnalysis.langIdPredict(t(s, dir, "documents"),
+        TextAnalysis.langIdModelOf(counts),
+        TextAnalysis.langIdFloorsOf(counts))
+    }))
+
   /** DuckDB mirror of [[Similarity.pqTrainResidualCodebooks]] +
    * [[Similarity.pqEncodeResidual]]: IVF chain → exact grid residuals →
    * PQ chain over them. */
