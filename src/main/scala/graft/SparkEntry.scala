@@ -3744,6 +3744,36 @@ object SparkEntry {
           .as("text"))
     }),
 
+    "mm_pdf_filters" -> ((s, dir) => {
+      // non-Flate stream-filter family (what pre-2000s writers and many
+      // generators still emit): each doc's decorated text is laid out as
+      // a three-page PDF whose content streams ride
+      // [/ASCII85Decode /FlateDecode], [/ASCIIHexDecode /RunLengthDecode]
+      // and /LZWDecode (explicit /EarlyChange parms) — filter CHAINS and
+      // all four non-Flate decoders on the round-trip path for every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_filters(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+    }),
+
+    "mm_pdf_encrypted" -> ((s, dir) => {
+      // ENCRYPTED-PDF extraction (standard security handler, EMPTY user
+      // password — the owner-restricted shape that dominates "encrypted"
+      // web-crawl PDFs): the cipher rotates per doc across RC4-128
+      // (/V 2 /R 3), the AES-128 /AESV2 crypt filter (/V 4 /R 4) and
+      // AES-256 (/V 5 /R 6, the iterated-SHA revision) — key schedule,
+      // /U validation and per-object/stream decryption all on the
+      // round-trip path at every scale factor. Genuinely locked files
+      // (wrong /U) reject loudly; PdfCodecSpec pins that contract.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_encrypted(
+          concat(col("text"), lit(pdfDeco)),
+          element_at(array(lit("rc4"), lit("aes128"), lit("aes256")),
+            (col("doc_id") % 3 + 1).cast("int")))).as("text"))
+    }),
+
     "pipeline_pdf_curate" -> ((s, dir) => {
       // the composed document-ingest chain from raw PDF bytes: the
       // binary front door FEEDS the quality filter — pipeline_warc_curate
@@ -6174,6 +6204,17 @@ object SparkEntry {
     // come back as plain concatenation
     "mm_pdf_cmap" ->
       s"""SELECT doc_id, text || '$pdfCMapDeco' AS text FROM documents""",
+
+    // the filter-family round-trip: ASCII85+Flate chain, ASCIIHex+RLE
+    // chain and LZW must all come back as plain concatenation
+    "mm_pdf_filters" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // the encrypted round-trip (RC4 / AES-128 / AES-256 rotating by
+    // doc_id): key schedule + /U validation + stream decryption must be
+    // identity — the oracle recomputes the same expected concatenation
+    "mm_pdf_encrypted" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
 
     // quality arithmetic over PDF-extracted text (the warc_curate shape
     // one format over): the oracle computes the same filter over the

@@ -465,6 +465,293 @@ object PdfCodec {
     out.toByteArray
   }
 
+  // ----------------------------------------------- filter fixture encode
+
+  private def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + 1)
+    data.foreach(b => sb ++= f"${b & 0xff}%02X")
+    sb += '>'
+    sb.result().getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < n) data(i + k) & 0xff else 0)
+        k += 1
+      }
+      if (n == 4 && v == 0) sb += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var d = 4
+        while (d >= 0) { cs(d) = ('!' + (v % 85).toInt).toChar; v /= 85; d -= 1 }
+        var c = 0
+        while (c < n + 1) { sb += cs(c); c += 1 }
+      }
+      i += 4
+    }
+    sb ++= "~>"
+    sb.result().getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (run < 128 && i + run < data.length &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run)
+        out.write(data(i) & 0xff)
+        i += run
+      } else {
+        var lit = 0
+        val start = i
+        // a literal chunk extends until a ≥3 run starts or 128 bytes
+        while (lit < 128 && i + lit < data.length &&
+          !(i + lit + 2 < data.length && data(i + lit) == data(i + lit + 1) &&
+            data(i + lit) == data(i + lit + 2))) lit += 1
+        if (lit == 0) lit = 1
+        out.write(lit - 1)
+        out.write(data, start, lit)
+        i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** LZW encoder (EarlyChange = 1), the exact mirror of [[lzwDecode]]'s
+   * width thresholds: a clear code opens the stream (and re-opens it at
+   * table exhaustion), entries assign on emit, and the emit width is
+   * the threshold function of the encoder's own table length (one ahead
+   * of the decoder's, which the decoder's `+ EarlyChange` offsets). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var bits = 0
+    var tabLen = 258
+    def width: Int =
+      if (tabLen >= 2048) 12
+      else if (tabLen >= 1024) 11
+      else if (tabLen >= 512) 10
+      else 9
+    def emit(code: Int): Unit = {
+      val w = width
+      acc = (acc << w) | code
+      bits += w
+      while (bits >= 8) {
+        out.write(((acc >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+    }
+    val dict = mutable.HashMap.empty[String, Int]
+    def reset(): Unit = { dict.clear(); tabLen = 258 }
+    emit(256)
+    reset()
+    if (data.nonEmpty) {
+      val s = view(data)
+      var w = s.substring(0, 1)
+      var i = 1
+      while (i < data.length) {
+        val wc = w + s(i)
+        dict.get(wc) match {
+          case Some(_) => w = wc
+          case None =>
+            emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+            if (tabLen == 4096) { emit(256); reset() }
+            else { dict(wc) = tabLen; tabLen += 1 }
+            w = s.substring(i, i + 1)
+        }
+        i += 1
+      }
+      emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+    }
+    emit(257)
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Three-page fixture exercising the non-Flate filter family: the
+   * UTF-8 text bytes split in three, page 1 under
+   * `/Filter [/ASCII85Decode /FlateDecode]` (a chained array), page 2
+   * under `/Filter [/ASCIIHexDecode /RunLengthDecode]`, page 3 under
+   * `/Filter /LZWDecode` with an explicit `/DecodeParms
+   * << /EarlyChange 1 >>`. Classic xref, raw-UTF-8 text — extraction
+   * must reassemble the exact input. */
+  def encodeFilters(text: String): Array[Byte] = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val a = bytes.length / 3
+    val b = a + (bytes.length - a) / 2
+    def content(lo: Int, hi: Int): Array[Byte] =
+      ("BT /F1 12 Tf 72 720 Td (" +
+        literal(java.util.Arrays.copyOfRange(bytes, lo, hi)) +
+        ") Tj ET").getBytes(StandardCharsets.ISO_8859_1)
+    val c1 = ascii85Encode(deflate(content(0, a)))
+    val c2 = asciiHexEncode(runLengthEncode(content(a, b)))
+    val c3 = lzwEncode(content(b, bytes.length))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val off = new Array[Int](9)
+    w("%PDF-1.4\n")
+    off(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    off(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>\nendobj\n")
+    val pages = Seq(
+      (3, 4, c1, "/Filter [/ASCII85Decode /FlateDecode]"),
+      (5, 6, c2, "/Filter [/ASCIIHexDecode /RunLengthDecode]"),
+      (7, 8, c3, "/Filter /LZWDecode /DecodeParms << /EarlyChange 1 >>"))
+    pages.foreach { case (pn, cn, data, filt) =>
+      off(pn) = out.size()
+      w(s"$pn 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $cn 0 R >>\nendobj\n")
+      off(cn) = out.size()
+      w(s"$cn 0 obj\n<< /Length ${data.length} $filt >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val xref = out.size()
+    w("xref\n0 9\n0000000000 65535 f \n")
+    (1 to 8).foreach(i => w(f"${off(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // -------------------------------------------- encrypted fixture encode
+
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+
+  /** Deterministic pseudo-random bytes for fixture salts/IVs/keys —
+   * MD5-derived from a label + the document bytes, so the same text
+   * always builds the same encrypted file (oracle-replayable). */
+  private def fixtureBytes(label: String, seed: Array[Byte],
+                           n: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.io.ByteArrayOutputStream()
+    var block = label.getBytes(StandardCharsets.UTF_8) ++ seed
+    while (out.size() < n) {
+      block = md.digest(block)
+      out.write(block, 0, block.length)
+    }
+    out.toByteArray.take(n)
+  }
+
+  /** Single-page ENCRYPTED fixture (standard security handler, empty
+   * user password — the owner-restricted real-crawl shape; owner
+   * password "graft-owner"):
+   *  - `rc4`    → `/V 2 /R 3`, 128-bit RC4 (Algorithms 2/3/5 exactly);
+   *  - `aes128` → `/V 4 /R 4`, `/CF /StdCF /CFM /AESV2` crypt filter,
+   *               AES-128-CBC with a 16-byte IV prefix;
+   *  - `aes256` → `/V 5 /R 6`, the AES-256 revision: `/U`/`/O` from
+   *               the iterated 2.B hash, file key wrapped in
+   *               `/UE`/`/OE`, `/Perms` sealed with AES-ECB.
+   * The content stream is FlateDecoded then encrypted (decryption runs
+   * before filters on read, per spec); all keys, salts and IVs are
+   * deterministic functions of the text. */
+  def encodeEncrypted(text: String, variant: String): Array[Byte] = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val content = deflate(("BT /F1 12 Tf 72 720 Td (" + literal(bytes) +
+      ") Tj ET").getBytes(StandardCharsets.ISO_8859_1))
+    val id0 = fixtureBytes("id", bytes, 16)
+    val owner = "graft-owner".getBytes(StandardCharsets.UTF_8)
+    val user = Array.empty[Byte]
+    val pFlags = -4 // all content permissions, no edit
+
+    val contentObj = 4
+    val (encDict: String, encContent: Array[Byte]) = variant match {
+      case "rc4" =>
+        val o = PdfCrypto.ownerValue(owner, user, r = 3, keyBytes = 16)
+        val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 3,
+          keyBytes = 16, encryptMetadata = true)
+        val u = PdfCrypto.userValue(key, id0, r = 3)
+        (s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $pFlags " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
+          PdfCrypto.rc4(
+            PdfCrypto.objectKey(key, contentObj, 0, aesV2 = false), content))
+      case "aes128" =>
+        val o = PdfCrypto.ownerValue(owner, user, r = 4, keyBytes = 16)
+        val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 4,
+          keyBytes = 16, encryptMetadata = true)
+        val u = PdfCrypto.userValue(key, id0, r = 4)
+        val iv = fixtureBytes("iv", bytes, 16)
+        (s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $pFlags " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
+          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
+          PdfCrypto.aesStreamEncrypt(
+            PdfCrypto.objectKey(key, contentObj, 0, aesV2 = true),
+            iv, content))
+      case "aes256" =>
+        val fileKey = fixtureBytes("key", bytes, 32)
+        val vSalt = fixtureBytes("vs", bytes, 8)
+        val kSalt = fixtureBytes("ks", bytes, 8)
+        val u48 = PdfCrypto.hash2B(user, vSalt, Array.empty) ++ vSalt ++ kSalt
+        val ue = PdfCrypto.aesCbcNoPad(encrypt = true,
+          PdfCrypto.hash2B(user, kSalt, Array.empty),
+          new Array[Byte](16), fileKey)
+        val ovSalt = fixtureBytes("ovs", bytes, 8)
+        val okSalt = fixtureBytes("oks", bytes, 8)
+        val o48 = PdfCrypto.hash2B(owner, ovSalt, u48) ++ ovSalt ++ okSalt
+        val oe = PdfCrypto.aesCbcNoPad(encrypt = true,
+          PdfCrypto.hash2B(owner, okSalt, u48),
+          new Array[Byte](16), fileKey)
+        val permsPlain = Array(
+          (pFlags & 0xff).toByte, ((pFlags >> 8) & 0xff).toByte,
+          ((pFlags >> 16) & 0xff).toByte, ((pFlags >> 24) & 0xff).toByte,
+          0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+          'T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte) ++
+          fixtureBytes("pr", bytes, 4)
+        val perms = {
+          val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+          c.doFinal(permsPlain)
+        }
+        val iv = fixtureBytes("iv", bytes, 16)
+        (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $pFlags " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen " +
+          "/Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(o48)} /U ${hexStr(u48)} " +
+          s"/OE ${hexStr(oe)} /UE ${hexStr(ue)} " +
+          s"/Perms ${hexStr(perms)} >>",
+          PdfCrypto.aesStreamEncrypt(fileKey, iv, content))
+      case other => throw new IllegalArgumentException(
+        s"pdf: unknown encryption fixture variant '$other'")
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val off = new Array[Int](6)
+    w(if (variant == "aes256") "%PDF-1.7\n" else "%PDF-1.4\n")
+    off(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    off(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    off(3) = out.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    off(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${encContent.length} /Filter /FlateDecode >>" +
+      "\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    off(5) = out.size()
+    w(s"5 0 obj\n$encDict\nendobj\n")
+    val xref = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => w(f"${off(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [${hexStr(id0)} ${hexStr(id0)}] >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decode
 
   /** Byte-preserving view for structure scanning (ISO-8859-1 is a 1:1
@@ -665,30 +952,266 @@ object PdfCodec {
     out
   }
 
-  /** Apply `/Filter` (FlateDecode only) then `/DecodeParms` predictors
-   * to a raw stream. */
-  private def unfiltered(dict: String, raw: Array[Byte],
-                         what: => String): Array[Byte] = {
-    val un = if (keyIndex(dict, "/Filter") >= 0) {
-      need(dict.contains("/FlateDecode"),
-        s"$what: only /FlateDecode is supported")
-      inflate(raw)
-    } else raw
-    valueAfter(dict, "/DecodeParms") match {
-      case None => un
-      case Some(PDict(dp)) =>
+  // ------------------------------------------------------ stream filters
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>`
+   * terminator required, odd final digit padded with 0. */
+  private def asciiHexDecode(data: Array[Byte],
+                             what: => String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        need(d >= 0, s"$what: bad ASCIIHex character 0x${(c.toInt & 0xff)
+          .toHexString}")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    need(done, s"$what: ASCIIHex data lacks the > terminator")
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`–`u` → 4 bytes base-85, `z` =
+   * four zero bytes (group boundaries only), `~>` terminator, partial
+   * final group of n chars → n−1 bytes (padded with `u`). */
+  private def ascii85Decode(data: Array[Byte],
+                            what: => String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+      need(v <= 0xffffffffL, s"$what: ASCII85 group exceeds 32 bits")
+      val bs = Array(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+        ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+      var b = 0
+      while (b < count - 1) { out.write(bs(b)); b += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') {
+        need(i + 1 < data.length && (data(i + 1) & 0xff) == '>',
+          s"$what: ASCII85 ~ not followed by >")
+        done = true
+      } else if (c == 'z') {
+        need(n == 0, s"$what: ASCII85 z inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        need(c >= '!' && c <= 'u',
+          s"$what: bad ASCII85 character 0x${(c.toInt & 0xff).toHexString}")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    need(done, s"$what: ASCII85 data lacks the ~> terminator")
+    if (n == 1) throw new IllegalArgumentException(
+      s"pdf: $what: ASCII85 final group of a single character")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L ≤ 127 copies the next L+1
+   * bytes; L ≥ 129 repeats the next byte 257−L times; 128 is EOD. */
+  private def runLengthDecode(data: Array[Byte],
+                              what: => String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        need(i + 2 + l <= data.length,
+          s"$what: RunLength literal run of ${l + 1} overruns the data")
+        out.write(data, i + 1, l + 1)
+        i += l + 1
+      } else {
+        need(i + 1 < data.length, s"$what: RunLength repeat run lacks its byte")
+        val b = data(i + 1) & 0xff
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+        i += 1
+      }
+      i += 1
+      need(out.size().toLong <= MaxInflatedBytes,
+        s"$what: RunLength output exceeds $MaxInflatedBytes bytes")
+    }
+    need(done, s"$what: RunLength data lacks the EOD byte")
+    out.toByteArray
+  }
+
+  /** LZWDecode (§7.4.4): 9→12-bit variable-width codes, 256 = clear,
+   * 257 = EOD; `/EarlyChange` 1 (default) widens one code early. Width
+   * selection follows the table-size thresholds a conforming encoder
+   * uses, so streams from real writers decode exactly. */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int,
+                        what: => String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val table = new Array[Array[Byte]](4096)
+    var tabLen = 258
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    def width: Int =
+      if (tabLen + earlyChange >= 2048) 12
+      else if (tabLen + earlyChange >= 1024) 11
+      else if (tabLen + earlyChange >= 512) 10
+      else 9
+    while (!done) {
+      val w = width
+      while (bits < w && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
+      }
+      need(bits >= w, s"$what: LZW stream ends without EOD")
+      val code = ((acc >> (bits - w)) & ((1L << w) - 1)).toInt
+      bits -= w
+      if (code == 256) { tabLen = 258; prev = null }
+      else if (code == 257) done = true
+      else {
+        val seq: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < tabLen && code >= 258) table(code)
+          else if (code == tabLen && prev != null) prev :+ prev(0)
+          else throw new IllegalArgumentException(
+            s"pdf: $what: LZW code $code outside the table (length $tabLen)")
+        out.write(seq, 0, seq.length)
+        need(out.size().toLong <= MaxInflatedBytes,
+          s"$what: LZW output exceeds $MaxInflatedBytes bytes")
+        if (prev != null && tabLen < 4096) {
+          table(tabLen) = prev :+ seq(0)
+          tabLen += 1
+        }
+        prev = seq
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The `/Filter` chain with per-filter `/DecodeParms`, in decode
+   * order. `/Filter` may be a single name or an array of names;
+   * `/DecodeParms` a single dictionary (single filter only), `null`,
+   * or a parallel array of dictionaries / `null`s. */
+  private def filterChain(dict: String,
+                          what: => String): Seq[(String, Option[String])] = {
+    val fi = keyIndex(dict, "/Filter")
+    if (fi < 0) return Seq.empty
+    val names: Seq[String] = valueAfter(dict, "/Filter") match {
+      case Some(PName(n)) => Seq(n)
+      case _ =>
+        var j = fi + "/Filter".length
+        while (j < dict.length && dict(j).isWhitespace) j += 1
+        need(j < dict.length && dict(j) == '[',
+          s"$what: /Filter is neither a name nor an array")
+        val close = dict.indexOf(']', j)
+        need(close >= 0, s"$what: unterminated /Filter array")
+        val ns = """/([A-Za-z0-9]+)""".r
+          .findAllMatchIn(dict.substring(j + 1, close)).map(_.group(1)).toSeq
+        need(ns.nonEmpty, s"$what: empty /Filter array")
+        ns
+    }
+    val pi = keyIndex(dict, "/DecodeParms")
+    val parms: Seq[Option[String]] =
+      if (pi < 0) Seq.fill(names.length)(None)
+      else {
+        var j = pi + "/DecodeParms".length
+        while (j < dict.length && dict(j).isWhitespace) j += 1
+        need(j < dict.length, s"$what: dangling /DecodeParms")
+        if (dict.startsWith("<<", j)) {
+          need(names.length == 1,
+            s"$what: one /DecodeParms dictionary for ${names.length} filters")
+          Seq(Some(dict.substring(j, dictEnd(dict, j))))
+        } else if (dict.startsWith("null", j)) {
+          Seq.fill(names.length)(None)
+        } else if (dict(j) == '[') {
+          var p = j + 1
+          val out = Seq.newBuilder[Option[String]]
+          var closed = false
+          while (p < dict.length && !closed) {
+            if (dict(p) == ']') closed = true
+            else if (dict(p).isWhitespace) p += 1
+            else if (dict.startsWith("null", p)) { out += None; p += 4 }
+            else if (dict.startsWith("<<", p)) {
+              val e = dictEnd(dict, p)
+              out += Some(dict.substring(p, e))
+              p = e
+            } else throw new IllegalArgumentException(
+              s"pdf: $what: /DecodeParms array holds a non-dictionary")
+          }
+          need(closed, s"$what: unterminated /DecodeParms array")
+          val seq = out.result()
+          need(seq.length == names.length,
+            s"$what: /DecodeParms array length ${seq.length} != " +
+              s"/Filter length ${names.length}")
+          seq
+        } else throw new IllegalArgumentException(
+          s"pdf: $what: /DecodeParms must be a dictionary, null, or array")
+      }
+    names.zip(parms)
+  }
+
+  /** Apply one filter's `/DecodeParms` predictor (1 = none, PNG 10–15)
+   * to its decoded output. */
+  private def postPredictor(decoded: Array[Byte], parms: Option[String],
+                            what: => String): Array[Byte] =
+    parms match {
+      case None => decoded
+      case Some(dp) =>
         val pred = intAfter(dp, "/Predictor").getOrElse(1L)
-        if (pred == 1) un
+        if (pred == 1) decoded
         else {
           need(pred >= 10 && pred <= 15,
             s"$what: unsupported /Predictor $pred (1 or PNG 10-15 only)")
           val cols = intAfter(dp, "/Columns").getOrElse(1L)
           need(cols >= 1 && cols <= (1 << 16), s"$what: bad /Columns $cols")
-          pngUnfilter(un, cols.toInt, what)
+          pngUnfilter(decoded, cols.toInt, what)
         }
-      case Some(_) => throw new IllegalArgumentException(
-        s"pdf: $what: /DecodeParms must be a direct dictionary")
     }
+
+  /** Apply the full `/Filter` chain (FlateDecode, LZWDecode,
+   * ASCIIHexDecode, ASCII85Decode, RunLengthDecode — anything else
+   * rejects loudly) with per-filter `/DecodeParms`. */
+  private def unfiltered(dict: String, raw: Array[Byte],
+                         what: => String): Array[Byte] = {
+    val chain = filterChain(dict, what)
+    if (chain.isEmpty)
+      // legacy shape: a predictor may still ride a bare /DecodeParms
+      return postPredictor(raw, valueAfter(dict, "/DecodeParms") match {
+        case Some(PDict(dp)) => Some(dp)
+        case None => None
+        case Some(_) => throw new IllegalArgumentException(
+          s"pdf: $what: /DecodeParms must be a direct dictionary")
+      }, what)
+    var data = raw
+    chain.foreach { case (name, parms) =>
+      data = name match {
+        case "FlateDecode" => postPredictor(inflate(data), parms, what)
+        case "LZWDecode" =>
+          val ec = parms.flatMap(intAfter(_, "/EarlyChange")).getOrElse(1L)
+          need(ec == 0 || ec == 1, s"$what: bad /EarlyChange $ec")
+          postPredictor(lzwDecode(data, ec.toInt, what), parms, what)
+        case "ASCIIHexDecode" => asciiHexDecode(data, what)
+        case "ASCII85Decode" => ascii85Decode(data, what)
+        case "RunLengthDecode" => runLengthDecode(data, what)
+        case other => throw new IllegalArgumentException(
+          s"pdf: $what: /Filter /$other unsupported")
+      }
+    }
+    data
   }
 
   // ------------------------------------------------ cross-reference walk
@@ -832,15 +1355,17 @@ object PdfCodec {
   }
 
   /** Walk the whole cross-reference chain (newest → oldest through
-   * `/Prev`), first-seen-wins merge (free entries mask), every trailer
-   * checked for `/Encrypt`; returns the object map and the newest
-   * trailer that names `/Root`. */
+   * `/Prev`), first-seen-wins merge (free entries mask); returns the
+   * object map, the newest trailer that names `/Root`, and the newest
+   * trailer that names `/Encrypt` (None for unencrypted documents). */
   private def readXrefChain(bytes: Array[Byte], s: String,
-                            startOff: Long): (Map[Int, Loc], String) = {
+                            startOff: Long)
+      : (Map[Int, Loc], String, Option[String]) = {
     val locs = mutable.Map.empty[Int, Loc]
     val claimed = mutable.Set.empty[Int]
     val seenOffsets = mutable.Set.empty[Long]
     var rootTrailer: Option[String] = None
+    var encTrailer: Option[String] = None
     var cur: Option[Long] = Some(startOff)
     var hops = 0
     while (cur.isDefined) {
@@ -853,27 +1378,54 @@ object PdfCodec {
       val section =
         if (s.startsWith("xref", off)) readClassicXref(s, off)
         else readXrefStream(bytes, s, off)
-      need(keyIndex(section.trailer, "/Encrypt") < 0,
-        "encrypted document unsupported in this subset")
       section.entries.foreach { case (n, loc) =>
         if (claimed.add(n)) locs += n -> loc
       }
       section.free.foreach(claimed.add)
       if (rootTrailer.isEmpty && keyIndex(section.trailer, "/Root") >= 0)
         rootTrailer = Some(section.trailer)
+      if (encTrailer.isEmpty && keyIndex(section.trailer, "/Encrypt") >= 0)
+        encTrailer = Some(section.trailer)
       cur = section.prev
     }
     (locs.toMap,
       rootTrailer.getOrElse(throw new IllegalArgumentException(
-        "pdf: no trailer in the xref chain names /Root")))
+        "pdf: no trailer in the xref chain names /Root")),
+      encTrailer)
+  }
+
+  /** First element of the trailer's `/ID [ <…> <…> ]` array (part of
+   * the revision-2–4 key derivation). Empty when absent — some real
+   * writers omit it; the key derivation then simply hashes nothing
+   * for that component, which is also what opened the file. */
+  private def docIdFirst(trailer: String): Array[Byte] = {
+    val i = keyIndex(trailer, "/ID")
+    if (i < 0) return Array.empty
+    var j = i + 3
+    while (j < trailer.length && trailer(j).isWhitespace) j += 1
+    if (j >= trailer.length || trailer(j) != '[') return Array.empty
+    j += 1
+    while (j < trailer.length && trailer(j).isWhitespace) j += 1
+    if (j >= trailer.length) Array.empty
+    else if (trailer(j) == '(') PdfCrypto.literalStringAt(trailer, j)._1
+    else if (trailer(j) == '<' && !trailer.startsWith("<<", j))
+      PdfCrypto.hexStringAt(trailer, j)._1
+    else Array.empty
   }
 
   // ------------------------------------------------------ object reader
 
   /** Resolves object numbers through the merged xref map, extracting
-   * type-2 objects from their (cached, once-inflated) object streams. */
+   * type-2 objects from their (cached, once-inflated) object streams.
+   * When the document is encrypted, `decryptor` is applied to every
+   * stream payload served from here (the per-object key is the owning
+   * object's number; our subset only frames generation 0). Cross-
+   * reference streams never pass through this reader — they are read
+   * by [[readXrefStream]] before any key exists, matching the spec
+   * rule that the xref stream itself is never encrypted. */
   private final class ObjReader(bytes: Array[Byte], s: String,
-                                locs: Map[Int, Loc]) {
+                                locs: Map[Int, Loc],
+                                decryptor: Option[PdfCrypto.Decryptor]) {
     private val stmCache =
       mutable.Map.empty[Int, (Array[Int], Array[Int], String)]
 
@@ -883,7 +1435,10 @@ object PdfCodec {
       case Some(Direct(off)) =>
         val (num, dict, data) = parseObjAt(bytes, s, off)
         need(num == n, s"xref points $n at object $num")
-        (dict, data)
+        (dict, data.map(d => decryptor match {
+          case Some(dec) => dec.stream(n, 0, d)
+          case None => d
+        }))
       case Some(InStream(stm, idx)) =>
         val (nums, offs, content) = objStm(stm)
         need(idx >= 0 && idx < nums.length,
@@ -1302,13 +1857,37 @@ object PdfCodec {
     val xrefOff = parseNum("""\d+""".r.findFirstIn(s.substring(sx + 9))
       .getOrElse(throw new IllegalArgumentException(
         "pdf: no offset after startxref")), "startxref offset")
-    val (objMap, trailer) = readXrefChain(bytes, s, xrefOff)
+    val (objMap, trailer, encTrailer) = readXrefChain(bytes, s, xrefOff)
     val rootNum = valueAfter(trailer, "/Root") match {
       case Some(PRef(n)) => n
       case _ => throw new IllegalArgumentException(
         "pdf: trailer /Root is not an indirect reference")
     }
-    val rd = new ObjReader(bytes, s, objMap)
+    // Standard security handler: resolve /Encrypt (direct dictionary or
+    // a DIRECTLY-stored indirect object — the spec forbids the encrypt
+    // dictionary inside an object stream), open with the EMPTY user
+    // password (the real-crawl case: owner-restricted, user-open), and
+    // decrypt every stream this reader serves. A genuinely
+    // password-protected file rejects loudly inside PdfCrypto.
+    val decryptor: Option[PdfCrypto.Decryptor] = encTrailer.map { et =>
+      val encDict = valueAfter(et, "/Encrypt") match {
+        case Some(PDict(d)) => d
+        case Some(PRef(n)) => objMap.get(n) match {
+          case Some(Direct(off)) =>
+            val (num, d, _) = parseObjAt(bytes, s, off)
+            need(num == n, s"xref points /Encrypt $n at object $num")
+            d
+          case Some(InStream(_, _)) => throw new IllegalArgumentException(
+            "pdf: /Encrypt dictionary may not live inside an object stream")
+          case None => throw new IllegalArgumentException(
+            s"pdf: /Encrypt object $n not in xref")
+        }
+        case _ => throw new IllegalArgumentException(
+          "pdf: /Encrypt is neither a dictionary nor a reference")
+      }
+      PdfCrypto.decryptor(encDict, docIdFirst(et))
+    }
+    val rd = new ObjReader(bytes, s, objMap, decryptor)
 
     val catalog = rd.dict(rootNum)
     val pagesNum = valueAfter(catalog, "/Pages") match {
@@ -1382,6 +1961,10 @@ object PdfCodec {
     encodeModern(text.toString)
   def encodeCMapRow(text: UTF8String): Array[Byte] =
     encodeCMap(text.toString)
+  def encodeFiltersRow(text: UTF8String): Array[Byte] =
+    encodeFilters(text.toString)
+  def encodeEncryptedRow(text: UTF8String, variant: UTF8String): Array[Byte] =
+    encodeEncrypted(text.toString, variant.toString)
   def extractRow(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(extract(bytes))
 }
@@ -1439,6 +2022,49 @@ case class PdfEncodeCMapExpr(child: Expression) extends UnaryExpression {
       c: Expression): PdfEncodeCMapExpr = copy(child = c)
 }
 
+/** `pdf_encode_filters(string)` → BINARY — the filter-family fixture
+ * builder: three pages under `[/ASCII85Decode /FlateDecode]`,
+ * `[/ASCIIHexDecode /RunLengthDecode]` and `/LZWDecode`. */
+case class PdfEncodeFiltersExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_encode_filters requires STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.encodeFiltersRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.PdfCodec.encodeFiltersRow($b)")
+  override protected def withNewChildInternal(
+      c: Expression): PdfEncodeFiltersExpr = copy(child = c)
+}
+
+/** `pdf_encode_encrypted(string, variant)` → BINARY — the standard-
+ * security-handler fixture builder (`rc4` | `aes128` | `aes256`),
+ * empty user password, deterministic keys/salts/IVs. */
+case class PdfEncodeEncryptedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pdf_encode_encrypted requires (STRING, STRING), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PdfCodec.encodeEncryptedRow(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PdfCodec.encodeEncryptedRow($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PdfEncodeEncryptedExpr =
+    copy(left = l, right = r)
+}
+
 /** `pdf_extract(binary)` → STRING — the scan-stage content decode
  * (codegen'd call into the static extract kernel). */
 case class PdfExtractExpr(child: Expression) extends UnaryExpression {
@@ -1467,6 +2093,13 @@ object PdfFunctions {
 
   def pdf_encode_cmap(c: Column): Column =
     GraftShim.column(PdfEncodeCMapExpr(GraftShim.expression(c)))
+
+  def pdf_encode_filters(c: Column): Column =
+    GraftShim.column(PdfEncodeFiltersExpr(GraftShim.expression(c)))
+
+  def pdf_encode_encrypted(c: Column, variant: Column): Column =
+    GraftShim.column(PdfEncodeEncryptedExpr(
+      GraftShim.expression(c), GraftShim.expression(variant)))
 
   def pdf_extract(c: Column): Column =
     GraftShim.column(PdfExtractExpr(GraftShim.expression(c)))

@@ -85,11 +85,12 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("startxref"))
   }
 
-  test("hostile: encrypted documents are rejected loudly; startxref " +
-    "pointing at a non-XRef object is rejected, not guessed") {
+  test("hostile: /Encrypt pointing at a missing object is rejected " +
+    "loudly; startxref pointing at a non-XRef object is rejected, " +
+    "not guessed") {
     val enc = rawPdf("BT (secret) Tj ET", trailerExtra = " /Encrypt 9 0 R")
     val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(enc) }
-    assert(e1.getMessage.contains("encrypted"))
+    assert(e1.getMessage.contains("/Encrypt object 9 not in xref"))
     // startxref pointing at a plain content object: supported xref
     // STREAMS are /Type /XRef — anything else there must reject
     val ok = PdfCodec.encode("victim")
@@ -262,12 +263,13 @@ class PdfCodecSpec extends AnyFunSuite {
       PdfCodec.extract(mutate("/Predictor 12", "/Predictor 2"))
     }
     assert(e3.getMessage.contains("Predictor"))
-    // xref stream trailer carrying /Encrypt
+    // xref stream trailer carrying /Encrypt that resolves to nothing:
+    // the security handler must reject loudly, never guess plaintext
     val e4 = intercept[IllegalArgumentException] {
       PdfCodec.extract(mutate("/Root 1 0 R /Filter",
         "/Root 1 0 R /Encrypt 9 0 R /Filter"))
     }
-    assert(e4.getMessage.contains("encrypted"))
+    assert(e4.getMessage.contains("/Encrypt object 9 not in xref"))
     // type-2 entry pointing into an object that is not /Type /ObjStm
     val e5 = intercept[IllegalArgumentException] {
       PdfCodec.extract(mutate("/Type /ObjStm", "/Type /Other6"))
@@ -333,15 +335,149 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("inflates past"))
   }
 
-  test("hostile: /Length overrunning the file and a non-Flate filter " +
-    "are rejected with the pdf: contract") {
+  test("hostile: /Length overrunning the file and an unsupported " +
+    "filter are rejected with the pdf: contract") {
     val over = rawPdf("BT (x) Tj ET",
       contentDict = _ => "<< /Length 99999 >>")
     val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(over) }
     assert(e1.getMessage.contains("overruns"))
-    val lzw = rawPdf("BT (x) Tj ET",
-      contentDict = l => s"<< /Length $l /Filter /LZWDecode >>")
-    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(lzw) }
-    assert(e2.getMessage.contains("FlateDecode"))
+    val jbig = rawPdf("BT (x) Tj ET",
+      contentDict = l => s"<< /Length $l /Filter /JBIG2Decode >>")
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(jbig) }
+    assert(e2.getMessage.contains("/JBIG2Decode unsupported"))
+  }
+
+  // ------------------------------------------------- stream filter family
+
+  test("filter-family round-trip: /Filter chains " +
+    "[/ASCII85Decode /FlateDecode], [/ASCIIHexDecode /RunLengthDecode] " +
+    "and /LZWDecode, text bytes straddling the page split") {
+    val texts = Seq(
+      "hello filter world",
+      "runs: aaaaaaaaaaaaaaaa bbbb c",
+      "multi-byte 中文テキスト straddles page boundaries 😀 fin",
+      "", "x", "xy")
+    texts.foreach { t =>
+      assert(PdfCodec.extract(PdfCodec.encodeFilters(t)) === t, s"text: $t")
+    }
+    // LZW code-width growth 9->10->11->12 AND a table reset past 4096
+    // entries, plus enough repetition for real RunLength repeat runs
+    val big = (0 until 30000)
+      .map(i => ((i * 2654435761L) % 93 + 33).toChar).mkString +
+      ("z" * 400) + " 中文 😀"
+    assert(PdfCodec.extract(PdfCodec.encodeFilters(big)) === big)
+  }
+
+  test("ASCII85 z shorthand: an aligned all-zero group collapses to " +
+    "one z in the encoded stream and expands back to four NULs") {
+    // the prefix is exactly 16 bytes, so the four NULs (inert inside a
+    // %-comment) land on a 4-byte group boundary -> the encoder MUST
+    // emit z, and the decoder's z path is on the round-trip
+    val prefix = "BT (okz) Tj ET %"
+    assert(prefix.length == 16)
+    val content = (prefix + "\u0000\u0000\u0000\u0000")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val enc = new String(PdfCodec.ascii85Encode(content),
+      StandardCharsets.ISO_8859_1)
+    assert(enc.contains("z"), s"no z shorthand in: $enc")
+    val pdf = rawPdf(enc,
+      contentDict = _ => s"<< /Length ${enc.length} /Filter /ASCII85Decode >>")
+    assert(PdfCodec.extract(pdf) === "okz")
+  }
+
+  test("hostile filter data rejects inside the pdf: contract: bad A85 " +
+    "char, z mid-group, single-char final group, missing terminators, " +
+    "RLE overrun, LZW code past the table, /DecodeParms length mismatch") {
+    def withFilter(filt: String, body: String): Array[Byte] =
+      rawPdf(body, contentDict = l => s"<< /Length ${body.length} $filt >>")
+    def expectPdf(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { PdfCodec.extract(bytes) }
+      assert(e.getMessage.startsWith("pdf:"), e.getMessage)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    expectPdf(withFilter("/Filter /ASCII85Decode", "ab«cd~>"),
+      "bad ASCII85 character")
+    expectPdf(withFilter("/Filter /ASCII85Decode", "abzcd~>"),
+      "z inside a group")
+    expectPdf(withFilter("/Filter /ASCII85Decode", "abcde!~>"),
+      "single character")
+    expectPdf(withFilter("/Filter /ASCII85Decode", "abcde"),
+      "lacks the ~> terminator")
+    expectPdf(withFilter("/Filter /ASCIIHexDecode", "41g>"),
+      "bad ASCIIHex character")
+    expectPdf(withFilter("/Filter /ASCIIHexDecode", "4142"),
+      "lacks the > terminator")
+    // RLE: literal run of 32 bytes declared, 3 supplied
+    expectPdf(withFilter("/Filter /RunLengthDecode", "abc"),
+      "overruns the data")
+    expectPdf(withFilter("/Filter /RunLengthDecode", "abc"),
+      "lacks the EOD byte")
+    // LZW: 0xFF padding decodes to code 511 at width 9 with an empty
+    // table -- outside the table, loud
+    expectPdf(withFilter("/Filter /LZWDecode", "ÿÿÿÿ"),
+      "outside the table")
+    expectPdf(withFilter(
+      "/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null]",
+      "41>"), "/DecodeParms array length")
+    expectPdf(withFilter("/Filter [/Foo]", "x"), "/Foo unsupported")
+  }
+
+  // -------------------------------------------------- encrypted documents
+
+  test("encrypted round-trip, empty user password: RC4-128 (R3), " +
+    "AES-128 crypt filter (R4/AESV2), AES-256 (R6/AESV3)") {
+    val texts = Seq(
+      "owner-restricted but user-open",
+      "multi-byte 中文 😀 café straddling blocks " + ("pad " * 40),
+      "", "x")
+    for (t <- texts; v <- Seq("rc4", "aes128", "aes256")) {
+      assert(PdfCodec.extract(PdfCodec.encodeEncrypted(t, v)) === t,
+        s"variant $v, text: ${t.take(30)}")
+    }
+  }
+
+  test("password-protected documents reject loudly: a corrupted /U " +
+    "fails validation in every revision") {
+    for (v <- Seq("rc4", "aes128", "aes256")) {
+      val ok = PdfCodec.encodeEncrypted("locked content", v)
+      val s = new String(ok, StandardCharsets.ISO_8859_1)
+      val ui = s.indexOf("/U <")
+      assert(ui >= 0)
+      // flip the first /U byte (same length, offsets intact)
+      val origByte = s.substring(ui + 4, ui + 6)
+      val flipped = f"${(Integer.parseInt(origByte, 16) ^ 0xff)}%02X"
+      val bad = (s.substring(0, ui + 4) + flipped + s.substring(ui + 6))
+        .getBytes(StandardCharsets.ISO_8859_1)
+      val e = intercept[IllegalArgumentException] { PdfCodec.extract(bad) }
+      assert(e.getMessage.contains("password-protected"), s"$v: ${e.getMessage}")
+    }
+  }
+
+  test("hostile encryption dictionaries reject inside the pdf: " +
+    "contract: unsupported /V, unsupported /CFM, corrupted AES " +
+    "ciphertext") {
+    def mutate(variant: String, from: String, to: String): Array[Byte] = {
+      require(from.length == to.length, "offset-preserving edits only")
+      val s = new String(PdfCodec.encodeEncrypted("seal", variant),
+        StandardCharsets.ISO_8859_1)
+      assert(s.contains(from), s"fixture lacks '$from'")
+      s.replace(from, to).getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("rc4", "/V 2 /R 3", "/V 7 /R 3"))
+    }
+    assert(e1.getMessage.contains("/V 7 unsupported"))
+    val e2 = intercept[IllegalArgumentException] {
+      PdfCodec.extract(mutate("aes128", "/CFM /AESV2", "/CFM /AESV9"))
+    }
+    assert(e2.getMessage.contains("/AESV9 unsupported"))
+    // flip one ciphertext byte in place: CBC garbage either fails the
+    // PKCS#5 pad or inflates to garbage -- both land in the pdf: contract
+    val ok = PdfCodec.encodeEncrypted("corrupt me please", "aes128")
+    val s = new String(ok, StandardCharsets.ISO_8859_1)
+    val si = s.indexOf("stream\n") + 7
+    ok(si + 20) = (ok(si + 20) ^ 0x5a).toByte
+    val e3 = intercept[IllegalArgumentException] { PdfCodec.extract(ok) }
+    assert(e3.getMessage.startsWith("pdf:"), e3.getMessage)
   }
 }

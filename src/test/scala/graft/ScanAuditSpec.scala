@@ -64,10 +64,12 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
   }
 
-  test("mm_pdf_extract + pipeline_pdf_curate: the PDF front door is one " +
-    "pruned scan, zero Exchange — encode, xref walk, inflate, operator " +
-    "parse and the quality filter all ride a single narrow projection") {
-    for (q <- Seq("mm_pdf_extract", "pipeline_pdf_curate")) {
+  test("mm_pdf_extract + pipeline_pdf_curate + mm_pdf_filters + " +
+    "mm_pdf_encrypted: the PDF front door is one pruned scan, zero " +
+    "Exchange — encode, xref walk, filters, decryption, operator parse " +
+    "and the quality filter all ride a single narrow projection") {
+    for (q <- Seq("mm_pdf_extract", "pipeline_pdf_curate", "mm_pdf_filters",
+        "mm_pdf_encrypted")) {
       val p = plan(q)
       val rs = scanColumns(p)
       assert(rs.size === 1 && rs.head === Set("doc_id", "text"),
