@@ -3695,6 +3695,46 @@ object SparkEntry {
           col("pos"))
     }),
 
+    "pipeline_mixed_corpus" -> ((s, dir) => {
+      // MIXED-FORMAT ingest, the shape a real crawl actually has: one
+      // opaque binary column carrying HTML pages (even docs) AND PDF
+      // blobs (odd docs), format resolved by MAGIC SNIFF on the bytes
+      // (%PDF- header), DISPATCHED to the per-format front door
+      // (pdf_extract vs boilerplate extraction), then the SHARED
+      // curation tail — quality arithmetic and the corpus-trained
+      // language ID — over the union. Pins that dispatch composes:
+      // per-format rows cannot catch a quality filter or classifier
+      // running on text that came out of the wrong extractor.
+      import graft.functions.PdfFunctions._
+      val htmlBlobs = markupDocs(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("html").cast("binary").as("blob"))
+      val pdfBlobs = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          pdf_encode(concat(col("text"), lit(pdfDeco))).as("blob"))
+      val sniffed = htmlBlobs.unionByName(pdfBlobs).withColumn("format",
+        when(substring(col("blob"), 1, 5) ===
+          lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          "pdf").otherwise("html"))
+      val pdfText = sniffed.filter(col("format") === "pdf")
+        .select(col("doc_id"), col("format"),
+          pdf_extract(col("blob")).as("text"))
+      val htmlText = TextAnalysis.htmlExtract(
+          sniffed.filter(col("format") === "html")
+            .select(col("doc_id"), col("blob").cast("string").as("html")))
+        .select(col("doc_id"), lit("html").as("format"),
+          replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      val texts = pdfText.unionByName(htmlText)
+      val q = TextAnalysis.qualityFilter(texts, minWords = 40,
+          maxWords = 200, minTtr = 0.45, stopwords = Nil)
+        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
+      val pred = TextAnalysis.langIdPredict(texts,
+          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang"))
+      texts.select(col("doc_id"), col("format"))
+        .join(q, Seq("doc_id"))
+        .join(pred, Seq("doc_id"))
+    }),
+
     "mm_pdf_extract" -> ((s, dir) => {
       // REAL PDF text extraction (the dominant non-HTML crawl format):
       // each doc's decorated text — parens, a percent, a literal
@@ -6306,6 +6346,31 @@ object SparkEntry {
              ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
              ORDER BY skey, doc_id) AS BIGINT) AS pos
        FROM sk"""),
+
+    // mixed-format dispatch: even docs replay the markup fixture through
+    // the extraction CTEs (what the html front door must produce), odd
+    // docs are the PDF identity concat (what the pdf front door must
+    // produce); the shared quality + language-ID tail runs on the union —
+    // a hash match proves sniff, dispatch and both extractors composed
+    "pipeline_mixed_corpus" ->
+      (htmlExtractSql(5) + s""",
+       hdocs AS (SELECT doc_id, 'html' AS format,
+           replace(clean_text, chr(10), ' ') AS text
+         FROM ext WHERE doc_id % 2 = 0),
+       pdocs AS (SELECT doc_id, 'pdf' AS format, text || '$pdfDeco' AS text
+         FROM documents WHERE doc_id % 2 = 1),
+       mx AS (SELECT * FROM hdocs UNION ALL SELECT * FROM pdocs),
+       mq AS (SELECT doc_id, format,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM mx),
+       ${langIdCtes("documents", "mx")}
+       SELECT mq.doc_id, mq.format, mq.n_words, mq.ttr,
+         (mq.n_words >= 40 AND mq.n_words <= 200 AND mq.ttr >= 0.45)
+           AS keep,
+         lpred.predicted_lang
+       FROM mq JOIN lpred ON lpred.doc_id = mq.doc_id"""),
 
     "text_segment_dedup" -> segmentDedupSql,
 

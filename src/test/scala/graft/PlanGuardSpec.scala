@@ -41,6 +41,9 @@ class PlanGuardSpec extends SparkSpec {
       // same 1-row threshold attaches + langIdPredict's 1-row V attach;
       // every corpus-sized join in the chain (url/fingerprint dedup,
       // model join, shard join) plans hash joins
+      "pipeline_mixed_corpus", // langIdPredict's 1-row V attach again
+      // (the classifier runs on the dispatched union); the quality and
+      // prediction joins on doc_id plan hash joins
       "q22_sales_opportunity", // 1-row scalar-subquery (avg balance) attach
       "q11_important_stock", // 1-row (total, n_parts) threshold attach
       "pipeline_curate_tokenize", // mix stage's 1-row total attach
