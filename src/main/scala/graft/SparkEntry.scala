@@ -3665,9 +3665,11 @@ object SparkEntry {
         .select(col("doc_id"), col("target_uri"),
           concat(replace(col("clean_text"), lit("\n"), lit(" ")),
             lit(webDeco)).as("text"))
-      val normed = TextAnalysis.normalizeUnicode(flat)
+      // `normed` feeds both the quality filter and the join-back — one
+      // more cut so the warc record walk + extraction runs exactly once
+      val normed = operators.Materialize(TextAnalysis.normalizeUnicode(flat)
         .select(col("doc_id"), col("target_uri"),
-          col("norm_text").as("text"))
+          col("norm_text").as("text")))
       val kept = normed.join(
         TextAnalysis.qualityFilter(normed, minWords = 40, maxWords = 200,
           minTtr = 0.45, stopwords = Nil)
@@ -3677,16 +3679,23 @@ object SparkEntry {
         .withColumn("_keep", min(col("doc_id")).over(
           Window.partitionBy(col("target_uri"))))
         .filter(col("doc_id") === col("_keep")).drop("_keep")
-      val ndKept = urlKept
+      // diamond cuts (the minhash lesson, docs/BENCH_NOTES.md): the
+      // survivor set feeds the classifier, the classifier feeds the
+      // sampler's count/threshold/filter triple, and the sample feeds
+      // shard assignment plus the label join-back — without lineage
+      // cuts every consumer re-runs the warc decode + extraction +
+      // two dedup windows over the corpus (measured: 120 redundant
+      // scans in the executed plan, 10.2 s -> 1.3 s at sf0.001)
+      val ndKept = operators.Materialize(urlKept
         .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
         .withColumn("_keep", min(col("doc_id")).over(
           Window.partitionBy(col("_fp"))))
-        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep")
-      val pred = TextAnalysis.langIdPredict(ndKept,
+        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
+      val pred = operators.Materialize(TextAnalysis.langIdPredict(ndKept,
           langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
-        .select(col("doc_id"), col("predicted_lang"))
-      val sampled = TrainingMix.temperatureSample(pred, "predicted_lang",
-        "doc_id")
+        .select(col("doc_id"), col("predicted_lang")))
+      val sampled = operators.Materialize(
+        TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id"))
       TrainingMix.shuffleShards(sampled, "doc_id", nShards = 16,
           seed = "graft")
         .join(sampled.select(col("doc_id"), col("predicted_lang")),
@@ -3723,7 +3732,10 @@ object SparkEntry {
             .select(col("doc_id"), col("blob").cast("string").as("html")))
         .select(col("doc_id"), lit("html").as("format"),
           replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
-      val texts = pdfText.unionByName(htmlText)
+      // diamond cut (the minhash lesson, docs/BENCH_NOTES.md): texts
+      // feeds three consumers — without a lineage cut each one re-runs
+      // the sniff + per-format extraction over the corpus
+      val texts = operators.Materialize(pdfText.unionByName(htmlText))
       val q = TextAnalysis.qualityFilter(texts, minWords = 40,
           maxWords = 200, minTtr = 0.45, stopwords = Nil)
         .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
