@@ -3812,18 +3812,20 @@ object SparkEntry {
     "mm_pdf_encrypted" -> ((s, dir) => {
       // ENCRYPTED-PDF extraction (standard security handler, EMPTY user
       // password — the owner-restricted shape that dominates "encrypted"
-      // web-crawl PDFs): the cipher rotates per doc across RC4-128
-      // (/V 2 /R 3), the AES-128 /AESV2 crypt filter (/V 4 /R 4) and
-      // AES-256 (/V 5 /R 6, the iterated-SHA revision) — key schedule,
-      // /U validation and per-object/stream decryption all on the
-      // round-trip path at every scale factor. Genuinely locked files
-      // (wrong /U) reject loudly; PdfCodecSpec pins that contract.
+      // web-crawl PDFs): the cipher rotates per doc across 40-bit RC4
+      // (/V 1 /R 2, the Acrobat-2 shape), RC4-128 (/V 2 /R 3), the
+      // AES-128 /AESV2 crypt filter (/V 4 /R 4) and AES-256 (/V 5 /R 6,
+      // the iterated-SHA revision) — every key schedule, /U validation
+      // and per-object/stream decryption on the round-trip path at every
+      // scale factor. Genuinely locked files (wrong /U) reject loudly;
+      // PdfCodecSpec pins that contract.
       import graft.functions.PdfFunctions._
       t(s, dir, "documents").select(col("doc_id"),
         pdf_extract(pdf_encode_encrypted(
           concat(col("text"), lit(pdfDeco)),
-          element_at(array(lit("rc4"), lit("aes128"), lit("aes256")),
-            (col("doc_id") % 3 + 1).cast("int")))).as("text"))
+          element_at(array(lit("rc4_40"), lit("rc4"), lit("aes128"),
+            lit("aes256")), (col("doc_id") % 4 + 1).cast("int"))))
+          .as("text"))
     }),
 
     "pipeline_pdf_curate" -> ((s, dir) => {

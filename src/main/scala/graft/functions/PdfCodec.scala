@@ -667,6 +667,16 @@ object PdfCodec {
 
     val contentObj = 4
     val (encDict: String, encContent: Array[Byte]) = variant match {
+      case "rc4_40" =>
+        // the original Acrobat 2 shape: /V 1 /R 2, 40-bit key, no /Length
+        val o = PdfCrypto.ownerValue(owner, user, r = 2, keyBytes = 5)
+        val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 2,
+          keyBytes = 5, encryptMetadata = true)
+        val u = PdfCrypto.userValue(key, id0, r = 2)
+        (s"<< /Filter /Standard /V 1 /R 2 /P $pFlags " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
+          PdfCrypto.rc4(
+            PdfCrypto.objectKey(key, contentObj, 0, aesV2 = false), content))
       case "rc4" =>
         val o = PdfCrypto.ownerValue(owner, user, r = 3, keyBytes = 16)
         val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 3,

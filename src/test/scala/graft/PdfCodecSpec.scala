@@ -424,13 +424,13 @@ class PdfCodecSpec extends AnyFunSuite {
 
   // -------------------------------------------------- encrypted documents
 
-  test("encrypted round-trip, empty user password: RC4-128 (R3), " +
-    "AES-128 crypt filter (R4/AESV2), AES-256 (R6/AESV3)") {
+  test("encrypted round-trip, empty user password: RC4-40 (R2), " +
+    "RC4-128 (R3), AES-128 crypt filter (R4/AESV2), AES-256 (R6/AESV3)") {
     val texts = Seq(
       "owner-restricted but user-open",
       "multi-byte 中文 😀 café straddling blocks " + ("pad " * 40),
       "", "x")
-    for (t <- texts; v <- Seq("rc4", "aes128", "aes256")) {
+    for (t <- texts; v <- Seq("rc4_40", "rc4", "aes128", "aes256")) {
       assert(PdfCodec.extract(PdfCodec.encodeEncrypted(t, v)) === t,
         s"variant $v, text: ${t.take(30)}")
     }
@@ -438,7 +438,7 @@ class PdfCodecSpec extends AnyFunSuite {
 
   test("password-protected documents reject loudly: a corrupted /U " +
     "fails validation in every revision") {
-    for (v <- Seq("rc4", "aes128", "aes256")) {
+    for (v <- Seq("rc4_40", "rc4", "aes128", "aes256")) {
       val ok = PdfCodec.encodeEncrypted("locked content", v)
       val s = new String(ok, StandardCharsets.ISO_8859_1)
       val ui = s.indexOf("/U <")
