@@ -4244,8 +4244,6 @@ object SparkEntry {
          FROM documents),
        $canonicalChainCtes"""
 
-  /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
-   * (real streaming run): both must hash to this answer. */
   /** Shared by mix_lang_balanced (batch) and mix_lang_balanced_streamed
    * (real streaming run): both must hash to this answer — the FULL
    * language-ID training chain, then the temperature-mix arithmetic
@@ -4270,6 +4268,8 @@ object SparkEntry {
        SELECT doc_id, predicted_lang FROM mpl JOIN mthr USING (predicted_lang)
        WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr"""
 
+  /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
+   * (real streaming run): both must hash to this answer. */
   private val urlDedupSql =
     s"""WITH $urlCanonicalCtes,
        s AS (SELECT canonical_url, MIN(doc_id) AS keep_id

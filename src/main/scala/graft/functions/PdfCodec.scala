@@ -668,13 +668,17 @@ object PdfCodec {
     val contentObj = 4
     val (encDict: String, encContent: Array[Byte]) = variant match {
       case "rc4_40" =>
-        // the original Acrobat 2 shape: /V 1 /R 2, 40-bit key, no /Length
+        // the original Acrobat 2 shape: /V 1 /R 2, 40-bit key, no
+        // /Length — and /O //U emitted as LITERAL strings the way real
+        // writers do (raw binary, only \ ( ) escaped + octal for
+        // non-printables), so '>>'/'<<' byte pairs inside key material
+        // ride the dictionary scan on the oracle path
         val o = PdfCrypto.ownerValue(owner, user, r = 2, keyBytes = 5)
         val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 2,
           keyBytes = 5, encryptMetadata = true)
         val u = PdfCrypto.userValue(key, id0, r = 2)
         (s"<< /Filter /Standard /V 1 /R 2 /P $pFlags " +
-          s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
+          s"/O (${literal(o)}) /U (${literal(u)}) >>",
           PdfCrypto.rc4(
             PdfCrypto.objectKey(key, contentObj, 0, aesV2 = false), content))
       case "rc4" =>
@@ -687,14 +691,20 @@ object PdfCodec {
           PdfCrypto.rc4(
             PdfCrypto.objectKey(key, contentObj, 0, aesV2 = false), content))
       case "aes128" =>
+        // /EncryptMetadata false changes the KEY DERIVATION (the
+        // 0xFFFFFFFF suffix of Algorithm 2) and is deliberately written
+        // with irregular whitespace; the /CF sub-dictionary deliberately
+        // PRECEDES the top-level /V and /Length it must never shadow
+        // (its own /Length is a BYTE count, its /CFM name starts /V2)
         val o = PdfCrypto.ownerValue(owner, user, r = 4, keyBytes = 16)
         val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 4,
-          keyBytes = 16, encryptMetadata = true)
+          keyBytes = 16, encryptMetadata = false)
         val u = PdfCrypto.userValue(key, id0, r = 4)
         val iv = fixtureBytes("iv", bytes, 16)
-        (s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $pFlags " +
-          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
-          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+        ("<< /Filter /Standard /CF << /StdCF << /CFM /AESV2 " +
+          "/AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/V 4 /R 4 /Length 128 /P $pFlags " +
+          "/EncryptMetadata  false /StmF /StdCF /StrF /StdCF " +
           s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
           PdfCrypto.aesStreamEncrypt(
             PdfCrypto.objectKey(key, contentObj, 0, aesV2 = true),
@@ -773,14 +783,46 @@ object PdfCodec {
   private val XrefEntry = """^(\d{10}) (\d{5}) ([nf])""".r
   private val RefIn = """(\d+)\s+0\s+R""".r
 
-  /** Matching `>>` for the `<<` at `start` (nesting-aware). */
-  private def dictEnd(s: String, start: Int): Int = {
+  /** Index just past the `)` closing the literal string at `start`
+   * (escape- and nesting-aware) — `>>`/`<<` byte pairs inside string
+   * VALUES must never terminate or open a dictionary scan (real
+   * writers emit `/O`/`/U` key material as literal strings escaping
+   * only `\`, `(`, `)`, so those pairs occur raw). */
+  private[graft] def skipLiteral(s: String, start: Int): Int = {
+    var q = start + 1
+    var depth = 1
+    while (depth > 0) {
+      need(q < s.length, s"unterminated literal string at $start")
+      s(q) match {
+        case '\\' => q += 2
+        case '(' => depth += 1; q += 1
+        case ')' => depth -= 1; q += 1
+        case _ => q += 1
+      }
+    }
+    q
+  }
+
+  /** Matching `>>` for the `<<` at `start` — nesting-aware AND
+   * string-aware: literal strings (with the escape table), hex
+   * strings, and `%` comments are skipped whole, so binary string
+   * values containing `>>`/`<<` byte pairs cannot truncate or inflate
+   * the dictionary. */
+  private[graft] def dictEnd(s: String, start: Int): Int = {
     var p = start + 2
     var depth = 1
-    while (depth > 0 && p < s.length - 1) {
-      if (s.startsWith("<<", p)) { depth += 1; p += 2 }
+    while (depth > 0 && p < s.length) {
+      val c = s(p)
+      if (c == '(') p = skipLiteral(s, p)
+      else if (s.startsWith("<<", p)) { depth += 1; p += 2 }
       else if (s.startsWith(">>", p)) { depth -= 1; p += 2 }
-      else p += 1
+      else if (c == '<') {
+        val e = s.indexOf('>', p + 1)
+        need(e >= 0, s"unterminated hex string at $p")
+        p = e + 1
+      } else if (c == '%') {
+        while (p < s.length && s(p) != '\n' && s(p) != '\r') p += 1
+      } else p += 1
     }
     need(depth == 0, s"unterminated dictionary at $start")
     p
@@ -1746,56 +1788,13 @@ object PdfCodec {
         }
         out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     }
-    def literalAt(start: Int): (Array[Byte], Int) = {
-      val b = new java.io.ByteArrayOutputStream()
-      var q = start + 1
-      var depth = 1
-      while (depth > 0) {
-        need(q < s.length, s"unterminated literal string at $start")
-        s(q) match {
-          case '\\' =>
-            need(q + 1 < s.length, "dangling escape at end of stream")
-            s(q + 1) match {
-              case 'n' => b.write('\n'); q += 2
-              case 'r' => b.write('\r'); q += 2
-              case 't' => b.write('\t'); q += 2
-              case 'b' => b.write('\b'); q += 2
-              case 'f' => b.write('\f'); q += 2
-              case '\n' => q += 2 // line continuation
-              case '\r' => q += (if (q + 2 < s.length && s(q + 2) == '\n') 3 else 2)
-              case d if d >= '0' && d <= '7' =>
-                var v = 0; var k = 0; q += 1
-                while (k < 3 && q < s.length && s(q) >= '0' && s(q) <= '7') {
-                  v = v * 8 + (s(q) - '0'); q += 1; k += 1
-                }
-                b.write(v & 0xff)
-              case c => b.write(c); q += 2 // unknown escape: char itself
-            }
-          case '(' => depth += 1; b.write('('); q += 1
-          case ')' =>
-            depth -= 1
-            if (depth > 0) b.write(')')
-            q += 1
-          case c => b.write(c); q += 1
-        }
-      }
-      (b.toByteArray, q)
-    }
-    def hexAt(start: Int): (Array[Byte], Int) = {
-      val e = s.indexOf('>', start + 1)
-      need(e >= 0, s"unterminated hex string at $start")
-      val hx = s.substring(start + 1, e).filterNot(_.isWhitespace)
-      need(hx.forall(c => Character.digit(c, 16) >= 0),
-        s"bad hex string at $start")
-      val padded = if (hx.length % 2 == 1) hx + "0" else hx
-      val b = new Array[Byte](padded.length / 2)
-      var i = 0
-      while (i < b.length) {
-        b(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
-        i += 1
-      }
-      (b, e + 1)
-    }
+    // literal/hex string parsing is SHARED with the dictionary-value
+    // reader (PdfCrypto) — one escape table, one hex decode, so a fix
+    // to either can never silently diverge
+    def literalAt(start: Int): (Array[Byte], Int) =
+      PdfCrypto.literalStringAt(s, start)
+    def hexAt(start: Int): (Array[Byte], Int) =
+      PdfCrypto.hexStringAt(s, start)
     var arrayDepth = 0
     var arrayAcc: Vector[Array[Byte]] = Vector.empty
     def push(b: Array[Byte]): Unit =

@@ -307,11 +307,53 @@ object PdfCrypto {
     (out, e + 1)
   }
 
+  /** Blank the CONTENT of nested dictionaries (string-aware): scans for
+   * top-level keys must never read a value out of a sub-dictionary —
+   * e.g. `/CF << /StdCF << /Length 16 ... >> >>` carries a per-filter
+   * byte count that would shadow the top-level `/Length 128`, and key
+   * order in a PDF dictionary is arbitrary. Top-level literal/hex
+   * strings are preserved byte for byte ('<<' inside binary key
+   * material must not open a phantom nesting level). */
+  private[functions] def blankNested(d: String): String = {
+    val sb = new StringBuilder(d)
+    var p = 2 // past the outer <<
+    var depth = 0
+    def blank(from: Int, until: Int): Unit = {
+      var k = from
+      while (k < until) { sb.setCharAt(k, ' '); k += 1 }
+    }
+    while (p < d.length - 2) {
+      val c = d(p)
+      if (c == '(') {
+        val e = PdfCodec.skipLiteral(d, p)
+        if (depth > 0) blank(p, e)
+        p = e
+      } else if (d.startsWith("<<", p)) {
+        depth += 1; blank(p, p + 2); p += 2
+      } else if (d.startsWith(">>", p)) {
+        if (depth > 0) { blank(p, p + 2); depth -= 1 }
+        p += 2
+      } else if (c == '<') {
+        val e = d.indexOf('>', p + 1)
+        need(e >= 0, s"unterminated hex string at $p")
+        if (depth > 0) blank(p, e + 1)
+        p = e + 1
+      } else {
+        if (depth > 0) sb.setCharAt(p, ' ')
+        p += 1
+      }
+    }
+    sb.result()
+  }
+
+  /** Delimiter-checked top-level integer: the char after the key must
+   * be a TRUE delimiter (never a digit — `/V` must not match inside
+   * the crypt-filter NAME `/V2`), and the value follows whitespace. */
   private def intIn(dict: String, key: String): Option[Long] = {
     var i = dict.indexOf(key)
     while (i >= 0) {
       val j = i + key.length
-      if (j < dict.length && " \t\r\n\f/<>[]()+-0123456789".indexOf(dict(j)) >= 0) {
+      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
         val tail = dict.substring(j).dropWhile(_.isWhitespace)
         return """^([+-]?\d{1,18})""".r.findPrefixMatchOf(tail)
           .map(_.group(1).toLong)
@@ -319,6 +361,23 @@ object PdfCrypto {
       i = dict.indexOf(key, i + 1)
     }
     None
+  }
+
+  /** Delimiter-checked boolean (default `dflt` when the key is absent
+   * or carries anything but a direct true/false). */
+  private def boolIn(dict: String, key: String, dflt: Boolean): Boolean = {
+    var i = dict.indexOf(key)
+    while (i >= 0) {
+      val j = i + key.length
+      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
+        val tail = dict.substring(j).dropWhile(_.isWhitespace)
+        return if (tail.startsWith("false")) false
+        else if (tail.startsWith("true")) true
+        else dflt
+      }
+      i = dict.indexOf(key, i + 1)
+    }
+    dflt
   }
 
   private def nameIn(dict: String, key: String): Option[String] = {
@@ -371,28 +430,34 @@ object PdfCrypto {
    * password. Rejects loudly when a real user password is required,
    * and for any non-Standard filter / unsupported `/V`, `/R`, `/CFM`. */
   def decryptor(encDict: String, id0: Array[Byte]): Decryptor = {
-    need(nameIn(encDict, "/Filter").contains("Standard"),
-      s"security handler /${nameIn(encDict, "/Filter").getOrElse("?")} " +
+    // all TOP-LEVEL keys are read from the nested-dict-blanked view —
+    // PDF dictionary key order is arbitrary, and the crypt-filter
+    // sub-dictionary legitimately carries its own /Length (bytes) and
+    // /V2-prefixed /CFM name that must never shadow the top-level
+    // /Length (bits) or /V
+    val top = blankNested(encDict)
+    need(nameIn(top, "/Filter").contains("Standard"),
+      s"security handler /${nameIn(top, "/Filter").getOrElse("?")} " +
         "unsupported (Standard only)")
-    val v = intIn(encDict, "/V").getOrElse(fail("/Encrypt has no /V"))
-    val r = intIn(encDict, "/R").getOrElse(fail("/Encrypt has no /R"))
-    val o = stringAfter(encDict, "/O").getOrElse(fail("/Encrypt has no /O"))
-    val u = stringAfter(encDict, "/U").getOrElse(fail("/Encrypt has no /U"))
-    val p = intIn(encDict, "/P").getOrElse(fail("/Encrypt has no /P")).toInt
+    val v = intIn(top, "/V").getOrElse(fail("/Encrypt has no /V"))
+    val r = intIn(top, "/R").getOrElse(fail("/Encrypt has no /R"))
+    val o = stringAfter(top, "/O").getOrElse(fail("/Encrypt has no /O"))
+    val u = stringAfter(top, "/U").getOrElse(fail("/Encrypt has no /U"))
+    val p = intIn(top, "/P").getOrElse(fail("/Encrypt has no /P")).toInt
     val emptyPwd = Array.empty[Byte]
 
     if (v == 5) {
       need(r == 6, s"/V 5 with /R $r unsupported (revision 6 only)")
       need(u.length >= 48, s"/U of ${u.length} bytes (48 required)")
-      need(nameIn(encDict, "/StmF").forall(f => f == "StdCF" || f == "Identity"),
+      need(nameIn(top, "/StmF").forall(f => f == "StdCF" || f == "Identity"),
         "non-standard /StmF crypt filter")
-      if (nameIn(encDict, "/StmF").contains("Identity")) return IdentityDecryptor
+      if (nameIn(top, "/StmF").contains("Identity")) return IdentityDecryptor
       val vSalt = u.slice(32, 40)
       val kSalt = u.slice(40, 48)
       need(java.util.Arrays.equals(
         hash2B(emptyPwd, vSalt, Array.empty), u.take(32)),
         "password-protected document (user password required)")
-      val ue = stringAfter(encDict, "/UE")
+      val ue = stringAfter(top, "/UE")
         .getOrElse(fail("/Encrypt has no /UE"))
       need(ue.length == 32, s"/UE of ${ue.length} bytes (32 required)")
       val ikey = hash2B(emptyPwd, kSalt, Array.empty)
@@ -400,7 +465,7 @@ object PdfCrypto {
       new Aes256Decryptor(fileKey)
     } else if (v == 4) {
       need(r == 4, s"/V 4 with /R $r unsupported")
-      val stmF = nameIn(encDict, "/StmF").getOrElse("Identity")
+      val stmF = nameIn(top, "/StmF").getOrElse("Identity")
       if (stmF == "Identity") return IdentityDecryptor
       need(stmF == "StdCF", s"/StmF /$stmF unsupported (StdCF or Identity)")
       val cf = {
@@ -408,12 +473,12 @@ object PdfCrypto {
         need(i >= 0, "/StmF names /StdCF but /CF defines no /StdCF")
         val j = encDict.indexOf("<<", i)
         need(j >= 0, "/StdCF is not a dictionary")
-        encDict.substring(j, dictEndIn(encDict, j))
+        encDict.substring(j, PdfCodec.dictEnd(encDict, j))
       }
       val cfm = nameIn(cf, "/CFM").getOrElse(fail("/StdCF has no /CFM"))
-      val bits = intIn(encDict, "/Length").getOrElse(128L)
+      val bits = intIn(top, "/Length").getOrElse(128L)
       need(bits % 8 == 0 && bits >= 40 && bits <= 128, s"bad /Length $bits")
-      val encryptMetadata = !encDict.contains("/EncryptMetadata false")
+      val encryptMetadata = boolIn(top, "/EncryptMetadata", dflt = true)
       val fileKey = fileKeyR234(emptyPwd, o, p, id0, r.toInt,
         (bits / 8).toInt, encryptMetadata)
       need(java.util.Arrays.equals(
@@ -426,7 +491,7 @@ object PdfCrypto {
       }
     } else if (v == 1 || v == 2) {
       need(r == 2 || r == 3, s"/V $v with /R $r unsupported")
-      val bits = if (v == 1) 40L else intIn(encDict, "/Length").getOrElse(40L)
+      val bits = if (v == 1) 40L else intIn(top, "/Length").getOrElse(40L)
       need(bits % 8 == 0 && bits >= 40 && bits <= 128, s"bad /Length $bits")
       val keyBytes = if (r == 2) 5 else (bits / 8).toInt
       val fileKey = fileKeyR234(emptyPwd, o, p, id0, r.toInt, keyBytes,
@@ -437,19 +502,5 @@ object PdfCrypto {
         "password-protected document (user password required)")
       new Rc4Decryptor(fileKey)
     } else fail(s"/Encrypt /V $v unsupported (1, 2, 4 or 5)")
-  }
-
-  /** Matching `>>` for the `<<` at `start` (duplicated tiny helper —
-   * PdfCodec's is private to its own parse). */
-  private def dictEndIn(s: String, start: Int): Int = {
-    var p = start + 2
-    var depth = 1
-    while (depth > 0 && p < s.length - 1) {
-      if (s.startsWith("<<", p)) { depth += 1; p += 2 }
-      else if (s.startsWith(">>", p)) { depth -= 1; p += 2 }
-      else p += 1
-    }
-    need(depth == 0, s"unterminated dictionary at $start")
-    p
   }
 }

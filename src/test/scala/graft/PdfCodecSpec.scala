@@ -436,18 +436,41 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary scan is string-aware: '>>' and '<<' byte pairs " +
+    "inside binary literal-string values never truncate or inflate " +
+    "the dictionary (real writers escape only backslash and parens)") {
+    val d = "<< /O (a>>b<<c\\)d%e) /V 4 >>"
+    assert(PdfCodec.dictEnd(d, 0) === d.length)
+    // and the hostile shape: a literal string left unterminated
+    val bad = "<< /O (never closed /V 4 >>"
+    val e = intercept[IllegalArgumentException] { PdfCodec.dictEnd(bad, 0) }
+    assert(e.getMessage.contains("unterminated literal string"))
+  }
+
   test("password-protected documents reject loudly: a corrupted /U " +
     "fails validation in every revision") {
     for (v <- Seq("rc4_40", "rc4", "aes128", "aes256")) {
       val ok = PdfCodec.encodeEncrypted("locked content", v)
       val s = new String(ok, StandardCharsets.ISO_8859_1)
-      val ui = s.indexOf("/U <")
-      assert(ui >= 0)
-      // flip the first /U byte (same length, offsets intact)
-      val origByte = s.substring(ui + 4, ui + 6)
-      val flipped = f"${(Integer.parseInt(origByte, 16) ^ 0xff)}%02X"
-      val bad = (s.substring(0, ui + 4) + flipped + s.substring(ui + 6))
-        .getBytes(StandardCharsets.ISO_8859_1)
+      // corrupt one /U byte in place (same length, offsets intact);
+      // rc4_40 stores /U as a LITERAL string, the rest as hex
+      val bad = (if (s.contains("/U (")) {
+        val start = s.indexOf("/U (") + 3
+        val end = PdfCodec.skipLiteral(s, start)
+        // flip the first letter/digit in the span: framing-safe whether
+        // it is a raw byte or an octal-escape digit
+        val at = (start + 1 until end - 1).find(i => s(i).isLetterOrDigit)
+          .getOrElse(fail(s"$v: no safely-flippable /U byte"))
+        val repl = if (s(at) == 'z' || s(at) == '9' || s(at) == 'Z')
+          (s(at) - 1).toChar else (s(at) + 1).toChar
+        s.substring(0, at) + repl + s.substring(at + 1)
+      } else {
+        val ui = s.indexOf("/U <")
+        assert(ui >= 0, s"$v: no /U value found")
+        val origByte = s.substring(ui + 4, ui + 6)
+        val flipped = f"${(Integer.parseInt(origByte, 16) ^ 0xff)}%02X"
+        s.substring(0, ui + 4) + flipped + s.substring(ui + 6)
+      }).getBytes(StandardCharsets.ISO_8859_1)
       val e = intercept[IllegalArgumentException] { PdfCodec.extract(bad) }
       assert(e.getMessage.contains("password-protected"), s"$v: ${e.getMessage}")
     }
