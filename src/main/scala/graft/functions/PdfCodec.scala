@@ -691,20 +691,26 @@ object PdfCodec {
           PdfCrypto.rc4(
             PdfCrypto.objectKey(key, contentObj, 0, aesV2 = false), content))
       case "aes128" =>
-        // /EncryptMetadata false changes the KEY DERIVATION (the
-        // 0xFFFFFFFF suffix of Algorithm 2) and is deliberately written
-        // with irregular whitespace; the /CF sub-dictionary deliberately
-        // PRECEDES the top-level /V and /Length it must never shadow
-        // (its own /Length is a BYTE count, its /CFM name starts /V2)
+        // deliberately hostile-but-legal dictionary (key order is
+        // arbitrary per §7.3.7): /StmF's VALUE /StdCF precedes the /CF
+        // dictionary (a raw indexOf would mis-slice), /CF carries an
+        // /AltCF DECOY crypt filter whose /CFM /V2 must not be picked,
+        // the key length is stated ONLY at crypt-filter level as a
+        // BYTE count (/Length 16 -> 128 bits), /EncryptMetadata false
+        // changes the KEY DERIVATION (the 0xFFFFFFFF suffix of
+        // Algorithm 2) and is written with irregular whitespace, and
+        // /CF precedes the /V its /CFM name (/V2-prefixed) must not
+        // shadow
         val o = PdfCrypto.ownerValue(owner, user, r = 4, keyBytes = 16)
         val key = PdfCrypto.fileKeyR234(user, o, pFlags, id0, r = 4,
           keyBytes = 16, encryptMetadata = false)
         val u = PdfCrypto.userValue(key, id0, r = 4)
         val iv = fixtureBytes("iv", bytes, 16)
-        ("<< /Filter /Standard /CF << /StdCF << /CFM /AESV2 " +
-          "/AuthEvent /DocOpen /Length 16 >> >> " +
-          s"/V 4 /R 4 /Length 128 /P $pFlags " +
-          "/EncryptMetadata  false /StmF /StdCF /StrF /StdCF " +
+        ("<< /Filter /Standard /StmF /StdCF /StrF /StdCF " +
+          "/CF << /AltCF << /CFM /V2 /Length 5 >> " +
+          "/StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/V 4 /R 4 /P $pFlags " +
+          "/EncryptMetadata  false " +
           s"/O ${hexStr(o)} /U ${hexStr(u)} >>",
           PdfCrypto.aesStreamEncrypt(
             PdfCrypto.objectKey(key, contentObj, 0, aesV2 = true),
@@ -736,7 +742,11 @@ object PdfCodec {
           c.doFinal(permsPlain)
         }
         val iv = fixtureBytes("iv", bytes, 16)
-        (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $pFlags " +
+        // the % comment is hostile on purpose: its unbalanced '(' and
+        // '<<' must desynchronize neither the dictionary-end scan nor
+        // the blanked-view key location
+        (s"<< /Filter /Standard % decoy ( << /V 9\n/V 5 /R 6 " +
+          s"/Length 256 /P $pFlags " +
           "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen " +
           "/Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
           s"/O ${hexStr(o48)} /U ${hexStr(u48)} " +
@@ -829,13 +839,30 @@ object PdfCodec {
   }
 
   /** First index of dictionary key `key` followed by a delimiter (so
-   * `/Font` never matches inside `/FontFile`), or -1. */
-  private def keyIndex(s: String, key: String): Int = {
-    var i = s.indexOf(key)
-    while (i >= 0) {
-      val j = i + key.length
-      if (j >= s.length || " \t\r\n\f/<>[]()".indexOf(s(j)) >= 0) return i
-      i = s.indexOf(key, i + 1)
+   * `/Font` never matches inside `/FontFile`), or -1. STRING- and
+   * COMMENT-aware: literal strings, hex strings and `%` comments are
+   * skipped whole, so binary string VALUES (e.g. a trailer `/ID` or an
+   * encrypt dict's `/O`/`/U` written as literal strings, which real
+   * writers emit escaping only `\`, `(`, `)`) can never fake a key. */
+  private[graft] def keyIndex(s: String, key: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '(') i = skipLiteral(s, i)
+      else if (c == '%') {
+        while (i < s.length && s(i) != '\n' && s(i) != '\r') i += 1
+      } else if (s.startsWith("<<", i) || s.startsWith(">>", i)) {
+        i += 2 // dict delimiters consumed as a PAIR, else the second
+               // '<' would look like a hex-string open
+      } else if (c == '<') {
+        val e = s.indexOf('>', i + 1)
+        need(e >= 0, s"unterminated hex string at $i")
+        i = e + 1
+      } else if (c == '/' && s.startsWith(key, i)) {
+        val j = i + key.length
+        if (j >= s.length || " \t\r\n\f/<>[]()".indexOf(s(j)) >= 0) return i
+        i += 1
+      } else i += 1
     }
     -1
   }
@@ -1916,7 +1943,11 @@ object PdfCodec {
         case Some(_) => throw new IllegalArgumentException(
           "pdf: malformed /Resources value")
       }
-    def walk(n: Int, inherited: Option[String]): Unit = {
+    def walk(n: Int, inherited: Option[String], depth: Int): Unit = {
+      // explicit depth bound: MaxObjects alone lets a crafted 10,000-deep
+      // single-child /Kids chain blow the JVM stack (StackOverflowError
+      // escapes the pdf: contract); real trees are a few levels deep
+      need(depth <= 64, s"page tree deeper than 64 levels at object $n")
       need(visited.size <= MaxObjects, "page tree exceeds object bound")
       need(visited.add(n), s"page-tree cycle at object $n")
       val dict = rd.dict(n)
@@ -1924,8 +1955,19 @@ object PdfCodec {
       bracketSlice(dict, "/Kids") match {
         case Some(kids) =>
           RefIn.findAllMatchIn(kids)
-            .foreach(m => walk(objNum(m.group(1), "/Kids reference"), res))
+            .foreach(m =>
+              walk(objNum(m.group(1), "/Kids reference"), res, depth + 1))
         case None =>
+          // a /Kids value that is an indirect reference to an array
+          // object is legal PDF this subset does not frame — reject
+          // loudly rather than silently treating the node as a leaf
+          // and dropping every descendant page
+          valueAfter(dict, "/Kids") match {
+            case Some(PRef(k)) => throw new IllegalArgumentException(
+              s"pdf: object $n /Kids is an indirect reference ($k 0 R) — " +
+                "unsupported in this subset")
+            case _ =>
+          }
           val i = keyIndex(dict, "/Contents")
           if (i >= 0) {
             val refs = bracketSlice(dict, "/Contents") match {
@@ -1942,7 +1984,7 @@ object PdfCodec {
           }
       }
     }
-    walk(pagesNum, None)
+    walk(pagesNum, None, 0)
 
     val shown = new java.io.ByteArrayOutputStream()
     val fontCache = mutable.Map.empty[String, Map[String, FontDec]]

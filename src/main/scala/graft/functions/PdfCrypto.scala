@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import javax.crypto.Cipher
@@ -43,7 +42,7 @@ object PdfCrypto {
   private def need(cond: Boolean, msg: => String): Unit = if (!cond) fail(msg)
 
   /** §7.6.3.3 password padding constant. */
-  private[functions] val Pad: Array[Byte] = Array(
+  private[graft] val Pad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
     0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
@@ -71,7 +70,7 @@ object PdfCrypto {
   // ------------------------------------------------------------ ciphers
 
   /** Plain RC4 (the PDF spec's "RC4 encryption function"). */
-  private[functions] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Array.tabulate(256)(identity)
     var j = 0
     var i = 0
@@ -105,7 +104,7 @@ object PdfCrypto {
     c.doFinal(data)
   }
 
-  private[functions] def aesCbcNoPad(encrypt: Boolean, key: Array[Byte],
+  private[graft] def aesCbcNoPad(encrypt: Boolean, key: Array[Byte],
                                      iv: Array[Byte],
                                      data: Array[Byte]): Array[Byte] =
     aes(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
@@ -123,7 +122,7 @@ object PdfCrypto {
       fail(s"AES stream decryption failed: ${e.getMessage}") }
   }
 
-  private[functions] def aesStreamEncrypt(key: Array[Byte], iv: Array[Byte],
+  private[graft] def aesStreamEncrypt(key: Array[Byte], iv: Array[Byte],
                                           data: Array[Byte]): Array[Byte] =
     iv ++ aes(Cipher.ENCRYPT_MODE, "AES/CBC/PKCS5Padding", key,
       Some(iv), data)
@@ -131,7 +130,7 @@ object PdfCrypto {
   // ------------------------------------------- revision 2–4 key schedule
 
   /** Algorithm 2: file key from a (user) password. */
-  private[functions] def fileKeyR234(pwd: Array[Byte], o: Array[Byte],
+  private[graft] def fileKeyR234(pwd: Array[Byte], o: Array[Byte],
                                      p: Int, id0: Array[Byte], r: Int,
                                      keyBytes: Int,
                                      encryptMetadata: Boolean): Array[Byte] = {
@@ -149,7 +148,7 @@ object PdfCrypto {
 
   /** Algorithms 4/5: the `/U` value for a file key (R2: full 32 bytes;
    * R3/4: 16 significant bytes + 16 bytes of padding — we emit Pad). */
-  private[functions] def userValue(key: Array[Byte], id0: Array[Byte],
+  private[graft] def userValue(key: Array[Byte], id0: Array[Byte],
                                    r: Int): Array[Byte] =
     if (r == 2) rc4(key, Pad)
     else {
@@ -163,7 +162,7 @@ object PdfCrypto {
     }
 
   /** Algorithm 3: the `/O` value from the owner password. */
-  private[functions] def ownerValue(ownerPwd: Array[Byte],
+  private[graft] def ownerValue(ownerPwd: Array[Byte],
                                     userPwd: Array[Byte], r: Int,
                                     keyBytes: Int): Array[Byte] = {
     var h = md5(padded(ownerPwd))
@@ -185,7 +184,7 @@ object PdfCrypto {
 
   /** Algorithm 1: per-object key for R2–4 (`aesV2` appends the sAlT
    * salt); AES-256 (R6) uses the file key directly, no derivation. */
-  private[functions] def objectKey(fileKey: Array[Byte], obj: Int, gen: Int,
+  private[graft] def objectKey(fileKey: Array[Byte], obj: Int, gen: Int,
                                    aesV2: Boolean): Array[Byte] = {
     val salt =
       if (aesV2) Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte)
@@ -201,7 +200,7 @@ object PdfCrypto {
 
   /** Algorithm 2.B: the revision-6 iterated hash. `udata` is empty for
    * user-password hashes and the 48-byte `/U` string for owner ones. */
-  private[functions] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
                                 udata: Array[Byte]): Array[Byte] = {
     var k = sha(256, pwd, salt, udata)
     var e = Array.empty[Byte]
@@ -232,27 +231,19 @@ object PdfCrypto {
   // ------------------------------------------------------- dict parsing
 
   /** PDF string value (literal `(...)` with the escape table, or hex
-   * `<...>`) following `key` in an (ISO-8859-1-viewed) dictionary. */
-  private def stringAfter(dict: String, key: String): Option[Array[Byte]] = {
-    var i = dict.indexOf(key)
-    while (i >= 0) {
-      val j = i + key.length
-      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
-        var p = j
-        while (p < dict.length && dict(p).isWhitespace) p += 1
-        if (p < dict.length && dict(p) == '(')
-          return Some(literalStringAt(dict, p)._1)
-        if (p < dict.length && dict(p) == '<' && !dict.startsWith("<<", p))
-          return Some(hexStringAt(dict, p)._1)
-        return None
-      }
-      i = dict.indexOf(key, i + 1)
-    }
-    None
+   * `<...>`) of top-level key `key` — parsed from the RAW dictionary
+   * at the blanked-view-located position. */
+  private def stringAfter(raw: String, key: String): Option[Array[Byte]] = {
+    val j = valueStart(raw, key)
+    if (j < 0 || j >= raw.length) None
+    else if (raw(j) == '(') Some(literalStringAt(raw, j)._1)
+    else if (raw(j) == '<' && !raw.startsWith("<<", j))
+      Some(hexStringAt(raw, j)._1)
+    else None
   }
 
   /** Literal string parse at `(`: full escape table, nesting, octal. */
-  private[functions] def literalStringAt(s: String,
+  private[graft] def literalStringAt(s: String,
                                          start: Int): (Array[Byte], Int) = {
     val b = new java.io.ByteArrayOutputStream()
     var q = start + 1
@@ -290,7 +281,7 @@ object PdfCrypto {
   }
 
   /** Hex string parse at `<`. */
-  private[functions] def hexStringAt(s: String,
+  private[graft] def hexStringAt(s: String,
                                      start: Int): (Array[Byte], Int) = {
     val e = s.indexOf('>', start + 1)
     need(e >= 0, s"unterminated hex string at $start")
@@ -307,14 +298,18 @@ object PdfCrypto {
     (out, e + 1)
   }
 
-  /** Blank the CONTENT of nested dictionaries (string-aware): scans for
-   * top-level keys must never read a value out of a sub-dictionary —
-   * e.g. `/CF << /StdCF << /Length 16 ... >> >>` carries a per-filter
-   * byte count that would shadow the top-level `/Length 128`, and key
-   * order in a PDF dictionary is arbitrary. Top-level literal/hex
-   * strings are preserved byte for byte ('<<' inside binary key
-   * material must not open a phantom nesting level). */
-  private[functions] def blankNested(d: String): String = {
+  /** Blank the CONTENT of nested dictionaries (string- and
+   * comment-aware): scans for top-level keys must never read a value
+   * out of a sub-dictionary — e.g. `/CF << /StdCF << /Length 16 … >>
+   * >>` carries a per-filter byte count that would shadow the
+   * top-level `/Length 128`, and key order in a PDF dictionary is
+   * arbitrary. Top-level literal/hex strings are preserved byte for
+   * byte ('<<' inside binary key material must not open a phantom
+   * nesting level); `%` comment content is blanked at every depth (a
+   * comment's `(` or `<<` must not desynchronize the walk). The
+   * result is SAME-LENGTH, so an index located on the blanked view is
+   * valid in the raw dictionary. */
+  private[graft] def blankNested(d: String): String = {
     val sb = new StringBuilder(d)
     var p = 2 // past the outer <<
     var depth = 0
@@ -328,6 +323,10 @@ object PdfCrypto {
         val e = PdfCodec.skipLiteral(d, p)
         if (depth > 0) blank(p, e)
         p = e
+      } else if (c == '%') {
+        val start = p
+        while (p < d.length - 2 && d(p) != '\n' && d(p) != '\r') p += 1
+        blank(start, p)
       } else if (d.startsWith("<<", p)) {
         depth += 1; blank(p, p + 2); p += 2
       } else if (d.startsWith(">>", p)) {
@@ -346,57 +345,62 @@ object PdfCrypto {
     sb.result()
   }
 
-  /** Delimiter-checked top-level integer: the char after the key must
-   * be a TRUE delimiter (never a digit — `/V` must not match inside
-   * the crypt-filter NAME `/V2`), and the value follows whitespace. */
-  private def intIn(dict: String, key: String): Option[Long] = {
-    var i = dict.indexOf(key)
-    while (i >= 0) {
-      val j = i + key.length
-      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
-        val tail = dict.substring(j).dropWhile(_.isWhitespace)
-        return """^([+-]?\d{1,18})""".r.findPrefixMatchOf(tail)
-          .map(_.group(1).toLong)
-      }
-      i = dict.indexOf(key, i + 1)
-    }
-    None
-  }
-
-  /** Delimiter-checked boolean (default `dflt` when the key is absent
-   * or carries anything but a direct true/false). */
-  private def boolIn(dict: String, key: String, dflt: Boolean): Boolean = {
-    var i = dict.indexOf(key)
-    while (i >= 0) {
-      val j = i + key.length
-      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
-        val tail = dict.substring(j).dropWhile(_.isWhitespace)
-        return if (tail.startsWith("false")) false
-        else if (tail.startsWith("true")) true
-        else dflt
-      }
-      i = dict.indexOf(key, i + 1)
-    }
-    dflt
-  }
-
-  private def nameIn(dict: String, key: String): Option[String] = {
-    var i = dict.indexOf(key)
-    while (i >= 0) {
+  /** Index of the VALUE of top-level key `key` in the RAW dictionary,
+   * or -1. Key location runs on the blanked view through PdfCodec's
+   * string/comment-aware [[PdfCodec.keyIndex]] (one scanner for both
+   * files — no hand-copied delimiter sets), so neither sub-dictionary
+   * keys nor key-shaped bytes inside binary string values can match;
+   * the whitespace skip runs on the RAW dict so a blanked nested
+   * value is not skipped over. */
+  private def valueStart(raw: String, key: String): Int = {
+    val i = PdfCodec.keyIndex(blankNested(raw), key)
+    if (i < 0) -1
+    else {
       var j = i + key.length
-      if (j < dict.length && " \t\r\n\f/<>[]()".indexOf(dict(j)) >= 0) {
-        while (j < dict.length && dict(j).isWhitespace) j += 1
-        if (j < dict.length && dict(j) == '/') {
-          var k = j + 1
-          while (k < dict.length &&
-            " \t\r\n\f()<>[]{}/%".indexOf(dict(k)) < 0) k += 1
-          return Some(dict.substring(j + 1, k))
-        }
-        return None
-      }
-      i = dict.indexOf(key, i + 1)
+      while (j < raw.length && raw(j).isWhitespace) j += 1
+      j
     }
-    None
+  }
+
+  /** Top-level integer value (`/V` can never match inside the
+   * crypt-filter NAME `/V2` — keyIndex demands a delimiter). */
+  private def intIn(raw: String, key: String): Option[Long] = {
+    val j = valueStart(raw, key)
+    if (j < 0 || j >= raw.length) None
+    else """^([+-]?\d{1,18})""".r
+      .findPrefixMatchOf(raw.substring(j, math.min(raw.length, j + 20)))
+      .map(_.group(1).toLong)
+  }
+
+  /** Top-level boolean (default `dflt` when absent or not a direct
+   * true/false) — any legal whitespace between key and value. */
+  private def boolIn(raw: String, key: String, dflt: Boolean): Boolean = {
+    val j = valueStart(raw, key)
+    if (j < 0) dflt
+    else if (raw.startsWith("false", j)) false
+    else if (raw.startsWith("true", j)) true
+    else dflt
+  }
+
+  /** Top-level name value (`/StmF /StdCF` → "StdCF"). */
+  private def nameIn(raw: String, key: String): Option[String] = {
+    val j = valueStart(raw, key)
+    if (j < 0 || j >= raw.length || raw(j) != '/') None
+    else {
+      var k = j + 1
+      while (k < raw.length &&
+        " \t\r\n\f()<>[]{}/%".indexOf(raw(k)) < 0) k += 1
+      Some(raw.substring(j + 1, k))
+    }
+  }
+
+  /** The raw sub-DICTIONARY value of top-level key `key` (key located
+   * on the blanked view, the `<<…>>` slice taken from the raw dict —
+   * blankNested is same-length, so the positions line up). */
+  private def dictIn(raw: String, key: String): Option[String] = {
+    val j = valueStart(raw, key)
+    if (j < 0 || !raw.startsWith("<<", j)) None
+    else Some(raw.substring(j, PdfCodec.dictEnd(raw, j)))
   }
 
   // ----------------------------------------------------------- handler
@@ -430,34 +434,46 @@ object PdfCrypto {
    * password. Rejects loudly when a real user password is required,
    * and for any non-Standard filter / unsupported `/V`, `/R`, `/CFM`. */
   def decryptor(encDict: String, id0: Array[Byte]): Decryptor = {
-    // all TOP-LEVEL keys are read from the nested-dict-blanked view —
-    // PDF dictionary key order is arbitrary, and the crypt-filter
-    // sub-dictionary legitimately carries its own /Length (bytes) and
-    // /V2-prefixed /CFM name that must never shadow the top-level
-    // /Length (bits) or /V
-    val top = blankNested(encDict)
-    need(nameIn(top, "/Filter").contains("Standard"),
-      s"security handler /${nameIn(top, "/Filter").getOrElse("?")} " +
+    // every scanner locates keys on a string/comment-aware,
+    // nested-dict-blanked view of the dictionary: PDF key order is
+    // arbitrary, the crypt-filter sub-dictionary legitimately carries
+    // its own /Length and a /V2-prefixed /CFM name, and binary /O //U
+    // literal-string values can contain any key-shaped byte sequence
+    need(nameIn(encDict, "/Filter").contains("Standard"),
+      s"security handler /${nameIn(encDict, "/Filter").getOrElse("?")} " +
         "unsupported (Standard only)")
-    val v = intIn(top, "/V").getOrElse(fail("/Encrypt has no /V"))
-    val r = intIn(top, "/R").getOrElse(fail("/Encrypt has no /R"))
-    val o = stringAfter(top, "/O").getOrElse(fail("/Encrypt has no /O"))
-    val u = stringAfter(top, "/U").getOrElse(fail("/Encrypt has no /U"))
-    val p = intIn(top, "/P").getOrElse(fail("/Encrypt has no /P")).toInt
+    val v = intIn(encDict, "/V").getOrElse(fail("/Encrypt has no /V"))
+    val r = intIn(encDict, "/R").getOrElse(fail("/Encrypt has no /R"))
+    val o = stringAfter(encDict, "/O").getOrElse(fail("/Encrypt has no /O"))
+    val u = stringAfter(encDict, "/U").getOrElse(fail("/Encrypt has no /U"))
+    val p = intIn(encDict, "/P").getOrElse(fail("/Encrypt has no /P")).toInt
     val emptyPwd = Array.empty[Byte]
+
+    // the stream crypt filter: ABSENT /StmF defaults to Identity
+    // (ISO 32000 Table 20 — string/embedded-file-only encryption
+    // leaves streams plaintext) in BOTH the V4 and V5 regimes
+    def stmF: String = nameIn(encDict, "/StmF").getOrElse("Identity")
+    // /CF -> /StdCF extracted structurally (never by raw indexOf: a
+    // preceding `/StmF /StdCF` VALUE or a decoy crypt filter like
+    // /AltCF must not mis-slice the dictionary)
+    def stdCf: String = {
+      val cf = dictIn(encDict, "/CF")
+        .getOrElse(fail("/StmF names /StdCF but /Encrypt has no /CF"))
+      dictIn(cf, "/StdCF")
+        .getOrElse(fail("/StmF names /StdCF but /CF defines no /StdCF"))
+    }
 
     if (v == 5) {
       need(r == 6, s"/V 5 with /R $r unsupported (revision 6 only)")
+      if (stmF == "Identity") return IdentityDecryptor
+      need(stmF == "StdCF", s"/StmF /$stmF unsupported (StdCF or Identity)")
       need(u.length >= 48, s"/U of ${u.length} bytes (48 required)")
-      need(nameIn(top, "/StmF").forall(f => f == "StdCF" || f == "Identity"),
-        "non-standard /StmF crypt filter")
-      if (nameIn(top, "/StmF").contains("Identity")) return IdentityDecryptor
       val vSalt = u.slice(32, 40)
       val kSalt = u.slice(40, 48)
       need(java.util.Arrays.equals(
         hash2B(emptyPwd, vSalt, Array.empty), u.take(32)),
         "password-protected document (user password required)")
-      val ue = stringAfter(top, "/UE")
+      val ue = stringAfter(encDict, "/UE")
         .getOrElse(fail("/Encrypt has no /UE"))
       need(ue.length == 32, s"/UE of ${ue.length} bytes (32 required)")
       val ikey = hash2B(emptyPwd, kSalt, Array.empty)
@@ -465,20 +481,19 @@ object PdfCrypto {
       new Aes256Decryptor(fileKey)
     } else if (v == 4) {
       need(r == 4, s"/V 4 with /R $r unsupported")
-      val stmF = nameIn(top, "/StmF").getOrElse("Identity")
       if (stmF == "Identity") return IdentityDecryptor
       need(stmF == "StdCF", s"/StmF /$stmF unsupported (StdCF or Identity)")
-      val cf = {
-        val i = encDict.indexOf("/StdCF")
-        need(i >= 0, "/StmF names /StdCF but /CF defines no /StdCF")
-        val j = encDict.indexOf("<<", i)
-        need(j >= 0, "/StdCF is not a dictionary")
-        encDict.substring(j, PdfCodec.dictEnd(encDict, j))
-      }
+      val cf = stdCf
       val cfm = nameIn(cf, "/CFM").getOrElse(fail("/StdCF has no /CFM"))
-      val bits = intIn(top, "/Length").getOrElse(128L)
+      // key length: top-level /Length (bits) wins; some writers state
+      // it only in the crypt filter, where the unit drifted between
+      // spec editions — values ≤ 40 are byte counts (Acrobat writes
+      // "/Length 16"), larger ones are bits
+      val bits = intIn(encDict, "/Length").orElse(
+        intIn(cf, "/Length").map(l => if (l <= 40) l * 8 else l))
+        .getOrElse(128L)
       need(bits % 8 == 0 && bits >= 40 && bits <= 128, s"bad /Length $bits")
-      val encryptMetadata = boolIn(top, "/EncryptMetadata", dflt = true)
+      val encryptMetadata = boolIn(encDict, "/EncryptMetadata", dflt = true)
       val fileKey = fileKeyR234(emptyPwd, o, p, id0, r.toInt,
         (bits / 8).toInt, encryptMetadata)
       need(java.util.Arrays.equals(
@@ -491,7 +506,7 @@ object PdfCrypto {
       }
     } else if (v == 1 || v == 2) {
       need(r == 2 || r == 3, s"/V $v with /R $r unsupported")
-      val bits = if (v == 1) 40L else intIn(top, "/Length").getOrElse(40L)
+      val bits = if (v == 1) 40L else intIn(encDict, "/Length").getOrElse(40L)
       need(bits % 8 == 0 && bits >= 40 && bits <= 128, s"bad /Length $bits")
       val keyBytes = if (r == 2) 5 else (bits / 8).toInt
       val fileKey = fileKeyR234(emptyPwd, o, p, id0, r.toInt, keyBytes,

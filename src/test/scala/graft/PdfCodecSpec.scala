@@ -476,6 +476,48 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+
+  test("hostile page trees reject inside the pdf: contract: a 100-deep " +
+    "/Kids chain hits the depth bound (never StackOverflowError) and an " +
+    "indirect /Kids array rejects instead of silently dropping pages") {
+    // 100 single-child Pages nodes then a leaf: objects 2..101 chain
+    val chain = (2 to 101).map { n =>
+      if (n < 101) s"<< /Type /Pages /Kids [${n + 1} 0 R] /Count 1 >>"
+      else "<< /Type /Page /Parent 100 0 R /Contents 102 0 R >>"
+    }
+    val deep = buildPdf(Seq("<< /Type /Catalog /Pages 2 0 R >>") ++ chain ++
+      Seq(stream("<< /Length 13 >>", "BT (x) Tj ET ")))
+    val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(deep) }
+    assert(e1.getMessage.contains("page tree deeper than"), e1.getMessage)
+    val indirect = buildPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids 9 0 R /Count 1 >>"))
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extract(indirect) }
+    assert(e2.getMessage.contains("/Kids is an indirect reference"),
+      e2.getMessage)
+  }
+
+  test("V5 crypt-filter defaults: an /Encrypt dict WITHOUT /StmF means " +
+    "Identity (plaintext streams) per Table 20, not AES on everything") {
+    // surgery-free: pull the real aes256 dict + /ID out of the fixture,
+    // drop its /StmF entry, and ask for the decryptor directly
+    val pdf = new String(PdfCodec.encodeEncrypted("seal", "aes256"),
+      StandardCharsets.ISO_8859_1)
+    val di = pdf.indexOf("5 0 obj\n") + 8
+    val dict = pdf.substring(di, PdfCodec.dictEnd(pdf, pdf.indexOf("<<", di)))
+    val noStmF = dict.replace("/StmF /StdCF ", "")
+    assert(noStmF != dict)
+    val idHex = """/ID \[<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(pdf)
+      .get.group(1)
+    val id0 = idHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val dec = graft.functions.PdfCrypto.decryptor(noStmF, id0)
+    val data = "plaintext stays".getBytes(StandardCharsets.ISO_8859_1)
+    assert(dec.stream(4, 0, data).toSeq === data.toSeq)
+    // and with /StmF present the same dict validates + decrypts for real
+    assert(PdfCodec.extract(PdfCodec.encodeEncrypted("seal", "aes256"))
+      === "seal")
+  }
+
   test("hostile encryption dictionaries reject inside the pdf: " +
     "contract: unsupported /V, unsupported /CFM, corrupted AES " +
     "ciphertext") {
