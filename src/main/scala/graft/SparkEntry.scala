@@ -2277,6 +2277,39 @@ object SparkEntry {
         lower(hex(dec.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_jpeg_progressive" -> ((s, dir) => {
+      // REAL progressive (SOF2) JPEG decode: 24x16 grayscale images of six
+      // flat 8x8 blocks with EVEN md5-derived values run through the
+      // six-scan progressive codec — DC successive approximation (Al=1 +
+      // refinement), two spectral AC bands whose EOB runs span all six
+      // blocks, and the refinement scans' correction-bit model. Flat
+      // blocks + even values keep every coefficient exactly representable
+      // (JpegCodec scaladoc), so decode returns the input bit-for-bit and
+      // the oracle replays the pixel hex arithmetically. General content,
+      // ImageIO cross-validation (both directions) and the
+      // progressive-equals-sequential bit-identity gate live in
+      // JpegCodecSpec.
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("p" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val dec = jpeg_decode(
+        jpeg_encode_gray_progressive(lit(24), lit(16), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
     "mm_jpeg_phash" -> ((s, dir) => {
       // perceptual dedup over JPEG content — the mm_image_phash analog for
       // the second container format: docs sharing doc_id % 100 carry
@@ -8050,6 +8083,39 @@ object SparkEntry {
          SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
            repeat(repeat(h0, 8) || repeat(h1, 8), 8) ||
            repeat(repeat(h2, 8) || repeat(h3, 8), 8) AS px_hex
+         FROM b""",
+
+    // flat-block PROGRESSIVE JPEG round-trip is exactly lossless too (the
+    // refinement scans reconstruct every coefficient bit-for-bit): the
+    // oracle rebuilds the 24x16 six-block pixel hex arithmetically
+    "mm_jpeg_progressive" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p3'), 1, 2) AS c3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p4'), 1, 2) AS c4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p5'), 1, 2) AS c5
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
+             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
+             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx
+           JOIN hexmap m4 ON d.c4 = m4.hx
+           JOIN hexmap m5 ON d.c5 = m5.hx)
+         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
+           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
+             AS px_hex
          FROM b""",
 
     // JPEG perceptual dedup: the codec is lossless on the fixture, so the

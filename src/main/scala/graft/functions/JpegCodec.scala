@@ -152,44 +152,17 @@ object JpegCodec {
   }
 
   /**
-   * Encode an 8-bit grayscale image as a baseline JPEG with the Annex K
-   * luminance quantization + Huffman tables. Width/height need not be
-   * multiples of 8 (edge blocks replicate the last row/column, the
-   * standard approach).
+   * FDCT + Annex-K quantization of every 8×8 block (edge replication),
+   * row-major block order; each entry is the block's 64 quantized
+   * coefficients in NATURAL (row-major) order. Shared by the baseline and
+   * progressive encoders so both code the same coefficients.
    */
-  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
-    require(width > 0 && height > 0 &&
-      width.toLong * height <= Int.MaxValue / 4, s"bad dims ${width}x$height")
-    require(gray.length == width * height,
-      s"expected ${width * height} pixels, got ${gray.length}")
-    val out = new java.io.ByteArrayOutputStream()
-    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    // DQT, table 0, 8-bit, zigzag order
-    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
-    var i = 0
-    while (i < 64) { out.write(StdLumaQuant(Zigzag(i))); i += 1 }
-    // SOF0: 8-bit, 1 component, sampling 1x1, qtable 0
-    marker(0xc0); u16(8 + 3); out.write(8); u16(height); u16(width)
-    out.write(1); out.write(1); out.write(0x11); out.write(0)
-    // DHT: DC table 0 then AC table 0
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(cls << 4)
-      bits.foreach(out.write); vals.foreach(out.write)
-    }
-    dht(0, StdDcLumaBits, StdDcLumaVals)
-    dht(1, StdAcLumaBits, StdAcLumaVals)
-    // SOS: 1 component, DC 0 / AC 0
-    marker(0xda); u16(6 + 2); out.write(1); out.write(1); out.write(0x00)
-    out.write(0); out.write(63); out.write(0)
-
-    val bw = new BitWriter(out)
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    var prevDc = 0
+  private def quantizeBlocks(width: Int, height: Int,
+                             gray: Array[Byte]): Array[Array[Int]] = {
     val bh = (height + 7) / 8
     val bwid = (width + 7) / 8
+    val blocks = new Array[Array[Int]](bh * bwid)
+    val block = new Array[Double](64)
     var by = 0
     while (by < bh) {
       var bx = 0
@@ -219,50 +192,284 @@ object JpegCodec {
           }
           u += 1
         }
+        val coef = new Array[Int](64)
         var v = 0
         while (v < 8) {
           var uu = 0
           while (uu < 8) {
             var s = 0.0; var yy = 0
             while (yy < 8) { s += tmp(yy * 8 + uu) * DctBasis(v)(yy); yy += 1 }
-            val q = StdLumaQuant(v * 8 + uu)
-            coef(v * 8 + uu) = Math.round(s / q).toInt
+            coef(v * 8 + uu) = Math.round(s / StdLumaQuant(v * 8 + uu)).toInt
             uu += 1
           }
           v += 1
         }
-        // entropy-code: DC diff then AC run-lengths in zigzag order
-        val dc = coef(0)
-        val diff = dc - prevDc
-        prevDc = dc
-        val s0 = bitSize(diff)
-        val (dcCode, dcLen) = EncDc(s0)
-        bw.put(dcCode, dcLen)
-        if (s0 > 0)
-          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
-        var run = 0
-        var zi = 1
-        while (zi < 64) {
-          val ac = coef(Zigzag(zi))
-          if (ac == 0) run += 1
-          else {
-            while (run > 15) {
-              val (c, l) = EncAc(0xf0); bw.put(c, l); run -= 16
-            }
-            val sz = bitSize(ac)
-            val (c, l) = EncAc((run << 4) | sz)
-            bw.put(c, l)
-            bw.put(if (ac >= 0) ac else ac + (1 << sz) - 1, sz)
-            run = 0
-          }
-          zi += 1
-        }
-        if (run > 0) { val (c, l) = EncAc(0x00); bw.put(c, l) } // EOB
+        blocks(by * bwid + bx) = coef
         bx += 1
       }
       by += 1
     }
+    blocks
+  }
+
+  /** SOI + DQT + SOF + DHT headers shared by both grayscale encoders;
+   * `sof` selects baseline (0xc0) vs progressive (0xc2) and `acBits/acVals`
+   * the AC table embedded (progressive needs EOBn symbols Annex K lacks). */
+  private def writeGrayHeaders(out: java.io.ByteArrayOutputStream,
+                               width: Int, height: Int, sof: Int,
+                               acBits: Array[Int], acVals: Array[Int]): Unit = {
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    // DQT, table 0, 8-bit, zigzag order
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(StdLumaQuant(Zigzag(i))); i += 1 }
+    // SOF: 8-bit, 1 component, sampling 1x1, qtable 0
+    marker(sof); u16(8 + 3); out.write(8); u16(height); u16(width)
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    // DHT: DC table 0 then AC table 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, StdDcLumaBits, StdDcLumaVals)
+    dht(1, acBits, acVals)
+  }
+
+  /**
+   * Encode an 8-bit grayscale image as a baseline JPEG with the Annex K
+   * luminance quantization + Huffman tables. Width/height need not be
+   * multiples of 8 (edge blocks replicate the last row/column, the
+   * standard approach).
+   */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue / 4, s"bad dims ${width}x$height")
+    require(gray.length == width * height,
+      s"expected ${width * height} pixels, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    writeGrayHeaders(out, width, height, 0xc0, StdAcLumaBits, StdAcLumaVals)
+    // SOS: 1 component, DC 0 / AC 0
+    marker(0xda); u16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = new BitWriter(out)
+    var prevDc = 0
+    quantizeBlocks(width, height, gray).foreach { coef =>
+      // entropy-code: DC diff then AC run-lengths in zigzag order
+      val dc = coef(0)
+      val diff = dc - prevDc
+      prevDc = dc
+      val s0 = bitSize(diff)
+      val (dcCode, dcLen) = EncDc(s0)
+      bw.put(dcCode, dcLen)
+      if (s0 > 0)
+        bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+      var run = 0
+      var zi = 1
+      while (zi < 64) {
+        val ac = coef(Zigzag(zi))
+        if (ac == 0) run += 1
+        else {
+          while (run > 15) {
+            val (c, l) = EncAc(0xf0); bw.put(c, l); run -= 16
+          }
+          val sz = bitSize(ac)
+          val (c, l) = EncAc((run << 4) | sz)
+          bw.put(c, l)
+          bw.put(if (ac >= 0) ac else ac + (1 << sz) - 1, sz)
+          run = 0
+        }
+        zi += 1
+      }
+      if (run > 0) { val (c, l) = EncAc(0x00); bw.put(c, l) } // EOB
+    }
     bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- Encoder (grayscale progressive) ----------------------------------
+
+  /** AC table for the progressive scans: EOBn (n = 0..14), ZRL, and every
+   * run/size pair r = 0..15 × s = 1..10 — all the symbols the scan script
+   * below can emit. All 176 symbols sit at code length 8 (256 slots, so
+   * canonical codes top out at 175 and never touch the reserved all-ones
+   * pattern). Annex K's AC table can't be reused here: it lacks the EOBn
+   * (r≠0, s=0) symbols progressive EOB runs require. */
+  private[functions] val ProgAcVals: Array[Int] =
+    ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private[functions] val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+  private lazy val EncProgAc = canonicalCodes(ProgAcBits, ProgAcVals)
+
+  /**
+   * Encode an 8-bit grayscale image as a PROGRESSIVE JPEG (SOF2) with a
+   * six-scan script that exercises every progressive coding mode:
+   *
+   *   1. DC first        Ss=0 Se=0  Ah=0 Al=1   (successive approximation)
+   *   2. AC first 1–5    Ss=1 Se=5  Ah=0 Al=1   (spectral selection band 1)
+   *   3. AC first 6–63   Ss=6 Se=63 Ah=0 Al=1   (band 2, EOB runs span blocks)
+   *   4. DC refine       Ss=0 Se=0  Ah=1 Al=0   (raw bits, no Huffman)
+   *   5. AC refine 1–5   Ss=1 Se=5  Ah=1 Al=0   (correction bits + EOBn)
+   *   6. AC refine 6–63  Ss=6 Se=63 Ah=1 Al=0
+   *
+   * Same Annex-K quantization as [[encodeGray]], so the flat-even-block
+   * losslessness argument (object scaladoc) carries over verbatim: after
+   * the refinement scans every coefficient is bit-identical to the
+   * baseline encoding and decode returns the input exactly. The refine
+   * scans follow the spec's Annex G.1.2 coding model (the same one
+   * libjpeg's jcphuff implements): runs count ZERO-HISTORY positions only,
+   * already-significant coefficients ride along as buffered correction
+   * bits emitted after the next symbol, and correction bits accumulated at
+   * block tails attach to the pending EOB run.
+   */
+  def encodeGrayProgressive(width: Int, height: Int,
+                            gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue / 4, s"bad dims ${width}x$height")
+    require(gray.length == width * height,
+      s"expected ${width * height} pixels, got ${gray.length}")
+    val blocks = quantizeBlocks(width, height, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    writeGrayHeaders(out, width, height, 0xc2, ProgAcBits, ProgAcVals)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // scan 1: DC first, point transform Al=1 (arithmetic shift per spec)
+    sos(0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      var prev = 0
+      blocks.foreach { c =>
+        val v = c(0) >> 1
+        val diff = v - prev; prev = v
+        val s0 = bitSize(diff)
+        val (code, len) = EncDc(s0); bw.put(code, len)
+        if (s0 > 0) bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+      }
+      bw.flush()
+    }
+
+    // scans 2–3: AC first per band; point transform truncates toward zero
+    def acFirst(ss: Int, se: Int): Unit = {
+      sos(ss, se, 0, 1)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var n = 0
+        while ((eobrun >> (n + 1)) > 0) n += 1
+        val (code, len) = EncProgAc(n << 4); bw.put(code, len)
+        if (n > 0) bw.put(eobrun & ((1 << n) - 1), n)
+        eobrun = 0
+      }
+      blocks.foreach { c =>
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val full = c(Zigzag(k))
+          val v = if (full >= 0) full >> 1 else -((-full) >> 1)
+          if (v == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) {
+              val (cd, l) = EncProgAc(0xf0); bw.put(cd, l); r -= 16
+            }
+            val sz = bitSize(v)
+            require(sz <= 10, s"AC coefficient $v exceeds the table range")
+            val (cd, l) = EncProgAc((r << 4) | sz); bw.put(cd, l)
+            bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+      }
+      flushEob()
+      bw.flush()
+    }
+    acFirst(1, 5)
+    acFirst(6, 63)
+
+    // scan 4: DC refine — one raw bit per block, no Huffman coding
+    sos(0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      blocks.foreach(c => bw.put(c(0) & 1, 1))
+      bw.flush()
+    }
+
+    // scans 5–6: AC refine per band (Annex G.1.2.3 / jcphuff coding model)
+    def acRefine(ss: Int, se: Int): Unit = {
+      sos(ss, se, 1, 0)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      // correction bits attached to the pending EOB run (previous blocks'
+      // tails) vs the current block's bits since its last emitted symbol
+      val pendEob = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val pendCur = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitCur(): Unit = { pendCur.foreach(b => bw.put(b, 1)); pendCur.clear() }
+      def flushEob(): Unit = if (eobrun > 0) {
+        var n = 0
+        while ((eobrun >> (n + 1)) > 0) n += 1
+        val (code, len) = EncProgAc(n << 4); bw.put(code, len)
+        if (n > 0) bw.put(eobrun & ((1 << n) - 1), n)
+        pendEob.foreach(b => bw.put(b, 1)); pendEob.clear()
+        eobrun = 0
+      }
+      blocks.foreach { c =>
+        // last newly-significant position: runs past it fold into EOB runs
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= se) {
+          if (math.abs(c(Zigzag(k))) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= se) {
+          val v = c(Zigzag(k))
+          val t = math.abs(v)
+          if (t == 0) { r += 1 }
+          else {
+            // ZRL only within the newly-significant span; trailing zeros
+            // beyond eobPos fold into the EOB run instead
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (cd, l) = EncProgAc(0xf0); bw.put(cd, l); r -= 16
+              emitCur()
+            }
+            if (t > 1) pendCur += (t & 1) // already significant: buffer bit
+            else {
+              flushEob()
+              val (cd, l) = EncProgAc((r << 4) | 1); bw.put(cd, l)
+              bw.put(if (v < 0) 0 else 1, 1)
+              emitCur()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pendCur.nonEmpty) {
+          eobrun += 1
+          pendEob ++= pendCur; pendCur.clear()
+          if (eobrun == 0x7fff) flushEob()
+        }
+      }
+      flushEob()
+      bw.flush()
+    }
+    acRefine(1, 5)
+    acRefine(6, 63)
+
     marker(0xd9) // EOI
     out.toByteArray
   }
@@ -340,8 +547,18 @@ object JpegCodec {
     if (r < 0) 0 else if (r > 255) 255 else r
   }
 
-  /** Decode the supported baseline subset; IllegalArgumentException with a
-   * precise reason on anything else. */
+  /**
+   * Decode the supported subset — baseline/extended sequential (SOF0/1)
+   * AND progressive (SOF2: spectral selection, successive approximation,
+   * EOB runs, per-band refinement scans, interleaved DC + non-interleaved
+   * AC traversal) — with an IllegalArgumentException carrying a precise
+   * reason on anything else. The decoder is coefficient-domain: every scan
+   * accumulates quantized coefficients into per-component MCU-padded
+   * planes (progressive needs this — a scan touches one frequency band of
+   * every block), and a single IDCT pass at EOI produces pixels. Baseline
+   * rides the same machinery as the degenerate one-scan case, so both
+   * paths share every hardening bound.
+   */
   def decode(jpg: Array[Byte]): Image = {
     require(jpg.length > 3 && (jpg(0) & 0xff) == 0xff &&
       (jpg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
@@ -352,204 +569,405 @@ object JpegCodec {
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var width = 0; var height = 0
-    // per component: id, h, v, qId, dcId, acId
+    var progressive = false
+    // per component: id, h, v, qId
     var comps: Array[(Int, Int, Int, Int)] = null
-    var scanOrder: Array[(Int, Int, Int)] = null // (compIdx, dcId, acId)
     var restartInterval = 0
-    var sosAt = -1
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // coefficient planes (quantized), MCU-padded; compBW/compBH are the
+    // REAL block dims (ceil of the component's sampled size) that
+    // non-interleaved scans traverse; padBW is the padded row stride
+    var coefs: Array[Array[Int]] = null
+    var padBW: Array[Int] = null
+    var compBW: Array[Int] = null; var compBH: Array[Int] = null
+    // quant table snapshot at the component's first scan (progressive
+    // files may redefine DQT ids between scans for later components)
+    var compQt: Array[Array[Int]] = null
+    var nScans = 0
+    var sawEoi = false
 
-    while (sosAt < 0) {
-      require(pos + 4 <= jpg.length, "truncated before SOS")
-      require((jpg(pos) & 0xff) == 0xff, f"expected marker at $pos")
-      val m = jpg(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      // every body read below is bounded by `end`, so a length field
-      // pointing past the buffer fails here with a precise reason instead
-      // of an ArrayIndexOutOfBoundsException mid-parse
-      require(len >= 2, s"bad segment length $len at $pos")
-      val end = pos + 2 + len
-      require(end <= jpg.length, f"truncated segment 0xff$m%02x at $pos")
-      val body = pos + 4
-      m match {
-        case 0xdb => // DQT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val pq = (jpg(p) & 0xff) >> 4
-            val tq = jpg(p) & 0x0f
-            require(tq < 4, s"bad quant table id $tq")
-            require(p + 1 + (if (pq == 0) 64 else 128) <= end,
-              "truncated quantization table")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              t(Zigzag(i)) =
-                if (pq == 0) jpg(p + 1 + i) & 0xff
-                else u16(p + 1 + 2 * i)
-              i += 1
+    // decode one scan's entropy data; returns the offset of the marker
+    // that follows it
+    def decodeScan(start: Int, sc: Array[(Int, Int, Int)],
+                   ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val br = new BitReader(jpg, start)
+      val prevDc = new Array[Int](comps.length)
+      var eobrun = 0
+
+      sc.foreach { case (ci, _, _) =>
+        if (compQt(ci) == null) {
+          val qt = quant(comps(ci)._4)
+          require(qt != null, s"missing quant table ${comps(ci)._4}")
+          compQt(ci) = qt
+        }
+      }
+
+      def handleRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.reset()
+          var p = br.pos
+          while (p + 1 < jpg.length && !((jpg(p) & 0xff) == 0xff &&
+            (jpg(p + 1) & 0xf8) == 0xd0)) p += 1
+          require(p + 1 < jpg.length, "missing restart marker")
+          br.pos = p + 2
+          java.util.Arrays.fill(prevDc, 0)
+          eobrun = 0 // an EOB run never crosses a restart boundary
+        }
+
+      // first AC scan of a band (also the baseline AC path with from=1,
+      // al=0): run/size coding with progressive EOBn run accumulation
+      def acFirst(arr: Array[Int], off: Int, act: HuffTable,
+                  from: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1 }
+        else {
+          var k = from
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.decodeHuff(act)
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.bits(r)
+                done = true
+              }
+            } else {
+              k += r
+              require(k <= se, "AC index overflow")
+              arr(off + Zigzag(k)) = extend(br.bits(sz), sz) << al
+              k += 1
             }
-            quant(tq) = t
-            p += 1 + (if (pq == 0) 64 else 128)
           }
-        case 0xc4 => // DHT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val tc = (jpg(p) & 0xff) >> 4
-            val th = jpg(p) & 0x0f
-            require(tc <= 1 && th < 4, s"bad Huffman table class/id $tc/$th")
-            require(p + 17 <= end, "truncated Huffman BITS")
-            val bits = Array.tabulate(16)(i => jpg(p + 1 + i) & 0xff)
-            val n = bits.sum
-            require(p + 17 + n <= end, "truncated Huffman HUFFVAL")
-            val vals = Array.tabulate(n)(i => jpg(p + 17 + i) & 0xff)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcTables(th) = t else acTables(th) = t
-            p += 17 + n
-          }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
-          require(body + 6 <= end, "truncated SOF header")
-          require((jpg(body) & 0xff) == 8, "only 8-bit precision supported")
-          height = u16(body + 1); width = u16(body + 3)
-          val nc = jpg(body + 5) & 0xff
-          require(nc == 1 || nc == 3, s"unsupported component count $nc")
-          require(body + 6 + 3 * nc <= end, "truncated SOF components")
-          comps = Array.tabulate(nc) { i =>
-            val o = body + 6 + 3 * i
-            val id = jpg(o) & 0xff
-            val h = (jpg(o + 1) & 0xff) >> 4
-            val v = jpg(o + 1) & 0x0f
-            require(h >= 1 && h <= 2 && v >= 1 && v <= 2,
-              s"unsupported sampling ${h}x$v (baseline 1-2 only)")
-            (id, h, v, jpg(o + 2) & 0xff)
-          }
-          require(width > 0 && height > 0 &&
-            width.toLong * height * 3 <= MaxDecodedBytes,
-            s"refusing ${width}x$height (decode buffer over $MaxDecodedBytes)")
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) unsupported")
-        case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
-          "arithmetic-coded JPEG unsupported")
-        case 0xdd =>
-          require(body + 2 <= end, "truncated DRI segment")
-          restartInterval = u16(body)
-        case 0xda => // SOS
-          require(comps != null, "SOS before SOF")
-          require(body + 1 <= end, "truncated SOS header")
-          val ns = jpg(body) & 0xff
-          require(ns == comps.length, "scan must cover all components")
-          require(body + 1 + 2 * ns <= end, "truncated SOS component specs")
-          scanOrder = Array.tabulate(ns) { i =>
-            val cid = jpg(body + 1 + 2 * i) & 0xff
-            val idx = comps.indexWhere(_._1 == cid)
-            require(idx >= 0, s"scan references unknown component $cid")
-            val t = jpg(body + 2 + 2 * i) & 0xff
-            (idx, t >> 4, t & 0x0f)
-          }
-          sosAt = body + len - 2
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case _ => () // APPn/COM/etc: skip
+        }
       }
-      pos += 2 + len
-      if (sosAt >= 0) pos = sosAt
-    }
 
-    val nc = comps.length
-    val hMax = comps.map(_._2).max
-    val vMax = comps.map(_._3).max
-    val mcuW = 8 * hMax
-    val mcuH = 8 * vMax
-    val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuH - 1) / mcuH
-    // per-component plane at its natural (subsampled) resolution
-    val planeW = comps.map(c => mcusX * c._2 * 8)
-    val planeH = comps.map(c => mcusY * c._3 * 8)
-    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
-
-    val br = new BitReader(jpg, pos)
-    val prevDc = new Array[Int](nc)
-    val coef = new Array[Int](64)
-    val blk = new Array[Double](64)
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // align to byte, expect RSTn
-        br.reset()
-        var p = br.pos
-        while (p + 1 < jpg.length && !((jpg(p) & 0xff) == 0xff &&
-          (jpg(p + 1) & 0xf8) == 0xd0)) p += 1
-        require(p + 1 < jpg.length, "missing restart marker")
-        br.pos = p + 2
-        java.util.Arrays.fill(prevDc, 0)
+      // refinement AC scan (Annex G.1.2.3 / jdphuff model): runs count
+      // zero-history positions; every already-significant coefficient
+      // crossed reads one correction bit
+      def acRefine(arr: Array[Int], off: Int, act: HuffTable): Unit = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(z: Int): Unit =
+          if (br.bit() == 1 && (arr(z) & p1) == 0)
+            arr(z) += (if (arr(z) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.decodeHuff(act)
+            var r = rs >> 4
+            val sz = rs & 0x0f
+            var newVal = 0
+            if (sz == 0) {
+              if (r != 15) { // EOBn: the rest of this block joins the run
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.bits(r)
+                done = true
+              }
+              // r == 15: ZRL — newVal stays 0, skip 16 zero-history slots
+            } else {
+              require(sz == 1, s"bad refinement size $sz")
+              newVal = if (br.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = off + Zigzag(k)
+                if (arr(z) != 0) correct(z)
+                else if (r == 0) {
+                  if (newVal != 0) arr(z) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // inside an EOB run: only correction bits for the rest of band
+          while (k <= se) {
+            val z = off + Zigzag(k)
+            if (arr(z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
       }
-      val mx = mcu % mcusX
-      val my = mcu / mcusX
-      var si = 0
-      while (si < scanOrder.length) {
-        val (ci, dcId, acId) = scanOrder(si)
-        val (_, ch, cv, cq) = comps(ci)
-        val qt = quant(cq)
-        require(qt != null, s"missing quant table $cq")
-        val dct = dcTables(dcId); val act = acTables(acId)
-        require(dct != null && act != null, "missing Huffman table")
-        var byi = 0
-        while (byi < cv) {
-          var bxi = 0
-          while (bxi < ch) {
-            // decode one block
-            java.util.Arrays.fill(coef, 0)
+
+      def decodeBlock(ci: Int, off: Int, dcId: Int, acId: Int): Unit = {
+        val arr = coefs(ci)
+        if (ss == 0) {
+          if (ah == 0) { // DC first (baseline: al=0 makes the shift a no-op)
+            val dct = dcTables(dcId)
+            require(dct != null, s"missing DC Huffman table $dcId")
             val s0 = br.decodeHuff(dct)
             require(s0 <= 11, s"bad DC size $s0")
             prevDc(ci) += extend(br.bits(s0), s0)
-            coef(0) = prevDc(ci) * qt(0)
-            var zi = 1
-            var done = false
-            while (zi < 64 && !done) {
-              val rs = br.decodeHuff(act)
-              val r = rs >> 4; val sz = rs & 0x0f
-              if (sz == 0) {
-                if (r == 15) zi += 16 // ZRL
-                else done = true      // EOB
-              } else {
-                zi += r
-                require(zi < 64, "AC index overflow")
-                coef(Zigzag(zi)) = extend(br.bits(sz), sz) * qt(Zigzag(zi))
-                zi += 1
+            arr(off) = prevDc(ci) << al
+          } else { // DC refine: one raw bit, no Huffman table involved
+            if (br.bit() == 1) arr(off) |= (1 << al)
+          }
+          if (se > 0) { // baseline/sequential scan continues into the ACs
+            val act = acTables(acId)
+            require(act != null, s"missing AC Huffman table $acId")
+            acFirst(arr, off, act, 1)
+          }
+        } else {
+          val act = acTables(acId)
+          require(act != null, s"missing AC Huffman table $acId")
+          if (ah == 0) acFirst(arr, off, act, ss)
+          else acRefine(arr, off, act)
+        }
+      }
+
+      if (sc.length > 1) { // interleaved: MCU traversal
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          handleRestart(mcu)
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var si = 0
+          while (si < sc.length) {
+            val (ci, dcId, acId) = sc(si)
+            val (_, ch, cv, _) = comps(ci)
+            var byi = 0
+            while (byi < cv) {
+              var bxi = 0
+              while (bxi < ch) {
+                val off =
+                  ((my * cv + byi) * padBW(ci) + (mx * ch + bxi)) * 64
+                decodeBlock(ci, off, dcId, acId)
+                bxi += 1
               }
+              byi += 1
             }
-            // separable IDCT: columns then rows
-            val tmp = new Array[Double](64)
-            var x = 0
-            while (x < 8) {
-              var y = 0
-              while (y < 8) {
-                var s = 0.0; var u = 0
-                while (u < 8) { s += DctBasis(u)(y) * coef(u * 8 + x); u += 1 }
-                tmp(y * 8 + x) = s
-                y += 1
+            si += 1
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's own (unpadded) block grid
+        val (ci, dcId, acId) = sc(0)
+        var blk = 0
+        val total = compBW(ci) * compBH(ci)
+        while (blk < total) {
+          handleRestart(blk) // spec: one block per MCU in this scan shape
+          val off =
+            ((blk / compBW(ci)) * padBW(ci) + (blk % compBW(ci))) * 64
+          decodeBlock(ci, off, dcId, acId)
+          blk += 1
+        }
+      }
+
+      // locate the marker that terminates this scan's entropy data:
+      // stuffing makes FF+nonzero unambiguous; skip fill FFs and stray RSTs
+      var p = if (br.sawMarker != 0) br.pos - 1 else br.pos
+      var found = -1
+      while (found < 0) {
+        require(p + 1 < jpg.length, "truncated after scan data")
+        if ((jpg(p) & 0xff) != 0xff) p += 1
+        else {
+          val mm = jpg(p + 1) & 0xff
+          if (mm == 0x00) p += 2 // stuffed data byte
+          else if (mm == 0xff) p += 1 // fill byte
+          else if ((mm & 0xf8) == 0xd0) p += 2 // trailing restart marker
+          else found = p
+        }
+      }
+      found
+    }
+
+    while (!sawEoi) {
+      require(pos + 2 <= jpg.length, "truncated before EOI")
+      require((jpg(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = jpg(pos + 1) & 0xff
+      if (m == 0xd9) { sawEoi = true; pos += 2 }
+      else {
+        require(pos + 4 <= jpg.length, "truncated marker segment")
+        val len = u16(pos + 2)
+        // every body read below is bounded by `end`, so a length field
+        // pointing past the buffer fails here with a precise reason instead
+        // of an ArrayIndexOutOfBoundsException mid-parse
+        require(len >= 2, s"bad segment length $len at $pos")
+        val end = pos + 2 + len
+        require(end <= jpg.length, f"truncated segment 0xff$m%02x at $pos")
+        val body = pos + 4
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val pq = (jpg(p) & 0xff) >> 4
+              val tq = jpg(p) & 0x0f
+              require(tq < 4, s"bad quant table id $tq")
+              require(p + 1 + (if (pq == 0) 64 else 128) <= end,
+                "truncated quantization table")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(Zigzag(i)) =
+                  if (pq == 0) jpg(p + 1 + i) & 0xff
+                  else u16(p + 1 + 2 * i)
+                i += 1
               }
-              x += 1
+              quant(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
             }
-            val px0 = (mx * ch + bxi) * 8
-            val py0 = (my * cv + byi) * 8
+          case 0xc4 => // DHT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val tc = (jpg(p) & 0xff) >> 4
+              val th = jpg(p) & 0x0f
+              require(tc <= 1 && th < 4, s"bad Huffman table class/id $tc/$th")
+              require(p + 17 <= end, "truncated Huffman BITS")
+              val bits = Array.tabulate(16)(i => jpg(p + 1 + i) & 0xff)
+              val n = bits.sum
+              require(p + 17 + n <= end, "truncated Huffman HUFFVAL")
+              val vals = Array.tabulate(n)(i => jpg(p + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+            require(comps == null, "multiple SOF markers")
+            progressive = m == 0xc2
+            require(body + 6 <= end, "truncated SOF header")
+            require((jpg(body) & 0xff) == 8, "only 8-bit precision supported")
+            height = u16(body + 1); width = u16(body + 3)
+            val nc = jpg(body + 5) & 0xff
+            require(nc == 1 || nc == 3, s"unsupported component count $nc")
+            require(body + 6 + 3 * nc <= end, "truncated SOF components")
+            comps = Array.tabulate(nc) { i =>
+              val o = body + 6 + 3 * i
+              val id = jpg(o) & 0xff
+              val h = (jpg(o + 1) & 0xff) >> 4
+              val v = jpg(o + 1) & 0x0f
+              require(h >= 1 && h <= 2 && v >= 1 && v <= 2,
+                s"unsupported sampling ${h}x$v (1-2 only)")
+              (id, h, v, jpg(o + 2) & 0xff)
+            }
+            require(width > 0 && height > 0 &&
+              width.toLong * height * 3 <= MaxDecodedBytes,
+              s"refusing ${width}x$height (decode buffer over $MaxDecodedBytes)")
+            hMax = comps.map(_._2).max
+            vMax = comps.map(_._3).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            padBW = comps.map(c => mcusX * c._2)
+            val padBHl = comps.map(c => mcusY * c._3)
+            compBW = comps.map(c => ((width.toLong * c._2 + hMax - 1) / hMax
+              .toLong + 7).toInt / 8)
+            compBH = comps.map(c => ((height.toLong * c._3 + vMax - 1) / vMax
+              .toLong + 7).toInt / 8)
+            coefs = Array.tabulate(nc) { i =>
+              val n = padBW(i).toLong * padBHl(i) * 64
+              require(n * 4 <= MaxDecodedBytes,
+                s"refusing coefficient plane of $n ints (decode bomb)")
+              new Array[Int](n.toInt)
+            }
+            compQt = new Array[Array[Int]](nc)
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"unsupported SOF marker 0xff$m%02x " +
+                "(lossless/differential/hierarchical)")
+          case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
+            "arithmetic-coded JPEG unsupported")
+          case 0xdd =>
+            require(body + 2 <= end, "truncated DRI segment")
+            restartInterval = u16(body)
+          case 0xda => // SOS
+            require(comps != null, "SOS before SOF")
+            require(body + 1 <= end, "truncated SOS header")
+            val ns = jpg(body) & 0xff
+            require(ns >= 1 && ns <= comps.length, s"bad scan count $ns")
+            require(body + 4 + 2 * ns <= end, "truncated SOS header")
+            val sc = Array.tabulate(ns) { i =>
+              val cid = jpg(body + 1 + 2 * i) & 0xff
+              val idx = comps.indexWhere(_._1 == cid)
+              require(idx >= 0, s"scan references unknown component $cid")
+              val t = jpg(body + 2 + 2 * i) & 0xff
+              (idx, t >> 4, t & 0x0f)
+            }
+            require(sc.map(_._1).distinct.length == ns,
+              "duplicate component in scan")
+            val ss = jpg(body + 1 + 2 * ns) & 0xff
+            val se = jpg(body + 2 + 2 * ns) & 0xff
+            val aa = jpg(body + 3 + 2 * ns) & 0xff
+            val ah = aa >> 4; val al = aa & 0x0f
+            if (progressive) {
+              require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+              require(if (ss == 0) se == 0 else ns == 1,
+                "progressive scan: DC band must be alone, AC bands " +
+                  "single-component")
+              require(al <= 13 && (ah == 0 || ah == al + 1),
+                s"bad successive approximation $ah/$al")
+            } else {
+              require(ss == 0 && se == 63 && ah == 0 && al == 0,
+                "sequential scan must cover the full band")
+            }
+            nextPos = decodeScan(pos + 2 + len, sc, ss, se, ah, al)
+            nScans += 1
+          case _ => () // APPn/COM/DNL/etc: skip
+        }
+        pos = nextPos
+      }
+    }
+
+    require(comps != null, "EOI before SOF")
+    require(nScans > 0, "no scan data before EOI")
+    val nc = comps.length
+    // per-component plane at its natural (subsampled) resolution
+    val planeW = comps.map(c => mcusX * c._2 * 8)
+    val planes = Array.tabulate(nc)(i =>
+      new Array[Byte](planeW(i) * (mcusY * comps(i)._3 * 8)))
+
+    // single IDCT pass over every (real, unpadded) block
+    val coef = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val qt = compQt(ci)
+      require(qt != null, s"component $ci never appeared in a scan")
+      val arr = coefs(ci)
+      var by = 0
+      while (by < compBH(ci)) {
+        var bx = 0
+        while (bx < compBW(ci)) {
+          val off = (by * padBW(ci) + bx) * 64
+          var j = 0
+          while (j < 64) { coef(j) = arr(off + j) * qt(j); j += 1 }
+          // separable IDCT: columns then rows
+          val tmp = new Array[Double](64)
+          var x = 0
+          while (x < 8) {
             var y = 0
             while (y < 8) {
-              var xx = 0
-              while (xx < 8) {
-                var s = 0.0; var u = 0
-                while (u < 8) { s += DctBasis(u)(xx) * tmp(y * 8 + u); u += 1 }
-                planes(ci)((py0 + y) * planeW(ci) + px0 + xx) =
-                  clamp(s + 128.0).toByte
-                xx += 1
-              }
+              var s = 0.0; var u = 0
+              while (u < 8) { s += DctBasis(u)(y) * coef(u * 8 + x); u += 1 }
+              tmp(y * 8 + x) = s
               y += 1
             }
-            bxi += 1
+            x += 1
           }
-          byi += 1
+          val px0 = bx * 8
+          val py0 = by * 8
+          var y = 0
+          while (y < 8) {
+            var xx = 0
+            while (xx < 8) {
+              var s = 0.0; var u = 0
+              while (u < 8) { s += DctBasis(u)(xx) * tmp(y * 8 + u); u += 1 }
+              planes(ci)((py0 + y) * planeW(ci) + px0 + xx) =
+                clamp(s + 128.0).toByte
+              xx += 1
+            }
+            y += 1
+          }
+          bx += 1
         }
-        si += 1
+        by += 1
       }
-      mcu += 1
+      ci += 1
     }
 
     // assemble output: upsample by replication, YCbCr→RGB for 3 components
@@ -620,6 +1038,37 @@ case class JpegEncodeGray(w: Expression, h: Expression, px: Expression)
     copy(w = cs(0), h = cs(1), px = cs(2))
 }
 
+/** `jpeg_encode_gray_progressive(width, height, pixels)` → BINARY
+ * progressive (SOF2) JPEG with the six-scan script documented on
+ * [[JpegCodec.encodeGrayProgressive]]. Fixture-synthesis edge like
+ * [[JpegEncodeGray]] — CodegenFallback is deliberate. */
+case class JpegEncodeGrayProgressive(w: Expression, h: Expression,
+                                     px: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(w, h, px)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, px.dataType) match {
+      case (IntegerType, IntegerType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jpeg_encode_gray_progressive(INT, INT, BINARY), got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val wv = w.eval(input); val hv = h.eval(input); val pv = px.eval(input)
+    if (wv == null || hv == null || pv == null) null
+    else JpegCodec.encodeGrayProgressive(wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], pv.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): JpegEncodeGrayProgressive =
+    copy(w = cs(0), h = cs(1), px = cs(2))
+}
+
 /** `jpeg_decode(binary)` → STRUCT<width INT, height INT, channels INT,
  * pixels BINARY>. */
 case class JpegDecode(child: Expression) extends UnaryExpression {
@@ -662,6 +1111,10 @@ object JpegFunctions {
 
   def jpeg_encode_gray(w: Column, h: Column, px: Column): Column =
     GraftShim.column(JpegEncodeGray(GraftShim.expression(w),
+      GraftShim.expression(h), GraftShim.expression(px)))
+
+  def jpeg_encode_gray_progressive(w: Column, h: Column, px: Column): Column =
+    GraftShim.column(JpegEncodeGrayProgressive(GraftShim.expression(w),
       GraftShim.expression(h), GraftShim.expression(px)))
 
   def jpeg_decode(c: Column): Column =

@@ -137,7 +137,8 @@ class JpegCodecSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       JpegCodec.decode("nope".getBytes))
     assert(e1.getMessage.contains("SOI"))
-    // progressive: flip SOF0 (0xc0) to SOF2 (0xc2)
+    // a LYING progressive flag: SOF0 flipped to SOF2 but the scan is still
+    // the full-band sequential one, which a progressive frame forbids
     val base = JpegCodec.encodeGray(8, 8, gray(8, 8)((_, _) => 100))
     val prog = base.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
@@ -180,5 +181,146 @@ class JpegCodecSpec extends AnyFunSuite {
       Array(0xff.toByte, 0xdd.toByte, 0x00.toByte, 0x02.toByte)
     val e4 = intercept[IllegalArgumentException](JpegCodec.decode(dri))
     assert(e4.getMessage.contains("truncated DRI"))
+  }
+
+  // ---- progressive (SOF2) ------------------------------------------------
+
+  private def markerOffsets(jpg: Array[Byte], m: Int): Seq[Int] =
+    (0 until jpg.length - 1).filter(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == m)
+
+  test("progressive: flat blocks decode to the exact scalar DC formula") {
+    // 32x32 = 16 flat blocks: all ACs quantize to zero, so both AC-first
+    // scans cover the whole image with a single EOBn (n=4) run — the
+    // progressive-only symbol baseline files can never carry
+    val vals = Array.tabulate(16)(i => 2 * ((i * 37 + 11) % 128))
+    val px = gray(32, 32)((x, y) => vals((y / 8) * 4 + (x / 8)))
+    val jpg = JpegCodec.encodeGrayProgressive(32, 32, px)
+    assert(markerOffsets(jpg, 0xc2).nonEmpty, "must really be SOF2")
+    assert(markerOffsets(jpg, 0xda).size == 6, "six-scan script")
+    val img = JpegCodec.decode(jpg)
+    assert((img.width, img.height, img.channels) === (32, 32, 1))
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val want = flatRoundTrip(vals((y / 8) * 4 + (x / 8)))
+      assert((img.pixels(y * 32 + x) & 0xff) === want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("progressive ≡ baseline: identical coefficients, bit-identical pixels") {
+    // both encoders quantize through the same FDCT; after the refinement
+    // scans the decoder must reconstruct the exact same coefficients, so
+    // the decoded pixels are REQUIRED to match bit-for-bit — a much
+    // stronger gate than any tolerance. General content: every AC band,
+    // ZRL runs, correction bits and EOB runs all get exercised.
+    val w = 40; val h = 29
+    val px = gray(w, h)((x, y) =>
+      128 + (119 * math.sin(x * 0.7) + 100 * math.cos(y * 1.3) +
+        ((x * y * 7) % 31) - 15).toInt.max(-128).min(127))
+    val prog = JpegCodec.encodeGrayProgressive(w, h, px)
+    val base = JpegCodec.encodeGray(w, h, px)
+    val a = JpegCodec.decode(prog)
+    val b = JpegCodec.decode(base)
+    assert(a.width == b.width && a.height == b.height)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels),
+      "progressive decode must be bit-identical to the baseline decode")
+  }
+
+  test("ImageIO decodes our progressive bytes") {
+    val w = 32; val h = 24
+    val px = gray(w, h)((x, y) => 16 + (x * 5 + y * 7) % 224)
+    val jpg = JpegCodec.encodeGrayProgressive(w, h, px)
+    val ours = JpegCodec.decode(jpg)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(theirs != null, "ImageIO must accept our progressive JPEG")
+    assert(theirs.getWidth == w && theirs.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = ours.pixels(y * w + x) & 0xff
+      val b = theirs.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"cross-codec progressive gray maxDiff $maxDiff")
+  }
+
+  test("we decode ImageIO's progressive color JPEGs (interleaved DC scans)") {
+    val w = 37; val h = 21 // non-multiple dims: per-component block grids
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // smooth ramps (no wraps): chroma discontinuities would make
+    // replication-vs-interpolating upsampler differences dominate
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 5 + 20) << 16) | ((y * 6 + 12) << 8) |
+        ((x + y) * 3))
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bytes)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bytes.toByteArray
+    assert(markerOffsets(jpg, 0xc2).nonEmpty,
+      "ImageIO must have written SOF2 (progressive)")
+    val ours = JpegCodec.decode(jpg)
+    assert((ours.width, ours.height, ours.channels) === (w, h, 3))
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val a = ours.pixels((y * w + x) * 3 + c) & 0xff
+      val b = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    // chroma upsampling differs (replication vs fancy): small tolerance
+    assert(maxDiff <= 24, s"cross-codec progressive color maxDiff $maxDiff")
+    // the tolerance-free gate: the same source written sequentially by
+    // ImageIO carries the SAME quantized coefficients, only organized into
+    // one scan instead of ten — our decodes of the two files must match
+    // bit-for-bit (DC/AC refinement reassembly is exact or it isn't)
+    val seqBytes = new java.io.ByteArrayOutputStream()
+    ImageIO.write(src, "jpg", seqBytes)
+    val oursSeq = JpegCodec.decode(seqBytes.toByteArray)
+    assert(java.util.Arrays.equals(ours.pixels, oursSeq.pixels),
+      "progressive and sequential encodings of the same source must " +
+        "decode bit-identically")
+  }
+
+  test("progressive hostile scan headers reject with precise reasons") {
+    val px = gray(16, 16)((x, y) => 2 * ((x + y * 3) % 128))
+    val good = JpegCodec.encodeGrayProgressive(16, 16, px)
+    val sosAll = markerOffsets(good, 0xda)
+    assert(sosAll.size == 6)
+    // scan 2 is AC first Ss=1 Se=5: byte layout FFDA len2 ns cid tbl Ss Se AhAl
+    val sos2 = sosAll(1)
+    val badBand = good.clone()
+    badBand(sos2 + 8) = 0 // Se=0 with Ss=1: inverted band
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(badBand))
+    assert(e1.getMessage.contains("spectral band"))
+    // scan 5 is AC refine Ah=1 Al=0: break the Ah = Al+1 contract
+    val sos5 = sosAll(4)
+    val badAh = good.clone()
+    badAh(sos5 + 9) = 0x31 // Ah=3, Al=1
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode(badAh))
+    assert(e2.getMessage.contains("successive approximation"))
+    // headers followed by EOI: a frame with no entropy data at all
+    val noScan = good.take(sosAll.head) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val e3 = intercept[IllegalArgumentException](JpegCodec.decode(noScan))
+    assert(e3.getMessage.contains("no scan data"))
+    // a second SOF mid-stream must reject, not silently reconfigure
+    val sofAt = markerOffsets(good, 0xc2).head
+    val twoSof = good.take(sosAll.head) ++
+      good.slice(sofAt, sosAll.head) ++ good.drop(sosAll.head)
+    val e4 = intercept[IllegalArgumentException](JpegCodec.decode(twoSof))
+    assert(e4.getMessage.contains("multiple SOF"))
+  }
+
+  test("progressive entropy truncation rejects, never hangs or AIOOBE") {
+    val px = gray(16, 16)((x, y) => (x * 16 + y) % 256)
+    val good = JpegCodec.encodeGrayProgressive(16, 16, px)
+    // cut mid-scan-3 (the big AC band): the bit reader must fail loudly
+    val sos3 = markerOffsets(good, 0xda)(2)
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.decode(good.take(sos3 + 20)))
+    assert(e.getMessage.contains("truncated"))
   }
 }

@@ -78,6 +78,16 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
+  test("mm_jpeg_progressive: the progressive codec rides one pruned " +
+    "single-column scan, zero Exchange — encode (six scans), multi-scan " +
+    "decode and the hex compare are all per-row scalar work") {
+    val p = plan("mm_jpeg_progressive")
+    val rs = scanColumns(p)
+    assert(rs.size === 1 && rs.head === Set("doc_id"),
+      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
