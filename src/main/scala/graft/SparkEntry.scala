@@ -2310,6 +2310,80 @@ object SparkEntry {
         lower(hex(dec.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_exif_meta" -> ((s, dir) => {
+      // REAL EXIF decode: each doc gets a JPEG decorated with a
+      // spec-shaped APP1 (TIFF-IFD) whose fields derive from doc_id —
+      // byte order ALTERNATES II/MM so both endiannesses sit on the
+      // oracle path — then the engine's own sniffer parses them back.
+      // These are the curation predicates of an image pipeline:
+      // orientation (pre-dedup normalization), capture time, camera,
+      // declared dims, and the has_gps PII flag. Hostile-structure
+      // degradation is pinned in ExifSpec.
+      import graft.functions.ExifFunctions._
+      import graft.functions.JpegFunctions._
+      val base = jpeg_encode_gray(lit(8), lit(8),
+        unhex(lit("64" * 64)))
+      val decorated = exif_attach(base,
+        (col("doc_id") % 2 === 0).as("le"),
+        (lit(1) + col("doc_id") % 8).cast("int"),
+        concat(lit("cam-"), (col("doc_id") % 5).cast("string")),
+        concat(lit("mdl-"), (col("doc_id") % 7).cast("string")),
+        concat(lit("2021:03:"), lpad((lit(1) + col("doc_id") % 28)
+          .cast("string"), 2, "0"), lit(" 07:"),
+          lpad((col("doc_id") % 60).cast("string"), 2, "0"), lit(":00")),
+        (lit(100) + col("doc_id") % 900).cast("int"),
+        (lit(80) + col("doc_id") % 700).cast("int"),
+        (col("doc_id") % 3 === 0).as("gps"))
+      val m = exif_parse(decorated)
+      t(s, dir, "documents").select(col("doc_id"),
+        m.getField("byte_order").as("byte_order"),
+        m.getField("orientation").cast("long").as("orientation"),
+        m.getField("make").as("make"),
+        m.getField("model").as("model"),
+        m.getField("datetime").as("datetime"),
+        m.getField("x_dim").cast("long").as("x_dim"),
+        m.getField("y_dim").cast("long").as("y_dim"),
+        m.getField("has_gps").as("has_gps"))
+    }),
+
+    "mm_exif_autorotate" -> ((s, dir) => {
+      // the pre-dedup normalization pass, end to end: a six-flat-block
+      // 24x16 JPEG is decorated with an EXIF orientation (1..8 by doc_id),
+      // then the pipeline re-reads the orientation with the sniffer,
+      // decodes the pixels (losslessly, flat even blocks) and normalizes
+      // them upright with the exact integer permutation — so a rotated
+      // duplicate re-enters perceptual dedup in canonical order. The
+      // oracle replays the block permutation per orientation
+      // arithmetically.
+      import graft.functions.ExifFunctions._
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("r" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val jpg = exif_attach(
+        jpeg_encode_gray(lit(24), lit(16), unhex(pxHex)),
+        (col("doc_id") % 2 === 0).as("le"),
+        (lit(1) + col("doc_id") % 8).cast("int"),
+        lit("cam"), lit("mdl"), lit("2021:01:01 00:00:00"),
+        lit(24), lit(16), lit(false))
+      val o = exif_parse(jpg).getField("orientation")
+      val dec = jpeg_decode(jpg)
+      val up = image_orient(dec.getField("pixels"),
+        dec.getField("width"), dec.getField("height"), o)
+      t(s, dir, "documents").select(col("doc_id"),
+        up.getField("width").as("width"),
+        up.getField("height").as("height"),
+        lower(hex(up.getField("pixels"))).as("px_hex"))
+    }),
+
     "mm_jpeg_phash" -> ((s, dir) => {
       // perceptual dedup over JPEG content — the mm_image_phash analog for
       // the second container format: docs sharing doc_id % 100 carry
@@ -5262,6 +5336,30 @@ object SparkEntry {
            CAST(cc.code AS BIGINT) AS code, cc.sq_err
          FROM pqccode cc JOIN ivcasg a ON a.vec_id = cc.vec_id"""
 
+  /** mm_exif_autorotate oracle: the per-orientation block permutation
+   * (3x2 input grid of flat 8x8 blocks h0..h5) generated from the same
+   * (x,y)->source mappings ExifCodec.orient documents — the top-left
+   * pixel of each output 8x8 block picks the source block, which is exact
+   * because every transform is 8-aligned on 24x16. */
+  private def exifOrientPxSql: String = {
+    def src(o: Int, x: Int, y: Int): (Int, Int) = (o: @unchecked) match {
+      case 1 => (x, y); case 2 => (23 - x, y); case 3 => (23 - x, 15 - y)
+      case 4 => (x, 15 - y); case 5 => (y, x); case 6 => (y, 15 - x)
+      case 7 => (23 - y, 15 - x); case 8 => (23 - y, x)
+    }
+    (1 to 8).map { o =>
+      val (cols, rows) = if (o <= 4) (3, 2) else (2, 3)
+      val rowsSql = (0 until rows).map { rr =>
+        val blocks = (0 until cols).map { cc =>
+          val (sx, sy) = src(o, cc * 8, rr * 8)
+          s"repeat(h${(sy / 8) * 3 + sx / 8}, 8)"
+        }.mkString(" || ")
+        s"repeat($blocks, 8)"
+      }.mkString(" || ")
+      s"WHEN $o THEN $rowsSql"
+    }.mkString("\n           ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cdc_dedup_exact" ->
       s"""SELECT event_id, user_id AS "key", $opSql AS op, epoch_us(ts) AS writetime FROM events""",
@@ -8116,6 +8214,60 @@ object SparkEntry {
            repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
            repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
              AS px_hex
+         FROM b""",
+
+    // EXIF fields derive from doc_id, so the oracle recomputes them
+    // directly — a green row proves the APP1/TIFF-IFD writer and sniffer
+    // agree on both byte orders, inline and offset values, sub-IFDs and
+    // the GPS flag
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'mdl-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+           '2021:03:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+             ' 07:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00'
+             AS datetime,
+           CAST(100 + doc_id % 900 AS BIGINT) AS x_dim,
+           CAST(80 + doc_id % 700 AS BIGINT) AS y_dim,
+           (doc_id % 3 = 0) AS has_gps
+         FROM documents""",
+
+    // orientation normalization: flat blocks are lossless through the
+    // JPEG codec, so the upright pixels are the input blocks permuted by
+    // the EXIF orientation — replayed block-by-block per orientation
+    "mm_exif_autorotate" ->
+      s"""WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 2) AS c3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 2) AS c4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 2) AS c5
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST(1 + d.doc_id % 8 AS INTEGER) AS o,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
+             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
+             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx
+           JOIN hexmap m4 ON d.c4 = m4.hx
+           JOIN hexmap m5 ON d.c5 = m5.hx)
+         SELECT doc_id,
+           CASE WHEN o <= 4 THEN 24 ELSE 16 END AS width,
+           CASE WHEN o <= 4 THEN 16 ELSE 24 END AS height,
+           CASE o
+           $exifOrientPxSql
+           END AS px_hex
          FROM b""",
 
     // JPEG perceptual dedup: the codec is lossless on the fixture, so the

@@ -1,0 +1,482 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Real EXIF (APP1 / TIFF-IFD) metadata decode for JPEG binary columns —
+ * the curation signals a crawl image pipeline filters on before any pixel
+ * work: orientation (needed to normalize pixels before perceptual
+ * hashing — a rotated duplicate otherwise escapes dedup), capture
+ * timestamp, camera make/model, the declared pixel dimensions, and
+ * whether a GPS IFD is present at all (location metadata is PII that a
+ * training-data pipeline strips; the FLAG is the filter predicate).
+ *
+ * Parses the real structure: JPEG marker walk to the `Exif\0\0` APP1
+ * segment, TIFF header (both `II` little- and `MM` big-endian byte
+ * orders, magic 42), IFD0 entry scan (tag/type/count/value-or-offset,
+ * inline values for <=4 bytes per TIFF 6.0 §2), the EXIF private sub-IFD
+ * (tag 0x8769) for DateTimeOriginal/PixelX/YDimension, and the GPS IFD
+ * pointer (tag 0x8825). Like [[MediaHeaders]] this is a metadata
+ * SNIFFER, not a codec: it never throws — malformed, truncated or
+ * hostile structures (offsets past the segment, unbounded entry counts)
+ * degrade to null fields, and every read is bounds-checked against the
+ * APP1 segment so a lying offset can never AIOOBE. The reference treats
+ * payloads opaquely (multimodal columns are engine extensions; blob
+ * passthrough per `AbstractNativeConverter.java:115-147`).
+ *
+ * [[ExifCodec.attach]] is the fixture writer: it emits a spec-shaped
+ * APP1 (either byte order, inline + offset values, optional EXIF and GPS
+ * sub-IFDs) spliced after SOI, so the oracle path exercises the same
+ * structure layout real cameras write.
+ */
+object ExifCodec {
+
+  val resultType: StructType = StructType(Seq(
+    StructField("byte_order", StringType, nullable = true),
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("datetime", StringType, nullable = true),
+    StructField("x_dim", IntegerType, nullable = true),
+    StructField("y_dim", IntegerType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = false)))
+
+  // TIFF tags we surface
+  private val TagMake = 0x010f
+  private val TagModel = 0x0110
+  private val TagOrientation = 0x0112
+  private val TagDateTime = 0x0132
+  private val TagExifIfd = 0x8769
+  private val TagGpsIfd = 0x8825
+  private val TagDateTimeOriginal = 0x9003
+  private val TagPixelX = 0xa002
+  private val TagPixelY = 0xa003
+
+  /** Bound on IFD entries read per IFD and on IFDs followed — a hostile
+   * entry count or a pointer loop ends the scan instead of spinning. */
+  private val MaxEntries = 256
+
+  /** Parse a JPEG's EXIF APP1; called from generated code — never throws. */
+  def parse(jpg: Array[Byte]): InternalRow = {
+    var byteOrder: Any = null
+    var orientation: Any = null
+    var make: Any = null
+    var model: Any = null
+    var datetime: Any = null
+    var xDim: Any = null
+    var yDim: Any = null
+    var hasGps = false
+    try {
+      val seg = findApp1(jpg)
+      if (seg >= 0) {
+        // seg points at the TIFF header inside the APP1 payload
+        val end = seg + app1Len(jpg, seg)
+        val le = (jpg(seg) & 0xff) == 0x49 && (jpg(seg + 1) & 0xff) == 0x49
+        val be = (jpg(seg) & 0xff) == 0x4d && (jpg(seg + 1) & 0xff) == 0x4d
+        def u16(i: Int): Int =
+          if (le) (jpg(i) & 0xff) | ((jpg(i + 1) & 0xff) << 8)
+          else ((jpg(i) & 0xff) << 8) | (jpg(i + 1) & 0xff)
+        def u32(i: Int): Long =
+          if (le) (u16(i) & 0xffffL) | ((u16(i + 2) & 0xffffL) << 16)
+          else ((u16(i) & 0xffffL) << 16) | (u16(i + 2) & 0xffffL)
+        if ((le || be) && seg + 8 <= end && u16(seg + 2) == 42) {
+          byteOrder = UTF8String.fromString(if (le) "II" else "MM")
+          var exifIfdOff = -1L
+          var gpsIfdOff = -1L
+
+          def readAscii(vo: Int, count: Long): UTF8String = {
+            // count includes the NUL; inline when <= 4 bytes else offset
+            val n = math.min(count, 4096L).toInt
+            val at = if (count <= 4) vo else seg + u32(vo).toInt
+            if (n <= 0 || at < seg || at + n > end) null
+            else {
+              var len = 0
+              while (len < n && jpg(at + len) != 0) len += 1
+              UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+                jpg, at, at + len))
+            }
+          }
+
+          def scanIfd(off: Long, isExifIfd: Boolean): Unit = {
+            val ifd = seg + off.toInt
+            if (off < 0 || ifd + 2 > end) return
+            val n = math.min(u16(ifd), MaxEntries)
+            var i = 0
+            while (i < n) {
+              val e = ifd + 2 + 12 * i
+              if (e + 12 <= end) {
+                val tag = u16(e)
+                val typ = u16(e + 2)
+                val count = u32(e + 4)
+                val vo = e + 8 // value-or-offset field
+                def shortOrLong: Any =
+                  if (typ == 3) u16(vo)
+                  else if (typ == 4) {
+                    val v = u32(vo)
+                    if (v <= Int.MaxValue) v.toInt else null
+                  } else null
+                if (!isExifIfd) tag match {
+                  case TagOrientation => orientation = shortOrLong
+                  case TagMake if typ == 2 => make = readAscii(vo, count)
+                  case TagModel if typ == 2 => model = readAscii(vo, count)
+                  case TagDateTime if typ == 2 && datetime == null =>
+                    datetime = readAscii(vo, count)
+                  case TagExifIfd if typ == 4 => exifIfdOff = u32(vo)
+                  case TagGpsIfd if typ == 4 => gpsIfdOff = u32(vo)
+                  case _ => ()
+                } else tag match {
+                  case TagDateTimeOriginal if typ == 2 =>
+                    datetime = readAscii(vo, count) // preferred over IFD0's
+                  case TagPixelX => xDim = shortOrLong
+                  case TagPixelY => yDim = shortOrLong
+                  case _ => ()
+                }
+              }
+              i += 1
+            }
+          }
+
+          scanIfd(u32(seg + 4), isExifIfd = false)
+          if (exifIfdOff >= 0) scanIfd(exifIfdOff, isExifIfd = true)
+          // GPS presence: the pointer must land inside the segment with a
+          // readable entry count — a dangling pointer is not "has GPS"
+          if (gpsIfdOff >= 0) {
+            val g = seg + gpsIfdOff.toInt
+            hasGps = gpsIfdOff > 0 && g + 2 <= end
+          }
+        }
+      }
+    } catch { case _: RuntimeException => () } // degrade, never throw
+    new GenericInternalRow(Array[Any](
+      byteOrder, orientation, make, model, datetime, xDim, yDim, hasGps))
+  }
+
+  /** Offset of the TIFF header inside the first `Exif\0\0` APP1, or -1. */
+  private def findApp1(jpg: Array[Byte]): Int = {
+    if (jpg.length < 4 || (jpg(0) & 0xff) != 0xff ||
+      (jpg(1) & 0xff) != 0xd8) return -1
+    var pos = 2
+    while (pos + 4 <= jpg.length) {
+      if ((jpg(pos) & 0xff) != 0xff) return -1
+      val m = jpg(pos + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return -1 // scan data: no APP1 found
+      val len = ((jpg(pos + 2) & 0xff) << 8) | (jpg(pos + 3) & 0xff)
+      if (len < 2 || pos + 2 + len > jpg.length) return -1
+      if (m == 0xe1 && len >= 8 + 6 &&
+        jpg(pos + 4) == 'E' && jpg(pos + 5) == 'x' && jpg(pos + 6) == 'i' &&
+        jpg(pos + 7) == 'f' && jpg(pos + 8) == 0 && jpg(pos + 9) == 0)
+        return pos + 10
+      pos += 2 + len
+    }
+    -1
+  }
+
+  /** Payload length from the TIFF-header offset to the APP1 segment end. */
+  private def app1Len(jpg: Array[Byte], tiffAt: Int): Int = {
+    // tiffAt = segStart + 10; the length field sits at segStart + 2
+    val lenAt = tiffAt - 8
+    val len = ((jpg(lenAt) & 0xff) << 8) | (jpg(lenAt + 1) & 0xff)
+    math.min(len - 8, jpg.length - tiffAt) // minus the Exif\0\0 + marker id
+  }
+
+  /**
+   * Fixture writer: splice a spec-shaped EXIF APP1 after SOI. IFD0 carries
+   * Orientation (inline SHORT), Make/Model/DateTime (ASCII via offset or
+   * inline when they fit), and pointers to an EXIF sub-IFD
+   * (DateTimeOriginal + PixelX/YDimension) and — when `gps` — a minimal
+   * GPS IFD (GPSVersionID). Both byte orders supported so the oracle path
+   * exercises II and MM parsing.
+   */
+  def attach(jpg: Array[Byte], littleEndian: Boolean, orientation: Int,
+             make: String, model: String, datetime: String,
+             xDim: Int, yDim: Int, gps: Boolean): Array[Byte] = {
+    require(jpg.length >= 2 && (jpg(0) & 0xff) == 0xff &&
+      (jpg(1) & 0xff) == 0xd8, "exif: not a JPEG (no SOI)")
+    require(orientation >= 1 && orientation <= 8,
+      s"exif: bad orientation $orientation")
+    require(datetime.length == 19,
+      "exif: datetime must be 'YYYY:MM:DD HH:MM:SS'")
+
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+
+    // layout: header(8) | IFD0 | EXIF IFD | [GPS IFD] | data area
+    val makeB = (make + " ").getBytes("ISO-8859-1")
+    val modelB = (model + " ").getBytes("ISO-8859-1")
+    val dtB = (datetime + " ").getBytes("ISO-8859-1")
+    val nIfd0 = if (gps) 6 else 5
+    val ifd0At = 8L
+    val ifd0Size = 2 + 12 * nIfd0 + 4
+    val exifAt = ifd0At + ifd0Size
+    val exifSize = 2 + 12 * 3 + 4
+    val gpsAt = exifAt + exifSize
+    val gpsSize = if (gps) 2 + 12 * 1 + 4 else 0
+    var dataAt = gpsAt + gpsSize
+
+    // TIFF header
+    if (littleEndian) { tiff.write(0x49); tiff.write(0x49) }
+    else { tiff.write(0x4d); tiff.write(0x4d) }
+    w16(42); w32(ifd0At)
+
+    val data = new java.io.ByteArrayOutputStream()
+    def asciiEntry(tag: Int, bytes: Array[Byte]): Unit = {
+      w16(tag); w16(2); w32(bytes.length.toLong)
+      if (bytes.length <= 4) {
+        tiff.write(bytes); var i = bytes.length
+        while (i < 4) { tiff.write(0); i += 1 }
+      } else {
+        w32(dataAt)
+        data.write(bytes)
+        dataAt += bytes.length
+      }
+    }
+    def shortEntry(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1L)
+      if (littleEndian) { w16(v); w16(0) } else { w16(v); w16(0) }
+    }
+    def longEntry(tag: Int, v: Long): Unit = { w16(tag); w16(4); w32(1L); w32(v) }
+
+    // IFD0 (tags ascending per TIFF 6.0)
+    w16(nIfd0)
+    asciiEntry(TagMake, makeB)
+    asciiEntry(TagModel, modelB)
+    shortEntry(TagOrientation, orientation)
+    asciiEntry(TagDateTime, dtB)
+    longEntry(TagExifIfd, exifAt)
+    if (gps) longEntry(TagGpsIfd, gpsAt)
+    w32(0L) // next IFD
+
+    // EXIF sub-IFD
+    w16(3)
+    asciiEntry(TagDateTimeOriginal, dtB)
+    longEntry(TagPixelX, xDim.toLong)
+    longEntry(TagPixelY, yDim.toLong)
+    w32(0L)
+
+    // GPS IFD: GPSVersionID (BYTE x4, inline)
+    if (gps) {
+      w16(1)
+      w16(0x0000); w16(1); w32(4L)
+      tiff.write(2); tiff.write(3); tiff.write(0); tiff.write(0)
+      w32(0L)
+    }
+
+    tiff.write(data.toByteArray)
+    val payload = tiff.toByteArray
+    val segLen = 2 + 6 + payload.length
+    require(segLen <= 0xffff, "exif: APP1 over 64 KiB")
+
+    val out = new java.io.ByteArrayOutputStream(jpg.length + segLen + 2)
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xe1)
+    out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+    out.write('E'); out.write('x'); out.write('i'); out.write('f')
+    out.write(0); out.write(0)
+    out.write(payload)
+    out.write(jpg, 2, jpg.length - 2)
+    out.toByteArray
+  }
+
+  // ---- orientation normalization ----------------------------------------
+
+  val orientResultType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /**
+   * Normalize a grayscale pixel buffer to upright display order given its
+   * EXIF orientation (TIFF 6.0 tag 274 semantics). Pure integer
+   * permutation — exactly replayable — with mappings (out(x,y) reads):
+   *
+   *   1 in(x,y)          2 in(w-1-x,y)       3 in(w-1-x,h-1-y)
+   *   4 in(x,h-1-y)      5 in(y,x)           6 in(y,h-1-x)
+   *   7 in(w-1-y,h-1-x)  8 in(w-1-y,x)
+   *
+   * Orientations 5–8 transpose the canvas (output is h×w). Called from
+   * generated code.
+   */
+  def orient(px: Array[Byte], w: Int, h: Int, o: Int): InternalRow = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"exif: expected ${w}x$h = ${w * h} gray pixels, got ${px.length}")
+    require(o >= 1 && o <= 8, s"exif: bad orientation $o")
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](px.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = (o: @unchecked) match {
+          case 1 => (x, y)
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case 8 => (w - 1 - y, x)
+        }
+        out(y * ow + x) = px(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](ow, oh, out))
+  }
+}
+
+/** `exif_parse(binary)` → STRUCT(byte_order, orientation, make, model,
+ * datetime, x_dim, y_dim, has_gps) — codegen'd APP1/TIFF-IFD sniffer,
+ * null fields on anything malformed (never throws). */
+case class ExifParse(child: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ExifCodec.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"exif_parse requires BINARY, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    if (b == null) null else ExifCodec.parse(b.asInstanceOf[Array[Byte]])
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ExifCodec.parse(${c.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ExifParse = copy(child = c(0))
+}
+
+/** `exif_attach(jpg, le, orientation, make, model, datetime, x, y, gps)`
+ * → BINARY. Fixture-synthesis edge — CodegenFallback is deliberate (same
+ * call as [[JpegEncodeGray]]). */
+case class ExifAttach(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(BinaryType, BooleanType, IntegerType, StringType,
+      StringType, StringType, IntegerType, IntegerType, BooleanType)
+    if (children.length == 9 &&
+      children.map(_.dataType).zip(want).forall { case (a, b) => a == b })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "exif_attach(BINARY, BOOLEAN, INT, STRING, STRING, STRING, INT, " +
+        s"INT, BOOLEAN), got ${children.map(_.dataType)}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else ExifCodec.attach(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Boolean], vs(2).asInstanceOf[Int],
+      vs(3).toString, vs(4).toString, vs(5).toString,
+      vs(6).asInstanceOf[Int], vs(7).asInstanceOf[Int],
+      vs(8).asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ExifAttach = copy(children = c)
+}
+
+/** `image_orient(pixels, w, h, orientation)` → STRUCT(width, height,
+ * pixels) — codegen'd upright normalization of a gray buffer. */
+case class ImageOrient(px: Expression, w: Expression, h: Expression,
+                       o: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(px, w, h, o)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ExifCodec.orientResultType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (px.dataType, w.dataType, h.dataType, o.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_orient(BINARY, INT, INT, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val pv = px.eval(input); val wv = w.eval(input)
+    val hv = h.eval(input); val ov = o.eval(input)
+    if (pv == null || wv == null || hv == null || ov == null) null
+    else ExifCodec.orient(pv.asInstanceOf[Array[Byte]],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int], ov.asInstanceOf[Int])
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val pG = px.genCode(ctx); val wG = w.genCode(ctx)
+    val hG = h.genCode(ctx); val oG = o.genCode(ctx)
+    val code =
+      code"""
+        ${pG.code}
+        ${wG.code}
+        ${hG.code}
+        ${oG.code}
+        boolean ${ev.isNull} =
+          ${pG.isNull} || ${wG.isNull} || ${hG.isNull} || ${oG.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ExifCodec.orient(
+            ${pG.value}, ${wG.value}, ${hG.value}, ${oG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ImageOrient =
+    copy(px = c(0), w = c(1), h = c(2), o = c(3))
+}
+
+object ExifFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def exif_parse(c: Column): Column =
+    GraftShim.column(ExifParse(GraftShim.expression(c)))
+
+  def exif_attach(jpg: Column, le: Column, orientation: Column, make: Column,
+                  model: Column, datetime: Column, x: Column, y: Column,
+                  gps: Column): Column =
+    GraftShim.column(ExifAttach(Seq(jpg, le, orientation, make, model,
+      datetime, x, y, gps).map(GraftShim.expression)))
+
+  def image_orient(px: Column, w: Column, h: Column, o: Column): Column =
+    GraftShim.column(ImageOrient(GraftShim.expression(px),
+      GraftShim.expression(w), GraftShim.expression(h),
+      GraftShim.expression(o)))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ExifCodec, JpegCodec}
+
+/**
+ * EXIF APP1 metadata: attach→parse round-trips in both byte orders, the
+ * sniffer degrades (never throws) on hostile structures, and the
+ * orientation normalizer matches hand-computed permutations for all 8
+ * TIFF orientation codes.
+ */
+class ExifSpec extends AnyFunSuite {
+
+  private val jpg = JpegCodec.encodeGray(8, 8,
+    Array.tabulate(64)(i => (i * 2).toByte))
+
+  private def parsed(b: Array[Byte]) = {
+    val r = ExifCodec.parse(b)
+    (Option(r.get(0, null)).map(_.toString).orNull, // byte_order
+      if (r.isNullAt(1)) -1 else r.getInt(1), // orientation
+      Option(r.get(2, null)).map(_.toString).orNull, // make
+      Option(r.get(3, null)).map(_.toString).orNull, // model
+      Option(r.get(4, null)).map(_.toString).orNull, // datetime
+      if (r.isNullAt(5)) -1 else r.getInt(5), // x_dim
+      if (r.isNullAt(6)) -1 else r.getInt(6), // y_dim
+      r.getBoolean(7)) // has_gps
+  }
+
+  test("attach → parse round-trips every field in both byte orders") {
+    for (le <- Seq(true, false); gps <- Seq(true, false)) {
+      val b = ExifCodec.attach(jpg, le, 6, "Canon", "EOS 5D",
+        "2021:07:04 12:34:56", 800, 600, gps)
+      val (bo, o, mk, md, dt, x, y, g) = parsed(b)
+      assert(bo === (if (le) "II" else "MM"))
+      assert(o === 6)
+      assert(mk === "Canon")
+      assert(md === "EOS 5D")
+      assert(dt === "2021:07:04 12:34:56") // DateTimeOriginal wins
+      assert((x, y) === (800, 600))
+      assert(g === gps, s"le=$le gps=$gps")
+      // the decorated file still decodes: APP1 splice must not corrupt
+      val img = JpegCodec.decode(b)
+      assert((img.width, img.height) === (8, 8))
+    }
+  }
+
+  test("short inline ASCII values (<= 4 bytes incl NUL) stay inline") {
+    val b = ExifCodec.attach(jpg, true, 1, "abc", "x", // 4 and 2 bytes
+      "2020:01:01 00:00:00", 8, 8, gps = false)
+    val (_, _, mk, md, _, _, _, _) = parsed(b)
+    assert(mk === "abc")
+    assert(md === "x")
+  }
+
+  test("hostile structures degrade to nulls, never throw") {
+    // no EXIF at all
+    val (bo0, o0, _, _, _, _, _, g0) = parsed(jpg)
+    assert(bo0 == null && o0 == -1 && !g0)
+    // not a JPEG
+    assert(parsed("not an image".getBytes)._1 == null)
+    assert(parsed(Array.emptyByteArray)._1 == null)
+    val good = ExifCodec.attach(jpg, true, 3, "Make", "Model",
+      "2021:01:01 00:00:00", 100, 50, gps = true)
+    // truncated anywhere in the APP1 must not throw
+    for (cut <- Seq(4, 10, 14, 20, 30, good.length / 2)) {
+      val r = ExifCodec.parse(good.take(cut)) // must not throw
+      assert(r != null)
+    }
+    // lying IFD0 offset pointing past the segment: byte_order survives,
+    // fields degrade
+    val app1At = 2
+    val lying = good.clone()
+    // TIFF header starts at app1At + 10; IFD0 offset at +4 .. +8 (LE)
+    lying(app1At + 10 + 4) = 0xff.toByte
+    lying(app1At + 10 + 5) = 0xff.toByte
+    val (bo1, o1, _, _, _, _, _, _) = parsed(lying)
+    assert(bo1 === "II" && o1 === -1)
+    // hostile entry count: claims 0xffff entries — bounded scan, no throw
+    val bloat = good.clone()
+    val ifd0 = app1At + 10 + 8
+    bloat(ifd0) = 0xff.toByte; bloat(ifd0 + 1) = 0xff.toByte
+    assert(ExifCodec.parse(bloat) != null)
+    // GPS pointer dangling past the segment: has_gps must be false
+    val noGps = ExifCodec.attach(jpg, true, 1, "M", "M",
+      "2021:01:01 00:00:00", 8, 8, gps = true)
+    // find the GPS IFD pointer entry (tag 0x8825, LE: 25 88) and bend it
+    val idx = (0 until noGps.length - 12).find(i =>
+      (noGps(i) & 0xff) == 0x25 && (noGps(i + 1) & 0xff) == 0x88 &&
+        (noGps(i + 2) & 0xff) == 0x04).get
+    val bent = noGps.clone()
+    bent(idx + 8) = 0xff.toByte; bent(idx + 9) = 0xff.toByte
+    assert(!parsed(bent)._8, "dangling GPS pointer must not flag has_gps")
+  }
+
+  test("orientation normalization matches hand-computed permutations") {
+    // 3x2 buffer: a b c / d e f
+    val px = "abcdef".getBytes
+    def run(o: Int): (Int, Int, String) = {
+      val r = ExifCodec.orient(px, 3, 2, o)
+      (r.getInt(0), r.getInt(1), new String(r.getBinary(2)))
+    }
+    assert(run(1) === ((3, 2, "abcdef")))
+    assert(run(2) === ((3, 2, "cbafed"))) // mirror horizontal
+    assert(run(3) === ((3, 2, "fedcba"))) // rotate 180
+    assert(run(4) === ((3, 2, "defabc"))) // mirror vertical
+    assert(run(5) === ((2, 3, "adbecf"))) // transpose
+    assert(run(6) === ((2, 3, "daebfc"))) // rotate 90 CW
+    assert(run(7) === ((2, 3, "fcebda"))) // transverse
+    assert(run(8) === ((2, 3, "cfbead"))) // rotate 270 CW
+    // involution / composition sanity: 2 then 2 = identity; 6 four times =
+    // identity
+    def again(s: String, w: Int, h: Int, o: Int): (Int, Int, String) = {
+      val r = ExifCodec.orient(s.getBytes, w, h, o)
+      (r.getInt(0), r.getInt(1), new String(r.getBinary(2)))
+    }
+    assert(again("cbafed", 3, 2, 2) === ((3, 2, "abcdef")))
+    val r1 = run(6)
+    val r2 = again(r1._3, r1._1, r1._2, 6)
+    val r3 = again(r2._3, r2._1, r2._2, 6)
+    val r4 = again(r3._3, r3._1, r3._2, 6)
+    assert(r4 === ((3, 2, "abcdef")))
+    // bad inputs are loud (this is a transform, not a sniffer)
+    intercept[IllegalArgumentException](ExifCodec.orient(px, 3, 2, 0))
+    intercept[IllegalArgumentException](ExifCodec.orient(px, 4, 2, 1))
+  }
+}

@@ -88,6 +88,18 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("mm_exif_meta + mm_exif_autorotate: the EXIF decorate/sniff/" +
+    "normalize chain is per-row scalar work on one doc_id-only scan, " +
+    "zero Exchange") {
+    for (q <- Seq("mm_exif_meta", "mm_exif_autorotate")) {
+      val p = plan(q)
+      val rs = scanColumns(p)
+      assert(rs.size === 1 && rs.head === Set("doc_id"),
+        s"$q: expected one doc_id-only scan, saw $rs:\n$p")
+      assert(exchanges(p) === 0, s"$q: ${exchanges(p)} exchanges:\n$p")
+    }
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
