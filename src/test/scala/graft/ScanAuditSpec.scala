@@ -100,6 +100,16 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_image_corpus: sniff, three decoders, EXIF normalize and " +
+    "the quality filter are all scalar work on one doc_id-only scan; the " +
+    "only shuffle is the duplicate-cluster window") {
+    val p = plan("pipeline_image_corpus")
+    val rs = scanColumns(p)
+    assert(rs.size === 1 && rs.head === Set("doc_id"),
+      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
