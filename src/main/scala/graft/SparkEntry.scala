@@ -152,6 +152,53 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), url.as("url"))
   }
 
+  /** Deterministic mixed-image fixture shared by `pipeline_image_corpus`
+   * (batch) and `pipeline_image_corpus_streamed` (real streaming run):
+   * one opaque binary per document — a PNG, an EXIF-rotated JPEG
+   * (alternating baseline and progressive encodings by doc_id % 2) or a
+   * GIF by doc_id % 3, content keyed by doc_id % 100 so duplicate
+   * clusters span formats, rotations and JPEG coding modes. The stored
+   * JPEG pixels are the upright content PRE-rotated by the INVERSE
+   * orientation, so EXIF normalization recovers them exactly; flat even
+   * blocks keep every codec lossless (the oracle replays the upright
+   * content from seed arithmetic alone). */
+  private def imageFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PngFunctions._
+    import graft.functions.JpegFunctions._
+    import graft.functions.GifFunctions._
+    import graft.functions.ExifFunctions._
+    val seed = (col("doc_id") % 100).cast("string")
+    val hexes = (0 until 6).map { i =>
+      val byte = conv(substring(md5(concat(seed, lit("i" + i))), 1, 2),
+        16, 10).cast("int")
+      lower(lpad(hex((byte % 128) * 2), 2, "0"))
+    }
+    val upHex = concat(
+      repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+        repeat(hexes(2), 8)), 8),
+      repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+        repeat(hexes(5), 8)), 8))
+    val f = col("doc_id") % 3
+    val o = (lit(1) + col("doc_id") % 8).cast("int")
+    val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
+      .otherwise(o).cast("int")
+    val stored = image_orient(unhex(upHex), lit(24), lit(16), invO)
+    val jpgRaw = when(col("doc_id") % 2 === 0,
+      jpeg_encode_gray(stored.getField("width"),
+        stored.getField("height"), stored.getField("pixels")))
+      .otherwise(jpeg_encode_gray_progressive(stored.getField("width"),
+        stored.getField("height"), stored.getField("pixels")))
+    val jpgBin = exif_attach(jpgRaw,
+      (col("doc_id") % 2 === 0), o, lit("cam"), lit("mdl"),
+      lit("2021:01:01 00:00:00"), lit(24), lit(16), lit(false))
+    val pngBin = png_encode(lit(24), lit(16),
+      unhex(regexp_replace(upHex, "(..)", "$1$1$1")),
+      (col("doc_id") % 5).cast("int"))
+    val gifBin = gif_encode_gray(lit(24), lit(16), unhex(upHex))
+    val bin = when(f === 0, pngBin).when(f === 1, jpgBin).otherwise(gifBin)
+    t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
+  }
+
   /** robots.txt bodies for every host the URL fixture produces — ONE
    * definition feeding both the Spark frame (`robotsDocs`) and the
    * oracle's VALUES CTE, so the two sides parse the SAME bytes. Coverage:
@@ -2386,90 +2433,46 @@ object SparkEntry {
 
     "pipeline_image_corpus" -> ((s, dir) => {
       // the composed IMAGE pipeline ("LAION shape"), from ONE opaque
-      // binary column: each doc carries a PNG, an EXIF-rotated JPEG or a
-      // GIF (doc_id % 3) of content keyed by doc_id % 100, so duplicates
-      // span FORMATS and ROTATIONS. The pipeline sniffs the container
-      // (magic bytes, not the fixture label), dispatches to the right
-      // decoder, re-reads the EXIF orientation and normalizes JPEG pixels
-      // upright, reduces every format to one canonical gray-tripled
-      // content key, quality-filters on block-value spread (flat/low-
-      // contrast images drop), and canonicalizes duplicate clusters.
-      // Cross-stage coupling per-format rows cannot catch: a rotated JPEG
-      // duplicate collapses into its upright PNG/GIF cluster ONLY if
-      // sniff → EXIF → autorotate → tripling all agree; the oracle
-      // replays the whole chain from the seed arithmetic.
+      // binary column: each doc carries a PNG, an EXIF-rotated JPEG
+      // (alternating baseline and PROGRESSIVE encodings) or a GIF
+      // (doc_id % 3) of content keyed by doc_id % 100, so duplicates
+      // span FORMATS, ROTATIONS and JPEG CODING MODES. The pipeline
+      // (Multimodal.imageCorpusExtract) sniffs the container (magic
+      // bytes, not the fixture label), dispatches to the right decoder,
+      // re-reads the EXIF orientation and normalizes JPEG pixels upright,
+      // reduces every format to one canonical gray-tripled content key,
+      // quality-filters on block-value spread (low-contrast clusters
+      // drop), and this row canonicalizes duplicate clusters in one
+      // window. Cross-stage coupling per-format rows cannot catch: a
+      // rotated progressive-JPEG duplicate collapses into its upright
+      // PNG/GIF cluster ONLY if sniff → EXIF → multi-scan decode →
+      // autorotate → tripling all agree; the oracle replays the whole
+      // chain from the seed arithmetic.
       import org.apache.spark.sql.expressions.Window
-      import graft.functions.PngFunctions._
-      import graft.functions.JpegFunctions._
-      import graft.functions.GifFunctions._
-      import graft.functions.ExifFunctions._
-      import graft.functions.MediaHeaderFunctions._
-      val seed = (col("doc_id") % 100).cast("string")
-      val hexes = (0 until 6).map { i =>
-        val byte = conv(substring(md5(concat(seed, lit("i" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      val upHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
-          repeat(hexes(2), 8)), 8),
-        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
-          repeat(hexes(5), 8)), 8))
-      // fixture: stored JPEG pixels are the upright content PRE-rotated by
-      // the INVERSE orientation, so normalization recovers them exactly
-      val f = col("doc_id") % 3
-      val o = (lit(1) + col("doc_id") % 8).cast("int")
-      val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
-        .otherwise(o).cast("int")
-      val stored = image_orient(unhex(upHex), lit(24), lit(16), invO)
-      val jpgBin = exif_attach(
-        jpeg_encode_gray(stored.getField("width"),
-          stored.getField("height"), stored.getField("pixels")),
-        (col("doc_id") % 2 === 0), o, lit("cam"), lit("mdl"),
-        lit("2021:01:01 00:00:00"), lit(24), lit(16), lit(false))
-      val pngBin = png_encode(lit(24), lit(16),
-        unhex(regexp_replace(upHex, "(..)", "$1$1$1")),
-        (col("doc_id") % 5).cast("int"))
-      val gifBin = gif_encode_gray(lit(24), lit(16), unhex(upHex))
-      val bin = when(f === 0, pngBin).when(f === 1, jpgBin).otherwise(gifBin)
-
-      // ---- the pipeline proper: everything below sees ONLY `bin` ----
-      val docs = t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
-      val fmt = media_header(col("bin")).getField("format")
-      val jdec = jpeg_decode(col("bin"))
-      val jup = image_orient(jdec.getField("pixels"),
-        jdec.getField("width"), jdec.getField("height"),
-        exif_parse(col("bin")).getField("orientation"))
-      val hex3 = when(fmt === "jpeg",
-        regexp_replace(lower(hex(jup.getField("pixels"))), "(..)", "$1$1$1"))
-        .when(fmt === "png",
-          lower(hex(png_decode(col("bin")).getField("pixels"))))
-        .otherwise(lower(hex(gif_decode(col("bin")).getField("pixels"))))
-      val w = when(fmt === "jpeg", jup.getField("width"))
-        .when(fmt === "png", png_decode(col("bin")).getField("width"))
-        .otherwise(gif_decode(col("bin")).getField("width"))
-      val h = when(fmt === "jpeg", jup.getField("height"))
-        .when(fmt === "png", png_decode(col("bin")).getField("height"))
-        .otherwise(gif_decode(col("bin")).getField("height"))
-      // quality: block-value spread from the DECODED buffer (tripled gray;
-      // block top-left corners at (0,0) (8,0) (16,0) (0,8) (8,8) (16,8))
-      val bvals = Seq((0, 0), (8, 0), (16, 0), (0, 8), (8, 8), (16, 8))
-        .map { case (x, y) =>
-          conv(substring(col("hex3"), (y * 24 + x) * 3 * 2 + 1, 2), 16, 10)
-            .cast("long")
-        }
-      val spread = greatest(bvals: _*) - least(bvals: _*)
-      val staged = docs.select(col("doc_id"), fmt.as("format"),
-        w.as("width"), h.as("height"), hex3.as("hex3"))
-        .withColumn("spread", spread)
-        .where(col("spread") >= 150)
-        .withColumn("content_key", md5(col("hex3")))
+      val staged = operators.Multimodal.imageCorpusExtract(
+        imageFixtureDocs(s, dir))
       val win = Window.partitionBy(col("content_key"))
       staged.select(col("doc_id"), col("format"), col("width"),
         col("height"), col("content_key"),
         min(col("doc_id")).over(win).as("canonical_id"),
         count(lit(1)).over(win).as("n_dupes"), col("spread"))
     }),
+
+    "pipeline_image_corpus_streamed" -> ((s, dir) =>
+      // the SAME image corpus arriving as parquet drops on real streaming
+      // machinery (one file per trigger — multi-batch): each batch runs
+      // the same imageCorpusExtract inside foreachBatch and folds into
+      // StreamingImageCorpus (VersionedState crash-safe units: extracted
+      // docs + a pre-merged per-content-key min-survivor/count ledger),
+      // and the certified resolve() must equal the batch row — including
+      // cross-batch cluster election (duplicates of one content key land
+      // in different batches). Same oracle as pipeline_image_corpus:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedImageCorpus(imageFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("content_key"), col("canonical_id"), col("n_dupes"),
+          col("spread"))),
 
     "mm_jpeg_phash" -> ((s, dir) => {
       // perceptual dedup over JPEG content — the mm_image_phash analog for
@@ -5447,6 +5450,58 @@ object SparkEntry {
     }.mkString("\n           ")
   }
 
+  /** Oracle shared verbatim by `pipeline_image_corpus` and its streamed
+   * twin: every format decodes losslessly on the fixture and autorotate
+   * exactly inverts the pre-rotation, so the normalized tripled-gray
+   * content is pure seed arithmetic. */
+  private val imageCorpusOracle: String =
+    """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i3'), 1, 2) AS c3,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i4'), 1, 2) AS c4,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i5'), 1, 2) AS c5
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
+             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
+             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
+             CAST((m3.v % 128) * 2 AS BIGINT) AS v3,
+             CAST((m4.v % 128) * 2 AS BIGINT) AS v4,
+             CAST((m5.v % 128) * 2 AS BIGINT) AS v5,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
+             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
+             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx
+           JOIN hexmap m4 ON d.c4 = m4.hx
+           JOIN hexmap m5 ON d.c5 = m5.hx),
+         st AS (SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+               WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+             24 AS width, 16 AS height,
+             repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
+             repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)
+               AS hex3,
+             greatest(v0, v1, v2, v3, v4, v5) -
+               least(v0, v1, v2, v3, v4, v5) AS spread
+           FROM b),
+         fl AS (SELECT st.*, md5(hex3) AS content_key FROM st
+           WHERE spread >= 150)
+         SELECT doc_id, format, width, height, content_key,
+           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes,
+           spread
+         FROM fl"""
+
   def oracleSql: Map[String, String] = Map(
     "cdc_dedup_exact" ->
       s"""SELECT event_id, user_id AS "key", $opSql AS op, epoch_us(ts) AS writetime FROM events""",
@@ -8361,54 +8416,11 @@ object SparkEntry {
     // fixture and autorotate exactly inverts the pre-rotation, so the
     // normalized tripled-gray content is pure seed arithmetic; the oracle
     // replays sniff-dispatch (doc_id%3 <=> the magic the fixture wrote),
-    // quality spread, the content key and the duplicate-cluster window
-    "pipeline_image_corpus" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i3'), 1, 2) AS c3,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i4'), 1, 2) AS c4,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i5'), 1, 2) AS c5
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
-             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
-             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
-             CAST((m3.v % 128) * 2 AS BIGINT) AS v3,
-             CAST((m4.v % 128) * 2 AS BIGINT) AS v4,
-             CAST((m5.v % 128) * 2 AS BIGINT) AS v5,
-             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
-             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
-             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
-             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
-             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
-             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx
-           JOIN hexmap m4 ON d.c4 = m4.hx
-           JOIN hexmap m5 ON d.c5 = m5.hx),
-         st AS (SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-               WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-             24 AS width, 16 AS height,
-             repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
-             repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)
-               AS hex3,
-             greatest(v0, v1, v2, v3, v4, v5) -
-               least(v0, v1, v2, v3, v4, v5) AS spread
-           FROM b),
-         fl AS (SELECT st.*, md5(hex3) AS content_key FROM st
-           WHERE spread >= 150)
-         SELECT doc_id, format, width, height, content_key,
-           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
-           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes,
-           spread
-         FROM fl""",
+    // quality spread, the content key and the duplicate-cluster window.
+    // The streamed row resolves to the SAME corpus view, so it shares the
+    // oracle verbatim: streaming ≡ batch ≡ DuckDB.
+    "pipeline_image_corpus" -> imageCorpusOracle,
+    "pipeline_image_corpus_streamed" -> imageCorpusOracle,
 
     // JPEG perceptual dedup: the codec is lossless on the fixture, so the
     // block values sampled from decoded pixels equal the md5-derived ones

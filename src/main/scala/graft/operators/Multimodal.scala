@@ -215,4 +215,58 @@ object Multimodal {
           sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("frame_idx"), col("content_hash"))
+
+  /**
+   * The image-corpus scalar stage, shared by the batch
+   * `pipeline_image_corpus` row and
+   * [[graft.streaming.StreamingImageCorpus]] (streaming ≡ batch holds by
+   * construction because both fold THIS): sniff the container from magic
+   * bytes, dispatch to the matching pure-JVM decoder, normalize JPEG
+   * pixels upright from the re-read EXIF orientation, reduce every format
+   * to the canonical gray-tripled content hex (PNG/GIF decode RGB; gray
+   * JPEG is tripled to match), score quality as the spread of the six
+   * 8x8-block corner values of the normalized 24x16 canvas, drop
+   * low-contrast rows (`spread < minSpread`) and attach the md5 content
+   * key. Input `(doc_id, <binCol>)`; output `(doc_id, format, width,
+   * height, content_key, spread)`. All per-row scalar work — the stage
+   * adds zero Exchange (ScanAudit-pinned on the batch row).
+   */
+  def imageCorpusExtract(docs: DataFrame, binCol: String = "bin",
+                         minSpread: Int = 150): DataFrame = {
+    import graft.functions.PngFunctions._
+    import graft.functions.JpegFunctions._
+    import graft.functions.GifFunctions._
+    import graft.functions.ExifFunctions._
+    import graft.functions.MediaHeaderFunctions._
+    val bin = col(binCol)
+    val fmt = media_header(bin).getField("format")
+    val jdec = jpeg_decode(bin)
+    // no/absent EXIF orientation = upright (TIFF default 1) — an
+    // EXIF-less JPEG (most of a real crawl) must flow, not null out
+    val jup = image_orient(jdec.getField("pixels"),
+      jdec.getField("width"), jdec.getField("height"),
+      coalesce(exif_parse(bin).getField("orientation"), lit(1)))
+    val hex3 = when(fmt === "jpeg",
+      regexp_replace(lower(hex(jup.getField("pixels"))), "(..)", "$1$1$1"))
+      .when(fmt === "png",
+        lower(hex(png_decode(bin).getField("pixels"))))
+      .otherwise(lower(hex(gif_decode(bin).getField("pixels"))))
+    val w = when(fmt === "jpeg", jup.getField("width"))
+      .when(fmt === "png", png_decode(bin).getField("width"))
+      .otherwise(gif_decode(bin).getField("width"))
+    val h = when(fmt === "jpeg", jup.getField("height"))
+      .when(fmt === "png", png_decode(bin).getField("height"))
+      .otherwise(gif_decode(bin).getField("height"))
+    val bvals = Seq((0, 0), (8, 0), (16, 0), (0, 8), (8, 8), (16, 8))
+      .map { case (x, y) =>
+        conv(substring(col("hex3"), (y * 24 + x) * 3 * 2 + 1, 2), 16, 10)
+          .cast("long")
+      }
+    docs.select(col("doc_id"), fmt.as("format"), w.as("width"),
+        h.as("height"), hex3.as("hex3"))
+      .withColumn("spread", greatest(bvals: _*) - least(bvals: _*))
+      .where(col("spread") >= minSpread)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        md5(col("hex3")).as("content_key"), col("spread"))
+  }
 }

@@ -466,6 +466,49 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming image-corpus curation on REAL streaming machinery: opaque
+   * image payloads `(doc_id, bin)` arrive as parquet drops (one file per
+   * trigger — multi-batch), each batch runs the shared
+   * `Multimodal.imageCorpusExtract` inside `foreachBatch` and folds
+   * through [[StreamingImageCorpus.processBatch]] (VersionedState
+   * crash-safe units: extracted docs + the pre-merged per-content-key
+   * min/count ledger), and the certified [[StreamingImageCorpus.resolve]]
+   * must equal the batch `pipeline_image_corpus` row — the driver
+   * compares against the SAME DuckDB oracle. Duplicate clusters
+   * (doc_id % 100 content keys) span the drops, so cross-batch cluster
+   * election is on the oracle path.
+   */
+  def streamedImageCorpus(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_imgcorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("bin"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingImageCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, bin BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed image-corpus fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch cluster " +
+      "election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * The composed crawl scheduler on REAL streaming machinery:
    * canonicalized links `(doc_id, target_url)` arrive as parquet drops
    * (one file per trigger — multi-batch), fold through

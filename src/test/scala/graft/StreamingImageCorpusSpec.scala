@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.JpegCodec
+import graft.operators.Multimodal
+import graft.streaming.StreamingImageCorpus
+
+/**
+ * Streaming image-corpus curation: after every fold the resolved corpus
+ * must equal the batch chain (imageCorpusExtract + the cluster window)
+ * over all payloads seen so far — including CROSS-BATCH cluster election
+ * (a later batch with a smaller doc_id for an already-seen content key
+ * steals canonicality and n_dupes grows retroactively), replays must be
+ * no-ops, both stores stay bounded under compaction, and stale
+ * stateDir/checkpoint pairing fails loudly at fold time.
+ */
+class StreamingImageCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tiny gray JPEG whose four flat blocks derive from `seed` — high
+   * contrast (spread 254) so the quality gate keeps it */
+  private def jpg(seed: Int): Array[Byte] = {
+    val vals = Array(0, 254, 2 * ((seed * 37) % 128), 2 * ((seed * 91) % 128))
+    val px = Array.tabulate(16 * 16) { i =>
+      val (x, y) = (i % 16, i / 16)
+      vals((y / 8) * 2 + (x / 8)).toByte
+    }
+    JpegCodec.encodeGray(16, 16, px)
+  }
+
+  /** same content as [[jpg]] but flat/low-contrast — must be filtered */
+  private def dullJpg(): Array[Byte] =
+    JpegCodec.encodeGray(16, 16, Array.fill(256)(100.toByte))
+
+  private def df(rows: (Long, Array[Byte])*): DataFrame =
+    rows.toDF("doc_id", "bin")
+
+  /** spread positions assume the pipeline's 24x16 canvas; this spec's
+   * 16x16 fixtures still exercise the corner reads that land in range,
+   * so run extract with the same geometry contract via minSpread=150 */
+  private def batchChain(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("content_key"))
+    Multimodal.imageCorpusExtract(d)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"), col("spread"))
+  }
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, String, Long, Long)] =
+    d.select($"doc_id", $"format", $"content_key", $"canonical_id",
+      $"n_dupes").as[(Long, String, String, Long, Long)].collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("simgcorpus").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch cluster election and count growth included") {
+    val sub = new StreamingImageCorpus(newDir())
+    // content 7 appears in every batch; batch 1 carries a SMALLER id for
+    // it, so canonicality must move and n_dupes must grow retroactively;
+    // the dull payload must never surface
+    val b0 = Seq(10L -> jpg(7), 11L -> jpg(1), 12L -> dullJpg())
+    val b1 = Seq(3L -> jpg(7), 13L -> jpg(2))
+    val b2 = Seq(20L -> jpg(7), 21L -> jpg(1))
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(rowsOf(sub.resolve(spark)) === rowsOf(batchChain(sofar)),
+        s"divergence from the batch chain after batch $id")
+    }
+    val res = sub.resolve(spark)
+    val byId = res.select($"doc_id", $"canonical_id", $"n_dupes")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(10L) === ((3L, 3L))) // doc 3 stole cluster 7; 3 members
+    assert(byId(3L) === ((3L, 3L)))
+    assert(byId(20L) === ((3L, 3L)))
+    assert(byId(11L) === ((11L, 2L))) // cluster 1 spans batches 0 and 2
+    assert(!byId.contains(12L), "low-contrast payload must be filtered")
+    // the cluster dictionary is distinct-content-sized
+    val cl = sub.clusters(spark).as[(String, Long, Long)].collect()
+    assert(cl.length === 3)
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingImageCorpus(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      (10L + i) -> jpg(i), (30L + i) -> jpg(99))) // hot content everywhere
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/docs").length <= 3,
+      s"docs dirs: ${unitDirs(s"$dir/docs")}")
+    assert(unitDirs(s"$dir/ledger").length <= 3,
+      s"ledger dirs: ${unitDirs(s"$dir/ledger")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val want = rowsOf(batchChain(df(batches.flatten: _*)))
+    assert(rowsOf(sub.resolve(spark)) === want)
+    // the hot cluster: one canonical (first holder), size 6
+    val hot = sub.resolve(spark).filter($"canonical_id" === 30L)
+    assert(hot.count() === 6L)
+    assert(hot.select($"n_dupes").distinct().as[Long].collect().toSeq ===
+      Seq(6L))
+    val before = rowsOf(sub.resolve(spark))
+    sub.processBatch(df(batches(5): _*), 5L) // crash-redelivery of LAST
+    assert(rowsOf(sub.resolve(spark)) === before)
+  }
+
+  test("stale stateDir/checkpoint pairing fails loudly at fold time") {
+    val dir = newDir()
+    val sub = new StreamingImageCorpus(dir)
+    sub.processBatch(df(1L -> jpg(1)), 0L)
+    sub.processBatch(df(2L -> jpg(2)), 1L)
+    val e = intercept[IllegalStateException] {
+      sub.processBatch(df(9L -> jpg(3)), 0L)
+    }
+    assert(e.getMessage.contains("stateDir"))
+    assert(rowsOf(sub.resolve(spark)).map(_._1) === Set(1L, 2L))
+  }
+}
