@@ -2694,6 +2694,51 @@ object SparkEntry {
           col("f.zero_crossings").as("zero_crossings"))
     }),
 
+    "mm_audio_vad" -> ((s, dir) => {
+      // the SEGMENTATION step a speech-curation pipeline runs on the
+      // frame stats (silence trim / VAD): a 256-sample PCM WAV whose
+      // frames alternate speech and near-silence by doc_id arithmetic is
+      // cut into 16 frames, each flagged by its exact integer sum_abs
+      // against the energy gate, and consecutive speech frames group
+      // into segments (gaps-and-islands over the frame index) with
+      // begin/end/size/energy — the utterance list a dataset builder
+      // clips. DuckDB replays samples → frame sums → the same island
+      // arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 255), i -> concat(
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
+               '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "24020000" + "57415645" +      // RIFF size=548 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "00020000"),                     // data len=512
+        dataHex)
+      val frames = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.sum_abs").as("sum_abs"))
+        .withColumn("is_speech", col("sum_abs") >= 1000)
+      val island = col("frame") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("is_speech"))
+          .orderBy(col("frame")))
+      frames.withColumn("island", island)
+        .where(col("is_speech"))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame")).cast("long").as("begin_frame"),
+          max(col("frame")).cast("long").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("sum_abs")).as("energy"))
+        .select(col("doc_id"), col("begin_frame"), col("end_frame"),
+          col("n_frames"), col("energy"))
+    }),
+
     "mm_wav_resample" -> ((s, dir) => {
       // sample-rate normalization (16 kHz → 4 kHz): boxcar decimation by
       // 4 inside the codegen'd scan — exact integer means with a
@@ -8641,6 +8686,28 @@ object SparkEntry {
              AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
              AS zero_crossings
          FROM w GROUP BY doc_id, frame""",
+
+    // VAD segmentation: DuckDB rebuilds the signed samples, frame energy
+    // sums and the same gaps-and-islands grouping over speech frames
+    "mm_audio_vad" ->
+      """WITH s AS (SELECT doc_id, i,
+             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
+               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
+           FROM documents, generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, i // 16 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
+           FROM s GROUP BY 1, 2),
+         g AS (SELECT doc_id, frame, sum_abs,
+             (sum_abs >= 1000) AS is_speech,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
+               (sum_abs >= 1000) ORDER BY frame) AS island
+           FROM f)
+         SELECT doc_id,
+           CAST(MIN(frame) AS BIGINT) AS begin_frame,
+           CAST(MAX(frame) AS BIGINT) AS end_frame,
+           COUNT(*) AS n_frames,
+           CAST(SUM(sum_abs) AS BIGINT) AS energy
+         FROM g WHERE is_speech GROUP BY doc_id, island""",
 
     // perceptual hash replay: hex->int via a 256-row lookup dictionary,
     // integer luma, strict luma*N > total bit rule

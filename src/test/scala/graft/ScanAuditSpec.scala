@@ -110,6 +110,15 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("mm_audio_vad: frame decode explodes inside the scan stage; the " +
+    "island window and the segment aggregate are the only shuffles") {
+    val p = plan("mm_audio_vad")
+    val rs = scanColumns(p)
+    assert(rs.size === 1 && rs.head === Set("doc_id"),
+      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(exchanges(p) <= 2, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
