@@ -2694,6 +2694,40 @@ object SparkEntry {
           col("f.zero_crossings").as("zero_crossings"))
     }),
 
+    "mm_tiff_roundtrip" -> ((s, dir) => {
+      // REAL TIFF content decode: 24x16 grayscale images of six
+      // md5-derived flat blocks run through the full striped codec with
+      // the compression ROTATING by doc_id % 3 (uncompressed / LZW with
+      // horizontal-differencing predictor / PackBits) and the byte order
+      // by doc_id % 2 — all three paths are lossless, so decode returns
+      // the input bit-for-bit and the oracle rebuilds the pixel hex
+      // arithmetically. ImageIO cross-validation (both directions), the
+      // TIFF 6.0 PackBits worked example and hostile structures live in
+      // TiffCodecSpec.
+      import graft.functions.TiffFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("t" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte), 2, "0")) // TIFF is lossless: any byte works
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val comp = when(col("doc_id") % 3 === 0, lit(1))
+        .when(col("doc_id") % 3 === 1, lit(5))
+        .otherwise(lit(32773)).cast("int")
+      val dec = tiff_decode(tiff_encode_gray(lit(24), lit(16),
+        unhex(pxHex), comp, col("doc_id") % 2 === 0))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
     "mm_audio_vad" -> ((s, dir) => {
       // the SEGMENTATION step a speech-curation pipeline runs on the
       // frame stats (silence trim / VAD): a 256-sample PCM WAV whose
@@ -8686,6 +8720,24 @@ object SparkEntry {
              AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
              AS zero_crossings
          FROM w GROUP BY doc_id, frame""",
+
+    // TIFF round-trip: all three compressions are lossless, so the oracle
+    // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike
+    // JPEG, no evenness constraint is needed)
+    "mm_tiff_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't0'), 1, 2) AS h0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't1'), 1, 2) AS h1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't2'), 1, 2) AS h2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't3'), 1, 2) AS h3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't4'), 1, 2) AS h4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't5'), 1, 2) AS h5
+           FROM documents)
+         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
+           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
+             AS px_hex
+         FROM d""",
 
     // VAD segmentation: DuckDB rebuilds the signed samples, frame energy
     // sums and the same gaps-and-islands grouping over speech frames

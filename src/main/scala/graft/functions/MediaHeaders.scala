@@ -79,6 +79,37 @@ object MediaHeaders {
         }
       } else if (ascii(bytes, 0, "GIF8") && bytes.length >= 10) {
         format = "gif"; width = le16(bytes, 6); height = le16(bytes, 8)
+      } else if (bytes.length >= 8 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+          bytes(3) == 0) ||
+         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+          bytes(3) == 42))) {
+        format = "tiff"
+        // bounded IFD0 walk for ImageWidth (256) / ImageLength (257);
+        // SHORT or LONG, inline values — anything else leaves nulls
+        val le = bytes(0) == 'I'
+        def v16(i: Int): Int = if (le) le16(bytes, i) else be16(bytes, i)
+        def v32(i: Int): Int = if (le) le32(bytes, i) else be32(bytes, i)
+        val ifd = v32(4)
+        if (ifd >= 8 && ifd + 2 <= bytes.length) {
+          val n = math.min(v16(ifd), 256)
+          var i = 0
+          while (i < n) {
+            val e = ifd + 2 + 12 * i
+            if (e + 12 <= bytes.length) {
+              val tag = v16(e)
+              val typ = v16(e + 2)
+              if (tag == 256 || tag == 257) {
+                val v: Any =
+                  if (typ == 3) v16(e + 8)
+                  else if (typ == 4) v32(e + 8)
+                  else null
+                if (tag == 256) width = v else height = v
+              }
+            }
+            i += 1
+          }
+        }
       } else if (ascii(bytes, 0, "BM") && bytes.length >= 26) {
         format = "bmp"; width = le32(bytes, 18); height = le32(bytes, 22)
       } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {

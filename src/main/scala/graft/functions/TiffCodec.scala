@@ -1,0 +1,513 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL baseline-TIFF codec in pure JVM — no codec libs: both byte
+ * orders (`II`/`MM`), the IFD tag walk (inline and offset values, SHORT
+ * and LONG strip arrays), strip assembly under RowsPerStrip, and the
+ * three classic compressions real scanners and converters write —
+ * uncompressed (1), LZW (5, MSB-first 9→12-bit variable width with the
+ * mandatory early width change, identical to the PDF `/LZWDecode`
+ * family with `/EarlyChange 1`) and PackBits (32773, the Apple RLE) —
+ * plus the horizontal-differencing Predictor (317 = 2) LZW writers
+ * default to, and both grayscale photometrics (0 = white-is-zero
+ * inverts, 1 = black-is-zero) and 8-bit RGB (2). Everything else —
+ * 16-bit samples, tiles, CCITT/JPEG-in-TIFF, palettes — rejects loudly
+ * inside the `tiff:` error contract; truncated structures and
+ * decode-bombs are bounds-checked before any allocation.
+ *
+ * Completes the still-image container set next to [[PngCodec]],
+ * [[JpegCodec]] and [[GifCodec]]; the reference treats payloads opaquely
+ * (multimodal columns are engine extensions; blob passthrough per
+ * `AbstractNativeConverter.java:115-147`).
+ */
+object TiffCodec {
+
+  /** Decoded image: channels = 1 (gray) or 3 (RGB), row-major pixels. */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** Same bound as [[PngCodec]]/[[JpegCodec]]: header dims are
+   * attacker-controlled. */
+  private val MaxDecodedBytes: Long = Int.MaxValue / 4L
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"tiff: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  // ---- decode ------------------------------------------------------------
+
+  def decode(tiff: Array[Byte]): Image = {
+    need(tiff.length >= 8, "shorter than the 8-byte header")
+    val le =
+      if ((tiff(0) & 0xff) == 0x49 && (tiff(1) & 0xff) == 0x49) true
+      else if ((tiff(0) & 0xff) == 0x4d && (tiff(1) & 0xff) == 0x4d) false
+      else fail("bad byte-order mark (neither II nor MM)")
+    def u16(i: Int): Int = {
+      need(i >= 0 && i + 2 <= tiff.length, s"u16 read at $i out of bounds")
+      if (le) (tiff(i) & 0xff) | ((tiff(i + 1) & 0xff) << 8)
+      else ((tiff(i) & 0xff) << 8) | (tiff(i + 1) & 0xff)
+    }
+    def u32(i: Int): Long = {
+      need(i >= 0 && i + 4 <= tiff.length, s"u32 read at $i out of bounds")
+      if (le) (u16(i) & 0xffffL) | ((u16(i + 2) & 0xffffL) << 16)
+      else ((u16(i) & 0xffffL) << 16) | (u16(i + 2) & 0xffffL)
+    }
+    need(u16(2) == 42, "bad magic (want 42)")
+    val ifd = u32(4)
+    need(ifd >= 8 && ifd + 2 <= tiff.length, s"IFD offset $ifd out of bounds")
+    val n = u16(ifd.toInt)
+    need(ifd + 2 + 12L * n + 4 <= tiff.length, "truncated IFD")
+
+    // entry lookup: tag -> (type, count, value-or-offset position)
+    val entries = (0 until n).map { i =>
+      val e = ifd.toInt + 2 + 12 * i
+      u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+    }.toMap
+
+    def scalar(tag: Int, default: Long = -1L): Long =
+      entries.get(tag) match {
+        case None =>
+          need(default >= 0, s"required tag $tag missing"); default
+        case Some((typ, count, vo)) =>
+          need(count == 1, s"tag $tag: expected one value, got $count")
+          typ match {
+            case 3 => u16(vo)
+            case 4 => u32(vo)
+            case _ => fail(s"tag $tag: unsupported type $typ (want SHORT/LONG)")
+          }
+      }
+
+    /** SHORT/LONG array, inline when it fits the 4 value bytes. */
+    def array(tag: Int): Array[Long] = entries.get(tag) match {
+      case None => fail(s"required tag $tag missing")
+      case Some((typ, count, vo)) =>
+        need(typ == 3 || typ == 4, s"tag $tag: unsupported type $typ")
+        need(count >= 1 && count <= (1L << 20),
+          s"tag $tag: hostile count $count")
+        val sz = if (typ == 3) 2 else 4
+        val at =
+          if (count * sz <= 4) vo.toLong
+          else {
+            val off = u32(vo)
+            need(off + count * sz <= tiff.length,
+              s"tag $tag: value array out of bounds")
+            off
+          }
+        Array.tabulate(count.toInt)(i =>
+          if (typ == 3) u16((at + 2L * i).toInt).toLong
+          else u32((at + 4L * i).toInt))
+    }
+
+    val width = scalar(256).toInt
+    val height = scalar(257).toInt
+    need(width > 0 && height > 0 &&
+      width.toLong * height * 3 <= MaxDecodedBytes,
+      s"refusing ${width}x$height (decode buffer over $MaxDecodedBytes)")
+    val spp = scalar(277, default = 1).toInt
+    need(spp == 1 || spp == 3, s"unsupported SamplesPerPixel $spp")
+    entries.get(258).foreach { case (_, count, _) =>
+      array(258).foreach(b =>
+        need(b == 8, s"unsupported BitsPerSample $b (8-bit only)"))
+      need(count == spp, s"BitsPerSample count $count != SamplesPerPixel $spp")
+    }
+    val comp = scalar(259, default = 1).toInt
+    val photometric = scalar(262, default = 1).toInt
+    need(photometric == 0 || photometric == 1 || photometric == 2,
+      s"unsupported PhotometricInterpretation $photometric")
+    need(!(photometric == 2 && spp != 3), "RGB photometric needs 3 samples")
+    val predictor = scalar(317, default = 1).toInt
+    need(predictor == 1 || predictor == 2, s"unsupported Predictor $predictor")
+    need(!entries.contains(322) && !entries.contains(323),
+      "tiled TIFF unsupported (strips only)")
+    val rps = scalar(278, default = height.toLong)
+    need(rps >= 1, s"bad RowsPerStrip $rps")
+    val offsets = array(273)
+    val counts = array(279)
+    need(offsets.length == counts.length,
+      s"${offsets.length} StripOffsets vs ${counts.length} StripByteCounts")
+    val nStrips = ((height + rps - 1) / rps).toInt
+    need(offsets.length == nStrips,
+      s"${offsets.length} strips for $height rows at $rps rows/strip " +
+        s"(want $nStrips)")
+
+    val rowBytes = width * spp
+    val out = new Array[Byte](height * rowBytes)
+    var row = 0
+    for (s <- 0 until nStrips) {
+      val off = offsets(s); val cnt = counts(s)
+      need(off >= 0 && cnt >= 0 && off + cnt <= tiff.length,
+        s"strip $s at $off+$cnt runs past ${tiff.length} bytes")
+      val raw = java.util.Arrays.copyOfRange(tiff, off.toInt,
+        (off + cnt).toInt)
+      val stripRows = math.min(rps, height - row).toInt
+      val wantBytes = stripRows * rowBytes
+      val data = comp match {
+        case 1 =>
+          need(raw.length >= wantBytes,
+            s"strip $s: $wantBytes bytes expected, got ${raw.length}")
+          raw
+        case 5 => lzwDecode(raw, s, wantBytes)
+        case 32773 => packBitsDecode(raw, s, wantBytes)
+        case other => fail(s"unsupported Compression $other " +
+          "(1, 5 = LZW, 32773 = PackBits)")
+      }
+      need(data.length >= wantBytes,
+        s"strip $s: $wantBytes bytes expected, got ${data.length}")
+      System.arraycopy(data, 0, out, row * rowBytes, wantBytes)
+      row += stripRows
+    }
+
+    if (predictor == 2) { // horizontal differencing, per row per channel
+      var y = 0
+      while (y < height) {
+        var i = y * rowBytes + spp
+        val end = (y + 1) * rowBytes
+        while (i < end) {
+          out(i) = ((out(i) + out(i - spp)) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+    }
+    if (photometric == 0) { // white-is-zero: invert to black-is-zero
+      var i = 0
+      while (i < out.length) { out(i) = (~out(i)).toByte; i += 1 }
+    }
+    Image(width, height, spp, out)
+  }
+
+  /** TIFF LZW: MSB-first 9→12-bit codes, clear 256 / EOD 257, the
+   * mandatory early width change — byte-identical to the PDF
+   * `/LZWDecode` stream family at `/EarlyChange 1`
+   * ([[PdfCodec]] scaladoc), re-stated here under the `tiff:` contract. */
+  private def lzwDecode(data: Array[Byte], strip: Int,
+                        maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val table = new Array[Array[Byte]](4096)
+    var tabLen = 258
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    def width: Int =
+      if (tabLen + 1 >= 2048) 12
+      else if (tabLen + 1 >= 1024) 11
+      else if (tabLen + 1 >= 512) 10
+      else 9
+    while (!done) {
+      val w = width
+      while (bits < w && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
+      }
+      need(bits >= w, s"strip $strip: LZW stream ends without EOD")
+      val code = ((acc >> (bits - w)) & ((1L << w) - 1)).toInt
+      bits -= w
+      if (code == 256) { tabLen = 258; prev = null }
+      else if (code == 257) done = true
+      else {
+        val seq: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < tabLen && code >= 258) table(code)
+          else if (code == tabLen && prev != null) prev :+ prev(0)
+          else fail(
+            s"strip $strip: LZW code $code outside the table ($tabLen)")
+        out.write(seq, 0, seq.length)
+        need(out.size() <= maxOut + 4096,
+          s"strip $strip: LZW output exceeds the strip size $maxOut")
+        if (prev != null && tabLen < 4096) {
+          table(tabLen) = prev :+ seq(0)
+          tabLen += 1
+        }
+        prev = seq
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits (Apple RLE): n in 0..127 copies n+1 literals, n in
+   * -127..-1 repeats the next byte 1-n times, -128 is a no-op. */
+  private def packBitsDecode(data: Array[Byte], strip: Int,
+                             maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length && out.size() < maxOut) {
+      val n = data(i).toInt
+      i += 1
+      if (n >= 0) {
+        need(i + n + 1 <= data.length,
+          s"strip $strip: PackBits literal run past the strip")
+        out.write(data, i, n + 1)
+        i += n + 1
+      } else if (n != -128) {
+        need(i < data.length,
+          s"strip $strip: PackBits repeat byte missing")
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 1 - n) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  // ---- fixture encoder ---------------------------------------------------
+
+  /** Compression selectors for [[encodeGray]]. */
+  val CompNone = 1
+  val CompLzw = 5
+  val CompPackBits = 32773
+
+  /**
+   * Encode 8-bit grayscale as a spec-shaped striped TIFF: either byte
+   * order, RowsPerStrip 8, Compression ∈ {1, 5, 32773}; LZW strips carry
+   * Predictor 2 (horizontal differencing) like real writers. All three
+   * paths are lossless, so decode returns the input bit-for-bit.
+   */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte],
+                 compression: Int, littleEndian: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue / 4, s"bad dims ${width}x$height")
+    require(gray.length == width * height,
+      s"expected ${width * height} pixels, got ${gray.length}")
+    require(compression == CompNone || compression == CompLzw ||
+      compression == CompPackBits, s"bad compression $compression")
+    val rps = 8
+    val nStrips = (height + rps - 1) / rps
+    val predictor = if (compression == CompLzw) 2 else 1
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, height - s * rps)
+      val raw = java.util.Arrays.copyOfRange(gray, s * rps * width,
+        (s * rps + rows) * width)
+      if (predictor == 2) { // difference each row right-to-left
+        var y = 0
+        while (y < rows) {
+          var i = (y + 1) * width - 1
+          while (i > y * width) {
+            raw(i) = ((raw(i) - raw(i - 1)) & 0xff).toByte
+            i -= 1
+          }
+          y += 1
+        }
+      }
+      compression match {
+        case CompNone => raw
+        case CompLzw => lzwEncode(raw)
+        case CompPackBits =>
+          // spec: PackBits packets must not cross row boundaries
+          (0 until rows).map(y => packBitsEncode(
+            java.util.Arrays.copyOfRange(raw, y * width, (y + 1) * width)))
+            .reduce(_ ++ _)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) {
+        w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
+      } else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+
+    val tags = 9 + (if (predictor == 2) 1 else 0)
+    val ifdAt = 8
+    val ifdSize = 2 + 12 * tags + 4
+    // strip arrays (LONG) follow the IFD when they don't fit inline
+    val arraysAt = ifdAt + ifdSize
+    val arrayBytes = if (nStrips > 1) 2 * 4 * nStrips else 0
+    var dataAt = arraysAt + arrayBytes
+    val stripOffsets = strips.map { s =>
+      val at = dataAt; dataAt += s.length; at
+    }
+
+    if (littleEndian) { out.write(0x49); out.write(0x49) }
+    else { out.write(0x4d); out.write(0x4d) }
+    w16(42); w32(ifdAt.toLong)
+    w16(tags)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, 4, 1, width.toLong)
+    entry(257, 4, 1, height.toLong)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression.toLong)
+    entry(262, 3, 1, 1) // black-is-zero
+    if (nStrips == 1) entry(273, 4, 1, stripOffsets.head.toLong)
+    else entry(273, 4, nStrips.toLong, arraysAt.toLong)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rps.toLong)
+    if (nStrips == 1) entry(279, 4, 1, strips.head.length.toLong)
+    else entry(279, 4, nStrips.toLong, (arraysAt + 4 * nStrips).toLong)
+    if (predictor == 2) entry(317, 3, 1, 2)
+    w32(0L) // next IFD
+    if (nStrips > 1) {
+      stripOffsets.foreach(o => w32(o.toLong))
+      strips.foreach(s => w32(s.length.toLong))
+    }
+    strips.foreach(s => out.write(s, 0, s.length))
+    out.toByteArray
+  }
+
+  /** LZW encoder (early change), the exact mirror of [[lzwDecode]]'s
+   * width thresholds — the [[PdfCodec]] encoder shape. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var bits = 0
+    var tabLen = 258
+    def width: Int =
+      if (tabLen >= 2048) 12
+      else if (tabLen >= 1024) 11
+      else if (tabLen >= 512) 10
+      else 9
+    def emit(code: Int): Unit = {
+      val w = width
+      acc = (acc << w) | code
+      bits += w
+      while (bits >= 8) {
+        out.write(((acc >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    def view(d: Array[Byte]): String =
+      new String(d.map(b => (b & 0xff).toChar))
+    def reset(): Unit = { dict.clear(); tabLen = 258 }
+    emit(256)
+    reset()
+    if (data.nonEmpty) {
+      val s = view(data)
+      var w = s.substring(0, 1)
+      var i = 1
+      while (i < data.length) {
+        val wc = w + s(i)
+        dict.get(wc) match {
+          case Some(_) => w = wc
+          case None =>
+            emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+            if (tabLen == 4096) { emit(256); reset() }
+            else { dict(wc) = tabLen; tabLen += 1 }
+            w = s.substring(i, i + 1)
+        }
+        i += 1
+      }
+      emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+    }
+    emit(257)
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PackBits encoder: runs of 2+ become repeat packets, the rest
+   * literal packets (both capped at 128). */
+  private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
+          lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+}
+
+/** `tiff_encode_gray(width, height, pixels, compression, le)` → BINARY
+ * striped TIFF. Fixture-synthesis edge — CodegenFallback is deliberate
+ * (same call as [[JpegEncodeGray]]). */
+case class TiffEncodeGray(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(IntegerType, IntegerType, BinaryType, IntegerType,
+      BooleanType)
+    if (children.length == 5 &&
+      children.map(_.dataType).zip(want).forall { case (a, b) => a == b })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "tiff_encode_gray(INT, INT, BINARY, INT, BOOLEAN), got " +
+        s"${children.map(_.dataType)}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else TiffCodec.encodeGray(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Array[Byte]], vs(3).asInstanceOf[Int],
+      vs(4).asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TiffEncodeGray = copy(children = c)
+}
+
+/** `tiff_decode(binary)` → STRUCT<width INT, height INT, channels INT,
+ * pixels BINARY>. */
+case class TiffDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tiff_decode requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val img = TiffCodec.decode(input.asInstanceOf[Array[Byte]])
+    new GenericInternalRow(
+      Array[Any](img.width, img.height, img.channels, img.pixels))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TiffFunctions.decodeRow($c)")
+
+  override protected def withNewChildInternal(c: Expression): TiffDecode =
+    copy(child = c)
+}
+
+object TiffFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** codegen helper: decode to the InternalRow the struct type expects. */
+  def decodeRow(bytes: Array[Byte]): GenericInternalRow = {
+    val img = TiffCodec.decode(bytes)
+    new GenericInternalRow(
+      Array[Any](img.width, img.height, img.channels, img.pixels))
+  }
+
+  def tiff_encode_gray(w: Column, h: Column, px: Column, comp: Column,
+                       le: Column): Column =
+    GraftShim.column(TiffEncodeGray(
+      Seq(w, h, px, comp, le).map(GraftShim.expression)))
+
+  def tiff_decode(c: Column): Column =
+    GraftShim.column(TiffDecode(GraftShim.expression(c)))
+}

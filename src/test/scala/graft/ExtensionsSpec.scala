@@ -92,6 +92,18 @@ class ExtensionsSpec extends AnyFunSuite {
       "4A554E4B 04000000 DEADBEEF" +
       "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")) ===
       (("wav", None, None, Some(44100), Some(2))))
+    // TIFF both byte orders (SHORT and LONG dim types), via the codec's
+    // own writer and a hand-built header
+    val t = graft.functions.TiffCodec.encodeGray(24, 16,
+      Array.fill(24 * 16)(7.toByte), graft.functions.TiffCodec.CompNone,
+      littleEndian = true)
+    assert(row(t) === (("tiff", Some(24), Some(16), None, None)))
+    // MM with one LONG ImageWidth entry only (height stays null)
+    assert(row(hx("4D4D 002A 00000008 0001 0100 0004 00000001 000000C8" +
+      "00000000")) === (("tiff", Some(200), None, None, None)))
+    // lying IFD offset degrades to dims-null tiff, never throws
+    assert(row(hx("49492A00 FFFFFFFF")) ===
+      (("tiff", None, None, None, None)))
     // truncated and garbage inputs degrade to unknown, never throw
     assert(row(Array[Byte]())._1 === "unknown")
     assert(row(hx("89504E47"))._1 === "unknown")

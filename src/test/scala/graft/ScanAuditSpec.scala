@@ -78,14 +78,16 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
-  test("mm_jpeg_progressive: the progressive codec rides one pruned " +
-    "single-column scan, zero Exchange — encode (six scans), multi-scan " +
-    "decode and the hex compare are all per-row scalar work") {
-    val p = plan("mm_jpeg_progressive")
-    val rs = scanColumns(p)
-    assert(rs.size === 1 && rs.head === Set("doc_id"),
-      s"expected one doc_id-only scan, saw $rs:\n$p")
-    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  test("mm_jpeg_progressive + mm_tiff_roundtrip: the progressive-JPEG and " +
+    "TIFF codecs ride one pruned single-column scan each, zero Exchange — " +
+    "encode, decode and the hex compare are all per-row scalar work") {
+    for (q <- Seq("mm_jpeg_progressive", "mm_tiff_roundtrip")) {
+      val p = plan(q)
+      val rs = scanColumns(p)
+      assert(rs.size === 1 && rs.head === Set("doc_id"),
+        s"$q: expected one doc_id-only scan, saw $rs:\n$p")
+      assert(exchanges(p) === 0, s"$q: ${exchanges(p)} exchanges:\n$p")
+    }
   }
 
   test("mm_exif_meta + mm_exif_autorotate: the EXIF decorate/sniff/" +

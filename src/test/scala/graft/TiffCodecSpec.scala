@@ -1,0 +1,139 @@
+package graft
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TiffCodec
+
+/**
+ * Baseline-TIFF codec: lossless round-trips across all three
+ * compressions × both byte orders, PackBits against the spec's worked
+ * example, cross-validation against the JDK's ImageIO TIFF plugin in
+ * BOTH directions, and precise rejections for unsupported shapes and
+ * hostile structures.
+ */
+class TiffCodecSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  test("lossless round-trip: 3 compressions x 2 byte orders, ragged strips") {
+    // 13 rows: the last strip is partial (8 + 5)
+    val px = gray(24, 13)((x, y) => (x * 7 + y * 11 + (x * y) % 5) % 256)
+    for (comp <- Seq(TiffCodec.CompNone, TiffCodec.CompLzw,
+        TiffCodec.CompPackBits); le <- Seq(true, false)) {
+      val t = TiffCodec.encodeGray(24, 13, px, comp, le)
+      val img = TiffCodec.decode(t)
+      assert((img.width, img.height, img.channels) === (24, 13, 1),
+        s"comp=$comp le=$le")
+      assert(java.util.Arrays.equals(img.pixels, px),
+        s"comp=$comp le=$le not lossless")
+    }
+  }
+
+  test("PackBits decodes the TIFF 6.0 worked example") {
+    // spec Section 9 example: FE AA 02 80 00 2A FD AA 03 80 00 2A 22
+    // F7 AA -> AA AA AA 80 00 2A AA AA AA AA 80 00 2A 22 AA x10
+    val in = Array(0xfe, 0xaa, 0x02, 0x80, 0x00, 0x2a, 0xfd, 0xaa, 0x03,
+      0x80, 0x00, 0x2a, 0x22, 0xf7, 0xaa).map(_.toByte)
+    val want = (Seq.fill(3)(0xaa) ++ Seq(0x80, 0x00, 0x2a) ++
+      Seq.fill(4)(0xaa) ++ Seq(0x80, 0x00, 0x2a, 0x22) ++
+      Seq.fill(10)(0xaa)).map(_.toByte)
+    // run it through a 1-strip image: 24 bytes = one 24x1 row
+    val t = TiffCodec.encodeGray(24, 1, want.toArray, TiffCodec.CompNone,
+      littleEndian = true)
+    // replace the strip body with the spec's compressed form
+    val recompressed = t.dropRight(24) ++ in
+    // patch Compression (tag 259) from 1 to 32773 and the byte count
+    val patched = recompressed.clone()
+    def findEntry(tag: Int): Int = {
+      // II: IFD at 8, count at 8..10, entries follow
+      val n = (patched(8) & 0xff) | ((patched(9) & 0xff) << 8)
+      (0 until n).map(i => 10 + 12 * i).find(e =>
+        ((patched(e) & 0xff) | ((patched(e + 1) & 0xff) << 8)) == tag).get
+    }
+    val ce = findEntry(259)
+    patched(ce + 8) = (32773 & 0xff).toByte
+    patched(ce + 9) = ((32773 >> 8) & 0xff).toByte
+    val be = findEntry(279)
+    patched(be + 8) = in.length.toByte; patched(be + 9) = 0
+    val img = TiffCodec.decode(patched)
+    assert(img.pixels.toSeq === want)
+  }
+
+  test("ImageIO reads our TIFFs (all compressions), we read ImageIO's") {
+    val w = 25; val h = 17
+    val px = gray(w, h)((x, y) => (x * 9 + y * 5) % 256)
+    for (comp <- Seq(TiffCodec.CompNone, TiffCodec.CompLzw,
+        TiffCodec.CompPackBits)) {
+      val ours = TiffCodec.encodeGray(w, h, px, comp, littleEndian = false)
+      val theirs = ImageIO.read(new java.io.ByteArrayInputStream(ours))
+      assert(theirs != null, s"ImageIO must accept our TIFF (comp=$comp)")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(theirs.getRaster.getSample(x, y, 0) ===
+          (px(y * w + x) & 0xff), s"comp=$comp pixel ($x,$y)")
+    }
+    // the reverse: ImageIO writes (uncompressed, LZW, PackBits), we decode
+    for (ctype <- Seq(null, "LZW", "PackBits")) {
+      val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        src.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      if (ctype != null) {
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ctype)
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bytes)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      val img = TiffCodec.decode(bytes.toByteArray)
+      assert((img.width, img.height, img.channels) === (w, h, 1),
+        s"ctype=$ctype")
+      assert(java.util.Arrays.equals(img.pixels, px),
+        s"ctype=$ctype: lossless formats must round-trip exactly")
+    }
+  }
+
+  test("unsupported shapes and hostile structures reject precisely") {
+    val px = gray(8, 8)((x, y) => x * 8 + y)
+    val good = TiffCodec.encodeGray(8, 8, px, TiffCodec.CompNone,
+      littleEndian = true)
+    def e(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](TiffCodec.decode(bytes))
+        .getMessage
+    assert(e("no".getBytes).contains("tiff:"))
+    assert(e(Array[Byte](0x49, 0x49, 43, 0, 8, 0, 0, 0)).contains("magic"))
+    // lying IFD offset
+    val lying = good.clone()
+    lying(4) = 0xff.toByte; lying(5) = 0xff.toByte
+    assert(e(lying).contains("out of bounds"))
+    // decode bomb: huge dims must reject before allocation (patch width
+    // tag 256 value to 0xffffffff)
+    val n = (good(8) & 0xff) | ((good(9) & 0xff) << 8)
+    def entryAt(tag: Int): Int = (0 until n).map(i => 10 + 12 * i)
+      .find(o => ((good(o) & 0xff) | ((good(o + 1) & 0xff) << 8)) == tag).get
+    val bomb = good.clone()
+    val we = entryAt(256)
+    for (k <- 0 until 4) bomb(we + 8 + k) = 0xff.toByte
+    assert(e(bomb).contains("refusing"))
+    // 16-bit samples reject
+    val deep = good.clone()
+    val bpsE = entryAt(258)
+    deep(bpsE + 8) = 16
+    assert(e(deep).contains("BitsPerSample"))
+    // strip running past the buffer
+    val cut = good.take(good.length - 10)
+    assert(e(cut).contains("strip"))
+    // unknown compression code
+    val weird = good.clone()
+    val ce = entryAt(259)
+    weird(ce + 8) = 7 // JPEG-in-TIFF
+    assert(e(weird).contains("Compression"))
+  }
+}
