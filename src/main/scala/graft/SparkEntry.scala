@@ -2694,6 +2694,25 @@ object SparkEntry {
           col("f.zero_crossings").as("zero_crossings"))
     }),
 
+    "mm_docx_extract" -> ((s, dir) => {
+      // REAL office-document extraction: each doc's text (with XML-hostile
+      // characters & < > and both quote kinds ON the path) is packed into
+      // a spec-shaped DOCX — a true ZIP archive with CRC-32s whose
+      // word/document.xml member alternates STORE and DEFLATE by
+      // doc_id % 2 — then the engine's own container walk + Wordprocessing-
+      // ML reduction recovers it. The oracle rebuilds the expected text
+      // arithmetically (entity decode is exactly inverse to the writer's
+      // escaping; one newline per paragraph). Hostile archives (bombs,
+      // lying sizes, encrypted members) are pinned in ZipCodecSpec.
+      import graft.functions.ZipFunctions._
+      val text = concat(lit("Doc "), col("doc_id").cast("string"),
+        lit(" & <hdr>\npara 'two' \"q\"\ntail="),
+        (col("doc_id") * 7 % 1000).cast("string"))
+      val docx = docx_encode(text, col("doc_id") % 2 === 0)
+      t(s, dir, "documents").select(col("doc_id"),
+        docx_extract(docx).as("text"))
+    }),
+
     "mm_tiff_roundtrip" -> ((s, dir) => {
       // REAL TIFF content decode: 24x16 grayscale images of six
       // md5-derived flat blocks run through the full striped codec with
@@ -3982,27 +4001,40 @@ object SparkEntry {
 
     "pipeline_mixed_corpus" -> ((s, dir) => {
       // MIXED-FORMAT ingest, the shape a real crawl actually has: one
-      // opaque binary column carrying HTML pages (even docs) AND PDF
-      // blobs (odd docs), format resolved by MAGIC SNIFF on the bytes
-      // (%PDF- header), DISPATCHED to the per-format front door
-      // (pdf_extract vs boilerplate extraction), then the SHARED
-      // curation tail — quality arithmetic and the corpus-trained
-      // language ID — over the union. Pins that dispatch composes:
-      // per-format rows cannot catch a quality filter or classifier
-      // running on text that came out of the wrong extractor.
+      // opaque binary column carrying HTML pages (even docs), PDF blobs
+      // (doc_id % 4 = 1) AND DOCX archives (doc_id % 4 = 3, alternating
+      // STORE/DEFLATE members), format resolved by MAGIC SNIFF on the
+      // bytes (%PDF- / PK\x03\x04 headers), DISPATCHED to the per-format
+      // front door (pdf_extract vs the ZIP walk + WordprocessingML
+      // reduction vs boilerplate extraction), then the SHARED curation
+      // tail — quality arithmetic and the corpus-trained language ID —
+      // over the union. Pins that dispatch composes: per-format rows
+      // cannot catch a quality filter or classifier running on text that
+      // came out of the wrong extractor.
       import graft.functions.PdfFunctions._
+      import graft.functions.ZipFunctions._
       val htmlBlobs = markupDocs(s, dir).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("html").cast("binary").as("blob"))
-      val pdfBlobs = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+      val pdfBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
         .select(col("doc_id"),
           pdf_encode(concat(col("text"), lit(pdfDeco))).as("blob"))
-      val sniffed = htmlBlobs.unionByName(pdfBlobs).withColumn("format",
-        when(substring(col("blob"), 1, 5) ===
-          lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
-          "pdf").otherwise("html"))
+      val docxBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), docx_encode(col("text"),
+          expr("(doc_id DIV 4) % 2 = 0")).as("blob"))
+      val sniffed = htmlBlobs.unionByName(pdfBlobs).unionByName(docxBlobs)
+        .withColumn("format",
+          when(substring(col("blob"), 1, 5) ===
+            lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            "pdf")
+          .when(substring(col("blob"), 1, 4) ===
+            lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)), "docx")
+          .otherwise("html"))
       val pdfText = sniffed.filter(col("format") === "pdf")
         .select(col("doc_id"), col("format"),
           pdf_extract(col("blob")).as("text"))
+      val docxText = sniffed.filter(col("format") === "docx")
+        .select(col("doc_id"), col("format"),
+          docx_extract(col("blob")).as("text"))
       val htmlText = TextAnalysis.htmlExtract(
           sniffed.filter(col("format") === "html")
             .select(col("doc_id"), col("blob").cast("string").as("html")))
@@ -4011,7 +4043,8 @@ object SparkEntry {
       // diamond cut (the minhash lesson, docs/BENCH_NOTES.md): texts
       // feeds three consumers — without a lineage cut each one re-runs
       // the sniff + per-format extraction over the corpus
-      val texts = operators.Materialize(pdfText.unionByName(htmlText))
+      val texts = operators.Materialize(
+        pdfText.unionByName(htmlText).unionByName(docxText))
       val q = TextAnalysis.qualityFilter(texts, minWords = 40,
           maxWords = 200, minTtr = 0.45, stopwords = Nil)
         .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
@@ -6724,8 +6757,11 @@ object SparkEntry {
            replace(clean_text, chr(10), ' ') AS text
          FROM ext WHERE doc_id % 2 = 0),
        pdocs AS (SELECT doc_id, 'pdf' AS format, text || '$pdfDeco' AS text
-         FROM documents WHERE doc_id % 2 = 1),
-       mx AS (SELECT * FROM hdocs UNION ALL SELECT * FROM pdocs),
+         FROM documents WHERE doc_id % 4 = 1),
+       ddocs AS (SELECT doc_id, 'docx' AS format, text || chr(10) AS text
+         FROM documents WHERE doc_id % 4 = 3),
+       mx AS (SELECT * FROM hdocs UNION ALL SELECT * FROM pdocs
+         UNION ALL SELECT * FROM ddocs),
        mq AS (SELECT doc_id, format,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -8720,6 +8756,16 @@ object SparkEntry {
              AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
              AS zero_crossings
          FROM w GROUP BY doc_id, frame""",
+
+    // DOCX extraction: the writer's XML escaping and the reader's entity
+    // decode are exact inverses, so the oracle rebuilds the text directly
+    // (a trailing newline closes the final paragraph)
+    "mm_docx_extract" ->
+      """SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & <hdr>' || chr(10) ||
+           'para ''two'' "q"' || chr(10) ||
+           'tail=' || CAST(doc_id * 7 % 1000 AS VARCHAR) || chr(10) AS text
+         FROM documents""",
 
     // TIFF round-trip: all three compressions are lossless, so the oracle
     // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike

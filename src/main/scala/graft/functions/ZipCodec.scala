@@ -1,0 +1,323 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * A REAL ZIP container walk plus OOXML (.docx) text extraction — the
+ * office-document front door of a crawl pipeline, next to the HTML and
+ * PDF extractors. No archive libs on the read path: the End-of-Central-
+ * Directory record is located by a bounded tail scan (comments allowed),
+ * central-directory entries give name/method/sizes/offset, each entry's
+ * bytes are read through its local header (central sizes govern — a
+ * data-descriptor local header carries zeros), and method 8 inflates via
+ * `java.util.zip.Inflater(nowrap)` with the output BOUNDED by the
+ * declared uncompressed size, so a zip bomb rejects before allocation
+ * (the PNG/PDF decode-bomb discipline). Everything unexpected —
+ * multi-disk archives, encrypted entries, unsupported methods, lying
+ * sizes or CRCs, offsets past the buffer — rejects loudly inside the
+ * `zip:` error contract.
+ *
+ * [[docxExtract]] then reads `word/document.xml` and reduces WordprocessingML
+ * to text the way a dataset builder needs it: `<w:t>` runs concatenate
+ * (entity-decoded — XML escapes are load-bearing in real documents),
+ * `<w:tab/>` becomes a tab, `<w:br/>` and paragraph ends become
+ * newlines. The fixture writer emits spec-shaped archives (both STORE
+ * and DEFLATE members, real CRC-32s) so the oracle path exercises the
+ * same structures java.util.zip and real writers produce.
+ *
+ * Reference treats payloads opaquely (multimodal/binary columns are
+ * engine extensions; blob passthrough per
+ * `AbstractNativeConverter.java:115-147`).
+ */
+object ZipCodec {
+
+  private val MaxInflatedBytes: Long = Int.MaxValue / 4L
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"zip: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  private def le16(b: Array[Byte], i: Int): Int = {
+    need(i >= 0 && i + 2 <= b.length, s"u16 read at $i out of bounds")
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  }
+  private def le32(b: Array[Byte], i: Int): Long = {
+    need(i >= 0 && i + 4 <= b.length, s"u32 read at $i out of bounds")
+    (le16(b, i) & 0xffffL) | ((le16(b, i + 2) & 0xffffL) << 16)
+  }
+
+  /** One archive member: name, compression method, sizes, data offset. */
+  final case class Entry(name: String, method: Int, compressed: Long,
+                         uncompressed: Long, headerOffset: Long)
+
+  /** Central-directory walk. */
+  def entries(zip: Array[Byte]): Seq[Entry] = {
+    need(zip.length >= 22, "shorter than the 22-byte EOCD record")
+    // EOCD: signature 0x06054b50, located by tail scan (<= 64 KiB comment)
+    var eocd = -1
+    var i = zip.length - 22
+    val floor = math.max(0, zip.length - 22 - 0xffff)
+    while (eocd < 0 && i >= floor) {
+      if ((zip(i) & 0xff) == 0x50 && (zip(i + 1) & 0xff) == 0x4b &&
+        (zip(i + 2) & 0xff) == 0x05 && (zip(i + 3) & 0xff) == 0x06)
+        eocd = i
+      else i -= 1
+    }
+    need(eocd >= 0, "no End-of-Central-Directory signature")
+    need(le16(zip, eocd + 4) == 0 && le16(zip, eocd + 6) == 0,
+      "multi-disk archives unsupported")
+    val n = le16(zip, eocd + 10)
+    val cdOff = le32(zip, eocd + 16)
+    need(cdOff + 4 <= zip.length, s"central directory at $cdOff out of bounds")
+    var p = cdOff.toInt
+    (0 until n).map { k =>
+      need(le32(zip, p) == 0x02014b50L, s"entry $k: bad central signature")
+      val flags = le16(zip, p + 8)
+      need((flags & 0x1) == 0, s"entry $k: encrypted entries unsupported")
+      val method = le16(zip, p + 10)
+      val compressed = le32(zip, p + 20)
+      val uncompressed = le32(zip, p + 24)
+      val nameLen = le16(zip, p + 28)
+      val extraLen = le16(zip, p + 30)
+      val commentLen = le16(zip, p + 32)
+      val headerOff = le32(zip, p + 42)
+      need(p + 46 + nameLen <= zip.length, s"entry $k: truncated name")
+      val name = new String(zip, p + 46, nameLen, StandardCharsets.UTF_8)
+      p += 46 + nameLen + extraLen + commentLen
+      Entry(name, method, compressed, uncompressed, headerOff)
+    }
+  }
+
+  /** Read and decompress one member through its local header. */
+  def read(zip: Array[Byte], e: Entry): Array[Byte] = {
+    val p = e.headerOffset.toInt
+    need(le32(zip, p) == 0x04034b50L, s"${e.name}: bad local signature")
+    val nameLen = le16(zip, p + 26)
+    val extraLen = le16(zip, p + 28)
+    val dataAt = p + 30 + nameLen + extraLen
+    need(dataAt + e.compressed <= zip.length,
+      s"${e.name}: data ${e.compressed} bytes at $dataAt runs past " +
+        s"${zip.length}")
+    need(e.uncompressed <= MaxInflatedBytes,
+      s"${e.name}: declared size ${e.uncompressed} over $MaxInflatedBytes " +
+        "(zip bomb)")
+    e.method match {
+      case 0 =>
+        need(e.compressed == e.uncompressed,
+          s"${e.name}: STORE sizes disagree")
+        java.util.Arrays.copyOfRange(zip, dataAt,
+          dataAt + e.compressed.toInt)
+      case 8 =>
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(zip, dataAt, e.compressed.toInt)
+          val out = new Array[Byte](e.uncompressed.toInt)
+          var got = 0
+          while (got < out.length && !inf.finished()) {
+            val k =
+              try inf.inflate(out, got, out.length - got)
+              catch { case ex: java.util.zip.DataFormatException =>
+                fail(s"${e.name}: corrupt deflate stream (${ex.getMessage})")
+              }
+            need(k > 0 || !inf.needsInput(),
+              s"${e.name}: deflate stream ends early")
+            got += k
+          }
+          need(got == out.length && (inf.finished() ||
+            inf.inflate(new Array[Byte](1)) == 0 && inf.finished()),
+            s"${e.name}: inflated size differs from the declared " +
+              s"${e.uncompressed}")
+          out
+        } finally inf.end()
+      case m => fail(s"${e.name}: compression method $m unsupported " +
+        "(STORE or DEFLATE)")
+    }
+  }
+
+  // ---- OOXML text extraction ---------------------------------------------
+
+  private val EntityMap = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&apos;" -> "'")
+
+  private def decodeEntities(s: String): String = {
+    // numeric first, then named, &amp; LAST (the single-pass order that
+    // never double-decodes, same discipline as htmlExtract)
+    var r = "&#x([0-9a-fA-F]+);".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        new String(Character.toChars(Integer.parseInt(m.group(1), 16)))))
+    r = "&#([0-9]+);".r.replaceAllIn(r, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        new String(Character.toChars(m.group(1).toInt))))
+    EntityMap.foreach { case (k, v) => r = r.replace(k, v) }
+    r.replace("&amp;", "&")
+  }
+
+  /** `word/document.xml` → text: `<w:t>` runs concatenated with entities
+   * decoded, `<w:tab/>` → tab, `<w:br/>` → newline, one newline per
+   * paragraph end. */
+  def docxExtract(docx: Array[Byte]): String = {
+    val es = entries(docx)
+    val doc = es.find(_.name == "word/document.xml").getOrElse(
+      fail("no word/document.xml member (not a DOCX?)"))
+    val xml = new String(read(docx, doc), StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder()
+    // token walk: w:t runs (with or without attributes), tabs, breaks,
+    // paragraph closes — everything else is markup to skip
+    val tok = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab\\s*/>|" +
+      "<w:br\\s*/>|</w:p>"
+    tok.r.findAllMatchIn(xml).foreach { m =>
+      val whole = m.matched
+      if (whole.startsWith("<w:tab")) sb.append('\t') // before the <w:t test
+      else if (whole.startsWith("<w:t")) sb.append(decodeEntities(m.group(1)))
+      else sb.append('\n') // w:br and paragraph end
+    }
+    sb.toString
+  }
+
+  // ---- fixture writer ------------------------------------------------------
+
+  /** Minimal spec-shaped DOCX: `[Content_Types].xml` STOREd and
+   * `word/document.xml` (one `<w:p>` per input line, XML-escaped) either
+   * STOREd or DEFLATEd — real CRC-32s, central directory, EOCD. */
+  def docxEncode(text: String, deflate: Boolean): Array[Byte] = {
+    val paragraphs = text.split("\n", -1).map { line =>
+      val esc = line.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+      s"<w:p><w:r><w:t xml:space=\"preserve\">$esc</w:t></w:r></w:p>"
+    }.mkString
+    val docXml =
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+        "wordprocessingml/2006/main\"><w:body>" + paragraphs +
+        "</w:body></w:document>").getBytes(StandardCharsets.UTF_8)
+    val ctXml =
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/" +
+        "content-types\"><Default Extension=\"xml\" ContentType=\"" +
+        "application/xml\"/></Types>").getBytes(StandardCharsets.UTF_8)
+
+    final case class Member(name: String, raw: Array[Byte], method: Int,
+                            data: Array[Byte], crc: Long)
+    def member(name: String, raw: Array[Byte], method: Int): Member = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(raw)
+      val data =
+        if (method == 0) raw
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(raw); d.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+          d.end()
+          buf.toByteArray
+        }
+      Member(name, raw, method, data, crc.getValue)
+    }
+    val members = Seq(
+      member("[Content_Types].xml", ctXml, 0),
+      member("word/document.xml", docXml, if (deflate) 8 else 0))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    val offsets = members.map { m =>
+      val at = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(m.method)
+      w16(0); w16(0) // time/date: deterministic zeros
+      w32(m.crc); w32(m.data.length.toLong); w32(m.raw.length.toLong)
+      w16(m.name.length); w16(0)
+      out.write(m.name.getBytes(StandardCharsets.US_ASCII))
+      out.write(m.data)
+      at
+    }
+    val cdAt = out.size()
+    members.zip(offsets).foreach { case (m, at) =>
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(m.method)
+      w16(0); w16(0)
+      w32(m.crc); w32(m.data.length.toLong); w32(m.raw.length.toLong)
+      w16(m.name.length); w16(0); w16(0); w16(0); w16(0)
+      w32(0L); w32(at.toLong)
+      out.write(m.name.getBytes(StandardCharsets.US_ASCII))
+    }
+    val cdLen = out.size() - cdAt
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(members.length); w16(members.length)
+    w32(cdLen.toLong); w32(cdAt.toLong); w16(0)
+    out.toByteArray
+  }
+}
+
+/** `docx_encode(text, deflate)` → BINARY minimal DOCX. Fixture-synthesis
+ * edge — CodegenFallback is deliberate (same call as [[JpegEncodeGray]]). */
+case class DocxEncode(text: Expression, deflate: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, deflate)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, deflate.dataType) match {
+      case (StringType, org.apache.spark.sql.types.BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"docx_encode(STRING, BOOLEAN), got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = text.eval(input); val d = deflate.eval(input)
+    if (t == null || d == null) null
+    else ZipCodec.docxEncode(t.toString, d.asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): DocxEncode =
+    copy(text = c(0), deflate = c(1))
+}
+
+/** `docx_extract(binary)` → STRING — codegen'd ZIP walk + WordprocessingML
+ * text reduction, loud `zip:` contract on malformed archives. */
+case class DocxExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"docx_extract requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      ZipCodec.docxExtract(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ZipFunctions.extractUtf8($c)")
+
+  override protected def withNewChildInternal(c: Expression): DocxExtract =
+    copy(child = c)
+}
+
+object ZipFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** codegen helper. */
+  def extractUtf8(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(ZipCodec.docxExtract(bytes))
+
+  def docx_encode(text: Column, deflate: Column): Column =
+    GraftShim.column(DocxEncode(GraftShim.expression(text),
+      GraftShim.expression(deflate)))
+
+  def docx_extract(c: Column): Column =
+    GraftShim.column(DocxExtract(GraftShim.expression(c)))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZipCodec
+
+/**
+ * ZIP container walk + DOCX text extraction: round-trips through both
+ * STORE and DEFLATE members, cross-validation against java.util.zip in
+ * both directions, WordprocessingML reduction (entities, tabs, breaks,
+ * paragraphs), and loud rejections for hostile archives.
+ */
+class ZipCodecSpec extends AnyFunSuite {
+
+  test("docx round-trip: STORE and DEFLATE, entities and structure") {
+    val text = "Hello & <world>\nsecond \"para\" with 'quotes'\n\nlast"
+    for (deflate <- Seq(false, true)) {
+      val docx = ZipCodec.docxEncode(text, deflate)
+      // one newline per paragraph end: input newlines round-trip, plus a
+      // trailing one for the final paragraph
+      assert(ZipCodec.docxExtract(docx) === text + "\n",
+        s"deflate=$deflate")
+    }
+  }
+
+  test("w:tab, w:br, numeric entities and attribute-less w:t reduce") {
+    // hand-built document.xml exercising shapes our encoder never emits
+    val xml =
+      """<?xml version="1.0"?><w:document><w:body>
+        |<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b&#65;&#x42;</w:t>
+        |<w:br/><w:t xml:space="preserve"> c</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    // wrap it via the encoder, then splice our xml over document.xml by
+    // rebuilding with the SAME member name through a java.util.zip writer
+    val bytes = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bytes)
+    zos.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+    zos.write("<Types/>".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos.write(xml.getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    assert(ZipCodec.docxExtract(bytes.toByteArray) === "a\tbAB\n c\n")
+  }
+
+  test("java.util.zip reads our archives; we read ZipOutputStream's") {
+    val text = "cross validation\nsecond line"
+    for (deflate <- Seq(false, true)) {
+      val ours = ZipCodec.docxEncode(text, deflate)
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      val names = Iterator.continually(zis.getNextEntry)
+        .takeWhile(_ != null).map { e =>
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](1024)
+          Iterator.continually(zis.read(tmp)).takeWhile(_ > 0)
+            .foreach(n => buf.write(tmp, 0, n))
+          e.getName -> buf.toByteArray
+        }.toMap
+      assert(names.keySet ===
+        Set("[Content_Types].xml", "word/document.xml"),
+        s"deflate=$deflate")
+      assert(new String(names("word/document.xml"), StandardCharsets.UTF_8)
+        .contains("cross validation"))
+    }
+    // reverse direction is covered by the w:tab test above (ZipOutputStream
+    // writes, we walk); also check entries() metadata on such an archive
+    val bytes = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bytes)
+    zos.putNextEntry(new java.util.zip.ZipEntry("a/b.txt"))
+    zos.write(("x" * 1000).getBytes)
+    zos.closeEntry()
+    zos.close()
+    val es = ZipCodec.entries(bytes.toByteArray)
+    assert(es.map(_.name) === Seq("a/b.txt"))
+    assert(es.head.uncompressed === 1000L)
+    assert(new String(ZipCodec.read(bytes.toByteArray, es.head)) ===
+      "x" * 1000)
+  }
+
+  test("hostile archives reject precisely inside the zip: contract") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException] {
+        ZipCodec.docxExtract(b)
+      }.getMessage
+    assert(msg("PK not a zip".getBytes).contains("zip:"))
+    assert(msg(Array.emptyByteArray).contains("EOCD"))
+    val good = ZipCodec.docxEncode("hello", deflate = true)
+    // truncate mid-central-directory
+    assert(msg(good.dropRight(30)).contains("zip:"))
+    // zip bomb: patch word/document.xml's central uncompressed size huge
+    val sig = Array[Byte](0x50, 0x4b, 0x01, 0x02)
+    val cd2 = (0 until good.length - 4).filter(i =>
+      good.slice(i, i + 4).sameElements(sig))
+    assert(cd2.length === 2)
+    val bomb = good.clone()
+    val docCd = cd2(1) // second central entry = word/document.xml
+    for (k <- 0 until 4) bomb(docCd + 24 + k) = 0x7f.toByte
+    assert(msg(bomb).contains("zip bomb") || msg(bomb).contains("differs"))
+    // lying compressed size running past the buffer
+    val lying = good.clone()
+    lying(docCd + 20) = 0xff.toByte; lying(docCd + 21) = 0xff.toByte
+    assert(msg(lying).contains("runs past"))
+    // encrypted flag set
+    val enc = good.clone()
+    enc(docCd + 8) = 0x01
+    assert(msg(enc).contains("encrypted"))
+    // unsupported method
+    val meth = good.clone()
+    meth(docCd + 10) = 12 // bzip2
+    assert(msg(meth).contains("method"))
+    // a zip with no document.xml is not a DOCX
+    val bytes = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bytes)
+    zos.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zos.write("z".getBytes)
+    zos.closeEntry()
+    zos.close()
+    assert(msg(bytes.toByteArray).contains("document.xml"))
+  }
+}
