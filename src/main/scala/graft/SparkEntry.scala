@@ -2713,6 +2713,31 @@ object SparkEntry {
         docx_extract(docx).as("text"))
     }),
 
+    "mm_xlsx_extract" -> ((s, dir) => {
+      // REAL spreadsheet extraction: five cells per doc — strings (one
+      // value repeated, so the sharedStrings DEDUP indirection is on the
+      // path: C1 must resolve through the SAME index A1 claimed), inline
+      // numbers, XML-hostile characters — packed into a true XLSX (two
+      // cross-referencing ZIP members, STORE/DEFLATE by doc_id % 2) and
+      // recovered by the engine's own container walk + SpreadsheetML cell
+      // resolution. The oracle rebuilds every (cell_ref, value) pair
+      // arithmetically.
+      import graft.functions.ZipFunctions._
+      val name = concat(lit("name-"), (col("doc_id") % 50).cast("string"))
+      val xlsx = xlsx_encode(
+        array(lit("A1"), lit("B1"), lit("C1"), lit("A2"), lit("B2")),
+        array(name, (col("doc_id") * 3 % 1000).cast("string"), name,
+          concat(lit("r&d <"), (col("doc_id") % 7).cast("string"),
+            lit(">")),
+          (col("doc_id") % 97).cast("string")),
+        array(lit(true), lit(false), lit(true), lit(true), lit(false)),
+        col("doc_id") % 2 === 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(xlsx_extract(xlsx)).as("c"))
+        .select(col("doc_id"), col("c.cell_ref").as("cell_ref"),
+          col("c.value").as("value"))
+    }),
+
     "mm_tiff_roundtrip" -> ((s, dir) => {
       // REAL TIFF content decode: 24x16 grayscale images of six
       // md5-derived flat blocks run through the full striped codec with
@@ -8766,6 +8791,23 @@ object SparkEntry {
            'para ''two'' "q"' || chr(10) ||
            'tail=' || CAST(doc_id * 7 % 1000 AS VARCHAR) || chr(10) AS text
          FROM documents""",
+
+    // XLSX extraction: the writer's escaping/shared-string dedup and the
+    // reader's resolution are exact inverses — the oracle rebuilds every
+    // cell pair directly
+    "mm_xlsx_extract" ->
+      """SELECT doc_id, cell_ref, value FROM (
+           SELECT doc_id, 'A1' AS cell_ref,
+             'name-' || CAST(doc_id % 50 AS VARCHAR) AS value
+           FROM documents
+           UNION ALL SELECT doc_id, 'B1',
+             CAST(doc_id * 3 % 1000 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'C1',
+             'name-' || CAST(doc_id % 50 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'A2',
+             'r&d <' || CAST(doc_id % 7 AS VARCHAR) || '>' FROM documents
+           UNION ALL SELECT doc_id, 'B2',
+             CAST(doc_id % 97 AS VARCHAR) FROM documents) t""",
 
     // TIFF round-trip: all three compressions are lossless, so the oracle
     // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike

@@ -181,6 +181,75 @@ object ZipCodec {
     sb.toString
   }
 
+  /**
+   * XLSX (SpreadsheetML) cell extraction: `xl/worksheets/sheet1.xml` cells
+   * resolved against `xl/sharedStrings.xml` — the indirection that makes
+   * spreadsheets different from documents: a string cell (`t="s"`) holds
+   * an INDEX into the shared-strings member, so extraction must join two
+   * archive members. Returns (cell_ref, value) pairs in document order;
+   * inline numbers pass through as their literal text. Missing members
+   * and out-of-range indices reject loudly inside the `zip:` contract.
+   */
+  def xlsxExtract(xlsx: Array[Byte]): Seq[(String, String)] = {
+    val es = entries(xlsx)
+    def member(name: String): String =
+      new String(read(xlsx, es.find(_.name == name).getOrElse(
+        fail(s"no $name member (not an XLSX?)"))), StandardCharsets.UTF_8)
+    val shared: IndexedSeq[String] =
+      es.find(_.name == "xl/sharedStrings.xml") match {
+        case None => IndexedSeq.empty
+        case Some(_) =>
+          "(?s)<si>\\s*<t(?:\\s[^>]*)?>(.*?)</t>\\s*</si>".r
+            .findAllMatchIn(member("xl/sharedStrings.xml"))
+            .map(m => decodeEntities(m.group(1))).toIndexedSeq
+      }
+    val sheet = member("xl/worksheets/sheet1.xml")
+    "(?s)<c r=\"([A-Z]+[0-9]+)\"(?:\\s+t=\"(\\w+)\")?\\s*>\\s*<v>(.*?)</v>\\s*</c>"
+      .r.findAllMatchIn(sheet).map { m =>
+        val ref = m.group(1)
+        val v = m.group(3)
+        val value = m.group(2) match {
+          case "s" =>
+            val i = try v.trim.toInt catch {
+              case _: NumberFormatException =>
+                fail(s"cell $ref: non-integer shared-string index '$v'")
+            }
+            need(i >= 0 && i < shared.length,
+              s"cell $ref: shared-string index $i outside 0..${shared.length - 1}")
+            shared(i)
+          case null | "n" => decodeEntities(v)
+          case t => fail(s"cell $ref: unsupported cell type '$t'")
+        }
+        (ref, value)
+      }.toSeq
+  }
+
+  /** Minimal spec-shaped XLSX: sharedStrings + sheet1 with string cells
+   * (shared indices) and inline numeric cells, STORE or DEFLATE. */
+  def xlsxEncode(cells: Seq[(String, String, Boolean)],
+                 deflate: Boolean): Array[Byte] = {
+    // string cells dedupe into sharedStrings in first-appearance order
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val body = cells.map { case (ref, value, isString) =>
+      if (isString) {
+        val i = strings.getOrElseUpdate(value, strings.size)
+        s"""<c r="$ref" t="s"><v>$i</v></c>"""
+      } else s"""<c r="$ref"><v>$value</v></c>"""
+    }.mkString
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sst = "<?xml version=\"1.0\"?><sst>" + strings.keys.map(s =>
+      s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>").mkString +
+      "</sst>"
+    val sheet = "<?xml version=\"1.0\"?><worksheet><sheetData><row>" +
+      body + "</row></sheetData></worksheet>"
+    val m = if (deflate) 8 else 0
+    buildZip(Seq(
+      ("xl/sharedStrings.xml", sst.getBytes(StandardCharsets.UTF_8), m),
+      ("xl/worksheets/sheet1.xml", sheet.getBytes(StandardCharsets.UTF_8),
+        m)))
+  }
+
   // ---- fixture writer ------------------------------------------------------
 
   /** Minimal spec-shaped DOCX: `[Content_Types].xml` STOREd and
@@ -202,10 +271,19 @@ object ZipCodec {
         "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/" +
         "content-types\"><Default Extension=\"xml\" ContentType=\"" +
         "application/xml\"/></Types>").getBytes(StandardCharsets.UTF_8)
+    buildZip(Seq(
+      ("[Content_Types].xml", ctXml, 0),
+      ("word/document.xml", docXml, if (deflate) 8 else 0)))
+  }
 
+  /** Spec-shaped archive from (name, raw bytes, method 0|8) members:
+   * real CRC-32s, deterministic zero timestamps, central directory,
+   * EOCD. Shared by the DOCX and XLSX fixture writers. */
+  private def buildZip(members0: Seq[(String, Array[Byte], Int)])
+      : Array[Byte] = {
     final case class Member(name: String, raw: Array[Byte], method: Int,
                             data: Array[Byte], crc: Long)
-    def member(name: String, raw: Array[Byte], method: Int): Member = {
+    val members = members0.map { case (name, raw, method) =>
       val crc = new java.util.zip.CRC32()
       crc.update(raw)
       val data =
@@ -222,9 +300,6 @@ object ZipCodec {
         }
       Member(name, raw, method, data, crc.getValue)
     }
-    val members = Seq(
-      member("[Content_Types].xml", ctXml, 0),
-      member("word/document.xml", docXml, if (deflate) 8 else 0))
 
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -307,6 +382,75 @@ case class DocxExtract(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `xlsx_encode(refs, values, is_string, deflate)` → BINARY minimal XLSX
+ * (sharedStrings + sheet1). Fixture-synthesis edge — CodegenFallback. */
+case class XlsxEncode(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    val want = Seq("array<string>", "array<string>", "array<boolean>",
+      "boolean")
+    if (children.length == 4 && children.map(_.dataType).zip(want)
+        .forall { case (a, b) => a.simpleString == b })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "xlsx_encode(ARRAY<STRING>, ARRAY<STRING>, ARRAY<BOOLEAN>, " +
+        s"BOOLEAN), got ${children.map(_.dataType)}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val refs = vs(0).asInstanceOf[ArrayData]
+      val values = vs(1).asInstanceOf[ArrayData]
+      val isStr = vs(2).asInstanceOf[ArrayData]
+      require(refs.numElements() == values.numElements() &&
+        refs.numElements() == isStr.numElements(),
+        "zip: xlsx_encode arrays must align")
+      val cells = (0 until refs.numElements()).map(i =>
+        (refs.getUTF8String(i).toString, values.getUTF8String(i).toString,
+          isStr.getBoolean(i)))
+      ZipCodec.xlsxEncode(cells, vs(3).asInstanceOf[Boolean])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): XlsxEncode = copy(children = c)
+}
+
+/** `xlsx_extract(binary)` → ARRAY<STRUCT<cell_ref STRING, value STRING>>
+ * — codegen'd ZIP walk + SpreadsheetML cell resolution against
+ * sharedStrings, loud `zip:` contract. */
+case class XlsxExtract(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell_ref", StringType, nullable = false),
+    StructField("value", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"xlsx_extract requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ZipFunctions.extractCells(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ZipFunctions.extractCells($c)")
+
+  override protected def withNewChildInternal(c: Expression): XlsxExtract =
+    copy(child = c)
+}
+
 object ZipFunctions {
   import org.apache.spark.sql.GraftShim
 
@@ -314,10 +458,29 @@ object ZipFunctions {
   def extractUtf8(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(ZipCodec.docxExtract(bytes))
 
+  /** codegen helper: cells as the array-of-structs the type declares. */
+  def extractCells(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cells = ZipCodec.xlsxExtract(bytes)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cells.map { case (ref, v) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(ref), UTF8String.fromString(v)))
+      }.toArray[Any])
+  }
+
   def docx_encode(text: Column, deflate: Column): Column =
     GraftShim.column(DocxEncode(GraftShim.expression(text),
       GraftShim.expression(deflate)))
 
   def docx_extract(c: Column): Column =
     GraftShim.column(DocxExtract(GraftShim.expression(c)))
+
+  def xlsx_encode(refs: Column, values: Column, isString: Column,
+                  deflate: Column): Column =
+    GraftShim.column(XlsxEncode(
+      Seq(refs, values, isString, deflate).map(GraftShim.expression)))
+
+  def xlsx_extract(c: Column): Column =
+    GraftShim.column(XlsxExtract(GraftShim.expression(c)))
 }

@@ -81,6 +81,47 @@ class ZipCodecSpec extends AnyFunSuite {
       "x" * 1000)
   }
 
+  test("xlsx: shared-string indirection round-trips, duplicates dedupe") {
+    val cells = Seq(("A1", "alpha", true), ("B1", "42", false),
+      ("C1", "alpha", true), ("A2", "be&ta <x>", true))
+    for (deflate <- Seq(false, true)) {
+      val x = ZipCodec.xlsxEncode(cells, deflate)
+      assert(ZipCodec.xlsxExtract(x) ===
+        cells.map(c => (c._1, c._2)), s"deflate=$deflate")
+      // the dedup really happened: ONE <si> for the repeated string
+      val sst = new String(ZipCodec.read(x,
+        ZipCodec.entries(x).find(_.name == "xl/sharedStrings.xml").get))
+      assert("<si>".r.findAllIn(sst).length === 2,
+        "repeated string must share one sharedStrings slot")
+    }
+  }
+
+  test("xlsx hostile shapes reject precisely") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException] {
+        ZipCodec.xlsxExtract(b)
+      }.getMessage
+    val good = ZipCodec.xlsxEncode(Seq(("A1", "s", true)), deflate = false)
+    // bend the cell's shared index out of range (sheet is STOREd: the
+    // literal "<v>0</v>" is visible in the archive bytes)
+    val needle = "<v>0</v>".getBytes
+    val at = (0 until good.length - needle.length).find(i =>
+      good.slice(i, i + needle.length).sameElements(needle)).get
+    val bent = good.clone()
+    bent(at + 3) = '9'.toByte
+    // STORE CRC no longer matches the body, but extraction reads sizes —
+    // the index check must fire first with a precise message
+    assert(msg(bent).contains("shared-string index"))
+    // a zip without the sheet member
+    val bytes = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bytes)
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+    zos.write("<sst/>".getBytes)
+    zos.closeEntry()
+    zos.close()
+    assert(msg(bytes.toByteArray).contains("sheet1"))
+  }
+
   test("hostile archives reject precisely inside the zip: contract") {
     def msg(b: Array[Byte]): String =
       intercept[IllegalArgumentException] {
