@@ -315,21 +315,27 @@ object ExifCodec {
     val ow = if (swap) h else w
     val oh = if (swap) w else h
     val out = new Array[Byte](px.length)
+    // every transform is affine per output row: source index = base(y) +
+    // step·x — one branch per ROW keeps the pixel loop allocation-free
+    // (this sits on imageCorpusExtract's per-payload hot path)
     var y = 0
     while (y < oh) {
+      val (base, step) = (o: @unchecked) match {
+        case 1 => (y * w, 1)
+        case 2 => (y * w + w - 1, -1)
+        case 3 => ((h - 1 - y) * w + w - 1, -1)
+        case 4 => ((h - 1 - y) * w, 1)
+        case 5 => (y, w)
+        case 6 => ((h - 1) * w + y, -w)
+        case 7 => ((h - 1) * w + w - 1 - y, -w)
+        case 8 => (w - 1 - y, w)
+      }
       var x = 0
+      var src = base
+      val rowOff = y * ow
       while (x < ow) {
-        val (sx, sy) = (o: @unchecked) match {
-          case 1 => (x, y)
-          case 2 => (w - 1 - x, y)
-          case 3 => (w - 1 - x, h - 1 - y)
-          case 4 => (x, h - 1 - y)
-          case 5 => (y, x)
-          case 6 => (y, h - 1 - x)
-          case 7 => (w - 1 - y, h - 1 - x)
-          case 8 => (w - 1 - y, x)
-        }
-        out(y * ow + x) = px(sy * w + sx)
+        out(rowOff + x) = px(src)
+        src += step
         x += 1
       }
       y += 1

@@ -7,16 +7,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.types._
 
 /**
- * A REAL baseline JPEG codec in pure JVM — no codec libs: marker framing,
+ * A REAL JPEG codec in pure JVM — no codec libs: marker framing,
  * quantization tables, canonical Huffman (spec Annex K tables on encode,
  * tables from the file on decode), byte stuffing, restart markers, FDCT /
  * IDCT, 4:2:0 / 4:2:2 / 4:4:4 chroma upsampling and YCbCr→RGB. Supported
- * subset: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, single
- * interleaved scan, sampling factors 1–2 — the shape ImageIO and libjpeg
- * emit by default; progressive (SOF2), arithmetic coding and 12-bit are
- * rejected with precise reasons. Completes the multimodal story next to
- * [[PngCodec]]: perceptual dedup (`mm_image_phash`-style) can now run on
- * both container formats.
+ * subset: sequential DCT (SOF0/1) AND progressive (SOF2 — spectral
+ * selection, successive approximation, EOB runs; the dominant real-web
+ * coding mode), 8-bit, 1 or 3 components, sampling factors 1–2 — the
+ * shapes ImageIO and libjpeg emit; arithmetic coding, 12-bit and the
+ * lossless/differential SOFs are rejected with precise reasons. Decoding
+ * is coefficient-domain (see [[decode]]), so peak memory is the
+ * per-component Int coefficient planes (~4 bytes/coefficient) plus the
+ * output pixels. Completes the multimodal story next to [[PngCodec]]:
+ * perceptual dedup (`mm_image_phash`-style) can run on both container
+ * formats.
  *
  * Determinism note for the oracle: on FLAT 8×8 blocks the DCT collapses —
  * every AC is mathematically 0 (quantizes to 0 at any table) and the DC
@@ -761,11 +765,13 @@ object JpegCodec {
       }
 
       // locate the marker that terminates this scan's entropy data:
-      // stuffing makes FF+nonzero unambiguous; skip fill FFs and stray RSTs
+      // stuffing makes FF+nonzero unambiguous; skip fill FFs and stray
+      // RSTs. A buffer that ENDS here (scan complete, trailer cut — the
+      // most common real-crawl truncation) returns the end sentinel and
+      // decodes what it has, like every production decoder.
       var p = if (br.sawMarker != 0) br.pos - 1 else br.pos
       var found = -1
-      while (found < 0) {
-        require(p + 1 < jpg.length, "truncated after scan data")
+      while (found < 0 && p + 1 < jpg.length) {
         if ((jpg(p) & 0xff) != 0xff) p += 1
         else {
           val mm = jpg(p + 1) & 0xff
@@ -775,11 +781,16 @@ object JpegCodec {
           else found = p
         }
       }
-      found
+      if (found < 0) jpg.length else found
     }
 
     while (!sawEoi) {
-      require(pos + 2 <= jpg.length, "truncated before EOI")
+      if (pos + 2 > jpg.length) {
+        // trailer truncation after at least one complete scan is decodable
+        // (missing EOI / cut APPn tail); before any scan it is not
+        require(nScans > 0, "truncated before EOI")
+        sawEoi = true
+      } else {
       require((jpg(pos) & 0xff) == 0xff, f"expected marker at $pos")
       val m = jpg(pos + 1) & 0xff
       if (m == 0xd9) { sawEoi = true; pos += 2 }
@@ -862,7 +873,11 @@ object JpegCodec {
               .toLong + 7).toInt / 8)
             coefs = Array.tabulate(nc) { i =>
               val n = padBW(i).toLong * padBHl(i) * 64
-              require(n * 4 <= MaxDecodedBytes,
+              // 4 bytes/coefficient: every image the pixel bound admits
+              // must also fit here (gray at the pixel cap needs ~1.4x
+              // MaxDecodedBytes of Ints), so the plane cap sits at 4x —
+              // still a hard decode-bomb ceiling per component
+              require(n * 4 <= MaxDecodedBytes * 4,
                 s"refusing coefficient plane of $n ints (decode bomb)")
               new Array[Int](n.toInt)
             }
@@ -911,6 +926,7 @@ object JpegCodec {
           case _ => () // APPn/COM/DNL/etc: skip
         }
         pos = nextPos
+      }
       }
     }
 

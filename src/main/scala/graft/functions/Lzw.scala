@@ -1,0 +1,113 @@
+package graft.functions
+
+/**
+ * The early-change variable-width LZW used by BOTH the PDF `/LZWDecode`
+ * filter family and TIFF Compression 5 — MSB-first 9→12-bit codes, clear
+ * 256 / EOD 257, width growing at the table-size thresholds a conforming
+ * encoder uses (TIFF mandates early change; PDF parameterizes it as
+ * `/EarlyChange`, default 1). ONE implementation shared by
+ * [[PdfCodec]] and [[TiffCodec]] so the state machine can never diverge;
+ * each caller supplies `err` to raise inside its own error contract
+ * (`pdf:` / `tiff:`) with identical message tails.
+ */
+private[functions] object Lzw {
+
+  /** Decode; `maxOut` bounds the output (decode-bomb guard), `err`
+   * raises the caller's contract exception and never returns. */
+  def decode(data: Array[Byte], earlyChange: Int, maxOut: Long,
+             err: String => Nothing): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val table = new Array[Array[Byte]](4096)
+    var tabLen = 258
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    def width: Int =
+      if (tabLen + earlyChange >= 2048) 12
+      else if (tabLen + earlyChange >= 1024) 11
+      else if (tabLen + earlyChange >= 512) 10
+      else 9
+    while (!done) {
+      val w = width
+      while (bits < w && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
+      }
+      if (bits < w) err("LZW stream ends without EOD")
+      val code = ((acc >> (bits - w)) & ((1L << w) - 1)).toInt
+      bits -= w
+      if (code == 256) { tabLen = 258; prev = null }
+      else if (code == 257) done = true
+      else {
+        val seq: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < tabLen && code >= 258) table(code)
+          else if (code == tabLen && prev != null) prev :+ prev(0)
+          else err(s"LZW code $code outside the table (length $tabLen)")
+        out.write(seq, 0, seq.length)
+        if (out.size().toLong > maxOut)
+          err(s"LZW output exceeds $maxOut bytes")
+        if (prev != null && tabLen < 4096) {
+          table(tabLen) = prev :+ seq(0)
+          tabLen += 1
+        }
+        prev = seq
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Encoder (EarlyChange = 1), the exact mirror of [[decode]]'s width
+   * thresholds: a clear code opens the stream (and re-opens it at table
+   * exhaustion), entries assign on emit, and the emit width is the
+   * threshold function of the encoder's own table length (one ahead of
+   * the decoder's, which the decoder's `+ earlyChange` offsets). */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var bits = 0
+    var tabLen = 258
+    def width: Int =
+      if (tabLen >= 2048) 12
+      else if (tabLen >= 1024) 11
+      else if (tabLen >= 512) 10
+      else 9
+    def emit(code: Int): Unit = {
+      val w = width
+      acc = (acc << w) | code
+      bits += w
+      while (bits >= 8) {
+        out.write(((acc >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    def view(d: Array[Byte]): String =
+      new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def reset(): Unit = { dict.clear(); tabLen = 258 }
+    emit(256)
+    reset()
+    if (data.nonEmpty) {
+      val s = view(data)
+      var w = s.substring(0, 1)
+      var i = 1
+      while (i < data.length) {
+        val wc = w + s(i)
+        dict.get(wc) match {
+          case Some(_) => w = wc
+          case None =>
+            emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+            if (tabLen == 4096) { emit(256); reset() }
+            else { dict(wc) = tabLen; tabLen += 1 }
+            w = s.substring(i, i + 1)
+        }
+        i += 1
+      }
+      emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
+    }
+    emit(257)
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+}

@@ -183,54 +183,13 @@ object TiffCodec {
     Image(width, height, spp, out)
   }
 
-  /** TIFF LZW: MSB-first 9→12-bit codes, clear 256 / EOD 257, the
-   * mandatory early width change — byte-identical to the PDF
-   * `/LZWDecode` stream family at `/EarlyChange 1`
-   * ([[PdfCodec]] scaladoc), re-stated here under the `tiff:` contract. */
+  /** TIFF LZW (Compression 5) is the SAME early-change state machine as
+   * the PDF `/LZWDecode` family at `/EarlyChange 1` — decoded by the
+   * shared [[Lzw]] implementation under the `tiff:` contract. */
   private def lzwDecode(data: Array[Byte], strip: Int,
-                        maxOut: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val table = new Array[Array[Byte]](4096)
-    var tabLen = 258
-    var prev: Array[Byte] = null
-    var acc = 0L
-    var bits = 0
-    var i = 0
-    var done = false
-    def width: Int =
-      if (tabLen + 1 >= 2048) 12
-      else if (tabLen + 1 >= 1024) 11
-      else if (tabLen + 1 >= 512) 10
-      else 9
-    while (!done) {
-      val w = width
-      while (bits < w && i < data.length) {
-        acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
-      }
-      need(bits >= w, s"strip $strip: LZW stream ends without EOD")
-      val code = ((acc >> (bits - w)) & ((1L << w) - 1)).toInt
-      bits -= w
-      if (code == 256) { tabLen = 258; prev = null }
-      else if (code == 257) done = true
-      else {
-        val seq: Array[Byte] =
-          if (code < 256) Array(code.toByte)
-          else if (code < tabLen && code >= 258) table(code)
-          else if (code == tabLen && prev != null) prev :+ prev(0)
-          else fail(
-            s"strip $strip: LZW code $code outside the table ($tabLen)")
-        out.write(seq, 0, seq.length)
-        need(out.size() <= maxOut + 4096,
-          s"strip $strip: LZW output exceeds the strip size $maxOut")
-        if (prev != null && tabLen < 4096) {
-          table(tabLen) = prev :+ seq(0)
-          tabLen += 1
-        }
-        prev = seq
-      }
-    }
-    out.toByteArray
-  }
+                        maxOut: Int): Array[Byte] =
+    Lzw.decode(data, earlyChange = 1, maxOut = maxOut.toLong + 4096,
+      err = msg => fail(s"strip $strip: $msg"))
 
   /** PackBits (Apple RLE): n in 0..127 copies n+1 literals, n in
    * -127..-1 repeats the next byte 1-n times, -128 is a no-op. */
@@ -356,55 +315,8 @@ object TiffCodec {
     out.toByteArray
   }
 
-  /** LZW encoder (early change), the exact mirror of [[lzwDecode]]'s
-   * width thresholds — the [[PdfCodec]] encoder shape. */
-  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    var acc = 0L
-    var bits = 0
-    var tabLen = 258
-    def width: Int =
-      if (tabLen >= 2048) 12
-      else if (tabLen >= 1024) 11
-      else if (tabLen >= 512) 10
-      else 9
-    def emit(code: Int): Unit = {
-      val w = width
-      acc = (acc << w) | code
-      bits += w
-      while (bits >= 8) {
-        out.write(((acc >> (bits - 8)) & 0xff).toInt)
-        bits -= 8
-      }
-    }
-    val dict = scala.collection.mutable.HashMap.empty[String, Int]
-    def view(d: Array[Byte]): String =
-      new String(d.map(b => (b & 0xff).toChar))
-    def reset(): Unit = { dict.clear(); tabLen = 258 }
-    emit(256)
-    reset()
-    if (data.nonEmpty) {
-      val s = view(data)
-      var w = s.substring(0, 1)
-      var i = 1
-      while (i < data.length) {
-        val wc = w + s(i)
-        dict.get(wc) match {
-          case Some(_) => w = wc
-          case None =>
-            emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
-            if (tabLen == 4096) { emit(256); reset() }
-            else { dict(wc) = tabLen; tabLen += 1 }
-            w = s.substring(i, i + 1)
-        }
-        i += 1
-      }
-      emit(if (w.length == 1) w(0).toInt & 0xff else dict(w))
-    }
-    emit(257)
-    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
-    out.toByteArray
-  }
+  /** LZW encoder — the shared [[Lzw]] implementation (early change). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = Lzw.encode(data)
 
   /** PackBits encoder: runs of 2+ become repeat packets, the rest
    * literal packets (both capped at 128). */

@@ -53,9 +53,10 @@ object ZipCodec {
     (le16(b, i) & 0xffffL) | ((le16(b, i + 2) & 0xffffL) << 16)
   }
 
-  /** One archive member: name, compression method, sizes, data offset. */
+  /** One archive member: name, compression method, sizes, the recorded
+   * CRC-32 and the local-header offset. */
   final case class Entry(name: String, method: Int, compressed: Long,
-                         uncompressed: Long, headerOffset: Long)
+                         uncompressed: Long, crc: Long, headerOffset: Long)
 
   /** Central-directory walk. */
   def entries(zip: Array[Byte]): Seq[Entry] = {
@@ -82,6 +83,7 @@ object ZipCodec {
       val flags = le16(zip, p + 8)
       need((flags & 0x1) == 0, s"entry $k: encrypted entries unsupported")
       val method = le16(zip, p + 10)
+      val crc = le32(zip, p + 16)
       val compressed = le32(zip, p + 20)
       val uncompressed = le32(zip, p + 24)
       val nameLen = le16(zip, p + 28)
@@ -91,7 +93,7 @@ object ZipCodec {
       need(p + 46 + nameLen <= zip.length, s"entry $k: truncated name")
       val name = new String(zip, p + 46, nameLen, StandardCharsets.UTF_8)
       p += 46 + nameLen + extraLen + commentLen
-      Entry(name, method, compressed, uncompressed, headerOff)
+      Entry(name, method, compressed, uncompressed, crc, headerOff)
     }
   }
 
@@ -108,12 +110,20 @@ object ZipCodec {
     need(e.uncompressed <= MaxInflatedBytes,
       s"${e.name}: declared size ${e.uncompressed} over $MaxInflatedBytes " +
         "(zip bomb)")
+    def verified(out: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(out)
+      need(crc.getValue == e.crc,
+        s"${e.name}: CRC-32 ${crc.getValue} does not match the " +
+          s"recorded ${e.crc} (corrupt member)")
+      out
+    }
     e.method match {
       case 0 =>
         need(e.compressed == e.uncompressed,
           s"${e.name}: STORE sizes disagree")
-        java.util.Arrays.copyOfRange(zip, dataAt,
-          dataAt + e.compressed.toInt)
+        verified(java.util.Arrays.copyOfRange(zip, dataAt,
+          dataAt + e.compressed.toInt))
       case 8 =>
         val inf = new java.util.zip.Inflater(true)
         try {
@@ -134,7 +144,7 @@ object ZipCodec {
             inf.inflate(new Array[Byte](1)) == 0 && inf.finished()),
             s"${e.name}: inflated size differs from the declared " +
               s"${e.uncompressed}")
-          out
+          verified(out)
         } finally inf.end()
       case m => fail(s"${e.name}: compression method $m unsupported " +
         "(STORE or DEFLATE)")
@@ -143,21 +153,28 @@ object ZipCodec {
 
   // ---- OOXML text extraction ---------------------------------------------
 
-  private val EntityMap = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&apos;" -> "'")
+  /** ONE regex pass over every entity form: sequential replace chains
+   * double-decode (a numeric `&#38;lt;` — the literal text `&lt;` — would
+   * first become `&lt;` and then wrongly `<`); a single pass decodes each
+   * source entity exactly once. Unknown entities pass through verbatim
+   * (real documents carry them; extraction is not validation). */
+  private val EntityRe =
+    "&(?:#x([0-9a-fA-F]+)|#([0-9]+)|(lt|gt|quot|apos|amp));".r
 
-  private def decodeEntities(s: String): String = {
-    // numeric first, then named, &amp; LAST (the single-pass order that
-    // never double-decodes, same discipline as htmlExtract)
-    var r = "&#x([0-9a-fA-F]+);".r.replaceAllIn(s, m =>
+  private def decodeEntities(s: String): String =
+    EntityRe.replaceAllIn(s, m =>
       scala.util.matching.Regex.quoteReplacement(
-        new String(Character.toChars(Integer.parseInt(m.group(1), 16)))))
-    r = "&#([0-9]+);".r.replaceAllIn(r, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        new String(Character.toChars(m.group(1).toInt))))
-    EntityMap.foreach { case (k, v) => r = r.replace(k, v) }
-    r.replace("&amp;", "&")
-  }
+        if (m.group(1) != null)
+          new String(Character.toChars(Integer.parseInt(m.group(1), 16)))
+        else if (m.group(2) != null)
+          new String(Character.toChars(m.group(2).toInt))
+        else m.group(3) match {
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "amp" => "&"
+        }))
 
   /** `word/document.xml` → text: `<w:t>` runs concatenated with entities
    * decoded, `<w:tab/>` → tab, `<w:br/>` → newline, one newline per
@@ -168,10 +185,11 @@ object ZipCodec {
       fail("no word/document.xml member (not a DOCX?)"))
     val xml = new String(read(docx, doc), StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder()
-    // token walk: w:t runs (with or without attributes), tabs, breaks,
+    // token walk: w:t runs (with or without attributes), tabs, breaks
+    // (attributes allowed — real Word writes <w:br w:type="page"/>),
     // paragraph closes — everything else is markup to skip
-    val tok = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab\\s*/>|" +
-      "<w:br\\s*/>|</w:p>"
+    val tok = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab(?:\\s[^>]*)?/>|" +
+      "<w:br(?:\\s[^>]*)?/>|</w:p>"
     tok.r.findAllMatchIn(xml).foreach { m =>
       val whole = m.matched
       if (whole.startsWith("<w:tab")) sb.append('\t') // before the <w:t test
@@ -204,11 +222,18 @@ object ZipCodec {
             .map(m => decodeEntities(m.group(1))).toIndexedSeq
       }
     val sheet = member("xl/worksheets/sheet1.xml")
-    "(?s)<c r=\"([A-Z]+[0-9]+)\"(?:\\s+t=\"(\\w+)\")?\\s*>\\s*<v>(.*?)</v>\\s*</c>"
+    // match the whole attribute blob — real Excel cells carry style
+    // indices (s="N") and more; dropping a cell because of an unknown
+    // attribute would be silent data loss
+    "(?s)<c\\s+([^>/]*)>\\s*<v>(.*?)</v>\\s*</c>"
       .r.findAllMatchIn(sheet).map { m =>
-        val ref = m.group(1)
-        val v = m.group(3)
-        val value = m.group(2) match {
+        val attrs = m.group(1)
+        def attr(name: String): Option[String] =
+          (name + "=\"([^\"]*)\"").r.findFirstMatchIn(attrs).map(_.group(1))
+        val ref = attr("r").getOrElse(
+          fail(s"cell without an r= reference: <c $attrs>"))
+        val v = m.group(2)
+        val value = attr("t").orNull match {
           case "s" =>
             val i = try v.trim.toInt catch {
               case _: NumberFormatException =>

@@ -314,13 +314,37 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("multiple SOF"))
   }
 
+  test("trailer truncation after a complete scan still decodes (the " +
+    "common real-crawl cut); truncation before any scan rejects") {
+    val px = gray(16, 16)((x, y) => (x * 7 + y * 3) % 256)
+    val full = JpegCodec.encodeGray(16, 16, px)
+    val whole = JpegCodec.decode(full)
+    // cut the 2-byte EOI trailer: every MCU is present, decode must match
+    val cut = JpegCodec.decode(full.dropRight(2))
+    assert(java.util.Arrays.equals(cut.pixels, whole.pixels))
+    // same for progressive: drop EOI after the last refinement scan
+    val prog = JpegCodec.encodeGrayProgressive(16, 16, px)
+    val pWhole = JpegCodec.decode(prog)
+    val pCut = JpegCodec.decode(prog.dropRight(2))
+    assert(java.util.Arrays.equals(pCut.pixels, pWhole.pixels))
+    // but a file ending before ANY scan data is not an image
+    val sosAt = (0 until full.length - 1).find(i =>
+      (full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xda).get
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.decode(full.take(sosAt)))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("progressive entropy truncation rejects, never hangs or AIOOBE") {
     val px = gray(16, 16)((x, y) => (x * 16 + y) % 256)
     val good = JpegCodec.encodeGrayProgressive(16, 16, px)
-    // cut mid-scan-3 (the big AC band): the bit reader must fail loudly
-    val sos3 = markerOffsets(good, 0xda)(2)
+    // cut INSIDE the first scan's entropy data (SOS header is 10 bytes;
+    // 2 bytes of DC-diff bits cannot cover 4 blocks): bit starvation must
+    // fail loudly. A cut BETWEEN scans decodes as a partial progressive
+    // image instead — that tolerance is pinned in the trailer test.
+    val sos1 = markerOffsets(good, 0xda).head
     val e = intercept[IllegalArgumentException](
-      JpegCodec.decode(good.take(sos3 + 20)))
+      JpegCodec.decode(good.take(sos1 + 12)))
     assert(e.getMessage.contains("truncated"))
   }
 }

@@ -101,25 +101,74 @@ class ZipCodecSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         ZipCodec.xlsxExtract(b)
       }.getMessage
+    def zip(members: (String, String)*): Array[Byte] = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bytes)
+      members.foreach { case (n, body) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(body.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      bytes.toByteArray
+    }
+    // shared-string index out of range, in a VALID archive (real CRCs)
+    val dangling = zip(
+      "xl/sharedStrings.xml" -> "<sst><si><t>only</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData><row><c r="A1" t="s"><v>9</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(msg(dangling).contains("shared-string index"))
+    // a corrupt member body must fail the CRC gate, not feed garbage on
     val good = ZipCodec.xlsxEncode(Seq(("A1", "s", true)), deflate = false)
-    // bend the cell's shared index out of range (sheet is STOREd: the
-    // literal "<v>0</v>" is visible in the archive bytes)
     val needle = "<v>0</v>".getBytes
     val at = (0 until good.length - needle.length).find(i =>
       good.slice(i, i + needle.length).sameElements(needle)).get
     val bent = good.clone()
     bent(at + 3) = '9'.toByte
-    // STORE CRC no longer matches the body, but extraction reads sizes —
-    // the index check must fire first with a precise message
-    assert(msg(bent).contains("shared-string index"))
+    assert(msg(bent).contains("CRC-32"))
     // a zip without the sheet member
-    val bytes = new java.io.ByteArrayOutputStream()
-    val zos = new java.util.zip.ZipOutputStream(bytes)
-    zos.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
-    zos.write("<sst/>".getBytes)
-    zos.closeEntry()
-    zos.close()
-    assert(msg(bytes.toByteArray).contains("sheet1"))
+    assert(msg(zip("xl/sharedStrings.xml" -> "<sst/>")).contains("sheet1"))
+  }
+
+  test("real-writer shapes: style attributes on cells, page-break w:br, " +
+    "numeric-escaped ampersands decode exactly once") {
+    def zip(members: (String, String)*): Array[Byte] = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bytes)
+      members.foreach { case (n, body) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(body.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      bytes.toByteArray
+    }
+    // Excel writes style indices: <c r=.. s=.. t=..> must still extract
+    val styled = zip(
+      "xl/sharedStrings.xml" -> "<sst><si><t>hello</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        ("""<worksheet><sheetData><row>""" +
+          """<c r="A1" s="1" t="s"><v>0</v></c>""" +
+          """<c r="B1" s="2"><v>42</v></c>""" +
+          """</row></sheetData></worksheet>"""))
+    assert(ZipCodec.xlsxExtract(styled) ===
+      Seq(("A1", "hello"), ("B1", "42")))
+    // page-break <w:br w:type="page"/> still emits a newline
+    val doc = zip(
+      "word/document.xml" ->
+        ("""<w:document><w:body><w:p><w:r><w:t>one</w:t>""" +
+          """<w:br w:type="page"/><w:t>two</w:t></w:r></w:p>""" +
+          """</w:body></w:document>"""))
+    assert(ZipCodec.docxExtract(doc) === "one\ntwo\n")
+    // &#38;lt; is the literal text '&lt;' — single-pass decode must NOT
+    // turn it into '<'
+    val amp = zip(
+      "word/document.xml" ->
+        ("""<w:document><w:body><w:p><w:r>""" +
+          """<w:t>&#38;lt;tag&#38;gt; &amp;amp; x</w:t>""" +
+          """</w:r></w:p></w:body></w:document>"""))
+    assert(ZipCodec.docxExtract(amp) === "&lt;tag&gt; &amp; x\n")
   }
 
   test("hostile archives reject precisely inside the zip: contract") {
