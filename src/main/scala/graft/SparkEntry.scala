@@ -2694,6 +2694,38 @@ object SparkEntry {
           col("f.zero_crossings").as("zero_crossings"))
     }),
 
+    "mm_gif_animation" -> ((s, dir) => {
+      // REAL animation decode with COMPOSITING on the oracle path: a
+      // three-frame GIF89a (full 16x8 base, a partial 8x4 patch at (4,2),
+      // then an 8x8 right-column frame whose TOP HALF is transparent —
+      // the previous canvas must show through) decodes into full-canvas
+      // frames with their GCE delays. Disposal-2 restore, hostile rects
+      // and ImageIO frame-count agreement live in GifCodecSpec; the
+      // oracle rebuilds every composited canvas arithmetically.
+      import graft.functions.GifFunctions._
+      val hx = (0 until 3).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("a" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte % 128), 2, "0"))
+      }
+      val gif = gif_encode_animation(lit(16), lit(8),
+        array(lit(0), lit(4), lit(8)),
+        array(lit(0), lit(2), lit(0)),
+        array(lit(16), lit(8), lit(8)),
+        array(lit(8), lit(4), lit(8)),
+        array(unhex(repeat(hx(0), 128)), unhex(repeat(hx(1), 32)),
+          unhex(concat(repeat(lit("ff"), 32), repeat(hx(2), 32)))),
+        array((lit(10) + col("doc_id") % 5).cast("int"), lit(20), lit(30)),
+        array(lit(-1), lit(-1), lit(255)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(gif_frames(gif)).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.delay_cs").as("delay_cs"), col("f.width").as("width"),
+          col("f.height").as("height"),
+          lower(hex(col("f.pixels"))).as("px_hex"))
+    }),
+
     "mm_docx_extract" -> ((s, dir) => {
       // REAL office-document extraction: each doc's text (with XML-hostile
       // characters & < > and both quote kinds ON the path) is packed into
@@ -8781,6 +8813,40 @@ object SparkEntry {
              AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
              AS zero_crossings
          FROM w GROUP BY doc_id, frame""",
+
+    // animated GIF: LZW is lossless and the gray palette the identity, so
+    // each composited canvas is pure block arithmetic — frame 0 all a,
+    // frame 1 overlays the b patch, frame 2's transparent top half keeps
+    // the frame-1 state while its bottom half paints c
+    "mm_gif_animation" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a2'), 1, 2) AS c2
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex(m0.v % 128), 2, '0')) AS ha,
+             lower(lpad(to_hex(m1.v % 128), 2, '0')) AS hb,
+             lower(lpad(to_hex(m2.v % 128), 2, '0')) AS hc
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx)
+         SELECT doc_id, frame_idx, delay_cs, 16 AS width, 8 AS height,
+           px_hex FROM (
+           SELECT doc_id, 0 AS frame_idx,
+             CAST(10 + doc_id % 5 AS INTEGER) AS delay_cs,
+             repeat(ha, 384) AS px_hex FROM b
+           UNION ALL SELECT doc_id, 1, 20,
+             repeat(ha, 96) ||
+             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 4) ||
+             repeat(ha, 96) FROM b
+           UNION ALL SELECT doc_id, 2, 30,
+             repeat(ha, 96) ||
+             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 2) ||
+             repeat(repeat(ha, 12) || repeat(hb, 12) || repeat(hc, 24), 2) ||
+             repeat(repeat(ha, 24) || repeat(hc, 24), 2) FROM b) t""",
 
     // DOCX extraction: the writer's XML escaping and the reader's entity
     // decode are exact inverses, so the oracle rebuilds the text directly

@@ -76,6 +76,232 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** One animation frame for [[encodeGrayAnimation]]: a gray sub-rect
+   * placed at (left, top) on the logical screen; pixels whose 8-bit value
+   * equals `transparent` (when >= 0) show the previous canvas through.
+   * `disposal` is the GIF89a GCE disposal method applied AFTER the frame
+   * renders (1 = leave in place, 2 = restore the rect to the background
+   * color). */
+  final case class GrayFrame(left: Int, top: Int, width: Int, height: Int,
+                             gray: Array[Byte], delayCs: Int,
+                             transparent: Int = -1, disposal: Int = 1)
+
+  /**
+   * Encode a multi-frame GIF89a animation: logical screen with a gray
+   * global color table, the NETSCAPE2.0 loop extension real writers emit,
+   * and per frame a Graphic Control Extension (delay, disposal,
+   * transparency) + image descriptor (sub-rect placement) + LZW data.
+   * The single-frame [[encodeGray]] stays as-is for the round-trip rows.
+   */
+  def encodeGrayAnimation(screenW: Int, screenH: Int,
+                          frames: Seq[GrayFrame]): Array[Byte] = {
+    require(screenW > 0 && screenH > 0 && screenW <= 0xffff &&
+      screenH <= 0xffff && screenW.toLong * screenH <= Int.MaxValue / 4,
+      s"bad dimensions ${screenW}x$screenH")
+    require(frames.nonEmpty, "animation needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(screenW); u16(screenH)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0); out.write(0)
+    frames.foreach { f =>
+      require(f.width > 0 && f.height > 0 &&
+        f.left + f.width <= screenW && f.top + f.height <= screenH,
+        s"frame rect ${f.left},${f.top} ${f.width}x${f.height} outside " +
+          s"the ${screenW}x$screenH screen")
+      require(f.gray.length == f.width * f.height, "frame pixels mismatch")
+      require(f.disposal == 1 || f.disposal == 2,
+        s"unsupported disposal ${f.disposal}")
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+      u16(f.delayCs)
+      out.write(math.max(0, f.transparent))
+      out.write(0)
+      out.write(0x2c)
+      u16(f.left); u16(f.top); u16(f.width); u16(f.height)
+      out.write(0)
+      out.write(8)
+      val lzw = lzwEncode(f.gray, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** One composited animation frame: the FULL logical-screen RGB canvas
+   * as of this frame, plus its GCE delay. */
+  final case class Frame(index: Int, delayCs: Int, canvas: Array[Byte])
+
+  /**
+   * Decode an animated GIF into composited logical-screen canvases — the
+   * frame-sampling front end of a video/animation curation pipeline
+   * (every frame is a full canvas, so perceptual hashing and near-dup run
+   * unchanged on animation frames). Compositing follows GIF89a: frames
+   * draw their sub-rect onto the running canvas, transparent-index pixels
+   * leave the canvas through, disposal 1/0 leaves the rendering, disposal
+   * 2 restores the frame's rect to the BACKGROUND color (from the global
+   * table) before the next frame; disposal 3 (restore-previous) rejects
+   * loudly. Frame count and total canvas bytes are bounded before any
+   * allocation (decode-bomb discipline).
+   */
+  def decodeAnimation(gif: Array[Byte], maxFrames: Int = 64): Seq[Frame] = {
+    need(gif.length >= 13, "truncated header")
+    val sig = new String(gif, 0, 6, "US-ASCII")
+    need(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
+    def u16(p: Int): Int = (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
+    val screenW = u16(6)
+    val screenH = u16(8)
+    need(screenW > 0 && screenH > 0 &&
+      screenW.toLong * screenH * 3 <= MaxDecodedBytes,
+      s"decoded size ${screenW}x$screenH exceeds limit")
+    val packed = gif(10) & 0xff
+    val bgIndex = gif(11) & 0xff
+    var pos = 13
+    var globalTable: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      need(pos + 3 * n <= gif.length, "truncated global color table")
+      globalTable = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    val canvas = new Array[Byte](screenW * screenH * 3)
+    if (globalTable != null && bgIndex * 3 + 2 < globalTable.length) {
+      var i = 0
+      while (i < screenW * screenH) {
+        canvas(i * 3) = globalTable(bgIndex * 3)
+        canvas(i * 3 + 1) = globalTable(bgIndex * 3 + 1)
+        canvas(i * 3 + 2) = globalTable(bgIndex * 3 + 2)
+        i += 1
+      }
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    // GCE state applies to the NEXT image descriptor only
+    var delayCs = 0
+    var transparent = -1
+    var disposal = 0
+    var done = false
+    while (!done) {
+      need(pos < gif.length, "truncated before trailer")
+      (gif(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          need(pos + 2 < gif.length, "truncated extension")
+          val label = gif(pos + 1) & 0xff
+          if (label == 0xf9) { // Graphic Control Extension
+            need(pos + 7 < gif.length, "truncated GCE")
+            need((gif(pos + 2) & 0xff) == 4, "bad GCE block size")
+            val p = gif(pos + 3) & 0xff
+            disposal = (p >> 2) & 0x7
+            need(disposal <= 2,
+              s"disposal method $disposal unsupported (restore-previous)")
+            delayCs = u16(pos + 4)
+            transparent = if ((p & 1) != 0) gif(pos + 6) & 0xff else -1
+          }
+          // skip the extension's sub-blocks (GCE included: uniform walk)
+          pos += 2
+          var len = gif(pos) & 0xff
+          while (len != 0) {
+            pos += 1 + len
+            need(pos < gif.length, "truncated extension block")
+            len = gif(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c =>
+          need(frames.length < maxFrames,
+            s"animation exceeds $maxFrames frames")
+          need(pos + 10 <= gif.length, "truncated image descriptor")
+          val left = u16(pos + 1)
+          val top = u16(pos + 3)
+          val fw = u16(pos + 5)
+          val fh = u16(pos + 7)
+          val ipacked = gif(pos + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
+          need(fw > 0 && fh > 0 && left + fw <= screenW &&
+            top + fh <= screenH,
+            s"frame rect $left,$top ${fw}x$fh outside ${screenW}x$screenH")
+          pos += 10
+          var table = globalTable
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            need(pos + 3 * n <= gif.length, "truncated local color table")
+            table = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          need(table != null, "no color table")
+          need(pos < gif.length, "missing LZW code size")
+          val minCode = gif(pos) & 0xff
+          pos += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var len = -1
+          while (len != 0) {
+            need(pos < gif.length, "truncated image data")
+            len = gif(pos) & 0xff
+            pos += 1
+            if (len != 0) {
+              need(pos + len <= gif.length, "truncated image sub-block")
+              data.write(gif, pos, len)
+              pos += len
+            }
+          }
+          val raw = lzwDecode(data.toByteArray, minCode, fw * fh)
+          val indices = if (!interlaced) raw else deinterlace(raw, fw, fh)
+          val nColors = table.length / 3
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val ci = indices(y * fw + x) & 0xff
+              if (ci != transparent) {
+                need(ci < nColors, s"palette index $ci out of range")
+                val o = ((top + y) * screenW + left + x) * 3
+                canvas(o) = table(ci * 3)
+                canvas(o + 1) = table(ci * 3 + 1)
+                canvas(o + 2) = table(ci * 3 + 2)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += Frame(frames.length, delayCs, canvas.clone())
+          if (disposal == 2) { // restore the rect to background
+            val (br, bg, bb) =
+              if (globalTable != null && bgIndex * 3 + 2 < globalTable.length)
+                (globalTable(bgIndex * 3), globalTable(bgIndex * 3 + 1),
+                  globalTable(bgIndex * 3 + 2))
+              else (0.toByte, 0.toByte, 0.toByte)
+            var yy = 0
+            while (yy < fh) {
+              var xx = 0
+              while (xx < fw) {
+                val o = ((top + yy) * screenW + left + xx) * 3
+                canvas(o) = br; canvas(o + 1) = bg; canvas(o + 2) = bb
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          delayCs = 0; transparent = -1; disposal = 0 // GCE is one-shot
+        case other =>
+          need(false, f"unknown block 0x$other%02x")
+      }
+    }
+    need(frames.nonEmpty, "no image data")
+    frames.toSeq
+  }
+
   /** GIF-LZW compress `indices` with the given minimum code size:
    * variable-width codes LSB-first, CLEAR emitted up front and on
    * dictionary overflow (4096 entries), EOI last. */
@@ -352,6 +578,26 @@ object GifCodec {
     val img = decode(gif)
     new GenericInternalRow(Array[Any](img.width, img.height, img.pixels))
   }
+
+  val framesType: ArrayType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("delay_cs", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false))),
+    containsNull = false)
+
+  /** Animation frames as the array-of-structs [[framesType]] declares —
+   * called from generated code. */
+  def framesData(gif: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    def u16(p: Int): Int = (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
+    val fs = decodeAnimation(gif)
+    val w = u16(6); val h = u16(8)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      fs.map(f => new GenericInternalRow(
+        Array[Any](f.index, f.delayCs, w, h, f.canvas))).toArray[Any])
+  }
 }
 
 /** `gif_decode(binary)` → struct(width, height, pixels RGB) — codegen'd
@@ -405,6 +651,71 @@ case class GifEncodeGrayExpr(w: Expression, h: Expression, gray: Expression)
     copy(w = c(0), h = c(1), gray = c(2))
 }
 
+/** `gif_frames(binary)` → array<struct(frame_idx, delay_cs, width,
+ * height, pixels)> — codegen'd composited animation decode. */
+case class GifFramesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GifCodec.framesType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gif_frames requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifCodec.framesData(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.GifCodec.framesData($b)")
+
+  override protected def withNewChildInternal(c: Expression): GifFramesExpr =
+    copy(child = c)
+}
+
+/** `gif_encode_animation(w, h, lefts, tops, widths, heights, grays,
+ * delays, transparents)` → BINARY multi-frame GIF89a. Fixture-synthesis
+ * edge — CodegenFallback is deliberate. */
+case class GifEncodeAnimationExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq("int", "int", "array<int>", "array<int>", "array<int>",
+      "array<int>", "array<binary>", "array<int>", "array<int>")
+    if (children.length == 9 && children.map(_.dataType).zip(want)
+        .forall { case (a, b) => a.simpleString == b })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "gif_encode_animation(INT, INT, 4 x ARRAY<INT>, ARRAY<BINARY>, " +
+        s"2 x ARRAY<INT>), got ${children.map(_.dataType)}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val w = vs(0).asInstanceOf[Int]
+      val h = vs(1).asInstanceOf[Int]
+      val arrs = vs.drop(2).map(_.asInstanceOf[ArrayData])
+      val n = arrs.head.numElements()
+      require(arrs.forall(_.numElements() == n),
+        "gif: animation arrays must align")
+      val frames = (0 until n).map { i =>
+        GifCodec.GrayFrame(arrs(0).getInt(i), arrs(1).getInt(i),
+          arrs(2).getInt(i), arrs(3).getInt(i), arrs(4).getBinary(i),
+          arrs(5).getInt(i), arrs(6).getInt(i))
+      }
+      GifCodec.encodeGrayAnimation(w, h, frames)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): GifEncodeAnimationExpr = copy(children = c)
+}
+
 object GifFunctions {
   import org.apache.spark.sql.GraftShim
 
@@ -414,4 +725,14 @@ object GifFunctions {
   def gif_encode_gray(w: Column, h: Column, gray: Column): Column =
     GraftShim.column(GifEncodeGrayExpr(GraftShim.expression(w),
       GraftShim.expression(h), GraftShim.expression(gray)))
+
+  def gif_frames(c: Column): Column =
+    GraftShim.column(GifFramesExpr(GraftShim.expression(c)))
+
+  def gif_encode_animation(w: Column, h: Column, lefts: Column,
+                           tops: Column, widths: Column, heights: Column,
+                           grays: Column, delays: Column,
+                           transparents: Column): Column =
+    GraftShim.column(GifEncodeAnimationExpr(Seq(w, h, lefts, tops, widths,
+      heights, grays, delays, transparents).map(GraftShim.expression)))
 }

@@ -108,4 +108,91 @@ class GifCodecSpec extends AnyFunSuite {
       GifCodec.decode("JFIF0a".getBytes ++ good.drop(6))
     }.getMessage.contains("signature"))
   }
+
+  // ---- animation ---------------------------------------------------------
+
+  private def flat(w: Int, h: Int, v: Int): Array[Byte] =
+    Array.fill(w * h)(v.toByte)
+
+  test("animation: sub-rect compositing, transparency and delays") {
+    import GifCodec.GrayFrame
+    // 8x4 canvas: full 10, then a 4x2 patch of 200 at (2,1), then a 2x4
+    // column at (6,0) whose TOP half is transparent (index 99)
+    val f2px = Array[Byte](99.toByte, 99.toByte, 99.toByte, 99.toByte,
+      30, 30, 30, 30)
+    val gif = GifCodec.encodeGrayAnimation(8, 4, Seq(
+      GrayFrame(0, 0, 8, 4, flat(8, 4, 10), delayCs = 7),
+      GrayFrame(2, 1, 4, 2, flat(4, 2, 200), delayCs = 13),
+      GrayFrame(6, 0, 2, 4, f2px, delayCs = 21, transparent = 99)))
+    val fs = GifCodec.decodeAnimation(gif)
+    assert(fs.map(_.delayCs) === Seq(7, 13, 21))
+    def gray(canvas: Array[Byte]): Seq[Int] =
+      canvas.grouped(3).map(_(0) & 0xff).toSeq
+    assert(gray(fs(0).canvas) === Seq.fill(32)(10))
+    val want1 = Array.fill(4, 8)(10)
+    for (y <- 1 to 2; x <- 2 to 5) want1(y)(x) = 200
+    assert(gray(fs(1).canvas) === want1.flatten.toSeq)
+    // frame 2: transparent top half shows frame 1 through; bottom = 30
+    val want2 = want1.map(_.clone())
+    want2(2)(6) = 30; want2(2)(7) = 30; want2(3)(6) = 30; want2(3)(7) = 30
+    assert(gray(fs(2).canvas) === want2.flatten.toSeq)
+    // every canvas channel is gray-tripled (palette i -> (i,i,i))
+    assert(fs(2).canvas.grouped(3).forall(p => p(0) == p(1) && p(1) == p(2)))
+    // ImageIO agrees on the frame count of our animation
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(reader.getNumImages(true) === 3)
+    reader.dispose()
+  }
+
+  test("animation: disposal 2 restores the rect to the background color") {
+    import GifCodec.GrayFrame
+    // bg index 0 -> gray 0; frame 1 paints 200 with disposal 2, so frame
+    // 2's canvas shows the restored background under its transparency
+    val gif = GifCodec.encodeGrayAnimation(4, 2, Seq(
+      GrayFrame(0, 0, 4, 2, flat(4, 2, 50), 1),
+      GrayFrame(0, 0, 2, 1, flat(2, 1, 200), 1, disposal = 2),
+      GrayFrame(0, 0, 4, 2, flat(4, 2, 99), 1, transparent = 99)))
+    val fs = GifCodec.decodeAnimation(gif)
+    def gray(c: Array[Byte]): Seq[Int] = c.grouped(3).map(_(0) & 0xff).toSeq
+    assert(gray(fs(1).canvas) === Seq(200, 200, 50, 50, 50, 50, 50, 50))
+    // frame 3 is fully transparent: canvas = frame 1's, with the disposed
+    // rect restored to background 0
+    assert(gray(fs(2).canvas) === Seq(0, 0, 50, 50, 50, 50, 50, 50))
+  }
+
+  test("animation hostile shapes reject precisely") {
+    import GifCodec.GrayFrame
+    val good = GifCodec.encodeGrayAnimation(4, 2, Seq(
+      GrayFrame(0, 0, 4, 2, flat(4, 2, 1), 1),
+      GrayFrame(0, 0, 4, 2, flat(4, 2, 2), 1)))
+    // frame cap
+    val e1 = intercept[IllegalArgumentException](
+      GifCodec.decodeAnimation(good, maxFrames = 1))
+    assert(e1.getMessage.contains("frames"))
+    // disposal 3 (restore previous) is rejected, not silently wrong:
+    // patch the first GCE's packed byte (disposal bits 2-4)
+    val gce = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0x21 && (good(i + 1) & 0xff) == 0xf9).get
+    val d3 = good.clone()
+    d3(gce + 3) = (3 << 2).toByte
+    val e2 = intercept[IllegalArgumentException](
+      GifCodec.decodeAnimation(d3))
+    assert(e2.getMessage.contains("disposal"))
+    // a frame rect outside the logical screen: bend the descriptor width
+    // (search after the first GCE — 0x2c bytes also occur in the gray
+    // color table)
+    val desc = (gce until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0x2c).get
+    val oob = good.clone()
+    oob(desc + 5) = 0xff.toByte // frame width low byte -> 255 > screen 4
+    val e3 = intercept[IllegalArgumentException](
+      GifCodec.decodeAnimation(oob))
+    assert(e3.getMessage.contains("outside"))
+    // single-frame decode still works on animations (first frame,
+    // descriptor-sized) — the legacy round-trip path is unchanged
+    val one = GifCodec.decode(good)
+    assert((one.width, one.height) === (4, 2))
+  }
 }
