@@ -3950,6 +3950,34 @@ object SparkEntry {
           col("n_words"), col("ttr"), col("keep"))
     }),
 
+    "text_warc_charset" -> ((s, dir) => {
+      // the WHATWG encoding-sniff order ON the oracle path: responses
+      // rotate through header-declared UTF-8, BOM'd UTF-8, BOM'd UTF-16LE
+      // under a LYING iso-8859-1 Content-Type (the BOM must win), and
+      // BOM'd UTF-16BE with no header at all. Every wire encoding must
+      // decode back to the same text (non-ASCII characters included) with
+      // the right provenance — real crawls carry all four shapes.
+      import graft.functions.WarcFunctions._
+      val text = concat(lit("pAge "), col("doc_id").cast("string"),
+        lit(" naïve café ✓"))
+      val e = col("doc_id") % 4
+      val body = when(e === 0, encode(text, "UTF-8"))
+        .when(e === 1, concat(unhex(lit("EFBBBF")), encode(text, "UTF-8")))
+        .when(e === 2, concat(unhex(lit("FFFE")), encode(text, "UTF-16LE")))
+        .otherwise(concat(unhex(lit("FEFF")), encode(text, "UTF-16BE")))
+      val ctype = when(e === 0, lit("text/html; charset=utf-8"))
+        .when(e === 2, lit("text/html; charset=iso-8859-1")) // lying
+        .otherwise(lit("text/html"))
+      val blob = concat(warc_noise_gz, warc_response_raw_gz(
+        concat(lit("https://cs.example/p"), col("doc_id").cast("string")),
+        lit(200), ctype, body))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(warc_responses(blob)).as("r"))
+        .select(col("doc_id"), col("r.charset").as("charset"),
+          col("r.charset_src").as("charset_src"),
+          col("r.html").as("text"))
+    }),
+
     "text_warc_extract" -> ((s, dir) =>
       // the TRUE web-corpus front door: spec-compliant warc.gz blobs
       // (gzip member split with CRC/ISIZE verification, warcinfo+request
@@ -6647,6 +6675,20 @@ object SparkEntry {
     // the WARC blob is opaque to SQL — but the fixture is deterministic
     // and the codec must be IDENTITY-correct, so the oracle replays the
     // expected post-decode state: the warc markup variant (meta tag on
+    // BOM resolution: the decoded text is encoding-independent (that IS
+    // the property under test), so the oracle rebuilds it directly plus
+    // the charset/provenance the WHATWG order must have produced — the
+    // utf-16le slice proves the BOM beat the lying iso-8859-1 header
+    "text_warc_charset" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+             WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
+           CASE WHEN doc_id % 4 = 0 THEN 'header' ELSE 'bom' END
+             AS charset_src,
+           'pAge ' || CAST(doc_id AS VARCHAR) || ' naïve café ✓' AS text
+         FROM documents""",
+
     // the sniff slice, Latin-1 paragraph on the ISO-8859-1 slice) through
     // the same extraction rules, plus the provenance columns the record
     // walk must have produced (URI from the fixture arithmetic, status

@@ -297,23 +297,38 @@ object WarcCodec {
           s"record ${r.recIdx}: HTTP Content-Length $v != body ${body.length}")
       }
       val ctype = hh.getOrElse("content-type", "")
+      // WHATWG order: a byte-order mark beats EVERYTHING, including a
+      // lying Content-Type header (and UTF-16 bodies cannot even be
+      // meta-sniffed in 8-bit); then header charset, then meta sniff,
+      // then the UTF-8 default. The BOM bytes are stripped before decode
+      // (Java's endian-explicit UTF-16 decoders would render U+FEFF).
       val fromHeader = HeaderCharset.findFirstMatchIn(ctype).map(_.group(1))
-      val (cs, src) = fromHeader match {
-        case Some(c) => (c, "header")
-        case None =>
-          val head = new String(body, 0, math.min(SniffBytes, body.length),
-            StandardCharsets.ISO_8859_1)
-          MetaCharset.findFirstMatchIn(head).map(_.group(1))
-            .orElse(MetaHttpEquiv.findFirstMatchIn(head).map(_.group(1))) match {
-            case Some(c) => (c, "meta")
-            case None => ("utf-8", "default")
-          }
-      }
+      val (cs, src, bodyOff) =
+        if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+          (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+          ("utf-8", "bom", 3)
+        else if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
+          (body(1) & 0xff) == 0xfe) ("utf-16le", "bom", 2)
+        else if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+          (body(1) & 0xff) == 0xff) ("utf-16be", "bom", 2)
+        else fromHeader match {
+          case Some(c) => (c, "header", 0)
+          case None =>
+            val head = new String(body, 0, math.min(SniffBytes, body.length),
+              StandardCharsets.ISO_8859_1)
+            MetaCharset.findFirstMatchIn(head).map(_.group(1))
+              .orElse(MetaHttpEquiv.findFirstMatchIn(head)
+                .map(_.group(1))) match {
+              case Some(c) => (c, "meta", 0)
+              case None => ("utf-8", "default", 0)
+            }
+        }
       val csNorm = cs.toLowerCase
       need(Charset.isSupported(csNorm),
         s"record ${r.recIdx}: unsupported charset '$csNorm'")
       Response(r.recIdx, uri, status, ctype, csNorm, src,
-        new String(body, Charset.forName(csNorm)))
+        new String(body, bodyOff, body.length - bodyOff,
+          Charset.forName(csNorm)))
     }
 
   // --------------------------------------------------------------- encode
@@ -339,7 +354,13 @@ object WarcCodec {
                      html: String): Array[Byte] = {
     val cs = HeaderCharset.findFirstMatchIn(ctype).map(_.group(1))
       .getOrElse("utf-8")
-    val body = html.getBytes(Charset.forName(cs))
+    responseRawGz(uri, status, ctype, html.getBytes(Charset.forName(cs)))
+  }
+
+  /** Fixture encoder taking the body as RAW BYTES — for wire encodings a
+   * string can't express (BOM prefixes, UTF-16 bodies, lying headers). */
+  def responseRawGz(uri: String, status: Int, ctype: String,
+                    body: Array[Byte]): Array[Byte] = {
     val reason = if (status == 200) "OK" else "Not Found"
     val http = (s"HTTP/1.1 $status $reason\r\n" +
       (if (ctype.nonEmpty) s"Content-Type: $ctype\r\n" else "") +
@@ -449,12 +470,51 @@ case class WarcResponseGzExpr(uri: Expression, status: Expression,
     copy(uri = c(0), status = c(1), ctype = c(2), html = c(3))
 }
 
+/** `warc_response_raw_gz(uri, status, ctype, body BINARY)` — fixture
+ * encoder for wire encodings a string can't express (BOMs, UTF-16,
+ * lying headers). CodegenFallback like [[WarcResponseGzExpr]]. */
+case class WarcResponseRawGzExpr(uri: Expression, status: Expression,
+                                 ctype: Expression, body: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(uri, status, ctype, body)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (uri.dataType, status.dataType, ctype.dataType, body.dataType) match {
+      case (StringType, IntegerType, StringType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"warc_response_raw_gz(STRING, INT, STRING, BINARY), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val (u, s, c, b) =
+      (uri.eval(input), status.eval(input), ctype.eval(input),
+        body.eval(input))
+    if (u == null || s == null || c == null || b == null) null
+    else WarcCodec.responseRawGz(u.toString, s.asInstanceOf[Int],
+      c.toString, b.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): WarcResponseRawGzExpr =
+    copy(uri = c(0), status = c(1), ctype = c(2), body = c(3))
+}
+
 object WarcFunctions {
   import org.apache.spark.sql.GraftShim
 
   /** Parse a WARC blob into its HTTP-response records. */
   def warc_responses(c: Column): Column =
     GraftShim.column(WarcResponsesExpr(GraftShim.expression(c)))
+
+  /** Synthesize one gzipped response record with a raw byte body. */
+  def warc_response_raw_gz(uri: Column, status: Column, ctype: Column,
+                           body: Column): Column =
+    GraftShim.column(WarcResponseRawGzExpr(GraftShim.expression(uri),
+      GraftShim.expression(status), GraftShim.expression(ctype),
+      GraftShim.expression(body)))
 
   /** Synthesize one gzipped response record (fixtures / tests). */
   def warc_response_gz(uri: Column, status: Column, ctype: Column,
