@@ -2945,6 +2945,53 @@ object SparkEntry {
           col("n_frames"), col("n_samples"), col("sum_abs"), col("px_hash"))
     }),
 
+    "mm_header_sniff_av" -> ((s, dir) => {
+      // the audio/video-side sniff branches: MP3 frame headers (bare and
+      // behind an ID3v2 tag — syncsafe size skip — with the sample rate
+      // from the MPEG1 table and mono/stereo from the mode bits), OGG
+      // containers, and all three WebP flavors (VP8 lossy keyframe
+      // dims behind the 9D012A start code, VP8L packed 14+14 bits,
+      // VP8X 24-bit canvas). Every value derives from doc_id, so the
+      // oracle recomputes the parse arithmetically.
+      import graft.functions.MediaHeaderFunctions.media_header
+      val d = t(s, dir, "documents")
+      // little-endian hex of an integer SQL expression, n bytes
+      def leHex(e: String, n: Int): Column = expr((0 until n).map(i =>
+        s"lpad(hex(($e) DIV ${1L << (8 * i)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")"))
+      val srIdx = expr("CAST(doc_id DIV 3 % 3 AS INT)")
+      val b2 = when(srIdx === 0, lit("90")).when(srIdx === 1, lit("94"))
+        .otherwise(lit("98"))
+      val b3 = when(col("doc_id") % 2 === 0, lit("C0")).otherwise(lit("00"))
+      val mp3Hex = concat(
+        when(col("doc_id") % 2 === 0,
+          lit("49443304000000000000")).otherwise(lit("")), // ID3v2, size 0
+        lit("FFFB"), b2, b3)
+      val oggHex = lit("4F676753" + "0002000000000000")
+      val vp8Hex = concat(lit("52494646" + "24000000" + "57454250" +
+        "56503820" + "18000000" + "000000" + "9D012A"),
+        leHex("doc_id % 1000 + 1", 2), leHex("doc_id % 500 + 1", 2))
+      val vp8lHex = concat(lit("52494646" + "20000000" + "57454250" +
+        "5650384C" + "14000000" + "2F"),
+        leHex("(doc_id % 1000) + (doc_id % 500) * 16384", 4))
+      val vp8xHex = concat(lit("52494646" + "28000000" + "57454250" +
+        "56503858" + "0A000000" + "00" + "000000"),
+        leHex("doc_id % 1000", 3), leHex("doc_id % 500", 3))
+      val webKind = expr("CAST(doc_id DIV 3 % 3 AS INT)")
+      val webpHex = when(webKind === 0, vp8Hex)
+        .when(webKind === 1, vp8lHex).otherwise(vp8xHex)
+      val payload = unhex(when(col("doc_id") % 3 === 0, mp3Hex)
+        .when(col("doc_id") % 3 === 1, oggHex)
+        .otherwise(webpHex))
+      val hdr = media_header(payload)
+      d.select(col("doc_id"),
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height"),
+        hdr.getField("sample_rate").as("sample_rate"),
+        hdr.getField("channels").as("channels"))
+    }),
+
     "mm_header_sniff" -> ((s, dir) => {
       // REAL multimodal metadata decode: per-row PNG and WAV containers are
       // assembled from deterministic bytes (unhex), then media_header — a
@@ -5722,6 +5769,24 @@ object SparkEntry {
          c_name AS tag2, c_mktsegment AS prop_seg,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
          FROM customer""",
+
+    // audio/video sniff branches: the parse is pure byte arithmetic over
+    // the doc_id-derived headers, recomputed directly
+    "mm_header_sniff_av" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'mp3'
+             WHEN 1 THEN 'ogg' ELSE 'webp' END AS format,
+           CASE WHEN doc_id % 3 = 2
+             THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 3 = 2
+             THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE doc_id // 3 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) END
+             AS channels
+         FROM documents""",
 
     "mm_header_sniff" ->
       """SELECT doc_id,

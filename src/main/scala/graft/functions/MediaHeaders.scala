@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Real container-metadata decode for multimodal binary columns: parses the
- * headers of common image/audio containers (PNG, JPEG, GIF, BMP, WAV)
- * directly from the payload bytes — no codec libraries required, so this
+ * headers of common image/audio/video containers (PNG, JPEG, GIF, TIFF,
+ * BMP, WAV, MP3 — bare or behind an ID3v2 tag —, OGG, and all three WebP
+ * flavors) directly from the payload bytes — no codec libraries required,
+ * so this
  * runs as a codegen'd scalar kernel inside the scan stage. The CONTENT
  * decode (pixels/samples) stays behind the batched `mapPartitions` escape
  * hatch ([[graft.operators.Multimodal.decodeBatched]]); header
@@ -112,6 +114,50 @@ object MediaHeaders {
         }
       } else if (ascii(bytes, 0, "BM") && bytes.length >= 26) {
         format = "bmp"; width = le32(bytes, 18); height = le32(bytes, 22)
+      } else if (ascii(bytes, 0, "OggS")) {
+        format = "ogg" // container only; codec params live in the pages
+      } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WEBP")) {
+        format = "webp"
+        if (ascii(bytes, 12, "VP8 ") && bytes.length >= 30 &&
+          (bytes(23) & 0xff) == 0x9d && (bytes(24) & 0xff) == 0x01 &&
+          (bytes(25) & 0xff) == 0x2a) { // lossy keyframe start code
+          width = le16(bytes, 26) & 0x3fff
+          height = le16(bytes, 28) & 0x3fff
+        } else if (ascii(bytes, 12, "VP8L") && bytes.length >= 25 &&
+          (bytes(20) & 0xff) == 0x2f) { // lossless: 14+14 bits packed
+          val b = le32(bytes, 21)
+          width = (b & 0x3fff) + 1
+          height = ((b >> 14) & 0x3fff) + 1
+        } else if (ascii(bytes, 12, "VP8X") && bytes.length >= 30) {
+          // extended header: 24-bit canvas dims minus one
+          width = 1 + ((bytes(24) & 0xff) | ((bytes(25) & 0xff) << 8) |
+            ((bytes(26) & 0xff) << 16))
+          height = 1 + ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) |
+            ((bytes(29) & 0xff) << 16))
+        }
+      } else if (ascii(bytes, 0, "ID3") || (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0)) {
+        format = "mp3"
+        // skip an ID3v2 tag (syncsafe 28-bit size) to the first frame
+        var off = 0
+        if (ascii(bytes, 0, "ID3") && bytes.length >= 10) {
+          val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+            ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+          off = if (size < 0 || 10L + size > bytes.length) bytes.length
+                else 10 + size
+        }
+        if (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff &&
+          (bytes(off + 1) & 0xe0) == 0xe0) {
+          val version = (bytes(off + 1) >> 3) & 3 // 3=MPEG1 2=MPEG2 0=2.5
+          val srIdx = (bytes(off + 2) >> 2) & 3
+          if (srIdx < 3) {
+            val base = Array(44100, 48000, 32000)(srIdx)
+            if (version == 3) sampleRate = base
+            else if (version == 2) sampleRate = base / 2
+            else if (version == 0) sampleRate = base / 4
+          }
+          channels = if (((bytes(off + 3) >> 6) & 3) == 3) 1 else 2
+        }
       } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
         format = "wav"
         // chunk walk to "fmt ": channels LE16 at +10, rate LE32 at +12

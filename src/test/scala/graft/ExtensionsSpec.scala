@@ -104,6 +104,29 @@ class ExtensionsSpec extends AnyFunSuite {
     // lying IFD offset degrades to dims-null tiff, never throws
     assert(row(hx("49492A00 FFFFFFFF")) ===
       (("tiff", None, None, None, None)))
+    // MP3: bare frame header (MPEG1 L3, 44100, stereo) and behind ID3v2
+    assert(row(hx("FFFB9000")) === (("mp3", None, None, Some(44100), Some(2))))
+    assert(row(hx("494433040000000000 00 FFFB98C0".replace(" ", ""))) ===
+      (("mp3", None, None, Some(32000), Some(1))))
+    // MPEG2 halves the rate table
+    assert(row(hx("FFF39000")) === (("mp3", None, None, Some(22050), Some(2))))
+    // ID3 tag whose syncsafe size runs past the buffer: format only
+    assert(row(hx("4944330400000000FF7F")) ===
+      (("mp3", None, None, None, None)))
+    // OGG container (codec params live in the pages)
+    assert(row(hx("4F6767530002"))._1 === "ogg")
+    // WebP VP8 lossy keyframe dims behind the 9D012A start code
+    assert(row(hx("52494646240000005745425056503820" +
+      "18000000" + "000000" + "9D012A" + "8002" + "E001")) ===
+      (("webp", Some(640), Some(480), None, None)))
+    // VP8L packed 14+14 (w-1=639, h-1=479 -> 0x77C27F, little-endian)
+    assert(row(hx("5249464620000000574542505650384C" +
+      "14000000" + "2F" + "7FC27700")) ===
+      (("webp", Some(640), Some(480), None, None)))
+    // VP8X 24-bit canvas
+    assert(row(hx("52494646280000005745425056503858" + "0A000000" +
+      "00000000" + "7F0200" + "DF0100")) ===
+      (("webp", Some(640), Some(480), None, None)))
     // truncated and garbage inputs degrade to unknown, never throw
     assert(row(Array[Byte]())._1 === "unknown")
     assert(row(hx("89504E47"))._1 === "unknown")
