@@ -2804,6 +2804,43 @@ object SparkEntry {
         lower(hex(dec.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_subtitle_parse" -> ((s, dir) => {
+      // the alignment layer of audio/video training data: docs alternate
+      // SRT (index lines, comma millis) and WebVTT (magic header, NOTE
+      // blocks skipped, cue identifiers, dot millis, short MM:SS.mmm
+      // times, cue settings after the arrow) — both parse through ONE
+      // front door into (seq, start_ms, end_ms, text) cues with
+      // multi-line text preserved. The oracle recomputes every timestamp
+      // from the doc arithmetic.
+      import graft.functions.SubtitleFunctions._
+      val s1 = col("doc_id") % 50
+      val ms1 = col("doc_id") % 1000
+      val t0 = concat(lpad(s1.cast("string"), 2, "0"), lit(","),
+        lpad(ms1.cast("string"), 3, "0"))
+      val t1 = concat(lpad((s1 + 2).cast("string"), 2, "0"), lit(","),
+        lpad(ms1.cast("string"), 3, "0"))
+      val line1 = concat(lit("line one "), col("doc_id").cast("string"))
+      val line2 = concat(lit("second "), col("doc_id").cast("string"))
+      val srt = concat(
+        lit("1\n00:00:"), t0, lit(" --> 00:00:"), t1, lit("\n"),
+        line1, lit("\nline two\n\n2\n00:01:05,500 --> 01:01:07,000\n"),
+        line2, lit("\n"))
+      val vtt = concat(
+        lit("WEBVTT\n\nNOTE synthetic fixture\n\nintro\n00:"),
+        replace(t0, lit(","), lit(".")), lit(" --> 00:"),
+        replace(t1, lit(","), lit(".")), lit(" align:start\n"),
+        line1, lit("\nline two\n\n01:05.500 --> 01:07.000\n"),
+        line2, lit("\n"))
+      val doc = when(col("doc_id") % 2 === 0, srt).otherwise(vtt)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "srt").otherwise("vtt").as("fmt"),
+          explode(subtitle_parse(doc)).as("c"))
+        .select(col("doc_id"), col("fmt"), col("c.seq").as("seq"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+          col("c.text").as("text"))
+    }),
+
     "mm_audio_vad" -> ((s, dir) => {
       // the SEGMENTATION step a speech-curation pipeline runs on the
       // frame stats (silence trim / VAD): a 256-sample PCM WAV whose
@@ -8999,6 +9036,27 @@ object SparkEntry {
            repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
              AS px_hex
          FROM d""",
+
+    // subtitle cues: timestamps and text derive from doc arithmetic; the
+    // second cue pins the constant long-form times (hour carry on the
+    // VTT short form vs the SRT hour field)
+    "mm_subtitle_parse" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+           seq, start_ms, end_ms, text FROM (
+           SELECT doc_id, 1 AS seq,
+             CAST((doc_id % 50) * 1000 + doc_id % 1000 AS BIGINT)
+               AS start_ms,
+             CAST((doc_id % 50 + 2) * 1000 + doc_id % 1000 AS BIGINT)
+               AS end_ms,
+             'line one ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'line two' AS text
+           FROM documents
+           UNION ALL SELECT doc_id, 2,
+             65500,
+             CASE WHEN doc_id % 2 = 0 THEN 3667000 ELSE 67000 END,
+             'second ' || CAST(doc_id AS VARCHAR)
+           FROM documents) t""",
 
     // VAD segmentation: DuckDB rebuilds the signed samples, frame energy
     // sums and the same gaps-and-islands grouping over speech frames

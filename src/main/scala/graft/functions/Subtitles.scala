@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Subtitle-cue parsing for SRT and WebVTT — the alignment layer of
+ * audio/video training data: cues carry the (start, end, text) triples a
+ * pipeline joins against VAD segments ([[WavFrames]] / `mm_audio_vad`)
+ * or sampled frames to build paired speech/caption examples.
+ *
+ * Both dialects parse from one front door (a WebVTT file declares itself
+ * with the `WEBVTT` magic): SRT blocks are `index / HH:MM:SS,mmm -->
+ * HH:MM:SS,mmm / text…` separated by blank lines; WebVTT drops the
+ * index, uses `.` for the millisecond separator, allows MM:SS.mmm
+ * without hours, carries cue settings after the arrow (ignored), and may
+ * interleave NOTE/STYLE blocks (skipped). Multi-line cue text joins with
+ * a newline. Malformed timecodes reject loudly in a `subtitle:` contract
+ * — a cue with a broken timestamp silently dropped would desync every
+ * later alignment join.
+ */
+object Subtitles {
+
+  val cueType: ArrayType = ArrayType(StructType(Seq(
+    StructField("seq", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"subtitle: $msg")
+
+  /** `HH:MM:SS,mmm` / `HH:MM:SS.mmm` / `MM:SS.mmm` → milliseconds. */
+  private val Time = "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{2})[.,](\\d{3})".r
+
+  private def ms(s: String): Long = s.trim match {
+    case Time(hh, mm, ss, mmm) =>
+      val h = if (hh == null) 0L else hh.toLong
+      ((h * 60 + mm.toLong) * 60 + ss.toLong) * 1000 + mmm.toLong
+    case other => fail(s"bad timecode '$other'")
+  }
+
+  final case class Cue(seq: Int, startMs: Long, endMs: Long, text: String)
+
+  /** Parse an SRT or WebVTT document into ordered cues. */
+  def parse(doc: String): Seq[Cue] = {
+    val isVtt = doc.stripPrefix("﻿").startsWith("WEBVTT")
+    // split into blank-line-separated blocks, tolerating \r\n
+    val blocks = doc.stripPrefix("﻿").replace("\r\n", "\n")
+      .split("\n{2,}").map(_.trim).filter(_.nonEmpty).toSeq
+    val body = if (isVtt) blocks.drop(1) else blocks // header block off
+    var seq = 0
+    body.flatMap { block =>
+      val lines = block.split("\n").toSeq
+      if (isVtt && (lines.head.startsWith("NOTE") ||
+        lines.head.startsWith("STYLE") || lines.head.startsWith("REGION")))
+        None
+      else {
+        // SRT: optional numeric index line; VTT: optional cue identifier
+        val (arrowLine, textFrom) =
+          if (lines.head.contains("-->")) (lines.head, 1)
+          else if (lines.length >= 2 && lines(1).contains("-->"))
+            (lines(1), 2)
+          else fail(s"cue block without a '-->' timing line: " +
+            s"'${lines.head.take(40)}'")
+        val parts = arrowLine.split("-->")
+        if (parts.length != 2) fail(s"bad timing line '$arrowLine'")
+        val start = ms(parts(0))
+        // VTT cue settings (position, align…) follow the end time
+        val end = ms(parts(1).trim.split("\\s+")(0))
+        if (end < start) fail(s"cue ends before it starts: '$arrowLine'")
+        seq += 1
+        Some(Cue(seq, start, end, lines.drop(textFrom).mkString("\n")))
+      }
+    }
+  }
+
+  /** Cues as the array-of-structs [[cueType]] declares — called from
+   * generated code. */
+  def parseData(doc: UTF8String): ArrayData =
+    new GenericArrayData(parse(doc.toString).map(c =>
+      new GenericInternalRow(Array[Any](c.seq, c.startMs, c.endMs,
+        UTF8String.fromString(c.text)))).toArray[Any])
+}
+
+/** `subtitle_parse(string)` → array<struct(seq, start_ms, end_ms, text)>
+ * — codegen'd SRT/WebVTT cue parse, loud `subtitle:` contract. */
+case class SubtitleParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Subtitles.cueType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subtitle_parse requires STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Subtitles.parseData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Subtitles.parseData($c)")
+
+  override protected def withNewChildInternal(c: Expression): SubtitleParse =
+    copy(child = c)
+}
+
+object SubtitleFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def subtitle_parse(c: Column): Column =
+    GraftShim.column(SubtitleParse(GraftShim.expression(c)))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Subtitles
+
+/** SRT/WebVTT cue parsing: dialect details and loud rejections. */
+class SubtitlesSpec extends AnyFunSuite {
+
+  test("SRT: indices, comma millis, multi-line text, CRLF tolerated") {
+    val srt = "1\r\n00:00:01,000 --> 00:00:02,500\r\nhello\r\nworld\r\n" +
+      "\r\n2\r\n01:02:03,004 --> 01:02:04,005\r\nbye\r\n"
+    val cs = Subtitles.parse(srt)
+    assert(cs.map(c => (c.seq, c.startMs, c.endMs, c.text)) === Seq(
+      (1, 1000L, 2500L, "hello\nworld"),
+      (2, 3723004L, 3724005L, "bye")))
+  }
+
+  test("WebVTT: BOM + magic, NOTE/STYLE skipped, identifiers, settings, " +
+    "short times") {
+    val vtt = "﻿WEBVTT - a title\n\nNOTE a comment\nspanning lines\n\n" +
+      "STYLE\n::cue { color: red }\n\nintro\n01:02.003 --> 01:04.000 " +
+      "align:start position:10%\nfirst\n\n00:00:05.000 --> 00:00:06.000\n" +
+      "second\n"
+    val cs = Subtitles.parse(vtt)
+    assert(cs.map(c => (c.seq, c.startMs, c.endMs, c.text)) === Seq(
+      (1, 62003L, 64000L, "first"),
+      (2, 5000L, 6000L, "second")))
+  }
+
+  test("hostile cues reject loudly (a dropped cue desyncs alignment)") {
+    def msg(s: String): String =
+      intercept[IllegalArgumentException](Subtitles.parse(s)).getMessage
+    assert(msg("1\n00:00:xx,000 --> 00:00:02,000\nt\n")
+      .contains("timecode"))
+    assert(msg("1\n00:00:05,000 --> 00:00:02,000\nt\n")
+      .contains("ends before"))
+    assert(msg("not a cue block at all").contains("-->"))
+    // a well-formed empty document parses to no cues, not an error
+    assert(Subtitles.parse("WEBVTT\n") === Seq.empty)
+    assert(Subtitles.parse("") === Seq.empty)
+  }
+}
