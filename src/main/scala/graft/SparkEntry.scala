@@ -2804,6 +2804,25 @@ object SparkEntry {
         lower(hex(dec.getField("pixels"))).as("px_hex"))
     }),
 
+    "mm_epub_extract" -> ((s, dir) => {
+      // e-book extraction through the whole OCF chain: container.xml →
+      // OPF manifest/spine → per-chapter XHTML, reduced to text (style
+      // blocks dropped whole, tags stripped, entities decoded once,
+      // whitespace collapsed) in SPINE order. XML-hostile characters ride
+      // the chapter bodies; STORE/DEFLATE alternate per doc. A broken
+      // chain or dangling spine idref rejects loudly (ZipCodecSpec).
+      import graft.functions.ZipFunctions._
+      val id = col("doc_id").cast("string")
+      val chapters = array(
+        concat(lit("Ch 0 doc "), id, lit("\nfish & chips <b0>")),
+        concat(lit("Ch 1 doc "), id, lit("\nplain tea, no entities")))
+      val epub = epub_encode(chapters, col("doc_id") % 2 === 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(epub_extract(epub)).as("c"))
+        .select(col("doc_id"), col("c.chapter_idx").as("chapter_idx"),
+          col("c.text").as("text"))
+    }),
+
     "mm_subtitle_parse" -> ((s, dir) => {
       // the alignment layer of audio/video training data: docs alternate
       // SRT (index lines, comma millis) and WebVTT (magic header, NOTE
@@ -9036,6 +9055,19 @@ object SparkEntry {
            repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
              AS px_hex
          FROM d""",
+
+    // EPUB extraction: escape and reduction are exact inverses on the
+    // fixture, so each chapter's expected text is direct arithmetic
+    "mm_epub_extract" ->
+      """SELECT doc_id, chapter_idx, text FROM (
+           SELECT doc_id, 0 AS chapter_idx,
+             'Ch 0 doc ' || CAST(doc_id AS VARCHAR) ||
+               ' fish & chips <b0>' AS text
+           FROM documents
+           UNION ALL SELECT doc_id, 1,
+             'Ch 1 doc ' || CAST(doc_id AS VARCHAR) ||
+               ' plain tea, no entities'
+           FROM documents) t""",
 
     // subtitle cues: timestamps and text derive from doc arithmetic; the
     // second cue pins the constant long-form times (hour carry on the

@@ -301,6 +301,90 @@ object ZipCodec {
       ("word/document.xml", docXml, if (deflate) 8 else 0)))
   }
 
+  // ---- EPUB ----------------------------------------------------------------
+
+  /**
+   * EPUB chapter extraction — e-books are long-form, high-quality
+   * training text: resolve `META-INF/container.xml` → the OPF package →
+   * the SPINE reading order (idref → manifest href, relative to the OPF
+   * directory), then reduce each chapter's XHTML to text (tags stripped,
+   * entities decoded single-pass, whitespace collapsed). Ordered
+   * `(chapter_idx, text)` pairs; a broken container chain or a spine
+   * entry whose target is missing rejects loudly — a silently skipped
+   * chapter truncates a book mid-sentence.
+   */
+  def epubExtract(epub: Array[Byte]): Seq[(Int, String)] = {
+    val es = entries(epub)
+    def member(name: String): String =
+      new String(read(epub, es.find(_.name == name).getOrElse(
+        fail(s"no $name member (not an EPUB?)"))), StandardCharsets.UTF_8)
+    val container = member("META-INF/container.xml")
+    val opfPath = "full-path=\"([^\"]+)\"".r.findFirstMatchIn(container)
+      .map(_.group(1)).getOrElse(fail("container.xml without a rootfile"))
+    val opf = member(opfPath)
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => opfPath.substring(0, i + 1)
+    }
+    val hrefs = "(?s)<item\\s+[^>]*>".r.findAllIn(opf).flatMap { item =>
+      val id = "\\bid=\"([^\"]+)\"".r.findFirstMatchIn(item).map(_.group(1))
+      val href =
+        "\\bhref=\"([^\"]+)\"".r.findFirstMatchIn(item).map(_.group(1))
+      id.zip(href)
+    }.toMap
+    val spine = "<itemref\\s+[^>]*idref=\"([^\"]+)\"".r
+      .findAllMatchIn(opf).map(_.group(1)).toSeq
+    if (spine.isEmpty) fail(s"$opfPath has an empty spine")
+    spine.zipWithIndex.map { case (idref, i) =>
+      val href = hrefs.getOrElse(idref,
+        fail(s"spine idref '$idref' missing from the manifest"))
+      val xhtml = member(opfDir + href)
+      // reduction: scripts/styles dropped whole, tags stripped, entities
+      // decoded once, whitespace collapsed
+      val noBlocks = "(?is)<(script|style)[^>]*>.*?</\\1>".r
+        .replaceAllIn(xhtml, " ")
+      val text = decodeEntities("<[^>]*>".r.replaceAllIn(noBlocks, " "))
+        .replaceAll("\\s+", " ").trim
+      (i, text)
+    }
+  }
+
+  /** Minimal spec-shaped EPUB: STOREd `mimetype` first (per OCF),
+   * container.xml → OEBPS/content.opf → one XHTML member per chapter. */
+  def epubEncode(chapters: Seq[String], deflate: Boolean): Array[Byte] = {
+    require(chapters.nonEmpty, "epub: at least one chapter")
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val m = if (deflate) 8 else 0
+    val container =
+      """<?xml version="1.0"?><container version="1.0"
+        |xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        |<rootfiles><rootfile full-path="OEBPS/content.opf"
+        |media-type="application/oebps-package+xml"/></rootfiles>
+        |</container>""".stripMargin
+    val items = chapters.indices.map(i =>
+      s"""<item id="c$i" href="ch$i.xhtml" """ +
+        """media-type="application/xhtml+xml"/>""").mkString
+    val refs = chapters.indices.map(i =>
+      s"""<itemref idref="c$i"/>""").mkString
+    val opf = "<?xml version=\"1.0\"?><package version=\"3.0\">" +
+      s"<manifest>$items</manifest><spine>$refs</spine></package>"
+    val members =
+      Seq(("mimetype", "application/epub+zip".getBytes(
+        StandardCharsets.US_ASCII), 0),
+        ("META-INF/container.xml",
+          container.getBytes(StandardCharsets.UTF_8), m),
+        ("OEBPS/content.opf", opf.getBytes(StandardCharsets.UTF_8), m)) ++
+      chapters.zipWithIndex.map { case (text, i) =>
+        val xhtml = "<html><head><style>p { margin: 0 }</style></head>" +
+          s"<body><h1>${esc(text.split("\n").head)}</h1>" +
+          text.split("\n").drop(1).map(l => s"<p>${esc(l)}</p>").mkString +
+          "</body></html>"
+        (s"OEBPS/ch$i.xhtml", xhtml.getBytes(StandardCharsets.UTF_8), m)
+      }
+    buildZip(members)
+  }
+
   /** Spec-shaped archive from (name, raw bytes, method 0|8) members:
    * real CRC-32s, deterministic zero timestamps, central directory,
    * EOCD. Shared by the DOCX and XLSX fixture writers. */
@@ -476,12 +560,88 @@ case class XlsxExtract(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `epub_encode(chapters, deflate)` → BINARY minimal EPUB (one XHTML
+ * member per chapter). Fixture-synthesis edge — CodegenFallback. */
+case class EpubEncode(chapters: Expression, deflate: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(chapters, deflate)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (chapters.dataType.simpleString, deflate.dataType.simpleString) match {
+      case ("array<string>", "boolean") => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"epub_encode(ARRAY<STRING>, BOOLEAN), got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = chapters.eval(input); val d = deflate.eval(input)
+    if (c == null || d == null) null
+    else {
+      val arr = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      ZipCodec.epubEncode(
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString),
+        d.asInstanceOf[Boolean])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): EpubEncode =
+    copy(chapters = c(0), deflate = c(1))
+}
+
+/** `epub_extract(binary)` → ARRAY<STRUCT<chapter_idx INT, text STRING>>
+ * — codegen'd container/OPF/spine walk, loud `zip:` contract. */
+case class EpubExtract(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chapter_idx", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"epub_extract requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ZipFunctions.extractChapters(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ZipFunctions.extractChapters($c)")
+
+  override protected def withNewChildInternal(c: Expression): EpubExtract =
+    copy(child = c)
+}
+
 object ZipFunctions {
   import org.apache.spark.sql.GraftShim
 
   /** codegen helper. */
   def extractUtf8(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(ZipCodec.docxExtract(bytes))
+
+  /** codegen helper: EPUB chapters as the declared array-of-structs. */
+  def extractChapters(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cs = ZipCodec.epubExtract(bytes)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cs.map { case (i, t) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(t)))
+      }.toArray[Any])
+  }
+
+  def epub_encode(chapters: Column, deflate: Column): Column =
+    GraftShim.column(EpubEncode(GraftShim.expression(chapters),
+      GraftShim.expression(deflate)))
+
+  def epub_extract(c: Column): Column =
+    GraftShim.column(EpubExtract(GraftShim.expression(c)))
 
   /** codegen helper: cells as the array-of-structs the type declares. */
   def extractCells(bytes: Array[Byte])

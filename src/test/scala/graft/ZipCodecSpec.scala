@@ -171,6 +171,54 @@ class ZipCodecSpec extends AnyFunSuite {
     assert(ZipCodec.docxExtract(amp) === "&lt;tag&gt; &amp; x\n")
   }
 
+  test("epub: OCF chain round-trips; broken chains reject loudly") {
+    val chapters = Seq("Title A\nfish & chips <x>", "Title B\nplain")
+    for (deflate <- Seq(false, true)) {
+      val e = ZipCodec.epubEncode(chapters, deflate)
+      assert(ZipCodec.epubExtract(e) === Seq(
+        (0, "Title A fish & chips <x>"), (1, "Title B plain")),
+        s"deflate=$deflate")
+      // the OCF shape: STOREd mimetype is the first member
+      val first = ZipCodec.entries(e).head
+      assert(first.name === "mimetype" && first.method === 0)
+    }
+    def zip(members: (String, String)*): Array[Byte] = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bytes)
+      members.foreach { case (n, body) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(body.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      bytes.toByteArray
+    }
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](ZipCodec.epubExtract(b))
+        .getMessage
+    // no container.xml
+    assert(msg(zip("mimetype" -> "application/epub+zip"))
+      .contains("container.xml"))
+    // container without a rootfile
+    assert(msg(zip("META-INF/container.xml" -> "<container/>"))
+      .contains("rootfile"))
+    // spine idref with no manifest item
+    assert(msg(zip(
+      "META-INF/container.xml" ->
+        """<rootfile full-path="content.opf"/>""",
+      "content.opf" ->
+        """<package><manifest/><spine><itemref idref="ghost"/></spine>
+          |</package>""".stripMargin)).contains("ghost"))
+    // manifest href pointing at a missing member
+    assert(msg(zip(
+      "META-INF/container.xml" ->
+        """<rootfile full-path="content.opf"/>""",
+      "content.opf" ->
+        ("""<package><manifest><item id="c" href="gone.xhtml"/>""" +
+          """</manifest><spine><itemref idref="c"/></spine></package>""")))
+      .contains("gone.xhtml"))
+  }
+
   test("hostile archives reject precisely inside the zip: contract") {
     def msg(b: Array[Byte]): String =
       intercept[IllegalArgumentException] {
