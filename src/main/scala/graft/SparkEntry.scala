@@ -6793,9 +6793,6 @@ object SparkEntry {
          (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
        FROM q"""),
 
-    // the WARC blob is opaque to SQL — but the fixture is deterministic
-    // and the codec must be IDENTITY-correct, so the oracle replays the
-    // expected post-decode state: the warc markup variant (meta tag on
     // BOM resolution: the decoded text is encoding-independent (that IS
     // the property under test), so the oracle rebuilds it directly plus
     // the charset/provenance the WHATWG order must have produced — the
@@ -6810,6 +6807,9 @@ object SparkEntry {
            'pAge ' || CAST(doc_id AS VARCHAR) || ' naïve café ✓' AS text
          FROM documents""",
 
+    // the WARC blob is opaque to SQL — but the fixture is deterministic
+    // and the codec must be IDENTITY-correct, so the oracle replays the
+    // expected post-decode state: the warc markup variant (meta tag on
     // the sniff slice, Latin-1 paragraph on the ISO-8859-1 slice) through
     // the same extraction rules, plus the provenance columns the record
     // walk must have produced (URI from the fixture arithmetic, status

@@ -111,11 +111,17 @@ object GifCodec {
     out.write("NETSCAPE2.0".getBytes("US-ASCII"))
     out.write(3); out.write(1); u16(0); out.write(0)
     frames.foreach { f =>
-      require(f.width > 0 && f.height > 0 &&
+      // full range validation at the SOURCE: u16 truncation would
+      // otherwise silently emit a corrupt file (left = -100 -> 65436)
+      require(f.left >= 0 && f.top >= 0 && f.width > 0 && f.height > 0 &&
         f.left + f.width <= screenW && f.top + f.height <= screenH,
         s"frame rect ${f.left},${f.top} ${f.width}x${f.height} outside " +
           s"the ${screenW}x$screenH screen")
       require(f.gray.length == f.width * f.height, "frame pixels mismatch")
+      require(f.delayCs >= 0 && f.delayCs <= 0xffff,
+        s"delay ${f.delayCs} outside 0..65535 centiseconds")
+      require(f.transparent >= -1 && f.transparent <= 255,
+        s"transparent index ${f.transparent} outside -1..255")
       require(f.disposal == 1 || f.disposal == 2,
         s"unsupported disposal ${f.disposal}")
       out.write(0x21); out.write(0xf9); out.write(4)
@@ -158,35 +164,23 @@ object GifCodec {
    * allocation (decode-bomb discipline).
    */
   def decodeAnimation(gif: Array[Byte], maxFrames: Int = 64): Seq[Frame] = {
-    need(gif.length >= 13, "truncated header")
-    val sig = new String(gif, 0, 6, "US-ASCII")
-    need(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
-    def u16(p: Int): Int = (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
-    val screenW = u16(6)
-    val screenH = u16(8)
+    val sc = parseScreen(gif)
+    val screenW = sc.w
+    val screenH = sc.h
     need(screenW > 0 && screenH > 0 &&
       screenW.toLong * screenH * 3 <= MaxDecodedBytes,
       s"decoded size ${screenW}x$screenH exceeds limit")
-    val packed = gif(10) & 0xff
-    val bgIndex = gif(11) & 0xff
-    var pos = 13
-    var globalTable: Array[Byte] = null
-    if ((packed & 0x80) != 0) {
-      val n = 2 << (packed & 7)
-      need(pos + 3 * n <= gif.length, "truncated global color table")
-      globalTable = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
-      pos += 3 * n
-    }
     val canvas = new Array[Byte](screenW * screenH * 3)
-    if (globalTable != null && bgIndex * 3 + 2 < globalTable.length) {
+    if (sc.globalTable != null && sc.bgIndex * 3 + 2 < sc.globalTable.length) {
       var i = 0
       while (i < screenW * screenH) {
-        canvas(i * 3) = globalTable(bgIndex * 3)
-        canvas(i * 3 + 1) = globalTable(bgIndex * 3 + 1)
-        canvas(i * 3 + 2) = globalTable(bgIndex * 3 + 2)
+        canvas(i * 3) = sc.globalTable(sc.bgIndex * 3)
+        canvas(i * 3 + 1) = sc.globalTable(sc.bgIndex * 3 + 1)
+        canvas(i * 3 + 2) = sc.globalTable(sc.bgIndex * 3 + 2)
         i += 1
       }
     }
+    var pos = sc.firstBlock
     val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     // GCE state applies to the NEXT image descriptor only
     var delayCs = 0
@@ -207,69 +201,42 @@ object GifCodec {
             disposal = (p >> 2) & 0x7
             need(disposal <= 2,
               s"disposal method $disposal unsupported (restore-previous)")
-            delayCs = u16(pos + 4)
+            delayCs = (gif(pos + 4) & 0xff) | ((gif(pos + 5) & 0xff) << 8)
             transparent = if ((p & 1) != 0) gif(pos + 6) & 0xff else -1
           }
-          // skip the extension's sub-blocks (GCE included: uniform walk)
-          pos += 2
-          var len = gif(pos) & 0xff
-          while (len != 0) {
-            pos += 1 + len
-            need(pos < gif.length, "truncated extension block")
-            len = gif(pos) & 0xff
-          }
-          pos += 1
+          pos = skipSubBlocks(gif, pos + 2)
         case 0x2c =>
           need(frames.length < maxFrames,
             s"animation exceeds $maxFrames frames")
+          // the retained snapshots are the real allocation: bound their
+          // TOTAL, not just one canvas (a tiny file declaring a huge
+          // screen with many one-pixel frames is the attack shape)
+          need((frames.length + 1).toLong * canvas.length <=
+            MaxDecodedBytes * 4,
+            s"animation retains over ${MaxDecodedBytes * 4} canvas bytes")
+          // validate the rect BEFORE the LZW decode parseImageBlock runs:
+          // a lying descriptor should die on placement, not mid-inflate
           need(pos + 10 <= gif.length, "truncated image descriptor")
-          val left = u16(pos + 1)
-          val top = u16(pos + 3)
-          val fw = u16(pos + 5)
-          val fh = u16(pos + 7)
-          val ipacked = gif(pos + 9) & 0xff
-          val interlaced = (ipacked & 0x40) != 0
-          need(fw > 0 && fh > 0 && left + fw <= screenW &&
-            top + fh <= screenH,
-            s"frame rect $left,$top ${fw}x$fh outside ${screenW}x$screenH")
-          pos += 10
-          var table = globalTable
-          if ((ipacked & 0x80) != 0) {
-            val n = 2 << (ipacked & 7)
-            need(pos + 3 * n <= gif.length, "truncated local color table")
-            table = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
-            pos += 3 * n
-          }
-          need(table != null, "no color table")
-          need(pos < gif.length, "missing LZW code size")
-          val minCode = gif(pos) & 0xff
-          pos += 1
-          val data = new java.io.ByteArrayOutputStream()
-          var len = -1
-          while (len != 0) {
-            need(pos < gif.length, "truncated image data")
-            len = gif(pos) & 0xff
-            pos += 1
-            if (len != 0) {
-              need(pos + len <= gif.length, "truncated image sub-block")
-              data.write(gif, pos, len)
-              pos += len
-            }
-          }
-          val raw = lzwDecode(data.toByteArray, minCode, fw * fh)
-          val indices = if (!interlaced) raw else deinterlace(raw, fw, fh)
-          val nColors = table.length / 3
+          def u16b(p: Int): Int =
+            (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
+          val (fl, ft, fw, fh) =
+            (u16b(pos + 1), u16b(pos + 3), u16b(pos + 5), u16b(pos + 7))
+          need(fw > 0 && fh > 0 && fl + fw <= screenW && ft + fh <= screenH,
+            s"frame rect $fl,$ft ${fw}x$fh outside ${screenW}x$screenH")
+          val b = parseImageBlock(gif, pos, sc.globalTable)
+          pos = b.next
+          val nColors = b.table.length / 3
           var y = 0
-          while (y < fh) {
+          while (y < b.h) {
             var x = 0
-            while (x < fw) {
-              val ci = indices(y * fw + x) & 0xff
+            while (x < b.w) {
+              val ci = b.indices(y * b.w + x) & 0xff
               if (ci != transparent) {
                 need(ci < nColors, s"palette index $ci out of range")
-                val o = ((top + y) * screenW + left + x) * 3
-                canvas(o) = table(ci * 3)
-                canvas(o + 1) = table(ci * 3 + 1)
-                canvas(o + 2) = table(ci * 3 + 2)
+                val o = ((b.top + y) * screenW + b.left + x) * 3
+                canvas(o) = b.table(ci * 3)
+                canvas(o + 1) = b.table(ci * 3 + 1)
+                canvas(o + 2) = b.table(ci * 3 + 2)
               }
               x += 1
             }
@@ -278,15 +245,17 @@ object GifCodec {
           frames += Frame(frames.length, delayCs, canvas.clone())
           if (disposal == 2) { // restore the rect to background
             val (br, bg, bb) =
-              if (globalTable != null && bgIndex * 3 + 2 < globalTable.length)
-                (globalTable(bgIndex * 3), globalTable(bgIndex * 3 + 1),
-                  globalTable(bgIndex * 3 + 2))
+              if (sc.globalTable != null &&
+                sc.bgIndex * 3 + 2 < sc.globalTable.length)
+                (sc.globalTable(sc.bgIndex * 3),
+                  sc.globalTable(sc.bgIndex * 3 + 1),
+                  sc.globalTable(sc.bgIndex * 3 + 2))
               else (0.toByte, 0.toByte, 0.toByte)
             var yy = 0
-            while (yy < fh) {
+            while (yy < b.h) {
               var xx = 0
-              while (xx < fw) {
-                val o = ((top + yy) * screenW + left + xx) * 3
+              while (xx < b.w) {
+                val o = ((b.top + yy) * screenW + b.left + xx) * 3
                 canvas(o) = br; canvas(o + 1) = bg; canvas(o + 2) = bb
                 xx += 1
               }
@@ -485,7 +454,14 @@ object GifCodec {
   }
 
   /** Decode a (subset) GIF to row-major RGB. */
-  def decode(gif: Array[Byte]): Image = {
+  // ---- shared container-walk helpers (single-frame AND animation paths
+  // ride these, so a bounds fix can never diverge between them) ----------
+
+  /** Parsed logical-screen header. */
+  private final case class Screen(w: Int, h: Int, bgIndex: Int,
+                                  globalTable: Array[Byte], firstBlock: Int)
+
+  private def parseScreen(gif: Array[Byte]): Screen = {
     need(gif.length >= 13, "truncated header")
     val sig = new String(gif, 0, 6, "US-ASCII")
     need(sig == "GIF87a" || sig == "GIF89a", s"bad signature '$sig'")
@@ -499,66 +475,94 @@ object GifCodec {
       globalTable = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
       pos += 3 * n
     }
+    Screen(u16(6), u16(8), gif(11) & 0xff, globalTable, pos)
+  }
+
+  /** Skip sub-blocks from the byte after an extension label; returns the
+   * offset past the terminator. */
+  private def skipSubBlocks(gif: Array[Byte], start: Int): Int = {
+    var pos = start
+    var len = gif(pos) & 0xff
+    while (len != 0) {
+      pos += 1 + len
+      need(pos < gif.length, "truncated extension block")
+      len = gif(pos) & 0xff
+    }
+    pos + 1
+  }
+
+  /** One parsed image block: placement rect, deinterlaced indices and the
+   * governing color table. */
+  private final case class ImageBlock(left: Int, top: Int, w: Int, h: Int,
+                                      indices: Array[Byte],
+                                      table: Array[Byte], next: Int)
+
+  private def parseImageBlock(gif: Array[Byte], at: Int,
+                              globalTable: Array[Byte]): ImageBlock = {
+    def u16(p: Int): Int = (gif(p) & 0xff) | ((gif(p + 1) & 0xff) << 8)
+    var pos = at
+    need(pos + 10 <= gif.length, "truncated image descriptor")
+    val left = u16(pos + 1)
+    val top = u16(pos + 3)
+    val w = u16(pos + 5)
+    val h = u16(pos + 7)
+    val ipacked = gif(pos + 9) & 0xff
+    val interlaced = (ipacked & 0x40) != 0
+    need(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    need(w.toLong * h * 3 <= MaxDecodedBytes,
+      s"decoded size ${w}x$h exceeds limit")
+    pos += 10
+    var table = globalTable
+    if ((ipacked & 0x80) != 0) {
+      val n = 2 << (ipacked & 7)
+      need(pos + 3 * n <= gif.length, "truncated local color table")
+      table = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    need(table != null, "no color table")
+    need(pos < gif.length, "missing LZW code size")
+    val minCode = gif(pos) & 0xff
+    pos += 1
+    // collect LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var len = -1
+    while (len != 0) {
+      need(pos < gif.length, "truncated image data")
+      len = gif(pos) & 0xff
+      pos += 1
+      if (len != 0) {
+        need(pos + len <= gif.length, "truncated image sub-block")
+        data.write(gif, pos, len)
+        pos += len
+      }
+    }
+    val raw = lzwDecode(data.toByteArray, minCode, w * h)
+    val indices = if (!interlaced) raw else deinterlace(raw, w, h)
+    ImageBlock(left, top, w, h, indices, table, pos)
+  }
+
+  def decode(gif: Array[Byte]): Image = {
+    val sc = parseScreen(gif)
+    var pos = sc.firstBlock
     while (pos < gif.length) {
       (gif(pos) & 0xff) match {
         case 0x21 => // extension: label byte + sub-blocks
           need(pos + 2 < gif.length, "truncated extension")
-          pos += 2
-          var len = gif(pos) & 0xff
-          while (len != 0) {
-            pos += 1 + len
-            need(pos < gif.length, "truncated extension block")
-            len = gif(pos) & 0xff
-          }
-          pos += 1
-        case 0x2c => // image descriptor
-          need(pos + 10 <= gif.length, "truncated image descriptor")
-          val w = u16(pos + 5)
-          val h = u16(pos + 7)
-          val ipacked = gif(pos + 9) & 0xff
-          val interlaced = (ipacked & 0x40) != 0
-          need(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-          need(w.toLong * h * 3 <= MaxDecodedBytes,
-            s"decoded size ${w}x$h exceeds limit")
-          pos += 10
-          var table = globalTable
-          if ((ipacked & 0x80) != 0) {
-            val n = 2 << (ipacked & 7)
-            need(pos + 3 * n <= gif.length, "truncated local color table")
-            table = java.util.Arrays.copyOfRange(gif, pos, pos + 3 * n)
-            pos += 3 * n
-          }
-          need(table != null, "no color table")
-          need(pos < gif.length, "missing LZW code size")
-          val minCode = gif(pos) & 0xff
-          pos += 1
-          // collect LZW sub-blocks
-          val data = new java.io.ByteArrayOutputStream()
-          var len = -1
-          while (len != 0) {
-            need(pos < gif.length, "truncated image data")
-            len = gif(pos) & 0xff
-            pos += 1
-            if (len != 0) {
-              need(pos + len <= gif.length, "truncated image sub-block")
-              data.write(gif, pos, len)
-              pos += len
-            }
-          }
-          val raw = lzwDecode(data.toByteArray, minCode, w * h)
-          val indices = if (!interlaced) raw else deinterlace(raw, w, h)
-          val nColors = table.length / 3
-          val rgb = new Array[Byte](w * h * 3)
+          pos = skipSubBlocks(gif, pos + 2)
+        case 0x2c => // image descriptor: decode it standalone and stop
+          val b = parseImageBlock(gif, pos, sc.globalTable)
+          val nColors = b.table.length / 3
+          val rgb = new Array[Byte](b.w * b.h * 3)
           var i = 0
-          while (i < indices.length) {
-            val ci = indices(i) & 0xff
+          while (i < b.indices.length) {
+            val ci = b.indices(i) & 0xff
             need(ci < nColors, s"palette index $ci out of range")
-            rgb(i * 3) = table(ci * 3)
-            rgb(i * 3 + 1) = table(ci * 3 + 1)
-            rgb(i * 3 + 2) = table(ci * 3 + 2)
+            rgb(i * 3) = b.table(ci * 3)
+            rgb(i * 3 + 1) = b.table(ci * 3 + 1)
+            rgb(i * 3 + 2) = b.table(ci * 3 + 2)
             i += 1
           }
-          return Image(w, h, rgb)
+          return Image(b.w, b.h, rgb)
         case 0x3b =>
           need(false, "trailer before image data")
         case other =>
@@ -703,6 +707,10 @@ case class GifEncodeAnimationExpr(children: Seq[Expression])
       val n = arrs.head.numElements()
       require(arrs.forall(_.numElements() == n),
         "gif: animation arrays must align")
+      // ArrayData.getInt on a null slot silently yields 0 and getBinary
+      // NPEs — neither is the loud gif: contract, so gate nulls here
+      require(!arrs.exists(a => (0 until n).exists(a.isNullAt)),
+        "gif: animation arrays must not contain nulls")
       val frames = (0 until n).map { i =>
         GifCodec.GrayFrame(arrs(0).getInt(i), arrs(1).getInt(i),
           arrs(2).getInt(i), arrs(3).getInt(i), arrs(4).getBinary(i),

@@ -37,8 +37,10 @@ object Subtitles {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"subtitle: $msg")
 
-  /** `HH:MM:SS,mmm` / `HH:MM:SS.mmm` / `MM:SS.mmm` → milliseconds. */
-  private val Time = "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{2})[.,](\\d{3})".r
+  /** `HH:MM:SS,mmm` / `HH:MM:SS.mmm` / `MM:SS.mmm` → milliseconds.
+   * WebVTT allows hours of "two or MORE digits" (long livestream
+   * archives) — capped at 6 to keep the millisecond math in Long. */
+  private val Time = "(?:(\\d{1,6}):)?(\\d{1,2}):(\\d{2})[.,](\\d{3})".r
 
   private def ms(s: String): Long = s.trim match {
     case Time(hh, mm, ss, mmm) =>
@@ -55,6 +57,11 @@ object Subtitles {
     // split into blank-line-separated blocks, tolerating \r\n
     val blocks = doc.stripPrefix("﻿").replace("\r\n", "\n")
       .split("\n{2,}").map(_.trim).filter(_.nonEmpty).toSeq
+    if (isVtt && blocks.nonEmpty &&
+      blocks.head.split("\n").drop(1).exists(_.contains("-->")))
+      // a cue glued to the WEBVTT line (missing blank separator) would be
+      // swallowed with the header — silent cue loss desyncs alignment
+      fail("blank line required between the WEBVTT header and the first cue")
     val body = if (isVtt) blocks.drop(1) else blocks // header block off
     var seq = 0
     body.flatMap { block =>

@@ -194,5 +194,19 @@ class GifCodecSpec extends AnyFunSuite {
     // descriptor-sized) — the legacy round-trip path is unchanged
     val one = GifCodec.decode(good)
     assert((one.width, one.height) === (4, 2))
+    // encoder range validation: u16 truncation must never silently emit
+    // a corrupt file
+    assert(intercept[IllegalArgumentException](
+      GifCodec.encodeGrayAnimation(4, 2, Seq(
+        GrayFrame(-1, 0, 4, 2, flat(4, 2, 1), 1)))).getMessage
+      .contains("outside"))
+    assert(intercept[IllegalArgumentException](
+      GifCodec.encodeGrayAnimation(4, 2, Seq(
+        GrayFrame(0, 0, 4, 2, flat(4, 2, 1), 70000)))).getMessage
+      .contains("65535"))
+    assert(intercept[IllegalArgumentException](
+      GifCodec.encodeGrayAnimation(4, 2, Seq(
+        GrayFrame(0, 0, 4, 2, flat(4, 2, 1), 1, transparent = 300))))
+      .getMessage.contains("transparent"))
   }
 }

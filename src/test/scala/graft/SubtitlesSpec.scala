@@ -39,5 +39,16 @@ class SubtitlesSpec extends AnyFunSuite {
     // a well-formed empty document parses to no cues, not an error
     assert(Subtitles.parse("WEBVTT\n") === Seq.empty)
     assert(Subtitles.parse("") === Seq.empty)
+    // a cue glued to the WEBVTT header (no blank line) must reject, not
+    // silently drop the first cue and renumber the rest
+    assert(msg("WEBVTT\n00:00:01.000 --> 00:00:02.000\nhello\n\n" +
+      "00:00:03.000 --> 00:00:04.000\nworld\n").contains("blank line"))
+  }
+
+  test("hours beyond two digits parse (long livestream archives)") {
+    val cs = Subtitles.parse(
+      "WEBVTT\n\n100:00:00.000 --> 100:00:01.500\nmarathon\n")
+    assert(cs.map(c => (c.startMs, c.endMs)) ===
+      Seq((360000000L, 360001500L)))
   }
 }
