@@ -121,6 +121,21 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("mm_gif_animation + mm_subtitle_parse + mm_epub_extract + " +
+    "mm_header_sniff_av + mm_docx_extract + mm_xlsx_extract + " +
+    "text_warc_charset: every new front-door row is per-row scalar " +
+    "work (plus an explode) on one doc_id-only scan, zero Exchange") {
+    for (q <- Seq("mm_gif_animation", "mm_subtitle_parse",
+        "mm_epub_extract", "mm_header_sniff_av", "mm_docx_extract",
+        "mm_xlsx_extract", "text_warc_charset")) {
+      val p = plan(q)
+      val rs = scanColumns(p)
+      assert(rs.size === 1 && rs.head === Set("doc_id"),
+        s"$q: expected one doc_id-only scan, saw $rs:\n$p")
+      assert(exchanges(p) === 0, s"$q: ${exchanges(p)} exchanges:\n$p")
+    }
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
