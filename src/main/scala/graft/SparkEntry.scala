@@ -2823,6 +2823,74 @@ object SparkEntry {
           col("c.text").as("text"))
     }),
 
+    "mm_av_align" -> ((s, dir) => {
+      // the multimodal ALIGNMENT join: VAD speech segments (REAL PCM
+      // frame stats → energy gate → gaps-and-islands, the mm_audio_vad
+      // chain; frame f covers [f, f+1) ms at 16 samples / 16 kHz) against
+      // subtitle cues (REAL SRT parse) by TIME OVERLAP, per doc — the
+      // step that pairs captions with actual speech. Per cue: total
+      // overlapped speech milliseconds and a coverage verdict (a cue
+      // mostly over silence is a bad training pair). Equi-join on doc_id
+      // with residual interval predicates — hash join, never a theta
+      // BNLJ. The oracle replays samples → segments → cues → the
+      // interval-overlap sum.
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      import graft.functions.SubtitleFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 255), i -> concat(
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
+               '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "24020000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" +
+          "803E0000" + "007D0000" + "0200" + "1000" +
+          "64617461" + "00020000"),
+        dataHex)
+      val frames = docs
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.sum_abs").as("sum_abs"))
+        .withColumn("is_speech", col("sum_abs") >= 1000)
+      val island = col("frame") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("is_speech"))
+          .orderBy(col("frame")))
+      val segs = frames.withColumn("island", island)
+        .where(col("is_speech"))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame")).as("seg_begin"),
+          (max(col("frame")) + 1).as("seg_end")) // [begin, end) in ms
+        .drop("island")
+      // three SRT cues per doc at [d, d+5), [5+d, 10+d), [10+d, 15+d)
+      val d0 = col("doc_id") % 2
+      def tc(msExpr: Column): Column =
+        concat(lit("00:00:00,"), lpad(msExpr.cast("string"), 3, "0"))
+      def cueBlock(k: Int): Column = concat(
+        lit(s"$k\n"), tc(d0 + (k - 1) * 5), lit(" --> "),
+        tc(d0 + (k - 1) * 5 + 5),
+        lit(s"\ncue $k of doc "), col("doc_id").cast("string"), lit("\n\n"))
+      val srt = concat(cueBlock(1), cueBlock(2), cueBlock(3))
+      val cues = docs.select(col("doc_id"),
+          explode(subtitle_parse(srt)).as("c"))
+        .select(col("doc_id"), col("c.seq").as("seq"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"))
+      val overlap = least(col("end_ms"), col("seg_end")) -
+        greatest(col("start_ms"), col("seg_begin"))
+      cues.join(segs, Seq("doc_id"), "left")
+        .withColumn("ov",
+          when(col("seg_begin").isNotNull && overlap > 0, overlap)
+            .otherwise(lit(0L)))
+        .groupBy(col("doc_id"), col("seq"), col("start_ms"), col("end_ms"))
+        .agg(sum(col("ov")).cast("long").as("speech_ms"))
+        .withColumn("covered",
+          col("speech_ms") * 2 >= col("end_ms") - col("start_ms"))
+    }),
+
     "mm_subtitle_parse" -> ((s, dir) => {
       // the alignment layer of audio/video training data: docs alternate
       // SRT (index lines, comma millis) and WebVTT (magic header, NOTE
@@ -9068,6 +9136,44 @@ object SparkEntry {
              'Ch 1 doc ' || CAST(doc_id AS VARCHAR) ||
                ' plain tea, no entities'
            FROM documents) t""",
+
+    // A/V alignment: DuckDB replays the whole chain — signed samples →
+    // frame energies → speech islands as [begin, end) ms intervals →
+    // the three cue windows → per-cue overlap sum and coverage verdict
+    "mm_av_align" ->
+      """WITH s AS (SELECT doc_id, i,
+             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
+               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
+           FROM documents, generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, i // 16 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
+           FROM s GROUP BY 1, 2),
+         g AS (SELECT doc_id, frame, (sum_abs >= 1000) AS is_speech,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
+               (sum_abs >= 1000) ORDER BY frame) AS island
+           FROM f),
+         segs AS (SELECT doc_id, MIN(frame) AS seg_begin,
+             MAX(frame) + 1 AS seg_end
+           FROM g WHERE is_speech GROUP BY doc_id, island),
+         cues AS (SELECT doc_id, k AS seq,
+             CAST(doc_id % 2 + (k - 1) * 5 AS BIGINT) AS start_ms,
+             CAST(doc_id % 2 + (k - 1) * 5 + 5 AS BIGINT) AS end_ms
+           FROM documents, (SELECT UNNEST([1, 2, 3]) AS k) ks)
+         SELECT c.doc_id, c.seq, c.start_ms, c.end_ms,
+           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
+             AND least(c.end_ms, sg.seg_end) -
+                 greatest(c.start_ms, sg.seg_begin) > 0
+             THEN least(c.end_ms, sg.seg_end) -
+                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0)
+             AS BIGINT) AS speech_ms,
+           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
+             AND least(c.end_ms, sg.seg_end) -
+                 greatest(c.start_ms, sg.seg_begin) > 0
+             THEN least(c.end_ms, sg.seg_end) -
+                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0) * 2
+             >= c.end_ms - c.start_ms AS BOOLEAN) AS covered
+         FROM cues c LEFT JOIN segs sg ON sg.doc_id = c.doc_id
+         GROUP BY c.doc_id, c.seq, c.start_ms, c.end_ms""",
 
     // subtitle cues: timestamps and text derive from doc arithmetic; the
     // second cue pins the constant long-form times (hour carry on the
