@@ -182,7 +182,7 @@ object SparkEntry {
     val o = (lit(1) + col("doc_id") % 8).cast("int")
     val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
       .otherwise(o).cast("int")
-    val stored = image_orient(unhex(upHex), lit(24), lit(16), invO)
+    val stored = image_orient(unhex(upHex), lit(24), lit(16), lit(1), invO)
     val jpgRaw = when(col("doc_id") % 2 === 0,
       jpeg_encode_gray(stored.getField("width"),
         stored.getField("height"), stored.getField("pixels")))
@@ -2424,7 +2424,8 @@ object SparkEntry {
       val o = exif_parse(jpg).getField("orientation")
       val dec = jpeg_decode(jpg)
       val up = image_orient(dec.getField("pixels"),
-        dec.getField("width"), dec.getField("height"), o)
+        dec.getField("width"), dec.getField("height"),
+        dec.getField("channels"), o)
       t(s, dir, "documents").select(col("doc_id"),
         up.getField("width").as("width"),
         up.getField("height").as("height"),

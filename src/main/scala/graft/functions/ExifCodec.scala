@@ -296,9 +296,10 @@ object ExifCodec {
     StructField("pixels", BinaryType, nullable = false)))
 
   /**
-   * Normalize a grayscale pixel buffer to upright display order given its
-   * EXIF orientation (TIFF 6.0 tag 274 semantics). Pure integer
-   * permutation — exactly replayable — with mappings (out(x,y) reads):
+   * Normalize a pixel buffer (1 = gray or 3 = RGB interleaved channels)
+   * to upright display order given its EXIF orientation (TIFF 6.0 tag
+   * 274 semantics). Pure integer permutation of pixel GROUPS — exactly
+   * replayable — with mappings (out(x,y) reads):
    *
    *   1 in(x,y)          2 in(w-1-x,y)       3 in(w-1-x,h-1-y)
    *   4 in(x,h-1-y)      5 in(y,x)           6 in(y,h-1-x)
@@ -307,17 +308,21 @@ object ExifCodec {
    * Orientations 5–8 transpose the canvas (output is h×w). Called from
    * generated code.
    */
-  def orient(px: Array[Byte], w: Int, h: Int, o: Int): InternalRow = {
-    require(w > 0 && h > 0 && px.length == w * h,
-      s"exif: expected ${w}x$h = ${w * h} gray pixels, got ${px.length}")
+  def orient(px: Array[Byte], w: Int, h: Int, channels: Int,
+             o: Int): InternalRow = {
+    require(channels == 1 || channels == 3,
+      s"exif: unsupported channel count $channels")
+    require(w > 0 && h > 0 && px.length == w * h * channels,
+      s"exif: expected ${w}x$h x$channels = ${w * h * channels} pixel " +
+        s"bytes, got ${px.length}")
     require(o >= 1 && o <= 8, s"exif: bad orientation $o")
     val swap = o >= 5
     val ow = if (swap) h else w
     val oh = if (swap) w else h
     val out = new Array[Byte](px.length)
-    // every transform is affine per output row: source index = base(y) +
-    // step·x — one branch per ROW keeps the pixel loop allocation-free
-    // (this sits on imageCorpusExtract's per-payload hot path)
+    // every transform is affine per output row: source PIXEL index =
+    // base(y) + step·x — one branch per ROW keeps the pixel loop
+    // allocation-free (this sits on imageCorpusExtract's hot path)
     var y = 0
     while (y < oh) {
       val (base, step) = (o: @unchecked) match {
@@ -332,9 +337,14 @@ object ExifCodec {
       }
       var x = 0
       var src = base
-      val rowOff = y * ow
+      var dst = y * ow * channels
       while (x < ow) {
-        out(rowOff + x) = px(src)
+        var c = 0
+        while (c < channels) {
+          out(dst + c) = px(src * channels + c)
+          c += 1
+        }
+        dst += channels
         src += step
         x += 1
       }
@@ -417,28 +427,31 @@ case class ExifAttach(children: Seq[Expression])
       c: IndexedSeq[Expression]): ExifAttach = copy(children = c)
 }
 
-/** `image_orient(pixels, w, h, orientation)` → STRUCT(width, height,
- * pixels) — codegen'd upright normalization of a gray buffer. */
+/** `image_orient(pixels, w, h, channels, orientation)` → STRUCT(width,
+ * height, pixels) — codegen'd upright normalization of a gray or RGB
+ * buffer. */
 case class ImageOrient(px: Expression, w: Expression, h: Expression,
-                       o: Expression) extends Expression {
-  override def children: Seq[Expression] = Seq(px, w, h, o)
+                       ch: Expression, o: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(px, w, h, ch, o)
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = ExifCodec.orientResultType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (px.dataType, w.dataType, h.dataType, o.dataType) match {
-      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
+    (px.dataType, w.dataType, h.dataType, ch.dataType, o.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType,
+        IntegerType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"image_orient(BINARY, INT, INT, INT), got $other")
+        s"image_orient(BINARY, INT, INT, INT, INT), got $other")
     }
 
   override def eval(input: InternalRow): Any = {
     val pv = px.eval(input); val wv = w.eval(input)
-    val hv = h.eval(input); val ov = o.eval(input)
-    if (pv == null || wv == null || hv == null || ov == null) null
+    val hv = h.eval(input); val cv = ch.eval(input); val ov = o.eval(input)
+    if (pv == null || wv == null || hv == null || cv == null || ov == null)
+      null
     else ExifCodec.orient(pv.asInstanceOf[Array[Byte]],
-      wv.asInstanceOf[Int], hv.asInstanceOf[Int], ov.asInstanceOf[Int])
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int], cv.asInstanceOf[Int],
+      ov.asInstanceOf[Int])
   }
 
   import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -446,19 +459,22 @@ case class ImageOrient(px: Expression, w: Expression, h: Expression,
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val pG = px.genCode(ctx); val wG = w.genCode(ctx)
-    val hG = h.genCode(ctx); val oG = o.genCode(ctx)
+    val hG = h.genCode(ctx); val cG = ch.genCode(ctx)
+    val oG = o.genCode(ctx)
     val code =
       code"""
         ${pG.code}
         ${wG.code}
         ${hG.code}
+        ${cG.code}
         ${oG.code}
-        boolean ${ev.isNull} =
-          ${pG.isNull} || ${wG.isNull} || ${hG.isNull} || ${oG.isNull};
+        boolean ${ev.isNull} = ${pG.isNull} || ${wG.isNull} ||
+          ${hG.isNull} || ${cG.isNull} || ${oG.isNull};
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.ExifCodec.orient(
-            ${pG.value}, ${wG.value}, ${hG.value}, ${oG.value});
+            ${pG.value}, ${wG.value}, ${hG.value}, ${cG.value},
+            ${oG.value});
         }
       """
     ev.copy(code = code)
@@ -466,7 +482,7 @@ case class ImageOrient(px: Expression, w: Expression, h: Expression,
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ImageOrient =
-    copy(px = c(0), w = c(1), h = c(2), o = c(3))
+    copy(px = c(0), w = c(1), h = c(2), ch = c(3), o = c(4))
 }
 
 object ExifFunctions {
@@ -481,8 +497,9 @@ object ExifFunctions {
     GraftShim.column(ExifAttach(Seq(jpg, le, orientation, make, model,
       datetime, x, y, gps).map(GraftShim.expression)))
 
-  def image_orient(px: Column, w: Column, h: Column, o: Column): Column =
+  def image_orient(px: Column, w: Column, h: Column, ch: Column,
+                   o: Column): Column =
     GraftShim.column(ImageOrient(GraftShim.expression(px),
       GraftShim.expression(w), GraftShim.expression(h),
-      GraftShim.expression(o)))
+      GraftShim.expression(ch), GraftShim.expression(o)))
 }

@@ -245,9 +245,15 @@ object Multimodal {
     // EXIF-less JPEG (most of a real crawl) must flow, not null out
     val jup = image_orient(jdec.getField("pixels"),
       jdec.getField("width"), jdec.getField("height"),
+      jdec.getField("channels"),
       coalesce(exif_parse(bin).getField("orientation"), lit(1)))
+    // one canonical RGB-hex form: gray JPEGs triple to match the RGB
+    // decoders; COLOR JPEGs (3 channels) are already interleaved RGB
     val hex3 = when(fmt === "jpeg",
-      regexp_replace(lower(hex(jup.getField("pixels"))), "(..)", "$1$1$1"))
+      when(jdec.getField("channels") === 1,
+        regexp_replace(lower(hex(jup.getField("pixels"))), "(..)",
+          "$1$1$1"))
+        .otherwise(lower(hex(jup.getField("pixels")))))
       .when(fmt === "png",
         lower(hex(png_decode(bin).getField("pixels"))))
       .otherwise(lower(hex(gif_decode(bin).getField("pixels"))))

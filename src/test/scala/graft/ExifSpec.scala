@@ -97,7 +97,7 @@ class ExifSpec extends AnyFunSuite {
     // 3x2 buffer: a b c / d e f
     val px = "abcdef".getBytes
     def run(o: Int): (Int, Int, String) = {
-      val r = ExifCodec.orient(px, 3, 2, o)
+      val r = ExifCodec.orient(px, 3, 2, 1, o)
       (r.getInt(0), r.getInt(1), new String(r.getBinary(2)))
     }
     assert(run(1) === ((3, 2, "abcdef")))
@@ -111,7 +111,7 @@ class ExifSpec extends AnyFunSuite {
     // involution / composition sanity: 2 then 2 = identity; 6 four times =
     // identity
     def again(s: String, w: Int, h: Int, o: Int): (Int, Int, String) = {
-      val r = ExifCodec.orient(s.getBytes, w, h, o)
+      val r = ExifCodec.orient(s.getBytes, w, h, 1, o)
       (r.getInt(0), r.getInt(1), new String(r.getBinary(2)))
     }
     assert(again("cbafed", 3, 2, 2) === ((3, 2, "abcdef")))
@@ -121,7 +121,20 @@ class ExifSpec extends AnyFunSuite {
     val r4 = again(r3._3, r3._1, r3._2, 6)
     assert(r4 === ((3, 2, "abcdef")))
     // bad inputs are loud (this is a transform, not a sniffer)
-    intercept[IllegalArgumentException](ExifCodec.orient(px, 3, 2, 0))
-    intercept[IllegalArgumentException](ExifCodec.orient(px, 4, 2, 1))
+    intercept[IllegalArgumentException](ExifCodec.orient(px, 3, 2, 1, 0))
+    intercept[IllegalArgumentException](ExifCodec.orient(px, 4, 2, 1, 1))
+  }
+
+  test("color (3-channel) buffers permute pixel GROUPS, not bytes") {
+    // pixel k carries (10k, 10k+1, 10k+2): channel order must survive
+    val px = Array.tabulate(6 * 3)(i => ((i / 3) * 10 + i % 3).toByte)
+    val r = ExifCodec.orient(px, 3, 2, 3, 6)
+    // rotate 90 CW of pixels [0 1 2 / 3 4 5] -> [3 0 / 4 1 / 5 2]
+    val want = Seq(3, 0, 4, 1, 5, 2)
+      .flatMap(k => Seq(10 * k, 10 * k + 1, 10 * k + 2)).map(_.toByte)
+    assert(r.getBinary(2).toSeq === want)
+    assert((r.getInt(0), r.getInt(1)) === ((2, 3)))
+    // a channel/length mismatch is loud, never a silent reinterpretation
+    intercept[IllegalArgumentException](ExifCodec.orient(px, 3, 2, 1, 1))
   }
 }

@@ -116,6 +116,22 @@ class StreamingImageCorpusSpec extends SparkSpec {
     assert(rowsOf(sub.resolve(spark)) === before)
   }
 
+  test("a COLOR JPEG flows through the pipeline (it must not die on the " +
+    "gray-only orientation path)") {
+    // ImageIO color JPEG, high contrast so the quality gate keeps it
+    val src = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      src.setRGB(x, y, if (x < 12) 0x000000 else 0xffffff)
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", bytes)
+    val out = Multimodal.imageCorpusExtract(df(5L -> bytes.toByteArray))
+      .collect()
+    assert(out.length === 1, "color JPEG must survive extraction")
+    assert(out.head.getAs[String]("format") === "jpeg")
+    assert(out.head.getAs[Int]("width") === 24)
+  }
+
   test("stale stateDir/checkpoint pairing fails loudly at fold time") {
     val dir = newDir()
     val sub = new StreamingImageCorpus(dir)
