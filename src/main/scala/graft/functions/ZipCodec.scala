@@ -76,6 +76,9 @@ object ZipCodec {
       "multi-disk archives unsupported")
     val n = le16(zip, eocd + 10)
     val cdOff = le32(zip, eocd + 16)
+    // ZIP64 stores 0xFFFF/0xFFFFFFFF sentinels here and the real values
+    // in a separate record — reject loudly instead of walking garbage
+    need(n != 0xffff && cdOff != 0xffffffffL, "zip64 archives unsupported")
     need(cdOff + 4 <= zip.length, s"central directory at $cdOff out of bounds")
     var p = cdOff.toInt
     (0 until n).map { k =>
