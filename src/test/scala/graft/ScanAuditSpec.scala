@@ -136,6 +136,16 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
+  test("mm_av_align: segments join cues as a doc_id HASH join (interval " +
+    "predicates stay residual), bounded shuffles") {
+    val p = plan("mm_av_align")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"alignment join degraded:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"theta-join degradation:\n$p")
+    assert(exchanges(p) <= 6, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("text_bytebpe_tokenize: dictionary-broadcast tokenizer shape — " +
     "two pruned scans (dict build + corpus explode), the pretoken " +
     "dictionary BROADCAST onto the corpus side, at most two " +
