@@ -2747,10 +2747,12 @@ object SparkEntry {
     }),
 
     "mm_xlsx_extract" -> ((s, dir) => {
-      // REAL spreadsheet extraction: five cells per doc — strings (one
-      // value repeated, so the sharedStrings DEDUP indirection is on the
-      // path: C1 must resolve through the SAME index A1 claimed), inline
-      // numbers, XML-hostile characters — packed into a true XLSX (two
+      // REAL spreadsheet extraction: six cells per doc — shared strings
+      // (one value repeated, so the sharedStrings DEDUP indirection is on
+      // the path: C1 must resolve through the SAME index A1 claimed),
+      // inline numbers, an inlineStr cell (the <is><t> body real writers
+      // use for one-off strings — no sharedStrings indirection at all),
+      // XML-hostile characters — packed into a true XLSX (two
       // cross-referencing ZIP members, STORE/DEFLATE by doc_id % 2) and
       // recovered by the engine's own container walk + SpreadsheetML cell
       // resolution. The oracle rebuilds every (cell_ref, value) pair
@@ -2758,12 +2760,15 @@ object SparkEntry {
       import graft.functions.ZipFunctions._
       val name = concat(lit("name-"), (col("doc_id") % 50).cast("string"))
       val xlsx = xlsx_encode(
-        array(lit("A1"), lit("B1"), lit("C1"), lit("A2"), lit("B2")),
+        array(lit("A1"), lit("B1"), lit("C1"), lit("A2"), lit("B2"),
+          lit("D2")),
         array(name, (col("doc_id") * 3 % 1000).cast("string"), name,
           concat(lit("r&d <"), (col("doc_id") % 7).cast("string"),
             lit(">")),
-          (col("doc_id") % 97).cast("string")),
-        array(lit(true), lit(false), lit(true), lit(true), lit(false)),
+          (col("doc_id") % 97).cast("string"),
+          concat(lit("i&s <"), (col("doc_id") % 5).cast("string"),
+            lit(">"))),
+        array(lit(1), lit(0), lit(1), lit(1), lit(0), lit(2)),
         col("doc_id") % 2 === 0)
       t(s, dir, "documents")
         .select(col("doc_id"), explode(xlsx_extract(xlsx)).as("c"))
@@ -9105,7 +9110,10 @@ object SparkEntry {
            UNION ALL SELECT doc_id, 'A2',
              'r&d <' || CAST(doc_id % 7 AS VARCHAR) || '>' FROM documents
            UNION ALL SELECT doc_id, 'B2',
-             CAST(doc_id % 97 AS VARCHAR) FROM documents) t""",
+             CAST(doc_id % 97 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'D2',
+             'i&s <' || CAST(doc_id % 5 AS VARCHAR) || '>' FROM documents
+           ) t""",
 
     // TIFF round-trip: all three compressions are lossless, so the oracle
     // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike

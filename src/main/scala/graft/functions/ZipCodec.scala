@@ -225,47 +225,78 @@ object ZipCodec {
             .map(m => decodeEntities(m.group(1))).toIndexedSeq
       }
     val sheet = member("xl/worksheets/sheet1.xml")
-    // match the whole attribute blob — real Excel cells carry style
-    // indices (s="N") and more; dropping a cell because of an unknown
-    // attribute would be silent data loss
-    "(?s)<c\\s+([^>/]*)>\\s*<v>(.*?)</v>\\s*</c>"
-      .r.findAllMatchIn(sheet).map { m =>
+    // match EVERY <c> element (self-closing or with a body), not just the
+    // <v>-shaped ones — dropping a cell because its body is <is><t>
+    // (inlineStr) or because it is styled-but-empty would be silent data
+    // loss; an unrecognized body shape rejects loudly instead
+    val vBody = "(?s)^<v>(.*)</v>$".r
+    val isBody = "(?s)^<is>\\s*<t(?:\\s[^>]*)?>(.*)</t>\\s*</is>$".r
+    "(?s)<c\\s+([^>/]*?)(?:/>|>(.*?)</c>)"
+      .r.findAllMatchIn(sheet).flatMap { m =>
         val attrs = m.group(1)
         def attr(name: String): Option[String] =
           (name + "=\"([^\"]*)\"").r.findFirstMatchIn(attrs).map(_.group(1))
         val ref = attr("r").getOrElse(
           fail(s"cell without an r= reference: <c $attrs>"))
-        val v = m.group(2)
-        val value = attr("t").orNull match {
-          case "s" =>
-            val i = try v.trim.toInt catch {
-              case _: NumberFormatException =>
-                fail(s"cell $ref: non-integer shared-string index '$v'")
-            }
-            need(i >= 0 && i < shared.length,
-              s"cell $ref: shared-string index $i outside 0..${shared.length - 1}")
-            shared(i)
-          case null | "n" => decodeEntities(v)
-          case t => fail(s"cell $ref: unsupported cell type '$t'")
+        val t = attr("t").orNull
+        Option(m.group(2)).map(_.trim).filter(_.nonEmpty) match {
+          case None =>
+            // a self-closing or empty <c> is a styled empty cell: it
+            // carries NO value by the spec, so emitting nothing is the
+            // correct extraction, not a dropped match
+            None
+          case Some(vBody(v)) => t match {
+            case "s" =>
+              val i = try v.trim.toInt catch {
+                case _: NumberFormatException =>
+                  fail(s"cell $ref: non-integer shared-string index '$v'")
+              }
+              need(i >= 0 && i < shared.length,
+                s"cell $ref: shared-string index $i outside 0..${shared.length - 1}")
+              Some((ref, shared(i)))
+            case null | "n" => Some((ref, decodeEntities(v)))
+            case other => fail(s"cell $ref: unsupported cell type '$other'")
+          }
+          case Some(isBody(txt)) =>
+            need(t == "inlineStr",
+              s"cell $ref: <is> body requires t=\"inlineStr\", got t=" +
+                (if (t == null) "(absent)" else s"\"$t\""))
+            Some((ref, decodeEntities(txt)))
+          case Some(other) =>
+            fail(s"cell $ref: unrecognized cell body shape " +
+              s"'${other.take(60)}'")
         }
-        (ref, value)
       }.toSeq
   }
 
   /** Minimal spec-shaped XLSX: sharedStrings + sheet1 with string cells
    * (shared indices) and inline numeric cells, STORE or DEFLATE. */
   def xlsxEncode(cells: Seq[(String, String, Boolean)],
-                 deflate: Boolean): Array[Byte] = {
-    // string cells dedupe into sharedStrings in first-appearance order
-    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val body = cells.map { case (ref, value, isString) =>
-      if (isString) {
-        val i = strings.getOrElseUpdate(value, strings.size)
-        s"""<c r="$ref" t="s"><v>$i</v></c>"""
-      } else s"""<c r="$ref"><v>$value</v></c>"""
-    }.mkString
+                 deflate: Boolean): Array[Byte] =
+    xlsxEncodeKinds(
+      cells.map { case (r, v, isStr) => (r, v, if (isStr) 1 else 0) },
+      deflate)
+
+  /** XLSX writer with per-cell kind: 0 = inline number, 1 = shared
+   * string (dedup indirection through sharedStrings), 2 = inlineStr
+   * (`<is><t>` body — the shape real writers use for one-off strings). */
+  def xlsxEncodeKinds(cells: Seq[(String, String, Int)],
+                      deflate: Boolean): Array[Byte] = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // string cells dedupe into sharedStrings in first-appearance order
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val body = cells.map {
+      case (ref, value, 1) =>
+        val i = strings.getOrElseUpdate(value, strings.size)
+        s"""<c r="$ref" t="s"><v>$i</v></c>"""
+      case (ref, value, 0) => s"""<c r="$ref"><v>$value</v></c>"""
+      case (ref, value, 2) =>
+        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">""" +
+          esc(value) + "</t></is></c>"
+      case (ref, _, k) =>
+        fail(s"xlsx_encode: unknown cell kind $k for $ref (0|1|2)")
+    }.mkString
     val sst = "<?xml version=\"1.0\"?><sst>" + strings.keys.map(s =>
       s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>").mkString +
       "</sst>"
@@ -494,8 +525,9 @@ case class DocxExtract(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** `xlsx_encode(refs, values, is_string, deflate)` → BINARY minimal XLSX
- * (sharedStrings + sheet1). Fixture-synthesis edge — CodegenFallback. */
+/** `xlsx_encode(refs, values, kinds, deflate)` → BINARY minimal XLSX
+ * (sharedStrings + sheet1); kind 0 = number, 1 = shared string, 2 =
+ * inlineStr. Fixture-synthesis edge — CodegenFallback. */
 case class XlsxEncode(children: Seq[Expression])
     extends Expression with CodegenFallback {
   override def nullable: Boolean = children.exists(_.nullable)
@@ -503,13 +535,13 @@ case class XlsxEncode(children: Seq[Expression])
 
   override def checkInputDataTypes(): TypeCheckResult = {
     import org.apache.spark.sql.types._
-    val want = Seq("array<string>", "array<string>", "array<boolean>",
+    val want = Seq("array<string>", "array<string>", "array<int>",
       "boolean")
     if (children.length == 4 && children.map(_.dataType).zip(want)
         .forall { case (a, b) => a.simpleString == b })
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "xlsx_encode(ARRAY<STRING>, ARRAY<STRING>, ARRAY<BOOLEAN>, " +
+      "xlsx_encode(ARRAY<STRING>, ARRAY<STRING>, ARRAY<INT>, " +
         s"BOOLEAN), got ${children.map(_.dataType)}")
   }
 
@@ -520,14 +552,14 @@ case class XlsxEncode(children: Seq[Expression])
     else {
       val refs = vs(0).asInstanceOf[ArrayData]
       val values = vs(1).asInstanceOf[ArrayData]
-      val isStr = vs(2).asInstanceOf[ArrayData]
+      val kinds = vs(2).asInstanceOf[ArrayData]
       require(refs.numElements() == values.numElements() &&
-        refs.numElements() == isStr.numElements(),
+        refs.numElements() == kinds.numElements(),
         "zip: xlsx_encode arrays must align")
       val cells = (0 until refs.numElements()).map(i =>
         (refs.getUTF8String(i).toString, values.getUTF8String(i).toString,
-          isStr.getBoolean(i)))
-      ZipCodec.xlsxEncode(cells, vs(3).asInstanceOf[Boolean])
+          kinds.getInt(i)))
+      ZipCodec.xlsxEncodeKinds(cells, vs(3).asInstanceOf[Boolean])
     }
   }
 

@@ -249,6 +249,10 @@ object Multimodal {
       coalesce(exif_parse(bin).getField("orientation"), lit(1)))
     // one canonical RGB-hex form: gray JPEGs triple to match the RGB
     // decoders; COLOR JPEGs (3 channels) are already interleaved RGB
+    // each branch gated on its sniffed format — a payload none of the
+    // three image codecs claims (bmp/webp/audio/unknown) nulls out and is
+    // dropped by the spread gate below instead of crashing the job with a
+    // misleading "gif: bad signature" from a catch-all otherwise branch
     val hex3 = when(fmt === "jpeg",
       when(jdec.getField("channels") === 1,
         regexp_replace(lower(hex(jup.getField("pixels"))), "(..)",
@@ -256,18 +260,26 @@ object Multimodal {
         .otherwise(lower(hex(jup.getField("pixels")))))
       .when(fmt === "png",
         lower(hex(png_decode(bin).getField("pixels"))))
-      .otherwise(lower(hex(gif_decode(bin).getField("pixels"))))
+      .when(fmt === "gif",
+        lower(hex(gif_decode(bin).getField("pixels"))))
     val w = when(fmt === "jpeg", jup.getField("width"))
       .when(fmt === "png", png_decode(bin).getField("width"))
-      .otherwise(gif_decode(bin).getField("width"))
+      .when(fmt === "gif", gif_decode(bin).getField("width"))
     val h = when(fmt === "jpeg", jup.getField("height"))
       .when(fmt === "png", png_decode(bin).getField("height"))
-      .otherwise(gif_decode(bin).getField("height"))
-    val bvals = Seq((0, 0), (8, 0), (16, 0), (0, 8), (8, 8), (16, 8))
-      .map { case (x, y) =>
-        conv(substring(col("hex3"), (y * 24 + x) * 3 * 2 + 1, 2), 16, 10)
-          .cast("long")
-      }
+      .when(fmt === "gif", gif_decode(bin).getField("height"))
+    // sample the six 8x8-block corners at positions DERIVED from the
+    // decoded geometry (x ∈ {0, w/3, 2w/3}, y ∈ {0, h/2}; 24x16 → the
+    // historical 0/8/16 × 0/8 grid) — a hardcoded 24-pixel row stride
+    // would silently sample wrong bytes on any other width
+    val bvals = {
+      val xs = Seq(lit(0), (col("width") / 3).cast("int"),
+        (col("width") * 2 / 3).cast("int"))
+      val ys = Seq(lit(0), (col("height") / 2).cast("int"))
+      for (y <- ys; x <- xs) yield
+        conv(col("hex3").substr((y * col("width") + x) * 6 + 1, lit(2)),
+          16, 10).cast("long")
+    }
     docs.select(col("doc_id"), fmt.as("format"), w.as("width"),
         h.as("height"), hex3.as("hex3"))
       .withColumn("spread", greatest(bvals: _*) - least(bvals: _*))

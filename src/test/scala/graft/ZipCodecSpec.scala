@@ -96,6 +96,51 @@ class ZipCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx: inlineStr cells extract; empty cells skip; bad bodies " +
+    "reject loudly") {
+    // inlineStr round-trips through the writer (kind 2) with NO
+    // sharedStrings indirection, mixed with shared + numeric kinds
+    val cells = Seq(("A1", "shared", 1), ("B1", "7", 0),
+      ("C1", "in&line <x>", 2))
+    for (deflate <- Seq(false, true)) {
+      val x = ZipCodec.xlsxEncodeKinds(cells, deflate)
+      assert(ZipCodec.xlsxExtract(x) === cells.map(c => (c._1, c._2)),
+        s"deflate=$deflate")
+    }
+    def zip(members: (String, String)*): Array[Byte] = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bytes)
+      members.foreach { case (n, body) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(body.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      bytes.toByteArray
+    }
+    def sheet(cellXml: String): Array[Byte] = zip(
+      "xl/worksheets/sheet1.xml" ->
+        s"<worksheet><sheetData><row>$cellXml</row></sheetData></worksheet>")
+    // styled empty cells (self-closing and empty-bodied) carry no value:
+    // they are skipped explicitly, never dropped by a regex gap
+    assert(ZipCodec.xlsxExtract(sheet(
+      """<c r="A1" s="3"/><c r="B1" s="2"></c><c r="C1"><v>9</v></c>""")) ===
+      Seq(("C1", "9")))
+    def msg(cellXml: String): String =
+      intercept[IllegalArgumentException] {
+        ZipCodec.xlsxExtract(sheet(cellXml))
+      }.getMessage
+    // an <is> body without the inlineStr type is a lying cell
+    assert(msg("""<c r="A1" t="s"><is><t>x</t></is></c>""")
+      .contains("inlineStr"))
+    // a body that is neither <v> nor <is><t> must reject, not vanish
+    assert(msg("""<c r="A1"><f>SUM(B:B)</f></c>""")
+      .contains("unrecognized cell body"))
+    // inlineStr with a <v> body is type 'inlineStr' over the wrong shape
+    assert(msg("""<c r="A1" t="inlineStr"><v>3</v></c>""")
+      .contains("unsupported cell type"))
+  }
+
   test("xlsx hostile shapes reject precisely") {
     def msg(b: Array[Byte]): String =
       intercept[IllegalArgumentException] {
