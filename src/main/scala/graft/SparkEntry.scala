@@ -3001,6 +3001,35 @@ object SparkEntry {
         .select(col("doc_id"), col("r.k").as("k"), col("r.v").as("v"))
     }),
 
+    "mm_flac_roundtrip" -> ((s, dir) => {
+      // REAL compressed-audio decode: 64 deterministic 16-bit samples per
+      // doc whose frames alternate CONSTANT (flat) and varying blocks by
+      // doc arithmetic are FLAC-encoded (fixed predictors + Rice
+      // residuals, real CRC-8/CRC-16/MD5) and decoded back through the
+      // engine's own frame-layer decode — subframe dispatch, Rice
+      // zigzag, prediction reconstruction and all three integrity gates
+      // on the path. FLAC is lossless, so the oracle replays every
+      // sample from the fixture formula. LPC/stereo/wasted-bits/escape
+      // decode paths and hostile fixtures live in FlacCodecSpec.
+      import graft.functions.FlacFunctions._
+      val samples = expr(
+        """transform(sequence(0, 63), i ->
+             CASE WHEN pmod(doc_id + i DIV 16, 3) = 0
+               THEN cast(pmod(doc_id * 7 + i DIV 16, 256) - 128 as int)
+               ELSE cast(CASE
+                 WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+                 THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+                 ELSE pmod(doc_id * 31 + i * 17, 65536) END as int) END)""")
+      val dec = flac_decode(flac_encode(samples, lit(16000), lit(16)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          dec.getField("sample_rate").as("sample_rate"),
+          dec.getField("bits").as("bits"),
+          posexplode(dec.getField("samples")))
+        .select(col("doc_id"), col("sample_rate"), col("bits"),
+          col("pos").as("i"), col("col").as("v"))
+    }),
+
     "mm_image_phash" -> ((s, dir) => {
       // image dedup via perceptual hashing: docs sharing a pixel seed
       // (doc_id % 100) carry identical images; png_ahash (decode -> grid
@@ -9226,6 +9255,20 @@ object SparkEntry {
            COUNT(*) AS n_frames,
            CAST(SUM(sum_abs) AS BIGINT) AS energy
          FROM g WHERE is_speech GROUP BY doc_id, island""",
+
+    // FLAC is lossless: every decoded sample is the fixture formula,
+    // constant and varying frames alike
+    "mm_flac_roundtrip" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents)
+         SELECT doc_id, 16000 AS sample_rate, 16 AS bits,
+           CAST(i AS INTEGER) AS i,
+           CAST(CASE WHEN (doc_id + i // 16) % 3 = 0
+             THEN (doc_id * 7 + i // 16) % 256 - 128
+             ELSE CASE WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+               THEN (doc_id * 31 + i * 17) % 65536 - 65536
+               ELSE (doc_id * 31 + i * 17) % 65536 END END AS INTEGER) AS v
+         FROM s""",
 
     // perceptual hash replay: hex->int via a 256-row lookup dictionary,
     // integer luma, strict luma*N > total bit rule

@@ -1,0 +1,719 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL FLAC codec in pure JVM — no codec libraries. FLAC is the
+ * container LibriSpeech-class speech corpora actually ship, and its
+ * decode is fully integer (lossless prediction + Rice-coded residuals),
+ * which makes it the most oracle-friendly compressed audio format: every
+ * decoded sample is exact arithmetic.
+ *
+ * Decode implements the complete frame layer of the public format spec
+ * (RFC 9639 / xiph.org): the `fLaC` magic, the metadata-block walk with
+ * a mandatory leading STREAMINFO, frame sync + header (block size /
+ * sample rate / channel assignment / sample size codes including the
+ * follow-on 8/16-bit forms, UTF-8-coded frame numbers) guarded by the
+ * spec CRC-8, all four subframe families — CONSTANT, VERBATIM, FIXED
+ * orders 0–4 and LPC with quantized coefficients — wasted-bits
+ * shifting, both residual coding methods (4-bit and 5-bit Rice
+ * parameters) with partition orders and verbatim-escape partitions, the
+ * three stereo decorrelations (left-side / right-side / mid-side), the
+ * per-frame CRC-16 gate, and the STREAMINFO MD5 signature over the
+ * decoded little-endian sample stream. Anything outside the spec — bad
+ * sync, reserved codes, CRC mismatches, sample counts disagreeing with
+ * STREAMINFO — rejects loudly inside the `flac:` error contract;
+ * decode-bomb block sizes are bounds-checked before allocation.
+ *
+ * The encoder is the fixture edge (same discipline as
+ * [[TiffCodec]]/[[JpegCodec]]): mono 16-bit, per-block best-of fixed
+ * predictors (constant blocks collapse to CONSTANT subframes), exact
+ * Rice parameter search, real CRCs and MD5 — so round-trip fixtures are
+ * spec-compliant files any decoder accepts, and the engine's own decode
+ * path is what the oracle verifies.
+ *
+ * The reference treats payloads opaquely (blob passthrough,
+ * connector/.../AbstractNativeConverter.java:115-147); audio decode is
+ * an engine extension for the speech-corpus pipeline.
+ */
+object FlacCodec {
+
+  /** Decoded stream: interleaved samples (channel-major within a frame
+   * position, i.e. s[frame*ch + c]). */
+  final case class Audio(sampleRate: Int, channels: Int, bits: Int,
+                         samples: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"flac: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  /** Decoded payloads are attacker-controlled; bound total samples the
+   * same way the image codecs bound pixels. */
+  private val MaxSamples: Int = Int.MaxValue / 16
+
+  // ---- CRCs (spec polynomials) --------------------------------------------
+
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — frame-header guard. */
+  private[functions] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — whole-frame guard. */
+  private[functions] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- bit I/O -------------------------------------------------------------
+
+  private final class BitReader(b: Array[Byte]) {
+    var pos = 0 // bit position
+    def bytePos: Int = (pos + 7) / 8
+    def atByteBoundary: Boolean = pos % 8 == 0
+    def bits(n: Int): Long = {
+      need(n >= 0 && n <= 57, s"bit read width $n out of range")
+      need(pos + n <= b.length.toLong * 8, "bitstream truncated")
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val bit = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+        v = (v << 1) | bit
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def bitsInt(n: Int): Int = bits(n).toInt
+    /** Signed two's-complement read. */
+    def signed(n: Int): Int = {
+      val v = bits(n)
+      if (n == 0) 0
+      else if ((v & (1L << (n - 1))) != 0) (v - (1L << n)).toInt
+      else v.toInt
+    }
+    /** Unary: count of 0 bits before the terminating 1. */
+    def unary(): Int = {
+      var n = 0
+      while (bits(1) == 0) {
+        n += 1
+        need(n <= (1 << 24), "unary run exceeds bound (corrupt Rice stream)")
+      }
+      n
+    }
+    def align(): Unit = { pos = ((pos + 7) / 8) * 8 }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def bits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        k -= 1
+      }
+    }
+    def unary(n: Int): Unit = { var k = 0; while (k < n) { bits(0, 1); k += 1 }; bits(1, 1) }
+    def align(): Unit = if (nbits > 0) { cur <<= (8 - nbits); out.write(cur); cur = 0; nbits = 0 }
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  // ---- decode ---------------------------------------------------------------
+
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  def decode(flac: Array[Byte]): Audio = {
+    need(flac.length >= 42, "shorter than magic + STREAMINFO")
+    need(flac(0) == 'f' && flac(1) == 'L' && flac(2) == 'a' &&
+      flac(3) == 'C', "bad magic (want fLaC)")
+    // metadata walk: STREAMINFO must come first; skip the rest
+    var p = 4
+    var last = false
+    var first = true
+    var siSampleRate = 0
+    var siChannels = 0
+    var siBits = 0
+    var siTotal = 0L
+    var siMd5: Array[Byte] = null
+    var siMinBlock = 0
+    var siMaxBlock = 0
+    while (!last) {
+      need(p + 4 <= flac.length, "truncated metadata block header")
+      last = (flac(p) & 0x80) != 0
+      val typ = flac(p) & 0x7f
+      val len = ((flac(p + 1) & 0xff) << 16) | ((flac(p + 2) & 0xff) << 8) |
+        (flac(p + 3) & 0xff)
+      need(p + 4 + len <= flac.length, s"metadata block overruns payload")
+      if (first) {
+        need(typ == 0, s"first metadata block must be STREAMINFO, got $typ")
+        need(len == 34, s"STREAMINFO length $len != 34")
+        val s = p + 4
+        siMinBlock = ((flac(s) & 0xff) << 8) | (flac(s + 1) & 0xff)
+        siMaxBlock = ((flac(s + 2) & 0xff) << 8) | (flac(s + 3) & 0xff)
+        siSampleRate = ((flac(s + 10) & 0xff) << 12) |
+          ((flac(s + 11) & 0xff) << 4) | ((flac(s + 12) & 0xff) >> 4)
+        siChannels = (((flac(s + 12) & 0xff) >> 1) & 0x7) + 1
+        siBits = (((flac(s + 12) & 1) << 4) | ((flac(s + 13) & 0xff) >> 4)) + 1
+        siTotal = ((flac(s + 13) & 0xfL) << 32) |
+          ((flac(s + 14) & 0xffL) << 24) | ((flac(s + 15) & 0xffL) << 16) |
+          ((flac(s + 16) & 0xffL) << 8) | (flac(s + 17) & 0xffL)
+        siMd5 = java.util.Arrays.copyOfRange(flac, s + 18, s + 34)
+        first = false
+      } else {
+        need(typ != 0, "duplicate STREAMINFO block")
+      }
+      p += 4 + len
+    }
+    need(!first, "no metadata blocks")
+    need(siSampleRate > 0, "STREAMINFO sample rate is zero")
+    need(siTotal <= MaxSamples / siChannels,
+      s"declared sample count $siTotal exceeds decode bound")
+
+    val nTotal = siTotal.toInt
+    val samples = new Array[Int](nTotal * siChannels)
+    var got = 0L // interleaved positions filled
+
+    // frames until the declared sample count is reached
+    while (got < siTotal) {
+      val frameStart = p
+      val r = new BitReader(flac)
+      r.pos = p * 8
+      need(r.bits(14) == 0x3ffe, s"bad frame sync at byte $p")
+      need(r.bits(1) == 0, "reserved bit set in frame header")
+      val blockingStrategy = r.bitsInt(1)
+      val bsCode = r.bitsInt(4)
+      val srCode = r.bitsInt(4)
+      val chanAsgn = r.bitsInt(4)
+      val ssCode = r.bitsInt(3)
+      need(r.bits(1) == 0, "reserved frame-header bit set")
+      // UTF-8-coded frame (or sample) number
+      val lead = r.bitsInt(8)
+      var numBytes = 0
+      if ((lead & 0x80) == 0) numBytes = 0
+      else {
+        var mask = 0x40
+        while ((lead & mask) != 0 && numBytes < 7) { numBytes += 1; mask >>= 1 }
+        need(numBytes >= 1, "bad UTF-8 frame number lead byte")
+      }
+      var frameNum = if (numBytes == 0) lead.toLong
+        else (lead & (0x7f >> numBytes)).toLong
+      var k = 0
+      while (k < numBytes) {
+        val c = r.bitsInt(8)
+        need((c & 0xc0) == 0x80, "bad UTF-8 continuation in frame number")
+        frameNum = (frameNum << 6) | (c & 0x3f)
+        k += 1
+      }
+      val blockSize = bsCode match {
+        case 0 => fail("reserved block size code 0")
+        case 1 => 192
+        case n if n >= 2 && n <= 5 => 576 << (n - 2)
+        case 6 => r.bitsInt(8) + 1
+        case 7 => r.bitsInt(16) + 1
+        case n => 256 << (n - 8)
+      }
+      val frameRate = srCode match {
+        case 0 => siSampleRate
+        case 1 => 88200
+        case 2 => 176400
+        case 3 => 192000
+        case 4 => 8000
+        case 5 => 16000
+        case 6 => 22050
+        case 7 => 24000
+        case 8 => 32000
+        case 9 => 44100
+        case 10 => 48000
+        case 11 => 96000
+        case 12 => r.bitsInt(8) * 1000
+        case 13 => r.bitsInt(16)
+        case 14 => r.bitsInt(16) * 10
+        case _ => fail("invalid sample rate code 15")
+      }
+      need(frameRate == siSampleRate,
+        s"frame sample rate $frameRate != STREAMINFO $siSampleRate")
+      val nCh = if (chanAsgn <= 7) chanAsgn + 1
+        else if (chanAsgn <= 10) 2
+        else fail(s"reserved channel assignment $chanAsgn")
+      need(nCh == siChannels,
+        s"frame channels $nCh != STREAMINFO $siChannels")
+      val bps = ssCode match {
+        case 0 => siBits
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => fail(s"reserved sample size code $ssCode")
+      }
+      need(bps == siBits, s"frame sample size $bps != STREAMINFO $siBits")
+      // CRC-8 covers the header bytes up to (not including) the CRC byte
+      need(r.atByteBoundary, "frame header not byte-aligned before CRC-8")
+      val headerEnd = r.pos / 8
+      val wantCrc8 = r.bitsInt(8)
+      need(crc8(flac, frameStart, headerEnd) == wantCrc8,
+        s"frame header CRC-8 mismatch at byte $frameStart")
+      need(got + blockSize <= siTotal,
+        s"frames carry more samples than STREAMINFO declared")
+
+      // subframes
+      val chan = Array.ofDim[Int](nCh, blockSize)
+      var c = 0
+      while (c < nCh) {
+        // side channels carry one extra bit
+        val chBps = bps + (chanAsgn match {
+          case 8 => if (c == 1) 1 else 0  // left/side
+          case 9 => if (c == 0) 1 else 0  // side/right
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        })
+        decodeSubframe(r, chan(c), chBps)
+        c += 1
+      }
+      r.align()
+      val footerStart = r.pos / 8
+      val wantCrc16 = r.bitsInt(16)
+      need(crc16(flac, frameStart, footerStart) == wantCrc16,
+        s"frame CRC-16 mismatch at byte $frameStart")
+
+      // undo stereo decorrelation
+      chanAsgn match {
+        case 8 => // left + side: right = left - side
+          var i = 0
+          while (i < blockSize) { chan(1)(i) = chan(0)(i) - chan(1)(i); i += 1 }
+        case 9 => // side + right: left = right + side
+          var i = 0
+          while (i < blockSize) {
+            val left = chan(1)(i) + chan(0)(i)
+            chan(0)(i) = left
+            i += 1
+          }
+        case 10 => // mid + side
+          var i = 0
+          while (i < blockSize) {
+            val side = chan(1)(i)
+            var mid = chan(0)(i) << 1
+            mid |= (side & 1)
+            chan(0)(i) = (mid + side) >> 1
+            chan(1)(i) = (mid - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+
+      var i = 0
+      val base = got.toInt * siChannels
+      while (i < blockSize) {
+        var cc = 0
+        while (cc < siChannels) {
+          samples(base + i * siChannels + cc) = chan(cc)(i)
+          cc += 1
+        }
+        i += 1
+      }
+      got += blockSize
+      p = r.pos / 8
+      // trailing garbage after the last frame is a malformed file
+      if (got == siTotal)
+        need(p == flac.length, s"${flac.length - p} trailing bytes after last frame")
+    }
+
+    // STREAMINFO MD5 is over the original little-endian sample stream;
+    // an all-zero signature means "unset" per spec
+    if (siMd5.exists(_ != 0)) {
+      need(siBits == 16, "md5 verification implemented for 16-bit streams")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        buf(i * 2) = (samples(i) & 0xff).toByte
+        buf(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      need(java.util.Arrays.equals(md.digest(buf), siMd5),
+        "decoded samples do not match the STREAMINFO MD5 signature")
+    }
+    Audio(siSampleRate, siChannels, siBits, samples)
+  }
+
+  private def decodeSubframe(r: BitReader, out: Array[Int], bps: Int): Unit = {
+    need(r.bits(1) == 0, "subframe padding bit set")
+    val typ = r.bitsInt(6)
+    val wastedFlag = r.bitsInt(1)
+    val wasted = if (wastedFlag == 1) r.unary() + 1 else 0
+    need(wasted < bps, s"wasted bits $wasted >= bps $bps")
+    val ebps = bps - wasted
+    val n = out.length
+    if (typ == 0) { // CONSTANT
+      val v = r.signed(ebps)
+      var i = 0
+      while (i < n) { out(i) = v; i += 1 }
+    } else if (typ == 1) { // VERBATIM
+      var i = 0
+      while (i < n) { out(i) = r.signed(ebps); i += 1 }
+    } else if (typ >= 8 && typ <= 12) { // FIXED order 0..4
+      val order = typ - 8
+      need(order <= n, s"fixed order $order exceeds block size $n")
+      val coefs = FixedCoefs(order)
+      var i = 0
+      while (i < order) { out(i) = r.signed(ebps); i += 1 }
+      decodeResidual(r, out, order)
+      i = order
+      while (i < n) {
+        var pred = 0L
+        var j = 0
+        while (j < order) { pred += coefs(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) = (out(i) + pred).toInt
+        i += 1
+      }
+    } else if (typ >= 32) { // LPC order typ-31
+      val order = typ - 31
+      need(order <= n, s"lpc order $order exceeds block size $n")
+      var i = 0
+      while (i < order) { out(i) = r.signed(ebps); i += 1 }
+      val precision = r.bitsInt(4) + 1
+      need(precision != 16, "invalid qlp precision code 1111")
+      val shift = r.signed(5)
+      need(shift >= 0, s"negative qlp shift $shift")
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.signed(precision); i += 1 }
+      decodeResidual(r, out, order)
+      i = order
+      while (i < n) {
+        var pred = 0L
+        var j = 0
+        while (j < order) { pred += coefs(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) = (out(i) + (pred >> shift)).toInt
+        i += 1
+      }
+    } else fail(s"reserved subframe type $typ")
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { out(i) = out(i) << wasted; i += 1 }
+    }
+  }
+
+  /** Rice-coded residual into out(order until n) as raw residuals. */
+  private def decodeResidual(r: BitReader, out: Array[Int],
+                             order: Int): Unit = {
+    val n = out.length
+    val method = r.bitsInt(2)
+    need(method <= 1, s"reserved residual coding method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = r.bitsInt(4)
+    val nParts = 1 << partOrder
+    need(n % nParts == 0, s"block size $n not divisible into $nParts partitions")
+    val perPart = n / nParts
+    need(perPart > order || partOrder == 0,
+      s"partition size $perPart <= predictor order $order")
+    var part = 0
+    var i = order
+    while (part < nParts) {
+      val count = if (part == 0) perPart - order else perPart
+      val param = r.bitsInt(paramBits)
+      if (param == escape) {
+        val raw = r.bitsInt(5)
+        var k = 0
+        while (k < count) { out(i) = r.signed(raw); i += 1; k += 1 }
+      } else {
+        var k = 0
+        while (k < count) {
+          val q = r.unary()
+          val u = (q.toLong << param) | r.bits(param)
+          // zigzag: even -> u/2, odd -> -(u/2)-1
+          out(i) = ((u >>> 1) ^ -(u & 1L)).toInt
+          i += 1
+          k += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  // ---- encode (fixture edge) -------------------------------------------------
+
+  /** Mono 16-bit encoder: per block, CONSTANT if flat, else the best of
+   * FIXED orders 0..2 with an exact-optimal single-partition Rice
+   * parameter. Produces spec-compliant files (real CRCs + MD5). */
+  def encode(samples: Array[Int], sampleRate: Int, blockSize: Int): Array[Byte] = {
+    need(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
+    need(blockSize >= 16 && blockSize <= 65535, s"bad block size $blockSize")
+    need(samples.nonEmpty, "no samples")
+    samples.foreach(s => need(s >= -32768 && s <= 32767,
+      s"sample $s outside 16-bit range"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'), 0, 4)
+    // STREAMINFO (last metadata block)
+    val si = new Array[Byte](38)
+    si(0) = (0x80 | 0).toByte // last, type 0
+    si(1) = 0; si(2) = 0; si(3) = 34
+    val lastBlock = if (samples.length % blockSize == 0) blockSize
+      else samples.length % blockSize
+    val minB = math.min(blockSize, math.max(16, lastBlock))
+    def be16(v: Int, at: Int): Unit = {
+      si(at) = ((v >> 8) & 0xff).toByte; si(at + 1) = (v & 0xff).toByte
+    }
+    be16(minB, 4); be16(blockSize, 6)
+    // min/max frame size: 0 = unknown (bytes 8..13 stay zero)
+    si(14) = ((sampleRate >> 12) & 0xff).toByte
+    si(15) = ((sampleRate >> 4) & 0xff).toByte
+    // 4 low bits of rate | 3 bits channels-1 (=0) | high bit of bps-1 (15=0b01111 -> high bit 0)
+    si(16) = (((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)).toByte
+    si(17) = (((15 & 0xf) << 4) |
+      ((samples.length.toLong >> 32) & 0xf).toInt).toByte
+    si(18) = ((samples.length >> 24) & 0xff).toByte
+    si(19) = ((samples.length >> 16) & 0xff).toByte
+    si(20) = ((samples.length >> 8) & 0xff).toByte
+    si(21) = (samples.length & 0xff).toByte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sbytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      sbytes(i * 2) = (samples(i) & 0xff).toByte
+      sbytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    System.arraycopy(md.digest(sbytes), 0, si, 22, 16)
+    out.write(si, 0, 38)
+
+    var frameNum = 0
+    var off = 0
+    while (off < samples.length) {
+      val n = math.min(blockSize, samples.length - off)
+      out.write(encodeFrame(samples, off, n, sampleRate, frameNum))
+      off += n
+      frameNum += 1
+    }
+    out.toByteArray
+  }
+
+  private def encodeFrame(s: Array[Int], off: Int, n: Int,
+                          sampleRate: Int, frameNum: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.bits(0x3ffe, 14) // sync
+    w.bits(0, 1)       // reserved
+    w.bits(0, 1)       // fixed-blocksize strategy
+    w.bits(7, 4)       // block size: 16-bit follows
+    val srCode = sampleRate match {
+      case 8000 => 4; case 16000 => 5; case 22050 => 6; case 24000 => 7
+      case 32000 => 8; case 44100 => 9; case 48000 => 10; case 96000 => 11
+      case _ => 13 // 16-bit Hz follows
+    }
+    w.bits(srCode, 4)
+    w.bits(0, 4)       // channel assignment: 1 channel
+    w.bits(4, 3)       // sample size: 16-bit
+    w.bits(0, 1)       // reserved
+    // UTF-8-coded frame number
+    need(frameNum >= 0, "negative frame number")
+    if (frameNum < 0x80) w.bits(frameNum, 8)
+    else if (frameNum < 0x800) {
+      w.bits(0xc0 | (frameNum >> 6), 8)
+      w.bits(0x80 | (frameNum & 0x3f), 8)
+    } else {
+      need(frameNum < 0x10000, s"frame number $frameNum exceeds fixture bound")
+      w.bits(0xe0 | (frameNum >> 12), 8)
+      w.bits(0x80 | ((frameNum >> 6) & 0x3f), 8)
+      w.bits(0x80 | (frameNum & 0x3f), 8)
+    }
+    w.bits(n - 1, 16)
+    if (srCode == 13) w.bits(sampleRate, 16)
+    val headerBytes = w.bytes // byte-aligned here by construction
+    val w2 = new BitWriter
+    // subframe: CONSTANT if flat, else best fixed order 0..2
+    var flat = true
+    var i = 1
+    while (i < n && flat) { flat = s(off + i) == s(off); i += 1 }
+    if (flat) {
+      w2.bits(0, 1); w2.bits(0, 6); w2.bits(0, 1) // constant, no wasted bits
+      w2.bits(s(off).toLong & 0xffff, 16)
+    } else {
+      def residual(order: Int): Array[Int] = {
+        val r = new Array[Int](n - order)
+        var i = order
+        while (i < n) {
+          val v = order match {
+            case 0 => s(off + i)
+            case 1 => s(off + i) - s(off + i - 1)
+            case 2 => s(off + i) - 2 * s(off + i - 1) + s(off + i - 2)
+          }
+          r(i - order) = v
+          i += 1
+        }
+        r
+      }
+      def riceCost(res: Array[Int]): (Int, Long) = {
+        var best = -1
+        var bestBits = Long.MaxValue
+        var p = 0
+        while (p < 15) {
+          var total = 0L
+          var i = 0
+          while (i < res.length) {
+            val u = (res(i).toLong << 1) ^ (res(i).toLong >> 63) // zigzag
+            total += (u >>> p) + 1 + p
+            i += 1
+          }
+          if (total < bestBits) { bestBits = total; best = p }
+          p += 1
+        }
+        (best, bestBits)
+      }
+      var bestOrder = 0
+      var bestParam = 0
+      var bestBits = Long.MaxValue
+      var bestRes: Array[Int] = null
+      var o = 0
+      while (o <= 2 && o < n) {
+        val res = residual(o)
+        val (param, bits) = riceCost(res)
+        val total = bits + o * 16L
+        if (total < bestBits) {
+          bestBits = total; bestOrder = o; bestParam = param; bestRes = res
+        }
+        o += 1
+      }
+      w2.bits(0, 1); w2.bits(8 + bestOrder, 6); w2.bits(0, 1)
+      var i = 0
+      while (i < bestOrder) { w2.bits(s(off + i).toLong & 0xffff, 16); i += 1 }
+      w2.bits(0, 2) // residual method 0 (4-bit Rice)
+      w2.bits(0, 4) // partition order 0
+      w2.bits(bestParam, 4)
+      i = 0
+      while (i < bestRes.length) {
+        val u = (bestRes(i).toLong << 1) ^ (bestRes(i).toLong >> 63)
+        w2.unary((u >>> bestParam).toInt)
+        w2.bits(u & ((1L << bestParam) - 1), bestParam)
+        i += 1
+      }
+    }
+    val bodyBytes = w2.bytes
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(headerBytes, 0, headerBytes.length)
+    frame.write(crc8(headerBytes, 0, headerBytes.length))
+    frame.write(bodyBytes, 0, bodyBytes.length)
+    val all = frame.toByteArray
+    val c16 = crc16(all, 0, all.length)
+    frame.write((c16 >> 8) & 0xff)
+    frame.write(c16 & 0xff)
+    frame.toByteArray
+  }
+}
+
+/** `flac_decode(binary)` → struct(sample_rate, channels, bits, samples
+ * ARRAY<INT>) — codegen'd full FLAC decode, loud `flac:` contract. */
+case class FlacDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"flac_decode requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FlacFunctions.decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.FlacFunctions.decodeRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): FlacDecode =
+    copy(child = c)
+}
+
+/** `flac_encode(samples ARRAY<INT>, sample_rate, block_size)` → BINARY.
+ * Fixture-synthesis edge — CodegenFallback. */
+case class FlacEncode(samples: Expression, sampleRate: Expression,
+                      blockSize: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(samples, sampleRate, blockSize)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (samples.dataType.simpleString, sampleRate.dataType, blockSize.dataType) match {
+      case ("array<int>", IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"flac_encode(ARRAY<INT>, INT, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val sv = samples.eval(input)
+    val rv = sampleRate.eval(input)
+    val bv = blockSize.eval(input)
+    if (sv == null || rv == null || bv == null) null
+    else {
+      val arr = sv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      FlacCodec.encode(arr.toIntArray(), rv.asInstanceOf[Int],
+        bv.asInstanceOf[Int])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FlacEncode =
+    copy(samples = c(0), sampleRate = c(1), blockSize = c(2))
+}
+
+object FlacFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  /** Static bridge for generated code. */
+  def decodeRow(b: Array[Byte]): InternalRow = {
+    val a = FlacCodec.decode(b)
+    new GenericInternalRow(Array[Any](a.sampleRate, a.channels, a.bits,
+      new GenericArrayData(a.samples.map(v => v: Any))))
+  }
+
+  def flac_decode(c: Column): Column =
+    GraftShim.column(FlacDecode(GraftShim.expression(c)))
+
+  def flac_encode(samples: Column, sampleRate: Column,
+                  blockSize: Column): Column =
+    GraftShim.column(FlacEncode(GraftShim.expression(samples),
+      GraftShim.expression(sampleRate), GraftShim.expression(blockSize)))
+}

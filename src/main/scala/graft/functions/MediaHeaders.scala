@@ -158,6 +158,13 @@ object MediaHeaders {
           }
           channels = if (((bytes(off + 3) >> 6) & 3) == 3) 1 else 2
         }
+      } else if (ascii(bytes, 0, "fLaC") && bytes.length >= 21) {
+        // STREAMINFO is the mandatory first metadata block: 20-bit
+        // sample rate and 3-bit channels-1 packed at bytes 18..20
+        format = "flac"
+        sampleRate = ((bytes(18) & 0xff) << 12) |
+          ((bytes(19) & 0xff) << 4) | ((bytes(20) & 0xff) >> 4)
+        channels = (((bytes(20) & 0xff) >> 1) & 0x7) + 1
       } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
         format = "wav"
         // chunk walk to "fmt ": channels LE16 at +10, rate LE32 at +12

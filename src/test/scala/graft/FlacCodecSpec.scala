@@ -1,0 +1,272 @@
+package graft
+
+import graft.functions.FlacCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+class FlacCodecSpec extends AnyFunSuite {
+
+  private def samples64(seed: Long): Array[Int] =
+    (0 until 64).map { i =>
+      if ((seed + i / 16) % 3 == 0) ((seed * 7 + i / 16) % 256 - 128).toInt
+      else {
+        val v = (seed * 31 + i * 17) % 65536
+        (if (v >= 32768) v - 65536 else v).toInt
+      }
+    }.toArray
+
+  test("round-trip: mixed constant/varying frames, exact samples") {
+    for (seed <- Seq(0L, 1L, 2L, 17L, 999L); block <- Seq(16, 60, 64)) {
+      val s = samples64(seed)
+      val enc = FlacCodec.encode(s, 16000, block)
+      val dec = FlacCodec.decode(enc)
+      assert(dec.sampleRate === 16000)
+      assert(dec.channels === 1)
+      assert(dec.bits === 16)
+      assert(dec.samples === s, s"seed=$seed block=$block")
+    }
+  }
+
+  test("round-trip: non-table sample rate uses the 16-bit follow-on code") {
+    val s = samples64(5L)
+    val dec = FlacCodec.decode(FlacCodec.encode(s, 12345, 32))
+    assert(dec.sampleRate === 12345)
+    assert(dec.samples === s)
+  }
+
+  test("all-constant stream collapses to CONSTANT subframes and stays tiny") {
+    val s = Array.fill(256)(-12345)
+    val enc = FlacCodec.encode(s, 16000, 64)
+    // 4 constant frames: magic+streaminfo (42) + 4 * (~8 header + 3 body + 3 crc)
+    assert(enc.length < 42 + 4 * 24, s"constant encode blew up: ${enc.length}")
+    assert(FlacCodec.decode(enc).samples === s)
+  }
+
+  test("extremes: full-scale samples round-trip") {
+    val s = Array(-32768, 32767, -32768, 32767, 0, -1, 1, 0,
+      -32768, -32768, -32768, -32768, 32767, 32767, 32767, 32767)
+    assert(FlacCodec.decode(FlacCodec.encode(s, 8000, 16)).samples === s)
+  }
+
+  // ---- hostile fixtures ------------------------------------------------------
+
+  private def boom(b: Array[Byte]): String =
+    intercept[IllegalArgumentException] { FlacCodec.decode(b) }.getMessage
+
+  test("hostile: magic, truncation, CRC flips, MD5, trailing bytes") {
+    val good = FlacCodec.encode(samples64(3L), 16000, 16)
+    assert(boom("Flac".getBytes ++ good.drop(4)).contains("magic"))
+    assert(boom(good.take(30)).contains("flac:"))
+    // flip a byte inside the first frame header (after 42 bytes of
+    // magic+STREAMINFO): sync or CRC-8 must catch it
+    val h = good.clone(); h(46) = (h(46) ^ 0x01).toByte
+    val hm = boom(h)
+    assert(hm.contains("CRC-8") || hm.contains("sync") ||
+      hm.contains("reserved") || hm.contains("flac:"), hm)
+    // flip a byte in the last frame's Rice body: CRC-16 (or a downstream
+    // structural check) must catch it
+    val t = good.clone(); t(good.length - 3) = (t(good.length - 3) ^ 0x40).toByte
+    assert(boom(t).contains("flac:"))
+    // flip one MD5 byte in STREAMINFO: decoded samples no longer match
+    val m = good.clone(); m(30) = (m(30) ^ 0xff).toByte
+    assert(boom(m).contains("MD5"))
+    // trailing garbage after the last frame
+    assert(boom(good :+ 0x00.toByte).contains("trailing"))
+  }
+
+  test("hostile: decode-bomb sample count rejects before allocation") {
+    val good = FlacCodec.encode(samples64(1L), 16000, 16)
+    val b = good.clone()
+    // STREAMINFO total-samples top nibble at byte 4+4+13=21, bytes 22..25
+    b(21) = (b(21) | 0x0f).toByte
+    b(22) = 0xff.toByte; b(23) = 0xff.toByte
+    b(24) = 0xff.toByte; b(25) = 0xff.toByte
+    assert(boom(b).contains("exceeds decode bound"))
+  }
+
+  // ---- hand-assembled frames for decode paths the encoder never emits -------
+
+  /** Independent bit writer + CRCs (table-free, shift-register) so the
+   * codec's CRC implementation is cross-checked, not self-checked. */
+  private class BitW {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0; var n = 0
+    def b(v: Long, w: Int): Unit = {
+      var k = w - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1).toInt; n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        k -= 1
+      }
+    }
+    def unary(q: Int): Unit = { (0 until q).foreach(_ => b(0, 1)); b(1, 1) }
+    def bytes: Array[Byte] = {
+      if (n > 0) { out.write(cur << (8 - n)); cur = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+  private def xcrc8(bs: Array[Byte]): Int =
+    bs.foldLeft(0) { (c, x) =>
+      var v = c ^ (x & 0xff)
+      (0 until 8).foreach { _ =>
+        v = if ((v & 0x80) != 0) ((v << 1) ^ 0x07) & 0xff else (v << 1) & 0xff }
+      v
+    }
+  private def xcrc16(bs: Array[Byte]): Int =
+    bs.foldLeft(0) { (c, x) =>
+      var v = c ^ ((x & 0xff) << 8)
+      (0 until 8).foreach { _ =>
+        v = if ((v & 0x8000) != 0) ((v << 1) ^ 0x8005) & 0xffff
+            else (v << 1) & 0xffff }
+      v
+    }
+
+  private def streamInfo(blockSize: Int, rate: Int, channels: Int,
+                         total: Int, pcmLe: Array[Byte]): Array[Byte] = {
+    val si = new Array[Byte](38)
+    si(0) = 0x80.toByte; si(3) = 34
+    si(4) = (blockSize >> 8).toByte; si(5) = (blockSize & 0xff).toByte
+    si(6) = si(4); si(7) = si(5)
+    si(14) = ((rate >> 12) & 0xff).toByte
+    si(15) = ((rate >> 4) & 0xff).toByte
+    si(16) = (((rate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+    si(17) = 0xf0.toByte // bps-1 = 15 low nibble<<4, total high nibble 0
+    si(18) = ((total >> 24) & 0xff).toByte
+    si(19) = ((total >> 16) & 0xff).toByte
+    si(20) = ((total >> 8) & 0xff).toByte
+    si(21) = (total & 0xff).toByte
+    val md = java.security.MessageDigest.getInstance("MD5").digest(pcmLe)
+    System.arraycopy(md, 0, si, 22, 16)
+    "fLaC".getBytes ++ si
+  }
+
+  private def frameHeader(w: BitW, bsCode: Int, srCode: Int, chanAsgn: Int,
+                          blockSize: Int): Unit = {
+    w.b(0x3ffe, 14); w.b(0, 1); w.b(0, 1)
+    w.b(bsCode, 4); w.b(srCode, 4); w.b(chanAsgn, 4); w.b(4, 3); w.b(0, 1)
+    w.b(0, 8) // frame number 0
+    if (bsCode == 7) w.b(blockSize - 1, 16)
+  }
+
+  private def finishFrame(w: BitW, headerLen: Int): Array[Byte] = {
+    // insert CRC-8 after the header bytes, then CRC-16 over everything
+    val raw = w.bytes
+    val withC8 = raw.take(headerLen) ++ Array(xcrc8(raw.take(headerLen)).toByte) ++
+      raw.drop(headerLen)
+    val c16 = xcrc16(withC8)
+    withC8 ++ Array((c16 >> 8).toByte, (c16 & 0xff).toByte)
+  }
+
+  private def pcmLe(interleaved: Array[Int]): Array[Byte] =
+    interleaved.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+
+  test("hand-built LPC subframe (order 2, shift 1) decodes exactly") {
+    // s[i] = ((2*s[i-1] - s[i-2] + adj) >> 1) + r[i] with coefs {2,-1}:
+    // build the expected samples forward from chosen residuals
+    val warm = Array(100, 103)
+    val res = Array(3, -2, 5, 0, -7, 1, 2, -1, 0, 4, -3, 2, 1, 0)
+    val n = 16
+    val s = new Array[Int](n)
+    s(0) = warm(0); s(1) = warm(1)
+    for (i <- 2 until n) {
+      val pred = (2L * s(i - 1) - s(i - 2)) >> 1
+      s(i) = (res(i - 2) + pred).toInt
+    }
+    val w = new BitW
+    frameHeader(w, 7, 5, 0, n) // 16-bit blocksize follows, 16 kHz, mono
+    val headerLen = w.bytes.length // flush-aligned: header is whole bytes
+    val w2 = new BitW
+    frameHeader(w2, 7, 5, 0, n)
+    w2.b(0, 1); w2.b(32 + 2 - 1, 6); w2.b(0, 1) // LPC order 2
+    w2.b(warm(0) & 0xffff, 16); w2.b(warm(1) & 0xffff, 16)
+    w2.b(15 - 1, 4) // precision 15
+    w2.b(1, 5)      // shift 1
+    w2.b(2 & 0x7fff, 15); w2.b((-1) & 0x7fff, 15) // coefs 2, -1
+    w2.b(0, 2); w2.b(0, 4) // method 0, partition order 0
+    w2.b(14, 4) // rice param 14: remainder-only coding (q=0 for |res|<2^13)
+    res.foreach { r =>
+      val u = (r.toLong << 1) ^ (r.toLong >> 63)
+      w2.unary((u >>> 14).toInt); w2.b(u & 0x3fff, 14)
+    }
+    val frame = finishFrame(w2, headerLen)
+    val flac = streamInfo(n, 16000, 1, n, pcmLe(s)) ++ frame
+    assert(FlacCodec.decode(flac).samples === s)
+  }
+
+  test("hand-built wasted-bits subframe shifts decoded samples") {
+    // verbatim subframe with 2 wasted bits: stored values are s >> 2
+    val s = Array(4, -8, 12, 100, -32768, 32764, 0, 8,
+      16, -4, 20, 24, -28, 32, 36, -40)
+    assert(s.forall(v => (v & 3) == 0))
+    val n = s.length
+    val w = new BitW
+    frameHeader(w, 7, 5, 0, n)
+    val headerLen = w.bytes.length
+    val w2 = new BitW
+    frameHeader(w2, 7, 5, 0, n)
+    w2.b(0, 1); w2.b(1, 6); w2.b(1, 1) // verbatim, wasted flag
+    w2.unary(1) // unary 1 -> wasted = 2
+    s.foreach(v => w2.b((v >> 2) & 0x3fff, 14)) // 16-2 = 14-bit samples
+    val frame = finishFrame(w2, headerLen)
+    val flac = streamInfo(n, 16000, 1, n, pcmLe(s)) ++ frame
+    assert(FlacCodec.decode(flac).samples === s)
+  }
+
+  test("hand-built mid-side stereo frame reconstructs L/R exactly") {
+    val left = Array(1000, -2000, 3000, 17, -32768, 32767, 5, -5)
+    val right = Array(999, -2001, 1500, -17, 32767, -32768, 4, -6)
+    val n = left.length
+    val mid = left.zip(right).map { case (l, r) => (l + r) >> 1 }
+    val side = left.zip(right).map { case (l, r) => l - r }
+    val w = new BitW
+    frameHeader(w, 7, 5, 10, n) // chanAsgn 10 = mid-side
+    val headerLen = w.bytes.length
+    val w2 = new BitW
+    frameHeader(w2, 7, 5, 10, n)
+    w2.b(0, 1); w2.b(1, 6); w2.b(0, 1) // mid: verbatim 16-bit
+    mid.foreach(v => w2.b(v.toLong & 0xffff, 16))
+    w2.b(0, 1); w2.b(1, 6); w2.b(0, 1) // side: verbatim 17-bit
+    side.foreach(v => w2.b(v.toLong & 0x1ffff, 17))
+    val frame = finishFrame(w2, headerLen)
+    val inter = left.zip(right).flatMap { case (l, r) => Seq(l, r) }.toArray
+    val flac = streamInfo(n, 16000, 2, n, pcmLe(inter)) ++ frame
+    val dec = FlacCodec.decode(flac)
+    assert(dec.channels === 2)
+    assert(dec.samples === inter)
+  }
+
+  test("hand-built escape partition (verbatim residuals) and partition " +
+    "order 1 decode") {
+    // fixed order 0 (residual = sample), partition order 1: two
+    // partitions of 8; first rice param 3, second the 0b1111 escape with
+    // 6-bit raw residuals
+    val s = Array(3, -4, 7, 0, -2, 5, 1, -8, 31, -32, 17, -9, 25, -25, 13, -1)
+    val n = s.length
+    val w = new BitW
+    frameHeader(w, 7, 5, 0, n)
+    val headerLen = w.bytes.length
+    val w2 = new BitW
+    frameHeader(w2, 7, 5, 0, n)
+    w2.b(0, 1); w2.b(8, 6); w2.b(0, 1) // fixed order 0
+    w2.b(0, 2); w2.b(1, 4) // method 0, partition order 1
+    w2.b(3, 4) // partition 1: rice param 3
+    s.take(8).foreach { r =>
+      val u = (r.toLong << 1) ^ (r.toLong >> 63)
+      w2.unary((u >>> 3).toInt); w2.b(u & 7, 3)
+    }
+    w2.b(15, 4) // partition 2: escape
+    w2.b(6, 5)  // 6-bit verbatim residuals
+    s.drop(8).foreach(r => w2.b(r.toLong & 0x3f, 6))
+    val frame = finishFrame(w2, headerLen)
+    val flac = streamInfo(n, 16000, 1, n, pcmLe(s)) ++ frame
+    assert(FlacCodec.decode(flac).samples === s)
+  }
+
+  test("media_header sniffs fLaC with STREAMINFO rate/channels") {
+    val enc = FlacCodec.encode(samples64(2L), 22050, 16)
+    val row = graft.functions.MediaHeaders.parse(enc)
+    assert(row.getUTF8String(0).toString === "flac")
+    assert(row.getInt(3) === 22050)
+    assert(row.getInt(4) === 1)
+  }
+}
