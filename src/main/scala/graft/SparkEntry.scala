@@ -2593,6 +2593,93 @@ object SparkEntry {
         bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
     }),
 
+    "mm_mp4_framesample" -> ((s, dir) => {
+      // REAL MP4 video end to end: four MJPEG frames + a PCM audio track
+      // are muxed into a spec-shaped ISO-BMFF file (ftyp/mdat/moov with
+      // real stts/stsc/stsz/stco sample tables, one chunk per video
+      // frame), then the engine's own atom walk resolves the tables,
+      // samples every 2nd frame and baseline-decodes each sampled JPEG —
+      // container, table indirection and pixel decode all inside the
+      // scan. The audio track rides the same file (n_audio_samples on
+      // the output proves the second trak parsed). Flat-block even-gray
+      // frames are the exactly-lossless JPEG path, so the oracle replays
+      // the sampled block values arithmetically. Hostile atom fixtures
+      // (lying sizes, truncated stbl, co64, avc1 rejection) live in
+      // Mp4CodecSpec.
+      import graft.functions.JpegFunctions._
+      import graft.functions.Mp4Functions._
+      def frameCol(f: Int): Column = {
+        val hexes = (0 until 4).map { i =>
+          val byte = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit("m" + f + "b" + i))),
+            1, 2), 16, 10).cast("int")
+          lower(lpad(hex((byte % 128) * 2), 2, "0"))
+        }
+        val pxHex = concat(
+          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
+      }
+      val pcm = expr(
+        """transform(sequence(0, 63), i ->
+             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
+      val withMp4 = t(s, dir, "documents").select(col("doc_id"),
+        mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
+          array((0 until 4).map(frameCol): _*), pcm, lit(16000),
+          col("doc_id") % 2 === 1).as("mp4"))
+      val m = mp4_meta(col("mp4"))
+      val exploded = withMp4.select(col("doc_id"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("frame_delta").as("frame_delta"),
+          m.getField("n_frames").as("n_frames"),
+          m.getField("n_audio_samples").as("n_audio_samples"),
+          posexplode(mp4_sample_frames(col("mp4"), lit(2))))
+        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
+      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
+      val bs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      exploded.select(col("doc_id"), col("width"), col("height"),
+        col("frame_delta"), col("n_frames"), col("n_audio_samples"),
+        (col("spos") * 2).cast("long").as("frame_idx"),
+        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
+    }),
+
+    "mm_mp4_audio" -> ((s, dir) => {
+      // REAL MP4 audio decode: the PCM track (sowt little-endian or twos
+      // big-endian by doc parity — both byte orders on the oracle path)
+      // is resolved through stsc/stsz/stco — 16-sample chunks with a
+      // partial tail chunk, so the two-run sample-to-chunk mapping is
+      // exercised, not just a flat offset list — and reduced to exact
+      // integer loudness stats the oracle recomputes from the fixture
+      // formula.
+      import graft.functions.JpegFunctions._
+      import graft.functions.Mp4Functions._
+      val frame = {
+        val g = lower(lpad(hex(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 128) * 2), 2, "0"))
+        jpeg_encode_gray(lit(16), lit(16), unhex(repeat(g, 256)))
+      }
+      val pcm = expr(
+        """transform(sequence(0, 69), i ->
+             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
+      val mp4 = mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
+        array(frame), pcm, lit(16000), col("doc_id") % 2 === 1)
+      val a = mp4_audio_pcm(mp4)
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 1, "twos").otherwise("sowt").as("codec"),
+        a.getField("sample_rate").as("sample_rate"),
+        a.getField("n_samples").as("n_samples"),
+        a.getField("sum_abs").as("sum_abs"),
+        a.getField("peak").as("peak"),
+        a.getField("sum_sq").as("sum_sq"))
+    }),
+
     "mm_cross_format_dedup" -> ((s, dir) => {
       // the multimodal capstone: ONE image, THREE real codecs. The same
       // 16x16 gray content (flat 8x8 blocks, even values — the fixture
@@ -8919,6 +9006,54 @@ object SparkEntry {
          JOIN hexmap m1 ON d.c1 = m1.hx
          JOIN hexmap m2 ON d.c2 = m2.hx
          JOIN hexmap m3 ON d.c3 = m3.hx""",
+
+    // MP4 frame sampling: same lossless flat-block arithmetic as the AVI
+    // row, with the container meta coming from the sample tables
+    "mm_mp4_framesample" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         d AS (SELECT doc_id, frame_idx,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM f)
+         SELECT doc_id, 16 AS width, 16 AS height,
+           2500 AS frame_delta, 4 AS n_frames,
+           CAST(64 AS BIGINT) AS n_audio_samples,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
+           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
+           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
+           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
+         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+         JOIN hexmap m1 ON d.c1 = m1.hx
+         JOIN hexmap m2 ON d.c2 = m2.hx
+         JOIN hexmap m3 ON d.c3 = m3.hx""",
+
+    // MP4 PCM decode: the loudness stats replay from the sample formula;
+    // the codec column pins which byte order the file carried
+    "mm_mp4_audio" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 69)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'twos' ELSE 'sowt' END AS codec,
+           16000 AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+         FROM v GROUP BY doc_id""",
 
     // all three codecs are lossless on the fixture, so every format's
     // phash equals the one computed from the md5-derived block values

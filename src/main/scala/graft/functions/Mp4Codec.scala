@@ -1,0 +1,715 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * A REAL (subset) MP4 / ISO-BMFF container codec in pure JVM — the
+ * container real crawl video actually ships (AVI is legacy; see the
+ * public ISO/IEC 14496-12 box structure). The demuxer walks the atom
+ * tree (`ftyp`/`mdat`/`moov`→`trak`→`mdia`→`minf`→`stbl`), resolves the
+ * four sample tables that make MP4 different from a flat RIFF walk —
+ * `stts` (decode deltas), `stsc` (sample→chunk runs), `stsz` (sizes),
+ * `stco`/`co64` (chunk offsets) — and hands out real track payloads:
+ * sampled MJPEG video frames (standalone JPEGs → [[JpegCodec]]) and
+ * 16-bit PCM audio (`sowt` little-endian / `twos` big-endian sample
+ * entries) reduced to exact integer stats.
+ *
+ * Validation discipline (same as [[AviCodec]]): every atom size is
+ * bounds-checked against its enclosing box before descent (64-bit
+ * largesize included), nesting depth is capped, the sample tables must
+ * be mutually consistent (stts total == stsz count == stsc-resolved
+ * count; every resolved sample range must lie inside an `mdat`
+ * payload), and declared dims are Long-bounded before allocation.
+ * Compressed codecs (H.264/AAC) are out of scope and reject loudly
+ * inside the `mp4:` contract — the strict-subset discipline the
+ * reference applies to partition types
+ * (agent-c4/.../CommitLogReadHandlerImpl.java:111-152).
+ *
+ * The muxer is the fixture edge: spec-shaped files (ftyp + mdat + moov,
+ * video one-chunk-per-frame exercising per-sample stsz, audio in
+ * multi-sample chunks exercising stsc runs with a partial tail chunk).
+ */
+object Mp4Codec {
+
+  private val MaxFrames = 1 << 20
+  private val MaxAudioSamples = 1 << 26
+  /** Atom nesting is 5 deep in spec files; cap hostile towers. */
+  private val MaxDepth = 8
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"mp4: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  // ---- big-endian I/O --------------------------------------------------------
+
+  private def u16(b: Array[Byte], p: Int): Int = {
+    need(p >= 0 && p + 2 <= b.length, s"u16 read at $p out of bounds")
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  }
+  private def u32(b: Array[Byte], p: Int): Long = {
+    need(p >= 0 && p + 4 <= b.length, s"u32 read at $p out of bounds")
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+  }
+  private def u64(b: Array[Byte], p: Int): Long = {
+    val hi = u32(b, p); val lo = u32(b, p + 4)
+    need(hi < (1L << 31), s"64-bit field at $p exceeds JVM array bounds")
+    (hi << 32) | lo
+  }
+  private def fourcc(b: Array[Byte], p: Int): String = {
+    need(p >= 0 && p + 4 <= b.length, s"fourcc read at $p out of bounds")
+    new String(b, p, 4, "US-ASCII")
+  }
+
+  // ---- parsed model ------------------------------------------------------------
+
+  private final case class Track(
+      handler: String,            // 'vide' | 'soun'
+      codec: String,              // stsd entry fourcc
+      width: Int, height: Int,    // video
+      channels: Int, sampleSize: Int, audioRate: Int, // audio
+      timescale: Long,
+      sttsTotal: Long, sttsDelta: Long,
+      sampleOffsets: Array[Long], sampleSizes: Array[Int])
+
+  private final case class Movie(tracks: List[Track],
+                                 mdat: List[(Long, Long)]) // (payloadPos, len)
+
+  private def parse(b: Array[Byte]): Movie = {
+    need(b.length >= 16, "shorter than one box header")
+    var tracks = List.empty[Track]
+    var mdats = List.empty[(Long, Long)]
+    var sawFtyp = false
+    var sawMoov = false
+
+    // one box level: invoke f(type, payloadStart, payloadEnd)
+    def boxes(start: Long, end: Long, depth: Int)(
+        f: (String, Long, Long) => Unit): Unit = {
+      need(depth <= MaxDepth, s"box nesting deeper than $MaxDepth")
+      var p = start
+      while (p < end) {
+        need(p + 8 <= end, s"truncated box header at $p")
+        val sz32 = u32(b, p.toInt)
+        val typ = fourcc(b, p.toInt + 4)
+        var hdr = 8L
+        val size =
+          if (sz32 == 1) { hdr = 16; u64(b, p.toInt + 8) }
+          else if (sz32 == 0) end - p // box extends to end of enclosure
+          else sz32
+        need(size >= hdr, s"box $typ size $size smaller than its header")
+        need(p + size <= end,
+          s"box $typ size $size overruns enclosing box at $p")
+        f(typ, p + hdr, p + size)
+        p += size
+      }
+    }
+
+    boxes(0, b.length, 0) { (typ, s, e) =>
+      typ match {
+        case "ftyp" => sawFtyp = true
+        case "mdat" => mdats = (s, e - s) :: mdats
+        case "moov" =>
+          sawMoov = true
+          boxes(s, e, 1) {
+            case ("trak", ts, te) =>
+              tracks ::= parseTrak(b, ts, te)
+            case _ => () // mvhd, udta, ... skipped
+          }
+        case _ => () // free, skip, uuid ...
+      }
+    }
+    need(sawFtyp, "missing ftyp box")
+    need(sawMoov, "missing moov box")
+    need(tracks.nonEmpty, "moov holds no trak boxes")
+    // every resolved sample must lie inside an mdat payload
+    for (t <- tracks) {
+      var i = 0
+      while (i < t.sampleOffsets.length) {
+        val off = t.sampleOffsets(i)
+        val len = t.sampleSizes(i).toLong
+        need(mdats.exists { case (ms, ml) => off >= ms && off + len <= ms + ml },
+          s"${t.handler} sample $i [$off, ${off + len}) outside every mdat")
+        i += 1
+      }
+    }
+    Movie(tracks.reverse, mdats)
+  }
+
+  private def parseTrak(b: Array[Byte], ts: Long, te: Long): Track = {
+    var handler = ""
+    var codec = ""
+    var width = 0; var height = 0
+    var channels = 0; var sampleSize = 0; var audioRate = 0
+    var timescale = 0L
+    var sttsTotal = 0L; var sttsDelta = -1L
+    var stsc: Array[(Long, Long)] = null   // (firstChunk, samplesPerChunk)
+    var sizes: Array[Int] = null
+    var chunkOffs: Array[Long] = null
+
+    def boxes(start: Long, end: Long, depth: Int)(
+        f: (String, Long, Long) => Unit): Unit = {
+      need(depth <= MaxDepth, s"box nesting deeper than $MaxDepth")
+      var p = start
+      while (p < end) {
+        need(p + 8 <= end, s"truncated box header at $p")
+        val sz32 = u32(b, p.toInt)
+        val typ = fourcc(b, p.toInt + 4)
+        var hdr = 8L
+        val size =
+          if (sz32 == 1) { hdr = 16; u64(b, p.toInt + 8) }
+          else if (sz32 == 0) end - p
+          else sz32
+        need(size >= hdr, s"box $typ size $size smaller than its header")
+        need(p + size <= end,
+          s"box $typ size $size overruns enclosing box at $p")
+        f(typ, p + hdr, p + size)
+        p += size
+      }
+    }
+
+    def fullBox(s: Long): (Int, Long) = (b(s.toInt) & 0xff, s + 4)
+
+    boxes(ts, te, 2) {
+      case ("mdia", ms, me) => boxes(ms, me, 3) {
+        case ("mdhd", hs, _) =>
+          val (v, p0) = fullBox(hs)
+          timescale = if (v == 1) u32(b, p0.toInt + 16)
+                      else u32(b, p0.toInt + 8)
+        case ("hdlr", hs, _) =>
+          handler = fourcc(b, hs.toInt + 8)
+        case ("minf", fs, fe) => boxes(fs, fe, 4) {
+          case ("stbl", ss, se) => boxes(ss, se, 5) {
+            case ("stsd", ds, de) =>
+              val (_, p0) = fullBox(ds)
+              val n = u32(b, p0.toInt)
+              need(n == 1, s"stsd entry count $n (exactly one supported)")
+              val e = p0 + 4
+              val esz = u32(b, e.toInt)
+              need(e + esz <= de, "stsd entry overruns stsd box")
+              codec = fourcc(b, e.toInt + 4)
+              codec match {
+                case "jpeg" | "mjpa" | "mjpb" =>
+                  need(esz >= 86, s"visual sample entry too small ($esz)")
+                  width = u16(b, e.toInt + 32)
+                  height = u16(b, e.toInt + 34)
+                case "sowt" | "twos" =>
+                  need(esz >= 36, s"audio sample entry too small ($esz)")
+                  channels = u16(b, e.toInt + 24)
+                  sampleSize = u16(b, e.toInt + 26)
+                  audioRate = (u32(b, e.toInt + 32) >> 16).toInt
+                case other =>
+                  fail(s"unsupported codec '$other' (MJPEG video and " +
+                    "sowt/twos PCM audio are the implemented subset; " +
+                    "compressed codecs like avc1/mp4a are out of scope)")
+              }
+            case ("stts", hs, he) =>
+              val (_, p0) = fullBox(hs)
+              val n = u32(b, p0.toInt)
+              need(p0 + 4 + n * 8 <= he, "stts entries overrun box")
+              var i = 0L
+              var p = p0 + 4
+              while (i < n) {
+                val cnt = u32(b, p.toInt)
+                val delta = u32(b, p.toInt + 4)
+                sttsTotal += cnt
+                // uniform delta is exposed as frame_delta; variable
+                // deltas (legal in real files) mark it unavailable
+                if (sttsDelta == -1L) sttsDelta = delta
+                else if (sttsDelta != delta) sttsDelta = -2L
+                p += 8; i += 1
+              }
+            case ("stsc", hs, he) =>
+              val (_, p0) = fullBox(hs)
+              val n = u32(b, p0.toInt)
+              need(n >= 1 && n <= MaxFrames, s"stsc entry count $n")
+              need(p0 + 4 + n * 12 <= he, "stsc entries overrun box")
+              stsc = new Array[(Long, Long)](n.toInt)
+              var i = 0
+              var p = p0 + 4
+              while (i < n) {
+                val first = u32(b, p.toInt)
+                val per = u32(b, p.toInt + 4)
+                need(u32(b, p.toInt + 8) == 1,
+                  "sample description index != 1 unsupported")
+                need(first >= 1 && per >= 1, s"bad stsc entry ($first, $per)")
+                if (i > 0) need(first > stsc(i - 1)._1,
+                  "stsc first_chunk not strictly increasing")
+                stsc(i) = (first, per)
+                p += 12; i += 1
+              }
+            case ("stsz", hs, he) =>
+              val (_, p0) = fullBox(hs)
+              val fixed = u32(b, p0.toInt)
+              val n = u32(b, p0.toInt + 4)
+              need(n >= 0 && n <= MaxAudioSamples, s"stsz sample count $n")
+              sizes = new Array[Int](n.toInt)
+              if (fixed == 0) {
+                need(p0 + 8 + n * 4 <= he, "stsz size table overruns box")
+                var i = 0
+                while (i < n) {
+                  val s = u32(b, p0.toInt + 8 + i * 4)
+                  need(s <= Int.MaxValue, s"sample size $s out of bounds")
+                  sizes(i) = s.toInt
+                  i += 1
+                }
+              } else {
+                need(fixed <= Int.MaxValue, s"fixed sample size $fixed")
+                java.util.Arrays.fill(sizes, fixed.toInt)
+              }
+            case ("stco", hs, he) =>
+              val (_, p0) = fullBox(hs)
+              val n = u32(b, p0.toInt)
+              need(n >= 1 && n <= MaxFrames, s"stco chunk count $n")
+              need(p0 + 4 + n * 4 <= he, "stco entries overrun box")
+              chunkOffs = new Array[Long](n.toInt)
+              var i = 0
+              while (i < n) {
+                chunkOffs(i) = u32(b, p0.toInt + 4 + i * 4)
+                i += 1
+              }
+            case ("co64", hs, he) =>
+              val (_, p0) = fullBox(hs)
+              val n = u32(b, p0.toInt)
+              need(n >= 1 && n <= MaxFrames, s"co64 chunk count $n")
+              need(p0 + 4 + n * 8 <= he, "co64 entries overrun box")
+              chunkOffs = new Array[Long](n.toInt)
+              var i = 0
+              while (i < n) {
+                chunkOffs(i) = u64(b, p0.toInt + 4 + i * 8)
+                i += 1
+              }
+            case _ => ()
+          }
+          case _ => () // vmhd / smhd / dinf
+        }
+        case _ => ()
+      }
+      case _ => () // tkhd, edts ...
+    }
+
+    need(handler == "vide" || handler == "soun",
+      s"unsupported track handler '$handler'")
+    need(codec.nonEmpty, "trak without an stsd sample entry")
+    need(sizes != null, "trak without an stsz box")
+    need(chunkOffs != null, "trak without an stco/co64 box")
+    need(stsc != null, "trak without an stsc box")
+    need(timescale > 0, "mdhd timescale is zero")
+    need(sttsTotal == sizes.length,
+      s"stts declares $sttsTotal samples but stsz holds ${sizes.length}")
+
+    // resolve sample offsets: walk chunks; the stsc run in force for
+    // chunk c is the last entry with first_chunk <= c (1-based)
+    val offs = new Array[Long](sizes.length)
+    var sample = 0
+    var run = 0
+    var c = 0
+    while (c < chunkOffs.length) {
+      while (run + 1 < stsc.length && stsc(run + 1)._1 <= c + 1) run += 1
+      need(stsc(run)._1 <= c + 1, s"chunk ${c + 1} precedes first stsc run")
+      val per = stsc(run)._2
+      var k = 0L
+      var off = chunkOffs(c)
+      while (k < per && sample < sizes.length) {
+        offs(sample) = off
+        off += sizes(sample)
+        sample += 1
+        k += 1
+      }
+      c += 1
+    }
+    need(sample == sizes.length,
+      s"stsc/stco resolve $sample samples but stsz declares ${sizes.length}")
+
+    Track(handler, codec, width, height, channels, sampleSize, audioRate,
+      timescale, sttsTotal, sttsDelta, offs, sizes)
+  }
+
+  // ---- public decode surface -----------------------------------------------
+
+  val metaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("frame_delta", IntegerType, nullable = true),
+    StructField("video_timescale", IntegerType, nullable = true),
+    StructField("audio_rate", IntegerType, nullable = true),
+    StructField("audio_channels", IntegerType, nullable = true),
+    StructField("n_audio_samples", LongType, nullable = true)))
+
+  /** Container meta across both track kinds; null fields for a missing
+   * track kind — called from generated code. */
+  def metaRow(mp4: Array[Byte]): InternalRow = {
+    val m = parse(mp4)
+    val vid = m.tracks.find(_.handler == "vide")
+    val aud = m.tracks.find(_.handler == "soun")
+    need(vid.nonEmpty || aud.nonEmpty, "no video or audio track")
+    new GenericInternalRow(Array[Any](
+      vid.fold(null: Any)(_.width), vid.fold(null: Any)(_.height),
+      vid.fold(null: Any)(_.sampleSizes.length),
+      vid.fold(null: Any)(t =>
+        if (t.sttsDelta >= 0) t.sttsDelta.toInt else null),
+      vid.fold(null: Any)(_.timescale.toInt),
+      aud.fold(null: Any)(_.audioRate), aud.fold(null: Any)(_.channels),
+      aud.fold(null: Any)(_.sampleSizes.length.toLong)))
+  }
+
+  /** Every `every`-th video sample payload (standalone JPEGs for MJPEG). */
+  def sampleFrames(mp4: Array[Byte], every: Int): Array[Array[Byte]] = {
+    need(every > 0, s"bad sample stride $every")
+    val m = parse(mp4)
+    val t = m.tracks.find(_.handler == "vide").getOrElse(
+      fail("no video track"))
+    val n = (t.sampleSizes.length + every - 1) / every
+    need(t.sampleSizes.length <= MaxFrames, "frame count exceeds bound")
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val f = i * every
+      val off = t.sampleOffsets(f)
+      out(i) = java.util.Arrays.copyOfRange(mp4, off.toInt,
+        off.toInt + t.sampleSizes(f))
+      i += 1
+    }
+    out
+  }
+
+  def sampleRow(mp4: Array[Byte], every: Int): ArrayData =
+    new GenericArrayData(sampleFrames(mp4, every).asInstanceOf[Array[Any]])
+
+  val audioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Decode the PCM audio track through the sample tables to exact
+   * integer stats (the [[WavPcm.stats]] shape) — called from generated
+   * code. Each stbl "sample" is one 16-bit PCM frame; `sowt` is
+   * little-endian, `twos` big-endian. */
+  def audioRow(mp4: Array[Byte]): InternalRow = {
+    val m = parse(mp4)
+    val t = m.tracks.find(_.handler == "soun").getOrElse(
+      fail("no audio track"))
+    need(t.sampleSize == 16, s"only 16-bit PCM supported, got ${t.sampleSize}")
+    need(t.channels == 1, s"only mono supported, got ${t.channels} channels")
+    val le = t.codec == "sowt"
+    var n = 0L; var sumAbs = 0L; var peak = 0; var sumSq = 0L
+    var i = 0
+    while (i < t.sampleOffsets.length) {
+      need(t.sampleSizes(i) == 2, s"PCM sample $i size ${t.sampleSizes(i)} != 2")
+      val p = t.sampleOffsets(i).toInt
+      val raw = if (le) (mp4(p) & 0xff) | ((mp4(p + 1) & 0xff) << 8)
+                else ((mp4(p) & 0xff) << 8) | (mp4(p + 1) & 0xff)
+      val s = raw.toShort.toInt
+      val a = math.abs(s)
+      n += 1; sumAbs += a; if (a > peak) peak = a; sumSq += s.toLong * s
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](t.audioRate, t.channels, n, sumAbs,
+      peak, sumSq))
+  }
+
+  // ---- mux (fixture edge) -----------------------------------------------------
+
+  /** Spec-shaped single-video + single-audio MP4: MJPEG frames one chunk
+   * per frame (per-sample stsz), PCM in 16-sample chunks with a partial
+   * tail chunk (two-run stsc), moov after mdat. */
+  def encode(width: Int, height: Int, frameDelta: Int, timescale: Int,
+             frames: Array[Array[Byte]], pcm: Array[Int], audioRate: Int,
+             bigEndian: Boolean, useCo64: Boolean = false): Array[Byte] = {
+    need(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"bad dimensions ${width}x$height")
+    need(frames.nonEmpty && frames.length <= MaxFrames,
+      s"bad frame count ${frames.length}")
+    need(pcm.nonEmpty && pcm.length <= MaxAudioSamples,
+      s"bad pcm length ${pcm.length}")
+    need(frameDelta > 0 && timescale > 0 && audioRate > 0, "bad timing")
+    pcm.foreach(s => need(s >= -32768 && s <= 32767, s"sample $s not s16"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    def wtag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+
+    // ftyp
+    w32(20); wtag("ftyp"); wtag("isom"); w32(512); wtag("isom")
+
+    // mdat: video frames then audio PCM
+    val mdatPayload = frames.map(_.length).sum + pcm.length * 2
+    val mdatStart = 20L
+    w32(8L + mdatPayload); wtag("mdat")
+    val frameOffs = new Array[Long](frames.length)
+    var off = mdatStart + 8
+    frames.zipWithIndex.foreach { case (f, i) =>
+      frameOffs(i) = off; out.write(f); off += f.length
+    }
+    val pcmStart = off
+    pcm.foreach { s =>
+      if (bigEndian) { out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+      else { out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+    }
+
+    // audio chunking: 16 samples per chunk, partial tail
+    val perChunk = 16
+    val nFull = pcm.length / perChunk
+    val tail = pcm.length % perChunk
+    val nAChunks = nFull + (if (tail > 0) 1 else 0)
+    val aChunkOffs = (0 until nAChunks).map(c => pcmStart + c.toLong * perChunk * 2)
+
+    // small builder indirection so nested boxes compose
+    var cur: java.io.ByteArrayOutputStream = null
+    def box(tag: String)(body: => Unit): Array[Byte] = {
+      val inner = new java.io.ByteArrayOutputStream()
+      val saved = cur; cur = inner
+      body
+      cur = saved
+      val payload = inner.toByteArray
+      val hdr = java.nio.ByteBuffer.allocate(8)
+      hdr.putInt(payload.length + 8)
+      hdr.put(tag.getBytes("US-ASCII"))
+      hdr.array() ++ payload
+    }
+    def b16(v: Int): Unit = { cur.write((v >> 8) & 0xff); cur.write(v & 0xff) }
+    def b32(v: Long): Unit = { b16(((v >> 16) & 0xffff).toInt); b16((v & 0xffff).toInt) }
+    def btag(t: String): Unit = cur.write(t.getBytes("US-ASCII"))
+    def bzero(n: Int): Unit = (0 until n).foreach(_ => cur.write(0))
+
+    def fullbox(tag: String)(body: => Unit): Array[Byte] =
+      box(tag) { b32(0); body } // version 0, flags 0
+    def b64(v: Long): Unit = { b32(v >>> 32); b32(v & 0xffffffffL) }
+    def chunkOffsetBox(offs: Seq[Long]): Array[Byte] =
+      if (useCo64) fullbox("co64") { b32(offs.length); offs.foreach(b64) }
+      else fullbox("stco") { b32(offs.length); offs.foreach(b32) }
+
+    def stblVideo: Array[Byte] =
+      box("stbl") {
+        cur.write(fullbox("stsd") {
+          b32(1)
+          b32(86); btag("jpeg")
+          bzero(6); b16(1)            // reserved + dref index
+          bzero(16)                   // pre_defined / reserved
+          b16(width); b16(height)
+          b32(0x00480000L); b32(0x00480000L) // 72 dpi
+          b32(0); b16(1)              // reserved, frame_count
+          bzero(32)                   // compressorname
+          b16(24); b16(0xffff)        // depth, pre_defined = -1
+        })
+        cur.write(fullbox("stts") { b32(1); b32(frames.length); b32(frameDelta) })
+        cur.write(fullbox("stsc") { b32(1); b32(1); b32(1); b32(1) })
+        cur.write(fullbox("stsz") {
+          b32(0); b32(frames.length)
+          frames.foreach(f => b32(f.length))
+        })
+        cur.write(chunkOffsetBox(frameOffs.toSeq))
+      }
+
+    def stblAudio: Array[Byte] =
+      box("stbl") {
+        cur.write(fullbox("stsd") {
+          b32(1)
+          b32(36); btag(if (bigEndian) "twos" else "sowt")
+          bzero(6); b16(1)
+          bzero(8)
+          b16(1); b16(16)             // channels, sample size
+          b32(0)                      // pre_defined + reserved
+          b32(audioRate.toLong << 16)
+        })
+        cur.write(fullbox("stts") { b32(1); b32(pcm.length); b32(1) })
+        cur.write(fullbox("stsc") {
+          if (tail > 0 && nFull > 0) {
+            b32(2)
+            b32(1); b32(perChunk); b32(1)
+            b32(nAChunks); b32(tail); b32(1)
+          } else if (nFull > 0) { b32(1); b32(1); b32(perChunk); b32(1) }
+          else { b32(1); b32(1); b32(tail); b32(1) }
+        })
+        cur.write(fullbox("stsz") { b32(2); b32(pcm.length) })
+        cur.write(chunkOffsetBox(aChunkOffs))
+      }
+
+    def trak(handler: String, name: String, stbl: Array[Byte],
+             ts: Int, dur: Long): Array[Byte] =
+      box("trak") {
+        cur.write(fullbox("tkhd") { bzero(80) }) // ids/matrix immaterial here
+        cur.write(box("mdia") {
+          cur.write(fullbox("mdhd") { b32(0); b32(0); b32(ts); b32(dur); b32(0) })
+          cur.write(fullbox("hdlr") {
+            b32(0); btag(handler); bzero(12)
+            cur.write(name.getBytes("US-ASCII")); cur.write(0)
+          })
+          cur.write(box("minf") { cur.write(stbl) })
+        })
+      }
+
+    val moov = box("moov") {
+      cur.write(fullbox("mvhd") {
+        b32(0); b32(0); b32(timescale)
+        b32(frames.length.toLong * frameDelta)
+        bzero(80)
+      })
+      cur.write(trak("vide", "VideoHandler", stblVideo, timescale,
+        frames.length.toLong * frameDelta))
+      cur.write(trak("soun", "SoundHandler", stblAudio, audioRate,
+        pcm.length.toLong))
+    }
+    out.write(moov)
+    out.toByteArray
+  }
+}
+
+/** `mp4_meta(binary)` → struct(width, height, n_frames, frame_delta,
+ * video_timescale, audio_rate, audio_channels, n_audio_samples) —
+ * codegen'd atom walk + sample-table consistency gate. */
+case class Mp4MetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp4Codec.metaType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp4_meta requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Codec.metaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.Mp4Codec.metaRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): Mp4MetaExpr =
+    copy(child = c)
+}
+
+/** `mp4_sample_frames(binary, every)` → array<binary> of every-th video
+ * sample payload, resolved through stsc/stsz/stco. */
+case class Mp4SampleFramesExpr(mp4: Expression, every: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(mp4, every)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (mp4.dataType, every.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp4_sample_frames requires (BINARY, INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = mp4.eval(input); val e = every.eval(input)
+    if (a == null || e == null) null
+    else Mp4Codec.sampleRow(a.asInstanceOf[Array[Byte]], e.asInstanceOf[Int])
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aG = mp4.genCode(ctx)
+    val eG = every.genCode(ctx)
+    val code =
+      code"""
+        ${aG.code}
+        ${eG.code}
+        boolean ${ev.isNull} = ${aG.isNull} || ${eG.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.Mp4Codec.sampleRow(
+            ${aG.value}, ${eG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Mp4SampleFramesExpr =
+    copy(mp4 = c(0), every = c(1))
+}
+
+/** `mp4_audio_pcm(binary)` → struct(sample_rate, channels, n_samples,
+ * sum_abs, peak, sum_sq) — the PCM track decoded through the sample
+ * tables to exact integer stats. */
+case class Mp4AudioPcmExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp4Codec.audioType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp4_audio_pcm requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Codec.audioRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.Mp4Codec.audioRow($b)")
+
+  override protected def withNewChildInternal(c: Expression): Mp4AudioPcmExpr =
+    copy(child = c)
+}
+
+/** `mp4_encode(w, h, frame_delta, timescale, frames, pcm, audio_rate,
+ * big_endian)` → BINARY. Fixture-synthesis edge — CodegenFallback. */
+case class Mp4EncodeExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq("int", "int", "int", "int", "array<binary>",
+      "array<int>", "int", "boolean")
+    if (children.length == 8 && children.map(_.dataType.simpleString) == want)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "mp4_encode(INT, INT, INT, INT, ARRAY<BINARY>, ARRAY<INT>, INT, " +
+        s"BOOLEAN), got ${children.map(_.dataType)}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val fArr = vs(4).asInstanceOf[ArrayData]
+      val frames = new Array[Array[Byte]](fArr.numElements())
+      var i = 0
+      while (i < frames.length) { frames(i) = fArr.getBinary(i); i += 1 }
+      Mp4Codec.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], frames,
+        vs(5).asInstanceOf[ArrayData].toIntArray(),
+        vs(6).asInstanceOf[Int], vs(7).asInstanceOf[Boolean])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Mp4EncodeExpr = copy(children = c)
+}
+
+object Mp4Functions {
+  import org.apache.spark.sql.GraftShim
+
+  def mp4_meta(c: Column): Column =
+    GraftShim.column(Mp4MetaExpr(GraftShim.expression(c)))
+
+  def mp4_sample_frames(mp4: Column, every: Column): Column =
+    GraftShim.column(Mp4SampleFramesExpr(GraftShim.expression(mp4),
+      GraftShim.expression(every)))
+
+  def mp4_audio_pcm(c: Column): Column =
+    GraftShim.column(Mp4AudioPcmExpr(GraftShim.expression(c)))
+
+  def mp4_encode(w: Column, h: Column, frameDelta: Column, timescale: Column,
+                 frames: Column, pcm: Column, audioRate: Column,
+                 bigEndian: Column): Column =
+    GraftShim.column(Mp4EncodeExpr(Seq(w, h, frameDelta, timescale, frames,
+      pcm, audioRate, bigEndian).map(GraftShim.expression)))
+}

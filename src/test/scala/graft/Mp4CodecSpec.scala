@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.Mp4Codec
+import org.scalatest.funsuite.AnyFunSuite
+
+class Mp4CodecSpec extends AnyFunSuite {
+
+  private def frames(n: Int): Array[Array[Byte]] =
+    (0 until n).map(i =>
+      Array.tabulate[Byte](40 + i * 3)(j => ((i * 31 + j * 7) & 0xff).toByte))
+      .toArray
+
+  private def pcm(n: Int): Array[Int] =
+    (0 until n).map { i =>
+      val v = (i.toLong * 5417 + 31) % 65536
+      (if (v >= 32768) v - 65536 else v).toInt
+    }.toArray
+
+  test("round-trip: meta, sampled video payloads, PCM stats (both " +
+    "endiannesses, stco and co64)") {
+    val fs = frames(4)
+    val s = pcm(70) // 4 full chunks of 16 + partial tail of 6
+    for (be <- Seq(false, true); co64 <- Seq(false, true)) {
+      val mp4 = Mp4Codec.encode(16, 16, 2500, 10000, fs, s, 16000, be, co64)
+      val meta = Mp4Codec.metaRow(mp4)
+      assert(meta.getInt(0) === 16)      // width
+      assert(meta.getInt(1) === 16)      // height
+      assert(meta.getInt(2) === 4)       // n_frames
+      assert(meta.getInt(3) === 2500)    // frame_delta
+      assert(meta.getInt(4) === 10000)   // video timescale
+      assert(meta.getInt(5) === 16000)   // audio rate
+      assert(meta.getInt(6) === 1)       // channels
+      assert(meta.getLong(7) === 70L)    // audio samples
+      // every 2nd frame payload comes back byte-identical
+      val sampled = Mp4Codec.sampleFrames(mp4, 2)
+      assert(sampled.length === 2)
+      assert(sampled(0) === fs(0))
+      assert(sampled(1) === fs(2))
+      // PCM decode through stsc/stco (multi-chunk + partial tail)
+      val a = Mp4Codec.audioRow(mp4)
+      assert(a.getInt(0) === 16000)
+      assert(a.getLong(2) === 70L)
+      assert(a.getLong(3) === s.map(v => math.abs(v).toLong).sum)
+      assert(a.getInt(4) === s.map(math.abs).max)
+      assert(a.getLong(5) === s.map(v => v.toLong * v).sum)
+    }
+  }
+
+  test("single-chunk audio (fewer samples than one chunk) resolves") {
+    val mp4 = Mp4Codec.encode(8, 8, 1, 1000, frames(1), pcm(5), 8000, false)
+    assert(Mp4Codec.audioRow(mp4).getLong(2) === 5L)
+  }
+
+  private def boom(b: Array[Byte]): String =
+    intercept[IllegalArgumentException] { Mp4Codec.metaRow(b) }.getMessage
+
+  /** First index of an ASCII tag in the payload. */
+  private def at(b: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes("US-ASCII")
+    val i = (0 to b.length - t.length).find(i =>
+      t.indices.forall(j => b(i + j) == t(j)))
+    assert(i.nonEmpty, s"tag $tag not found")
+    i.get
+  }
+
+  test("hostile atoms: lying sizes, truncated stbl, table mismatches, " +
+    "out-of-mdat samples, unsupported codecs") {
+    val good = Mp4Codec.encode(16, 16, 2500, 10000, frames(4), pcm(70),
+      16000, false)
+    // lying box size: inflate the moov size so it overruns the file
+    val lie = good.clone()
+    val moov = at(lie, "moov") - 4
+    lie(moov) = 0x7f.toByte
+    assert(boom(lie).contains("overruns"))
+    // truncated stbl: cut the file inside the sample tables
+    assert(boom(good.take(at(good, "stsz") + 6)).contains("mp4:"))
+    // stts/stsz mismatch: video stts sample count 4 -> 5
+    val mm = good.clone()
+    val stts = at(mm, "stts")
+    mm(stts + 15) = 5 // [stts][ver 4][entry_count 4][sample_count at +12..15]
+    assert(boom(mm).contains("stts declares"))
+    // sample range escaping mdat: point the first video chunk past EOF
+    val esc = good.clone()
+    val stco = at(esc, "stco")
+    esc(stco + 12) = 0x7f.toByte // first offset's high byte
+    assert(boom(esc).contains("outside every mdat"))
+    // unsupported codec: relabel the video entry as avc1
+    val avc = good.clone()
+    val j = at(avc, "jpeg")
+    "avc1".getBytes.zipWithIndex.foreach { case (c, i) => avc(j + i) = c }
+    val m = boom(avc)
+    assert(m.contains("unsupported codec") && m.contains("avc1"))
+    // bad sync: not a box stream at all
+    assert(boom("this is not an mp4 file at all.....".getBytes)
+      .contains("mp4:"))
+    // missing ftyp
+    val noFtyp = good.drop(20)
+    assert(boom(noFtyp).contains("ftyp"))
+  }
+
+  test("64-bit co64 offsets beyond Int range reject on the JVM bound") {
+    // hand-patch a co64 entry's high word: offsets > 2^31 can't index a
+    // JVM byte array, so the reader must reject rather than wrap
+    val good = Mp4Codec.encode(16, 16, 2500, 10000, frames(4), pcm(70),
+      16000, false, useCo64 = true)
+    val b = good.clone()
+    val co = at(b, "co64")
+    b(co + 13) = 0x01.toByte // first entry's high u32, second byte
+    val m = intercept[IllegalArgumentException] {
+      Mp4Codec.metaRow(b)
+    }.getMessage
+    assert(m.contains("mp4:"))
+  }
+}
