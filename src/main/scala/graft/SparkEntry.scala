@@ -199,6 +199,62 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
   }
 
+  /** Deterministic mixed-audio fixture shared by `pipeline_audio_corpus`
+   * (batch) and `pipeline_audio_corpus_streamed` (real streaming run):
+   * one opaque binary per document — a PCM WAV (even doc_id) or a FLAC
+   * (odd doc_id) of 256 16-bit samples whose content keys on
+   * doc_id % 50, so duplicate utterances span CONTAINERS — plus a
+   * subtitle track (SRT or WebVTT by doc arithmetic) with three cues.
+   * Frames alternate speech and near-silence by seed arithmetic (the
+   * mm_audio_vad shape), and both containers decode to the SAME exact
+   * integers, so the oracle replays everything from the formula. */
+  private def audioFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FlacFunctions._
+    val dataHex = expr(
+      """concat_ws('', transform(sequence(0, 255), i -> concat(
+           lpad(hex((CASE WHEN pmod(doc_id % 50 + i DIV 16, 3) = 0
+             THEN i % 4
+             ELSE pmod((doc_id % 50) * 31 + i * 17, 65536) END) % 256),
+             2, '0'),
+           lpad(hex((CASE WHEN pmod(doc_id % 50 + i DIV 16, 3) = 0
+             THEN i % 4
+             ELSE pmod((doc_id % 50) * 31 + i * 17, 65536) END) DIV 256),
+             2, '0'))))""")
+    val wavHex = concat(
+      lit("52494646" + "24020000" + "57415645" +      // RIFF size=548 WAVE
+        "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+        "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+        "64617461" + "00020000"),                     // data len=512
+      dataHex)
+    val samples = expr(
+      """transform(sequence(0, 255), i ->
+           cast(CASE WHEN pmod(doc_id % 50 + i DIV 16, 3) = 0 THEN i % 4
+             ELSE CASE
+               WHEN pmod((doc_id % 50) * 31 + i * 17, 65536) >= 32768
+               THEN pmod((doc_id % 50) * 31 + i * 17, 65536) - 65536
+               ELSE pmod((doc_id % 50) * 31 + i * 17, 65536) END END
+             as int))""")
+    val bin = when(col("doc_id") % 2 === 0, unhex(wavHex))
+      .otherwise(flac_encode(samples, lit(16000), lit(16)))
+    val d0 = col("doc_id") % 2
+    def tc(ms: Column, dot: Boolean): Column =
+      concat(lit(if (dot) "00:00:00." else "00:00:00,"),
+        lpad(ms.cast("string"), 3, "0"))
+    def block(k: Int, vtt: Boolean): Column = {
+      val head = if (vtt) lit("") else lit(s"$k\n")
+      concat(head, tc(d0 + (k - 1) * 5, vtt), lit(" --> "),
+        tc(d0 + (k - 1) * 5 + 5, vtt),
+        lit(s"\ncue $k doc "), col("doc_id").cast("string"), lit("\n\n"))
+    }
+    val srt = concat(block(1, vtt = false), block(2, vtt = false),
+      block(3, vtt = false))
+    val vtt = concat(lit("WEBVTT\n\n"), block(1, vtt = true),
+      block(2, vtt = true), block(3, vtt = true))
+    val subs = when(col("doc_id") % 4 === 1, vtt).otherwise(srt)
+    t(s, dir, "documents").select(col("doc_id"), bin.as("bin"),
+      subs.as("subs"))
+  }
+
   /** robots.txt bodies for every host the URL fixture produces — ONE
    * definition feeding both the Spark frame (`robotsDocs`) and the
    * oracle's VALUES CTE, so the two sides parse the SAME bytes. Coverage:
@@ -2431,6 +2487,39 @@ object SparkEntry {
         up.getField("height").as("height"),
         lower(hex(up.getField("pixels"))).as("px_hex"))
     }),
+
+    "pipeline_audio_corpus" -> ((s, dir) =>
+      // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
+      // binary column + one subtitle column: sniff the container (WAV on
+      // even docs, FLAC on odd — content keyed by doc_id % 50 so
+      // duplicate utterances span containers), decode PCM through the
+      // matching REAL codec, reduce to 16-sample frame energies, VAD
+      // gaps-and-islands into utterance segments, fingerprint each
+      // segment's quantized energy trajectory, align subtitle cues (SRT
+      // and WebVTT through one front door) by time overlap into
+      // per-segment transcripts, and collapse duplicate utterances in
+      // one fingerprint window. Cross-stage coupling per-format rows
+      // cannot catch: a FLAC duplicate collapses into its WAV cluster
+      // ONLY if sniff → Rice/CRC decode → energy framing → banding all
+      // agree bit-for-bit; the oracle replays the whole chain from seed
+      // arithmetic.
+      operators.AudioCorpus.corpus(audioFixtureDocs(s, dir))),
+
+    "pipeline_audio_corpus_streamed" -> ((s, dir) =>
+      // the SAME audio corpus arriving as parquet drops on real
+      // streaming machinery (one file per trigger — multi-batch): each
+      // batch runs the same AudioCorpus.extract inside foreachBatch and
+      // folds into StreamingAudioCorpus (VersionedState crash-safe
+      // units: utterance rows + a pre-merged per-fingerprint
+      // min-survivor/count ledger), and the certified resolve() must
+      // equal the batch row — including cross-batch, cross-container
+      // cluster election. Same oracle as pipeline_audio_corpus:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedAudioCorpus(audioFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("seg_begin"),
+          col("seg_end"), col("energy"), col("fp"), col("transcript"),
+          col("canonical_id"), col("n_dupes"))),
 
     "pipeline_image_corpus" -> ((s, dir) => {
       // the composed IMAGE pipeline ("LAION shape"), from ONE opaque
@@ -5944,6 +6033,47 @@ object SparkEntry {
    * twin: every format decodes losslessly on the fixture and autorotate
    * exactly inverts the pre-rotation, so the normalized tripled-gray
    * content is pure seed arithmetic. */
+  /** Oracle shared verbatim by `pipeline_audio_corpus` and its streamed
+   * twin: DuckDB replays signed samples → frame energies → VAD islands →
+   * energy-band fingerprints → cue overlap transcripts → the
+   * fingerprint-cluster election. */
+  private val audioCorpusOracle: String =
+    """WITH s AS (SELECT doc_id, i,
+         CASE WHEN (doc_id % 50 + i // 16) % 3 = 0 THEN i % 4
+           ELSE ((doc_id % 50) * 31 + i * 17) % 65536 END AS v
+       FROM documents, generate_series(0, 255) t(i)),
+     f AS (SELECT doc_id, i // 16 AS frame,
+         SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
+       FROM s GROUP BY 1, 2),
+     g AS (SELECT doc_id, frame, sum_abs, (sum_abs >= 1000) AS is_speech,
+         frame - ROW_NUMBER() OVER (PARTITION BY doc_id, (sum_abs >= 1000)
+           ORDER BY frame) AS island
+       FROM f),
+     segs AS (SELECT doc_id, CAST(MIN(frame) AS BIGINT) AS seg_begin,
+         CAST(MAX(frame) + 1 AS BIGINT) AS seg_end,
+         CAST(SUM(sum_abs) AS BIGINT) AS energy,
+         md5(string_agg(CAST(sum_abs // 4096 AS VARCHAR), ','
+           ORDER BY frame)) AS fp
+       FROM g WHERE is_speech GROUP BY doc_id, island),
+     cues AS (SELECT doc_id, k AS seq,
+         CAST(doc_id % 2 + (k - 1) * 5 AS BIGINT) AS start_ms,
+         CAST(doc_id % 2 + (k - 1) * 5 + 5 AS BIGINT) AS end_ms,
+         'cue ' || CAST(k AS VARCHAR) || ' doc '
+           || CAST(doc_id AS VARCHAR) AS text
+       FROM documents, (SELECT UNNEST([1, 2, 3]) AS k) ks),
+     tr AS (SELECT sg.doc_id, sg.seg_begin, sg.seg_end, sg.energy, sg.fp,
+         COALESCE(string_agg(c.text, ' ' ORDER BY c.seq) FILTER (WHERE
+           least(c.end_ms, sg.seg_end)
+             - greatest(c.start_ms, sg.seg_begin) > 0), '') AS transcript
+       FROM segs sg LEFT JOIN cues c ON c.doc_id = sg.doc_id
+       GROUP BY 1, 2, 3, 4, 5)
+     SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       seg_begin, seg_end, energy, fp, transcript,
+       MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY fp) AS n_dupes
+     FROM tr"""
+
   private val imageCorpusOracle: String =
     """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
            FROM generate_series(0, 255) t(i)),
@@ -8946,6 +9076,8 @@ object SparkEntry {
     // oracle verbatim: streaming ≡ batch ≡ DuckDB.
     "pipeline_image_corpus" -> imageCorpusOracle,
     "pipeline_image_corpus_streamed" -> imageCorpusOracle,
+    "pipeline_audio_corpus" -> audioCorpusOracle,
+    "pipeline_audio_corpus_streamed" -> audioCorpusOracle,
 
     // JPEG perceptual dedup: the codec is lossless on the fixture, so the
     // block values sampled from decoded pixels equal the md5-derived ones

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The composed AUDIO/SPEECH-corpus pipeline ("Whisper shape"): from one
+ * opaque binary column + one subtitle column per document to a
+ * per-utterance clip table with aligned transcript text and a
+ * duplicate-utterance fingerprint — the dataset a speech-model builder
+ * actually trains on.
+ *
+ * [[extract]] is the shared per-document stage (batch row
+ * `pipeline_audio_corpus` and [[graft.streaming.StreamingAudioCorpus]]
+ * both fold THIS, so streaming ≡ batch holds by construction):
+ *
+ *  1. SNIFF the container from magic bytes ([[graft.functions
+ *     .MediaHeaders]]) and decode PCM through the matching REAL codec —
+ *     RIFF/WAVE s16le via the boxcar-identity resample kernel, or FLAC
+ *     via the full frame-layer decode ([[graft.functions.FlacCodec]]:
+ *     Rice residuals, fixed predictors, CRC/MD5 gates);
+ *  2. frame ENERGIES over 16-sample windows (one codec-agnostic
+ *     definition: Σ|s| per window via higher-order functions — the same
+ *     arithmetic [[graft.functions.WavFrames]] computes natively);
+ *  3. VAD SEGMENTATION: energy gate + gaps-and-islands over the frame
+ *     index → utterance segments [begin, end) in frame-ms;
+ *  4. an ENERGY-BAND FINGERPRINT per segment (md5 over the quantized
+ *     per-frame energy trajectory, frame order) — duplicate utterances
+ *     collapse on it even when they ride DIFFERENT containers (a WAV
+ *     and a FLAC of the same recording fingerprint identically because
+ *     both decode to the same exact integers);
+ *  5. cue ALIGNMENT: subtitle cues ([[graft.functions.Subtitles]], SRT
+ *     and WebVTT through one front door) joined per doc by TIME OVERLAP
+ *     (equi-join on doc_id, interval predicate residual — hash join,
+ *     never a theta BNLJ) → the segment's transcript in cue order.
+ *
+ * At 100 TB: stages 1–2 are per-row scalar work inside the scan; the
+ * island window, segment aggregate and alignment join all key on doc_id
+ * (bounded per-doc fan-out), and the cluster election is one window over
+ * the fingerprint — the same shuffle set ScanAudit pins.
+ *
+ * The reference treats payloads opaquely (blob passthrough,
+ * connector/.../AbstractNativeConverter.java:115-147); the audio corpus
+ * is an engine extension for multimodal training data.
+ */
+object AudioCorpus {
+
+  /** Frame width in samples (16 samples at 16 kHz = 1 ms frames, the
+   * [[graft.functions.WavFrames]] fixture geometry). */
+  val FrameSamples = 16
+
+  /** Energy gate: a frame with Σ|s| at or above this is speech. */
+  val SpeechGate = 1000L
+
+  /** Energy quantization step for the duplicate-utterance fingerprint. */
+  val BandWidth = 4096L
+
+  /**
+   * Per-document extraction: `(doc_id, <binCol>, <subsCol>)` →
+   * `(doc_id, format, seg_begin, seg_end, energy, fp, transcript)` —
+   * one row per VAD utterance segment. Per-doc semantics only (no
+   * cross-document state), which is what makes the streamed fold ≡ the
+   * batch run.
+   */
+  def extract(docs: DataFrame, binCol: String = "bin",
+              subsCol: String = "subs"): DataFrame = {
+    import graft.functions.MediaHeaderFunctions.{media_header, wav_resample}
+    import graft.functions.FlacFunctions.flac_decode
+    import graft.functions.SubtitleFunctions.subtitle_parse
+
+    val bin = col(binCol)
+    val fmt = media_header(bin).getField("format")
+    // one canonical samples array across containers: WAV s16le through
+    // the factor-1 boxcar (exact identity), FLAC through the full frame
+    // decode; unrecognized containers null out and are dropped by the
+    // explode below rather than crashing the job
+    val samples = when(fmt === "wav",
+        transform(wav_resample(bin, lit(1)), r => r.getField("v")))
+      .when(fmt === "flac", flac_decode(bin).getField("samples"))
+    // codec-agnostic frame energies: Σ|s| over 16-sample windows (the
+    // WavFrames arithmetic, expressed once for every container)
+    val energies = expr(
+      s"""transform(sequence(0, (size(samples) - 1) DIV $FrameSamples),
+            f -> struct(f AS frame,
+              aggregate(slice(samples, f * $FrameSamples + 1, $FrameSamples),
+                0L, (a, x) -> a + abs(x)) AS sum_abs))""")
+
+    val frames = docs
+      .select(col("doc_id"), fmt.as("format"), samples.as("samples"),
+        col(subsCol).as("subs"))
+      .select(col("doc_id"), col("format"), col("subs"),
+        explode(energies).as("f"))
+      .select(col("doc_id"), col("format"), col("subs"),
+        col("f.frame").as("frame"), col("f.sum_abs").as("sum_abs"))
+      .withColumn("is_speech", col("sum_abs") >= SpeechGate)
+
+    // gaps-and-islands over the frame index → utterance segments; the
+    // fingerprint is the frame-ordered quantized energy trajectory
+    val island = col("frame") - row_number().over(
+      Window.partitionBy(col("doc_id"), col("is_speech"))
+        .orderBy(col("frame")))
+    val segs = frames.withColumn("island", island)
+      .where(col("is_speech"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(first(col("format")).as("format"),
+        first(col("subs")).as("subs"),
+        min(col("frame")).cast("long").as("seg_begin"),
+        (max(col("frame")) + 1).cast("long").as("seg_end"),
+        sum(col("sum_abs")).as("energy"),
+        collect_list(struct(col("frame"), col("sum_abs"))).as("fes"))
+      .withColumn("fp", md5(expr(
+        s"""concat_ws(',', transform(array_sort(fes),
+              x -> CAST(x.sum_abs DIV $BandWidth AS STRING)))""")))
+      .drop("island", "fes")
+
+    // cue alignment: equi-join on doc_id, overlap residual; cues are
+    // parsed ONCE per doc on the segment rows' carried subs column
+    val cues = docs.select(col("doc_id"),
+        explode(subtitle_parse(col(subsCol))).as("c"))
+      .select(col("doc_id"), col("c.seq").as("seq"),
+        col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+        col("c.text").as("text"))
+    val overlap = least(col("end_ms"), col("seg_end")) -
+      greatest(col("start_ms"), col("seg_begin"))
+    segs.drop("subs").join(cues, Seq("doc_id"), "left")
+      .withColumn("hit",
+        when(col("start_ms").isNotNull && overlap > 0,
+          struct(col("seq"), col("text"))))
+      .groupBy(col("doc_id"), col("format"), col("seg_begin"),
+        col("seg_end"), col("energy"), col("fp"))
+      .agg(collect_list(col("hit")).as("hits"))
+      .withColumn("transcript", expr(
+        "concat_ws(' ', transform(array_sort(hits), h -> h.text))"))
+      .drop("hits")
+  }
+
+  /** The batch corpus: [[extract]] plus the duplicate-utterance cluster
+   * election (min doc_id / cluster size per fingerprint). */
+  def corpus(docs: DataFrame, binCol: String = "bin",
+             subsCol: String = "subs"): DataFrame = {
+    val win = Window.partitionBy(col("fp"))
+    extract(docs, binCol, subsCol)
+      .select(col("doc_id"), col("format"), col("seg_begin"),
+        col("seg_end"), col("energy"), col("fp"), col("transcript"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"))
+  }
+}

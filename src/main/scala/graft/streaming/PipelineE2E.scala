@@ -509,6 +509,50 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming audio-corpus curation on REAL streaming machinery: opaque
+   * audio payloads + subtitles `(doc_id, bin, subs)` arrive as parquet
+   * drops (one file per trigger — multi-batch), each batch runs the
+   * shared `AudioCorpus.extract` inside `foreachBatch` and folds through
+   * [[StreamingAudioCorpus.processBatch]] (VersionedState crash-safe
+   * units: utterance rows + the pre-merged per-fingerprint min/count
+   * ledger), and the certified [[StreamingAudioCorpus.resolve]] must
+   * equal the batch `pipeline_audio_corpus` row — the driver compares
+   * against the SAME DuckDB oracle. Duplicate utterances (doc_id % 50
+   * content keys, WAV and FLAC containers) span the drops, so
+   * cross-batch, cross-container cluster election is on the oracle path.
+   */
+  def streamedAudioCorpus(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_audcorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("bin"),
+        col("subs"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingAudioCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, bin BINARY, subs STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed audio-corpus fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch cluster " +
+      "election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * The composed crawl scheduler on REAL streaming machinery:
    * canonicalized links `(doc_id, target_url)` arrive as parquet drops
    * (one file per trigger — multi-batch), fold through

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.AudioCorpus
+
+/**
+ * Streaming audio-corpus curation — the online form of the
+ * `pipeline_audio_corpus` chain: batches of `(doc_id, bin, subs)` opaque
+ * audio payloads + subtitles arrive from a crawler; each fold runs the
+ * SAME [[AudioCorpus.extract]] stage (sniff → WAV/FLAC PCM decode →
+ * frame energies → VAD segments → energy-band fingerprint → cue-aligned
+ * transcript) and appends (a) the per-utterance rows and (b) the
+ * batch-local per-fingerprint partial `(keep_id = min doc_id,
+ * n = count)` — the seen-utterance ledger a speech-dedup service
+ * consults. The resolved view over everything seen so far equals the
+ * batch row run over the union (spec-pinned), INCLUDING cross-batch
+ * cluster election: a later batch carrying a smaller doc_id for an
+ * already-seen utterance steals canonicality, and `n_dupes` counts the
+ * whole cluster across batches — and clusters span CONTAINERS (a WAV
+ * and a FLAC of the same recording fingerprint identically).
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s (the
+ * [[StreamingImageCorpus]] discipline verbatim): `b<id>/` units under
+ * `_SUCCESS` markers, committed replays are no-ops, both stores compact
+ * above `compactAbove` units, and the ledger PRE-MERGES its partials
+ * (min and sum are associative) so the compacted unit stays
+ * distinct-fingerprints-sized no matter how many batches ever committed.
+ *
+ * At 100 TB: per-batch work is the scalar decode + per-doc windows plus
+ * one map-side-combinable (min, count) over the BATCH; the resolved view
+ * is one hash join of utterances against the merged dictionary.
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming checkpoint are one
+ * unit — create and delete them TOGETHER ([[processBatch]] fails loudly
+ * on the stale-pairing signature, like every VersionedState fold here).
+ */
+class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
+
+  private val segsRoot = new Path(stateDir, "segs")
+  private val ledgerRoot = new Path(stateDir, "ledger")
+
+  private val segSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("format", StringType),
+    StructField("seg_begin", LongType), StructField("seg_end", LongType),
+    StructField("energy", LongType), StructField("fp", StringType),
+    StructField("transcript", StringType)))
+  private val ledgerSchema = StructType(Seq(
+    StructField("fp", StringType),
+    StructField("keep_id", LongType), StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, segsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Fold `batch` (doc_id, bin, subs) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => corpus.processBatch(df, id))`.
+   * Commit order: ledger first, segs LAST — the segs marker certifies
+   * the batch.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenIds = VersionedState.segments(spark, segsRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"audio-corpus state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, segsRoot), batchId)) return
+    val segs = AudioCorpus.extract(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("bin"),
+          col("subs")))
+      .localCheckpoint(true)
+    val partial = segs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, segsRoot)
+    val ledgerDest = new Path(ledgerRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(ledgerDest.toString)
+    VersionedState.touchSuccess(f, ledgerDest)
+    val segsDest = new Path(segsRoot, s"b$batchId")
+    segs.write.mode("overwrite").parquet(segsDest.toString)
+    VersionedState.touchSuccess(f, segsDest)
+    VersionedState.compact(spark, segsRoot, compactAbove,
+      read = ps => read(spark, segSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, ledgerRoot, compactAbove,
+      read = ps => read(spark, ledgerSchema, ps),
+      // min and sum are associative — pre-merge so the compacted unit is
+      // distinct-fingerprints-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("fp"))
+        .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Ledger unit dirs scoped to segs-certified ids, with the mixed-unit
+   * fail-loud guard ([[StreamingImageCorpus]] semantics). */
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] = {
+    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
+    ledgerSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"audio-corpus ledger unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are segs-certified; excluding it would drop certified " +
+            "cluster partials. State is inconsistent — rebuild the " +
+            "ledger from the certified segments.")
+    }
+    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /** The seen-utterance dictionary over every certified batch: one row
+   * per distinct fingerprint with its current canonical id and cluster
+   * size — distinct-utterance-sized regardless of batches folded. */
+  def clusters(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, segsRoot)
+    val dirs = certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    read(spark, ledgerSchema, dirs)
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+  }
+
+  /**
+   * The resolved corpus over every certified batch — column set and rows
+   * equal to the batch `pipeline_audio_corpus` row over the union: every
+   * utterance with its fingerprint, the cluster's canonical id
+   * (corpus-wide min) and the cluster size.
+   */
+  def resolve(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, segsRoot)
+    val ledgerDirs =
+      certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    val segs = read(spark, segSchema, certified.map(_.path))
+    val ledger = read(spark, ledgerSchema, ledgerDirs)
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+    segs.join(ledger, Seq("fp"))
+      .select(col("doc_id"), col("format"), col("seg_begin"),
+        col("seg_end"), col("energy"), col("fp"), col("transcript"),
+        col("keep_id").as("canonical_id"), col("n").as("n_dupes"))
+  }
+}

@@ -136,6 +136,33 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_audio_corpus: codec dispatch and energy framing are " +
+    "scalar work on doc_id-only scans; the alignment join is a doc_id " +
+    "HASH join (interval predicates residual), bounded shuffles") {
+    val p = plan("pipeline_audio_corpus")
+    val rs = scanColumns(p)
+    assert(rs.nonEmpty && rs.forall(_ === Set("doc_id")),
+      s"expected doc_id-only scans, saw $rs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"alignment join degraded:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"theta-join degradation:\n$p")
+    assert(exchanges(p) <= 8, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("mm_flac_roundtrip + mm_mp4_framesample + mm_mp4_audio: the " +
+    "FLAC and MP4 front doors are per-row scalar work (plus explodes) " +
+    "on one doc_id-only scan, zero Exchange") {
+    for (q <- Seq("mm_flac_roundtrip", "mm_mp4_framesample",
+        "mm_mp4_audio")) {
+      val p = plan(q)
+      val rs = scanColumns(p)
+      assert(rs.size === 1 && rs.head === Set("doc_id"),
+        s"$q: expected one doc_id-only scan, saw $rs:\n$p")
+      assert(exchanges(p) === 0, s"$q: ${exchanges(p)} exchanges:\n$p")
+    }
+  }
+
   test("mm_av_align: segments join cues as a doc_id HASH join (interval " +
     "predicates stay residual), bounded shuffles") {
     val p = plan("mm_av_align")

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FlacCodec
+import graft.operators.AudioCorpus
+import graft.streaming.StreamingAudioCorpus
+
+/**
+ * Streaming audio-corpus curation: after every fold the resolved corpus
+ * must equal the batch chain (AudioCorpus.extract + the fingerprint
+ * window) over all payloads seen so far — including CROSS-BATCH,
+ * CROSS-CONTAINER cluster election (a later batch carrying a smaller
+ * doc_id FLAC of an already-seen WAV utterance steals canonicality and
+ * n_dupes grows retroactively), replays must be no-ops, and both stores
+ * stay bounded under compaction.
+ */
+class StreamingAudioCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 256 16-bit samples keyed by seed: frames alternate speech and
+   * near-silence by the pipeline fixture arithmetic. */
+  private def samples(seed: Int): Array[Int] =
+    (0 until 256).map { i =>
+      if ((seed + i / 16) % 3 == 0) i % 4
+      else {
+        val v = (seed.toLong * 31 + i * 17) % 65536
+        (if (v >= 32768) v - 65536 else v).toInt
+      }
+    }.toArray
+
+  private def wav(seed: Int): Array[Byte] = {
+    val s = samples(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le32(36 + s.length * 2)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+    le32(16000); le32(32000); le16(2); le16(16)
+    out.write("data".getBytes); le32(s.length * 2)
+    s.foreach(le16)
+    out.toByteArray
+  }
+
+  private def flac(seed: Int): Array[Byte] =
+    FlacCodec.encode(samples(seed), 16000, 16)
+
+  private def srt(docId: Long): String = {
+    val d = docId % 2
+    (1 to 3).map { k =>
+      f"$k%d\n00:00:00,${d + (k - 1) * 5}%03d --> " +
+        f"00:00:00,${d + (k - 1) * 5 + 5}%03d\ncue $k%d doc $docId%d\n\n"
+    }.mkString
+  }
+
+  private def df(rows: (Long, Array[Byte])*): DataFrame =
+    rows.map { case (id, bin) => (id, bin, srt(id)) }
+      .toDF("doc_id", "bin", "subs")
+
+  private def batchChain(d: DataFrame): DataFrame = AudioCorpus.corpus(d)
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, Long, Long, String,
+      String, Long, Long)] =
+    d.select($"doc_id", $"format", $"seg_begin", $"seg_end", $"fp",
+      $"transcript", $"canonical_id", $"n_dupes")
+      .as[(Long, String, Long, Long, String, String, Long, Long)]
+      .collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("saudcorpus").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch, cross-container cluster election included") {
+    val sub = new StreamingAudioCorpus(newDir())
+    // seed-7 utterances appear in every batch across BOTH containers;
+    // batch 1 carries a smaller doc_id for them (as FLAC), so
+    // canonicality must move and n_dupes must grow retroactively
+    val b0 = Seq(10L -> wav(7), 11L -> flac(1))
+    val b1 = Seq(3L -> flac(7), 13L -> wav(2))
+    val b2 = Seq(20L -> wav(7), 21L -> flac(1))
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(rowsOf(sub.resolve(spark)) === rowsOf(batchChain(sofar)),
+        s"divergence from the batch chain after batch $id")
+    }
+    val res = sub.resolve(spark)
+    // every seed-7 segment's cluster is canonicalized at doc 3 (the
+    // FLAC), across containers, with at least the three seed-7 carriers
+    // as members (a short segment's quantized band can legitimately
+    // collide with another seed's — the fingerprint is lossy by design —
+    // which only grows the cluster; it never splits it)
+    val seed7 = res.filter($"doc_id".isin(10L, 3L, 20L))
+      .select($"canonical_id", $"n_dupes").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(seed7.forall { case (c, n) => c == 3L && n >= 3L },
+      s"seed-7 clusters: $seed7")
+    // formats really differ inside one cluster
+    val fmts = res.filter($"canonical_id" === 3L)
+      .select($"format").distinct().as[String].collect().toSet
+    assert(fmts === Set("wav", "flac"))
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingAudioCorpus(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      (10L + i) -> wav(i), (30L + i) -> flac(40))) // hot utterance everywhere
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/segs").length <= 3,
+      s"segs dirs: ${unitDirs(s"$dir/segs")}")
+    assert(unitDirs(s"$dir/ledger").length <= 3,
+      s"ledger dirs: ${unitDirs(s"$dir/ledger")}")
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    val want = rowsOf(batchChain(df(batches.flatten: _*)))
+    assert(rowsOf(sub.resolve(spark)) === want)
+    // the hot utterance: canonical at its first holder, size 6 per segment
+    val hot = sub.resolve(spark).filter($"canonical_id" === 30L)
+    assert(hot.select($"n_dupes").distinct().as[Long].collect().toSeq ===
+      Seq(6L))
+    val before = rowsOf(sub.resolve(spark))
+    sub.processBatch(df(batches(5): _*), 5L) // crash-redelivery of LAST
+    assert(rowsOf(sub.resolve(spark)) === before)
+  }
+
+  test("transcripts align cues by time overlap and unknown containers " +
+    "drop instead of crashing") {
+    val junk = "not audio at all".getBytes
+    val out = batchChain(df(2L -> wav(5), 9L -> flac(5)) // same seed
+      .union(Seq((99L, junk, srt(99L))).toDF("doc_id", "bin", "subs")))
+    val rows = out.as[(Long, String, Long, Long, Long, String, String,
+      Long, Long)].collect()
+    assert(!rows.exists(_._1 == 99L), "junk payload must drop, not crash")
+    // wav doc 2 and flac doc 9 share every fingerprint (same seed), and
+    // their segments canonicalize at doc 2
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(2L).map(_._8).toSet === Set(2L))
+    assert(byDoc(9L).map(_._8).toSet === Set(2L))
+    // a segment fully inside cue coverage carries cue text in seq order
+    val withText = rows.filter(r => r._7.nonEmpty)
+    assert(withText.nonEmpty, "no aligned transcripts at all")
+    withText.foreach { r =>
+      val ids = "cue (\\d+)".r.findAllMatchIn(r._7).map(_.group(1).toInt).toSeq
+      assert(ids === ids.sorted, s"cue order broken in '${r._7}'")
+      assert(r._7.contains(s"doc ${r._1}"), s"foreign transcript on ${r._1}")
+    }
+  }
+}
