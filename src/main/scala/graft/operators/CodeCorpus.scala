@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Source-code corpus operators ("The Stack shape") — the front door an
+ * LLM data pipeline runs over crawled repositories. Everything here is
+ * built from codegen'd string/regex built-ins (no UDFs), so each stage
+ * is per-row scalar work inside the scan at 100 TB, and every rule is
+ * DuckDB-replayable for the oracle gate.
+ *
+ *  - [[detectLang]]: language identification by EXTENSION first (the
+ *    strong signal), then SHEBANG (`#!` interpreter line — scripts
+ *    often ship without extensions), then KEYWORD evidence, with the
+ *    evidence tier exposed for auditing.
+ *  - [[license]]: SPDX-License-Identifier headers (the machine-readable
+ *    convention) with phrase fallbacks for the classic license texts;
+ *    `permissive` drives the train/don't-train gate.
+ *  - [[redact]]: secrets scrubbing with COUNT-BEFORE-REDACT semantics
+ *    (the counts survive as audit columns after the values are gone) —
+ *    AWS-style access-key shapes, PEM private-key blocks, and
+ *    high-entropy hex assignments to key/token/secret-named variables;
+ *    the code-side sibling of [[TextAnalysis.piiRedact]].
+ *  - [[commentSplit]]: line-comment/code split per language family
+ *    (`#` for py/sh/rb, `//` for the brace family) — comment density is
+ *    a quality signal and comments train differently from code. Line
+ *    markers only, by contract: block comments (/* */, docstrings) stay
+ *    with their code lines, and a shebang counts as a comment line.
+ *  - [[corpus]]: the composed pipeline — detect → license gate (keep
+ *    permissive or unlicensed, drop copyleft) → redact → code-line
+ *    quality gate → exact dedup on the REDACTED content key with
+ *    cluster election.
+ *
+ * No reference counterpart (out of the CDC domain) — a pure engine
+ * extension beside the web/document/audio corpus pipelines.
+ */
+object CodeCorpus {
+
+  /** Extension → language (the unambiguous subset a corpus pipeline
+   * trusts without content checks). */
+  private val ExtLangs = Seq(
+    "py" -> "py", "js" -> "js", "c" -> "c", "h" -> "c", "sh" -> "sh",
+    "rb" -> "rb", "go" -> "go", "rs" -> "rust", "java" -> "java",
+    "scala" -> "scala")
+
+  /** struct(lang, evidence) — evidence ∈ ext | shebang | keyword | none. */
+  def detectLang(path: Column, content: Column): Column = {
+    val ext = regexp_extract(path, "\\.([a-z0-9]+)$", 1)
+    val extLang = ExtLangs.tail.foldLeft(
+      when(ext === ExtLangs.head._1, ExtLangs.head._2)) {
+      case (acc, (e, l)) => acc.when(ext === e, l)
+    }
+    val firstLine = substring_index(content, "\n", 1)
+    val shebangLang = when(firstLine.startsWith("#!"),
+      when(firstLine.contains("python"), "py")
+        .when(firstLine.contains("node"), "js")
+        .when(firstLine.contains("sh"), "sh"))
+    val kwLang = when(content.contains("#include"), "c")
+      .when(content.contains("def ") && content.contains("return"), "py")
+      .when(content.contains("function "), "js")
+    struct(
+      coalesce(extLang, shebangLang, kwLang, lit("unknown")).as("lang"),
+      when(extLang.isNotNull, "ext")
+        .when(shebangLang.isNotNull, "shebang")
+        .when(kwLang.isNotNull, "keyword")
+        .otherwise("none").as("evidence"))
+  }
+
+  /** struct(license, permissive): SPDX header first, phrase fallbacks
+   * second, NONE otherwise. */
+  def license(content: Column): Column = {
+    val spdx = regexp_extract(content,
+      "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+    val lic = when(spdx =!= "", spdx)
+      .when(content.contains(
+        "Licensed under the Apache License, Version 2.0"), "Apache-2.0")
+      .when(content.contains(
+        "Permission is hereby granted, free of charge"), "MIT")
+      .when(content.contains("GNU General Public License"),
+        "GPL-3.0-or-later")
+      .otherwise("NONE")
+    struct(lic.as("license"),
+      (lic.isin("MIT", "Apache-2.0", "ISC", "Unlicense") ||
+        lic.startsWith("BSD")).as("permissive"))
+  }
+
+  /** AWS access-key shape (AKIA + 16 uppercase alphanumerics). */
+  val AwsRe = "AKIA[0-9A-Z]{16}"
+  /** PEM private-key block, BEGIN..END inclusive, multi-line. */
+  val PemRe = "(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+    ".*?-----END [A-Z ]*PRIVATE KEY-----"
+  /** High-entropy hex assignment to a key/token/secret-named variable
+   * (the value group is what gets redacted). */
+  val EntRe = "([a-z_]*(?:key|token|secret)[a-z_]* = \")[a-f0-9]{32,}(\")"
+
+  /** struct(text, n_aws, n_pem, n_entropy) — counts taken on the
+   * ORIGINAL text (count-before-redact), then all three shapes
+   * scrubbed. The shapes are disjoint by construction: AWS keys are
+   * uppercase (the entropy rule is lowercase hex), and PEM bodies are
+   * not assignments. */
+  def redact(content: Column): Column = {
+    val nAws = size(regexp_extract_all(content, lit(AwsRe), lit(0)))
+    val nPem = size(regexp_extract_all(content, lit(PemRe), lit(0)))
+    val nEnt = size(regexp_extract_all(content, lit(EntRe), lit(0)))
+    val text = regexp_replace(
+      regexp_replace(
+        regexp_replace(content, AwsRe, "[AWSKEY]"),
+        PemRe, "[PEMKEY]"),
+      EntRe, "$1[REDACTED]$2")
+    struct(text.as("text"), nAws.cast("long").as("n_aws"),
+      nPem.cast("long").as("n_pem"), nEnt.cast("long").as("n_entropy"))
+  }
+
+  /** struct(comments, n_comment_lines, n_code_lines): nonblank lines
+   * split on the family line marker (trim-prefix match). */
+  def commentSplit(content: Column, lang: Column): Column = {
+    val mk = when(lang.isin("py", "sh", "rb"), lit("#")).otherwise(lit("//"))
+    val lines = filter(split(content, "\n"), l => l =!= "")
+    val cmts = filter(lines, l => ltrim(l).startsWith(mk))
+    struct(array_join(cmts, "\n").as("comments"),
+      size(cmts).cast("long").as("n_comment_lines"),
+      (size(lines) - size(cmts)).cast("long").as("n_code_lines"))
+  }
+
+  /**
+   * The composed code corpus: `(doc_id, path, content)` → detect →
+   * license gate (permissive or unlicensed; copyleft drops) → secrets
+   * redact → must-have-code quality gate → exact dedup on the md5 of
+   * the REDACTED text (so two copies differing only in their embedded
+   * secrets still collapse) with cluster election.
+   */
+  def corpus(docs: DataFrame): DataFrame = {
+    val lang = detectLang(col("path"), col("content"))
+    val lic = license(col("content"))
+    val red = redact(col("content"))
+    val staged = docs.select(col("doc_id"),
+        lang.getField("lang").as("lang"),
+        lic.getField("license").as("license"),
+        lic.getField("permissive").as("permissive"),
+        red.getField("text").as("text"),
+        (red.getField("n_aws") + red.getField("n_pem") +
+          red.getField("n_entropy")).as("n_secrets"))
+      .where(col("permissive") || col("license") === "NONE")
+    val cs = commentSplit(col("text"), col("lang"))
+    val win = Window.partitionBy(col("content_key"))
+    staged
+      .withColumn("n_code_lines", cs.getField("n_code_lines"))
+      .where(col("n_code_lines") >= 1)
+      .withColumn("content_key", md5(col("text")))
+      .select(col("doc_id"), col("lang"), col("license"),
+        col("n_secrets"), col("n_code_lines"), col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"))
+  }
+}
