@@ -280,8 +280,18 @@ object Multimodal {
         conv(col("hex3").substr((y * col("width") + x) * 6 + 1, lit(2)),
           16, 10).cast("long")
     }
-    docs.select(col("doc_id"), fmt.as("format"), w.as("width"),
-        h.as("height"), hex3.as("hex3"))
+    // the explode(array(struct(…))) is a deliberate materialization
+    // point: Generate output attributes cannot be rewritten through by
+    // CollapseProject or predicate pushdown, so the three decoders run
+    // exactly ONCE per row — without it, the spread gate's alias
+    // substitution re-evaluates the when-branch decode trees (no CSE
+    // inside conditional branches) once per sampled corner
+    docs.select(col("doc_id"),
+        explode(array(struct(fmt.as("format"), w.as("width"),
+          h.as("height"), hex3.as("hex3")))).as("g"))
+      .select(col("doc_id"), col("g.format").as("format"),
+        col("g.width").as("width"), col("g.height").as("height"),
+        col("g.hex3").as("hex3"))
       .withColumn("spread", greatest(bvals: _*) - least(bvals: _*))
       .where(col("spread") >= minSpread)
       .select(col("doc_id"), col("format"), col("width"), col("height"),

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scaling probe for the COMPOSED pipelines: times each composed row
+ * (web / image / audio / code corpus, plus the PDF-decryption front
+ * door whose R6 KDF dominates its cost) across the three driver scale
+ * factors and prints time-vs-documents with the fitted local exponent
+ * (log(t₂/t₁)/log(n₂/n₁)) between consecutive points — the same
+ * measured-curve discipline [[SuffixScaling]] pinned for the suffix
+ * family (VERDICT r11 task 5): the 100× claims should rest on a curve,
+ * not on plan shape alone. An exponent ≲ 1 across the 100× range means
+ * per-document scalar work dominates and the row scales with executors.
+ *
+ * Usage: graft.tools.PipelineScaling [sfRoot] — expects
+ * `<sfRoot>/sf{0.001,0.01,0.1}` (default /root/testdata). Each timing
+ * is a min-of-2 after one untimed sf0.001 warmup per query (JIT +
+ * codegen), written through the noop sink.
+ */
+object PipelineScaling {
+
+  private val Queries = Seq("pipeline_web_corpus", "pipeline_image_corpus",
+    "pipeline_audio_corpus", "pipeline_code_corpus", "mm_pdf_encrypted")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/root/testdata")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline-scaling")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s -> s"$root/$s")
+
+    // x-axis is corpus BYTES, not rows: the two smallest SFs share a
+    // row count and differ in document length
+    def nDocs(dir: String): Long = {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      spark.read.parquet(s"$dir/documents.parquet")
+        .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    }
+    def time(q: String, dir: String): Double = {
+      def once(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    // warmup (untimed): each query once on the smallest corpus
+    Queries.foreach(q => graft.SparkEntry.queries(q)(spark, sfs.head._2)
+      .write.format("noop").mode("overwrite").save())
+
+    val rows = for ((sf, dir) <- sfs) yield {
+      val n = nDocs(dir)
+      val ts = Queries.map(q => q -> time(q, dir))
+      println(f"$sf n_docs=$n%,d " + ts.map { case (q, t) =>
+        f"$q=$t%.2fs" }.mkString(" "))
+      (n, ts)
+    }
+    for (((n1, t1), (n2, t2)) <- rows.zip(rows.tail)) {
+      // a fitted exponent needs a real size step: sf0.001 and sf0.01
+      // share a byte count (they differ in table sizes elsewhere), so
+      // that pair would just amplify timer noise
+      if (n2.toDouble / n1 >= 2.0) {
+        val exps = t1.zip(t2).map { case ((q, a), (_, b)) =>
+          f"$q=${math.log(b / a) / math.log(n2.toDouble / n1)}%.2f" }
+        println(f"exponent ${n1}%,d -> ${n2}%,d: " + exps.mkString(" "))
+      } else println(f"exponent ${n1}%,d -> ${n2}%,d: skipped " +
+        "(size step < 2x — noise, not signal)")
+    }
+    spark.stop()
+  }
+}
