@@ -28,10 +28,10 @@ object SparkEntry {
 
   // ---- shared helpers -----------------------------------------------------
 
-  private def ev(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
     Cdc.eventsFromRaw(Cdc.rawEvents(s, dir))
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Cdc.table(s, dir, name)
 
   /** Deterministic markup fixture for the HTML-extraction rows: wraps each
@@ -40,7 +40,7 @@ object SparkEntry {
    * a no-terminal-punctuation line, a javascript line, a curly-brace code
    * line, a &nbsp; line, list/heading structure). Mirrored verbatim by
    * `markupSql` on the oracle side. */
-  private def markupDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def markupDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val id = col("doc_id").cast("string")
     d.select(col("doc_id"), col("lang"), concat(
@@ -67,7 +67,7 @@ object SparkEntry {
    * id-gated zero-stopword spam block (doc_id%4=1), a short tail note
    * whose REVISED class depends on its id-dependent neighbours, and a ©
    * footer. Mirrored literal for literal by the oracle's `h` CTE. */
-  private def blockFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def blockFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val id = col("doc_id").cast("string")
     d.select(col("doc_id"), concat(
@@ -99,7 +99,7 @@ object SparkEntry {
    * 2 = no header charset but a `<meta charset>` tag (sniff path). Docs
    * with doc_id % 11 = 0 carry a second, 404 response record the
    * extraction must parse and then drop. Mirrored by `warcMarkupSql`. */
-  private def warcDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def warcDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.WarcFunctions._
     val id = col("doc_id").cast("string")
     val k3 = col("doc_id") % 3
@@ -132,7 +132,7 @@ object SparkEntry {
    * and `curate_url_dedup_streamed` (real streaming run): one url per
    * document cycling doc_id % 6 through every canonicalization rule.
    * Mirrored by the `curate_url_canonical` oracle CTE `u`. */
-  private def urlFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def urlFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val url = when(col("doc_id") % 6 === 0,
         concat(lit("HTTP://Example.COM:80/Path/"), col("source"),
@@ -162,7 +162,7 @@ object SparkEntry {
    * orientation, so EXIF normalization recovers them exactly; flat even
    * blocks keep every codec lossless (the oracle replays the upright
    * content from seed arithmetic alone). */
-  private def imageFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def imageFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PngFunctions._
     import graft.functions.JpegFunctions._
     import graft.functions.GifFunctions._
@@ -208,7 +208,7 @@ object SparkEntry {
    * Frames alternate speech and near-silence by seed arithmetic (the
    * mm_audio_vad shape), and both containers decode to the SAME exact
    * integers, so the oracle replays everything from the formula. */
-  private def audioFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FlacFunctions._
     val dataHex = expr(
       """concat_ws('', transform(sequence(0, 255), i -> concat(
@@ -262,7 +262,7 @@ object SparkEntry {
    * keyword), SPDX/phrase/absent license headers (seed % 4) and secret
    * payloads (AWS key + hex token / PEM block / none by seed % 3) —
    * every byte is seed arithmetic the oracle rebuilds. */
-  private def codeFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def codeFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     val seed = col("doc_id") % 40
     val sd = seed.cast("string")
     val lf = seed % 5
@@ -313,7 +313,7 @@ object SparkEntry {
    * plus query: the literal-`?` rules on sub.example.com and the
    * `$`-anchored query rules on example.com:8080), and
    * longest-match/allow-tie arithmetic keyed to doc_id digits. */
-  private val robotsFixture: Seq[(String, String)] = Seq(
+  private[graft] val robotsFixture: Seq[(String, String)] = Seq(
     "example.com" ->
       """# graft crawl policy
         |User-agent: *
@@ -343,18 +343,18 @@ object SparkEntry {
         |Allow: /p52?z=9$
         |""".stripMargin)
 
-  private def robotsDocs(s: SparkSession): DataFrame = {
+  private[graft] def robotsDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     robotsFixture.toDF("domain", "robots_txt")
   }
 
   /** `robots(domain, robots_txt)` VALUES CTE — newlines embed raw in the
    * SQL literal (standard multi-line strings; fixtures carry no quotes). */
-  private def robotsValuesSql(fixture: Seq[(String, String)]): String =
+  private[graft] def robotsValuesSql(fixture: Seq[(String, String)]): String =
     fixture.map { case (d, t) => s"('$d', '$t')" }
       .mkString("robots(domain, robots_txt) AS (VALUES ", ", ", ")")
 
-  private def robotsFixtureSql: String = robotsValuesSql(robotsFixture)
+  private[graft] def robotsFixtureSql: String = robotsValuesSql(robotsFixture)
 
   /** robots.txt for the LINK-TARGET hosts of the crawl-frontier row
    * (separate from [[robotsFixture]], which covers the URL fixture's
@@ -363,7 +363,7 @@ object SparkEntry {
    * permissive `*` group), a robots file with NO applicable group on
    * www.site1 (admit, rule_len -1), and a mid-pattern wildcard on
    * site5. */
-  private val frontierRobotsFixture: Seq[(String, String)] = Seq(
+  private[graft] val frontierRobotsFixture: Seq[(String, String)] = Seq(
     "site0.com" ->
       """User-agent: *
         |Disallow: /p/
@@ -385,7 +385,7 @@ object SparkEntry {
         |Disallow: /p/*3
         |""".stripMargin)
 
-  private def frontierRobotsDocs(s: SparkSession): DataFrame = {
+  private[graft] def frontierRobotsDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     frontierRobotsFixture.toDF("domain", "robots_txt")
   }
@@ -397,7 +397,7 @@ object SparkEntry {
    * `rx(domain, score, rex)`. Shared by the robots-admission and
    * crawl-frontier oracles; mirrors `Curation.robotsParse` + the
    * rule-selection half of `robotsAdmit`. */
-  private val robotsRulesCtes =
+  private[graft] val robotsRulesCtes =
     """rl AS (SELECT domain,
            generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
            unnest(string_split(robots_txt, chr(10))) AS raw
@@ -452,7 +452,7 @@ object SparkEntry {
    * for doc_id%5=2 a loc-less entry the parse must drop — or a
    * sitemapindex (doc_id % 7 = 0) with two child sitemaps, one carrying
    * lastmod. Mirrored literal for literal by the oracle. */
-  private def sitemapDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sitemapDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val id = col("doc_id").cast("string")
     val cf = element_at(array(lit("always"), lit("daily"), lit("weekly"),
@@ -484,7 +484,7 @@ object SparkEntry {
   /** robots.txt blobs carrying `Sitemap:` directives (doc_id % 3 = 1
    * only): one id-dependent URL + one shared URL, directive name case
    * varying — the third discovery path beside urlset/sitemapindex. */
-  private def sitemapRobotsDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sitemapRobotsDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
     val id = col("doc_id").cast("string")
     d.select(col("doc_id"), concat(
@@ -501,7 +501,7 @@ object SparkEntry {
    * Training rows are labeled; German umlauts appear in their ASCII
    * digraph form (ue/oe/ae — how ASCII-only German is actually written),
    * keeping the trigram alphabet honest without multi-byte noise. */
-  private val langTrainFixture: Seq[(Long, String, String)] = Seq(
+  private[graft] val langTrainFixture: Seq[(Long, String, String)] = Seq(
     (0L, "en", "the quick brown fox jumps over the lazy dog while the " +
       "children read their books in the evening and the old man walks " +
       "to the market with his friends"),
@@ -532,7 +532,7 @@ object SparkEntry {
    * English tail — the trigram mass decides), and three script-range
    * docs (Cyrillic/Han/Arabic) the 25% override must catch without any
    * training coverage. */
-  private val langTestFixture: Seq[(Long, String)] = Seq(
+  private[graft] val langTestFixture: Seq[(Long, String)] = Seq(
     (100L, "the cat sleeps near the door and the dog waits for the " +
       "children to come home from school in the afternoon"),
     (101L, "die katze schlaeft neben der tuer und der hund wartet auf " +
@@ -550,21 +550,21 @@ object SparkEntry {
     (107L, "الثعلب البني السريع يقفز فوق الكلب الكسول والاطفال يقرؤون " +
       "الكتب في المساء قرب النهر"))
 
-  private def langTrainDocs(s: SparkSession): DataFrame = {
+  private[graft] def langTrainDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     langTrainFixture.toDF("doc_id", "lang", "text")
   }
 
-  private def langTestDocs(s: SparkSession): DataFrame = {
+  private[graft] def langTestDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     langTestFixture.toDF("doc_id", "text")
   }
 
-  private def langTrainValuesSql: String =
+  private[graft] def langTrainValuesSql: String =
     langTrainFixture.map { case (i, l, t) => s"($i, '$l', '$t')" }
       .mkString("langtrain(doc_id, lang, text) AS (VALUES ", ", ", ")")
 
-  private def langTestValuesSql: String =
+  private[graft] def langTestValuesSql: String =
     langTestFixture.map { case (i, t) => s"($i, '$t')" }
       .mkString("langtest(doc_id, text) AS (VALUES ", ", ", ")")
 
@@ -574,7 +574,7 @@ object SparkEntry {
    * trailing-slash CDN link, a relative link and a javascript: link (both
    * must be dropped), and an uppercase-HREF duplicate-target link.
    * Mirrored verbatim by the `text_html_links` oracle. */
-  private def linkedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def linkedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val id = col("doc_id").cast("string")
     val k7 = (col("doc_id") % 7).cast("string")
@@ -607,9 +607,9 @@ object SparkEntry {
   // headroom for one more dir. Every entry is dictionary- or
   // corpus-ROW-sized (centroids, codebooks, 6-column predictions),
   // never corpus-payload-sized.
-  private val MemoizedBuildPrefixes = 8
-  private val MemoizedFrameCap = MemoizedBuildPrefixes * 4
-  private val centroidCache =
+  private[graft] val MemoizedBuildPrefixes = 8
+  private[graft] val MemoizedFrameCap = MemoizedBuildPrefixes * 4
+  private[graft] val centroidCache =
     new java.util.LinkedHashMap[String, DataFrame](MemoizedFrameCap, 0.75f,
       true) {
       override def removeEldestEntry(
@@ -619,7 +619,7 @@ object SparkEntry {
         evict
       }
     }
-  private def memoizedFrame(s: SparkSession, dir: String, prefix: String)(
+  private[graft] def memoizedFrame(s: SparkSession, dir: String, prefix: String)(
       build: => DataFrame): DataFrame = {
     val key =
       s"$prefix|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
@@ -643,7 +643,7 @@ object SparkEntry {
     }
   }
 
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "ivf")(
       Similarity.kmeansCentroids(t(s, dir, "embeddings"),
         nCells = 50, iters = 5, dim = 64)(s))
@@ -655,13 +655,13 @@ object SparkEntry {
    * derive from ONE memoized count dictionary (the langIdNgram shape):
    * without the shared memo each would run its own Materialized
    * training scan of the corpus. */
-  private def langIdCountsMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def langIdCountsMemo(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "langcnt")(
       TextAnalysis.langIdCounts(t(s, dir, "documents")))
-  private def langIdModelMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def langIdModelMemo(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "langmdl")(
       TextAnalysis.langIdModelOf(langIdCountsMemo(s, dir)))
-  private def langIdFloorsMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def langIdFloorsMemo(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "langw0")(
       TextAnalysis.langIdFloorsOf(langIdCountsMemo(s, dir)))
 
@@ -671,18 +671,18 @@ object SparkEntry {
    * downstream stage). Prediction frame is corpus-ROW-sized (6 scalar
    * columns), the same caching class as the resolved frames the other
    * composed rows reuse. */
-  private def langIdPredMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def langIdPredMemo(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "langpred")(
       TextAnalysis.langIdPredict(t(s, dir, "documents"),
         langIdModelMemo(s, dir), langIdFloorsMemo(s, dir)))
 
   /** PQ codebooks, memoized like the centroids (index-build amortization). */
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "pq")(
       Similarity.pqTrainCodebooks(t(s, dir, "embeddings"),
         m = 8, k = 16, iters = 3, dim = 64)(s))
 
-  private def pqResidualBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqResidualBooks(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "pqr")(
       Similarity.pqTrainResidualCodebooks(t(s, dir, "embeddings"),
         ivfCentroids(s, dir), m = 8, k = 16, iters = 3, dim = 64)(s))
@@ -690,8 +690,8 @@ object SparkEntry {
   /** OPQ rotation + rotated-space codebooks, memoized like the other ANN
    * index builds: an index is trained once and encodes many batches, and
    * Bench's repeated passes should measure the encode, not retraining. */
-  private val opqPermCache = scala.collection.mutable.Map.empty[String, Array[Int]]
-  private def opqPerm(s: SparkSession, dir: String): Array[Int] = {
+  private[graft] val opqPermCache = scala.collection.mutable.Map.empty[String, Array[Int]]
+  private[graft] def opqPerm(s: SparkSession, dir: String): Array[Int] = {
     val key =
       s"opqp|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     opqPermCache.synchronized {
@@ -699,7 +699,7 @@ object SparkEntry {
         Similarity.opqPermutation(t(s, dir, "embeddings"), m = 8, dim = 64))
     }
   }
-  private def opqBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def opqBooks(s: SparkSession, dir: String): DataFrame =
     memoizedFrame(s, dir, "opq")(
       Similarity.pqTrainCodebooks(
         Similarity.applyPermutation(t(s, dir, "embeddings"), opqPerm(s, dir)),
@@ -708,9 +708,9 @@ object SparkEntry {
   /** Learned BPE merges, memoized per (session, dir) like the ANN index
    * builds: the trainer collects one argmax row per round, and both
    * text_bpe_* queries (and Bench's passes) share the result. */
-  private val bpeRounds = 8
-  private val bpeCache = scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
-  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
+  private[graft] val bpeRounds = 8
+  private[graft] val bpeCache = scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
+  private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
     val key =
       s"bpe|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     bpeCache.synchronized {
@@ -724,13 +724,13 @@ object SparkEntry {
    * (Latin accents, Greek), 3-byte (CJK) and 4-byte (emoji) UTF-8 plus a
    * contraction for the `'s|'t` pretokenizer branches. ONE Seq feeds the
    * Spark fixture and the oracle CASE (apostrophes doubled there). */
-  private val byteDeco: Seq[String] = Seq(
+  private[graft] val byteDeco: Seq[String] = Seq(
     " café über naïve isn't",
     " 中文数据 处理规模",
     " 😀🚀 emoji here",
     " ελληνικά κείμενο 123")
 
-  private def byteDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def byteDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       concat(col("text"), element_at(
         array(byteDeco.map(lit): _*),
@@ -741,29 +741,29 @@ object SparkEntry {
    * inert inside strings) and multi-byte UTF-8 — appended to every doc
    * so the oracle recomputes the expected extraction as plain
    * concatenation. No single quotes (embeds raw in the SQL literal). */
-  private val pdfDeco = " (parens) 50% back\\slash café fin"
+  private[graft] val pdfDeco = " (parens) 50% back\\slash café fin"
 
   /** Decoration for the WinAnsi modern-PDF row: cp1252 0x80–0x9F
    * typographic characters (euro, curly quotes, dashes, per-mille,
    * S/Z-caron, ligature oe) — every one exercises the Annex-D high
    * table, none survives a naive Latin-1 or UTF-8 byte read. No
    * single quotes of the ASCII kind (embeds raw in the SQL literal). */
-  private val pdfWinAnsiDeco = " €9 “q” – — ‰ Šœž Ÿ…"
+  private[graft] val pdfWinAnsiDeco = " €9 “q” – — ‰ Šœž Ÿ…"
 
   /** Decoration for the Type0/ToUnicode row: CJK + an astral emoji
    * (surrogate-pair bfchar target) + combining-free accents. */
-  private val pdfCMapDeco = " 中文テキスト 😀 fin"
+  private[graft] val pdfCMapDeco = " 中文テキスト 😀 fin"
 
   /** Decoration appended ahead of the web pipeline's NFC stage:
    * DECOMPOSED e + U+0301 pairs, so the normalize stage composes them
    * and the oracle asserts the COMPOSED bytes — the normalization is
    * load-bearing in the chain, not a pass-through. */
-  private val webDeco = " re\u0301sume\u0301 fini"
+  private[graft] val webDeco = " re\u0301sume\u0301 fini"
 
-  private val byteBpeRounds = 8
-  private val byteBpeCache =
+  private[graft] val byteBpeRounds = 8
+  private[graft] val byteBpeCache =
     scala.collection.mutable.Map.empty[String, Seq[Bpe.Merge]]
-  private def byteBpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
+  private[graft] def byteBpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] = {
     val key =
       s"bbpe|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     byteBpeCache.synchronized {
@@ -775,8 +775,8 @@ object SparkEntry {
   /** Max-match vocabulary (surviving BPE symbols), memoized like the
    * merges: one dictionary-sized collect shared by the wordpiece queries
    * and Bench's repeated passes. */
-  private val wpCache = scala.collection.mutable.Map.empty[String, Seq[String]]
-  private def wpVocab(s: SparkSession, dir: String): Seq[String] = {
+  private[graft] val wpCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+  private[graft] def wpVocab(s: SparkSession, dir: String): Seq[String] = {
     val key =
       s"wp|${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir"
     wpCache.synchronized {
@@ -788,7 +788,7 @@ object SparkEntry {
   /** Trade-graph edges for graph_pagerank: both directions of every
    * distinct (customer, supplier) pair on a keyed order slice; customers
    * and suppliers share a node space via 2k / 2k+1. */
-  private def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
@@ -798,4015 +798,35 @@ object SparkEntry {
   }
 
   /** Exact decimal for a 2-dp money double; final results cast back. */
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  private def revenue: Column =
+  private[graft] def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private[graft] def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private[graft] def revenue: Column =
     sum(dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")))
       .cast("double")
 
   // ---- queries ------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // == CDC core (SURVEY.md §2.2–2.5, §3.2) ==
-    "cdc_dedup_exact" -> ((s, dir) => {
-      // RF=2 replica duplicates collapsed by (key, digest) — A1/T2
-      val duplicated = Cdc.replicate(ev(s, dir), rf = 2)
-      CdcOperators.dedupExact(duplicated)
-        .select(col("event_id"), col("key"), col("op"), col("writetime"))
-    }),
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.CdcEntries.queries ++
+    entries.RelationalEntries.queries ++
+    entries.TextEntries.queries ++
+    entries.DedupEntries.queries ++
+    entries.VectorEntries.queries ++
+    entries.CurateEntries.queries ++
+    entries.MixEntries.queries ++
+    entries.MediaEntries.queries ++
+    entries.PipelineEntries.queries
 
-    "cdc_enrich_join" -> ((s, dir) => {
-      // J1 read-after-write lookup + P7 tombstone projection
-      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
-          "key", "c_custkey", Seq("c_name", "c_acctbal"))
-        .select(col("event_id"), col("key"), col("op"),
-          col("c_name"), col("c_acctbal"), col("writetime"))
-    }),
-
-    "cdc_compaction_lww" -> ((s, dir) => {
-      // W3 last-write-wins per key
-      CdcOperators.compactLww(ev(s, dir), Seq("key"),
-          Seq(col("writetime").desc, col("event_id").desc))
-        .select(col("key"), col("event_id"), col("op"), col("writetime"))
-    }),
-
-    "cdc_backfill_union" -> ((s, dir) => {
-      // T8 snapshot→synthetic-inserts ∪ live stream
-      val live = ev(s, dir).select(col("key"), lit("live").as("src"))
-      val bf = CdcOperators.backfillEvents(t(s, dir, "customer"), "c_custkey")
-        .select(col("key"), lit("backfill").as("src"))
-      live.unionByName(bf)
-        .groupBy(col("key"))
-        .agg(count(when(col("src") === "live", 1)).as("n_live"),
-          count(when(col("src") === "backfill", 1)).as("n_backfill"))
-    }),
-
-    "cdc_tombstone_json" -> ((s, dir) => {
-      // F13 json output format; delete ⇒ null value (tombstone)
-      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
-          "key", "c_custkey", Seq("c_name"))
-        .select(col("event_id"),
-          to_json(struct(col("key"))).as("key_json"),
-          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
-            .otherwise(to_json(struct(col("c_name")))).as("value_json"))
-    }),
-
-    "cdc_materialized_state" -> ((s, dir) => {
-      // downstream replica maintenance: snapshot + events → current state
-      CdcOperators.materialize(t(s, dir, "customer"), ev(s, dir),
-        "c_custkey", "key", Seq(col("writetime").desc, col("event_id").desc))
-    }),
-
-    "cdc_ordered_replay" -> ((s, dir) => {
-      // W1 per-key commitlog replay order
-      CdcOperators.orderedReplay(ev(s, dir), Seq("key"))
-        .select(col("key"), col("event_id"), col("segment"), col("position"),
-          col("replay_idx").cast("long").as("replay_idx"))
-    }),
-
-    "q_range_frame" -> ((s, dir) => {
-      // RANGE frame: per-key event count+sum over the trailing hour
-      // (event-time range window, not row-count)
-      import org.apache.spark.sql.expressions.Window
-      val hourUs = 3600L * 1000000L
-      val w = Window.partitionBy(col("key")).orderBy(col("writetime").asc)
-        .rangeBetween(-hourUs, Window.currentRow)
-      ev(s, dir)
-        .select(col("key"), col("event_id"), col("writetime"),
-          count(lit(1)).over(w).as("n_trailing_hour"),
-          sum(dec2(col("value"))).over(w).cast("double").as("sum_trailing_hour"))
-    }),
-
-    "q_window_analytics" -> ((s, dir) => {
-      // analytic-function sweep: lag / lead / first_value / ntile over a
-      // fully-ordered per-key window
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(
-        col("o_custkey"), col("o_orderkey"),
-        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-        lead(col("o_totalprice"), 1).over(w).as("next_price"),
-        first(col("o_orderkey")).over(w).as("first_order"),
-        ntile(4).over(w).cast("long").as("quartile"))
-    }),
-
-    "q_grouping_sets" -> ((s, dir) => {
-      // explicit GROUPING SETS through the SQL surface
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-           FROM orders_v
-           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
-    }),
-
-    "q_median" -> ((s, dir) => {
-      // exact interpolated percentile — distributed form: built-in
-      // percentile() buffers every distinct value of the group in ONE
-      // final-merge task (a handful of event_type groups each holding the
-      // whole corpus's values ⇒ single-task OOM at 10⁹ rows), so the exact
-      // ranks come from the range-partitioned ExactPercentile idiom
-      // instead; arithmetic is bit-identical (spec-pinned)
-      operators.ExactPercentile.percentiles(
-        Cdc.rawEvents(s, dir).select(col("event_type"), col("value")),
-        Seq("event_type"), col("value"),
-        Seq("median_value" -> 0.5, "p90_value" -> 0.9))
-    }),
-
-    "q_value_stats" -> ((s, dir) => {
-      // variance/stddev with exact-decimal sums so both engines compute the
-      // same doubles (built-in stddev uses engine-specific accumulation)
-      val v = dec2(col("value"))
-      Cdc.rawEvents(s, dir)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(v).cast("double").as("s1"),
-          sum(v * v).cast("double").as("s2"))
-        .withColumn("variance",
-          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-        .withColumn("stddev", sqrt(col("variance")))
-    }),
-
-    "q_moving_avg" -> ((s, dir) => {
-      // A3 analog: per-key moving average over the last 10 events
-      // (reference: circular buffer of last 10 batch latencies,
-      // CassandraSource.java:177-189) — a ROWS frame-spec window
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("key"))
-        .orderBy(col("writetime").asc, col("event_id").asc)
-        .rowsBetween(-9, Window.currentRow)
-      ev(s, dir)
-        .withColumn("mavg",
-          (sum(dec2(col("value"))).over(w).cast("double") /
-            count(lit(1)).over(w).cast("double")))
-        .select(col("key"), col("event_id"), col("writetime"), col("mavg"))
-    }),
-
-    "q_approx_distinct" -> ((s, dir) => {
-      // HLL sketch, oracle-checked as an error bound: the estimate itself is
-      // engine-specific, but |approx-exact|/exact <= 0.05 is a portable
-      // assertion the oracle verifies alongside the exact counts. The
-      // sketch runs at rsd=0.01 — rsd is a STANDARD DEVIATION, not a bound,
-      // so asserting 5% against the default 5%-rsd sketch is a coin flip
-      // (and indeed failed at sf0.1); 1% rsd makes the 5% assertion a 5σ
-      // margin.
-      // Plan note: mixing count_distinct with plain aggregates makes
-      // Catalyst rewrite through Expand (2× the input rows). Pre-grouping
-      // on (event_type, user_id) gives the same values — HLL over the
-      // distinct set ≡ HLL over the multiset — with both aggregations
-      // map-side combinable and no Expand.
-      Cdc.rawEvents(s, dir)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("_rows"))
-        .groupBy(col("event_type"))
-        // count(user_id), not count(*): a NULL user_id forms its own
-        // pre-group, which COUNT(DISTINCT user_id) and the HLL both skip
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
-          count(col("user_id")).as("n_exact"),
-          sum(col("_rows")).as("n"))
-        .select(col("event_type"), col("n_exact"), col("n"),
-          (abs(col("approx") - col("n_exact")).cast("double") /
-            col("n_exact").cast("double") <= 0.05).as("approx_ok"))
-    }),
-
-    "dedup_bloom_approx" -> ((s, dir) => {
-      // Approximate dedup at scale (SURVEY §7.2 M6): a bloom_agg sketch of
-      // the already-seen half of the stream (even segments) probes a full
-      // replay. No false negatives (every seen digest hits) and the false-
-      // positive rate on unseen digests stays under fpp-bounded 5% — both
-      // oracle-checked; exact counts anchor the row.
-      // The sketch rides as a SCALAR SUBQUERY: built distributed (map-side
-      // partial filters, OR-merged), evaluated exactly once at execution —
-      // the probe kernel then sees one stable byte[] reference per task
-      // (identity-cached parse), and the whole query stays a lazy plan
-      // (no driver-side collect at construction time; routing the filter
-      // through a join column would instead copy it out of the UnsafeRow
-      // on every probed row). This is the broadcast-a-sketch shape a
-      // 100 TB dedup uses.
-      GraftExtensions.register(s)
-      // view name is dir-scoped: a fixed name could be replaced by a
-      // concurrent construction for another dir before this statement is
-      // analyzed, silently cross-wiring datasets
-      val view = "graft_bloom_events_" +
-        java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
-      ev(s, dir).createOrReplaceTempView(view)
-      val probe =
-        "bloom_contains((SELECT bloom_agg(md5Digest, 500000, CAST(0.01 AS DOUBLE)) " +
-          s"FROM $view WHERE position % 2 = 0), md5Digest)"
-      s.sql(
-        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
-           CAST(SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
-           SUM(CASE WHEN position % 2 = 0 AND $probe THEN 1 ELSE 0 END) =
-             SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END) AS no_false_negatives,
-           (CAST(SUM(CASE WHEN $probe THEN 1 ELSE 0 END) -
-                 SUM(CASE WHEN position % 2 = 0 AND $probe THEN 1 ELSE 0 END) AS DOUBLE)
-            / CAST(GREATEST(COUNT(*) -
-                 SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END), 1) AS DOUBLE))
-             <= 0.05 AS fp_bounded
-           FROM $view""")
-    }),
-
-    "cdc_json_only" -> ((s, dir) => {
-      // F13/P7 json single-payload mode: PK columns folded into the value
-      // record, deletes/misses emit '{}' not null (CassandraSource.java:
-      // 346-366, 377)
-      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
-          "key", "c_custkey", Seq("c_name"))
-        .select(col("event_id"),
-          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit("{}"))
-            .otherwise(to_json(struct(col("key"), col("c_name"))))
-            .as("payload_json"))
-    }),
-
-    "cdc_column_regex" -> ((s, dir) => {
-      // P6 column-regex projection: the reference's `columns` connector
-      // config restricts which value columns replicate
-      // (CassandraSourceConnectorConfig.java:52, applied at
-      // CassandraSource.java:290-292, 360, 365). Four columns come out of
-      // the enrichment; the regex admits only the c_n* pair, and the KEPT
-      // SET — not a hardcoded list — flows through the json output path,
-      // so the oracle hash proves the regex selected exactly
-      // {c_name, c_nationkey} and dropped {c_acctbal, c_mktsegment}.
-      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
-          t(s, dir, "customer"), "key", "c_custkey",
-          Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
-        .select(col("event_id"), col("op"), col("c_name"),
-          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-      val kept = CdcOperators.projectColumnsByRegex(enriched,
-        keep = Seq("event_id", "op"), regex = "c_n.*")
-      val valueCols = kept.columns.filterNot(Seq("event_id", "op").contains)
-      kept.select(col("event_id"),
-        when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
-          .otherwise(to_json(struct(valueCols.map(col): _*)))
-          .as("value_json"))
-    }),
-
-    "cdc_schema_evolution" -> ((s, dir) => {
-      // Schema evolution mid-stream: table ALTERs at segments 2 and 4
-      // widen the replicated column set, and each event renders its json
-      // payload under the schema in force at its commitlog coordinate —
-      // the reference rebuilds its value converter on
-      // SchemaChangeListener.onTableUpdated so output produced after the
-      // change carries the new columns while earlier output keeps the old
-      // shape (CassandraSource.java:666-673, 352-372). All three versions
-      // flow through one plan-time CASE chain; the hash proves both the
-      // version boundaries and the per-version column sets.
-      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
-        t(s, dir, "customer"), "key", "c_custkey",
-        Seq("c_name", "c_nationkey", "c_mktsegment"))
-      CdcOperators.evolveSchema(enriched, "segment",
-          Seq(0L -> Seq("c_name"),
-            2L -> Seq("c_name", "c_nationkey"),
-            4L -> Seq("c_name", "c_nationkey", "c_mktsegment")),
-          tombstone = col("op") === Cdc.OpDelete || col("c_name").isNull)
-        .select(col("event_id"), col("schema_version"), col("value_json"))
-    }),
-
-    "cdc_partition_tombstone" -> ((s, dir) => {
-      // Partition-level deletes with Cassandra timestamp shadowing: an
-      // `error` event at event_id % 3 == 0 is a partition tombstone (the
-      // reference's PARTITION_KEY_ROW_DELETION — one event, clustering
-      // columns null, CommitLogReadHandlerImpl.java:127-151, 318-324);
-      // every clustered row of that key with writetime <= the deletion's
-      // timestamp is wiped, rows written after it survive. Other errors
-      // are ordinary clustered row deletes (ck = event_id % 5).
-      val e = ev(s, dir).withColumn("ck",
-        when(col("op") === Cdc.OpDelete && col("event_id") % 3 === 0,
-          lit(null).cast("long")).otherwise(col("event_id") % 5))
-      CdcOperators.applyPartitionTombstones(e, "key", "ck", "writetime",
-          tiebreak = Seq(col("event_id").desc))
-        .select(col("key"), col("ck"), col("event_id"), col("op"),
-          col("writetime"))
-    }),
-
-    "cdc_keyvalue_avro" -> ((s, dir) => {
-      // F12 default key-value-avro output format, oracle-checked end to end:
-      // the binary records are decoded back (AvroDecode = the reference's
-      // source-side decode, NativeAvroConverter.java:356-410) and the
-      // decoded fields hash-matched against the plain enrichment join —
-      // encode∘decode must be the identity, tombstones stay null.
-      import graft.functions.{AvroFunctions, AvroSchemas}
-      val keySchema = AvroSchemas.forStruct(
-        StructType(Seq(StructField("key", LongType, nullable = false))),
-        "events_key", "graft")
-      val valSchema = AvroSchemas.forStruct(
-        StructType(Seq(StructField("c_name", StringType, nullable = true))),
-        "events_value", "graft")
-      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
-          "key", "c_custkey", Seq("c_name"))
-        .select(col("event_id"),
-          AvroFunctions.to_avro_binary(struct(col("key")), keySchema.toString)
-            .as("key_avro"),
-          when(col("op") === Cdc.OpDelete, lit(null))
-            .otherwise(AvroFunctions.to_avro_binary(struct(col("c_name")),
-              valSchema.toString)).as("value_avro"))
-        .select(col("event_id"),
-          AvroFunctions.from_avro_binary(col("key_avro"), keySchema.toString)
-            .getField("key").as("key"),
-          AvroFunctions.from_avro_binary(col("value_avro"), valSchema.toString)
-            .getField("c_name").as("c_name"),
-          col("value_avro").isNull.as("is_tombstone"))
-    }),
-
-    "cdc_avro_roundtrip" -> ((s, dir) => {
-      // Complex-type Avro depth (VERDICT r1 #3): nested record (UDT analog),
-      // array, string-keyed map and decimal through encode → decode →
-      // hash-match (reference: AbstractNativeConverter.java:226-263 builds
-      // these schemas; the zudt/tuple e2e is PulsarCassandraSourceTests.java:
-      // 612-760). The oracle recomputes the projected fields straight from
-      // the table, so any wire-format asymmetry fails the row.
-      import graft.functions.{AvroFunctions, AvroSchemas}
-      val valueType = StructType(Seq(
-        StructField("c_name", StringType, nullable = false),
-        StructField("contact", StructType(Seq(
-          StructField("nation", IntegerType, nullable = false),
-          StructField("segment", StringType, nullable = true))), nullable = false),
-        StructField("tags", ArrayType(StringType, containsNull = false),
-          nullable = false),
-        StructField("props", MapType(StringType, StringType,
-          valueContainsNull = false), nullable = false),
-        StructField("bal", DecimalType(12, 2), nullable = false)))
-      val valSchema = AvroSchemas.forStruct(valueType, "customer_value", "graft")
-      val c = t(s, dir, "customer")
-      val value = struct(
-        col("c_name").as("c_name"),
-        struct(col("c_nationkey").as("nation"),
-          // nullable nested field with real nulls in the data
-          when(col("c_acctbal") < 0, lit(null).cast("string"))
-            .otherwise(col("c_mktsegment")).as("segment")).as("contact"),
-        array(col("c_mktsegment"), col("c_name")).as("tags"),
-        map(lit("seg"), col("c_mktsegment")).as("props"),
-        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
-      val dec = AvroFunctions.from_avro_binary(
-        AvroFunctions.to_avro_binary(value, valSchema.toString),
-        valSchema.toString)
-      c.select(col("c_custkey"), dec.as("v"))
-        .select(col("c_custkey"),
-          col("v.c_name").as("c_name"),
-          col("v.contact.nation").as("nation"),
-          col("v.contact.segment").as("segment"),
-          element_at(col("v.tags"), 2).as("tag2"),
-          element_at(col("v.props"), "seg").as("prop_seg"),
-          col("v.bal").cast("double").as("bal"))
-    }),
-
-    "cdc_token_partition" -> ((s, dir) => {
-      // F2/O5: Cassandra Murmur3 token + topic-partition routing. Oracle =
-      // a golden fixture of 64 precomputed (key, token, partition) triples
-      // from the spec'd Murmur3Partitioner algorithm (guava-cross-checked in
-      // Murmur3Spec) — a DataSpec-style hash-matched check of the codegen
-      // expression, plus the live routing over the event stream's keys
-      // joined against those golden keys.
-      val golden = s.range(64).select(col("id").as("key"))
-      golden.select(col("key"),
-        GraftFunctions.cassandra_token(col("key")).as("token"))
-        .withColumn("partition",
-          GraftFunctions.token_partition(col("token"), 32).cast("long"))
-    }),
-
-    "cdc_partition_classify" -> ((s, dir) => {
-      // P1+P2: CDC admission (cdc-disabled tables and counter/MV/2i
-      // partitions rejected with countable reasons — reference
-      // CommitLogReadHandlerImpl.java:111-152, 229-231) and PartitionType
-      // classification of the admitted stream. Table kind / cdc flag /
-      // clustering presence synthesized deterministically from the events.
-      val e = ev(s, dir)
-        .withColumn("table_kind",
-          when(col("key") % 50 === 0, "counter")
-            .when(col("key") % 50 === 1, "materialized_view")
-            .when(col("key") % 50 === 2, "secondary_index")
-            .otherwise("base"))
-        .withColumn("cdc_enabled", col("key") % 10 =!= 3)
-        .withColumn("clustering_key",
-          when(col("position") % 5 === 0, lit(null)).otherwise(col("position")))
-      val admitted = CdcOperators.admitCdc(e)
-      admitted
-        .withColumn("category",
-          when(col("admit_reason") =!= "admitted", col("admit_reason"))
-            .otherwise(CdcOperators.partitionType(col("op"),
-              col("clustering_key"))))
-        .groupBy(col("category")).agg(count(lit(1)).as("n"))
-    }),
-
-    "cdc_prefix_lookup" -> ((s, dir) => {
-      // P8/J1 end to end on a real compound key (l_orderkey, l_linenumber):
-      // events carry either the full PK (row-level lookup), a tampered
-      // clustering value (miss ⇒ tombstone-shaped nulls) or a null
-      // clustering key (partition-level: no statics here, so value fields
-      // stay null) — the reference's non-null-prefix WHERE arity
-      // (CassandraSource.java:534, CassandraClient.java:166-178).
-      val base = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val events = base.filter(col("l_orderkey") % 7 === 0)
-        .select(col("l_orderkey"),
-          when(col("l_linenumber") % 3 === 0, lit(null).cast("int"))
-            .when(col("l_linenumber") % 4 === 0, col("l_linenumber") + 100)
-            .otherwise(col("l_linenumber")).cast("int").as("l_linenumber"))
-        .distinct()
-      CdcOperators.prefixLookupJoin(events, base,
-          partitionKey = "l_orderkey", clusteringKey = "l_linenumber",
-          staticCols = Nil, regularCols = Seq("l_quantity"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    }),
-
-    "cdc_all_types" -> ((s, dir) => {
-      // The reference's richest e2e scenario re-expressed: every CQL value
-      // category — text/int/bigint/boolean/blob/uuid/date/timestamp/time/
-      // varint/decimal/list/set/map/UDT/tuple/duration — synthesized onto
-      // the customer table, pushed through kvProject and JSON output, and
-      // hash-matched against a DuckDB struct_pack mirror (reference:
-      // PulsarCassandraSourceTests.java:612-760 table3+zudt; golden values
-      // DataSpec.java:36-116; type map SURVEY.md §1.2). Representations
-      // follow the §1.2 mapping: date → epoch days, time → µs since
-      // midnight, timestamp → epoch ms, duration → {months,days,nanos}
-      // triple, tuple → index_i fields, varint/decimal → exact decimal
-      // (JSON-encoded as strings: JSON numbers are doubles and would drop
-      // trailing scale). Deletes tombstone to SQL NULL.
-      val h = md5(col("c_custkey").cast("string"))
-      val typed = t(s, dir, "customer")
-        .withColumn("op", when(col("c_custkey") % 10 === 0, Cdc.OpDelete)
-          .otherwise(Cdc.OpUpdate))
-        .withColumn("a_text", col("c_name"))
-        .withColumn("a_int", col("c_nationkey"))
-        .withColumn("a_long", col("c_custkey"))
-        .withColumn("a_bool", col("c_acctbal") > 0)
-        .withColumn("a_blob", base64(col("c_name").cast("binary")))
-        .withColumn("a_uuid", concat_ws("-", substring(h, 1, 8),
-          substring(h, 9, 4), substring(h, 13, 4), substring(h, 17, 4),
-          substring(h, 21, 12)))
-        .withColumn("a_date_days", (col("c_custkey") % 20000).cast("int"))
-        .withColumn("a_ts_ms", col("c_custkey") * 1000L + 42L)
-        .withColumn("a_time_us", (col("c_custkey") * 1000000L) % 86400000000L)
-        .withColumn("a_varint",
-          col("c_custkey").cast(DecimalType(38, 0)).cast("string"))
-        .withColumn("a_decimal",
-          col("c_acctbal").cast(DecimalType(12, 2)).cast("string"))
-        .withColumn("a_list", array(col("c_mktsegment"), col("c_name")))
-        .withColumn("a_set", array_sort(array(col("c_mktsegment"), col("c_name"))))
-        .withColumn("a_map",
-          map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name")))
-        .withColumn("a_udt", struct(col("c_name").as("name"),
-          struct(col("c_nationkey").as("nation"),
-            length(col("c_name")).as("name_len")).as("geo")))
-        .withColumn("a_tuple", struct(col("c_nationkey").as("index_0"),
-          col("c_mktsegment").as("index_1")))
-        .withColumn("a_duration", struct(col("c_nationkey").as("months"),
-          (col("c_custkey") % 30).cast("int").as("days"),
-          (col("c_custkey") * 1000000L).as("nanoseconds")))
-      val regular = Seq("a_text", "a_int", "a_long", "a_bool", "a_blob",
-        "a_uuid", "a_date_days", "a_ts_ms", "a_time_us", "a_varint",
-        "a_decimal", "a_list", "a_set", "a_map", "a_udt", "a_tuple",
-        "a_duration")
-      CdcOperators.kvProject(typed, Seq("c_custkey"), None, Nil, regular)
-        .select(col("kv_key.c_custkey").as("key"),
-          to_json(col("kv_value")).as("value_json"))
-    }),
-
-    "cdc_sessionize" -> ((s, dir) => {
-      // session windows over the event stream (30 min gap)
-      val sess = CdcOperators.sessionize(ev(s, dir), "key", "writetime", 30)
-      sess.groupBy(col("key"))
-        .agg(max(col("session_id")).cast("long").as("n_sessions"),
-          count(lit(1)).as("n_events"))
-    }),
-
-    // == analytics (§2.4 aggregations, §2.3 joins, §2.5 windows/setops) ==
-    "q1_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          revenue.as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-    }),
-
-    "q3_top_orders" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(revenue.as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-    }),
-
-    "q5_nation_revenue" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
-    }),
-
-    "q6_forecast_revenue" -> ((s, dir) =>
-      // TPC-H Q6: pure scan-side predicate + one global agg — the query
-      // whose whole cost is filter pushdown; no join, no shuffle beyond
-      // the final partial-agg exchange
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))),
-
-    "q7_volume_shipping" -> ((s, dir) => {
-      // TPC-H Q7 shape: revenue between two nation groups per ship year —
-      // two broadcast nation lookups on different join paths (supplier vs
-      // customer side), symmetric pair filter
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val sup = t(s, dir, "supplier")
-      val c = t(s, dir, "customer")
-      val n1 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
-      val n2 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
-        .agg(revenue.as("revenue"))
-    }),
-
-    "q9_product_profit" -> ((s, dir) => {
-      // TPC-H Q9 shape (no partsupp table in the fixture: p_retailprice
-      // stands in for ps_supplycost): nation x year profit =
-      // rev - cost*qty, exact DECIMAL inside the sum
-      val l = t(s, dir, "lineitem")
-      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
-        .agg(sum(dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")) -
-            dec2(col("p_retailprice")) * dec4(col("l_quantity")))
-          .cast("double").as("sum_profit"))
-    }),
-
-    "q10_returned_items" -> ((s, dir) => {
-      // TPC-H Q10: top-20 customers by revenue lost to returns in a
-      // quarter — join + agg + deterministic top-k (revenue desc, custkey)
-      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("n_name"))
-        .agg(revenue.as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey").asc)
-        .limit(20)
-    }),
-
-    "q12_shipmode_priority" -> ((s, dir) => {
-      // TPC-H Q12 shape (fixture has no shipmode/commitdate: linestatus
-      // buckets late shipments instead): orders shipped >60 days after
-      // placement in 1997, split high/low priority per bucket
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
-          datediff(col("l_shipdate"), col("o_orderdate")) > 60)
-        .groupBy(col("l_linestatus"))
-        .agg(
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("high_line_count"),
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
-            .otherwise(1L)).as("low_line_count"))
-    }),
-
-    "q14_promo_effect" -> ((s, dir) => {
-      // TPC-H Q14: promo revenue share in a month — conditional DECIMAL
-      // sums, one division at the very end (both engines divide the same
-      // two doubles)
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      val p = t(s, dir, "part")
-      val rev = dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .agg(
-          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev))
-            .cast("double") / sum(rev).cast("double")).as("promo_revenue"))
-    }),
-
-    "q19_discounted_revenue" -> ((s, dir) => {
-      // TPC-H Q19: OR'd composite brackets over (brand, size, quantity) —
-      // the disjunctive-pushdown query; a single join with the whole
-      // bracket predicate, no union of scans
-      val l = t(s, dir, "lineitem")
-      val p = t(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .filter(
-          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
-            col("l_quantity").between(1, 20)) ||
-          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
-            col("l_quantity").between(10, 30)) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
-            col("l_quantity").between(20, 40)))
-        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
-    }),
-
-    "q20_promo_suppliers" -> ((s, dir) => {
-      // TPC-H Q20 shape (no partsupp: shipped-quantity threshold replaces
-      // availqty): suppliers who moved >400 units of PROMO parts in 1997 —
-      // the nested semi-join chain, aggregated to supplier grain BEFORE
-      // joining supplier/nation
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
-      val big = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
-        .filter(col("total_qty") > 400.0)
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      sup.join(big, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"), col("n_name"),
-          col("total_qty"))
-    }),
-
-    "q11_important_stock" -> ((s, dir) => {
-      // TPC-H Q11 shape (no partsupp: shipped extendedprice*quantity stands
-      // in for supplycost*availqty): parts whose value in NATION_1's supply
-      // is above the average part value — the global-scalar-threshold
-      // query. The 1-row (total, n_parts) agg attaches by broadcast (the
-      // plan a scalar subquery lowers to; whitelisted in PlanGuardSpec —
-      // the broadcast side is exactly one row); the threshold compare
-      // happens in DOUBLE on both engines (identical IEEE arithmetic on
-      // identical DECIMAL sums).
-      val l = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-        .filter(col("n_name").isin("NATION_1", "NATION_12"))
-      val pv = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("l_partkey"))
-        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_quantity")))
-          .as("value_d"))
-      val tot = pv.agg(sum(col("value_d")).as("tot_d"),
-        count(lit(1)).as("n_parts"))
-      pv.crossJoin(broadcast(tot))
-        .filter(col("value_d").cast("double") * col("n_parts").cast("double")
-          >= col("tot_d").cast("double"))
-        .select(col("l_partkey"), col("value_d").cast("double")
-          .as("part_value"))
-    }),
-
-    "q15_top_supplier" -> ((s, dir) => {
-      // TPC-H Q15: the supplier(s) with maximum revenue in a quarter — the
-      // scalar-MAX-subquery shape. The max rides back onto the revenue
-      // frame as an exact DECIMAL equi-join (no double compare, no window
-      // over a single global partition), then supplier attaches by key.
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      val rev = l.groupBy(col("l_suppkey").as("sk"))
-        .agg(sum(dec2(col("l_extendedprice")) *
-          dec4(lit(1.0) - col("l_discount"))).as("rev_d"))
-      val maxRev = rev.agg(max(col("rev_d")).as("rev_d_max"))
-      val sup = t(s, dir, "supplier")
-      rev.join(broadcast(maxRev), col("rev_d") === col("rev_d_max"))
-        .join(sup, col("sk") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"),
-          col("rev_d").cast("double").as("total_revenue"))
-    }),
-
-    "q18_large_volume" -> ((s, dir) => {
-      // TPC-H Q18 shape: customers with orders above a quantity threshold —
-      // agg-in-semi-join; the HAVING side collapses lineitem to order grain
-      // BEFORE joining, so the join input is orders-sized, not lineitem-sized
-      val l = t(s, dir, "lineitem")
-      val big = l.groupBy(col("l_orderkey"))
-        .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
-        .filter(col("total_qty") > 250)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"),
-          col("total_qty").cast("double").as("total_qty"))
-    }),
-
-    "q2_min_cost_supplier" -> ((s, dir) => {
-      // TPC-H Q2 shape (correlated MIN subquery, re-expressed as a ranking
-      // window): cheapest shipped price per part of one brand, with the
-      // supplier achieving it. The window partitions by part key — fully
-      // parallel — and replaces the classic correlated-subquery double scan
-      import org.apache.spark.sql.expressions.Window
-      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
-      val w = Window.partitionBy(col("l_partkey"))
-        .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc)
-      t(s, dir, "lineitem")
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .join(broadcast(t(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
-          col("l_extendedprice").as("min_price"))
-    }),
-
-    "q17_small_quantity" -> ((s, dir) => {
-      // TPC-H Q17 shape (correlated scalar AVG subquery): revenue impact of
-      // small-quantity orders — the per-part average collapses lineitem to
-      // part grain BEFORE the join, the classic decorrelation
-      val l = t(s, dir, "lineitem")
-      val partAvg = l.groupBy(col("l_partkey").as("pk"))
-        .agg((sum(dec2(col("l_quantity"))).cast("double") /
-          count(lit(1)).cast("double")).as("avg_qty"))
-      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .join(partAvg, col("l_partkey") === col("pk"))
-        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
-          .as("avg_yearly"))
-    }),
-
-    "q21_waiting_suppliers" -> ((s, dir) => {
-      // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers whose
-      // lineitem was the ONLY late one on a multi-supplier finished order.
-      // "late" adapts Q21's receipt>commit to this schema:
-      // shipdate > orderdate + 60 days. Both correlations are hash
-      // semi/anti joins on l_orderkey — no nested-loop anywhere
-      val l = t(s, dir, "lineitem").alias("l1")
-      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-      val l1 = l.join(o, col("l1.l_orderkey") === col("o_orderkey"))
-        .filter(late)
-        .select(col("l1.l_orderkey").as("orderkey"),
-          col("l1.l_suppkey").as("suppkey"), col("o_orderdate"))
-      val others = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val withOther = l1.join(others,
-        col("orderkey") === others("l_orderkey") &&
-          col("suppkey") =!= others("l_suppkey"), "left_semi")
-      val lateOthers = others // anti side keeps only OTHER suppliers' late items
-      val sole = withOther.join(lateOthers,
-        col("orderkey") === lateOthers("l_orderkey") &&
-          col("suppkey") =!= lateOthers("l_suppkey") &&
-          lateOthers("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-        "left_anti")
-      sole.join(broadcast(t(s, dir, "supplier")),
-          col("suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-    }),
-
-    "q_window_topn" -> ((s, dir) => {
-      // ranking window: top-3 orders per customer
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("rnk"))
-    }),
-
-    "q_rollup_stats" -> ((s, dir) => {
-      // rollup via Expand triples every input row — pre-aggregate to the
-      // base grain first (see q_cube_stats), then roll up the partials
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("_n"), sum(dec2(col("l_quantity"))).as("_q"))
-      base.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("_n")).as("n_items"),
-          sum(col("_q")).cast("double").as("sum_qty"))
-    }),
-
-    "q4_order_priority" -> ((s, dir) => {
-      // TPC-H Q4 shape: orders with at least one late line (EXISTS ->
-      // left-semi hash join), counted per priority
-      val o = t(s, dir, "orders")
-      val late = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
-        .select(col("l_orderkey"))
-      o.filter(col("o_orderdate").between(
-          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
-        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"))
-    }),
-
-    "q16_supplier_cnt" -> ((s, dir) => {
-      // TPC-H Q16 shape: distinct suppliers per part bucket, excluding a
-      // NOT IN subquery set (negative-balance suppliers -> hash anti join);
-      // lineitem stands in for partsupp in this fixture
-      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
-        .select(col("s_suppkey"))
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .filter(col("p_size").isin(1, 5, 9, 13))
-        .groupBy(col("p_brand"), col("p_size"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-    }),
-
-    "q22_sales_opportunity" -> ((s, dir) => {
-      // TPC-H Q22 shape: customers above the positive-balance average
-      // (scalar subquery) with no HIGH-VALUE orders (anti join; every
-      // fixture customer has some order, so the original no-orders form is
-      // vacuous here), grouped by a derived country code
-      val c = t(s, dir, "customer")
-      val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg(avg(dec2(col("c_acctbal"))).as("ab"))
-      c.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("ab"))
-        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
-            .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy((col("c_nationkey") % 7).as("cntrycode"))
-        .agg(count(lit(1)).as("numcust"),
-          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
-    }),
-
-    "q13_custdist" -> ((s, dir) => {
-      // order-count distribution per customer (left outer join + two-level
-      // aggregation, TPC-H Q13 shape)
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderpriority") =!= "1-URGENT")
-      val perCust = t(s, dir, "customer")
-        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-    }),
-
-    "q_market_share" -> ((s, dir) => {
-      // conditional-aggregation share (TPC-H Q8 shape): NATION_3's share of
-      // yearly supplier revenue
-      val l = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      val o = t(s, dir, "orders")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(
-          sum(when(col("n_name") === "NATION_3",
-            dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))))
-            .cast("double").as("nation_rev"),
-          revenue.as("total_rev"))
-        .withColumn("share",
-          coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"))
-    }),
-
-    "q_scalar_funcs" -> ((s, dir) => {
-      // scalar-function sweep: date parts, string ops, math — §2.6 extension
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        quarter(col("o_orderdate")).as("q"),
-        upper(col("o_orderstatus")).as("status_u"),
-        length(col("o_orderpriority")).cast("long").as("prio_len"),
-        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
-        round(abs(col("o_totalprice") - lit(1000.0)), 2).as("dist1k"),
-        least(col("o_totalprice"), lit(5000.0)).as("capped"),
-        concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
-          .as("status_prio"))
-    }),
-
-    "q_json_decode" -> ((s, dir) => {
-      // S3 analog: decode the serialized event payload (from_json) and
-      // aggregate on an extracted field
-      Cdc.rawEvents(s, dir)
-        .select(col("event_id"),
-          from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
-        .groupBy((col("k") % 10).cast("int").as("k_mod"))
-        .agg(count(lit(1)).as("n"), max(col("k")).cast("int").as("max_k"))
-    }),
-
-    "q_cube_stats" -> ((s, dir) => {
-      // CUBE grouping sets over order status × priority. Spark executes
-      // cube via Expand — 4 copies of EVERY input row here — so at scale
-      // the fact table is pre-aggregated to the base grain first (a few
-      // dozen rows) and the cube expands only that: count/sum re-aggregate
-      // losslessly (sum of sums, sum of counts).
-      val base = t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("_n"), sum(dec2(col("o_totalprice"))).as("_t"))
-      base.cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(col("_n")).as("n_orders"),
-          sum(col("_t")).cast("double").as("total"))
-    }),
-
-    "q_anti_customers_no_orders" -> ((s, dir) => {
-      // customers with no orders in the first half-year window (anti join)
-      val early = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
-      t(s, dir, "customer")
-        .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-    }),
-
-    "q_semi_parts_used" -> ((s, dir) => {
-      t(s, dir, "part")
-        .join(t(s, dir, "lineitem"),
-          col("p_partkey") === col("l_partkey"), "left_semi")
-        .select(col("p_partkey"), col("p_name"))
-    }),
-
-    "q_except_parts_unused" -> ((s, dir) => {
-      // parts never shipped in 1995 (EXCEPT set op)
-      val shipped95 = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
-        .select(col("l_partkey").as("p_partkey"))
-      t(s, dir, "part").select(col("p_partkey")).except(shipped95)
-    }),
-
-    "q_distinct_agg" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
-          count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
-    }),
-
-    // == LLM-data-pipeline extensions (SURVEY.md §7.2 M6) ==
-    "text_doc_stats" -> ((s, dir) => {
-      TextAnalysis.docStats(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-          col("n_distinct_words").cast("long").as("n_distinct_words"),
-          col("n_chars_computed").cast("long").as("n_chars_computed"),
-          col("ttr_quality"), col("mean_token_len"))
-    }),
-
-    "text_lang_quality" -> ((s, dir) =>
-      TextAnalysis.langQuality(t(s, dir, "documents"))),
-
-    "text_lm_score" -> ((s, dir) =>
-      // corpus-trained bigram-LM quality score (CCNet-style perplexity
-      // filter, statistics-only): mean add-one-smoothed bigram probability
-      TextAnalysis.bigramLmScore(t(s, dir, "documents"))),
-
-    "text_token_count" -> ((s, dir) =>
-      TextAnalysis.regexTokenCount(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
-
-    "text_bpe_merges" -> ((s, dir) =>
-      // BPE vocabulary induction: 8 merge rounds over the corpus word-freq
-      // dictionary; each round's winning adjacent pair (argmax weighted
-      // count, ties lexicographic) is exact integer arithmetic, so the
-      // whole training trajectory replays in the oracle (unrolled WITH
-      // chain, like the k-means/PCA/PageRank iterative oracles)
-      Bpe.mergeTable(s, bpeMerges(s, dir))),
-
-    "text_bpe_tokenize" -> ((s, dir) =>
-      // apply the learned merges: per-doc word/token counts + fertility
-      // via one broadcast word→pieces dictionary join over the corpus
-      // explode — the production tokenizer-cache shape
-      Bpe.tokenize(t(s, dir, "documents"), bpeMerges(s, dir))),
-
-    "text_bytebpe_merges" -> ((s, dir) =>
-      // BYTE-level BPE (GPT-2/tiktoken shape): pretokens from the
-      // lookahead-free GPT-2 regex, UTF-8 bytes as 2-hex-digit symbols
-      // (256-symbol alphabet — merges cross multi-byte boundaries), 8
-      // merge rounds over the multi-byte-decorated corpus (accents, CJK,
-      // emoji, contractions). The full trajectory replays in DuckDB:
-      // hex(encode(…)) renders identically and every round is integer
-      // argmax + literal replace.
-      Bpe.mergeTable(s, byteBpeMerges(s, dir))),
-
-    "text_bytebpe_tokenize" -> ((s, dir) =>
-      // apply the learned byte merges: per-doc pretoken/token counts +
-      // fertility via the broadcast pretoken→token-count dictionary over
-      // the decorated corpus
-      Bpe.byteTokenize(byteDocs(s, dir), byteBpeMerges(s, dir))),
-
-    "text_bpe_vocab" -> ((s, dir) =>
-      // the shipped artifact: surviving symbols with corpus frequencies
-      // (dictionary-sized — the corpus is never touched)
-      Bpe.vocab(t(s, dir, "documents"), bpeMerges(s, dir))),
-
-    "text_bytebpe_vocab" -> ((s, dir) =>
-      // the byte-BPE shipped artifact (completes the quartet's artifact
-      // rows): surviving hex byte(-run) symbols with pretoken-weighted
-      // frequencies under the learned byte merges
-      Bpe.byteVocab(byteDocs(s, dir), byteBpeMerges(s, dir))),
-
-    "text_wordpiece_segment" -> ((s, dir) =>
-      // WordPiece-style greedy longest-match inference over the trained
-      // vocabulary (the BERT algorithm): segmentation is a pure
-      // expression fold over the word dictionary; the full piece string
-      // hash-pins every boundary decision in the oracle
-      Bpe.maxMatchSegments(t(s, dir, "documents"), wpVocab(s, dir))
-        .select(col("word"), col("freq"), col("pieces"),
-          col("n_pieces").cast("long").as("n_pieces"))),
-
-    "text_wordpiece_tokenize" -> ((s, dir) =>
-      // per-doc rollup under max-match: the BPE-vs-WordPiece fertility
-      // comparison a tokenizer decision is made on
-      Bpe.maxMatchTokenize(t(s, dir, "documents"), wpVocab(s, dir))),
-
-    "text_unigram_segment" -> ((s, dir) =>
-      // unigram-LM Viterbi inference (SentencePiece, Kudo 2018) —
-      // completes the subword trio next to BPE merge-replay and
-      // WordPiece max-match: minimum-cost segmentation under integer
-      // floor-log2 piece costs, the whole DP evaluated as one fold
-      // inside each dictionary row; the full piece string pins every
-      // Viterbi split decision in the oracle
-      Bpe.unigramSegments(t(s, dir, "documents"))),
-
-    "text_unigram_tokenize" -> ((s, dir) =>
-      // per-doc rollup under unigram Viterbi: the third fertility
-      // column of the tokenizer-family comparison
-      Bpe.unigramTokenize(t(s, dir, "documents"))),
-
-    "text_keyword_tfidf" -> ((s, dir) =>
-      // per-doc top-5 keywords by pure-integer tf·idf (idf9 = 10⁹·N DIV
-      // df): token explode → dictionary df join → per-doc top-k window
-      TextAnalysis.keywordTfIdf(t(s, dir, "documents"), k = 5)),
-
-    "profile_columns" -> ((s, dir) =>
-      // column-level admission profile of the events table: null
-      // counts, exact cardinalities, string ranges — one scan via the
-      // multi-distinct Expand, output one row per column
-      operators.Profiling.profile(t(s, dir, "events"))),
-
-    "graph_label_prop" -> ((s, dir) =>
-      // frequency-based label propagation (Raghavan et al. 2007) over
-      // the same trade graph as graph_pagerank: 4 synchronous rounds,
-      // argmax pinned by (cnt DESC, label ASC) — communities, where
-      // PageRank gives authority and CC gives reachability
-      operators.Graph.labelPropagation(pagerankEdges(s, dir), iters = 4)),
-
-    "profile_drift" -> ((s, dir) =>
-      // per-column drift between two cohorts of the events table (the
-      // build-over-build monitor): both slices' counts, the
-      // distinct-count delta, and range movement — computed in ONE scan
-      // via conditional aggregation, never two scans + a join
-      operators.Profiling.drift(t(s, dir, "events"),
-        expr("user_id % 2 = 0"))),
-
-    "pipeline_curate_tokenize" -> ((s, dir) => {
-      // the end-to-end training-data pipeline a user actually runs:
-      // quality filter → exact dedup (canonical survivor) → temperature
-      // mix → BPE token accounting, each stage the already-verified
-      // operator; the COMPOSITION gets its own oracle so stage coupling
-      // (counts computed on the filtered set, tokenizer trained on the
-      // full corpus) is pinned too
-      val docs = t(s, dir, "documents")
-      // stopwords = Nil: the keep flag is length bounds + TTR only (the
-      // stop_ratio band is advisory), and the oracle pins exactly that —
-      // a non-empty list here would imply a stopword cut that never runs
-      val keep = TextAnalysis.qualityFilter(docs, minWords = 20,
-        maxWords = 80, minTtr = 0.30, stopwords = Nil)
-        .filter(col("keep")).select(col("doc_id"))
-      val q = docs.join(keep, Seq("doc_id"))
-      val canon = q.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val d = q.join(canon, Seq("doc_id"))
-      val mixed = TrainingMix.temperatureSample(d, "lang", "doc_id")
-        .select(col("doc_id"), col("lang"))
-      val tok = Bpe.tokenizeNarrow(
-        d.join(mixed.select(col("doc_id")), Seq("doc_id")),
-        bpeMerges(s, dir))
-      mixed.join(tok, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("n_words"),
-          col("n_tokens"), col("fertility"))
-    }),
-
-    "curate_url_canonical" -> ((s, dir) =>
-      // URL-keyed dedup on a fixture covering every canonicalization rule:
-      // scheme/host case-fold + default-port strip (%6==0,1), pairwise
-      // trailing-slash/path collisions (%6==2), subdomain + tracking-param
-      // strip (%6==3), mixed tracking/real params needing the sort
-      // (%6==4), and a mass root-URL collision with fragment (%6==5)
-      Curation.urlDedup(urlFixtureDocs(s, dir), "url")
-        .select(col("doc_id"), col("url"), col("canonical_url"),
-          col("is_canonical"))),
-
-    "curate_url_dedup_streamed" -> ((s, dir) =>
-      // the crawl-frontier increment on REAL streaming machinery: the
-      // same URL fixture arrives as parquet drops (one file per trigger —
-      // multi-batch), folds through StreamingUrlDedup.processBatch inside
-      // foreachBatch (VersionedState crash-safe units: docs + a
-      // pre-merged min-survivor seen-URL ledger), and the certified
-      // resolve() view must equal the batch operator — including
-      // cross-batch survivor election over the mass root-URL collision
-      // that spans every batch. Same oracle as curate_url_canonical:
-      // streaming ≡ batch ≡ DuckDB.
-      graft.streaming.PipelineE2E
-        .streamedUrlDedup(urlFixtureDocs(s, dir))
-        .select(col("doc_id"), col("url"), col("canonical_url"),
-          col("is_canonical"))),
-
-    "curate_robots_admit" -> ((s, dir) => {
-      // the crawl-politeness gate (RFC 9309) between URL frontier and
-      // fetch: robots.txt bodies parse into per-agent rule groups
-      // (windowed group walk — multi-agent sets, orphan + empty rules
-      // dropped), then each canonical URL is decided by its host's
-      // governing group for agent 'graftbot' — exact-over-*, pattern
-      // translation (* wildcard, trailing $ anchor, metachars literal),
-      // longest-match with allow winning ties. The fixture's digit
-      // arithmetic makes every branch id-dependent; DuckDB replays the
-      // parse AND the decision from the same robots bytes.
-      val urls = urlFixtureDocs(s, dir)
-        .withColumn("canonical_url", Curation.canonicalUrl(col("url")))
-        .select(col("doc_id"), col("canonical_url"))
-      Curation.robotsAdmit(urls,
-          Curation.robotsParse(robotsDocs(s)), "graftbot")
-        .select(col("doc_id"), col("canonical_url"), col("host"),
-          col("rule_len"), col("admitted"))
-    }),
-
-    "curate_sitemap_parse" -> ((s, dir) => {
-      // the crawl-DISCOVERY side of the frontier: urlset entries (full /
-      // minimal / loc-less-dropped), sitemapindex children, and
-      // robots.txt `Sitemap:` directives, all folded through the SAME
-      // canonicalizer the URL dedup uses — entity-escaped query params
-      // decode (&amp; is how they legally appear in XML), default ports
-      // and utm trackers fall away, params sort. DuckDB re-parses the
-      // same XML and robots bytes and re-canonicalizes every loc.
-      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
-      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
-          domainCol = "doc_id")
-        .select(col("domain").as("doc_id"), lit("robots").as("kind"),
-          col("loc"), lit(null).cast("string").as("lastmod"),
-          lit(null).cast("string").as("changefreq"),
-          lit(null).cast("double").as("priority"))
-      sm.unionByName(rb)
-        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
-    }),
-
-    "curate_fetch_schedule" -> ((s, dir) => {
-      // frontier → fetch plan: every discovered URL (all three sitemap
-      // paths) deduplicated on (host, canonical URL) — the same
-      // frontier fold pipeline_crawl_frontier runs, and what makes
-      // fetchSchedule's unique-key precondition hold: the shared robots
-      // `Sitemap:` URL arrives once per emitting doc and must schedule
-      // ONCE (min doc_id, max priority) — then ranked within its host by
-      // sitemap priority (nulls last, canonical URL tie-break), capped
-      // at the per-site budget, and dealt into politeness waves of 2.
-      // The engine runs the two-phase sharded cap (no sort sees a hot
-      // host's full URL set); the oracle replays a SINGLE-phase global
-      // rank — the hash match is the losslessness proof.
-      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
-      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
-          domainCol = "doc_id")
-        .select(col("domain").as("doc_id"), col("loc"),
-          lit(null).cast("double").as("priority"))
-      val frontier = sm.select(col("doc_id"), col("loc"), col("priority"))
-        .unionByName(rb)
-        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
-        .withColumn("host", lower(regexp_extract(col("canonical_url"),
-          "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)", 2)))
-        .groupBy(col("host"), col("canonical_url"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          max(col("priority")).as("priority"))
-        .select(col("doc_id"), col("host"), col("canonical_url"),
-          col("priority"))
-      Curation.fetchSchedule(frontier, perWave = 2, maxPerHost = 300)
-    }),
-
-    "pipeline_crawl_frontier" -> ((s, dir) => {
-      // the composed crawl-scheduler story END TO END: anchor extraction
-      // from page markup → the shared canonicalizer → frontier fold
-      // (first-seen doc, in-degree) → RFC 9309 admission for graftbot
-      // (allow carve-outs, exact-over-*, no-group admit, mid-pattern
-      // wildcards — all id-dependent through the link targets) →
-      // per-host politeness waves with in-degree as priority. Each stage
-      // feeds the next; DuckDB replays the whole chain.
-      val links = operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
-      val frontier = links.groupBy(col("target_url").as("canonical_url"))
-        .agg(min(col("doc_id")).as("first_doc"),
-          count(lit(1)).as("n_links"))
-      val admitted = Curation.robotsAdmit(frontier,
-          Curation.robotsParse(frontierRobotsDocs(s)), "graftbot",
-          idCol = "canonical_url")
-        .filter(col("admitted"))
-        .withColumn("priority", col("n_links").cast("double"))
-      Curation.fetchSchedule(admitted, perWave = 2, maxPerHost = 50)
-        .select(col("host"), col("canonical_url"), col("first_doc"),
-          col("n_links"), col("rule_len"), col("rank_in_host"),
-          col("wave"), col("slot"))
-    }),
-
-    "pipeline_crawl_frontier_streamed" -> ((s, dir) =>
-      // the SAME composed chain on REAL streaming machinery: the
-      // extracted links arrive as parquet drops (one file per trigger —
-      // multi-batch), fold through StreamingCrawlFrontier.processBatch
-      // inside foreachBatch (VersionedState crash-safe units pre-merging
-      // min first_doc / Σ n_links), then the fetch plan — robots
-      // admission for graftbot with the rule table as a slowly-changing
-      // side input, politeness waves by in-degree — computes over the
-      // folded frontier. Gated by the SAME oracle as the batch row:
-      // streaming ≡ batch ≡ DuckDB, including cross-batch in-degree
-      // accumulation and first-doc election.
-      graft.streaming.PipelineE2E.streamedCrawlFrontier(
-        operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
-          .select(col("doc_id"), col("target_url")),
-        Curation.robotsParse(frontierRobotsDocs(s)))),
-
-    "curate_domain_stats" -> ((s, dir) => {
-      // per-SITE crawl rollup on the registered (pay-level) domain: two
-      // co.uk subdomains fold into one site, a 3-label .com host folds
-      // with www, source-derived .com.au hosts share one registered
-      // domain — the grouping key domain caps and robots policy key on
-      val d = t(s, dir, "documents")
-      val host = when(col("doc_id") % 6 === 0, lit("news.example.co.uk"))
-        .when(col("doc_id") % 6 === 1, lit("blog.example.co.uk"))
-        .when(col("doc_id") % 6 === 2, lit("cdn.assets.example.com"))
-        .when(col("doc_id") % 6 === 3, lit("example.org"))
-        .when(col("doc_id") % 6 === 4,
-          concat(col("source"), lit(".shop.com.au")))
-        .otherwise(lit("www.example.com"))
-      d.select(col("n_chars"), host.as("host"))
-        .withColumn("registered_domain",
-          Curation.registeredDomain(col("host")))
-        .groupBy(col("registered_domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          count_distinct(col("host")).as("n_hosts"),
-          sum(col("n_chars")).as("total_chars"))
-    }),
-
-    "curate_dsir_sample" -> ((s, dir) => {
-      // DSIR importance resampling steered toward the German slice: rank
-      // every corpus doc by target-LM/corpus-LM likelihood ratio (both
-      // bigram LMs on the verified lm_score integer grid; the ratio is one
-      // IEEE division of exact longs), keep the global top 150. The 'de'
-      // marker vocabulary drives the ratio, so the selection pulls in the
-      // de-like documents without a trained classifier.
-      val docs = t(s, dir, "documents")
-      Curation.dsirSample(docs, docs.filter(col("lang") === "de"), k = 150)
-        .select(col("doc_id"), col("sum_t9"), col("sum_c9"), col("w"),
-          col("rank").cast("long").as("rank"))
-    }),
-
-    "curate_quality_sample" -> ((s, dir) => {
-      // perplexity-style quality cut: keep the top 25% of each language's
-      // documents by corpus-trained LM score (ties by doc_id) — the CCNet
-      // "head" bucket. Rank-based cut, so the decision is integer-exact;
-      // the score chain is the already-verified text_lm_score arithmetic.
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.bigramLmScore(docs)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("avg_p").desc, col("doc_id").asc)
-      scored
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .filter(col("rn") <= greatest(lit(1L), expr("(cnt * 25) DIV 100")))
-        .select(col("doc_id"), col("lang"), col("avg_p"))
-    }),
-
-    "curate_stratified_sample" -> ((s, dir) => {
-      // deterministic stratified sampling (training-mix weights): per-row
-      // keep decision = md5(seed|id) < per-stratum threshold — identical on
-      // any engine/run/partitioning, so the oracle replays it bit-exactly
-      val d = t(s, dir, "documents")
-        .withColumn("stratum",
-          when(length(col("text")) < 200, "short")
-            .when(length(col("text")) < 400, "medium")
-            .otherwise("long"))
-      Curation.stratifiedSample(d, "doc_id", "stratum",
-          rates = Map("short" -> 0.25, "medium" -> 0.5), defaultRate = 1.0)
-        .select(col("doc_id"), col("stratum"))
-    }),
-
-    "curate_contamination" -> ((s, dir) => {
-      // benchmark decontamination: corpus docs sharing any 3-gram with the
-      // benchmark slice (doc_id % 23 = 0), with hit counts — a broadcast
-      // shingle semi-join, corpus-linear
-      val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 23 === 0)
-      Curation.contaminationReport(docs.filter(col("doc_id") % 23 =!= 0),
-          bench, n = 3)
-        .select(col("doc_id"), col("n_hits"))
-    }),
-
-    "curate_domain_cap" -> ((s, dir) =>
-      // per-domain quota (RefinedWeb-style): cap each source at 15 docs,
-      // kept subset = lowest md5(seed|id) ranks — deterministic, uniform
-      Curation.domainCap(t(s, dir, "documents"), "source", "doc_id",
-          maxPerStratum = 15)
-        .select(col("doc_id"), col("source"))),
-
-    "mix_temperature_sample" -> ((s, dir) => {
-      // temperature-flattened language mix (T=2): downsample overrepresented
-      // languages toward sqrt-proportional shares; data-dependent rates are
-      // derived with order-independent arithmetic so the decision is
-      // engine-portable (see TrainingMix.temperatureThresholds)
-      TrainingMix.temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
-        .select(col("doc_id"), col("lang"))
-    }),
-
-    "mix_pack_sequences" -> ((s, dir) => {
-      // tokenize-and-pack accounting: concatenate each language's documents
-      // in doc_id order and cut 512-token training windows; emits per-window
-      // document counts and token sums (fill tracking)
-      val d = t(s, dir, "documents")
-      TrainingMix.packSequences(d, "lang", "doc_id",
-          size(split(col("text"), " ")), ctxLen = 512)
-        .select(col("lang"), col("seq_id"), col("n_docs"), col("seq_tokens"))
-    }),
-
-    "mix_chunk_overlap" -> ((s, dir) =>
-      // RAG-style fixed-window chunking: 256-char chunks every 192 chars
-      // (64 overlap); emit sizes + md5 so the full chunk text is verified
-      // without shipping it
-      TrainingMix.chunkWithOverlap(t(s, dir, "documents"), "doc_id", "text",
-          size = 256, overlap = 64)
-        .select(col("doc_id"), col("chunk_id"),
-          length(col("chunk")).cast("long").as("n_chars"),
-          md5(col("chunk")).as("chunk_md5"))),
-
-    "mix_shuffle_shards" -> ((s, dir) =>
-      // deterministic global shuffle into 16 training shards: the corpus
-      // in random-but-reproducible order, streamable per shard. The hex-
-      // Horner shard hash is the SAME SQL string the oracle embeds.
-      TrainingMix.shuffleShards(t(s, dir, "documents"), "doc_id",
-        nShards = 16, seed = "graft")),
-
-    "mix_fewshot_prompts" -> ((s, dir) =>
-      // eval-suite assembly: per language, 3 md5-chosen exemplars render
-      // once into the task's shot block (task-sized broadcast
-      // dictionary); every non-exemplar doc becomes one eval prompt —
-      // exemplars never appear as queries
-      TrainingMix.fewshotPrompts(t(s, dir, "documents"), "lang", k = 3)),
-
-    "mix_word_dropout" -> ((s, dir) =>
-      // token-iid denoising corruption (word dropout, Bowman et al.
-      // 2016) beside mix_span_corruption's contiguous spans: drop
-      // decisions on the portable 48-bit md5 ladder, surviving text
-      // reassembled by the doc-bounded sorted-collect fold
-      TrainingMix.wordDropout(t(s, dir, "documents"), dropRate = 0.1)),
-
-    "mix_pack_whole" -> ((s, dir) =>
-      // whole-doc packing (docs never split — the SFT-side discipline):
-      // rung quantization + md5-shuffled rung-local rank → sequence and
-      // slot by pure arithmetic; one narrow projection + one
-      // rung-partitioned rank window, no joins
-      TrainingMix.packWholeDocs(t(s, dir, "documents"), ctxLen = 128)),
-
-    "mix_sft_render" -> ((s, dir) =>
-      // SFT assembly: 10-doc conversations (conv_id = doc_id DIV 10),
-      // turns alternate user/assistant by parity, rendered to the single
-      // training string with right-truncation at a 200-token budget —
-      // one conversation-key shuffle, windows and the render fold all
-      // conversation-bounded
-      TrainingMix.sftRender(
-        t(s, dir, "documents")
-          .withColumn("conv_id", expr("doc_id DIV 10")),
-        groupCol = "conv_id", orderCol = "doc_id", maxTokens = 200)),
-
-    "mix_token_budget" -> ((s, dir) =>
-      // budget planning: split 22000 tokens across languages by sqrt
-      // weights with one exact waterfill round (at sf0.01 'de'/'fr' cap
-      // at 100% and their surplus re-splits over es/zh/en — the
-      // redistribution branch is exercised, then oracle-replayed).
-      TrainingMix.tokenBudget(t(s, dir, "documents"), "lang",
-        budget = 22000L)),
-
-    "dedup_exact_docs" -> ((s, dir) =>
-      DocDedup.dedupBy(t(s, dir, "documents"),
-        DocDedup.exactFingerprint("text"))),
-
-    "dedup_prefix_fingerprint" -> ((s, dir) =>
-      DocDedup.dedupBy(t(s, dir, "documents"),
-        DocDedup.prefixFingerprint("text", 10))),
-
-    "dedup_prefix_filter_join" -> ((s, dir) =>
-      // EXACT shingle-Jaccard >= 1/2 self-join via df-ordered prefix
-      // filtering (All-Pairs lemma, lossless) — the oracle is the BRUTE
-      // all-pairs join, so a hash match PROVES the filter drops no pair
-      DocDedup.prefixFilterJoin(t(s, dir, "documents"), n = 3,
-        tNum = 1, tDen = 2)),
-
-    "knn_brute_cosine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
-        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
-    }),
-
-    "emb_contrastive_batch" -> ((s, dir) => {
-      // the fused training example: hardest same-label positive + 4
-      // hardest cross-label negatives per anchor, negatives packed
-      // rank-ordered — one row = one complete InfoNCE example
-      val emb = t(s, dir, "embeddings")
-      EmbeddingOps.contrastiveBatch(emb.filter(col("vec_id") < 8), emb,
-          kNeg = 4)
-        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
-          col("pos_id"), col("n_negs"), col("neg_ids"))
-    }),
-
-    "emb_hard_negatives" -> ((s, dir) => {
-      // contrastive-training data prep: per anchor, the top-5 most-similar
-      // vectors with a DIFFERENT label — the near-boundary negatives a
-      // metric-learning batch is built from. Exact broadcast×scan baseline
-      // (the at-scale path is the same mining through IVF probes).
-      val emb = t(s, dir, "embeddings")
-      EmbeddingOps.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
-        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
-          col("vec_id"), col("label").cast("long").as("label"),
-          col("rank").cast("long").as("rank"))
-    }),
-
-    "emb_hard_positives" -> ((s, dir) => {
-      // the other half of a contrastive batch: per anchor, the top-5
-      // most-similar SAME-label vectors (self excluded); same
-      // broadcast-bounded exact baseline as emb_hard_negatives
-      val emb = t(s, dir, "embeddings")
-      EmbeddingOps.hardPositives(emb.filter(col("vec_id") < 8), emb, k = 5)
-        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
-          col("vec_id"), col("label").cast("long").as("label"),
-          col("rank").cast("long").as("rank"))
-    }),
-
-    "emb_mrl_truncate" -> ((s, dir) =>
-      // matryoshka truncation audit: fraction of ||v||^2 in the first 16
-      // of 64 dims, exact 1e9 grid — can serving truncate this column?
-      EmbeddingOps.mrlEnergy(t(s, dir, "embeddings"), prefixDims = 16)),
-
-    "knn_ivf_ann" -> ((s, dir) => {
-      // IVF-bucketed ANN over deterministic spherical-k-means cells (the
-      // 100 TB path: cell-local search, queries probe nprobe cells). Fully
-      // oracle-checked: the ×10⁷-grid arithmetic makes every k-means
-      // iteration exactly replayable in DuckDB (see ivfKnnSql); recall is
-      // additionally bounded by knn_recall below.
-      val emb = t(s, dir, "embeddings")
-      val centroids = ivfCentroids(s, dir)
-      Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, centroids,
-          k = 5, nprobe = 2)
-        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
-    }),
-
-    "knn_lsh_multiprobe" -> ((s, dir) => {
-      // multi-probe LSH (Lv et al.): probing Hamming-1 bucket perturbations
-      // reaches the exact brute-force top-5 with 7 bands where single-probe
-      // banding needs 21 — a 3x smaller signature index at 100 TB. Pinned
-      // to the exact answer like knn_lsh_ann.
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshMultiProbeKnn(emb.filter(col("vec_id") < 5), emb,
-          rowsPerBand = 3, nBands = 7, dim = 64, k = 5)
-        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
-    }),
-
-    "knn_recall" -> ((s, dir) => {
-      // ANN quality gate: measured recall@5 of both approximate paths
-      // against the exact brute-force baseline, emitted as oracle-checkable
-      // bounds (VERDICT r1 #4). IVF at nprobe=8 clears 0.8 on all fixture
-      // scales; banded LSH achieves exact recall (1.0) and is additionally
-      // pinned bit-exactly by knn_lsh_ann's brute-force oracle.
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-      val brute = Similarity.bruteForceKnn(q, emb, k = 5)
-      val ivf = Similarity.ivfKnn(q, emb, ivfCentroids(s, dir), k = 5, nprobe = 8)
-      val lsh = Similarity.lshKnn(q, emb, rowsPerBand = 3, nBands = 21,
-        dim = 64, k = 5)
-      def avgRecall(ann: org.apache.spark.sql.DataFrame, method: String,
-                    bound: Double) =
-        Similarity.recallAtK(ann, brute)
-          .agg(avg(col("recall")).as("r"))
-          .select(lit(method).as("method"), lit(5L).as("k"),
-            (col("r") >= bound).as("recall_ok"))
-      val ivfpq = Similarity.ivfPqKnn(q, emb, ivfCentroids(s, dir),
-        pqCodebooks(s, dir), m = 8, dim = 64, k = 5, nprobe = 8, rerank = 40)
-      // margin-adaptive multi-probe arm: probes only cells within a 0.65
-      // grid-cosine affinity gap of each query's best cell (capped at 8) —
-      // must hold the fixed-nprobe=8 arm's recall floor while measurably
-      // probing FEWER than 8 cells on average (measured 4.8–7.2 across the
-      // fixture scales; the clustered-fixture spec shows the per-cost gain)
-      val marginGrid = 65000000000000L
-      val cents = ivfCentroids(s, dir)
-      val ivfMargin = Similarity.ivfMarginKnn(q, emb, cents, k = 5,
-        nprobeMax = 8, marginGrid = marginGrid)
-      val avgProbes = Similarity.assignMarginProbeCells(q, cents, 8, marginGrid)
-        .groupBy(col("vec_id")).agg(count(lit(1)).as("np"))
-        .agg(avg(col("np")).as("ap"))
-      val marginRow = Similarity.recallAtK(ivfMargin, brute)
-        .agg(avg(col("recall")).as("r"))
-        .crossJoin(avgProbes)
-        .select(lit("ivf_margin").as("method"), lit(5L).as("k"),
-          (col("r") >= 0.75 && col("ap") <= 7.5).as("recall_ok"))
-      avgRecall(ivf, "ivf", 0.8)
-        .unionByName(avgRecall(ivfpq, "ivfpq", 0.6))
-        .unionByName(avgRecall(lsh, "lsh", 0.9))
-        .unionByName(marginRow)
-    }),
-
-    "emb_pq_residual" -> ((s, dir) => {
-      // residual PQ (the faithful FAISS IVFPQ design): codebooks trained on
-      // x − centroid(cell(x)) grid residuals — within-cell structure gets
-      // the codeword resolution. Training + encode replayed by the oracle.
-      val emb = t(s, dir, "embeddings")
-      val cents = ivfCentroids(s, dir)
-      Similarity.pqEncodeResidual(emb, cents, pqResidualBooks(s, dir),
-          m = 8, dim = 64)
-        .select(col("vec_id"), col("cell_id"),
-          col("sub").cast("long").as("sub"),
-          col("code").cast("long").as("code"), col("sq_err"))
-    }),
-
-    "emb_opq_encode" -> ((s, dir) => {
-      // OPQ (parametric family): learned variance-balancing permutation
-      // rotation, then PQ in the rotated space. The oracle replays the
-      // variance ranking, the snake allocation, AND the PQ training —
-      // everything stays on the exact integer grid (see opqEncodeSql).
-      // perm + codebooks memoized (train once, encode many); the encode
-      // itself is the narrow projection + codegen'd nearest-codeword scan
-      Similarity.pqEncode(
-          Similarity.applyPermutation(t(s, dir, "embeddings"),
-            opqPerm(s, dir)),
-          opqBooks(s, dir), m = 8, dim = 64)
-        .select(col("vec_id"), col("sub").cast("long").as("sub"),
-          col("code").cast("long").as("code"), col("sq_err"))
-    }),
-
-    "emb_pq_encode" -> ((s, dir) => {
-      // product quantization: per-subspace L2 k-means codebooks (m=8 × k=16)
-      // trained entirely in exact ×10⁷-grid integer arithmetic, then every
-      // vector encoded to its nearest codeword per subspace with the exact
-      // squared reconstruction error (grid units). The oracle replays
-      // training AND encoding bit-exactly — see pqEncodeSql.
-      Similarity.pqEncode(t(s, dir, "embeddings"), pqCodebooks(s, dir),
-          m = 8, dim = 64)
-        .select(col("vec_id"), col("sub").cast("long").as("sub"),
-          col("code").cast("long").as("code"), col("sq_err"))
-    }),
-
-    "mm_png_roundtrip" -> ((s, dir) => {
-      // REAL image content decode: per-row 4x4 RGB pixel buffers (md5-derived
-      // bytes) are zlib-compressed into spec-compliant PNGs — cycling
-      // doc_id % 5 through ALL FIVE scanline filter types — then decoded
-      // back by the engine's own inflate + filter reconstruction. The
-      // oracle recomputes the expected pixel hex arithmetically, so a green
-      // row proves the whole codec path is identity-correct.
-      import graft.functions.PngFunctions._
-      val pxHex = concat((0 until 3).map(i =>
-        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
-      val png = png_encode(lit(4), lit(4), unhex(pxHex),
-        (col("doc_id") % 5).cast("int"))
-      val dec = png_decode(png)
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_png_resize" -> ((s, dir) => {
-      // decode -> nearest-neighbor thumbnail -> re-encode -> decode: the
-      // feature-extraction step of a vision pipeline; the oracle picks the
-      // exact source pixels the integer nearest mapping must select
-      import graft.functions.PngFunctions._
-      val pxHex = concat((0 until 3).map(i =>
-        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
-      val png = png_encode(lit(4), lit(4), unhex(pxHex),
-        (col("doc_id") % 5).cast("int"))
-      val small = png_decode(png_resize(png, 2, 2))
-      t(s, dir, "documents").select(col("doc_id"),
-        lower(hex(small.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_jpeg_roundtrip" -> ((s, dir) => {
-      // REAL JPEG content decode: 16x16 grayscale images of four flat 8x8
-      // blocks with EVEN md5-derived values run through the full baseline
-      // codec (FDCT, Annex K quantization, Huffman, byte stuffing, IDCT).
-      // Flat blocks make every AC quantize to 0 and even values at q00=16
-      // make the DC path exactly lossless (JpegCodec scaladoc), so decode
-      // returns the input bit-for-bit and the oracle replays the pixel hex
-      // arithmetically. General content is pinned by the ImageIO
-      // cross-validation spec.
-      import graft.functions.JpegFunctions._
-      val hexes = (0 until 4).map { i =>
-        val byte = conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit("j" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      val pxHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
-        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
-      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_jpeg_progressive" -> ((s, dir) => {
-      // REAL progressive (SOF2) JPEG decode: 24x16 grayscale images of six
-      // flat 8x8 blocks with EVEN md5-derived values run through the
-      // six-scan progressive codec — DC successive approximation (Al=1 +
-      // refinement), two spectral AC bands whose EOB runs span all six
-      // blocks, and the refinement scans' correction-bit model. Flat
-      // blocks + even values keep every coefficient exactly representable
-      // (JpegCodec scaladoc), so decode returns the input bit-for-bit and
-      // the oracle replays the pixel hex arithmetically. General content,
-      // ImageIO cross-validation (both directions) and the
-      // progressive-equals-sequential bit-identity gate live in
-      // JpegCodecSpec.
-      import graft.functions.JpegFunctions._
-      val hexes = (0 until 6).map { i =>
-        val byte = conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit("p" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      val pxHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
-          repeat(hexes(2), 8)), 8),
-        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
-          repeat(hexes(5), 8)), 8))
-      val dec = jpeg_decode(
-        jpeg_encode_gray_progressive(lit(24), lit(16), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_exif_meta" -> ((s, dir) => {
-      // REAL EXIF decode: each doc gets a JPEG decorated with a
-      // spec-shaped APP1 (TIFF-IFD) whose fields derive from doc_id —
-      // byte order ALTERNATES II/MM so both endiannesses sit on the
-      // oracle path — then the engine's own sniffer parses them back.
-      // These are the curation predicates of an image pipeline:
-      // orientation (pre-dedup normalization), capture time, camera,
-      // declared dims, and the has_gps PII flag. Hostile-structure
-      // degradation is pinned in ExifSpec.
-      import graft.functions.ExifFunctions._
-      import graft.functions.JpegFunctions._
-      val base = jpeg_encode_gray(lit(8), lit(8),
-        unhex(lit("64" * 64)))
-      val decorated = exif_attach(base,
-        (col("doc_id") % 2 === 0).as("le"),
-        (lit(1) + col("doc_id") % 8).cast("int"),
-        concat(lit("cam-"), (col("doc_id") % 5).cast("string")),
-        concat(lit("mdl-"), (col("doc_id") % 7).cast("string")),
-        concat(lit("2021:03:"), lpad((lit(1) + col("doc_id") % 28)
-          .cast("string"), 2, "0"), lit(" 07:"),
-          lpad((col("doc_id") % 60).cast("string"), 2, "0"), lit(":00")),
-        (lit(100) + col("doc_id") % 900).cast("int"),
-        (lit(80) + col("doc_id") % 700).cast("int"),
-        (col("doc_id") % 3 === 0).as("gps"))
-      val m = exif_parse(decorated)
-      t(s, dir, "documents").select(col("doc_id"),
-        m.getField("byte_order").as("byte_order"),
-        m.getField("orientation").cast("long").as("orientation"),
-        m.getField("make").as("make"),
-        m.getField("model").as("model"),
-        m.getField("datetime").as("datetime"),
-        m.getField("x_dim").cast("long").as("x_dim"),
-        m.getField("y_dim").cast("long").as("y_dim"),
-        m.getField("has_gps").as("has_gps"))
-    }),
-
-    "mm_exif_autorotate" -> ((s, dir) => {
-      // the pre-dedup normalization pass, end to end: a six-flat-block
-      // 24x16 JPEG is decorated with an EXIF orientation (1..8 by doc_id),
-      // then the pipeline re-reads the orientation with the sniffer,
-      // decodes the pixels (losslessly, flat even blocks) and normalizes
-      // them upright with the exact integer permutation — so a rotated
-      // duplicate re-enters perceptual dedup in canonical order. The
-      // oracle replays the block permutation per orientation
-      // arithmetically.
-      import graft.functions.ExifFunctions._
-      import graft.functions.JpegFunctions._
-      val hexes = (0 until 6).map { i =>
-        val byte = conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit("r" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      val pxHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
-          repeat(hexes(2), 8)), 8),
-        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
-          repeat(hexes(5), 8)), 8))
-      val jpg = exif_attach(
-        jpeg_encode_gray(lit(24), lit(16), unhex(pxHex)),
-        (col("doc_id") % 2 === 0).as("le"),
-        (lit(1) + col("doc_id") % 8).cast("int"),
-        lit("cam"), lit("mdl"), lit("2021:01:01 00:00:00"),
-        lit(24), lit(16), lit(false))
-      val o = exif_parse(jpg).getField("orientation")
-      val dec = jpeg_decode(jpg)
-      val up = image_orient(dec.getField("pixels"),
-        dec.getField("width"), dec.getField("height"),
-        dec.getField("channels"), o)
-      t(s, dir, "documents").select(col("doc_id"),
-        up.getField("width").as("width"),
-        up.getField("height").as("height"),
-        lower(hex(up.getField("pixels"))).as("px_hex"))
-    }),
-
-    "code_lang_detect" -> ((s, dir) => {
-      // source-corpus language ID with the evidence tier exposed:
-      // extensions (py/js/c), an extensionless shebang script, and a
-      // lying .xyz extension only keyword evidence can place — the
-      // oracle replays the tiered CASE chain
-      val d = operators.CodeCorpus.detectLang(col("path"), col("content"))
-      codeFixtureDocs(s, dir).select(col("doc_id"), col("path"),
-        d.getField("lang").as("lang"), d.getField("evidence").as("evidence"))
-    }),
-
-    "code_license_detect" -> ((s, dir) => {
-      // SPDX headers (machine-readable) + phrase fallback (Apache) +
-      // NONE, with the permissive train/don't-train verdict
-      val l = operators.CodeCorpus.license(col("content"))
-      codeFixtureDocs(s, dir).select(col("doc_id"),
-        l.getField("license").as("license"),
-        l.getField("permissive").as("permissive"))
-    }),
-
-    "code_secrets_redact" -> ((s, dir) => {
-      // count-before-redact secrets scrub: AWS key shapes, PEM blocks,
-      // high-entropy hex assignments — the counts survive as audit
-      // columns and the oracle rebuilds the scrubbed text byte-for-byte
-      val r = operators.CodeCorpus.redact(col("content"))
-      codeFixtureDocs(s, dir).select(col("doc_id"),
-        r.getField("n_aws").as("n_aws"), r.getField("n_pem").as("n_pem"),
-        r.getField("n_entropy").as("n_entropy"),
-        r.getField("text").as("text_out"))
-    }),
-
-    "code_comment_split" -> ((s, dir) => {
-      // line-comment/code split per language family (# vs //) — comment
-      // density is the quality signal; the oracle replays the per-line
-      // trim-prefix rule including the shebang-counts-as-comment case
-      val d = operators.CodeCorpus.detectLang(col("path"), col("content"))
-      val withLang = codeFixtureDocs(s, dir).select(col("doc_id"),
-        col("content"), d.getField("lang").as("lang"))
-      val c = operators.CodeCorpus.commentSplit(col("content"), col("lang"))
-      withLang.select(col("doc_id"), col("lang"),
-        c.getField("n_comment_lines").as("n_comment_lines"),
-        c.getField("n_code_lines").as("n_code_lines"),
-        c.getField("comments").as("comments"))
-    }),
-
-    "pipeline_code_corpus" -> ((s, dir) =>
-      // the composed CODE pipeline ("The Stack shape"): language detect
-      // (ext/shebang/keyword tiers) → license gate (permissive or
-      // unlicensed; GPL drops) → secrets redact → must-have-code gate →
-      // exact dedup on the REDACTED content key (copies differing only
-      // in embedded secrets still collapse) with cluster election. ONE
-      // oracle statement replays detection, gating, redaction, the md5
-      // key and the cluster window.
-      operators.CodeCorpus.corpus(codeFixtureDocs(s, dir))),
-
-    "pipeline_audio_corpus" -> ((s, dir) =>
-      // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
-      // binary column + one subtitle column: sniff the container (WAV on
-      // even docs, FLAC on odd — content keyed by doc_id % 50 so
-      // duplicate utterances span containers), decode PCM through the
-      // matching REAL codec, reduce to 16-sample frame energies, VAD
-      // gaps-and-islands into utterance segments, fingerprint each
-      // segment's quantized energy trajectory, align subtitle cues (SRT
-      // and WebVTT through one front door) by time overlap into
-      // per-segment transcripts, and collapse duplicate utterances in
-      // one fingerprint window. Cross-stage coupling per-format rows
-      // cannot catch: a FLAC duplicate collapses into its WAV cluster
-      // ONLY if sniff → Rice/CRC decode → energy framing → banding all
-      // agree bit-for-bit; the oracle replays the whole chain from seed
-      // arithmetic.
-      operators.AudioCorpus.corpus(audioFixtureDocs(s, dir))),
-
-    "pipeline_audio_corpus_streamed" -> ((s, dir) =>
-      // the SAME audio corpus arriving as parquet drops on real
-      // streaming machinery (one file per trigger — multi-batch): each
-      // batch runs the same AudioCorpus.extract inside foreachBatch and
-      // folds into StreamingAudioCorpus (VersionedState crash-safe
-      // units: utterance rows + a pre-merged per-fingerprint
-      // min-survivor/count ledger), and the certified resolve() must
-      // equal the batch row — including cross-batch, cross-container
-      // cluster election. Same oracle as pipeline_audio_corpus:
-      // streaming ≡ batch ≡ DuckDB.
-      graft.streaming.PipelineE2E
-        .streamedAudioCorpus(audioFixtureDocs(s, dir))
-        .select(col("doc_id"), col("format"), col("seg_begin"),
-          col("seg_end"), col("energy"), col("fp"), col("transcript"),
-          col("canonical_id"), col("n_dupes"))),
-
-    "pipeline_image_corpus" -> ((s, dir) => {
-      // the composed IMAGE pipeline ("LAION shape"), from ONE opaque
-      // binary column: each doc carries a PNG, an EXIF-rotated JPEG
-      // (alternating baseline and PROGRESSIVE encodings) or a GIF
-      // (doc_id % 3) of content keyed by doc_id % 100, so duplicates
-      // span FORMATS, ROTATIONS and JPEG CODING MODES. The pipeline
-      // (Multimodal.imageCorpusExtract) sniffs the container (magic
-      // bytes, not the fixture label), dispatches to the right decoder,
-      // re-reads the EXIF orientation and normalizes JPEG pixels upright,
-      // reduces every format to one canonical gray-tripled content key,
-      // quality-filters on block-value spread (low-contrast clusters
-      // drop), and this row canonicalizes duplicate clusters in one
-      // window. Cross-stage coupling per-format rows cannot catch: a
-      // rotated progressive-JPEG duplicate collapses into its upright
-      // PNG/GIF cluster ONLY if sniff → EXIF → multi-scan decode →
-      // autorotate → tripling all agree; the oracle replays the whole
-      // chain from the seed arithmetic.
-      import org.apache.spark.sql.expressions.Window
-      val staged = operators.Multimodal.imageCorpusExtract(
-        imageFixtureDocs(s, dir))
-      val win = Window.partitionBy(col("content_key"))
-      staged.select(col("doc_id"), col("format"), col("width"),
-        col("height"), col("content_key"),
-        min(col("doc_id")).over(win).as("canonical_id"),
-        count(lit(1)).over(win).as("n_dupes"), col("spread"))
-    }),
-
-    "pipeline_image_corpus_streamed" -> ((s, dir) =>
-      // the SAME image corpus arriving as parquet drops on real streaming
-      // machinery (one file per trigger — multi-batch): each batch runs
-      // the same imageCorpusExtract inside foreachBatch and folds into
-      // StreamingImageCorpus (VersionedState crash-safe units: extracted
-      // docs + a pre-merged per-content-key min-survivor/count ledger),
-      // and the certified resolve() must equal the batch row — including
-      // cross-batch cluster election (duplicates of one content key land
-      // in different batches). Same oracle as pipeline_image_corpus:
-      // streaming ≡ batch ≡ DuckDB.
-      graft.streaming.PipelineE2E
-        .streamedImageCorpus(imageFixtureDocs(s, dir))
-        .select(col("doc_id"), col("format"), col("width"), col("height"),
-          col("content_key"), col("canonical_id"), col("n_dupes"),
-          col("spread"))),
-
-    "mm_jpeg_phash" -> ((s, dir) => {
-      // perceptual dedup over JPEG content — the mm_image_phash analog for
-      // the second container format: docs sharing doc_id % 100 carry
-      // identical images; the hash is an average-hash over the four block
-      // values SAMPLED FROM THE DECODED PIXELS (positions (0,0), (0,8),
-      // (8,0), (8,8)), so the real codec sits in the dedup loop
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.JpegFunctions._
-      val seed = (col("doc_id") % 100).cast("string")
-      val hexes = (0 until 4).map { i =>
-        val byte = conv(substring(
-          md5(concat(seed, lit("j" + i))), 1, 2), 16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      val pxHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
-        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
-      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
-      val decHex = lower(hex(dec.getField("pixels")))
-      // block corners in the 256-byte gray buffer: bytes 0, 8, 128, 136
-      val vs = Seq(0, 8, 128, 136).map(b =>
-        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
-      val tot = vs.reduce(_ + _)
-      val phash = vs.zipWithIndex.map { case (v, i) =>
-        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      t(s, dir, "documents")
-        .select(col("doc_id"), phash.as("phash"))
-        .withColumn("canonical_id",
-          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
-    }),
-
-    "mm_gif_roundtrip" -> ((s, dir) => {
-      // REAL GIF content decode: 8x8 grayscale md5-derived pixels run
-      // through the full LZW codec (variable-width codes, sub-block
-      // framing, gray palette). LZW is lossless and the palette is the
-      // identity, so decode returns each input byte tripled (RGB) and the
-      // oracle rebuilds the expected hex arithmetically. Interlace and
-      // JDK compatibility are pinned by GifCodecSpec.
-      import graft.functions.GifFunctions._
-      val pxHex = concat((0 until 4).map(i =>
-        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
-      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_gif_phash" -> ((s, dir) => {
-      // perceptual dedup over GIF content — third container format in the
-      // dedup loop: docs sharing doc_id % 100 carry identical images; the
-      // average-hash samples corner pixels FROM THE DECODED RGB, so the
-      // LZW decode path sits inside the dedup decision
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.GifFunctions._
-      val seed = (col("doc_id") % 100).cast("string")
-      val pxHex = concat((0 until 4).map(i =>
-        md5(concat(seed, lit("g" + i)))): _*)
-      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
-      val decHex = lower(hex(dec.getField("pixels")))
-      // corner pixels 0, 7, 56, 63; red byte of RGB pixel p sits at 3p
-      val vs = Seq(0, 7, 56, 63).map(p =>
-        conv(substring(decHex, p * 6 + 1, 2), 16, 10).cast("long"))
-      val tot = vs.reduce(_ + _)
-      val phash = vs.zipWithIndex.map { case (v, i) =>
-        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      t(s, dir, "documents")
-        .select(col("doc_id"), phash.as("phash"))
-        .withColumn("canonical_id",
-          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
-    }),
-
-    "mm_video_framesample" -> ((s, dir) => {
-      // REAL video modality end to end: four MJPEG frames per doc are
-      // muxed into a spec-compliant AVI (RIFF container, AviCodec), then
-      // the container walk extracts header meta, avi_sample_frames picks
-      // every 2nd frame, and each sampled frame runs the REAL baseline
-      // JPEG decode — container parse, frame sampling and pixel decode
-      // all inside the scan, no driver round-trip. Frames are flat-block
-      // even-value grays (the exactly-lossless JPEG path), so the oracle
-      // replays the sampled frames' decoded block values arithmetically.
-      import graft.functions.JpegFunctions._
-      import graft.functions.AviFunctions._
-      def frameCol(f: Int): Column = {
-        val hexes = (0 until 4).map { i =>
-          val byte = conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit("v" + f + "b" + i))),
-            1, 2), 16, 10).cast("int")
-          lower(lpad(hex((byte % 128) * 2), 2, "0"))
-        }
-        val pxHex = concat(
-          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
-          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
-        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
-      }
-      val withAvi = t(s, dir, "documents").select(col("doc_id"),
-        avi_encode_mjpeg(lit(16), lit(16), lit(40000),
-          array((0 until 4).map(frameCol): _*)).as("avi"))
-      val m = avi_meta(col("avi"))
-      val exploded = withAvi.select(col("doc_id"),
-          m.getField("width").as("width"),
-          m.getField("height").as("height"),
-          m.getField("usec_per_frame").as("usec_per_frame"),
-          m.getField("n_frames").as("n_frames"),
-          posexplode(avi_sample_frames(col("avi"), lit(2))))
-        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
-      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
-      // 16x16 gray: block corners at bytes 0, 8, 128, 136
-      val bs = Seq(0, 8, 128, 136).map(b =>
-        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
-      exploded.select(col("doc_id"), col("width"), col("height"),
-        col("usec_per_frame"), col("n_frames"),
-        (col("spos") * 2).cast("long").as("frame_idx"),
-        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
-    }),
-
-    "mm_mp4_framesample" -> ((s, dir) => {
-      // REAL MP4 video end to end: four MJPEG frames + a PCM audio track
-      // are muxed into a spec-shaped ISO-BMFF file (ftyp/mdat/moov with
-      // real stts/stsc/stsz/stco sample tables, one chunk per video
-      // frame), then the engine's own atom walk resolves the tables,
-      // samples every 2nd frame and baseline-decodes each sampled JPEG —
-      // container, table indirection and pixel decode all inside the
-      // scan. The audio track rides the same file (n_audio_samples on
-      // the output proves the second trak parsed). Flat-block even-gray
-      // frames are the exactly-lossless JPEG path, so the oracle replays
-      // the sampled block values arithmetically. Hostile atom fixtures
-      // (lying sizes, truncated stbl, co64, avc1 rejection) live in
-      // Mp4CodecSpec.
-      import graft.functions.JpegFunctions._
-      import graft.functions.Mp4Functions._
-      def frameCol(f: Int): Column = {
-        val hexes = (0 until 4).map { i =>
-          val byte = conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit("m" + f + "b" + i))),
-            1, 2), 16, 10).cast("int")
-          lower(lpad(hex((byte % 128) * 2), 2, "0"))
-        }
-        val pxHex = concat(
-          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
-          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
-        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
-      }
-      val pcm = expr(
-        """transform(sequence(0, 63), i ->
-             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
-               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
-      val withMp4 = t(s, dir, "documents").select(col("doc_id"),
-        mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
-          array((0 until 4).map(frameCol): _*), pcm, lit(16000),
-          col("doc_id") % 2 === 1).as("mp4"))
-      val m = mp4_meta(col("mp4"))
-      val exploded = withMp4.select(col("doc_id"),
-          m.getField("width").as("width"),
-          m.getField("height").as("height"),
-          m.getField("frame_delta").as("frame_delta"),
-          m.getField("n_frames").as("n_frames"),
-          m.getField("n_audio_samples").as("n_audio_samples"),
-          posexplode(mp4_sample_frames(col("mp4"), lit(2))))
-        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
-      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
-      val bs = Seq(0, 8, 128, 136).map(b =>
-        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
-      exploded.select(col("doc_id"), col("width"), col("height"),
-        col("frame_delta"), col("n_frames"), col("n_audio_samples"),
-        (col("spos") * 2).cast("long").as("frame_idx"),
-        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
-    }),
-
-    "mm_mp4_audio" -> ((s, dir) => {
-      // REAL MP4 audio decode: the PCM track (sowt little-endian or twos
-      // big-endian by doc parity — both byte orders on the oracle path)
-      // is resolved through stsc/stsz/stco — 16-sample chunks with a
-      // partial tail chunk, so the two-run sample-to-chunk mapping is
-      // exercised, not just a flat offset list — and reduced to exact
-      // integer loudness stats the oracle recomputes from the fixture
-      // formula.
-      import graft.functions.JpegFunctions._
-      import graft.functions.Mp4Functions._
-      val frame = {
-        val g = lower(lpad(hex(
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-            16, 10).cast("int") % 128) * 2), 2, "0"))
-        jpeg_encode_gray(lit(16), lit(16), unhex(repeat(g, 256)))
-      }
-      val pcm = expr(
-        """transform(sequence(0, 69), i ->
-             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
-               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
-      val mp4 = mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
-        array(frame), pcm, lit(16000), col("doc_id") % 2 === 1)
-      val a = mp4_audio_pcm(mp4)
-      t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 2 === 1, "twos").otherwise("sowt").as("codec"),
-        a.getField("sample_rate").as("sample_rate"),
-        a.getField("n_samples").as("n_samples"),
-        a.getField("sum_abs").as("sum_abs"),
-        a.getField("peak").as("peak"),
-        a.getField("sum_sq").as("sum_sq"))
-    }),
-
-    "mm_cross_format_dedup" -> ((s, dir) => {
-      // the multimodal capstone: ONE image, THREE real codecs. The same
-      // 16x16 gray content (flat 8x8 blocks, even values — the fixture
-      // every format round-trips losslessly) is encoded as PNG, JPEG and
-      // GIF, decoded back through each engine codec, and the SAME
-      // average-hash computed from each format's DECODED bytes. A shared
-      // canonical across formats proves content-level dedup works across
-      // container boundaries — re-encoding a duplicate in another format
-      // does not evade it. Docs share content via doc_id % 100.
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.PngFunctions._
-      import graft.functions.JpegFunctions._
-      import graft.functions.GifFunctions._
-      val seed = (col("doc_id") % 100).cast("string")
-      val hexes = (0 until 4).map { i =>
-        val byte = conv(substring(md5(concat(seed, lit("x" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex((byte % 128) * 2), 2, "0"))
-      }
-      def blocks(px: Seq[Column]): Column = concat(
-        repeat(concat(repeat(px(0), 8), repeat(px(1), 8)), 8),
-        repeat(concat(repeat(px(2), 8), repeat(px(3), 8)), 8))
-      val grayHex = blocks(hexes)
-      val rgbHex = blocks(hexes.map(h => repeat(h, 3)))
-      val pdec = lower(hex(png_decode(
-        png_encode(lit(16), lit(16), unhex(rgbHex), lit(0)))
-        .getField("pixels")))
-      val jdec = lower(hex(jpeg_decode(
-        jpeg_encode_gray(lit(16), lit(16), unhex(grayHex)))
-        .getField("pixels")))
-      val gdec = lower(hex(gif_decode(
-        gif_encode_gray(lit(16), lit(16), unhex(grayHex)))
-        .getField("pixels")))
-      // average-hash over block corners (pixels 0, 8, 128, 136); stride =
-      // bytes per pixel in the decoded buffer (PNG/GIF: RGB, JPEG: gray)
-      def ph(dec: Column, stride: Int): Column = {
-        val vs = Seq(0, 8, 128, 136).map(p =>
-          conv(substring(dec, p * stride * 2 + 1, 2), 16, 10).cast("long"))
-        val tot = vs.reduce(_ + _)
-        vs.zipWithIndex.map { case (v, i) =>
-          when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }
-      t(s, dir, "documents")
-        .select(col("doc_id"), ph(pdec, 3).as("ph_png"),
-          ph(jdec, 1).as("ph_jpeg"), ph(gdec, 3).as("ph_gif"))
-        .withColumn("canonical_id",
-          min(col("doc_id")).over(Window.partitionBy(col("ph_jpeg"))))
-    }),
-
-    "mm_wav_pcm" -> ((s, dir) => {
-      // REAL audio content decode: 64 deterministic s16le samples are
-      // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
-      // (codegen'd RIFF walk + sample reduction) extracts exact integer
-      // loudness/clipping stats; the oracle recomputes them from the same
-      // sample formula — full content-decode verification, not just headers
-      import graft.functions.MediaHeaderFunctions.wav_pcm_stats
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 63), i -> concat(
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
-      val wavHex = concat(
-        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
-          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
-          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
-          "64617461" + "80000000"),                     // data len=128
-        dataHex)
-      val st = wav_pcm_stats(unhex(wavHex))
-      t(s, dir, "documents").select(col("doc_id"),
-        st.getField("n_samples").as("n_samples"),
-        st.getField("sum_abs").as("sum_abs"),
-        st.getField("peak").as("peak"),
-        st.getField("sum_sq").as("sum_sq"))
-    }),
-
-    "mm_audio_frames" -> ((s, dir) => {
-      // windowed audio features (the VAD/silence-trim front end): the same
-      // 64-sample PCM WAV as mm_wav_pcm, cut into 4 frames of 16 samples;
-      // wav_frame_stats reduces each frame to exact integer energy / peak /
-      // zero-crossing counts inside the scan. The oracle recomputes every
-      // frame from the sample formula — windowing, partial-frame handling
-      // and the within-frame-only crossing rule all replayed.
-      import graft.functions.MediaHeaderFunctions.wav_frame_stats
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 63), i -> concat(
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
-      val wavHex = concat(
-        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
-          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
-          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
-          "64617461" + "80000000"),                     // data len=128
-        dataHex)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
-        .select(col("doc_id"), col("f.frame").as("frame"),
-          col("f.n_samples").as("n_samples"), col("f.sum_abs").as("sum_abs"),
-          col("f.peak").as("peak"),
-          col("f.zero_crossings").as("zero_crossings"))
-    }),
-
-    "mm_gif_animation" -> ((s, dir) => {
-      // REAL animation decode with COMPOSITING on the oracle path: a
-      // three-frame GIF89a (full 16x8 base, a partial 8x4 patch at (4,2),
-      // then an 8x8 right-column frame whose TOP HALF is transparent —
-      // the previous canvas must show through) decodes into full-canvas
-      // frames with their GCE delays. Disposal-2 restore, hostile rects
-      // and ImageIO frame-count agreement live in GifCodecSpec; the
-      // oracle rebuilds every composited canvas arithmetically.
-      import graft.functions.GifFunctions._
-      val hx = (0 until 3).map { i =>
-        val byte = conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit("a" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex(byte % 128), 2, "0"))
-      }
-      val gif = gif_encode_animation(lit(16), lit(8),
-        array(lit(0), lit(4), lit(8)),
-        array(lit(0), lit(2), lit(0)),
-        array(lit(16), lit(8), lit(8)),
-        array(lit(8), lit(4), lit(8)),
-        array(unhex(repeat(hx(0), 128)), unhex(repeat(hx(1), 32)),
-          unhex(concat(repeat(lit("ff"), 32), repeat(hx(2), 32)))),
-        array((lit(10) + col("doc_id") % 5).cast("int"), lit(20), lit(30)),
-        array(lit(-1), lit(-1), lit(255)))
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(gif_frames(gif)).as("f"))
-        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
-          col("f.delay_cs").as("delay_cs"), col("f.width").as("width"),
-          col("f.height").as("height"),
-          lower(hex(col("f.pixels"))).as("px_hex"))
-    }),
-
-    "mm_docx_extract" -> ((s, dir) => {
-      // REAL office-document extraction: each doc's text (with XML-hostile
-      // characters & < > and both quote kinds ON the path) is packed into
-      // a spec-shaped DOCX — a true ZIP archive with CRC-32s whose
-      // word/document.xml member alternates STORE and DEFLATE by
-      // doc_id % 2 — then the engine's own container walk + Wordprocessing-
-      // ML reduction recovers it. The oracle rebuilds the expected text
-      // arithmetically (entity decode is exactly inverse to the writer's
-      // escaping; one newline per paragraph). Hostile archives (bombs,
-      // lying sizes, encrypted members) are pinned in ZipCodecSpec.
-      import graft.functions.ZipFunctions._
-      val text = concat(lit("Doc "), col("doc_id").cast("string"),
-        lit(" & <hdr>\npara 'two' \"q\"\ntail="),
-        (col("doc_id") * 7 % 1000).cast("string"))
-      val docx = docx_encode(text, col("doc_id") % 2 === 0)
-      t(s, dir, "documents").select(col("doc_id"),
-        docx_extract(docx).as("text"))
-    }),
-
-    "mm_xlsx_extract" -> ((s, dir) => {
-      // REAL spreadsheet extraction: six cells per doc — shared strings
-      // (one value repeated, so the sharedStrings DEDUP indirection is on
-      // the path: C1 must resolve through the SAME index A1 claimed),
-      // inline numbers, an inlineStr cell (the <is><t> body real writers
-      // use for one-off strings — no sharedStrings indirection at all),
-      // XML-hostile characters — packed into a true XLSX (two
-      // cross-referencing ZIP members, STORE/DEFLATE by doc_id % 2) and
-      // recovered by the engine's own container walk + SpreadsheetML cell
-      // resolution. The oracle rebuilds every (cell_ref, value) pair
-      // arithmetically.
-      import graft.functions.ZipFunctions._
-      val name = concat(lit("name-"), (col("doc_id") % 50).cast("string"))
-      val xlsx = xlsx_encode(
-        array(lit("A1"), lit("B1"), lit("C1"), lit("A2"), lit("B2"),
-          lit("D2")),
-        array(name, (col("doc_id") * 3 % 1000).cast("string"), name,
-          concat(lit("r&d <"), (col("doc_id") % 7).cast("string"),
-            lit(">")),
-          (col("doc_id") % 97).cast("string"),
-          concat(lit("i&s <"), (col("doc_id") % 5).cast("string"),
-            lit(">"))),
-        array(lit(1), lit(0), lit(1), lit(1), lit(0), lit(2)),
-        col("doc_id") % 2 === 0)
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(xlsx_extract(xlsx)).as("c"))
-        .select(col("doc_id"), col("c.cell_ref").as("cell_ref"),
-          col("c.value").as("value"))
-    }),
-
-    "mm_tiff_roundtrip" -> ((s, dir) => {
-      // REAL TIFF content decode: 24x16 grayscale images of six
-      // md5-derived flat blocks run through the full striped codec with
-      // the compression ROTATING by doc_id % 3 (uncompressed / LZW with
-      // horizontal-differencing predictor / PackBits) and the byte order
-      // by doc_id % 2 — all three paths are lossless, so decode returns
-      // the input bit-for-bit and the oracle rebuilds the pixel hex
-      // arithmetically. ImageIO cross-validation (both directions), the
-      // TIFF 6.0 PackBits worked example and hostile structures live in
-      // TiffCodecSpec.
-      import graft.functions.TiffFunctions._
-      val hexes = (0 until 6).map { i =>
-        val byte = conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit("t" + i))), 1, 2),
-          16, 10).cast("int")
-        lower(lpad(hex(byte), 2, "0")) // TIFF is lossless: any byte works
-      }
-      val pxHex = concat(
-        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
-          repeat(hexes(2), 8)), 8),
-        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
-          repeat(hexes(5), 8)), 8))
-      val comp = when(col("doc_id") % 3 === 0, lit(1))
-        .when(col("doc_id") % 3 === 1, lit(5))
-        .otherwise(lit(32773)).cast("int")
-      val dec = tiff_decode(tiff_encode_gray(lit(24), lit(16),
-        unhex(pxHex), comp, col("doc_id") % 2 === 0))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
-    }),
-
-    "mm_epub_extract" -> ((s, dir) => {
-      // e-book extraction through the whole OCF chain: container.xml →
-      // OPF manifest/spine → per-chapter XHTML, reduced to text (style
-      // blocks dropped whole, tags stripped, entities decoded once,
-      // whitespace collapsed) in SPINE order. XML-hostile characters ride
-      // the chapter bodies; STORE/DEFLATE alternate per doc. A broken
-      // chain or dangling spine idref rejects loudly (ZipCodecSpec).
-      import graft.functions.ZipFunctions._
-      val id = col("doc_id").cast("string")
-      val chapters = array(
-        concat(lit("Ch 0 doc "), id, lit("\nfish & chips <b0>")),
-        concat(lit("Ch 1 doc "), id, lit("\nplain tea, no entities")))
-      val epub = epub_encode(chapters, col("doc_id") % 2 === 0)
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(epub_extract(epub)).as("c"))
-        .select(col("doc_id"), col("c.chapter_idx").as("chapter_idx"),
-          col("c.text").as("text"))
-    }),
-
-    "mm_av_align" -> ((s, dir) => {
-      // the multimodal ALIGNMENT join: VAD speech segments (REAL PCM
-      // frame stats → energy gate → gaps-and-islands, the mm_audio_vad
-      // chain; frame f covers [f, f+1) ms at 16 samples / 16 kHz) against
-      // subtitle cues (REAL SRT parse) by TIME OVERLAP, per doc — the
-      // step that pairs captions with actual speech. Per cue: total
-      // overlapped speech milliseconds and a coverage verdict (a cue
-      // mostly over silence is a bad training pair). Equi-join on doc_id
-      // with residual interval predicates — hash join, never a theta
-      // BNLJ. The oracle replays samples → segments → cues → the
-      // interval-overlap sum.
-      import graft.functions.MediaHeaderFunctions.wav_frame_stats
-      import graft.functions.SubtitleFunctions._
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 255), i -> concat(
-             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
-             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
-               '0'))))""")
-      val wavHex = concat(
-        lit("52494646" + "24020000" + "57415645" +
-          "666D7420" + "10000000" + "0100" + "0100" +
-          "803E0000" + "007D0000" + "0200" + "1000" +
-          "64617461" + "00020000"),
-        dataHex)
-      val frames = docs
-        .select(col("doc_id"),
-          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
-        .select(col("doc_id"), col("f.frame").as("frame"),
-          col("f.sum_abs").as("sum_abs"))
-        .withColumn("is_speech", col("sum_abs") >= 1000)
-      val island = col("frame") - row_number().over(
-        Window.partitionBy(col("doc_id"), col("is_speech"))
-          .orderBy(col("frame")))
-      val segs = frames.withColumn("island", island)
-        .where(col("is_speech"))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("frame")).as("seg_begin"),
-          (max(col("frame")) + 1).as("seg_end")) // [begin, end) in ms
-        .drop("island")
-      // three SRT cues per doc at [d, d+5), [5+d, 10+d), [10+d, 15+d)
-      val d0 = col("doc_id") % 2
-      def tc(msExpr: Column): Column =
-        concat(lit("00:00:00,"), lpad(msExpr.cast("string"), 3, "0"))
-      def cueBlock(k: Int): Column = concat(
-        lit(s"$k\n"), tc(d0 + (k - 1) * 5), lit(" --> "),
-        tc(d0 + (k - 1) * 5 + 5),
-        lit(s"\ncue $k of doc "), col("doc_id").cast("string"), lit("\n\n"))
-      val srt = concat(cueBlock(1), cueBlock(2), cueBlock(3))
-      val cues = docs.select(col("doc_id"),
-          explode(subtitle_parse(srt)).as("c"))
-        .select(col("doc_id"), col("c.seq").as("seq"),
-          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"))
-      val overlap = least(col("end_ms"), col("seg_end")) -
-        greatest(col("start_ms"), col("seg_begin"))
-      cues.join(segs, Seq("doc_id"), "left")
-        .withColumn("ov",
-          when(col("seg_begin").isNotNull && overlap > 0, overlap)
-            .otherwise(lit(0L)))
-        .groupBy(col("doc_id"), col("seq"), col("start_ms"), col("end_ms"))
-        .agg(sum(col("ov")).cast("long").as("speech_ms"))
-        .withColumn("covered",
-          col("speech_ms") * 2 >= col("end_ms") - col("start_ms"))
-    }),
-
-    "mm_subtitle_parse" -> ((s, dir) => {
-      // the alignment layer of audio/video training data: docs alternate
-      // SRT (index lines, comma millis) and WebVTT (magic header, NOTE
-      // blocks skipped, cue identifiers, dot millis, short MM:SS.mmm
-      // times, cue settings after the arrow) — both parse through ONE
-      // front door into (seq, start_ms, end_ms, text) cues with
-      // multi-line text preserved. The oracle recomputes every timestamp
-      // from the doc arithmetic.
-      import graft.functions.SubtitleFunctions._
-      val s1 = col("doc_id") % 50
-      val ms1 = col("doc_id") % 1000
-      val t0 = concat(lpad(s1.cast("string"), 2, "0"), lit(","),
-        lpad(ms1.cast("string"), 3, "0"))
-      val t1 = concat(lpad((s1 + 2).cast("string"), 2, "0"), lit(","),
-        lpad(ms1.cast("string"), 3, "0"))
-      val line1 = concat(lit("line one "), col("doc_id").cast("string"))
-      val line2 = concat(lit("second "), col("doc_id").cast("string"))
-      val srt = concat(
-        lit("1\n00:00:"), t0, lit(" --> 00:00:"), t1, lit("\n"),
-        line1, lit("\nline two\n\n2\n00:01:05,500 --> 01:01:07,000\n"),
-        line2, lit("\n"))
-      val vtt = concat(
-        lit("WEBVTT\n\nNOTE synthetic fixture\n\nintro\n00:"),
-        replace(t0, lit(","), lit(".")), lit(" --> 00:"),
-        replace(t1, lit(","), lit(".")), lit(" align:start\n"),
-        line1, lit("\nline two\n\n01:05.500 --> 01:07.000\n"),
-        line2, lit("\n"))
-      val doc = when(col("doc_id") % 2 === 0, srt).otherwise(vtt)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(col("doc_id") % 2 === 0, "srt").otherwise("vtt").as("fmt"),
-          explode(subtitle_parse(doc)).as("c"))
-        .select(col("doc_id"), col("fmt"), col("c.seq").as("seq"),
-          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
-          col("c.text").as("text"))
-    }),
-
-    "mm_audio_vad" -> ((s, dir) => {
-      // the SEGMENTATION step a speech-curation pipeline runs on the
-      // frame stats (silence trim / VAD): a 256-sample PCM WAV whose
-      // frames alternate speech and near-silence by doc_id arithmetic is
-      // cut into 16 frames, each flagged by its exact integer sum_abs
-      // against the energy gate, and consecutive speech frames group
-      // into segments (gaps-and-islands over the frame index) with
-      // begin/end/size/energy — the utterance list a dataset builder
-      // clips. DuckDB replays samples → frame sums → the same island
-      // arithmetic.
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.MediaHeaderFunctions.wav_frame_stats
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 255), i -> concat(
-             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
-             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
-               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
-               '0'))))""")
-      val wavHex = concat(
-        lit("52494646" + "24020000" + "57415645" +      // RIFF size=548 WAVE
-          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
-          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
-          "64617461" + "00020000"),                     // data len=512
-        dataHex)
-      val frames = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
-        .select(col("doc_id"), col("f.frame").as("frame"),
-          col("f.sum_abs").as("sum_abs"))
-        .withColumn("is_speech", col("sum_abs") >= 1000)
-      val island = col("frame") - row_number().over(
-        Window.partitionBy(col("doc_id"), col("is_speech"))
-          .orderBy(col("frame")))
-      frames.withColumn("island", island)
-        .where(col("is_speech"))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("frame")).cast("long").as("begin_frame"),
-          max(col("frame")).cast("long").as("end_frame"),
-          count(lit(1)).as("n_frames"),
-          sum(col("sum_abs")).as("energy"))
-        .select(col("doc_id"), col("begin_frame"), col("end_frame"),
-          col("n_frames"), col("energy"))
-    }),
-
-    "mm_wav_resample" -> ((s, dir) => {
-      // sample-rate normalization (16 kHz → 4 kHz): boxcar decimation by
-      // 4 inside the codegen'd scan — exact integer means with a
-      // positivity bias so truncating DIV ≡ flooring //, every output
-      // sample oracle-replayed from the fixture formula
-      import graft.functions.MediaHeaderFunctions.wav_resample
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 63), i -> concat(
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
-      val wavHex = concat(
-        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
-          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
-          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
-          "64617461" + "80000000"),                     // data len=128
-        dataHex)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(wav_resample(unhex(wavHex), lit(4))).as("r"))
-        .select(col("doc_id"), col("r.k").as("k"), col("r.v").as("v"))
-    }),
-
-    "mm_flac_roundtrip" -> ((s, dir) => {
-      // REAL compressed-audio decode: 64 deterministic 16-bit samples per
-      // doc whose frames alternate CONSTANT (flat) and varying blocks by
-      // doc arithmetic are FLAC-encoded (fixed predictors + Rice
-      // residuals, real CRC-8/CRC-16/MD5) and decoded back through the
-      // engine's own frame-layer decode — subframe dispatch, Rice
-      // zigzag, prediction reconstruction and all three integrity gates
-      // on the path. FLAC is lossless, so the oracle replays every
-      // sample from the fixture formula. LPC/stereo/wasted-bits/escape
-      // decode paths and hostile fixtures live in FlacCodecSpec.
-      import graft.functions.FlacFunctions._
-      val samples = expr(
-        """transform(sequence(0, 63), i ->
-             CASE WHEN pmod(doc_id + i DIV 16, 3) = 0
-               THEN cast(pmod(doc_id * 7 + i DIV 16, 256) - 128 as int)
-               ELSE cast(CASE
-                 WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
-                 THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
-                 ELSE pmod(doc_id * 31 + i * 17, 65536) END as int) END)""")
-      val dec = flac_decode(flac_encode(samples, lit(16000), lit(16)))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          dec.getField("sample_rate").as("sample_rate"),
-          dec.getField("bits").as("bits"),
-          posexplode(dec.getField("samples")))
-        .select(col("doc_id"), col("sample_rate"), col("bits"),
-          col("pos").as("i"), col("col").as("v"))
-    }),
-
-    "mm_image_phash" -> ((s, dir) => {
-      // image dedup via perceptual hashing: docs sharing a pixel seed
-      // (doc_id % 100) carry identical images; png_ahash (decode -> grid
-      // resize -> integer luma average-hash) is the blocking key and
-      // min-id per hash the canonical — the mm analog of dedup_exact_docs,
-      // with the real codec in the loop
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.PngFunctions._
-      val seed = (col("doc_id") % 100).cast("string")
-      val pxHex = concat((0 until 3).map(i =>
-        md5(concat(seed, lit("p" + i)))): _*)
-      val png = png_encode(lit(4), lit(4), unhex(pxHex), lit(0))
-      t(s, dir, "documents")
-        .select(col("doc_id"), png_ahash(png, 4, 4).as("phash"))
-        .withColumn("canonical_id",
-          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
-    }),
-
-    "mm_media_meta" -> ((s, dir) => {
-      // REAL content-type dispatch over all five codecs: each row carries
-      // one of five container formats (doc_id % 5 → png/jpeg/gif/wav/avi,
-      // every payload built from deterministic md5/arithmetic bytes on the
-      // exactly-lossless codec paths), and Multimodal.decodeMedia must
-      // sniff the magic bytes and run the RIGHT real decoder — px_hash /
-      // n_samples / sum_abs can only come out correct if the routed codec
-      // actually decoded the content. The oracle replays every branch
-      // arithmetically (same formulas as the per-format mm_* queries).
-      import graft.functions.PngFunctions._
-      import graft.functions.JpegFunctions._
-      import graft.functions.GifFunctions._
-      import graft.functions.AviFunctions._
-      val m5 = col("doc_id") % 5
-      val pngPx = concat((0 until 3).map(i =>
-        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
-      val png = png_encode(lit(4), lit(4), unhex(pngPx), lit(0))
-      // 16x16 flat-block even-value gray: the exactly-lossless JPEG path
-      def jpegPx(tag: String): Column = {
-        val h = (0 until 4).map { i =>
-          val b = conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit(tag + i))), 1, 2),
-            16, 10).cast("int")
-          lower(lpad(hex((b % 128) * 2), 2, "0"))
-        }
-        concat(repeat(concat(repeat(h(0), 8), repeat(h(1), 8)), 8),
-          repeat(concat(repeat(h(2), 8), repeat(h(3), 8)), 8))
-      }
-      val jpeg = jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("j")))
-      val gifPx = concat((0 until 4).map(i =>
-        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
-      val gif = gif_encode_gray(lit(8), lit(8), unhex(gifPx))
-      val dataHex = expr(
-        """concat_ws('', transform(sequence(0, 63), i -> concat(
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
-             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
-      val wav = unhex(concat(
-        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
-          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
-          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
-          "64617461" + "80000000"),                     // data len=128
-        dataHex))
-      val avi = avi_encode_mjpeg(lit(16), lit(16), lit(40000),
-        array(jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m0b"))),
-          jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m1b")))))
-      val payload = when(m5 === 0, png).when(m5 === 1, jpeg)
-        .when(m5 === 2, gif).when(m5 === 3, wav).otherwise(avi)
-      val withPayload = t(s, dir, "documents")
-        .select(col("doc_id"), payload.as("payload"))
-      val media = Multimodal.asMedia(withPayload, "payload",
-        "application/octet-stream")
-      Multimodal.decodeMedia(media)
-        .select(col("doc_id"), col("format"), col("width"), col("height"),
-          col("n_frames"), col("n_samples"), col("sum_abs"), col("px_hash"))
-    }),
-
-    "mm_header_sniff_av" -> ((s, dir) => {
-      // the audio/video-side sniff branches: MP3 frame headers (bare and
-      // behind an ID3v2 tag — syncsafe size skip — with the sample rate
-      // from the MPEG1 table and mono/stereo from the mode bits), OGG
-      // containers, and all three WebP flavors (VP8 lossy keyframe
-      // dims behind the 9D012A start code, VP8L packed 14+14 bits,
-      // VP8X 24-bit canvas). Every value derives from doc_id, so the
-      // oracle recomputes the parse arithmetically.
-      import graft.functions.MediaHeaderFunctions.media_header
-      val d = t(s, dir, "documents")
-      // little-endian hex of an integer SQL expression, n bytes
-      def leHex(e: String, n: Int): Column = expr((0 until n).map(i =>
-        s"lpad(hex(($e) DIV ${1L << (8 * i)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")"))
-      val srIdx = expr("CAST(doc_id DIV 3 % 3 AS INT)")
-      val b2 = when(srIdx === 0, lit("90")).when(srIdx === 1, lit("94"))
-        .otherwise(lit("98"))
-      val b3 = when(col("doc_id") % 2 === 0, lit("C0")).otherwise(lit("00"))
-      val mp3Hex = concat(
-        when(col("doc_id") % 2 === 0,
-          lit("49443304000000000000")).otherwise(lit("")), // ID3v2, size 0
-        lit("FFFB"), b2, b3)
-      val oggHex = lit("4F676753" + "0002000000000000")
-      val vp8Hex = concat(lit("52494646" + "24000000" + "57454250" +
-        "56503820" + "18000000" + "000000" + "9D012A"),
-        leHex("doc_id % 1000 + 1", 2), leHex("doc_id % 500 + 1", 2))
-      val vp8lHex = concat(lit("52494646" + "20000000" + "57454250" +
-        "5650384C" + "14000000" + "2F"),
-        leHex("(doc_id % 1000) + (doc_id % 500) * 16384", 4))
-      val vp8xHex = concat(lit("52494646" + "28000000" + "57454250" +
-        "56503858" + "0A000000" + "00" + "000000"),
-        leHex("doc_id % 1000", 3), leHex("doc_id % 500", 3))
-      val webKind = expr("CAST(doc_id DIV 3 % 3 AS INT)")
-      val webpHex = when(webKind === 0, vp8Hex)
-        .when(webKind === 1, vp8lHex).otherwise(vp8xHex)
-      val payload = unhex(when(col("doc_id") % 3 === 0, mp3Hex)
-        .when(col("doc_id") % 3 === 1, oggHex)
-        .otherwise(webpHex))
-      val hdr = media_header(payload)
-      d.select(col("doc_id"),
-        hdr.getField("format").as("format"),
-        hdr.getField("width").as("width"),
-        hdr.getField("height").as("height"),
-        hdr.getField("sample_rate").as("sample_rate"),
-        hdr.getField("channels").as("channels"))
-    }),
-
-    "mm_header_sniff" -> ((s, dir) => {
-      // REAL multimodal metadata decode: per-row PNG and WAV containers are
-      // assembled from deterministic bytes (unhex), then media_header — a
-      // codegen'd byte-level parser, no codec libs — extracts dimensions /
-      // sample rate back out. The oracle recomputes the expected values
-      // arithmetically, so the parser is hash-verified end to end. Content
-      // decode stays behind the batched escape hatch (Multimodal); header
-      // sniffing is what curation filters run on and is fully real.
-      import graft.functions.MediaHeaderFunctions.media_header
-      val d = t(s, dir, "documents")
-      val w = (col("doc_id") % 1000 + 1).cast("int")
-      val h = (col("doc_id") % 500 + 1).cast("int")
-      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
-        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
-      val rateHex = when(col("doc_id") % 4 === 0, "401F0000") // 8000 LE32
-        .when(col("doc_id") % 4 === 1, "803E0000")            // 16000
-        .when(col("doc_id") % 4 === 2, "C05D0000")            // 24000
-        .otherwise("007D0000")                                // 32000
-      val chHex = when(col("doc_id") % 2 === 0, "0100").otherwise("0200")
-      val wavHex = concat(
-        lit("524946460000000057415645666D742010000000" + "0100"),
-        chHex, rateHex, lit("00000000000000000000"))
-      val payload = unhex(when(col("doc_id") % 3 === 0, wavHex)
-        .otherwise(pngHex))
-      val hdr = media_header(payload)
-      d.select(col("doc_id"),
-        hdr.getField("format").as("format"),
-        hdr.getField("width").as("width"),
-        hdr.getField("height").as("height"),
-        hdr.getField("sample_rate").as("sample_rate"),
-        hdr.getField("channels").as("channels"))
-    }),
-
-    "cdc_pipeline_full" -> ((s, dir) => {
-      // the composite connector dataflow (§3.2): RF-2 duplicates → dedup →
-      // LWW compaction → enrichment join → tombstone projection
-      val deduped = CdcOperators.dedupExact(Cdc.replicate(ev(s, dir), rf = 2))
-      val latest = CdcOperators.compactLww(deduped, Seq("key"),
-        Seq(col("writetime").desc, col("event_id").desc))
-      CdcOperators.enrichmentJoin(latest, t(s, dir, "customer"),
-          "key", "c_custkey", Seq("c_name"))
-        .select(col("key"), col("event_id"), col("op"), col("c_name"),
-          col("writetime"))
-    }),
-
-    "cdc_pipeline_streamed" -> ((s, dir) =>
-      // the SAME dataflow executed as a REAL Structured Streaming query:
-      // commitlog-source directory discovery + (segment, position) offsets
-      // (§2 S1/S2) → flatMapGroupsWithState bounded-digest dedup across a
-      // forced multi-batch drain (T1/T2: RF-2 duplicates in-batch, tail
-      // redelivery ACROSS batch boundaries) → per-batch stream-static
-      // enrichment → idempotent per-epoch sink, read back. One row per
-      // original event — the reference's live-consumer e2e
-      // (PulsarCassandraSourceTests.java:261-343) as an oracle-checked row
-      graft.streaming.PipelineE2E.streamedEnrichedEvents(s, dir)),
-
-    "cdc_pipeline_crashed" -> ((s, dir) =>
-      // T7 crash recovery promoted to the oracle gate: the SAME fixture
-      // and dataflow as cdc_pipeline_streamed, but the pipeline drains in
-      // a CHILD JVM that the parent SIGKILLs mid-drain (real process
-      // death, torn batch and all); a second child restarts on the same
-      // checkpoint and converges. Hash-matching the same un-compacted
-      // LEFT-JOIN oracle certifies exactly-once across the crash: offset
-      // replay without loss, per-epoch overwrite without duplication,
-      // dedup state restored without amnesia. Reference analog:
-      // testPulsarReconnection + CommitLogReaderService.java:266-323.
-      graft.streaming.PipelineE2E.crashedEnrichedEvents(s, dir)),
-
-    "cdc_dedup_metrics" -> ((s, dir) => {
-      // A2 observability: received/emitted/cache-hit-ratio on the RF-2
-      // fixture — must reproduce the reference's 0.5 hit ratio
-      // (docs/modules/ROOT/pages/monitor.adoc:133-138). One aggregation
-      // pass over one scan: emitted = distinct (key, digest) groups, the
-      // same cardinality dedupExact emits — no second pipeline run.
-      Cdc.replicate(ev(s, dir), rf = 2)
-        .agg(count(lit(1)).as("n_received"),
-          count_distinct(col("key"), col("md5Digest")).as("n_emitted"))
-        .withColumn("cache_hit_ratio",
-          (col("n_received") - col("n_emitted")).cast("double") /
-            col("n_received").cast("double"))
-    }),
-
-    "q_time_window" -> ((s, dir) => {
-      // T5 event-time tumbling window (1 h) — batch analog of the
-      // streaming window aggregation
-      val e = ev(s, dir)
-        .withColumn("event_time", timestamp_micros(col("writetime")))
-      e.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("double").as("sum_value"))
-        .select(unix_micros(col("w.start")).as("window_start"),
-          col("event_type"), col("n"), col("sum_value"))
-    }),
-
-    "q_skew_salted_agg" -> ((s, dir) => {
-      // skew-safe two-phase salted aggregation ≡ plain groupBy (oracle)
-      val raw = Cdc.rawEvents(s, dir)
-      SkewSafe.saltedCountSum(raw, Seq("event_type"),
-          Map("sum_value" -> dec2(col("value"))), saltBuckets = 64)
-        .select(col("event_type"), col("n"),
-          col("sum_value").cast("double").as("sum_value"))
-    }),
-
-    "q_skew_salted_join" -> ((s, dir) => {
-      // explicit skew-join mitigation: fact side salted into 16 sub-keys,
-      // dimension replicated per salt — result must equal the plain join
-      // (oracle). The fixed-plan sibling of AQE's runtime skew handling.
-      val facts = Cdc.rawEvents(s, dir).select(col("user_id"), col("event_id"))
-      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      SkewSafe.saltedJoin(facts, dim, "user_id", "c_custkey",
-          "left_outer", saltBuckets = 16)
-        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
-    }),
-
-    "asof_last_order" -> ((s, dir) => {
-      // as-of (point-in-time) join: each event gets the customer's latest
-      // order at or before the event time
-      val e = ev(s, dir).select(col("event_id"), col("key"), col("writetime"))
-      val od = t(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("last_orderkey"))
-        .select(col("o_custkey").as("key"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("order_t"),
-          col("last_orderkey"))
-      AsofJoin.asofBackward(e, od, "key", "writetime", "order_t",
-        Seq("last_orderkey", "order_t"))
-    }),
-
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      // MinHash + banded LSH near-dup candidates (engine-portable md5
-      // min-hash, H=8 signatures, 2 bands of 4)
-      val docs = t(s, dir, "documents")
-      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
-      DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
-    }),
-
-    "dedup_minhash_incremental" -> ((s, dir) => {
-      // cross-snapshot incremental dedup: the corpus is the retained
-      // snapshot; the new batch carries re-keyed near-copies (one
-      // appended token, ids +2e6) of every 6th doc plus token-disjoint
-      // fresh docs ('z'-prefixed tokens, ids +3e6) of every 6th+3 — each
-      // admitted iff the OLD corpus holds no verified word-set near-dup
-      // at Jaccard >= 0.5, candidates strictly old-bucket x new-bucket
-      // (never old x old / new x new).
-      val old = t(s, dir, "documents")
-      val fresh = old.filter(col("doc_id") % 6 === 3)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(lit("z"),
-            regexp_replace(col("text"), " ", " z")).as("text"))
-      val nw = old.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
-        .unionByName(fresh)
-      DocDedup.incrementalNearDup(old, nw,
-        numHashes = 8, rowsPerBand = 4, threshold = 0.5)
-    }),
-
-    "text_suffix_array" -> ((s, dir) =>
-      // distributed suffix array (Manber–Myers prefix doubling — the
-      // Lee et al. ExactSubstr index primitive): log(doc-length) rounds
-      // of hash-join + range-partitioned global dense rank; no suffix
-      // string ever materializes and no single task sees the corpus. The
-      // oracle sorts the actual suffix strings — the naive O(n²) form the
-      // distributed ranks must reproduce exactly.
-      operators.SuffixArray.suffixRanks(
-        t(s, dir, "documents").filter(col("doc_id") < 50))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("srank"))),
-
-    "text_lcp_array" -> ((s, dir) =>
-      // the LCP array over the suffix array: per distinct suffix rank, the
-      // longest common prefix with the previous rank, recovered by the
-      // O(n)-state rank-neighbor slice walk (bounded 64-char byte compares
-      // via the codegen'd common-prefix kernel; round k touches only pairs
-      // with LCP >= 64k — exact, no rolling hash). The oracle materializes
-      // the suffix strings and counts the first mismatching character per
-      // sorted-adjacent pair.
-      operators.SuffixArray.lcpArray(
-        t(s, dir, "documents").filter(col("doc_id") < 150))),
-
-    "dedup_substr_spans" -> ((s, dir) =>
-      // ExactSubstr (Lee et al.) consumer: every position whose >=30-char
-      // prefix occurs elsewhere in the corpus, with the maximal duplicated
-      // length. Sorted-neighbor LCP maximality means only the two
-      // suffix-order neighbors are consulted — never all pairs.
-      operators.SuffixArray.dupSpans(
-        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("dup_len"))),
-
-    "dedup_substr_removal" -> ((s, dir) =>
-      // the ExactSubstr pipeline completed: the spans dedup_substr_spans
-      // finds are excised (all occurrences, merged coverage intervals)
-      // and each document reassembled from its kept segments — one
-      // gaps-and-islands window per doc + one codegen'd aggregate fold;
-      // the oracle recomputes coverage per character position
-      operators.SuffixArray.removeSpans(
-        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)),
-
-    "dedup_recall" -> ((s, dir) =>
-      // measure the dedup candidate generators instead of assuming them
-      // (the knn_recall discipline): exact word-set-Jaccard pairs on a
-      // bounded subset vs the MinHash-LSH and SimHash-band candidate
-      // sets; per-method hit counts + recall, all exact integers until
-      // the one final division
-      // 0.9: the high-similarity regime the band configs target (recall
-      // must be high); 0.5: the mid-similarity mass they knowingly trade
-      // away — both measured, neither assumed
-      DocDedup.dedupRecall(
-        t(s, dir, "documents").filter(col("doc_id") < 200),
-        thresholds = Seq(0.5, 0.9))),
-
-    "dedup_simhash_band" -> ((s, dir) =>
-      // Manku-style 64-bit SimHash near-dup: 4 x 16-bit Hamming bands
-      // generate candidates (lossless up to Hamming 3 by pigeonhole),
-      // exact bit_count(xor) verifies; bucket cap kills band skew
-      DocDedup.simhashNearDup(t(s, dir, "documents"), nBits = 64,
-        bands = 4, maxHamming = 3)),
-
-    "text_quality_filter" -> ((s, dir) =>
-      TextAnalysis.qualityFilter(t(s, dir, "documents"),
-        minWords = 20, maxWords = 80, minTtr = 0.30,
-        stopwords = Seq(" the ", " a "))),
-
-    "dedup_jaccard_verified" -> ((s, dir) => {
-      // the full two-phase near-dup pipeline: LSH candidates → exact
-      // word-set Jaccard verification at 0.8
-      val docs = t(s, dir, "documents")
-      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
-      val pairs = DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
-      DocDedup.jaccardVerify(pairs, docs, threshold = 0.8)
-    }),
-
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      // 3-word-shingle Jaccard with prefix blocking (the n-gram near-dup
-      // variant; blocking bounds the candidate pairs)
-      DocDedup.ngramJaccard(t(s, dir, "documents"), n = 3, prefixK = 10,
-        threshold = 0.3)),
-
-    "text_rolling_fingerprint" -> ((s, dir) =>
-      TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
-
-    "knn_lsh_ann" -> ((s, dir) => {
-      // banded random-hyperplane LSH ANN. Oracle = the exact brute-force
-      // top-5 (same SQL as knn_brute_cosine at k=5): with 21 bands of 3
-      // planes the candidate set provably contains the true top-5 on the
-      // fixtures, so the LSH answer must equal the exact answer bit-for-bit
-      // — a green row certifies perfect recall, not just plumbing.
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, rowsPerBand = 3,
-          nBands = 21, dim = 64, k = 5)
-        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
-    }),
-
-    "text_simhash" -> ((s, dir) =>
-      TextAnalysis.simhash(t(s, dir, "documents"), nBits = 16)),
-
-    // the 4-marker heuristic, kept under its deprecated-markers name —
-    // langIdNgram (text_lang_id_ngram) is THE language-ID path
-    "text_lang_id_markers" -> ((s, dir) =>
-      TextAnalysis.langIdMarkers(t(s, dir, "documents"),
-        Seq("en" -> " the ", "de" -> " der ", "es" -> " el ", "fr" -> " le "))
-        .select(col("doc_id"), col("c_en").cast("long").as("c_en"),
-          col("c_de").cast("long").as("c_de"),
-          col("c_es").cast("long").as("c_es"),
-          col("c_fr").cast("long").as("c_fr"), col("predicted_lang"))),
-
-    "text_lang_id_ngram" -> ((s, dir) =>
-      // REAL language ID (the corpus-trained upgrade over the
-      // text_lang_id_markers heuristic): per-language char-trigram
-      // Laplace likelihoods on the 1e9 integer grid (rational odds
-      // squash standing in for log — libm-free, so DuckDB replays the
-      // ENTIRE training chain bit-exactly), scored as an exact long sum
-      // with unseen-gram floors, argmax (score DESC, lang ASC), plus
-      // the 25% script-range override for CJK/Cyrillic/Arabic/… docs
-      // the space-delimited trigram corpus cannot cover. Model, floors
-      // AND corpus predictions memoized (train once, classify once —
-      // the index-build shape).
-      langIdPredMemo(s, dir)),
-
-    "text_lang_id_fixture" -> ((s, dir) => {
-      // the classifier on REAL language: trained on the hand fixture's
-      // labeled en/de/fr/es paragraphs, predicting held-out paragraphs
-      // incl. a code-switched doc (trigram mass decides) and
-      // Cyrillic/Han/Arabic docs (script override decides). The oracle
-      // re-trains from the same VALUES bytes and re-derives every
-      // prediction; LangIdSpec pins the labels by hand.
-      val train = langTrainDocs(s)
-      TextAnalysis.langIdPredict(langTestDocs(s),
-        TextAnalysis.langIdModel(train), TextAnalysis.langIdFloors(train))
-    }),
-
-    "mix_lang_balanced" -> ((s, dir) => {
-      // the language-balance composition the judge asked language ID to
-      // feed: temperature-flattened mix (T=2) keyed by the PREDICTED
-      // language from the corpus-trained classifier — langIdNgram's
-      // output drives temperatureSample exactly as the labeled lang
-      // column drives mix_temperature_sample. Shares the memoized
-      // prediction frame (classify once, feed every consumer).
-      val pred = langIdPredMemo(s, dir)
-        .select(col("doc_id"), col("predicted_lang"))
-      TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id")
-        .select(col("doc_id"), col("predicted_lang"))
-    }),
-
-    "mix_lang_balanced_streamed" -> ((s, dir) =>
-      // the same composition on REAL streaming machinery: the corpus
-      // arrives as parquet drops (one file per trigger — multi-batch),
-      // each batch is classified inside foreachBatch with the memoized
-      // corpus-trained model/floors as the slowly-changing side input
-      // (the crawl-frontier rules pattern), predictions + per-language
-      // count partials fold through StreamingLangMix (VersionedState
-      // crash-safe units, counts pre-merged on compaction), and the
-      // assembled mix — thresholds from the FINAL cumulative dictionary
-      // — must equal the batch operator. Same oracle as
-      // mix_lang_balanced: streaming ≡ batch ≡ DuckDB in one hash.
-      graft.streaming.PipelineE2E.streamedLangMix(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))),
-
-    "dedup_cluster_canonical" -> ((s, dir) => {
-      // near-dup graph → connected components → canonical id per member
-      // (the keep-one-per-cluster step). Oracle: DuckDB recursive CTE
-      // computing min reachable id over the same pair graph.
-      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
-        threshold = 0.45)
-      DocDedup.canonicalClusters(pairs)
-        .select(col("doc_id").as("vec_id"), col("canonical_id"))
-    }),
-
-    "dedup_cluster_sizes" -> ((s, dir) => {
-      // dedup-audit histogram: component sizes of the near-dup graph +
-      // the reconstructed singleton row — the number a build reads
-      // before trusting its blocking key (a giant component = leaked
-      // boilerplate)
-      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
-        threshold = 0.45)
-      DocDedup.clusterSizes(
-        DocDedup.canonicalClusters(pairs)
-          .select(col("doc_id"), col("canonical_id")),
-        t(s, dir, "embeddings"), idCol = "vec_id")
-    }),
-
-    "dedup_embedding_neardup" -> ((s, dir) =>
-      // score reported at 6 dp: engines agree on the pair set but differ in
-      // the last 1-2 ulps of the double accumulation
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
-        .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
-
-    "graph_pagerank" -> ((s, dir) => {
-      // host-authority-style link analysis over the customer↔supplier trade
-      // graph (both directions of each distinct trading pair, keyed into a
-      // shared node space): integer-exact PageRank on the ×10¹² grid, every
-      // iteration replayed bit-exactly by the oracle — pure BIGINT
-      // arithmetic, no rounding analysis at all
-      val edges = pagerankEdges(s, dir)
-      operators.Graph.pageRank(edges, iters = 10)
-        .select(col("node"), col("r"))
-    }),
-
-    "knn_ivfpq_ann" -> ((s, dir) => {
-      // IVF-PQ: the canonical billion-scale ANN composition — probe nprobe
-      // cells, rank candidates by exact-integer ADC distances over PQ
-      // codes, cosine re-rank the shortlist. The entire search (training
-      // included) is oracle-replayed.
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqKnn(emb.filter(col("vec_id") < 5), emb,
-          ivfCentroids(s, dir), pqCodebooks(s, dir),
-          m = 8, dim = 64, k = 5, nprobe = 4, rerank = 20)
-        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
-    }),
-
-    "dedup_semdedup" -> ((s, dir) =>
-      // SemDeDup (cluster-blocked semantic dedup): pairs compared only
-      // within a k-means cell — the deterministic-blocking alternative to
-      // LSH banding above; assignment replayed exactly by the oracle
-      Similarity.semDedup(t(s, dir, "embeddings"), ivfCentroids(s, dir),
-          threshold = 0.3)
-        .select(col("cell_id"), col("a"), col("b"),
-          round(col("score"), 6).as("score"))),
-
-    // == round-3 extensions: curation, range join, embedding analytics ==
-
-    "text_pii_redact" -> ((s, dir) => {
-      // PII scrub over deterministically-augmented fixture text (the corpus
-      // itself carries no PII): docs get an email / IPv4 / phone appended on
-      // disjoint id residues, then counts + redaction are verified via
-      // md5(redacted) against the oracle running the same RE2∩Java regexes.
-      val docs = t(s, dir, "documents")
-      val augmented = docs.withColumn("text", concat(col("text"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(" contact u"), col("doc_id"), lit("@mail"),
-            col("doc_id") % 7, lit(".com"))).otherwise(""),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" from 10."), col("doc_id") % 200, lit(".0."),
-            col("doc_id") % 250)).otherwise(""),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" call 555-010-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise("")))
-      TextAnalysis.piiRedact(augmented)
-        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
-          md5(col("redacted")).as("redacted_md5"),
-          length(col("redacted")).cast("long").as("redacted_len"))
-    }),
-
-    "text_repetition" -> ((s, dir) =>
-      // Gopher-style repetition filter signals (dup-word / top-word /
-      // dup-bigram fractions) — thresholds sit inside the fixture's
-      // distribution so the keep flag is a real mix
-      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
-
-    "text_bigram_topk" -> ((s, dir) =>
-      // corpus-level collocation extraction: top-20 adjacent-word bigrams,
-      // deterministic (count desc, bigram asc) tie-break
-      TextAnalysis.bigramTopK(t(s, dir, "documents"), k = 20)),
-
-    "q_range_band_join" -> ((s, dir) => {
-      // bucketed range join: orders against overlapping price bands
-      // (stride 5000, width 7500 — every price hits 1-2 bands). Hash
-      // equi-join on bucket id + residual range filter; never a
-      // broadcast-nested-loop theta join (PlanGuardSpec enforces).
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-      val bands = s.range(0, 101).select(col("id").as("band_id"),
-        (col("id") * 5000.0).as("lo"), (col("id") * 5000.0 + 7500.0).as("hi"))
-      RangeJoin.bandJoin(o, "o_totalprice", bands, "lo", "hi",
-          bucketWidth = 5000.0)
-        .groupBy(col("band_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("tot"))
-    }),
-
-    "emb_label_centroid" -> ((s, dir) =>
-      EmbeddingOps.labelCentroid(t(s, dir, "embeddings"))),
-
-    "emb_centroid_drift" -> ((s, dir) =>
-      // vector-space drift monitor (the embedding sibling of
-      // profile_drift): per (label, dim), both vec_id-parity cohorts'
-      // exact-decimal centroids side by side in ONE conditional-agg pass
-      EmbeddingOps.centroidDrift(t(s, dir, "embeddings"),
-        expr("vec_id % 2 = 0"))),
-
-    "emb_int8_quantize" -> ((s, dir) =>
-      EmbeddingOps.int8Quantize(t(s, dir, "embeddings"))),
-
-    "emb_dim_stats" -> ((s, dir) =>
-      // per-dimension mean/variance (covariance diagonal) — the whitening /
-      // dimension-pruning preprocessing signal
-      EmbeddingOps.dimStats(t(s, dir, "embeddings"))),
-
-    "emb_pca_power" -> ((s, dir) =>
-      // top principal component by power iteration: corpus pass builds the
-      // exact covariance, then 8 constant-cost (dim²-row) iterations — the
-      // oracle replays every iteration bit-exactly (portable arithmetic)
-      EmbeddingOps.pcaTopComponent(t(s, dir, "embeddings"), iters = 8)),
-
-    "emb_pca_topk" -> ((s, dir) =>
-      // top-3 principal components: power iteration + Hotelling deflation
-      // (C ← C − λvvᵀ on the dim²-row frame, corpus-independent cost); the
-      // exact-decimal update lets the oracle replay all three components
-      EmbeddingOps.pcaTopComponents(t(s, dir, "embeddings"),
-        nComponents = 3, iters = 8)),
-
-    "q_pivot_events" -> ((s, dir) =>
-      // pivot: per-user-cohort event-type matrix (explicit value list so the
-      // plan is a single pass, no distinct-values pre-query)
-      Cdc.rawEvents(s, dir).groupBy((col("user_id") % 10).as("cohort"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .select(col("cohort"),
-          coalesce(col("click"), lit(0L)).as("n_click"),
-          coalesce(col("error"), lit(0L)).as("n_error"),
-          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-          coalesce(col("signup"), lit(0L)).as("n_signup"),
-          coalesce(col("view"), lit(0L)).as("n_view"))),
-
-    "q_unpivot_metrics" -> ((s, dir) =>
-      // unpivot/melt: lineitem metrics to long form on a keyed slice
-      t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
-        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-          "metric", "val")),
-
-    "text_vocab_heavy_hitters" -> ((s, dir) =>
-      // Misra–Gries sketch pass → broadcast candidates → exact verify pass.
-      // Output is the TRUE heavy-hitter set (share > 2%), so it's fully
-      // oracle-checkable even though the sketch itself is approximate —
-      // the MG guarantee (sketchK=64 > 1/0.02) makes the candidate set a
-      // proven superset.
-      TextAnalysis.vocabHeavyHitters(t(s, dir, "documents"), sketchK = 64,
-        minShare = 0.02)),
-
-    "text_bm25_topk" -> ((s, dir) => {
-      // ranked retrieval over the corpus: every 50th doc's first-4-word
-      // prefix is a probe query; top-5 docs per probe under the
-      // integer-grid BM25 surrogate (rational idf, no libm — the whole
-      // ranking replays in the oracle). Posting lists are hash-partitioned
-      // on token, the query side broadcasts, stop-terms (df > 0.9N) drop.
-      val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
-      // maxDfRatio 0.9: the synthetic corpus has a ~31-word vocabulary
-      // where most tokens sit near df/N ≈ 0.77 — the standard 0.5 guard
-      // would drop every query term and rank nothing. Real corpora have
-      // Zipfian vocabularies where 0.5 only sheds true stop words.
-      Retrieval.bm25TopK(docs, queries, k = 5, maxDfRatio = 0.9)
-        .select(col("query_id"), col("doc_id"), col("score9"),
-          col("rank").cast("long").as("rank"))
-    }),
-
-    "retrieval_hybrid_rrf" -> ((s, dir) => {
-      // hybrid search: BM25 lexical arm (word-prefix probes) + exact
-      // cosine dense arm (the probes' embeddings), fused by integer-grid
-      // reciprocal-rank fusion — both arm rankings and the fusion replay
-      // exactly in the oracle (no floating point anywhere in the fusion).
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val queries = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
-      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
-      val dense = Similarity.bruteForceKnn(
-        emb.filter(col("vec_id") % 50 === 0), emb, k = 20)
-      Retrieval.hybridRrfTopK(lex, dense, k = 10)
-    }),
-
-    "retrieval_hybrid_ann" -> ((s, dir) => {
-      // the 100 TB hybrid plan: same lexical arm as retrieval_hybrid_rrf,
-      // but the dense arm is margin-adaptive IVF (cell-local probe joins,
-      // broadcast-bounded query side) instead of the bounded-Q brute scan.
-      // Fully hash-matched: the oracle replays the BM25 integer grid, all
-      // 5 Lloyd iterations, the margin probe rule (cells within the grid
-      // gap of each query's best, affinity-ordered, capped at 8), the
-      // cell-local cosine ranks, and the exact-BIGINT RRF fusion.
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val queries = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
-      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
-      val dense = Similarity.ivfMarginKnn(
-        emb.filter(col("vec_id") % 50 === 0), emb, ivfCentroids(s, dir),
-        k = 20, nprobeMax = 8, marginGrid = 65000000000000L)
-      Retrieval.hybridRrfTopK(lex, dense, k = 10)
-    }),
-
-    "retrieval_hybrid_recall" -> ((s, dir) => {
-      // quality gate for the ANN-armed hybrid (knn_recall-style measured
-      // bound): the ivf-margin fused top-10 must recover, on average,
-      // >= 0.75 of the brute-dense fused top-10 — the recall floor that
-      // justifies swapping the dense arm at scale
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val queries = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
-      val qemb = emb.filter(col("vec_id") % 50 === 0)
-      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
-      val fusedBrute = Retrieval.hybridRrfTopK(lex,
-        Similarity.bruteForceKnn(qemb, emb, k = 20), k = 10)
-      val fusedAnn = Retrieval.hybridRrfTopK(lex,
-        Similarity.ivfMarginKnn(qemb, emb, ivfCentroids(s, dir), k = 20,
-          nprobeMax = 8, marginGrid = 65000000000000L), k = 10)
-      def asKnn(f: org.apache.spark.sql.DataFrame) =
-        f.select(col("query_id").as("q_id"), col("doc_id").as("vec_id"))
-      Similarity.recallAtK(asKnn(fusedAnn), asKnn(fusedBrute))
-        .agg(avg(col("recall")).as("r"))
-        .select(lit("hybrid_ann").as("method"), lit(10L).as("k"),
-          (col("r") >= 0.75).as("recall_ok"))
-    }),
-
-    "curate_retrieval_contamination" -> ((s, dir) => {
-      // retrieval-based decontamination: benchmark slice (doc_id % 23 = 0)
-      // probes with words 2-7, searched against the train slice; train
-      // docs any probe can recall above the score floor are flagged with
-      // their hit count and best-matching probe. Catches paraphrase-level
-      // leaks the exact 3-gram overlap (curate_contamination) misses.
-      val docs = t(s, dir, "documents")
-      val probes = docs.filter(col("doc_id") % 23 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 2, 6)).as("qtext"))
-      Retrieval.retrievalContamination(
-        docs.filter(col("doc_id") % 23 =!= 0), probes,
-        minScore9 = 2500000000L, maxDfRatio = 0.9)
-    }),
-
-    "mix_span_corruption" -> ((s, dir) =>
-      // T5-style denoising examples: deterministic md5-threshold span
-      // starts (the engine's one sampling idiom), 3-word spans, merged
-      // runs → <extra_id_K> sentinels; input/target pairs reassembled
-      // per doc. The oracle replays every mask decision and both strings.
-      TrainingMix.spanCorruption(t(s, dir, "documents"),
-        startDensity = 0.05, spanLen = 3)),
-
-    "mix_fim_transform" -> ((s, dir) =>
-      // fill-in-the-middle examples (PSM reorder): md5-Horner cut draws
-      // shared verbatim with the oracle, pure narrow projection
-      TrainingMix.fimTransform(t(s, dir, "documents"))),
-
-    "emb_bitext_margin" -> ((s, dir) => {
-      // margin-based bitext mining (CSLS scoring): synthetic bilingual
-      // halves of the embedding table (every-10th ids probe the odd-id
-      // pool); best-margin target per source on the 1e6 integer grid —
-      // neighborhood sums and the margin division replay exactly
-      val emb = t(s, dir, "embeddings")
-      Similarity.bitextMarginMine(
-        emb.filter(col("vec_id") % 10 === 0),
-        emb.filter(col("vec_id") % 2 === 1), k = 4)
-    }),
-
-    "curate_semantic_contamination" -> ((s, dir) => {
-      // embedding-space decontamination: eval-slice vectors (vec_id % 23
-      // = 0) probe the train slice through margin-adaptive IVF cells;
-      // train vectors above the similarity floor are flagged with hit
-      // count + best probe. Catches semantic leaks both the exact n-gram
-      // and BM25 retrieval checks miss; the oracle replays centroids,
-      // margin probes, cell-local cosines and the rollup exactly.
-      val emb = t(s, dir, "embeddings")
-      Similarity.semanticContamination(
-        emb.filter(col("vec_id") % 23 =!= 0),
-        emb.filter(col("vec_id") % 23 === 0),
-        ivfCentroids(s, dir), threshold = 0.3, nprobeMax = 8,
-        marginGrid = 65000000000000L)
-    }),
-
-    "curate_classifier_score" -> ((s, dir) =>
-      // fastText-style quality classifier: logistic model on (word count,
-      // its square, TTR) trained by 12 full-batch GD rounds against the
-      // quality_filter weak label, then scored over the corpus. Weights
-      // ride a 1e9 integer grid with integer gradient sums, so ALL 12
-      // training iterations replay bit-for-bit in the oracle.
-      QualityClassifier.trainAndScore(t(s, dir, "documents"),
-        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
-
-    "curate_classifier_weights" -> ((s, dir) =>
-      // the trained model itself as data: 4 rows (k, w). The oracle
-      // reproduces these exact integers by replaying the training chain.
-      QualityClassifier.trainedWeights(t(s, dir, "documents"),
-        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
-
-    "curate_snapshot_diff" -> ((s, dir) => {
-      // re-crawl audit: snapshot B is derived from the corpus
-      // deterministically (every-7th doc dropped, every-5th doc's text
-      // re-prefixed, every-11th re-keyed as new) and diffed against A by
-      // content fingerprint — one full-outer id join; rolled up by status
-      val a = t(s, dir, "documents")
-      val b = a.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(a.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      Curation.snapshotDiff(a, b, "doc_id")
-        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
-    }),
-
-    "curate_classifier_calibration" -> ((s, dir) =>
-      // reliability-diagram data for the trained classifier: score-decile
-      // buckets × weak-label positive rate on the exact 1e9 grid — the
-      // calibration check a score-thresholding pipeline reads before
-      // trusting the cut. One rollup over the scored frame.
-      QualityClassifier.trainAndScore(t(s, dir, "documents"),
-          minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)
-        .groupBy(expr("score9 DIV 100000000").as("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-        .select(col("bucket"), col("n"), col("n_pos"),
-          expr("(n_pos * 1000000000) DIV n").as("pos_rate9"))),
-
-    "curate_split_holdout" -> ((s, dir) =>
-      // frozen train/val/test assignment: a pure function of (seed, id)
-      // on the 48-bit md5 ladder — stable across runs/engines/re-ingests,
-      // NO shuffle at all. 80/10/10 target; stratification is md5-uniform
-      // within every lang.
-      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
-          trainRate = 0.8, valRate = 0.1)
-        .select(col("doc_id"), col("lang"), col("split"))),
-
-    "curate_split_proportions" -> ((s, dir) =>
-      // the stratification audit over the same frozen split: per-(lang,
-      // split) counts — one map-side-combinable rollup
-      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
-          trainRate = 0.8, valRate = 0.1)
-        .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"))),
-
-    "mix_preference_pairs" -> ((s, dir) =>
-      // RLHF/DPO pair assembly: per (lang, source) prompt group, best-
-      // vs worst-TTR doc with the integer margin; argmax/argmin fold as
-      // ONE map-side-combinable struct aggregate (no window); zero-margin
-      // groups emit nothing
-      TrainingMix.preferencePairs(t(s, dir, "documents"),
-        Seq("lang", "source"))),
-
-    "mix_length_buckets" -> ((s, dir) =>
-      // pad-to-bucket batch planning: power-of-two word-length ladder +
-      // exact padding-waste accounting on the 1e9 grid; narrow CASE
-      // projection + a bucket-dictionary aggregate
-      TrainingMix.lengthBuckets(t(s, dir, "documents"))),
-
-    "mix_curriculum" -> ((s, dir) =>
-      // quality-curriculum global order: TTR decile DESC, md5-shuffled
-      // within decile; total rank via the range-partitioned globalDenseRank
-      // (no single-task sort)
-      TrainingMix.curriculumOrder(t(s, dir, "documents"))),
-
-    "text_ngram_diversity" -> ((s, dir) =>
-      // per-source trigram diversity (distinct/total on the 1e9 grid):
-      // the template-loop detector a corpus audit reads before mixing
-      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "source", n = 3)),
-
-    "emb_norm_outliers" -> ((s, dir) =>
-      // robust ||v||^2 outlier gate: 1e3-grid integer norms, rank-based
-      // median + MAD (no interpolation), flag dev > 3*MAD; medians come
-      // out of globalDenseRank + 1-row broadcasts
-      EmbeddingOps.normOutliers(t(s, dir, "embeddings"))),
-
-    "q_funnel_steps" -> ((s, dir) => {
-      // ordered conversion funnel signup → click → purchase: each step's
-      // entry time is the first qualifying event STRICTLY AFTER the
-      // previous step (a click before the signup never counts). Three
-      // map-side-combinable min-aggregates chained by hash joins on the
-      // user key — no window, no sort, no state
-      operators.EventAnalytics.funnelSteps(ev(s, dir), "key", "writetime",
-        Seq("signup", "click", "purchase"))
-    }),
-
-    "q_retention_cohorts" -> ((s, dir) =>
-      // cohort retention matrix: users bucketed by first-activity week,
-      // counted once per (cohort, age) cell — the classic triangle. Two
-      // key-hash aggregates + one map-side-combinable rollup
-      operators.EventAnalytics.retentionCohorts(ev(s, dir), "key",
-        "writetime", periodUnits = 604800000000L)),
-
-    "q_event_paths" -> ((s, dir) => {
-      // top-10 3-step behavior paths: per-user ordered event trigrams
-      // (lead×2 over the key-partitioned stream), counted corpus-wide,
-      // deterministic tie-break. One key-window + one rollup.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("key"))
-        .orderBy(col("writetime"), col("event_id"))
-      ev(s, dir)
-        .select(col("key"), col("event_type"), col("writetime"),
-          col("event_id"))
-        .withColumn("e2", lead(col("event_type"), 1).over(w))
-        .withColumn("e3", lead(col("event_type"), 2).over(w))
-        .filter(col("e3").isNotNull)
-        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
-          col("e3").as("s3"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
-        .limit(10)
-    }),
-
-    "q_zorder_events" -> ((s, dir) => {
-      // write-side Z-order clustering key on (user_id, event-time µs):
-      // 16-bit quantized dims Morton-interleaved — the layout that lets
-      // parquet min/max stats prune BOTH dims after one sorted write.
-      // One 1-row min/max attach + a narrow all-integer projection.
-      val raw = Cdc.rawEvents(s, dir)
-      // same schema dispatch as CdcModel: ns-LONG fixtures divide, real
-      // timestamps go through unix_micros
-      val tsu = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      val ev = raw.select(col("event_id"), col("user_id"), tsu.as("tsu"))
-      operators.Layout.zorderKey(ev, Seq("user_id", "tsu"), bits = 16)
-        .select(col("event_id"), col("zb0"), col("zb1"), col("zkey"))
-    }),
-
-    "q_approx_quantiles" -> ((s, dir) => {
-      // approx_percentile sketch, oracle-checked like q_approx_distinct:
-      // exact quantiles anchor the row; the approx estimates are asserted
-      // to land inside the ±3%-rank window (sketch accuracy 200 ⇒ ±0.5%
-      // rank error — a 6× margin). The exact anchors come from the
-      // range-partitioned ExactPercentile (one pass serves all six
-      // fractions), not built-in percentile() whose buffer holds the
-      // group's whole value set; the sketch side stays a bounded-state
-      // hash aggregate and equi-joins back on the group key.
-      val raw = Cdc.rawEvents(s, dir)
-      val ap = raw.groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
-          lit(200)).as("a"))
-      val ex = operators.ExactPercentile.percentiles(
-        raw.select(col("event_type"), col("value")),
-        Seq("event_type"), col("value"),
-        Seq("p47" -> 0.47, "p50" -> 0.5, "p53" -> 0.53,
-          "p87" -> 0.87, "p90" -> 0.9, "p93" -> 0.93))
-      ap.join(ex, "event_type")
-        .select(col("event_type"),
-          round(col("p50"), 6).as("p50_exact"),
-          round(col("p90"), 6).as("p90_exact"),
-          (element_at(col("a"), 1) >= col("p47") &&
-            element_at(col("a"), 1) <= col("p53")).as("ok50"),
-          (element_at(col("a"), 2) >= col("p87") &&
-            element_at(col("a"), 2) <= col("p93")).as("ok90"))
-    }),
-
-    "q_fuzzy_join" -> ((s, dir) => {
-      // entity resolution: deterministically-corrupted customer names
-      // (one digit deleted) matched back against the clean dimension via
-      // SymSpell delete-1 blocking + exact levenshtein verify. The oracle
-      // recomputes the SAME pair set brute-force in DuckDB — a green row
-      // proves the blocked join loses nothing vs the cross product.
-      val c = t(s, dir, "customer")
-      val dirty = c.filter(col("c_custkey") % 100 === 0)
-        .select(col("c_custkey").as("dirty_id"),
-          expr("concat(substring(c_name, 1, 9 + c_custkey % 8), " +
-            "substring(c_name, 11 + c_custkey % 8))").as("dirty"))
-      FuzzyJoin.editDistance1Join(dirty, "dirty",
-          c.select(col("c_custkey"), col("c_name")), "c_name")
-        .select(col("dirty_id"), col("c_custkey"), col("dist"))
-    }),
-
-    "text_dup_spans" -> ((s, dir) =>
-      // substring-level duplication: per-doc fraction of 3-word spans that
-      // also appear in another document (Lee et al. dedup signal)
-      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 3)),
-
-    "text_remove_dup_spans" -> ((s, dir) =>
-      // the acting half of the dup-span signal (Lee et al. ExactSubstr):
-      // drop every word covered by a 5-word span that appears in >1 doc,
-      // reassemble the cleaned corpus
-      TextAnalysis.removeDupSpans(t(s, dir, "documents"), n = 5)),
-
-    "q_funnel_timing" -> ((s, dir) => {
-      // funnel conversion timing: step counts + exact interpolated
-      // median/p90 time-to-convert over the strict-ordering funnel —
-      // the rollup a product team reads next to the funnel itself.
-      // The gap percentiles are GLOBAL aggregates over one value per
-      // funnel-entrant key — built-in percentile() would buffer all of
-      // them in a single task, so each gap column goes through the
-      // range-partitioned ExactPercentile (bit-identical arithmetic) and
-      // the three 1-row results broadcast-attach onto the counts row
-      val f = operators.EventAnalytics.funnelSteps(ev(s, dir), "key",
-        "writetime", Seq("signup", "click", "purchase"))
-      val counts = f.agg(count(lit(1)).as("n_step1"),
-        count(col("t2")).as("n_step2"),
-        count(col("t3")).as("n_step3"))
-      // both gap columns ride ONE range pipeline: stack them under a gap
-      // label and group the percentiles by it — the 2-row result then
-      // pivots onto the counts row (one shuffle, not one per gap column)
-      val gaps = f.select(lit("d12").as("g"), (col("t2") - col("t1")).as("v"))
-        .unionByName(
-          f.select(lit("d23").as("g"), (col("t3") - col("t2")).as("v")))
-      val p = operators.ExactPercentile.percentiles(gaps, Seq("g"), col("v"),
-        Seq("p50" -> 0.5, "p90" -> 0.9))
-        .agg(max(when(col("g") === "d12", col("p50"))).as("med_t12"),
-          max(when(col("g") === "d23", col("p50"))).as("med_t23"),
-          max(when(col("g") === "d12", col("p90"))).as("p90_t12"))
-      counts.crossJoin(broadcast(p))
-        .select(col("n_step1"), col("n_step2"), col("n_step3"),
-          col("med_t12"), col("med_t23"), col("p90_t12"))
-    }),
-
-    "profile_value_drift" -> ((s, dir) =>
-      // fixed-grid value-distribution drift between user cohorts: one
-      // bucket-hash aggregate + 1-row total attaches, exact proportions
-      operators.Profiling.valueDrift(Cdc.rawEvents(s, dir),
-        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
-        nBuckets = 10)),
-
-    "profile_drift_summary" -> ((s, dir) =>
-      // the scalar alarm over the same grid: exact integer-rational TVD
-      // + PSI (decimal-summed, rounded 6 — the libm-portability idiom)
-      operators.Profiling.valueDriftSummary(Cdc.rawEvents(s, dir),
-        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
-        nBuckets = 10)),
-
-    "text_segment_dedup" -> ((s, dir) => {
-      // C4-style line-level corpus dedup (aligned 10-word segments as the
-      // line analog; every occurrence of a repeated segment drops,
-      // including the first — boilerplate-killing semantics). The corpus
-      // plants exact duplicates by unioning a re-keyed mirror of the first
-      // 50 docs, so the whole mirrored set must clean to ''.
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      TextAnalysis.dropDuplicatedSegments(corpus, wordsPerSegment = 10,
-        maxCount = 1)
-    }),
-
-    "text_segment_dedup_streamed" -> ((s, dir) =>
-      // the incremental form on REAL streaming machinery: the same corpus
-      // arrives as parquet drops (one file per trigger — multi-batch),
-      // folds through StreamingSegmentDedup.processBatch inside
-      // foreachBatch (VersionedState crash-safe units), and the certified
-      // clean() view must equal the batch operator — including
-      // retroactive cross-batch removals. Same oracle as
-      // text_segment_dedup: streaming ≡ batch ≡ DuckDB.
-      graft.streaming.PipelineE2E.streamedSegmentDedup(s, dir)),
-
-    "text_html_extract" -> ((s, dir) =>
-      // the web-corpus front door: markup-wrapped documents (fixture
-      // exercises every rule — script/style content removal, block-tag
-      // line structure, entity decode, C4 line rules) → extracted clean
-      // text; DuckDB replays each rule with string/regex ops
-      TextAnalysis.htmlExtract(markupDocs(s, dir))),
-
-    "text_block_extract" -> ((s, dir) =>
-      // the jusText alternative to the C4 line rules: block split at
-      // block-tag boundaries, per-block link/stop densities, the exact
-      // context-free rule order (links → © → short → stopword tiers),
-      // then BOTH context-sensitive window passes (short takes its
-      // nearest good/bad neighbours with the neargood-fronted mixed
-      // promotion; neargood demotes only between two revised bads).
-      // DuckDB replays the split, the densities, the rule order and the
-      // window walks on the same page bytes.
-      TextAnalysis.blockExtract(blockFixtureDocs(s, dir))),
-
-    "pipeline_block_curate" -> ((s, dir) => {
-      // the jusText sibling of pipeline_html_curate: curation's word/TTR
-      // arithmetic runs on the BLOCK-extracted main content (newlines
-      // flattened) — pins the stage coupling for the block path, incl.
-      // all-boilerplate pages whose empty content must flow through
-      val extracted = TextAnalysis.blockExtract(blockFixtureDocs(s, dir))
-      val asDocs = extracted.select(col("doc_id"), col("n_blocks"),
-        col("n_good"),
-        replace(col("content"), lit("\n"), lit(" ")).as("text"))
-      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
-          minTtr = 0.45, stopwords = Nil)
-        .join(asDocs.select(col("doc_id"), col("n_blocks"), col("n_good")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("n_blocks"), col("n_good"),
-          col("n_words"), col("ttr"), col("keep"))
-    }),
-
-    "text_normalize_unicode" -> ((s, dir) => {
-      // Unicode front door ahead of any fingerprinting: NFC composition via
-      // the native NfcNormalize expression (Spark has no built-in
-      // normalizer; DuckDB replays with its nfc_normalize), control-char
-      // strip, whitespace-run collapse, trim. Fixture injects decomposed
-      // e+U+0301 sequences (doc_id%3=0), a BEL + tab runs + trailing
-      // whitespace (doc_id%4=1), and leaves the rest ASCII-clean to pin
-      // the zero-allocation fast path's changed=false.
-      val fixture = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 3 === 0,
-            regexp_replace(col("text"), "e", "e\u0301"))
-          .when(col("doc_id") % 4 === 1,
-            concat(col("text"), lit("\u0007 trailing\t\ttabs  ")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.normalizeUnicode(fixture)
-        .select(col("doc_id"), col("changed"),
-          length(col("norm_text")).cast("long").as("n_chars"),
-          md5(col("norm_text").cast("binary")).as("h"))
-    }),
-
-    "text_gopher_rules" -> ((s, dir) => {
-      // the full Gopher rule vector (word-count bounds, mean word length,
-      // symbol ratio, bullet/ellipsis line ratios, alpha-word fraction,
-      // distinct-stopword floor) on a fixture that trips each rule on a
-      // different doc_id slice: bullet lines, ellipsis-terminated lines,
-      // hash-symbol runs, numeric (non-alpha) word tails
-      val d = t(s, dir, "documents")
-      val fixture = d.select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(col("text"),
-            lit("\n- bullet item one\n- bullet item two")))
-          .when(col("doc_id") % 5 === 1, concat(col("text"),
-            lit("\nso it trails off\u2026\nit ends\u2026\nclosing line here")))
-          .when(col("doc_id") % 5 === 2, concat(col("text"),
-            lit(" ## ## ###")))
-          .when(col("doc_id") % 5 === 3, concat(col("text"),
-            lit(" 1234 5678 9012 3456 7890 2468")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.gopherRules(fixture,
-        stopwords = Seq("the", "a", "data", "key"), minStopwords = 2)
-    }),
-
-    "text_html_links" -> ((s, dir) => {
-      // crawl-frontier link extraction feeding the link graph: every
-      // <a href> (any case, either quote style), absolute-http(s)-only,
-      // each target folded through the SAME canonicalizer the URL dedup
-      // uses, plus registered-domain edge endpoints (cdn./www. targets
-      // fold with their bare site) — one row per surviving link, so the
-      // hash pins extraction, filtering and canonicalization byte for byte
-      val host = (u: Column) =>
-        regexp_extract(u, "^https?://([^/?#]*)", 1)
-      TextAnalysis.extractLinks(linkedDocs(s, dir))
-        .select(col("doc_id"),
-          Curation.registeredDomain(host(Curation.canonicalUrl(
-            col("src_url")))).as("src_domain"),
-          Curation.registeredDomain(host(col("target_url")))
-            .as("dst_domain"),
-          col("target_url"))
-    }),
-
-    "pipeline_html_curate" -> ((s, dir) => {
-      // the composed front-of-pipeline a crawl corpus actually runs:
-      // extraction FEEDS curation — the quality filter's word/TTR
-      // arithmetic runs on the EXTRACTED text (newlines flattened), so
-      // this row pins the stage coupling, not just each stage alone
-      val extracted = TextAnalysis.htmlExtract(markupDocs(s, dir))
-      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
-        col("n_kept"), replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
-      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
-          minTtr = 0.45, stopwords = Nil)
-        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          col("n_words"), col("ttr"), col("keep"))
-    }),
-
-    "text_warc_charset" -> ((s, dir) => {
-      // the WHATWG encoding-sniff order ON the oracle path: responses
-      // rotate through header-declared UTF-8, BOM'd UTF-8, BOM'd UTF-16LE
-      // under a LYING iso-8859-1 Content-Type (the BOM must win), and
-      // BOM'd UTF-16BE with no header at all. Every wire encoding must
-      // decode back to the same text (non-ASCII characters included) with
-      // the right provenance — real crawls carry all four shapes.
-      import graft.functions.WarcFunctions._
-      val text = concat(lit("pAge "), col("doc_id").cast("string"),
-        lit(" naïve café ✓"))
-      val e = col("doc_id") % 4
-      val body = when(e === 0, encode(text, "UTF-8"))
-        .when(e === 1, concat(unhex(lit("EFBBBF")), encode(text, "UTF-8")))
-        .when(e === 2, concat(unhex(lit("FFFE")), encode(text, "UTF-16LE")))
-        .otherwise(concat(unhex(lit("FEFF")), encode(text, "UTF-16BE")))
-      val ctype = when(e === 0, lit("text/html; charset=utf-8"))
-        .when(e === 2, lit("text/html; charset=iso-8859-1")) // lying
-        .otherwise(lit("text/html"))
-      val blob = concat(warc_noise_gz, warc_response_raw_gz(
-        concat(lit("https://cs.example/p"), col("doc_id").cast("string")),
-        lit(200), ctype, body))
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(warc_responses(blob)).as("r"))
-        .select(col("doc_id"), col("r.charset").as("charset"),
-          col("r.charset_src").as("charset_src"),
-          col("r.html").as("text"))
-    }),
-
-    "text_warc_extract" -> ((s, dir) =>
-      // the TRUE web-corpus front door: spec-compliant warc.gz blobs
-      // (gzip member split with CRC/ISIZE verification, warcinfo+request
-      // noise records skipped, Content-Length framing, HTTP parse,
-      // header/meta/default charset resolution incl. a REAL ISO-8859-1
-      // byte round-trip, 404 records parsed then dropped) → the same
-      // boilerplate extraction as text_html_extract. DuckDB replays the
-      // markup + extraction rules and the expected provenance columns —
-      // a green hash proves the whole binary path is identity-correct.
-      TextAnalysis.warcExtract(warcDocs(s, dir))),
-
-    "pipeline_warc_curate" -> ((s, dir) => {
-      // the composed crawl-ingest chain from raw archive bytes: WARC
-      // record walk FEEDS extraction FEEDS the quality filter — the
-      // pipeline_html_curate coupling pushed one stage earlier, so this
-      // row pins that curation arithmetic runs on text that came out of
-      // the binary front door, charset decode included
-      val extracted = TextAnalysis.warcExtract(warcDocs(s, dir))
-      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
-        col("n_kept"),
-        replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
-      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
-          minTtr = 0.45, stopwords = Nil)
-        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          col("n_words"), col("ttr"), col("keep"))
-    }),
-
-    "pipeline_web_corpus" -> ((s, dir) => {
-      // the composed FineWeb-shape web pipeline, raw bytes to training
-      // shards in ONE row: warc.gz record walk + charset decode →
-      // boilerplate extraction → NFC normalization (the decoration is
-      // DECOMPOSED, so composition is load-bearing) → quality filter →
-      // URL-level dedup (collapses the re-crawl slice, same URI) →
-      // normalized-text near-dup (collapses the mirror-host slice URL
-      // dedup must miss) → language ID from the corpus-trained
-      // classifier (memoized model — train once) → temperature-balanced
-      // sampling keyed on the PREDICTED language → deterministic shard
-      // assignment. Cross-stage coupling is the point: mix rates are
-      // computed on the deduped+filtered survivor set and language
-      // comes from the model, which per-stage rows cannot catch. The
-      // oracle replays the whole chain in one statement.
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.WarcFunctions._
-      val wd = warcDocs(s, dir)
-      // re-crawl slice: same bytes fetched again later (same URI)
-      val recrawl = wd.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000).as("doc_id"), col("warc"))
-      // mirror slice: the same page served from another host — URL
-      // dedup must MISS it, text-level dedup must CATCH it. Restricted
-      // to the %3==1 docs, whose warc html is exactly the markup
-      // fixture (no meta-tag or Latin-1 paragraph edits), so the
-      // extracted text matches the original's byte for byte.
-      val mirror = markupDocs(s, dir)
-        .filter(col("doc_id") < 30 && col("doc_id") % 3 === 1)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          warc_response_gz(
-            concat(lit("https://mirror.example.org/doc/"),
-              col("doc_id").cast("string")),
-            lit(200), lit("text/html; charset=UTF-8"), col("html"))
-            .as("warc"))
-      val corpus = wd.unionByName(recrawl).unionByName(mirror)
-      val flat = TextAnalysis.warcExtract(corpus)
-        .select(col("doc_id"), col("target_uri"),
-          concat(replace(col("clean_text"), lit("\n"), lit(" ")),
-            lit(webDeco)).as("text"))
-      // `normed` feeds both the quality filter and the join-back — one
-      // more cut so the warc record walk + extraction runs exactly once
-      val normed = operators.Materialize(TextAnalysis.normalizeUnicode(flat)
-        .select(col("doc_id"), col("target_uri"),
-          col("norm_text").as("text")))
-      val kept = normed.join(
-        TextAnalysis.qualityFilter(normed, minWords = 40, maxWords = 200,
-          minTtr = 0.45, stopwords = Nil)
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"))
-      val urlKept = kept
-        .withColumn("_keep", min(col("doc_id")).over(
-          Window.partitionBy(col("target_uri"))))
-        .filter(col("doc_id") === col("_keep")).drop("_keep")
-      // diamond cuts (the minhash lesson, docs/BENCH_NOTES.md): the
-      // survivor set feeds the classifier, the classifier feeds the
-      // sampler's count/threshold/filter triple, and the sample feeds
-      // shard assignment plus the label join-back — without lineage
-      // cuts every consumer re-runs the warc decode + extraction +
-      // two dedup windows over the corpus (measured: 120 redundant
-      // scans in the executed plan, 10.2 s -> 1.3 s at sf0.001)
-      val ndKept = operators.Materialize(urlKept
-        .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
-        .withColumn("_keep", min(col("doc_id")).over(
-          Window.partitionBy(col("_fp"))))
-        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
-      val pred = operators.Materialize(TextAnalysis.langIdPredict(ndKept,
-          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
-        .select(col("doc_id"), col("predicted_lang")))
-      val sampled = operators.Materialize(
-        TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id"))
-      TrainingMix.shuffleShards(sampled, "doc_id", nShards = 16,
-          seed = "graft")
-        .join(sampled.select(col("doc_id"), col("predicted_lang")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("predicted_lang"), col("shard"),
-          col("pos"))
-    }),
-
-    "pipeline_mixed_corpus" -> ((s, dir) => {
-      // MIXED-FORMAT ingest, the shape a real crawl actually has: one
-      // opaque binary column carrying HTML pages (even docs), PDF blobs
-      // (doc_id % 4 = 1) AND DOCX archives (doc_id % 4 = 3, alternating
-      // STORE/DEFLATE members), format resolved by MAGIC SNIFF on the
-      // bytes (%PDF- / PK\x03\x04 headers), DISPATCHED to the per-format
-      // front door (pdf_extract vs the ZIP walk + WordprocessingML
-      // reduction vs boilerplate extraction), then the SHARED curation
-      // tail — quality arithmetic and the corpus-trained language ID —
-      // over the union. Pins that dispatch composes: per-format rows
-      // cannot catch a quality filter or classifier running on text that
-      // came out of the wrong extractor.
-      import graft.functions.PdfFunctions._
-      import graft.functions.ZipFunctions._
-      val htmlBlobs = markupDocs(s, dir).filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("html").cast("binary").as("blob"))
-      val pdfBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
-        .select(col("doc_id"),
-          pdf_encode(concat(col("text"), lit(pdfDeco))).as("blob"))
-      val docxBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 3)
-        .select(col("doc_id"), docx_encode(col("text"),
-          expr("(doc_id DIV 4) % 2 = 0")).as("blob"))
-      val sniffed = htmlBlobs.unionByName(pdfBlobs).unionByName(docxBlobs)
-        .withColumn("format",
-          when(substring(col("blob"), 1, 5) ===
-            lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
-            "pdf")
-          .when(substring(col("blob"), 1, 4) ===
-            lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)), "docx")
-          .otherwise("html"))
-      val pdfText = sniffed.filter(col("format") === "pdf")
-        .select(col("doc_id"), col("format"),
-          pdf_extract(col("blob")).as("text"))
-      val docxText = sniffed.filter(col("format") === "docx")
-        .select(col("doc_id"), col("format"),
-          docx_extract(col("blob")).as("text"))
-      val htmlText = TextAnalysis.htmlExtract(
-          sniffed.filter(col("format") === "html")
-            .select(col("doc_id"), col("blob").cast("string").as("html")))
-        .select(col("doc_id"), lit("html").as("format"),
-          replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
-      // diamond cut (the minhash lesson, docs/BENCH_NOTES.md): texts
-      // feeds three consumers — without a lineage cut each one re-runs
-      // the sniff + per-format extraction over the corpus
-      val texts = operators.Materialize(
-        pdfText.unionByName(htmlText).unionByName(docxText))
-      val q = TextAnalysis.qualityFilter(texts, minWords = 40,
-          maxWords = 200, minTtr = 0.45, stopwords = Nil)
-        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
-      val pred = TextAnalysis.langIdPredict(texts,
-          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
-        .select(col("doc_id"), col("predicted_lang"))
-      texts.select(col("doc_id"), col("format"))
-        .join(q, Seq("doc_id"))
-        .join(pred, Seq("doc_id"))
-    }),
-
-    "mm_pdf_extract" -> ((s, dir) => {
-      // REAL PDF text extraction (the dominant non-HTML crawl format):
-      // each doc's decorated text — parens, a percent, a literal
-      // backslash, multi-byte UTF-8 — is laid out as a spec-compliant
-      // two-page PDF (classic xref table, FlateDecode'd content
-      // streams, page 1 a Tj, page 2 a kerned TJ array, non-printables
-      // octal-escaped) and extracted back by the engine's own xref walk
-      // + inflate + BT/ET operator parse. The oracle recomputes the
-      // expected text arithmetically, so a green row proves the whole
-      // codec path is identity-correct.
-      import graft.functions.PdfFunctions._
-      t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
-          .as("text"))
-    }),
-
-    "mm_pdf_modern" -> ((s, dir) => {
-      // REAL modern-PDF extraction (the post-2005 majority shape): each
-      // doc's text — vowels swapped into WinAnsi accents plus a cp1252
-      // 0x80-block decoration — is laid out as a PDF 1.5 document
-      // (compressed cross-reference STREAM with /W-packed rows and the
-      // PNG Up predictor, catalog/pages/page/font in an OBJECT STREAM,
-      // text bytes WinAnsi-ENCODED under an /Encoding /WinAnsiEncoding
-      // font) and extracted back through the engine's xref-stream
-      // parse → predictor unfilter → ObjStm framing → font decode. The
-      // oracle recomputes the expected text with the same translate +
-      // concat arithmetic, so a green row proves the whole modern path
-      // is identity-correct on every doc.
-      import graft.functions.PdfFunctions._
-      t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode_modern(concat(
-          translate(col("text"), "aeouAEOU", "äéöüÄÉÖÜ"),
-          lit(pdfWinAnsiDeco)))).as("text"))
-    }),
-
-    "mm_pdf_cmap" -> ((s, dir) => {
-      // Type0-font PDF extraction: the text (decorated with CJK and an
-      // astral emoji) is shown as 2-byte codes under an /Identity-H
-      // composite font whose /ToUnicode CMap — one bfrange array block
-      // plus bfchar blocks, synthesized from the doc's own distinct
-      // codepoints — is the ONLY way back to text. Exercises the CMap
-      // parse (codespacerange width, both block forms, UTF-16BE
-      // surrogate-pair targets) on every doc.
-      import graft.functions.PdfFunctions._
-      t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode_cmap(concat(col("text"), lit(pdfCMapDeco))))
-          .as("text"))
-    }),
-
-    "mm_pdf_filters" -> ((s, dir) => {
-      // non-Flate stream-filter family (what pre-2000s writers and many
-      // generators still emit): each doc's decorated text is laid out as
-      // a three-page PDF whose content streams ride
-      // [/ASCII85Decode /FlateDecode], [/ASCIIHexDecode /RunLengthDecode]
-      // and /LZWDecode (explicit /EarlyChange parms) — filter CHAINS and
-      // all four non-Flate decoders on the round-trip path for every doc.
-      import graft.functions.PdfFunctions._
-      t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode_filters(concat(col("text"), lit(pdfDeco))))
-          .as("text"))
-    }),
-
-    "mm_pdf_encrypted" -> ((s, dir) => {
-      // ENCRYPTED-PDF extraction (standard security handler, EMPTY user
-      // password — the owner-restricted shape that dominates "encrypted"
-      // web-crawl PDFs): the cipher rotates per doc across 40-bit RC4
-      // (/V 1 /R 2, the Acrobat-2 shape), RC4-128 (/V 2 /R 3), the
-      // AES-128 /AESV2 crypt filter (/V 4 /R 4) and AES-256 (/V 5 /R 6,
-      // the iterated-SHA revision) — every key schedule, /U validation
-      // and per-object/stream decryption on the round-trip path at every
-      // scale factor. Genuinely locked files (wrong /U) reject loudly;
-      // PdfCodecSpec pins that contract.
-      import graft.functions.PdfFunctions._
-      t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode_encrypted(
-          concat(col("text"), lit(pdfDeco)),
-          element_at(array(lit("rc4_40"), lit("rc4"), lit("aes128"),
-            lit("aes256")), (col("doc_id") % 4 + 1).cast("int"))))
-          .as("text"))
-    }),
-
-    "pipeline_pdf_curate" -> ((s, dir) => {
-      // the composed document-ingest chain from raw PDF bytes: the
-      // binary front door FEEDS the quality filter — pipeline_warc_curate
-      // pushed to the PDF format, pinning that curation arithmetic runs
-      // on text that came out of the xref/inflate/operator path
-      import graft.functions.PdfFunctions._
-      val extracted = t(s, dir, "documents").select(col("doc_id"),
-        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
-          .as("text"))
-      TextAnalysis.qualityFilter(extracted, minWords = 40, maxWords = 200,
-          minTtr = 0.45, stopwords = Nil)
-        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
-    }),
-
-    "text_blocklist" -> ((s, dir) =>
-      // C4-style substring blocklist admission: per-doc banned-term hit
-      // count (replace-and-measure, recall-first substring semantics),
-      // hits-per-word ratio, verdict at 6.5% — narrow, zero shuffles
-      TextAnalysis.blocklistScore(t(s, dir, "documents"),
-        terms = Seq("slow", "vector"), maxRatio = 0.065)),
-
-    "cdc_converter_string" -> ((s, dir) => {
-      // C1 converter registry, StringConverter plugin: key = first PK
-      // column rendered as string (StringConverter.java:56-58), value =
-      // comma-joined replicated columns, delete => null tombstone
-      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
-        t(s, dir, "customer"), "key", "c_custkey",
-        Seq("c_name", "c_nationkey"))
-      operators.Converters.forName("string")(
-          enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
-        .select(col("event_id"), col("kv_key"), col("kv_value"))
-    }),
-
-    "q_intersect_repeat_buyers" -> ((s, dir) => {
-      // INTERSECT set op: customers ordering in both halves of the range
-      val o = t(s, dir, "orders")
-      val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
-        .select(col("o_custkey"))
-      val late = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-        .select(col("o_custkey"))
-      early.intersect(late)
-    }),
-
-    "q_argmax_events" -> ((s, dir) =>
-      // min_by/max_by with a deterministic composite order: ties on value
-      // break by event_id via the packed (value_cents, event_id) key
-      Cdc.rawEvents(s, dir)
-        .withColumn("_pack",
-          (round(col("value") * 100).cast("long") * 10000000000L) +
-            col("event_id"))
-        .groupBy((col("user_id") % 10).as("cohort"))
-        .agg(max_by(col("event_id"), col("_pack")).as("peak_event"),
-          min_by(col("event_id"), col("_pack")).as("trough_event"),
-          round(max(col("value")), 6).as("max_value"))),
-
-    "q_string_agg" -> ((s, dir) =>
-      // ordered string aggregation (listagg): deterministic via sort
-      Cdc.rawEvents(s, dir)
-        .groupBy((col("user_id") % 10).as("cohort"))
-        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
-          .as("types_csv"),
-          count(lit(1)).as("n"))),
-
-    "q_gapfill_locf" -> ((s, dir) => {
-      // time-series resample + gap-fill: an hourly grid per user,
-      // last-observation-carried-forward via the as-of join — the grid is
-      // explode-generated (no cross join), the LOCF is one sort within the
-      // key partition. Oracle: DuckDB's native ASOF LEFT JOIN.
-      val raw = Cdc.rawEvents(s, dir)
-      // epoch_us(ts), matching the oracle: ns-LONG fixtures divide, real
-      // timestamp[us] parquet converts — same dispatch as eventsFromRaw
-      val tUs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      val obs = raw
-        .filter(col("user_id") % 50 === 0)
-        .select(col("user_id"), tUs.as("t"), col("value"))
-        .groupBy(col("user_id"), col("t"))
-        .agg(round(max(col("value")), 6).as("v"))
-        .withColumn("obs_t", col("t"))
-      val grid = obs.select(col("user_id")).distinct()
-        .select(col("user_id"), explode(expr("sequence(0, 719)")).as("h"))
-        // hourly grid over January 2024 (the fixture's event range),
-        // epoch micros
-        .select(col("user_id"),
-          (lit(1704067200000000L) + col("h") * 3600000000L).as("grid_t"))
-      AsofJoin.asofBackward(grid, obs, "user_id", "grid_t", "t",
-        Seq("v", "obs_t"))
-    })
-  )
 
   // ---- oracle SQL ---------------------------------------------------------
 
-  private val opSql =
+  private[graft] val opSql =
     "CASE WHEN event_type='error' THEN 'd' WHEN event_type='signup' THEN 'i' ELSE 'u' END"
 
   /** DuckDB replay of Curation.registeredDomain over a host expression —
    * the same public-suffix-lite CASE the curate_domain_stats oracle spells
    * inline (keep the two in sync with TwoLevelSuffixes). */
-  private def regDomSql(h: String): String =
+  private[graft] def regDomSql(h: String): String =
     s"""CASE WHEN len(string_split($h, '.')) <= 2 THEN $h
         WHEN list_contains(['co.uk', 'org.uk', 'ac.uk', 'gov.uk',
             'com.au', 'net.au', 'org.au', 'co.jp', 'co.kr', 'co.in',
@@ -4818,7 +838,7 @@ object SparkEntry {
           string_split($h, '.')[-1] END"""
 
   /** The markup fixture CTE — must mirror `markupDocs` byte for byte. */
-  private val markupSql =
+  private[graft] val markupSql =
     """h AS (SELECT doc_id, lang,
          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
          '</title><style>p { color: red; }</style>' ||
@@ -4839,7 +859,7 @@ object SparkEntry {
    * conditional pieces the charset machinery needs — a `<meta charset>`
    * tag on the sniffed slice (doc_id%3=2) and a Latin-1 closing paragraph
    * on the ISO-8859-1 slice (doc_id%3=0). Must mirror `warcDocs`. */
-  private val warcMarkupSql =
+  private[graft] val warcMarkupSql =
     markupSql + """,
      wmeta AS (SELECT doc_id, lang,
          CASE WHEN doc_id % 3 = 2 THEN replace(html, '<html><head>',
@@ -4854,7 +874,7 @@ object SparkEntry {
 
   /** SQL replay of TextAnalysis.htmlExtract over a markup fixture CTE,
    * ending in CTE `ext(doc_id, lang, n_lines, n_kept, clean_text)`. */
-  private def htmlExtractSql(minWords: Int, markup: String = markupSql,
+  private[graft] def htmlExtractSql(minWords: Int, markup: String = markupSql,
                              src: String = "h"): String =
     s"""WITH $markup,
        c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(html,
@@ -4892,7 +912,7 @@ object SparkEntry {
    * shared by the sitemap-parse and fetch-schedule oracles. Mirrors
    * `sitemapDocs`/`sitemapRobotsDocs` + `Curation.sitemapParse`/
    * `robotsSitemaps`. */
-  private val sitemapParseCtes: String = {
+  private[graft] val sitemapParseCtes: String = {
       def xf(tag: String) =
         s"""nullif(replace(replace(replace(replace(replace(trim(
            regexp_extract(body, '(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>', 1)),
@@ -4954,7 +974,7 @@ object SparkEntry {
    * n_cf_neargood, n_good, content)` — shared by text_block_extract and
    * pipeline_block_curate. Mirrors `blockFixtureDocs` +
    * `TextAnalysis.blockExtract`. */
-  private val blockExtractCtes: String =
+  private[graft] val blockExtractCtes: String =
     """h AS (SELECT doc_id,
            '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a></nav><h1>Doc '
            || CAST(doc_id AS VARCHAR) || ' overview</h1><p>'
@@ -5069,7 +1089,7 @@ object SparkEntry {
   /** Generic replay of `Curation.canonicalUrl` over a CTE `u(doc_id,
    * url)` — produces CTE `c(doc_id, url, canonical_url)`. Shared by the
    * url-dedup, robots and sitemap oracles. */
-  private val canonicalChainCtes =
+  private[graft] val canonicalChainCtes =
     """p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS d FROM u),
        p2 AS (SELECT doc_id, url, d,
            lower(regexp_extract(d,
@@ -5104,7 +1124,7 @@ object SparkEntry {
   /** The URL fixture + full canonicalization chain, ending in CTE
    * `c(doc_id, url, canonical_url)`. Mirrors `urlFixtureDocs` +
    * `Curation.canonicalUrl`. */
-  private val urlCanonicalCtes =
+  private[graft] val urlCanonicalCtes =
     s"""u AS (SELECT doc_id,
          CASE doc_id % 6
            WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || source ||
@@ -5126,7 +1146,7 @@ object SparkEntry {
    * (real streaming run): both must hash to this answer — the FULL
    * language-ID training chain, then the temperature-mix arithmetic
    * keyed on the predicted language. */
-  private lazy val langBalancedSql =
+  private[graft] lazy val langBalancedSql =
     s"""WITH ${langIdCtes("documents", "documents")},
        mpl AS (SELECT doc_id, predicted_lang FROM lpred),
        mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
@@ -5148,7 +1168,7 @@ object SparkEntry {
 
   /** Shared by curate_url_canonical (batch) and curate_url_dedup_streamed
    * (real streaming run): both must hash to this answer. */
-  private val urlDedupSql =
+  private[graft] val urlDedupSql =
     s"""WITH $urlCanonicalCtes,
        s AS (SELECT canonical_url, MIN(doc_id) AS keep_id
          FROM c GROUP BY 1)
@@ -5158,7 +1178,7 @@ object SparkEntry {
 
   /** Shared by text_segment_dedup (batch) and text_segment_dedup_streamed
    * (real streaming run): both must hash to this answer. */
-  private val segmentDedupSql =
+  private[graft] val segmentDedupSql =
     """WITH corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
@@ -5181,12 +1201,12 @@ object SparkEntry {
        SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
          t.n_segments, t.n_segments - COALESCE(r.n_kept, 0) AS n_dropped
        FROM totals t LEFT JOIN reb r USING (doc_id)"""
-  private val revenueSql =
+  private[graft] val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** Shared covariance head for the PCA oracles: exact moments → 7-dp
    * covariance CTE `c` plus the uniform start vector `v0`. */
-  private val pcaHeadSql =
+  private[graft] val pcaHeadSql =
     """WITH e AS (SELECT vec_id, embedding,
          unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
        vals AS (SELECT vec_id, i,
@@ -5205,7 +1225,7 @@ object SparkEntry {
   /** DuckDB mirror of [[EmbeddingOps.pcaTopComponent]]: the power iteration
    * unrolled as one CTE pair (w_k, n_k, v_k) per iteration — generated from
    * the same iteration count so Spark and the oracle always run in step. */
-  private def pcaPowerSql(iters: Int): String = {
+  private[graft] def pcaPowerSql(iters: Int): String = {
     // every w_k is referenced twice (n_k and v_k): without MATERIALIZED the
     // optimizer inlines the whole chain and the plan doubles per iteration.
     // Mat-vec in exact decimal, rounding only at w/‖w‖ — see the tie
@@ -5236,7 +1256,7 @@ object SparkEntry {
    * Hotelling update c_{k+1} = round(c_k − λ·vᵢ·vⱼ, 7) carried out entirely
    * in exact DECIMAL — Spark and DuckDB both round half-away-from-zero on
    * exact decimals, so the replay is bit-exact even at half-way ties. */
-  private def pcaTopKSql(nComp: Int, iters: Int): String = {
+  private[graft] def pcaTopKSql(nComp: Int, iters: Int): String = {
     def mat(k: Int) = if (k == 1) "c" else s"c$k"
     val vivj =
       "CAST(CAST(a.v AS DECIMAL(15,7)) * CAST(b.v AS DECIMAL(15,7)) AS DECIMAL(16,14))"
@@ -5293,7 +1313,7 @@ object SparkEntry {
   /** WITH-chain replaying [[Similarity.kmeansCentroids]] on the ×10⁷ grid:
    * `vals` (scaled corpus) through `c<iters>` (final centroids) — shared by
    * every IVF-derived oracle ([[ivfKnnSql]], [[semDedupSql]]). */
-  private def ivfCentroidChainSql(nCells: Int, iters: Int,
+  private[graft] def ivfCentroidChainSql(nCells: Int, iters: Int,
                                   p: String = ""): String = {
     // ‖s‖ over the scaled grid: squares exceed BIGINT, so square in DECIMAL
     def nrmSql(src: String) =
@@ -5340,7 +1360,7 @@ object SparkEntry {
                ORDER BY aff DESC, cell_id ASC) AS rn FROM ${p}afq) WHERE rn = 1)"""
   }
 
-  private def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String =
+  private[graft] def ivfKnnSql(nCells: Int, iters: Int, nprobe: Int, k: Int): String =
     "WITH " + ivfCentroidChainSql(nCells, iters) +
       s""",
          qasg AS (SELECT vec_id AS q_id, cell_id FROM (
@@ -5361,7 +1381,7 @@ object SparkEntry {
 
   /** DuckDB mirror of [[Similarity.semDedup]]: replayed k-means assignment
    * (exact blocking) + cell-local pair scoring. */
-  private def semDedupSql(nCells: Int, iters: Int, threshold: Double): String =
+  private[graft] def semDedupSql(nCells: Int, iters: Int, threshold: Double): String =
     "WITH " + ivfCentroidChainSql(nCells, iters) +
       s"""
          SELECT a.cell_id, a.vec_id AS a, b.vec_id AS b,
@@ -5380,7 +1400,7 @@ object SparkEntry {
    * grid (exact BIGINT distances and sums; the mean rounds half-away via
    * (2s ± n) // (2n), truncating division in both engines) — no floating
    * step at all, so no rounding analysis is needed. */
-  private def pqChainSql(m: Int, k: Int, iters: Int, subDim: Int,
+  private[graft] def pqChainSql(m: Int, k: Int, iters: Int, subDim: Int,
                          p: String = "", valsFrom: Option[String] = None): String = {
     val valsCte = valsFrom match {
       case Some(srcCte) =>
@@ -5436,7 +1456,7 @@ object SparkEntry {
     head + steps + tail
   }
 
-  private def pqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String =
+  private[graft] def pqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String =
     "WITH " + pqChainSql(m, k, iters, subDim) +
       """
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
@@ -5458,7 +1478,7 @@ object SparkEntry {
    * exactly-representable integer inputs, so the grid replays
    * bit-for-bit (1.2 + 1.0 is written as arithmetic, not 2.2, to fold
    * to the same double the JVM computes). */
-  private def bm25Sql(probePred: String, sliceFrom: Int, sliceTo: Int,
+  private[graft] def bm25Sql(probePred: String, sliceFrom: Int, sliceTo: Int,
                       docPred: String, maxDfRatio: String = "0.9"): String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        dws AS (SELECT * FROM ws WHERE $docPred),
@@ -5500,7 +1520,7 @@ object SparkEntry {
    * the Scala expression order exactly (left-associated dot product,
    * single divisions on exact integer-grid inputs), so all `iters`
    * rounds replay bit-for-bit. Ends at CTE wt$iters (w0..w3). */
-  private def classifierChainSql(minWords: Int, maxWords: Int,
+  private[graft] def classifierChainSql(minWords: Int, maxWords: Int,
                                  minTtr: String, lr: String,
                                  iters: Int): String = {
     val z = "(CAST(w.w0 AS DOUBLE) * f0 + CAST(w.w1 AS DOUBLE) * f1 + " +
@@ -5542,7 +1562,7 @@ object SparkEntry {
   }
 
   /** Final-model scoring select on top of [[classifierChainSql]]. */
-  private def classifierScoreSql(iters: Int): String = {
+  private[graft] def classifierScoreSql(iters: Int): String = {
     val z = "(CAST(w.w0 AS DOUBLE) * f0 + CAST(w.w1 AS DOUBLE) * f1 + " +
       "CAST(w.w2 AS DOUBLE) * f2 + CAST(w.w3 AS DOUBLE) * f3) / 1000000000.0"
     s"""
@@ -5559,7 +1579,7 @@ object SparkEntry {
    * waves, every stage replayed. ONE definition gating BOTH the batch
    * row (`pipeline_crawl_frontier`) and the streaming composition
    * (`pipeline_crawl_frontier_streamed`): streaming ≡ batch ≡ DuckDB. */
-  private def crawlFrontierSql: String =
+  private[graft] def crawlFrontierSql: String =
     s"""WITH d AS (SELECT doc_id,
            '<html><body><p>intro</p><a href="HTTP://Site' ||
              CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
@@ -5622,7 +1642,7 @@ object SparkEntry {
    * override generated from the SAME DefaultScriptLangs codepoints.
    * Ends in CTE `lpred(doc_id, ngram_lang, score9, script_chars,
    * script_lang, predicted_lang)`. */
-  private def langIdCtes(docsRel: String, predRel: String): String = {
+  private[graft] def langIdCtes(docsRel: String, predRel: String): String = {
     val scripts = operators.TextAnalysis.DefaultScriptLangs
     val cCols = scripts.map { case (l, lo, hi) =>
       f"length(regexp_replace(text, '[^\\x{$lo%04x}-\\x{$hi%04x}]', '', 'g')) AS c_$l%s"
@@ -5685,7 +1705,7 @@ object SparkEntry {
          LEFT JOIN ltop t USING (doc_id))"""
   }
 
-  private def bpeChainSql(rounds: Int): String = {
+  private[graft] def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -5720,7 +1740,7 @@ object SparkEntry {
    * `hex(encode(word))`, then `rounds` unrolled merge rounds exactly like
    * [[bpeChainSql]]. Ends with dictionary `bw<rounds>` and per-round
    * winners `bb<i>`. */
-  private def byteBpeChainSql(rounds: Int): String = {
+  private[graft] def byteBpeChainSql(rounds: Int): String = {
     val rx = operators.Bpe.BytePretokenRegex.replace("'", "''")
     val deco = byteDeco.map(_.replace("'", "''"))
     val sb = new StringBuilder
@@ -5762,7 +1782,7 @@ object SparkEntry {
    * the longest vocab symbol prefixing the remainder (single-char
    * fallback). `steps` must cover the longest corpus word (each round
    * consumes >= 1 char; extra rounds are no-ops on an empty remainder). */
-  private def wpChainSql(rounds: Int, steps: Int): String = {
+  private[graft] def wpChainSql(rounds: Int, steps: Int): String = {
     val sb = new StringBuilder(bpeChainSql(rounds))
     sb ++= s""",
          vocab AS MATERIALIZED (
@@ -5799,7 +1819,7 @@ object SparkEntry {
    * array_sort tie-break. Ends at CTE `useg` (word, freq, pieces,
    * n_pieces, cost). `maxLen` must cover the longest corpus word (spec
    * UnigramSpec pins the fixture bound). */
-  private def unigramChainSql(maxPieceLen: Int, minCnt: Long,
+  private[graft] def unigramChainSql(maxPieceLen: Int, minCnt: Long,
                               maxLen: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH uwd AS MATERIALIZED (
@@ -5851,7 +1871,7 @@ object SparkEntry {
    * trade graph: every synchronous round unrolled, the per-node argmax
    * pinned by (COUNT(*) DESC, label ASC) row_number — pure integer labels,
    * bit-exact replay. */
-  private def labelPropSql(iters: Int): String = {
+  private[graft] def labelPropSql(iters: Int): String = {
     val head =
       s"""WITH pr AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -5879,7 +1899,7 @@ object SparkEntry {
    * (n·Σx² − (Σx)² in HUGEINT), rank + snake allocation as window
    * arithmetic, then the standard PQ chain over the permuted values.
    * HUGEINT here ≡ Spark's DECIMAL(38,0) — both exact at ≤ 10²³. */
-  private def opqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String = {
+  private[graft] def opqEncodeSql(m: Int, k: Int, iters: Int, subDim: Int): String = {
     val permCtes =
       s"""rv AS (SELECT vec_id, embedding,
            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
@@ -5914,7 +1934,7 @@ object SparkEntry {
   /** DuckDB mirror of [[graft.operators.Graph.pageRank]] over the trade
    * graph: every iteration unrolled — pure BIGINT arithmetic (truncating
    * division both engines), bit-exact with zero rounding analysis. */
-  private def pageRankSql(iters: Int, dampNum: Int, dampDen: Int): String = {
+  private[graft] def pageRankSql(iters: Int, dampNum: Int, dampDen: Int): String = {
     val head =
       s"""WITH pr AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -5948,7 +1968,7 @@ object SparkEntry {
   /** Shared CTE chain + final select of the bigram-LM score oracle —
    * text_lm_score emits it directly; curate_quality_sample builds its
    * rank-cut on top of the identical score arithmetic. */
-  private val lmScoreCtes =
+  private[graft] val lmScoreCtes =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          db0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
              THEN list_transform(generate_series(1, len(w) - 1),
@@ -5960,7 +1980,7 @@ object SparkEntry {
          tok AS (SELECT unnest(w) AS token FROM ws),
          uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
          v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM uc)"""
-  private val lmScoreSelect =
+  private[graft] val lmScoreSelect =
     """SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
            CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
                / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)) * 1000000000.0)
@@ -5973,7 +1993,7 @@ object SparkEntry {
   /** DuckDB mirror of [[Similarity.ivfPqKnn]]: the IVF chain (prefix iv)
    * and PQ chain (prefix pq) composed — probe, ADC-rank by exact integer
    * distances, cosine re-rank of the shortlist. */
-  private def ivfPqKnnSql(nCells: Int, ivfIters: Int, nprobe: Int,
+  private[graft] def ivfPqKnnSql(nCells: Int, ivfIters: Int, nprobe: Int,
                           m: Int, kCode: Int, pqIters: Int, subDim: Int,
                           rerank: Int, k: Int): String =
     "WITH " + ivfCentroidChainSql(nCells, ivfIters, "iv") + ",\n" +
@@ -6091,7 +2111,7 @@ object SparkEntry {
   /** DuckDB mirror of [[Similarity.pqTrainResidualCodebooks]] +
    * [[Similarity.pqEncodeResidual]]: IVF chain → exact grid residuals →
    * PQ chain over them. */
-  private def pqResidualSql(nCells: Int, ivfIters: Int, m: Int, kCode: Int,
+  private[graft] def pqResidualSql(nCells: Int, ivfIters: Int, m: Int, kCode: Int,
                             pqIters: Int, subDim: Int): String =
     "WITH " + ivfCentroidChainSql(nCells, ivfIters, "iv") +
       s""",
@@ -6112,7 +2132,7 @@ object SparkEntry {
    * (x,y)->source mappings ExifCodec.orient documents — the top-left
    * pixel of each output 8x8 block picks the source block, which is exact
    * because every transform is 8-aligned on 24x16. */
-  private def exifOrientPxSql: String = {
+  private[graft] def exifOrientPxSql: String = {
     def src(o: Int, x: Int, y: Int): (Int, Int) = (o: @unchecked) match {
       case 1 => (x, y); case 2 => (23 - x, y); case 3 => (23 - x, 15 - y)
       case 4 => (x, 15 - y); case 5 => (y, x); case 6 => (y, 15 - x)
@@ -6139,7 +2159,7 @@ object SparkEntry {
    * (path, content) from seed arithmetic, then the tiered language
    * detection — byte-identical to [[codeFixtureDocs]] +
    * [[operators.CodeCorpus.detectLang]]. */
-  private val codeFixtureSql: String =
+  private[graft] val codeFixtureSql: String =
     """fx AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id % 40) % 5 AS lf,
          CASE WHEN (doc_id % 40) % 5 IN (1, 2) THEN '//' ELSE '#' END AS mk
        FROM documents),
@@ -6230,7 +2250,7 @@ object SparkEntry {
   /** License + redaction CTEs on top of [[codeFixtureSql]]'s `langr` —
    * byte-identical to [[operators.CodeCorpus.license]]/[[operators
    * .CodeCorpus.redact]]. */
-  private val codeLicRedSql: String =
+  private[graft] val codeLicRedSql: String =
     """licd AS (SELECT *,
          CASE WHEN regexp_extract(content,
              'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
@@ -6271,7 +2291,7 @@ object SparkEntry {
    * twin: DuckDB replays signed samples → frame energies → VAD islands →
    * energy-band fingerprints → cue overlap transcripts → the
    * fingerprint-cluster election. */
-  private val audioCorpusOracle: String =
+  private[graft] val audioCorpusOracle: String =
     """WITH s AS (SELECT doc_id, i,
          CASE WHEN (doc_id % 50 + i // 16) % 3 = 0 THEN i % 4
            ELSE ((doc_id % 50) * 31 + i * 17) % 65536 END AS v
@@ -6308,7 +2328,7 @@ object SparkEntry {
        COUNT(*) OVER (PARTITION BY fp) AS n_dupes
      FROM tr"""
 
-  private val imageCorpusOracle: String =
+  private[graft] val imageCorpusOracle: String =
     """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
            FROM generate_series(0, 255) t(i)),
          d AS (SELECT doc_id,
@@ -6356,3695 +2376,15 @@ object SparkEntry {
            spread
          FROM fl"""
 
-  def oracleSql: Map[String, String] = Map(
-    "cdc_dedup_exact" ->
-      s"""SELECT event_id, user_id AS "key", $opSql AS op, epoch_us(ts) AS writetime FROM events""",
+  def oracleSql: Map[String, String] =
+    entries.CdcEntries.oracles ++
+    entries.RelationalEntries.oracles ++
+    entries.TextEntries.oracles ++
+    entries.DedupEntries.oracles ++
+    entries.VectorEntries.oracles ++
+    entries.CurateEntries.oracles ++
+    entries.MixEntries.oracles ++
+    entries.MediaEntries.oracles ++
+    entries.PipelineEntries.oracles
 
-    "cdc_enrich_join" ->
-      s"""SELECT e.event_id, e.user_id AS "key", $opSql AS op,
-         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
-         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_acctbal END AS c_acctbal,
-         epoch_us(e.ts) AS writetime
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_keyvalue_avro" ->
-      s"""SELECT e.event_id, e.user_id AS "key",
-         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
-         (e.event_type='error') AS is_tombstone
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_avro_roundtrip" ->
-      """SELECT c_custkey, c_name, c_nationkey AS nation,
-         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS segment,
-         c_name AS tag2, c_mktsegment AS prop_seg,
-         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
-         FROM customer""",
-
-    // audio/video sniff branches: the parse is pure byte arithmetic over
-    // the doc_id-derived headers, recomputed directly
-    "mm_header_sniff_av" ->
-      """SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'mp3'
-             WHEN 1 THEN 'ogg' ELSE 'webp' END AS format,
-           CASE WHEN doc_id % 3 = 2
-             THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 3 = 2
-             THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(
-             CASE doc_id // 3 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-               ELSE 32000 END AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) END
-             AS channels
-         FROM documents""",
-
-    "mm_header_sniff" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'png' END AS format,
-         CASE WHEN doc_id % 3 = 0 THEN NULL
-              ELSE CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
-         CASE WHEN doc_id % 3 = 0 THEN NULL
-              ELSE CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
-         CASE WHEN doc_id % 3 = 0
-              THEN CAST(8000 + (doc_id % 4) * 8000 AS INTEGER)
-              ELSE NULL END AS sample_rate,
-         CASE WHEN doc_id % 3 = 0
-              THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
-              ELSE NULL END AS channels
-         FROM documents""",
-
-    "cdc_partition_classify" ->
-      s"""SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM (
-         SELECT CASE
-           WHEN user_id % 10 = 3 THEN 'skipped_cdc_disabled'
-           WHEN user_id % 50 = 0 THEN 'skipped_counter'
-           WHEN user_id % 50 = 1 THEN 'skipped_materialized_view'
-           WHEN user_id % 50 = 2 THEN 'skipped_secondary_index'
-           WHEN ($opSql) = 'd' AND (event_id % 1000) % 5 = 0
-             THEN 'partition_key_row_deletion'
-           WHEN ($opSql) = 'd' THEN 'partition_and_clustering_key_row_deletion'
-           WHEN (event_id % 1000) % 5 = 0 THEN 'partition_level_modification'
-           ELSE 'row_level_modification' END AS category
-         FROM events) GROUP BY category""",
-
-    "cdc_prefix_lookup" ->
-      """WITH events AS (
-           SELECT DISTINCT l_orderkey,
-             CASE WHEN l_linenumber % 3 = 0 THEN NULL
-                  WHEN l_linenumber % 4 = 0 THEN l_linenumber + 100
-                  ELSE l_linenumber END AS ck
-           FROM lineitem WHERE l_orderkey % 7 = 0)
-         SELECT e.l_orderkey, e.ck AS l_linenumber, b.l_quantity
-         FROM events e LEFT JOIN lineitem b
-           ON e.l_orderkey = b.l_orderkey AND e.ck = b.l_linenumber""",
-
-    "cdc_all_types" ->
-      """SELECT c_custkey AS "key",
-         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE to_json(struct_pack(
-           a_text := c_name,
-           a_int := c_nationkey,
-           a_long := c_custkey,
-           a_bool := c_acctbal > 0,
-           a_blob := base64(encode(c_name)),
-           a_uuid := concat_ws('-', substr(h,1,8), substr(h,9,4),
-                               substr(h,13,4), substr(h,17,4), substr(h,21,12)),
-           a_date_days := CAST(c_custkey % 20000 AS INTEGER),
-           a_ts_ms := c_custkey * 1000 + 42,
-           a_time_us := (c_custkey * 1000000) % 86400000000,
-           a_varint := CAST(CAST(c_custkey AS DECIMAL(38,0)) AS VARCHAR),
-           a_decimal := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
-           a_list := list_value(c_mktsegment, c_name),
-           a_set := list_sort(list_value(c_mktsegment, c_name)),
-           a_map := struct_pack(seg := c_mktsegment, name := c_name),
-           a_udt := struct_pack(name := c_name,
-             geo := struct_pack(nation := c_nationkey,
-                                name_len := length(c_name))),
-           a_tuple := struct_pack(index_0 := c_nationkey,
-                                  index_1 := c_mktsegment),
-           a_duration := struct_pack(months := c_nationkey,
-             days := CAST(c_custkey % 30 AS INTEGER),
-             nanoseconds := c_custkey * 1000000)
-         )) END AS value_json
-         FROM (SELECT *, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer)""",
-
-    "cdc_compaction_lww" ->
-      s"""SELECT "key", event_id, op, writetime FROM (
-         SELECT user_id AS "key", event_id, $opSql AS op, epoch_us(ts) AS writetime,
-           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         FROM events) WHERE rn = 1""",
-
-    "cdc_backfill_union" ->
-      """SELECT "key",
-         COUNT(CASE WHEN src='live' THEN 1 END) AS n_live,
-         COUNT(CASE WHEN src='backfill' THEN 1 END) AS n_backfill
-         FROM (SELECT user_id AS "key", 'live' AS src FROM events
-               UNION ALL SELECT c_custkey, 'backfill' FROM customer)
-         GROUP BY "key"""",
-
-    "cdc_tombstone_json" ->
-      """SELECT e.event_id,
-         to_json(struct_pack("key" := e.user_id)) AS key_json,
-         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
-              ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_materialized_state" ->
-      s"""SELECT c.* FROM customer c
-         LEFT JOIN (SELECT user_id, $opSql AS op,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-           FROM events) e
-           ON c.c_custkey = e.user_id AND e.rn = 1
-         WHERE e.op IS NULL OR e.op <> 'd'""",
-
-    "cdc_ordered_replay" ->
-      s"""SELECT user_id AS "key", event_id, event_id // 1000 AS segment,
-         CAST(event_id % 1000 AS INT) AS position,
-         row_number() OVER (PARTITION BY user_id
-           ORDER BY event_id // 1000 ASC, event_id % 1000 ASC, event_id ASC)
-           AS replay_idx
-         FROM events""",
-
-    "q_range_frame" ->
-      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
-         COUNT(*) OVER w AS n_trailing_hour,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
-           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
-
-    "q_window_analytics" ->
-      """SELECT o_custkey, o_orderkey,
-         lag(o_totalprice, 1) OVER w AS prev_price,
-         lead(o_totalprice, 1) OVER w AS next_price,
-         first_value(o_orderkey) OVER w AS first_order,
-         CAST(ntile(4) OVER w AS BIGINT) AS quartile
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey
-           ORDER BY o_orderdate ASC, o_orderkey ASC)""",
-
-    "q_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
-
-    "q_median" ->
-      """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
-         quantile_cont(value, 0.9) AS p90_value
-         FROM events GROUP BY event_type""",
-
-    "q_value_stats" ->
-      """SELECT event_type, n, s1, s2,
-         (s2 - s1 * s1 / n) / (n - 1) AS variance,
-         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
-         FROM (SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
-           FROM events GROUP BY event_type)""",
-
-    "q_moving_avg" ->
-      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-           / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg
-         FROM events
-         WINDOW w AS (PARTITION BY user_id
-           ORDER BY epoch_us(ts) ASC, event_id ASC
-           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
-
-    "cdc_json_only" ->
-      """SELECT e.event_id,
-         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN '{}'
-              ELSE to_json(struct_pack("key" := e.user_id, c_name := c.c_name))
-         END AS payload_json
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_column_regex" ->
-      """SELECT e.event_id,
-         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
-              ELSE to_json(struct_pack(c_name := c.c_name,
-                                       c_nationkey := c.c_nationkey))
-         END AS value_json
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_schema_evolution" ->
-      """SELECT e.event_id,
-         CASE WHEN e.event_id // 1000 >= 4 THEN 3
-              WHEN e.event_id // 1000 >= 2 THEN 2
-              ELSE 1 END AS schema_version,
-         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
-              WHEN e.event_id // 1000 >= 4 THEN
-                to_json(struct_pack(c_name := c.c_name,
-                                    c_nationkey := c.c_nationkey,
-                                    c_mktsegment := c.c_mktsegment))
-              WHEN e.event_id // 1000 >= 2 THEN
-                to_json(struct_pack(c_name := c.c_name,
-                                    c_nationkey := c.c_nationkey))
-              ELSE to_json(struct_pack(c_name := c.c_name))
-         END AS value_json
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_partition_tombstone" ->
-      s"""WITH e AS (SELECT event_id, user_id AS "key", $opSql AS op,
-           epoch_us(ts) AS writetime,
-           CASE WHEN ($opSql) = 'd' AND event_id % 3 = 0 THEN NULL
-                ELSE event_id % 5 END AS ck
-           FROM events),
-         pd AS (SELECT "key", max(writetime) AS del_ts FROM e
-           WHERE op = 'd' AND ck IS NULL GROUP BY "key"),
-         w AS (SELECT *, row_number() OVER (PARTITION BY "key", ck
-             ORDER BY writetime DESC, event_id DESC) AS rn
-           FROM e WHERE ck IS NOT NULL)
-         SELECT w."key", w.ck, w.event_id, w.op, w.writetime
-         FROM w LEFT JOIN pd ON w."key" = pd."key"
-         WHERE w.rn = 1 AND w.op <> 'd'
-           AND (pd.del_ts IS NULL OR w.writetime > pd.del_ts)""",
-
-    "cdc_sessionize" ->
-      """SELECT user_id AS "key", CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-         FROM (SELECT user_id,
-           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
-                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-                THEN 1 ELSE 0 END AS ns
-           FROM events) GROUP BY user_id""",
-
-    "q1_pricing_summary" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         $revenueSql AS sum_disc_price,
-         COUNT(*) AS count_order,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus""",
-
-    "q3_top_orders" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON o_orderkey = l_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
-
-    "q5_nation_revenue" ->
-      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-         GROUP BY n_name""",
-
-    "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-         CAST(COUNT(*) AS BIGINT) AS n_items
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
-
-    "q7_volume_shipping" ->
-      s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
-         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INTEGER) AS l_year,
-             l_extendedprice, l_discount
-           FROM lineitem
-           JOIN orders ON l_orderkey = o_orderkey
-           JOIN supplier ON l_suppkey = s_suppkey
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation n1 ON s_nationkey = n1.n_nationkey
-           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-         GROUP BY 1, 2, 3""",
-
-    "q9_product_profit" ->
-      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS o_year,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(1.0 - l_discount AS DECIMAL(18,4))
-           - CAST(p_retailprice AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
-         FROM lineitem
-         JOIN part ON l_partkey = p_partkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE p_name LIKE '%widget%'
-         GROUP BY 1, 2""",
-
-    "q10_returned_items" ->
-      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSql AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         WHERE l_returnflag = 'R'
-           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-         GROUP BY 1, 2, 3, 4
-         ORDER BY revenue DESC, c_custkey ASC
-         LIMIT 20""",
-
-    "q12_shipmode_priority" ->
-      """SELECT l_linestatus,
-         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-           AND date_diff('day', CAST(o_orderdate AS DATE),
-             CAST(l_shipdate AS DATE)) > 60
-         GROUP BY 1""",
-
-    "q14_promo_effect" ->
-      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
-           AS promo_revenue
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
-
-    "q19_discounted_revenue" ->
-      s"""SELECT $revenueSql AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-             AND l_quantity BETWEEN 1 AND 20)
-            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
-             AND l_quantity BETWEEN 10 AND 30)
-            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
-             AND l_quantity BETWEEN 20 AND 40)""",
-
-    "q20_promo_suppliers" ->
-      """WITH big AS (SELECT l_suppkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE p_type = 'PROMO'
-           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-         GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-           AS DOUBLE) > 400.0)
-         SELECT s_suppkey, s_name, n_name, total_qty
-         FROM supplier JOIN big ON s_suppkey = l_suppkey
-         JOIN nation ON s_nationkey = n_nationkey""",
-
-    "q11_important_stock" ->
-      """WITH pv AS (SELECT l_partkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,4))) AS value_d
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE n_name IN ('NATION_1', 'NATION_12')
-         GROUP BY 1)
-         SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
-         FROM pv
-         WHERE CAST(value_d AS DOUBLE)
-             * CAST((SELECT COUNT(*) FROM pv) AS DOUBLE)
-           >= (SELECT CAST(SUM(value_d) AS DOUBLE) FROM pv)""",
-
-    "q15_top_supplier" ->
-      """WITH rev AS (SELECT l_suppkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev_d
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-         GROUP BY 1)
-         SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
-         FROM supplier JOIN rev ON s_suppkey = l_suppkey
-         WHERE rev_d = (SELECT MAX(rev_d) FROM rev)""",
-
-    "q18_large_volume" ->
-      """WITH big AS (SELECT l_orderkey,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
-         FROM lineitem GROUP BY 1
-         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
-         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(tq AS DOUBLE) AS total_qty
-         FROM orders JOIN big ON o_orderkey = l_orderkey
-         JOIN customer ON o_custkey = c_custkey""",
-
-    "q2_min_cost_supplier" ->
-      """WITH j AS (SELECT l_suppkey, l_extendedprice, p_partkey, p_name,
-           row_number() OVER (PARTITION BY l_partkey
-             ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rnk
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE p_brand = 'Brand#13')
-         SELECT p_partkey, p_name, s_name, n_name,
-           l_extendedprice AS min_price
-         FROM j JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE rnk = 1""",
-
-    "q17_small_quantity" ->
-      """WITH pa AS (SELECT l_partkey AS pk,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS avg_qty
-         FROM lineitem GROUP BY 1)
-         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           / 7.0 AS avg_yearly
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         JOIN pa ON l_partkey = pk
-         WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty""",
-
-    "q21_waiting_suppliers" ->
-      """SELECT s_name, COUNT(*) AS numwait
-         FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
-         JOIN supplier ON l1.l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE o_orderstatus = 'F'
-           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
-           AND EXISTS (SELECT 1 FROM lineitem l2
-             WHERE l2.l_orderkey = l1.l_orderkey
-               AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM lineitem l3
-             WHERE l3.l_orderkey = l1.l_orderkey
-               AND l3.l_suppkey <> l1.l_suppkey
-               AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-         GROUP BY s_name""",
-
-    "q_window_topn" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-         SELECT o_custkey, o_orderkey, o_totalprice,
-           row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
-         FROM orders) WHERE rnk <= 3""",
-
-    "q_rollup_stats" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-
-    "q13_custdist" ->
-      """SELECT c_count, COUNT(*) AS custdist FROM (
-           SELECT c_custkey, COUNT(o_orderkey) AS c_count
-           FROM customer LEFT JOIN orders
-             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-           GROUP BY c_custkey)
-         GROUP BY c_count""",
-
-    "q_market_share" ->
-      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         CAST(SUM(CASE WHEN n_name = 'NATION_3'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_rev,
-         $revenueSql AS total_rev,
-         COALESCE(CAST(SUM(CASE WHEN n_name = 'NATION_3'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
-           / $revenueSql AS share
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         GROUP BY year(o_orderdate)""",
-
-    "q_scalar_funcs" ->
-      """SELECT o_orderkey,
-         CAST(year(o_orderdate) AS INT) AS y,
-         CAST(month(o_orderdate) AS INT) AS m,
-         CAST(quarter(o_orderdate) AS INT) AS q,
-         upper(o_orderstatus) AS status_u,
-         CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
-         substr(o_orderpriority, 1, 1) AS prio_digit,
-         round(abs(o_totalprice - 1000.0), 2) AS dist1k,
-         least(o_totalprice, 5000.0) AS capped,
-         o_orderstatus || '-' || o_orderpriority AS status_prio
-         FROM orders""",
-
-    "q_json_decode" ->
-      """SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_mod,
-         COUNT(*) AS n, CAST(MAX(CAST(props->>'k' AS INT)) AS INT) AS max_k
-         FROM events GROUP BY 1""",
-
-    "q_cube_stats" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
-
-    "q_anti_customers_no_orders" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-           AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')""",
-
-    "q_semi_parts_used" ->
-      """SELECT p_partkey, p_name FROM part p
-         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
-
-    "q_except_parts_unused" ->
-      """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem
-         WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""",
-
-    "q_distinct_agg" ->
-      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_buyers,
-         COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY o_orderstatus""",
-
-    "text_doc_stats" ->
-      """SELECT doc_id,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
-         CAST(length(text) AS BIGINT) AS n_chars_computed,
-         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / len(string_split(text, ' ')) AS ttr_quality,
-         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len
-         FROM documents""",
-
-    "text_lang_quality" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
-         COUNT(DISTINCT source) AS n_sources
-         FROM documents GROUP BY lang""",
-
-    "text_lm_score" -> s"WITH $lmScoreCtes\n         $lmScoreSelect",
-
-    "text_token_count" ->
-      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
-         FROM documents""",
-
-    "text_bpe_merges" -> (bpeChainSql(bpeRounds) + s""",
-         m AS (${(0 until bpeRounds).map(i =>
-        s"SELECT $i AS round, l, r, cnt FROM b$i").mkString("\n           UNION ALL ")})
-         SELECT CAST(round AS INTEGER) AS round, l AS left_sym,
-           r AS right_sym, cnt FROM m"""),
-
-    "text_bpe_tokenize" -> (bpeChainSql(bpeRounds) + s""",
-         wt AS (SELECT word,
-           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
-             AS w_tokens
-           FROM w$bpeRounds),
-         dw AS (SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-           FROM documents)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(w_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS fertility
-         FROM dw JOIN wt USING (word)
-         WHERE word <> '' GROUP BY 1"""),
-
-    "text_bpe_vocab" -> (bpeChainSql(bpeRounds) + s""",
-         sy AS (SELECT freq,
-           unnest(string_split(trim(s, '()'), ')(')) AS symbol
-           FROM w$bpeRounds)
-         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
-         FROM sy GROUP BY 1"""),
-
-    "text_bytebpe_vocab" -> (byteBpeChainSql(byteBpeRounds) + s""",
-         bsy AS (SELECT freq,
-           unnest(string_split(trim(s, '()'), ')(')) AS symbol
-           FROM bw$byteBpeRounds)
-         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
-         FROM bsy GROUP BY 1"""),
-
-    "text_bytebpe_merges" -> (byteBpeChainSql(byteBpeRounds) + s""",
-         bm AS (${(0 until byteBpeRounds).map(i =>
-        s"SELECT $i AS round, l, r, cnt FROM bb$i").mkString("\n           UNION ALL ")})
-         SELECT CAST(round AS INTEGER) AS round, l AS left_sym,
-           r AS right_sym, cnt FROM bm"""),
-
-    "text_bytebpe_tokenize" -> (byteBpeChainSql(byteBpeRounds) + s""",
-         bwt AS (SELECT word,
-           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
-             AS w_tokens
-           FROM bw$byteBpeRounds),
-         bdw AS (SELECT doc_id,
-           unnest(regexp_extract_all(text,
-             '${operators.Bpe.BytePretokenRegex.replace("'", "''")}'))
-             AS word
-           FROM bdoc)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
-           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(w_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS fertility
-         FROM bdw JOIN bwt USING (word) GROUP BY 1"""),
-
-    "text_wordpiece_segment" -> (wpChainSql(bpeRounds, 12) + """
-         SELECT word, freq, pieces, n_pieces FROM wseg"""),
-
-    "text_unigram_segment" -> (unigramChainSql(6, 5, 12) + """
-         SELECT word, freq, pieces, n_pieces, cost FROM useg"""),
-
-    "text_unigram_tokenize" -> (unigramChainSql(6, 5, 12) + """,
-         ucw AS (SELECT doc_id, word FROM (
-             SELECT doc_id,
-               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-             FROM documents) WHERE word <> '')
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
-           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS fertility
-         FROM ucw JOIN useg USING (word) GROUP BY doc_id"""),
-
-    "text_keyword_tfidf" ->
-      """WITH ktoks AS (SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
-           FROM documents),
-         ktf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM ktoks GROUP BY 1, 2),
-         kdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-           FROM ktf GROUP BY 1),
-         kn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus
-           FROM documents),
-         ksc AS (SELECT doc_id, token, tf, df,
-             tf * ((1000000000 * n_corpus) // df) AS score
-           FROM ktf JOIN kdf USING (token), kn)
-         SELECT doc_id, rank, token, tf, df, score FROM (
-           SELECT doc_id, token, tf, df, score,
-             CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, token ASC) AS BIGINT) AS rank
-           FROM ksc) WHERE rank <= 5""",
-
-    "profile_columns" -> {
-      val strCols = Set("event_type", "props")
-      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-        .map { c =>
-          val mn = if (strCols(c)) s"MIN($c)" else "CAST(NULL AS VARCHAR)"
-          val mx = if (strCols(c)) s"MAX($c)" else "CAST(NULL AS VARCHAR)"
-          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
-             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
-             $mn AS min_s, $mx AS max_s FROM events"""
-        }.mkString("\nUNION ALL\n")
-    },
-
-    "profile_drift" -> {
-      val strCols = Set("event_type", "props")
-      val a = "user_id % 2 = 0"
-      val b = s"NOT ($a)"
-      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-        .map { c =>
-          def nr(p: String) = s"COUNT(CASE WHEN $p THEN 1 END)"
-          def nn(p: String) = s"COUNT(CASE WHEN $p THEN $c END)"
-          def nd(p: String) = s"COUNT(DISTINCT CASE WHEN $p THEN $c END)"
-          val rs = if (strCols(c))
-            s"""(MIN(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
-               MIN(CASE WHEN $b THEN $c END)) AND
-               (MAX(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
-               MAX(CASE WHEN $b THEN $c END))"""
-          else "TRUE"
-          s"""SELECT '$c' AS col_name,
-             CAST(${nr(a)} AS BIGINT) AS n_rows_a,
-             CAST(${nr(a)} - ${nn(a)} AS BIGINT) AS n_nulls_a,
-             CAST(${nd(a)} AS BIGINT) AS n_distinct_a,
-             CAST(${nr(b)} AS BIGINT) AS n_rows_b,
-             CAST(${nr(b)} - ${nn(b)} AS BIGINT) AS n_nulls_b,
-             CAST(${nd(b)} AS BIGINT) AS n_distinct_b,
-             CAST(${nd(b)} - ${nd(a)} AS BIGINT) AS d_distinct,
-             $rs AS range_same FROM events"""
-        }.mkString("\nUNION ALL\n")
-    },
-
-    "text_wordpiece_tokenize" -> (wpChainSql(bpeRounds, 12) + """,
-         cw AS (SELECT doc_id, word FROM (
-             SELECT doc_id,
-               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-             FROM documents) WHERE word <> '')
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
-           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS fertility
-         FROM cw JOIN wseg USING (word) GROUP BY doc_id"""),
-
-    "pipeline_curate_tokenize" -> (bpeChainSql(bpeRounds) + s""",
-         q AS (SELECT doc_id, lang, text FROM documents
-           WHERE len(string_split(text, ' ')) >= 20
-             AND len(string_split(text, ' ')) <= 80
-             AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) >= 0.30),
-         dd AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-         d AS (SELECT q.* FROM q JOIN dd USING (doc_id)),
-         c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
-         w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
-         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
-           FROM w),
-         k AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
-             AS kcap FROM w, t),
-         r AS (SELECT lang, CAST(floor(least(1.0,
-             CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
-             * 281474976710656.0) AS BIGINT) AS tv
-           FROM w, t, k),
-         thr AS (SELECT lang, CASE WHEN tv >= 281474976710656 THEN 'g'
-             ELSE printf('%012x', tv) END AS keep_thr FROM r),
-         m AS (SELECT d.doc_id, d.lang, d.text FROM d JOIN thr USING (lang)
-           WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
-             < keep_thr),
-         wt AS (SELECT word,
-           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
-             AS w_tokens FROM w$bpeRounds),
-         dw AS (SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-           FROM m),
-         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
-           FROM dw JOIN wt USING (word)
-           WHERE word <> '' GROUP BY 1)
-         SELECT m.doc_id, m.lang, agg.n_words, agg.n_tokens,
-           CAST(agg.n_tokens AS DOUBLE) / CAST(agg.n_words AS DOUBLE)
-             AS fertility
-         FROM m JOIN agg ON m.doc_id = agg.doc_id"""),
-
-    "text_remove_dup_spans" ->
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-           FROM documents),
-         sp AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS sh
-           FROM (SELECT doc_id, w,
-             unnest(generate_series(1, len(w) - 4)) AS i FROM ws)),
-         dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
-           GROUP BY 1 HAVING COUNT(*) > 1),
-         cov AS (SELECT DISTINCT doc_id, pos FROM (
-           SELECT doc_id, unnest(generate_series(i, i + 4)) AS pos
-           FROM sp JOIN dup USING (sh))),
-         pw AS (SELECT doc_id, pos, w[pos] AS word
-           FROM (SELECT doc_id, w,
-             unnest(generate_series(1, len(w))) AS pos FROM ws)),
-         kept AS (SELECT pw.doc_id, pw.pos, pw.word FROM pw
-           ANTI JOIN cov USING (doc_id, pos)),
-         cl AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned
-           FROM kept GROUP BY 1),
-         rm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
-           FROM cov GROUP BY 1)
-         SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_total,
-           COALESCE(rm.n_removed, 0) AS n_removed,
-           COALESCE(cl.cleaned, '') AS cleaned
-         FROM ws LEFT JOIN rm USING (doc_id) LEFT JOIN cl USING (doc_id)""",
-
-    "q_funnel_timing" ->
-      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
-           FROM events),
-         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
-           WHERE event_type = 'signup' GROUP BY 1),
-         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
-           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
-         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
-           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1),
-         f AS (SELECT s1."key", t1, t2, t3 FROM s1
-           LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key"))
-         SELECT COUNT(*) AS n_step1, COUNT(t2) AS n_step2,
-           COUNT(t3) AS n_step3,
-           quantile_cont(t2 - t1, 0.5) AS med_t12,
-           quantile_cont(t3 - t2, 0.5) AS med_t23,
-           quantile_cont(t2 - t1, 0.9) AS p90_t12
-         FROM f""",
-
-    "profile_value_drift" ->
-      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
-           WHERE value IS NOT NULL),
-         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
-               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
-             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
-             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
-           FROM e GROUP BY 1),
-         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
-             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c)
-         SELECT bucket, n_a, n_b,
-           CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
-           CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
-         FROM c, t""",
-
-    "profile_drift_summary" ->
-      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
-           WHERE value IS NOT NULL),
-         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
-               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
-             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
-             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
-           FROM e GROUP BY 1),
-         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
-             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c),
-         p AS (SELECT n_a, n_b, na_tot, nb_tot,
-             CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
-             CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
-           FROM c, t)
-         SELECT MAX(na_tot) AS n_a, MAX(nb_tot) AS n_b,
-           CAST(CAST(SUM(abs(n_a * nb_tot - n_b * na_tot)) AS BIGINT)
-               AS DOUBLE)
-             / (2.0 * CAST(MAX(na_tot) AS DOUBLE)
-                * CAST(MAX(nb_tot) AS DOUBLE)) AS tvd,
-           round(CAST(SUM(CAST((p_a - p_b) * ln(greatest(p_a, 0.000001)
-               / greatest(p_b, 0.000001)) AS DECIMAL(38,18))) AS DOUBLE),
-             6) AS psi
-         FROM p""",
-
-    "text_html_extract" ->
-      (htmlExtractSql(5) +
-        " SELECT doc_id, n_lines, n_kept, clean_text FROM ext"),
-
-    // jusText block classification: DuckDB rebuilds the same pages,
-    // splits at the same block-tag regex, recomputes link/stop densities
-    // and replays the context-free rule order plus BOTH context-sensitive
-    // window passes (short pass over cf classes, neargood pass over the
-    // revised classes) — IGNORE-NULLS window walks, edges defaulting bad
-    "text_block_extract" ->
-      (s"""WITH $blockExtractCtes
-       SELECT doc_id, n_blocks, n_cf_short, n_cf_neargood, n_good,
-         content
-       FROM roll"""),
-
-    // block-path curation coupling: same quality arithmetic as
-    // pipeline_html_curate, on the jusText-extracted content
-    "pipeline_block_curate" ->
-      (s"""WITH $blockExtractCtes,
-       fl AS (SELECT doc_id, n_blocks, n_good,
-           replace(content, chr(10), ' ') AS text FROM roll),
-       q AS (SELECT doc_id, n_blocks, n_good,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS ttr
-         FROM fl)
-       SELECT doc_id, n_blocks, n_good, n_words, ttr,
-         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
-       FROM q"""),
-
-    // chr(769) = U+0301 combining acute (decomposed-injection side),
-    // chr(7) = BEL; nfc_normalize is DuckDB's built-in — byte-parity with
-    // graft's native NfcNormalize expression is the point of the row
-    "text_normalize_unicode" ->
-      """WITH fixture AS (SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
-                WHEN doc_id % 4 = 1 THEN
-                  text || chr(7) || ' trailing' || chr(9) || chr(9) || 'tabs  '
-                ELSE text END AS text
-           FROM documents),
-         norm AS (SELECT doc_id, text,
-           trim(regexp_replace(regexp_replace(nfc_normalize(text),
-             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-             '[ \t]+', ' ', 'g')) AS norm_text
-           FROM fixture)
-         SELECT doc_id, norm_text <> text AS changed,
-           CAST(length(norm_text) AS BIGINT) AS n_chars,
-           md5(norm_text) AS h
-         FROM norm""",
-
-    "text_gopher_rules" ->
-      """WITH fx AS (SELECT doc_id,
-           CASE doc_id % 5
-             WHEN 0 THEN text || chr(10) || '- bullet item one' ||
-               chr(10) || '- bullet item two'
-             WHEN 1 THEN text || chr(10) || 'so it trails off' || chr(8230) ||
-               chr(10) || 'it ends' || chr(8230) || chr(10) ||
-               'closing line here'
-             WHEN 2 THEN text || ' ## ## ###'
-             WHEN 3 THEN text || ' 1234 5678 9012 3456 7890 2468'
-             ELSE text END AS text
-           FROM documents),
-         m AS (SELECT doc_id, text,
-             regexp_split_to_array(text, '\s+') AS w,
-             string_split(text, chr(10)) AS lines,
-             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
-               AS n_words,
-             CAST(len(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
-               AS char_sum,
-             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-             CAST(len(text) - len(replace(text, chr(8230), ''))
-               + (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
-               AS BIGINT) AS n_ell
-           FROM fx),
-         r AS (SELECT doc_id, n_words,
-             CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
-             CAST(n_hash + n_ell AS DOUBLE) / n_words AS symbol_ratio,
-             CAST(len(list_filter(lines, l -> starts_with(l, '- ')
-               OR starts_with(l, '* '))) AS DOUBLE) / len(lines)
-               AS bullet_ratio,
-             CAST(len(list_filter(lines, l -> ends_with(l, chr(8230))
-               OR ends_with(l, '...'))) AS DOUBLE) / len(lines)
-               AS ellipsis_ratio,
-             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-               AS DOUBLE) / n_words AS alpha_frac,
-             CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
-               (CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END) +
-               (CASE WHEN list_contains(w, 'data') THEN 1 ELSE 0 END) +
-               (CASE WHEN list_contains(w, 'key') THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_stop_kinds
-           FROM m)
-         SELECT *,
-           n_words >= 50 AND n_words <= 100000
-             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-             AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-             AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
-             AND n_stop_kinds >= 2 AS admitted
-         FROM r""",
-
-    // src_url is constructed canonical-clean by the fixture (lowercase
-    // https host, no port/params/fragment/trailing slash), so its replay
-    // reduces to host extraction; the href side replays the FULL
-    // canonicalization chain (same CTEs as curate_url_canonical)
-    "text_html_links" ->
-      ("""WITH d AS (SELECT doc_id,
-           'https://www.site' || CAST(doc_id % 5 AS VARCHAR) ||
-             '.com/page/' || CAST(doc_id AS VARCHAR) AS src_url,
-           '<html><body><p>intro</p><a href="HTTP://Site' ||
-             CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
-             CAST(doc_id AS VARCHAR) || '?utm_s=x&b=2&a=1#f">first</a>' ||
-             '<a href=''https://cdn.site' ||
-             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/asset/' ||
-             CAST(doc_id AS VARCHAR) || '/''>second</a>' ||
-             '<a href="/relative/' || CAST(doc_id AS VARCHAR) ||
-             '">rel</a>' ||
-             '<a href="javascript:void(0)">j</a>' ||
-             '<A HREF="https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
-             '.com/dup">third</A></body></html>' AS html
-           FROM documents),
-         l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
-             'href\s*=\s*["'']([^"'']+)', 1, 'i')) AS href FROM d),
-         a AS (SELECT doc_id, src_url, href FROM l
-           WHERE regexp_matches(href, '(?i)^https?://')),
-         p1 AS (SELECT doc_id, src_url, split_part(href, '#', 1) AS dfr
-           FROM a),
-         p2 AS (SELECT doc_id, src_url,
-             lower(regexp_extract(dfr,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1))
-               AS scheme,
-             lower(regexp_extract(dfr,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2))
-               AS auth,
-             regexp_replace(regexp_extract(dfr,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3),
-               '/+$', '') AS path,
-             regexp_replace(regexp_extract(dfr,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4),
-               '^\?', '') AS rawq
-           FROM p1),
-         p3 AS (SELECT doc_id, src_url, scheme, path,
-             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-                  ELSE auth END AS host,
-             list_sort(list_filter(string_split(rawq, '&'), p ->
-               p <> '' AND NOT starts_with(p, 'utm_')
-               AND NOT list_contains(['gclid', 'fbclid', 'msclkid', 'ref'],
-                 split_part(p, '=', 1)))) AS params
-           FROM p2),
-         c AS (SELECT doc_id, src_url, host AS dst_host,
-             scheme || '://' || host || path ||
-             CASE WHEN len(params) > 0
-                  THEN '?' || array_to_string(params, '&')
-                  ELSE '' END AS target_url
-           FROM p3),
-         f AS (SELECT doc_id,
-             regexp_extract(src_url, '^https?://([^/?#]*)', 1) AS src_host,
-             dst_host, target_url FROM c)
-         SELECT doc_id, """ + regDomSql("src_host") + """ AS src_domain,
-           """ + regDomSql("dst_host") + """ AS dst_domain, target_url
-         FROM f"""),
-
-    "pipeline_html_curate" ->
-      (htmlExtractSql(5) + """,
-       fl AS (SELECT doc_id, n_lines, n_kept,
-           replace(clean_text, chr(10), ' ') AS text FROM ext),
-       q AS (SELECT doc_id, n_lines, n_kept,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS ttr
-         FROM fl)
-       SELECT doc_id, n_lines, n_kept, n_words, ttr,
-         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
-       FROM q"""),
-
-    // BOM resolution: the decoded text is encoding-independent (that IS
-    // the property under test), so the oracle rebuilds it directly plus
-    // the charset/provenance the WHATWG order must have produced — the
-    // utf-16le slice proves the BOM beat the lying iso-8859-1 header
-    "text_warc_charset" ->
-      """SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INTEGER)
-             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
-             WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
-           CASE WHEN doc_id % 4 = 0 THEN 'header' ELSE 'bom' END
-             AS charset_src,
-           'pAge ' || CAST(doc_id AS VARCHAR) || ' naïve café ✓' AS text
-         FROM documents""",
-
-    // the WARC blob is opaque to SQL — but the fixture is deterministic
-    // and the codec must be IDENTITY-correct, so the oracle replays the
-    // expected post-decode state: the warc markup variant (meta tag on
-    // the sniff slice, Latin-1 paragraph on the ISO-8859-1 slice) through
-    // the same extraction rules, plus the provenance columns the record
-    // walk must have produced (URI from the fixture arithmetic, status
-    // 200 because the 404 record must be dropped, charset/src per the
-    // doc_id % 3 resolution path)
-    "text_warc_extract" ->
-      (htmlExtractSql(5, warcMarkupSql, "wm") + """
-       SELECT doc_id,
-         'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
-           '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
-         CAST(200 AS BIGINT) AS http_status,
-         CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1'
-              ELSE 'utf-8' END AS charset,
-         CASE WHEN doc_id % 3 = 2 THEN 'meta' ELSE 'header' END
-           AS charset_src,
-         n_lines, n_kept, clean_text
-       FROM ext"""),
-
-    "pipeline_warc_curate" ->
-      (htmlExtractSql(5, warcMarkupSql, "wm") + """,
-       fl AS (SELECT doc_id, n_lines, n_kept,
-           replace(clean_text, chr(10), ' ') AS text FROM ext),
-       q AS (SELECT doc_id, n_lines, n_kept,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS ttr
-         FROM fl)
-       SELECT doc_id, n_lines, n_kept, n_words, ttr,
-         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
-       FROM q"""),
-
-    // the PDF round-trip: the oracle recomputes the expected extraction
-    // as plain concatenation — a hash match proves the engine's xref
-    // walk, FlateDecode, operator parse and escape handling are
-    // identity-correct on every doc
-    "mm_pdf_extract" ->
-      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
-
-    // the modern-PDF round-trip (xref stream + predictor + ObjStm +
-    // WinAnsi font): the oracle recomputes the expected extraction with
-    // the same translate + concat arithmetic — a hash match proves the
-    // 1.5-era structures and the Annex-D byte table are identity-correct
-    "mm_pdf_modern" ->
-      s"""SELECT doc_id,
-            translate(text, 'aeouAEOU', 'äéöüÄÉÖÜ') || '$pdfWinAnsiDeco'
-              AS text
-          FROM documents""",
-
-    // the Type0/ToUnicode round-trip: 2-byte codes through a synthesized
-    // CMap (bfrange array + bfchar blocks, surrogate-pair targets) must
-    // come back as plain concatenation
-    "mm_pdf_cmap" ->
-      s"""SELECT doc_id, text || '$pdfCMapDeco' AS text FROM documents""",
-
-    // the filter-family round-trip: ASCII85+Flate chain, ASCIIHex+RLE
-    // chain and LZW must all come back as plain concatenation
-    "mm_pdf_filters" ->
-      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
-
-    // the encrypted round-trip (RC4 / AES-128 / AES-256 rotating by
-    // doc_id): key schedule + /U validation + stream decryption must be
-    // identity — the oracle recomputes the same expected concatenation
-    "mm_pdf_encrypted" ->
-      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
-
-    // quality arithmetic over PDF-extracted text (the warc_curate shape
-    // one format over): the oracle computes the same filter over the
-    // same expected concatenation
-    "pipeline_pdf_curate" ->
-      (s"""WITH fl AS (SELECT doc_id, text || '$pdfDeco' AS text
-           FROM documents),""" + """
-       q AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS ttr
-         FROM fl)
-       SELECT doc_id, n_words, ttr,
-         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
-       FROM q"""),
-
-    // the whole web pipeline in one statement: warc markup replay →
-    // extraction → corpus expansion (re-crawl + mirror slices with the
-    // fixture's provenance URLs) → NFC-composed decoration (the oracle
-    // asserts the COMPOSED bytes via chr(233), so the engine's
-    // normalize stage is load-bearing) → quality filter → URL dedup →
-    // normalized-fingerprint near-dup → the FULL language-ID training
-    // chain (shared langIdCtes block, trained on documents, predicting
-    // the survivors) → temperature-mix thresholds over the survivor
-    // composition → hex-Horner shard assignment
-    "pipeline_web_corpus" ->
-      (htmlExtractSql(5, warcMarkupSql, "wm") + s""",
-       wexp AS (
-         SELECT doc_id,
-           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
-             '.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-           clean_text FROM ext
-         UNION ALL
-         SELECT doc_id + 100000,
-           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
-             '.com/doc/' || CAST(doc_id AS VARCHAR),
-           clean_text FROM ext WHERE doc_id < 50
-         UNION ALL
-         SELECT doc_id + 200000,
-           'https://mirror.example.org/doc/' || CAST(doc_id AS VARCHAR),
-           clean_text FROM ext WHERE doc_id < 30 AND doc_id % 3 = 1),
-       wnrm AS (SELECT doc_id, url,
-           trim(replace(clean_text, chr(10), ' ') || ' r' || chr(233) ||
-             'sum' || chr(233) || ' fini') AS text
-         FROM wexp),
-       wq AS (SELECT doc_id, url, text FROM (
-           SELECT doc_id, url, text,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ttr
-           FROM wnrm)
-         WHERE n_words >= 40 AND n_words <= 200 AND ttr >= 0.45),
-       wud AS (SELECT doc_id, url, text FROM (
-           SELECT doc_id, url, text,
-             MIN(doc_id) OVER (PARTITION BY url) AS keep_id FROM wq)
-         WHERE doc_id = keep_id),
-       surv AS (SELECT doc_id, text FROM (
-           SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY
-               md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-             AS keep_id FROM wud)
-         WHERE doc_id = keep_id),
-       ${langIdCtes("documents", "surv")},
-       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
-       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
-       mw AS (SELECT predicted_lang, n,
-           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
-       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
-         FROM mw),
-       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
-           AS kcap FROM mw, mt),
-       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
-           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
-           * 281474976710656.0) AS BIGINT) AS tv
-         FROM mw, mt, mk),
-       mthr AS (SELECT predicted_lang,
-           CASE WHEN tv >= 281474976710656 THEN 'g'
-             ELSE printf('%012x', tv) END AS keep_thr FROM mr),
-       samp AS (SELECT doc_id, predicted_lang
-         FROM mpl JOIN mthr USING (predicted_lang)
-         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
-           < keep_thr),
-       sk AS (SELECT doc_id, predicted_lang,
-           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
-         FROM samp)
-       SELECT doc_id, predicted_lang,
-         ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
-           AS shard,
-         CAST(row_number() OVER (PARTITION BY
-             ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
-             ORDER BY skey, doc_id) AS BIGINT) AS pos
-       FROM sk"""),
-
-    // mixed-format dispatch: even docs replay the markup fixture through
-    // the extraction CTEs (what the html front door must produce), odd
-    // docs are the PDF identity concat (what the pdf front door must
-    // produce); the shared quality + language-ID tail runs on the union —
-    // a hash match proves sniff, dispatch and both extractors composed
-    "pipeline_mixed_corpus" ->
-      (htmlExtractSql(5) + s""",
-       hdocs AS (SELECT doc_id, 'html' AS format,
-           replace(clean_text, chr(10), ' ') AS text
-         FROM ext WHERE doc_id % 2 = 0),
-       pdocs AS (SELECT doc_id, 'pdf' AS format, text || '$pdfDeco' AS text
-         FROM documents WHERE doc_id % 4 = 1),
-       ddocs AS (SELECT doc_id, 'docx' AS format, text || chr(10) AS text
-         FROM documents WHERE doc_id % 4 = 3),
-       mx AS (SELECT * FROM hdocs UNION ALL SELECT * FROM pdocs
-         UNION ALL SELECT * FROM ddocs),
-       mq AS (SELECT doc_id, format,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS ttr
-         FROM mx),
-       ${langIdCtes("documents", "mx")}
-       SELECT mq.doc_id, mq.format, mq.n_words, mq.ttr,
-         (mq.n_words >= 40 AND mq.n_words <= 200 AND mq.ttr >= 0.45)
-           AS keep,
-         lpred.predicted_lang
-       FROM mq JOIN lpred ON lpred.doc_id = mq.doc_id"""),
-
-    "text_segment_dedup" -> segmentDedupSql,
-
-    // identical oracle on purpose: the streamed run must converge to the
-    // batch answer — streaming ≡ batch ≡ DuckDB in one hash
-    "text_segment_dedup_streamed" -> segmentDedupSql,
-
-    "text_blocklist" ->
-      """SELECT doc_id,
-         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
-            + (length(text) - length(replace(text, 'vector', ''))) // 6
-            AS BIGINT) AS n_banned,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
-            + (length(text) - length(replace(text, 'vector', ''))) // 6
-            AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
-           AS banned_ratio,
-         CAST((length(text) - length(replace(text, 'slow', ''))) // 4
-            + (length(text) - length(replace(text, 'vector', ''))) // 6
-            AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
-           <= 0.065 AS admitted
-         FROM documents""",
-
-    "cdc_converter_string" ->
-      """SELECT e.event_id,
-         CAST(e.user_id AS VARCHAR) AS kv_key,
-         CASE WHEN e.event_type = 'error' THEN NULL
-              ELSE concat_ws(',', c.c_name, CAST(c.c_nationkey AS VARCHAR))
-         END AS kv_value
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "curate_stratified_sample" ->
-      """WITH d AS (SELECT doc_id,
-           CASE WHEN length(text) < 200 THEN 'short'
-                WHEN length(text) < 400 THEN 'medium'
-                ELSE 'long' END AS stratum
-         FROM documents)
-         SELECT doc_id, stratum FROM d
-         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) <
-           CASE stratum WHEN 'short' THEN '400000000000'
-                        WHEN 'medium' THEN '800000000000'
-                        ELSE 'g' END""",
-
-    "curate_contamination" ->
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
-                FROM ws, unnest(range(1, len(w) - 1)) AS t(i)
-                WHERE len(w) >= 3),
-         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0)
-         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-         FROM sh s JOIN bench b ON s.sh = b.sh
-         WHERE s.doc_id % 23 <> 0
-         GROUP BY s.doc_id""",
-
-    "curate_domain_cap" ->
-      """SELECT doc_id, source FROM (
-           SELECT doc_id, source, row_number() OVER (PARTITION BY source
-             ORDER BY md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) ASC,
-               doc_id ASC) AS rk
-           FROM documents) WHERE rk <= 15""",
-
-    "mix_temperature_sample" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-         w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
-         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw FROM w),
-         k AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT) AS kcap
-           FROM w, t),
-         r AS (SELECT lang, CAST(floor(least(1.0,
-             CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
-             * 281474976710656.0) AS BIGINT) AS tv
-           FROM w, t, k),
-         thr AS (SELECT lang, CASE WHEN tv >= 281474976710656 THEN 'g'
-             ELSE printf('%012x', tv) END AS keep_thr FROM r)
-         SELECT doc_id, lang FROM documents JOIN thr USING (lang)
-         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) < keep_thr""",
-
-    "mix_pack_sequences" ->
-      """WITH d AS (SELECT lang, doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         FROM documents),
-         c AS (SELECT lang, n_tokens, COALESCE(SUM(n_tokens) OVER (
-             PARTITION BY lang ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-           FROM d)
-         SELECT lang, CAST(start_tok // 512 AS BIGINT) AS seq_id,
-           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
-         FROM c GROUP BY 1, 2""",
-
-    "mix_chunk_overlap" ->
-      """WITH n AS (SELECT doc_id, text, greatest(CAST(0 AS BIGINT),
-           CAST(ceil((length(text) - 256) / 192.0) AS BIGINT)) AS last_i
-         FROM documents)
-         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-           CAST(length(substring(text, CAST(1 + i * 192 AS INT), 256)) AS BIGINT)
-             AS n_chars,
-           md5(substring(text, CAST(1 + i * 192 AS INT), 256)) AS chunk_md5
-         FROM n, unnest(generate_series(0, last_i)) AS t(i)""",
-
-    "mix_token_budget" ->
-      """WITH ws AS (SELECT lang, len(string_split(text, ' ')) AS nw
-           FROM documents),
-         cnt AS MATERIALIZED (SELECT lang AS stratum,
-           CAST(SUM(nw) AS BIGINT) AS c_tokens FROM ws GROUP BY 1),
-         w AS MATERIALIZED (SELECT stratum, c_tokens,
-           CAST(floor(sqrt(CAST(c_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w9
-           FROM cnt),
-         tot AS (SELECT CAST(SUM(w9) AS BIGINT) AS wtot FROM w),
-         a1 AS MATERIALIZED (SELECT stratum, c_tokens, w9,
-           CAST(floor((22000.0 * CAST(w9 AS DOUBLE)) / CAST(wtot AS DOUBLE))
-             AS BIGINT) AS alloc1
-           FROM w CROSS JOIN tot),
-         c1 AS (SELECT stratum, c_tokens, w9, alloc1,
-           alloc1 >= c_tokens AS capped FROM a1),
-         r2 AS (SELECT
-           CAST(22000 - COALESCE(SUM(CASE WHEN capped THEN c_tokens END), 0)
-             AS BIGINT) AS b2,
-           CAST(COALESCE(SUM(CASE WHEN NOT capped THEN w9 END), 0)
-             AS BIGINT) AS w2 FROM c1),
-         fin AS (SELECT stratum, c_tokens,
-           CASE WHEN capped THEN c_tokens
-             ELSE least(c_tokens, CAST(floor(
-               (CAST(b2 AS DOUBLE) * CAST(w9 AS DOUBLE)) /
-                 CAST(greatest(w2, 1) AS DOUBLE)) AS BIGINT)) END AS kept_tokens
-           FROM c1 CROSS JOIN r2)
-         SELECT stratum, c_tokens, kept_tokens,
-           CAST(floor((CAST(kept_tokens AS DOUBLE) * 1000000000.0) /
-             CAST(c_tokens AS DOUBLE)) AS BIGINT) AS rate9
-         FROM fin""",
-
-    "mix_shuffle_shards" ->
-      s"""WITH k AS (SELECT doc_id,
-           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
-         FROM documents),
-         h AS (SELECT doc_id, skey,
-           ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16 AS shard
-         FROM k)
-         SELECT doc_id, shard,
-           CAST(row_number() OVER (PARTITION BY shard
-             ORDER BY skey, doc_id) AS BIGINT) AS pos
-         FROM h""",
-
-    "dedup_exact_docs" ->
-      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
-         COUNT(*) AS n_dups FROM documents GROUP BY 1""",
-
-    "dedup_prefix_fingerprint" ->
-      """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fingerprint,
-         MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
-         FROM documents GROUP BY 1""",
-
-    // brute-force all-pairs ground truth: a hash match proves the engine's
-    // prefix filter lossless at this scale factor
-    "dedup_prefix_filter_join" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-           FROM documents WHERE len(string_split(text, ' ')) >= 3),
-         s0 AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM w),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
-           FROM s0),
-         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
-           FROM sh GROUP BY 1),
-         it AS (SELECT x.doc_id AS a, y.doc_id AS b,
-             CAST(COUNT(*) AS BIGINT) AS n_inter
-           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-           GROUP BY 1, 2)
-         SELECT a, b, n_inter, sa.s + sb.s - n_inter AS n_union,
-           (n_inter * 1000000000) // (sa.s + sb.s - n_inter) AS jaccard9
-         FROM it JOIN sz sa ON sa.doc_id = it.a
-           JOIN sz sb ON sb.doc_id = it.b
-         WHERE n_inter * 2 >= (sa.s + sb.s - n_inter) * 1""",
-
-    "knn_brute_cosine" ->
-      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
-         SELECT q.vec_id AS q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                        CAST(e.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS rank
-         FROM embeddings q, embeddings e
-         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-         WHERE rank <= 10""",
-
-    "emb_contrastive_batch" ->
-      """WITH cbp AS (SELECT q_id, q_label, vec_id AS pos_id FROM (
-           SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
-             e.vec_id,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                          CAST(e.embedding AS DOUBLE[])) DESC,
-                        e.vec_id ASC) AS rank
-           FROM embeddings q, embeddings e
-           WHERE q.vec_id < 8 AND e.label = q.label
-             AND e.vec_id <> q.vec_id) WHERE rank = 1),
-         cbn AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_negs,
-             string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank)
-               AS neg_ids
-           FROM (
-           SELECT q.vec_id AS q_id, e.vec_id,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                          CAST(e.embedding AS DOUBLE[])) DESC,
-                        e.vec_id ASC) AS rank
-           FROM embeddings q, embeddings e
-           WHERE q.vec_id < 8 AND e.label <> q.label)
-           WHERE rank <= 4 GROUP BY q_id)
-         SELECT p.q_id, p.q_label, p.pos_id, n.n_negs, n.neg_ids
-         FROM cbp p JOIN cbn n USING (q_id)""",
-
-    "emb_hard_negatives" ->
-      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
-         FROM (
-         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
-           e.vec_id, CAST(e.label AS BIGINT) AS label,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                        CAST(e.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS rank
-         FROM embeddings q, embeddings e
-         WHERE q.vec_id < 8 AND e.label <> q.label)
-         WHERE rank <= 5""",
-
-    "emb_hard_positives" ->
-      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
-         FROM (
-         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
-           e.vec_id, CAST(e.label AS BIGINT) AS label,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                        CAST(e.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS rank
-         FROM embeddings q, embeddings e
-         WHERE q.vec_id < 8 AND e.label = q.label AND e.vec_id <> q.vec_id)
-         WHERE rank <= 5""",
-
-    "emb_mrl_truncate" ->
-      """WITH e AS (SELECT vec_id, embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         g AS (SELECT vec_id, i, CAST(round(round(
-           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
-         FROM e),
-         s AS (SELECT vec_id,
-           CAST(SUM(CASE WHEN i <= 16 THEN xg * xg ELSE 0 END) AS BIGINT)
-             AS n2_prefix,
-           CAST(SUM(xg * xg) AS BIGINT) AS n2
-         FROM g GROUP BY 1)
-         SELECT vec_id, n2_prefix, n2,
-           (n2_prefix * 1000000000) // greatest(1, n2) AS energy9
-         FROM s""",
-
-    // five-format dispatch: every branch replays the per-format decode
-    // proof arithmetically (px_hash = md5 of the lossless pixel hex; wav
-    // loudness integers from the sample formula)
-    "mm_media_meta" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         png AS (SELECT doc_id, 'png' AS format,
-             4 AS width, 4 AS height, 1 AS n_frames,
-             CAST(NULL AS BIGINT) AS n_samples,
-             CAST(NULL AS BIGINT) AS sum_abs,
-             md5(md5(CAST(doc_id AS VARCHAR) || 'p0')
-               || md5(CAST(doc_id AS VARCHAR) || 'p1')
-               || md5(CAST(doc_id AS VARCHAR) || 'p2')) AS px_hash
-           FROM documents WHERE doc_id % 5 = 0),
-         jd AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
-           FROM documents WHERE doc_id % 5 = 1),
-         jpeg AS (SELECT doc_id, 'jpeg' AS format,
-             16 AS width, 16 AS height, 1 AS n_frames,
-             CAST(NULL AS BIGINT) AS n_samples,
-             CAST(NULL AS BIGINT) AS sum_abs,
-             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
-                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
-               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
-                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
-           FROM jd JOIN hexmap m0 ON jd.c0 = m0.hx
-           JOIN hexmap m1 ON jd.c1 = m1.hx
-           JOIN hexmap m2 ON jd.c2 = m2.hx
-           JOIN hexmap m3 ON jd.c3 = m3.hx),
-         gd AS (SELECT doc_id,
-             md5(CAST(doc_id AS VARCHAR) || 'g0')
-               || md5(CAST(doc_id AS VARCHAR) || 'g1')
-               || md5(CAST(doc_id AS VARCHAR) || 'g2')
-               || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
-           FROM documents WHERE doc_id % 5 = 2),
-         gb AS (SELECT doc_id, p,
-             substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx2
-           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
-                 FROM gd) e),
-         gif AS (SELECT doc_id, 'gif' AS format,
-             8 AS width, 8 AS height, 1 AS n_frames,
-             CAST(NULL AS BIGINT) AS n_samples,
-             CAST(NULL AS BIGINT) AS sum_abs,
-             md5(string_agg(hx2 || hx2 || hx2, '' ORDER BY p)) AS px_hash
-           FROM gb GROUP BY doc_id),
-         ws AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
-           FROM documents WHERE doc_id % 5 = 3),
-         wv AS (SELECT doc_id, CASE
-             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-             THEN (doc_id * 31 + i * 17) % 65536 - 65536
-             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
-           FROM ws),
-         wav AS (SELECT doc_id, 'wav' AS format,
-             CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
-             CAST(NULL AS INTEGER) AS n_frames,
-             CAST(count(*) AS BIGINT) AS n_samples,
-             CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
-             CAST(NULL AS VARCHAR) AS px_hash
-           FROM wv GROUP BY doc_id),
-         ad AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b3'), 1, 2) AS c3
-           FROM documents WHERE doc_id % 5 = 4),
-         avi AS (SELECT doc_id, 'avi' AS format,
-             16 AS width, 16 AS height, 2 AS n_frames,
-             CAST(NULL AS BIGINT) AS n_samples,
-             CAST(NULL AS BIGINT) AS sum_abs,
-             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
-                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
-               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
-                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
-           FROM ad JOIN hexmap m0 ON ad.c0 = m0.hx
-           JOIN hexmap m1 ON ad.c1 = m1.hx
-           JOIN hexmap m2 ON ad.c2 = m2.hx
-           JOIN hexmap m3 ON ad.c3 = m3.hx)
-         SELECT * FROM png UNION ALL SELECT * FROM jpeg
-         UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM wav
-         UNION ALL SELECT * FROM avi""",
-
-    "cdc_pipeline_full" ->
-      s"""SELECT e."key", e.event_id, e.op,
-         CASE WHEN e.op = 'd' THEN NULL ELSE c.c_name END AS c_name,
-         e.writetime
-         FROM (SELECT user_id AS "key", event_id, $opSql AS op,
-                 epoch_us(ts) AS writetime,
-                 row_number() OVER (PARTITION BY user_id
-                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events) e
-         LEFT JOIN customer c ON e."key" = c.c_custkey
-         WHERE e.rn = 1""",
-
-    // one record per original event: dedup must collapse BOTH the in-batch
-    // RF-2 replicas and the cross-batch tail redeliveries for the row set
-    // to match — the streaming state machinery is what the hash observes
-    "cdc_pipeline_streamed" ->
-      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
-         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
-         epoch_us(e.ts) AS writetime
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    // identical oracle to cdc_pipeline_streamed BY DESIGN: a crash plus
-    // restart must converge to exactly the no-crash row set — any loss
-    // (torn offsets), duplication (appending replay), or dedup-state
-    // amnesia (re-emitted tail redeliveries) breaks the hash
-    "cdc_pipeline_crashed" ->
-      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
-         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
-         epoch_us(e.ts) AS writetime
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-
-    "cdc_dedup_metrics" ->
-      """SELECT 2 * COUNT(*) AS n_received, COUNT(*) AS n_emitted,
-         CAST(COUNT(*) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE) AS cache_hit_ratio
-         FROM events""",
-
-    "q_time_window" ->
-      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
-         event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
-
-    "q_skew_salted_agg" ->
-      """SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY event_type""",
-
-    "q_skew_salted_join" ->
-      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY c.c_mktsegment""",
-
-    "asof_last_order" ->
-      """WITH od AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_t,
-                       MAX(o_orderkey) AS last_orderkey
-                     FROM orders GROUP BY 1, 2)
-         SELECT e.event_id, e.user_id AS "key", epoch_us(e.ts) AS writetime,
-           od.last_orderkey, od.order_t
-         FROM events e ASOF LEFT JOIN od
-           ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.order_t""",
-
-    "dedup_minhash_lsh" ->
-      """WITH tokens AS (
-           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
-         hashes AS (
-           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
-           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
-           GROUP BY doc_id, h),
-         bands AS (
-           SELECT doc_id, h // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM hashes GROUP BY doc_id, h // 4),
-         ok AS (
-           SELECT band, bucket FROM bands GROUP BY band, bucket
-           HAVING count(*) BETWEEN 2 AND 100),
-         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
-         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM cand l JOIN cand r
-           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
-
-    "dedup_minhash_incremental" ->
-      """WITH olddocs AS (SELECT doc_id, text FROM documents),
-         newdocs AS (
-           SELECT doc_id + 2000000 AS doc_id, text || ' tail' AS text
-           FROM documents WHERE doc_id % 6 = 0
-           UNION ALL
-           SELECT doc_id + 3000000, 'z' || replace(text, ' ', ' z')
-           FROM documents WHERE doc_id % 6 = 3),
-         otok AS (SELECT doc_id,
-             unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM olddocs),
-         ntok AS (SELECT doc_id,
-             unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM newdocs),
-         ohash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
-           FROM otok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
-           GROUP BY doc_id, h),
-         nhash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
-           FROM ntok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
-           GROUP BY doc_id, h),
-         oband AS (SELECT doc_id, h // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM ohash GROUP BY doc_id, h // 4),
-         nband AS (SELECT doc_id, h // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM nhash GROUP BY doc_id, h // 4),
-         ocap AS (SELECT band, bucket FROM oband
-           GROUP BY band, bucket HAVING count(*) <= 100),
-         ncap AS (SELECT band, bucket FROM nband
-           GROUP BY band, bucket HAVING count(*) <= 100),
-         cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-           FROM (SELECT b.* FROM nband b JOIN ncap USING (band, bucket)) n
-           JOIN (SELECT b.* FROM oband b JOIN ocap USING (band, bucket)) o
-             USING (band, bucket)),
-         osz AS (SELECT doc_id, count(*) AS n_old FROM otok GROUP BY doc_id),
-         nsz AS (SELECT doc_id, count(*) AS n_new FROM ntok GROUP BY doc_id),
-         inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
-           FROM cand c
-           JOIN ntok nt ON nt.doc_id = c.new_id
-           JOIN otok ot ON ot.doc_id = c.old_id AND ot.token = nt.token
-           GROUP BY c.new_id, c.old_id),
-         ver AS (SELECT i.new_id, i.old_id,
-             CAST(i.n_inter AS DOUBLE) /
-               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) AS jaccard
-           FROM inter i
-           JOIN nsz ns ON ns.doc_id = i.new_id
-           JOIN osz os ON os.doc_id = i.old_id
-           WHERE CAST(i.n_inter AS DOUBLE) /
-               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) >= 0.5),
-         best AS (SELECT new_id, old_id, jaccard,
-             row_number() OVER (PARTITION BY new_id ORDER BY old_id) AS rn
-           FROM ver)
-         SELECT nd.doc_id, b.old_id AS dup_of, b.jaccard,
-           b.old_id IS NULL AS keep
-         FROM newdocs nd
-         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-           ON nd.doc_id = b.new_id""",
-
-    // the oracle materializes every suffix string and sorts — binary
-    // collation matches Spark's UTF8 binary compare on this corpus
-    "text_suffix_array" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
-         sfx AS (SELECT doc_id, i - 1 AS pos,
-             substr(text, CAST(i AS INTEGER)) AS suffix
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, len(text))) AS i
-                 FROM sub))
-         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS srank
-         FROM sfx""",
-
-    // the oracle sorts the actual suffix strings and finds the first
-    // mismatching character of each adjacent pair (unnest-based scan —
-    // generate_series is not lateral-correlatable in DuckDB)
-    "text_lcp_array" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-         sfx AS (SELECT doc_id, i - 1 AS pos,
-             substr(text, CAST(i AS INTEGER)) AS suffix
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, len(text))) AS i
-                 FROM sub)),
-         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
-         rk AS (SELECT suffix, cnt,
-             dense_rank() OVER (ORDER BY suffix) AS srank,
-             lag(suffix) OVER (ORDER BY suffix) AS prv
-           FROM d),
-         pe AS (SELECT srank, suffix, prv,
-             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
-           FROM rk WHERE prv IS NOT NULL),
-         mp AS (SELECT srank,
-             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
-                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
-               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
-           FROM pe GROUP BY srank)
-         SELECT CAST(rk.srank AS BIGINT) AS srank, CAST(rk.cnt AS BIGINT) AS cnt,
-           coalesce(mp.lcp, 0) AS lcp
-         FROM rk LEFT JOIN mp ON rk.srank = mp.srank""",
-
-    // same LCP machinery; a position's dup span is the max of its rank's
-    // neighbor LCPs (and its full suffix length when the rank is shared)
-    "dedup_substr_spans" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-         sfx AS (SELECT doc_id, i - 1 AS pos,
-             substr(text, CAST(i AS INTEGER)) AS suffix
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, len(text))) AS i
-                 FROM sub)),
-         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
-         rk AS (SELECT suffix, cnt,
-             dense_rank() OVER (ORDER BY suffix) AS srank,
-             lag(suffix) OVER (ORDER BY suffix) AS prv
-           FROM d),
-         pe AS (SELECT srank, suffix, prv,
-             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
-           FROM rk WHERE prv IS NOT NULL),
-         mp AS (SELECT srank,
-             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
-                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
-               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
-           FROM pe GROUP BY srank),
-         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
-             coalesce(mp.lcp, 0) AS lcp_prev,
-             coalesce(mn.lcp, 0) AS lcp_next
-           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
-                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
-         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
-             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
-                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
-           FROM sfx s JOIN lc l ON s.suffix = l.suffix)
-         SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30""",
-
-    // same span machinery, then per-character coverage: a position is
-    // excised iff some >=30 span covers it; kept chars reassemble in order
-    "dedup_substr_removal" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-         sfx AS (SELECT doc_id, i - 1 AS pos,
-             substr(text, CAST(i AS INTEGER)) AS suffix
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, len(text))) AS i
-                 FROM sub)),
-         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
-         rk AS (SELECT suffix, cnt,
-             dense_rank() OVER (ORDER BY suffix) AS srank,
-             lag(suffix) OVER (ORDER BY suffix) AS prv
-           FROM d),
-         pe AS (SELECT srank, suffix, prv,
-             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
-           FROM rk WHERE prv IS NOT NULL),
-         mp AS (SELECT srank,
-             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
-                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
-               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
-           FROM pe GROUP BY srank),
-         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
-             coalesce(mp.lcp, 0) AS lcp_prev,
-             coalesce(mn.lcp, 0) AS lcp_next
-           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
-                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
-         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
-             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
-                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
-           FROM sfx s JOIN lc l ON s.suffix = l.suffix),
-         sp AS (SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30),
-         ps AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
-           FROM sub),
-         cov AS (SELECT DISTINCT p.doc_id, p.i
-           FROM ps p JOIN sp s ON s.doc_id = p.doc_id
-             AND p.i - 1 >= s.pos AND p.i - 1 < s.pos + s.dup_len),
-         keepc AS (SELECT p.doc_id, p.i,
-             substr(p.text, CAST(p.i AS INTEGER), 1) AS ch
-           FROM ps p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
-           WHERE c.i IS NULL),
-         agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS t
-           FROM keepc GROUP BY doc_id)
-         SELECT sub.doc_id, coalesce(agg.t, '') AS clean_text
-         FROM sub LEFT JOIN agg ON sub.doc_id = agg.doc_id""",
-
-    // both blocking arms + the exact Jaccard ground truth + the recall
-    // arithmetic, all replayed on the bounded subset
-    "dedup_recall" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-         toks AS (SELECT doc_id,
-           unnest(list_distinct(string_split(text, ' '))) AS token FROM sub),
-         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM toks GROUP BY 1),
-         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ni
-           FROM toks a JOIN toks b
-             ON a.token = b.token AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jacc AS (SELECT i.a, i.b,
-             CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
-           FROM inter i
-           JOIN sizes sa ON i.a = sa.doc_id
-           JOIN sizes sb ON i.b = sb.doc_id),
-         hashes AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
-           FROM toks, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
-           GROUP BY doc_id, h),
-         bands AS (SELECT doc_id, h // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM hashes GROUP BY doc_id, h // 4),
-         ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
-           HAVING count(*) BETWEEN 2 AND 100),
-         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
-         mh AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM okb l JOIN okb r
-             ON l.band = r.band AND l.bucket = r.bucket
-             AND l.doc_id < r.doc_id),
-         bits AS (SELECT doc_id, b,
-             SUM(CASE WHEN ((strpos('0123456789abcdef',
-                   substr(md5(token), 1 + b // 4, 1)) - 1)
-                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM toks, (SELECT unnest(range(64)) AS b) bs
-           GROUP BY doc_id, b),
-         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
-             THEN -9223372036854775807 - 1 WHEN s > 0
-             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id),
-         sbands AS (SELECT doc_id, band,
-             (simhash >> (band * 16)) & 65535 AS bucket
-           FROM sh, (SELECT unnest(range(4)) AS band) bs),
-         sok AS (SELECT band, bucket FROM sbands GROUP BY band, bucket
-           HAVING count(*) BETWEEN 2 AND 100),
-         sokb AS (SELECT s.* FROM sbands s JOIN sok USING (band, bucket)),
-         sc AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM sokb l JOIN sokb r
-             ON l.band = r.band AND l.bucket = r.bucket
-             AND l.doc_id < r.doc_id),
-         arms AS (
-           SELECT m.method, t.threshold,
-             (SELECT COUNT(*) FROM jacc WHERE jaccard >= t.threshold)
-               AS n_exact,
-             CASE WHEN m.method = 'minhash_lsh'
-               THEN (SELECT COUNT(*) FROM mh)
-               ELSE (SELECT COUNT(*) FROM sc) END AS n_candidates,
-             CASE WHEN m.method = 'minhash_lsh'
-               THEN (SELECT COUNT(*) FROM mh JOIN jacc USING (a, b)
-                     WHERE jaccard >= t.threshold)
-               ELSE (SELECT COUNT(*) FROM sc JOIN jacc USING (a, b)
-                     WHERE jaccard >= t.threshold) END AS n_hits
-           FROM (SELECT unnest(['minhash_lsh', 'simhash_band']) AS method) m,
-                (SELECT unnest([0.5, 0.9]) AS threshold) t)
-         SELECT method, threshold, n_exact, n_candidates, n_hits,
-           CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
-         FROM arms""",
-
-    // 64-bit SimHash + 4 x 16-bit bands + bucket cap + exact Hamming —
-    // the whole pipeline (fingerprint, banding, cap, verify) replayed
-    "dedup_simhash_band" ->
-      """WITH tokens AS (
-           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
-         bits AS (
-           SELECT doc_id, b,
-             SUM(CASE WHEN ((strpos('0123456789abcdef',
-                   substr(md5(token), 1 + b // 4, 1)) - 1)
-                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM tokens, (SELECT unnest(range(64)) AS b) bs
-           GROUP BY doc_id, b),
-         sh AS (
-           SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
-             THEN -9223372036854775807 - 1 WHEN s > 0
-             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
-           FROM sh, (SELECT unnest(range(4)) AS band) bs),
-         ok AS (
-           SELECT band, bucket FROM bands GROUP BY band, bucket
-           HAVING count(*) BETWEEN 2 AND 100),
-         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM okb l JOIN okb r
-             ON l.band = r.band AND l.bucket = r.bucket
-             AND l.doc_id < r.doc_id)
-         SELECT c.a, c.b,
-           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-         FROM cand c
-         JOIN sh sa ON c.a = sa.doc_id
-         JOIN sh sb ON c.b = sb.doc_id
-         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
-
-    "text_quality_filter" ->
-      """SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / len(string_split(text, ' ')) AS ttr,
-         CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-            + (length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
-           / len(string_split(text, ' ')) AS stop_ratio,
-         len(string_split(text, ' ')) >= 20 AND len(string_split(text, ' ')) <= 80
-           AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) >= 0.30 AS keep
-         FROM documents""",
-
-    "dedup_jaccard_verified" ->
-      """WITH tokens AS (
-           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
-         hashes AS (
-           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
-           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
-           GROUP BY doc_id, h),
-         bands AS (
-           SELECT doc_id, h // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
-           FROM hashes GROUP BY doc_id, h // 4),
-         ok AS (
-           SELECT band, bucket FROM bands GROUP BY band, bucket
-           HAVING count(*) BETWEEN 2 AND 100),
-         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
-         pairs AS (
-           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM cand l JOIN cand r
-             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
-         inter AS (
-           SELECT p.a, p.b, COUNT(*) AS n_inter
-           FROM pairs p
-           JOIN tokens ta ON ta.doc_id = p.a
-           JOIN tokens tb ON tb.doc_id = p.b AND tb.token = ta.token
-           GROUP BY p.a, p.b)
-         SELECT i.a, i.b,
-           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
-         FROM inter i
-         JOIN sizes sa ON sa.doc_id = i.a
-         JOIN sizes sb ON sb.doc_id = i.b
-         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8""",
-
-    "dedup_ngram_jaccard" ->
-      """WITH fp AS (
-           SELECT doc_id,
-             md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
-           FROM documents),
-         pairs AS (
-           SELECT a.doc_id AS a, b.doc_id AS b
-           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-         ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                WHERE len(string_split(text, ' ')) >= 3),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
-           FROM ws, unnest(range(1, len(w) - 1)) AS t(i)),
-         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT p.a, p.b, COUNT(*) AS n_inter
-           FROM pairs p
-           JOIN sh sa ON sa.doc_id = p.a
-           JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
-           GROUP BY p.a, p.b)
-         SELECT i.a, i.b,
-           CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) AS jaccard
-         FROM inter i
-         JOIN sizes za ON za.doc_id = i.a
-         JOIN sizes zb ON zb.doc_id = i.b
-         WHERE CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) >= 0.3""",
-
-    "text_rolling_fingerprint" ->
-      """SELECT doc_id, list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split(text, ' '),
-               w -> CAST(length(w) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
-         FROM documents""",
-
-    "text_simhash" ->
-      """WITH tokens AS (
-           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
-         bits AS (
-           SELECT doc_id, b,
-             SUM(CASE WHEN ((strpos('0123456789abcdef',
-                   substr(md5(token), 1 + b // 4, 1)) - 1)
-                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM tokens, (SELECT unnest(range(16)) AS b) bs
-           GROUP BY doc_id, b)
-         SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-         FROM bits GROUP BY doc_id""",
-
-    "text_lang_id_markers" ->
-      """SELECT doc_id, c_en, c_de, c_es, c_fr,
-         CASE WHEN c_en >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'en'
-              WHEN c_de >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'de'
-              WHEN c_es >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'es'
-              WHEN c_fr >= greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'fr'
-              ELSE 'unknown' END AS predicted_lang
-         FROM (SELECT doc_id,
-           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
-           CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS c_de,
-           CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS c_es,
-           CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS c_fr
-         FROM documents)""",
-
-    // the corpus-trained char-trigram classifier: DuckDB re-trains the
-    // whole model from the documents table (trigram counts, Laplace grid
-    // weights, unseen floors) and re-derives every per-doc argmax and
-    // script override
-    "text_lang_id_ngram" ->
-      (s"""WITH ${langIdCtes("documents", "documents")}
-       SELECT doc_id, ngram_lang, score9, script_chars, script_lang,
-         predicted_lang FROM lpred"""),
-
-    // same classifier trained on the hand fixture's labeled paragraphs,
-    // predicting the held-out + code-switched + script docs — both
-    // engines read the SAME literal bytes
-    "text_lang_id_fixture" ->
-      (s"""WITH $langTrainValuesSql,
-       $langTestValuesSql,
-       ${langIdCtes("langtrain", "langtest")}
-       SELECT doc_id, ngram_lang, score9, script_chars, script_lang,
-         predicted_lang FROM lpred"""),
-
-    // predicted-language temperature mix: the full training chain again,
-    // then the mix_temperature_sample arithmetic keyed on the PREDICTED
-    // language
-    "mix_lang_balanced" -> langBalancedSql,
-
-    // identical oracle on purpose: the streamed run (per-batch classify
-    // + count-ledger fold + assembly-time thresholds) must converge to
-    // the batch answer — streaming ≡ batch ≡ DuckDB in one hash
-    "mix_lang_balanced_streamed" -> langBalancedSql,
-
-    "dedup_embedding_neardup" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])), 6) AS score
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) > 0.45""",
-
-    "dedup_cluster_canonical" ->
-      """WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS a, b.vec_id AS b
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
-         edges AS (SELECT a AS x, b AS y FROM pairs
-                   UNION SELECT b, a FROM pairs),
-         reach(id, r) AS (
-           SELECT x AS id, x AS r FROM edges
-           UNION
-           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
-         SELECT id AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY id""",
-
-    "dedup_cluster_sizes" ->
-      """WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS a, b.vec_id AS b
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
-         edges AS (SELECT a AS x, b AS y FROM pairs
-                   UNION SELECT b, a FROM pairs),
-         reach(id, r) AS (
-           SELECT x AS id, x AS r FROM edges
-           UNION
-           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id),
-         comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
-         sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-           FROM comp GROUP BY 1),
-         hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-           FROM sz GROUP BY 1),
-         single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
-             (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings)
-             - (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_clusters)
-         SELECT * FROM hist
-         UNION ALL SELECT * FROM single WHERE n_clusters > 0""",
-
-    // LSH ANN is pinned to the EXACT answer: banded candidates provably
-    // contain the true top-5 here, so the approximate path must reproduce
-    // the brute-force ranking bit-for-bit.
-    "knn_lsh_ann" ->
-      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
-         SELECT q.vec_id AS q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                        CAST(e.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS rank
-         FROM embeddings q, embeddings e
-         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-         WHERE rank <= 5""",
-
-    // multi-probe candidates provably contain the true top-5 here (spec +
-    // probe across all fixture scales): pinned to the exact ranking
-    "knn_lsh_multiprobe" ->
-      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
-         SELECT q.vec_id AS q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                        CAST(e.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS rank
-         FROM embeddings q, embeddings e
-         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-         WHERE rank <= 5""",
-
-    // Recall bounds are engine-measured; the oracle verifies the asserted
-    // bounds hold (both booleans true), not the raw recall estimates.
-    "knn_recall" ->
-      """SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
-         UNION ALL
-         SELECT 'ivfpq' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
-         UNION ALL
-         SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
-         UNION ALL
-         SELECT 'ivf_margin' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok""",
-
-    "q_approx_distinct" ->
-      """SELECT event_type,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         true AS approx_ok
-         FROM events GROUP BY event_type""",
-
-    "dedup_bloom_approx" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
-         CAST(SUM(CASE WHEN (event_id % 1000) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
-         true AS no_false_negatives, true AS fp_bounded
-         FROM events""",
-
-    // Golden Murmur3Partitioner fixture: 64 (key, token, partition) triples
-    // precomputed once from the spec'd algorithm (Cassandra's public
-    // Murmur3Partitioner 128->64 + sign-extension quirk; cross-checked
-    // against guava in Murmur3Spec). A hash-matched row certifies the
-    // codegen CassandraToken expression and the top-16-bit topic routing
-    // (reference: commons/.../Murmur3MessageRouter.java:25-28).
-    "cdc_token_partition" ->
-      """SELECT * FROM (VALUES
-         (0, 2945182322382062539, 31), (1, 6292367497774912474, 18), (2, -8218881827949364593, 16), (3, -8048510690352527683, 13),
-         (4, 1830508272351686621, 7), (5, 4464361019114304900, 20), (6, 6268297055439790106, 29), (7, -5038316157564330072, 20),
-         (8, 3989579132296173906, 29), (9, -2638303903097405552, 2), (10, 1944024169073138009, 26), (11, 3109524872961303651, 7),
-         (12, -6030257681769843457, 16), (13, -5222276830576067764, 6), (14, 3421398847698307239, 27), (15, -3520484983264228142, 4),
-         (16, -6388174459908673966, 24), (17, 8660407606519473992, 15), (18, 7599759837043657056, 23), (19, -8829757208421597067, 22),
-         (20, -5897291465803793390, 8), (21, -1437078885067644793, 14), (22, 4667030143625733106, 4), (23, -3407974847549528480, 20),
-         (24, -8068609813247561705, 6), (25, -6214592183836900022, 1), (26, -4220668531559923267, 13), (27, -2583106353292056595, 6),
-         (28, 2768499861369785362, 11), (29, 8955762215991206587, 9), (30, -7785815430900891754, 19), (31, 7752840103311367383, 23),
-         (32, 2661885290202953826, 16), (33, 4891967783720036163, 3), (34, -2040201830123832056, 15), (35, -7890287335731027526, 0),
-         (36, -6320612958227057081, 8), (37, 6230831440793267488, 24), (38, -2748086631205274444, 28), (39, -6303988014187995581, 3),
-         (40, 6867041192599393764, 12), (41, -2618813162835158915, 8), (42, 8623491988607824794, 12), (43, -1034539559963370441, 4),
-         (44, -4106460776755245665, 2), (45, 604688048525971933, 4), (46, 6246927812322658375, 17), (47, -4432906688231187483, 27),
-         (48, 4246140516575153262, 13), (49, -5720568778399479917, 28), (50, -197064988801513361, 3), (51, -2370242742092803645, 27),
-         (52, -2721933645219530314, 25), (53, -2153701199812187923, 28), (54, -7859868938849985053, 12), (55, 2320413702407337651, 19),
-         (56, -2866544664007038081, 23), (57, 5118052643735022726, 6), (58, -8276360695156522368, 4), (59, -6090696132046670207, 25),
-         (60, -1355866252513006620, 14), (61, 2602666326510871861, 30), (62, -693815740509840607, 31), (63, -4539656592669191578, 31)
-         ) AS t("key", token, "partition")""",
-
-    "text_pii_redact" ->
-      """WITH aug AS (
-           SELECT doc_id, text ||
-             CASE WHEN doc_id % 2 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
-               || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
-             CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
-               || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
-             CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'
-               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
-           FROM documents)
-         SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3,4}-\d{4}\b')) AS BIGINT) AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
-             '\b\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5,
-           CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
-             '\b\d{3}-\d{3,4}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
-         FROM aug""",
-
-    "text_repetition" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
-           list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
-         FROM documents)
-         SELECT doc_id,
-           CAST(len(w) AS BIGINT) AS n_words,
-           1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
-           CAST(list_max(list_transform(list_distinct(w),
-             x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_word_frac,
-           CAST(len(bg) AS BIGINT) AS n_bigrams,
-           CASE WHEN len(bg) > 0 THEN
-             1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
-           ELSE 0.0 END AS dup_bigram_frac,
-           (CAST(list_max(list_transform(list_distinct(w),
-              x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 0.12
-            AND CASE WHEN len(bg) > 0 THEN
-              1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
-            ELSE 0.0 END <= 0.1) AS repetition_ok
-         FROM s""",
-
-    "text_bigram_topk" ->
-      """WITH bg AS (SELECT unnest(list_transform(
-             generate_series(1, len(string_split(text, ' ')) - 1),
-             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
-           FROM documents),
-         counted AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1)
-         SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank, bigram, n
-         FROM counted QUALIFY rank <= 20""",
-
-    "q_range_band_join" ->
-      """SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
-         FROM orders o JOIN (SELECT i AS band_id, i * 5000.0 AS lo,
-             i * 5000.0 + 7500.0 AS hi FROM range(0, 101) t(i)) b
-           ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
-         GROUP BY 1""",
-
-    "emb_label_centroid" ->
-      """WITH e AS (SELECT label, embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
-         SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-           round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
-         FROM e GROUP BY 1, 2""",
-
-    "emb_centroid_drift" ->
-      """WITH e AS (SELECT label, vec_id % 2 = 0 AS in_a,
-           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))
-             AS x7, i
-           FROM (SELECT label, vec_id, embedding,
-             unnest(generate_series(1, len(embedding))) AS i
-             FROM embeddings)),
-         g AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-             SUM(CASE WHEN in_a THEN x7 END) AS sa,
-             CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
-             SUM(CASE WHEN NOT in_a THEN x7 END) AS sb,
-             CAST(COUNT(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b
-           FROM e GROUP BY 1, 2)
-         SELECT label, pos, n_a, n_b,
-           round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
-           round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b
-         FROM g WHERE n_a > 0 AND n_b > 0""",
-
-    "emb_int8_quantize" ->
-      """WITH s AS (SELECT vec_id, embedding,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
-           FROM embeddings),
-         e AS (SELECT vec_id, scale, embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM s)
-         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-           CASE WHEN scale = 0 THEN 0 ELSE
-             CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0, 0) AS INTEGER)
-           END AS q,
-           round(scale, 6) AS scale
-         FROM e""",
-
-    "emb_dim_stats" ->
-      """WITH e AS (SELECT embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         vals AS (SELECT i,
-           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
-         FROM e),
-         agg AS (SELECT i, SUM(x7) AS sx, SUM(x7 * x7) AS sxx,
-           CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1)
-         SELECT CAST(i - 1 AS BIGINT) AS pos, n,
-           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-           round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance
-         FROM agg""",
-
-    "emb_pca_power" -> pcaPowerSql(8),
-
-    "emb_pca_topk" -> pcaTopKSql(3, 8),
-
-    "q_pivot_events" ->
-      """SELECT user_id % 10 AS cohort,
-           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
-           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
-           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
-           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
-           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
-         FROM events GROUP BY 1""",
-
-    "q_unpivot_metrics" ->
-      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
-         FROM lineitem WHERE l_orderkey % 50 = 0
-         UNION ALL
-         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-         FROM lineitem WHERE l_orderkey % 50 = 0
-         UNION ALL
-         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-         FROM lineitem WHERE l_orderkey % 50 = 0""",
-
-    "text_vocab_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
-         SELECT token, CAST(count(*) AS BIGINT) AS cnt,
-           round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
-         FROM tok GROUP BY token
-         HAVING CAST(count(*) AS DOUBLE) > (SELECT CAST(n AS DOUBLE) FROM tot) * 0.02""",
-
-    "text_bm25_topk" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """
-       SELECT query_id, doc_id, score9, rank FROM rk WHERE rank <= 5"""),
-
-    // both arms replayed (BM25 integer grid + deterministic cosine
-    // ranks), then the RRF fusion in pure BIGINT arithmetic
-    "retrieval_hybrid_rrf" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """,
-       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
-       dn AS (SELECT q_id, vec_id, rank FROM (
-           SELECT q.vec_id AS q_id, e.vec_id,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                          CAST(e.embedding AS DOUBLE[])) DESC,
-                        e.vec_id ASC) AS rank
-           FROM embeddings q, embeddings e
-           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
-         WHERE rank <= 20),
-       fused AS (SELECT
-           coalesce(l.query_id, d.q_id) AS query_id,
-           coalesce(l.doc_id, d.vec_id) AS doc_id,
-           CAST(l.rank AS BIGINT) AS lex_rank,
-           CAST(d.rank AS BIGINT) AS dense_rank,
-           coalesce(1000000000 // (60 + l.rank), 0) +
-             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
-         FROM lx l FULL OUTER JOIN dn d
-           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
-       SELECT query_id, doc_id, lex_rank, dense_rank,
-         CAST(rrf9 AS BIGINT) AS rrf9,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
-       FROM fused
-       QUALIFY rrf_rank <= 10"""),
-
-    // full replay of the ANN-armed hybrid: BM25 grid + 5 Lloyd iterations
-    // + margin probe rule + cell-local cosine ranks + BIGINT RRF
-    "retrieval_hybrid_ann" ->
-      (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + ",\n" +
-        ivfCentroidChainSql(50, 5) + """,
-       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
-       qaff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 50 = 0),
-       qbest AS (SELECT vec_id, MAX(aff) AS best FROM qaff GROUP BY 1),
-       qasg AS (SELECT vec_id AS q_id, cell_id FROM (
-           SELECT a.vec_id, a.cell_id, row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
-           FROM qaff a JOIN qbest b USING (vec_id)
-           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
-       prs AS (SELECT q.q_id, c.vec_id
-           FROM qasg q JOIN casg c USING (cell_id)
-           WHERE c.vec_id <> q.q_id),
-       dn AS (SELECT q_id, vec_id, rank FROM (
-           SELECT p.q_id, p.vec_id,
-             row_number() OVER (PARTITION BY p.q_id
-               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-                 CAST(ce.embedding AS DOUBLE[])) DESC, p.vec_id ASC) AS rank
-           FROM prs p
-           JOIN embeddings qe ON qe.vec_id = p.q_id
-           JOIN embeddings ce ON ce.vec_id = p.vec_id) WHERE rank <= 20),
-       fused AS (SELECT
-           coalesce(l.query_id, d.q_id) AS query_id,
-           coalesce(l.doc_id, d.vec_id) AS doc_id,
-           CAST(l.rank AS BIGINT) AS lex_rank,
-           CAST(d.rank AS BIGINT) AS dense_rank,
-           coalesce(1000000000 // (60 + l.rank), 0) +
-             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
-         FROM lx l FULL OUTER JOIN dn d
-           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
-       SELECT query_id, doc_id, lex_rank, dense_rank,
-         CAST(rrf9 AS BIGINT) AS rrf9,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
-       FROM fused
-       QUALIFY rrf_rank <= 10"""),
-
-    // the recall bound is engine-measured; the oracle verifies it holds
-    "retrieval_hybrid_recall" ->
-      """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
-         true AS recall_ok""",
-
-    // both neighborhoods, the integer-grid margins and the per-source
-    // argmax replayed on the bounded probe pool
-    "emb_bitext_margin" ->
-      """WITH sp AS (SELECT vec_id AS a, embedding AS ea FROM embeddings
-           WHERE vec_id % 10 = 0),
-         tp AS (SELECT vec_id AS b, embedding AS eb FROM embeddings
-           WHERE vec_id % 2 = 1),
-         pr AS (SELECT a, b,
-             CAST(round(round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
-               CAST(eb AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS sim6
-           FROM sp, tp),
-         pp AS (SELECT a, b, sim6 FROM pr WHERE sim6 > 0),
-         ka AS (SELECT a, b, sim6, row_number() OVER (PARTITION BY a
-             ORDER BY sim6 DESC, b) AS ra FROM pp),
-         knna AS (SELECT a, b, sim6 FROM ka WHERE ra <= 4),
-         sa AS (SELECT a, CAST(SUM(sim6) AS BIGINT) AS suma
-           FROM knna GROUP BY a),
-         cb AS (SELECT DISTINCT b FROM knna),
-         kb AS (SELECT p.a, p.b, p.sim6, row_number() OVER (PARTITION BY p.b
-             ORDER BY p.sim6 DESC, p.a) AS rb
-           FROM pp p JOIN cb USING (b)),
-         sb AS (SELECT b, CAST(SUM(sim6) AS BIGINT) AS sumb
-           FROM kb WHERE rb <= 4 GROUP BY b),
-         sc AS (SELECT k.a, k.b, k.sim6,
-             CAST((k.sim6 * 8 * 1000000) // (sa.suma + sb.sumb) AS BIGINT)
-               AS margin6
-           FROM knna k JOIN sa USING (a) JOIN sb USING (b)),
-         fin AS (SELECT a, b, sim6, margin6, row_number() OVER (
-             PARTITION BY a ORDER BY margin6 DESC, b) AS rm FROM sc)
-         SELECT a, b, sim6, margin6 FROM fin WHERE rm = 1""",
-
-    // the cut draws are the verbatim hex-Horner SQL the engine runs
-    "mix_fim_transform" ->
-      s"""WITH k AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len,
-             md5('graft|' || doc_id || '|c1') AS k1,
-             md5('graft|' || doc_id || '|c2') AS k2
-           FROM documents),
-         c AS (SELECT doc_id, text, len, k2,
-             (${operators.TrainingMix.hexHornerSql("k1", 8)}) % (len + 1) AS c1
-           FROM k),
-         d AS (SELECT doc_id, text, len, c1,
-             c1 + (${operators.TrainingMix.hexHornerSql("k2", 8)})
-               % (len - c1 + 1) AS c2
-           FROM c)
-         SELECT doc_id, c1, c2,
-           '<fim_prefix>' || substring(text, 1, CAST(c1 AS INTEGER)) ||
-           '<fim_suffix>' || substring(text, CAST(c2 AS INTEGER) + 1) ||
-           '<fim_middle>' || substring(text, CAST(c1 AS INTEGER) + 1,
-             CAST(c2 - c1 AS INTEGER)) AS fim_text
-         FROM d""",
-
-    // every mask decision replayed from the shared md5-threshold idiom,
-    // then both example strings rebuilt with ordered aggregation
-    "mix_span_corruption" ->
-      s"""WITH t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
-                 FROM documents)),
-         st AS (SELECT doc_id, pos, w,
-             CASE WHEN md5('graft|' || doc_id || '|' || pos)
-               < '${operators.Curation.sampleThreshold(0.05)}'
-               THEN 1 ELSE 0 END AS s
-           FROM t),
-         cov AS (SELECT doc_id, pos, w, s,
-             max(s) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
-           FROM st),
-         run AS (SELECT doc_id, pos, w, c,
-             CASE WHEN c = 1 AND coalesce(lag(c) OVER (
-                 PARTITION BY doc_id ORDER BY pos), 0) = 0
-               THEN 1 ELSE 0 END AS nr
-           FROM cov),
-         rid AS (SELECT doc_id, pos, w, c, nr,
-             SUM(nr) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
-           FROM run)
-         SELECT doc_id,
-           coalesce(string_agg(CASE WHEN c = 0 THEN w
-               WHEN nr = 1 THEN '<extra_id_' || k || '>' END,
-             ' ' ORDER BY pos), '') AS input_text,
-           coalesce(string_agg(CASE WHEN c = 1 THEN
-               CASE WHEN nr = 1 THEN '<extra_id_' || k || '> ' || w
-                 ELSE w END END,
-             ' ' ORDER BY pos), '') AS target_text,
-           CAST(SUM(nr) AS BIGINT) AS n_spans
-         FROM rid GROUP BY doc_id""",
-
-    // centroid chain + margin probe rule + cell-local cosines + rollup
-    "curate_semantic_contamination" ->
-      ("WITH " + ivfCentroidChainSql(50, 5) + """,
-       paff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 23 = 0),
-       pbest AS (SELECT vec_id, MAX(aff) AS best FROM paff GROUP BY 1),
-       pasg AS (SELECT vec_id AS probe_id, cell_id FROM (
-           SELECT a.vec_id, a.cell_id, row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
-           FROM paff a JOIN pbest b USING (vec_id)
-           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
-       sc AS (SELECT c.vec_id, p.probe_id,
-           list_cosine_similarity(CAST(pe.embedding AS DOUBLE[]),
-             CAST(ce.embedding AS DOUBLE[])) AS sim
-         FROM pasg p JOIN casg c USING (cell_id)
-         JOIN embeddings pe ON pe.vec_id = p.probe_id
-         JOIN embeddings ce ON ce.vec_id = c.vec_id
-         WHERE c.vec_id % 23 <> 0),
-       hits AS (SELECT vec_id, probe_id, sim FROM sc WHERE sim > 0.3),
-       best AS (SELECT vec_id, probe_id, sim,
-           row_number() OVER (PARTITION BY vec_id
-             ORDER BY sim DESC, probe_id) AS r
-         FROM hits)
-       SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         round(MAX(sim), 6) AS best_sim,
-         MAX(CASE WHEN r = 1 THEN probe_id END) AS best_probe
-       FROM best GROUP BY vec_id"""),
-
-    "curate_retrieval_contamination" ->
-      (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,
-       hits AS (SELECT * FROM rk
-                WHERE rank <= 10 AND score9 >= 2500000000),
-       best AS (SELECT doc_id, query_id, score9,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY score9 DESC, query_id) AS r
-                FROM hits)
-       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         MAX(score9) AS best_score9,
-         MAX(CASE WHEN r = 1 THEN query_id END) AS best_query
-       FROM best GROUP BY doc_id"""),
-
-    "curate_classifier_score" ->
-      (classifierChainSql(25, 75, "0.3", "4.0", 12) +
-        classifierScoreSql(12)),
-
-    "curate_snapshot_diff" ->
-      """WITH a AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
-         b0 AS (SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END
-               AS text
-           FROM documents WHERE doc_id % 7 <> 0
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents
-           WHERE doc_id % 11 = 0),
-         b AS (SELECT doc_id, md5(text) AS new_fp FROM b0),
-         d AS (SELECT
-             CASE WHEN a.doc_id IS NULL THEN 'added'
-                  WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN old_fp = new_fp THEN 'unchanged'
-                  ELSE 'changed' END AS status
-           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
-         FROM d GROUP BY 1""",
-
-    "curate_classifier_calibration" ->
-      (classifierChainSql(25, 75, "0.3", "4.0", 12) + ", sc AS (" +
-        classifierScoreSql(12) + """)
-       SELECT score9 // 100000000 AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-         (CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 1000000000)
-           // CAST(COUNT(*) AS BIGINT) AS pos_rate9
-       FROM sc GROUP BY 1"""),
-
-    "curate_classifier_weights" ->
-      (classifierChainSql(25, 75, "0.3", "4.0", 12) + """
-       SELECT CAST(0 AS BIGINT) AS k, w0 AS w FROM wt12
-       UNION ALL SELECT CAST(1 AS BIGINT), w1 FROM wt12
-       UNION ALL SELECT CAST(2 AS BIGINT), w2 FROM wt12
-       UNION ALL SELECT CAST(3 AS BIGINT), w3 FROM wt12"""),
-
-    // the same 48-bit md5 thresholds the engine computes (the Scala call
-    // IS the oracle's constant, so the two cannot diverge)
-    "curate_split_holdout" ->
-      s"""SELECT doc_id, lang,
-           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
-                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
-                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
-                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
-                  THEN 'val'
-                ELSE 'test' END AS split
-         FROM documents""",
-
-    "curate_split_proportions" ->
-      s"""WITH s AS (SELECT lang,
-           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
-                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
-                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
-                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
-                  THEN 'val'
-                ELSE 'test' END AS split
-         FROM documents)
-         SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
-         FROM s GROUP BY 1, 2""",
-
-    "mix_preference_pairs" ->
-      """WITH s AS (SELECT lang, source, doc_id,
-           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-             * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS s6
-         FROM documents),
-         r AS (SELECT lang, source, doc_id, s6,
-           row_number() OVER (PARTITION BY lang, source
-             ORDER BY s6 DESC, doc_id ASC) AS rc,
-           row_number() OVER (PARTITION BY lang, source
-             ORDER BY s6 ASC, doc_id ASC) AS rr,
-           CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
-             AS n_group
-         FROM s)
-         SELECT c.lang, c.source, c.doc_id AS chosen_id, c.s6 AS chosen6,
-           w.doc_id AS rejected_id, w.s6 AS rejected6,
-           c.s6 - w.s6 AS margin6, c.n_group
-         FROM r c JOIN r w ON c.lang = w.lang AND c.source = w.source
-         WHERE c.rc = 1 AND w.rr = 1 AND c.s6 > w.s6""",
-
-    "mix_length_buckets" ->
-      """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
-           AS nw FROM documents),
-         b AS (SELECT nw, CASE WHEN nw <= 16 THEN 16 WHEN nw <= 32 THEN 32
-           WHEN nw <= 64 THEN 64 WHEN nw <= 128 THEN 128
-           WHEN nw <= 256 THEN 256 WHEN nw <= 512 THEN 512
-           ELSE ((nw + 511) // 512) * 512 END AS bucket FROM s)
-         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(nw) AS BIGINT) AS sum_words,
-           CAST(SUM(bucket - nw) AS BIGINT) AS pad_words,
-           (CAST(SUM(bucket - nw) AS BIGINT) * 1000000000)
-             // (CAST(COUNT(*) AS BIGINT) * bucket) AS waste9
-         FROM b GROUP BY 1""",
-
-    "mix_curriculum" ->
-      """WITH s AS (SELECT doc_id,
-           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-             * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS s6
-         FROM documents),
-         q AS (SELECT doc_id, s6 // 100000 AS qbucket,
-           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
-         FROM s)
-         SELECT doc_id, qbucket, CAST(row_number() OVER (
-           ORDER BY qbucket DESC, skey ASC, doc_id ASC) AS BIGINT) AS crank
-         FROM q""",
-
-    "text_ngram_diversity" ->
-      """WITH t AS (SELECT source, string_split(text, ' ') AS w
-           FROM documents),
-         g AS (SELECT source, unnest(range(1, len(w) - 1)) AS i, w
-           FROM t WHERE len(w) >= 3),
-         g2 AS (SELECT source, array_to_string(w[i:i+2], ' ') AS gram FROM g)
-         SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
-           (CAST(COUNT(DISTINCT gram) AS BIGINT) * 1000000000)
-             // CAST(COUNT(*) AS BIGINT) AS diversity9
-         FROM g2 GROUP BY 1""",
-
-    "emb_norm_outliers" ->
-      """WITH e AS (SELECT vec_id, embedding,
-           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-         g AS (SELECT vec_id, CAST(round(round(
-           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
-         FROM e),
-         s AS (SELECT vec_id, CAST(SUM(xg * xg) AS BIGINT) AS n2
-           FROM g GROUP BY 1),
-         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
-         r AS (SELECT vec_id, n2,
-           row_number() OVER (ORDER BY n2, vec_id) AS rk FROM s),
-         m AS (SELECT n2 AS med FROM r, c WHERE rk = (n + 1) // 2),
-         d AS (SELECT vec_id, n2, abs(n2 - med) AS dev FROM s, m),
-         rd AS (SELECT vec_id, dev,
-           row_number() OVER (ORDER BY dev, vec_id) AS rk FROM d),
-         md AS (SELECT dev AS mad FROM rd, c WHERE rk = (n + 1) // 2)
-         SELECT vec_id, n2, dev, dev > mad * 3 AS is_outlier FROM d, md""",
-
-    "q_funnel_steps" ->
-      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
-           FROM events),
-         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
-           WHERE event_type = 'signup' GROUP BY 1),
-         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
-           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
-         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
-           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1)
-         SELECT s1."key", t1, t2, t3 FROM s1
-         LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key")""",
-
-    "q_retention_cohorts" ->
-      """WITH e AS (SELECT DISTINCT user_id AS "key",
-           epoch_us(ts) // 604800000000 AS wk FROM events),
-         f AS (SELECT "key", MIN(wk) AS cohort_wk FROM e GROUP BY 1)
-         SELECT cohort_wk, wk - cohort_wk AS age_wk,
-           CAST(COUNT(DISTINCT e."key") AS BIGINT) AS n_users
-         FROM e JOIN f USING ("key") GROUP BY 1, 2""",
-
-    "q_event_paths" ->
-      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt,
-           event_id FROM events),
-         s AS (SELECT event_type AS s1,
-           lead(event_type, 1) OVER w AS s2,
-           lead(event_type, 2) OVER w AS s3
-         FROM e WINDOW w AS (PARTITION BY "key" ORDER BY wt, event_id))
-         SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
-         FROM s WHERE s3 IS NOT NULL
-         GROUP BY 1, 2, 3
-         ORDER BY n DESC, s1, s2, s3 LIMIT 10""",
-
-    // the Morton interleave is the same term structure in both dialects
-    // (shift functions vs operators); buckets are non-negative so DuckDB's
-    // flooring // equals Spark's truncating DIV
-    "q_zorder_events" ->
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-           FROM events),
-         mm AS (SELECT MIN(user_id) AS mn0, MAX(user_id) AS mx0,
-           MIN(tsu) AS mn1, MAX(tsu) AS mx1 FROM e),
-         b AS (SELECT event_id,
-           ((user_id - mn0) * 65535) // greatest(1, mx0 - mn0) AS zb0,
-           ((tsu - mn1) * 65535) // greatest(1, mx1 - mn1) AS zb1
-         FROM e, mm)
-         SELECT event_id, zb0, zb1,
-           ${operators.Layout.interleaveSqlDuck(Seq("zb0", "zb1"), 16)}
-             AS zkey
-         FROM b""",
-
-    // approx estimates are engine-side; the oracle verifies the exact
-    // quantiles and that the asserted rank-error bounds hold (both true).
-    "q_approx_quantiles" ->
-      """SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50_exact,
-           round(quantile_cont(value, 0.9), 6) AS p90_exact,
-           true AS ok50, true AS ok90
-         FROM events GROUP BY event_type""",
-
-    // brute-force distance join (length prefilter only) — the blocked
-    // SymSpell join must equal it exactly
-    "q_fuzzy_join" ->
-      """WITH d AS (SELECT c_custkey AS dirty_id,
-             substring(c_name, 1, CAST(9 + c_custkey % 8 AS INTEGER))
-               || substring(c_name, CAST(11 + c_custkey % 8 AS INTEGER)) AS dirty
-           FROM customer WHERE c_custkey % 100 = 0)
-         SELECT d.dirty_id, c.c_custkey,
-           CAST(levenshtein(d.dirty, c.c_name) AS BIGINT) AS dist
-         FROM d JOIN customer c
-           ON abs(length(d.dirty) - length(c.c_name)) <= 1
-          AND levenshtein(d.dirty, c.c_name) <= 1""",
-
-    "text_dup_spans" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sp AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-             THEN list_transform(generate_series(1, len(w) - 2),
-               i -> array_to_string(w[i:i+2], ' '))
-             ELSE CAST([] AS VARCHAR[]) END) AS span FROM s),
-         pd AS (SELECT doc_id, span, CAST(count(*) AS BIGINT) AS occ
-           FROM sp GROUP BY 1, 2),
-         sd AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs
-           FROM pd GROUP BY 1)
-         SELECT pd.doc_id,
-           CAST(SUM(occ) AS BIGINT) AS n_spans,
-           CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_shared,
-           round(CAST(SUM(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(occ) AS DOUBLE), 6) AS shared_frac
-         FROM pd JOIN sd USING(span) GROUP BY 1""",
-
-    "q_intersect_repeat_buyers" ->
-      """SELECT o_custkey FROM orders
-         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-         INTERSECT
-         SELECT o_custkey FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""",
-
-    "q_argmax_events" ->
-      """SELECT user_id % 10 AS cohort,
-           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS peak_event,
-           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS trough_event,
-           round(max(value), 6) AS max_value
-         FROM events GROUP BY 1""",
-
-    "q_string_agg" ->
-      """SELECT user_id % 10 AS cohort,
-           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1""",
-
-    "q_gapfill_locf" ->
-      """WITH obs AS (SELECT user_id, epoch_us(ts) AS t,
-             round(max(value), 6) AS v, epoch_us(ts) AS obs_t
-           FROM events WHERE user_id % 50 = 0 GROUP BY user_id, epoch_us(ts)),
-         grid AS (SELECT u.user_id,
-             1704067200000000 + 3600000000 * i AS grid_t
-           FROM (SELECT DISTINCT user_id FROM obs) u, range(0, 720) t(i))
-         SELECT g.user_id, g.grid_t, o.v, o.obs_t
-         FROM grid g ASOF LEFT JOIN obs o
-           ON g.user_id = o.user_id AND g.grid_t >= o.t""",
-
-    // full IVF replay: k-means on the ×10⁷ grid, unrolled per iteration —
-    // same (nCells, iters, nprobe, k) as the engine call
-    "knn_ivf_ann" -> ivfKnnSql(nCells = 50, iters = 5, nprobe = 2, k = 5),
-
-    // full PQ replay: per-subspace integer k-means + encode — same
-    // (m, k, iters, dim/m) as the engine call
-    "emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
-    "emb_opq_encode" -> opqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
-
-    // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
-    // (nCells, iters, threshold) as the engine call
-    "dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3),
-
-    "mm_png_roundtrip" ->
-      """SELECT doc_id, 4 AS width, 4 AS height,
-         md5(CAST(doc_id AS VARCHAR) || 'p0')
-           || md5(CAST(doc_id AS VARCHAR) || 'p1')
-           || md5(CAST(doc_id AS VARCHAR) || 'p2') AS px_hex
-         FROM documents""",
-
-    // 4x4 -> 2x2 nearest-neighbor picks source pixels (0,0),(0,2),(2,0),
-    // (2,2): bytes p*3..p*3+2 for p in {0,2,8,10} = hex substrings
-    "mm_png_resize" ->
-      """WITH d AS (SELECT doc_id,
-           md5(CAST(doc_id AS VARCHAR) || 'p0')
-             || md5(CAST(doc_id AS VARCHAR) || 'p1')
-             || md5(CAST(doc_id AS VARCHAR) || 'p2') AS h
-         FROM documents)
-         SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
-           || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
-         FROM d""",
-
-    // GIF round-trip is exactly lossless (LZW + identity gray palette):
-    // decode returns each gray byte tripled into RGB
-    "mm_gif_roundtrip" ->
-      """WITH d AS (SELECT doc_id,
-           md5(CAST(doc_id AS VARCHAR) || 'g0')
-             || md5(CAST(doc_id AS VARCHAR) || 'g1')
-             || md5(CAST(doc_id AS VARCHAR) || 'g2')
-             || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
-         FROM documents),
-         b AS (SELECT doc_id, p, substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx
-           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
-                 FROM d) e),
-         t AS (SELECT doc_id, string_agg(hx || hx || hx, '' ORDER BY p) AS px_hex
-           FROM b GROUP BY doc_id)
-         SELECT doc_id, 8 AS width, 8 AS height, px_hex FROM t""",
-
-    // corner-pixel average-hash over the (lossless) GIF round-trip: the
-    // oracle reads the same four gray bytes straight from the md5 hex
-    "mm_gif_phash" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-           md5(CAST(doc_id % 100 AS VARCHAR) || 'g0')
-             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g1')
-             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g2')
-             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g3') AS h
-         FROM documents),
-         s AS (SELECT doc_id, substr(h, 1, 2) AS h0, substr(h, 15, 2) AS h1,
-             substr(h, 113, 2) AS h2, substr(h, 127, 2) AS h3 FROM d),
-         v AS (SELECT doc_id, m0.v AS v0, m1.v AS v1, m2.v AS v2, m3.v AS v3
-           FROM s JOIN hexmap m0 ON s.h0 = m0.hx
-             JOIN hexmap m1 ON s.h1 = m1.hx
-             JOIN hexmap m2 ON s.h2 = m2.hx
-             JOIN hexmap m3 ON s.h3 = m3.hx),
-         ph AS (SELECT doc_id,
-             CAST((CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END)
-               + (CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END)
-               + (CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END)
-               + (CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END)
-               AS BIGINT) AS phash FROM v)
-         SELECT doc_id, phash,
-           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
-         FROM ph""",
-
-    // flat-block JPEG round-trip is exactly lossless (even values, q00=16):
-    // the oracle rebuilds the input pixel hex arithmetically
-    "mm_jpeg_roundtrip" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
-             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
-             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
-             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx)
-         SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
-           repeat(repeat(h0, 8) || repeat(h1, 8), 8) ||
-           repeat(repeat(h2, 8) || repeat(h3, 8), 8) AS px_hex
-         FROM b""",
-
-    // flat-block PROGRESSIVE JPEG round-trip is exactly lossless too (the
-    // refinement scans reconstruct every coefficient bit-for-bit): the
-    // oracle rebuilds the 24x16 six-block pixel hex arithmetically
-    "mm_jpeg_progressive" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p3'), 1, 2) AS c3,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p4'), 1, 2) AS c4,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'p5'), 1, 2) AS c5
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
-             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
-             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
-             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
-             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
-             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx
-           JOIN hexmap m4 ON d.c4 = m4.hx
-           JOIN hexmap m5 ON d.c5 = m5.hx)
-         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
-           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
-           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
-             AS px_hex
-         FROM b""",
-
-    // EXIF fields derive from doc_id, so the oracle recomputes them
-    // directly — a green row proves the APP1/TIFF-IFD writer and sniffer
-    // agree on both byte orders, inline and offset values, sub-IFDs and
-    // the GPS flag
-    "mm_exif_meta" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
-           'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
-           'mdl-' || CAST(doc_id % 7 AS VARCHAR) AS model,
-           '2021:03:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
-             ' 07:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00'
-             AS datetime,
-           CAST(100 + doc_id % 900 AS BIGINT) AS x_dim,
-           CAST(80 + doc_id % 700 AS BIGINT) AS y_dim,
-           (doc_id % 3 = 0) AS has_gps
-         FROM documents""",
-
-    // orientation normalization: flat blocks are lossless through the
-    // JPEG codec, so the upright pixels are the input blocks permuted by
-    // the EXIF orientation — replayed block-by-block per orientation
-    "mm_exif_autorotate" ->
-      s"""WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 2) AS c3,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 2) AS c4,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 2) AS c5
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             CAST(1 + d.doc_id % 8 AS INTEGER) AS o,
-             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
-             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
-             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
-             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
-             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
-             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx
-           JOIN hexmap m4 ON d.c4 = m4.hx
-           JOIN hexmap m5 ON d.c5 = m5.hx)
-         SELECT doc_id,
-           CASE WHEN o <= 4 THEN 24 ELSE 16 END AS width,
-           CASE WHEN o <= 4 THEN 16 ELSE 24 END AS height,
-           CASE o
-           $exifOrientPxSql
-           END AS px_hex
-         FROM b""",
-
-    // composed image pipeline: every format decodes losslessly on the
-    // fixture and autorotate exactly inverts the pre-rotation, so the
-    // normalized tripled-gray content is pure seed arithmetic; the oracle
-    // replays sniff-dispatch (doc_id%3 <=> the magic the fixture wrote),
-    // quality spread, the content key and the duplicate-cluster window.
-    // The streamed row resolves to the SAME corpus view, so it shares the
-    // oracle verbatim: streaming ≡ batch ≡ DuckDB.
-    "pipeline_image_corpus" -> imageCorpusOracle,
-    "pipeline_image_corpus_streamed" -> imageCorpusOracle,
-    "pipeline_audio_corpus" -> audioCorpusOracle,
-    "pipeline_audio_corpus_streamed" -> audioCorpusOracle,
-
-    "code_lang_detect" -> s"""WITH $codeFixtureSql
-       SELECT doc_id, path, lang, evidence FROM langr""",
-
-    "code_license_detect" -> s"""WITH $codeFixtureSql, $codeLicRedSql
-       SELECT doc_id, license, permissive FROM licr""",
-
-    "code_secrets_redact" -> s"""WITH $codeFixtureSql, $codeLicRedSql
-       SELECT doc_id, n_aws, n_pem, n_entropy, text_out FROM redr""",
-
-    "code_comment_split" -> s"""WITH $codeFixtureSql,
-       cs AS (SELECT doc_id, lang,
-           CASE WHEN lang IN ('py', 'sh', 'rb') THEN '#' ELSE '//' END
-             AS mk2,
-           list_filter(string_split(content, chr(10)), l -> l <> '') AS ls
-         FROM langr)
-       SELECT doc_id, lang,
-         CAST(len(list_filter(ls, l -> starts_with(ltrim(l), mk2)))
-           AS BIGINT) AS n_comment_lines,
-         CAST(len(ls) - len(list_filter(ls,
-           l -> starts_with(ltrim(l), mk2))) AS BIGINT) AS n_code_lines,
-         array_to_string(list_filter(ls,
-           l -> starts_with(ltrim(l), mk2)), chr(10)) AS comments
-       FROM cs""",
-
-    "pipeline_code_corpus" -> s"""WITH $codeFixtureSql, $codeLicRedSql,
-       gated AS (SELECT * FROM redr
-         WHERE permissive OR license = 'NONE'),
-       csd AS (SELECT *,
-           CASE WHEN lang IN ('py', 'sh', 'rb') THEN '#' ELSE '//' END
-             AS mk2,
-           list_filter(string_split(text_out, chr(10)), l -> l <> '')
-             AS ls
-         FROM gated),
-       q AS (SELECT doc_id, lang, license,
-           n_aws + n_pem + n_entropy AS n_secrets,
-           CAST(len(ls) - len(list_filter(ls,
-             l -> starts_with(ltrim(l), mk2))) AS BIGINT) AS n_code_lines,
-           md5(text_out) AS content_key
-         FROM csd
-         WHERE len(ls) - len(list_filter(ls,
-           l -> starts_with(ltrim(l), mk2))) >= 1)
-       SELECT doc_id, lang, license, n_secrets, n_code_lines, content_key,
-         MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
-         COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
-       FROM q""",
-
-    // JPEG perceptual dedup: the codec is lossless on the fixture, so the
-    // block values sampled from decoded pixels equal the md5-derived ones
-    "mm_jpeg_phash" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j3'), 1, 2) AS c3
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
-             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
-             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
-             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx),
-         ph AS (SELECT doc_id,
-             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
-               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
-               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
-               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
-             AS BIGINT) AS phash
-           FROM b)
-         SELECT doc_id, phash,
-           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
-         FROM ph""",
-
-    // the AVI mux/parse is the identity on frame payloads and flat-block
-    // JPEG is exactly lossless, so sampled frames 0 and 2 decode back to
-    // their md5-derived block values — the oracle replays them directly
-    "mm_video_framesample" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
-         d AS (SELECT doc_id, frame_idx,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
-               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
-               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
-               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
-               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
-           FROM f)
-         SELECT doc_id, 16 AS width, 16 AS height,
-           40000 AS usec_per_frame, 4 AS n_frames,
-           CAST(frame_idx AS BIGINT) AS frame_idx,
-           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
-           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
-           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
-           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
-         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-         JOIN hexmap m1 ON d.c1 = m1.hx
-         JOIN hexmap m2 ON d.c2 = m2.hx
-         JOIN hexmap m3 ON d.c3 = m3.hx""",
-
-    // MP4 frame sampling: same lossless flat-block arithmetic as the AVI
-    // row, with the container meta coming from the sample tables
-    "mm_mp4_framesample" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
-         d AS (SELECT doc_id, frame_idx,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
-               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
-               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
-               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
-               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
-           FROM f)
-         SELECT doc_id, 16 AS width, 16 AS height,
-           2500 AS frame_delta, 4 AS n_frames,
-           CAST(64 AS BIGINT) AS n_audio_samples,
-           CAST(frame_idx AS BIGINT) AS frame_idx,
-           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
-           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
-           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
-           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
-         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-         JOIN hexmap m1 ON d.c1 = m1.hx
-         JOIN hexmap m2 ON d.c2 = m2.hx
-         JOIN hexmap m3 ON d.c3 = m3.hx""",
-
-    // MP4 PCM decode: the loudness stats replay from the sample formula;
-    // the codec column pins which byte order the file carried
-    "mm_mp4_audio" ->
-      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 69)) AS i
-           FROM documents),
-         v AS (SELECT doc_id, CASE
-             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-             THEN (doc_id * 31 + i * 17) % 65536 - 65536
-             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
-           FROM s)
-         SELECT doc_id,
-           CASE WHEN doc_id % 2 = 1 THEN 'twos' ELSE 'sowt' END AS codec,
-           16000 AS sample_rate,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
-           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
-           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
-         FROM v GROUP BY doc_id""",
-
-    // all three codecs are lossless on the fixture, so every format's
-    // phash equals the one computed from the md5-derived block values
-    "mm_cross_format_dedup" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x3'), 1, 2) AS c3
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
-             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
-             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
-             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx
-           JOIN hexmap m3 ON d.c3 = m3.hx),
-         ph AS (SELECT doc_id,
-             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
-               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
-               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
-               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
-             AS BIGINT) AS phash
-           FROM b)
-         SELECT doc_id, phash AS ph_png, phash AS ph_jpeg, phash AS ph_gif,
-           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
-         FROM ph""",
-
-    "mm_wav_pcm" ->
-      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
-           FROM documents),
-         v AS (SELECT doc_id, CASE
-             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-             THEN (doc_id * 31 + i * 17) % 65536 - 65536
-             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
-           FROM s)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
-           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
-           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
-         FROM v GROUP BY doc_id""",
-
-    // boxcar decimation by 4 from the same sample formula: window sums
-    // with the +32768·4 positivity bias so // (truncating in both
-    // engines) is floor division
-    "mm_wav_resample" ->
-      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
-           FROM documents),
-         v AS (SELECT doc_id, i, CASE
-             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-             THEN (doc_id * 31 + i * 17) % 65536 - 65536
-             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
-           FROM s),
-         w AS (SELECT doc_id, i // 4 AS k, SUM(sv) AS ssum
-           FROM v GROUP BY 1, 2)
-         SELECT doc_id, CAST(k AS INTEGER) AS k,
-           CAST((ssum + 131072) // 4 - 32768 AS INTEGER) AS v
-         FROM w""",
-
-    "mix_fewshot_prompts" ->
-      """WITH fr AS (SELECT doc_id, lang, text,
-           md5('fewshot|' || CAST(doc_id AS VARCHAR)) AS skey
-           FROM documents),
-         frk AS (SELECT doc_id, lang, text, CAST(row_number() OVER (
-             PARTITION BY lang ORDER BY skey, doc_id) AS BIGINT) AS rk
-           FROM fr),
-         sb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_shots,
-             string_agg('doc: ' || text || chr(10) || 'lang: ' || lang,
-               chr(10) ORDER BY rk) AS shot_block
-           FROM frk WHERE rk <= 3 GROUP BY lang)
-         SELECT r.doc_id, r.lang, s.n_shots,
-           s.shot_block || chr(10) || 'doc: ' || r.text || chr(10)
-             || 'lang:' AS prompt
-         FROM frk r JOIN sb s USING (lang) WHERE r.rk > 3""",
-
-    "mix_word_dropout" ->
-      s"""WITH wt AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
-                 FROM documents)),
-         wd AS (SELECT doc_id, pos, w,
-             md5('dropout|' || doc_id || '|' || pos)
-               < '${operators.Curation.sampleThreshold(0.1)}' AS drop
-           FROM wt)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped,
-           COALESCE(string_agg(CASE WHEN NOT drop THEN w END, ' '
-             ORDER BY pos), '') AS text_out
-         FROM wd GROUP BY doc_id""",
-
-    "mix_pack_whole" ->
-      """WITH pw AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-           md5('graft|' || CAST(doc_id AS VARCHAR)) AS skey
-           FROM documents),
-         pb AS (SELECT doc_id, nw, skey,
-           CAST(CASE WHEN nw <= 16 THEN 16 WHEN nw <= 32 THEN 32
-             WHEN nw <= 64 THEN 64 WHEN nw <= 128 THEN 128
-             WHEN nw <= 256 THEN 256 WHEN nw <= 512 THEN 512
-             ELSE ((nw + 511) // 512) * 512 END AS BIGINT) AS bucket
-           FROM pw),
-         pr AS (SELECT doc_id, nw, bucket,
-           GREATEST(CAST(1 AS BIGINT), 128 // bucket) AS per_seq,
-           CAST(row_number() OVER (PARTITION BY bucket
-             ORDER BY skey, doc_id) AS BIGINT) - 1 AS rk
-           FROM pb)
-         SELECT doc_id, nw, bucket, rk // per_seq AS seq_id,
-           rk % per_seq AS slot, bucket > 128 AS overflow
-         FROM pr""",
-
-    "mix_sft_render" ->
-      """WITH t AS (SELECT doc_id // 10 AS conv_id, doc_id, text,
-           CAST(row_number() OVER (PARTITION BY doc_id // 10
-             ORDER BY doc_id) AS BIGINT) AS turn,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-           CAST(SUM(len(string_split(text, ' ')))
-             OVER (PARTITION BY doc_id // 10 ORDER BY doc_id)
-             AS BIGINT) AS cum_tok
-           FROM documents)
-         SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns_total,
-           CAST(SUM(CASE WHEN cum_tok <= 200 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_turns_kept,
-           CAST(SUM(CASE WHEN cum_tok <= 200 THEN n_tok ELSE 0 END)
-             AS BIGINT) AS n_tokens,
-           COALESCE(string_agg(CASE WHEN cum_tok <= 200 THEN
-               (CASE WHEN turn % 2 = 1 THEN '<|user|>'
-                ELSE '<|assistant|>' END) || chr(10) || text END,
-             chr(10) ORDER BY doc_id), '') AS rendered,
-           CAST(length(COALESCE(string_agg(CASE WHEN cum_tok <= 200 THEN
-               (CASE WHEN turn % 2 = 1 THEN '<|user|>'
-                ELSE '<|assistant|>' END) || chr(10) || text END,
-             chr(10) ORDER BY doc_id), '')) AS BIGINT) AS n_chars
-         FROM t GROUP BY conv_id""",
-
-    // windowed frame features from the same sample formula: frame = i//16,
-    // crossings only between consecutive samples of the SAME frame
-    "mm_audio_frames" ->
-      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
-           FROM documents),
-         v AS (SELECT doc_id, i, CASE
-             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-             THEN (doc_id * 31 + i * 17) % 65536 - 65536
-             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
-           FROM s),
-         w AS (SELECT doc_id, i, sv, i // 16 AS frame,
-             lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-           FROM v)
-         SELECT doc_id, CAST(frame AS INTEGER) AS frame,
-           CAST(count(*) AS INTEGER) AS n_samples,
-           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
-           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
-           CAST(SUM(CASE WHEN i % 16 != 0
-             AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
-             AS zero_crossings
-         FROM w GROUP BY doc_id, frame""",
-
-    // animated GIF: LZW is lossless and the gray palette the identity, so
-    // each composited canvas is pure block arithmetic — frame 0 all a,
-    // frame 1 overlays the b patch, frame 2's transparent top half keeps
-    // the frame-1 state while its bottom half paints c
-    "mm_gif_animation" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'a0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'a1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'a2'), 1, 2) AS c2
-           FROM documents),
-         b AS (SELECT d.doc_id,
-             lower(lpad(to_hex(m0.v % 128), 2, '0')) AS ha,
-             lower(lpad(to_hex(m1.v % 128), 2, '0')) AS hb,
-             lower(lpad(to_hex(m2.v % 128), 2, '0')) AS hc
-           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
-           JOIN hexmap m1 ON d.c1 = m1.hx
-           JOIN hexmap m2 ON d.c2 = m2.hx)
-         SELECT doc_id, frame_idx, delay_cs, 16 AS width, 8 AS height,
-           px_hex FROM (
-           SELECT doc_id, 0 AS frame_idx,
-             CAST(10 + doc_id % 5 AS INTEGER) AS delay_cs,
-             repeat(ha, 384) AS px_hex FROM b
-           UNION ALL SELECT doc_id, 1, 20,
-             repeat(ha, 96) ||
-             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 4) ||
-             repeat(ha, 96) FROM b
-           UNION ALL SELECT doc_id, 2, 30,
-             repeat(ha, 96) ||
-             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 2) ||
-             repeat(repeat(ha, 12) || repeat(hb, 12) || repeat(hc, 24), 2) ||
-             repeat(repeat(ha, 24) || repeat(hc, 24), 2) FROM b) t""",
-
-    // DOCX extraction: the writer's XML escaping and the reader's entity
-    // decode are exact inverses, so the oracle rebuilds the text directly
-    // (a trailing newline closes the final paragraph)
-    "mm_docx_extract" ->
-      """SELECT doc_id,
-           'Doc ' || CAST(doc_id AS VARCHAR) || ' & <hdr>' || chr(10) ||
-           'para ''two'' "q"' || chr(10) ||
-           'tail=' || CAST(doc_id * 7 % 1000 AS VARCHAR) || chr(10) AS text
-         FROM documents""",
-
-    // XLSX extraction: the writer's escaping/shared-string dedup and the
-    // reader's resolution are exact inverses — the oracle rebuilds every
-    // cell pair directly
-    "mm_xlsx_extract" ->
-      """SELECT doc_id, cell_ref, value FROM (
-           SELECT doc_id, 'A1' AS cell_ref,
-             'name-' || CAST(doc_id % 50 AS VARCHAR) AS value
-           FROM documents
-           UNION ALL SELECT doc_id, 'B1',
-             CAST(doc_id * 3 % 1000 AS VARCHAR) FROM documents
-           UNION ALL SELECT doc_id, 'C1',
-             'name-' || CAST(doc_id % 50 AS VARCHAR) FROM documents
-           UNION ALL SELECT doc_id, 'A2',
-             'r&d <' || CAST(doc_id % 7 AS VARCHAR) || '>' FROM documents
-           UNION ALL SELECT doc_id, 'B2',
-             CAST(doc_id % 97 AS VARCHAR) FROM documents
-           UNION ALL SELECT doc_id, 'D2',
-             'i&s <' || CAST(doc_id % 5 AS VARCHAR) || '>' FROM documents
-           ) t""",
-
-    // TIFF round-trip: all three compressions are lossless, so the oracle
-    // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike
-    // JPEG, no evenness constraint is needed)
-    "mm_tiff_roundtrip" ->
-      """WITH d AS (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't0'), 1, 2) AS h0,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't1'), 1, 2) AS h1,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't2'), 1, 2) AS h2,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't3'), 1, 2) AS h3,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't4'), 1, 2) AS h4,
-             substr(md5(CAST(doc_id AS VARCHAR) || 't5'), 1, 2) AS h5
-           FROM documents)
-         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
-           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
-           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
-             AS px_hex
-         FROM d""",
-
-    // EPUB extraction: escape and reduction are exact inverses on the
-    // fixture, so each chapter's expected text is direct arithmetic
-    "mm_epub_extract" ->
-      """SELECT doc_id, chapter_idx, text FROM (
-           SELECT doc_id, 0 AS chapter_idx,
-             'Ch 0 doc ' || CAST(doc_id AS VARCHAR) ||
-               ' fish & chips <b0>' AS text
-           FROM documents
-           UNION ALL SELECT doc_id, 1,
-             'Ch 1 doc ' || CAST(doc_id AS VARCHAR) ||
-               ' plain tea, no entities'
-           FROM documents) t""",
-
-    // A/V alignment: DuckDB replays the whole chain — signed samples →
-    // frame energies → speech islands as [begin, end) ms intervals →
-    // the three cue windows → per-cue overlap sum and coverage verdict
-    "mm_av_align" ->
-      """WITH s AS (SELECT doc_id, i,
-             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
-               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
-           FROM documents, generate_series(0, 255) t(i)),
-         f AS (SELECT doc_id, i // 16 AS frame,
-             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
-           FROM s GROUP BY 1, 2),
-         g AS (SELECT doc_id, frame, (sum_abs >= 1000) AS is_speech,
-             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
-               (sum_abs >= 1000) ORDER BY frame) AS island
-           FROM f),
-         segs AS (SELECT doc_id, MIN(frame) AS seg_begin,
-             MAX(frame) + 1 AS seg_end
-           FROM g WHERE is_speech GROUP BY doc_id, island),
-         cues AS (SELECT doc_id, k AS seq,
-             CAST(doc_id % 2 + (k - 1) * 5 AS BIGINT) AS start_ms,
-             CAST(doc_id % 2 + (k - 1) * 5 + 5 AS BIGINT) AS end_ms
-           FROM documents, (SELECT UNNEST([1, 2, 3]) AS k) ks)
-         SELECT c.doc_id, c.seq, c.start_ms, c.end_ms,
-           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
-             AND least(c.end_ms, sg.seg_end) -
-                 greatest(c.start_ms, sg.seg_begin) > 0
-             THEN least(c.end_ms, sg.seg_end) -
-                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0)
-             AS BIGINT) AS speech_ms,
-           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
-             AND least(c.end_ms, sg.seg_end) -
-                 greatest(c.start_ms, sg.seg_begin) > 0
-             THEN least(c.end_ms, sg.seg_end) -
-                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0) * 2
-             >= c.end_ms - c.start_ms AS BOOLEAN) AS covered
-         FROM cues c LEFT JOIN segs sg ON sg.doc_id = c.doc_id
-         GROUP BY c.doc_id, c.seq, c.start_ms, c.end_ms""",
-
-    // subtitle cues: timestamps and text derive from doc arithmetic; the
-    // second cue pins the constant long-form times (hour carry on the
-    // VTT short form vs the SRT hour field)
-    "mm_subtitle_parse" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
-           seq, start_ms, end_ms, text FROM (
-           SELECT doc_id, 1 AS seq,
-             CAST((doc_id % 50) * 1000 + doc_id % 1000 AS BIGINT)
-               AS start_ms,
-             CAST((doc_id % 50 + 2) * 1000 + doc_id % 1000 AS BIGINT)
-               AS end_ms,
-             'line one ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-               'line two' AS text
-           FROM documents
-           UNION ALL SELECT doc_id, 2,
-             65500,
-             CASE WHEN doc_id % 2 = 0 THEN 3667000 ELSE 67000 END,
-             'second ' || CAST(doc_id AS VARCHAR)
-           FROM documents) t""",
-
-    // VAD segmentation: DuckDB rebuilds the signed samples, frame energy
-    // sums and the same gaps-and-islands grouping over speech frames
-    "mm_audio_vad" ->
-      """WITH s AS (SELECT doc_id, i,
-             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
-               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
-           FROM documents, generate_series(0, 255) t(i)),
-         f AS (SELECT doc_id, i // 16 AS frame,
-             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
-           FROM s GROUP BY 1, 2),
-         g AS (SELECT doc_id, frame, sum_abs,
-             (sum_abs >= 1000) AS is_speech,
-             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
-               (sum_abs >= 1000) ORDER BY frame) AS island
-           FROM f)
-         SELECT doc_id,
-           CAST(MIN(frame) AS BIGINT) AS begin_frame,
-           CAST(MAX(frame) AS BIGINT) AS end_frame,
-           COUNT(*) AS n_frames,
-           CAST(SUM(sum_abs) AS BIGINT) AS energy
-         FROM g WHERE is_speech GROUP BY doc_id, island""",
-
-    // FLAC is lossless: every decoded sample is the fixture formula,
-    // constant and varying frames alike
-    "mm_flac_roundtrip" ->
-      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
-           FROM documents)
-         SELECT doc_id, 16000 AS sample_rate, 16 AS bits,
-           CAST(i AS INTEGER) AS i,
-           CAST(CASE WHEN (doc_id + i // 16) % 3 = 0
-             THEN (doc_id * 7 + i // 16) % 256 - 128
-             ELSE CASE WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
-               THEN (doc_id * 31 + i * 17) % 65536 - 65536
-               ELSE (doc_id * 31 + i * 17) % 65536 END END AS INTEGER) AS v
-         FROM s""",
-
-    // perceptual hash replay: hex->int via a 256-row lookup dictionary,
-    // integer luma, strict luma*N > total bit rule
-    "mm_image_phash" ->
-      """WITH d AS (SELECT doc_id,
-           md5(CAST(doc_id % 100 AS VARCHAR) || 'p0')
-             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p1')
-             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p2') AS h
-         FROM documents),
-         hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         px AS (SELECT e.doc_id, e.p, 299 * r.v + 587 * g.v + 114 * b.v AS luma
-           FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS p
-                 FROM d) e
-           JOIN hexmap r ON substr(e.h, CAST(e.p * 6 + 1 AS INTEGER), 2) = r.hx
-           JOIN hexmap g ON substr(e.h, CAST(e.p * 6 + 3 AS INTEGER), 2) = g.hx
-           JOIN hexmap b ON substr(e.h, CAST(e.p * 6 + 5 AS INTEGER), 2) = b.hx),
-         tot AS (SELECT doc_id, SUM(luma) AS t FROM px GROUP BY 1),
-         ph AS (SELECT px.doc_id,
-             CAST(SUM(CASE WHEN px.luma * 16 > tot.t
-               THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END) AS BIGINT) AS phash
-           FROM px JOIN tot USING (doc_id) GROUP BY 1)
-         SELECT doc_id, phash,
-           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
-         FROM ph""",
-
-    "q4_order_priority" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-         FROM orders o
-         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
-           AND TIMESTAMP '1995-12-31 00:00:00'
-           AND EXISTS (SELECT 1 FROM lineitem l
-             WHERE l.l_orderkey = o.o_orderkey
-               AND l.l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
-         GROUP BY 1""",
-
-    "q16_supplier_cnt" ->
-      """SELECT p_brand, p_size,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE p_size IN (1, 5, 9, 13)
-           AND l_suppkey NOT IN
-             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-         GROUP BY 1, 2""",
-
-    "q22_sales_opportunity" ->
-      """SELECT c_nationkey % 7 AS cntrycode,
-           CAST(count(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-         FROM customer
-         WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
-             FROM customer WHERE c_acctbal > 0)
-           AND NOT EXISTS (SELECT 1 FROM orders
-             WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-         GROUP BY 1""",
-
-    // integer-exact PageRank, all 10 iterations unrolled
-    "graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),
-
-    "graph_label_prop" -> labelPropSql(iters = 4),
-
-    // IVF-PQ composed search, both index builds + ADC ranking replayed
-    "knn_ivfpq_ann" -> ivfPqKnnSql(nCells = 50, ivfIters = 5, nprobe = 4,
-      m = 8, kCode = 16, pqIters = 3, subDim = 8, rerank = 20, k = 5),
-
-    // residual PQ: IVF chain -> grid residuals -> PQ chain, all replayed
-    "emb_pq_residual" -> pqResidualSql(nCells = 50, ivfIters = 5,
-      m = 8, kCode = 16, pqIters = 3, subDim = 8),
-
-    // quality cut on the replayed LM score: top 25% per language, ties by
-    // doc_id, integer-exact keep count
-    "curate_quality_sample" ->
-      s"""WITH $lmScoreCtes,
-         sc AS ($lmScoreSelect),
-         j AS (SELECT sc.doc_id, d.lang, sc.avg_p
-           FROM sc JOIN documents d USING (doc_id)),
-         r AS (SELECT doc_id, lang, avg_p,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY avg_p DESC, doc_id ASC) AS rn,
-             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
-           FROM j)
-         SELECT doc_id, lang, avg_p FROM r
-         WHERE rn <= greatest(1, (cnt * 25) // 100)""",
-
-    "curate_url_canonical" -> urlDedupSql,
-
-    // identical oracle on purpose: the streamed run must converge to the
-    // batch answer — streaming ≡ batch ≡ DuckDB
-    "curate_url_dedup_streamed" -> urlDedupSql,
-
-    // RFC 9309 robots admission: DuckDB re-parses the SAME robots.txt
-    // bytes (windowed group walk) and re-derives every decision —
-    // exact-over-*, pattern→regex translation, longest-match with
-    // allow winning ties via the 2·len+isAllow score
-    "curate_robots_admit" ->
-      (s"""WITH $urlCanonicalCtes,
-       $robotsFixtureSql,
-       $robotsRulesCtes,""" + """
-       up AS (SELECT doc_id, canonical_url,
-           lower(regexp_extract(canonical_url,
-             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
-           CASE WHEN regexp_extract(canonical_url,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
-             THEN '/' ELSE regexp_extract(canonical_url,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
-             || regexp_extract(canonical_url, '^[^#?]*(\?[^#]*)', 1)
-             AS path
-         FROM c),
-       jm AS (SELECT u.doc_id, MAX(r.score) AS s
-         FROM up u JOIN rx r
-           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
-         GROUP BY 1)
-       SELECT u.doc_id, u.canonical_url, u.host,
-         COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
-         COALESCE(j.s % 2 = 1, TRUE) AS admitted
-       FROM up u LEFT JOIN jm j USING (doc_id)"""),
-
-    // sitemap discovery: DuckDB re-parses the same urlset/sitemapindex
-    // XML (entity decode &amp;-last, loc-less entries dropped) and the
-    // same robots Sitemap: directives, then re-canonicalizes every loc
-    // through the shared canonicalization chain
-    "curate_sitemap_parse" ->
-      (s"""WITH $sitemapParseCtes,
-       u AS (SELECT doc_id, loc AS url FROM allrows),
-       $canonicalChainCtes
-       SELECT a.doc_id, a.kind, a.loc, a.lastmod, a.changefreq,
-         a.priority, c.canonical_url
-       FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url"""),
-
-    // per-host politeness scheduling over the full discovery output (all
-    // three sitemap paths): the oracle replays a SINGLE-phase global
-    // rank per host — a hash match proves the engine's two-phase sharded
-    // cap (no sort ever sees a hot host's full URL set) is lossless
-    "curate_fetch_schedule" ->
-      (s"""WITH $sitemapParseCtes,
-       u AS (SELECT doc_id, loc AS url FROM allrows),
-       $canonicalChainCtes,
-       f0 AS (SELECT a.doc_id, c.canonical_url, a.priority,
-           lower(regexp_extract(c.canonical_url,
-             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host
-         FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url),
-       f AS (SELECT host, canonical_url, MIN(doc_id) AS doc_id,
-           MAX(priority) AS priority
-         FROM f0 GROUP BY 1, 2),
-       w AS (SELECT doc_id, host, canonical_url, priority,
-           row_number() OVER (PARTITION BY host
-             ORDER BY priority DESC NULLS LAST, canonical_url) AS rk
-         FROM f)
-       SELECT doc_id, host, canonical_url, priority,
-         CAST(rk AS BIGINT) AS rank_in_host,
-         CAST((rk - 1) // 2 AS BIGINT) AS wave,
-         CAST((rk - 1) % 2 AS BIGINT) AS slot
-       FROM w WHERE rk <= 300"""),
-
-    // the composed crawl chain: link extraction → canonicalization →
-    // frontier fold → robots admission → politeness waves, every stage
-    // replayed — the d/l/a head mirrors extractLinks, the shared chain
-    // canonicalizes, the shared rules block re-derives graftbot's
-    // governing rules, the window replays the single-phase schedule
-    "pipeline_crawl_frontier" -> crawlFrontierSql,
-
-    // the SAME oracle gates the streaming composition: parquet-drop
-    // micro-batches folding (min first_doc, Σ n_links) partials through
-    // StreamingCrawlFrontier, then admission + scheduling over the
-    // folded frontier — streaming ≡ batch ≡ DuckDB
-    "pipeline_crawl_frontier_streamed" -> crawlFrontierSql,
-
-    "curate_domain_stats" ->
-      """WITH h AS (SELECT doc_id, n_chars,
-           CASE doc_id % 6
-             WHEN 0 THEN 'news.example.co.uk'
-             WHEN 1 THEN 'blog.example.co.uk'
-             WHEN 2 THEN 'cdn.assets.example.com'
-             WHEN 3 THEN 'example.org'
-             WHEN 4 THEN source || '.shop.com.au'
-             ELSE 'www.example.com' END AS host
-           FROM documents),
-         r AS (SELECT n_chars, host,
-           CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-                WHEN list_contains(['co.uk', 'org.uk', 'ac.uk', 'gov.uk',
-                    'com.au', 'net.au', 'org.au', 'co.jp', 'co.kr', 'co.in',
-                    'co.nz', 'com.br', 'com.cn', 'com.mx', 'com.sg'],
-                  string_split(host, '.')[-2] || '.' ||
-                  string_split(host, '.')[-1])
-                THEN string_split(host, '.')[-3] || '.' ||
-                  string_split(host, '.')[-2] || '.' ||
-                  string_split(host, '.')[-1]
-                ELSE string_split(host, '.')[-2] || '.' ||
-                  string_split(host, '.')[-1] END AS registered_domain
-           FROM h)
-         SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         FROM r GROUP BY 1""",
-
-    // DSIR: the corpus-LM chain is lmScoreCtes verbatim; the target LM
-    // repeats it over the 'de' slice; both wp9 sums replay on the integer
-    // grid and the importance ratio is one IEEE division of exact longs
-    "curate_dsir_sample" ->
-      s"""WITH $lmScoreCtes,
-         tws AS (SELECT string_split(text, ' ') AS w FROM documents
-           WHERE lang = 'de'),
-         tdb0 AS (SELECT unnest(CASE WHEN len(w) >= 2
-             THEN list_transform(generate_series(1, len(w) - 1),
-               i -> array_to_string(w[i:i+1], ' '))
-             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM tws),
-         tbc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12t
-           FROM tdb0 GROUP BY 1),
-         ttok AS (SELECT unnest(w) AS token FROM tws),
-         tuc AS (SELECT token AS ttoken, CAST(COUNT(*) AS BIGINT) AS c1t
-           FROM ttok GROUP BY 1),
-         tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nvt FROM tuc),
-         sums AS (SELECT doc_id,
-             CAST(SUM(occ * CAST(floor((CAST(COALESCE(c12t, 0) AS DOUBLE) + 1.0)
-                 / (CAST(COALESCE(c1t, 0) AS DOUBLE) + CAST(nvt AS DOUBLE))
-                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_t9,
-             CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
-                 / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))
-                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_c9
-           FROM db JOIN bc USING (bigram)
-           JOIN uc ON split_part(bigram, ' ', 1) = uc.token
-           LEFT JOIN tbc USING (bigram)
-           LEFT JOIN tuc ON split_part(bigram, ' ', 1) = tuc.ttoken
-           CROSS JOIN v CROSS JOIN tv
-           GROUP BY doc_id),
-         wts AS (SELECT doc_id, sum_t9, sum_c9,
-             CAST(sum_t9 AS DOUBLE) / CAST(sum_c9 AS DOUBLE) AS w FROM sums),
-         rk AS (SELECT doc_id, sum_t9, sum_c9, w,
-             row_number() OVER (ORDER BY w DESC, doc_id) AS rank FROM wts)
-         SELECT doc_id, sum_t9, sum_c9, w, rank FROM rk WHERE rank <= 150"""
-  )
 }

@@ -1,0 +1,689 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** CDC operator rows (SURVEY §2 S/P/J/A/W/F/T/C families) — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object CdcEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // == CDC core (SURVEY.md §2.2–2.5, §3.2) ==
+    
+"cdc_dedup_exact" -> ((s, dir) => {
+      // RF=2 replica duplicates collapsed by (key, digest) — A1/T2
+      val duplicated = Cdc.replicate(ev(s, dir), rf = 2)
+      CdcOperators.dedupExact(duplicated)
+        .select(col("event_id"), col("key"), col("op"), col("writetime"))
+    }),
+
+    
+"cdc_enrich_join" -> ((s, dir) => {
+      // J1 read-after-write lookup + P7 tombstone projection
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name", "c_acctbal"))
+        .select(col("event_id"), col("key"), col("op"),
+          col("c_name"), col("c_acctbal"), col("writetime"))
+    }),
+
+    
+"cdc_compaction_lww" -> ((s, dir) => {
+      // W3 last-write-wins per key
+      CdcOperators.compactLww(ev(s, dir), Seq("key"),
+          Seq(col("writetime").desc, col("event_id").desc))
+        .select(col("key"), col("event_id"), col("op"), col("writetime"))
+    }),
+
+    
+"cdc_backfill_union" -> ((s, dir) => {
+      // T8 snapshot→synthetic-inserts ∪ live stream
+      val live = ev(s, dir).select(col("key"), lit("live").as("src"))
+      val bf = CdcOperators.backfillEvents(t(s, dir, "customer"), "c_custkey")
+        .select(col("key"), lit("backfill").as("src"))
+      live.unionByName(bf)
+        .groupBy(col("key"))
+        .agg(count(when(col("src") === "live", 1)).as("n_live"),
+          count(when(col("src") === "backfill", 1)).as("n_backfill"))
+    }),
+
+    
+"cdc_tombstone_json" -> ((s, dir) => {
+      // F13 json output format; delete ⇒ null value (tombstone)
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          to_json(struct(col("key"))).as("key_json"),
+          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
+            .otherwise(to_json(struct(col("c_name")))).as("value_json"))
+    }),
+
+    
+"cdc_materialized_state" -> ((s, dir) => {
+      // downstream replica maintenance: snapshot + events → current state
+      CdcOperators.materialize(t(s, dir, "customer"), ev(s, dir),
+        "c_custkey", "key", Seq(col("writetime").desc, col("event_id").desc))
+    }),
+
+    
+"cdc_ordered_replay" -> ((s, dir) => {
+      // W1 per-key commitlog replay order
+      CdcOperators.orderedReplay(ev(s, dir), Seq("key"))
+        .select(col("key"), col("event_id"), col("segment"), col("position"),
+          col("replay_idx").cast("long").as("replay_idx"))
+    }),
+
+    
+"cdc_json_only" -> ((s, dir) => {
+      // F13/P7 json single-payload mode: PK columns folded into the value
+      // record, deletes/misses emit '{}' not null (CassandraSource.java:
+      // 346-366, 377)
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit("{}"))
+            .otherwise(to_json(struct(col("key"), col("c_name"))))
+            .as("payload_json"))
+    }),
+
+    
+"cdc_column_regex" -> ((s, dir) => {
+      // P6 column-regex projection: the reference's `columns` connector
+      // config restricts which value columns replicate
+      // (CassandraSourceConnectorConfig.java:52, applied at
+      // CassandraSource.java:290-292, 360, 365). Four columns come out of
+      // the enrichment; the regex admits only the c_n* pair, and the KEPT
+      // SET — not a hardcoded list — flows through the json output path,
+      // so the oracle hash proves the regex selected exactly
+      // {c_name, c_nationkey} and dropped {c_acctbal, c_mktsegment}.
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+          t(s, dir, "customer"), "key", "c_custkey",
+          Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .select(col("event_id"), col("op"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val kept = CdcOperators.projectColumnsByRegex(enriched,
+        keep = Seq("event_id", "op"), regex = "c_n.*")
+      val valueCols = kept.columns.filterNot(Seq("event_id", "op").contains)
+      kept.select(col("event_id"),
+        when(col("op") === Cdc.OpDelete || col("c_name").isNull, lit(null))
+          .otherwise(to_json(struct(valueCols.map(col): _*)))
+          .as("value_json"))
+    }),
+
+    
+"cdc_schema_evolution" -> ((s, dir) => {
+      // Schema evolution mid-stream: table ALTERs at segments 2 and 4
+      // widen the replicated column set, and each event renders its json
+      // payload under the schema in force at its commitlog coordinate —
+      // the reference rebuilds its value converter on
+      // SchemaChangeListener.onTableUpdated so output produced after the
+      // change carries the new columns while earlier output keeps the old
+      // shape (CassandraSource.java:666-673, 352-372). All three versions
+      // flow through one plan-time CASE chain; the hash proves both the
+      // version boundaries and the per-version column sets.
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+        t(s, dir, "customer"), "key", "c_custkey",
+        Seq("c_name", "c_nationkey", "c_mktsegment"))
+      CdcOperators.evolveSchema(enriched, "segment",
+          Seq(0L -> Seq("c_name"),
+            2L -> Seq("c_name", "c_nationkey"),
+            4L -> Seq("c_name", "c_nationkey", "c_mktsegment")),
+          tombstone = col("op") === Cdc.OpDelete || col("c_name").isNull)
+        .select(col("event_id"), col("schema_version"), col("value_json"))
+    }),
+
+    
+"cdc_partition_tombstone" -> ((s, dir) => {
+      // Partition-level deletes with Cassandra timestamp shadowing: an
+      // `error` event at event_id % 3 == 0 is a partition tombstone (the
+      // reference's PARTITION_KEY_ROW_DELETION — one event, clustering
+      // columns null, CommitLogReadHandlerImpl.java:127-151, 318-324);
+      // every clustered row of that key with writetime <= the deletion's
+      // timestamp is wiped, rows written after it survive. Other errors
+      // are ordinary clustered row deletes (ck = event_id % 5).
+      val e = ev(s, dir).withColumn("ck",
+        when(col("op") === Cdc.OpDelete && col("event_id") % 3 === 0,
+          lit(null).cast("long")).otherwise(col("event_id") % 5))
+      CdcOperators.applyPartitionTombstones(e, "key", "ck", "writetime",
+          tiebreak = Seq(col("event_id").desc))
+        .select(col("key"), col("ck"), col("event_id"), col("op"),
+          col("writetime"))
+    }),
+
+    
+"cdc_keyvalue_avro" -> ((s, dir) => {
+      // F12 default key-value-avro output format, oracle-checked end to end:
+      // the binary records are decoded back (AvroDecode = the reference's
+      // source-side decode, NativeAvroConverter.java:356-410) and the
+      // decoded fields hash-matched against the plain enrichment join —
+      // encode∘decode must be the identity, tombstones stay null.
+      import graft.functions.{AvroFunctions, AvroSchemas}
+      val keySchema = AvroSchemas.forStruct(
+        StructType(Seq(StructField("key", LongType, nullable = false))),
+        "events_key", "graft")
+      val valSchema = AvroSchemas.forStruct(
+        StructType(Seq(StructField("c_name", StringType, nullable = true))),
+        "events_value", "graft")
+      CdcOperators.enrichmentJoin(ev(s, dir), t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("event_id"),
+          AvroFunctions.to_avro_binary(struct(col("key")), keySchema.toString)
+            .as("key_avro"),
+          when(col("op") === Cdc.OpDelete, lit(null))
+            .otherwise(AvroFunctions.to_avro_binary(struct(col("c_name")),
+              valSchema.toString)).as("value_avro"))
+        .select(col("event_id"),
+          AvroFunctions.from_avro_binary(col("key_avro"), keySchema.toString)
+            .getField("key").as("key"),
+          AvroFunctions.from_avro_binary(col("value_avro"), valSchema.toString)
+            .getField("c_name").as("c_name"),
+          col("value_avro").isNull.as("is_tombstone"))
+    }),
+
+    
+"cdc_avro_roundtrip" -> ((s, dir) => {
+      // Complex-type Avro depth (VERDICT r1 #3): nested record (UDT analog),
+      // array, string-keyed map and decimal through encode → decode →
+      // hash-match (reference: AbstractNativeConverter.java:226-263 builds
+      // these schemas; the zudt/tuple e2e is PulsarCassandraSourceTests.java:
+      // 612-760). The oracle recomputes the projected fields straight from
+      // the table, so any wire-format asymmetry fails the row.
+      import graft.functions.{AvroFunctions, AvroSchemas}
+      val valueType = StructType(Seq(
+        StructField("c_name", StringType, nullable = false),
+        StructField("contact", StructType(Seq(
+          StructField("nation", IntegerType, nullable = false),
+          StructField("segment", StringType, nullable = true))), nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = false),
+          nullable = false),
+        StructField("props", MapType(StringType, StringType,
+          valueContainsNull = false), nullable = false),
+        StructField("bal", DecimalType(12, 2), nullable = false)))
+      val valSchema = AvroSchemas.forStruct(valueType, "customer_value", "graft")
+      val c = t(s, dir, "customer")
+      val value = struct(
+        col("c_name").as("c_name"),
+        struct(col("c_nationkey").as("nation"),
+          // nullable nested field with real nulls in the data
+          when(col("c_acctbal") < 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment")).as("contact"),
+        array(col("c_mktsegment"), col("c_name")).as("tags"),
+        map(lit("seg"), col("c_mktsegment")).as("props"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+      val dec = AvroFunctions.from_avro_binary(
+        AvroFunctions.to_avro_binary(value, valSchema.toString),
+        valSchema.toString)
+      c.select(col("c_custkey"), dec.as("v"))
+        .select(col("c_custkey"),
+          col("v.c_name").as("c_name"),
+          col("v.contact.nation").as("nation"),
+          col("v.contact.segment").as("segment"),
+          element_at(col("v.tags"), 2).as("tag2"),
+          element_at(col("v.props"), "seg").as("prop_seg"),
+          col("v.bal").cast("double").as("bal"))
+    }),
+
+    
+"cdc_token_partition" -> ((s, dir) => {
+      // F2/O5: Cassandra Murmur3 token + topic-partition routing. Oracle =
+      // a golden fixture of 64 precomputed (key, token, partition) triples
+      // from the spec'd Murmur3Partitioner algorithm (guava-cross-checked in
+      // Murmur3Spec) — a DataSpec-style hash-matched check of the codegen
+      // expression, plus the live routing over the event stream's keys
+      // joined against those golden keys.
+      val golden = s.range(64).select(col("id").as("key"))
+      golden.select(col("key"),
+        GraftFunctions.cassandra_token(col("key")).as("token"))
+        .withColumn("partition",
+          GraftFunctions.token_partition(col("token"), 32).cast("long"))
+    }),
+
+    
+"cdc_partition_classify" -> ((s, dir) => {
+      // P1+P2: CDC admission (cdc-disabled tables and counter/MV/2i
+      // partitions rejected with countable reasons — reference
+      // CommitLogReadHandlerImpl.java:111-152, 229-231) and PartitionType
+      // classification of the admitted stream. Table kind / cdc flag /
+      // clustering presence synthesized deterministically from the events.
+      val e = ev(s, dir)
+        .withColumn("table_kind",
+          when(col("key") % 50 === 0, "counter")
+            .when(col("key") % 50 === 1, "materialized_view")
+            .when(col("key") % 50 === 2, "secondary_index")
+            .otherwise("base"))
+        .withColumn("cdc_enabled", col("key") % 10 =!= 3)
+        .withColumn("clustering_key",
+          when(col("position") % 5 === 0, lit(null)).otherwise(col("position")))
+      val admitted = CdcOperators.admitCdc(e)
+      admitted
+        .withColumn("category",
+          when(col("admit_reason") =!= "admitted", col("admit_reason"))
+            .otherwise(CdcOperators.partitionType(col("op"),
+              col("clustering_key"))))
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+    }),
+
+    
+"cdc_prefix_lookup" -> ((s, dir) => {
+      // P8/J1 end to end on a real compound key (l_orderkey, l_linenumber):
+      // events carry either the full PK (row-level lookup), a tampered
+      // clustering value (miss ⇒ tombstone-shaped nulls) or a null
+      // clustering key (partition-level: no statics here, so value fields
+      // stay null) — the reference's non-null-prefix WHERE arity
+      // (CassandraSource.java:534, CassandraClient.java:166-178).
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val events = base.filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("int"))
+            .when(col("l_linenumber") % 4 === 0, col("l_linenumber") + 100)
+            .otherwise(col("l_linenumber")).cast("int").as("l_linenumber"))
+        .distinct()
+      CdcOperators.prefixLookupJoin(events, base,
+          partitionKey = "l_orderkey", clusteringKey = "l_linenumber",
+          staticCols = Nil, regularCols = Seq("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    
+"cdc_all_types" -> ((s, dir) => {
+      // The reference's richest e2e scenario re-expressed: every CQL value
+      // category — text/int/bigint/boolean/blob/uuid/date/timestamp/time/
+      // varint/decimal/list/set/map/UDT/tuple/duration — synthesized onto
+      // the customer table, pushed through kvProject and JSON output, and
+      // hash-matched against a DuckDB struct_pack mirror (reference:
+      // PulsarCassandraSourceTests.java:612-760 table3+zudt; golden values
+      // DataSpec.java:36-116; type map SURVEY.md §1.2). Representations
+      // follow the §1.2 mapping: date → epoch days, time → µs since
+      // midnight, timestamp → epoch ms, duration → {months,days,nanos}
+      // triple, tuple → index_i fields, varint/decimal → exact decimal
+      // (JSON-encoded as strings: JSON numbers are doubles and would drop
+      // trailing scale). Deletes tombstone to SQL NULL.
+      val h = md5(col("c_custkey").cast("string"))
+      val typed = t(s, dir, "customer")
+        .withColumn("op", when(col("c_custkey") % 10 === 0, Cdc.OpDelete)
+          .otherwise(Cdc.OpUpdate))
+        .withColumn("a_text", col("c_name"))
+        .withColumn("a_int", col("c_nationkey"))
+        .withColumn("a_long", col("c_custkey"))
+        .withColumn("a_bool", col("c_acctbal") > 0)
+        .withColumn("a_blob", base64(col("c_name").cast("binary")))
+        .withColumn("a_uuid", concat_ws("-", substring(h, 1, 8),
+          substring(h, 9, 4), substring(h, 13, 4), substring(h, 17, 4),
+          substring(h, 21, 12)))
+        .withColumn("a_date_days", (col("c_custkey") % 20000).cast("int"))
+        .withColumn("a_ts_ms", col("c_custkey") * 1000L + 42L)
+        .withColumn("a_time_us", (col("c_custkey") * 1000000L) % 86400000000L)
+        .withColumn("a_varint",
+          col("c_custkey").cast(DecimalType(38, 0)).cast("string"))
+        .withColumn("a_decimal",
+          col("c_acctbal").cast(DecimalType(12, 2)).cast("string"))
+        .withColumn("a_list", array(col("c_mktsegment"), col("c_name")))
+        .withColumn("a_set", array_sort(array(col("c_mktsegment"), col("c_name"))))
+        .withColumn("a_map",
+          map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name")))
+        .withColumn("a_udt", struct(col("c_name").as("name"),
+          struct(col("c_nationkey").as("nation"),
+            length(col("c_name")).as("name_len")).as("geo")))
+        .withColumn("a_tuple", struct(col("c_nationkey").as("index_0"),
+          col("c_mktsegment").as("index_1")))
+        .withColumn("a_duration", struct(col("c_nationkey").as("months"),
+          (col("c_custkey") % 30).cast("int").as("days"),
+          (col("c_custkey") * 1000000L).as("nanoseconds")))
+      val regular = Seq("a_text", "a_int", "a_long", "a_bool", "a_blob",
+        "a_uuid", "a_date_days", "a_ts_ms", "a_time_us", "a_varint",
+        "a_decimal", "a_list", "a_set", "a_map", "a_udt", "a_tuple",
+        "a_duration")
+      CdcOperators.kvProject(typed, Seq("c_custkey"), None, Nil, regular)
+        .select(col("kv_key.c_custkey").as("key"),
+          to_json(col("kv_value")).as("value_json"))
+    }),
+
+    
+"cdc_sessionize" -> ((s, dir) => {
+      // session windows over the event stream (30 min gap)
+      val sess = CdcOperators.sessionize(ev(s, dir), "key", "writetime", 30)
+      sess.groupBy(col("key"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    
+"cdc_pipeline_full" -> ((s, dir) => {
+      // the composite connector dataflow (§3.2): RF-2 duplicates → dedup →
+      // LWW compaction → enrichment join → tombstone projection
+      val deduped = CdcOperators.dedupExact(Cdc.replicate(ev(s, dir), rf = 2))
+      val latest = CdcOperators.compactLww(deduped, Seq("key"),
+        Seq(col("writetime").desc, col("event_id").desc))
+      CdcOperators.enrichmentJoin(latest, t(s, dir, "customer"),
+          "key", "c_custkey", Seq("c_name"))
+        .select(col("key"), col("event_id"), col("op"), col("c_name"),
+          col("writetime"))
+    }),
+
+    
+"cdc_pipeline_streamed" -> ((s, dir) =>
+      // the SAME dataflow executed as a REAL Structured Streaming query:
+      // commitlog-source directory discovery + (segment, position) offsets
+      // (§2 S1/S2) → flatMapGroupsWithState bounded-digest dedup across a
+      // forced multi-batch drain (T1/T2: RF-2 duplicates in-batch, tail
+      // redelivery ACROSS batch boundaries) → per-batch stream-static
+      // enrichment → idempotent per-epoch sink, read back. One row per
+      // original event — the reference's live-consumer e2e
+      // (PulsarCassandraSourceTests.java:261-343) as an oracle-checked row
+      graft.streaming.PipelineE2E.streamedEnrichedEvents(s, dir)),
+
+    
+"cdc_pipeline_crashed" -> ((s, dir) =>
+      // T7 crash recovery promoted to the oracle gate: the SAME fixture
+      // and dataflow as cdc_pipeline_streamed, but the pipeline drains in
+      // a CHILD JVM that the parent SIGKILLs mid-drain (real process
+      // death, torn batch and all); a second child restarts on the same
+      // checkpoint and converges. Hash-matching the same un-compacted
+      // LEFT-JOIN oracle certifies exactly-once across the crash: offset
+      // replay without loss, per-epoch overwrite without duplication,
+      // dedup state restored without amnesia. Reference analog:
+      // testPulsarReconnection + CommitLogReaderService.java:266-323.
+      graft.streaming.PipelineE2E.crashedEnrichedEvents(s, dir)),
+
+    
+"cdc_dedup_metrics" -> ((s, dir) => {
+      // A2 observability: received/emitted/cache-hit-ratio on the RF-2
+      // fixture — must reproduce the reference's 0.5 hit ratio
+      // (docs/modules/ROOT/pages/monitor.adoc:133-138). One aggregation
+      // pass over one scan: emitted = distinct (key, digest) groups, the
+      // same cardinality dedupExact emits — no second pipeline run.
+      Cdc.replicate(ev(s, dir), rf = 2)
+        .agg(count(lit(1)).as("n_received"),
+          count_distinct(col("key"), col("md5Digest")).as("n_emitted"))
+        .withColumn("cache_hit_ratio",
+          (col("n_received") - col("n_emitted")).cast("double") /
+            col("n_received").cast("double"))
+    }),
+
+    
+"cdc_converter_string" -> ((s, dir) => {
+      // C1 converter registry, StringConverter plugin: key = first PK
+      // column rendered as string (StringConverter.java:56-58), value =
+      // comma-joined replicated columns, delete => null tombstone
+      val enriched = CdcOperators.enrichmentJoin(ev(s, dir),
+        t(s, dir, "customer"), "key", "c_custkey",
+        Seq("c_name", "c_nationkey"))
+      operators.Converters.forName("string")(
+          enriched, Seq("key"), Seq("c_name", "c_nationkey"), "op")
+        .select(col("event_id"), col("kv_key"), col("kv_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"cdc_dedup_exact" ->
+      s"""SELECT event_id, user_id AS "key", $opSql AS op, epoch_us(ts) AS writetime FROM events""",
+
+    
+"cdc_enrich_join" ->
+      s"""SELECT e.event_id, e.user_id AS "key", $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_acctbal END AS c_acctbal,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_keyvalue_avro" ->
+      s"""SELECT e.event_id, e.user_id AS "key",
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         (e.event_type='error') AS is_tombstone
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_avro_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey AS nation,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS segment,
+         c_name AS tag2, c_mktsegment AS prop_seg,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+         FROM customer""",
+
+    
+"cdc_partition_classify" ->
+      s"""SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         SELECT CASE
+           WHEN user_id % 10 = 3 THEN 'skipped_cdc_disabled'
+           WHEN user_id % 50 = 0 THEN 'skipped_counter'
+           WHEN user_id % 50 = 1 THEN 'skipped_materialized_view'
+           WHEN user_id % 50 = 2 THEN 'skipped_secondary_index'
+           WHEN ($opSql) = 'd' AND (event_id % 1000) % 5 = 0
+             THEN 'partition_key_row_deletion'
+           WHEN ($opSql) = 'd' THEN 'partition_and_clustering_key_row_deletion'
+           WHEN (event_id % 1000) % 5 = 0 THEN 'partition_level_modification'
+           ELSE 'row_level_modification' END AS category
+         FROM events) GROUP BY category""",
+
+    
+"cdc_prefix_lookup" ->
+      """WITH events AS (
+           SELECT DISTINCT l_orderkey,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  WHEN l_linenumber % 4 = 0 THEN l_linenumber + 100
+                  ELSE l_linenumber END AS ck
+           FROM lineitem WHERE l_orderkey % 7 = 0)
+         SELECT e.l_orderkey, e.ck AS l_linenumber, b.l_quantity
+         FROM events e LEFT JOIN lineitem b
+           ON e.l_orderkey = b.l_orderkey AND e.ck = b.l_linenumber""",
+
+    
+"cdc_all_types" ->
+      """SELECT c_custkey AS "key",
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE to_json(struct_pack(
+           a_text := c_name,
+           a_int := c_nationkey,
+           a_long := c_custkey,
+           a_bool := c_acctbal > 0,
+           a_blob := base64(encode(c_name)),
+           a_uuid := concat_ws('-', substr(h,1,8), substr(h,9,4),
+                               substr(h,13,4), substr(h,17,4), substr(h,21,12)),
+           a_date_days := CAST(c_custkey % 20000 AS INTEGER),
+           a_ts_ms := c_custkey * 1000 + 42,
+           a_time_us := (c_custkey * 1000000) % 86400000000,
+           a_varint := CAST(CAST(c_custkey AS DECIMAL(38,0)) AS VARCHAR),
+           a_decimal := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+           a_list := list_value(c_mktsegment, c_name),
+           a_set := list_sort(list_value(c_mktsegment, c_name)),
+           a_map := struct_pack(seg := c_mktsegment, name := c_name),
+           a_udt := struct_pack(name := c_name,
+             geo := struct_pack(nation := c_nationkey,
+                                name_len := length(c_name))),
+           a_tuple := struct_pack(index_0 := c_nationkey,
+                                  index_1 := c_mktsegment),
+           a_duration := struct_pack(months := c_nationkey,
+             days := CAST(c_custkey % 30 AS INTEGER),
+             nanoseconds := c_custkey * 1000000)
+         )) END AS value_json
+         FROM (SELECT *, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer)""",
+
+    
+"cdc_compaction_lww" ->
+      s"""SELECT "key", event_id, op, writetime FROM (
+         SELECT user_id AS "key", event_id, $opSql AS op, epoch_us(ts) AS writetime,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+
+    
+"cdc_backfill_union" ->
+      """SELECT "key",
+         COUNT(CASE WHEN src='live' THEN 1 END) AS n_live,
+         COUNT(CASE WHEN src='backfill' THEN 1 END) AS n_backfill
+         FROM (SELECT user_id AS "key", 'live' AS src FROM events
+               UNION ALL SELECT c_custkey, 'backfill' FROM customer)
+         GROUP BY "key"""",
+
+    
+"cdc_tombstone_json" ->
+      """SELECT e.event_id,
+         to_json(struct_pack("key" := e.user_id)) AS key_json,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              ELSE to_json(struct_pack(c_name := c.c_name)) END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_materialized_state" ->
+      s"""SELECT c.* FROM customer c
+         LEFT JOIN (SELECT user_id, $opSql AS op,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events) e
+           ON c.c_custkey = e.user_id AND e.rn = 1
+         WHERE e.op IS NULL OR e.op <> 'd'""",
+
+    
+"cdc_ordered_replay" ->
+      s"""SELECT user_id AS "key", event_id, event_id // 1000 AS segment,
+         CAST(event_id % 1000 AS INT) AS position,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY event_id // 1000 ASC, event_id % 1000 ASC, event_id ASC)
+           AS replay_idx
+         FROM events""",
+
+    
+"cdc_json_only" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN '{}'
+              ELSE to_json(struct_pack("key" := e.user_id, c_name := c.c_name))
+         END AS payload_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_column_regex" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              ELSE to_json(struct_pack(c_name := c.c_name,
+                                       c_nationkey := c.c_nationkey))
+         END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_schema_evolution" ->
+      """SELECT e.event_id,
+         CASE WHEN e.event_id // 1000 >= 4 THEN 3
+              WHEN e.event_id // 1000 >= 2 THEN 2
+              ELSE 1 END AS schema_version,
+         CASE WHEN e.event_type='error' OR c.c_name IS NULL THEN NULL
+              WHEN e.event_id // 1000 >= 4 THEN
+                to_json(struct_pack(c_name := c.c_name,
+                                    c_nationkey := c.c_nationkey,
+                                    c_mktsegment := c.c_mktsegment))
+              WHEN e.event_id // 1000 >= 2 THEN
+                to_json(struct_pack(c_name := c.c_name,
+                                    c_nationkey := c.c_nationkey))
+              ELSE to_json(struct_pack(c_name := c.c_name))
+         END AS value_json
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_partition_tombstone" ->
+      s"""WITH e AS (SELECT event_id, user_id AS "key", $opSql AS op,
+           epoch_us(ts) AS writetime,
+           CASE WHEN ($opSql) = 'd' AND event_id % 3 = 0 THEN NULL
+                ELSE event_id % 5 END AS ck
+           FROM events),
+         pd AS (SELECT "key", max(writetime) AS del_ts FROM e
+           WHERE op = 'd' AND ck IS NULL GROUP BY "key"),
+         w AS (SELECT *, row_number() OVER (PARTITION BY "key", ck
+             ORDER BY writetime DESC, event_id DESC) AS rn
+           FROM e WHERE ck IS NOT NULL)
+         SELECT w."key", w.ck, w.event_id, w.op, w.writetime
+         FROM w LEFT JOIN pd ON w."key" = pd."key"
+         WHERE w.rn = 1 AND w.op <> 'd'
+           AND (pd.del_ts IS NULL OR w.writetime > pd.del_ts)""",
+
+    
+"cdc_sessionize" ->
+      """SELECT user_id AS "key", CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM (SELECT user_id,
+           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+           FROM events) GROUP BY user_id""",
+
+    
+"cdc_converter_string" ->
+      """SELECT e.event_id,
+         CAST(e.user_id AS VARCHAR) AS kv_key,
+         CASE WHEN e.event_type = 'error' THEN NULL
+              ELSE concat_ws(',', c.c_name, CAST(c.c_nationkey AS VARCHAR))
+         END AS kv_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_pipeline_full" ->
+      s"""SELECT e."key", e.event_id, e.op,
+         CASE WHEN e.op = 'd' THEN NULL ELSE c.c_name END AS c_name,
+         e.writetime
+         FROM (SELECT user_id AS "key", event_id, $opSql AS op,
+                 epoch_us(ts) AS writetime,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) e
+         LEFT JOIN customer c ON e."key" = c.c_custkey
+         WHERE e.rn = 1""",
+
+    // one record per original event: dedup must collapse BOTH the in-batch
+    // RF-2 replicas and the cross-batch tail redeliveries for the row set
+    // to match — the streaming state machinery is what the hash observes
+    
+"cdc_pipeline_streamed" ->
+      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // identical oracle to cdc_pipeline_streamed BY DESIGN: a crash plus
+    // restart must converge to exactly the no-crash row set — any loss
+    // (torn offsets), duplication (appending replay), or dedup-state
+    // amnesia (re-emitted tail redeliveries) breaks the hash
+    
+"cdc_pipeline_crashed" ->
+      s"""SELECT e.user_id AS "key", e.event_id, $opSql AS op,
+         CASE WHEN e.event_type='error' THEN NULL ELSE c.c_name END AS c_name,
+         epoch_us(e.ts) AS writetime
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    
+"cdc_dedup_metrics" ->
+      """SELECT 2 * COUNT(*) AS n_received, COUNT(*) AS n_emitted,
+         CAST(COUNT(*) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE) AS cache_hit_ratio
+         FROM events""",
+
+    // Golden Murmur3Partitioner fixture: 64 (key, token, partition) triples
+    // precomputed once from the spec'd algorithm (Cassandra's public
+    // Murmur3Partitioner 128->64 + sign-extension quirk; cross-checked
+    // against guava in Murmur3Spec). A hash-matched row certifies the
+    // codegen CassandraToken expression and the top-16-bit topic routing
+    // (reference: commons/.../Murmur3MessageRouter.java:25-28).
+    
+"cdc_token_partition" ->
+      """SELECT * FROM (VALUES
+         (0, 2945182322382062539, 31), (1, 6292367497774912474, 18), (2, -8218881827949364593, 16), (3, -8048510690352527683, 13),
+         (4, 1830508272351686621, 7), (5, 4464361019114304900, 20), (6, 6268297055439790106, 29), (7, -5038316157564330072, 20),
+         (8, 3989579132296173906, 29), (9, -2638303903097405552, 2), (10, 1944024169073138009, 26), (11, 3109524872961303651, 7),
+         (12, -6030257681769843457, 16), (13, -5222276830576067764, 6), (14, 3421398847698307239, 27), (15, -3520484983264228142, 4),
+         (16, -6388174459908673966, 24), (17, 8660407606519473992, 15), (18, 7599759837043657056, 23), (19, -8829757208421597067, 22),
+         (20, -5897291465803793390, 8), (21, -1437078885067644793, 14), (22, 4667030143625733106, 4), (23, -3407974847549528480, 20),
+         (24, -8068609813247561705, 6), (25, -6214592183836900022, 1), (26, -4220668531559923267, 13), (27, -2583106353292056595, 6),
+         (28, 2768499861369785362, 11), (29, 8955762215991206587, 9), (30, -7785815430900891754, 19), (31, 7752840103311367383, 23),
+         (32, 2661885290202953826, 16), (33, 4891967783720036163, 3), (34, -2040201830123832056, 15), (35, -7890287335731027526, 0),
+         (36, -6320612958227057081, 8), (37, 6230831440793267488, 24), (38, -2748086631205274444, 28), (39, -6303988014187995581, 3),
+         (40, 6867041192599393764, 12), (41, -2618813162835158915, 8), (42, 8623491988607824794, 12), (43, -1034539559963370441, 4),
+         (44, -4106460776755245665, 2), (45, 604688048525971933, 4), (46, 6246927812322658375, 17), (47, -4432906688231187483, 27),
+         (48, 4246140516575153262, 13), (49, -5720568778399479917, 28), (50, -197064988801513361, 3), (51, -2370242742092803645, 27),
+         (52, -2721933645219530314, 25), (53, -2153701199812187923, 28), (54, -7859868938849985053, 12), (55, 2320413702407337651, 19),
+         (56, -2866544664007038081, 23), (57, 5118052643735022726, 6), (58, -8276360695156522368, 4), (59, -6090696132046670207, 25),
+         (60, -1355866252513006620, 14), (61, 2602666326510871861, 30), (62, -693815740509840607, 31), (63, -4539656592669191578, 31)
+         ) AS t("key", token, "partition")"""
+  )
+}

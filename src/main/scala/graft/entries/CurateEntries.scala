@@ -1,0 +1,610 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** curation family rows — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object CurateEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"curate_url_canonical" -> ((s, dir) =>
+      // URL-keyed dedup on a fixture covering every canonicalization rule:
+      // scheme/host case-fold + default-port strip (%6==0,1), pairwise
+      // trailing-slash/path collisions (%6==2), subdomain + tracking-param
+      // strip (%6==3), mixed tracking/real params needing the sort
+      // (%6==4), and a mass root-URL collision with fragment (%6==5)
+      Curation.urlDedup(urlFixtureDocs(s, dir), "url")
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("is_canonical"))),
+
+    
+"curate_url_dedup_streamed" -> ((s, dir) =>
+      // the crawl-frontier increment on REAL streaming machinery: the
+      // same URL fixture arrives as parquet drops (one file per trigger —
+      // multi-batch), folds through StreamingUrlDedup.processBatch inside
+      // foreachBatch (VersionedState crash-safe units: docs + a
+      // pre-merged min-survivor seen-URL ledger), and the certified
+      // resolve() view must equal the batch operator — including
+      // cross-batch survivor election over the mass root-URL collision
+      // that spans every batch. Same oracle as curate_url_canonical:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedUrlDedup(urlFixtureDocs(s, dir))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("is_canonical"))),
+
+    
+"curate_robots_admit" -> ((s, dir) => {
+      // the crawl-politeness gate (RFC 9309) between URL frontier and
+      // fetch: robots.txt bodies parse into per-agent rule groups
+      // (windowed group walk — multi-agent sets, orphan + empty rules
+      // dropped), then each canonical URL is decided by its host's
+      // governing group for agent 'graftbot' — exact-over-*, pattern
+      // translation (* wildcard, trailing $ anchor, metachars literal),
+      // longest-match with allow winning ties. The fixture's digit
+      // arithmetic makes every branch id-dependent; DuckDB replays the
+      // parse AND the decision from the same robots bytes.
+      val urls = urlFixtureDocs(s, dir)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("url")))
+        .select(col("doc_id"), col("canonical_url"))
+      Curation.robotsAdmit(urls,
+          Curation.robotsParse(robotsDocs(s)), "graftbot")
+        .select(col("doc_id"), col("canonical_url"), col("host"),
+          col("rule_len"), col("admitted"))
+    }),
+
+    
+"curate_sitemap_parse" -> ((s, dir) => {
+      // the crawl-DISCOVERY side of the frontier: urlset entries (full /
+      // minimal / loc-less-dropped), sitemapindex children, and
+      // robots.txt `Sitemap:` directives, all folded through the SAME
+      // canonicalizer the URL dedup uses — entity-escaped query params
+      // decode (&amp; is how they legally appear in XML), default ports
+      // and utm trackers fall away, params sort. DuckDB re-parses the
+      // same XML and robots bytes and re-canonicalizes every loc.
+      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
+      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
+          domainCol = "doc_id")
+        .select(col("domain").as("doc_id"), lit("robots").as("kind"),
+          col("loc"), lit(null).cast("string").as("lastmod"),
+          lit(null).cast("string").as("changefreq"),
+          lit(null).cast("double").as("priority"))
+      sm.unionByName(rb)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
+    }),
+
+    
+"curate_fetch_schedule" -> ((s, dir) => {
+      // frontier → fetch plan: every discovered URL (all three sitemap
+      // paths) deduplicated on (host, canonical URL) — the same
+      // frontier fold pipeline_crawl_frontier runs, and what makes
+      // fetchSchedule's unique-key precondition hold: the shared robots
+      // `Sitemap:` URL arrives once per emitting doc and must schedule
+      // ONCE (min doc_id, max priority) — then ranked within its host by
+      // sitemap priority (nulls last, canonical URL tie-break), capped
+      // at the per-site budget, and dealt into politeness waves of 2.
+      // The engine runs the two-phase sharded cap (no sort sees a hot
+      // host's full URL set); the oracle replays a SINGLE-phase global
+      // rank — the hash match is the losslessness proof.
+      val sm = Curation.sitemapParse(sitemapDocs(s, dir))
+      val rb = Curation.robotsSitemaps(sitemapRobotsDocs(s, dir),
+          domainCol = "doc_id")
+        .select(col("domain").as("doc_id"), col("loc"),
+          lit(null).cast("double").as("priority"))
+      val frontier = sm.select(col("doc_id"), col("loc"), col("priority"))
+        .unionByName(rb)
+        .withColumn("canonical_url", Curation.canonicalUrl(col("loc")))
+        .withColumn("host", lower(regexp_extract(col("canonical_url"),
+          "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)", 2)))
+        .groupBy(col("host"), col("canonical_url"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("priority")).as("priority"))
+        .select(col("doc_id"), col("host"), col("canonical_url"),
+          col("priority"))
+      Curation.fetchSchedule(frontier, perWave = 2, maxPerHost = 300)
+    }),
+
+    
+"curate_domain_stats" -> ((s, dir) => {
+      // per-SITE crawl rollup on the registered (pay-level) domain: two
+      // co.uk subdomains fold into one site, a 3-label .com host folds
+      // with www, source-derived .com.au hosts share one registered
+      // domain — the grouping key domain caps and robots policy key on
+      val d = t(s, dir, "documents")
+      val host = when(col("doc_id") % 6 === 0, lit("news.example.co.uk"))
+        .when(col("doc_id") % 6 === 1, lit("blog.example.co.uk"))
+        .when(col("doc_id") % 6 === 2, lit("cdn.assets.example.com"))
+        .when(col("doc_id") % 6 === 3, lit("example.org"))
+        .when(col("doc_id") % 6 === 4,
+          concat(col("source"), lit(".shop.com.au")))
+        .otherwise(lit("www.example.com"))
+      d.select(col("n_chars"), host.as("host"))
+        .withColumn("registered_domain",
+          Curation.registeredDomain(col("host")))
+        .groupBy(col("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    
+"curate_dsir_sample" -> ((s, dir) => {
+      // DSIR importance resampling steered toward the German slice: rank
+      // every corpus doc by target-LM/corpus-LM likelihood ratio (both
+      // bigram LMs on the verified lm_score integer grid; the ratio is one
+      // IEEE division of exact longs), keep the global top 150. The 'de'
+      // marker vocabulary drives the ratio, so the selection pulls in the
+      // de-like documents without a trained classifier.
+      val docs = t(s, dir, "documents")
+      Curation.dsirSample(docs, docs.filter(col("lang") === "de"), k = 150)
+        .select(col("doc_id"), col("sum_t9"), col("sum_c9"), col("w"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    
+"curate_quality_sample" -> ((s, dir) => {
+      // perplexity-style quality cut: keep the top 25% of each language's
+      // documents by corpus-trained LM score (ties by doc_id) — the CCNet
+      // "head" bucket. Rank-based cut, so the decision is integer-exact;
+      // the score chain is the already-verified text_lm_score arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_p").desc, col("doc_id").asc)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") <= greatest(lit(1L), expr("(cnt * 25) DIV 100")))
+        .select(col("doc_id"), col("lang"), col("avg_p"))
+    }),
+
+    
+"curate_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sampling (training-mix weights): per-row
+      // keep decision = md5(seed|id) < per-stratum threshold — identical on
+      // any engine/run/partitioning, so the oracle replays it bit-exactly
+      val d = t(s, dir, "documents")
+        .withColumn("stratum",
+          when(length(col("text")) < 200, "short")
+            .when(length(col("text")) < 400, "medium")
+            .otherwise("long"))
+      Curation.stratifiedSample(d, "doc_id", "stratum",
+          rates = Map("short" -> 0.25, "medium" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("stratum"))
+    }),
+
+    
+"curate_contamination" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing any 3-gram with the
+      // benchmark slice (doc_id % 23 = 0), with hit counts — a broadcast
+      // shingle semi-join, corpus-linear
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      Curation.contaminationReport(docs.filter(col("doc_id") % 23 =!= 0),
+          bench, n = 3)
+        .select(col("doc_id"), col("n_hits"))
+    }),
+
+    
+"curate_domain_cap" -> ((s, dir) =>
+      // per-domain quota (RefinedWeb-style): cap each source at 15 docs,
+      // kept subset = lowest md5(seed|id) ranks — deterministic, uniform
+      Curation.domainCap(t(s, dir, "documents"), "source", "doc_id",
+          maxPerStratum = 15)
+        .select(col("doc_id"), col("source"))),
+
+    
+"curate_retrieval_contamination" -> ((s, dir) => {
+      // retrieval-based decontamination: benchmark slice (doc_id % 23 = 0)
+      // probes with words 2-7, searched against the train slice; train
+      // docs any probe can recall above the score floor are flagged with
+      // their hit count and best-matching probe. Catches paraphrase-level
+      // leaks the exact 3-gram overlap (curate_contamination) misses.
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 6)).as("qtext"))
+      Retrieval.retrievalContamination(
+        docs.filter(col("doc_id") % 23 =!= 0), probes,
+        minScore9 = 2500000000L, maxDfRatio = 0.9)
+    }),
+
+    
+"curate_semantic_contamination" -> ((s, dir) => {
+      // embedding-space decontamination: eval-slice vectors (vec_id % 23
+      // = 0) probe the train slice through margin-adaptive IVF cells;
+      // train vectors above the similarity floor are flagged with hit
+      // count + best probe. Catches semantic leaks both the exact n-gram
+      // and BM25 retrieval checks miss; the oracle replays centroids,
+      // margin probes, cell-local cosines and the rollup exactly.
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 23 =!= 0),
+        emb.filter(col("vec_id") % 23 === 0),
+        ivfCentroids(s, dir), threshold = 0.3, nprobeMax = 8,
+        marginGrid = 65000000000000L)
+    }),
+
+    
+"curate_classifier_score" -> ((s, dir) =>
+      // fastText-style quality classifier: logistic model on (word count,
+      // its square, TTR) trained by 12 full-batch GD rounds against the
+      // quality_filter weak label, then scored over the corpus. Weights
+      // ride a 1e9 integer grid with integer gradient sums, so ALL 12
+      // training iterations replay bit-for-bit in the oracle.
+      QualityClassifier.trainAndScore(t(s, dir, "documents"),
+        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
+    
+"curate_classifier_weights" -> ((s, dir) =>
+      // the trained model itself as data: 4 rows (k, w). The oracle
+      // reproduces these exact integers by replaying the training chain.
+      QualityClassifier.trainedWeights(t(s, dir, "documents"),
+        minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)),
+
+    
+"curate_snapshot_diff" -> ((s, dir) => {
+      // re-crawl audit: snapshot B is derived from the corpus
+      // deterministically (every-7th doc dropped, every-5th doc's text
+      // re-prefixed, every-11th re-keyed as new) and diffed against A by
+      // content fingerprint — one full-outer id join; rolled up by status
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Curation.snapshotDiff(a, b, "doc_id")
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+    }),
+
+    
+"curate_classifier_calibration" -> ((s, dir) =>
+      // reliability-diagram data for the trained classifier: score-decile
+      // buckets × weak-label positive rate on the exact 1e9 grid — the
+      // calibration check a score-thresholding pipeline reads before
+      // trusting the cut. One rollup over the scored frame.
+      QualityClassifier.trainAndScore(t(s, dir, "documents"),
+          minWords = 25, maxWords = 75, minTtr = 0.30, lr = 4.0, iters = 12)
+        .groupBy(expr("score9 DIV 100000000").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000000) DIV n").as("pos_rate9"))),
+
+    
+"curate_split_holdout" -> ((s, dir) =>
+      // frozen train/val/test assignment: a pure function of (seed, id)
+      // on the 48-bit md5 ladder — stable across runs/engines/re-ingests,
+      // NO shuffle at all. 80/10/10 target; stratification is md5-uniform
+      // within every lang.
+      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
+          trainRate = 0.8, valRate = 0.1)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    
+"curate_split_proportions" -> ((s, dir) =>
+      // the stratification audit over the same frozen split: per-(lang,
+      // split) counts — one map-side-combinable rollup
+      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id",
+          trainRate = 0.8, valRate = 0.1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"curate_stratified_sample" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN length(text) < 200 THEN 'short'
+                WHEN length(text) < 400 THEN 'medium'
+                ELSE 'long' END AS stratum
+         FROM documents)
+         SELECT doc_id, stratum FROM d
+         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) <
+           CASE stratum WHEN 'short' THEN '400000000000'
+                        WHEN 'medium' THEN '800000000000'
+                        ELSE 'g' END""",
+
+    
+"curate_contamination" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+                FROM ws, unnest(range(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0)
+         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM sh s JOIN bench b ON s.sh = b.sh
+         WHERE s.doc_id % 23 <> 0
+         GROUP BY s.doc_id""",
+
+    
+"curate_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY md5(concat('graft', '|', CAST(doc_id AS VARCHAR))) ASC,
+               doc_id ASC) AS rk
+           FROM documents) WHERE rk <= 15""",
+
+    // centroid chain + margin probe rule + cell-local cosines + rollup
+    
+"curate_semantic_contamination" ->
+      ("WITH " + ivfCentroidChainSql(50, 5) + """,
+       paff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 23 = 0),
+       pbest AS (SELECT vec_id, MAX(aff) AS best FROM paff GROUP BY 1),
+       pasg AS (SELECT vec_id AS probe_id, cell_id FROM (
+           SELECT a.vec_id, a.cell_id, row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
+           FROM paff a JOIN pbest b USING (vec_id)
+           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
+       sc AS (SELECT c.vec_id, p.probe_id,
+           list_cosine_similarity(CAST(pe.embedding AS DOUBLE[]),
+             CAST(ce.embedding AS DOUBLE[])) AS sim
+         FROM pasg p JOIN casg c USING (cell_id)
+         JOIN embeddings pe ON pe.vec_id = p.probe_id
+         JOIN embeddings ce ON ce.vec_id = c.vec_id
+         WHERE c.vec_id % 23 <> 0),
+       hits AS (SELECT vec_id, probe_id, sim FROM sc WHERE sim > 0.3),
+       best AS (SELECT vec_id, probe_id, sim,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, probe_id) AS r
+         FROM hits)
+       SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         round(MAX(sim), 6) AS best_sim,
+         MAX(CASE WHEN r = 1 THEN probe_id END) AS best_probe
+       FROM best GROUP BY vec_id"""),
+
+    
+"curate_retrieval_contamination" ->
+      (bm25Sql("doc_id % 23 = 0", 2, 7, "doc_id % 23 <> 0") + """,
+       hits AS (SELECT * FROM rk
+                WHERE rank <= 10 AND score9 >= 2500000000),
+       best AS (SELECT doc_id, query_id, score9,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score9 DESC, query_id) AS r
+                FROM hits)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MAX(score9) AS best_score9,
+         MAX(CASE WHEN r = 1 THEN query_id END) AS best_query
+       FROM best GROUP BY doc_id"""),
+
+    
+"curate_classifier_score" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) +
+        classifierScoreSql(12)),
+
+    
+"curate_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+         b0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 11 = 0),
+         b AS (SELECT doc_id, md5(text) AS new_fp FROM b0),
+         d AS (SELECT
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN old_fp = new_fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY 1""",
+
+    
+"curate_classifier_calibration" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) + ", sc AS (" +
+        classifierScoreSql(12) + """)
+       SELECT score9 // 100000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         (CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 1000000000)
+           // CAST(COUNT(*) AS BIGINT) AS pos_rate9
+       FROM sc GROUP BY 1"""),
+
+    
+"curate_classifier_weights" ->
+      (classifierChainSql(25, 75, "0.3", "4.0", 12) + """
+       SELECT CAST(0 AS BIGINT) AS k, w0 AS w FROM wt12
+       UNION ALL SELECT CAST(1 AS BIGINT), w1 FROM wt12
+       UNION ALL SELECT CAST(2 AS BIGINT), w2 FROM wt12
+       UNION ALL SELECT CAST(3 AS BIGINT), w3 FROM wt12"""),
+
+    // the same 48-bit md5 thresholds the engine computes (the Scala call
+    // IS the oracle's constant, so the two cannot diverge)
+    
+"curate_split_holdout" ->
+      s"""SELECT doc_id, lang,
+           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
+                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    
+"curate_split_proportions" ->
+      s"""WITH s AS (SELECT lang,
+           CASE WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8)}' THEN 'train'
+                WHEN md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+                  < '${operators.Curation.sampleThreshold(0.8 + 0.1)}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+         SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM s GROUP BY 1, 2""",
+
+    // quality cut on the replayed LM score: top 25% per language, ties by
+    // doc_id, integer-exact keep count
+    
+"curate_quality_sample" ->
+      s"""WITH $lmScoreCtes,
+         sc AS ($lmScoreSelect),
+         j AS (SELECT sc.doc_id, d.lang, sc.avg_p
+           FROM sc JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, lang, avg_p,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY avg_p DESC, doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+           FROM j)
+         SELECT doc_id, lang, avg_p FROM r
+         WHERE rn <= greatest(1, (cnt * 25) // 100)""",
+
+    
+"curate_url_canonical" -> urlDedupSql,
+
+    // identical oracle on purpose: the streamed run must converge to the
+    // batch answer — streaming ≡ batch ≡ DuckDB
+    
+"curate_url_dedup_streamed" -> urlDedupSql,
+
+    // RFC 9309 robots admission: DuckDB re-parses the SAME robots.txt
+    // bytes (windowed group walk) and re-derives every decision —
+    // exact-over-*, pattern→regex translation, longest-match with
+    // allow winning ties via the 2·len+isAllow score
+    
+"curate_robots_admit" ->
+      (s"""WITH $urlCanonicalCtes,
+       $robotsFixtureSql,
+       $robotsRulesCtes,""" + """
+       up AS (SELECT doc_id, canonical_url,
+           lower(regexp_extract(canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host,
+           CASE WHEN regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) = ''
+             THEN '/' ELSE regexp_extract(canonical_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) END
+             || regexp_extract(canonical_url, '^[^#?]*(\?[^#]*)', 1)
+             AS path
+         FROM c),
+       jm AS (SELECT u.doc_id, MAX(r.score) AS s
+         FROM up u JOIN rx r
+           ON u.host = r.domain AND regexp_matches(u.path, r.rex)
+         GROUP BY 1)
+       SELECT u.doc_id, u.canonical_url, u.host,
+         COALESCE(CAST(j.s // 2 AS BIGINT), -1) AS rule_len,
+         COALESCE(j.s % 2 = 1, TRUE) AS admitted
+       FROM up u LEFT JOIN jm j USING (doc_id)"""),
+
+    // sitemap discovery: DuckDB re-parses the same urlset/sitemapindex
+    // XML (entity decode &amp;-last, loc-less entries dropped) and the
+    // same robots Sitemap: directives, then re-canonicalizes every loc
+    // through the shared canonicalization chain
+    
+"curate_sitemap_parse" ->
+      (s"""WITH $sitemapParseCtes,
+       u AS (SELECT doc_id, loc AS url FROM allrows),
+       $canonicalChainCtes
+       SELECT a.doc_id, a.kind, a.loc, a.lastmod, a.changefreq,
+         a.priority, c.canonical_url
+       FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url"""),
+
+    // per-host politeness scheduling over the full discovery output (all
+    // three sitemap paths): the oracle replays a SINGLE-phase global
+    // rank per host — a hash match proves the engine's two-phase sharded
+    // cap (no sort ever sees a hot host's full URL set) is lossless
+    
+"curate_fetch_schedule" ->
+      (s"""WITH $sitemapParseCtes,
+       u AS (SELECT doc_id, loc AS url FROM allrows),
+       $canonicalChainCtes,
+       f0 AS (SELECT a.doc_id, c.canonical_url, a.priority,
+           lower(regexp_extract(c.canonical_url,
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)) AS host
+         FROM allrows a JOIN c ON a.doc_id = c.doc_id AND a.loc = c.url),
+       f AS (SELECT host, canonical_url, MIN(doc_id) AS doc_id,
+           MAX(priority) AS priority
+         FROM f0 GROUP BY 1, 2),
+       w AS (SELECT doc_id, host, canonical_url, priority,
+           row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC NULLS LAST, canonical_url) AS rk
+         FROM f)
+       SELECT doc_id, host, canonical_url, priority,
+         CAST(rk AS BIGINT) AS rank_in_host,
+         CAST((rk - 1) // 2 AS BIGINT) AS wave,
+         CAST((rk - 1) % 2 AS BIGINT) AS slot
+       FROM w WHERE rk <= 300"""),
+
+    
+"curate_domain_stats" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+           CASE doc_id % 6
+             WHEN 0 THEN 'news.example.co.uk'
+             WHEN 1 THEN 'blog.example.co.uk'
+             WHEN 2 THEN 'cdn.assets.example.com'
+             WHEN 3 THEN 'example.org'
+             WHEN 4 THEN source || '.shop.com.au'
+             ELSE 'www.example.com' END AS host
+           FROM documents),
+         r AS (SELECT n_chars, host,
+           CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                WHEN list_contains(['co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+                    'com.au', 'net.au', 'org.au', 'co.jp', 'co.kr', 'co.in',
+                    'co.nz', 'com.br', 'com.cn', 'com.mx', 'com.sg'],
+                  string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1])
+                THEN string_split(host, '.')[-3] || '.' ||
+                  string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1]
+                ELSE string_split(host, '.')[-2] || '.' ||
+                  string_split(host, '.')[-1] END AS registered_domain
+           FROM h)
+         SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM r GROUP BY 1""",
+
+    // DSIR: the corpus-LM chain is lmScoreCtes verbatim; the target LM
+    // repeats it over the 'de' slice; both wp9 sums replay on the integer
+    // grid and the importance ratio is one IEEE division of exact longs
+    
+"curate_dsir_sample" ->
+      s"""WITH $lmScoreCtes,
+         tws AS (SELECT string_split(text, ' ') AS w FROM documents
+           WHERE lang = 'de'),
+         tdb0 AS (SELECT unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1),
+               i -> array_to_string(w[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM tws),
+         tbc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12t
+           FROM tdb0 GROUP BY 1),
+         ttok AS (SELECT unnest(w) AS token FROM tws),
+         tuc AS (SELECT token AS ttoken, CAST(COUNT(*) AS BIGINT) AS c1t
+           FROM ttok GROUP BY 1),
+         tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nvt FROM tuc),
+         sums AS (SELECT doc_id,
+             CAST(SUM(occ * CAST(floor((CAST(COALESCE(c12t, 0) AS DOUBLE) + 1.0)
+                 / (CAST(COALESCE(c1t, 0) AS DOUBLE) + CAST(nvt AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_t9,
+             CAST(SUM(occ * CAST(floor((CAST(c12 AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_c9
+           FROM db JOIN bc USING (bigram)
+           JOIN uc ON split_part(bigram, ' ', 1) = uc.token
+           LEFT JOIN tbc USING (bigram)
+           LEFT JOIN tuc ON split_part(bigram, ' ', 1) = tuc.ttoken
+           CROSS JOIN v CROSS JOIN tv
+           GROUP BY doc_id),
+         wts AS (SELECT doc_id, sum_t9, sum_c9,
+             CAST(sum_t9 AS DOUBLE) / CAST(sum_c9 AS DOUBLE) AS w FROM sums),
+         rk AS (SELECT doc_id, sum_t9, sum_c9, w,
+             row_number() OVER (ORDER BY w DESC, doc_id) AS rank FROM wts)
+         SELECT doc_id, sum_t9, sum_c9, w, rank FROM rk WHERE rank <= 150"""
+  )
+}

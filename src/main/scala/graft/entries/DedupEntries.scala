@@ -1,0 +1,631 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** deduplication family rows — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object DedupEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"dedup_bloom_approx" -> ((s, dir) => {
+      // Approximate dedup at scale (SURVEY §7.2 M6): a bloom_agg sketch of
+      // the already-seen half of the stream (even segments) probes a full
+      // replay. No false negatives (every seen digest hits) and the false-
+      // positive rate on unseen digests stays under fpp-bounded 5% — both
+      // oracle-checked; exact counts anchor the row.
+      // The sketch rides as a SCALAR SUBQUERY: built distributed (map-side
+      // partial filters, OR-merged), evaluated exactly once at execution —
+      // the probe kernel then sees one stable byte[] reference per task
+      // (identity-cached parse), and the whole query stays a lazy plan
+      // (no driver-side collect at construction time; routing the filter
+      // through a join column would instead copy it out of the UnsafeRow
+      // on every probed row). This is the broadcast-a-sketch shape a
+      // 100 TB dedup uses.
+      GraftExtensions.register(s)
+      // view name is dir-scoped: a fixed name could be replaced by a
+      // concurrent construction for another dir before this statement is
+      // analyzed, silently cross-wiring datasets
+      val view = "graft_bloom_events_" +
+        java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+      ev(s, dir).createOrReplaceTempView(view)
+      val probe =
+        "bloom_contains((SELECT bloom_agg(md5Digest, 500000, CAST(0.01 AS DOUBLE)) " +
+          s"FROM $view WHERE position % 2 = 0), md5Digest)"
+      s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           SUM(CASE WHEN position % 2 = 0 AND $probe THEN 1 ELSE 0 END) =
+             SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END) AS no_false_negatives,
+           (CAST(SUM(CASE WHEN $probe THEN 1 ELSE 0 END) -
+                 SUM(CASE WHEN position % 2 = 0 AND $probe THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(GREATEST(COUNT(*) -
+                 SUM(CASE WHEN position % 2 = 0 THEN 1 ELSE 0 END), 1) AS DOUBLE))
+             <= 0.05 AS fp_bounded
+           FROM $view""")
+    }),
+
+    
+"dedup_exact_docs" -> ((s, dir) =>
+      DocDedup.dedupBy(t(s, dir, "documents"),
+        DocDedup.exactFingerprint("text"))),
+
+    
+"dedup_prefix_fingerprint" -> ((s, dir) =>
+      DocDedup.dedupBy(t(s, dir, "documents"),
+        DocDedup.prefixFingerprint("text", 10))),
+
+    
+"dedup_prefix_filter_join" -> ((s, dir) =>
+      // EXACT shingle-Jaccard >= 1/2 self-join via df-ordered prefix
+      // filtering (All-Pairs lemma, lossless) — the oracle is the BRUTE
+      // all-pairs join, so a hash match PROVES the filter drops no pair
+      DocDedup.prefixFilterJoin(t(s, dir, "documents"), n = 3,
+        tNum = 1, tDen = 2)),
+
+    
+"dedup_minhash_lsh" -> ((s, dir) => {
+      // MinHash + banded LSH near-dup candidates (engine-portable md5
+      // min-hash, H=8 signatures, 2 bands of 4)
+      val docs = t(s, dir, "documents")
+      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
+      DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+    }),
+
+    
+"dedup_minhash_incremental" -> ((s, dir) => {
+      // cross-snapshot incremental dedup: the corpus is the retained
+      // snapshot; the new batch carries re-keyed near-copies (one
+      // appended token, ids +2e6) of every 6th doc plus token-disjoint
+      // fresh docs ('z'-prefixed tokens, ids +3e6) of every 6th+3 — each
+      // admitted iff the OLD corpus holds no verified word-set near-dup
+      // at Jaccard >= 0.5, candidates strictly old-bucket x new-bucket
+      // (never old x old / new x new).
+      val old = t(s, dir, "documents")
+      val fresh = old.filter(col("doc_id") % 6 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("z"),
+            regexp_replace(col("text"), " ", " z")).as("text"))
+      val nw = old.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+        .unionByName(fresh)
+      DocDedup.incrementalNearDup(old, nw,
+        numHashes = 8, rowsPerBand = 4, threshold = 0.5)
+    }),
+
+    
+"dedup_substr_spans" -> ((s, dir) =>
+      // ExactSubstr (Lee et al.) consumer: every position whose >=30-char
+      // prefix occurs elsewhere in the corpus, with the maximal duplicated
+      // length. Sorted-neighbor LCP maximality means only the two
+      // suffix-order neighbors are consulted — never all pairs.
+      operators.SuffixArray.dupSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("dup_len"))),
+
+    
+"dedup_substr_removal" -> ((s, dir) =>
+      // the ExactSubstr pipeline completed: the spans dedup_substr_spans
+      // finds are excised (all occurrences, merged coverage intervals)
+      // and each document reassembled from its kept segments — one
+      // gaps-and-islands window per doc + one codegen'd aggregate fold;
+      // the oracle recomputes coverage per character position
+      operators.SuffixArray.removeSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150), minLen = 30)),
+
+    
+"dedup_recall" -> ((s, dir) =>
+      // measure the dedup candidate generators instead of assuming them
+      // (the knn_recall discipline): exact word-set-Jaccard pairs on a
+      // bounded subset vs the MinHash-LSH and SimHash-band candidate
+      // sets; per-method hit counts + recall, all exact integers until
+      // the one final division
+      // 0.9: the high-similarity regime the band configs target (recall
+      // must be high); 0.5: the mid-similarity mass they knowingly trade
+      // away — both measured, neither assumed
+      DocDedup.dedupRecall(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        thresholds = Seq(0.5, 0.9))),
+
+    
+"dedup_simhash_band" -> ((s, dir) =>
+      // Manku-style 64-bit SimHash near-dup: 4 x 16-bit Hamming bands
+      // generate candidates (lossless up to Hamming 3 by pigeonhole),
+      // exact bit_count(xor) verifies; bucket cap kills band skew
+      DocDedup.simhashNearDup(t(s, dir, "documents"), nBits = 64,
+        bands = 4, maxHamming = 3)),
+
+    
+"dedup_jaccard_verified" -> ((s, dir) => {
+      // the full two-phase near-dup pipeline: LSH candidates → exact
+      // word-set Jaccard verification at 0.8
+      val docs = t(s, dir, "documents")
+      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
+      val pairs = DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+      DocDedup.jaccardVerify(pairs, docs, threshold = 0.8)
+    }),
+
+    
+"dedup_ngram_jaccard" -> ((s, dir) =>
+      // 3-word-shingle Jaccard with prefix blocking (the n-gram near-dup
+      // variant; blocking bounds the candidate pairs)
+      DocDedup.ngramJaccard(t(s, dir, "documents"), n = 3, prefixK = 10,
+        threshold = 0.3)),
+
+    
+"dedup_cluster_canonical" -> ((s, dir) => {
+      // near-dup graph → connected components → canonical id per member
+      // (the keep-one-per-cluster step). Oracle: DuckDB recursive CTE
+      // computing min reachable id over the same pair graph.
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.45)
+      DocDedup.canonicalClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+    }),
+
+    
+"dedup_cluster_sizes" -> ((s, dir) => {
+      // dedup-audit histogram: component sizes of the near-dup graph +
+      // the reconstructed singleton row — the number a build reads
+      // before trusting its blocking key (a giant component = leaked
+      // boilerplate)
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.45)
+      DocDedup.clusterSizes(
+        DocDedup.canonicalClusters(pairs)
+          .select(col("doc_id"), col("canonical_id")),
+        t(s, dir, "embeddings"), idCol = "vec_id")
+    }),
+
+    
+"dedup_embedding_neardup" -> ((s, dir) =>
+      // score reported at 6 dp: engines agree on the pair set but differ in
+      // the last 1-2 ulps of the double accumulation
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
+
+    
+"dedup_semdedup" -> ((s, dir) =>
+      // SemDeDup (cluster-blocked semantic dedup): pairs compared only
+      // within a k-means cell — the deterministic-blocking alternative to
+      // LSH banding above; assignment replayed exactly by the oracle
+      Similarity.semDedup(t(s, dir, "embeddings"), ivfCentroids(s, dir),
+          threshold = 0.3)
+        .select(col("cell_id"), col("a"), col("b"),
+          round(col("score"), 6).as("score")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"dedup_exact_docs" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS n_dups FROM documents GROUP BY 1""",
+
+    
+"dedup_prefix_fingerprint" ->
+      """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fingerprint,
+         MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    // brute-force all-pairs ground truth: a hash match proves the engine's
+    // prefix filter lossless at this scale factor
+    
+"dedup_prefix_filter_join" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         s0 AS (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM w),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           FROM s0),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
+           FROM sh GROUP BY 1),
+         it AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, n_inter, sa.s + sb.s - n_inter AS n_union,
+           (n_inter * 1000000000) // (sa.s + sb.s - n_inter) AS jaccard9
+         FROM it JOIN sz sa ON sa.doc_id = it.a
+           JOIN sz sb ON sb.doc_id = it.b
+         WHERE n_inter * 2 >= (sa.s + sb.s - n_inter) * 1""",
+
+    
+"dedup_minhash_lsh" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         hashes AS (
+           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (
+           SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM cand l JOIN cand r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+
+    
+"dedup_minhash_incremental" ->
+      """WITH olddocs AS (SELECT doc_id, text FROM documents),
+         newdocs AS (
+           SELECT doc_id + 2000000 AS doc_id, text || ' tail' AS text
+           FROM documents WHERE doc_id % 6 = 0
+           UNION ALL
+           SELECT doc_id + 3000000, 'z' || replace(text, ' ', ' z')
+           FROM documents WHERE doc_id % 6 = 3),
+         otok AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM olddocs),
+         ntok AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM newdocs),
+         ohash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM otok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         nhash AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM ntok, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         oband AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM ohash GROUP BY doc_id, h // 4),
+         nband AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM nhash GROUP BY doc_id, h // 4),
+         ocap AS (SELECT band, bucket FROM oband
+           GROUP BY band, bucket HAVING count(*) <= 100),
+         ncap AS (SELECT band, bucket FROM nband
+           GROUP BY band, bucket HAVING count(*) <= 100),
+         cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           FROM (SELECT b.* FROM nband b JOIN ncap USING (band, bucket)) n
+           JOIN (SELECT b.* FROM oband b JOIN ocap USING (band, bucket)) o
+             USING (band, bucket)),
+         osz AS (SELECT doc_id, count(*) AS n_old FROM otok GROUP BY doc_id),
+         nsz AS (SELECT doc_id, count(*) AS n_new FROM ntok GROUP BY doc_id),
+         inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
+           FROM cand c
+           JOIN ntok nt ON nt.doc_id = c.new_id
+           JOIN otok ot ON ot.doc_id = c.old_id AND ot.token = nt.token
+           GROUP BY c.new_id, c.old_id),
+         ver AS (SELECT i.new_id, i.old_id,
+             CAST(i.n_inter AS DOUBLE) /
+               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) AS jaccard
+           FROM inter i
+           JOIN nsz ns ON ns.doc_id = i.new_id
+           JOIN osz os ON os.doc_id = i.old_id
+           WHERE CAST(i.n_inter AS DOUBLE) /
+               CAST(ns.n_new + os.n_old - i.n_inter AS DOUBLE) >= 0.5),
+         best AS (SELECT new_id, old_id, jaccard,
+             row_number() OVER (PARTITION BY new_id ORDER BY old_id) AS rn
+           FROM ver)
+         SELECT nd.doc_id, b.old_id AS dup_of, b.jaccard,
+           b.old_id IS NULL AS keep
+         FROM newdocs nd
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           ON nd.doc_id = b.new_id""",
+
+    // same LCP machinery; a position's dup span is the max of its rank's
+    // neighbor LCPs (and its full suffix length when the rank is shared)
+    
+"dedup_substr_spans" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub)),
+         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
+         rk AS (SELECT suffix, cnt,
+             dense_rank() OVER (ORDER BY suffix) AS srank,
+             lag(suffix) OVER (ORDER BY suffix) AS prv
+           FROM d),
+         pe AS (SELECT srank, suffix, prv,
+             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
+           FROM rk WHERE prv IS NOT NULL),
+         mp AS (SELECT srank,
+             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
+                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
+               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
+           FROM pe GROUP BY srank),
+         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
+             coalesce(mp.lcp, 0) AS lcp_prev,
+             coalesce(mn.lcp, 0) AS lcp_next
+           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
+                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
+         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
+                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
+           FROM sfx s JOIN lc l ON s.suffix = l.suffix)
+         SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30""",
+
+    // same span machinery, then per-character coverage: a position is
+    // excised iff some >=30 span covers it; kept chars reassemble in order
+    
+"dedup_substr_removal" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         sfx AS (SELECT doc_id, i - 1 AS pos,
+             substr(text, CAST(i AS INTEGER)) AS suffix
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM sub)),
+         d AS (SELECT suffix, count(*) AS cnt FROM sfx GROUP BY suffix),
+         rk AS (SELECT suffix, cnt,
+             dense_rank() OVER (ORDER BY suffix) AS srank,
+             lag(suffix) OVER (ORDER BY suffix) AS prv
+           FROM d),
+         pe AS (SELECT srank, suffix, prv,
+             unnest(generate_series(1, least(len(suffix), len(prv)))) AS i
+           FROM rk WHERE prv IS NOT NULL),
+         mp AS (SELECT srank,
+             coalesce(CAST(min(CASE WHEN substr(suffix, CAST(i AS INTEGER), 1)
+                 <> substr(prv, CAST(i AS INTEGER), 1) THEN i END) AS BIGINT) - 1,
+               CAST(min(least(len(suffix), len(prv))) AS BIGINT)) AS lcp
+           FROM pe GROUP BY srank),
+         lc AS (SELECT rk.srank, rk.suffix, rk.cnt,
+             coalesce(mp.lcp, 0) AS lcp_prev,
+             coalesce(mn.lcp, 0) AS lcp_next
+           FROM rk LEFT JOIN mp ON rk.srank = mp.srank
+                   LEFT JOIN mp mn ON mn.srank = rk.srank + 1),
+         spans AS (SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+             greatest(CASE WHEN l.cnt > 1 THEN CAST(len(s.suffix) AS BIGINT)
+                 ELSE 0 END, l.lcp_prev, l.lcp_next) AS dup_len
+           FROM sfx s JOIN lc l ON s.suffix = l.suffix),
+         sp AS (SELECT doc_id, pos, dup_len FROM spans WHERE dup_len >= 30),
+         ps AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+           FROM sub),
+         cov AS (SELECT DISTINCT p.doc_id, p.i
+           FROM ps p JOIN sp s ON s.doc_id = p.doc_id
+             AND p.i - 1 >= s.pos AND p.i - 1 < s.pos + s.dup_len),
+         keepc AS (SELECT p.doc_id, p.i,
+             substr(p.text, CAST(p.i AS INTEGER), 1) AS ch
+           FROM ps p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+           WHERE c.i IS NULL),
+         agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS t
+           FROM keepc GROUP BY doc_id)
+         SELECT sub.doc_id, coalesce(agg.t, '') AS clean_text
+         FROM sub LEFT JOIN agg ON sub.doc_id = agg.doc_id""",
+
+    // both blocking arms + the exact Jaccard ground truth + the recall
+    // arithmetic, all replayed on the bounded subset
+    
+"dedup_recall" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         toks AS (SELECT doc_id,
+           unnest(list_distinct(string_split(text, ' '))) AS token FROM sub),
+         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM toks GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ni
+           FROM toks a JOIN toks b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jacc AS (SELECT i.a, i.b,
+             CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
+           FROM inter i
+           JOIN sizes sa ON i.a = sa.doc_id
+           JOIN sizes sb ON i.b = sb.doc_id),
+         hashes AS (SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM toks, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         mh AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM okb l JOIN okb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                   substr(md5(token), 1 + b // 4, 1)) - 1)
+                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM toks, (SELECT unnest(range(64)) AS b) bs
+           GROUP BY doc_id, b),
+         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
+             THEN -9223372036854775807 - 1 WHEN s > 0
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         sbands AS (SELECT doc_id, band,
+             (simhash >> (band * 16)) & 65535 AS bucket
+           FROM sh, (SELECT unnest(range(4)) AS band) bs),
+         sok AS (SELECT band, bucket FROM sbands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         sokb AS (SELECT s.* FROM sbands s JOIN sok USING (band, bucket)),
+         sc AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM sokb l JOIN sokb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id),
+         arms AS (
+           SELECT m.method, t.threshold,
+             (SELECT COUNT(*) FROM jacc WHERE jaccard >= t.threshold)
+               AS n_exact,
+             CASE WHEN m.method = 'minhash_lsh'
+               THEN (SELECT COUNT(*) FROM mh)
+               ELSE (SELECT COUNT(*) FROM sc) END AS n_candidates,
+             CASE WHEN m.method = 'minhash_lsh'
+               THEN (SELECT COUNT(*) FROM mh JOIN jacc USING (a, b)
+                     WHERE jaccard >= t.threshold)
+               ELSE (SELECT COUNT(*) FROM sc JOIN jacc USING (a, b)
+                     WHERE jaccard >= t.threshold) END AS n_hits
+           FROM (SELECT unnest(['minhash_lsh', 'simhash_band']) AS method) m,
+                (SELECT unnest([0.5, 0.9]) AS threshold) t)
+         SELECT method, threshold, n_exact, n_candidates, n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         FROM arms""",
+
+    // 64-bit SimHash + 4 x 16-bit bands + bucket cap + exact Hamming —
+    // the whole pipeline (fingerprint, banding, cap, verify) replayed
+    
+"dedup_simhash_band" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                   substr(md5(token), 1 + b // 4, 1)) - 1)
+                 >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tokens, (SELECT unnest(range(64)) AS b) bs
+           GROUP BY doc_id, b),
+         sh AS (
+           SELECT doc_id, CAST(SUM(CASE WHEN s > 0 AND b = 63
+             THEN -9223372036854775807 - 1 WHEN s > 0
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
+           FROM sh, (SELECT unnest(range(4)) AS band) bs),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         okb AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM okb l JOIN okb r
+             ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id)
+         SELECT c.a, c.b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         FROM cand c
+         JOIN sh sa ON c.a = sa.doc_id
+         JOIN sh sb ON c.b = sb.doc_id
+         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
+
+    
+"dedup_jaccard_verified" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         hashes AS (
+           SELECT doc_id, h, min(md5(h || '|' || token)) AS minhash
+           FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+           GROUP BY doc_id, h),
+         bands AS (
+           SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+           FROM hashes GROUP BY doc_id, h // 4),
+         ok AS (
+           SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) BETWEEN 2 AND 100),
+         cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM cand l JOIN cand r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN tokens ta ON ta.doc_id = p.a
+           JOIN tokens tb ON tb.doc_id = p.b AND tb.token = ta.token
+           GROUP BY p.a, p.b)
+         SELECT i.a, i.b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.a
+         JOIN sizes sb ON sb.doc_id = i.b
+         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8""",
+
+    
+"dedup_ngram_jaccard" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+           FROM ws, unnest(range(1, len(w) - 1)) AS t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a
+           JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+           GROUP BY p.a, p.b)
+         SELECT i.a, i.b,
+           CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) AS jaccard
+         FROM inter i
+         JOIN sizes za ON za.doc_id = i.a
+         JOIN sizes zb ON zb.doc_id = i.b
+         WHERE CAST(i.n_inter AS DOUBLE) / (za.ns + zb.ns - i.n_inter) >= 0.3""",
+
+    
+"dedup_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) > 0.45""",
+
+    
+"dedup_cluster_canonical" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
+         edges AS (SELECT a AS x, b AS y FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT x AS id, x AS r FROM edges
+           UNION
+           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
+         SELECT id AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY id""",
+
+    
+"dedup_cluster_sizes" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.45),
+         edges AS (SELECT a AS x, b AS y FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT x AS id, x AS r FROM edges
+           UNION
+           SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id),
+         comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+         sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1),
+         hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           FROM sz GROUP BY 1),
+         single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_clusters)
+         SELECT * FROM hist
+         UNION ALL SELECT * FROM single WHERE n_clusters > 0""",
+
+    
+"dedup_bloom_approx" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+         CAST(SUM(CASE WHEN (event_id % 1000) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         true AS no_false_negatives, true AS fp_bounded
+         FROM events""",
+
+    // SemDeDup: replayed cell assignment + cell-local cosine pairs — same
+    // (nCells, iters, threshold) as the engine call
+    
+"dedup_semdedup" -> semDedupSql(nCells = 50, iters = 5, threshold = 0.3)
+  )
+}

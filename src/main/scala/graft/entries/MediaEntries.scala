@@ -1,0 +1,1866 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** multimodal front-door rows (images/audio/video/documents) — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object MediaEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"mm_png_roundtrip" -> ((s, dir) => {
+      // REAL image content decode: per-row 4x4 RGB pixel buffers (md5-derived
+      // bytes) are zlib-compressed into spec-compliant PNGs — cycling
+      // doc_id % 5 through ALL FIVE scanline filter types — then decoded
+      // back by the engine's own inflate + filter reconstruction. The
+      // oracle recomputes the expected pixel hex arithmetically, so a green
+      // row proves the whole codec path is identity-correct.
+      import graft.functions.PngFunctions._
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex),
+        (col("doc_id") % 5).cast("int"))
+      val dec = png_decode(png)
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_png_resize" -> ((s, dir) => {
+      // decode -> nearest-neighbor thumbnail -> re-encode -> decode: the
+      // feature-extraction step of a vision pipeline; the oracle picks the
+      // exact source pixels the integer nearest mapping must select
+      import graft.functions.PngFunctions._
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex),
+        (col("doc_id") % 5).cast("int"))
+      val small = png_decode(png_resize(png, 2, 2))
+      t(s, dir, "documents").select(col("doc_id"),
+        lower(hex(small.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_jpeg_roundtrip" -> ((s, dir) => {
+      // REAL JPEG content decode: 16x16 grayscale images of four flat 8x8
+      // blocks with EVEN md5-derived values run through the full baseline
+      // codec (FDCT, Annex K quantization, Huffman, byte stuffing, IDCT).
+      // Flat blocks make every AC quantize to 0 and even values at q00=16
+      // make the DC path exactly lossless (JpegCodec scaladoc), so decode
+      // returns the input bit-for-bit and the oracle replays the pixel hex
+      // arithmetically. General content is pinned by the ImageIO
+      // cross-validation spec.
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("j" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_jpeg_progressive" -> ((s, dir) => {
+      // REAL progressive (SOF2) JPEG decode: 24x16 grayscale images of six
+      // flat 8x8 blocks with EVEN md5-derived values run through the
+      // six-scan progressive codec — DC successive approximation (Al=1 +
+      // refinement), two spectral AC bands whose EOB runs span all six
+      // blocks, and the refinement scans' correction-bit model. Flat
+      // blocks + even values keep every coefficient exactly representable
+      // (JpegCodec scaladoc), so decode returns the input bit-for-bit and
+      // the oracle replays the pixel hex arithmetically. General content,
+      // ImageIO cross-validation (both directions) and the
+      // progressive-equals-sequential bit-identity gate live in
+      // JpegCodecSpec.
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("p" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val dec = jpeg_decode(
+        jpeg_encode_gray_progressive(lit(24), lit(16), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_exif_meta" -> ((s, dir) => {
+      // REAL EXIF decode: each doc gets a JPEG decorated with a
+      // spec-shaped APP1 (TIFF-IFD) whose fields derive from doc_id —
+      // byte order ALTERNATES II/MM so both endiannesses sit on the
+      // oracle path — then the engine's own sniffer parses them back.
+      // These are the curation predicates of an image pipeline:
+      // orientation (pre-dedup normalization), capture time, camera,
+      // declared dims, and the has_gps PII flag. Hostile-structure
+      // degradation is pinned in ExifSpec.
+      import graft.functions.ExifFunctions._
+      import graft.functions.JpegFunctions._
+      val base = jpeg_encode_gray(lit(8), lit(8),
+        unhex(lit("64" * 64)))
+      val decorated = exif_attach(base,
+        (col("doc_id") % 2 === 0).as("le"),
+        (lit(1) + col("doc_id") % 8).cast("int"),
+        concat(lit("cam-"), (col("doc_id") % 5).cast("string")),
+        concat(lit("mdl-"), (col("doc_id") % 7).cast("string")),
+        concat(lit("2021:03:"), lpad((lit(1) + col("doc_id") % 28)
+          .cast("string"), 2, "0"), lit(" 07:"),
+          lpad((col("doc_id") % 60).cast("string"), 2, "0"), lit(":00")),
+        (lit(100) + col("doc_id") % 900).cast("int"),
+        (lit(80) + col("doc_id") % 700).cast("int"),
+        (col("doc_id") % 3 === 0).as("gps"))
+      val m = exif_parse(decorated)
+      t(s, dir, "documents").select(col("doc_id"),
+        m.getField("byte_order").as("byte_order"),
+        m.getField("orientation").cast("long").as("orientation"),
+        m.getField("make").as("make"),
+        m.getField("model").as("model"),
+        m.getField("datetime").as("datetime"),
+        m.getField("x_dim").cast("long").as("x_dim"),
+        m.getField("y_dim").cast("long").as("y_dim"),
+        m.getField("has_gps").as("has_gps"))
+    }),
+
+    
+"mm_exif_autorotate" -> ((s, dir) => {
+      // the pre-dedup normalization pass, end to end: a six-flat-block
+      // 24x16 JPEG is decorated with an EXIF orientation (1..8 by doc_id),
+      // then the pipeline re-reads the orientation with the sniffer,
+      // decodes the pixels (losslessly, flat even blocks) and normalizes
+      // them upright with the exact integer permutation — so a rotated
+      // duplicate re-enters perceptual dedup in canonical order. The
+      // oracle replays the block permutation per orientation
+      // arithmetically.
+      import graft.functions.ExifFunctions._
+      import graft.functions.JpegFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("r" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val jpg = exif_attach(
+        jpeg_encode_gray(lit(24), lit(16), unhex(pxHex)),
+        (col("doc_id") % 2 === 0).as("le"),
+        (lit(1) + col("doc_id") % 8).cast("int"),
+        lit("cam"), lit("mdl"), lit("2021:01:01 00:00:00"),
+        lit(24), lit(16), lit(false))
+      val o = exif_parse(jpg).getField("orientation")
+      val dec = jpeg_decode(jpg)
+      val up = image_orient(dec.getField("pixels"),
+        dec.getField("width"), dec.getField("height"),
+        dec.getField("channels"), o)
+      t(s, dir, "documents").select(col("doc_id"),
+        up.getField("width").as("width"),
+        up.getField("height").as("height"),
+        lower(hex(up.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_jpeg_phash" -> ((s, dir) => {
+      // perceptual dedup over JPEG content — the mm_image_phash analog for
+      // the second container format: docs sharing doc_id % 100 carry
+      // identical images; the hash is an average-hash over the four block
+      // values SAMPLED FROM THE DECODED PIXELS (positions (0,0), (0,8),
+      // (8,0), (8,8)), so the real codec sits in the dedup loop
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.JpegFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(
+          md5(concat(seed, lit("j" + i))), 1, 2), 16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+      val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
+      val decHex = lower(hex(dec.getField("pixels")))
+      // block corners in the 256-byte gray buffer: bytes 0, 8, 128, 136
+      val vs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      val tot = vs.reduce(_ + _)
+      val phash = vs.zipWithIndex.map { case (v, i) =>
+        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), phash.as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
+    
+"mm_gif_roundtrip" -> ((s, dir) => {
+      // REAL GIF content decode: 8x8 grayscale md5-derived pixels run
+      // through the full LZW codec (variable-width codes, sub-block
+      // framing, gray palette). LZW is lossless and the palette is the
+      // identity, so decode returns each input byte tripled (RGB) and the
+      // oracle rebuilds the expected hex arithmetically. Interlace and
+      // JDK compatibility are pinned by GifCodecSpec.
+      import graft.functions.GifFunctions._
+      val pxHex = concat((0 until 4).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
+      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_gif_phash" -> ((s, dir) => {
+      // perceptual dedup over GIF content — third container format in the
+      // dedup loop: docs sharing doc_id % 100 carry identical images; the
+      // average-hash samples corner pixels FROM THE DECODED RGB, so the
+      // LZW decode path sits inside the dedup decision
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GifFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val pxHex = concat((0 until 4).map(i =>
+        md5(concat(seed, lit("g" + i)))): _*)
+      val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
+      val decHex = lower(hex(dec.getField("pixels")))
+      // corner pixels 0, 7, 56, 63; red byte of RGB pixel p sits at 3p
+      val vs = Seq(0, 7, 56, 63).map(p =>
+        conv(substring(decHex, p * 6 + 1, 2), 16, 10).cast("long"))
+      val tot = vs.reduce(_ + _)
+      val phash = vs.zipWithIndex.map { case (v, i) =>
+        when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), phash.as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
+    
+"mm_video_framesample" -> ((s, dir) => {
+      // REAL video modality end to end: four MJPEG frames per doc are
+      // muxed into a spec-compliant AVI (RIFF container, AviCodec), then
+      // the container walk extracts header meta, avi_sample_frames picks
+      // every 2nd frame, and each sampled frame runs the REAL baseline
+      // JPEG decode — container parse, frame sampling and pixel decode
+      // all inside the scan, no driver round-trip. Frames are flat-block
+      // even-value grays (the exactly-lossless JPEG path), so the oracle
+      // replays the sampled frames' decoded block values arithmetically.
+      import graft.functions.JpegFunctions._
+      import graft.functions.AviFunctions._
+      def frameCol(f: Int): Column = {
+        val hexes = (0 until 4).map { i =>
+          val byte = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit("v" + f + "b" + i))),
+            1, 2), 16, 10).cast("int")
+          lower(lpad(hex((byte % 128) * 2), 2, "0"))
+        }
+        val pxHex = concat(
+          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
+      }
+      val withAvi = t(s, dir, "documents").select(col("doc_id"),
+        avi_encode_mjpeg(lit(16), lit(16), lit(40000),
+          array((0 until 4).map(frameCol): _*)).as("avi"))
+      val m = avi_meta(col("avi"))
+      val exploded = withAvi.select(col("doc_id"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("usec_per_frame").as("usec_per_frame"),
+          m.getField("n_frames").as("n_frames"),
+          posexplode(avi_sample_frames(col("avi"), lit(2))))
+        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
+      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
+      // 16x16 gray: block corners at bytes 0, 8, 128, 136
+      val bs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      exploded.select(col("doc_id"), col("width"), col("height"),
+        col("usec_per_frame"), col("n_frames"),
+        (col("spos") * 2).cast("long").as("frame_idx"),
+        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
+    }),
+
+    
+"mm_mp4_framesample" -> ((s, dir) => {
+      // REAL MP4 video end to end: four MJPEG frames + a PCM audio track
+      // are muxed into a spec-shaped ISO-BMFF file (ftyp/mdat/moov with
+      // real stts/stsc/stsz/stco sample tables, one chunk per video
+      // frame), then the engine's own atom walk resolves the tables,
+      // samples every 2nd frame and baseline-decodes each sampled JPEG —
+      // container, table indirection and pixel decode all inside the
+      // scan. The audio track rides the same file (n_audio_samples on
+      // the output proves the second trak parsed). Flat-block even-gray
+      // frames are the exactly-lossless JPEG path, so the oracle replays
+      // the sampled block values arithmetically. Hostile atom fixtures
+      // (lying sizes, truncated stbl, co64, avc1 rejection) live in
+      // Mp4CodecSpec.
+      import graft.functions.JpegFunctions._
+      import graft.functions.Mp4Functions._
+      def frameCol(f: Int): Column = {
+        val hexes = (0 until 4).map { i =>
+          val byte = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit("m" + f + "b" + i))),
+            1, 2), 16, 10).cast("int")
+          lower(lpad(hex((byte % 128) * 2), 2, "0"))
+        }
+        val pxHex = concat(
+          repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+          repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+        jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
+      }
+      val pcm = expr(
+        """transform(sequence(0, 63), i ->
+             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
+      val withMp4 = t(s, dir, "documents").select(col("doc_id"),
+        mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
+          array((0 until 4).map(frameCol): _*), pcm, lit(16000),
+          col("doc_id") % 2 === 1).as("mp4"))
+      val m = mp4_meta(col("mp4"))
+      val exploded = withMp4.select(col("doc_id"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("frame_delta").as("frame_delta"),
+          m.getField("n_frames").as("n_frames"),
+          m.getField("n_audio_samples").as("n_audio_samples"),
+          posexplode(mp4_sample_frames(col("mp4"), lit(2))))
+        .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
+      val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
+      val bs = Seq(0, 8, 128, 136).map(b =>
+        conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
+      exploded.select(col("doc_id"), col("width"), col("height"),
+        col("frame_delta"), col("n_frames"), col("n_audio_samples"),
+        (col("spos") * 2).cast("long").as("frame_idx"),
+        bs(0).as("b00"), bs(1).as("b01"), bs(2).as("b10"), bs(3).as("b11"))
+    }),
+
+    
+"mm_mp4_audio" -> ((s, dir) => {
+      // REAL MP4 audio decode: the PCM track (sowt little-endian or twos
+      // big-endian by doc parity — both byte orders on the oracle path)
+      // is resolved through stsc/stsz/stco — 16-sample chunks with a
+      // partial tail chunk, so the two-run sample-to-chunk mapping is
+      // exercised, not just a flat offset list — and reduced to exact
+      // integer loudness stats the oracle recomputes from the fixture
+      // formula.
+      import graft.functions.JpegFunctions._
+      import graft.functions.Mp4Functions._
+      val frame = {
+        val g = lower(lpad(hex(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 128) * 2), 2, "0"))
+        jpeg_encode_gray(lit(16), lit(16), unhex(repeat(g, 256)))
+      }
+      val pcm = expr(
+        """transform(sequence(0, 69), i ->
+             cast(CASE WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+               THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
+      val mp4 = mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
+        array(frame), pcm, lit(16000), col("doc_id") % 2 === 1)
+      val a = mp4_audio_pcm(mp4)
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 1, "twos").otherwise("sowt").as("codec"),
+        a.getField("sample_rate").as("sample_rate"),
+        a.getField("n_samples").as("n_samples"),
+        a.getField("sum_abs").as("sum_abs"),
+        a.getField("peak").as("peak"),
+        a.getField("sum_sq").as("sum_sq"))
+    }),
+
+    
+"mm_cross_format_dedup" -> ((s, dir) => {
+      // the multimodal capstone: ONE image, THREE real codecs. The same
+      // 16x16 gray content (flat 8x8 blocks, even values — the fixture
+      // every format round-trips losslessly) is encoded as PNG, JPEG and
+      // GIF, decoded back through each engine codec, and the SAME
+      // average-hash computed from each format's DECODED bytes. A shared
+      // canonical across formats proves content-level dedup works across
+      // container boundaries — re-encoding a duplicate in another format
+      // does not evade it. Docs share content via doc_id % 100.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PngFunctions._
+      import graft.functions.JpegFunctions._
+      import graft.functions.GifFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(md5(concat(seed, lit("x" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      def blocks(px: Seq[Column]): Column = concat(
+        repeat(concat(repeat(px(0), 8), repeat(px(1), 8)), 8),
+        repeat(concat(repeat(px(2), 8), repeat(px(3), 8)), 8))
+      val grayHex = blocks(hexes)
+      val rgbHex = blocks(hexes.map(h => repeat(h, 3)))
+      val pdec = lower(hex(png_decode(
+        png_encode(lit(16), lit(16), unhex(rgbHex), lit(0)))
+        .getField("pixels")))
+      val jdec = lower(hex(jpeg_decode(
+        jpeg_encode_gray(lit(16), lit(16), unhex(grayHex)))
+        .getField("pixels")))
+      val gdec = lower(hex(gif_decode(
+        gif_encode_gray(lit(16), lit(16), unhex(grayHex)))
+        .getField("pixels")))
+      // average-hash over block corners (pixels 0, 8, 128, 136); stride =
+      // bytes per pixel in the decoded buffer (PNG/GIF: RGB, JPEG: gray)
+      def ph(dec: Column, stride: Int): Column = {
+        val vs = Seq(0, 8, 128, 136).map(p =>
+          conv(substring(dec, p * stride * 2 + 1, 2), 16, 10).cast("long"))
+        val tot = vs.reduce(_ + _)
+        vs.zipWithIndex.map { case (v, i) =>
+          when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), ph(pdec, 3).as("ph_png"),
+          ph(jdec, 1).as("ph_jpeg"), ph(gdec, 3).as("ph_gif"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("ph_jpeg"))))
+    }),
+
+    
+"mm_wav_pcm" -> ((s, dir) => {
+      // REAL audio content decode: 64 deterministic s16le samples are
+      // packed into a spec-compliant PCM WAV per row, then wav_pcm_stats
+      // (codegen'd RIFF walk + sample reduction) extracts exact integer
+      // loudness/clipping stats; the oracle recomputes them from the same
+      // sample formula — full content-decode verification, not just headers
+      import graft.functions.MediaHeaderFunctions.wav_pcm_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      val st = wav_pcm_stats(unhex(wavHex))
+      t(s, dir, "documents").select(col("doc_id"),
+        st.getField("n_samples").as("n_samples"),
+        st.getField("sum_abs").as("sum_abs"),
+        st.getField("peak").as("peak"),
+        st.getField("sum_sq").as("sum_sq"))
+    }),
+
+    
+"mm_audio_frames" -> ((s, dir) => {
+      // windowed audio features (the VAD/silence-trim front end): the same
+      // 64-sample PCM WAV as mm_wav_pcm, cut into 4 frames of 16 samples;
+      // wav_frame_stats reduces each frame to exact integer energy / peak /
+      // zero-crossing counts inside the scan. The oracle recomputes every
+      // frame from the sample formula — windowing, partial-frame handling
+      // and the within-frame-only crossing rule all replayed.
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.n_samples").as("n_samples"), col("f.sum_abs").as("sum_abs"),
+          col("f.peak").as("peak"),
+          col("f.zero_crossings").as("zero_crossings"))
+    }),
+
+    
+"mm_gif_animation" -> ((s, dir) => {
+      // REAL animation decode with COMPOSITING on the oracle path: a
+      // three-frame GIF89a (full 16x8 base, a partial 8x4 patch at (4,2),
+      // then an 8x8 right-column frame whose TOP HALF is transparent —
+      // the previous canvas must show through) decodes into full-canvas
+      // frames with their GCE delays. Disposal-2 restore, hostile rects
+      // and ImageIO frame-count agreement live in GifCodecSpec; the
+      // oracle rebuilds every composited canvas arithmetically.
+      import graft.functions.GifFunctions._
+      val hx = (0 until 3).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("a" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte % 128), 2, "0"))
+      }
+      val gif = gif_encode_animation(lit(16), lit(8),
+        array(lit(0), lit(4), lit(8)),
+        array(lit(0), lit(2), lit(0)),
+        array(lit(16), lit(8), lit(8)),
+        array(lit(8), lit(4), lit(8)),
+        array(unhex(repeat(hx(0), 128)), unhex(repeat(hx(1), 32)),
+          unhex(concat(repeat(lit("ff"), 32), repeat(hx(2), 32)))),
+        array((lit(10) + col("doc_id") % 5).cast("int"), lit(20), lit(30)),
+        array(lit(-1), lit(-1), lit(255)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(gif_frames(gif)).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.delay_cs").as("delay_cs"), col("f.width").as("width"),
+          col("f.height").as("height"),
+          lower(hex(col("f.pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_docx_extract" -> ((s, dir) => {
+      // REAL office-document extraction: each doc's text (with XML-hostile
+      // characters & < > and both quote kinds ON the path) is packed into
+      // a spec-shaped DOCX — a true ZIP archive with CRC-32s whose
+      // word/document.xml member alternates STORE and DEFLATE by
+      // doc_id % 2 — then the engine's own container walk + Wordprocessing-
+      // ML reduction recovers it. The oracle rebuilds the expected text
+      // arithmetically (entity decode is exactly inverse to the writer's
+      // escaping; one newline per paragraph). Hostile archives (bombs,
+      // lying sizes, encrypted members) are pinned in ZipCodecSpec.
+      import graft.functions.ZipFunctions._
+      val text = concat(lit("Doc "), col("doc_id").cast("string"),
+        lit(" & <hdr>\npara 'two' \"q\"\ntail="),
+        (col("doc_id") * 7 % 1000).cast("string"))
+      val docx = docx_encode(text, col("doc_id") % 2 === 0)
+      t(s, dir, "documents").select(col("doc_id"),
+        docx_extract(docx).as("text"))
+    }),
+
+    
+"mm_xlsx_extract" -> ((s, dir) => {
+      // REAL spreadsheet extraction: six cells per doc — shared strings
+      // (one value repeated, so the sharedStrings DEDUP indirection is on
+      // the path: C1 must resolve through the SAME index A1 claimed),
+      // inline numbers, an inlineStr cell (the <is><t> body real writers
+      // use for one-off strings — no sharedStrings indirection at all),
+      // XML-hostile characters — packed into a true XLSX (two
+      // cross-referencing ZIP members, STORE/DEFLATE by doc_id % 2) and
+      // recovered by the engine's own container walk + SpreadsheetML cell
+      // resolution. The oracle rebuilds every (cell_ref, value) pair
+      // arithmetically.
+      import graft.functions.ZipFunctions._
+      val name = concat(lit("name-"), (col("doc_id") % 50).cast("string"))
+      val xlsx = xlsx_encode(
+        array(lit("A1"), lit("B1"), lit("C1"), lit("A2"), lit("B2"),
+          lit("D2")),
+        array(name, (col("doc_id") * 3 % 1000).cast("string"), name,
+          concat(lit("r&d <"), (col("doc_id") % 7).cast("string"),
+            lit(">")),
+          (col("doc_id") % 97).cast("string"),
+          concat(lit("i&s <"), (col("doc_id") % 5).cast("string"),
+            lit(">"))),
+        array(lit(1), lit(0), lit(1), lit(1), lit(0), lit(2)),
+        col("doc_id") % 2 === 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(xlsx_extract(xlsx)).as("c"))
+        .select(col("doc_id"), col("c.cell_ref").as("cell_ref"),
+          col("c.value").as("value"))
+    }),
+
+    
+"mm_tiff_roundtrip" -> ((s, dir) => {
+      // REAL TIFF content decode: 24x16 grayscale images of six
+      // md5-derived flat blocks run through the full striped codec with
+      // the compression ROTATING by doc_id % 3 (uncompressed / LZW with
+      // horizontal-differencing predictor / PackBits) and the byte order
+      // by doc_id % 2 — all three paths are lossless, so decode returns
+      // the input bit-for-bit and the oracle rebuilds the pixel hex
+      // arithmetically. ImageIO cross-validation (both directions), the
+      // TIFF 6.0 PackBits worked example and hostile structures live in
+      // TiffCodecSpec.
+      import graft.functions.TiffFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("t" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte), 2, "0")) // TIFF is lossless: any byte works
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val comp = when(col("doc_id") % 3 === 0, lit(1))
+        .when(col("doc_id") % 3 === 1, lit(5))
+        .otherwise(lit(32773)).cast("int")
+      val dec = tiff_decode(tiff_encode_gray(lit(24), lit(16),
+        unhex(pxHex), comp, col("doc_id") % 2 === 0))
+      t(s, dir, "documents").select(col("doc_id"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        dec.getField("channels").as("channels"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+    
+"mm_epub_extract" -> ((s, dir) => {
+      // e-book extraction through the whole OCF chain: container.xml →
+      // OPF manifest/spine → per-chapter XHTML, reduced to text (style
+      // blocks dropped whole, tags stripped, entities decoded once,
+      // whitespace collapsed) in SPINE order. XML-hostile characters ride
+      // the chapter bodies; STORE/DEFLATE alternate per doc. A broken
+      // chain or dangling spine idref rejects loudly (ZipCodecSpec).
+      import graft.functions.ZipFunctions._
+      val id = col("doc_id").cast("string")
+      val chapters = array(
+        concat(lit("Ch 0 doc "), id, lit("\nfish & chips <b0>")),
+        concat(lit("Ch 1 doc "), id, lit("\nplain tea, no entities")))
+      val epub = epub_encode(chapters, col("doc_id") % 2 === 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(epub_extract(epub)).as("c"))
+        .select(col("doc_id"), col("c.chapter_idx").as("chapter_idx"),
+          col("c.text").as("text"))
+    }),
+
+    
+"mm_av_align" -> ((s, dir) => {
+      // the multimodal ALIGNMENT join: VAD speech segments (REAL PCM
+      // frame stats → energy gate → gaps-and-islands, the mm_audio_vad
+      // chain; frame f covers [f, f+1) ms at 16 samples / 16 kHz) against
+      // subtitle cues (REAL SRT parse) by TIME OVERLAP, per doc — the
+      // step that pairs captions with actual speech. Per cue: total
+      // overlapped speech milliseconds and a coverage verdict (a cue
+      // mostly over silence is a bad training pair). Equi-join on doc_id
+      // with residual interval predicates — hash join, never a theta
+      // BNLJ. The oracle replays samples → segments → cues → the
+      // interval-overlap sum.
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      import graft.functions.SubtitleFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 255), i -> concat(
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
+               '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "24020000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" +
+          "803E0000" + "007D0000" + "0200" + "1000" +
+          "64617461" + "00020000"),
+        dataHex)
+      val frames = docs
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.sum_abs").as("sum_abs"))
+        .withColumn("is_speech", col("sum_abs") >= 1000)
+      val island = col("frame") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("is_speech"))
+          .orderBy(col("frame")))
+      val segs = frames.withColumn("island", island)
+        .where(col("is_speech"))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame")).as("seg_begin"),
+          (max(col("frame")) + 1).as("seg_end")) // [begin, end) in ms
+        .drop("island")
+      // three SRT cues per doc at [d, d+5), [5+d, 10+d), [10+d, 15+d)
+      val d0 = col("doc_id") % 2
+      def tc(msExpr: Column): Column =
+        concat(lit("00:00:00,"), lpad(msExpr.cast("string"), 3, "0"))
+      def cueBlock(k: Int): Column = concat(
+        lit(s"$k\n"), tc(d0 + (k - 1) * 5), lit(" --> "),
+        tc(d0 + (k - 1) * 5 + 5),
+        lit(s"\ncue $k of doc "), col("doc_id").cast("string"), lit("\n\n"))
+      val srt = concat(cueBlock(1), cueBlock(2), cueBlock(3))
+      val cues = docs.select(col("doc_id"),
+          explode(subtitle_parse(srt)).as("c"))
+        .select(col("doc_id"), col("c.seq").as("seq"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"))
+      val overlap = least(col("end_ms"), col("seg_end")) -
+        greatest(col("start_ms"), col("seg_begin"))
+      cues.join(segs, Seq("doc_id"), "left")
+        .withColumn("ov",
+          when(col("seg_begin").isNotNull && overlap > 0, overlap)
+            .otherwise(lit(0L)))
+        .groupBy(col("doc_id"), col("seq"), col("start_ms"), col("end_ms"))
+        .agg(sum(col("ov")).cast("long").as("speech_ms"))
+        .withColumn("covered",
+          col("speech_ms") * 2 >= col("end_ms") - col("start_ms"))
+    }),
+
+    
+"mm_subtitle_parse" -> ((s, dir) => {
+      // the alignment layer of audio/video training data: docs alternate
+      // SRT (index lines, comma millis) and WebVTT (magic header, NOTE
+      // blocks skipped, cue identifiers, dot millis, short MM:SS.mmm
+      // times, cue settings after the arrow) — both parse through ONE
+      // front door into (seq, start_ms, end_ms, text) cues with
+      // multi-line text preserved. The oracle recomputes every timestamp
+      // from the doc arithmetic.
+      import graft.functions.SubtitleFunctions._
+      val s1 = col("doc_id") % 50
+      val ms1 = col("doc_id") % 1000
+      val t0 = concat(lpad(s1.cast("string"), 2, "0"), lit(","),
+        lpad(ms1.cast("string"), 3, "0"))
+      val t1 = concat(lpad((s1 + 2).cast("string"), 2, "0"), lit(","),
+        lpad(ms1.cast("string"), 3, "0"))
+      val line1 = concat(lit("line one "), col("doc_id").cast("string"))
+      val line2 = concat(lit("second "), col("doc_id").cast("string"))
+      val srt = concat(
+        lit("1\n00:00:"), t0, lit(" --> 00:00:"), t1, lit("\n"),
+        line1, lit("\nline two\n\n2\n00:01:05,500 --> 01:01:07,000\n"),
+        line2, lit("\n"))
+      val vtt = concat(
+        lit("WEBVTT\n\nNOTE synthetic fixture\n\nintro\n00:"),
+        replace(t0, lit(","), lit(".")), lit(" --> 00:"),
+        replace(t1, lit(","), lit(".")), lit(" align:start\n"),
+        line1, lit("\nline two\n\n01:05.500 --> 01:07.000\n"),
+        line2, lit("\n"))
+      val doc = when(col("doc_id") % 2 === 0, srt).otherwise(vtt)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "srt").otherwise("vtt").as("fmt"),
+          explode(subtitle_parse(doc)).as("c"))
+        .select(col("doc_id"), col("fmt"), col("c.seq").as("seq"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+          col("c.text").as("text"))
+    }),
+
+    
+"mm_audio_vad" -> ((s, dir) => {
+      // the SEGMENTATION step a speech-curation pipeline runs on the
+      // frame stats (silence trim / VAD): a 256-sample PCM WAV whose
+      // frames alternate speech and near-silence by doc_id arithmetic is
+      // cut into 16 frames, each flagged by its exact integer sum_abs
+      // against the energy gate, and consecutive speech frames group
+      // into segments (gaps-and-islands over the frame index) with
+      // begin/end/size/energy — the utterance list a dataset builder
+      // clips. DuckDB replays samples → frame sums → the same island
+      // arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.MediaHeaderFunctions.wav_frame_stats
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 255), i -> concat(
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) % 256), 2, '0'),
+             lpad(hex((CASE WHEN pmod(doc_id + i DIV 16, 3) = 0 THEN i % 4
+               ELSE pmod(doc_id * 31 + i * 17, 65536) END) DIV 256), 2,
+               '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "24020000" + "57415645" +      // RIFF size=548 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "00020000"),                     // data len=512
+        dataHex)
+      val frames = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_frame_stats(unhex(wavHex), lit(16))).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.sum_abs").as("sum_abs"))
+        .withColumn("is_speech", col("sum_abs") >= 1000)
+      val island = col("frame") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("is_speech"))
+          .orderBy(col("frame")))
+      frames.withColumn("island", island)
+        .where(col("is_speech"))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame")).cast("long").as("begin_frame"),
+          max(col("frame")).cast("long").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("sum_abs")).as("energy"))
+        .select(col("doc_id"), col("begin_frame"), col("end_frame"),
+          col("n_frames"), col("energy"))
+    }),
+
+    
+"mm_wav_resample" -> ((s, dir) => {
+      // sample-rate normalization (16 kHz → 4 kHz): boxcar decimation by
+      // 4 inside the codegen'd scan — exact integer means with a
+      // positivity bias so truncating DIV ≡ flooring //, every output
+      // sample oracle-replayed from the fixture formula
+      import graft.functions.MediaHeaderFunctions.wav_resample
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wavHex = concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wav_resample(unhex(wavHex), lit(4))).as("r"))
+        .select(col("doc_id"), col("r.k").as("k"), col("r.v").as("v"))
+    }),
+
+    
+"mm_flac_roundtrip" -> ((s, dir) => {
+      // REAL compressed-audio decode: 64 deterministic 16-bit samples per
+      // doc whose frames alternate CONSTANT (flat) and varying blocks by
+      // doc arithmetic are FLAC-encoded (fixed predictors + Rice
+      // residuals, real CRC-8/CRC-16/MD5) and decoded back through the
+      // engine's own frame-layer decode — subframe dispatch, Rice
+      // zigzag, prediction reconstruction and all three integrity gates
+      // on the path. FLAC is lossless, so the oracle replays every
+      // sample from the fixture formula. LPC/stereo/wasted-bits/escape
+      // decode paths and hostile fixtures live in FlacCodecSpec.
+      import graft.functions.FlacFunctions._
+      val samples = expr(
+        """transform(sequence(0, 63), i ->
+             CASE WHEN pmod(doc_id + i DIV 16, 3) = 0
+               THEN cast(pmod(doc_id * 7 + i DIV 16, 256) - 128 as int)
+               ELSE cast(CASE
+                 WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
+                 THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
+                 ELSE pmod(doc_id * 31 + i * 17, 65536) END as int) END)""")
+      val dec = flac_decode(flac_encode(samples, lit(16000), lit(16)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          dec.getField("sample_rate").as("sample_rate"),
+          dec.getField("bits").as("bits"),
+          posexplode(dec.getField("samples")))
+        .select(col("doc_id"), col("sample_rate"), col("bits"),
+          col("pos").as("i"), col("col").as("v"))
+    }),
+
+    
+"mm_image_phash" -> ((s, dir) => {
+      // image dedup via perceptual hashing: docs sharing a pixel seed
+      // (doc_id % 100) carry identical images; png_ahash (decode -> grid
+      // resize -> integer luma average-hash) is the blocking key and
+      // min-id per hash the canonical — the mm analog of dedup_exact_docs,
+      // with the real codec in the loop
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PngFunctions._
+      val seed = (col("doc_id") % 100).cast("string")
+      val pxHex = concat((0 until 3).map(i =>
+        md5(concat(seed, lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pxHex), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), png_ahash(png, 4, 4).as("phash"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+    }),
+
+    
+"mm_media_meta" -> ((s, dir) => {
+      // REAL content-type dispatch over all five codecs: each row carries
+      // one of five container formats (doc_id % 5 → png/jpeg/gif/wav/avi,
+      // every payload built from deterministic md5/arithmetic bytes on the
+      // exactly-lossless codec paths), and Multimodal.decodeMedia must
+      // sniff the magic bytes and run the RIGHT real decoder — px_hash /
+      // n_samples / sum_abs can only come out correct if the routed codec
+      // actually decoded the content. The oracle replays every branch
+      // arithmetically (same formulas as the per-format mm_* queries).
+      import graft.functions.PngFunctions._
+      import graft.functions.JpegFunctions._
+      import graft.functions.GifFunctions._
+      import graft.functions.AviFunctions._
+      val m5 = col("doc_id") % 5
+      val pngPx = concat((0 until 3).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("p" + i)))): _*)
+      val png = png_encode(lit(4), lit(4), unhex(pngPx), lit(0))
+      // 16x16 flat-block even-value gray: the exactly-lossless JPEG path
+      def jpegPx(tag: String): Column = {
+        val h = (0 until 4).map { i =>
+          val b = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(tag + i))), 1, 2),
+            16, 10).cast("int")
+          lower(lpad(hex((b % 128) * 2), 2, "0"))
+        }
+        concat(repeat(concat(repeat(h(0), 8), repeat(h(1), 8)), 8),
+          repeat(concat(repeat(h(2), 8), repeat(h(3), 8)), 8))
+      }
+      val jpeg = jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("j")))
+      val gifPx = concat((0 until 4).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
+      val gif = gif_encode_gray(lit(8), lit(8), unhex(gifPx))
+      val dataHex = expr(
+        """concat_ws('', transform(sequence(0, 63), i -> concat(
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(doc_id * 31 + i * 17, 65536) DIV 256), 2, '0'))))""")
+      val wav = unhex(concat(
+        lit("52494646" + "A4000000" + "57415645" +      // RIFF size=164 WAVE
+          "666D7420" + "10000000" + "0100" + "0100" +   // fmt: PCM mono
+          "803E0000" + "007D0000" + "0200" + "1000" +   // 16 kHz s16le
+          "64617461" + "80000000"),                     // data len=128
+        dataHex))
+      val avi = avi_encode_mjpeg(lit(16), lit(16), lit(40000),
+        array(jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m0b"))),
+          jpeg_encode_gray(lit(16), lit(16), unhex(jpegPx("m1b")))))
+      val payload = when(m5 === 0, png).when(m5 === 1, jpeg)
+        .when(m5 === 2, gif).when(m5 === 3, wav).otherwise(avi)
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      val media = Multimodal.asMedia(withPayload, "payload",
+        "application/octet-stream")
+      Multimodal.decodeMedia(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("n_samples"), col("sum_abs"), col("px_hash"))
+    }),
+
+    
+"mm_header_sniff_av" -> ((s, dir) => {
+      // the audio/video-side sniff branches: MP3 frame headers (bare and
+      // behind an ID3v2 tag — syncsafe size skip — with the sample rate
+      // from the MPEG1 table and mono/stereo from the mode bits), OGG
+      // containers, and all three WebP flavors (VP8 lossy keyframe
+      // dims behind the 9D012A start code, VP8L packed 14+14 bits,
+      // VP8X 24-bit canvas). Every value derives from doc_id, so the
+      // oracle recomputes the parse arithmetically.
+      import graft.functions.MediaHeaderFunctions.media_header
+      val d = t(s, dir, "documents")
+      // little-endian hex of an integer SQL expression, n bytes
+      def leHex(e: String, n: Int): Column = expr((0 until n).map(i =>
+        s"lpad(hex(($e) DIV ${1L << (8 * i)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")"))
+      val srIdx = expr("CAST(doc_id DIV 3 % 3 AS INT)")
+      val b2 = when(srIdx === 0, lit("90")).when(srIdx === 1, lit("94"))
+        .otherwise(lit("98"))
+      val b3 = when(col("doc_id") % 2 === 0, lit("C0")).otherwise(lit("00"))
+      val mp3Hex = concat(
+        when(col("doc_id") % 2 === 0,
+          lit("49443304000000000000")).otherwise(lit("")), // ID3v2, size 0
+        lit("FFFB"), b2, b3)
+      val oggHex = lit("4F676753" + "0002000000000000")
+      val vp8Hex = concat(lit("52494646" + "24000000" + "57454250" +
+        "56503820" + "18000000" + "000000" + "9D012A"),
+        leHex("doc_id % 1000 + 1", 2), leHex("doc_id % 500 + 1", 2))
+      val vp8lHex = concat(lit("52494646" + "20000000" + "57454250" +
+        "5650384C" + "14000000" + "2F"),
+        leHex("(doc_id % 1000) + (doc_id % 500) * 16384", 4))
+      val vp8xHex = concat(lit("52494646" + "28000000" + "57454250" +
+        "56503858" + "0A000000" + "00" + "000000"),
+        leHex("doc_id % 1000", 3), leHex("doc_id % 500", 3))
+      val webKind = expr("CAST(doc_id DIV 3 % 3 AS INT)")
+      val webpHex = when(webKind === 0, vp8Hex)
+        .when(webKind === 1, vp8lHex).otherwise(vp8xHex)
+      val payload = unhex(when(col("doc_id") % 3 === 0, mp3Hex)
+        .when(col("doc_id") % 3 === 1, oggHex)
+        .otherwise(webpHex))
+      val hdr = media_header(payload)
+      d.select(col("doc_id"),
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height"),
+        hdr.getField("sample_rate").as("sample_rate"),
+        hdr.getField("channels").as("channels"))
+    }),
+
+    
+"mm_header_sniff" -> ((s, dir) => {
+      // REAL multimodal metadata decode: per-row PNG and WAV containers are
+      // assembled from deterministic bytes (unhex), then media_header — a
+      // codegen'd byte-level parser, no codec libs — extracts dimensions /
+      // sample rate back out. The oracle recomputes the expected values
+      // arithmetically, so the parser is hash-verified end to end. Content
+      // decode stays behind the batched escape hatch (Multimodal); header
+      // sniffing is what curation filters run on and is fully real.
+      import graft.functions.MediaHeaderFunctions.media_header
+      val d = t(s, dir, "documents")
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 500 + 1).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val rateHex = when(col("doc_id") % 4 === 0, "401F0000") // 8000 LE32
+        .when(col("doc_id") % 4 === 1, "803E0000")            // 16000
+        .when(col("doc_id") % 4 === 2, "C05D0000")            // 24000
+        .otherwise("007D0000")                                // 32000
+      val chHex = when(col("doc_id") % 2 === 0, "0100").otherwise("0200")
+      val wavHex = concat(
+        lit("524946460000000057415645666D742010000000" + "0100"),
+        chHex, rateHex, lit("00000000000000000000"))
+      val payload = unhex(when(col("doc_id") % 3 === 0, wavHex)
+        .otherwise(pngHex))
+      val hdr = media_header(payload)
+      d.select(col("doc_id"),
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height"),
+        hdr.getField("sample_rate").as("sample_rate"),
+        hdr.getField("channels").as("channels"))
+    }),
+
+    
+"mm_pdf_extract" -> ((s, dir) => {
+      // REAL PDF text extraction (the dominant non-HTML crawl format):
+      // each doc's decorated text — parens, a percent, a literal
+      // backslash, multi-byte UTF-8 — is laid out as a spec-compliant
+      // two-page PDF (classic xref table, FlateDecode'd content
+      // streams, page 1 a Tj, page 2 a kerned TJ array, non-printables
+      // octal-escaped) and extracted back by the engine's own xref walk
+      // + inflate + BT/ET operator parse. The oracle recomputes the
+      // expected text arithmetically, so a green row proves the whole
+      // codec path is identity-correct.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+    }),
+
+    
+"mm_pdf_modern" -> ((s, dir) => {
+      // REAL modern-PDF extraction (the post-2005 majority shape): each
+      // doc's text — vowels swapped into WinAnsi accents plus a cp1252
+      // 0x80-block decoration — is laid out as a PDF 1.5 document
+      // (compressed cross-reference STREAM with /W-packed rows and the
+      // PNG Up predictor, catalog/pages/page/font in an OBJECT STREAM,
+      // text bytes WinAnsi-ENCODED under an /Encoding /WinAnsiEncoding
+      // font) and extracted back through the engine's xref-stream
+      // parse → predictor unfilter → ObjStm framing → font decode. The
+      // oracle recomputes the expected text with the same translate +
+      // concat arithmetic, so a green row proves the whole modern path
+      // is identity-correct on every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_modern(concat(
+          translate(col("text"), "aeouAEOU", "äéöüÄÉÖÜ"),
+          lit(pdfWinAnsiDeco)))).as("text"))
+    }),
+
+    
+"mm_pdf_cmap" -> ((s, dir) => {
+      // Type0-font PDF extraction: the text (decorated with CJK and an
+      // astral emoji) is shown as 2-byte codes under an /Identity-H
+      // composite font whose /ToUnicode CMap — one bfrange array block
+      // plus bfchar blocks, synthesized from the doc's own distinct
+      // codepoints — is the ONLY way back to text. Exercises the CMap
+      // parse (codespacerange width, both block forms, UTF-16BE
+      // surrogate-pair targets) on every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_cmap(concat(col("text"), lit(pdfCMapDeco))))
+          .as("text"))
+    }),
+
+    
+"mm_pdf_filters" -> ((s, dir) => {
+      // non-Flate stream-filter family (what pre-2000s writers and many
+      // generators still emit): each doc's decorated text is laid out as
+      // a three-page PDF whose content streams ride
+      // [/ASCII85Decode /FlateDecode], [/ASCIIHexDecode /RunLengthDecode]
+      // and /LZWDecode (explicit /EarlyChange parms) — filter CHAINS and
+      // all four non-Flate decoders on the round-trip path for every doc.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_filters(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+    }),
+
+    
+"mm_pdf_encrypted" -> ((s, dir) => {
+      // ENCRYPTED-PDF extraction (standard security handler, EMPTY user
+      // password — the owner-restricted shape that dominates "encrypted"
+      // web-crawl PDFs): the cipher rotates per doc across 40-bit RC4
+      // (/V 1 /R 2, the Acrobat-2 shape), RC4-128 (/V 2 /R 3), the
+      // AES-128 /AESV2 crypt filter (/V 4 /R 4) and AES-256 (/V 5 /R 6,
+      // the iterated-SHA revision) — every key schedule, /U validation
+      // and per-object/stream decryption on the round-trip path at every
+      // scale factor. Genuinely locked files (wrong /U) reject loudly;
+      // PdfCodecSpec pins that contract.
+      import graft.functions.PdfFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode_encrypted(
+          concat(col("text"), lit(pdfDeco)),
+          element_at(array(lit("rc4_40"), lit("rc4"), lit("aes128"),
+            lit("aes256")), (col("doc_id") % 4 + 1).cast("int"))))
+          .as("text"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // audio/video sniff branches: the parse is pure byte arithmetic over
+    // the doc_id-derived headers, recomputed directly
+    
+"mm_header_sniff_av" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'mp3'
+             WHEN 1 THEN 'ogg' ELSE 'webp' END AS format,
+           CASE WHEN doc_id % 3 = 2
+             THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 3 = 2
+             THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE doc_id // 3 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) END
+             AS channels
+         FROM documents""",
+
+    
+"mm_header_sniff" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'png' END AS format,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
+         CASE WHEN doc_id % 3 = 0
+              THEN CAST(8000 + (doc_id % 4) * 8000 AS INTEGER)
+              ELSE NULL END AS sample_rate,
+         CASE WHEN doc_id % 3 = 0
+              THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+              ELSE NULL END AS channels
+         FROM documents""",
+
+    // the PDF round-trip: the oracle recomputes the expected extraction
+    // as plain concatenation — a hash match proves the engine's xref
+    // walk, FlateDecode, operator parse and escape handling are
+    // identity-correct on every doc
+    
+"mm_pdf_extract" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // the modern-PDF round-trip (xref stream + predictor + ObjStm +
+    // WinAnsi font): the oracle recomputes the expected extraction with
+    // the same translate + concat arithmetic — a hash match proves the
+    // 1.5-era structures and the Annex-D byte table are identity-correct
+    
+"mm_pdf_modern" ->
+      s"""SELECT doc_id,
+            translate(text, 'aeouAEOU', 'äéöüÄÉÖÜ') || '$pdfWinAnsiDeco'
+              AS text
+          FROM documents""",
+
+    // the Type0/ToUnicode round-trip: 2-byte codes through a synthesized
+    // CMap (bfrange array + bfchar blocks, surrogate-pair targets) must
+    // come back as plain concatenation
+    
+"mm_pdf_cmap" ->
+      s"""SELECT doc_id, text || '$pdfCMapDeco' AS text FROM documents""",
+
+    // the filter-family round-trip: ASCII85+Flate chain, ASCIIHex+RLE
+    // chain and LZW must all come back as plain concatenation
+    
+"mm_pdf_filters" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // the encrypted round-trip (RC4 / AES-128 / AES-256 rotating by
+    // doc_id): key schedule + /U validation + stream decryption must be
+    // identity — the oracle recomputes the same expected concatenation
+    
+"mm_pdf_encrypted" ->
+      s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
+
+    // five-format dispatch: every branch replays the per-format decode
+    // proof arithmetically (px_hash = md5 of the lossless pixel hex; wav
+    // loudness integers from the sample formula)
+    
+"mm_media_meta" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         png AS (SELECT doc_id, 'png' AS format,
+             4 AS width, 4 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(md5(CAST(doc_id AS VARCHAR) || 'p0')
+               || md5(CAST(doc_id AS VARCHAR) || 'p1')
+               || md5(CAST(doc_id AS VARCHAR) || 'p2')) AS px_hash
+           FROM documents WHERE doc_id % 5 = 0),
+         jd AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents WHERE doc_id % 5 = 1),
+         jpeg AS (SELECT doc_id, 'jpeg' AS format,
+             16 AS width, 16 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
+           FROM jd JOIN hexmap m0 ON jd.c0 = m0.hx
+           JOIN hexmap m1 ON jd.c1 = m1.hx
+           JOIN hexmap m2 ON jd.c2 = m2.hx
+           JOIN hexmap m3 ON jd.c3 = m3.hx),
+         gd AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'g0')
+               || md5(CAST(doc_id AS VARCHAR) || 'g1')
+               || md5(CAST(doc_id AS VARCHAR) || 'g2')
+               || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
+           FROM documents WHERE doc_id % 5 = 2),
+         gb AS (SELECT doc_id, p,
+             substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx2
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
+                 FROM gd) e),
+         gif AS (SELECT doc_id, 'gif' AS format,
+             8 AS width, 8 AS height, 1 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(string_agg(hx2 || hx2 || hx2, '' ORDER BY p)) AS px_hash
+           FROM gb GROUP BY doc_id),
+         ws AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents WHERE doc_id % 5 = 3),
+         wv AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM ws),
+         wav AS (SELECT doc_id, 'wav' AS format,
+             CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+             CAST(NULL AS INTEGER) AS n_frames,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+             CAST(NULL AS VARCHAR) AS px_hash
+           FROM wv GROUP BY doc_id),
+         ad AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm0b3'), 1, 2) AS c3
+           FROM documents WHERE doc_id % 5 = 4),
+         avi AS (SELECT doc_id, 'avi' AS format,
+             16 AS width, 16 AS height, 2 AS n_frames,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS sum_abs,
+             md5(repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+               || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+                 || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)) AS px_hash
+           FROM ad JOIN hexmap m0 ON ad.c0 = m0.hx
+           JOIN hexmap m1 ON ad.c1 = m1.hx
+           JOIN hexmap m2 ON ad.c2 = m2.hx
+           JOIN hexmap m3 ON ad.c3 = m3.hx)
+         SELECT * FROM png UNION ALL SELECT * FROM jpeg
+         UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM wav
+         UNION ALL SELECT * FROM avi""",
+
+    
+"mm_png_roundtrip" ->
+      """SELECT doc_id, 4 AS width, 4 AS height,
+         md5(CAST(doc_id AS VARCHAR) || 'p0')
+           || md5(CAST(doc_id AS VARCHAR) || 'p1')
+           || md5(CAST(doc_id AS VARCHAR) || 'p2') AS px_hex
+         FROM documents""",
+
+    // 4x4 -> 2x2 nearest-neighbor picks source pixels (0,0),(0,2),(2,0),
+    // (2,2): bytes p*3..p*3+2 for p in {0,2,8,10} = hex substrings
+    
+"mm_png_resize" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || 'p0')
+             || md5(CAST(doc_id AS VARCHAR) || 'p1')
+             || md5(CAST(doc_id AS VARCHAR) || 'p2') AS h
+         FROM documents)
+         SELECT doc_id, substr(h, 1, 6) || substr(h, 13, 6)
+           || substr(h, 49, 6) || substr(h, 61, 6) AS px_hex
+         FROM d""",
+
+    // GIF round-trip is exactly lossless (LZW + identity gray palette):
+    // decode returns each gray byte tripled into RGB
+    
+"mm_gif_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || 'g0')
+             || md5(CAST(doc_id AS VARCHAR) || 'g1')
+             || md5(CAST(doc_id AS VARCHAR) || 'g2')
+             || md5(CAST(doc_id AS VARCHAR) || 'g3') AS h
+         FROM documents),
+         b AS (SELECT doc_id, p, substr(h, CAST(p * 2 + 1 AS INTEGER), 2) AS hx
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS p
+                 FROM d) e),
+         t AS (SELECT doc_id, string_agg(hx || hx || hx, '' ORDER BY p) AS px_hex
+           FROM b GROUP BY doc_id)
+         SELECT doc_id, 8 AS width, 8 AS height, px_hex FROM t""",
+
+    // corner-pixel average-hash over the (lossless) GIF round-trip: the
+    // oracle reads the same four gray bytes straight from the md5 hex
+    
+"mm_gif_phash" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+           md5(CAST(doc_id % 100 AS VARCHAR) || 'g0')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g1')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g2')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'g3') AS h
+         FROM documents),
+         s AS (SELECT doc_id, substr(h, 1, 2) AS h0, substr(h, 15, 2) AS h1,
+             substr(h, 113, 2) AS h2, substr(h, 127, 2) AS h3 FROM d),
+         v AS (SELECT doc_id, m0.v AS v0, m1.v AS v1, m2.v AS v2, m3.v AS v3
+           FROM s JOIN hexmap m0 ON s.h0 = m0.hx
+             JOIN hexmap m1 ON s.h1 = m1.hx
+             JOIN hexmap m2 ON s.h2 = m2.hx
+             JOIN hexmap m3 ON s.h3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST((CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END)
+               + (CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END)
+               + (CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END)
+               + (CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END)
+               AS BIGINT) AS phash FROM v)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
+
+    // flat-block JPEG round-trip is exactly lossless (even values, q00=16):
+    // the oracle rebuilds the input pixel hex arithmetically
+    
+"mm_jpeg_roundtrip" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx)
+         SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8), 8) ||
+           repeat(repeat(h2, 8) || repeat(h3, 8), 8) AS px_hex
+         FROM b""",
+
+    // flat-block PROGRESSIVE JPEG round-trip is exactly lossless too (the
+    // refinement scans reconstruct every coefficient bit-for-bit): the
+    // oracle rebuilds the 24x16 six-block pixel hex arithmetically
+    
+"mm_jpeg_progressive" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p3'), 1, 2) AS c3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p4'), 1, 2) AS c4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p5'), 1, 2) AS c5
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
+             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
+             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx
+           JOIN hexmap m4 ON d.c4 = m4.hx
+           JOIN hexmap m5 ON d.c5 = m5.hx)
+         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
+           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
+             AS px_hex
+         FROM b""",
+
+    // EXIF fields derive from doc_id, so the oracle recomputes them
+    // directly — a green row proves the APP1/TIFF-IFD writer and sniffer
+    // agree on both byte orders, inline and offset values, sub-IFDs and
+    // the GPS flag
+    
+"mm_exif_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'mdl-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+           '2021:03:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+             ' 07:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00'
+             AS datetime,
+           CAST(100 + doc_id % 900 AS BIGINT) AS x_dim,
+           CAST(80 + doc_id % 700 AS BIGINT) AS y_dim,
+           (doc_id % 3 = 0) AS has_gps
+         FROM documents""",
+
+    // orientation normalization: flat blocks are lossless through the
+    // JPEG codec, so the upright pixels are the input blocks permuted by
+    // the EXIF orientation — replayed block-by-block per orientation
+    
+"mm_exif_autorotate" ->
+      s"""WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 2) AS c3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 2) AS c4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 2) AS c5
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST(1 + d.doc_id % 8 AS INTEGER) AS o,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1,
+             lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')) AS h2,
+             lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')) AS h3,
+             lower(lpad(to_hex((m4.v % 128) * 2), 2, '0')) AS h4,
+             lower(lpad(to_hex((m5.v % 128) * 2), 2, '0')) AS h5
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx
+           JOIN hexmap m4 ON d.c4 = m4.hx
+           JOIN hexmap m5 ON d.c5 = m5.hx)
+         SELECT doc_id,
+           CASE WHEN o <= 4 THEN 24 ELSE 16 END AS width,
+           CASE WHEN o <= 4 THEN 16 ELSE 24 END AS height,
+           CASE o
+           $exifOrientPxSql
+           END AS px_hex
+         FROM b""",
+
+    // JPEG perceptual dedup: the codec is lossless on the fixture, so the
+    // block values sampled from decoded pixels equal the md5-derived ones
+    
+"mm_jpeg_phash" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'j3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
+             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
+             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
+             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
+               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
+               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
+               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
+             AS BIGINT) AS phash
+           FROM b)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
+
+    // the AVI mux/parse is the identity on frame payloads and flat-block
+    // JPEG is exactly lossless, so sampled frames 0 and 2 decode back to
+    // their md5-derived block values — the oracle replays them directly
+    
+"mm_video_framesample" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         d AS (SELECT doc_id, frame_idx,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v'
+               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM f)
+         SELECT doc_id, 16 AS width, 16 AS height,
+           40000 AS usec_per_frame, 4 AS n_frames,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
+           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
+           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
+           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
+         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+         JOIN hexmap m1 ON d.c1 = m1.hx
+         JOIN hexmap m2 ON d.c2 = m2.hx
+         JOIN hexmap m3 ON d.c3 = m3.hx""",
+
+    // MP4 frame sampling: same lossless flat-block arithmetic as the AVI
+    // row, with the container meta coming from the sample tables
+    
+"mm_mp4_framesample" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         d AS (SELECT doc_id, frame_idx,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'm'
+               || CAST(frame_idx AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM f)
+         SELECT doc_id, 16 AS width, 16 AS height,
+           2500 AS frame_delta, 4 AS n_frames,
+           CAST(64 AS BIGINT) AS n_audio_samples,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((m0.v % 128) * 2 AS BIGINT) AS b00,
+           CAST((m1.v % 128) * 2 AS BIGINT) AS b01,
+           CAST((m2.v % 128) * 2 AS BIGINT) AS b10,
+           CAST((m3.v % 128) * 2 AS BIGINT) AS b11
+         FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+         JOIN hexmap m1 ON d.c1 = m1.hx
+         JOIN hexmap m2 ON d.c2 = m2.hx
+         JOIN hexmap m3 ON d.c3 = m3.hx""",
+
+    // MP4 PCM decode: the loudness stats replay from the sample formula;
+    // the codec column pins which byte order the file carried
+    
+"mm_mp4_audio" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 69)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'twos' ELSE 'sowt' END AS codec,
+           16000 AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+         FROM v GROUP BY doc_id""",
+
+    // all three codecs are lossless on the fixture, so every format's
+    // phash equals the one computed from the md5-derived block values
+    
+"mm_cross_format_dedup" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'x3'), 1, 2) AS c3
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             CAST((m0.v % 128) * 2 AS BIGINT) AS v0,
+             CAST((m1.v % 128) * 2 AS BIGINT) AS v1,
+             CAST((m2.v % 128) * 2 AS BIGINT) AS v2,
+             CAST((m3.v % 128) * 2 AS BIGINT) AS v3
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx
+           JOIN hexmap m3 ON d.c3 = m3.hx),
+         ph AS (SELECT doc_id,
+             CAST(CASE WHEN v0 * 4 > v0 + v1 + v2 + v3 THEN 1 ELSE 0 END
+               + CASE WHEN v1 * 4 > v0 + v1 + v2 + v3 THEN 2 ELSE 0 END
+               + CASE WHEN v2 * 4 > v0 + v1 + v2 + v3 THEN 4 ELSE 0 END
+               + CASE WHEN v3 * 4 > v0 + v1 + v2 + v3 THEN 8 ELSE 0 END
+             AS BIGINT) AS phash
+           FROM b)
+         SELECT doc_id, phash AS ph_png, phash AS ph_jpeg, phash AS ph_gif,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph""",
+
+    
+"mm_wav_pcm" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+         FROM v GROUP BY doc_id""",
+
+    // boxcar decimation by 4 from the same sample formula: window sums
+    // with the +32768·4 positivity bias so // (truncating in both
+    // engines) is floor division
+    
+"mm_wav_resample" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, i, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s),
+         w AS (SELECT doc_id, i // 4 AS k, SUM(sv) AS ssum
+           FROM v GROUP BY 1, 2)
+         SELECT doc_id, CAST(k AS INTEGER) AS k,
+           CAST((ssum + 131072) // 4 - 32768 AS INTEGER) AS v
+         FROM w""",
+
+    // windowed frame features from the same sample formula: frame = i//16,
+    // crossings only between consecutive samples of the SAME frame
+    
+"mm_audio_frames" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         v AS (SELECT doc_id, i, CASE
+             WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+             THEN (doc_id * 31 + i * 17) % 65536 - 65536
+             ELSE (doc_id * 31 + i * 17) % 65536 END AS sv
+           FROM s),
+         w AS (SELECT doc_id, i, sv, i // 16 AS frame,
+             lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v)
+         SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(sv)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN i % 16 != 0
+             AND ((sv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+         FROM w GROUP BY doc_id, frame""",
+
+    // animated GIF: LZW is lossless and the gray palette the identity, so
+    // each composited canvas is pure block arithmetic — frame 0 all a,
+    // frame 1 overlays the b patch, frame 2's transparent top half keeps
+    // the frame-1 state while its bottom half paints c
+    
+"mm_gif_animation" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'a2'), 1, 2) AS c2
+           FROM documents),
+         b AS (SELECT d.doc_id,
+             lower(lpad(to_hex(m0.v % 128), 2, '0')) AS ha,
+             lower(lpad(to_hex(m1.v % 128), 2, '0')) AS hb,
+             lower(lpad(to_hex(m2.v % 128), 2, '0')) AS hc
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx
+           JOIN hexmap m2 ON d.c2 = m2.hx)
+         SELECT doc_id, frame_idx, delay_cs, 16 AS width, 8 AS height,
+           px_hex FROM (
+           SELECT doc_id, 0 AS frame_idx,
+             CAST(10 + doc_id % 5 AS INTEGER) AS delay_cs,
+             repeat(ha, 384) AS px_hex FROM b
+           UNION ALL SELECT doc_id, 1, 20,
+             repeat(ha, 96) ||
+             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 4) ||
+             repeat(ha, 96) FROM b
+           UNION ALL SELECT doc_id, 2, 30,
+             repeat(ha, 96) ||
+             repeat(repeat(ha, 12) || repeat(hb, 24) || repeat(ha, 12), 2) ||
+             repeat(repeat(ha, 12) || repeat(hb, 12) || repeat(hc, 24), 2) ||
+             repeat(repeat(ha, 24) || repeat(hc, 24), 2) FROM b) t""",
+
+    // DOCX extraction: the writer's XML escaping and the reader's entity
+    // decode are exact inverses, so the oracle rebuilds the text directly
+    // (a trailing newline closes the final paragraph)
+    
+"mm_docx_extract" ->
+      """SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & <hdr>' || chr(10) ||
+           'para ''two'' "q"' || chr(10) ||
+           'tail=' || CAST(doc_id * 7 % 1000 AS VARCHAR) || chr(10) AS text
+         FROM documents""",
+
+    // XLSX extraction: the writer's escaping/shared-string dedup and the
+    // reader's resolution are exact inverses — the oracle rebuilds every
+    // cell pair directly
+    
+"mm_xlsx_extract" ->
+      """SELECT doc_id, cell_ref, value FROM (
+           SELECT doc_id, 'A1' AS cell_ref,
+             'name-' || CAST(doc_id % 50 AS VARCHAR) AS value
+           FROM documents
+           UNION ALL SELECT doc_id, 'B1',
+             CAST(doc_id * 3 % 1000 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'C1',
+             'name-' || CAST(doc_id % 50 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'A2',
+             'r&d <' || CAST(doc_id % 7 AS VARCHAR) || '>' FROM documents
+           UNION ALL SELECT doc_id, 'B2',
+             CAST(doc_id % 97 AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id, 'D2',
+             'i&s <' || CAST(doc_id % 5 AS VARCHAR) || '>' FROM documents
+           ) t""",
+
+    // TIFF round-trip: all three compressions are lossless, so the oracle
+    // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike
+    // JPEG, no evenness constraint is needed)
+    
+"mm_tiff_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't0'), 1, 2) AS h0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't1'), 1, 2) AS h1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't2'), 1, 2) AS h2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't3'), 1, 2) AS h3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't4'), 1, 2) AS h4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 't5'), 1, 2) AS h5
+           FROM documents)
+         SELECT doc_id, 24 AS width, 16 AS height, 1 AS channels,
+           repeat(repeat(h0, 8) || repeat(h1, 8) || repeat(h2, 8), 8) ||
+           repeat(repeat(h3, 8) || repeat(h4, 8) || repeat(h5, 8), 8)
+             AS px_hex
+         FROM d""",
+
+    // EPUB extraction: escape and reduction are exact inverses on the
+    // fixture, so each chapter's expected text is direct arithmetic
+    
+"mm_epub_extract" ->
+      """SELECT doc_id, chapter_idx, text FROM (
+           SELECT doc_id, 0 AS chapter_idx,
+             'Ch 0 doc ' || CAST(doc_id AS VARCHAR) ||
+               ' fish & chips <b0>' AS text
+           FROM documents
+           UNION ALL SELECT doc_id, 1,
+             'Ch 1 doc ' || CAST(doc_id AS VARCHAR) ||
+               ' plain tea, no entities'
+           FROM documents) t""",
+
+    // A/V alignment: DuckDB replays the whole chain — signed samples →
+    // frame energies → speech islands as [begin, end) ms intervals →
+    // the three cue windows → per-cue overlap sum and coverage verdict
+    
+"mm_av_align" ->
+      """WITH s AS (SELECT doc_id, i,
+             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
+               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
+           FROM documents, generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, i // 16 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
+           FROM s GROUP BY 1, 2),
+         g AS (SELECT doc_id, frame, (sum_abs >= 1000) AS is_speech,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
+               (sum_abs >= 1000) ORDER BY frame) AS island
+           FROM f),
+         segs AS (SELECT doc_id, MIN(frame) AS seg_begin,
+             MAX(frame) + 1 AS seg_end
+           FROM g WHERE is_speech GROUP BY doc_id, island),
+         cues AS (SELECT doc_id, k AS seq,
+             CAST(doc_id % 2 + (k - 1) * 5 AS BIGINT) AS start_ms,
+             CAST(doc_id % 2 + (k - 1) * 5 + 5 AS BIGINT) AS end_ms
+           FROM documents, (SELECT UNNEST([1, 2, 3]) AS k) ks)
+         SELECT c.doc_id, c.seq, c.start_ms, c.end_ms,
+           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
+             AND least(c.end_ms, sg.seg_end) -
+                 greatest(c.start_ms, sg.seg_begin) > 0
+             THEN least(c.end_ms, sg.seg_end) -
+                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0)
+             AS BIGINT) AS speech_ms,
+           CAST(COALESCE(SUM(CASE WHEN sg.seg_begin IS NOT NULL
+             AND least(c.end_ms, sg.seg_end) -
+                 greatest(c.start_ms, sg.seg_begin) > 0
+             THEN least(c.end_ms, sg.seg_end) -
+                  greatest(c.start_ms, sg.seg_begin) ELSE 0 END), 0) * 2
+             >= c.end_ms - c.start_ms AS BOOLEAN) AS covered
+         FROM cues c LEFT JOIN segs sg ON sg.doc_id = c.doc_id
+         GROUP BY c.doc_id, c.seq, c.start_ms, c.end_ms""",
+
+    // subtitle cues: timestamps and text derive from doc arithmetic; the
+    // second cue pins the constant long-form times (hour carry on the
+    // VTT short form vs the SRT hour field)
+    
+"mm_subtitle_parse" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+           seq, start_ms, end_ms, text FROM (
+           SELECT doc_id, 1 AS seq,
+             CAST((doc_id % 50) * 1000 + doc_id % 1000 AS BIGINT)
+               AS start_ms,
+             CAST((doc_id % 50 + 2) * 1000 + doc_id % 1000 AS BIGINT)
+               AS end_ms,
+             'line one ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'line two' AS text
+           FROM documents
+           UNION ALL SELECT doc_id, 2,
+             65500,
+             CASE WHEN doc_id % 2 = 0 THEN 3667000 ELSE 67000 END,
+             'second ' || CAST(doc_id AS VARCHAR)
+           FROM documents) t""",
+
+    // VAD segmentation: DuckDB rebuilds the signed samples, frame energy
+    // sums and the same gaps-and-islands grouping over speech frames
+    
+"mm_audio_vad" ->
+      """WITH s AS (SELECT doc_id, i,
+             CASE WHEN (doc_id + i // 16) % 3 = 0 THEN i % 4
+               ELSE (doc_id * 31 + i * 17) % 65536 END AS v
+           FROM documents, generate_series(0, 255) t(i)),
+         f AS (SELECT doc_id, i // 16 AS frame,
+             SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
+           FROM s GROUP BY 1, 2),
+         g AS (SELECT doc_id, frame, sum_abs,
+             (sum_abs >= 1000) AS is_speech,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id,
+               (sum_abs >= 1000) ORDER BY frame) AS island
+           FROM f)
+         SELECT doc_id,
+           CAST(MIN(frame) AS BIGINT) AS begin_frame,
+           CAST(MAX(frame) AS BIGINT) AS end_frame,
+           COUNT(*) AS n_frames,
+           CAST(SUM(sum_abs) AS BIGINT) AS energy
+         FROM g WHERE is_speech GROUP BY doc_id, island""",
+
+    // FLAC is lossless: every decoded sample is the fixture formula,
+    // constant and varying frames alike
+    
+"mm_flac_roundtrip" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           FROM documents)
+         SELECT doc_id, 16000 AS sample_rate, 16 AS bits,
+           CAST(i AS INTEGER) AS i,
+           CAST(CASE WHEN (doc_id + i // 16) % 3 = 0
+             THEN (doc_id * 7 + i // 16) % 256 - 128
+             ELSE CASE WHEN (doc_id * 31 + i * 17) % 65536 >= 32768
+               THEN (doc_id * 31 + i * 17) % 65536 - 65536
+               ELSE (doc_id * 31 + i * 17) % 65536 END END AS INTEGER) AS v
+         FROM s""",
+
+    // perceptual hash replay: hex->int via a 256-row lookup dictionary,
+    // integer luma, strict luma*N > total bit rule
+    
+"mm_image_phash" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id % 100 AS VARCHAR) || 'p0')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p1')
+             || md5(CAST(doc_id % 100 AS VARCHAR) || 'p2') AS h
+         FROM documents),
+         hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         px AS (SELECT e.doc_id, e.p, 299 * r.v + 587 * g.v + 114 * b.v AS luma
+           FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS p
+                 FROM d) e
+           JOIN hexmap r ON substr(e.h, CAST(e.p * 6 + 1 AS INTEGER), 2) = r.hx
+           JOIN hexmap g ON substr(e.h, CAST(e.p * 6 + 3 AS INTEGER), 2) = g.hx
+           JOIN hexmap b ON substr(e.h, CAST(e.p * 6 + 5 AS INTEGER), 2) = b.hx),
+         tot AS (SELECT doc_id, SUM(luma) AS t FROM px GROUP BY 1),
+         ph AS (SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.luma * 16 > tot.t
+               THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END) AS BIGINT) AS phash
+           FROM px JOIN tot USING (doc_id) GROUP BY 1)
+         SELECT doc_id, phash,
+           MIN(doc_id) OVER (PARTITION BY phash) AS canonical_id
+         FROM ph"""
+  )
+}

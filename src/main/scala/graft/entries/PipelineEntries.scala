@@ -1,0 +1,724 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** composed corpus pipelines (web/image/audio/code) — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object PipelineEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"pipeline_curate_tokenize" -> ((s, dir) => {
+      // the end-to-end training-data pipeline a user actually runs:
+      // quality filter → exact dedup (canonical survivor) → temperature
+      // mix → BPE token accounting, each stage the already-verified
+      // operator; the COMPOSITION gets its own oracle so stage coupling
+      // (counts computed on the filtered set, tokenizer trained on the
+      // full corpus) is pinned too
+      val docs = t(s, dir, "documents")
+      // stopwords = Nil: the keep flag is length bounds + TTR only (the
+      // stop_ratio band is advisory), and the oracle pins exactly that —
+      // a non-empty list here would imply a stopword cut that never runs
+      val keep = TextAnalysis.qualityFilter(docs, minWords = 20,
+        maxWords = 80, minTtr = 0.30, stopwords = Nil)
+        .filter(col("keep")).select(col("doc_id"))
+      val q = docs.join(keep, Seq("doc_id"))
+      val canon = q.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val d = q.join(canon, Seq("doc_id"))
+      val mixed = TrainingMix.temperatureSample(d, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+      val tok = Bpe.tokenizeNarrow(
+        d.join(mixed.select(col("doc_id")), Seq("doc_id")),
+        bpeMerges(s, dir))
+      mixed.join(tok, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("n_tokens"), col("fertility"))
+    }),
+
+    
+"pipeline_crawl_frontier" -> ((s, dir) => {
+      // the composed crawl-scheduler story END TO END: anchor extraction
+      // from page markup → the shared canonicalizer → frontier fold
+      // (first-seen doc, in-degree) → RFC 9309 admission for graftbot
+      // (allow carve-outs, exact-over-*, no-group admit, mid-pattern
+      // wildcards — all id-dependent through the link targets) →
+      // per-host politeness waves with in-degree as priority. Each stage
+      // feeds the next; DuckDB replays the whole chain.
+      val links = operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
+      val frontier = links.groupBy(col("target_url").as("canonical_url"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_links"))
+      val admitted = Curation.robotsAdmit(frontier,
+          Curation.robotsParse(frontierRobotsDocs(s)), "graftbot",
+          idCol = "canonical_url")
+        .filter(col("admitted"))
+        .withColumn("priority", col("n_links").cast("double"))
+      Curation.fetchSchedule(admitted, perWave = 2, maxPerHost = 50)
+        .select(col("host"), col("canonical_url"), col("first_doc"),
+          col("n_links"), col("rule_len"), col("rank_in_host"),
+          col("wave"), col("slot"))
+    }),
+
+    
+"pipeline_crawl_frontier_streamed" -> ((s, dir) =>
+      // the SAME composed chain on REAL streaming machinery: the
+      // extracted links arrive as parquet drops (one file per trigger —
+      // multi-batch), fold through StreamingCrawlFrontier.processBatch
+      // inside foreachBatch (VersionedState crash-safe units pre-merging
+      // min first_doc / Σ n_links), then the fetch plan — robots
+      // admission for graftbot with the rule table as a slowly-changing
+      // side input, politeness waves by in-degree — computes over the
+      // folded frontier. Gated by the SAME oracle as the batch row:
+      // streaming ≡ batch ≡ DuckDB, including cross-batch in-degree
+      // accumulation and first-doc election.
+      graft.streaming.PipelineE2E.streamedCrawlFrontier(
+        operators.TextAnalysis.extractLinks(linkedDocs(s, dir))
+          .select(col("doc_id"), col("target_url")),
+        Curation.robotsParse(frontierRobotsDocs(s)))),
+
+    
+"code_lang_detect" -> ((s, dir) => {
+      // source-corpus language ID with the evidence tier exposed:
+      // extensions (py/js/c), an extensionless shebang script, and a
+      // lying .xyz extension only keyword evidence can place — the
+      // oracle replays the tiered CASE chain
+      val d = operators.CodeCorpus.detectLang(col("path"), col("content"))
+      codeFixtureDocs(s, dir).select(col("doc_id"), col("path"),
+        d.getField("lang").as("lang"), d.getField("evidence").as("evidence"))
+    }),
+
+    
+"code_license_detect" -> ((s, dir) => {
+      // SPDX headers (machine-readable) + phrase fallback (Apache) +
+      // NONE, with the permissive train/don't-train verdict
+      val l = operators.CodeCorpus.license(col("content"))
+      codeFixtureDocs(s, dir).select(col("doc_id"),
+        l.getField("license").as("license"),
+        l.getField("permissive").as("permissive"))
+    }),
+
+    
+"code_secrets_redact" -> ((s, dir) => {
+      // count-before-redact secrets scrub: AWS key shapes, PEM blocks,
+      // high-entropy hex assignments — the counts survive as audit
+      // columns and the oracle rebuilds the scrubbed text byte-for-byte
+      val r = operators.CodeCorpus.redact(col("content"))
+      codeFixtureDocs(s, dir).select(col("doc_id"),
+        r.getField("n_aws").as("n_aws"), r.getField("n_pem").as("n_pem"),
+        r.getField("n_entropy").as("n_entropy"),
+        r.getField("text").as("text_out"))
+    }),
+
+    
+"code_comment_split" -> ((s, dir) => {
+      // line-comment/code split per language family (# vs //) — comment
+      // density is the quality signal; the oracle replays the per-line
+      // trim-prefix rule including the shebang-counts-as-comment case
+      val d = operators.CodeCorpus.detectLang(col("path"), col("content"))
+      val withLang = codeFixtureDocs(s, dir).select(col("doc_id"),
+        col("content"), d.getField("lang").as("lang"))
+      val c = operators.CodeCorpus.commentSplit(col("content"), col("lang"))
+      withLang.select(col("doc_id"), col("lang"),
+        c.getField("n_comment_lines").as("n_comment_lines"),
+        c.getField("n_code_lines").as("n_code_lines"),
+        c.getField("comments").as("comments"))
+    }),
+
+    
+"pipeline_code_corpus" -> ((s, dir) =>
+      // the composed CODE pipeline ("The Stack shape"): language detect
+      // (ext/shebang/keyword tiers) → license gate (permissive or
+      // unlicensed; GPL drops) → secrets redact → must-have-code gate →
+      // exact dedup on the REDACTED content key (copies differing only
+      // in embedded secrets still collapse) with cluster election. ONE
+      // oracle statement replays detection, gating, redaction, the md5
+      // key and the cluster window.
+      operators.CodeCorpus.corpus(codeFixtureDocs(s, dir))),
+
+    
+"pipeline_audio_corpus" -> ((s, dir) =>
+      // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
+      // binary column + one subtitle column: sniff the container (WAV on
+      // even docs, FLAC on odd — content keyed by doc_id % 50 so
+      // duplicate utterances span containers), decode PCM through the
+      // matching REAL codec, reduce to 16-sample frame energies, VAD
+      // gaps-and-islands into utterance segments, fingerprint each
+      // segment's quantized energy trajectory, align subtitle cues (SRT
+      // and WebVTT through one front door) by time overlap into
+      // per-segment transcripts, and collapse duplicate utterances in
+      // one fingerprint window. Cross-stage coupling per-format rows
+      // cannot catch: a FLAC duplicate collapses into its WAV cluster
+      // ONLY if sniff → Rice/CRC decode → energy framing → banding all
+      // agree bit-for-bit; the oracle replays the whole chain from seed
+      // arithmetic.
+      operators.AudioCorpus.corpus(audioFixtureDocs(s, dir))),
+
+    
+"pipeline_audio_corpus_streamed" -> ((s, dir) =>
+      // the SAME audio corpus arriving as parquet drops on real
+      // streaming machinery (one file per trigger — multi-batch): each
+      // batch runs the same AudioCorpus.extract inside foreachBatch and
+      // folds into StreamingAudioCorpus (VersionedState crash-safe
+      // units: utterance rows + a pre-merged per-fingerprint
+      // min-survivor/count ledger), and the certified resolve() must
+      // equal the batch row — including cross-batch, cross-container
+      // cluster election. Same oracle as pipeline_audio_corpus:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedAudioCorpus(audioFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("seg_begin"),
+          col("seg_end"), col("energy"), col("fp"), col("transcript"),
+          col("canonical_id"), col("n_dupes"))),
+
+    
+"pipeline_image_corpus" -> ((s, dir) => {
+      // the composed IMAGE pipeline ("LAION shape"), from ONE opaque
+      // binary column: each doc carries a PNG, an EXIF-rotated JPEG
+      // (alternating baseline and PROGRESSIVE encodings) or a GIF
+      // (doc_id % 3) of content keyed by doc_id % 100, so duplicates
+      // span FORMATS, ROTATIONS and JPEG CODING MODES. The pipeline
+      // (Multimodal.imageCorpusExtract) sniffs the container (magic
+      // bytes, not the fixture label), dispatches to the right decoder,
+      // re-reads the EXIF orientation and normalizes JPEG pixels upright,
+      // reduces every format to one canonical gray-tripled content key,
+      // quality-filters on block-value spread (low-contrast clusters
+      // drop), and this row canonicalizes duplicate clusters in one
+      // window. Cross-stage coupling per-format rows cannot catch: a
+      // rotated progressive-JPEG duplicate collapses into its upright
+      // PNG/GIF cluster ONLY if sniff → EXIF → multi-scan decode →
+      // autorotate → tripling all agree; the oracle replays the whole
+      // chain from the seed arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val staged = operators.Multimodal.imageCorpusExtract(
+        imageFixtureDocs(s, dir))
+      val win = Window.partitionBy(col("content_key"))
+      staged.select(col("doc_id"), col("format"), col("width"),
+        col("height"), col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"), col("spread"))
+    }),
+
+    
+"pipeline_image_corpus_streamed" -> ((s, dir) =>
+      // the SAME image corpus arriving as parquet drops on real streaming
+      // machinery (one file per trigger — multi-batch): each batch runs
+      // the same imageCorpusExtract inside foreachBatch and folds into
+      // StreamingImageCorpus (VersionedState crash-safe units: extracted
+      // docs + a pre-merged per-content-key min-survivor/count ledger),
+      // and the certified resolve() must equal the batch row — including
+      // cross-batch cluster election (duplicates of one content key land
+      // in different batches). Same oracle as pipeline_image_corpus:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedImageCorpus(imageFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("content_key"), col("canonical_id"), col("n_dupes"),
+          col("spread"))),
+
+    
+"pipeline_block_curate" -> ((s, dir) => {
+      // the jusText sibling of pipeline_html_curate: curation's word/TTR
+      // arithmetic runs on the BLOCK-extracted main content (newlines
+      // flattened) — pins the stage coupling for the block path, incl.
+      // all-boilerplate pages whose empty content must flow through
+      val extracted = TextAnalysis.blockExtract(blockFixtureDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_blocks"),
+        col("n_good"),
+        replace(col("content"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_blocks"), col("n_good")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_blocks"), col("n_good"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
+    
+"pipeline_html_curate" -> ((s, dir) => {
+      // the composed front-of-pipeline a crawl corpus actually runs:
+      // extraction FEEDS curation — the quality filter's word/TTR
+      // arithmetic runs on the EXTRACTED text (newlines flattened), so
+      // this row pins the stage coupling, not just each stage alone
+      val extracted = TextAnalysis.htmlExtract(markupDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
+        col("n_kept"), replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
+    
+"pipeline_warc_curate" -> ((s, dir) => {
+      // the composed crawl-ingest chain from raw archive bytes: WARC
+      // record walk FEEDS extraction FEEDS the quality filter — the
+      // pipeline_html_curate coupling pushed one stage earlier, so this
+      // row pins that curation arithmetic runs on text that came out of
+      // the binary front door, charset decode included
+      val extracted = TextAnalysis.warcExtract(warcDocs(s, dir))
+      val asDocs = extracted.select(col("doc_id"), col("n_lines"),
+        col("n_kept"),
+        replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      TextAnalysis.qualityFilter(asDocs, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .join(asDocs.select(col("doc_id"), col("n_lines"), col("n_kept")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_words"), col("ttr"), col("keep"))
+    }),
+
+    
+"pipeline_web_corpus" -> ((s, dir) => {
+      // the composed FineWeb-shape web pipeline, raw bytes to training
+      // shards in ONE row: warc.gz record walk + charset decode →
+      // boilerplate extraction → NFC normalization (the decoration is
+      // DECOMPOSED, so composition is load-bearing) → quality filter →
+      // URL-level dedup (collapses the re-crawl slice, same URI) →
+      // normalized-text near-dup (collapses the mirror-host slice URL
+      // dedup must miss) → language ID from the corpus-trained
+      // classifier (memoized model — train once) → temperature-balanced
+      // sampling keyed on the PREDICTED language → deterministic shard
+      // assignment. Cross-stage coupling is the point: mix rates are
+      // computed on the deduped+filtered survivor set and language
+      // comes from the model, which per-stage rows cannot catch. The
+      // oracle replays the whole chain in one statement.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.WarcFunctions._
+      val wd = warcDocs(s, dir)
+      // re-crawl slice: same bytes fetched again later (same URI)
+      val recrawl = wd.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("warc"))
+      // mirror slice: the same page served from another host — URL
+      // dedup must MISS it, text-level dedup must CATCH it. Restricted
+      // to the %3==1 docs, whose warc html is exactly the markup
+      // fixture (no meta-tag or Latin-1 paragraph edits), so the
+      // extracted text matches the original's byte for byte.
+      val mirror = markupDocs(s, dir)
+        .filter(col("doc_id") < 30 && col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          warc_response_gz(
+            concat(lit("https://mirror.example.org/doc/"),
+              col("doc_id").cast("string")),
+            lit(200), lit("text/html; charset=UTF-8"), col("html"))
+            .as("warc"))
+      val corpus = wd.unionByName(recrawl).unionByName(mirror)
+      val flat = TextAnalysis.warcExtract(corpus)
+        .select(col("doc_id"), col("target_uri"),
+          concat(replace(col("clean_text"), lit("\n"), lit(" ")),
+            lit(webDeco)).as("text"))
+      // `normed` feeds both the quality filter and the join-back — one
+      // more cut so the warc record walk + extraction runs exactly once
+      val normed = operators.Materialize(TextAnalysis.normalizeUnicode(flat)
+        .select(col("doc_id"), col("target_uri"),
+          col("norm_text").as("text")))
+      val kept = normed.join(
+        TextAnalysis.qualityFilter(normed, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val urlKept = kept
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("target_uri"))))
+        .filter(col("doc_id") === col("_keep")).drop("_keep")
+      // diamond cuts (the minhash lesson, docs/BENCH_NOTES.md): the
+      // survivor set feeds the classifier, the classifier feeds the
+      // sampler's count/threshold/filter triple, and the sample feeds
+      // shard assignment plus the label join-back — without lineage
+      // cuts every consumer re-runs the warc decode + extraction +
+      // two dedup windows over the corpus (measured: 120 redundant
+      // scans in the executed plan, 10.2 s -> 1.3 s at sf0.001)
+      val ndKept = operators.Materialize(urlKept
+        .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("_fp"))))
+        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
+      val pred = operators.Materialize(TextAnalysis.langIdPredict(ndKept,
+          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang")))
+      val sampled = operators.Materialize(
+        TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id"))
+      TrainingMix.shuffleShards(sampled, "doc_id", nShards = 16,
+          seed = "graft")
+        .join(sampled.select(col("doc_id"), col("predicted_lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("shard"),
+          col("pos"))
+    }),
+
+    
+"pipeline_mixed_corpus" -> ((s, dir) => {
+      // MIXED-FORMAT ingest, the shape a real crawl actually has: one
+      // opaque binary column carrying HTML pages (even docs), PDF blobs
+      // (doc_id % 4 = 1) AND DOCX archives (doc_id % 4 = 3, alternating
+      // STORE/DEFLATE members), format resolved by MAGIC SNIFF on the
+      // bytes (%PDF- / PK\x03\x04 headers), DISPATCHED to the per-format
+      // front door (pdf_extract vs the ZIP walk + WordprocessingML
+      // reduction vs boilerplate extraction), then the SHARED curation
+      // tail — quality arithmetic and the corpus-trained language ID —
+      // over the union. Pins that dispatch composes: per-format rows
+      // cannot catch a quality filter or classifier running on text that
+      // came out of the wrong extractor.
+      import graft.functions.PdfFunctions._
+      import graft.functions.ZipFunctions._
+      val htmlBlobs = markupDocs(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("html").cast("binary").as("blob"))
+      val pdfBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"),
+          pdf_encode(concat(col("text"), lit(pdfDeco))).as("blob"))
+      val docxBlobs = t(s, dir, "documents").filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), docx_encode(col("text"),
+          expr("(doc_id DIV 4) % 2 = 0")).as("blob"))
+      val sniffed = htmlBlobs.unionByName(pdfBlobs).unionByName(docxBlobs)
+        .withColumn("format",
+          when(substring(col("blob"), 1, 5) ===
+            lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            "pdf")
+          .when(substring(col("blob"), 1, 4) ===
+            lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)), "docx")
+          .otherwise("html"))
+      val pdfText = sniffed.filter(col("format") === "pdf")
+        .select(col("doc_id"), col("format"),
+          pdf_extract(col("blob")).as("text"))
+      val docxText = sniffed.filter(col("format") === "docx")
+        .select(col("doc_id"), col("format"),
+          docx_extract(col("blob")).as("text"))
+      val htmlText = TextAnalysis.htmlExtract(
+          sniffed.filter(col("format") === "html")
+            .select(col("doc_id"), col("blob").cast("string").as("html")))
+        .select(col("doc_id"), lit("html").as("format"),
+          replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+      // diamond cut (the minhash lesson, docs/BENCH_NOTES.md): texts
+      // feeds three consumers — without a lineage cut each one re-runs
+      // the sniff + per-format extraction over the corpus
+      val texts = operators.Materialize(
+        pdfText.unionByName(htmlText).unionByName(docxText))
+      val q = TextAnalysis.qualityFilter(texts, minWords = 40,
+          maxWords = 200, minTtr = 0.45, stopwords = Nil)
+        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
+      val pred = TextAnalysis.langIdPredict(texts,
+          langIdModelMemo(s, dir), langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang"))
+      texts.select(col("doc_id"), col("format"))
+        .join(q, Seq("doc_id"))
+        .join(pred, Seq("doc_id"))
+    }),
+
+    
+"pipeline_pdf_curate" -> ((s, dir) => {
+      // the composed document-ingest chain from raw PDF bytes: the
+      // binary front door FEEDS the quality filter — pipeline_warc_curate
+      // pushed to the PDF format, pinning that curation arithmetic runs
+      // on text that came out of the xref/inflate/operator path
+      import graft.functions.PdfFunctions._
+      val extracted = t(s, dir, "documents").select(col("doc_id"),
+        pdf_extract(pdf_encode(concat(col("text"), lit(pdfDeco))))
+          .as("text"))
+      TextAnalysis.qualityFilter(extracted, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+        .select(col("doc_id"), col("n_words"), col("ttr"), col("keep"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"pipeline_curate_tokenize" -> (bpeChainSql(bpeRounds) + s""",
+         q AS (SELECT doc_id, lang, text FROM documents
+           WHERE len(string_split(text, ' ')) >= 20
+             AND len(string_split(text, ' ')) <= 80
+             AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.30),
+         dd AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         d AS (SELECT q.* FROM q JOIN dd USING (doc_id)),
+         c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+         w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
+         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+           FROM w),
+         k AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+             AS kcap FROM w, t),
+         r AS (SELECT lang, CAST(floor(least(1.0,
+             CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+             * 281474976710656.0) AS BIGINT) AS tv
+           FROM w, t, k),
+         thr AS (SELECT lang, CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM r),
+         m AS (SELECT d.doc_id, d.lang, d.text FROM d JOIN thr USING (lang)
+           WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
+             < keep_thr),
+         wt AS (SELECT word,
+           CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
+             AS w_tokens FROM w$bpeRounds),
+         dw AS (SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+           FROM m),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+           FROM dw JOIN wt USING (word)
+           WHERE word <> '' GROUP BY 1)
+         SELECT m.doc_id, m.lang, agg.n_words, agg.n_tokens,
+           CAST(agg.n_tokens AS DOUBLE) / CAST(agg.n_words AS DOUBLE)
+             AS fertility
+         FROM m JOIN agg ON m.doc_id = agg.doc_id"""),
+
+    // block-path curation coupling: same quality arithmetic as
+    // pipeline_html_curate, on the jusText-extracted content
+    
+"pipeline_block_curate" ->
+      (s"""WITH $blockExtractCtes,
+       fl AS (SELECT doc_id, n_blocks, n_good,
+           replace(content, chr(10), ' ') AS text FROM roll),
+       q AS (SELECT doc_id, n_blocks, n_good,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_blocks, n_good, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    
+"pipeline_html_curate" ->
+      (htmlExtractSql(5) + """,
+       fl AS (SELECT doc_id, n_lines, n_kept,
+           replace(clean_text, chr(10), ' ') AS text FROM ext),
+       q AS (SELECT doc_id, n_lines, n_kept,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_lines, n_kept, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    
+"pipeline_warc_curate" ->
+      (htmlExtractSql(5, warcMarkupSql, "wm") + """,
+       fl AS (SELECT doc_id, n_lines, n_kept,
+           replace(clean_text, chr(10), ' ') AS text FROM ext),
+       q AS (SELECT doc_id, n_lines, n_kept,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_lines, n_kept, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    // quality arithmetic over PDF-extracted text (the warc_curate shape
+    // one format over): the oracle computes the same filter over the
+    // same expected concatenation
+    
+"pipeline_pdf_curate" ->
+      (s"""WITH fl AS (SELECT doc_id, text || '$pdfDeco' AS text
+           FROM documents),""" + """
+       q AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM fl)
+       SELECT doc_id, n_words, ttr,
+         (n_words >= 40 AND n_words <= 200 AND ttr >= 0.45) AS keep
+       FROM q"""),
+
+    // the whole web pipeline in one statement: warc markup replay →
+    // extraction → corpus expansion (re-crawl + mirror slices with the
+    // fixture's provenance URLs) → NFC-composed decoration (the oracle
+    // asserts the COMPOSED bytes via chr(233), so the engine's
+    // normalize stage is load-bearing) → quality filter → URL dedup →
+    // normalized-fingerprint near-dup → the FULL language-ID training
+    // chain (shared langIdCtes block, trained on documents, predicting
+    // the survivors) → temperature-mix thresholds over the survivor
+    // composition → hex-Horner shard assignment
+    
+"pipeline_web_corpus" ->
+      (htmlExtractSql(5, warcMarkupSql, "wm") + s""",
+       wexp AS (
+         SELECT doc_id,
+           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           clean_text FROM ext
+         UNION ALL
+         SELECT doc_id + 100000,
+           'https://warc.site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/doc/' || CAST(doc_id AS VARCHAR),
+           clean_text FROM ext WHERE doc_id < 50
+         UNION ALL
+         SELECT doc_id + 200000,
+           'https://mirror.example.org/doc/' || CAST(doc_id AS VARCHAR),
+           clean_text FROM ext WHERE doc_id < 30 AND doc_id % 3 = 1),
+       wnrm AS (SELECT doc_id, url,
+           trim(replace(clean_text, chr(10), ' ') || ' r' || chr(233) ||
+             'sum' || chr(233) || ' fini') AS text
+         FROM wexp),
+       wq AS (SELECT doc_id, url, text FROM (
+           SELECT doc_id, url, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+           FROM wnrm)
+         WHERE n_words >= 40 AND n_words <= 200 AND ttr >= 0.45),
+       wud AS (SELECT doc_id, url, text FROM (
+           SELECT doc_id, url, text,
+             MIN(doc_id) OVER (PARTITION BY url) AS keep_id FROM wq)
+         WHERE doc_id = keep_id),
+       surv AS (SELECT doc_id, text FROM (
+           SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY
+               md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS keep_id FROM wud)
+         WHERE doc_id = keep_id),
+       ${langIdCtes("documents", "surv")},
+       mpl AS (SELECT doc_id, predicted_lang FROM lpred),
+       mc AS (SELECT predicted_lang, COUNT(*) AS n FROM mpl GROUP BY 1),
+       mw AS (SELECT predicted_lang, n,
+           round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM mc),
+       mt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS sw
+         FROM mw),
+       mk AS (SELECT CAST(MIN(floor(CAST(n AS DOUBLE) * sw / w)) AS BIGINT)
+           AS kcap FROM mw, mt),
+       mr AS (SELECT predicted_lang, CAST(floor(least(1.0,
+           CAST(kcap AS DOUBLE) * w / (sw * CAST(n AS DOUBLE)))
+           * 281474976710656.0) AS BIGINT) AS tv
+         FROM mw, mt, mk),
+       mthr AS (SELECT predicted_lang,
+           CASE WHEN tv >= 281474976710656 THEN 'g'
+             ELSE printf('%012x', tv) END AS keep_thr FROM mr),
+       samp AS (SELECT doc_id, predicted_lang
+         FROM mpl JOIN mthr USING (predicted_lang)
+         WHERE md5(concat('graft', '|', CAST(doc_id AS VARCHAR)))
+           < keep_thr),
+       sk AS (SELECT doc_id, predicted_lang,
+           md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS skey
+         FROM samp)
+       SELECT doc_id, predicted_lang,
+         ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
+           AS shard,
+         CAST(row_number() OVER (PARTITION BY
+             ${graft.operators.TrainingMix.hexHornerSql("skey", 8)} % 16
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+       FROM sk"""),
+
+    // mixed-format dispatch: even docs replay the markup fixture through
+    // the extraction CTEs (what the html front door must produce), odd
+    // docs are the PDF identity concat (what the pdf front door must
+    // produce); the shared quality + language-ID tail runs on the union —
+    // a hash match proves sniff, dispatch and both extractors composed
+    
+"pipeline_mixed_corpus" ->
+      (htmlExtractSql(5) + s""",
+       hdocs AS (SELECT doc_id, 'html' AS format,
+           replace(clean_text, chr(10), ' ') AS text
+         FROM ext WHERE doc_id % 2 = 0),
+       pdocs AS (SELECT doc_id, 'pdf' AS format, text || '$pdfDeco' AS text
+         FROM documents WHERE doc_id % 4 = 1),
+       ddocs AS (SELECT doc_id, 'docx' AS format, text || chr(10) AS text
+         FROM documents WHERE doc_id % 4 = 3),
+       mx AS (SELECT * FROM hdocs UNION ALL SELECT * FROM pdocs
+         UNION ALL SELECT * FROM ddocs),
+       mq AS (SELECT doc_id, format,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+         FROM mx),
+       ${langIdCtes("documents", "mx")}
+       SELECT mq.doc_id, mq.format, mq.n_words, mq.ttr,
+         (mq.n_words >= 40 AND mq.n_words <= 200 AND mq.ttr >= 0.45)
+           AS keep,
+         lpred.predicted_lang
+       FROM mq JOIN lpred ON lpred.doc_id = mq.doc_id"""),
+
+    // composed image pipeline: every format decodes losslessly on the
+    // fixture and autorotate exactly inverts the pre-rotation, so the
+    // normalized tripled-gray content is pure seed arithmetic; the oracle
+    // replays sniff-dispatch (doc_id%3 <=> the magic the fixture wrote),
+    // quality spread, the content key and the duplicate-cluster window.
+    // The streamed row resolves to the SAME corpus view, so it shares the
+    // oracle verbatim: streaming ≡ batch ≡ DuckDB.
+    
+"pipeline_image_corpus" -> imageCorpusOracle,
+
+    
+"pipeline_image_corpus_streamed" -> imageCorpusOracle,
+
+    
+"pipeline_audio_corpus" -> audioCorpusOracle,
+
+    
+"pipeline_audio_corpus_streamed" -> audioCorpusOracle,
+
+    
+"code_lang_detect" -> s"""WITH $codeFixtureSql
+       SELECT doc_id, path, lang, evidence FROM langr""",
+
+    
+"code_license_detect" -> s"""WITH $codeFixtureSql, $codeLicRedSql
+       SELECT doc_id, license, permissive FROM licr""",
+
+    
+"code_secrets_redact" -> s"""WITH $codeFixtureSql, $codeLicRedSql
+       SELECT doc_id, n_aws, n_pem, n_entropy, text_out FROM redr""",
+
+    
+"code_comment_split" -> s"""WITH $codeFixtureSql,
+       cs AS (SELECT doc_id, lang,
+           CASE WHEN lang IN ('py', 'sh', 'rb') THEN '#' ELSE '//' END
+             AS mk2,
+           list_filter(string_split(content, chr(10)), l -> l <> '') AS ls
+         FROM langr)
+       SELECT doc_id, lang,
+         CAST(len(list_filter(ls, l -> starts_with(ltrim(l), mk2)))
+           AS BIGINT) AS n_comment_lines,
+         CAST(len(ls) - len(list_filter(ls,
+           l -> starts_with(ltrim(l), mk2))) AS BIGINT) AS n_code_lines,
+         array_to_string(list_filter(ls,
+           l -> starts_with(ltrim(l), mk2)), chr(10)) AS comments
+       FROM cs""",
+
+    
+"pipeline_code_corpus" -> s"""WITH $codeFixtureSql, $codeLicRedSql,
+       gated AS (SELECT * FROM redr
+         WHERE permissive OR license = 'NONE'),
+       csd AS (SELECT *,
+           CASE WHEN lang IN ('py', 'sh', 'rb') THEN '#' ELSE '//' END
+             AS mk2,
+           list_filter(string_split(text_out, chr(10)), l -> l <> '')
+             AS ls
+         FROM gated),
+       q AS (SELECT doc_id, lang, license,
+           n_aws + n_pem + n_entropy AS n_secrets,
+           CAST(len(ls) - len(list_filter(ls,
+             l -> starts_with(ltrim(l), mk2))) AS BIGINT) AS n_code_lines,
+           md5(text_out) AS content_key
+         FROM csd
+         WHERE len(ls) - len(list_filter(ls,
+           l -> starts_with(ltrim(l), mk2))) >= 1)
+       SELECT doc_id, lang, license, n_secrets, n_code_lines, content_key,
+         MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+         COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
+       FROM q""",
+
+    // the composed crawl chain: link extraction → canonicalization →
+    // frontier fold → robots admission → politeness waves, every stage
+    // replayed — the d/l/a head mirrors extractLinks, the shared chain
+    // canonicalizes, the shared rules block re-derives graftbot's
+    // governing rules, the window replays the single-phase schedule
+    
+"pipeline_crawl_frontier" -> crawlFrontierSql,
+
+    // the SAME oracle gates the streaming composition: parquet-drop
+    // micro-batches folding (min first_doc, Σ n_links) partials through
+    // StreamingCrawlFrontier, then admission + scheduling over the
+    // folded frontier — streaming ≡ batch ≡ DuckDB
+    
+"pipeline_crawl_frontier_streamed" -> crawlFrontierSql
+  )
+}

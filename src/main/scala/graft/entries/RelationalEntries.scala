@@ -1,0 +1,1676 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** relational benchmark + analytics rows — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object RelationalEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"q_range_frame" -> ((s, dir) => {
+      // RANGE frame: per-key event count+sum over the trailing hour
+      // (event-time range window, not row-count)
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("key")).orderBy(col("writetime").asc)
+        .rangeBetween(-hourUs, Window.currentRow)
+      ev(s, dir)
+        .select(col("key"), col("event_id"), col("writetime"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          sum(dec2(col("value"))).over(w).cast("double").as("sum_trailing_hour"))
+    }),
+
+    
+"q_window_analytics" -> ((s, dir) => {
+      // analytic-function sweep: lag / lead / first_value / ntile over a
+      // fully-ordered per-key window
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    
+"q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the SQL surface
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders_v
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    
+"q_median" -> ((s, dir) => {
+      // exact interpolated percentile — distributed form: built-in
+      // percentile() buffers every distinct value of the group in ONE
+      // final-merge task (a handful of event_type groups each holding the
+      // whole corpus's values ⇒ single-task OOM at 10⁹ rows), so the exact
+      // ranks come from the range-partitioned ExactPercentile idiom
+      // instead; arithmetic is bit-identical (spec-pinned)
+      operators.ExactPercentile.percentiles(
+        Cdc.rawEvents(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), col("value"),
+        Seq("median_value" -> 0.5, "p90_value" -> 0.9))
+    }),
+
+    
+"q_value_stats" -> ((s, dir) => {
+      // variance/stddev with exact-decimal sums so both engines compute the
+      // same doubles (built-in stddev uses engine-specific accumulation)
+      val v = dec2(col("value"))
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v).cast("double").as("s1"),
+          sum(v * v).cast("double").as("s2"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .withColumn("stddev", sqrt(col("variance")))
+    }),
+
+    
+"q_moving_avg" -> ((s, dir) => {
+      // A3 analog: per-key moving average over the last 10 events
+      // (reference: circular buffer of last 10 batch latencies,
+      // CassandraSource.java:177-189) — a ROWS frame-spec window
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("writetime").asc, col("event_id").asc)
+        .rowsBetween(-9, Window.currentRow)
+      ev(s, dir)
+        .withColumn("mavg",
+          (sum(dec2(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")))
+        .select(col("key"), col("event_id"), col("writetime"), col("mavg"))
+    }),
+
+    
+"q_approx_distinct" -> ((s, dir) => {
+      // HLL sketch, oracle-checked as an error bound: the estimate itself is
+      // engine-specific, but |approx-exact|/exact <= 0.05 is a portable
+      // assertion the oracle verifies alongside the exact counts. The
+      // sketch runs at rsd=0.01 — rsd is a STANDARD DEVIATION, not a bound,
+      // so asserting 5% against the default 5%-rsd sketch is a coin flip
+      // (and indeed failed at sf0.1); 1% rsd makes the 5% assertion a 5σ
+      // margin.
+      // Plan note: mixing count_distinct with plain aggregates makes
+      // Catalyst rewrite through Expand (2× the input rows). Pre-grouping
+      // on (event_type, user_id) gives the same values — HLL over the
+      // distinct set ≡ HLL over the multiset — with both aggregations
+      // map-side combinable and no Expand.
+      Cdc.rawEvents(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("_rows"))
+        .groupBy(col("event_type"))
+        // count(user_id), not count(*): a NULL user_id forms its own
+        // pre-group, which COUNT(DISTINCT user_id) and the HLL both skip
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          count(col("user_id")).as("n_exact"),
+          sum(col("_rows")).as("n"))
+        .select(col("event_type"), col("n_exact"), col("n"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("approx_ok"))
+    }),
+
+    // == analytics (§2.4 aggregations, §2.3 joins, §2.5 windows/setops) ==
+    
+"q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+    }),
+
+    
+"q3_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    
+"q5_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    
+"q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6: pure scan-side predicate + one global agg — the query
+      // whose whole cost is filter pushdown; no join, no shuffle beyond
+      // the final partial-agg exchange
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    
+"q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7 shape: revenue between two nation groups per ship year —
+      // two broadcast nation lookups on different join paths (supplier vs
+      // customer side), symmetric pair filter
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    
+"q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (no partsupp table in the fixture: p_retailprice
+      // stands in for ps_supplycost): nation x year profit =
+      // rev - cost*qty, exact DECIMAL inside the sum
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")) -
+            dec2(col("p_retailprice")) * dec4(col("l_quantity")))
+          .cast("double").as("sum_profit"))
+    }),
+
+    
+"q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10: top-20 customers by revenue lost to returns in a
+      // quarter — join + agg + deterministic top-k (revenue desc, custkey)
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    
+"q12_shipmode_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape (fixture has no shipmode/commitdate: linestatus
+      // buckets late shipments instead): orders shipped >60 days after
+      // placement in 1997, split high/low priority per bucket
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    
+"q14_promo_effect" -> ((s, dir) => {
+      // TPC-H Q14: promo revenue share in a month — conditional DECIMAL
+      // sums, one division at the very end (both engines divide the same
+      // two doubles)
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val rev = dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev))
+            .cast("double") / sum(rev).cast("double")).as("promo_revenue"))
+    }),
+
+    
+"q19_discounted_revenue" -> ((s, dir) => {
+      // TPC-H Q19: OR'd composite brackets over (brand, size, quantity) —
+      // the disjunctive-pushdown query; a single join with the whole
+      // bracket predicate, no union of scans
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+            col("l_quantity").between(20, 40)))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    
+"q20_promo_suppliers" -> ((s, dir) => {
+      // TPC-H Q20 shape (no partsupp: shipped-quantity threshold replaces
+      // availqty): suppliers who moved >400 units of PROMO parts in 1997 —
+      // the nested semi-join chain, aggregated to supplier grain BEFORE
+      // joining supplier/nation
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val big = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 400.0)
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(big, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("total_qty"))
+    }),
+
+    
+"q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape (no partsupp: shipped extendedprice*quantity stands
+      // in for supplycost*availqty): parts whose value in NATION_1's supply
+      // is above the average part value — the global-scalar-threshold
+      // query. The 1-row (total, n_parts) agg attaches by broadcast (the
+      // plan a scalar subquery lowers to; whitelisted in PlanGuardSpec —
+      // the broadcast side is exactly one row); the threshold compare
+      // happens in DOUBLE on both engines (identical IEEE arithmetic on
+      // identical DECIMAL sums).
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_12"))
+      val pv = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_quantity")))
+          .as("value_d"))
+      val tot = pv.agg(sum(col("value_d")).as("tot_d"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_d").cast("double") * col("n_parts").cast("double")
+          >= col("tot_d").cast("double"))
+        .select(col("l_partkey"), col("value_d").cast("double")
+          .as("part_value"))
+    }),
+
+    
+"q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: the supplier(s) with maximum revenue in a quarter — the
+      // scalar-MAX-subquery shape. The max rides back onto the revenue
+      // frame as an exact DECIMAL equi-join (no double compare, no window
+      // over a single global partition), then supplier attaches by key.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = l.groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+          dec4(lit(1.0) - col("l_discount"))).as("rev_d"))
+      val maxRev = rev.agg(max(col("rev_d")).as("rev_d_max"))
+      val sup = t(s, dir, "supplier")
+      rev.join(broadcast(maxRev), col("rev_d") === col("rev_d_max"))
+        .join(sup, col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+    }),
+
+    
+"q18_large_volume" -> ((s, dir) => {
+      // TPC-H Q18 shape: customers with orders above a quantity threshold —
+      // agg-in-semi-join; the HAVING side collapses lineitem to order grain
+      // BEFORE joining, so the join input is orders-sized, not lineitem-sized
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+    }),
+
+    
+"q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape (correlated MIN subquery, re-expressed as a ranking
+      // window): cheapest shipped price per part of one brand, with the
+      // supplier achieving it. The window partitions by part key — fully
+      // parallel — and replaces the classic correlated-subquery double scan
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc)
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("l_extendedprice").as("min_price"))
+    }),
+
+    
+"q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17 shape (correlated scalar AVG subquery): revenue impact of
+      // small-quantity orders — the per-part average collapses lineitem to
+      // part grain BEFORE the join, the classic decorrelation
+      val l = t(s, dir, "lineitem")
+      val partAvg = l.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(dec2(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    
+"q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers whose
+      // lineitem was the ONLY late one on a multi-supplier finished order.
+      // "late" adapts Q21's receipt>commit to this schema:
+      // shipdate > orderdate + 60 days. Both correlations are hash
+      // semi/anti joins on l_orderkey — no nested-loop anywhere
+      val l = t(s, dir, "lineitem").alias("l1")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val l1 = l.join(o, col("l1.l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .select(col("l1.l_orderkey").as("orderkey"),
+          col("l1.l_suppkey").as("suppkey"), col("o_orderdate"))
+      val others = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val withOther = l1.join(others,
+        col("orderkey") === others("l_orderkey") &&
+          col("suppkey") =!= others("l_suppkey"), "left_semi")
+      val lateOthers = others // anti side keeps only OTHER suppliers' late items
+      val sole = withOther.join(lateOthers,
+        col("orderkey") === lateOthers("l_orderkey") &&
+          col("suppkey") =!= lateOthers("l_suppkey") &&
+          lateOthers("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_anti")
+      sole.join(broadcast(t(s, dir, "supplier")),
+          col("suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    
+"q_window_topn" -> ((s, dir) => {
+      // ranking window: top-3 orders per customer
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"))
+    }),
+
+    
+"q_rollup_stats" -> ((s, dir) => {
+      // rollup via Expand triples every input row — pre-aggregate to the
+      // base grain first (see q_cube_stats), then roll up the partials
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec2(col("l_quantity"))).as("_q"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_n")).as("n_items"),
+          sum(col("_q")).cast("double").as("sum_qty"))
+    }),
+
+    
+"q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders with at least one late line (EXISTS ->
+      // left-semi hash join), counted per priority
+      val o = t(s, dir, "orders")
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      o.filter(col("o_orderdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    
+"q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct suppliers per part bucket, excluding a
+      // NOT IN subquery set (negative-balance suppliers -> hash anti join);
+      // lineitem stands in for partsupp in this fixture
+      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .filter(col("p_size").isin(1, 5, 9, 13))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    
+"q22_sales_opportunity" -> ((s, dir) => {
+      // TPC-H Q22 shape: customers above the positive-balance average
+      // (scalar subquery) with no HIGH-VALUE orders (anti join; every
+      // fixture customer has some order, so the original no-orders form is
+      // vacuous here), grouped by a derived country code
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(dec2(col("c_acctbal"))).as("ab"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 7).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+
+    
+"q13_custdist" -> ((s, dir) => {
+      // order-count distribution per customer (left outer join + two-level
+      // aggregation, TPC-H Q13 shape)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    
+"q_market_share" -> ((s, dir) => {
+      // conditional-aggregation share (TPC-H Q8 shape): NATION_3's share of
+      // yearly supplier revenue
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_3",
+            dec2(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount"))))
+            .cast("double").as("nation_rev"),
+          revenue.as("total_rev"))
+        .withColumn("share",
+          coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"))
+    }),
+
+    
+"q_scalar_funcs" -> ((s, dir) => {
+      // scalar-function sweep: date parts, string ops, math — §2.6 extension
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        upper(col("o_orderstatus")).as("status_u"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+        round(abs(col("o_totalprice") - lit(1000.0)), 2).as("dist1k"),
+        least(col("o_totalprice"), lit(5000.0)).as("capped"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_prio"))
+    }),
+
+    
+"q_json_decode" -> ((s, dir) => {
+      // S3 analog: decode the serialized event payload (from_json) and
+      // aggregate on an extracted field
+      Cdc.rawEvents(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
+        .groupBy((col("k") % 10).cast("int").as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).cast("int").as("max_k"))
+    }),
+
+    
+"q_cube_stats" -> ((s, dir) => {
+      // CUBE grouping sets over order status × priority. Spark executes
+      // cube via Expand — 4 copies of EVERY input row here — so at scale
+      // the fact table is pre-aggregated to the base grain first (a few
+      // dozen rows) and the cube expands only that: count/sum re-aggregate
+      // losslessly (sum of sums, sum of counts).
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"), sum(dec2(col("o_totalprice"))).as("_t"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_n")).as("n_orders"),
+          sum(col("_t")).cast("double").as("total"))
+    }),
+
+    
+"q_anti_customers_no_orders" -> ((s, dir) => {
+      // customers with no orders in the first half-year window (anti join)
+      val early = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    
+"q_semi_parts_used" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    
+"q_except_parts_unused" -> ((s, dir) => {
+      // parts never shipped in 1995 (EXCEPT set op)
+      val shipped95 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_partkey").as("p_partkey"))
+      t(s, dir, "part").select(col("p_partkey")).except(shipped95)
+    }),
+
+    
+"q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    
+"profile_columns" -> ((s, dir) =>
+      // column-level admission profile of the events table: null
+      // counts, exact cardinalities, string ranges — one scan via the
+      // multi-distinct Expand, output one row per column
+      operators.Profiling.profile(t(s, dir, "events"))),
+
+    
+"graph_label_prop" -> ((s, dir) =>
+      // frequency-based label propagation (Raghavan et al. 2007) over
+      // the same trade graph as graph_pagerank: 4 synchronous rounds,
+      // argmax pinned by (cnt DESC, label ASC) — communities, where
+      // PageRank gives authority and CC gives reachability
+      operators.Graph.labelPropagation(pagerankEdges(s, dir), iters = 4)),
+
+    
+"profile_drift" -> ((s, dir) =>
+      // per-column drift between two cohorts of the events table (the
+      // build-over-build monitor): both slices' counts, the
+      // distinct-count delta, and range movement — computed in ONE scan
+      // via conditional aggregation, never two scans + a join
+      operators.Profiling.drift(t(s, dir, "events"),
+        expr("user_id % 2 = 0"))),
+
+    
+"q_time_window" -> ((s, dir) => {
+      // T5 event-time tumbling window (1 h) — batch analog of the
+      // streaming window aggregation
+      val e = ev(s, dir)
+        .withColumn("event_time", timestamp_micros(col("writetime")))
+      e.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    
+"q_skew_salted_agg" -> ((s, dir) => {
+      // skew-safe two-phase salted aggregation ≡ plain groupBy (oracle)
+      val raw = Cdc.rawEvents(s, dir)
+      SkewSafe.saltedCountSum(raw, Seq("event_type"),
+          Map("sum_value" -> dec2(col("value"))), saltBuckets = 64)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    
+"q_skew_salted_join" -> ((s, dir) => {
+      // explicit skew-join mitigation: fact side salted into 16 sub-keys,
+      // dimension replicated per salt — result must equal the plain join
+      // (oracle). The fixed-plan sibling of AQE's runtime skew handling.
+      val facts = Cdc.rawEvents(s, dir).select(col("user_id"), col("event_id"))
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      SkewSafe.saltedJoin(facts, dim, "user_id", "c_custkey",
+          "left_outer", saltBuckets = 16)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
+    
+"asof_last_order" -> ((s, dir) => {
+      // as-of (point-in-time) join: each event gets the customer's latest
+      // order at or before the event time
+      val e = ev(s, dir).select(col("event_id"), col("key"), col("writetime"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .select(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_t"),
+          col("last_orderkey"))
+      AsofJoin.asofBackward(e, od, "key", "writetime", "order_t",
+        Seq("last_orderkey", "order_t"))
+    }),
+
+    
+"graph_pagerank" -> ((s, dir) => {
+      // host-authority-style link analysis over the customer↔supplier trade
+      // graph (both directions of each distinct trading pair, keyed into a
+      // shared node space): integer-exact PageRank on the ×10¹² grid, every
+      // iteration replayed bit-exactly by the oracle — pure BIGINT
+      // arithmetic, no rounding analysis at all
+      val edges = pagerankEdges(s, dir)
+      operators.Graph.pageRank(edges, iters = 10)
+        .select(col("node"), col("r"))
+    }),
+
+    
+"q_range_band_join" -> ((s, dir) => {
+      // bucketed range join: orders against overlapping price bands
+      // (stride 5000, width 7500 — every price hits 1-2 bands). Hash
+      // equi-join on bucket id + residual range filter; never a
+      // broadcast-nested-loop theta join (PlanGuardSpec enforces).
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bands = s.range(0, 101).select(col("id").as("band_id"),
+        (col("id") * 5000.0).as("lo"), (col("id") * 5000.0 + 7500.0).as("hi"))
+      RangeJoin.bandJoin(o, "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 5000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("tot"))
+    }),
+
+    
+"q_pivot_events" -> ((s, dir) =>
+      // pivot: per-user-cohort event-type matrix (explicit value list so the
+      // plan is a single pass, no distinct-values pre-query)
+      Cdc.rawEvents(s, dir).groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("cohort"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))),
+
+    
+"q_unpivot_metrics" -> ((s, dir) =>
+      // unpivot/melt: lineitem metrics to long form on a keyed slice
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")),
+
+    
+"q_funnel_steps" -> ((s, dir) => {
+      // ordered conversion funnel signup → click → purchase: each step's
+      // entry time is the first qualifying event STRICTLY AFTER the
+      // previous step (a click before the signup never counts). Three
+      // map-side-combinable min-aggregates chained by hash joins on the
+      // user key — no window, no sort, no state
+      operators.EventAnalytics.funnelSteps(ev(s, dir), "key", "writetime",
+        Seq("signup", "click", "purchase"))
+    }),
+
+    
+"q_retention_cohorts" -> ((s, dir) =>
+      // cohort retention matrix: users bucketed by first-activity week,
+      // counted once per (cohort, age) cell — the classic triangle. Two
+      // key-hash aggregates + one map-side-combinable rollup
+      operators.EventAnalytics.retentionCohorts(ev(s, dir), "key",
+        "writetime", periodUnits = 604800000000L)),
+
+    
+"q_event_paths" -> ((s, dir) => {
+      // top-10 3-step behavior paths: per-user ordered event trigrams
+      // (lead×2 over the key-partitioned stream), counted corpus-wide,
+      // deterministic tie-break. One key-window + one rollup.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("writetime"), col("event_id"))
+      ev(s, dir)
+        .select(col("key"), col("event_type"), col("writetime"),
+          col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+          col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
+    
+"q_zorder_events" -> ((s, dir) => {
+      // write-side Z-order clustering key on (user_id, event-time µs):
+      // 16-bit quantized dims Morton-interleaved — the layout that lets
+      // parquet min/max stats prune BOTH dims after one sorted write.
+      // One 1-row min/max attach + a narrow all-integer projection.
+      val raw = Cdc.rawEvents(s, dir)
+      // same schema dispatch as CdcModel: ns-LONG fixtures divide, real
+      // timestamps go through unix_micros
+      val tsu = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = raw.select(col("event_id"), col("user_id"), tsu.as("tsu"))
+      operators.Layout.zorderKey(ev, Seq("user_id", "tsu"), bits = 16)
+        .select(col("event_id"), col("zb0"), col("zb1"), col("zkey"))
+    }),
+
+    
+"q_approx_quantiles" -> ((s, dir) => {
+      // approx_percentile sketch, oracle-checked like q_approx_distinct:
+      // exact quantiles anchor the row; the approx estimates are asserted
+      // to land inside the ±3%-rank window (sketch accuracy 200 ⇒ ±0.5%
+      // rank error — a 6× margin). The exact anchors come from the
+      // range-partitioned ExactPercentile (one pass serves all six
+      // fractions), not built-in percentile() whose buffer holds the
+      // group's whole value set; the sketch side stays a bounded-state
+      // hash aggregate and equi-joins back on the group key.
+      val raw = Cdc.rawEvents(s, dir)
+      val ap = raw.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(200)).as("a"))
+      val ex = operators.ExactPercentile.percentiles(
+        raw.select(col("event_type"), col("value")),
+        Seq("event_type"), col("value"),
+        Seq("p47" -> 0.47, "p50" -> 0.5, "p53" -> 0.53,
+          "p87" -> 0.87, "p90" -> 0.9, "p93" -> 0.93))
+      ap.join(ex, "event_type")
+        .select(col("event_type"),
+          round(col("p50"), 6).as("p50_exact"),
+          round(col("p90"), 6).as("p90_exact"),
+          (element_at(col("a"), 1) >= col("p47") &&
+            element_at(col("a"), 1) <= col("p53")).as("ok50"),
+          (element_at(col("a"), 2) >= col("p87") &&
+            element_at(col("a"), 2) <= col("p93")).as("ok90"))
+    }),
+
+    
+"q_fuzzy_join" -> ((s, dir) => {
+      // entity resolution: deterministically-corrupted customer names
+      // (one digit deleted) matched back against the clean dimension via
+      // SymSpell delete-1 blocking + exact levenshtein verify. The oracle
+      // recomputes the SAME pair set brute-force in DuckDB — a green row
+      // proves the blocked join loses nothing vs the cross product.
+      val c = t(s, dir, "customer")
+      val dirty = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          expr("concat(substring(c_name, 1, 9 + c_custkey % 8), " +
+            "substring(c_name, 11 + c_custkey % 8))").as("dirty"))
+      FuzzyJoin.editDistance1Join(dirty, "dirty",
+          c.select(col("c_custkey"), col("c_name")), "c_name")
+        .select(col("dirty_id"), col("c_custkey"), col("dist"))
+    }),
+
+    
+"q_funnel_timing" -> ((s, dir) => {
+      // funnel conversion timing: step counts + exact interpolated
+      // median/p90 time-to-convert over the strict-ordering funnel —
+      // the rollup a product team reads next to the funnel itself.
+      // The gap percentiles are GLOBAL aggregates over one value per
+      // funnel-entrant key — built-in percentile() would buffer all of
+      // them in a single task, so each gap column goes through the
+      // range-partitioned ExactPercentile (bit-identical arithmetic) and
+      // the three 1-row results broadcast-attach onto the counts row
+      val f = operators.EventAnalytics.funnelSteps(ev(s, dir), "key",
+        "writetime", Seq("signup", "click", "purchase"))
+      val counts = f.agg(count(lit(1)).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"))
+      // both gap columns ride ONE range pipeline: stack them under a gap
+      // label and group the percentiles by it — the 2-row result then
+      // pivots onto the counts row (one shuffle, not one per gap column)
+      val gaps = f.select(lit("d12").as("g"), (col("t2") - col("t1")).as("v"))
+        .unionByName(
+          f.select(lit("d23").as("g"), (col("t3") - col("t2")).as("v")))
+      val p = operators.ExactPercentile.percentiles(gaps, Seq("g"), col("v"),
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .agg(max(when(col("g") === "d12", col("p50"))).as("med_t12"),
+          max(when(col("g") === "d23", col("p50"))).as("med_t23"),
+          max(when(col("g") === "d12", col("p90"))).as("p90_t12"))
+      counts.crossJoin(broadcast(p))
+        .select(col("n_step1"), col("n_step2"), col("n_step3"),
+          col("med_t12"), col("med_t23"), col("p90_t12"))
+    }),
+
+    
+"profile_value_drift" -> ((s, dir) =>
+      // fixed-grid value-distribution drift between user cohorts: one
+      // bucket-hash aggregate + 1-row total attaches, exact proportions
+      operators.Profiling.valueDrift(Cdc.rawEvents(s, dir),
+        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
+        nBuckets = 10)),
+
+    
+"profile_drift_summary" -> ((s, dir) =>
+      // the scalar alarm over the same grid: exact integer-rational TVD
+      // + PSI (decimal-summed, rounded 6 — the libm-portability idiom)
+      operators.Profiling.valueDriftSummary(Cdc.rawEvents(s, dir),
+        col("user_id") % 2 === 0, "value", lo = 0.0, hi = 500.0,
+        nBuckets = 10)),
+
+    
+"q_intersect_repeat_buyers" -> ((s, dir) => {
+      // INTERSECT set op: customers ordering in both halves of the range
+      val o = t(s, dir, "orders")
+      val early = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val late = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      early.intersect(late)
+    }),
+
+    
+"q_argmax_events" -> ((s, dir) =>
+      // min_by/max_by with a deterministic composite order: ties on value
+      // break by event_id via the packed (value_cents, event_id) key
+      Cdc.rawEvents(s, dir)
+        .withColumn("_pack",
+          (round(col("value") * 100).cast("long") * 10000000000L) +
+            col("event_id"))
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(max_by(col("event_id"), col("_pack")).as("peak_event"),
+          min_by(col("event_id"), col("_pack")).as("trough_event"),
+          round(max(col("value")), 6).as("max_value"))),
+
+    
+"q_string_agg" -> ((s, dir) =>
+      // ordered string aggregation (listagg): deterministic via sort
+      Cdc.rawEvents(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"),
+          count(lit(1)).as("n"))),
+
+    
+"q_gapfill_locf" -> ((s, dir) => {
+      // time-series resample + gap-fill: an hourly grid per user,
+      // last-observation-carried-forward via the as-of join — the grid is
+      // explode-generated (no cross join), the LOCF is one sort within the
+      // key partition. Oracle: DuckDB's native ASOF LEFT JOIN.
+      val raw = Cdc.rawEvents(s, dir)
+      // epoch_us(ts), matching the oracle: ns-LONG fixtures divide, real
+      // timestamp[us] parquet converts — same dispatch as eventsFromRaw
+      val tUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val obs = raw
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), tUs.as("t"), col("value"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(round(max(col("value")), 6).as("v"))
+        .withColumn("obs_t", col("t"))
+      val grid = obs.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(expr("sequence(0, 719)")).as("h"))
+        // hourly grid over January 2024 (the fixture's event range),
+        // epoch micros
+        .select(col("user_id"),
+          (lit(1704067200000000L) + col("h") * 3600000000L).as("grid_t"))
+      AsofJoin.asofBackward(grid, obs, "user_id", "grid_t", "t",
+        Seq("v", "obs_t"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"q_range_frame" ->
+      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
+         COUNT(*) OVER w AS n_trailing_hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    
+"q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_orderkey) OVER w AS first_order,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    
+"q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    
+"q_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS median_value,
+         quantile_cont(value, 0.9) AS p90_value
+         FROM events GROUP BY event_type""",
+
+    
+"q_value_stats" ->
+      """SELECT event_type, n, s1, s2,
+         (s2 - s1 * s1 / n) / (n - 1) AS variance,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+         FROM (SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type)""",
+
+    
+"q_moving_avg" ->
+      s"""SELECT user_id AS "key", event_id, epoch_us(ts) AS writetime,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+
+    
+"q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         $revenueSql AS sum_disc_price,
+         COUNT(*) AS count_order,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    
+"q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    
+"q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY n_name""",
+
+    
+"q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    
+"q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    
+"q9_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))
+           - CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    
+"q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSql AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+
+    
+"q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) > 60
+         GROUP BY 1""",
+
+    
+"q14_promo_effect" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
+
+    
+"q19_discounted_revenue" ->
+      s"""SELECT $revenueSql AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+             AND l_quantity BETWEEN 20 AND 40)""",
+
+    
+"q20_promo_suppliers" ->
+      """WITH big AS (SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'PROMO'
+           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           AS DOUBLE) > 400.0)
+         SELECT s_suppkey, s_name, n_name, total_qty
+         FROM supplier JOIN big ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey""",
+
+    
+"q11_important_stock" ->
+      """WITH pv AS (SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS value_d
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_12')
+         GROUP BY 1)
+         SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+         FROM pv
+         WHERE CAST(value_d AS DOUBLE)
+             * CAST((SELECT COUNT(*) FROM pv) AS DOUBLE)
+           >= (SELECT CAST(SUM(value_d) AS DOUBLE) FROM pv)""",
+
+    
+"q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev_d
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE rev_d = (SELECT MAX(rev_d) FROM rev)""",
+
+    
+"q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+         FROM lineitem GROUP BY 1
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(tq AS DOUBLE) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+
+    
+"q2_min_cost_supplier" ->
+      """WITH j AS (SELECT l_suppkey, l_extendedprice, p_partkey, p_name,
+           row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rnk
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#13')
+         SELECT p_partkey, p_name, s_name, n_name,
+           l_extendedprice AS min_price
+         FROM j JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE rnk = 1""",
+
+    
+"q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+         FROM lineitem GROUP BY 1)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN pa ON l_partkey = pk
+         WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty""",
+
+    
+"q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name""",
+
+    
+"q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+
+    
+"q_rollup_stats" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    
+"q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    
+"q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_rev,
+         $revenueSql AS total_rev,
+         COALESCE(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
+           / $revenueSql AS share
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY year(o_orderdate)""",
+
+    
+"q_scalar_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(quarter(o_orderdate) AS INT) AS q,
+         upper(o_orderstatus) AS status_u,
+         CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+         substr(o_orderpriority, 1, 1) AS prio_digit,
+         round(abs(o_totalprice - 1000.0), 2) AS dist1k,
+         least(o_totalprice, 5000.0) AS capped,
+         o_orderstatus || '-' || o_orderpriority AS status_prio
+         FROM orders""",
+
+    
+"q_json_decode" ->
+      """SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_mod,
+         COUNT(*) AS n, CAST(MAX(CAST(props->>'k' AS INT)) AS INT) AS max_k
+         FROM events GROUP BY 1""",
+
+    
+"q_cube_stats" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    
+"q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')""",
+
+    
+"q_semi_parts_used" ->
+      """SELECT p_partkey, p_name FROM part p
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+
+    
+"q_except_parts_unused" ->
+      """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""",
+
+    
+"q_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_buyers,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
+
+    
+"profile_columns" -> {
+      val strCols = Set("event_type", "props")
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map { c =>
+          val mn = if (strCols(c)) s"MIN($c)" else "CAST(NULL AS VARCHAR)"
+          val mx = if (strCols(c)) s"MAX($c)" else "CAST(NULL AS VARCHAR)"
+          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             $mn AS min_s, $mx AS max_s FROM events"""
+        }.mkString("\nUNION ALL\n")
+    },
+
+    
+"profile_drift" -> {
+      val strCols = Set("event_type", "props")
+      val a = "user_id % 2 = 0"
+      val b = s"NOT ($a)"
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map { c =>
+          def nr(p: String) = s"COUNT(CASE WHEN $p THEN 1 END)"
+          def nn(p: String) = s"COUNT(CASE WHEN $p THEN $c END)"
+          def nd(p: String) = s"COUNT(DISTINCT CASE WHEN $p THEN $c END)"
+          val rs = if (strCols(c))
+            s"""(MIN(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
+               MIN(CASE WHEN $b THEN $c END)) AND
+               (MAX(CASE WHEN $a THEN $c END) IS NOT DISTINCT FROM
+               MAX(CASE WHEN $b THEN $c END))"""
+          else "TRUE"
+          s"""SELECT '$c' AS col_name,
+             CAST(${nr(a)} AS BIGINT) AS n_rows_a,
+             CAST(${nr(a)} - ${nn(a)} AS BIGINT) AS n_nulls_a,
+             CAST(${nd(a)} AS BIGINT) AS n_distinct_a,
+             CAST(${nr(b)} AS BIGINT) AS n_rows_b,
+             CAST(${nr(b)} - ${nn(b)} AS BIGINT) AS n_nulls_b,
+             CAST(${nd(b)} AS BIGINT) AS n_distinct_b,
+             CAST(${nd(b)} - ${nd(a)} AS BIGINT) AS d_distinct,
+             $rs AS range_same FROM events"""
+        }.mkString("\nUNION ALL\n")
+    },
+
+    
+"q_funnel_timing" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
+           FROM events),
+         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
+           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
+         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
+           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1),
+         f AS (SELECT s1."key", t1, t2, t3 FROM s1
+           LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key"))
+         SELECT COUNT(*) AS n_step1, COUNT(t2) AS n_step2,
+           COUNT(t3) AS n_step3,
+           quantile_cont(t2 - t1, 0.5) AS med_t12,
+           quantile_cont(t3 - t2, 0.5) AS med_t23,
+           quantile_cont(t2 - t1, 0.9) AS p90_t12
+         FROM f""",
+
+    
+"profile_value_drift" ->
+      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
+           WHERE value IS NOT NULL),
+         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
+               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
+             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c)
+         SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
+           CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
+         FROM c, t""",
+
+    
+"profile_drift_summary" ->
+      """WITH e AS (SELECT value AS v, user_id % 2 = 0 AS in_a FROM events
+           WHERE value IS NOT NULL),
+         c AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 500 THEN 10
+               ELSE CAST(floor(v / 50.0) AS BIGINT) END AS bucket,
+             COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+             COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+             CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM c),
+         p AS (SELECT n_a, n_b, na_tot, nb_tot,
+             CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS p_a,
+             CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS p_b
+           FROM c, t)
+         SELECT MAX(na_tot) AS n_a, MAX(nb_tot) AS n_b,
+           CAST(CAST(SUM(abs(n_a * nb_tot - n_b * na_tot)) AS BIGINT)
+               AS DOUBLE)
+             / (2.0 * CAST(MAX(na_tot) AS DOUBLE)
+                * CAST(MAX(nb_tot) AS DOUBLE)) AS tvd,
+           round(CAST(SUM(CAST((p_a - p_b) * ln(greatest(p_a, 0.000001)
+               / greatest(p_b, 0.000001)) AS DECIMAL(38,18))) AS DOUBLE),
+             6) AS psi
+         FROM p""",
+
+    
+"q_time_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    
+"q_skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    
+"q_skew_salted_join" ->
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment""",
+
+    
+"asof_last_order" ->
+      """WITH od AS (SELECT o_custkey, epoch_us(o_orderdate) AS order_t,
+                       MAX(o_orderkey) AS last_orderkey
+                     FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id AS "key", epoch_us(e.ts) AS writetime,
+           od.last_orderkey, od.order_t
+         FROM events e ASOF LEFT JOIN od
+           ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.order_t""",
+
+    
+"q_approx_distinct" ->
+      """SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         true AS approx_ok
+         FROM events GROUP BY event_type""",
+
+    
+"q_range_band_join" ->
+      """SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+         FROM orders o JOIN (SELECT i AS band_id, i * 5000.0 AS lo,
+             i * 5000.0 + 7500.0 AS hi FROM range(0, 101) t(i)) b
+           ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+         GROUP BY 1""",
+
+    
+"q_pivot_events" ->
+      """SELECT user_id % 10 AS cohort,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
+
+    
+"q_unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    
+"q_funnel_steps" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt
+           FROM events),
+         s1 AS (SELECT "key", MIN(wt) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e."key", MIN(wt) AS t2 FROM e JOIN s1 USING ("key")
+           WHERE event_type = 'click' AND wt > t1 GROUP BY 1),
+         s3 AS (SELECT e."key", MIN(wt) AS t3 FROM e JOIN s2 USING ("key")
+           WHERE event_type = 'purchase' AND wt > t2 GROUP BY 1)
+         SELECT s1."key", t1, t2, t3 FROM s1
+         LEFT JOIN s2 USING ("key") LEFT JOIN s3 USING ("key")""",
+
+    
+"q_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id AS "key",
+           epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT "key", MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+         SELECT cohort_wk, wk - cohort_wk AS age_wk,
+           CAST(COUNT(DISTINCT e."key") AS BIGINT) AS n_users
+         FROM e JOIN f USING ("key") GROUP BY 1, 2""",
+
+    
+"q_event_paths" ->
+      """WITH e AS (SELECT user_id AS "key", event_type, epoch_us(ts) AS wt,
+           event_id FROM events),
+         s AS (SELECT event_type AS s1,
+           lead(event_type, 1) OVER w AS s2,
+           lead(event_type, 2) OVER w AS s3
+         FROM e WINDOW w AS (PARTITION BY "key" ORDER BY wt, event_id))
+         SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+         FROM s WHERE s3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, s1, s2, s3 LIMIT 10""",
+
+    // the Morton interleave is the same term structure in both dialects
+    // (shift functions vs operators); buckets are non-negative so DuckDB's
+    // flooring // equals Spark's truncating DIV
+    
+"q_zorder_events" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+           FROM events),
+         mm AS (SELECT MIN(user_id) AS mn0, MAX(user_id) AS mx0,
+           MIN(tsu) AS mn1, MAX(tsu) AS mx1 FROM e),
+         b AS (SELECT event_id,
+           ((user_id - mn0) * 65535) // greatest(1, mx0 - mn0) AS zb0,
+           ((tsu - mn1) * 65535) // greatest(1, mx1 - mn1) AS zb1
+         FROM e, mm)
+         SELECT event_id, zb0, zb1,
+           ${operators.Layout.interleaveSqlDuck(Seq("zb0", "zb1"), 16)}
+             AS zkey
+         FROM b""",
+
+    // approx estimates are engine-side; the oracle verifies the exact
+    // quantiles and that the asserted rank-error bounds hold (both true).
+    
+"q_approx_quantiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           true AS ok50, true AS ok90
+         FROM events GROUP BY event_type""",
+
+    // brute-force distance join (length prefilter only) — the blocked
+    // SymSpell join must equal it exactly
+    
+"q_fuzzy_join" ->
+      """WITH d AS (SELECT c_custkey AS dirty_id,
+             substring(c_name, 1, CAST(9 + c_custkey % 8 AS INTEGER))
+               || substring(c_name, CAST(11 + c_custkey % 8 AS INTEGER)) AS dirty
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT d.dirty_id, c.c_custkey,
+           CAST(levenshtein(d.dirty, c.c_name) AS BIGINT) AS dist
+         FROM d JOIN customer c
+           ON abs(length(d.dirty) - length(c.c_name)) <= 1
+          AND levenshtein(d.dirty, c.c_name) <= 1""",
+
+    
+"q_intersect_repeat_buyers" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""",
+
+    
+"q_argmax_events" ->
+      """SELECT user_id % 10 AS cohort,
+           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS peak_event,
+           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS trough_event,
+           round(max(value), 6) AS max_value
+         FROM events GROUP BY 1""",
+
+    
+"q_string_agg" ->
+      """SELECT user_id % 10 AS cohort,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1""",
+
+    
+"q_gapfill_locf" ->
+      """WITH obs AS (SELECT user_id, epoch_us(ts) AS t,
+             round(max(value), 6) AS v, epoch_us(ts) AS obs_t
+           FROM events WHERE user_id % 50 = 0 GROUP BY user_id, epoch_us(ts)),
+         grid AS (SELECT u.user_id,
+             1704067200000000 + 3600000000 * i AS grid_t
+           FROM (SELECT DISTINCT user_id FROM obs) u, range(0, 720) t(i))
+         SELECT g.user_id, g.grid_t, o.v, o.obs_t
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.grid_t >= o.t""",
+
+    
+"q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+           AND TIMESTAMP '1995-12-31 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+         GROUP BY 1""",
+
+    
+"q16_supplier_cnt" ->
+      """SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size IN (1, 5, 9, 13)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2""",
+
+    
+"q22_sales_opportunity" ->
+      """SELECT c_nationkey % 7 AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         GROUP BY 1""",
+
+    // integer-exact PageRank, all 10 iterations unrolled
+    
+"graph_pagerank" -> pageRankSql(iters = 10, dampNum = 85, dampDen = 100),
+
+    
+"graph_label_prop" -> labelPropSql(iters = 4)
+  )
+}

@@ -1,0 +1,669 @@
+package graft
+package entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.{AsofJoin, Bpe, CdcOperators, Curation, DocDedup, EmbeddingOps, FuzzyJoin, Multimodal, QualityClassifier, RangeJoin, Retrieval, Similarity, SkewSafe, TextAnalysis, TrainingMix}
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.SparkEntry._  // shared fixtures + oracle CTE helpers
+
+/** embedding / ANN / retrieval rows — extracted verbatim from the round-11 SparkEntry registry
+ * (zero behavior change; shared fixtures/helpers live in [[SparkEntry]]). */
+private[graft] object VectorEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    
+"knn_brute_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    
+"emb_contrastive_batch" -> ((s, dir) => {
+      // the fused training example: hardest same-label positive + 4
+      // hardest cross-label negatives per anchor, negatives packed
+      // rank-ordered — one row = one complete InfoNCE example
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.contrastiveBatch(emb.filter(col("vec_id") < 8), emb,
+          kNeg = 4)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("pos_id"), col("n_negs"), col("neg_ids"))
+    }),
+
+    
+"emb_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: per anchor, the top-5 most-similar
+      // vectors with a DIFFERENT label — the near-boundary negatives a
+      // metric-learning batch is built from. Exact broadcast×scan baseline
+      // (the at-scale path is the same mining through IVF probes).
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("label"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    
+"emb_hard_positives" -> ((s, dir) => {
+      // the other half of a contrastive batch: per anchor, the top-5
+      // most-similar SAME-label vectors (self excluded); same
+      // broadcast-bounded exact baseline as emb_hard_negatives
+      val emb = t(s, dir, "embeddings")
+      EmbeddingOps.hardPositives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id"), col("label").cast("long").as("label"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    
+"emb_mrl_truncate" -> ((s, dir) =>
+      // matryoshka truncation audit: fraction of ||v||^2 in the first 16
+      // of 64 dims, exact 1e9 grid — can serving truncate this column?
+      EmbeddingOps.mrlEnergy(t(s, dir, "embeddings"), prefixDims = 16)),
+
+    
+"knn_ivf_ann" -> ((s, dir) => {
+      // IVF-bucketed ANN over deterministic spherical-k-means cells (the
+      // 100 TB path: cell-local search, queries probe nprobe cells). Fully
+      // oracle-checked: the ×10⁷-grid arithmetic makes every k-means
+      // iteration exactly replayable in DuckDB (see ivfKnnSql); recall is
+      // additionally bounded by knn_recall below.
+      val emb = t(s, dir, "embeddings")
+      val centroids = ivfCentroids(s, dir)
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, centroids,
+          k = 5, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    
+"knn_lsh_multiprobe" -> ((s, dir) => {
+      // multi-probe LSH (Lv et al.): probing Hamming-1 bucket perturbations
+      // reaches the exact brute-force top-5 with 7 bands where single-probe
+      // banding needs 21 — a 3x smaller signature index at 100 TB. Pinned
+      // to the exact answer like knn_lsh_ann.
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshMultiProbeKnn(emb.filter(col("vec_id") < 5), emb,
+          rowsPerBand = 3, nBands = 7, dim = 64, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    
+"knn_recall" -> ((s, dir) => {
+      // ANN quality gate: measured recall@5 of both approximate paths
+      // against the exact brute-force baseline, emitted as oracle-checkable
+      // bounds (VERDICT r1 #4). IVF at nprobe=8 clears 0.8 on all fixture
+      // scales; banded LSH achieves exact recall (1.0) and is additionally
+      // pinned bit-exactly by knn_lsh_ann's brute-force oracle.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceKnn(q, emb, k = 5)
+      val ivf = Similarity.ivfKnn(q, emb, ivfCentroids(s, dir), k = 5, nprobe = 8)
+      val lsh = Similarity.lshKnn(q, emb, rowsPerBand = 3, nBands = 21,
+        dim = 64, k = 5)
+      def avgRecall(ann: org.apache.spark.sql.DataFrame, method: String,
+                    bound: Double) =
+        Similarity.recallAtK(ann, brute)
+          .agg(avg(col("recall")).as("r"))
+          .select(lit(method).as("method"), lit(5L).as("k"),
+            (col("r") >= bound).as("recall_ok"))
+      val ivfpq = Similarity.ivfPqKnn(q, emb, ivfCentroids(s, dir),
+        pqCodebooks(s, dir), m = 8, dim = 64, k = 5, nprobe = 8, rerank = 40)
+      // margin-adaptive multi-probe arm: probes only cells within a 0.65
+      // grid-cosine affinity gap of each query's best cell (capped at 8) —
+      // must hold the fixed-nprobe=8 arm's recall floor while measurably
+      // probing FEWER than 8 cells on average (measured 4.8–7.2 across the
+      // fixture scales; the clustered-fixture spec shows the per-cost gain)
+      val marginGrid = 65000000000000L
+      val cents = ivfCentroids(s, dir)
+      val ivfMargin = Similarity.ivfMarginKnn(q, emb, cents, k = 5,
+        nprobeMax = 8, marginGrid = marginGrid)
+      val avgProbes = Similarity.assignMarginProbeCells(q, cents, 8, marginGrid)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("np"))
+        .agg(avg(col("np")).as("ap"))
+      val marginRow = Similarity.recallAtK(ivfMargin, brute)
+        .agg(avg(col("recall")).as("r"))
+        .crossJoin(avgProbes)
+        .select(lit("ivf_margin").as("method"), lit(5L).as("k"),
+          (col("r") >= 0.75 && col("ap") <= 7.5).as("recall_ok"))
+      avgRecall(ivf, "ivf", 0.8)
+        .unionByName(avgRecall(ivfpq, "ivfpq", 0.6))
+        .unionByName(avgRecall(lsh, "lsh", 0.9))
+        .unionByName(marginRow)
+    }),
+
+    
+"emb_pq_residual" -> ((s, dir) => {
+      // residual PQ (the faithful FAISS IVFPQ design): codebooks trained on
+      // x − centroid(cell(x)) grid residuals — within-cell structure gets
+      // the codeword resolution. Training + encode replayed by the oracle.
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir)
+      Similarity.pqEncodeResidual(emb, cents, pqResidualBooks(s, dir),
+          m = 8, dim = 64)
+        .select(col("vec_id"), col("cell_id"),
+          col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
+    }),
+
+    
+"emb_opq_encode" -> ((s, dir) => {
+      // OPQ (parametric family): learned variance-balancing permutation
+      // rotation, then PQ in the rotated space. The oracle replays the
+      // variance ranking, the snake allocation, AND the PQ training —
+      // everything stays on the exact integer grid (see opqEncodeSql).
+      // perm + codebooks memoized (train once, encode many); the encode
+      // itself is the narrow projection + codegen'd nearest-codeword scan
+      Similarity.pqEncode(
+          Similarity.applyPermutation(t(s, dir, "embeddings"),
+            opqPerm(s, dir)),
+          opqBooks(s, dir), m = 8, dim = 64)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
+    }),
+
+    
+"emb_pq_encode" -> ((s, dir) => {
+      // product quantization: per-subspace L2 k-means codebooks (m=8 × k=16)
+      // trained entirely in exact ×10⁷-grid integer arithmetic, then every
+      // vector encoded to its nearest codeword per subspace with the exact
+      // squared reconstruction error (grid units). The oracle replays
+      // training AND encoding bit-exactly — see pqEncodeSql.
+      Similarity.pqEncode(t(s, dir, "embeddings"), pqCodebooks(s, dir),
+          m = 8, dim = 64)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"), col("sq_err"))
+    }),
+
+    
+"knn_lsh_ann" -> ((s, dir) => {
+      // banded random-hyperplane LSH ANN. Oracle = the exact brute-force
+      // top-5 (same SQL as knn_brute_cosine at k=5): with 21 bands of 3
+      // planes the candidate set provably contains the true top-5 on the
+      // fixtures, so the LSH answer must equal the exact answer bit-for-bit
+      // — a green row certifies perfect recall, not just plumbing.
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, rowsPerBand = 3,
+          nBands = 21, dim = 64, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    
+"knn_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ: the canonical billion-scale ANN composition — probe nprobe
+      // cells, rank candidates by exact-integer ADC distances over PQ
+      // codes, cosine re-rank the shortlist. The entire search (training
+      // included) is oracle-replayed.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb.filter(col("vec_id") < 5), emb,
+          ivfCentroids(s, dir), pqCodebooks(s, dir),
+          m = 8, dim = 64, k = 5, nprobe = 4, rerank = 20)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    
+"emb_label_centroid" -> ((s, dir) =>
+      EmbeddingOps.labelCentroid(t(s, dir, "embeddings"))),
+
+    
+"emb_centroid_drift" -> ((s, dir) =>
+      // vector-space drift monitor (the embedding sibling of
+      // profile_drift): per (label, dim), both vec_id-parity cohorts'
+      // exact-decimal centroids side by side in ONE conditional-agg pass
+      EmbeddingOps.centroidDrift(t(s, dir, "embeddings"),
+        expr("vec_id % 2 = 0"))),
+
+    
+"emb_int8_quantize" -> ((s, dir) =>
+      EmbeddingOps.int8Quantize(t(s, dir, "embeddings"))),
+
+    
+"emb_dim_stats" -> ((s, dir) =>
+      // per-dimension mean/variance (covariance diagonal) — the whitening /
+      // dimension-pruning preprocessing signal
+      EmbeddingOps.dimStats(t(s, dir, "embeddings"))),
+
+    
+"emb_pca_power" -> ((s, dir) =>
+      // top principal component by power iteration: corpus pass builds the
+      // exact covariance, then 8 constant-cost (dim²-row) iterations — the
+      // oracle replays every iteration bit-exactly (portable arithmetic)
+      EmbeddingOps.pcaTopComponent(t(s, dir, "embeddings"), iters = 8)),
+
+    
+"emb_pca_topk" -> ((s, dir) =>
+      // top-3 principal components: power iteration + Hotelling deflation
+      // (C ← C − λvvᵀ on the dim²-row frame, corpus-independent cost); the
+      // exact-decimal update lets the oracle replay all three components
+      EmbeddingOps.pcaTopComponents(t(s, dir, "embeddings"),
+        nComponents = 3, iters = 8)),
+
+    
+"retrieval_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: BM25 lexical arm (word-prefix probes) + exact
+      // cosine dense arm (the probes' embeddings), fused by integer-grid
+      // reciprocal-rank fusion — both arm rankings and the fusion replay
+      // exactly in the oracle (no floating point anywhere in the fusion).
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val dense = Similarity.bruteForceKnn(
+        emb.filter(col("vec_id") % 50 === 0), emb, k = 20)
+      Retrieval.hybridRrfTopK(lex, dense, k = 10)
+    }),
+
+    
+"retrieval_hybrid_ann" -> ((s, dir) => {
+      // the 100 TB hybrid plan: same lexical arm as retrieval_hybrid_rrf,
+      // but the dense arm is margin-adaptive IVF (cell-local probe joins,
+      // broadcast-bounded query side) instead of the bounded-Q brute scan.
+      // Fully hash-matched: the oracle replays the BM25 integer grid, all
+      // 5 Lloyd iterations, the margin probe rule (cells within the grid
+      // gap of each query's best, affinity-ordered, capped at 8), the
+      // cell-local cosine ranks, and the exact-BIGINT RRF fusion.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val dense = Similarity.ivfMarginKnn(
+        emb.filter(col("vec_id") % 50 === 0), emb, ivfCentroids(s, dir),
+        k = 20, nprobeMax = 8, marginGrid = 65000000000000L)
+      Retrieval.hybridRrfTopK(lex, dense, k = 10)
+    }),
+
+    
+"retrieval_hybrid_recall" -> ((s, dir) => {
+      // quality gate for the ANN-armed hybrid (knn_recall-style measured
+      // bound): the ivf-margin fused top-10 must recover, on average,
+      // >= 0.75 of the brute-dense fused top-10 — the recall floor that
+      // justifies swapping the dense arm at scale
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+      val qemb = emb.filter(col("vec_id") % 50 === 0)
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
+      val fusedBrute = Retrieval.hybridRrfTopK(lex,
+        Similarity.bruteForceKnn(qemb, emb, k = 20), k = 10)
+      val fusedAnn = Retrieval.hybridRrfTopK(lex,
+        Similarity.ivfMarginKnn(qemb, emb, ivfCentroids(s, dir), k = 20,
+          nprobeMax = 8, marginGrid = 65000000000000L), k = 10)
+      def asKnn(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("query_id").as("q_id"), col("doc_id").as("vec_id"))
+      Similarity.recallAtK(asKnn(fusedAnn), asKnn(fusedBrute))
+        .agg(avg(col("recall")).as("r"))
+        .select(lit("hybrid_ann").as("method"), lit(10L).as("k"),
+          (col("r") >= 0.75).as("recall_ok"))
+    }),
+
+    
+"emb_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (CSLS scoring): synthetic bilingual
+      // halves of the embedding table (every-10th ids probe the odd-id
+      // pool); best-margin target per source on the 1e6 integer grid —
+      // neighborhood sums and the margin division replay exactly
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4)
+    }),
+
+    
+"emb_norm_outliers" -> ((s, dir) =>
+      // robust ||v||^2 outlier gate: 1e3-grid integer norms, rank-based
+      // median + MAD (no interpolation), flag dev > 3*MAD; medians come
+      // out of globalDenseRank + 1-row broadcasts
+      EmbeddingOps.normOutliers(t(s, dir, "embeddings")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    
+"knn_brute_cosine" ->
+      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT q.vec_id AS q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 10""",
+
+    
+"emb_contrastive_batch" ->
+      """WITH cbp AS (SELECT q_id, q_label, vec_id AS pos_id FROM (
+           SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+             e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 8 AND e.label = q.label
+             AND e.vec_id <> q.vec_id) WHERE rank = 1),
+         cbn AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_negs,
+             string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank)
+               AS neg_ids
+           FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 8 AND e.label <> q.label)
+           WHERE rank <= 4 GROUP BY q_id)
+         SELECT p.q_id, p.q_label, p.pos_id, n.n_negs, n.neg_ids
+         FROM cbp p JOIN cbn n USING (q_id)""",
+
+    
+"emb_hard_negatives" ->
+      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
+         FROM (
+         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+           e.vec_id, CAST(e.label AS BIGINT) AS label,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 8 AND e.label <> q.label)
+         WHERE rank <= 5""",
+
+    
+"emb_hard_positives" ->
+      """SELECT q_id, q_label, vec_id, label, CAST(rank AS BIGINT) AS rank
+         FROM (
+         SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+           e.vec_id, CAST(e.label AS BIGINT) AS label,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 8 AND e.label = q.label AND e.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    
+"emb_mrl_truncate" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         g AS (SELECT vec_id, i, CAST(round(round(
+           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
+         FROM e),
+         s AS (SELECT vec_id,
+           CAST(SUM(CASE WHEN i <= 16 THEN xg * xg ELSE 0 END) AS BIGINT)
+             AS n2_prefix,
+           CAST(SUM(xg * xg) AS BIGINT) AS n2
+         FROM g GROUP BY 1)
+         SELECT vec_id, n2_prefix, n2,
+           (n2_prefix * 1000000000) // greatest(1, n2) AS energy9
+         FROM s""",
+
+    // LSH ANN is pinned to the EXACT answer: banded candidates provably
+    // contain the true top-5 here, so the approximate path must reproduce
+    // the brute-force ranking bit-for-bit.
+    
+"knn_lsh_ann" ->
+      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT q.vec_id AS q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    // multi-probe candidates provably contain the true top-5 here (spec +
+    // probe across all fixture scales): pinned to the exact ranking
+    
+"knn_lsh_multiprobe" ->
+      """SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT q.vec_id AS q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    // Recall bounds are engine-measured; the oracle verifies the asserted
+    // bounds hold (both booleans true), not the raw recall estimates.
+    
+"knn_recall" ->
+      """SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
+         UNION ALL
+         SELECT 'ivfpq' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
+         UNION ALL
+         SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok
+         UNION ALL
+         SELECT 'ivf_margin' AS method, CAST(5 AS BIGINT) AS k, true AS recall_ok""",
+
+    
+"emb_label_centroid" ->
+      """WITH e AS (SELECT label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+         SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+         FROM e GROUP BY 1, 2""",
+
+    
+"emb_centroid_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 = 0 AS in_a,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(24,7))
+             AS x7, i
+           FROM (SELECT label, vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         g AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+             SUM(CASE WHEN in_a THEN x7 END) AS sa,
+             CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN NOT in_a THEN x7 END) AS sb,
+             CAST(COUNT(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b
+           FROM e GROUP BY 1, 2)
+         SELECT label, pos, n_a, n_b,
+           round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b
+         FROM g WHERE n_a > 0 AND n_b > 0""",
+
+    
+"emb_int8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings),
+         e AS (SELECT vec_id, scale, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM s)
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0, 0) AS INTEGER)
+           END AS q,
+           round(scale, 6) AS scale
+         FROM e""",
+
+    
+"emb_dim_stats" ->
+      """WITH e AS (SELECT embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         vals AS (SELECT i,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(15,7)) AS x7
+         FROM e),
+         agg AS (SELECT i, SUM(x7) AS sx, SUM(x7 * x7) AS sxx,
+           CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1)
+         SELECT CAST(i - 1 AS BIGINT) AS pos, n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance
+         FROM agg""",
+
+    
+"emb_pca_power" -> pcaPowerSql(8),
+
+    
+"emb_pca_topk" -> pcaTopKSql(3, 8),
+
+    // both arms replayed (BM25 integer grid + deterministic cosine
+    // ranks), then the RRF fusion in pure BIGINT arithmetic
+    
+"retrieval_hybrid_rrf" -> (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + """,
+       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+       dn AS (SELECT q_id, vec_id, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 20),
+       fused AS (SELECT
+           coalesce(l.query_id, d.q_id) AS query_id,
+           coalesce(l.doc_id, d.vec_id) AS doc_id,
+           CAST(l.rank AS BIGINT) AS lex_rank,
+           CAST(d.rank AS BIGINT) AS dense_rank,
+           coalesce(1000000000 // (60 + l.rank), 0) +
+             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
+         FROM lx l FULL OUTER JOIN dn d
+           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
+       SELECT query_id, doc_id, lex_rank, dense_rank,
+         CAST(rrf9 AS BIGINT) AS rrf9,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
+       FROM fused
+       QUALIFY rrf_rank <= 10"""),
+
+    // full replay of the ANN-armed hybrid: BM25 grid + 5 Lloyd iterations
+    // + margin probe rule + cell-local cosine ranks + BIGINT RRF
+    
+"retrieval_hybrid_ann" ->
+      (bm25Sql("doc_id % 50 = 0", 1, 4, "TRUE") + ",\n" +
+        ivfCentroidChainSql(50, 5) + """,
+       lx AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+       qaff AS (SELECT vec_id, cell_id, aff FROM afq WHERE vec_id % 50 = 0),
+       qbest AS (SELECT vec_id, MAX(aff) AS best FROM qaff GROUP BY 1),
+       qasg AS (SELECT vec_id AS q_id, cell_id FROM (
+           SELECT a.vec_id, a.cell_id, row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.aff DESC, a.cell_id ASC) AS rn
+           FROM qaff a JOIN qbest b USING (vec_id)
+           WHERE a.aff >= b.best - 65000000000000) WHERE rn <= 8),
+       prs AS (SELECT q.q_id, c.vec_id
+           FROM qasg q JOIN casg c USING (cell_id)
+           WHERE c.vec_id <> q.q_id),
+       dn AS (SELECT q_id, vec_id, rank FROM (
+           SELECT p.q_id, p.vec_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                 CAST(ce.embedding AS DOUBLE[])) DESC, p.vec_id ASC) AS rank
+           FROM prs p
+           JOIN embeddings qe ON qe.vec_id = p.q_id
+           JOIN embeddings ce ON ce.vec_id = p.vec_id) WHERE rank <= 20),
+       fused AS (SELECT
+           coalesce(l.query_id, d.q_id) AS query_id,
+           coalesce(l.doc_id, d.vec_id) AS doc_id,
+           CAST(l.rank AS BIGINT) AS lex_rank,
+           CAST(d.rank AS BIGINT) AS dense_rank,
+           coalesce(1000000000 // (60 + l.rank), 0) +
+             coalesce(1000000000 // (60 + d.rank), 0) AS rrf9
+         FROM lx l FULL OUTER JOIN dn d
+           ON l.query_id = d.q_id AND l.doc_id = d.vec_id)
+       SELECT query_id, doc_id, lex_rank, dense_rank,
+         CAST(rrf9 AS BIGINT) AS rrf9,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf9 DESC, doc_id) AS BIGINT) AS rrf_rank
+       FROM fused
+       QUALIFY rrf_rank <= 10"""),
+
+    // the recall bound is engine-measured; the oracle verifies it holds
+    
+"retrieval_hybrid_recall" ->
+      """SELECT 'hybrid_ann' AS method, CAST(10 AS BIGINT) AS k,
+         true AS recall_ok""",
+
+    // both neighborhoods, the integer-grid margins and the per-source
+    // argmax replayed on the bounded probe pool
+    
+"emb_bitext_margin" ->
+      """WITH sp AS (SELECT vec_id AS a, embedding AS ea FROM embeddings
+           WHERE vec_id % 10 = 0),
+         tp AS (SELECT vec_id AS b, embedding AS eb FROM embeddings
+           WHERE vec_id % 2 = 1),
+         pr AS (SELECT a, b,
+             CAST(round(round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+               CAST(eb AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS sim6
+           FROM sp, tp),
+         pp AS (SELECT a, b, sim6 FROM pr WHERE sim6 > 0),
+         ka AS (SELECT a, b, sim6, row_number() OVER (PARTITION BY a
+             ORDER BY sim6 DESC, b) AS ra FROM pp),
+         knna AS (SELECT a, b, sim6 FROM ka WHERE ra <= 4),
+         sa AS (SELECT a, CAST(SUM(sim6) AS BIGINT) AS suma
+           FROM knna GROUP BY a),
+         cb AS (SELECT DISTINCT b FROM knna),
+         kb AS (SELECT p.a, p.b, p.sim6, row_number() OVER (PARTITION BY p.b
+             ORDER BY p.sim6 DESC, p.a) AS rb
+           FROM pp p JOIN cb USING (b)),
+         sb AS (SELECT b, CAST(SUM(sim6) AS BIGINT) AS sumb
+           FROM kb WHERE rb <= 4 GROUP BY b),
+         sc AS (SELECT k.a, k.b, k.sim6,
+             CAST((k.sim6 * 8 * 1000000) // (sa.suma + sb.sumb) AS BIGINT)
+               AS margin6
+           FROM knna k JOIN sa USING (a) JOIN sb USING (b)),
+         fin AS (SELECT a, b, sim6, margin6, row_number() OVER (
+             PARTITION BY a ORDER BY margin6 DESC, b) AS rm FROM sc)
+         SELECT a, b, sim6, margin6 FROM fin WHERE rm = 1""",
+
+    
+"emb_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         g AS (SELECT vec_id, CAST(round(round(
+           CAST(embedding[i] AS DOUBLE), 3) * 1000, 0) AS BIGINT) AS xg
+         FROM e),
+         s AS (SELECT vec_id, CAST(SUM(xg * xg) AS BIGINT) AS n2
+           FROM g GROUP BY 1),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         r AS (SELECT vec_id, n2,
+           row_number() OVER (ORDER BY n2, vec_id) AS rk FROM s),
+         m AS (SELECT n2 AS med FROM r, c WHERE rk = (n + 1) // 2),
+         d AS (SELECT vec_id, n2, abs(n2 - med) AS dev FROM s, m),
+         rd AS (SELECT vec_id, dev,
+           row_number() OVER (ORDER BY dev, vec_id) AS rk FROM d),
+         md AS (SELECT dev AS mad FROM rd, c WHERE rk = (n + 1) // 2)
+         SELECT vec_id, n2, dev, dev > mad * 3 AS is_outlier FROM d, md""",
+
+    // full IVF replay: k-means on the ×10⁷ grid, unrolled per iteration —
+    // same (nCells, iters, nprobe, k) as the engine call
+    
+"knn_ivf_ann" -> ivfKnnSql(nCells = 50, iters = 5, nprobe = 2, k = 5),
+
+    // full PQ replay: per-subspace integer k-means + encode — same
+    // (m, k, iters, dim/m) as the engine call
+    
+"emb_pq_encode" -> pqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
+
+    
+"emb_opq_encode" -> opqEncodeSql(m = 8, k = 16, iters = 3, subDim = 8),
+
+    // IVF-PQ composed search, both index builds + ADC ranking replayed
+    
+"knn_ivfpq_ann" -> ivfPqKnnSql(nCells = 50, ivfIters = 5, nprobe = 4,
+      m = 8, kCode = 16, pqIters = 3, subDim = 8, rerank = 20, k = 5),
+
+    // residual PQ: IVF chain -> grid residuals -> PQ chain, all replayed
+    
+"emb_pq_residual" -> pqResidualSql(nCells = 50, ivfIters = 5,
+      m = 8, kCode = 16, pqIters = 3, subDim = 8)
+  )
+}
