@@ -931,10 +931,12 @@ private[graft] object MediaEntries {
       // the audio/video-side sniff branches: MP3 frame headers (bare and
       // behind an ID3v2 tag — syncsafe size skip — with the sample rate
       // from the MPEG1 table and mono/stereo from the mode bits), OGG
-      // containers, and all three WebP flavors (VP8 lossy keyframe
+      // containers, all three WebP flavors (VP8 lossy keyframe
       // dims behind the 9D012A start code, VP8L packed 14+14 bits,
-      // VP8X 24-bit canvas). Every value derives from doc_id, so the
-      // oracle recomputes the parse arithmetically.
+      // VP8X 24-bit canvas), FLAC STREAMINFO (20-bit rate + 3-bit
+      // channels packed across bytes 18..20) and ISO-BMFF ftyp (r12).
+      // Every value derives from doc_id, so the oracle recomputes the
+      // parse arithmetically.
       import graft.functions.MediaHeaderFunctions.media_header
       val d = t(s, dir, "documents")
       // little-endian hex of an integer SQL expression, n bytes
@@ -962,9 +964,20 @@ private[graft] object MediaEntries {
       val webKind = expr("CAST(doc_id DIV 3 % 3 AS INT)")
       val webpHex = when(webKind === 0, vp8Hex)
         .when(webKind === 1, vp8lHex).otherwise(vp8xHex)
-      val payload = unhex(when(col("doc_id") % 3 === 0, mp3Hex)
-        .when(col("doc_id") % 3 === 1, oggHex)
-        .otherwise(webpHex))
+      // FLAC: magic + last-STREAMINFO block header + 10 zero bytes, then
+      // the packed rate/channels triple at file bytes 18..20
+      val flacR = "doc_id % 40000 + 8000"
+      val flacHex = concat(lit("664C6143" + "80000022" + ("0" * 20)),
+        expr(s"lpad(hex(($flacR) DIV 4096), 2, '0')"),
+        expr(s"lpad(hex(($flacR) DIV 16 % 256), 2, '0')"),
+        expr(s"lpad(hex((($flacR) % 16) * 16 + (doc_id % 2) * 2), 2, '0')"))
+      val mp4Hex = lit("00000014" + "66747970" + "69736F6D" +
+        "00000200" + "69736F6D")
+      val payload = unhex(when(col("doc_id") % 5 === 0, mp3Hex)
+        .when(col("doc_id") % 5 === 1, oggHex)
+        .when(col("doc_id") % 5 === 2, webpHex)
+        .when(col("doc_id") % 5 === 3, flacHex)
+        .otherwise(mp4Hex))
       val hdr = media_header(payload)
       d.select(col("doc_id"),
         hdr.getField("format").as("format"),
@@ -1101,18 +1114,22 @@ private[graft] object MediaEntries {
     
 "mm_header_sniff_av" ->
       """SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'mp3'
-             WHEN 1 THEN 'ogg' ELSE 'webp' END AS format,
-           CASE WHEN doc_id % 3 = 2
+           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'mp3'
+             WHEN 1 THEN 'ogg' WHEN 2 THEN 'webp' WHEN 3 THEN 'flac'
+             ELSE 'mp4' END AS format,
+           CASE WHEN doc_id % 5 = 2
              THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 3 = 2
+           CASE WHEN doc_id % 5 = 2
              THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS height,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(
+           CASE WHEN doc_id % 5 = 0 THEN CAST(
              CASE doc_id // 3 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-               ELSE 32000 END AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) END
-             AS channels
+               ELSE 32000 END AS INTEGER)
+             WHEN doc_id % 5 = 3
+             THEN CAST(doc_id % 40000 + 8000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 5 = 0 THEN CAST(
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+             WHEN doc_id % 5 = 3
+             THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels
          FROM documents""",
 
     

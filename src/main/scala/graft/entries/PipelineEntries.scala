@@ -134,6 +134,21 @@ private[graft] object PipelineEntries {
     }),
 
     
+"pipeline_code_corpus_streamed" -> ((s, dir) =>
+      // the SAME code corpus arriving as parquet drops on real streaming
+      // machinery (one file per trigger — multi-batch): each batch runs
+      // the same CodeCorpus.extract inside foreachBatch and folds into
+      // StreamingCodeCorpus (VersionedState crash-safe units: file rows
+      // + a pre-merged per-content-key min-survivor/count ledger), and
+      // the certified resolve() must equal the batch row — including
+      // cross-batch cluster election. Same oracle as
+      // pipeline_code_corpus: streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedCodeCorpus(codeFixtureDocs(s, dir))
+        .select(col("doc_id"), col("lang"), col("license"),
+          col("n_secrets"), col("n_code_lines"), col("content_key"),
+          col("canonical_id"), col("n_dupes"))),
+
 "pipeline_code_corpus" -> ((s, dir) =>
       // the composed CODE pipeline ("The Stack shape"): language detect
       // (ext/shebang/keyword tiers) → license gate (permissive or
@@ -684,7 +699,34 @@ private[graft] object PipelineEntries {
        FROM cs""",
 
     
-"pipeline_code_corpus" -> s"""WITH $codeFixtureSql, $codeLicRedSql,
+"pipeline_code_corpus" -> codeCorpusOracle,
+
+    // the SAME oracle gates the streaming composition: parquet-drop
+    // micro-batches folding per-content-key (min doc, count) partials
+    // through StreamingCodeCorpus — streaming ≡ batch ≡ DuckDB
+
+"pipeline_code_corpus_streamed" -> codeCorpusOracle,
+    // the composed crawl chain: link extraction → canonicalization →
+    // frontier fold → robots admission → politeness waves, every stage
+    // replayed — the d/l/a head mirrors extractLinks, the shared chain
+    // canonicalizes, the shared rules block re-derives graftbot's
+    // governing rules, the window replays the single-phase schedule
+    
+"pipeline_crawl_frontier" -> crawlFrontierSql,
+
+    // the SAME oracle gates the streaming composition: parquet-drop
+    // micro-batches folding (min first_doc, Σ n_links) partials through
+    // StreamingCrawlFrontier, then admission + scheduling over the
+    // folded frontier — streaming ≡ batch ≡ DuckDB
+    
+"pipeline_crawl_frontier_streamed" -> crawlFrontierSql
+  )
+
+  /** ONE replay of the composed code chain, shared by the batch row and
+   * its streamed twin: detection, license gate, redaction, the md5 key
+   * over the REDACTED text and the cluster window. */
+  private val codeCorpusOracle: String =
+    s"""WITH $codeFixtureSql, $codeLicRedSql,
        gated AS (SELECT * FROM redr
          WHERE permissive OR license = 'NONE'),
        csd AS (SELECT *,
@@ -704,21 +746,5 @@ private[graft] object PipelineEntries {
        SELECT doc_id, lang, license, n_secrets, n_code_lines, content_key,
          MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
          COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
-       FROM q""",
-
-    // the composed crawl chain: link extraction → canonicalization →
-    // frontier fold → robots admission → politeness waves, every stage
-    // replayed — the d/l/a head mirrors extractLinks, the shared chain
-    // canonicalizes, the shared rules block re-derives graftbot's
-    // governing rules, the window replays the single-phase schedule
-    
-"pipeline_crawl_frontier" -> crawlFrontierSql,
-
-    // the SAME oracle gates the streaming composition: parquet-drop
-    // micro-batches folding (min first_doc, Σ n_links) partials through
-    // StreamingCrawlFrontier, then admission + scheduling over the
-    // folded frontier — streaming ≡ batch ≡ DuckDB
-    
-"pipeline_crawl_frontier_streamed" -> crawlFrontierSql
-  )
+       FROM q"""
 }

@@ -158,6 +158,10 @@ object MediaHeaders {
           }
           channels = if (((bytes(off + 3) >> 6) & 3) == 3) 1 else 2
         }
+      } else if (bytes.length >= 12 && ascii(bytes, 4, "ftyp")) {
+        // ISO-BMFF: the ftyp box leads; dimensions live in the moov
+        // sample tables (Mp4Codec's domain), not in a fixed header
+        format = "mp4"
       } else if (ascii(bytes, 0, "fLaC") && bytes.length >= 21) {
         // STREAMINFO is the mandatory first metadata block: 20-bit
         // sample rate and 3-bit channels-1 packed at bytes 18..20

@@ -125,13 +125,15 @@ object CodeCorpus {
   }
 
   /**
-   * The composed code corpus: `(doc_id, path, content)` → detect →
-   * license gate (permissive or unlicensed; copyleft drops) → secrets
-   * redact → must-have-code quality gate → exact dedup on the md5 of
-   * the REDACTED text (so two copies differing only in their embedded
-   * secrets still collapse) with cluster election.
+   * The per-document stage shared by the batch `pipeline_code_corpus`
+   * row and [[graft.streaming.StreamingCodeCorpus]] (streaming ≡ batch
+   * by construction): `(doc_id, path, content)` → detect → license gate
+   * (permissive or unlicensed; copyleft drops) → secrets redact →
+   * must-have-code quality gate → the md5 key of the REDACTED text (so
+   * two copies differing only in their embedded secrets still share a
+   * key). No cross-document state.
    */
-  def corpus(docs: DataFrame): DataFrame = {
+  def extract(docs: DataFrame): DataFrame = {
     val lang = detectLang(col("path"), col("content"))
     val lic = license(col("content"))
     val red = redact(col("content"))
@@ -144,11 +146,19 @@ object CodeCorpus {
           red.getField("n_entropy")).as("n_secrets"))
       .where(col("permissive") || col("license") === "NONE")
     val cs = commentSplit(col("text"), col("lang"))
-    val win = Window.partitionBy(col("content_key"))
     staged
       .withColumn("n_code_lines", cs.getField("n_code_lines"))
       .where(col("n_code_lines") >= 1)
       .withColumn("content_key", md5(col("text")))
+      .select(col("doc_id"), col("lang"), col("license"),
+        col("n_secrets"), col("n_code_lines"), col("content_key"))
+  }
+
+  /** The batch corpus: [[extract]] plus the duplicate-cluster election
+   * (min doc_id / cluster size per redacted-content key). */
+  def corpus(docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("content_key"))
+    extract(docs)
       .select(col("doc_id"), col("lang"), col("license"),
         col("n_secrets"), col("n_code_lines"), col("content_key"),
         min(col("doc_id")).over(win).as("canonical_id"),

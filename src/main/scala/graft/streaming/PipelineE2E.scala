@@ -553,6 +553,50 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming code-corpus curation on REAL streaming machinery: source
+   * files `(doc_id, path, content)` arrive as parquet drops (one file
+   * per trigger — multi-batch), each batch runs the shared
+   * `CodeCorpus.extract` inside `foreachBatch` and folds through
+   * [[StreamingCodeCorpus.processBatch]] (VersionedState crash-safe
+   * units: file rows + the pre-merged per-content-key min/count
+   * ledger), and the certified [[StreamingCodeCorpus.resolve]] must
+   * equal the batch `pipeline_code_corpus` row — the driver compares
+   * against the SAME DuckDB oracle. Duplicate files (doc_id % 40
+   * content seeds) span the drops, so cross-batch cluster election is
+   * on the oracle path.
+   */
+  def streamedCodeCorpus(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_codecorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("path"),
+        col("content"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingCodeCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, path STRING, content STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed code-corpus fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch cluster " +
+      "election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * The composed crawl scheduler on REAL streaming machinery:
    * canonicalized links `(doc_id, target_url)` arrive as parquet drops
    * (one file per trigger — multi-batch), fold through

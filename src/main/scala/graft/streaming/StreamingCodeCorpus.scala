@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.CodeCorpus
+
+/**
+ * Streaming code-corpus curation — the online form of the
+ * `pipeline_code_corpus` chain: batches of `(doc_id, path, content)`
+ * source files arrive from a repository crawler; each fold runs the
+ * SAME [[CodeCorpus.extract]] stage (language detect → license gate →
+ * secrets redact → code-quality gate → redacted-content key) and
+ * appends (a) the surviving file rows and (b) the batch-local
+ * per-content-key partial `(keep_id = min doc_id, n = count)` — the
+ * seen-code ledger a dedup service consults. The resolved view over
+ * everything seen so far equals the batch row run over the union
+ * (spec-pinned), INCLUDING cross-batch cluster election, and clusters
+ * span SECRET VARIANTS (two copies differing only in embedded keys
+ * share a redacted content key).
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s (the
+ * [[StreamingImageCorpus]]/[[StreamingAudioCorpus]] discipline
+ * verbatim): `b<id>/` units under `_SUCCESS` markers, committed replays
+ * are no-ops, both stores compact above `compactAbove` units, and the
+ * ledger PRE-MERGES its partials (min and sum are associative).
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming checkpoint are one
+ * unit — create and delete them TOGETHER ([[processBatch]] fails loudly
+ * on the stale-pairing signature).
+ */
+class StreamingCodeCorpus(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
+
+  private val filesRoot = new Path(stateDir, "files")
+  private val ledgerRoot = new Path(stateDir, "ledger")
+
+  private val fileSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("license", StringType),
+    StructField("n_secrets", LongType),
+    StructField("n_code_lines", LongType),
+    StructField("content_key", StringType)))
+  private val ledgerSchema = StructType(Seq(
+    StructField("content_key", StringType),
+    StructField("keep_id", LongType), StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, filesRoot).flatMap(_.ids).sorted
+
+  /** Fold `batch` (doc_id, path, content) into the state (once per
+   * batchId — committed replays are no-ops). Commit order: ledger
+   * first, files LAST — the files marker certifies the batch. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenIds = VersionedState.segments(spark, filesRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"code-corpus state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, filesRoot), batchId)) return
+    val files = CodeCorpus.extract(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("path"),
+          col("content")))
+      .localCheckpoint(true)
+    val partial = files.groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, filesRoot)
+    val ledgerDest = new Path(ledgerRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(ledgerDest.toString)
+    VersionedState.touchSuccess(f, ledgerDest)
+    val filesDest = new Path(filesRoot, s"b$batchId")
+    files.write.mode("overwrite").parquet(filesDest.toString)
+    VersionedState.touchSuccess(f, filesDest)
+    VersionedState.compact(spark, filesRoot, compactAbove,
+      read = ps => read(spark, fileSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, ledgerRoot, compactAbove,
+      read = ps => read(spark, ledgerSchema, ps),
+      // min and sum are associative — pre-merge so the compacted unit is
+      // distinct-content-keys-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("content_key"))
+        .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Ledger unit dirs scoped to files-certified ids, with the
+   * mixed-unit fail-loud guard. */
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] = {
+    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
+    ledgerSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"code-corpus ledger unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are files-certified; excluding it would drop certified " +
+            "cluster partials. State is inconsistent — rebuild the " +
+            "ledger from the certified files.")
+    }
+    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /** The seen-code dictionary over every certified batch. */
+  def clusters(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, filesRoot)
+    val dirs = certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    read(spark, ledgerSchema, dirs)
+      .groupBy(col("content_key"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+  }
+
+  /** The resolved corpus over every certified batch — equal to the
+   * batch `pipeline_code_corpus` row over the union. */
+  def resolve(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, filesRoot)
+    val ledgerDirs =
+      certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    val files = read(spark, fileSchema, certified.map(_.path))
+    val ledger = read(spark, ledgerSchema, ledgerDirs)
+      .groupBy(col("content_key"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+    files.join(ledger, Seq("content_key"))
+      .select(col("doc_id"), col("lang"), col("license"),
+        col("n_secrets"), col("n_code_lines"), col("content_key"),
+        col("keep_id").as("canonical_id"), col("n").as("n_dupes"))
+  }
+}

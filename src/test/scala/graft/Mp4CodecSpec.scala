@@ -46,6 +46,12 @@ class Mp4CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("media_header sniffs ISO-BMFF via the ftyp box") {
+    val mp4 = Mp4Codec.encode(8, 8, 1, 1000, frames(1), pcm(5), 8000, false)
+    val row = graft.functions.MediaHeaders.parse(mp4)
+    assert(row.getUTF8String(0).toString === "mp4")
+  }
+
   test("single-chunk audio (fewer samples than one chunk) resolves") {
     val mp4 = Mp4Codec.encode(8, 8, 1, 1000, frames(1), pcm(5), 8000, false)
     assert(Mp4Codec.audioRow(mp4).getLong(2) === 5L)

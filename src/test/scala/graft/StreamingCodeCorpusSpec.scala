@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.CodeCorpus
+import graft.streaming.StreamingCodeCorpus
+
+/**
+ * Streaming code-corpus curation: after every fold the resolved corpus
+ * must equal the batch chain (CodeCorpus.extract + the content-key
+ * window) over all files seen so far — including CROSS-BATCH cluster
+ * election and SECRET-VARIANT collapse (two copies differing only in
+ * embedded keys share a redacted content key), replays must be no-ops,
+ * and both stores stay bounded under compaction.
+ */
+class StreamingCodeCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src(seed: Int, key: String = "aa11"): (String, String) = (
+    s"src/m$seed.py",
+    "# SPDX-License-Identifier: MIT\n" +
+      s"""api_key = "${key * 8}"\n""" +
+      s"# module m$seed\ndef f$seed(x):\n    return x + $seed\n")
+
+  private def gpl(seed: Int): (String, String) = (
+    s"src/g$seed.py",
+    s"# SPDX-License-Identifier: GPL-3.0-only\ndef g$seed(x):\n" +
+      s"    return x\n")
+
+  private def df(rows: (Long, (String, String))*): DataFrame =
+    rows.map { case (id, (p, c)) => (id, p, c) }
+      .toDF("doc_id", "path", "content")
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, String, Long,
+      String, Long, Long)] =
+    d.select($"doc_id", $"lang", $"license", $"n_secrets", $"content_key",
+      $"canonical_id", $"n_dupes")
+      .as[(Long, String, String, Long, String, Long, Long)]
+      .collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("scodecorpus").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch election and secret-variant collapse included") {
+    val sub = new StreamingCodeCorpus(newDir())
+    // seed-7 files recur in every batch; batch 1 carries a smaller
+    // doc_id for them WITH A DIFFERENT EMBEDDED KEY — the redacted
+    // content key must still unify the cluster; GPL files never surface
+    val b0 = Seq(10L -> src(7), 11L -> src(1), 12L -> gpl(9))
+    val b1 = Seq(3L -> src(7, key = "ff99"), 13L -> src(2))
+    val b2 = Seq(20L -> src(7), 21L -> src(1))
+    val batches = Seq(b0, b1, b2)
+    for ((rows, id) <- batches.zipWithIndex) {
+      sub.processBatch(df(rows: _*), id.toLong)
+      val sofar = df(batches.take(id + 1).flatten: _*)
+      assert(rowsOf(sub.resolve(spark)) ===
+        rowsOf(CodeCorpus.corpus(sofar)),
+        s"divergence from the batch chain after batch $id")
+    }
+    val res = sub.resolve(spark)
+    val byId = res.select($"doc_id", $"canonical_id", $"n_dupes")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(10L) === ((3L, 3L)), s"got $byId")
+    assert(byId(3L) === ((3L, 3L)))
+    assert(byId(11L) === ((11L, 2L)))
+    assert(!byId.contains(12L), "GPL file must be gated out")
+  }
+
+  test("committed replays are no-ops; both stores stay bounded under " +
+    "compaction with results unchanged") {
+    val dir = newDir()
+    val sub = new StreamingCodeCorpus(dir, compactAbove = 2)
+    val batches = (0 until 6).map(i => Seq(
+      (10L + i) -> src(i), (30L + i) -> src(99)))
+    for ((rows, id) <- batches.zipWithIndex)
+      sub.processBatch(df(rows: _*), id.toLong)
+    def unitDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    assert(unitDirs(s"$dir/files").length <= 3)
+    assert(unitDirs(s"$dir/ledger").length <= 3)
+    assert(sub.committedBatches(spark) === (0L until 6L))
+    assert(rowsOf(sub.resolve(spark)) ===
+      rowsOf(CodeCorpus.corpus(df(batches.flatten: _*))))
+    val hot = sub.resolve(spark).filter($"canonical_id" === 30L)
+    assert(hot.count() === 6L)
+    val before = rowsOf(sub.resolve(spark))
+    sub.processBatch(df(batches(5): _*), 5L) // crash-redelivery of LAST
+    assert(rowsOf(sub.resolve(spark)) === before)
+  }
+}
