@@ -201,15 +201,18 @@ object SparkEntry {
 
   /** Deterministic mixed-audio fixture shared by `pipeline_audio_corpus`
    * (batch) and `pipeline_audio_corpus_streamed` (real streaming run):
-   * one opaque binary per document — a PCM WAV (even doc_id) or a FLAC
-   * (odd doc_id) of 256 16-bit samples whose content keys on
-   * doc_id % 50, so duplicate utterances span CONTAINERS — plus a
-   * subtitle track (SRT or WebVTT by doc arithmetic) with three cues.
-   * Frames alternate speech and near-silence by seed arithmetic (the
-   * mm_audio_vad shape), and both containers decode to the SAME exact
-   * integers, so the oracle replays everything from the formula. */
+   * one opaque binary per document — a PCM WAV, a FLAC or an audio-only
+   * MP4 ("m4a" shape, sowt PCM through real sample tables) by
+   * doc_id % 3 — of 256 16-bit samples whose content keys on
+   * doc_id % 50, so duplicate utterances span all THREE containers —
+   * plus a subtitle track (SRT or WebVTT by doc arithmetic) with three
+   * cues. Frames alternate speech and near-silence by seed arithmetic
+   * (the mm_audio_vad shape), and all containers decode to the SAME
+   * exact integers, so the oracle replays everything from the
+   * formula. */
   private[graft] def audioFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FlacFunctions._
+    import graft.functions.Mp4Functions._
     val dataHex = expr(
       """concat_ws('', transform(sequence(0, 255), i -> concat(
            lpad(hex((CASE WHEN pmod(doc_id % 50 + i DIV 16, 3) = 0
@@ -234,8 +237,11 @@ object SparkEntry {
                THEN pmod((doc_id % 50) * 31 + i * 17, 65536) - 65536
                ELSE pmod((doc_id % 50) * 31 + i * 17, 65536) END END
              as int))""")
-    val bin = when(col("doc_id") % 2 === 0, unhex(wavHex))
-      .otherwise(flac_encode(samples, lit(16000), lit(16)))
+    val bin = when(col("doc_id") % 3 === 0, unhex(wavHex))
+      .when(col("doc_id") % 3 === 1, flac_encode(samples, lit(16000),
+        lit(16)))
+      .otherwise(mp4_encode(lit(16), lit(16), lit(1), lit(16000),
+        array().cast("array<binary>"), samples, lit(16000), lit(false)))
     val d0 = col("doc_id") % 2
     def tc(ms: Column, dot: Boolean): Column =
       concat(lit(if (dot) "00:00:00." else "00:00:00,"),
@@ -2322,7 +2328,8 @@ object SparkEntry {
        FROM segs sg LEFT JOIN cues c ON c.doc_id = sg.doc_id
        GROUP BY 1, 2, 3, 4, 5)
      SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav'
+         WHEN 1 THEN 'flac' ELSE 'mp4' END AS format,
        seg_begin, seg_end, energy, fp, transcript,
        MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
        COUNT(*) OVER (PARTITION BY fp) AS n_dupes

@@ -162,18 +162,20 @@ private[graft] object PipelineEntries {
     
 "pipeline_audio_corpus" -> ((s, dir) =>
       // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
-      // binary column + one subtitle column: sniff the container (WAV on
-      // even docs, FLAC on odd — content keyed by doc_id % 50 so
-      // duplicate utterances span containers), decode PCM through the
+      // binary column + one subtitle column: sniff the container (WAV /
+      // FLAC / audio-only MP4 by doc_id % 3 — content keyed by
+      // doc_id % 50 so duplicate utterances span all three containers),
+      // decode PCM through the
       // matching REAL codec, reduce to 16-sample frame energies, VAD
       // gaps-and-islands into utterance segments, fingerprint each
       // segment's quantized energy trajectory, align subtitle cues (SRT
       // and WebVTT through one front door) by time overlap into
       // per-segment transcripts, and collapse duplicate utterances in
       // one fingerprint window. Cross-stage coupling per-format rows
-      // cannot catch: a FLAC duplicate collapses into its WAV cluster
-      // ONLY if sniff → Rice/CRC decode → energy framing → banding all
-      // agree bit-for-bit; the oracle replays the whole chain from seed
+      // cannot catch: a FLAC or MP4 duplicate collapses into its WAV
+      // cluster ONLY if sniff → Rice/CRC decode (or the stsc/stco
+      // sample-table walk) → energy framing → banding all agree
+      // bit-for-bit; the oracle replays the whole chain from seed
       // arithmetic.
       operators.AudioCorpus.corpus(audioFixtureDocs(s, dir))),
 

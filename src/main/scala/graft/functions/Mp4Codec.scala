@@ -417,17 +417,42 @@ object Mp4Codec {
       peak, sumSq))
   }
 
+  /** The PCM audio track as the raw sample array (mono s16, both byte
+   * orders), resolved through the sample tables — called from generated
+   * code. The array form is what a downstream energy/VAD stage consumes
+   * (the [[FlacCodec]] decode shape). */
+  def audioSamples(mp4: Array[Byte]): ArrayData = {
+    val m = parse(mp4)
+    val t = m.tracks.find(_.handler == "soun").getOrElse(
+      fail("no audio track"))
+    need(t.sampleSize == 16, s"only 16-bit PCM supported, got ${t.sampleSize}")
+    need(t.channels == 1, s"only mono supported, got ${t.channels} channels")
+    val le = t.codec == "sowt"
+    val out = new Array[Any](t.sampleOffsets.length)
+    var i = 0
+    while (i < t.sampleOffsets.length) {
+      need(t.sampleSizes(i) == 2, s"PCM sample $i size ${t.sampleSizes(i)} != 2")
+      val p = t.sampleOffsets(i).toInt
+      val raw = if (le) (mp4(p) & 0xff) | ((mp4(p + 1) & 0xff) << 8)
+                else ((mp4(p) & 0xff) << 8) | (mp4(p + 1) & 0xff)
+      out(i) = raw.toShort.toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- mux (fixture edge) -----------------------------------------------------
 
   /** Spec-shaped single-video + single-audio MP4: MJPEG frames one chunk
    * per frame (per-sample stsz), PCM in 16-sample chunks with a partial
-   * tail chunk (two-run stsc), moov after mdat. */
+   * tail chunk (two-run stsc), moov after mdat. An EMPTY frames array
+   * muxes an audio-only file (the "m4a" shape speech corpora ship). */
   def encode(width: Int, height: Int, frameDelta: Int, timescale: Int,
              frames: Array[Array[Byte]], pcm: Array[Int], audioRate: Int,
              bigEndian: Boolean, useCo64: Boolean = false): Array[Byte] = {
     need(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       s"bad dimensions ${width}x$height")
-    need(frames.nonEmpty && frames.length <= MaxFrames,
+    need(frames.length <= MaxFrames,
       s"bad frame count ${frames.length}")
     need(pcm.nonEmpty && pcm.length <= MaxAudioSamples,
       s"bad pcm length ${pcm.length}")
@@ -555,8 +580,9 @@ object Mp4Codec {
         b32(frames.length.toLong * frameDelta)
         bzero(80)
       })
-      cur.write(trak("vide", "VideoHandler", stblVideo, timescale,
-        frames.length.toLong * frameDelta))
+      if (frames.nonEmpty)
+        cur.write(trak("vide", "VideoHandler", stblVideo, timescale,
+          frames.length.toLong * frameDelta))
       cur.write(trak("soun", "SoundHandler", stblAudio, audioRate,
         pcm.length.toLong))
     }
@@ -657,6 +683,29 @@ case class Mp4AudioPcmExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `mp4_audio_samples(binary)` → ARRAY<INT> — the PCM track's raw
+ * samples through the sample-table walk. */
+case class Mp4AudioSamplesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp4_audio_samples requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Codec.audioSamples(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.Mp4Codec.audioSamples($b)")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp4AudioSamplesExpr = copy(child = c)
+}
+
 /** `mp4_encode(w, h, frame_delta, timescale, frames, pcm, audio_rate,
  * big_endian)` → BINARY. Fixture-synthesis edge — CodegenFallback. */
 case class Mp4EncodeExpr(children: Seq[Expression])
@@ -706,6 +755,9 @@ object Mp4Functions {
 
   def mp4_audio_pcm(c: Column): Column =
     GraftShim.column(Mp4AudioPcmExpr(GraftShim.expression(c)))
+
+  def mp4_audio_samples(c: Column): Column =
+    GraftShim.column(Mp4AudioSamplesExpr(GraftShim.expression(c)))
 
   def mp4_encode(w: Column, h: Column, frameDelta: Column, timescale: Column,
                  frames: Column, pcm: Column, audioRate: Column,

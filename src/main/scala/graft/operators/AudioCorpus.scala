@@ -67,17 +67,20 @@ object AudioCorpus {
               subsCol: String = "subs"): DataFrame = {
     import graft.functions.MediaHeaderFunctions.{media_header, wav_resample}
     import graft.functions.FlacFunctions.flac_decode
+    import graft.functions.Mp4Functions.mp4_audio_samples
     import graft.functions.SubtitleFunctions.subtitle_parse
 
     val bin = col(binCol)
     val fmt = media_header(bin).getField("format")
     // one canonical samples array across containers: WAV s16le through
     // the factor-1 boxcar (exact identity), FLAC through the full frame
-    // decode; unrecognized containers null out and are dropped by the
-    // explode below rather than crashing the job
+    // decode, MP4/m4a PCM through the sample-table walk; unrecognized
+    // containers null out and are dropped by the explode below rather
+    // than crashing the job
     val samples = when(fmt === "wav",
         transform(wav_resample(bin, lit(1)), r => r.getField("v")))
       .when(fmt === "flac", flac_decode(bin).getField("samples"))
+      .when(fmt === "mp4", mp4_audio_samples(bin))
     // codec-agnostic frame energies: Σ|s| over 16-sample windows (the
     // WavFrames arithmetic, expressed once for every container)
     val energies = expr(

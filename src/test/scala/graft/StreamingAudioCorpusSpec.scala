@@ -47,6 +47,11 @@ class StreamingAudioCorpusSpec extends SparkSpec {
   private def flac(seed: Int): Array[Byte] =
     FlacCodec.encode(samples(seed), 16000, 16)
 
+  /** audio-only MP4 ("m4a" shape): same PCM through real sample tables */
+  private def m4a(seed: Int): Array[Byte] =
+    graft.functions.Mp4Codec.encode(16, 16, 1, 16000,
+      Array.empty[Array[Byte]], samples(seed), 16000, bigEndian = false)
+
   private def srt(docId: Long): String = {
     val d = docId % 2
     (1 to 3).map { k =>
@@ -136,16 +141,19 @@ class StreamingAudioCorpusSpec extends SparkSpec {
   test("transcripts align cues by time overlap and unknown containers " +
     "drop instead of crashing") {
     val junk = "not audio at all".getBytes
-    val out = batchChain(df(2L -> wav(5), 9L -> flac(5)) // same seed
+    val out = batchChain(
+      df(2L -> wav(5), 9L -> flac(5), 15L -> m4a(5)) // same seed, 3 containers
       .union(Seq((99L, junk, srt(99L))).toDF("doc_id", "bin", "subs")))
     val rows = out.as[(Long, String, Long, Long, Long, String, String,
       Long, Long)].collect()
     assert(!rows.exists(_._1 == 99L), "junk payload must drop, not crash")
-    // wav doc 2 and flac doc 9 share every fingerprint (same seed), and
-    // their segments canonicalize at doc 2
+    // wav doc 2, flac doc 9 and m4a doc 15 share every fingerprint
+    // (same seed), and their segments canonicalize at doc 2
     val byDoc = rows.groupBy(_._1)
     assert(byDoc(2L).map(_._8).toSet === Set(2L))
     assert(byDoc(9L).map(_._8).toSet === Set(2L))
+    assert(byDoc(15L).map(_._8).toSet === Set(2L))
+    assert(rows.filter(_._1 == 15L).map(_._2).toSet === Set("mp4"))
     // a segment fully inside cue coverage carries cue text in seq order
     val withText = rows.filter(r => r._7.nonEmpty)
     assert(withText.nonEmpty, "no aligned transcripts at all")
