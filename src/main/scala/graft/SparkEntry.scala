@@ -261,6 +261,39 @@ object SparkEntry {
       subs.as("subs"))
   }
 
+  /** Deterministic mixed-video fixture for `pipeline_video_corpus`: four
+   * 16x16 flat-block MJPEG frames (the exactly-lossless JPEG path) keyed
+   * by doc_id % 50, muxed as a RIFF AVI (even doc_id) or an ISO-BMFF MP4
+   * with a PCM audio track (odd doc_id) — duplicate videos span
+   * CONTAINERS, so the cluster election proves both container walks and
+   * the frame decode agree bit-for-bit. */
+  private[graft] def videoFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JpegFunctions._
+    import graft.functions.AviFunctions._
+    import graft.functions.Mp4Functions._
+    val seed = (col("doc_id") % 50).cast("string")
+    def frameCol(f: Int): Column = {
+      val hexes = (0 until 4).map { i =>
+        val byte = conv(substring(
+          md5(concat(seed, lit("vf" + f + "b" + i))), 1, 2), 16, 10)
+          .cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
+        repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
+      jpeg_encode_gray(lit(16), lit(16), unhex(pxHex))
+    }
+    val frames = array((0 until 4).map(frameCol): _*)
+    val pcm = expr(
+      "transform(sequence(0, 15), i -> cast(pmod(doc_id % 50 + i * 7, 200) as int))")
+    val bin = when(col("doc_id") % 2 === 0,
+        avi_encode_mjpeg(lit(16), lit(16), lit(40000), frames))
+      .otherwise(mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
+        frames, pcm, lit(16000), lit(false)))
+    t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
+  }
+
   /** Deterministic source-file fixture for the code-corpus rows:
    * content keys on doc_id % 40 (so exact duplicates exist for the
    * dedup tail) and rotates language family (py/js/c by extension, an

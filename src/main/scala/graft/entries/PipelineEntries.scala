@@ -160,6 +160,26 @@ private[graft] object PipelineEntries {
       operators.CodeCorpus.corpus(codeFixtureDocs(s, dir))),
 
     
+"pipeline_video_corpus" -> ((s, dir) => {
+      // the composed VIDEO pipeline, from ONE opaque binary column: the
+      // same four MJPEG frames ride a RIFF AVI or an ISO-BMFF MP4 by doc
+      // parity (content keyed by doc_id % 50), the stage sniffs the
+      // container, walks it with the matching real parser (sequential
+      // movi walk vs stts/stsc/stsz/stco sample tables), samples every
+      // 2nd frame, baseline-decodes each sampled JPEG and keys the video
+      // on the DECODED pixels — an MP4 duplicate collapses into its AVI
+      // cluster only if both container walks and the pixel decode agree
+      // bit-for-bit. The oracle replays sampled-frame pixels from seed
+      // arithmetic and the cluster window.
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("content_key"))
+      operators.Multimodal.videoCorpusExtract(videoFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_frames"), col("content_key"),
+          min(col("doc_id")).over(win).as("canonical_id"),
+          count(lit(1)).over(win).as("n_dupes"))
+    }),
+
 "pipeline_audio_corpus" -> ((s, dir) =>
       // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
       // binary column + one subtitle column: sniff the container (WAV /
@@ -667,6 +687,42 @@ private[graft] object PipelineEntries {
 "pipeline_image_corpus_streamed" -> imageCorpusOracle,
 
     
+    // video dedup across containers: the sampled frames' decoded pixels
+    // are pure seed arithmetic (lossless flat-block JPEG), so the
+    // content key and the cluster election replay directly
+"pipeline_video_corpus" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         fr AS (SELECT doc_id, f,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM documents, (SELECT UNNEST([0, 2]) AS f) fs),
+         px AS (SELECT fr.doc_id, fr.f,
+             repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+               || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+             || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+               || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)
+               AS hexpx
+           FROM fr JOIN hexmap m0 ON fr.c0 = m0.hx
+           JOIN hexmap m1 ON fr.c1 = m1.hx
+           JOIN hexmap m2 ON fr.c2 = m2.hx
+           JOIN hexmap m3 ON fr.c3 = m3.hx),
+         keys AS (SELECT doc_id,
+             md5(string_agg(hexpx, '' ORDER BY f)) AS content_key
+           FROM px GROUP BY doc_id)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS format,
+           16 AS width, 16 AS height, 4 AS n_frames, content_key,
+           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
+         FROM keys""",
+
 "pipeline_audio_corpus" -> audioCorpusOracle,
 
     

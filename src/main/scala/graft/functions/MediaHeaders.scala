@@ -158,6 +158,13 @@ object MediaHeaders {
           }
           channels = if (((bytes(off + 3) >> 6) & 3) == 3) 1 else 2
         }
+      } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "AVI ")) {
+        // canonical layout: LIST(hdrl) leads and avih is its first
+        // chunk, so the frame dims sit at fixed offsets 64/68
+        format = "avi"
+        if (bytes.length >= 72 && ascii(bytes, 24, "avih")) {
+          width = le32(bytes, 64); height = le32(bytes, 68)
+        }
       } else if (bytes.length >= 12 && ascii(bytes, 4, "ftyp")) {
         // ISO-BMFF: the ftyp box leads; dimensions live in the moov
         // sample tables (Mp4Codec's domain), not in a fixed header

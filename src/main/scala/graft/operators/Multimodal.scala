@@ -184,6 +184,57 @@ object Multimodal {
   }
 
   /**
+   * The VIDEO-corpus scalar stage (the [[imageCorpusExtract]] sibling
+   * for moving pictures), shared by the batch `pipeline_video_corpus`
+   * row: sniff the container from magic bytes (legacy RIFF AVI or
+   * ISO-BMFF MP4 — real crawls carry both), walk it with the matching
+   * REAL parser (sequential movi walk / stts+stsc+stsz+stco sample
+   * tables), sample every `stride`-th MJPEG frame, baseline-decode each
+   * sampled frame, and reduce the video to a content key over the
+   * DECODED sampled pixels — so a duplicate re-muxed in the other
+   * container collapses into the same cluster only if container walk,
+   * frame sampling and pixel decode all agree bit-for-bit. Input
+   * `(doc_id, <binCol>)`; output `(doc_id, format, width, height,
+   * n_frames, content_key)`. Unrecognized payloads null out and drop at
+   * the explode barrier instead of crashing the job.
+   *
+   * The explode(array(struct(…))) Generate barrier pins the container
+   * walk + per-frame decode to ONE evaluation per row (the
+   * [[imageCorpusExtract]] lesson: pushdown alias substitution
+   * re-evaluates `when`-branch trees, and CSE skips conditional
+   * branches).
+   */
+  def videoCorpusExtract(docs: DataFrame, binCol: String = "bin",
+                         stride: Int = 2): DataFrame = {
+    import graft.functions.JpegFunctions.jpeg_decode
+    import graft.functions.AviFunctions.{avi_meta, avi_sample_frames}
+    import graft.functions.Mp4Functions.{mp4_meta, mp4_sample_frames}
+    import graft.functions.MediaHeaderFunctions.media_header
+    val bin = col(binCol)
+    val fmt = media_header(bin).getField("format")
+    val am = avi_meta(bin)
+    val mm = mp4_meta(bin)
+    val sampled = when(fmt === "avi", avi_sample_frames(bin, lit(stride)))
+      .when(fmt === "mp4", mp4_sample_frames(bin, lit(stride)))
+    val key = md5(concat_ws("", transform(sampled,
+      f => lower(hex(jpeg_decode(f).getField("pixels"))))))
+    val w = when(fmt === "avi", am.getField("width"))
+      .when(fmt === "mp4", mm.getField("width"))
+    val h = when(fmt === "avi", am.getField("height"))
+      .when(fmt === "mp4", mm.getField("height"))
+    val n = when(fmt === "avi", am.getField("n_frames"))
+      .when(fmt === "mp4", mm.getField("n_frames"))
+    docs.select(col("doc_id"),
+        explode(array(struct(fmt.as("format"), w.as("width"),
+          h.as("height"), n.as("n_frames"), key.as("content_key")))).as("g"))
+      .select(col("doc_id"), col("g.format").as("format"),
+        col("g.width").as("width"), col("g.height").as("height"),
+        col("g.n_frames").as("n_frames"),
+        col("g.content_key").as("content_key"))
+      .where(col("content_key").isNotNull)
+  }
+
+  /**
    * Resize plumbing: truncate the payload to `targetBytes` and refresh the
    * metadata struct — the stub for a real resample/resize codec (which
    * would replace the `substring` with a decoder+scaler at the same

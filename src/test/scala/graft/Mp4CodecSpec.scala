@@ -46,10 +46,29 @@ class Mp4CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("media_header sniffs ISO-BMFF via the ftyp box") {
+  test("media_header sniffs ISO-BMFF via the ftyp box and AVI with " +
+    "canonical avih dims") {
     val mp4 = Mp4Codec.encode(8, 8, 1, 1000, frames(1), pcm(5), 8000, false)
     val row = graft.functions.MediaHeaders.parse(mp4)
     assert(row.getUTF8String(0).toString === "mp4")
+    val avi = graft.functions.AviCodec.encodeMjpeg(24, 16, 40000, frames(2))
+    val arow = graft.functions.MediaHeaders.parse(avi)
+    assert(arow.getUTF8String(0).toString === "avi")
+    assert(arow.getInt(1) === 24)
+    assert(arow.getInt(2) === 16)
+  }
+
+  test("audio-only mux (empty frame list) parses as the m4a shape") {
+    val m4a = Mp4Codec.encode(8, 8, 1, 1000, Array.empty[Array[Byte]],
+      pcm(40), 8000, bigEndian = true)
+    val meta = Mp4Codec.metaRow(m4a)
+    assert(meta.isNullAt(0) && meta.isNullAt(2), "no video fields expected")
+    assert(meta.getLong(7) === 40L)
+    assert(Mp4Codec.audioRow(m4a).getLong(2) === 40L)
+    val m = intercept[IllegalArgumentException] {
+      Mp4Codec.sampleFrames(m4a, 1)
+    }.getMessage
+    assert(m.contains("no video track"))
   }
 
   test("single-chunk audio (fewer samples than one chunk) resolves") {

@@ -150,6 +150,16 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 8, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("pipeline_video_corpus: container sniff, dual-container walk and " +
+    "per-frame decode are scalar work behind the Generate barrier on " +
+    "one doc_id-only scan; the dedup window is the only shuffle") {
+    val p = plan("pipeline_video_corpus")
+    val rs = scanColumns(p)
+    assert(rs.size === 1 && rs.head === Set("doc_id"),
+      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("pipeline_code_corpus: detection, license gate, redaction and " +
     "the comment split are scalar work on one doc_id-only scan; the " +
     "dedup window is the only shuffle") {
