@@ -348,14 +348,19 @@ private[graft] object MediaEntries {
         mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
           array((0 until 4).map(frameCol): _*), pcm, lit(16000),
           col("doc_id") % 2 === 1).as("mp4"))
+      // one Generate barrier evaluates the container walk once per row
+      // (the meta struct feeds five output columns)
       val m = mp4_meta(col("mp4"))
       val exploded = withMp4.select(col("doc_id"),
-          m.getField("width").as("width"),
-          m.getField("height").as("height"),
-          m.getField("frame_delta").as("frame_delta"),
-          m.getField("n_frames").as("n_frames"),
-          m.getField("n_audio_samples").as("n_audio_samples"),
-          posexplode(mp4_sample_frames(col("mp4"), lit(2))))
+          explode(array(struct(m.as("m"),
+            mp4_sample_frames(col("mp4"), lit(2)).as("fs")))).as("g"))
+        .select(col("doc_id"),
+          col("g.m.width").as("width"),
+          col("g.m.height").as("height"),
+          col("g.m.frame_delta").as("frame_delta"),
+          col("g.m.n_frames").as("n_frames"),
+          col("g.m.n_audio_samples").as("n_audio_samples"),
+          posexplode(col("g.fs")))
         .withColumnRenamed("pos", "spos").withColumnRenamed("col", "jpeg")
       val decHex = lower(hex(jpeg_decode(col("jpeg")).getField("pixels")))
       val bs = Seq(0, 8, 128, 136).map(b =>
@@ -390,14 +395,19 @@ private[graft] object MediaEntries {
                ELSE pmod(doc_id * 31 + i * 17, 65536) END as int))""")
       val mp4 = mp4_encode(lit(16), lit(16), lit(2500), lit(10000),
         array(frame), pcm, lit(16000), col("doc_id") % 2 === 1)
+      // Generate barrier: mux + sample-table decode run once per row
+      // even though the stats struct feeds five output columns
       val a = mp4_audio_pcm(mp4)
-      t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 2 === 1, "twos").otherwise("sowt").as("codec"),
-        a.getField("sample_rate").as("sample_rate"),
-        a.getField("n_samples").as("n_samples"),
-        a.getField("sum_abs").as("sum_abs"),
-        a.getField("peak").as("peak"),
-        a.getField("sum_sq").as("sum_sq"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(a)).as("a"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, "twos").otherwise("sowt")
+            .as("codec"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.n_samples").as("n_samples"),
+          col("a.sum_abs").as("sum_abs"),
+          col("a.peak").as("peak"),
+          col("a.sum_sq").as("sum_sq"))
     }),
 
     
@@ -840,12 +850,17 @@ private[graft] object MediaEntries {
                  WHEN pmod(doc_id * 31 + i * 17, 65536) >= 32768
                  THEN pmod(doc_id * 31 + i * 17, 65536) - 65536
                  ELSE pmod(doc_id * 31 + i * 17, 65536) END as int) END)""")
+      // explode(array(dec)) pins encode+decode to ONE evaluation per
+      // row — the struct is referenced three times below, and alias
+      // substitution would otherwise re-run the whole codec per
+      // reference (the imageCorpusExtract lesson)
       val dec = flac_decode(flac_encode(samples, lit(16000), lit(16)))
       t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
         .select(col("doc_id"),
-          dec.getField("sample_rate").as("sample_rate"),
-          dec.getField("bits").as("bits"),
-          posexplode(dec.getField("samples")))
+          col("d.sample_rate").as("sample_rate"),
+          col("d.bits").as("bits"),
+          posexplode(col("d.samples")))
         .select(col("doc_id"), col("sample_rate"), col("bits"),
           col("pos").as("i"), col("col").as("v"))
     }),
