@@ -103,18 +103,27 @@ object Multimodal {
       .when(isAvi, aviStruct)
       .otherwise(binStruct)
 
+    // the explode(array(…)) Generate barrier makes the "one codec per
+    // payload" claim true: the decode struct feeds six output columns,
+    // and without the barrier alias substitution re-runs the matched
+    // when-branch codec once per referencing column (CSE skips
+    // conditional branches — the imageCorpusExtract lesson)
     media.select(col("doc_id"),
-      when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-        .when(isWav, "wav").when(isAvi, "avi").otherwise("bin").as("format"),
-      col("media_meta.content_type").as("content_type"),
-      col("media_meta.byte_len").as("byte_len"),
-      col("media_meta.content_hash").as("content_hash"),
-      d.getField("width").as("width"),
-      d.getField("height").as("height"),
-      d.getField("n_frames").as("n_frames"),
-      d.getField("n_samples").as("n_samples"),
-      d.getField("sum_abs").as("sum_abs"),
-      d.getField("px_hash").as("px_hash"))
+        when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+          .when(isWav, "wav").when(isAvi, "avi").otherwise("bin")
+          .as("format"),
+        col("media_meta.content_type").as("content_type"),
+        col("media_meta.byte_len").as("byte_len"),
+        col("media_meta.content_hash").as("content_hash"),
+        explode(array(d)).as("d"))
+      .select(col("doc_id"), col("format"), col("content_type"),
+        col("byte_len"), col("content_hash"),
+        col("d.width").as("width"),
+        col("d.height").as("height"),
+        col("d.n_frames").as("n_frames"),
+        col("d.n_samples").as("n_samples"),
+        col("d.sum_abs").as("sum_abs"),
+        col("d.px_hash").as("px_hash"))
   }
 
   /** Decoded media features — the output row of the per-partition codec. */
