@@ -2313,16 +2313,16 @@ object SparkEntry {
          CAST(len(regexp_extract_all(content,
            'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_aws,
          CAST(len(regexp_extract_all(content,
-           '(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----'))
+           '(?s)-----BEGIN [A-Z ]*PRIVATE[A-Z ]*KEY-----.*?-----END [A-Z ]*PRIVATE[A-Z ]*KEY-----'))
            AS BIGINT) AS n_pem,
          CAST(len(regexp_extract_all(content,
-           '([a-z_]*(?:key|token|secret)[a-z_]* = ")[a-f0-9]{32,}(")'))
+           '([a-z_]*(?:key|token|secret)[a-z_]*\s*=\s*")[a-f0-9]{32,}(")'))
            AS BIGINT) AS n_entropy,
          regexp_replace(regexp_replace(regexp_replace(content,
            'AKIA[0-9A-Z]{16}', '[AWSKEY]', 'g'),
-           '(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----',
+           '(?s)-----BEGIN [A-Z ]*PRIVATE[A-Z ]*KEY-----.*?-----END [A-Z ]*PRIVATE[A-Z ]*KEY-----',
            '[PEMKEY]', 'g'),
-           '([a-z_]*(?:key|token|secret)[a-z_]* = ")[a-f0-9]{32,}(")',
+           '([a-z_]*(?:key|token|secret)[a-z_]*\s*=\s*")[a-f0-9]{32,}(")',
            '\1[REDACTED]\2', 'g') AS text_out
        FROM licr)"""
 

@@ -942,6 +942,44 @@ private[graft] object MediaEntries {
     }),
 
     
+"mm_mp3_framewalk" -> ((s, dir) => {
+      // the integer-exact MP3 layer (full Layer III decode is float DSP
+      // — deliberately out of scope): four MPEG-1 Layer III frames at
+      // 32 kHz per doc, bitrate indices rotating per frame on VBR docs
+      // and pinned on CBR docs (doc_id % 5 = 0), an ID3v2 tag fronting
+      // even docs — the walk must skip the tag, validate every sync,
+      // apply the frame-size formula per frame and land exactly on EOF.
+      // The oracle replays sizes, byte totals, the floor-division
+      // duration and the min/max bitrate profile arithmetically.
+      // Hostile chains (mid-stream rate change, free format, truncation,
+      // trailing garbage) live in Mp3FramesSpec.
+      import graft.functions.MediaHeaderFunctions.mp3_frame_walk
+      val mp3Hex = expr(
+        """concat(
+             CASE WHEN doc_id % 2 = 0 THEN '49443304000000000000'
+               ELSE '' END,
+             concat_ws('', transform(sequence(0, 3), f -> concat(
+               'FFFB',
+               lpad(hex((CASE WHEN doc_id % 5 = 0 THEN 2
+                 ELSE pmod(doc_id + f, 3) + 1 END) * 16 + 8), 2, '0'),
+               'C0',
+               repeat(lpad(hex(pmod(doc_id * 7 + f, 256)), 2, '0'),
+                 ((CASE WHEN doc_id % 5 = 0 THEN 2
+                   ELSE pmod(doc_id + f, 3) + 1 END) * 8 + 24) * 9
+                   DIV 2 - 4)))))""")
+      val w = mp3_frame_walk(unhex(mp3Hex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(w)).as("w"))
+        .select(col("doc_id"),
+          col("w.n_frames").as("n_frames"),
+          col("w.n_bytes").as("n_bytes"),
+          col("w.sample_rate").as("sample_rate"),
+          col("w.duration_ms").as("duration_ms"),
+          col("w.min_kbps").as("min_kbps"),
+          col("w.max_kbps").as("max_kbps"),
+          (col("w.min_kbps") =!= col("w.max_kbps")).as("vbr"))
+    }),
+
 "mm_header_sniff_av" -> ((s, dir) => {
       // the audio/video-side sniff branches: MP3 frame headers (bare and
       // behind an ID3v2 tag — syncsafe size skip — with the sample rate
@@ -1124,6 +1162,24 @@ private[graft] object MediaEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    // MP3 frame chain: per-frame sizes from the Layer III formula
+    // (4.5 x kbps at 32 kHz, no padding), duration by floor division —
+    // all replayed from the doc arithmetic
+"mm_mp3_framewalk" ->
+      """WITH fr AS (SELECT doc_id, f,
+           CASE WHEN doc_id % 5 = 0 THEN 2
+             ELSE (doc_id + f) % 3 + 1 END AS idx
+         FROM documents, (SELECT UNNEST([0, 1, 2, 3]) AS f) fs),
+         sz AS (SELECT doc_id,
+             SUM((idx * 8 + 24) * 9 // 2) AS n_bytes,
+             MIN(idx * 8 + 24) AS mn, MAX(idx * 8 + 24) AS mx
+           FROM fr GROUP BY doc_id)
+         SELECT doc_id, 4 AS n_frames, CAST(n_bytes AS BIGINT) AS n_bytes,
+           32000 AS sample_rate, CAST(144 AS BIGINT) AS duration_ms,
+           CAST(mn AS INTEGER) AS min_kbps, CAST(mx AS INTEGER) AS max_kbps,
+           mn <> mx AS vbr
+         FROM sz""",
+
     // audio/video sniff branches: the parse is pure byte arithmetic over
     // the doc_id-derived headers, recomputed directly
     

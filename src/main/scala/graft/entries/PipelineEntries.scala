@@ -134,6 +134,46 @@ private[graft] object PipelineEntries {
     }),
 
     
+"code_near_dup" -> ((s, dir) => {
+      // code near-dup under the normalize → minhash → banded-LSH chain:
+      // every doc gets a UNIQUE code line (so exact seed-clones don't
+      // flood the buckets), every 4th doc gains a fork variant (+1e6 id)
+      // whose raw bytes differ in embedded secrets, blank lines and
+      // doubled spaces — invisible after normalization, so the pair must
+      // surface — and every 4th+2 doc gains a variant with a REAL extra
+      // code line (near, not identical: banding decides, and the oracle
+      // replays the same md5 arithmetic to the same verdict).
+      val base = codeFixtureDocs(s, dir)
+        .withColumn("content", concat(col("content"), lit("x"),
+          col("doc_id").cast("string"), lit(" = "),
+          col("doc_id").cast("string"), lit("\n")))
+      val sd = (col("doc_id") % 40).cast("string")
+      def fork(c: Column): Column = {
+        val noisy = replace(replace(c, lit("\n"), lit("\n\n")),
+          lit(" "), lit("  "))
+        replace(replace(replace(noisy,
+          md5(concat(lit("tok"), sd)), md5(concat(lit("tokB"), sd))),
+          concat(lit("AKIA"), upper(substring(md5(concat(lit("aws"), sd)),
+            1, 16))),
+          concat(lit("AKIA"), upper(substring(md5(concat(lit("awsB"), sd)),
+            1, 16)))),
+          md5(concat(lit("pem"), sd)), md5(concat(lit("pemB"), sd)))
+      }
+      val twins = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("path"),
+          fork(col("content")).as("content"))
+      val nears = base.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("path"),
+          concat(fork(col("content")), lit("zz_extra = 1\n")).as("content"))
+      val corpus = base.unionByName(twins).unionByName(nears)
+      val lang = operators.CodeCorpus.detectLang(col("path"), col("content"))
+        .getField("lang")
+      val docs = corpus.select(col("doc_id"),
+        operators.CodeCorpus.normalize(col("content"), lang).as("text"))
+      DocDedup.candidatePairs(DocDedup.lshBuckets(
+        DocDedup.minhashSignatures(docs, numHashes = 8), rowsPerBand = 4))
+    }),
+
 "pipeline_code_corpus_streamed" -> ((s, dir) =>
       // the SAME code corpus arriving as parquet drops on real streaming
       // machinery (one file per trigger — multi-batch): each batch runs
@@ -757,6 +797,68 @@ private[graft] object PipelineEntries {
        FROM cs""",
 
     
+    // code near-dup: DuckDB rebuilds the forked corpus (secret swap +
+    // whitespace noise + the near variant), normalizes (redact → drop
+    // comment lines → collapse whitespace) and replays the identical
+    // md5 minhash/band arithmetic to the same candidate verdicts
+"code_near_dup" -> s"""WITH $codeFixtureSql,
+       b0 AS (SELECT doc_id, seed, lang,
+           content || 'x' || CAST(doc_id AS VARCHAR) || ' = '
+             || CAST(doc_id AS VARCHAR) || chr(10) AS content
+         FROM langr),
+       forked AS (SELECT doc_id, seed, lang,
+           replace(replace(replace(
+             replace(replace(content, chr(10), chr(10) || chr(10)),
+               ' ', '  '),
+             md5('tok' || CAST(seed AS VARCHAR)),
+             md5('tokB' || CAST(seed AS VARCHAR))),
+             'AKIA' || upper(substr(md5('aws' || CAST(seed AS VARCHAR)),
+               1, 16)),
+             'AKIA' || upper(substr(md5('awsB' || CAST(seed AS VARCHAR)),
+               1, 16))),
+             md5('pem' || CAST(seed AS VARCHAR)),
+             md5('pemB' || CAST(seed AS VARCHAR))) AS content
+         FROM b0),
+       corpus AS (
+         SELECT doc_id, lang, content FROM b0
+         UNION ALL SELECT doc_id + 1000000, lang, content
+           FROM forked WHERE doc_id % 4 = 0
+         UNION ALL SELECT doc_id + 1000000, lang,
+             content || 'zz_extra = 1' || chr(10)
+           FROM forked WHERE doc_id % 4 = 2),
+       red AS (SELECT doc_id, lang,
+           regexp_replace(regexp_replace(regexp_replace(content,
+             'AKIA[0-9A-Z]{16}', '[AWSKEY]', 'g'),
+             '(?s)-----BEGIN [A-Z ]*PRIVATE[A-Z ]*KEY-----.*?-----END [A-Z ]*PRIVATE[A-Z ]*KEY-----',
+             '[PEMKEY]', 'g'),
+             '([a-z_]*(?:key|token|secret)[a-z_]*\\s*=\\s*")[a-f0-9]{32,}(")',
+             '\\1[REDACTED]\\2', 'g') AS text_out
+         FROM corpus),
+       norm AS (SELECT doc_id,
+           trim(regexp_replace(array_to_string(list_filter(
+             string_split(text_out, chr(10)),
+             l -> l <> '' AND NOT starts_with(ltrim(l),
+               CASE WHEN lang IN ('py', 'sh', 'rb') THEN '#'
+                 ELSE '//' END)), ' '), '\\s+', ' ', 'g')) AS text
+         FROM red),
+       tokens AS (SELECT doc_id,
+           unnest(list_distinct(string_split(text, ' '))) AS token
+         FROM norm),
+       hashes AS (SELECT doc_id, h,
+           min(md5(h || '|' || token)) AS minhash
+         FROM tokens, (SELECT unnest([0,1,2,3,4,5,6,7]) AS h) hs
+         GROUP BY doc_id, h),
+       bands AS (SELECT doc_id, h // 4 AS band,
+           md5(string_agg(minhash, '|' ORDER BY h)) AS bucket
+         FROM hashes GROUP BY doc_id, h // 4),
+       ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+         HAVING count(*) BETWEEN 2 AND 100),
+       cand AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
+       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       FROM cand l JOIN cand r
+         ON l.band = r.band AND l.bucket = r.bucket
+           AND l.doc_id < r.doc_id""",
+
 "pipeline_code_corpus" -> codeCorpusOracle,
 
     // the SAME oracle gates the streaming composition: parquet-drop

@@ -231,6 +231,9 @@ object MediaHeaderFunctions {
   def media_header(c: Column): Column =
     GraftShim.column(MediaHeader(GraftShim.expression(c)))
 
+  def mp3_frame_walk(c: Column): Column =
+    GraftShim.column(Mp3FrameWalk(GraftShim.expression(c)))
+
   def wav_pcm_stats(c: Column): Column =
     GraftShim.column(WavPcmStats(GraftShim.expression(c)))
 
@@ -241,6 +244,132 @@ object MediaHeaderFunctions {
   def wav_resample(wav: Column, factor: Column): Column =
     GraftShim.column(WavResampleExpr(GraftShim.expression(wav),
       GraftShim.expression(factor)))
+}
+
+/**
+ * MP3 FRAME WALK — the integer-exact layer of MPEG audio an LLM
+ * curation pipeline actually needs (duration, bitrate profile, frame
+ * integrity) without the floating-point synthesis filterbank that full
+ * Layer III decode requires (deliberately out of scope; oracle-hostile).
+ * Walks the frame chain per the public MPEG-1/2 header spec: optional
+ * ID3v2 tag (syncsafe size), then per frame — 11-bit sync, version
+ * (MPEG-1/2/2.5), Layer III, bitrate/sample-rate table indices, padding
+ * — with the Layer III frame-size formula
+ * `samplesPerFrame/8 * bitrate / sampleRate + padding`. Every frame's
+ * header must agree with the first on version/layer/sample-rate (a
+ * mid-stream change is a corrupt or concatenated file), free-format and
+ * reserved indices reject, and the walk must land exactly on EOF —
+ * trailing garbage or a truncated last frame rejects loudly inside the
+ * `mp3:` contract. Returns exact integers: frame count, byte total,
+ * sample rate, floor-division duration in ms, min/max frame bitrate
+ * (CBR/VBR verdict is `min != max`).
+ */
+object Mp3Frames {
+
+  val resultType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("min_kbps", IntegerType, nullable = false),
+    StructField("max_kbps", IntegerType, nullable = false)))
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"mp3: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  // MPEG-1 Layer III bitrates (kbps), index 1..14; 0 = free (reject),
+  // 15 = reserved (reject)
+  private val BitrateV1 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, -1)
+  // MPEG-2 / 2.5 Layer III
+  private val BitrateV2 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160, -1)
+  private val RateBase = Array(44100, 48000, 32000, -1)
+
+  /** Called from generated code. */
+  def walk(b: Array[Byte]): InternalRow = {
+    var off = 0
+    // ID3v2 tag: syncsafe 28-bit size after the 10-byte header
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      need(10L + size <= b.length, s"ID3v2 size $size overruns payload")
+      off = 10 + size
+    }
+    need(off + 4 <= b.length, "no room for a frame header")
+    var nFrames = 0
+    var minK = Int.MaxValue
+    var maxK = 0
+    var sampleRate = -1
+    var version = -1
+    val start = off
+    while (off < b.length) {
+      need(off + 4 <= b.length, s"truncated frame header at $off")
+      need((b(off) & 0xff) == 0xff && (b(off + 1) & 0xe0) == 0xe0,
+        s"lost frame sync at $off")
+      val ver = (b(off + 1) >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      need(ver != 1, s"reserved MPEG version at $off")
+      val layer = (b(off + 1) >> 1) & 3 // 1 = Layer III
+      need(layer == 1, s"not Layer III at $off (layer bits $layer)")
+      val brIdx = (b(off + 2) >> 4) & 0xf
+      val srIdx = (b(off + 2) >> 2) & 3
+      val padding = (b(off + 2) >> 1) & 1
+      need(brIdx != 0, s"free-format bitrate at $off (unsupported)")
+      need(brIdx != 15, s"reserved bitrate index at $off")
+      need(srIdx != 3, s"reserved sample-rate index at $off")
+      val sr = ver match {
+        case 3 => RateBase(srIdx)
+        case 2 => RateBase(srIdx) / 2
+        case _ => RateBase(srIdx) / 4
+      }
+      val kbps = if (ver == 3) BitrateV1(brIdx) else BitrateV2(brIdx)
+      if (nFrames == 0) { sampleRate = sr; version = ver }
+      else {
+        need(ver == version, s"MPEG version changes mid-stream at $off")
+        need(sr == sampleRate, s"sample rate changes mid-stream at $off")
+      }
+      // Layer III: 1152 samples/frame (MPEG-1), 576 (MPEG-2/2.5) →
+      // size = samplesPerFrame/8 * bitrate / sampleRate + padding
+      val spf = if (ver == 3) 1152 else 576
+      val size = spf / 8 * kbps * 1000 / sr + padding
+      need(size >= 24, s"degenerate frame size $size at $off")
+      need(off + size <= b.length,
+        s"frame at $off (size $size) overruns payload")
+      if (kbps < minK) minK = kbps
+      if (kbps > maxK) maxK = kbps
+      nFrames += 1
+      need(nFrames <= (1 << 24), "frame count exceeds bound")
+      off += size
+    }
+    need(nFrames > 0, "no frames")
+    val spf = if (version == 3) 1152L else 576L
+    new GenericInternalRow(Array[Any](nFrames, (off - start).toLong,
+      sampleRate, nFrames * spf * 1000L / sampleRate, minK, maxK))
+  }
+}
+
+/** `mp3_frame_walk(binary)` → struct(n_frames, n_bytes, sample_rate,
+ * duration_ms, min_kbps, max_kbps) — codegen'd frame-chain walk, loud
+ * `mp3:` contract. */
+case class Mp3FrameWalk(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3Frames.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp3_frame_walk requires BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp3Frames.walk(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.Mp3Frames.walk($b)")
+
+  override protected def withNewChildInternal(c: Expression): Mp3FrameWalk =
+    copy(child = c)
 }
 
 /**

@@ -88,12 +88,16 @@ object CodeCorpus {
 
   /** AWS access-key shape (AKIA + 16 uppercase alphanumerics). */
   val AwsRe = "AKIA[0-9A-Z]{16}"
-  /** PEM private-key block, BEGIN..END inclusive, multi-line. */
-  val PemRe = "(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----" +
-    ".*?-----END [A-Z ]*PRIVATE KEY-----"
+  /** PEM private-key block, BEGIN..END inclusive, multi-line;
+   * whitespace-tolerant between the header words (formatting forks must
+   * not smuggle a key past the scrubber). */
+  val PemRe = "(?s)-----BEGIN [A-Z ]*PRIVATE[A-Z ]*KEY-----" +
+    ".*?-----END [A-Z ]*PRIVATE[A-Z ]*KEY-----"
   /** High-entropy hex assignment to a key/token/secret-named variable
-   * (the value group is what gets redacted). */
-  val EntRe = "([a-z_]*(?:key|token|secret)[a-z_]* = \")[a-f0-9]{32,}(\")"
+   * (the value group is what gets redacted); `\s*=\s*` tolerates
+   * formatting-fork spacing. */
+  val EntRe = "([a-z_]*(?:key|token|secret)[a-z_]*\\s*=\\s*\")" +
+    "[a-f0-9]{32,}(\")"
 
   /** struct(text, n_aws, n_pem, n_entropy) — counts taken on the
    * ORIGINAL text (count-before-redact), then all three shapes
@@ -122,6 +126,23 @@ object CodeCorpus {
     struct(array_join(cmts, "\n").as("comments"),
       size(cmts).cast("long").as("n_comment_lines"),
       (size(lines) - size(cmts)).cast("long").as("n_code_lines"))
+  }
+
+  /**
+   * Near-dup normal form: secrets redacted, comment lines dropped,
+   * whitespace runs collapsed — the representation under which a copy
+   * that differs only in embedded keys, comments or formatting (the
+   * three most common fork-and-tweak edits) minhashes identically,
+   * while real code changes still move tokens. Feed the result to
+   * [[DocDedup.minhashSignatures]]/[[DocDedup.lshBuckets]] for banded
+   * candidate generation at corpus scale.
+   */
+  def normalize(content: Column, lang: Column): Column = {
+    val red = redact(content).getField("text")
+    val mk = when(lang.isin("py", "sh", "rb"), lit("#")).otherwise(lit("//"))
+    val lines = filter(split(red, "\n"),
+      l => l =!= "" && !ltrim(l).startsWith(mk))
+    trim(regexp_replace(array_join(lines, " "), "\\s+", " "))
   }
 
   /**

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.Mp3Frames
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * MP3 frame-chain walk: the integer layer (frame sizes, duration,
+ * bitrate profile) against hand-built chains — valid CBR/VBR streams,
+ * ID3v2 skips, MPEG-2 half-rate geometry, and the hostile shapes a
+ * crawl actually carries (mid-stream rate changes, free format,
+ * truncation, trailing garbage).
+ */
+class Mp3FramesSpec extends AnyFunSuite {
+
+  /** One MPEG-1 Layer III frame at 32 kHz (srIdx 2), no padding:
+   * size = 144000 * kbps / 32000 = 4.5 * kbps. */
+  private def frameV1(brIdx: Int, fill: Int = 0xAA): Array[Byte] = {
+    val kbps = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)(brIdx)
+    val size = 144 * kbps * 1000 / 32000
+    val b = Array.fill[Byte](size)(fill.toByte)
+    b(0) = 0xff.toByte; b(1) = 0xfb.toByte
+    b(2) = ((brIdx << 4) | (2 << 2)).toByte; b(3) = 0xc0.toByte
+    b
+  }
+
+  /** One MPEG-2 Layer III frame at 16 kHz (srIdx 2, ver 2): 576 samples,
+   * size = 72000 * kbps / 16000. */
+  private def frameV2(brIdx: Int): Array[Byte] = {
+    val kbps = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)(brIdx)
+    val size = 72 * kbps * 1000 / 16000
+    val b = Array.fill[Byte](size)(0x55.toByte)
+    b(0) = 0xff.toByte; b(1) = 0xf3.toByte // ver 2, layer III, no CRC
+    b(2) = ((brIdx << 4) | (2 << 2)).toByte; b(3) = 0xc0.toByte
+    b
+  }
+
+  private def id3(size: Int): Array[Byte] =
+    Array[Byte]('I', 'D', '3', 4, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++
+      Array.fill[Byte](size)(0)
+
+  private def boom(b: Array[Byte]): String =
+    intercept[IllegalArgumentException] { Mp3Frames.walk(b) }.getMessage
+
+  test("CBR and VBR chains walk to exact counts, bytes, duration and " +
+    "bitrate profile; ID3v2 with a real payload is skipped") {
+    val vbr = id3(100) ++ frameV1(1) ++ frameV1(3) ++ frameV1(2) ++ frameV1(1)
+    val r = Mp3Frames.walk(vbr)
+    assert(r.getInt(0) === 4)
+    assert(r.getLong(1) === (144 + 216 + 180 + 144).toLong)
+    assert(r.getInt(2) === 32000)
+    assert(r.getLong(3) === 4L * 1152 * 1000 / 32000) // 144 ms exact
+    assert((r.getInt(4), r.getInt(5)) === ((32, 48)))
+    val cbr = frameV1(2) ++ frameV1(2)
+    val c = Mp3Frames.walk(cbr)
+    assert((c.getInt(4), c.getInt(5)) === ((40, 40)))
+  }
+
+  test("MPEG-2 chains use 576 samples/frame and the half-rate table") {
+    val r = Mp3Frames.walk(frameV2(4) ++ frameV2(4)) // 32 kbps @ 16 kHz
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(2) === 16000)
+    assert(r.getLong(3) === 2L * 576 * 1000 / 16000) // 72 ms exact
+  }
+
+  test("hostile chains reject precisely") {
+    // mid-stream garbage: sync lost
+    val garbage = frameV1(1) ++ Array.fill[Byte](20)(0x12)
+    assert(boom(garbage).contains("sync"))
+    // truncated last frame
+    assert(boom((frameV1(1) ++ frameV1(2)).dropRight(3))
+      .contains("overruns payload"))
+    // free-format and reserved bitrate indices
+    val free = frameV1(1); free(2) = (0 << 4 | 8).toByte
+    assert(boom(free).contains("free-format"))
+    val resv = frameV1(1); resv(2) = (15 << 4 | 8).toByte
+    assert(boom(resv).contains("reserved bitrate"))
+    // sample-rate change mid-stream (44.1 kHz header after 32 kHz)
+    val f2 = frameV1(2); f2(2) = (2 << 4 | (0 << 2)).toByte // srIdx 0
+    assert(boom(frameV1(1) ++ f2).contains("mid-stream"))
+    // Layer I/II reject
+    val l2 = frameV1(1); l2(1) = 0xfd.toByte // layer II bits
+    assert(boom(l2).contains("Layer III"))
+    // lying ID3 size
+    assert(boom(id3(50).take(30)).contains("ID3v2 size"))
+    // empty after tag
+    assert(boom(id3(0)).contains("no room"))
+  }
+}
