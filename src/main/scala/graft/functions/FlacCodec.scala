@@ -96,8 +96,11 @@ object FlacCodec {
   // ---- bit I/O -------------------------------------------------------------
 
   private final class BitReader(b: Array[Byte]) {
-    var pos = 0 // bit position
-    def bytePos: Int = (pos + 7) / 8
+    // Long bit index: an Int would overflow at payloads >= 256 MiB
+    // (reachable under MaxSamples with verbatim subframes) and turn the
+    // loud truncation error into an ArrayIndexOutOfBoundsException
+    var pos = 0L // bit position
+    def bytePos: Int = ((pos + 7) / 8).toInt
     def atByteBoundary: Boolean = pos % 8 == 0
     def bits(n: Int): Long = {
       need(n >= 0 && n <= 57, s"bit read width $n out of range")
@@ -105,7 +108,7 @@ object FlacCodec {
       var v = 0L
       var k = 0
       while (k < n) {
-        val bit = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+        val bit = (b((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
         v = (v << 1) | bit
         pos += 1
         k += 1
@@ -199,6 +202,10 @@ object FlacCodec {
     }
     need(!first, "no metadata blocks")
     need(siSampleRate > 0, "STREAMINFO sample rate is zero")
+    // total_samples = 0 is legal "unknown" (RFC 9639 §8.2, streamed
+    // encodes) but this decoder sizes its output from it — decoding to
+    // an empty Audio would violate the rejects-loudly contract
+    need(siTotal > 0, "unknown total-samples (0) unsupported")
     need(siTotal <= MaxSamples / siChannels,
       s"declared sample count $siTotal exceeds decode bound")
 
@@ -210,7 +217,7 @@ object FlacCodec {
     while (got < siTotal) {
       val frameStart = p
       val r = new BitReader(flac)
-      r.pos = p * 8
+      r.pos = p.toLong * 8
       need(r.bits(14) == 0x3ffe, s"bad frame sync at byte $p")
       need(r.bits(1) == 0, "reserved bit set in frame header")
       val blockingStrategy = r.bitsInt(1)
@@ -283,7 +290,7 @@ object FlacCodec {
       need(bps == siBits, s"frame sample size $bps != STREAMINFO $siBits")
       // CRC-8 covers the header bytes up to (not including) the CRC byte
       need(r.atByteBoundary, "frame header not byte-aligned before CRC-8")
-      val headerEnd = r.pos / 8
+      val headerEnd = (r.pos / 8).toInt
       val wantCrc8 = r.bitsInt(8)
       need(crc8(flac, frameStart, headerEnd) == wantCrc8,
         s"frame header CRC-8 mismatch at byte $frameStart")
@@ -305,7 +312,7 @@ object FlacCodec {
         c += 1
       }
       r.align()
-      val footerStart = r.pos / 8
+      val footerStart = (r.pos / 8).toInt
       val wantCrc16 = r.bitsInt(16)
       need(crc16(flac, frameStart, footerStart) == wantCrc16,
         s"frame CRC-16 mismatch at byte $frameStart")
@@ -346,7 +353,7 @@ object FlacCodec {
         i += 1
       }
       got += blockSize
-      p = r.pos / 8
+      p = (r.pos / 8).toInt
       // trailing garbage after the last frame is a malformed file
       if (got == siTotal)
         need(p == flac.length, s"${flac.length - p} trailing bytes after last frame")

@@ -248,6 +248,15 @@ object Mp4Codec {
               val fixed = u32(b, p0.toInt)
               val n = u32(b, p0.toInt + 4)
               need(n >= 0 && n <= MaxAudioSamples, s"stsz sample count $n")
+              // fixed-size path carries no size table to bound n against,
+              // so bound the DECLARED payload instead: n samples of
+              // `fixed` bytes each must fit inside the file — otherwise a
+              // ~100-byte hostile header forces ~768 MB of transient
+              // allocation here (memory-amplification DoS in a scan kernel)
+              if (fixed != 0)
+                need(n * fixed <= b.length,
+                  s"stsz declares $n x $fixed-byte samples in a " +
+                    s"${b.length}-byte payload")
               sizes = new Array[Int](n.toInt)
               if (fixed == 0) {
                 need(p0 + 8 + n * 4 <= he, "stsz size table overruns box")

@@ -89,12 +89,15 @@ object AudioCorpus {
               aggregate(slice(samples, f * $FrameSamples + 1, $FrameSamples),
                 0L, (a, x) -> a + abs(x)) AS sum_abs))""")
 
+    // the subtitle column stays OUT of the frame explode: cues are
+    // parsed on a separate per-doc branch below, so the exploded frame
+    // rows (256 per doc) and the island window's doc_id shuffle carry
+    // only (doc_id, format, frame, sum_abs) — never the full subs string
+    // (ScanAuditSpec pins the pre-window exchange schema)
     val frames = docs
-      .select(col("doc_id"), fmt.as("format"), samples.as("samples"),
-        col(subsCol).as("subs"))
-      .select(col("doc_id"), col("format"), col("subs"),
-        explode(energies).as("f"))
-      .select(col("doc_id"), col("format"), col("subs"),
+      .select(col("doc_id"), fmt.as("format"), samples.as("samples"))
+      .select(col("doc_id"), col("format"), explode(energies).as("f"))
+      .select(col("doc_id"), col("format"),
         col("f.frame").as("frame"), col("f.sum_abs").as("sum_abs"))
       .withColumn("is_speech", col("sum_abs") >= SpeechGate)
 
@@ -107,7 +110,6 @@ object AudioCorpus {
       .where(col("is_speech"))
       .groupBy(col("doc_id"), col("island"))
       .agg(first(col("format")).as("format"),
-        first(col("subs")).as("subs"),
         min(col("frame")).cast("long").as("seg_begin"),
         (max(col("frame")) + 1).cast("long").as("seg_end"),
         sum(col("sum_abs")).as("energy"),
@@ -118,7 +120,7 @@ object AudioCorpus {
       .drop("island", "fes")
 
     // cue alignment: equi-join on doc_id, overlap residual; cues are
-    // parsed ONCE per doc on the segment rows' carried subs column
+    // parsed ONCE per doc on their own branch of the docs scan
     val cues = docs.select(col("doc_id"),
         explode(subtitle_parse(col(subsCol))).as("c"))
       .select(col("doc_id"), col("c.seq").as("seq"),
@@ -126,7 +128,7 @@ object AudioCorpus {
         col("c.text").as("text"))
     val overlap = least(col("end_ms"), col("seg_end")) -
       greatest(col("start_ms"), col("seg_begin"))
-    segs.drop("subs").join(cues, Seq("doc_id"), "left")
+    segs.join(cues, Seq("doc_id"), "left")
       .withColumn("hit",
         when(col("start_ms").isNotNull && overlap > 0,
           struct(col("seq"), col("text"))))

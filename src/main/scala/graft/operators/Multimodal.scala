@@ -223,16 +223,25 @@ object Multimodal {
     val fmt = media_header(bin).getField("format")
     val am = avi_meta(bin)
     val mm = mp4_meta(bin)
+    // the mp4 branch is additionally gated on the container CARRYING a
+    // video track (mp4_meta.n_frames is null for audio-only "m4a" files):
+    // a real crawl mixes both shapes and an audio-only MP4 must drop,
+    // not crash mp4_sample_frames with "mp4: no video track"
+    val isMp4Video = fmt === "mp4" && mm.getField("n_frames").isNotNull
     val sampled = when(fmt === "avi", avi_sample_frames(bin, lit(stride)))
-      .when(fmt === "mp4", mp4_sample_frames(bin, lit(stride)))
-    val key = md5(concat_ws("", transform(sampled,
-      f => lower(hex(jpeg_decode(f).getField("pixels"))))))
+      .when(isMp4Video, mp4_sample_frames(bin, lit(stride)))
+    // key gated on decode success: concat_ws SKIPS a null array (returns
+    // ''), so an ungated md5 would give every unrecognized payload the
+    // same non-null md5('') key — one spurious duplicate cluster instead
+    // of the documented null-out-and-drop behavior
+    val key = when(sampled.isNotNull, md5(concat_ws("", transform(sampled,
+      f => lower(hex(jpeg_decode(f).getField("pixels")))))))
     val w = when(fmt === "avi", am.getField("width"))
-      .when(fmt === "mp4", mm.getField("width"))
+      .when(isMp4Video, mm.getField("width"))
     val h = when(fmt === "avi", am.getField("height"))
-      .when(fmt === "mp4", mm.getField("height"))
+      .when(isMp4Video, mm.getField("height"))
     val n = when(fmt === "avi", am.getField("n_frames"))
-      .when(fmt === "mp4", mm.getField("n_frames"))
+      .when(isMp4Video, mm.getField("n_frames"))
     docs.select(col("doc_id"),
         explode(array(struct(fmt.as("format"), w.as("width"),
           h.as("height"), n.as("n_frames"), key.as("content_key")))).as("g"))

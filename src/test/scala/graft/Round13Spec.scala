@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{FlacCodec, JpegCodec, Mp4Codec, AviCodec}
+import graft.operators.Multimodal
+
+/** Round-13 hardening: the four r12 ADVICE items, each reproduced and
+ * pinned — the video-corpus drop contract, the FLAC unknown-total reject,
+ * and the hostile fixed-size stsz bound. */
+class Round13Spec extends SparkSpec {
+
+  private def flatJpeg(v: Int): Array[Byte] =
+    JpegCodec.encodeGray(16, 16, Array.fill(256)(v.toByte))
+
+  test("videoCorpusExtract DROPS unrecognized payloads and audio-only " +
+    "MP4s instead of clustering them on md5('') or crashing") {
+    import spark.implicits._
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000,
+      Array(flatJpeg(10), flatJpeg(40), flatJpeg(70), flatJpeg(100)))
+    val m4a = Mp4Codec.encode(16, 16, 1, 16000,
+      Array.empty[Array[Byte]], Array.tabulate(16)(i => i * 7), 16000,
+      bigEndian = false)
+    val junk = "definitely not a video container".getBytes("UTF-8")
+    val docs = Seq((1L, avi), (2L, m4a), (3L, junk), (4L, avi))
+      .toDF("doc_id", "bin")
+    val out = Multimodal.videoCorpusExtract(docs).collect()
+    // only the two AVI rows survive; they share one content key — the
+    // m4a and the junk payload are DROPPED, not a spurious md5('') cluster
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+    assert(out.map(_.getString(5)).distinct.length === 1)
+  }
+
+  test("FLAC with STREAMINFO total_samples = 0 (legal 'unknown') rejects " +
+    "loudly inside the flac: contract instead of decoding to nothing") {
+    val good = FlacCodec.encode(Array.tabulate(64)(i => i * 11 - 300),
+      16000, 32)
+    // zero the 36-bit total-samples field (STREAMINFO bytes 13..17:
+    // low nibble of byte 13 + bytes 14..17); header = 4 magic + 4 block
+    val bad = good.clone()
+    bad(8 + 13) = (bad(8 + 13) & 0xf0).toByte
+    var i = 14
+    while (i <= 17) { bad(8 + i) = 0; i += 1 }
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(bad))
+    assert(e.getMessage.contains("unknown total-samples"))
+    // and the untouched file still round-trips
+    assert(FlacCodec.decode(good).samples.length === 64)
+  }
+
+  test("hostile fixed-size stsz (n samples x fixed bytes >> payload) is " +
+    "rejected before allocating the sample tables") {
+    val good = Mp4Codec.encode(16, 16, 1, 16000,
+      Array.empty[Array[Byte]], Array.tabulate(16)(i => i * 3), 16000,
+      bigEndian = false)
+    // find the stsz box and patch (fixed, count) to a ~64 TiB claim
+    val idx = good.indices.find(i => i + 4 <= good.length &&
+      good(i) == 's' && good(i + 1) == 't' && good(i + 2) == 's' &&
+      good(i + 3) == 'z').get
+    val bad = good.clone()
+    def putU32(at: Int, v: Long): Unit = {
+      bad(at) = ((v >> 24) & 0xff).toByte; bad(at + 1) = ((v >> 16) & 0xff).toByte
+      bad(at + 2) = ((v >> 8) & 0xff).toByte; bad(at + 3) = (v & 0xff).toByte
+    }
+    putU32(idx + 8, 1L << 20)  // fixed sample size (after version/flags)
+    putU32(idx + 12, 1L << 26) // sample count
+    val e = intercept[IllegalArgumentException](Mp4Codec.audioRow(bad))
+    assert(e.getMessage.contains("stsz declares"), e.getMessage)
+  }
+}

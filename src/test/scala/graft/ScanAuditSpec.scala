@@ -150,6 +150,25 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 8, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("pipeline_audio_corpus: no shuffle carries the raw subtitle " +
+    "string — the island window's doc_id exchange moves only " +
+    "(doc_id, format, frame, sum_abs), never the full subs payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the plan in an opaque leaf; disable it so executedPlan
+    // is the concrete prepared tree with the exchanges materialized
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("pipeline_audio_corpus")(
+        spark, "/root/testdata/sf0.001").queryExecution
+      val shuffles = qe.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected shuffles in the audio corpus plan")
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "subs"),
+          s"a shuffle carries the raw subs column: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pipeline_video_corpus: container sniff, dual-container walk and " +
     "per-frame decode are scalar work behind the Generate barrier on " +
     "one doc_id-only scan; the dedup window is the only shuffle") {
