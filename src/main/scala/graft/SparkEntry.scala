@@ -162,22 +162,31 @@ object SparkEntry {
    * orientation, so EXIF normalization recovers them exactly; flat even
    * blocks keep every codec lossless (the oracle replays the upright
    * content from seed arithmetic alone). */
+  /** Upright 24x16 flat-block gray content hex for one content seed
+   * (`doc_id % 100` as string) — ONE definition shared by
+   * [[imageFixtureDocs]] and the scanned-PDF twin in
+   * `pipeline_scanned_corpus`, so a PDF-embedded duplicate carries
+   * byte-identical content to its native-file cluster. */
+  private[graft] def uprightImageHex(seed: Column): Column = {
+    val hexes = (0 until 6).map { i =>
+      val byte = conv(substring(md5(concat(seed, lit("i" + i))), 1, 2),
+        16, 10).cast("int")
+      lower(lpad(hex((byte % 128) * 2), 2, "0"))
+    }
+    concat(
+      repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+        repeat(hexes(2), 8)), 8),
+      repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+        repeat(hexes(5), 8)), 8))
+  }
+
   private[graft] def imageFixtureDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PngFunctions._
     import graft.functions.JpegFunctions._
     import graft.functions.GifFunctions._
     import graft.functions.ExifFunctions._
     val seed = (col("doc_id") % 100).cast("string")
-    val hexes = (0 until 6).map { i =>
-      val byte = conv(substring(md5(concat(seed, lit("i" + i))), 1, 2),
-        16, 10).cast("int")
-      lower(lpad(hex((byte % 128) * 2), 2, "0"))
-    }
-    val upHex = concat(
-      repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
-        repeat(hexes(2), 8)), 8),
-      repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
-        repeat(hexes(5), 8)), 8))
+    val upHex = uprightImageHex(seed)
     val f = col("doc_id") % 3
     val o = (lit(1) + col("doc_id") % 8).cast("int")
     val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
@@ -2368,8 +2377,12 @@ object SparkEntry {
        COUNT(*) OVER (PARTITION BY fp) AS n_dupes
      FROM tr"""
 
-  private[graft] val imageCorpusOracle: String =
-    """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+  /** Shared CTE prefix replaying the image fixture's upright content
+   * from seed arithmetic: hexmap → seed bytes → `st` with (doc_id,
+   * format, width, height, hex3, spread). Feeds [[imageCorpusOracle]]
+   * and the scanned-PDF corpus oracle. */
+  private[graft] val imageCorpusStCtes: String =
+    """hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
            FROM generate_series(0, 255) t(i)),
          d AS (SELECT doc_id,
              substr(md5(CAST(doc_id % 100 AS VARCHAR) || 'i0'), 1, 2) AS c0,
@@ -2407,7 +2420,10 @@ object SparkEntry {
                AS hex3,
              greatest(v0, v1, v2, v3, v4, v5) -
                least(v0, v1, v2, v3, v4, v5) AS spread
-           FROM b),
+           FROM b)"""
+
+  private[graft] val imageCorpusOracle: String =
+    s"""WITH $imageCorpusStCtes,
          fl AS (SELECT st.*, md5(hex3) AS content_key FROM st
            WHERE spread >= 150)
          SELECT doc_id, format, width, height, content_key,

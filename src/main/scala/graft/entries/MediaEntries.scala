@@ -1127,6 +1127,52 @@ private[graft] object MediaEntries {
     }),
 
     
+"mm_pdf_images" -> ((s, dir) => {
+      // EMBEDDED-IMAGE extraction — the scanned-PDF shape (a dominant
+      // real-corpus form: page scans are stored as /Subtype /Image
+      // XObjects, usually verbatim baseline JPEGs under /DCTDecode).
+      // Each doc's PDF embeds TWO images: a 16x8 flat-block gray JPEG
+      // (stored verbatim, decoded back through the engine's own
+      // JpegCodec — content proven by the decoded pixel hex) and a 4x4
+      // raw gray raster under /FlateDecode (inflated back byte-exact).
+      // pdf_extract still returns the page text, pinning that image
+      // XObjects don't disturb the text path. The oracle replays
+      // payload arithmetic + page text from the seed alone.
+      import graft.functions.PdfFunctions._
+      import graft.functions.JpegFunctions._
+      val sd = col("doc_id").cast("string")
+      def flat(tag: String): Column = {
+        val byte = conv(substring(md5(concat(sd, lit(tag))), 1, 2), 16, 10)
+          .cast("int")
+        lower(lpad(hex((byte % 128) * 2), 2, "0"))
+      }
+      val jpgHex = repeat(concat(repeat(flat("p0"), 8),
+        repeat(flat("p1"), 8)), 8)
+      val rasterHex = md5(concat(sd, lit("pr"))) // 32 hex chars = 4x4 gray
+      val imgs = array(
+        struct(lit("jpeg").as("kind"), lit(16).as("width"),
+          lit(8).as("height"),
+          jpeg_encode_gray(lit(16), lit(8), unhex(jpgHex)).as("data")),
+        struct(lit("gray").as("kind"), lit(4).as("width"),
+          lit(4).as("height"), unhex(rasterHex).as("data")))
+      val pdf = pdf_encode_images(concat(lit("scan doc "), sd), imgs)
+      // Generate barrier: pdf feeds BOTH pdf_images and pdf_extract —
+      // without it alias substitution re-encodes the PDF per consumer
+      t(s, dir, "documents").select(col("doc_id"),
+          explode(array(struct(pdf_images(pdf).as("imgs"),
+            pdf_extract(pdf).as("text_out")))).as("g"))
+        .select(col("doc_id"), col("g.text_out").as("text_out"),
+          posexplode(col("g.imgs")).as(Seq("img_idx", "im")))
+        .select(col("doc_id"), col("img_idx"),
+          col("im.filter").as("filter"),
+          col("im.width").as("width"), col("im.height").as("height"),
+          when(col("im.filter") === "DCTDecode",
+            lower(hex(jpeg_decode(col("im.payload")).getField("pixels"))))
+            .otherwise(lower(hex(col("im.payload")))).as("content_hex"),
+          col("text_out"))
+    }),
+
+
 "mm_pdf_filters" -> ((s, dir) => {
       // non-Flate stream-filter family (what pre-2000s writers and many
       // generators still emit): each doc's decorated text is laid out as
@@ -1245,9 +1291,37 @@ private[graft] object MediaEntries {
 "mm_pdf_cmap" ->
       s"""SELECT doc_id, text || '$pdfCMapDeco' AS text FROM documents""",
 
+    // the embedded-image round-trip: the DCTDecode payload must decode
+    // (through the engine's own JPEG path) to the seed's flat-block
+    // pixels, the Flate raster must inflate byte-exact to the seed md5,
+    // and the page text must survive beside the images
+
+"mm_pdf_images" ->
+      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'p1'), 1, 2) AS c1
+           FROM documents),
+         b AS (SELECT doc_id,
+             lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')) AS h0,
+             lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')) AS h1
+           FROM d JOIN hexmap m0 ON d.c0 = m0.hx
+           JOIN hexmap m1 ON d.c1 = m1.hx)
+         SELECT doc_id, 0 AS img_idx, 'DCTDecode' AS filter,
+           16 AS width, 8 AS height,
+           repeat(repeat(h0, 8) || repeat(h1, 8), 8) AS content_hex,
+           'scan doc ' || CAST(doc_id AS VARCHAR) AS text_out
+         FROM b
+         UNION ALL
+         SELECT doc_id, 1, 'Raw', 4, 4,
+           md5(CAST(doc_id AS VARCHAR) || 'pr'),
+           'scan doc ' || CAST(doc_id AS VARCHAR)
+         FROM documents""",
+
     // the filter-family round-trip: ASCII85+Flate chain, ASCIIHex+RLE
     // chain and LZW must all come back as plain concatenation
-    
+
 "mm_pdf_filters" ->
       s"""SELECT doc_id, text || '$pdfDeco' AS text FROM documents""",
 

@@ -301,7 +301,45 @@ private[graft] object PipelineEntries {
           col("content_key"), col("canonical_id"), col("n_dupes"),
           col("spread"))),
 
-    
+"pipeline_scanned_corpus" -> ((s, dir) => {
+      // scanned-PDF ingest JOINS the image corpus: every doc_id % 5 = 0
+      // document gains a PDF twin (+1,000,000) whose page embeds the
+      // SAME upright 24x16 content as a verbatim /DCTDecode baseline
+      // JPEG — the dominant real shape of scanned documents.
+      // pdf_images pulls the payload back out of the xref walk and it
+      // enters imageCorpusExtract BESIDE the native PNG/JPEG/GIF files,
+      // so the PDF-embedded duplicate collapses into its file cluster
+      // only if the PDF object walk, the DCT round-trip and the
+      // cross-format content canonicalization all agree bit-for-bit.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PdfFunctions._
+      import graft.functions.JpegFunctions._
+      val files = imageFixtureDocs(s, dir)
+      val seed = (col("doc_id") % 100).cast("string")
+      val pdf = pdf_encode_images(
+        concat(lit("scan "), col("doc_id").cast("string")),
+        array(struct(lit("jpeg").as("kind"), lit(24).as("width"),
+          lit(16).as("height"),
+          jpeg_encode_gray(lit(24), lit(16),
+            unhex(uprightImageHex(seed))).as("data"))))
+      val scans = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), pdf.as("pdf"))
+      val scanBins = scans.select(col("doc_id"),
+          explode(pdf_images(col("pdf"))).as("im"))
+        .select(col("doc_id"), col("im.payload").as("bin"))
+      val staged = operators.Multimodal.imageCorpusExtract(
+        files.unionByName(scanBins))
+      val win = Window.partitionBy(col("content_key"))
+      staged.select(col("doc_id"),
+        when(col("doc_id") >= 1000000L, "pdf").otherwise("file")
+          .as("origin"),
+        col("format"), col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"), col("spread"))
+    }),
+
+
 "pipeline_block_curate" -> ((s, dir) => {
       // the jusText sibling of pipeline_html_curate: curation's word/TTR
       // arithmetic runs on the BLOCK-extracted main content (newlines
@@ -723,8 +761,29 @@ private[graft] object PipelineEntries {
     
 "pipeline_image_corpus" -> imageCorpusOracle,
 
-    
+
 "pipeline_image_corpus_streamed" -> imageCorpusOracle,
+
+    // scanned-PDF corpus: the PDF twin (+1,000,000, every doc_id % 5 = 0)
+    // carries the SAME upright content replayed by the shared st CTEs,
+    // so a hash match proves the PDF xref walk, the verbatim-DCT
+    // embed/extract round-trip, and the cross-format content key all
+    // agree — the embedded duplicate collapses into its file cluster
+
+"pipeline_scanned_corpus" ->
+      s"""WITH $imageCorpusStCtes,
+         au AS (SELECT doc_id, 'file' AS origin, format, hex3, spread
+             FROM st
+           UNION ALL
+           SELECT doc_id + 1000000, 'pdf', 'jpeg', hex3, spread
+             FROM st WHERE doc_id % 5 = 0),
+         fl AS (SELECT au.*, md5(hex3) AS content_key FROM au
+           WHERE spread >= 150)
+         SELECT doc_id, origin, format, content_key,
+           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes,
+           spread
+         FROM fl""",
 
     
     // video dedup across containers: the sampled frames' decoded pixels

@@ -7,8 +7,9 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -286,6 +287,73 @@ object PdfCodec {
     w("0000000000 65535 f \n")
     (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Scanned-document fixture: one page carrying `text` plus embedded
+   * image XObjects — the shape a scanned or figure-bearing PDF actually
+   * has. Each image is (kind, width, height, data): kind "jpeg" embeds
+   * `data` (a complete baseline JPEG file, the bytes a real writer
+   * stores verbatim) under `/Filter /DCTDecode`; kind "gray" deflates a
+   * raw width×height 8-bit gray raster under `/Filter /FlateDecode`.
+   * The page content draws every image (`cm` + `Do`), so the file is
+   * spec-shaped end to end, and `/Resources /XObject` names them
+   * `/Im0…` in order. */
+  def encodeImages(text: String,
+                   images: Seq[(String, Int, Int, Array[Byte])]): Array[Byte] = {
+    need(images.length <= 64, s"too many images (${images.length})")
+    images.zipWithIndex.foreach { case ((kind, w0, h0, data), i) =>
+      need(kind == "jpeg" || kind == "gray",
+        s"image $i kind '$kind' (want jpeg|gray)")
+      need(w0 > 0 && h0 > 0 && w0 <= 0xffff && h0 <= 0xffff,
+        s"image $i bad dimensions ${w0}x$h0")
+      if (kind == "gray")
+        need(data.length == w0 * h0,
+          s"image $i gray raster ${data.length} bytes != ${w0 * h0}")
+      else
+        need(data.length >= 4 && (data(0) & 0xff) == 0xff &&
+          (data(1) & 0xff) == 0xd8, s"image $i jpeg payload has no SOI")
+    }
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val draw = images.indices.map(i =>
+      s" q ${images(i)._2} 0 0 ${images(i)._3} 72 ${100 + 120 * i} cm " +
+        s"/Im$i Do Q").mkString
+    val c1 = deflate(("BT /F1 12 Tf 72 720 Td (" + literal(bytes) +
+      ") Tj ET" + draw).getBytes(StandardCharsets.ISO_8859_1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val nObjs = 5 + images.length
+    val offsets = new Array[Int](nObjs)
+    val xobjNames = images.indices.map(i => s"/Im$i ${5 + i} 0 R").mkString(" ")
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets(3) = out.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      (if (images.isEmpty) ">>\nendobj\n"
+       else s"/Resources << /XObject << $xobjNames >> >> >>\nendobj\n"))
+    offsets(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${c1.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c1)
+    w("\nendstream\nendobj\n")
+    images.zipWithIndex.foreach { case ((kind, w0, h0, data), i) =>
+      offsets(5 + i) = out.size()
+      val payload = if (kind == "jpeg") data else deflate(data)
+      val filter = if (kind == "jpeg") "/DCTDecode" else "/FlateDecode"
+      w(s"${5 + i} 0 obj\n<< /Type /XObject /Subtype /Image /Width $w0 " +
+        s"/Height $h0 /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Filter $filter /Length ${payload.length} >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    val xref = out.size()
+    w(s"xref\n0 $nObjs\n")
+    w("0000000000 65535 f \n")
+    (1 until nObjs).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $nObjs /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
 
@@ -1793,11 +1861,13 @@ object PdfCodec {
     currentDec
   }
 
-  /** Full extraction: xref chain (classic tables AND xref streams,
-   * /Prev-merged) → page tree with inherited /Resources → per-page
-   * font decoders → content streams (inflated under the cap) → text
-   * operators decoded through the active font → UTF-8 output. */
-  def extract(bytes: Array[Byte]): String = {
+  /** Shared document front door: xref chain (classic tables AND xref
+   * streams, /Prev-merged), /Encrypt resolution, and the page-tree walk
+   * with inherited /Resources — everything both the text extractor and
+   * the image extractor need before reading content. Returns the object
+   * reader plus each page's (/Contents refs, resolved /Resources). */
+  private def openDoc(bytes: Array[Byte])
+      : (ObjReader, Seq[(List[Int], Option[String])]) = {
     need(bytes.length >= 8, "too short to be a PDF")
     val s = view(bytes)
     need(s.startsWith("%PDF-"), "bad magic (no %PDF- header)")
@@ -1898,10 +1968,18 @@ object PdfCodec {
       }
     }
     walk(pagesNum, None, 0)
+    (rd, pages.result())
+  }
 
+  /** Full extraction: xref chain (classic tables AND xref streams,
+   * /Prev-merged) → page tree with inherited /Resources → per-page
+   * font decoders → content streams (inflated under the cap) → text
+   * operators decoded through the active font → UTF-8 output. */
+  def extract(bytes: Array[Byte]): String = {
+    val (rd, pages) = openDoc(bytes)
     val shown = new java.io.ByteArrayOutputStream()
     val fontCache = mutable.Map.empty[String, Map[String, FontDec]]
-    pages.result().foreach { case (refs, res) =>
+    pages.foreach { case (refs, res) =>
       val fonts = res match {
         case Some(r) => fontCache.getOrElseUpdate(r, buildFonts(rd, res))
         case None => Map.empty[String, FontDec]
@@ -1918,6 +1996,109 @@ object PdfCodec {
     new String(shown.toByteArray, StandardCharsets.UTF_8)
   }
 
+  /** One embedded image: the owning object number, the storage filter
+   * ("DCTDecode" = payload is a complete baseline JPEG file, exactly the
+   * bytes the writer stored; "Raw" = payload is the fully-defiltered
+   * raster, width×height×components bytes), and the image parameters. */
+  final case class PdfImage(obj: Int, filter: String, colorSpace: String,
+                            bpc: Int, width: Int, height: Int,
+                            payload: Array[Byte])
+
+  /** Embedded-image extraction — the scanned-PDF front door: walk the
+   * same xref chain + page tree as [[extract]], resolve each page's
+   * `/Resources /XObject` entries, and return every `/Subtype /Image`
+   * XObject once (first-reference order, later re-references of the
+   * same object skipped). DCTDecode payloads come back VERBATIM (they
+   * are complete JPEG files — [[JpegCodec]] decodes them as-is, which
+   * is how a PDF-embedded scan re-enters the image-corpus dedup);
+   * everything the filter chain fully decodes (Flate/LZW/AHx/A85/RL,
+   * predictors included) comes back as the raw raster, length-checked
+   * against the declared geometry. Form XObjects are skipped (not
+   * images); unsupported color spaces, bit depths or filter stacks
+   * reject loudly inside the `pdf:` contract. */
+  def extractImages(bytes: Array[Byte]): Seq[PdfImage] = {
+    val (rd, pages) = openDoc(bytes)
+    val seen = mutable.Set.empty[Int]
+    val out = Seq.newBuilder[PdfImage]
+    val NameRef = """/([A-Za-z0-9._-]+)\s+(\d+)\s+0\s+R""".r
+    pages.foreach { case (_, res) =>
+      val xd: Option[String] = res.flatMap(r =>
+        valueAfter(r, "/XObject") match {
+          case Some(PDict(d)) => Some(d)
+          case Some(PRef(n)) => Some(rd.dict(n))
+          case None => None
+          case Some(_) => throw new IllegalArgumentException(
+            "pdf: /XObject is neither a dictionary nor a reference")
+        })
+      xd.foreach { d =>
+        NameRef.findAllMatchIn(d).foreach { m =>
+          val n = objNum(m.group(2), "XObject reference")
+          if (seen.add(n)) {
+            need(seen.size <= 256, "more than 256 image XObjects")
+            val (dict, dataOpt) = rd.obj(n)
+            val subtype = valueAfter(dict, "/Subtype") match {
+              case Some(PName(st)) => st
+              case _ => throw new IllegalArgumentException(
+                s"pdf: XObject $n has no /Subtype name")
+            }
+            if (subtype == "Image") {
+              val raw = dataOpt.getOrElse(
+                throw new IllegalArgumentException(
+                  s"pdf: image XObject $n carries no stream"))
+              val w0 = intAfter(dict, "/Width").getOrElse(
+                throw new IllegalArgumentException(
+                  s"pdf: image XObject $n has no /Width"))
+              val h0 = intAfter(dict, "/Height").getOrElse(
+                throw new IllegalArgumentException(
+                  s"pdf: image XObject $n has no /Height"))
+              need(w0 >= 1 && w0 <= 0xffff && h0 >= 1 && h0 <= 0xffff,
+                s"image XObject $n bad dimensions ${w0}x$h0")
+              val bpc = intAfter(dict, "/BitsPerComponent").getOrElse(8L)
+              val cs = valueAfter(dict, "/ColorSpace") match {
+                case Some(PName(c)) => c
+                case Some(_) => throw new IllegalArgumentException(
+                  s"pdf: image XObject $n non-name /ColorSpace unsupported")
+                case None => throw new IllegalArgumentException(
+                  s"pdf: image XObject $n has no /ColorSpace")
+              }
+              val comps = cs match {
+                case "DeviceGray" => 1
+                case "DeviceRGB" => 3
+                case other => throw new IllegalArgumentException(
+                  s"pdf: image XObject $n /ColorSpace /$other unsupported")
+              }
+              val chain = filterChain(dict, s"image XObject $n")
+              if (chain.lastOption.exists(_._1 == "DCTDecode")) {
+                // a real writer stores the JPEG file verbatim under a
+                // bare /DCTDecode; JPEG behind further encodings is
+                // outside this subset — reject, don't misdecode
+                need(chain.length == 1,
+                  s"image XObject $n: /DCTDecode behind other filters " +
+                    "unsupported")
+                need(raw.length >= 4 && (raw(0) & 0xff) == 0xff &&
+                  (raw(1) & 0xff) == 0xd8,
+                  s"image XObject $n DCTDecode payload has no JPEG SOI")
+                out += PdfImage(n, "DCTDecode", cs, bpc.toInt,
+                  w0.toInt, h0.toInt, raw)
+              } else {
+                need(bpc == 8,
+                  s"image XObject $n /BitsPerComponent $bpc unsupported " +
+                    "(8 only)")
+                val raster = unfiltered(dict, raw, s"image XObject $n")
+                need(raster.length == w0 * h0 * comps,
+                  s"image XObject $n raster ${raster.length} bytes != " +
+                    s"$w0 x $h0 x $comps")
+                out += PdfImage(n, "Raw", cs, bpc.toInt, w0.toInt,
+                  h0.toInt, raster)
+              }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   // --------------------------------------------------- expression hooks
 
   def encodeRow(text: UTF8String): Array[Byte] = encode(text.toString)
@@ -1931,6 +2112,40 @@ object PdfCodec {
     encodeEncrypted(text.toString, variant.toString)
   def extractRow(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(extract(bytes))
+
+  /** Output row shape of `pdf_images`. */
+  val imageArrayType: ArrayType = ArrayType(StructType(Seq(
+    StructField("obj", IntegerType, nullable = false),
+    StructField("filter", StringType, nullable = false),
+    StructField("colorspace", StringType, nullable = false),
+    StructField("bpc", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false))),
+    containsNull = false)
+
+  /** Input element shape of `pdf_encode_images`' image array. */
+  val imageSpecType: ArrayType = ArrayType(StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("data", BinaryType, nullable = false))),
+    containsNull = false)
+
+  def encodeImagesRow(text: UTF8String, imgs: ArrayData): Array[Byte] = {
+    val specs = (0 until imgs.numElements()).map { i =>
+      val r = imgs.getStruct(i, 4)
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getBinary(3))
+    }
+    encodeImages(text.toString, specs)
+  }
+
+  def imagesRow(bytes: Array[Byte]): ArrayData =
+    new GenericArrayData(extractImages(bytes).map(im =>
+      new GenericInternalRow(Array[Any](im.obj,
+        UTF8String.fromString(im.filter),
+        UTF8String.fromString(im.colorSpace),
+        im.bpc, im.width, im.height, im.payload))).toArray[Any])
 }
 
 /** `pdf_encode(string)` → BINARY — the deterministic fixture builder
@@ -2046,6 +2261,53 @@ case class PdfExtractExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `pdf_encode_images(string, array<struct<kind,width,height,data>>)` →
+ * BINARY — the scanned-document fixture builder: one page of text plus
+ * embedded image XObjects (kind "jpeg" → verbatim /DCTDecode, "gray" →
+ * deflated raster under /FlateDecode). */
+case class PdfEncodeImagesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StructType(fs), _)) if fs.length == 4 &&
+        fs(0).dataType == StringType && fs(1).dataType == IntegerType &&
+        fs(2).dataType == IntegerType && fs(3).dataType == BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "pdf_encode_images requires (STRING, " +
+          "ARRAY<STRUCT<kind:STRING,width:INT,height:INT,data:BINARY>>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PdfCodec.encodeImagesRow(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PdfCodec.encodeImagesRow($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PdfEncodeImagesExpr =
+    copy(left = l, right = r)
+}
+
+/** `pdf_images(binary)` → ARRAY<STRUCT> — every embedded /Subtype
+ * /Image XObject in page order (DCTDecode payloads verbatim = complete
+ * JPEG files; filter-decodable payloads as raw rasters). */
+case class PdfImagesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PdfCodec.imageArrayType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_images requires BINARY, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.imagesRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfCodec.imagesRow($b)")
+  override protected def withNewChildInternal(c: Expression): PdfImagesExpr =
+    copy(child = c)
+}
+
 object PdfFunctions {
   import org.apache.spark.sql.GraftShim
 
@@ -2067,4 +2329,11 @@ object PdfFunctions {
 
   def pdf_extract(c: Column): Column =
     GraftShim.column(PdfExtractExpr(GraftShim.expression(c)))
+
+  def pdf_encode_images(text: Column, imgs: Column): Column =
+    GraftShim.column(PdfEncodeImagesExpr(
+      GraftShim.expression(text), GraftShim.expression(imgs)))
+
+  def pdf_images(c: Column): Column =
+    GraftShim.column(PdfImagesExpr(GraftShim.expression(c)))
 }

@@ -45,6 +45,27 @@ class Round13Spec extends SparkSpec {
     assert(FlacCodec.decode(good).samples.length === 64)
   }
 
+  test("PDF embedded images round-trip: DCTDecode payload comes back " +
+    "verbatim, Flate raster inflates byte-exact, text extraction is " +
+    "undisturbed, and unsupported shapes reject loudly") {
+    import graft.functions.PdfCodec
+    val jpeg = flatJpeg(60)
+    val raster = Array.tabulate(12)(i => (i * 19 + 3).toByte)
+    val pdf = PdfCodec.encodeImages("scanned page",
+      Seq(("jpeg", 16, 16, jpeg), ("gray", 4, 3, raster)))
+    val imgs = PdfCodec.extractImages(pdf)
+    assert(imgs.map(_.filter) === Seq("DCTDecode", "Raw"))
+    assert(java.util.Arrays.equals(imgs(0).payload, jpeg))
+    assert(imgs(0).width === 16 && imgs(0).height === 16)
+    assert(java.util.Arrays.equals(imgs(1).payload, raster))
+    assert(PdfCodec.extract(pdf) === "scanned page")
+    // a plain text PDF has no images; bad geometry rejects loudly
+    assert(PdfCodec.extractImages(PdfCodec.encode("no pictures")).isEmpty)
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.encodeImages("x", Seq(("gray", 4, 3, raster.take(5)))))
+    assert(e.getMessage.contains("gray raster"))
+  }
+
   test("hostile fixed-size stsz (n samples x fixed bytes >> payload) is " +
     "rejected before allocating the sample tables") {
     val good = Mp4Codec.encode(16, 16, 1, 16000,

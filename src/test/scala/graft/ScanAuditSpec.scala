@@ -179,6 +179,16 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("pipeline_scanned_corpus: PDF encode, xref walk, image extraction " +
+    "and the cross-format decode are scalar work on doc_id-only scans; " +
+    "the dedup window is the only shuffle") {
+    val p = plan("pipeline_scanned_corpus")
+    val rs = scanColumns(p)
+    assert(rs.nonEmpty && rs.forall(_ === Set("doc_id")),
+      s"expected doc_id-only scans, saw $rs:\n$p")
+    assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("pipeline_code_corpus: detection, license gate, redaction and " +
     "the comment split are scalar work on one doc_id-only scan; the " +
     "dedup window is the only shuffle") {
