@@ -155,9 +155,12 @@ object SparkEntry {
   /** Deterministic mixed-image fixture shared by `pipeline_image_corpus`
    * (batch) and `pipeline_image_corpus_streamed` (real streaming run):
    * one opaque binary per document — a PNG, an EXIF-rotated JPEG
-   * (alternating baseline and progressive encodings by doc_id % 2) or a
-   * GIF by doc_id % 3, content keyed by doc_id % 100 so duplicate
-   * clusters span formats, rotations and JPEG coding modes. The stored
+   * (alternating baseline and progressive encodings by doc_id % 2), a
+   * GIF, a WebP-lossless (VP8L coded shape rotating through all five
+   * transform paths) or a TIFF (compression rotating none/LZW/PackBits)
+   * by doc_id % 5, content keyed by doc_id % 100 so duplicate clusters
+   * span ALL FIVE formats, rotations, JPEG coding modes and VP8L
+   * transforms. The stored
    * JPEG pixels are the upright content PRE-rotated by the INVERSE
    * orientation, so EXIF normalization recovers them exactly; flat even
    * blocks keep every codec lossless (the oracle replays the upright
@@ -185,9 +188,11 @@ object SparkEntry {
     import graft.functions.JpegFunctions._
     import graft.functions.GifFunctions._
     import graft.functions.ExifFunctions._
+    import graft.functions.WebpFunctions._
+    import graft.functions.TiffFunctions._
     val seed = (col("doc_id") % 100).cast("string")
     val upHex = uprightImageHex(seed)
-    val f = col("doc_id") % 3
+    val f = col("doc_id") % 5
     val o = (lit(1) + col("doc_id") % 8).cast("int")
     val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
       .otherwise(o).cast("int")
@@ -204,7 +209,18 @@ object SparkEntry {
       unhex(regexp_replace(upHex, "(..)", "$1$1$1")),
       (col("doc_id") % 5).cast("int"))
     val gifBin = gif_encode_gray(lit(24), lit(16), unhex(upHex))
-    val bin = when(f === 0, pngBin).when(f === 1, jpgBin).otherwise(gifBin)
+    // VP8L coded shape rotates through every transform path; the six
+    // flat blocks stay <=16 distinct grays, so palette bundling is legal
+    val webpBin = webp_encode_gray(lit(24), lit(16), unhex(upHex),
+      element_at(array(graft.functions.WebpCodec.Modes.map(lit): _*),
+        (expr("doc_id DIV 5") % 5 + 1).cast("int")))
+    val tiffBin = tiff_encode_gray(lit(24), lit(16), unhex(upHex),
+      when(col("doc_id") % 3 === 0, lit(1))
+        .when(col("doc_id") % 3 === 1, lit(5)).otherwise(lit(32773))
+        .cast("int"),
+      col("doc_id") % 2 === 0)
+    val bin = when(f === 0, pngBin).when(f === 1, jpgBin)
+      .when(f === 2, gifBin).when(f === 3, webpBin).otherwise(tiffBin)
     t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
   }
 
@@ -2412,8 +2428,9 @@ object SparkEntry {
            JOIN hexmap m4 ON d.c4 = m4.hx
            JOIN hexmap m5 ON d.c5 = m5.hx),
          st AS (SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-               WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+             CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'png'
+               WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'webp' ELSE 'tiff' END AS format,
              24 AS width, 16 AS height,
              repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
              repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)

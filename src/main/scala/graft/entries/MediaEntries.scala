@@ -600,6 +600,39 @@ private[graft] object MediaEntries {
     }),
 
     
+"mm_webp_roundtrip" -> ((s, dir) => {
+      // REAL VP8L (WebP-lossless) content decode: 24x16 gray images of
+      // six md5-derived flat blocks, the CODED SHAPE rotating by
+      // doc_id % 5 through plain literals / subtract-green / palette
+      // (color indexing with sub-byte bundling) / predictor-transform
+      // residuals / a color transform with nonzero signed deltas — every
+      // decoder transform path on the oracle-checked round trip. VP8L is
+      // lossless, so decode returns the tripled-RGB content bit-for-bit
+      // and the oracle rebuilds the pixel hex arithmetically.
+      import graft.functions.WebpFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("w" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte), 2, "0")) // lossless: any byte works
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val mode = element_at(
+        array(graft.functions.WebpCodec.Modes.map(lit): _*),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val dec = webp_decode(webp_encode_gray(lit(24), lit(16),
+        unhex(pxHex), mode))
+      t(s, dir, "documents").select(col("doc_id"), mode.as("mode"),
+        dec.getField("width").as("width"),
+        dec.getField("height").as("height"),
+        lower(hex(dec.getField("pixels"))).as("px_hex"))
+    }),
+
+
 "mm_tiff_roundtrip" -> ((s, dir) => {
       // REAL TIFF content decode: 24x16 grayscale images of six
       // md5-derived flat blocks run through the full striped codec with
@@ -1867,10 +1900,35 @@ private[graft] object MediaEntries {
              'i&s <' || CAST(doc_id % 5 AS VARCHAR) || '>' FROM documents
            ) t""",
 
+    // VP8L round-trip: every coded shape is lossless, so the oracle
+    // rebuilds the tripled-RGB pixel hex arithmetically and replays the
+    // mode rotation — a hash match proves literals, subtract-green,
+    // palette bundling, the 14-mode predictor and the signed color
+    // transform all invert exactly
+
+"mm_webp_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w0'), 1, 2) AS h0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 2) AS h1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w2'), 1, 2) AS h2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w3'), 1, 2) AS h3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w4'), 1, 2) AS h4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'w5'), 1, 2) AS h5
+           FROM documents)
+         SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'plain'
+             WHEN 1 THEN 'subgreen' WHEN 2 THEN 'palette'
+             WHEN 3 THEN 'predictor' ELSE 'ctrans' END AS mode,
+           24 AS width, 16 AS height,
+           repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
+           repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)
+             AS px_hex
+         FROM d""",
+
     // TIFF round-trip: all three compressions are lossless, so the oracle
     // rebuilds the input pixel hex arithmetically (raw md5 bytes — unlike
     // JPEG, no evenness constraint is needed)
-    
+
 "mm_tiff_roundtrip" ->
       """WITH d AS (SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR) || 't0'), 1, 2) AS h0,

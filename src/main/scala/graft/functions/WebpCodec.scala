@@ -1,0 +1,801 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/**
+ * A REAL WebP-lossless (VP8L) codec in pure JVM — the one major crawl
+ * image format the engine was still sniffing ([[MediaHeaders]] reads all
+ * three WebP flavors) but not decoding. VP8L is fully integer (canonical
+ * prefix codes + LZ77 over ARGB with exact spatial transforms), so every
+ * decoded pixel is exact arithmetic the DuckDB oracle can replay.
+ *
+ * Decode implements the lossless bitstream of the public spec (RFC 9649
+ * §3 / the VP8L specification): the RIFF/WEBP container walk, the VP8L
+ * signature + 14-bit dimensions, ALL FOUR transforms (predictor with the
+ * full 14-mode ruleset and the libwebp edge/top-right addressing, color
+ * transform with signed 3.5 fixed-point deltas, subtract-green, and
+ * color indexing including sub-byte pixel bundling), the color cache
+ * (0x1e35a7bd multiplicative hash), meta prefix codes via a recursive
+ * entropy image, both prefix-code forms (simple 1-/2-symbol and normal
+ * canonical code-length coding with 16/17/18 repeats, the 19-entry
+ * kCodeLengthCodeOrder, the default previous length 8, and the optional
+ * max_symbol cut), and LZ77 backward references through the 120-entry
+ * distance-to-plane neighbor map. Kraft-incomplete codes, reserved
+ * versions, out-of-range palette indices and oversized dimensions reject
+ * loudly inside the `webp:` error contract; lossy `VP8 ` and extended
+ * `VP8X` payloads reject with an explicit unsupported message rather
+ * than misdecoding.
+ *
+ * The encoder is the fixture edge (the [[FlacCodec]]/[[TiffCodec]]
+ * discipline): gray images emitted through FIVE independent coded
+ * shapes — plain ARGB literals, subtract-green, palette (color
+ * indexing with bundling), predictor-transform residuals, and a
+ * color-transform variant with nonzero deltas — so each decoder
+ * transform path is exercised by its own oracle-checked round trip, not
+ * just the path the simplest writer would take.
+ *
+ * The reference treats payloads opaquely (blob passthrough,
+ * connector/.../AbstractNativeConverter.java:115-147); image decode is
+ * an engine extension for the multimodal-corpus pipeline.
+ */
+object WebpCodec {
+
+  /** Decoded image: RGB interleaved (alpha verified opaque or exposed
+   * via hasAlpha by the caller-facing struct). */
+  final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"webp: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  /** Decode-bomb bound on total pixels (format caps sides at 16384). */
+  private val MaxPixels = 1 << 24
+
+  // ---- bit I/O (VP8L is LSB-first, unlike the big-endian codecs) ----------
+
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    var pos: Long = startByte.toLong * 8
+    def bits(n: Int): Int = {
+      need(n >= 0 && n <= 24, s"bit read width $n out of range")
+      need(pos + n <= b.length.toLong * 8, "bitstream truncated")
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val bit = (b((pos >> 3).toInt) >> (pos & 7).toInt) & 1
+        v |= bit << k
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def bit(): Int = bits(1)
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def bits(v: Int, n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        cur |= ((v >> k) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        k += 1
+      }
+    }
+    /** Canonical prefix codeword: MSB of the code leaves first. */
+    def code(c: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { bits((c >> k) & 1, 1); k -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (nbits > 0) { out.write(cur); cur = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  // ---- canonical prefix codes ----------------------------------------------
+
+  /** Bit-serial canonical prefix decoder (DEFLATE code assignment: codes
+   * ordered by (length, symbol); first bit read is the code's MSB). */
+  private final class Huff private (table: Map[(Int, Int), Int],
+                                    val only: Int) {
+    def decode(r: BitReader): Int = {
+      if (only >= 0) return only // 0-bit single-symbol code
+      var c = 0
+      var len = 0
+      while (len < 16) {
+        c = (c << 1) | r.bit()
+        len += 1
+        val s = table.getOrElse((len, c), -1)
+        if (s >= 0) return s
+      }
+      fail("prefix code longer than 15 bits (corrupt stream)")
+    }
+  }
+
+  private object Huff {
+    /** Build from per-symbol code lengths; Kraft-complete required. */
+    def fromLengths(lengths: Array[Int]): Huff = {
+      val nz = lengths.zipWithIndex.filter(_._1 > 0)
+      need(nz.nonEmpty, "prefix code with no symbols")
+      if (nz.length == 1) {
+        need(nz.head._1 == 1,
+          s"single-symbol code with length ${nz.head._1}")
+        // one symbol: spec-builders emit it via the simple form; accept
+        // the normal form too, consuming 0 bits
+        return new Huff(Map.empty, nz.head._2)
+      }
+      var kraft = 0L
+      nz.foreach { case (l, _) =>
+        need(l <= 15, s"code length $l exceeds 15")
+        kraft += 1L << (15 - l)
+      }
+      need(kraft == (1L << 15), "prefix code is not Kraft-complete")
+      val m = Map.newBuilder[(Int, Int), Int]
+      var code = 0
+      var prevLen = 0
+      nz.sortBy { case (l, s) => (l, s) }.foreach { case (l, s) =>
+        code <<= (l - prevLen)
+        prevLen = l
+        m += ((l, code) -> s)
+        code += 1
+      }
+      new Huff(m.result(), -1)
+    }
+    /** Simple form: code 0 → first symbol READ, code 1 → second. */
+    def simple(symbols: Array[Int]): Huff =
+      if (symbols.length == 1) new Huff(Map.empty, symbols(0))
+      else new Huff(Map((1, 0) -> symbols(0), (1, 1) -> symbols(1)), -1)
+  }
+
+  private val CodeLengthOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code (simple or normal form) for `alphabetSize`. */
+  private def readCode(r: BitReader, alphabetSize: Int): Huff = {
+    if (r.bit() == 1) { // simple
+      val n = r.bit() + 1
+      val first8 = r.bit()
+      val s0 = if (first8 == 1) r.bits(8) else r.bits(1)
+      if (n == 1) Huff.simple(Array(s0))
+      else Huff.simple(Array(s0, r.bits(8)))
+    } else {
+      val numCodes = r.bits(4) + 4
+      need(numCodes <= 19, s"code-length code count $numCodes")
+      val clLen = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) { clLen(CodeLengthOrder(i)) = r.bits(3); i += 1 }
+      val cl = Huff.fromLengths(clLen)
+      val lengths = new Array[Int](alphabetSize)
+      var maxSymbol =
+        if (r.bit() == 1) {
+          val nb = 2 + 2 * r.bits(3)
+          val ms = 2 + r.bits(nb)
+          need(ms <= alphabetSize, s"max_symbol $ms > alphabet $alphabetSize")
+          ms
+        } else alphabetSize
+      var symbol = 0
+      var prev = 8 // spec default previous code length
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val c = cl.decode(r)
+        if (c < 16) {
+          lengths(symbol) = c
+          symbol += 1
+          if (c != 0) prev = c
+        } else if (c == 16) {
+          val rep = r.bits(2) + 3
+          need(symbol + rep <= alphabetSize, "repeat 16 overruns alphabet")
+          var k = 0
+          while (k < rep) { lengths(symbol) = prev; symbol += 1; k += 1 }
+        } else if (c == 17) {
+          val rep = r.bits(3) + 3
+          need(symbol + rep <= alphabetSize, "repeat 17 overruns alphabet")
+          symbol += rep
+        } else {
+          val rep = r.bits(7) + 11
+          need(symbol + rep <= alphabetSize, "repeat 18 overruns alphabet")
+          symbol += rep
+        }
+      }
+      Huff.fromLengths(lengths)
+    }
+  }
+
+  // ---- LZ77 prefix values and the distance-plane map -----------------------
+
+  private def prefixVal(r: BitReader, code: Int): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + r.bits(extra) + 1
+    }
+
+  /** libwebp kCodeToPlane: plane codes 1..120 → (dy<<4)|(8-dx). */
+  private val CodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+    0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+    0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+    0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+    0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+    0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+    0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+    0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+    0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  private[graft] def planeToDistance(xsize: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val v = CodeToPlane(planeCode - 1)
+      val dist = (v >> 4) * xsize + (8 - (v & 0xf))
+      if (dist >= 1) dist else 1
+    }
+
+  // ---- transforms -----------------------------------------------------------
+
+  private def subSampleSize(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  private sealed trait Transform { def xsizeAtRead: Int }
+  private case class Predictor(bits: Int, tiles: Array[Int],
+                               xsizeAtRead: Int) extends Transform
+  private case class ColorTransform(bits: Int, tiles: Array[Int],
+                                    xsizeAtRead: Int) extends Transform
+  private case class SubtractGreen(xsizeAtRead: Int) extends Transform
+  private case class ColorIndexing(palette: Array[Int], widthBits: Int,
+                                   xsizeAtRead: Int) extends Transform
+
+  private def a(p: Int) = (p >>> 24) & 0xff
+  private def rC(p: Int) = (p >>> 16) & 0xff
+  private def g(p: Int) = (p >>> 8) & 0xff
+  private def bC(p: Int) = p & 0xff
+  private def argb(aa: Int, rr: Int, gg: Int, bb: Int): Int =
+    ((aa & 0xff) << 24) | ((rr & 0xff) << 16) | ((gg & 0xff) << 8) |
+      (bb & 0xff)
+
+  private def avg2(x: Int, y: Int): Int =
+    argb((a(x) + a(y)) / 2, (rC(x) + rC(y)) / 2, (g(x) + g(y)) / 2,
+      (bC(x) + bC(y)) / 2)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    val pA = a(l) + a(t) - a(tl)
+    val pR = rC(l) + rC(t) - rC(tl)
+    val pG = g(l) + g(t) - g(tl)
+    val pB = bC(l) + bC(t) - bC(tl)
+    val pL = math.abs(pA - a(l)) + math.abs(pR - rC(l)) +
+      math.abs(pG - g(l)) + math.abs(pB - bC(l))
+    val pT = math.abs(pA - a(t)) + math.abs(pR - rC(t)) +
+      math.abs(pG - g(t)) + math.abs(pB - bC(t))
+    if (pL < pT) l else t
+  }
+
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int =
+    argb(clamp255(a(l) + a(t) - a(tl)), clamp255(rC(l) + rC(t) - rC(tl)),
+      clamp255(g(l) + g(t) - g(tl)), clamp255(bC(l) + bC(t) - bC(tl)))
+
+  private def clampAddSubtractHalf(l: Int, t: Int, tl: Int): Int = {
+    def ch(av: Int, c: Int): Int = clamp255(av + (av - c) / 2)
+    argb(ch((a(l) + a(t)) / 2, a(tl)), ch((rC(l) + rC(t)) / 2, rC(tl)),
+      ch((g(l) + g(t)) / 2, g(tl)), ch((bC(l) + bC(t)) / 2, bC(tl)))
+  }
+
+  /** Prediction for pixel (x, y) given already-reconstructed `out`
+   * (libwebp edge rules: (0,0) black, top row L, left column T,
+   * top-right at the last column addresses the current row's first
+   * pixel — the buffer-contiguity rule real decoders share). */
+  private[graft] def predict(mode: Int, out: Array[Int], w: Int,
+                                 x: Int, y: Int): Int = {
+    if (x == 0 && y == 0) return 0xff000000
+    if (y == 0) return out(x - 1) // L
+    if (x == 0) return out((y - 1) * w) // T
+    val l = out(y * w + x - 1)
+    val t = out((y - 1) * w + x)
+    val tl = out((y - 1) * w + x - 1)
+    val tr = if (x + 1 < w) out((y - 1) * w + x + 1) else out(y * w)
+    mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => select(l, t, tl)
+      case 12 => clampAddSubtractFull(l, t, tl)
+      case 13 => clampAddSubtractHalf(l, t, tl)
+      case m => fail(s"predictor mode $m out of range")
+    }
+  }
+
+  /** Signed 3.5 fixed-point color-transform delta ((int8 t * int8 c) >> 5). */
+  private[graft] def ctDelta(t: Int, c: Int): Int =
+    (t.toByte.toInt * c.toByte.toInt) >> 5
+
+  // ---- decode ---------------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): Image = {
+    need(bytes.length >= 12, "too short for a RIFF header")
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => bytes(i + j) == s(j).toByte)
+    need(tag(0, "RIFF") && tag(8, "WEBP"), "bad magic (want RIFF/WEBP)")
+    need(bytes.length >= 20, "truncated chunk header")
+    if (tag(12, "VP8 ")) fail("lossy VP8 sample decode unsupported")
+    if (tag(12, "VP8X")) fail("extended (VP8X) container unsupported")
+    need(tag(12, "VP8L"), "first chunk is not VP8L")
+    val csize = (bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
+      ((bytes(18) & 0xff) << 16) | ((bytes(19) & 0xff) << 24)
+    need(csize >= 5 && 20L + csize <= bytes.length,
+      s"VP8L chunk size $csize overruns payload")
+    need((bytes(20) & 0xff) == 0x2f, "bad VP8L signature byte")
+    val r = new BitReader(bytes, 21)
+    val w = r.bits(14) + 1
+    val h = r.bits(14) + 1
+    r.bit() // alpha-is-used hint
+    need(r.bits(3) == 0, "reserved VP8L version")
+    need(w.toLong * h <= MaxPixels, s"${w}x$h exceeds pixel bound")
+    val px = decodeImageStream(r, w, h, level0 = true)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      out(3 * i) = rC(px(i)).toByte
+      out(3 * i + 1) = g(px(i)).toByte
+      out(3 * i + 2) = bC(px(i)).toByte
+      i += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** One spatially-coded image stream; at level 0 reads + inverts the
+   * transform stack, inner levels (entropy/transform data) read none. */
+  private def decodeImageStream(r: BitReader, xsize0: Int, ysize: Int,
+                                level0: Boolean): Array[Int] = {
+    var xsize = xsize0
+    val transforms = mutable.ListBuffer.empty[Transform]
+    if (level0) {
+      val seen = mutable.Set.empty[Int]
+      while (r.bit() == 1) {
+        val typ = r.bits(2)
+        need(seen.add(typ), s"transform $typ declared twice")
+        typ match {
+          case 0 => // predictor
+            val bits = r.bits(3) + 2
+            val tw = subSampleSize(xsize, bits)
+            val th = subSampleSize(ysize, bits)
+            transforms += Predictor(bits,
+              decodeImageStream(r, tw, th, level0 = false), xsize)
+          case 1 => // color transform
+            val bits = r.bits(3) + 2
+            val tw = subSampleSize(xsize, bits)
+            val th = subSampleSize(ysize, bits)
+            transforms += ColorTransform(bits,
+              decodeImageStream(r, tw, th, level0 = false), xsize)
+          case 2 => transforms += SubtractGreen(xsize)
+          case 3 => // color indexing
+            val n = r.bits(8) + 1
+            val pal = decodeImageStream(r, n, 1, level0 = false)
+            var i = 1
+            while (i < n) { // stored as per-channel deltas
+              pal(i) = argb(a(pal(i)) + a(pal(i - 1)),
+                rC(pal(i)) + rC(pal(i - 1)), g(pal(i)) + g(pal(i - 1)),
+                bC(pal(i)) + bC(pal(i - 1)))
+              i += 1
+            }
+            val wb = if (n > 16) 0 else if (n > 4) 1 else if (n > 2) 2 else 3
+            transforms += ColorIndexing(pal, wb, xsize)
+            xsize = subSampleSize(xsize, wb)
+        }
+      }
+    }
+    val cacheBits = if (r.bit() == 1) {
+      val cb = r.bits(4)
+      need(cb >= 1 && cb <= 11, s"color-cache bits $cb out of range")
+      cb
+    } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    // meta prefix codes: the bit exists only at level 0
+    var metaPrec = 0
+    var metaImg: Array[Int] = null
+    var metaW = 0
+    var nGroups = 1
+    if (level0 && r.bit() == 1) {
+      metaPrec = r.bits(3) + 2
+      metaW = subSampleSize(xsize, metaPrec)
+      val mh = subSampleSize(ysize, metaPrec)
+      metaImg = decodeImageStream(r, metaW, mh, level0 = false)
+      var i = 0
+      while (i < metaImg.length) {
+        val idx = (metaImg(i) >> 8) & 0xffff
+        if (idx + 1 > nGroups) nGroups = idx + 1
+        i += 1
+      }
+    }
+    val greenAlphabet = 256 + 24 + cacheSize
+    val groups = Array.fill(nGroups) {
+      (readCode(r, greenAlphabet), readCode(r, 256), readCode(r, 256),
+        readCode(r, 256), readCode(r, 40))
+    }
+    val n = xsize * ysize
+    need(n.toLong <= MaxPixels, "image stream exceeds pixel bound")
+    val out = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def insert(p: Int): Unit =
+      if (cache != null)
+        cache(((0x1e35a7bd * p) >>> (32 - cacheBits)).toInt) = p
+    var pos = 0
+    var x = 0
+    var y = 0
+    while (pos < n) {
+      val gi = if (metaImg == null) 0
+        else (metaImg((y >> metaPrec) * metaW + (x >> metaPrec)) >> 8) & 0xffff
+      val (hg, hr, hb, ha, hd) = groups(gi)
+      val s = hg.decode(r)
+      if (s < 256) {
+        val red = hr.decode(r)
+        val blue = hb.decode(r)
+        val alpha = ha.decode(r)
+        val p = argb(alpha, red, s, blue)
+        out(pos) = p; insert(p)
+        pos += 1; x += 1; if (x == xsize) { x = 0; y += 1 }
+      } else if (s < 280) {
+        val len = prefixVal(r, s - 256)
+        val dist = planeToDistance(xsize, prefixVal(r, hd.decode(r)))
+        need(dist <= pos, s"LZ77 distance $dist before stream start")
+        need(pos + len <= n, "LZ77 copy overruns the image")
+        var k = 0
+        while (k < len) {
+          val p = out(pos - dist)
+          out(pos) = p; insert(p)
+          pos += 1; x += 1; if (x == xsize) { x = 0; y += 1 }
+          k += 1
+        }
+      } else {
+        val idx = s - 280
+        need(cache != null && idx < cacheSize, s"cache index $idx")
+        out(pos) = cache(idx)
+        // cache hits re-insert (no-op) per the emit-every-pixel rule
+        pos += 1; x += 1; if (x == xsize) { x = 0; y += 1 }
+      }
+    }
+    // invert transforms, most-recently-read first
+    var img = out
+    var curW = xsize
+    transforms.toList.reverse.foreach { tr =>
+      img = tr match {
+        case SubtractGreen(_) =>
+          var i = 0
+          while (i < img.length) {
+            val p = img(i)
+            img(i) = argb(a(p), rC(p) + g(p), g(p), bC(p) + g(p))
+            i += 1
+          }
+          img
+        case Predictor(bits, tiles, xs) =>
+          need(curW == xs, "predictor width mismatch")
+          val tw = subSampleSize(xs, bits)
+          val res = new Array[Int](img.length)
+          var i = 0
+          while (i < img.length) {
+            val px = i % xs
+            val py = i / xs
+            val mode = (tiles((py >> bits) * tw + (px >> bits)) >> 8) & 0xff
+            need(mode <= 13, s"predictor mode $mode out of range")
+            val pr = predict(mode, res, xs, px, py)
+            val d = img(i)
+            res(i) = argb(a(pr) + a(d), rC(pr) + rC(d), g(pr) + g(d),
+              bC(pr) + bC(d))
+            i += 1
+          }
+          res
+        case ColorTransform(bits, tiles, xs) =>
+          need(curW == xs, "color-transform width mismatch")
+          val tw = subSampleSize(xs, bits)
+          var i = 0
+          while (i < img.length) {
+            val px = i % xs
+            val py = i / xs
+            val cte = tiles((py >> bits) * tw + (px >> bits))
+            val g2r = cte & 0xff
+            val g2b = (cte >> 8) & 0xff
+            val r2b = (cte >> 16) & 0xff
+            val p = img(i)
+            val red = (rC(p) + ctDelta(g2r, g(p))) & 0xff
+            val blue =
+              (bC(p) + ctDelta(g2b, g(p)) + ctDelta(r2b, red)) & 0xff
+            img(i) = argb(a(p), red, g(p), blue)
+            i += 1
+          }
+          img
+        case ColorIndexing(pal, wb, xs) =>
+          val res = new Array[Int](xs * ysize)
+          val perByte = 1 << wb
+          val idxBits = 8 >> wb
+          val idxMask = (1 << idxBits) - 1
+          var oy = 0
+          while (oy < ysize) {
+            var ox = 0
+            while (ox < xs) {
+              val packed = img(oy * curW + (ox >> wb))
+              val shift = (ox & (perByte - 1)) * idxBits
+              val idx = (g(packed) >> shift) & idxMask
+              need(idx < pal.length, s"palette index $idx out of range")
+              res(oy * xs + ox) = pal(idx)
+              ox += 1
+            }
+            oy += 1
+          }
+          curW = xs
+          res
+      }
+    }
+    img
+  }
+
+  // ---- encode (fixture edge) ------------------------------------------------
+
+  /** Coded shapes the gray fixture encoder can emit — each one drives a
+   * different decoder transform path. */
+  val Modes: Seq[String] =
+    Seq("plain", "subgreen", "palette", "predictor", "ctrans")
+
+  private def writeContainer(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    val chunk = payload.length + 1 // + signature byte
+    val padded = chunk + (chunk & 1)
+    tag("RIFF"); le32(4 + 8 + padded); tag("WEBP"); tag("VP8L"); le32(chunk)
+    out.write(0x2f)
+    out.write(payload)
+    if ((chunk & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Write one prefix code for the channel's used symbols: the simple
+   * form for 1–2 distinct symbols, else a flat complete 8-bit code over
+   * 0..255 (code-length code = {0,8} at one bit each). */
+  private def writeCode(w: BitWriter, used: Array[Int], alphabet: Int)
+      : Map[Int, (Int, Int)] = {
+    val distinct = used.distinct.sorted
+    if (distinct.length <= 2) {
+      w.bits(1, 1) // simple
+      w.bits(distinct.length - 1, 1)
+      if (distinct(0) > 1) { w.bits(1, 1); w.bits(distinct(0), 8) }
+      else { w.bits(0, 1); w.bits(distinct(0), 1) }
+      if (distinct.length == 2) w.bits(distinct(1), 8)
+      if (distinct.length == 1) Map(distinct(0) -> (0, 0))
+      else Map(distinct(0) -> (0, 1), distinct(1) -> (1, 1))
+    } else {
+      need(distinct.last < 256, "flat code only covers byte symbols")
+      w.bits(0, 1) // normal form
+      // code-length code: symbols {0, 8} at length 1 each; symbol 8 sits
+      // at position 11 of kCodeLengthCodeOrder → 12 entries
+      w.bits(12 - 4, 4)
+      val lens = Map(0 -> 1, 8 -> 1)
+      (0 until 12).foreach(i =>
+        w.bits(lens.getOrElse(CodeLengthOrder(i), 0), 3))
+      w.bits(0, 1) // no max_symbol cut
+      // CL canonical: symbol 0 → '0', symbol 8 → '1'
+      var s = 0
+      while (s < alphabet) { w.bits(if (s < 256) 1 else 0, 1); s += 1 }
+      (0 until 256).map(v => v -> (v, 8)).toMap
+    }
+  }
+
+  /** Emit one inner/main image stream of pre-transformed ARGB pixels as
+   * pure literals (no cache, no meta, no LZ77 — the decoder's literal
+   * path; transforms are declared by the caller at level 0). */
+  private def writePixels(w: BitWriter, px: Array[Int]): Unit = {
+    w.bits(0, 1) // no color cache
+    // NOTE: level0 callers must write the meta bit themselves before
+    // calling for the MAIN image; inner streams have no meta bit
+    val greens = px.map(g)
+    val reds = px.map(rC)
+    val blues = px.map(bC)
+    val alphas = px.map(a)
+    val cg = writeCode(w, greens, 256 + 24)
+    val cr = writeCode(w, reds, 256)
+    val cb = writeCode(w, blues, 256)
+    val ca = writeCode(w, alphas, 256)
+    // distance code: single symbol (never referenced)
+    w.bits(1, 1); w.bits(0, 1); w.bits(0, 1); w.bits(0, 1)
+    px.foreach { p =>
+      val (gc, gl) = cg(g(p)); w.code(gc, gl)
+      val (rc2, rl) = cr(rC(p)); w.code(rc2, rl)
+      val (bc2, bl) = cb(bC(p)); w.code(bc2, bl)
+      val (ac, al) = ca(a(p)); w.code(ac, al)
+    }
+  }
+
+  /** Gray fixture encoder: spec-compliant VP8L through the selected
+   * coded shape (see [[Modes]]); every mode decodes back to the exact
+   * input bytes. */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte],
+                 mode: String): Array[Byte] = {
+    need(width > 0 && height > 0 && width <= 16384 && height <= 16384,
+      s"bad dimensions ${width}x$height")
+    need(gray.length == width * height,
+      s"raster ${gray.length} bytes != $width x $height")
+    val px = gray.map(v => argb(255, v & 0xff, v & 0xff, v & 0xff))
+    val w = new BitWriter()
+    w.bits(width - 1, 14)
+    w.bits(height - 1, 14)
+    w.bits(0, 1) // alpha hint
+    w.bits(0, 3) // version
+    mode match {
+      case "plain" =>
+        w.bits(0, 1) // no transforms
+        w.bits(0, 1) // no meta (main image at level 0)
+        writePixels(w, px)
+      case "subgreen" =>
+        w.bits(1, 1); w.bits(2, 2) // transform: subtract green
+        w.bits(0, 1) // end of transforms
+        w.bits(0, 1)
+        writePixels(w,
+          px.map(p => argb(a(p), 0, g(p), 0))) // r-g = b-g = 0 for gray
+      case "palette" =>
+        val pal = gray.map(_ & 0xff).distinct.sorted
+        need(pal.length <= 16, s"palette fixture wants <=16 grays")
+        val wb = if (pal.length > 4) 1 else if (pal.length > 2) 2 else 3
+        w.bits(1, 1); w.bits(3, 2) // transform: color indexing
+        w.bits(pal.length - 1, 8)
+        // palette stored as per-channel deltas, inner image 1 x n
+        val deltas = pal.indices.map { i =>
+          val prev = if (i == 0) 0 else pal(i - 1)
+          val d = (pal(i) - prev) & 0xff
+          argb(if (i == 0) 255 else 0, d, d, d)
+        }.toArray
+        writePixels(w, deltas)
+        w.bits(0, 1) // end of transforms
+        w.bits(0, 1) // no meta
+        // bundle indices into the packed green channel
+        val idxOf = pal.zipWithIndex.toMap
+        val perByte = 1 << wb
+        val idxBits = 8 >> wb
+        val packedW = subSampleSize(width, wb)
+        val packed = new Array[Int](packedW * height)
+        for (y <- 0 until height; x <- 0 until width) {
+          val idx = idxOf(gray(y * width + x) & 0xff)
+          val pi = y * packedW + (x >> wb)
+          val shift = (x & (perByte - 1)) * idxBits
+          packed(pi) |= idx << shift
+        }
+        writePixels(w, packed.map(v => argb(255, 0, v, 0)))
+      case "predictor" =>
+        val bits = 2 // 4x4 tiles
+        w.bits(1, 1); w.bits(0, 2) // transform: predictor
+        w.bits(bits - 2, 3)
+        val tw = subSampleSize(width, bits)
+        val th = subSampleSize(height, bits)
+        // uniform mode 2 (T) tiles; residuals from the true neighbors
+        writePixels(w, Array.fill(tw * th)(argb(255, 0, 2, 0)))
+        w.bits(0, 1) // end of transforms
+        w.bits(0, 1)
+        val res = new Array[Int](px.length)
+        var i = 0
+        while (i < px.length) {
+          val x = i % width
+          val y = i / width
+          val pr = predict(2, px, width, x, y)
+          val p = px(i)
+          res(i) = argb(a(p) - a(pr), rC(p) - rC(pr), g(p) - g(pr),
+            bC(p) - bC(pr))
+          i += 1
+        }
+        writePixels(w, res)
+      case "ctrans" =>
+        val bits = 2
+        val (g2r, g2b, r2b) = (0x10, 0xf0, 0x08) // nonzero signed deltas
+        w.bits(1, 1); w.bits(1, 2) // transform: color transform
+        w.bits(bits - 2, 3)
+        val tw = subSampleSize(width, bits)
+        val th = subSampleSize(height, bits)
+        writePixels(w,
+          Array.fill(tw * th)(argb(255, r2b, g2b, g2r)))
+        w.bits(0, 1) // end of transforms
+        w.bits(0, 1)
+        writePixels(w, px.map { p =>
+          val red = (rC(p) - ctDelta(g2r, g(p))) & 0xff
+          val blue =
+            (bC(p) - ctDelta(g2b, g(p)) - ctDelta(r2b, rC(p))) & 0xff
+          argb(a(p), red, g(p), blue)
+        })
+      case other => fail(s"unknown encode mode '$other'")
+    }
+    writeContainer(w.bytes)
+  }
+
+  // --------------------------------------------------- expression hooks
+
+  val resultType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  def decodeRow(bytes: Array[Byte]): GenericInternalRow = {
+    val img = decode(bytes)
+    new GenericInternalRow(Array[Any](img.width, img.height, img.pixels))
+  }
+
+  def encodeGrayRow(w: Int, h: Int, gray: Array[Byte],
+                    mode: UTF8String): Array[Byte] =
+    encodeGray(w, h, gray, mode.toString)
+}
+
+/** `webp_decode(binary)` → STRUCT<width INT, height INT, pixels BINARY>
+ * (RGB interleaved) — the scan-stage VP8L content decode. */
+case class WebpDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WebpCodec.resultType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"webp_decode requires BINARY, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WebpCodec.decodeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.WebpCodec.decodeRow($b)")
+  override protected def withNewChildInternal(c: Expression): WebpDecodeExpr =
+    copy(child = c)
+}
+
+/** `webp_encode_gray(int, int, binary, string)` → BINARY — the VP8L
+ * fixture builder; the mode string selects the coded shape
+ * (plain/subgreen/palette/predictor/ctrans). Encode is a synthesis
+ * edge — CodegenFallback is deliberate (the [[Mp4EncodeExpr]] call). */
+case class WebpEncodeGrayExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(IntegerType, IntegerType, BinaryType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "webp_encode_gray requires (INT, INT, BINARY, STRING), got " +
+          other.map(_.catalogString).mkString("(", ", ", ")"))
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else WebpCodec.encodeGrayRow(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Array[Byte]],
+      vs(3).asInstanceOf[UTF8String])
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WebpEncodeGrayExpr =
+    copy(children = newChildren)
+}
+
+object WebpFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def webp_decode(c: Column): Column =
+    GraftShim.column(WebpDecodeExpr(GraftShim.expression(c)))
+
+  def webp_encode_gray(w: Column, h: Column, gray: Column,
+                       mode: Column): Column =
+    GraftShim.column(WebpEncodeGrayExpr(Seq(w, h, gray, mode)
+      .map(GraftShim.expression)))
+}

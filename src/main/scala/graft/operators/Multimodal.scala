@@ -306,6 +306,8 @@ object Multimodal {
     import graft.functions.JpegFunctions._
     import graft.functions.GifFunctions._
     import graft.functions.ExifFunctions._
+    import graft.functions.WebpFunctions._
+    import graft.functions.TiffFunctions._
     import graft.functions.MediaHeaderFunctions._
     val bin = col(binCol)
     val fmt = media_header(bin).getField("format")
@@ -316,12 +318,19 @@ object Multimodal {
       jdec.getField("width"), jdec.getField("height"),
       jdec.getField("channels"),
       coalesce(exif_parse(bin).getField("orientation"), lit(1)))
-    // one canonical RGB-hex form: gray JPEGs triple to match the RGB
-    // decoders; COLOR JPEGs (3 channels) are already interleaved RGB
-    // each branch gated on its sniffed format — a payload none of the
-    // three image codecs claims (bmp/webp/audio/unknown) nulls out and is
+    // one canonical RGB-hex form: gray JPEGs/TIFFs triple to match the
+    // RGB decoders (PNG, GIF, WebP-lossless deliver RGB); each branch
+    // gated on its sniffed format — a payload none of the five image
+    // codecs claims (bmp/lossy-or-extended-webp/audio/unknown) nulls out, and is
     // dropped by the spread gate below instead of crashing the job with a
     // misleading "gif: bad signature" from a catch-all otherwise branch
+    // media_header says "webp" for all three flavors; only lossless
+    // (VP8L fourcc) is pixel-decodable — lossy/extended payloads null
+    // out at the gate below instead of crashing the decode branch
+    val isVp8l = fmt === "webp" &&
+      hex(substring(bin, 13, 4)) === lit("5650384C")
+    val wdec = webp_decode(bin) // RGB interleaved — already 3-channel
+    val tdec = tiff_decode(bin) // channels 1 (gray) or 3 (RGB)
     val hex3 = when(fmt === "jpeg",
       when(jdec.getField("channels") === 1,
         regexp_replace(lower(hex(jup.getField("pixels"))), "(..)",
@@ -331,12 +340,22 @@ object Multimodal {
         lower(hex(png_decode(bin).getField("pixels"))))
       .when(fmt === "gif",
         lower(hex(gif_decode(bin).getField("pixels"))))
+      .when(isVp8l, lower(hex(wdec.getField("pixels"))))
+      .when(fmt === "tiff",
+        when(tdec.getField("channels") === 1,
+          regexp_replace(lower(hex(tdec.getField("pixels"))), "(..)",
+            "$1$1$1"))
+          .otherwise(lower(hex(tdec.getField("pixels")))))
     val w = when(fmt === "jpeg", jup.getField("width"))
       .when(fmt === "png", png_decode(bin).getField("width"))
       .when(fmt === "gif", gif_decode(bin).getField("width"))
+      .when(isVp8l, wdec.getField("width"))
+      .when(fmt === "tiff", tdec.getField("width"))
     val h = when(fmt === "jpeg", jup.getField("height"))
       .when(fmt === "png", png_decode(bin).getField("height"))
       .when(fmt === "gif", gif_decode(bin).getField("height"))
+      .when(isVp8l, wdec.getField("height"))
+      .when(fmt === "tiff", tdec.getField("height"))
     // sample the six 8x8-block corners at positions DERIVED from the
     // decoded geometry (x ∈ {0, w/3, 2w/3}, y ∈ {0, h/2}; 24x16 → the
     // historical 0/8/16 × 0/8 grid) — a hardcoded 24-pixel row stride

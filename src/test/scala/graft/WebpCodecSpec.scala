@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MediaHeaders, WebpCodec}
+
+class WebpCodecSpec extends AnyFunSuite {
+
+  private def gray24x16(seed: Int): Array[Byte] = {
+    // six flat 8x8 blocks — the image-fixture geometry
+    val vals = Array.tabulate(6)(i => ((seed * 31 + i * 47) % 128) * 2)
+    val px = new Array[Byte](24 * 16)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val block = (y / 8) * 3 + (x / 8)
+      px(y * 24 + x) = vals(block).toByte
+    }
+    px
+  }
+
+  test("all five coded shapes round-trip bit-exact and agree with the " +
+    "header sniffer's dimensions") {
+    for (mode <- WebpCodec.Modes; seed <- Seq(0, 7, 63)) {
+      val gray = gray24x16(seed)
+      val webp = WebpCodec.encodeGray(24, 16, gray, mode)
+      val img = WebpCodec.decode(webp)
+      assert(img.width === 24 && img.height === 16, s"mode=$mode")
+      // decoded RGB must be the gray value tripled, byte-exact
+      for (i <- gray.indices; c <- 0 until 3)
+        assert(img.pixels(3 * i + c) === gray(i),
+          s"mode=$mode pixel $i channel $c")
+      val hdr = MediaHeaders.parse(webp)
+      assert(hdr.getString(0) === "webp", s"mode=$mode sniff")
+      assert(hdr.getInt(1) === 24 && hdr.getInt(2) === 16,
+        s"mode=$mode sniffed dims")
+    }
+  }
+
+  test("arbitrary (non-flat) gray content round-trips through every mode") {
+    val gray = Array.tabulate(24 * 16)(i => ((i * 37 + 11) % 251).toByte)
+    for (mode <- Seq("plain", "subgreen", "predictor", "ctrans")) {
+      val img = WebpCodec.decode(WebpCodec.encodeGray(24, 16, gray, mode))
+      for (i <- gray.indices)
+        assert(img.pixels(3 * i) === gray(i), s"mode=$mode pixel $i")
+    }
+    // palette mode requires <=16 distinct values — quantize first
+    val pal = gray.map(v => ((v & 0xff) / 16 * 16).toByte)
+    val img = WebpCodec.decode(WebpCodec.encodeGray(24, 16, pal, "palette"))
+    for (i <- pal.indices)
+      assert(img.pixels(3 * i) === pal(i), s"palette pixel $i")
+  }
+
+  test("odd widths exercise palette bundling's partial last byte") {
+    val gray = Array.tabulate(7 * 3)(i => ((i % 5) * 40).toByte)
+    val img = WebpCodec.decode(WebpCodec.encodeGray(7, 3, gray, "palette"))
+    assert(img.width === 7 && img.height === 3)
+    for (i <- gray.indices) assert(img.pixels(3 * i) === gray(i))
+  }
+
+  test("the distance-plane map and prefix-value decoding match the spec " +
+    "constants") {
+    // plane code 1 = pixel directly above; 2 = pixel to the left
+    assert(WebpCodec.planeToDistance(24, 1) === 24)
+    assert(WebpCodec.planeToDistance(24, 2) === 1)
+    // plane code 3 = (1,1): one row up, one left
+    assert(WebpCodec.planeToDistance(24, 3) === 25)
+    // plane code 4 = (-1,1): one row up, one RIGHT
+    assert(WebpCodec.planeToDistance(24, 4) === 23)
+    // beyond the 120 neighbor codes: linear distance
+    assert(WebpCodec.planeToDistance(24, 121) === 1)
+    assert(WebpCodec.planeToDistance(24, 200) === 80)
+    // signed 3.5 fixed-point color-transform delta
+    assert(WebpCodec.ctDelta(0x10, 100) === (16 * 100) >> 5)
+    assert(WebpCodec.ctDelta(0xf0, 100) === (-16 * 100) >> 5)
+  }
+
+  test("hostile payloads reject loudly inside the webp: contract") {
+    def rejects(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](WebpCodec.decode(b))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("RIFFxxxxWAVE".getBytes ++ new Array[Byte](20), "bad magic")
+    val good = WebpCodec.encodeGray(4, 4, new Array[Byte](16), "plain")
+    // flip the chunk tag to lossy VP8
+    val lossy = good.clone(); lossy(15) = ' '
+    rejects(lossy, "lossy VP8")
+    val vp8x = good.clone(); vp8x(15) = 'X'
+    rejects(vp8x, "VP8X")
+    // corrupt the signature byte
+    val sig = good.clone(); sig(20) = 0x2e
+    rejects(sig, "signature")
+    // truncate mid-stream: the chunk-size containment check fires
+    rejects(good.take(good.length - 2), "overruns payload")
+  }
+}
