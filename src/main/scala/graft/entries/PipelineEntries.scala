@@ -220,6 +220,23 @@ private[graft] object PipelineEntries {
           count(lit(1)).over(win).as("n_dupes"))
     }),
 
+"pipeline_video_corpus_streamed" -> ((s, dir) =>
+      // the SAME video corpus arriving as parquet drops on real
+      // streaming machinery (one file per trigger — multi-batch): each
+      // batch runs the same videoCorpusExtract inside foreachBatch and
+      // folds into StreamingVideoCorpus (VersionedState crash-safe
+      // units: extracted video rows + a pre-merged per-content-key
+      // min-survivor/count ledger), and the certified resolve() must
+      // equal the batch row — including cross-batch, CROSS-CONTAINER
+      // cluster election (an MP4 re-mux in a later batch collapses into
+      // its AVI cluster). Same oracle as pipeline_video_corpus:
+      // streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedVideoCorpus(videoFixtureDocs(s, dir))
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_frames"), col("content_key"),
+          col("canonical_id"), col("n_dupes"))),
+
 "pipeline_audio_corpus" -> ((s, dir) =>
       // the composed AUDIO pipeline ("Whisper shape"), from ONE opaque
       // binary column + one subtitle column: sniff the container (WAV /
@@ -788,39 +805,12 @@ private[graft] object PipelineEntries {
     
     // video dedup across containers: the sampled frames' decoded pixels
     // are pure seed arithmetic (lossless flat-block JPEG), so the
-    // content key and the cluster election replay directly
-"pipeline_video_corpus" ->
-      """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
-           FROM generate_series(0, 255) t(i)),
-         fr AS (SELECT doc_id, f,
-             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
-               || CAST(f AS VARCHAR) || 'b0'), 1, 2) AS c0,
-             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
-               || CAST(f AS VARCHAR) || 'b1'), 1, 2) AS c1,
-             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
-               || CAST(f AS VARCHAR) || 'b2'), 1, 2) AS c2,
-             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
-               || CAST(f AS VARCHAR) || 'b3'), 1, 2) AS c3
-           FROM documents, (SELECT UNNEST([0, 2]) AS f) fs),
-         px AS (SELECT fr.doc_id, fr.f,
-             repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
-               || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
-             || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
-               || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)
-               AS hexpx
-           FROM fr JOIN hexmap m0 ON fr.c0 = m0.hx
-           JOIN hexmap m1 ON fr.c1 = m1.hx
-           JOIN hexmap m2 ON fr.c2 = m2.hx
-           JOIN hexmap m3 ON fr.c3 = m3.hx),
-         keys AS (SELECT doc_id,
-             md5(string_agg(hexpx, '' ORDER BY f)) AS content_key
-           FROM px GROUP BY doc_id)
-         SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS format,
-           16 AS width, 16 AS height, 4 AS n_frames, content_key,
-           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
-           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
-         FROM keys""",
+    // content key and the cluster election replay directly; the streamed
+    // row resolves to the SAME corpus view, so it shares the oracle
+    // verbatim — streaming ≡ batch ≡ DuckDB
+"pipeline_video_corpus" -> videoCorpusOracle,
+
+"pipeline_video_corpus_streamed" -> videoCorpusOracle,
 
 "pipeline_audio_corpus" -> audioCorpusOracle,
 
@@ -940,6 +930,42 @@ private[graft] object PipelineEntries {
     
 "pipeline_crawl_frontier_streamed" -> crawlFrontierSql
   )
+
+  /** ONE replay of the cross-container video chain, shared by the
+   * batch row and its streamed twin: sampled-frame pixels from seed
+   * arithmetic, the content key and the cluster window. */
+  private val videoCorpusOracle: String =
+    """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
+           FROM generate_series(0, 255) t(i)),
+         fr AS (SELECT doc_id, f,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b0'), 1, 2) AS c0,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b1'), 1, 2) AS c1,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b2'), 1, 2) AS c2,
+             substr(md5(CAST(doc_id % 50 AS VARCHAR) || 'vf'
+               || CAST(f AS VARCHAR) || 'b3'), 1, 2) AS c3
+           FROM documents, (SELECT UNNEST([0, 2]) AS f) fs),
+         px AS (SELECT fr.doc_id, fr.f,
+             repeat(repeat(lower(lpad(to_hex((m0.v % 128) * 2), 2, '0')), 8)
+               || repeat(lower(lpad(to_hex((m1.v % 128) * 2), 2, '0')), 8), 8)
+             || repeat(repeat(lower(lpad(to_hex((m2.v % 128) * 2), 2, '0')), 8)
+               || repeat(lower(lpad(to_hex((m3.v % 128) * 2), 2, '0')), 8), 8)
+               AS hexpx
+           FROM fr JOIN hexmap m0 ON fr.c0 = m0.hx
+           JOIN hexmap m1 ON fr.c1 = m1.hx
+           JOIN hexmap m2 ON fr.c2 = m2.hx
+           JOIN hexmap m3 ON fr.c3 = m3.hx),
+         keys AS (SELECT doc_id,
+             md5(string_agg(hexpx, '' ORDER BY f)) AS content_key
+           FROM px GROUP BY doc_id)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS format,
+           16 AS width, 16 AS height, 4 AS n_frames, content_key,
+           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes
+         FROM keys"""
 
   /** ONE replay of the composed code chain, shared by the batch row and
    * its streamed twin: detection, license gate, redaction, the md5 key

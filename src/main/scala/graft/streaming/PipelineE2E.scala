@@ -553,6 +553,49 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming video-corpus curation on REAL streaming machinery: opaque
+   * `(doc_id, bin)` video payloads arrive as parquet drops (one file per
+   * trigger — multi-batch), each batch runs the shared
+   * [[graft.operators.Multimodal.videoCorpusExtract]] inside
+   * `foreachBatch` and folds through
+   * [[StreamingVideoCorpus.processBatch]] (VersionedState crash-safe
+   * units: extracted video rows + the pre-merged per-content-key
+   * min/count ledger), and the certified [[StreamingVideoCorpus.resolve]]
+   * must equal the batch `pipeline_video_corpus` row — the driver
+   * compares against the SAME DuckDB oracle, including cross-batch,
+   * cross-container cluster election.
+   */
+  def streamedVideoCorpus(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_vidcorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("bin"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingVideoCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, bin BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed video-corpus fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch cluster " +
+      "election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * Streaming code-corpus curation on REAL streaming machinery: source
    * files `(doc_id, path, content)` arrive as parquet drops (one file
    * per trigger — multi-batch), each batch runs the shared

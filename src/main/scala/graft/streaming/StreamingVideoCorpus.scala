@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.operators.Multimodal
+
+/**
+ * Streaming video-corpus curation — the online form of the
+ * `pipeline_video_corpus` chain and the LAST composed pipeline to gain a
+ * streamed twin: batches of `(doc_id, bin)` opaque video payloads arrive
+ * from a crawler; each fold runs the SAME
+ * [[Multimodal.videoCorpusExtract]] stage (container sniff → AVI movi
+ * walk / MP4 sample-table walk → every-2nd-frame MJPEG decode → content
+ * key over the DECODED sampled pixels) and appends (a) the per-video
+ * rows and (b) the batch-local per-content-key partial
+ * `(keep_id = min doc_id, n = count)` — the seen-video ledger a dedup
+ * service consults. The resolved view over everything seen so far equals
+ * the batch row run over the union (spec-pinned + the SAME DuckDB
+ * oracle), INCLUDING cross-batch cluster election: a later batch
+ * carrying a smaller doc_id for an already-seen video steals
+ * canonicality, and `n_dupes` counts the whole cluster across batches —
+ * and clusters span CONTAINERS (an MP4 re-mux lands in its AVI cluster).
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s (the
+ * [[StreamingAudioCorpus]] discipline verbatim): `b<id>/` units under
+ * `_SUCCESS` markers, committed replays are no-ops, both stores compact
+ * above `compactAbove` units, and the ledger PRE-MERGES its partials
+ * (min and sum are associative) so the compacted unit stays
+ * distinct-videos-sized no matter how many batches ever committed.
+ *
+ * At 100 TB: per-batch work is the scalar container walk + frame decode
+ * plus one map-side-combinable (min, count) over the BATCH; the resolved
+ * view is one hash join of videos against the merged dictionary.
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming checkpoint are one
+ * unit — create and delete them TOGETHER ([[processBatch]] fails loudly
+ * on the stale-pairing signature, like every VersionedState fold here).
+ */
+class StreamingVideoCorpus(stateDir: String, compactAbove: Int = 32)
+    extends Serializable {
+
+  private val vidsRoot = new Path(stateDir, "vids")
+  private val ledgerRoot = new Path(stateDir, "ledger")
+
+  private val vidSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("format", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("content_key", StringType)))
+  private val ledgerSchema = StructType(Seq(
+    StructField("content_key", StringType),
+    StructField("keep_id", LongType), StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, vidsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Fold `batch` (doc_id, bin) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => corpus.processBatch(df, id))`.
+   * Commit order: ledger first, vids LAST — the vids marker certifies
+   * the batch.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenIds = VersionedState.segments(spark, vidsRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"video-corpus state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, vidsRoot), batchId)) return
+    val vids = Multimodal.videoCorpusExtract(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("bin")))
+      .localCheckpoint(true)
+    val partial = vids.groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, vidsRoot)
+    val ledgerDest = new Path(ledgerRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(ledgerDest.toString)
+    VersionedState.touchSuccess(f, ledgerDest)
+    val vidsDest = new Path(vidsRoot, s"b$batchId")
+    vids.write.mode("overwrite").parquet(vidsDest.toString)
+    VersionedState.touchSuccess(f, vidsDest)
+    VersionedState.compact(spark, vidsRoot, compactAbove,
+      read = ps => read(spark, vidSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, ledgerRoot, compactAbove,
+      read = ps => read(spark, ledgerSchema, ps),
+      // min and sum are associative — pre-merge so the compacted unit is
+      // distinct-videos-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("content_key"))
+        .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Ledger unit dirs scoped to vids-certified ids, with the mixed-unit
+   * fail-loud guard ([[StreamingAudioCorpus]] semantics). */
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] = {
+    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
+    ledgerSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"video-corpus ledger unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are vids-certified; excluding it would drop certified " +
+            "cluster partials. State is inconsistent — rebuild the " +
+            "ledger from the certified segments.")
+    }
+    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /** The seen-video dictionary over every certified batch: one row per
+   * distinct content key with its current canonical id and cluster
+   * size — distinct-videos-sized regardless of batches folded. */
+  def clusters(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, vidsRoot)
+    val dirs = certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    read(spark, ledgerSchema, dirs)
+      .groupBy(col("content_key"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+  }
+
+  /**
+   * The resolved corpus over every certified batch — column set and rows
+   * equal to the batch `pipeline_video_corpus` row over the union: every
+   * video with its content key, the cluster's canonical id (corpus-wide
+   * min) and the cluster size.
+   */
+  def resolve(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, vidsRoot)
+    val ledgerDirs =
+      certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    val vids = read(spark, vidSchema, certified.map(_.path))
+    val ledger = read(spark, ledgerSchema, ledgerDirs)
+      .groupBy(col("content_key"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+    vids.join(ledger, Seq("content_key"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"), col("content_key"),
+        col("keep_id").as("canonical_id"), col("n").as("n_dupes"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AviCodec, JpegCodec, Mp4Codec}
+import graft.operators.Multimodal
+import graft.streaming.StreamingVideoCorpus
+
+class StreamingVideoCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** four flat-block MJPEG frames whose pixels derive from `seed` */
+  private def frames(seed: Int): Array[Array[Byte]] =
+    Array.tabulate(4) { f =>
+      val vals = Array.tabulate(4)(b => 2 * ((seed * 31 + f * 7 + b * 13) % 128))
+      val px = Array.tabulate(16 * 16) { i =>
+        val (x, y) = (i % 16, i / 16)
+        vals((y / 8) * 2 + (x / 8)).toByte
+      }
+      JpegCodec.encodeGray(16, 16, px)
+    }
+
+  private def avi(seed: Int): Array[Byte] =
+    AviCodec.encodeMjpeg(16, 16, 40000, frames(seed))
+
+  /** the SAME frames re-muxed as an ISO-BMFF MP4 (with a PCM track) */
+  private def mp4(seed: Int): Array[Byte] =
+    Mp4Codec.encode(16, 16, 2500, 10000, frames(seed),
+      Array.tabulate(16)(i => i * 5), 16000, bigEndian = false)
+
+  private def df(rows: (Long, Array[Byte])*): DataFrame =
+    rows.toDF("doc_id", "bin")
+
+  private def batchChain(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("content_key"))
+    Multimodal.videoCorpusExtract(d)
+      .select(col("doc_id"), col("format"), col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"))
+  }
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, String, Long, Long)] =
+    d.select($"doc_id", $"format", $"content_key", $"canonical_id",
+      $"n_dupes").as[(Long, String, String, Long, Long)].collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("svidcorpus").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch, cross-container cluster election included") {
+    val b0 = df(10L -> avi(1), 11L -> avi(2))
+    // batch 1: an MP4 re-mux of seed 1 — lands in 10's cluster
+    val b1 = df(12L -> mp4(1), 13L -> avi(3))
+    // batch 2: a SMALLER doc_id for seed 2 steals canonicality from 11
+    val b2 = df(2L -> mp4(2), 14L -> avi(9))
+    val dir = newDir()
+    val sub = new StreamingVideoCorpus(dir)
+    val all = Seq(b0, b1, b2)
+    for ((b, i) <- all.zipWithIndex) {
+      sub.processBatch(b, i.toLong)
+      val expect = rowsOf(batchChain(all.take(i + 1).reduce(_ unionByName _)))
+      assert(rowsOf(sub.resolve(spark)) === expect, s"after batch $i")
+    }
+    // the re-mux really did collapse cross-container
+    val resolved = rowsOf(sub.resolve(spark))
+    val cluster1 = resolved.filter(_._3 ==
+      resolved.find(_._1 == 10L).get._3)
+    assert(cluster1.map(_._1) === Set(10L, 12L))
+    assert(cluster1.forall(_._5 == 2L))
+    // canonicality stolen by the later, smaller doc_id
+    assert(resolved.find(_._1 == 11L).get._4 === 2L)
+  }
+
+  test("committed replays are no-ops and unrecognized payloads drop") {
+    val dir = newDir()
+    val sub = new StreamingVideoCorpus(dir)
+    sub.processBatch(df(1L -> avi(4), 2L -> "junk".getBytes), 0L)
+    val once = rowsOf(sub.resolve(spark))
+    assert(once.map(_._1) === Set(1L)) // junk dropped, not clustered
+    sub.processBatch(df(1L -> avi(4), 2L -> "junk".getBytes), 0L) // replay
+    assert(rowsOf(sub.resolve(spark)) === once)
+  }
+
+  test("stale stateDir/checkpoint pairing fails loudly at fold time") {
+    val dir = newDir()
+    val sub = new StreamingVideoCorpus(dir)
+    sub.processBatch(df(1L -> avi(1)), 0L)
+    sub.processBatch(df(2L -> avi(2)), 1L)
+    val e = intercept[IllegalStateException] {
+      new StreamingVideoCorpus(dir).processBatch(df(3L -> avi(3)), 0L)
+    }
+    assert(e.getMessage.contains("stateDir"))
+  }
+}
