@@ -367,6 +367,47 @@ object SparkEntry {
       concat(shebang, lic, sec, body).as("content"))
   }
 
+  /** Jupyter-notebook fixture: every doc_id % 20 = 0 source file gains
+   * a notebook twin (+2,000,000) — a markdown cell of seed prose plus a
+   * code cell whose source is the SAME python content with the embedded
+   * secrets SWAPPED (different AWS key / hex token values). The swap is
+   * invisible after redaction, so the notebook MUST collapse into its
+   * .py cluster. The JSON is built by Spark's own to_json (real
+   * escaping), decoded back by the engine's notebook walk — encode and
+   * decode never share code. */
+  private[graft] def notebookFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = codeFixtureDocs(s, dir).filter(col("doc_id") % 20 === 0)
+    val sd = (col("doc_id") % 40).cast("string")
+    val swapped = replace(replace(col("content"),
+      md5(concat(lit("tok"), sd)), md5(concat(lit("tokN"), sd))),
+      concat(lit("AKIA"), upper(substring(md5(concat(lit("aws"), sd)),
+        1, 16))),
+      concat(lit("AKIA"), upper(substring(md5(concat(lit("awsN"), sd)),
+        1, 16))))
+    val nbId = (col("doc_id") + 2000000L)
+    val md = concat(lit("# Notebook doc "), nbId.cast("string"),
+      lit("\nAnalysis notes.\n"))
+    val nb = to_json(struct(lit(4).as("nbformat"), array(
+      struct(lit("markdown").as("cell_type"), array(md).as("source")),
+      struct(lit("code").as("cell_type"),
+        array(swapped).as("source"))).as("cells")))
+    base.select(nbId.as("doc_id"),
+      concat(lit("nb/m"), sd, lit(".ipynb")).as("path"), nb.as("nb"))
+  }
+
+  /** The code-corpus ingest union shared by `pipeline_code_corpus` and
+   * its streamed twin: bare source files PLUS the code cells of the
+   * notebook twins, pulled through the notebook front door — so the
+   * corpus dedup must catch a secrets-variant clone that arrived inside
+   * an .ipynb. */
+  private[graft] def codeCorpusInputDocs(s: SparkSession, dir: String): DataFrame = {
+    val nbCode = operators.CodeCorpus
+      .notebookCells(notebookFixtureDocs(s, dir))
+      .filter(col("cell_type") === "code")
+      .select(col("doc_id"), col("path"), col("source").as("content"))
+    codeFixtureDocs(s, dir).unionByName(nbCode)
+  }
+
   /** robots.txt bodies for every host the URL fixture produces — ONE
    * definition feeding both the Spark frame (`robotsDocs`) and the
    * oracle's VALUES CTE, so the two sides parse the SAME bytes. Coverage:
@@ -2314,7 +2355,7 @@ object SparkEntry {
   /** License + redaction CTEs on top of [[codeFixtureSql]]'s `langr` —
    * byte-identical to [[operators.CodeCorpus.license]]/[[operators
    * .CodeCorpus.redact]]. */
-  private[graft] val codeLicRedSql: String =
+  private[graft] def codeLicRedSql(src: String = "langr"): String =
     """licd AS (SELECT *,
          CASE WHEN regexp_extract(content,
              'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
@@ -2329,7 +2370,7 @@ object SparkEntry {
            WHEN strpos(content, 'GNU General Public License') > 0
            THEN 'GPL-3.0-or-later'
            ELSE 'NONE' END AS license
-       FROM langr),
+       FROM """ + src + """),
      licr AS (SELECT *,
          license IN ('MIT', 'Apache-2.0', 'ISC', 'Unlicense')
            OR starts_with(license, 'BSD') AS permissive

@@ -134,6 +134,17 @@ private[graft] object PipelineEntries {
     }),
 
     
+"code_notebook_extract" -> ((s, dir) =>
+      // the .ipynb front door: real nbformat-4 JSON (built by Spark's
+      // own to_json — encoder and decoder share no code) walked back to
+      // one row per cell, source line-arrays rejoined byte-exact; the
+      // markdown cell carries seed prose, the code cell the
+      // secrets-SWAPPED python twin the corpus dedup must later collapse
+      operators.CodeCorpus.notebookCells(notebookFixtureDocs(s, dir))
+        .select(col("doc_id"), col("path"), col("cell_idx"),
+          col("cell_type"), col("source"))),
+
+
 "code_near_dup" -> ((s, dir) => {
       // code near-dup under the normalize → minhash → banded-LSH chain:
       // every doc gets a UNIQUE code line (so exact seed-clones don't
@@ -184,7 +195,7 @@ private[graft] object PipelineEntries {
       // cross-batch cluster election. Same oracle as
       // pipeline_code_corpus: streaming ≡ batch ≡ DuckDB.
       graft.streaming.PipelineE2E
-        .streamedCodeCorpus(codeFixtureDocs(s, dir))
+        .streamedCodeCorpus(codeCorpusInputDocs(s, dir))
         .select(col("doc_id"), col("lang"), col("license"),
           col("n_secrets"), col("n_code_lines"), col("content_key"),
           col("canonical_id"), col("n_dupes"))),
@@ -197,7 +208,7 @@ private[graft] object PipelineEntries {
       // in embedded secrets still collapse) with cluster election. ONE
       // oracle statement replays detection, gating, redaction, the md5
       // key and the cluster window.
-      operators.CodeCorpus.corpus(codeFixtureDocs(s, dir))),
+      operators.CodeCorpus.corpus(codeCorpusInputDocs(s, dir))),
 
     
 "pipeline_video_corpus" -> ((s, dir) => {
@@ -821,12 +832,37 @@ private[graft] object PipelineEntries {
 "code_lang_detect" -> s"""WITH $codeFixtureSql
        SELECT doc_id, path, lang, evidence FROM langr""",
 
+    // the notebook walk is a round trip: the oracle rebuilds both cells
+    // (markdown prose + the secrets-swapped python source) from the
+    // shared fixture arithmetic — a hash match proves the JSON cell walk
+    // and the source-line rejoin are byte-exact
+
+"code_notebook_extract" -> s"""WITH $codeFixtureSql,
+       nbsrc AS (SELECT doc_id + 2000000 AS doc_id, seed,
+           replace(replace(content,
+             md5('tok' || CAST(seed AS VARCHAR)),
+             md5('tokN' || CAST(seed AS VARCHAR))),
+             'AKIA' || upper(substr(md5('aws' || CAST(seed AS VARCHAR)),
+               1, 16)),
+             'AKIA' || upper(substr(md5('awsN' || CAST(seed AS VARCHAR)),
+               1, 16))) AS content
+         FROM langr WHERE doc_id % 20 = 0)
+       SELECT doc_id, 'nb/m' || CAST(seed AS VARCHAR) || '.ipynb' AS path,
+         0 AS cell_idx, 'markdown' AS cell_type,
+         '# Notebook doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'Analysis notes.' || chr(10) AS source
+       FROM nbsrc
+       UNION ALL
+       SELECT doc_id, 'nb/m' || CAST(seed AS VARCHAR) || '.ipynb',
+         1, 'code', content
+       FROM nbsrc""",
+
     
-"code_license_detect" -> s"""WITH $codeFixtureSql, $codeLicRedSql
+"code_license_detect" -> s"""WITH $codeFixtureSql, ${codeLicRedSql()}
        SELECT doc_id, license, permissive FROM licr""",
 
     
-"code_secrets_redact" -> s"""WITH $codeFixtureSql, $codeLicRedSql
+"code_secrets_redact" -> s"""WITH $codeFixtureSql, ${codeLicRedSql()}
        SELECT doc_id, n_aws, n_pem, n_entropy, text_out FROM redr""",
 
     
@@ -969,9 +1005,29 @@ private[graft] object PipelineEntries {
 
   /** ONE replay of the composed code chain, shared by the batch row and
    * its streamed twin: detection, license gate, redaction, the md5 key
-   * over the REDACTED text and the cluster window. */
+   * over the REDACTED text and the cluster window — over the UNION of
+   * bare source files and the notebook twins' code cells (secrets
+   * swapped, so only redaction can collapse them into the .py cluster;
+   * lang = 'py' via the keyword tier since .ipynb carries no mapped
+   * extension and the cell has no shebang). */
   private val codeCorpusOracle: String =
-    s"""WITH $codeFixtureSql, $codeLicRedSql,
+    s"""WITH $codeFixtureSql,
+       nbx AS (SELECT doc_id + 2000000 AS doc_id, seed, lf,
+           'nb/m' || CAST(seed AS VARCHAR) || '.ipynb' AS path,
+           replace(replace(content,
+             md5('tok' || CAST(seed AS VARCHAR)),
+             md5('tokN' || CAST(seed AS VARCHAR))),
+             'AKIA' || upper(substr(md5('aws' || CAST(seed AS VARCHAR)),
+               1, 16)),
+             'AKIA' || upper(substr(md5('awsN' || CAST(seed AS VARCHAR)),
+               1, 16))) AS content,
+           'py' AS lang, 'keyword' AS evidence
+         FROM langr WHERE doc_id % 20 = 0),
+       langr2 AS (SELECT doc_id, seed, lf, path, content, lang, evidence
+           FROM langr
+         UNION ALL
+         SELECT doc_id, seed, lf, path, content, lang, evidence FROM nbx),
+       ${codeLicRedSql("langr2")},
        gated AS (SELECT * FROM redr
          WHERE permissive OR license = 'NONE'),
        csd AS (SELECT *,

@@ -36,6 +36,23 @@ private[graft] object TextEntries {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"))),
 
     
+"text_markdown_extract" -> ((s, dir) => {
+      // the Markdown front door (README-class prose, notebook markdown
+      // cells): fenced code drops whole, links keep anchor text, heading
+      // markers and emphasis strip, whitespace normalizes — every rule
+      // one engine-portable regexp, replayed by the oracle as the
+      // expected final string from seed arithmetic alone
+      val id = col("doc_id").cast("string")
+      val md = concat(
+        lit("# Title doc "), id,
+        lit("\n\nIntro *emphasis* and [a link](https://ex.com/"), id,
+        lit(") plus `inline code`.\n\n"),
+        lit("```py\nsecret = 1\n```\n\nTail prose doc "), id, lit("."))
+      TextAnalysis.markdownExtract(
+        t(s, dir, "documents").select(col("doc_id"), md.as("md")))
+    }),
+
+
 "text_token_count" -> ((s, dir) =>
       TextAnalysis.regexTokenCount(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
@@ -471,6 +488,15 @@ private[graft] object TextEntries {
 "text_lm_score" -> s"WITH $lmScoreCtes\n         $lmScoreSelect",
 
     
+"text_markdown_extract" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_fences,
+           CAST(1 AS BIGINT) AS n_links,
+           'Title doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             'Intro emphasis and a link plus inline code.' || chr(10) ||
+             'Tail prose doc ' || CAST(doc_id AS VARCHAR) || '.' AS text
+         FROM documents""",
+
+
 "text_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
          FROM documents""",

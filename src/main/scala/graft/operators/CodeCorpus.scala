@@ -146,6 +146,31 @@ object CodeCorpus {
   }
 
   /**
+   * Jupyter-notebook front door (the other dominant shape of a code
+   * crawl beside bare source files): parse the raw `.ipynb` JSON
+   * (nbformat 4 — `cells[].cell_type` + `source` as the line-string
+   * array real writers emit) and explode to one row per cell with the
+   * source lines rejoined. Malformed JSON rejects loudly (FAILFAST),
+   * not as silent nulls. Code cells feed [[extract]]'s detect → license
+   * → redact → dedup chain; markdown cells feed the text-quality path.
+   * All other input columns pass through, so the caller needs no
+   * join-back. Output adds `(cell_idx, cell_type, source)`.
+   */
+  def notebookCells(docs: DataFrame, nbCol: String = "nb"): DataFrame = {
+    val cellSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "nbformat INT, cells ARRAY<STRUCT<cell_type: STRING, " +
+        "source: ARRAY<STRING>>>")
+    val parsed = from_json(col(nbCol), cellSchema,
+      Map("mode" -> "FAILFAST"))
+    val keep = docs.columns.filter(_ != nbCol).map(col).toSeq
+    docs.select(keep :+
+        posexplode(parsed.getField("cells")).as(Seq("cell_idx", "c")): _*)
+      .select(keep ++ Seq(col("cell_idx"),
+        col("c.cell_type").as("cell_type"),
+        concat_ws("", col("c.source")).as("source")): _*)
+  }
+
+  /**
    * The per-document stage shared by the batch `pipeline_code_corpus`
    * row and [[graft.streaming.StreamingCodeCorpus]] (streaming ≡ batch
    * by construction): `(doc_id, path, content)` → detect → license gate

@@ -630,6 +630,39 @@ object TextAnalysis {
       cleanText.as("clean_text"))
   }
 
+  /**
+   * Markdown front door — README-class prose is a large share of a code
+   * crawl and of notebook markdown cells. Reduces markup to trainable
+   * prose with the minimal, engine-portable rule set (every rule is one
+   * regexp the oracle replays in SQL):
+   *  1. fenced code blocks (``` ... ```) drop whole — code belongs to
+   *     the code path, not the prose corpus;
+   *  2. inline code spans keep their text, backticks stripped;
+   *  3. links/images keep the anchor text, targets drop
+   *     (`[text](url)` → `text`, leading `!` dropped);
+   *  4. ATX heading markers (`#`…) and emphasis runs (`*`/`_`) strip;
+   *  5. whitespace normalizes: blank-line runs collapse to one newline,
+   *     spaces/tabs collapse, edges trim.
+   * Output: (doc_id, n_fences, n_links, text). Pure narrow string
+   * expressions — zero shuffles.
+   */
+  def markdownExtract(docs: DataFrame, mdCol: String = "md"): DataFrame = {
+    val md = col(mdCol)
+    val nFences = (size(split(md, "(?s)```", -1)) - 1) / 2
+    val nLinks = size(regexp_extract_all(md,
+      lit("""!?\[[^\]]*\]\([^)]*\)"""), lit(0)))
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noLink = regexp_replace(noFence,
+      """!?\[([^\]]*)\]\([^)]*\)""", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]*", "")
+    val noMark = regexp_replace(noHead, "[*_`]+", "")
+    val clean = trim(regexp_replace(
+      regexp_replace(noMark, "[ \\t]+", " "),
+      "[ \\t]*\\n[ \\t\\n]*", "\n"))
+    docs.select(col("doc_id"), nFences.cast("long").as("n_fences"),
+      nLinks.cast("long").as("n_links"), clean.as("text"))
+  }
+
   /** The htmlExtract column pipeline — shared by [[htmlExtract]] and the
    * WARC front door [[warcExtract]]: (n_lines, n_kept, clean_text). */
   private def htmlExtractCols(htmlCol: String,

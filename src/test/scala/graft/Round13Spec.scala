@@ -66,6 +66,32 @@ class Round13Spec extends SparkSpec {
     assert(e.getMessage.contains("gray raster"))
   }
 
+  test("notebookCells walks real nbformat JSON, rejects malformed JSON " +
+    "loudly, and markdownExtract keeps prose while dropping markup") {
+    import spark.implicits._
+    import graft.operators.{CodeCorpus, TextAnalysis}
+    val nb = """{"nbformat": 4, "cells": [
+      {"cell_type": "markdown", "source": ["# T\n", "prose\n"]},
+      {"cell_type": "code", "source": ["x = 1\n", "print(x)\n"]}]}"""
+    val cells = CodeCorpus.notebookCells(Seq((7L, nb)).toDF("doc_id", "nb"))
+      .orderBy("cell_idx").collect()
+    assert(cells.map(_.getAs[String]("cell_type")).toSeq ===
+      Seq("markdown", "code"))
+    assert(cells(1).getAs[String]("source") === "x = 1\nprint(x)\n")
+    intercept[Exception] {
+      CodeCorpus.notebookCells(
+        Seq((8L, "{not valid json")).toDF("doc_id", "nb")).collect()
+    }
+    val md = "## Head\n\nSee [docs](http://x) and `f()`.\n\n" +
+      "```\ncode block\n```\n\nEnd."
+    val out = TextAnalysis.markdownExtract(
+      Seq((9L, md)).toDF("doc_id", "md")).collect().head
+    assert(out.getAs[Long]("n_fences") === 1L)
+    assert(out.getAs[Long]("n_links") === 1L)
+    assert(out.getAs[String]("text") ===
+      "Head\nSee docs and f().\nEnd.")
+  }
+
   test("hostile fixed-size stsz (n samples x fixed bytes >> payload) is " +
     "rejected before allocating the sample tables") {
     val good = Mp4Codec.encode(16, 16, 1, 16000,

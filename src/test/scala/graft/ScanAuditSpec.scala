@@ -189,13 +189,14 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
   }
 
-  test("pipeline_code_corpus: detection, license gate, redaction and " +
-    "the comment split are scalar work on one doc_id-only scan; the " +
-    "dedup window is the only shuffle") {
+  test("pipeline_code_corpus: detection, license gate, redaction, the " +
+    "comment split AND the notebook cell walk are scalar work on " +
+    "doc_id-only scans (source files + notebook twins union — no " +
+    "join-back); the dedup window is the only shuffle") {
     val p = plan("pipeline_code_corpus")
     val rs = scanColumns(p)
-    assert(rs.size === 1 && rs.head === Set("doc_id"),
-      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(rs.size === 2 && rs.forall(_ === Set("doc_id")),
+      s"expected two doc_id-only scans, saw $rs:\n$p")
     assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
   }
 
