@@ -226,10 +226,13 @@ object SparkEntry {
 
   /** Deterministic mixed-audio fixture shared by `pipeline_audio_corpus`
    * (batch) and `pipeline_audio_corpus_streamed` (real streaming run):
-   * one opaque binary per document — a PCM WAV, a FLAC or an audio-only
-   * MP4 ("m4a" shape, sowt PCM through real sample tables) by
-   * doc_id % 3 — of 256 16-bit samples whose content keys on
-   * doc_id % 50, so duplicate utterances span all THREE containers —
+   * one opaque binary per document — a PCM WAV, a FLAC, an audio-only
+   * MP4 ("m4a" shape, sowt PCM through real sample tables) or an MP3
+   * (one real Layer III frame — sample decode out of scope, so the
+   * corpus must surface it as QUARANTINED provenance, not drop it) by
+   * doc_id % 4 — the decodable three carrying 256 16-bit samples whose
+   * content keys on doc_id % 50, so duplicate utterances span all
+   * THREE PCM containers —
    * plus a subtitle track (SRT or WebVTT by doc arithmetic) with three
    * cues. Frames alternate speech and near-silence by seed arithmetic
    * (the mm_audio_vad shape), and all containers decode to the SAME
@@ -262,11 +265,20 @@ object SparkEntry {
                THEN pmod((doc_id % 50) * 31 + i * 17, 65536) - 65536
                ELSE pmod((doc_id % 50) * 31 + i * 17, 65536) END END
              as int))""")
-    val bin = when(col("doc_id") % 3 === 0, unhex(wavHex))
-      .when(col("doc_id") % 3 === 1, flac_encode(samples, lit(16000),
+    // doc_id % 4 = 3 ships a real MPEG-1 Layer III frame (32 kHz CBR,
+    // the mm_mp3_framewalk byte shape): sample decode is deliberately
+    // out of scope, so the corpus must QUARANTINE these docs with
+    // provenance instead of silently dropping them
+    val mp3Hex = expr(
+      """concat('FFFB28C0',
+           repeat(lpad(hex(pmod(doc_id, 256)), 2, '0'), 176))""")
+    val bin = when(col("doc_id") % 4 === 0, unhex(wavHex))
+      .when(col("doc_id") % 4 === 1, flac_encode(samples, lit(16000),
         lit(16)))
-      .otherwise(mp4_encode(lit(16), lit(16), lit(1), lit(16000),
-        array().cast("array<binary>"), samples, lit(16000), lit(false)))
+      .when(col("doc_id") % 4 === 2,
+        mp4_encode(lit(16), lit(16), lit(1), lit(16000),
+          array().cast("array<binary>"), samples, lit(16000), lit(false)))
+      .otherwise(unhex(mp3Hex))
     val d0 = col("doc_id") % 2
     def tc(ms: Column, dot: Boolean): Column =
       concat(lit(if (dot) "00:00:00." else "00:00:00,"),
@@ -2400,7 +2412,8 @@ object SparkEntry {
     """WITH s AS (SELECT doc_id, i,
          CASE WHEN (doc_id % 50 + i // 16) % 3 = 0 THEN i % 4
            ELSE ((doc_id % 50) * 31 + i * 17) % 65536 END AS v
-       FROM documents, generate_series(0, 255) t(i)),
+       FROM documents, generate_series(0, 255) t(i)
+       WHERE doc_id % 4 <> 3),
      f AS (SELECT doc_id, i // 16 AS frame,
          SUM(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs
        FROM s GROUP BY 1, 2),
@@ -2427,12 +2440,19 @@ object SparkEntry {
        FROM segs sg LEFT JOIN cues c ON c.doc_id = sg.doc_id
        GROUP BY 1, 2, 3, 4, 5)
      SELECT doc_id,
-       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav'
+       CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'wav'
          WHEN 1 THEN 'flac' ELSE 'mp4' END AS format,
        seg_begin, seg_end, energy, fp, transcript,
        MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
-       COUNT(*) OVER (PARTITION BY fp) AS n_dupes
-     FROM tr"""
+       COUNT(*) OVER (PARTITION BY fp) AS n_dupes,
+       CAST(NULL AS VARCHAR) AS err
+     FROM tr
+     UNION ALL
+     SELECT doc_id, 'mp3', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       'compressed-audio sample decode unsupported (mp3)'
+     FROM documents WHERE doc_id % 4 = 3"""
 
   /** Shared CTE prefix replaying the image fixture's upright content
    * from seed arithmetic: hexmap → seed bytes → `st` with (doc_id,

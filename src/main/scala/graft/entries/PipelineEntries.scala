@@ -282,7 +282,7 @@ private[graft] object PipelineEntries {
         .streamedAudioCorpus(audioFixtureDocs(s, dir))
         .select(col("doc_id"), col("format"), col("seg_begin"),
           col("seg_end"), col("energy"), col("fp"), col("transcript"),
-          col("canonical_id"), col("n_dupes"))),
+          col("canonical_id"), col("n_dupes"), col("err"))),
 
     
 "pipeline_image_corpus" -> ((s, dir) => {

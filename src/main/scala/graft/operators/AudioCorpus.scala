@@ -140,15 +140,44 @@ object AudioCorpus {
       .drop("hits")
   }
 
+  /**
+   * Known-but-undecodable compressed audio (MP3 / OGG — the engine
+   * meta-walks both, but Layer III / Vorbis SAMPLE decode is float DSP,
+   * deliberately out of scope): one provenance row per document, so a
+   * corpus builder sees WHAT was skipped and WHY instead of the doc
+   * silently vanishing from the utterance table. Truly unknown payloads
+   * still drop — they are not audio the pipeline can make claims about.
+   */
+  def quarantined(docs: DataFrame, binCol: String = "bin"): DataFrame = {
+    import graft.functions.MediaHeaderFunctions.media_header
+    docs.select(col("doc_id"),
+        media_header(col(binCol)).getField("format").as("format"))
+      .where(col("format").isin("mp3", "ogg"))
+      .withColumn("err",
+        concat(lit("compressed-audio sample decode unsupported ("),
+          col("format"), lit(")")))
+  }
+
   /** The batch corpus: [[extract]] plus the duplicate-utterance cluster
-   * election (min doc_id / cluster size per fingerprint). */
+   * election (min doc_id / cluster size per fingerprint), UNIONED with
+   * the [[quarantined]] provenance rows (null segment/cluster fields,
+   * non-null `err`) — skipped compressed audio is surfaced, not
+   * absent. */
   def corpus(docs: DataFrame, binCol: String = "bin",
              subsCol: String = "subs"): DataFrame = {
     val win = Window.partitionBy(col("fp"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
     extract(docs, binCol, subsCol)
       .select(col("doc_id"), col("format"), col("seg_begin"),
         col("seg_end"), col("energy"), col("fp"), col("transcript"),
         min(col("doc_id")).over(win).as("canonical_id"),
-        count(lit(1)).over(win).as("n_dupes"))
+        count(lit(1)).over(win).as("n_dupes"),
+        nullS.as("err"))
+      .unionByName(quarantined(docs, binCol)
+        .select(col("doc_id"), col("format"), nullL.as("seg_begin"),
+          nullL.as("seg_end"), nullL.as("energy"), nullS.as("fp"),
+          nullS.as("transcript"), nullL.as("canonical_id"),
+          nullL.as("n_dupes"), col("err")))
   }
 }

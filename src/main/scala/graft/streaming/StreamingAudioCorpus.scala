@@ -43,6 +43,7 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
 
   private val segsRoot = new Path(stateDir, "segs")
   private val ledgerRoot = new Path(stateDir, "ledger")
+  private val quarRoot = new Path(stateDir, "quar")
 
   private val segSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("format", StringType),
@@ -52,6 +53,9 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
   private val ledgerSchema = StructType(Seq(
     StructField("fp", StringType),
     StructField("keep_id", LongType), StructField("n", LongType)))
+  private val quarSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("format", StringType),
+    StructField("err", StringType)))
 
   private def read(spark: SparkSession, schema: StructType,
                    dirs: Seq[Path]): DataFrame =
@@ -74,7 +78,8 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val seenIds = VersionedState.segments(spark, segsRoot).flatMap(_.ids) ++
-      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, quarRoot).flatMap(_.ids)
     if (seenIds.nonEmpty && seenIds.max > batchId)
       throw new IllegalStateException(
         s"audio-corpus state at $stateDir carries batch ids up to " +
@@ -91,6 +96,13 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
     val partial = segs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
     val f = VersionedState.fileSystem(spark, segsRoot)
+    // quarantine provenance (MP3/OGG — surfaced, not dropped) rides its
+    // own store, certified like the ledger by the segs marker
+    val quarDest = new Path(quarRoot, s"b$batchId")
+    AudioCorpus.quarantined(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("bin")))
+      .write.mode("overwrite").parquet(quarDest.toString)
+    VersionedState.touchSuccess(f, quarDest)
     val ledgerDest = new Path(ledgerRoot, s"b$batchId")
     partial.write.mode("overwrite").parquet(ledgerDest.toString)
     VersionedState.touchSuccess(f, ledgerDest)
@@ -107,26 +119,35 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
       write = (df, d) => df.groupBy(col("fp"))
         .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
         .write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, quarRoot, compactAbove,
+      read = ps => read(spark, quarSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
   }
 
-  /** Ledger unit dirs scoped to segs-certified ids, with the mixed-unit
-   * fail-loud guard ([[StreamingImageCorpus]] semantics). */
-  private def certifiedLedgerDirs(spark: SparkSession,
-                                  certifiedIds: Set[Long]): Seq[Path] = {
-    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
-    ledgerSegs.foreach { seg =>
+  /** Side-store unit dirs (ledger/quarantine) scoped to segs-certified
+   * ids, with the mixed-unit fail-loud guard ([[StreamingImageCorpus]]
+   * semantics). */
+  private def certifiedSideDirs(spark: SparkSession, root: Path,
+                                what: String,
+                                certifiedIds: Set[Long]): Seq[Path] = {
+    val sideSegs = VersionedState.segments(spark, root)
+    sideSegs.foreach { seg =>
       if (!seg.ids.subsetOf(certifiedIds) &&
           seg.ids.exists(certifiedIds.contains))
         throw new IllegalStateException(
-          s"audio-corpus ledger unit ${seg.path} covers batch ids " +
+          s"audio-corpus $what unit ${seg.path} covers batch ids " +
             s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
             s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
-            "are segs-certified; excluding it would drop certified " +
-            "cluster partials. State is inconsistent — rebuild the " +
-            "ledger from the certified segments.")
+            s"are segs-certified; excluding it would drop certified " +
+            s"$what rows. State is inconsistent — rebuild the " +
+            s"$what store from the certified segments.")
     }
-    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+    sideSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
   }
+
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] =
+    certifiedSideDirs(spark, ledgerRoot, "ledger", certifiedIds)
 
   /** The seen-utterance dictionary over every certified batch: one row
    * per distinct fingerprint with its current canonical id and cluster
@@ -153,9 +174,18 @@ class StreamingAudioCorpus(stateDir: String, compactAbove: Int = 32)
     val ledger = read(spark, ledgerSchema, ledgerDirs)
       .groupBy(col("fp"))
       .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val quar = read(spark, quarSchema, certifiedSideDirs(spark, quarRoot,
+      "quarantine", certified.flatMap(_.ids).toSet))
     segs.join(ledger, Seq("fp"))
       .select(col("doc_id"), col("format"), col("seg_begin"),
         col("seg_end"), col("energy"), col("fp"), col("transcript"),
-        col("keep_id").as("canonical_id"), col("n").as("n_dupes"))
+        col("keep_id").as("canonical_id"), col("n").as("n_dupes"),
+        nullS.as("err"))
+      .unionByName(quar.select(col("doc_id"), col("format"),
+        nullL.as("seg_begin"), nullL.as("seg_end"), nullL.as("energy"),
+        nullS.as("fp"), nullS.as("transcript"), nullL.as("canonical_id"),
+        nullL.as("n_dupes"), col("err")))
   }
 }

@@ -138,14 +138,36 @@ class StreamingAudioCorpusSpec extends SparkSpec {
     assert(rowsOf(sub.resolve(spark)) === before)
   }
 
+  test("MP3 docs are QUARANTINED with provenance — surfaced in resolve " +
+    "with err set and no cluster fields, matching the batch chain") {
+    val mp3 = ("FFFB28C0" + "AB" * 176).grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val sub = new StreamingAudioCorpus(newDir())
+    sub.processBatch(df(1L -> wav(3))
+      .union(Seq((5L, mp3, srt(5L))).toDF("doc_id", "bin", "subs")), 0L)
+    sub.processBatch(df(2L -> flac(3)), 1L)
+    val res = sub.resolve(spark).collect()
+    val q = res.filter(_.getAs[Long]("doc_id") == 5L)
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("format") === "mp3")
+    assert(q.head.getAs[String]("err").contains("unsupported"))
+    assert(q.head.isNullAt(q.head.fieldIndex("fp")))
+    // streaming ≡ batch including the quarantine rows
+    val want = batchChain(df(1L -> wav(3), 2L -> flac(3))
+      .union(Seq((5L, mp3, srt(5L))).toDF("doc_id", "bin", "subs")))
+      .collect()
+    assert(res.toSet === want.toSet)
+  }
+
   test("transcripts align cues by time overlap and unknown containers " +
     "drop instead of crashing") {
     val junk = "not audio at all".getBytes
     val out = batchChain(
       df(2L -> wav(5), 9L -> flac(5), 15L -> m4a(5)) // same seed, 3 containers
       .union(Seq((99L, junk, srt(99L))).toDF("doc_id", "bin", "subs")))
-    val rows = out.as[(Long, String, Long, Long, Long, String, String,
-      Long, Long)].collect()
+    val rows = out.drop("err")
+      .as[(Long, String, Long, Long, Long, String, String,
+        Long, Long)].collect()
     assert(!rows.exists(_._1 == 99L), "junk payload must drop, not crash")
     // wav doc 2, flac doc 9 and m4a doc 15 share every fingerprint
     // (same seed), and their segments canonicalize at doc 2
