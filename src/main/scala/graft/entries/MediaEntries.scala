@@ -29,10 +29,16 @@ private[graft] object MediaEntries {
       val png = png_encode(lit(4), lit(4), unhex(pxHex),
         (col("doc_id") % 5).cast("int"))
       val dec = png_decode(png)
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // explode(array(dec)) pins encode+decode to ONE evaluation per
+      // row: the struct feeds three output columns and the encoder is a
+      // CodegenFallback synthesis edge, outside WSCG subexpression
+      // elimination (the mm_flac_roundtrip lesson, BENCH_NOTES r12)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
     
@@ -71,11 +77,14 @@ private[graft] object MediaEntries {
         repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
         repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
       val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // Generate barrier: four consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          col("d.channels").as("channels"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
     
@@ -105,11 +114,14 @@ private[graft] object MediaEntries {
           repeat(hexes(5), 8)), 8))
       val dec = jpeg_decode(
         jpeg_encode_gray_progressive(lit(24), lit(16), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // Generate barrier: four consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          col("d.channels").as("channels"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
     
@@ -138,15 +150,18 @@ private[graft] object MediaEntries {
         (lit(80) + col("doc_id") % 700).cast("int"),
         (col("doc_id") % 3 === 0).as("gps"))
       val m = exif_parse(decorated)
-      t(s, dir, "documents").select(col("doc_id"),
-        m.getField("byte_order").as("byte_order"),
-        m.getField("orientation").cast("long").as("orientation"),
-        m.getField("make").as("make"),
-        m.getField("model").as("model"),
-        m.getField("datetime").as("datetime"),
-        m.getField("x_dim").cast("long").as("x_dim"),
-        m.getField("y_dim").cast("long").as("y_dim"),
-        m.getField("has_gps").as("has_gps"))
+      // Generate barrier: eight field reads of one attach+parse chain
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(m)).as("m"))
+        .select(col("doc_id"),
+          col("m.byte_order").as("byte_order"),
+          col("m.orientation").cast("long").as("orientation"),
+          col("m.make").as("make"),
+          col("m.model").as("model"),
+          col("m.datetime").as("datetime"),
+          col("m.x_dim").cast("long").as("x_dim"),
+          col("m.y_dim").cast("long").as("y_dim"),
+          col("m.has_gps").as("has_gps"))
     }),
 
     
@@ -180,13 +195,20 @@ private[graft] object MediaEntries {
         lit(24), lit(16), lit(false))
       val o = exif_parse(jpg).getField("orientation")
       val dec = jpeg_decode(jpg)
-      val up = image_orient(dec.getField("pixels"),
-        dec.getField("width"), dec.getField("height"),
-        dec.getField("channels"), o)
-      t(s, dir, "documents").select(col("doc_id"),
-        up.getField("width").as("width"),
-        up.getField("height").as("height"),
-        lower(hex(up.getField("pixels"))).as("px_hex"))
+      // two-stage Generate barrier: image_orient references the decode
+      // struct four times and the output reads the oriented struct three
+      // times — materialize each level once per row
+      val up = image_orient(col("d.dec.pixels"),
+        col("d.dec.width"), col("d.dec.height"),
+        col("d.dec.channels"), col("d.o"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(struct(o.as("o"),
+          dec.as("dec")))).as("d"))
+        .select(col("doc_id"), explode(array(up)).as("u"))
+        .select(col("doc_id"),
+          col("u.width").as("width"),
+          col("u.height").as("height"),
+          lower(hex(col("u.pixels"))).as("px_hex"))
     }),
 
     
@@ -208,7 +230,9 @@ private[graft] object MediaEntries {
         repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8)), 8),
         repeat(concat(repeat(hexes(2), 8), repeat(hexes(3), 8)), 8))
       val dec = jpeg_decode(jpeg_encode_gray(lit(16), lit(16), unhex(pxHex)))
-      val decHex = lower(hex(dec.getField("pixels")))
+      // Generate barrier: the average-hash references the decoded hex
+      // EIGHT times (4 corners x sum+condition) — materialize it once
+      val decHex = col("dechex")
       // block corners in the 256-byte gray buffer: bytes 0, 8, 128, 136
       val vs = Seq(0, 8, 128, 136).map(b =>
         conv(substring(decHex, b * 2 + 1, 2), 16, 10).cast("long"))
@@ -217,6 +241,8 @@ private[graft] object MediaEntries {
         when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(
+          lower(hex(dec.getField("pixels"))))).as("dechex"))
         .select(col("doc_id"), phash.as("phash"))
         .withColumn("canonical_id",
           min(col("doc_id")).over(Window.partitionBy(col("phash"))))
@@ -234,10 +260,13 @@ private[graft] object MediaEntries {
       val pxHex = concat((0 until 4).map(i =>
         md5(concat(col("doc_id").cast("string"), lit("g" + i)))): _*)
       val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // Generate barrier: three consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
     
@@ -252,7 +281,8 @@ private[graft] object MediaEntries {
       val pxHex = concat((0 until 4).map(i =>
         md5(concat(seed, lit("g" + i)))): _*)
       val dec = gif_decode(gif_encode_gray(lit(8), lit(8), unhex(pxHex)))
-      val decHex = lower(hex(dec.getField("pixels")))
+      // Generate barrier: eight hash references of one LZW decode
+      val decHex = col("dechex")
       // corner pixels 0, 7, 56, 63; red byte of RGB pixel p sits at 3p
       val vs = Seq(0, 7, 56, 63).map(p =>
         conv(substring(decHex, p * 6 + 1, 2), 16, 10).cast("long"))
@@ -261,6 +291,8 @@ private[graft] object MediaEntries {
         when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(
+          lower(hex(dec.getField("pixels"))))).as("dechex"))
         .select(col("doc_id"), phash.as("phash"))
         .withColumn("canonical_id",
           min(col("doc_id")).over(Window.partitionBy(col("phash"))))
@@ -454,9 +486,13 @@ private[graft] object MediaEntries {
           when(v * 4 > tot, lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _)
       }
+      // Generate barrier: ph() references each decoded hex eight times —
+      // materialize all three decodes once per row
       t(s, dir, "documents")
-        .select(col("doc_id"), ph(pdec, 3).as("ph_png"),
-          ph(jdec, 1).as("ph_jpeg"), ph(gdec, 3).as("ph_gif"))
+        .select(col("doc_id"), explode(array(struct(pdec.as("p"),
+          jdec.as("j"), gdec.as("g")))).as("d"))
+        .select(col("doc_id"), ph(col("d.p"), 3).as("ph_png"),
+          ph(col("d.j"), 1).as("ph_jpeg"), ph(col("d.g"), 3).as("ph_gif"))
         .withColumn("canonical_id",
           min(col("doc_id")).over(Window.partitionBy(col("ph_jpeg"))))
     }),
@@ -480,11 +516,14 @@ private[graft] object MediaEntries {
           "64617461" + "80000000"),                     // data len=128
         dataHex)
       val st = wav_pcm_stats(unhex(wavHex))
-      t(s, dir, "documents").select(col("doc_id"),
-        st.getField("n_samples").as("n_samples"),
-        st.getField("sum_abs").as("sum_abs"),
-        st.getField("peak").as("peak"),
-        st.getField("sum_sq").as("sum_sq"))
+      // Generate barrier: four consumers of one RIFF walk
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(st)).as("d"))
+        .select(col("doc_id"),
+          col("d.n_samples").as("n_samples"),
+          col("d.sum_abs").as("sum_abs"),
+          col("d.peak").as("peak"),
+          col("d.sum_sq").as("sum_sq"))
     }),
 
     
@@ -626,10 +665,14 @@ private[graft] object MediaEntries {
         (col("doc_id") % 5 + 1).cast("int"))
       val dec = webp_decode(webp_encode_gray(lit(24), lit(16),
         unhex(pxHex), mode))
-      t(s, dir, "documents").select(col("doc_id"), mode.as("mode"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // Generate barrier: three consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), mode.as("mode"),
+          explode(array(dec)).as("d"))
+        .select(col("doc_id"), col("mode"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
 
@@ -660,11 +703,14 @@ private[graft] object MediaEntries {
         .otherwise(lit(32773)).cast("int")
       val dec = tiff_decode(tiff_encode_gray(lit(24), lit(16),
         unhex(pxHex), comp, col("doc_id") % 2 === 0))
-      t(s, dir, "documents").select(col("doc_id"),
-        dec.getField("width").as("width"),
-        dec.getField("height").as("height"),
-        dec.getField("channels").as("channels"),
-        lower(hex(dec.getField("pixels"))).as("px_hex"))
+      // Generate barrier: four consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(dec)).as("d"))
+        .select(col("doc_id"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          col("d.channels").as("channels"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
     }),
 
     
