@@ -1021,6 +1021,52 @@ private[graft] object MediaEntries {
     }),
 
     
+"mm_ogg_pagewalk" -> ((s, dir) => {
+      // the integer layer of the OGG container (Vorbis/Opus sample
+      // decode is float DSP — those docs ride the audio-corpus
+      // quarantine): three pages per doc — a Vorbis ID header (the
+      // rate/channel claims a curation filter reads), a body packet
+      // whose length crosses one 255-lace, and a body packet that is an
+      // EXACT multiple of 255 (the zero-lace terminator case) — with
+      // real page CRCs, BOS/EOS flags and sequential page numbers. The
+      // walk must gate every CRC, count packets through the lacing and
+      // land exactly on EOF; the oracle replays page sizes, packet
+      // counts, the last granule and the ID-header claims
+      // arithmetically. Spanning packets, CRC flips, sequence gaps and
+      // multiplexed serials live in OggCodecSpec.
+      import graft.functions.OggFunctions._
+      val idHex = expr(
+        """concat('01', '766F72626973', '00000000',
+             lpad(hex(1 + doc_id % 2), 2, '0'),
+             lpad(hex((8000 * (1 + doc_id % 5)) % 256), 2, '0'),
+             lpad(hex((8000 * (1 + doc_id % 5)) DIV 256 % 256), 2, '0'),
+             lpad(hex((8000 * (1 + doc_id % 5)) DIV 65536 % 256), 2, '0'),
+             '00', repeat('00', 13))""")
+      val b1Hex = expr(
+        """repeat(substr(md5(CAST(doc_id AS STRING) || 'og1'), 1, 2),
+             CAST(200 + doc_id % 97 AS INT))""")
+      val b2Hex = expr(
+        """repeat(substr(md5(CAST(doc_id AS STRING) || 'og2'), 1, 2),
+             CAST(255 * (1 + doc_id % 2) AS INT))""")
+      val packets = array(unhex(idHex), unhex(b1Hex), unhex(b2Hex))
+      val granules = array(lit(0L),
+        ((col("doc_id") % 50) * 256).cast("long"),
+        ((col("doc_id") % 50) * 256 + 4096).cast("long"))
+      val w = ogg_page_walk(ogg_encode(packets, granules,
+        (col("doc_id") % 1000).cast("int")))
+      // Generate barrier: seven consumers of one page walk
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(w)).as("w"))
+        .select(col("doc_id"),
+          col("w.n_pages").as("n_pages"),
+          col("w.n_bytes").as("n_bytes"),
+          col("w.n_packets").as("n_packets"),
+          col("w.last_granule").as("last_granule"),
+          col("w.codec").as("codec"),
+          col("w.channels").as("channels"),
+          col("w.sample_rate").as("sample_rate"))
+    }),
+
 "mm_mp3_framewalk" -> ((s, dir) => {
       // the integer-exact MP3 layer (full Layer III decode is float DSP
       // — deliberately out of scope): four MPEG-1 Layer III frames at
@@ -1287,6 +1333,24 @@ private[graft] object MediaEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    // OGG page chain: page size = 27-byte header + lacing count
+    // (body DIV 255 + 1, the zero-lace terminator included) + body;
+    // ID-header claims (channels/rate) and the last granule replay
+    // from the doc arithmetic
+"mm_ogg_pagewalk" ->
+      """SELECT doc_id, 3 AS n_pages,
+           CAST(57
+             + 27 + ((200 + doc_id % 97) // 255 + 1) + (200 + doc_id % 97)
+             + 27 + ((255 * (1 + doc_id % 2)) // 255 + 1)
+               + 255 * (1 + doc_id % 2)
+             AS INTEGER) AS n_bytes,
+           CAST(3 AS BIGINT) AS n_packets,
+           CAST((doc_id % 50) * 256 + 4096 AS BIGINT) AS last_granule,
+           'vorbis' AS codec,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate
+         FROM documents""",
+
     // MP3 frame chain: per-frame sizes from the Layer III formula
     // (4.5 x kbps at 32 kHz, no padding), duration by floor division —
     // all replayed from the doc arithmetic

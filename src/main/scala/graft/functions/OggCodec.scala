@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * The integer layer of the OGG container (RFC 3533) — the
+ * [[MediaHeaders.Mp3Frames]] discipline applied to the other dominant
+ * compressed-audio format a crawl carries. Full Vorbis/Opus SAMPLE
+ * decode is float DSP (deliberately out of scope — those documents ride
+ * the audio-corpus QUARANTINE with provenance); everything the container
+ * itself asserts is exact integers and is verified here:
+ *
+ *  - the page walk: `OggS` capture pattern, version 0, header-type
+ *    flags (continued/BOS/EOS), 64-bit granule positions, stream
+ *    serial, page sequence numbers (must increment by one — a gap means
+ *    lost pages), the segment lacing table, and landing exactly on EOF;
+ *  - the page CRC (the Ogg polynomial 0x04C11DB7, unreflected, init 0,
+ *    computed with the checksum field zeroed) — every page gated;
+ *  - packet reassembly across lacing values (a 255 value continues the
+ *    packet, including across page boundaries via the continued flag);
+ *  - first-packet codec identification: the Vorbis identification
+ *    header (`\x01vorbis` + version 0 + channels + rate) or an
+ *    `OpusHead` (version 1, channel count, 48 kHz input-rate field) —
+ *    the sample-rate/channel claims a curation pipeline filters on.
+ *
+ * Multiplexed (multi-serial) physical streams reject loudly as out of
+ * this subset, as do CRC mismatches, sequence gaps, truncated lacing
+ * and a missing BOS/EOS. The encoder is the fixture edge (real CRCs,
+ * real lacing incl. >255-byte packets and the exact-multiple-of-255
+ * zero-lace case).
+ *
+ * The reference treats payloads opaquely (blob passthrough,
+ * connector/.../AbstractNativeConverter.java:115-147); container
+ * auditing is an engine extension for the audio-corpus pipeline.
+ */
+object OggCodec {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"ogg: $msg")
+  private def need(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
+
+  /** Decode-bomb bound on pages per payload. */
+  private val MaxPages = 1 << 20
+
+  // ---- the Ogg page CRC (0x04C11DB7, unreflected, init/xorout 0) ----------
+
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def crc(b: Array[Byte], from: Int, until: Int,
+                         skipFrom: Int = -1, skipUntil: Int = -1): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      val byte = if (i >= skipFrom && i < skipUntil) 0 else b(i) & 0xff
+      c = (c << 8) ^ CrcTable(((c >>> 24) ^ byte) & 0xff)
+      i += 1
+    }
+    c
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  /** Container audit result. */
+  final case class Walk(nPages: Int, nBytes: Int, nPackets: Long,
+                        lastGranule: Long, codec: String,
+                        channels: Option[Int], sampleRate: Option[Int])
+
+  def walk(b: Array[Byte]): Walk = {
+    need(b.length >= 28, "shorter than one page header")
+    var p = 0
+    var nPages = 0
+    var nPackets = 0L
+    var lastGranule = 0L
+    var serial = 0
+    var expectSeq = 0
+    var sawEos = false
+    var packetOpen = false // previous page ended mid-packet (lace 255)
+    var firstPacket: Array[Byte] = null
+    val firstAcc = new java.io.ByteArrayOutputStream()
+    var firstDone = false
+    while (p < b.length) {
+      need(!sawEos, s"page after the EOS page at byte $p")
+      need(p + 27 <= b.length, s"truncated page header at byte $p")
+      need(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+        b(p + 3) == 'S', s"bad capture pattern at byte $p")
+      need(b(p + 4) == 0, s"unsupported stream structure version ${b(p + 4)}")
+      val htype = b(p + 5) & 0xff
+      val continued = (htype & 1) != 0
+      val bos = (htype & 2) != 0
+      val eos = (htype & 4) != 0
+      val granule = le64(b, p + 6)
+      val ser = le32(b, p + 14)
+      val seq = le32(b, p + 18)
+      val wantCrc = le32(b, p + 22)
+      val nsegs = b(p + 26) & 0xff
+      need(p + 27 + nsegs <= b.length, s"truncated lacing table at byte $p")
+      var body = 0
+      var i = 0
+      while (i < nsegs) { body += b(p + 27 + i) & 0xff; i += 1 }
+      val pageEnd = p + 27 + nsegs + body
+      need(pageEnd <= b.length, s"page body overruns payload at byte $p")
+      need(crc(b, p, pageEnd, p + 22, p + 26) == wantCrc,
+        s"page CRC mismatch at byte $p")
+      if (nPages == 0) {
+        need(bos, "first page lacks the BOS flag")
+        serial = ser
+        expectSeq = seq
+      } else {
+        need(!bos, s"unexpected BOS mid-stream at byte $p")
+        need(ser == serial,
+          "multiplexed (multi-serial) streams unsupported in this subset")
+      }
+      need(seq == expectSeq,
+        s"page sequence gap: want $expectSeq, got $seq (lost pages)")
+      need(continued == packetOpen,
+        if (packetOpen) s"page at byte $p must carry the continued flag"
+        else s"page at byte $p claims continuation with no open packet")
+      // walk the lacing values: value < 255 ends a packet
+      var segOff = p + 27 + nsegs
+      i = 0
+      while (i < nsegs) {
+        val lace = b(p + 27 + i) & 0xff
+        if (!firstDone) firstAcc.write(b, segOff, lace)
+        if (lace < 255) {
+          nPackets += 1
+          packetOpen = false
+          if (!firstDone) { firstPacket = firstAcc.toByteArray; firstDone = true }
+        } else packetOpen = true
+        segOff += lace
+        i += 1
+      }
+      lastGranule = granule
+      sawEos = eos
+      expectSeq += 1
+      nPages += 1
+      need(nPages <= MaxPages, "page count exceeds bound")
+      p = pageEnd
+    }
+    need(nPages > 0, "no pages")
+    need(sawEos, "last page lacks the EOS flag")
+    need(!packetOpen, "stream ends mid-packet (dangling 255 lace)")
+
+    // codec identification from the first packet
+    var codec = "unknown"
+    var channels: Option[Int] = None
+    var rate: Option[Int] = None
+    val fp = if (firstPacket == null) Array.empty[Byte] else firstPacket
+    def at(s: String, off: Int): Boolean =
+      fp.length >= off + s.length &&
+        s.indices.forall(j => fp(off + j) == s(j).toByte)
+    if (fp.length >= 16 && (fp(0) & 0xff) == 1 && at("vorbis", 1)) {
+      need(le32(fp, 7) == 0, s"vorbis ID version ${le32(fp, 7)} != 0")
+      codec = "vorbis"
+      channels = Some(fp(11) & 0xff)
+      rate = Some(le32(fp, 12))
+    } else if (at("OpusHead", 0) && fp.length >= 16) {
+      need((fp(8) & 0xf0) == 0, s"OpusHead major version ${fp(8) >> 4} != 0")
+      codec = "opus"
+      channels = Some(fp(9) & 0xff)
+      rate = Some(le32(fp, 12)) // original input rate; decode is 48 kHz
+    }
+    Walk(nPages, b.length, nPackets, lastGranule, codec, channels, rate)
+  }
+
+  // ---- encode (fixture edge) ------------------------------------------------
+
+  /** One packet per page (packets > 255 bytes lace as 255-runs with the
+   * spec's trailing remainder, including the zero-lace exact-multiple
+   * case); BOS on the first page, EOS on the last, sequential page
+   * numbers, real CRCs. */
+  def encode(packets: Seq[Array[Byte]], granules: Seq[Long],
+             serial: Int): Array[Byte] = {
+    need(packets.nonEmpty, "no packets to mux")
+    need(packets.length == granules.length,
+      s"${packets.length} packets but ${granules.length} granules")
+    val out = new java.io.ByteArrayOutputStream()
+    packets.zipWithIndex.foreach { case (pkt, idx) =>
+      val laces = {
+        val full = pkt.length / 255
+        val rem = pkt.length % 255
+        Array.fill(full)(255) :+ rem // rem 0 is the legal zero-lace end
+      }
+      need(laces.length <= 255, s"packet $idx needs ${laces.length} laces")
+      val page = new java.io.ByteArrayOutputStream()
+      page.write("OggS".getBytes("US-ASCII"))
+      page.write(0) // version
+      page.write((if (idx == 0) 2 else 0) |
+        (if (idx == packets.length - 1) 4 else 0))
+      var g = granules(idx)
+      var k = 0
+      while (k < 8) { page.write((g & 0xff).toInt); g >>>= 8; k += 1 }
+      def w32(v: Int): Unit = {
+        page.write(v & 0xff); page.write((v >> 8) & 0xff)
+        page.write((v >> 16) & 0xff); page.write((v >> 24) & 0xff)
+      }
+      w32(serial)
+      w32(idx) // page sequence number
+      w32(0) // CRC placeholder
+      page.write(laces.length)
+      laces.foreach(page.write)
+      page.write(pkt)
+      val bytes = page.toByteArray
+      val c = crc(bytes, 0, bytes.length) // placeholder is already zero
+      bytes(22) = (c & 0xff).toByte
+      bytes(23) = ((c >> 8) & 0xff).toByte
+      bytes(24) = ((c >> 16) & 0xff).toByte
+      bytes(25) = ((c >> 24) & 0xff).toByte
+      out.write(bytes)
+    }
+    out.toByteArray
+  }
+
+  /** A spec-shaped Vorbis identification header packet. */
+  def vorbisIdPacket(channels: Int, rate: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(1)
+    b.write("vorbis".getBytes("US-ASCII"))
+    b.write(Array[Byte](0, 0, 0, 0)) // version 0
+    b.write(channels)
+    b.write(rate & 0xff); b.write((rate >> 8) & 0xff)
+    b.write((rate >> 16) & 0xff); b.write((rate >> 24) & 0xff)
+    // bitrate triple + blocksizes + framing bit (fixed filler)
+    b.write(new Array[Byte](13))
+    b.toByteArray
+  }
+
+  // --------------------------------------------------- expression hooks
+
+  val walkType: StructType = StructType(Seq(
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("n_packets", LongType, nullable = false),
+    StructField("last_granule", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
+
+  def walkRow(bytes: Array[Byte]): InternalRow = {
+    val w = walk(bytes)
+    new GenericInternalRow(Array[Any](w.nPages, w.nBytes, w.nPackets,
+      w.lastGranule, UTF8String.fromString(w.codec),
+      w.channels.orNull, w.sampleRate.orNull))
+  }
+}
+
+/** `ogg_page_walk(binary)` → STRUCT — the RFC 3533 container audit
+ * (page chain, CRCs, packet counts, codec ID header claims). */
+case class OggPageWalkExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = OggCodec.walkType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ogg_page_walk requires BINARY, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    OggCodec.walkRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.OggCodec.walkRow($b)")
+  override protected def withNewChildInternal(c: Expression): OggPageWalkExpr =
+    copy(child = c)
+}
+
+/** `ogg_encode(array<binary>, array<bigint>, int)` → BINARY — the
+ * fixture muxer (one packet per page, real lacing + CRCs).
+ * CodegenFallback is deliberate (synthesis edge). */
+case class OggEncodeExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType.simpleString) match {
+      case Seq("array<binary>", "array<bigint>", "int") =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "ogg_encode requires (ARRAY<BINARY>, ARRAY<BIGINT>, INT), got " +
+          other.mkString("(", ", ", ")"))
+    }
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val pArr = vs(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val packets = (0 until pArr.numElements()).map(pArr.getBinary)
+      val granules = vs(1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      OggCodec.encode(packets, granules, vs(2).asInstanceOf[Int])
+    }
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): OggEncodeExpr = copy(children = c)
+}
+
+object OggFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def ogg_page_walk(c: Column): Column =
+    GraftShim.column(OggPageWalkExpr(GraftShim.expression(c)))
+
+  def ogg_encode(packets: Column, granules: Column, serial: Column): Column =
+    GraftShim.column(OggEncodeExpr(
+      Seq(packets, granules, serial).map(GraftShim.expression)))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.OggCodec
+
+class OggCodecSpec extends AnyFunSuite {
+
+  private def pkt(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((seed * 31 + i * 7) % 251).toByte)
+
+  test("encode → walk round-trips counts, granules, and the Vorbis ID " +
+    "claims; zero-lace (exact 255 multiple) handled") {
+    val packets = Seq(OggCodec.vorbisIdPacket(2, 44100),
+      pkt(300, 1), pkt(510, 2)) // 510 = 2 x 255 → laces [255,255,0]
+    val ogg = OggCodec.encode(packets, Seq(0L, 1024L, 4096L), serial = 7)
+    val w = OggCodec.walk(ogg)
+    assert(w.nPages === 3)
+    assert(w.nPackets === 3L)
+    assert(w.nBytes === ogg.length)
+    assert(w.lastGranule === 4096L)
+    assert(w.codec === "vorbis")
+    assert(w.channels === Some(2))
+    assert(w.sampleRate === Some(44100))
+  }
+
+  /** hand-built page with a VALID CRC — lets hostile tests corrupt one
+   * structural field at a time without tripping the CRC gate first */
+  private def page(seq: Int, htype: Int, laces: Seq[Int],
+                   payload: Array[Byte], granule: Long,
+                   serial: Int = 9): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII")); out.write(0); out.write(htype)
+    var g = granule
+    (0 until 8).foreach { _ => out.write((g & 0xff).toInt); g >>>= 8 }
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    w32(serial); w32(seq); w32(0)
+    out.write(laces.length); laces.foreach(out.write)
+    out.write(payload)
+    val b = out.toByteArray
+    val c = OggCodec.crc(b, 0, b.length)
+    b(22) = (c & 0xff).toByte; b(23) = ((c >> 8) & 0xff).toByte
+    b(24) = ((c >> 16) & 0xff).toByte; b(25) = ((c >> 24) & 0xff).toByte
+    b
+  }
+
+  test("a packet spanning two pages reassembles through the continued " +
+    "flag and counts once") {
+    // page 0 carries the first 255 bytes of a 300-byte packet (single
+    // 255 lace, packet open), page 1 continues with the remaining 45
+    val body = pkt(300, 3)
+    val p0 = page(0, 2, Seq(255), body.take(255), -1L)
+    val p1 = page(1, 1 | 4, Seq(45), body.drop(255), 960L)
+    val w = OggCodec.walk(p0 ++ p1)
+    assert(w.nPages === 2)
+    assert(w.nPackets === 1L)
+    assert(w.lastGranule === 960L)
+    assert(w.codec === "unknown") // spanning body, not an ID header
+  }
+
+  test("hostile chains reject loudly inside the ogg: contract") {
+    def rejects(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](OggCodec.walk(b))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    val good = OggCodec.encode(
+      Seq(OggCodec.vorbisIdPacket(1, 16000), pkt(100, 4)),
+      Seq(0L, 512L), serial = 3)
+    // flip one body byte → CRC mismatch
+    val crcBad = good.clone(); crcBad(good.length - 1) =
+      (crcBad(good.length - 1) ^ 0x1).toByte
+    rejects(crcBad, "CRC mismatch")
+    // drop the EOS page entirely → missing EOS
+    val firstPageLen = {
+      val nsegs = good(26) & 0xff
+      27 + nsegs + (27 until 27 + nsegs).map(good(_) & 0xff).sum
+    }
+    rejects(good.take(firstPageLen), "lacks the EOS flag")
+    // skip a sequence number (valid CRC on the tampered page)
+    val base0 = page(0, 2, Seq(60), pkt(60, 8), 0L)
+    rejects(base0 ++ page(5, 4, Seq(10), pkt(10, 9), 64L), "sequence gap")
+    // a second serial mid-stream = multiplexed (valid CRC)
+    rejects(base0 ++ page(1, 4, Seq(10), pkt(10, 9), 64L, serial = 10),
+      "multiplexed")
+    // bad capture pattern
+    val magicBad = good.clone(); magicBad(0) = 'X'
+    rejects(magicBad, "capture pattern")
+    // stream ending mid-packet: encode then truncate after page 0 whose
+    // packet is complete — instead hand-check via the dangling-255 path
+    // exercised by the spanning test's p0 alone (no continuation page)
+    val body = pkt(300, 3)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII")); out.write(0); out.write(2 | 4)
+    (0 until 8).foreach(_ => out.write(0))
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    w32(9); w32(0); w32(0)
+    out.write(1); out.write(255)
+    out.write(body, 0, 255)
+    val dangling = out.toByteArray
+    val c = OggCodec.crc(dangling, 0, dangling.length)
+    dangling(22) = (c & 0xff).toByte; dangling(23) = ((c >> 8) & 0xff).toByte
+    dangling(24) = ((c >> 16) & 0xff).toByte
+    dangling(25) = ((c >> 24) & 0xff).toByte
+    rejects(dangling, "mid-packet")
+  }
+
+  test("OGG payloads quarantine in the audio corpus with provenance") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ogg = OggCodec.encode(
+      Seq(OggCodec.vorbisIdPacket(1, 16000), pkt(64, 5)),
+      Seq(0L, 256L), serial = 11)
+    val docs = Seq((9L, ogg, "1\n00:00:00,000 --> 00:00:00,500\nhi\n\n"))
+      .toDF("doc_id", "bin", "subs")
+    val out = graft.operators.AudioCorpus.corpus(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("format") === "ogg")
+    assert(out.head.getAs[String]("err").contains("ogg"))
+  }
+}
