@@ -264,7 +264,7 @@ object PdfCodec {
 
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
-    val offsets = new Array[Int](7)
+    val offsets = new Array[Int](8)
     w("%PDF-1.4\n")
     offsets(1) = out.size()
     w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
@@ -279,14 +279,20 @@ object PdfCodec {
     offsets(5) = out.size()
     w("5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
     offsets(6) = out.size()
-    w(s"6 0 obj\n<< /Length ${c2.length} /Filter /FlateDecode >>\nstream\n")
+    // page 2's stream declares its length INDIRECTLY (7 0 R) — the shape
+    // streaming writers emit (the value is only known after the stream
+    // is written), so every extraction fixture keeps the xref-resolved
+    // length path on the oracle
+    w(s"6 0 obj\n<< /Length 7 0 R /Filter /FlateDecode >>\nstream\n")
     out.write(c2)
     w("\nendstream\nendobj\n")
+    offsets(7) = out.size()
+    w(s"7 0 obj\n${c2.length}\nendobj\n")
     val xref = out.size()
-    w("xref\n0 7\n")
+    w("xref\n0 8\n")
     w("0000000000 65535 f \n")
-    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    (1 to 7).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
 
@@ -945,8 +951,9 @@ object PdfCodec {
 
   /** Parse `n 0 obj << dict >> [stream]` at byte offset `off`,
    * returning (object number, dict, raw stream bytes). */
-  private def parseObjAt(bytes: Array[Byte], s: String,
-                         off: Int): (Int, String, Option[Array[Byte]]) = {
+  private def parseObjAt(bytes: Array[Byte], s: String, off: Int,
+                         lenResolver: Option[Int => Long] = None)
+      : (Int, String, Option[Array[Byte]]) = {
     need(off >= 0 && off < s.length, s"object offset $off out of range")
     val m = ObjHead.findPrefixMatchOf(s.substring(off,
       math.min(s.length, off + 32)))
@@ -968,14 +975,27 @@ object PdfCodec {
       need(q < s.length && s(q) == '\n', s"object $n: no EOL after stream")
       q += 1
       // generation is matched as \d+ (not just 0): `/Length 5 2 R` is an
-      // indirect reference too and must hit the loud rejection below, not
-      // silently parse 5 as a direct length
-      val lenM = """/Length\s+(\d+)(\s+\d+\s+R)?""".r.findFirstMatchIn(dict)
+      // indirect reference with a nonzero generation — out of this
+      // subset (only generation 0 is framed anywhere here)
+      val lenM = """/Length\s+(\d+)(?:\s+(\d+)\s+R)?""".r
+        .findFirstMatchIn(dict)
         .getOrElse(throw new IllegalArgumentException(
           s"pdf: object $n stream has no /Length"))
-      need(lenM.group(2) == null,
-        s"object $n: indirect /Length unsupported in this subset")
-      val len = parseNum(lenM.group(1), s"object $n /Length")
+      // streaming writers emit the length as an indirect reference (the
+      // value is only known after the stream is written) — resolve it
+      // through the xref when a resolver is available (ObjReader); the
+      // xref stream itself is read before any xref exists, so there the
+      // length must be direct
+      val len = if (lenM.group(2) == null)
+        parseNum(lenM.group(1), s"object $n /Length")
+      else {
+        need(parseNum(lenM.group(2), s"object $n /Length generation") == 0,
+          s"object $n: /Length reference with nonzero generation")
+        val ln = objNum(lenM.group(1), s"object $n /Length reference")
+        lenResolver.getOrElse(throw new IllegalArgumentException(
+          s"pdf: object $n: indirect /Length before the xref is read"))
+          .apply(ln)
+      }
       need(len >= 0 && q + len <= bytes.length,
         s"object $n: /Length $len overruns the file")
       val data = java.util.Arrays.copyOfRange(bytes, q, q + len.toInt)
@@ -1488,12 +1508,48 @@ object PdfCodec {
                                 decryptor: Option[PdfCrypto.Decryptor]) {
     private val stmCache =
       mutable.Map.empty[Int, (Array[Int], Array[Int], String)]
+    private val resolvingLens = mutable.Set.empty[Int]
+
+    /** Resolve an indirect `/Length N 0 R` through the xref: the target
+     * is a bare integer object (directly in the file or inside an
+     * ObjStm). Cycle-guarded — a hostile /Length chain must reject, not
+     * recurse forever. */
+    private def lengthOf(n: Int): Long = {
+      def die(msg: String): Nothing =
+        throw new IllegalArgumentException(s"pdf: $msg")
+      need(resolvingLens.add(n),
+        s"cyclic /Length resolution through object $n")
+      try locs.get(n) match {
+        case None => die(s"/Length object $n not in xref")
+        case Some(Direct(off)) =>
+          val m = ObjHead.findPrefixMatchOf(s.substring(off,
+            math.min(s.length, off + 32)))
+            .getOrElse(die(s"/Length object $n has no header at $off"))
+          need(objNum(m.group(1), "length object number") == n,
+            s"xref points /Length $n at object ${m.group(1)}")
+          var p = off + m.end
+          while (p < s.length && s(p).isWhitespace) p += 1
+          val e = """^\d+""".r.findFirstIn(s.substring(p,
+            math.min(s.length, p + 20)))
+            .getOrElse(die(s"/Length object $n is not an integer"))
+          parseNum(e, s"/Length object $n value")
+        case Some(InStream(stm, idx)) =>
+          val (nums, offs, content) = objStm(stm)
+          need(idx >= 0 && idx < nums.length && nums(idx) == n,
+            s"/Length object $n not at ObjStm $stm slot $idx")
+          val at = offs(idx)
+          val e = """^\d+""".r.findFirstIn(content.substring(at,
+            math.min(content.length, at + 20)))
+            .getOrElse(die(s"/Length object $n is not an integer"))
+          parseNum(e, s"/Length object $n value")
+      } finally resolvingLens -= n
+    }
 
     def obj(n: Int): (String, Option[Array[Byte]]) = locs.get(n) match {
       case None => throw new IllegalArgumentException(
         s"pdf: object $n not in xref")
       case Some(Direct(off)) =>
-        val (num, dict, data) = parseObjAt(bytes, s, off)
+        val (num, dict, data) = parseObjAt(bytes, s, off, Some(lengthOf))
         need(num == n, s"xref points $n at object $num")
         (dict, data.map(d => decryptor match {
           case Some(dec) => dec.stream(n, 0, d)

@@ -297,12 +297,16 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e8.getMessage.contains("codes"))
   }
 
-  test("hostile: indirect /Length is rejected; content stream " +
-    "inflating past the cap is a decode bomb, not an allocation") {
+  test("hostile: a dangling indirect /Length rejects loudly; content " +
+    "stream inflating past the cap is a decode bomb, not an allocation") {
+    // indirect /Length is SUPPORTED (resolved through the xref — every
+    // encode() fixture now exercises it); a reference to an object the
+    // xref does not hold must still reject loudly
     val forged = rawPdf("BT (x) Tj ET",
       contentDict = _ => "<< /Length 9 0 R >>")
     val e1 = intercept[IllegalArgumentException] { PdfCodec.extract(forged) }
-    assert(e1.getMessage.contains("indirect"))
+    assert(e1.getMessage.contains("/Length object 9 not in xref"),
+      e1.getMessage)
 
     // 80 MB of zeros deflates to ~80 KB; inflation must stop at the cap
     val big = new Array[Byte](80 << 20)
