@@ -1021,6 +1021,41 @@ private[graft] object MediaEntries {
     }),
 
     
+"mm_mp4_edits" -> ((s, dir) => {
+      // MP4 TIMING structures real camera files carry: VARIABLE stts
+      // deltas (frame_delta must go null, duration_ms must stay exact
+      // from the run-length sum), a ctts composition-offset table
+      // (B-frame reordering — exposed as max_ctts, sample-count-gated
+      // against stsz), and an elst edit list trimming the leading
+      // media ticks (n_edits + edit_offset). Four flat MJPEG frames at
+      // timescale 1000; every timing value is doc arithmetic the oracle
+      // replays. Hostile elst rates / ctts mismatches live in
+      // Mp4CodecSpec.
+      import graft.functions.JpegFunctions._
+      import graft.functions.Mp4Functions._
+      val frame = jpeg_encode_gray(lit(16), lit(16),
+        unhex(repeat(
+          lower(lpad(hex((conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("me"))), 1, 2), 16, 10)
+            .cast("int") % 128) * 2), 2, "0")), 256)))
+      val d3 = (col("doc_id") % 3).cast("int")
+      val deltas = array(lit(40) + d3, lit(40), lit(40) + d3, lit(50))
+      val ctts = array(lit(0), lit(40) * d3, lit(40), lit(0))
+      val edit = ((col("doc_id") % 5) * 10).cast("long")
+      val m = mp4_meta(mp4_encode_edits(lit(16), lit(16), lit(1000),
+        array(frame, frame, frame, frame), deltas, ctts, edit))
+      // Generate barrier: six consumers of one atom walk
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(m)).as("m"))
+        .select(col("doc_id"),
+          col("m.n_frames").as("n_frames"),
+          col("m.frame_delta").as("frame_delta"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_edits").as("n_edits"),
+          col("m.edit_offset").as("edit_offset"),
+          col("m.max_ctts").as("max_ctts"))
+    }),
+
 "mm_ogg_pagewalk" -> ((s, dir) => {
       // the integer layer of the OGG container (Vorbis/Opus sample
       // decode is float DSP — those docs ride the audio-corpus
@@ -1333,6 +1368,18 @@ private[graft] object MediaEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    // MP4 timing: variable stts nulls frame_delta but the duration sum
+    // stays exact; elst and ctts claims replay from doc arithmetic
+
+"mm_mp4_edits" ->
+      """SELECT doc_id, 4 AS n_frames, CAST(NULL AS INTEGER) AS frame_delta,
+           CAST(170 + 2 * (doc_id % 3) AS BIGINT) AS duration_ms,
+           1 AS n_edits,
+           CAST((doc_id % 5) * 10 AS BIGINT) AS edit_offset,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 40
+             ELSE 40 * (doc_id % 3) END AS BIGINT) AS max_ctts
+         FROM documents""",
+
     // OGG page chain: page size = 27-byte header + lacing count
     // (body DIV 255 + 1, the zero-lace terminator included) + body;
     // ID-header claims (channels/rate) and the last granule replay

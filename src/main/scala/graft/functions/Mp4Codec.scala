@@ -76,7 +76,12 @@ object Mp4Codec {
       channels: Int, sampleSize: Int, audioRate: Int, // audio
       timescale: Long,
       sttsTotal: Long, sttsDelta: Long,
-      sampleOffsets: Array[Long], sampleSizes: Array[Int])
+      sampleOffsets: Array[Long], sampleSizes: Array[Int],
+      durTicks: Long,             // exact stts sum (variable deltas too)
+      nEdits: Int,                // elst entry count (0 = no edit list)
+      editOffset: Long,           // first non-empty edit media_time, -1
+      maxCtts: Long,              // max composition offset, -1 = no ctts
+      cttsTotal: Long)            // ctts-covered samples, -1 = no ctts
 
   private final case class Movie(tracks: List[Track],
                                  mdat: List[(Long, Long)]) // (payloadPos, len)
@@ -147,7 +152,9 @@ object Mp4Codec {
     var width = 0; var height = 0
     var channels = 0; var sampleSize = 0; var audioRate = 0
     var timescale = 0L
-    var sttsTotal = 0L; var sttsDelta = -1L
+    var sttsTotal = 0L; var sttsDelta = -1L; var durTicks = 0L
+    var nEdits = 0; var editOffset = -1L
+    var maxCtts = -1L; var cttsTotal = -1L
     var stsc: Array[(Long, Long)] = null   // (firstChunk, samplesPerChunk)
     var sizes: Array[Int] = null
     var chunkOffs: Array[Long] = null
@@ -176,6 +183,37 @@ object Mp4Codec {
     def fullBox(s: Long): (Int, Long) = (b(s.toInt) & 0xff, s + 4)
 
     boxes(ts, te, 2) {
+      case ("edts", es, ee) => boxes(es, ee, 3) {
+        case ("elst", hs, he) =>
+          // edit list: leading-gap trims and delays real camera files
+          // carry; version 0 = 32-bit fields, version 1 = 64-bit
+          val (v, p0) = fullBox(hs)
+          need(v <= 1, s"elst version $v unsupported")
+          val n = u32(b, p0.toInt)
+          need(n >= 1 && n <= MaxFrames, s"elst entry count $n")
+          val esz = if (v == 1) 20L else 12L
+          need(p0 + 4 + n * esz <= he, "elst entries overrun box")
+          nEdits = n.toInt
+          var i = 0L
+          var p = p0 + 4
+          while (i < n) {
+            val mediaTime = if (v == 1) {
+              val hi = u32(b, p.toInt + 8); val lo = u32(b, p.toInt + 12)
+              (hi << 32) | lo
+            } else {
+              val raw = u32(b, p.toInt + 4)
+              if (raw > Int.MaxValue) raw - 0x100000000L else raw
+            }
+            val rate = if (v == 1) u32(b, p.toInt + 16) else u32(b, p.toInt + 8)
+            need(rate == 0x10000L,
+              s"elst media_rate 0x${rate.toHexString} != 1.0 unsupported")
+            // -1 marks an EMPTY edit (inserted blank time); the first
+            // real entry's media_time is the leading trim offset
+            if (mediaTime >= 0 && editOffset < 0) editOffset = mediaTime
+            p += esz; i += 1
+          }
+        case _ => ()
+      }
       case ("mdia", ms, me) => boxes(ms, me, 3) {
         case ("mdhd", hs, _) =>
           val (v, p0) = fullBox(hs)
@@ -218,10 +256,32 @@ object Mp4Codec {
                 val cnt = u32(b, p.toInt)
                 val delta = u32(b, p.toInt + 4)
                 sttsTotal += cnt
+                durTicks += cnt * delta // exact even when deltas vary
                 // uniform delta is exposed as frame_delta; variable
                 // deltas (legal in real files) mark it unavailable
                 if (sttsDelta == -1L) sttsDelta = delta
                 else if (sttsDelta != delta) sttsDelta = -2L
+                p += 8; i += 1
+              }
+            case ("ctts", hs, he) =>
+              // composition offsets (B-frame reordering): version 0
+              // unsigned / version 1 signed; exposed as the max offset
+              val (v, p0) = fullBox(hs)
+              need(v <= 1, s"ctts version $v unsupported")
+              val n = u32(b, p0.toInt)
+              need(n >= 1 && n <= MaxFrames, s"ctts entry count $n")
+              need(p0 + 4 + n * 8 <= he, "ctts entries overrun box")
+              cttsTotal = 0L
+              maxCtts = Long.MinValue
+              var i = 0L
+              var p = p0 + 4
+              while (i < n) {
+                val cnt = u32(b, p.toInt)
+                val raw = u32(b, p.toInt + 4)
+                val offv = if (v == 1 && raw > Int.MaxValue)
+                  raw - 0x100000000L else raw
+                cttsTotal += cnt
+                if (offv > maxCtts) maxCtts = offv
                 p += 8; i += 1
               }
             case ("stsc", hs, he) =>
@@ -311,6 +371,9 @@ object Mp4Codec {
     need(timescale > 0, "mdhd timescale is zero")
     need(sttsTotal == sizes.length,
       s"stts declares $sttsTotal samples but stsz holds ${sizes.length}")
+    if (cttsTotal >= 0)
+      need(cttsTotal == sizes.length,
+        s"ctts covers $cttsTotal samples but stsz holds ${sizes.length}")
 
     // resolve sample offsets: walk chunks; the stsc run in force for
     // chunk c is the last entry with first_chunk <= c (1-based)
@@ -336,7 +399,21 @@ object Mp4Codec {
       s"stsc/stco resolve $sample samples but stsz declares ${sizes.length}")
 
     Track(handler, codec, width, height, channels, sampleSize, audioRate,
-      timescale, sttsTotal, sttsDelta, offs, sizes)
+      timescale, sttsTotal, sttsDelta, offs, sizes,
+      durTicks, nEdits, editOffset, maxCtts, cttsTotal)
+  }
+
+  /** Run-length group consecutive equal values: (count, value) pairs. */
+  private def runLength(vs: Array[Int]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < vs.length) {
+      var j = i
+      while (j < vs.length && vs(j) == vs(i)) j += 1
+      out += ((j - i, vs(i)))
+      i = j
+    }
+    out.toArray
   }
 
   // ---- public decode surface -----------------------------------------------
@@ -349,7 +426,11 @@ object Mp4Codec {
     StructField("video_timescale", IntegerType, nullable = true),
     StructField("audio_rate", IntegerType, nullable = true),
     StructField("audio_channels", IntegerType, nullable = true),
-    StructField("n_audio_samples", LongType, nullable = true)))
+    StructField("n_audio_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_edits", IntegerType, nullable = true),
+    StructField("edit_offset", LongType, nullable = true),
+    StructField("max_ctts", LongType, nullable = true)))
 
   /** Container meta across both track kinds; null fields for a missing
    * track kind — called from generated code. */
@@ -365,7 +446,12 @@ object Mp4Codec {
         if (t.sttsDelta >= 0) t.sttsDelta.toInt else null),
       vid.fold(null: Any)(_.timescale.toInt),
       aud.fold(null: Any)(_.audioRate), aud.fold(null: Any)(_.channels),
-      aud.fold(null: Any)(_.sampleSizes.length.toLong)))
+      aud.fold(null: Any)(_.sampleSizes.length.toLong),
+      vid.fold(null: Any)(t => t.durTicks * 1000 / t.timescale),
+      vid.fold(null: Any)(t => if (t.nEdits > 0) t.nEdits else null),
+      vid.fold(null: Any)(t =>
+        if (t.editOffset >= 0) t.editOffset else null),
+      vid.fold(null: Any)(t => if (t.cttsTotal >= 0) t.maxCtts else null)))
   }
 
   /** Every `every`-th video sample payload (standalone JPEGs for MJPEG). */
@@ -458,7 +544,20 @@ object Mp4Codec {
    * muxes an audio-only file (the "m4a" shape speech corpora ship). */
   def encode(width: Int, height: Int, frameDelta: Int, timescale: Int,
              frames: Array[Array[Byte]], pcm: Array[Int], audioRate: Int,
-             bigEndian: Boolean, useCo64: Boolean = false): Array[Byte] = {
+             bigEndian: Boolean, useCo64: Boolean = false,
+             frameDeltas: Array[Int] = null,
+             cttsOffsets: Array[Int] = null,
+             editMediaTime: Long = -1): Array[Byte] = {
+    if (frameDeltas != null) {
+      need(frameDeltas.length == frames.length,
+        s"${frameDeltas.length} frame deltas for ${frames.length} frames")
+      frameDeltas.foreach(d => need(d > 0, s"bad frame delta $d"))
+    }
+    if (cttsOffsets != null) {
+      need(cttsOffsets.length == frames.length,
+        s"${cttsOffsets.length} ctts offsets for ${frames.length} frames")
+      cttsOffsets.foreach(o => need(o >= 0, s"negative ctts offset $o"))
+    }
     need(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       s"bad dimensions ${width}x$height")
     need(frames.length <= MaxFrames,
@@ -536,7 +635,19 @@ object Mp4Codec {
           bzero(32)                   // compressorname
           b16(24); b16(0xffff)        // depth, pre_defined = -1
         })
-        cur.write(fullbox("stts") { b32(1); b32(frames.length); b32(frameDelta) })
+        cur.write(fullbox("stts") {
+          val deltas = if (frameDeltas != null) frameDeltas
+            else Array.fill(frames.length)(frameDelta)
+          val runs = runLength(deltas)
+          b32(runs.length)
+          runs.foreach { case (cnt, v) => b32(cnt); b32(v) }
+        })
+        if (cttsOffsets != null)
+          cur.write(fullbox("ctts") {
+            val runs = runLength(cttsOffsets)
+            b32(runs.length)
+            runs.foreach { case (cnt, v) => b32(cnt); b32(v) }
+          })
         cur.write(fullbox("stsc") { b32(1); b32(1); b32(1); b32(1) })
         cur.write(fullbox("stsz") {
           b32(0); b32(frames.length)
@@ -573,6 +684,15 @@ object Mp4Codec {
              ts: Int, dur: Long): Array[Byte] =
       box("trak") {
         cur.write(fullbox("tkhd") { bzero(80) }) // ids/matrix immaterial here
+        if (handler == "vide" && editMediaTime >= 0)
+          cur.write(box("edts") {
+            cur.write(fullbox("elst") {
+              b32(1) // one edit: trim the leading editMediaTime ticks
+              b32(dur - editMediaTime) // segment duration (movie ts)
+              b32(editMediaTime)
+              b32(0x10000L) // media_rate 1.0
+            })
+          })
         cur.write(box("mdia") {
           cur.write(fullbox("mdhd") { b32(0); b32(0); b32(ts); b32(dur); b32(0) })
           cur.write(fullbox("hdlr") {
@@ -583,15 +703,17 @@ object Mp4Codec {
         })
       }
 
+    val vidDur = if (frameDeltas != null) frameDeltas.map(_.toLong).sum
+      else frames.length.toLong * frameDelta
     val moov = box("moov") {
       cur.write(fullbox("mvhd") {
         b32(0); b32(0); b32(timescale)
-        b32(frames.length.toLong * frameDelta)
+        b32(vidDur)
         bzero(80)
       })
       if (frames.nonEmpty)
         cur.write(trak("vide", "VideoHandler", stblVideo, timescale,
-          frames.length.toLong * frameDelta))
+          vidDur))
       cur.write(trak("soun", "SoundHandler", stblAudio, audioRate,
         pcm.length.toLong))
     }
@@ -752,6 +874,46 @@ case class Mp4EncodeExpr(children: Seq[Expression])
       c: IndexedSeq[Expression]): Mp4EncodeExpr = copy(children = c)
 }
 
+/** `mp4_encode_edits(w, h, timescale, frames, deltas, ctts, edit)` →
+ * BINARY — the timing-structure fixture muxer: per-frame stts deltas
+ * (run-length-grouped), a ctts composition-offset table, and an elst
+ * edit list trimming the leading `edit` media ticks. A fixed 16-sample
+ * PCM bed satisfies the muxer's audio contract. CodegenFallback is
+ * deliberate (synthesis edge). */
+case class Mp4EncodeEditsExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq("int", "int", "int", "array<binary>", "array<int>",
+      "array<int>", "bigint")
+    if (children.length == 7 && children.map(_.dataType.simpleString) == want)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "mp4_encode_edits(INT, INT, INT, ARRAY<BINARY>, ARRAY<INT>, " +
+        s"ARRAY<INT>, BIGINT), got ${children.map(_.dataType)}")
+  }
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val fArr = vs(3).asInstanceOf[ArrayData]
+      val frames = new Array[Array[Byte]](fArr.numElements())
+      var i = 0
+      while (i < frames.length) { frames(i) = fArr.getBinary(i); i += 1 }
+      Mp4Codec.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+        frameDelta = 1, vs(2).asInstanceOf[Int], frames,
+        pcm = Array.tabulate(16)(i => i * 3), audioRate = 16000,
+        bigEndian = false,
+        frameDeltas = vs(4).asInstanceOf[ArrayData].toIntArray(),
+        cttsOffsets = vs(5).asInstanceOf[ArrayData].toIntArray(),
+        editMediaTime = vs(6).asInstanceOf[Long])
+    }
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Mp4EncodeEditsExpr = copy(children = c)
+}
+
 object Mp4Functions {
   import org.apache.spark.sql.GraftShim
 
@@ -773,4 +935,10 @@ object Mp4Functions {
                  bigEndian: Column): Column =
     GraftShim.column(Mp4EncodeExpr(Seq(w, h, frameDelta, timescale, frames,
       pcm, audioRate, bigEndian).map(GraftShim.expression)))
+
+  def mp4_encode_edits(w: Column, h: Column, timescale: Column,
+                       frames: Column, deltas: Column, ctts: Column,
+                       edit: Column): Column =
+    GraftShim.column(Mp4EncodeEditsExpr(Seq(w, h, timescale, frames,
+      deltas, ctts, edit).map(GraftShim.expression)))
 }

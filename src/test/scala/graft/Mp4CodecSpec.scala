@@ -136,4 +136,38 @@ class Mp4CodecSpec extends AnyFunSuite {
     }.getMessage
     assert(m.contains("mp4:"))
   }
+
+  test("timing structures: variable stts sums exactly, ctts max and " +
+    "sample-count gate, elst offset; hostile rate/counts reject") {
+    val fs = frames(4)
+    val good = Mp4Codec.encode(16, 16, 1, 1000, fs, pcm(16), 16000,
+      bigEndian = false, frameDeltas = Array(40, 40, 41, 50),
+      cttsOffsets = Array(0, 80, 40, 0), editMediaTime = 30L)
+    val m = Mp4Codec.metaRow(good)
+    assert(m.isNullAt(3), "variable deltas must null frame_delta")
+    assert(m.getLong(8) === 171L)  // duration_ms = (40+40+41+50)*1000/1000
+    assert(m.getInt(9) === 1)      // n_edits
+    assert(m.getLong(10) === 30L)  // edit_offset
+    assert(m.getLong(11) === 80L)  // max_ctts
+    // no timing extras → null claims, uniform delta survives
+    val plain = Mp4Codec.metaRow(
+      Mp4Codec.encode(16, 16, 25, 1000, fs, pcm(16), 16000, false))
+    assert(plain.getInt(3) === 25)
+    assert(plain.getLong(8) === 100L)
+    assert(plain.isNullAt(9) && plain.isNullAt(10) && plain.isNullAt(11))
+    // hostile: ctts covering fewer samples than stsz → loud
+    def withBox(b: Array[Byte], tag: String): Int = at(b, tag)
+    val cttsBad = good.clone()
+    // tag(4) + version/flags(4) + entry count(4) → first run count
+    val cp = withBox(cttsBad, "ctts") + 12
+    // first run count 1 -> 0: total drops below the sample count
+    cttsBad(cp + 3) = 0
+    assert(boom(cttsBad).contains("ctts covers"))
+    // hostile: elst media_rate != 1.0 → loud
+    val rateBad = good.clone()
+    // tag(4) + ver/flags(4) + n(4) + segDur(4) + mediaTime(4) → rate
+    val ep = withBox(rateBad, "elst") + 20
+    rateBad(ep + 1) = 2 // 0x00020000 = rate 2.0
+    assert(boom(rateBad).contains("media_rate"))
+  }
 }
