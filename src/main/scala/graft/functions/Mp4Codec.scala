@@ -257,6 +257,12 @@ object Mp4Codec {
                 val delta = u32(b, p.toInt + 4)
                 sttsTotal += cnt
                 durTicks += cnt * delta // exact even when deltas vary
+                // Σ cnt is gated against stsz only AFTER the walk; bound
+                // the running sum here so a hostile stts cannot wrap the
+                // Long before that gate (duration_ms later multiplies by
+                // 1000 — keep comfortable headroom)
+                need(durTicks >= 0 && durTicks < (1L << 53),
+                  s"stts duration sum $durTicks exceeds bound")
                 // uniform delta is exposed as frame_delta; variable
                 // deltas (legal in real files) mark it unavailable
                 if (sttsDelta == -1L) sttsDelta = delta

@@ -163,11 +163,18 @@ object CodeCorpus {
     val parsed = from_json(col(nbCol), cellSchema,
       Map("mode" -> "FAILFAST"))
     val keep = docs.columns.filter(_ != nbCol).map(col).toSeq
+    // concat_ws silently SKIPS null array elements — a JSON null inside
+    // a source array must reject loudly, not shorten the cell
+    val joined = when(
+      exists(col("c.source"), l => l.isNull),
+      raise_error(concat(lit("notebook doc "), col("doc_id").cast("string"),
+        lit(": cell source holds a JSON null"))))
+      .otherwise(concat_ws("", col("c.source")))
     docs.select(keep :+
         posexplode(parsed.getField("cells")).as(Seq("cell_idx", "c")): _*)
       .select(keep ++ Seq(col("cell_idx"),
         col("c.cell_type").as("cell_type"),
-        concat_ws("", col("c.source")).as("source")): _*)
+        joined.as("source")): _*)
   }
 
   /**

@@ -163,6 +163,12 @@ class Mp4CodecSpec extends AnyFunSuite {
     // first run count 1 -> 0: total drops below the sample count
     cttsBad(cp + 3) = 0
     assert(boom(cttsBad).contains("ctts covers"))
+    // hostile: stts run whose cnt x delta would wrap the duration sum
+    // must reject at the bound, not emit a wrapped duration_ms
+    val durBad = good.clone()
+    val sp = withBox(durBad, "stts") + 12 // first run (cnt, delta)
+    (0 until 8).foreach(i => durBad(sp + i) = 0xff.toByte)
+    assert(boom(durBad).contains("duration sum"))
     // hostile: elst media_rate != 1.0 → loud
     val rateBad = good.clone()
     // tag(4) + ver/flags(4) + n(4) + segDur(4) + mediaTime(4) → rate

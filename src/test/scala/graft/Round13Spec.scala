@@ -82,6 +82,18 @@ class Round13Spec extends SparkSpec {
       CodeCorpus.notebookCells(
         Seq((8L, "{not valid json")).toDF("doc_id", "nb")).collect()
     }
+    // a JSON null inside a source array must reject loudly — concat_ws
+    // would otherwise silently shorten the cell
+    val eNull = intercept[Exception] {
+      CodeCorpus.notebookCells(Seq((9L,
+        """{"nbformat": 4, "cells": [
+           {"cell_type": "code", "source": ["a\n", null]}]}"""))
+        .toDF("doc_id", "nb")).collect()
+    }
+    assert(eNull.getMessage != null &&
+      (eNull.getMessage.contains("JSON null") ||
+        eNull.getCause != null &&
+          eNull.getCause.getMessage.contains("JSON null")))
     val md = "## Head\n\nSee [docs](http://x) and `f()`.\n\n" +
       "```\ncode block\n```\n\nEnd."
     val out = TextAnalysis.markdownExtract(
