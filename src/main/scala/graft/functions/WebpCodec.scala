@@ -104,19 +104,26 @@ object WebpCodec {
 
   // ---- canonical prefix codes ----------------------------------------------
 
-  /** Bit-serial canonical prefix decoder (DEFLATE code assignment: codes
-   * ordered by (length, symbol); first bit read is the code's MSB). */
-  private final class Huff private (table: Map[(Int, Int), Int],
+  /** Canonical prefix decoder in the classic array form (DEFLATE code
+   * assignment: codes ordered by (length, symbol); first bit read is
+   * the code's MSB). Per length: the first canonical code, the count of
+   * codes, and the start index into the (length, symbol)-sorted symbol
+   * array — an O(len) walk over flat Ints, no per-symbol boxing (the
+   * decoder is the image-corpus scan kernel's hot loop). */
+  private final class Huff private (firstCode: Array[Int],
+                                    counts: Array[Int],
+                                    index: Array[Int],
+                                    symbols: Array[Int],
                                     val only: Int) {
     def decode(r: BitReader): Int = {
       if (only >= 0) return only // 0-bit single-symbol code
       var c = 0
       var len = 0
-      while (len < 16) {
+      while (len < 15) {
         c = (c << 1) | r.bit()
         len += 1
-        val s = table.getOrElse((len, c), -1)
-        if (s >= 0) return s
+        val rel = c - firstCode(len)
+        if (rel >= 0 && rel < counts(len)) return symbols(index(len) + rel)
       }
       fail("prefix code longer than 15 bits (corrupt stream)")
     }
@@ -132,7 +139,7 @@ object WebpCodec {
           s"single-symbol code with length ${nz.head._1}")
         // one symbol: spec-builders emit it via the simple form; accept
         // the normal form too, consuming 0 bits
-        return new Huff(Map.empty, nz.head._2)
+        return new Huff(null, null, null, null, nz.head._2)
       }
       var kraft = 0L
       nz.foreach { case (l, _) =>
@@ -140,21 +147,34 @@ object WebpCodec {
         kraft += 1L << (15 - l)
       }
       need(kraft == (1L << 15), "prefix code is not Kraft-complete")
-      val m = Map.newBuilder[(Int, Int), Int]
+      val sorted = nz.sortBy { case (l, s) => (l, s) }
+      val counts = new Array[Int](16)
+      sorted.foreach { case (l, _) => counts(l) += 1 }
+      val firstCode = new Array[Int](16)
+      val index = new Array[Int](16)
       var code = 0
-      var prevLen = 0
-      nz.sortBy { case (l, s) => (l, s) }.foreach { case (l, s) =>
-        code <<= (l - prevLen)
-        prevLen = l
-        m += ((l, code) -> s)
-        code += 1
+      var idx = 0
+      var l = 1
+      while (l <= 15) {
+        firstCode(l) = code
+        index(l) = idx
+        code = (code + counts(l)) << 1
+        idx += counts(l)
+        l += 1
       }
-      new Huff(m.result(), -1)
+      new Huff(firstCode, counts, index, sorted.map(_._2), -1)
     }
     /** Simple form: code 0 → first symbol READ, code 1 → second. */
     def simple(symbols: Array[Int]): Huff =
-      if (symbols.length == 1) new Huff(Map.empty, symbols(0))
-      else new Huff(Map((1, 0) -> symbols(0), (1, 1) -> symbols(1)), -1)
+      if (symbols.length == 1)
+        new Huff(null, null, null, null, symbols(0))
+      else {
+        // two one-bit codes, in READ order (not sorted by symbol value)
+        val fc = new Array[Int](16); val ct = new Array[Int](16)
+        val ix = new Array[Int](16)
+        ct(1) = 2
+        new Huff(fc, ct, ix, symbols.clone(), -1)
+      }
   }
 
   private val CodeLengthOrder: Array[Int] =
