@@ -224,6 +224,28 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
   }
 
+  /** [[imageFixtureDocs]] plus a scanned-PDF twin (+1,000,000, every
+   * doc_id % 5 = 0) whose single page embeds the SAME upright content as
+   * a verbatim /DCTDecode baseline JPEG — ONE mixed binary column shared
+   * by `pipeline_scanned_corpus` (batch) and its streamed twin, so both
+   * fold identical bytes and the PDF-embedded duplicate must collapse
+   * into its native-file cluster on either path. */
+  private[graft] def scannedFixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PdfFunctions._
+    import graft.functions.JpegFunctions._
+    val seed = (col("doc_id") % 100).cast("string")
+    val pdf = pdf_encode_images(
+      concat(lit("scan "), col("doc_id").cast("string")),
+      array(struct(lit("jpeg").as("kind"), lit(24).as("width"),
+        lit(16).as("height"),
+        jpeg_encode_gray(lit(24), lit(16),
+          unhex(uprightImageHex(seed))).as("data"))))
+    val scans = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), pdf.as("bin"))
+    imageFixtureDocs(s, dir).unionByName(scans)
+  }
+
   /** Deterministic mixed-audio fixture shared by `pipeline_audio_corpus`
    * (batch) and `pipeline_audio_corpus_streamed` (real streaming run):
    * one opaque binary per document — a PCM WAV, a FLAC, an audio-only

@@ -334,37 +334,40 @@ private[graft] object PipelineEntries {
       // document gains a PDF twin (+1,000,000) whose page embeds the
       // SAME upright 24x16 content as a verbatim /DCTDecode baseline
       // JPEG — the dominant real shape of scanned documents.
-      // pdf_images pulls the payload back out of the xref walk and it
-      // enters imageCorpusExtract BESIDE the native PNG/JPEG/GIF files,
-      // so the PDF-embedded duplicate collapses into its file cluster
-      // only if the PDF object walk, the DCT round-trip and the
-      // cross-format content canonicalization all agree bit-for-bit.
+      // the WHOLE PDF enters scannedCorpusExtract BESIDE the native
+      // PNG/JPEG/GIF files: the %PDF- sniff routes it through the
+      // object walk, pdf_images pulls the payload back out and the
+      // PDF-embedded duplicate collapses into its file cluster only if
+      // the PDF object walk, the DCT round-trip and the cross-format
+      // content canonicalization all agree bit-for-bit.
       import org.apache.spark.sql.expressions.Window
-      import graft.functions.PdfFunctions._
-      import graft.functions.JpegFunctions._
-      val files = imageFixtureDocs(s, dir)
-      val seed = (col("doc_id") % 100).cast("string")
-      val pdf = pdf_encode_images(
-        concat(lit("scan "), col("doc_id").cast("string")),
-        array(struct(lit("jpeg").as("kind"), lit(24).as("width"),
-          lit(16).as("height"),
-          jpeg_encode_gray(lit(24), lit(16),
-            unhex(uprightImageHex(seed))).as("data"))))
-      val scans = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), pdf.as("pdf"))
-      val scanBins = scans.select(col("doc_id"),
-          explode(pdf_images(col("pdf"))).as("im"))
-        .select(col("doc_id"), col("im.payload").as("bin"))
-      val staged = operators.Multimodal.imageCorpusExtract(
-        files.unionByName(scanBins))
+      val staged = operators.Multimodal.scannedCorpusExtract(
+        scannedFixtureDocs(s, dir))
       val win = Window.partitionBy(col("content_key"))
-      staged.select(col("doc_id"),
-        when(col("doc_id") >= 1000000L, "pdf").otherwise("file")
-          .as("origin"),
+      staged.select(col("doc_id"), col("origin"),
         col("format"), col("content_key"),
         min(col("doc_id")).over(win).as("canonical_id"),
         count(lit(1)).over(win).as("n_dupes"), col("spread"))
+    }),
+
+
+"pipeline_scanned_corpus_streamed" -> ((s, dir) => {
+      // the SAME scanned corpus arriving as parquet drops on real
+      // streaming machinery (one file per trigger — multi-batch): native
+      // image files and whole PDFs mixed in one binary column, each
+      // batch runs the same scannedCorpusExtract inside foreachBatch and
+      // folds into StreamingScannedCorpus (VersionedState crash-safe
+      // units: extracted rows with pdf/file provenance + a pre-merged
+      // per-content-key min-survivor/count ledger), and the certified
+      // resolve() must equal the batch row — including cross-batch,
+      // cross-ORIGIN cluster election (a PDF-embedded duplicate landing
+      // batches after its native file still collapses). Same oracle as
+      // pipeline_scanned_corpus: streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedScannedCorpus(scannedFixtureDocs(s, dir))
+        .select(col("doc_id"), col("origin"), col("format"),
+          col("content_key"), col("canonical_id"), col("n_dupes"),
+          col("spread"))
     }),
 
 
@@ -798,20 +801,12 @@ private[graft] object PipelineEntries {
     // embed/extract round-trip, and the cross-format content key all
     // agree — the embedded duplicate collapses into its file cluster
 
-"pipeline_scanned_corpus" ->
-      s"""WITH $imageCorpusStCtes,
-         au AS (SELECT doc_id, 'file' AS origin, format, hex3, spread
-             FROM st
-           UNION ALL
-           SELECT doc_id + 1000000, 'pdf', 'jpeg', hex3, spread
-             FROM st WHERE doc_id % 5 = 0),
-         fl AS (SELECT au.*, md5(hex3) AS content_key FROM au
-           WHERE spread >= 150)
-         SELECT doc_id, origin, format, content_key,
-           MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
-           COUNT(*) OVER (PARTITION BY content_key) AS n_dupes,
-           spread
-         FROM fl""",
+"pipeline_scanned_corpus" -> scannedCorpusOracle,
+
+    // the streamed row resolves to the SAME corpus view (streaming ≡
+    // batch ≡ DuckDB), so it shares the scanned oracle verbatim
+
+"pipeline_scanned_corpus_streamed" -> scannedCorpusOracle,
 
     
     // video dedup across containers: the sampled frames' decoded pixels
@@ -970,6 +965,27 @@ private[graft] object PipelineEntries {
   /** ONE replay of the cross-container video chain, shared by the
    * batch row and its streamed twin: sampled-frame pixels from seed
    * arithmetic, the content key and the cluster window. */
+  /** ONE replay of the scanned-PDF corpus, shared by the batch row and
+   * its streamed twin: the PDF twin (+1,000,000, every doc_id % 5 = 0)
+   * carries the SAME upright content replayed by the shared st CTEs, so
+   * a hash match proves the PDF xref walk, the verbatim-DCT
+   * embed/extract round trip and the cross-format content key all
+   * agree — the embedded duplicate collapses into its file cluster. */
+  private val scannedCorpusOracle: String =
+    s"""WITH $imageCorpusStCtes,
+       au AS (SELECT doc_id, 'file' AS origin, format, hex3, spread
+           FROM st
+         UNION ALL
+         SELECT doc_id + 1000000, 'pdf', 'jpeg', hex3, spread
+           FROM st WHERE doc_id % 5 = 0),
+       fl AS (SELECT au.*, md5(hex3) AS content_key FROM au
+         WHERE spread >= 150)
+       SELECT doc_id, origin, format, content_key,
+         MIN(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+         COUNT(*) OVER (PARTITION BY content_key) AS n_dupes,
+         spread
+       FROM fl"""
+
   private val videoCorpusOracle: String =
     """WITH hexmap AS (SELECT i AS v, lower(lpad(to_hex(i), 2, '0')) AS hx
            FROM generate_series(0, 255) t(i)),

@@ -297,11 +297,15 @@ object Multimodal {
    * 8x8-block corner values of the normalized 24x16 canvas, drop
    * low-contrast rows (`spread < minSpread`) and attach the md5 content
    * key. Input `(doc_id, <binCol>)`; output `(doc_id, format, width,
-   * height, content_key, spread)`. All per-row scalar work — the stage
+   * height, content_key, spread)` plus any `passthrough` columns of the
+   * input appended verbatim (provenance like the scanned corpus's
+   * `origin` rides the Generate for free — joining it back afterwards
+   * would cost an Exchange). All per-row scalar work — the stage
    * adds zero Exchange (ScanAudit-pinned on the batch row).
    */
   def imageCorpusExtract(docs: DataFrame, binCol: String = "bin",
-                         minSpread: Int = 150): DataFrame = {
+                         minSpread: Int = 150,
+                         passthrough: Seq[String] = Nil): DataFrame = {
     import graft.functions.PngFunctions._
     import graft.functions.JpegFunctions._
     import graft.functions.GifFunctions._
@@ -374,15 +378,51 @@ object Multimodal {
     // exactly ONCE per row — without it, the spread gate's alias
     // substitution re-evaluates the when-branch decode trees (no CSE
     // inside conditional branches) once per sampled corner
-    docs.select(col("doc_id"),
+    val pt = passthrough.map(col)
+    docs.select(col("doc_id") +: pt :+
         explode(array(struct(fmt.as("format"), w.as("width"),
-          h.as("height"), hex3.as("hex3")))).as("g"))
-      .select(col("doc_id"), col("g.format").as("format"),
-        col("g.width").as("width"), col("g.height").as("height"),
-        col("g.hex3").as("hex3"))
+          h.as("height"), hex3.as("hex3")))).as("g"): _*)
+      .select(col("doc_id") +: pt :+ col("g.format").as("format") :+
+        col("g.width").as("width") :+ col("g.height").as("height") :+
+        col("g.hex3").as("hex3"): _*)
       .withColumn("spread", greatest(bvals: _*) - least(bvals: _*))
       .where(col("spread") >= minSpread)
-      .select(col("doc_id"), col("format"), col("width"), col("height"),
-        md5(col("hex3")).as("content_key"), col("spread"))
+      .select(col("doc_id") +: col("format") +: col("width") +:
+        col("height") +: md5(col("hex3")).as("content_key") +:
+        col("spread") +: pt: _*)
+  }
+
+  /**
+   * The scanned-corpus front door, shared by the batch
+   * `pipeline_scanned_corpus` row and
+   * [[graft.streaming.StreamingScannedCorpus]] (streaming ≡ batch holds
+   * by construction because both fold THIS): one opaque binary per
+   * document that is EITHER a native image file or a whole PDF. A
+   * `%PDF-` magic sniff (provenance `origin = 'pdf' | 'file'`) routes
+   * PDFs through the object/xref walk (`pdf_images`) and explodes each
+   * embedded image XObject's payload as its own row beside the native
+   * files, then everything enters [[imageCorpusExtract]] — so a
+   * scanned-PDF duplicate collapses into its native PNG/JPEG/GIF/WebP/
+   * TIFF cluster only if the PDF walk, the embedded-codec round trip and
+   * the cross-format canonicalization all agree. Payloads no image codec
+   * claims (e.g. FlateDecode raw rasters) null out at the decode gate
+   * and drop, like any other undecodable file. Input
+   * `(doc_id, <binCol>)`; output `(doc_id, format, width, height,
+   * content_key, spread, origin)`. The single Generate (explode of the
+   * conditional payload array) is the only fan-out — still zero
+   * Exchange.
+   */
+  def scannedCorpusExtract(docs: DataFrame, binCol: String = "bin",
+                           minSpread: Int = 150): DataFrame = {
+    import graft.functions.PdfFunctions._
+    val bin = col(binCol)
+    val isPdf = hex(substring(bin, 1, 5)) === lit("255044462D") // "%PDF-"
+    val staged = docs.select(col("doc_id"),
+      when(isPdf, lit("pdf")).otherwise(lit("file")).as("origin"),
+      explode(when(isPdf,
+          transform(pdf_images(bin), im => im.getField("payload")))
+        .otherwise(array(bin))).as("pbin"))
+    imageCorpusExtract(staged, binCol = "pbin", minSpread = minSpread,
+      passthrough = Seq("origin"))
   }
 }

@@ -509,6 +509,51 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming scanned-corpus curation on REAL streaming machinery: mixed
+   * opaque payloads `(doc_id, bin)` — native image files AND whole PDFs
+   * in one binary column — arrive as parquet drops (one file per
+   * trigger — multi-batch), each batch runs the shared
+   * `Multimodal.scannedCorpusExtract` inside `foreachBatch` and folds
+   * through [[StreamingScannedCorpus.processBatch]] (VersionedState
+   * crash-safe units: extracted rows with pdf/file provenance + the
+   * pre-merged per-content-key min/count ledger), and the certified
+   * [[StreamingScannedCorpus.resolve]] must equal the batch
+   * `pipeline_scanned_corpus` row — the driver compares against the SAME
+   * DuckDB oracle. Duplicate clusters (doc_id % 100 content keys) span
+   * the drops AND the origins, so cross-batch, cross-origin cluster
+   * election is on the oracle path.
+   */
+  def streamedScannedCorpus(docs: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val work = tempDir("graft_scancorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("bin"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingScannedCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("doc_id LONG, bin BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed scanned-corpus fixture must " +
+      s"fold multiple batches (got ${folded.size}) — cross-batch " +
+      "cluster election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * Streaming audio-corpus curation on REAL streaming machinery: opaque
    * audio payloads + subtitles `(doc_id, bin, subs)` arrive as parquet
    * drops (one file per trigger — multi-batch), each batch runs the

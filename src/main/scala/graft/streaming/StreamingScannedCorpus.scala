@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Multimodal
+
+/**
+ * Streaming scanned-corpus curation — the online form of the
+ * `pipeline_scanned_corpus` chain: batches of `(doc_id, bin)` opaque
+ * payloads arrive from a crawler where `bin` is EITHER a native image
+ * file or a whole PDF; each fold runs the SAME
+ * [[Multimodal.scannedCorpusExtract]] front door (`%PDF-` sniff →
+ * embedded-image explode → sniff/decode/autorotate/content-key/quality
+ * gate) and appends (a) the extracted rows WITH their pdf/file
+ * provenance and (b) the batch-local per-content-key partial
+ * `(keep_id = min doc_id, n = count)`. The resolved view over
+ * everything seen so far equals the batch row run over the union
+ * (spec-pinned), INCLUDING cross-batch, cross-ORIGIN cluster election:
+ * a scanned PDF arriving batches after its native-file twin still
+ * collapses into that cluster, and a later smaller doc_id steals
+ * canonicality.
+ *
+ * Crash safety and dir growth are [[VersionedState]]'s (the
+ * [[StreamingImageCorpus]] discipline verbatim): `b<id>/` units under
+ * `_SUCCESS` markers, committed replays are no-ops, both stores compact
+ * above `compactAbove` units, and the ledger PRE-MERGES its partials
+ * (min and sum are associative) so the compacted unit stays
+ * distinct-content-keys-sized no matter how many batches ever committed.
+ *
+ * At 100 TB: per-batch work is the scalar PDF walk + decode map (one
+ * Generate, zero Exchange) plus one map-side-combinable (min, count)
+ * over the BATCH; the resolved corpus view is one hash join of
+ * extracted rows against the merged dictionary — the same shape as the
+ * batch window.
+ *
+ * LIFECYCLE CONTRACT: `stateDir` and the streaming checkpoint are one
+ * unit — create and delete them TOGETHER ([[processBatch]] fails loudly
+ * on the stale-pairing signature, like every VersionedState fold here).
+ */
+class StreamingScannedCorpus(stateDir: String, minSpread: Int = 150,
+                             compactAbove: Int = 32)
+    extends Serializable {
+
+  private val docsRoot = new Path(stateDir, "docs")
+  private val ledgerRoot = new Path(stateDir, "ledger")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("origin", StringType),
+    StructField("format", StringType),
+    StructField("content_key", StringType),
+    StructField("spread", LongType)))
+  private val ledgerSchema = StructType(Seq(
+    StructField("content_key", StringType),
+    StructField("keep_id", LongType), StructField("n", LongType)))
+
+  private def read(spark: SparkSession, schema: StructType,
+                   dirs: Seq[Path]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+
+  /** Batch ids already folded (for tests/monitoring). */
+  def committedBatches(spark: SparkSession): Seq[Long] =
+    VersionedState.segments(spark, docsRoot).flatMap(_.ids).sorted
+
+  /**
+   * Fold `batch` (doc_id, bin) into the state (once per batchId —
+   * committed replays are no-ops). Usable directly inside
+   * `writeStream.foreachBatch((df, id) => corpus.processBatch(df, id))`.
+   * Commit order: ledger first, docs LAST — the docs marker certifies the
+   * batch.
+   */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenIds = VersionedState.segments(spark, docsRoot).flatMap(_.ids) ++
+      VersionedState.segments(spark, ledgerRoot).flatMap(_.ids)
+    if (seenIds.nonEmpty && seenIds.max > batchId)
+      throw new IllegalStateException(
+        s"scanned-corpus state at $stateDir carries batch ids up to " +
+          s"${seenIds.max} but the stream delivered batch $batchId — " +
+          "stateDir is paired with a fresh/foreign checkpoint. Create " +
+          "and delete stateDir and checkpointLocation together, or " +
+          "rebuild the state.")
+    if (VersionedState.isCommitted(
+        VersionedState.segments(spark, docsRoot), batchId)) return
+    val docs = Multimodal.scannedCorpusExtract(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("bin")),
+        minSpread = minSpread)
+      .select(col("doc_id"), col("origin"), col("format"),
+        col("content_key"), col("spread"))
+      .localCheckpoint(true)
+    val partial = docs.groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    val f = VersionedState.fileSystem(spark, docsRoot)
+    val ledgerDest = new Path(ledgerRoot, s"b$batchId")
+    partial.write.mode("overwrite").parquet(ledgerDest.toString)
+    VersionedState.touchSuccess(f, ledgerDest)
+    val docsDest = new Path(docsRoot, s"b$batchId")
+    docs.write.mode("overwrite").parquet(docsDest.toString)
+    VersionedState.touchSuccess(f, docsDest)
+    VersionedState.compact(spark, docsRoot, compactAbove,
+      read = ps => read(spark, docSchema, ps),
+      write = (df, d) => df.write.mode("overwrite").parquet(d.toString))
+    VersionedState.compact(spark, ledgerRoot, compactAbove,
+      read = ps => read(spark, ledgerSchema, ps),
+      // min and sum are associative — pre-merge so the compacted unit is
+      // distinct-content-keys-sized, not sum-of-batches-sized
+      write = (df, d) => df.groupBy(col("content_key"))
+        .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(d.toString))
+  }
+
+  /** Ledger unit dirs scoped to docs-certified ids, with the mixed-unit
+   * fail-loud guard ([[StreamingUrlDedup]] semantics: a partly-certified
+   * unit means contract violation — never silent-wrong). */
+  private def certifiedLedgerDirs(spark: SparkSession,
+                                  certifiedIds: Set[Long]): Seq[Path] = {
+    val ledgerSegs = VersionedState.segments(spark, ledgerRoot)
+    ledgerSegs.foreach { seg =>
+      if (!seg.ids.subsetOf(certifiedIds) &&
+          seg.ids.exists(certifiedIds.contains))
+        throw new IllegalStateException(
+          s"scanned-corpus ledger unit ${seg.path} covers batch ids " +
+            s"${seg.ids.toSeq.sorted.mkString(",")} of which only " +
+            s"${seg.ids.intersect(certifiedIds).toSeq.sorted.mkString(",")} " +
+            "are docs-certified; excluding it would drop certified " +
+            "cluster partials. State is inconsistent — rebuild the " +
+            "ledger from the certified docs.")
+    }
+    ledgerSegs.filter(_.ids.subsetOf(certifiedIds)).map(_.path)
+  }
+
+  /**
+   * The resolved corpus over every certified batch — column set and rows
+   * equal to the batch `pipeline_scanned_corpus` row over the union:
+   * every surviving image (native or PDF-embedded) with its provenance,
+   * content key, the cluster's canonical id (corpus-wide min) and the
+   * cluster size.
+   */
+  def resolve(spark: SparkSession): DataFrame = {
+    val certified = VersionedState.segments(spark, docsRoot)
+    val ledgerDirs =
+      certifiedLedgerDirs(spark, certified.flatMap(_.ids).toSet)
+    val docs = read(spark, docSchema, certified.map(_.path))
+    val ledger = read(spark, ledgerSchema, ledgerDirs)
+      .groupBy(col("content_key"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n")).as("n"))
+    docs.join(ledger, Seq("content_key"))
+      .select(col("doc_id"), col("origin"), col("format"),
+        col("content_key"), col("keep_id").as("canonical_id"),
+        col("n").as("n_dupes"), col("spread"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{JpegCodec, PdfCodec, PngCodec}
+import graft.operators.Multimodal
+import graft.streaming.StreamingScannedCorpus
+
+class StreamingScannedCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** upright 24x16 six-flat-block gray content for one seed — spread is
+   * guaranteed >= 150 by spacing the block values 50 apart */
+  private def gray(seed: Int): Array[Byte] = {
+    val vals = Array.tabulate(6)(b => ((seed * 17 + b * 50) % 250).toByte)
+    Array.tabulate(24 * 16) { i =>
+      val (x, y) = (i % 24, i / 24)
+      vals((y / 8) * 3 + (x / 8))
+    }
+  }
+
+  private def png(seed: Int): Array[Byte] = {
+    val g = gray(seed)
+    PngCodec.encode(24, 16, g.flatMap(b => Array(b, b, b)), 0)
+  }
+
+  /** the SAME content embedded as a verbatim DCTDecode JPEG in a PDF */
+  private def pdf(seed: Int): Array[Byte] =
+    PdfCodec.encodeImages(s"scan $seed",
+      Seq(("jpeg", 24, 16, JpegCodec.encodeGray(24, 16, gray(seed)))))
+
+  private def df(rows: (Long, Array[Byte])*): DataFrame =
+    rows.toDF("doc_id", "bin")
+
+  private def batchChain(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("content_key"))
+    Multimodal.scannedCorpusExtract(d)
+      .select(col("doc_id"), col("origin"), col("format"),
+        col("content_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"))
+  }
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, String, String, Long, Long)] =
+    d.select($"doc_id", $"origin", $"format", $"content_key",
+        $"canonical_id", $"n_dupes")
+      .as[(Long, String, String, String, Long, Long)].collect().toSet
+
+  private def newDir(): String = java.nio.file.Files
+    .createTempDirectory("sscancorpus").toString + "/state"
+
+  test("3-batch split equals the batch chain after every fold — " +
+    "cross-batch, cross-origin cluster election included") {
+    // JPEG gray values round-trip exactly only for even flat blocks;
+    // gray() spaces by 50 from an even base, so force even seeds' bases
+    val b0 = df(10L -> png(2), 11L -> png(4))
+    // batch 1: a scanned-PDF twin of seed 2 — lands in 10's cluster
+    val b1 = df(1000010L -> pdf(2), 13L -> png(6))
+    // batch 2: a SMALLER doc_id for seed 4 steals canonicality from 11
+    val b2 = df(2L -> png(4), 1000013L -> pdf(6))
+    val dir = newDir()
+    val sub = new StreamingScannedCorpus(dir)
+    val all = Seq(b0, b1, b2)
+    for ((b, i) <- all.zipWithIndex) {
+      sub.processBatch(b, i.toLong)
+      val expect = rowsOf(batchChain(all.take(i + 1).reduce(_ unionByName _)))
+      assert(rowsOf(sub.resolve(spark)) === expect, s"after batch $i")
+    }
+    val resolved = rowsOf(sub.resolve(spark))
+    // the PDF-embedded duplicate really did collapse into its file
+    // cluster, across batches and origins
+    val cluster2 = resolved.filter(_._4 ==
+      resolved.find(_._1 == 10L).get._4)
+    assert(cluster2.map(r => (r._1, r._2)) ===
+      Set((10L, "file"), (1000010L, "pdf")))
+    assert(cluster2.forall(_._6 == 2L))
+    // canonicality stolen by the later, smaller doc_id
+    assert(resolved.find(_._1 == 11L).get._5 === 2L)
+    // provenance survives the fold
+    assert(resolved.find(_._1 == 1000013L).get._2 === "pdf")
+  }
+
+  test("committed replays are no-ops and unrecognized payloads drop") {
+    val dir = newDir()
+    val sub = new StreamingScannedCorpus(dir)
+    sub.processBatch(df(1L -> png(8), 2L -> "junk".getBytes), 0L)
+    val once = rowsOf(sub.resolve(spark))
+    assert(once.map(_._1) === Set(1L)) // junk dropped, not clustered
+    sub.processBatch(df(1L -> png(8), 2L -> "junk".getBytes), 0L) // replay
+    assert(rowsOf(sub.resolve(spark)) === once)
+  }
+
+  test("stale stateDir/checkpoint pairing fails loudly at fold time") {
+    val dir = newDir()
+    val sub = new StreamingScannedCorpus(dir)
+    sub.processBatch(df(1L -> png(2)), 0L)
+    sub.processBatch(df(2L -> png(4)), 1L)
+    val e = intercept[IllegalStateException] {
+      new StreamingScannedCorpus(dir).processBatch(df(3L -> png(6)), 0L)
+    }
+    assert(e.getMessage.contains("stateDir"))
+  }
+}
