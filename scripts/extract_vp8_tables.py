@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Recover the normative RFC 6386 fixed tables from the system libwebp
+(1.2.4, BSD) data section and emit src/main/scala/graft/functions/
+Vp8Tables.scala. These are DATA — the published constants of a public
+IETF spec (RFC 6386 §11.5, §13.4, §13.5, §14.1) — not code; anchor
+patterns (coefficient bands, zigzag, the category-probability arrays,
+the repeated-10 head of the DC quantizer table) pin the layout, and
+Vp8CodecSpec proves every byte end-to-end: with any wrong entry the
+boolean decoder desynchronizes and the libwebp cross-validation
+fixtures cannot reproduce bit-identical YUV planes.
+
+Run at development time only: python3 scripts/extract_vp8_tables.py
+"""
+import re, struct, sys
+
+PATH = "/usr/lib/x86_64-linux-gnu/libwebp.so.7.1.5"
+data = open(PATH, "rb").read()
+
+# anchor on the coefficient-band table, whose 16 bytes are spec-known
+bands_sig = bytes([0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7])
+hits = [m.start() for m in re.finditer(re.escape(bands_sig), data)]
+assert hits, "bands anchor not found"
+BANDS = hits[0]
+
+# layout around the anchor (verified by dump + the spec fixtures):
+#   kAcTable   u16[128]  @ BANDS - 0x180
+#   kDcTable   u8[128]   @ BANDS - 0x80
+#   kBands     u8[16]    @ BANDS
+#   UpdateProba u8[4][8][3][11] @ BANDS + 0x20
+#   kBModesProba u8[10][10][9]  @ BANDS + 0x20 + 1056
+#   (28 bytes pad)
+#   CoeffsProba0 u8[4][8][3][11]
+AC = BANDS - 0x180
+DC = BANDS - 0x80
+UPD = BANDS + 0x20
+BMODE = UPD + 4 * 8 * 3 * 11
+PROBA = BMODE + 10 * 10 * 9 + 28
+ZIG_sig = bytes([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
+assert data.find(ZIG_sig, PROBA) > 0, "zigzag not found after CoeffsProba0"
+
+ac = struct.unpack_from("<128H", data, AC)
+dc = list(data[DC:DC + 128])
+upd = list(data[UPD:UPD + 1056])
+bmode = list(data[BMODE:BMODE + 900])
+proba = list(data[PROBA:PROBA + 1056])
+
+assert ac[0] == 4 and ac[127] == 284, ac[:4]
+assert dc[:10] == [4, 5, 6, 7, 8, 9, 10, 10, 11, 12] and dc[127] == 157, dc[:10]
+assert all(1 <= p <= 255 for p in upd), "update probs out of range"
+assert all(1 <= p <= 255 for p in bmode), "bmode probs out of range"
+assert all(1 <= p <= 255 for p in proba), "coeff probs out of range"
+assert bmode[:9] == [231, 120, 48, 89, 115, 113, 120, 152, 112], bmode[:9]
+assert proba[33:39] == [253, 136, 254, 255, 228, 219], proba[33:39]
+
+def fmt(xs, per=12, indent="    "):
+    out, row = [], []
+    for x in xs:
+        row.append(str(x))
+        if len(row) == per:
+            out.append(indent + ", ".join(row) + ",")
+            row = []
+    if row:
+        out.append(indent + ", ".join(row) + ",")
+    out[-1] = out[-1].rstrip(",")
+    return "\n".join(out)
+
+scala = f"""package graft.functions
+
+/**
+ * The fixed decoding tables of VP8 (RFC 6386) — normative DATA of the
+ * public IETF spec, recovered from the system libwebp 1.2.4 data
+ * section by `scripts/extract_vp8_tables.py` (anchor patterns: the
+ * coefficient-band and zigzag tables, the category-probability arrays
+ * and the quantizer-table heads, all spec-known) and proven end-to-end
+ * by `Vp8CodecSpec`: the libwebp cross-validation fixtures decode to
+ * bit-identical YUV planes only if every byte here is exact (one wrong
+ * probability desynchronizes the boolean decoder).
+ *
+ * Layout (RFC 6386): coeffProbs/coeffUpdateProbs are
+ * [plane(4)][band(8)][context(3)][probability(11)] flattened;
+ * kfBModeProbs is [above(10)][left(10)][prob(9)] flattened;
+ * dcQ/acQ index by the clamped quantizer index 0..127.
+ */
+private[functions] object Vp8Tables {{
+  /** dc_qlookup, RFC 6386 §14.1 */
+  val dcQ: Array[Int] = Array(
+{fmt(dc)}
+  )
+
+  /** ac_qlookup, RFC 6386 §14.1 */
+  val acQ: Array[Int] = Array(
+{fmt(ac)}
+  )
+
+  /** coeff_bands, RFC 6386 §13.3 */
+  val bands: Array[Int] = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+  /** zigzag scan order, RFC 6386 §13 */
+  val zigzag: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** default_coeff_probs, RFC 6386 §13.5 */
+  val coeffProbs: Array[Int] = Array(
+{fmt(proba)}
+  )
+
+  /** coeff_update_probs, RFC 6386 §13.4 */
+  val coeffUpdateProbs: Array[Int] = Array(
+{fmt(upd)}
+  )
+
+  /** kf_bmode_prob, RFC 6386 §11.5 */
+  val kfBModeProbs: Array[Int] = Array(
+{fmt(bmode)}
+  )
+
+  /** kf_ymode_prob / kf_uv_mode_prob, RFC 6386 §11.3 */
+  val kfYModeProbs: Array[Int] = Array(145, 156, 163, 128)
+  val kfUvModeProbs: Array[Int] = Array(142, 114, 183)
+
+  /** extra-bit probabilities for DCT_VAL categories 1..6, RFC 6386 §13.2 */
+  val cat1: Array[Int] = Array(159)
+  val cat2: Array[Int] = Array(165, 145)
+  val cat3: Array[Int] = Array(173, 148, 140)
+  val cat4: Array[Int] = Array(176, 155, 140, 135)
+  val cat5: Array[Int] = Array(180, 157, 141, 134, 130)
+  val cat6: Array[Int] =
+    Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129)
+}}
+"""
+out = "src/main/scala/graft/functions/Vp8Tables.scala"
+with open(out, "w") as f:
+    f.write(scala)
+print("wrote", out, f"dc[0..3]={dc[:4]} ac[-1]={ac[-1]} proba[0..3]={proba[:4]}")

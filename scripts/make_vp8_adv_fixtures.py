@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Advanced-config companion of make_vp8_fixtures.py: drives libwebp's
+WebPEncode with explicit WebPConfig fields the simple API cannot reach —
+the SIMPLE loop filter, eight token partitions, nonzero sharpness,
+single-segment coding, extreme methods — so those decoder paths are
+cross-validated on real encoder output too. Same artifact layout:
+<name>.webp + <name>.yuv under src/test/resources/vp8."""
+import ctypes, os, struct
+
+lib = ctypes.CDLL("libwebp.so.7")
+lib.WebPConfigInitInternal.restype = ctypes.c_int
+lib.WebPPictureInitInternal.restype = ctypes.c_int
+lib.WebPPictureImportRGB.restype = ctypes.c_int
+lib.WebPEncode.restype = ctypes.c_int
+lib.WebPValidateConfig.restype = ctypes.c_int
+lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+lib.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int)]
+
+CFG = {  # WebPConfig int/float field offsets (encode.h, 1.2.x layout)
+    "lossless": (0, "i"), "quality": (4, "f"), "method": (8, "i"),
+    "segments": (24, "i"), "sns_strength": (28, "i"),
+    "filter_strength": (32, "i"), "filter_sharpness": (36, "i"),
+    "filter_type": (40, "i"), "autofilter": (44, "i"),
+    "pass": (60, "i"), "partitions": (72, "i"),
+    "partition_limit": (76, "i"),
+}
+PIC_W, PIC_H, PIC_WRITER, PIC_CUSTOM = 8, 12, 96, 104
+
+
+def enc_abi():
+    for v in (0x020f, 0x020e, 0x0210, 0x020d):
+        buf = ctypes.create_string_buffer(512)
+        if lib.WebPConfigInitInternal(buf, 0, ctypes.c_float(75.0), v):
+            return v
+    raise SystemExit("no encoder ABI accepted")
+
+
+ABI = enc_abi()
+
+
+def encode(rgb, w, h, opts):
+    cfg = ctypes.create_string_buffer(512)
+    assert lib.WebPConfigInitInternal(cfg, 0, ctypes.c_float(
+        opts.get("quality", 75.0)), ABI)
+    for k, v in opts.items():
+        off, kind = CFG[k]
+        struct.pack_into("<" + kind, cfg, off,
+                         v if kind == "i" else float(v))
+    assert lib.WebPValidateConfig(cfg), f"invalid config {opts}"
+    pic = ctypes.create_string_buffer(512)
+    assert lib.WebPPictureInitInternal(pic, ABI)
+    struct.pack_into("<i", pic, PIC_W, w)
+    struct.pack_into("<i", pic, PIC_H, h)
+    assert lib.WebPPictureImportRGB(pic, rgb, w * 3), "import failed"
+    wr = ctypes.create_string_buffer(64)
+    lib.WebPMemoryWriterInit(wr)
+    struct.pack_into("<Q", pic, PIC_WRITER,
+                     ctypes.cast(lib.WebPMemoryWrite, ctypes.c_void_p).value)
+    struct.pack_into("<Q", pic, PIC_CUSTOM, ctypes.addressof(wr))
+    ok = lib.WebPEncode(cfg, pic)
+    lib.WebPPictureFree(pic)
+    assert ok, f"encode failed for {opts}"
+    mem, size = struct.unpack_from("<QQ", wr, 0)
+    data = bytes(bytearray(ctypes.cast(
+        mem, ctypes.POINTER(ctypes.c_ubyte))[:size]))
+    lib.WebPMemoryWriterClear(wr)
+    return data
+
+
+def decode_yuv(data):
+    w = ctypes.c_int(); h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)(); v = ctypes.POINTER(ctypes.c_ubyte)()
+    stride = ctypes.c_int(); uv_stride = ctypes.c_int()
+    y = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(u), ctypes.byref(v),
+                          ctypes.byref(stride), ctypes.byref(uv_stride))
+    assert y, "decode failed"
+    W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    yp = b"".join(bytes(bytearray(y[r * S:r * S + W])) for r in range(H))
+    up = b"".join(bytes(bytearray(u[r * US:r * US + cw])) for r in range(ch))
+    vp = b"".join(bytes(bytearray(v[r * US:r * US + cw])) for r in range(ch))
+    lib.WebPFree(y)
+    return W, H, yp, up, vp
+
+
+def content(w, h, seed):
+    px = bytearray(w * h * 3)
+    s = seed
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            s = (s * 1103515245 + 12345) & 0xffffffff
+            if (x // 8 + y // 8) % 2 == 0:
+                v = (x * 5 + y * 11 + seed * 31) % 256
+                px[i] = v; px[i + 1] = (v + 60) % 256; px[i + 2] = (255 - v)
+            else:
+                px[i] = (s >> 16) & 0xff
+                px[i + 1] = (s >> 8) & 0xff
+                px[i + 2] = s & 0xff
+    return bytes(px)
+
+
+CASES = [
+    ("adv_simplefilter_64x48", 64, 48, 11,
+     {"filter_type": 0, "autofilter": 0, "filter_strength": 40,
+      "quality": 70.0}),
+    ("adv_8partitions_96x80", 96, 80, 12,
+     {"partitions": 3, "quality": 55.0}),
+    ("adv_sharpness_48x48", 48, 48, 13,
+     {"filter_sharpness": 5, "filter_strength": 60, "autofilter": 0,
+      "quality": 40.0}),
+    ("adv_1segment_m0_64x32", 64, 32, 14,
+     {"segments": 1, "method": 0, "quality": 65.0}),
+    ("adv_4segments_m6_64x64", 64, 64, 15,
+     {"segments": 4, "method": 6, "quality": 25.0, "sns_strength": 90}),
+    ("adv_q100_32x32", 32, 32, 16, {"quality": 100.0}),
+    ("adv_1x1", 1, 1, 17, {"quality": 75.0}),
+]
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "src", "test", "resources", "vp8")
+for name, w, h, seed, opts in CASES:
+    rgb = content(w, h, seed)
+    webp = encode(rgb, w, h, opts)
+    W, H, yp, up, vp = decode_yuv(webp)
+    assert (W, H) == (w, h), (name, W, H)
+    with open(os.path.join(OUT, name + ".webp"), "wb") as f:
+        f.write(webp)
+    with open(os.path.join(OUT, name + ".yuv"), "wb") as f:
+        f.write(struct.pack(">II", W, H))
+        f.write(yp); f.write(up); f.write(vp)
+    print(name, len(webp), "bytes")
+print("done")

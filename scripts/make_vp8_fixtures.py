@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Generate VP8 (WebP-lossy) cross-validation fixtures from the system
+libwebp (1.2.4, BSD-licensed), the same discipline as the TIFF codec's
+ImageIO cross-validation: encode deterministic RGB content with the REAL
+encoder, capture the decoder-normative YUV 4:2:0 planes via
+WebPDecodeYUV, and store both. Vp8CodecSpec then decodes the .webp bytes
+with the repo's own decoder and must reproduce the planes bit-for-bit
+(RFC 6386 decoding is bit-exact normative, loop filter included).
+
+Run at development time only (the test JVM never links libwebp):
+    python3 scripts/make_vp8_fixtures.py
+writes src/test/resources/vp8/<name>.webp + <name>.yuv where the .yuv
+layout is: 4-byte big-endian width, height, then the Y plane (w*h),
+U plane (ceil(w/2)*ceil(h/2)), V plane (same) — crop-sized, row-packed.
+"""
+import ctypes, os, struct
+
+lib = ctypes.CDLL("libwebp.so.7")
+lib.WebPEncodeRGB.restype = ctypes.c_size_t
+lib.WebPEncodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_float,
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+lib.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int)]
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "src", "test", "resources", "vp8")
+os.makedirs(OUT, exist_ok=True)
+
+
+def lcg(seed):
+    s = seed & 0xffffffff
+    while True:
+        s = (s * 1103515245 + 12345) & 0xffffffff
+        yield (s >> 16) & 0xff
+
+
+def content(w, h, seed, kind):
+    """deterministic RGB content exercising distinct predictor mixes"""
+    g = lcg(seed)
+    px = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            if kind == "gradient":        # smooth — large-mode friendly
+                px[i] = (x * 255 // max(w - 1, 1))
+                px[i + 1] = (y * 255 // max(h - 1, 1))
+                px[i + 2] = ((x + y) * 255 // max(w + h - 2, 1))
+            elif kind == "blocks":        # sharp 8px blocks — B_PRED heavy
+                v = ((x // 8) * 73 + (y // 8) * 151 + seed) % 256
+                px[i] = px[i + 1] = px[i + 2] = v
+            elif kind == "noise":         # dense detail — token stress
+                px[i] = next(g); px[i + 1] = next(g); px[i + 2] = next(g)
+            else:                         # mixed
+                if (x // 16 + y // 16) % 2 == 0:
+                    v = (x * 7 + y * 13 + seed) % 256
+                    px[i] = px[i + 1] = px[i + 2] = v
+                else:
+                    px[i] = next(g); px[i + 1] = next(g); px[i + 2] = next(g)
+    return bytes(px)
+
+
+def encode(rgb, w, h, q):
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.WebPEncodeRGB(rgb, w, h, w * 3, ctypes.c_float(q),
+                          ctypes.byref(out))
+    assert n > 0, "WebPEncodeRGB failed"
+    data = bytes(bytearray(out[:n]))
+    lib.WebPFree(out)
+    return data
+
+
+def decode_yuv(data):
+    w = ctypes.c_int(); h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)(); v = ctypes.POINTER(ctypes.c_ubyte)()
+    stride = ctypes.c_int(); uv_stride = ctypes.c_int()
+    y = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(u), ctypes.byref(v),
+                          ctypes.byref(stride), ctypes.byref(uv_stride))
+    assert y, "WebPDecodeYUV failed"
+    W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    yp = b"".join(bytes(bytearray(y[r * S:r * S + W])) for r in range(H))
+    up = b"".join(bytes(bytearray(u[r * US:r * US + cw])) for r in range(ch))
+    vp = b"".join(bytes(bytearray(v[r * US:r * US + cw])) for r in range(ch))
+    lib.WebPFree(y)
+    return W, H, yp, up, vp
+
+
+CASES = [
+    ("grad_16x16_q75", 16, 16, 1, "gradient", 75),
+    ("grad_64x48_q50", 64, 48, 2, "gradient", 50),
+    ("blocks_24x16_q75", 24, 16, 3, "blocks", 75),
+    ("blocks_48x32_q95", 48, 32, 4, "blocks", 95),
+    ("noise_33x17_q50", 33, 17, 5, "noise", 50),
+    ("noise_64x48_q10", 64, 48, 6, "noise", 10),
+    ("mixed_80x64_q75", 80, 64, 7, "mixed", 75),
+    ("mixed_33x33_q30", 33, 33, 8, "mixed", 30),
+    ("grad_5x3_q75", 5, 3, 9, "gradient", 75),
+    ("blocks_160x112_q60", 160, 112, 10, "blocks", 60),
+]
+
+for name, w, h, seed, kind, q in CASES:
+    rgb = content(w, h, seed, kind)
+    webp = encode(rgb, w, h, q)
+    W, H, yp, up, vp = decode_yuv(webp)
+    assert (W, H) == (w, h)
+    with open(os.path.join(OUT, name + ".webp"), "wb") as f:
+        f.write(webp)
+    with open(os.path.join(OUT, name + ".yuv"), "wb") as f:
+        f.write(struct.pack(">II", W, H))
+        f.write(yp); f.write(up); f.write(vp)
+    print(f"{name}: {len(webp)} webp bytes, planes {len(yp)}+{len(up)}+{len(vp)}")
+print("done ->", OUT)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-time bisect tool: decode the vp8 fixtures with libwebp's advanced
+API and bypass_filtering=1, writing <name>.nofilter.yuv beside each
+fixture (same layout as the .yuv ground truth). Lets the repo decoder's
+reconstruction and loop filter be validated independently."""
+import ctypes, os, struct, sys
+
+lib = ctypes.CDLL("libwebp.so.7")
+
+CFG_SIZE = 512
+OFF_OUTPUT = 40          # WebPDecBuffer after WebPBitstreamFeatures
+OFF_COLORSPACE = OFF_OUTPUT + 0
+OFF_Y_PTR = OFF_OUTPUT + 16
+OFF_U_PTR = OFF_OUTPUT + 24
+OFF_V_PTR = OFF_OUTPUT + 32
+OFF_Y_STRIDE = OFF_OUTPUT + 48
+OFF_U_STRIDE = OFF_OUTPUT + 52
+OFF_V_STRIDE = OFF_OUTPUT + 56
+OFF_OPTIONS = OFF_OUTPUT + 120
+MODE_YUV = 11
+
+lib.WebPInitDecoderConfigInternal.restype = ctypes.c_int
+lib.WebPDecode.restype = ctypes.c_int
+
+
+def abi_version():
+    for v in (0x0209, 0x0208, 0x0210, 0x020a, 0x0207):
+        buf = ctypes.create_string_buffer(CFG_SIZE)
+        if lib.WebPInitDecoderConfigInternal(buf, v):
+            return v
+    raise SystemExit("no WebP decoder ABI version accepted")
+
+
+ABI = abi_version()
+
+
+def decode_nofilter(data, w, h):
+    buf = ctypes.create_string_buffer(CFG_SIZE)
+    assert lib.WebPInitDecoderConfigInternal(buf, ABI)
+    struct.pack_into("<i", buf, OFF_COLORSPACE, MODE_YUV)
+    struct.pack_into("<i", buf, OFF_OPTIONS, 1)  # bypass_filtering
+    rc = lib.WebPDecode(data, len(data), buf)
+    assert rc == 0, f"WebPDecode rc={rc}"
+    yp = ctypes.cast(struct.unpack_from("<Q", buf, OFF_Y_PTR)[0],
+                     ctypes.POINTER(ctypes.c_ubyte))
+    up = ctypes.cast(struct.unpack_from("<Q", buf, OFF_U_PTR)[0],
+                     ctypes.POINTER(ctypes.c_ubyte))
+    vp = ctypes.cast(struct.unpack_from("<Q", buf, OFF_V_PTR)[0],
+                     ctypes.POINTER(ctypes.c_ubyte))
+    ys = struct.unpack_from("<i", buf, OFF_Y_STRIDE)[0]
+    us = struct.unpack_from("<i", buf, OFF_U_STRIDE)[0]
+    vs = struct.unpack_from("<i", buf, OFF_V_STRIDE)[0]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = b"".join(bytes(bytearray(yp[r * ys:r * ys + w])) for r in range(h))
+    u = b"".join(bytes(bytearray(up[r * us:r * us + cw])) for r in range(ch))
+    v = b"".join(bytes(bytearray(vp[r * vs:r * vs + cw])) for r in range(ch))
+    lib.WebPFreeDecBuffer(ctypes.byref(buf, OFF_OUTPUT))
+    return y, u, v
+
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "src", "test", "resources", "vp8")
+for f in sorted(os.listdir(OUT)):
+    if not f.endswith(".webp"):
+        continue
+    name = f[:-5]
+    data = open(os.path.join(OUT, f), "rb").read()
+    w, h = struct.unpack(">II", open(os.path.join(OUT, name + ".yuv"),
+                                     "rb").read(8))
+    y, u, v = decode_nofilter(data, w, h)
+    with open(os.path.join(OUT, name + ".nofilter.yuv"), "wb") as out:
+        out.write(struct.pack(">II", w, h))
+        out.write(y); out.write(u); out.write(v)
+    print(name, "ok")

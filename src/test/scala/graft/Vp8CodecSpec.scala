@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Vp8Codec
+
+/**
+ * VP8 (WebP-lossy) decoder validation.
+ *
+ * The load-bearing suite is the libwebp cross-validation (the TIFF
+ * codec's ImageIO discipline): `scripts/make_vp8_fixtures.py` encoded
+ * deterministic content with the REAL system libwebp across sizes,
+ * content shapes and quality levels, and captured the decoder-normative
+ * YUV 4:2:0 planes via WebPDecodeYUV. RFC 6386 decoding is bit-exact
+ * normative — the repo decoder must reproduce every plane byte for
+ * byte, loop filter, segmentation, probability updates and all.
+ */
+class Vp8CodecSpec extends AnyFunSuite {
+
+  private val res = "src/test/resources/vp8"
+
+  private def fixture(name: String): (Array[Byte], Int, Int,
+      Array[Byte], Array[Byte], Array[Byte]) = {
+    val webp = Files.readAllBytes(Paths.get(res, name + ".webp"))
+    val yuv = Files.readAllBytes(Paths.get(res, name + ".yuv"))
+    val bb = java.nio.ByteBuffer.wrap(yuv)
+    val w = bb.getInt(); val h = bb.getInt()
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val y = new Array[Byte](w * h)
+    val u = new Array[Byte](cw * ch)
+    val v = new Array[Byte](cw * ch)
+    bb.get(y); bb.get(u); bb.get(v)
+    (webp, w, h, y, u, v)
+  }
+
+  /** the VP8 chunk payload inside the RIFF container */
+  private def vp8Payload(webp: Array[Byte]): (Array[Byte], Int, Int) = {
+    assert(new String(webp, 0, 4, "ISO-8859-1") == "RIFF")
+    assert(new String(webp, 8, 4, "ISO-8859-1") == "WEBP")
+    assert(new String(webp, 12, 4, "ISO-8859-1") == "VP8 ")
+    val size = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
+      ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
+    (webp, 20, size)
+  }
+
+  private val names = Seq(
+    "grad_16x16_q75", "grad_64x48_q50", "blocks_24x16_q75",
+    "blocks_48x32_q95", "noise_33x17_q50", "noise_64x48_q10",
+    "mixed_80x64_q75", "mixed_33x33_q30", "grad_5x3_q75",
+    "blocks_160x112_q60",
+    // advanced-config cases (make_vp8_adv_fixtures.py): the SIMPLE loop
+    // filter, eight token partitions, nonzero sharpness, single-segment
+    // and four-segment extremes, q100, 1x1
+    "adv_simplefilter_64x48", "adv_8partitions_96x80",
+    "adv_sharpness_48x48", "adv_1segment_m0_64x32",
+    "adv_4segments_m6_64x64", "adv_q100_32x32", "adv_1x1")
+
+  for (name <- names)
+    test(s"libwebp cross-validation: $name decodes to bit-identical " +
+      "YUV planes") {
+      val (webp, w, h, ey, eu, ev) = fixture(name)
+      val (buf, off, len) = vp8Payload(webp)
+      val img = Vp8Codec.decode(buf, off, len)
+      assert(img.width === w && img.height === h)
+      def diff(got: Array[Byte], want: Array[Byte], plane: String): Unit = {
+        assert(got.length === want.length, s"$plane size")
+        val bad = got.indices.filter(i => got(i) != want(i))
+        val clue = if (bad.isEmpty) "" else
+          s"$plane: ${bad.size}/${got.length} bytes differ, first at " +
+            s"${bad.head}: got ${got(bad.head) & 0xff} want " +
+            s"${want(bad.head) & 0xff}"
+        assert(bad.isEmpty, clue)
+      }
+      diff(img.y, ey, "Y")
+      diff(img.u, eu, "U")
+      diff(img.v, ev, "V")
+    }
+
+  private def payloadOf(name: String): Array[Byte] = {
+    val webp = Files.readAllBytes(Paths.get(res, name + ".webp"))
+    webp.slice(20, webp.length)
+  }
+
+  test("hostile: truncated frames, bad start codes, interframes and " +
+    "oversized dimensions reject loudly inside the vp8: contract") {
+    val good = payloadOf("grad_16x16_q75")
+    def rejects(b: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](Vp8Codec.decode(b))
+      assert(e.getMessage.startsWith("vp8:"), s"$what: ${e.getMessage}")
+    }
+    rejects(good.take(7), "7-byte stub")
+    val inter = good.clone(); inter(0) = (inter(0) | 1).toByte
+    rejects(inter, "interframe flag")
+    val badStart = good.clone(); badStart(3) = 0x00
+    rejects(badStart, "start code")
+    val huge = good.clone() // 16383x16383 > pixel bound
+    huge(6) = 0xff.toByte; huge(7) = 0x3f.toByte
+    huge(8) = 0xff.toByte; huge(9) = 0x3f.toByte
+    rejects(huge, "oversized dimensions")
+    // first-partition length overrunning the payload
+    val overrun = good.clone()
+    overrun(1) = 0xff.toByte; overrun(2) = 0xff.toByte
+    rejects(overrun, "first partition overrun")
+  }
+
+  test("hostile: a token-partition cut mid-frame still terminates " +
+    "(virtual trailing zeros), bounded by the macroblock count") {
+    val good = payloadOf("blocks_48x32_q95")
+    // keep the headers (first partition) but halve the token partition
+    val cut = good.take(good.length - (good.length / 4))
+    val img = Vp8Codec.decode(cut) // must not throw or spin
+    assert(img.width === 48 && img.height === 32)
+  }
+}
