@@ -157,10 +157,12 @@ object SparkEntry {
    * one opaque binary per document — a PNG, an EXIF-rotated JPEG
    * (alternating baseline and progressive encodings by doc_id % 2), a
    * GIF, a WebP-lossless (VP8L coded shape rotating through all five
-   * transform paths) or a TIFF (compression rotating none/LZW/PackBits)
-   * by doc_id % 5, content keyed by doc_id % 100 so duplicate clusters
-   * span ALL FIVE formats, rotations, JPEG coding modes and VP8L
-   * transforms. The stored
+   * transform paths), a TIFF (compression rotating none/LZW/PackBits)
+   * or a LOSSY WebP (a real VP8 keyframe — exact by the DC-only
+   * quantizer-0 construction, i16/b4 shapes rotating) by doc_id % 6,
+   * content keyed by doc_id % 100 so duplicate clusters span ALL SIX
+   * coded forms, rotations, JPEG coding modes and VP8L transforms. The
+   * stored
    * JPEG pixels are the upright content PRE-rotated by the INVERSE
    * orientation, so EXIF normalization recovers them exactly; flat even
    * blocks keep every codec lossless (the oracle replays the upright
@@ -192,7 +194,7 @@ object SparkEntry {
     import graft.functions.TiffFunctions._
     val seed = (col("doc_id") % 100).cast("string")
     val upHex = uprightImageHex(seed)
-    val f = col("doc_id") % 5
+    val f = col("doc_id") % 6
     val o = (lit(1) + col("doc_id") % 8).cast("int")
     val invO = when(o === 6, lit(8)).when(o === 8, lit(6))
       .otherwise(o).cast("int")
@@ -219,8 +221,15 @@ object SparkEntry {
         .when(col("doc_id") % 3 === 1, lit(5)).otherwise(lit(32773))
         .cast("int"),
       col("doc_id") % 2 === 0)
+    // LOSSY WebP sixth: a real VP8 keyframe whose DC-only quantizer-0
+    // construction round-trips exactly, so the cross-format content key
+    // still collapses ('flat' would erase content — i16/b4 only here)
+    val lossyBin = webp_encode_gray_lossy(lit(24), lit(16), unhex(upHex),
+      element_at(array(lit("i16"), lit("b4")),
+        (expr("doc_id DIV 6") % 2 + 1).cast("int")))
     val bin = when(f === 0, pngBin).when(f === 1, jpgBin)
-      .when(f === 2, gifBin).when(f === 3, webpBin).otherwise(tiffBin)
+      .when(f === 2, gifBin).when(f === 3, webpBin)
+      .when(f === 4, tiffBin).otherwise(lossyBin)
     t(s, dir, "documents").select(col("doc_id"), bin.as("bin"))
   }
 
@@ -2511,9 +2520,10 @@ object SparkEntry {
            JOIN hexmap m4 ON d.c4 = m4.hx
            JOIN hexmap m5 ON d.c5 = m5.hx),
          st AS (SELECT doc_id,
-             CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'png'
+             CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'png'
                WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-               WHEN 3 THEN 'webp' ELSE 'tiff' END AS format,
+               WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff'
+               ELSE 'webp' END AS format,
              24 AS width, 16 AS height,
              repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
              repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)

@@ -676,6 +676,47 @@ private[graft] object MediaEntries {
     }),
 
 
+"mm_webp_lossy_roundtrip" -> ((s, dir) => {
+      // REAL VP8 (WebP-LOSSY) content decode: 24x16 gray images of six
+      // md5-derived flat blocks, the CODED SHAPE rotating by doc_id % 3
+      // through 16x16 intra modes (DC/V/H/TM, second-order WHT on the
+      // path) / B_PRED sub-modes (the no-Y2 token layout) / a flat
+      // image whose interior macroblocks code the SKIP flag. Lossy VP8
+      // round-trips EXACTLY here because the fixture encoder keeps
+      // DC-only residuals at quantizer 0 (Vp8Codec.encodeGrayLossy, the
+      // construction each `need` asserts), so the oracle rebuilds the
+      // tripled-RGB pixel hex arithmetically — while the DECODER is the
+      // full RFC 6386 keyframe decoder that Vp8CodecSpec cross-validates
+      // bit-exact against real libwebp output (which also accepts and
+      // exactly decodes these fixture files).
+      import graft.functions.WebpFunctions._
+      val hexes = (0 until 6).map { i =>
+        val byte = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("v" + i))), 1, 2),
+          16, 10).cast("int")
+        lower(lpad(hex(byte), 2, "0"))
+      }
+      val pxHex = concat(
+        repeat(concat(repeat(hexes(0), 8), repeat(hexes(1), 8),
+          repeat(hexes(2), 8)), 8),
+        repeat(concat(repeat(hexes(3), 8), repeat(hexes(4), 8),
+          repeat(hexes(5), 8)), 8))
+      val shape = element_at(
+        array(graft.functions.Vp8Codec.LossyShapes.map(lit): _*),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val dec = webp_decode(webp_encode_gray_lossy(lit(24), lit(16),
+        unhex(pxHex), shape))
+      // Generate barrier: three consumers, CodegenFallback encoder
+      t(s, dir, "documents")
+        .select(col("doc_id"), shape.as("shape"),
+          explode(array(dec)).as("d"))
+        .select(col("doc_id"), col("shape"),
+          col("d.width").as("width"),
+          col("d.height").as("height"),
+          lower(hex(col("d.pixels"))).as("px_hex"))
+    }),
+
+
 "mm_tiff_roundtrip" -> ((s, dir) => {
       // REAL TIFF content decode: 24x16 grayscale images of six
       // md5-derived flat blocks run through the full striped codec with
@@ -2080,6 +2121,34 @@ private[graft] object MediaEntries {
            repeat(repeat(h0, 24) || repeat(h1, 24) || repeat(h2, 24), 8) ||
            repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)
              AS px_hex
+         FROM d""",
+
+    // VP8 (lossy) round-trip: the fixture encoder's DC-only quantizer-0
+    // construction is exact, so the oracle rebuilds the tripled-RGB
+    // pixel hex arithmetically and replays the shape rotation — the
+    // 'flat' shape decodes to the first block byte everywhere (interior
+    // macroblocks ride the skip flag)
+
+"mm_webp_lossy_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v0'), 1, 2) AS h0,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 2) AS h1,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v2'), 1, 2) AS h2,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v3'), 1, 2) AS h3,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v4'), 1, 2) AS h4,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'v5'), 1, 2) AS h5
+           FROM documents)
+         SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'i16'
+             WHEN 1 THEN 'b4' ELSE 'flat' END AS shape,
+           24 AS width, 16 AS height,
+           CASE WHEN doc_id % 3 = 2 THEN repeat(h0, 1152)
+             ELSE
+               repeat(repeat(h0, 24) || repeat(h1, 24) ||
+                 repeat(h2, 24), 8) ||
+               repeat(repeat(h3, 24) || repeat(h4, 24) ||
+                 repeat(h5, 24), 8)
+           END AS px_hex
          FROM d""",
 
     // TIFF round-trip: all three compressions are lossless, so the oracle

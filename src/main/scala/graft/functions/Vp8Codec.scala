@@ -1067,4 +1067,568 @@ object Vp8Codec {
       my += 1
     }
   }
+
+  // ---- RGB front door -----------------------------------------------------
+
+  /** YUV 4:2:0 → interleaved RGB under the same full-range BT.601
+   * convention as [[JpegCodec]] (identity on gray: U=V=128 → R=G=B=Y),
+   * nearest-neighbor chroma upsampling. The conversion is the engine's
+   * documented contract for lossy WebP — YUV planes themselves are the
+   * spec-normative output (what `Vp8CodecSpec` cross-validates). */
+  def toRgb(img: Yuv): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val cw = (w + 1) / 2
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yy = img.y(y * w + x) & 0xff
+        val cb = (img.u((y / 2) * cw + x / 2) & 0xff) - 128
+        val cr = (img.v((y / 2) * cw + x / 2) & 0xff) - 128
+        val o = (y * w + x) * 3
+        def cl(v: Double): Byte = {
+          val r = Math.round(v).toInt
+          (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+        }
+        out(o) = cl(yy + 1.402 * cr)
+        out(o + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+        out(o + 2) = cl(yy + 1.772 * cb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- exact fixture encoder ----------------------------------------------
+
+  /** Coded shapes [[encodeGrayLossy]] rotates through (the [[WebpCodec]]
+   * fixture discipline): `i16` = 16x16 modes DC/V/H/TM rotating per MB
+   * (second-order WHT on the oracle path), `b4` = B_PRED with
+   * B_DC/B_TM sub-modes (the no-Y2 token layout), `flat` = uniform
+   * content whose interior MBs code the skip flag. */
+  val LossyShapes: Seq[String] = Seq("i16", "b4", "flat")
+
+  /** The boolean arithmetic ENCODER (RFC 6386 §7.1 shape): the exact
+   * inverse of [[BoolReader]], with ripple-carry into emitted bytes. */
+  private final class BoolWriter {
+    private var low = 0L
+    private var range = 255
+    private var count = -24
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var bytes = new scala.collection.mutable.ArrayBuffer[Int]()
+
+    def bool(prob: Int, bit: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit == 1) { low += split; range -= split }
+      else range = split
+      var shift = Integer.numberOfLeadingZeros(range) - 24
+      range <<= shift
+      count += shift
+      if (count >= 0) {
+        val offset = shift - count
+        if (((low << (offset - 1)) & 0x80000000L) != 0) {
+          // ripple the carry into already-emitted bytes
+          var x = bytes.length - 1
+          while (x >= 0 && bytes(x) == 0xff) { bytes(x) = 0; x -= 1 }
+          need(x >= 0, "carry out of stream head")
+          bytes(x) += 1
+        }
+        bytes += ((low >> (24 - offset)) & 0xff).toInt
+        low = (low << offset) & 0xffffff
+        shift = count
+        count -= 8
+      }
+      low <<= shift
+    }
+
+    def flag(bit: Int): Unit = bool(128, bit)
+
+    def literal(n: Int, v: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { flag((v >> i) & 1); i -= 1 }
+    }
+
+    /** tree-coded symbol: emit the path bits for leaf `value` */
+    def tree(t: Array[Int], probs: Array[Int], probOff: Int,
+             value: Int): Unit = {
+      def path(i: Int): Option[List[(Int, Int)]] = {
+        val l = t(i); val r = t(i + 1)
+        val viaL = if (l <= 0) { if (-l == value) Some(List((i, 0))) else None }
+          else path(l).map((i, 0) :: _)
+        viaL.orElse {
+          if (r <= 0) { if (-r == value) Some(List((i, 1))) else None }
+          else path(r).map((i, 1) :: _)
+        }
+      }
+      val p = path(0).getOrElse(fail(s"no tree path for $value"))
+      p.foreach { case (i, b) => bool(probs(probOff + (i >> 1)), b) }
+    }
+
+    def finish(): Array[Byte] = {
+      var i = 0
+      while (i < 32) { flag(0); i += 1 }
+      bytes.map(_.toByte).toArray
+    }
+  }
+
+  /** zigzag-walk one 4x4 of dequant LEVELS through the token writer.
+   * `first` and `planeType` as in the decoder; returns nonzero. */
+  private def writeBlock(bw: BoolWriter, probs: Array[Int], planeType: Int,
+                         ctx0: Int, first: Int,
+                         levels: Array[Int]): Boolean = {
+    var last = -1
+    var n = first
+    while (n < 16) { if (levels(zigzag(n)) != 0) last = n; n += 1 }
+    var ctx = ctx0
+    n = first
+    var prevZero = false
+    while (n <= (if (last < 0) first else last)) {
+      val p = (planeType * 8 + bands(n)) * 3 * 11 + ctx * 11
+      if (last < 0) { bw.bool(probs(p), 0); return false } // immediate EOB
+      if (!prevZero) bw.bool(probs(p), 1) // not EOB
+      val v = levels(zigzag(n))
+      if (v == 0) {
+        bw.bool(probs(p + 1), 0)
+        ctx = 0; prevZero = true
+      } else {
+        bw.bool(probs(p + 1), 1)
+        prevZero = false
+        val a = math.abs(v)
+        need(a <= 2048 + 66, s"level $a exceeds category 6")
+        if (a == 1) { bw.bool(probs(p + 2), 0); ctx = 1 }
+        else {
+          bw.bool(probs(p + 2), 1)
+          ctx = 2
+          def extra(base: Int, cat: Array[Int]): Unit = {
+            val e = a - base
+            var i = cat.length - 1
+            var k = 0
+            while (i >= 0) { bw.bool(cat(k), (e >> i) & 1); i -= 1; k += 1 }
+          }
+          if (a <= 4) {
+            bw.bool(probs(p + 3), 0)
+            if (a == 2) bw.bool(probs(p + 4), 0)
+            else { bw.bool(probs(p + 4), 1); bw.bool(probs(p + 5), a - 3) }
+          } else {
+            bw.bool(probs(p + 3), 1)
+            if (a <= 10) {
+              bw.bool(probs(p + 6), 0)
+              if (a <= 6) { bw.bool(probs(p + 7), 0); extra(5, cat1) }
+              else { bw.bool(probs(p + 7), 1); extra(7, cat2) }
+            } else {
+              bw.bool(probs(p + 6), 1)
+              if (a <= 34) {
+                bw.bool(probs(p + 8), 0)
+                if (a <= 18) { bw.bool(probs(p + 9), 0); extra(11, cat3) }
+                else { bw.bool(probs(p + 9), 1); extra(19, cat4) }
+              } else {
+                bw.bool(probs(p + 8), 1)
+                if (a <= 66) { bw.bool(probs(p + 10), 0); extra(35, cat5) }
+                else { bw.bool(probs(p + 10), 1); extra(67, cat6) }
+              }
+            }
+          }
+        }
+        bw.flag(if (v < 0) 1 else 0)
+      }
+      n += 1
+    }
+    if (last >= 0 && last < 15) {
+      // EOB terminator (never after a ZERO — trailing zeros are not
+      // emitted, the walk above stops at the last nonzero)
+      val p = (planeType * 8 + bands(last + 1)) * 3 * 11 + ctx * 11
+      bw.bool(probs(p), 0)
+    }
+    last >= 0
+  }
+
+  /** the Hadamard factor of the second-order transform (the inverse-WHT
+   * linear part is H·w·Hᵀ) */
+  private val WhtH: Array[Array[Int]] = Array(
+    Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+    Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+
+  /** Y2 LEVELS whose dequant (×8 at qi 0) inverse-WHTs to DC
+   * coefficients exactly 8·r — solves w = 4·Hᵀ·r·H and divides by the
+   * quantizer, asserting exactness at every step. */
+  private def y2Levels(r: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16) // Hᵀ·r
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var k = 0
+        while (k < 4) { s += WhtH(k)(i) * r(k * 4 + j); k += 1 }
+        t(i * 4 + j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val w = new Array[Int](16) // (Hᵀ·r)·H · 4
+    i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var k = 0
+        while (k < 4) { s += t(i * 4 + k) * WhtH(k)(j); k += 1 }
+        need(s * 4 % 8 == 0, s"y2 coefficient $s not quantizable")
+        w(i * 4 + j) = s * 4 / 8
+        j += 1
+      }
+      i += 1
+    }
+    w
+  }
+
+  /**
+   * Encode a gray image as a REAL lossy WebP (RIFF + `VP8 ` keyframe)
+   * that round-trips EXACTLY — the fixture-synthesis edge of the lossy
+   * codec (the [[WebpCodec.encodeGray]] discipline). Content must be
+   * flat per 4x4 block (the mm fixtures' 8x8 flat blocks qualify):
+   * DC-only residuals at quantizer index 0 make every
+   * quantize/dequantize step lossless, and each `need` asserts the
+   * exactness precondition instead of silently shipping a lossy file.
+   * Chroma is implicit 128 (gray → zero chroma residual against the
+   * 128 DC prediction). One token partition, default probabilities,
+   * filter level 0. The mode rotation derives from the content byte so
+   * all four 16x16 modes appear across a fixture corpus.
+   */
+  def encodeGrayLossy(w: Int, h: Int, gray: Array[Byte],
+                      shape: String): Array[Byte] = {
+    need(w > 0 && h > 0 && w <= 0x3fff && h <= 0x3fff, s"bad dims ${w}x$h")
+    need(w.toLong * h <= MaxPixels, s"${w}x$h exceeds pixel bound")
+    need(gray.length == w * h, s"gray length ${gray.length} != ${w * h}")
+    need(LossyShapes.contains(shape), s"unknown shape '$shape'")
+    val mbW = (w + 15) >> 4
+    val mbH = (h + 15) >> 4
+    val nMb = mbW * mbH
+    val yStride = mbW * 16
+    // pad by edge replication (keeps 4x4 blocks flat)
+    val plane = new Array[Int](yStride * mbH * 16)
+    var py = 0
+    while (py < mbH * 16) {
+      var px = 0
+      while (px < yStride) {
+        val v = if (shape == "flat") gray(0) & 0xff
+          else gray(math.min(py, h - 1) * w + math.min(px, w - 1)) & 0xff
+        plane(py * yStride + px) = v
+        px += 1
+      }
+      py += 1
+    }
+    var bby = 0
+    while (bby < mbH * 4) {
+      var bbx = 0
+      while (bbx < mbW * 4) {
+        val v0 = plane(bby * 4 * yStride + bbx * 4)
+        var i = 0
+        while (i < 16) {
+          need(plane((bby * 4 + i / 4) * yStride + bbx * 4 + i % 4) == v0,
+            s"4x4 block ($bbx,$bby) not flat — lossy exactness needs " +
+              "flat blocks")
+          i += 1
+        }
+        bbx += 4
+      }
+      bby += 4
+    }
+
+    // ---- pass 1: choose modes, simulate the decoder's reconstruction
+    val recon = new Array[Int](yStride * mbH * 16)
+    def rp(x: Int, yy: Int): Int =
+      if (yy < 0) 127 else if (x < 0) 129 else recon(yy * yStride + x)
+    val ymodes = new Array[Int](nMb)
+    val skips = new Array[Boolean](nMb)
+    val bmodes = Array.ofDim[Int](nMb, 16) // b4 sub-modes (0=DC, 1=TM)
+    val resid = Array.ofDim[Int](nMb, 16) // flat residual per 4x4
+    val rot = gray(0) & 3
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        val mi = my * mbW + mx
+        val x0 = mx * 16; val y0 = my * 16
+        val ym = shape match {
+          case "i16" => (mx + my + rot) % 4 // DC/V/H/TM
+          case "b4" => 4
+          case "flat" => 0
+        }
+        ymodes(mi) = ym
+        if (ym != 4) {
+          // prediction value for each 4x4 block (must be flat over it)
+          val predOf = new Array[Int](16)
+          ym match {
+            case 0 =>
+              var sum = 0; var n = 0
+              if (my > 0) {
+                var i = 0
+                while (i < 16) { sum += rp(x0 + i, y0 - 1); i += 1 }
+                n += 16
+              }
+              if (mx > 0) {
+                var i = 0
+                while (i < 16) { sum += rp(x0 - 1, y0 + i); i += 1 }
+                n += 16
+              }
+              val dc = if (n == 0) 128 else (sum + n / 2) / n
+              java.util.Arrays.fill(predOf, dc)
+            case 1 =>
+              var b = 0
+              while (b < 16) {
+                val c0 = (b & 3) * 4
+                val vv = rp(x0 + c0, y0 - 1)
+                var i = 1
+                while (i < 4) {
+                  need(rp(x0 + c0 + i, y0 - 1) == vv,
+                    "V_PRED above row not flat over 4x4")
+                  i += 1
+                }
+                predOf(b) = vv
+                b += 1
+              }
+            case 2 =>
+              var b = 0
+              while (b < 16) {
+                val r0 = (b >> 2) * 4
+                val vv = rp(x0 - 1, y0 + r0)
+                var i = 1
+                while (i < 4) {
+                  need(rp(x0 - 1, y0 + r0 + i) == vv,
+                    "H_PRED left column not flat over 4x4")
+                  i += 1
+                }
+                predOf(b) = vv
+                b += 1
+              }
+            case 3 =>
+              val p = rp(x0 - 1, y0 - 1)
+              var b = 0
+              while (b < 16) {
+                val r0 = (b >> 2) * 4; val c0 = (b & 3) * 4
+                val vv = clip255(rp(x0 - 1, y0 + r0) + rp(x0 + c0, y0 - 1) - p)
+                var i = 0
+                while (i < 16) {
+                  need(clip255(rp(x0 - 1, y0 + r0 + i / 4) +
+                    rp(x0 + c0 + i % 4, y0 - 1) - p) == vv,
+                    "TM_PRED not flat over 4x4")
+                  i += 1
+                }
+                predOf(b) = vv
+                b += 1
+              }
+          }
+          var allZero = true
+          var b = 0
+          while (b < 16) {
+            resid(mi)(b) =
+              plane((y0 + (b >> 2) * 4) * yStride + x0 + (b & 3) * 4) -
+                predOf(b)
+            if (resid(mi)(b) != 0) allZero = false
+            b += 1
+          }
+          skips(mi) = allZero
+          var r = 0
+          while (r < 16) {
+            var c = 0
+            while (c < 16) {
+              val b2 = (r / 4) * 4 + c / 4
+              recon((y0 + r) * yStride + x0 + c) =
+                clip255(predOf(b2) + resid(mi)(b2))
+              c += 1
+            }
+            r += 1
+          }
+        } else {
+          // B_PRED: B_TM where neighbors are flat on odd diagonals
+          // (keeps both sub-mode paths coded), else B_DC
+          var b = 0
+          while (b < 16) {
+            val br2 = b >> 2; val bc = b & 3
+            val bx = x0 + bc * 4; val byy = y0 + br2 * 4
+            val a = Array.tabulate(4)(i => rp(bx + i, byy - 1))
+            val l = Array.tabulate(4)(i => rp(bx - 1, byy + i))
+            val flat = a.forall(_ == a(0)) && l.forall(_ == l(0))
+            val useTm = (br2 + bc) % 2 == 1 && flat
+            val pv = if (useTm) clip255(l(0) + a(0) - rp(bx - 1, byy - 1))
+              else (a.sum + l.sum + 4) >> 3
+            bmodes(mi)(b) = if (useTm) 1 else 0
+            resid(mi)(b) = plane(byy * yStride + bx) - pv
+            var r = 0
+            while (r < 4) {
+              var c = 0
+              while (c < 4) {
+                recon((byy + r) * yStride + bx + c) =
+                  clip255(pv + resid(mi)(b))
+                c += 1
+              }
+              r += 1
+            }
+            b += 1
+          }
+          skips(mi) = resid(mi).forall(_ == 0)
+        }
+        // the DC-only round trip is exact: recon block == source block
+        var i = 0
+        while (i < 256) {
+          need(recon((y0 + i / 16) * yStride + x0 + i % 16) ==
+            plane((y0 + i / 16) * yStride + x0 + i % 16),
+            s"MB($mx,$my) does not round-trip (clipped residual?)")
+          i += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+
+    // ---- pass 2: first partition (header + prediction records)
+    val hw = new BoolWriter
+    hw.flag(0) // color_space
+    hw.flag(0) // clamping
+    hw.flag(0) // segmentation_enabled
+    hw.flag(0) // filter_type (normal)
+    hw.literal(6, 0) // filter_level 0
+    hw.literal(3, 0) // sharpness
+    hw.flag(0) // loop_filter_adj_enable
+    hw.literal(2, 0) // one token partition
+    hw.literal(7, 0) // y_ac_qi = 0
+    var i = 0
+    while (i < 5) { hw.flag(0); i += 1 } // no quantizer deltas
+    hw.flag(0) // refresh_entropy_probs
+    i = 0
+    while (i < 4 * 8 * 3 * 11) { // no probability updates
+      hw.bool(coeffUpdateProbs(i), 0)
+      i += 1
+    }
+    hw.flag(1) // mb_no_coeff_skip
+    hw.literal(8, 128) // prob_skip_false
+    val aboveB = new Array[Int](mbW * 4)
+    val leftB = new Array[Int](4)
+    my = 0
+    while (my < mbH) {
+      java.util.Arrays.fill(leftB, 0)
+      var mx = 0
+      while (mx < mbW) {
+        val mi = my * mbW + mx
+        hw.flag(if (skips(mi)) 1 else 0)
+        hw.tree(kfYModeTree, kfYModeProbs, 0, ymodes(mi))
+        if (ymodes(mi) == 4) {
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val above = if (r > 0) bmodes(mi)(sb - 4) else aboveB(mx * 4 + c)
+            val left = if (c > 0) bmodes(mi)(sb - 1) else leftB(r)
+            hw.tree(bModeTree, kfBModeProbs, (above * 10 + left) * 9,
+              bmodes(mi)(sb))
+            if (r == 3) aboveB(mx * 4 + c) = bmodes(mi)(sb)
+            if (c == 3) leftB(r) = bmodes(mi)(sb)
+            sb += 1
+          }
+        } else {
+          val bm = ymodeToB(ymodes(mi))
+          var k = 0
+          while (k < 4) { aboveB(mx * 4 + k) = bm; leftB(k) = bm; k += 1 }
+        }
+        hw.tree(uvModeTree, kfUvModeProbs, 0, 0) // chroma DC
+        mx += 1
+      }
+      my += 1
+    }
+    val part1 = hw.finish()
+
+    // ---- pass 3: the token partition
+    val tw = new BoolWriter
+    val aboveNz = new Array[Boolean](mbW * 9)
+    val leftNz = new Array[Boolean](9)
+    val zeroLv = new Array[Int](16)
+    my = 0
+    while (my < mbH) {
+      java.util.Arrays.fill(leftNz, false)
+      var mx = 0
+      while (mx < mbW) {
+        val mi = my * mbW + mx
+        val hasY2 = ymodes(mi) != 4
+        if (skips(mi)) {
+          var k = 0
+          while (k < 8) {
+            aboveNz(mx * 9 + k) = false; leftNz(k) = false; k += 1
+          }
+          if (hasY2) { aboveNz(mx * 9 + 8) = false; leftNz(8) = false }
+        } else {
+          if (hasY2) {
+            val lv = y2Levels(resid(mi))
+            val ctx = (if (aboveNz(mx * 9 + 8)) 1 else 0) +
+              (if (leftNz(8)) 1 else 0)
+            val nz = writeBlock(tw, coeffProbs, 1, ctx, 0, lv)
+            aboveNz(mx * 9 + 8) = nz; leftNz(8) = nz
+          }
+          val planeType = if (hasY2) 0 else 3
+          val first = if (hasY2) 1 else 0
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val lv = if (hasY2) zeroLv
+              else {
+                val a = new Array[Int](16)
+                val dq = resid(mi)(sb) * 8
+                need(dq % 4 == 0, "b4 DC not quantizable")
+                a(0) = dq / 4
+                a
+              }
+            val ctx = (if (aboveNz(mx * 9 + c)) 1 else 0) +
+              (if (leftNz(r)) 1 else 0)
+            val nz = writeBlock(tw, coeffProbs, planeType, ctx, first, lv)
+            aboveNz(mx * 9 + c) = nz; leftNz(r) = nz
+            sb += 1
+          }
+          var pl = 0
+          while (pl < 2) {
+            var cb = 0
+            while (cb < 4) {
+              val r = cb >> 1; val c = cb & 1
+              val base = 4 + pl * 2
+              val ctx = (if (aboveNz(mx * 9 + base + c)) 1 else 0) +
+                (if (leftNz(base + r)) 1 else 0)
+              val nz = writeBlock(tw, coeffProbs, 2, ctx, 0, zeroLv)
+              aboveNz(mx * 9 + base + c) = nz; leftNz(base + r) = nz
+              cb += 1
+            }
+            pl += 1
+          }
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val part2 = tw.finish()
+
+    // ---- assemble: 10-byte uncompressed header + partitions
+    val fps = part1.length
+    need(fps < (1 << 19), "first partition too large")
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(((fps << 5) | (1 << 4)) & 0xff) // keyframe, version 0, show
+    frame.write((fps >> 3) & 0xff)
+    frame.write((fps >> 11) & 0xff)
+    frame.write(0x9d); frame.write(0x01); frame.write(0x2a)
+    frame.write(w & 0xff); frame.write((w >> 8) & 0x3f)
+    frame.write(h & 0xff); frame.write((h >> 8) & 0x3f)
+    frame.write(part1)
+    frame.write(part2)
+    val payload = frame.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def ws(t: String): Unit = t.foreach(ch => out.write(ch.toInt))
+    val padded = payload.length + (payload.length & 1)
+    ws("RIFF"); w32(4 + 8 + padded); ws("WEBP")
+    ws("VP8 "); w32(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
 }

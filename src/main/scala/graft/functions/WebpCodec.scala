@@ -358,8 +358,17 @@ object WebpCodec {
       s.indices.forall(j => bytes(i + j) == s(j).toByte)
     need(tag(0, "RIFF") && tag(8, "WEBP"), "bad magic (want RIFF/WEBP)")
     need(bytes.length >= 20, "truncated chunk header")
-    if (tag(12, "VP8 ")) fail("lossy VP8 sample decode unsupported")
     if (tag(12, "VP8X")) fail("extended (VP8X) container unsupported")
+    if (tag(12, "VP8 ")) {
+      // lossy still image: one VP8 keyframe ([[Vp8Codec]]), RGB under
+      // the shared full-range BT.601 convention
+      val csize = (bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
+        ((bytes(18) & 0xff) << 16) | ((bytes(19) & 0xff) << 24)
+      need(csize >= 10 && 20L + csize <= bytes.length,
+        s"VP8 chunk size $csize overruns payload")
+      val yuv = Vp8Codec.decode(bytes, 20, csize)
+      return Image(yuv.width, yuv.height, Vp8Codec.toRgb(yuv))
+    }
     need(tag(12, "VP8L"), "first chunk is not VP8L")
     val csize = (bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
       ((bytes(18) & 0xff) << 16) | ((bytes(19) & 0xff) << 24)
@@ -808,6 +817,36 @@ case class WebpEncodeGrayExpr(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** `webp_encode_gray_lossy(int, int, binary, string)` → BINARY — the
+ * VP8 (lossy) fixture builder; the shape string selects the coded form
+ * (`i16`/`b4`/`flat`, [[Vp8Codec.LossyShapes]]). Flat-block content
+ * round-trips EXACTLY (DC-only at quantizer 0), so the oracle replays
+ * pixels from seed arithmetic like every lossless fixture. Encode is a
+ * synthesis edge — CodegenFallback is deliberate. */
+case class WebpEncodeGrayLossyExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(IntegerType, IntegerType, BinaryType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "webp_encode_gray_lossy requires (INT, INT, BINARY, STRING), " +
+          "got " + other.map(_.catalogString).mkString("(", ", ", ")"))
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Vp8Codec.encodeGrayLossy(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Array[Byte]],
+      vs(3).asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WebpEncodeGrayLossyExpr =
+    copy(children = newChildren)
+}
+
 object WebpFunctions {
   import org.apache.spark.sql.GraftShim
 
@@ -817,5 +856,10 @@ object WebpFunctions {
   def webp_encode_gray(w: Column, h: Column, gray: Column,
                        mode: Column): Column =
     GraftShim.column(WebpEncodeGrayExpr(Seq(w, h, gray, mode)
+      .map(GraftShim.expression)))
+
+  def webp_encode_gray_lossy(w: Column, h: Column, gray: Column,
+                             shape: Column): Column =
+    GraftShim.column(WebpEncodeGrayLossyExpr(Seq(w, h, gray, shape)
       .map(GraftShim.expression)))
 }

@@ -323,16 +323,18 @@ object Multimodal {
       jdec.getField("channels"),
       coalesce(exif_parse(bin).getField("orientation"), lit(1)))
     // one canonical RGB-hex form: gray JPEGs/TIFFs triple to match the
-    // RGB decoders (PNG, GIF, WebP-lossless deliver RGB); each branch
-    // gated on its sniffed format — a payload none of the five image
-    // codecs claims (bmp/lossy-or-extended-webp/audio/unknown) nulls out, and is
-    // dropped by the spread gate below instead of crashing the job with a
+    // RGB decoders (PNG, GIF, WebP deliver RGB); each branch gated on
+    // its sniffed format — a payload none of the image codecs claims
+    // (bmp/extended-webp/audio/unknown) nulls out, and is dropped by
+    // the spread gate below instead of crashing the job with a
     // misleading "gif: bad signature" from a catch-all otherwise branch
-    // media_header says "webp" for all three flavors; only lossless
-    // (VP8L fourcc) is pixel-decodable — lossy/extended payloads null
-    // out at the gate below instead of crashing the decode branch
-    val isVp8l = fmt === "webp" &&
-      hex(substring(bin, 13, 4)) === lit("5650384C")
+    // media_header says "webp" for all three flavors; lossless (VP8L
+    // fourcc) and lossy (`VP8 ` keyframe, [[graft.functions.Vp8Codec]])
+    // both pixel-decode through webp_decode — extended (VP8X) payloads
+    // null out at the gate below instead of crashing the decode branch
+    val isWebpCoded = fmt === "webp" &&
+      (hex(substring(bin, 13, 4)) === lit("5650384C") ||
+        hex(substring(bin, 13, 4)) === lit("56503820"))
     val wdec = webp_decode(bin) // RGB interleaved — already 3-channel
     val tdec = tiff_decode(bin) // channels 1 (gray) or 3 (RGB)
     val hex3 = when(fmt === "jpeg",
@@ -344,7 +346,7 @@ object Multimodal {
         lower(hex(png_decode(bin).getField("pixels"))))
       .when(fmt === "gif",
         lower(hex(gif_decode(bin).getField("pixels"))))
-      .when(isVp8l, lower(hex(wdec.getField("pixels"))))
+      .when(isWebpCoded, lower(hex(wdec.getField("pixels"))))
       .when(fmt === "tiff",
         when(tdec.getField("channels") === 1,
           regexp_replace(lower(hex(tdec.getField("pixels"))), "(..)",
@@ -353,12 +355,12 @@ object Multimodal {
     val w = when(fmt === "jpeg", jup.getField("width"))
       .when(fmt === "png", png_decode(bin).getField("width"))
       .when(fmt === "gif", gif_decode(bin).getField("width"))
-      .when(isVp8l, wdec.getField("width"))
+      .when(isWebpCoded, wdec.getField("width"))
       .when(fmt === "tiff", tdec.getField("width"))
     val h = when(fmt === "jpeg", jup.getField("height"))
       .when(fmt === "png", png_decode(bin).getField("height"))
       .when(fmt === "gif", gif_decode(bin).getField("height"))
-      .when(isVp8l, wdec.getField("height"))
+      .when(isWebpCoded, wdec.getField("height"))
       .when(fmt === "tiff", tdec.getField("height"))
     // sample the six 8x8-block corners at positions DERIVED from the
     // decoded geometry (x ∈ {0, w/3, 2w/3}, y ∈ {0, h/2}; 24x16 → the

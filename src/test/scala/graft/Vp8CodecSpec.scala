@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.Vp8Codec
+import graft.functions.{Vp8Codec, WebpCodec}
 
 /**
  * VP8 (WebP-lossy) decoder validation.
@@ -112,5 +112,59 @@ class Vp8CodecSpec extends AnyFunSuite {
     val cut = good.take(good.length - (good.length / 4))
     val img = Vp8Codec.decode(cut) // must not throw or spin
     assert(img.width === 48 && img.height === 32)
+  }
+
+  // ---- the exact fixture encoder (the oracle rows' synthesis edge) ----
+
+  private def flatBlocks(w: Int, h: Int, vals: Array[Int]): Array[Byte] =
+    Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      vals(((y / 8) * ((w + 7) / 8) + (x / 8)) % vals.length).toByte
+    }
+
+  test("encodeGrayLossy round-trips exactly through the full decoder " +
+    "for every coded shape (i16 modes + WHT, B_PRED, skip)") {
+    val gray = flatBlocks(24, 16, Array(40, 90, 140, 190, 240, 10))
+    for (shape <- Vp8Codec.LossyShapes) {
+      val webp = Vp8Codec.encodeGrayLossy(24, 16, gray, shape)
+      val dec = Vp8Codec.decode(webp, 20, webp.length - 20)
+      val expect =
+        if (shape == "flat") Array.fill(24 * 16)(gray(0)) else gray
+      assert(dec.width === 24 && dec.height === 16)
+      assert(dec.y.toSeq === expect.toSeq, shape)
+      assert(dec.u.forall(_ == 128.toByte) && dec.v.forall(_ == 128.toByte),
+        s"$shape chroma must decode to neutral 128")
+    }
+  }
+
+  test("encodeGrayLossy multi-row frames exercise H/TM 16x16 modes and " +
+    "interior B_PRED contexts — still exact") {
+    val g2 = Array.tabulate(48 * 48) { i =>
+      val (x, y) = (i % 48, i / 48)
+      (((x / 8) * 37 + (y / 8) * 73 + 100) % 256).toByte
+    }
+    for (shape <- Seq("i16", "b4")) {
+      val webp = Vp8Codec.encodeGrayLossy(48, 48, g2, shape)
+      val dec = Vp8Codec.decode(webp, 20, webp.length - 20)
+      assert(dec.y.toSeq === g2.toSeq, shape)
+    }
+  }
+
+  test("encodeGrayLossy output flows through the WebpCodec container " +
+    "front door as tripled RGB (the image-corpus path)") {
+    val gray = flatBlocks(24, 16, Array(20, 70, 120, 170, 220, 60))
+    val webp = Vp8Codec.encodeGrayLossy(24, 16, gray, "i16")
+    val img = WebpCodec.decode(webp)
+    assert(img.width === 24 && img.height === 16)
+    val tripled = gray.flatMap(b => Array(b, b, b))
+    assert(img.pixels.toSeq === tripled.toSeq)
+  }
+
+  test("encodeGrayLossy rejects non-flat blocks instead of shipping a " +
+    "lossy file that would silently break oracle exactness") {
+    val bad = Array.tabulate(16 * 16)(i => i.toByte) // gradient
+    val e = intercept[IllegalArgumentException](
+      Vp8Codec.encodeGrayLossy(16, 16, bad, "i16"))
+    assert(e.getMessage.contains("not flat"))
   }
 }

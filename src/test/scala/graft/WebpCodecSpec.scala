@@ -80,9 +80,11 @@ class WebpCodecSpec extends AnyFunSuite {
     }
     rejects("RIFFxxxxWAVE".getBytes ++ new Array[Byte](20), "bad magic")
     val good = WebpCodec.encodeGray(4, 4, new Array[Byte](16), "plain")
-    // flip the chunk tag to lossy VP8
+    // flip the chunk tag to lossy VP8: dispatches into the Vp8Codec
+    // path (lossy IS decodable now) and fails ITS structural gates on
+    // the VP8L-shaped body instead of misdecoding
     val lossy = good.clone(); lossy(15) = ' '
-    rejects(lossy, "lossy VP8")
+    rejects(lossy, "VP8 chunk")
     val vp8x = good.clone(); vp8x(15) = 'X'
     rejects(vp8x, "VP8X")
     // corrupt the signature byte
