@@ -676,6 +676,34 @@ private[graft] object MediaEntries {
     }),
 
 
+"mm_targz_extract" -> ((s, dir) => {
+      // REAL archive extraction: three seed-arithmetic text files packed
+      // into a true tar.gz whose WRITER SHAPE rotates by doc_id % 8
+      // through every style bit combination — gzip FNAME members, a PAX
+      // global header (the git-archive shape) and GNU L long-name
+      // records — and recovered by the engine's own gzip member walk +
+      // ustar/PAX parse (TarCodec; system-tar cross-validation lives in
+      // TarCodecSpec). The oracle rebuilds every (path, text) pair
+      // arithmetically: extraction must be invariant to the writer
+      // shape, or the hashes split.
+      import graft.functions.TarFunctions._
+      val sd = col("doc_id").cast("string")
+      val paths = array(concat(lit("src/m"), sd, lit(".py")),
+        lit("README.md"), concat(lit("data/d"), sd, lit(".txt")))
+      val texts = array(
+        concat(lit("# m"), sd, lit("\nx = "),
+          (col("doc_id") % 97).cast("string"), lit("\n")),
+        concat(lit("# Repo "), sd, lit("\n")),
+        concat(lit("payload "), md5(sd), lit("\n")))
+      val tgz = targz_encode_text(paths, texts,
+        (col("doc_id") % 8).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(targz_extract(tgz)).as("e"))
+        .select(col("doc_id"), col("e.path").as("path"),
+          col("e.data").cast("string").as("text"))
+    }),
+
+
 "mm_webp_lossy_roundtrip" -> ((s, dir) => {
       // REAL VP8 (WebP-LOSSY) content decode: 24x16 gray images of six
       // md5-derived flat blocks, the CODED SHAPE rotating by doc_id % 3
@@ -2122,6 +2150,25 @@ private[graft] object MediaEntries {
            repeat(repeat(h3, 24) || repeat(h4, 24) || repeat(h5, 24), 8)
              AS px_hex
          FROM d""",
+
+    // archive extraction: the writer-shape rotation (FNAME / pax-global
+    // / long-name bits) must be invisible to the oracle — every (path,
+    // text) pair replays arithmetically regardless of doc_id % 8
+
+"mm_targz_extract" ->
+      """SELECT doc_id, path, text FROM (
+           SELECT doc_id,
+             'src/m' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+             '# m' || CAST(doc_id AS VARCHAR) || chr(10) || 'x = ' ||
+               CAST(doc_id % 97 AS VARCHAR) || chr(10) AS text
+           FROM documents
+           UNION ALL SELECT doc_id, 'README.md',
+             '# Repo ' || CAST(doc_id AS VARCHAR) || chr(10)
+           FROM documents
+           UNION ALL SELECT doc_id,
+             'data/d' || CAST(doc_id AS VARCHAR) || '.txt',
+             'payload ' || md5(CAST(doc_id AS VARCHAR)) || chr(10)
+           FROM documents) t""",
 
     // VP8 (lossy) round-trip: the fixture encoder's DC-only quantizer-0
     // construction is exact, so the oracle rebuilds the tripled-RGB

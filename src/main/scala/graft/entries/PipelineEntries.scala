@@ -210,6 +210,52 @@ private[graft] object PipelineEntries {
       // key and the cluster window.
       operators.CodeCorpus.corpus(codeCorpusInputDocs(s, dir))),
 
+
+"pipeline_repo_corpus" -> ((s, dir) => {
+      // the SAME code corpus entering through the TRUE Stack front door:
+      // repository ARCHIVES. Every source file and every notebook twin
+      // (as its raw .ipynb JSON) is packed into a per-repo tar.gz
+      // (doc_id % 50 repos; writer shape rotating FNAME/pax-global/
+      // long-name bits by repo), with the original doc id carried in the
+      // entry path prefix. The pipeline walks the gzip members + ustar/
+      // PAX entries back out, recovers identity from the path, routes
+      // .ipynb entries through the notebook cell walk, and runs the
+      // identical CodeCorpus chain — so this row shares
+      // pipeline_code_corpus's oracle VERBATIM: a hash match proves the
+      // archive round trip is lossless through every writer shape, or
+      // the license gates, redaction keys and cluster elections would
+      // split. (The per-repo packing groupBy is fixture synthesis — the
+      // ingest path itself is one Generate over the archive column.)
+      import graft.functions.TarFunctions._
+      val files = codeFixtureDocs(s, dir)
+        .select(col("doc_id"), col("path"), col("content"))
+        .unionByName(notebookFixtureDocs(s, dir)
+          .select(col("doc_id"), col("path"), col("nb").as("content")))
+      val packed = files
+        .select((col("doc_id") % 50).as("repo_id"),
+          struct(concat(col("doc_id").cast("string"), lit("/"),
+            col("path")).as("path"), col("content").as("text")).as("f"))
+        .groupBy("repo_id")
+        .agg(sort_array(collect_list(col("f"))).as("fs"))
+        .select(targz_encode_text(
+          expr("transform(fs, x -> x.path)"),
+          expr("transform(fs, x -> x.text)"),
+          (col("repo_id") % 8).cast("int")).as("tgz"))
+      val exploded = packed
+        .select(explode(targz_extract(col("tgz"))).as("e"))
+        .select(split(col("e.path"), "/", 2).getItem(0).cast("long")
+          .as("doc_id"),
+          split(col("e.path"), "/", 2).getItem(1).as("path"),
+          col("e.data").cast("string").as("content"))
+      val nb = operators.CodeCorpus.notebookCells(
+          exploded.filter(col("path").endsWith(".ipynb"))
+            .select(col("doc_id"), col("path"), col("content").as("nb")))
+        .filter(col("cell_type") === "code")
+        .select(col("doc_id"), col("path"), col("source").as("content"))
+      operators.CodeCorpus.corpus(
+        exploded.filter(!col("path").endsWith(".ipynb")).unionByName(nb))
+    }),
+
     
 "pipeline_video_corpus" -> ((s, dir) => {
       // the composed VIDEO pipeline, from ONE opaque binary column: the
@@ -940,6 +986,11 @@ private[graft] object PipelineEntries {
            AND l.doc_id < r.doc_id""",
 
 "pipeline_code_corpus" -> codeCorpusOracle,
+
+    // the repo-archive row reproduces the same corpus view through the
+    // tar.gz front door, so it shares the code-corpus oracle verbatim
+
+"pipeline_repo_corpus" -> codeCorpusOracle,
 
     // the SAME oracle gates the streaming composition: parquet-drop
     // micro-batches folding per-content-key (min doc, count) partials

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Inflater}
+
+/**
+ * The shared RFC 1952 gzip member walk behind the archive front doors
+ * ([[WarcCodec]]'s per-record members, [[TarCodec]]'s tar.gz stream):
+ * sequential member headers (magic, CM=8, FLG-gated
+ * EXTRA/NAME/COMMENT/HCRC fields), raw inflate with a hard decode-bomb
+ * cap, and BOTH trailer fields (CRC32 + ISIZE) verified before
+ * advancing — a truncated or corrupt member rejects with a precise
+ * reason under the CALLER's error contract, never a silent short read.
+ */
+private[functions] object GzipMembers {
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+
+  private def le32u(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Split + inflate every gzip member of `bytes`; errors throw
+   * IllegalArgumentException prefixed `"<errPrefix>: "`. */
+  def inflate(bytes: Array[Byte], errPrefix: String, maxInflated: Long,
+              maxMembers: Int): Seq[Array[Byte]] = {
+    def need(cond: Boolean, msg: => String): Unit =
+      if (!cond) throw new IllegalArgumentException(s"$errPrefix: $msg")
+    val out = Seq.newBuilder[Array[Byte]]
+    var p = 0
+    var n = 0
+    while (p < bytes.length) {
+      need(bytes.length - p >= 10, s"truncated gzip header at $p")
+      need((bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b,
+        s"bad gzip magic at $p")
+      need((bytes(p + 2) & 0xff) == 8,
+        s"unsupported gzip method ${bytes(p + 2) & 0xff} at $p")
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        need(bytes.length - q >= 2, s"truncated FEXTRA at $q")
+        q += 2 + le16(bytes, q)
+      }
+      def skipZeroTerminated(field: String): Unit = {
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        need(q < bytes.length, s"unterminated $field at member $p")
+        q += 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      need(q <= bytes.length, s"truncated gzip header fields at $p")
+      val inf = new Inflater(true)
+      inf.setInput(bytes, q, bytes.length - q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"$errPrefix: corrupt deflate data in member at $p: " +
+                e.getMessage)
+        }
+        need(bos.size().toLong + k <= maxInflated,
+          s"member at $p inflates past $maxInflated bytes")
+        bos.write(buf, 0, k)
+      }
+      need(inf.finished(), s"truncated deflate stream in member at $p")
+      val consumed = (bytes.length - q) - inf.getRemaining
+      inf.end()
+      val data = bos.toByteArray
+      val t = q + consumed
+      need(bytes.length - t >= 8, s"truncated gzip trailer at $t")
+      val crc = new CRC32()
+      crc.update(data)
+      need(crc.getValue == le32u(bytes, t),
+        s"gzip CRC mismatch in member at $p")
+      need((data.length.toLong & 0xffffffffL) == le32u(bytes, t + 4),
+        s"gzip ISIZE mismatch in member at $p")
+      out += data
+      p = t + 8
+      n += 1
+      need(n <= maxMembers, s"more than $maxMembers gzip members")
+    }
+    out.result()
+  }
+}

@@ -200,6 +200,27 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 1, s"${exchanges(p)} exchanges:\n$p")
   }
 
+  test("pipeline_repo_corpus: the archive walk is ONE Generate over " +
+    "the packed tar.gz column on doc_id-only scans; the per-repo " +
+    "packing groupBy (fixture synthesis) and the dedup window are the " +
+    "only shuffles") {
+    val p = plan("pipeline_repo_corpus")
+    val rs = scanColumns(p)
+    assert(rs.nonEmpty && rs.forall(_ === Set("doc_id")),
+      s"expected doc_id-only scans, saw $rs:\n$p")
+    assert(exchanges(p) <= 3, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("mm_targz_extract: the archive encode/extract round trip is " +
+    "per-row scalar work (one Generate) on one doc_id-only scan, zero " +
+    "Exchange") {
+    val p = plan("mm_targz_extract")
+    val rs = scanColumns(p)
+    assert(rs.size === 1 && rs.head === Set("doc_id"),
+      s"expected one doc_id-only scan, saw $rs:\n$p")
+    assert(exchanges(p) === 0, s"${exchanges(p)} exchanges:\n$p")
+  }
+
   test("mm_flac_roundtrip + mm_mp4_framesample + mm_mp4_audio: the " +
     "FLAC and MP4 front doors are per-row scalar work (plus explodes) " +
     "on one doc_id-only scan, zero Exchange") {

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TarCodec
+
+/**
+ * tar / tar.gz front-door validation. The load-bearing tests are
+ * cross-validations with the SYSTEM GNU tar (the libwebp/ImageIO
+ * discipline): `src/test/resources/tar/` holds archives produced by
+ * real `tar --format={gnu,pax,ustar} -cz` runs — gnu exercises the `L`
+ * long-name records (one path is 132 chars), pax exercises `x`
+ * extended headers with `path=` overrides and the global-header shape —
+ * and the repo parser must recover every entry; conversely GNU tar
+ * lists and extracts this encoder's archives across all style bits
+ * (verified at build time).
+ */
+class TarCodecSpec extends AnyFunSuite {
+
+  private val res = "src/test/resources/tar"
+  private val longDir = "verylongdirectoryname" * 6
+
+  private def entriesOf(name: String): Map[String, String] =
+    TarCodec.extract(Files.readAllBytes(Paths.get(res, name)))
+      .map(e => e.path -> new String(e.data, StandardCharsets.UTF_8))
+      .toMap
+
+  private val expected = Map(
+    "repo/src/main.py" -> "print(\"hello\")\n",
+    "repo/src/lib.c" -> "// native\nint f(){return 1;}\n",
+    "repo/README.md" -> "# Readme\nprose here\n",
+    s"repo/$longDir/deep.py" -> "deep = True\n")
+
+  test("a real GNU-format tar.gz (L long-name records) extracts every " +
+    "entry, 132-char path included") {
+    assert(entriesOf("gnu.tar.gz") === expected)
+  }
+
+  test("a real PAX-format tar.gz (x extended headers, path= overrides) " +
+    "extracts every entry") {
+    assert(entriesOf("pax.tar.gz") === expected)
+  }
+
+  test("a real ustar-format tar.gz (prefix-field splitting) extracts") {
+    assert(entriesOf("ustar.tar.gz") ===
+      expected.view.filterKeys(!_.contains(longDir)).toMap)
+  }
+
+  test("own encoder round-trips through the parser for every style " +
+    "combination (FNAME member, pax global header, forced long names)") {
+    val paths = Seq("src/a.py", "deep/dir/name/b.js", "README.md")
+    val texts = Seq("print(1)\n", "// js\n", "# readme\n")
+    for (style <- 0 to 7) {
+      val tgz = TarCodec.encodeTarGzText(paths, texts, style)
+      val got = TarCodec.extract(tgz).map(e =>
+        e.path -> new String(e.data, StandardCharsets.UTF_8))
+      assert(got === paths.zip(texts), s"style $style")
+    }
+  }
+
+  test("hostile archives reject loudly inside the tar: contract") {
+    def rejects(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](TarCodec.extract(b))
+      assert(e.getMessage.startsWith("tar:") &&
+        e.getMessage.contains(frag), e.getMessage)
+    }
+    val good = TarCodec.encodeTarGzText(Seq("a.py"), Seq("x = 1\n"), 0)
+    rejects(Array[Byte](0x1f), "too short")
+    // corrupt a deflate byte → CRC/stream error from the gzip layer
+    val corrupt = good.clone(); corrupt(14) = (corrupt(14) ^ 0x55).toByte
+    val e1 = intercept[IllegalArgumentException](TarCodec.extract(corrupt))
+    assert(e1.getMessage.startsWith("tar:"), e1.getMessage)
+    // a bare tar with a lying size field overruns
+    val tar = TarCodec.extract(good) // sanity
+    assert(tar.head.path === "a.py")
+    def bareWith(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val h = new Array[Byte](512)
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0'
+      System.arraycopy("a.py".getBytes, 0, h, 0, 4)
+      System.arraycopy("00000077777 ".getBytes, 0, h, 124, 12) // huge size
+      mutate(h)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(b => sum += b & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      bos.write(h); bos.write(new Array[Byte](1024))
+      bos.toByteArray
+    }
+    rejects(bareWith(_ => ()), "overruns archive")
+    // base-256 (GNU large file) size rejects by name
+    rejects(bareWith(h => h(124) = 0x80.toByte), "base-256")
+    // bad checksum (flip a name byte after the checksum is sealed)
+    val badCs = bareWith(_ => ()); badCs(0) = 'b'
+    rejects(badCs, "checksum mismatch")
+  }
+}
