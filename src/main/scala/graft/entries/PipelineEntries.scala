@@ -200,6 +200,68 @@ private[graft] object PipelineEntries {
           col("n_secrets"), col("n_code_lines"), col("content_key"),
           col("canonical_id"), col("n_dupes"))),
 
+"code_alpha_rename" -> ((s, dir) => {
+      // identifier-rename invariance, the near-dup axis the regex-reach
+      // normal form cannot cover: the single-pass tokenizer renames
+      // every non-keyword identifier to vN by FIRST OCCURRENCE and
+      // emits the canonical token stream (comments stripped per
+      // language family, string literals and numbers verbatim). The
+      // oracle rebuilds the EXPECTED canonical stream for every fixture
+      // shape arithmetically — per-language keyword handling (def is py
+      // syntax but renames under sh; c's #include tokenizes as # vN),
+      // the redaction placeholders riding inside string-literal tokens,
+      // and the sec/body identifier numbering offsets.
+      import graft.functions.CodeAlphaFunctions._
+      val base = codeFixtureDocs(s, dir)
+      val lang = operators.CodeCorpus
+        .detectLang(col("path"), col("content")).getField("lang")
+      val red = operators.CodeCorpus.redact(col("content")).getField("text")
+      base.select(col("doc_id"), lang.as("lang"),
+        code_alpha_rename(red, lang).as("canon"))
+    }),
+
+
+"code_alpha_dedup" -> ((s, dir) => {
+      // the alpha-rename normal form doing its job: every doc_id %4==1
+      // file gains a twin (+1,000,000) with DIFFERENT identifier names
+      // (function, argument and secret-variable renames that keep the
+      // entropy-redaction name anchors), every %4==3 file a twin with
+      // an APPENDED statement — the renamed twin MUST collapse into the
+      // base cluster (same canonical stream), the modified twin must
+      // NOT (one extra token triple). The oracle replays both canon
+      // forms and the cluster window.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CodeAlphaFunctions._
+      val base = codeFixtureDocs(s, dir)
+      val sd = (col("doc_id") % 40).cast("string")
+      val renamed = replace(replace(replace(replace(
+        col("content"),
+        concat(lit("f"), sd, lit("(")), concat(lit("q"), sd, lit("("))),
+        lit("(int x)"), lit("(int w)")),
+        lit("(x)"), lit("(w)")),
+        lit(" x + "), lit(" w + "))
+      val renamed2 = replace(replace(renamed,
+        lit("aws_key"), lit("cred_key")),
+        lit("api_token"), lit("auth_token"))
+      val twinR = base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("path"),
+          renamed2.as("content"))
+      val twinM = base.filter(col("doc_id") % 4 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("path"),
+          concat(col("content"), lit("zz_m = 1\n")).as("content"))
+      val corpus = base.unionByName(twinR).unionByName(twinM)
+      val lang = operators.CodeCorpus
+        .detectLang(col("path"), col("content")).getField("lang")
+      val red = operators.CodeCorpus.redact(col("content")).getField("text")
+      val keyed = corpus.select(col("doc_id"),
+        md5(code_alpha_rename(red, lang)).as("alpha_key"))
+      val win = Window.partitionBy(col("alpha_key"))
+      keyed.select(col("doc_id"), col("alpha_key"),
+        min(col("doc_id")).over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("n_dupes"))
+    }),
+
+
 "pipeline_code_corpus" -> ((s, dir) =>
       // the composed CODE pipeline ("The Stack shape"): language detect
       // (ext/shebang/keyword tiers) → license gate (permissive or
@@ -985,6 +1047,30 @@ private[graft] object PipelineEntries {
          ON l.band = r.band AND l.bucket = r.bucket
            AND l.doc_id < r.doc_id""",
 
+    // alpha-rename canon: the oracle rebuilds the EXPECTED canonical
+    // token stream per fixture shape — sec-part identifier offsets,
+    // per-language keyword behavior (def renames under sh; c's
+    // #include tokenizes # vN), redaction placeholders inside string
+    // tokens — so a hash match proves the tokenizer walks exactly
+
+"code_alpha_rename" -> (alphaCanonCtes +
+      " SELECT doc_id, lang, canon FROM canon"),
+
+"code_alpha_dedup" -> (alphaCanonCtes +
+      """, u AS (
+           SELECT doc_id, canon FROM canon
+           UNION ALL
+           SELECT doc_id + 1000000, canon FROM canon WHERE doc_id % 4 = 1
+           UNION ALL
+           SELECT doc_id + 1000000,
+             canon || ' v' || CAST(k AS VARCHAR) || ' = 1'
+           FROM canon WHERE doc_id % 4 = 3)
+         SELECT doc_id, md5(canon) AS alpha_key,
+           MIN(doc_id) OVER (PARTITION BY canon) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY canon) AS n_dupes
+         FROM u"""),
+
+
 "pipeline_code_corpus" -> codeCorpusOracle,
 
     // the repo-archive row reproduces the same corpus view through the
@@ -1016,6 +1102,51 @@ private[graft] object PipelineEntries {
   /** ONE replay of the cross-container video chain, shared by the
    * batch row and its streamed twin: sampled-frame pixels from seed
    * arithmetic, the content key and the cluster window. */
+  /** The expected alpha-renamed canonical stream per code-fixture
+   * shape, shared by `code_alpha_rename` (direct compare) and
+   * `code_alpha_dedup` (md5 keys + cluster window): `o` is the
+   * identifier-numbering offset the sec block consumes, `k` the total
+   * identifier count (where an appended statement's identifier lands). */
+  private val alphaCanonCtes: String =
+    """WITH p AS (SELECT doc_id,
+           CAST(doc_id % 40 % 5 AS INTEGER) AS lf,
+           CAST(doc_id % 40 % 3 AS INTEGER) AS s3,
+           CAST(doc_id % 40 AS VARCHAR) AS sd
+         FROM documents),
+       c AS (SELECT doc_id, lf, s3, sd,
+           CASE lf WHEN 0 THEN 'py' WHEN 1 THEN 'js' WHEN 2 THEN 'c'
+             WHEN 3 THEN 'sh' ELSE 'py' END AS lang,
+           CASE s3 WHEN 0 THEN 'v0 = "[AWSKEY]" v1 = "[REDACTED]" '
+             WHEN 1 THEN '[ v0 ] ' ELSE '' END AS secpart,
+           CASE s3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS o
+         FROM p),
+       canon AS (SELECT doc_id, lang,
+           CASE lf WHEN 2 THEN o + 5 WHEN 3 THEN o + 3 ELSE o + 2 END AS k,
+           secpart ||
+           CASE
+             WHEN lf IN (0, 4) THEN
+               'def v' || CAST(o AS VARCHAR) || ' ( v' ||
+               CAST(o + 1 AS VARCHAR) || ' ) : return v' ||
+               CAST(o + 1 AS VARCHAR) || ' + ' || sd
+             WHEN lf = 1 THEN
+               'function v' || CAST(o AS VARCHAR) || ' ( v' ||
+               CAST(o + 1 AS VARCHAR) || ' ) { return v' ||
+               CAST(o + 1 AS VARCHAR) || ' + ' || sd || ' ; }'
+             WHEN lf = 2 THEN
+               '# v' || CAST(o AS VARCHAR) || ' < v' ||
+               CAST(o + 1 AS VARCHAR) || ' . v' ||
+               CAST(o + 2 AS VARCHAR) || ' > int v' ||
+               CAST(o + 3 AS VARCHAR) || ' ( int v' ||
+               CAST(o + 4 AS VARCHAR) || ' ) { return v' ||
+               CAST(o + 4 AS VARCHAR) || ' + ' || sd || ' ; }'
+             ELSE
+               'v' || CAST(o AS VARCHAR) || ' v' ||
+               CAST(o + 1 AS VARCHAR) || ' ( v' ||
+               CAST(o + 2 AS VARCHAR) || ' ) : return v' ||
+               CAST(o + 2 AS VARCHAR) || ' + ' || sd
+           END AS canon
+         FROM c)"""
+
   /** ONE replay of the scanned-PDF corpus, shared by the batch row and
    * its streamed twin: the PDF twin (+1,000,000, every doc_id % 5 = 0)
    * carries the SAME upright content replayed by the shared st CTEs, so

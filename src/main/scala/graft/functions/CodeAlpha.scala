@@ -1,0 +1,168 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Alpha-rename normalization for code near-dup — the identifier-rename
+ * invariance the regex-reach normal form cannot provide
+ * ([[graft.operators.CodeCorpus.normalize]] collapses formatting and
+ * secrets; THIS collapses `def f(x)` vs `def g(y)`): a single-pass
+ * tokenizer that renames every non-keyword identifier to `vN` numbered
+ * by FIRST OCCURRENCE and emits the canonical token stream (tokens
+ * joined by single spaces). String literals ride verbatim as one token
+ * (their contents are content), numbers ride verbatim, line comments
+ * per language family are stripped (`#` for py/sh/rb, `//` for the
+ * brace family — the [[graft.operators.CodeCorpus.commentSplit]]
+ * line-marker contract; block comments stay, by the same contract), and
+ * every other character is its own token. Two files equal up to
+ * identifier renaming, formatting and comments therefore share one
+ * canonical form — and the numbering is first-occurrence, so renames
+ * cannot reorder it.
+ *
+ * Keyword sets are the published language keywords (compact core sets);
+ * an unknown language renames everything, which is still deterministic
+ * on both sides of a fork. Renaming builtins (`print`, `include`) is
+ * deliberate: a fork renames neither, so both sides agree, and keeping
+ * the sets small keeps cross-language behavior predictable.
+ *
+ * No reference counterpart (out of the CDC domain) — an engine
+ * extension for the code-corpus pipeline.
+ */
+object CodeAlpha {
+
+  private val PyKw: Set[String] = Set(
+    "and", "as", "assert", "break", "class", "continue", "def", "del",
+    "elif", "else", "except", "finally", "for", "from", "global", "if",
+    "import", "in", "is", "lambda", "nonlocal", "not", "or", "pass",
+    "raise", "return", "try", "while", "with", "yield", "None", "True",
+    "False")
+  private val JsKw: Set[String] = Set(
+    "break", "case", "catch", "class", "const", "continue", "default",
+    "delete", "do", "else", "export", "extends", "finally", "for",
+    "function", "if", "import", "in", "instanceof", "let", "new", "of",
+    "return", "static", "super", "switch", "this", "throw", "try",
+    "typeof", "var", "void", "while", "with", "yield", "null", "true",
+    "false", "undefined")
+  private val CKw: Set[String] = Set(
+    "auto", "break", "case", "char", "const", "continue", "default",
+    "do", "double", "else", "enum", "extern", "float", "for", "goto",
+    "if", "inline", "int", "long", "register", "restrict", "return",
+    "short", "signed", "sizeof", "static", "struct", "switch",
+    "typedef", "union", "unsigned", "void", "volatile", "while")
+  private val ShKw: Set[String] = Set(
+    "if", "then", "else", "elif", "fi", "for", "while", "do", "done",
+    "case", "esac", "in", "function", "return", "exit")
+  private val RbKw: Set[String] = Set(
+    "alias", "and", "begin", "break", "case", "class", "def", "do",
+    "else", "elsif", "end", "ensure", "false", "for", "if", "in",
+    "module", "next", "nil", "not", "or", "redo", "rescue", "retry",
+    "return", "self", "super", "then", "true", "unless", "until",
+    "when", "while", "yield")
+
+  private def keywordsOf(lang: String): Set[String] = lang match {
+    case "py" => PyKw
+    case "js" => JsKw
+    case "c" => CKw
+    case "sh" => ShKw
+    case "rb" => RbKw
+    case _ => Set.empty
+  }
+
+  private def hashMark(lang: String): Boolean =
+    lang == "py" || lang == "sh" || lang == "rb"
+
+  private def isIdStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+  private def isIdPart(c: Char): Boolean =
+    isIdStart(c) || (c >= '0' && c <= '9')
+
+  /** the canonical alpha-renamed token stream of `text` under `lang` */
+  def rename(text: String, lang: String): String = {
+    val kw = keywordsOf(lang)
+    val hash = hashMark(lang)
+    val names = new mutable.HashMap[String, Int]()
+    val out = new StringBuilder()
+    def emit(tok: String): Unit = {
+      if (out.nonEmpty) out.append(' ')
+      out.append(tok)
+    }
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+      else if (hash && c == '#') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      } else if (!hash && c == '/' && i + 1 < n && text.charAt(i + 1) == '/') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      } else if (isIdStart(c)) {
+        val s = i
+        while (i < n && isIdPart(text.charAt(i))) i += 1
+        val id = text.substring(s, i)
+        if (kw.contains(id)) emit(id)
+        else emit("v" + names.getOrElseUpdate(id, names.size))
+      } else if (c >= '0' && c <= '9') {
+        val s = i
+        while (i < n && (isIdPart(text.charAt(i)) || text.charAt(i) == '.'))
+          i += 1
+        emit(text.substring(s, i))
+      } else if (c == '"' || c == '\'') {
+        val s = i
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = text.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == c) { i += 1; closed = true }
+          else if (d == '\n') closed = true // unterminated: stop at EOL
+          else i += 1
+        }
+        emit(text.substring(s, i))
+      } else {
+        emit(String.valueOf(c))
+        i += 1
+      }
+    }
+    out.toString()
+  }
+
+  def renameU(text: UTF8String, lang: UTF8String): UTF8String =
+    UTF8String.fromString(rename(text.toString, lang.toString))
+}
+
+/** `code_alpha_rename(text, lang)` → STRING — the scan-stage canonical
+ * alpha-renamed token stream (codegen'd; a dedup key feeds on its md5). */
+case class CodeAlphaRenameExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"code_alpha_rename requires (STRING, STRING), got $other")
+    }
+  override def nullSafeEval(t: Any, l: Any): Any =
+    CodeAlpha.renameU(t.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) =>
+      s"graft.functions.CodeAlpha.renameU($t, $l)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodeAlphaRenameExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CodeAlphaFunctions {
+  import org.apache.spark.sql.GraftShim
+
+  def code_alpha_rename(text: Column, lang: Column): Column =
+    GraftShim.column(CodeAlphaRenameExpr(
+      GraftShim.expression(text), GraftShim.expression(lang)))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CodeAlpha
+
+/**
+ * Hand-derived fixtures for the alpha-rename canonical form (the
+ * round-close rule for formula-replay oracles: the DuckDB oracle
+ * replays the same canon construction, so intent drift is only
+ * catchable here — every expected string below was tokenized BY HAND
+ * from the documented rules).
+ */
+class CodeAlphaSpec extends AnyFunSuite {
+
+  test("python: keywords survive, identifiers number by first " +
+    "occurrence, # comments strip") {
+    assert(CodeAlpha.rename(
+      "# top comment\ndef add(a, b):\n    total = a + b\n    return total\n",
+      "py") ===
+      "def v0 ( v1 , v2 ) : v3 = v1 + v2 return v3")
+  }
+
+  test("alpha invariance: a fully renamed file shares the canon") {
+    val a = "def add(a, b):\n    return a + b\n"
+    val b = "def sum_of(x, y):\n    return x + y\n"
+    assert(CodeAlpha.rename(a, "py") === CodeAlpha.rename(b, "py"))
+    // but a structural change does not
+    val c = "def add(a, b):\n    return b + a\n"
+    assert(CodeAlpha.rename(a, "py") !== CodeAlpha.rename(c, "py"))
+  }
+
+  test("numbering is first-occurrence: reuse maps to the same vN") {
+    assert(CodeAlpha.rename("x = x + y * x", "py") ===
+      "v0 = v0 + v1 * v0")
+  }
+
+  test("string literals ride verbatim as one token, escapes included") {
+    assert(CodeAlpha.rename("s = \"a # not-comment \\\" q\"", "py") ===
+      "v0 = \"a # not-comment \\\" q\"")
+    assert(CodeAlpha.rename("t = 'it\\'s'", "py") === "v0 = 'it\\'s'")
+    // unterminated literal stops at end of line, no crash
+    assert(CodeAlpha.rename("u = \"open\nnext = 1", "py") ===
+      "v0 = \"open v1 = 1")
+  }
+
+  test("c: // comments strip, # is a token (#include shape), int is a " +
+    "keyword but include/stdio/h rename") {
+    assert(CodeAlpha.rename(
+      "// hdr\n#include <stdio.h>\nint f(int x) { return x + 2; }\n",
+      "c") ===
+      "# v0 < v1 . v2 > int v3 ( int v4 ) { return v4 + 2 ; }")
+  }
+
+  test("sh: def is NOT a keyword and renames; # strips") {
+    assert(CodeAlpha.rename("#!/bin/sh\ndef f(x):\n    return x + 3\n",
+      "sh") === "v0 v1 ( v2 ) : return v2 + 3")
+  }
+
+  test("js: // strips, function/let keywords survive") {
+    assert(CodeAlpha.rename(
+      "// m\nfunction f(x) {\n  let y = x;\n  return y;\n}\n", "js") ===
+      "function v0 ( v1 ) { let v2 = v1 ; return v2 ; }")
+  }
+
+  test("numbers ride verbatim including float/hex-ish continuations") {
+    assert(CodeAlpha.rename("a = 3.14 + 0xff + 10", "py") ===
+      "v0 = 3.14 + 0xff + 10")
+  }
+
+  test("unknown language renames everything deterministically") {
+    assert(CodeAlpha.rename("def f(x): return x", "unknown") ===
+      "v0 v1 ( v2 ) : v3 v2")
+  }
+}
