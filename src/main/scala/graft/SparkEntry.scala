@@ -207,9 +207,12 @@ object SparkEntry {
     val jpgBin = exif_attach(jpgRaw,
       (col("doc_id") % 2 === 0), o, lit("cam"), lit("mdl"),
       lit("2021:01:01 00:00:00"), lit(24), lit(16), lit(false))
+    // filter type rotates 0-4; alternating docs write Adam7 INTERLACED
+    // streams (decoded content is identical, so the oracle is untouched
+    // while the corpus exercises the deinterlacer on real rows)
     val pngBin = png_encode(lit(24), lit(16),
       unhex(regexp_replace(upHex, "(..)", "$1$1$1")),
-      (col("doc_id") % 5).cast("int"))
+      (col("doc_id") % 5).cast("int"), col("doc_id") % 2 === 1)
     val gifBin = gif_encode_gray(lit(24), lit(16), unhex(upHex))
     // VP8L coded shape rotates through every transform path; the six
     // flat blocks stay <=16 distinct grays, so palette bundling is legal
@@ -449,6 +452,29 @@ object SparkEntry {
       .filter(col("cell_type") === "code")
       .select(col("doc_id"), col("path"), col("source").as("content"))
     codeFixtureDocs(s, dir).unionByName(nbCode)
+  }
+
+  /** Per-repo tar.gz archives of the code-corpus inputs (bare files +
+   * notebook twins as raw .ipynb JSON), the original doc id carried in
+   * each entry path prefix and the WRITER SHAPE rotating by repo —
+   * ONE definition shared by `pipeline_repo_corpus` (batch) and its
+   * streamed twin, so both unpack identical bytes. */
+  private[graft] def repoFixtureArchives(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TarFunctions._
+    val files = codeFixtureDocs(s, dir)
+      .select(col("doc_id"), col("path"), col("content"))
+      .unionByName(notebookFixtureDocs(s, dir)
+        .select(col("doc_id"), col("path"), col("nb").as("content")))
+    files
+      .select((col("doc_id") % 50).as("repo_id"),
+        struct(concat(col("doc_id").cast("string"), lit("/"),
+          col("path")).as("path"), col("content").as("text")).as("f"))
+      .groupBy("repo_id")
+      .agg(sort_array(collect_list(col("f"))).as("fs"))
+      .select(col("repo_id"), targz_encode_text(
+        expr("transform(fs, x -> x.path)"),
+        expr("transform(fs, x -> x.text)"),
+        (col("repo_id") % 8).cast("int")).as("tgz"))
   }
 
   /** robots.txt bodies for every host the URL fixture produces — ONE

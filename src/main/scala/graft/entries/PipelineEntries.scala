@@ -288,37 +288,27 @@ private[graft] object PipelineEntries {
       // the license gates, redaction keys and cluster elections would
       // split. (The per-repo packing groupBy is fixture synthesis — the
       // ingest path itself is one Generate over the archive column.)
-      import graft.functions.TarFunctions._
-      val files = codeFixtureDocs(s, dir)
-        .select(col("doc_id"), col("path"), col("content"))
-        .unionByName(notebookFixtureDocs(s, dir)
-          .select(col("doc_id"), col("path"), col("nb").as("content")))
-      val packed = files
-        .select((col("doc_id") % 50).as("repo_id"),
-          struct(concat(col("doc_id").cast("string"), lit("/"),
-            col("path")).as("path"), col("content").as("text")).as("f"))
-        .groupBy("repo_id")
-        .agg(sort_array(collect_list(col("f"))).as("fs"))
-        .select(targz_encode_text(
-          expr("transform(fs, x -> x.path)"),
-          expr("transform(fs, x -> x.text)"),
-          (col("repo_id") % 8).cast("int")).as("tgz"))
-      val exploded = packed
-        .select(explode(targz_extract(col("tgz"))).as("e"))
-        .select(split(col("e.path"), "/", 2).getItem(0).cast("long")
-          .as("doc_id"),
-          split(col("e.path"), "/", 2).getItem(1).as("path"),
-          col("e.data").cast("string").as("content"))
-      val nb = operators.CodeCorpus.notebookCells(
-          exploded.filter(col("path").endsWith(".ipynb"))
-            .select(col("doc_id"), col("path"), col("content").as("nb")))
-        .filter(col("cell_type") === "code")
-        .select(col("doc_id"), col("path"), col("source").as("content"))
-      operators.CodeCorpus.corpus(
-        exploded.filter(!col("path").endsWith(".ipynb")).unionByName(nb))
+      operators.CodeCorpus.corpus(operators.CodeCorpus
+        .unpackRepoArchives(repoFixtureArchives(s, dir)))
     }),
 
-    
+
+"pipeline_repo_corpus_streamed" -> ((s, dir) =>
+      // the SAME repo archives arriving as parquet drops on real
+      // streaming machinery (one file per trigger — multi-batch): each
+      // batch unpacks through the same CodeCorpus.unpackRepoArchives
+      // inside foreachBatch and folds into StreamingCodeCorpus
+      // (VersionedState crash-safe units), and the certified resolve()
+      // must equal the batch row — including cross-batch cluster
+      // election across repos landing in different drops. Same oracle
+      // as pipeline_repo_corpus: streaming ≡ batch ≡ DuckDB.
+      graft.streaming.PipelineE2E
+        .streamedRepoCorpus(repoFixtureArchives(s, dir))
+        .select(col("doc_id"), col("lang"), col("license"),
+          col("n_secrets"), col("n_code_lines"), col("content_key"),
+          col("canonical_id"), col("n_dupes"))),
+
+
 "pipeline_video_corpus" -> ((s, dir) => {
       // the composed VIDEO pipeline, from ONE opaque binary column: the
       // same four MJPEG frames ride a RIFF AVI or an ISO-BMFF MP4 by doc
@@ -1077,6 +1067,8 @@ private[graft] object PipelineEntries {
     // tar.gz front door, so it shares the code-corpus oracle verbatim
 
 "pipeline_repo_corpus" -> codeCorpusOracle,
+
+"pipeline_repo_corpus_streamed" -> codeCorpusOracle,
 
     // the SAME oracle gates the streaming composition: parquet-drop
     // micro-batches folding per-content-key (min doc, count) partials

@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
 /**
  * A REAL (subset) PNG codec in pure JVM — `java.util.zip` supplies the
  * zlib layer, everything else (chunk framing, CRCs, scanline filters) is
- * implemented here. Supported subset: 8-bit RGB and RGBA, non-interlaced —
- * the common case for ML image payloads; anything else is rejected with a
- * clear error. This upgrades the multimodal surface from header sniffing
- * ([[MediaHeaders]]) to actual content decode: the engine can synthesize,
- * round-trip, and pixel-verify image payloads with no external codec lib.
+ * implemented here. Supported subset: 8-bit RGB and RGBA, sequential AND
+ * Adam7-interlaced — the shapes crawled ML image payloads actually take;
+ * anything else is rejected with a clear error. This upgrades the
+ * multimodal surface from header sniffing ([[MediaHeaders]]) to actual
+ * content decode: the engine can synthesize, round-trip, and
+ * pixel-verify image payloads with no external codec lib.
  *
  * Decode handles all five PNG scanline filter types (None/Sub/Up/Average/
  * Paeth, spec §9); encode takes the filter type per image so the decoder's
@@ -90,7 +91,7 @@ object PngCodec {
    * reconstruction paths independently testable).
    */
   def encode(width: Int, height: Int, pixels: Array[Byte],
-             filterType: Int = 0): Array[Byte] = {
+             filterType: Int = 0, interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 &&
       width.toLong * height <= Int.MaxValue / 4,
       s"bad dimensions ${width}x$height")
@@ -101,15 +102,44 @@ object PngCodec {
     require(pixels.length == width * height * bpp, "ragged pixel buffer")
     val stride = width * bpp
     val raw = new java.io.ByteArrayOutputStream()
-    var prev = new Array[Byte](stride)
-    var y = 0
-    while (y < height) {
-      val row = java.util.Arrays.copyOfRange(pixels, y * stride,
-        (y + 1) * stride)
-      raw.write(filterType)
-      raw.write(applyFilter(filterType, row, prev, bpp))
-      prev = row
-      y += 1
+    if (!interlaced) {
+      var prev = new Array[Byte](stride)
+      var y = 0
+      while (y < height) {
+        val row = java.util.Arrays.copyOfRange(pixels, y * stride,
+          (y + 1) * stride)
+        raw.write(filterType)
+        raw.write(applyFilter(filterType, row, prev, bpp))
+        prev = row
+        y += 1
+      }
+    } else {
+      // Adam7: each reduced pass filters independently
+      for ((x0, dx, y0, dy) <- Adam7) {
+        val wp = (width - x0 + dx - 1) / dx
+        val hp = (height - y0 + dy - 1) / dy
+        if (wp > 0 && hp > 0) {
+          var prev = new Array[Byte](wp * bpp)
+          var j = 0
+          while (j < hp) {
+            val row = new Array[Byte](wp * bpp)
+            var i = 0
+            while (i < wp) {
+              var k = 0
+              while (k < bpp) {
+                row(i * bpp + k) =
+                  pixels((y0 + j * dy) * stride + (x0 + i * dx) * bpp + k)
+                k += 1
+              }
+              i += 1
+            }
+            raw.write(filterType)
+            raw.write(applyFilter(filterType, row, prev, bpp))
+            prev = row
+            j += 1
+          }
+        }
+      }
     }
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw.toByteArray)
@@ -127,7 +157,8 @@ object PngCodec {
     put32(0, width); put32(4, height)
     ihdr(8) = 8 // bit depth
     ihdr(9) = if (bpp == 3) 2 else 6 // color type: truecolor / truecolor+alpha
-    // compression 0, filter method 0, no interlace
+    // compression 0, filter method 0
+    ihdr(12) = if (interlaced) 1 else 0
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
     out.write(chunk("IHDR", ihdr))
@@ -152,6 +183,7 @@ object PngCodec {
     var width = 0
     var height = 0
     var bpp = 0
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (pos + 8 <= png.length && !sawEnd) {
@@ -180,11 +212,15 @@ object PngCodec {
             s"unsupported compression method ${png(pos + 18)}")
           require(png(pos + 19) == 0,
             s"unsupported filter method ${png(pos + 19)}")
-          require(png(pos + 20) == 0, "interlaced PNG unsupported")
-          // Long-checked before any allocation: (stride+1)*height is the
-          // raw buffer below; reject bombs/overflow while IHDR is in hand
+          require(png(pos + 20) == 0 || png(pos + 20) == 1,
+            s"unknown interlace method ${png(pos + 20)}")
+          interlaced = png(pos + 20) == 1
+          // Long-checked before any allocation: the raw buffer below is
+          // (stride+1)*height sequential, or its Adam7 equivalent (the
+          // per-pass filter bytes add < 2·height); reject bombs/overflow
+          // while IHDR is in hand
           require(width > 0 && height > 0 &&
-            (width.toLong * bpp + 1L) * height <= MaxDecodedBytes,
+            (width.toLong * bpp + 2L) * (height + 7L) <= MaxDecodedBytes,
             s"refusing ${width}x$height (decode buffer over " +
               s"$MaxDecodedBytes bytes)")
         case "IDAT" => idat.write(png, pos + 8, len)
@@ -198,7 +234,14 @@ object PngCodec {
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    val rawLen =
+      if (!interlaced) (stride + 1) * height
+      else Adam7.map { case (x0, dx, y0, dy) =>
+        val wp = (width - x0 + dx - 1) / dx
+        val hp = (height - y0 + dy - 1) / dy
+        if (wp > 0 && hp > 0) hp * (wp * bpp + 1) else 0
+      }.sum
+    val raw = new Array[Byte](rawLen)
     var off = 0
     var stalled = false
     while (!inflater.finished() && off < raw.length && !stalled) {
@@ -212,15 +255,58 @@ object PngCodec {
     require(off == raw.length, s"IDAT inflated to $off, want ${raw.length}")
 
     val pixels = new Array[Byte](stride * height)
+    if (!interlaced) {
+      unfilterPass(raw, 0, width, height, bpp) { (i, j, row) =>
+        System.arraycopy(row, 0, pixels, j * stride, stride)
+      }
+    } else {
+      // Adam7: each reduced pass is an independent filtered sub-image;
+      // its pixels scatter to (x0 + i·dx, y0 + j·dy)
+      var ro = 0
+      for ((x0, dx, y0, dy) <- Adam7) {
+        val wp = (width - x0 + dx - 1) / dx
+        val hp = (height - y0 + dy - 1) / dy
+        if (wp > 0 && hp > 0) {
+          unfilterPass(raw, ro, wp, hp, bpp) { (_, j, row) =>
+            var i = 0
+            while (i < wp) {
+              var k = 0
+              while (k < bpp) {
+                pixels((y0 + j * dy) * stride + (x0 + i * dx) * bpp + k) =
+                  row(i * bpp + k)
+                k += 1
+              }
+              i += 1
+            }
+          }
+          ro += hp * (wp * bpp + 1)
+        }
+      }
+    }
+    Image(width, height, bpp, pixels)
+  }
+
+  /** Adam7 passes as (x0, dx, y0, dy). */
+  private val Adam7 = Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+    (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+  /** Unfilter one (sub-)image of `h` scanlines of `w` pixels starting at
+   * `rawOff`; `emit(iUnused, j, row)` receives each reconstructed row. */
+  private def unfilterPass(raw: Array[Byte], rawOff: Int, w: Int, h: Int,
+                           bpp: Int)(
+      emit: (Int, Int, Array[Byte]) => Unit): Unit = {
+    val stride = w * bpp
     val prev = new Array[Byte](stride)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      require(ft <= 4, s"bad filter type $ft on row $y")
+    val row = new Array[Byte](stride)
+    var j = 0
+    while (j < h) {
+      val base = rawOff + j * (stride + 1)
+      val ft = raw(base) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $j")
       var i = 0
       while (i < stride) {
-        val x = raw(y * (stride + 1) + 1 + i) & 0xff
-        val a = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= bpp) row(i - bpp) & 0xff else 0
         val b = prev(i) & 0xff
         val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
         val v = ft match {
@@ -230,13 +316,13 @@ object PngCodec {
           case 3 => x + (a + b) / 2
           case 4 => x + paeth(a, b, c)
         }
-        pixels(y * stride + i) = v.toByte
+        row(i) = v.toByte
         i += 1
       }
-      System.arraycopy(pixels, y * stride, prev, 0, stride)
-      y += 1
+      emit(0, j, row)
+      System.arraycopy(row, 0, prev, 0, stride)
+      j += 1
     }
-    Image(width, height, bpp, pixels)
   }
 
   val decodeType: StructType = StructType(Seq(
@@ -327,36 +413,42 @@ case class PngDecodeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** `png_encode(width, height, pixels, filterType)` → BINARY. Encoding is a
- * fixture-synthesis / output edge, not a scan kernel — CodegenFallback is
- * deliberate. */
+/** `png_encode(width, height, pixels, filterType[, interlaced])` →
+ * BINARY. Encoding is a fixture-synthesis / output edge, not a scan
+ * kernel — CodegenFallback is deliberate. */
 case class PngEncodeExpr(w: Expression, h: Expression, pixels: Expression,
-                         filterType: Expression)
+                         filterType: Expression, interlaced: Expression)
     extends Expression with CodegenFallback {
 
-  override def children: Seq[Expression] = Seq(w, h, pixels, filterType)
+  override def children: Seq[Expression] =
+    Seq(w, h, pixels, filterType, interlaced)
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (w.dataType, h.dataType, pixels.dataType, filterType.dataType) match {
-      case (IntegerType, IntegerType, BinaryType, IntegerType) =>
+    (w.dataType, h.dataType, pixels.dataType, filterType.dataType,
+        interlaced.dataType) match {
+      case (IntegerType, IntegerType, BinaryType, IntegerType,
+          BooleanType) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"png_encode requires (INT, INT, BINARY, INT), got $other")
+        s"png_encode requires (INT, INT, BINARY, INT, BOOLEAN), got $other")
     }
 
   override def eval(input: InternalRow): Any = {
-    val (wv, hv, pv, fv) = (w.eval(input), h.eval(input), pixels.eval(input),
-      filterType.eval(input))
-    if (wv == null || hv == null || pv == null || fv == null) null
+    val (wv, hv, pv, fv, iv) = (w.eval(input), h.eval(input),
+      pixels.eval(input), filterType.eval(input), interlaced.eval(input))
+    if (wv == null || hv == null || pv == null || fv == null || iv == null)
+      null
     else PngCodec.encode(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
-      pv.asInstanceOf[Array[Byte]], fv.asInstanceOf[Int])
+      pv.asInstanceOf[Array[Byte]], fv.asInstanceOf[Int],
+      iv.asInstanceOf[Boolean])
   }
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): PngEncodeExpr =
-    copy(w = c(0), h = c(1), pixels = c(2), filterType = c(3))
+    copy(w = c(0), h = c(1), pixels = c(2), filterType = c(3),
+      interlaced = c(4))
 }
 
 /** `png_resize(binary, outW, outH)` → BINARY: decode → nearest-neighbor →
@@ -393,9 +485,14 @@ object PngFunctions {
 
   def png_encode(w: Column, h: Column, pixels: Column,
                  filterType: Column): Column =
+    png_encode(w, h, pixels, filterType,
+      org.apache.spark.sql.functions.lit(false))
+
+  def png_encode(w: Column, h: Column, pixels: Column, filterType: Column,
+                 interlaced: Column): Column =
     GraftShim.column(PngEncodeExpr(GraftShim.expression(w),
       GraftShim.expression(h), GraftShim.expression(pixels),
-      GraftShim.expression(filterType)))
+      GraftShim.expression(filterType), GraftShim.expression(interlaced)))
 
   def png_resize(c: Column, outW: Int, outH: Int): Column =
     GraftShim.column(PngResizeExpr(GraftShim.expression(c), outW, outH))

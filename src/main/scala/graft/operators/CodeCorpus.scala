@@ -207,6 +207,34 @@ object CodeCorpus {
         col("n_secrets"), col("n_code_lines"), col("content_key"))
   }
 
+  /**
+   * The repository-archive front door, shared by the batch
+   * `pipeline_repo_corpus` row and the streamed twin (streaming ≡ batch
+   * holds by construction because both fold THIS): tar.gz archives in
+   * `<tgzCol>` unpack through the gzip member + ustar/PAX walk
+   * ([[graft.functions.TarCodec]]), the original doc id is recovered
+   * from the entry path prefix (`<docId>/<path>`), `.ipynb` entries
+   * route through [[notebookCells]]' code cells, and the result is the
+   * `(doc_id, path, content)` file view [[extract]] ingests. One
+   * Generate over the archive column — zero Exchange.
+   */
+  def unpackRepoArchives(archives: DataFrame,
+                         tgzCol: String = "tgz"): DataFrame = {
+    import graft.functions.TarFunctions._
+    val exploded = archives
+      .select(explode(targz_extract(col(tgzCol))).as("e"))
+      .select(split(col("e.path"), "/", 2).getItem(0).cast("long")
+        .as("doc_id"),
+        split(col("e.path"), "/", 2).getItem(1).as("path"),
+        col("e.data").cast("string").as("content"))
+    val nb = notebookCells(
+        exploded.filter(col("path").endsWith(".ipynb"))
+          .select(col("doc_id"), col("path"), col("content").as("nb")))
+      .filter(col("cell_type") === "code")
+      .select(col("doc_id"), col("path"), col("source").as("content"))
+    exploded.filter(!col("path").endsWith(".ipynb")).unionByName(nb)
+  }
+
   /** The batch corpus: [[extract]] plus the duplicate-cluster election
    * (min doc_id / cluster size per redacted-content key). */
   def corpus(docs: DataFrame): DataFrame = {

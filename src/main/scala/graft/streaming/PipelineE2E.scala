@@ -685,6 +685,50 @@ object PipelineE2E {
   }
 
   /**
+   * Streaming REPO-ARCHIVE corpus on REAL streaming machinery: per-repo
+   * tar.gz archives `(repo_id, tgz)` arrive as parquet drops (one file
+   * per trigger — multi-batch), each batch unpacks through the shared
+   * `CodeCorpus.unpackRepoArchives` (gzip members + ustar/PAX walk, doc
+   * identity from the path prefix, .ipynb cell routing) inside
+   * `foreachBatch` and folds through the SAME
+   * [[StreamingCodeCorpus.processBatch]] as the bare-file stream; the
+   * certified resolve() must equal the batch `pipeline_repo_corpus`
+   * row — the driver compares against the code-corpus oracle verbatim.
+   * Duplicate files (doc_id % 40 content seeds) span repos AND drops,
+   * so cross-batch cluster election is on the oracle path.
+   */
+  def streamedRepoCorpus(archives: DataFrame, nSlices: Int = 3): DataFrame = {
+    val spark = archives.sparkSession
+    val work = tempDir("graft_repocorpus_e2e_")
+    val dropDir = new java.io.File(work, "drops").getAbsolutePath
+    archives.select(col("repo_id").cast("long").as("repo_id"), col("tgz"))
+      .repartition(nSlices).write.mode("overwrite").parquet(dropDir)
+
+    val corpus = new StreamingCodeCorpus(
+      new java.io.File(work, "state").getAbsolutePath)
+    val q = spark.readStream
+      .schema("repo_id LONG, tgz BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        new java.io.File(work, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.processBatch(
+          graft.operators.CodeCorpus.unpackRepoArchives(batch), batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val folded = corpus.committedBatches(spark)
+    require(folded.size > 1, s"streamed repo-corpus fixture must fold " +
+      s"multiple batches (got ${folded.size}) — cross-batch cluster " +
+      "election is unobservable in a single batch")
+    corpus.resolve(spark)
+  }
+
+  /**
    * The composed crawl scheduler on REAL streaming machinery:
    * canonicalized links `(doc_id, target_url)` arrive as parquet drops
    * (one file per trigger — multi-batch), fold through

@@ -27,6 +27,38 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace round-trips for every filter type and odd " +
+    "sizes (empty passes included)") {
+    for (bpp <- Seq(3, 4); ft <- 0 to 4;
+         (w, h) <- Seq((1, 1), (4, 4), (7, 3), (9, 7), (16, 16), (3, 9))) {
+      val px = pix(w, h, bpp, bpp * 1000 + ft * 10 + w + h)
+      val img = PngCodec.decode(PngCodec.encode(w, h, px, ft,
+        interlaced = true))
+      assert(img.width === w && img.height === h && img.bpp === bpp)
+      assert(img.pixels.toSeq === px.toSeq,
+        s"interlaced pixels bpp=$bpp ft=$ft ${w}x$h")
+    }
+  }
+
+  test("ImageIO decodes our INTERLACED PNGs to identical pixels " +
+    "(spec compliance for the Adam7 writer)") {
+    val (w, h) = (9, 7)
+    val px = pix(w, h, 3, 77)
+    for (ft <- 0 to 4) {
+      val png = PngCodec.encode(w, h, px, ft, interlaced = true)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(bi != null, s"ImageIO rejected interlaced PNG (filter $ft)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff) === (px(o) & 0xff), s"R($x,$y) ft=$ft")
+        assert(((rgb >> 8) & 0xff) === (px(o + 1) & 0xff), s"G($x,$y)")
+        assert((rgb & 0xff) === (px(o + 2) & 0xff), s"B($x,$y)")
+      }
+    }
+  }
+
   test("ImageIO decodes our PNGs (spec compliance)") {
     import java.awt.image.BufferedImage
     val (w, h) = (5, 4)
