@@ -454,17 +454,24 @@ object SparkEntry {
     codeFixtureDocs(s, dir).unionByName(nbCode)
   }
 
-  /** Per-repo tar.gz archives of the code-corpus inputs (bare files +
-   * notebook twins as raw .ipynb JSON), the original doc id carried in
-   * each entry path prefix and the WRITER SHAPE rotating by repo —
-   * ONE definition shared by `pipeline_repo_corpus` (batch) and its
-   * streamed twin, so both unpack identical bytes. */
+  /** Per-repo archives of the code-corpus inputs (bare files + notebook
+   * twins as raw .ipynb JSON), the original doc id carried in each
+   * entry path prefix, the tar WRITER SHAPE rotating by repo AND the
+   * CONTAINER rotating tar.gz / tar.zst / ZIP by repo_id % 3 — ONE
+   * definition shared by `pipeline_repo_corpus` (batch) and its
+   * streamed twin, so both unpack identical bytes through all three
+   * container walks. */
   private[graft] def repoFixtureArchives(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TarFunctions._
+    import graft.functions.TarCodec
     val files = codeFixtureDocs(s, dir)
       .select(col("doc_id"), col("path"), col("content"))
       .unionByName(notebookFixtureDocs(s, dir)
         .select(col("doc_id"), col("path"), col("nb").as("content")))
+    val containerBits =
+      when(col("repo_id") % 3 === 1, lit(TarCodec.StyleZstd))
+        .when(col("repo_id") % 3 === 2, lit(TarCodec.StyleZip))
+        .otherwise(lit(0))
     files
       .select((col("doc_id") % 50).as("repo_id"),
         struct(concat(col("doc_id").cast("string"), lit("/"),
@@ -474,7 +481,7 @@ object SparkEntry {
       .select(col("repo_id"), targz_encode_text(
         expr("transform(fs, x -> x.path)"),
         expr("transform(fs, x -> x.text)"),
-        (col("repo_id") % 8).cast("int")).as("tgz"))
+        ((col("repo_id") % 8) + containerBits).cast("int")).as("tgz"))
   }
 
   /** robots.txt bodies for every host the URL fixture produces — ONE

@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * A REAL tar / tar.gz reader in pure JVM — the front door of a source-code
+ * A REAL repository-archive reader — the front door of a source-code
  * corpus: The-Stack-style ingests start from repository archives
- * (git-archive tarballs, release .tar.gz files), not bare file rows.
+ * (git-archive tarballs, release .tar.gz/.tar.zst files, .zip source
+ * drops), not bare file rows. [[extract]] dispatches on magic bytes:
+ * gzip members ([[GzipMembers]]), zstd frames (Spark's own zstd-jni
+ * dependency, streamed under the decode-bomb cap), ZIP (delegated to
+ * [[ZipCodec]]'s central-directory walk) or a bare tar.
  * Parses the POSIX.1-1988 ustar format as real writers ship it:
  * 512-byte headers with UNSIGNED-sum checksum verification, octal size
  * fields (base-256 GNU extensions reject loudly), the `prefix` field,
@@ -181,25 +185,66 @@ object TarCodec {
     out.result()
   }
 
-  /** tar.gz (or bare tar) → entries. */
+  /** Repository-archive front door: tar.gz, tar.zst (the zstd layer is
+   * Spark's own zstd-jni dependency), ZIP (delegated to [[ZipCodec]]'s
+   * central-directory walk — its `zip:` contract carries through), or a
+   * bare tar, dispatched on magic bytes. */
   def extract(bytes: Array[Byte]): Seq[Entry] = {
-    need(bytes.length >= 2, "too short")
-    val tar =
-      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-        val members = GzipMembers.inflate(bytes, "tar", MaxInflatedBytes,
-          MaxEntries)
-        if (members.size == 1) members.head
-        else members.reduce(_ ++ _) // multistream gzip concatenates
-      } else bytes
-    untar(tar)
+    need(bytes.length >= 4, "too short")
+    def m(i: Int): Int = bytes(i) & 0xff
+    if (m(0) == 0x50 && m(1) == 0x4b &&
+        (m(2) == 0x03 || m(2) == 0x05)) { // PK\x03\x04 / empty PK\x05\x06
+      ZipCodec.entries(bytes)
+        .filter(e => !e.name.endsWith("/"))
+        .map(e => Entry(e.name, ZipCodec.read(bytes, e)))
+    } else {
+      val tar =
+        if (m(0) == 0x1f && m(1) == 0x8b) {
+          val members = GzipMembers.inflate(bytes, "tar", MaxInflatedBytes,
+            MaxEntries)
+          if (members.size == 1) members.head
+          else members.reduce(_ ++ _) // multistream gzip concatenates
+        } else if (m(0) == 0x28 && m(1) == 0xb5 && m(2) == 0x2f &&
+            m(3) == 0xfd) {
+          unzstd(bytes)
+        } else bytes
+      untar(tar)
+    }
+  }
+
+  /** zstd frame(s) → bytes, streamed under the decode-bomb cap. */
+  private def unzstd(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = 0
+      while (k >= 0) {
+        k = try in.read(buf) catch {
+          case e: java.io.IOException =>
+            fail(s"corrupt zstd frame: ${e.getMessage}")
+        }
+        if (k > 0) {
+          need(out.size().toLong + k <= MaxInflatedBytes,
+            s"zstd inflates past $MaxInflatedBytes bytes")
+          out.write(buf, 0, k)
+        }
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   // ---------------------------------------------------------------- encode
 
-  /** Style bits for [[encodeTarGzText]]. */
+  /** Style bits for [[encodeTarGzText]]. Bits 1/2/4 shape the tar +
+   * gzip writer; bits 8/16 switch the CONTAINER (zstd-compressed tar /
+   * ZIP — where the tar-specific bits are naturally inert). */
   val StyleFName = 1 // gzip member carries an FNAME field
   val StylePaxGlobal = 2 // leading pax_global_header 'g' entry
   val StyleLongNames = 4 // every entry via a GNU 'L' long-name record
+  val StyleZstd = 8 // tar.zst container instead of tar.gz
+  val StyleZip = 16 // ZIP container (STORE/DEFLATE rotating per entry)
 
   private def octalField(v: Long, len: Int): Array[Byte] = {
     val s = java.lang.Long.toOctalString(v)
@@ -234,13 +279,16 @@ object TarCodec {
   private def pad512(out: java.io.ByteArrayOutputStream): Unit =
     while (out.size() % 512 != 0) out.write(0)
 
-  /** Build a tar.gz of UTF-8 text entries; `style` bits rotate the
-   * writer shapes ([[StyleFName]]/[[StylePaxGlobal]]/[[StyleLongNames]]). */
+  /** Build a repo archive of UTF-8 text entries; `style` bits rotate
+   * the writer shapes ([[StyleFName]]/[[StylePaxGlobal]]/
+   * [[StyleLongNames]]) and the container ([[StyleZstd]]/[[StyleZip]];
+   * default tar.gz). */
   def encodeTarGzText(paths: Seq[String], texts: Seq[String],
                       style: Int): Array[Byte] = {
     need(paths.length == texts.length,
       s"${paths.length} paths vs ${texts.length} texts")
     need(paths.nonEmpty, "empty archive")
+    if ((style & StyleZip) != 0) return ZipCodec.buildTextZip(paths, texts)
     val tar = new java.io.ByteArrayOutputStream()
     if ((style & StylePaxGlobal) != 0) {
       // the git-archive shape: a global header carrying a comment record
@@ -268,6 +316,8 @@ object TarCodec {
     }
     tar.write(new Array[Byte](1024)) // two zero end blocks
     val raw = tar.toByteArray
+    if ((style & StyleZstd) != 0)
+      return com.github.luben.zstd.Zstd.compress(raw)
     // gzip member
     val out = new java.io.ByteArrayOutputStream()
     out.write(0x1f); out.write(0x8b); out.write(8)

@@ -422,6 +422,14 @@ object ZipCodec {
   /** Spec-shaped archive from (name, raw bytes, method 0|8) members:
    * real CRC-32s, deterministic zero timestamps, central directory,
    * EOCD. Shared by the DOCX and XLSX fixture writers. */
+  /** Text-entry ZIP builder for the repo-archive fixtures (the
+   * compression method rotates STORE/DEFLATE per entry so both read
+   * paths stay on the oracle). */
+  def buildTextZip(names: Seq[String], texts: Seq[String]): Array[Byte] =
+    buildZip(names.zip(texts).zipWithIndex.map { case ((n, t), i) =>
+      (n, t.getBytes(StandardCharsets.UTF_8), if (i % 2 == 0) 8 else 0)
+    })
+
   private def buildZip(members0: Seq[(String, Array[Byte], Int)])
       : Array[Byte] = {
     final case class Member(name: String, raw: Array[Byte], method: Int,

@@ -78,10 +78,12 @@ class ScanAuditSpec extends SparkSpec {
     }
   }
 
-  test("mm_jpeg_progressive + mm_tiff_roundtrip: the progressive-JPEG and " +
-    "TIFF codecs ride one pruned single-column scan each, zero Exchange — " +
-    "encode, decode and the hex compare are all per-row scalar work") {
-    for (q <- Seq("mm_jpeg_progressive", "mm_tiff_roundtrip")) {
+  test("mm_jpeg_progressive + mm_tiff_roundtrip + mm_webp_lossy_" +
+    "roundtrip: the progressive-JPEG, TIFF and VP8 codecs ride one " +
+    "pruned single-column scan each, zero Exchange — encode, decode " +
+    "and the hex compare are all per-row scalar work") {
+    for (q <- Seq("mm_jpeg_progressive", "mm_tiff_roundtrip",
+        "mm_webp_lossy_roundtrip")) {
       val p = plan(q)
       val rs = scanColumns(p)
       assert(rs.size === 1 && rs.head === Set("doc_id"),

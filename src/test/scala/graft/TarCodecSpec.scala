@@ -49,13 +49,26 @@ class TarCodecSpec extends AnyFunSuite {
       expected.view.filterKeys(!_.contains(longDir)).toMap)
   }
 
+  test("a real tar.zst (system zstd) extracts every entry through the " +
+    "zstd-jni layer") {
+    assert(entriesOf("gnu.tar.zst") === expected)
+  }
+
+  test("a real ZIP (system zip, long path included) extracts through " +
+    "the ZipCodec delegation") {
+    assert(entriesOf("repo.zip") === expected)
+  }
+
   test("own encoder round-trips through the parser for every style " +
-    "combination (FNAME member, pax global header, forced long names)") {
+    "combination (FNAME member, pax global header, forced long names) " +
+    "and every container (tar.gz / tar.zst / ZIP)") {
     val paths = Seq("src/a.py", "deep/dir/name/b.js", "README.md")
     val texts = Seq("print(1)\n", "// js\n", "# readme\n")
-    for (style <- 0 to 7) {
-      val tgz = TarCodec.encodeTarGzText(paths, texts, style)
-      val got = TarCodec.extract(tgz).map(e =>
+    for (container <- Seq(0, TarCodec.StyleZstd, TarCodec.StyleZip);
+         bits <- 0 to 7) {
+      val style = container | bits
+      val arc = TarCodec.encodeTarGzText(paths, texts, style)
+      val got = TarCodec.extract(arc).map(e =>
         e.path -> new String(e.data, StandardCharsets.UTF_8))
       assert(got === paths.zip(texts), s"style $style")
     }
