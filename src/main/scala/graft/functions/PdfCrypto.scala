@@ -48,14 +48,36 @@ object PdfCrypto {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // JCE `getInstance` does a provider scan + allocation per call; the R6
+  // KDF (hash2B) calls a digest and a cipher once per round × 64+ rounds ×
+  // several KDF invocations per document, so on a scan over thousands of
+  // encrypted documents the lookups rival the crypto itself. Digests and
+  // the CBC cipher are not thread-safe but are fully re-initializable, so
+  // one instance per (executor thread, algorithm) is reused for the life
+  // of the task — the standard per-task amortization for heavyweight
+  // construction (optimization guide §4.5 applied to JVM scan kernels).
+  private val digests =
+    new ThreadLocal[java.util.HashMap[String, MessageDigest]] {
+      override def initialValue() =
+        new java.util.HashMap[String, MessageDigest]()
+    }
+
+  private def digest(alg: String): MessageDigest = {
+    val m = digests.get()
+    var d = m.get(alg)
+    if (d == null) { d = MessageDigest.getInstance(alg); m.put(alg, d) }
+    d.reset()
+    d
+  }
+
   private def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = digest("MD5")
     parts.foreach(d.update)
     d.digest()
   }
 
   private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance(s"SHA-$bits")
+    val d = digest(s"SHA-$bits")
     parts.foreach(d.update)
     d.digest()
   }
@@ -93,9 +115,16 @@ object PdfCrypto {
     out
   }
 
+  private val ciphers =
+    new ThreadLocal[java.util.HashMap[String, Cipher]] {
+      override def initialValue() = new java.util.HashMap[String, Cipher]()
+    }
+
   private def aes(mode: Int, transform: String, key: Array[Byte],
                   iv: Option[Array[Byte]], data: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance(transform)
+    val m = ciphers.get()
+    var c = m.get(transform)
+    if (c == null) { c = Cipher.getInstance(transform); m.put(transform, c) }
     val ks = new SecretKeySpec(key, "AES")
     iv match {
       case Some(v) => c.init(mode, ks, new IvParameterSpec(v))

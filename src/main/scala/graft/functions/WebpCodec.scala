@@ -61,21 +61,63 @@ object WebpCodec {
   // ---- bit I/O (VP8L is LSB-first, unlike the big-endian codecs) ----------
 
   private final class BitReader(b: Array[Byte], startByte: Int) {
+    val limit: Long = b.length.toLong * 8
     var pos: Long = startByte.toLong * 8
+    /** LSB-first n-bit read. Fast path loads a 32-bit little-endian word
+     * at the current byte (n ≤ 24 plus ≤ 7 bits of intra-byte offset fits
+     * in 31 bits); the per-bit loop only runs within the last 3 bytes of
+     * the payload. The decoder loop runs once per pixel/LZ77 token per
+     * image on the corpus scan path — this read is its innermost call. */
     def bits(n: Int): Int = {
       need(n >= 0 && n <= 24, s"bit read width $n out of range")
-      need(pos + n <= b.length.toLong * 8, "bitstream truncated")
-      var v = 0
-      var k = 0
-      while (k < n) {
-        val bit = (b((pos >> 3).toInt) >> (pos & 7).toInt) & 1
-        v |= bit << k
-        pos += 1
-        k += 1
+      need(pos + n <= limit, "bitstream truncated")
+      val bi = (pos >> 3).toInt
+      val off = (pos & 7).toInt
+      pos += n
+      if (bi + 4 <= b.length) {
+        val w = (b(bi) & 0xff) | ((b(bi + 1) & 0xff) << 8) |
+          ((b(bi + 2) & 0xff) << 16) | ((b(bi + 3) & 0xff) << 24)
+        (w >>> off) & ((1 << n) - 1)
+      } else {
+        var v = 0
+        var k = 0
+        var p = pos - n
+        while (k < n) {
+          v |= ((b((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
+          p += 1
+          k += 1
+        }
+        v
       }
+    }
+    def bit(): Int = {
+      need(pos < limit, "bitstream truncated")
+      val v = (b((pos >> 3).toInt) >> (pos & 7).toInt) & 1
+      pos += 1
       v
     }
-    def bit(): Int = bits(1)
+    /** Next 8 stream bits without consuming, zero-padded past the end —
+     * feeds the root-table prefix decode, which validates the resolved
+     * code length against `limit` before accepting. */
+    def peek8(): Int = {
+      val bi = (pos >> 3).toInt
+      val off = (pos & 7).toInt
+      if (bi + 4 <= b.length) {
+        val w = (b(bi) & 0xff) | ((b(bi + 1) & 0xff) << 8) |
+          ((b(bi + 2) & 0xff) << 16) | ((b(bi + 3) & 0xff) << 24)
+        (w >>> off) & 0xff
+      } else {
+        var v = 0
+        var k = 0
+        var p = pos
+        while (k < 8 && p < limit) {
+          v |= ((b((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
+          p += 1
+          k += 1
+        }
+        v
+      }
+    }
   }
 
   private final class BitWriter {
@@ -115,8 +157,43 @@ object WebpCodec {
                                     index: Array[Int],
                                     symbols: Array[Int],
                                     val only: Int) {
+    /** 256-entry root table over the next 8 STREAM bits (LSB-first read
+     * order = the codeword's MSB-first bits reversed): entry =
+     * (symbol << 4) | length for codes ≤ 8 bits, -1 for longer codes
+     * (resolved by the per-length walk). One table per prefix code —
+     * one L1-resident lookup replaces up to 8 per-bit reads in the
+     * pixel/token hot loop. */
+    private val table: Array[Int] =
+      if (only >= 0) null
+      else {
+        val t = new Array[Int](256)
+        java.util.Arrays.fill(t, -1)
+        var len = 1
+        while (len <= 8) {
+          var k = 0
+          while (k < counts(len)) {
+            val code = firstCode(len) + k
+            val sym = symbols(index(len) + k)
+            // stream bit i is the codeword's bit (len-1-i): reverse
+            var rev = 0
+            var i = 0
+            while (i < len) { rev |= ((code >> i) & 1) << (len - 1 - i); i += 1 }
+            val e = (sym << 4) | len
+            var fill = rev
+            while (fill < 256) { t(fill) = e; fill += 1 << len }
+            k += 1
+          }
+          len += 1
+        }
+        t
+      }
     def decode(r: BitReader): Int = {
       if (only >= 0) return only // 0-bit single-symbol code
+      val e = table(r.peek8())
+      if (e >= 0 && r.pos + (e & 15) <= r.limit) {
+        r.pos += e & 15
+        return e >>> 4
+      }
       var c = 0
       var len = 0
       while (len < 15) {

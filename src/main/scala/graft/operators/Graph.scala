@@ -51,12 +51,12 @@ object Graph {
     // (scans/joins) per round
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
     val r0 = RankScale / n
@@ -80,9 +80,10 @@ object Graph {
             s" DIV ${dampDen}L").as("r"))
       // ranks feeds two branches per round (contributions + dangling), so
       // an unbroken lineage doubles per iteration — checkpoint every SECOND
-      // round (plan ≤ 4 branches deep): half the job round-trips for the
-      // same flat lineage
-      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint(true)
+      // round (plan ≤ 4 branches deep). LAZY: the marked RDDs persist when
+      // the consumer's single action computes them, so all rounds run as
+      // one scheduled job instead of one per checkpoint.
+      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -111,10 +112,10 @@ object Graph {
     require(iters >= 0, s"bad LPA iters: $iters")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (i <- 0 until iters) {
       val best = e
@@ -130,7 +131,7 @@ object Graph {
         .join(best, Seq("node"), "left_outer")
         .select(col("node"),
           coalesce(col("next_label"), col("label")).as("label"))
-      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint(true)
+      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint(false)
     }
     labels
   }

@@ -36,25 +36,35 @@ import graft.functions.GraftFunctions.common_prefix_length
  * is exactly the signal substring-dedup consumes.
  *
  * [[lcpArray]] extends the index with the longest-common-prefix array via
- * a Kasai-style rank-neighbor traversal that needs NOTHING beyond the
- * final array and the bounded seed slices: for each adjacent pair of
- * distinct suffixes, iteratively byte-compare the two seed-length position
- * slices at the current match offset ([[graft.functions
- * .CommonPrefixLength]] — a codegen'd kernel over BOUNDED slices, never a
- * full-text attach) and advance by a full slice width while the slices
- * keep matching. A pair retires the first round its slices diverge (or a
- * suffix exhausts), so round k touches only pairs with LCP ≥ seed·k — the
- * active frame decays geometrically on natural text, and total compare
- * work is Σ ceil(LCP/seed) per pair. Exact end to end: no rolling hash, no
- * collision probability to argue about. Retained state during the walk is
- * slices + final array + the decaying active frame + one periodically
- * consolidated result frame — O(n) by construction (spec-pinned via
- * [[lastWalkStats]]), closing the O(n·log n) rank-table retention the
- * previous binary-walk formulation paid. The honest trade: worst-case
- * rounds are maxLCP/seed (vs log for the table walk) — on adversarially
- * repetitive corpora (single repeated character) the walk does O(LCP/seed)
- * passes over the surviving pairs; on real text long adjacent-suffix LCPs
- * are precisely the rare duplicated spans ExactSubstr exists to find.
+ * a Kasai-style rank-neighbor traversal. Its FIRST round is pure seed-rank
+ * arithmetic (no slice bytes move): adjacent final ranks either share a
+ * seed rank — identical seed slices, LCP ≥ seed, walk on — or sit on
+ * ADJACENT seed ranks, where the LCP is the boundary value the seed sort
+ * already computed in place (`lag(sl)` inside the rank window — see
+ * [[seedRankWithLcp]]); on natural text that retires almost every pair
+ * for one narrow dictionary join. Only pairs sharing a full seed-width
+ * prefix enter the residual loop: iteratively byte-compare the two
+ * seed-length position slices at the current match offset
+ * ([[graft.functions.CommonPrefixLength]] — a codegen'd kernel over
+ * BOUNDED slices, never a full-text attach), advancing a full slice width
+ * while they match, against slices re-derived for JUST the still-active
+ * documents (broadcast semi-filter below the explode — the corpus-sized
+ * slice frame is never shuffled or retained for the walk). A pair retires
+ * the first round its slices diverge (or a suffix exhausts), so loop
+ * round k touches only pairs with LCP ≥ seed·(k+1) — the active frame
+ * decays geometrically, and total compare work is Σ ceil(LCP/seed) per
+ * surviving pair. Exact end to end: no rolling hash, no collision
+ * probability to argue about. Retained state during the walk is the
+ * final array + the decaying active frame + one periodically consolidated
+ * result frame — O(n) by construction (spec-pinned via [[lastWalkStats]]),
+ * closing the O(n·log n) rank-table retention the previous binary-walk
+ * formulation paid. The honest trade: worst-case rounds are maxLCP/seed
+ * (vs log for the table walk) — on adversarially repetitive corpora
+ * (single repeated character) the walk does O(LCP/seed) passes over the
+ * surviving pairs (falling back to full shuffle joins above
+ * [[WalkBroadcastPairLimit]] active pairs); on real text long
+ * adjacent-suffix LCPs are precisely the rare duplicated spans
+ * ExactSubstr exists to find.
  *
  * [[dupSpans]] is the ExactSubstr consumer: a position's duplicated-span
  * length is the max of its LCPs with its suffix-order neighbors (and its
@@ -96,7 +106,8 @@ object SuffixArray {
    * of suffix `text[pos..]` among all corpus suffixes, pos 0-based.
    */
   def suffixRanks(docs: DataFrame): DataFrame =
-    build(docs)._2.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    build(docs, withLcp = false)._1
+      .select(col("doc_id"), col("pos"), col("r").as("srank"))
 
   /**
    * The LCP array over DISTINCT suffixes: (srank, cnt, lcp) — cnt is how
@@ -106,8 +117,9 @@ object SuffixArray {
    * so any representative is exact for the whole rank.
    */
   def lcpArray(docs: DataFrame): DataFrame = {
-    val (slices, sa, maxLen) = build(docs)
-    lcpWalk(slices, sa, maxLen).select(col("srank"), col("cnt"), col("lcp"))
+    val (sa, maxLen, seedLcp) = build(docs, withLcp = true)
+    lcpWalk(docs, sa, maxLen, seedLcp)
+      .select(col("srank"), col("cnt"), col("lcp"))
   }
 
   /**
@@ -121,8 +133,8 @@ object SuffixArray {
    * suffix is adjacent to it in suffix order.
    */
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val (slices, sa, maxLen) = build(docs)
-    val lcp = lcpWalk(slices, sa, maxLen) // (srank, cnt, lcp)
+    val (sa, maxLen, seedLcp) = build(docs, withLcp = true)
+    val lcp = lcpWalk(docs, sa, maxLen, seedLcp) // (srank, cnt, lcp)
     val nextLcp = lcp.select((col("srank") - 1).as("srank"),
       col("lcp").as("lcp_next"))
     val ranks = lcp.join(nextLcp, Seq("srank"), "left")
@@ -188,28 +200,98 @@ object SuffixArray {
           .as("clean_text"))
   }
 
-  /**
-   * Build the index: (bounded position slices (doc_id, pos, sl), final
-   * rank table (doc_id, pos, r), max doc length). Within the final table,
-   * equal r ⟺ equal suffix STRING including where it ends: the seed dense
-   * rank is bijective with the seed-capped slice, and round 2h's key (r_h
-   * at pos, r_h at pos+h, 0 when absent) is bijective with the 2h-capped
-   * string when r_h is. Intermediate rank tables are transient — each
-   * round's frame replaces its predecessor, which becomes unreferenced
-   * and is reclaimed by the ContextCleaner.
-   */
-  private def build(docs: DataFrame): (DataFrame, DataFrame, Int) = {
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-    require(maxLen > 0, "empty corpus")
-    val seed = seedFor(maxLen)
-    val slices = Materialize(docs.select(col("doc_id"),
+  /** The bounded position-slice frame — LAZY (never materialized as a
+   * whole): the seed rank consumes it once through its range exchange,
+   * and the LCP walk's residual rounds re-derive it pre-filtered to the
+   * handful of documents still active (the explode is a narrow
+   * re-expansion of the doc scan — recomputing a filtered sliver is far
+   * cheaper than keeping seed bytes × corpus positions pinned in block
+   * storage for the walk's tail). */
+  private def sliceFrame(docs: DataFrame, seed: Int): DataFrame =
+    docs.select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        substring(col("text"), col("pos") + 1, lit(seed)).as("sl")))
-    var cur = Materialize(
-      SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
-        .select(col("doc_id"), col("pos"), col("r")))
+        substring(col("text"), col("pos") + 1, lit(seed)).as("sl"))
+
+  /**
+   * Seed rank + boundary-LCP dictionary in ONE range-partitioned sort:
+   * the [[SkewSafe.globalDenseRank]] plan over the slices, extended so
+   * the local sort ALSO emits, for every seed rank, the character LCP
+   * between its slice and the previous rank's slice (`lag(sl)` inside the
+   * same window; partition-first ranks compare against the previous
+   * bucket's last slice, a numPartitions-row broadcast — range
+   * partitioning makes that exactly rank sr−1's slice). This is what
+   * makes the LCP walk's first round pure dictionary arithmetic: the
+   * slice bytes are compared where they are already sorted, and never
+   * shuffled again. Returns (doc_id, pos, r, _lcp0) with _lcp0 non-null
+   * exactly on each rank's first row — the dictionary rides the position
+   * frame so ONE materialization serves both consumers.
+   */
+  private def seedRankWithLcp(slices: DataFrame, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = slices.repartitionByRange(col("sl"))
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(col("sl"))
+    // lag(sl) carries the previous slice through the window output — the
+    // honest cost of computing boundary LCPs in place (only the walk
+    // consumers pay it; suffixRanks build without it)
+    val local = bucketed
+      .withColumn("_lrank", dense_rank().over(w))
+      .withColumn("_prev_sl", lag(col("sl"), 1).over(w))
+    val counts = local.groupBy(col("_pid"))
+      .agg(max(col("_lrank")).as("_n"), max(col("sl")).as("_last_sl"))
+    val pidW = Window.orderBy(col("_pid"))
+    val offsets = counts
+      .withColumn("_off", coalesce(
+        sum(col("_n").cast("long")).over(
+          pidW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_prev_last_sl", lag(col("_last_sl"), 1).over(pidW))
+      .select(col("_pid"), col("_off"), col("_prev_last_sl"))
+    val ranked = local.join(broadcast(offsets), "_pid")
+      .withColumn("r", col("_lrank").cast("long") + col("_off"))
+    // the boundary LCP rides the POSITION frame as a nullable column on
+    // each rank's first row — one materialization carries both outputs
+    // (a separate dictionary frame would re-run the whole range sort when
+    // first consumed, since the materialized rank table truncates the
+    // shared lineage). Rank 1 has no predecessor — lcp0 = 0 by definition.
+    val sa0 = ranked.select(col("doc_id"), col("pos"), col("r"),
+      when(col("_prev_sl").isNull || col("_prev_sl") =!= col("sl"),
+        coalesce(
+          common_prefix_length(col("sl"), lit(0),
+            coalesce(col("_prev_sl"), col("_prev_last_sl")), lit(0)),
+          lit(0L))).as("_lcp0"))
+    sa0
+  }
+
+  /**
+   * Build the index: (final rank table (doc_id, pos, sr, r) where sr is
+   * the position's SEED rank, max doc length, seed boundary-LCP
+   * dictionary (sr, lcp0)). Within the final table, equal r ⟺ equal
+   * suffix STRING including where it ends: the seed dense rank is
+   * bijective with the seed-capped slice, and round 2h's key (r_h at
+   * pos, r_h at pos+h, 0 when absent) is bijective with the 2h-capped
+   * string when r_h is — in particular all positions of a final rank
+   * share one seed rank, so `sr` is a rank attribute, not just a
+   * position attribute. Intermediate rank tables are transient — each
+   * round's frame replaces its predecessor, which becomes unreferenced
+   * and is reclaimed by the ContextCleaner.
+   */
+  private def build(docs: DataFrame, withLcp: Boolean)
+      : (DataFrame, Int, DataFrame) = {
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen > 0, "empty corpus")
+    val seed = seedFor(maxLen)
+    val slices = Materialize(sliceFrame(docs, seed))
+    val cur0 = Materialize(
+      if (withLcp) seedRankWithLcp(slices, seed)
+      else SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
+        .select(col("doc_id"), col("pos"), col("r"),
+          lit(null).cast("long").as("_lcp0")))
+    val seedLcp = cur0.filter(col("_lcp0").isNotNull)
+      .select(col("r").as("sr"), col("_lcp0").as("lcp0"))
+    var cur = cur0.select(col("doc_id"), col("pos"),
+      col("r").as("sr"), col("r"))
     var h = seed
     while (h < maxLen) {
       val shifted = cur.select(col("doc_id"),
@@ -220,10 +302,10 @@ object SuffixArray {
         .withColumn("r2", coalesce(col("r2"), lit(0L)))
       cur = Materialize(
         SkewSafe.globalDenseRank(paired, Seq("r", "r2"), "nr")
-          .select(col("doc_id"), col("pos"), col("nr").as("r")))
+          .select(col("doc_id"), col("pos"), col("sr"), col("nr").as("r")))
       h *= 2
     }
-    (slices, cur, maxLen)
+    (cur, maxLen, seedLcp)
   }
 
   /** Consolidate pending walk legs into one materialized frame every this
@@ -231,51 +313,112 @@ object SuffixArray {
    * stays O(n) regardless of how far the walk runs. */
   private val ConsolidateEvery = 4
 
-  /** (srank, cnt, lcp) by the iterative slice walk — see [[lcpArray]]. */
-  private def lcpWalk(slices: DataFrame, sa: DataFrame,
-      maxLen: Int): DataFrame = {
-    val spark = sa.sparkSession
+  /** Above this many active pairs the walk's residual rounds fall back to
+   * full shuffle joins against a materialized slice frame instead of the
+   * broadcast-prefiltered recompute (an adversarially repetitive corpus —
+   * a single repeated character — can keep the active frame large for
+   * maxLCP/seed rounds; broadcasting it would be the real scale hazard).
+   * `var` so the spec can force the fallback path on a small fixture. */
+  private[graft] var WalkBroadcastPairLimit = 500000L
+
+  /**
+   * (srank, cnt, lcp) by the seeded slice walk — see [[lcpArray]].
+   *
+   * Round 1 never touches slice bytes: adjacent final ranks either share
+   * a seed rank (their seed slices are IDENTICAL, so the LCP is at least
+   * the seed width — walk on) or sit on ADJACENT seed ranks sr and sr−1
+   * (the final order refines the seed order with no seed rank skipped —
+   * any skipped rank's slice would sort a corpus suffix strictly between
+   * two adjacent suffixes), where the LCP equals the seed dictionary's
+   * boundary value lcp0(sr) < seed and the pair retires immediately. On
+   * natural text that retires almost every pair for the cost of one
+   * narrow dictionary join; only pairs sharing a full seed-width prefix
+   * enter the slice-compare loop, against slices re-derived for JUST the
+   * documents still active (broadcast semi-filter on the doc scan before
+   * the explode — the corpus-sized slice frame is never shuffled, and
+   * [[WalkBroadcastPairLimit]] guards the adversarial regime).
+   */
+  private def lcpWalk(docs: DataFrame, sa: DataFrame, maxLen: Int,
+      seedLcp: DataFrame): DataFrame = {
+    val seed = seedFor(maxLen)
     val reps = sa.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("rep"))
+        min(struct(col("doc_id"), col("pos"))).as("rep"),
+        min(col("sr")).as("a_sr")) // every member shares the seed rank
       .select(col("r").as("srank"), col("cnt"),
-        col("rep.doc_id").as("a_doc"), col("rep.pos").as("a_pos"))
+        col("rep.doc_id").as("a_doc"), col("rep.pos").as("a_pos"),
+        col("a_sr"))
     val prev = reps.select((col("srank") + 1).as("srank"),
-      col("a_doc").as("b_doc"), col("a_pos").as("b_pos"))
+      col("a_doc").as("b_doc"), col("a_pos").as("b_pos"),
+      col("a_sr").as("b_sr"))
+    // round 1 by seed-rank arithmetic: same seed rank ⟹ walk on from
+    // offset `seed`; adjacent seed ranks ⟹ retire with the dictionary LCP
     val seeded = Materialize(reps.join(prev, Seq("srank"), "left")
-      .withColumn("acc", lit(0L)))
+      .join(seedLcp.withColumnRenamed("sr", "a_sr"), Seq("a_sr"), "left")
+      .withColumn("cpl0",
+        when(col("b_doc").isNull, lit(0L)) // rank 1: no predecessor
+          .when(col("a_sr") === col("b_sr"), lit(seed.toLong))
+          .otherwise(col("lcp0")))
+      .select(col("srank"), col("cnt"), col("a_doc"), col("a_pos"),
+        col("b_doc"), col("b_pos"), col("cpl0")))
     def finished(df: DataFrame): DataFrame =
       df.select(col("srank"), col("cnt"), col("lcp"))
-    // rank 1 has no predecessor: lcp 0 by definition
     var done: DataFrame = Materialize(finished(
-      seeded.filter(col("b_doc").isNull).withColumn("lcp", lit(0L))))
+      seeded.filter(col("cpl0") < seed).withColumn("lcp", col("cpl0"))))
     var doneRows = done.count()
     var legs = List.empty[DataFrame] // per-round retired pairs, pending
     var legRows = 0L
-    var cur = seeded.filter(col("b_doc").isNotNull)
+    var cur = seeded.filter(col("cpl0") === seed.toLong)
+      .withColumn("acc", lit(seed.toLong)).drop("cpl0")
     var curRows = seeded.count() - doneRows
-    val n = slices.count()
+    val n = docs.agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .collect()(0).getLong(0)
     val saRows = sa.count()
     var peak = n + saRows + doneRows + curRows
-    val sla = slices.select(col("doc_id").as("_ad"), col("pos").as("_ap"),
-      col("sl").as("_sa"))
-    val slb = slices.select(col("doc_id").as("_bd"), col("pos").as("_bp"),
-      col("sl").as("_sb"))
-    var rounds = 0
-    val seed = seedFor(maxLen)
+    // full-frame fallback for the adversarial regime, derived on demand
+    lazy val bigSlices = Materialize(sliceFrame(docs, seed))
+    var rounds = 1 // the seed-dictionary round
     val maxRounds = maxLen / seed + 2 // lcp < maxLen ⟹ guaranteed exit
     while (curRows > 0 && rounds < maxRounds) {
-      // compare the two 64-char slices at the current offset; a missing
-      // slice row means that side's suffix is exhausted at acc (cpl 0)
-      val stepped = Materialize(cur
-        .join(sla, col("a_doc") === col("_ad") &&
-          (col("a_pos") + col("acc")) === col("_ap"), "left")
-        .join(slb, col("b_doc") === col("_bd") &&
-          (col("b_pos") + col("acc")) === col("_bp"), "left")
-        .withColumn("cpl", coalesce(
-          common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
-          lit(0L)))
-        .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb"))
+      // compare the two slices at the current offset; a missing slice row
+      // means that side's suffix is exhausted at acc (cpl 0)
+      val stepped = Materialize(
+        if (curRows <= WalkBroadcastPairLimit) {
+          // residual regime: slices only for the documents still active,
+          // re-derived below a broadcast semi-join — no corpus shuffle
+          val needDocs = cur.select(col("a_doc").as("doc_id"))
+            .union(cur.select(col("b_doc").as("doc_id"))).distinct()
+          val sl = sliceFrame(
+            docs.join(broadcast(needDocs), Seq("doc_id"), "left_semi"),
+            seed)
+          cur
+            .join(broadcast(sl.select(col("doc_id").as("_ad"),
+              col("pos").as("_ap"), col("sl").as("_sa"))),
+              col("a_doc") === col("_ad") &&
+                (col("a_pos") + col("acc")) === col("_ap"), "left")
+            .join(broadcast(sl.select(col("doc_id").as("_bd"),
+              col("pos").as("_bp"), col("sl").as("_sb"))),
+              col("b_doc") === col("_bd") &&
+                (col("b_pos") + col("acc")) === col("_bp"), "left")
+            .withColumn("cpl", coalesce(
+              common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
+              lit(0L)))
+            .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb")
+        } else {
+          val sla = bigSlices.select(col("doc_id").as("_ad"),
+            col("pos").as("_ap"), col("sl").as("_sa"))
+          val slb = bigSlices.select(col("doc_id").as("_bd"),
+            col("pos").as("_bp"), col("sl").as("_sb"))
+          cur
+            .join(sla, col("a_doc") === col("_ad") &&
+              (col("a_pos") + col("acc")) === col("_ap"), "left")
+            .join(slb, col("b_doc") === col("_bd") &&
+              (col("b_pos") + col("acc")) === col("_bp"), "left")
+            .withColumn("cpl", coalesce(
+              common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
+              lit(0L)))
+            .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb")
+        })
       // a full-width match means the LCP may extend past this slice —
       // advance one width and keep walking; anything less is final
       legs ::= finished(stepped.filter(col("cpl") < seed)

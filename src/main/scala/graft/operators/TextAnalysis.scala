@@ -889,31 +889,51 @@ object TextAnalysis {
    * Output: (doc_id, ngram_lang, score9, script_chars, script_lang,
    * predicted_lang).
    *
-   * Scale shape: the model is a vocabulary dictionary — broadcast; the
-   * doc side is one narrow trigram explode + one map-side-combinable
-   * count, expanded ×|languages| (bounded, single digits) through a
-   * broadcast hash join, then one aggregation keyed (doc, lang). The
-   * script counts are pure codegen'd projections. Nothing corpus-sized
-   * shuffles more than once.
+   * Scale shape: the model is a vocabulary dictionary — regrouped to one
+   * per-trigram map of language weights and broadcast; the floors are a
+   * languages-sized driver dictionary (the documented driver-held-model
+   * pattern). The doc side is one narrow trigram explode feeding ONE
+   * aggregation keyed doc_id whose |languages| sum columns fold each
+   * instance's weight in place — map-side combinable, so the only
+   * exchange carries doc-count×|languages| partial sums. Nothing
+   * corpus-sized is ever shuffled (the previous formulation hash-shuffled
+   * every distinct (doc, trigram) pair and expanded it ×|languages|
+   * before re-aggregating; the scores are the same exact long sums,
+   * reassociated). The script counts are pure codegen'd projections.
    */
   def langIdPredict(docs: DataFrame, model: DataFrame, floors: DataFrame,
                     scriptLangs: Seq[(String, Int, Int)] = DefaultScriptLangs,
                     textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dg = docs
-      .select(col("doc_id"), explode(charTrigrams(col(textCol))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
-    val scored = dg.withColumn("_k", lit(1))
-      .join(broadcast(floors.withColumn("_k", lit(1))), Seq("_k"))
-      .drop("_k")
-      .join(broadcast(model), Seq("lang", "g"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("occ") * coalesce(col("w9"), col("w0"))).as("score9"))
-    val top = scored
-      .withColumn("_rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("score9").desc, col("lang").asc)))
-      .filter(col("_rn") === 1)
-      .select(col("doc_id"), col("lang").as("ngram_lang"), col("score9"))
+    // languages-sized collect: the floor dictionary pins the language set
+    // and each language's unseen-trigram weight
+    val fl = floors.select(col("lang"), col("w0")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val langs = fl.map(_._1)
+    val w0 = fl.toMap
+    val top =
+      if (langs.isEmpty)
+        docs.select(col("doc_id"), lit(null).cast("string").as("ngram_lang"),
+          lit(null).cast("long").as("score9")).limit(0)
+      else {
+        val gmap = model.groupBy(col("g"))
+          .agg(map_from_entries(collect_list(struct(col("lang"),
+            col("w9")))).as("_m"))
+        val dg = docs
+          .select(col("doc_id"), explode(charTrigrams(col(textCol))).as("g"))
+          .join(broadcast(gmap), Seq("g"), "left") // unseen gram → floors
+        val sums = langs.map(l => sum(coalesce(
+          element_at(col("_m"), lit(l)), lit(w0(l)))).as(s"_s_$l"))
+        val scored = dg.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        val best = greatest(langs.map(l => col(s"_s_$l")) :+
+          lit(Long.MinValue): _*)
+        // ties break (score DESC, lang ASC): the first equal column in
+        // ascending language order wins the when-chain
+        val argmax = langs.foldRight(lit(null).cast("string")) {
+          case (l, acc) => when(col(s"_s_$l") === best, lit(l)).otherwise(acc)
+        }
+        scored.select(col("doc_id"), argmax.as("ngram_lang"),
+          best.as("score9"))
+      }
     val counts = scriptLangs.map { case (l, lo, hi) =>
       l -> length(regexp_replace(col(textCol), scriptNegClass(lo, hi), ""))
     }

@@ -159,6 +159,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(deepRounds >= 2, "deep fixture never exercised the multi-round walk")
   }
 
+  test("lcpArray: shuffle-join fallback path equals the broadcast path") {
+    // force the residual rounds onto the materialized-slices fallback
+    // (curRows > limit) and pin it against the default broadcast path —
+    // the two regimes must be output-identical on the same corpus
+    val rnd = new scala.util.Random(47)
+    val core = Seq.fill(200)(('a' + rnd.nextInt(2)).toChar).mkString
+    val docs = (0L until 6L).map(id => (id, core + id.toString))
+    val df = docs.toDF("doc_id", "text")
+    val want = naiveLcp(docs)
+    val saved = SuffixArray.WalkBroadcastPairLimit
+    try {
+      SuffixArray.WalkBroadcastPairLimit = 0L // every round falls back
+      val got = SuffixArray.lcpArray(df)
+        .as[(Long, Long, Long)].collect()
+        .map { case (r, c, l) => r -> (c, l) }.toMap
+      assert(got === want)
+    } finally SuffixArray.WalkBroadcastPairLimit = saved
+    val gotDefault = SuffixArray.lcpArray(df)
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, c, l) => r -> (c, l) }.toMap
+    assert(gotDefault === want)
+  }
+
   test("dupSpans finds exactly the >=minLen shared substrings") {
     // "HELLOWORLDFRIEND" (16 chars) is planted in docs 1 and 3; doc 2 is
     // disjoint. With minLen 16 only the planted span (and its contained
