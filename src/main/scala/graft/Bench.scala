@@ -18,6 +18,18 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (guide §2.2/§2.5): this engine's queries put
+      // EXPANSIVE scalar work (codec decode, trigram/shingle explodes,
+      // regex extraction) above byte-small exchanges, so the default 1 MB
+      // minPartitionSize lets parallelismFirst collapse a few-MB shuffle
+      // to 1-3 partitions and serialize minutes of compute onto one core
+      // (measured: pipeline_web_corpus 14.3 -> 3.0 s at 64k). 64k only
+      // ever LOWERS the floor parallelismFirst already adapts with — on
+      // big shuffles the advisory size governs and nothing changes.
+      // Parameterised for deployments; local default keeps the driver
+      // bench comparable across core counts.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,11 +28,40 @@ object SparkEntry {
 
   // ---- shared helpers -----------------------------------------------------
 
+  /** Unsplittable-input guard (optimization guide §2.5: "one huge
+   * unsplittable file … repartition immediately after the read"): the
+   * driver corpus ships ONE parquet row group per table, so a bare scan
+   * runs every narrow per-row stage above it — fixture encode, codec
+   * decode, text extraction, the scalar kernels that dominate this
+   * engine's cost — in a single task regardless of available cores. When
+   * the scan's split count is below the session's default parallelism,
+   * redistribute once right after the read: one corpus-row exchange of
+   * the narrow base columns unlocks every core for the heavy chains
+   * above. On splittable multi-file inputs (the cluster shape) the
+   * condition is false and NO exchange is added — the guard is derived
+   * from the actual scan parallelism, never a local constant. It applies
+   * ONLY to the payload-corpus tables (documents, embeddings): their rows
+   * feed codec/fixture/vector kernels costing orders of magnitude more
+   * than the exchange moving them. The relational tables keep their bare
+   * scans — their per-row work is one codegen'd predicate, so an extra
+   * full-table exchange is pure overhead there (and ScanAudit pins those
+   * plans at one aggregation shuffle). */
+  private def parallelizeScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  private val ScalarHeavyTables: Set[String] =
+    if (sys.env.contains("SPARK_GRAFT_NO_SCAN_GUARD")) Set.empty
+    else Set("documents", "embeddings")
+
   private[graft] def ev(s: SparkSession, dir: String): DataFrame =
     Cdc.eventsFromRaw(Cdc.rawEvents(s, dir))
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Cdc.table(s, dir, name)
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = Cdc.table(s, dir, name)
+    if (ScalarHeavyTables(name)) parallelizeScan(df) else df
+  }
 
   /** Deterministic markup fixture for the HTML-extraction rows: wraps each
    * document's text in a full page whose boilerplate exercises every

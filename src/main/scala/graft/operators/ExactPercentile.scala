@@ -51,8 +51,13 @@ object ExactPercentile {
     // global per-group 0-based positions, no single-task sort: range buckets
     // hold contiguous (group, value) runs, so rank = local row_number +
     // the group's row count in earlier buckets (broadcast dictionary)
-    val bucketed = vals.repartitionByRange(gcols :+ col("_v"): _*)
-      .withColumn("_pid", spark_partition_id())
+    // pinned count + materialization — same bucket-identity hazard as
+    // SkewSafe.globalDenseRank: `_pid` must mean the same bucket in the
+    // local-rank stage and the count-dictionary stage
+    val bucketed = Materialize(vals.repartitionByRange(
+        vals.sparkSession.sessionState.conf.numShufflePartitions,
+        gcols :+ col("_v"): _*)
+      .withColumn("_pid", spark_partition_id()))
     val local = bucketed.withColumn("_lrn",
       row_number().over(
         Window.partitionBy(col("_pid") +: gcols: _*).orderBy(col("_v"))))

@@ -94,8 +94,17 @@ object SkewSafe {
                       outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val bucketed = df.repartitionByRange(keys: _*)
-      .withColumn("_gdr_pid", spark_partition_id())
+    // The local ranks and the offset dictionary read these buckets in
+    // different stages, and `_gdr_pid` must mean the same bucket in both.
+    // Pin BOTH degrees of freedom: an explicit partition count (an
+    // unpinned range repartition lets AQE re-coalesce each read
+    // independently — observed under a lowered coalescing floor), and a
+    // materialization of the bucketed rows (range bounds come from a
+    // sampling pass, so two independent computations of the exchange may
+    // draw different bucket boundaries).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = Materialize(df.repartitionByRange(n, keys: _*)
+      .withColumn("_gdr_pid", spark_partition_id()))
     val local = bucketed.withColumn("_gdr_lrank",
       dense_rank().over(
         Window.partitionBy(col("_gdr_pid")).orderBy(keys.map(_.asc): _*)))

@@ -230,8 +230,14 @@ object SuffixArray {
    */
   private def seedRankWithLcp(slices: DataFrame, seed: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = slices.repartitionByRange(col("sl"))
-      .withColumn("_pid", spark_partition_id())
+    // pinned count + materialization — the bucket-identity hazard pinned
+    // in SkewSafe.globalDenseRank applies to this specialized copy too
+    // (this materialization also plays the old slice-frame cache's role:
+    // every downstream consumer reads the sorted buckets, not the explode)
+    val bucketed = Materialize(slices.repartitionByRange(
+        slices.sparkSession.sessionState.conf.numShufflePartitions,
+        col("sl"))
+      .withColumn("_pid", spark_partition_id()))
     val w = Window.partitionBy(col("_pid")).orderBy(col("sl"))
     // lag(sl) carries the previous slice through the window output — the
     // honest cost of computing boundary LCPs in place (only the walk
@@ -282,10 +288,9 @@ object SuffixArray {
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen > 0, "empty corpus")
     val seed = seedFor(maxLen)
-    val slices = Materialize(sliceFrame(docs, seed))
     val cur0 = Materialize(
-      if (withLcp) seedRankWithLcp(slices, seed)
-      else SkewSafe.globalDenseRank(slices, Seq("sl"), "r")
+      if (withLcp) seedRankWithLcp(sliceFrame(docs, seed), seed)
+      else SkewSafe.globalDenseRank(sliceFrame(docs, seed), Seq("sl"), "r")
         .select(col("doc_id"), col("pos"), col("r"),
           lit(null).cast("long").as("_lcp0")))
     val seedLcp = cur0.filter(col("_lcp0").isNotNull)

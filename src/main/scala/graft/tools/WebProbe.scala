@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch: stage-level timing of pipeline_web_corpus (not committed). */
+object WebProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("PROBE_MINPART", "1m"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.SparkEntry
+    import graft.operators.TextAnalysis
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      // min of 3 with one warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${ts.min}%7.2f s (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+
+    val wd = SparkEntry.queries // force init
+    val s = spark
+    val dir = sfDir
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.WarcFunctions._
+    import graft.operators.{DocDedup, Materialize, TrainingMix}
+    val wdocs = graft.SparkEntry.warcDocs(s, dir)
+    val recrawl = wdocs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("warc"))
+    val mirror = graft.SparkEntry.markupDocs(s, dir)
+      .filter(col("doc_id") < 30 && col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        warc_response_gz(
+          concat(lit("https://mirror.example.org/doc/"),
+            col("doc_id").cast("string")),
+          lit(200), lit("text/html; charset=UTF-8"), col("html"))
+          .as("warc"))
+    val corpus = wdocs.unionByName(recrawl).unionByName(mirror)
+    val flat = TextAnalysis.warcExtract(corpus)
+      .select(col("doc_id"), col("target_uri"),
+        concat(replace(col("clean_text"), lit("\n"), lit(" ")),
+          lit(graft.SparkEntry.webDeco)).as("text"))
+    time("flat (warc+extract)")(flat)
+    val normed = Materialize(TextAnalysis.normalizeUnicode(flat)
+      .select(col("doc_id"), col("target_uri"),
+        col("norm_text").as("text")))
+    time("normed (materialized)")(normed)
+    val kept = normed.join(
+      TextAnalysis.qualityFilter(normed, minWords = 40, maxWords = 200,
+        minTtr = 0.45, stopwords = Nil)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    time("kept (quality join)")(kept)
+    val urlKept = kept
+      .withColumn("_keep", min(col("doc_id")).over(
+        Window.partitionBy(col("target_uri"))))
+      .filter(col("doc_id") === col("_keep")).drop("_keep")
+    time("urlKept (url window)")(urlKept)
+    val ndKept = Materialize(urlKept
+      .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
+      .withColumn("_keep", min(col("doc_id")).over(
+        Window.partitionBy(col("_fp"))))
+      .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
+    time("ndKept (fp window)")(ndKept)
+    val pred = Materialize(TextAnalysis.langIdPredict(ndKept,
+        graft.SparkEntry.langIdModelMemo(s, dir),
+        graft.SparkEntry.langIdFloorsMemo(s, dir))
+      .select(col("doc_id"), col("predicted_lang")))
+    time("pred (langid)")(pred)
+    val sampled = Materialize(
+      TrainingMix.temperatureSample(pred, "predicted_lang", "doc_id"))
+    time("sampled")(sampled)
+    val fin = TrainingMix.shuffleShards(sampled, "doc_id", nShards = 16,
+        seed = "graft")
+      .join(sampled.select(col("doc_id"), col("predicted_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("predicted_lang"), col("shard"),
+        col("pos"))
+    time("final (shards+join)")(fin)
+    time("full query")(wd("pipeline_web_corpus")(spark, sfDir))
+
+    // variant: same chain with EAGER localCheckpoints at the diamonds
+    def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def fullEager(): DataFrame = {
+      val normedE = eager(TextAnalysis.normalizeUnicode(flat)
+        .select(col("doc_id"), col("target_uri"),
+          col("norm_text").as("text")))
+      val keptE = normedE.join(
+        TextAnalysis.qualityFilter(normedE, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val urlKeptE = keptE
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("target_uri"))))
+        .filter(col("doc_id") === col("_keep")).drop("_keep")
+      val ndKeptE = eager(urlKeptE
+        .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("_fp"))))
+        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
+      val predE = eager(TextAnalysis.langIdPredict(ndKeptE,
+          graft.SparkEntry.langIdModelMemo(s, dir),
+          graft.SparkEntry.langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang")))
+      val sampledE = eager(
+        TrainingMix.temperatureSample(predE, "predicted_lang", "doc_id"))
+      TrainingMix.shuffleShards(sampledE, "doc_id", nShards = 16,
+          seed = "graft")
+        .join(sampledE.select(col("doc_id"), col("predicted_lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("shard"),
+          col("pos"))
+    }
+    time("full EAGER diamonds")(fullEager())
+
+    // fresh-chain truncation bisect: rebuild the whole lineage from
+    // scratch per call, stopping at successive stages
+    def freshChain(stop: String): DataFrame = {
+      val normedF = Materialize(TextAnalysis.normalizeUnicode(flat)
+        .select(col("doc_id"), col("target_uri"),
+          col("norm_text").as("text")))
+      if (stop == "normed") return normedF
+      val keptF = normedF.join(
+        TextAnalysis.qualityFilter(normedF, minWords = 40, maxWords = 200,
+          minTtr = 0.45, stopwords = Nil)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      if (stop == "kept") return keptF
+      val urlKeptF = keptF
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("target_uri"))))
+        .filter(col("doc_id") === col("_keep")).drop("_keep")
+      val ndKeptF = Materialize(urlKeptF
+        .withColumn("_fp", DocDedup.normalizedFingerprint("text"))
+        .withColumn("_keep", min(col("doc_id")).over(
+          Window.partitionBy(col("_fp"))))
+        .filter(col("doc_id") === col("_keep")).drop("_fp", "_keep"))
+      if (stop == "ndKept") return ndKeptF
+      val predF = Materialize(TextAnalysis.langIdPredict(ndKeptF,
+          graft.SparkEntry.langIdModelMemo(s, dir),
+          graft.SparkEntry.langIdFloorsMemo(s, dir))
+        .select(col("doc_id"), col("predicted_lang")))
+      if (stop == "pred") return predF
+      val sampledF = Materialize(
+        TrainingMix.temperatureSample(predF, "predicted_lang", "doc_id"))
+      if (stop == "sampled") return sampledF
+      TrainingMix.shuffleShards(sampledF, "doc_id", nShards = 16,
+          seed = "graft")
+        .join(sampledF.select(col("doc_id"), col("predicted_lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("shard"), col("pos"))
+    }
+    for (stop <- Seq("normed", "kept", "ndKept", "pred", "sampled", "full"))
+      time(s"fresh->$stop")(freshChain(stop))
+
+    // stage accounting for one fresh full run
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
+    val top = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(-1L)
+          stages.add((i.stageId, i.name.takeWhile(_ != '\n').take(60), ms,
+            i.numTasks))
+          top.synchronized {
+            top += ((i.stageId, ms,
+              i.rddInfos.map(r => s"${r.id}:${r.name}").mkString(" <- ")))
+          }
+        }
+      })
+    val t0 = System.nanoTime()
+    wd("pipeline_web_corpus")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"instrumented run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Thread.sleep(1000)
+    import scala.jdk.CollectionConverters._
+    val all = stages.asScala.toSeq
+    println(s"stages: ${all.size}, total stage-ms: ${all.map(_._3).sum}")
+    all.sortBy(-_._3).take(25).foreach { case (id, n, ms, t) =>
+      println(f"  $ms%6d ms  $t%3d tasks  #$id%-4d $n")
+    }
+    println("== rdd chains of top stages ==")
+    top.sortBy(-_._2).take(4).foreach { case (id, ms, rdds) =>
+      println(f"stage #$id ($ms ms): $rdds")
+    }
+    spark.stop()
+  }
+}
