@@ -76,8 +76,8 @@ private[graft] object DedupEntries {
       // MinHash + banded LSH near-dup candidates (engine-portable md5
       // min-hash, H=8 signatures, 2 bands of 4)
       val docs = t(s, dir, "documents")
-      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
-      DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+      DocDedup.candidatePairs(
+        DocDedup.minhashBandBuckets(docs, numHashes = 8, rowsPerBand = 4))
     }),
 
     
@@ -150,8 +150,8 @@ private[graft] object DedupEntries {
       // the full two-phase near-dup pipeline: LSH candidates → exact
       // word-set Jaccard verification at 0.8
       val docs = t(s, dir, "documents")
-      val sig = DocDedup.minhashSignatures(docs, numHashes = 8)
-      val pairs = DocDedup.candidatePairs(DocDedup.lshBuckets(sig, rowsPerBand = 4))
+      val pairs = DocDedup.candidatePairs(
+        DocDedup.minhashBandBuckets(docs, numHashes = 8, rowsPerBand = 4))
       DocDedup.jaccardVerify(pairs, docs, threshold = 0.8)
     }),
 

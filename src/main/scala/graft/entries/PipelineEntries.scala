@@ -181,8 +181,8 @@ private[graft] object PipelineEntries {
         .getField("lang")
       val docs = corpus.select(col("doc_id"),
         operators.CodeCorpus.normalize(col("content"), lang).as("text"))
-      DocDedup.candidatePairs(DocDedup.lshBuckets(
-        DocDedup.minhashSignatures(docs, numHashes = 8), rowsPerBand = 4))
+      DocDedup.candidatePairs(
+        DocDedup.minhashBandBuckets(docs, numHashes = 8, rowsPerBand = 4))
     }),
 
 "pipeline_code_corpus_streamed" -> ((s, dir) =>

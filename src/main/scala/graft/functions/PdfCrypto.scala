@@ -115,6 +115,13 @@ object PdfCrypto {
     out
   }
 
+  // NON-REENTRANCY INVARIANT: one Cipher/MessageDigest instance per
+  // (executor thread, algorithm), re-initialized per use. Safe because
+  // every call site runs the primitive to completion before the next call
+  // on the same thread; a future REENTRANT use (e.g. a digest computed
+  // inside an argument expression of another call of the SAME algorithm
+  // on the same thread) would silently corrupt state, since both frames
+  // would share one instance. Keep call trees primitive-at-a-time.
   private val ciphers =
     new ThreadLocal[java.util.HashMap[String, Cipher]] {
       override def initialValue() = new java.util.HashMap[String, Cipher]()

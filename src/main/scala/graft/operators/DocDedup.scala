@@ -240,6 +240,40 @@ object DocDedup {
         s => s.getField("minhash")), "|"))).as("bucket"))
 
   /**
+   * Fused [[minhashSignatures]] + [[lshBuckets]] in ONE corpus shuffle —
+   * bit-identical buckets (spec-pinned against the two-step form). The
+   * two-step pipeline shuffles every (doc, h) signature row twice (the
+   * per-hash min groupBy, then the per-band collect_list + sort); here
+   * each of the `numHashes` min-hashes is its own aggregation COLUMN, so
+   * the only exchange carries |docs| rows of numHashes partial mins
+   * (map-side combinable), and the band bucket md5s are a pure codegen'd
+   * projection above it — no collect_list, no in-band sort. The
+   * vocabulary dictionary join is unchanged (md5 once per distinct
+   * corpus token per hash; Catalyst/AQE broadcasts it when small).
+   */
+  def minhashBandBuckets(docs: DataFrame, numHashes: Int,
+                         rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes $numHashes not divisible by rowsPerBand $rowsPerBand")
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val hashCols = (0 until numHashes).map(i =>
+      md5(concat_ws("|", lit(i), col("token"))).as(s"_h$i"))
+    val vocabHashes = tokens.select(col("token")).distinct()
+      .select(col("token") +: hashCols: _*)
+    val sig = tokens.join(vocabHashes, "token")
+      .groupBy(col("doc_id"))
+      .agg(min(col("_h0")).as("_m0"),
+        (1 until numHashes).map(i => min(col(s"_h$i")).as(s"_m$i")): _*)
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"_m${b * rowsPerBand + r}")): _*))
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /**
    * Near-duplicate candidate pairs: documents sharing an LSH bucket.
    * Output is distinct (a, b) with a < b.
    *
@@ -303,7 +337,7 @@ object DocDedup {
       // No lineage cut here: each side's frame feeds one join, the cap
       // count reuses the groupBy exchange, and a checkpoint write of
       // every bucket measured strictly slower than the reuse.
-      val b = lshBuckets(minhashSignatures(docs, numHashes), rowsPerBand)
+      val b = minhashBandBuckets(docs, numHashes, rowsPerBand)
       val ok = b.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
         .select(col("band"), col("bucket"))
@@ -438,7 +472,7 @@ object DocDedup {
         (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard")))
     val arms = Seq(
       "minhash_lsh" ->
-        candidatePairs(lshBuckets(minhashSignatures(docs, 8), 4)),
+        candidatePairs(minhashBandBuckets(docs, 8, 4)),
       "simhash_band" -> simhashCandidates(docs, 64, 4))
     val rows = for {
       (name, cand) <- arms.map { case (n, c) =>

@@ -43,28 +43,20 @@ import graft.functions.GraftFunctions.common_prefix_length
  * already computed in place (`lag(sl)` inside the rank window — see
  * [[seedRankWithLcp]]); on natural text that retires almost every pair
  * for one narrow dictionary join. Only pairs sharing a full seed-width
- * prefix enter the residual loop: iteratively byte-compare the two
- * seed-length position slices at the current match offset
- * ([[graft.functions.CommonPrefixLength]] — a codegen'd kernel over
- * BOUNDED slices, never a full-text attach), advancing a full slice width
- * while they match, against slices re-derived for JUST the still-active
- * documents (broadcast semi-filter below the explode — the corpus-sized
- * slice frame is never shuffled or retained for the walk). A pair retires
- * the first round its slices diverge (or a suffix exhausts), so loop
- * round k touches only pairs with LCP ≥ seed·(k+1) — the active frame
- * decays geometrically, and total compare work is Σ ceil(LCP/seed) per
- * surviving pair. Exact end to end: no rolling hash, no collision
- * probability to argue about. Retained state during the walk is the
- * final array + the decaying active frame + one periodically consolidated
- * result frame — O(n) by construction (spec-pinned via [[lastWalkStats]]),
- * closing the O(n·log n) rank-table retention the previous binary-walk
- * formulation paid. The honest trade: worst-case rounds are maxLCP/seed
- * (vs log for the table walk) — on adversarially repetitive corpora
- * (single repeated character) the walk does O(LCP/seed) passes over the
- * surviving pairs (falling back to full shuffle joins above
- * [[WalkBroadcastPairLimit]] active pairs); on real text long
- * adjacent-suffix LCPs are precisely the rare duplicated spans
- * ExactSubstr exists to find.
+ * prefix resolve in ONE exact pass: attach the two still-active
+ * documents' text (semi-join below the scan; broadcast only under the
+ * measured [[WalkBroadcastByteLimit]] byte budget, a pair-sized shuffle
+ * join above it) and extend the match from offset `seed` with
+ * [[graft.functions.CommonPrefixLength]] — a codegen'd kernel that
+ * compares to end-of-string from arbitrary character offsets, so no
+ * stepping loop and no per-round frames exist. Total compare work is
+ * Σ LCP per surviving pair — the same characters a slice-width walk
+ * would touch, without its per-round scheduling. Exact end to end: no
+ * rolling hash, no collision probability to argue about. Retained state
+ * is the final array + the rank-sized pair frame + the active documents'
+ * text — O(n) by construction (spec-pinned via [[lastWalkStats]]). On
+ * short-document corpora ([[seedFor]] covers maxLen) the seed slices are
+ * full suffixes and the residual set is EMPTY by construction.
  *
  * [[dupSpans]] is the ExactSubstr consumer: a position's duplicated-span
  * length is the max of its LCPs with its suffix-order neighbors (and its
@@ -74,29 +66,39 @@ object SuffixArray {
 
   /**
    * Seed/slice width for a given corpus: the doubling starts from ranks
-   * of seed-length prefixes and the LCP walk advances in whole slice
-   * widths, so BOTH round counts scale with 1/seed (doubling:
-   * ceil(log2(maxLen/seed)); walk: longest-true-LCP/seed) while the
-   * slice store costs up to seed bytes per corpus position. Each round is
-   * a scheduled shuffle + global rank whose FIXED overhead dominates at
-   * local scale (measured exponents 0.27-0.78, docs/BENCH_NOTES.md), so
-   * the seed adapts upward on short-document corpora — to the largest
-   * power of two at or below maxLen — where the bigger slices cost
-   * little (a slice never exceeds its suffix) and the rounds collapse.
-   * The 512 ceiling caps the per-position store on long-document corpora
-   * at 8x the old fixed 64, the measured knee of the trade; 64 remains
-   * the floor. Round-7 measurement: 512-char seeds on the sf0.1 corpus
-   * (maxLen 577) cut lcp/spans wall time ~34% with identical outputs
-   * (ranks and LCPs are seed-invariant by construction).
+   * of seed-length prefixes, so the doubling round count is
+   * ceil(log2(maxLen/seed)) while the slice store costs up to seed bytes
+   * per corpus position. Each round is a scheduled shuffle + global rank
+   * whose FIXED overhead dominates at local scale (measured exponents
+   * 0.27-0.78, docs/BENCH_NOTES.md), so the seed adapts upward on
+   * short-document corpora — to the next power of two covering maxLen —
+   * where the bigger slices cost little (a slice never exceeds its
+   * suffix) and every round collapses. The 512 ceiling caps the
+   * per-position store on long-document corpora at 8x the old fixed 64,
+   * the measured knee of the trade; 64 remains the floor. Ranks and LCPs
+   * are seed-invariant by construction, so the choice is pure
+   * performance (round-7 and round-14 A/B measurements).
    */
   private def seedFor(maxLen: Int): Int =
-    math.min(512, math.max(64, Integer.highestOneBit(maxLen)))
+    // Full-suffix slices on short-document corpora: a slice never exceeds
+    // its suffix, so for maxLen <= 1024 the next power of two AT OR ABOVE
+    // maxLen costs at most 2x the 512-cap slice store while collapsing
+    // BOTH the doubling rounds and the LCP walk's residual compare to
+    // zero (the seed rank IS the final rank, and the seed dictionary's
+    // boundary LCPs are the exact full LCPs). Measured at sf0.1
+    // (maxLen 577): one doubling round + the residual walk removed for
+    // ~12% more slice bytes. Long-document corpora keep the 512 cap —
+    // the measured knee of the rounds-vs-bytes trade (round 7).
+    if (maxLen <= 1024) math.max(64, Integer.highestOneBit(2 * maxLen - 1))
+    else 512
 
   /** Walk instrumentation for the O(n)-state spec: corpus positions n,
-   * walk rounds, and the peak number of rows live in materialized frames
-   * at any instant (slices + array + active + consolidated + pending
-   * legs). The spec asserts peakLiveRows stays a constant multiple of n
-   * across corpora whose doubling-level counts differ. */
+   * walk rounds (1 = everything retired by the seed dictionary, 2 = the
+   * single residual tail-compare pass ran), and the peak number of rows
+   * live in materialized frames at any instant (slices + array + pair
+   * frame + active pairs). The spec asserts peakLiveRows stays a
+   * constant multiple of n across corpora whose doubling-level counts
+   * differ. */
   final case class WalkStats(corpusPositions: Long, rounds: Int,
       peakLiveRows: Long)
   @volatile var lastWalkStats: WalkStats = WalkStats(0L, 0, 0L)
@@ -201,12 +203,9 @@ object SuffixArray {
   }
 
   /** The bounded position-slice frame — LAZY (never materialized as a
-   * whole): the seed rank consumes it once through its range exchange,
-   * and the LCP walk's residual rounds re-derive it pre-filtered to the
-   * handful of documents still active (the explode is a narrow
-   * re-expansion of the doc scan — recomputing a filtered sliver is far
-   * cheaper than keeping seed bytes × corpus positions pinned in block
-   * storage for the walk's tail). */
+   * whole): the seed rank consumes it exactly once through its range
+   * exchange (the LCP walk's residual compare reads document TEXT, not
+   * slices, so nothing else ever re-derives this frame). */
   private def sliceFrame(docs: DataFrame, seed: Int): DataFrame =
     docs.select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 1)).as("pos"),
@@ -313,35 +312,49 @@ object SuffixArray {
     (cur, maxLen, seedLcp)
   }
 
-  /** Consolidate pending walk legs into one materialized frame every this
-   * many rounds, dropping the per-round frame references so live state
-   * stays O(n) regardless of how far the walk runs. */
-  private val ConsolidateEvery = 4
-
-  /** Above this many active pairs the walk's residual rounds fall back to
-   * full shuffle joins against a materialized slice frame instead of the
-   * broadcast-prefiltered recompute (an adversarially repetitive corpus —
-   * a single repeated character — can keep the active frame large for
-   * maxLCP/seed rounds; broadcasting it would be the real scale hazard).
-   * `var` so the spec can force the fallback path on a small fixture. */
-  private[graft] var WalkBroadcastPairLimit = 500000L
+  /** Byte budget for the walk's residual broadcast: the still-active
+   * documents' TEXT is attached to the surviving pairs via a broadcast of
+   * (doc_id, text) only when the measured byte volume of those documents
+   * fits this budget — gating on bytes, never on pair count, because a
+   * few hundred surviving pairs over large documents would otherwise
+   * force a multi-GB broadcast (the hint bypasses
+   * autoBroadcastJoinThreshold). Above the budget the attach is an
+   * ordinary pair-sized shuffle join on doc id. `var` so the spec can
+   * force the shuffle path on a small fixture. */
+  private[graft] var WalkBroadcastByteLimit = 64L << 20
 
   /**
-   * (srank, cnt, lcp) by the seeded slice walk — see [[lcpArray]].
+   * (srank, cnt, lcp) by the seed dictionary + one exact tail compare —
+   * see [[lcpArray]].
    *
    * Round 1 never touches slice bytes: adjacent final ranks either share
    * a seed rank (their seed slices are IDENTICAL, so the LCP is at least
-   * the seed width — walk on) or sit on ADJACENT seed ranks sr and sr−1
-   * (the final order refines the seed order with no seed rank skipped —
-   * any skipped rank's slice would sort a corpus suffix strictly between
-   * two adjacent suffixes), where the LCP equals the seed dictionary's
-   * boundary value lcp0(sr) < seed and the pair retires immediately. On
-   * natural text that retires almost every pair for the cost of one
-   * narrow dictionary join; only pairs sharing a full seed-width prefix
-   * enter the slice-compare loop, against slices re-derived for JUST the
-   * documents still active (broadcast semi-filter on the doc scan before
-   * the explode — the corpus-sized slice frame is never shuffled, and
-   * [[WalkBroadcastPairLimit]] guards the adversarial regime).
+   * the seed width — resolve the tail) or sit on ADJACENT seed ranks sr
+   * and sr−1 (the final order refines the seed order with no seed rank
+   * skipped — any skipped rank's slice would sort a corpus suffix
+   * strictly between two adjacent suffixes), where the LCP equals the
+   * seed dictionary's boundary value lcp0(sr) < seed and the pair
+   * retires immediately. On natural text that retires almost every pair
+   * for the cost of one narrow dictionary join — and on short-document
+   * corpora (maxLen ≤ 1024, [[seedFor]]) it retires EVERY pair, because
+   * the slices are full suffixes.
+   *
+   * The residual pairs (full seed-width shared prefix) resolve in ONE
+   * pass: attach the two active documents' text and extend the match
+   * from offset `seed` with the codegen'd LCP kernel
+   * ([[graft.functions.CommonPrefixLength]] compares to end-of-string
+   * from arbitrary character offsets), so no stepping loop and no
+   * per-round frames exist at all. The text attach reads ONLY the still-
+   * active documents (semi-join below the scan) and is broadcast only
+   * when their measured byte volume fits [[WalkBroadcastByteLimit]] —
+   * above it (adversarially repetitive corpora) the attach is a
+   * pair-sized shuffle join, never a giant broadcast. Exact end to end:
+   * no rolling hash, no collision probability to argue about. Retained
+   * state is the final array + the rank-sized pair frame + the active
+   * documents' text — O(n) by construction (spec-pinned via
+   * [[lastWalkStats]]). Total compare work is Σ LCP per surviving pair,
+   * the same characters the old per-slice-width walk touched, without
+   * its per-round scheduling and materialization.
    */
   private def lcpWalk(docs: DataFrame, sa: DataFrame, maxLen: Int,
       seedLcp: DataFrame): DataFrame = {
@@ -356,8 +369,9 @@ object SuffixArray {
     val prev = reps.select((col("srank") + 1).as("srank"),
       col("a_doc").as("b_doc"), col("a_pos").as("b_pos"),
       col("a_sr").as("b_sr"))
-    // round 1 by seed-rank arithmetic: same seed rank ⟹ walk on from
-    // offset `seed`; adjacent seed ranks ⟹ retire with the dictionary LCP
+    // round 1 by seed-rank arithmetic: same seed rank ⟹ resolve the tail
+    // from offset `seed`; adjacent seed ranks ⟹ retire with the
+    // dictionary LCP
     val seeded = Materialize(reps.join(prev, Seq("srank"), "left")
       .join(seedLcp.withColumnRenamed("sr", "a_sr"), Seq("a_sr"), "left")
       .withColumn("cpl0",
@@ -366,86 +380,48 @@ object SuffixArray {
           .otherwise(col("lcp0")))
       .select(col("srank"), col("cnt"), col("a_doc"), col("a_pos"),
         col("b_doc"), col("b_pos"), col("cpl0")))
-    def finished(df: DataFrame): DataFrame =
-      df.select(col("srank"), col("cnt"), col("lcp"))
-    var done: DataFrame = Materialize(finished(
-      seeded.filter(col("cpl0") < seed).withColumn("lcp", col("cpl0"))))
-    var doneRows = done.count()
-    var legs = List.empty[DataFrame] // per-round retired pairs, pending
-    var legRows = 0L
-    var cur = seeded.filter(col("cpl0") === seed.toLong)
-      .withColumn("acc", lit(seed.toLong)).drop("cpl0")
-    var curRows = seeded.count() - doneRows
+    val retired = seeded.filter(col("cpl0") < seed)
+      .select(col("srank"), col("cnt"), col("cpl0").as("lcp"))
+    val active = seeded.filter(col("cpl0") === seed.toLong)
     val n = docs.agg(coalesce(sum(length(col("text"))), lit(0L)))
       .collect()(0).getLong(0)
     val saRows = sa.count()
-    var peak = n + saRows + doneRows + curRows
-    // full-frame fallback for the adversarial regime, derived on demand
-    lazy val bigSlices = Materialize(sliceFrame(docs, seed))
-    var rounds = 1 // the seed-dictionary round
-    val maxRounds = maxLen / seed + 2 // lcp < maxLen ⟹ guaranteed exit
-    while (curRows > 0 && rounds < maxRounds) {
-      // compare the two slices at the current offset; a missing slice row
-      // means that side's suffix is exhausted at acc (cpl 0)
-      val stepped = Materialize(
-        if (curRows <= WalkBroadcastPairLimit) {
-          // residual regime: slices only for the documents still active,
-          // re-derived below a broadcast semi-join — no corpus shuffle
-          val needDocs = cur.select(col("a_doc").as("doc_id"))
-            .union(cur.select(col("b_doc").as("doc_id"))).distinct()
-          val sl = sliceFrame(
-            docs.join(broadcast(needDocs), Seq("doc_id"), "left_semi"),
-            seed)
-          cur
-            .join(broadcast(sl.select(col("doc_id").as("_ad"),
-              col("pos").as("_ap"), col("sl").as("_sa"))),
-              col("a_doc") === col("_ad") &&
-                (col("a_pos") + col("acc")) === col("_ap"), "left")
-            .join(broadcast(sl.select(col("doc_id").as("_bd"),
-              col("pos").as("_bp"), col("sl").as("_sb"))),
-              col("b_doc") === col("_bd") &&
-                (col("b_pos") + col("acc")) === col("_bp"), "left")
-            .withColumn("cpl", coalesce(
-              common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
-              lit(0L)))
-            .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb")
-        } else {
-          val sla = bigSlices.select(col("doc_id").as("_ad"),
-            col("pos").as("_ap"), col("sl").as("_sa"))
-          val slb = bigSlices.select(col("doc_id").as("_bd"),
-            col("pos").as("_bp"), col("sl").as("_sb"))
-          cur
-            .join(sla, col("a_doc") === col("_ad") &&
-              (col("a_pos") + col("acc")) === col("_ap"), "left")
-            .join(slb, col("b_doc") === col("_bd") &&
-              (col("b_pos") + col("acc")) === col("_bp"), "left")
-            .withColumn("cpl", coalesce(
-              common_prefix_length(col("_sa"), lit(0), col("_sb"), lit(0)),
-              lit(0L)))
-            .drop("_ad", "_ap", "_sa", "_bd", "_bp", "_sb")
-        })
-      // a full-width match means the LCP may extend past this slice —
-      // advance one width and keep walking; anything less is final
-      legs ::= finished(stepped.filter(col("cpl") < seed)
-        .withColumn("lcp", col("acc") + col("cpl")))
-      cur = stepped.filter(col("cpl") === lit(seed.toLong))
-        .withColumn("acc", col("acc") + lit(seed.toLong))
-        .drop("cpl")
-      val stillActive = cur.count()
-      legRows += curRows - stillActive
-      curRows = stillActive
-      rounds += 1
-      if (legs.size >= ConsolidateEvery || curRows == 0) {
-        done = Materialize(legs.foldLeft(done)(_.unionByName(_)))
-        doneRows = done.count()
-        legs = Nil
-        legRows = 0L
+    val seededRows = seeded.count()
+    // gauge the active documents BEFORE choosing the attach strategy: the
+    // broadcast decision keys on their measured text bytes, not pair count
+    val needDocs = active.select(col("a_doc").as("doc_id"))
+      .union(active.select(col("b_doc").as("doc_id"))).distinct()
+    val gauge = docs.join(needDocs, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_nd"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("_bytes"))
+      .collect()(0)
+    val activeDocs = gauge.getLong(0)
+    val activeBytes = gauge.getLong(1)
+    val done =
+      if (activeDocs == 0) retired
+      else {
+        val txt = docs.select(col("doc_id"), col("text"))
+          .join(needDocs, Seq("doc_id"), "left_semi")
+        def side(d: String, t: String): DataFrame =
+          txt.select(col("doc_id").as(d), col("text").as(t))
+        val attached =
+          if (activeBytes <= WalkBroadcastByteLimit)
+            active.join(broadcast(side("a_doc", "_ta")), Seq("a_doc"))
+              .join(broadcast(side("b_doc", "_tb")), Seq("b_doc"))
+          else
+            active.join(side("a_doc", "_ta"), Seq("a_doc"))
+              .join(side("b_doc", "_tb"), Seq("b_doc"))
+        // a suffix exhausted exactly at the seed boundary compares as a
+        // zero-length tail (the kernel clamps offsets to end-of-string)
+        val resolved = attached.select(col("srank"), col("cnt"),
+          (lit(seed.toLong) + common_prefix_length(
+            col("_ta"), (col("a_pos") + seed).cast("int"),
+            col("_tb"), (col("b_pos") + seed).cast("int"))).as("lcp"))
+        retired.unionByName(resolved)
       }
-      peak = math.max(peak, n + saRows + doneRows + legRows + curRows)
-    }
-    require(curRows == 0,
-      s"LCP walk failed to converge in $maxRounds rounds (bug)")
-    lastWalkStats = WalkStats(n, rounds, peak)
+    val activeRows = if (activeDocs == 0) 0L else active.count()
+    lastWalkStats = WalkStats(n, if (activeDocs == 0) 1 else 2,
+      n + saRows + seededRows + activeRows)
     done
   }
 }

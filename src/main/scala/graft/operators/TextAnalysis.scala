@@ -214,26 +214,31 @@ object TextAnalysis {
   def simhash(docs: DataFrame, nBits: Int = 16): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    val bitIds = (0 until nBits).map(lit(_))
     // bit b of a token = bit (3 - b%4) of hex digit b/4 of the token's md5;
     // hex digit value via position arithmetic so the oracle can mirror it.
     // md5 runs once per *distinct* corpus token (vocabulary dictionary),
-    // the per-(doc, bit) fan-out joins the dictionary back.
-    val bit = expr(
+    // the per-doc fan-out joins the dictionary back. Each bit is its own
+    // ±1 contribution COLUMN (not an exploded (token, bit) row), so the
+    // only exchange carries |docs| rows of nBits partial sums — map-side
+    // combinable — where the previous formulation shuffled
+    // |doc tokens|×nBits exploded rows through TWO aggregations. The
+    // per-bit sums are the same exact integers, reassociated.
+    def bit(b: Int) = expr(
       "(shiftright(instr('0123456789abcdef', " +
-        "substring(md5(token), 1 + CAST(b / 4 AS INT), 1)) - 1, " +
-        "3 - CAST(b % 4 AS INT))) & 1")
+        s"substring(_hx, ${1 + b / 4}, 1)) - 1, ${3 - b % 4})) & 1")
+    val contribs = (0 until nBits).map(b =>
+      when(bit(b) === 1, 1).otherwise(-1).as(s"_c$b"))
     val vocabBits = tokens.select(col("token")).distinct()
-      .select(col("token"), explode(array(bitIds: _*)).as("b"))
-      .select(col("token"), col("b"),
-        when(bit === 1, 1).otherwise(-1).as("contrib"))
+      .select(col("token"), md5(col("token")).as("_hx"))
+      .select(col("token") +: contribs: _*)
     tokens.join(vocabBits, "token")
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(sum(col("_c0")).as("_s0"),
+        (1 until nBits).map(b => sum(col(s"_c$b")).as(s"_s$b")): _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(b =>
+          when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /**
@@ -904,6 +909,11 @@ object TextAnalysis {
   def langIdPredict(docs: DataFrame, model: DataFrame, floors: DataFrame,
                     scriptLangs: Seq[(String, Int, Int)] = DefaultScriptLangs,
                     textCol: String = "text"): DataFrame = {
+    // EAGER CONTRACT: construction runs one languages-sized Spark job (the
+    // floors collect below) — the language set determines the COLUMN LIST
+    // of the per-doc aggregation, so the plan cannot be built without it.
+    // Explain-only consumers and lazy callers therefore trigger that job
+    // at build time; floor-side failures surface here, not at action time.
     // languages-sized collect: the floor dictionary pins the language set
     // and each language's unseen-trigram weight
     val fl = floors.select(col("lang"), col("w0")).collect()

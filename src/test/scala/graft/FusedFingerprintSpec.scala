@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocDedup, TextAnalysis}
+
+/**
+ * Round-14 one-shuffle fingerprint fusions, pinned bit-identical to the
+ * reference formulations they replaced:
+ *
+ *  - [[DocDedup.minhashBandBuckets]] (per-hash min COLUMNS + projected
+ *    band md5s, one exchange) ≡ [[DocDedup.lshBuckets]] ∘
+ *    [[DocDedup.minhashSignatures]] (per-(doc,h) rows through two
+ *    aggregations);
+ *  - [[TextAnalysis.simhash]] (per-bit ±1 contribution COLUMNS, one
+ *    exchange) ≡ the row-local [[TextAnalysis.simhashExpr]] — the same
+ *    bit arithmetic over the same token md5s.
+ *
+ * The DuckDB oracles for the consuming queries replay the TWO-STEP
+ * arithmetic, so these pins are what lets the fused plans claim oracle
+ * parity by construction.
+ */
+class FusedFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val rnd = new scala.util.Random(91)
+    (0L until 60L).map { id =>
+      val words = (0 until 3 + rnd.nextInt(25))
+        .map(_ => s"w${rnd.nextInt(40)}")
+      // planted duplicates: every 7th doc repeats doc id-7's text
+      (id, if (id % 7 == 0 && id >= 7) s"dup${id % 14} " + words.mkString(" ")
+      else words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhashBandBuckets ≡ lshBuckets(minhashSignatures) bit for bit") {
+    for ((h, rpb) <- Seq((8, 4), (6, 2))) {
+      val fused = DocDedup.minhashBandBuckets(corpus, h, rpb)
+        .as[(Long, Int, String)].collect().toSet
+      val twoStep = DocDedup.lshBuckets(
+        DocDedup.minhashSignatures(corpus, h), rpb)
+        .as[(Long, Int, String)].collect().toSet
+      assert(fused === twoStep, s"divergence at numHashes=$h rpb=$rpb")
+    }
+  }
+
+  test("one-shuffle simhash ≡ the row-local simhashExpr") {
+    for (bits <- Seq(16, 64)) {
+      val agg = TextAnalysis.simhash(corpus, bits)
+        .as[(Long, Long)].collect().toMap
+      val local = corpus.select(col("doc_id"),
+        TextAnalysis.simhashExpr("text", bits).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(agg === local, s"divergence at nBits=$bits")
+    }
+  }
+
+  test("simhash carries exactly one doc-keyed exchange and never " +
+    "shuffles exploded (doc, bit) rows") {
+    val p = TextAnalysis.simhash(corpus, 64)
+      .queryExecution.executedPlan.toString
+    val docKeyed = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    // ONE doc-keyed aggregation exchange of |docs|×nBits partial sums;
+    // the old form shuffled the exploded (doc, bit) frame through a
+    // second doc-keyed aggregation
+    assert(docKeyed === 1, s"$docKeyed doc-keyed exchanges:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id#") ||
+      !p.contains(", b#"), s"(doc, bit) exchange survived:\n$p")
+  }
+}

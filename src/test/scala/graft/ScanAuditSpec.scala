@@ -30,12 +30,34 @@ class ScanAuditSpec extends SparkSpec {
    * straight above an unsplittable corpus scan, active only when the scan
    * has fewer splits than cores — i.e. at fixture scale, never at 100 TB)
    * is excluded too: these pins bound the CLUSTER-SCALE shuffle count,
-   * and that exchange disarms itself exactly there. */
-  private def exchanges(p: String): Int =
-    p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("ReusedExchange") &&
-        !(l.contains("RoundRobinPartitioning") &&
-          l.contains("REPARTITION_BY_NUM")))
+   * and that exchange disarms itself exactly there. The exclusion is
+   * SCOPED structurally, not blanket: a round-robin REPARTITION_BY_NUM
+   * exchange is excluded only when the next real operator below it
+   * (walking tree-connector lines; projections/filters/read glue allowed)
+   * is a file scan — an accidental mid-pipeline `.repartition(n)` has a
+   * join/aggregate/generate/exchange below it and trips the pin again. */
+  private def exchanges(p: String): Int = {
+    val lines = p.linesIterator.toVector
+    // operator lines carry a tree connector; expression text that wraps
+    // onto continuation lines (embedded newlines in string literals) does
+    // not, and must not confuse the walk
+    def isOp(l: String): Boolean = l.contains("+- ") || l.contains(":- ")
+    val blockers = Seq("Exchange", "Join", "HashAggregate", "SortAggregate",
+      "ObjectHashAggregate", "Window", "Generate", "Union", "Expand",
+      "Sort ", "LocalTableScan")
+    def isScanGuard(i: Int): Boolean =
+      lines(i).contains("RoundRobinPartitioning") &&
+        lines(i).contains("REPARTITION_BY_NUM") && {
+          val below = (i + 1 until lines.size).iterator
+            .map(lines).filter(isOp)
+          below.find(l => l.contains("FileScan parquet") ||
+              blockers.exists(l.contains))
+            .exists(_.contains("FileScan parquet"))
+        }
+    lines.indices.count(i =>
+      lines(i).contains("Exchange") && !lines(i).contains("ReusedExchange") &&
+        !isScanGuard(i))
+  }
 
   /** Whether some scan carries a non-empty parquet pushdown (the
    * metadata value may be truncated, so only emptiness is decidable). */

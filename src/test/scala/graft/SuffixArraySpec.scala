@@ -133,12 +133,12 @@ class SuffixArraySpec extends SparkSpec {
   }
 
   test("LCP walk peak live state is O(n), independent of doubling depth") {
-    // Every pair row lives in exactly one of {active, pending leg, done}
-    // at any instant, so live rows = slices(n) + array(n) + pairs(≤n) ≤ 3n
-    // no matter how many walk rounds or doubling levels run. Pin that:
-    // a deep corpus (long docs, many doubling levels + walk rounds) must
-    // show the same constant multiple as a shallow one — this is the
-    // bound that replaced the old O(n·log n) retained rank tables.
+    // Live rows = slices(n) + array(n) + pair frame(≤n) + active pairs(≤n)
+    // ≤ 4n no matter how many doubling levels run or how long the
+    // residual LCPs are. Pin that: a deep corpus (docs past the 1024-char
+    // full-suffix seed regime, so the residual tail-compare actually
+    // runs) must show the same constant multiple as a shallow one — this
+    // is the bound that replaced the old O(n·log n) retained rank tables.
     val rnd = new scala.util.Random(31)
     def corpus(docLen: Int, nDocs: Int) = (0L until nDocs.toLong).map { id =>
       (id, Seq.fill(docLen)(('a' + rnd.nextInt(3)).toChar).mkString)
@@ -149,33 +149,42 @@ class SuffixArraySpec extends SparkSpec {
       assert(s.corpusPositions === docs.map(_._2.length).sum.toLong)
       (s.peakLiveRows.toDouble / s.corpusPositions, s.rounds)
     }
-    val (shallowMult, _) = peakMultiple(corpus(docLen = 80, nDocs = 40))
-    // long shared core ⟹ neighbor LCPs ≈ 300 ⟹ ≈ 5 walk rounds
-    val core = Seq.fill(300)(('a' + rnd.nextInt(3)).toChar).mkString
+    val (shallowMult, shallowRounds) =
+      peakMultiple(corpus(docLen = 80, nDocs = 40))
+    // long shared core past the full-suffix seed regime ⟹ neighbor LCPs
+    // ≈ 1100 ≥ seed 512 ⟹ the residual tail-compare pass must run
+    val core = Seq.fill(1100)(('a' + rnd.nextInt(3)).toChar).mkString
     val deep = (0L until 8L).map(id => (id, core + id.toString))
     val (deepMult, deepRounds) = peakMultiple(deep)
-    assert(shallowMult <= 3.5, s"shallow corpus peak multiple $shallowMult")
-    assert(deepMult <= 3.5, s"deep corpus peak multiple $deepMult")
-    assert(deepRounds >= 2, "deep fixture never exercised the multi-round walk")
+    assert(shallowRounds === 1,
+      "short-doc corpus should retire everything in the seed round")
+    assert(shallowMult <= 4.0, s"shallow corpus peak multiple $shallowMult")
+    assert(deepMult <= 4.0, s"deep corpus peak multiple $deepMult")
+    assert(deepRounds === 2, "deep fixture never exercised the residual pass")
   }
 
-  test("lcpArray: shuffle-join fallback path equals the broadcast path") {
-    // force the residual rounds onto the materialized-slices fallback
-    // (curRows > limit) and pin it against the default broadcast path —
-    // the two regimes must be output-identical on the same corpus
+  test("lcpArray: shuffle-join text attach equals the broadcast attach") {
+    // force the residual tail-compare onto the shuffle-join attach (byte
+    // budget 0 — any active document overflows it) and pin it against
+    // the default broadcast path — the two regimes must be
+    // output-identical on the same corpus. Docs are longer than 1024
+    // chars so the residual pass actually runs (shorter corpora retire
+    // everything in the seed round).
     val rnd = new scala.util.Random(47)
-    val core = Seq.fill(200)(('a' + rnd.nextInt(2)).toChar).mkString
+    val core = Seq.fill(1200)(('a' + rnd.nextInt(2)).toChar).mkString
     val docs = (0L until 6L).map(id => (id, core + id.toString))
     val df = docs.toDF("doc_id", "text")
     val want = naiveLcp(docs)
-    val saved = SuffixArray.WalkBroadcastPairLimit
+    val saved = SuffixArray.WalkBroadcastByteLimit
     try {
-      SuffixArray.WalkBroadcastPairLimit = 0L // every round falls back
+      SuffixArray.WalkBroadcastByteLimit = 0L // any active doc overflows
       val got = SuffixArray.lcpArray(df)
         .as[(Long, Long, Long)].collect()
         .map { case (r, c, l) => r -> (c, l) }.toMap
       assert(got === want)
-    } finally SuffixArray.WalkBroadcastPairLimit = saved
+      assert(SuffixArray.lastWalkStats.rounds === 2,
+        "fixture never exercised the residual pass")
+    } finally SuffixArray.WalkBroadcastByteLimit = saved
     val gotDefault = SuffixArray.lcpArray(df)
       .as[(Long, Long, Long)].collect()
       .map { case (r, c, l) => r -> (c, l) }.toMap
