@@ -13,20 +13,26 @@ import org.apache.spark.sql.types.{DecimalType, StructField}
  * the reference (its closest analog is the per-mutation metric counters,
  * SURVEY §2.5).
  *
- * Scale shape: full-shuffle passes with a BOUNDED Expand. Null counts,
- * row counts, and string ranges are plain aggregates (map-side
- * combinable); the distinct counts ride the same aggregation via Spark's
- * multi-distinct Expand — the planner rewrites N `count(DISTINCT c)`
- * into one Expand(N+1 copies) + two-level aggregate. Expand multiplies
- * the SHUFFLED row volume by its copy count, so a 100-column table
- * profiled in one scan shuffles ~100x the input — the operator therefore
- * slices wide tables into column batches of at most
- * `maxDistinctAggsPerScan` distinct-aggregates per scan and unions the
- * columns-sized results. The extra scans are nearly free: each slice's
- * aggregate reads only that slice's columns, so parquet column pruning
- * keeps total scanned bytes constant while the per-scan shuffle
- * multiplier stays bounded. Results are columns-sized (one row per
- * column) — never data-sized.
+ * Scale shape: ONE value-keyed group-aggregate per column, unioned.
+ * Each column's branch groups by (cohort, value) — map-side combinable,
+ * so the exchange carries per-partition distinct values, never rows —
+ * and a second columns-sized aggregate folds the group frame into the
+ * per-column stats (row/null counts are weighted sums of the group
+ * counts, the distinct count is the group count itself, string min/max
+ * fold over group keys). Parquet column pruning keeps total scanned
+ * bytes constant across the per-column scans (columnar layout: N
+ * one-column scans read the same bytes as one N-column scan).
+ *
+ * This replaced the earlier multi-`count(DISTINCT c)` single-scan form
+ * (round 14): Spark plans N distinct-aggregates as Expand(N+1 copies) +
+ * a two-level aggregate keyed on all N distinct columns, which (a)
+ * multiplies the shuffled row volume by the copy count and (b) — because
+ * the string min/max aggregation buffers disqualify HashAggregateExec —
+ * executes as SortAggregate with TWO data-sized sorts over the expanded
+ * frame (measured 3.4 s on a 2 MB table at sf0.1; the group-aggregate
+ * form measures the same stats with zero Expand and zero data-sized
+ * sort). Results are columns-sized (one row per column) — never
+ * data-sized.
  *
  * All generated plans are built with the Column API (no name
  * interpolation into SQL strings), so any legal column identifier —
@@ -54,67 +60,50 @@ object Profiling {
    * Expand per scan, see object scaladoc) and unioned — byte-identical
    * rows to the one-scan plan because each column's row is independent.
    */
-  def profile(df: DataFrame, maxDistinctAggsPerScan: Int = 16): DataFrame = {
+  def profile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot profile a zero-column frame")
-    require(maxDistinctAggsPerScan >= 1,
-      s"maxDistinctAggsPerScan must be >= 1, got $maxDistinctAggsPerScan")
-    cols.grouped(maxDistinctAggsPerScan) // 1 distinct agg per column
-      .map(slice => profileSlice(df, slice))
-      .reduce(_.unionByName(_))
+    cols.toSeq.map(f => profileCol(df, f)).reduce(_.unionByName(_))
   }
 
-  private def profileSlice(df: DataFrame, cols: Array[StructField]): DataFrame = {
-    // internal aliases are index-based — user column names never appear
-    // in generated identifiers
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n_rows")) ++ cols.zipWithIndex.toSeq.flatMap {
-        case (f, i) =>
-          val c = exact(f.name)
-          val isStr = f.dataType.typeName == "string"
-          Seq(
-            count(c).as(s"nn_$i"),
-            countDistinct(c).as(s"nd_$i"),
-            (if (isStr) min(c) else lit(null).cast("string")).as(s"mn_$i"),
-            (if (isStr) max(c) else lit(null).cast("string")).as(s"mx_$i"))
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // stack the single wide row into one row per column
-    val rows: Seq[Column] = cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
-      Seq(lit(f.name), col("n_rows") - col(s"nn_$i"), col(s"nd_$i"),
-        col(s"mn_$i"), col(s"mx_$i"))
-    }
-    one.select(col("n_rows"), stack(lit(cols.length) +: rows: _*)
-        .as(Seq("col_name", "n_nulls", "n_distinct", "min_s", "max_s")))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+  private def profileCol(df: DataFrame, f: StructField): DataFrame = {
+    // internal aliases are fixed — user column names never appear in
+    // generated identifiers
+    val isStr = f.dataType.typeName == "string"
+    // group equality is the engine's aggregate-distinct equality (same
+    // NaN/-0.0 normalization), so the group count IS count(DISTINCT c)
+    val groups = df.select(exact(f.name).as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cnt"))
+    groups.agg(
+        coalesce(sum(col("_cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("_v").isNotNull, col("_cnt"))), lit(0L))
+          .as("_nn"),
+        count(when(col("_v").isNotNull, lit(1))).as("n_distinct"),
+        (if (isStr) min(col("_v").cast("string"))
+         else lit(null).cast("string")).as("min_s"),
+        (if (isStr) max(col("_v").cast("string"))
+         else lit(null).cast("string")).as("max_s"))
+      .select(lit(f.name).as("col_name"), col("n_rows"),
+        (col("n_rows") - col("_nn")).as("n_nulls"), col("n_distinct"),
+        col("min_s"), col("max_s"))
   }
 
   /**
    * Profile drift between two slices of the SAME table (cohort A =
    * `pred` true, cohort B = false) — the per-column drift monitor
-   * between corpus builds, time windows, or source cohorts. Computed via
-   * conditional aggregation (every per-slice aggregate is an agg over
-   * `when(pred, ...)`), never two scans-per-slice + a join; null
-   * predicate rows belong to neither slice. Each column contributes TWO
-   * distinct-aggregates (cohort a + cohort b), so batches hold
-   * `maxDistinctAggsPerScan / 2` columns. Output one row per column:
-   * both slices' row/null/distinct counts, the distinct-count delta, and
-   * whether the string min/max range moved.
+   * between corpus builds, time windows, or source cohorts. One
+   * (cohort, value)-keyed group-aggregate per column (see the object
+   * scaladoc — the cohort flag rides the group key, so both slices'
+   * stats fold from one group frame in one pass, never two
+   * scans-per-slice + a join); null predicate rows belong to neither
+   * slice. Output one row per column: both slices' row/null/distinct
+   * counts, the distinct-count delta, and whether the string min/max
+   * range moved.
    */
-  def drift(df: DataFrame, pred: Column,
-            maxDistinctAggsPerScan: Int = 16): DataFrame = {
+  def drift(df: DataFrame, pred: Column): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "cannot drift-profile a zero-column frame")
-    // every column costs TWO distinct-aggregates (one per cohort): the
-    // enforceable floor is 2 — accepting 1 would still plan a 2-agg scan
-    // and silently exceed the bound this parameter promises
-    require(maxDistinctAggsPerScan >= 2,
-      s"maxDistinctAggsPerScan must be >= 2 (each column needs one " +
-        s"distinct-agg per cohort), got $maxDistinctAggsPerScan")
-    cols.grouped(math.max(1, maxDistinctAggsPerScan / 2))
-      .map(slice => driftSlice(df, pred, slice))
-      .reduce(_.unionByName(_))
+    cols.toSeq.map(f => driftCol(df, pred, f)).reduce(_.unionByName(_))
   }
 
   /**
@@ -198,33 +187,32 @@ object Profiling {
         round(col("psi_raw").cast("double"), 6).as("psi"))
   }
 
-  private def driftSlice(df: DataFrame, pred: Column,
-                         cols: Array[StructField]): DataFrame = {
-    def side(tag: String, in: Column => Column): Seq[Column] =
-      cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
-        val c = in(exact(f.name))
-        val isStr = f.dataType.typeName == "string"
-        Seq(
-          count(in(lit(1))).as(s"nr_${tag}_$i"),
-          count(c).as(s"nn_${tag}_$i"),
-          countDistinct(c).as(s"nd_${tag}_$i"),
-          (if (isStr) min(c) else lit(null).cast("string"))
-            .as(s"mn_${tag}_$i"),
-          (if (isStr) max(c) else lit(null).cast("string"))
-            .as(s"mx_${tag}_$i"))
-      }
-    val aggs = side("a", c => when(pred, c)) ++ side("b", c => when(!pred, c))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows: Seq[Column] = cols.zipWithIndex.toSeq.flatMap { case (f, i) =>
-      Seq(lit(f.name),
-        col(s"nr_a_$i"), col(s"nr_a_$i") - col(s"nn_a_$i"), col(s"nd_a_$i"),
-        col(s"nr_b_$i"), col(s"nr_b_$i") - col(s"nn_b_$i"), col(s"nd_b_$i"),
-        col(s"nd_b_$i") - col(s"nd_a_$i"),
-        (col(s"mn_a_$i") <=> col(s"mn_b_$i")) &&
-          (col(s"mx_a_$i") <=> col(s"mx_b_$i")))
-    }
-    one.select(stack(lit(cols.length) +: rows: _*)
-      .as(Seq("col_name", "n_rows_a", "n_nulls_a", "n_distinct_a",
-        "n_rows_b", "n_nulls_b", "n_distinct_b", "d_distinct", "range_same")))
+  private def driftCol(df: DataFrame, pred: Column,
+                       f: StructField): DataFrame = {
+    val isStr = f.dataType.typeName == "string"
+    // the cohort flag joins the group key: a null predicate groups under
+    // _p = null, which every when(_p, ...) / when(!_p, ...) below skips —
+    // exactly the "neither slice" contract
+    val groups = df.select(pred.as("_p"), exact(f.name).as("_v"))
+      .groupBy(col("_p"), col("_v")).agg(count(lit(1)).as("_cnt"))
+    def side(tag: String, in: Column): Seq[Column] = Seq(
+      coalesce(sum(when(in, col("_cnt"))), lit(0L)).as(s"nr_$tag"),
+      coalesce(sum(when(in && col("_v").isNotNull, col("_cnt"))), lit(0L))
+        .as(s"nn_$tag"),
+      count(when(in && col("_v").isNotNull, lit(1))).as(s"nd_$tag"),
+      (if (isStr) min(when(in, col("_v")).cast("string"))
+       else lit(null).cast("string")).as(s"mn_$tag"),
+      (if (isStr) max(when(in, col("_v")).cast("string"))
+       else lit(null).cast("string")).as(s"mx_$tag"))
+    val aggs = side("a", col("_p")) ++ side("b", !col("_p"))
+    groups.agg(aggs.head, aggs.tail: _*)
+      .select(lit(f.name).as("col_name"),
+        col("nr_a").as("n_rows_a"), (col("nr_a") - col("nn_a")).as("n_nulls_a"),
+        col("nd_a").as("n_distinct_a"),
+        col("nr_b").as("n_rows_b"), (col("nr_b") - col("nn_b")).as("n_nulls_b"),
+        col("nd_b").as("n_distinct_b"),
+        (col("nd_b") - col("nd_a")).as("d_distinct"),
+        ((col("mn_a") <=> col("mn_b")) && (col("mx_a") <=> col("mx_b")))
+          .as("range_same"))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
@@ -36,30 +36,54 @@ class Round7Spec extends SparkSpec {
       (0 until nCols).map(i => (col("id") % (i + 2)).cast("string")
         .as(s"c$i")): _*)
 
-  test("profile: 40-column table slices to bounded Expand per scan, " +
-    "rows identical to the one-scan plan") {
+  test("profile: zero Expand on a 40-column table (per-column " +
+    "group-aggregates), rows match the reference multi-distinct agg") {
     val df = wide(40)
-    val sliced = Profiling.profile(df) // default 16 distinct-aggs/scan
-    val widths = expandWidths(sliced)
-    // ceil(40/16) = 3 scans, each Expand at most 16 distinct groups + 1
-    assert(widths.length === 3, s"expected 3 sliced scans, got $widths")
-    assert(widths.forall(_ <= 17), s"Expand width exceeds bound: $widths")
-    val oneW = expandWidths(Profiling.profile(df, maxDistinctAggsPerScan = 1000))
-    assert(oneW === Seq(41), s"unsliced reference plan changed: $oneW")
-    val one = Profiling.profile(df, maxDistinctAggsPerScan = 1000)
-    assert(sliced.collect().toSet === one.collect().toSet)
+    val got = Profiling.profile(df)
+    // the round-14 redesign: no multi-distinct Expand anywhere — each
+    // column rides its own (value)-keyed group-aggregate
+    assert(expandWidths(got).isEmpty,
+      s"Expand reappeared: ${expandWidths(got)}")
+    val want = (0 until 40).map { i =>
+      val c = col(s"c$i")
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+          (count(lit(1)) - count(c)).cast("long").as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          min(c).as("min_s"), max(c).as("max_s"))
+        .select(lit(s"c$i").as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_.unionByName(_))
+    assert(got.collect().toSet === want.collect().toSet)
   }
 
-  test("drift: wide table slices at half width (two distinct-aggs per " +
-    "column), rows identical to the one-scan plan") {
+  test("drift: zero Expand on a wide table, rows match the reference " +
+    "conditional multi-distinct agg") {
     val df = wide(20)
     val pred = col("c0") === "0"
-    val sliced = Profiling.drift(df, pred) // 16/2 = 8 columns per scan
-    val widths = expandWidths(sliced)
-    assert(widths.length === 3, s"expected 3 sliced scans, got $widths")
-    assert(widths.forall(_ <= 17), s"Expand width exceeds bound: $widths")
-    val one = Profiling.drift(df, pred, maxDistinctAggsPerScan = 1000)
-    assert(sliced.collect().toSet === one.collect().toSet)
+    val got = Profiling.drift(df, pred)
+    assert(expandWidths(got).isEmpty,
+      s"Expand reappeared: ${expandWidths(got)}")
+    val want = (0 until 20).map { i =>
+      val c = col(s"c$i")
+      def sideAggs(tag: String, in: Column => Column) = Seq(
+        count(in(lit(1))).as(s"nr_$tag"), count(in(c)).as(s"nn_$tag"),
+        countDistinct(in(c)).as(s"nd_$tag"),
+        min(in(c)).as(s"mn_$tag"), max(in(c)).as(s"mx_$tag"))
+      val aggs = sideAggs("a", x => when(pred, x)) ++
+        sideAggs("b", x => when(!pred, x))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(s"c$i").as("col_name"),
+          col("nr_a").as("n_rows_a"),
+          (col("nr_a") - col("nn_a")).as("n_nulls_a"),
+          col("nd_a").as("n_distinct_a"),
+          col("nr_b").as("n_rows_b"),
+          (col("nr_b") - col("nn_b")).as("n_nulls_b"),
+          col("nd_b").as("n_distinct_b"),
+          (col("nd_b") - col("nd_a")).as("d_distinct"),
+          ((col("mn_a") <=> col("mn_b")) && (col("mx_a") <=> col("mx_b")))
+            .as("range_same"))
+    }.reduce(_.unionByName(_))
+    assert(got.collect().toSet === want.collect().toSet)
   }
 
   test("profile/drift: quoted, reserved, and hostile column names resolve") {
