@@ -291,6 +291,10 @@ private[graft] object VectorEntries {
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
       val qemb = emb.filter(col("vec_id") % 50 === 0)
+      // the SAME lexical arm feeds both fusions — deliberately NOT
+      // Materialized (round-14 A/B): ReusedExchange dedups the BM25
+      // subtree between the fusions, and a checkpoint barrier here
+      // measured strictly slower (3.96 -> 5.2 s)
       val lex = Retrieval.bm25TopK(docs, queries, k = 20, maxDfRatio = 0.9)
       val fusedBrute = Retrieval.hybridRrfTopK(lex,
         Similarity.bruteForceKnn(qemb, emb, k = 20), k = 10)

@@ -474,22 +474,33 @@ object DocDedup {
       "minhash_lsh" ->
         candidatePairs(minhashBandBuckets(docs, 8, 4)),
       "simhash_band" -> simhashCandidates(docs, 64, 4))
+    // every threshold's exact-pair count folds from the ONE materialized
+    // jaccard frame in a single aggregate (was: one filtered scan per
+    // threshold), and each arm attaches its candidates' jaccard with ONE
+    // left join — pairs are unique per (a, b), so no fan-out — from which
+    // all thresholds' hit counts fold in the same aggregate (was: one
+    // semi-join + count per (arm, threshold))
+    val ts = thresholds.zipWithIndex
+    // 1-row frames, materialized: each is referenced once per threshold
+    // and must not re-run its (LSH-chain-sized) lineage per reference
+    val exactAgg = Materialize(jacc.agg(
+      count(when(col("jaccard") >= ts.head._1, 1)).as("_e0"),
+      ts.tail.map { case (t, i) =>
+        count(when(col("jaccard") >= t, 1)).as(s"_e$i") }: _*))
     val rows = for {
-      (name, cand) <- arms.map { case (n, c) =>
-        (n, Materialize(c.select(col("a"), col("b"))))
-      }
-      t <- thresholds
-    } yield {
-      val exact = jacc.filter(col("jaccard") >= t).select(col("a"), col("b"))
-      val hits = cand.join(exact, Seq("a", "b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(lit(name).as("method"), lit(t).as("threshold"),
-          col("n_exact"), col("n_candidates"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    }
+      (name, cand) <- arms
+      armAgg = Materialize(cand.select(col("a"), col("b"))
+        .join(jacc, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          ts.map { case (t, i) =>
+            count(when(col("jaccard") >= t, 1)).as(s"_h$i") }: _*)
+        .crossJoin(broadcast(exactAgg)))
+      (t, i) <- ts
+    } yield armAgg.select(lit(name).as("method"), lit(t).as("threshold"),
+      col(s"_e$i").as("n_exact"), col("n_candidates"),
+      col(s"_h$i").as("n_hits"),
+      (col(s"_h$i").cast("double") / col(s"_e$i").cast("double"))
+        .as("recall"))
     rows.reduce(_ unionAll _)
   }
 

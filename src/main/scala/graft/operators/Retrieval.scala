@@ -105,6 +105,11 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75,
                maxDfRatio: Double = 0.5,
                textCol: String = "text"): DataFrame =
+    // NO diamond cut here, deliberately (round-14 A/B): ReusedExchange
+    // already dedups the tf subtree between the df dictionary and the
+    // candidate join, so a Materialize barrier measured strictly slower
+    // (text_bm25_topk 1.75 -> 2.42 s) — the plan-visible duplicate scans
+    // are free, the checkpoint write is not.
     bm25TopKFromTf(termFrequencies(docs, textCol),
       corpusStats(docs, textCol), queries, k, k1, b, maxDfRatio)
 
