@@ -100,6 +100,9 @@ private[graft] object VectorEntries {
       // pinned bit-exactly by knn_lsh_ann's brute-force oracle.
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
+      // deliberately NOT materialized (round-14 A/B): the four recall
+      // branches' shared brute subtree dedups via ReusedExchange; a
+      // checkpoint barrier measured 3.2 -> 4.0 s
       val brute = Similarity.bruteForceKnn(q, emb, k = 5)
       val ivf = Similarity.ivfKnn(q, emb, ivfCentroids(s, dir), k = 5, nprobe = 8)
       val lsh = Similarity.lshKnn(q, emb, rowsPerBand = 3, nBands = 21,

@@ -53,6 +53,27 @@ object IvfAssign {
     new GenericArrayData(order.take(n).map(Int.box).toArray[Any])
   }
 
+  /** PQ codeword argmin: exact integer squared-L2 against subspace `sub`'s
+   * codewords (books indexed [sub][code][dim]); ties → lowest code. The
+   * strict `<` keeps the first (lowest) code on equal distance. */
+  def codeArgmin(xs: ArrayData, sub: Int,
+                 books: Array[Array[Array[Long]]]): Int = {
+    val x = xs.toLongArray()
+    val cw = books(sub)
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cw.length) {
+      val w = cw(c)
+      var d = 0L
+      var i = 0
+      while (i < w.length) { val t = x(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Margin-adaptive probe list: cells within `margin` affinity of the
    * best cell, ranked (aff desc, cell asc), capped at n. A query that wins
    * its cell by a wide margin probes 1 cell; a boundary query probes its
@@ -173,11 +194,50 @@ case class CellMarginProbes(child: Expression, cents: Array[Array[Long]],
     copy(child = c)
 }
 
+/** `code_argmin(xs, sub)` → INT: nearest codeword of subspace `sub` by
+ * exact integer squared L2, ties to the lowest code — the PQ-training
+ * analog of [[CellArgmax]] (the codebook rides inside the expression; the
+ * Lloyd assignment is pure scan-stage cost, no join, no window). */
+case class PqCodeArgmin(left: Expression, right: Expression,
+                        books: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if books.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckFailure("code_argmin: empty codebook")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"code_argmin requires (ARRAY<BIGINT>, INT), got $other")
+    }
+
+  override def nullSafeEval(xs: Any, sub: Any): Any =
+    IvfAssign.codeArgmin(xs.asInstanceOf[ArrayData],
+      sub.asInstanceOf[Int], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "long[][][]")
+    defineCodeGen(ctx, ev,
+      (x, s) => s"graft.functions.IvfAssign.codeArgmin($x, $s, $booksRef)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PqCodeArgmin = copy(left = l, right = r)
+}
+
 object IvfAssignFunctions {
   import org.apache.spark.sql.GraftShim
 
   def cell_argmax(c: Column, cents: Array[Array[Long]]): Column =
     GraftShim.column(CellArgmax(GraftShim.expression(c), cents))
+
+  def code_argmin(xs: Column, sub: Column,
+                  books: Array[Array[Array[Long]]]): Column =
+    GraftShim.column(PqCodeArgmin(GraftShim.expression(xs),
+      GraftShim.expression(sub), books))
 
   def cell_topn(c: Column, cents: Array[Array[Long]], n: Int): Column =
     GraftShim.column(CellTopN(GraftShim.expression(c), cents, n))

@@ -186,6 +186,9 @@ object DocDedup {
     val candM = Materialize(cand)
     val candIds = candM
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    // deliberately NOT materialized (round-14 A/B): the two intersection
+    // sides' semi-join subtrees dedup through ReusedExchange at runtime,
+    // and a checkpoint barrier here measured 4.8 -> 6.4 s
     val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
     candM
       .join(shc.select(col("doc_id").as("a"), col("sh")), "a")

@@ -695,23 +695,25 @@ object Similarity {
       .select(col("sub"), col("code"), col("xs")).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
 
-    val cbSchema = StructType(Seq(
-      StructField("sub", IntegerType, nullable = false),
-      StructField("code", IntegerType, nullable = false),
-      StructField("cl", ArrayType(LongType, containsNull = false))))
-    def cbDf(cb: Map[(Int, Int), Array[Long]]): DataFrame =
-      spark.createDataFrame(
-        cb.toSeq.sortBy(_._1).map { case ((s, c), arr) => Row(s, c, arr.toSeq) }
-          .asJava, cbSchema)
+    // the codebook rides INSIDE the assignment expression (the
+    // kmeansCentroids cell_argmax idiom): each Lloyd round is one
+    // shuffle-free scan computing the exact-integer L2 argmin per
+    // (vector, subspace) row plus the map-side-combinable (sub, code,
+    // pos) sum — the previous broadcast-join + argmin WINDOW shuffled
+    // and sorted the k-times-exploded distance frame every round
+    val nSubs = books.keys.map(_._1).max + 1
+    // init assigns contiguous codes 0..j-1 per subspace (row_number over
+    // the first min(k, |vectors|) ids), so positional indexing is exact
+    val nCodes = books.keys.map(_._2).max + 1
+    def booksArr(cb: Map[(Int, Int), Array[Long]]): Array[Array[Array[Long]]] =
+      Array.tabulate(nSubs)(s =>
+        Array.tabulate(nCodes)(c => cb((s, c))))
 
     for (_ <- 0 until iters) {
-      val dist = sv.join(broadcast(cbDf(books)), "sub")
-        .select(col("vec_id"), col("sub"), col("code"), col("xs"),
-          longSqDist(col("xs"), col("cl")).as("dist"))
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist").asc, col("code").asc)
-      val assigned = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val assigned = sv.select(col("sub"),
+        graft.functions.IvfAssignFunctions.code_argmin(
+          col("xs"), col("sub"), booksArr(books)).as("code"),
+        col("xs"))
       val sums = assigned
         .select(col("sub"), col("code"), posexplode(col("xs")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
