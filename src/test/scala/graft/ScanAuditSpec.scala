@@ -310,17 +310,33 @@ class ScanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 8, s"${exchanges(p)} exchanges:\n$p")
   }
 
-  test("profile_columns: one scan feeds the multi-distinct Expand") {
+  test("profile_columns: one PRUNED scan per column, zero Expand — each " +
+    "branch reads exactly its own column (columnar bytes constant)") {
     val p = plan("profile_columns")
-    // a second FileScan would mean the profile re-reads the table
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans === 1, s"$scans parquet scans:\n$p")
+    val rs = scanColumns(p)
+    assert(rs.length === 6, s"${rs.length} parquet scans:\n$p")
+    // every scan reads exactly one column, and all six columns appear —
+    // total scanned bytes equal the old single 6-column scan
+    assert(rs.forall(_.size == 1), s"unpruned profile scan: $rs")
+    assert(rs.flatten.toSet === Set("event_id", "ts", "user_id",
+      "event_type", "value", "props"), s"column branches wrong: $rs")
+    assert(!p.contains("Expand"), "multi-distinct Expand reappeared")
   }
 
-  test("profile_drift: the one-scan conditional-aggregation claim holds") {
+  test("profile_drift: one pruned scan per column (value + predicate " +
+    "column only), zero Expand, all-HashAggregate") {
     val p = plan("profile_drift")
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans === 1, s"$scans parquet scans:\n$p")
+    val rs = scanColumns(p)
+    assert(rs.length === 6, s"${rs.length} parquet scans:\n$p")
+    // each branch reads its own column plus the user_id predicate input
+    assert(rs.forall(s => s.size <= 2 && s.contains("user_id")),
+      s"unpruned drift scan: $rs")
+    assert(!p.contains("Expand"), "multi-distinct Expand reappeared")
+    // the data-sized aggregates must stay hash-based; SortAggregate may
+    // appear only as the keyless columns-sized final fold
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortAggregate") && l.contains("keys=[_")),
+      s"data-sized SortAggregate reappeared:\n$p")
   }
 
   test("q_funnel_steps: the 3-step funnel reads events ONCE — every step " +
