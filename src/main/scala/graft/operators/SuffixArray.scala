@@ -119,8 +119,8 @@ object SuffixArray {
    * so any representative is exact for the whole rank.
    */
   def lcpArray(docs: DataFrame): DataFrame = {
-    val (sa, maxLen, seedLcp) = build(docs, withLcp = true)
-    lcpWalk(docs, sa, maxLen, seedLcp)
+    val (sa, maxLen, n, seedLcp) = build(docs, withLcp = true)
+    lcpWalk(docs, sa, maxLen, n, seedLcp)
       .select(col("srank"), col("cnt"), col("lcp"))
   }
 
@@ -135,8 +135,8 @@ object SuffixArray {
    * suffix is adjacent to it in suffix order.
    */
   def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val (sa, maxLen, seedLcp) = build(docs, withLcp = true)
-    val lcp = lcpWalk(docs, sa, maxLen, seedLcp) // (srank, cnt, lcp)
+    val (sa, maxLen, n, seedLcp) = build(docs, withLcp = true)
+    val lcp = lcpWalk(docs, sa, maxLen, n, seedLcp) // (srank, cnt, lcp)
     val nextLcp = lcp.select((col("srank") - 1).as("srank"),
       col("lcp").as("lcp_next"))
     val ranks = lcp.join(nextLcp, Seq("srank"), "left")
@@ -283,8 +283,13 @@ object SuffixArray {
    * and is reclaimed by the ContextCleaner.
    */
   private def build(docs: DataFrame, withLcp: Boolean)
-      : (DataFrame, Int, DataFrame) = {
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+      : (DataFrame, Int, Long, DataFrame) = {
+    // one gauge job serves both the seed choice (maxLen) and the walk's
+    // O(n) instrumentation (n = corpus positions = suffix-array rows)
+    val g = docs.agg(max(length(col("text"))),
+      coalesce(sum(length(col("text"))), lit(0L))).collect()(0)
+    val maxLen = g.getInt(0)
+    val n = g.getLong(1)
     require(maxLen > 0, "empty corpus")
     val seed = seedFor(maxLen)
     val cur0 = Materialize(
@@ -309,7 +314,7 @@ object SuffixArray {
           .select(col("doc_id"), col("pos"), col("sr"), col("nr").as("r")))
       h *= 2
     }
-    (cur, maxLen, seedLcp)
+    (cur, maxLen, n, seedLcp)
   }
 
   /** Byte budget for the walk's residual broadcast: the still-active
@@ -357,7 +362,7 @@ object SuffixArray {
    * its per-round scheduling and materialization.
    */
   private def lcpWalk(docs: DataFrame, sa: DataFrame, maxLen: Int,
-      seedLcp: DataFrame): DataFrame = {
+      n: Long, seedLcp: DataFrame): DataFrame = {
     val seed = seedFor(maxLen)
     val reps = sa.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"),
@@ -383,23 +388,24 @@ object SuffixArray {
     val retired = seeded.filter(col("cpl0") < seed)
       .select(col("srank"), col("cnt"), col("cpl0").as("lcp"))
     val active = seeded.filter(col("cpl0") === seed.toLong)
-    val n = docs.agg(coalesce(sum(length(col("text"))), lit(0L)))
-      .collect()(0).getLong(0)
-    val saRows = sa.count()
-    val seededRows = seeded.count()
-    // gauge the active documents BEFORE choosing the attach strategy: the
-    // broadcast decision keys on their measured text bytes, not pair count
-    val needDocs = active.select(col("a_doc").as("doc_id"))
-      .union(active.select(col("b_doc").as("doc_id"))).distinct()
-    val gauge = docs.join(needDocs, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("_nd"),
-        coalesce(sum(length(col("text"))), lit(0L)).as("_bytes"))
-      .collect()(0)
-    val activeDocs = gauge.getLong(0)
-    val activeBytes = gauge.getLong(1)
+    // ONE gauge job over the materialized pair frame: rank count + active
+    // count (sa's row count is n by construction — one row per corpus
+    // position — so no count job is spent on it)
+    val sg = seeded.agg(count(lit(1)),
+      count(when(col("cpl0") === seed.toLong, 1))).collect()(0)
+    val seededRows = sg.getLong(0)
+    val activeRows = sg.getLong(1)
     val done =
-      if (activeDocs == 0) retired
+      if (activeRows == 0) retired
       else {
+        // gauge the active documents BEFORE choosing the attach strategy:
+        // the broadcast decision keys on their measured text bytes, never
+        // on pair count (run only when a residual exists at all)
+        val needDocs = active.select(col("a_doc").as("doc_id"))
+          .union(active.select(col("b_doc").as("doc_id"))).distinct()
+        val activeBytes = docs.join(needDocs, Seq("doc_id"), "left_semi")
+          .agg(coalesce(sum(length(col("text"))), lit(0L)))
+          .collect()(0).getLong(0)
         val txt = docs.select(col("doc_id"), col("text"))
           .join(needDocs, Seq("doc_id"), "left_semi")
         def side(d: String, t: String): DataFrame =
@@ -419,9 +425,8 @@ object SuffixArray {
             col("_tb"), (col("b_pos") + seed).cast("int"))).as("lcp"))
         retired.unionByName(resolved)
       }
-    val activeRows = if (activeDocs == 0) 0L else active.count()
-    lastWalkStats = WalkStats(n, if (activeDocs == 0) 1 else 2,
-      n + saRows + seededRows + activeRows)
+    lastWalkStats = WalkStats(n, if (activeRows == 0) 1 else 2,
+      n + n + seededRows + activeRows)
     done
   }
 }
